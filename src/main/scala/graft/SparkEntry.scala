@@ -1,13 +1,980 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.api.{ConvertApp, MSTable, MSWrite, ReadSpec}
+import graft.expr.{ComplexFns, Expressions, Taql}
+import graft.ops.{AsOfJoin, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.EventStream
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the LLM-data-pipeline extensions), each with a DuckDB
+  * oracle in `oracleSql` where SQL-expressible.
+  *
+  * Determinism conventions (both sides of every oracle pair):
+  *  - every result is totally ordered by a unique column set
+  *  - computed doubles are `round(x, n)`; stored doubles pass through raw
+  *  - counts/sums of integers are cast to BIGINT on the DuckDB side to
+  *    match Spark's LongType
+  *  - timestamps/dates are formatted to strings (no arrow-type skew)
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    if (n == "events") {
+      // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+      // rejects; read nanos as long and floor-divide to microseconds (the
+      // data is µs-exact; DuckDB's CAST(ts AS TIMESTAMP) floors identically)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/$n.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else s.read.parquet(s"$dir/$n.parquet")
+
+  /** Unique total order on the synthetic lineitem (verified: the 6-tuple is
+    * a key at every scale factor; (l_orderkey, l_linenumber) alone is NOT
+    * unique in this data).
+    */
+  private val liKey = Seq("l_orderkey", "l_linenumber", "l_partkey",
+    "l_suppkey", "l_quantity", "l_extendedprice")
+  private val liKeySql = liKey.mkString(", ")
+
+  private def tmp(name: String) = s"/root/repo/target/qtmp/$name"
+
+  // ------------------------------------------------------------------ entry
+
+  /** Flagship: the SURVEY §7.2 spine — partitioned+sorted+filtered read,
+    * broadcast subtable lookup join, grouped aggregate — on sf0.001.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val datasets = MSTable.read(spark, s"$dir/lineitem.parquet",
+      ReadSpec(groupCols = Seq("l_returnflag"), indexCols = liKey,
+        where = Some("l_quantity > 5 && l_discount < 0.07")))
+    val joined = datasets.map { ds =>
+      ds.withPartitionColumns
+        .join(broadcast(T(spark, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(T(spark, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("l_returnflag"), col("n_name"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+    }
+    joined.reduce(_ unionByName _).orderBy("l_returnflag", "n_name")
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ===== S1: scan with projection / predicate / order / ROWID ==========
+    "q_s1_scan" -> ((s, dir) => {
+      val ds = MSTable.read(s, s"$dir/lineitem.parquet",
+        ReadSpec(columns = Some(Seq("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice")),
+          indexCols = liKey,
+          where = Some("l_quantity > 30 && l_discount < 0.03"))).head
+      ds.df.select((liKey.map(col) :+ col(MSTable.RowId)): _*)
+        .orderBy(MSTable.RowId)
+    }),
+
+    // ===== S1/A1/A3: group-partitioned read, attrs re-expanded ===========
+    "q_s1_group" -> ((s, dir) => {
+      val dss = MSTable.read(s, s"$dir/lineitem.parquet",
+        ReadSpec(groupCols = Seq("l_returnflag", "l_linestatus"),
+          indexCols = liKey))
+      dss.map { ds =>
+        ds.withPartitionColumns.groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+      }.reduce(_ unionByName _)
+        .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+          round(col("sum_qty"), 4).as("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ===== S2: MS-defaults read (FIELD_ID / DATA_DESC_ID grouping) =======
+    "q_s2_ms" -> ((s, dir) => {
+      val ms = T(s, dir, "events").select(
+        (col("user_id") % 2).as("FIELD_ID"),
+        (col("event_id") % 3).as("DATA_DESC_ID"),
+        col("event_id"), col("value"))
+      MSWrite.create(ms, tmp("q_s2_ms"))
+      val dss = MSTable.readMs(s, tmp("q_s2_ms"), ReadSpec(indexCols = Seq("event_id")))
+      dss.map(_.withPartitionColumns.groupBy("FIELD_ID", "DATA_DESC_ID")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total")))
+        .reduce(_ unionByName _)
+        .orderBy("FIELD_ID", "DATA_DESC_ID")
+    }),
+
+    // ===== S3: storage dispatch + ::SUBTABLE addressing ==================
+    "q_s3_dispatch" -> ((s, dir) => {
+      MSWrite.create(T(s, dir, "region"), tmp("q_s3_store") + "/REGION")
+      MSTable.open(s, tmp("q_s3_store") + "::REGION").orderBy("r_regionkey")
+    }),
+
+    // ===== S10: update-by-ROWID (copy-on-write MERGE) ====================
+    "q_s10_update" -> ((s, dir) => {
+      val base = MSTable.withRowId(T(s, dir, "lineitem"), liKey)
+      val delta = base.filter(col("l_returnflag") === "R")
+        .select(col(MSTable.RowId), (col("l_quantity") * 2).as("l_quantity"))
+      MSWrite.updateByRowId(base, delta)
+        .groupBy("l_returnflag")
+        .agg(round(sum("l_quantity"), 4).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ===== S11: create + append ==========================================
+    "q_s11_append" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      MSWrite.create(li.filter(col("l_returnflag") === "A"), tmp("q_s11"))
+      MSWrite.append(li.filter(col("l_returnflag") === "R"), tmp("q_s11"))
+      s.read.parquet(tmp("q_s11"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ===== S13: format conversion (read spec → write spec) ===============
+    "q_s13_convert" -> ((s, dir) => {
+      ConvertApp.convert(s, ConvertApp.Args(
+        input = s"$dir/nation.parquet", output = tmp("q_s13"),
+        group = Seq("n_regionkey"), sort = Seq("n_nationkey"),
+        where = Some("n_nationkey != 2")))
+      s.read.parquet(tmp("q_s13"))
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    }),
+
+    // ===== S14: keyword/metadata sidecars ================================
+    "q_s14_keywords" -> ((s, dir) => {
+      import s.implicits._
+      val n = T(s, dir, "nation").count()
+      MSWrite.create(T(s, dir, "nation"), tmp("q_s14"))
+      MSWrite.putKeywords(s, tmp("q_s14"), Map("rows" -> n.toString, "table" -> "nation"))
+      MSWrite.readKeywords(s, tmp("q_s14")).toSeq.toDF("key", "value").orderBy("key")
+    }),
+
+    // ===== P1: projection =================================================
+    "q_p1_project" -> ((s, dir) =>
+      T(s, dir, "lineitem").select(liKey.map(col): _*).orderBy(liKey.map(col): _*)),
+
+    // ===== P2: TAQL predicate pushdown ===================================
+    "q_p2_taql" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .filter(expr(Taql.toSql(
+          "(l_returnflag == 'A' || l_returnflag == 'R') && l_quantity >= 45" +
+            " && l_suppkey IN [1,2,3,4,5] && !(l_discount > 0.05)")))
+        .select(liKey.map(col) :+ col("l_returnflag"): _*)
+        .orderBy(liKey.map(col): _*)),
+
+    // ===== P3: drop columns ==============================================
+    "q_p3_drop" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .drop("l_shipdate", "l_returnflag", "l_linestatus", "l_discount", "l_tax")
+        .orderBy(liKey.map(col): _*)),
+
+    // ===== P4: column-arithmetic expression language =====================
+    "q_p4_expr" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val withNet = Expressions.withExpr(li, "net",
+        "l_extendedprice * (1 - l_discount) / 100 + 2")
+      Expressions.withExpr(withNet, "bucket7", "l_quantity // 7")
+        .select(liKey.map(col) :+ round(col("net"), 6).as("net") :+
+          col("bucket7"): _*)
+        .orderBy(liKey.map(col): _*)
+    }),
+
+    // ===== P5: assign (derived columns) ==================================
+    "q_p5_assign" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .withColumn("flag_status", concat_ws("/", col("l_returnflag"), col("l_linestatus")))
+        .withColumn("charge", round(col("l_extendedprice") * (lit(1) + col("l_tax")), 4))
+        .select(liKey.map(col) :+ col("flag_status") :+ col("charge"): _*)
+        .orderBy(liKey.map(col): _*)),
+
+    // ===== J1: broadcast subtable lookup join ============================
+    "q_j1_lookup" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .join(broadcast(T(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(T(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("n_name")),
+
+    // ===== J2: composed dimension lookup (orders→customer→nation) ========
+    "q_j2_chain" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .join(broadcast(T(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("n_name")),
+
+    // ===== J3/F1/F2: fragment overlay chain ==============================
+    "q_f2_fragments" -> ((s, dir) => {
+      val base = MSTable.withRowId(T(s, dir, "lineitem"), liKey)
+      MSWrite.create(base, tmp("q_f2_base"))
+      val d1 = base.filter(col("l_returnflag") === "R")
+        .select(col(MSTable.RowId), (col("l_quantity") + 100).as("l_quantity"))
+      MSWrite.writeFragment(d1, tmp("q_f2_c1"), tmp("q_f2_base"))
+      val d2 = base.filter(col("l_linenumber") === 1)
+        .select(col(MSTable.RowId), lit(0.99).as("l_tax"))
+      MSWrite.writeFragment(d2, tmp("q_f2_c2"), tmp("q_f2_c1"))
+      MSWrite.readFragment(s, tmp("q_f2_c2"), liKey)
+        .groupBy("l_returnflag")
+        .agg(round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_tax"), 4).as("sum_tax"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ===== big-big shuffle join (SMJ/SHJ via Catalyst+AQE) ===============
+    "q_join_smj" -> ((s, dir) =>
+      T(s, dir, "orders").join(T(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+        .orderBy("o_orderpriority")),
+
+    // ===== semi / anti / theta joins =====================================
+    "q_join_semi" -> ((s, dir) =>
+      T(s, dir, "orders").join(
+          T(s, dir, "lineitem").filter(col("l_quantity") > 49),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
+    "q_join_anti" -> ((s, dir) =>
+      T(s, dir, "part").join(T(s, dir, "lineitem"),
+          col("p_partkey") === col("l_partkey"), "left_anti")
+        .groupBy("p_brand").agg(count(lit(1)).as("n"))
+        .orderBy("p_brand")),
+
+    "q_join_theta" -> ((s, dir) =>
+      T(s, dir, "supplier").join(broadcast(T(s, dir, "nation")),
+          col("s_acctbal") >= col("n_nationkey") * 100 &&
+            col("s_acctbal") <= col("n_nationkey") * 400)
+        .groupBy("n_name").agg(count(lit(1)).as("n"))
+        .orderBy("n_name")),
+
+    // ===== as-of join (composed: union + window last) ====================
+    "q_join_asof" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val left = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val right = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value").as("click_value"))
+      AsOfJoin.asOf(left, right, Seq("user_id"), "ts", Seq("click_value"))
+        .select(col("event_id"), col("user_id"),
+          round(col("asof_click_value"), 4).as("last_click_value"))
+        .orderBy("event_id")
+    }),
+
+    // ===== range join ====================================================
+    "q_join_range" -> ((s, dir) =>
+      AsOfJoin.rangeJoin(
+          T(s, dir, "lineitem").withColumnRenamed("l_partkey", "p_partkey"),
+          T(s, dir, "part"), Seq("p_partkey"),
+          col("l_quantity"), col("p_size").cast("double"),
+          col("p_size").cast("double") + 30)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
+        .orderBy("p_brand")),
+
+    // ===== A1: GAGGR / GCOUNT / GROWID ===================================
+    "q_a1_gaggr" -> ((s, dir) => {
+      val withId = MSTable.withRowId(T(s, dir, "lineitem"), liKey)
+      withId.groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"),
+          count(lit(1)).as("gcount"),
+          min(col(MSTable.RowId)).as("first_rowid"))
+        .orderBy("l_orderkey")
+    }),
+
+    // ===== A2: per-row grouping (ragged dim tables) ======================
+    "q_a2_perrow" -> ((s, dir) => {
+      val region = MSTable.withRowId(T(s, dir, "region"), Seq("r_regionkey"))
+      val dss = MSTable.perRowDatasets(region)
+      dss.map(_.df).reduce(_ unionByName _).orderBy(MSTable.RowId)
+    }),
+
+    // ===== aggregates: sum/avg/min/max/count/distinct ====================
+    "q_agg_stats" -> ((s, dir) =>
+      T(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(round(sum("l_quantity"), 4).as("sum_qty"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          date_format(min("l_shipdate"), "yyyy-MM-dd").as("min_ship"),
+          date_format(max("l_shipdate"), "yyyy-MM-dd").as("max_ship"),
+          count(lit(1)).as("n"),
+          countDistinct(col("l_partkey")).as("n_parts"))
+        .orderBy("l_returnflag")),
+
+    // ===== rollup / cube =================================================
+    "q_agg_rollup" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("sum_qty"))
+        .orderBy("flag", "status")),
+
+    "q_agg_cube" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy("status", "priority")),
+
+    // ===== approximate distinct (HLL) — rows-only check ==================
+    "q_agg_approx" -> ((s, dir) =>
+      T(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag")),
+
+    // ===== set operations ================================================
+    "q_set_union" -> ((s, dir) =>
+      T(s, dir, "customer").select(col("c_nationkey").as("k")).distinct()
+        .union(T(s, dir, "supplier").select(col("s_nationkey").as("k")).distinct())
+        .distinct().orderBy("k")),
+
+    "q_set_intersect" -> ((s, dir) =>
+      T(s, dir, "customer").select(col("c_nationkey").as("k"))
+        .intersect(T(s, dir, "supplier").select(col("s_nationkey").as("k")))
+        .orderBy("k")),
+
+    "q_set_except" -> ((s, dir) =>
+      T(s, dir, "customer").select(col("c_nationkey").as("k"))
+        .except(T(s, dir, "supplier").select(col("s_nationkey").as("k")))
+        .orderBy("k")),
+
+    "q_distinct" -> ((s, dir) =>
+      T(s, dir, "lineitem").select("l_returnflag", "l_linestatus")
+        .dropDuplicates()
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // ===== O1: global sort ===============================================
+    "q_o1_sort" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .orderBy(col("l_shipdate").desc, col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"), col("l_quantity"), col("l_extendedprice"))
+        .select(liKey.map(col) :+
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship"): _*)),
+
+    // ===== O4: top-k (TakeOrderedAndProject) =============================
+    "q_o4_topk" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber"), col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+        .limit(100)
+        .select(liKey.map(col): _*)),
+
+    // ===== window functions ==============================================
+    "q_w1_window" -> ((s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      T(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("prev_qty", lag(col("l_quantity"), 1).over(w))
+        .withColumn("running_qty",
+          round(sum(col("l_quantity")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 4))
+        .select(liKey.map(col) :+ col("rn") :+ col("prev_qty") :+ col("running_qty"): _*)
+        .orderBy(liKey.map(col): _*)
+    }),
+
+    // ===== scalar function surface =======================================
+    "q_scalar_funcs" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .select(liKey.map(col) ++ Seq(
+          upper(col("l_returnflag")).as("flag_u"),
+          substring(col("l_linestatus"), 1, 1).as("st1"),
+          concat_ws("-", col("l_returnflag"), col("l_linestatus")).as("cat"),
+          year(col("l_shipdate")).as("ship_year"),
+          month(col("l_shipdate")).as("ship_month"),
+          round(sqrt(col("l_quantity")), 6).as("sqrt_qty"),
+          abs(col("l_discount") - 0.05).cast("double").as("abs_disc"),
+          length(col("l_returnflag")).as("flag_len"),
+          round(log(col("l_extendedprice")), 6).as("ln_price")): _*)
+        .orderBy(liKey.map(col): _*)),
+
+    // ===== complex arithmetic (struct(re,im)) ============================
+    "q_complex" -> ((s, dir) => {
+      import ComplexFns._
+      val li = T(s, dir, "lineitem")
+      val a = c_make(col("l_discount"), col("l_tax"))
+      val b = c_make(col("l_quantity"), col("l_linenumber").cast("double"))
+      li.select(liKey.map(col) ++ Seq(
+          round(c_re(c_mul(a, b)), 6).as("mul_re"),
+          round(c_im(c_mul(a, b)), 6).as("mul_im"),
+          round(c_re(c_div(a, b)), 6).as("div_re"),
+          round(c_im(c_div(a, b)), 6).as("div_im"),
+          round(c_abs(a), 6).as("abs_a"),
+          round(c_im(c_conj(b)), 6).as("conj_b_im")): _*)
+        .orderBy(liKey.map(col): _*)
+    }),
+
+    // ===== streaming-equivalent windows (batch parity) ===================
+    "q_stream_tumbling" -> ((s, dir) =>
+      EventStream.tumbling(T(s, dir, "events"), "1 hour")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), round(col("total"), 4).as("total"))
+        .orderBy("window_start", "event_type")),
+
+    "q_stream_sliding" -> ((s, dir) =>
+      EventStream.sliding(T(s, dir, "events"), "2 hours", "1 hour")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("user_id"), col("n"))
+        .orderBy("window_start", "user_id")),
+
+    "q_stream_session" -> ((s, dir) =>
+      EventStream.sessions(T(s, dir, "events"), "30 minutes")
+        .select(date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("session_start"),
+          col("user_id"), col("n_events"), round(col("total"), 4).as("total"))
+        .orderBy("user_id", "session_start")),
+
+    // gap-based sessionization via windows (the hand-rolled form)
+    "q_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      val gapUs = 1800L * 1000000L
+      T(s, dir, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") >= gapUs, 1).otherwise(0))
+        .withColumn("sess_id", sum(col("new_sess"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sess_id").agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(max(col("sess_id")).as("n_sessions"), max(col("n")).as("longest"))
+        .orderBy("user_id")
+    }),
+
+    // ===== dedup family ==================================================
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(T(s, dir, "documents"), "text", "doc_id").orderBy("doc_id")),
+
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minHashDedup(T(s, dir, "documents"), "text", "doc_id",
+        threshold = 0.6).orderBy("id_a", "id_b")),
+
+    "q_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(T(s, dir, "documents"), "text", "doc_id",
+        blockCols = Seq("lang"), n = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simHashDedup(T(s, dir, "documents"), "text", "doc_id", maxDist = 10)
+        .orderBy("id_a", "id_b")),
+
+    "q_dedup_embed" -> ((s, dir) =>
+      Dedup.embeddingNearDup(T(s, dir, "embeddings"), "embedding", "vec_id",
+        threshold = 0.95, blockCols = Seq("label")).orderBy("id_a", "id_b")),
+
+    // ===== similarity search =============================================
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.lshTopK(
+        emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, nPlanes = 4, dim = 64)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ===== text analysis =================================================
+    "q_text_langid" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")),
+
+    "q_text_quality" -> ((s, dir) =>
+      T(s, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
+          round(TextAnalysis.digitRatio(col("text")), 6).as("digit_ratio"),
+          round(TextAnalysis.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+          round(TextAnalysis.meanWordLen(col("text")), 6).as("mean_word_len"),
+          round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+        .orderBy("doc_id")),
+
+    "q_text_tokens" -> ((s, dir) =>
+      T(s, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.bpeTokenEstimate(col("text")).as("n_bpe"))
+        .orderBy("doc_id")),
+
+    "q_text_fingerprint" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .filter(col("text").rlike("^[ -~]*$")) // ASCII-only docs (portable ord())
+        .select(col("doc_id"), TextAnalysis.fingerprintExpr("text").as("fingerprint"))
+        .orderBy("doc_id")),
+
+    // ===== multimodal binary plumbing ====================================
+    "q_multimodal" -> ((s, dir) => {
+      val items = Multimodal.fromText(s, T(s, dir, "documents"), "doc_id", "text")
+      val feats = Multimodal.extractFeatures(items)
+      feats.toDF()
+        .select(col("id").as("doc_id"), col("kind"),
+          col("byteLen").as("byte_len"), col("digest"))
+        .orderBy("doc_id")
+    })
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  def oracleSql: Map[String, String] = {
+    val liRowId =
+      s"""WITH __r AS (
+         |  SELECT *, row_number() OVER (ORDER BY $liKeySql) - 1 AS rid
+         |  FROM lineitem
+         |)""".stripMargin
+
+    Map(
+      "q_s1_scan" ->
+        s"""$liRowId
+           |SELECT $liKeySql, rid AS "ROWID" FROM __r
+           |WHERE l_quantity > 30 AND l_discount < 0.03
+           |ORDER BY "ROWID"""".stripMargin,
+
+      "q_s1_group" ->
+        """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+          |       round(sum(l_quantity), 4) AS sum_qty
+          |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q_s2_ms" ->
+        """SELECT CAST(user_id % 2 AS BIGINT) AS "FIELD_ID",
+          |       CAST(event_id % 3 AS BIGINT) AS "DATA_DESC_ID",
+          |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS total
+          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q_s3_dispatch" ->
+        "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+      "q_s10_update" ->
+        """SELECT l_returnflag,
+          |  round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity * 2
+          |                 ELSE l_quantity END), 4) AS sum_qty,
+          |  CAST(count(*) AS BIGINT) AS n
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_s11_append" ->
+        """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+          |       round(sum(l_extendedprice), 2) AS sum_price
+          |FROM lineitem WHERE l_returnflag IN ('A', 'R')
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_s13_convert" ->
+        """SELECT n_nationkey, n_name, n_regionkey FROM nation
+          |WHERE n_nationkey != 2 ORDER BY n_nationkey""".stripMargin,
+
+      "q_s14_keywords" ->
+        """SELECT 'rows' AS key, CAST(count(*) AS VARCHAR) AS value FROM nation
+          |UNION ALL SELECT 'table', 'nation' ORDER BY key""".stripMargin,
+
+      "q_p1_project" ->
+        s"SELECT $liKeySql FROM lineitem ORDER BY $liKeySql",
+
+      "q_p2_taql" ->
+        s"""SELECT $liKeySql, l_returnflag FROM lineitem
+           |WHERE (l_returnflag = 'A' OR l_returnflag = 'R') AND l_quantity >= 45
+           |  AND l_suppkey IN (1,2,3,4,5) AND NOT (l_discount > 0.05)
+           |ORDER BY $liKeySql""".stripMargin,
+
+      "q_p3_drop" ->
+        (s"SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, " +
+          s"l_extendedprice FROM lineitem ORDER BY $liKeySql"),
+
+      "q_p4_expr" ->
+        s"""SELECT $liKeySql,
+           |  round(l_extendedprice * (1 - l_discount) / 100 + 2, 6) AS net,
+           |  CAST(floor(l_quantity / 7) AS BIGINT) AS bucket7
+           |FROM lineitem ORDER BY $liKeySql""".stripMargin,
+
+      "q_p5_assign" ->
+        s"""SELECT $liKeySql,
+           |  l_returnflag || '/' || l_linestatus AS flag_status,
+           |  round(l_extendedprice * (1 + l_tax), 4) AS charge
+           |FROM lineitem ORDER BY $liKeySql""".stripMargin,
+
+      "q_j1_lookup" ->
+        """SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+          |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          |FROM lineitem
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_j2_chain" ->
+        """SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders,
+          |       round(sum(o_totalprice), 2) AS total
+          |FROM orders
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_f2_fragments" ->
+        """SELECT l_returnflag,
+          |  round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity + 100
+          |                 ELSE l_quantity END), 4) AS sum_qty,
+          |  round(sum(CASE WHEN l_linenumber = 1 THEN 0.99 ELSE l_tax END), 4)
+          |    AS sum_tax
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_join_smj" ->
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+          |       round(sum(l_extendedprice), 2) AS sum_price
+          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_join_semi" ->
+        """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+          |FROM orders
+          |WHERE EXISTS (SELECT 1 FROM lineitem
+          |              WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_join_anti" ->
+        """SELECT p_brand, CAST(count(*) AS BIGINT) AS n
+          |FROM part
+          |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_join_theta" ->
+        """SELECT n_name, CAST(count(*) AS BIGINT) AS n
+          |FROM supplier JOIN nation
+          |  ON s_acctbal >= n_nationkey * 100 AND s_acctbal <= n_nationkey * 400
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_join_asof" ->
+        """WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+          |           WHERE event_type = 'purchase'),
+          |     r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+          |           WHERE event_type = 'click')
+          |SELECT l.event_id, l.user_id, round(r.value, 4) AS last_click_value
+          |FROM l ASOF LEFT JOIN r
+          |  ON l.user_id = r.user_id AND l.ts >= r.ts
+          |ORDER BY l.event_id""".stripMargin,
+
+      "q_join_range" ->
+        """SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+          |       round(sum(l_quantity), 4) AS sum_qty
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE l_quantity >= CAST(p_size AS DOUBLE)
+          |  AND l_quantity <= CAST(p_size AS DOUBLE) + 30
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_a1_gaggr" ->
+        s"""$liRowId
+           |SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS lines,
+           |       CAST(count(*) AS BIGINT) AS gcount,
+           |       CAST(min(rid) AS BIGINT) AS first_rowid
+           |FROM __r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_a2_perrow" ->
+        """SELECT r_regionkey, r_name,
+          |       row_number() OVER (ORDER BY r_regionkey) - 1 AS "ROWID"
+          |FROM region ORDER BY 3""".stripMargin,
+
+      "q_agg_stats" ->
+        """SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty,
+          |  round(avg(l_quantity), 6) AS avg_qty,
+          |  strftime(min(l_shipdate), '%Y-%m-%d') AS min_ship,
+          |  strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_agg_rollup" ->
+        """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+          |       coalesce(l_linestatus, 'ALL') AS status,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       round(sum(l_quantity), 4) AS sum_qty
+          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+          |ORDER BY 1, 2""".stripMargin,
+
+      "q_agg_cube" ->
+        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          |       coalesce(o_orderpriority, 'ALL') AS priority,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       round(sum(o_totalprice), 2) AS total
+          |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+          |ORDER BY 1, 2""".stripMargin,
+
+      "q_set_union" ->
+        """SELECT DISTINCT c_nationkey AS k FROM customer
+          |UNION SELECT DISTINCT s_nationkey FROM supplier ORDER BY k""".stripMargin,
+
+      "q_set_intersect" ->
+        """SELECT c_nationkey AS k FROM customer
+          |INTERSECT SELECT s_nationkey FROM supplier ORDER BY k""".stripMargin,
+
+      "q_set_except" ->
+        """SELECT c_nationkey AS k FROM customer
+          |EXCEPT SELECT s_nationkey FROM supplier ORDER BY k""".stripMargin,
+
+      "q_distinct" ->
+        """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+          |ORDER BY 1, 2""".stripMargin,
+
+      "q_o1_sort" ->
+        s"""SELECT $liKeySql, strftime(l_shipdate, '%Y-%m-%d') AS ship
+           |FROM lineitem
+           |ORDER BY l_shipdate DESC, l_orderkey, l_linenumber, l_partkey,
+           |         l_suppkey, l_quantity, l_extendedprice""".stripMargin,
+
+      "q_o4_topk" ->
+        s"""SELECT $liKeySql FROM lineitem
+           |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_partkey,
+           |         l_suppkey, l_quantity
+           |LIMIT 100""".stripMargin,
+
+      "q_w1_window" ->
+        s"""SELECT $liKeySql,
+           |  CAST(row_number() OVER w AS INTEGER) AS rn,
+           |  lag(l_quantity, 1) OVER w AS prev_qty,
+           |  round(sum(l_quantity) OVER (w ROWS UNBOUNDED PRECEDING), 4)
+           |    AS running_qty
+           |FROM lineitem
+           |WINDOW w AS (PARTITION BY l_suppkey
+           |             ORDER BY l_shipdate, l_orderkey, l_linenumber,
+           |                      l_partkey, l_quantity, l_extendedprice)
+           |ORDER BY $liKeySql""".stripMargin,
+
+      "q_scalar_funcs" ->
+        s"""SELECT $liKeySql,
+           |  upper(l_returnflag) AS flag_u,
+           |  substring(l_linestatus, 1, 1) AS st1,
+           |  l_returnflag || '-' || l_linestatus AS cat,
+           |  CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           |  CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+           |  round(sqrt(l_quantity), 6) AS sqrt_qty,
+           |  CAST(abs(l_discount - 0.05) AS DOUBLE) AS abs_disc,
+           |  CAST(length(l_returnflag) AS INTEGER) AS flag_len,
+           |  round(ln(l_extendedprice), 6) AS ln_price
+           |FROM lineitem ORDER BY $liKeySql""".stripMargin,
+
+      "q_complex" ->
+        s"""SELECT $liKeySql,
+           |  round(l_discount * l_quantity - l_tax * l_linenumber, 6) AS mul_re,
+           |  round(l_discount * l_linenumber + l_tax * l_quantity, 6) AS mul_im,
+           |  round((l_discount * l_quantity + l_tax * l_linenumber)
+           |        / (l_quantity * l_quantity + l_linenumber * l_linenumber), 6)
+           |    AS div_re,
+           |  round((l_tax * l_quantity - l_discount * l_linenumber)
+           |        / (l_quantity * l_quantity + l_linenumber * l_linenumber), 6)
+           |    AS div_im,
+           |  round(sqrt(l_discount * l_discount + l_tax * l_tax), 6) AS abs_a,
+           |  round(-CAST(l_linenumber AS DOUBLE), 6) AS conj_b_im
+           |FROM lineitem ORDER BY $liKeySql""".stripMargin,
+
+      "q_stream_tumbling" ->
+        """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S')
+          |    AS window_start,
+          |  event_type, CAST(count(*) AS BIGINT) AS n,
+          |  round(sum(value), 4) AS total
+          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q_stream_sliding" ->
+        """WITH starts AS (
+          |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws FROM events
+          |  UNION ALL
+          |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR FROM events
+          |)
+          |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+          |       user_id, CAST(count(*) AS BIGINT) AS n
+          |FROM starts GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q_stream_session" ->
+        """WITH g AS (
+          |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+          |    CASE WHEN lag(ts) OVER w IS NULL
+          |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+          |         THEN 1 ELSE 0 END AS new_sess
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+          |), s AS (
+          |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+          |    ROWS UNBOUNDED PRECEDING) AS sess_id FROM g
+          |)
+          |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+          |  user_id, CAST(count(*) AS BIGINT) AS n_events,
+          |  round(sum(value), 4) AS total
+          |FROM s GROUP BY user_id, sess_id ORDER BY user_id, 1""".stripMargin,
+
+      "q_sessionize" ->
+        """WITH g AS (
+          |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+          |    CASE WHEN lag(ts) OVER w IS NULL
+          |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+          |         THEN 1 ELSE 0 END AS new_sess
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+          |), s AS (
+          |  SELECT user_id, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+          |    ROWS UNBOUNDED PRECEDING) AS sess_id FROM g
+          |), c AS (
+          |  SELECT user_id, sess_id, count(*) AS n FROM s GROUP BY 1, 2
+          |)
+          |SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions,
+          |       CAST(max(n) AS BIGINT) AS longest
+          |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_dedup_exact" ->
+        """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+          |       CAST(count(*) AS BIGINT) AS n_copies
+          |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+
+      "q_dedup_ngram" ->
+        """WITH sh AS (
+          |  SELECT doc_id, lang,
+          |    list_distinct([array_to_string(toks[i:i+2], ' ')
+          |                   FOR i IN range(1, len(toks) - 1)]) AS s
+          |  FROM (SELECT doc_id, lang,
+          |          string_split_regex(trim(lower(text)), '\s+') AS toks
+          |        FROM documents)
+          |)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          |    / (CAST(len(a.s) + len(b.s) AS DOUBLE)
+          |       - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)), 6) AS jaccard
+          |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+          |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          |    / (CAST(len(a.s) + len(b.s) AS DOUBLE)
+          |       - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)) >= 0.5
+          |  AND len(a.s) + len(b.s) > 0
+          |ORDER BY 1, 2""".stripMargin,
+
+      "q_dedup_embed" ->
+        """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+          |           FROM embeddings)
+          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |  round(list_dot_product(a.v, b.v)
+          |    / (sqrt(list_dot_product(a.v, a.v))
+          |       * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+          |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+          |WHERE list_dot_product(a.v, b.v)
+          |    / (sqrt(list_dot_product(a.v, a.v))
+          |       * sqrt(list_dot_product(b.v, b.v))) >= 0.95
+          |ORDER BY 1, 2""".stripMargin,
+
+      "q_ann_topk" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+          |     sc AS (
+          |  SELECT q.query_id, e.vec_id AS neighbor_id,
+          |    list_dot_product(qv, v)
+          |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))
+          |      AS cos
+          |  FROM e CROSS JOIN q WHERE e.vec_id != q.query_id
+          |), r AS (
+          |  SELECT query_id, neighbor_id, cos,
+          |    row_number() OVER (PARTITION BY query_id
+          |                       ORDER BY cos DESC, neighbor_id) AS rank
+          |  FROM sc
+          |)
+          |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+          |       round(cos, 6) AS cosine
+          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+      "q_text_langid" -> {
+        val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+        def arr(l: String) =
+          TextAnalysis.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
+        val scores = langs.map(l =>
+          s"len(list_intersect(toks, ${arr(l)})) AS s_$l").mkString(",\n    ")
+        val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+        val pick = langs.map(l => s"WHEN s_$l = __best THEN '$l'")
+          .mkString("CASE WHEN __best = 0 THEN 'und' ", " ", " END")
+        s"""WITH t AS (
+           |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+           |  FROM documents
+           |), sc AS (
+           |  SELECT doc_id,
+           |    $scores
+           |  FROM t
+           |), b AS (
+           |  SELECT *, $best AS __best FROM sc
+           |)
+           |SELECT doc_id, $pick AS pred_lang FROM b ORDER BY doc_id""".stripMargin
+      },
+
+      "q_text_quality" ->
+        """WITH base AS (
+          |  SELECT doc_id, text,
+          |    string_split_regex(trim(lower(text)), '\s+') AS toks,
+          |    CASE WHEN length(trim(text)) = 0 THEN 0
+          |         ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS nt
+          |  FROM documents
+          |), m AS (
+          |  SELECT doc_id, nt,
+          |    CASE WHEN length(text) = 0 THEN 0.0
+          |         ELSE CAST(length(regexp_replace(text,
+          |                '[^.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
+          |              / CAST(length(text) AS DOUBLE) END AS pr,
+          |    CASE WHEN length(text) = 0 THEN 0.0
+          |         ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+          |                AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS dr,
+          |    CASE WHEN nt = 0 THEN 0.0
+          |         ELSE CAST(len(list_intersect(toks,
+          |                ['the','a','and','of','to','in','is','that','it','for']))
+          |                AS DOUBLE) / CAST(nt AS DOUBLE) END AS sr,
+          |    CASE WHEN nt = 0 THEN 0.0
+          |         ELSE CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+          |              / CAST(nt AS DOUBLE) END AS mwl
+          |  FROM base
+          |)
+          |SELECT doc_id, CAST(nt AS INTEGER) AS n_tokens,
+          |  round(pr, 6) AS punct_ratio, round(dr, 6) AS digit_ratio,
+          |  round(sr, 6) AS stopword_ratio, round(mwl, 6) AS mean_word_len,
+          |  round(greatest(0.0, least(1.0,
+          |    least(CAST(nt AS DOUBLE) / 50.0, 1.0) * 0.3
+          |    + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.3
+          |    + least(sr * 4.0, 1.0) * 0.4
+          |    - (pr + dr))), 6) AS quality
+          |FROM m ORDER BY doc_id""".stripMargin,
+
+      "q_text_tokens" ->
+        """SELECT doc_id,
+          |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+          |       ELSE len(string_split_regex(trim(lower(text)), '\s+')) END
+          |    AS INTEGER) AS n_tokens,
+          |  CAST(len(regexp_extract_all(text,
+          |       '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_text_fingerprint" ->
+        """SELECT doc_id,
+          |  list_reduce(
+          |    list_prepend(CAST(0 AS BIGINT),
+          |      [CAST(unicode(text[i]) AS BIGINT) FOR i IN range(1, length(text) + 1)]),
+          |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+          |FROM documents
+          |WHERE regexp_matches(text, '^[ -~]*$')
+          |ORDER BY doc_id""".stripMargin,
+
+      "q_multimodal" ->
+        """SELECT doc_id, 'image' AS kind,
+          |  CAST(strlen(text) AS BIGINT) AS byte_len,
+          |  md5(text) AS digest
+          |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  }
 }

@@ -1,0 +1,74 @@
+package graft.api
+
+import org.apache.spark.sql.SparkSession
+
+/** Format-conversion CLI — the Spark-native analog of `dask-ms convert`
+  * (ref: daskms/apps/convert.py:74-281; format registry
+  * daskms/apps/formats.py:10-170).
+  *
+  * Usage (spark-submit or sbt "runMain graft.api.ConvertApp ..."):
+  * {{{
+  *   ConvertApp -i INPUT -o OUTPUT [-g col1,col2] [-x colA,colB]
+  *              [-s idx1,idx2] [-w TAQL_WHERE] [-c cols]
+  * }}}
+  *  -g group cols → Hive-style partition directories on the output
+  *  -x exclude columns (ref: convert.py exclusion handling)
+  *  -s index (sort) cols, -w TAQL where, -c projection
+  *
+  * The reference walks every subtable of a CASA MS; here a "subtable" is a
+  * subdirectory (the `::SUBTABLE` convention, MSTable.resolveSubtable), and
+  * each direct parquet subdirectory of the input is converted alongside the
+  * main table.
+  */
+object ConvertApp {
+
+  final case class Args(
+      input: String = "", output: String = "",
+      group: Seq[String] = Nil, exclude: Seq[String] = Nil,
+      sort: Seq[String] = Nil, where: Option[String] = None,
+      columns: Option[Seq[String]] = None)
+
+  def parseArgs(argv: Array[String]): Args = {
+    def split(s: String) = s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    @annotation.tailrec
+    def loop(rest: List[String], a: Args): Args = rest match {
+      case "-i" :: v :: t => loop(t, a.copy(input = v))
+      case "-o" :: v :: t => loop(t, a.copy(output = v))
+      case "-g" :: v :: t => loop(t, a.copy(group = split(v)))
+      case "-x" :: v :: t => loop(t, a.copy(exclude = split(v)))
+      case "-s" :: v :: t => loop(t, a.copy(sort = split(v)))
+      case "-w" :: v :: t => loop(t, a.copy(where = Some(v)))
+      case "-c" :: v :: t => loop(t, a.copy(columns = Some(split(v))))
+      case Nil => a
+      case x :: _ => throw new IllegalArgumentException(s"unknown arg $x")
+    }
+    val a = loop(argv.toList, Args())
+    require(a.input.nonEmpty && a.output.nonEmpty, "need -i INPUT -o OUTPUT")
+    a
+  }
+
+  def convert(spark: SparkSession, a: Args): Unit = {
+    val spec = ReadSpec(columns = a.columns, groupCols = a.group,
+      indexCols = a.sort, where = a.where)
+    var df = MSTable.readDF(spark, a.input, spec)
+    if (a.sort.nonEmpty)
+      df = df.repartitionByRange(a.sort.map(org.apache.spark.sql.functions.col): _*)
+        .sortWithinPartitions(a.sort.map(org.apache.spark.sql.functions.col): _*)
+    val kept = df.drop(a.exclude: _*)
+    MSWrite.create(kept, a.output, partitionBy = a.group)
+    // carry keyword sidecars across the conversion (S14)
+    val kw = MSWrite.readKeywords(spark, a.input)
+    if (kw.nonEmpty) MSWrite.putKeywords(spark, a.output, kw)
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val a = parseArgs(argv)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try convert(spark, a) finally spark.stop()
+  }
+}

@@ -19,11 +19,24 @@ final case class MSDataset(
     attrs: Map[String, String] = Map.empty) {
 
   /** Re-expand the group scalars back into columns, the inverse of
-    * group-values→attrs demotion (ref: daskms/apps/convert.py:201-222). */
+    * group-values→attrs demotion (ref: daskms/apps/convert.py:201-222).
+    * Partition-key values are validated to the scalar types `lit` supports
+    * (group columns are scalar by construction in the reference too) so an
+    * unsupported type fails here with a clear message, not inside Spark.
+    */
   def withPartitionColumns: DataFrame = {
     import org.apache.spark.sql.functions.lit
     partitionKey.foldLeft(df) { case (d, (name, value)) =>
-      if (d.columns.contains(name)) d else d.withColumn(name, lit(value))
+      val litCol = value match {
+        case v @ (_: Int | _: Long | _: Short | _: Byte | _: Double | _: Float |
+                  _: Boolean | _: String | _: java.math.BigDecimal |
+                  _: java.sql.Date | _: java.sql.Timestamp) => lit(v)
+        case null => lit(null)
+        case other => throw new IllegalArgumentException(
+          s"partition key '$name' has unsupported scalar type " +
+            s"${other.getClass.getName}; use Int/Long/Double/String/… scalars")
+      }
+      if (d.columns.contains(name)) d else d.withColumn(name, litCol)
     }
   }
 }

@@ -1,0 +1,155 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Write surface: create / append / update-by-ROWID / fragments / keyword
+  * sidecars — the Spark-native re-expression of the reference's write path
+  * (ref: daskms/writes.py:258-783; daskms/dask_ms.py:18-125 xds_to_table;
+  * daskms/experimental/fragments/__init__.py).
+  *
+  * Parquet is immutable, so the reference's in-place `putcol` scatter
+  * (ref: daskms/writes.py:493-566) becomes either
+  *  (a) a copy-on-write MERGE — join updates on ROWID, coalesce, rewrite —
+  *      [[updateByRowId]] / [[updateTable]], or
+  *  (b) a fragment overlay — write only the changed columns plus a parent
+  *      pointer, overlay at read time — [[writeFragment]] / [[readFragment]]
+  *      (ref: xds_to_table_fragment / xds_from_table_fragment,
+  *      fragments/__init__.py:191-237,120-188).
+  *
+  * Both keep ROWID stable, which is the invariant the whole reference write
+  * model hangs on.
+  */
+object MSWrite {
+
+  import MSTable.RowId
+
+  // ------------------------------------------------------------ create/append
+
+  /** Create (overwrite) a table; `partitionBy` mirrors the reference's
+    * group-cols-to-directory layout (ref: arrow/writes.py:100-178 writes
+    * one directory per FIELD=val).
+    */
+  def create(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** Append rows (ref: add_row_orders chunk-chain, daskms/writes.py:363-490 —
+    * here Spark's commit protocol owns file naming, no chaining needed).
+    */
+  def append(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Append)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  // ----------------------------------------------------------------- update
+
+  /** MERGE semantics: for every column of `delta` (other than ROWID) replace
+    * the base value on matching ROWID, keep base elsewhere. Executed as a
+    * single equi-join — broadcast when the delta is small (the common case:
+    * updates touch a fraction of rows), shuffle-hash/SMJ otherwise, chosen
+    * by Catalyst + AQE.
+    */
+  def updateByRowId(base: DataFrame, delta: DataFrame): DataFrame = {
+    require(base.columns.contains(RowId) && delta.columns.contains(RowId),
+      s"updateByRowId requires a $RowId column on both sides")
+    val cols = delta.columns.filterNot(_ == RowId)
+    val renamed = cols.foldLeft(delta) { (d, c) => d.withColumnRenamed(c, s"__u_$c") }
+    val joined = base.join(renamed, Seq(RowId), "left")
+    val out = cols.foldLeft(joined) { (d, c) =>
+      d.withColumn(c, coalesce(col(s"__u_$c"), col(c)))
+    }
+    out.drop(cols.map(c => s"__u_$c"): _*)
+  }
+
+  /** Copy-on-write table update: read, merge, rewrite. At scale, prefer
+    * partition-scoped rewrites (filter base to affected partition values
+    * before the join) or the fragment overlay below.
+    */
+  def updateTable(spark: SparkSession, path: String, delta: DataFrame,
+                  rowIdOrder: Seq[String]): Unit = {
+    val base = MSTable.withRowId(MSTable.open(spark, path), rowIdOrder)
+    val merged = updateByRowId(base, delta).drop(RowId)
+    val tmp = path + ".__cow_tmp"
+    create(merged, tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+  }
+
+  // -------------------------------------------------------------- fragments
+
+  private val ParentKey = "__graft_parent_url__" // analog of __dask_ms_parent_url__
+
+  /** Write only the changed columns (+ ROWID) as a child fragment with a
+    * parent pointer in its keyword sidecar
+    * (ref: fragments/__init__.py:191-237).
+    */
+  def writeFragment(delta: DataFrame, childPath: String, parentPath: String): Unit = {
+    require(delta.columns.contains(RowId), s"fragment delta needs $RowId")
+    create(delta, childPath)
+    putKeywords(delta.sparkSession, childPath,
+      readKeywords(delta.sparkSession, childPath) + (ParentKey -> parentPath))
+  }
+
+  /** Read a fragment chain: walk the ancestry to the root, then overlay
+    * newest columns over oldest via ROWID-joined coalesce
+    * (ref: get_ancestry + consolidate, fragments/__init__.py:17-117).
+    * `rowIdOrder` defines ROWID for stores that don't carry one.
+    */
+  def readFragment(spark: SparkSession, path: String, rowIdOrder: Seq[String]): DataFrame = {
+    // ancestry: eldest first
+    var chain = List.empty[String]
+    var cur: Option[String] = Some(path)
+    while (cur.isDefined) {
+      val p = cur.get
+      require(!chain.contains(p), s"fragment ancestry cycle at $p")
+      chain = p :: chain
+      cur = readKeywords(spark, p).get(ParentKey)
+    }
+    val root0 = MSTable.open(spark, chain.head)
+    val root =
+      if (root0.columns.contains(RowId)) root0
+      else MSTable.withRowId(root0, rowIdOrder)
+    chain.tail.foldLeft(root) { (acc, child) =>
+      updateByRowId(acc, MSTable.open(spark, child))
+    }
+  }
+
+  // ------------------------------------------------- keyword sidecars (S14)
+
+  /** Table keyword dictionaries (ref: daskms/reads.py:292-294,541-546;
+    * daskms/writes.py:720-739) stored as a JSON sidecar next to the data.
+    */
+  def putKeywords(spark: SparkSession, path: String, kw: Map[String, String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, "_KEYWORDS.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+    val json = kw.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
+      .mkString("{", ", ", "}")
+    out.write(json.getBytes("UTF-8")); out.close()
+  }
+
+  def readKeywords(spark: SparkSession, path: String): Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(path, "_KEYWORDS.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      in.close()
+      // minimal flat string→string JSON object parser (sidecars are ours)
+      val pat = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+      def unesc(s: String) = s
+        .replace("\\n", "\n").replace("\\\"", "\"").replace("\\\\", "\\")
+      pat.findAllMatchIn(txt).map(m => unesc(m.group(1)) -> unesc(m.group(2))).toMap
+    }
+  }
+}

@@ -1,0 +1,240 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup is one hash-aggregate (map-side partial combine) on a
+  *    64/128-bit digest — never on the full text
+  *  - MinHash/LSH turns the quadratic all-pairs problem into an equi-join
+  *    on (band, bandHash) buckets: the only shuffle keys are small longs,
+  *    and bucket size is capped so a degenerate key cannot explode a task
+  *  - verification (true Jaccard) runs only on candidate pairs
+  *  - everything is `Column` algebra / higher-order functions; the one
+  *    driver-side object is the seed list for the hash family
+  */
+object Dedup {
+
+  // ------------------------------------------------------------------ exact
+
+  /** Exact dedup: keep the smallest `idCol` per distinct `textCol`.
+    * Grouping key is a 128-bit md5 digest, not the document body, so the
+    * shuffle carries 16 bytes + id per row.
+    */
+  def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .withColumn("__digest", md5(col(textCol)))
+      .groupBy(col("__digest"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .drop("__digest")
+
+  /** Exact-dup row filter: retain one representative row per text. */
+  def exactKeepFirst(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keep = exact(docs, textCol, idCol).select(idCol)
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  // -------------------------------------------------------------- shingling
+
+  /** Word n-gram shingles (distinct), lowercased. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => when(i + n <= size(toks),
+            concat_ws(" ", slice(toks, i + 1, lit(n))))),
+        s => s.isNotNull))
+  }
+
+  /** Character n-gram shingles (distinct). */
+  def charShingles(text: Column, n: Int): Column =
+    array_distinct(
+      transform(sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+        i => text.substr(i, lit(n))))
+
+  // ---------------------------------------------------------------- minhash
+
+  /** k MinHash signature values over a shingle array. Hash family:
+    * xxhash64(seed_i, shingle) — codegen'd, no UDF; seeds fixed so the
+    * signature is deterministic across runs and engines running this code.
+    */
+  def minHashSignature(shingles: Column, k: Int): Column = {
+    val sigs = (0 until k).map { i =>
+      array_min(transform(shingles, s => xxhash64(lit(i), s)))
+    }
+    array(sigs: _*)
+  }
+
+  /** MinHash + LSH candidate pairs.
+    *
+    * @param bands   number of LSH bands; rows-per-band = k / bands.
+    *                P(candidate | jaccard s) = 1-(1-s^r)^b.
+    * @param maxBucket safety cap: buckets larger than this (degenerate
+    *                content, e.g. empty docs) are dropped rather than
+    *                exploding into n² pairs — standard skew guard.
+    * @return (id_a, id_b) candidate pairs, id_a < id_b, distinct.
+    */
+  def minHashCandidates(docs: DataFrame, textCol: String, idCol: String,
+                        shingleWords: Int = 3, k: Int = 32, bands: Int = 8,
+                        maxBucket: Int = 1000): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    val sig = docs
+      .select(col(idCol), wordShingles(col(textCol), shingleWords).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .withColumn("__sig", minHashSignature(col("__sh"), k))
+      .select(col(idCol), col("__sig"))
+
+    // one row per (band, bandHash, id); bandHash = xxhash64 of the band slice
+    val banded = sig.select(
+      col(idCol),
+      explode(
+        array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64(concat_ws(",",
+              (0 until r).map(j => element_at(col("__sig"), b * r + j + 1)): _*))
+              .as("bh"))
+        }: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bh"))
+
+    // skew guard: drop degenerate buckets
+    val sized = banded
+      .withColumn("__bn", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
+
+    val a = sized.select(col("band"), col("bh"), col(idCol).as("id_a"))
+    val b = sized.select(col("band"), col("bh"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** MinHash LSH dedup end-to-end: candidates → exact word-Jaccard verify →
+    * pairs with jaccard ≥ threshold.
+    */
+  def minHashDedup(docs: DataFrame, textCol: String, idCol: String,
+                   threshold: Double, shingleWords: Int = 3,
+                   k: Int = 32, bands: Int = 8): DataFrame = {
+    val cands = minHashCandidates(docs, textCol, idCol, shingleWords, k, bands)
+    val sh = docs.select(col(idCol), wordShingles(col(textCol), shingleWords).as("sh"))
+    val withSets = cands
+      .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    withSets
+      .withColumn("jaccard", jaccardCol(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ----------------------------------------------------- n-gram Jaccard
+
+  /** |A ∩ B| / |A ∪ B| over two distinct-element arrays. */
+  def jaccardCol(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = (size(a) + size(b)).cast("double") - inter
+    when(union === 0, lit(0d)).otherwise(inter / union)
+  }
+
+  /** Exact n-gram (word-shingle) Jaccard over pairs produced by a blocking
+    * join (same block key ⇒ comparable). Quadratic only within blocks.
+    */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+                        blockCols: Seq[String], n: Int,
+                        threshold: Double): DataFrame = {
+    val base = docs.select(
+      (Seq(col(idCol), wordShingles(col(textCol), n).as("sh")) ++
+        blockCols.map(col)): _*)
+    val a = base.withColumnRenamed(idCol, "id_a").withColumnRenamed("sh", "sh_a")
+    val b = base.withColumnRenamed(idCol, "id_b").withColumnRenamed("sh", "sh_b")
+    a.join(b, blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", jaccardCol(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ---------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over word tokens: per-bit weighted vote of
+    * xxhash64(token) bits. Pure higher-order-function implementation —
+    * for each bit position, sum ±1 votes across tokens and set the bit if
+    * positive.
+    */
+  def simHash(text: Column): Column = {
+    val hashes = transform(split(trim(lower(text)), "\\s+"), t => xxhash64(t))
+    // bit b of result = 1 if sum over tokens of (bit b ? +1 : -1) > 0
+    val bits = (0 until 64).map { b =>
+      val votes = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(votes > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on the 4 16-bit signature quarters (a
+    * pair within hamming distance ≤3 of a 64-bit hash must agree on at
+    * least one quarter — pigeonhole), verify exact hamming ≤ maxDist.
+    */
+  def simHashDedup(docs: DataFrame, textCol: String, idCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val sigs = docs.select(col(idCol), simHash(col(textCol)).as("sig"))
+    val blocked = sigs.select(
+      col(idCol), col("sig"),
+      explode(array((0 until 4).map { q =>
+        struct(lit(q).as("q"),
+          shiftright(col("sig"), q * 16).bitwiseAND(0xffffL).as("qv"))
+      }: _*)).as("blk"))
+      .select(col(idCol), col("sig"), col("blk.q"), col("blk.qv"))
+    val a = blocked.select(col("q"), col("qv"),
+      col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val b = blocked.select(col("q"), col("qv"),
+      col(idCol).as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("q", "qv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("sig_a"), col("sig_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  // ------------------------------------------------- embedding near-dup
+
+  /** Cosine similarity between two float-vector columns, computed in
+    * double, summation in element order (portable bit-for-bit to any
+    * engine that folds in order).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def d(c: Column) = transform(c, x => x.cast("double"))
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(d(x), d(y), (p, q) => p * q), lit(0d), (s, v) => s + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Embedding-cosine near-duplicates: pairs with cosine ≥ threshold.
+    * Blocked by `blockCols` (e.g. a cluster/label id or LSH bucket) to
+    * bound the pair count; pass Nil for full all-pairs (test scale only).
+    */
+  def embeddingNearDup(emb: DataFrame, vecCol: String, idCol: String,
+                       threshold: Double, blockCols: Seq[String] = Nil): DataFrame = {
+    val cols = Seq(col(idCol).as("id_a"), col(vecCol).as("v_a")) ++ blockCols.map(col)
+    val a = emb.select(cols: _*)
+    val bcols = Seq(col(idCol).as("id_b"), col(vecCol).as("v_b")) ++ blockCols.map(col)
+    val b = emb.select(bcols: _*)
+    val joined = if (blockCols.nonEmpty) a.join(b, blockCols) else a.crossJoin(b)
+    joined
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  *  - [[bruteForceTopK]] — exact cosine top-k: queries × corpus cross join.
+  *    The query side is broadcast (queries ≪ corpus), so the corpus is
+  *    scanned once with no shuffle; per-partition partial top-k then a
+  *    single small global top-k. This is the correctness baseline.
+  *  - [[lshTopK]] — random-hyperplane LSH bucketing: corpus vectors land in
+  *    sign-pattern buckets; a query probes only its own bucket(s). At 100 TB
+  *    this turns a full scan into a bucket-pruned equi-join; the bucket
+  *    column is also a natural partition/bucketing key for the stored
+  *    corpus.
+  */
+object Similarity {
+
+  /** Deterministic random hyperplanes (seeded) — `nPlanes` × `dim`. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-pattern bucket id of a vector under the given hyperplanes. */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val dot = aggregate(
+        zip_with(vec, array(p.map(lit): _*), (x, w) => x.cast("double") * w),
+        lit(0d), (s, v) => s + v)
+      when(dot >= 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Exact cosine top-k for each query vector.
+    *
+    * @param queries (qid, vector) frame — expected small; broadcast.
+    * @param corpus  (id, vector) frame — the big side, scanned once.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     qIdCol: String, qVecCol: String,
+                     cIdCol: String, cVecCol: String, k: Int,
+                     excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))
+    val c = corpus.select(col(cIdCol).as("neighbor_id"), col(cVecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .withColumn("cosine", Dedup.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** LSH-bucketed approximate top-k: probe only the query's bucket.
+    * Recall < 1 by construction; bump `nPlanes` down / probe multiple
+    * buckets for higher recall.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+              qIdCol: String, qVecCol: String,
+              cIdCol: String, cVecCol: String,
+              k: Int, nPlanes: Int, dim: Int): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))
+      .withColumn("bucket", lshBucket(col("qv"), planes))
+    val c = corpus.select(col(cIdCol).as("neighbor_id"), col(cVecCol).as("cv"))
+      .withColumn("bucket", lshBucket(col("cv"), planes))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", Dedup.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+}

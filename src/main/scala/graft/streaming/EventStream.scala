@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface over the `events` table.
+  *
+  * The reference has no streaming engine (SURVEY §2.9) — its closest analog
+  * is the katdal (time, chan, corrprod) archive adapter (S12). This module
+  * is the Spark-first extension: the same transforms run identically on
+  * `readStream` (incremental, watermarked) and on a batch `DataFrame`,
+  * which is how the oracle checks them — every builder below takes a
+  * generic DataFrame, so `batch parity == streaming semantics`.
+  */
+object EventStream {
+
+  /** Open the events table as a file stream (one-file-per-trigger
+    * configurable by the caller via options on a real deployment).
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+  }
+
+  /** Tumbling-window counts/sums per event_type with a watermark for state
+    * eviction — the canonical streaming aggregation. Works on batch frames
+    * too (window() is the same expression).
+    */
+  def tumbling(events: DataFrame, width: String = "1 hour",
+               watermark: String = "2 hours"): DataFrame = {
+    val wm = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    wm.groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+  }
+
+  /** Sliding-window per-user activity. */
+  def sliding(events: DataFrame, width: String = "1 hour",
+              slide: String = "30 minutes"): DataFrame =
+    events.groupBy(window(col("ts"), width, slide), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("user_id"), col("n"))
+
+  /** Session windows with a gap timeout — native session_window. */
+  def sessions(events: DataFrame, gap: String = "30 minutes"): DataFrame = {
+    val wm = if (events.isStreaming) events.withWatermark("ts", "1 hour") else events
+    wm.groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"), col("total"))
+  }
+
+  // ------------------------------------------- custom state (sessionization)
+
+  final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(start: Long, lastSeen: Long, n: Int, total: Double)
+  final case class SessionOut(user_id: Long, startMs: Long, endMs: Long,
+                              n: Int, total: Double)
+
+  /** Custom stateful sessionization via flatMapGroupsWithState — emits a
+    * session when the user goes quiet for `gapMs`. Demonstrates the
+    * KeyValueGroupedDataset state API the north-star asks for.
+    */
+  def sessionize(events: Dataset[Ev], gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) => {
+          val sorted = evs.toSeq.sortBy(_.ts.getTime)
+          var cur = state.getOption
+          val out = scala.collection.mutable.Buffer[SessionOut]()
+          for (e <- sorted) {
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.lastSeen > gapMs =>
+                out += SessionOut(user, s.start, s.lastSeen, s.n, s.total)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case Some(s) =>
+                cur = Some(s.copy(lastSeen = t, n = s.n + 1, total = s.total + e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+        })
+  }
+
+  /** Run any of the above as a real streaming query into an in-memory sink
+    * (used by tests; `processAllAvailable` makes it synchronous).
+    */
+  def runToMemory(df: DataFrame, name: String, mode: String = "complete"): Unit = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}
