@@ -1,0 +1,103 @@
+package graft.api
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class MSTableSpec extends SparkSpec {
+
+  test("read with group/index/where yields one dataset per group, sorted, with ROWID") {
+    val dss = MSTable.read(spark, s"${sf()}/lineitem.parquet",
+      ReadSpec(groupCols = Seq("l_returnflag"),
+        indexCols = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity", "l_extendedprice"),
+        where = Some("l_quantity > 10")))
+    assert(dss.nonEmpty)
+    val flags = dss.map(_.partitionKey.head._2.toString).sorted
+    assert(flags === flags.distinct.sorted)
+    dss.foreach { ds =>
+      assert(ds.df.columns.contains(MSTable.RowId))
+      assert(!ds.df.columns.contains("l_returnflag")) // group col demoted
+      val qs = ds.df.select(min("l_quantity")).head().getDouble(0)
+      assert(qs > 10)
+    }
+  }
+
+  test("withPartitionColumns restores the group column") {
+    val dss = MSTable.read(spark, s"${sf()}/region.parquet",
+      ReadSpec(groupCols = Seq("r_regionkey")))
+    val back = dss.map(_.withPartitionColumns).reduce(_ unionByName _)
+    assert(back.columns.contains("r_regionkey"))
+    assert(back.count() === 5)
+  }
+
+  test("ROWID is dense, unique, deterministic for a unique index") {
+    val df = MSTable.withRowId(
+      spark.read.parquet(s"${sf()}/supplier.parquet"), Seq("s_suppkey"))
+    val ids = df.orderBy("s_suppkey").select(MSTable.RowId)
+      .collect().map(_.getLong(0))
+    assert(ids.toSeq === ids.indices.map(_.toLong))
+  }
+
+  test("per-row grouping yields one dataset per row") {
+    val region = MSTable.withRowId(
+      spark.read.parquet(s"${sf()}/region.parquet"), Seq("r_regionkey"))
+    val dss = MSTable.perRowDatasets(region)
+    assert(dss.size === 5)
+    assert(dss.forall(_.df.count() === 1))
+  }
+
+  test("subtable addressing and format sniffing") {
+    assert(MSTable.resolveSubtable("/a/b::SUB") === "/a/b/SUB")
+    assert(MSTable.sniffFormat(spark, s"${sf()}/region.parquet")
+      === MSTable.ParquetFormat)
+  }
+}
+
+class MSWriteSpec extends SparkSpec {
+  private val out = "/root/repo/target/test_mswrite"
+
+  test("update-by-ROWID merges delta columns, keeps others") {
+    val base = MSTable.withRowId(
+      spark.read.parquet(s"${sf()}/supplier.parquet"), Seq("s_suppkey"))
+    val delta = base.filter(col("s_suppkey") <= 3)
+      .select(col(MSTable.RowId), lit(999.0).as("s_acctbal"))
+    val merged = MSWrite.updateByRowId(base, delta)
+    assert(merged.filter(col("s_suppkey") <= 3)
+      .select(min("s_acctbal"), max("s_acctbal")).head().toSeq === Seq(999.0, 999.0))
+    assert(merged.count() === base.count())
+    // untouched rows keep original values
+    val orig = base.filter(col("s_suppkey") > 3).agg(sum("s_acctbal")).head().getDouble(0)
+    val kept = merged.filter(col("s_suppkey") > 3).agg(sum("s_acctbal")).head().getDouble(0)
+    assert(math.abs(orig - kept) < 1e-9)
+  }
+
+  test("fragment chain overlays newest columns (J3/F1/F2)") {
+    val base = MSTable.withRowId(
+      spark.read.parquet(s"${sf()}/region.parquet"), Seq("r_regionkey"))
+    MSWrite.create(base, s"$out/base")
+    val d1 = base.filter(col("r_regionkey") < 2)
+      .select(col(MSTable.RowId), lit("EDIT1").as("r_name"))
+    MSWrite.writeFragment(d1, s"$out/c1", s"$out/base")
+    val d2 = base.filter(col("r_regionkey") === 0)
+      .select(col(MSTable.RowId), lit("EDIT2").as("r_name"))
+    MSWrite.writeFragment(d2, s"$out/c2", s"$out/c1")
+    val names = MSWrite.readFragment(spark, s"$out/c2", Seq("r_regionkey"))
+      .orderBy("r_regionkey").select("r_name").collect().map(_.getString(0))
+    assert(names(0) === "EDIT2" && names(1) === "EDIT1")
+    assert(names.drop(2).forall(n => n != "EDIT1" && n != "EDIT2"))
+  }
+
+  test("keyword sidecars round-trip") {
+    MSWrite.create(spark.read.parquet(s"${sf()}/region.parquet"), s"$out/kw")
+    MSWrite.putKeywords(spark, s"$out/kw", Map("a" -> "1", "b" -> "x\"y"))
+    assert(MSWrite.readKeywords(spark, s"$out/kw") === Map("a" -> "1", "b" -> "x\"y"))
+  }
+
+  test("create with partitionBy lays out Hive-style dirs") {
+    MSWrite.create(spark.read.parquet(s"${sf()}/nation.parquet"),
+      s"$out/part", partitionBy = Seq("n_regionkey"))
+    val back = spark.read.parquet(s"$out/part")
+    assert(back.count() === 25)
+    assert(back.columns.contains("n_regionkey"))
+  }
+}

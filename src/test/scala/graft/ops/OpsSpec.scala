@@ -1,0 +1,183 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "en"),
+    (1L, "the quick brown fox jumps over the lazy dog", "en"), // exact dup
+    (2L, "the quick brown fox jumps over a lazy dog", "en"),   // near dup
+    (3L, "completely different content about spark engines", "en"),
+    (4L, "", "en")
+  ).toDF("doc_id", "text", "lang")
+
+  test("exact dedup keeps min id and counts copies") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    val dup = out.find(_.getLong(0) == 0L).get
+    assert(dup.getLong(1) === 2L)
+    assert(Dedup.exactKeepFirst(docs, "text", "doc_id").count() === 4)
+  }
+
+  test("minhash LSH finds the exact and near duplicate pair") {
+    // word 1-shingles: jaccard(0,2) = 8/9 ≈ 0.89 — well inside LSH recall
+    val pairs = Dedup.minHashDedup(docs, "text", "doc_id", threshold = 0.5,
+        shingleWords = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram jaccard pairs are exact and blocked") {
+    // 3-gram shingles: jaccard(0,1) = 1.0 (exact dup), jaccard(0,2) = 4/10
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      Seq("lang"), n = 3, threshold = 0.3)
+    val m = pairs.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(m((0L, 1L)) === 1.0)
+    assert(m((0L, 2L)) === 0.4)
+  }
+
+  test("simhash: identical texts distance 0; different texts far") {
+    val sigs = docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), Dedup.simHash(col("text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(0L) === sigs(1L))
+    val d03 = java.lang.Long.bitCount(sigs(0L) ^ sigs(3L))
+    assert(d03 > 10)
+  }
+
+  test("embedding near-dup with blocking") {
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f), 0), (1L, Array(0.99f, 0.1f, 0f), 0),
+      (2L, Array(0f, 1f, 0f), 0), (3L, Array(1f, 0f, 0f), 1)
+    ).toDF("id", "vec", "label")
+    val pairs = Dedup.embeddingNearDup(emb, "vec", "id", 0.95, Seq("label"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L))) // 0-3 blocked apart by label
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = (0 until 50).map { i =>
+    val v = Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat)
+    (i.toLong, v)
+  }.toDF("id", "vec")
+
+  test("brute-force top-k is exact, ranked, excludes self") {
+    val out = Similarity.bruteForceTopK(
+      emb.filter(col("id") < 3), emb, "id", "vec", "id", "vec", k = 4)
+    val rows = out.collect()
+    assert(rows.length === 12)
+    assert(rows.forall(r => r.getLong(2) != r.getLong(0)))
+    // ranks are 1..4 per query with non-increasing cosine
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq === Seq(1, 2, 3, 4))
+      val cos = sorted.map(_.getDouble(3))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH top-k returns a subset of the exact neighbors' quality") {
+    val exact = Similarity.bruteForceTopK(
+      emb.filter(col("id") < 2), emb, "id", "vec", "id", "vec", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(
+      emb.filter(col("id") < 2), emb, "id", "vec", "id", "vec",
+      k = 3, nPlanes = 2, dim = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(approx.nonEmpty)
+    // same bucket ⇒ candidates are a subset of the corpus; sanity only
+    assert(approx.forall(p => p._1 < 2))
+    assert((approx intersect exact).nonEmpty)
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts, ratios, quality bounds") {
+    val df = Seq(
+      (0L, "the cat sat on the mat and it is a fine day for all of us"),
+      (1L, "1234567890 !!! ???"),
+      (2L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.analyze(df).orderBy("doc_id").collect()
+    assert(out(0).getAs[Int]("n_tokens") === 16)
+    assert(out(0).getAs[Double]("quality") > out(1).getAs[Double]("quality"))
+    assert(out(2).getAs[Int]("n_tokens") === 0)
+    out.foreach { r =>
+      val q = r.getAs[Double]("quality")
+      assert(q >= 0.0 && q <= 1.0)
+    }
+  }
+
+  test("langId picks the stopword-dominant language") {
+    val df = Seq(
+      (0L, "the cat is in the house and it is fine"),
+      (1L, "der hund ist nicht zu alt und das ist gut"),
+      (2L, "le chat est dans la maison et il est pas"),
+      (3L, "xyzzy qwerty plugh")
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(out(0L) === "en"); assert(out(1L) === "de")
+    assert(out(2L) === "fr"); assert(out(3L) === "und")
+  }
+
+  test("fingerprint is the documented polynomial hash") {
+    val df = Seq((0L, "ab")).toDF("doc_id", "text")
+    val fp = df.select(TextAnalysis.fingerprintExpr("text")).head().getLong(0)
+    assert(fp === (97L * 31 + 98) % 1000000007L)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("feature extraction: schema, determinism, digest parity with md5") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet").limit(20)
+    val items = Multimodal.fromText(spark, docs, "doc_id", "text")
+    val f1 = Multimodal.extractFeatures(items).collect().sortBy(_.id)
+    val f2 = Multimodal.extractFeatures(items).collect().sortBy(_.id)
+    assert(f1.map(_.digest).toSeq === f2.map(_.digest).toSeq) // deterministic
+    assert(f1.forall(_.features.length === 10))
+    val sparkMd5 = docs.select(col("doc_id"), md5(encode(col("text"), "UTF-8")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    f1.foreach(f => assert(f.digest === sparkMd5(f.id)))
+  }
+
+  test("resize and frame sampling keep plumbing invariants") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet").limit(5)
+    val items = Multimodal.fromText(spark, docs, "doc_id", "text")
+    val resized = Multimodal.resize(items, 4, 4).collect()
+    assert(resized.forall(i => i.bytes.length <= 16 && i.width == 4 && i.height == 4))
+    import spark.implicits._
+    val vid = items.map(_.copy(kind = "video", nFrames = 10))
+    val sampled = Multimodal.sampleFrames(vid, 2).collect()
+    assert(sampled.forall(_.nFrames === 5))
+  }
+}
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asOf attaches latest right value at or before left ts") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val left = Seq((1L, ts(10), "l1"), (1L, ts(20), "l2"), (2L, ts(10), "l3"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, ts(5), 100.0), (1L, ts(20), 200.0), (2L, ts(11), 300.0))
+      .toDF("k", "ts", "v")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "ts", Seq("v"))
+      .select("tag", "asof_v").as[(String, Option[Double])].collect().toMap
+    assert(out("l1") === Some(100.0))
+    assert(out("l2") === Some(200.0)) // equal ts matches
+    assert(out("l3") === None)        // right is later than left
+  }
+}

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Real readStream → writeStream runs against the events table (memory
+  * sink, processAllAvailable = synchronous), checked against the identical
+  * batch computation — the streaming/batch parity the module promises.
+  */
+class EventStreamSpec extends SparkSpec {
+
+  test("tumbling window streaming equals batch") {
+    val dir = sf("sf0.001")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // write a µs-timestamped copy the file stream can read
+    val evDir = "/root/repo/target/test_stream_events"
+    raw.write.mode("overwrite").parquet(evDir)
+
+    val stream = spark.readStream.schema(raw.schema).parquet(evDir)
+    val agg = EventStream.tumbling(stream, "1 hour")
+    EventStream.runToMemory(agg, "tumble_out")
+    val streamed = spark.table("tumble_out")
+      .orderBy("window_start", "event_type").collect()
+
+    val batch = EventStream.tumbling(raw, "1 hour")
+      .orderBy("window_start", "event_type").collect()
+    assert(streamed.toSeq === batch.toSeq)
+    assert(streamed.nonEmpty)
+  }
+
+  test("session windows produce plausible sessions in batch") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val sess = EventStream.sessions(raw, "30 minutes")
+    assert(sess.count() > 0)
+    assert(sess.agg(min("n_events")).head().getLong(0) >= 1)
+  }
+
+  test("flatMapGroupsWithState sessionization emits closed sessions") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val evs = Seq(
+      EventStream.Ev(1L, ts(0), 1.0), EventStream.Ev(1L, ts(60), 2.0),
+      EventStream.Ev(1L, ts(10000), 5.0), // gap > 30 min closes session 1
+      EventStream.Ev(2L, ts(0), 7.0)
+    ).toDS()
+    val out = EventStream.sessionize(evs, gapMs = 1800 * 1000).collect()
+    // only user 1's first session is closed by a later event
+    assert(out.length === 1)
+    assert(out.head.user_id === 1L && out.head.n === 2 && out.head.total === 3.0)
+  }
+}
