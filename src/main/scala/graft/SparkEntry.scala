@@ -474,7 +474,7 @@ object SparkEntry {
         .orderBy("id_a", "id_b")),
 
     "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simHashDedup(T(s, dir, "documents"), "text", "doc_id", maxDist = 10)
+      Dedup.simHashDedup(T(s, dir, "documents"), "text", "doc_id", maxDist = 3)
         .orderBy("id_a", "id_b")),
 
     "q_dedup_embed" -> ((s, dir) =>

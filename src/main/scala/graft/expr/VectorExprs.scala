@@ -1,0 +1,183 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.graft.ColumnShim.{toColumn, toExpression}
+
+/** Custom Catalyst expressions for the per-row hot loops of the dedup /
+  * similarity operators.
+  *
+  * Why custom expressions instead of higher-order functions: Spark's
+  * `transform`/`aggregate`/`zip_with` are interpreted per ELEMENT (they are
+  * CodegenFallback and box every value), and CollapseProject freely inlines
+  * an aliased array expression into every consumer, multiplying that cost.
+  * Each expression below does the whole per-row computation in one tight
+  * primitive-typed pass (preference order (b) of the build brief: custom
+  * Expression before custom plan).
+  */
+object VectorExprs {
+
+  /** Distinct 64-bit hashes of word n-gram shingles of a token array.
+    * tokens: array<string> → array<long> (sorted ascending, distinct).
+    * Hash: XXH64 over each token chained across the n tokens of a shingle —
+    * set cardinalities/intersections equal those of string shingles modulo
+    * 64-bit collisions.
+    */
+  case class HashedShingles(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      val tokHash = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        val t = arr.getUTF8String(i)
+        tokHash(i) = if (t == null) 42L else XXH64.hashUTF8String(t, 42L)
+        i += 1
+      }
+      val cnt = math.max(m - n + 1, 0)
+      val out = new Array[Long](cnt)
+      i = 0
+      while (i < cnt) {
+        var h = 42L
+        var j = 0
+        while (j < n) { h = XXH64.hashLong(tokHash(i + j), h); j += 1 }
+        out(i) = h
+        i += 1
+      }
+      java.util.Arrays.sort(out)
+      var w = 0
+      i = 0
+      while (i < cnt) {
+        if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+        i += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(out, w))
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** k-value MinHash signature of a hashed-shingle array: one pass over the
+    * shingles, k running minima of XXH64(shingle, seed=i).
+    */
+  case class MinHashSig(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      val mins = Array.fill(k)(Long.MaxValue)
+      var i = 0
+      while (i < m) {
+        val h = arr.getLong(i)
+        var s = 0
+        while (s < k) {
+          val v = XXH64.hashLong(h, s.toLong)
+          if (v < mins(s)) mins(s) = v
+          s += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(mins)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** LSH band hashes of a signature array: `bands` values, band b =
+    * XXH64-chain of signature entries [b*r, (b+1)*r). array<long>.
+    */
+  case class BandHashes(child: Expression, bands: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val sig = input.asInstanceOf[ArrayData]
+      val k = sig.numElements()
+      val r = k / bands
+      val out = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var h = 42L
+        var j = 0
+        while (j < r) { h = XXH64.hashLong(sig.getLong(b * r + j), h); j += 1 }
+        out(b) = h
+        b += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Cosine similarity of two numeric arrays, accumulated in double in
+    * element order — bit-for-bit identical to the zip_with/aggregate
+    * formulation (and to any engine that folds sequentially in double).
+    */
+  case class VecCosine(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    private def elemAt(a: ArrayData, et: DataType, i: Int): Double = et match {
+      case FloatType => a.getFloat(i).toDouble
+      case DoubleType => a.getDouble(i)
+      case LongType => a.getLong(i).toDouble
+      case IntegerType => a.getInt(i).toDouble
+      case other => throw new IllegalArgumentException(s"VecCosine: $other")
+    }
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val (la, ra) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+      val let = left.dataType.asInstanceOf[ArrayType].elementType
+      val ret = right.dataType.asInstanceOf[ArrayType].elementType
+      val n = math.min(la.numElements(), ra.numElements())
+      var dot = 0d; var na = 0d; var nb = 0d
+      var i = 0
+      while (i < n) {
+        val x = elemAt(la, let, i); val y = elemAt(ra, ret, i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** 64-bit SimHash from a hashed-token array: per-bit ±1 votes. */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val votes = new Array[Int](64)
+      var i = 0
+      while (i < arr.numElements()) {
+        val h = arr.getLong(i)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+      java.lang.Long.valueOf(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  // ------------------------------------------------------- Column wrappers
+
+  def hashed_shingles(tokens: Column, n: Int): Column =
+    toColumn(HashedShingles(toExpression(tokens), n))
+  def minhash_sig(shingles: Column, k: Int): Column =
+    toColumn(MinHashSig(toExpression(shingles), k))
+  def band_hashes(sig: Column, bands: Int): Column =
+    toColumn(BandHashes(toExpression(sig), bands))
+  def vec_cosine(a: Column, b: Column): Column =
+    toColumn(VecCosine(toExpression(a), toExpression(b)))
+  def simhash64(hashedTokens: Column): Column =
+    toColumn(SimHash64(toExpression(hashedTokens)))
+}

@@ -56,18 +56,42 @@ object Dedup {
       transform(sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
         i => text.substr(i, lit(n))))
 
+  /** Shingles hashed to 64-bit longs. At pair-join scale this is the form
+    * that matters: the arrays crossing the shuffle shrink ~8×, and set
+    * intersection runs on longs instead of strings. Set sizes and
+    * intersections are preserved modulo 64-bit collisions (P ≈ n²/2⁶⁵ —
+    * negligible at any realistic shingle count).
+    */
+  def hashedWordShingles(text: Column, n: Int): Column =
+    array_distinct(transform(wordShingles(text, n), s => xxhash64(s)))
+
+  /** The form the operators actually use at scale: tokenize ONCE into a
+    * materialised column (the repartition is a deliberate pipeline breaker —
+    * without it CollapseProject inlines the `split` into the shingling
+    * lambda and Spark re-tokenises the document once PER SHINGLE POSITION),
+    * then build per-position shingle hashes with O(1) `element_at` lookups
+    * and one multi-argument xxhash64 — no intermediate shingle strings.
+    *
+    * Output: `idCol ++ blockCols ++ sh: array<long>` (distinct hashes).
+    * Same sets as `hashedWordShingles` modulo the hash mixing function.
+    */
+  def shingleFrame(docs: DataFrame, textCol: String, idCol: String,
+                   blockCols: Seq[String], n: Int): DataFrame = {
+    import graft.expr.VectorExprs.hashed_shingles
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    docs.select(
+        (Seq(col(idCol), hashed_shingles(toks, n).as("sh")) ++ blockCols.map(col)): _*)
+      .filter(size(col("sh")) > 0)
+  }
+
   // ---------------------------------------------------------------- minhash
 
-  /** k MinHash signature values over a shingle array. Hash family:
-    * xxhash64(seed_i, shingle) — codegen'd, no UDF; seeds fixed so the
-    * signature is deterministic across runs and engines running this code.
+  /** k MinHash signature values over a PRE-HASHED (long) shingle array:
+    * one tight pass per row via the custom [[graft.expr.VectorExprs.MinHashSig]]
+    * Catalyst expression (k running minima of XXH64(shingle, seed=i)).
     */
-  def minHashSignature(shingles: Column, k: Int): Column = {
-    val sigs = (0 until k).map { i =>
-      array_min(transform(shingles, s => xxhash64(lit(i), s)))
-    }
-    array(sigs: _*)
-  }
+  def minHashSignature(hashedShingles: Column, k: Int): Column =
+    graft.expr.VectorExprs.minhash_sig(hashedShingles, k)
 
   /** MinHash + LSH candidate pairs.
     *
@@ -83,23 +107,18 @@ object Dedup {
                         maxBucket: Int = 1000): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    val sig = docs
-      .select(col(idCol), wordShingles(col(textCol), shingleWords).as("__sh"))
-      .filter(size(col("__sh")) > 0)
-      .withColumn("__sig", minHashSignature(col("__sh"), k))
-      .select(col(idCol), col("__sig"))
+    val sh = shingleFrame(docs, textCol, idCol, Nil, shingleWords)
+      .withColumnRenamed("sh", "__sh")
 
-    // one row per (band, bandHash, id); bandHash = xxhash64 of the band slice
-    val banded = sig.select(
-      col(idCol),
-      explode(
-        array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            xxhash64(concat_ws(",",
-              (0 until r).map(j => element_at(col("__sig"), b * r + j + 1)): _*))
-              .as("bh"))
-        }: _*)).as("bb"))
-      .select(col(idCol), col("bb.band"), col("bb.bh"))
+    // signature + band hashes in one composed custom-expression tree:
+    // a single per-row pass computes all k minima, then `bands` chained
+    // hashes; posexplode yields (band index, band hash) rows
+    import graft.expr.VectorExprs.{band_hashes, minhash_sig}
+    val banded = sh.select(
+        col(idCol),
+        posexplode(band_hashes(minhash_sig(col("__sh"), k), bands)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+      .select(col(idCol), col("band"), col("bh"))
 
     // skew guard: drop degenerate buckets
     val sized = banded
@@ -122,7 +141,7 @@ object Dedup {
                    threshold: Double, shingleWords: Int = 3,
                    k: Int = 32, bands: Int = 8): DataFrame = {
     val cands = minHashCandidates(docs, textCol, idCol, shingleWords, k, bands)
-    val sh = docs.select(col(idCol), wordShingles(col(textCol), shingleWords).as("sh"))
+    val sh = shingleFrame(docs, textCol, idCol, Nil, shingleWords)
     val withSets = cands
       .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -143,18 +162,39 @@ object Dedup {
 
   /** Exact n-gram (word-shingle) Jaccard over pairs produced by a blocking
     * join (same block key ⇒ comparable). Quadratic only within blocks.
+    *
+    * Scale tactics (result-identical):
+    *  - shingles travel as hashed longs ([[hashedWordShingles]]), not strings
+    *  - a size-ratio prefilter runs before the set intersection:
+    *    jaccard ≥ t ⟹ min(|A|,|B|) ≥ t·max(|A|,|B|), so pruned pairs could
+    *    never pass the threshold anyway
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         blockCols: Seq[String], n: Int,
                         threshold: Double): DataFrame = {
-    val base = docs.select(
-      (Seq(col(idCol), wordShingles(col(textCol), n).as("sh")) ++
-        blockCols.map(col)): _*)
-    val a = base.withColumnRenamed(idCol, "id_a").withColumnRenamed("sh", "sh_a")
-    val b = base.withColumnRenamed(idCol, "id_b").withColumnRenamed("sh", "sh_b")
-    a.join(b, blockCols)
+    // Set-similarity join, not array-intersect-per-pair: explode shingles,
+    // equi-join on (block, shingle), count common shingles per id pair.
+    // Every step is a codegen'd hash join/aggregate; nothing quadratic
+    // except genuinely co-shingled pairs (threshold > 0 ⇒ pairs with empty
+    // intersection contribute nothing, so the result is identical to the
+    // all-pairs formulation).
+    val base = shingleFrame(docs, textCol, idCol, blockCols, n)
+    val sizes = base.select(col(idCol).as("__id"), size(col("sh")).as("__n"))
+    val tok = base.select(
+      (blockCols.map(col) :+ col(idCol) :+ explode(col("sh")).as("__t")): _*)
+    val x = tok.select((blockCols.map(col) :+ col("__t") :+
+      col(idCol).as("id_a")): _*)
+    val y = tok.select((blockCols.map(col) :+ col("__t") :+
+      col(idCol).as("id_b")): _*)
+    val inter = x.join(y, blockCols :+ "__t")
       .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", jaccardCol(col("sh_a"), col("sh_b")))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).cast("double").as("__ni"))
+    inter
+      .join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "__na"), "id_a")
+      .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "__nb"), "id_b")
+      .withColumn("jaccard",
+        col("__ni") / ((col("__na") + col("__nb")).cast("double") - col("__ni")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -167,14 +207,8 @@ object Dedup {
     * positive.
     */
   def simHash(text: Column): Column = {
-    val hashes = transform(split(trim(lower(text)), "\\s+"), t => xxhash64(t))
-    // bit b of result = 1 if sum over tokens of (bit b ? +1 : -1) > 0
-    val bits = (0 until 64).map { b =>
-      val votes = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(votes > 0, shiftleft(lit(1L), b)).otherwise(0L)
-    }
-    bits.reduce(_ + _)
+    import graft.expr.VectorExprs.{hashed_shingles, simhash64}
+    simhash64(hashed_shingles(split(trim(lower(text)), "\\s+"), 1))
   }
 
   /** Hamming distance between two 64-bit signatures. */
@@ -213,12 +247,8 @@ object Dedup {
     * double, summation in element order (portable bit-for-bit to any
     * engine that folds in order).
     */
-  def cosine(a: Column, b: Column): Column = {
-    def d(c: Column) = transform(c, x => x.cast("double"))
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(d(x), d(y), (p, q) => p * q), lit(0d), (s, v) => s + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  def cosine(a: Column, b: Column): Column =
+    graft.expr.VectorExprs.vec_cosine(a, b)
 
   /** Embedding-cosine near-duplicates: pairs with cosine ≥ threshold.
     * Blocked by `blockCols` (e.g. a cluster/label id or LSH bucket) to
