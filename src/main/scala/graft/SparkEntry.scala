@@ -529,6 +529,52 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.fingerprintExpr("text").as("fingerprint"))
         .orderBy("doc_id")),
 
+    // ===== §1.3/S5: N-d tensor cells + dim slicing =======================
+    // DATA(chan=4, corr=2) cells built per lineitem row; mean amplitude over
+    // all cells, and over the chan-sliced first two channels (S5 getcolslice)
+    "q_s5_tensor" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val data = transform(sequence(lit(0), lit(3)), c =>
+        transform(sequence(lit(0), lit(1)), p =>
+          struct((col("l_quantity") + c).as("re"),
+            (col("l_discount") * p).as("im"))))
+      def amp(d: Column, cells: Int) =
+        aggregate(flatten(d), lit(0d),
+          (acc, z) => acc + sqrt(z.getField("re") * z.getField("re") +
+            z.getField("im") * z.getField("im"))) / cells
+      li.withColumn("DATA", data)
+        .withColumn("amp", amp(col("DATA"), 8))
+        .withColumn("amp_sliced", amp(slice(col("DATA"), 1, 2), 4))
+        .select(liKey.map(col) :+ round(col("amp"), 6).as("amp") :+
+          round(col("amp_sliced"), 6).as("amp_sliced"): _*)
+        .orderBy(liKey.map(col): _*)
+    }),
+
+    // ===== §2.11: custom expression registered as a SQL function =========
+    "q_sql_udf" -> ((s, dir) => {
+      org.apache.spark.sql.graft.ColumnShim.registerFunction(s, "vec_cosine",
+        exprs => graft.expr.VectorExprs.VecCosine(exprs(0), exprs(1)))
+      T(s, dir, "embeddings").filter(col("vec_id") < 10)
+        .createOrReplaceTempView("emb_small")
+      s.sql(
+        """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |       round(vec_cosine(a.embedding, b.embedding), 6) AS cosine
+          |FROM emb_small a JOIN emb_small b ON a.vec_id < b.vec_id
+          |ORDER BY id_a, id_b""".stripMargin)
+    }),
+
+    // ===== §2.11: typed Aggregator (UDAF) ================================
+    "q_agg_weighted" -> ((s, dir) => {
+      val wmean = udaf(graft.functions.Aggregators.weightedMean,
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaDouble))
+      T(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(round(wmean(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("wmean_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // ===== multimodal binary plumbing ====================================
     "q_multimodal" -> ((s, dir) => {
       val items = Multimodal.fromText(s, T(s, dir, "documents"), "doc_id", "text")
@@ -969,6 +1015,33 @@ object SparkEntry {
           |FROM documents
           |WHERE regexp_matches(text, '^[ -~]*$')
           |ORDER BY doc_id""".stripMargin,
+
+      "q_s5_tensor" -> {
+        val terms = for (c <- 0 to 3; p <- 0 to 1) yield
+          s"sqrt((l_quantity + $c) * (l_quantity + $c) + (l_discount * $p) * (l_discount * $p))"
+        val slicedTerms = for (c <- 0 to 1; p <- 0 to 1) yield
+          s"sqrt((l_quantity + $c) * (l_quantity + $c) + (l_discount * $p) * (l_discount * $p))"
+        s"""SELECT $liKeySql,
+           |  round((${terms.mkString(" + ")}) / 8, 6) AS amp,
+           |  round((${slicedTerms.mkString(" + ")}) / 4, 6) AS amp_sliced
+           |FROM lineitem ORDER BY $liKeySql""".stripMargin
+      },
+
+      "q_sql_udf" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          |           WHERE vec_id < 10)
+          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |  round(list_dot_product(a.v, b.v)
+          |    / (sqrt(list_dot_product(a.v, a.v))
+          |       * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+          |FROM e a JOIN e b ON a.vec_id < b.vec_id
+          |ORDER BY 1, 2""".stripMargin,
+
+      "q_agg_weighted" ->
+        """SELECT l_returnflag,
+          |  round(sum(l_quantity * l_extendedprice) / sum(l_extendedprice), 6)
+          |    AS wmean_qty
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_multimodal" ->
         """SELECT doc_id, 'image' AS kind,
