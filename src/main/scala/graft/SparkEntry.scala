@@ -490,6 +490,15 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      graft.ops.Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     "q_ann_lsh" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       Similarity.lshTopK(

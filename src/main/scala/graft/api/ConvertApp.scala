@@ -47,7 +47,36 @@ object ConvertApp {
     a
   }
 
+  /** Subtable discovery: direct subdirectories of the input that contain
+    * parquet files (the `::SUBTABLE` convention) — the analog of the
+    * reference enumerating a CASA MS's subtables
+    * (ref: daskms/apps/formats.py:10-170).
+    */
+  def subtables(spark: SparkSession, input: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(input)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) || !fs.getFileStatus(p).isDirectory) Nil
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filterNot(_.getName.contains("=")) // Hive partition dirs ≠ subtables
+      .filter { d =>
+        fs.listStatus(d).exists(f => f.getPath.getName.endsWith(".parquet") ||
+          f.getPath.getName == "_SUCCESS")
+      }
+      .map(_.getName)
+  }
+
   def convert(spark: SparkSession, a: Args): Unit = {
+    convertOne(spark, a)
+    // walk subtables with a plain copy (group/sort/where apply to the main
+    // table only, like the reference's per-subtable defaults)
+    subtables(spark, a.input).foreach { st =>
+      convertOne(spark, Args(input = s"${a.input}/$st", output = s"${a.output}/$st"))
+    }
+  }
+
+  private def convertOne(spark: SparkSession, a: Args): Unit = {
     val spec = ReadSpec(columns = a.columns, groupCols = a.group,
       indexCols = a.sort, where = a.where)
     var df = MSTable.readDF(spark, a.input, spec)

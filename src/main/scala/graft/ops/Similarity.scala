@@ -58,6 +58,52 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** IVF (inverted-file) approximate top-k: k-means the corpus into
+    * `nlist` cells (MLlib KMeans, fixed seed), store each vector under its
+    * cell id, probe the `nprobe` nearest cells per query. At 100 TB the
+    * cell id is the corpus partition/bucket key, so a query touches
+    * nprobe/nlist of the data; the centroid table is tiny and lives on the
+    * driver/broadcast.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              qIdCol: String, qVecCol: String,
+              cIdCol: String, cVecCol: String,
+              k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.{Vector => MLVector, Vectors}
+    val spark = corpus.sparkSession
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val corpusV = corpus
+      .select(col(cIdCol).as("neighbor_id"), col(cVecCol).as("cv"))
+      .withColumn("features", toVec(col("cv")))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+      .fit(corpusV)
+    val assigned = model.transform(corpusV)
+      .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"))
+    val centroids: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+    val probeCells = udf((a: Seq[Float]) => {
+      val v = a.map(_.toDouble).toArray
+      centroids.zipWithIndex.map { case (c, i) =>
+        var d = 0d; var j = 0
+        while (j < math.min(c.length, v.length)) {
+          val t = c(j) - v(j); d += t * t; j += 1
+        }
+        (d, i)
+      }.sortBy(_._1).take(nprobe).map(_._2)
+    })
+    val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))
+      .withColumn("cell", explode(probeCells(col("qv"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", Dedup.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** LSH-bucketed approximate top-k: probe only the query's bucket.
     * Recall < 1 by construction; bump `nPlanes` down / probe multiple
     * buckets for higher recall.

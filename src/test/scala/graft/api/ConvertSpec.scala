@@ -1,0 +1,67 @@
+package graft.api
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class ConvertSpec extends SparkSpec {
+  private val out = "/root/repo/target/test_convert"
+
+  test("convert applies where/sort/group and carries keywords") {
+    ConvertApp.convert(spark, ConvertApp.Args(
+      input = s"${sf()}/nation.parquet", output = s"$out/nation",
+      group = Seq("n_regionkey"), sort = Seq("n_nationkey"),
+      where = Some("n_nationkey != 2")))
+    val back = spark.read.parquet(s"$out/nation")
+    assert(back.count() === 24)
+    assert(!back.select("n_nationkey").collect().map(_.getInt(0)).contains(2))
+  }
+
+  test("subtable walking converts nested tables; partition dirs excluded") {
+    // build a store with a main table + one subtable
+    val store = s"$out/store"
+    MSWrite.create(spark.read.parquet(s"${sf()}/region.parquet"), store)
+    MSWrite.create(spark.read.parquet(s"${sf()}/nation.parquet"), s"$store/NATION")
+    assert(ConvertApp.subtables(spark, store) === Seq("NATION"))
+
+    ConvertApp.convert(spark, ConvertApp.Args(input = store, output = s"$out/store2"))
+    assert(spark.read.parquet(s"$out/store2").count() === 5)
+    assert(spark.read.parquet(s"$out/store2/NATION").count() === 25)
+    assert(MSTable.open(spark, s"$out/store2::NATION").count() === 25)
+
+    // partitioned output dirs are not subtables
+    MSWrite.create(spark.read.parquet(s"${sf()}/nation.parquet"),
+      s"$out/parted", partitionBy = Seq("n_regionkey"))
+    assert(ConvertApp.subtables(spark, s"$out/parted") === Nil)
+  }
+
+  test("bad args raise clearly") {
+    intercept[IllegalArgumentException](ConvertApp.parseArgs(Array("-i", "x")))
+    intercept[IllegalArgumentException](
+      ConvertApp.parseArgs(Array("-i", "x", "-o", "y", "--bogus", "z")))
+  }
+}
+
+class SimilarityIvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("IVF top-k: high recall vs brute force on clustered vectors") {
+    // 5 clusters of 40 vectors each, 16-dim
+    val vecs = (0 until 200).map { i =>
+      val cluster = i % 5
+      val v = Array.tabulate(16)(j =>
+        (math.sin(cluster * 16 + j) + 0.01 * math.sin(i * 31 + j)).toFloat)
+      (i.toLong, v)
+    }.toDF("id", "vec")
+    val queries = vecs.filter(col("id") < 5)
+    val exact = graft.ops.Similarity.bruteForceTopK(
+      queries, vecs, "id", "vec", "id", "vec", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = graft.ops.Similarity.ivfTopK(
+      queries, vecs, "id", "vec", "id", "vec", k = 5, nlist = 5, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // clusters are well separated: probing 2/5 cells must recover most of
+    // the true neighbors
+    val recall = (ivf intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall; ivf=$ivf exact=$exact")
+  }
+}
