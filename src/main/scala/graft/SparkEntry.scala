@@ -407,6 +407,41 @@ object SparkEntry {
           round(log(col("l_extendedprice")), 6).as("ln_price")): _*)
         .orderBy(liKey.map(col): _*)),
 
+    // ===== scalar functions: JSON ========================================
+    "q_scalar_json" -> ((s, dir) =>
+      T(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_int"))
+        .orderBy("event_id")),
+
+    // ===== scalar functions: arrays ======================================
+    "q_scalar_array" -> ((s, dir) =>
+      T(s, dir, "embeddings")
+        .select(col("vec_id"),
+          size(col("embedding")).as("dim"),
+          round(element_at(col("embedding"), 1).cast("double"), 6).as("first"),
+          round(element_at(col("embedding"), -1).cast("double"), 6).as("last"),
+          round(aggregate(slice(col("embedding"), 1, 8),
+            lit(0d), (acc, x) => acc + x.cast("double")), 6).as("head8_sum"))
+        .orderBy("vec_id")),
+
+    // ===== REAL structured-streaming execution (readStream → memory) =====
+    // same aggregation as q_stream_tumbling, but run as an actual streaming
+    // query over a file source and hash-matched against the same oracle
+    "q_stream_real" -> ((s, dir) => {
+      val raw = T(s, dir, "events")
+      val evDir = tmp("q_stream_real_events")
+      raw.write.mode("overwrite").parquet(evDir)
+      val stream = s.readStream.schema(raw.schema).parquet(evDir)
+      val agg = EventStream.tumbling(stream, "1 hour")
+      EventStream.runToMemory(agg, "q_stream_real_out")
+      s.table("q_stream_real_out")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), round(col("total"), 4).as("total"))
+        .orderBy("window_start", "event_type")
+    }),
+
     // ===== complex arithmetic (struct(re,im)) ============================
     "q_complex" -> ((s, dir) => {
       import ComplexFns._
@@ -841,6 +876,27 @@ object SparkEntry {
            |  round(sqrt(l_discount * l_discount + l_tax * l_tax), 6) AS abs_a,
            |  round(-CAST(l_linenumber AS DOUBLE), 6) AS conj_b_im
            |FROM lineitem ORDER BY $liKeySql""".stripMargin,
+
+      "q_scalar_json" ->
+        """SELECT event_id,
+          |  json_extract_string(props, '$.k') AS k_str,
+          |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
+          |FROM events ORDER BY event_id""".stripMargin,
+
+      "q_scalar_array" ->
+        """SELECT vec_id,
+          |  CAST(len(embedding) AS INTEGER) AS dim,
+          |  round(CAST(embedding[1] AS DOUBLE), 6) AS first,
+          |  round(CAST(embedding[len(embedding)] AS DOUBLE), 6) AS last,
+          |  round(list_sum((embedding::DOUBLE[])[1:8]), 6) AS head8_sum
+          |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+      "q_stream_real" ->
+        """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S')
+          |    AS window_start,
+          |  event_type, CAST(count(*) AS BIGINT) AS n,
+          |  round(sum(value), 4) AS total
+          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       "q_stream_tumbling" ->
         """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S')
