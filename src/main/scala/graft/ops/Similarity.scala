@@ -49,14 +49,21 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .withColumn("cosine", Dedup.cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"))
+    explodeTopK(scored, k)
   }
+
+  /** Per-key exact top-k via the partial-aggregating [[graft.functions.TopKAgg]]
+    * (bounded heap per key per task — each task ships ≤ k rows per key into
+    * the shuffle, vs. the window formulation shuffling every scored row).
+    * Expects columns (query_id, neighbor_id, cosine).
+    */
+  private def explodeTopK(scored: org.apache.spark.sql.DataFrame, k: Int) =
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topk(col("cosine"), col("neighbor_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"), round(col("col.score"), 6).as("cosine"))
+      .orderBy("query_id", "rank")
 
   /** IVF (inverted-file) approximate top-k: k-means the corpus into
     * `nlist` cells (MLlib KMeans, fixed seed), store each vector under its
@@ -93,15 +100,10 @@ object Similarity {
     })
     val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))
       .withColumn("cell", explode(probeCells(col("qv"))))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    assigned.join(broadcast(q), Seq("cell"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", Dedup.cosine(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"))
+    explodeTopK(
+      assigned.join(broadcast(q), Seq("cell"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cosine", Dedup.cosine(col("qv"), col("cv"))), k)
   }
 
   /** LSH-bucketed approximate top-k: probe only the query's bucket.
@@ -117,14 +119,9 @@ object Similarity {
       .withColumn("bucket", lshBucket(col("qv"), planes))
     val c = corpus.select(col(cIdCol).as("neighbor_id"), col(cVecCol).as("cv"))
       .withColumn("bucket", lshBucket(col("cv"), planes))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    c.join(broadcast(q), Seq("bucket"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", Dedup.cosine(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"))
+    explodeTopK(
+      c.join(broadcast(q), Seq("bucket"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cosine", Dedup.cosine(col("qv"), col("cv"))), k)
   }
 }
