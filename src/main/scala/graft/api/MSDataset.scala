@@ -18,6 +18,33 @@ final case class MSDataset(
     df: DataFrame,
     attrs: Map[String, String] = Map.empty) {
 
+  import org.apache.spark.sql.functions.{col, expr}
+
+  /** Projection (ref: dataset column selection, P1). ROWID always kept. */
+  def select(columns: String*): MSDataset = {
+    val keep = (columns :+ "ROWID").distinct.filter(df.columns.contains)
+    copy(df = df.select(keep.map(col): _*))
+  }
+
+  /** Drop variables (ref: drop_vars, daskms/dataset.py:379-417, P3).
+    * `errors="raise"` semantics: unknown names throw.
+    */
+  def dropVars(names: String*): MSDataset = {
+    val missing = names.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"drop_vars: unknown columns ${missing.mkString(", ")}")
+    copy(df = df.drop(names: _*))
+  }
+
+  /** Assign a derived column from the P4 expression mini-language
+    * (ref: ds.assign + data_column_expr, daskms/dataset.py:332-346).
+    */
+  def assign(name: String, expression: String): MSDataset =
+    copy(df = graft.expr.Expressions.withExpr(df, name, expression))
+
+  /** TAQL-subset filter (ref: taql_where semantics applied post-read). */
+  def where(taql: String): MSDataset =
+    copy(df = df.filter(expr(graft.expr.Taql.toSql(taql))))
+
   /** Re-expand the group scalars back into columns, the inverse of
     * group-values→attrs demotion (ref: daskms/apps/convert.py:201-222).
     * Partition-key values are validated to the scalar types `lit` supports

@@ -46,6 +46,19 @@ class MSTableSpec extends SparkSpec {
     assert(dss.forall(_.df.count() === 1))
   }
 
+  test("MSDataset select/dropVars/assign/where compose like the reference API") {
+    val ds = MSTable.read(spark, s"${sf()}/lineitem.parquet",
+      ReadSpec(groupCols = Seq("l_returnflag"))).head
+    val out = ds
+      .select("l_orderkey", "l_quantity", "l_discount")
+      .assign("net", "l_quantity * (1 - l_discount)")
+      .where("l_quantity > 10 && net > 10")
+      .dropVars("l_discount")
+    assert(out.df.columns.toSet === Set("l_orderkey", "l_quantity", "net", "ROWID"))
+    assert(out.df.count() > 0)
+    intercept[IllegalArgumentException](ds.dropVars("nope"))
+  }
+
   test("subtable addressing and format sniffing") {
     assert(MSTable.resolveSubtable("/a/b::SUB") === "/a/b/SUB")
     assert(MSTable.sniffFormat(spark, s"${sf()}/region.parquet")

@@ -62,4 +62,24 @@ class ExpressionsSpec extends AnyFunSuite {
       .head().getDouble(0)
     assert(out === 16.0)
   }
+
+  test("elementwise over N-d complex tensor columns (reference broadcasting)") {
+    val spark = graft.SparkSpec.session
+    import org.apache.spark.sql.functions._
+    // DATA (chan=4, corr=2) complex cells from the synthetic MS
+    val ms = graft.schema.SyntheticMS.build(spark, 5, 4, 2)
+      .withColumn("DIR1_DATA", col("DATA"))
+    // (DATA - DIR1_DATA) * 3 + 1 == 1 elementwise (complex: 1 + 0i)
+    val out = Expressions.withExpr(ms, "OUT", "(DATA - DIR1_DATA) * 3 + 1")
+    val row = out.select(col("OUT")).head()
+    val cells = row.getSeq[scala.collection.Seq[org.apache.spark.sql.Row]](0)
+    assert(cells.length === 4 && cells.head.length === 2)
+    cells.foreach(_.foreach { z =>
+      assert(z.getDouble(0) === 1.0 && z.getDouble(1) === 0.0)
+    })
+    // array ∘ scalar real arithmetic: UVW * 2 - UVW == UVW
+    val uvw = Expressions.withExpr(ms, "U2", "UVW * 2 - UVW")
+      .select(col("U2"), col("UVW")).head()
+    assert(uvw.getSeq[Double](0) === uvw.getSeq[Double](1))
+  }
 }
