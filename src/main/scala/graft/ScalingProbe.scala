@@ -1,0 +1,47 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+/** Scale-slope probe: replicate sf0.1 N× with shifted keys (under
+  * target/, testdata stays untouched) and time headline operators at 1×
+  * and N× to observe the scaling exponent. */
+object ScalingProbe {
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(8)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = "/root/testdata/sf0.1"
+    val big = "/root/repo/target/sfbig"
+    def rep(t: String, idCols: Seq[String]) = {
+      val base = spark.read.parquet(s"$src/$t.parquet")
+      val n = base.count()
+      val copies = (0 until mult).map { i =>
+        idCols.foldLeft(base)((d, c) => d.withColumn(c, col(c) + lit(i * 10000000L)))
+      }
+      copies.reduce(_ union _).write.mode("overwrite").parquet(s"$big/$t.parquet")
+    }
+    rep("lineitem", Seq("l_orderkey"))
+    rep("orders", Seq("o_orderkey"))
+    rep("documents", Seq("doc_id"))
+    rep("embeddings", Seq("vec_id"))
+    def time(label: String)(f: String => Long): Unit = {
+      def once(dir: String): Double = {
+        val t0 = System.nanoTime(); f(dir); (System.nanoTime() - t0) / 1e9
+      }
+      once(src) // warm
+      val t1 = once(src); val tN = once(big)
+      println(f"SCALE $label 1x=${t1}%.2f s ${mult}x=${tN}%.2f s ratio=${tN / t1}%.1f")
+    }
+    time("agg_stats") { d => SparkEntry.queries("q_agg_stats")(spark, d).count() }
+    time("join_smj") { d => SparkEntry.queries("q_join_smj")(spark, d).count() }
+    time("topk") { d => SparkEntry.queries("q_o4_topk")(spark, d).count() }
+    time("dedup_exact") { d => SparkEntry.queries("q_dedup_exact")(spark, d).count() }
+    time("dedup_minhash") { d => SparkEntry.queries("q_dedup_minhash")(spark, d).count() }
+    time("dedup_ngram") { d => SparkEntry.queries("q_dedup_ngram")(spark, d).count() }
+    time("ann_topk") { d => SparkEntry.queries("q_ann_topk")(spark, d).count() }
+    spark.stop()
+  }
+}

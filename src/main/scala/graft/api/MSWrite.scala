@@ -43,6 +43,19 @@ object MSWrite {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Write a list of per-group datasets as one partitioned table — the
+    * dataset-list form of the reference's `xds_to_table(xds, name, ...)`
+    * (ref: daskms/dask_ms.py:18-125): group scalars are re-expanded to
+    * columns and become the Hive partition layout, so reading back with
+    * `MSTable.read(groupCols = ...)` reconstructs the same dataset list.
+    */
+  def createDatasets(datasets: Seq[MSDataset], path: String): Unit = {
+    require(datasets.nonEmpty, "no datasets to write")
+    val groupCols = datasets.head.partitionKey.map(_._1)
+    val unioned = datasets.map(_.withPartitionColumns).reduce(_ unionByName _)
+    create(unioned, path, partitionBy = groupCols)
+  }
+
   // ----------------------------------------------------------------- update
 
   /** MERGE semantics: for every column of `delta` (other than ROWID) replace

@@ -106,6 +106,18 @@ class MSWriteSpec extends SparkSpec {
     assert(MSWrite.readKeywords(spark, s"$out/kw") === Map("a" -> "1", "b" -> "x\"y"))
   }
 
+  test("dataset-list write round-trips through grouped read (xds_to_table form)") {
+    val dss = MSTable.read(spark, s"${sf()}/nation.parquet",
+      ReadSpec(groupCols = Seq("n_regionkey"), indexCols = Seq("n_nationkey")))
+    MSWrite.createDatasets(dss, s"$out/xds")
+    val back = MSTable.read(spark, s"$out/xds",
+      ReadSpec(groupCols = Seq("n_regionkey"), indexCols = Seq("n_nationkey")))
+    assert(back.size === dss.size)
+    val keys = back.map(_.partitionKey.head._2.toString).sorted
+    assert(keys === dss.map(_.partitionKey.head._2.toString).sorted)
+    assert(back.map(_.df.count()).sum === 25)
+  }
+
   test("create with partitionBy lays out Hive-style dirs") {
     MSWrite.create(spark.read.parquet(s"${sf()}/nation.parquet"),
       s"$out/part", partitionBy = Seq("n_regionkey"))
