@@ -136,8 +136,12 @@ object MSWrite {
   /** Table keyword dictionaries (ref: daskms/reads.py:292-294,541-546;
     * daskms/writes.py:720-739) stored as a JSON sidecar next to the data.
     */
-  def putKeywords(spark: SparkSession, path: String, kw: Map[String, String]): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path, "_KEYWORDS.json")
+  def putKeywords(spark: SparkSession, path: String, kw: Map[String, String]): Unit =
+    putKeywordsFile(spark, new org.apache.hadoop.fs.Path(path, "_KEYWORDS.json"), kw)
+
+  private def putKeywordsFile(spark: SparkSession,
+                              p: org.apache.hadoop.fs.Path,
+                              kw: Map[String, String]): Unit = {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     def esc(s: String) = s.flatMap {
@@ -150,8 +154,26 @@ object MSWrite {
     out.write(json.getBytes("UTF-8")); out.close()
   }
 
-  def readKeywords(spark: SparkSession, path: String): Map[String, String] = {
-    val p = new org.apache.hadoop.fs.Path(path, "_KEYWORDS.json")
+  /** Per-COLUMN keyword dictionaries (ref: column_keywords kwarg,
+    * daskms/reads.py:292-294) — stored as one sidecar per column under
+    * `_COLKEYWORDS/<col>.json`, so a column's metadata can be updated
+    * without touching the others (mirrors CASA's per-column keyword sets).
+    */
+  def putColumnKeywords(spark: SparkSession, path: String, column: String,
+                        kw: Map[String, String]): Unit =
+    putKeywordsFile(spark, new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path, "_COLKEYWORDS"), s"$column.json"), kw)
+
+  def readColumnKeywords(spark: SparkSession, path: String,
+                         column: String): Map[String, String] =
+    readKeywordsFile(spark, new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path, "_COLKEYWORDS"), s"$column.json"))
+
+  def readKeywords(spark: SparkSession, path: String): Map[String, String] =
+    readKeywordsFile(spark, new org.apache.hadoop.fs.Path(path, "_KEYWORDS.json"))
+
+  private def readKeywordsFile(spark: SparkSession,
+                               p: org.apache.hadoop.fs.Path): Map[String, String] = {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Map.empty
     else {

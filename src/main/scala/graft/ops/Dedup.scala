@@ -180,8 +180,11 @@ object Dedup {
     // all-pairs formulation).
     val base = shingleFrame(docs, textCol, idCol, blockCols, n)
     val sizes = base.select(col(idCol).as("__id"), size(col("sh")).as("__n"))
+    // repartition on the join key: both join inputs derive from this one
+    // exchange, so ReuseExchange evaluates tokenisation + explode ONCE
     val tok = base.select(
       (blockCols.map(col) :+ col(idCol) :+ explode(col("sh")).as("__t")): _*)
+      .repartition((blockCols :+ "__t").map(col): _*)
     val x = tok.select((blockCols.map(col) :+ col("__t") :+
       col(idCol).as("id_a")): _*)
     val y = tok.select((blockCols.map(col) :+ col("__t") :+

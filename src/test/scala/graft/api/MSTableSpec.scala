@@ -106,6 +106,18 @@ class MSWriteSpec extends SparkSpec {
     assert(MSWrite.readKeywords(spark, s"$out/kw") === Map("a" -> "1", "b" -> "x\"y"))
   }
 
+  test("per-column keyword sidecars are independent") {
+    MSWrite.create(spark.read.parquet(s"${sf()}/region.parquet"), s"$out/ckw")
+    MSWrite.putColumnKeywords(spark, s"$out/ckw", "r_name",
+      Map("UNIT" -> "", "MEASINFO" -> "none"))
+    MSWrite.putColumnKeywords(spark, s"$out/ckw", "r_regionkey", Map("UNIT" -> "id"))
+    assert(MSWrite.readColumnKeywords(spark, s"$out/ckw", "r_name")("MEASINFO") === "none")
+    assert(MSWrite.readColumnKeywords(spark, s"$out/ckw", "r_regionkey") === Map("UNIT" -> "id"))
+    assert(MSWrite.readColumnKeywords(spark, s"$out/ckw", "missing") === Map.empty)
+    // table keywords unaffected
+    assert(MSWrite.readKeywords(spark, s"$out/ckw") === Map.empty)
+  }
+
   test("dataset-list write round-trips through grouped read (xds_to_table form)") {
     val dss = MSTable.read(spark, s"${sf()}/nation.parquet",
       ReadSpec(groupCols = Seq("n_regionkey"), indexCols = Seq("n_nationkey")))
