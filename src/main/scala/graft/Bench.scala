@@ -14,7 +14,8 @@ object Bench {
     "q_join_semi", "q_join_asof", "q_o4_topk", "q_w1_window",
     "q_stream_tumbling", "q_sessionize", "q_dedup_exact", "q_dedup_minhash",
     "q_dedup_ngram", "q_dedup_embed", "q_ann_topk", "q_text_quality",
-    "q_text_fingerprint", "q_p4_expr", "q_complex")
+    "q_text_fingerprint", "q_p4_expr", "q_complex", "q_s5_tensor",
+    "q_scalar_json")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
