@@ -514,7 +514,21 @@ object SparkEntry {
 
     "q_dedup_embed" -> ((s, dir) =>
       Dedup.embeddingNearDup(T(s, dir, "embeddings"), "embedding", "vec_id",
-        threshold = 0.95, blockCols = Seq("label")).orderBy("id_a", "id_b")),
+        threshold = 0.4, blockCols = Seq("label")).orderBy("id_a", "id_b")),
+
+    "q_dedup_embed_lsh" -> ((s, dir) =>
+      Dedup.embeddingNearDupLSH(T(s, dir, "embeddings"), "embedding", "vec_id",
+        threshold = 0.4, nPlanes = 4, dim = 64).orderBy("id_a", "id_b")),
+
+    // ===== scalar functions: dates =======================================
+    "q_scalar_date" -> ((s, dir) =>
+      T(s, dir, "lineitem").select(liKey.map(col) ++ Seq(
+          datediff(col("l_shipdate"), lit("1995-01-01")).as("days_since"),
+          date_format(date_add(col("l_shipdate"), 30), "yyyy-MM-dd").as("plus30"),
+          date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM-dd").as("month_start"),
+          dayofweek(col("l_shipdate")).as("dow"),
+          quarter(col("l_shipdate")).as("qtr")): _*)
+        .orderBy(liKey.map(col): _*)),
 
     // ===== similarity search =============================================
     "q_ann_topk" -> ((s, dir) => {
@@ -863,6 +877,16 @@ object SparkEntry {
            |  round(ln(l_extendedprice), 6) AS ln_price
            |FROM lineitem ORDER BY $liKeySql""".stripMargin,
 
+      "q_scalar_date" ->
+        s"""SELECT $liKeySql,
+           |  CAST(date_diff('day', DATE '1995-01-01', l_shipdate) AS INTEGER)
+           |    AS days_since,
+           |  strftime(l_shipdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+           |  strftime(date_trunc('month', l_shipdate), '%Y-%m-%d') AS month_start,
+           |  CAST(dayofweek(l_shipdate) + 1 AS INTEGER) AS dow,
+           |  CAST(quarter(l_shipdate) AS INTEGER) AS qtr
+           |FROM lineitem ORDER BY $liKeySql""".stripMargin,
+
       "q_complex" ->
         s"""SELECT $liKeySql,
            |  round(l_discount * l_quantity - l_tax * l_linenumber, 6) AS mul_re,
@@ -983,7 +1007,7 @@ object SparkEntry {
           |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
           |WHERE list_dot_product(a.v, b.v)
           |    / (sqrt(list_dot_product(a.v, a.v))
-          |       * sqrt(list_dot_product(b.v, b.v))) >= 0.95
+          |       * sqrt(list_dot_product(b.v, b.v))) >= 0.4
           |ORDER BY 1, 2""".stripMargin,
 
       "q_ann_topk" ->

@@ -257,6 +257,20 @@ object Dedup {
     * Blocked by `blockCols` (e.g. a cluster/label id or LSH bucket) to
     * bound the pair count; pass Nil for full all-pairs (test scale only).
     */
+  /** Embedding near-dup with random-hyperplane LSH blocking — the 100 TB
+    * form when no natural cluster/label column exists: vectors are bucketed
+    * by sign pattern, only same-bucket pairs are compared. Recall < 1 by
+    * construction (near-dups differing on a hyperplane side are missed);
+    * lower `nPlanes` for higher recall at more pairs.
+    */
+  def embeddingNearDupLSH(emb: DataFrame, vecCol: String, idCol: String,
+                          threshold: Double, nPlanes: Int, dim: Int): DataFrame = {
+    val planes = Similarity.hyperplanes(nPlanes, dim)
+    val blocked = emb.withColumn("__bucket",
+      Similarity.lshBucket(col(vecCol), planes))
+    embeddingNearDup(blocked, vecCol, idCol, threshold, Seq("__bucket"))
+  }
+
   def embeddingNearDup(emb: DataFrame, vecCol: String, idCol: String,
                        threshold: Double, blockCols: Seq[String] = Nil): DataFrame = {
     val cols = Seq(col(idCol).as("id_a"), col(vecCol).as("v_a")) ++ blockCols.map(col)

@@ -39,6 +39,37 @@ class EventStreamSpec extends SparkSpec {
     assert(sess.agg(min("n_events")).head().getLong(0) >= 1)
   }
 
+  test("append mode with watermark emits only watermark-closed windows") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val evDir = "/root/repo/target/test_stream_append"
+    raw.write.mode("overwrite").parquet(evDir)
+    val stream = spark.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", "1").parquet(evDir)
+    val agg = EventStream.tumbling(stream, "1 hour", watermark = "2 hours")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("append_out").start()
+    q.processAllAvailable(); q.stop()
+    val emitted = spark.table("append_out")
+    val batch = EventStream.tumbling(raw, "1 hour").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val em = emitted.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    // append emits exactly the windows the watermark closed: a subset of
+    // the batch result, with identical values for every emitted window
+    assert(em.subsetOf(batch), (em -- batch).take(3).toString)
+    assert(em.nonEmpty)
+    // every emitted window closed under the watermark: window end must be
+    // at or before max(event ts) - 2h (the watermark delay)
+    val maxTs = raw.agg(max(col("ts"))).head().getTimestamp(0).getTime
+    emitted.collect().foreach { r =>
+      val windowEnd = r.getTimestamp(0).getTime + 3600L * 1000
+      assert(windowEnd <= maxTs - 2 * 3600L * 1000,
+        s"window ending $windowEnd emitted past watermark")
+    }
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(s * 1000)
