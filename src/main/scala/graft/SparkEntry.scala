@@ -334,6 +334,21 @@ object SparkEntry {
           col("n"), col("total"))
         .orderBy("status", "priority")),
 
+    // ===== exact percentiles =============================================
+    "q_agg_percentile" -> ((s, dir) =>
+      T(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("med_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25_price"))
+        .orderBy("l_returnflag")),
+
+    // ===== pivot =========================================================
+    "q_pivot" -> ((s, dir) =>
+      T(s, dir, "lineitem").groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(round(sum("l_quantity"), 4))
+        .orderBy("l_linestatus")),
+
     // ===== approximate distinct (HLL) — rows-only check ==================
     "q_agg_approx" -> ((s, dir) =>
       T(s, dir, "lineitem").groupBy("l_returnflag")
@@ -823,6 +838,20 @@ object SparkEntry {
           |       round(sum(o_totalprice), 2) AS total
           |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
           |ORDER BY 1, 2""".stripMargin,
+
+      "q_agg_percentile" ->
+        """SELECT l_returnflag,
+          |  round(quantile_cont(l_quantity, 0.5), 6) AS med_qty,
+          |  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+          |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_pivot" ->
+        """SELECT l_linestatus,
+          |  round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 4) AS "A",
+          |  round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 4) AS "N",
+          |  round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 4) AS "R"
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_set_union" ->
         """SELECT DISTINCT c_nationkey AS k FROM customer
