@@ -73,7 +73,7 @@ object MSWrite {
     val out = cols.foldLeft(joined) { (d, c) =>
       d.withColumn(c, coalesce(col(s"__u_$c"), col(c)))
     }
-    out.drop(cols.map(c => s"__u_$c"): _*)
+    out.drop(cols.toSeq.map(c => s"__u_$c"): _*)
   }
 
   /** Copy-on-write table update: read, merge, rewrite. At scale, prefer

@@ -25,7 +25,7 @@ object AsOfJoin {
            tsCol: String, valueCols: Seq[String]): DataFrame = {
     val l = left
       .withColumn("__side", lit(1))
-      .select(left.columns.map(col) :+ col("__side") :+
+      .select(left.columns.toSeq.map(col) :+ col("__side") :+
         lit(null).cast("long").as("__rmark"): _*)
     // right side contributes only keys + ts + values
     var r = right.select((keys :+ tsCol).map(col) ++ valueCols.map(col): _*)
@@ -42,7 +42,7 @@ object AsOfJoin {
     val rAligned = leftOnly.foldLeft(rightRenamed) { (d, c) =>
       d.withColumn(c, lit(null))
     }
-    val unioned = lAligned.unionByName(rAligned.select(lAligned.columns.map(col): _*))
+    val unioned = lAligned.unionByName(rAligned.select(lAligned.columns.toSeq.map(col): _*))
     // right rows sort before left rows at equal ts (side 0 < 1) so an exact
     // ts match is visible to the left row
     val w = Window.partitionBy(keys.map(col): _*)

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -28,7 +27,7 @@ object Similarity {
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (p, i) =>
       val dot = aggregate(
-        zip_with(vec, array(p.map(lit): _*), (x, w) => x.cast("double") * w),
+        zip_with(vec, array(p.toSeq.map(lit): _*), (x, w) => x.cast("double") * w),
         lit(0d), (s, v) => s + v)
       when(dot >= 0, shiftleft(lit(1L), i)).otherwise(0L)
     }
@@ -77,7 +76,7 @@ object Similarity {
               cIdCol: String, cVecCol: String,
               k: Int, nlist: Int, nprobe: Int): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.{Vector => MLVector, Vectors}
+    import org.apache.spark.ml.linalg.Vectors
     val spark = corpus.sparkSession
     val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
     val corpusV = corpus

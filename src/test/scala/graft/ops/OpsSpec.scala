@@ -41,6 +41,17 @@ class DedupSpec extends SparkSpec {
     assert(m((0L, 2L)) === 0.4)
   }
 
+  test("char shingles: correct n-grams, distinct") {
+    val df = Seq((0L, "abcab")).toDF("id", "t")
+    val sh = df.select(Dedup.charShingles(col("t"), 3).as("s"))
+      .head().getSeq[String](0).toSet
+    assert(sh === Set("abc", "bca", "cab"))
+    // n > length degenerates to the whole (short) string
+    val short = Seq((0L, "ab")).toDF("id", "t")
+      .select(Dedup.charShingles(col("t"), 3)).head().getSeq[String](0)
+    assert(short === Seq("ab"))
+  }
+
   test("simhash: identical texts distance 0; different texts far") {
     val sigs = docs.filter(length(col("text")) > 0)
       .select(col("doc_id"), Dedup.simHash(col("text")).as("sig"))
