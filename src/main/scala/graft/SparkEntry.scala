@@ -726,7 +726,7 @@ object SparkEntry {
       "q_p4_expr" ->
         s"""SELECT $liKeySql,
            |  round(l_extendedprice * (1 - l_discount) / 100 + 2, 6) AS net,
-           |  CAST(floor(l_quantity / 7) AS BIGINT) AS bucket7
+           |  floor(l_quantity / 7) AS bucket7
            |FROM lineitem ORDER BY $liKeySql""".stripMargin,
 
       "q_p5_assign" ->
