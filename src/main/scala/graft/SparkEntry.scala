@@ -42,6 +42,54 @@ object SparkEntry {
 
   private def tmp(name: String) = s"/root/repo/target/qtmp/$name"
 
+  /** Recall floors for the approximate (ANN / LSH / MinHash) derived
+    * checks — set from measured recalls at sf0.001/0.01/0.1
+    * (tool: `graft.RecallProbe`) with a wide safety margin. The check is
+    * "the approximation holds its quality contract", not a magic number.
+    */
+  private val IvfRecallFloor = 0.4 // per-query; measured min 0.60 (all SFs)
+  private val LshRecallFloor = 0.25 // mean over queries; measured ≥ 0.375
+  private val MinhashRecallFloor = 0.7 // measured 1.000 at all SFs
+  private val EmbedLshRecallFloor = 0.08 // measured 0.136–0.157
+
+  /** Derived-check rows for operators whose internals (xxhash64 MinHash,
+    * k-means cells, hyperplane buckets) no SQL oracle can reproduce: the
+    * engine must PROVE a deterministic property (exact-subset precision,
+    * recall vs the in-engine exact baseline, all-pairs equivalence) and
+    * emit it as sorted (metric, ok) rows; the DuckDB oracle is the
+    * corresponding constant VALUES list, so the hash only matches if every
+    * property actually holds.
+    */
+  private def checkRows(one: DataFrame, checks: (String, Column)*): DataFrame =
+    one.select(explode(array(checks.map { case (n, c) =>
+        struct(lit(n).as("metric"), c.as("ok")) }: _*)).as("r"))
+      .select(col("r.metric"), col("r.ok"))
+      .orderBy("metric")
+
+  private def checksOracle(names: String*): String =
+    names.sorted.map(n => s"SELECT '$n' AS metric, true AS ok")
+      .mkString("", " UNION ALL ", " ORDER BY metric")
+
+  /** Shared shape of the ANN derived checks: per-query recall@5 of an
+    * approximate method vs the in-engine brute-force baseline.
+    */
+  private def annRecallCheck(s: SparkSession, dir: String, floor: Double)
+                            (approx: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(q, emb,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val app = approx(q, emb).select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(app, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    q.select(col("vec_id").cast("long").as("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / 5.0 >= floor).as("recall_ok"))
+      .orderBy("query_id")
+  }
+
   // ------------------------------------------------------------------ entry
 
   /** Flagship: the SURVEY §7.2 spine — partitioned+sorted+filtered read,
@@ -290,8 +338,11 @@ object SparkEntry {
     // ===== A1: GAGGR / GCOUNT / GROWID ===================================
     "q_a1_gaggr" -> ((s, dir) => {
       val withId = MSTable.withRowId(T(s, dir, "lineitem"), liKey)
+      // lines emitted as a joined string: the driver's pandas comparator
+      // cannot sort/hash raw list columns (unhashable numpy.ndarray).
       withId.groupBy("l_orderkey")
-        .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"),
+        .agg(array_join(sort_array(collect_list(col("l_linenumber"))), ",")
+            .as("lines"),
           count(lit(1)).as("gcount"),
           min(col(MSTable.RowId)).as("first_rowid"))
         .orderBy("l_orderkey")
@@ -349,11 +400,16 @@ object SparkEntry {
         .agg(round(sum("l_quantity"), 4))
         .orderBy("l_linestatus")),
 
-    // ===== approximate distinct (HLL) — rows-only check ==================
+    // ===== approximate distinct (HLL) — derived tolerance check ==========
+    // HLL internals aren't SQL-expressible; the provable property is the
+    // accuracy contract: |approx - exact| within tolerance per group
+    // (rsd=0.02, asserted at 5× slack). Oracle = constant `true` rows.
     "q_agg_approx" -> ((s, dir) =>
       T(s, dir, "lineitem").groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
+          countDistinct(col("l_partkey")).as("exact"))
+        .select(col("l_returnflag"),
+          (abs(col("approx") - col("exact")) <= col("exact") * 0.10).as("within_tol"))
         .orderBy("l_returnflag")),
 
     // ===== set operations ================================================
@@ -514,26 +570,79 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(T(s, dir, "documents"), "text", "doc_id").orderBy("doc_id")),
 
-    "q_dedup_minhash" -> ((s, dir) =>
-      Dedup.minHashDedup(T(s, dir, "documents"), "text", "doc_id",
-        threshold = 0.6).orderBy("id_a", "id_b")),
+    // Derived check (bucket membership isn't SQL-expressible): the emitted
+    // pair set must be an exact-Jaccard-verified SUBSET of the in-engine
+    // all-pairs baseline (precision 1.0 by construction — asserted, not
+    // assumed) and recover at least MinhashRecallFloor of it.
+    "q_dedup_minhash" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val mh = Dedup.minHashDedup(docs, "text", "doc_id", threshold = 0.6)
+        .select("id_a", "id_b")
+      val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", Nil,
+        n = 3, threshold = 0.6).select("id_a", "id_b")
+      val keys = Seq("id_a", "id_b")
+      val one = mh.agg(count(lit(1)).as("n_mh"))
+        .crossJoin(mh.join(exact, keys, "left_anti").agg(count(lit(1)).as("n_bad")))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .crossJoin(exact.join(mh, keys, "left_anti").agg(count(lit(1)).as("n_miss")))
+      checkRows(one,
+        "pairs_nonempty" -> (col("n_mh") >= 1),
+        "precision_exact" -> (col("n_bad") === 0),
+        "recall_floor" ->
+          (col("n_miss").cast("double") <= col("n_exact") * (1 - MinhashRecallFloor)))
+    }),
 
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(T(s, dir, "documents"), "text", "doc_id",
         blockCols = Seq("lang"), n = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")),
 
-    "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simHashDedup(T(s, dir, "documents"), "text", "doc_id", maxDist = 3)
-        .orderBy("id_a", "id_b")),
+    // Derived check: quarter-blocking is COMPLETE for hamming ≤ 3
+    // (pigeonhole), so the blocked result must EQUAL the brute-force
+    // all-pairs result — asserted both directions.
+    "q_dedup_simhash" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val blocked = Dedup.simHashDedup(docs, "text", "doc_id", maxDist = 3)
+        .select("id_a", "id_b")
+      val sigs = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("sig"))
+      val all = sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
+        .crossJoin(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")))
+        .filter(col("id_a") < col("id_b"))
+        .filter(Dedup.hamming64(col("sig_a"), col("sig_b")) <= 3)
+        .select("id_a", "id_b")
+      val keys = Seq("id_a", "id_b")
+      val one = blocked.agg(count(lit(1)).as("n_blk"))
+        .crossJoin(blocked.join(all, keys, "left_anti").agg(count(lit(1)).as("n_extra")))
+        .crossJoin(all.join(blocked, keys, "left_anti").agg(count(lit(1)).as("n_missing")))
+      checkRows(one,
+        "pairs_nonempty" -> (col("n_blk") >= 1),
+        "no_false_pairs" -> (col("n_extra") === 0),
+        "complete_vs_allpairs" -> (col("n_missing") === 0))
+    }),
 
     "q_dedup_embed" -> ((s, dir) =>
       Dedup.embeddingNearDup(T(s, dir, "embeddings"), "embedding", "vec_id",
         threshold = 0.4, blockCols = Seq("label")).orderBy("id_a", "id_b")),
 
-    "q_dedup_embed_lsh" -> ((s, dir) =>
-      Dedup.embeddingNearDupLSH(T(s, dir, "embeddings"), "embedding", "vec_id",
-        threshold = 0.4, nPlanes = 4, dim = 64).orderBy("id_a", "id_b")),
+    // Derived check: LSH-blocked near-dups must be a subset of the exact
+    // all-pairs set (precision 1.0) with recall above the measured floor.
+    "q_dedup_embed_lsh" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val lsh = Dedup.embeddingNearDupLSH(emb, "embedding", "vec_id",
+        threshold = 0.4, nPlanes = 4, dim = 64).select("id_a", "id_b")
+      val exact = Dedup.embeddingNearDup(emb, "embedding", "vec_id",
+        threshold = 0.4, Nil).select("id_a", "id_b")
+      val keys = Seq("id_a", "id_b")
+      val one = lsh.agg(count(lit(1)).as("n_lsh"))
+        .crossJoin(lsh.join(exact, keys, "left_anti").agg(count(lit(1)).as("n_bad")))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .crossJoin(exact.join(lsh, keys, "left_anti").agg(count(lit(1)).as("n_miss")))
+      checkRows(one,
+        "pairs_nonempty" -> (col("n_lsh") >= 1),
+        "precision_exact" -> (col("n_bad") === 0),
+        "recall_floor" ->
+          (col("n_miss").cast("double") <= col("n_exact") * (1 - EmbedLshRecallFloor)))
+    }),
 
     // ===== scalar functions: dates =======================================
     "q_scalar_date" -> ((s, dir) =>
@@ -554,22 +663,36 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    "q_ann_ivf" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      graft.ops.Similarity.ivfTopK(
-        emb.filter(col("vec_id") < 8), emb,
-        "vec_id", "embedding", "vec_id", "embedding",
-        k = 5, nlist = 8, nprobe = 3)
-        .orderBy("query_id", "rank")
-    }),
+    // Derived checks: cell/bucket assignment isn't SQL-expressible, but
+    // per-query recall@5 vs the in-engine brute-force baseline is a
+    // deterministic property the oracle reproduces as constant `true` rows.
+    "q_ann_ivf" -> ((s, dir) =>
+      annRecallCheck(s, dir, IvfRecallFloor) { (q, c) =>
+        Similarity.ivfTopK(q, c, "vec_id", "embedding", "vec_id", "embedding",
+          k = 5, nlist = 8, nprobe = 4)
+      }),
 
+    // LSH buckets are coarser than IVF cells (single-probe recall can hit 0
+    // for an unlucky query), so the provable property is MEAN recall over
+    // the query set, plus non-emptiness.
     "q_ann_lsh" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      Similarity.lshTopK(
-        emb.filter(col("vec_id") < 8), emb,
-        "vec_id", "embedding", "vec_id", "embedding",
-        k = 5, nPlanes = 4, dim = 64)
-        .orderBy("query_id", "rank")
+      val q = emb.filter(col("vec_id") < 8)
+      val exact = Similarity.bruteForceTopK(q, emb,
+          "vec_id", "embedding", "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val app = Similarity.lshTopK(q, emb,
+          "vec_id", "embedding", "vec_id", "embedding",
+          k = 5, nPlanes = 4, dim = 64)
+        .select(col("query_id"), col("neighbor_id"))
+      val one = exact.join(app, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_tot")))
+        .crossJoin(app.agg(count(lit(1)).as("n_app")))
+      checkRows(one,
+        "results_nonempty" -> (col("n_app") >= 1),
+        "mean_recall_floor" ->
+          (col("n_hit").cast("double") >= col("n_tot") * LshRecallFloor))
     }),
 
     // ===== text analysis =================================================
@@ -804,7 +927,9 @@ object SparkEntry {
 
       "q_a1_gaggr" ->
         s"""$liRowId
-           |SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS lines,
+           |SELECT l_orderkey,
+           |       array_to_string(list(l_linenumber ORDER BY l_linenumber), ',')
+           |         AS lines,
            |       CAST(count(*) AS BIGINT) AS gcount,
            |       CAST(min(rid) AS BIGINT) AS first_rowid
            |FROM __r GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -916,18 +1041,22 @@ object SparkEntry {
            |  CAST(quarter(l_shipdate) AS INTEGER) AS qtr
            |FROM lineitem ORDER BY $liKeySql""".stripMargin,
 
+      // NOTE determinism convention: every rounded DOUBLE that can land on
+      // +/-0 gets `+ 0.0` on the DuckDB side. Spark's round() goes through
+      // BigDecimal (no signed zero -> always +0.0) while DuckDB's round()
+      // preserves IEEE -0.0; `-0.0 + 0.0 = +0.0` normalizes the sign.
       "q_complex" ->
         s"""SELECT $liKeySql,
-           |  round(l_discount * l_quantity - l_tax * l_linenumber, 6) AS mul_re,
-           |  round(l_discount * l_linenumber + l_tax * l_quantity, 6) AS mul_im,
+           |  round(l_discount * l_quantity - l_tax * l_linenumber, 6) + 0.0 AS mul_re,
+           |  round(l_discount * l_linenumber + l_tax * l_quantity, 6) + 0.0 AS mul_im,
            |  round((l_discount * l_quantity + l_tax * l_linenumber)
            |        / (l_quantity * l_quantity + l_linenumber * l_linenumber), 6)
-           |    AS div_re,
+           |    + 0.0 AS div_re,
            |  round((l_tax * l_quantity - l_discount * l_linenumber)
            |        / (l_quantity * l_quantity + l_linenumber * l_linenumber), 6)
-           |    AS div_im,
-           |  round(sqrt(l_discount * l_discount + l_tax * l_tax), 6) AS abs_a,
-           |  round(-CAST(l_linenumber AS DOUBLE), 6) AS conj_b_im
+           |    + 0.0 AS div_im,
+           |  round(sqrt(l_discount * l_discount + l_tax * l_tax), 6) + 0.0 AS abs_a,
+           |  round(-CAST(l_linenumber AS DOUBLE), 6) + 0.0 AS conj_b_im
            |FROM lineitem ORDER BY $liKeySql""".stripMargin,
 
       "q_scalar_json" ->
@@ -1025,6 +1154,28 @@ object SparkEntry {
           |       - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)) >= 0.5
           |  AND len(a.s) + len(b.s) > 0
           |ORDER BY 1, 2""".stripMargin,
+
+      // Derived-check constants: the engine side must PROVE each named
+      // property (see the matching `queries` entries) to hash-match these.
+      "q_dedup_minhash" ->
+        checksOracle("pairs_nonempty", "precision_exact", "recall_floor"),
+
+      "q_dedup_simhash" ->
+        checksOracle("pairs_nonempty", "no_false_pairs", "complete_vs_allpairs"),
+
+      "q_dedup_embed_lsh" ->
+        checksOracle("pairs_nonempty", "precision_exact", "recall_floor"),
+
+      "q_agg_approx" ->
+        """SELECT l_returnflag, true AS within_tol
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_ann_ivf" ->
+        """SELECT DISTINCT CAST(vec_id AS BIGINT) AS query_id, true AS recall_ok
+          |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
+
+      "q_ann_lsh" ->
+        checksOracle("results_nonempty", "mean_recall_floor"),
 
       "q_dedup_embed" ->
         """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v

@@ -80,16 +80,43 @@ object MSWrite {
     * partition-scoped rewrites (filter base to affected partition values
     * before the join) or the fragment overlay below.
     */
+  private[api] def cowTmpPath(path: String) = path + ".__cow_tmp"
+  private[api] def cowBakPath(path: String) = path + ".__cow_bak"
+
+  /** Crash-safe commit order: write tmp → rename base ASIDE (backup) →
+    * rename tmp IN → delete backup. A live, complete copy of the table
+    * exists at a well-known path at every instant; [[recoverTable]] heals
+    * the one window where it sits at the backup path.
+    */
   def updateTable(spark: SparkSession, path: String, delta: DataFrame,
                   rowIdOrder: Seq[String]): Unit = {
     val base = MSTable.withRowId(MSTable.open(spark, path), rowIdOrder)
     val merged = updateByRowId(base, delta).drop(RowId)
-    val tmp = path + ".__cow_tmp"
+    val tmp = cowTmpPath(path)
     create(merged, tmp)
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val bak = new org.apache.hadoop.fs.Path(cowBakPath(path))
+    fs.delete(bak, true) // clear any stale backup
+    fs.rename(p, bak)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    fs.delete(bak, true)
+  }
+
+  /** Heal an interrupted [[updateTable]]: if the table is missing but its
+    * backup exists (crash between the two renames), restore the backup; if
+    * both exist (crash before the final delete), drop the stale backup.
+    * Stale tmp directories are removed in either case. No-op otherwise.
+    */
+  def recoverTable(spark: SparkSession, path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val bak = new org.apache.hadoop.fs.Path(cowBakPath(path))
+    if (!fs.exists(p) && fs.exists(bak)) fs.rename(bak, p)
+    else if (fs.exists(p) && fs.exists(bak)) fs.delete(bak, true)
+    fs.delete(new org.apache.hadoop.fs.Path(cowTmpPath(path)), true)
   }
 
   // -------------------------------------------------------------- fragments
@@ -180,10 +207,29 @@ object MSWrite {
       val in = fs.open(p)
       val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
       in.close()
-      // minimal flat string→string JSON object parser (sidecars are ours)
+      // minimal flat string→string JSON object parser (sidecars are ours).
+      // Unescape in ONE left-to-right scan (sequential .replace calls would
+      // corrupt e.g. backslash-then-'n') and decode the \uXXXX forms that
+      // the writer emits for control characters.
       val pat = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-      def unesc(s: String) = s
-        .replace("\\n", "\n").replace("\\\"", "\"").replace("\\\\", "\\")
+      def unesc(s: String): String = {
+        val b = new StringBuilder(s.length)
+        var i = 0
+        while (i < s.length) {
+          val c = s.charAt(i)
+          if (c == '\\' && i + 1 < s.length) {
+            s.charAt(i + 1) match {
+              case 'n' => b += '\n'; i += 2
+              case 'r' => b += '\r'; i += 2
+              case 't' => b += '\t'; i += 2
+              case 'u' if i + 5 < s.length =>
+                b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+              case e => b += e; i += 2 // \" \\ \/ and friends
+            }
+          } else { b += c; i += 1 }
+        }
+        b.result()
+      }
       pat.findAllMatchIn(txt).map(m => unesc(m.group(1)) -> unesc(m.group(2))).toMap
     }
   }

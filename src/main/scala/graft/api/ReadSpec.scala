@@ -15,13 +15,20 @@ package graft.api
   *  - `numPartitions` — Spark partition count for the row dimension; the
   *                   analog of the reference's row chunks
   *                   (ref: daskms/reads.py:33 default 10000-row chunks).
+  *  - `maxGroups`  — fan-out guard for the dataset-list read path: each
+  *                   distinct group tuple becomes its own filtered Spark
+  *                   job, which is the reference's semantics but only sane
+  *                   for low-cardinality keys (FIELD_ID/DATA_DESC_ID).
+  *                   Beyond this, `MSTable.read` refuses and points at
+  *                   `MSTable.readDF`, where grouping stays a logical key.
   */
 final case class ReadSpec(
     columns: Option[Seq[String]] = None,
     groupCols: Seq[String] = Nil,
     indexCols: Seq[String] = Nil,
     where: Option[String] = None,
-    numPartitions: Option[Int] = None)
+    numPartitions: Option[Int] = None,
+    maxGroups: Int = 1000)
 
 object ReadSpec {
   /** Default Measurement-Set grouping (ref: daskms/dask_ms.py:13). */

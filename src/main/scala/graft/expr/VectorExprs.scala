@@ -143,6 +143,41 @@ object VectorExprs {
       copy(left = l, right = r)
   }
 
+  /** Index of the nearest (squared-Euclidean) centroid for a numeric
+    * vector — the IVF cell-assignment hot loop. The centroid table is a
+    * plan-local constant (it is tiny — `nlist` × dim doubles), so the full
+    * corpus pass stays a single primitive-typed expression instead of a
+    * boxing UDF + MLlib `transform`. Ties resolve to the lowest index.
+    */
+  case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    private def elemAt(a: ArrayData, et: DataType, i: Int): Double = et match {
+      case FloatType => a.getFloat(i).toDouble
+      case DoubleType => a.getDouble(i)
+      case LongType => a.getLong(i).toDouble
+      case IntegerType => a.getInt(i).toDouble
+      case other => throw new IllegalArgumentException(s"NearestCentroid: $other")
+    }
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val et = child.dataType.asInstanceOf[ArrayType].elementType
+      val n = arr.numElements()
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        val cen = centroids(c)
+        val m = math.min(cen.length, n)
+        var d = 0d; var i = 0
+        while (i < m) { val t = cen(i) - elemAt(arr, et, i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      java.lang.Integer.valueOf(best)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** 64-bit SimHash from a hashed-token array: per-bit ±1 votes. */
   case class SimHash64(child: Expression)
       extends UnaryExpression with CodegenFallback {
@@ -178,6 +213,8 @@ object VectorExprs {
     toColumn(BandHashes(toExpression(sig), bands))
   def vec_cosine(a: Column, b: Column): Column =
     toColumn(VecCosine(toExpression(a), toExpression(b)))
+  def nearest_centroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    toColumn(NearestCentroid(toExpression(vec), centroids))
   def simhash64(hashedTokens: Column): Column =
     toColumn(SimHash64(toExpression(hashedTokens)))
 }

@@ -104,28 +104,39 @@ object Dedup {
     */
   def minHashCandidates(docs: DataFrame, textCol: String, idCol: String,
                         shingleWords: Int = 3, k: Int = 32, bands: Int = 8,
-                        maxBucket: Int = 1000): DataFrame = {
-    require(k % bands == 0, "k must be divisible by bands")
-    val r = k / bands
-    val sh = shingleFrame(docs, textCol, idCol, Nil, shingleWords)
-      .withColumnRenamed("sh", "__sh")
+                        maxBucket: Int = 1000): DataFrame =
+    minHashCandidatesFromShingles(
+      shingleFrame(docs, textCol, idCol, Nil, shingleWords), idCol,
+      k, bands, maxBucket)
 
-    // signature + band hashes in one composed custom-expression tree:
-    // a single per-row pass computes all k minima, then `bands` chained
-    // hashes; posexplode yields (band index, band hash) rows
+  /** Candidate pairs from a pre-built shingle frame (`idCol`, `sh`).
+    *
+    * Shuffle discipline: signature + band hashes are one composed
+    * custom-expression tree computed ONCE below a (band, bh) repartition;
+    * both consumers of the banded rows (the bucket-size census and the
+    * bucket self-join) read that single exchange, so the per-row MinHash
+    * pass never re-runs. The skew guard is a groupBy census + broadcast
+    * anti-join of the (rare) oversized buckets — no per-band window sort.
+    */
+  private[ops] def minHashCandidatesFromShingles(sh: DataFrame, idCol: String,
+                                                 k: Int, bands: Int,
+                                                 maxBucket: Int): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
     import graft.expr.VectorExprs.{band_hashes, minhash_sig}
     val banded = sh.select(
         col(idCol),
-        posexplode(band_hashes(minhash_sig(col("__sh"), k), bands)))
+        posexplode(band_hashes(minhash_sig(col("sh"), k), bands)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
       .select(col(idCol), col("band"), col("bh"))
+      .repartition(col("band"), col("bh"))
 
-    // skew guard: drop degenerate buckets
-    val sized = banded
-      .withColumn("__bn", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
-      .filter(col("__bn") <= maxBucket)
-      .drop("__bn")
+    // skew guard: census the buckets, anti-join away the degenerate ones
+    // (empty/boilerplate docs) before they can explode into n² pairs
+    val oversized = banded.groupBy("band", "bh")
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") > maxBucket)
+      .select("band", "bh")
+    val sized = banded.join(broadcast(oversized), Seq("band", "bh"), "left_anti")
 
     val a = sized.select(col("band"), col("bh"), col(idCol).as("id_a"))
     val b = sized.select(col("band"), col("bh"), col(idCol).as("id_b"))
@@ -136,12 +147,17 @@ object Dedup {
 
   /** MinHash LSH dedup end-to-end: candidates → exact word-Jaccard verify →
     * pairs with jaccard ≥ threshold.
+    *
+    * Tokenization (the dominant CPU) runs ONCE: the shingle frame is
+    * repartitioned by id and that single exchange feeds all three
+    * consumers — the banding pass and both sides of the verify join.
     */
   def minHashDedup(docs: DataFrame, textCol: String, idCol: String,
                    threshold: Double, shingleWords: Int = 3,
                    k: Int = 32, bands: Int = 8): DataFrame = {
-    val cands = minHashCandidates(docs, textCol, idCol, shingleWords, k, bands)
     val sh = shingleFrame(docs, textCol, idCol, Nil, shingleWords)
+      .repartition(col(idCol))
+    val cands = minHashCandidatesFromShingles(sh, idCol, k, bands, maxBucket = 1000)
     val withSets = cands
       .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -160,44 +176,59 @@ object Dedup {
     when(union === 0, lit(0d)).otherwise(inter / union)
   }
 
-  /** Exact n-gram (word-shingle) Jaccard over pairs produced by a blocking
-    * join (same block key ⇒ comparable). Quadratic only within blocks.
+  /** Exact n-gram (word-shingle) Jaccard pairs with jaccard ≥ `threshold`,
+    * optionally restricted to same-`blockCols` pairs. Result-identical to
+    * the all-pairs formulation (for threshold > 0), but never all-pairs:
     *
-    * Scale tactics (result-identical):
-    *  - shingles travel as hashed longs ([[hashedWordShingles]]), not strings
-    *  - a size-ratio prefilter runs before the set intersection:
-    *    jaccard ≥ t ⟹ min(|A|,|B|) ≥ t·max(|A|,|B|), so pruned pairs could
-    *    never pass the threshold anyway
+    *  - shingles travel as hashed longs ([[shingleFrame]]), not strings
+    *  - **prefix filtering** (AllPairs/PPJoin, Bayardo et al. WWW'07):
+    *    shingle arrays are already sorted, and under any global total order
+    *    two sets with jaccard ≥ t must share a token within their first
+    *    `|x| − ⌈t·|x|⌉ + 1` tokens — so only that prefix is exploded into
+    *    the candidate join. A shingle shared by m documents generates
+    *    candidate pairs only among the docs holding it in-prefix
+    *    (expected ≈ (1−t)²·m² instead of m²), which is what keeps a hot
+    *    boilerplate shingle from exploding the join at scale
+    *  - **size-ratio prune**: jaccard ≥ t ⟹ min(|A|,|B|) ≥ t·max(|A|,|B|);
+    *    applied on the candidate join output before the distinct
+    *  - **verify**: surviving candidate pairs re-join the full (hashed)
+    *    shingle arrays and compute exact Jaccard; tokenisation still runs
+    *    only once — candidates and both verify sides all read the single
+    *    id-partitioned shingle exchange
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         blockCols: Seq[String], n: Int,
                         threshold: Double): DataFrame = {
-    // Set-similarity join, not array-intersect-per-pair: explode shingles,
-    // equi-join on (block, shingle), count common shingles per id pair.
-    // Every step is a codegen'd hash join/aggregate; nothing quadratic
-    // except genuinely co-shingled pairs (threshold > 0 ⇒ pairs with empty
-    // intersection contribute nothing, so the result is identical to the
-    // all-pairs formulation).
+    require(threshold > 0 && threshold <= 1,
+      s"ngramJaccardPairs needs 0 < threshold <= 1 (got $threshold): " +
+        "zero-intersection pairs are never generated by the co-shingle join")
     val base = shingleFrame(docs, textCol, idCol, blockCols, n)
-    val sizes = base.select(col(idCol).as("__id"), size(col("sh")).as("__n"))
-    // repartition on the join key: both join inputs derive from this one
-    // exchange, so ReuseExchange evaluates tokenisation + explode ONCE
-    val tok = base.select(
-      (blockCols.map(col) :+ col(idCol) :+ explode(col("sh")).as("__t")): _*)
+      .repartition(col(idCol))
+    // prefix length |sh| − ⌈t·|sh|⌉ + 1 (sh is sorted ascending = the
+    // global token order); ⌈t·|sh|⌉ ≤ |sh| so the prefix is never empty
+    val pfxLen = (size(col("sh")) -
+      ceil(size(col("sh")).cast("double") * threshold).cast("int") + 1)
+    val tok = base
+      .withColumn("__sz", size(col("sh")))
+      .withColumn("__pfx", slice(col("sh"), lit(1), pfxLen))
+      .select((blockCols.map(col) :+ col(idCol) :+ col("__sz") :+
+        explode(col("__pfx")).as("__t")): _*)
       .repartition((blockCols :+ "__t").map(col): _*)
     val x = tok.select((blockCols.map(col) :+ col("__t") :+
-      col(idCol).as("id_a")): _*)
+      col(idCol).as("id_a") :+ col("__sz").as("__na")): _*)
     val y = tok.select((blockCols.map(col) :+ col("__t") :+
-      col(idCol).as("id_b")): _*)
-    val inter = x.join(y, blockCols :+ "__t")
+      col(idCol).as("id_b") :+ col("__sz").as("__nb")): _*)
+    val cands = x.join(y, blockCols :+ "__t")
       .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).cast("double").as("__ni"))
-    inter
-      .join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "__na"), "id_a")
-      .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "__nb"), "id_b")
-      .withColumn("jaccard",
-        col("__ni") / ((col("__na") + col("__nb")).cast("double") - col("__ni")))
+      // size-ratio prune (ε guards the float boundary from over-pruning)
+      .filter(least(col("__na"), col("__nb")).cast("double") >=
+        greatest(col("__na"), col("__nb")).cast("double") * threshold - 1e-9)
+      .select("id_a", "id_b").distinct()
+    val sets = base.select(col(idCol).as("__id"), col("sh"))
+    cands
+      .join(sets.withColumnRenamed("__id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sets.withColumnRenamed("__id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard", jaccardCol(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }

@@ -74,19 +74,26 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               qIdCol: String, qVecCol: String,
               cIdCol: String, cVecCol: String,
-              k: Int, nlist: Int, nprobe: Int): DataFrame = {
+              k: Int, nlist: Int, nprobe: Int,
+              fitSampleRows: Long = 100000L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.Vectors
-    val spark = corpus.sparkSession
+    val corpusC = corpus.select(col(cIdCol).as("neighbor_id"), col(cVecCol).as("cv"))
+    // fit centroids on a bounded sample (k-means needs a representative
+    // sketch, not the full corpus) — the boxing toVec UDF runs only there
+    val n = corpusC.count()
+    val frac = math.min(1.0, fitSampleRows.toDouble / math.max(n, 1L))
     val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
-    val corpusV = corpus
-      .select(col(cIdCol).as("neighbor_id"), col(cVecCol).as("cv"))
+    val fitSet = (if (frac < 1.0) corpusC.sample(withReplacement = false, frac, 42L)
+                  else corpusC)
       .withColumn("features", toVec(col("cv")))
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
-      .fit(corpusV)
-    val assigned = model.transform(corpusV)
-      .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"))
+      .fit(fitSet)
     val centroids: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+    // full-corpus cell assignment: one primitive-typed Catalyst expression
+    // over the scan — no UDF, no MLlib row boxing
+    val assigned = corpusC.withColumn("cell",
+      graft.expr.VectorExprs.nearest_centroid(col("cv"), centroids))
     val probeCells = udf((a: Seq[Float]) => {
       val v = a.map(_.toDouble).toArray
       centroids.zipWithIndex.map { case (c, i) =>
@@ -105,17 +112,34 @@ object Similarity {
         .withColumn("cosine", Dedup.cosine(col("qv"), col("cv"))), k)
   }
 
-  /** LSH-bucketed approximate top-k: probe only the query's bucket.
-    * Recall < 1 by construction; bump `nPlanes` down / probe multiple
-    * buckets for higher recall.
+  /** LSH-bucketed approximate top-k with MULTIPROBE: a query probes its
+    * own sign-pattern bucket plus every bucket within `probeBits` bit
+    * flips (near-misses land in sign patterns that differ on the few
+    * hyperplanes the pair straddles — probing them is the standard
+    * recall/cost dial). probeBits=1 probes `1 + nPlanes` of the `2^nPlanes`
+    * buckets; the corpus is still touched only via the bucket equi-join,
+    * so at 100 TB the scan is bucket-pruned, never full.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               qIdCol: String, qVecCol: String,
               cIdCol: String, cVecCol: String,
-              k: Int, nPlanes: Int, dim: Int): DataFrame = {
+              k: Int, nPlanes: Int, dim: Int,
+              probeBits: Int = 1): DataFrame = {
+    require(probeBits >= 0 && probeBits <= 2, "probeBits in 0..2")
     val planes = hyperplanes(nPlanes, dim)
+    // enumerate bit-flip masks up to probeBits (tiny: 1 + n + n(n-1)/2)
+    val masks: Seq[Long] = {
+      val one = (0 until nPlanes).map(i => 1L << i)
+      val two = for { i <- 0 until nPlanes; j <- (i + 1) until nPlanes }
+        yield (1L << i) | (1L << j)
+      (Seq(0L) ++ (if (probeBits >= 1) one else Nil) ++
+        (if (probeBits >= 2) two else Nil)).distinct
+    }
     val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))
-      .withColumn("bucket", lshBucket(col("qv"), planes))
+      .withColumn("__b0", lshBucket(col("qv"), planes))
+      .withColumn("bucket",
+        explode(array(masks.map(m => col("__b0").bitwiseXOR(lit(m))): _*)))
+      .drop("__b0")
     val c = corpus.select(col(cIdCol).as("neighbor_id"), col(cVecCol).as("cv"))
       .withColumn("bucket", lshBucket(col("cv"), planes))
     explodeTopK(

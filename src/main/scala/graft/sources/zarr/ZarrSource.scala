@@ -1,0 +1,189 @@
+package graft.sources.zarr
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import scala.jdk.CollectionConverters._
+
+/** `spark.read.format("zarr").load(path)` — a DataSourceV2 reader for the
+  * zarr v2 subset the reference writes (one array per column, row first
+  * axis; ref: daskms/experimental/zarr/__init__.py:379-528).
+  *
+  * Spark-first scale design:
+  *  - one InputPartition PER ROW-CHUNK → a 100 TB store parallelizes
+  *    across the cluster exactly along its native chunk grid, no shuffle
+  *  - column pruning is pushed into the scan: only the REQUESTED arrays'
+  *    chunk files are opened (a 2-column projection of a 100-column store
+  *    reads 2% of the bytes)
+  */
+class ZarrDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "zarr"
+
+  private def path(options: CaseInsensitiveStringMap): String = {
+    val p = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("zarr source needs a path"))
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val conf = new Configuration()
+    val metas = ZarrMeta.readGroup(conf, new Path(path(options)))
+    StructType(metas.map(m => StructField(m.name, m.sparkType, nullable = false)))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new ZarrTable(properties.get("path"), schema)
+}
+
+class ZarrTable(path: String, schema: StructType) extends Table with SupportsRead {
+  override def name(): String = s"zarr:$path"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ZarrScanBuilder(path, schema)
+}
+
+class ZarrScanBuilder(path: String, full: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // preserve store column order; empty projection (count(*)) keeps one
+    // cheap column so rows can still be enumerated
+    val names = requiredSchema.fieldNames.toSet
+    val kept = StructType(full.fields.filter(f => names.contains(f.name)))
+    required = if (kept.isEmpty) StructType(full.fields.take(1)) else kept
+  }
+  override def build(): Scan = new ZarrScan(path, required)
+}
+
+/** One row-chunk of the store = one Spark partition. */
+case class ZarrInputPartition(chunkIdx: Int, rowStart: Long, rowEnd: Long)
+    extends InputPartition
+
+class ZarrScan(path: String, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val metas = ZarrMeta.readGroup(new Configuration(), new Path(path))
+    require(metas.nonEmpty, s"empty zarr group at $path")
+    val rows = metas.head.rows
+    require(metas.forall(_.rows == rows),
+      s"zarr arrays disagree on row count at $path")
+    val rowChunk = metas.head.rowChunk
+    require(metas.forall(_.rowChunk == rowChunk),
+      s"zarr arrays disagree on row chunk at $path (uniform row chunking required)")
+    (0 until metas.head.numRowChunks).map { i =>
+      ZarrInputPartition(i, i.toLong * rowChunk,
+        math.min(rows, (i.toLong + 1) * rowChunk)): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ZarrReaderFactory(path, required.fieldNames)
+}
+
+class ZarrReaderFactory(path: String, columns: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ZarrPartitionReader(path, columns,
+      partition.asInstanceOf[ZarrInputPartition])
+}
+
+class ZarrPartitionReader(path: String, columns: Array[String],
+                          part: ZarrInputPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val conf = new Configuration()
+  private val group = new Path(path)
+  private val metas: Array[ZarrArrayMeta] = {
+    val all = ZarrMeta.readGroup(conf, group).map(m => m.name -> m).toMap
+    columns.map(all(_))
+  }
+  // decompressed chunk bytes per column (None = missing chunk → fill)
+  private val bufs: Array[Option[ByteBuffer]] = metas.map { m =>
+    ZarrMeta.readChunk(conf, group, m, part.chunkIdx)
+      .map(b => ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN))
+  }
+
+  private var pos = -1L
+  private val n = part.rowEnd - part.rowStart
+
+  override def next(): Boolean = { pos += 1; pos < n }
+
+  /** element at flat index `idx` of column `c` */
+  private def elem(c: Int, idx: Long): Any = {
+    val m = metas(c)
+    bufs(c) match {
+      case None =>
+        m.dtype match {
+          case "<i8" => m.fillValue.toLong
+          case "<i4" => m.fillValue.toInt
+          case "<i2" => m.fillValue.toShort
+          case "|i1" | "|u1" => m.fillValue.toByte
+          case "<f8" => m.fillValue
+          case "<f4" => m.fillValue.toFloat
+          case "|b1" => m.fillValue != 0d
+          case "<c16" | "<c8" =>
+            new GenericInternalRow(Array[Any](m.fillValue, m.fillValue))
+        }
+      case Some(b) =>
+        val w = ZarrMeta.bytesPerElement(m.dtype)
+        val off = (idx * w).toInt
+        m.dtype match {
+          case "<i8" => b.getLong(off)
+          case "<i4" => b.getInt(off)
+          case "<i2" => b.getShort(off)
+          case "|i1" | "|u1" => b.get(off)
+          case "<f8" => b.getDouble(off)
+          case "<f4" => b.getFloat(off)
+          case "|b1" => b.get(off) != 0
+          case "<c16" => new GenericInternalRow(
+            Array[Any](b.getDouble(off), b.getDouble(off + 8)))
+          case "<c8" => new GenericInternalRow(
+            Array[Any](b.getFloat(off).toDouble, b.getFloat(off + 4).toDouble))
+        }
+    }
+  }
+
+  /** value of column `c` for the current row: scalars direct, trailing
+    * dims as (nested) arrays
+    */
+  private def value(c: Int): Any = {
+    val m = metas(c)
+    val base = pos * m.rowWidth
+    val dims = m.shape.drop(1).map(_.toInt)
+    if (dims.isEmpty) elem(c, base)
+    else {
+      def build(offset: Long, ds: Seq[Int]): Any = ds match {
+        case Seq(last) =>
+          new GenericArrayData(
+            Array.tabulate[Any](last)(i => elem(c, offset + i)))
+        case head +: tail =>
+          val stride = tail.map(_.toLong).product
+          new GenericArrayData(
+            Array.tabulate[Any](head)(i => build(offset + i * stride, tail)))
+      }
+      build(base, dims)
+    }
+  }
+
+  override def get(): InternalRow =
+    new GenericInternalRow(Array.tabulate[Any](metas.length)(value))
+
+  override def close(): Unit = ()
+}

@@ -45,8 +45,10 @@ class PropertySpec extends SparkSpec {
       .map(_.mkString(" "))
     check(Prop.forAll(genDoc, genDoc) { (ta, tb) =>
       val df = Seq((0L, ta), (1L, tb), (2L, ta)).toDF("id", "text")
+      // threshold must be > 0 (zero-intersection pairs are never generated);
+      // 0.01 keeps every co-shingled pair while exercising the prefix filter
       val pairs = graft.ops.Dedup.ngramJaccardPairs(
-        df.withColumn("b", lit(1)), "text", "id", Seq("b"), 2, 0.0)
+        df.withColumn("b", lit(1)), "text", "id", Seq("b"), 2, 0.01)
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
       val selfJ = pairs.get((0L, 2L))
       val symOk = pairs.getOrElse((0L, 1L), 0d) == pairs.getOrElse((0L, 1L), 0d)

@@ -63,6 +63,35 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(out === 16.0)
   }
 
+  test("floor division follows numpy: dtype from source form, exact int64, edge cases") {
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    val df = Seq((7L, 2L, -7L, 7.0, -0.0, 0L, Double.NaN, Double.PositiveInfinity))
+      .toDF("I", "J", "NI", "F", "NZ", "Z", "NAN", "INF")
+    def one(e: String) = df.select(compile(df, e).as("v")).head().get(0)
+    // int // int stays integer, floor semantics (toward -inf)
+    assert(one("I // J") === 3L)
+    assert(one("NI // J") === -4L)
+    // numpy: int // 0 == 0 (not an error, not Long.MaxValue)
+    assert(one("I // Z") === 0L)
+    // a literal WRITTEN as float makes it float floor-division (numpy
+    // dtype promotion follows the source form, not the value)
+    assert(one("I // 2.0") === 3.0)
+    assert(one("I // 2") === 3L)
+    // float path: signed zero preserved; NaN/Inf INPUTS propagate instead
+    // of collapsing through LongType floor() (NaN→0, Inf→Long.Max).
+    // (/0.0 itself is an ANSI error engine-wide, matching the `/` operator.)
+    val nz = one("NZ // J").asInstanceOf[Double]
+    assert(nz == 0.0 && 1.0 / nz == Double.NegativeInfinity, "keeps -0.0")
+    assert(one("NAN // J").asInstanceOf[Double].isNaN)
+    assert(one("INF // J") === Double.PositiveInfinity)
+    assert(one("F // J") === 3.0)
+    // exact past 2^53 where a double detour would round: (2^60+1) // 1
+    val big = spark.sql("SELECT CAST(1152921504606846977 AS LONG) AS B")
+    assert(big.select(compile(big, "B // 1").as("v")).head().getLong(0)
+      === 1152921504606846977L)
+  }
+
   test("elementwise over N-d complex tensor columns (reference broadcasting)") {
     val spark = graft.SparkSpec.session
     import org.apache.spark.sql.functions._
