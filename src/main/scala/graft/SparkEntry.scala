@@ -196,6 +196,27 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    // ===== S6/S7: zarr sink + native zarr source =========================
+    // parquet → zarr (every supported shape: scalar, complex struct, array)
+    // → sniffed + read back through the DSv2 zarr source → aggregate; the
+    // oracle computes the same aggregate from the original parquet, so the
+    // hash only matches if the store round-trips bit-exact.
+    "q_zarr" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"),
+        struct(col("l_quantity").as("re"), col("l_discount").as("im")).as("qz"),
+        array(col("l_quantity"), col("l_extendedprice")).as("qv"))
+      MSWrite.toZarr(li, tmp("q_zarr_store"), rowChunk = 4096)
+      MSTable.open(s, tmp("q_zarr_store")) // .zgroup sniff → zarr source
+        .groupBy("l_linenumber")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum(col("qz.im")), 4).as("sum_disc"),
+          round(sum(element_at(col("qv"), 2)), 2).as("sum_price"))
+        .orderBy("l_linenumber")
+    }),
+
     // ===== S14: keyword/metadata sidecars ================================
     "q_s14_keywords" -> ((s, dir) => {
       import s.implicits._
@@ -828,6 +849,13 @@ object SparkEntry {
       "q_s13_convert" ->
         """SELECT n_nationkey, n_name, n_regionkey FROM nation
           |WHERE n_nationkey != 2 ORDER BY n_nationkey""".stripMargin,
+
+      "q_zarr" ->
+        """SELECT l_linenumber, CAST(count(*) AS BIGINT) AS n,
+          |       round(sum(l_quantity), 4) AS sum_qty,
+          |       round(sum(l_discount), 4) AS sum_disc,
+          |       round(sum(l_extendedprice), 2) AS sum_price
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_s14_keywords" ->
         """SELECT 'rows' AS key, CAST(count(*) AS VARCHAR) AS value FROM nation

@@ -59,12 +59,15 @@ object MSTable {
   }
 
   /** Storage-dispatch read (ref: xds_from_storage_table,
-    * daskms/dask_ms.py:366-413). The engine keeps one columnar store
-    * (Parquet); CASA/Zarr stores must be converted first (see ConvertApp).
+    * daskms/dask_ms.py:366-413). Parquet is the primary columnar store;
+    * zarr v2 groups (the reference's xds_to_zarr layout) are read natively
+    * via the graft zarr DataSourceV2; CASA tables must be converted first
+    * (see README "CASA ingestion" and ConvertApp).
     */
   def open(spark: SparkSession, path: String): DataFrame =
     sniffFormat(spark, path) match {
       case ParquetFormat => spark.read.parquet(resolveSubtable(path))
+      case ZarrFormat => spark.read.format("zarr").load(resolveSubtable(path))
       case f => throw new UnsupportedOperationException(
         s"$f store at $path: convert to parquet first (graft.api.ConvertApp)")
     }

@@ -43,6 +43,13 @@ object MSWrite {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Zarr v2 sink (S7; ref: xds_to_zarr,
+    * daskms/experimental/zarr/__init__.py:269-364): one array per column,
+    * row-chunked, zlib — the layout [[MSTable.open]] reads back natively.
+    */
+  def toZarr(df: DataFrame, path: String, rowChunk: Int = 65536): Unit =
+    graft.sources.zarr.ZarrWrite.write(df, path, rowChunk)
+
   /** Write a list of per-group datasets as one partitioned table — the
     * dataset-list form of the reference's `xds_to_table(xds, name, ...)`
     * (ref: daskms/dask_ms.py:18-125): group scalars are re-expanded to

@@ -142,12 +142,27 @@ object ZarrMeta {
           case Some("zlib") =>
             val inf = new java.util.zip.Inflater()
             inf.setInput(raw)
-            val out = new Array[Byte](m.rowChunk * m.rowWidth.toInt *
-              bytesPerElement(m.dtype))
+            val expected = m.rowChunk * m.rowWidth.toInt * bytesPerElement(m.dtype)
+            val out = new Array[Byte](expected)
             var off = 0
-            while (!inf.finished() && off < out.length)
-              off += inf.inflate(out, off, out.length - off)
+            while (!inf.finished() && off < out.length) {
+              val n = inf.inflate(out, off, out.length - off)
+              // inflate()==0 without finished() means the stream is
+              // truncated/corrupt (needsInput/needsDictionary) — fail the
+              // task instead of spinning forever
+              if (n == 0 && !inf.finished()) {
+                inf.end()
+                throw new java.io.IOException(
+                  s"truncated/corrupt zlib chunk ${m.name}/${m.chunkFile(i)} " +
+                    s"(decompressed $off of $expected bytes)")
+              }
+              off += n
+            }
             inf.end()
+            if (off != expected)
+              throw new java.io.IOException(
+                s"zlib chunk ${m.name}/${m.chunkFile(i)} decompressed to $off " +
+                  s"bytes, expected $expected (zarr v2 chunks are full-size)")
             out
           case _ => raw
         }

@@ -3,8 +3,8 @@ package graft.sources.zarr
 import java.nio.{ByteBuffer, ByteOrder}
 import java.util
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -14,6 +14,7 @@ import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
 
 import scala.jdk.CollectionConverters._
 
@@ -38,7 +39,9 @@ class ZarrDataSource extends TableProvider with DataSourceRegister {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val conf = new Configuration()
+    // driver-side: the active session's Hadoop configuration, so non-local
+    // filesystems (s3a/hdfs credentials etc.) resolve like any other source
+    val conf = SparkSession.active.sessionState.newHadoopConf()
     val metas = ZarrMeta.readGroup(conf, new Path(path(options)))
     StructType(metas.map(m => StructField(m.name, m.sparkType, nullable = false)))
   }
@@ -75,11 +78,18 @@ case class ZarrInputPartition(chunkIdx: Int, rowStart: Long, rowEnd: Long)
     extends InputPartition
 
 class ZarrScan(path: String, required: StructType) extends Scan with Batch {
+  // metadata is read ONCE on the driver with the session's Hadoop conf;
+  // executors get the parsed metas + a serialized conf (no per-task
+  // re-parsing of .zarray sidecars)
+  private lazy val hadoopConf =
+    SparkSession.active.sessionState.newHadoopConf()
+  private lazy val metas: Seq[ZarrArrayMeta] =
+    ZarrMeta.readGroup(hadoopConf, new Path(path))
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val metas = ZarrMeta.readGroup(new Configuration(), new Path(path))
     require(metas.nonEmpty, s"empty zarr group at $path")
     val rows = metas.head.rows
     require(metas.forall(_.rows == rows),
@@ -93,27 +103,28 @@ class ZarrScan(path: String, required: StructType) extends Scan with Batch {
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new ZarrReaderFactory(path, required.fieldNames)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val byName = metas.map(m => m.name -> m).toMap
+    new ZarrReaderFactory(path, required.fieldNames.map(byName(_)),
+      new SerializableConfiguration(hadoopConf))
+  }
 }
 
-class ZarrReaderFactory(path: String, columns: Array[String])
+class ZarrReaderFactory(path: String, metas: Array[ZarrArrayMeta],
+                        conf: SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ZarrPartitionReader(path, columns,
+    new ZarrPartitionReader(path, metas, conf,
       partition.asInstanceOf[ZarrInputPartition])
 }
 
-class ZarrPartitionReader(path: String, columns: Array[String],
+class ZarrPartitionReader(path: String, metas: Array[ZarrArrayMeta],
+                          serConf: SerializableConfiguration,
                           part: ZarrInputPartition)
     extends PartitionReader[InternalRow] {
 
-  private val conf = new Configuration()
+  private val conf = serConf.value
   private val group = new Path(path)
-  private val metas: Array[ZarrArrayMeta] = {
-    val all = ZarrMeta.readGroup(conf, group).map(m => m.name -> m).toMap
-    columns.map(all(_))
-  }
   // decompressed chunk bytes per column (None = missing chunk → fill)
   private val bufs: Array[Option[ByteBuffer]] = metas.map { m =>
     ZarrMeta.readChunk(conf, group, m, part.chunkIdx)

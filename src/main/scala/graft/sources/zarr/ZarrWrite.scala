@@ -1,0 +1,212 @@
+package graft.sources.zarr
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.{Partitioner, TaskContext}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types.{ArrayType, DataType}
+import org.apache.spark.util.SerializableConfiguration
+
+/** Distributed zarr v2 sink — the Spark-native analog of the reference's
+  * `xds_to_zarr` (ref: daskms/experimental/zarr/__init__.py:269-364: one
+  * zarr array per column, row as the first axis, region-aligned writes).
+  *
+  * Scale design:
+  *  - ONE Spark task per row-chunk, writing that chunk's file for every
+  *    column — the write parallelism IS the store's native chunk grid, and
+  *    chunk files never pass through the driver
+  *  - the only shuffle is the row-chunk alignment repartition (dask does the
+  *    same rechunk before its region writes); keys are plain longs
+  *  - task retries are idempotent: a chunk task overwrites exactly its own
+  *    chunk files, nothing else
+  *
+  * Supported subset = what [[ZarrMeta]] reads back: numeric/bool scalars,
+  * complex struct(re, im) → `<c16`, fixed-shape (nested) arrays of those;
+  * C order, little-endian, zlib. Rows land in the store in the frame's
+  * current order (make it deterministic upstream if ROWID stability
+  * matters — same caveat as MSTable.zipWithRowId).
+  */
+object ZarrWrite {
+
+  /** @param rowChunk rows per zarr chunk = rows per write task. Size it so
+    *                 chunkRows × rowWidth × 8 B fits comfortably in task
+    *                 memory (the default is ~0.5 MB per scalar column).
+    */
+  def write(df: DataFrame, path: String, rowChunk: Int = 65536,
+            zlibLevel: Int = 1): Unit = {
+    val spark = df.sparkSession
+    val fields = df.schema.fields
+    require(fields.nonEmpty, s"zarr write of $path: empty schema")
+    val dtypes: Array[String] =
+      fields.map(f => ZarrMeta.sparkToDtype(elementTypeOf(f.dataType)))
+
+    // trailing dims of array columns, frozen from the first row (validated
+    // against every row during serialization)
+    val headRow = df.take(1).headOption
+    val dims: Array[Seq[Long]] = fields.zipWithIndex.map { case (f, i) =>
+      f.dataType match {
+        case _: ArrayType =>
+          val r = headRow.getOrElse(throw new IllegalArgumentException(
+            s"zarr write of $path: cannot infer dims of array column " +
+              s"'${f.name}' from an empty frame"))
+          dimsOf(f.dataType, r.get(i), f.name)
+        case _ => Nil
+      }
+    }
+
+    // one pass to count rows per partition → global row offsets (collect
+    // returns results in partition order)
+    val rdd = df.rdd
+    val partCounts =
+      rdd.mapPartitions(it => Iterator.single(it.size.toLong),
+        preservesPartitioning = true).collect()
+    val offsets = partCounts.scanLeft(0L)(_ + _)
+    val rows = offsets.last
+    val chunkRows = math.min(rowChunk.toLong, math.max(rows, 1L)).toInt
+    val numChunks = ((rows + chunkRows - 1) / chunkRows).toInt
+
+    val metas: Array[ZarrArrayMeta] = fields.indices.toArray.map { i =>
+      ZarrArrayMeta(fields(i).name, rows +: dims(i),
+        chunkRows +: dims(i).map(_.toInt), dtypes(i),
+        if (zlibLevel > 0) Some("zlib") else None, fillValue = 0d)
+    }
+
+    // driver writes the group + array metadata (tiny JSON sidecars)
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    fs.delete(root, true)
+    fs.mkdirs(root)
+    writeText(fs, new Path(root, ".zgroup"), """{"zarr_format": 2}""")
+    metas.foreach { m =>
+      val dir = new Path(root, m.name)
+      fs.mkdirs(dir)
+      writeText(fs, new Path(dir, ".zarray"), zarrayJson(m, zlibLevel))
+      val dimNames = ("row" +: m.shape.drop(1).indices.map(d => s"${m.name}_d$d"))
+        .map(n => s""""$n"""").mkString("[", ", ", "]")
+      writeText(fs, new Path(dir, ".zattrs"),
+        s"""{"_ARRAY_DIMENSIONS": $dimNames}""")
+    }
+    if (numChunks == 0) return
+
+    // chunk-aligned write: key rows by global index, route each to its
+    // chunk's task, write one file per (chunk, column)
+    val serConf = new SerializableConfiguration(conf)
+    val keyed = rdd.mapPartitionsWithIndex { case (pid, it) =>
+      var idx = offsets(pid)
+      it.map { row => val k = idx; idx += 1; (k, row) }
+    }
+    val byChunk = keyed.repartitionAndSortWithinPartitions(new Partitioner {
+      override def numPartitions: Int = numChunks
+      override def getPartition(key: Any): Int =
+        (key.asInstanceOf[Long] / chunkRows).toInt
+    })
+    val nCols = fields.length
+    byChunk.foreachPartition { it: Iterator[(Long, Row)] =>
+      if (it.hasNext) {
+        val chunkIdx = TaskContext.getPartitionId()
+        // full-size chunk buffers (zarr v2 edge chunks are padded)
+        val bufs = metas.map { m =>
+          ByteBuffer.allocate(chunkRows * m.rowWidth.toInt *
+            ZarrMeta.bytesPerElement(m.dtype)).order(ByteOrder.LITTLE_ENDIAN)
+        }
+        it.foreach { case (_, row) =>
+          var c = 0
+          while (c < nCols) {
+            putValue(metas(c).dtype, dims(c), bufs(c), row.get(c), fields(c).name)
+            c += 1
+          }
+        }
+        val cfs = new Path(path).getFileSystem(serConf.value)
+        var c = 0
+        while (c < nCols) {
+          val bytes =
+            if (zlibLevel > 0) deflate(bufs(c).array(), zlibLevel)
+            else bufs(c).array()
+          val p = new Path(new Path(path, metas(c).name),
+            metas(c).chunkFile(chunkIdx))
+          val out = cfs.create(p, true)
+          try out.write(bytes) finally out.close()
+          c += 1
+        }
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------ plumbing
+
+  private def elementTypeOf(t: DataType): DataType = t match {
+    case ArrayType(et, _) => elementTypeOf(et)
+    case other => other
+  }
+
+  private def dimsOf(t: DataType, v: Any, colName: String): Seq[Long] = t match {
+    case ArrayType(et, _) =>
+      val s = Option(v).map(_.asInstanceOf[scala.collection.Seq[Any]])
+        .getOrElse(throw new IllegalArgumentException(
+          s"zarr write: null array in column '$colName'"))
+      require(s.nonEmpty, s"zarr write: empty array in column '$colName' " +
+        "(fixed nonzero trailing dims required)")
+      s.length.toLong +: dimsOf(et, s.head, colName)
+    case _ => Nil
+  }
+
+  /** Serialize one cell (scalar or fixed-shape nested array) in C order. */
+  private def putValue(dtype: String, ds: Seq[Long], b: ByteBuffer, v: Any,
+                       colName: String): Unit = {
+    if (v == null) throw new IllegalArgumentException(
+      s"zarr write: null value in column '$colName' (no null support)")
+    ds match {
+      case Nil => putElem(dtype, b, v)
+      case d +: rest =>
+        val s = v.asInstanceOf[scala.collection.Seq[Any]]
+        require(s.length == d, s"zarr write: ragged array in column " +
+          s"'$colName' (${s.length} elements, expected $d — fixed shape required)")
+        s.foreach(e => putValue(dtype, rest, b, e, colName))
+    }
+  }
+
+  private def putElem(dtype: String, b: ByteBuffer, v: Any): Unit = dtype match {
+    case "<i8" => b.putLong(v.asInstanceOf[Long])
+    case "<i4" => b.putInt(v.asInstanceOf[Int])
+    case "<i2" => b.putShort(v.asInstanceOf[Short])
+    case "|i1" => b.put(v.asInstanceOf[Byte])
+    case "<f8" => b.putDouble(v.asInstanceOf[Double])
+    case "<f4" => b.putFloat(v.asInstanceOf[Float])
+    case "|b1" => b.put(if (v.asInstanceOf[Boolean]) 1.toByte else 0.toByte)
+    case "<c16" =>
+      val r = v.asInstanceOf[Row]
+      b.putDouble(r.getDouble(0)); b.putDouble(r.getDouble(1))
+  }
+
+  private def zarrayJson(m: ZarrArrayMeta, zlibLevel: Int): String = {
+    val comp =
+      if (zlibLevel > 0) s"""{"id": "zlib", "level": $zlibLevel}""" else "null"
+    s"""{
+       |  "zarr_format": 2,
+       |  "shape": ${m.shape.mkString("[", ", ", "]")},
+       |  "chunks": ${m.chunks.mkString("[", ", ", "]")},
+       |  "dtype": "${m.dtype}",
+       |  "compressor": $comp,
+       |  "fill_value": 0,
+       |  "filters": null,
+       |  "order": "C"
+       |}""".stripMargin
+  }
+
+  private def writeText(fs: FileSystem, p: Path, text: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def deflate(bytes: Array[Byte], level: Int): Array[Byte] = {
+    val d = new java.util.zip.Deflater(level)
+    d.setInput(bytes); d.finish()
+    val out = new java.io.ByteArrayOutputStream(bytes.length / 4 + 64)
+    val buf = new Array[Byte](65536)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+}
