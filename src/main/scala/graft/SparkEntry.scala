@@ -60,6 +60,13 @@ object SparkEntry {
     * corresponding constant VALUES list, so the hash only matches if every
     * property actually holds.
     */
+  /** Pin a SMALL frame before a derived check fans it into several agg
+    * subtrees: without this the expensive upstream pipeline (minhash/LSH/
+    * all-pairs) re-executes once per consumer. localCheckpoint also
+    * truncates lineage, so the check's cost is the operator + tiny aggs.
+    */
+  private def pin(df: DataFrame): DataFrame = df.localCheckpoint()
+
   private def checkRows(one: DataFrame, checks: (String, Column)*): DataFrame =
     one.select(explode(array(checks.map { case (n, c) =>
         struct(lit(n).as("metric"), c.as("ok")) }: _*)).as("r"))
@@ -77,10 +84,10 @@ object SparkEntry {
                             (approx: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val emb = T(s, dir, "embeddings")
     val q = emb.filter(col("vec_id") < 8)
-    val exact = Similarity.bruteForceTopK(q, emb,
+    val exact = pin(Similarity.bruteForceTopK(q, emb,
         "vec_id", "embedding", "vec_id", "embedding", k = 5)
-      .select(col("query_id"), col("neighbor_id"))
-    val app = approx(q, emb).select(col("query_id"), col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")))
+    val app = pin(approx(q, emb).select(col("query_id"), col("neighbor_id")))
     val hits = exact.join(app, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
     q.select(col("vec_id").cast("long").as("query_id")).distinct()
@@ -597,10 +604,10 @@ object SparkEntry {
     // assumed) and recover at least MinhashRecallFloor of it.
     "q_dedup_minhash" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
-      val mh = Dedup.minHashDedup(docs, "text", "doc_id", threshold = 0.6)
-        .select("id_a", "id_b")
-      val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", Nil,
-        n = 3, threshold = 0.6).select("id_a", "id_b")
+      val mh = pin(Dedup.minHashDedup(docs, "text", "doc_id", threshold = 0.6)
+        .select("id_a", "id_b"))
+      val exact = pin(Dedup.ngramJaccardPairs(docs, "text", "doc_id", Nil,
+        n = 3, threshold = 0.6).select("id_a", "id_b"))
       val keys = Seq("id_a", "id_b")
       val one = mh.agg(count(lit(1)).as("n_mh"))
         .crossJoin(mh.join(exact, keys, "left_anti").agg(count(lit(1)).as("n_bad")))
@@ -623,14 +630,14 @@ object SparkEntry {
     // all-pairs result — asserted both directions.
     "q_dedup_simhash" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
-      val blocked = Dedup.simHashDedup(docs, "text", "doc_id", maxDist = 3)
-        .select("id_a", "id_b")
+      val blocked = pin(Dedup.simHashDedup(docs, "text", "doc_id", maxDist = 3)
+        .select("id_a", "id_b"))
       val sigs = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("sig"))
-      val all = sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
+      val all = pin(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
         .crossJoin(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")))
         .filter(col("id_a") < col("id_b"))
         .filter(Dedup.hamming64(col("sig_a"), col("sig_b")) <= 3)
-        .select("id_a", "id_b")
+        .select("id_a", "id_b"))
       val keys = Seq("id_a", "id_b")
       val one = blocked.agg(count(lit(1)).as("n_blk"))
         .crossJoin(blocked.join(all, keys, "left_anti").agg(count(lit(1)).as("n_extra")))
@@ -649,10 +656,10 @@ object SparkEntry {
     // all-pairs set (precision 1.0) with recall above the measured floor.
     "q_dedup_embed_lsh" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val lsh = Dedup.embeddingNearDupLSH(emb, "embedding", "vec_id",
-        threshold = 0.4, nPlanes = 4, dim = 64).select("id_a", "id_b")
-      val exact = Dedup.embeddingNearDup(emb, "embedding", "vec_id",
-        threshold = 0.4, Nil).select("id_a", "id_b")
+      val lsh = pin(Dedup.embeddingNearDupLSH(emb, "embedding", "vec_id",
+        threshold = 0.4, nPlanes = 4, dim = 64).select("id_a", "id_b"))
+      val exact = pin(Dedup.embeddingNearDup(emb, "embedding", "vec_id",
+        threshold = 0.4, Nil).select("id_a", "id_b"))
       val keys = Seq("id_a", "id_b")
       val one = lsh.agg(count(lit(1)).as("n_lsh"))
         .crossJoin(lsh.join(exact, keys, "left_anti").agg(count(lit(1)).as("n_bad")))
@@ -699,13 +706,13 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 8)
-      val exact = Similarity.bruteForceTopK(q, emb,
+      val exact = pin(Similarity.bruteForceTopK(q, emb,
           "vec_id", "embedding", "vec_id", "embedding", k = 5)
-        .select(col("query_id"), col("neighbor_id"))
-      val app = Similarity.lshTopK(q, emb,
+        .select(col("query_id"), col("neighbor_id")))
+      val app = pin(Similarity.lshTopK(q, emb,
           "vec_id", "embedding", "vec_id", "embedding",
           k = 5, nPlanes = 4, dim = 64)
-        .select(col("query_id"), col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id")))
       val one = exact.join(app, Seq("query_id", "neighbor_id"), "left_semi")
         .agg(count(lit(1)).as("n_hit"))
         .crossJoin(exact.agg(count(lit(1)).as("n_tot")))
