@@ -178,6 +178,51 @@ object VectorExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Polynomial rolling hash of a string: fold `h = (h * 31 + codepoint)
+    * mod 1e9+7` over the Unicode code points, matching the portable
+    * list-reduce formulation any engine can reproduce ((1e9+6)*31 + cp
+    * never overflows a long). Unlike the HOF spelling
+    * (`aggregate(transform(sequence(...)))`, interpreted per character,
+    * boxing every element), this participates in whole-stage codegen — a
+    * scan-side map with zero allocation per row.
+    */
+  case class RollingHash(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      var h = 0L
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        h = (h * 31L + cp) % 1000000007L
+        i += Character.charCount(cp)
+      }
+      java.lang.Long.valueOf(h)
+    }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val s = ctx.freshName("s")
+        val h = ctx.freshName("h")
+        val i = ctx.freshName("i")
+        val cp = ctx.freshName("cp")
+        s"""
+           |java.lang.String $s = $c.toString();
+           |long $h = 0L;
+           |int $i = 0;
+           |while ($i < $s.length()) {
+           |  int $cp = $s.codePointAt($i);
+           |  $h = ($h * 31L + $cp) % 1000000007L;
+           |  $i += java.lang.Character.charCount($cp);
+           |}
+           |${ev.value} = $h;
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** 64-bit SimHash from a hashed-token array: per-bit ±1 votes. */
   case class SimHash64(child: Expression)
       extends UnaryExpression with CodegenFallback {
@@ -217,4 +262,6 @@ object VectorExprs {
     toColumn(NearestCentroid(toExpression(vec), centroids))
   def simhash64(hashedTokens: Column): Column =
     toColumn(SimHash64(toExpression(hashedTokens)))
+  def rolling_hash(text: Column): Column =
+    toColumn(RollingHash(toExpression(text)))
 }

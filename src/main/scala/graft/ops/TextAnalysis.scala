@@ -94,18 +94,15 @@ object TextAnalysis {
   }
 
   /** Polynomial rolling-hash document fingerprint over the raw characters:
-    * `h = fold(h * 31 + codepoint) mod 1e9+7`. Computed with the codegen'd
-    * `aggregate`/`transform` higher-order functions — no UDF. Portable: any
-    * engine with a list-reduce reproduces it bit-for-bit (int64 arithmetic
-    * only; (1e9+6)*31+cp never overflows a long).
+    * `h = fold(h * 31 + codepoint) mod 1e9+7`. Computed by the codegen
+    * `RollingHash` Catalyst expression — one primitive-typed pass per row
+    * inside whole-stage codegen (the HOF spelling was CodegenFallback,
+    * interpreted per character). Portable: any engine with a list-reduce
+    * reproduces it bit-for-bit (int64 arithmetic only; (1e9+6)*31+cp never
+    * overflows a long).
     */
   def fingerprintExpr(textCol: String): Column =
-    expr(
-      s"""aggregate(
-         |  transform(sequence(1, length($textCol)),
-         |            i -> ascii(substring($textCol, i, 1))),
-         |  0L,
-         |  (acc, c) -> (acc * 31 + c) % 1000000007L)""".stripMargin)
+    graft.expr.VectorExprs.rolling_hash(col(textCol))
 
   /** Full analysis frame over a documents table. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {

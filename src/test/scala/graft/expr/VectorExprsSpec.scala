@@ -1,0 +1,63 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.BoundReference
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenFallback, GenerateUnsafeProjection}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+import graft.SparkSpec
+
+class VectorExprsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def refHash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  test("RollingHash is a real codegen expression, not a CodegenFallback") {
+    val e = VectorExprs.RollingHash(BoundReference(0, StringType, nullable = true))
+    assert(!e.isInstanceOf[CodegenFallback])
+    // generate() fails loudly if doGenCode emits uncompilable Java
+    val proj = GenerateUnsafeProjection.generate(Seq(e))
+    val out = proj(InternalRow(UTF8String.fromString("hello world")))
+    assert(out.getLong(0) === refHash("hello world"))
+  }
+
+  test("RollingHash codegen and interpreted eval agree (incl. non-ASCII)") {
+    val e = VectorExprs.RollingHash(BoundReference(0, StringType, nullable = true))
+    val proj = GenerateUnsafeProjection.generate(Seq(e))
+    for (s <- Seq("", "a", "héllo wörld", "日本語テキスト", "mixed 日本 ascii",
+                  "😀 emoji surrogate pair", "x" * 10000)) {
+      val u = UTF8String.fromString(s)
+      assert(proj(InternalRow(u)).getLong(0) === refHash(s), s"codegen: $s")
+      assert(e.nullSafeEval(u) === refHash(s), s"interpreted: $s")
+    }
+  }
+
+  test("rolling_hash column matches the portable list-reduce HOF spelling") {
+    val df = Seq("the quick brown fox", "", "abc123!@#").toDF("text")
+    val viaExpr = df.select(VectorExprs.rolling_hash(col("text"))).as[Long].collect()
+    val viaHof = df.select(expr(
+      """aggregate(
+        |  transform(sequence(1, length(text)),
+        |            i -> ascii(substring(text, i, 1))),
+        |  0L,
+        |  (acc, c) -> (acc * 31 + c) % 1000000007L)""".stripMargin)).as[Long].collect()
+    assert(viaExpr.toSeq === viaHof.toSeq)
+  }
+
+  test("rolling_hash is null-safe") {
+    val df = Seq(Some("abc"), None).toDF("text")
+    val out = df.select(VectorExprs.rolling_hash(col("text"))).collect()
+    assert(out(0).getLong(0) === refHash("abc"))
+    assert(out(1).isNullAt(0))
+  }
+}
