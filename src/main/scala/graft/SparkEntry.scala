@@ -211,16 +211,19 @@ object SparkEntry {
     "q_zarr" -> ((s, dir) => {
       val li = T(s, dir, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-        col("l_extendedprice"),
+        col("l_extendedprice"), col("l_returnflag"),
         struct(col("l_quantity").as("re"), col("l_discount").as("im")).as("qz"),
         array(col("l_quantity"), col("l_extendedprice")).as("qv"))
-      MSWrite.toZarr(li, tmp("q_zarr_store"), rowChunk = 4096)
+      MSWrite.toZarr(li, tmp("q_zarr_store"), rowChunk = 4096, overwrite = true)
       MSTable.open(s, tmp("q_zarr_store")) // .zgroup sniff → zarr source
         .groupBy("l_linenumber")
         .agg(count(lit(1)).as("n"),
           round(sum("l_quantity"), 4).as("sum_qty"),
           round(sum(col("qz.im")), 4).as("sum_disc"),
-          round(sum(element_at(col("qv"), 2)), 2).as("sum_price"))
+          round(sum(element_at(col("qv"), 2)), 2).as("sum_price"),
+          // string column round-trips through the json2 object codec
+          max("l_returnflag").as("max_flag"),
+          count_distinct(col("l_returnflag")).as("n_flags"))
         .orderBy("l_linenumber")
     }),
 
@@ -861,7 +864,9 @@ object SparkEntry {
         """SELECT l_linenumber, CAST(count(*) AS BIGINT) AS n,
           |       round(sum(l_quantity), 4) AS sum_qty,
           |       round(sum(l_discount), 4) AS sum_disc,
-          |       round(sum(l_extendedprice), 2) AS sum_price
+          |       round(sum(l_extendedprice), 2) AS sum_price,
+          |       max(l_returnflag) AS max_flag,
+          |       CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_flags
           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_s14_keywords" ->

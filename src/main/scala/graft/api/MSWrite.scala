@@ -47,8 +47,9 @@ object MSWrite {
     * daskms/experimental/zarr/__init__.py:269-364): one array per column,
     * row-chunked, zlib — the layout [[MSTable.open]] reads back natively.
     */
-  def toZarr(df: DataFrame, path: String, rowChunk: Int = 65536): Unit =
-    graft.sources.zarr.ZarrWrite.write(df, path, rowChunk)
+  def toZarr(df: DataFrame, path: String, rowChunk: Int = 65536,
+             overwrite: Boolean = false): Unit =
+    graft.sources.zarr.ZarrWrite.write(df, path, rowChunk, overwrite = overwrite)
 
   /** Write a list of per-group datasets as one partitioned table — the
     * dataset-list form of the reference's `xds_to_table(xds, name, ...)`
@@ -106,8 +107,18 @@ object MSWrite {
     val fs = p.getFileSystem(conf)
     val bak = new org.apache.hadoop.fs.Path(cowBakPath(path))
     fs.delete(bak, true) // clear any stale backup
-    fs.rename(p, bak)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    // rename returns false instead of throwing on some FileSystems; treat
+    // either rename failing as fatal BEFORE touching the backup — deleting
+    // bak after a failed rename would discard the only live copy
+    if (!fs.rename(p, bak))
+      throw new java.io.IOException(
+        s"updateTable: rename $path -> ${cowBakPath(path)} failed; table unchanged")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), p)) {
+      // put the base back so the table stays live at its well-known path
+      fs.rename(bak, p)
+      throw new java.io.IOException(
+        s"updateTable: rename $tmp -> $path failed; base restored from backup")
+    }
     fs.delete(bak, true)
   }
 

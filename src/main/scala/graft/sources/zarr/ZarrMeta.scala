@@ -25,7 +25,8 @@ final case class ZarrArrayMeta(
     chunks: Seq[Int],
     dtype: String,
     compressor: Option[String], // None = raw, Some("zlib")
-    fillValue: Double) {
+    fillValue: Double,
+    objectCodec: Boolean = false) { // dtype "|O" behind a numcodecs json2 filter
 
   def rows: Long = shape.head
   def rowChunk: Int = chunks.head
@@ -34,7 +35,8 @@ final case class ZarrArrayMeta(
   /** values per row = product of trailing dims */
   def rowWidth: Long = shape.drop(1).product.max(1L)
 
-  def elementType: DataType = ZarrMeta.dtypeToSpark(dtype)
+  def elementType: DataType =
+    if (objectCodec) StringType else ZarrMeta.dtypeToSpark(dtype)
   def sparkType: DataType =
     shape.drop(1).foldRight(elementType)((_, t) => ArrayType(t, containsNull = false))
 
@@ -70,9 +72,16 @@ object ZarrMeta {
     case DoubleType => "<f8"
     case FloatType => "<f4"
     case BooleanType => "|b1"
-    case s: StructType if s.fieldNames.sameElements(Array("re", "im")) => "<c16"
+    case StringType => "|O" // via the numcodecs json2 object codec
+    case s: StructType if s.fieldNames.sameElements(Array("re", "im")) =>
+      // fail driver-side with a clear message: the serializer calls
+      // getDouble, so float re/im would die mid-job with a ClassCastException
+      require(s.fields.forall(_.dataType == DoubleType),
+        s"complex zarr column must be struct(re double, im double), got $s " +
+          "— cast the fields to double before writing")
+      "<c16"
     case other => throw new UnsupportedOperationException(
-      s"cannot write $other to zarr (numeric/bool/complex(re,im) only)")
+      s"cannot write $other to zarr (numeric/bool/complex(re,im)/string only)")
   }
 
   def bytesPerElement(dtype: String): Int = dtype match {
@@ -97,11 +106,9 @@ object ZarrMeta {
     }
   }
 
-  /** Parse one array's .zarray (+ .zattrs for dimension names). */
-  def readArrayMeta(conf: Configuration, arrayDir: Path): ZarrArrayMeta = {
-    val bytes = readFile(conf, new Path(arrayDir, ".zarray")).getOrElse(
-      throw new IllegalArgumentException(s"no .zarray under $arrayDir"))
-    val node = mapper.readTree(new String(bytes, "UTF-8"))
+  /** Parse one array's .zarray JSON node. */
+  def parseArrayMeta(name: String, node: com.fasterxml.jackson.databind.JsonNode)
+  : ZarrArrayMeta = {
     val shape = node.get("shape").elements().asScala.map(_.asLong()).toSeq
     val chunks = node.get("chunks").elements().asScala.map(_.asInt()).toSeq
     val dtype = node.get("dtype").asText()
@@ -112,24 +119,81 @@ object ZarrMeta {
       require(id == "zlib", s"zarr compressor '$id' unsupported (zlib/null only)")
       id
     }
+    // object (string) arrays carry a numcodecs object codec as the first
+    // filter (ref: daskms/experimental/zarr/__init__.py:75 numcodecs.JSON());
+    // any other filter chain is unsupported
+    val filterIds = Option(node.get("filters")).filterNot(_.isNull)
+      .map(_.elements().asScala.map(_.get("id").asText()).toSeq)
+      .getOrElse(Nil)
+    val isObject = dtype == "|O"
+    if (isObject)
+      require(filterIds == Seq("json2"),
+        s"$name: object dtype needs the numcodecs json2 filter, got $filterIds")
+    else
+      require(filterIds.isEmpty, s"$name: zarr filters $filterIds unsupported")
     val fill = Option(node.get("fill_value")).filterNot(_.isNull)
-      .map(_.asDouble(0d)).getOrElse(0d)
+      .filter(_.isNumber).map(_.asDouble(0d)).getOrElse(0d)
     shape.drop(1).zip(chunks.drop(1)).foreach { case (s, c) =>
       require(c.toLong == s,
-        s"${arrayDir.getName}: non-row dim chunked ($c of $s) — row-axis chunking only")
+        s"$name: non-row dim chunked ($c of $s) — row-axis chunking only")
     }
-    ZarrArrayMeta(arrayDir.getName, shape, chunks, dtype, comp, fill)
+    require(!isObject || shape.length == 1,
+      s"$name: object (string) arrays supported for 1-d columns only")
+    ZarrArrayMeta(name, shape, chunks, dtype, comp, fill, objectCodec = isObject)
   }
 
-  /** All arrays of a zarr group, sorted by name. */
-  def readGroup(conf: Configuration, groupDir: Path): Seq[ZarrArrayMeta] = {
-    val fs = groupDir.getFileSystem(conf)
-    require(fs.exists(new Path(groupDir, ".zgroup")), s"no .zgroup at $groupDir")
-    fs.listStatus(groupDir).filter(_.isDirectory)
-      .filter(st => fs.exists(new Path(st.getPath, ".zarray")))
-      .map(st => readArrayMeta(conf, st.getPath))
-      .sortBy(_.name).toSeq
+  /** Parse one array's .zarray (+ .zattrs for dimension names). */
+  def readArrayMeta(conf: Configuration, arrayDir: Path): ZarrArrayMeta = {
+    val bytes = readFile(conf, new Path(arrayDir, ".zarray")).getOrElse(
+      throw new IllegalArgumentException(s"no .zarray under $arrayDir"))
+    parseArrayMeta(arrayDir.getName, mapper.readTree(new String(bytes, "UTF-8")))
   }
+
+  /** All arrays of a zarr group, sorted by name.
+    *
+    * Prefers consolidated metadata (`.zmetadata`, one read) over the
+    * N+1 sidecar walk — on object stores a 100-column group opens with a
+    * single GET instead of a LIST + 100 `.zarray` reads (the reference
+    * consolidates by default: daskms/experimental/zarr/__init__.py:355-360).
+    */
+  def readGroup(conf: Configuration, groupDir: Path): Seq[ZarrArrayMeta] = {
+    readFile(conf, new Path(groupDir, ".zmetadata")) match {
+      case Some(bytes) =>
+        val root = mapper.readTree(new String(bytes, "UTF-8"))
+        val meta = root.get("metadata")
+        require(meta != null, s"malformed .zmetadata at $groupDir")
+        meta.properties().asScala.toSeq
+          .filter(_.getKey.endsWith("/.zarray"))
+          .map(e => parseArrayMeta(e.getKey.stripSuffix("/.zarray"), e.getValue))
+          .sortBy(_.name)
+      case None =>
+        val fs = groupDir.getFileSystem(conf)
+        require(fs.exists(new Path(groupDir, ".zgroup")), s"no .zgroup at $groupDir")
+        fs.listStatus(groupDir).filter(_.isDirectory)
+          .filter(st => fs.exists(new Path(st.getPath, ".zarray")))
+          .map(st => readArrayMeta(conf, st.getPath))
+          .sortBy(_.name).toSeq
+    }
+  }
+
+  /** Decode a numcodecs json2 object chunk: UTF-8 JSON of
+    * `[item0, ..., itemN-1, dtypeStr, [shape...]]` (the trailing two entries
+    * are the codec's dtype/shape trailer). Null items read as null.
+    */
+  def decodeJsonChunk(bytes: Array[Byte]): Array[String] = {
+    val node = mapper.readTree(new String(bytes, "UTF-8"))
+    require(node.isArray && node.size >= 2, "malformed json2 object chunk")
+    Array.tabulate(node.size - 2) { i =>
+      val it = node.get(i)
+      if (it == null || it.isNull) null else it.asText()
+    }
+  }
+
+  /** Uncompressed chunk byte size — Long to survive wide rows; callers
+    * enforce zarr's 2 GiB chunk limit before allocating.
+    */
+  def chunkByteSize(m: ZarrArrayMeta): Long =
+    m.rowChunk.toLong * m.rowWidth * bytesPerElement(m.dtype)
 
   /** Decompressed bytes of row-chunk `i`, or None if the file is absent
     * (zarr semantics: missing chunk = all fill_value).
@@ -139,10 +203,17 @@ object ZarrMeta {
     readFile(conf, new Path(new Path(groupDir, m.name), m.chunkFile(i))).map {
       raw =>
         m.compressor match {
+          case Some("zlib") if m.objectCodec =>
+            // variable-length (JSON) payload: inflate into a growing buffer
+            inflateAll(raw, s"${m.name}/${m.chunkFile(i)}")
           case Some("zlib") =>
             val inf = new java.util.zip.Inflater()
             inf.setInput(raw)
-            val expected = m.rowChunk * m.rowWidth.toInt * bytesPerElement(m.dtype)
+            val expectedL = chunkByteSize(m)
+            require(expectedL < (1L << 31),
+              s"zarr chunk ${m.name}/${m.chunkFile(i)} is $expectedL B — over " +
+                "the 2 GiB zarr chunk limit; rechunk with a smaller rowChunk")
+            val expected = expectedL.toInt
             val out = new Array[Byte](expected)
             var off = 0
             while (!inf.finished() && off < out.length) {
@@ -167,4 +238,21 @@ object ZarrMeta {
           case _ => raw
         }
     }
+
+  private def inflateAll(raw: Array[Byte], what: String): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(raw)
+    val out = new java.io.ByteArrayOutputStream(raw.length * 4 + 64)
+    val buf = new Array[Byte](65536)
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      if (n == 0 && !inf.finished()) {
+        inf.end()
+        throw new java.io.IOException(s"truncated/corrupt zlib chunk $what")
+      }
+      out.write(buf, 0, n)
+    }
+    inf.end()
+    out.toByteArray
+  }
 }

@@ -43,7 +43,9 @@ class ZarrDataSource extends TableProvider with DataSourceRegister {
     // filesystems (s3a/hdfs credentials etc.) resolve like any other source
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val metas = ZarrMeta.readGroup(conf, new Path(path(options)))
-    StructType(metas.map(m => StructField(m.name, m.sparkType, nullable = false)))
+    // object (string) columns are nullable: the json2 codec can carry nulls
+    StructType(metas.map(m =>
+      StructField(m.name, m.sparkType, nullable = m.objectCodec)))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -127,8 +129,15 @@ class ZarrPartitionReader(path: String, metas: Array[ZarrArrayMeta],
   private val group = new Path(path)
   // decompressed chunk bytes per column (None = missing chunk → fill)
   private val bufs: Array[Option[ByteBuffer]] = metas.map { m =>
-    ZarrMeta.readChunk(conf, group, m, part.chunkIdx)
+    if (m.objectCodec) None
+    else ZarrMeta.readChunk(conf, group, m, part.chunkIdx)
       .map(b => ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN))
+  }
+  // decoded json2 items per object (string) column (None = missing chunk)
+  private val objs: Array[Option[Array[String]]] = metas.map { m =>
+    if (!m.objectCodec) None
+    else ZarrMeta.readChunk(conf, group, m, part.chunkIdx)
+      .map(ZarrMeta.decodeJsonChunk)
   }
 
   private var pos = -1L
@@ -139,6 +148,15 @@ class ZarrPartitionReader(path: String, metas: Array[ZarrArrayMeta],
   /** element at flat index `idx` of column `c` */
   private def elem(c: Int, idx: Long): Any = {
     val m = metas(c)
+    if (m.objectCodec) {
+      return objs(c) match {
+        case None => null // missing object chunk → fill (null)
+        case Some(items) =>
+          val s = items(idx.toInt)
+          if (s == null) null
+          else org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      }
+    }
     bufs(c) match {
       case None =>
         m.dtype match {

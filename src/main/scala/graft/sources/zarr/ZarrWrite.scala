@@ -29,109 +29,165 @@ import org.apache.spark.util.SerializableConfiguration
   */
 object ZarrWrite {
 
-  /** @param rowChunk rows per zarr chunk = rows per write task. Size it so
-    *                 chunkRows × rowWidth × 8 B fits comfortably in task
-    *                 memory (the default is ~0.5 MB per scalar column).
+  /** @param rowChunk  rows per zarr chunk = rows per write task. Size it so
+    *                   chunkRows × rowWidth × 8 B fits comfortably in task
+    *                   memory (the default is ~0.5 MB per scalar column).
+    * @param overwrite  false (default) = fail if the target exists — the
+    *                   reference's writer never deletes an existing store;
+    *                   true = replace it.
     */
   def write(df: DataFrame, path: String, rowChunk: Int = 65536,
-            zlibLevel: Int = 1): Unit = {
+            zlibLevel: Int = 1, overwrite: Boolean = false): Unit = {
     val spark = df.sparkSession
     val fields = df.schema.fields
     require(fields.nonEmpty, s"zarr write of $path: empty schema")
     val dtypes: Array[String] =
       fields.map(f => ZarrMeta.sparkToDtype(elementTypeOf(f.dataType)))
 
-    // trailing dims of array columns, frozen from the first row (validated
-    // against every row during serialization)
-    val headRow = df.take(1).headOption
-    val dims: Array[Seq[Long]] = fields.zipWithIndex.map { case (f, i) =>
-      f.dataType match {
-        case _: ArrayType =>
-          val r = headRow.getOrElse(throw new IllegalArgumentException(
-            s"zarr write of $path: cannot infer dims of array column " +
-              s"'${f.name}' from an empty frame"))
-          dimsOf(f.dataType, r.get(i), f.name)
-        case _ => Nil
-      }
-    }
-
-    // one pass to count rows per partition → global row offsets (collect
-    // returns results in partition order)
+    // The frame is evaluated by three jobs (dims inference, per-partition
+    // counts, the chunk write). Persist the RDD across them: a
+    // nondeterministic upstream (post-shuffle order, sample, AQE re-plan)
+    // re-evaluated per job could otherwise disagree with the offsets
+    // computed in the count pass → silent row misplacement. Persist also
+    // makes the write a single read of the input at scale.
     val rdd = df.rdd
-    val partCounts =
-      rdd.mapPartitions(it => Iterator.single(it.size.toLong),
-        preservesPartitioning = true).collect()
-    val offsets = partCounts.scanLeft(0L)(_ + _)
-    val rows = offsets.last
-    val chunkRows = math.min(rowChunk.toLong, math.max(rows, 1L)).toInt
-    val numChunks = ((rows + chunkRows - 1) / chunkRows).toInt
-
-    val metas: Array[ZarrArrayMeta] = fields.indices.toArray.map { i =>
-      ZarrArrayMeta(fields(i).name, rows +: dims(i),
-        chunkRows +: dims(i).map(_.toInt), dtypes(i),
-        if (zlibLevel > 0) Some("zlib") else None, fillValue = 0d)
-    }
-
-    // driver writes the group + array metadata (tiny JSON sidecars)
-    val conf = spark.sessionState.newHadoopConf()
-    val root = new Path(path)
-    val fs = root.getFileSystem(conf)
-    fs.delete(root, true)
-    fs.mkdirs(root)
-    writeText(fs, new Path(root, ".zgroup"), """{"zarr_format": 2}""")
-    metas.foreach { m =>
-      val dir = new Path(root, m.name)
-      fs.mkdirs(dir)
-      writeText(fs, new Path(dir, ".zarray"), zarrayJson(m, zlibLevel))
-      val dimNames = ("row" +: m.shape.drop(1).indices.map(d => s"${m.name}_d$d"))
-        .map(n => s""""$n"""").mkString("[", ", ", "]")
-      writeText(fs, new Path(dir, ".zattrs"),
-        s"""{"_ARRAY_DIMENSIONS": $dimNames}""")
-    }
-    if (numChunks == 0) return
-
-    // chunk-aligned write: key rows by global index, route each to its
-    // chunk's task, write one file per (chunk, column)
-    val serConf = new SerializableConfiguration(conf)
-    val keyed = rdd.mapPartitionsWithIndex { case (pid, it) =>
-      var idx = offsets(pid)
-      it.map { row => val k = idx; idx += 1; (k, row) }
-    }
-    val byChunk = keyed.repartitionAndSortWithinPartitions(new Partitioner {
-      override def numPartitions: Int = numChunks
-      override def getPartition(key: Any): Int =
-        (key.asInstanceOf[Long] / chunkRows).toInt
-    })
-    val nCols = fields.length
-    byChunk.foreachPartition { it: Iterator[(Long, Row)] =>
-      if (it.hasNext) {
-        val chunkIdx = TaskContext.getPartitionId()
-        // full-size chunk buffers (zarr v2 edge chunks are padded)
-        val bufs = metas.map { m =>
-          ByteBuffer.allocate(chunkRows * m.rowWidth.toInt *
-            ZarrMeta.bytesPerElement(m.dtype)).order(ByteOrder.LITTLE_ENDIAN)
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      // trailing dims of array columns, frozen from the first row (validated
+      // against every row during serialization)
+      lazy val headRow = rdd.take(1).headOption
+      val dims: Array[Seq[Long]] = fields.zipWithIndex.map { case (f, i) =>
+        f.dataType match {
+          case _: ArrayType =>
+            val r = headRow.getOrElse(throw new IllegalArgumentException(
+              s"zarr write of $path: cannot infer dims of array column " +
+                s"'${f.name}' from an empty frame"))
+            dimsOf(f.dataType, r.get(i), f.name)
+          case _ => Nil
         }
-        it.foreach { case (_, row) =>
+      }
+
+      // one pass to count rows per partition → global row offsets (collect
+      // returns results in partition order)
+      val partCounts =
+        rdd.mapPartitions(it => Iterator.single(it.size.toLong),
+          preservesPartitioning = true).collect()
+      val offsets = partCounts.scanLeft(0L)(_ + _)
+      val rows = offsets.last
+      val chunkRows = math.min(rowChunk.toLong, math.max(rows, 1L)).toInt
+      val numChunks = ((rows + chunkRows - 1) / chunkRows).toInt
+
+      val metas: Array[ZarrArrayMeta] = fields.indices.toArray.map { i =>
+        ZarrArrayMeta(fields(i).name, rows +: dims(i),
+          chunkRows +: dims(i).map(_.toInt), dtypes(i),
+          if (zlibLevel > 0) Some("zlib") else None, fillValue = 0d,
+          objectCodec = dtypes(i) == "|O")
+      }
+      metas.foreach { m =>
+        require(!m.objectCodec || m.shape.length == 1,
+          s"zarr write: string column '${m.name}' must be scalar (1-d)")
+        // zarr's 2 GiB chunk limit, checked in Long arithmetic (the
+        // reference validates the same before writing; objects use its
+        // 32 B/entry estimate)
+        val bytes =
+          if (m.objectCodec) m.rowChunk.toLong * 32L
+          else ZarrMeta.chunkByteSize(m)
+        require(bytes < (1L << 31),
+          s"zarr write: chunk of column '${m.name}' would be $bytes B — " +
+            s"over zarr's 2 GiB chunk limit; use a smaller rowChunk")
+      }
+
+      // driver writes the group + array metadata (tiny JSON sidecars)
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new Path(path)
+      val fs = root.getFileSystem(conf)
+      if (fs.exists(root)) {
+        require(overwrite, s"zarr write: $path already exists " +
+          "(pass overwrite=true to replace it)")
+        fs.delete(root, true)
+      }
+      fs.mkdirs(root)
+      val zgroupJson = """{"zarr_format": 2}"""
+      writeText(fs, new Path(root, ".zgroup"), zgroupJson)
+      val consolidated = new StringBuilder
+      consolidated ++= """{"zarr_consolidated_format": 1, "metadata": {"""
+      consolidated ++= s"""".zgroup": $zgroupJson"""
+      metas.foreach { m =>
+        val dir = new Path(root, m.name)
+        fs.mkdirs(dir)
+        val za = zarrayJson(m, zlibLevel)
+        writeText(fs, new Path(dir, ".zarray"), za)
+        val dimNames = ("row" +: m.shape.drop(1).indices.map(d => s"${m.name}_d$d"))
+          .map(n => s""""$n"""").mkString("[", ", ", "]")
+        val zattrs = s"""{"_ARRAY_DIMENSIONS": $dimNames}"""
+        writeText(fs, new Path(dir, ".zattrs"), zattrs)
+        consolidated ++= s""", "${m.name}/.zarray": $za"""
+        consolidated ++= s""", "${m.name}/.zattrs": $zattrs"""
+      }
+      consolidated ++= "}}"
+      // consolidated metadata: one read opens the store (reference writes
+      // it by default: daskms/experimental/zarr/__init__.py:355-360)
+      writeText(fs, new Path(root, ".zmetadata"), consolidated.toString)
+      if (numChunks == 0) return
+
+      // chunk-aligned write: key rows by global index, route each to its
+      // chunk's task, write one file per (chunk, column)
+      val serConf = new SerializableConfiguration(conf)
+      val keyed = rdd.mapPartitionsWithIndex { case (pid, it) =>
+        var idx = offsets(pid)
+        it.map { row => val k = idx; idx += 1; (k, row) }
+      }
+      val byChunk = keyed.repartitionAndSortWithinPartitions(new Partitioner {
+        override def numPartitions: Int = numChunks
+        override def getPartition(key: Any): Int =
+          (key.asInstanceOf[Long] / chunkRows).toInt
+      })
+      val nCols = fields.length
+      byChunk.foreachPartition { it: Iterator[(Long, Row)] =>
+        if (it.hasNext) {
+          val chunkIdx = TaskContext.getPartitionId()
+          // full-size chunk buffers (zarr v2 edge chunks are padded);
+          // object (string) columns accumulate into a padded item array
+          val bufs: Array[ByteBuffer] = metas.map { m =>
+            if (m.objectCodec) null
+            else ByteBuffer.allocate(ZarrMeta.chunkByteSize(m).toInt)
+              .order(ByteOrder.LITTLE_ENDIAN)
+          }
+          val strs: Array[Array[String]] = metas.map { m =>
+            if (m.objectCodec) Array.fill[String](chunkRows)("") else null
+          }
+          var nLocal = 0
+          it.foreach { case (_, row) =>
+            var c = 0
+            while (c < nCols) {
+              if (metas(c).objectCodec) {
+                val v = row.get(c)
+                if (v == null) throw new IllegalArgumentException(
+                  s"zarr write: null value in column '${fields(c).name}' (no null support)")
+                strs(c)(nLocal) = v.asInstanceOf[String]
+              } else {
+                putValue(metas(c).dtype, dims(c), bufs(c), row.get(c), fields(c).name)
+              }
+              c += 1
+            }
+            nLocal += 1
+          }
+          val cfs = new Path(path).getFileSystem(serConf.value)
           var c = 0
           while (c < nCols) {
-            putValue(metas(c).dtype, dims(c), bufs(c), row.get(c), fields(c).name)
+            val raw =
+              if (metas(c).objectCodec) encodeJsonChunk(strs(c))
+              else bufs(c).array()
+            val bytes = if (zlibLevel > 0) deflate(raw, zlibLevel) else raw
+            val p = new Path(new Path(path, metas(c).name),
+              metas(c).chunkFile(chunkIdx))
+            val out = cfs.create(p, true)
+            try out.write(bytes) finally out.close()
             c += 1
           }
         }
-        val cfs = new Path(path).getFileSystem(serConf.value)
-        var c = 0
-        while (c < nCols) {
-          val bytes =
-            if (zlibLevel > 0) deflate(bufs(c).array(), zlibLevel)
-            else bufs(c).array()
-          val p = new Path(new Path(path, metas(c).name),
-            metas(c).chunkFile(chunkIdx))
-          val out = cfs.create(p, true)
-          try out.write(bytes) finally out.close()
-          c += 1
-        }
       }
-    }
+    } finally rdd.unpersist(blocking = false)
   }
 
   // ------------------------------------------------------------------ plumbing
@@ -183,16 +239,31 @@ object ZarrWrite {
   private def zarrayJson(m: ZarrArrayMeta, zlibLevel: Int): String = {
     val comp =
       if (zlibLevel > 0) s"""{"id": "zlib", "level": $zlibLevel}""" else "null"
+    val (fill, filters) =
+      if (m.objectCodec) ("null", """[{"id": "json2", "encoding": "utf-8"}]""")
+      else ("0", "null")
     s"""{
        |  "zarr_format": 2,
        |  "shape": ${m.shape.mkString("[", ", ", "]")},
        |  "chunks": ${m.chunks.mkString("[", ", ", "]")},
        |  "dtype": "${m.dtype}",
        |  "compressor": $comp,
-       |  "fill_value": 0,
-       |  "filters": null,
+       |  "fill_value": $fill,
+       |  "filters": $filters,
        |  "order": "C"
        |}""".stripMargin
+  }
+
+  /** numcodecs json2 chunk: `[items..., "|O", [n]]`, UTF-8. */
+  private def encodeJsonChunk(items: Array[String]): Array[Byte] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val list = new java.util.ArrayList[Any](items.length + 2)
+    items.foreach(list.add)
+    list.add("|O")
+    val shape = new java.util.ArrayList[Any](1)
+    shape.add(items.length)
+    list.add(shape)
+    mapper.writeValueAsBytes(list)
   }
 
   private def writeText(fs: FileSystem, p: Path, text: String): Unit = {

@@ -49,6 +49,50 @@ class SafetySpec extends SparkSpec {
     assert(!fs.exists(new Path(MSWrite.cowTmpPath(path))))
   }
 
+  test("updateTable aborts and keeps the base when the backup rename is refused") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.failren.impl", classOf[RenameRefusingFileSystem].getName)
+    val path = "failren:/root/repo/target/test_rename_refused"
+    RenameRefusingFileSystem.refuse = (_, _) => false
+    MSWrite.create(spark.read.parquet(s"${sf()}/supplier.parquet"), path)
+    val before = MSTable.open(spark, path)
+      .agg(sum("s_acctbal")).head().getDouble(0)
+    val delta = MSTable.withRowId(MSTable.open(spark, path), Seq("s_suppkey"))
+      .filter(col("s_suppkey") <= 1)
+      .select(col(MSTable.RowId), lit(-9.0).as("s_acctbal"))
+      .localCheckpoint() // freeze: the failren fs refuses renames below
+
+    // refuse the base → backup rename: table must be left untouched and,
+    // critically, nothing may delete the live copy
+    RenameRefusingFileSystem.refuse = (_, dst) => dst.toString.endsWith(".__cow_bak")
+    try {
+      val e = intercept[java.io.IOException] {
+        MSWrite.updateTable(spark, path, delta, Seq("s_suppkey"))
+      }
+      assert(e.getMessage.contains("table unchanged"))
+    } finally RenameRefusingFileSystem.refuse = (_, _) => false
+    assert(MSTable.open(spark, path).agg(sum("s_acctbal")).head().getDouble(0)
+      === before, "base must be intact after a refused backup rename")
+    MSWrite.recoverTable(spark, path) // clears the stale tmp
+
+    // refuse the tmp → base rename: base must be restored from the backup
+    RenameRefusingFileSystem.refuse = (src, _) => src.toString.endsWith(".__cow_tmp")
+    try {
+      val e = intercept[java.io.IOException] {
+        MSWrite.updateTable(spark, path, delta, Seq("s_suppkey"))
+      }
+      assert(e.getMessage.contains("restored"))
+    } finally RenameRefusingFileSystem.refuse = (_, _) => false
+    assert(MSTable.open(spark, path).agg(sum("s_acctbal")).head().getDouble(0)
+      === before, "base must be restored after a refused rename-in")
+    MSWrite.recoverTable(spark, path)
+
+    // and with renames allowed again the update goes through
+    MSWrite.updateTable(spark, path, delta, Seq("s_suppkey"))
+    assert(MSTable.open(spark, path).filter(col("s_suppkey") <= 1)
+      .select(max("s_acctbal")).head().getDouble(0) === -9.0)
+  }
+
   test("grouped read refuses a fan-out beyond maxGroups, readDF does not") {
     val path = s"${sf()}/lineitem.parquet"
     val ex = intercept[IllegalArgumentException] {
@@ -93,4 +137,19 @@ class SafetySpec extends SparkSpec {
     val names = df.orderBy(MSTable.RowId).select("s_name").as[String].collect().toSeq
     assert(names === names.sorted, "ROWID follows the order columns")
   }
+}
+
+/** Local filesystem that refuses renames matching a test-set predicate —
+  * models object-store backends where rename returns false instead of
+  * throwing, to prove updateTable never deletes the only live copy.
+  */
+class RenameRefusingFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "failren"
+  override def getUri: java.net.URI = java.net.URI.create("failren:///")
+  override def rename(src: Path, dst: Path): Boolean =
+    if (RenameRefusingFileSystem.refuse(src, dst)) false else super.rename(src, dst)
+}
+
+object RenameRefusingFileSystem {
+  @volatile var refuse: (Path, Path) => Boolean = (_, _) => false
 }

@@ -43,7 +43,7 @@ class ZarrSpec extends SparkSpec {
     val df = allTypesDf
     val path = tmp("alltypes")
     // rowChunk 7 over 20 rows → 3 chunks, last one partial (padded)
-    ZarrWrite.write(df, path, rowChunk = 7)
+    ZarrWrite.write(df, path, rowChunk = 7, overwrite = true)
     val back = spark.read.format("zarr").load(path)
     // store columns come back name-sorted; realign and compare by c_long
     val a = df.orderBy("c_long").collect()
@@ -55,7 +55,7 @@ class ZarrSpec extends SparkSpec {
 
   test("schema maps dtypes and trailing dims") {
     val path = tmp("alltypes") // written above (alphabetical test order not
-    ZarrWrite.write(allTypesDf, path, rowChunk = 7) // assumed — rewrite)
+    ZarrWrite.write(allTypesDf, path, rowChunk = 7, overwrite = true) // assumed — rewrite)
     val sch = spark.read.format("zarr").load(path).schema
     assert(sch("c_long").dataType == LongType)
     assert(sch("c_int").dataType == IntegerType)
@@ -72,7 +72,7 @@ class ZarrSpec extends SparkSpec {
 
   test("MSTable.open dispatches a .zgroup store to the zarr source") {
     val path = tmp("dispatch")
-    ZarrWrite.write(allTypesDf.select("c_long", "c_double"), path, rowChunk = 16)
+    ZarrWrite.write(allTypesDf.select("c_long", "c_double"), path, rowChunk = 16, overwrite = true)
     assert(MSTable.sniffFormat(spark, path) == MSTable.ZarrFormat)
     val back = MSTable.open(spark, path)
     assert(back.agg(sum("c_long")).head.getLong(0) == (0 until 20).sum)
@@ -80,13 +80,13 @@ class ZarrSpec extends SparkSpec {
 
   test("MSWrite.toZarr is the public sink entry") {
     val path = tmp("public_sink")
-    MSWrite.toZarr(allTypesDf.select("c_long"), path, rowChunk = 8)
+    MSWrite.toZarr(allTypesDf.select("c_long"), path, rowChunk = 8, overwrite = true)
     assert(MSTable.open(spark, path).count() == 20)
   }
 
   test("missing chunk reads as fill_value") {
     val path = tmp("fill")
-    ZarrWrite.write(allTypesDf.select("c_long", "c_double"), path, rowChunk = 5)
+    ZarrWrite.write(allTypesDf.select("c_long", "c_double"), path, rowChunk = 5, overwrite = true)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // drop chunk 1 (rows 5-9) of c_double only
     assert(fs.delete(new Path(s"$path/c_double/1"), false))
@@ -101,7 +101,7 @@ class ZarrSpec extends SparkSpec {
   test("uncompressed (compressor: null) stores read back") {
     val path = tmp("raw")
     ZarrWrite.write(allTypesDf.select("c_long", "c_vec"), path,
-      rowChunk = 6, zlibLevel = 0)
+      rowChunk = 6, zlibLevel = 0, overwrite = true)
     val meta = ZarrMeta.readArrayMeta(spark.sparkContext.hadoopConfiguration,
       new Path(s"$path/c_long"))
     assert(meta.compressor.isEmpty)
@@ -113,7 +113,7 @@ class ZarrSpec extends SparkSpec {
 
   test("truncated zlib chunk fails the read instead of hanging") {
     val path = tmp("corrupt")
-    ZarrWrite.write(allTypesDf.select("c_long"), path, rowChunk = 20)
+    ZarrWrite.write(allTypesDf.select("c_long"), path, rowChunk = 20, overwrite = true)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val chunk = new Path(s"$path/c_long/0")
     val len = fs.getFileStatus(chunk).getLen.toInt
@@ -131,7 +131,7 @@ class ZarrSpec extends SparkSpec {
 
   test("column pruning opens only the requested arrays' chunks") {
     val path = tmp("prune")
-    ZarrWrite.write(allTypesDf, path, rowChunk = 10)
+    ZarrWrite.write(allTypesDf, path, rowChunk = 10, overwrite = true)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // make every other column unreadable: pruning is proven if the
     // projection still succeeds
@@ -150,11 +150,92 @@ class ZarrSpec extends SparkSpec {
     assert(only.collect().map(_.getLong(0)).sorted.toSeq == (0L until 10L))
   }
 
+  test("string columns round-trip via the json2 object codec") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "ANT-00"), (1L, "ANT-01"), (2L, "größe-ünïcode"), (3L, ""),
+      (4L, "json \"quotes\" and, commas"), (5L, "日本語"), (6L, "ANT-06"))
+      .toDF("row_id", "name")
+    val path = tmp("strings")
+    ZarrWrite.write(df, path, rowChunk = 3, overwrite = true) // 3 chunks, last partial
+    // the sidecar carries the reference's object-codec markers
+    val meta = ZarrMeta.readArrayMeta(
+      spark.sparkContext.hadoopConfiguration, new Path(s"$path/name"))
+    assert(meta.dtype == "|O" && meta.objectCodec)
+    val back = spark.read.format("zarr").load(path)
+    assert(back.schema("name").dataType == StringType)
+    val a = df.select("row_id", "name").orderBy("row_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val b = back.select("row_id", "name").orderBy("row_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("existing store is not clobbered unless overwrite = true") {
+    val path = tmp("noclobber")
+    ZarrWrite.write(allTypesDf.select("c_long"), path, rowChunk = 8, overwrite = true)
+    val e = intercept[IllegalArgumentException] {
+      ZarrWrite.write(allTypesDf.select("c_double"), path, rowChunk = 8)
+    }
+    assert(e.getMessage.contains("already exists"))
+    // the original store is untouched
+    assert(spark.read.format("zarr").load(path).columns.toSeq == Seq("c_long"))
+  }
+
+  test(".zmetadata is preferred over sidecar walks (one read opens the store)") {
+    val path = tmp("consolidated")
+    ZarrWrite.write(allTypesDf.select("c_long", "c_double"), path,
+      rowChunk = 8, overwrite = true)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(path).getFileSystem(conf)
+    assert(fs.exists(new Path(s"$path/.zmetadata")))
+    // break a sidecar: if the open still works, it came from .zmetadata
+    val out = fs.create(new Path(s"$path/c_long/.zarray"), true)
+    out.write("NOT JSON".getBytes("UTF-8")); out.close()
+    val metas = ZarrMeta.readGroup(conf, new Path(path))
+    assert(metas.map(_.name) == Seq("c_double", "c_long"))
+    val back = spark.read.format("zarr").load(path)
+    assert(back.agg(sum("c_long")).head.getLong(0) == (0 until 20).sum)
+  }
+
+  test("input frame is evaluated exactly once across count and write passes") {
+    val acc = spark.sparkContext.longAccumulator("zarr_src_evals")
+    val schema = StructType(Seq(StructField("v", LongType, nullable = false)))
+    val src = spark.sparkContext.parallelize(0L until 100L, 5)
+      .map { i => acc.add(1); Row(i) }
+    val df = spark.createDataFrame(src, schema)
+    val path = tmp("singlepass")
+    ZarrWrite.write(df, path, rowChunk = 16, overwrite = true)
+    // persisted across the count pass and the chunk write: one evaluation
+    assert(acc.value == 100L, s"input evaluated ${acc.value / 100.0}×")
+    val back = spark.read.format("zarr").load(path)
+    assert(back.agg(sum("v")).head.getLong(0) == (0L until 100L).sum)
+  }
+
+  test("complex struct with float fields fails driver-side with a clear message") {
+    val df = allTypesDf.select(struct(
+      col("c_float").as("re"), col("c_float").as("im")).as("c_bad"))
+    val e = intercept[IllegalArgumentException] {
+      ZarrWrite.write(df, tmp("badcomplex"), rowChunk = 8, overwrite = true)
+    }
+    assert(e.getMessage.contains("struct(re double, im double)"))
+  }
+
+  test("chunk byte size is Long arithmetic (no Int overflow on wide rows)") {
+    import graft.sources.zarr.ZarrArrayMeta
+    // 4M rows/chunk × 1000 doubles/row = 32 GB — far over Int.MaxValue;
+    // the old Int math would have wrapped negative
+    val m = ZarrArrayMeta("wide", Seq(100000000L, 1000L), Seq(4000000, 1000),
+      "<f8", Some("zlib"), 0d)
+    assert(ZarrMeta.chunkByteSize(m) == 4000000L * 1000L * 8L)
+    assert(ZarrMeta.chunkByteSize(m) > Int.MaxValue.toLong)
+  }
+
   test("parquet → zarr → parquet keeps values bit-exact") {
     val src = spark.read.parquet(s"${sf()}/lineitem.parquet")
       .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
     val zpath = tmp("li_zarr")
-    ZarrWrite.write(src, zpath, rowChunk = 1024)
+    ZarrWrite.write(src, zpath, rowChunk = 1024, overwrite = true)
     val back = MSTable.open(spark, zpath)
       .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
     val key = Seq("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
