@@ -12,7 +12,9 @@ import org.apache.spark.sql.SparkSession
   *              [-s idx1,idx2] [-w TAQL_WHERE] [-c cols]
   * }}}
   *  -g group cols → Hive-style partition directories on the output
-  *  -x exclude columns (ref: convert.py exclusion handling)
+  *  -x exclude columns, reference syntax (ref: convert.py:29-61):
+  *     `COL` excludes from the main table, `SUBTABLE::COL` from that
+  *     subtable only, `SUBTABLE::*` drops the whole subtable
   *  -s index (sort) cols, -w TAQL where, -c projection
   *
   * The reference walks every subtable of a CASA MS; here a "subtable" is a
@@ -26,7 +28,27 @@ object ConvertApp {
       input: String = "", output: String = "",
       group: Seq[String] = Nil, exclude: Seq[String] = Nil,
       sort: Seq[String] = Nil, where: Option[String] = None,
-      columns: Option[Seq[String]] = None)
+      columns: Option[Seq[String]] = None) {
+
+    /** `-x` entries bucketed per table: bare `COL` → MAIN, `SUB::COL` →
+      * that subtable, `SUB::*` → the whole subtable (reference semantics,
+      * convert.py:29-61). Excluding all of MAIN is an error there too.
+      */
+    lazy val excludeByTable: Map[String, Set[String]] = {
+      val pairs = exclude.map { e =>
+        e.split("::") match {
+          case Array(col) => "MAIN" -> col
+          case Array(table, col) => table -> col
+          case _ => throw new IllegalArgumentException(
+            s"excluded columns must be COLUMN or SUBTABLE::COLUMN, got '$e'")
+        }
+      }
+      val m = pairs.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      require(!m.getOrElse("MAIN", Set.empty).contains("*"),
+        "excluding all columns of the MAIN table is not supported")
+      m
+    }
+  }
 
   def parseArgs(argv: Array[String]): Args = {
     def split(s: String) = s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -68,22 +90,28 @@ object ConvertApp {
   }
 
   def convert(spark: SparkSession, a: Args): Unit = {
-    convertOne(spark, a)
+    val excl = a.excludeByTable
+    convertOne(spark, a, excl.getOrElse("MAIN", Set.empty))
     // walk subtables with a plain copy (group/sort/where apply to the main
-    // table only, like the reference's per-subtable defaults)
+    // table only, like the reference's per-subtable defaults); per-subtable
+    // exclusions apply, and SUBTABLE::* skips the subtable entirely
     subtables(spark, a.input).foreach { st =>
-      convertOne(spark, Args(input = s"${a.input}/$st", output = s"${a.output}/$st"))
+      val stExcl = excl.getOrElse(st, Set.empty)
+      if (!stExcl.contains("*"))
+        convertOne(spark,
+          Args(input = s"${a.input}/$st", output = s"${a.output}/$st"), stExcl)
     }
   }
 
-  private def convertOne(spark: SparkSession, a: Args): Unit = {
+  private def convertOne(spark: SparkSession, a: Args,
+                         exclude: Set[String]): Unit = {
     val spec = ReadSpec(columns = a.columns, groupCols = a.group,
       indexCols = a.sort, where = a.where)
     var df = MSTable.readDF(spark, a.input, spec)
     if (a.sort.nonEmpty)
       df = df.repartitionByRange(a.sort.map(org.apache.spark.sql.functions.col): _*)
         .sortWithinPartitions(a.sort.map(org.apache.spark.sql.functions.col): _*)
-    val kept = df.drop(a.exclude: _*)
+    val kept = df.drop(exclude.toSeq: _*)
     MSWrite.create(kept, a.output, partitionBy = a.group)
     // carry keyword sidecars across the conversion (S14)
     val kw = MSWrite.readKeywords(spark, a.input)

@@ -147,8 +147,13 @@ object MSTable {
     val sampled = df.select(keyCols: _*).sample(withReplacement = false, frac, 42L)
       .collect().map(_.toSeq)
     // exact lexicographic sort of the sample, boundary every n-th quantile
+    // null-safe (nulls first, matching Spark's asc ordering); non-Comparable
+    // keys compare equal — that only skews bucket BALANCE, never correctness
     val ordering: Ordering[Seq[Any]] = (a: Seq[Any], b: Seq[Any]) => {
       a.zip(b).map {
+        case (null, null) => 0
+        case (null, _) => -1
+        case (_, null) => 1
         case (x: java.lang.Comparable[_], y) =>
           x.asInstanceOf[java.lang.Comparable[Any]].compareTo(y)
         case _ => 0

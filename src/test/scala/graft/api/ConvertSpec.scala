@@ -34,6 +34,44 @@ class ConvertSpec extends SparkSpec {
     assert(ConvertApp.subtables(spark, s"$out/parted") === Nil)
   }
 
+  test("-x excludes per table: bare col from MAIN, SUB::col from that subtable") {
+    val store = s"$out/xstore"
+    MSWrite.create(spark.read.parquet(s"${sf()}/region.parquet"), store)
+    MSWrite.create(spark.read.parquet(s"${sf()}/nation.parquet"), s"$store/NATION")
+    MSWrite.create(spark.read.parquet(s"${sf()}/supplier.parquet"), s"$store/SUPPLIER")
+
+    ConvertApp.convert(spark, ConvertApp.Args(
+      input = store, output = s"$out/xstore2",
+      exclude = Seq("r_comment", "NATION::n_comment")))
+    // bare col excluded from MAIN only
+    assert(!spark.read.parquet(s"$out/xstore2").columns.contains("r_comment"))
+    // NATION::n_comment from NATION only — SUPPLIER keeps its comment col
+    val nat = spark.read.parquet(s"$out/xstore2/NATION")
+    assert(!nat.columns.contains("n_comment"))
+    assert(nat.columns.contains("n_name"))
+    // the sibling subtable is untouched (full column set survives)
+    assert(spark.read.parquet(s"$out/xstore2/SUPPLIER").columns.toSeq ===
+      spark.read.parquet(s"${sf()}/supplier.parquet").columns.toSeq)
+
+    // SUB::* drops the whole subtable
+    ConvertApp.convert(spark, ConvertApp.Args(
+      input = store, output = s"$out/xstore3", exclude = Seq("SUPPLIER::*")))
+    val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/xstore3/SUPPLIER")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$out/xstore3/NATION")))
+
+    // MAIN::* is rejected like the reference
+    intercept[IllegalArgumentException] {
+      ConvertApp.Args(input = "a", output = "b", exclude = Seq("*")).excludeByTable
+    }
+    // malformed triple-:: rejected
+    intercept[IllegalArgumentException] {
+      ConvertApp.Args(input = "a", output = "b",
+        exclude = Seq("A::B::C")).excludeByTable
+    }
+  }
+
   test("bad args raise clearly") {
     intercept[IllegalArgumentException](ConvertApp.parseArgs(Array("-i", "x")))
     intercept[IllegalArgumentException](

@@ -90,6 +90,15 @@ class ExpressionsSpec extends AnyFunSuite {
     val big = spark.sql("SELECT CAST(1152921504606846977 AS LONG) AS B")
     assert(big.select(compile(big, "B // 1").as("v")).head().getLong(0)
       === 1152921504606846977L)
+    // numpy wraps int64.min // -1 back to int64.min; ANSI div would throw
+    val edge = spark.sql(
+      s"SELECT CAST(${Long.MinValue} AS LONG) AS MN, CAST(-1 AS LONG) AS M1")
+    assert(edge.select(compile(edge, "MN // M1").as("v")).head().getLong(0)
+      === Long.MinValue)
+    // and the adjacent non-overflow cases still floor correctly
+    assert(edge.select(compile(edge, "MN // 1").as("v")).head().getLong(0)
+      === Long.MinValue)
+    assert(edge.select(compile(edge, "M1 // M1").as("v")).head().getLong(0) === 1L)
   }
 
   test("elementwise over N-d complex tensor columns (reference broadcasting)") {

@@ -164,6 +164,38 @@ class MultimodalSpec extends SparkSpec {
     f1.foreach(f => assert(f.digest === sparkMd5(f.id)))
   }
 
+  test("real PNG payloads decode via javax.imageio with pixel moments") {
+    import spark.implicits._
+    // 8×4 image: left half solid red, right half solid blue
+    val img = new java.awt.image.BufferedImage(8, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0xff0000 else 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+
+    val items = Seq(
+      Multimodal.MediaItem(1L, "image", png, 8, 4, 0, 1),
+      Multimodal.MediaItem(2L, "image", "not an image".getBytes, 0, 0, 0, 1),
+      Multimodal.MediaItem(3L, "audio", png, 0, 0, 44100, 1)).toDS()
+    val out = Multimodal.extractFeatures(items).collect().sortBy(_.id).toSeq
+
+    val real = out.head
+    assert(real.decoded, "a valid PNG must take the real decode path")
+    assert(real.features(0) === 8.0 && real.features(1) === 4.0) // width, height
+    assert(real.features(2) === 127.5) // mean R: half 255, half 0
+    assert(real.features(3) === 0.0)   // mean G
+    assert(real.features(4) === 127.5) // mean B
+    assert(real.features(7) === 2.0)   // aspect
+    // luminance: half 0.299*255, half 0.114*255
+    assert(math.abs(real.features(5) - (0.299 + 0.114) * 255 / 2) < 1e-9)
+
+    // undecodable "image" and audio fall back to the byte stub, flagged
+    assert(!out(1).decoded && !out(2).decoded)
+    assert(out(1).features.length === 10)
+  }
+
   test("resize and frame sampling keep plumbing invariants") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet").limit(5)
     val items = Multimodal.fromText(spark, docs, "doc_id", "text")
