@@ -118,6 +118,86 @@ class ZarrReaderFactory(path: String, metas: Array[ZarrArrayMeta],
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ZarrPartitionReader(path, metas, conf,
       partition.asInstanceOf[ZarrInputPartition])
+
+  // scalar numeric/bool/string columns decode straight into column vectors —
+  // the chunk buffer is already columnar, so the batch path skips the
+  // per-row GenericInternalRow allocation entirely. Trailing-dim (array)
+  // and complex columns fall back to the row reader.
+  private def vectorizable(m: ZarrArrayMeta): Boolean =
+    m.shape.length == 1 && m.dtype != "<c16" && m.dtype != "<c8"
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    metas.forall(vectorizable)
+  override def createColumnarReader(partition: InputPartition)
+  : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new ZarrColumnarReader(path, metas, conf,
+      partition.asInstanceOf[ZarrInputPartition])
+}
+
+/** Columnar zarr reader: one ColumnarBatch per row-chunk, vectors filled
+  * in one tight pass per column from the decompressed chunk buffer.
+  */
+class ZarrColumnarReader(path: String, metas: Array[ZarrArrayMeta],
+                         serConf: SerializableConfiguration,
+                         part: ZarrInputPartition)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+
+  private val n = (part.rowEnd - part.rowStart).toInt
+  private var emitted = false
+  private var batch: ColumnarBatch = _
+
+  override def next(): Boolean = !emitted && { emitted = true; n > 0 }
+
+  override def get(): ColumnarBatch = {
+    val conf = serConf.value
+    val group = new Path(path)
+    val vectors: Array[ColumnVector] = metas.map { m =>
+      val v = new OnHeapColumnVector(n, m.elementType)
+      val chunk = ZarrMeta.readChunk(conf, group, m, part.chunkIdx)
+      if (m.objectCodec) {
+        chunk.map(ZarrMeta.decodeJsonChunk) match {
+          case None => var i = 0; while (i < n) { v.putNull(i); i += 1 }
+          case Some(items) =>
+            var i = 0
+            while (i < n) {
+              val s = items(i)
+              if (s == null) v.putNull(i)
+              else { val b = s.getBytes("UTF-8"); v.putByteArray(i, b, 0, b.length) }
+              i += 1
+            }
+        }
+      } else chunk match {
+        case None => // missing chunk → fill_value
+          m.dtype match {
+            case "<i8" => v.putLongs(0, n, m.fillValue.toLong)
+            case "<i4" => v.putInts(0, n, m.fillValue.toInt)
+            case "<i2" => v.putShorts(0, n, m.fillValue.toShort)
+            case "|i1" | "|u1" => v.putBytes(0, n, m.fillValue.toByte)
+            case "<f8" => v.putDoubles(0, n, m.fillValue)
+            case "<f4" => v.putFloats(0, n, m.fillValue.toFloat)
+            case "|b1" => v.putBooleans(0, n, m.fillValue != 0d)
+          }
+        case Some(bytes) =>
+          val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+          var i = 0
+          m.dtype match {
+            case "<i8" => while (i < n) { v.putLong(i, b.getLong(i * 8)); i += 1 }
+            case "<i4" => while (i < n) { v.putInt(i, b.getInt(i * 4)); i += 1 }
+            case "<i2" => while (i < n) { v.putShort(i, b.getShort(i * 2)); i += 1 }
+            case "|i1" | "|u1" => while (i < n) { v.putByte(i, b.get(i)); i += 1 }
+            case "<f8" => while (i < n) { v.putDouble(i, b.getDouble(i * 8)); i += 1 }
+            case "<f4" => while (i < n) { v.putFloat(i, b.getFloat(i * 4)); i += 1 }
+            case "|b1" => while (i < n) { v.putBoolean(i, b.get(i) != 0); i += 1 }
+          }
+      }
+      v: ColumnVector
+    }
+    batch = new ColumnarBatch(vectors, n)
+    batch
+  }
+
+  override def close(): Unit = if (batch != null) batch.close()
 }
 
 class ZarrPartitionReader(path: String, metas: Array[ZarrArrayMeta],

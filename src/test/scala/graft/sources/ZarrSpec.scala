@@ -231,6 +231,39 @@ class ZarrSpec extends SparkSpec {
     assert(ZarrMeta.chunkByteSize(m) > Int.MaxValue.toLong)
   }
 
+  test("scalar/string stores read columnar (vectorized), others fall back") {
+    import spark.implicits._
+    val df = spark.range(0, 50).select(
+      col("id").as("k"), (col("id") * 1.5).as("x"),
+      concat(lit("name-"), col("id")).as("nm"))
+    val path = tmp("columnar")
+    ZarrWrite.write(df, path, rowChunk = 16, overwrite = true)
+    val back = spark.read.format("zarr").load(path)
+    // all-scalar store → batch interface → plan carries a ColumnarToRow
+    assert(back.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      back.queryExecution.executedPlan.toString)
+    val got = back.select("k", "x", "nm").orderBy("k")
+      .as[(Long, Double, String)].collect()
+    assert(got.length == 50)
+    assert(got(7) == ((7L, 10.5, "name-7")))
+    // missing chunk still fills (vectorized fill path)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new Path(s"$path/x/1"), false))
+    val refilled = spark.read.format("zarr").load(path)
+      .filter(col("k") >= 16 && col("k") < 32).select("x")
+      .as[Double].collect().toSeq
+    assert(refilled == Seq.fill(16)(0.0))
+
+    // a store with an array column keeps the row reader
+    val dfa = spark.range(0, 10).select(col("id").as("k"),
+      array(col("id").cast("double"), lit(1.0)).as("v"))
+    val patha = tmp("columnar_fallback")
+    ZarrWrite.write(dfa, patha, rowChunk = 4, overwrite = true)
+    val backa = spark.read.format("zarr").load(patha)
+    assert(backa.select(sum(element_at(col("v"), 1))).head.getDouble(0)
+      == (0 until 10).map(_.toDouble).sum)
+  }
+
   test("parquet → zarr → parquet keeps values bit-exact") {
     val src = spark.read.parquet(s"${sf()}/lineitem.parquet")
       .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
