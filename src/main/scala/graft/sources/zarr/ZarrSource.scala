@@ -119,12 +119,15 @@ class ZarrReaderFactory(path: String, metas: Array[ZarrArrayMeta],
     new ZarrPartitionReader(path, metas, conf,
       partition.asInstanceOf[ZarrInputPartition])
 
-  // scalar numeric/bool/string columns decode straight into column vectors —
-  // the chunk buffer is already columnar, so the batch path skips the
-  // per-row GenericInternalRow allocation entirely. Trailing-dim (array)
-  // and complex columns fall back to the row reader.
+  // columns decode straight into column vectors — the chunk buffer is
+  // already columnar, so the batch path skips the per-row
+  // GenericInternalRow allocation entirely. Covered: scalars (numeric,
+  // bool, string, complex struct) and single-level trailing-dim arrays of
+  // plain dtypes. Deeper nesting (matrix cells, arrays of complex) falls
+  // back to the row reader.
   private def vectorizable(m: ZarrArrayMeta): Boolean =
-    m.shape.length == 1 && m.dtype != "<c16" && m.dtype != "<c8"
+    if (m.objectCodec || m.dtype == "<c16" || m.dtype == "<c8") m.shape.length == 1
+    else m.shape.length <= 2
   override def supportColumnarReads(partition: InputPartition): Boolean =
     metas.forall(vectorizable)
   override def createColumnarReader(partition: InputPartition)
@@ -149,11 +152,40 @@ class ZarrColumnarReader(path: String, metas: Array[ZarrArrayMeta],
 
   override def next(): Boolean = !emitted && { emitted = true; n > 0 }
 
+  /** fill `count` leaf elements of plain dtype into `v` starting at 0,
+    * reading the chunk buffer (or the fill value when the chunk is absent)
+    */
+  private def fillPlain(v: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
+                        m: ZarrArrayMeta, buf: Option[ByteBuffer],
+                        count: Int): Unit = buf match {
+    case None =>
+      m.dtype match {
+        case "<i8" => v.putLongs(0, count, m.fillValue.toLong)
+        case "<i4" => v.putInts(0, count, m.fillValue.toInt)
+        case "<i2" => v.putShorts(0, count, m.fillValue.toShort)
+        case "|i1" | "|u1" => v.putBytes(0, count, m.fillValue.toByte)
+        case "<f8" => v.putDoubles(0, count, m.fillValue)
+        case "<f4" => v.putFloats(0, count, m.fillValue.toFloat)
+        case "|b1" => v.putBooleans(0, count, m.fillValue != 0d)
+      }
+    case Some(b) =>
+      var i = 0
+      m.dtype match {
+        case "<i8" => while (i < count) { v.putLong(i, b.getLong(i * 8)); i += 1 }
+        case "<i4" => while (i < count) { v.putInt(i, b.getInt(i * 4)); i += 1 }
+        case "<i2" => while (i < count) { v.putShort(i, b.getShort(i * 2)); i += 1 }
+        case "|i1" | "|u1" => while (i < count) { v.putByte(i, b.get(i)); i += 1 }
+        case "<f8" => while (i < count) { v.putDouble(i, b.getDouble(i * 8)); i += 1 }
+        case "<f4" => while (i < count) { v.putFloat(i, b.getFloat(i * 4)); i += 1 }
+        case "|b1" => while (i < count) { v.putBoolean(i, b.get(i) != 0); i += 1 }
+      }
+  }
+
   override def get(): ColumnarBatch = {
     val conf = serConf.value
     val group = new Path(path)
     val vectors: Array[ColumnVector] = metas.map { m =>
-      val v = new OnHeapColumnVector(n, m.elementType)
+      val v = new OnHeapColumnVector(n, m.sparkType)
       val chunk = ZarrMeta.readChunk(conf, group, m, part.chunkIdx)
       if (m.objectCodec) {
         chunk.map(ZarrMeta.decodeJsonChunk) match {
@@ -167,29 +199,39 @@ class ZarrColumnarReader(path: String, metas: Array[ZarrArrayMeta],
               i += 1
             }
         }
-      } else chunk match {
-        case None => // missing chunk → fill_value
-          m.dtype match {
-            case "<i8" => v.putLongs(0, n, m.fillValue.toLong)
-            case "<i4" => v.putInts(0, n, m.fillValue.toInt)
-            case "<i2" => v.putShorts(0, n, m.fillValue.toShort)
-            case "|i1" | "|u1" => v.putBytes(0, n, m.fillValue.toByte)
-            case "<f8" => v.putDoubles(0, n, m.fillValue)
-            case "<f4" => v.putFloats(0, n, m.fillValue.toFloat)
-            case "|b1" => v.putBooleans(0, n, m.fillValue != 0d)
-          }
-        case Some(bytes) =>
-          val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-          var i = 0
-          m.dtype match {
-            case "<i8" => while (i < n) { v.putLong(i, b.getLong(i * 8)); i += 1 }
-            case "<i4" => while (i < n) { v.putInt(i, b.getInt(i * 4)); i += 1 }
-            case "<i2" => while (i < n) { v.putShort(i, b.getShort(i * 2)); i += 1 }
-            case "|i1" | "|u1" => while (i < n) { v.putByte(i, b.get(i)); i += 1 }
-            case "<f8" => while (i < n) { v.putDouble(i, b.getDouble(i * 8)); i += 1 }
-            case "<f4" => while (i < n) { v.putFloat(i, b.getFloat(i * 4)); i += 1 }
-            case "|b1" => while (i < n) { v.putBoolean(i, b.get(i) != 0); i += 1 }
-          }
+      } else if (m.dtype == "<c16" || m.dtype == "<c8") {
+        // struct(re, im): two double child vectors, filled from the
+        // interleaved complex buffer
+        val re = v.getChild(0); val im = v.getChild(1)
+        val buf = chunk.map(b => ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN))
+        val w = ZarrMeta.bytesPerElement(m.dtype)
+        var i = 0
+        buf match {
+          case None =>
+            re.putDoubles(0, n, m.fillValue); im.putDoubles(0, n, m.fillValue)
+          case Some(b) if m.dtype == "<c16" =>
+            while (i < n) {
+              re.putDouble(i, b.getDouble(i * w))
+              im.putDouble(i, b.getDouble(i * w + 8)); i += 1
+            }
+          case Some(b) =>
+            while (i < n) {
+              re.putDouble(i, b.getFloat(i * w).toDouble)
+              im.putDouble(i, b.getFloat(i * w + 4).toDouble); i += 1
+            }
+        }
+      } else if (m.shape.length == 2) {
+        // one trailing dim: parent offsets stride into the flat child
+        val d = m.shape(1).toInt
+        val child = v.arrayData()
+        child.reserve(n * d)
+        fillPlain(child, m,
+          chunk.map(b => ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)), n * d)
+        var i = 0
+        while (i < n) { v.putArray(i, i * d, d); i += 1 }
+      } else {
+        fillPlain(v, m,
+          chunk.map(b => ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)), n)
       }
       v: ColumnVector
     }

@@ -254,14 +254,92 @@ class ZarrSpec extends SparkSpec {
       .as[Double].collect().toSeq
     assert(refilled == Seq.fill(16)(0.0))
 
-    // a store with an array column keeps the row reader
+    // flat arrays and complex structs vectorize too (the q_zarr store shape)
     val dfa = spark.range(0, 10).select(col("id").as("k"),
-      array(col("id").cast("double"), lit(1.0)).as("v"))
-    val patha = tmp("columnar_fallback")
+      array(col("id").cast("double"), lit(1.0)).as("v"),
+      struct(col("id").cast("double").as("re"),
+        (-col("id")).cast("double").as("im")).as("z"))
+    val patha = tmp("columnar_vec")
     ZarrWrite.write(dfa, patha, rowChunk = 4, overwrite = true)
     val backa = spark.read.format("zarr").load(patha)
+    assert(backa.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
     assert(backa.select(sum(element_at(col("v"), 1))).head.getDouble(0)
       == (0 until 10).map(_.toDouble).sum)
+    assert(backa.select(sum(col("z.im"))).head.getDouble(0)
+      == -(0 until 10).map(_.toDouble).sum)
+
+    // two trailing dims (matrix cells) keep the row reader
+    val dfm = spark.range(0, 6).select(col("id").as("k"),
+      array(array(col("id").cast("double"), lit(1.0)),
+        array(lit(2.0), col("id").cast("double"))).as("mat"))
+    val pathm = tmp("columnar_fallback")
+    ZarrWrite.write(dfm, pathm, rowChunk = 3, overwrite = true)
+    val backm = spark.read.format("zarr").load(pathm)
+    assert(!backm.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(backm.select(sum(element_at(element_at(col("mat"), 1), 1)))
+      .head.getDouble(0) == (0 until 6).map(_.toDouble).sum)
+  }
+
+  test("reads a store laid out the way zarr-python writes it (foreign fixture)") {
+    // hand-built fixture following zarr-python v2 output conventions this
+    // engine's own writer does NOT use: ensure_ascii \u escapes in json2
+    // payloads, fill_value null, no .zattrs, extra whitespace-free JSON
+    val path = tmp("foreign")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(path), true)
+    fs.mkdirs(new Path(path))
+    def put(rel: String, bytes: Array[Byte]): Unit = {
+      val out = fs.create(new Path(s"$path/$rel"), true)
+      try out.write(bytes) finally out.close()
+    }
+    def deflate(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(1); d.setInput(b); d.finish()
+      val o = new java.io.ByteArrayOutputStream(); val buf = new Array[Byte](4096)
+      while (!d.finished()) o.write(buf, 0, d.deflate(buf))
+      d.end(); o.toByteArray
+    }
+    put(".zgroup", """{"zarr_format":2}""".getBytes("UTF-8"))
+    // int column: compressor null, fill_value null
+    put("idx/.zarray",
+      """{"zarr_format":2,"shape":[4],"chunks":[2],"dtype":"<i8","compressor":null,"fill_value":null,"filters":null,"order":"C"}"""
+        .getBytes("UTF-8"))
+    val b0 = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+    b0.putLong(10L).putLong(11L); put("idx/0", b0.array())
+    val b1 = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+    b1.putLong(12L).putLong(13L); put("idx/1", b1.array())
+    // object column: json2 filter, zlib, ensure_ascii escapes (as numcodecs
+    // writes non-ASCII), dtype/shape trailer
+    put("label/.zarray",
+      """{"zarr_format":2,"shape":[4],"chunks":[2],"dtype":"|O","compressor":{"id":"zlib","level":1},"fill_value":null,"filters":[{"id":"json2","encoding":"utf-8","skipkeys":false,"ensure_ascii":true,"check_circular":true,"allow_nan":true,"sort_keys":true,"indent":null,"separators":[",",":"],"strict":true}],"order":"C"}"""
+        .getBytes("UTF-8"))
+    // literal backslash-u escape in the payload, as ensure_ascii emits it
+    put("label/0", deflate("[\"caf\\u00e9\",null,\"|O\",[2]]".getBytes("UTF-8")))
+    put("label/1", deflate("""["plain","日本","|O",[2]]""".getBytes("UTF-8")))
+
+    val back = spark.read.format("zarr").load(path)
+      .select("idx", "label").orderBy("idx").collect()
+    assert(back.map(_.getLong(0)).toSeq == Seq(10L, 11L, 12L, 13L))
+    assert(back.map(r => Option(r.getString(1)).orNull).toSeq ==
+      Seq("café", null, "plain", "日本"))
+
+    // Fortran order is rejected loudly, not misread
+    put("bad/.zarray",
+      """{"zarr_format":2,"shape":[4],"chunks":[2],"dtype":"<i8","compressor":null,"fill_value":0,"filters":null,"order":"F"}"""
+        .getBytes("UTF-8"))
+    val e = intercept[Exception] {
+      ZarrMeta.readArrayMeta(spark.sparkContext.hadoopConfiguration,
+        new Path(s"$path/bad"))
+    }
+    assert(e.getMessage.contains("order"))
+    // blosc is rejected loudly with the supported set named
+    put("bad2/.zarray",
+      """{"zarr_format":2,"shape":[4],"chunks":[2],"dtype":"<i8","compressor":{"id":"blosc","cname":"lz4","clevel":5,"shuffle":1},"fill_value":0,"filters":null,"order":"C"}"""
+        .getBytes("UTF-8"))
+    val e2 = intercept[Exception] {
+      ZarrMeta.readArrayMeta(spark.sparkContext.hadoopConfiguration,
+        new Path(s"$path/bad2"))
+    }
+    assert(e2.getMessage.contains("zlib"))
   }
 
   test("parquet → zarr → parquet keeps values bit-exact") {
