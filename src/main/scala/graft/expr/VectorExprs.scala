@@ -111,34 +111,61 @@ object VectorExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** dtype tags for the codegen kernels (a generated-Java-friendly stand-in
+    * for the DataType object)
+    */
+  private[expr] def typeTag(et: DataType): Int = et match {
+    case FloatType => 0
+    case DoubleType => 1
+    case LongType => 2
+    case IntegerType => 3
+    case other => throw new IllegalArgumentException(s"vector element: $other")
+  }
+
+  /** Cosine kernel shared by interpreted eval and generated code — the
+    * per-pair hot loop of ANN/near-dup verification. Public because
+    * whole-stage-generated Java calls it via `VectorExprs$.MODULE$`.
+    */
+  def cosineKernel(la: ArrayData, ra: ArrayData, ta: Int, tb: Int): Double = {
+    def elemAt(a: ArrayData, t: Int, i: Int): Double = t match {
+      case 0 => a.getFloat(i).toDouble
+      case 1 => a.getDouble(i)
+      case 2 => a.getLong(i).toDouble
+      case _ => a.getInt(i).toDouble
+    }
+    val n = math.min(la.numElements(), ra.numElements())
+    var dot = 0d; var na = 0d; var nb = 0d
+    var i = 0
+    while (i < n) {
+      val x = elemAt(la, ta, i); val y = elemAt(ra, tb, i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Cosine similarity of two numeric arrays, accumulated in double in
     * element order — bit-for-bit identical to the zip_with/aggregate
     * formulation (and to any engine that folds sequentially in double).
+    * Codegen'd via a static kernel call, so the surrounding stage stays
+    * whole-stage-compiled (a CodegenFallback here would force row
+    * materialization in the ANN scan loop).
     */
   case class VecCosine(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
-    private def elemAt(a: ArrayData, et: DataType, i: Int): Double = et match {
-      case FloatType => a.getFloat(i).toDouble
-      case DoubleType => a.getDouble(i)
-      case LongType => a.getLong(i).toDouble
-      case IntegerType => a.getInt(i).toDouble
-      case other => throw new IllegalArgumentException(s"VecCosine: $other")
-    }
-    override def nullSafeEval(l: Any, r: Any): Any = {
-      val (la, ra) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
-      val let = left.dataType.asInstanceOf[ArrayType].elementType
-      val ret = right.dataType.asInstanceOf[ArrayType].elementType
-      val n = math.min(la.numElements(), ra.numElements())
-      var dot = 0d; var na = 0d; var nb = 0d
-      var i = 0
-      while (i < n) {
-        val x = elemAt(la, let, i); val y = elemAt(ra, ret, i)
-        dot += x * y; na += x * x; nb += y * y
-        i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
+    private def tagOf(e: Expression): Int =
+      typeTag(e.dataType.asInstanceOf[ArrayType].elementType)
+    override def nullSafeEval(l: Any, r: Any): Any =
+      cosineKernel(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+        tagOf(left), tagOf(right))
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (l, r) =>
+        s"${ev.value} = graft.expr.VectorExprs$$.MODULE$$" +
+          s".cosineKernel($l, $r, ${tagOf(left)}, ${tagOf(right)});")
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
   }
@@ -223,28 +250,38 @@ object VectorExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
-  /** 64-bit SimHash from a hashed-token array: per-bit ±1 votes. */
-  case class SimHash64(child: Expression)
-      extends UnaryExpression with CodegenFallback {
-    override def dataType: DataType = LongType
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val votes = new Array[Int](64)
-      var i = 0
-      while (i < arr.numElements()) {
-        val h = arr.getLong(i)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
-        i += 1
-      }
-      var out = 0L
+  /** SimHash kernel shared by interpreted eval and generated code. */
+  def simhashKernel(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      val h = arr.getLong(i)
       var b = 0
-      while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
-      java.lang.Long.valueOf(out)
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
     }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** 64-bit SimHash from a hashed-token array: per-bit ±1 votes.
+    * Codegen'd via the static kernel, same pattern as [[VecCosine]].
+    */
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(simhashKernel(input.asInstanceOf[ArrayData]))
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expr.VectorExprs$$.MODULE$$.simhashKernel($c);")
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 

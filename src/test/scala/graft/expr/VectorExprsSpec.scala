@@ -54,6 +54,28 @@ class VectorExprsSpec extends SparkSpec {
     assert(viaExpr.toSeq === viaHof.toSeq)
   }
 
+  test("VecCosine and SimHash64 generate working code (kernel call, no fallback)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+    val cos = VectorExprs.VecCosine(
+      BoundReference(0, ArrayType(DoubleType, containsNull = false), nullable = true),
+      BoundReference(1, ArrayType(DoubleType, containsNull = false), nullable = true))
+    assert(!cos.isInstanceOf[CodegenFallback])
+    val cproj = GenerateUnsafeProjection.generate(Seq(cos))
+    val a = new GenericArrayData(Array(1.0, 0.0))
+    val b = new GenericArrayData(Array(1.0, 0.0))
+    assert(math.abs(cproj(InternalRow(a, b)).getDouble(0) - 1.0) < 1e-12)
+
+    val sh = VectorExprs.SimHash64(
+      BoundReference(0, ArrayType(LongType, containsNull = false), nullable = true))
+    assert(!sh.isInstanceOf[CodegenFallback])
+    val sproj = GenerateUnsafeProjection.generate(Seq(sh))
+    val hashes = new GenericArrayData(Array(0x5aL, 0x5aL, 0xa5L))
+    // majority vote: bits set in 2 of 3 inputs win → 0x5a
+    assert(sproj(InternalRow(hashes)).getLong(0) ===
+      sh.nullSafeEval(hashes).asInstanceOf[Long])
+  }
+
   test("rolling_hash is null-safe") {
     val df = Seq(Some("abc"), None).toDF("text")
     val out = df.select(VectorExprs.rolling_hash(col("text"))).collect()
