@@ -8,9 +8,12 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage (spark-submit or sbt "runMain graft.api.ConvertApp ..."):
   * {{{
-  *   ConvertApp -i INPUT -o OUTPUT [-g col1,col2] [-x colA,colB]
-  *              [-s idx1,idx2] [-w TAQL_WHERE] [-c cols]
+  *   ConvertApp -i INPUT -o OUTPUT [-f parquet|zarr] [-g col1,col2]
+  *              [-x colA,colB] [-s idx1,idx2] [-w TAQL_WHERE] [-c cols]
   * }}}
+  *  -f output format (ref: convert.py `-f/--format`); input format is
+  *     sniffed (parquet / zarr / CASA-fails-fast) like the reference's
+  *     storage dispatch
   *  -g group cols → Hive-style partition directories on the output
   *  -x exclude columns, reference syntax (ref: convert.py:29-61):
   *     `COL` excludes from the main table, `SUBTABLE::COL` from that
@@ -28,7 +31,7 @@ object ConvertApp {
       input: String = "", output: String = "",
       group: Seq[String] = Nil, exclude: Seq[String] = Nil,
       sort: Seq[String] = Nil, where: Option[String] = None,
-      columns: Option[Seq[String]] = None) {
+      columns: Option[Seq[String]] = None, format: String = "parquet") {
 
     /** `-x` entries bucketed per table: bare `COL` → MAIN, `SUB::COL` →
       * that subtable, `SUB::*` → the whole subtable (reference semantics,
@@ -61,11 +64,16 @@ object ConvertApp {
       case "-s" :: v :: t => loop(t, a.copy(sort = split(v)))
       case "-w" :: v :: t => loop(t, a.copy(where = Some(v)))
       case "-c" :: v :: t => loop(t, a.copy(columns = Some(split(v))))
+      case "-f" :: v :: t => loop(t, a.copy(format = v))
       case Nil => a
       case x :: _ => throw new IllegalArgumentException(s"unknown arg $x")
     }
     val a = loop(argv.toList, Args())
     require(a.input.nonEmpty && a.output.nonEmpty, "need -i INPUT -o OUTPUT")
+    require(Seq("parquet", "zarr").contains(a.format),
+      s"-f must be parquet or zarr, got '${a.format}'")
+    require(a.format == "parquet" || a.group.isEmpty,
+      "-g (Hive partition dirs) applies to parquet output only")
     a
   }
 
@@ -83,8 +91,12 @@ object ConvertApp {
       .map(_.getPath)
       .filterNot(_.getName.contains("=")) // Hive partition dirs ≠ subtables
       .filter { d =>
+        // parquet subtable, or a nested zarr GROUP (.zgroup); zarr ARRAYS
+        // (.zarray) are columns of the parent store, not subtables
         fs.listStatus(d).exists(f => f.getPath.getName.endsWith(".parquet") ||
-          f.getPath.getName == "_SUCCESS")
+          f.getPath.getName == "_SUCCESS") ||
+          (fs.exists(new org.apache.hadoop.fs.Path(d, ".zgroup")) &&
+            !fs.exists(new org.apache.hadoop.fs.Path(d, ".zarray")))
       }
       .map(_.getName)
   }
@@ -99,7 +111,8 @@ object ConvertApp {
       val stExcl = excl.getOrElse(st, Set.empty)
       if (!stExcl.contains("*"))
         convertOne(spark,
-          Args(input = s"${a.input}/$st", output = s"${a.output}/$st"), stExcl)
+          Args(input = s"${a.input}/$st", output = s"${a.output}/$st",
+            format = a.format), stExcl)
     }
   }
 
@@ -112,7 +125,8 @@ object ConvertApp {
       df = df.repartitionByRange(a.sort.map(org.apache.spark.sql.functions.col): _*)
         .sortWithinPartitions(a.sort.map(org.apache.spark.sql.functions.col): _*)
     val kept = df.drop(exclude.toSeq: _*)
-    MSWrite.create(kept, a.output, partitionBy = a.group)
+    if (a.format == "zarr") MSWrite.toZarr(kept, a.output, overwrite = true)
+    else MSWrite.create(kept, a.output, partitionBy = a.group)
     // carry keyword sidecars across the conversion (S14)
     val kw = MSWrite.readKeywords(spark, a.input)
     if (kw.nonEmpty) MSWrite.putKeywords(spark, a.output, kw)

@@ -72,10 +72,44 @@ class ConvertSpec extends SparkSpec {
     }
   }
 
+  test("-f zarr converts a parquet store (with subtables) to zarr and back") {
+    val store = s"$out/zin"
+    MSWrite.create(spark.read.parquet(s"${sf()}/region.parquet"), store)
+    MSWrite.create(spark.read.parquet(s"${sf()}/nation.parquet"), s"$store/NATION")
+
+    // parquet → zarr: main table + subtable land as zarr groups
+    ConvertApp.convert(spark, ConvertApp.Args(
+      input = store, output = s"$out/zstore", format = "zarr"))
+    assert(MSTable.sniffFormat(spark, s"$out/zstore") == MSTable.ZarrFormat)
+    assert(MSTable.sniffFormat(spark, s"$out/zstore::NATION") == MSTable.ZarrFormat)
+    // ::SUBTABLE addressing dispatches into the nested zarr group
+    val nat = MSTable.open(spark, s"$out/zstore::NATION")
+    assert(nat.count() === 25)
+    // string columns survived via the object codec
+    assert(nat.select("n_name").collect().map(_.getString(0)).toSet
+      === spark.read.parquet(s"${sf()}/nation.parquet")
+        .select("n_name").collect().map(_.getString(0)).toSet)
+    // the nested group is discovered as a subtable, its arrays are not
+    assert(ConvertApp.subtables(spark, s"$out/zstore") === Seq("NATION"))
+
+    // zarr → parquet round-trip (input format sniffed)
+    ConvertApp.convert(spark, ConvertApp.Args(
+      input = s"$out/zstore", output = s"$out/zback"))
+    val a = spark.read.parquet(s"${sf()}/nation.parquet")
+      .select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey").collect()
+    val b = spark.read.parquet(s"$out/zback/NATION")
+      .select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("bad args raise clearly") {
     intercept[IllegalArgumentException](ConvertApp.parseArgs(Array("-i", "x")))
     intercept[IllegalArgumentException](
       ConvertApp.parseArgs(Array("-i", "x", "-o", "y", "--bogus", "z")))
+    intercept[IllegalArgumentException](
+      ConvertApp.parseArgs(Array("-i", "x", "-o", "y", "-f", "orc")))
+    intercept[IllegalArgumentException]( // -g is a parquet-only feature
+      ConvertApp.parseArgs(Array("-i", "x", "-o", "y", "-f", "zarr", "-g", "c")))
   }
 }
 
