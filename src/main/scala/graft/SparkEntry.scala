@@ -203,6 +203,19 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    // convert with -f zarr: same pipeline, zarr store out (strings via the
+    // json2 object codec), read back through the DSv2 zarr source
+    "q_s13_zarr" -> ((s, dir) => {
+      ConvertApp.convert(s, ConvertApp.Args(
+        input = s"$dir/nation.parquet", output = tmp("q_s13z"),
+        sort = Seq("n_nationkey"), where = Some("n_nationkey != 2"),
+        format = "zarr"))
+      MSTable.open(s, tmp("q_s13z"))
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n"), max("n_name").as("max_name"))
+        .orderBy("n_regionkey")
+    }),
+
     // ===== S6/S7: zarr sink + native zarr source =========================
     // parquet → zarr (every supported shape: scalar, complex struct, array)
     // → sniffed + read back through the DSv2 zarr source → aggregate; the
@@ -859,6 +872,12 @@ object SparkEntry {
       "q_s13_convert" ->
         """SELECT n_nationkey, n_name, n_regionkey FROM nation
           |WHERE n_nationkey != 2 ORDER BY n_nationkey""".stripMargin,
+
+      "q_s13_zarr" ->
+        """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n,
+          |       max(n_name) AS max_name
+          |FROM nation WHERE n_nationkey != 2
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_zarr" ->
         """SELECT l_linenumber, CAST(count(*) AS BIGINT) AS n,
