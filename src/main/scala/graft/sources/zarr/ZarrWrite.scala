@@ -35,9 +35,19 @@ object ZarrWrite {
     * @param overwrite  false (default) = fail if the target exists — the
     *                   reference's writer never deletes an existing store;
     *                   true = replace it.
+    * @param assumeDeterministic true = skip persisting the input across the
+    *                   count and write jobs. The write runs multiple jobs
+    *                   over the frame; by default the RDD is persisted so a
+    *                   nondeterministic upstream (post-shuffle order,
+    *                   sample, AQE re-plan) cannot desync the row offsets —
+    *                   at 100 TB that persist is a full extra
+    *                   materialization, so callers whose input is a plain
+    *                   deterministic scan can opt out and read the source
+    *                   twice instead.
     */
   def write(df: DataFrame, path: String, rowChunk: Int = 65536,
-            zlibLevel: Int = 1, overwrite: Boolean = false): Unit = {
+            zlibLevel: Int = 1, overwrite: Boolean = false,
+            assumeDeterministic: Boolean = false): Unit = {
     val spark = df.sparkSession
     val fields = df.schema.fields
     require(fields.nonEmpty, s"zarr write of $path: empty schema")
@@ -49,9 +59,11 @@ object ZarrWrite {
     // nondeterministic upstream (post-shuffle order, sample, AQE re-plan)
     // re-evaluated per job could otherwise disagree with the offsets
     // computed in the count pass → silent row misplacement. Persist also
-    // makes the write a single read of the input at scale.
+    // makes the write a single read of the input at scale (opt out via
+    // assumeDeterministic when the input is a plain scan).
     val rdd = df.rdd
-    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    if (!assumeDeterministic)
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     try {
       // trailing dims of array columns, frozen from the first row (validated
       // against every row during serialization)
@@ -187,7 +199,7 @@ object ZarrWrite {
           }
         }
       }
-    } finally rdd.unpersist(blocking = false)
+    } finally if (!assumeDeterministic) rdd.unpersist(blocking = false)
   }
 
   // ------------------------------------------------------------------ plumbing
