@@ -212,6 +212,17 @@ class ZarrSpec extends SparkSpec {
     assert(back.agg(sum("v")).head.getLong(0) == (0L until 100L).sum)
   }
 
+  test("assumeDeterministic write round-trips a plain scan (no persist)") {
+    val src = spark.read.parquet(s"${sf()}/region.parquet")
+    val path = tmp("det")
+    ZarrWrite.write(src, path, rowChunk = 2, overwrite = true,
+      assumeDeterministic = true)
+    val back = MSTable.open(spark, path).orderBy("r_regionkey").collect()
+    val exp = src.select(back.head.schema.fieldNames.map(
+      org.apache.spark.sql.functions.col): _*).orderBy("r_regionkey").collect()
+    assert(back.toSeq === exp.toSeq)
+  }
+
   test("complex struct with float fields fails driver-side with a clear message") {
     val df = allTypesDf.select(struct(
       col("c_float").as("re"), col("c_float").as("im")).as("c_bad"))
