@@ -586,6 +586,15 @@ object SparkEntry {
           col("user_id"), col("n"))
         .orderBy("window_start", "user_id")),
 
+    // streaming exact dedup (ingest-pipeline analog of Dedup.exactKeepFirst);
+    // the aggregate over the deduped frame is survivor-independent, so the
+    // batch-parity oracle is deterministic
+    "q_stream_dedup" -> ((s, dir) =>
+      EventStream.dedupEvents(T(s, dir, "events"), Seq("user_id", "event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_unique_users"))
+        .orderBy("event_type")),
+
     "q_stream_session" -> ((s, dir) =>
       EventStream.sessions(T(s, dir, "events"), "30 minutes")
         .select(date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
@@ -1145,6 +1154,11 @@ object SparkEntry {
           |  event_type, CAST(count(*) AS BIGINT) AS n,
           |  round(sum(value), 4) AS total
           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q_stream_dedup" ->
+        """SELECT event_type, CAST(count(*) AS BIGINT) AS n_unique_users
+          |FROM (SELECT DISTINCT user_id, event_type FROM events)
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_stream_sliding" ->
         """WITH starts AS (

@@ -233,6 +233,11 @@ object MSTable {
     val withId =
       if (full.columns.contains(RowId)) full
       else if (spec.indexCols.nonEmpty) withRowId(full, spec.indexCols)
+      else if (sniffFormat(spark, path) == ZarrFormat)
+        // zarr scan partitions are the store's row-chunks in order, so the
+        // zip index IS the store row number (parquet's _metadata path
+        // doesn't exist here)
+        zipWithRowId(full)
       else scanWithRowId(spark, path)
     var base = withId
     spec.where.foreach(w => base = base.filter(expr(Taql.toSql(w))))

@@ -52,6 +52,20 @@ object EventStream {
         col("user_id"), col("n_events"), col("total"))
   }
 
+  /** Streaming exact dedup: keep the first occurrence per key — the
+    * streaming analog of `Dedup.exactKeepFirst` for ingest pipelines. On a
+    * stream, `dropDuplicatesWithinWatermark` bounds the dedup state by the
+    * watermark horizon (unbounded key spaces cannot accumulate state
+    * forever); on a batch frame plain `dropDuplicates` is the same
+    * semantics, which is how the oracle checks it.
+    */
+  def dedupEvents(events: DataFrame, keys: Seq[String],
+                  watermark: String = "2 hours"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    else events.dropDuplicates(keys)
+
   // ------------------------------------------- custom state (sessionization)
 
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)

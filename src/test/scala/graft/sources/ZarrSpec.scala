@@ -353,6 +353,19 @@ class ZarrSpec extends SparkSpec {
     assert(e2.getMessage.contains("zlib"))
   }
 
+  test("grouped dataset-list read works over a zarr store (ROWID = store order)") {
+    import graft.api.ReadSpec
+    val src = spark.read.parquet(s"${sf()}/nation.parquet")
+    val path = tmp("grouped")
+    ZarrWrite.write(src, path, rowChunk = 7, overwrite = true)
+    val dss = MSTable.read(spark, path, ReadSpec(groupCols = Seq("n_regionkey")))
+    assert(dss.map(_.df.count()).sum === 25)
+    assert(dss.map(_.partitionKey.head._2.toString.toInt).sorted === Seq(0, 1, 2, 3, 4))
+    // ROWID present, dense and unique across groups
+    val ids = dss.flatMap(_.df.select(MSTable.RowId).collect().map(_.getLong(0)))
+    assert(ids.sorted === (0L until 25L))
+  }
+
   test("parquet → zarr → parquet keeps values bit-exact") {
     val src = spark.read.parquet(s"${sf()}/lineitem.parquet")
       .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")

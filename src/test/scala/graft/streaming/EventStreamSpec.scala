@@ -30,6 +30,31 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming dedup equals batch distinct on the key aggregate") {
+    val dir = sf("sf0.001")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val evDir = "/root/repo/target/test_stream_dedup_events"
+    raw.write.mode("overwrite").parquet(evDir)
+
+    val stream = spark.readStream.schema(raw.schema).parquet(evDir)
+    val dd = EventStream.dedupEvents(stream, Seq("user_id", "event_type"))
+    EventStream.runToMemory(dd, "dedup_out", mode = "append")
+    // which survivor is kept is order-dependent; the key SET is not
+    val streamed = spark.table("dedup_out")
+      .select("user_id", "event_type").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = EventStream.dedupEvents(raw, Seq("user_id", "event_type"))
+      .select("user_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // and dedup is exact: no key appears twice in the streamed output
+    assert(spark.table("dedup_out").count() ===
+      spark.table("dedup_out").select("user_id", "event_type").distinct().count())
+  }
+
   test("session windows produce plausible sessions in batch") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
