@@ -725,6 +725,17 @@ object SparkEntry {
           k = 5, nlist = 8, nprobe = 4)
       }),
 
+    // persisted IVF index: build once (partitioned by cell, centroids in
+    // the sidecar), search with static partition pruning — the 100 TB
+    // batch-ANN shape, same recall floor as the inline variant
+    "q_ann_ivf_index" -> ((s, dir) =>
+      annRecallCheck(s, dir, IvfRecallFloor) { (q, c) =>
+        Similarity.buildIvfIndex(c, "vec_id", "embedding",
+          tmp("q_ann_ivf_index"), nlist = 8)
+        Similarity.ivfSearchIndex(s, tmp("q_ann_ivf_index"), q,
+          "vec_id", "embedding", k = 5, nprobe = 4)
+      }),
+
     // LSH buckets are coarser than IVF cells (single-probe recall can hit 0
     // for an unlucky query), so the provable property is MEAN recall over
     // the query set, plus non-emptiness.
@@ -1244,6 +1255,10 @@ object SparkEntry {
           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_ann_ivf" ->
+        """SELECT DISTINCT CAST(vec_id AS BIGINT) AS query_id, true AS recall_ok
+          |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
+
+      "q_ann_ivf_index" ->
         """SELECT DISTINCT CAST(vec_id AS BIGINT) AS query_id, true AS recall_ok
           |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
 

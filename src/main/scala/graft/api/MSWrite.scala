@@ -228,8 +228,11 @@ object MSWrite {
       // minimal flat string→string JSON object parser (sidecars are ours).
       // Unescape in ONE left-to-right scan (sequential .replace calls would
       // corrupt e.g. backslash-then-'n') and decode the \uXXXX forms that
-      // the writer emits for control characters.
-      val pat = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+      // the writer emits for control characters. Plain-character runs are
+      // matched possessively ([^"\\]++): the per-character alternation form
+      // recurses once per char in java.util.regex and StackOverflows on
+      // multi-KB values (e.g. serialized IVF centroid tables).
+      val pat = """"((?:[^"\\]++|\\.)*)"\s*:\s*"((?:[^"\\]++|\\.)*)"""".r
       def unesc(s: String): String = {
         val b = new StringBuilder(s.length)
         var i = 0

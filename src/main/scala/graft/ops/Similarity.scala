@@ -64,6 +64,40 @@ object Similarity {
         col("col.id").as("neighbor_id"), round(col("col.score"), 6).as("cosine"))
       .orderBy("query_id", "rank")
 
+  /** Fit IVF centroids on a bounded corpus sample (k-means needs a
+    * representative sketch, not the full corpus) — the boxing toVec UDF
+    * runs only on the sample.
+    */
+  private def fitCentroids(corpusC: DataFrame, nlist: Int,
+                           fitSampleRows: Long): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.Vectors
+    val n = corpusC.count()
+    val frac = math.min(1.0, fitSampleRows.toDouble / math.max(n, 1L))
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val fitSet = (if (frac < 1.0) corpusC.sample(withReplacement = false, frac, 42L)
+                  else corpusC)
+      .withColumn("features", toVec(col("cv")))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+      .fit(fitSet)
+    model.clusterCenters.map(_.toArray)
+  }
+
+  /** The `nprobe` nearest cells for each query vector (tiny: centroids are
+    * a driver-side constant).
+    */
+  private def probeCellsUdf(centroids: Array[Array[Double]], nprobe: Int) =
+    udf((a: Seq[Float]) => {
+      val v = a.map(_.toDouble).toArray
+      centroids.zipWithIndex.map { case (c, i) =>
+        var d = 0d; var j = 0
+        while (j < math.min(c.length, v.length)) {
+          val t = c(j) - v(j); d += t * t; j += 1
+        }
+        (d, i)
+      }.sortBy(_._1).take(nprobe).map(_._2)
+    })
+
   /** IVF (inverted-file) approximate top-k: k-means the corpus into
     * `nlist` cells (MLlib KMeans, fixed seed), store each vector under its
     * cell id, probe the `nprobe` nearest cells per query. At 100 TB the
@@ -76,38 +110,75 @@ object Similarity {
               cIdCol: String, cVecCol: String,
               k: Int, nlist: Int, nprobe: Int,
               fitSampleRows: Long = 100000L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.Vectors
     val corpusC = corpus.select(col(cIdCol).as("neighbor_id"), col(cVecCol).as("cv"))
-    // fit centroids on a bounded sample (k-means needs a representative
-    // sketch, not the full corpus) — the boxing toVec UDF runs only there
-    val n = corpusC.count()
-    val frac = math.min(1.0, fitSampleRows.toDouble / math.max(n, 1L))
-    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
-    val fitSet = (if (frac < 1.0) corpusC.sample(withReplacement = false, frac, 42L)
-                  else corpusC)
-      .withColumn("features", toVec(col("cv")))
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
-      .fit(fitSet)
-    val centroids: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+    val centroids = fitCentroids(corpusC, nlist, fitSampleRows)
     // full-corpus cell assignment: one primitive-typed Catalyst expression
     // over the scan — no UDF, no MLlib row boxing
     val assigned = corpusC.withColumn("cell",
       graft.expr.VectorExprs.nearest_centroid(col("cv"), centroids))
-    val probeCells = udf((a: Seq[Float]) => {
-      val v = a.map(_.toDouble).toArray
-      centroids.zipWithIndex.map { case (c, i) =>
-        var d = 0d; var j = 0
-        while (j < math.min(c.length, v.length)) {
-          val t = c(j) - v(j); d += t * t; j += 1
-        }
-        (d, i)
-      }.sortBy(_._1).take(nprobe).map(_._2)
-    })
     val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))
-      .withColumn("cell", explode(probeCells(col("qv"))))
+      .withColumn("cell", explode(probeCellsUdf(centroids, nprobe)(col("qv"))))
     explodeTopK(
       assigned.join(broadcast(q), Seq("cell"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cosine", Dedup.cosine(col("qv"), col("cv"))), k)
+  }
+
+  // ------------------------------------------------ persisted IVF index
+
+  private val CentroidsKey = "__graft_ivf_centroids__"
+
+  /** Build and PERSIST an IVF index: fit centroids once, assign every
+    * corpus vector its cell, write the corpus partitioned by cell with the
+    * centroid table in the keyword sidecar. This is the batch-ANN shape at
+    * 100 TB — the expensive fit+assign runs once, and every later query
+    * batch reads only its probed cells' partition directories (static
+    * partition pruning, see [[ivfSearchIndex]]) instead of re-clustering
+    * the corpus per call the way [[ivfTopK]] does.
+    */
+  def buildIvfIndex(corpus: DataFrame, cIdCol: String, cVecCol: String,
+                    path: String, nlist: Int,
+                    fitSampleRows: Long = 100000L): Unit = {
+    val corpusC = corpus.select(col(cIdCol).as("neighbor_id"), col(cVecCol).as("cv"))
+    val centroids = fitCentroids(corpusC, nlist, fitSampleRows)
+    corpusC.withColumn("cell",
+        graft.expr.VectorExprs.nearest_centroid(col("cv"), centroids))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    val json = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    graft.api.MSWrite.putKeywords(corpus.sparkSession, path,
+      graft.api.MSWrite.readKeywords(corpus.sparkSession, path) +
+        (CentroidsKey -> json))
+  }
+
+  /** Centroids stored with an index by [[buildIvfIndex]]. */
+  def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Array[Array[Double]] = {
+    val json = graft.api.MSWrite.readKeywords(spark, path).getOrElse(CentroidsKey,
+      throw new IllegalArgumentException(s"no IVF centroids sidecar at $path"))
+    // [[a,b,...],[...]] — doubles round-trip exactly through toString
+    json.stripPrefix("[").stripSuffix("]").split("\\],\\[")
+      .map(_.replaceAll("[\\[\\]]", "").split(",").map(_.toDouble))
+  }
+
+  /** Query a persisted IVF index. The probed cell set (≤ queries × nprobe
+    * distinct values) is applied as a literal `isin` filter BEFORE the
+    * join, so Parquet partition pruning skips every unprobed cell
+    * directory — the scan cost is nprobe/nlist of the index regardless of
+    * corpus size.
+    */
+  def ivfSearchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, qIdCol: String, qVecCol: String,
+                     k: Int, nprobe: Int): DataFrame = {
+    val centroids = readIvfCentroids(spark, path)
+    val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))
+      .withColumn("cell", explode(probeCellsUdf(centroids, nprobe)(col("qv"))))
+    // queries are small by contract — collecting the probed cells gives a
+    // plan-time literal the scan can prune partitions with
+    val probed = q.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val corpus = spark.read.parquet(path)
+      .filter(col("cell").isin(probed: _*))
+    explodeTopK(
+      corpus.join(broadcast(q), Seq("cell"))
         .filter(col("neighbor_id") =!= col("query_id"))
         .withColumn("cosine", Dedup.cosine(col("qv"), col("cv"))), k)
   }

@@ -116,6 +116,38 @@ class ConvertSpec extends SparkSpec {
 class SimilarityIvfSpec extends SparkSpec {
   import spark.implicits._
 
+  test("persisted IVF index: partition-pruned search with high recall") {
+    val vecs = (0 until 200).map { i =>
+      val cluster = i % 5
+      val v = Array.tabulate(16)(j =>
+        (math.sin(cluster * 16 + j) + 0.01 * math.sin(i * 31 + j)).toFloat)
+      (i.toLong, v)
+    }.toDF("id", "vec")
+    val idx = "/root/repo/target/test_ivf_index"
+    graft.ops.Similarity.buildIvfIndex(vecs, "id", "vec", idx, nlist = 5)
+    // centroids round-trip through the sidecar
+    val cents = graft.ops.Similarity.readIvfCentroids(spark, idx)
+    assert(cents.length === 5 && cents.head.length === 16)
+
+    val queries = vecs.filter(col("id") < 5)
+    val got = graft.ops.Similarity.ivfSearchIndex(spark, idx, queries,
+      "id", "vec", k = 5, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = graft.ops.Similarity.bruteForceTopK(
+      queries, vecs, "id", "vec", "id", "vec", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (got intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall")
+
+    // the probed scan prunes partition directories at plan time
+    val probedScan = spark.read.parquet(idx).filter(col("cell").isin(0, 1))
+    val p = probedScan.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("cell") && (pf.contains("IN (0,1") || pf.contains("in(cell")),
+      s"cell isin must land in PartitionFilters:\n$p")
+  }
+
   test("IVF top-k: high recall vs brute force on clustered vectors") {
     // 5 clusters of 40 vectors each, 16-dim
     val vecs = (0 until 200).map { i =>
