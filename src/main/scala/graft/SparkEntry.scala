@@ -650,6 +650,17 @@ object SparkEntry {
         blockCols = Seq("lang"), n = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")),
 
+    // duplicate clusters: connected components over the (exact, oracle-
+    // checkable) ngram pair list; rep = min doc_id per component. The
+    // DuckDB oracle computes the same closure with a recursive CTE.
+    "q_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(T(s, dir, "documents"), "text",
+        "doc_id", blockCols = Seq("lang"), n = 3, threshold = 0.5)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("rep"))
+        .orderBy("doc_id")
+    }),
+
     // Derived check: quarter-blocking is COMPLETE for hamming ≤ 3
     // (pigeonhole), so the blocked result must EQUAL the brute-force
     // all-pairs result — asserted both directions.
@@ -1238,6 +1249,33 @@ object SparkEntry {
           |       - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)) >= 0.5
           |  AND len(a.s) + len(b.s) > 0
           |ORDER BY 1, 2""".stripMargin,
+
+      "q_dedup_clusters" ->
+        """WITH RECURSIVE sh AS (
+          |  SELECT doc_id, lang,
+          |    list_distinct([array_to_string(toks[i:i+2], ' ')
+          |                   FOR i IN range(1, len(toks) - 1)]) AS s
+          |  FROM (SELECT doc_id, lang,
+          |          string_split_regex(trim(lower(text)), '\s+') AS toks
+          |        FROM documents)
+          |),
+          |prs AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+          |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          |      / (CAST(len(a.s) + len(b.s) AS DOUBLE)
+          |         - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)) >= 0.5
+          |    AND len(a.s) + len(b.s) > 0
+          |),
+          |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+          |          UNION ALL SELECT id_b, id_a FROM prs),
+          |reach AS (
+          |  SELECT src, dst FROM edges
+          |  UNION
+          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+          |)
+          |SELECT src AS doc_id, least(src, min(dst)) AS rep
+          |FROM reach GROUP BY src ORDER BY 1""".stripMargin,
 
       // Derived-check constants: the engine side must PROVE each named
       // property (see the matching `queries` entries) to hash-match these.

@@ -233,6 +233,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Connected components over an undirected duplicate-pair list — the
+    * clustering step that follows the pair generators in a dedup pipeline
+    * (pairs say "a dups b"; the pipeline needs "keep ONE representative
+    * per duplicate cluster", which is the component representative).
+    *
+    * Min-label propagation to a fixpoint: each iteration is one shuffle
+    * (edge join + min agg) and lineage is cut with localCheckpoint so the
+    * loop costs iterations × one join, not exponential plan growth.
+    * Converges in O(component diameter) iterations — dup clusters are
+    * near-cliques from LSH pairs, so diameter is small; a billion-node
+    * forest of long chains would want the large-star/small-star variant,
+    * which this signature accommodates later. Returns (id, rep) with
+    * rep = min id in the component.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val fwd = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbr = edges
+        .join(labels.select(col("id").as("dst"), col("rep").as("nrep")), "dst")
+        .groupBy(col("src").as("id")).agg(min("nrep").as("nbrRep"))
+      val next = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("nbrRep"), col("rep"))).as("rep"))
+        .localCheckpoint()
+      converged = next.alias("n").join(labels.alias("o"), Seq("id"))
+        .filter(col("n.rep") =!= col("o.rep")).isEmpty
+      labels = next
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter iterations")
+    labels
+  }
+
   // ---------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over word tokens: per-bit weighted vote of

@@ -72,6 +72,34 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("min-label propagation finds components incl. chains") {
+    // chain 1-2-3-4 (diameter 3), pair (7,8), singleton edge (10,10 not given)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("clusters over real dup pairs pick min-id representatives") {
+    val docs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "the quick brown fox jumps over the lazy dog"),
+      (12L, "the quick brown fox jumps over a lazy dog"),
+      (20L, "completely different content about spark engines"),
+      (21L, "completely different content about spark engines"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      blockCols = Nil, n = 1, threshold = 0.5)
+    val reps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(reps(11L) === 10L && reps(12L) === 10L && reps(21L) === 20L)
+  }
+}
+
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
