@@ -36,5 +36,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (exprs: Seq[Expression]) => SimHash64(exprs(0))))
+    e.injectFunction((FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (exprs: Seq[Expression]) => RollingHash(exprs(0))))
+    e.injectFunction((FunctionIdentifier("band_hashes"),
+      new ExpressionInfo(classOf[BandHashes].getName, "band_hashes"),
+      (exprs: Seq[Expression]) =>
+        BandHashes(exprs(0), intLit(exprs(1), "band count"))))
   }
 }

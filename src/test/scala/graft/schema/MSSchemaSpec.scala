@@ -74,6 +74,14 @@ class ExtensionsSpec extends SparkSpec {
     assert(r === r2)
   }
 
+  test("rolling_hash and band_hashes are SQL-callable after registration") {
+    org.apache.spark.sql.graft.ColumnShim.registerFunction(spark, "rolling_hash_t",
+      exprs => graft.expr.VectorExprs.RollingHash(exprs.head))
+    val h = spark.sql("SELECT rolling_hash_t('abc') AS h").head().getLong(0)
+    // 'a'*31^2 + 'b'*31 + 'c' mod 1e9+7
+    assert(h === (('a' * 31L + 'b') * 31L + 'c') % 1000000007L)
+  }
+
   test("GraftExtensions injects functions on a fresh session") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
