@@ -65,6 +65,9 @@ object RecallProbe {
       pairStats("embed_lsh",
         Dedup.embeddingNearDupLSH(emb, "embedding", "vec_id", 0.4, 4, 64).select("id_a", "id_b"),
         Dedup.embeddingNearDup(emb, "embedding", "vec_id", 0.4, Nil).select("id_a", "id_b"))
+      pairStats("semdedup",
+        Similarity.semDedupPairs(emb, "embedding", "vec_id", 0.4, nlist = 8).select("id_a", "id_b"),
+        Dedup.embeddingNearDup(emb, "embedding", "vec_id", 0.4, Nil).select("id_a", "id_b"))
       val sigs = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("sig"))
       val allSim = sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
         .crossJoin(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")))

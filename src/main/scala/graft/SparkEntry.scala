@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.api.{ConvertApp, MSTable, MSWrite, ReadSpec}
 import graft.expr.{ComplexFns, Expressions, Taql}
-import graft.ops.{AsOfJoin, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{AsOfJoin, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.streaming.EventStream
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -51,6 +51,7 @@ object SparkEntry {
   private val LshRecallFloor = 0.25 // mean over queries; measured ≥ 0.375
   private val MinhashRecallFloor = 0.7 // measured 1.000 at all SFs
   private val EmbedLshRecallFloor = 0.08 // measured 0.136–0.157
+  private val SemDedupRecallFloor = 0.25 // measured 0.368–0.530 (all SFs)
 
   /** Derived-check rows for operators whose internals (xxhash64 MinHash,
     * k-means cells, hyperplane buckets) no SQL oracle can reproduce: the
@@ -800,6 +801,91 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.fingerprintExpr("text").as("fingerprint"))
         .orderBy("doc_id")),
 
+    // Gopher-style repetition metrics (scan-side codegen NgramProfile pass)
+    "q_text_repetition" -> ((s, dir) =>
+      T(s, dir, "documents").select(
+          col("doc_id"),
+          round(TextAnalysis.topNgramFrac(col("text"), 1), 6).as("top_word_frac"),
+          round(TextAnalysis.dupNgramFrac(col("text"), 2), 6).as("dup_bigram_frac"),
+          round(TextAnalysis.topNgramFrac(col("text"), 2), 6).as("top_bigram_frac"),
+          round(TextAnalysis.dupNgramFrac(col("text"), 3), 6).as("dup_trigram_frac"))
+        .orderBy("doc_id")),
+
+    // composite quality filter: first failing Gopher/quality rule names the
+    // drop reason
+    "q_text_filter" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.filterReason(col("text")).as("reason"))
+        .orderBy("doc_id")),
+
+    // PII redaction: the corpus text carries no PII, so both sides append
+    // the same deterministic doc_id-derived email/phone/IP/SSN suffix and
+    // the redaction + per-pattern counts are checked on the augmented text
+    "q_text_pii" -> ((s, dir) => {
+      val aug = concat(col("text"),
+        lit(" contact u"), col("doc_id").cast("string"), lit("@mail.example.org"),
+        lit(" tel 555-210-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" host 10.2."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".7"),
+        lit(" ssn 987-65-4321"))
+      val counts = TextAnalysis.piiCounts(aug).map {
+        case (n, c) => c.cast("int").as(n)
+      }
+      T(s, dir, "documents").select(
+          (Seq(col("doc_id"),
+            md5(TextAnalysis.redactPii(aug)).as("redacted_md5")) ++ counts): _*)
+        .orderBy("doc_id")
+    }),
+
+    // deterministic stratified sampling (mixture weights by lang; the md5
+    // bucket is bit-reproducible in any engine)
+    "q_sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(T(s, dir, "documents"), "doc_id", "lang",
+        Seq("en" -> 0.3, "zh" -> 0.1), defaultRate = 0.5)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
+    // benchmark decontamination: docs sharing any word 4-gram with the
+    // doc_id % 29 == 0 "eval suite" slice
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 29 =!= 0),
+        docs.filter(col("doc_id") % 29 === 0),
+        "text", "doc_id", n = 4)
+        .orderBy("doc_id")
+    }),
+
+    // greedy sequence packing into 128-token training windows per source
+    "q_pack_sequences" -> ((s, dir) =>
+      Sampling.packSequences(T(s, dir, "documents"), "source", "doc_id",
+        TextAnalysis.tokenCount(col("text")), maxTokens = 128)
+        .orderBy("source", "doc_id")),
+
+    // SemDeDup derived check: cluster-blocked pairs must be an exact-cosine
+    // subset of the all-pairs baseline (precision 1.0), recover the
+    // measured recall floor, and the keep-filter must actually prune
+    "q_dedup_semantic" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val sem = pin(Similarity.semDedupPairs(emb, "embedding", "vec_id",
+        threshold = 0.4, nlist = 8).select("id_a", "id_b"))
+      val exact = pin(Dedup.embeddingNearDup(emb, "embedding", "vec_id",
+        threshold = 0.4, Nil).select("id_a", "id_b"))
+      val kept = Similarity.semDedupKeep(emb, "embedding", "vec_id",
+        threshold = 0.4, nlist = 8)
+      val keys = Seq("id_a", "id_b")
+      val one = sem.agg(count(lit(1)).as("n_sem"))
+        .crossJoin(sem.join(exact, keys, "left_anti").agg(count(lit(1)).as("n_bad")))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .crossJoin(exact.join(sem, keys, "left_anti").agg(count(lit(1)).as("n_miss")))
+        .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+        .crossJoin(emb.agg(count(lit(1)).as("n_emb")))
+      checkRows(one,
+        "pairs_nonempty" -> (col("n_sem") >= 1),
+        "precision_exact" -> (col("n_bad") === 0),
+        "recall_floor" ->
+          (col("n_miss").cast("double") <= col("n_exact") * (1 - SemDedupRecallFloor)),
+        "keep_prunes" -> (col("n_kept") < col("n_emb") && col("n_kept") >= 1))
+    }),
+
     // ===== §1.3/S5: N-d tensor cells + dim slicing =======================
     // DATA(chan=4, corr=2) cells built per lineitem row; mean amplitude over
     // all cells, and over the chan-sliced first two channels (S5 getcolslice)
@@ -1410,6 +1496,159 @@ object SparkEntry {
           |FROM documents
           |WHERE regexp_matches(text, '^[ -~]*$')
           |ORDER BY doc_id""".stripMargin,
+
+      "q_text_repetition" ->
+        """WITH t AS (
+          |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+          |  FROM documents
+          |), g AS (
+          |  SELECT doc_id, toks,
+          |    [array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))] AS g2,
+          |    [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)] AS g3
+          |  FROM t
+          |)
+          |SELECT doc_id,
+          |  round(CAST((SELECT max(c) FROM (SELECT count(*) AS c
+          |      FROM unnest(toks) AS u(w) GROUP BY w)) AS DOUBLE)
+          |    / len(toks), 6) AS top_word_frac,
+          |  round(CASE WHEN len(g2) = 0 THEN 0.0
+          |    ELSE 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) END,
+          |    6) AS dup_bigram_frac,
+          |  round(CASE WHEN len(g2) = 0 THEN 0.0
+          |    ELSE CAST((SELECT max(c) FROM (SELECT count(*) AS c
+          |        FROM unnest(g2) AS u(w) GROUP BY w)) AS DOUBLE) / len(g2) END,
+          |    6) AS top_bigram_frac,
+          |  round(CASE WHEN len(g3) = 0 THEN 0.0
+          |    ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) END,
+          |    6) AS dup_trigram_frac
+          |FROM g ORDER BY doc_id""".stripMargin,
+
+      "q_text_filter" ->
+        """WITH base AS (
+          |  SELECT doc_id, text,
+          |    string_split_regex(trim(lower(text)), '\s+') AS toks,
+          |    CASE WHEN length(trim(text)) = 0 THEN 0
+          |         ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS nt
+          |  FROM documents
+          |), g AS (
+          |  SELECT doc_id, text, toks, nt,
+          |    [array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))] AS g2,
+          |    [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)] AS g3
+          |  FROM base
+          |), m AS (
+          |  SELECT doc_id, nt,
+          |    CAST((SELECT max(c) FROM (SELECT count(*) AS c
+          |        FROM unnest(toks) AS u(w) GROUP BY w)) AS DOUBLE)
+          |      / len(toks) AS topw,
+          |    CASE WHEN len(g2) = 0 THEN 0.0
+          |      ELSE 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) END AS dup2,
+          |    CASE WHEN len(g3) = 0 THEN 0.0
+          |      ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) END AS dup3,
+          |    CASE WHEN length(text) = 0 THEN 0.0
+          |         ELSE CAST(length(regexp_replace(text,
+          |                '[^.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
+          |              / CAST(length(text) AS DOUBLE) END AS pr,
+          |    CASE WHEN length(text) = 0 THEN 0.0
+          |         ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+          |                AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS dr,
+          |    CASE WHEN nt = 0 THEN 0.0
+          |         ELSE CAST(len(list_intersect(toks,
+          |                ['the','a','and','of','to','in','is','that','it','for']))
+          |                AS DOUBLE) / CAST(nt AS DOUBLE) END AS sr,
+          |    CASE WHEN nt = 0 THEN 0.0
+          |         ELSE CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+          |              / CAST(nt AS DOUBLE) END AS mwl
+          |  FROM g
+          |), q AS (
+          |  SELECT doc_id, nt, topw, dup2, dup3,
+          |    round(greatest(0.0, least(1.0,
+          |      least(CAST(nt AS DOUBLE) / 50.0, 1.0) * 0.3
+          |      + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.3
+          |      + least(sr * 4.0, 1.0) * 0.4
+          |      - (pr + dr))), 6) AS quality
+          |  FROM m
+          |)
+          |SELECT doc_id,
+          |  CASE WHEN nt < 15 THEN 'too_short'
+          |       WHEN topw > 0.15 THEN 'top_word_frac'
+          |       WHEN dup2 > 0.08 THEN 'dup_bigram_frac'
+          |       WHEN dup3 > 0.03 THEN 'dup_trigram_frac'
+          |       WHEN quality < 0.3 THEN 'low_quality'
+          |       ELSE 'keep' END AS reason
+          |FROM q ORDER BY doc_id""".stripMargin,
+
+      "q_text_pii" -> {
+        // DuckDB string literals keep backslashes verbatim — interpolate the
+        // Java-side patterns unescaped (the regex subset is RE2-compatible)
+        val redacted = TextAnalysis.piiPatterns.foldLeft("aug") {
+          case (t, (_, re, token)) =>
+            s"regexp_replace($t, '$re', '$token', 'g')"
+        }
+        // counts run on the progressively-redacted text, like the engine
+        val (countSelects, _) =
+          TextAnalysis.piiPatterns.foldLeft((Seq.empty[String], "aug")) {
+            case ((acc, t), (name, re, token)) =>
+              (acc :+ s"CAST(len(regexp_extract_all($t, '$re')) AS INTEGER) AS n_$name",
+                s"regexp_replace($t, '$re', '$token', 'g')")
+          }
+        s"""WITH a AS (
+           |  SELECT doc_id,
+           |    text || ' contact u' || CAST(doc_id AS VARCHAR)
+           |      || '@mail.example.org'
+           |      || ' tel 555-210-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           |      || ' host 10.2.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+           |      || ' ssn 987-65-4321' AS aug
+           |  FROM documents
+           |)
+           |SELECT doc_id, md5($redacted) AS redacted_md5,
+           |  ${countSelects.mkString(",\n  ")}
+           |FROM a ORDER BY doc_id""".stripMargin
+      },
+
+      "q_sample_stratified" ->
+        s"""SELECT doc_id, lang FROM documents
+           |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+           |  CASE WHEN lang = 'en' THEN '${Sampling.thresholdHex(0.3)}'
+           |       WHEN lang = 'zh' THEN '${Sampling.thresholdHex(0.1)}'
+           |       ELSE '${Sampling.thresholdHex(0.5)}' END
+           |ORDER BY doc_id""".stripMargin,
+
+      "q_decontaminate" ->
+        """WITH sh AS (
+          |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+3], ' ')
+          |                  FOR i IN range(1, len(toks) - 2)]) AS s
+          |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+          |        FROM documents)
+          |), bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 29 = 0),
+          |corp AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 29 != 0)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+          |FROM corp JOIN bench USING (g)
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "q_pack_sequences" ->
+        """WITH RECURSIVE t AS (
+          |  SELECT source, doc_id,
+          |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+          |         ELSE len(string_split_regex(trim(lower(text)), '\s+')) END
+          |      AS INTEGER) AS nt,
+          |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+          |  FROM documents
+          |), p AS (
+          |  SELECT source, doc_id, nt, rn, nt AS cum, 1 AS pack_id
+          |  FROM t WHERE rn = 1
+          |  UNION ALL
+          |  SELECT t.source, t.doc_id, t.nt, t.rn,
+          |    CASE WHEN p.cum + t.nt > 128 THEN t.nt ELSE p.cum + t.nt END,
+          |    CASE WHEN p.cum + t.nt > 128 THEN p.pack_id + 1 ELSE p.pack_id END
+          |  FROM p JOIN t ON t.source = p.source AND t.rn = p.rn + 1
+          |)
+          |SELECT source, doc_id, nt AS n_tokens,
+          |  CAST(pack_id AS INTEGER) AS pack_id, CAST(cum AS INTEGER) AS pack_cum
+          |FROM p ORDER BY source, doc_id""".stripMargin,
+
+      "q_dedup_semantic" ->
+        checksOracle("pairs_nonempty", "precision_exact", "recall_floor",
+          "keep_prunes"),
 
       "q_s5_tensor" -> {
         val terms = for (c <- 0 to 3; p <- 0 to 1) yield

@@ -250,6 +250,67 @@ object VectorExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** N-gram profile kernel shared by interpreted eval and generated code:
+    * hash every word n-gram position (NOT distinct — multiplicities matter
+    * here, unlike [[HashedShingles]]), sort, and scan runs once for
+    * (total, n_distinct, top_count). Counts equal those over the string
+    * n-grams themselves modulo 64-bit collisions.
+    */
+  def ngramProfileKernel(arr: ArrayData, n: Int)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val m = arr.numElements()
+    val tokHash = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val t = arr.getUTF8String(i)
+      tokHash(i) = if (t == null) 42L else XXH64.hashUTF8String(t, 42L)
+      i += 1
+    }
+    val cnt = math.max(m - n + 1, 0)
+    val out = new Array[Long](cnt)
+    i = 0
+    while (i < cnt) {
+      var h = 42L
+      var j = 0
+      while (j < n) { h = XXH64.hashLong(tokHash(i + j), h); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var distinct = 0; var top = 0; var run = 0
+    i = 0
+    while (i < cnt) {
+      if (i == 0 || out(i) != out(i - 1)) { distinct += 1; run = 1 }
+      else run += 1
+      if (run > top) top = run
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](cnt, distinct, top))
+  }
+
+  /** Per-document n-gram repetition profile over a token array:
+    * struct(total, n_distinct, top_count) — the inputs to the Gopher-style
+    * repetition quality filters (duplicate-n-gram fraction, most-frequent-
+    * n-gram fraction). One primitive-typed pass per row; codegen'd via the
+    * static kernel, same pattern as [[VecCosine]].
+    */
+  case class NgramProfile(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("total", IntegerType, nullable = false),
+      StructField("n_distinct", IntegerType, nullable = false),
+      StructField("top_count", IntegerType, nullable = false)))
+    override def nullSafeEval(input: Any): Any =
+      ngramProfileKernel(input.asInstanceOf[ArrayData], n)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expr.VectorExprs$$.MODULE$$.ngramProfileKernel($c, $n);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** SimHash kernel shared by interpreted eval and generated code. */
   def simhashKernel(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
@@ -301,4 +362,6 @@ object VectorExprs {
     toColumn(SimHash64(toExpression(hashedTokens)))
   def rolling_hash(text: Column): Column =
     toColumn(RollingHash(toExpression(text)))
+  def ngram_profile(tokens: Column, n: Int): Column =
+    toColumn(NgramProfile(toExpression(tokens), n))
 }

@@ -233,6 +233,36 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Benchmark decontamination: flag corpus documents that share at least
+    * one word `n`-gram with any document in `bench` (the eval-suite side) —
+    * the standard n-gram-overlap contamination check run before training.
+    * Returns (idCol, n_shared) for contaminated documents, where n_shared
+    * counts the distinct benchmark n-grams present in the document.
+    *
+    * Scale shape: the benchmark set is small (eval suites are KBs–MBs
+    * against a 100 TB corpus), so its distinct gram set is broadcast and
+    * the corpus side is a scan → explode → broadcast-hash-join → partial
+    * agg — no all-to-all shuffle of corpus grams. Grams travel as hashed
+    * longs ([[shingleFrame]]); counts match string n-grams modulo 64-bit
+    * collisions.
+    */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, textCol: String,
+                    idCol: String, n: Int): DataFrame = {
+    val corpusGrams = shingleFrame(corpus, textCol, idCol, Nil, n)
+      .select(col(idCol), explode(col("sh")).as("__g"))
+    val benchGrams = shingleFrame(bench, textCol, idCol, Nil, n)
+      .select(explode(col("sh")).as("__g")).distinct()
+    corpusGrams.join(broadcast(benchGrams), "__g")
+      // sh is distinct per document, so plain count = distinct grams shared
+      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Decontamination filter: corpus rows with no benchmark n-gram overlap. */
+  def decontaminateKeep(corpus: DataFrame, bench: DataFrame, textCol: String,
+                        idCol: String, n: Int): DataFrame =
+    corpus.join(decontaminate(corpus, bench, textCol, idCol, n).select(idCol),
+      Seq(idCol), "left_anti")
+
   /** Connected components over an undirected duplicate-pair list — the
     * clustering step that follows the pair generators in a dedup pipeline
     * (pairs say "a dups b"; the pipeline needs "keep ONE representative

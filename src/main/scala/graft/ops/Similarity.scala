@@ -124,6 +124,43 @@ object Similarity {
         .withColumn("cosine", Dedup.cosine(col("qv"), col("cv"))), k)
   }
 
+  // --------------------------------------------------------------- SemDeDup
+
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023):
+    * k-means the embedding space into `nlist` cells, then compare only
+    * within-cell pairs for cosine ≥ `threshold`. The clustering is the
+    * blocking structure — pair cost drops from n² to Σ|cell|², and recall
+    * is bounded by how often true near-dups land in the same cell (the
+    * paper's tradeoff; raise `nlist` for speed, lower it for recall).
+    *
+    * Returns (id_a, id_b, cosine) pairs; feed them to
+    * [[Dedup.connectedComponents]] + an anti-join to prune, as
+    * [[semDedupKeep]] does.
+    */
+  def semDedupPairs(emb: DataFrame, vecCol: String, idCol: String,
+                    threshold: Double, nlist: Int,
+                    fitSampleRows: Long = 100000L): DataFrame = {
+    val embC = emb.select(col(idCol), col(vecCol).as("cv"))
+    val centroids = fitCentroids(embC, nlist, fitSampleRows)
+    val assigned = embC
+      .withColumn("__cell",
+        graft.expr.VectorExprs.nearest_centroid(col("cv"), centroids))
+      .select(col(idCol), col("cv").as(vecCol), col("__cell"))
+    Dedup.embeddingNearDup(assigned, vecCol, idCol, threshold, Seq("__cell"))
+  }
+
+  /** SemDeDup pruning: keep one representative (min id) per semantic
+    * duplicate cluster; rows with no near-dup pass through.
+    */
+  def semDedupKeep(emb: DataFrame, vecCol: String, idCol: String,
+                   threshold: Double, nlist: Int): DataFrame = {
+    val pairs = semDedupPairs(emb, vecCol, idCol, threshold, nlist)
+    val drop = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("id") =!= col("rep"))
+      .select(col("id").as(idCol))
+    emb.join(drop, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------ persisted IVF index
 
   private val CentroidsKey = "__graft_ivf_centroids__"

@@ -104,6 +104,95 @@ object TextAnalysis {
   def fingerprintExpr(textCol: String): Column =
     graft.expr.VectorExprs.rolling_hash(col(textCol))
 
+  // ------------------------------------------------- repetition (Gopher)
+
+  /** Per-document n-gram repetition profile:
+    * struct(total, n_distinct, top_count) over word n-grams, computed by
+    * the codegen [[graft.expr.VectorExprs.NgramProfile]] expression (one
+    * primitive pass per row — no per-element lambdas, no shuffle; these
+    * are scan-side columns at 100 TB).
+    */
+  def ngramProfile(text: Column, n: Int): Column =
+    graft.expr.VectorExprs.ngram_profile(tokens(text), n)
+
+  /** Fraction of word n-gram occurrences taken by the single most frequent
+    * n-gram (Gopher's "top n-gram fraction", token-based).
+    */
+  def topNgramFrac(text: Column, n: Int): Column = {
+    val p = ngramProfile(text, n)
+    when(p("total") === 0, lit(0d))
+      .otherwise(p("top_count").cast("double") / p("total").cast("double"))
+  }
+
+  /** Fraction of word n-gram occurrences that are repeats of an earlier
+    * occurrence (Gopher's "duplicate n-gram fraction", token-based).
+    */
+  def dupNgramFrac(text: Column, n: Int): Column = {
+    val p = ngramProfile(text, n)
+    when(p("total") === 0, lit(0d))
+      .otherwise((p("total") - p("n_distinct")).cast("double") /
+        p("total").cast("double"))
+  }
+
+  /** Gopher-style repetition metrics frame: most-frequent-word fraction,
+    * duplicate/most-frequent bigram fractions, duplicate trigram fraction.
+    */
+  def repetitionMetrics(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("top_word_frac", topNgramFrac(t, 1))
+      .withColumn("dup_bigram_frac", dupNgramFrac(t, 2))
+      .withColumn("top_bigram_frac", topNgramFrac(t, 2))
+      .withColumn("dup_trigram_frac", dupNgramFrac(t, 3))
+  }
+
+  /** Composite quality-filter verdict in the Gopher style: first failing
+    * rule names the drop reason, `keep` when none fail. Thresholds are
+    * calibrated to this corpus's measured distributions (top_word_frac
+    * 0.05–0.30 median 0.09; dup_bigram 0–0.13 median 0.03) so the filter
+    * discriminates rather than passing or dropping everything.
+    */
+  def filterReason(text: Column): Column =
+    when(tokenCount(text) < 15, "too_short")
+      .when(topNgramFrac(text, 1) > 0.15, "top_word_frac")
+      .when(dupNgramFrac(text, 2) > 0.08, "dup_bigram_frac")
+      .when(dupNgramFrac(text, 3) > 0.03, "dup_trigram_frac")
+      .when(qualityScore(text) < 0.3, "low_quality")
+      .otherwise("keep")
+
+  // --------------------------------------------------------- PII redaction
+
+  /** PII patterns, applied in this order (email first — it contains dots
+    * and digits that the later patterns could nibble; IP before phone so a
+    * dotted quad is not half-eaten as a dotted phone). The regex subset is
+    * portable between Java (Spark) and RE2 (DuckDB/Go): no backrefs, no
+    * lookarounds.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"))
+
+  /** Redact all PII patterns to their placeholder tokens. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (t, (_, re, token)) =>
+      regexp_replace(t, re, token)
+    }
+
+  /** Per-pattern match counts (`n_email`, `n_ip`, …), counted on the same
+    * progressively-redacted text the replacement sees, so overlapping
+    * patterns are attributed exactly like [[redactPii]] redacts them.
+    */
+  def piiCounts(text: Column): Seq[(String, Column)] = {
+    val (counts, _) = piiPatterns.foldLeft((Seq.empty[(String, Column)], text)) {
+      case ((acc, t), (name, re, token)) =>
+        (acc :+ (s"n_$name" -> regexp_count(t, lit(re))),
+          regexp_replace(t, re, token))
+    }
+    counts
+  }
+
   /** Full analysis frame over a documents table. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

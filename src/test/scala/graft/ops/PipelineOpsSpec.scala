@@ -1,0 +1,208 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Specs for the round-6 training-pipeline operators: repetition metrics,
+  * PII redaction, deterministic sampling, sequence packing, benchmark
+  * decontamination, SemDeDup.
+  */
+class RepetitionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ngram repetition fractions match hand counts") {
+    val df = Seq((1L, "a b a b a")).toDF("doc_id", "text")
+    val r = df.select(
+      TextAnalysis.topNgramFrac(col("text"), 1).as("tw"),
+      TextAnalysis.dupNgramFrac(col("text"), 2).as("d2"),
+      TextAnalysis.topNgramFrac(col("text"), 2).as("t2"),
+      TextAnalysis.dupNgramFrac(col("text"), 3).as("d3")).head()
+    // tokens a,b,a,b,a: top word 3/5; bigrams {ab,ba,ab,ba}: dup 2/4, top 2/4;
+    // trigrams {aba,bab,aba}: dup 1/3
+    assert(r.getDouble(0) === 0.6)
+    assert(r.getDouble(1) === 0.5)
+    assert(r.getDouble(2) === 0.5)
+    assert(math.abs(r.getDouble(3) - 1.0 / 3) < 1e-12)
+  }
+
+  test("short texts: n-gram windows beyond length give zero, not NaN") {
+    val df = Seq((1L, "solo")).toDF("doc_id", "text")
+    val r = df.select(
+      TextAnalysis.topNgramFrac(col("text"), 1).as("t1"),
+      TextAnalysis.dupNgramFrac(col("text"), 2).as("d2")).head()
+    assert(r.getDouble(0) === 1.0) // one token, itself the top
+    assert(r.getDouble(1) === 0.0) // no bigrams at all
+  }
+
+  test("filterReason rule precedence: first failing rule names the drop") {
+    val docs = Seq(
+      (1L, "a b a b a"), // 5 tokens -> too_short
+      // 16 tokens, one word 4x -> top_word_frac 0.25 fires before dup rules
+      (2L, "x x x x b c d e f g h i j k l m")
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+      TextAnalysis.filterReason(col("text")).as("reason"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "too_short")
+    assert(out(2L) === "top_word_frac")
+  }
+
+  test("real corpus: filter discriminates (keeps some, drops some)") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val byReason = docs.select(TextAnalysis.filterReason(col("text")).as("r"))
+      .groupBy("r").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byReason.getOrElse("keep", 0L) > 0, s"nothing kept: $byReason")
+    assert(byReason.size > 1, s"filter dropped nothing: $byReason")
+  }
+}
+
+class PiiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def redact(s: String): String =
+    Seq(s).toDF("t").select(TextAnalysis.redactPii(col("t"))).head().getString(0)
+
+  test("redacts email, ip, ssn, phone to placeholder tokens") {
+    assert(redact("mail bob.smith@corp.io now") === "mail <EMAIL> now")
+    assert(redact("host 10.0.0.1 up") === "host <IP> up")
+    assert(redact("ssn 123-45-6789.") === "ssn <SSN>.")
+    assert(redact("call 555-123-4567 or 555.123.4567") ===
+      "call <PHONE> or <PHONE>")
+  }
+
+  test("pattern order: IP is not half-eaten as a dotted phone") {
+    assert(redact("ping 192.168.100.200 then 123.456.7890") ===
+      "ping <IP> then <PHONE>")
+  }
+
+  test("piiCounts counts per pattern on progressively-redacted text") {
+    val s = "a@b.co c@d.org 10.0.0.1 555-123-4567"
+    val counts = Seq(s).toDF("t")
+      .select(TextAnalysis.piiCounts(col("t")).map { case (n, c) => c.as(n) }: _*)
+      .head()
+    assert(counts.getInt(0) === 2) // emails
+    assert(counts.getInt(1) === 1) // ip
+    assert(counts.getInt(2) === 0) // ssn
+    assert(counts.getInt(3) === 1) // phone
+  }
+}
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("threshold hex encodes the keep fraction") {
+    assert(Sampling.thresholdHex(0.5) === "80000000")
+    assert(Sampling.thresholdHex(0.0) === "00000000")
+    assert(Sampling.thresholdHex(1.0) === "g") // keeps even hash ffffffff
+  }
+
+  test("deterministic sample: exact edge fractions, ~binomial middle, stable") {
+    val ids = (0L until 1000L).toDF("id")
+    assert(Sampling.deterministicSample(ids, "id", 1.0).count() === 1000)
+    assert(Sampling.deterministicSample(ids, "id", 0.0).count() === 0)
+    val n = Sampling.deterministicSample(ids, "id", 0.5).count()
+    assert(n > 400 && n < 600, s"p=0.5 kept $n of 1000")
+    val a = Sampling.deterministicSample(ids, "id", 0.3).select("id").collect().toSet
+    val b = Sampling.deterministicSample(ids, "id", 0.3).select("id").collect().toSet
+    assert(a === b)
+    // nested property: the p=0.3 sample is a subset of the p=0.5 sample
+    // (same hash, larger threshold) — the reproducibility guarantee that
+    // makes ablation subsets consistent
+    val big = Sampling.deterministicSample(ids, "id", 0.5).select("id").collect().toSet
+    assert(a.subsetOf(big))
+  }
+
+  test("stratified sample applies per-stratum rates") {
+    val rows = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val out = Sampling.stratifiedSample(rows, "id", "lang",
+      Seq("en" -> 0.1), defaultRate = 0.9)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.getOrElse("en", 0L) < 200, s"en rate 0.1: $out")
+    assert(out.getOrElse("de", 0L) > 800, s"de rate 0.9: $out")
+  }
+
+  test("greedy packing respects the token budget; oversize doc gets own pack") {
+    val docs = Seq(
+      ("s", 1L, 50), ("s", 2L, 60), ("s", 3L, 30), ("s", 4L, 128), ("s", 5L, 5),
+      ("t", 1L, 200), ("t", 2L, 10)
+    ).map { case (g, i, nt) => (g, i, ("w " * nt).trim) }.toDF("src", "id", "text")
+    val out = Sampling.packSequences(docs, "src", "id",
+      TextAnalysis.tokenCount(col("text")), maxTokens = 128)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getInt(3), r.getInt(4))).toMap
+    assert(out(("s", 1L)) === (1, 50))
+    assert(out(("s", 2L)) === (1, 110))
+    assert(out(("s", 3L)) === (2, 30)) // 110+30 > 128
+    assert(out(("s", 4L)) === (3, 128)) // exactly the budget
+    assert(out(("s", 5L)) === (4, 5)) // 128+5 > 128
+    assert(out(("t", 1L)) === (1, 200)) // oversize doc: own pack
+    assert(out(("t", 2L)) === (2, 10))
+  }
+
+  test("packing is per-group: pack ids restart per source") {
+    val docs = (0L until 40L).map(i => (s"src${i % 4}", i, "a b c d e"))
+      .toDF("src", "id", "text")
+    val out = Sampling.packSequences(docs, "src", "id",
+      TextAnalysis.tokenCount(col("text")), maxTokens = 12)
+    // 10 docs x 5 tokens per source, cap 12 -> 2 docs per pack, 5 packs each
+    val packs = out.groupBy("src", "pack_id").count()
+    assert(packs.count() === 20)
+    assert(packs.agg(max("count")).head().getLong(0) === 2)
+    assert(out.agg(max("pack_cum")).head().getInt(0) <= 12)
+  }
+}
+
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("flags docs sharing a word 4-gram with the benchmark; keep drops them") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "zzz alpha beta gamma delta yyy"), // shares "alpha beta gamma delta"
+      (2L, "totally unrelated words here now"),
+      (3L, "alpha beta gamma delta epsilon tail") // shares both bench 4-grams
+    ).toDF("doc_id", "text")
+    val hits = Dedup.decontaminate(corpus, bench, "text", "doc_id", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.keySet === Set(1L, 3L))
+    assert(hits(1L) === 1 && hits(3L) === 2)
+    val kept = Dedup.decontaminateKeep(corpus, bench, "text", "doc_id", n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L))
+  }
+
+  test("real corpus: the % 29 benchmark slice contaminates a strict subset") {
+    val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val out = Dedup.decontaminate(
+      docs.filter(col("doc_id") % 29 =!= 0),
+      docs.filter(col("doc_id") % 29 === 0), "text", "doc_id", n = 4)
+    val n = out.count()
+    assert(n > 0 && n < docs.count(), s"contaminated $n")
+  }
+}
+
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cluster-blocked pairs are a precision-1 subset; keep prunes dups") {
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0.99f, 0.01f, 0f, 0f)), // ~dup of 1
+      (3L, Array(0f, 1f, 0f, 0f)),
+      (4L, Array(0f, 0.98f, 0.02f, 0f)), // ~dup of 3
+      (5L, Array(0f, 0f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDup(emb, "embedding", "vec_id", 0.9, Nil)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact === Set((1L, 2L), (3L, 4L)))
+    val sem = Similarity.semDedupPairs(emb, "embedding", "vec_id", 0.9, nlist = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sem.subsetOf(exact), s"false pairs: ${sem -- exact}")
+    assert(sem.nonEmpty)
+    val kept = Similarity.semDedupKeep(emb, "embedding", "vec_id", 0.9, nlist = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept.size === 5 - sem.size) // each found pair prunes its non-rep
+    assert(Set(1L, 3L, 5L).subsetOf(kept) || kept.contains(5L))
+  }
+}
