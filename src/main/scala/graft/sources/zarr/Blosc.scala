@@ -1,0 +1,220 @@
+package graft.sources.zarr
+
+/** Pure-JVM decoder for the c-blosc1 frame format — the default zarr
+  * compressor (`numcodecs.Blosc`, cname=lz4, shuffle on), which the
+  * reference writes unless told otherwise
+  * (/root/reference/daskms/experimental/zarr/__init__.py require_dataset
+  * inherits zarr-python's default). Decoding it natively makes the
+  * CASA→zarr convert recipe in the README work without recompression.
+  *
+  * Format (public: c-blosc `README_HEADER.rst` / blosc.h):
+  * {{{
+  *   byte 0      version
+  *   byte 1      codec-format version
+  *   byte 2      flags: bit0 byte-shuffle, bit1 pure-memcpy, bit2
+  *               bit-shuffle, bits 5-7 inner codec (0 blosclz, 1 lz4,
+  *               2 snappy, 3 zlib, 4 zstd)
+  *   byte 3      typesize
+  *   bytes 4-15  nbytes, blocksize, cbytes (int32 LE)
+  *   then        int32 LE start offset per block (absent in memcpy mode)
+  *   each block  1 or `typesize` streams of [int32 LE csize][payload];
+  *               csize == stream's uncompressed size means stored raw
+  * }}}
+  *
+  * The one under-specified corner is the split decision (whether a block
+  * holds 1 stream or `typesize` streams): c-blosc derives it from
+  * compile-time policy that changed across 1.x releases. Rather than
+  * hard-coding one policy, each candidate count is TRIED — a wrong guess
+  * cannot decode cleanly (stream sizes must sum exactly to the block's
+  * region and each stream must inflate to exactly its share), so the
+  * decoder accepts whichever split reconstructs the block. Supported
+  * inner codecs: lz4 and zlib; blosclz/snappy/zstd and bit-shuffle raise
+  * with the codec named.
+  */
+object Blosc {
+
+  private def intLE(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  /** Decompress a whole blosc frame. `what` names the chunk in errors. */
+  def decompress(src: Array[Byte], what: String): Array[Byte] = {
+    require(src.length >= 16, s"$what: blosc frame shorter than its header")
+    val flags = src(2) & 0xff
+    val typesize = src(3) & 0xff
+    val nbytes = intLE(src, 4)
+    val blocksize = intLE(src, 8)
+    val cbytes = intLE(src, 12)
+    require(nbytes >= 0 && cbytes <= src.length,
+      s"$what: malformed blosc header (nbytes=$nbytes cbytes=$cbytes of ${src.length})")
+    val out = new Array[Byte](nbytes)
+    if (nbytes == 0) return out
+
+    if ((flags & 0x2) != 0) { // pure memcpy: original buffer, never shuffled
+      require(src.length >= 16 + nbytes, s"$what: truncated memcpy blosc frame")
+      System.arraycopy(src, 16, out, 0, nbytes)
+      return out
+    }
+
+    if ((flags & 0x4) != 0)
+      throw new java.io.IOException(
+        s"$what: blosc bit-shuffle not supported (byte-shuffle/none only)")
+    val codec = (flags >> 5) & 0x7
+    if (codec != 1 && codec != 3)
+      throw new java.io.IOException(s"$what: blosc inner codec " +
+        s"'${Seq("blosclz", "lz4", "snappy", "zlib", "zstd").lift(codec).getOrElse(codec.toString)}'" +
+        " not supported (lz4/zlib only)")
+
+    val shuffle = (flags & 0x1) != 0 && typesize > 1
+    val nblocks = ((nbytes.toLong + blocksize - 1) / blocksize).toInt
+    require(src.length >= 16 + 4 * nblocks, s"$what: truncated blosc block index")
+    val blockBuf = new Array[Byte](blocksize)
+    var j = 0
+    while (j < nblocks) {
+      val start = intLE(src, 16 + 4 * j)
+      val neblock = math.min(blocksize, nbytes - j * blocksize)
+      // candidate stream counts: c-blosc splits shuffled lz4/blosclz blocks
+      // into `typesize` streams when each split clears its minimum size,
+      // EXCEPT the leftover block — but 1.11+ "forward compat" policy and
+      // env overrides shift the boundary, so verify-and-fallback instead
+      // of trusting one policy
+      val primary =
+        if (shuffle && typesize <= 16 && neblock % typesize == 0 &&
+          neblock / typesize >= 128 && neblock == blocksize) typesize else 1
+      val alt =
+        if (typesize > 1 && typesize <= 16 && neblock % typesize == 0) typesize else 1
+      val candidates = Seq(primary, 1, alt).distinct
+      val ok = candidates.exists(ns =>
+        tryBlock(src, start, neblock, ns, codec, blockBuf))
+      if (!ok)
+        throw new java.io.IOException(
+          s"$what: blosc block $j does not decode cleanly with any split " +
+            s"count (tried ${candidates.mkString("/")})")
+      if (shuffle) unshuffle(blockBuf, neblock, typesize, out, j * blocksize)
+      else System.arraycopy(blockBuf, 0, out, j * blocksize, neblock)
+      j += 1
+    }
+    out
+  }
+
+  /** Decode one block's streams into `dst[0, neblock)`; false if the split
+    * hypothesis does not reconstruct the block exactly.
+    */
+  private def tryBlock(src: Array[Byte], start: Int, neblock: Int,
+                       nsplits: Int, codec: Int, dst: Array[Byte]): Boolean = {
+    if (neblock % nsplits != 0) return false
+    val per = neblock / nsplits
+    var pos = start
+    var s = 0
+    while (s < nsplits) {
+      if (pos + 4 > src.length) return false
+      val csize = intLE(src, pos)
+      pos += 4
+      if (csize < 0 || pos + csize > src.length) return false
+      if (csize == per) { // stored raw
+        System.arraycopy(src, pos, dst, s * per, per)
+      } else {
+        val n =
+          try {
+            if (codec == 1) lz4Decompress(src, pos, csize, dst, s * per, per)
+            else zlibDecompress(src, pos, csize, dst, s * per, per)
+          } catch { case _: Exception => return false }
+        if (n != per) return false
+      }
+      pos += csize
+      s += 1
+    }
+    true
+  }
+
+  /** Byte-unshuffle `n` bytes of `src` (typesize interleaved streams) into
+    * `dst` at `dstOff`; the sub-typesize tail is copied verbatim, as
+    * c-blosc's shuffle leaves it.
+    */
+  private def unshuffle(src: Array[Byte], n: Int, typesize: Int,
+                        dst: Array[Byte], dstOff: Int): Unit = {
+    if (typesize <= 1) { System.arraycopy(src, 0, dst, dstOff, n); return }
+    val count = n / typesize
+    var j = 0
+    while (j < typesize) {
+      var i = 0
+      while (i < count) {
+        dst(dstOff + i * typesize + j) = src(j * count + i)
+        i += 1
+      }
+      j += 1
+    }
+    val tail = n - count * typesize
+    if (tail > 0)
+      System.arraycopy(src, count * typesize, dst, dstOff + count * typesize, tail)
+  }
+
+  /** LZ4 block-format decode (public spec: lz4_Block_format.md): token of
+    * (literal-length, match-length) nibbles with 255-extension bytes, raw
+    * literals, then a 2-byte LE match offset copied byte-by-byte (offsets
+    * may overlap — that is how RLE is encoded). Returns bytes written;
+    * throws on malformed input, over-long output, or a stream that does
+    * not consume exactly `srcLen` bytes.
+    */
+  def lz4Decompress(src: Array[Byte], srcOff: Int, srcLen: Int,
+                    dst: Array[Byte], dstOff: Int, dstCap: Int): Int = {
+    var in = srcOff
+    val inEnd = srcOff + srcLen
+    var out = dstOff
+    val outEnd = dstOff + dstCap
+    while (in < inEnd) {
+      val token = src(in) & 0xff
+      in += 1
+      var litLen = token >> 4
+      if (litLen == 15) {
+        var b = 255
+        while (b == 255) {
+          if (in >= inEnd) throw new java.io.IOException("lz4: truncated literal length")
+          b = src(in) & 0xff; in += 1; litLen += b
+        }
+      }
+      if (in + litLen > inEnd || out + litLen > outEnd)
+        throw new java.io.IOException("lz4: literal run out of bounds")
+      System.arraycopy(src, in, dst, out, litLen)
+      in += litLen; out += litLen
+      if (in < inEnd) { // last sequence ends after its literals
+        if (in + 2 > inEnd) throw new java.io.IOException("lz4: truncated offset")
+        val offset = (src(in) & 0xff) | ((src(in + 1) & 0xff) << 8)
+        in += 2
+        if (offset == 0 || out - offset < dstOff)
+          throw new java.io.IOException("lz4: offset before window start")
+        var matchLen = (token & 0xf) + 4
+        if ((token & 0xf) == 15) {
+          var b = 255
+          while (b == 255) {
+            if (in >= inEnd) throw new java.io.IOException("lz4: truncated match length")
+            b = src(in) & 0xff; in += 1; matchLen += b
+          }
+        }
+        if (out + matchLen > outEnd)
+          throw new java.io.IOException("lz4: match overruns output")
+        var i = 0
+        while (i < matchLen) { dst(out + i) = dst(out + i - offset); i += 1 }
+        out += matchLen
+      }
+    }
+    out - dstOff
+  }
+
+  private def zlibDecompress(src: Array[Byte], srcOff: Int, srcLen: Int,
+                             dst: Array[Byte], dstOff: Int, dstCap: Int): Int = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(src, srcOff, srcLen)
+    var off = 0
+    try {
+      while (!inf.finished() && off < dstCap) {
+        val n = inf.inflate(dst, dstOff + off, dstCap - off)
+        if (n == 0 && !inf.finished())
+          throw new java.io.IOException("zlib: truncated/corrupt stream")
+        off += n
+      }
+      if (!inf.finished()) throw new java.io.IOException("zlib: output overrun")
+      off
+    } finally inf.end()
+  }
+}

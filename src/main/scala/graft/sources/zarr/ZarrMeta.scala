@@ -15,8 +15,9 @@ import scala.jdk.CollectionConverters._
   * Supported subset (documented in README):
   *  - numeric/bool dtypes `<i2 <i4 <i8 <f4 <f8 |b1 |i1 |u1`, plus complex
   *    `<c8 <c16` mapped to the engine's struct(re, im) convention
-  *  - C order, little-endian, `zlib` or `null` compressor (blosc needs a
-  *    native lib the JVM doesn't ship)
+  *  - C order, little-endian; `null`, `zlib`, or `blosc` compressor
+  *    (blosc decoded by the pure-JVM [[Blosc]] — lz4/zlib inner codecs,
+  *    byte-shuffle; bitshuffle/zstd/snappy raise with the codec named)
   *  - chunking along the row (first) axis; trailing axes single-chunk
   */
 final case class ZarrArrayMeta(
@@ -116,7 +117,10 @@ object ZarrMeta {
     require(order == "C", s"zarr order '$order' unsupported (C only)")
     val comp = Option(node.get("compressor")).filterNot(_.isNull).map { c =>
       val id = c.get("id").asText()
-      require(id == "zlib", s"zarr compressor '$id' unsupported (zlib/null only)")
+      require(id == "zlib" || id == "blosc",
+        s"zarr compressor '$id' unsupported (blosc/zlib/null only)")
+      // blosc's inner codec (cname) and shuffle mode are re-read from each
+      // chunk's own frame header, so no more of the JSON matters here
       id
     }
     // object (string) arrays carry a numcodecs object codec as the first
@@ -203,6 +207,21 @@ object ZarrMeta {
     readFile(conf, new Path(new Path(groupDir, m.name), m.chunkFile(i))).map {
       raw =>
         m.compressor match {
+          case Some("blosc") =>
+            // frame header self-describes inner codec/shuffle/sizes; for
+            // fixed-width dtypes validate the decoded size like zlib below
+            val out = Blosc.decompress(raw, s"${m.name}/${m.chunkFile(i)}")
+            if (!m.objectCodec) {
+              val expectedL = chunkByteSize(m)
+              require(expectedL < (1L << 31),
+                s"zarr chunk ${m.name}/${m.chunkFile(i)} is $expectedL B — over " +
+                  "the 2 GiB zarr chunk limit; rechunk with a smaller rowChunk")
+              if (out.length != expectedL.toInt)
+                throw new java.io.IOException(
+                  s"blosc chunk ${m.name}/${m.chunkFile(i)} decompressed to " +
+                    s"${out.length} bytes, expected $expectedL")
+            }
+            out
           case Some("zlib") if m.objectCodec =>
             // variable-length (JSON) payload: inflate into a growing buffer
             inflateAll(raw, s"${m.name}/${m.chunkFile(i)}")

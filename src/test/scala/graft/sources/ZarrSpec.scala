@@ -342,15 +342,21 @@ class ZarrSpec extends SparkSpec {
         new Path(s"$path/bad"))
     }
     assert(e.getMessage.contains("order"))
-    // blosc is rejected loudly with the supported set named
+    // blosc metadata is ACCEPTED (decoded by graft.sources.zarr.Blosc);
+    // an unknown compressor is still rejected with the supported set named
     put("bad2/.zarray",
       """{"zarr_format":2,"shape":[4],"chunks":[2],"dtype":"<i8","compressor":{"id":"blosc","cname":"lz4","clevel":5,"shuffle":1},"fill_value":0,"filters":null,"order":"C"}"""
         .getBytes("UTF-8"))
+    assert(ZarrMeta.readArrayMeta(spark.sparkContext.hadoopConfiguration,
+      new Path(s"$path/bad2")).compressor === Some("blosc"))
+    put("bad3/.zarray",
+      """{"zarr_format":2,"shape":[4],"chunks":[2],"dtype":"<i8","compressor":{"id":"lzma"},"fill_value":0,"filters":null,"order":"C"}"""
+        .getBytes("UTF-8"))
     val e2 = intercept[Exception] {
       ZarrMeta.readArrayMeta(spark.sparkContext.hadoopConfiguration,
-        new Path(s"$path/bad2"))
+        new Path(s"$path/bad3"))
     }
-    assert(e2.getMessage.contains("zlib"))
+    assert(e2.getMessage.contains("blosc/zlib"))
   }
 
   test("grouped dataset-list read works over a zarr store (ROWID = store order)") {
