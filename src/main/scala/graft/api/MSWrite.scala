@@ -35,6 +35,20 @@ object MSWrite {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Create (overwrite) a catalog-managed table bucketed + sorted on
+    * `keys`: both sides of a same-bucketed equi-join, and any aggregation
+    * on the bucket keys, then plan with ZERO exchanges — at 100 TB this is
+    * the difference between an all-to-all shuffle per join and none. The
+    * standard layout for a fact table that is repeatedly joined on the
+    * same key (the subtable-lookup pattern of SURVEY §2.3 at scale).
+    */
+  def createBucketed(df: DataFrame, table: String, keys: Seq[String],
+                     buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, keys.head, keys.drop(1): _*)
+      .sortBy(keys.head, keys.drop(1): _*)
+      .format("parquet").saveAsTable(table)
+
   /** Append rows (ref: add_row_orders chunk-chain, daskms/writes.py:363-490 —
     * here Spark's commit protocol owns file naming, no chaining needed).
     */

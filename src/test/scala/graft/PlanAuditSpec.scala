@@ -87,4 +87,61 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(q("q_join_asof"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  /** count physical operators via the formatted detail headers ("(4) Exchange"),
+    * which appear exactly once per node (tree lines would double-count)
+    */
+  private def opCount(p: String, op: String): Int =
+    p.linesIterator.count(_.trim.matches(s"\\(\\d+\\) $op.*"))
+
+  test("repetition metrics are one codegen'd scan pass (no shuffle, no HOF)") {
+    // audit the metrics frame itself (no orderBy: under AQE the formatted
+    // explain of an exchange-bearing plan hides codegen ids)
+    val df = ops.TextAnalysis.repetitionMetrics(
+        spark.read.parquet(s"${sf()}/documents.parquet"))
+      .select("doc_id", "top_word_frac", "dup_bigram_frac", "dup_trigram_frac")
+    val p = plan(df)
+    assert(opCount(p, "Exchange") == 0, s"scan-side metrics must not shuffle:\n$p")
+    val projLine = p.linesIterator.find(l =>
+      l.contains("Project") && l.contains("codegen id"))
+    assert(projLine.isDefined, "NgramProfile fell out of whole-stage codegen:\n" + p)
+  }
+
+  test("deterministic sampling is a scan-side filter (no exchange at all)") {
+    val df = ops.Sampling.deterministicSample(
+      spark.read.parquet(s"${sf()}/documents.parquet"), "doc_id", 0.5)
+    val p = plan(df)
+    assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
+    assert(p.contains("Filter"), p)
+  }
+
+  test("decontamination broadcasts the benchmark gram set") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val df = ops.Dedup.decontaminate(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 29 =!= 0),
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 29 === 0),
+      "text", "doc_id", n = 4)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"bench side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // partial aggregation before the final per-doc count
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("sequence packing shuffles once, on the shard column") {
+    val df = ops.Sampling.packSequences(
+      spark.read.parquet(s"${sf()}/documents.parquet"), "source", "doc_id",
+      ops.TextAnalysis.tokenCount(org.apache.spark.sql.functions.col("text")),
+      maxTokens = 128)
+    val p = plan(df)
+    assert(opCount(p, "Exchange") == 1, s"packing should shuffle exactly once:\n$p")
+  }
+
+  test("semdedup pair generation plans no cartesian product") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val p = plan(ops.Similarity.semDedupPairs(emb, "embedding", "vec_id",
+      threshold = 0.4, nlist = 4))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

@@ -1,0 +1,59 @@
+package graft.api
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Scale audit: bucketed tables co-locate joins and aggregations — the
+  * plan for a same-bucketed equi-join + bucket-key aggregation must
+  * contain NO exchange at all. This is the 100 TB answer to "every join
+  * shuffles": pay the partitioning once at write time, reuse it on every
+  * read.
+  */
+class BucketingSpec extends SparkSpec {
+
+  private def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .linesIterator.count(_.trim.matches("\\(\\d+\\) Exchange.*"))
+
+  test("same-bucketed join + bucket-key agg plan with zero exchanges") {
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val or = spark.read.parquet(s"${sf()}/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    MSWrite.createBucketed(li, "li_bucketed", Seq("l_orderkey"), buckets = 8)
+    MSWrite.createBucketed(or, "or_bucketed", Seq("o_orderkey"), buckets = 8)
+    // force the shuffle-sensitive path: no broadcast escape hatch
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("li_bucketed")
+        .join(spark.table("or_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("qty"), sum("o_totalprice").as("tp"))
+      assert(exchanges(j) === 0,
+        "bucketed join/agg must not shuffle:\n" +
+          j.queryExecution.explainString(ExplainMode.fromString("formatted")))
+      // and it computes the same thing as the shuffled plan
+      val plain = li.join(or, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("qty"), sum("o_totalprice").as("tp"))
+      val a = j.orderBy("l_orderkey").collect()
+      val b = plain.orderBy("l_orderkey").collect()
+      assert(a.length === b.length && a.sameElements(b))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("mismatched bucket counts fall back to a correct (shuffled) join") {
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    MSWrite.createBucketed(li, "li_b4", Seq("l_orderkey"), buckets = 4)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("li_b4").join(spark.table("li_bucketed"), "l_orderkey")
+      assert(j.count() > 0) // correctness regardless of bucket layout reuse
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+}
