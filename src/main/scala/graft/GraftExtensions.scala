@@ -43,5 +43,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BandHashes].getName, "band_hashes"),
       (exprs: Seq[Expression]) =>
         BandHashes(exprs(0), intLit(exprs(1), "band count"))))
+    e.injectFunction((FunctionIdentifier("ngram_profile"),
+      new ExpressionInfo(classOf[NgramProfile].getName, "ngram_profile"),
+      (exprs: Seq[Expression]) =>
+        NgramProfile(exprs(0), intLit(exprs(1), "n-gram width n"))))
   }
 }

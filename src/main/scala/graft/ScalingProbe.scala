@@ -42,6 +42,17 @@ object ScalingProbe {
     time("dedup_minhash") { d => SparkEntry.queries("q_dedup_minhash")(spark, d).count() }
     time("dedup_ngram") { d => SparkEntry.queries("q_dedup_ngram")(spark, d).count() }
     time("ann_topk") { d => SparkEntry.queries("q_ann_topk")(spark, d).count() }
+    // round-6 pipeline operators (semdedup probes the raw operator — the
+    // query wraps it in a derived check whose exact all-pairs baseline is
+    // deliberately quadratic and would dominate the probe)
+    time("repetition") { d => SparkEntry.queries("q_text_repetition")(spark, d).count() }
+    time("decontaminate") { d => SparkEntry.queries("q_decontaminate")(spark, d).count() }
+    time("pack_sequences") { d => SparkEntry.queries("q_pack_sequences")(spark, d).count() }
+    time("semdedup") { d =>
+      graft.ops.Similarity.semDedupPairs(
+        spark.read.parquet(s"$d/embeddings.parquet"), "embedding", "vec_id",
+        threshold = 0.4, nlist = 8).count()
+    }
     spark.stop()
   }
 }

@@ -43,11 +43,20 @@ object MSWrite {
     * same key (the subtable-lookup pattern of SURVEY §2.3 at scale).
     */
   def createBucketed(df: DataFrame, table: String, keys: Seq[String],
-                     buckets: Int): Unit =
+                     buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // Overwrite only clears locations the catalog owns; a crashed run can
+    // leave an orphaned warehouse dir a fresh catalog refuses to reuse.
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, keys.head, keys.drop(1): _*)
       .sortBy(keys.head, keys.drop(1): _*)
       .format("parquet").saveAsTable(table)
+  }
 
   /** Append rows (ref: add_row_orders chunk-chain, daskms/writes.py:363-490 —
     * here Spark's commit protocol owns file naming, no chaining needed).

@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   *
   * Images decode for REAL via `javax.imageio` (PNG/JPEG/GIF/BMP ship with
   * the JDK): width/height plus per-channel and luminance pixel moments.
-  * Audio/video stay a clearly-marked deterministic STUB — the JDK has no
-  * audio/video codecs; a real cluster swaps the stub body for e.g. ffmpeg
-  * bindings and nothing else changes. Payloads that claim to be images but
-  * don't decode (ImageIO returns null) fall back to the byte-level stub, so
-  * the pipeline never dies on a corrupt file — the failure mode at 100 TB
-  * is a feature row flagged by its `decoded` field, not a crashed stage.
+  * Audio decodes for REAL via `javax.sound.sampled` (WAV/AU/AIFF PCM ship
+  * with the JDK): rate/duration/RMS/peak/zero-crossing features. Video
+  * (and compressed audio like mp3/ogg) stays a clearly-marked
+  * deterministic STUB — the JDK ships no codecs for those; a real cluster
+  * swaps the stub body for e.g. ffmpeg bindings and nothing else changes.
+  * Payloads that claim to be decodable but aren't fall back to the
+  * byte-level stub, so the pipeline never dies on a corrupt file — the
+  * failure mode at 100 TB is a feature row flagged by its `decoded`
+  * field, not a crashed stage.
   *
   * Rows flow as [[MediaItem]] (kind, bytes, meta) and features come back as
   * fixed-width vectors, so the decode stage is a narrow, shuffle-free
@@ -77,10 +80,64 @@ object Multimodal {
     }
   }
 
-  /** STUB codec for audio/video (no codecs in the JDK) and for undecodable
-    * image payloads: deterministic features derived from the raw bytes —
-    * length, byte histogram moments, and a stride sample — so the pipeline
-    * is testable end-to-end and byte-exact across runs.
+  /** Real audio decode via the JDK's `javax.sound.sampled` (WAV/AU/AIFF
+    * PCM): features = [sample rate, channels, n samples, duration s,
+    * mean amplitude, RMS, peak, zero-crossing rate] over channel 0,
+    * samples normalised to [-1, 1]. Returns None for non-PCM payloads
+    * (mp3/ogg need codecs the JDK doesn't ship — those fall back to
+    * [[stubDecode]] and are flagged by `decoded = false`).
+    */
+  private[ops] def decodeAudio(item: MediaItem): Option[MediaFeatures] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val in =
+      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(item.bytes))
+      catch { case _: Exception => return None }
+    try {
+      val fmt = in.getFormat
+      val enc = fmt.getEncoding
+      val bits = fmt.getSampleSizeInBits
+      val ok = (enc == AudioFormat.Encoding.PCM_SIGNED && (bits == 16 || bits == 8)) ||
+        (enc == AudioFormat.Encoding.PCM_UNSIGNED && bits == 8)
+      if (!ok) return None
+      val raw = in.readAllBytes()
+      val frameSize = fmt.getFrameSize
+      val channels = fmt.getChannels
+      val nSamples = if (frameSize > 0) raw.length / frameSize else 0
+      if (nSamples == 0) return None
+      var sum = 0d; var sum2 = 0d; var peak = 0d; var crossings = 0L
+      var prev = 0d
+      var i = 0
+      while (i < nSamples) {
+        val off = i * frameSize // channel 0 leads each frame
+        val v =
+          if (bits == 16) {
+            val lo = raw(off) & 0xff
+            val hi = raw(off + 1)
+            val s = if (fmt.isBigEndian) ((lo << 8) | (raw(off + 1) & 0xff)).toShort
+                    else ((hi << 8) | lo).toShort
+            s / 32768d
+          } else if (enc == AudioFormat.Encoding.PCM_SIGNED) raw(off) / 128d
+          else ((raw(off) & 0xff) - 128) / 128d
+        sum += v; sum2 += v * v
+        if (math.abs(v) > peak) peak = math.abs(v)
+        if (i > 0 && ((prev < 0 && v >= 0) || (prev >= 0 && v < 0))) crossings += 1
+        prev = v
+        i += 1
+      }
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(item.bytes).map("%02x".format(_)).mkString
+      Some(MediaFeatures(item.id, item.kind, item.bytes.length.toLong, digest,
+        Array(fmt.getSampleRate.toDouble, channels.toDouble, nSamples.toDouble,
+          nSamples / fmt.getSampleRate.toDouble, sum / nSamples,
+          math.sqrt(sum2 / nSamples), peak, crossings.toDouble / nSamples),
+        decoded = true))
+    } catch { case _: Exception => None } finally in.close()
+  }
+
+  /** STUB codec for video (the JDK ships no video codecs) and for
+    * undecodable image/audio payloads: deterministic features derived from
+    * the raw bytes — length, byte histogram moments, and a stride sample —
+    * so the pipeline is testable end-to-end and byte-exact across runs.
     */
   private[ops] def stubDecode(item: MediaItem): MediaFeatures = {
     val bs = item.bytes
@@ -107,6 +164,7 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       it.map { item =>
         if (item.kind == "image") decodeImage(item).getOrElse(stubDecode(item))
+        else if (item.kind == "audio") decodeAudio(item).getOrElse(stubDecode(item))
         else stubDecode(item)
       }
     }

@@ -224,6 +224,39 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).features.length === 10)
   }
 
+  test("real WAV payloads decode via javax.sound.sampled with signal stats") {
+    import spark.implicits._
+    // 0.1 s of a 400 Hz sine at amplitude 0.5, 16-bit mono PCM, 8 kHz
+    val sr = 8000f
+    val n = 800
+    val amp = 0.5
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = (math.sin(2 * math.Pi * 400 * i / sr) * amp * 32767).toInt.toShort
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sr, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+
+    val out = Multimodal.extractFeatures(
+      Seq(Multimodal.MediaItem(1L, "audio", bos.toByteArray, 0, 0, 8000, 1)).toDS())
+      .head()
+    assert(out.decoded, "a valid WAV must take the real decode path")
+    assert(out.features(0) === 8000.0) // sample rate
+    assert(out.features(1) === 1.0) // channels
+    assert(out.features(2) === 800.0) // samples
+    assert(math.abs(out.features(3) - 0.1) < 1e-9) // duration
+    assert(math.abs(out.features(4)) < 0.01) // mean ~ 0 for a sine
+    assert(math.abs(out.features(5) - amp / math.sqrt(2)) < 0.01) // RMS
+    assert(math.abs(out.features(6) - amp) < 0.01) // peak
+    assert(math.abs(out.features(7) - 0.1) < 0.01) // zcr = 2f/sr
+  }
+
   test("resize and frame sampling keep plumbing invariants") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet").limit(5)
     val items = Multimodal.fromText(spark, docs, "doc_id", "text")
