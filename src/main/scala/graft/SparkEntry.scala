@@ -843,6 +843,26 @@ object SparkEntry {
         Seq("en" -> 0.3, "zh" -> 0.1), defaultRate = 0.5)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    // deterministic training-export sharding: membership is a pure md5
+    // function of the key, so any engine reproduces the same shards
+    "q_shard" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), Sampling.shardId(col("doc_id"), 16).as("shard"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_id"),
+          max("doc_id").as("max_id"))
+        .orderBy("shard")),
+
+    // corpus vocabulary: top-100 tokens with counts (BPE seeding step)
+    "q_vocab" -> ((s, dir) =>
+      TextAnalysis.vocabulary(T(s, dir, "documents"), "text", 100)),
+
+    // TF-IDF top-3 keywords per document
+    "q_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidf(T(s, dir, "documents"), "text", "doc_id", 3)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("doc_id", "rnk")),
+
     // benchmark decontamination: docs sharing any word 4-gram with the
     // doc_id % 29 == 0 "eval suite" slice
     "q_decontaminate" -> ((s, dir) => {
@@ -1612,6 +1632,48 @@ object SparkEntry {
            |       WHEN lang = 'zh' THEN '${Sampling.thresholdHex(0.1)}'
            |       ELSE '${Sampling.thresholdHex(0.5)}' END
            |ORDER BY doc_id""".stripMargin,
+
+      "q_shard" ->
+        """SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(min(doc_id) AS BIGINT) AS min_id,
+          |  CAST(max(doc_id) AS BIGINT) AS max_id
+          |FROM (SELECT doc_id,
+          |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+          |          AS BIGINT) % 16 AS shard
+          |      FROM documents)
+          |GROUP BY shard ORDER BY shard""".stripMargin,
+
+      "q_vocab" ->
+        """SELECT token, CAST(count(*) AS BIGINT) AS n
+          |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+          |      FROM documents)
+          |WHERE len(token) > 0
+          |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+      "q_tfidf" ->
+        """WITH terms AS (
+          |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+          |  FROM (SELECT doc_id,
+          |          unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+          |        FROM documents)
+          |  WHERE len(token) > 0
+          |  GROUP BY doc_id, token
+          |), dl AS (SELECT doc_id, sum(tf) AS doc_len FROM terms GROUP BY doc_id),
+          |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM terms GROUP BY token),
+          |nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+          |scored AS (
+          |  SELECT t.doc_id, t.token, t.tf, dfq.df,
+          |    CAST(t.tf AS DOUBLE) / CAST(dl.doc_len AS DOUBLE)
+          |      * ln(nn.n / CAST(dfq.df AS DOUBLE)) AS tfidf
+          |  FROM terms t JOIN dl USING (doc_id) JOIN dfq USING (token) CROSS JOIN nn
+          |), ranked AS (
+          |  SELECT doc_id,
+          |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rnk,
+          |    token, tf, df, round(tfidf, 9) AS tfidf
+          |  FROM scored
+          |)
+          |SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, token, tf, df, tfidf
+          |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
 
       "q_decontaminate" ->
         """WITH sh AS (

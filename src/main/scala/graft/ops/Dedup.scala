@@ -189,6 +189,13 @@ object Dedup {
     *    candidate pairs only among the docs holding it in-prefix
     *    (expected ≈ (1−t)²·m² instead of m²), which is what keeps a hot
     *    boilerplate shingle from exploding the join at scale
+    *  - **positional filter** (PPJoin proper): each prefix token carries
+    *    its position; a shared token at positions (pa, pb) bounds the
+    *    overlap by min(|A|−pa, |B|−pb), and jaccard ≥ t needs overlap
+    *    ≥ t/(1+t)·(|A|+|B|) — occurrences that cannot reach the bound are
+    *    dropped BEFORE the candidate distinct. (The first common token of
+    *    any true pair sits in both prefixes and sees the full overlap, so
+    *    no true pair is lost.)
     *  - **size-ratio prune**: jaccard ≥ t ⟹ min(|A|,|B|) ≥ t·max(|A|,|B|);
     *    applied on the candidate join output before the distinct
     *  - **verify**: surviving candidate pairs re-join the full (hashed)
@@ -212,17 +219,24 @@ object Dedup {
       .withColumn("__sz", size(col("sh")))
       .withColumn("__pfx", slice(col("sh"), lit(1), pfxLen))
       .select((blockCols.map(col) :+ col(idCol) :+ col("__sz") :+
-        explode(col("__pfx")).as("__t")): _*)
+        posexplode(col("__pfx")).as(Seq("__p", "__t"))): _*)
       .repartition((blockCols :+ "__t").map(col): _*)
     val x = tok.select((blockCols.map(col) :+ col("__t") :+
-      col(idCol).as("id_a") :+ col("__sz").as("__na")): _*)
+      col(idCol).as("id_a") :+ col("__sz").as("__na") :+ col("__p").as("__pa")): _*)
     val y = tok.select((blockCols.map(col) :+ col("__t") :+
-      col(idCol).as("id_b") :+ col("__sz").as("__nb")): _*)
+      col(idCol).as("id_b") :+ col("__sz").as("__nb") :+ col("__p").as("__pb")): _*)
+    // overlap needed for jaccard ≥ t: O ≥ t/(1+t)·(|A|+|B|)
+    val alpha = (col("__na") + col("__nb")).cast("double") *
+      (threshold / (1.0 + threshold)) - 1e-9
     val cands = x.join(y, blockCols :+ "__t")
       .filter(col("id_a") < col("id_b"))
       // size-ratio prune (ε guards the float boundary from over-pruning)
       .filter(least(col("__na"), col("__nb")).cast("double") >=
         greatest(col("__na"), col("__nb")).cast("double") * threshold - 1e-9)
+      // positional filter: tokens at (pa, pb) (0-based) can witness at most
+      // min(|A|−pa, |B|−pb) overlapping tokens
+      .filter(least(col("__na") - col("__pa"), col("__nb") - col("__pb"))
+        .cast("double") >= alpha)
       .select("id_a", "id_b").distinct()
     val sets = base.select(col(idCol).as("__id"), col("sh"))
     cands

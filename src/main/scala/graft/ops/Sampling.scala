@@ -92,4 +92,32 @@ object Sampling {
       }
       .toDF(groupCol, orderCol, "n_tokens", "pack_id", "pack_cum")
   }
+
+  // ---------------------------------------------------------------- shards
+
+  /** Deterministic shard id in [0, nShards): the md5 32-bit draw of the
+    * key, mod nShards. Engine-portable (md5 hex is identical everywhere)
+    * and stable under any repartitioning — the property a training-data
+    * export needs so a re-run (or a different engine) produces the SAME
+    * shard membership, keeping downstream dataloader order reproducible.
+    */
+  def shardId(key: Column, nShards: Int): Column = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    conv(hashBucket(key), 16, 10).cast("long") % nShards
+  }
+
+  /** Shard a corpus for training export: assign `shard` by [[shardId]] and
+    * cluster rows so each output file holds exactly one shard.
+    *
+    * Scale shape: ONE shuffle keyed by the shard id (a small long);
+    * `repartition(nShards, shard)` gives each shard its own task and its
+    * own output file, so a 1000-executor write streams nShards files in
+    * parallel with no post-hoc compaction. Directory layout comes from
+    * `partitionBy(shard)`, the standard layout dataloaders glob.
+    */
+  def exportShards(df: DataFrame, keyCol: String, nShards: Int,
+                   outDir: String): Unit =
+    df.withColumn("shard", shardId(col(keyCol), nShards))
+      .repartition(nShards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
 }

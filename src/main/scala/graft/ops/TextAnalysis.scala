@@ -193,6 +193,60 @@ object TextAnalysis {
     counts
   }
 
+  // ------------------------------------------------------ vocabulary / tfidf
+
+  /** Corpus vocabulary: the `topK` most frequent whitespace tokens with
+    * their counts (ties broken by token, so the result is deterministic).
+    *
+    * Scale shape: explode → hash-aggregate with map-side partial combine
+    * (the shuffle carries (token, partial count), not token occurrences),
+    * then a TakeOrdered top-k — no global sort. This is the first step of
+    * tokenizer training (BPE seeding) over a 100 TB corpus.
+    */
+  def vocabulary(docs: DataFrame, textCol: String, topK: Int): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(topK)
+
+  /** TF-IDF keywords: the `topPerDoc` highest-scoring tokens per document,
+    * score = (tf / doc_len) · ln(N / df). Deterministic: ties broken by
+    * token; every factor is an exact integer ratio so the ranking is
+    * reproducible across engines.
+    *
+    * Scale shape: one explode + two hash-aggregates — (doc, token) term
+    * counts, then token document frequencies — and the corpus size N joins
+    * in as a broadcast 1-row aggregate (never a driver collect). The final
+    * per-doc top-k is a window over the (doc, token) frame, partitioned by
+    * document — the shuffle is keyed by doc id, bounded by corpus size,
+    * with no all-to-all token exchange.
+    */
+  def tfidf(docs: DataFrame, textCol: String, idCol: String,
+            topPerDoc: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val docLen = terms.groupBy(col(idCol)).agg(sum(col("tf")).as("doc_len"))
+    val dfreq = terms.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(countDistinct(col(idCol)).as("__n"))
+    val scored = terms
+      .join(docLen, idCol)
+      .join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf").cast("double") / col("doc_len").cast("double") *
+          log(col("__n").cast("double") / col("df").cast("double")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("token"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topPerDoc)
+      .select(col(idCol), col("rank"), col("token"), col("tf"), col("df"),
+        round(col("tfidf"), 9).as("tfidf"))
+  }
+
   /** Full analysis frame over a documents table. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -141,8 +141,8 @@ object ZarrMeta {
       require(c.toLong == s,
         s"$name: non-row dim chunked ($c of $s) — row-axis chunking only")
     }
-    require(!isObject || shape.length == 1,
-      s"$name: object (string) arrays supported for 1-d columns only")
+    // multi-dim object arrays read fine (json2 items are stored flat in
+    // C order, exactly how the row reader indexes them)
     ZarrArrayMeta(name, shape, chunks, dtype, comp, fill, objectCodec = isObject)
   }
 

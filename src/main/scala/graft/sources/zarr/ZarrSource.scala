@@ -121,13 +121,13 @@ class ZarrReaderFactory(path: String, metas: Array[ZarrArrayMeta],
 
   // columns decode straight into column vectors — the chunk buffer is
   // already columnar, so the batch path skips the per-row
-  // GenericInternalRow allocation entirely. Covered: scalars (numeric,
-  // bool, string, complex struct) and single-level trailing-dim arrays of
-  // plain dtypes. Deeper nesting (matrix cells, arrays of complex) falls
-  // back to the row reader.
+  // GenericInternalRow allocation entirely. Covered: scalars and
+  // arbitrary trailing-dim nesting (tensor cells) of plain dtypes and
+  // complex structs — the nested offsets are uniform (putArray(i, i*d, d)
+  // at every level) because zarr cells are rectangular. Only multi-dim
+  // object (string) arrays fall back to the row reader.
   private def vectorizable(m: ZarrArrayMeta): Boolean =
-    if (m.objectCodec || m.dtype == "<c16" || m.dtype == "<c8") m.shape.length == 1
-    else m.shape.length <= 2
+    !(m.objectCodec && m.shape.length > 1)
   override def supportColumnarReads(partition: InputPartition): Boolean =
     metas.forall(vectorizable)
   override def createColumnarReader(partition: InputPartition)
@@ -181,6 +181,32 @@ class ZarrColumnarReader(path: String, metas: Array[ZarrArrayMeta],
       }
   }
 
+  /** fill `count` leaf complex values into the struct vector `v`
+    * (children = two double vectors) from the interleaved re/im buffer
+    */
+  private def fillComplex(v: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
+                          m: ZarrArrayMeta, buf: Option[ByteBuffer],
+                          count: Int): Unit = {
+    val re = v.getChild(0); val im = v.getChild(1)
+    re.reserve(count); im.reserve(count)
+    val w = ZarrMeta.bytesPerElement(m.dtype)
+    var i = 0
+    buf match {
+      case None =>
+        re.putDoubles(0, count, m.fillValue); im.putDoubles(0, count, m.fillValue)
+      case Some(b) if m.dtype == "<c16" =>
+        while (i < count) {
+          re.putDouble(i, b.getDouble(i * w))
+          im.putDouble(i, b.getDouble(i * w + 8)); i += 1
+        }
+      case Some(b) =>
+        while (i < count) {
+          re.putDouble(i, b.getFloat(i * w).toDouble)
+          im.putDouble(i, b.getFloat(i * w + 4).toDouble); i += 1
+        }
+    }
+  }
+
   override def get(): ColumnarBatch = {
     val conf = serConf.value
     val group = new Path(path)
@@ -199,39 +225,23 @@ class ZarrColumnarReader(path: String, metas: Array[ZarrArrayMeta],
               i += 1
             }
         }
-      } else if (m.dtype == "<c16" || m.dtype == "<c8") {
-        // struct(re, im): two double child vectors, filled from the
-        // interleaved complex buffer
-        val re = v.getChild(0); val im = v.getChild(1)
-        val buf = chunk.map(b => ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN))
-        val w = ZarrMeta.bytesPerElement(m.dtype)
-        var i = 0
-        buf match {
-          case None =>
-            re.putDoubles(0, n, m.fillValue); im.putDoubles(0, n, m.fillValue)
-          case Some(b) if m.dtype == "<c16" =>
-            while (i < n) {
-              re.putDouble(i, b.getDouble(i * w))
-              im.putDouble(i, b.getDouble(i * w + 8)); i += 1
-            }
-          case Some(b) =>
-            while (i < n) {
-              re.putDouble(i, b.getFloat(i * w).toDouble)
-              im.putDouble(i, b.getFloat(i * w + 4).toDouble); i += 1
-            }
-        }
-      } else if (m.shape.length == 2) {
-        // one trailing dim: parent offsets stride into the flat child
-        val d = m.shape(1).toInt
-        val child = v.arrayData()
-        child.reserve(n * d)
-        fillPlain(child, m,
-          chunk.map(b => ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)), n * d)
-        var i = 0
-        while (i < n) { v.putArray(i, i * d, d); i += 1 }
       } else {
-        fillPlain(v, m,
-          chunk.map(b => ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)), n)
+        // Descend through the trailing dims: zarr cells are rectangular,
+        // so every array level has uniform offsets (putArray(i, i*d, d))
+        // and the leaf is one flat run of count = n·∏dims elements.
+        val buf = chunk.map(b => ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN))
+        var leaf: org.apache.spark.sql.execution.vectorized.WritableColumnVector = v
+        var count = n
+        m.shape.drop(1).foreach { dim =>
+          val d = dim.toInt
+          var i = 0
+          while (i < count) { leaf.putArray(i, i * d, d); i += 1 }
+          leaf = leaf.arrayData()
+          count *= d
+          leaf.reserve(count)
+        }
+        if (m.dtype == "<c16" || m.dtype == "<c8") fillComplex(leaf, m, buf, count)
+        else fillPlain(leaf, m, buf, count)
       }
       v: ColumnVector
     }

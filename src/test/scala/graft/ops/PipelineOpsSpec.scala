@@ -122,6 +122,33 @@ class SamplingSpec extends SparkSpec {
     assert(out.getOrElse("de", 0L) > 800, s"de rate 0.9: $out")
   }
 
+  test("shard assignment is deterministic, complete, and balanced") {
+    val ids = (0L until 1000L).toDF("doc_id")
+    val n = 8
+    val shards = ids.select(col("doc_id"), Sampling.shardId(col("doc_id"), n).as("shard"))
+    val counts = shards.groupBy("shard").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == (0L until n).toSet, s"all shards populated: $counts")
+    assert(counts.values.sum === 1000L)
+    assert(counts.values.max < 2 * 1000 / n, s"roughly uniform: $counts")
+    // stable across recomputation (pure function of the key)
+    val again = ids.select(col("doc_id"), Sampling.shardId(col("doc_id"), n).as("shard"))
+    assert(shards.except(again).count() === 0)
+  }
+
+  test("exportShards: one file set per shard, rows land in their shard dir") {
+    val docs = (0L until 200L).map(i => (i, i * 2)).toDF("doc_id", "v")
+    val out = "/root/repo/target/qtmp/shards_test"
+    Sampling.exportShards(docs, "doc_id", 4, out)
+    val back = spark.read.parquet(out)
+    assert(back.count() === 200)
+    // partition value equals the recomputed shard id for every row
+    val bad = back.withColumn("expect", Sampling.shardId(col("doc_id"), 4))
+      .filter(col("shard") =!= col("expect")).count()
+    assert(bad === 0)
+    assert(back.select("shard").distinct().count() === 4)
+  }
+
   test("greedy packing respects the token budget; oversize doc gets own pack") {
     val docs = Seq(
       ("s", 1L, 50), ("s", 2L, 60), ("s", 3L, 30), ("s", 4L, 128), ("s", 5L, 5),
@@ -204,5 +231,38 @@ class SemDedupSpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(kept.size === 5 - sem.size) // each found pair prunes its non-rep
     assert(Set(1L, 3L, 5L).subsetOf(kept) || kept.contains(5L))
+  }
+}
+
+class VocabTfidfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vocabulary: counts, deterministic tie-break, top-k cut") {
+    val docs = Seq("a b b c", "B c  a", "").toDF("text")
+    val top = TextAnalysis.vocabulary(docs, "text", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // b=3 (case-folded), then the a/c tie breaks on token order
+    assert(top === Seq(("b", 3L), ("a", 2L)))
+  }
+
+  test("tfidf: hand-computed scores, rank per doc, ties on token") {
+    val docs = Seq((1L, "x x y"), (2L, "y z")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidf(docs, "text", "doc_id", 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getDouble(5))).toSeq
+    // N=2; df(x)=1, df(y)=2, df(z)=1; ln(2)≈0.6931472
+    val l2 = math.log(2.0)
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out === Seq(
+      (1L, 1, "x", r9(2.0 / 3.0 * l2)), (1L, 2, "y", 0.0),
+      (2L, 1, "z", r9(0.5 * l2)), (2L, 2, "y", 0.0)))
+  }
+
+  test("tfidf on the real corpus: every doc gets k ranked keywords") {
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val out = TextAnalysis.tfidf(docs, "text", "doc_id", 3)
+    val perDoc = out.groupBy("doc_id").count()
+    assert(perDoc.filter(col("count") > 3).count() === 0)
+    assert(out.filter(col("tfidf") < 0).count() === 0) // ln(N/df) ≥ 0
   }
 }

@@ -279,16 +279,46 @@ class ZarrSpec extends SparkSpec {
     assert(backa.select(sum(col("z.im"))).head.getDouble(0)
       == -(0 until 10).map(_.toDouble).sum)
 
-    // two trailing dims (matrix cells) keep the row reader
+    // two trailing dims (matrix cells — the MS DATA shape) vectorize too:
+    // rectangular cells mean uniform nested offsets into one flat leaf run
     val dfm = spark.range(0, 6).select(col("id").as("k"),
       array(array(col("id").cast("double"), lit(1.0)),
-        array(lit(2.0), col("id").cast("double"))).as("mat"))
-    val pathm = tmp("columnar_fallback")
+        array(lit(2.0), col("id").cast("double"))).as("mat"),
+      array(struct(col("id").cast("double").as("re"), lit(0.5).as("im")),
+        struct(lit(9.0).as("re"), col("id").cast("double").as("im"))).as("vis"))
+    val pathm = tmp("columnar_matrix")
     ZarrWrite.write(dfm, pathm, rowChunk = 3, overwrite = true)
     val backm = spark.read.format("zarr").load(pathm)
-    assert(!backm.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(backm.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
     assert(backm.select(sum(element_at(element_at(col("mat"), 1), 1)))
       .head.getDouble(0) == (0 until 6).map(_.toDouble).sum)
+    assert(backm.select(sum(element_at(col("vis"), 2).getField("im")))
+      .head.getDouble(0) == (0 until 6).map(_.toDouble).sum)
+    // matrix values round-trip exactly through the columnar path
+    assert(backm.orderBy("k").select("mat").as[Seq[Seq[Double]]].collect()
+      .zipWithIndex.forall { case (m, i) =>
+        m == Seq(Seq(i.toDouble, 1.0), Seq(2.0, i.toDouble)) })
+
+    // multi-dim object (string) arrays are the remaining row-reader case;
+    // our writer keeps strings 1-d, so hand-build the store (zarr-python
+    // json2 layout: flat items + dtype + shape trailer)
+    val paths = tmp("columnar_fallback")
+    val fss = new Path(paths).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fss.delete(new Path(paths), true); fss.mkdirs(new Path(paths + "/tags"))
+    def puts(rel: String, s: String): Unit = {
+      val out = fss.create(new Path(s"$paths/$rel"), true)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    puts(".zgroup", """{"zarr_format": 2}""")
+    puts("tags/.zarray",
+      """{"zarr_format": 2, "shape": [2, 2], "chunks": [2, 2], "dtype": "|O",
+        | "compressor": null, "fill_value": null, "order": "C",
+        | "filters": [{"id": "json2", "encoding": "utf-8"}]}""".stripMargin)
+    puts("tags/0.0", """["a0", "b", "a1", "b", "|O", [2, 2]]""")
+    val backs = spark.read.format("zarr").load(paths)
+    assert(!backs.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(backs.select(element_at(col("tags"), 1)).as[String].collect().toSeq
+      == Seq("a0", "a1"))
   }
 
   test("reads a store laid out the way zarr-python writes it (foreign fixture)") {
