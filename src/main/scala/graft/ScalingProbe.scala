@@ -48,6 +48,9 @@ object ScalingProbe {
     time("repetition") { d => SparkEntry.queries("q_text_repetition")(spark, d).count() }
     time("decontaminate") { d => SparkEntry.queries("q_decontaminate")(spark, d).count() }
     time("pack_sequences") { d => SparkEntry.queries("q_pack_sequences")(spark, d).count() }
+    time("shard") { d => SparkEntry.queries("q_shard")(spark, d).count() }
+    time("vocab") { d => SparkEntry.queries("q_vocab")(spark, d).count() }
+    time("tfidf") { d => SparkEntry.queries("q_tfidf")(spark, d).count() }
     time("semdedup") { d =>
       graft.ops.Similarity.semDedupPairs(
         spark.read.parquet(s"$d/embeddings.parquet"), "embedding", "vec_id",

@@ -277,6 +277,68 @@ object Dedup {
     corpus.join(decontaminate(corpus, bench, textCol, idCol, n).select(idCol),
       Seq(idCol), "left_anti")
 
+  // ---------------------------------------------------------- incremental
+
+  /** Incremental exact dedup: rows of `batch` whose text is not already in
+    * `corpus` — the "have we crawled this before?" membership check of a
+    * continuously-growing training corpus.
+    *
+    * Scale shape: one anti-join keyed by the 16-byte md5 digest, never the
+    * body — the corpus side reduces to its distinct digest set (in
+    * production that set is the maintained artifact, so the corpus scan
+    * drops out entirely and the join probes a digest table that only
+    * grows by the accepted batch each cycle). The join is the exactness
+    * guarantee; a bloom prefilter would only save shuffle bytes, and a
+    * false positive there could never drop a genuinely-new document here.
+    */
+  def incrementalNew(batch: DataFrame, corpus: DataFrame, textCol: String,
+                     idCol: String): DataFrame =
+    batch.withColumn("__digest", md5(col(textCol)))
+      .join(corpus.select(md5(col(textCol)).as("__digest")).distinct(),
+        Seq("__digest"), "left_anti")
+      .drop("__digest")
+
+  /** Incremental MinHash near-dup: (batch, corpus) pairs sharing an LSH
+    * band bucket, verified by exact word-shingle Jaccard ≥ `threshold`.
+    * Returns (id_new, id_old, jaccard).
+    *
+    * The point at scale: corpus×corpus pairs are NEVER generated — a naive
+    * re-dedup of the grown corpus pays the full quadratic candidate cost
+    * every cycle, while this pays only |batch| × bucket-occupancy. The
+    * skew cap censuses the corpus side (the unbounded one); batch-side
+    * signatures and both verify joins reuse the id-partitioned shingle
+    * exchanges, so tokenization runs once per side.
+    */
+  def incrementalNearDup(batch: DataFrame, corpus: DataFrame, textCol: String,
+                         idCol: String, threshold: Double,
+                         shingleWords: Int = 3, k: Int = 32, bands: Int = 8,
+                         maxBucket: Int = 1000): DataFrame = {
+    import graft.expr.VectorExprs.{band_hashes, minhash_sig}
+    val shNew = shingleFrame(batch, textCol, idCol, Nil, shingleWords)
+      .repartition(col(idCol))
+    val shOld = shingleFrame(corpus, textCol, idCol, Nil, shingleWords)
+      .repartition(col(idCol))
+    def banded(sh: DataFrame, out: String): DataFrame = sh.select(
+        col(idCol), posexplode(band_hashes(minhash_sig(col("sh"), k), bands)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+      .select(col(idCol).as(out), col("band"), col("bh"))
+    val bOld = banded(shOld, "id_old").repartition(col("band"), col("bh"))
+    val oversized = bOld.groupBy("band", "bh")
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") > maxBucket)
+      .select("band", "bh")
+    val cands = banded(shNew, "id_new")
+      .join(bOld.join(broadcast(oversized), Seq("band", "bh"), "left_anti"),
+        Seq("band", "bh"))
+      .select("id_new", "id_old").distinct()
+    cands
+      .join(shNew.select(col(idCol).as("id_new"), col("sh").as("sh_a")), "id_new")
+      .join(shOld.select(col(idCol).as("id_old"), col("sh").as("sh_b")), "id_old")
+      .withColumn("jaccard", jaccardCol(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_old"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Connected components over an undirected duplicate-pair list — the
     * clustering step that follows the pair generators in a dedup pipeline
     * (pairs say "a dups b"; the pipeline needs "keep ONE representative

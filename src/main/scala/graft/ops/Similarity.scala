@@ -161,6 +161,35 @@ object Similarity {
     emb.join(drop, Seq(idCol), "left_anti")
   }
 
+  // ------------------------------------------------------- clustering
+
+  /** Fit k-means centroids over an embedding column (bounded driver-side
+    * sample, fixed seed — see [[fitCentroids]]), exposed for corpus
+    * clustering / curriculum bucketing pipelines.
+    */
+  def fitKmeans(emb: DataFrame, vecCol: String, k: Int,
+                fitSampleRows: Long = 100000L): Array[Array[Double]] =
+    fitCentroids(emb.select(col(vecCol).as("cv")), k, fitSampleRows)
+
+  /** Assign every vector its nearest centroid (squared-L2, ties to the
+    * lowest index) via the codegen [[graft.expr.VectorExprs.NearestCentroid]]
+    * expression. The corpus never leaves the executors; the centroid table
+    * is a broadcast-sized literal. Returns the input plus `cluster`.
+    */
+  def assignClusters(emb: DataFrame, vecCol: String, idCol: String,
+                     centroids: Array[Array[Double]]): DataFrame =
+    emb.select(col(idCol), col(vecCol).as("cv"))
+      .withColumn("cluster",
+        graft.expr.VectorExprs.nearest_centroid(col("cv"), centroids))
+      .select(col(idCol), col("cluster"))
+
+  /** K-means document clustering end-to-end: fit on a sample, assign all.
+    * One scan + one tiny fit job — no shuffle in the assignment pass.
+    */
+  def kmeansCluster(emb: DataFrame, vecCol: String, idCol: String, k: Int,
+                    fitSampleRows: Long = 100000L): DataFrame =
+    assignClusters(emb, vecCol, idCol, fitKmeans(emb, vecCol, k, fitSampleRows))
+
   // ------------------------------------------------ persisted IVF index
 
   private val CentroidsKey = "__graft_ivf_centroids__"
