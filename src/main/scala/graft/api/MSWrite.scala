@@ -45,17 +45,28 @@ object MSWrite {
   def createBucketed(df: DataFrame, table: String, keys: Seq[String],
                      buckets: Int): Unit = {
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // quote each part of a (possibly db-qualified) name separately:
+    // `db`.`tbl`, never `db.tbl`
+    val parts = table.split('.')
+    require(parts.length <= 2 && parts.forall(_.nonEmpty),
+      s"table name '$table' must be 'tbl' or 'db.tbl'")
+    val quoted = parts.map(p => s"`$p`").mkString(".")
+    spark.sql(s"DROP TABLE IF EXISTS $quoted")
     // Overwrite only clears locations the catalog owns; a crashed run can
-    // leave an orphaned warehouse dir a fresh catalog refuses to reuse.
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.conf.warehousePath, table.toLowerCase)
+    // leave an orphaned dir a fresh catalog refuses to reuse. Resolve the
+    // managed location through the catalog's database metadata (works for
+    // non-default databases) and clear it only after the DROP above, when
+    // anything left there is by definition orphaned.
+    val db = if (parts.length == 2) parts(0) else spark.catalog.currentDatabase
+    val dbLoc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getDatabaseMetadata(db).locationUri)
+    val loc = new org.apache.hadoop.fs.Path(dbLoc, parts.last.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, keys.head, keys.drop(1): _*)
       .sortBy(keys.head, keys.drop(1): _*)
-      .format("parquet").saveAsTable(table)
+      .format("parquet").saveAsTable(quoted)
   }
 
   /** Append rows (ref: add_row_orders chunk-chain, daskms/writes.py:363-490 —

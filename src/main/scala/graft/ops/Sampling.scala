@@ -109,15 +109,27 @@ object Sampling {
   /** Shard a corpus for training export: assign `shard` by [[shardId]] and
     * cluster rows so each output file holds exactly one shard.
     *
-    * Scale shape: ONE shuffle keyed by the shard id (a small long);
-    * `repartition(nShards, shard)` gives each shard its own task and its
-    * own output file, so a 1000-executor write streams nShards files in
-    * parallel with no post-hoc compaction. Directory layout comes from
+    * Scale shape: ONE shuffle keyed by the shard id (a small long),
+    * through an IDENTITY partitioner — shard k lands in task k, every
+    * task gets exactly one shard (plain `repartition(n, shard)` hashes the
+    * id, so shards can collide into one task and leave others idle). A
+    * 1000-executor write therefore streams nShards files in parallel with
+    * no post-hoc compaction. Directory layout comes from
     * `partitionBy(shard)`, the standard layout dataloaders glob.
     */
   def exportShards(df: DataFrame, keyCol: String, nShards: Int,
-                   outDir: String): Unit =
-    df.withColumn("shard", shardId(col(keyCol), nShards))
-      .repartition(nShards, col("shard"))
+                   outDir: String): Unit = {
+    val spark = df.sparkSession
+    val withShard = df.withColumn("shard", shardId(col(keyCol), nShards))
+    val schema = withShard.schema
+    val si = schema.fieldIndex("shard")
+    val identity = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = nShards
+      override def getPartition(key: Any): Int = key.asInstanceOf[Long].toInt
+    }
+    val rows = withShard.rdd.map(r => (r.getLong(si), r))
+      .partitionBy(identity).values
+    spark.createDataFrame(rows, schema)
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+  }
 }

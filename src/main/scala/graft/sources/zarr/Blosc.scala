@@ -28,8 +28,9 @@ package graft.sources.zarr
   * cannot decode cleanly (stream sizes must sum exactly to the block's
   * region and each stream must inflate to exactly its share), so the
   * decoder accepts whichever split reconstructs the block. Supported
-  * inner codecs: lz4 and zlib; blosclz/snappy/zstd and bit-shuffle raise
-  * with the codec named.
+  * inner codecs: lz4 (pure JVM), snappy (snappy-java), zlib (JDK
+  * Inflater), zstd (zstd-jni); blosclz and bit-shuffle raise with the
+  * codec named.
   */
 object Blosc {
 
@@ -60,18 +61,24 @@ object Blosc {
       throw new java.io.IOException(
         s"$what: blosc bit-shuffle not supported (byte-shuffle/none only)")
     val codec = (flags >> 5) & 0x7
-    if (codec != 1 && codec != 3)
+    if (codec < 1 || codec > 4)
       throw new java.io.IOException(s"$what: blosc inner codec " +
         s"'${Seq("blosclz", "lz4", "snappy", "zlib", "zstd").lift(codec).getOrElse(codec.toString)}'" +
-        " not supported (lz4/zlib only)")
+        " not supported (lz4/snappy/zlib/zstd only)")
 
     val shuffle = (flags & 0x1) != 0 && typesize > 1
+    if (blocksize <= 0)
+      throw new java.io.IOException(
+        s"$what: malformed blosc header (blocksize=$blocksize)")
     val nblocks = ((nbytes.toLong + blocksize - 1) / blocksize).toInt
     require(src.length >= 16 + 4 * nblocks, s"$what: truncated blosc block index")
     val blockBuf = new Array[Byte](blocksize)
     var j = 0
     while (j < nblocks) {
       val start = intLE(src, 16 + 4 * j)
+      if (start < 0 || start > src.length)
+        throw new java.io.IOException(
+          s"$what: blosc block $j start offset $start outside frame (${src.length} bytes)")
       val neblock = math.min(blocksize, nbytes - j * blocksize)
       // candidate stream counts: c-blosc splits shuffled lz4/blosclz blocks
       // into `typesize` streams when each split clears its minimum size,
@@ -116,8 +123,13 @@ object Blosc {
       } else {
         val n =
           try {
-            if (codec == 1) lz4Decompress(src, pos, csize, dst, s * per, per)
-            else zlibDecompress(src, pos, csize, dst, s * per, per)
+            codec match {
+              case 1 => lz4Decompress(src, pos, csize, dst, s * per, per)
+              case 2 => snappyDecompress(src, pos, csize, dst, s * per, per)
+              case 3 => zlibDecompress(src, pos, csize, dst, s * per, per)
+              case 4 => zstdDecompress(src, pos, csize, dst, s * per, per)
+              case _ => return false
+            }
           } catch { case _: Exception => return false }
         if (n != per) return false
       }
@@ -199,6 +211,28 @@ object Blosc {
       }
     }
     out - dstOff
+  }
+
+  /** Raw-snappy stream decode (c-blosc compresses each split with plain
+    * `snappy_compress`, no framing) via snappy-java, which Spark already
+    * ships for shuffle compression.
+    */
+  private def snappyDecompress(src: Array[Byte], srcOff: Int, srcLen: Int,
+                               dst: Array[Byte], dstOff: Int, dstCap: Int): Int = {
+    val n = org.xerial.snappy.Snappy.uncompressedLength(src, srcOff, srcLen)
+    if (n > dstCap) throw new java.io.IOException("snappy: output overrun")
+    org.xerial.snappy.Snappy.uncompress(src, srcOff, srcLen, dst, dstOff)
+  }
+
+  /** Single-frame zstd decode via zstd-jni (shipped with Spark). */
+  private def zstdDecompress(src: Array[Byte], srcOff: Int, srcLen: Int,
+                             dst: Array[Byte], dstOff: Int, dstCap: Int): Int = {
+    val n = com.github.luben.zstd.Zstd.decompressByteArray(
+      dst, dstOff, dstCap, src, srcOff, srcLen)
+    if (com.github.luben.zstd.Zstd.isError(n))
+      throw new java.io.IOException(
+        "zstd: " + com.github.luben.zstd.Zstd.getErrorName(n))
+    n.toInt
   }
 
   private def zlibDecompress(src: Array[Byte], srcOff: Int, srcLen: Int,

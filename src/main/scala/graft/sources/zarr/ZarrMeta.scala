@@ -15,9 +15,10 @@ import scala.jdk.CollectionConverters._
   * Supported subset (documented in README):
   *  - numeric/bool dtypes `<i2 <i4 <i8 <f4 <f8 |b1 |i1 |u1`, plus complex
   *    `<c8 <c16` mapped to the engine's struct(re, im) convention
-  *  - C order, little-endian; `null`, `zlib`, or `blosc` compressor
-  *    (blosc decoded by the pure-JVM [[Blosc]] — lz4/zlib inner codecs,
-  *    byte-shuffle; bitshuffle/zstd/snappy raise with the codec named)
+  *  - C order, little-endian; `null`, `zlib`, `zstd`, `gzip`, `lz4`, or
+  *    `blosc` compressor (blosc decoded by [[Blosc]] — lz4/snappy/zlib/
+  *    zstd inner codecs, byte-shuffle; blosclz/bitshuffle raise with the
+  *    codec named)
   *  - chunking along the row (first) axis; trailing axes single-chunk
   */
 final case class ZarrArrayMeta(
@@ -117,8 +118,8 @@ object ZarrMeta {
     require(order == "C", s"zarr order '$order' unsupported (C only)")
     val comp = Option(node.get("compressor")).filterNot(_.isNull).map { c =>
       val id = c.get("id").asText()
-      require(id == "zlib" || id == "blosc",
-        s"zarr compressor '$id' unsupported (blosc/zlib/null only)")
+      require(Set("zlib", "blosc", "zstd", "gzip", "lz4").contains(id),
+        s"zarr compressor '$id' unsupported (blosc/zlib/zstd/gzip/lz4/null only)")
       // blosc's inner codec (cname) and shuffle mode are re-read from each
       // chunk's own frame header, so no more of the JSON matters here
       id
@@ -254,8 +255,73 @@ object ZarrMeta {
                 s"zlib chunk ${m.name}/${m.chunkFile(i)} decompressed to $off " +
                   s"bytes, expected $expected (zarr v2 chunks are full-size)")
             out
+          case Some("zstd") =>
+            // numcodecs.Zstd writes single frames with the content size in
+            // the frame header, so the exact output size is known up front
+            val what = s"${m.name}/${m.chunkFile(i)}"
+            val sz = com.github.luben.zstd.Zstd.getFrameContentSize(raw)
+            if (sz < 0 || sz >= (1L << 31))
+              throw new java.io.IOException(
+                s"zstd chunk $what: missing/oversized frame content size ($sz)")
+            val out = new Array[Byte](sz.toInt)
+            val n = com.github.luben.zstd.Zstd.decompressByteArray(
+              out, 0, out.length, raw, 0, raw.length)
+            if (com.github.luben.zstd.Zstd.isError(n) || n != sz)
+              throw new java.io.IOException(s"zstd chunk $what: " +
+                com.github.luben.zstd.Zstd.getErrorName(n))
+            checkFixedSize(m, i, out.length)
+            out
+          case Some("gzip") =>
+            // numcodecs.GZip: standard gzip stream (variable-length safe)
+            val what = s"${m.name}/${m.chunkFile(i)}"
+            val in = new java.util.zip.GZIPInputStream(
+              new java.io.ByteArrayInputStream(raw))
+            val out = new java.io.ByteArrayOutputStream(raw.length * 4 + 64)
+            try {
+              val buf = new Array[Byte](65536)
+              var n = in.read(buf)
+              while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+            } catch {
+              case e: java.io.IOException =>
+                throw new java.io.IOException(s"corrupt gzip chunk $what", e)
+            } finally in.close()
+            val bytes = out.toByteArray
+            checkFixedSize(m, i, bytes.length)
+            bytes
+          case Some("lz4") =>
+            // numcodecs.LZ4: int32 LE uncompressed length + one lz4 block
+            val what = s"${m.name}/${m.chunkFile(i)}"
+            if (raw.length < 4)
+              throw new java.io.IOException(s"truncated lz4 chunk $what")
+            val expected = (raw(0) & 0xff) | ((raw(1) & 0xff) << 8) |
+              ((raw(2) & 0xff) << 16) | ((raw(3) & 0xff) << 24)
+            if (expected < 0)
+              throw new java.io.IOException(
+                s"lz4 chunk $what: negative length prefix $expected")
+            val out = new Array[Byte](expected)
+            val n = Blosc.lz4Decompress(raw, 4, raw.length - 4, out, 0, expected)
+            if (n != expected)
+              throw new java.io.IOException(
+                s"lz4 chunk $what decoded $n of $expected bytes")
+            checkFixedSize(m, i, out.length)
+            out
           case _ => raw
         }
+    }
+
+  /** Fixed-width chunks must decode to exactly the full chunk size (zarr
+    * v2 stores whole chunks, fill-padded at the edge).
+    */
+  private def checkFixedSize(m: ZarrArrayMeta, i: Int, got: Int): Unit =
+    if (!m.objectCodec) {
+      val expectedL = chunkByteSize(m)
+      require(expectedL < (1L << 31),
+        s"zarr chunk ${m.name}/${m.chunkFile(i)} is $expectedL B — over " +
+          "the 2 GiB zarr chunk limit; rechunk with a smaller rowChunk")
+      if (got != expectedL.toInt)
+        throw new java.io.IOException(
+          s"chunk ${m.name}/${m.chunkFile(i)} decompressed to $got bytes, " +
+            s"expected $expectedL")
     }
 
   private def inflateAll(raw: Array[Byte], what: String): Array[Byte] = {

@@ -45,6 +45,20 @@ class BucketingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("createBucketed accepts db-qualified names and re-creates cleanly") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_test_db")
+    val nat = spark.read.parquet(s"${sf()}/nation.parquet")
+      .select("n_nationkey", "n_name")
+    MSWrite.createBucketed(nat, "graft_test_db.nat_b", Seq("n_nationkey"), 4)
+    assert(spark.table("graft_test_db.nat_b").count() === nat.count())
+    // second create over the same name must not trip on leftovers
+    MSWrite.createBucketed(nat, "graft_test_db.nat_b", Seq("n_nationkey"), 4)
+    assert(spark.table("graft_test_db.nat_b").count() === nat.count())
+    intercept[IllegalArgumentException] {
+      MSWrite.createBucketed(nat, "a.b.c", Seq("n_nationkey"), 4)
+    }
+  }
+
   test("mismatched bucket counts fall back to a correct (shuffled) join") {
     val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
       .select("l_orderkey", "l_quantity")

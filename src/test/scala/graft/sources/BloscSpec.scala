@@ -91,7 +91,9 @@ class BloscSpec extends SparkSpec {
       h.putInt(nbytes).putInt(blocksize).putInt(16 + nbytes).put(payload)
       return h.array()
     }
-    val codecCode = if (codec == "lz4") 1 else 3
+    val codecCode = codec match {
+      case "lz4" => 1; case "snappy" => 2; case "zlib" => 3; case "zstd" => 4
+    }
     val nblocks = (nbytes + blocksize - 1) / blocksize
     val blockBytes = new java.io.ByteArrayOutputStream()
     val starts = new Array[Int](nblocks)
@@ -106,7 +108,12 @@ class BloscSpec extends SparkSpec {
       val per = neblock / nsplits
       for (s <- 0 until nsplits) {
         val stream = java.util.Arrays.copyOfRange(raw, s * per, (s + 1) * per)
-        val comp = if (codec == "lz4") lz4Compress(stream) else deflate(stream)
+        val comp = codec match {
+          case "lz4" => lz4Compress(stream)
+          case "snappy" => org.xerial.snappy.Snappy.compress(stream)
+          case "zstd" => com.github.luben.zstd.Zstd.compress(stream, 3)
+          case _ => deflate(stream)
+        }
         val use = if (comp.length < per) comp else stream // raw if no gain
         blockBytes.write(use.length & 0xff); blockBytes.write((use.length >> 8) & 0xff)
         blockBytes.write((use.length >> 16) & 0xff); blockBytes.write((use.length >> 24) & 0xff)
@@ -226,17 +233,62 @@ class BloscSpec extends SparkSpec {
     assert(Blosc.decompress(frame, "t").sameElements(payload))
   }
 
-  test("blosc: bit-shuffle and zstd are rejected with the codec named") {
+  test("blosc: bit-shuffle and blosclz are rejected with the codec named") {
     val h = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
     h.put(2.toByte).put(1.toByte).put(0x4.toByte).put(8.toByte)
     h.putInt(8).putInt(8).putInt(20)
     val e = intercept[java.io.IOException](Blosc.decompress(h.array(), "t"))
     assert(e.getMessage.contains("bit-shuffle"))
     val h2 = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
-    h2.put(2.toByte).put(1.toByte).put((4 << 5).toByte).put(8.toByte)
+    h2.put(2.toByte).put(1.toByte).put((0 << 5).toByte).put(8.toByte)
     h2.putInt(8).putInt(8).putInt(20)
     val e2 = intercept[java.io.IOException](Blosc.decompress(h2.array(), "t"))
-    assert(e2.getMessage.contains("zstd"))
+    assert(e2.getMessage.contains("blosclz"))
+  }
+
+  test("blosc: zstd and snappy inner codecs round-trip") {
+    val payload = longs(600, i => 1000000L + i)
+    for (codec <- Seq("zstd", "snappy"); split <- Seq(true, false)) {
+      val frame = bloscFrame(payload, 8, 2048, shuffle = true, split = split,
+        codec = codec)
+      assert(Blosc.decompress(frame, s"$codec/$split").sameElements(payload),
+        s"codec=$codec split=$split")
+    }
+  }
+
+  test("blosc: malformed header (blocksize<=0, bad block start) throws named") {
+    // valid frame, then corrupt the blocksize field in place
+    val payload = longs(64, _.toLong)
+    val frame = bloscFrame(payload, 8, 256, shuffle = false, split = false,
+      codec = "lz4")
+    val badBs = frame.clone()
+    ByteBuffer.wrap(badBs).order(ByteOrder.LITTLE_ENDIAN).putInt(8, 0)
+    val e = intercept[java.io.IOException](Blosc.decompress(badBs, "t"))
+    assert(e.getMessage.contains("blocksize"))
+    // corrupt block 0's start offset to a negative value
+    val badStart = frame.clone()
+    ByteBuffer.wrap(badStart).order(ByteOrder.LITTLE_ENDIAN).putInt(16, -5)
+    val e2 = intercept[java.io.IOException](Blosc.decompress(badStart, "t"))
+    assert(e2.getMessage.contains("start offset"))
+  }
+
+  test("blosc: externally-generated fixture frame (python zlib) decodes") {
+    // Frame generated OUTSIDE this codebase: streams compressed by
+    // CPython's zlib module (an independent deflate implementation),
+    // header/block-index laid out per the public c-blosc README_HEADER
+    // spec: version 2, flags=0x61 (byte-shuffle | zlib<<5), typesize 4,
+    // nbytes 256, blocksize 128 (2 blocks, nsplits=1). Payload = int32 LE
+    // 0..63. Guards against a self-consistent misreading shared by the
+    // spec's own encoder and the decoder.
+    val hex =
+      "0201610400010000800000007600000018000000470000002b00000078da6360" +
+      "646266616563e7e0e4e2e6e1e5e31710141216111513979094929691959367a0" +
+      "310000cfd001f12b00000078da5350545256515553d7d0d4d2d6d1d5d3373034" +
+      "3236313533b7b0b4b2b6b1b5b367a031000091ee05f1"
+    val frame = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val expected = ByteBuffer.allocate(256).order(ByteOrder.LITTLE_ENDIAN)
+    (0 until 64).foreach(expected.putInt)
+    assert(Blosc.decompress(frame, "fixture").sameElements(expected.array()))
   }
 
   // ------------------------------------------------------------- zarr e2e
@@ -266,5 +318,44 @@ class BloscSpec extends SparkSpec {
       .select("v").orderBy("v").collect().map(_.getLong(0))
     assert(back.length === 700)
     assert(back.toSeq === (0 until 700).map(_.toLong * 7))
+  }
+
+  test("zarr stores with standalone zstd/gzip/lz4 compressors read e2e") {
+    // numcodecs formats: Zstd = bare zstd frame (content size in header),
+    // GZip = standard gzip stream, LZ4 = int32 LE length prefix + block
+    def gzip(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    def lz4Framed(b: Array[Byte]): Array[Byte] = {
+      val body = lz4Compress(b)
+      val buf = ByteBuffer.allocate(4 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+      buf.putInt(b.length).put(body)
+      buf.array()
+    }
+    val encoders: Map[String, Array[Byte] => Array[Byte]] = Map(
+      "zstd" -> (b => com.github.luben.zstd.Zstd.compress(b, 3)),
+      "gzip" -> gzip, "lz4" -> lz4Framed)
+    for ((id, enc) <- encoders) {
+      val path = s"/root/repo/target/zarr_test/standalone_$id"
+      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(path), true)
+      fs.mkdirs(new Path(path))
+      def put(rel: String, bytes: Array[Byte]): Unit = {
+        val out = fs.create(new Path(s"$path/$rel"), true)
+        try out.write(bytes) finally out.close()
+      }
+      put(".zgroup", """{"zarr_format":2}""".getBytes("UTF-8"))
+      put("v/.zarray",
+        (s"""{"zarr_format":2,"shape":[300],"chunks":[256],"dtype":"<i8",""" +
+          s""""compressor":{"id":"$id"},"fill_value":0,"filters":null,""" +
+          s""""order":"C"}""").getBytes("UTF-8"))
+      put("v/0", enc(longs(256, i => i.toLong * 3)))
+      put("v/1", enc(longs(256, i => if (i < 44) (256 + i).toLong * 3 else 0L)))
+      val back = spark.read.format("zarr").load(path)
+        .select("v").orderBy("v").collect().map(_.getLong(0))
+      assert(back.toSeq === (0 until 300).map(_.toLong * 3), s"compressor=$id")
+    }
   }
 }
