@@ -620,6 +620,16 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // stream-stream interval join (click→purchase attribution within 1 h),
+    // checked via batch parity: the same builder runs on the batch frame
+    "q_stream_join" -> ((s, dir) =>
+      EventStream.intervalJoin(T(s, dir, "events"), "click", "purchase",
+          within = "1 hour")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum(col("r_value")), 4).as("total_value"))
+        .orderBy("user_id")),
+
     // ===== dedup family ==================================================
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(T(s, dir, "documents"), "text", "doc_id").orderBy("doc_id")),
@@ -862,6 +872,74 @@ object SparkEntry {
       TextAnalysis.tfidf(T(s, dir, "documents"), "text", "doc_id", 3)
         .withColumnRenamed("rank", "rnk")
         .orderBy("doc_id", "rnk")),
+
+    // BM25 retrieval: top-50 docs for a 4-term query (score rounded
+    // before ranking so the order is engine-stable)
+    "q_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25Rank(T(s, dir, "documents"), "text", "doc_id",
+          Seq("spark", "merge", "window", "hash"), topK = 50)
+        .orderBy(col("score").desc, col("doc_id"))),
+
+    // overlapping token-window chunking (context-length training prep):
+    // 32-token windows every 24 tokens
+    "q_chunk" -> ((s, dir) =>
+      TextAnalysis.chunkTokens(T(s, dir, "documents"), "text", "doc_id",
+          window = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx")),
+
+    // per-doc unigram cross-entropy vs the corpus LM (CCNet-style signal)
+    "q_surprisal" -> ((s, dir) =>
+      TextAnalysis.unigramSurprisal(T(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+
+    // URL domain extraction + blocklist verdict over deterministically
+    // synthesized URLs (documents carry no URL column)
+    "q_url_filter" -> ((s, dir) => {
+      val domains = array(lit("example.com"), lit("spam.example"),
+        lit("ads.bad.net"), lit("docs.example.org"), lit("blog.sample.io"))
+      val url = concat(lit("https://"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("www.")).otherwise(lit("")),
+        element_at(domains, (pmod(col("doc_id"), lit(5)) + 1).cast("int")),
+        lit("/p/"), col("doc_id").cast("string"))
+      T(s, dir, "documents").select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), col("url"),
+          TextAnalysis.urlHost(col("url")).as("host"),
+          TextAnalysis.urlDomain(col("url")).as("domain"))
+        // blocklist entries are REGISTRABLE domains (host ads.bad.net has
+        // domain bad.net, which is what the list must carry)
+        .withColumn("kept",
+          !col("domain").isin("spam.example", "bad.net"))
+        .orderBy("doc_id")
+    }),
+
+    // bloom-filter decontamination derived check: the sketch variant must
+    // flag every exact-overlap doc (one-sided error) with a bounded
+    // false-positive overhead, and the keep filter must be its complement
+    "q_bloom_decontaminate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 29 =!= 0)
+      val bench = docs.filter(col("doc_id") % 29 === 0)
+      val exact = pin(Dedup.decontaminate(corpus, bench, "text", "doc_id",
+        n = 4).select("doc_id"))
+      val bloom = pin(Dedup.contaminatedBloom(corpus, bench, "text", "doc_id",
+          n = 4, fpp = 1e-6)
+        .filter(col("contaminated")).select("doc_id"))
+      val kept = pin(Dedup.decontaminateBloomKeep(corpus, bench, "text",
+        "doc_id", n = 4, fpp = 1e-6).select("doc_id"))
+      val one = exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(exact.join(bloom, Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("n_fn")))
+        .crossJoin(bloom.agg(count(lit(1)).as("n_bloom")))
+        .crossJoin(corpus.agg(count(lit(1)).as("n_corpus")))
+        .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+      checkRows(one,
+        "flagged_nonempty" -> (col("n_bloom") >= 1),
+        "no_false_negatives" -> (col("n_fn") === 0),
+        "fp_bounded" -> (col("n_bloom") - col("n_exact") <=
+          greatest(lit(5L), (col("n_corpus") * 0.01).cast("long"))),
+        "keep_is_complement" ->
+          (col("n_kept") === col("n_corpus") - col("n_bloom")))
+    }),
 
     // benchmark decontamination: docs sharing any word 4-gram with the
     // doc_id % 29 == 0 "eval suite" slice
@@ -1331,6 +1409,17 @@ object SparkEntry {
           |       CAST(max(n) AS BIGINT) AS longest
           |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
+      "q_stream_join" ->
+        """SELECT l.user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+          |  round(sum(r.value), 4) AS total_value
+          |FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS l_ts FROM events
+          |      WHERE event_type = 'click') l
+          |JOIN (SELECT user_id AS r_user, CAST(ts AS TIMESTAMP) AS r_ts, value
+          |      FROM events WHERE event_type = 'purchase') r
+          |  ON l.user_id = r.r_user AND r.r_ts >= l.l_ts
+          |     AND r.r_ts <= l.l_ts + INTERVAL 1 HOUR
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
       "q_dedup_exact" ->
         """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
           |       CAST(count(*) AS BIGINT) AS n_copies
@@ -1674,6 +1763,92 @@ object SparkEntry {
           |)
           |SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, token, tf, df, tfidf
           |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+      // mirrors bm25Rank's exact arithmetic (same association order) so the
+      // doubles agree bit-for-bit before the 9-digit rounding
+      "q_bm25" ->
+        """WITH base AS (
+          |  SELECT doc_id,
+          |    CASE WHEN len(trim(text)) = 0 THEN 0
+          |         ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS dl
+          |  FROM documents
+          |), stats AS (
+          |  SELECT CAST(count(*) AS DOUBLE) AS n,
+          |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+          |  FROM base
+          |), terms AS (
+          |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+          |  FROM (SELECT doc_id,
+          |          unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+          |        FROM documents)
+          |  WHERE token IN ('spark', 'merge', 'window', 'hash')
+          |  GROUP BY doc_id, token
+          |), dfq AS (
+          |  SELECT token, CAST(count(*) AS BIGINT) AS df FROM terms GROUP BY token
+          |), scored AS (
+          |  SELECT t.doc_id,
+          |    ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0) * t.tf * (1.2 + 1.0) /
+          |      (t.tf + ((b.dl / s.avgdl) * 0.75 + (1.0 - 0.75)) * 1.2) AS sc
+          |  FROM terms t JOIN dfq f USING (token) JOIN base b USING (doc_id)
+          |  CROSS JOIN stats s
+          |)
+          |SELECT doc_id, round(sum(sc), 9) AS score,
+          |  CAST(count(*) AS BIGINT) AS n_terms_hit
+          |FROM scored GROUP BY doc_id
+          |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+
+      "q_chunk" ->
+        """WITH t AS (
+          |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+          |  FROM documents WHERE len(trim(text)) > 0
+          |), s AS (
+          |  SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS start FROM t
+          |)
+          |SELECT doc_id, CAST(start // 24 AS INTEGER) AS chunk_idx,
+          |  array_to_string(toks[start + 1:start + 32], ' ') AS chunk_text,
+          |  CAST(least(32, len(toks) - start) AS INTEGER) AS n_tokens
+          |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+
+      "q_surprisal" ->
+        """WITH terms AS (
+          |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+          |  FROM (SELECT doc_id,
+          |          unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+          |        FROM documents)
+          |  WHERE len(token) > 0
+          |  GROUP BY doc_id, token
+          |), model AS (
+          |  SELECT token, CAST(sum(tf) AS BIGINT) AS cnt FROM terms GROUP BY token
+          |), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM model)
+          |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+          |  round(-sum(CAST(tf AS DOUBLE)
+          |        * ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)))
+          |      / CAST(sum(tf) AS DOUBLE), 9) AS nll
+          |FROM terms JOIN model USING (token) CROSS JOIN tot
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "q_url_filter" ->
+        """WITH u AS (
+          |  SELECT doc_id,
+          |    'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+          |    (['example.com', 'spam.example', 'ads.bad.net',
+          |      'docs.example.org', 'blog.sample.io'])[(doc_id % 5) + 1] ||
+          |    '/p/' || CAST(doc_id AS VARCHAR) AS url
+          |  FROM documents
+          |), h AS (
+          |  SELECT doc_id, url,
+          |    regexp_extract(url,
+          |      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1) AS host
+          |  FROM u
+          |)
+          |SELECT doc_id, url, host,
+          |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+          |  regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+          |    NOT IN ('spam.example', 'bad.net') AS kept
+          |FROM h ORDER BY doc_id""".stripMargin,
+
+      "q_bloom_decontaminate" -> checksOracle("flagged_nonempty",
+        "no_false_negatives", "fp_bounded", "keep_is_complement"),
 
       "q_decontaminate" ->
         """WITH sh AS (

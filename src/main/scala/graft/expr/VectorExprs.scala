@@ -346,6 +346,47 @@ object VectorExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Bloom membership kernel: true iff ANY element of the long array might
+    * be in the filter. Early-exits on the first hit.
+    */
+  def bloomAnyKernel(arr: ArrayData,
+                     bf: org.apache.spark.util.sketch.BloomFilter): Boolean = {
+    var i = 0
+    while (i < arr.numElements()) {
+      if (bf.mightContainLong(arr.getLong(i))) return true
+      i += 1
+    }
+    false
+  }
+
+  /** "Any element in the Bloom filter" over an array<long> column, against
+    * a driver-built `org.apache.spark.util.sketch.BloomFilter` (a few MB
+    * even for 1e9 items at 1% — the broadcast-sidecar size class, like
+    * [[NearestCentroid]]'s centroids). The filter deserializes once per
+    * executor (transient lazy) and rides into generated code as a codegen
+    * reference object — the membership probe stays inside whole-stage
+    * codegen with no join, no shuffle, no per-row deserialization.
+    */
+  case class BloomAnyLong(child: Expression, bloomBytes: Array[Byte])
+      extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+    @transient private lazy val bf =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bloomBytes))
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Boolean.valueOf(bloomAnyKernel(input.asInstanceOf[ArrayData], bf))
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val bfRef = ctx.addReferenceObj("bloomFilter", bf,
+        "org.apache.spark.util.sketch.BloomFilter")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expr.VectorExprs$$.MODULE$$.bloomAnyKernel($c, $bfRef);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // ------------------------------------------------------- Column wrappers
 
   def hashed_shingles(tokens: Column, n: Int): Column =
@@ -364,4 +405,6 @@ object VectorExprs {
     toColumn(RollingHash(toExpression(text)))
   def ngram_profile(tokens: Column, n: Int): Column =
     toColumn(NgramProfile(toExpression(tokens), n))
+  def bloom_any(hashedGrams: Column, bloomBytes: Array[Byte]): Column =
+    toColumn(BloomAnyLong(toExpression(hashedGrams), bloomBytes))
 }

@@ -277,6 +277,50 @@ object Dedup {
     corpus.join(decontaminate(corpus, bench, textCol, idCol, n).select(idCol),
       Seq(idCol), "left_anti")
 
+  /** Bloom-filter decontamination: flag corpus rows sharing (probably) any
+    * word n-gram with the benchmark — the sketch variant of
+    * [[decontaminate]] for when even a broadcast hash set of benchmark
+    * grams is too big (a 1e9-gram eval suite is a ~14 GB set but a ~1.2 GB
+    * bloom at 1% fpp; at 1e8 grams the bloom is ~120 MB).
+    *
+    * One-sided error, the safe direction for decontamination: a TRUE
+    * overlap is always flagged (no false negatives — contaminated docs
+    * cannot slip through); a clean doc is wrongly dropped with
+    * probability ≤ ~grams·fpp.
+    *
+    * Scale shape: the filter is BUILT distributed (`stat.bloomFilter` runs
+    * a treeAggregate over the bench grams) and PROBED scan-side — the
+    * corpus never shuffles and never joins; each row does one in-codegen
+    * pass over its gram array ([[graft.expr.VectorExprs.BloomAnyLong]])
+    * with early exit on the first hit.
+    */
+  def contaminatedBloom(corpus: DataFrame, bench: DataFrame, textCol: String,
+                        idCol: String, n: Int, fpp: Double = 0.01): DataFrame = {
+    val benchGrams = shingleFrame(bench, textCol, idCol, Nil, n)
+      .select(explode(col("sh")).as("__g")).distinct()
+    // expected-item sizing: a count over the (small) bench side only
+    val est = math.max(benchGrams.count(), 1L)
+    val bf = benchGrams.stat.bloomFilter("__g", est, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    // probe with the SAME gram hash the bench side was built from
+    // (HashedShingles, not the string-shingle xxhash64)
+    corpus.withColumn("contaminated",
+      graft.expr.VectorExprs.bloom_any(
+        graft.expr.VectorExprs.hashed_shingles(
+          split(trim(lower(col(textCol))), "\\s+"), n),
+        bos.toByteArray))
+  }
+
+  /** Keep only corpus rows the bloom probe clears — guaranteed to contain
+    * no benchmark overlap (may drop ≤ fpp-rate clean rows).
+    */
+  def decontaminateBloomKeep(corpus: DataFrame, bench: DataFrame,
+                             textCol: String, idCol: String, n: Int,
+                             fpp: Double = 0.01): DataFrame =
+    contaminatedBloom(corpus, bench, textCol, idCol, n, fpp)
+      .filter(!col("contaminated")).drop("contaminated")
+
   // ---------------------------------------------------------- incremental
 
   /** Incremental exact dedup: rows of `batch` whose text is not already in

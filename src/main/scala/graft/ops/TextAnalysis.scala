@@ -279,6 +279,133 @@ object TextAnalysis {
   }
 
   /** Full analysis frame over a documents table. */
+  // ------------------------------------------------------------- retrieval
+
+  /** BM25 (Okapi, Lucene's idf form: ln(1 + (N−df+0.5)/(df+0.5))) scores
+    * of every document against a bag of query terms; the `topK` docs by
+    * score (rounded to 9 digits BEFORE ranking so the order is stable
+    * across engines), doc-id tiebreak. Docs hitting no query term are not
+    * returned.
+    *
+    * Scale shape: the exploded token stream is filtered to the query-term
+    * set (a literal in the plan) BEFORE any shuffle, so the (doc, term)
+    * aggregate carries only query hits — at 100 TB that is |hits|, not
+    * |tokens|. Document length comes from a scan-side [[tokenCount]] (no
+    * second explode); N and avgdl ride in as a broadcast 1-row aggregate;
+    * per-term df is a broadcast |queryTerms|-row aggregate; the final
+    * top-k is TakeOrdered, never a global sort. avgdl is computed as an
+    * exact integer-sum ratio so every engine reproduces the same double.
+    */
+  def bm25Rank(docs: DataFrame, textCol: String, idCol: String,
+               queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+               topK: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Rank needs at least one query term")
+    val base = docs.select(col(idCol), col(textCol))
+      .withColumn("__dl", tokenCount(col(textCol)).cast("long"))
+    val stats = base.agg(
+      count(lit(1)).cast("double").as("__n"),
+      (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl"))
+    val terms = base
+      .select(col(idCol), col("__dl"), explode(tokens(col(textCol))).as("__t"))
+      .filter(col("__t").isin(queryTerms.distinct: _*))
+      .groupBy(col(idCol), col("__t"))
+      .agg(count(lit(1)).as("tf"), first(col("__dl")).as("__dl"))
+    val dfreq = terms.groupBy("__t").agg(count(lit(1)).as("df"))
+    terms.join(broadcast(dfreq), "__t").crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log((col("__n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("__s",
+        col("__idf") * col("tf") * (k1 + 1.0) /
+          (col("tf") + (col("__dl") / col("__avgdl") * b + (1.0 - b)) * k1))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("__s")), 9).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+  }
+
+  // -------------------------------------------------------------- chunking
+
+  /** Split documents into overlapping token windows — the
+    * fixed-context-length training-sample prep step. Each output row is
+    * one window: (id, chunk_idx, chunk_text, n_tokens), windows start
+    * every `stride` tokens, the last window is the (possibly short) tail.
+    * Empty/whitespace-only docs produce no rows.
+    *
+    * Scale shape: pure scan-side generate — tokenize once, explode the
+    * stride grid, slice per window; no shuffle, no state, embarrassingly
+    * parallel over input splits. Output rows ≈ tokens/stride per doc.
+    */
+  def chunkTokens(docs: DataFrame, textCol: String, idCol: String,
+                  window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, s"window=$window stride=$stride")
+    docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), size(col("__toks")) - 1, lit(stride)))
+          .as("__start"))
+      .select(col(idCol),
+        (col("__start") / stride).cast("int").as("chunk_idx"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(window)), " ")
+          .as("chunk_text"),
+        least(lit(window), size(col("__toks")) - col("__start"))
+          .cast("int").as("n_tokens"))
+  }
+
+  // ------------------------------------------------- corpus LM surprisal
+
+  /** Per-document unigram cross-entropy against the corpus language model
+    * (the CCNet-style quality signal, with the corpus itself as the LM):
+    * nll = −(Σ_tokens ln p(token)) / n_tokens, p(t) = count(t)/total over
+    * the whole corpus. Low = templated/common text, high = rare-token
+    * text. Every token of the scored corpus is in the model, so no
+    * smoothing is needed; rounded to 9 digits.
+    *
+    * Scale shape: one explode feeding two hash-aggregates — (doc, token)
+    * term counts, then global token counts — and the total joins in as a
+    * broadcast 1-row aggregate. The model join is keyed by token
+    * (vocab-sized, Zipf-skewed; AQE's skew split handles the head), the
+    * final reduce is keyed by doc. Same two-shuffle shape as [[tfidf]].
+    */
+  def unigramSurprisal(docs: DataFrame, textCol: String, idCol: String)
+  : DataFrame = {
+    val terms = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .filter(length(col("__t")) > 0)
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("tf"))
+    val model = terms.groupBy("__t").agg(sum(col("tf")).as("cnt"))
+    val total = model.agg(sum(col("cnt")).as("__total"))
+    terms.join(model, "__t").crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        round(-sum(col("tf").cast("double") *
+            log(col("cnt").cast("double") / col("__total").cast("double"))) /
+          sum(col("tf")).cast("double"), 9).as("nll"))
+  }
+
+  // ------------------------------------------------------------- URL / domain
+
+  /** Host part of a URL (authority minus userinfo/port). Pure regexp —
+    * RE2-portable, so any engine reproduces it (unlike `parse_url`, which
+    * is Spark-specific).
+    */
+  def urlHost(url: Column): Column =
+    regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1)
+
+  /** Registrable-ish domain: the last two dot-labels of the host (the
+    * heuristic pipelines use when a public-suffix list is overkill).
+    */
+  def urlDomain(url: Column): Column =
+    regexp_extract(urlHost(url), "([^.]+\\.[^.]+)$", 1)
+
+  /** Filter rows whose URL's domain is on a blocklist. The blocklist is a
+    * plan literal (domain blocklists are ~1e5 entries — scan-side
+    * `isin`/broadcast scale, never a shuffle).
+    */
+  def domainFilter(df: DataFrame, urlCol: String,
+                   blocklist: Seq[String]): DataFrame =
+    df.filter(!urlDomain(col(urlCol)).isin(blocklist: _*))
+
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     docs

@@ -66,6 +66,37 @@ object EventStream {
         .dropDuplicatesWithinWatermark(keys)
     else events.dropDuplicates(keys)
 
+  /** Stream-stream interval join: pair each `firstType` event with the
+    * same user's `thenType` events that follow within `within` (the
+    * click→purchase attribution shape). On streams BOTH sides carry
+    * watermarks and the join condition is time-bounded in both directions,
+    * which is exactly what lets Spark evict join state — an unbounded
+    * stream-stream join would buffer forever. On batch frames the same
+    * join runs unchanged, which is how the oracle checks it.
+    *
+    * Scale shape: the state store holds only `watermark + within` worth of
+    * events per side, keyed by user — constant per-key memory as the
+    * stream runs; on batch the range predicate rides on a user-keyed
+    * equi-join, never a cross product.
+    */
+  def intervalJoin(events: DataFrame, firstType: String, thenType: String,
+                   within: String = "1 hour",
+                   watermark: String = "2 hours"): DataFrame = {
+    val l0 = events.filter(col("event_type") === firstType)
+      .select(col("user_id"), col("ts").as("l_ts"), col("value").as("l_value"))
+    val r0 = events.filter(col("event_type") === thenType)
+      .select(col("user_id").as("__r_user"), col("ts").as("r_ts"),
+        col("value").as("r_value"))
+    val l = if (l0.isStreaming) l0.withWatermark("l_ts", watermark) else l0
+    val r = if (r0.isStreaming) r0.withWatermark("r_ts", watermark) else r0
+    l.join(r,
+      col("user_id") === col("__r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+      .select(col("user_id"), col("l_ts"), col("r_ts"),
+        col("l_value"), col("r_value"))
+  }
+
   // ------------------------------------------- custom state (sessionization)
 
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)

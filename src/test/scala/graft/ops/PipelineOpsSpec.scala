@@ -266,3 +266,140 @@ class VocabTfidfSpec extends SparkSpec {
     assert(out.filter(col("tfidf") < 0).count() === 0) // ln(N/df) ≥ 0
   }
 }
+
+/** Round-7 additions: BM25 retrieval, token-window chunking, corpus-LM
+  * surprisal, URL/domain filtering, bloom-filter decontamination.
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25: hand-computed score on a two-doc corpus") {
+    val docs = Seq(
+      (1L, "spark spark runs fast"), // tf(spark)=2, dl=4
+      (2L, "ducks swim slowly today")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Rank(docs, "text", "doc_id", Seq("spark"),
+      k1 = 1.2, b = 0.75, topK = 10).collect()
+    // N=2, df=1 -> idf = ln((2-1+0.5)/(1+0.5)+1) = ln 2; avgdl = 4
+    // score = ln2 * 2 * 2.2 / (2 + (4/4*0.75+0.25)*1.2) = ln2*4.4/3.2
+    val expected = math.rint(math.log(2) * 2 * 2.2 / 3.2 * 1e9) / 1e9
+    assert(out.length === 1) // doc 2 hits no term -> absent
+    assert(out(0).getLong(0) === 1L)
+    assert(math.abs(out(0).getDouble(1) - expected) < 1e-9)
+    assert(out(0).getLong(2) === 1L) // n_terms_hit
+  }
+
+  test("bm25: ranking prefers rarer terms and shorter docs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha rare"),
+      (3L, "alpha beta beta beta beta beta beta beta")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.bm25Rank(docs, "text", "doc_id", Seq("rare"), topK = 3)
+      .collect()
+    assert(r.map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("chunkTokens: exact window grid incl. short tail; empty doc dropped") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+      (2L, "   ")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(docs, "text", "doc_id",
+        window = 4, stride = 3)
+      .orderBy("chunk_idx").collect()
+    assert(out.map(_.getInt(1)).toSeq === Seq(0, 1, 2, 3))
+    assert(out.map(_.getString(2)).toSeq === Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10", "t10"))
+    assert(out.map(_.getInt(3)).toSeq === Seq(4, 4, 4, 1))
+  }
+
+  test("unigramSurprisal: hand-computed nll; common text scores lower") {
+    val docs = Seq(
+      (1L, "a a a"), // all 'a'
+      (2L, "a b")    // has the rare token
+    ).toDF("doc_id", "text")
+    // corpus: a×4, b×1, total 5. p(a)=0.8, p(b)=0.2
+    val out = TextAnalysis.unigramSurprisal(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    val nll1 = -math.log(0.8)
+    val nll2 = -(math.log(0.8) + math.log(0.2)) / 2
+    assert(out(0).getLong(1) === 3L)
+    assert(math.abs(out(0).getDouble(2) - nll1) < 1e-8)
+    assert(math.abs(out(1).getDouble(2) - nll2) < 1e-8)
+    assert(out(1).getDouble(2) > out(0).getDouble(2))
+  }
+
+  test("urlHost/urlDomain handle userinfo, ports, paths, and non-URLs") {
+    val cases = Seq(
+      ("https://www.example.com/path?q=1", "www.example.com", "example.com"),
+      ("http://user:pw@deep.sub.site.org:8080/x", "deep.sub.site.org", "site.org"),
+      ("ftp://files.host.net", "files.host.net", "host.net"),
+      ("not a url at all", "", ""),
+      ("https://localhost/x", "localhost", "")) // single label: no domain
+    val df = cases.map(_._1).toDF("url")
+      .select(col("url"), TextAnalysis.urlHost(col("url")).as("h"),
+        TextAnalysis.urlDomain(col("url")).as("d"))
+    val got = df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq === cases)
+  }
+
+  test("domainFilter drops blocklisted domains only") {
+    val df = Seq(
+      (1L, "https://ads.bad.net/banner"),
+      (2L, "https://www.example.com/a"),
+      (3L, "http://spam.example/z")
+    ).toDF("id", "url")
+    // the blocklist holds REGISTRABLE domains (last two labels): host
+    // ads.bad.net matches entry "bad.net", not "ads.bad.net"
+    val kept = TextAnalysis.domainFilter(df, "url",
+      Seq("bad.net", "spam.example")).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L))
+  }
+}
+
+class BloomDecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bloom flags every exact hit (no false negatives); keep is complement") {
+    val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 29 =!= 0)
+    val bench = docs.filter(col("doc_id") % 29 === 0)
+    val exact = Dedup.decontaminate(corpus, bench, "text", "doc_id", n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val flagged = Dedup.contaminatedBloom(corpus, bench, "text", "doc_id",
+        n = 4, fpp = 1e-6)
+      .filter(col("contaminated")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(flagged),
+      s"false negatives: ${exact.diff(flagged).take(5)}")
+    // at fpp=1e-6 and ~150 grams/doc the expected FP count is ≪ 1
+    assert(flagged.size - exact.size <= math.max(5, corpus.count() / 100))
+    val kept = Dedup.decontaminateBloomKeep(corpus, bench, "text", "doc_id",
+        n = 4, fpp = 1e-6).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+      .diff(flagged))
+  }
+
+  test("BloomAnyLong: membership probe inside codegen, early-exit semantics") {
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 1e-6)
+    Seq(10L, 20L, 30L).foreach(bf.putLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val df = Seq(
+      (1L, Seq(1L, 2L, 20L)),  // hit
+      (2L, Seq(4L, 5L)),       // miss
+      (3L, Seq.empty[Long])    // empty -> false
+    ).toDF("id", "grams")
+      .withColumn("hit",
+        graft.expr.VectorExprs.bloom_any(col("grams"),
+          bos.toByteArray))
+    val got = df.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> false))
+    // the probe plan is scan-side: no exchange, no join
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"))
+  }
+}

@@ -55,6 +55,33 @@ class EventStreamSpec extends SparkSpec {
       spark.table("dedup_out").select("user_id", "event_type").distinct().count())
   }
 
+  test("stream-stream interval join streaming equals batch") {
+    val dir = sf("sf0.001")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val evDir = "/root/repo/target/test_stream_join_events"
+    raw.write.mode("overwrite").parquet(evDir)
+
+    val stream = spark.readStream.schema(raw.schema).parquet(evDir)
+    // inner stream-stream joins emit eagerly on match (the watermark only
+    // bounds STATE, not emission), so full parity with batch holds
+    val joined = EventStream.intervalJoin(stream, "click", "purchase", "1 hour")
+    EventStream.runToMemory(joined, "sjoin_out", mode = "append")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime)
+    val streamed = spark.table("sjoin_out").collect().map(key).toSeq.sorted
+    val batch = EventStream.intervalJoin(raw, "click", "purchase", "1 hour")
+      .collect().map(key).toSeq.sorted
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // sanity: every pair is same-user and within the bound
+    spark.table("sjoin_out").collect().foreach { r =>
+      val dt = r.getTimestamp(2).getTime - r.getTimestamp(1).getTime
+      assert(dt >= 0 && dt <= 3600 * 1000L)
+    }
+  }
+
   test("session windows produce plausible sessions in batch") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
