@@ -892,6 +892,29 @@ object SparkEntry {
       TextAnalysis.unigramSurprisal(T(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
 
+    // count-min-sketch heavy hitters derived check: for the exact top-20
+    // tokens, the sketch must never undercount and must overcount within
+    // the eps*total contract (both deterministic for a fixed seed, so this
+    // gate cannot flap)
+    "q_heavy_hitters" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val exactTop = TextAnalysis.vocabulary(docs, "text", 20)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      val eps = 1e-3
+      val cms = TextAnalysis.tokenSketch(docs, "text", eps = eps,
+        confidence = 0.999, seed = 42)
+      val slack = math.ceil(eps * cms.totalCount()).toLong
+      val ests = exactTop.map { case (t, n) => (n, cms.estimateCount(t)) }
+      val one = s.range(1).select(
+        lit(ests.forall { case (n, e) => e >= n }).as("ge"),
+        lit(ests.forall { case (n, e) => e <= n + slack }).as("le"),
+        lit(exactTop.length == 20).as("cand"))
+      checkRows(one,
+        "no_undercount" -> col("ge"),
+        "overcount_bounded" -> col("le"),
+        "candidates_complete" -> col("cand"))
+    }),
+
     // URL domain extraction + blocklist verdict over deterministically
     // synthesized URLs (documents carry no URL column)
     "q_url_filter" -> ((s, dir) => {
@@ -1849,6 +1872,9 @@ object SparkEntry {
 
       "q_bloom_decontaminate" -> checksOracle("flagged_nonempty",
         "no_false_negatives", "fp_bounded", "keep_is_complement"),
+
+      "q_heavy_hitters" -> checksOracle("no_undercount", "overcount_bounded",
+        "candidates_complete"),
 
       "q_decontaminate" ->
         """WITH sh AS (

@@ -383,6 +383,36 @@ object TextAnalysis {
           sum(col("tf")).cast("double"), 9).as("nll"))
   }
 
+  // ----------------------------------------------------------- sketches
+
+  /** Count-min sketch over the corpus token stream — approximate frequency
+    * for ANY token in sub-linear memory (width·depth counters vs a
+    * vocab-sized exact map). Built distributed: Spark's
+    * `stat.countMinSketch` runs one aggregation pass with commutative
+    * elementwise-sum merges, so the result is deterministic for a given
+    * seed regardless of partitioning. The CMS contract: estimates NEVER
+    * undercount, and overcount ≤ eps·total with probability ≥ confidence.
+    */
+  def tokenSketch(docs: DataFrame, textCol: String, eps: Double = 1e-3,
+                  confidence: Double = 0.999, seed: Int = 42)
+  : org.apache.spark.util.sketch.CountMinSketch =
+    docs.select(explode(tokens(col(textCol))).as("__t"))
+      .filter(length(col("__t")) > 0)
+      .stat.countMinSketch("__t", eps, confidence, seed)
+
+  /** Approximate counts for a candidate token list from one sketch pass —
+    * the heavy-hitter probe. Candidates are by definition a small list
+    * (the whole point of a sketch is not materializing the vocab), so the
+    * probe is driver-side against the merged sketch.
+    */
+  def approxTokenCounts(docs: DataFrame, textCol: String,
+                        candidates: Seq[String], eps: Double = 1e-3,
+                        confidence: Double = 0.999, seed: Int = 42)
+  : Seq[(String, Long)] = {
+    val cms = tokenSketch(docs, textCol, eps, confidence, seed)
+    candidates.map(t => t -> cms.estimateCount(t))
+  }
+
   // ------------------------------------------------------------- URL / domain
 
   /** Host part of a URL (authority minus userinfo/port). Pure regexp —

@@ -136,8 +136,22 @@ object ZarrMeta {
         s"$name: object dtype needs the numcodecs json2 filter, got $filterIds")
     else
       require(filterIds.isEmpty, s"$name: zarr filters $filterIds unsupported")
-    val fill = Option(node.get("fill_value")).filterNot(_.isNull)
-      .filter(_.isNumber).map(_.asDouble(0d)).getOrElse(0d)
+    // zarr v2 encodes non-finite float fills as the JSON strings "NaN" /
+    // "Infinity" / "-Infinity" (zarr-python writes fill_value: "NaN" for
+    // float arrays by default); object-array fills are codec-internal and
+    // ignored here
+    val fill = Option(node.get("fill_value")).filterNot(_.isNull).map { f =>
+      if (f.isNumber) f.asDouble(0d)
+      else if (isObject) 0d
+      else f.asText() match {
+        case "NaN" => Double.NaN
+        case "Infinity" => Double.PositiveInfinity
+        case "-Infinity" => Double.NegativeInfinity
+        case other =>
+          throw new IllegalArgumentException(
+            s"$name: unsupported fill_value '$other'")
+      }
+    }.getOrElse(0d)
     shape.drop(1).zip(chunks.drop(1)).foreach { case (s, c) =>
       require(c.toLong == s,
         s"$name: non-row dim chunked ($c of $s) — row-axis chunking only")

@@ -137,6 +137,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(opCount(p, "Exchange") == 1, s"packing should shuffle exactly once:\n$p")
   }
 
+  test("bm25 prunes to query terms pre-shuffle, broadcasts stats, TakeOrdered top-k") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val df = ops.TextAnalysis.bm25Rank(docs, "text", "doc_id",
+      Seq("spark", "merge"), topK = 50)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"df/stats must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the isin filter sits below the first aggregate: the (doc, term)
+    // shuffle carries only query-term hits
+    assert(p.contains("spark") && p.contains("merge"), p)
+  }
+
+  test("token chunking is a pure scan-side generate (no exchange)") {
+    val df = ops.TextAnalysis.chunkTokens(
+      spark.read.parquet(s"${sf()}/documents.parquet"), "text", "doc_id",
+      window = 32, stride = 24)
+    val p = plan(df)
+    assert(opCount(p, "Exchange") == 0, s"chunking must not shuffle:\n$p")
+    assert(p.contains("Generate"), p)
+  }
+
+  test("bloom decontamination probe is scan-side (no join, no exchange)") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val df = ops.Dedup.contaminatedBloom(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 29 =!= 0),
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 29 === 0),
+      "text", "doc_id", n = 4, fpp = 1e-6)
+    val p = plan(df)
+    assert(opCount(p, "Exchange") == 0, s"bloom probe must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"bloom probe must not join:\n$p")
+  }
+
   test("semdedup pair generation plans no cartesian product") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val p = plan(ops.Similarity.semDedupPairs(emb, "embedding", "vec_id",

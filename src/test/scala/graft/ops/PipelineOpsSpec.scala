@@ -403,3 +403,29 @@ class BloomDecontaminateSpec extends SparkSpec {
     assert(!plan.contains("Exchange") && !plan.contains("Join"))
   }
 }
+
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("count-min sketch never undercounts; estimates exact on tiny corpus") {
+    val docs = Seq(
+      (1L, "a a a b c"), (2L, "a b d"), (3L, "e e e e")
+    ).toDF("doc_id", "text")
+    // exact: a=4 b=2 c=1 d=1 e=4
+    val got = TextAnalysis.approxTokenCounts(docs, "text",
+      Seq("a", "b", "c", "d", "e", "zz"), eps = 1e-4).toMap
+    assert(got("a") >= 4 && got("b") >= 2 && got("e") >= 4)
+    // at eps=1e-4 on 12 tokens the sketch is effectively exact
+    assert(got === Map("a" -> 4L, "b" -> 2L, "c" -> 1L, "d" -> 1L,
+      "e" -> 4L, "zz" -> 0L))
+  }
+
+  test("sketch is deterministic under repartitioning (commutative merge)") {
+    val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val a = TextAnalysis.tokenSketch(docs, "text", seed = 7)
+    val b = TextAnalysis.tokenSketch(docs.repartition(17), "text", seed = 7)
+    val probes = Seq("table", "row", "value", "spark", "absent-token")
+    assert(probes.map(a.estimateCount) === probes.map(b.estimateCount))
+    assert(a.totalCount() === b.totalCount())
+  }
+}

@@ -98,6 +98,27 @@ class ZarrSpec extends SparkSpec {
     assert(back.agg(sum("c_long")).head.getLong(0) == (5 until 10).sum)
   }
 
+  test("""fill_value "NaN" (zarr-python's float default) reads as NaN""") {
+    val path = tmp("nanfill")
+    ZarrWrite.write(allTypesDf.select("c_long", "c_double"), path,
+      rowChunk = 5, overwrite = true)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // rewrite c_double's .zarray with the string fill zarr-python emits
+    val zaPath = new Path(s"$path/c_double/.zarray")
+    val in = fs.open(zaPath)
+    val za = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    val out = fs.create(zaPath, true)
+    try out.write(za.replaceAll(""""fill_value":\s*[0-9.eE+-]+""",
+      """"fill_value": "NaN"""").getBytes("UTF-8")) finally out.close()
+    // consolidated metadata would shadow the edited sidecar — drop it
+    fs.delete(new Path(s"$path/.zmetadata"), false)
+    assert(fs.delete(new Path(s"$path/c_double/1"), false))
+    val vals = spark.read.format("zarr").load(path)
+      .filter(col("c_long") >= 5 && col("c_long") < 10)
+      .select("c_double").collect().map(_.getDouble(0)).toSeq
+    assert(vals.length == 5 && vals.forall(_.isNaN), s"expected NaNs, got $vals")
+  }
+
   test("uncompressed (compressor: null) stores read back") {
     val path = tmp("raw")
     ZarrWrite.write(allTypesDf.select("c_long", "c_vec"), path,
