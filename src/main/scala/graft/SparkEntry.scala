@@ -457,6 +457,29 @@ object SparkEntry {
           (abs(col("approx") - col("exact")) <= col("exact") * 0.10).as("within_tol"))
         .orderBy("l_returnflag")),
 
+    // approximate-quantile sketch contract: the estimated median's TRUE
+    // rank must sit within the accuracy bound of 0.5 — the
+    // Greenwald-Khanna guarantee asserted as a derived check (rank error,
+    // not value error, is what the sketch promises)
+    "q_agg_quantile_sketch" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val acc = 100 // relative error <= 1/acc
+      val est = li.stat.approxQuantile("l_extendedprice",
+        Array(0.25, 0.5, 0.75), 1.0 / acc)
+      val n = li.count().toDouble
+      val ranks = est.map(v =>
+        li.filter(col("l_extendedprice") <= v).count() / n)
+      val ok = ranks.zip(Seq(0.25, 0.5, 0.75)).forall { case (r, q) =>
+        math.abs(r - q) <= 2.0 / acc }
+      val one = s.range(1).select(
+        lit(ok).as("ok3"), lit(est.length == 3).as("n3"),
+        lit(est.sorted.sameElements(est)).as("mono"))
+      checkRows(one,
+        "rank_error_bounded" -> col("ok3"),
+        "three_quantiles" -> col("n3"),
+        "monotone" -> col("mono"))
+    }),
+
     // ===== set operations ================================================
     "q_set_union" -> ((s, dir) =>
       T(s, dir, "customer").select(col("c_nationkey").as("k")).distinct()
@@ -1875,6 +1898,9 @@ object SparkEntry {
 
       "q_heavy_hitters" -> checksOracle("no_undercount", "overcount_bounded",
         "candidates_complete"),
+
+      "q_agg_quantile_sketch" -> checksOracle("rank_error_bounded",
+        "three_quantiles", "monotone"),
 
       "q_decontaminate" ->
         """WITH sh AS (

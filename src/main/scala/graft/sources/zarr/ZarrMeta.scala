@@ -115,7 +115,9 @@ object ZarrMeta {
     val chunks = node.get("chunks").elements().asScala.map(_.asInt()).toSeq
     val dtype = node.get("dtype").asText()
     val order = if (node.has("order")) node.get("order").asText() else "C"
-    require(order == "C", s"zarr order '$order' unsupported (C only)")
+    // F layout equals C for 1-D arrays, so only reject F on true tensors
+    require(order == "C" || (order == "F" && shape.length <= 1),
+      s"zarr order '$order' unsupported for ${shape.length}-d arrays (C only)")
     val comp = Option(node.get("compressor")).filterNot(_.isNull).map { c =>
       val id = c.get("id").asText()
       require(Set("zlib", "blosc", "zstd", "gzip", "lz4").contains(id),

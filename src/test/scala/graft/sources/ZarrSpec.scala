@@ -119,6 +119,21 @@ class ZarrSpec extends SparkSpec {
     assert(vals.length == 5 && vals.forall(_.isNaN), s"expected NaNs, got $vals")
   }
 
+  test("order F is accepted for 1-d arrays (identical layout), rejected for 2-d") {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val m = new ObjectMapper()
+    def meta(shape: String) = m.readTree(
+      s"""{"zarr_format":2,"shape":$shape,"chunks":$shape,"dtype":"<i8",
+         |"compressor":null,"fill_value":0,"filters":null,"order":"F"}"""
+        .stripMargin.replace("\n", ""))
+    val ok = ZarrMeta.parseArrayMeta("v", meta("[10]"))
+    assert(ok.shape === Seq(10L))
+    val e = intercept[IllegalArgumentException] {
+      ZarrMeta.parseArrayMeta("v", meta("[10, 4]"))
+    }
+    assert(e.getMessage.contains("order 'F'"))
+  }
+
   test("uncompressed (compressor: null) stores read back") {
     val path = tmp("raw")
     ZarrWrite.write(allTypesDf.select("c_long", "c_vec"), path,
@@ -384,9 +399,10 @@ class ZarrSpec extends SparkSpec {
     assert(back.map(r => Option(r.getString(1)).orNull).toSeq ==
       Seq("café", null, "plain", "日本"))
 
-    // Fortran order is rejected loudly, not misread
+    // Fortran order on a true tensor is rejected loudly, not misread
+    // (1-d F == C, so only ndim > 1 rejects)
     put("bad/.zarray",
-      """{"zarr_format":2,"shape":[4],"chunks":[2],"dtype":"<i8","compressor":null,"fill_value":0,"filters":null,"order":"F"}"""
+      """{"zarr_format":2,"shape":[4,3],"chunks":[2,3],"dtype":"<i8","compressor":null,"fill_value":0,"filters":null,"order":"F"}"""
         .getBytes("UTF-8"))
     val e = intercept[Exception] {
       ZarrMeta.readArrayMeta(spark.sparkContext.hadoopConfiguration,
