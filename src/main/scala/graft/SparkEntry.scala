@@ -653,6 +653,37 @@ object SparkEntry {
           round(sum(col("r_value")), 4).as("total_value"))
         .orderBy("user_id")),
 
+    // REAL streaming near-dup: incoming documents arrive via a file stream
+    // and are flagged against a precomputed static LSH index (stream-static
+    // equi-join + inline Jaccard verify — the ingest-time dedup shape).
+    // Derived check: the streamed pair set must EXACTLY equal the batch
+    // incrementalNearDup output on the same corpus/batch split.
+    "q_stream_neardup" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val arriving = docs.filter(col("doc_id") % 7 === 0).select("doc_id", "text")
+      val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+      val idx = pin(Dedup.nearDupIndex(corpus, "text", "doc_id"))
+      val dDir = tmp("q_stream_neardup_docs")
+      arriving.write.mode("overwrite").parquet(dDir)
+      val stream = s.readStream.schema(arriving.schema).parquet(dDir)
+      EventStream.runToMemory(
+        Dedup.nearDupAgainstIndex(stream, idx, "text", "doc_id", threshold = 0.6),
+        "q_stream_neardup_out", mode = "append")
+      val got = pin(s.table("q_stream_neardup_out"))
+      val want = pin(Dedup.incrementalNearDup(arriving, corpus, "text", "doc_id",
+        threshold = 0.6))
+      val keys = Seq("id_new", "id_old", "jaccard")
+      val one = got.agg(count(lit(1)).as("n_got"))
+        .crossJoin(want.agg(count(lit(1)).as("n_want")))
+        .crossJoin(got.join(want, keys, "left_anti").agg(count(lit(1)).as("n_extra")))
+        .crossJoin(want.join(got, keys, "left_anti").agg(count(lit(1)).as("n_miss")))
+      checkRows(one,
+        "pairs_nonempty" -> (col("n_got") >= 1),
+        "matches_batch_exactly" ->
+          (col("n_extra") === 0 && col("n_miss") === 0 &&
+            col("n_got") === col("n_want")))
+    }),
+
     // ===== dedup family ==================================================
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(T(s, dir, "documents"), "text", "doc_id").orderBy("doc_id")),
@@ -1465,6 +1496,9 @@ object SparkEntry {
           |  ON l.user_id = r.r_user AND r.r_ts >= l.l_ts
           |     AND r.r_ts <= l.l_ts + INTERVAL 1 HOUR
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_stream_neardup" ->
+        checksOracle("pairs_nonempty", "matches_batch_exactly"),
 
       "q_dedup_exact" ->
         """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,

@@ -383,6 +383,64 @@ object Dedup {
       .select(col("id_new"), col("id_old"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Corpus-side LSH index for ingest-time near-dup: one row per
+    * (band, bh, id_old, sh_old), oversized buckets censored with the same
+    * skew cap as [[incrementalNearDup]]. Precompute once when the corpus
+    * versionizes (like the persisted IVF index), persist as parquet
+    * partitioned however the ingest joins it — the index is the artifact
+    * a production ingest pipeline maintains instead of re-scanning the
+    * corpus per batch.
+    */
+  def nearDupIndex(corpus: DataFrame, textCol: String, idCol: String,
+                   shingleWords: Int = 3, k: Int = 32, bands: Int = 8,
+                   maxBucket: Int = 1000): DataFrame = {
+    import graft.expr.VectorExprs.{band_hashes, minhash_sig}
+    val sh = shingleFrame(corpus, textCol, idCol, Nil, shingleWords)
+      .repartition(col(idCol))
+    val b = sh.select(col(idCol).as("id_old"), col("sh").as("sh_old"),
+        posexplode(band_hashes(minhash_sig(col("sh"), k), bands)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val oversized = b.groupBy("band", "bh").agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") > maxBucket).select("band", "bh")
+    b.join(broadcast(oversized), Seq("band", "bh"), "left_anti")
+      .select("band", "bh", "id_old", "sh_old")
+  }
+
+  /** Near-dup flagging of incoming documents against a precomputed
+    * [[nearDupIndex]] — STREAM-SAFE: every document-side step is a
+    * per-row expression or a stream-static equi-join, so the same code
+    * runs on a batch frame and on a `readStream` of arriving documents
+    * (ingest-time dedup, the shape CC-scale pipelines run). Candidates
+    * from shared band buckets are verified with exact Jaccard inline (the
+    * index rows carry the corpus shingles), so emitted pairs are
+    * precision-1 by construction; the trailing `dropDuplicates` collapses
+    * multi-band hits (on a stream its state is per-(new,old) pair —
+    * bound it with a watermark on the ingest-time column in production).
+    *
+    * Batch-mode output is EXACTLY [[incrementalNearDup]]'s (same
+    * shingles, signatures, banding, cap, verification) — asserted by the
+    * q_stream_neardup derived check.
+    */
+  def nearDupAgainstIndex(docs: DataFrame, index: DataFrame, textCol: String,
+                          idCol: String, threshold: Double,
+                          shingleWords: Int = 3, k: Int = 32,
+                          bands: Int = 8): DataFrame = {
+    import graft.expr.VectorExprs.{band_hashes, hashed_shingles, minhash_sig}
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val sh = docs.select(col(idCol).as("id_new"),
+        hashed_shingles(toks, shingleWords).as("sh"))
+      .filter(size(col("sh")) > 0)
+    sh.select(col("id_new"), col("sh"),
+        posexplode(band_hashes(minhash_sig(col("sh"), k), bands)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+      .join(index, Seq("band", "bh"))
+      .withColumn("jaccard", jaccardCol(col("sh"), col("sh_old")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_old"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .dropDuplicates("id_new", "id_old")
+  }
+
   /** Connected components over an undirected duplicate-pair list — the
     * clustering step that follows the pair generators in a dedup pipeline
     * (pairs say "a dups b"; the pipeline needs "keep ONE representative

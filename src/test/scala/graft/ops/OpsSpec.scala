@@ -72,6 +72,72 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+/** Ingest-time dedup: a new batch checked against an existing corpus,
+  * in three shapes — exact anti-join, corpus-rescan LSH, and the
+  * precomputed-index variant that also runs on a readStream.
+  */
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over a lazy dog"),
+    (3L, "completely different content about spark engines")
+  ).toDF("doc_id", "text")
+
+  private def batch = Seq(
+    (10L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0/1
+    (11L, "the quick brown fox jumps over a lazy dog"),   // exact dup of 2
+    (12L, "unrelated text entirely about something else") // genuinely new
+  ).toDF("doc_id", "text")
+
+  test("incrementalNew keeps only documents absent from the corpus") {
+    val kept = Dedup.incrementalNew(batch, corpus, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(12L))
+  }
+
+  test("incrementalNearDup emits only batch-vs-corpus pairs above threshold") {
+    val pairs = Dedup.incrementalNearDup(batch, corpus, "text", "doc_id",
+        threshold = 0.5, shingleWords = 1)
+      .select("id_new", "id_old").as[(Long, Long)].collect().toSet
+    // word-unigram jaccard: 10 vs {0,1} = 1.0, 10 vs 2 = 8/9; 11 symmetric
+    assert(pairs === Set((10L, 0L), (10L, 1L), (10L, 2L),
+      (11L, 0L), (11L, 1L), (11L, 2L)))
+    // no corpus-internal pair (0,1 are exact dups of each other) and no id 12
+    assert(!pairs.exists(p => p._1 < 10L || p._2 >= 10L))
+  }
+
+  test("nearDupAgainstIndex batch output equals incrementalNearDup") {
+    val idx = Dedup.nearDupIndex(corpus, "text", "doc_id", shingleWords = 1)
+    val viaIdx = Dedup.nearDupAgainstIndex(batch, idx, "text", "doc_id",
+        threshold = 0.5, shingleWords = 1)
+      .as[(Long, Long, Double)].collect().toSet
+    val direct = Dedup.incrementalNearDup(batch, corpus, "text", "doc_id",
+        threshold = 0.5, shingleWords = 1)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaIdx === direct && viaIdx.nonEmpty)
+  }
+
+  test("nearDupAgainstIndex runs as a real stream-static streaming query") {
+    val dir = "/root/repo/target/test_stream_neardup"
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val idx = Dedup.nearDupIndex(corpus, "text", "doc_id", shingleWords = 1)
+      .localCheckpoint()
+    val flagged = Dedup.nearDupAgainstIndex(stream, idx, "text", "doc_id",
+      threshold = 0.5, shingleWords = 1)
+    assert(flagged.isStreaming)
+    graft.streaming.EventStream.runToMemory(flagged, "neardup_stream_out",
+      mode = "append")
+    val got = spark.table("neardup_stream_out")
+      .select("id_new", "id_old").as[(Long, Long)].collect().toSet
+    assert(got === Set((10L, 0L), (10L, 1L), (10L, 2L),
+      (11L, 0L), (11L, 1L), (11L, 2L)))
+  }
+}
+
 class ConnectedComponentsSpec extends SparkSpec {
   import spark.implicits._
 
