@@ -726,6 +726,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the keep/drop decision over real dup clusters: best member per
+    // cluster survives (longest text, ties to lowest id), untouched
+    // documents pass through
+    "q_dedup_keep" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        blockCols = Seq("lang"), n = 3, threshold = 0.5)
+      Dedup.keepRepresentatives(docs, pairs, "doc_id", length(col("text")))
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("text_len"))
+        .orderBy("doc_id")
+    }),
+
     // Derived check: quarter-blocking is COMPLETE for hamming ≤ 3
     // (pigeonhole), so the blocked result must EQUAL the brute-force
     // all-pairs result — asserted both directions.
@@ -1551,6 +1564,47 @@ object SparkEntry {
           |)
           |SELECT src AS doc_id, least(src, min(dst)) AS rep
           |FROM reach GROUP BY src ORDER BY 1""".stripMargin,
+
+      "q_dedup_keep" ->
+        """WITH RECURSIVE sh AS (
+          |  SELECT doc_id, lang,
+          |    list_distinct([array_to_string(toks[i:i+2], ' ')
+          |                   FOR i IN range(1, len(toks) - 1)]) AS s
+          |  FROM (SELECT doc_id, lang,
+          |          string_split_regex(trim(lower(text)), '\s+') AS toks
+          |        FROM documents)
+          |),
+          |prs AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+          |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          |      / (CAST(len(a.s) + len(b.s) AS DOUBLE)
+          |         - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)) >= 0.5
+          |    AND len(a.s) + len(b.s) > 0
+          |),
+          |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+          |          UNION ALL SELECT id_b, id_a FROM prs),
+          |reach AS (
+          |  SELECT src, dst FROM edges
+          |  UNION
+          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+          |),
+          |comp AS (SELECT src AS doc_id FROM reach GROUP BY src),
+          |winners AS (
+          |  SELECT doc_id FROM (
+          |    SELECT d.doc_id,
+          |      row_number() OVER (PARTITION BY least(r.src, min_dst)
+          |                         ORDER BY length(d.text) DESC, d.doc_id) AS rk
+          |    FROM (SELECT src, least(src, min(dst)) AS min_dst
+          |          FROM reach GROUP BY src) r(src, min_dst)
+          |    JOIN documents d ON d.doc_id = r.src)
+          |  WHERE rk = 1
+          |)
+          |SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS text_len
+          |FROM documents
+          |WHERE doc_id IN (SELECT doc_id FROM winners)
+          |   OR doc_id NOT IN (SELECT doc_id FROM comp)
+          |ORDER BY doc_id""".stripMargin,
 
       // Derived-check constants: the engine side must PROVE each named
       // property (see the matching `queries` entries) to hash-match these.

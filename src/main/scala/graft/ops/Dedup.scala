@@ -482,6 +482,35 @@ object Dedup {
     labels
   }
 
+  /** Collapse duplicate clusters to one document each and return the
+    * curated corpus: every document untouched by `pairs`, plus the best
+    * member per cluster — "best" = highest `scoreCol`, ties to the lowest
+    * id (deterministic). This is the keep/drop decision that follows the
+    * pair generators + [[connectedComponents]] in a dedup pipeline; rank
+    * by a quality score to keep the best-written copy rather than an
+    * arbitrary one.
+    *
+    * Scale shape: components are O(documents-in-dup-pairs), not O(corpus);
+    * the membership join is a key equi-join AQE can broadcast when dup
+    * clusters are rare, and the per-cluster winner is a window over `rep`
+    * (one shuffle of only the clustered rows — singletons skip the window
+    * entirely).
+    */
+  def keepRepresentatives(docs: DataFrame, pairs: DataFrame, idCol: String,
+                          scoreCol: Column, aCol: String = "id_a",
+                          bCol: String = "id_b"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comps = connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("id", idCol)
+    val member = docs.join(comps, Seq(idCol), "left")
+    val clustered = member.filter(col("rep").isNotNull)
+    val w = Window.partitionBy("rep")
+      .orderBy(scoreCol.desc, col(idCol).asc)
+    clustered.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1).drop("__rk", "rep")
+      .unionByName(member.filter(col("rep").isNull).drop("rep"))
+  }
+
   // ---------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over word tokens: per-bit weighted vote of
@@ -503,9 +532,22 @@ object Dedup {
     * least one quarter — pigeonhole), verify exact hamming ≤ maxDist.
     */
   def simHashDedup(docs: DataFrame, textCol: String, idCol: String,
+                   maxDist: Int = 3): DataFrame =
+    hammingPairs(docs.select(col(idCol), simHash(col(textCol)).as("sig")),
+      idCol, "sig", maxDist)
+
+  /** Hamming-ball self-join over 64-bit signatures via 16-bit quarter
+    * blocking: a pair within hamming `maxDist` ≤ 3 must agree on at least
+    * one of the four 16-bit quarters (pigeonhole), so candidates are an
+    * equi-join on (quarter, value) — never all-pairs — and the exact
+    * distance filter runs only on bucket-mates. Shared by text SimHash
+    * and image perceptual-hash dedup.
+    */
+  def hammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
                    maxDist: Int = 3): DataFrame = {
-    val sigs = docs.select(col(idCol), simHash(col(textCol)).as("sig"))
-    val blocked = sigs.select(
+    require(maxDist <= 3, s"quarter blocking is complete only for maxDist <= 3, got $maxDist")
+    val norm = sigs.select(col(idCol), col(sigCol).as("sig"))
+    val blocked = norm.select(
       col(idCol), col("sig"),
       explode(array((0 until 4).map { q =>
         struct(lit(q).as("q"),

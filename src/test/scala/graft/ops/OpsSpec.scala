@@ -61,6 +61,21 @@ class DedupSpec extends SparkSpec {
     assert(d03 > 10)
   }
 
+  test("keepRepresentatives keeps best-scored member per cluster") {
+    val pairs = Seq((0L, 1L), (1L, 2L)).toDF("id_a", "id_b")
+    // cluster {0,1,2}: texts 0/1 tie on length (exact dups) → lowest id 0
+    // wins; doc 2 is shorter. 3 and 4 are untouched singletons.
+    val kept = Dedup.keepRepresentatives(docs, pairs, "doc_id",
+        length(col("text")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(0L, 3L, 4L))
+    // score that prefers doc 2 ("a lazy dog" variant): highest doc_id wins
+    val kept2 = Dedup.keepRepresentatives(docs, pairs, "doc_id",
+        col("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 === Set(2L, 3L, 4L))
+  }
+
   test("embedding near-dup with blocking") {
     val emb = Seq(
       (0L, Array(1f, 0f, 0f), 0), (1L, Array(0.99f, 0.1f, 0f), 0),
