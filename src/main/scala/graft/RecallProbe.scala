@@ -50,6 +50,9 @@ object RecallProbe {
         "vec_id", "embedding", "vec_id", "embedding", k = 5, nlist = 8, nprobe = 4))
       annRecall("ann_lsh", Similarity.lshTopK(q, emb,
         "vec_id", "embedding", "vec_id", "embedding", k = 5, nPlanes = 4, dim = 64))
+      annRecall("ann_pq", Similarity.pqTopK(q, emb,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5, m = 16, ksub = 32,
+        refine = 16))
 
       def pairStats(name: String, approx: DataFrame, exact: DataFrame): Unit = {
         val keys = Seq("id_a", "id_b")

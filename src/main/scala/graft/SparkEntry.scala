@@ -48,6 +48,7 @@ object SparkEntry {
     * "the approximation holds its quality contract", not a magic number.
     */
   private val IvfRecallFloor = 0.4 // per-query; measured min 0.60 (all SFs)
+  private val PqRecallFloor = 0.4 // per-query; measured min 0.80 (all SFs)
   private val LshRecallFloor = 0.25 // mean over queries; measured ≥ 0.375
   private val MinhashRecallFloor = 0.7 // measured 1.000 at all SFs
   private val EmbedLshRecallFloor = 0.08 // measured 0.136–0.157
@@ -823,6 +824,17 @@ object SparkEntry {
           tmp("q_ann_ivf_index"), nlist = 8)
         Similarity.ivfSearchIndex(s, tmp("q_ann_ivf_index"), q,
           "vec_id", "embedding", k = 5, nprobe = 4)
+      }),
+
+    // PQ (product quantization): corpus compressed to m small codes per
+    // vector, ADC table-lookup scoring, exact re-rank of k·refine
+    // candidates — the memory-bound ANN shape (the 64-dim float corpus
+    // scans 4× smaller at m=16 int codes, 16× as bytes). Same per-query
+    // recall floor protocol as IVF.
+    "q_ann_pq" -> ((s, dir) =>
+      annRecallCheck(s, dir, PqRecallFloor) { (q, c) =>
+        Similarity.pqTopK(q, c, "vec_id", "embedding", "vec_id", "embedding",
+          k = 5, m = 16, ksub = 32, refine = 16)
       }),
 
     // LSH buckets are coarser than IVF cells (single-probe recall can hit 0
@@ -1626,6 +1638,10 @@ object SparkEntry {
           |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
 
       "q_ann_ivf_index" ->
+        """SELECT DISTINCT CAST(vec_id AS BIGINT) AS query_id, true AS recall_ok
+          |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
+
+      "q_ann_pq" ->
         """SELECT DISTINCT CAST(vec_id AS BIGINT) AS query_id, true AS recall_ok
           |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
 

@@ -346,6 +346,108 @@ object VectorExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Product-quantization encode kernel shared by interpreted eval and
+    * generated code: nearest centroid per subspace (squared-L2, ties to the
+    * lowest code), one primitive pass over the vector. `codebooks` is
+    * m × ksub × subDim.
+    */
+  def pqEncodeKernel(arr: ArrayData, codebooks: Array[Array[Array[Double]]],
+                     tag: Int): ArrayData = {
+    val m = codebooks.length
+    val out = new Array[Int](m)
+    var s = 0
+    var off = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      val sub = cb(0).length
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val cen = cb(c)
+        var d = 0d
+        var i = 0
+        while (i < sub) {
+          val x = tag match {
+            case 0 => arr.getFloat(off + i).toDouble
+            case 1 => arr.getDouble(off + i)
+            case 2 => arr.getLong(off + i).toDouble
+            case _ => arr.getInt(off + i).toDouble
+          }
+          val t = cen(i) - x
+          d += t * t
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best
+      off += sub
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** PQ code of a numeric vector under the given codebooks: array<int> of
+    * length m. The codebook table is a plan-local constant (m × ksub ×
+    * subDim doubles — broadcast-sidecar size class, like
+    * [[NearestCentroid]]); the full-corpus encode pass stays inside
+    * whole-stage codegen via the static kernel, riding the codebooks in as
+    * a codegen reference object (same pattern as [[BloomAnyLong]]).
+    */
+  case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    private lazy val tag =
+      typeTag(child.dataType.asInstanceOf[ArrayType].elementType)
+    override def nullSafeEval(input: Any): Any =
+      pqEncodeKernel(input.asInstanceOf[ArrayData], codebooks, tag)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("pqCodebooks", codebooks, "double[][][]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expr.VectorExprs$$.MODULE$$.pqEncodeKernel($c, $ref, $tag);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** ADC lookup kernel: Σ_s lut[s*ksub + codes[s]] — the asymmetric-
+    * distance hot loop of PQ search (one table lookup per subspace, no
+    * per-element arithmetic on the vector itself).
+    */
+  def pqAdcKernel(codes: ArrayData, lut: ArrayData, ksub: Int): Double = {
+    val m = codes.numElements()
+    var s = 0
+    var acc = 0d
+    while (s < m) {
+      acc += lut.getDouble(s * ksub + codes.getInt(s))
+      s += 1
+    }
+    acc
+  }
+
+  /** Asymmetric-distance (ADC) accumulation of a PQ code array against a
+    * flattened m×ksub lookup table (per-query dot-product tables, or the
+    * constant centroid-norm table). Codegen'd via the static kernel, same
+    * pattern as [[VecCosine]].
+    */
+  case class PqAdc(left: Expression, right: Expression, ksub: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(codes: Any, lut: Any): Any =
+      pqAdcKernel(codes.asInstanceOf[ArrayData], lut.asInstanceOf[ArrayData], ksub)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (l, r) =>
+        s"${ev.value} = graft.expr.VectorExprs$$.MODULE$$.pqAdcKernel($l, $r, $ksub);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Bloom membership kernel: true iff ANY element of the long array might
     * be in the filter. Early-exits on the first hit.
     */
@@ -407,4 +509,8 @@ object VectorExprs {
     toColumn(NgramProfile(toExpression(tokens), n))
   def bloom_any(hashedGrams: Column, bloomBytes: Array[Byte]): Column =
     toColumn(BloomAnyLong(toExpression(hashedGrams), bloomBytes))
+  def pq_encode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    toColumn(PqEncode(toExpression(vec), codebooks))
+  def pq_adc(codes: Column, lut: Column, ksub: Int): Column =
+    toColumn(PqAdc(toExpression(codes), toExpression(lut), ksub))
 }

@@ -249,6 +249,167 @@ object Similarity {
         .withColumn("cosine", Dedup.cosine(col("qv"), col("cv"))), k)
   }
 
+  // ------------------------------------------------ product quantization
+
+  /** Product-quantization codebooks (Jégou, Douze, Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): the embedding
+    * space is split into `m` subspaces, each quantized independently with
+    * `ksub` centroids — a vector compresses to `m` small codes.
+    */
+  case class PqModel(codebooks: Array[Array[Array[Double]]]) {
+    def m: Int = codebooks.length
+    def ksub: Int = codebooks(0).length
+    def subDim: Int = codebooks(0)(0).length
+    /** Flattened m×ksub table of squared centroid norms — the
+      * query-INDEPENDENT half of the approximate-cosine denominator.
+      */
+    def normLut: Array[Double] =
+      codebooks.flatMap(_.map(c => { var s = 0d; var i = 0
+        while (i < c.length) { s += c(i) * c(i); i += 1 }; s }))
+  }
+
+  private def toDoubleArray(a: Seq[Any]): Array[Double] =
+    a.map {
+      case f: java.lang.Float => f.toDouble
+      case d: java.lang.Double => d.doubleValue
+      case l: java.lang.Long => l.toDouble
+      case i: java.lang.Integer => i.toDouble
+      case other => throw new IllegalArgumentException(s"vector element: $other")
+    }.toArray
+
+  /** Seeded Lloyd's k-means on a driver-side point set (the PQ sub-problems
+    * are tiny — sample × subDim — so a local loop beats M distributed MLlib
+    * fits and is bit-deterministic). Empty cells keep their previous
+    * centroid.
+    */
+  private def kmeansLloyd(pts: Array[Array[Double]], k: Int, iters: Int,
+                          seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    val order = rnd.shuffle(pts.indices.toVector)
+    var cents = order.take(k).map(pts(_).clone).toArray
+    if (cents.length < k)
+      cents = cents ++ Array.fill(k - cents.length)(pts(order(rnd.nextInt(pts.length))).clone)
+    val dim = pts(0).length
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val cnts = new Array[Int](k)
+      pts.foreach { p =>
+        var best = 0; var bd = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0d; var i = 0
+          while (i < dim) { val t = cents(c)(i) - p(i); d += t * t; i += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+        cnts(best) += 1
+      }
+      cents = Array.tabulate(k)(c =>
+        if (cnts(c) == 0) cents(c)
+        else { val s = sums(c); Array.tabulate(dim)(i => s(i) / cnts(c)) })
+      it += 1
+    }
+    cents
+  }
+
+  /** Fit PQ codebooks on a bounded corpus sample: per subspace, seeded
+    * Lloyd's on the sample's subvectors. Deterministic (fixed seed, fixed
+    * iteration count). The sample — not the corpus — comes to the driver.
+    */
+  def fitPq(corpus: DataFrame, vecCol: String, m: Int, ksub: Int,
+            fitSampleRows: Long = 50000L, seed: Long = 42L,
+            iters: Int = 15): PqModel = {
+    val vecs = corpus.select(col(vecCol))
+    val n = vecs.count()
+    val frac = math.min(1.0, fitSampleRows.toDouble / math.max(n, 1L))
+    val sample = (if (frac < 1.0) vecs.sample(withReplacement = false, frac, seed)
+                  else vecs)
+      .collect().map(r => toDoubleArray(r.getSeq[Any](0)))
+    require(sample.nonEmpty, "fitPq: empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"fitPq: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    PqModel(Array.tabulate(m) { s =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
+      kmeansLloyd(pts, ksub, iters, seed + s)
+    })
+  }
+
+  /** PQ-compressed approximate top-k with exact re-ranking.
+    *
+    * Scale shape (the point of PQ at 100 TB): the corpus is scanned once to
+    * encode (codegen [[graft.expr.VectorExprs.PqEncode]]), after which the
+    * search operates on `4·m` bytes per vector instead of `4·dim` — a
+    * 64-dim float corpus shrinks 8× with m=8. The ADC scoring pass is one
+    * table lookup per subspace against per-query broadcast LUTs (no
+    * per-element arithmetic), feeds the bounded-heap
+    * [[graft.functions.TopKAgg]] (≤ k·refine rows per query per task cross
+    * the shuffle), and only the surviving candidates — queries × k·refine
+    * rows — touch full vectors again for the exact cosine re-rank.
+    *
+    * Approximate score = cos(q, x̂) where x̂ is the PQ reconstruction:
+    * Σ_s dot(q_s, c_s) / (|q| · sqrt(Σ_s |c_s|²)) — both sums are ADC
+    * lookups ([[graft.expr.VectorExprs.PqAdc]]); the numerator table is
+    * per-query, the norm table is a plan constant.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame,
+             qIdCol: String, qVecCol: String,
+             cIdCol: String, cVecCol: String,
+             k: Int, m: Int = 8, ksub: Int = 16, refine: Int = 8,
+             fitSampleRows: Long = 50000L): DataFrame = {
+    val corpusC = corpus.select(col(cIdCol).as("neighbor_id"), col(cVecCol).as("cv"))
+    val model = fitPq(corpusC, "cv", m, ksub, fitSampleRows)
+    val codes = corpusC.select(col("neighbor_id"),
+      graft.expr.VectorExprs.pq_encode(col("cv"), model.codebooks).as("codes"))
+    // per-query dot-product LUT + query norm (queries are small by contract)
+    val cb = model.codebooks
+    val lutUdf = udf((qv: Seq[Float]) => {
+      val q = qv.map(_.toDouble).toArray
+      val sub = cb(0)(0).length
+      val lut = new Array[Double](cb.length * cb(0).length)
+      var s = 0
+      while (s < cb.length) {
+        var c = 0
+        while (c < cb(s).length) {
+          var d = 0d; var i = 0
+          while (i < sub && s * sub + i < q.length) {
+            d += q(s * sub + i) * cb(s)(c)(i); i += 1
+          }
+          lut(s * cb(s).length + c) = d
+          c += 1
+        }
+        s += 1
+      }
+      val qn = math.sqrt(q.map(x => x * x).sum)
+      (lut, qn)
+    })
+    val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))
+      .withColumn("__l", lutUdf(col("qv")))
+      .select(col("query_id"), col("qv"),
+        col("__l._1").as("dot_lut"), col("__l._2").as("qnorm"))
+    val normLut = array(model.normLut.toSeq.map(lit): _*)
+    val scored = codes.crossJoin(broadcast(q.select("query_id", "dot_lut", "qnorm")))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("approx",
+        graft.expr.VectorExprs.pq_adc(col("codes"), col("dot_lut"), model.ksub) /
+          (col("qnorm") *
+            sqrt(graft.expr.VectorExprs.pq_adc(col("codes"), normLut, model.ksub))))
+    val cand = scored.groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topk(col("approx"), col("neighbor_id"),
+        k * refine).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("c"))
+      .select(col("query_id"), col("c.id").as("neighbor_id"))
+    // exact re-rank: only the candidate ids re-join the full vectors — a
+    // broadcast semi-shaped join the scan can prune on, never a full rescore
+    val rer = corpusC.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(q.select("query_id", "qv")), Seq("query_id"))
+      .withColumn("cosine", Dedup.cosine(col("qv"), col("cv")))
+    explodeTopK(rer, k)
+  }
+
   /** LSH-bucketed approximate top-k with MULTIPROBE: a query probes its
     * own sign-pattern bucket plus every bucket within `probeBits` bit
     * flips (near-misses land in sign patterns that differ on the few
