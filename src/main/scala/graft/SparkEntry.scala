@@ -716,6 +716,13 @@ object SparkEntry {
         blockCols = Seq("lang"), n = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")),
 
+    // exact substring-level dedup stats: per-doc count/fraction of 5-token
+    // windows that also occur in another document (Lee et al. 2022)
+    "q_dedup_substring" -> ((s, dir) =>
+      Dedup.duplicateSpanStats(T(s, dir, "documents"), "text", "doc_id",
+        n = 5, minDf = 2)
+        .orderBy("doc_id")),
+
     // duplicate clusters: connected components over the (exact, oracle-
     // checkable) ngram pair list; rep = min doc_id per component. The
     // DuckDB oracle computes the same closure with a recursive CTE.
@@ -941,6 +948,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_id"),
           max("doc_id").as("max_id"))
         .orderBy("shard")),
+
+    // z-order (Morton) clustering value — the multi-dimensional
+    // data-skipping sort key, exact-checked bit-for-bit vs the oracle
+    "q_zorder" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          Sampling.zValue(Seq(col("l_partkey"), col("l_suppkey")), 16).as("zval"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // deterministic epoch shuffle: every doc's position in the seeded
+    // md5 permutation — reproducible training order on any engine
+    "q_shuffle" -> ((s, dir) =>
+      Sampling.deterministicShuffle(T(s, dir, "documents"), "doc_id", seed = 42L)
+        .select(col("doc_id"), col("shuffle_pos"))
+        .orderBy("doc_id")),
 
     // corpus vocabulary: top-100 tokens with counts (BPE seeding step)
     "q_vocab" -> ((s, dir) =>
@@ -1550,6 +1572,33 @@ object SparkEntry {
           |  AND len(a.s) + len(b.s) > 0
           |ORDER BY 1, 2""".stripMargin,
 
+      "q_dedup_substring" ->
+        """WITH toks AS (
+          |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+          |  FROM documents
+          |), g AS (
+          |  SELECT doc_id,
+          |    unnest(list_distinct([array_to_string(t[i:i+4], ' ')
+          |                          FOR i IN range(1, len(t) - 3)])) AS h
+          |  FROM toks
+          |), perdoc AS (
+          |  SELECT doc_id, count(*) AS n_spans FROM g GROUP BY doc_id
+          |), dup AS (
+          |  SELECT h FROM g GROUP BY h HAVING count(*) >= 2
+          |), dupdoc AS (
+          |  SELECT g.doc_id, count(*) AS dup_spans
+          |  FROM g JOIN dup USING (h) GROUP BY g.doc_id
+          |)
+          |SELECT d.doc_id,
+          |  coalesce(p.n_spans, 0) AS n_spans,
+          |  coalesce(dd.dup_spans, 0) AS dup_spans,
+          |  round(CAST(coalesce(dd.dup_spans, 0) AS DOUBLE)
+          |    / greatest(CAST(coalesce(p.n_spans, 0) AS DOUBLE), 1), 6) AS dup_frac
+          |FROM documents d
+          |LEFT JOIN perdoc p USING (doc_id)
+          |LEFT JOIN dupdoc dd USING (doc_id)
+          |ORDER BY d.doc_id""".stripMargin,
+
       "q_dedup_clusters" ->
         """WITH RECURSIVE sh AS (
           |  SELECT doc_id, lang,
@@ -1881,6 +1930,22 @@ object SparkEntry {
           |          AS BIGINT) % 16 AS shard
           |      FROM documents)
           |GROUP BY shard ORDER BY shard""".stripMargin,
+
+      "q_zorder" -> {
+        val terms = (for {
+          j <- 0 until 16
+          (c, i) <- Seq("l_partkey", "l_suppkey").zipWithIndex
+        } yield s"(((CAST($c AS BIGINT) >> $j) & 1) << ${j * 2 + i})")
+          .mkString(" + ")
+        s"SELECT l_orderkey, l_linenumber, $terms AS zval " +
+          "FROM lineitem ORDER BY 1, 2"
+      },
+
+      "q_shuffle" ->
+        """SELECT doc_id,
+          |  row_number() OVER (ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)),
+          |                     doc_id) - 1 AS shuffle_pos
+          |FROM documents ORDER BY doc_id""".stripMargin,
 
       "q_vocab" ->
         """SELECT token, CAST(count(*) AS BIGINT) AS n

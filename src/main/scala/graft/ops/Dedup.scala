@@ -247,6 +247,43 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Exact duplicated-span statistics (substring-level dedup, Lee et al.
+    * 2022 "Deduplicating Training Data Makes Language Models Better"): a
+    * span is an `n`-token window; a doc's span is DUPLICATED when the same
+    * window also occurs in at least `minDf − 1` OTHER documents (within-doc
+    * repeats don't count — spans are distinct per doc, matching the
+    * shingle-set semantics of the rest of this module). Returns one row per
+    * input document: (idCol, n_spans, dup_spans, dup_frac) — the inputs to
+    * span-level filtering/trimming policies.
+    *
+    * Scale shape: spans travel as hashed longs ([[shingleFrame]], counts
+    * match string windows modulo 64-bit collisions); the explode ships 8 B
+    * per span position; the duplicated-span set is the output of a
+    * hash-agg FILTERED to df ≥ minDf (a tiny fraction of the gram space at
+    * any threshold), so the join back is grams ⋈ small-set semi-join; the
+    * two per-doc aggregates are partial-agg'd map-side. No all-pairs
+    * structure anywhere — cost is O(corpus tokens), not O(docs²).
+    */
+  def duplicateSpanStats(docs: DataFrame, textCol: String, idCol: String,
+                         n: Int = 5, minDf: Long = 2): DataFrame = {
+    val grams = shingleFrame(docs, textCol, idCol, Nil, n)
+      .select(col(idCol), explode(col("sh")).as("__h"))
+    val perDoc = grams.groupBy(idCol).agg(count(lit(1)).as("n_spans"))
+    val dupSet = grams.groupBy("__h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf).select("__h")
+    val dupPerDoc = grams.join(dupSet, Seq("__h"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("dup_spans"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .join(dupPerDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        round(coalesce(col("dup_spans"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_spans"), lit(0L)), lit(1L)).cast("double"), 6)
+          .as("dup_frac"))
+  }
+
   /** Benchmark decontamination: flag corpus documents that share at least
     * one word `n`-gram with any document in `bench` (the eval-suite side) —
     * the standard n-gram-overlap contamination check run before training.

@@ -93,6 +93,29 @@ object Sampling {
       .toDF(groupCol, orderCol, "n_tokens", "pack_id", "pack_cum")
   }
 
+  /** Deterministic global shuffle for training-order assignment: every row
+    * gets its position in the permutation induced by
+    * md5(seed ‖ ":" ‖ key) — the same permutation on any cluster size, any
+    * input partitioning, any engine (dataloader-reproducible epoch order;
+    * change `seed` per epoch for a fresh permutation).
+    *
+    * Scale shape: ONE range-partitioned sort exchange on the 16-byte hash
+    * (Spark's global sort — sampled range boundaries, no single-task
+    * bottleneck), then contiguous positions come from per-partition counts
+    * stitched with partition-local offsets (`zipWithRowId`'s census) — a
+    * window over the whole frame would instead serialize into one task.
+    * Ties (duplicate keys) break on the key itself, keeping the order
+    * total and reproducible.
+    */
+  def deterministicShuffle(df: DataFrame, keyCol: String,
+                           seed: Long = 42L): DataFrame = {
+    val sk = md5(concat_ws(":", lit(seed.toString), col(keyCol).cast("string")))
+    val sorted = df.withColumn("__sk", sk).orderBy(col("__sk"), col(keyCol))
+    graft.api.MSTable.zipWithRowId(sorted)
+      .withColumnRenamed(graft.api.MSTable.RowId, "shuffle_pos")
+      .drop("__sk")
+  }
+
   // ---------------------------------------------------------------- shards
 
   /** Deterministic shard id in [0, nShards): the md5 32-bit draw of the
@@ -105,6 +128,47 @@ object Sampling {
     require(nShards > 0, s"nShards must be positive: $nShards")
     conv(hashBucket(key), 16, 10).cast("long") % nShards
   }
+
+  // ---------------------------------------------------------------- layout
+
+  /** Z-order (Morton) value of `cols`: the low `bits` bits of each column
+    * interleaved, bit j of column i landing at position j·k + i. Rows close
+    * in z-value are close in EVERY interleaved dimension, so range-
+    * partitioning by z-value clusters multi-dimensional locality into
+    * files — parquet min/max footer stats then prune on ANY of the
+    * dimensions, not just a lexicographic sort's leading one (the standard
+    * lakehouse data-skipping layout). Pure long arithmetic — whole-stage
+    * codegen, engine-portable bit-for-bit.
+    *
+    * Callers discretize first if a column exceeds `bits` bits (values are
+    * masked to the low bits, which preserves locality only within the
+    * mask range).
+    */
+  def zValue(cols: Seq[Column], bits: Int = 16): Column = {
+    val k = cols.size
+    require(k >= 2, s"zValue interleaves >= 2 columns (got $k)")
+    require(k * bits <= 63, s"zValue: $k cols x $bits bits overflow a long")
+    val terms = for {
+      (c, i) <- cols.zipWithIndex
+      j <- 0 until bits
+    } yield shiftleft(shiftright(c.cast("long"), j).bitwiseAND(lit(1L)), j * k + i)
+    terms.reduce(_ + _)
+  }
+
+  /** Cluster a table into `nFiles` z-ordered parquet files: one range-
+    * partitioned exchange on the z-value (sampled boundaries — balanced
+    * tasks, no single-task sort), a per-file sort, one file per task.
+    * Every output file covers a compact z-range = a small bounding box in
+    * all `cols`, so later scans filtering on any of them skip most files
+    * on footer stats alone.
+    */
+  def zorderWrite(df: DataFrame, cols: Seq[String], outDir: String,
+                  nFiles: Int, bits: Int = 16): Unit =
+    df.withColumn("__z", zValue(cols.map(col), bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
 
   /** Shard a corpus for training export: assign `shard` by [[shardId]] and
     * cluster rows so each output file holds exactly one shard.

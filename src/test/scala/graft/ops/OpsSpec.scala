@@ -22,6 +22,25 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.exactKeepFirst(docs, "text", "doc_id").count() === 4)
   }
 
+  test("duplicate span stats count cross-doc n-token windows") {
+    // 3-token windows: docs 0 and 1 are identical (7 windows each, all
+    // duplicated); doc 2 shares windows with 0/1 everywhere except around
+    // the "a" substitution ("over a lazy"/"a lazy dog"/"the lazy dog" flip);
+    // doc 3 shares nothing; doc 4 has no window at all
+    val out = Dedup.duplicateSpanStats(docs, "text", "doc_id", n = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out(0) === ((0L, 7L, 7L, 1.0)))
+    assert(out(1) === ((1L, 7L, 7L, 1.0)))
+    // doc 2 shares the first 4 windows; "jumps over a" / "over a lazy" /
+    // "a lazy dog" are unique to it
+    assert(out(2) === ((2L, 7L, 4L, round5(4.0 / 7))))
+    assert(out(3) === ((3L, 4L, 0L, 0.0)))
+    assert(out(4)._3 === 0L)
+  }
+
+  private def round5(x: Double) = math.round(x * 1e6) / 1e6
+
   test("minhash LSH finds the exact and near duplicate pair") {
     // word 1-shingles: jaccard(0,2) = 8/9 ≈ 0.89 — well inside LSH recall
     val pairs = Dedup.minHashDedup(docs, "text", "doc_id", threshold = 0.5,

@@ -112,6 +112,52 @@ class SamplingSpec extends SparkSpec {
     assert(a.subsetOf(big))
   }
 
+  test("deterministic shuffle: a permutation, stable under repartitioning") {
+    val ids = (0L until 500L).toDF("id")
+    val pos = Sampling.deterministicShuffle(ids, "id")
+      .select("id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    // a bijection onto 0..n-1
+    assert(pos.values.toSeq.sorted === (0L until 500L))
+    // input partitioning must not change the permutation
+    val rep = Sampling.deterministicShuffle(ids.repartition(13), "id")
+      .select("id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    assert(rep === pos)
+    // a different seed gives a different permutation
+    val other = Sampling.deterministicShuffle(ids, "id", seed = 7L)
+      .select("id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    assert(other !== pos)
+  }
+
+  test("zValue interleaves bits; zorderWrite clusters locality into files") {
+    // hand-check: x=3 (011), y=5 (101) at 3 bits — x bits land at even
+    // positions, y at odd: 1+2+4+32 = 39
+    val z = Seq((3L, 5L)).toDF("x", "y")
+      .select(Sampling.zValue(Seq(col("x"), col("y")), 3)).as[Long].head()
+    assert(z === 39L)
+
+    // 32x32 grid z-ordered into 8 files: every file's bounding box must be
+    // a small patch in BOTH dims (a 1-d sort would leave one dim spanning
+    // the full range in every file)
+    val grid = (for { x <- 0 until 32; y <- 0 until 32 } yield (x, y))
+      .toDF("x", "y")
+    val dir = "/root/repo/target/test_zorder"
+    Sampling.zorderWrite(grid.repartition(7), Seq("x", "y"), dir, nFiles = 8,
+      bits = 5)
+    val boxes = spark.read.parquet(dir)
+      .groupBy(col("_metadata.file_path"))
+      .agg((max("x") - min("x")).as("rx"), (max("y") - min("y")).as("ry"))
+      .select("rx", "ry").as[(Int, Int)].collect()
+    assert(boxes.length === 8)
+    val avgArea = boxes.map { case (rx, ry) => (rx + 1).toDouble * (ry + 1) }
+      .sum / boxes.length
+    // perfect z-order at 1024/8 points per file ≈ 128–256 box area; the
+    // whole grid is 1024 — assert files are real sub-boxes, not stripes
+    assert(avgArea <= 400, s"avg bbox area $avgArea of 1024")
+    boxes.foreach { case (rx, ry) =>
+      assert(rx < 32 && ry < 32, s"file spans a full dimension: $rx x $ry")
+    }
+  }
+
   test("stratified sample applies per-stratum rates") {
     val rows = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
       .toDF("id", "lang")
