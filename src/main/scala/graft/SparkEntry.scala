@@ -949,6 +949,15 @@ object SparkEntry {
           max("doc_id").as("max_id"))
         .orderBy("shard")),
 
+    // token-budget selection: best-first (by n_chars) prefix of the corpus
+    // whose running token total fits the budget — no one-task window
+    "q_select_budget" -> ((s, dir) =>
+      Sampling.selectTokenBudget(T(s, dir, "documents"), "doc_id",
+        priority = col("n_chars"),
+        tokens = TextAnalysis.tokenCount(col("text")), budget = 15000L)
+        .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+        .orderBy("doc_id")),
+
     // z-order (Morton) clustering value — the multi-dimensional
     // data-skipping sort key, exact-checked bit-for-bit vs the oracle
     "q_zorder" -> ((s, dir) =>
@@ -1930,6 +1939,21 @@ object SparkEntry {
           |          AS BIGINT) % 16 AS shard
           |      FROM documents)
           |GROUP BY shard ORDER BY shard""".stripMargin,
+
+      "q_select_budget" ->
+        """WITH t AS (
+          |  SELECT doc_id, n_chars,
+          |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+          |         ELSE len(string_split_regex(trim(lower(text)), '\s+')) END
+          |      AS BIGINT) AS n_tokens
+          |  FROM documents
+          |), c AS (
+          |  SELECT doc_id, n_tokens,
+          |    sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id) AS cum_tokens
+          |  FROM t
+          |)
+          |SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+          |FROM c WHERE cum_tokens <= 15000 ORDER BY doc_id""".stripMargin,
 
       "q_zorder" -> {
         val terms = (for {

@@ -182,7 +182,21 @@ object Sampling {
     * `partitionBy(shard)`, the standard layout dataloaders glob.
     */
   def exportShards(df: DataFrame, keyCol: String, nShards: Int,
-                   outDir: String): Unit = {
+                   outDir: String): Unit =
+    shardClustered(df, keyCol, nShards)
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
+  /** [[exportShards]] in JSON-Lines form — the other format training
+    * dataloaders consume directly. Same identity-partitioned layout; each
+    * `shard=k/` directory holds one newline-delimited JSON file set.
+    */
+  def exportShardsJsonl(df: DataFrame, keyCol: String, nShards: Int,
+                        outDir: String): Unit =
+    shardClustered(df, keyCol, nShards)
+      .write.mode("overwrite").partitionBy("shard").json(outDir)
+
+  private def shardClustered(df: DataFrame, keyCol: String,
+                             nShards: Int): DataFrame = {
     val spark = df.sparkSession
     val withShard = df.withColumn("shard", shardId(col(keyCol), nShards))
     val schema = withShard.schema
@@ -194,6 +208,53 @@ object Sampling {
     val rows = withShard.rdd.map(r => (r.getLong(si), r))
       .partitionBy(identity).values
     spark.createDataFrame(rows, schema)
-      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+  }
+
+  // --------------------------------------------------------- budget select
+
+  /** Token-budget corpus selection: walk rows from highest `priority` down
+    * (ties broken by `keyCol` — the order is total, so the selection is
+    * deterministic) and keep the prefix whose running token total stays
+    * ≤ `budget` — exactly `sum(tokens) OVER (ORDER BY priority DESC, key)
+    * <= budget`, computed without a one-task window. Returns the selected
+    * rows plus (n_tokens, cum_tokens) — the "take the best N tokens" step
+    * of corpus assembly.
+    *
+    * Scale shape: one range-partitioned sort exchange on (priority, key) —
+    * no single-task global window. The running total comes from a
+    * per-partition census (token sum per partition, a tiny collect) whose
+    * prefix sums seed each partition's local scan; partitions whose offset
+    * already exceeds the budget emit nothing without reading rows. Two
+    * passes over the sorted frame (census + emit) are safe because the
+    * sort order is total — same determinism argument as `zipWithRowId`.
+    */
+  def selectTokenBudget(df: DataFrame, keyCol: String, priority: Column,
+                        tokens: Column, budget: Long): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val base = df
+      .withColumn("__nt", tokens.cast("long"))
+      .orderBy(priority.desc, col(keyCol))
+    val ntIdx = base.schema.fieldIndex("__nt")
+    val rdd = base.rdd
+    val partSums = rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getLong(ntIdx))
+      Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val selected = rdd.mapPartitionsWithIndex { (i, it) =>
+      var cum = offsets(i)
+      if (cum >= budget) Iterator.empty
+      else it.flatMap { r =>
+        cum += r.getLong(ntIdx)
+        if (cum <= budget) Some(Row.fromSeq(r.toSeq :+ cum)) else None
+      }
+    }
+    val schema = StructType(base.schema.fields :+
+      StructField("cum_tokens", LongType, nullable = false))
+    spark.createDataFrame(selected, schema)
+      .withColumnRenamed("__nt", "n_tokens")
   }
 }

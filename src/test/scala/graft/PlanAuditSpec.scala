@@ -171,6 +171,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"bloom probe must not join:\n$p")
   }
 
+  test("z-value is a pure codegen projection (no exchange, no fallback)") {
+    val df = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .select(org.apache.spark.sql.functions.col("l_orderkey"),
+        ops.Sampling.zValue(Seq(
+          org.apache.spark.sql.functions.col("l_partkey"),
+          org.apache.spark.sql.functions.col("l_suppkey")), 16).as("zval"))
+    val p = plan(df)
+    assert(opCount(p, "Exchange") == 0, s"zValue must not shuffle:\n$p")
+    val projLine = p.linesIterator.find(l =>
+      l.contains("Project") && l.contains("codegen id"))
+    assert(projLine.isDefined, s"zValue fell out of whole-stage codegen:\n$p")
+  }
+
+  test("PQ search: no cartesian product, bounded-heap candidate top-k, codegen encode") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 8)
+    val df = ops.Similarity.pqTopK(q, emb, "vec_id", "embedding",
+      "vec_id", "embedding", k = 5, m = 8, ksub = 16)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    // candidate selection is the partial-agg bounded heap, not a global sort
+    assert(p.contains("ObjectHashAggregate"), p)
+    // the corpus-encode projection stays inside whole-stage codegen
+    assert(p.contains("pqencode") || p.contains("PqEncode"), p)
+  }
+
+  test("duplicate-span stats: hash-agg + semi-join on longs, no cartesian") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val p = plan(ops.Dedup.duplicateSpanStats(docs, "text", "doc_id", n = 5))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("semdedup pair generation plans no cartesian product") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val p = plan(ops.Similarity.semDedupPairs(emb, "embedding", "vec_id",

@@ -158,6 +158,39 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("token-budget selection equals the windowed prefix, stable across partitioning") {
+    // priorities descend with id; tokens are 10 each → budget 45 keeps the
+    // top 4 (cum 10,20,30,40), row 5 overflows
+    val rows = (0L until 20L).map(i => (i, 100L - i, "x " * 10))
+      .toDF("id", "prio", "text")
+    val out = Sampling.selectTokenBudget(rows, "id", col("prio"),
+      TextAnalysis.tokenCount(col("text")).cast("long"), budget = 45L)
+      .select("id", "cum_tokens").as[(Long, Long)].collect().sorted
+    assert(out.toSeq === Seq((0L, 10L), (1L, 20L), (2L, 30L), (3L, 40L)))
+    val rep = Sampling.selectTokenBudget(rows.repartition(7), "id", col("prio"),
+      TextAnalysis.tokenCount(col("text")).cast("long"), budget = 45L)
+      .select("id", "cum_tokens").as[(Long, Long)].collect().sorted
+    assert(rep.toSeq === out.toSeq)
+    // zero budget selects nothing; huge budget selects everything
+    assert(Sampling.selectTokenBudget(rows, "id", col("prio"),
+      lit(10L), 0L).count() === 0)
+    assert(Sampling.selectTokenBudget(rows, "id", col("prio"),
+      lit(10L), 1000000L).count() === 20)
+  }
+
+  test("exportShardsJsonl writes shard dirs that read back complete") {
+    val rows = (0L until 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val dir = "/root/repo/target/test_shards_jsonl"
+    Sampling.exportShardsJsonl(rows, "doc_id", nShards = 4, outDir = dir)
+    val back = spark.read.json(dir)
+    assert(back.count() === 100)
+    assert(back.select("shard").distinct().count() === 4)
+    // shard membership matches shardId
+    val bad = back.filter(
+      Sampling.shardId(col("doc_id"), 4) =!= col("shard")).count()
+    assert(bad === 0)
+  }
+
   test("stratified sample applies per-stratum rates") {
     val rows = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
       .toDF("id", "lang")
