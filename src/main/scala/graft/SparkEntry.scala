@@ -990,6 +990,16 @@ object SparkEntry {
           Seq("spark", "merge", "window", "hash"), topK = 50)
         .orderBy(col("score").desc, col("doc_id"))),
 
+    // persisted inverted index: tokenize+aggregate once, search reads only
+    // the query terms' bucket partitions — scores identical to q_bm25
+    "q_bm25_index" -> ((s, dir) => {
+      TextAnalysis.buildTextIndex(T(s, dir, "documents"), "text", "doc_id",
+        tmp("q_bm25_index"), nBuckets = 16)
+      TextAnalysis.bm25SearchIndex(s, tmp("q_bm25_index"),
+          Seq("spark", "merge", "window", "hash"), topK = 50)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // overlapping token-window chunking (context-length training prep):
     // 32-token windows every 24 tokens
     "q_chunk" -> ((s, dir) =>
@@ -1175,6 +1185,40 @@ object SparkEntry {
   )
 
   // ------------------------------------------------------------- oracle SQL
+
+  /** Shared by q_bm25 (inline) and q_bm25_index (persisted index) — both
+    * must produce byte-identical scores.
+    */
+  private val Bm25OracleSql =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS dl
+      |  FROM documents
+      |), stats AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      |  FROM base
+      |), terms AS (
+      |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id,
+      |          unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      |        FROM documents)
+      |  WHERE token IN ('spark', 'merge', 'window', 'hash')
+      |  GROUP BY doc_id, token
+      |), dfq AS (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS df FROM terms GROUP BY token
+      |), scored AS (
+      |  SELECT t.doc_id,
+      |    ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0) * t.tf * (1.2 + 1.0) /
+      |      (t.tf + ((b.dl / s.avgdl) * 0.75 + (1.0 - 0.75)) * 1.2) AS sc
+      |  FROM terms t JOIN dfq f USING (token) JOIN base b USING (doc_id)
+      |  CROSS JOIN stats s
+      |)
+      |SELECT doc_id, round(sum(sc), 9) AS score,
+      |  CAST(count(*) AS BIGINT) AS n_terms_hit
+      |FROM scored GROUP BY doc_id
+      |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
 
   def oracleSql: Map[String, String] = {
     val liRowId =
@@ -2005,36 +2049,11 @@ object SparkEntry {
 
       // mirrors bm25Rank's exact arithmetic (same association order) so the
       // doubles agree bit-for-bit before the 9-digit rounding
-      "q_bm25" ->
-        """WITH base AS (
-          |  SELECT doc_id,
-          |    CASE WHEN len(trim(text)) = 0 THEN 0
-          |         ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS dl
-          |  FROM documents
-          |), stats AS (
-          |  SELECT CAST(count(*) AS DOUBLE) AS n,
-          |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
-          |  FROM base
-          |), terms AS (
-          |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
-          |  FROM (SELECT doc_id,
-          |          unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
-          |        FROM documents)
-          |  WHERE token IN ('spark', 'merge', 'window', 'hash')
-          |  GROUP BY doc_id, token
-          |), dfq AS (
-          |  SELECT token, CAST(count(*) AS BIGINT) AS df FROM terms GROUP BY token
-          |), scored AS (
-          |  SELECT t.doc_id,
-          |    ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0) * t.tf * (1.2 + 1.0) /
-          |      (t.tf + ((b.dl / s.avgdl) * 0.75 + (1.0 - 0.75)) * 1.2) AS sc
-          |  FROM terms t JOIN dfq f USING (token) JOIN base b USING (doc_id)
-          |  CROSS JOIN stats s
-          |)
-          |SELECT doc_id, round(sum(sc), 9) AS score,
-          |  CAST(count(*) AS BIGINT) AS n_terms_hit
-          |FROM scored GROUP BY doc_id
-          |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+      "q_bm25" -> Bm25OracleSql,
+
+      // identical scores by construction — the index is just the persisted
+      // (term, doc, tf, dl) aggregate of the same corpus
+      "q_bm25_index" -> Bm25OracleSql,
 
       "q_chunk" ->
         """WITH t AS (

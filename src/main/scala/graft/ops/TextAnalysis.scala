@@ -324,6 +324,86 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  // ------------------------------------------- persisted inverted index
+
+  private val TextIndexKey = "__graft_text_index__"
+
+  /** Build and PERSIST an inverted index for BM25 retrieval: one postings
+    * row per (term, doc) with tf and doc length, partitioned by a stable
+    * hash bucket of the term, with corpus stats (N, Σdl, bucket count) in
+    * the keyword sidecar. The batch-retrieval shape at 100 TB — tokenize
+    * and aggregate ONCE, then every query batch reads only its terms'
+    * bucket directories (static partition pruning, like
+    * [[graft.ops.Similarity.buildIvfIndex]]) instead of re-tokenizing the
+    * corpus per call the way [[bm25Rank]] does. A term's postings live
+    * entirely in its bucket, so per-term df is computable from the pruned
+    * read alone.
+    */
+  def buildTextIndex(docs: DataFrame, textCol: String, idCol: String,
+                     path: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    val spark = docs.sparkSession
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .withColumn("dl", tokenCount(col("__text")).cast("long"))
+    val stats = base.agg(count(lit(1)).as("n"), sum("dl").as("sumdl")).head()
+    base.select(col("doc_id"), col("dl"),
+        explode(tokens(col("__text"))).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"), first("dl").as("dl"))
+      .withColumn("bucket",
+        pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    graft.api.MSWrite.putKeywords(spark, path,
+      graft.api.MSWrite.readKeywords(spark, path) + (TextIndexKey ->
+        s"""{"n":${stats.getLong(0)},"sumdl":${stats.getLong(1)},"buckets":$nBuckets}"""))
+  }
+
+  /** Query a persisted [[buildTextIndex]] store: the query terms' bucket
+    * set (≤ |terms| values) is applied as a literal filter BEFORE the join,
+    * so parquet partition pruning skips every unprobed bucket directory,
+    * and the term `isin` pushes into the pruned scan. Scores are identical
+    * to [[bm25Rank]] on the same corpus (same idf/tf form, same rounding,
+    * same exact-integer avgdl ratio — asserted in RetrievalSpec).
+    */
+  def bm25SearchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      queryTerms: Seq[String], k1: Double = 1.2,
+                      b: Double = 0.75, topK: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25SearchIndex needs at least one query term")
+    val metaJson = graft.api.MSWrite.readKeywords(spark, path)
+      .getOrElse(TextIndexKey,
+        throw new IllegalArgumentException(s"no text-index sidecar at $path"))
+    def metaLong(k: String): Long =
+      s""""$k":(-?\\d+)""".r.findFirstMatchIn(metaJson)
+        .getOrElse(throw new IllegalArgumentException(
+          s"text-index sidecar missing '$k': $metaJson"))
+        .group(1).toLong
+    val n = metaLong("n").toDouble
+    val avgdl = metaLong("sumdl").toDouble / metaLong("n")
+    val nBuckets = metaLong("buckets")
+    val terms = queryTerms.distinct
+    import spark.implicits._
+    // bucket ids via the SAME hash the build used (Spark's xxhash64) —
+    // computed on a |terms|-row frame, so build/search can never drift
+    val buckets = terms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(nBuckets)).cast("int").as("b"))
+      .distinct().as[Int].collect().toSeq
+    val post = spark.read.parquet(path)
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("term").isin(terms: _*))
+    val dfreq = post.groupBy("term").agg(count(lit(1)).as("df"))
+    post.join(broadcast(dfreq), "term")
+      .withColumn("__idf",
+        log((lit(n) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("__s",
+        col("__idf") * col("tf") * (k1 + 1.0) /
+          (col("tf") + (col("dl") / lit(avgdl) * b + (1.0 - b)) * k1))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("__s")), 9).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   // -------------------------------------------------------------- chunking
 
   /** Split documents into overlapping token windows — the

@@ -191,6 +191,28 @@ class SamplingSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("persisted text index: bm25 search equals inline bm25, buckets prune") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val dir = "/root/repo/target/test_text_index"
+    TextAnalysis.buildTextIndex(docs, "text", "doc_id", dir, nBuckets = 16)
+    val terms = Seq("spark", "merge", "window")
+    val inline = TextAnalysis.bm25Rank(docs, "text", "doc_id", terms, topK = 30)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val fromIdx = TextAnalysis.bm25SearchIndex(spark, dir, terms, topK = 30)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(fromIdx.toSeq === inline.toSeq)
+
+    // the bucket literal lands in PartitionFilters — unprobed bucket
+    // directories are never touched
+    val p = TextAnalysis.bm25SearchIndex(spark, dir, terms)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("bucket"), s"bucket isin must prune partitions:\n$p")
+    // the term filter pushes into the pruned scan
+    assert(p.contains("PushedFilters") && p.contains("term"), p)
+  }
+
   test("stratified sample applies per-stratum rates") {
     val rows = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
       .toDF("id", "lang")
