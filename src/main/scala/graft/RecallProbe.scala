@@ -53,6 +53,13 @@ object RecallProbe {
       annRecall("ann_pq", Similarity.pqTopK(q, emb,
         "vec_id", "embedding", "vec_id", "embedding", k = 5, m = 16, ksub = 32,
         refine = 16))
+      annRecall("ann_ivfpq", {
+        val p = s"/root/repo/target/qtmp/probe_ivfpq"
+        Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", p,
+          nlist = 8, m = 16, ksub = 32)
+        Similarity.ivfPqSearchIndex(spark, p, q, "vec_id", "embedding",
+          k = 5, nprobe = 4, refine = 16)
+      })
 
       def pairStats(name: String, approx: DataFrame, exact: DataFrame): Unit = {
         val keys = Seq("id_a", "id_b")

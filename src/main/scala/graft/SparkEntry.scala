@@ -833,6 +833,17 @@ object SparkEntry {
           "vec_id", "embedding", k = 5, nprobe = 4)
       }),
 
+    // persisted IVF-PQ (the FAISS IVFPQ shape): coarse cells prune
+    // partitions, PQ codes compress the first-pass scan, candidates
+    // re-rank exactly against the id-sorted vector table
+    "q_ann_ivfpq" -> ((s, dir) =>
+      annRecallCheck(s, dir, PqRecallFloor) { (q, c) =>
+        Similarity.buildIvfPqIndex(c, "vec_id", "embedding",
+          tmp("q_ann_ivfpq"), nlist = 8, m = 16, ksub = 32)
+        Similarity.ivfPqSearchIndex(s, tmp("q_ann_ivfpq"), q,
+          "vec_id", "embedding", k = 5, nprobe = 4, refine = 16)
+      }),
+
     // PQ (product quantization): corpus compressed to m small codes per
     // vector, ADC table-lookup scoring, exact re-rank of k·refine
     // candidates — the memory-bound ANN shape (the 64-dim float corpus
@@ -1744,6 +1755,10 @@ object SparkEntry {
           |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
 
       "q_ann_pq" ->
+        """SELECT DISTINCT CAST(vec_id AS BIGINT) AS query_id, true AS recall_ok
+          |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
+
+      "q_ann_ivfpq" ->
         """SELECT DISTINCT CAST(vec_id AS BIGINT) AS query_id, true AS recall_ok
           |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
 

@@ -364,30 +364,8 @@ object Similarity {
     val model = fitPq(corpusC, "cv", m, ksub, fitSampleRows)
     val codes = corpusC.select(col("neighbor_id"),
       graft.expr.VectorExprs.pq_encode(col("cv"), model.codebooks).as("codes"))
-    // per-query dot-product LUT + query norm (queries are small by contract)
-    val cb = model.codebooks
-    val lutUdf = udf((qv: Seq[Float]) => {
-      val q = qv.map(_.toDouble).toArray
-      val sub = cb(0)(0).length
-      val lut = new Array[Double](cb.length * cb(0).length)
-      var s = 0
-      while (s < cb.length) {
-        var c = 0
-        while (c < cb(s).length) {
-          var d = 0d; var i = 0
-          while (i < sub && s * sub + i < q.length) {
-            d += q(s * sub + i) * cb(s)(c)(i); i += 1
-          }
-          lut(s * cb(s).length + c) = d
-          c += 1
-        }
-        s += 1
-      }
-      val qn = math.sqrt(q.map(x => x * x).sum)
-      (lut, qn)
-    })
     val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))
-      .withColumn("__l", lutUdf(col("qv")))
+      .withColumn("__l", pqLutUdf(model.codebooks)(col("qv")))
       .select(col("query_id"), col("qv"),
         col("__l._1").as("dot_lut"), col("__l._2").as("qnorm"))
     val normLut = array(model.normLut.toSeq.map(lit): _*)
@@ -406,6 +384,150 @@ object Similarity {
     // broadcast semi-shaped join the scan can prune on, never a full rescore
     val rer = corpusC.join(broadcast(cand), Seq("neighbor_id"))
       .join(broadcast(q.select("query_id", "qv")), Seq("query_id"))
+      .withColumn("cosine", Dedup.cosine(col("qv"), col("cv")))
+    explodeTopK(rer, k)
+  }
+
+  /** Per-query ADC prep: the flattened m×ksub dot-product table plus the
+    * query norm. A driver/broadcast-side UDF — it runs once per QUERY row,
+    * never on the corpus.
+    */
+  private def pqLutUdf(cb: Array[Array[Array[Double]]]) =
+    udf((qv: Seq[Float]) => {
+      val q = qv.map(_.toDouble).toArray
+      val sub = cb(0)(0).length
+      val lut = new Array[Double](cb.length * cb(0).length)
+      var s = 0
+      while (s < cb.length) {
+        var c = 0
+        while (c < cb(s).length) {
+          var d = 0d; var i = 0
+          while (i < sub && s * sub + i < q.length) {
+            d += q(s * sub + i) * cb(s)(c)(i); i += 1
+          }
+          lut(s * cb(s).length + c) = d
+          c += 1
+        }
+        s += 1
+      }
+      (lut, math.sqrt(q.map(x => x * x).sum))
+    })
+
+  // --------------------------------------------- persisted IVF-PQ index
+
+  private val IvfPqKey = "__graft_ivfpq__"
+
+  private def matToJson(m: Array[Array[Double]]): String =
+    m.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  /** Build and PERSIST an IVF-PQ index (the FAISS IVFPQ shape, Jégou et
+    * al. 2011): coarse k-means cells for partition pruning, PQ codes for a
+    * compressed first-pass scan, and a cell-partitioned, id-sorted vector
+    * table for exact re-ranking. Layout:
+    *
+    *  - `path/codes`   — (neighbor_id, codes, cell), partitioned by cell:
+    *    the search scan, `4·m` bytes per vector
+    *  - `path/vectors` — (neighbor_id, cv, cell), partitioned by cell and
+    *    SORTED by id inside each file, so the candidate re-rank's id filter
+    *    prunes parquet row groups on footer min/max stats
+    *  - sidecar — coarse centroids + PQ codebooks + params
+    *
+    * At 100 TB a query batch touches nprobe/nlist of the codes table
+    * (partition pruning), never the full vector table — only candidate
+    * row groups of the probed cells.
+    */
+  def buildIvfPqIndex(corpus: DataFrame, cIdCol: String, cVecCol: String,
+                      path: String, nlist: Int = 8, m: Int = 8,
+                      ksub: Int = 16, fitSampleRows: Long = 50000L): Unit = {
+    val corpusC = corpus.select(col(cIdCol).as("neighbor_id"), col(cVecCol).as("cv"))
+    val centroids = fitCentroids(corpusC, nlist, fitSampleRows)
+    val model = fitPq(corpusC, "cv", m, ksub, fitSampleRows)
+    val assigned = corpusC.withColumn("cell",
+      graft.expr.VectorExprs.nearest_centroid(col("cv"), centroids))
+    assigned
+      .withColumn("codes",
+        graft.expr.VectorExprs.pq_encode(col("cv"), model.codebooks))
+      .select(col("neighbor_id"), col("codes"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    assigned
+      .repartition(col("cell")).sortWithinPartitions("neighbor_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    // codebooks stored flattened to m·ksub rows (m and ksub re-chunk it on
+    // read) — keeps the sidecar a plain 2-d array like the centroids
+    val json = s"""{"nlist":$nlist,"m":$m,"ksub":$ksub,""" +
+      s""""centroids":${matToJson(centroids)},""" +
+      s""""codebooks":${matToJson(model.codebooks.flatten)}}"""
+    graft.api.MSWrite.putKeywords(corpus.sparkSession, path,
+      graft.api.MSWrite.readKeywords(corpus.sparkSession, path) +
+        (IvfPqKey -> json))
+  }
+
+  private[ops] def readIvfPqSidecar(spark: org.apache.spark.sql.SparkSession,
+                                    path: String)
+      : (Array[Array[Double]], PqModel) = {
+    val json = graft.api.MSWrite.readKeywords(spark, path).getOrElse(IvfPqKey,
+      throw new IllegalArgumentException(s"no IVF-PQ sidecar at $path"))
+    // the sidecar is engine-written (doubles round-trip through toString);
+    // slice the two top-level arrays by their labels
+    def sliceAfter(label: String): String = {
+      val i = json.indexOf(label)
+      require(i >= 0, s"IVF-PQ sidecar missing $label")
+      val start = json.indexOf('[', i)
+      var depth = 0
+      var j = start
+      while ({ val c = json(j)
+               if (c == '[') depth += 1 else if (c == ']') depth -= 1
+               depth != 0 }) j += 1
+      json.substring(start, j + 1)
+    }
+    def parse2d(s: String): Array[Array[Double]] =
+      s.stripPrefix("[").stripSuffix("]").split("\\],\\[")
+        .map(_.replaceAll("[\\[\\]]", "").split(",").map(_.toDouble))
+    val centroids = parse2d(sliceAfter("\"centroids\""))
+    val m = """"m":(\d+)""".r.findFirstMatchIn(json).get.group(1).toInt
+    val ksub = """"ksub":(\d+)""".r.findFirstMatchIn(json).get.group(1).toInt
+    val rows2d = parse2d(sliceAfter("\"codebooks\""))
+    require(rows2d.length == m * ksub,
+      s"IVF-PQ sidecar: ${rows2d.length} codebook rows, expected ${m * ksub}")
+    (centroids, PqModel(rows2d.grouped(ksub).map(_.toArray).toArray))
+  }
+
+  /** Query a persisted [[buildIvfPqIndex]]: probed cells apply as literal
+    * partition filters on BOTH tables; the first pass scans only the
+    * probed cells' PQ codes (ADC scoring, bounded-heap k·refine
+    * candidates); the exact re-rank reads vectors for candidate ids only.
+    * Same recall-floor protocol as the other ANN operators.
+    */
+  def ivfPqSearchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       queries: DataFrame, qIdCol: String, qVecCol: String,
+                       k: Int, nprobe: Int, refine: Int = 8): DataFrame = {
+    val (centroids, model) = readIvfPqSidecar(spark, path)
+    val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))
+      .withColumn("cell", explode(probeCellsUdf(centroids, nprobe)(col("qv"))))
+      .withColumn("__l", pqLutUdf(model.codebooks)(col("qv")))
+      .select(col("query_id"), col("qv"), col("cell"),
+        col("__l._1").as("dot_lut"), col("__l._2").as("qnorm"))
+    val probed = q.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val normLut = array(model.normLut.toSeq.map(lit): _*)
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("cell").isin(probed: _*))
+    val scored = codes
+      .join(broadcast(q.select("query_id", "cell", "dot_lut", "qnorm")), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("approx",
+        graft.expr.VectorExprs.pq_adc(col("codes"), col("dot_lut"), model.ksub) /
+          (col("qnorm") *
+            sqrt(graft.expr.VectorExprs.pq_adc(col("codes"), normLut, model.ksub))))
+    val cand = scored.groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topk(col("approx"), col("neighbor_id"),
+        k * refine).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("c"))
+      .select(col("query_id"), col("c.id").as("neighbor_id"))
+    val vectors = spark.read.parquet(s"$path/vectors")
+      .filter(col("cell").isin(probed: _*))
+      .select("neighbor_id", "cv")
+    val rer = vectors.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(q.select("query_id", "qv").distinct()), Seq("query_id"))
       .withColumn("cosine", Dedup.cosine(col("qv"), col("cv")))
     explodeTopK(rer, k)
   }
