@@ -80,11 +80,18 @@ object MSTable {
     * for small arbitrary frames (e.g. [[perRowDatasets]]); scans use
     * [[scanWithRowId]] and ordered frames use [[withRowId]], both of which
     * stay inside whole-stage codegen.
+    *
+    * `pin = true` localCheckpoints the input RDD before `zipWithIndex`'s
+    * census job, so the census and the later emit pass cannot see two
+    * different evaluations of a nondeterministic upstream (and the input
+    * computes once, not twice). The cost is a full materialization —
+    * callers with a plain deterministic scan keep the default.
     */
-  def zipWithRowId(df: DataFrame): DataFrame = {
+  def zipWithRowId(df: DataFrame, pin: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val schema = StructType(df.schema.fields :+ StructField(RowId, LongType, nullable = false))
-    val rdd = df.rdd.zipWithIndex().map { case (r, idx) => Row.fromSeq(r.toSeq :+ idx) }
+    val base = if (pin) df.rdd.localCheckpoint() else df.rdd
+    val rdd = base.zipWithIndex().map { case (r, idx) => Row.fromSeq(r.toSeq :+ idx) }
     spark.createDataFrame(rdd, schema)
   }
 

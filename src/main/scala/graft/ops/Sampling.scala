@@ -20,6 +20,18 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Fail fast when the input already carries a column name an operator is
+    * about to introduce — `withColumn` would silently REPLACE the user's
+    * data otherwise (and a later rename would leave ambiguous duplicates).
+    */
+  private def requireFreeColumns(df: DataFrame, names: Seq[String],
+                                 op: String): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"$op reserves output column name(s) ${clash.mkString(", ")} — " +
+        "rename or drop them in the input frame first")
+  }
+
   /** First 8 hex chars of md5(key) — a uniform 32-bit draw in hex,
     * lexicographically comparable (md5 hex is lowercase in Spark, DuckDB,
     * Python, …). The basis of every deterministic sampler here.
@@ -71,6 +83,8 @@ object Sampling {
     */
   def packSequences(docs: DataFrame, groupCol: String, orderCol: String,
                     tokenCount: Column, maxTokens: Int): DataFrame = {
+    requireFreeColumns(docs.drop(groupCol, orderCol),
+      Seq("n_tokens", "pack_id", "pack_cum"), "packSequences")
     val spark = docs.sparkSession
     import spark.implicits._
     val base: Dataset[(String, Long, Int)] = docs.select(
@@ -106,12 +120,22 @@ object Sampling {
     * window over the whole frame would instead serialize into one task.
     * Ties (duplicate keys) break on the key itself, keeping the order
     * total and reproducible.
+    *
+    * The sorted frame is evaluated by TWO jobs (the census inside
+    * `zipWithIndex`, then the emit); it is pinned with `localCheckpoint`
+    * before the census so a nondeterministic upstream (sample, prior
+    * shuffle order, AQE re-plan) cannot desync the two passes — and so
+    * the sort runs once, not twice, at scale. `assumeDeterministic = true`
+    * skips the pin (trades a full materialization for a second sort) when
+    * the input is a plain deterministic scan.
     */
   def deterministicShuffle(df: DataFrame, keyCol: String,
-                           seed: Long = 42L): DataFrame = {
+                           seed: Long = 42L,
+                           assumeDeterministic: Boolean = false): DataFrame = {
+    requireFreeColumns(df, Seq("__sk", "shuffle_pos"), "deterministicShuffle")
     val sk = md5(concat_ws(":", lit(seed.toString), col(keyCol).cast("string")))
     val sorted = df.withColumn("__sk", sk).orderBy(col("__sk"), col(keyCol))
-    graft.api.MSTable.zipWithRowId(sorted)
+    graft.api.MSTable.zipWithRowId(sorted, pin = !assumeDeterministic)
       .withColumnRenamed(graft.api.MSTable.RowId, "shuffle_pos")
       .drop("__sk")
   }
@@ -163,12 +187,14 @@ object Sampling {
     * on footer stats alone.
     */
   def zorderWrite(df: DataFrame, cols: Seq[String], outDir: String,
-                  nFiles: Int, bits: Int = 16): Unit =
+                  nFiles: Int, bits: Int = 16): Unit = {
+    requireFreeColumns(df, Seq("__z"), "zorderWrite")
     df.withColumn("__z", zValue(cols.map(col), bits))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(outDir)
+  }
 
   /** Shard a corpus for training export: assign `shard` by [[shardId]] and
     * cluster rows so each output file holds exactly one shard.
@@ -197,6 +223,7 @@ object Sampling {
 
   private def shardClustered(df: DataFrame, keyCol: String,
                              nShards: Int): DataFrame = {
+    requireFreeColumns(df, Seq("shard"), "exportShards")
     val spark = df.sparkSession
     val withShard = df.withColumn("shard", shardId(col(keyCol), nShards))
     val schema = withShard.schema
@@ -224,23 +251,36 @@ object Sampling {
     * no single-task global window. The running total comes from a
     * per-partition census (token sum per partition, a tiny collect) whose
     * prefix sums seed each partition's local scan; partitions whose offset
-    * already exceeds the budget emit nothing without reading rows. Two
-    * passes over the sorted frame (census + emit) are safe because the
-    * sort order is total — same determinism argument as `zipWithRowId`.
+    * already exceeds the budget emit nothing without reading rows.
+    *
+    * The sorted frame is evaluated by TWO jobs (census + emit); it is
+    * pinned with `localCheckpoint` before the census so a
+    * nondeterministic upstream cannot desync them — and so the sort runs
+    * once, not twice, at scale. `assumeDeterministic = true` skips the pin
+    * when the input is a plain deterministic scan. Null token counts
+    * select as 0 tokens; negative token counts fail the census loudly
+    * (they would silently corrupt the running total).
     */
   def selectTokenBudget(df: DataFrame, keyCol: String, priority: Column,
-                        tokens: Column, budget: Long): DataFrame = {
+                        tokens: Column, budget: Long,
+                        assumeDeterministic: Boolean = false): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    requireFreeColumns(df, Seq("__nt", "n_tokens", "cum_tokens"),
+      "selectTokenBudget")
     val spark = df.sparkSession
     val base = df
-      .withColumn("__nt", tokens.cast("long"))
+      .withColumn("__nt", coalesce(tokens.cast("long"), lit(0L)))
       .orderBy(priority.desc, col(keyCol))
     val ntIdx = base.schema.fieldIndex("__nt")
-    val rdd = base.rdd
+    val rdd = if (assumeDeterministic) base.rdd else base.rdd.localCheckpoint()
     val partSums = rdd.mapPartitionsWithIndex { (i, it) =>
       var s = 0L
-      it.foreach(r => s += r.getLong(ntIdx))
+      it.foreach { r =>
+        val nt = r.getLong(ntIdx)
+        require(nt >= 0, s"selectTokenBudget: negative token count $nt")
+        s += nt
+      }
       Iterator((i, s))
     }.collect().sortBy(_._1).map(_._2)
     val offsets = partSums.scanLeft(0L)(_ + _)

@@ -396,13 +396,18 @@ object Similarity {
     udf((qv: Seq[Float]) => {
       val q = qv.map(_.toDouble).toArray
       val sub = cb(0)(0).length
+      // a query whose dimension differs from the corpus's m·subDim would
+      // silently truncate the per-subspace dot products — fail loudly,
+      // mirroring fitPq's corpus-side dim % m == 0 check
+      require(q.length == cb.length * sub,
+        s"PQ query dimension ${q.length} != corpus dimension ${cb.length * sub}")
       val lut = new Array[Double](cb.length * cb(0).length)
       var s = 0
       while (s < cb.length) {
         var c = 0
         while (c < cb(s).length) {
           var d = 0d; var i = 0
-          while (i < sub && s * sub + i < q.length) {
+          while (i < sub) {
             d += q(s * sub + i) * cb(s)(c)(i); i += 1
           }
           lut(s * cb(s).length + c) = d
@@ -417,8 +422,13 @@ object Similarity {
 
   private val IvfPqKey = "__graft_ivfpq__"
 
-  private def matToJson(m: Array[Array[Double]]): String =
+  private[ops] def matToJson(m: Array[Array[Double]]): String = {
+    // NaN/Infinity have no JSON encoding — a degenerate k-means fit must
+    // fail here at write time, not poison the sidecar for later readers
+    require(m.forall(_.forall(java.lang.Double.isFinite)),
+      "IVF-PQ sidecar: non-finite centroid/codebook value (degenerate fit?)")
     m.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+  }
 
   /** Build and PERSIST an IVF-PQ index (the FAISS IVFPQ shape, Jégou et
     * al. 2011): coarse k-means cells for partition pruning, PQ codes for a
@@ -465,28 +475,29 @@ object Similarity {
   private[ops] def readIvfPqSidecar(spark: org.apache.spark.sql.SparkSession,
                                     path: String)
       : (Array[Array[Double]], PqModel) = {
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
     val json = graft.api.MSWrite.readKeywords(spark, path).getOrElse(IvfPqKey,
       throw new IllegalArgumentException(s"no IVF-PQ sidecar at $path"))
-    // the sidecar is engine-written (doubles round-trip through toString);
-    // slice the two top-level arrays by their labels
-    def sliceAfter(label: String): String = {
-      val i = json.indexOf(label)
-      require(i >= 0, s"IVF-PQ sidecar missing $label")
-      val start = json.indexOf('[', i)
-      var depth = 0
-      var j = start
-      while ({ val c = json(j)
-               if (c == '[') depth += 1 else if (c == ']') depth -= 1
-               depth != 0 }) j += 1
-      json.substring(start, j + 1)
+    // real JSON parsing (Jackson ships with Spark): key order, whitespace,
+    // and nesting are the parser's problem, not a regex's
+    val root = new ObjectMapper().readTree(json)
+    def field(k: String): JsonNode = {
+      val n = root.get(k)
+      require(n != null, s"IVF-PQ sidecar missing '$k'")
+      n
     }
-    def parse2d(s: String): Array[Array[Double]] =
-      s.stripPrefix("[").stripSuffix("]").split("\\],\\[")
-        .map(_.replaceAll("[\\[\\]]", "").split(",").map(_.toDouble))
-    val centroids = parse2d(sliceAfter("\"centroids\""))
-    val m = """"m":(\d+)""".r.findFirstMatchIn(json).get.group(1).toInt
-    val ksub = """"ksub":(\d+)""".r.findFirstMatchIn(json).get.group(1).toInt
-    val rows2d = parse2d(sliceAfter("\"codebooks\""))
+    def parse2d(n: JsonNode): Array[Array[Double]] = {
+      import scala.jdk.CollectionConverters._
+      require(n.isArray, "IVF-PQ sidecar: expected a 2-d array")
+      n.elements().asScala.map { row =>
+        require(row.isArray, "IVF-PQ sidecar: expected a 2-d array")
+        row.elements().asScala.map(_.asDouble()).toArray
+      }.toArray
+    }
+    val centroids = parse2d(field("centroids"))
+    val m = field("m").asInt()
+    val ksub = field("ksub").asInt()
+    val rows2d = parse2d(field("codebooks"))
     require(rows2d.length == m * ksub,
       s"IVF-PQ sidecar: ${rows2d.length} codebook rows, expected ${m * ksub}")
     (centroids, PqModel(rows2d.grouped(ksub).map(_.toArray).toArray))

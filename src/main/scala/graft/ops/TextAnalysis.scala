@@ -372,11 +372,16 @@ object TextAnalysis {
     val metaJson = graft.api.MSWrite.readKeywords(spark, path)
       .getOrElse(TextIndexKey,
         throw new IllegalArgumentException(s"no text-index sidecar at $path"))
-    def metaLong(k: String): Long =
-      s""""$k":(-?\\d+)""".r.findFirstMatchIn(metaJson)
-        .getOrElse(throw new IllegalArgumentException(
-          s"text-index sidecar missing '$k': $metaJson"))
-        .group(1).toLong
+    // real JSON parsing (Jackson ships with Spark) — resilient to key
+    // order, whitespace, and future sidecar fields
+    val metaRoot = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(metaJson)
+    def metaLong(k: String): Long = {
+      val n = metaRoot.get(k)
+      require(n != null,
+        s"text-index sidecar missing '$k': $metaJson")
+      n.asLong()
+    }
     val n = metaLong("n").toDouble
     val avgdl = metaLong("sumdl").toDouble / metaLong("n")
     val nBuckets = metaLong("buckets")

@@ -176,6 +176,67 @@ class SamplingSpec extends SparkSpec {
       lit(10L), 0L).count() === 0)
     assert(Sampling.selectTokenBudget(rows, "id", col("prio"),
       lit(10L), 1000000L).count() === 20)
+    // null token counts select as 0 tokens (never NPE); negative counts fail
+    val withNull = Seq((1L, 2L, Some(10L)), (2L, 1L, None))
+      .toDF("id", "prio", "nt")
+    val sel = Sampling.selectTokenBudget(withNull, "id", col("prio"),
+      col("nt"), budget = 10L)
+    assert(sel.count() === 2) // the null row costs nothing
+    val neg = Seq((1L, 2L, 10L), (2L, 1L, -3L)).toDF("id", "prio", "nt")
+    val e = intercept[org.apache.spark.SparkException](
+      Sampling.selectTokenBudget(neg, "id", col("prio"), col("nt"), 10L)
+        .count())
+    assert(e.getMessage.contains("negative token count") ||
+      Option(e.getCause).exists(_.getMessage.contains("negative token count")))
+  }
+
+  test("shuffle/budget census and emit see ONE execution of the sort") {
+    // An accumulator-instrumented source counts row evaluations. Each
+    // execution of the sorted plan reads the input TWICE (the range
+    // exchange's boundary-sampling pass + the shuffle write), so one
+    // execution = 2 passes. The localCheckpoint pin makes the census job
+    // materialize the sorted rows and the emit job read them back — so
+    // the total stays at 2 passes; without the pin, census and emit would
+    // each execute the sort (4 passes) and, worse, could see two DIFFERENT
+    // evaluations of a nondeterministic upstream. Same guarantee as
+    // ZarrWrite's single-execution test.
+    val acc = spark.sparkContext.longAccumulator("sampling_src_evals")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("nt",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    def freshDf = {
+      val src = spark.sparkContext.parallelize(0L until 200L, 7)
+        .map { i => acc.add(1); org.apache.spark.sql.Row(i, 10L) }
+      spark.createDataFrame(src, schema)
+    }
+    acc.reset()
+    val shuffled = Sampling.deterministicShuffle(freshDf, "id")
+    shuffled.collect()
+    assert(acc.value === 400L,
+      s"deterministicShuffle: ${acc.value / 200.0} input passes, expected 2")
+    acc.reset()
+    val sel = Sampling.selectTokenBudget(freshDf, "id", col("id"),
+      col("nt"), budget = 500L)
+    sel.collect()
+    assert(acc.value === 400L,
+      s"selectTokenBudget: ${acc.value / 200.0} input passes, expected 2")
+  }
+
+  test("sampling ops fail fast when the input already has a reserved column") {
+    val clash = Seq((1L, 2L)).toDF("id", "shuffle_pos")
+    val e = intercept[IllegalArgumentException](
+      Sampling.deterministicShuffle(clash, "id"))
+    assert(e.getMessage.contains("shuffle_pos"))
+    val clash2 = Seq((1L, 2L)).toDF("id", "cum_tokens")
+    val e2 = intercept[IllegalArgumentException](
+      Sampling.selectTokenBudget(clash2, "id", col("id"), lit(1L), 10L))
+    assert(e2.getMessage.contains("cum_tokens"))
+    val clash3 = Seq((1L, 2L)).toDF("id", "shard")
+    val e3 = intercept[IllegalArgumentException](
+      Sampling.exportShards(clash3, "id", 2, "/root/repo/target/never"))
+    assert(e3.getMessage.contains("shard"))
   }
 
   test("exportShardsJsonl writes shard dirs that read back complete") {
@@ -211,6 +272,21 @@ class SamplingSpec extends SparkSpec {
     assert(pf.contains("bucket"), s"bucket isin must prune partitions:\n$p")
     // the term filter pushes into the pruned scan
     assert(p.contains("PushedFilters") && p.contains("term"), p)
+
+    // the Jackson sidecar reader survives reordered keys, whitespace, and
+    // an extra future field — the old regex scan could not be trusted with
+    // any of these
+    val kw = graft.api.MSWrite.readKeywords(spark, dir)
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(kw("__graft_text_index__"))
+    val rewritten =
+      s"""{ "note": "re-encoded", "buckets": ${root.get("buckets")},
+         |  "sumdl": ${root.get("sumdl")}, "n": ${root.get("n")} }""".stripMargin
+    graft.api.MSWrite.putKeywords(spark, dir,
+      kw + ("__graft_text_index__" -> rewritten))
+    val again = TextAnalysis.bm25SearchIndex(spark, dir, terms, topK = 30)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(again.toSeq === inline.toSeq)
   }
 
   test("stratified sample applies per-stratum rates") {

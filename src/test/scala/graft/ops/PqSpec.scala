@@ -67,4 +67,60 @@ class PqSpec extends SparkSpec {
       (math.sqrt(q.map(x => x * x).sum) * math.sqrt(v.map(x => x * x).sum))
     assert(math.abs(cos - expected) < 1e-5)
   }
+
+  test("pqTopK: query dimension mismatch fails loudly, never truncates") {
+    val vecs = clustered
+    val badQueries = (0 until 3).map(i =>
+      (1000L + i, Array.tabulate(8)(j => (i + j).toFloat))) // 8-dim vs 16
+      .toDF("id", "vec")
+    val e = intercept[Exception](
+      Similarity.pqTopK(badQueries, vecs, "id", "vec", "id", "vec",
+        k = 3, m = 4, ksub = 8).collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m =>
+      m != null && m.contains("PQ query dimension")), messages(e).toString)
+  }
+
+  test("IVF-PQ sidecar: Jackson read survives reordered keys and whitespace") {
+    val dir = "/root/repo/target/pq_test/sidecar"
+    val vecs = clustered
+    Similarity.buildIvfPqIndex(vecs, "id", "vec", dir,
+      nlist = 4, m = 4, ksub = 8)
+    val queries = vecs.filter(col("id") < 3)
+    def search() = Similarity.ivfPqSearchIndex(spark, dir, queries,
+      "id", "vec", k = 5, nprobe = 2, refine = 8)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    val before = search()
+    assert(before.nonEmpty)
+    // rewrite the sidecar with reordered keys, whitespace, and an extra
+    // field a future engine version might add — an equally valid encoding
+    // of the same JSON object that the old regex/bracket-walker reader
+    // could not be trusted with
+    val kw = graft.api.MSWrite.readKeywords(spark, dir)
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(kw("__graft_ivfpq__"))
+    val rewritten =
+      s"""{ "future_field": {"nested": [1, [2, 3]]},
+         |  "codebooks": ${root.get("codebooks").toString},
+         |  "ksub": ${root.get("ksub")}, "m": ${root.get("m")},
+         |  "nlist": ${root.get("nlist")},
+         |  "centroids": ${root.get("centroids").toString} }""".stripMargin
+    graft.api.MSWrite.putKeywords(spark, dir,
+      kw + ("__graft_ivfpq__" -> rewritten))
+    assert(search() === before)
+  }
+
+  test("IVF-PQ sidecar encoding rejects non-finite values (no JSON form)") {
+    val e = intercept[IllegalArgumentException](
+      Similarity.matToJson(Array(Array(1.0, Double.NaN), Array(2.0, 3.0))))
+    assert(e.getMessage.contains("non-finite"))
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.matToJson(Array(Array(Double.PositiveInfinity))))
+    assert(e2.getMessage.contains("non-finite"))
+    // finite values round-trip through the Jackson reader
+    assert(new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Similarity.matToJson(Array(Array(1.5, -2.25)))).isArray)
+  }
 }
