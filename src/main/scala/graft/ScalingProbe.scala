@@ -56,6 +56,46 @@ object ScalingProbe {
         spark.read.parquet(s"$d/embeddings.parquet"), "embedding", "vec_id",
         threshold = 0.4, nlist = 8).count()
     }
+    // round-7 operators. Queries probe as-is where the q_ entry IS the
+    // operator; ANN ops probe raw (their q_ entries wrap a brute-force
+    // recall audit). nlist scales with the corpus for IVF-PQ — that is
+    // the documented dial (cells sized to a constant occupancy).
+    time("dedup_substring") { d =>
+      SparkEntry.queries("q_dedup_substring")(spark, d).count() }
+    time("shuffle") { d => SparkEntry.queries("q_shuffle")(spark, d).count() }
+    time("select_budget") { d =>
+      SparkEntry.queries("q_select_budget")(spark, d).count() }
+    time("zorder_write") { d =>
+      graft.ops.Sampling.zorderWrite(
+        spark.read.parquet(s"$d/lineitem.parquet"),
+        Seq("l_partkey", "l_suppkey"), "/root/repo/target/probe_zorder",
+        nFiles = 32)
+      1L
+    }
+    time("bm25_index_build+search") { d =>
+      graft.ops.TextAnalysis.buildTextIndex(
+        spark.read.parquet(s"$d/documents.parquet"), "text", "doc_id",
+        "/root/repo/target/probe_bm25", nBuckets = 16)
+      graft.ops.TextAnalysis.bm25SearchIndex(spark,
+        "/root/repo/target/probe_bm25",
+        Seq("spark", "merge", "window", "hash"), topK = 50).count()
+    }
+    time("ann_pq") { d =>
+      val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      val q = emb.orderBy("vec_id").limit(10)
+      graft.ops.Similarity.pqTopK(q, emb, "vec_id", "embedding",
+        "vec_id", "embedding", k = 5, m = 16, ksub = 32, refine = 16).count()
+    }
+    time("ann_ivfpq_index") { d =>
+      val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      val nl = if (d == big) 8 * mult else 8
+      graft.ops.Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+        "/root/repo/target/probe_ivfpq", nlist = nl, m = 16, ksub = 32)
+      val q = emb.orderBy("vec_id").limit(10)
+      graft.ops.Similarity.ivfPqSearchIndex(spark,
+        "/root/repo/target/probe_ivfpq", q, "vec_id", "embedding",
+        k = 5, nprobe = 4, refine = 16).count()
+    }
     spark.stop()
   }
 }

@@ -450,9 +450,14 @@ object Dedup {
     * (ingest-time dedup, the shape CC-scale pipelines run). Candidates
     * from shared band buckets are verified with exact Jaccard inline (the
     * index rows carry the corpus shingles), so emitted pairs are
-    * precision-1 by construction; the trailing `dropDuplicates` collapses
-    * multi-band hits (on a stream its state is per-(new,old) pair —
-    * bound it with a watermark on the ingest-time column in production).
+    * precision-1 by construction; the trailing dedup collapses multi-band
+    * hits. On an unbounded stream that dedup's state is per-(new,old)
+    * pair and grows forever UNLESS bounded: pass `eventTimeCol` (the
+    * ingest-time column) and the state becomes watermark-evicted —
+    * `withWatermark(eventTimeCol, watermarkDelay)` +
+    * `dropDuplicatesWithinWatermark`, so a pair's state lives only
+    * `watermarkDelay` past its arrival (multi-band hits of one document
+    * land in one micro-batch, so even a short delay collapses them).
     *
     * Batch-mode output is EXACTLY [[incrementalNearDup]]'s (same
     * shingles, signatures, banding, cap, verification) — asserted by the
@@ -461,21 +466,35 @@ object Dedup {
   def nearDupAgainstIndex(docs: DataFrame, index: DataFrame, textCol: String,
                           idCol: String, threshold: Double,
                           shingleWords: Int = 3, k: Int = 32,
-                          bands: Int = 8): DataFrame = {
+                          bands: Int = 8,
+                          eventTimeCol: Option[String] = None,
+                          watermarkDelay: String = "10 minutes"): DataFrame = {
     import graft.expr.VectorExprs.{band_hashes, hashed_shingles, minhash_sig}
     val toks = split(trim(lower(col(textCol))), "\\s+")
-    val sh = docs.select(col(idCol).as("id_new"),
-        hashed_shingles(toks, shingleWords).as("sh"))
+    val src = eventTimeCol match {
+      case Some(t) => docs.withWatermark(t, watermarkDelay)
+      case None    => docs
+    }
+    // the event-time column rides along so the watermark stays attached
+    // through the join for the state-evicting dedup at the end
+    val ride = eventTimeCol.toSeq.map(col)
+    val sh = src.select(Seq(col(idCol).as("id_new")) ++ ride :+
+        hashed_shingles(toks, shingleWords).as("sh"): _*)
       .filter(size(col("sh")) > 0)
-    sh.select(col("id_new"), col("sh"),
-        posexplode(band_hashes(minhash_sig(col("sh"), k), bands)))
+    val scored = sh.select(Seq(col("id_new")) ++ ride :+ col("sh") :+
+        posexplode(band_hashes(minhash_sig(col("sh"), k), bands)): _*)
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
       .join(index, Seq("band", "bh"))
       .withColumn("jaccard", jaccardCol(col("sh"), col("sh_old")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_new"), col("id_old"),
-        round(col("jaccard"), 6).as("jaccard"))
-      .dropDuplicates("id_new", "id_old")
+      .select(Seq(col("id_new"), col("id_old"),
+        round(col("jaccard"), 6).as("jaccard")) ++ ride: _*)
+    eventTimeCol match {
+      case Some(t) =>
+        scored.dropDuplicatesWithinWatermark("id_new", "id_old").drop(t)
+      case None =>
+        scored.dropDuplicates("id_new", "id_old")
+    }
   }
 
   /** Connected components over an undirected duplicate-pair list — the

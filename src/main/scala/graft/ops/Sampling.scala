@@ -221,6 +221,16 @@ object Sampling {
     shardClustered(df, keyCol, nShards)
       .write.mode("overwrite").partitionBy("shard").json(outDir)
 
+  // Trade-off, eyes open: the RDD round-trip drops the final write out of
+  // Catalyst/columnar execution (row serialization cost at 100 TB) but is
+  // the only way to get EXACT shard→task placement — shard k in task k,
+  // one file set per shard, no collisions. The planner-native alternative,
+  // repartitionByRange(nShards, col("shard")), samples range boundaries
+  // per execution: equal-width shards usually land 1:1, but boundary
+  // sampling can merge two shards into one task (and leave another empty)
+  // on skewed shard sizes, breaking the one-file-set-per-shard contract
+  // dataloaders glob. Exactness wins; the serialization is paid once, at
+  // export, on the narrow post-projection frame.
   private def shardClustered(df: DataFrame, keyCol: String,
                              nShards: Int): DataFrame = {
     requireFreeColumns(df, Seq("shard"), "exportShards")

@@ -49,6 +49,37 @@ class SafetySpec extends SparkSpec {
     assert(!fs.exists(new Path(MSWrite.cowTmpPath(path))))
   }
 
+  test("update-in-place + fragment overlay run against a NON-file:// scheme") {
+    // mockfs: = RawLocalFileSystem under a foreign scheme (graft.MockFs) —
+    // the object-store stand-in. updateTable's checked renames, the
+    // fragment parent pointer (keyword sidecar), and the ancestry read
+    // must all resolve per-path by scheme, like the reference's
+    // fsspec/minio stores (daskms/conftest.py:238-344).
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.mockfs.impl", "graft.MockFs")
+    val path = "mockfs:/root/repo/target/test_scheme_cow"
+    MSWrite.create(spark.read.parquet(s"${sf()}/supplier.parquet"), path)
+    val before = MSTable.open(spark, path).count()
+    val delta = MSTable.withRowId(MSTable.open(spark, path), Seq("s_suppkey"))
+      .filter(col("s_suppkey") <= 1)
+      .select(col(MSTable.RowId), lit(-7.0).as("s_acctbal"))
+    MSWrite.updateTable(spark, path, delta, Seq("s_suppkey"))
+    val back = MSTable.open(spark, path)
+    assert(back.count() === before)
+    assert(back.filter(col("s_suppkey") <= 1)
+      .select(max("s_acctbal")).head().getDouble(0) === -7.0)
+
+    val childPath = "mockfs:/root/repo/target/test_scheme_frag"
+    val fragDelta = MSTable.withRowId(MSTable.open(spark, path), Seq("s_suppkey"))
+      .filter(col("s_suppkey") <= 2)
+      .select(col(MSTable.RowId), lit(99.5).as("s_acctbal"))
+    MSWrite.writeFragment(fragDelta, childPath, path)
+    val merged = MSWrite.readFragment(spark, childPath, Seq("s_suppkey"))
+    assert(merged.count() === before)
+    assert(merged.filter(col("s_suppkey") <= 2)
+      .select(min("s_acctbal")).head().getDouble(0) === 99.5)
+  }
+
   test("updateTable aborts and keeps the base when the backup rename is refused") {
     val conf = spark.sparkContext.hadoopConfiguration
     conf.set("fs.failren.impl", classOf[RenameRefusingFileSystem].getName)

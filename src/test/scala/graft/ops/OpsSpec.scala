@@ -170,6 +170,48 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(got === Set((10L, 0L), (10L, 1L), (10L, 2L),
       (11L, 0L), (11L, 1L), (11L, 2L)))
   }
+
+  test("streaming near-dup with eventTimeCol: watermark evicts pair state") {
+    import java.sql.Timestamp
+    val dir = "/root/repo/target/test_stream_neardup_wm"
+    val fs = new java.io.File(dir)
+    if (fs.exists()) fs.listFiles().foreach(_.delete())
+    val idx = Dedup.nearDupIndex(corpus, "text", "doc_id", shingleWords = 1)
+      .localCheckpoint()
+    def micro(ids: Seq[Long], hour: Int) = ids.map(i =>
+        (i, "the quick brown fox jumps over the lazy dog",
+          Timestamp.valueOf(f"2026-01-01 $hour%02d:00:00")))
+      .toDF("doc_id", "text", "ts")
+    // batch 1 arrives at 00:00; batches 2 and 3 hours later — each
+    // watermark advance (delay 10 min) expires the previous batch's
+    // dedup state
+    micro(Seq(10L), 0).write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(micro(Seq(10L), 0).schema).parquet(dir)
+    val flagged = Dedup.nearDupAgainstIndex(stream, idx, "text", "doc_id",
+      threshold = 0.5, shingleWords = 1, eventTimeCol = Some("ts"))
+    val q = flagged.writeStream.outputMode("append").format("memory")
+      .queryName("neardup_wm_out").start()
+    try {
+      q.processAllAvailable()
+      micro(Seq(11L), 3).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      micro(Seq(12L), 6).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      // every batch flagged against the 3 near-dup corpus docs
+      val got = spark.table("neardup_wm_out")
+        .select("id_new", "id_old").as[(Long, Long)].collect().toSet
+      assert(got === (for (n <- 10L to 12L; o <- 0L to 2L) yield (n, o)).toSet)
+      // state eviction happened: rows were removed from the dedup state
+      // store as the watermark passed them (unbounded growth otherwise)
+      val removed = q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsRemoved).sum
+      assert(removed > 0, "watermark never evicted dedup state")
+      // and the final state holds at most the LAST batch's pairs, not all
+      val finalState = q.recentProgress.flatMap(_.stateOperators)
+        .lastOption.map(_.numRowsTotal).getOrElse(Long.MaxValue)
+      assert(finalState <= 3, s"state not bounded: $finalState rows")
+    } finally q.stop()
+  }
 }
 
 class ConnectedComponentsSpec extends SparkSpec {

@@ -291,6 +291,29 @@ class BloscSpec extends SparkSpec {
     assert(Blosc.decompress(frame, "fixture").sameElements(expected.array()))
   }
 
+  test("blosc: foreign lz4 fixture — shuffle=1, typesize splits (numcodecs shape)") {
+    // Frame whose streams were compressed by the REFERENCE lz4 C library
+    // (liblz4 via Arrow's lz4_raw codec — the same library numcodecs'
+    // blosc links), not this repo's encoder: header flags=0x21
+    // (byte-shuffle | lz4<<5), typesize 4, nbytes 256, blocksize 128
+    // (2 blocks), each block byte-shuffled then SPLIT into 4 lane streams
+    // — the exact frame shape numcodecs.Blosc(cname='lz4', shuffle=1)
+    // writes. Payload = int32 LE 0..63. Guards the lz4 decode + unshuffle
+    // + split-probe path against a self-consistent misreading.
+    val hex =
+      "020121040001000080000000ba00000018000000690000002000000000010203" +
+      "0405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f0b000000" +
+      "1f000100075000000000000b0000001f000100075000000000000b0000001f00" +
+      "01000750000000000020000000202122232425262728292a2b2c2d2e2f303132" +
+      "333435363738393a3b3c3d3e3f0b0000001f000100075000000000000b000000" +
+      "1f000100075000000000000b0000001f00010007500000000000"
+    val frame = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    assert(frame.length === 186)
+    val expected = ByteBuffer.allocate(256).order(ByteOrder.LITTLE_ENDIAN)
+    (0 until 64).foreach(expected.putInt)
+    assert(Blosc.decompress(frame, "lz4-fixture").sameElements(expected.array()))
+  }
+
   // ------------------------------------------------------------- zarr e2e
 
   test("zarr store with blosc-compressed chunks reads end-to-end") {

@@ -452,4 +452,32 @@ class ZarrSpec extends SparkSpec {
     assert(a.length == b.length)
     assert(a.zip(b).forall { case (x, y) => x == y })
   }
+
+  test("zarr sink + source + keywords run against a NON-file:// scheme") {
+    // mockfs: is RawLocalFileSystem re-registered under a foreign scheme —
+    // the reference's parity here is minio-backed fsspec stores
+    // (daskms/conftest.py:238-344); any hidden `file:` assumption
+    // (default-FS lookup, java.io.File round-trip, scheme stripping) makes
+    // this path fail to resolve
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mockfs.impl", "graft.MockFs")
+    val zpath = s"mockfs:${tmp("scheme_matrix")}"
+    val src = allTypesDf.select(col("c_long"), col("c_int"), col("c_double"),
+      concat(lit("s"), col("c_long")).as("c_str"))
+    ZarrWrite.write(src, zpath, rowChunk = 7, overwrite = true)
+    // overwrite must also work through the foreign scheme
+    ZarrWrite.write(src, zpath, rowChunk = 7, overwrite = true)
+    val back = spark.read.format("zarr").load(zpath)
+    assert(back.count() === 20)
+    assert(back.orderBy("c_long").select("c_str").as[String](
+      org.apache.spark.sql.Encoders.STRING).collect()
+      === src.orderBy("c_long").select("c_str").as[String](
+        org.apache.spark.sql.Encoders.STRING).collect())
+    // keyword sidecar through the same scheme
+    MSWrite.putKeywords(spark, zpath, Map("OBS" -> "meerkat", "V" -> "2"))
+    assert(MSWrite.readKeywords(spark, zpath)
+      === Map("OBS" -> "meerkat", "V" -> "2"))
+    // format dispatch sniffs zarr through the foreign scheme too
+    assert(MSTable.open(spark, zpath).count() === 20)
+  }
 }
