@@ -723,6 +723,15 @@ object SparkEntry {
         n = 5, minDf = 2)
         .orderBy("doc_id")),
 
+    // duplicate-segment REMOVAL (CCNet/RefinedWeb boilerplate dedup):
+    // segments occurring >= 2 times corpus-wide are cut out and the
+    // surviving text reassembled — exact-checked against DuckDB doing the
+    // same segmentation and rewrite
+    "q_dedup_rewrite" -> ((s, dir) =>
+      Dedup.dedupTextSegments(T(s, dir, "documents"), "text", "doc_id",
+        segTokens = 10, minDf = 2)
+        .orderBy("doc_id")),
+
     // duplicate clusters: connected components over the (exact, oracle-
     // checkable) ngram pair list; rep = min doc_id per component. The
     // DuckDB oracle computes the same closure with a recursive CTE.
@@ -1022,6 +1031,18 @@ object SparkEntry {
     "q_surprisal" -> ((s, dir) =>
       TextAnalysis.unigramSurprisal(T(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
+
+    // DSIR importance weights (Xie et al. 2023): every doc scored by the
+    // hashed-unigram log-likelihood ratio of a target model (lang='en'
+    // docs) vs the raw-corpus model — the published pretraining
+    // data-selection recipe, exact-checked against DuckDB recomputing the
+    // bucketed models and log ratios
+    "q_dsir" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      TextAnalysis.dsirWeights(docs, docs.filter(col("lang") === "en"),
+          "text", "doc_id", buckets = 256)
+        .orderBy("doc_id")
+    }),
 
     // count-min-sketch heavy hitters derived check: for the exact top-20
     // tokens, the sketch must never undercount and must overcount within
@@ -1662,6 +1683,64 @@ object SparkEntry {
           |LEFT JOIN perdoc p USING (doc_id)
           |LEFT JOIN dupdoc dd USING (doc_id)
           |ORDER BY d.doc_id""".stripMargin,
+
+      "q_dedup_rewrite" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    unnest(string_split_regex(trim(text), '\s+')) AS tok,
+          |    unnest(range(0, len(string_split_regex(trim(text), '\s+')))) AS i
+          |  FROM documents
+          |), segs AS (
+          |  SELECT doc_id, i // 10 AS ci, string_agg(tok, ' ' ORDER BY i) AS seg
+          |  FROM toks GROUP BY 1, 2
+          |), dup AS (
+          |  SELECT seg FROM segs GROUP BY seg HAVING count(*) >= 2
+          |), kept AS (
+          |  SELECT s.doc_id, s.ci, s.seg FROM segs s ANTI JOIN dup USING (seg)
+          |), agg AS (
+          |  SELECT doc_id, string_agg(seg, ' ' ORDER BY ci) AS clean_text,
+          |         count(*) AS nkept
+          |  FROM kept GROUP BY doc_id
+          |), cnt AS (
+          |  SELECT doc_id, count(*) AS n_segments FROM segs GROUP BY doc_id
+          |)
+          |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+          |  coalesce(c.n_segments, 0) AS n_segments,
+          |  coalesce(c.n_segments, 0) - coalesce(a.nkept, 0) AS n_dropped
+          |FROM documents d
+          |LEFT JOIN cnt c USING (doc_id)
+          |LEFT JOIN agg a USING (doc_id)
+          |ORDER BY d.doc_id""".stripMargin,
+
+      "q_dsir" ->
+        """WITH rawb AS (
+          |  SELECT doc_id,
+          |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS b
+          |  FROM (SELECT doc_id,
+          |          unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+          |        FROM documents)
+          |  WHERE len(tok) > 0
+          |), tgtb AS (
+          |  SELECT ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS b
+          |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+          |        FROM documents WHERE lang = 'en')
+          |  WHERE len(tok) > 0
+          |), crt AS (SELECT b, count(*) AS crn FROM rawb GROUP BY b),
+          |ctt AS (SELECT b, count(*) AS ctn FROM tgtb GROUP BY b),
+          |model AS (
+          |  SELECT coalesce(crt.b, ctt.b) AS b,
+          |         coalesce(crn, 0) AS crn, coalesce(ctn, 0) AS ctn
+          |  FROM crt FULL JOIN ctt ON crt.b = ctt.b
+          |), tot AS (SELECT sum(crn) AS tr, sum(ctn) AS tt FROM model),
+          |lr AS (
+          |  SELECT b, ln((ctn + 1.0) / (tt + 256.0))
+          |           - ln((crn + 1.0) / (tr + 256.0)) AS lr
+          |  FROM model, tot
+          |)
+          |SELECT r.doc_id, round(sum(lr.lr), 6) AS dsir_weight,
+          |       count(*) AS n_tokens
+          |FROM rawb r JOIN lr ON r.b = lr.b
+          |GROUP BY r.doc_id ORDER BY r.doc_id""".stripMargin,
 
       "q_dedup_clusters" ->
         """WITH RECURSIVE sh AS (

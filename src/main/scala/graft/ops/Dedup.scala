@@ -284,6 +284,56 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** Duplicate-segment REMOVAL — the text-rewriting sibling of
+    * [[duplicateSpanStats]], i.e. CCNet/RefinedWeb-style boilerplate
+    * dedup at token-segment granularity: cut a document into consecutive
+    * `segTokens`-token segments, drop every segment whose exact text
+    * occurs ≥ `minDf` times across the corpus (headers, footers, license
+    * blocks, navigation chrome), and reassemble the surviving segments in
+    * order. Returns (idCol, clean_text, n_segments, n_dropped) for every
+    * input document (a fully-boilerplate document comes back with
+    * clean_text = '').
+    *
+    * Scale shape: no pair structure anywhere — one explode to (doc, seg#,
+    * segment), a hash-aggregate for the duplicated-segment set keyed on
+    * md5(segment) (16-byte keys; the dup set is the df ≥ minDf OUTPUT, a
+    * small fraction of segment space at any threshold), an anti-join back,
+    * and one doc-keyed shuffle to reassemble. Cost is O(corpus tokens) —
+    * the segment bytes cross the wire once, which a text-rewriting
+    * operator cannot avoid.
+    */
+  def dedupTextSegments(docs: DataFrame, textCol: String, idCol: String,
+                        segTokens: Int = 10, minDf: Long = 2): DataFrame = {
+    require(segTokens > 0, s"segTokens must be positive: $segTokens")
+    val segs = docs
+      .select(col(idCol), posexplode(split(trim(col(textCol)), "\\s+")))
+      .withColumn("__ci", floor(col("pos") / segTokens))
+      .groupBy(col(idCol), col("__ci"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("col")))),
+          x => x.getField("col")), " ").as("__seg"))
+    val dupSet = segs.groupBy(md5(col("__seg")).as("__h"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf).select("__h")
+    val kept = segs.join(dupSet.withColumnRenamed("__h", "__hh"),
+        md5(col("__seg")) === col("__hh"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__ci"), col("__seg")))),
+          x => x.getField("__seg")), " ").as("clean_text"),
+        count(lit(1)).as("__nkept"))
+    val counts = segs.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_segments"))
+    docs.select(col(idCol))
+      .join(counts, Seq(idCol), "left")
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        (coalesce(col("n_segments"), lit(0L)) -
+          coalesce(col("__nkept"), lit(0L))).as("n_dropped"))
+  }
+
   /** Benchmark decontamination: flag corpus documents that share at least
     * one word `n`-gram with any document in `bench` (the eval-suite side) —
     * the standard n-gram-overlap contamination check run before training.

@@ -533,4 +533,60 @@ object TextAnalysis {
       .withColumn("quality", qualityScore(t))
       .withColumn("fingerprint", fingerprintExpr(textCol))
   }
+
+  // ------------------------------------------------- importance resampling
+
+  /** DSIR importance weights (Data Selection via Importance Resampling,
+    * Xie et al. 2023): score every raw-corpus document by how much more
+    * likely its tokens are under a hashed bag-of-words model of the
+    * TARGET distribution than of the raw distribution —
+    * `weight(doc) = Σ_tok log p̂_target(bucket(tok)) − log p̂_raw(bucket(tok))`
+    * with add-one-smoothed bucket probabilities
+    * `p̂(b) = (count(b) + 1) / (total + B)`. Selecting the top-weight
+    * documents (or thresholding) upsamples target-like data — the
+    * published pretraining-data-selection recipe.
+    *
+    * Buckets use the engine-portable md5 draw ([[Sampling.hashBucket]]'s
+    * construction): `int(first 8 hex of md5(token)) mod B`, so the exact
+    * weights are reproducible on any engine (the DuckDB oracle
+    * recomputes them bit-for-bit modulo 1e-6 rounding).
+    *
+    * Scale shape: the two bucket models are hash-aggregates into B rows
+    * (B defaults to 1024; DSIR's paper uses 10k), materialized ONCE at
+    * the driver — an O(buckets) collect, bounded by a parameter, not by
+    * data (the same class as the heavy-hitter and k-means fits). The
+    * per-bucket log ratios then re-enter the plan as a local relation, so
+    * scoring is ONE corpus scan: explode → broadcast-hash-join with the
+    * B-row table → per-doc partial sum (decontamination's shape; audited
+    * in PlanAuditSpec — no SortMergeJoin, no corpus-wide token exchange,
+    * and the model lineage is never re-executed inside the scoring job).
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, textCol: String,
+                  idCol: String, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val spark = raw.sparkSession
+    import spark.implicits._
+    def bucketed(df: DataFrame) = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .withColumn("__b",
+        conv(substring(md5(col("__tok")), 1, 8), 16, 10).cast("long")
+          % buckets)
+    val rawToks = bucketed(raw)
+    def counts(df: DataFrame): Map[Long, Long] =
+      df.groupBy("__b").agg(count(lit(1)).as("__c"))
+        .as[(Long, Long)].collect().toMap
+    val cr = counts(rawToks)
+    val ct = counts(bucketed(target))
+    val tr = cr.values.sum.toDouble
+    val tt = ct.values.sum.toDouble
+    val logRatio = (cr.keySet ++ ct.keySet).toSeq.sorted.map { b =>
+      (b, math.log((ct.getOrElse(b, 0L) + 1.0) / (tt + buckets)) -
+          math.log((cr.getOrElse(b, 0L) + 1.0) / (tr + buckets)))
+    }.toDF("__b", "__lr")
+    rawToks.join(broadcast(logRatio), Seq("__b"))
+      .groupBy(idCol)
+      .agg(round(sum("__lr"), 6).as("dsir_weight"),
+        count(lit(1)).as("n_tokens"))
+  }
 }

@@ -212,4 +212,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("DSIR scoring joins the bucket model by broadcast (no corpus-wide token shuffle)") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val p = plan(ops.TextAnalysis.dsirWeights(docs,
+      docs.filter(org.apache.spark.sql.functions.col("lang") === "en"),
+      "text", "doc_id", buckets = 256))
+    // the B-row log-ratio model reaches the token stream via broadcast —
+    // the only shuffles are the model hash-aggs and the final doc-keyed sum
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("duplicate-segment rewrite: hash-aggs + anti-join, no cartesian") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val p = plan(ops.Dedup.dedupTextSegments(docs, "text", "doc_id"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
 }

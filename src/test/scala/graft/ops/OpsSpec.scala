@@ -427,3 +427,91 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("l3") === None)        // right is later than left
   }
 }
+
+/** Duplicate-segment text rewriting ([[Dedup.dedupTextSegments]]) and DSIR
+  * importance weights ([[TextAnalysis.dsirWeights]]).
+  */
+class RewriteAndDsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedupTextSegments cuts corpus-frequent segments, keeps unique text") {
+    // 4-token segments; "a b c d" opens three docs (df=3 → cut); tails are
+    // unique and survive; doc 3 is nothing BUT boilerplate → empty
+    val docs = Seq(
+      (0L, "a b c d unique tail zero here"),
+      (1L, "a b c d another tail goes here"),
+      (2L, "a b c d third distinct ending text"),
+      (3L, "a b c d"),
+      (4L, "entirely unique document with no shared segments at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupTextSegments(docs, "text", "doc_id",
+        segTokens = 4, minDf = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out(0) === ((0L, "unique tail zero here", 2L, 1L)))
+    assert(out(1) === ((1L, "another tail goes here", 2L, 1L)))
+    assert(out(2) === ((2L, "third distinct ending text", 2L, 1L)))
+    assert(out(3) === ((3L, "", 1L, 1L)))
+    assert(out(4) === ((4L,
+      "entirely unique document with no shared segments at all", 3L, 0L)))
+  }
+
+  test("dedupTextSegments reassembles multi-segment survivors in order") {
+    // segmentation is POSITIONAL (consecutive 4-token windows): doc 0 =
+    // [x x y y][AA BB x x][y y CC DD] — only the boundary-aligned first
+    // segment matches the boilerplate docs; the unaligned repeat inside
+    // segment 2 does not (that granularity is duplicateSpanStats' job)
+    val docs = Seq(
+      (0L, "x x y y AA BB x x y y CC DD"),
+      (1L, "x x y y"),
+      (2L, "x x y y")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupTextSegments(docs, "text", "doc_id",
+        segTokens = 4, minDf = 2)
+      .filter(col("doc_id") === 0L).head()
+    assert(out.getString(1) === "AA BB x x y y CC DD")
+    assert(out.getLong(2) === 3L) // 12 tokens / 4
+    assert(out.getLong(3) === 1L)
+  }
+
+  test("dsirWeights: target-like documents score higher, exact formula") {
+    // target distribution = docs full of "alpha"; raw adds "omega" docs.
+    // A candidate of alphas must outweigh a candidate of omegas.
+    val raw = Seq(
+      (0L, "alpha alpha alpha alpha"),
+      (1L, "omega omega omega omega"),
+      (2L, "alpha alpha omega omega")
+    ).toDF("doc_id", "text")
+    val target = Seq((100L, "alpha alpha alpha alpha alpha alpha"))
+      .toDF("doc_id", "text")
+    val w = TextAnalysis.dsirWeights(raw, target, "text", "doc_id",
+        buckets = 1024)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w(0L) > w(2L) && w(2L) > w(1L), s"ordering wrong: $w")
+    // exact check of doc 0's weight against the published formula:
+    // 4 tokens, all in bucket(md5('alpha')); raw model: alpha 6, omega 6,
+    // total 12; target: alpha 6, total 6; B=1024
+    def bucket(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 1024
+    }
+    assume(bucket("alpha") != bucket("omega")) // md5 makes this certain
+    val perTok = math.log((6.0 + 1) / (6 + 1024)) -
+      math.log((6.0 + 1) / (12 + 1024))
+    val expected = BigDecimal(4 * perTok)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(w(0L) - expected) < 1e-9, s"${w(0L)} vs $expected")
+  }
+
+  test("dsirWeights is deterministic and n_tokens counts nonempty tokens") {
+    val raw = Seq((0L, "a b c"), (1L, "  d  e  ")).toDF("doc_id", "text")
+    val tgt = Seq((9L, "a b")).toDF("doc_id", "text")
+    val a = TextAnalysis.dsirWeights(raw, tgt, "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).sortBy(_._1)
+    val b = TextAnalysis.dsirWeights(raw, tgt, "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+    assert(a.map(x => x._1 -> x._3).toMap === Map(0L -> 3L, 1L -> 2L))
+  }
+}
