@@ -140,6 +140,79 @@ object Sampling {
       .drop("__sk")
   }
 
+  /** Deterministic per-stratum cap: keep at most `cap` rows from each
+    * stratum (source, domain, language…), chosen by the smallest md5 draw
+    * of the key — "no single source may exceed N documents", the mixture
+    * counterpart of [[stratifiedSample]] when the contract is a COUNT,
+    * not a rate. The survivors are a pure function of (key, stratum), so
+    * the same rows are kept on any engine, cluster size, or partitioning.
+    * Output adds `stratum_rank` (1-based rank within the stratum).
+    *
+    * Scale shape: the naive formulation is `row_number() OVER (PARTITION
+    * BY stratum ORDER BY hash)` ≤ cap — which serializes each stratum
+    * into ONE window task (a 40%-of-corpus CommonCrawl stratum = one
+    * task). Instead: one range-partitioned sort on (stratum, hash, key) —
+    * big strata span many contiguous partitions — then a per-partition
+    * census of per-stratum counts (O(strata × partitions) driver data,
+    * same class as selectTokenBudget's census) seeds each partition's
+    * running rank, and partitions whose stratum offsets already exceed
+    * the cap emit nothing. The sorted frame is pinned (localCheckpoint)
+    * across census + emit like the other census ops; `assumeDeterministic`
+    * opts out.
+    */
+  def capPerStratum(df: DataFrame, keyCol: String, stratumCol: String,
+                    cap: Long,
+                    assumeDeterministic: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    require(cap > 0, s"cap must be positive: $cap")
+    requireFreeColumns(df, Seq("__rk", "stratum_rank"), "capPerStratum")
+    val spark = df.sparkSession
+    val base = df.withColumn("__rk", hashBucket(col(keyCol)))
+      .orderBy(col(stratumCol), col("__rk"), col(keyCol))
+    val sIdx = base.schema.fieldIndex(stratumCol)
+    val rkIdx = base.schema.fieldIndex("__rk")
+    val rdd = if (assumeDeterministic) base.rdd else base.rdd.localCheckpoint()
+    // census: per-partition count per stratum (strata are contiguous in
+    // the sort, so each partition holds a handful of distinct values)
+    val partCounts = rdd.mapPartitionsWithIndex { (i, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+      it.foreach { r => val s = r.get(sIdx); m.update(s, m.getOrElse(s, 0L) + 1L) }
+      Iterator((i, m.toSeq))
+    }.collect().sortBy(_._1).map(_._2)
+    // prefix offsets: rows of each stratum in partitions before i
+    val running = scala.collection.mutable.HashMap.empty[Any, Long]
+    val offsets: Array[Map[Any, Long]] = partCounts.map { counts =>
+      val snapshot = counts.map { case (s, _) => s -> running.getOrElse(s, 0L) }.toMap
+      counts.foreach { case (s, n) => running.update(s, running.getOrElse(s, 0L) + n) }
+      snapshot
+    }
+    val capB = cap
+    val kept = rdd.mapPartitionsWithIndex { (i, it) =>
+      // the census lists every stratum in this partition — if all are
+      // already past the cap, skip the partition without reading rows
+      if (offsets(i).nonEmpty && offsets(i).values.forall(_ >= capB))
+        Iterator.empty
+      else {
+      val rank = scala.collection.mutable.HashMap.empty[Any, Long]
+      offsets(i).foreach { case (s, o) => rank.update(s, o) }
+      it.flatMap { r =>
+        val s = r.get(sIdx)
+        val next = rank.getOrElse(s, 0L) + 1L
+        rank.update(s, next)
+        if (next <= capB) {
+          val vals = r.toSeq.zipWithIndex.filter(_._2 != rkIdx).map(_._1)
+          Some(Row.fromSeq(vals :+ next))
+        } else None
+      }
+      }
+    }
+    val outSchema = StructType(
+      base.schema.fields.filterNot(_.name == "__rk") :+
+        StructField("stratum_rank", LongType, nullable = false))
+    spark.createDataFrame(kept, outSchema)
+  }
+
   // ---------------------------------------------------------------- shards
 
   /** Deterministic shard id in [0, nShards): the md5 32-bit draw of the
