@@ -27,6 +27,20 @@ object ScalingProbe {
     rep("orders", Seq("o_orderkey"))
     rep("documents", Seq("doc_id"))
     rep("embeddings", Seq("vec_id"))
+    // Salted replication: every copy rewrites each token with a
+    // copy-specific suffix, so copies share NO shingles — cross-copy
+    // near-dup pairs are zero and the corpus keeps sf0.1's own
+    // (realistic, low) dup rate, instead of the plain replication whose
+    // identical texts make the true pair count quadratic in mult. The 1×
+    // frame gets the same i=0 rewrite so both sides pay identical
+    // tokenize/concat cost and the ratio isolates the operator.
+    def salted(i: Int) = spark.read.parquet(s"$src/documents.parquet")
+      .withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+      .withColumn("text", array_join(
+        transform(split(col("text"), " "), t => concat(t, lit(s"_$i"))), " "))
+    salted(0).write.mode("overwrite").parquet(s"$big/documents_salt1.parquet")
+    (0 until mult).map(salted).reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$big/documents_saltN.parquet")
     def time(label: String)(f: String => Long): Unit = {
       def once(dir: String): Double = {
         val t0 = System.nanoTime(); f(dir); (System.nanoTime() - t0) / 1e9
@@ -85,6 +99,22 @@ object ScalingProbe {
       val q = emb.orderBy("vec_id").limit(10)
       graft.ops.Similarity.pqTopK(q, emb, "vec_id", "embedding",
         "vec_id", "embedding", k = 5, m = 16, ksub = 32, refine = 16).count()
+    }
+    // round-8/9 operators: the q_ entry IS the operator for all three
+    time("dedup_rewrite") { d =>
+      SparkEntry.queries("q_dedup_rewrite")(spark, d).count() }
+    time("dsir") { d => SparkEntry.queries("q_dsir")(spark, d).count() }
+    time("cap_stratum") { d =>
+      SparkEntry.queries("q_cap_stratum")(spark, d).count() }
+    // minhash on a REALISTIC input (constant dup rate, cross-copy shingle
+    // spaces disjoint) — the q_dedup_minhash probe above replicates
+    // identical texts, so its true pair count is quadratic in mult and
+    // the measured slope conflates output size with operator cost
+    time("minhash_realistic") { d =>
+      val p = if (d == big) s"$big/documents_saltN.parquet"
+              else s"$big/documents_salt1.parquet"
+      graft.ops.Dedup.minHashDedup(spark.read.parquet(p), "text", "doc_id",
+        threshold = 0.6).count()
     }
     time("ann_ivfpq_index") { d =>
       val emb = spark.read.parquet(s"$d/embeddings.parquet")

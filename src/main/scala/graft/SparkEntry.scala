@@ -993,6 +993,16 @@ object SparkEntry {
         .select(col("doc_id"), col("shuffle_pos"))
         .orderBy("doc_id")),
 
+    // per-stratum cap: at most 70 docs per language, chosen by smallest
+    // md5 draw of doc_id — row_number-over-stratum semantics without a
+    // one-task-per-stratum window (range sort + census-seeded ranks);
+    // at sf0.01 this caps en/zh/es, hits de exactly, leaves fr under
+    "q_cap_stratum" -> ((s, dir) =>
+      Sampling.capPerStratum(
+          T(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "doc_id", "lang", cap = 70L)
+        .orderBy("doc_id")),
+
     // corpus vocabulary: top-100 tokens with counts (BPE seeding step)
     "q_vocab" -> ((s, dir) =>
       TextAnalysis.vocabulary(T(s, dir, "documents"), "text", 100)),
@@ -1686,10 +1696,12 @@ object SparkEntry {
 
       "q_dedup_rewrite" ->
         """WITH toks AS (
-          |  SELECT doc_id,
-          |    unnest(string_split_regex(trim(text), '\s+')) AS tok,
-          |    unnest(range(0, len(string_split_regex(trim(text), '\s+')))) AS i
-          |  FROM documents
+          |  SELECT doc_id, tok, i FROM (
+          |    SELECT doc_id,
+          |      unnest(string_split_regex(trim(text), '\s+')) AS tok,
+          |      unnest(range(0, len(string_split_regex(trim(text), '\s+')))) AS i
+          |    FROM documents)
+          |  WHERE len(tok) > 0
           |), segs AS (
           |  SELECT doc_id, i // 10 AS ci, string_agg(tok, ' ' ORDER BY i) AS seg
           |  FROM toks GROUP BY 1, 2
@@ -1737,10 +1749,14 @@ object SparkEntry {
           |           - ln((crn + 1.0) / (tr + 256.0)) AS lr
           |  FROM model, tot
           |)
-          |SELECT r.doc_id, round(sum(lr.lr), 6) AS dsir_weight,
-          |       count(*) AS n_tokens
-          |FROM rawb r JOIN lr ON r.b = lr.b
-          |GROUP BY r.doc_id ORDER BY r.doc_id""".stripMargin,
+          |, scored AS (
+          |  SELECT r.doc_id, round(sum(lr.lr), 6) AS w, count(*) AS n
+          |  FROM rawb r JOIN lr ON r.b = lr.b GROUP BY r.doc_id
+          |)
+          |SELECT d.doc_id, coalesce(s.w, 0.0) AS dsir_weight,
+          |       coalesce(s.n, 0) AS n_tokens
+          |FROM documents d LEFT JOIN scored s USING (doc_id)
+          |ORDER BY d.doc_id""".stripMargin,
 
       "q_dedup_clusters" ->
         """WITH RECURSIVE sh AS (
@@ -2108,6 +2124,17 @@ object SparkEntry {
           |  row_number() OVER (ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)),
           |                     doc_id) - 1 AS shuffle_pos
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_cap_stratum" ->
+        """WITH r AS (
+          |  SELECT doc_id, lang,
+          |    row_number() OVER (PARTITION BY lang
+          |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id)
+          |      AS stratum_rank
+          |  FROM documents
+          |)
+          |SELECT doc_id, lang, CAST(stratum_rank AS BIGINT) AS stratum_rank
+          |FROM r WHERE stratum_rank <= 70 ORDER BY doc_id""".stripMargin,
 
       "q_vocab" ->
         """SELECT token, CAST(count(*) AS BIGINT) AS n

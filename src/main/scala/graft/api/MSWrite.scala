@@ -125,13 +125,41 @@ object MSWrite {
   private[api] def cowTmpPath(path: String) = path + ".__cow_tmp"
   private[api] def cowBakPath(path: String) = path + ".__cow_bak"
 
+  /** FileSystem schemes whose `rename` is a non-atomic client-side
+    * copy+delete (flat-namespace object stores). The crash-safety
+    * argument of [[updateTable]] — "a live, complete copy exists at
+    * every instant" — is FALSE there: a crash mid-copy leaves both
+    * paths partial. HDFS, local file, abfs (hierarchical namespace)
+    * and viewfs rename atomically and are unaffected.
+    */
+  private[api] val NonAtomicRenameSchemes =
+    Set("s3", "s3a", "s3n", "gs", "oss", "cos", "cosn", "swift", "wasb", "wasbs")
+
   /** Crash-safe commit order: write tmp → rename base ASIDE (backup) →
     * rename tmp IN → delete backup. A live, complete copy of the table
     * exists at a well-known path at every instant; [[recoverTable]] heals
     * the one window where it sits at the backup path.
+    *
+    * That guarantee requires ATOMIC directory rename, which flat object
+    * stores do not provide ([[NonAtomicRenameSchemes]] — s3a renames by
+    * copying every object and deleting the source). On those schemes this
+    * method refuses to run: use the fragment overlay ([[writeFragment]] —
+    * it never touches the parent table, so a crash can tear only the new
+    * child directory, which is deleted and rewritten; also the better
+    * answer at 100 TB since it writes only the delta) or pass
+    * `allowNonAtomicRename = true` to accept a torn-update window.
     */
   def updateTable(spark: SparkSession, path: String, delta: DataFrame,
-                  rowIdOrder: Seq[String]): Unit = {
+                  rowIdOrder: Seq[String],
+                  allowNonAtomicRename: Boolean = false): Unit = {
+    val scheme = Option(new org.apache.hadoop.fs.Path(path).toUri.getScheme)
+      .getOrElse("file").toLowerCase(java.util.Locale.ROOT)
+    if (!allowNonAtomicRename && NonAtomicRenameSchemes.contains(scheme))
+      throw new UnsupportedOperationException(
+        s"updateTable: $scheme:// renames are non-atomic (copy+delete), so " +
+          "the crash-safe commit cannot hold a live copy at every instant. " +
+          "Use writeFragment (rename-free overlay, the right call on object " +
+          "stores) or pass allowNonAtomicRename = true to accept the risk.")
     val base = MSTable.withRowId(MSTable.open(spark, path), rowIdOrder)
     val merged = updateByRowId(base, delta).drop(RowId)
     val tmp = cowTmpPath(path)
@@ -232,6 +260,33 @@ object MSWrite {
       .mkString("{", ", ", "}")
     out.write(json.getBytes("UTF-8")); out.close()
   }
+
+  /** Keyword UPDATE with the reference's eager put semantics
+    * (`_put_keywords`, daskms/writes.py:722-739): each entry is put INTO
+    * the existing keyword set — a per-key merge, not a replacement of the
+    * whole dictionary — and a `None` value is the `DELKW` sentinel
+    * (`table.removekeyword`). [[putKeywords]], by contrast, replaces the
+    * sidecar wholesale (the create-style write).
+    */
+  def updateKeywords(spark: SparkSession, path: String,
+                     updates: Map[String, Option[String]]): Unit =
+    putKeywords(spark, path, mergeKw(readKeywords(spark, path), updates))
+
+  /** Column-keyword update, merge semantics as [[updateKeywords]]
+    * (`table.putcolkeyword`/`removecolkeyword`, daskms/writes.py:731-737);
+    * other columns' keyword sets are never touched.
+    */
+  def updateColumnKeywords(spark: SparkSession, path: String, column: String,
+                           updates: Map[String, Option[String]]): Unit =
+    putColumnKeywords(spark, path, column,
+      mergeKw(readColumnKeywords(spark, path, column), updates))
+
+  private def mergeKw(cur: Map[String, String],
+                      updates: Map[String, Option[String]]): Map[String, String] =
+    updates.foldLeft(cur) {
+      case (m, (k, Some(v))) => m + (k -> v)
+      case (m, (k, None))    => m - k
+    }
 
   /** Per-COLUMN keyword dictionaries (ref: column_keywords kwarg,
     * daskms/reads.py:292-294) — stored as one sidecar per column under

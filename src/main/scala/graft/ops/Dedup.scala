@@ -292,7 +292,9 @@ object Dedup {
     * blocks, navigation chrome), and reassemble the surviving segments in
     * order. Returns (idCol, clean_text, n_segments, n_dropped) for every
     * input document (a fully-boilerplate document comes back with
-    * clean_text = '').
+    * clean_text = ''; an empty or whitespace-only document reports
+    * n_segments = 0 — zero-length tokens are dropped before segmenting,
+    * so empty segments can never enter the duplicate set).
     *
     * Scale shape: no pair structure anywhere — one explode to (doc, seg#,
     * segment), a hash-aggregate for the duplicated-segment set keyed on
@@ -307,6 +309,10 @@ object Dedup {
     require(segTokens > 0, s"segTokens must be positive: $segTokens")
     val segs = docs
       .select(col(idCol), posexplode(split(trim(col(textCol)), "\\s+")))
+      // split of a trimmed string yields an empty token ONLY for the
+      // empty/whitespace-only input ([""]); dropping it keeps positions
+      // gap-free and gives such documents n_segments = 0
+      .filter(length(col("col")) > 0)
       .withColumn("__ci", floor(col("pos") / segTokens))
       .groupBy(col(idCol), col("__ci"))
       .agg(array_join(

@@ -128,11 +128,24 @@ object Sampling {
     * the sort runs once, not twice, at scale. `assumeDeterministic = true`
     * skips the pin (trades a full materialization for a second sort) when
     * the input is a plain deterministic scan.
+    *
+    * Failure mode of the pin: `localCheckpoint` materializes to
+    * EXECUTOR-LOCAL storage and truncates lineage — losing an executor
+    * between the census and the emit fails the job with no recompute
+    * path. That window is two back-to-back jobs here; on preemptible
+    * nodes or long-running clusters, prefer `assumeDeterministic = true`
+    * over a deterministic scan (second sort instead of a pin), or persist
+    * the input to reliable storage first. Applies equally to
+    * [[selectTokenBudget]] and [[capPerStratum]].
     */
   def deterministicShuffle(df: DataFrame, keyCol: String,
                            seed: Long = 42L,
                            assumeDeterministic: Boolean = false): DataFrame = {
-    requireFreeColumns(df, Seq("__sk", "shuffle_pos"), "deterministicShuffle")
+    // ROWID is reserved too: zipWithRowId appends it, so a pre-existing
+    // one would survive the rename as an ambiguous duplicate
+    requireFreeColumns(df,
+      Seq("__sk", "shuffle_pos", graft.api.MSTable.RowId),
+      "deterministicShuffle")
     val sk = md5(concat_ws(":", lit(seed.toString), col(keyCol).cast("string")))
     val sorted = df.withColumn("__sk", sk).orderBy(col("__sk"), col(keyCol))
     graft.api.MSTable.zipWithRowId(sorted, pin = !assumeDeterministic)
@@ -340,9 +353,10 @@ object Sampling {
     * pinned with `localCheckpoint` before the census so a
     * nondeterministic upstream cannot desync them — and so the sort runs
     * once, not twice, at scale. `assumeDeterministic = true` skips the pin
-    * when the input is a plain deterministic scan. Null token counts
-    * select as 0 tokens; negative token counts fail the census loudly
-    * (they would silently corrupt the running total).
+    * when the input is a plain deterministic scan (see
+    * [[deterministicShuffle]] for the pin's executor-loss failure mode).
+    * Null token counts select as 0 tokens; negative token counts fail the
+    * census loudly (they would silently corrupt the running total).
     */
   def selectTokenBudget(df: DataFrame, keyCol: String, priority: Column,
                         tokens: Column, budget: Long,

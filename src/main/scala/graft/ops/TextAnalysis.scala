@@ -544,7 +544,9 @@ object TextAnalysis {
     * with add-one-smoothed bucket probabilities
     * `p̂(b) = (count(b) + 1) / (total + B)`. Selecting the top-weight
     * documents (or thresholding) upsamples target-like data — the
-    * published pretraining-data-selection recipe.
+    * published pretraining-data-selection recipe. "Every" includes
+    * token-less (empty/whitespace-only) documents, which score
+    * (dsir_weight 0.0, n_tokens 0) rather than dropping out.
     *
     * Buckets use the engine-portable md5 draw ([[Sampling.hashBucket]]'s
     * construction): `int(first 8 hex of md5(token)) mod B`, so the exact
@@ -566,15 +568,21 @@ object TextAnalysis {
     require(buckets > 0, s"buckets must be positive: $buckets")
     val spark = raw.sparkSession
     import spark.implicits._
+    // explode_outer over the filtered token array keeps a token-less
+    // (empty/whitespace-only) document as ONE null-token row, so it still
+    // reaches the final per-doc aggregate — scoring every raw-corpus
+    // document as the contract promises — without a second corpus join
     def bucketed(df: DataFrame) = df
-      .select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
-      .filter(length(col("__tok")) > 0)
+      .select(col(idCol),
+        explode_outer(filter(tokens(col(textCol)),
+          t => length(t) > 0)).as("__tok"))
       .withColumn("__b",
         conv(substring(md5(col("__tok")), 1, 8), 16, 10).cast("long")
           % buckets)
     val rawToks = bucketed(raw)
     def counts(df: DataFrame): Map[Long, Long] =
-      df.groupBy("__b").agg(count(lit(1)).as("__c"))
+      df.filter(col("__b").isNotNull)
+        .groupBy("__b").agg(count(lit(1)).as("__c"))
         .as[(Long, Long)].collect().toMap
     val cr = counts(rawToks)
     val ct = counts(bucketed(target))
@@ -584,9 +592,12 @@ object TextAnalysis {
       (b, math.log((ct.getOrElse(b, 0L) + 1.0) / (tt + buckets)) -
           math.log((cr.getOrElse(b, 0L) + 1.0) / (tr + buckets)))
     }.toDF("__b", "__lr")
-    rawToks.join(broadcast(logRatio), Seq("__b"))
+    // left join: the null-bucket (token-less doc) rows match nothing and
+    // aggregate to weight 0.0 / n_tokens 0; every real bucket is in the
+    // model by construction, so no other row takes the null branch
+    rawToks.join(broadcast(logRatio), Seq("__b"), "left")
       .groupBy(idCol)
-      .agg(round(sum("__lr"), 6).as("dsir_weight"),
-        count(lit(1)).as("n_tokens"))
+      .agg(round(coalesce(sum("__lr"), lit(0.0)), 6).as("dsir_weight"),
+        count(col("__tok")).as("n_tokens"))
   }
 }

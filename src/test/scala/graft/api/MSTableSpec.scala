@@ -118,6 +118,34 @@ class MSWriteSpec extends SparkSpec {
     assert(MSWrite.readKeywords(spark, s"$out/ckw") === Map.empty)
   }
 
+  test("updateKeywords merges per-key and honors the DELKW sentinel (ref parity)") {
+    // the reference's _put_keywords (daskms/writes.py:722-739) putkeyword's
+    // each entry INTO the live set and removekeyword's on DELKW — an
+    // update must not clobber unrelated keys the way putKeywords does
+    val p = s"$out/kw_merge"
+    MSWrite.create(spark.read.parquet(s"${sf()}/region.parquet"), p)
+    MSWrite.putKeywords(spark, p, Map("KEEP" -> "v0", "EDIT" -> "old", "DROP" -> "x"))
+    MSWrite.updateKeywords(spark, p,
+      Map("EDIT" -> Some("new"), "ADDED" -> Some("a"), "DROP" -> None))
+    assert(MSWrite.readKeywords(spark, p) ===
+      Map("KEEP" -> "v0", "EDIT" -> "new", "ADDED" -> "a"))
+    // wholesale put still replaces (the create-style contract)
+    MSWrite.putKeywords(spark, p, Map("ONLY" -> "1"))
+    assert(MSWrite.readKeywords(spark, p) === Map("ONLY" -> "1"))
+
+    // column variant: merge within the column, other columns untouched
+    MSWrite.putColumnKeywords(spark, p, "r_name", Map("UNIT" -> "m", "OLD" -> "y"))
+    MSWrite.putColumnKeywords(spark, p, "r_regionkey", Map("UNIT" -> "id"))
+    MSWrite.updateColumnKeywords(spark, p, "r_name",
+      Map("UNIT" -> Some("km"), "OLD" -> None, "MEASINFO" -> Some("none")))
+    assert(MSWrite.readColumnKeywords(spark, p, "r_name") ===
+      Map("UNIT" -> "km", "MEASINFO" -> "none"))
+    assert(MSWrite.readColumnKeywords(spark, p, "r_regionkey") === Map("UNIT" -> "id"))
+    // updating a column with no sidecar yet starts from empty (eager put)
+    MSWrite.updateColumnKeywords(spark, p, "r_comment", Map("NEW" -> Some("z")))
+    assert(MSWrite.readColumnKeywords(spark, p, "r_comment") === Map("NEW" -> "z"))
+  }
+
   test("dataset-list write round-trips through grouped read (xds_to_table form)") {
     val dss = MSTable.read(spark, s"${sf()}/nation.parquet",
       ReadSpec(groupCols = Seq("n_regionkey"), indexCols = Seq("n_nationkey")))

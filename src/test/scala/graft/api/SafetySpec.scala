@@ -80,6 +80,47 @@ class SafetySpec extends SparkSpec {
       .select(min("s_acctbal")).head().getDouble(0) === 99.5)
   }
 
+  test("updateTable refuses flat object-store schemes; fragments remain the sanctioned path") {
+    // s3a's rename is a non-atomic copy+delete, so the crash-safe commit's
+    // "live copy at every instant" invariant cannot hold there. The guard
+    // fires on the PATH scheme before anything is written or renamed; the
+    // fragment overlay (which never touches the parent) and the explicit
+    // escape hatch both still work on the same scheme.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.s3a.impl", classOf[graft.S3aLikeLocalFs].getName)
+    val path = "s3a:/root/repo/target/test_s3a_guard"
+    MSWrite.create(spark.read.parquet(s"${sf()}/supplier.parquet"), path)
+    val before = MSTable.open(spark, path).count()
+    val delta = MSTable.withRowId(MSTable.open(spark, path), Seq("s_suppkey"))
+      .filter(col("s_suppkey") <= 1)
+      .select(col(MSTable.RowId), lit(-4.0).as("s_acctbal"))
+
+    val e = intercept[UnsupportedOperationException](
+      MSWrite.updateTable(spark, path, delta, Seq("s_suppkey")))
+    assert(e.getMessage.contains("non-atomic") &&
+      e.getMessage.contains("writeFragment"))
+    // the guard fired before any mutation: parent intact, no tmp/backup
+    val s3fs = new Path(path).getFileSystem(conf)
+    assert(MSTable.open(spark, path).count() === before)
+    assert(!s3fs.exists(new Path(MSWrite.cowTmpPath(path))))
+    assert(!s3fs.exists(new Path(MSWrite.cowBakPath(path))))
+
+    // fragment overlay on the same scheme: parent is never renamed/moved
+    val childPath = "s3a:/root/repo/target/test_s3a_frag"
+    MSWrite.writeFragment(delta, childPath, path)
+    val merged = MSWrite.readFragment(spark, childPath, Seq("s_suppkey"))
+    assert(merged.count() === before)
+    assert(merged.filter(col("s_suppkey") <= 1)
+      .select(max("s_acctbal")).head().getDouble(0) === -4.0)
+
+    // explicit opt-in proceeds (backing store here is local, so it works;
+    // on real s3a the flag is the user's acceptance of the torn window)
+    MSWrite.updateTable(spark, path, delta, Seq("s_suppkey"),
+      allowNonAtomicRename = true)
+    assert(MSTable.open(spark, path).filter(col("s_suppkey") <= 1)
+      .select(max("s_acctbal")).head().getDouble(0) === -4.0)
+  }
+
   test("updateTable aborts and keeps the base when the backup rename is refused") {
     val conf = spark.sparkContext.hadoopConfiguration
     conf.set("fs.failren.impl", classOf[RenameRefusingFileSystem].getName)

@@ -474,6 +474,35 @@ class RewriteAndDsirSpec extends SparkSpec {
     assert(out.getLong(3) === 1L)
   }
 
+  test("dedupTextSegments: whitespace-only doc has 0 segments, can't poison dup set") {
+    // two all-whitespace docs: under the old [""]-token convention their
+    // empty segments would reach df=2 and enter the duplicate set; the
+    // contract is n_segments = 0, clean_text = '', nothing cut elsewhere
+    val docs = Seq(
+      (0L, "   "), (1L, ""), (2L, " \t "),
+      (3L, "real text stays intact here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupTextSegments(docs, "text", "doc_id",
+        segTokens = 2, minDf = 2)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(out(0) === ((0L, "", 0L, 0L)))
+    assert(out(1) === ((1L, "", 0L, 0L)))
+    assert(out(2) === ((2L, "", 0L, 0L)))
+    assert(out(3) === ((3L, "real text stays intact here", 3L, 0L)))
+  }
+
+  test("dsirWeights scores token-less docs as (0.0, 0) instead of dropping them") {
+    val raw = Seq((0L, "alpha beta"), (1L, "   "), (2L, "")).toDF("doc_id", "text")
+    val tgt = Seq((9L, "alpha")).toDF("doc_id", "text")
+    val w = TextAnalysis.dsirWeights(raw, tgt, "text", "doc_id", buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(w.map(_._1).toSeq === Seq(0L, 1L, 2L), s"every raw doc scored: ${w.toSeq}")
+    assert(w(1) === ((1L, 0.0, 0L)))
+    assert(w(2) === ((2L, 0.0, 0L)))
+    assert(w(0)._3 === 2L)
+  }
+
   test("dsirWeights: target-like documents score higher, exact formula") {
     // target distribution = docs full of "alpha"; raw adds "omega" docs.
     // A candidate of alphas must outweigh a candidate of omegas.

@@ -211,17 +211,22 @@ class SamplingSpec extends SparkSpec {
         .map { i => acc.add(1); org.apache.spark.sql.Row(i, 10L) }
       spark.createDataFrame(src, schema)
     }
+    // Upper bound, not an exact constant: ONE execution of the sorted
+    // plan reads the source at most twice (range-boundary sampling +
+    // shuffle write — Spark-version/AQE-dependent), so ≤ 2 passes proves
+    // the pin made census + emit share one execution; an unpinned double
+    // execution would read ≥ 3 passes.
     acc.reset()
     val shuffled = Sampling.deterministicShuffle(freshDf, "id")
     shuffled.collect()
-    assert(acc.value === 400L,
-      s"deterministicShuffle: ${acc.value / 200.0} input passes, expected 2")
+    assert(acc.value >= 200L && acc.value <= 400L,
+      s"deterministicShuffle: ${acc.value / 200.0} input passes, expected <= 2")
     acc.reset()
     val sel = Sampling.selectTokenBudget(freshDf, "id", col("id"),
       col("nt"), budget = 500L)
     sel.collect()
-    assert(acc.value === 400L,
-      s"selectTokenBudget: ${acc.value / 200.0} input passes, expected 2")
+    assert(acc.value >= 200L && acc.value <= 400L,
+      s"selectTokenBudget: ${acc.value / 200.0} input passes, expected <= 2")
   }
 
   test("sampling ops fail fast when the input already has a reserved column") {
@@ -297,6 +302,57 @@ class SamplingSpec extends SparkSpec {
       .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(out.getOrElse("en", 0L) < 200, s"en rate 0.1: $out")
     assert(out.getOrElse("de", 0L) > 800, s"de rate 0.9: $out")
+  }
+
+  test("capPerStratum equals row_number over stratum; strata span partitions") {
+    import org.apache.spark.sql.expressions.Window
+    // 3 strata of very different sizes, shuffled across 13 input
+    // partitions so the big stratum spans several sorted partitions
+    val rows = (0L until 3000L)
+      .map(i => (i, if (i % 100 < 70) "big" else if (i % 100 < 99) "mid" else "sml"))
+      .toDF("id", "stratum").repartition(13)
+    val cap = 120L
+    val got = Sampling.capPerStratum(rows, "id", "stratum", cap)
+    val expected = rows.withColumn("stratum_rank",
+        row_number().over(Window.partitionBy("stratum")
+          .orderBy(Sampling.hashBucket(col("id")), col("id"))).cast("long"))
+      .filter(col("stratum_rank") <= cap)
+    assert(got.columns.toSeq === Seq("id", "stratum", "stratum_rank"))
+    assert(got.except(expected).count() === 0)
+    assert(expected.except(got).count() === 0)
+    // capped strata emit exactly cap rows; an under-cap stratum all rows
+    val counts = got.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("big" -> cap, "mid" -> cap, "sml" -> 30L))
+  }
+
+  test("capPerStratum: past-cap partitions skip, null strata and cap edge") {
+    import org.apache.spark.sql.expressions.Window
+    // cap=1 over one huge stratum: every sorted partition past the first
+    // survivor is all-past-cap and must emit nothing (the census skip)
+    val one = (0L until 5000L).map((_, "only")).toDF("id", "stratum")
+      .repartition(17)
+    val kept = Sampling.capPerStratum(one, "id", "stratum", 1L).collect()
+    assert(kept.length === 1 && kept.head.getLong(2) === 1L)
+    // the survivor is the minimum md5 draw (tie-broken by id)
+    val want = one.orderBy(Sampling.hashBucket(col("id")), col("id"))
+      .select("id").head().getLong(0)
+    assert(kept.head.getLong(0) === want)
+    // null stratum is a stratum of its own, same window semantics
+    val withNull = Seq((1L, "a"), (2L, null), (3L, null), (4L, null),
+      (5L, "a"), (6L, "a")).toDF("id", "stratum")
+    val gotN = Sampling.capPerStratum(withNull, "id", "stratum", 2L)
+    val expN = withNull.withColumn("stratum_rank",
+        row_number().over(Window.partitionBy("stratum")
+          .orderBy(Sampling.hashBucket(col("id")), col("id"))).cast("long"))
+      .filter(col("stratum_rank") <= 2)
+    assert(gotN.except(expN).count() === 0)
+    assert(expN.except(gotN).count() === 0)
+    // reserved output columns fail fast
+    val clash = Seq((1L, "a", 9L)).toDF("id", "stratum", "stratum_rank")
+    val e = intercept[IllegalArgumentException](
+      Sampling.capPerStratum(clash, "id", "stratum", 1L))
+    assert(e.getMessage.contains("stratum_rank"))
   }
 
   test("shard assignment is deterministic, complete, and balanced") {
