@@ -29,6 +29,31 @@ object Bench {
           s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id",
           threshold = 0.6)))
 
+  /** Machine-speed anchor: a fixed, data-independent single-thread CPU
+    * loop (LCG + fp math), min of 3. Benches run on a fresh VM each
+    * round, and identical code has drifted a uniform ~1.2× between
+    * rounds (r7→r9: every query, including untouched pure-codegen
+    * scalar ops, moved together on an idle machine) — cross-round
+    * comparisons should normalize query times by this anchor before
+    * reading anything as a code regression.
+    */
+  private def calibrate(): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      var acc = 1234567L
+      var fp = 0.0
+      var i = 0
+      while (i < 20000000) {
+        acc = acc * 6364136223846793005L + 1442695040888963407L
+        fp += math.sqrt((acc >>> 33).toDouble)
+        i += 1
+      }
+      if (acc == 42 && fp == -1.0) println("")
+      (System.nanoTime() - t0) / 1e9
+    }
+    once(); (0 until 3).map(_ => once()).min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -52,8 +77,10 @@ object Bench {
     // min of N runs per query: single-shot numbers at these absolute times
     // (sub-second per query) are dominated by JIT/GC noise — the r3→r4
     // q_dedup_ngram "regression" was exactly that, drifting 3.1→4.4 s with
-    // zero code change. The min is the stable engine cost.
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // zero code change. The min is the stable engine cost. Default raised
+    // 3→5 in r9: min-of-3 left ~25% of JIT warm-up on the table (the r8
+    // "uniform −12% drift" vanished at min-of-6, which came in UNDER r7).
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
     val qs = SparkEntry.queries ++ operatorOverrides
     val results = headline.filter(qs.contains).map { name =>
       val times = (0 until iters).map { _ =>
@@ -69,7 +96,8 @@ object Bench {
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    val calib = calibrate()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"calib":${f"$calib%.3f"},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
