@@ -7,6 +7,12 @@ import org.apache.spark.sql.functions._
 object ScalingProbe {
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(8)
+    // optional 2nd arg: comma-list of label substrings to probe (others
+    // skipped); optional 3rd arg "reuse" skips the replication writes
+    // (target/sfbig from a previous run must exist at the same mult)
+    val only = args.drop(1).headOption.filterNot(_ == "all")
+      .map(_.split(",").toSeq).getOrElse(Nil)
+    val reuse = args.contains("reuse")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.adaptive.enabled", "true")
@@ -23,10 +29,12 @@ object ScalingProbe {
       }
       copies.reduce(_ union _).write.mode("overwrite").parquet(s"$big/$t.parquet")
     }
+    if (!reuse) {
     rep("lineitem", Seq("l_orderkey"))
     rep("orders", Seq("o_orderkey"))
     rep("documents", Seq("doc_id"))
     rep("embeddings", Seq("vec_id"))
+    }
     // Salted replication: every copy rewrites each token with a
     // copy-specific suffix, so copies share NO shingles — cross-copy
     // near-dup pairs are zero and the corpus keeps sf0.1's own
@@ -38,10 +46,13 @@ object ScalingProbe {
       .withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
       .withColumn("text", array_join(
         transform(split(col("text"), " "), t => concat(t, lit(s"_$i"))), " "))
+    if (!reuse) {
     salted(0).write.mode("overwrite").parquet(s"$big/documents_salt1.parquet")
     (0 until mult).map(salted).reduce(_ union _)
       .write.mode("overwrite").parquet(s"$big/documents_saltN.parquet")
+    }
     def time(label: String)(f: String => Long): Unit = {
+      if (only.nonEmpty && !only.exists(label.contains)) return
       def once(dir: String): Double = {
         val t0 = System.nanoTime(); f(dir); (System.nanoTime() - t0) / 1e9
       }

@@ -120,14 +120,15 @@ object Dedup {
     */
   private[ops] def minHashCandidatesFromShingles(sh: DataFrame, idCol: String,
                                                  k: Int, bands: Int,
-                                                 maxBucket: Int): DataFrame = {
+                                                 maxBucket: Int,
+                                                 sizeRatio: Double = 0.0): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     import graft.expr.VectorExprs.{band_hashes, minhash_sig}
     val banded = sh.select(
-        col(idCol),
+        col(idCol), size(col("sh")).as("__sz"),
         posexplode(band_hashes(minhash_sig(col("sh"), k), bands)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
-      .select(col(idCol), col("band"), col("bh"))
+      .select(col(idCol), col("__sz"), col("band"), col("bh"))
       .repartition(col("band"), col("bh"))
 
     // skew guard: census the buckets, anti-join away the degenerate ones
@@ -138,10 +139,19 @@ object Dedup {
       .select("band", "bh")
     val sized = banded.join(broadcast(oversized), Seq("band", "bh"), "left_anti")
 
-    val a = sized.select(col("band"), col("bh"), col(idCol).as("id_a"))
-    val b = sized.select(col("band"), col("bh"), col(idCol).as("id_b"))
+    val a = sized.select(col("band"), col("bh"), col(idCol).as("id_a"),
+      col("__sz").as("__na"))
+    val b = sized.select(col("band"), col("bh"), col(idCol).as("id_b"),
+      col("__sz").as("__nb"))
     a.join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
+      // size-ratio prune (AllPairs, Bayardo et al. WWW'07): jaccard ≥ t
+      // requires min(|A|,|B|) ≥ t·max(|A|,|B|) — a band collision between
+      // wildly different-sized sets cannot verify, so it never reaches
+      // the candidate distinct or the verify join. sizeRatio = 0 keeps
+      // every collision (the raw-candidates contract).
+      .filter(least(col("__na"), col("__nb")).cast("double") >=
+        lit(sizeRatio) * greatest(col("__na"), col("__nb")).cast("double"))
       .select("id_a", "id_b").distinct()
   }
 
@@ -157,7 +167,11 @@ object Dedup {
                    k: Int = 32, bands: Int = 8): DataFrame = {
     val sh = shingleFrame(docs, textCol, idCol, Nil, shingleWords)
       .repartition(col(idCol))
-    val cands = minHashCandidatesFromShingles(sh, idCol, k, bands, maxBucket = 1000)
+    // candidates are pre-pruned by the size-ratio bound at the band join
+    // (jaccard ≥ t ⟹ sizes within factor t), so pairs that cannot verify
+    // never pay the two full-array verify joins
+    val cands = minHashCandidatesFromShingles(sh, idCol, k, bands,
+      maxBucket = 1000, sizeRatio = threshold)
     val withSets = cands
       .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

@@ -22,6 +22,29 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.exactKeepFirst(docs, "text", "doc_id").count() === 4)
   }
 
+  test("band-join size-ratio prune is lossless: verified pairs identical to unpruned") {
+    val corpus = spark.read.parquet(s"${sf()}/documents.parquet")
+    val sh = Dedup.shingleFrame(corpus, "text", "doc_id", Nil, 3)
+      .repartition(col("doc_id"))
+    val all = Dedup.minHashCandidatesFromShingles(sh, "doc_id", 32, 8,
+      maxBucket = 1000)
+    val pruned = Dedup.minHashCandidatesFromShingles(sh, "doc_id", 32, 8,
+      maxBucket = 1000, sizeRatio = 0.6)
+    // prune only removes candidates, never invents them
+    assert(pruned.except(all).count() === 0)
+    // no pair that verifies at jaccard >= 0.6 is lost: verify the FULL
+    // candidate set by exact jaccard and compare to the pruned pipeline
+    val ground = all
+      .join(sh.toDF("id_a", "sh_a"), "id_a")
+      .join(sh.toDF("id_b", "sh_b"), "id_b")
+      .filter(Dedup.jaccardCol(col("sh_a"), col("sh_b")) >= 0.6)
+      .select("id_a", "id_b")
+    val got = Dedup.minHashDedup(corpus, "text", "doc_id", threshold = 0.6)
+      .select("id_a", "id_b")
+    assert(got.except(ground).count() === 0)
+    assert(ground.except(got).count() === 0)
+  }
+
   test("duplicate span stats count cross-doc n-token windows") {
     // 3-token windows: docs 0 and 1 are identical (7 windows each, all
     // duplicated); doc 2 shares windows with 0/1 everywhere except around
