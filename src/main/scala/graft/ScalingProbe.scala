@@ -117,6 +117,17 @@ object ScalingProbe {
     time("dsir") { d => SparkEntry.queries("q_dsir")(spark, d).count() }
     time("cap_stratum") { d =>
       SparkEntry.queries("q_cap_stratum")(spark, d).count() }
+    // BPE: training = one word hash-agg (top-maxWords collect, bounded)
+    // + constant driver merge loop; application = broadcast ranks +
+    // narrow memoized pass — both should track the scan, near-linear
+    time("bpe_train+apply") { d =>
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+      val merges = graft.ops.Bpe.learnBpe(docs, "text", numMerges = 100,
+        maxWords = 20000)
+      graft.ops.Bpe.applyBpe(docs, "text", merges)
+        .agg(sum("n_bpe_tokens")).collect()
+      1L
+    }
     // minhash on a REALISTIC input (constant dup rate, cross-copy shingle
     // spaces disjoint) — the q_dedup_minhash probe above replicates
     // identical texts, so its true pair count is quadratic in mult and

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.api.{ConvertApp, MSTable, MSWrite, ReadSpec}
 import graft.expr.{ComplexFns, Expressions, Taql}
-import graft.ops.{AsOfJoin, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ops.{AsOfJoin, Bpe, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.streaming.EventStream
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -1006,6 +1006,34 @@ object SparkEntry {
     // corpus vocabulary: top-100 tokens with counts (BPE seeding step)
     "q_vocab" -> ((s, dir) =>
       TextAnalysis.vocabulary(T(s, dir, "documents"), "text", 100)),
+
+    // BPE subword training + application (Sennrich 2016 / GPT-2 greedy
+    // ranks): derived check — the exact merge sequence is spec-tested
+    // against the published worked example; here the learned tokenizer
+    // must (a) round-trip every document (concatenated subwords restore
+    // the lowercased words + end markers), (b) compress monotonically as
+    // merges are added, (c) token count bounded below by word count
+    "q_bpe" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val merges = Bpe.learnBpe(docs, "text", numMerges = 200, maxWords = 20000)
+      val t200 = Bpe.applyBpe(docs, "text", merges)
+      val t50 = Bpe.applyBpe(docs, "text", merges.take(50))
+      val words = filter(TextAnalysis.tokens(col("text")), w => length(w) > 0)
+      val roundtrip = t200.select(
+        (array_join(col("bpe_tokens"), "") === concat_ws("",
+          transform(words, w => concat(w, lit(Bpe.EndOfWord))))).as("ok"))
+        .agg(min("ok").as("rt"))
+      val n200 = t200.agg(sum("n_bpe_tokens").as("n"),
+        sum(size(words)).as("nw"))
+      val n50 = t50.agg(sum("n_bpe_tokens").as("n"))
+      val one = roundtrip
+        .crossJoin(n200.select(col("n").as("n200"), col("nw")))
+        .crossJoin(n50.select(col("n").as("n50")))
+      checkRows(one,
+        "roundtrip_lossless" -> col("rt"),
+        "monotone_merges" -> (col("n200") <= col("n50")),
+        "tokens_at_least_words" -> (col("n200") >= col("nw")))
+    }),
 
     // TF-IDF top-3 keywords per document
     "q_tfidf" -> ((s, dir) =>
@@ -2231,6 +2259,9 @@ object SparkEntry {
 
       "q_heavy_hitters" -> checksOracle("no_undercount", "overcount_bounded",
         "candidates_complete"),
+
+      "q_bpe" -> checksOracle("roundtrip_lossless", "monotone_merges",
+        "tokens_at_least_words"),
 
       "q_agg_quantile_sketch" -> checksOracle("rank_error_bounded",
         "three_quantiles", "monotone"),

@@ -1,0 +1,207 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField, StructType}
+
+/** Byte-pair-encoding tokenizer training and application (Sennrich et
+  * al. 2016, "Neural Machine Translation of Rare Words with Subword
+  * Units" — the standard subword vocabulary construction for LLM
+  * pretraining corpora; GPT-2-style greedy rank application).
+  *
+  * Scale design (100 TB): BPE training does NOT iterate over the corpus.
+  * The corpus is scanned ONCE into a word-frequency dictionary (a
+  * hash-aggregate; the heavy shuffle carries (word, count) pairs, and
+  * `maxWords` caps the dictionary at the top-frequency words — the
+  * published practice, since pair statistics from the frequency dict are
+  * exact regardless of corpus size). The merge loop then runs on the
+  * DRIVER over that bounded dictionary — O(maxWords · avgLen) state,
+  * parameter-bounded like the k-means / DSIR / heavy-hitter fits, never
+  * O(corpus). Application is embarrassingly parallel: the learned merge
+  * ranks broadcast (numMerges entries) and each partition tokenizes its
+  * rows with a per-partition word→tokens memo (Zipf makes the hit rate
+  * high), so the corpus is read once and nothing shuffles.
+  */
+object Bpe {
+
+  /** End-of-word marker (Sennrich et al. 2016 §3.2). Kept out of the
+    * character alphabet by construction — corpus words are whitespace
+    * tokens, which cannot contain whitespace, let alone "&lt;/w&gt;".
+    */
+  val EndOfWord = "</w>"
+
+  /** Train `numMerges` BPE merges from the corpus word-frequency
+    * dictionary. One Spark job (word hash-agg, top-`maxWords` by count,
+    * deterministic count-then-word tie-break), then the classic driver
+    * merge loop: repeatedly merge the most frequent adjacent symbol pair
+    * (ties broken lexicographically so the result is engine-stable),
+    * stopping early when no pair occurs at least `minCount` times.
+    *
+    * Returns the merges in rank order: (left, right), rank = index.
+    */
+  def learnBpe(docs: DataFrame, textCol: String, numMerges: Int,
+               maxWords: Int = 50000, minCount: Long = 2L): Seq[(String, String)] = {
+    require(numMerges > 0, s"numMerges must be positive: $numMerges")
+    require(maxWords > 0, s"maxWords must be positive: $maxWords")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wordFreq: Array[(String, Long)] = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy("__w").agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("__w"))
+      .limit(maxWords)
+      .as[(String, Long)].collect()
+    learnFromWordFreq(wordFreq, numMerges, minCount)
+  }
+
+  /** The driver merge loop on an explicit word-frequency dictionary —
+    * split out so specs can drive it with hand-built dictionaries (the
+    * published "low/lower/newest/widest" example).
+    */
+  def learnFromWordFreq(wordFreq: Seq[(String, Long)], numMerges: Int,
+                        minCount: Long = 2L): Seq[(String, String)] = {
+    // each word as a mutable symbol sequence: chars + the end marker
+    val words: Array[(Array[String], Long)] = wordFreq.iterator
+      .map { case (w, n) =>
+        (w.map(_.toString).toArray :+ EndOfWord, n)
+      }.toArray
+    val merges = Seq.newBuilder[(String, String)]
+    var syms: Array[Array[String]] = words.map(_._1)
+    val freqs: Array[Long] = words.map(_._2)
+    var done = false
+    var it = 0
+    while (it < numMerges && !done) {
+      // count adjacent pairs weighted by word frequency. A full recount
+      // per merge is O(dict tokens) — fine for a parameter-bounded dict;
+      // the incremental-update optimization (only words containing the
+      // merged pair change) is a constant-factor refinement, not a
+      // complexity one.
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var wi = 0
+      while (wi < syms.length) {
+        val s = syms(wi); val f = freqs(wi)
+        var i = 0
+        while (i < s.length - 1) {
+          val p = (s(i), s(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + f)
+          i += 1
+        }
+        wi += 1
+      }
+      val best = counts.iterator.filter(_._2 >= minCount)
+        .reduceOption { (a, b) =>
+          if (a._2 != b._2) { if (a._2 > b._2) a else b }
+          // deterministic tie-break: lexicographically smallest pair
+          else if (Ordering[(String, String)].lt(a._1, b._1)) a else b
+        }
+      best match {
+        case None => done = true
+        case Some(((l, r), _)) =>
+          merges += ((l, r))
+          val fused = l + r
+          syms = syms.map { s =>
+            if (s.length < 2) s
+            else {
+              val out = Array.newBuilder[String]
+              var i = 0
+              while (i < s.length) {
+                if (i < s.length - 1 && s(i) == l && s(i + 1) == r) {
+                  out += fused; i += 2 // left-to-right, non-overlapping
+                } else { out += s(i); i += 1 }
+              }
+              out.result()
+            }
+          }
+      }
+      it += 1
+    }
+    merges.result()
+  }
+
+  /** Learned merges as a frame: (rank, left, right) — the persistable
+    * artifact (write it next to the corpus; `applyBpe` takes the Seq).
+    */
+  def mergesDf(spark: SparkSession, merges: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r), i) => (i.toLong, l, r) }
+      .toDF("rank", "left", "right")
+  }
+
+  /** Tokenize one word (no whitespace) with greedy lowest-rank merging —
+    * GPT-2-style application: repeatedly fuse the occurrence of the
+    * best-ranked learned pair until none applies.
+    */
+  def encodeWord(word: String, ranks: Map[(String, String), Int]): Array[String] = {
+    var s: Array[String] = word.map(_.toString).toArray :+ EndOfWord
+    var continue = s.length > 1
+    while (continue) {
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < s.length - 1) {
+        val r = ranks.getOrElse((s(i), s(i + 1)), Int.MaxValue)
+        if (r < bestRank) bestRank = r
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) continue = false
+      else {
+        val (l, fr) = {
+          // recover the pair with that rank from the current sequence
+          var j = 0; var li = -1
+          while (j < s.length - 1 && li < 0) {
+            if (ranks.getOrElse((s(j), s(j + 1)), Int.MaxValue) == bestRank) li = j
+            j += 1
+          }
+          (s(li), s(li + 1))
+        }
+        val fused = l + fr
+        val out = Array.newBuilder[String]
+        var k = 0
+        while (k < s.length) {
+          if (k < s.length - 1 && s(k) == l && s(k + 1) == fr) { out += fused; k += 2 }
+          else { out += s(k); k += 1 }
+        }
+        s = out.result()
+        continue = s.length > 1
+      }
+    }
+    s
+  }
+
+  /** Apply learned merges to every document: returns the input columns
+    * plus `bpe_tokens` (subword strings, `EndOfWord`-terminated per word)
+    * and `n_bpe_tokens`. Narrow: merge ranks broadcast, one pass per
+    * partition with a word→tokens memo (Zipf yields high hit rates), no
+    * shuffle, no per-row re-tokenization of repeated words.
+    */
+  def applyBpe(docs: DataFrame, textCol: String,
+               merges: Seq[(String, String)]): DataFrame = {
+    require(!docs.columns.contains("bpe_tokens") &&
+      !docs.columns.contains("n_bpe_tokens"),
+      "applyBpe reserves output columns bpe_tokens, n_bpe_tokens")
+    val spark = docs.sparkSession
+    val ranks: Map[(String, String), Int] =
+      merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    val ranksB = spark.sparkContext.broadcast(ranks)
+    val tIdx = docs.schema.fieldIndex(textCol)
+    val outSchema = StructType(docs.schema.fields ++ Seq(
+      StructField("bpe_tokens", ArrayType(StringType, containsNull = false)),
+      StructField("n_bpe_tokens", LongType, nullable = false)))
+    val rdd = docs.rdd.mapPartitions { it =>
+      val rk = ranksB.value
+      val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
+      it.map { row =>
+        val text = row.get(tIdx)
+        val words =
+          if (text == null) Array.empty[String]
+          else text.toString.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+        val toks = words.flatMap { w =>
+          memo.getOrElseUpdate(w, encodeWord(w, rk))
+        }
+        Row.fromSeq(row.toSeq ++ Seq(toks.toSeq, toks.length.toLong))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+}
