@@ -993,6 +993,19 @@ object SparkEntry {
         .select(col("doc_id"), col("shuffle_pos"))
         .orderBy("doc_id")),
 
+    // weighted upsampling: per-language epoch counts (en 2.4 epochs, de
+    // 0.5, others 1.0) — floor(w) copies plus a deterministic md5-chosen
+    // extra for the fractional part, exact-checked against DuckDB doing
+    // the same draw arithmetic
+    "q_upsample" -> ((s, dir) => {
+      val w = when(col("lang") === "en", 2.4)
+        .when(col("lang") === "de", 0.5).otherwise(1.0)
+      Sampling.upsampleByWeight(
+          T(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "doc_id", w)
+        .orderBy("doc_id", "epoch")
+    }),
+
     // per-stratum cap: at most 70 docs per language, chosen by smallest
     // md5 draw of doc_id — row_number-over-stratum semantics without a
     // one-task-per-stratum window (range sort + census-seeded ranks);
@@ -2152,6 +2165,27 @@ object SparkEntry {
           |  row_number() OVER (ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)),
           |                     doc_id) - 1 AS shuffle_pos
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_upsample" ->
+        """WITH w AS (
+          |  SELECT doc_id, lang,
+          |    -- CAST: DuckDB numeric literals are DECIMAL; the fractional
+          |    -- part must be computed in ieee double exactly like Spark
+          |    CASE WHEN lang = 'en' THEN CAST(2.4 AS DOUBLE)
+          |         WHEN lang = 'de' THEN CAST(0.5 AS DOUBLE)
+          |         ELSE CAST(1.0 AS DOUBLE) END AS wt,
+          |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+          |      AS BIGINT) / 4294967296.0 AS draw
+          |  FROM documents
+          |), n AS (
+          |  SELECT doc_id, lang,
+          |    CAST(floor(wt) + (CASE WHEN draw < wt - floor(wt)
+          |                      THEN 1 ELSE 0 END) AS BIGINT) AS nc
+          |  FROM w
+          |)
+          |SELECT doc_id, lang, CAST(e.epoch AS BIGINT) AS epoch
+          |FROM n, LATERAL unnest(range(0, nc)) AS e(epoch)
+          |WHERE nc > 0 ORDER BY doc_id, epoch""".stripMargin,
 
       "q_cap_stratum" ->
         """WITH r AS (

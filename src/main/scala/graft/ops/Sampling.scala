@@ -107,6 +107,38 @@ object Sampling {
       .toDF(groupCol, orderCol, "n_tokens", "pack_id", "pack_cum")
   }
 
+  /** Deterministic weighted UPSAMPLING — the epochs-greater-than-1 half of
+    * mixture weighting ([[stratifiedSample]] covers rates ≤ 1): emit each
+    * row `floor(w)` times plus one extra copy with probability
+    * `frac(w)`, decided by the row's md5 draw — so "repeat wikipedia 2.4
+    * epochs" replicates every row twice and a deterministic 40% of rows a
+    * third time, the same 40% on any engine, cluster size, or
+    * partitioning. Output adds `epoch` (0-based copy index); downstream,
+    * shuffle on `concat(key, ':', epoch)` (e.g.
+    * [[deterministicShuffle]]) so copies of a row land far apart in
+    * training order.
+    *
+    * Scale shape: scan-side `explode(sequence(...))` — no shuffle, no RNG
+    * state; output volume is Σ w(row), exactly the token budget the
+    * mixture calls for. Weights < 1 also work (pure subsampling: 0 or 1
+    * copies), making this a superset of rate-based sampling when a
+    * single operator is preferred.
+    */
+  def upsampleByWeight(df: DataFrame, keyCol: String, weight: Column): DataFrame = {
+    requireFreeColumns(df, Seq("epoch", "__w", "__nc"), "upsampleByWeight")
+    // the md5 draw as a uniform double in [0,1): exact in ieee754 (32-bit
+    // int / 2^32), so the same rows round up in DuckDB/Python/anywhere
+    val draw = conv(hashBucket(col(keyCol)), 16, 10).cast("double") /
+      lit(4294967296.0)
+    val w = weight.cast("double")
+    val copies = (floor(w).cast("long") +
+      when(draw < (w - floor(w)), lit(1L)).otherwise(lit(0L))).as("__nc")
+    df.withColumn("__nc", copies)
+      .filter(col("__nc") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__nc") - 1)))
+      .drop("__nc")
+  }
+
   /** Deterministic global shuffle for training-order assignment: every row
     * gets its position in the permutation induced by
     * md5(seed ‖ ":" ‖ key) — the same permutation on any cluster size, any

@@ -304,6 +304,34 @@ class SamplingSpec extends SparkSpec {
     assert(out.getOrElse("de", 0L) > 800, s"de rate 0.9: $out")
   }
 
+  test("upsampleByWeight: floor copies + deterministic fractional extras") {
+    val rows = (0L until 2000L)
+      .map(i => (i, if (i % 2 == 0) "en" else "de")).toDF("id", "lang")
+    val w = when(col("lang") === "en", 2.25).otherwise(0.5)
+    val out = Sampling.upsampleByWeight(rows, "id", w)
+    // en: 2 or 3 copies each — between 2000 and 3000 rows, ~2250 expected;
+    // de: 0 or 1 copies, ~500 expected
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("en") >= 2000 && counts("en") <= 3000)
+    assert(math.abs(counts("en") - 2250L) < 150, s"~frac rate: $counts")
+    assert(math.abs(counts("de") - 500L) < 120, s"~frac rate: $counts")
+    // every id gets epochs 0..n-1 contiguously and the copy decision is
+    // a pure function of the key: recomputation yields the same rows
+    val again = Sampling.upsampleByWeight(rows, "id", w)
+    assert(out.except(again).count() === 0)
+    assert(again.except(out).count() === 0)
+    val epochs = out.filter(col("lang") === "en").groupBy("id")
+      .agg(count(lit(1)).as("n"), min("epoch").as("lo"), max("epoch").as("hi"))
+    assert(epochs.filter(col("lo") =!= 0 || col("hi") =!= col("n") - 1)
+      .count() === 0)
+    // integer weights replicate exactly; weight 0 drops
+    val exact = Sampling.upsampleByWeight(rows, "id",
+      when(col("lang") === "en", 3.0).otherwise(0.0))
+    assert(exact.count() === 3000)
+    assert(exact.filter(col("lang") === "de").count() === 0)
+  }
+
   test("capPerStratum equals row_number over stratum; strata span partitions") {
     import org.apache.spark.sql.expressions.Window
     // 3 strata of very different sizes, shuffled across 13 input
