@@ -238,6 +238,37 @@ object MSWrite {
     }
   }
 
+  /** Compact a fragment chain into a single standalone table at
+    * `outPath`: the overlay-merged view ([[readFragment]]) is written as
+    * a fresh create (no parent pointer — `outPath` reads on its own), and
+    * the ROOT's other keywords carry over so table metadata survives the
+    * compaction. The workflow closer for object stores: in-place
+    * [[updateTable]] is refused there (non-atomic rename), fragments
+    * accumulate instead, and a periodic compaction folds the chain —
+    * entirely rename-free for the chain itself (the new table is created,
+    * never swapped; retire the old chain by deleting it once readers have
+    * moved). `outPath` must not be part of the chain being compacted.
+    */
+  def compactFragments(spark: SparkSession, path: String, outPath: String,
+                       rowIdOrder: Seq[String],
+                       keepRowId: Boolean = false): Unit = {
+    // walk the ancestry for the root's keywords (minus the parent pointer)
+    var root = path
+    var parent = readKeywords(spark, root).get(ParentKey)
+    val seen = scala.collection.mutable.Set(root)
+    while (parent.isDefined) {
+      root = parent.get
+      require(seen.add(root), s"fragment ancestry cycle at $root")
+      parent = readKeywords(spark, root).get(ParentKey)
+    }
+    require(!seen.contains(outPath),
+      s"compactFragments: outPath $outPath is part of the chain")
+    val merged = readFragment(spark, path, rowIdOrder)
+    create(if (keepRowId) merged else merged.drop(RowId), outPath)
+    val rootKw = readKeywords(spark, root) - ParentKey
+    if (rootKw.nonEmpty) putKeywords(spark, outPath, rootKw)
+  }
+
   // ------------------------------------------------- keyword sidecars (S14)
 
   /** Table keyword dictionaries (ref: daskms/reads.py:292-294,541-546;

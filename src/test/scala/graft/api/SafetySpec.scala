@@ -113,6 +113,20 @@ class SafetySpec extends SparkSpec {
     assert(merged.filter(col("s_suppkey") <= 1)
       .select(max("s_acctbal")).head().getDouble(0) === -4.0)
 
+    // compaction folds the chain into a fresh standalone table on the
+    // same scheme — rename-free, keywords carried, no parent pointer
+    MSWrite.putKeywords(spark, path, Map("OBS" -> "meerkat"))
+    val compact = "s3a:/root/repo/target/test_s3a_compact"
+    MSWrite.compactFragments(spark, childPath, compact, Seq("s_suppkey"))
+    val folded = MSTable.open(spark, compact)
+    assert(folded.count() === before)
+    assert(folded.filter(col("s_suppkey") <= 1)
+      .select(max("s_acctbal")).head().getDouble(0) === -4.0)
+    assert(MSWrite.readKeywords(spark, compact) === Map("OBS" -> "meerkat"))
+    // the compacted table stands alone: no ancestry to walk
+    assert(MSWrite.readFragment(spark, compact, Seq("s_suppkey"))
+      .count() === before)
+
     // explicit opt-in proceeds (backing store here is local, so it works;
     // on real s3a the flag is the user's acceptance of the torn window)
     MSWrite.updateTable(spark, path, delta, Seq("s_suppkey"),
