@@ -128,6 +128,17 @@ object ScalingProbe {
         .agg(sum("n_bpe_tokens")).collect()
       1L
     }
+    // quality classifier: featurize scan + bounded-iteration tree-aggs
+    // (iters cut to 30 for the probe — the slope of interest is the
+    // per-iteration corpus scan, not the fixed iteration count)
+    time("quality_clf_train") { d =>
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+        .withColumn("label",
+          (graft.ops.TextAnalysis.stopwordRatio(col("text")) > 0.06).cast("int"))
+      graft.ops.Classifier.trainHashedLR(docs, "text", "label",
+        buckets = 1 << 12, iters = 30, lr = 1.0)
+      1L
+    }
     // minhash on a REALISTIC input (constant dup rate, cross-copy shingle
     // spaces disjoint) — the q_dedup_minhash probe above replicates
     // identical texts, so its true pair count is quadratic in mult and

@@ -993,6 +993,33 @@ object SparkEntry {
         .select(col("doc_id"), col("shuffle_pos"))
         .orderBy("doc_id")),
 
+    // learned quality filter (fastText-style): hashed-unigram + length
+    // logistic regression, distributed full-batch AdaGrad, distilling the
+    // stopword-ratio heuristic labels on an md5 train/holdout split —
+    // derived check: holdout accuracy floor, beats the majority class,
+    // scores strictly inside (0,1)
+    "q_quality_clf" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .withColumn("__r", TextAnalysis.stopwordRatio(col("text")))
+      val med = docs.agg(expr("percentile(__r, 0.5)")).head().getDouble(0)
+      val labeled = docs.withColumn("label", (col("__r") > med).cast("int"))
+      val train = labeled.filter(
+        Sampling.hashBucket(col("doc_id")) < lit(Sampling.thresholdHex(0.8)))
+      val hold = labeled.filter(
+        Sampling.hashBucket(col("doc_id")) >= lit(Sampling.thresholdHex(0.8)))
+      val model = ops.Classifier.trainHashedLR(train, "text", "label",
+        buckets = 1 << 12, iters = 300, lr = 1.0)
+      val one = ops.Classifier.scoreHashedLR(hold, "text", model).agg(
+        avg(((col("quality_score") >= 0.5).cast("int") === col("label"))
+          .cast("double")).as("acc"),
+        avg(col("label").cast("double")).as("pos"),
+        min("quality_score").as("lo"), max("quality_score").as("hi"))
+      checkRows(one,
+        "holdout_acc_floor" -> (col("acc") >= 0.70),
+        "beats_majority" -> (col("acc") > greatest(col("pos"), lit(1.0) - col("pos"))),
+        "scores_in_unit" -> (col("lo") > 0.0 && col("hi") < 1.0))
+    }),
+
     // weighted upsampling: per-language epoch counts (en 2.4 epochs, de
     // 0.5, others 1.0) — floor(w) copies plus a deterministic md5-chosen
     // extra for the fractional part, exact-checked against DuckDB doing
@@ -2296,6 +2323,9 @@ object SparkEntry {
 
       "q_bpe" -> checksOracle("roundtrip_lossless", "monotone_merges",
         "tokens_at_least_words"),
+
+      "q_quality_clf" -> checksOracle("holdout_acc_floor", "beats_majority",
+        "scores_in_unit"),
 
       "q_agg_quantile_sketch" -> checksOracle("rank_error_bounded",
         "three_quantiles", "monotone"),

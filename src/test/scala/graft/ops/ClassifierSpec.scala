@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Hashed-feature logistic regression ([[Classifier]]): the learned
+  * quality-filter machinery (fastText-style linear classifier on hashed
+  * unigrams, distributed full-batch GD).
+  */
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("learns a separable vocabulary split to holdout accuracy 1.0") {
+    val docs = (0L until 400L).map { i =>
+      if (i % 2 == 0) (i, "alpha beta gamma alpha beta useful dense signal", 1)
+      else (i, "omega zeta noise noise filler omega drivel zeta", 0)
+    }.toDF("doc_id", "text", "label")
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val hold = docs.filter(col("doc_id") % 5 === 0)
+    val m = Classifier.trainHashedLR(train, "text", "label",
+      buckets = 1 << 12, iters = 40, lr = 2.0)
+    val scored = Classifier.scoreHashedLR(hold, "text", m)
+    val acc = scored
+      .select(((col("quality_score") >= 0.5).cast("int") === col("label"))
+        .cast("double").as("ok"))
+      .agg(avg("ok")).head().getDouble(0)
+    assert(acc === 1.0, s"separable data must classify perfectly: $acc")
+    // positive class scores strictly dominate
+    val byLabel = scored.groupBy("label")
+      .agg(min("quality_score").as("lo"), max("quality_score").as("hi"))
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(byLabel(1)._1 > byLabel(0)._2)
+  }
+
+  test("null/empty text scores the length-slot prior; keepAbove filters") {
+    val docs = Seq((0L, "alpha alpha", 1), (1L, null.asInstanceOf[String], 0),
+      (2L, "   ", 0)).toDF("doc_id", "text", "label")
+    val m = Classifier.trainHashedLR(docs, "text", "label",
+      buckets = 64, iters = 5)
+    val out = Classifier.scoreHashedLR(docs, "text", m).orderBy("doc_id")
+      .select("quality_score").collect().map(_.getDouble(0))
+    // a token-less doc has only the dense length slots: 1/(1+0)=1 and 0
+    val expected = 1.0 / (1.0 + math.exp(-(m.bias + m.weights(m.buckets))))
+    assert(math.abs(out(1) - expected) < 1e-12)
+    assert(out(1) === out(2)) // token-less == null: same features
+    assert(Classifier.keepAbove(
+      Classifier.scoreHashedLR(docs, "text", m), 2.0).count() === 0)
+  }
+
+  test("model frame round-trips to identical scores") {
+    val docs = Seq((0L, "alpha beta", 1), (1L, "omega zeta", 0))
+      .toDF("doc_id", "text", "label")
+    val m = Classifier.trainHashedLR(docs, "text", "label",
+      buckets = 256, iters = 10)
+    val back = Classifier.modelFromDf(Classifier.modelDf(spark, m))
+    assert(back.bias === m.bias)
+    assert(back.weights.toSeq === m.weights.toSeq)
+    val a = Classifier.scoreHashedLR(docs, "text", m)
+      .select("quality_score").collect().map(_.getDouble(0)).toSeq
+    val b = Classifier.scoreHashedLR(docs, "text", back)
+      .select("quality_score").collect().map(_.getDouble(0)).toSeq
+    assert(a === b)
+  }
+
+  test("distills the stopword-ratio heuristic on the real corpus (the q_ shape)") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .withColumn("__r", TextAnalysis.stopwordRatio(col("text")))
+    val med = docs.agg(expr("percentile(__r, 0.5)")).head().getDouble(0)
+    val labeled = docs.withColumn("label", (col("__r") > med).cast("int"))
+    val train = labeled.filter(
+      Sampling.hashBucket(col("doc_id")) < lit(Sampling.thresholdHex(0.8)))
+    val hold = labeled.filter(
+      Sampling.hashBucket(col("doc_id")) >= lit(Sampling.thresholdHex(0.8)))
+    val m = Classifier.trainHashedLR(train, "text", "label",
+      buckets = 1 << 12, iters = 300, lr = 1.0)
+    val scored = Classifier.scoreHashedLR(hold, "text", m)
+    val r = scored.agg(
+      avg(((col("quality_score") >= 0.5).cast("int") === col("label"))
+        .cast("double")).as("acc"),
+      avg(col("label").cast("double")).as("pos")).head()
+    val (acc, pos) = (r.getDouble(0), r.getDouble(1))
+    // measured 0.777 (train 0.834) — the saturating distinct-stopword
+    // numerator caps what a linear model can recover; 0.70 is the floor
+    // with margin for partitioning-induced float drift
+    assert(acc >= 0.70, s"holdout accuracy floor: $acc")
+    assert(acc > math.max(pos, 1 - pos), s"beats majority: $acc vs $pos")
+  }
+}
