@@ -29,11 +29,42 @@ def gen(n=30, seed=7):
     print('\n'.join(ex() for _ in range(n)))
 
 def to_sql(e):
-    while ' // ' in e:
-        m = re.search(r'\(([^()]*(?:\([^()]*\)[^()]*)*)\) // '
-                      r'\(([^()]*(?:\([^()]*\)[^()]*)*)\)', e)
-        if not m: break
-        e = e[:m.start()] + f"floor(({m.group(1)}) / ({m.group(2)}))" + e[m.end():]
+    # rewrite every `(A) // (B)` to floor((A) / (B)) with real balanced-
+    # paren matching — the old one-nesting-level regex silently left
+    # deeply nested `//` for DuckDB, whose native `//` on DOUBLE is plain
+    # division, not the numpy floor division the expression language
+    # defines (found by the seed-777 fuzz run)
+    while '//' in e:
+        i = e.index('//')
+        j = i
+        while e[j - 1] == ' ':
+            j -= 1
+        assert e[j - 1] == ')', e
+        depth, k = 0, j - 1
+        while True:
+            if e[k] == ')':
+                depth += 1
+            elif e[k] == '(':
+                depth -= 1
+            if depth == 0:
+                break
+            k -= 1
+        left = e[k:j]
+        p = i + 2
+        while e[p] == ' ':
+            p += 1
+        assert e[p] == '(', e
+        depth, q = 0, p
+        while True:
+            if e[q] == '(':
+                depth += 1
+            elif e[q] == ')':
+                depth -= 1
+            if depth == 0:
+                break
+            q += 1
+        right = e[p:q + 1]
+        e = e[:k] + f"floor({left} / {right})" + e[q + 1:]
     return e
 
 def cmp():
