@@ -170,20 +170,48 @@ object Multimodal {
     }
   }
 
-  /** "Resize" stub: re-encodes the payload to a target size by stride
-    * sampling bytes — stands in for an image resize kernel; keeps the
-    * (kind, meta) plumbing and output schema honest.
+  /** Resize: REAL bilinear image resize for decodable images (the JDK's
+    * `Graphics2D` + PNG re-encode, in-JDK — no external codec), falling
+    * back to the byte-stride stub for undecodable payloads and non-image
+    * kinds so the (kind, meta) plumbing stays honest either way. Narrow
+    * per-partition pass; bytes never cross a shuffle.
     */
   def resize(items: Dataset[MediaItem], w: Int, h: Int): Dataset[MediaItem] = {
+    require(w > 0 && h > 0, s"resize target must be positive: ${w}x$h")
     import items.sparkSession.implicits._
-    items.mapPartitions(_.map { it =>
-      val target = math.max(1, w * h)
-      val n = it.bytes.length
-      val out =
-        if (n <= target) it.bytes
-        else Array.tabulate(target)(i => it.bytes(i * n / target))
-      it.copy(bytes = out, width = w, height = h)
-    })
+    items.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { item =>
+        val real: Option[MediaItem] =
+          if (item.kind != "image") None
+          else try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(item.bytes))
+            if (img == null) None
+            else {
+              val dst = new java.awt.image.BufferedImage(w, h,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = dst.createGraphics()
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, w, h, null)
+              g.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(dst, "png", bos)
+              Some(item.copy(bytes = bos.toByteArray, width = w, height = h))
+            }
+          } catch { case _: java.io.IOException | _: RuntimeException => None }
+        real.getOrElse {
+          val target = math.max(1, w * h)
+          val n = item.bytes.length
+          val out =
+            if (n <= target) item.bytes
+            else Array.tabulate(target)(i => item.bytes(i * n / target))
+          item.copy(bytes = out, width = w, height = h)
+        }
+      }
+    }
   }
 
   /** Frame sampling stub for video payloads: slice the payload into

@@ -389,6 +389,33 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).features.length === 10)
   }
 
+  test("resize does a REAL bilinear resize for decodable images, stub otherwise") {
+    import spark.implicits._
+    // 8×8 solid green PNG → 4×2: output must be a valid PNG of the target
+    // dimensions whose pixels are still (approximately) green
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, 0x00c800)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val items = Seq(
+      Multimodal.MediaItem(1L, "image", bos.toByteArray, 8, 8, 0, 1),
+      Multimodal.MediaItem(2L, "image", "garbage".getBytes, 0, 0, 0, 1)).toDS()
+    val out = Multimodal.resize(items, 4, 2).collect().sortBy(_.id)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(0).bytes))
+    assert(back.getWidth === 4 && back.getHeight === 2)
+    assert(out(0).width === 4 && out(0).height === 2)
+    for (y <- 0 until 2; x <- 0 until 4) {
+      val rgb = back.getRGB(x, y)
+      assert(((rgb >> 8) & 0xff) > 180, f"pixel ($x,$y) stays green: $rgb%06x")
+      assert(((rgb >> 16) & 0xff) < 40 && (rgb & 0xff) < 40)
+    }
+    // undecodable payload falls back to the stride stub with target meta
+    assert(out(1).width === 4 && out(1).height === 2)
+    assert(out(1).bytes.length <= math.max(1, 4 * 2).max("garbage".length))
+  }
+
   test("real WAV payloads decode via javax.sound.sampled with signal stats") {
     import spark.implicits._
     // 0.1 s of a 400 Hz sine at amplitude 0.5, 16-bit mono PCM, 8 kHz
