@@ -170,6 +170,34 @@ object Classifier {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Pure-Column scorer: the same σ(w·x + bias) as [[scoreHashedLR]] but
+    * as a Column expression — usable in Structured Streaming transforms
+    * (no RDD access) and inside whole-stage codegen. The (bounded) weight
+    * table rides in the plan as a map literal; per-token lookup recomputes
+    * the identical md5 bucket. Scores match the RDD scorer to within
+    * float-association tolerance (the per-token vs per-bucket summation
+    * orders differ by ~1 ulp; asserted < 1e-12 in ClassifierSpec).
+    */
+  def scoreColumn(text: Column, model: LinearTextModel): Column = {
+    import org.apache.spark.sql.functions.{typedlit, aggregate => arrAgg}
+    val wMap: Map[Long, Double] = model.weights.take(model.buckets)
+      .zipWithIndex.collect { case (v, i) if v != 0.0 => i.toLong -> v }.toMap
+    val wLit = typedlit(wMap)
+    val toks = coalesce(
+      filter(split(trim(lower(text)), "\\s+"), t => length(t) > 0),
+      typedlit(Seq.empty[String]))
+    val n = size(toks).cast("double")
+    def bucket(t: Column): Column =
+      conv(substring(md5(t), 1, 8), 16, 10).cast("long") % model.buckets
+    val tfDot = arrAgg(toks, lit(0.0),
+      (acc, t) => acc + coalesce(element_at(wLit, bucket(t)), lit(0.0)))
+    val dot = when(n > 0, tfDot / n).otherwise(lit(0.0)) +
+      lit(model.weights(model.buckets)) * (lit(1.0) / (lit(1.0) + n)) +
+      lit(model.weights(model.buckets + 1)) * (least(n, lit(512.0)) / 512.0) +
+      lit(model.bias)
+    lit(1.0) / (lit(1.0) + exp(-dot))
+  }
+
   /** Persistable model frame: (bucket, weight) rows + a (-1, bias) row. */
   def modelDf(spark: org.apache.spark.sql.SparkSession,
               model: LinearTextModel): DataFrame = {

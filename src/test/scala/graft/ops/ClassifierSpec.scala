@@ -62,6 +62,30 @@ class ClassifierSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("scoreColumn (streaming-safe expression) matches the RDD scorer to 1e-12") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet").limit(100)
+      .withColumn("label", (length(col("text")) > 300).cast("int"))
+    val m = Classifier.trainHashedLR(docs, "text", "label",
+      buckets = 1 << 10, iters = 20)
+    val a = Classifier.scoreHashedLR(docs, "text", m)
+      .select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = docs.select(col("doc_id"),
+        Classifier.scoreColumn(col("text"), m).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a.keySet === b.keySet)
+    // per-token vs per-bucket summation order differs by ~1 ulp
+    a.foreach { case (id, s) =>
+      assert(math.abs(s - b(id)) < 1e-12, s"doc $id: $s vs ${b(id)}") }
+    // null/empty text agree too
+    val edge = Seq((1L, null.asInstanceOf[String]), (2L, " ")).toDF("doc_id", "text")
+    val ea = Classifier.scoreHashedLR(edge, "text", m)
+      .select("quality_score").collect().map(_.getDouble(0)).toSeq
+    val eb = edge.select(Classifier.scoreColumn(col("text"), m))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(ea === eb)
+  }
+
   test("distills the stopword-ratio heuristic on the real corpus (the q_ shape)") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
       .withColumn("__r", TextAnalysis.stopwordRatio(col("text")))
