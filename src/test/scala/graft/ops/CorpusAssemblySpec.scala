@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** End-to-end corpus assembly: the full training-data pipeline a user of
+  * this library would run, chained from the real operators — quality
+  * filter → exact + near dedup → benchmark decontamination → mixture
+  * weighting → deterministic shuffle → sequence packing → sharded export.
+  * Asserts the global invariants that matter at the end of the pipe, and
+  * that the WHOLE chain is deterministic end to end.
+  */
+class CorpusAssemblySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quality→dedup→decontaminate→mixture→shuffle→pack→shard, deterministic") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 29 === 0)
+      .select(col("doc_id"), col("text"))
+
+    def assemble(): org.apache.spark.sql.DataFrame = {
+      // 1. heuristic quality gate (Gopher-style rule verdict)
+      val quality = docs.filter(
+        TextAnalysis.filterReason(col("text")) === "keep")
+      // 2. exact dedup (keep first), then near-dup representatives
+      val exact = Dedup.exactKeepFirst(quality, "text", "doc_id")
+      val pairs = Dedup.ngramJaccardPairs(exact, "text", "doc_id",
+        blockCols = Seq("lang"), n = 3, threshold = 0.5)
+      val deduped = Dedup.keepRepresentatives(exact, pairs, "doc_id",
+        length(col("text")))
+      // 3. drop docs sharing 4-grams with the benchmark slice
+      val clean = Dedup.decontaminateKeep(deduped, bench, "text", "doc_id", 4)
+      // 4. mixture: downsample en, keep the rest
+      val mixed = Sampling.stratifiedSample(clean, "doc_id", "lang",
+        Seq("en" -> 0.5), defaultRate = 1.0)
+      // 5. reproducible epoch order
+      val ordered = Sampling.deterministicShuffle(
+        mixed.select("doc_id", "lang", "text"), "doc_id", seed = 7,
+        assumeDeterministic = true)
+      // 6. pack into 512-token sequences per shard (packSequences emits
+      // its own n_tokens column from the tokens expression)
+      val sharded = ordered
+        .withColumn("shard", Sampling.shardId(col("doc_id"), 4))
+      Sampling.packSequences(sharded, "shard", "shuffle_pos",
+          TextAnalysis.tokenCount(col("text")), maxTokens = 512)
+        .join(sharded.select("doc_id", "shard", "shuffle_pos"),
+          Seq("shard", "shuffle_pos"))
+    }
+
+    val out = assemble()
+    val docsOut = out.select("doc_id").distinct()
+    val n = docsOut.count()
+    assert(n > 100, s"pipeline keeps a real corpus slice: $n")
+
+    // decontamination held: nothing in the output shares a 4-gram with bench
+    val dirty = Dedup.decontaminate(
+      docs.join(docsOut, "doc_id"), bench, "text", "doc_id", 4).count()
+    assert(dirty === 0, s"contaminated docs escaped: $dirty")
+
+    // exact dedup held: no two output docs share identical text
+    val textDups = docs.join(docsOut, "doc_id")
+      .groupBy("text").count().filter(col("count") > 1).count()
+    assert(textDups === 0)
+
+    // packing respected the budget in every shard
+    val overBudget = out.groupBy("shard", "pack_id")
+      .agg(sum("n_tokens").as("t"), count(lit(1)).as("c"))
+      .filter(col("t") > 512 && col("c") > 1).count()
+    assert(overBudget === 0, "multi-doc packs must fit the token budget")
+
+    // every shard id is the pure md5 function of the doc id
+    val badShard = out.withColumn("expect", Sampling.shardId(col("doc_id"), 4))
+      .filter(col("shard") =!= col("expect")).count()
+    assert(badShard === 0)
+
+    // the WHOLE pipeline is deterministic: a second run builds the same
+    // (doc, shard, pack, position) assignment exactly
+    val again = assemble()
+    assert(out.except(again).count() === 0)
+    assert(again.except(out).count() === 0)
+  }
+}
