@@ -115,6 +115,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Filter"), p)
   }
 
+  test("weighted upsampling is scan-side generate (no exchange at all)") {
+    val df = ops.Sampling.upsampleByWeight(
+      spark.read.parquet(s"${sf()}/documents.parquet")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("lang")),
+      "doc_id", org.apache.spark.sql.functions.lit(2.4))
+    val p = plan(df)
+    assert(!p.contains("Exchange"), s"upsampling must not shuffle:\n$p")
+    assert(p.contains("Generate"), p) // the explode(sequence(...))
+  }
+
   test("decontamination broadcasts the benchmark gram set") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val df = ops.Dedup.decontaminate(
