@@ -149,6 +149,15 @@ object ScalingProbe {
       graft.ops.Dedup.minHashDedup(spark.read.parquet(p), "text", "doc_id",
         threshold = 0.6).count()
     }
+    // same realistic input for the exact ngram pair generator — the
+    // q_dedup_ngram probe above replicates identical texts (quadratic
+    // true pair count); this measures the operator at a constant dup rate
+    time("ngram_realistic") { d =>
+      val p = if (d == big) s"$big/documents_saltN.parquet"
+              else s"$big/documents_salt1.parquet"
+      graft.ops.Dedup.ngramJaccardPairs(spark.read.parquet(p), "text",
+        "doc_id", Nil, n = 3, threshold = 0.6).count()
+    }
     time("ann_ivfpq_index") { d =>
       val emb = spark.read.parquet(s"$d/embeddings.parquet")
       val nl = if (d == big) 8 * mult else 8
