@@ -330,6 +330,12 @@ class SamplingSpec extends SparkSpec {
       when(col("lang") === "en", 3.0).otherwise(0.0))
     assert(exact.count() === 3000)
     assert(exact.filter(col("lang") === "de").count() === 0)
+    // a negative weight fails loudly (caller bug, not a silent drop)
+    val e = intercept[Exception](
+      Sampling.upsampleByWeight(rows, "id", lit(-0.5)).count())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("negative weight")), e.toString)
   }
 
   test("capPerStratum equals row_number over stratum; strata span partitions") {
