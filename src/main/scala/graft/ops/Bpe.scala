@@ -169,6 +169,61 @@ object Bpe {
     s
   }
 
+  /** Deterministic subword vocabulary for a merge list: id 0 = `<unk>`,
+    * id 1 = [[EndOfWord]], then the single-character alphabet in code
+    * order, then each merge's fused symbol in rank order — the id space a
+    * dataloader consumes. The alphabet is the characters of the merge
+    * rules' own symbols plus any `extraAlphabet` the caller knows about
+    * (characters only seen in never-merged words).
+    */
+  def vocabFromMerges(merges: Seq[(String, String)],
+                      extraAlphabet: Seq[String] = Nil): Seq[String] = {
+    val chars = (merges.flatMap { case (l, r) => Seq(l, r) }
+      .flatMap(s => if (s == EndOfWord) Seq(EndOfWord) else s.map(_.toString)) ++
+      extraAlphabet).filterNot(_ == EndOfWord).distinct.sorted
+    val fused = merges.map { case (l, r) => l + r }
+    (Seq("<unk>", EndOfWord) ++ chars ++ fused).distinct
+  }
+
+  /** Apply learned merges + map subwords to vocabulary ids: adds
+    * `bpe_ids` (ints; unknown subwords map to 0 = `<unk>`) and
+    * `n_bpe_tokens` — the dataloader-ready form. Same narrow memoized
+    * pass as [[applyBpe]].
+    */
+  def applyBpeIds(docs: DataFrame, textCol: String,
+                  merges: Seq[(String, String)],
+                  vocab: Seq[String]): DataFrame = {
+    require(!docs.columns.contains("bpe_ids") &&
+      !docs.columns.contains("n_bpe_tokens"),
+      "applyBpeIds reserves output columns bpe_ids, n_bpe_tokens")
+    val spark = docs.sparkSession
+    val ranks: Map[(String, String), Int] =
+      merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    val ids: Map[String, Int] = vocab.zipWithIndex.toMap
+    val stateB = spark.sparkContext.broadcast((ranks, ids))
+    val tIdx = docs.schema.fieldIndex(textCol)
+    val outSchema = StructType(docs.schema.fields ++ Seq(
+      StructField("bpe_ids",
+        ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)),
+      StructField("n_bpe_tokens", LongType, nullable = false)))
+    val rdd = docs.rdd.mapPartitions { it =>
+      val (rk, idm) = stateB.value
+      val memo = scala.collection.mutable.HashMap.empty[String, Array[Int]]
+      it.map { row =>
+        val text = row.get(tIdx)
+        val words =
+          if (text == null) Array.empty[String]
+          else text.toString.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+        val out = words.flatMap { w =>
+          memo.getOrElseUpdate(w,
+            encodeWord(w, rk).map(s => idm.getOrElse(s, 0)))
+        }
+        Row.fromSeq(row.toSeq ++ Seq(out.toSeq, out.length.toLong))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Apply learned merges to every document: returns the input columns
     * plus `bpe_tokens` (subword strings, `EndOfWord`-terminated per word)
     * and `n_bpe_tokens`. Narrow: merge ranks broadcast, one pass per

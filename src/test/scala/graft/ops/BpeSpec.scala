@@ -65,6 +65,25 @@ class BpeSpec extends SparkSpec {
     assert(recon(3) === ((3L, "", 0L)))
   }
 
+  test("vocab ids: deterministic layout, round-trip through ids, unk fallback") {
+    val merges = Bpe.learnFromWordFreq(sennrich, numMerges = 6)
+    val vocab = Bpe.vocabFromMerges(merges, extraAlphabet = Seq("x"))
+    // layout: <unk>, </w>, alphabet (sorted), fused symbols in rank order
+    assert(vocab.take(2) === Seq("<unk>", Bpe.EndOfWord))
+    assert(vocab.indexOf("es") < vocab.indexOf("est"))
+    assert(vocab.contains("x") && vocab.contains("low"))
+    assert(vocab.distinct === vocab)
+
+    val docs = Seq((0L, "lowest"), (1L, "qqq")).toDF("doc_id", "text")
+    val out = Bpe.applyBpeIds(docs, "text", merges, vocab).orderBy("doc_id")
+      .select("bpe_ids").collect().map(_.getSeq[Int](0))
+    // "lowest" -> [low, est</w>] by the published example, mapped to ids
+    assert(out(0) === Seq(vocab.indexOf("low"), vocab.indexOf("est" + Bpe.EndOfWord)))
+    // 'q' never appears in any merge rule or the extra alphabet -> <unk>,
+    // while the end marker always has its own id
+    assert(out(1) === Seq(0, 0, 0, 1))
+  }
+
   test("corpus training is deterministic and more merges never inflate tokens") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val a = Bpe.learnBpe(docs, "text", numMerges = 60, maxWords = 5000)
