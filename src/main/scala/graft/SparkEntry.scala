@@ -327,6 +327,41 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // fragment COMPACTION: the q_f2 chain folded into a standalone table
+    // (rename-free create; the object-store workflow closer) must read
+    // back identical to the live overlay — same oracle as the chain, but
+    // scanned from the compacted table with no ancestry walk
+    "q_compact" -> ((s, dir) => {
+      val base = MSTable.withRowId(T(s, dir, "lineitem"), liKey)
+      MSWrite.create(base, tmp("q_cp_base"))
+      val d1 = base.filter(col("l_returnflag") === "R")
+        .select(col(MSTable.RowId), (col("l_quantity") + 100).as("l_quantity"))
+      MSWrite.writeFragment(d1, tmp("q_cp_c1"), tmp("q_cp_base"))
+      val d2 = base.filter(col("l_linenumber") === 1)
+        .select(col(MSTable.RowId), lit(0.99).as("l_tax"))
+      MSWrite.writeFragment(d2, tmp("q_cp_c2"), tmp("q_cp_c1"))
+      MSWrite.compactFragments(s, tmp("q_cp_c2"), tmp("q_cp_flat"), liKey)
+      MSTable.open(s, tmp("q_cp_flat"))
+        .groupBy("l_returnflag")
+        .agg(round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_tax"), 4).as("sum_tax"))
+        .orderBy("l_returnflag")
+    }),
+
+    // keyword UPDATE parity (reference _put_keywords merge semantics):
+    // per-key merge + DELKW removal applied over a created table; the
+    // surviving dictionary is returned as rows
+    "q_s14_kw_update" -> ((s, dir) => {
+      val p = tmp("q_kw_update")
+      MSWrite.create(T(s, dir, "region"), p)
+      MSWrite.putKeywords(s, p, Map("KEEP" -> "v0", "EDIT" -> "old", "DROP" -> "x"))
+      MSWrite.updateKeywords(s, p,
+        Map("EDIT" -> Some("new"), "ADDED" -> Some("a"), "DROP" -> None))
+      val kw = MSWrite.readKeywords(s, p).toSeq.sortBy(_._1)
+      import s.implicits._
+      kw.toDF("key", "value").orderBy("key")
+    }),
+
     // ===== big-big shuffle join (SMJ/SHJ via Catalyst+AQE) ===============
     "q_join_smj" -> ((s, dir) =>
       T(s, dir, "orders").join(T(s, dir, "lineitem"),
@@ -1442,6 +1477,19 @@ object SparkEntry {
           |  round(sum(CASE WHEN l_linenumber = 1 THEN 0.99 ELSE l_tax END), 4)
           |    AS sum_tax
           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_compact" ->
+        """SELECT l_returnflag,
+          |  round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity + 100
+          |                 ELSE l_quantity END), 4) AS sum_qty,
+          |  round(sum(CASE WHEN l_linenumber = 1 THEN 0.99 ELSE l_tax END), 4)
+          |    AS sum_tax
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_s14_kw_update" ->
+        """SELECT * FROM (VALUES ('ADDED', 'a'), ('EDIT', 'new'),
+          |                      ('KEEP', 'v0')) AS t(key, value)
+          |ORDER BY key""".stripMargin,
 
       "q_join_smj" ->
         """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
