@@ -10,7 +10,10 @@ object ScalingProbe {
     // optional 2nd arg: comma-list of label substrings to probe (others
     // skipped); optional 3rd arg "reuse" skips the replication writes
     // (target/sfbig from a previous run must exist at the same mult)
-    val only = args.drop(1).headOption.filterNot(_ == "all")
+    // 'reuse' in the filter slot is the no-replication flag, not a label
+    // filter — treating it as one would silently skip every probe
+    val only = args.drop(1).headOption
+      .filterNot(a => a == "all" || a == "reuse")
       .map(_.split(",").toSeq).getOrElse(Nil)
     val reuse = args.contains("reuse")
     val spark = SparkSession.builder().master("local[32]")

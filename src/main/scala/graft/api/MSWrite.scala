@@ -135,6 +135,19 @@ object MSWrite {
   private[api] val NonAtomicRenameSchemes =
     Set("s3", "s3a", "s3n", "gs", "oss", "cos", "cosn", "swift", "wasb", "wasbs")
 
+  /** Filesystem scheme a path actually lands on: the explicit URI scheme,
+    * or — for a schemeless path — the scheme of `fs.defaultFS`. On a
+    * cluster whose default filesystem IS the object store, "tables/x"
+    * resolves to s3a, so the non-atomic-rename guard must check the
+    * resolved scheme, not assume "file".
+    */
+  private[api] def resolvedScheme(
+      path: String, conf: org.apache.hadoop.conf.Configuration): String =
+    Option(new org.apache.hadoop.fs.Path(path).toUri.getScheme)
+      .orElse(Option(
+        org.apache.hadoop.fs.FileSystem.getDefaultUri(conf).getScheme))
+      .getOrElse("file").toLowerCase(java.util.Locale.ROOT)
+
   /** Crash-safe commit order: write tmp → rename base ASIDE (backup) →
     * rename tmp IN → delete backup. A live, complete copy of the table
     * exists at a well-known path at every instant; [[recoverTable]] heals
@@ -152,8 +165,7 @@ object MSWrite {
   def updateTable(spark: SparkSession, path: String, delta: DataFrame,
                   rowIdOrder: Seq[String],
                   allowNonAtomicRename: Boolean = false): Unit = {
-    val scheme = Option(new org.apache.hadoop.fs.Path(path).toUri.getScheme)
-      .getOrElse("file").toLowerCase(java.util.Locale.ROOT)
+    val scheme = resolvedScheme(path, spark.sparkContext.hadoopConfiguration)
     if (!allowNonAtomicRename && NonAtomicRenameSchemes.contains(scheme))
       throw new UnsupportedOperationException(
         s"updateTable: $scheme:// renames are non-atomic (copy+delete), so " +

@@ -178,8 +178,11 @@ object Bpe {
     */
   def vocabFromMerges(merges: Seq[(String, String)],
                       extraAlphabet: Seq[String] = Nil): Seq[String] = {
+    // strip an EndOfWord SUFFIX before char-splitting: merge operands are
+    // fused symbols like "est</w>" at realistic merge counts, and naive
+    // char-splitting would inject spurious '<', '/', '>' alphabet entries
     val chars = (merges.flatMap { case (l, r) => Seq(l, r) }
-      .flatMap(s => if (s == EndOfWord) Seq(EndOfWord) else s.map(_.toString)) ++
+      .flatMap(s => s.stripSuffix(EndOfWord).map(_.toString)) ++
       extraAlphabet).filterNot(_ == EndOfWord).distinct.sorted
     val fused = merges.map { case (l, r) => l + r }
     (Seq("<unk>", EndOfWord) ++ chars ++ fused).distinct
@@ -213,7 +216,8 @@ object Bpe {
         val text = row.get(tIdx)
         val words =
           if (text == null) Array.empty[String]
-          else text.toString.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+          else text.toString.toLowerCase(java.util.Locale.ROOT)
+            .trim.split("\\s+").filter(_.nonEmpty)
         val out = words.flatMap { w =>
           memo.getOrElseUpdate(w,
             encodeWord(w, rk).map(s => idm.getOrElse(s, 0)))
@@ -250,7 +254,8 @@ object Bpe {
         val text = row.get(tIdx)
         val words =
           if (text == null) Array.empty[String]
-          else text.toString.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+          else text.toString.toLowerCase(java.util.Locale.ROOT)
+            .trim.split("\\s+").filter(_.nonEmpty)
         val toks = words.flatMap { w =>
           memo.getOrElseUpdate(w, encodeWord(w, rk))
         }

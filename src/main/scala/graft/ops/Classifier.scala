@@ -64,7 +64,10 @@ object Classifier {
   private[ops] def featurize(text: String, buckets: Int): Array[(Int, Double)] = {
     val words =
       if (text == null) Array.empty[String]
-      else text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      // Locale.ROOT: Spark's lower() is locale-independent, and the
+      // Column scorer must see identical tokens under any JVM default
+      else text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
+        .filter(_.nonEmpty)
     val n = words.length.toDouble
     val m = scala.collection.mutable.HashMap.empty[Int, Double]
     words.foreach { w =>

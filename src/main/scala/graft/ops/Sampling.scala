@@ -130,12 +130,18 @@ object Sampling {
     // int / 2^32), so the same rows round up in DuckDB/Python/anywhere
     val draw = conv(hashBucket(col(keyCol)), 16, 10).cast("double") /
       lit(4294967296.0)
-    // a negative weight is a caller bug (a mixture can drop, not owe):
-    // fail the job loudly instead of silently emitting zero copies
-    val w = when(weight.cast("double") < 0, raise_error(concat(
+    // a negative weight is a caller bug (a mixture can drop, not owe), and
+    // so is a NULL one (it would propagate to a null copy count and the
+    // row would vanish in the > 0 filter — a silent drop masquerading as
+    // a 0-weight): fail the job loudly in both cases
+    val wc = weight.cast("double")
+    val w = when(wc.isNull, raise_error(concat(
+        lit("upsampleByWeight: null weight for key "),
+        col(keyCol).cast("string"))))
+      .when(wc < 0, raise_error(concat(
         lit("upsampleByWeight: negative weight "), weight.cast("string"),
         lit(" for key "), col(keyCol).cast("string"))))
-      .otherwise(weight.cast("double"))
+      .otherwise(wc)
     val copies = (floor(w).cast("long") +
       when(draw < (w - floor(w)), lit(1L)).otherwise(lit(0L))).as("__nc")
     df.withColumn("__nc", copies)

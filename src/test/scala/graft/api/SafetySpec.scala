@@ -135,6 +135,21 @@ class SafetySpec extends SparkSpec {
       .select(max("s_acctbal")).head().getDouble(0) === -4.0)
   }
 
+  test("rename guard resolves schemeless paths against fs.defaultFS") {
+    // on a cluster with fs.defaultFS = s3a://bucket a schemeless path IS
+    // the object store — the guard must see s3a, not default to "file"
+    // (checked on a standalone Configuration so the shared session's
+    // default filesystem is never mutated)
+    val s3aConf = new org.apache.hadoop.conf.Configuration(false)
+    s3aConf.set("fs.defaultFS", "s3a://bucket/")
+    assert(MSWrite.resolvedScheme("/tables/x", s3aConf) === "s3a")
+    assert(MSWrite.resolvedScheme("file:/tables/x", s3aConf) === "file")
+    assert(MSWrite.resolvedScheme("S3A://other/y", s3aConf) === "s3a")
+    val plainConf = new org.apache.hadoop.conf.Configuration(false)
+    assert(MSWrite.resolvedScheme("/tables/x", plainConf) === "file")
+    assert(MSWrite.resolvedScheme("hdfs://nn/x", plainConf) === "hdfs")
+  }
+
   test("updateTable aborts and keeps the base when the backup rename is refused") {
     val conf = spark.sparkContext.hadoopConfiguration
     conf.set("fs.failren.impl", classOf[RenameRefusingFileSystem].getName)

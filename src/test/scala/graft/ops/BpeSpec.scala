@@ -74,6 +74,14 @@ class BpeSpec extends SparkSpec {
     assert(vocab.contains("x") && vocab.contains("low"))
     assert(vocab.distinct === vocab)
 
+    // fused merge operands like "est</w>" are alphabet-split on the CORE
+    // only — no spurious '<', '/', '>' ids pollute the vocabulary
+    val fusedVocab = Bpe.vocabFromMerges(Seq(("w", "est" + Bpe.EndOfWord)))
+    assert(!fusedVocab.exists(Seq("<", "/", ">").contains),
+      s"fused operand leaked marker chars: $fusedVocab")
+    assert(fusedVocab.containsSlice(Seq("e", "s", "t", "w")) &&
+      fusedVocab.last === "west" + Bpe.EndOfWord, fusedVocab)
+
     val docs = Seq((0L, "lowest"), (1L, "qqq")).toDF("doc_id", "text")
     val out = Bpe.applyBpeIds(docs, "text", merges, vocab).orderBy("doc_id")
       .select("bpe_ids").collect().map(_.getSeq[Int](0))

@@ -336,6 +336,12 @@ class SamplingSpec extends SparkSpec {
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
     assert(msgs(e).exists(m => m != null && m.contains("negative weight")), e.toString)
+    // and so does a NULL weight — it must not vanish as a 0-copy row
+    val nullW = when(col("lang") === "en", 2.0)
+      .otherwise(lit(null).cast("double"))
+    val en = intercept[Exception](
+      Sampling.upsampleByWeight(rows, "id", nullW).count())
+    assert(msgs(en).exists(m => m != null && m.contains("null weight")), en.toString)
   }
 
   test("capPerStratum equals row_number over stratum; strata span partitions") {
