@@ -1,8 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField, StructType}
 
 /** Byte-pair-encoding tokenizer training and application (Sennrich et
   * al. 2016, "Neural Machine Translation of Rare Words with Subword
@@ -18,9 +18,16 @@ import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField,
   * DRIVER over that bounded dictionary — O(maxWords · avgLen) state,
   * parameter-bounded like the k-means / DSIR / heavy-hitter fits, never
   * O(corpus). Application is embarrassingly parallel: the learned merge
-  * ranks broadcast (numMerges entries) and each partition tokenizes its
-  * rows with a per-partition word→tokens memo (Zipf makes the hit rate
-  * high), so the corpus is read once and nothing shuffles.
+  * ranks broadcast (numMerges entries) and a broadcast-closure UDF
+  * encodes each row's words with a per-task word→tokens memo (Zipf makes
+  * the hit rate high), so the corpus is read once and nothing shuffles.
+  * The apply path is a Column projection over the scan — not an RDD
+  * round-trip — so it stays inside Catalyst planning (projection pruning,
+  * whole-stage codegen around the UDF call) and works in Structured
+  * Streaming transforms. Tokenization on BOTH the learn and apply sides
+  * is the same Spark expression ([[TextAnalysis.tokens]]: `lower` +
+  * whitespace `split`), so words seen at train time match words seen at
+  * apply time under any JVM default locale.
   */
 object Bpe {
 
@@ -188,10 +195,66 @@ object Bpe {
     (Seq("<unk>", EndOfWord) ++ chars ++ fused).distinct
   }
 
+  /** The words of `textCol` exactly as [[learnBpe]] saw them: the same
+    * Spark `lower` + whitespace-`split` expression, empties dropped — so
+    * train-time and apply-time tokenization agree by construction under
+    * any JVM default locale (the Turkish-İ class of mismatch cannot
+    * occur: there is only one lowercasing mechanism).
+    */
+  private def corpusWords(textCol: String): Column =
+    filter(TextAnalysis.tokens(col(textCol)), w => length(w) > 0)
+
+  /** Broadcast-closure word encoder behind the [[applyBpe]] UDF. Each
+    * task deserializes a fresh instance, so the transient memo is
+    * per-task word→subwords state (Zipf makes the hit rate high and the
+    * map small — bounded by the task's distinct-word count); the merge
+    * ranks ride one executor-shared broadcast.
+    */
+  private final class WordEncoder(ranksB: Broadcast[Map[(String, String), Int]])
+      extends (Seq[String] => Seq[String]) with Serializable {
+    @transient private lazy val memo =
+      new java.util.HashMap[String, Array[String]]()
+    override def apply(words: Seq[String]): Seq[String] =
+      if (words == null) Seq.empty
+      else {
+        val out = Seq.newBuilder[String]
+        words.foreach { w =>
+          var t = memo.get(w)
+          if (t == null) { t = encodeWord(w, ranksB.value); memo.put(w, t) }
+          out ++= t
+        }
+        out.result()
+      }
+  }
+
+  /** As [[WordEncoder]], but memoizes straight to vocabulary ids
+    * (unknown subwords map to 0 = `<unk>`).
+    */
+  private final class WordIdEncoder(
+      stateB: Broadcast[(Map[(String, String), Int], Map[String, Int])])
+      extends (Seq[String] => Seq[Int]) with Serializable {
+    @transient private lazy val memo = new java.util.HashMap[String, Array[Int]]()
+    override def apply(words: Seq[String]): Seq[Int] =
+      if (words == null) Seq.empty
+      else {
+        val (ranks, ids) = stateB.value
+        val out = Seq.newBuilder[Int]
+        words.foreach { w =>
+          var t = memo.get(w)
+          if (t == null) {
+            t = encodeWord(w, ranks).map(s => ids.getOrElse(s, 0))
+            memo.put(w, t)
+          }
+          out ++= t
+        }
+        out.result()
+      }
+  }
+
   /** Apply learned merges + map subwords to vocabulary ids: adds
     * `bpe_ids` (ints; unknown subwords map to 0 = `<unk>`) and
-    * `n_bpe_tokens` — the dataloader-ready form. Same narrow memoized
-    * pass as [[applyBpe]].
+    * `n_bpe_tokens` — the dataloader-ready form. Same scan-side memoized
+    * projection as [[applyBpe]].
     */
   def applyBpeIds(docs: DataFrame, textCol: String,
                   merges: Seq[(String, String)],
@@ -199,69 +262,32 @@ object Bpe {
     require(!docs.columns.contains("bpe_ids") &&
       !docs.columns.contains("n_bpe_tokens"),
       "applyBpeIds reserves output columns bpe_ids, n_bpe_tokens")
-    val spark = docs.sparkSession
     val ranks: Map[(String, String), Int] =
       merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
     val ids: Map[String, Int] = vocab.zipWithIndex.toMap
-    val stateB = spark.sparkContext.broadcast((ranks, ids))
-    val tIdx = docs.schema.fieldIndex(textCol)
-    val outSchema = StructType(docs.schema.fields ++ Seq(
-      StructField("bpe_ids",
-        ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)),
-      StructField("n_bpe_tokens", LongType, nullable = false)))
-    val rdd = docs.rdd.mapPartitions { it =>
-      val (rk, idm) = stateB.value
-      val memo = scala.collection.mutable.HashMap.empty[String, Array[Int]]
-      it.map { row =>
-        val text = row.get(tIdx)
-        val words =
-          if (text == null) Array.empty[String]
-          else text.toString.toLowerCase(java.util.Locale.ROOT)
-            .trim.split("\\s+").filter(_.nonEmpty)
-        val out = words.flatMap { w =>
-          memo.getOrElseUpdate(w,
-            encodeWord(w, rk).map(s => idm.getOrElse(s, 0)))
-        }
-        Row.fromSeq(row.toSeq ++ Seq(out.toSeq, out.length.toLong))
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    val stateB = docs.sparkSession.sparkContext.broadcast((ranks, ids))
+    val enc = udf(new WordIdEncoder(stateB): Seq[String] => Seq[Int])
+    docs.withColumn("bpe_ids", enc(corpusWords(textCol)))
+      .withColumn("n_bpe_tokens", size(col("bpe_ids")).cast("long"))
   }
 
   /** Apply learned merges to every document: returns the input columns
     * plus `bpe_tokens` (subword strings, `EndOfWord`-terminated per word)
-    * and `n_bpe_tokens`. Narrow: merge ranks broadcast, one pass per
-    * partition with a word→tokens memo (Zipf yields high hit rates), no
-    * shuffle, no per-row re-tokenization of repeated words.
+    * and `n_bpe_tokens`. A scan-side Column projection: merge ranks
+    * broadcast, one UDF pass with a per-task word→tokens memo (Zipf
+    * yields high hit rates) — no shuffle, no RDD round-trip, no per-row
+    * re-tokenization of repeated words.
     */
   def applyBpe(docs: DataFrame, textCol: String,
                merges: Seq[(String, String)]): DataFrame = {
     require(!docs.columns.contains("bpe_tokens") &&
       !docs.columns.contains("n_bpe_tokens"),
       "applyBpe reserves output columns bpe_tokens, n_bpe_tokens")
-    val spark = docs.sparkSession
     val ranks: Map[(String, String), Int] =
       merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
-    val ranksB = spark.sparkContext.broadcast(ranks)
-    val tIdx = docs.schema.fieldIndex(textCol)
-    val outSchema = StructType(docs.schema.fields ++ Seq(
-      StructField("bpe_tokens", ArrayType(StringType, containsNull = false)),
-      StructField("n_bpe_tokens", LongType, nullable = false)))
-    val rdd = docs.rdd.mapPartitions { it =>
-      val rk = ranksB.value
-      val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
-      it.map { row =>
-        val text = row.get(tIdx)
-        val words =
-          if (text == null) Array.empty[String]
-          else text.toString.toLowerCase(java.util.Locale.ROOT)
-            .trim.split("\\s+").filter(_.nonEmpty)
-        val toks = words.flatMap { w =>
-          memo.getOrElseUpdate(w, encodeWord(w, rk))
-        }
-        Row.fromSeq(row.toSeq ++ Seq(toks.toSeq, toks.length.toLong))
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    val ranksB = docs.sparkSession.sparkContext.broadcast(ranks)
+    val enc = udf(new WordEncoder(ranksB): Seq[String] => Seq[String])
+    docs.withColumn("bpe_tokens", enc(corpusWords(textCol)))
+      .withColumn("n_bpe_tokens", size(col("bpe_tokens")).cast("long"))
   }
 }

@@ -21,8 +21,9 @@ import org.apache.spark.storage.StorageLevel
   *  - `buckets` bounds everything: the weight vector, the per-task
   *    gradient accumulator (B+1 doubles ≈ 256 KB at the 2^15 default),
   *    and the broadcast — independent of corpus size
-  *  - scoring is scan-side: weights broadcast, one narrow pass, no
-  *    shuffle (same shape as [[TextAnalysis.dsirWeights]] scoring)
+  *  - scoring is scan-side: the non-zero weights ride the plan as a map
+  *    literal and the score is one narrow Column pass, no shuffle, no
+  *    RDD round-trip (same shape as [[TextAnalysis.dsirWeights]] scoring)
   */
 object Classifier {
 
@@ -58,19 +59,19 @@ object Classifier {
   }
 
   /** Sparse L1-normalized hashed term frequencies + the two dense length
-    * slots. A token-less document still emits the length slots
-    * (1/(1+0) = 1, 0), so "empty" is itself a learnable signal.
+    * slots, from an already-tokenized word list. A token-less document
+    * still emits the length slots (1/(1+0) = 1, 0), so "empty" is itself
+    * a learnable signal. Tokenization happens Spark-side
+    * ([[TextAnalysis.tokens]]) so the trainer and the Column scorer see
+    * identical words under any JVM default locale — there is only one
+    * lowercasing mechanism, Spark's `lower()`.
     */
-  private[ops] def featurize(text: String, buckets: Int): Array[(Int, Double)] = {
-    val words =
-      if (text == null) Array.empty[String]
-      // Locale.ROOT: Spark's lower() is locale-independent, and the
-      // Column scorer must see identical tokens under any JVM default
-      else text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
-        .filter(_.nonEmpty)
-    val n = words.length.toDouble
+  private[ops] def featurizeWords(words: Seq[String],
+                                  buckets: Int): Array[(Int, Double)] = {
+    val ws = if (words == null) Seq.empty[String] else words
+    val n = ws.length.toDouble
     val m = scala.collection.mutable.HashMap.empty[Int, Double]
-    words.foreach { w =>
+    ws.foreach { w =>
       val b = bucketOf(w, buckets)
       m.update(b, m.getOrElse(b, 0.0) + 1.0)
     }
@@ -90,11 +91,15 @@ object Classifier {
     require(buckets > 0 && iters > 0, s"buckets/iters positive: $buckets/$iters")
     val sc = docs.sparkSession.sparkContext
     val b = buckets
-    // featurize once; iterations re-scan this, not the text
-    val feats = docs.select(col(textCol).cast("string"),
+    // featurize once; iterations re-scan this, not the text. Words are
+    // split Spark-side with the exact expression the Column scorer uses,
+    // so train/score tokenization agree by construction.
+    val feats = docs.select(
+        filter(TextAnalysis.tokens(col(textCol)), t => length(t) > 0),
         col(labelCol).cast("double"))
       .rdd.map { r =>
-        (featurize(r.getString(0), b), if (r.isNullAt(1)) 0.0 else r.getDouble(1))
+        val ws: Seq[String] = if (r.isNullAt(0)) Seq.empty else r.getSeq[String](0)
+        (featurizeWords(ws, b), if (r.isNullAt(1)) 0.0 else r.getDouble(1))
       }
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = feats.count().toDouble
@@ -146,40 +151,27 @@ object Classifier {
   }
 
   /** Score every document: adds `quality_score` = σ(w·x + bias) in
-    * (0, 1). Narrow scan with the (bounded) weights broadcast — no
-    * shuffle; token-less docs score σ(bias).
+    * (0, 1). A scan-side Column projection ([[scoreColumn]]): the
+    * (bounded, non-zero) weight table rides the plan as a map literal —
+    * no shuffle, no RDD round-trip, streaming-safe; token-less docs
+    * score the length-slot prior.
     */
   def scoreHashedLR(docs: DataFrame, textCol: String,
                     model: LinearTextModel): DataFrame = {
     require(!docs.columns.contains("quality_score"),
       "scoreHashedLR reserves output column quality_score")
-    val spark = docs.sparkSession
-    val mB = spark.sparkContext.broadcast(model)
-    val tIdx = docs.schema.fieldIndex(textCol)
-    val outSchema = org.apache.spark.sql.types.StructType(
-      docs.schema.fields :+ org.apache.spark.sql.types.StructField(
-        "quality_score", org.apache.spark.sql.types.DoubleType, nullable = false))
-    val rdd = docs.rdd.mapPartitions { it =>
-      val m = mB.value
-      it.map { row =>
-        val t = row.get(tIdx)
-        var dot = m.bias
-        featurize(if (t == null) null else t.toString, m.buckets)
-          .foreach { case (i, v) => dot += m.weights(i) * v }
-        org.apache.spark.sql.Row.fromSeq(
-          row.toSeq :+ 1.0 / (1.0 + math.exp(-dot)))
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    docs.withColumn("quality_score", scoreColumn(col(textCol), model))
   }
 
-  /** Pure-Column scorer: the same σ(w·x + bias) as [[scoreHashedLR]] but
-    * as a Column expression — usable in Structured Streaming transforms
-    * (no RDD access) and inside whole-stage codegen. The (bounded) weight
-    * table rides in the plan as a map literal; per-token lookup recomputes
-    * the identical md5 bucket. Scores match the RDD scorer to within
-    * float-association tolerance (the per-token vs per-bucket summation
-    * orders differ by ~1 ulp; asserted < 1e-12 in ClassifierSpec).
+  /** Pure-Column scorer: σ(w·x + bias) as a Column expression — usable in
+    * Structured Streaming transforms (no RDD access) and inside
+    * whole-stage codegen; [[scoreHashedLR]] is this plus the column name.
+    * The (bounded) weight table rides in the plan as a map literal;
+    * per-token lookup recomputes the identical md5 bucket as the
+    * trainer's [[bucketOf]]. Scores match a driver-side
+    * [[featurizeWords]] reference dot product to within float-association
+    * tolerance (per-token vs per-bucket summation orders differ by
+    * ~1 ulp; asserted < 1e-12 in ClassifierSpec).
     */
   def scoreColumn(text: Column, model: LinearTextModel): Column = {
     import org.apache.spark.sql.functions.{typedlit, aggregate => arrAgg}

@@ -135,12 +135,14 @@ object Sampling {
     // row would vanish in the > 0 filter — a silent drop masquerading as
     // a 0-weight): fail the job loudly in both cases
     val wc = weight.cast("double")
+    // coalesce the key in the message: a null key would null the whole
+    // concat and raise_error would fire with an empty diagnostic
+    val keyStr = coalesce(col(keyCol).cast("string"), lit("<null>"))
     val w = when(wc.isNull, raise_error(concat(
-        lit("upsampleByWeight: null weight for key "),
-        col(keyCol).cast("string"))))
+        lit("upsampleByWeight: null weight for key "), keyStr)))
       .when(wc < 0, raise_error(concat(
         lit("upsampleByWeight: negative weight "), weight.cast("string"),
-        lit(" for key "), col(keyCol).cast("string"))))
+        lit(" for key "), keyStr)))
       .otherwise(wc)
     val copies = (floor(w).cast("long") +
       when(draw < (w - floor(w)), lit(1L)).otherwise(lit(0L))).as("__nc")

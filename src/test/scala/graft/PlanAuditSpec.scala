@@ -236,6 +236,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("BPE apply and classifier scoring stay scan-side (no RDD round-trip)") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val merges = Seq(("t", "h"), ("th", "e"), ("the", graft.ops.Bpe.EndOfWord))
+    val vocab = graft.ops.Bpe.vocabFromMerges(merges)
+    val model = graft.ops.Classifier.LinearTextModel(new Array[Double](64 + 2), 0.1)
+    val plans = Map(
+      "applyBpe" -> plan(graft.ops.Bpe.applyBpe(docs, "text", merges)
+        .select("doc_id", "bpe_tokens")),
+      "applyBpeIds" -> plan(graft.ops.Bpe.applyBpeIds(docs, "text", merges, vocab)
+        .select("doc_id", "bpe_ids")),
+      "scoreHashedLR" -> plan(graft.ops.Classifier.scoreHashedLR(docs, "text", model)
+        .select("doc_id", "quality_score")))
+    for ((name, p) <- plans) {
+      // an RDD round-trip would plan Scan ExistingRDD and sever the scan
+      assert(!p.contains("ExistingRDD"), s"$name fell back to RDD:\n$p")
+      assert(opCount(p, "Exchange") == 0, s"$name must not shuffle:\n$p")
+      // projection pruning reaches the parquet scan through the UDF:
+      // only doc_id + text are read, not the wide passthrough columns
+      val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+      assert(!readSchema.contains("url") && !readSchema.contains("lang"),
+        s"$name read columns it does not need: $readSchema")
+    }
+  }
+
   test("duplicate-segment rewrite: hash-aggs + anti-join, no cartesian") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val p = plan(ops.Dedup.dedupTextSegments(docs, "text", "doc_id"))

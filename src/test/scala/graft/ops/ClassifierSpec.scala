@@ -62,28 +62,37 @@ class ClassifierSpec extends SparkSpec {
     assert(a === b)
   }
 
-  test("scoreColumn (streaming-safe expression) matches the RDD scorer to 1e-12") {
+  test("scoreColumn matches a driver-side featurizeWords reference to 1e-12") {
+    // scoreHashedLR IS scoreColumn now, so the cross-implementation check
+    // pits the Column algebra (conv(md5) buckets, aggregate() dot product)
+    // against an independent driver-side reference: featurizeWords on the
+    // same Spark-tokenized words + a plain JVM dot product
     val docs = spark.read.parquet(s"${sf()}/documents.parquet").limit(100)
       .withColumn("label", (length(col("text")) > 300).cast("int"))
     val m = Classifier.trainHashedLR(docs, "text", "label",
       buckets = 1 << 10, iters = 20)
-    val a = Classifier.scoreHashedLR(docs, "text", m)
+    val b = Classifier.scoreHashedLR(docs, "text", m)
       .select("doc_id", "quality_score").collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val b = docs.select(col("doc_id"),
-        Classifier.scoreColumn(col("text"), m).as("s")).collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val a = docs.select(col("doc_id"),
+        filter(TextAnalysis.tokens(col("text")), t => length(t) > 0).as("w"))
+      .collect().map { r =>
+        var dot = m.bias
+        Classifier.featurizeWords(r.getSeq[String](1), m.buckets)
+          .foreach { case (i, v) => dot += m.weights(i) * v }
+        r.getLong(0) -> 1.0 / (1.0 + math.exp(-dot))
+      }.toMap
     assert(a.keySet === b.keySet)
     // per-token vs per-bucket summation order differs by ~1 ulp
     a.foreach { case (id, s) =>
       assert(math.abs(s - b(id)) < 1e-12, s"doc $id: $s vs ${b(id)}") }
-    // null/empty text agree too
+    // null/empty text score the length-slot prior, identically
     val edge = Seq((1L, null.asInstanceOf[String]), (2L, " ")).toDF("doc_id", "text")
-    val ea = Classifier.scoreHashedLR(edge, "text", m)
-      .select("quality_score").collect().map(_.getDouble(0)).toSeq
+    val prior = 1.0 / (1.0 + math.exp(-(m.bias + m.weights(m.buckets))))
     val eb = edge.select(Classifier.scoreColumn(col("text"), m))
       .collect().map(_.getDouble(0)).toSeq
-    assert(ea === eb)
+    eb.foreach(s => assert(math.abs(s - prior) < 1e-12, s"$s vs $prior"))
+    assert(eb(0) === eb(1))
   }
 
   test("distills the stopword-ratio heuristic on the real corpus (the q_ shape)") {

@@ -342,6 +342,13 @@ class SamplingSpec extends SparkSpec {
     val en = intercept[Exception](
       Sampling.upsampleByWeight(rows, "id", nullW).count())
     assert(msgs(en).exists(m => m != null && m.contains("null weight")), en.toString)
+    // a null KEY still yields a named diagnostic, not a null/empty
+    // raise_error message (the key is coalesced to "<null>")
+    val nk = Seq(Option.empty[Long]).toDF("id")
+    val ek = intercept[Exception](
+      Sampling.upsampleByWeight(nk, "id", lit(null).cast("double")).count())
+    assert(msgs(ek).exists(m => m != null && m.contains("null weight") &&
+      m.contains("<null>")), ek.toString)
   }
 
   test("capPerStratum equals row_number over stratum; strata span partitions") {

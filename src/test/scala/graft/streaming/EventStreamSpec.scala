@@ -122,6 +122,35 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("learned quality scoring runs inside a real stream (scoreColumn)") {
+    val dir = sf("sf0.001")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val evDir = "/root/repo/target/test_stream_score_events"
+    raw.write.mode("overwrite").parquet(evDir)
+    // model trained batch-side on documents; its weights ride the
+    // streaming plan as a literal — no RDD access, so this compiles to a
+    // stateless streaming projection
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("label", (length(col("text")) > 300).cast("int"))
+    val m = graft.ops.Classifier.trainHashedLR(docs, "text", "label",
+      buckets = 1 << 10, iters = 10)
+    def score(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("user_id"), col("event_type"),
+      graft.ops.Classifier.scoreColumn(col("event_type"), m).as("quality_score"))
+    val stream = spark.readStream.schema(raw.schema).parquet(evDir)
+    EventStream.runToMemory(score(stream), "score_out", mode = "append")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getDouble(2))
+    val streamed = spark.table("score_out").collect().map(key).toSeq.sorted
+    val batch = score(raw).collect().map(key).toSeq.sorted
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (_, _, s) =>
+      assert(s > 0.0 && s < 1.0, s"score out of (0,1): $s") }
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(s * 1000)
