@@ -29,34 +29,73 @@ object Bench {
           s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id",
           threshold = 0.6)))
 
-  /** Machine-speed anchor: a fixed, data-independent single-thread CPU
-    * loop (LCG + fp math), min of 3. Benches run on a fresh VM each
-    * round, and identical code has drifted a uniform ~1.2× between
-    * rounds (r7→r9: every query, including untouched pure-codegen
-    * scalar ops, moved together on an idle machine) — cross-round
-    * comparisons should normalize query times by this anchor before
-    * reading anything as a code regression.
+  /** The fixed, data-independent CPU loop (LCG + fp math) behind both
+    * calibration anchors. The sink defeats dead-code elimination.
+    */
+  private val calibSink = new java.util.concurrent.atomic.AtomicLong()
+  private def lcgLoop(): Unit = {
+    var acc = 1234567L
+    var fp = 0.0
+    var i = 0
+    while (i < 20000000) {
+      acc = acc * 6364136223846793005L + 1442695040888963407L
+      fp += math.sqrt((acc >>> 33).toDouble)
+      i += 1
+    }
+    calibSink.addAndGet(java.lang.Double.doubleToLongBits(fp) ^ acc)
+  }
+
+  /** Machine-speed anchor: the loop on one thread, min of 3. Benches run
+    * on a fresh VM each round, and identical code has drifted a uniform
+    * ~1.2× between rounds (r7→r9, r9→r10: every query, including
+    * untouched pure-codegen scalar ops, moved together on an idle
+    * machine) — cross-round comparisons should read `value_norm`
+    * (= value / calib_par), not raw seconds, before calling anything a
+    * code regression.
     */
   private def calibrate(): Double = {
     def once(): Double = {
       val t0 = System.nanoTime()
-      var acc = 1234567L
-      var fp = 0.0
-      var i = 0
-      while (i < 20000000) {
-        acc = acc * 6364136223846793005L + 1442695040888963407L
-        fp += math.sqrt((acc >>> 33).toDouble)
-        i += 1
-      }
-      if (acc == 42 && fp == -1.0) println("")
+      lcgLoop()
       (System.nanoTime() - t0) / 1e9
     }
     once(); (0 until 3).map(_ => once()).min
   }
 
+  /** Contention-aware anchor: the same loop on `threads` threads at once,
+    * min of 3 (wall-clock until ALL finish). A single-thread calib cannot
+    * see 32-way effects — shared turbo/frequency budget, SMT siblings,
+    * memory bandwidth, a noisy co-tenant — which is exactly what moved
+    * the r8 and r10 "uniform drift" rounds while `calib` barely moved
+    * (~5% of a ~20% shift). On an uncontended machine this tracks the
+    * single-thread time; under contention it inflates with the queries.
+    */
+  private def calibrateParallel(threads: Int): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      val ts = (0 until threads).map(_ => new Thread(() => lcgLoop()))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    once(); (0 until 3).map(_ => once()).min
+  }
+
+  /** 1-minute load average before the bench touches Spark — a nonzero
+    * value on this dedicated VM means a co-tenant process is competing
+    * for the cores and the run is contaminated.
+    */
+  private def loadAvg(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split("\\s+")(0).toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // read BEFORE Spark spins up its own threads: any load already on the
+    // box is a co-tenant, and the run should be flagged
+    val load0 = loadAvg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -97,7 +136,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val calib = calibrate()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"calib":${f"$calib%.3f"},"sf":"$sfDir"}""")
+    val calibPar = calibrateParallel(cpus.toInt)
+    // value_norm divides out machine speed under full-width load: read
+    // THIS across rounds (dimensionless; identical code on a fast/slow VM
+    // lands on the same number). contaminated = something else was
+    // already running when the bench started.
+    val norm = total / calibPar
+    val contaminated = load0 > 1.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"calib":${f"$calib%.3f"},"calib_par":${f"$calibPar%.3f"},"value_norm":${f"$norm%.2f"},"loadavg":${f"$load0%.2f"},"contaminated":$contaminated,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

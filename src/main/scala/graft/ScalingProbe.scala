@@ -7,15 +7,16 @@ import org.apache.spark.sql.functions._
 object ScalingProbe {
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(8)
-    // optional 2nd arg: comma-list of label substrings to probe (others
-    // skipped); optional 3rd arg "reuse" skips the replication writes
-    // (target/sfbig from a previous run must exist at the same mult)
-    // 'reuse' in the filter slot is the no-replication flag, not a label
-    // filter — treating it as one would silently skip every probe
-    val only = args.drop(1).headOption
-      .filterNot(a => a == "all" || a == "reuse")
-      .map(_.split(",").toSeq).getOrElse(Nil)
-    val reuse = args.contains("reuse")
+    // args after the mult are comma-or-space separated tokens: label
+    // substrings to probe (others skipped), plus the flags "all" (no
+    // filter) and "reuse" (skip the replication writes; target/sfbig
+    // from a previous run must exist at the same mult). Flags are
+    // stripped from the filter list wherever they appear, so
+    // "dedup,reuse" means filter=dedup AND reuse — not a never-matching
+    // filter entry
+    val tokens = args.drop(1).flatMap(_.split(",")).filter(_.nonEmpty).toSeq
+    val only = tokens.filterNot(a => a == "all" || a == "reuse")
+    val reuse = tokens.contains("reuse")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.adaptive.enabled", "true")
@@ -161,6 +162,40 @@ object ScalingProbe {
       graft.ops.Dedup.ngramJaccardPairs(spark.read.parquet(p), "text",
         "doc_id", Nil, n = 3, threshold = 0.6).count()
     }
+    // fragment-chain read cost vs depth (not vs mult): readFragment folds
+    // one ROWID overlay join per ancestor, so read time should grow
+    // ~linearly in depth — this measures the per-ancestor cost that sets
+    // the recommended compaction cadence (README ADR: compact by depth ~8)
+    if (only.isEmpty || only.exists("fragment_depth".contains)) {
+      import graft.api.{MSTable, MSWrite}
+      val liKey = Seq("l_orderkey", "l_linenumber")
+      val base = MSTable.withRowId(
+        spark.read.parquet(s"$src/lineitem.parquet"), liKey)
+      val fdir = "/root/repo/target/probe_frag"
+      MSWrite.create(base, s"$fdir/d0")
+      var parent = s"$fdir/d0"
+      val depths = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+      for (i <- 1 to 8) {
+        val child = s"$fdir/d$i"
+        val delta = base.filter(col("l_linenumber") === (i % 7) + 1)
+          .select(col(MSTable.RowId), (col("l_quantity") + i).as("l_quantity"))
+        MSWrite.writeFragment(delta, child, parent)
+        parent = child
+        if (i == 1 || i == 4 || i == 8) {
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            MSWrite.readFragment(spark, child, liKey)
+              .agg(sum("l_quantity")).collect()
+            (System.nanoTime() - t0) / 1e9
+          }
+          once() // warm
+          depths += ((i, math.min(once(), once())))
+        }
+      }
+      println(depths.map { case (d, t) => f"d$d=$t%.2f s" }
+        .mkString("SCALE fragment_depth ", " ", ""))
+    }
+
     time("ann_ivfpq_index") { d =>
       val emb = spark.read.parquet(s"$d/embeddings.parquet")
       val nl = if (d == big) 8 * mult else 8
