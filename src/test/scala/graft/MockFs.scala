@@ -35,3 +35,44 @@ class S3aLikeLocalFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def listStatus(f: Path): Array[FileStatus] =
     super.listStatus(f).map(eager)
 }
+
+/** [[S3aLikeLocalFs]] whose `rename` IS the flat-object-store mechanic:
+  * a file-by-file copy of the tree followed by a delete of the source —
+  * non-atomic by construction, not just by scheme string. A test-set
+  * crash plan aborts a selected rename either at entry (the
+  * between-renames window) or mid-copy after N files (the torn window a
+  * real crash leaves: source intact, destination PARTIAL), so the
+  * non-atomic-rename guard's reason can be exercised against the
+  * semantics it actually guards against.
+  */
+class CopyRenameS3aFs extends S3aLikeLocalFs {
+  import org.apache.hadoop.fs.Path
+  override def rename(src: Path, dst: Path): Boolean = {
+    val crashing = CopyRenameS3aFs.crashWhen(src, dst)
+    if (crashing && CopyRenameS3aFs.crashAfterFiles < 0)
+      throw new java.io.IOException(s"simulated crash at rename start: $src -> $dst")
+    var copied = 0
+    def walk(s: Path, d: Path): Unit = {
+      if (getFileStatus(s).isDirectory) {
+        mkdirs(d)
+        listStatus(s).foreach(c => walk(c.getPath, new Path(d, c.getPath.getName)))
+      } else {
+        if (crashing && copied >= CopyRenameS3aFs.crashAfterFiles)
+          throw new java.io.IOException(s"simulated crash mid-rename-copy: $s")
+        org.apache.hadoop.fs.FileUtil.copy(this, s, this, d, false, getConf)
+        copied += 1
+      }
+    }
+    walk(src, dst)
+    delete(src, true)
+    true
+  }
+}
+
+object CopyRenameS3aFs {
+  /** Which rename to crash (matched on exact src/dst). */
+  @volatile var crashWhen: (org.apache.hadoop.fs.Path,
+    org.apache.hadoop.fs.Path) => Boolean = (_, _) => false
+  /** Crash after copying this many files; negative = crash at entry. */
+  @volatile var crashAfterFiles: Int = -1
+}

@@ -57,6 +57,46 @@ class PropertySpec extends SparkSpec {
     }, n = 6)
   }
 
+  test("BPE: lossless round-trip, monotone compression, clean id space") {
+    import graft.ops.Bpe
+    // arbitrary-ish unicode alphabet, deliberately including the marker's
+    // own characters ('<', '/', 'w', '>') so char-derived fused symbols
+    // can collide with the EndOfWord marker string — the nastiest corner
+    // of the symbol space, and exactly the class the r10 fused-operand
+    // vocabulary bug lived in (fixtures missed it for two rounds)
+    val alphabet = Gen.oneOf('a', 'b', 'c', 'ß', 'İ', 'ı', 'é', '中',
+      '<', '/', 'w', '>')
+    val genWord = Gen.choose(1, 8)
+      .flatMap(n => Gen.listOfN(n, alphabet)).map(_.mkString)
+    val genCorpus = Gen.choose(1, 40).flatMap(n => Gen.listOfN(n, genWord))
+    check(Prop.forAll(genCorpus) { words =>
+      val freq = words.groupBy(identity).toSeq
+        .map { case (w, ws) => (w, ws.size.toLong) }
+      val merges = Bpe.learnFromWordFreq(freq, numMerges = 30, minCount = 1)
+      val ranksAll = merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+      val ranksHalf = merges.take(merges.size / 2)
+        .zipWithIndex.map { case (p, i) => p -> i }.toMap
+      val vocab = Bpe.vocabFromMerges(merges,
+        extraAlphabet = words.flatten.map(_.toString).distinct)
+      val idOf = vocab.zipWithIndex.toMap
+      val lossless = words.forall { w =>
+        Bpe.encodeWord(w, ranksAll).mkString("") == w + Bpe.EndOfWord
+      }
+      // more merges never inflate the encoded token count
+      val monotone =
+        words.map(Bpe.encodeWord(_, ranksAll).length.toLong).sum <=
+          words.map(Bpe.encodeWord(_, ranksHalf).length.toLong).sum
+      // with the corpus alphabet declared, every emitted symbol has a
+      // real id (never <unk>) and ids decode back to the exact word
+      val idsClean = words.forall { w =>
+        val ids = Bpe.encodeWord(w, ranksAll).map(s => idOf.getOrElse(s, 0))
+        ids.forall(_ != 0) &&
+          ids.map(vocab(_)).mkString("") == w + Bpe.EndOfWord
+      }
+      lossless && monotone && idsClean
+    }, n = 40)
+  }
+
   test("updateTable rewrites in place with read-your-writes") {
     val path = "/root/repo/target/test_updatetable"
     val supp = spark.read.parquet(s"${sf()}/supplier.parquet")

@@ -194,6 +194,82 @@ class SafetySpec extends SparkSpec {
       .select(max("s_acctbal")).head().getDouble(0) === -9.0)
   }
 
+  test("SIMULATED copy+delete rename: mid-copy crash tears the table; recovery heals the clean windows") {
+    // CopyRenameS3aFs implements rename the way flat object stores do —
+    // copy every file, then delete the source — so the non-atomic-rename
+    // refusal is exercised against the SEMANTICS it guards, not just the
+    // scheme string: a crash mid-rename here produces on-disk states an
+    // atomic-rename filesystem cannot produce.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.s3a.impl", classOf[graft.CopyRenameS3aFs].getName)
+    conf.set("fs.s3a.impl.disable.cache", "true")
+    val path = "s3a:/root/repo/target/test_cprename"
+    try {
+      // multi-file table so a partial copy is observable as missing rows
+      MSWrite.create(
+        spark.read.parquet(s"${sf()}/supplier.parquet").repartition(4), path)
+      val before = MSTable.open(spark, path).count()
+      def delta = MSTable.withRowId(MSTable.open(spark, path), Seq("s_suppkey"))
+        .filter(col("s_suppkey") <= 1)
+        .select(col(MSTable.RowId), lit(-3.0).as("s_acctbal"))
+        .localCheckpoint()
+      val p = new Path(path)
+      val bak = new Path(MSWrite.cowBakPath(path))
+      val tmp = new Path(MSWrite.cowTmpPath(path))
+      val s3fs = p.getFileSystem(conf)
+      def armCrash(afterFiles: Int): Unit = {
+        graft.CopyRenameS3aFs.crashWhen = (src, dst) =>
+          src.toUri.getPath == tmp.toUri.getPath &&
+            dst.toUri.getPath == p.toUri.getPath
+        graft.CopyRenameS3aFs.crashAfterFiles = afterFiles
+      }
+      def disarm(): Unit = {
+        graft.CopyRenameS3aFs.crashWhen = (_, _) => false
+        graft.CopyRenameS3aFs.crashAfterFiles = -1
+      }
+
+      // window A — the refusal's REASON: crash after 2 files of the
+      // rename-in copy. The table at its well-known path is PARTIAL, a
+      // state no atomic rename can leave behind.
+      armCrash(afterFiles = 2)
+      try {
+        val e = intercept[java.io.IOException](
+          MSWrite.updateTable(spark, path, delta, Seq("s_suppkey"),
+            allowNonAtomicRename = true))
+        assert(e.getMessage.contains("simulated crash"))
+      } finally disarm()
+      val torn = try MSTable.open(spark, path).count()
+                 catch { case _: Exception => -1L }
+      assert(torn !== before,
+        s"mid-rename crash must leave a torn table: read $torn of $before")
+      // operator triage: drop the partial dir, then recoverTable restores
+      // the live copy from the backup and clears the stale tmp
+      s3fs.delete(p, true)
+      MSWrite.recoverTable(spark, path)
+      assert(MSTable.open(spark, path).count() === before)
+      assert(!s3fs.exists(bak) && !s3fs.exists(tmp))
+
+      // window B — crash BETWEEN the renames (base fully aside, rename-in
+      // never started): recoverTable alone heals it, and the retry lands
+      armCrash(afterFiles = -1)
+      try intercept[java.io.IOException](
+        MSWrite.updateTable(spark, path, delta, Seq("s_suppkey"),
+          allowNonAtomicRename = true))
+      finally disarm()
+      assert(!s3fs.exists(p) && s3fs.exists(bak),
+        "between-renames: table missing, complete backup live")
+      MSWrite.recoverTable(spark, path)
+      assert(MSTable.open(spark, path).count() === before)
+      MSWrite.updateTable(spark, path, delta, Seq("s_suppkey"),
+        allowNonAtomicRename = true)
+      assert(MSTable.open(spark, path).filter(col("s_suppkey") <= 1)
+        .select(max("s_acctbal")).head().getDouble(0) === -3.0)
+    } finally {
+      conf.set("fs.s3a.impl", classOf[graft.S3aLikeLocalFs].getName)
+      conf.unset("fs.s3a.impl.disable.cache")
+    }
+  }
+
   test("grouped read refuses a fan-out beyond maxGroups, readDF does not") {
     val path = s"${sf()}/lineitem.parquet"
     val ex = intercept[IllegalArgumentException] {

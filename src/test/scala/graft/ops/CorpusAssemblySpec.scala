@@ -78,5 +78,34 @@ class CorpusAssemblySpec extends SparkSpec {
     val again = assemble()
     assert(out.except(again).count() === 0)
     assert(again.except(out).count() === 0)
+
+    // 7. dataloader-ready leg: learn a subword vocabulary ON the
+    // assembled corpus, encode every kept doc to int ids, then select
+    // the best docs within a token budget counted in BPE ids — the form
+    // a training job actually consumes
+    val corpus = docs.join(docsOut, "doc_id").select("doc_id", "text")
+    val merges = Bpe.learnBpe(corpus, "text", numMerges = 150, maxWords = 10000)
+    val vocab = Bpe.vocabFromMerges(merges)
+    val encoded = Bpe.applyBpeIds(corpus, "text", merges, vocab)
+    // half the corpus's id total, so the budget genuinely cuts
+    val budget = encoded.agg(sum("n_bpe_tokens")).head().getLong(0) / 2
+    val selected = Sampling.selectTokenBudget(encoded, "doc_id",
+      priority = col("n_bpe_tokens").cast("double"),
+      tokens = col("n_bpe_tokens"), budget = budget)
+    val nSel = selected.count()
+    assert(nSel > 0 && nSel < n, s"budget selects a strict subset: $nSel of $n")
+    // the id sequences fit the budget, and the budget counted the ids:
+    // cum_tokens' high-water mark equals the total id count selected
+    val (cumMax, idTotal) = {
+      val r = selected.agg(max("cum_tokens"),
+        sum(size(col("bpe_ids"))).cast("long")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(cumMax <= budget, s"selection exceeds the token budget: $cumMax")
+    assert(cumMax === idTotal, s"cum_tokens $cumMax != id count $idTotal")
+    // every id addresses the learned vocabulary (no stray ids — the
+    // r10 fused-operand bug class would shift this space)
+    assert(selected.select(explode(col("bpe_ids")).as("id"))
+      .filter(col("id") < 0 || col("id") >= vocab.size).count() === 0)
   }
 }
