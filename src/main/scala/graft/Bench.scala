@@ -80,15 +80,25 @@ object Bench {
     once(); (0 until 3).map(_ => once()).min
   }
 
-  /** 1-minute load average before the bench touches Spark — a nonzero
-    * value on this dedicated VM means a co-tenant process is competing
-    * for the cores and the run is contaminated.
+  /** 1-minute load average before the bench touches Spark. Advisory, not
+    * proof: the 1-min window still carries anything that ran on this VM
+    * in the previous minute (a compile, a probe — including this
+    * session's own), and a co-tenant arriving mid-run is never sampled.
+    * A clean reading on a dedicated VM is meaningful; a dirty one says
+    * "prefer value_norm over raw seconds this round", not "discard".
     */
   private def loadAvg(): Double =
     try {
       val src = scala.io.Source.fromFile("/proc/loadavg")
       try src.mkString.trim.split("\\s+")(0).toDouble finally src.close()
     } catch { case _: Throwable => -1.0 }
+
+  /** Locale-independent fixed-point formatting: the f-interpolator uses
+    * the default locale, which renders 0.043 as "0,043" on a comma-
+    * decimal JVM and corrupts the JSON line.
+    */
+  private def fmt(v: Double, digits: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -132,18 +142,18 @@ object Bench {
       }
       name -> times.min
     }
-    val qjson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qjson = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val calib = calibrate()
     val calibPar = calibrateParallel(cpus.toInt)
     // value_norm divides out machine speed under full-width load: read
     // THIS across rounds (dimensionless; identical code on a fast/slow VM
-    // lands on the same number). contaminated = something else was
-    // already running when the bench started.
+    // lands on the same number). contaminated = load already present at
+    // start (advisory — see loadAvg).
     val norm = total / calibPar
     val contaminated = load0 > 1.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"calib":${f"$calib%.3f"},"calib_par":${f"$calibPar%.3f"},"value_norm":${f"$norm%.2f"},"loadavg":${f"$load0%.2f"},"contaminated":$contaminated,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"calib":${fmt(calib, 3)},"calib_par":${fmt(calibPar, 3)},"value_norm":${fmt(norm, 2)},"loadavg":${fmt(load0, 2)},"contaminated":$contaminated,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

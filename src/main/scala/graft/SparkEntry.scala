@@ -1093,7 +1093,7 @@ object SparkEntry {
       val merges = Bpe.learnBpe(docs, "text", numMerges = 200, maxWords = 20000)
       val t200 = Bpe.applyBpe(docs, "text", merges)
       val t50 = Bpe.applyBpe(docs, "text", merges.take(50))
-      val words = filter(TextAnalysis.tokens(col("text")), w => length(w) > 0)
+      val words = TextAnalysis.nonEmptyTokens(col("text"))
       val roundtrip = t200.select(
         (array_join(col("bpe_tokens"), "") === concat_ws("",
           transform(words, w => concat(w, lit(Bpe.EndOfWord))))).as("ok"))

@@ -202,7 +202,7 @@ object Bpe {
     * occur: there is only one lowercasing mechanism).
     */
   private def corpusWords(textCol: String): Column =
-    filter(TextAnalysis.tokens(col(textCol)), w => length(w) > 0)
+    TextAnalysis.nonEmptyTokens(col(textCol))
 
   /** Broadcast-closure word encoder behind the [[applyBpe]] UDF. Each
     * task deserializes a fresh instance, so the transient memo is
@@ -212,8 +212,11 @@ object Bpe {
     */
   private final class WordEncoder(ranksB: Broadcast[Map[(String, String), Int]])
       extends (Seq[String] => Seq[String]) with Serializable {
+    // Concurrent: on executors each task deserializes its own instance,
+    // but a LocalRelation input evaluates the UDF DRIVER-side on the one
+    // original instance, possibly from several query threads at once
     @transient private lazy val memo =
-      new java.util.HashMap[String, Array[String]]()
+      new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
     override def apply(words: Seq[String]): Seq[String] =
       if (words == null) Seq.empty
       else {
@@ -233,7 +236,8 @@ object Bpe {
   private final class WordIdEncoder(
       stateB: Broadcast[(Map[(String, String), Int], Map[String, Int])])
       extends (Seq[String] => Seq[Int]) with Serializable {
-    @transient private lazy val memo = new java.util.HashMap[String, Array[Int]]()
+    @transient private lazy val memo =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()
     override def apply(words: Seq[String]): Seq[Int] =
       if (words == null) Seq.empty
       else {

@@ -95,7 +95,7 @@ object Classifier {
     // split Spark-side with the exact expression the Column scorer uses,
     // so train/score tokenization agree by construction.
     val feats = docs.select(
-        filter(TextAnalysis.tokens(col(textCol)), t => length(t) > 0),
+        TextAnalysis.nonEmptyTokens(col(textCol)),
         col(labelCol).cast("double"))
       .rdd.map { r =>
         val ws: Seq[String] = if (r.isNullAt(0)) Seq.empty else r.getSeq[String](0)
@@ -179,8 +179,7 @@ object Classifier {
       .zipWithIndex.collect { case (v, i) if v != 0.0 => i.toLong -> v }.toMap
     val wLit = typedlit(wMap)
     val toks = coalesce(
-      filter(split(trim(lower(text)), "\\s+"), t => length(t) > 0),
-      typedlit(Seq.empty[String]))
+      TextAnalysis.nonEmptyTokens(text), typedlit(Seq.empty[String]))
     val n = size(toks).cast("double")
     def bucket(t: Column): Column =
       conv(substring(md5(t), 1, 8), 16, 10).cast("long") % model.buckets

@@ -15,6 +15,16 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     split(trim(lower(text)), "\\s+")
 
+  /** [[tokens]] with empties dropped (null text → null) — THE shared
+    * word expression of every learn/apply/train/score path (BPE,
+    * classifier, q_bpe's oracle). Keep these call sites on this ONE
+    * helper: the train/apply-consistency argument is "identical
+    * tokenization by construction", which only holds while there is a
+    * single definition to be consistent with.
+    */
+  def nonEmptyTokens(text: Column): Column =
+    filter(tokens(text), t => length(t) > 0)
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))

@@ -75,7 +75,7 @@ class ClassifierSpec extends SparkSpec {
       .select("doc_id", "quality_score").collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val a = docs.select(col("doc_id"),
-        filter(TextAnalysis.tokens(col("text")), t => length(t) > 0).as("w"))
+        TextAnalysis.nonEmptyTokens(col("text")).as("w"))
       .collect().map { r =>
         var dot = m.bias
         Classifier.featurizeWords(r.getSeq[String](1), m.buckets)
