@@ -1110,6 +1110,43 @@ object SparkEntry {
         "tokens_at_least_words" -> (col("n200") >= col("nw")))
     }),
 
+    // BPE int-id encoding (the dataloader-ready form): merges learned,
+    // persisted as a frame, rehydrated, then applied as vocabulary ids
+    // with the corpus's own alphabet declared — derived checks: the
+    // persisted artifact round-trips exactly, the token-count column
+    // matches the id sequences, every id addresses the vocabulary with
+    // no <unk> fallback, and the ids DECODE back to the lowercased
+    // marker-terminated words
+    "q_bpe_ids" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val merges = Bpe.learnBpe(docs, "text", numMerges = 200, maxWords = 20000)
+      val back = Bpe.mergesFromDf(Bpe.mergesDf(s, merges))
+      // bounded corpus-alphabet agg (distinct characters of the words)
+      val alphabet = docs.select(explode(split(array_join(
+          TextAnalysis.nonEmptyTokens(col("text")), ""), "")).as("ch"))
+        .filter(col("ch") =!= "").distinct()
+        .collect().map(_.getString(0)).toSeq
+      val vocab = Bpe.vocabFromMerges(back, extraAlphabet = alphabet)
+      val vocabLit = typedlit(vocab)
+      val words = TextAnalysis.nonEmptyTokens(col("text"))
+      val enc = Bpe.applyBpeIds(docs, "text", back, vocab)
+      val one = enc.agg(
+        min(col("n_bpe_tokens") === size(col("bpe_ids"))).as("counts"),
+        min(forall(col("bpe_ids"),
+          i => i >= 0 && i < lit(vocab.size))).as("in_vocab"),
+        min(!array_contains(col("bpe_ids"), 0)).as("no_unk"),
+        min(array_join(transform(col("bpe_ids"),
+            i => element_at(vocabLit, i + 1)), "") ===
+          concat_ws("", transform(words,
+            w => concat(w, lit(Bpe.EndOfWord))))).as("decodes"))
+      checkRows(one,
+        "artifact_roundtrip" -> lit(back == merges),
+        "count_matches_ids" -> col("counts"),
+        "decodes_to_words" -> col("decodes"),
+        "ids_in_vocab" -> col("in_vocab"),
+        "no_unk_with_full_alphabet" -> col("no_unk"))
+    }),
+
     // TF-IDF top-3 keywords per document
     "q_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidf(T(s, dir, "documents"), "text", "doc_id", 3)
@@ -2371,6 +2408,9 @@ object SparkEntry {
 
       "q_bpe" -> checksOracle("roundtrip_lossless", "monotone_merges",
         "tokens_at_least_words"),
+
+      "q_bpe_ids" -> checksOracle("artifact_roundtrip", "count_matches_ids",
+        "decodes_to_words", "ids_in_vocab", "no_unk_with_full_alphabet"),
 
       "q_quality_clf" -> checksOracle("holdout_acc_floor", "beats_majority",
         "scores_in_unit"),

@@ -136,6 +136,14 @@ object Bpe {
       .toDF("rank", "left", "right")
   }
 
+  /** Rehydrate [[mergesDf]] output (e.g. read back from parquet next to
+    * the corpus) into the rank-ordered merge list [[applyBpe]] consumes.
+    */
+  def mergesFromDf(df: DataFrame): Seq[(String, String)] =
+    df.select("rank", "left", "right").collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
   /** Tokenize one word (no whitespace) with greedy lowest-rank merging —
     * GPT-2-style application: repeatedly fuse the occurrence of the
     * best-ranked learned pair until none applies.

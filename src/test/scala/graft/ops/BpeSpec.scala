@@ -92,6 +92,18 @@ class BpeSpec extends SparkSpec {
     assert(out(1) === Seq(0, 0, 0, 1))
   }
 
+  test("merges persist to a frame and rehydrate in rank order") {
+    val merges = Bpe.learnFromWordFreq(sennrich, numMerges = 6)
+    val back = Bpe.mergesFromDf(
+      // shuffle the row order: rehydration must re-sort by rank
+      Bpe.mergesDf(spark, merges).orderBy(col("left")))
+    assert(back === merges)
+    // and the rehydrated artifact encodes identically
+    val ranks = back.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    assert(Bpe.encodeWord("lowest", ranks).toSeq ===
+      Seq("low", "est" + Bpe.EndOfWord))
+  }
+
   test("corpus training is deterministic and more merges never inflate tokens") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val a = Bpe.learnBpe(docs, "text", numMerges = 60, maxWords = 5000)
