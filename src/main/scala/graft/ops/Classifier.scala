@@ -21,9 +21,10 @@ import org.apache.spark.storage.StorageLevel
   *  - `buckets` bounds everything: the weight vector, the per-task
   *    gradient accumulator (B+1 doubles ≈ 256 KB at the 2^15 default),
   *    and the broadcast — independent of corpus size
-  *  - scoring is scan-side: the non-zero weights ride the plan as a map
-  *    literal and the score is one narrow Column pass, no shuffle, no
-  *    RDD round-trip (same shape as [[TextAnalysis.dsirWeights]] scoring)
+  *  - scoring is scan-side: the weight vector rides the plan as a dense
+  *    array literal (O(1) per-token lookup) and the score is one narrow
+  *    Column pass, no shuffle, no RDD round-trip (same shape as
+  *    [[TextAnalysis.dsirWeights]] scoring)
   */
 object Classifier {
 
@@ -152,7 +153,7 @@ object Classifier {
 
   /** Score every document: adds `quality_score` = σ(w·x + bias) in
     * (0, 1). A scan-side Column projection ([[scoreColumn]]): the
-    * (bounded, non-zero) weight table rides the plan as a map literal —
+    * (bounded) weight vector rides the plan as a dense array literal —
     * no shuffle, no RDD round-trip, streaming-safe; token-less docs
     * score the length-slot prior.
     */
@@ -166,25 +167,27 @@ object Classifier {
   /** Pure-Column scorer: σ(w·x + bias) as a Column expression — usable in
     * Structured Streaming transforms (no RDD access) and inside
     * whole-stage codegen; [[scoreHashedLR]] is this plus the column name.
-    * The (bounded) weight table rides in the plan as a map literal;
-    * per-token lookup recomputes the identical md5 bucket as the
-    * trainer's [[bucketOf]]. Scores match a driver-side
+    * The (bounded) weight vector rides in the plan as a dense array
+    * literal with O(1) per-token indexing; each lookup recomputes the
+    * identical md5 bucket as the trainer's [[bucketOf]]. Scores match a driver-side
     * [[featurizeWords]] reference dot product to within float-association
     * tolerance (per-token vs per-bucket summation orders differ by
     * ~1 ulp; asserted < 1e-12 in ClassifierSpec).
     */
   def scoreColumn(text: Column, model: LinearTextModel): Column = {
     import org.apache.spark.sql.functions.{typedlit, aggregate => arrAgg}
-    val wMap: Map[Long, Double] = model.weights.take(model.buckets)
-      .zipWithIndex.collect { case (v, i) if v != 0.0 => i.toLong -> v }.toMap
-    val wLit = typedlit(wMap)
+    // DENSE array literal, not a map: Catalyst's GetMapValue (element_at
+    // on a map) is a LINEAR key scan, which at buckets = 2^15 turns each
+    // token lookup into a 32k-entry sweep — O(tokens · buckets) per doc.
+    // GetArrayItem is O(1), and the zeros cost only plan bytes.
+    val wArr = typedlit(model.weights.take(model.buckets).toSeq)
     val toks = coalesce(
       TextAnalysis.nonEmptyTokens(text), typedlit(Seq.empty[String]))
     val n = size(toks).cast("double")
     def bucket(t: Column): Column =
       conv(substring(md5(t), 1, 8), 16, 10).cast("long") % model.buckets
     val tfDot = arrAgg(toks, lit(0.0),
-      (acc, t) => acc + coalesce(element_at(wLit, bucket(t)), lit(0.0)))
+      (acc, t) => acc + element_at(wArr, (bucket(t) + 1).cast("int")))
     val dot = when(n > 0, tfDot / n).otherwise(lit(0.0)) +
       lit(model.weights(model.buckets)) * (lit(1.0) / (lit(1.0) + n)) +
       lit(model.weights(model.buckets + 1)) * (least(n, lit(512.0)) / 512.0) +
