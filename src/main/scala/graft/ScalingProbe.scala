@@ -143,6 +143,19 @@ object ScalingProbe {
         buckets = 1 << 12, iters = 30, lr = 1.0)
       1L
     }
+    // classifier SCORING alone at the default 2^15 buckets: the dense-
+    // array-literal Column scorer — should track the scan (the weight
+    // vector rides the plan; no shuffle, no join)
+    time("quality_clf_score") { d =>
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+      // deterministic synthetic weights: isolates scoring from training
+      val b = 1 << 15
+      val w = Array.tabulate(b + 2)(i => ((i * 2654435761L & 0xffff) - 32768) / 1e6)
+      val m = graft.ops.Classifier.LinearTextModel(w, 0.1)
+      graft.ops.Classifier.scoreHashedLR(docs, "text", m)
+        .agg(sum("quality_score")).collect()
+      1L
+    }
     // minhash on a REALISTIC input (constant dup rate, cross-copy shingle
     // spaces disjoint) — the q_dedup_minhash probe above replicates
     // identical texts, so its true pair count is quadratic in mult and
