@@ -151,6 +151,32 @@ class EventStreamSpec extends SparkSpec {
       assert(s > 0.0 && s < 1.0, s"score out of (0,1): $s") }
   }
 
+  test("BPE id encoding runs inside a real stream (UDF apply path)") {
+    // the apply path is a Column projection, so a learned tokenizer can
+    // encode an INGEST stream — merges learned batch-side, ids assigned
+    // incrementally with exact batch parity
+    val dir = sf("sf0.001")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val merges = graft.ops.Bpe.learnBpe(docs, "text", numMerges = 80,
+      maxWords = 5000)
+    val vocab = graft.ops.Bpe.vocabFromMerges(merges)
+    val dDir = "/root/repo/target/test_stream_bpe_docs"
+    docs.write.mode("overwrite").parquet(dDir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dDir)
+    val enc = graft.ops.Bpe.applyBpeIds(stream, "text", merges, vocab)
+      .select("doc_id", "bpe_ids", "n_bpe_tokens")
+    EventStream.runToMemory(enc, "bpe_out", mode = "append")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getSeq[Int](1).mkString(","), r.getLong(2))
+    val streamed = spark.table("bpe_out").collect().map(key).toSeq.sorted
+    val batch = graft.ops.Bpe.applyBpeIds(docs, "text", merges, vocab)
+      .select("doc_id", "bpe_ids", "n_bpe_tokens")
+      .collect().map(key).toSeq.sorted
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(s * 1000)
