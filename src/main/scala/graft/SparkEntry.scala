@@ -1068,6 +1068,19 @@ object SparkEntry {
         .orderBy("doc_id", "epoch")
     }),
 
+    // temperature mixture (XLM-R §3.1 / mC4, alpha = 0.5): per-language
+    // weights from the corpus census flatten the language distribution —
+    // low-resource languages upweighted, the head downweighted — then the
+    // same deterministic fractional-copy draw as q_upsample. Exact-checked
+    // against DuckDB recomputing the census, sqrt shares, 6-decimal
+    // rounded weights, and the draw arithmetic
+    "q_temperature" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val w = Sampling.temperatureWeights(docs, "lang", alpha = 0.5)
+      Sampling.upsampleByWeight(docs, "doc_id", w)
+        .orderBy("doc_id", "epoch")
+    }),
+
     // per-stratum cap: at most 70 docs per language, chosen by smallest
     // md5 draw of doc_id — row_number-over-stratum semantics without a
     // one-task-per-stratum window (range sort + census-seeded ranks);
@@ -2289,6 +2302,37 @@ object SparkEntry {
           |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
           |      AS BIGINT) / 4294967296.0 AS draw
           |  FROM documents
+          |), n AS (
+          |  SELECT doc_id, lang,
+          |    CAST(floor(wt) + (CASE WHEN draw < wt - floor(wt)
+          |                      THEN 1 ELSE 0 END) AS BIGINT) AS nc
+          |  FROM w
+          |)
+          |SELECT doc_id, lang, CAST(e.epoch AS BIGINT) AS epoch
+          |FROM n, LATERAL unnest(range(0, nc)) AS e(epoch)
+          |WHERE nc > 0 ORDER BY doc_id, epoch""".stripMargin,
+
+      "q_temperature" ->
+        """WITH c AS (
+          |  SELECT lang, CAST(count(*) AS DOUBLE) AS cnt FROM documents
+          |  WHERE lang IS NOT NULL GROUP BY lang
+          |), tot AS (SELECT sum(cnt) AS total FROM c),
+          |s AS (
+          |  -- alpha = 0.5: sqrt is correctly rounded in ieee754, so the
+          |  -- share computation is bit-identical to the JVM's
+          |  SELECT lang, cnt, sqrt(cnt / (SELECT total FROM tot)) AS pa FROM c
+          |), zz AS (SELECT sum(pa) AS z FROM s),
+          |wt AS (
+          |  -- same op order as the engine: total * (pa / z) / cnt, then a
+          |  -- half-up 6-decimal round makes the weight engine-stable
+          |  SELECT lang, floor((SELECT total FROM tot) * (pa / (SELECT z FROM zz))
+          |    / cnt * 1e6 + 0.5) / 1e6 AS wt
+          |  FROM s
+          |), w AS (
+          |  SELECT d.doc_id, d.lang, wt.wt,
+          |    CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+          |      AS BIGINT) / 4294967296.0 AS draw
+          |  FROM documents d JOIN wt USING (lang)
           |), n AS (
           |  SELECT doc_id, lang,
           |    CAST(floor(wt) + (CASE WHEN draw < wt - floor(wt)

@@ -107,6 +107,43 @@ object Sampling {
       .toDF(groupCol, orderCol, "n_tokens", "pack_id", "pack_cum")
   }
 
+  /** Temperature-rebalanced mixture weights (the multilingual-corpus
+    * recipe of XLM-R, Conneau et al. 2020 §3.1, and mC4): a group g with
+    * corpus share p_g is resampled to share q_g ∝ p_g^alpha, flattening
+    * the distribution for alpha < 1 — low-resource groups upweighted,
+    * head groups downweighted — while alpha = 1 is the identity. Returns
+    * the per-row expected-copy weight w_g = totalScale · N · q_g / n_g,
+    * ready for [[upsampleByWeight]]: the resampled corpus has
+    * ~totalScale · N rows with group shares q_g.
+    *
+    * Scale shape: one bounded census (O(groups) driver state, like the
+    * capPerStratum census), then the weight rides the scan as a CASE
+    * literal — no join, no shuffle beyond the census agg. Weights are
+    * rounded to 6 decimals so the downstream fractional-copy draw is
+    * engine-stable (the same guard bm25 applies before ranking); rows
+    * whose group was absent from the census (e.g. NULL) weigh 0 and are
+    * dropped by the upsampler's `> 0` filter.
+    */
+  def temperatureWeights(df: DataFrame, groupCol: String, alpha: Double,
+                         totalScale: Double = 1.0): Column = {
+    require(alpha > 0, s"temperatureWeights: alpha must be positive: $alpha")
+    require(totalScale > 0, s"temperatureWeights: totalScale positive: $totalScale")
+    val counts: Seq[(String, Long)] = df.groupBy(groupCol).count().collect()
+      .collect { case r if !r.isNullAt(0) => (r.get(0).toString, r.getLong(1)) }
+      .toSeq.sortBy(_._1) // deterministic share-sum order
+    require(counts.nonEmpty, "temperatureWeights: no non-null groups")
+    val n = counts.map(_._2).sum.toDouble
+    val shares = counts.map { case (g, c) => (g, c, math.pow(c / n, alpha)) }
+    val z = shares.map(_._3).sum
+    val ws = shares.map { case (g, c, pa) =>
+      // half-up 6-decimal round, the exact arithmetic the oracle mirrors
+      (g, math.floor(totalScale * n * (pa / z) / c * 1e6 + 0.5) / 1e6)
+    }
+    ws.foldLeft(lit(0.0)) { case (acc, (g, w)) =>
+      when(col(groupCol).cast("string") === g, lit(w)).otherwise(acc)
+    }
+  }
+
   /** Deterministic weighted UPSAMPLING — the epochs-greater-than-1 half of
     * mixture weighting ([[stratifiedSample]] covers rates ≤ 1): emit each
     * row `floor(w)` times plus one extra copy with probability

@@ -351,6 +351,40 @@ class SamplingSpec extends SparkSpec {
       m.contains("<null>")), ek.toString)
   }
 
+  test("temperature weights flatten the mixture; alpha = 1 is the identity") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "lang")
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = before.values.sum.toDouble
+
+    // alpha = 1: q_g = p_g, so every weight rounds to exactly 1.0 and
+    // upsampling returns the corpus unchanged (one epoch-0 copy per row)
+    val id = Sampling.upsampleByWeight(docs, "doc_id",
+      Sampling.temperatureWeights(docs, "lang", alpha = 1.0))
+    assert(id.count() === n.toLong)
+    assert(id.agg(max("epoch")).head().getLong(0) === 0L)
+
+    // alpha = 0.5 flattens: smallest group's share rises, largest falls,
+    // total stays ~N (the draw adds ±O(sqrt) noise)
+    val out = Sampling.upsampleByWeight(docs, "doc_id",
+      Sampling.temperatureWeights(docs, "lang", alpha = 0.5))
+    val after = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m = after.values.sum.toDouble
+    assert(math.abs(m - n) / n < 0.1, s"total drifted: $n -> $m")
+    val (smallest, largest) =
+      (before.minBy(_._2)._1, before.maxBy(_._2)._1)
+    assert(after(smallest) / m > before(smallest) / n,
+      s"low-resource group must gain share: $before -> $after")
+    assert(after(largest) / m < before(largest) / n,
+      s"head group must lose share: $before -> $after")
+    // and the weights scale the corpus: totalScale = 2 doubles the output
+    val twice = Sampling.upsampleByWeight(docs, "doc_id",
+      Sampling.temperatureWeights(docs, "lang", alpha = 0.5, totalScale = 2.0))
+    assert(math.abs(twice.count() - 2 * m) / (2 * m) < 0.1)
+  }
+
   test("capPerStratum equals row_number over stratum; strata span partitions") {
     import org.apache.spark.sql.expressions.Window
     // 3 strata of very different sizes, shuffled across 13 input
