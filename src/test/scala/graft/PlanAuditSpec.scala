@@ -126,6 +126,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Generate"), p) // the explode(sequence(...))
   }
 
+  test("temperature mixture weights ride the scan as a literal (no join)") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "lang")
+    val w = ops.Sampling.temperatureWeights(docs, "lang", alpha = 0.5)
+    val p = plan(ops.Sampling.upsampleByWeight(docs, "doc_id", w))
+    // the census ran at build time (bounded collect); the query itself is
+    // the same scan-side generate as plain upsampling — no join, 0 shuffles
+    assert(!p.contains("Join"), s"weights must not join:\n$p")
+    assert(opCount(p, "Exchange") == 0, s"mixture must not shuffle:\n$p")
+    assert(p.contains("Generate"), p)
+  }
+
   test("decontamination broadcasts the benchmark gram set") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val df = ops.Dedup.decontaminate(
