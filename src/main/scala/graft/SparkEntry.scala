@@ -1195,6 +1195,15 @@ object SparkEntry {
       TextAnalysis.unigramSurprisal(T(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
 
+    // CCNet perplexity bucketing (Wenzek 2020): head/middle/tail by the
+    // surprisal terciles, thresholds rounded for engine stability —
+    // exact-checked against DuckDB recomputing surprisal, quantile_cont
+    // cut points, and the same CASE
+    "q_ccnet" -> ((s, dir) =>
+      TextAnalysis.perplexityBuckets(T(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("nll"), col("ppl_bucket"))
+        .orderBy("doc_id")),
+
     // DSIR importance weights (Xie et al. 2023): every doc scored by the
     // hashed-unigram log-likelihood ratio of a target model (lang='en'
     // docs) vs the raw-corpus model — the published pretraining
@@ -2423,6 +2432,39 @@ object SparkEntry {
           |      / CAST(sum(tf) AS DOUBLE), 9) AS nll
           |FROM terms JOIN model USING (token) CROSS JOIN tot
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "q_ccnet" ->
+        """WITH terms AS (
+          |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+          |  FROM (SELECT doc_id,
+          |          unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+          |        FROM documents)
+          |  WHERE len(token) > 0
+          |  GROUP BY doc_id, token
+          |), model AS (
+          |  SELECT token, CAST(sum(tf) AS BIGINT) AS cnt FROM terms GROUP BY token
+          |), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM model),
+          |sc AS (
+          |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+          |    round(-sum(CAST(tf AS DOUBLE)
+          |          * ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)))
+          |        / CAST(sum(tf) AS DOUBLE), 9) AS nll
+          |  FROM terms JOIN model USING (token) CROSS JOIN tot
+          |  GROUP BY doc_id
+          |), th AS (
+          |  -- same interpolated-percentile definition as Spark's
+          |  -- percentile(); thresholds rounded half-up to 6 decimals on
+          |  -- both engines so the CASE below is bit-stable
+          |  SELECT
+          |    floor(quantile_cont(nll, CAST(1 AS DOUBLE)/3) * 1e6 + 0.5) / 1e6 AS t1,
+          |    floor(quantile_cont(nll, CAST(2 AS DOUBLE)/3) * 1e6 + 0.5) / 1e6 AS t2
+          |  FROM sc
+          |)
+          |SELECT doc_id, n_tokens, nll,
+          |  CASE WHEN nll <= (SELECT t1 FROM th) THEN 'head'
+          |       WHEN nll <= (SELECT t2 FROM th) THEN 'middle'
+          |       ELSE 'tail' END AS ppl_bucket
+          |FROM sc ORDER BY doc_id""".stripMargin,
 
       "q_url_filter" ->
         """WITH u AS (

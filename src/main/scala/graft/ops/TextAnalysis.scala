@@ -478,6 +478,36 @@ object TextAnalysis {
           sum(col("tf")).cast("double"), 9).as("nll"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): the
+    * corpus is split into `head` / `middle` / `tail` by the terciles of
+    * the per-doc LM surprisal ([[unigramSurprisal]]; low surprisal =
+    * head = most in-distribution — the bucket CCNet keeps or upweights).
+    * Compose downstream with [[graft.ops.Sampling.stratifiedSample]] or
+    * [[graft.ops.Sampling.temperatureWeights]] for the published
+    * keep-the-head recipes. Token-less documents have no surprisal and
+    * are absent, as in [[unigramSurprisal]].
+    *
+    * Scale shape: surprisal is two hash-aggs + a broadcast model; the
+    * cut points are one exact-percentile aggregation (O(1) driver
+    * state), rounded to 6 decimals so bucket assignment is
+    * engine-stable; the bucket label itself is a scan-side CASE.
+    */
+  def perplexityBuckets(docs: DataFrame, textCol: String, idCol: String,
+                        cuts: (Double, Double) = (1.0 / 3, 2.0 / 3))
+  : DataFrame = {
+    require(cuts._1 > 0 && cuts._1 < cuts._2 && cuts._2 < 1,
+      s"perplexityBuckets: cuts must satisfy 0 < c1 < c2 < 1: $cuts")
+    val s = unigramSurprisal(docs, textCol, idCol)
+    val r = s.agg(expr(s"percentile(nll, ${cuts._1})"),
+      expr(s"percentile(nll, ${cuts._2})")).head()
+    def stable(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
+    val (t1, t2) = (stable(r.getDouble(0)), stable(r.getDouble(1)))
+    s.withColumn("ppl_bucket",
+      when(col("nll") <= t1, "head")
+        .when(col("nll") <= t2, "middle")
+        .otherwise("tail"))
+  }
+
   // ----------------------------------------------------------- sketches
 
   /** Count-min sketch over the corpus token stream — approximate frequency

@@ -644,6 +644,28 @@ class RetrievalSpec extends SparkSpec {
     assert(out(1).getDouble(2) > out(0).getDouble(2))
   }
 
+  test("perplexityBuckets: ordered terciles that partition the corpus") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val b = TextAnalysis.perplexityBuckets(docs, "text", "doc_id")
+    val counts = b.groupBy("ppl_bucket").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === Set("head", "middle", "tail"), counts.toString)
+    val n = counts.values.sum.toDouble
+    // terciles: each bucket holds roughly a third (ties/rounding move a few)
+    counts.values.foreach(c =>
+      assert(c / n > 0.25 && c / n < 0.42, counts.toString))
+    // buckets are ordered by surprisal: head ≤ middle ≤ tail throughout
+    def range(bk: String) = b.filter(col("ppl_bucket") === bk)
+      .agg(min("nll"), max("nll")).head() match {
+        case r => (r.getDouble(0), r.getDouble(1))
+      }
+    val (h, m, t) = (range("head"), range("middle"), range("tail"))
+    assert(h._2 <= m._1 && m._2 <= t._1, s"$h $m $t")
+    // bad cuts are rejected
+    intercept[IllegalArgumentException](
+      TextAnalysis.perplexityBuckets(docs, "text", "doc_id", cuts = (0.7, 0.3)))
+  }
+
   test("urlHost/urlDomain handle userinfo, ports, paths, and non-URLs") {
     val cases = Seq(
       ("https://www.example.com/path?q=1", "www.example.com", "example.com"),
