@@ -47,5 +47,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NgramProfile].getName, "ngram_profile"),
       (exprs: Seq[Expression]) =>
         NgramProfile(exprs(0), intLit(exprs(1), "n-gram width n"))))
+    e.injectFunction((FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs(0))))
   }
 }

@@ -1204,6 +1204,40 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("nll"), col("ppl_bucket"))
         .orderBy("doc_id")),
 
+    // Unicode NFC + control/whitespace normalization (the CCNet/C4
+    // preprocess step, custom codegen Expression). The synthetic corpus
+    // is pure ASCII — NFC-identity — so the query appends a
+    // deterministic non-NFC suffix (decomposed é and Å, a control char,
+    // doubled spaces) to prove composition actually happens; exact
+    // against DuckDB's nfc_normalize + the same RE2-portable regexes.
+    "q_normalize" -> ((s, dir) => {
+      val raw = concat(col("text"), lit(" Café Å  fin. "))
+      T(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.normalizeText(raw).as("norm_text"),
+          length(raw).cast("long").as("n_raw"),
+          length(TextAnalysis.normalizeText(raw)).cast("long").as("n_norm"))
+        .orderBy("doc_id")
+    }),
+
+    // C4 line-level cleaning (Raffel 2020 §2.2). The synthetic corpus is
+    // single-line, so the query first builds a deterministic line
+    // structure — 6-word lines, terminal '.' on lines where
+    // (doc_id + line_idx) % 3 != 0 — then cleans with minWords=4 and
+    // 'slow' banned, exercising all three line rules; exact against
+    // DuckDB rebuilding the same lines and applying the same rules.
+    "q_c4_clean" -> ((s, dir) => {
+      val arr = filter(split(trim(col("text")), "\\s+"), w => length(w) > 0)
+      val nl = ceil(size(arr) / lit(6.0)).cast("int")
+      val lines = transform(sequence(lit(0), greatest(nl, lit(1)) - 1), i =>
+        concat(array_join(slice(arr, i * 6 + 1, lit(6)), " "),
+          when((col("doc_id") + i) % 3 === 0, "").otherwise(".")))
+      val built = T(s, dir, "documents")
+        .select(col("doc_id"), array_join(lines, "\n").as("text"))
+      TextAnalysis.cleanLines(built, "text", "doc_id",
+          minWords = 4, banned = Seq("slow"))
+        .orderBy("doc_id")
+    }),
+
     // DSIR importance weights (Xie et al. 2023): every doc scored by the
     // hashed-unigram log-likelihood ratio of a target model (lang='en'
     // docs) vs the raw-corpus model — the published pretraining
@@ -2465,6 +2499,50 @@ object SparkEntry {
           |       WHEN nll <= (SELECT t2 FROM th) THEN 'middle'
           |       ELSE 'tail' END AS ppl_bucket
           |FROM sc ORDER BY doc_id""".stripMargin,
+
+      // byte-identical non-NFC suffix to the Spark query's (decomposed
+      // e+U+0301, A+U+030A, a BEL control, doubled spaces); DuckDB's
+      // nfc_normalize + the same RE2-portable regexes
+      "q_normalize" ->
+        """WITH r AS (
+          |  SELECT doc_id, text || ' Café Å  fin. ' AS raw FROM documents
+          |), n AS (
+          |  SELECT doc_id, raw,
+          |    trim(regexp_replace(regexp_replace(nfc_normalize(raw),
+          |      '\p{Cc}', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text
+          |  FROM r
+          |)
+          |SELECT doc_id, norm_text, CAST(length(raw) AS BIGINT) AS n_raw,
+          |  CAST(length(norm_text) AS BIGINT) AS n_norm
+          |FROM n ORDER BY doc_id""".stripMargin,
+
+      "q_c4_clean" ->
+        """WITH w AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(trim(text), '\s+'),
+          |                x -> len(x) > 0) AS arr
+          |  FROM documents
+          |), b AS (
+          |  SELECT doc_id,
+          |    list_transform(
+          |      range(0, greatest(CAST(ceil(len(arr) / 6.0) AS INT), 1)), i ->
+          |        array_to_string(list_slice(arr, i * 6 + 1, i * 6 + 6), ' ') ||
+          |        CASE WHEN (doc_id + i) % 3 = 0 THEN '' ELSE '.' END) AS lines
+          |  FROM w
+          |), k AS (
+          |  SELECT doc_id, lines,
+          |    list_filter(lines, l ->
+          |      len(list_filter(string_split_regex(trim(l), '\s+'),
+          |                      x -> len(x) > 0)) >= 4
+          |      AND regexp_matches(l, '[.!?"'']\s*$')
+          |      AND NOT contains(lower(l), 'slow')) AS kept
+          |  FROM b
+          |)
+          |-- array_to_string([]) is NULL in DuckDB; Spark array_join gives ''
+          |SELECT doc_id, coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+          |  CAST(len(lines) AS BIGINT) AS n_lines,
+          |  CAST(len(kept) AS BIGINT) AS n_kept
+          |FROM k ORDER BY doc_id""".stripMargin,
 
       "q_url_filter" ->
         """WITH u AS (

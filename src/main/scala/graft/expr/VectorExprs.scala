@@ -489,6 +489,42 @@ object VectorExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** NFC-normalization kernel shared by interpreted eval and generated
+    * code. ASCII fast path: a UTF8String whose byte and codepoint counts
+    * match is pure ASCII, and NFC is the identity on ASCII — the input
+    * buffer is returned with no decode and no allocation (the common case
+    * for a filtered web corpus). Non-ASCII strings already in NFC also
+    * return the input buffer (`Normalizer.isNormalized` is a scan, not a
+    * rewrite); only genuinely decomposed text pays for normalization.
+    */
+  def nfcKernel(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    if (s.numBytes == s.numChars) return s // pure ASCII: NFC is identity
+    val j = s.toString
+    if (java.text.Normalizer.isNormalized(j, java.text.Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(j, java.text.Normalizer.Form.NFC))
+  }
+
+  /** Unicode NFC composition of a string — the first step of the CCNet/C4
+    * text-normalization recipes (Wenzek 2020 §3; Raffel 2020 §2.2), which
+    * the built-in function library lacks. Stays inside whole-stage codegen
+    * via the static kernel (same pattern as [[SimHash64]]); SQL-callable
+    * as `nfc_normalize` (the DuckDB name) via [[graft.GraftExtensions]].
+    */
+  case class NfcNormalize(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(input: Any): Any =
+      nfcKernel(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expr.VectorExprs$$.MODULE$$.nfcKernel($c);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // ------------------------------------------------------- Column wrappers
 
   def hashed_shingles(tokens: Column, n: Int): Column =
@@ -513,4 +549,6 @@ object VectorExprs {
     toColumn(PqEncode(toExpression(vec), codebooks))
   def pq_adc(codes: Column, lut: Column, ksub: Int): Column =
     toColumn(PqAdc(toExpression(codes), toExpression(lut), ksub))
+  def nfc_normalize(text: Column): Column =
+    toColumn(NfcNormalize(toExpression(text)))
 }

@@ -156,6 +156,63 @@ object TextAnalysis {
       .withColumn("dup_trigram_frac", dupNgramFrac(t, 3))
   }
 
+  // ------------------------------------------------------- normalization
+
+  /** Unicode NFC composition ([[graft.expr.VectorExprs.NfcNormalize]]:
+    * codegen expression with an ASCII/already-NFC zero-allocation fast
+    * path). The built-in function library has no unicode normalization.
+    */
+  def nfc(text: Column): Column = graft.expr.VectorExprs.nfc_normalize(text)
+
+  /** Text normalization in the CCNet/C4 preprocessing style (Wenzek 2020
+    * §3): NFC composition, control characters to spaces, whitespace runs
+    * collapsed, ends trimmed. Scan-side Column algebra, 0 shuffles; the
+    * regexes use the RE2-portable subset (no char-class intersection, no
+    * lookaround) so any engine reproduces the result bit-for-bit.
+    *
+    * Newlines are whitespace here — line-structured filtering
+    * ([[cleanLines]]) must run BEFORE this collapses line breaks.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(nfc(text), "\\p{Cc}", " "), "\\s+", " "))
+
+  // ------------------------------------------- line-level cleaning (C4)
+
+  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2): rather than
+    * dropping whole documents, each LINE survives only if it (a) has at
+    * least `minWords` words, (b) ends with terminal punctuation
+    * (`. ! ? " '`) when `requireTerminalPunct`, and (c) contains none of
+    * the `banned` substrings, case-insensitively (C4 bans "lorem ipsum",
+    * "javascript", "{"). Returns `idCol`, `clean_text` (kept lines
+    * rejoined with \n), `n_lines`, `n_kept` (longs); compose with a
+    * `n_kept >= k` filter for C4's ≥3-sentence document rule.
+    *
+    * Scale shape: pure scan-side Column algebra over the per-row line
+    * array — no explode, no shuffle, no UDF; at 100 TB this rides the
+    * same corpus scan as the other quality signals. The per-line lambdas
+    * are interpreted HOFs, but the element count is lines-per-document
+    * (tens), not characters — the acceptable CodegenFallback case.
+    */
+  def cleanLines(docs: DataFrame, textCol: String, idCol: String,
+                 minWords: Int = 3, requireTerminalPunct: Boolean = true,
+                 banned: Seq[String] = Seq("lorem ipsum", "javascript", "{"))
+  : DataFrame = {
+    require(minWords >= 0, s"cleanLines: minWords must be >= 0: $minWords")
+    val lines = split(col(textCol), "\n")
+    val keep: Column => Column = l => {
+      val words = size(filter(split(trim(l), "\\s+"), w => length(w) > 0))
+      val punct =
+        if (requireTerminalPunct) l.rlike("[.!?\"']\\s*$") else lit(true)
+      banned.map(b =>
+        !lower(l).contains(lit(b.toLowerCase(java.util.Locale.ROOT))))
+        .foldLeft(words >= minWords && punct)(_ && _)
+    }
+    val kept = filter(lines, keep)
+    docs.select(col(idCol), array_join(kept, "\n").as("clean_text"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"))
+  }
+
   /** Composite quality-filter verdict in the Gopher style: first failing
     * rule names the drop reason, `keep` when none fail. Thresholds are
     * calibrated to this corpus's measured distributions (top_word_frac

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Specs for the CCNet/C4-style text normalization step
+  * ([[graft.expr.VectorExprs.NfcNormalize]], [[TextAnalysis.normalizeText]])
+  * and C4 line-level cleaning ([[TextAnalysis.cleanLines]]).
+  */
+class NormalizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("nfc_normalize composes decomposed sequences") {
+    // e + U+0301 -> é (U+00E9); A + U+030A -> Å (U+00C5)
+    val df = Seq((1L, "Café Å")).toDF("id", "s")
+    val r = df.select(TextAnalysis.nfc(col("s")).as("n"),
+      length(col("s")).as("raw_len"), length(TextAnalysis.nfc(col("s"))).as("n_len")).head()
+    assert(r.getString(0) === "Café Å")
+    assert(r.getInt(1) === 8 && r.getInt(2) === 6)
+  }
+
+  test("nfc_normalize: ASCII and already-NFC inputs are identity; null passes") {
+    val df = Seq(Some("plain ascii"), Some("déjà vu"), None)
+      .toDF("s")
+    val out = df.select(TextAnalysis.nfc(col("s")).as("n"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(out(0) === "plain ascii")
+    assert(out(1) === "déjà vu") // precomposed stays put
+    assert(out(2) == null)
+  }
+
+  test("nfc_normalize is SQL-callable once registered") {
+    // the shared test session predates GraftExtensions; register the same
+    // builder the extension injects (pattern of MSSchemaSpec's rolling_hash_t)
+    org.apache.spark.sql.graft.ColumnShim.registerFunction(spark,
+      "nfc_normalize_t", exprs => graft.expr.VectorExprs.NfcNormalize(exprs.head))
+    val r = spark.sql("SELECT nfc_normalize_t('Café') AS n").head()
+    assert(r.getString(0) === "Café")
+  }
+
+  test("normalizeText: controls to spaces, runs collapsed, ends trimmed") {
+    val df = Seq((1L, " ab\tc  d\ne ")).toDF("id", "s")
+    val r = df.select(TextAnalysis.normalizeText(col("s")).as("n")).head()
+    assert(r.getString(0) === "a b c d e")
+  }
+
+  test("cleanLines applies the three C4 line rules independently") {
+    val text = Seq(
+      "this line has five words.",   // kept
+      "too short.",                  // < 3 words
+      "no terminal punctuation here",// no punct
+      "a SLOW line is banned here.", // banned (case-insensitive)
+      "ends with a question mark?"   // kept
+    ).mkString("\n")
+    val out = TextAnalysis.cleanLines(
+      Seq((1L, text)).toDF("doc_id", "text"), "text", "doc_id",
+      minWords = 3, banned = Seq("slow")).head()
+    assert(out.getAs[String]("clean_text") ===
+      "this line has five words.\nends with a question mark?")
+    assert(out.getAs[Long]("n_lines") === 5L)
+    assert(out.getAs[Long]("n_kept") === 2L)
+  }
+
+  test("cleanLines: requireTerminalPunct=false keeps unpunctuated lines") {
+    val text = "no terminal punctuation here\ntoo short"
+    val out = TextAnalysis.cleanLines(
+      Seq((1L, text)).toDF("doc_id", "text"), "text", "doc_id",
+      minWords = 3, requireTerminalPunct = false).head()
+    assert(out.getAs[String]("clean_text") === "no terminal punctuation here")
+    assert(out.getAs[Long]("n_kept") === 1L)
+  }
+
+  test("cleanLines on the real corpus is scan-side (no exchange)") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val plan = TextAnalysis.cleanLines(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+}
