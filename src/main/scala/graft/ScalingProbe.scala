@@ -121,6 +121,21 @@ object ScalingProbe {
     time("dsir") { d => SparkEntry.queries("q_dsir")(spark, d).count() }
     time("cap_stratum") { d =>
       SparkEntry.queries("q_cap_stratum")(spark, d).count() }
+    // round-11 operators: the q_ entry IS the operator for all four.
+    // temperature = bounded census + CASE-literal scan; ccnet = surprisal
+    // aggs + 2-row percentile broadcast; normalize / c4_clean = pure
+    // scan-side Column algebra (expect ~scan-bound slopes)
+    time("temperature") { d =>
+      SparkEntry.queries("q_temperature")(spark, d).count() }
+    time("ccnet") { d => SparkEntry.queries("q_ccnet")(spark, d).count() }
+    // NB: .count() would prune a pure-projection query's expressions
+    // away entirely — aggregate over the computed column to force them
+    time("normalize") { d =>
+      SparkEntry.queries("q_normalize")(spark, d)
+        .agg(sum(length(col("norm_text")))).collect(); 1L }
+    time("c4_clean") { d =>
+      SparkEntry.queries("q_c4_clean")(spark, d)
+        .agg(sum(length(col("clean_text"))), sum("n_kept")).collect(); 1L }
     // BPE: training = one word hash-agg (top-maxWords collect, bounded)
     // + constant driver merge loop; application = broadcast ranks +
     // narrow memoized pass — both should track the scan, near-linear
