@@ -171,6 +171,17 @@ object ScalingProbe {
         .agg(sum("quality_score")).collect()
       1L
     }
+    // unigram-LM tokenizer: training = one word hash-agg (bounded) +
+    // driver EM; application = broadcast-scores Viterbi scan — like BPE,
+    // both should track the corpus scan
+    time("unigram") { d =>
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+      val m = graft.ops.UnigramLm.learnUnigram(docs, "text",
+        vocabSize = 800, maxWords = 20000)
+      graft.ops.UnigramLm.applyUnigram(docs, "text", m)
+        .agg(sum("n_uni_pieces")).collect()
+      1L
+    }
     // minhash on a REALISTIC input (constant dup rate, cross-copy shingle
     // spaces disjoint) — the q_dedup_minhash probe above replicates
     // identical texts, so its true pair count is quadratic in mult and

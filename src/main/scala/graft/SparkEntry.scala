@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.api.{ConvertApp, MSTable, MSWrite, ReadSpec}
 import graft.expr.{ComplexFns, Expressions, Taql}
-import graft.ops.{AsOfJoin, Bpe, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ops.{AsOfJoin, Bpe, Dedup, Multimodal, Sampling, Similarity, TextAnalysis, UnigramLm}
 import graft.streaming.EventStream
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -1158,6 +1158,54 @@ object SparkEntry {
         "decodes_to_words" -> col("decodes"),
         "ids_in_vocab" -> col("in_vocab"),
         "no_unk_with_full_alphabet" -> col("no_unk"))
+    }),
+
+    // Unigram-LM tokenizer (Kudo 2018 / SentencePiece `unigram`): a
+    // vocab fit by forward-backward EM on the bounded word dict, applied
+    // as scan-side Viterbi segmentation. Derived checks: pieces
+    // concatenate back to the ▁-marked words (lossless), the fitted
+    // vocab compresses at least as well as its character subset, piece
+    // count is bounded by marked char count below and word count above,
+    // the persisted artifact round-trips, and ids are in range
+    "q_unigram" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val m = UnigramLm.learnUnigram(docs, "text", vocabSize = 800,
+        maxWords = 20000)
+      val back = UnigramLm.piecesFromDf(UnigramLm.piecesDf(s, m))
+      val charOnly = {
+        val chars = m.pieces.filter(_.length == 1)
+        val lp = math.log(1.0 / chars.length)
+        UnigramLm.UnigramModel(chars, Array.fill(chars.length)(lp))
+      }
+      val words = TextAnalysis.nonEmptyTokens(col("text"))
+      val marked = transform(words,
+        w => concat(lit(UnigramLm.WordStart), w))
+      val full = UnigramLm.applyUnigram(docs, "text", m)
+      val ids = UnigramLm.applyUnigramIds(docs, "text", m)
+      val rt = full.select(
+        (array_join(col("uni_pieces"), "") === concat_ws("", marked)).as("ok"),
+        col("n_uni_pieces").as("np"),
+        length(concat_ws("", marked)).cast("long").as("nc"),
+        size(words).cast("long").as("nw"))
+        .agg(min("ok").as("rt"), sum("np").as("np"), sum("nc").as("nc"),
+          sum("nw").as("nw"))
+      val nChar = UnigramLm.applyUnigram(docs, "text", charOnly)
+        .agg(sum("n_uni_pieces").as("nco"))
+      val idsOk = ids.agg(
+        min(col("n_uni_pieces") === size(col("uni_ids"))).as("cnt"),
+        min(forall(col("uni_ids"),
+          i => i >= 0 && i <= lit(m.size))).as("rng"))
+      val one = rt.crossJoin(nChar).crossJoin(idsOk)
+      checkRows(one,
+        "roundtrip_lossless" -> col("rt"),
+        "compresses_vs_chars" -> (col("np") <= col("nco")),
+        "pieces_at_most_chars" -> (col("np") <= col("nc")),
+        "pieces_at_least_words" -> (col("np") >= col("nw")),
+        "artifact_roundtrip" ->
+          lit(back.pieces.toSeq == m.pieces.toSeq &&
+              back.logProbs.toSeq == m.logProbs.toSeq),
+        "vocab_within_target" -> lit(m.size <= 800),
+        "ids_count_and_range" -> (col("cnt") && col("rng")))
     }),
 
     // TF-IDF top-3 keywords per document
@@ -2575,6 +2623,10 @@ object SparkEntry {
 
       "q_bpe_ids" -> checksOracle("artifact_roundtrip", "count_matches_ids",
         "decodes_to_words", "ids_in_vocab", "no_unk_with_full_alphabet"),
+
+      "q_unigram" -> checksOracle("roundtrip_lossless", "compresses_vs_chars",
+        "pieces_at_most_chars", "pieces_at_least_words", "artifact_roundtrip",
+        "vocab_within_target", "ids_count_and_range"),
 
       "q_quality_clf" -> checksOracle("holdout_acc_floor", "beats_majority",
         "scores_in_unit"),
