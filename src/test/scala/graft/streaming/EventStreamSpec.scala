@@ -177,6 +177,31 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("unigram-LM id encoding runs inside a real stream (UDF apply path)") {
+    // same claim as the BPE case: the Viterbi apply is a Column
+    // projection, so a fitted unigram tokenizer encodes an ingest
+    // stream with exact batch parity
+    val dir = sf("sf0.001")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val m = graft.ops.UnigramLm.learnUnigram(docs, "text", vocabSize = 300,
+      maxWords = 5000)
+    val dDir = "/root/repo/target/test_stream_uni_docs"
+    docs.write.mode("overwrite").parquet(dDir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dDir)
+    val enc = graft.ops.UnigramLm.applyUnigramIds(stream, "text", m)
+      .select("doc_id", "uni_ids", "n_uni_pieces")
+    EventStream.runToMemory(enc, "uni_out", mode = "append")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getSeq[Int](1).mkString(","), r.getLong(2))
+    val streamed = spark.table("uni_out").collect().map(key).toSeq.sorted
+    val batch = graft.ops.UnigramLm.applyUnigramIds(docs, "text", m)
+      .select("doc_id", "uni_ids", "n_uni_pieces")
+      .collect().map(key).toSeq.sorted
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(s * 1000)
