@@ -97,6 +97,41 @@ class PropertySpec extends SparkSpec {
     }, n = 40)
   }
 
+  test("unigram-LM: lossless total segmentation, coverage, normalization") {
+    import graft.ops.UnigramLm
+    // includes the ▁ marker char itself (stripped defensively by the
+    // learner) and multi-byte unicode — the same nasty-corner alphabet
+    // philosophy as the BPE property above
+    val alphabet = Gen.oneOf('a', 'b', 'c', 'ß', 'İ', 'ı', 'é', '中',
+      '▁', '<', '>')
+    val genWord = Gen.choose(1, 8)
+      .flatMap(n => Gen.listOfN(n, alphabet)).map(_.mkString)
+    val genCorpus = Gen.choose(1, 30).flatMap(n => Gen.listOfN(n, genWord))
+    check(Prop.forAll(genCorpus) { words =>
+      val freq = words.groupBy(identity).toSeq
+        .map { case (w, ws) => (w, ws.size.toLong) }
+      val m = UnigramLm.learnFromWordFreq(freq, vocabSize = 20,
+        maxPieceLen = 4)
+      // every corpus word AND arbitrary unseen words segment losslessly
+      val probe = words ++ Seq("zzzz", "▁", "新词")
+      val lossless = probe.forall { w =>
+        val marked = UnigramLm.WordStart + w.replace(UnigramLm.WordStart, "")
+        UnigramLm.encodeWord(marked, m.scoreOf).mkString == marked
+      }
+      // single-char coverage: every char of the (marked, stripped) corpus
+      // words is a piece, so no corpus word ever needs the unk fallback
+      val chars = freq.map(_._1)
+        .map(w => UnigramLm.WordStart + w.replace(UnigramLm.WordStart, ""))
+        .filter(_.length > 1) // the learner's own marker-only-word filter
+        .flatMap(_.map(_.toString)).toSet
+      val coverage = chars.subsetOf(m.pieces.toSet)
+      // export is a normalized distribution in descending-score order
+      val normalized = math.abs(m.logProbs.map(math.exp).sum - 1.0) < 1e-6
+      val ordered = m.logProbs.toSeq == m.logProbs.sortBy(-(_: Double)).toSeq
+      lossless && coverage && normalized && ordered
+    }, n = 30)
+  }
+
   test("updateTable rewrites in place with read-your-writes") {
     val path = "/root/repo/target/test_updatetable"
     val supp = spark.read.parquet(s"${sf()}/supplier.parquet")
