@@ -83,6 +83,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("rollinghash"), p)
   }
 
+  test("NFC normalization stays inside whole-stage codegen, scan-side") {
+    // audit the operator without the query's presentation orderBy: with
+    // an exchange present AQE defers codegen ids until execution
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"),
+        ops.TextAnalysis.normalizeText(col("text")).as("norm_text"))
+    val p = plan(df)
+    // nfcnormalize is computed in a Project that carries a codegen id —
+    // the custom Expression's doGenCode keeps the scan stage fused
+    val projLine = p.linesIterator.find(l =>
+      l.contains("Project") && l.contains("codegen id"))
+    assert(projLine.isDefined, p)
+    assert(p.toLowerCase.contains("nfcnormalize"), p)
+    // projection-pruned scan: only the two referenced columns are read
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("doc_id") && read.contains("text") &&
+      !read.contains("lang"), read)
+  }
+
+  test("C4 line cleaning plans no exchange below the final sort") {
+    val p = plan(q("q_c4_clean"))
+    // the only exchange allowed is the orderBy's range partitioning —
+    // the cleaning itself is scan-side Column algebra
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("ExistingRDD"), p)
+  }
+
   test("as-of join is one shuffle on the key (no range explosion)") {
     val p = plan(q("q_join_asof"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
