@@ -108,4 +108,44 @@ class CorpusAssemblySpec extends SparkSpec {
     assert(selected.select(explode(col("bpe_ids")).as("id"))
       .filter(col("id") < 0 || col("id") >= vocab.size).count() === 0)
   }
+
+  test("C4 preprocess front-end feeds the unigram dataloader leg") {
+    // the round-11 front half of the pipe: line-level cleaning
+    // (deterministic line structure — the corpus is single-line) →
+    // normalization → unigram tokenization; then the same token-budget
+    // cut, counted in unigram ids this time
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val arr = filter(split(trim(col("text")), "\\s+"), w => length(w) > 0)
+    val nl = ceil(size(arr) / lit(8.0)).cast("int")
+    val lines = transform(sequence(lit(0), greatest(nl, lit(1)) - 1), i =>
+      concat(array_join(slice(arr, i * 8 + 1, lit(8)), " "), lit(".")))
+    val structured = docs.select(col("doc_id"), col("lang"),
+      array_join(lines, "\n").as("text"))
+    // 1. line rules: ≥4 words, terminal punct (built), nothing banned
+    val cleaned = TextAnalysis.cleanLines(structured, "text", "doc_id",
+      minWords = 4)
+    val kept = cleaned.filter(col("n_kept") >= 2)
+      .select(col("doc_id"), col("clean_text"))
+    assert(kept.count() > 100, "line cleaning keeps a real slice")
+    // 2. normalization is idempotent on the cleaned text minus newlines
+    val normed = kept.select(col("doc_id"),
+      TextAnalysis.normalizeText(col("clean_text")).as("text"))
+    val again = normed.select(
+      (TextAnalysis.normalizeText(col("text")) === col("text")).as("ok"))
+      .agg(min("ok")).head().getBoolean(0)
+    assert(again, "normalizeText must be idempotent")
+    // 3. unigram tokenizer fit on the CLEANED corpus, ids within budget
+    val m = UnigramLm.learnUnigram(normed, "text", vocabSize = 600,
+      maxWords = 10000)
+    val enc = UnigramLm.applyUnigramIds(normed, "text", m)
+    val budget = enc.agg(sum("n_uni_pieces")).head().getLong(0) / 2
+    val sel = Sampling.selectTokenBudget(enc, "doc_id",
+      priority = col("n_uni_pieces").cast("double"),
+      tokens = col("n_uni_pieces"), budget = budget)
+    val r = sel.agg(max("cum_tokens"),
+      sum(size(col("uni_ids"))).cast("long")).head()
+    assert(r.getLong(0) <= budget && r.getLong(0) === r.getLong(1))
+    assert(sel.select(explode(col("uni_ids")).as("id"))
+      .filter(col("id") < 0 || col("id") > m.size).count() === 0)
+  }
 }
