@@ -1248,7 +1248,8 @@ object SparkEntry {
     // exact-checked against DuckDB recomputing surprisal, quantile_cont
     // cut points, and the same CASE
     "q_ccnet" -> ((s, dir) =>
-      TextAnalysis.perplexityBuckets(T(s, dir, "documents"), "text", "doc_id")
+      TextAnalysis.perplexityBuckets(T(s, dir, "documents"), "text", "doc_id",
+          exact = true) // oracle-pinned vs DuckDB quantile_cont
         .select(col("doc_id"), col("n_tokens"), col("nll"), col("ppl_bucket"))
         .orderBy("doc_id")),
 

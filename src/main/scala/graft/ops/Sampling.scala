@@ -133,15 +133,29 @@ object Sampling {
       .toSeq.sortBy(_._1) // deterministic share-sum order
     require(counts.nonEmpty, "temperatureWeights: no non-null groups")
     val n = counts.map(_._2).sum.toDouble
-    val shares = counts.map { case (g, c) => (g, c, math.pow(c / n, alpha)) }
+    // alpha = 0.5 (the published default) goes through math.sqrt, which
+    // ieee754 requires to be correctly rounded — math.pow(x, 0.5) is only
+    // 1-ulp-accurate, so the oracle's bit-identity claim vs DuckDB's
+    // sqrt() would not otherwise hold on every JVM
+    def pw(x: Double): Double =
+      if (alpha == 0.5) math.sqrt(x) else math.pow(x, alpha)
+    val shares = counts.map { case (g, c) => (g, c, pw(c / n)) }
     val z = shares.map(_._3).sum
     val ws = shares.map { case (g, c, pa) =>
       // half-up 6-decimal round, the exact arithmetic the oracle mirrors
       (g, math.floor(totalScale * n * (pa / z) / c * 1e6 + 0.5) / 1e6)
     }
-    ws.foldLeft(lit(0.0)) { case (acc, (g, w)) =>
-      when(col(groupCol).cast("string") === g, lit(w)).otherwise(acc)
+    // ONE flat CaseWhen, not a foldLeft of nested when().otherwise():
+    // nesting depth = group count would blow codegen/analysis on a
+    // high-cardinality group column (domain, not lang); the flat form is
+    // a single O(groups)-branch node, the shape SQL CASE compiles to
+    import org.apache.spark.sql.graft.ColumnShim.{toColumn, toExpression}
+    val branches = ws.map { case (g, w) =>
+      (toExpression(col(groupCol).cast("string") === g),
+        toExpression(lit(w)))
     }
+    toColumn(org.apache.spark.sql.catalyst.expressions.CaseWhen(
+      branches, Some(toExpression(lit(0.0)))))
   }
 
   /** Deterministic weighted UPSAMPLING — the epochs-greater-than-1 half of

@@ -544,19 +544,30 @@ object TextAnalysis {
     * keep-the-head recipes. Token-less documents have no surprisal and
     * are absent, as in [[unigramSurprisal]].
     *
-    * Scale shape: surprisal is two hash-aggs + a broadcast model; the
-    * cut points are one exact-percentile aggregation (O(1) driver
-    * state), rounded to 6 decimals so bucket assignment is
-    * engine-stable; the bucket label itself is a scan-side CASE.
+    * Scale shape: surprisal is two hash-aggs + a broadcast model,
+    * materialized ONCE (localCheckpoint) so the threshold aggregation
+    * and the labeled output don't each recompute the corpus scans. The
+    * cut points are one aggregation returning 2 doubles: by default
+    * `approx_percentile` (sketch-bounded state — the 100 TB form; the
+    * per-doc nll is near-unique, so EXACT percentile state is O(docs)
+    * in one task); `exact = true` opts into exact interpolated
+    * percentiles for oracle-pinned comparisons at test scale. Both are
+    * rounded to 6 decimals so bucket assignment is engine-stable; the
+    * bucket label itself is a scan-side CASE.
     */
   def perplexityBuckets(docs: DataFrame, textCol: String, idCol: String,
-                        cuts: (Double, Double) = (1.0 / 3, 2.0 / 3))
+                        cuts: (Double, Double) = (1.0 / 3, 2.0 / 3),
+                        exact: Boolean = false)
   : DataFrame = {
     require(cuts._1 > 0 && cuts._1 < cuts._2 && cuts._2 < 1,
       s"perplexityBuckets: cuts must satisfy 0 < c1 < c2 < 1: $cuts")
-    val s = unigramSurprisal(docs, textCol, idCol)
-    val r = s.agg(expr(s"percentile(nll, ${cuts._1})"),
-      expr(s"percentile(nll, ${cuts._2})")).head()
+    val s = unigramSurprisal(docs, textCol, idCol).localCheckpoint()
+    val fn = if (exact) "percentile" else "approx_percentile"
+    val acc = if (exact) "" else ", 10000" // 1e4 accuracy: ±0.01% rank
+    val r = s.agg(expr(s"$fn(nll, ${cuts._1}$acc)"),
+      expr(s"$fn(nll, ${cuts._2}$acc)")).head()
+    require(!r.isNullAt(0) && !r.isNullAt(1),
+      "perplexityBuckets: empty corpus (no documents with tokens)")
     def stable(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
     val (t1, t2) = (stable(r.getDouble(0)), stable(r.getDouble(1)))
     s.withColumn("ppl_bucket",

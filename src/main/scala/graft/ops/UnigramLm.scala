@@ -67,11 +67,20 @@ object UnigramLm {
     /** Piece id layout: 0 = unk, 1.. = pieces array order. */
     lazy val idOf: Map[String, Int] =
       pieces.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap
+    /** Viterbi window = the longest piece actually in the vocabulary, so
+      * a model always applies with the window it was trained with (no
+      * silently-dead long pieces if train and apply defaults diverge).
+      */
+    lazy val maxPieceLen: Int =
+      if (pieces.isEmpty) 1 else pieces.iterator.map(_.length).max
   }
 
   /** Train a unigram LM vocabulary of (at most) `vocabSize` pieces from
     * the corpus word-frequency dictionary. One Spark job (the same word
-    * hash-agg as [[Bpe.learnBpe]]), then the driver EM fit.
+    * hash-agg as [[Bpe.learnBpe]]), then the driver EM fit. The floor of
+    * the fit is the single-character alphabet (coverage pieces are never
+    * pruned): a `vocabSize` below the corpus's distinct-character count
+    * yields the alphabet-sized model, not a hang and not an error.
     */
   def learnUnigram(docs: DataFrame, textCol: String, vocabSize: Int,
                    maxWords: Int = 20000, maxPieceLen: Int = 8,
@@ -208,13 +217,19 @@ object UnigramLm {
     }
 
     // ---- shrink rounds: EM, then prune to shrink× (never below
-    // vocabSize, never dropping single-character pieces)
+    // vocabSize, never dropping single-character pieces). Character
+    // pieces are not prunable (coverage), so the floor of the loop is
+    // the alphabet: when the alphabet alone exceeds vocabSize, or a
+    // shrink step can make no progress (ceil(n·shrink)==n for tiny n),
+    // stop at the smallest reachable vocabulary instead of spinning.
     val charsSet = chars.toSet
-    while (pieces.length > vocabSize) {
+    var progress = true
+    while (pieces.length > vocabSize && progress) {
       var e = 0
       while (e < emIters) { logp = emStep(); e += 1 }
       val target = math.max(vocabSize,
         math.ceil(pieces.length * shrink).toInt)
+      val before = pieces.length
       if (target < pieces.length) {
         val keepN = math.max(target - chars.length, 0)
         val kept = pieces.iterator.filterNot(charsSet)
@@ -226,12 +241,10 @@ object UnigramLm {
         val tot = math.log(rest.iterator.map { case (_, s) => math.exp(s) }.sum)
         logp = rest.iterator.map { case (p, s) => p -> (s - tot) }.toMap
       }
-      if (pieces.length <= vocabSize) {
-        var e2 = 0
-        while (e2 < emIters) { logp = emStep(); e2 += 1 }
-      }
+      progress = pieces.length < before
     }
-    if (pieces.length <= vocabSize) { // small seed: still fit the scores
+    // final fit at the settled size (exactly once, loop or no loop)
+    if (pieces.nonEmpty) {
       var e = 0
       while (e < emIters) { logp = emStep(); e += 1 }
     }
@@ -297,8 +310,7 @@ object UnigramLm {
   /** Broadcast-closure encoder behind the apply UDFs (the
     * [[Bpe.applyBpe]] pattern: per-task memo, executor-shared scores).
     */
-  private final class PieceEncoder(modelB: Broadcast[UnigramModel],
-                                   maxPieceLen: Int)
+  private final class PieceEncoder(modelB: Broadcast[UnigramModel])
       extends (Seq[String] => Seq[String]) with Serializable {
     @transient private lazy val memo =
       new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
@@ -309,8 +321,12 @@ object UnigramLm {
         words.foreach { w =>
           var t = memo.get(w)
           if (t == null) {
-            t = encodeWord(WordStart + w.replace(WordStart, ""),
-              modelB.value.scoreOf, maxPieceLen)
+            // no marker stripping here: losslessness must hold verbatim
+            // for ANY input word (an embedded ▁ segments via the char
+            // piece or the unk fallback; only the LEARNER strips, to
+            // keep its dictionary's marker semantics clean)
+            t = encodeWord(WordStart + w, modelB.value.scoreOf,
+              modelB.value.maxPieceLen)
             memo.put(w, t)
           }
           out ++= t
@@ -319,8 +335,7 @@ object UnigramLm {
       }
   }
 
-  private final class PieceIdEncoder(modelB: Broadcast[UnigramModel],
-                                     maxPieceLen: Int)
+  private final class PieceIdEncoder(modelB: Broadcast[UnigramModel])
       extends (Seq[String] => Seq[Int]) with Serializable {
     @transient private lazy val memo =
       new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()
@@ -332,8 +347,8 @@ object UnigramLm {
         words.foreach { w =>
           var t = memo.get(w)
           if (t == null) {
-            t = encodeWord(WordStart + w.replace(WordStart, ""),
-              m.scoreOf, maxPieceLen).map(p => m.idOf.getOrElse(p, 0))
+            t = encodeWord(WordStart + w, m.scoreOf, m.maxPieceLen)
+              .map(p => m.idOf.getOrElse(p, 0))
             memo.put(w, t)
           }
           out ++= t
@@ -347,13 +362,13 @@ object UnigramLm {
     * `n_uni_pieces`. Scan-side Column projection — broadcast scores, no
     * shuffle, no RDD round-trip.
     */
-  def applyUnigram(docs: DataFrame, textCol: String, model: UnigramModel,
-                   maxPieceLen: Int = 8): DataFrame = {
+  def applyUnigram(docs: DataFrame, textCol: String,
+                   model: UnigramModel): DataFrame = {
     require(!docs.columns.contains("uni_pieces") &&
       !docs.columns.contains("n_uni_pieces"),
       "applyUnigram reserves output columns uni_pieces, n_uni_pieces")
     val modelB = docs.sparkSession.sparkContext.broadcast(model)
-    val enc = udf(new PieceEncoder(modelB, maxPieceLen): Seq[String] => Seq[String])
+    val enc = udf(new PieceEncoder(modelB): Seq[String] => Seq[String])
     docs.withColumn("uni_pieces",
         enc(TextAnalysis.nonEmptyTokens(col(textCol))))
       .withColumn("n_uni_pieces", size(col("uni_pieces")).cast("long"))
@@ -363,13 +378,13 @@ object UnigramLm {
     * single-char fallback pieces map to 0 = `&lt;unk&gt;`) and
     * `n_uni_pieces` — the dataloader-ready form.
     */
-  def applyUnigramIds(docs: DataFrame, textCol: String, model: UnigramModel,
-                      maxPieceLen: Int = 8): DataFrame = {
+  def applyUnigramIds(docs: DataFrame, textCol: String,
+                      model: UnigramModel): DataFrame = {
     require(!docs.columns.contains("uni_ids") &&
       !docs.columns.contains("n_uni_pieces"),
       "applyUnigramIds reserves output columns uni_ids, n_uni_pieces")
     val modelB = docs.sparkSession.sparkContext.broadcast(model)
-    val enc = udf(new PieceIdEncoder(modelB, maxPieceLen): Seq[String] => Seq[Int])
+    val enc = udf(new PieceIdEncoder(modelB): Seq[String] => Seq[Int])
     docs.withColumn("uni_ids",
         enc(TextAnalysis.nonEmptyTokens(col(textCol))))
       .withColumn("n_uni_pieces", size(col("uni_ids")).cast("long"))

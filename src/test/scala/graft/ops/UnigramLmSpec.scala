@@ -36,6 +36,23 @@ class UnigramLmSpec extends SparkSpec {
     assert(m.size <= 4)
   }
 
+  test("vocabSize below the alphabet floor terminates at the alphabet") {
+    // chars are never prunable: vocabSize=2 with 3 distinct chars
+    // (▁, a, b) must settle at the 3-piece model, not hang
+    val m = UnigramLm.learnFromWordFreq(Seq(("ab", 1L)), vocabSize = 2)
+    assert(m.pieces.sorted.toSeq === Seq("a", "b", WS))
+  }
+
+  test("apply is lossless for words with an embedded marker char") {
+    // the apply path must NOT strip an embedded ▁ (that would silently
+    // delete corpus characters): it segments via char/unk pieces instead
+    val docs = Seq((1L, s"foo${WS}bar plain")).toDF("doc_id", "text")
+    val m = UnigramLm.learnFromWordFreq(Seq(("plain", 5L)), vocabSize = 20)
+    val out = UnigramLm.applyUnigram(docs, "text", m).head()
+    assert(out.getAs[Seq[String]]("uni_pieces").mkString ===
+      s"${WS}foo${WS}bar${WS}plain")
+  }
+
   test("model fit is deterministic and export order is stable") {
     val dict = Seq(("spark", 10L), ("spar", 8L), ("park", 6L), ("arks", 4L))
     val a = UnigramLm.learnFromWordFreq(dict, vocabSize = 12)
