@@ -182,6 +182,26 @@ object ScalingProbe {
         .agg(sum("n_uni_pieces")).collect()
       1L
     }
+    // WordPiece: same shape as BPE/unigram — bounded word hash-agg +
+    // driver merge loop, broadcast-vocab greedy scan — expect scan-bound
+    time("wordpiece") { d =>
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+      val vocab = graft.ops.WordPiece.learnWordPiece(docs, "text",
+        vocabSize = 400, maxWords = 20000)
+      graft.ops.WordPiece.applyWordPiece(docs, "text", vocab)
+        .agg(sum("n_wp_tokens")).collect()
+      1L
+    }
+    // PCA: fit = ONE covariance treeAggregate (d² driver state) +
+    // driver Jacobi (corpus-independent); project = scan-side
+    // AffineProject — both passes should track the embedding scan
+    time("pca_fit+project") { d =>
+      val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      val m = graft.ops.Pca.fitPca(emb, "embedding")
+      graft.ops.Pca.projectPca(emb, "embedding", "vec_id", m, whiten = true)
+        .agg(sum(element_at(col("pca"), 1))).collect()
+      1L
+    }
     // minhash on a REALISTIC input (constant dup rate, cross-copy shingle
     // spaces disjoint) — the q_dedup_minhash probe above replicates
     // identical texts, so its true pair count is quadratic in mult and

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.api.{ConvertApp, MSTable, MSWrite, ReadSpec}
 import graft.expr.{ComplexFns, Expressions, Taql}
-import graft.ops.{AsOfJoin, Bpe, Dedup, Multimodal, Sampling, Similarity, TextAnalysis, UnigramLm}
+import graft.ops.{AsOfJoin, Bpe, Dedup, Multimodal, Pca, Sampling, Similarity, TextAnalysis, UnigramLm, WordPiece}
 import graft.streaming.EventStream
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -922,6 +922,36 @@ object SparkEntry {
           (col("n_hit").cast("double") >= col("n_tot") * LshRecallFloor))
     }),
 
+    // PCA over the embedding corpus (one-pass covariance treeAggregate +
+    // driver Jacobi, scan-side AffineProject apply — the faiss-PCAMatrix
+    // pre-PQ stage). Exact oracle: a FULL-RANK rotation about the corpus
+    // mean preserves every centered norm, and DuckDB recomputes per-row
+    // ||x − mean||² straight from the data — so mean-centering AND basis
+    // orthonormality are hash-checked end-to-end against SQL.
+    "q_pca" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val m = Pca.fitPca(emb, "embedding")
+      Pca.projectPca(emb, "embedding", "vec_id", m)
+        .select(col("vec_id"),
+          round(aggregate(col("pca"), lit(0.0), (acc, x) => acc + x * x), 6)
+            .as("cnorm2"))
+        .orderBy("vec_id")
+    }),
+
+    // Whitened PCA: every projected component must come out with
+    // population variance EXACTLY 1 (its eigenvalue divides itself out) —
+    // a literal the oracle states independently, so the whitening scale
+    // and the eigenvalue computation are both on the hook.
+    "q_pca_whiten" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val m = Pca.fitPca(emb, "embedding")
+      Pca.projectPca(emb, "embedding", "vec_id", m, whiten = true)
+        .select(posexplode(col("pca")).as(Seq("component", "y")))
+        .groupBy("component")
+        .agg(round(avg(col("y") * col("y")), 6).as("var_w"))
+        .orderBy("component")
+    }),
+
     // ===== text analysis =================================================
     "q_text_langid" -> ((s, dir) =>
       T(s, dir, "documents")
@@ -1121,6 +1151,26 @@ object SparkEntry {
         "roundtrip_lossless" -> col("rt"),
         "monotone_merges" -> (col("n200") <= col("n50")),
         "tokens_at_least_words" -> (col("n200") >= col("nw")))
+    }),
+
+    // WordPiece training + application (Schuster 2012; the BERT
+    // tokenizer: likelihood-ratio merges, ## continuations, greedy
+    // longest-match inference). EXACT oracle: stripping the ## markers
+    // and concatenating the pieces must restore each document's
+    // lowercased word stream, which DuckDB recomputes straight from the
+    // data — and the [UNK] count must be exactly 0 (the learned alphabet
+    // covers the corpus), so the segmenter's fallback can't hide misses.
+    "q_wordpiece" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val vocab = WordPiece.learnWordPiece(docs, "text", vocabSize = 400,
+        maxWords = 20000)
+      WordPiece.applyWordPiece(docs, "text", vocab)
+        .select(col("doc_id"),
+          replace(array_join(col("wp_tokens"), ""),
+            lit(WordPiece.Continuation), lit("")).as("reconstructed"),
+          size(filter(col("wp_tokens"), t => t === WordPiece.Unk))
+            .cast("long").as("n_unk"))
+        .orderBy("doc_id")
     }),
 
     // BPE int-id encoding (the dataloader-ready form): merges learned,
@@ -2150,6 +2200,26 @@ object SparkEntry {
           |       round(cos, 6) AS cosine
           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+      // full-rank PCA preserves centered norms: the oracle recomputes
+      // per-row ||x - mean||^2 from the raw data, never seeing the basis
+      "q_pca" ->
+        """WITH u AS (
+          |  SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+          |         unnest(range(len(embedding))) AS i
+          |  FROM embeddings
+          |), m AS (SELECT i, avg(x) AS mu FROM u GROUP BY i)
+          |SELECT u.vec_id, round(sum((u.x - m.mu) * (u.x - m.mu)), 6) AS cnorm2
+          |FROM u JOIN m ON u.i = m.i
+          |GROUP BY u.vec_id ORDER BY u.vec_id""".stripMargin,
+
+      // whitening contract: unit population variance per kept component —
+      // the oracle states the literal the engine must land on exactly
+      "q_pca_whiten" ->
+        """SELECT CAST(i AS INTEGER) AS component, CAST(1.0 AS DOUBLE) AS var_w
+          |FROM (SELECT unnest(range((SELECT max(len(embedding))
+          |                           FROM embeddings))) AS i)
+          |ORDER BY component""".stripMargin,
+
       "q_text_langid" -> {
         val langs = TextAnalysis.stopwords.keys.toSeq.sorted
         def arr(l: String) =
@@ -2624,6 +2694,16 @@ object SparkEntry {
 
       "q_bpe_ids" -> checksOracle("artifact_roundtrip", "count_matches_ids",
         "decodes_to_words", "ids_in_vocab", "no_unk_with_full_alphabet"),
+
+      // the reconstruction is recomputed from the raw data — a real
+      // data-vs-engine hash check, not a constant-true derived row
+      "q_wordpiece" ->
+        """SELECT doc_id,
+          |  coalesce(array_to_string(
+          |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+          |                x -> len(x) > 0), ''), '') AS reconstructed,
+          |  CAST(0 AS BIGINT) AS n_unk
+          |FROM documents ORDER BY doc_id""".stripMargin,
 
       "q_unigram" -> checksOracle("roundtrip_lossless", "compresses_vs_chars",
         "pieces_at_most_chars", "pieces_at_least_words", "artifact_roundtrip",

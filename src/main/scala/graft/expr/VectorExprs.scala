@@ -525,6 +525,57 @@ object VectorExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Affine projection of a numeric vector — the PCA / whitening kernel:
+    * `y(j) = scale(j) · Σ_i mat(j)(i) · (x(i) − shift(i))` (center, rotate,
+    * optionally rescale) in one primitive-typed pass. The k×d matrix,
+    * d-element shift, and k-element scale ride the plan as expression
+    * state like [[NearestCentroid]]'s centroids (broadcast-sidecar size
+    * class: PCA models are k·d doubles, KBs–MBs). Ragged input vectors
+    * fail loudly — a silent truncation would project garbage.
+    */
+  case class AffineProject(child: Expression, mat: Array[Array[Double]],
+                           shift: Array[Double], scale: Array[Double])
+      extends UnaryExpression with CodegenFallback {
+    require(mat.forall(_.length == shift.length),
+      s"AffineProject: matrix rows must match shift dim ${shift.length}")
+    require(scale.length == mat.length,
+      s"AffineProject: scale length ${scale.length} != matrix rows ${mat.length}")
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val et = child.dataType.asInstanceOf[ArrayType].elementType
+      val d = shift.length
+      if (arr.numElements() != d)
+        throw new IllegalArgumentException(
+          s"AffineProject: vector has ${arr.numElements()} elements, model has $d")
+      val x = new Array[Double](d)
+      var i = 0
+      while (i < d) {
+        x(i) = (et match {
+          case FloatType => arr.getFloat(i).toDouble
+          case DoubleType => arr.getDouble(i)
+          case LongType => arr.getLong(i).toDouble
+          case IntegerType => arr.getInt(i).toDouble
+          case other => throw new IllegalArgumentException(s"AffineProject: $other")
+        }) - shift(i)
+        i += 1
+      }
+      val k = mat.length
+      val out = new Array[Double](k)
+      var j = 0
+      while (j < k) {
+        val row = mat(j)
+        var s = 0d
+        i = 0
+        while (i < d) { s += row(i) * x(i); i += 1 }
+        out(j) = s * scale(j)
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // ------------------------------------------------------- Column wrappers
 
   def hashed_shingles(tokens: Column, n: Int): Column =
@@ -551,4 +602,7 @@ object VectorExprs {
     toColumn(PqAdc(toExpression(codes), toExpression(lut), ksub))
   def nfc_normalize(text: Column): Column =
     toColumn(NfcNormalize(toExpression(text)))
+  def affine_project(vec: Column, mat: Array[Array[Double]],
+                     shift: Array[Double], scale: Array[Double]): Column =
+    toColumn(AffineProject(toExpression(vec), mat, shift, scale))
 }

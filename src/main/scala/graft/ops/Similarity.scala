@@ -268,7 +268,7 @@ object Similarity {
         while (i < c.length) { s += c(i) * c(i); i += 1 }; s }))
   }
 
-  private def toDoubleArray(a: Seq[Any]): Array[Double] =
+  private[ops] def toDoubleArray(a: Seq[Any]): Array[Double] =
     a.map {
       case f: java.lang.Float => f.toDouble
       case d: java.lang.Double => d.doubleValue

@@ -202,6 +202,31 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("WordPiece id encoding runs inside a real stream (UDF apply path)") {
+    // same claim as the BPE/unigram cases: greedy longest-match apply is
+    // a Column projection, so a learned WordPiece vocabulary encodes an
+    // ingest stream with exact batch parity
+    val dir = sf("sf0.001")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val vocab = graft.ops.WordPiece.learnWordPiece(docs, "text",
+      vocabSize = 300, maxWords = 5000)
+    val dDir = "/root/repo/target/test_stream_wp_docs"
+    docs.write.mode("overwrite").parquet(dDir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dDir)
+    val enc = graft.ops.WordPiece.applyWordPieceIds(stream, "text", vocab)
+      .select("doc_id", "wp_ids", "n_wp_tokens")
+    EventStream.runToMemory(enc, "wp_out", mode = "append")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getSeq[Int](1).mkString(","), r.getLong(2))
+    val streamed = spark.table("wp_out").collect().map(key).toSeq.sorted
+    val batch = graft.ops.WordPiece.applyWordPieceIds(docs, "text", vocab)
+      .select("doc_id", "wp_ids", "n_wp_tokens")
+      .collect().map(key).toSeq.sorted
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(s * 1000)
