@@ -202,6 +202,10 @@ object ScalingProbe {
         .agg(sum(element_at(col("pca"), 1))).collect()
       1L
     }
+    // bigram LM: two scan-side explodes + vocab-keyed model join +
+    // broadcast capped bigram model — expect the unigram-surprisal shape
+    time("bigram_lm") { d =>
+      SparkEntry.queries("q_bigram_lm")(spark, d).count() }
     // minhash on a REALISTIC input (constant dup rate, cross-copy shingle
     // spaces disjoint) — the q_dedup_minhash probe above replicates
     // identical texts, so its true pair count is quadratic in mult and

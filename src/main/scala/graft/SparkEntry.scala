@@ -1293,6 +1293,16 @@ object SparkEntry {
       TextAnalysis.unigramSurprisal(T(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
 
+    // interpolated bigram-LM surprisal (the closer-to-CCNet KenLM-style
+    // signal): p = .75·p_bi + .25·p_uni, first token unigram-only, top-500
+    // bigram model so the backoff path is EXERCISED at this vocabulary
+    // (≈1.6k distinct bigrams) — exact vs DuckDB rebuilding both models
+    // and the interpolation bit-for-bit
+    "q_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramSurprisal(T(s, dir, "documents"), "text", "doc_id",
+          maxBigrams = 500)
+        .orderBy("doc_id")),
+
     // CCNet perplexity bucketing (Wenzek 2020): head/middle/tail by the
     // surprisal terciles, thresholds rounded for engine stability —
     // exact-checked against DuckDB recomputing surprisal, quantile_cont
@@ -2585,6 +2595,52 @@ object SparkEntry {
           |      / CAST(sum(tf) AS DOUBLE), 9) AS nll
           |FROM terms JOIN model USING (token) CROSS JOIN tot
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "q_bigram_lm" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+          |                x -> len(x) > 0) AS ts
+          |  FROM documents
+          |), tt AS (SELECT doc_id, ts FROM t WHERE len(ts) > 0),
+          |u AS (SELECT doc_id, unnest(ts) AS w FROM tt),
+          |um AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM u GROUP BY w),
+          |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS total FROM um),
+          |bg AS (
+          |  SELECT doc_id, unnest(ts[1:len(ts)-1]) AS w1,
+          |         unnest(ts[2:len(ts)]) AS w2
+          |  FROM tt WHERE len(ts) >= 2
+          |),
+          |btf AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf
+          |        FROM bg GROUP BY doc_id, w1, w2),
+          |bm AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+          |       FROM bg GROUP BY w1, w2
+          |       ORDER BY count(*) DESC, w1, w2 LIMIT 500),
+          |bs AS (
+          |  SELECT btf.doc_id,
+          |    sum(-CAST(tf AS DOUBLE)
+          |        * ln(0.75 * CAST(coalesce(bm.cb, 0) AS DOUBLE)
+          |               / CAST(u1.cu AS DOUBLE)
+          |             + 0.25 * CAST(u2.cu AS DOUBLE)
+          |               / CAST(tot.total AS DOUBLE))) AS bsum
+          |  FROM btf
+          |  LEFT JOIN bm ON btf.w1 = bm.w1 AND btf.w2 = bm.w2
+          |  JOIN um u1 ON btf.w1 = u1.w
+          |  JOIN um u2 ON btf.w2 = u2.w
+          |  CROSS JOIN tot
+          |  GROUP BY btf.doc_id
+          |),
+          |fs AS (
+          |  SELECT tt.doc_id,
+          |    -ln(CAST(um.cu AS DOUBLE) / CAST(tot.total AS DOUBLE)) AS fnll,
+          |    CAST(len(tt.ts) AS BIGINT) AS n_tokens
+          |  FROM tt JOIN um ON tt.ts[1] = um.w CROSS JOIN tot
+          |)
+          |SELECT fs.doc_id, fs.n_tokens,
+          |  round((fs.fnll + coalesce(bs.bsum, 0))
+          |        / CAST(fs.n_tokens AS DOUBLE), 9) AS nll
+          |FROM fs LEFT JOIN bs ON fs.doc_id = bs.doc_id
+          |ORDER BY fs.doc_id""".stripMargin,
 
       "q_ccnet" ->
         """WITH terms AS (

@@ -535,6 +535,75 @@ object TextAnalysis {
           sum(col("tf")).cast("double"), 9).as("nll"))
   }
 
+  /** Interpolated bigram-LM surprisal — the closer-to-CCNet form of
+    * [[unigramSurprisal]] (Wenzek et al. 2020 score with a 5-gram KenLM;
+    * a backoff bigram model is the same family one order up from the
+    * unigram proxy): per-document mean negative log-likelihood under
+    * `p(w_i | w_{i-1}) = λ·p_bigram + (1−λ)·p_unigram`, with the corpus
+    * itself as the model. The first token of a document scores with the
+    * unigram model alone (no left context); a bigram outside the kept
+    * model backs off to the unigram term (never zero — every token of
+    * the scored corpus is in the unigram model by construction).
+    *
+    * `λ` defaults to 0.75 — binary-exact along with its 0.25 complement,
+    * so an external engine reproducing the formula gets bit-identical
+    * interpolation weights.
+    *
+    * Scale shape: token and bigram occurrences are scan-side (the bigram
+    * pairs come from one `arrays_zip` of two slices — no self-join); the
+    * unigram model is the same vocab-keyed hash-agg + skew-tolerant join
+    * as [[unigramSurprisal]]; the bigram model is CAPPED at `maxBigrams`
+    * (top by count, deterministic count-then-pair tie-break) so it joins
+    * BROADCAST — the 100 TB analog of shipping a fixed-size KenLM to
+    * every node. Per-doc reduction is keyed by document; driver state is
+    * zero.
+    */
+  def bigramSurprisal(docs: DataFrame, textCol: String, idCol: String,
+                      lambda: Double = 0.75, maxBigrams: Int = 1 << 16)
+  : DataFrame = {
+    require(lambda > 0 && lambda < 1,
+      s"bigramSurprisal: lambda must be in (0,1): $lambda")
+    require(maxBigrams > 0, s"bigramSurprisal: maxBigrams positive: $maxBigrams")
+    val t = docs.select(col(idCol), nonEmptyTokens(col(textCol)).as("__ts"))
+      .filter(size(col("__ts")) > 0)
+    val uniOcc = t.select(col(idCol), explode(col("__ts")).as("__w"))
+    val uniModel = uniOcc.groupBy("__w").agg(count(lit(1)).as("cu"))
+    val total = uniModel.agg(sum(col("cu")).as("__total"))
+    val n = size(col("__ts"))
+    val bgOcc = t.select(col(idCol), explode(arrays_zip(
+        slice(col("__ts"), lit(1), n - 1).as("__w1"),
+        slice(col("__ts"), lit(2), n - 1).as("__w2"))).as("__p"))
+      .select(col(idCol), col("__p.__w1"), col("__p.__w2"))
+    val bgTf = bgOcc.groupBy(col(idCol), col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("tf"))
+    val bgModel = bgOcc.groupBy("__w1", "__w2")
+      .agg(count(lit(1)).as("cb"))
+      .orderBy(col("cb").desc, col("__w1"), col("__w2"))
+      .limit(maxBigrams)
+    val u1 = uniModel.select(col("__w").as("__w1"), col("cu").as("cu1"))
+    val u2 = uniModel.select(col("__w").as("__w2"), col("cu").as("cu2"))
+    val p = lit(lambda) * coalesce(col("cb"), lit(0L)).cast("double") /
+        col("cu1").cast("double") +
+      lit(1 - lambda) * col("cu2").cast("double") / col("__total").cast("double")
+    val bgSum = bgTf
+      .join(broadcast(bgModel), Seq("__w1", "__w2"), "left")
+      .join(u1, "__w1").join(u2, "__w2")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(sum(-col("tf").cast("double") * log(p)).as("__bsum"))
+    val firstNll = t.select(col(idCol), element_at(col("__ts"), 1).as("__w"))
+      .join(uniModel, "__w").crossJoin(broadcast(total))
+      .select(col(idCol),
+        (-log(col("cu").cast("double") / col("__total").cast("double")))
+          .as("__fnll"))
+    t.select(col(idCol), n.cast("long").as("n_tokens"))
+      .join(firstNll, Seq(idCol))
+      .join(bgSum, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        round((col("__fnll") + coalesce(col("__bsum"), lit(0.0))) /
+          col("n_tokens").cast("double"), 9).as("nll"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): the
     * corpus is split into `head` / `middle` / `tail` by the terciles of
     * the per-doc LM surprisal ([[unigramSurprisal]]; low surprisal =
@@ -557,11 +626,16 @@ object TextAnalysis {
     */
   def perplexityBuckets(docs: DataFrame, textCol: String, idCol: String,
                         cuts: (Double, Double) = (1.0 / 3, 2.0 / 3),
-                        exact: Boolean = false)
+                        exact: Boolean = false,
+                        bigram: Boolean = false)
   : DataFrame = {
     require(cuts._1 > 0 && cuts._1 < cuts._2 && cuts._2 < 1,
       s"perplexityBuckets: cuts must satisfy 0 < c1 < c2 < 1: $cuts")
-    val s = unigramSurprisal(docs, textCol, idCol).localCheckpoint()
+    // `bigram = true` scores with the interpolated bigram LM — the
+    // closer-to-CCNet signal — at the cost of the extra (broadcast)
+    // bigram-model join; the bucketing mechanics are identical
+    val s = (if (bigram) bigramSurprisal(docs, textCol, idCol)
+             else unigramSurprisal(docs, textCol, idCol)).localCheckpoint()
     val fn = if (exact) "percentile" else "approx_percentile"
     val acc = if (exact) "" else ", 10000" // 1e4 accuracy: ±0.01% rank
     val r = s.agg(expr(s"$fn(nll, ${cuts._1}$acc)"),

@@ -308,4 +308,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("WordPiece apply stays scan-side with projection pruning") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val vocab = Seq(graft.ops.WordPiece.Unk, "a", "b", "##a", "##b")
+    val p = plan(graft.ops.WordPiece.applyWordPiece(docs, "text", vocab)
+      .select("doc_id", "wp_tokens"))
+    assert(!p.contains("ExistingRDD"), s"fell back to RDD:\n$p")
+    assert(opCount(p, "Exchange") == 0, s"must not shuffle:\n$p")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("url") && !readSchema.contains("lang"),
+      s"read columns it does not need: $readSchema")
+  }
+
+  test("PCA projection stays scan-side; fit is the only corpus job") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val m = graft.ops.Pca.PcaModel(
+      mean = new Array[Double](64),
+      eigenvalues = Array.fill(8)(1.0),
+      components = Array.tabulate(8, 64)((i, j) => if (i == j) 1.0 else 0.0),
+      totalVariance = 64.0)
+    val p = plan(graft.ops.Pca.projectPca(emb, "embedding", "vec_id", m,
+      whiten = true))
+    assert(!p.contains("ExistingRDD"), s"fell back to RDD:\n$p")
+    assert(opCount(p, "Exchange") == 0, s"must not shuffle:\n$p")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("label"),
+      s"read columns it does not need: $readSchema")
+  }
+
+  test("bigram LM: capped model joins broadcast; no cartesian on data") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val p = plan(ops.TextAnalysis.bigramSurprisal(docs, "text", "doc_id",
+      maxBigrams = 500))
+    // the top-N bigram model and the 1-row total reach the occurrence
+    // stream via broadcast; the only SMJ-eligible join is the vocab-keyed
+    // unigram model join (skew-tolerant, same as unigramSurprisal)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -644,6 +644,58 @@ class RetrievalSpec extends SparkSpec {
     assert(out(1).getDouble(2) > out(0).getDouble(2))
   }
 
+  test("bigramSurprisal: hand-computed interpolated nll with backoff") {
+    val docs = Seq(
+      (1L, "a b a"),
+      (2L, "a b"),
+      (3L, "z"),
+      (4L, "  ")  // token-less: absent from the output
+    ).toDF("doc_id", "text")
+    // unigrams a×3 b×2 z×1 total 6; bigrams (a,b)×2 (b,a)×1
+    val pa = 3.0 / 6; val pb = 2.0 / 6; val pz = 1.0 / 6
+    val out = TextAnalysis.bigramSurprisal(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out.length == 3)
+    // doc1: first a; a->b p=.75*(2/3)+.25*pb; b->a p=.75*(1/2)+.25*pa
+    val n1 = -(math.log(pa) + math.log(0.75 * 2 / 3.0 + 0.25 * pb) +
+      math.log(0.75 * 0.5 + 0.25 * pa)) / 3
+    val n2 = -(math.log(pa) + math.log(0.75 * 2 / 3.0 + 0.25 * pb)) / 2
+    val n3 = -math.log(pz)
+    assert(out(0).getLong(1) == 3L && math.abs(out(0).getDouble(2) - n1) < 1e-8)
+    assert(out(1).getLong(1) == 2L && math.abs(out(1).getDouble(2) - n2) < 1e-8)
+    assert(out(2).getLong(1) == 1L && math.abs(out(2).getDouble(2) - n3) < 1e-8)
+  }
+
+  test("bigramSurprisal: maxBigrams cap forces unigram backoff") {
+    val docs = Seq((1L, "a b a"), (2L, "a b")).toDF("doc_id", "text")
+    // cap 1 keeps only (a,b) (count 2 beats (b,a)=1): the b->a step in
+    // doc1 backs off to .25*p(a) and doc1's nll strictly rises; doc2
+    // uses only the kept bigram, so its score is unchanged
+    val full = TextAnalysis.bigramSurprisal(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    val capped = TextAnalysis.bigramSurprisal(docs, "text", "doc_id",
+        maxBigrams = 1)
+      .orderBy("doc_id").collect()
+    assert(capped(0).getDouble(2) > full(0).getDouble(2))
+    assert(capped(1).getDouble(2) == full(1).getDouble(2))
+    val pa = 3.0 / 5; val pb = 2.0 / 5
+    val exp = -(math.log(pa) + math.log(0.75 * 2 / 3.0 + 0.25 * pb) +
+      math.log(0.25 * pa)) / 3
+    assert(math.abs(capped(0).getDouble(2) - exp) < 1e-8)
+  }
+
+  test("perplexityBuckets scores with the bigram LM when asked") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val b = TextAnalysis.perplexityBuckets(docs, "text", "doc_id",
+      bigram = true)
+    val counts = b.groupBy("ppl_bucket").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === Set("head", "middle", "tail"), counts.toString)
+    val n = counts.values.sum.toDouble
+    counts.values.foreach(c =>
+      assert(c / n > 0.25 && c / n < 0.42, counts.toString))
+  }
+
   test("perplexityBuckets: ordered terciles that partition the corpus") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val b = TextAnalysis.perplexityBuckets(docs, "text", "doc_id")
