@@ -206,6 +206,11 @@ object ScalingProbe {
     // broadcast capped bigram model — expect the unigram-surprisal shape
     time("bigram_lm") { d =>
       SparkEntry.queries("q_bigram_lm")(spark, d).count() }
+    // keep-first line dedup: scan-side posexplode, line-keyed min-agg
+    // (partial agg absorbs boilerplate skew), co-partitioned join back,
+    // one doc-keyed reassembly — line bytes cross the wire once
+    time("dedup_lines") { d =>
+      SparkEntry.queries("q_dedup_lines")(spark, d).count() }
     // minhash on a REALISTIC input (constant dup rate, cross-copy shingle
     // spaces disjoint) — the q_dedup_minhash probe above replicates
     // identical texts, so its true pair count is quadratic in mult and

@@ -1293,6 +1293,22 @@ object SparkEntry {
       TextAnalysis.unigramSurprisal(T(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
 
+    // CCNet cross-document line dedup, KEEP-FIRST (vs q_dedup_rewrite's
+    // drop-all-copies segments). Lines are built deterministically
+    // (3-word windows — short enough that this vocabulary yields real
+    // cross-doc duplicates); exact against DuckDB replaying the same
+    // build, the same packed (doc,pos) first-occurrence keys, and the
+    // same keep-first reassembly
+    "q_dedup_lines" -> ((s, dir) => {
+      val arr = filter(split(trim(col("text")), "\\s+"), w => length(w) > 0)
+      val nl = ceil(size(arr) / lit(3.0)).cast("int")
+      val lines = transform(sequence(lit(0), greatest(nl, lit(1)) - 1),
+        i => array_join(slice(arr, i * 3 + 1, lit(3)), " "))
+      val built = T(s, dir, "documents")
+        .select(col("doc_id"), array_join(lines, "\n").as("text"))
+      Dedup.dedupLinesKeepFirst(built, "text", "doc_id").orderBy("doc_id")
+    }),
+
     // interpolated bigram-LM surprisal (the closer-to-CCNet KenLM-style
     // signal): p = .75·p_bi + .25·p_uni, first token unigram-only, top-500
     // bigram model so the backoff path is EXERCISED at this vocabulary
@@ -2595,6 +2611,39 @@ object SparkEntry {
           |      / CAST(sum(tf) AS DOUBLE), 9) AS nll
           |FROM terms JOIN model USING (token) CROSS JOIN tot
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "q_dedup_lines" ->
+        """WITH w AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(trim(text), '\s+'),
+          |                x -> len(x) > 0) AS arr
+          |  FROM documents
+          |), b AS (
+          |  SELECT doc_id,
+          |    list_transform(
+          |      range(0, greatest(CAST(ceil(len(arr) / 3.0) AS INT), 1)), i ->
+          |        array_to_string(list_slice(arr, i * 3 + 1, i * 3 + 3), ' '))
+          |      AS lines
+          |  FROM w
+          |), occ AS (
+          |  SELECT doc_id, unnest(lines) AS line,
+          |         unnest(range(0, len(lines))) AS pos
+          |  FROM b
+          |), f AS (
+          |  SELECT line, min(doc_id * 1000000 + pos) AS fk
+          |  FROM occ GROUP BY line
+          |), k AS (
+          |  SELECT occ.doc_id, occ.pos, occ.line,
+          |         (occ.doc_id * 1000000 + occ.pos) = f.fk AS keep
+          |  FROM occ JOIN f ON occ.line = f.line
+          |)
+          |SELECT doc_id,
+          |  coalesce(array_to_string(
+          |    list(line ORDER BY pos) FILTER (WHERE keep), chr(10)), '')
+          |    AS dedup_text,
+          |  CAST(count(*) AS BIGINT) AS n_lines,
+          |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "q_bigram_lm" ->
         """WITH t AS (

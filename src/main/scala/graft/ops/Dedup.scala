@@ -354,6 +354,56 @@ object Dedup {
           coalesce(col("__nkept"), lit(0L))).as("n_dropped"))
   }
 
+  /** Cross-document LINE deduplication, keep-first (Wenzek et al. 2020
+    * §3.1 — CCNet removes every repeated paragraph/line across shards
+    * but KEEPS one copy; contrast [[dedupTextSegments]], which drops ALL
+    * copies of a duplicated fixed-token segment). A line occurrence
+    * survives iff it is the first occurrence of that exact line in the
+    * corpus, ordered by (`idCol`, line position) — deterministic
+    * regardless of partitioning. Returns (idCol, dedup_text — surviving
+    * lines rejoined with \n, n_lines, n_kept) for every input document.
+    *
+    * Scale shape: lines explode scan-side (posexplode of a split — no
+    * join to build them); the first-occurrence table is a hash-aggregate
+    * keyed by the line (partial agg makes repeated boilerplate lines —
+    * THE skew case for a window-function formulation — collapse map-side
+    * to one row per partition before the shuffle); the occurrence stream
+    * joins it co-partitioned on the same key (AQE splits any residual
+    * skew), and one doc-keyed shuffle reassembles. Line bytes cross the
+    * wire once — unavoidable for a text-rewriting operator. The
+    * first-occurrence key packs (doc rank, position) into one long via
+    * `posBase` (strictly larger than any line count per doc), so the
+    * min-aggregate is a primitive `min(long)`.
+    */
+  def dedupLinesKeepFirst(docs: DataFrame, textCol: String, idCol: String,
+                          posBase: Long = 1000000L): DataFrame = {
+    require(posBase > 0, s"dedupLinesKeepFirst: posBase positive: $posBase")
+    require(docs.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"dedupLinesKeepFirst: $idCol must be numeric to pack the order key")
+    val occ = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n")))
+      .withColumnRenamed("col", "__line")
+      // a document with >= posBase lines would interleave key ranges and
+      // corrupt first-occurrence order — fail loudly, not silently
+      .withColumn("__k", when(col("pos") < posBase,
+        col(idCol).cast("long") * posBase + col("pos"))
+        .otherwise(raise_error(concat(
+          lit(s"dedupLinesKeepFirst: document exceeds posBase=$posBase lines: "),
+          coalesce(col(idCol).cast("string"), lit("<null>"))))))
+    val first = occ.groupBy("__line").agg(min(col("__k")).as("__first"))
+    val kept = occ.join(first, Seq("__line"))
+      .withColumn("__keep", col("__k") === col("__first"))
+    kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("pos"), col("__line"))))),
+          x => x.getField("__line")), "\n").as("dedup_text"))
+      .select(col(idCol), col("dedup_text"), col("n_lines"), col("n_kept"))
+  }
+
   /** Benchmark decontamination: flag corpus documents that share at least
     * one word `n`-gram with any document in `bench` (the eval-suite side) —
     * the standard n-gram-overlap contamination check run before training.

@@ -541,6 +541,53 @@ class RewriteAndDsirSpec extends SparkSpec {
     assert(out(3) === ((3L, "real text stays intact here", 3L, 0L)))
   }
 
+  test("dedupLinesKeepFirst keeps exactly the first occurrence of each line") {
+    val docs = Seq(
+      (0L, "alpha\nbeta\nalpha"),   // within-doc repeat: 2nd alpha drops
+      (1L, "beta\ngamma"),          // beta seen in doc 0 -> drops here
+      (2L, "gamma\ndelta\ngamma"),  // gamma seen in doc 2 pos 0... no, doc 1
+      (3L, "unique only")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLinesKeepFirst(docs, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(out(0) === ((0L, "alpha\nbeta", 3L, 2L)))
+    assert(out(1) === ((1L, "gamma", 2L, 1L)))
+    assert(out(2) === ((2L, "delta", 3L, 1L)))
+    assert(out(3) === ((3L, "unique only", 1L, 1L)))
+  }
+
+  test("dedupLinesKeepFirst: all-duplicate doc comes back empty, not absent") {
+    val docs = Seq(
+      (0L, "x\ny"), (1L, "x\ny"), (2L, "y")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLinesKeepFirst(docs, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(out(0) === ((0L, "x\ny", 2L, 2L)))
+    assert(out(1) === ((1L, "", 2L, 0L)))
+    assert(out(2) === ((2L, "", 1L, 0L)))
+    // empty-string lines dedup like any other line: the output is
+    // deterministic under any partitioning (re-run agrees)
+    val again = Dedup.dedupLinesKeepFirst(docs.repartition(7), "text", "doc_id")
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(out.toSeq === again.toSeq)
+  }
+
+  test("dedupLinesKeepFirst fails loudly past posBase and on non-numeric ids") {
+    val docs = Seq((0L, "a\nb\nc")).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Dedup.dedupLinesKeepFirst(docs, "text", "doc_id", posBase = 2L)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("posBase")))
+    val bad = Seq(("a", "x")).toDF("doc_id", "text")
+    val ex2 = intercept[IllegalArgumentException] {
+      Dedup.dedupLinesKeepFirst(bad, "text", "doc_id")
+    }
+    assert(ex2.getMessage.contains("numeric"))
+  }
+
   test("dsirWeights scores token-less docs as (0.0, 0) instead of dropping them") {
     val raw = Seq((0L, "alpha beta"), (1L, "   "), (2L, "")).toDF("doc_id", "text")
     val tgt = Seq((9L, "alpha")).toDF("doc_id", "text")
