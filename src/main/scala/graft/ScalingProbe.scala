@@ -206,6 +206,10 @@ object ScalingProbe {
     // broadcast capped bigram model — expect the unigram-surprisal shape
     time("bigram_lm") { d =>
       SparkEntry.queries("q_bigram_lm")(spark, d).count() }
+    // semantic decontamination: broadcast bench embeddings × corpus scan
+    // + partial-agg'd per-doc max — expect the broadcast-ANN shape
+    time("decon_semantic") { d =>
+      SparkEntry.queries("q_decontaminate_semantic")(spark, d).count() }
     // keep-first line dedup: scan-side posexplode, line-keyed min-agg
     // (partial agg absorbs boilerplate skew), co-partitioned join back,
     // one doc-keyed reassembly — line bytes cross the wire once

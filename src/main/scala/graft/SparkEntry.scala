@@ -1293,6 +1293,19 @@ object SparkEntry {
       TextAnalysis.unigramSurprisal(T(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
 
+    // SEMANTIC decontamination: corpus docs whose embedding is within
+    // cosine 0.4 of any benchmark (% 23 slice) embedding — the fuzzy
+    // complement of q_decontaminate's exact n-gram overlap (paraphrased
+    // eval material shares no n-grams but stays close in embedding
+    // space); bench broadcasts, corpus scans once. Exact vs DuckDB
+    // recomputing every corpus×bench cosine
+    "q_decontaminate_semantic" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Dedup.decontaminateSemantic(emb, emb.filter(col("vec_id") % 23 === 0),
+          "vec_id", "embedding", "embedding", threshold = 0.4)
+        .orderBy("vec_id")
+    }),
+
     // CCNet cross-document line dedup, KEEP-FIRST (vs q_dedup_rewrite's
     // drop-all-copies segments). Lines are built deterministically
     // (3-word windows — short enough that this vocabulary yields real
@@ -2611,6 +2624,21 @@ object SparkEntry {
           |      / CAST(sum(tf) AS DOUBLE), 9) AS nll
           |FROM terms JOIN model USING (token) CROSS JOIN tot
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "q_decontaminate_semantic" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |b AS (SELECT v AS bv FROM e WHERE vec_id % 23 = 0),
+          |sc AS (
+          |  SELECT e.vec_id,
+          |    list_dot_product(v, bv)
+          |      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(bv, bv)))
+          |      AS cos
+          |  FROM e CROSS JOIN b
+          |)
+          |SELECT vec_id, round(max(cos), 6) AS max_cosine,
+          |       CAST(count(*) AS BIGINT) AS n_hits
+          |FROM sc WHERE cos >= 0.4
+          |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
       "q_dedup_lines" ->
         """WITH w AS (

@@ -434,6 +434,49 @@ object Dedup {
     corpus.join(decontaminate(corpus, bench, textCol, idCol, n).select(idCol),
       Seq(idCol), "left_anti")
 
+  /** SEMANTIC decontamination: flag corpus documents whose embedding is
+    * within cosine `threshold` of ANY benchmark embedding — the fuzzy
+    * complement of the exact n-gram checks above (paraphrased or
+    * reformatted eval material shares no n-grams but stays close in
+    * embedding space; flagging near-neighbors of the eval set is the
+    * published mitigation). Returns (idCol, max_cosine rounded to 6,
+    * n_hits = benchmark vectors within threshold) for flagged documents.
+    *
+    * Scale shape: eval suites are small, so the benchmark embedding set
+    * broadcasts and the corpus is ONE scan against it (the
+    * [[Similarity.bruteForceTopK]] broadcast-queries shape with the roles
+    * reversed); the per-doc reduce is a partial-agg'd max/count. No
+    * corpus-side shuffle of vectors, no pair materialization beyond the
+    * scan×broadcast product each task streams through.
+    */
+  def decontaminateSemantic(corpus: DataFrame, bench: DataFrame,
+                            idCol: String, vecCol: String,
+                            benchVecCol: String,
+                            threshold: Double): DataFrame = {
+    require(threshold > -1 && threshold <= 1,
+      s"decontaminateSemantic: threshold in (-1,1]: $threshold")
+    val b = broadcast(bench.select(col(benchVecCol).as("__bv")))
+    corpus.select(col(idCol), col(vecCol).as("__cv"))
+      .crossJoin(b)
+      .withColumn("__cos", cosine(col("__cv"), col("__bv")))
+      .filter(col("__cos") >= threshold)
+      .groupBy(col(idCol))
+      .agg(round(max(col("__cos")), 6).as("max_cosine"),
+        count(lit(1)).as("n_hits"))
+  }
+
+  /** Semantic-decontamination filter: corpus rows with no benchmark
+    * embedding within cosine `threshold`.
+    */
+  def decontaminateSemanticKeep(corpus: DataFrame, bench: DataFrame,
+                                idCol: String, vecCol: String,
+                                benchVecCol: String,
+                                threshold: Double): DataFrame =
+    corpus.join(
+      decontaminateSemantic(corpus, bench, idCol, vecCol, benchVecCol,
+        threshold).select(idCol),
+      Seq(idCol), "left_anti")
+
   /** Bloom-filter decontamination: flag corpus rows sharing (probably) any
     * word n-gram with the benchmark — the sketch variant of
     * [[decontaminate]] for when even a broadcast hash set of benchmark

@@ -521,6 +521,46 @@ class DecontaminateSpec extends SparkSpec {
     val n = out.count()
     assert(n > 0 && n < docs.count(), s"contaminated $n")
   }
+
+  test("semantic: flags embedding near-neighbors of the benchmark set") {
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)),    // exactly a bench vector: cos 1
+      (2L, Seq(0.95, 0.1)),   // cos vs (1,0) = 0.9945 -> flagged
+      (3L, Seq(1.0, 1.0)),    // cos vs (1,0) = 0.707, vs (0,1) = 0.707
+      (4L, Seq(-1.0, 0.05))   // anti-aligned
+    ).toDF("vec_id", "embedding")
+    val bench = Seq((0L, Seq(1.0, 0.0)), (9L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.decontaminateSemantic(corpus, bench,
+        "vec_id", "embedding", "embedding", threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L)._1 === 1.0 && out(1L)._2 === 1L)
+    assert(math.abs(out(2L)._1 - 0.9945055) < 1e-5 && out(2L)._2 === 1L)
+    // a looser threshold catches doc 3 via BOTH bench vectors (n_hits 2)
+    val loose = Dedup.decontaminateSemantic(corpus, bench,
+        "vec_id", "embedding", "embedding", threshold = 0.7)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(loose(3L) === 2L)
+    val kept = Dedup.decontaminateSemanticKeep(corpus, bench,
+        "vec_id", "embedding", "embedding", threshold = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(3L, 4L))
+  }
+
+  test("semantic decontamination plan broadcasts the bench side") {
+    val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+    val bench = emb.filter(col("vec_id") % 23 === 0)
+    val df = Dedup.decontaminateSemantic(emb, bench,
+      "vec_id", "embedding", "embedding", threshold = 0.4)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"bench side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unbroadcast cartesian:\n$p")
+    // bench members flag themselves at cos 1; non-neighbors stay clean
+    val n = df.count()
+    assert(n > 0 && n < emb.count(), s"flagged $n")
+  }
 }
 
 class SemDedupSpec extends SparkSpec {
