@@ -206,6 +206,9 @@ object ScalingProbe {
     // broadcast capped bigram model — expect the unigram-surprisal shape
     time("bigram_lm") { d =>
       SparkEntry.queries("q_bigram_lm")(spark, d).count() }
+    // ES weighted sampling: scan-side jitter + TakeOrdered bounded heaps
+    time("sample_weighted") { d =>
+      SparkEntry.queries("q_sample_weighted")(spark, d).count() }
     // semantic decontamination: broadcast bench embeddings × corpus scan
     // + partial-agg'd per-doc max — expect the broadcast-ANN shape
     time("decon_semantic") { d =>

@@ -1024,6 +1024,16 @@ object SparkEntry {
         Seq("en" -> 0.3, "zh" -> 0.1), defaultRate = 0.5)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    // weighted sampling WITHOUT replacement (Efraimidis-Spirakis): top-60
+    // docs by the exponential jitter -ln(u)/w with w = n_chars and u the
+    // md5-uniform draw — weight-proportional subset selection any engine
+    // reproduces exactly (same md5, same formula, same tie-break)
+    "q_sample_weighted" -> ((s, dir) =>
+      Sampling.sampleByWeight(
+          T(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", col("n_chars"), n = 60)
+        .orderBy("doc_id")),
+
     // deterministic training-export sharding: membership is a pure md5
     // function of the key, so any engine reproduces the same shards
     "q_shard" -> ((s, dir) =>
@@ -2450,6 +2460,18 @@ object SparkEntry {
            |       WHEN lang = 'zh' THEN '${Sampling.thresholdHex(0.1)}'
            |       ELSE '${Sampling.thresholdHex(0.5)}' END
            |ORDER BY doc_id""".stripMargin,
+
+      "q_sample_weighted" ->
+        """WITH d AS (
+          |  SELECT doc_id, n_chars,
+          |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          |      + 1.0) / 4294967296.0 AS u
+          |  FROM documents
+          |)
+          |SELECT doc_id, n_chars, round(-ln(u) / n_chars, 9) AS es_key
+          |FROM d
+          |ORDER BY -ln(u) / n_chars, doc_id
+          |LIMIT 60""".stripMargin,
 
       "q_shard" ->
         """SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,

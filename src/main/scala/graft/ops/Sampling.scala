@@ -203,6 +203,52 @@ object Sampling {
       .drop("__nc")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * "Weighted random sampling with a reservoir"): keep the `n` rows with
+    * the smallest exponential jitter `es_key = −ln(u)/w`, which selects
+    * each row with probability proportional to its weight among the
+    * not-yet-chosen — the quality-weighted subset-selection step
+    * ("sample 10M documents ∝ quality score") that rate-based sampling
+    * cannot express. `u` is the deterministic md5-uniform draw of the key
+    * column in (0, 1], so the SAME sample comes back on any cluster, any
+    * partitioning, any engine. Appends `es_key` (rounded to 6).
+    *
+    * Weight contract (the [[upsampleByWeight]] guard): NULL or negative
+    * weights fail the job loudly; zero-weight rows get `es_key = +∞` and
+    * are only drawn if fewer than `n` positive-weight rows exist.
+    *
+    * Scale shape: scan-side key computation + `orderBy(...).limit(n)` —
+    * Spark plans TakeOrderedAndProject (per-partition bounded top-n
+    * heaps, driver merge of n·partitions candidates), no global sort, no
+    * full-frame shuffle. Ties (identical jitter) break on the key column,
+    * keeping the selection total and reproducible.
+    */
+  def sampleByWeight(df: DataFrame, keyCol: String, weight: Column,
+                     n: Int): DataFrame = {
+    require(n > 0, s"sampleByWeight: n must be positive: $n")
+    requireFreeColumns(df, Seq("es_key"), "sampleByWeight")
+    // md5 draw shifted to (0,1]: u = 0 would make −ln(u) infinite for
+    // every weight; u = 1 (es_key 0) is the benign endpoint
+    val u = (conv(hashBucket(col(keyCol)), 16, 10).cast("double") + 1.0) /
+      lit(4294967296.0)
+    val wc = weight.cast("double")
+    val keyStr = coalesce(col(keyCol).cast("string"), lit("<null>"))
+    val w = when(wc.isNull, raise_error(concat(
+        lit("sampleByWeight: null weight for key "), keyStr)))
+      .when(wc < 0, raise_error(concat(
+        lit("sampleByWeight: negative weight "), weight.cast("string"),
+        lit(" for key "), keyStr)))
+      .otherwise(wc)
+    val esKey = when(w > 0, -log(u) / w)
+      .otherwise(lit(Double.PositiveInfinity))
+    // order by the UNROUNDED key (rounding first would collapse small
+    // keys into coarse buckets and let the tie-break, not the weight,
+    // pick); the emitted column rounds to 9 for engine-stable output
+    df.withColumn("es_key", round(esKey, 9))
+      .orderBy(esKey, col(keyCol))
+      .limit(n)
+  }
+
   /** Deterministic global shuffle for training-order assignment: every row
     * gets its position in the permutation induced by
     * md5(seed ‖ ":" ‖ key) — the same permutation on any cluster size, any

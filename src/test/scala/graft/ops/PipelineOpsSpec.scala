@@ -112,6 +112,56 @@ class SamplingSpec extends SparkSpec {
     assert(a.subsetOf(big))
   }
 
+  test("sampleByWeight: weight-proportional without replacement, stable") {
+    val rows = (0L until 2000L).map(i => (i, if (i < 100) 50.0 else 1.0))
+    val df = rows.toDF("id", "w")
+    val out = Sampling.sampleByWeight(df, "id", col("w"), n = 200)
+      .select("id").as[Long].collect().toSet
+    assert(out.size === 200)
+    // the 100 heavy rows (50x weight) should nearly all be drawn; a
+    // uniform draw would pick ~10 of them
+    val heavy = out.count(_ < 100L)
+    assert(heavy > 75, s"only $heavy of 100 heavy rows drawn")
+    // deterministic under repartitioning
+    val again = Sampling.sampleByWeight(df.repartition(13), "id",
+        col("w"), n = 200)
+      .select("id").as[Long].collect().toSet
+    assert(again === out)
+    // without-replacement: ids are distinct by construction (a set of
+    // 200 from limit 200 proves no duplicates survived)
+  }
+
+  test("sampleByWeight: zero weights only drawn when positives run out") {
+    val df = Seq((1L, 2.0), (2L, 0.0), (3L, 1.0), (4L, 0.0))
+      .toDF("id", "w")
+    val two = Sampling.sampleByWeight(df, "id", col("w"), n = 2)
+      .select("id").as[Long].collect().toSet
+    assert(two === Set(1L, 3L))
+    val three = Sampling.sampleByWeight(df, "id", col("w"), n = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(three.keySet.contains(1L) && three.keySet.contains(3L))
+    assert((three.keySet - 1L - 3L).forall(i => three(i).isInfinity))
+  }
+
+  test("sampleByWeight: null and negative weights fail loudly; plan is top-k") {
+    val df = Seq((1L, 1.0), (2L, -1.0)).toDF("id", "w")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val ex = intercept[Exception] {
+      Sampling.sampleByWeight(df, "id", col("w"), n = 1).collect()
+    }
+    assert(msgs(ex).exists(_.contains("negative weight")))
+    val nulls = Seq((1L, Some(1.0)), (2L, None)).toDF("id", "w")
+    val ex2 = intercept[Exception] {
+      Sampling.sampleByWeight(nulls, "id", col("w"), n = 1).collect()
+    }
+    assert(msgs(ex2).exists(_.contains("null weight")))
+    val p = Sampling.sampleByWeight(
+        spark.range(100).toDF("id"), "id", lit(1.0), n = 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$p")
+  }
+
   test("deterministic shuffle: a permutation, stable under repartitioning") {
     val ids = (0L until 500L).toDF("id")
     val pos = Sampling.deterministicShuffle(ids, "id")
