@@ -148,4 +148,62 @@ class CorpusAssemblySpec extends SparkSpec {
     assert(sel.select(explode(col("uni_ids")).as("id"))
       .filter(col("id") < 0 || col("id") > m.size).count() === 0)
   }
+
+  test("line dedup → bigram ppl buckets → semantic decon → weighted draw → WordPiece ids") {
+    // the round's NEW operators chained as the CCNet-flavored back half
+    // of the pipe: cross-doc boilerplate removal, LM-quality bucketing,
+    // fuzzy decontamination, weight-proportional selection, and a
+    // BERT-family dataloader encoding — deterministic end to end
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+
+    def assemble(): org.apache.spark.sql.DataFrame = {
+      // deterministic 3-word line structure (the corpus is single-line)
+      val arr = filter(split(trim(col("text")), "\\s+"), w => length(w) > 0)
+      val nl = ceil(size(arr) / lit(3.0)).cast("int")
+      val lines = transform(sequence(lit(0), greatest(nl, lit(1)) - 1), i =>
+        array_join(slice(arr, i * 3 + 1, lit(3)), " "))
+      val structured = docs.select(col("doc_id"),
+        array_join(lines, "\n").as("text"))
+      // 1. corpus-wide keep-first line dedup; keep docs retaining text
+      val deduped = Dedup.dedupLinesKeepFirst(structured, "text", "doc_id")
+        .filter(col("n_kept") > 0)
+        .select(col("doc_id"),
+          regexp_replace(col("dedup_text"), "\n", " ").as("text"))
+      // 2. bigram-LM perplexity buckets; CCNet keep-head-and-middle
+      val buckets = TextAnalysis.perplexityBuckets(deduped, "text", "doc_id",
+        exact = true, bigram = true)
+      val headMid = deduped.join(
+        buckets.filter(col("ppl_bucket") =!= "tail")
+          .select("doc_id", "n_tokens"), Seq("doc_id"))
+      // 3. semantic decontamination vs the % 23 embedding bench slice
+      val flagged = Dedup.decontaminateSemantic(emb,
+        emb.filter(col("vec_id") % 23 === 0),
+        "vec_id", "embedding", "embedding", threshold = 0.4)
+      val clean = headMid.join(
+        flagged.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_anti")
+      // 4. 100-doc weighted draw proportional to surviving token count
+      val drawn = Sampling.sampleByWeight(clean, "doc_id",
+        col("n_tokens").cast("double"), n = 100)
+      // 5. WordPiece int-id encoding on the drawn corpus
+      val vocab = WordPiece.learnWordPiece(drawn, "text", vocabSize = 400,
+        maxWords = 10000)
+      WordPiece.applyWordPieceIds(drawn, "text", vocab)
+        .select("doc_id", "wp_ids", "n_wp_tokens")
+    }
+
+    val out = assemble()
+    val n = out.count()
+    assert(n === 100, s"the weighted draw fixes the corpus size: $n")
+    // the learned alphabet covers its own training corpus: no [UNK] (id
+    // 0) anywhere in the encoded output
+    assert(out.select(explode(col("wp_ids")).as("id"))
+      .filter(col("id") === 0).count() === 0, "unexpected [UNK] ids")
+    // id count column matches the sequences; every doc carries tokens
+    assert(out.filter(size(col("wp_ids")) =!= col("n_wp_tokens")).count() === 0)
+    assert(out.filter(col("n_wp_tokens") === 0).count() === 0)
+    // the whole chain is deterministic
+    val again = assemble()
+    assert(out.except(again).count() === 0 && again.except(out).count() === 0)
+  }
 }

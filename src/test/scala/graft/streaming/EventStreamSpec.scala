@@ -227,6 +227,29 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("PCA whitening projection runs inside a real stream (Expression path)") {
+    // the projection is a scan-side AffineProject expression, so a
+    // batch-fitted basis whitens an ingest stream with exact batch parity
+    val dir = sf("sf0.001")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val m = graft.ops.Pca.fitPca(emb, "embedding", k = 8)
+    val dDir = "/root/repo/target/test_stream_pca"
+    emb.write.mode("overwrite").parquet(dDir)
+    val stream = spark.readStream.schema(emb.schema).parquet(dDir)
+    val proj = graft.ops.Pca.projectPca(stream, "embedding", "vec_id", m,
+      whiten = true)
+    EventStream.runToMemory(proj, "pca_out", mode = "append")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getSeq[Double](1).mkString(","))
+    val streamed = spark.table("pca_out").collect().map(key).toSeq.sorted
+    val batch = graft.ops.Pca.projectPca(emb, "embedding", "vec_id", m,
+        whiten = true)
+      .collect().map(key).toSeq.sorted
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(s * 1000)
