@@ -382,7 +382,10 @@ object Dedup {
         .isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"dedupLinesKeepFirst: $idCol must be numeric to pack the order key")
     val occ = docs
-      .select(col(idCol), posexplode(split(col(textCol), "\n")))
+      // a NULL text explodes to zero rows and would silently drop the
+      // document from the output; treat it as one empty line instead
+      .select(col(idCol),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n")))
       .withColumnRenamed("col", "__line")
       // a document with >= posBase lines would interleave key ranges and
       // corrupt first-occurrence order — fail loudly, not silently

@@ -558,13 +558,15 @@ class RewriteAndDsirSpec extends SparkSpec {
 
   test("dedupLinesKeepFirst: all-duplicate doc comes back empty, not absent") {
     val docs = Seq(
-      (0L, "x\ny"), (1L, "x\ny"), (2L, "y")
+      (0L, "x\ny"), (1L, "x\ny"), (2L, "y"), (3L, null.asInstanceOf[String])
     ).toDF("doc_id", "text")
     val out = Dedup.dedupLinesKeepFirst(docs, "text", "doc_id")
       .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
     assert(out(0) === ((0L, "x\ny", 2L, 2L)))
     assert(out(1) === ((1L, "", 2L, 0L)))
     assert(out(2) === ((2L, "", 1L, 0L)))
+    // null text counts as one empty line, not a vanished document
+    assert(out(3) === ((3L, "", 1L, 1L)))
     // empty-string lines dedup like any other line: the output is
     // deterministic under any partitioning (re-run agrees)
     val again = Dedup.dedupLinesKeepFirst(docs.repartition(7), "text", "doc_id")
