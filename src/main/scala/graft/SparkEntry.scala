@@ -22,6 +22,20 @@ import graft.streaming.EventStream
   */
 object SparkEntry {
 
+  /** Deterministic k-word line structure over the single-line synthetic
+    * corpus — ONE definition shared by `q_dedup_lines` and the corpus-
+    * assembly integration test, so the oracle-checked query and the
+    * integration pipe exercise the same line build.
+    */
+  private[graft] def syntheticLines(docs: DataFrame,
+                                    wordsPerLine: Int): DataFrame = {
+    val arr = filter(split(trim(col("text")), "\\s+"), w => length(w) > 0)
+    val nl = ceil(size(arr) / lit(wordsPerLine.toDouble)).cast("int")
+    val lines = transform(sequence(lit(0), greatest(nl, lit(1)) - 1),
+      i => array_join(slice(arr, i * wordsPerLine + 1, lit(wordsPerLine)), " "))
+    docs.select(col("doc_id"), array_join(lines, "\n").as("text"))
+  }
+
   private def T(s: SparkSession, dir: String, n: String): DataFrame =
     if (n == "events") {
       // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
@@ -1175,9 +1189,12 @@ object SparkEntry {
       val vocab = WordPiece.learnWordPiece(docs, "text", vocabSize = 400,
         maxWords = 20000)
       WordPiece.applyWordPiece(docs, "text", vocab)
+        // strip ONE leading marker per piece (the exact inverse of the
+        // ## convention) — a global replace would also delete literal
+        // "##" content inside '#'-bearing corpora
         .select(col("doc_id"),
-          replace(array_join(col("wp_tokens"), ""),
-            lit(WordPiece.Continuation), lit("")).as("reconstructed"),
+          array_join(transform(col("wp_tokens"),
+            t => regexp_replace(t, "^##", "")), "").as("reconstructed"),
           size(filter(col("wp_tokens"), t => t === WordPiece.Unk))
             .cast("long").as("n_unk"))
         .orderBy("doc_id")
@@ -1322,15 +1339,11 @@ object SparkEntry {
     // cross-doc duplicates); exact against DuckDB replaying the same
     // build, the same packed (doc,pos) first-occurrence keys, and the
     // same keep-first reassembly
-    "q_dedup_lines" -> ((s, dir) => {
-      val arr = filter(split(trim(col("text")), "\\s+"), w => length(w) > 0)
-      val nl = ceil(size(arr) / lit(3.0)).cast("int")
-      val lines = transform(sequence(lit(0), greatest(nl, lit(1)) - 1),
-        i => array_join(slice(arr, i * 3 + 1, lit(3)), " "))
-      val built = T(s, dir, "documents")
-        .select(col("doc_id"), array_join(lines, "\n").as("text"))
-      Dedup.dedupLinesKeepFirst(built, "text", "doc_id").orderBy("doc_id")
-    }),
+    "q_dedup_lines" -> ((s, dir) =>
+      Dedup.dedupLinesKeepFirst(
+          syntheticLines(T(s, dir, "documents"), wordsPerLine = 3),
+          "text", "doc_id")
+        .orderBy("doc_id")),
 
     // interpolated bigram-LM surprisal (the closer-to-CCNet KenLM-style
     // signal): p = .75·p_bi + .25·p_uni, first token unigram-only, top-500

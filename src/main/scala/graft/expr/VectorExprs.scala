@@ -551,6 +551,12 @@ object VectorExprs {
       val x = new Array[Double](d)
       var i = 0
       while (i < d) {
+        // a null ELEMENT would read back as 0.0 from the unsafe accessors
+        // and project garbage silently — the exact failure this class's
+        // loud-contract exists to prevent
+        if (arr.isNullAt(i))
+          throw new IllegalArgumentException(
+            s"AffineProject: null element at index $i")
         x(i) = (et match {
           case FloatType => arr.getFloat(i).toDouble
           case DoubleType => arr.getDouble(i)

@@ -387,13 +387,23 @@ object Dedup {
       .select(col(idCol),
         posexplode(split(coalesce(col(textCol), lit("")), "\n")))
       .withColumnRenamed("col", "__line")
-      // a document with >= posBase lines would interleave key ranges and
-      // corrupt first-occurrence order — fail loudly, not silently
-      .withColumn("__k", when(col("pos") < posBase,
-        col(idCol).cast("long") * posBase + col("pos"))
+      // the packed key is only an order embedding while pos < posBase AND
+      // |id| <= Long.MaxValue/posBase (hash-derived 64-bit ids would wrap
+      // the multiply) AND the id is non-null (a null key would make min()
+      // skip the occurrence and silently drop the document's lines) —
+      // fail loudly on all three, not silently corrupt keep-first order
+      .withColumn("__k", when(col(idCol).isNull,
+        raise_error(lit("dedupLinesKeepFirst: null id")))
+        .when(abs(col(idCol).cast("long")) > Long.MaxValue / posBase ||
+            col(idCol).cast("long") === Long.MinValue, // abs() wraps on it
+          raise_error(concat(
+            lit(s"dedupLinesKeepFirst: id overflows posBase=$posBase packing: "),
+            col(idCol).cast("string"))))
+        .when(col("pos") < posBase,
+          col(idCol).cast("long") * posBase + col("pos"))
         .otherwise(raise_error(concat(
           lit(s"dedupLinesKeepFirst: document exceeds posBase=$posBase lines: "),
-          coalesce(col(idCol).cast("string"), lit("<null>"))))))
+          col(idCol).cast("string")))))
     val first = occ.groupBy("__line").agg(min(col("__k")).as("__first"))
     val kept = occ.join(first, Seq("__line"))
       .withColumn("__keep", col("__k") === col("__first"))
@@ -462,7 +472,11 @@ object Dedup {
     corpus.select(col(idCol), col(vecCol).as("__cv"))
       .crossJoin(b)
       .withColumn("__cos", cosine(col("__cv"), col("__bv")))
-      .filter(col("__cos") >= threshold)
+      // a zero-norm vector yields cosine NaN, and Spark orders NaN above
+      // every number — without the isnan guard one zero embedding on the
+      // BENCH side would flag the entire corpus (and the keep filter
+      // would then silently drop every document)
+      .filter(!isnan(col("__cos")) && col("__cos") >= threshold)
       .groupBy(col(idCol))
       .agg(round(max(col("__cos")), 6).as("max_cosine"),
         count(lit(1)).as("n_hits"))

@@ -211,7 +211,7 @@ object Sampling {
     * ("sample 10M documents ∝ quality score") that rate-based sampling
     * cannot express. `u` is the deterministic md5-uniform draw of the key
     * column in (0, 1], so the SAME sample comes back on any cluster, any
-    * partitioning, any engine. Appends `es_key` (rounded to 6).
+    * partitioning, any engine. Appends `es_key` (rounded to 9).
     *
     * Weight contract (the [[upsampleByWeight]] guard): NULL or negative
     * weights fail the job loudly; zero-weight rows get `es_key = +∞` and

@@ -158,13 +158,9 @@ class CorpusAssemblySpec extends SparkSpec {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
 
     def assemble(): org.apache.spark.sql.DataFrame = {
-      // deterministic 3-word line structure (the corpus is single-line)
-      val arr = filter(split(trim(col("text")), "\\s+"), w => length(w) > 0)
-      val nl = ceil(size(arr) / lit(3.0)).cast("int")
-      val lines = transform(sequence(lit(0), greatest(nl, lit(1)) - 1), i =>
-        array_join(slice(arr, i * 3 + 1, lit(3)), " "))
-      val structured = docs.select(col("doc_id"),
-        array_join(lines, "\n").as("text"))
+      // the SAME deterministic 3-word line build the q_dedup_lines
+      // oracle checks (one shared definition)
+      val structured = graft.SparkEntry.syntheticLines(docs, wordsPerLine = 3)
       // 1. corpus-wide keep-first line dedup; keep docs retaining text
       val deduped = Dedup.dedupLinesKeepFirst(structured, "text", "doc_id")
         .filter(col("n_kept") > 0)

@@ -588,6 +588,13 @@ class RewriteAndDsirSpec extends SparkSpec {
       Dedup.dedupLinesKeepFirst(bad, "text", "doc_id")
     }
     assert(ex2.getMessage.contains("numeric"))
+    // a hash-scale id would overflow the packed (id, pos) key — loud, not
+    // a silently corrupted keep-first order
+    val big = Seq((Long.MaxValue / 1000L, "x")).toDF("doc_id", "text")
+    val ex3 = intercept[Exception] {
+      Dedup.dedupLinesKeepFirst(big, "text", "doc_id").collect()
+    }
+    assert(msgs(ex3).exists(_.contains("overflows")))
   }
 
   test("dsirWeights scores token-less docs as (0.0, 0) instead of dropping them") {

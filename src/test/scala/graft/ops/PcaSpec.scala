@@ -166,14 +166,22 @@ class PcaSpec extends SparkSpec {
       s"projection must stay scan-side:\n$plan")
   }
 
-  test("ragged vectors fail loudly at projection time") {
+  test("ragged vectors and null elements fail loudly at projection time") {
     val df = Seq((0L, Seq(1.0, 2.0)), (1L, Seq(1.0, 2.0, 3.0))).toDF("id", "v")
     val m = Pca.fitPca(df.filter(col("id") === 0L), "v")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     val ex = intercept[Exception] {
       Pca.projectPca(df, "v", "id", m).collect()
     }
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(ex).exists(_.contains("AffineProject")))
+    // a null ELEMENT would read back 0.0 from the unsafe accessor and
+    // project garbage — must throw instead
+    val withNull = df.filter(col("id") === 0L)
+      .select(col("id"), array(lit(1.0), lit(null).cast("double")).as("v"))
+    val ex2 = intercept[Exception] {
+      Pca.projectPca(withNull, "v", "id", m).collect()
+    }
+    assert(msgs(ex2).exists(_.contains("null element")))
   }
 }

@@ -598,6 +598,23 @@ class DecontaminateSpec extends SparkSpec {
     assert(kept === Set(3L, 4L))
   }
 
+  test("semantic: zero-norm embeddings never flag (NaN cosine is not a hit)") {
+    // Spark orders NaN above every number, so an unguarded >= threshold
+    // would let one zero vector on the BENCH side flag the whole corpus
+    val corpus = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val bench = Seq((0L, Seq(0.0, 0.0)), (9L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.decontaminateSemantic(corpus, bench,
+        "vec_id", "embedding", "embedding", threshold = 0.5)
+      .collect()
+    assert(out.isEmpty, s"NaN cosines flagged: ${out.mkString(",")}")
+    val kept = Dedup.decontaminateSemanticKeep(corpus, bench,
+        "vec_id", "embedding", "embedding", threshold = 0.5)
+      .count()
+    assert(kept === 2L, "zero-norm bench vector must not wipe the corpus")
+  }
+
   test("semantic decontamination plan broadcasts the bench side") {
     val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
     val bench = emb.filter(col("vec_id") % 23 === 0)

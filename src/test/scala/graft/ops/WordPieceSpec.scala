@@ -75,8 +75,8 @@ class WordPieceSpec extends SparkSpec {
       minCount = 1)
     val out = WordPiece.applyWordPiece(docs, "text", vocab)
       .select(col("doc_id"),
-        replace(array_join(col("wp_tokens"), ""),
-          lit(WordPiece.Continuation), lit("")).as("rec"),
+        array_join(transform(col("wp_tokens"),
+          t => regexp_replace(t, "^##", "")), "").as("rec"),
         col("n_wp_tokens"))
       .orderBy("doc_id").collect()
     assert(out(0).getString(1) == "thequickquickfox")
