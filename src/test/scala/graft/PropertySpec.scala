@@ -136,6 +136,127 @@ class PropertySpec extends SparkSpec {
     }, n = 30)
   }
 
+  test("WordPiece: lossless marker inverse, [UNK] totality, clean id space") {
+    import graft.ops.WordPiece
+    // the nasty corner here is '#' itself: content hash marks must
+    // survive the ##-marker round trip (a global replace would not)
+    val alphabet = Gen.oneOf('a', 'b', 'c', 'ß', 'é', '中', '#', '[', ']')
+    val genWord = Gen.choose(1, 8)
+      .flatMap(n => Gen.listOfN(n, alphabet)).map(_.mkString)
+    val genCorpus = Gen.choose(1, 30).flatMap(n => Gen.listOfN(n, genWord))
+    check(Prop.forAll(genCorpus) { words =>
+      val freq = words.groupBy(identity).toSeq
+        .map { case (w, ws) => (w, ws.size.toLong) }
+      val vocab = WordPiece.learnFromWordFreq(freq, vocabSize = 40,
+        minCount = 1)
+      val vset = vocab.toSet
+      val maxLen = vset.iterator.map(_.length).max
+      def decode(pieces: Seq[String]): String =
+        if (pieces.isEmpty) ""
+        else pieces.head + pieces.tail
+          .map(_.stripPrefix(WordPiece.Continuation)).mkString
+      // corpus words: alphabet is covered, so never [UNK] and the
+      // one-leading-marker strip is the exact segmentation inverse
+      val lossless = words.forall { w =>
+        val ps = WordPiece.encodeWord(w, vset, maxLen)
+        !ps.contains(WordPiece.Unk) && decode(ps.toSeq) == w
+      }
+      // a word with an unseen char maps WHOLLY to [UNK] — the fallback
+      // is total, never a partial segmentation
+      val unkTotal =
+        WordPiece.encodeWord("q" + words.head, vset, maxLen).toSeq ==
+          Seq(WordPiece.Unk)
+      // the id space never carries duplicates (two merge paths can fuse
+      // to the same string — the id layout must dedup them)
+      val idsClean = vocab.distinct.length == vocab.length
+      lossless && unkTotal && idsClean
+    }, n = 40)
+  }
+
+  test("PCA: orthonormal descending basis, trace identity, norm preservation") {
+    import graft.ops.Pca
+    val genDim = Gen.choose(2, 4)
+    val genData = for {
+      d <- genDim
+      n <- Gen.choose(3, 20)
+      rows <- Gen.listOfN(n, Gen.listOfN(d, Gen.choose(-5.0, 5.0)))
+    } yield rows
+    check(Prop.forAll(genData) { rows =>
+      val d = rows.head.length
+      val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val m = Pca.fitPca(df, "v")
+      val ortho = (0 until d).forall { i =>
+        (i until d).forall { j =>
+          val dot = (0 until d).map(t =>
+            m.components(i)(t) * m.components(j)(t)).sum
+          math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-8
+        }
+      }
+      val descending = m.eigenvalues.sliding(2)
+        .forall(p => p.length < 2 || p(0) >= p(1) - 1e-12)
+      val nonneg = m.eigenvalues.forall(_ >= -1e-10)
+      val trace = math.abs(m.eigenvalues.sum - m.totalVariance) <
+        1e-8 * math.max(1.0, math.abs(m.totalVariance))
+      val proj = Pca.projectPca(df, "v", "id", m).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val norms = rows.zipWithIndex.forall { case (v, i) =>
+        val cn2 = v.zip(m.mean).map { case (x, mu) => (x - mu) * (x - mu) }.sum
+        val pn2 = proj(i.toLong).map(y => y * y).sum
+        math.abs(cn2 - pn2) < 1e-7 * math.max(1.0, cn2)
+      }
+      ortho && descending && nonneg && trace && norms
+    }, n = 12)
+  }
+
+  test("ES sampling: size, nesting, and partitioning invariance") {
+    import graft.ops.Sampling
+    val genRows = Gen.choose(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0.1, 50.0)))
+    val genN = Gen.choose(1, 30)
+    check(Prop.forAll(genRows, genN) { (weights, n) =>
+      val df = weights.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("id", "w")
+      def draw(k: Int, parts: Int) =
+        Sampling.sampleByWeight(df.repartition(parts), "id", col("w"), k)
+          .select("id").as[Long].collect().toSet
+      val s = draw(n, 3)
+      val sizeOk = s.size == math.min(n, weights.size)
+      // top-k by a fixed total order nests: the n-sample is inside the
+      // (n+5)-sample, and partitioning never changes the selection
+      val nested = s.subsetOf(draw(n + 5, 3))
+      val stable = draw(n, 7) == s
+      sizeOk && nested && stable
+    }, n = 8)
+  }
+
+  test("bigram LM: nll bounds and monotone backoff under model capping") {
+    import graft.ops.TextAnalysis
+    val genWord = Gen.oneOf("aa", "ab", "ba", "cc", "x")
+    val genDoc = Gen.choose(1, 8)
+      .flatMap(n => Gen.listOfN(n, genWord)).map(_.mkString(" "))
+    val genCorpus = Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, genDoc))
+    check(Prop.forAll(genCorpus) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def nlls(cap: Int) =
+        TextAnalysis.bigramSurprisal(df, "text", "doc_id", maxBigrams = cap)
+          .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      val full = nlls(1 << 16)
+      val capped = nlls(1)
+      // both models are corpus-complete on the unigram side, so every
+      // probability is in (0,1] and every nll finite and >= 0
+      val bounds = full.values.forall(v => v >= -1e-12 && !v.isInfinite &&
+        !v.isNaN)
+      // shrinking the bigram model can only REMOVE probability mass
+      // (kept bigrams score identically, dropped ones back off lower),
+      // so per-doc nll is monotone non-decreasing under capping
+      val monotone = full.keySet == capped.keySet &&
+        full.forall { case (id, v) => capped(id) >= v - 1e-9 }
+      bounds && monotone
+    }, n = 8)
+  }
+
   test("updateTable rewrites in place with read-your-writes") {
     val path = "/root/repo/target/test_updatetable"
     val supp = spark.read.parquet(s"${sf()}/supplier.parquet")
