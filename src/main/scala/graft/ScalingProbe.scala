@@ -115,6 +115,15 @@ object ScalingProbe {
       graft.ops.Similarity.pqTopK(q, emb, "vec_id", "embedding",
         "vec_id", "embedding", k = 5, m = 16, ksub = 32, refine = 16).count()
     }
+    // PCAR+PQ: one covariance pass + driver Jacobi on top of the PQ
+    // shape; the ADC scan runs in the 48-dim rotation
+    time("ann_pcapq") { d =>
+      val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      val q = emb.orderBy("vec_id").limit(10)
+      graft.ops.Similarity.pcaPqTopK(q, emb, "vec_id", "embedding",
+        "vec_id", "embedding", k = 5, pcaK = 48, m = 16, ksub = 32,
+        refine = 24).count()
+    }
     // round-8/9 operators: the q_ entry IS the operator for all three
     time("dedup_rewrite") { d =>
       SparkEntry.queries("q_dedup_rewrite")(spark, d).count() }

@@ -63,6 +63,7 @@ object SparkEntry {
     */
   private val IvfRecallFloor = 0.4 // per-query; measured min 0.60 (all SFs)
   private val PqRecallFloor = 0.4 // per-query; measured min 0.80 (all SFs)
+  private val PcaPqRecallFloor = 0.2 // per-query; measured min 0.40 (all SFs)
   private val LshRecallFloor = 0.25 // mean over queries; measured ≥ 0.375
   private val MinhashRecallFloor = 0.7 // measured 1.000 at all SFs
   private val EmbedLshRecallFloor = 0.08 // measured 0.136–0.157
@@ -911,6 +912,20 @@ object SparkEntry {
       annRecallCheck(s, dir, PqRecallFloor) { (q, c) =>
         Similarity.pqTopK(q, c, "vec_id", "embedding", "vec_id", "embedding",
           k = 5, m = 16, ksub = 32, refine = 16)
+      }),
+
+    // PCA-rotated PQ (the faiss PCAR,PQ recipe): candidates searched in
+    // a 48-dim truncated rotation (the ADC scan reads 3/4 of the bytes
+    // and decorrelated subspaces), exact re-rank in the ORIGINAL space.
+    // The near-isotropic synthetic embeddings are the WORST case for
+    // truncation (every direction carries variance), hence the lower
+    // floor: measured per-query min 0.4 at both SFs, floor 0.2 = the
+    // house 2x margin.
+    "q_ann_pcapq" -> ((s, dir) =>
+      annRecallCheck(s, dir, PcaPqRecallFloor) { (q, c) =>
+        Similarity.pcaPqTopK(q, c, "vec_id", "embedding",
+          "vec_id", "embedding", k = 5, pcaK = 48, m = 16, ksub = 32,
+          refine = 24)
       }),
 
     // LSH buckets are coarser than IVF cells (single-probe recall can hit 0
@@ -2220,6 +2235,10 @@ object SparkEntry {
           |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
 
       "q_ann_pq" ->
+        """SELECT DISTINCT CAST(vec_id AS BIGINT) AS query_id, true AS recall_ok
+          |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
+
+      "q_ann_pcapq" ->
         """SELECT DISTINCT CAST(vec_id AS BIGINT) AS query_id, true AS recall_ok
           |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
 

@@ -388,13 +388,52 @@ object Similarity {
     explodeTopK(rer, k)
   }
 
+  /** PCA-rotated PQ search — the faiss `PCAR{k},PQ{m}` recipe (Jégou
+    * 2011 §V.A): fit a truncated orthonormal basis on the corpus
+    * ([[Pca.fitPca]], one covariance pass + driver Jacobi), run the PQ
+    * candidate search entirely in the ROTATED pcaK-dim space (the ADC
+    * scan reads pcaK/d of the bytes per code and the subquantizers see
+    * decorrelated coordinates — the reason faiss rotates before PQ),
+    * then re-rank the surviving ~2k candidates EXACTLY in the ORIGINAL
+    * space, so truncation error can demote but never mis-score a
+    * returned neighbor.
+    *
+    * Scale shape: both projections are scan-side [[graft.expr.VectorExprs.AffineProject]]
+    * expressions; the inner [[pqTopK]] contributes its broadcast-LUT ADC
+    * scan + bounded-heap top-k; the final re-rank joins only candidate
+    * ids back to the full-width vectors (broadcast, prunable).
+    */
+  def pcaPqTopK(queries: DataFrame, corpus: DataFrame,
+                qIdCol: String, qVecCol: String,
+                cIdCol: String, cVecCol: String,
+                k: Int, pcaK: Int, m: Int = 8, ksub: Int = 16,
+                refine: Int = 8, fitSampleRows: Long = 50000L): DataFrame = {
+    require(pcaK % m == 0, s"pcaPqTopK: pcaK $pcaK not divisible by m=$m")
+    val basis = Pca.fitPca(corpus, cVecCol, k = pcaK)
+    val projC = Pca.projectPca(corpus, cVecCol, cIdCol, basis)
+    val projQ = Pca.projectPca(queries, qVecCol, qIdCol, basis)
+    val cand = pqTopK(projQ, projC, qIdCol, "pca", cIdCol, "pca",
+        k = 2 * k, m = m, ksub = ksub, refine = refine,
+        fitSampleRows = fitSampleRows)
+      .select(col("query_id"), col("neighbor_id"))
+    val rer = corpus
+      .select(col(cIdCol).as("neighbor_id"), col(cVecCol).as("cv"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(qIdCol).as("query_id"),
+        col(qVecCol).as("qv"))), Seq("query_id"))
+      .withColumn("cosine", Dedup.cosine(col("qv"), col("cv")))
+    explodeTopK(rer, k)
+  }
+
   /** Per-query ADC prep: the flattened m×ksub dot-product table plus the
     * query norm. A driver/broadcast-side UDF — it runs once per QUERY row,
     * never on the corpus.
     */
   private def pqLutUdf(cb: Array[Array[Array[Double]]]) =
-    udf((qv: Seq[Float]) => {
-      val q = qv.map(_.toDouble).toArray
+    // Seq[Double] input: float embeddings widen via Spark's implicit
+    // cast, and the double-typed PCA projections pass through unchanged
+    udf((qv: Seq[Double]) => {
+      val q = qv.toArray
       val sub = cb(0)(0).length
       // a query whose dimension differs from the corpus's m·subDim would
       // silently truncate the per-subspace dot products — fail loudly,

@@ -48,6 +48,35 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall; pq=$pq exact=$exact")
   }
 
+  test("pcaPqTopK: rotated-space PQ with original-space re-rank keeps recall") {
+    // the faiss PCAR,PQ recipe: candidates found in an 8-dim rotation of
+    // the 16-dim corpus, re-ranked exactly in the original space
+    val vecs = clustered
+    val queries = vecs.filter(col("id") < 5)
+    val exact = Similarity.bruteForceTopK(
+      queries, vecs, "id", "vec", "id", "vec", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val out = Similarity.pcaPqTopK(
+      queries, vecs, "id", "vec", "id", "vec",
+      k = 5, pcaK = 8, m = 4, ksub = 8, refine = 8)
+    val got = out.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (got intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall")
+    // the emitted cosines are ORIGINAL-space (exact re-rank): spot-check
+    // against a driver-side computation on the raw vectors
+    val raw = vecs.as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    out.select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect().foreach { case (q, nb, c) =>
+        assert(math.abs(c - cos(raw(q), raw(nb))) < 1e-5, s"($q,$nb)")
+      }
+  }
+
   test("pqTopK: exact re-rank emits true cosines, ranks descending per query") {
     val vecs = clustered
     val queries = vecs.filter(col("id") < 3)
