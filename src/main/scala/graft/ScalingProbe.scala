@@ -124,6 +124,16 @@ object ScalingProbe {
         "vec_id", "embedding", k = 5, pcaK = 48, m = 16, ksub = 32,
         refine = 24).count()
     }
+    // persisted PCAR-PQ: build (fit + two writes) + search per scale
+    time("ann_pcapq_index") { d =>
+      val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      val q = emb.orderBy("vec_id").limit(10)
+      graft.ops.Similarity.buildPcaPqIndex(emb, "vec_id", "embedding",
+        "/root/repo/target/probe_pcapq_idx", pcaK = 48, m = 16, ksub = 32)
+      graft.ops.Similarity.pcaPqSearchIndex(spark,
+        "/root/repo/target/probe_pcapq_idx", q, "vec_id", "embedding",
+        k = 5, refine = 24).count()
+    }
     // round-8/9 operators: the q_ entry IS the operator for all three
     time("dedup_rewrite") { d =>
       SparkEntry.queries("q_dedup_rewrite")(spark, d).count() }

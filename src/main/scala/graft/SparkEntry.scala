@@ -64,6 +64,7 @@ object SparkEntry {
   private val IvfRecallFloor = 0.4 // per-query; measured min 0.60 (all SFs)
   private val PqRecallFloor = 0.4 // per-query; measured min 0.80 (all SFs)
   private val PcaPqRecallFloor = 0.2 // per-query; measured min 0.40 (all SFs)
+  private val PcaPqIndexRecallFloor = 0.5 // per-query; measured 1.0 (all SFs)
   private val LshRecallFloor = 0.25 // mean over queries; measured ≥ 0.375
   private val MinhashRecallFloor = 0.7 // measured 1.000 at all SFs
   private val EmbedLshRecallFloor = 0.08 // measured 0.136–0.157
@@ -926,6 +927,20 @@ object SparkEntry {
         Similarity.pcaPqTopK(q, c, "vec_id", "embedding",
           "vec_id", "embedding", k = 5, pcaK = 48, m = 16, ksub = 32,
           refine = 24)
+      }),
+
+    // persisted PCAR-PQ index: basis + codebooks in the sidecar, flat
+    // rotated codes table, id-sorted vector table for pruned exact
+    // re-rank — the fit-once/search-many form. Recall is HIGHER than the
+    // inline variant (the full k·refine ADC pool re-ranks directly in
+    // the original space, no projected pre-truncation): measured 1.0
+    // per-query at both SFs, floor 0.5.
+    "q_ann_pcapq_index" -> ((s, dir) =>
+      annRecallCheck(s, dir, PcaPqIndexRecallFloor) { (q, c) =>
+        Similarity.buildPcaPqIndex(c, "vec_id", "embedding",
+          tmp("q_ann_pcapq_index"), pcaK = 48, m = 16, ksub = 32)
+        Similarity.pcaPqSearchIndex(s, tmp("q_ann_pcapq_index"), q,
+          "vec_id", "embedding", k = 5, refine = 24)
       }),
 
     // LSH buckets are coarser than IVF cells (single-probe recall can hit 0
@@ -2239,6 +2254,10 @@ object SparkEntry {
           |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
 
       "q_ann_pcapq" ->
+        """SELECT DISTINCT CAST(vec_id AS BIGINT) AS query_id, true AS recall_ok
+          |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
+
+      "q_ann_pcapq_index" ->
         """SELECT DISTINCT CAST(vec_id AS BIGINT) AS query_id, true AS recall_ok
           |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
 

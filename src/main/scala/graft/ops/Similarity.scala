@@ -425,6 +425,117 @@ object Similarity {
     explodeTopK(rer, k)
   }
 
+  private val PcaPqKey = "__graft_pcapq__"
+
+  /** Build and PERSIST a PCAR+PQ index — the fit-once/search-many form of
+    * [[pcaPqTopK]] (which refits basis and codebooks per call). Layout:
+    *
+    *  - `path/codes`   — (neighbor_id, codes): rotated-space PQ codes,
+    *    `4·m` bytes per vector — the flat ADC scan
+    *  - `path/vectors` — (neighbor_id, cv), range-partitioned and sorted
+    *    by id so the candidate re-rank's id filter prunes parquet row
+    *    groups on footer min/max stats
+    *  - sidecar — PCA mean + components + PQ codebooks + params
+    */
+  def buildPcaPqIndex(corpus: DataFrame, cIdCol: String, cVecCol: String,
+                      path: String, pcaK: Int, m: Int = 8, ksub: Int = 16,
+                      fitSampleRows: Long = 50000L): Unit = {
+    require(pcaK % m == 0, s"buildPcaPqIndex: pcaK $pcaK not divisible by m=$m")
+    val basis = Pca.fitPca(corpus, cVecCol, k = pcaK)
+    val ones = Array.fill(basis.k)(1.0)
+    val corpusC = corpus.select(col(cIdCol).as("neighbor_id"),
+      col(cVecCol).as("cv"))
+    val projected = corpusC.withColumn("pca",
+      graft.expr.VectorExprs.affine_project(col("cv"), basis.components,
+        basis.mean, ones))
+    val model = fitPq(projected, "pca", m, ksub, fitSampleRows)
+    projected
+      .withColumn("codes",
+        graft.expr.VectorExprs.pq_encode(col("pca"), model.codebooks))
+      .select("neighbor_id", "codes")
+      .write.mode("overwrite").parquet(s"$path/codes")
+    corpusC
+      .repartitionByRange(col("neighbor_id"))
+      .sortWithinPartitions("neighbor_id")
+      .write.mode("overwrite").parquet(s"$path/vectors")
+    val json = s"""{"pcaK":$pcaK,"m":$m,"ksub":$ksub,""" +
+      s""""mean":${matToJson(Array(basis.mean))},""" +
+      s""""components":${matToJson(basis.components)},""" +
+      s""""codebooks":${matToJson(model.codebooks.flatten)}}"""
+    graft.api.MSWrite.putKeywords(corpus.sparkSession, path,
+      graft.api.MSWrite.readKeywords(corpus.sparkSession, path) +
+        (PcaPqKey -> json))
+  }
+
+  private[ops] def readPcaPqSidecar(spark: org.apache.spark.sql.SparkSession,
+                                    path: String)
+      : (Array[Double], Array[Array[Double]], PqModel) = {
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+    val json = graft.api.MSWrite.readKeywords(spark, path).getOrElse(PcaPqKey,
+      throw new IllegalArgumentException(s"no PCAR-PQ sidecar at $path"))
+    val root = new ObjectMapper().readTree(json)
+    def field(k: String): JsonNode = {
+      val n = root.get(k)
+      require(n != null, s"PCAR-PQ sidecar missing '$k'")
+      n
+    }
+    def parse2d(n: JsonNode): Array[Array[Double]] = {
+      import scala.jdk.CollectionConverters._
+      require(n.isArray, "PCAR-PQ sidecar: expected a 2-d array")
+      n.elements().asScala.map { row =>
+        require(row.isArray, "PCAR-PQ sidecar: expected a 2-d array")
+        row.elements().asScala.map(_.asDouble()).toArray
+      }.toArray
+    }
+    val meanRows = parse2d(field("mean"))
+    require(meanRows.length == 1, "PCAR-PQ sidecar: mean must be one row")
+    val components = parse2d(field("components"))
+    val m = field("m").asInt()
+    val ksub = field("ksub").asInt()
+    val rows2d = parse2d(field("codebooks"))
+    require(rows2d.length == m * ksub,
+      s"PCAR-PQ sidecar: ${rows2d.length} codebook rows, expected ${m * ksub}")
+    (meanRows(0), components,
+      PqModel(rows2d.grouped(ksub).map(_.toArray).toArray))
+  }
+
+  /** Query a persisted [[buildPcaPqIndex]]: queries rotate through the
+    * stored basis (scan-side AffineProject), the flat codes table scores
+    * by ADC with bounded-heap k·refine candidates, and the exact re-rank
+    * reads ORIGINAL vectors for candidate ids only (row-group pruned by
+    * the id-sorted layout). Same recall-floor protocol as [[pcaPqTopK]].
+    */
+  def pcaPqSearchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       queries: DataFrame, qIdCol: String, qVecCol: String,
+                       k: Int, refine: Int = 8): DataFrame = {
+    val (mean, components, model) = readPcaPqSidecar(spark, path)
+    val ones = Array.fill(components.length)(1.0)
+    val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))
+      .withColumn("__p", graft.expr.VectorExprs.affine_project(
+        col("qv"), components, mean, ones))
+      .withColumn("__l", pqLutUdf(model.codebooks)(col("__p")))
+      .select(col("query_id"), col("qv"),
+        col("__l._1").as("dot_lut"), col("__l._2").as("qnorm"))
+    val normLut = array(model.normLut.toSeq.map(lit): _*)
+    val scored = spark.read.parquet(s"$path/codes")
+      .crossJoin(broadcast(q.select("query_id", "dot_lut", "qnorm")))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("approx",
+        graft.expr.VectorExprs.pq_adc(col("codes"), col("dot_lut"), model.ksub) /
+          (col("qnorm") *
+            sqrt(graft.expr.VectorExprs.pq_adc(col("codes"), normLut, model.ksub))))
+    val cand = scored.groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topk(col("approx"), col("neighbor_id"),
+        k * refine).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("c"))
+      .select(col("query_id"), col("c.id").as("neighbor_id"))
+    val rer = spark.read.parquet(s"$path/vectors")
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(q.select("query_id", "qv")), Seq("query_id"))
+      .withColumn("cosine", Dedup.cosine(col("qv"), col("cv")))
+    explodeTopK(rer, k)
+  }
+
   /** Per-query ADC prep: the flattened m×ksub dot-product table plus the
     * query norm. A driver/broadcast-side UDF — it runs once per QUERY row,
     * never on the corpus.

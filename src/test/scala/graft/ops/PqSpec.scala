@@ -77,6 +77,27 @@ class PqSpec extends SparkSpec {
       }
   }
 
+  test("persisted PCAR-PQ index: search recall holds and sidecar round-trips") {
+    val vecs = clustered
+    val queries = vecs.filter(col("id") < 5)
+    val path = "/root/repo/target/test_pcapq_index"
+    Similarity.buildPcaPqIndex(vecs, "id", "vec", path,
+      pcaK = 8, m = 4, ksub = 8)
+    // the sidecar rehydrates the exact basis and codebook geometry
+    val (mean, comps, model) = Similarity.readPcaPqSidecar(spark, path)
+    assert(mean.length == 16 && comps.length == 8 &&
+      comps.forall(_.length == 16))
+    assert(model.m == 4 && model.ksub == 8 && model.subDim == 2)
+    val exact = Similarity.bruteForceTopK(
+      queries, vecs, "id", "vec", "id", "vec", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = Similarity.pcaPqSearchIndex(spark, path, queries, "id", "vec",
+        k = 5, refine = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (got intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
   test("pqTopK: exact re-rank emits true cosines, ranks descending per query") {
     val vecs = clustered
     val queries = vecs.filter(col("id") < 3)
