@@ -355,6 +355,35 @@ object Similarity {
     * lookups ([[graft.expr.VectorExprs.PqAdc]]); the numerator table is
     * per-query, the norm table is a plan constant.
     */
+  /** Shared ADC first pass for every PQ-family searcher ([[pqTopK]],
+    * [[ivfPqSearchIndex]], [[pcaPqSearchIndex]]): score codes against the
+    * broadcast per-query LUTs (approx cosine = ADC dot / (|q| ·
+    * reconstructed norm)), keep a bounded-heap k·refine per query, and
+    * return (query_id, neighbor_id) candidates. `q` must carry
+    * (query_id, dot_lut, qnorm) plus `cell` when `joinOnCell` — cell-keyed
+    * indexes equi-join, flat ones broadcast-cross. One site owns the
+    * scoring formula, so a guard added here covers every index shape.
+    */
+  private def adcCandidates(codes: DataFrame, q: DataFrame, model: PqModel,
+                            k: Int, refine: Int,
+                            joinOnCell: Boolean = false): DataFrame = {
+    val normLut = array(model.normLut.toSeq.map(lit): _*)
+    val joined =
+      if (joinOnCell) codes.join(broadcast(q), Seq("cell"))
+      else codes.crossJoin(broadcast(q))
+    joined
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("approx",
+        graft.expr.VectorExprs.pq_adc(col("codes"), col("dot_lut"), model.ksub) /
+          (col("qnorm") *
+            sqrt(graft.expr.VectorExprs.pq_adc(col("codes"), normLut, model.ksub))))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topk(col("approx"), col("neighbor_id"),
+        k * refine).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("c"))
+      .select(col("query_id"), col("c.id").as("neighbor_id"))
+  }
+
   def pqTopK(queries: DataFrame, corpus: DataFrame,
              qIdCol: String, qVecCol: String,
              cIdCol: String, cVecCol: String,
@@ -368,18 +397,8 @@ object Similarity {
       .withColumn("__l", pqLutUdf(model.codebooks)(col("qv")))
       .select(col("query_id"), col("qv"),
         col("__l._1").as("dot_lut"), col("__l._2").as("qnorm"))
-    val normLut = array(model.normLut.toSeq.map(lit): _*)
-    val scored = codes.crossJoin(broadcast(q.select("query_id", "dot_lut", "qnorm")))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("approx",
-        graft.expr.VectorExprs.pq_adc(col("codes"), col("dot_lut"), model.ksub) /
-          (col("qnorm") *
-            sqrt(graft.expr.VectorExprs.pq_adc(col("codes"), normLut, model.ksub))))
-    val cand = scored.groupBy("query_id")
-      .agg(graft.functions.TopKAgg.topk(col("approx"), col("neighbor_id"),
-        k * refine).as("tk"))
-      .select(col("query_id"), explode(col("tk")).as("c"))
-      .select(col("query_id"), col("c.id").as("neighbor_id"))
+    val cand = adcCandidates(codes,
+      q.select("query_id", "dot_lut", "qnorm"), model, k, refine)
     // exact re-rank: only the candidate ids re-join the full vectors — a
     // broadcast semi-shaped join the scan can prune on, never a full rescore
     val rer = corpusC.join(broadcast(cand), Seq("neighbor_id"))
@@ -410,6 +429,11 @@ object Similarity {
                 refine: Int = 8, fitSampleRows: Long = 50000L): DataFrame = {
     require(pcaK % m == 0, s"pcaPqTopK: pcaK $pcaK not divisible by m=$m")
     val basis = Pca.fitPca(corpus, cVecCol, k = pcaK)
+    // fitPca clamps k to the corpus dimension; a clamped basis would break
+    // the pcaK % m contract (or silently change the index geometry) — fail
+    // at the bad argument, not downstream in fitPq
+    require(basis.k == pcaK,
+      s"pcaPqTopK: pcaK $pcaK exceeds corpus dimension ${basis.k}")
     val projC = Pca.projectPca(corpus, cVecCol, cIdCol, basis)
     val projQ = Pca.projectPca(queries, qVecCol, qIdCol, basis)
     val cand = pqTopK(projQ, projC, qIdCol, "pca", cIdCol, "pca",
@@ -442,12 +466,13 @@ object Similarity {
                       fitSampleRows: Long = 50000L): Unit = {
     require(pcaK % m == 0, s"buildPcaPqIndex: pcaK $pcaK not divisible by m=$m")
     val basis = Pca.fitPca(corpus, cVecCol, k = pcaK)
-    val ones = Array.fill(basis.k)(1.0)
+    require(basis.k == pcaK,
+      s"buildPcaPqIndex: pcaK $pcaK exceeds corpus dimension ${basis.k}")
     val corpusC = corpus.select(col(cIdCol).as("neighbor_id"),
       col(cVecCol).as("cv"))
-    val projected = corpusC.withColumn("pca",
-      graft.expr.VectorExprs.affine_project(col("cv"), basis.components,
-        basis.mean, ones))
+    // same projection policy as the inline pcaPqTopK path (whiten=false =>
+    // unit scale) — one decision point, not a hand-rolled twin
+    val projected = Pca.projectPca(corpusC, "cv", "neighbor_id", basis)
     val model = fitPq(projected, "pca", m, ksub, fitSampleRows)
     projected
       .withColumn("codes",
@@ -470,33 +495,12 @@ object Similarity {
   private[ops] def readPcaPqSidecar(spark: org.apache.spark.sql.SparkSession,
                                     path: String)
       : (Array[Double], Array[Array[Double]], PqModel) = {
-    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
     val json = graft.api.MSWrite.readKeywords(spark, path).getOrElse(PcaPqKey,
       throw new IllegalArgumentException(s"no PCAR-PQ sidecar at $path"))
-    val root = new ObjectMapper().readTree(json)
-    def field(k: String): JsonNode = {
-      val n = root.get(k)
-      require(n != null, s"PCAR-PQ sidecar missing '$k'")
-      n
-    }
-    def parse2d(n: JsonNode): Array[Array[Double]] = {
-      import scala.jdk.CollectionConverters._
-      require(n.isArray, "PCAR-PQ sidecar: expected a 2-d array")
-      n.elements().asScala.map { row =>
-        require(row.isArray, "PCAR-PQ sidecar: expected a 2-d array")
-        row.elements().asScala.map(_.asDouble()).toArray
-      }.toArray
-    }
-    val meanRows = parse2d(field("mean"))
+    val sc = new SidecarJson(json, "PCAR-PQ")
+    val meanRows = sc.mat("mean")
     require(meanRows.length == 1, "PCAR-PQ sidecar: mean must be one row")
-    val components = parse2d(field("components"))
-    val m = field("m").asInt()
-    val ksub = field("ksub").asInt()
-    val rows2d = parse2d(field("codebooks"))
-    require(rows2d.length == m * ksub,
-      s"PCAR-PQ sidecar: ${rows2d.length} codebook rows, expected ${m * ksub}")
-    (meanRows(0), components,
-      PqModel(rows2d.grouped(ksub).map(_.toArray).toArray))
+    (meanRows(0), sc.mat("components"), sc.pqModel())
   }
 
   /** Query a persisted [[buildPcaPqIndex]]: queries rotate through the
@@ -516,21 +520,21 @@ object Similarity {
       .withColumn("__l", pqLutUdf(model.codebooks)(col("__p")))
       .select(col("query_id"), col("qv"),
         col("__l._1").as("dot_lut"), col("__l._2").as("qnorm"))
-    val normLut = array(model.normLut.toSeq.map(lit): _*)
-    val scored = spark.read.parquet(s"$path/codes")
-      .crossJoin(broadcast(q.select("query_id", "dot_lut", "qnorm")))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("approx",
-        graft.expr.VectorExprs.pq_adc(col("codes"), col("dot_lut"), model.ksub) /
-          (col("qnorm") *
-            sqrt(graft.expr.VectorExprs.pq_adc(col("codes"), normLut, model.ksub))))
-    val cand = scored.groupBy("query_id")
-      .agg(graft.functions.TopKAgg.topk(col("approx"), col("neighbor_id"),
-        k * refine).as("tk"))
-      .select(col("query_id"), explode(col("tk")).as("c"))
-      .select(col("query_id"), col("c.id").as("neighbor_id"))
+    val cand = adcCandidates(spark.read.parquet(s"$path/codes"),
+      q.select("query_id", "dot_lut", "qnorm"), model, k, refine)
+    // the candidate set is bounded by contract (≤ queries × k·refine
+    // rows) — collect it once and re-join it as a LOCAL relation, so the
+    // ADC scan runs exactly once AND the distinct ids become a plan-time
+    // `isin` literal the vectors scan can push to Parquet; without the
+    // literal, a broadcast join alone reads every row group of the
+    // id-sorted table the build paid a range shuffle to lay out
+    val candRows = cand.collect()
+    val candIds = candRows.map(_.getAs[Any]("neighbor_id")).distinct.toSeq
+    val candLocal = spark.createDataFrame(
+      java.util.Arrays.asList(candRows: _*), cand.schema)
     val rer = spark.read.parquet(s"$path/vectors")
-      .join(broadcast(cand), Seq("neighbor_id"))
+      .filter(col("neighbor_id").isin(candIds: _*))
+      .join(broadcast(candLocal), Seq("neighbor_id"))
       .join(broadcast(q.select("query_id", "qv")), Seq("query_id"))
       .withColumn("cosine", Dedup.cosine(col("qv"), col("cv")))
     explodeTopK(rer, k)
@@ -580,6 +584,42 @@ object Similarity {
     m.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
   }
 
+  /** One sidecar-JSON parser for every persisted-index reader (IVF-PQ,
+    * PCAR-PQ): field lookup with a loud missing-key error, 2-d array
+    * parsing, and the m·ksub codebook re-chunk — a format hardening lands
+    * once here instead of drifting across per-index copies.
+    */
+  private[ops] final class SidecarJson(json: String, prefix: String) {
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+    // real JSON parsing (Jackson ships with Spark): key order, whitespace,
+    // and nesting are the parser's problem, not a regex's
+    private val root = new ObjectMapper().readTree(json)
+    private def field(k: String): JsonNode = {
+      val n = root.get(k)
+      require(n != null, s"$prefix sidecar missing '$k'")
+      n
+    }
+    private def parse2d(n: JsonNode): Array[Array[Double]] = {
+      import scala.jdk.CollectionConverters._
+      require(n.isArray, s"$prefix sidecar: expected a 2-d array")
+      n.elements().asScala.map { row =>
+        require(row.isArray, s"$prefix sidecar: expected a 2-d array")
+        row.elements().asScala.map(_.asDouble()).toArray
+      }.toArray
+    }
+    def int(k: String): Int = field(k).asInt()
+    def mat(k: String): Array[Array[Double]] = parse2d(field(k))
+    /** The flattened m·ksub codebook rows re-chunked into a [[PqModel]]. */
+    def pqModel(): PqModel = {
+      val m = int("m")
+      val ksub = int("ksub")
+      val rows2d = mat("codebooks")
+      require(rows2d.length == m * ksub,
+        s"$prefix sidecar: ${rows2d.length} codebook rows, expected ${m * ksub}")
+      PqModel(rows2d.grouped(ksub).map(_.toArray).toArray)
+    }
+  }
+
   /** Build and PERSIST an IVF-PQ index (the FAISS IVFPQ shape, Jégou et
     * al. 2011): coarse k-means cells for partition pruning, PQ codes for a
     * compressed first-pass scan, and a cell-partitioned, id-sorted vector
@@ -625,32 +665,10 @@ object Similarity {
   private[ops] def readIvfPqSidecar(spark: org.apache.spark.sql.SparkSession,
                                     path: String)
       : (Array[Array[Double]], PqModel) = {
-    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
     val json = graft.api.MSWrite.readKeywords(spark, path).getOrElse(IvfPqKey,
       throw new IllegalArgumentException(s"no IVF-PQ sidecar at $path"))
-    // real JSON parsing (Jackson ships with Spark): key order, whitespace,
-    // and nesting are the parser's problem, not a regex's
-    val root = new ObjectMapper().readTree(json)
-    def field(k: String): JsonNode = {
-      val n = root.get(k)
-      require(n != null, s"IVF-PQ sidecar missing '$k'")
-      n
-    }
-    def parse2d(n: JsonNode): Array[Array[Double]] = {
-      import scala.jdk.CollectionConverters._
-      require(n.isArray, "IVF-PQ sidecar: expected a 2-d array")
-      n.elements().asScala.map { row =>
-        require(row.isArray, "IVF-PQ sidecar: expected a 2-d array")
-        row.elements().asScala.map(_.asDouble()).toArray
-      }.toArray
-    }
-    val centroids = parse2d(field("centroids"))
-    val m = field("m").asInt()
-    val ksub = field("ksub").asInt()
-    val rows2d = parse2d(field("codebooks"))
-    require(rows2d.length == m * ksub,
-      s"IVF-PQ sidecar: ${rows2d.length} codebook rows, expected ${m * ksub}")
-    (centroids, PqModel(rows2d.grouped(ksub).map(_.toArray).toArray))
+    val sc = new SidecarJson(json, "IVF-PQ")
+    (sc.mat("centroids"), sc.pqModel())
   }
 
   /** Query a persisted [[buildIvfPqIndex]]: probed cells apply as literal
@@ -669,21 +687,11 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("cell"),
         col("__l._1").as("dot_lut"), col("__l._2").as("qnorm"))
     val probed = q.select("cell").distinct().collect().map(_.getInt(0)).toSeq
-    val normLut = array(model.normLut.toSeq.map(lit): _*)
     val codes = spark.read.parquet(s"$path/codes")
       .filter(col("cell").isin(probed: _*))
-    val scored = codes
-      .join(broadcast(q.select("query_id", "cell", "dot_lut", "qnorm")), Seq("cell"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("approx",
-        graft.expr.VectorExprs.pq_adc(col("codes"), col("dot_lut"), model.ksub) /
-          (col("qnorm") *
-            sqrt(graft.expr.VectorExprs.pq_adc(col("codes"), normLut, model.ksub))))
-    val cand = scored.groupBy("query_id")
-      .agg(graft.functions.TopKAgg.topk(col("approx"), col("neighbor_id"),
-        k * refine).as("tk"))
-      .select(col("query_id"), explode(col("tk")).as("c"))
-      .select(col("query_id"), col("c.id").as("neighbor_id"))
+    val cand = adcCandidates(codes,
+      q.select("query_id", "cell", "dot_lut", "qnorm"), model, k, refine,
+      joinOnCell = true)
     val vectors = spark.read.parquet(s"$path/vectors")
       .filter(col("cell").isin(probed: _*))
       .select("neighbor_id", "cv")

@@ -91,11 +91,32 @@ class PqSpec extends SparkSpec {
     val exact = Similarity.bruteForceTopK(
       queries, vecs, "id", "vec", "id", "vec", k = 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val got = Similarity.pcaPqSearchIndex(spark, path, queries, "id", "vec",
-        k = 5, refine = 8)
+    val out = Similarity.pcaPqSearchIndex(spark, path, queries, "id", "vec",
+      k = 5, refine = 8)
+    val got = out
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (got intersect exact).size.toDouble / exact.size
     assert(recall >= 0.8, s"recall $recall")
+    // the exact re-rank must read the id-sorted vectors table through a
+    // pushed candidate-id filter (row-group pruning), not a bare
+    // broadcast join that scans every row group
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(neighbor_id"),
+      s"vectors scan missing pushed candidate-id filter:\n$plan")
+  }
+
+  test("PCAR-PQ: pcaK above the corpus dimension fails loudly, never clamps") {
+    val vecs = clustered // 16-dim
+    val err = intercept[IllegalArgumentException] {
+      Similarity.buildPcaPqIndex(vecs, "id", "vec",
+        "/root/repo/target/test_pcapq_badk", pcaK = 32, m = 4, ksub = 8)
+    }
+    assert(err.getMessage.contains("exceeds corpus dimension"))
+    val err2 = intercept[IllegalArgumentException] {
+      Similarity.pcaPqTopK(vecs.filter(col("id") < 2), vecs,
+        "id", "vec", "id", "vec", k = 3, pcaK = 32, m = 4, ksub = 8)
+    }
+    assert(err2.getMessage.contains("exceeds corpus dimension"))
   }
 
   test("pqTopK: exact re-rank emits true cosines, ranks descending per query") {
