@@ -692,10 +692,20 @@ object Similarity {
     val cand = adcCandidates(codes,
       q.select("query_id", "cell", "dot_lut", "qnorm"), model, k, refine,
       joinOnCell = true)
+    // same pruning contract as pcaPqSearchIndex: the candidate set is
+    // bounded (≤ queries × k·refine rows), so collect it once and push the
+    // distinct ids as a literal `isin` — the cell filter prunes partition
+    // DIRECTORIES, the id literal prunes ROW GROUPS inside the probed
+    // cells on the footer min/max stats the id-sorted build laid down
+    val candRows = cand.collect()
+    val candIds = candRows.map(_.getAs[Any]("neighbor_id")).distinct.toSeq
+    val candLocal = spark.createDataFrame(
+      java.util.Arrays.asList(candRows: _*), cand.schema)
     val vectors = spark.read.parquet(s"$path/vectors")
-      .filter(col("cell").isin(probed: _*))
+      .filter(col("cell").isin(probed: _*) &&
+        col("neighbor_id").isin(candIds: _*))
       .select("neighbor_id", "cv")
-    val rer = vectors.join(broadcast(cand), Seq("neighbor_id"))
+    val rer = vectors.join(broadcast(candLocal), Seq("neighbor_id"))
       .join(broadcast(q.select("query_id", "qv").distinct()), Seq("query_id"))
       .withColumn("cosine", Dedup.cosine(col("qv"), col("cv")))
     explodeTopK(rer, k)

@@ -165,6 +165,14 @@ class PqSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     val before = search()
     assert(before.nonEmpty)
+    // the re-rank's vectors scan must carry the pushed candidate-id
+    // filter (row-group pruning inside the probed cells), not rely on
+    // the broadcast join alone
+    val plan = Similarity.ivfPqSearchIndex(spark, dir, queries,
+      "id", "vec", k = 5, nprobe = 2, refine = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("In(neighbor_id"),
+      s"vectors scan missing pushed candidate-id filter:\n$plan")
     // rewrite the sidecar with reordered keys, whitespace, and an extra
     // field a future engine version might add — an equally valid encoding
     // of the same JSON object that the old regex/bracket-walker reader
