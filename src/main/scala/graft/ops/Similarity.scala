@@ -399,8 +399,12 @@ object Similarity {
         col("__l._1").as("dot_lut"), col("__l._2").as("qnorm"))
     val cand = adcCandidates(codes,
       q.select("query_id", "dot_lut", "qnorm"), model, k, refine)
-    // exact re-rank: only the candidate ids re-join the full vectors — a
-    // broadcast semi-shaped join the scan can prune on, never a full rescore
+    // exact re-rank: a broadcast join against the candidate ids — the
+    // corpus streams past once more, but only the ≤ queries × k·refine
+    // candidate rows compute the exact cosine, never a full rescore (the
+    // persisted-index forms go further and prune the scan itself with a
+    // collected candidate-id literal; here the corpus is an arbitrary
+    // caller plan, not a parquet layout we control)
     val rer = corpusC.join(broadcast(cand), Seq("neighbor_id"))
       .join(broadcast(q.select("query_id", "qv")), Seq("query_id"))
       .withColumn("cosine", Dedup.cosine(col("qv"), col("cv")))
@@ -419,8 +423,11 @@ object Similarity {
     *
     * Scale shape: both projections are scan-side [[graft.expr.VectorExprs.AffineProject]]
     * expressions; the inner [[pqTopK]] contributes its broadcast-LUT ADC
-    * scan + bounded-heap top-k; the final re-rank joins only candidate
-    * ids back to the full-width vectors (broadcast, prunable).
+    * scan + bounded-heap top-k; the final re-rank joins candidate ids
+    * back to the full-width vectors by broadcast — only candidates are
+    * rescored ([[buildPcaPqIndex]]/[[pcaPqSearchIndex]] is the form that
+    * also prunes the vectors SCAN, via its id-sorted layout plus a
+    * collected candidate-id literal).
     */
   def pcaPqTopK(queries: DataFrame, corpus: DataFrame,
                 qIdCol: String, qVecCol: String,
