@@ -611,7 +611,12 @@ object Similarity {
       require(n.isArray, s"$prefix sidecar: expected a 2-d array")
       n.elements().asScala.map { row =>
         require(row.isArray, s"$prefix sidecar: expected a 2-d array")
-        row.elements().asScala.map(_.asDouble()).toArray
+        row.elements().asScala.map { v =>
+          // asDouble() maps strings/nulls silently to 0.0 — a corrupted
+          // sidecar must fail at read, not seed a basis with zeros
+          require(v.isNumber, s"$prefix sidecar: non-numeric element $v")
+          v.asDouble()
+        }.toArray
       }.toArray
     }
     def int(k: String): Int = field(k).asInt()

@@ -189,6 +189,16 @@ class PqSpec extends SparkSpec {
     graft.api.MSWrite.putKeywords(spark, dir,
       kw + ("__graft_ivfpq__" -> rewritten))
     assert(search() === before)
+    // a CORRUPTED sidecar — a string where a number belongs — must fail
+    // loudly at read: Jackson's asDouble() would otherwise map it
+    // silently to 0.0 and seed the codebooks with zeros
+    val corrupted = rewritten.replaceFirst("""("centroids": \[\[)[-0-9.E]+""",
+      """$1"oops"""")
+    assert(corrupted != rewritten, "corruption did not apply")
+    graft.api.MSWrite.putKeywords(spark, dir,
+      kw + ("__graft_ivfpq__" -> corrupted))
+    val err = intercept[IllegalArgumentException](search())
+    assert(err.getMessage.contains("non-numeric element"))
   }
 
   test("IVF-PQ sidecar encoding rejects non-finite values (no JSON form)") {
