@@ -434,6 +434,9 @@ object Similarity {
                 cIdCol: String, cVecCol: String,
                 k: Int, pcaK: Int, m: Int = 8, ksub: Int = 16,
                 refine: Int = 8, fitSampleRows: Long = 50000L): DataFrame = {
+    // fitPca treats k <= 0 as keep-all, which would make the basis.k
+    // check below fire with a wrong diagnosis ("0 exceeds dimension")
+    require(pcaK > 0, s"pcaPqTopK: pcaK must be positive, got $pcaK")
     require(pcaK % m == 0, s"pcaPqTopK: pcaK $pcaK not divisible by m=$m")
     val basis = Pca.fitPca(corpus, cVecCol, k = pcaK)
     // fitPca clamps k to the corpus dimension; a clamped basis would break
@@ -471,6 +474,7 @@ object Similarity {
   def buildPcaPqIndex(corpus: DataFrame, cIdCol: String, cVecCol: String,
                       path: String, pcaK: Int, m: Int = 8, ksub: Int = 16,
                       fitSampleRows: Long = 50000L): Unit = {
+    require(pcaK > 0, s"buildPcaPqIndex: pcaK must be positive, got $pcaK")
     require(pcaK % m == 0, s"buildPcaPqIndex: pcaK $pcaK not divisible by m=$m")
     val basis = Pca.fitPca(corpus, cVecCol, k = pcaK)
     require(basis.k == pcaK,
@@ -529,22 +533,35 @@ object Similarity {
         col("__l._1").as("dot_lut"), col("__l._2").as("qnorm"))
     val cand = adcCandidates(spark.read.parquet(s"$path/codes"),
       q.select("query_id", "dot_lut", "qnorm"), model, k, refine)
-    // the candidate set is bounded by contract (≤ queries × k·refine
-    // rows) — collect it once and re-join it as a LOCAL relation, so the
-    // ADC scan runs exactly once AND the distinct ids become a plan-time
-    // `isin` literal the vectors scan can push to Parquet; without the
-    // literal, a broadcast join alone reads every row group of the
-    // id-sorted table the build paid a range shuffle to lay out
-    val candRows = cand.collect()
-    val candIds = candRows.map(_.getAs[Any]("neighbor_id")).distinct.toSeq
-    val candLocal = spark.createDataFrame(
-      java.util.Arrays.asList(candRows: _*), cand.schema)
+    val (candIds, candLocal) = collectCandidates(spark, cand)
     val rer = spark.read.parquet(s"$path/vectors")
       .filter(col("neighbor_id").isin(candIds: _*))
       .join(broadcast(candLocal), Seq("neighbor_id"))
       .join(broadcast(q.select("query_id", "qv")), Seq("query_id"))
       .withColumn("cosine", Dedup.cosine(col("qv"), col("cv")))
     explodeTopK(rer, k)
+  }
+
+  /** Collect an [[adcCandidates]] frame for the exact re-rank: the rows
+    * come back as a LOCAL relation (so the ADC scan runs exactly once)
+    * and the distinct neighbor ids as a plan-time literal list for an
+    * `isin` the vectors scan pushes to Parquet — without the literal, a
+    * broadcast join alone reads every row group of the id-sorted table
+    * the index build paid a range shuffle to lay out.
+    *
+    * Driver state is ≤ queries × k·refine rows. That is bounded by the
+    * same contract that makes the whole indexed-search shape work: the
+    * query BATCH is broadcast-small (each query already ships an m·ksub
+    * LUT to every task), exactly like [[ivfSearchIndex]]'s probed-cell
+    * collect. Corpus size is unbounded; query batch size is not.
+    */
+  private def collectCandidates(spark: org.apache.spark.sql.SparkSession,
+                                cand: DataFrame): (Seq[Any], DataFrame) = {
+    val candRows = cand.collect()
+    val candIds = candRows.map(_.getAs[Any]("neighbor_id")).distinct.toSeq
+    val candLocal = spark.createDataFrame(
+      java.util.Arrays.asList(candRows: _*), cand.schema)
+    (candIds, candLocal)
   }
 
   /** Per-query ADC prep: the flattened m×ksub dot-product table plus the
@@ -619,7 +636,14 @@ object Similarity {
         }.toArray
       }.toArray
     }
-    def int(k: String): Int = field(k).asInt()
+    def int(k: String): Int = {
+      val n = field(k)
+      // same rule as the matrix elements: asInt() would coerce "4x" to 0
+      // (and 4.6 to 4) silently, then mis-blame the codebook row count
+      require(n.isIntegralNumber && n.canConvertToInt,
+        s"$prefix sidecar: non-integer '$k' value $n")
+      n.asInt()
+    }
     def mat(k: String): Array[Array[Double]] = parse2d(field(k))
     /** The flattened m·ksub codebook rows re-chunked into a [[PqModel]]. */
     def pqModel(): PqModel = {
@@ -704,15 +728,11 @@ object Similarity {
     val cand = adcCandidates(codes,
       q.select("query_id", "cell", "dot_lut", "qnorm"), model, k, refine,
       joinOnCell = true)
-    // same pruning contract as pcaPqSearchIndex: the candidate set is
-    // bounded (≤ queries × k·refine rows), so collect it once and push the
-    // distinct ids as a literal `isin` — the cell filter prunes partition
-    // DIRECTORIES, the id literal prunes ROW GROUPS inside the probed
-    // cells on the footer min/max stats the id-sorted build laid down
-    val candRows = cand.collect()
-    val candIds = candRows.map(_.getAs[Any]("neighbor_id")).distinct.toSeq
-    val candLocal = spark.createDataFrame(
-      java.util.Arrays.asList(candRows: _*), cand.schema)
+    // same pruning contract as pcaPqSearchIndex (see [[collectCandidates]]):
+    // the cell filter prunes partition DIRECTORIES, the candidate-id
+    // literal prunes ROW GROUPS inside the probed cells on the footer
+    // min/max stats the id-sorted build laid down
+    val (candIds, candLocal) = collectCandidates(spark, cand)
     val vectors = spark.read.parquet(s"$path/vectors")
       .filter(col("cell").isin(probed: _*) &&
         col("neighbor_id").isin(candIds: _*))

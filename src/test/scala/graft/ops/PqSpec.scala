@@ -117,6 +117,13 @@ class PqSpec extends SparkSpec {
         "id", "vec", "id", "vec", k = 3, pcaK = 32, m = 4, ksub = 8)
     }
     assert(err2.getMessage.contains("exceeds corpus dimension"))
+    // pcaK = 0 must not reach fitPca's keep-all path and then blame the
+    // corpus dimension — it fails at the argument, with the right message
+    val err3 = intercept[IllegalArgumentException] {
+      Similarity.pcaPqTopK(vecs.filter(col("id") < 2), vecs,
+        "id", "vec", "id", "vec", k = 3, pcaK = 0, m = 4, ksub = 8)
+    }
+    assert(err3.getMessage.contains("must be positive"))
   }
 
   test("pqTopK: exact re-rank emits true cosines, ranks descending per query") {
@@ -199,6 +206,14 @@ class PqSpec extends SparkSpec {
       kw + ("__graft_ivfpq__" -> corrupted))
     val err = intercept[IllegalArgumentException](search())
     assert(err.getMessage.contains("non-numeric element"))
+    // scalar fields get the same treatment: asInt() would coerce "4x"
+    // to m=0 and mis-blame the codebook row count
+    val badM = rewritten.replaceFirst(""""m": \d+""", """"m": "4x"""")
+    assert(badM != rewritten, "scalar corruption did not apply")
+    graft.api.MSWrite.putKeywords(spark, dir,
+      kw + ("__graft_ivfpq__" -> badM))
+    val err2 = intercept[IllegalArgumentException](search())
+    assert(err2.getMessage.contains("non-integer 'm'"))
   }
 
   test("IVF-PQ sidecar encoding rejects non-finite values (no JSON form)") {
