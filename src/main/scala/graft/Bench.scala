@@ -131,20 +131,31 @@ object Bench {
     // "uniform −12% drift" vanished at min-of-6, which came in UNDER r7).
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
     val qs = SparkEntry.queries ++ operatorOverrides
+    // a query that crashes is NOT a fast query: time only successful
+    // iterations, record crashed-every-iteration queries as "failed" in
+    // the JSON (never folded into the total), and exit nonzero so the
+    // driver records rc != 0 — round 11 recorded four dead queries as
+    // ~0.06 s failure-overhead timings and deflated the headline total.
     val results = headline.filter(qs.contains).map { name =>
-      val times = (0 until iters).map { _ =>
+      val times = (0 until iters).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { qs(name)(spark, sfDir).count() }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { qs(name)(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      name -> times.min
+      name -> (if (times.nonEmpty) Some(times.min) else None)
     }
-    val qjson = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val failed = results.collect { case (k, None) => k }
+    val timed = results.collect { case (k, Some(v)) => k -> v }
+    val qjson = results.map {
+        case (k, Some(v)) => "\"" + k + "\":" + fmt(v, 3)
+        case (k, None)    => "\"" + k + "\":\"failed\""
+      }.mkString("{", ",", "}")
+    val total = timed.map(_._2).sum
     val calib = calibrate()
     val calibPar = calibrateParallel(cpus.toInt)
     // value_norm divides out machine speed under full-width load: read
@@ -153,7 +164,9 @@ object Bench {
     // start (advisory — see loadAvg).
     val norm = total / calibPar
     val contaminated = load0 > 1.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"calib":${fmt(calib, 3)},"calib_par":${fmt(calibPar, 3)},"value_norm":${fmt(norm, 2)},"loadavg":${fmt(load0, 2)},"contaminated":$contaminated,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"failed":$failedJson,"calib":${fmt(calib, 3)},"calib_par":${fmt(calibPar, 3)},"value_norm":${fmt(norm, 2)},"loadavg":${fmt(load0, 2)},"contaminated":$contaminated,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -37,14 +37,11 @@ object SparkEntry {
   }
 
   private def T(s: SparkSession, dir: String, n: String): DataFrame =
-    if (n == "events") {
-      // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-      // rejects; read nanos as long and floor-divide to microseconds (the
-      // data is µs-exact; DuckDB's CAST(ts AS TIMESTAMP) floors identically)
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/$n.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    } else s.read.parquet(s"$dir/$n.parquet")
+    // events needs its ts column normalized to session-UTC TimestampType —
+    // the physical encoding has varied across testdata generations (see
+    // EventStream.normalizeTs for the exact cases handled)
+    if (n == "events") EventStream.loadEvents(s, dir)
+    else s.read.parquet(s"$dir/$n.parquet")
 
   /** Unique total order on the synthetic lineitem (verified: the 6-tuple is
     * a key at every scale factor; (l_orderkey, l_linenumber) alone is NOT

@@ -15,12 +15,37 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStream {
 
+  /** Normalize the events `ts` column to session-UTC TimestampType.
+    * events.parquet has shipped with two physical encodings across testdata
+    * generations: TIMESTAMP(NANOS) (readable only as LongType nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong`) and plain timestamp[us]
+    * (read as TIMESTAMP_NTZ). Both land on the same µs instants as DuckDB's
+    * `CAST(ts AS TIMESTAMP)` when the session timezone is UTC. Works on
+    * batch and streaming frames alike (pure projection).
+    */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => df
+    }
+  }
+
+  /** Batch read of the events table with `ts` normalized (see normalizeTs). */
+  def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
+  }
+
   /** Open the events table as a file stream (one-file-per-trigger
-    * configurable by the caller via options on a real deployment).
+    * configurable by the caller via options on a real deployment), with
+    * `ts` normalized identically to the batch loader.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+    normalizeTs(spark.readStream.schema(schema).parquet(s"$dir/events.parquet"))
   }
 
   /** Tumbling-window counts/sums per event_type with a watermark for state

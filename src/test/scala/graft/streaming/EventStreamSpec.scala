@@ -11,9 +11,7 @@ class EventStreamSpec extends SparkSpec {
 
   test("tumbling window streaming equals batch") {
     val dir = sf("sf0.001")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = EventStream.loadEvents(spark, dir)
     // write a µs-timestamped copy the file stream can read
     val evDir = "/root/repo/target/test_stream_events"
     raw.write.mode("overwrite").parquet(evDir)
@@ -32,9 +30,7 @@ class EventStreamSpec extends SparkSpec {
 
   test("streaming dedup equals batch distinct on the key aggregate") {
     val dir = sf("sf0.001")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = EventStream.loadEvents(spark, dir)
     val evDir = "/root/repo/target/test_stream_dedup_events"
     raw.write.mode("overwrite").parquet(evDir)
 
@@ -57,9 +53,7 @@ class EventStreamSpec extends SparkSpec {
 
   test("stream-stream interval join streaming equals batch") {
     val dir = sf("sf0.001")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = EventStream.loadEvents(spark, dir)
     val evDir = "/root/repo/target/test_stream_join_events"
     raw.write.mode("overwrite").parquet(evDir)
 
@@ -83,18 +77,14 @@ class EventStreamSpec extends SparkSpec {
   }
 
   test("session windows produce plausible sessions in batch") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = EventStream.loadEvents(spark, sf("sf0.001"))
     val sess = EventStream.sessions(raw, "30 minutes")
     assert(sess.count() > 0)
     assert(sess.agg(min("n_events")).head().getLong(0) >= 1)
   }
 
   test("append mode with watermark emits only watermark-closed windows") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = EventStream.loadEvents(spark, sf("sf0.001"))
     val evDir = "/root/repo/target/test_stream_append"
     raw.write.mode("overwrite").parquet(evDir)
     val stream = spark.readStream.schema(raw.schema)
@@ -124,9 +114,7 @@ class EventStreamSpec extends SparkSpec {
 
   test("learned quality scoring runs inside a real stream (scoreColumn)") {
     val dir = sf("sf0.001")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = EventStream.loadEvents(spark, dir)
     val evDir = "/root/repo/target/test_stream_score_events"
     raw.write.mode("overwrite").parquet(evDir)
     // model trained batch-side on documents; its weights ride the

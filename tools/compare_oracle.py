@@ -18,7 +18,13 @@ for name in sorted(os.listdir(out)):
     if not os.path.isdir(d): continue
     files = glob.glob(d + '/*.parquet')
     if not files:
-        print(f'{name}: NO OUTPUT'); fails.append(name); continue
+        err = os.path.join(d, '_ERROR.txt')
+        if os.path.exists(err):
+            msg = open(err).read().strip().splitlines()[:1]
+            print(f'{name}: QUERY ERROR: {msg[0] if msg else ""}')
+        else:
+            print(f'{name}: NO OUTPUT')
+        fails.append(name); continue
     mine = con.execute(f"SELECT * FROM '{d}/*.parquet'").fetchdf()
     if name not in oracle:
         print(f'{name}: rows-only ({len(mine)} rows)'); 
