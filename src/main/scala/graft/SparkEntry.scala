@@ -1521,6 +1521,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // GPT-3-style span scrub: remove only the colliding 4-gram window ±2
+    // tokens, splitting documents into pieces at each removal
+    "q_decontaminate_scrub" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.decontaminateScrub(
+        docs.filter(col("doc_id") % 29 =!= 0),
+        docs.filter(col("doc_id") % 29 === 0),
+        "text", "doc_id", n = 4, pad = 2)
+        .orderBy("doc_id")
+    }),
+
     // greedy sequence packing into 128-token training windows per source
     "q_pack_sequences" -> ((s, dir) =>
       Sampling.packSequences(T(s, dir, "documents"), "source", "doc_id",
@@ -2929,6 +2940,52 @@ object SparkEntry {
           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
           |FROM corp JOIN bench USING (g)
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // same gram definition as q_decontaminate; positions/indices are
+      // 1-based here where the Spark side is 0-based — the windows and
+      // seams land on identical tokens. n = 4, pad = 2 → window [p-2, p+5].
+      "q_decontaminate_scrub" ->
+        """WITH tok AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+          |      t -> len(t) > 0) AS toks
+          |  FROM documents
+          |), bench AS (
+          |  SELECT DISTINCT unnest([array_to_string(toks[i:i+3], ' ')
+          |           FOR i IN range(1, len(toks) - 2)]) AS g
+          |  FROM tok WHERE doc_id % 29 = 0
+          |), corp AS (
+          |  SELECT doc_id, toks, len(toks) AS L FROM tok WHERE doc_id % 29 != 0
+          |), gpos AS (
+          |  SELECT doc_id, toks, unnest(range(1, L - 2)) AS p FROM corp
+          |), hits AS (
+          |  SELECT doc_id, list_sort(list(DISTINCT p)) AS hp
+          |  FROM gpos
+          |  WHERE array_to_string(toks[p:p+3], ' ') IN (SELECT g FROM bench)
+          |  GROUP BY doc_id
+          |), rm AS (
+          |  SELECT c.doc_id, c.toks, c.L,
+          |    list_sort(list_distinct(flatten(
+          |      [range(greatest(1, p - 2), least(L, p + 5) + 1)
+          |       FOR p IN coalesce(h.hp, [])]))) AS rmv
+          |  FROM corp c LEFT JOIN hits h USING (doc_id)
+          |), kp AS (
+          |  SELECT doc_id, toks, L, rmv,
+          |    [j FOR j IN range(1, L + 1) IF NOT list_contains(rmv, j)] AS kept
+          |  FROM rm
+          |)
+          |SELECT doc_id,
+          |  coalesce(array_to_string(
+          |    [CASE WHEN i = 1 THEN '' WHEN kept[i] = kept[i-1] + 1 THEN ' '
+          |          ELSE chr(10) END || toks[kept[i]]
+          |     FOR i IN range(1, len(kept) + 1)], ''), '') AS scrub_text,
+          |  CAST(L AS BIGINT) AS n_tokens,
+          |  CAST(len(rmv) AS BIGINT) AS n_removed,
+          |  CAST(CASE WHEN len(kept) = 0 THEN 0
+          |       ELSE 1 + len([i FOR i IN range(2, len(kept) + 1)
+          |                     IF kept[i] != kept[i-1] + 1]) END AS BIGINT)
+          |    AS n_pieces
+          |FROM kp ORDER BY doc_id""".stripMargin,
 
       "q_pack_sequences" ->
         """WITH RECURSIVE t AS (

@@ -447,6 +447,91 @@ object Dedup {
     corpus.join(decontaminate(corpus, bench, textCol, idCol, n).select(idCol),
       Seq(idCol), "left_anti")
 
+  /** Contamination SPAN SCRUB — the text-rewriting sibling of
+    * [[decontaminateKeep]] (the published GPT-3 mitigation: remove the
+    * colliding window plus surrounding context instead of dropping the
+    * whole document, splitting the document at each removal; Brown et al.
+    * 2020, appendix C). Locate every word `n`-gram the document shares
+    * with the benchmark, mark the window's tokens plus `pad` tokens either
+    * side for removal, and reassemble each surviving run of consecutive
+    * tokens as a PIECE — pieces are joined with '\n' in `scrub_text`, and
+    * downstream consumers treat pieces as separate documents. The split
+    * (rather than a plain rejoin) is what guarantees the output is clean:
+    * every n-gram inside a piece was a consecutive n-gram of the original
+    * document, so a benchmark gram cannot re-form across a removal seam.
+    * Returns (idCol, scrub_text, n_tokens, n_removed, n_pieces) for EVERY
+    * corpus document — clean documents come back with n_removed = 0,
+    * n_pieces = 1, and their text whitespace-normalized + lowercased (the
+    * same tokenization every gram operator here applies; a rewriting
+    * operator cannot preserve raw spacing).
+    *
+    * Scale shape: the benchmark gram set broadcasts (same argument as
+    * [[decontaminate]]); the corpus pays one scan-side gram explode into
+    * the broadcast-hash-join, a doc-keyed agg of HIT POSITIONS only
+    * (bounded by tokens/doc), and one doc-keyed join back; the
+    * mask-and-reassemble is pure Column algebra on the scan (O(tokens)
+    * per row — the seam test is an O(1) element_at against the previous
+    * kept index). Grams travel as hashed longs — overlap detection
+    * matches string n-grams modulo 64-bit collisions.
+    */
+  def decontaminateScrub(corpus: DataFrame, bench: DataFrame, textCol: String,
+                         idCol: String, n: Int, pad: Int = 0): DataFrame = {
+    require(n > 0 && pad >= 0, s"decontaminateScrub: n > 0, pad >= 0: $n/$pad")
+    // trim+split of non-empty text never yields zero-length tokens; the
+    // filter exists for the empty/null-text edge ([""] → []), so both the
+    // gram positions and the token count see the same array
+    val toks = filter(
+      split(trim(lower(coalesce(col(textCol), lit("")))), "\\s+"),
+      t => length(t) > 0)
+    // POSITIONAL gram hashes: element i = hash of the gram starting at
+    // token i. [[graft.expr.VectorExprs.HashedShingles]] sorts + dedups
+    // (it computes gram SETS), so its array index carries no position —
+    // this operator needs the position, and xxhash64 over the
+    // space-joined gram (tokens cannot contain spaces) keeps the whole
+    // build inside codegen'd built-ins.
+    def gramHashes(ts: Column): Column =
+      when(size(ts) < n, lit(Array.empty[Long]))
+        .otherwise(transform(sequence(lit(0), size(ts) - n),
+          i => xxhash64(concat_ws(" ", slice(ts, i + 1, lit(n))))))
+    val corp = corpus.select(col(idCol), toks.as("__toks"))
+    val grams = corp
+      .select(col(idCol), posexplode(gramHashes(col("__toks"))))
+      .withColumnRenamed("pos", "__p").withColumnRenamed("col", "__g")
+    val benchGrams = bench.select(explode(gramHashes(toks)).as("__g"))
+      .distinct()
+    val hits = grams.join(broadcast(benchGrams), "__g")
+      .groupBy(idCol).agg(collect_set(col("__p")).as("__hp"))
+    val L = size(col("__toks"))
+    // removal mask: union of [p-pad, p+n-1+pad] clamped to the document
+    val removed = array_sort(array_distinct(flatten(transform(col("__hp"),
+      p => sequence(greatest(p - pad, lit(0)),
+        least(p + lit(n - 1 + pad), L - 1))))))
+    // the L = 0 guard matters: Spark's sequence(0, -1) is the DESCENDING
+    // two-element sequence [0, -1], not empty
+    val keptIdx = when(L === 0, lit(Array.empty[Int]))
+      .otherwise(filter(sequence(lit(0), L - 1),
+        j => !array_contains(col("__rm"), j)))
+    // one pass over the kept indices: prefix each token with '' (first),
+    // ' ' (consecutive run continues) or '\n' (removal seam → new piece).
+    // `when` evaluates lazily, so element_at(__kp, i) only runs at i >= 1.
+    val assembled = array_join(transform(col("__kp"), (j, i) =>
+      concat(
+        when(i === lit(0), lit(""))
+          .when(j === element_at(col("__kp"), i) + 1, lit(" "))
+          .otherwise(lit("\n")),
+        element_at(col("__toks"), j + 1))), "")
+    corp.join(hits, Seq(idCol), "left")
+      .withColumn("__hp", coalesce(col("__hp"), lit(Array.empty[Int])))
+      .withColumn("__rm", removed)
+      .withColumn("__kp", keptIdx)
+      .select(col(idCol),
+        assembled.as("scrub_text"),
+        L.cast("long").as("n_tokens"),
+        size(col("__rm")).cast("long").as("n_removed"),
+        when(size(col("__kp")) === 0, lit(0L)).otherwise(
+          size(split(assembled, "\n")).cast("long")).as("n_pieces"))
+  }
+
   /** SEMANTIC decontamination: flag corpus documents whose embedding is
     * within cosine `threshold` of ANY benchmark embedding — the fuzzy
     * complement of the exact n-gram checks above (paraphrased or

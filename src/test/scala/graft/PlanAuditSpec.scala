@@ -180,6 +180,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("span scrub broadcasts bench grams; mask rebuild joins doc-keyed only") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val df = ops.Dedup.decontaminateScrub(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 29 =!= 0),
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 29 === 0),
+      "text", "doc_id", n = 4, pad = 2)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"bench side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the only shuffle keys are doc_id (hit-position agg + join back) and
+    // __g (the SMALL bench side's gram distinct) — the corpus gram stream
+    // itself never shuffles; it meets the bench set in the broadcast join
+    val keys = p.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(keys.nonEmpty && keys.forall(k =>
+        k.contains("doc_id") || k.contains("__g")),
+      s"unexpected shuffle key:\n${keys.mkString("\n")}\n$p")
+  }
+
   test("sequence packing shuffles once, on the shard column") {
     val df = ops.Sampling.packSequences(
       spark.read.parquet(s"${sf()}/documents.parquet"), "source", "doc_id",

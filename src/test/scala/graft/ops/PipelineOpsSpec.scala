@@ -572,6 +572,57 @@ class DecontaminateSpec extends SparkSpec {
     assert(n > 0 && n < docs.count(), s"contaminated $n")
   }
 
+  test("scrub removes exactly the colliding window plus pad, keeps the rest") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "zzz yyy alpha beta gamma delta xxx www vvv"),
+      (2L, "totally unrelated words here now"),
+      (3L, ""), // empty text: 0 tokens, comes back unchanged
+      (4L, "alpha beta gamma delta") // nothing survives the scrub
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminateScrub(corpus, bench, "text", "doc_id",
+        n = 4, pad = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // doc 1: window = tokens 2..5, pad 1 extends to 1..6 → yyy..xxx removed;
+    // the removal seam splits the survivors into two '\n'-joined pieces
+    assert(out(1L) === (("zzz\nwww vvv", 9L, 6L, 2L)))
+    // doc 2: clean — normalized text, nothing removed, one piece
+    assert(out(2L) === (("totally unrelated words here now", 5L, 0L, 1L)))
+    assert(out(3L) === (("", 0L, 0L, 0L)))
+    assert(out(4L) === (("", 4L, 4L, 0L)))
+    // pad 0 keeps the immediate neighbors
+    val tight = Dedup.decontaminateScrub(corpus, bench, "text", "doc_id",
+        n = 4, pad = 0)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(tight(1L) === "zzz yyy\nxxx www vvv")
+  }
+
+  test("scrub output contains no benchmark n-gram and preserves clean docs") {
+    val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 29 =!= 0)
+    val bench = docs.filter(col("doc_id") % 29 === 0)
+    val scrubbed = Dedup.decontaminateScrub(corpus, bench, "text", "doc_id",
+      n = 4, pad = 2)
+    assert(scrubbed.count() === corpus.count()) // full roster, always
+    // piece-wise re-check finds nothing: every in-piece n-gram was a
+    // consecutive n-gram of the original document, so a hit would have
+    // been removed (the structural guarantee the '\n' split provides)
+    val pieces = scrubbed.filter(length(col("scrub_text")) > 0)
+      .select(col("doc_id"), posexplode(split(col("scrub_text"), "\n")))
+      .select(concat(col("doc_id"), lit("_"), col("pos")).as("pid"),
+        col("col").as("text"))
+    val residue = Dedup.decontaminate(pieces,
+      bench.withColumnRenamed("doc_id", "pid"), "text", "pid", n = 4)
+    assert(residue.count() === 0, "scrubbed text still contaminated")
+    // untouched documents = exactly the decontaminate-clean set
+    val flagged = Dedup.decontaminate(corpus, bench, "text", "doc_id", n = 4)
+      .select("doc_id")
+    val touched = scrubbed.filter(col("n_removed") > 0).select("doc_id")
+    assert(touched.join(flagged, Seq("doc_id"), "left_anti").count() === 0)
+    assert(flagged.join(touched, Seq("doc_id"), "left_anti").count() === 0)
+  }
+
   test("semantic: flags embedding near-neighbors of the benchmark set") {
     val corpus = Seq(
       (1L, Seq(1.0, 0.0)),    // exactly a bench vector: cos 1
