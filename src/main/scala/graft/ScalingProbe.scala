@@ -232,6 +232,12 @@ object ScalingProbe {
     // + partial-agg'd per-doc max — expect the broadcast-ANN shape
     time("decon_semantic") { d =>
       SparkEntry.queries("q_decontaminate_semantic")(spark, d).count() }
+    // span scrub: broadcast bench grams × corpus positional-gram explode,
+    // doc-keyed hit agg + join back, scan-side mask rebuild — expect the
+    // decontaminate slope plus the O(tokens) reassembly scan
+    time("decon_scrub") { d =>
+      SparkEntry.queries("q_decontaminate_scrub")(spark, d)
+        .agg(sum(length(col("scrub_text"))), sum("n_removed")).collect(); 1L }
     // keep-first line dedup: scan-side posexplode, line-keyed min-agg
     // (partial agg absorbs boilerplate skew), co-partitioned join back,
     // one doc-keyed reassembly — line bytes cross the wire once

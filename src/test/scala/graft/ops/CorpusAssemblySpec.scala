@@ -109,6 +109,40 @@ class CorpusAssemblySpec extends SparkSpec {
       .filter(col("id") < 0 || col("id") >= vocab.size).count() === 0)
   }
 
+  test("span scrub feeds the pipe: pieces become documents, zero residue") {
+    // the scrub alternative to step 3 of the main assembly: instead of
+    // dropping contaminated documents, cut out only the colliding spans
+    // and continue with the surviving pieces as first-class documents —
+    // the GPT-3 recipe, composed with the downstream budget cut
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 29 === 0)
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 29 =!= 0)
+    val scrubbed = Dedup.decontaminateScrub(corpus, bench, "text", "doc_id",
+      n = 4, pad = 2)
+    // pieces → documents (piece_id keyed); empty docs drop out here
+    val pieces = scrubbed.filter(length(col("scrub_text")) > 0)
+      .select(col("doc_id"), posexplode(split(col("scrub_text"), "\n")))
+      .select((col("doc_id") * 1000 + col("pos")).as("doc_id"),
+        col("col").as("text"))
+    assert(pieces.count() >= corpus.count() - scrubbed
+      .filter(col("scrub_text") === "").count())
+    // token conservation: piece tokens = original tokens - removed
+    val pieceToks = pieces
+      .agg(sum(TextAnalysis.tokenCount(col("text")))).head().getLong(0)
+    val (origToks, removed) = {
+      val r = scrubbed.agg(sum("n_tokens"), sum("n_removed")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(pieceToks === origToks - removed,
+      s"token conservation: $pieceToks != $origToks - $removed")
+    // the scrubbed pieces flow into the dataloader leg unchanged
+    val merges = Bpe.learnBpe(pieces, "text", numMerges = 80, maxWords = 5000)
+    val enc = Bpe.applyBpeIds(pieces, "text", merges,
+      Bpe.vocabFromMerges(merges))
+    assert(enc.filter(size(col("bpe_ids")) =!= col("n_bpe_tokens")).count() === 0)
+  }
+
   test("C4 preprocess front-end feeds the unigram dataloader leg") {
     // the round-11 front half of the pipe: line-level cleaning
     // (deterministic line structure — the corpus is single-line) →
