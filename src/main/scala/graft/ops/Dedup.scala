@@ -532,6 +532,21 @@ object Dedup {
           size(split(assembled, "\n")).cast("long")).as("n_pieces"))
   }
 
+  /** [[decontaminateScrub]] with the pieces exploded into rows — the form
+    * a pipeline consumes (each piece continues as a first-class document).
+    * Returns (idCol, piece_idx, textCol) where piece_idx is the piece's
+    * 0-based position in its source document; fully-scrubbed and empty
+    * documents contribute no rows. Pure scan-side explode on top of the
+    * scrub — no additional shuffle.
+    */
+  def decontaminateScrubPieces(corpus: DataFrame, bench: DataFrame,
+                               textCol: String, idCol: String, n: Int,
+                               pad: Int = 0): DataFrame =
+    decontaminateScrub(corpus, bench, textCol, idCol, n, pad)
+      .filter(length(col("scrub_text")) > 0)
+      .select(col(idCol), posexplode(split(col("scrub_text"), "\n")))
+      .select(col(idCol), col("pos").as("piece_idx"), col("col").as(textCol))
+
   /** SEMANTIC decontamination: flag corpus documents whose embedding is
     * within cosine `threshold` of ANY benchmark embedding — the fuzzy
     * complement of the exact n-gram checks above (paraphrased or

@@ -121,10 +121,10 @@ class CorpusAssemblySpec extends SparkSpec {
     val scrubbed = Dedup.decontaminateScrub(corpus, bench, "text", "doc_id",
       n = 4, pad = 2)
     // pieces → documents (piece_id keyed); empty docs drop out here
-    val pieces = scrubbed.filter(length(col("scrub_text")) > 0)
-      .select(col("doc_id"), posexplode(split(col("scrub_text"), "\n")))
-      .select((col("doc_id") * 1000 + col("pos")).as("doc_id"),
-        col("col").as("text"))
+    val pieces = Dedup.decontaminateScrubPieces(corpus, bench, "text",
+        "doc_id", n = 4, pad = 2)
+      .select((col("doc_id") * 1000 + col("piece_idx")).as("doc_id"),
+        col("text"))
     assert(pieces.count() >= corpus.count() - scrubbed
       .filter(col("scrub_text") === "").count())
     // token conservation: piece tokens = original tokens - removed

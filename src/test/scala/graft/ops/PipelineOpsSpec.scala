@@ -596,6 +596,13 @@ class DecontaminateSpec extends SparkSpec {
         n = 4, pad = 0)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(tight(1L) === "zzz yyy\nxxx www vvv")
+    // the pieces view explodes per piece; scrubbed-empty docs vanish
+    val pieces = Dedup.decontaminateScrubPieces(corpus, bench, "text",
+        "doc_id", n = 4, pad = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(pieces === Set(
+      (1L, 0, "zzz"), (1L, 1, "www vvv"),
+      (2L, 0, "totally unrelated words here now")))
   }
 
   test("scrub output contains no benchmark n-gram and preserves clean docs") {
