@@ -137,23 +137,28 @@ object Bench {
     // driver records rc != 0 — round 11 recorded four dead queries as
     // ~0.06 s failure-overhead timings and deflated the headline total.
     val results = headline.filter(qs.contains).map { name =>
+      var nFail = 0
       val times = (0 until iters).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok =
           try { qs(name)(spark, sfDir).count(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            nFail += 1
             false
           }
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      name -> (if (times.nonEmpty) Some(times.min) else None)
+      (name, if (times.nonEmpty) Some(times.min) else None, nFail)
     }
-    val failed = results.collect { case (k, None) => k }
-    val timed = results.collect { case (k, Some(v)) => k -> v }
+    val failed = results.collect { case (k, None, _) => k }
+    // intermittent crashers are NOT healthy either: min-of-survivors hides
+    // that the surviving samples are unwarmed — surface them and fail rc
+    val flaky = results.collect { case (k, Some(_), f) if f > 0 => k -> f }
+    val timed = results.collect { case (k, Some(v), _) => k -> v }
     val qjson = results.map {
-        case (k, Some(v)) => "\"" + k + "\":" + fmt(v, 3)
-        case (k, None)    => "\"" + k + "\":\"failed\""
+        case (k, Some(v), _) => "\"" + k + "\":" + fmt(v, 3)
+        case (k, None, _)    => "\"" + k + "\":\"failed\""
       }.mkString("{", ",", "}")
     val total = timed.map(_._2).sum
     val calib = calibrate()
@@ -165,8 +170,10 @@ object Bench {
     val norm = total / calibPar
     val contaminated = load0 > 1.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"failed":$failedJson,"calib":${fmt(calib, 3)},"calib_par":${fmt(calibPar, 3)},"value_norm":${fmt(norm, 2)},"loadavg":${fmt(load0, 2)},"contaminated":$contaminated,"sf":"$sfDir"}""")
+    val flakyJson = flaky.map { case (k, f) => "\"" + k + "\":" + f }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"failed":$failedJson,"flaky_iters":$flakyJson,"calib":${fmt(calib, 3)},"calib_par":${fmt(calibPar, 3)},"value_norm":${fmt(norm, 2)},"loadavg":${fmt(load0, 2)},"contaminated":$contaminated,"sf":"$sfDir"}""")
     spark.stop()
-    if (failed.nonEmpty) sys.exit(1)
+    if (failed.nonEmpty || flaky.nonEmpty) sys.exit(1)
   }
 }

@@ -39,9 +39,20 @@ object Dedup {
 
   // -------------------------------------------------------------- shingling
 
+  /** Whitespace word tokens for gram building: lowercased, zero-length
+    * tokens dropped. Spark's split keeps trailing empty strings and trim
+    * strips only spaces, so text ending in a tab/newline would otherwise
+    * inject a phantom "" token into the gram space — and any two gram
+    * operators that disagree on filtering would disagree on gram sets for
+    * exactly such documents. ONE definition for every gram operator in
+    * this module.
+    */
+  private[graft] def gramTokens(text: Column): Column =
+    filter(split(trim(lower(text)), "\\s+"), t => length(t) > 0)
+
   /** Word n-gram shingles (distinct), lowercased. */
   def wordShingles(text: Column, n: Int): Column = {
-    val toks = split(trim(lower(text)), "\\s+")
+    val toks = gramTokens(text)
     array_distinct(
       filter(
         transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
@@ -78,7 +89,7 @@ object Dedup {
   def shingleFrame(docs: DataFrame, textCol: String, idCol: String,
                    blockCols: Seq[String], n: Int): DataFrame = {
     import graft.expr.VectorExprs.hashed_shingles
-    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val toks = gramTokens(col(textCol))
     docs.select(
         (Seq(col(idCol), hashed_shingles(toks, n).as("sh")) ++ blockCols.map(col)): _*)
       .filter(size(col("sh")) > 0)
@@ -477,12 +488,10 @@ object Dedup {
   def decontaminateScrub(corpus: DataFrame, bench: DataFrame, textCol: String,
                          idCol: String, n: Int, pad: Int = 0): DataFrame = {
     require(n > 0 && pad >= 0, s"decontaminateScrub: n > 0, pad >= 0: $n/$pad")
-    // trim+split of non-empty text never yields zero-length tokens; the
-    // filter exists for the empty/null-text edge ([""] → []), so both the
-    // gram positions and the token count see the same array
-    val toks = filter(
-      split(trim(lower(coalesce(col(textCol), lit("")))), "\\s+"),
-      t => length(t) > 0)
+    // null text is an empty document here (the full-roster contract);
+    // gramTokens drops zero-length tokens, so gram positions and the
+    // token count see the same array
+    val toks = gramTokens(coalesce(col(textCol), lit("")))
     // POSITIONAL gram hashes: element i = hash of the gram starting at
     // token i. [[graft.expr.VectorExprs.HashedShingles]] sorts + dedups
     // (it computes gram SETS), so its array index carries no position —
@@ -507,10 +516,13 @@ object Dedup {
       p => sequence(greatest(p - pad, lit(0)),
         least(p + lit(n - 1 + pad), L - 1))))))
     // the L = 0 guard matters: Spark's sequence(0, -1) is the DESCENDING
-    // two-element sequence [0, -1], not empty
+    // two-element sequence [0, -1], not empty. array_except builds a hash
+    // set of __rm once per row — O(tokens), where a per-index
+    // array_contains filter would be O(tokens × removed) on heavily
+    // contaminated documents — and preserves the first array's ascending
+    // order (both inputs are duplicate-free).
     val keptIdx = when(L === 0, lit(Array.empty[Int]))
-      .otherwise(filter(sequence(lit(0), L - 1),
-        j => !array_contains(col("__rm"), j)))
+      .otherwise(array_except(sequence(lit(0), L - 1), col("__rm")))
     // one pass over the kept indices: prefix each token with '' (first),
     // ' ' (consecutive run continues) or '\n' (removal seam → new piece).
     // `when` evaluates lazily, so element_at(__kp, i) only runs at i >= 1.
@@ -624,8 +636,7 @@ object Dedup {
     // (HashedShingles, not the string-shingle xxhash64)
     corpus.withColumn("contaminated",
       graft.expr.VectorExprs.bloom_any(
-        graft.expr.VectorExprs.hashed_shingles(
-          split(trim(lower(col(textCol))), "\\s+"), n),
+        graft.expr.VectorExprs.hashed_shingles(gramTokens(col(textCol)), n),
         bos.toByteArray))
   }
 
@@ -750,7 +761,7 @@ object Dedup {
                           eventTimeCol: Option[String] = None,
                           watermarkDelay: String = "10 minutes"): DataFrame = {
     import graft.expr.VectorExprs.{band_hashes, hashed_shingles, minhash_sig}
-    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val toks = gramTokens(col(textCol))
     val src = eventTimeCol match {
       case Some(t) => docs.withWatermark(t, watermarkDelay)
       case None    => docs
@@ -856,7 +867,7 @@ object Dedup {
     */
   def simHash(text: Column): Column = {
     import graft.expr.VectorExprs.{hashed_shingles, simhash64}
-    simhash64(hashed_shingles(split(trim(lower(text)), "\\s+"), 1))
+    simhash64(hashed_shingles(gramTokens(text), 1))
   }
 
   /** Hamming distance between two 64-bit signatures. */

@@ -36,10 +36,23 @@ class EventsTsSpec extends SparkSpec {
     val ev = EventStream.loadEvents(spark, sf("sf0.001"))
     assert(ev.schema("ts").dataType === TimestampType)
     assert(ev.count() > 0)
-    // and the µs values agree with reading the file raw (no shift applied
-    // by the NTZ→TZ cast under the UTC session timezone)
     val raw = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
-      .agg(count(lit(1))).head().getLong(0)
-    assert(ev.count() === raw)
+    assert(ev.count() === raw.count())
+    // the INSTANTS agree with an independent derivation: format the raw
+    // column to a wall-clock string, re-parse under the UTC session — a
+    // timezone shift in the NTZ→TZ cast would move every aggregate here.
+    // (Only meaningful for the timestamp encodings; a future switch back
+    // to TIMESTAMP(NANOS)-as-long is covered by the synthetic case above.)
+    assume(raw.schema("ts").dataType !=
+      org.apache.spark.sql.types.LongType)
+    val viaString = raw.select(
+        to_timestamp(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+          .as("ts"))
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))),
+        sum(unix_micros(col("ts")))).head()
+    val direct = ev
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))),
+        sum(unix_micros(col("ts")))).head()
+    assert(direct === viaString)
   }
 }

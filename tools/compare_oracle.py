@@ -13,9 +13,11 @@ def norm(v):
     if isinstance(v, (list, tuple)) or type(v).__name__ == 'ndarray': return tuple(norm(x) for x in v)
     return v
 fails = []
+seen = set()
 for name in sorted(os.listdir(out)):
     d = os.path.join(out, name)
     if not os.path.isdir(d): continue
+    seen.add(name)
     files = glob.glob(d + '/*.parquet')
     if not files:
         err = os.path.join(d, '_ERROR.txt')
@@ -46,4 +48,9 @@ for name in sorted(os.listdir(out)):
         bad = [(x,y) for x,y in zip(a,b) if x != y][:3]
         print(f'{name}: VALUE MISMATCH, first diffs: {bad}'); fails.append(name); continue
     print(f'{name}: OK ({len(mine)} rows)')
+# roster reconciliation: a query whose output dir is missing ENTIRELY
+# (Verify hard-killed before its per-query catch could write the error
+# marker) must still surface as a failure, not as silent absence
+for name in sorted(set(oracle) - seen):
+    print(f'{name}: MISSING OUTPUT DIR'); fails.append(name)
 print('\nFAILURES:', fails if fails else 'none')
