@@ -215,6 +215,41 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("span scrub runs at ingest via foreachBatch (stream equals batch)") {
+    // decontamination-at-ingest: the scrub is per-document given the
+    // STATIC benchmark set (the hit agg groups within the document), so
+    // applying it per micro-batch via foreachBatch is exactly the batch
+    // semantics regardless of how the stream is chopped
+    val dir = sf("sf0.001")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 29 === 0)
+    val corpus = docs.filter(col("doc_id") % 29 =!= 0)
+    val dDir = "/root/repo/target/test_stream_scrub_docs"
+    val outDir = "/root/repo/target/test_stream_scrub_out"
+    corpus.write.mode("overwrite").parquet(dDir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dDir)
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.Dedup.decontaminateScrub(batch.toDF(), bench, "text",
+            "doc_id", n = 4, pad = 2)
+          .write.mode("append").parquet(outDir)
+    }.start()
+    q.processAllAvailable(); q.stop()
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq.sorted
+    val streamed = key(spark.read.parquet(outDir)
+      .select("doc_id", "scrub_text", "n_tokens", "n_removed", "n_pieces"))
+    val batch = key(graft.ops.Dedup.decontaminateScrub(corpus, bench, "text",
+        "doc_id", n = 4, pad = 2)
+      .select("doc_id", "scrub_text", "n_tokens", "n_removed", "n_pieces"))
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("PCA whitening projection runs inside a real stream (Expression path)") {
     // the projection is a scan-side AffineProject expression, so a
     // batch-fitted basis whitens an ingest stream with exact batch parity
