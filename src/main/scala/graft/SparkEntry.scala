@@ -851,6 +851,50 @@ object SparkEntry {
           (col("n_miss").cast("double") <= col("n_exact") * (1 - EmbedLshRecallFloor)))
     }),
 
+    // k-means clustering exposed as a curation operator: derived check —
+    // the codegen NearestCentroid assignment must equal an independent
+    // UDF argmin over the SAME centroids (expression-vs-UDF parity, the
+    // scoreColumn pattern), rerun deterministically, land in [0, k), and
+    // cover the whole corpus with more than one populated cell
+    "q_cluster" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val k = 8
+      val cents = Similarity.fitKMeansCentroids(emb, "embedding", k)
+      val assigned = pin(Similarity.clusterEmbeddings(emb, "vec_id",
+        "embedding", k))
+      val again = pin(Similarity.clusterEmbeddings(emb, "vec_id",
+          "embedding", k))
+        .withColumnRenamed("cluster", "cluster2")
+      val brute = udf((a: Seq[Float]) => {
+        var best = -1; var bd = Double.MaxValue; var i = 0
+        while (i < cents.length) {
+          val c = cents(i); var d = 0d; var j = 0
+          while (j < math.min(c.length, a.length)) {
+            val t = c(j) - a(j); d += t * t; j += 1
+          }
+          if (d < bd) { bd = d; best = i }
+          i += 1
+        }
+        best
+      })
+      val one = assigned
+        .join(emb.select(col("vec_id"), brute(col("embedding")).as("bcl")),
+          "vec_id")
+        .join(again, "vec_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("cluster") === col("bcl"), 0).otherwise(1)).as("n_mismatch"),
+          sum(when(col("cluster") === col("cluster2"), 0).otherwise(1)).as("n_det"),
+          countDistinct(col("cluster")).as("n_cells"),
+          min(col("cluster")).as("min_c"), max(col("cluster")).as("max_c"))
+        .crossJoin(emb.agg(count(lit(1)).as("n_emb")))
+      checkRows(one,
+        "assign_matches_bruteforce" -> (col("n_mismatch") === 0),
+        "deterministic" -> (col("n_det") === 0),
+        "cells_in_range" -> (col("min_c") >= 0 && col("max_c") < k),
+        "covers_corpus" -> (col("n") === col("n_emb")),
+        "multiple_cells" -> (col("n_cells") > 1))
+    }),
+
     // ===== scalar functions: dates =======================================
     "q_scalar_date" -> ((s, dir) =>
       T(s, dir, "lineitem").select(liKey.map(col) ++ Seq(
@@ -2244,6 +2288,10 @@ object SparkEntry {
 
       "q_dedup_embed_lsh" ->
         checksOracle("pairs_nonempty", "precision_exact", "recall_floor"),
+
+      "q_cluster" ->
+        checksOracle("assign_matches_bruteforce", "deterministic",
+          "cells_in_range", "covers_corpus", "multiple_cells"),
 
       "q_agg_approx" ->
         """SELECT l_returnflag, true AS within_tol
