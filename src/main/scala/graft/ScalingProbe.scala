@@ -232,6 +232,15 @@ object ScalingProbe {
     // + partial-agg'd per-doc max — expect the broadcast-ANN shape
     time("decon_semantic") { d =>
       SparkEntry.queries("q_decontaminate_semantic")(spark, d).count() }
+    // k-means curation clustering: fit touches only the bounded sample
+    // (capped at 100k rows — constant beyond that corpus size), the
+    // assignment is one codegen scan — expect ~scan-bound growth until
+    // the sample cap bites, then better
+    time("cluster") { d =>
+      val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      graft.ops.Similarity.clusterEmbeddings(emb, "vec_id", "embedding",
+          k = 8)
+        .agg(sum("cluster")).collect(); 1L }
     // span scrub: broadcast bench grams × corpus positional-gram explode,
     // doc-keyed hit agg + join back, scan-side mask rebuild — expect the
     // decontaminate slope plus the O(tokens) reassembly scan
