@@ -238,8 +238,7 @@ object ScalingProbe {
     // the sample cap bites, then better
     time("cluster") { d =>
       val emb = spark.read.parquet(s"$d/embeddings.parquet")
-      graft.ops.Similarity.clusterEmbeddings(emb, "vec_id", "embedding",
-          k = 8)
+      graft.ops.Similarity.kmeansCluster(emb, "embedding", "vec_id", k = 8)
         .agg(sum("cluster")).collect(); 1L }
     // span scrub: broadcast bench grams × corpus positional-gram explode,
     // doc-keyed hit agg + join back, scan-side mask rebuild — expect the

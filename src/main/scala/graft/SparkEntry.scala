@@ -855,15 +855,17 @@ object SparkEntry {
     // the codegen NearestCentroid assignment must equal an independent
     // UDF argmin over the SAME centroids (expression-vs-UDF parity, the
     // scoreColumn pattern), rerun deterministically, land in [0, k), and
-    // cover the whole corpus with more than one populated cell
+    // cover the whole corpus with more than one populated cell. ONE fit:
+    // both assignment passes and the brute UDF share `cents`, so the
+    // checks test the assignment scan itself, not MLlib refit stability.
     "q_cluster" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val k = 8
-      val cents = Similarity.fitKMeansCentroids(emb, "embedding", k)
-      val assigned = pin(Similarity.clusterEmbeddings(emb, "vec_id",
-        "embedding", k))
-      val again = pin(Similarity.clusterEmbeddings(emb, "vec_id",
-          "embedding", k))
+      val cents = Similarity.fitKmeans(emb, "embedding", k)
+      val assigned = pin(Similarity.assignClusters(emb, "embedding",
+        "vec_id", cents))
+      val again = pin(Similarity.assignClusters(emb, "embedding",
+          "vec_id", cents))
         .withColumnRenamed("cluster", "cluster2")
       val brute = udf((a: Seq[Float]) => {
         var best = -1; var bd = Double.MaxValue; var i = 0

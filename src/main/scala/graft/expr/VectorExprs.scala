@@ -176,31 +176,48 @@ object VectorExprs {
     * corpus pass stays a single primitive-typed expression instead of a
     * boxing UDF + MLlib `transform`. Ties resolve to the lowest index.
     */
-  case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
-      extends UnaryExpression with CodegenFallback {
-    override def dataType: DataType = IntegerType
-    private def elemAt(a: ArrayData, et: DataType, i: Int): Double = et match {
-      case FloatType => a.getFloat(i).toDouble
-      case DoubleType => a.getDouble(i)
-      case LongType => a.getLong(i).toDouble
-      case IntegerType => a.getInt(i).toDouble
-      case other => throw new IllegalArgumentException(s"NearestCentroid: $other")
-    }
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val et = child.dataType.asInstanceOf[ArrayType].elementType
-      val n = arr.numElements()
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < centroids.length) {
-        val cen = centroids(c)
-        val m = math.min(cen.length, n)
-        var d = 0d; var i = 0
-        while (i < m) { val t = cen(i) - elemAt(arr, et, i); d += t * t; i += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
+  /** Argmin-centroid kernel shared by interpreted eval and generated code
+    * (the [[pqEncodeKernel]] pattern).
+    */
+  def nearestCentroidKernel(arr: ArrayData, centroids: Array[Array[Double]],
+                            tag: Int): Int = {
+    val n = arr.numElements()
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cen = centroids(c)
+      val m = math.min(cen.length, n)
+      var d = 0d; var i = 0
+      while (i < m) {
+        val x = tag match {
+          case 0 => arr.getFloat(i).toDouble
+          case 1 => arr.getDouble(i)
+          case 2 => arr.getLong(i).toDouble
+          case _ => arr.getInt(i).toDouble
+        }
+        val t = cen(i) - x; d += t * t; i += 1
       }
-      java.lang.Integer.valueOf(best)
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+      extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    private lazy val tag =
+      typeTag(child.dataType.asInstanceOf[ArrayType].elementType)
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Integer.valueOf(
+        nearestCentroidKernel(input.asInstanceOf[ArrayData], centroids, tag))
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expr.VectorExprs$$.MODULE$$.nearestCentroidKernel($c, $ref, $tag);")
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }

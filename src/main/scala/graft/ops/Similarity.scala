@@ -124,35 +124,6 @@ object Similarity {
         .withColumn("cosine", Dedup.cosine(col("qv"), col("cv"))), k)
   }
 
-  /** K-means centroids over an embedding column, fit on a bounded sample
-    * (the public face of the IVF/SemDeDup cell machinery). Driver state is
-    * O(k·d) — the centroid array — regardless of corpus size.
-    */
-  def fitKMeansCentroids(emb: DataFrame, vecCol: String, k: Int,
-                         fitSampleRows: Long = 100000L): Array[Array[Double]] = {
-    require(k > 0, s"fitKMeansCentroids: k > 0: $k")
-    fitCentroids(emb.select(col(vecCol).as("cv")), k, fitSampleRows)
-  }
-
-  /** K-means cluster assignment: (idCol, cluster) for every row — the
-    * curation key for cluster-balanced sampling
-    * ([[Sampling.capPerStratum]] on `cluster`), SemDeDup-style blocking,
-    * and mixture construction over semantic groups.
-    *
-    * Scale shape: fit touches only the bounded sample; the full-corpus
-    * assignment is ONE scan through the codegen
-    * [[graft.expr.VectorExprs.NearestCentroid]] expression with the
-    * centroid table riding the plan as a literal — no join, no shuffle,
-    * no MLlib row boxing on the corpus path.
-    */
-  def clusterEmbeddings(emb: DataFrame, idCol: String, vecCol: String,
-                        k: Int, fitSampleRows: Long = 100000L): DataFrame = {
-    val centroids = fitKMeansCentroids(emb, vecCol, k, fitSampleRows)
-    emb.select(col(idCol),
-      graft.expr.VectorExprs.nearest_centroid(col(vecCol), centroids)
-        .as("cluster"))
-  }
-
   // --------------------------------------------------------------- SemDeDup
 
   /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023):

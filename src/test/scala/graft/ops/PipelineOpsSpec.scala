@@ -712,7 +712,7 @@ class SemDedupSpec extends SparkSpec {
     assert(Set(1L, 3L, 5L).subsetOf(kept) || kept.contains(5L))
   }
 
-  test("clusterEmbeddings separates well-separated groups and is stable") {
+  test("kmeansCluster separates well-separated groups and is stable") {
     // three tight groups far apart: k-means with k=3 must put each group
     // in one cell, whatever the (seeded) cell numbering is
     val emb = (
@@ -720,7 +720,7 @@ class SemDedupSpec extends SparkSpec {
       (5 until 10).map(i => (i.toLong, Array(0f, 10f + i * 0.01f, 0f))) ++
       (10 until 15).map(i => (i.toLong, Array(0f, 0f, 10f + i * 0.01f)))
     ).toDF("vec_id", "embedding")
-    val out = Similarity.clusterEmbeddings(emb, "vec_id", "embedding", k = 3)
+    val out = Similarity.kmeansCluster(emb, "embedding", "vec_id", k = 3)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(out.size === 15)
     val groups = Seq(0L until 5L, 5L until 10L, 10L until 15L)
@@ -728,12 +728,13 @@ class SemDedupSpec extends SparkSpec {
     assert(groups.forall(_.size === 1), s"groups split across cells: $groups")
     assert(groups.flatten.toSet.size === 3, "groups must land in 3 distinct cells")
     // assignment is a pure function of the fitted centroids: re-run equal
-    val again = Similarity.clusterEmbeddings(emb, "vec_id", "embedding", k = 3)
+    val cents = Similarity.fitKmeans(emb, "embedding", k = 3)
+    val viaCents = Similarity.assignClusters(emb, "embedding", "vec_id", cents)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(again === out)
+    assert(viaCents === out)
     // composes with per-stratum capping for cluster-balanced curation
     val capped = Sampling.capPerStratum(
-      emb.join(Similarity.clusterEmbeddings(emb, "vec_id", "embedding", 3),
+      emb.join(Similarity.assignClusters(emb, "embedding", "vec_id", cents),
         "vec_id"),
       "vec_id", "cluster", cap = 2)
     assert(capped.count() === 6)

@@ -227,7 +227,10 @@ class EventStreamSpec extends SparkSpec {
     val corpus = docs.filter(col("doc_id") % 29 =!= 0)
     val dDir = "/root/repo/target/test_stream_scrub_docs"
     val outDir = "/root/repo/target/test_stream_scrub_out"
-    corpus.write.mode("overwrite").parquet(dDir)
+    // 4 files + maxFilesPerTrigger=1 → 4 real micro-batches; a single-file
+    // write would collapse to one batch and the chopping claim would go
+    // untested
+    corpus.repartition(4).write.mode("overwrite").parquet(dDir)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
     val stream = spark.readStream.schema(corpus.schema)
       .option("maxFilesPerTrigger", "1").parquet(dDir)
