@@ -180,6 +180,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("cluster assignment is a single scan (no exchange, no join)") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val cents = ops.Similarity.fitKmeans(emb, "embedding", k = 4)
+    val p = plan(ops.Similarity.assignClusters(emb, "embedding", "vec_id",
+      cents))
+    assert(!p.contains("Exchange"), s"assignment must not shuffle:\n$p")
+    assert(!p.contains("Join"), p)
+    // the centroid table rides the plan as a literal, not a scan (count
+    // the detail headers — the tree line would double-count each node)
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) === 1, p)
+  }
+
   test("span scrub broadcasts bench grams; mask rebuild joins doc-keyed only") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val df = ops.Dedup.decontaminateScrub(
