@@ -232,6 +232,11 @@ object ScalingProbe {
     // + partial-agg'd per-doc max — expect the broadcast-ANN shape
     time("decon_semantic") { d =>
       SparkEntry.queries("q_decontaminate_semantic")(spark, d).count() }
+    // physical pack assembly: packSequences' group-keyed traversal + one
+    // (group,pack)-keyed agg — the id bytes cross the wire once
+    time("pack_assemble") { d =>
+      SparkEntry.queries("q_pack_assemble")(spark, d)
+        .agg(sum("n_ids")).collect(); 1L }
     // k-means curation clustering: fit touches only the bounded sample
     // (capped at 100k rows — constant beyond that corpus size), the
     // assignment is one codegen scan — expect ~scan-bound growth until

@@ -1584,6 +1584,20 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")), maxTokens = 128)
         .orderBy("source", "doc_id")),
 
+    // physical pack assembly: the ids here are the structural sequence
+    // 1..n_tokens (SQL-reproducible; real BPE ids ride the same path in
+    // CorpusAssemblySpec) with sepId 0 terminating every document —
+    // the oracle rebuilds the packs AND the concatenated arrays
+    "q_pack_assemble" -> ((s, dir) => {
+      val nt = TextAnalysis.tokenCount(col("text"))
+      val enc = T(s, dir, "documents").select(col("source"), col("doc_id"),
+        when(nt < 1, array().cast("array<int>"))
+          .otherwise(sequence(lit(1), nt)).as("ids"))
+      Sampling.assemblePackedIds(enc, "source", "doc_id", "ids",
+          size(col("ids")), maxTokens = 128, sepId = 0)
+        .orderBy("source", "pack_id")
+    }),
+
     // SemDeDup derived check: cluster-blocked pairs must be an exact-cosine
     // subset of the all-pairs baseline (precision 1.0), recover the
     // measured recall floor, and the keep-filter must actually prune
@@ -3057,6 +3071,34 @@ object SparkEntry {
           |SELECT source, doc_id, nt AS n_tokens,
           |  CAST(pack_id AS INTEGER) AS pack_id, CAST(cum AS INTEGER) AS pack_cum
           |FROM p ORDER BY source, doc_id""".stripMargin,
+
+      // same recursive pack CTE, then the physical assembly: per-doc ids
+      // are the structural 1..nt (DuckDB range(1, nt+1) = [] at nt = 0),
+      // each doc terminated by 0, packs concatenated in doc order
+      "q_pack_assemble" ->
+        """WITH RECURSIVE t AS (
+          |  SELECT source, doc_id,
+          |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+          |         ELSE len(string_split_regex(trim(lower(text)), '\s+')) END
+          |      AS INTEGER) AS nt,
+          |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+          |  FROM documents
+          |), p AS (
+          |  SELECT source, doc_id, nt, rn, nt AS cum, 1 AS pack_id
+          |  FROM t WHERE rn = 1
+          |  UNION ALL
+          |  SELECT t.source, t.doc_id, t.nt, t.rn,
+          |    CASE WHEN p.cum + t.nt > 128 THEN t.nt ELSE p.cum + t.nt END,
+          |    CASE WHEN p.cum + t.nt > 128 THEN p.pack_id + 1 ELSE p.pack_id END
+          |  FROM p JOIN t ON t.source = p.source AND t.rn = p.rn + 1
+          |)
+          |SELECT source, CAST(pack_id AS INTEGER) AS pack_id,
+          |  flatten(list(list_concat(range(1, nt + 1), [0]) ORDER BY doc_id))
+          |    ::INTEGER[] AS packed_ids,
+          |  list(doc_id ORDER BY doc_id)::BIGINT[] AS doc_ids,
+          |  CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(nt) + count(*) AS BIGINT) AS n_ids
+          |FROM p GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin,
 
       "q_dedup_semantic" ->
         checksOracle("pairs_nonempty", "precision_exact", "recall_floor",

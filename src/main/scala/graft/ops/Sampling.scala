@@ -107,6 +107,44 @@ object Sampling {
       .toDF(groupCol, orderCol, "n_tokens", "pack_id", "pack_cum")
   }
 
+  /** Physical pack assembly — the dataloader-ready form of
+    * [[packSequences]]: one row per (groupCol, pack_id) with the pack's
+    * int-id sequences concatenated in pack order, each document terminated
+    * by `sepId` (the GPT-style EOS convention — every document contributes
+    * its ids plus exactly one separator, so a pack's id count is its token
+    * total plus its document count). Returns (groupCol, pack_id,
+    * packed_ids, doc_ids, n_docs, n_ids); groupCol comes back as string
+    * and doc order as long, the [[packSequences]] normalization.
+    *
+    * Scale shape: the pack assignment reuses [[packSequences]]
+    * (group-keyed sorted traversal, bounded per-group state); the assembly
+    * is ONE (group, pack)-keyed aggregation — the id arrays cross the wire
+    * exactly once, which physical concatenation cannot avoid, and every
+    * output row is bounded by maxTokens ids + n_docs separators. No
+    * driver state.
+    */
+  def assemblePackedIds(encoded: DataFrame, groupCol: String,
+                        orderCol: String, idsCol: String,
+                        tokenCount: Column, maxTokens: Int,
+                        sepId: Int): DataFrame = {
+    val packs = packSequences(encoded, groupCol, orderCol, tokenCount,
+        maxTokens)
+      .select(col(groupCol).as("__g"), col(orderCol).as("__o"),
+        col("pack_id"))
+    encoded.select(col(groupCol).cast("string").as("__g"),
+        col(orderCol).cast("long").as("__o"), col(idsCol).as("__i"))
+      .join(packs, Seq("__g", "__o"))
+      .groupBy(col("__g"), col("pack_id"))
+      .agg(array_sort(collect_list(struct(col("__o").as("o"),
+        col("__i").as("i")))).as("__seqs"))
+      .select(col("__g").as(groupCol), col("pack_id"),
+        flatten(transform(col("__seqs"),
+          s => concat(s.getField("i"), array(lit(sepId))))).as("packed_ids"),
+        transform(col("__seqs"), s => s.getField("o")).as("doc_ids"),
+        size(col("__seqs")).cast("long").as("n_docs"))
+      .withColumn("n_ids", size(col("packed_ids")).cast("long"))
+  }
+
   /** Temperature-rebalanced mixture weights (the multilingual-corpus
     * recipe of XLM-R, Conneau et al. 2020 §3.1, and mC4): a group g with
     * corpus share p_g is resampled to share q_g ∝ p_g^alpha, flattening

@@ -107,6 +107,21 @@ class CorpusAssemblySpec extends SparkSpec {
     // r10 fused-operand bug class would shift this space)
     assert(selected.select(explode(col("bpe_ids")).as("id"))
       .filter(col("id") < 0 || col("id") >= vocab.size).count() === 0)
+
+    // 8. physical packs: the selected id sequences concatenated into
+    // dataloader rows (EOS = first id past the vocab); ids are conserved
+    // and every multi-doc pack fits the window
+    val packed = Sampling.assemblePackedIds(
+      selected.withColumn("grp", lit("all"))
+        .select(col("grp"), col("doc_id"), col("bpe_ids")),
+      "grp", "doc_id", "bpe_ids", size(col("bpe_ids")), maxTokens = 512,
+      sepId = vocab.size)
+    val chk = packed.agg(
+      min(size(col("packed_ids")) === col("n_ids")).as("sz"),
+      min(col("n_ids") - col("n_docs") <= 512 || col("n_docs") === 1).as("bud"),
+      sum(col("n_ids") - col("n_docs")).as("tot")).head()
+    assert(chk.getBoolean(0) && chk.getBoolean(1))
+    assert(chk.getLong(2) === idTotal, "packed ids must conserve the selection")
   }
 
   test("span scrub feeds the pipe: pieces become documents, zero residue") {

@@ -544,6 +544,31 @@ class SamplingSpec extends SparkSpec {
   }
 }
 
+class PackAssembleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("assembles pack id arrays in order with one separator per doc") {
+    val enc = Seq(
+      ("a", 1L, Seq(11, 12, 13)), // pack 1 (3 tokens)
+      ("a", 2L, Seq(21, 22)),     // pack 1 (cum 5)
+      ("a", 3L, Seq(31, 32, 33)), // overflow -> pack 2
+      ("b", 9L, Seq(91))          // own group
+    ).toDF("src", "doc_id", "ids")
+    val out = Sampling.assemblePackedIds(enc, "src", "doc_id", "ids",
+        size(col("ids")), maxTokens = 5, sepId = 0)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getSeq[Int](2), r.getSeq[Long](3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(out(("a", 1)) ===
+      ((Seq(11, 12, 13, 0, 21, 22, 0), Seq(1L, 2L), 2L, 7L)))
+    assert(out(("a", 2)) === ((Seq(31, 32, 33, 0), Seq(3L), 1L, 4L)))
+    assert(out(("b", 1)) === ((Seq(91, 0), Seq(9L), 1L, 2L)))
+    // every pack respects budget + separators; ids survive verbatim
+    assert(out.values.forall { case (ids, docs, nd, ni) =>
+      ids.size == ni && docs.size == nd && ids.count(_ == 0) == nd })
+  }
+}
+
 class DecontaminateSpec extends SparkSpec {
   import spark.implicits._
 
