@@ -232,8 +232,8 @@ object ScalingProbe {
     // + partial-agg'd per-doc max — expect the broadcast-ANN shape
     time("decon_semantic") { d =>
       SparkEntry.queries("q_decontaminate_semantic")(spark, d).count() }
-    // physical pack assembly: packSequences' group-keyed traversal + one
-    // (group,pack)-keyed agg — the id bytes cross the wire once
+    // physical pack assembly: the packSequences walk with the id payload
+    // threaded through — one group-keyed shuffle, streaming pack emission
     time("pack_assemble") { d =>
       SparkEntry.queries("q_pack_assemble")(spark, d)
         .agg(sum("n_ids")).collect(); 1L }

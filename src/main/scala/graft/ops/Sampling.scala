@@ -107,6 +107,10 @@ object Sampling {
       .toDF(groupCol, orderCol, "n_tokens", "pack_id", "pack_cum")
   }
 
+  private final case class PackedRow(grp: String, pack_id: Int,
+                                     packed_ids: Seq[Int], doc_ids: Seq[Long],
+                                     n_docs: Long, n_ids: Long)
+
   /** Physical pack assembly — the dataloader-ready form of
     * [[packSequences]]: one row per (groupCol, pack_id) with the pack's
     * int-id sequences concatenated in pack order, each document terminated
@@ -114,35 +118,74 @@ object Sampling {
     * its ids plus exactly one separator, so a pack's id count is its token
     * total plus its document count). Returns (groupCol, pack_id,
     * packed_ids, doc_ids, n_docs, n_ids); groupCol comes back as string
-    * and doc order as long, the [[packSequences]] normalization.
+    * and doc order as long, the [[packSequences]] normalization. A null
+    * id array raises (the [[upsampleByWeight]] null-weight convention —
+    * silently packing a null would corrupt a training row); null group
+    * keys pack like any other group.
     *
-    * Scale shape: the pack assignment reuses [[packSequences]]
-    * (group-keyed sorted traversal, bounded per-group state); the assembly
-    * is ONE (group, pack)-keyed aggregation — the id arrays cross the wire
-    * exactly once, which physical concatenation cannot avoid, and every
-    * output row is bounded by maxTokens ids + n_docs separators. No
-    * driver state.
+    * Scale shape: the ids ride the SAME group-keyed sorted traversal that
+    * assigns the packs (the [[packSequences]] walk with the payload
+    * threaded through), so they cross the wire exactly once, the source is
+    * scanned once, and per-task state is one pack's buffer (maxTokens ids
+    * + its doc ids) — never the group. Emission is streaming: each pack
+    * row is yielded as soon as the next document overflows it.
     */
   def assemblePackedIds(encoded: DataFrame, groupCol: String,
                         orderCol: String, idsCol: String,
                         tokenCount: Column, maxTokens: Int,
                         sepId: Int): DataFrame = {
-    val packs = packSequences(encoded, groupCol, orderCol, tokenCount,
-        maxTokens)
-      .select(col(groupCol).as("__g"), col(orderCol).as("__o"),
-        col("pack_id"))
-    encoded.select(col(groupCol).cast("string").as("__g"),
-        col(orderCol).cast("long").as("__o"), col(idsCol).as("__i"))
-      .join(packs, Seq("__g", "__o"))
-      .groupBy(col("__g"), col("pack_id"))
-      .agg(array_sort(collect_list(struct(col("__o").as("o"),
-        col("__i").as("i")))).as("__seqs"))
-      .select(col("__g").as(groupCol), col("pack_id"),
-        flatten(transform(col("__seqs"),
-          s => concat(s.getField("i"), array(lit(sepId))))).as("packed_ids"),
-        transform(col("__seqs"), s => s.getField("o")).as("doc_ids"),
-        size(col("__seqs")).cast("long").as("n_docs"))
-      .withColumn("n_ids", size(col("packed_ids")).cast("long"))
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val base = encoded.select(
+        col(groupCol).cast("string").as("__grp"),
+        col(orderCol).cast("long").as("__ord"),
+        tokenCount.cast("int").as("__nt"),
+        col(idsCol).cast("array<int>").as("__ids"))
+      .as[(String, Long, Int, Seq[Int])]
+    base.groupByKey(_._1)
+      .flatMapSortedGroups($"__ord") { (grp, it) =>
+        new Iterator[PackedRow] {
+          private var pack = 0
+          private var cum = 0
+          private val ids = scala.collection.mutable.ArrayBuffer[Int]()
+          private val docs = scala.collection.mutable.ArrayBuffer[Long]()
+          private var pending: PackedRow = null
+          private def flush(): PackedRow = {
+            val row = PackedRow(grp, pack, ids.toSeq, docs.toSeq,
+              docs.length.toLong, ids.length.toLong)
+            ids.clear(); docs.clear()
+            row
+          }
+          private def append(ord: Long, seq: Seq[Int]): Unit = {
+            require(seq != null,
+              s"assemblePackedIds: null $idsCol for $orderCol=$ord")
+            ids ++= seq; ids += sepId; docs += ord
+          }
+          @annotation.tailrec
+          private def advance(): Unit =
+            if (pending == null && it.hasNext) {
+              val (_, ord, nt, seq) = it.next()
+              // the packSequences anchor/step, verbatim
+              if (pack == 0) { pack = 1; cum = nt; append(ord, seq) }
+              else if (cum + nt > maxTokens) {
+                pending = flush()
+                pack += 1; cum = nt; append(ord, seq)
+              } else { cum += nt; append(ord, seq) }
+              advance()
+            }
+          override def hasNext: Boolean = {
+            advance()
+            pending != null || docs.nonEmpty
+          }
+          override def next(): PackedRow = {
+            advance()
+            if (pending != null) { val r = pending; pending = null; r }
+            else if (docs.nonEmpty) flush()
+            else throw new NoSuchElementException("empty pack iterator")
+          }
+        }
+      }
+      .toDF(groupCol, "pack_id", "packed_ids", "doc_ids", "n_docs", "n_ids")
   }
 
   /** Temperature-rebalanced mixture weights (the multilingual-corpus

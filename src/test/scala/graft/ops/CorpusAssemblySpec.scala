@@ -116,12 +116,21 @@ class CorpusAssemblySpec extends SparkSpec {
         .select(col("grp"), col("doc_id"), col("bpe_ids")),
       "grp", "doc_id", "bpe_ids", size(col("bpe_ids")), maxTokens = 512,
       sepId = vocab.size)
+    // PER-PACK id accounting: n_ids must equal the pack's documents' id
+    // total plus one separator per document (joined through doc_ids, so a
+    // dropped separator or duplicated doc cannot hide in an aggregate)
+    val perPack = packed.select(col("pack_id"), col("n_ids"), col("n_docs"),
+        explode(col("doc_ids")).as("doc_id"))
+      .join(selected.select(col("doc_id"), size(col("bpe_ids")).as("sz")),
+        "doc_id")
+      .groupBy("pack_id", "n_ids", "n_docs").agg(sum("sz").as("tok"))
+    assert(perPack.filter(col("n_ids") =!= col("tok") + col("n_docs"))
+      .count() === 0, "per-pack id accounting broke")
     val chk = packed.agg(
-      min(size(col("packed_ids")) === col("n_ids")).as("sz"),
       min(col("n_ids") - col("n_docs") <= 512 || col("n_docs") === 1).as("bud"),
       sum(col("n_ids") - col("n_docs")).as("tot")).head()
-    assert(chk.getBoolean(0) && chk.getBoolean(1))
-    assert(chk.getLong(2) === idTotal, "packed ids must conserve the selection")
+    assert(chk.getBoolean(0))
+    assert(chk.getLong(1) === idTotal, "packed ids must conserve the selection")
   }
 
   test("span scrub feeds the pipe: pieces become documents, zero residue") {

@@ -567,6 +567,35 @@ class PackAssembleSpec extends SparkSpec {
     assert(out.values.forall { case (ids, docs, nd, ni) =>
       ids.size == ni && docs.size == nd && ids.count(_ == 0) == nd })
   }
+
+  test("null id arrays raise; duplicate and null keys pack without loss") {
+    val nulled = Seq(("a", 1L, Seq(1, 2)), ("a", 2L, null))
+      .toDF("src", "doc_id", "ids")
+    val e = intercept[Exception] {
+      Sampling.assemblePackedIds(nulled, "src", "doc_id", "ids",
+        coalesce(size(col("ids")), lit(0)), maxTokens = 5, sepId = 0)
+        .collect()
+    }
+    assert(e.getMessage != null || e.getCause != null) // surfaced, not packed
+    // duplicate (src, doc_id) straddling a pack boundary: each row is
+    // packed exactly once (the old join-back formulation duplicated both
+    // rows into both packs)
+    val dup = Seq(("a", 5L, Seq(11, 12, 13)), ("a", 5L, Seq(21, 22, 23)))
+      .toDF("src", "doc_id", "ids")
+    val packs = Sampling.assemblePackedIds(dup, "src", "doc_id", "ids",
+        size(col("ids")), maxTokens = 4, sepId = 0)
+      .collect()
+    assert(packs.map(_.getLong(5)).sum === 8) // 6 ids + 2 separators, once
+    // a null group key is a group like any other, not a dropped row
+    val ng = Seq((null.asInstanceOf[String], 1L, Seq(7)), ("b", 2L, Seq(8)))
+      .toDF("src", "doc_id", "ids")
+    val ngOut = Sampling.assemblePackedIds(ng, "src", "doc_id", "ids",
+        size(col("ids")), maxTokens = 5, sepId = 0)
+      .collect()
+    assert(ngOut.length === 2)
+    assert(ngOut.map(_.getSeq[Int](2)).map(_.toSeq).toSet ===
+      Set(Seq(7, 0), Seq(8, 0)))
+  }
 }
 
 class DecontaminateSpec extends SparkSpec {
