@@ -257,6 +257,84 @@ class PropertySpec extends SparkSpec {
     }, n = 8)
   }
 
+  test("span scrub: zero piece-wise residue and token conservation") {
+    import graft.ops.Dedup
+    // tiny vocabulary → dense genuine 3-gram overlap between random docs,
+    // the regime where seam re-formation would show if pieces rejoined
+    val genDoc = Gen.choose(3, 18).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d"))).map(_.mkString(" "))
+    check(Prop.forAll(Gen.listOfN(5, genDoc), Gen.listOfN(2, genDoc)) {
+      (corpusDocs, benchDocs) =>
+        val corpus = corpusDocs.zipWithIndex
+          .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val bench = benchDocs.zipWithIndex
+          .map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text")
+        val out = Dedup.decontaminateScrub(corpus, bench, "text", "doc_id",
+          n = 3, pad = 1).collect()
+        // token conservation: kept = total - removed, pieces sum to kept
+        val conserve = out.forall { r =>
+          val kept = r.getString(1).split("[\\s\\n]+").count(_.nonEmpty)
+          kept == r.getLong(2) - r.getLong(3)
+        }
+        // structural guarantee: no piece still shares a 3-gram with bench
+        val pieces = out.flatMap(r => r.getString(1).split("\n"))
+          .filter(_.nonEmpty).zipWithIndex
+          .map { case (t, i) => (i.toLong, t) }.toSeq
+        val residue =
+          if (pieces.isEmpty) 0L
+          else Dedup.decontaminate(pieces.toDF("doc_id", "text"),
+            bench, "text", "doc_id", n = 3).count()
+        conserve && residue == 0L
+    }, n = 8)
+  }
+
+  test("pack assembly: full reconstruction and budget for random corpora") {
+    import graft.ops.Sampling
+    val genDoc = Gen.choose(0, 7).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(1, 99)))
+    check(Prop.forAll(Gen.listOfN(8, genDoc), Gen.choose(4, 12)) {
+      (docsIds, maxTok) =>
+        val enc = docsIds.zipWithIndex
+          .map { case (ids, i) => ("g", i.toLong, ids) }
+          .toDF("grp", "doc_id", "ids")
+        val packs = Sampling.assemblePackedIds(enc, "grp", "doc_id", "ids",
+            size(col("ids")), maxTokens = maxTok, sepId = 0)
+          .orderBy("pack_id").collect()
+        // RECONSTRUCTION: concatenating packs in order rebuilds every doc
+        // in order, each terminated by exactly one separator
+        val rebuilt = packs.flatMap(_.getSeq[Int](2))
+        val expect = docsIds.flatMap(ids => ids :+ 0)
+        val docOrder = packs.flatMap(_.getSeq[Long](3))
+        // budget: every multi-doc pack fits maxTok tokens (+ separators)
+        val budget = packs.forall { r =>
+          r.getLong(4) == 1 || (r.getLong(5) - r.getLong(4)) <= maxTok
+        }
+        rebuilt.toSeq == expect && docOrder.toSeq == docsIds.indices
+          .map(_.toLong) && budget
+    }, n = 8)
+  }
+
+  test("nearest-centroid assignment equals scala argmin on random vectors") {
+    import graft.expr.VectorExprs
+    val genVec = Gen.listOfN(6, Gen.choose(-5.0, 5.0).map(_.toFloat))
+    val genCents = Gen.choose(1, 5).flatMap(k =>
+      Gen.listOfN(k, Gen.listOfN(6, Gen.choose(-5.0, 5.0))))
+    check(Prop.forAll(Gen.listOfN(10, genVec), genCents) { (vecs, cents) =>
+      val cArr = cents.map(_.toArray).toArray
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val got = df.select(col("id"),
+          VectorExprs.nearest_centroid(col("v"), cArr).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val want = vecs.zipWithIndex.map { case (v, i) =>
+        val ds = cArr.map(c => c.zip(v.map(_.toDouble))
+          .map { case (a, b) => (a - b) * (a - b) }.sum)
+        i.toLong -> ds.indexOf(ds.min)
+      }.toMap
+      got == want
+    }, n = 8)
+  }
+
   test("updateTable rewrites in place with read-your-writes") {
     val path = "/root/repo/target/test_updatetable"
     val supp = spark.read.parquet(s"${sf()}/supplier.parquet")
