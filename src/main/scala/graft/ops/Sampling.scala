@@ -93,19 +93,30 @@ object Sampling {
         tokenCount.cast("int").as("__nt"))
       .as[(String, Long, Int)]
     base.groupByKey(_._1)
-      .flatMapSortedGroups($"__ord") { (grp, it) =>
-        // anchor: first doc opens pack 1; step: overflow opens a new pack
+      // secondary sort on the token count makes duplicate order keys
+      // deterministic (shuffle arrival order must never pick the packing)
+      .flatMapSortedGroups($"__ord", $"__nt") { (grp, it) =>
         var pack = 0
         var cum = 0
         it.map { case (_, ord, nt) =>
-          if (pack == 0) { pack = 1; cum = nt }
-          else if (cum + nt > maxTokens) { pack += 1; cum = nt }
-          else cum += nt
+          val (p2, c2, _) = packStep(pack, cum, nt, maxTokens)
+          pack = p2; cum = c2
           (grp, ord, nt, pack, cum)
         }
       }
       .toDF(groupCol, orderCol, "n_tokens", "pack_id", "pack_cum")
   }
+
+  /** The ONE greedy packing rule, shared by [[packSequences]] and
+    * [[assemblePackedIds]] so their pack boundaries can never desync:
+    * anchor (pack 0 → first doc opens pack 1), step (overflow opens a new
+    * pack, otherwise accumulate). Returns (pack', cum', overflowed).
+    */
+  private def packStep(pack: Int, cum: Int, nt: Int,
+                       maxTokens: Int): (Int, Int, Boolean) =
+    if (pack == 0) (1, nt, false)
+    else if (cum + nt > maxTokens) (pack + 1, nt, true)
+    else (pack, cum + nt, false)
 
   private final case class PackedRow(grp: String, pack_id: Int,
                                      packed_ids: Seq[Int], doc_ids: Seq[Long],
@@ -143,7 +154,9 @@ object Sampling {
         col(idsCol).cast("array<int>").as("__ids"))
       .as[(String, Long, Int, Seq[Int])]
     base.groupByKey(_._1)
-      .flatMapSortedGroups($"__ord") { (grp, it) =>
+      // duplicate order keys: ties sort by (token count, id payload) so
+      // the packing and the pack CONTENTS are shuffle-order independent
+      .flatMapSortedGroups($"__ord", $"__nt", $"__ids") { (grp, it) =>
         new Iterator[PackedRow] {
           private var pack = 0
           private var cum = 0
@@ -165,12 +178,10 @@ object Sampling {
           private def advance(): Unit =
             if (pending == null && it.hasNext) {
               val (_, ord, nt, seq) = it.next()
-              // the packSequences anchor/step, verbatim
-              if (pack == 0) { pack = 1; cum = nt; append(ord, seq) }
-              else if (cum + nt > maxTokens) {
-                pending = flush()
-                pack += 1; cum = nt; append(ord, seq)
-              } else { cum += nt; append(ord, seq) }
+              val (p2, c2, overflowed) = packStep(pack, cum, nt, maxTokens)
+              if (overflowed) pending = flush() // flush carries the OLD pack id
+              pack = p2; cum = c2
+              append(ord, seq)
               advance()
             }
           override def hasNext: Boolean = {

@@ -576,7 +576,11 @@ class PackAssembleSpec extends SparkSpec {
         coalesce(size(col("ids")), lit(0)), maxTokens = 5, sepId = 0)
         .collect()
     }
-    assert(e.getMessage != null || e.getCause != null) // surfaced, not packed
+    // pin the failure to the operator's own guard, wherever Spark wraps it
+    val chain = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+    assert(chain.exists(_.contains("assemblePackedIds")),
+      s"expected the null-ids guard to fire, got: $e")
     // duplicate (src, doc_id) straddling a pack boundary: each row is
     // packed exactly once (the old join-back formulation duplicated both
     // rows into both packs)
@@ -584,8 +588,12 @@ class PackAssembleSpec extends SparkSpec {
       .toDF("src", "doc_id", "ids")
     val packs = Sampling.assemblePackedIds(dup, "src", "doc_id", "ids",
         size(col("ids")), maxTokens = 4, sepId = 0)
-      .collect()
+      .orderBy("pack_id").collect()
     assert(packs.map(_.getLong(5)).sum === 8) // 6 ids + 2 separators, once
+    // and the tie order is pinned (secondary sort on the payload), not
+    // left to shuffle arrival
+    assert(packs.map(_.getSeq[Int](2).toSeq).toSeq ===
+      Seq(Seq(11, 12, 13, 0), Seq(21, 22, 23, 0)))
     // a null group key is a group like any other, not a dropped row
     val ng = Seq((null.asInstanceOf[String], 1L, Seq(7)), ("b", 2L, Seq(8)))
       .toDF("src", "doc_id", "ids")
