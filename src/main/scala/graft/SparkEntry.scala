@@ -1069,6 +1069,12 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.fingerprintExpr("text").as("fingerprint"))
         .orderBy("doc_id")),
 
+    // dataset-card statistics per (source, lang): the release report
+    "q_corpus_report" -> ((s, dir) =>
+      TextAnalysis.corpusReport(T(s, dir, "documents"), "text",
+          Seq("source", "lang"))
+        .orderBy("source", "lang")),
+
     // Gopher-style repetition metrics (scan-side codegen NgramProfile pass)
     "q_text_repetition" -> ((s, dir) =>
       T(s, dir, "documents").select(
@@ -2457,6 +2463,24 @@ object SparkEntry {
           |  CAST(len(regexp_extract_all(text,
           |       '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_corpus_report" ->
+        """WITH t AS (
+          |  SELECT source, lang, text,
+          |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+          |         ELSE len(string_split_regex(trim(lower(text)), '\s+')) END
+          |      AS INTEGER) AS nt
+          |  FROM documents
+          |)
+          |SELECT source, lang,
+          |  CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+          |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+          |  round(avg(nt), 4) AS avg_tokens,
+          |  min(nt) AS min_tokens,
+          |  max(nt) AS max_tokens,
+          |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+          |FROM t GROUP BY source, lang ORDER BY source, lang""".stripMargin,
 
       "q_text_fingerprint" ->
         """SELECT doc_id,

@@ -227,6 +227,31 @@ object TextAnalysis {
       .when(qualityScore(text) < 0.3, "low_quality")
       .otherwise("keep")
 
+  /** Corpus statistics report — the dataset-card numbers a release
+    * pipeline publishes per group (typically source × language): document
+    * count, distinct-text count (1 − n_unique/n_docs = the exact-dup
+    * rate), token and character totals, and token-length extremes.
+    *
+    * Scale shape: one hash-aggregate over the corpus; the only non-
+    * trivially-combinable aggregate is the distinct count, which shuffles
+    * 16-byte md5 digests (never the text). Everything else partial-
+    * aggregates map-side, and the output is one row per group.
+    */
+  def corpusReport(docs: DataFrame, textCol: String,
+                   groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "corpusReport: at least one group column")
+    val nt = tokenCount(col(textCol))
+    docs.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col(textCol))).as("n_unique"),
+        sum(nt).cast("long").as("n_tokens"),
+        round(avg(nt), 4).as("avg_tokens"),
+        min(nt).as("min_tokens"),
+        max(nt).as("max_tokens"),
+        sum(length(col(textCol))).cast("long").as("n_chars"))
+  }
+
   // --------------------------------------------------------- PII redaction
 
   /** PII patterns, applied in this order (email first — it contains dots

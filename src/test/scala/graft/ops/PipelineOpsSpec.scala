@@ -544,6 +544,27 @@ class SamplingSpec extends SparkSpec {
   }
 }
 
+class CorpusReportSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dataset-card numbers: dup rate, token/char totals, extremes") {
+    val docs = Seq(
+      ("s1", "en", "one two three"),
+      ("s1", "en", "one two three"), // exact dup
+      ("s1", "en", "four"),
+      ("s1", "de", ""),              // empty: 0 tokens
+      ("s2", "en", "five six")
+    ).toDF("source", "lang", "text")
+    val out = TextAnalysis.corpusReport(docs, "text", Seq("source", "lang"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getInt(6), r.getInt(7), r.getLong(8)))).toMap
+    assert(out(("s1", "en")) === ((3L, 2L, 7L, 2.3333, 1, 3, 30L)))
+    assert(out(("s1", "de")) === ((1L, 1L, 0L, 0.0, 0, 0, 0L)))
+    assert(out(("s2", "en")) === ((1L, 1L, 2L, 2.0, 2, 2, 8L)))
+  }
+}
+
 class PackAssembleSpec extends SparkSpec {
   import spark.implicits._
 
