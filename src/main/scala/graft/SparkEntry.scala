@@ -867,7 +867,10 @@ object SparkEntry {
       val again = pin(Similarity.assignClusters(emb, "embedding",
           "vec_id", cents))
         .withColumnRenamed("cluster", "cluster2")
-      val brute = udf((a: Seq[Float]) => {
+      // Seq[Double] + boundary cast: survives the embedding column
+      // shipping as array<float> or array<double>. The float→double cast
+      // is exact, so the argmin matches the kernel's float-path distances.
+      val brute = udf((a: Seq[Double]) => {
         var best = -1; var bd = Double.MaxValue; var i = 0
         while (i < cents.length) {
           val c = cents(i); var d = 0d; var j = 0
@@ -880,8 +883,8 @@ object SparkEntry {
         best
       })
       val one = assigned
-        .join(emb.select(col("vec_id"), brute(col("embedding")).as("bcl")),
-          "vec_id")
+        .join(emb.select(col("vec_id"),
+          brute(col("embedding").cast("array<double>")).as("bcl")), "vec_id")
         .join(again, "vec_id")
         .agg(count(lit(1)).as("n"),
           sum(when(col("cluster") === col("bcl"), 0).otherwise(1)).as("n_mismatch"),

@@ -74,21 +74,25 @@ object Similarity {
     import org.apache.spark.ml.linalg.Vectors
     val n = corpusC.count()
     val frac = math.min(1.0, fitSampleRows.toDouble / math.max(n, 1L))
-    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    // cast at the boundary so the fit survives the embedding column
+    // shipping as array<float> OR array<double> (the events-ts lesson:
+    // testdata physical types drift between generations)
+    val toVec = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
     val fitSet = (if (frac < 1.0) corpusC.sample(withReplacement = false, frac, 42L)
                   else corpusC)
-      .withColumn("features", toVec(col("cv")))
+      .withColumn("features", toVec(col("cv").cast("array<double>")))
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
       .fit(fitSet)
     model.clusterCenters.map(_.toArray)
   }
 
   /** The `nprobe` nearest cells for each query vector (tiny: centroids are
-    * a driver-side constant).
+    * a driver-side constant). Takes array<double> — apply via
+    * [[probeCells]] so the query column's element type never matters.
     */
   private def probeCellsUdf(centroids: Array[Array[Double]], nprobe: Int) =
-    udf((a: Seq[Float]) => {
-      val v = a.map(_.toDouble).toArray
+    udf((a: Seq[Double]) => {
+      val v = a.toArray
       centroids.zipWithIndex.map { case (c, i) =>
         var d = 0d; var j = 0
         while (j < math.min(c.length, v.length)) {
@@ -97,6 +101,11 @@ object Similarity {
         (d, i)
       }.sortBy(_._1).take(nprobe).map(_._2)
     })
+
+  /** [[probeCellsUdf]] with the float/double boundary cast applied. */
+  private def probeCells(centroids: Array[Array[Double]], nprobe: Int,
+                         vec: Column): Column =
+    probeCellsUdf(centroids, nprobe)(vec.cast("array<double>"))
 
   /** IVF (inverted-file) approximate top-k: k-means the corpus into
     * `nlist` cells (MLlib KMeans, fixed seed), store each vector under its
@@ -117,7 +126,7 @@ object Similarity {
     val assigned = corpusC.withColumn("cell",
       graft.expr.VectorExprs.nearest_centroid(col("cv"), centroids))
     val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))
-      .withColumn("cell", explode(probeCellsUdf(centroids, nprobe)(col("qv"))))
+      .withColumn("cell", explode(probeCells(centroids, nprobe, col("qv"))))
     explodeTopK(
       assigned.join(broadcast(q), Seq("cell"))
         .filter(col("neighbor_id") =!= col("query_id"))
@@ -237,7 +246,7 @@ object Similarity {
                      k: Int, nprobe: Int): DataFrame = {
     val centroids = readIvfCentroids(spark, path)
     val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))
-      .withColumn("cell", explode(probeCellsUdf(centroids, nprobe)(col("qv"))))
+      .withColumn("cell", explode(probeCells(centroids, nprobe, col("qv"))))
     // queries are small by contract — collecting the probed cells gives a
     // plan-time literal the scan can prune partitions with
     val probed = q.select("cell").distinct().collect().map(_.getInt(0)).toSeq
@@ -718,7 +727,7 @@ object Similarity {
                        k: Int, nprobe: Int, refine: Int = 8): DataFrame = {
     val (centroids, model) = readIvfPqSidecar(spark, path)
     val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))
-      .withColumn("cell", explode(probeCellsUdf(centroids, nprobe)(col("qv"))))
+      .withColumn("cell", explode(probeCells(centroids, nprobe, col("qv"))))
       .withColumn("__l", pqLutUdf(model.codebooks)(col("qv")))
       .select(col("query_id"), col("qv"), col("cell"),
         col("__l._1").as("dot_lut"), col("__l._2").as("qnorm"))
