@@ -1088,6 +1088,25 @@ object SparkEntry {
           round(TextAnalysis.dupNgramFrac(col("text"), 3), 6).as("dup_trigram_frac"))
         .orderBy("doc_id")),
 
+    // DEFLATE compressibility quality signal — derived checks: ratios are
+    // positive and bounded; self-repetition strictly improves compression
+    // on EVERY doc (the discriminative property the filter relies on)
+    "q_compress_ratio" -> ((s, dir) => {
+      val scored = pin(T(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.compressionRatio(col("text")).as("ratio"),
+        TextAnalysis.compressionRatio(repeat(col("text"), 8)).as("ratio8")))
+      val one = scored.agg(
+        min("ratio").as("mn"), max("ratio").as("mx"),
+        sum(when(col("ratio8") < col("ratio"), 0L).otherwise(1L)).as("viol"),
+        count(lit(1)).as("n"))
+      checkRows(one,
+        "ratio_positive" -> (col("mn") > 0.0),
+        "ratio_bounded" -> (col("mx") <= 2.0),
+        "repetition_compresses" -> (col("viol") === 0L),
+        "corpus_nonempty" -> (col("n") >= 1L))
+    }),
+
     // composite quality filter: first failing Gopher/quality rule names the
     // drop reason
     "q_text_filter" -> ((s, dir) =>
@@ -1226,6 +1245,14 @@ object SparkEntry {
           T(s, dir, "documents").select(col("doc_id"), col("lang")),
           "doc_id", "lang", cap = 70L)
         .orderBy("doc_id")),
+
+    // deterministic proportional interleave: training order in which any
+    // contiguous slice holds each source in ≈ its corpus share
+    "q_interleave" -> ((s, dir) =>
+      Sampling.interleaveStrata(
+          T(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id", "source")
+        .orderBy("interleave_pos")),
 
     // corpus vocabulary: top-100 tokens with counts (BPE seeding step)
     "q_vocab" -> ((s, dir) =>
@@ -1680,6 +1707,46 @@ object SparkEntry {
     }),
 
     // ===== multimodal binary plumbing ====================================
+    // header-only media sniffing — derived checks: for deterministic
+    // well-formed payloads (PNG/GIF/BMP/JPEG/WAV headers + junk tails,
+    // dims/rate/channels derived from doc_id) the sniffer recovers the
+    // exact metadata it was built with; truncated payloads sniff unknown
+    "q_media_sniff" -> ((s, dir) => {
+      val gen = udf((id: Long, fmt: String, w: Int, h: Int, rate: Int, ch: Int) =>
+        Multimodal.syntheticPayload(id, fmt, w, h, rate, ch))
+      val base = T(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 29 === 0, lit("corrupt"))
+          .otherwise(element_at(
+            array(lit("png"), lit("gif"), lit("bmp"), lit("jpeg"), lit("wav")),
+            (col("doc_id") % 5).cast("int") + 1)).as("fmt"),
+        (col("doc_id") % 640 + 1).cast("int").as("w"),
+        (col("doc_id") % 480 + 1).cast("int").as("h"),
+        (lit(8000) + (col("doc_id") % 8).cast("int") * 4000).as("rate"),
+        ((col("doc_id") % 2).cast("int") + 1).as("ch"))
+      val sniffed = pin(base.withColumn("info", Multimodal.sniffMedia(
+        gen(col("doc_id"), col("fmt"), col("w"), col("h"),
+          col("rate"), col("ch")))))
+      val one = sniffed.agg(
+        sum(when(col("fmt") === "corrupt" && col("info.format") =!= "unknown",
+          1L).otherwise(0L)).as("bad_corrupt"),
+        sum(when(col("fmt") =!= "corrupt" && col("info.format") =!= col("fmt"),
+          1L).otherwise(0L)).as("bad_fmt"),
+        sum(when(col("fmt").isin("png", "gif", "bmp", "jpeg") &&
+          (col("info.width") =!= col("w") || col("info.height") =!= col("h")),
+          1L).otherwise(0L)).as("bad_dims"),
+        sum(when(col("fmt") === "wav" &&
+          (col("info.sampleRate") =!= col("rate") ||
+            col("info.channels") =!= col("ch")), 1L).otherwise(0L)).as("bad_wav"),
+        count(lit(1)).as("n"))
+      checkRows(one,
+        "corrupt_rejected" -> (col("bad_corrupt") === 0L),
+        "format_detected" -> (col("bad_fmt") === 0L),
+        "dims_roundtrip" -> (col("bad_dims") === 0L),
+        "wav_meta_roundtrip" -> (col("bad_wav") === 0L),
+        "corpus_nonempty" -> (col("n") >= 1L))
+    }),
+
     "q_multimodal" -> ((s, dir) => {
       val items = Multimodal.fromText(s, T(s, dir, "documents"), "doc_id", "text")
       val feats = Multimodal.extractFeatures(items)
@@ -2727,6 +2794,21 @@ object SparkEntry {
           |SELECT doc_id, lang, CAST(stratum_rank AS BIGINT) AS stratum_rank
           |FROM r WHERE stratum_rank <= 70 ORDER BY doc_id""".stripMargin,
 
+      "q_interleave" ->
+        """WITH r AS (
+          |  SELECT doc_id, source,
+          |    row_number() OVER (PARTITION BY source
+          |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id)
+          |      AS stratum_rank,
+          |    count(*) OVER (PARTITION BY source) AS n_g
+          |  FROM documents
+          |)
+          |SELECT doc_id, source, CAST(stratum_rank AS BIGINT) AS stratum_rank,
+          |  CAST(row_number() OVER (
+          |      ORDER BY (CAST(stratum_rank AS DOUBLE) - 0.5) / n_g,
+          |               source, doc_id) - 1 AS BIGINT) AS interleave_pos
+          |FROM r ORDER BY interleave_pos""".stripMargin,
+
       "q_vocab" ->
         """SELECT token, CAST(count(*) AS BIGINT) AS n
           |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
@@ -2990,6 +3072,12 @@ object SparkEntry {
 
       "q_bloom_decontaminate" -> checksOracle("flagged_nonempty",
         "no_false_negatives", "fp_bounded", "keep_is_complement"),
+
+      "q_compress_ratio" -> checksOracle("ratio_positive", "ratio_bounded",
+        "repetition_compresses", "corpus_nonempty"),
+
+      "q_media_sniff" -> checksOracle("corrupt_rejected", "format_detected",
+        "dims_roundtrip", "wav_meta_roundtrip", "corpus_nonempty"),
 
       "q_heavy_hitters" -> checksOracle("no_undercount", "overcount_bounded",
         "candidates_complete"),

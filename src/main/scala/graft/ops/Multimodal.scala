@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
@@ -229,6 +229,157 @@ object Multimodal {
         it.copy(bytes = kept, nFrames = (it.nFrames + stride - 1) / stride)
       }
     })
+  }
+
+  // ------------------------------------------------------- header sniffing
+
+  /** Container metadata recovered from the first bytes of a payload —
+    * see [[sniffMedia]]. Image formats fill width/height; WAV fills
+    * sampleRate/channels; `format = "unknown"` leaves everything None.
+    */
+  final case class MediaInfo(format: String, width: Option[Int],
+                             height: Option[Int], sampleRate: Option[Int],
+                             channels: Option[Int])
+
+  private def be16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+  private def be32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+  private def le16(b: Array[Byte], o: Int): Int =
+    ((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)
+  private def le32(b: Array[Byte], o: Int): Int =
+    ((b(o + 3) & 0xff) << 24) | ((b(o + 2) & 0xff) << 16) |
+      ((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)
+  private def ascii(b: Array[Byte], o: Int, s: String): Boolean =
+    (0 until s.length).forall(i => (b(o + i) & 0xff) == s.charAt(i))
+
+  private val Unknown = MediaInfo("unknown", None, None, None, None)
+
+  /** Header-only container sniff: format + dimensions (PNG/GIF/BMP/JPEG)
+    * or sample rate + channels (WAV) straight from the leading bytes —
+    * no decoder runs. Unknown/truncated/corrupt payloads return
+    * `"unknown"` with all-None metadata; this function never throws.
+    */
+  private[graft] def sniff(b: Array[Byte]): MediaInfo = {
+    if (b == null) return Unknown
+    try {
+      if (b.length >= 24 && (b(0) & 0xff) == 0x89 && ascii(b, 1, "PNG") &&
+          (b(4) & 0xff) == 0x0d && (b(5) & 0xff) == 0x0a &&
+          (b(6) & 0xff) == 0x1a && (b(7) & 0xff) == 0x0a &&
+          ascii(b, 12, "IHDR")) {
+        val w = be32(b, 16); val h = be32(b, 20)
+        if (w > 0 && h > 0) MediaInfo("png", Some(w), Some(h), None, None)
+        else Unknown
+      } else if (b.length >= 10 && ascii(b, 0, "GIF8") &&
+          ((b(4) & 0xff) == '7' || (b(4) & 0xff) == '9') &&
+          (b(5) & 0xff) == 'a') {
+        val w = le16(b, 6); val h = le16(b, 8)
+        if (w > 0 && h > 0) MediaInfo("gif", Some(w), Some(h), None, None)
+        else Unknown
+      } else if (b.length >= 26 && ascii(b, 0, "BM")) {
+        val w = le32(b, 18); val h = math.abs(le32(b, 22)) // neg = top-down
+        if (w > 0 && h > 0) MediaInfo("bmp", Some(w), Some(h), None, None)
+        else Unknown
+      } else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+        // JPEG: walk marker segments to the first SOFn frame header
+        var i = 2
+        while (i + 3 < b.length) {
+          if ((b(i) & 0xff) != 0xff) return Unknown // lost sync: corrupt
+          var m = b(i + 1) & 0xff
+          while (m == 0xff && i + 2 < b.length) { i += 1; m = b(i + 1) & 0xff }
+          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+            if (i + 8 < b.length) {
+              val h = be16(b, i + 5); val w = be16(b, i + 7)
+              return if (w > 0 && h > 0)
+                MediaInfo("jpeg", Some(w), Some(h), None, None)
+              else Unknown
+            } else return Unknown
+          } else if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+            i += 2 // bare markers carry no length
+          } else if (m == 0xd9 || m == 0xda) {
+            return Unknown // hit EOI / entropy data without a frame header
+          } else {
+            i += 2 + be16(b, i + 2)
+          }
+        }
+        Unknown
+      } else if (b.length >= 12 && ascii(b, 0, "RIFF") && ascii(b, 8, "WAVE")) {
+        // WAV: walk RIFF chunks to "fmt "
+        var i = 12
+        while (i + 8 <= b.length) {
+          val size = le32(b, i + 4)
+          if (size < 0) return Unknown
+          if (ascii(b, i, "fmt ") && size >= 16 && i + 8 + 16 <= b.length) {
+            val ch = le16(b, i + 10); val rate = le32(b, i + 12)
+            return if (ch > 0 && rate > 0)
+              MediaInfo("wav", None, None, Some(rate), Some(ch))
+            else Unknown
+          }
+          i += 8 + size + (size & 1) // chunks are word-aligned
+        }
+        Unknown
+      } else Unknown
+    } catch { case _: ArrayIndexOutOfBoundsException => Unknown }
+  }
+
+  /** [[sniff]] as a scan-side Column over a `binary` payload column: the
+    * 100 TB path for media curation — filter/route/bucket by container
+    * format and resolution BEFORE paying any decode (a decoder reads
+    * every byte; this reads ~32). A deterministic closure UDF returning
+    * `struct(format, width, height, sample_rate, channels)`; zero
+    * shuffle, payloads never move, and a resolution predicate on top of
+    * it prunes the expensive decode stage's input by whole partitions.
+    */
+  def sniffMedia(bytes: Column): Column = {
+    val f = udf { (b: Array[Byte]) => sniff(b) }
+    f(bytes)
+  }
+
+  /** Deterministic container payloads for the sniff round-trip check: a
+    * well-formed header carrying the requested metadata, followed by
+    * id-seeded junk (sniffing must never read past the header). `format =
+    * "corrupt"` emits a truncated PNG signature the sniffer must reject.
+    * Header layouts follow the published container specs (PNG ISO 15948,
+    * GIF89a, BMP BITMAPINFOHEADER, JPEG ISO 10918 JFIF, RIFF/WAVE).
+    */
+  private[graft] def syntheticPayload(id: Long, format: String, w: Int, h: Int,
+                                      rate: Int, ch: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def b(xs: Int*): Unit = xs.foreach(x => out.write(x & 0xff))
+    def s(str: String): Unit = str.foreach(c => out.write(c.toInt & 0xff))
+    def wbe32(v: Int): Unit = b(v >>> 24, v >>> 16, v >>> 8, v)
+    def wbe16(v: Int): Unit = b(v >>> 8, v)
+    def wle32(v: Int): Unit = b(v, v >>> 8, v >>> 16, v >>> 24)
+    def wle16(v: Int): Unit = b(v, v >>> 8)
+    format match {
+      case "png" =>
+        b(0x89); s("PNG"); b(0x0d, 0x0a, 0x1a, 0x0a)
+        wbe32(13); s("IHDR"); wbe32(w); wbe32(h); b(8, 6, 0, 0, 0)
+      case "gif" =>
+        s("GIF89a"); wle16(w); wle16(h); b(0xf7, 0, 0)
+      case "bmp" =>
+        s("BM"); wle32(0); wle16(0); wle16(0); wle32(54)
+        wle32(40); wle32(w); wle32(h); wle16(1); wle16(24)
+      case "jpeg" =>
+        b(0xff, 0xd8) // SOI
+        b(0xff, 0xe0); wbe16(16); s("JFIF"); b(0, 1, 1, 0); wbe16(1); wbe16(1); b(0, 0) // APP0
+        b(0xff, 0xc0); wbe16(17); b(8); wbe16(h); wbe16(w) // SOF0 baseline
+        b(3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+      case "wav" =>
+        s("RIFF"); wle32(36); s("WAVE")
+        s("fmt "); wle32(16); wle16(1); wle16(ch); wle32(rate)
+        wle32(rate * ch * 2); wle16(ch * 2); wle16(16)
+        s("data"); wle32(0)
+      case "corrupt" =>
+        b(0x89); s("PN") // truncated signature: must sniff as unknown
+      case other => throw new IllegalArgumentException(s"format: $other")
+    }
+    if (format != "corrupt") { // junk tail the sniffer must ignore
+      var x = id * 6364136223846793005L + 1442695040888963407L
+      (0 until 32).foreach { _ => out.write((x >>> 33).toInt & 0xff); x = x * 25214903917L + 11L }
+    }
+    out.toByteArray
   }
 
   /** Build a MediaItem frame from any table with an id + a string payload

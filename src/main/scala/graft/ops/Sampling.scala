@@ -460,6 +460,51 @@ object Sampling {
     spark.createDataFrame(kept, outSchema)
   }
 
+  /** Deterministic PROPORTIONAL INTERLEAVE of strata — the training-order
+    * counterpart of [[temperatureWeights]]: after the mixture is chosen,
+    * a dataloader should see a steady blend of domains, not all of one
+    * source followed by all of the next. Each stratum's rows are put in
+    * deterministic-shuffle order (the same (md5-draw, key) rank as
+    * [[capPerStratum]]), and the rank-`r` row of a stratum with `n_g`
+    * rows gets mixing position `(r − 0.5) / n_g` — stratum g's rows land
+    * evenly spread across [0, 1) regardless of size, so ANY contiguous
+    * slice of the output (a shard, an epoch fraction, a curriculum
+    * phase) contains each stratum in ≈ its corpus proportion. Ties
+    * (equal-size strata hit identical positions) break on
+    * (stratum, key), so the order is a pure function of the data — the
+    * same on any engine, cluster size, or partitioning.
+    *
+    * Output = input columns + `stratum_rank` (1-based within stratum) +
+    * `interleave_pos` (0-based global training order).
+    *
+    * Scale shape: per-stratum ranks come from [[capPerStratum]]'s
+    * census (range-sort + per-partition offsets — big strata span many
+    * partitions, never a one-task-per-stratum window); stratum sizes are
+    * an O(strata) aggregate broadcast back; the final order is one
+    * range-partitioned sort on the position key, and the position ids
+    * are the same census-offset zip the deterministic shuffle uses — no
+    * single-task stage anywhere.
+    */
+  def interleaveStrata(df: DataFrame, keyCol: String, stratumCol: String,
+                       assumeDeterministic: Boolean = false): DataFrame = {
+    requireFreeColumns(df,
+      Seq("stratum_rank", "interleave_pos", "__ng", "__p",
+        graft.api.MSTable.RowId),
+      "interleaveStrata")
+    val ranked =
+      capPerStratum(df, keyCol, stratumCol, Long.MaxValue, assumeDeterministic)
+    val sizes = ranked.groupBy(stratumCol).agg(count(lit(1)).as("__ng"))
+    val sorted = ranked
+      .join(broadcast(sizes), Seq(stratumCol))
+      .withColumn("__p",
+        (col("stratum_rank").cast("double") - 0.5) / col("__ng").cast("double"))
+      .orderBy(col("__p"), col(stratumCol), col(keyCol))
+    graft.api.MSTable.zipWithRowId(sorted, pin = !assumeDeterministic)
+      .withColumnRenamed(graft.api.MSTable.RowId, "interleave_pos")
+      .select((df.columns.toSeq :+ "stratum_rank" :+ "interleave_pos")
+        .map(col): _*)
+  }
+
   // ---------------------------------------------------------------- shards
 
   /** Deterministic shard id in [0, nShards): the md5 32-bit draw of the

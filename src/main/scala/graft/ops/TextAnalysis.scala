@@ -156,6 +156,49 @@ object TextAnalysis {
       .withColumn("dup_trigram_frac", dupNgramFrac(t, 3))
   }
 
+  /** DEFLATE compression ratio of the UTF-8 text: `deflate(text).length /
+    * text.utf8Length`, at a pinned zlib level so the number is a stable
+    * property of the bytes. The classic cheap redundancy signal of web-
+    * corpus curation (a compression-based cousin of Gopher's repetition
+    * fractions, Rae et al. 2021 §A1.3): boilerplate, template spam, and
+    * keyword stuffing compress far below clean prose (≈0.6–0.8), so
+    * pipelines drop the extreme-low tail (machine-generated repetition)
+    * and the ≳1 tail (high-entropy non-text: base64, minified blobs).
+    *
+    * Null text → null; empty text → 1.0 (defined, not a division by
+    * zero). Tiny inputs carry the ~8-byte DEFLATE framing overhead, so
+    * ratios slightly above 1 are normal for short or incompressible docs.
+    *
+    * Scale shape: a scan-side projection (deterministic closure UDF —
+    * the JDK's Deflater is not expressible as Column algebra); O(bytes)
+    * per row, zero shuffle, the payload never moves. The JVM's zlib is
+    * deterministic for a pinned (level, strategy) on every executor of a
+    * cluster, which is the reproducibility a curation filter needs.
+    */
+  def compressionRatio(text: Column, level: Int = 6): Column = {
+    require(level >= 0 && level <= 9, s"deflate level in [0,9]: $level")
+    val lvl = level
+    val f = udf { (s: String) =>
+      if (s == null) null.asInstanceOf[java.lang.Double]
+      else {
+        val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        if (bytes.isEmpty) java.lang.Double.valueOf(1.0)
+        else {
+          val d = new java.util.zip.Deflater(lvl, false)
+          try {
+            d.setInput(bytes)
+            d.finish()
+            val buf = new Array[Byte](8192)
+            var n = 0L
+            while (!d.finished()) n += d.deflate(buf, 0, buf.length)
+            java.lang.Double.valueOf(n.toDouble / bytes.length)
+          } finally d.end()
+        }
+      }
+    }
+    f(text)
+  }
+
   // ------------------------------------------------------- normalization
 
   /** Unicode NFC composition ([[graft.expr.VectorExprs.NfcNormalize]]:

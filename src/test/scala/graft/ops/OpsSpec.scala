@@ -341,6 +341,36 @@ class TextAnalysisSpec extends SparkSpec {
     val fp = df.select(TextAnalysis.fingerprintExpr("text")).head().getLong(0)
     assert(fp === (97L * 31 + 98) % 1000000007L)
   }
+
+  test("compressionRatio separates repetition from prose; edges defined") {
+    val prose = "A quick brown fox jumps over the lazy dog while seventeen " +
+      "magpies argue about breakfast near the riverbank in pale light."
+    val spam = ("buy cheap now " * 40).trim
+    val df = Seq((0L, prose), (1L, spam), (2L, ""), (3L, null))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextAnalysis.compressionRatio(col("text")).as("r"))
+      .orderBy("doc_id").collect()
+    val prosR = out(0).getDouble(1)
+    val spamR = out(1).getDouble(1)
+    assert(prosR > 0.4 && prosR < 1.2, s"prose ratio $prosR")
+    assert(spamR < 0.3, s"repetitive ratio $spamR")
+    assert(spamR < prosR, "repetition must compress harder than prose")
+    assert(out(2).getDouble(1) === 1.0) // empty text: defined, not NaN
+    assert(out(3).isNullAt(1))          // null text passes through
+    // deterministic across two independent jobs (curation reproducibility)
+    val a = df.select(TextAnalysis.compressionRatio(col("text"))).collect()
+    val b = df.select(TextAnalysis.compressionRatio(col("text"))).collect()
+    assert(a.toSeq === b.toSeq)
+    // multi-byte text: ratio is over UTF-8 BYTES, not chars
+    val cjk = Seq((0L, "量子力学の基礎を学ぶ学生のための講義ノート")).toDF("id", "t")
+    val r = cjk.select(TextAnalysis.compressionRatio(col("t"))).head().getDouble(0)
+    assert(r > 0 && r < 2.0, s"cjk ratio $r")
+    // level out of range fails fast
+    val e = intercept[IllegalArgumentException](
+      TextAnalysis.compressionRatio(col("t"), level = 11))
+    assert(e.getMessage.contains("level"))
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
@@ -387,6 +417,59 @@ class MultimodalSpec extends SparkSpec {
     // undecodable "image" and audio fall back to the byte stub, flagged
     assert(!out(1).decoded && !out(2).decoded)
     assert(out(1).features.length === 10)
+  }
+
+  test("sniff recovers metadata from REAL encoder output, header-only") {
+    // real image files from the JDK's encoders — the sniffer must agree
+    // with what the encoder actually wrote
+    def encoded(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, (x * 31 + y) << 8)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"JDK encodes $fmt")
+      bos.toByteArray
+    }
+    for ((fmt, w, h) <- Seq(("png", 17, 9), ("gif", 33, 2), ("bmp", 5, 21),
+        ("jpg", 12, 7))) {
+      val info = Multimodal.sniff(encoded(fmt, w, h))
+      val want = if (fmt == "jpg") "jpeg" else fmt
+      assert(info.format === want, s"$fmt detected")
+      assert(info.width === Some(w) && info.height === Some(h), s"$fmt dims")
+    }
+    // real WAV from javax.sound.sampled
+    val afmt = new javax.sound.sampled.AudioFormat(22050f, 16, 2, true, false)
+    val pcm = new Array[Byte](22050 * 4 / 10)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), afmt, pcm.length / 4)
+    val wavOut = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wavOut)
+    val wavInfo = Multimodal.sniff(wavOut.toByteArray)
+    assert(wavInfo.format === "wav")
+    assert(wavInfo.sampleRate === Some(22050) && wavInfo.channels === Some(2))
+    // garbage, truncation, null: rejected, never thrown
+    assert(Multimodal.sniff(null).format === "unknown")
+    assert(Multimodal.sniff(Array.emptyByteArray).format === "unknown")
+    assert(Multimodal.sniff("plain text".getBytes).format === "unknown")
+    val png = encoded("png", 6, 6)
+    for (cut <- Seq(3, 10, 20))
+      assert(Multimodal.sniff(png.take(cut)).format === "unknown", s"cut=$cut")
+    // synthetic payloads agree with the sniffed schema end-to-end
+    val syn = Multimodal.sniff(Multimodal.syntheticPayload(7L, "jpeg", 640, 480, 0, 0))
+    assert(syn === Multimodal.MediaInfo("jpeg", Some(640), Some(480), None, None))
+  }
+
+  test("sniffMedia Column: distributed sniff, resolution predicate prunes") {
+    import spark.implicits._
+    val rows = (0L until 200L).map { i =>
+      (i, Multimodal.syntheticPayload(i, "png", (i % 50 + 1).toInt, 32, 0, 0))
+    }.toDF("id", "payload").repartition(7)
+    val sniffed = rows.select(col("id"),
+      Multimodal.sniffMedia(col("payload")).as("info"))
+    val big = sniffed.filter(col("info.width") >= 40).count()
+    assert(big === (0L until 200L).count(_ % 50 + 1 >= 40))
+    assert(sniffed.filter(col("info.format") === "png").count() === 200)
   }
 
   test("resize does a REAL bilinear resize for decodable images, stub otherwise") {

@@ -486,6 +486,54 @@ class SamplingSpec extends SparkSpec {
     assert(e.getMessage.contains("stratum_rank"))
   }
 
+  test("interleaveStrata: window equivalence, proportional slices, determinism") {
+    import org.apache.spark.sql.expressions.Window
+    // strata with very different sizes across many input partitions
+    val rows = (0L until 2400L)
+      .map(i => (i, if (i % 12 < 8) "web" else if (i % 12 < 11) "code" else "book"))
+      .toDF("id", "stratum").repartition(11)
+    val got = Sampling.interleaveStrata(rows, "id", "stratum")
+    assert(got.columns.toSeq ===
+      Seq("id", "stratum", "stratum_rank", "interleave_pos"))
+    // equals the window formulation (the oracle's shape)
+    val w = Window.partitionBy("stratum")
+      .orderBy(Sampling.hashBucket(col("id")), col("id"))
+    val ranked = rows
+      .withColumn("stratum_rank", row_number().over(w).cast("long"))
+      .withColumn("n_g", count(lit(1)).over(Window.partitionBy("stratum")))
+    val expected = ranked.withColumn("interleave_pos",
+        row_number().over(Window.orderBy(
+          (col("stratum_rank").cast("double") - 0.5) / col("n_g").cast("double"),
+          col("stratum"), col("id"))).cast("long") - 1)
+      .drop("n_g")
+    assert(got.except(expected).count() === 0)
+    assert(expected.except(got).count() === 0)
+    // proportionality: every contiguous quarter of the output holds each
+    // stratum within ±2 rows of its corpus share (the whole point)
+    val quarter = 2400 / 4
+    val byQuarter = got
+      .withColumn("q", (col("interleave_pos") / quarter).cast("int"))
+      .groupBy("q", "stratum").count().collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    for (q <- 0 until 4) {
+      assert(math.abs(byQuarter((q, "web")) - 400L) <= 2, s"web q$q")
+      assert(math.abs(byQuarter((q, "code")) - 150L) <= 2, s"code q$q")
+      assert(math.abs(byQuarter((q, "book")) - 50L) <= 2, s"book q$q")
+    }
+    // interleave_pos is a bijection onto [0, n)
+    assert(got.select("interleave_pos").distinct().count() === 2400L)
+    assert(got.agg(min("interleave_pos"), max("interleave_pos")).head() ===
+      org.apache.spark.sql.Row(0L, 2399L))
+    // partitioning-invariant (pure function of the data)
+    val again = Sampling.interleaveStrata(rows.repartition(3), "id", "stratum")
+    assert(got.except(again).count() === 0)
+    // reserved output columns fail fast
+    val clash = Seq((1L, "a", 0L)).toDF("id", "stratum", "interleave_pos")
+    val e = intercept[IllegalArgumentException](
+      Sampling.interleaveStrata(clash, "id", "stratum"))
+    assert(e.getMessage.contains("interleave_pos"))
+  }
+
   test("shard assignment is deterministic, complete, and balanced") {
     val ids = (0L until 1000L).toDF("doc_id")
     val n = 8
