@@ -319,6 +319,22 @@ object ScalingProbe {
         "/root/repo/target/probe_ivfpq", q, "vec_id", "embedding",
         k = 5, nprobe = 4, refine = 16).count()
     }
+    // round-12 operators. interleave = census ranks + broadcast sizes +
+    // one position sort + census zip (expect the deterministic-shuffle
+    // class, ~2×); compressibility + media sniff are scan-side UDF
+    // projections whose q_ entries already aggregate (expect ~scan-bound)
+    time("interleave") { d =>
+      SparkEntry.queries("q_interleave")(spark, d).count() }
+    time("compress_ratio") { d =>
+      SparkEntry.queries("q_compress_ratio")(spark, d).count() }
+    time("media_sniff") { d =>
+      SparkEntry.queries("q_media_sniff")(spark, d).count() }
+    // end-to-end recipe on the IDENTICAL-COPIES corpus: the exact-dedup
+    // stage collapses the 8 copies (hash-agg, linear), so downstream
+    // near-dup/decontaminate/interleave run at unique-document scale —
+    // the shape a dedup pipeline is FOR; not an output-quadratic probe
+    time("curation_e2e") { d =>
+      SparkEntry.queries("q_curation_e2e")(spark, d).count() }
     spark.stop()
   }
 }

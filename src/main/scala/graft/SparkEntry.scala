@@ -1107,6 +1107,22 @@ object SparkEntry {
         "corpus_nonempty" -> (col("n") >= 1L))
     }),
 
+    // HTML → text extraction on a synthetic page wrapped around each doc
+    // (script/style/comment payloads, block structure, entities); oracle
+    // replays the identical RE2-portable chain in DuckDB bit-for-bit
+    "q_html_extract" -> ((s, dir) => {
+      val page = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><script type=\"text/javascript\">var x = 1 < 2;</script>"),
+        lit("<style>p { color: red }</style></head><body><h1>Doc "),
+        col("doc_id").cast("string"), lit("</h1><p>"), col("text"),
+        lit("</p><ul><li>Tom &amp; Jerry</li><li>a &lt; b</li></ul>"),
+        lit("<!-- hidden --><div>tail&nbsp;note</div></body></html>"))
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.stripHtml(page).as("page_text"))
+        .orderBy("doc_id")
+    }),
+
     // composite quality filter: first failing Gopher/quality rule names the
     // drop reason
     "q_text_filter" -> ((s, dir) =>
@@ -1704,6 +1720,52 @@ object SparkEntry {
         .agg(round(wmean(col("l_quantity"), col("l_extendedprice")), 6)
           .as("wmean_qty"))
         .orderBy("l_returnflag")
+    }),
+
+    // END-TO-END CURATION RECIPE: the composed pipeline a user would run —
+    // normalize → quality/langid gate → exact dedup → MinHash near-dedup →
+    // bloom decontamination → proportional interleave. Derived checks:
+    // every stage only drops rows, the survivors are exactly-unique and
+    // PROVABLY decontaminated (exact n-gram recheck on the output), and
+    // the final ordering is a bijection onto [0, n).
+    "q_curation_e2e" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 31 === 0)
+        .select(col("doc_id"), col("text"))
+      val c0 = docs.filter(col("doc_id") % 31 =!= 0)
+      val c1 = c0.withColumn("text", TextAnalysis.normalizeText(col("text")))
+      val c2 = c1.filter(TextAnalysis.qualityScore(col("text")) >= 0.2 &&
+        TextAnalysis.langId(col("text")) =!= "und")
+      val c3 = Dedup.exactKeepFirst(c2, "text", "doc_id")
+      val pairs = Dedup.minHashDedup(c3, "text", "doc_id", threshold = 0.7)
+      val c4 = Dedup.keepRepresentatives(c3, pairs, "doc_id",
+        length(col("text")))
+      val c5 = pin(Dedup.decontaminateBloomKeep(c4, bench, "text", "doc_id",
+        n = 4, fpp = 1e-6))
+      val ordered = pin(Sampling.interleaveStrata(
+        c5.select(col("doc_id"), col("source"), col("text")),
+        "doc_id", "source"))
+      val recheck = Dedup.decontaminate(c5, bench, "text", "doc_id", n = 4)
+      val one = c0.agg(count(lit(1)).as("n0"))
+        .crossJoin(c2.agg(count(lit(1)).as("n2")))
+        .crossJoin(c3.agg(count(lit(1)).as("n3")))
+        .crossJoin(c4.agg(count(lit(1)).as("n4")))
+        .crossJoin(c5.agg(count(lit(1)).as("n5"),
+          countDistinct(col("text")).as("n5_texts")))
+        .crossJoin(ordered.agg(count(lit(1)).as("n6"),
+          countDistinct(col("interleave_pos")).as("n_pos"),
+          max(col("interleave_pos")).as("max_pos")))
+        .crossJoin(recheck.agg(count(lit(1)).as("n_contam")))
+      checkRows(one,
+        "stages_monotone" -> (col("n2") <= col("n0") &&
+          col("n3") <= col("n2") && col("n4") <= col("n3") &&
+          col("n5") <= col("n4")),
+        "gates_bite" -> (col("n5") < col("n0")),
+        "final_nonempty" -> (col("n5") >= 1L),
+        "exactly_unique" -> (col("n5_texts") === col("n5")),
+        "decontaminated_proven" -> (col("n_contam") === 0L),
+        "order_is_bijection" -> (col("n6") === col("n5") &&
+          col("n_pos") === col("n6") && col("max_pos") === col("n6") - 1))
     }),
 
     // ===== multimodal binary plumbing ====================================
@@ -2794,6 +2856,41 @@ object SparkEntry {
           |SELECT doc_id, lang, CAST(stratum_rank AS BIGINT) AS stratum_rank
           |FROM r WHERE stratum_rank <= 70 ORDER BY doc_id""".stripMargin,
 
+      "q_html_extract" ->
+        """WITH page AS (
+          |  SELECT doc_id,
+          |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+          |    '</title><script type="text/javascript">var x = 1 < 2;</script>' ||
+          |    '<style>p { color: red }</style></head><body><h1>Doc ' ||
+          |    CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
+          |    '</p><ul><li>Tom &amp; Jerry</li><li>a &lt; b</li></ul>' ||
+          |    '<!-- hidden --><div>tail&nbsp;note</div></body></html>' AS h
+          |  FROM documents
+          |)
+          |SELECT doc_id,
+          |  regexp_replace(regexp_replace(
+          |    regexp_replace(
+          |      regexp_replace(
+          |        replace(replace(replace(replace(replace(replace(replace(
+          |          regexp_replace(
+          |            regexp_replace(
+          |              regexp_replace(
+          |                regexp_replace(h,
+          |                  '(?is)<(script|style)\b[^>]*>.*?</(script|style)\s*>',
+          |                  ' ', 'g'),
+          |                '(?s)<!--.*?-->', ' ', 'g'),
+          |              '(?i)<(br|/p|/div|/li|/tr|/h[1-6]|/blockquote|/title)\b[^>]*>',
+          |              e'\n', 'g'),
+          |            '<[^>]*>', ' ', 'g'),
+          |          '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+          |          '&quot;', '"'), '&#39;', ''''), '&apos;', ''''),
+          |          '&amp;', '&'),
+          |        e'[ \t]+', ' ', 'g'),
+          |      e' ?\n ?', e'\n', 'g'),
+          |    e'\n{3,}', e'\n\n', 'g'),
+          |    '^\s+|\s+$', '', 'g') AS page_text
+          |FROM page ORDER BY doc_id""".stripMargin,
+
       "q_interleave" ->
         """WITH r AS (
           |  SELECT doc_id, source,
@@ -3078,6 +3175,10 @@ object SparkEntry {
 
       "q_media_sniff" -> checksOracle("corrupt_rejected", "format_detected",
         "dims_roundtrip", "wav_meta_roundtrip", "corpus_nonempty"),
+
+      "q_curation_e2e" -> checksOracle("stages_monotone", "gates_bite",
+        "final_nonempty", "exactly_unique", "decontaminated_proven",
+        "order_is_bijection"),
 
       "q_heavy_hitters" -> checksOracle("no_undercount", "overcount_bounded",
         "candidates_complete"),

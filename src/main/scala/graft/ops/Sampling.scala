@@ -487,6 +487,22 @@ object Sampling {
     */
   def interleaveStrata(df: DataFrame, keyCol: String, stratumCol: String,
                        assumeDeterministic: Boolean = false): DataFrame = {
+    val sorted = interleaveSorted(df, keyCol, stratumCol, assumeDeterministic)
+    graft.api.MSTable.zipWithRowId(sorted, pin = !assumeDeterministic)
+      .withColumnRenamed(graft.api.MSTable.RowId, "interleave_pos")
+      .select((df.columns.toSeq :+ "stratum_rank" :+ "interleave_pos")
+        .map(col): _*)
+  }
+
+  /** [[interleaveStrata]] up to (and including) the mixing-position sort,
+    * before position ids are zipped on — the stage whose physical plan
+    * carries the scale contract (broadcast sizes join, range sort, no
+    * per-stratum window), exposed so the plan audit can see it (the zip's
+    * RDD boundary truncates the final frame's visible plan).
+    */
+  private[graft] def interleaveSorted(df: DataFrame, keyCol: String,
+                                      stratumCol: String,
+                                      assumeDeterministic: Boolean): DataFrame = {
     requireFreeColumns(df,
       Seq("stratum_rank", "interleave_pos", "__ng", "__p",
         graft.api.MSTable.RowId),
@@ -494,15 +510,11 @@ object Sampling {
     val ranked =
       capPerStratum(df, keyCol, stratumCol, Long.MaxValue, assumeDeterministic)
     val sizes = ranked.groupBy(stratumCol).agg(count(lit(1)).as("__ng"))
-    val sorted = ranked
+    ranked
       .join(broadcast(sizes), Seq(stratumCol))
       .withColumn("__p",
         (col("stratum_rank").cast("double") - 0.5) / col("__ng").cast("double"))
       .orderBy(col("__p"), col(stratumCol), col(keyCol))
-    graft.api.MSTable.zipWithRowId(sorted, pin = !assumeDeterministic)
-      .withColumnRenamed(graft.api.MSTable.RowId, "interleave_pos")
-      .select((df.columns.toSeq :+ "stratum_rank" :+ "interleave_pos")
-        .map(col): _*)
   }
 
   // ---------------------------------------------------------------- shards

@@ -219,6 +219,43 @@ object TextAnalysis {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(regexp_replace(nfc(text), "\\p{Cc}", " "), "\\s+", " "))
 
+  /** HTML → text extraction, the stage web-corpus recipes (C4, CCNet,
+    * RefinedWeb) run FIRST — their inputs are crawled pages, not clean
+    * prose. A deterministic tag-level extractor: script/style/comment
+    * blocks are dropped wholesale, block-level closers become newlines
+    * (so line-level cleaning still sees the page's paragraph structure),
+    * remaining tags become spaces, the common named entities are decoded
+    * (`&amp;` LAST, so double-escaped text does not re-decode), and
+    * whitespace is normalized (space runs collapse, blank-line runs cap
+    * at one empty line, edges trim). Not a browser: no JS, no CSS
+    * visibility, no DOM — the honest trade every regex-level extractor
+    * makes; the win is that it is pure RE2-portable Column algebra, so
+    * the exact same chain runs on any engine and the oracle can replay
+    * it bit-for-bit.
+    *
+    * Scale shape: a fixed chain of codegen'd regexp_replace/replace
+    * projections riding the corpus scan — no UDF, no shuffle, O(bytes)
+    * per row.
+    */
+  def stripHtml(html: Column): Column = {
+    val noBlock = regexp_replace(html,
+      "(?is)<(script|style)\\b[^>]*>.*?</(script|style)\\s*>", " ")
+    val noComment = regexp_replace(noBlock, "(?s)<!--.*?-->", " ")
+    val breaks = regexp_replace(noComment,
+      "(?i)<(br|/p|/div|/li|/tr|/h[1-6]|/blockquote|/title)\\b[^>]*>", "\n")
+    val noTags = regexp_replace(breaks, "<[^>]*>", " ")
+    val entities = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'",
+      "&amp;" -> "&" // last: double-escaped stays single-decoded
+    ).foldLeft(noTags) { case (t, (e, r)) => replace(t, lit(e), lit(r)) }
+    val spaces = regexp_replace(entities, "[ \\t]+", " ")
+    val edges = regexp_replace(spaces, " ?\\n ?", "\n")
+    // trim() only strips spaces — the edge runs here include newlines
+    regexp_replace(regexp_replace(edges, "\\n{3,}", "\n\n"),
+      "^\\s+|\\s+$", "")
+  }
+
   // ------------------------------------------- line-level cleaning (C4)
 
   /** C4-style line-level cleaning (Raffel et al. 2020 §2.2): rather than

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.{col, encode}
 
 /** Physical-plan audits: the properties that make operators survive a
   * 100× scale-up are asserted here, not just eyeballed — filter/projection
@@ -377,5 +378,28 @@ class PlanAuditSpec extends SparkSpec {
     // unigram model join (skew-tolerant, same as unigramSurprisal)
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("compressibility and media sniff stay scan-side (no shuffle)") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val pr = plan(docs.select(col("doc_id"),
+      ops.TextAnalysis.compressionRatio(col("text"))))
+    assert(opCount(pr, "Exchange") == 0, s"ratio must not shuffle:\n$pr")
+    val ps = plan(docs.select(col("doc_id"),
+      ops.Multimodal.sniffMedia(encode(col("text"), "UTF-8"))))
+    assert(opCount(ps, "Exchange") == 0, s"sniff must not shuffle:\n$ps")
+  }
+
+  test("interleave plans no per-stratum window and no cartesian") {
+    // the scale-killer formulation is a Window partitioned by stratum
+    // (one task per stratum); the census implementation must not plan one
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "source")
+    val p = plan(ops.Sampling.interleaveSorted(docs, "doc_id", "source",
+      assumeDeterministic = true))
+    assert(!p.contains("Window"), s"no window operator:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"stratum sizes must broadcast:\n$p")
   }
 }

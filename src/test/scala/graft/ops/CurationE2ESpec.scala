@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSpec}
+
+/** The composed curation recipe (q_curation_e2e) must not just execute —
+  * every derived check it reports has to hold, at test time, on the same
+  * frame the driver's oracle will hash. The three single-operator checks
+  * (q_compress_ratio, q_media_sniff, q_interleave's bijection) ride along
+  * so a regression names the failing metric, not just a hash mismatch.
+  */
+class CurationE2ESpec extends SparkSpec {
+
+  private def checksOf(name: String): Map[String, Boolean] =
+    SparkEntry.queries(name)(spark, sf()).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+
+  test("q_curation_e2e: every pipeline invariant holds at sf0.001") {
+    val m = checksOf("q_curation_e2e")
+    assert(m.size === 6)
+    m.foreach { case (metric, ok) => assert(ok, s"check failed: $metric") }
+  }
+
+  test("q_compress_ratio and q_media_sniff report all-green metrics") {
+    for (q <- Seq("q_compress_ratio", "q_media_sniff")) {
+      val m = checksOf(q)
+      assert(m.nonEmpty, q)
+      m.foreach { case (metric, ok) => assert(ok, s"$q check failed: $metric") }
+    }
+  }
+
+  test("q_interleave output is a bijection and matches its window oracle") {
+    val out = SparkEntry.queries("q_interleave")(spark, sf())
+    val n = out.count()
+    assert(n > 0)
+    assert(out.select("interleave_pos").distinct().count() === n)
+    assert(out.agg(max("interleave_pos")).head().getLong(0) === n - 1)
+  }
+}

@@ -76,4 +76,37 @@ class NormalizeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("stripHtml: blocks dropped, structure kept, entities decoded once") {
+    def strip(h: String): String =
+      Seq((1L, h)).toDF("id", "h")
+        .select(TextAnalysis.stripHtml(col("h"))).head().getString(0)
+    val page = "<html><head><title>T</title>" +
+      "<script>if (a < b && c > d) { alert('x') }</script>" +
+      "<STYLE media=\"all\">body { margin: 0 }</STYLE></head>" +
+      "<body><h1>Head</h1><p>First para.</p>\n<p>Second para.</p>" +
+      "<ul><li>Tom &amp; Jerry</li><li>1 &lt; 2</li></ul>" +
+      "<!-- secret comment --><div>tail&nbsp;note</div></body></html>"
+    val out = strip(page)
+    // script/style/comment payloads are GONE, not just de-tagged
+    assert(!out.contains("alert") && !out.contains("margin") &&
+      !out.contains("secret"))
+    // block closers became line structure (the source newline after the
+    // first </p> keeps a paragraph blank line); inline tags became spaces
+    assert(out.linesIterator.toSeq === Seq("T", "Head", "First para.", "",
+      "Second para.", "Tom & Jerry", "1 < 2", "tail note"))
+    // entities decode exactly once: double-escaped &amp;lt; ends as &lt;
+    assert(strip("<p>&amp;lt; stays</p>") === "&lt; stays")
+    assert(strip("<p>a&#39;b &quot;c&quot;</p>") === "a'b \"c\"")
+    // br is a line break even unclosed/self-closed; case-insensitive tags
+    assert(strip("one<BR>two<br/>three") === "one\ntwo\nthree")
+    // blank-line runs cap at one empty line
+    assert(strip("<p>a</p><p></p><p></p><p>b</p>") === "a\n\nb")
+    // pure Column algebra: no UDF, no shuffle on the real corpus
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val plan = docs.select(TextAnalysis.stripHtml(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("BatchEvalPython"),
+      s"must ride the scan:\n$plan")
+  }
 }
