@@ -1107,6 +1107,21 @@ object SparkEntry {
         "corpus_nonempty" -> (col("n") >= 1L))
     }),
 
+    // URL canonicalization on deterministic messy URLs (case, default
+    // port, tracking params, fragment); oracle replays the same chain
+    "q_url_canonical" -> ((s, dir) => {
+      val messy = concat(
+        lit("HTTPS://WWW.Example"), pmod(col("doc_id"), lit(7)).cast("string"),
+        lit(".COM:443/Articles/Item"), col("doc_id").cast("string"),
+        lit("/?utm_source=news&utm_medium=email&id="),
+        col("doc_id").cast("string"),
+        lit("&fbclid=XyZ123&ref=tw&page=2#section-"),
+        col("doc_id").cast("string"))
+      T(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.canonicalUrl(messy).as("canonical_url"))
+        .orderBy("doc_id")
+    }),
+
     // HTML → text extraction on a synthetic page wrapped around each doc
     // (script/style/comment payloads, block structure, entities); oracle
     // replays the identical RE2-portable chain in DuckDB bit-for-bit
@@ -2855,6 +2870,46 @@ object SparkEntry {
           |)
           |SELECT doc_id, lang, CAST(stratum_rank AS BIGINT) AS stratum_rank
           |FROM r WHERE stratum_rank <= 70 ORDER BY doc_id""".stripMargin,
+
+      "q_url_canonical" ->
+        """WITH u AS (
+          |  SELECT doc_id,
+          |    'HTTPS://WWW.Example' || CAST(doc_id % 7 AS VARCHAR) ||
+          |    '.COM:443/Articles/Item' || CAST(doc_id AS VARCHAR) ||
+          |    '/?utm_source=news&utm_medium=email&id=' ||
+          |    CAST(doc_id AS VARCHAR) ||
+          |    '&fbclid=XyZ123&ref=tw&page=2#section-' ||
+          |    CAST(doc_id AS VARCHAR) AS url
+          |  FROM documents
+          |), nf AS (
+          |  SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS s FROM u
+          |), lo AS (
+          |  SELECT doc_id,
+          |    CASE WHEN regexp_matches(s, '^[a-zA-Z][a-zA-Z0-9+.-]*://')
+          |      THEN lower(regexp_extract(s,
+          |             '^([a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?[^/?#]*)([^#]*)$', 1))
+          |        || regexp_extract(s,
+          |             '^([a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?[^/?#]*)([^#]*)$', 2)
+          |      ELSE s END AS s
+          |  FROM nf
+          |), np AS (
+          |  SELECT doc_id, regexp_replace(s,
+          |    '^([a-z][a-z0-9+.-]*://[^/?#]*):(?:80|443)([/?]|$)', '\1\2') AS s
+          |  FROM lo
+          |), nt AS (
+          |  SELECT doc_id, regexp_replace(s,
+          |    '(?i)([?&])(?:utm_[^&=]*|gclid|fbclid|ref|mc_cid|mc_eid)=[^&#]*',
+          |    '\1', 'g') AS s
+          |  FROM np
+          |)
+          |SELECT doc_id,
+          |  regexp_replace(
+          |    regexp_replace(
+          |      regexp_replace(regexp_replace(s, '&{2,}', '&', 'g'),
+          |        '\?&', '?', 'g'),
+          |      '[?&]+$', '', 'g'),
+          |    '/+$', '', 'g') AS canonical_url
+          |FROM nt ORDER BY doc_id""".stripMargin,
 
       "q_html_extract" ->
         """WITH page AS (

@@ -808,6 +808,47 @@ object TextAnalysis {
                    blocklist: Seq[String]): DataFrame =
     df.filter(!urlDomain(col(urlCol)).isin(blocklist: _*))
 
+  /** Query parameters dropped by [[canonicalUrl]]: the cross-site
+    * tracking/attribution names that vary per click without changing the
+    * fetched page — the reason one page shows up under thousands of
+    * "distinct" URLs in a crawl.
+    */
+  val trackingParams: Seq[String] =
+    Seq("utm_[^&=]*", "gclid", "fbclid", "ref", "mc_cid", "mc_eid")
+
+  /** URL canonicalization for crawl-level dedup: URL-keyed dedup is the
+    * FIRST dedup of every web pipeline (exact text dedup only sees pages
+    * it fetched; URL dedup prevents fetching the same page twice), and it
+    * only works when the thousand spellings of one page collapse — so:
+    * fragment dropped (never sent to the server), scheme+host lowercased
+    * (case-insensitive by spec; paths are NOT — case-significant on most
+    * servers), default ports 80/443 dropped, tracking parameters
+    * ([[trackingParams]]) removed with separator debris cleaned up, and
+    * trailing path slashes stripped. Heuristic by design (no public-
+    * suffix list, no %-decode) — the trade crawl pipelines make; pure
+    * RE2-portable Column algebra, scan-side, engine-replayable.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    // lowercase ONLY the scheme://user@host:port prefix
+    val pre = "^([a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?[^/?#]*)([^#]*)$"
+    // schemeless strings pass through un-lowered (regexp_extract would
+    // blank them out)
+    val lowered = when(noFrag.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"),
+      concat(lower(regexp_extract(noFrag, pre, 1)),
+        regexp_extract(noFrag, pre, 2))).otherwise(noFrag)
+    val noPort = regexp_replace(lowered,
+      "^([a-z][a-z0-9+.-]*://[^/?#]*):(?:80|443)([/?]|$)", "$1$2")
+    // each tracker keeps its leading delimiter, so back-to-back trackers
+    // all match; the debris passes collapse what's left
+    val noTrack = regexp_replace(noPort,
+      "(?i)([?&])(?:" + trackingParams.mkString("|") + ")=[^&#]*", "$1")
+    val debris = regexp_replace(
+      regexp_replace(regexp_replace(noTrack, "&{2,}", "&"), "\\?&", "?"),
+      "[?&]+$", "")
+    regexp_replace(debris, "/+$", "")
+  }
+
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     docs

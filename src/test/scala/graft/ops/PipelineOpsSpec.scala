@@ -1058,6 +1058,31 @@ class RetrievalSpec extends SparkSpec {
     assert(got.toSeq === cases)
   }
 
+  test("canonicalUrl collapses the spellings of one page, nothing else") {
+    def canon(u: String): String =
+      Seq(u).toDF("url").select(TextAnalysis.canonicalUrl(col("url")))
+        .head().getString(0)
+    // case/port/fragment/trailing-slash spellings all land on one form
+    assert(canon("HTTPS://WWW.Example.COM:443/Page/") ===
+      "https://www.example.com/Page")
+    assert(canon("https://www.example.com/Page#top") ===
+      "https://www.example.com/Page")
+    assert(canon("http://Example.com:80/") === "http://example.com")
+    // path case is case-significant and PRESERVED
+    assert(canon("https://a.com/CaseSensitive") === "https://a.com/CaseSensitive")
+    // tracking params go, real params stay, in order, incl. back-to-back
+    assert(canon("https://a.com/p?utm_source=n&utm_medium=e&id=7&fbclid=x&page=2") ===
+      "https://a.com/p?id=7&page=2")
+    assert(canon("https://a.com/p?utm_a=1&utm_b=2") === "https://a.com/p")
+    assert(canon("https://a.com/p?gclid=1&q=2") === "https://a.com/p?q=2")
+    // "xref" is NOT "ref": param-name boundary respected
+    assert(canon("https://a.com/p?xref=keep") === "https://a.com/p?xref=keep")
+    // non-default port and userinfo survive
+    assert(canon("http://u@a.com:8080/x") === "http://u@a.com:8080/x")
+    // schemeless input passes through un-lowered
+    assert(canon("Not A Url") === "Not A Url")
+  }
+
   test("domainFilter drops blocklisted domains only") {
     val df = Seq(
       (1L, "https://ads.bad.net/banner"),
