@@ -1107,6 +1107,19 @@ object SparkEntry {
         "corpus_nonempty" -> (col("n") >= 1L))
     }),
 
+    // unicode script profile on text augmented with a fixed multiscript
+    // suffix (the ASCII corpus alone would make every fraction trivial);
+    // oracle recomputes the same \x{..}-range counts
+    "q_script_profile" -> ((s, dir) => {
+      val aug = concat(col("text"), lit(" Привет мир 世界 مرحبا 123"))
+      val fracs = TextAnalysis.scriptFracs(aug).map {
+        case (n, c) => round(c, 6).as(s"${n}_frac")
+      }
+      T(s, dir, "documents")
+        .select((col("doc_id") +: fracs): _*)
+        .orderBy("doc_id")
+    }),
+
     // URL canonicalization on deterministic messy URLs (case, default
     // port, tracking params, fragment); oracle replays the same chain
     "q_url_canonical" -> ((s, dir) => {
@@ -2870,6 +2883,34 @@ object SparkEntry {
           |)
           |SELECT doc_id, lang, CAST(stratum_rank AS BIGINT) AS stratum_rank
           |FROM r WHERE stratum_rank <= 70 ORDER BY doc_id""".stripMargin,
+
+      "q_script_profile" ->
+        """WITH a AS (
+          |  SELECT doc_id, text || ' Привет мир 世界 مرحبا 123' AS t
+          |  FROM documents
+          |), n AS (
+          |  SELECT doc_id, t,
+          |    CAST(length(regexp_replace(t, '\s+', '', 'g')) AS DOUBLE) AS tot
+          |  FROM a
+          |)
+          |SELECT doc_id,
+          |  round(CASE WHEN tot = 0 THEN 0 ELSE
+          |    length(regexp_replace(t, '[^A-Za-z\x{C0}-\x{24F}]', '', 'g')) / tot
+          |    END, 6) AS latin_frac,
+          |  round(CASE WHEN tot = 0 THEN 0 ELSE
+          |    length(regexp_replace(t, '[^\x{400}-\x{4FF}]', '', 'g')) / tot
+          |    END, 6) AS cyrillic_frac,
+          |  round(CASE WHEN tot = 0 THEN 0 ELSE
+          |    length(regexp_replace(t,
+          |      '[^\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}]',
+          |      '', 'g')) / tot END, 6) AS cjk_frac,
+          |  round(CASE WHEN tot = 0 THEN 0 ELSE
+          |    length(regexp_replace(t, '[^\x{600}-\x{6FF}]', '', 'g')) / tot
+          |    END, 6) AS arabic_frac,
+          |  round(CASE WHEN tot = 0 THEN 0 ELSE
+          |    length(regexp_replace(t, '[^0-9]', '', 'g')) / tot
+          |    END, 6) AS digit_frac
+          |FROM n ORDER BY doc_id""".stripMargin,
 
       "q_url_canonical" ->
         """WITH u AS (

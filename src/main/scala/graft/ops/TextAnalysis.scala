@@ -156,6 +156,38 @@ object TextAnalysis {
       .withColumn("dup_trigram_frac", dupNgramFrac(t, 3))
   }
 
+  /** Unicode script ranges for [[scriptFracs]], as RE2-portable `\x{..}`
+    * character-class bodies (Java regex accepts the same syntax, so one
+    * literal serves Spark, DuckDB, and any RE2 engine). Deliberately the
+    * big blocks, not the full Unicode script property — the routing
+    * signal multilingual pipelines key mixtures on, not a linguist's
+    * classifier.
+    */
+  val scriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "A-Za-z\\x{C0}-\\x{24F}",
+    "cyrillic" -> "\\x{400}-\\x{4FF}",
+    "cjk" -> ("\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}" +
+      "\\x{4E00}-\\x{9FFF}\\x{AC00}-\\x{D7AF}"),
+    "arabic" -> "\\x{600}-\\x{6FF}",
+    "digit" -> "0-9")
+
+  /** Per-script character fractions over the non-whitespace text — the
+    * script-routing signal of multilingual curation (mC4/CCNet split
+    * their corpus by script before per-language models ever run; a
+    * Latin-labelled doc that is 40% CJK is a mislabel or a boilerplate
+    * mix). One `(name, Column)` per [[scriptRanges]] entry: count =
+    * `length` after deleting everything outside the range — pure
+    * scan-side regexp algebra, no UDF, engine-replayable.
+    */
+  def scriptFracs(text: Column): Seq[(String, Column)] = {
+    val total = length(regexp_replace(text, "\\s+", ""))
+    scriptRanges.map { case (name, r) =>
+      name -> when(total === 0, lit(0d)).otherwise(
+        length(regexp_replace(text, s"[^$r]", "")).cast("double") /
+          total.cast("double"))
+    }
+  }
+
   /** DEFLATE compression ratio of the UTF-8 text: `deflate(text).length /
     * text.utf8Length`, at a pinned zlib level so the number is a stable
     * property of the bytes. The classic cheap redundancy signal of web-

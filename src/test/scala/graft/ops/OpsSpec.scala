@@ -342,6 +342,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp === (97L * 31 + 98) % 1000000007L)
   }
 
+  test("scriptFracs count the declared ranges over non-whitespace chars") {
+    def fracs(s: String): Map[String, Double] =
+      Seq((1L, s)).toDF("id", "t")
+        .select(TextAnalysis.scriptFracs(col("t")).map {
+          case (n, c) => c.as(n) }: _*)
+        .head().getValuesMap[Double](TextAnalysis.scriptRanges.map(_._1))
+    // 4 latin + 6 cyrillic + 2 han + 4 arabic + 4 digits = 20 non-space
+    val m = fracs("abcd Привет 世界 ربحم 1234")
+    assert(m("latin") === 0.2)
+    assert(m("cyrillic") === 0.3)
+    assert(m("cjk") === 0.1)
+    assert(m("arabic") === 0.2)
+    assert(m("digit") === 0.2)
+    // kana and hangul are cjk-class; accented latin counts as latin
+    assert(fracs("カナ한글")("cjk") === 1.0)
+    assert(fracs("éàü")("latin") === 1.0)
+    // all-whitespace text: defined zero, no division blowup
+    assert(fracs("  \t ").values.forall(_ === 0.0))
+  }
+
   test("compressionRatio separates repetition from prose; edges defined") {
     val prose = "A quick brown fox jumps over the lazy dog while seventeen " +
       "magpies argue about breakfast near the riverbank in pale light."
