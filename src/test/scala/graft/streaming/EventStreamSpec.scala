@@ -276,6 +276,39 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("ingest-gate signals run inside a real stream (r12 scan-side ops)") {
+    // compressibility, script fractions, canonical URL, HTML strip, and
+    // media sniff are all scan-side projections — an INGEST stream can
+    // gate on them before anything lands, with exact batch parity
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Multimodal, TextAnalysis}
+    val dir = sf("sf0.001")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").limit(50)
+    val dDir = "/root/repo/target/test_stream_gate_docs"
+    docs.write.mode("overwrite").parquet(dDir)
+    def gates(df: org.apache.spark.sql.DataFrame) = {
+      val url = concat(lit("HTTP://A"), col("doc_id").cast("string"),
+        lit(".COM:80/p?utm_source=s&k="), col("doc_id").cast("string"))
+      val fracs = TextAnalysis.scriptFracs(col("text")).map {
+        case (n, c) => round(c, 6).as(s"${n}_frac") }
+      df.select((Seq(col("doc_id"),
+        round(TextAnalysis.compressionRatio(col("text")), 6).as("ratio"),
+        TextAnalysis.canonicalUrl(url).as("canon"),
+        TextAnalysis.stripHtml(concat(lit("<p>"), col("text"), lit("</p>")))
+          .as("stripped"),
+        Multimodal.sniffMedia(encode(col("text"), "UTF-8"))("format")
+          .as("fmt")) ++ fracs): _*)
+    }
+    val stream = spark.readStream.schema(docs.schema).parquet(dDir)
+    EventStream.runToMemory(gates(stream), "gate_out", mode = "append")
+    val streamed = spark.table("gate_out").collect()
+      .map(_.toSeq.mkString("|")).sorted.toSeq
+    val batch = gates(docs).collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    assert(streamed === batch)
+    assert(streamed.size === 50)
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(s * 1000)
