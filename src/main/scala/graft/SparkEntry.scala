@@ -1461,6 +1461,24 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // hybrid retrieval: BM25 top-20 and dense cosine top-20 (doc_id ≡
+    // vec_id) fused by reciprocal rank — no score calibration, ranks only
+    "q_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sparse = TextAnalysis.bm25Rank(T(s, dir, "documents"), "text",
+          "doc_id", Seq("spark", "merge", "window", "hash"), topK = 20)
+        .select(col("doc_id"), row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))).as("rank"))
+      val emb = T(s, dir, "embeddings")
+      val dense = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") === 3), emb,
+          "vec_id", "embedding", "vec_id", "embedding", k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      TextAnalysis.rrfFuse(Seq(sparse, dense), "doc_id", kRrf = 60,
+          topK = 10)
+        .orderBy(col("rrf_score").desc, col("doc_id"))
+    }),
+
     // overlapping token-window chunking (context-length training prep):
     // 32-token windows every 24 tokens
     "q_chunk" -> ((s, dir) =>
@@ -3037,6 +3055,59 @@ object SparkEntry {
       // mirrors bm25Rank's exact arithmetic (same association order) so the
       // doubles agree bit-for-bit before the 9-digit rounding
       "q_bm25" -> Bm25OracleSql,
+
+      "q_hybrid_rrf" ->
+        """WITH base AS (
+          |  SELECT doc_id,
+          |    CASE WHEN len(trim(text)) = 0 THEN 0
+          |         ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS dl
+          |  FROM documents
+          |), stats AS (
+          |  SELECT CAST(count(*) AS DOUBLE) AS n,
+          |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+          |  FROM base
+          |), terms AS (
+          |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+          |  FROM (SELECT doc_id,
+          |          unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+          |        FROM documents)
+          |  WHERE token IN ('spark', 'merge', 'window', 'hash')
+          |  GROUP BY doc_id, token
+          |), dfq AS (
+          |  SELECT token, CAST(count(*) AS BIGINT) AS df FROM terms GROUP BY token
+          |), scored AS (
+          |  SELECT t.doc_id,
+          |    ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0) * t.tf * (1.2 + 1.0) /
+          |      (t.tf + ((b.dl / s.avgdl) * 0.75 + (1.0 - 0.75)) * 1.2) AS sc
+          |  FROM terms t JOIN dfq f USING (token) JOIN base b USING (doc_id)
+          |  CROSS JOIN stats s
+          |), bm AS (
+          |  SELECT doc_id, round(sum(sc), 9) AS score
+          |  FROM scored GROUP BY doc_id
+          |  ORDER BY score DESC, doc_id LIMIT 20
+          |), bmr AS (
+          |  SELECT doc_id,
+          |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+          |  FROM bm
+          |), e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |q AS (SELECT v AS qv FROM e WHERE vec_id = 3),
+          |sc2 AS (
+          |  SELECT e.vec_id AS doc_id,
+          |    list_dot_product(qv, v)
+          |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))
+          |      AS cos
+          |  FROM e CROSS JOIN q WHERE e.vec_id != 3
+          |), dn AS (
+          |  SELECT doc_id,
+          |    row_number() OVER (ORDER BY cos DESC, doc_id) AS rank
+          |  FROM sc2 ORDER BY rank LIMIT 20
+          |), u AS (
+          |  SELECT doc_id, rank FROM bmr UNION ALL SELECT doc_id, rank FROM dn
+          |)
+          |SELECT doc_id, round(sum(1.0 / (60 + rank)), 9) AS rrf_score,
+          |  CAST(count(*) AS BIGINT) AS n_lists
+          |FROM u GROUP BY doc_id
+          |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin,
 
       // identical scores by construction — the index is just the persisted
       // (term, doc, tf, dl) aggregate of the same corpus

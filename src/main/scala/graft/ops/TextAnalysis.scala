@@ -528,6 +528,35 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009): fuse any number of
+    * top-K rankings of the same id space — the standard way to combine a
+    * sparse (BM25) and a dense (embedding ANN) retriever without score
+    * calibration, since it reads only RANKS: `score(d) = Σ_lists
+    * 1/(kRrf + rank_d)`, missing-from-a-list contributing nothing.
+    * Each input needs (`idCol`, `rank`) with rank 1-based; output =
+    * (`idCol`, `rrf_score` rounded to 9, `n_lists`), top `topK` by
+    * (score desc, id).
+    *
+    * Scale shape: the inputs are top-K lists — BOUNDED frames (the
+    * retrievers upstream carry the corpus-scale cost); fusion is a union
+    * of a few hundred rows and one tiny aggregate. At 100 TB nothing
+    * here grows with the corpus.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String,
+              kRrf: Int = 60, topK: Int = 20): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(kRrf > 0 && topK > 0, s"kRrf/topK positive: $kRrf/$topK")
+    val tagged = rankings.map(_.select(col(idCol),
+      col("rank").cast("long").as("rank")))
+    tagged.reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(round(sum(lit(1.0) / (lit(kRrf.toDouble) + col("rank"))), 9)
+          .as("rrf_score"),
+        count(lit(1)).cast("long").as("n_lists"))
+      .orderBy(col("rrf_score").desc, col(idCol))
+      .limit(topK)
+  }
+
   // ------------------------------------------- persisted inverted index
 
   private val TextIndexKey = "__graft_text_index__"

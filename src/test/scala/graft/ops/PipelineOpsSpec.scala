@@ -913,6 +913,29 @@ class VocabTfidfSpec extends SparkSpec {
 class RetrievalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("rrfFuse: hand-computed fusion, overlap beats single-list winners") {
+    // list A: 10, 20, 30; list B: 20, 40 — doc 20 appears in both
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val b = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rank")
+    val out = TextAnalysis.rrfFuse(Seq(a, b), "doc_id", kRrf = 60, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    def s(ranks: Int*) = math.rint(ranks.map(r => 1.0 / (60 + r)).sum * 1e9) / 1e9
+    // doc 20 = 1/62 + 1/61 tops both single-list rank-1 scores
+    assert(out.head === ((20L, s(2, 1), 2L)))
+    assert(out.map(_._1).toSeq === Seq(20L, 10L, 40L, 30L))
+    assert(out.map(_._2).toSeq === Seq(s(2, 1), s(1), s(2), s(3)))
+    // equal single-list ranks tie on score and break by id
+    val c = Seq((7L, 1)).toDF("doc_id", "rank")
+    val d = Seq((3L, 1)).toDF("doc_id", "rank")
+    val tied = TextAnalysis.rrfFuse(Seq(c, d), "doc_id").collect()
+    assert(tied.map(_.getLong(0)).toSeq === Seq(3L, 7L))
+    // topK truncates after the fused order
+    assert(TextAnalysis.rrfFuse(Seq(a, b), "doc_id", topK = 2)
+      .collect().map(_.getLong(0)).toSeq === Seq(20L, 10L))
+    intercept[IllegalArgumentException](
+      TextAnalysis.rrfFuse(Nil, "doc_id"))
+  }
+
   test("bm25: hand-computed score on a two-doc corpus") {
     val docs = Seq(
       (1L, "spark spark runs fast"), // tf(spark)=2, dl=4
