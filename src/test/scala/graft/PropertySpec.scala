@@ -335,6 +335,65 @@ class PropertySpec extends SparkSpec {
     }, n = 8)
   }
 
+  test("canonicalUrl is idempotent and tracker-free on generated URLs") {
+    // canonicalization's contract is a FIXED POINT: applying it twice
+    // changes nothing, for any spelling the generator can produce
+    val genScheme = Gen.oneOf("http", "HTTP", "https", "HTTPS", "ftp")
+    val genHost = Gen.oneOf("Example.COM", "a.b.example.org", "X9.net")
+    val genPort = Gen.oneOf("", ":80", ":443", ":8080")
+    val genPath = Gen.oneOf("", "/", "/Path/Sub", "/p/")
+    val genParam = Gen.oneOf("utm_source=x", "utm_campaign=Y2", "gclid=1",
+      "fbclid=zz", "ref=tw", "id=7", "q=spark", "page=2", "xref=keep")
+    val genQuery = Gen.listOf(genParam).map(ps =>
+      if (ps.isEmpty) "" else "?" + ps.mkString("&"))
+    val genFrag = Gen.oneOf("", "#top", "#sec-2")
+    val genUrl = for {
+      s <- genScheme; h <- genHost; po <- genPort
+      pa <- genPath; q <- genQuery; f <- genFrag
+    } yield s"$s://$h$po$pa$q$f"
+    check(Prop.forAll(Gen.listOfN(20, genUrl)) { urls =>
+      val df = urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+        .toDF("id", "url")
+      val once = graft.ops.TextAnalysis.canonicalUrl(col("url"))
+      val rows = df.select(col("url"), once.as("c1"),
+          graft.ops.TextAnalysis.canonicalUrl(once).as("c2"))
+        .collect()
+      rows.forall { r =>
+        val (c1, c2) = (r.getString(1), r.getString(2))
+        c1 == c2 && // fixed point
+          !c1.contains("#") && // fragment gone
+          Seq("utm_", "gclid=", "fbclid=", "?ref=", "&ref=")
+            .forall(t => !c1.contains(t)) && // trackers gone
+          (!r.getString(0).contains("id=7") || c1.contains("id=7")) // real params kept
+      }
+    }, n = 5)
+  }
+
+  test("interleaveStrata is a proportional bijection on generated mixtures") {
+    val genSizes = Gen.listOfN(3, Gen.choose(1, 40))
+    check(Prop.forAll(genSizes) { sizes =>
+      val rows = sizes.zipWithIndex.flatMap { case (n, g) =>
+        (0 until n).map(i => (g * 1000L + i, s"g$g"))
+      }
+      val df = rows.toDF("id", "stratum").repartition(5)
+      val out = graft.ops.Sampling.interleaveStrata(df, "id", "stratum")
+        .select("stratum", "interleave_pos")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val total = sizes.sum
+      val positions = out.map(_._2).sorted.toSeq
+      // bijection onto [0, total)
+      positions == (0L until total).toSeq && {
+        // each stratum's k-th row sits within one "stride" of k*total/n_g
+        out.groupBy(_._1).forall { case (g, rs) =>
+          val n = rs.length
+          rs.map(_._2).sorted.zipWithIndex.forall { case (pos, k) =>
+            math.abs(pos - (k + 0.5) * total / n) <= total.toDouble / n + 1
+          }
+        }
+      }
+    }, n = 5)
+  }
+
   test("updateTable rewrites in place with read-your-writes") {
     val path = "/root/repo/target/test_updatetable"
     val supp = spark.read.parquet(s"${sf()}/supplier.parquet")
