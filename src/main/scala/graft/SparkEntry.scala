@@ -196,6 +196,20 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // table-version diff: version B derives deterministically from the
+    // documents table (drops, edits, inserts); the diff must name exactly
+    // the keys that changed and how
+    "q_table_diff" -> ((s, dir) => {
+      val a = T(s, dir, "documents")
+      val edited = a.filter(col("doc_id") % 17 =!= 0)
+        .withColumn("text", when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      val inserted = a.filter(col("doc_id") % 19 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      MSWrite.diffByKey(a, edited.unionByName(inserted), Seq("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // ===== S11: create + append ==========================================
     "q_s11_append" -> ((s, dir) => {
       val li = T(s, dir, "lineitem")
@@ -1935,6 +1949,34 @@ object SparkEntry {
           |                 ELSE l_quantity END), 4) AS sum_qty,
           |  CAST(count(*) AS BIGINT) AS n
           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_table_diff" ->
+        """WITH b AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text,
+          |    lang, source, n_chars
+          |  FROM documents WHERE doc_id % 17 != 0
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, text, lang, source, n_chars
+          |  FROM documents WHERE doc_id % 19 = 0
+          |)
+          |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+          |  CASE WHEN a.doc_id IS NULL THEN 'added'
+          |       WHEN b.doc_id IS NULL THEN 'removed'
+          |       WHEN NOT (a.text IS NOT DISTINCT FROM b.text
+          |             AND a.lang IS NOT DISTINCT FROM b.lang
+          |             AND a.source IS NOT DISTINCT FROM b.source
+          |             AND a.n_chars IS NOT DISTINCT FROM b.n_chars)
+          |         THEN 'changed' END AS change
+          |FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+          |WHERE (CASE WHEN a.doc_id IS NULL THEN 'added'
+          |            WHEN b.doc_id IS NULL THEN 'removed'
+          |            WHEN NOT (a.text IS NOT DISTINCT FROM b.text
+          |                  AND a.lang IS NOT DISTINCT FROM b.lang
+          |                  AND a.source IS NOT DISTINCT FROM b.source
+          |                  AND a.n_chars IS NOT DISTINCT FROM b.n_chars)
+          |              THEN 'changed' END) IS NOT NULL
+          |ORDER BY doc_id""".stripMargin,
 
       "q_s11_append" ->
         """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,

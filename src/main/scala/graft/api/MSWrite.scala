@@ -226,6 +226,38 @@ object MSWrite {
       readKeywords(delta.sparkSession, childPath) + (ParentKey -> parentPath))
   }
 
+  /** Key-wise diff of two versions of a table — the review step of a
+    * curation iteration ("what did this recipe change?") and the audit
+    * for any versioned store (fragment chain before/after, updateTable
+    * before/after): one row per key whose row was `added`, `removed`, or
+    * `changed` between `a` (old) and `b` (new); unchanged keys emit
+    * nothing. Schemas must match; comparison is null-safe over all
+    * non-key columns.
+    *
+    * Scale shape: ONE full-outer shuffle join on the key — the minimum
+    * any content diff pays; the non-key payload travels as a single
+    * struct compared with one null-safe `<=>`, and on bucketed stores
+    * ([[createBucketed]]) the exchange disappears entirely.
+    */
+  def diffByKey(a: DataFrame, b: DataFrame,
+                keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "diffByKey needs at least one key column")
+    require(a.columns.sorted.sameElements(b.columns.sorted),
+      s"schemas must match: ${a.columns.mkString(",")} vs ${b.columns.mkString(",")}")
+    val dataCols = a.columns.filterNot(keyCols.contains).toSeq
+    require(dataCols.nonEmpty, "diffByKey: no non-key columns to compare")
+    def pack(df: DataFrame, tag: String) = df.select(
+      keyCols.map(col) :+ struct(dataCols.map(col): _*).as(s"__v$tag")
+        :+ lit(1).as(s"__in$tag"): _*)
+    pack(a, "a").join(pack(b, "b"), keyCols, "full_outer")
+      .withColumn("change",
+        when(col("__ina").isNull, lit("added"))
+          .when(col("__inb").isNull, lit("removed"))
+          .when(!(col("__va") <=> col("__vb")), lit("changed")))
+      .filter(col("change").isNotNull)
+      .select(keyCols.map(col) :+ col("change"): _*)
+  }
+
   /** Read a fragment chain: walk the ancestry to the root, then overlay
     * newest columns over oldest via ROWID-joined coalesce
     * (ref: get_ancestry + consolidate, fragments/__init__.py:17-117).

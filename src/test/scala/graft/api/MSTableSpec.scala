@@ -165,4 +165,34 @@ class MSWriteSpec extends SparkSpec {
     assert(back.count() === 25)
     assert(back.columns.contains("n_regionkey"))
   }
+
+  test("diffByKey names exactly the added/removed/changed keys") {
+    import spark.implicits._
+    val a = Seq((1L, "x", 10), (2L, "y", 20), (3L, null.asInstanceOf[String], 30),
+      (4L, "w", 40)).toDF("id", "s", "n")
+    val b = Seq((1L, "x", 10),                  // identical -> silent
+      (2L, "y2", 20),                           // changed value
+      (3L, null.asInstanceOf[String], 30),      // identical incl. null
+      (5L, "new", 50))                          // added; 4 removed
+      .toDF("id", "s", "n")
+    val got = MSWrite.diffByKey(a, b, Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(2L -> "changed", 4L -> "removed", 5L -> "added"))
+    // null -> value and value -> null are both "changed", not silent
+    val n1 = Seq((1L, null.asInstanceOf[String])).toDF("id", "s")
+    val n2 = Seq((1L, "now")).toDF("id", "s")
+    assert(MSWrite.diffByKey(n1, n2, Seq("id")).head().getString(1) === "changed")
+    assert(MSWrite.diffByKey(n2, n1, Seq("id")).head().getString(1) === "changed")
+    // identical frames diff to nothing; schema mismatch fails fast
+    assert(MSWrite.diffByKey(a, a, Seq("id")).count() === 0)
+    val e = intercept[IllegalArgumentException](
+      MSWrite.diffByKey(a, a.drop("n"), Seq("id")))
+    assert(e.getMessage.contains("schemas"))
+    // bucketed stores diff without an exchange (the versioned-store case)
+    MSWrite.createBucketed(a, "diff_a", Seq("id"), buckets = 4)
+    MSWrite.createBucketed(b, "diff_b", Seq("id"), buckets = 4)
+    val plan = MSWrite.diffByKey(spark.table("diff_a"), spark.table("diff_b"),
+      Seq("id")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucketed diff must not shuffle:\n$plan")
+  }
 }
