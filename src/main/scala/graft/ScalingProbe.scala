@@ -329,6 +329,11 @@ object ScalingProbe {
       SparkEntry.queries("q_compress_ratio")(spark, d).count() }
     time("media_sniff") { d =>
       SparkEntry.queries("q_media_sniff")(spark, d).count() }
+    // keep-first span dedup: on the identical-copies corpus EVERY gram is
+    // duplicated, so this is the worst-case mask density — cost must stay
+    // O(tokens) (gram explode + df census + min-struct agg + rebuild)
+    time("dedup_spans") { d =>
+      SparkEntry.queries("q_dedup_spans")(spark, d).count() }
     // end-to-end recipe on the IDENTICAL-COPIES corpus: the exact-dedup
     // stage collapses the 8 copies (hash-agg, linear), so downstream
     // near-dup/decontaminate/interleave run at unique-document scale —

@@ -1782,6 +1782,47 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // cross-document duplicate-SPAN removal, keep-first (ExactSubstr, Lee
+    // et al. 2021) — derived checks: the corpus HAD duplicated 7-grams;
+    // after the rewrite every originally-duplicated gram survives at most
+    // once corpus-wide, with at least one canonical keeper surviving;
+    // clean docs come back as one untouched piece; full roster
+    "q_dedup_spans" -> ((s, dir) => {
+      val spanN = 7
+      val docs = T(s, dir, "documents")
+      def gramsOf(text: Column): Column =
+        Dedup.positionalGramHashes(Dedup.gramTokens(coalesce(text, lit(""))),
+          spanN)
+      val scrubbed = pin(Dedup.dedupSpansKeepFirst(docs, "text", "doc_id",
+        n = spanN))
+      val dupBefore = pin(docs
+        .select(explode(gramsOf(col("text"))).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c")).filter(col("c") > 1)
+        .select("g"))
+      val after = scrubbed.filter(length(col("scrub_text")) > 0)
+        .select(explode(split(col("scrub_text"), "\n")).as("piece"))
+        .select(explode(gramsOf(col("piece"))).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c_after"))
+      val joined = pin(dupBefore.join(after, Seq("g"), "left"))
+      val one = dupBefore.agg(count(lit(1)).as("n_dup"))
+        .crossJoin(joined.agg(
+          sum(when(col("c_after") > 1, 1L).otherwise(0L)).as("n_viol"),
+          sum(when(col("c_after") === 1, 1L).otherwise(0L)).as("n_kept_once")))
+        .crossJoin(scrubbed.agg(
+          sum(when(col("n_removed") > 0, 1L).otherwise(0L)).as("n_touched"),
+          sum(when(col("n_removed") === 0 && col("n_tokens") > 0 &&
+            col("n_pieces") =!= 1, 1L).otherwise(0L)).as("bad_clean"),
+          count(lit(1)).as("n_docs")))
+        .crossJoin(docs.agg(count(lit(1)).as("n_in")))
+      checkRows(one,
+        "had_duplicates" -> (col("n_dup") >= 1L),
+        "dup_grams_destroyed" -> (col("n_viol") === 0L),
+        "keeper_survives" -> (col("n_kept_once") >= 1L),
+        "docs_touched" -> (col("n_touched") >= 1L),
+        "clean_docs_one_piece" -> (col("bad_clean") === 0L),
+        "full_roster" -> (col("n_docs") === col("n_in")))
+    }),
+
     // END-TO-END CURATION RECIPE: the composed pipeline a user would run —
     // normalize → quality/langid gate → exact dedup → MinHash near-dedup →
     // bloom decontamination → proportional interleave. Derived checks:
@@ -3388,6 +3429,10 @@ object SparkEntry {
       "q_curation_e2e" -> checksOracle("stages_monotone", "gates_bite",
         "final_nonempty", "exactly_unique", "decontaminated_proven",
         "order_is_bijection"),
+
+      "q_dedup_spans" -> checksOracle("had_duplicates", "dup_grams_destroyed",
+        "keeper_survives", "docs_touched", "clean_docs_one_piece",
+        "full_roster"),
 
       "q_heavy_hitters" -> checksOracle("no_undercount", "overcount_bounded",
         "candidates_complete"),

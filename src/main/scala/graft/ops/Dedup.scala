@@ -485,6 +485,18 @@ object Dedup {
     * kept index). Grams travel as hashed longs — overlap detection
     * matches string n-grams modulo 64-bit collisions.
     */
+  /** POSITIONAL gram hashes: element i = hash of the word n-gram starting
+    * at token i. [[graft.expr.VectorExprs.HashedShingles]] sorts + dedups
+    * (it computes gram SETS), so its array index carries no position —
+    * the span operators need the position, and xxhash64 over the
+    * space-joined gram (tokens cannot contain spaces) keeps the whole
+    * build inside codegen'd built-ins.
+    */
+  private[graft] def positionalGramHashes(ts: Column, n: Int): Column =
+    when(size(ts) < n, lit(Array.empty[Long]))
+      .otherwise(transform(sequence(lit(0), size(ts) - n),
+        i => xxhash64(concat_ws(" ", slice(ts, i + 1, lit(n))))))
+
   def decontaminateScrub(corpus: DataFrame, bench: DataFrame, textCol: String,
                          idCol: String, n: Int, pad: Int = 0): DataFrame = {
     require(n > 0 && pad >= 0, s"decontaminateScrub: n > 0, pad >= 0: $n/$pad")
@@ -492,24 +504,26 @@ object Dedup {
     // gramTokens drops zero-length tokens, so gram positions and the
     // token count see the same array
     val toks = gramTokens(coalesce(col(textCol), lit("")))
-    // POSITIONAL gram hashes: element i = hash of the gram starting at
-    // token i. [[graft.expr.VectorExprs.HashedShingles]] sorts + dedups
-    // (it computes gram SETS), so its array index carries no position —
-    // this operator needs the position, and xxhash64 over the
-    // space-joined gram (tokens cannot contain spaces) keeps the whole
-    // build inside codegen'd built-ins.
-    def gramHashes(ts: Column): Column =
-      when(size(ts) < n, lit(Array.empty[Long]))
-        .otherwise(transform(sequence(lit(0), size(ts) - n),
-          i => xxhash64(concat_ws(" ", slice(ts, i + 1, lit(n))))))
     val corp = corpus.select(col(idCol), toks.as("__toks"))
     val grams = corp
-      .select(col(idCol), posexplode(gramHashes(col("__toks"))))
+      .select(col(idCol), posexplode(positionalGramHashes(col("__toks"), n)))
       .withColumnRenamed("pos", "__p").withColumnRenamed("col", "__g")
-    val benchGrams = bench.select(explode(gramHashes(toks)).as("__g"))
+    val benchGrams = bench.select(explode(positionalGramHashes(toks, n)).as("__g"))
       .distinct()
     val hits = grams.join(broadcast(benchGrams), "__g")
       .groupBy(idCol).agg(collect_set(col("__p")).as("__hp"))
+    scrubAssemble(corp, hits, idCol, n, pad)
+  }
+
+  /** Shared mask-and-reassemble tail of the span scrubbers: given the
+    * tokenized corpus (`idCol`, `__toks`) and per-doc hit START positions
+    * (`idCol`, `__hp`), remove [p−pad, p+n−1+pad] for every hit and
+    * rebuild the surviving runs as '\n'-joined PIECES (see
+    * [[decontaminateScrub]] for why the split is what keeps the output
+    * clean). Pure Column algebra on the scan after one doc-keyed join.
+    */
+  private def scrubAssemble(corp: DataFrame, hits: DataFrame, idCol: String,
+                            n: Int, pad: Int): DataFrame = {
     val L = size(col("__toks"))
     // removal mask: union of [p-pad, p+n-1+pad] clamped to the document
     val removed = array_sort(array_distinct(flatten(transform(col("__hp"),
@@ -558,6 +572,50 @@ object Dedup {
       .filter(length(col("scrub_text")) > 0)
       .select(col(idCol), posexplode(split(col("scrub_text"), "\n")))
       .select(col(idCol), col("pos").as("piece_idx"), col("col").as(textCol))
+
+  /** CROSS-DOCUMENT duplicate-SPAN removal, keep-first (the ExactSubstr
+    * mitigation of Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better", at word-window granularity): every word
+    * `n`-gram occurrence whose gram appears more than once in the corpus
+    * is removed — EXCEPT the globally first occurrence (smallest
+    * (`idCol`, position)), which survives as the canonical copy. Removal
+    * reuses the span-scrub mask-and-reassemble, so survivors come back
+    * as '\n'-joined pieces and no duplicated gram can re-form across a
+    * seam. The guarantee (and the derived check `q_dedup_spans` pins):
+    * after the rewrite, each originally-duplicated gram survives AT MOST
+    * once corpus-wide — every output gram is a consecutive original
+    * gram, and every non-keeper occurrence had its window destroyed.
+    * Complements [[dedupTextSegments]] (fixed disjoint blocks, removes
+    * ALL copies) with arbitrary-alignment windows and a canonical
+    * survivor. Returns the [[decontaminateScrub]] shape.
+    *
+    * Scale shape: positional grams explode once (O(tokens)); the df
+    * census is a partial-aggregating hash-agg on the gram hash, and only
+    * grams with df > 1 — the duplicated sliver — flow on: keepers are a
+    * `min(struct(id, pos))` agg (no per-gram window task, boilerplate
+    * grams with millions of copies partial-aggregate map-side), the
+    * non-keeper filter is one joined comparison, and the rebuild is the
+    * shared O(tokens) scan pass. Never O(docs²), never O(occurrences²).
+    */
+  def dedupSpansKeepFirst(docs: DataFrame, textCol: String, idCol: String,
+                          n: Int, pad: Int = 0): DataFrame = {
+    require(n > 0 && pad >= 0, s"dedupSpansKeepFirst: n > 0, pad >= 0: $n/$pad")
+    val toks = gramTokens(coalesce(col(textCol), lit("")))
+    val corp = docs.select(col(idCol), toks.as("__toks"))
+    val grams = corp
+      .select(col(idCol), posexplode(positionalGramHashes(col("__toks"), n)))
+      .withColumnRenamed("pos", "__p").withColumnRenamed("col", "__g")
+    val dupGrams = grams.groupBy("__g")
+      .agg(count(lit(1)).as("__df")).filter(col("__df") > 1).select("__g")
+    val dupOcc = grams.join(dupGrams, "__g")
+    val keepers = dupOcc.groupBy("__g")
+      .agg(min(struct(col(idCol), col("__p"))).as("__k"))
+    val hits = dupOcc.join(keepers, "__g")
+      .filter(!(col(idCol) === col("__k")(idCol) &&
+        col("__p") === col("__k")("__p")))
+      .groupBy(idCol).agg(collect_set(col("__p")).as("__hp"))
+    scrubAssemble(corp, hits, idCol, n, pad)
+  }
 
   /** SEMANTIC decontamination: flag corpus documents whose embedding is
     * within cosine `threshold` of ANY benchmark embedding — the fuzzy

@@ -22,8 +22,8 @@ class CurationE2ESpec extends SparkSpec {
     m.foreach { case (metric, ok) => assert(ok, s"check failed: $metric") }
   }
 
-  test("q_compress_ratio and q_media_sniff report all-green metrics") {
-    for (q <- Seq("q_compress_ratio", "q_media_sniff")) {
+  test("q_compress_ratio, q_media_sniff, q_dedup_spans report all-green metrics") {
+    for (q <- Seq("q_compress_ratio", "q_media_sniff", "q_dedup_spans")) {
       val m = checksOf(q)
       assert(m.nonEmpty, q)
       m.foreach { case (metric, ok) => assert(ok, s"$q check failed: $metric") }

@@ -678,6 +678,35 @@ class PackAssembleSpec extends SparkSpec {
 class DecontaminateSpec extends SparkSpec {
   import spark.implicits._
 
+  test("dedupSpansKeepFirst: first occurrence survives, later copies cut") {
+    val docs = Seq(
+      (1L, "a b c d e f"),        // canonical "a b c"
+      (2L, "x a b c y z"),        // later copy of "a b c" -> cut
+      (3L, "p q r s p q r s"),    // WITHIN-doc repeat: second half cut
+      (4L, "all unique words here"),
+      (5L, ""), (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Dedup.dedupSpansKeepFirst(docs, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) === (("a b c d e f", 0L, 1L)))     // keeper untouched
+    // doc 2 loses tokens 1..3 ("a b c"), splits at the seam
+    assert(out(2L) === (("x\ny z", 3L, 2L)))
+    // doc 3: grams pqr@{0,4}, qrs@{1,5}; keepers @0,@1; cut [4..7]
+    assert(out(3L) === (("p q r s", 4L, 1L)))
+    assert(out(4L) === (("all unique words here", 0L, 1L)))
+    assert(out(5L)._2 === 0L && out(6L)._2 === 0L)    // full roster
+    assert(out.size === 6)
+    // pad widens the cut symmetrically (clamped at doc edges)
+    val padded = Dedup.dedupSpansKeepFirst(docs, "text", "doc_id",
+        n = 3, pad = 1)
+      .filter(col("doc_id") === 2L).head()
+    assert(padded.getString(1) === "z") // tokens 0..4 cut, only "z" left
+    // deterministic: the keeper choice is a pure function of the data
+    val again = Dedup.dedupSpansKeepFirst(docs.repartition(5), "text",
+      "doc_id", n = 3).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet.forall(k => again(k) === out(k)._1))
+  }
+
   test("flags docs sharing a word 4-gram with the benchmark; keep drops them") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     val corpus = Seq(
