@@ -50,5 +50,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (exprs: Seq[Expression]) => NfcNormalize(exprs(0))))
+    // Column-algebra curation ops: the builder expands the same composed
+    // expression tree the Scala API builds, so SQL users get byte-
+    // identical semantics (ColumnShim bridges Column <-> Expression)
+    import org.apache.spark.sql.graft.ColumnShim.{toCatalyst, toColumn}
+    import graft.ops.TextAnalysis
+    e.injectFunction((FunctionIdentifier("strip_html"),
+      new ExpressionInfo(TextAnalysis.getClass.getName, "strip_html"),
+      (exprs: Seq[Expression]) =>
+        toCatalyst(TextAnalysis.stripHtml(toColumn(exprs(0))))))
+    e.injectFunction((FunctionIdentifier("canonical_url"),
+      new ExpressionInfo(TextAnalysis.getClass.getName, "canonical_url"),
+      (exprs: Seq[Expression]) =>
+        toCatalyst(TextAnalysis.canonicalUrl(toColumn(exprs(0))))))
+    e.injectFunction((FunctionIdentifier("compression_ratio"),
+      new ExpressionInfo(TextAnalysis.getClass.getName, "compression_ratio"),
+      (exprs: Seq[Expression]) =>
+        toCatalyst(TextAnalysis.compressionRatio(toColumn(exprs(0))))))
+    e.injectFunction((FunctionIdentifier("script_fracs"),
+      new ExpressionInfo(TextAnalysis.getClass.getName, "script_fracs"),
+      (exprs: Seq[Expression]) => {
+        val fracs = TextAnalysis.scriptFracs(toColumn(exprs(0)))
+        toCatalyst(org.apache.spark.sql.functions.struct(
+          fracs.map { case (n, c) => c.as(n) }: _*))
+      }))
   }
 }

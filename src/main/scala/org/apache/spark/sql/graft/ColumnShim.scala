@@ -16,6 +16,15 @@ object ColumnShim {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** [[toExpression]] eagerly CONVERTED to a concrete Catalyst tree.
+    * `ExpressionUtils.expression` returns a lazy `ColumnNodeExpression`
+    * wrapper, which the Dataset API resolves but the SQL function-
+    * registry path does not (an injected builder returning one analyzes
+    * as VOID) — function builders must return the converted tree.
+    */
+  def toCatalyst(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Register a custom Expression builder as a SQL-callable function on a
     * live session (the runtime counterpart of
     * `SparkSessionExtensions.injectFunction`).

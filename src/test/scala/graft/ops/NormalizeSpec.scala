@@ -38,6 +38,32 @@ class NormalizeSpec extends SparkSpec {
     assert(r.getString(0) === "Café")
   }
 
+  test("r12 curation ops are SQL-callable via the extension builders") {
+    import org.apache.spark.sql.graft.ColumnShim.{registerFunction, toCatalyst, toColumn}
+    registerFunction(spark, "strip_html_t",
+      exprs => toCatalyst(TextAnalysis.stripHtml(toColumn(exprs(0)))))
+    registerFunction(spark, "canonical_url_t",
+      exprs => toCatalyst(TextAnalysis.canonicalUrl(toColumn(exprs(0)))))
+    registerFunction(spark, "compression_ratio_t",
+      exprs => toCatalyst(TextAnalysis.compressionRatio(toColumn(exprs(0)))))
+    registerFunction(spark, "script_fracs_t", exprs => {
+      val fracs = TextAnalysis.scriptFracs(toColumn(exprs(0)))
+      toCatalyst(struct(fracs.map { case (n, c) => c.as(n) }: _*))
+    })
+    val r = spark.sql(
+      """SELECT s, u, c, f.latin AS lf, f.cyrillic AS cf FROM (
+        |  SELECT strip_html_t('<p>Tom &amp; Jerry</p>') AS s,
+        |    canonical_url_t('HTTP://A.com:80/x?utm_source=1&q=2#f') AS u,
+        |    compression_ratio_t('aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa') AS c,
+        |    script_fracs_t('abcd Привет') AS f
+        |)""".stripMargin).head()
+    assert(r.getString(0) === "Tom & Jerry")
+    assert(r.getString(1) === "http://a.com/x?q=2")
+    assert(r.getDouble(2) < 0.5)
+    assert(math.abs(r.getDouble(3) - 4.0 / 10) < 1e-9)
+    assert(math.abs(r.getDouble(4) - 6.0 / 10) < 1e-9)
+  }
+
   test("normalizeText: controls to spaces, runs collapsed, ends trimmed") {
     val df = Seq((1L, " ab\tc  d\ne ")).toDF("id", "s")
     val r = df.select(TextAnalysis.normalizeText(col("s")).as("n")).head()
