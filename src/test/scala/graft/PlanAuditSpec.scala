@@ -390,6 +390,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(opCount(ps, "Exchange") == 0, s"sniff must not shuffle:\n$ps")
   }
 
+  test("html strip, url canonicalization, script fracs stay scan-side") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val fracs = ops.TextAnalysis.scriptFracs(col("text"))
+      .map { case (n, c) => c.as(n) }
+    val p = plan(docs.select(Seq(col("doc_id"),
+      ops.TextAnalysis.stripHtml(col("text")).as("h"),
+      ops.TextAnalysis.canonicalUrl(col("text")).as("u")) ++ fracs: _*))
+    assert(opCount(p, "Exchange") == 0, s"must ride the scan:\n$p")
+  }
+
+  test("span dedup plans no cartesian and no per-gram window") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val p = plan(ops.Dedup.dedupSpansKeepFirst(docs, "text", "doc_id", n = 7))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // keeper selection must be the min-struct AGGREGATE, not a window
+    // (a window partitioned by gram serializes boilerplate grams)
+    assert(!p.contains("Window"), s"no window operator:\n$p")
+  }
+
   test("interleave plans no per-stratum window and no cartesian") {
     // the scale-killer formulation is a Window partitioned by stratum
     // (one task per stratum); the census implementation must not plan one
