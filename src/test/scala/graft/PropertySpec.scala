@@ -394,6 +394,36 @@ class PropertySpec extends SparkSpec {
     }, n = 5)
   }
 
+  test("media sniff never throws and never mislabels on arbitrary bytes") {
+    // corrupt payloads are the COMMON case at crawl scale — the sniffer's
+    // contract is total: any byte string returns a MediaInfo, and a
+    // recognized format implies positive metadata
+    val genBytes = Gen.oneOf(
+      Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray),
+      // adversarial: real magic prefixes glued to random tails
+      for {
+        magic <- Gen.oneOf(
+          Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte),
+          "GIF89a".getBytes, "BM".getBytes, "RIFF".getBytes,
+          Array(0xff, 0xd8, 0xff).map(_.toByte), Array.emptyByteArray)
+        tail <- Gen.listOfN(24, Gen.choose(Byte.MinValue, Byte.MaxValue))
+      } yield magic ++ tail.toArray)
+    check(Prop.forAll(genBytes) { bs =>
+      val info = graft.ops.Multimodal.sniff(bs)
+      val metaOk = info.format match {
+        case "png" | "gif" | "bmp" | "jpeg" =>
+          info.width.exists(_ > 0) && info.height.exists(_ > 0)
+        case "wav" =>
+          info.sampleRate.exists(_ > 0) && info.channels.exists(_ > 0)
+        case "unknown" =>
+          info.width.isEmpty && info.height.isEmpty &&
+            info.sampleRate.isEmpty && info.channels.isEmpty
+        case _ => false
+      }
+      metaOk
+    }, n = 200)
+  }
+
   test("updateTable rewrites in place with read-your-writes") {
     val path = "/root/repo/target/test_updatetable"
     val supp = spark.read.parquet(s"${sf()}/supplier.parquet")
