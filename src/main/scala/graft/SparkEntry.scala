@@ -1304,6 +1304,37 @@ object SparkEntry {
           "doc_id", "lang", cap = 70L)
         .orderBy("doc_id")),
 
+    // UniMax epoch-capped budget allocation — derived checks: no group
+    // exceeds the epoch cap, each group's weight is a single constant,
+    // the emitted budget matches the target, and all uncapped groups
+    // receive the same row budget (the water-fill's defining property)
+    "q_unimax" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val w = Sampling.unimaxWeights(docs, "lang", budgetScale = 1.5,
+        maxEpochs = 4.0)
+      val perGroup = pin(docs.select(col("lang"), w.as("epochs"))
+        .groupBy("lang").agg(count(lit(1)).as("n"),
+          first("epochs").as("epochs"),
+          countDistinct("epochs").as("n_eps")))
+      val uncappedBudget =
+        when(col("epochs") < 4.0 - 1e-6, col("n") * col("epochs"))
+      val one = perGroup.agg(
+        sum(when(col("epochs") > 4.0 + 1e-9, 1L).otherwise(0L)).as("over_cap"),
+        sum(when(col("n_eps") =!= 1, 1L).otherwise(0L)).as("inconsistent"),
+        sum(col("n") * col("epochs")).as("alloc"),
+        sum(col("n")).as("total"),
+        (max(uncappedBudget) - min(uncappedBudget)).as("spread"),
+        count(lit(1)).as("n_groups"))
+      checkRows(one,
+        "cap_respected" -> (col("over_cap") === 0L),
+        "per_group_constant" -> (col("inconsistent") === 0L),
+        "budget_conserved" -> (abs(col("alloc") - col("total") * 1.5) <=
+          col("total") * 1.5 * 1e-3),
+        "uncapped_uniform" -> (coalesce(col("spread"), lit(0.0)) <=
+          greatest(col("alloc") * 1e-3, lit(1.0))),
+        "groups_nonempty" -> (col("n_groups") >= 1L))
+    }),
+
     // deterministic proportional interleave: training order in which any
     // contiguous slice holds each source in ≈ its corpus share
     "q_interleave" -> ((s, dir) =>
@@ -3433,6 +3464,9 @@ object SparkEntry {
       "q_dedup_spans" -> checksOracle("had_duplicates", "dup_grams_destroyed",
         "keeper_survives", "docs_touched", "clean_docs_one_piece",
         "full_roster"),
+
+      "q_unimax" -> checksOracle("cap_respected", "per_group_constant",
+        "budget_conserved", "uncapped_uniform", "groups_nonempty"),
 
       "q_heavy_hitters" -> checksOracle("no_undercount", "overcount_bounded",
         "candidates_complete"),

@@ -250,6 +250,73 @@ object Sampling {
       branches, Some(toExpression(lit(0.0)))))
   }
 
+  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): split a total row budget across groups as UNIFORMLY
+    * as possible, except no group repeats more than `maxEpochs` times —
+    * the published alternative to temperature sampling whose knob is an
+    * epoch CAP instead of an exponent. Water-filling on the group
+    * census: groups whose full `size × maxEpochs` allotment fits under
+    * the uniform share are capped there, and their leftover budget
+    * re-splits uniformly among the rest, repeating until no new group
+    * caps. Pure driver arithmetic on the O(groups) census —
+    * deterministic, engine-independent.
+    *
+    * Returns (group, groupSize, epochs): epochs ∈ (0, maxEpochs] with
+    * `Σ size·epochs = min(budget, Σ size·maxEpochs)` (the budget is
+    * unreachable once every group is capped). Feed the epochs to
+    * [[upsampleByWeight]] (via [[unimaxWeights]]) to materialize the
+    * mixture.
+    */
+  def unimaxAllocation(sizes: Seq[(String, Long)], budget: Double,
+                       maxEpochs: Double): Seq[(String, Long, Double)] = {
+    require(sizes.nonEmpty, "unimaxAllocation: no groups")
+    require(sizes.forall(_._2 > 0), "unimaxAllocation: group sizes positive")
+    require(budget > 0 && maxEpochs > 0,
+      s"unimaxAllocation: budget/maxEpochs positive: $budget/$maxEpochs")
+    val total = math.min(budget, sizes.map(s => s._2 * maxEpochs).sum)
+    val alloc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var open = sizes.sortBy(_._1) // deterministic order
+    var remaining = total
+    while (open.nonEmpty) {
+      val fair = remaining / open.size
+      val (capped, uncapped) = open.partition(_._2 * maxEpochs <= fair)
+      if (capped.isEmpty) { // every iteration caps >= 1 group or ends here
+        uncapped.foreach { case (g, _) => alloc(g) = fair }
+        open = Nil
+      } else {
+        capped.foreach { case (g, n) => alloc(g) = n * maxEpochs }
+        remaining -= capped.map(_._2 * maxEpochs).sum
+        open = uncapped
+      }
+    }
+    sizes.sortBy(_._1).map { case (g, n) => (g, n, alloc(g) / n) }
+  }
+
+  /** [[unimaxAllocation]] as a scan-side weight Column over `groupCol`
+    * (the [[temperatureWeights]] shape: census → driver arithmetic → one
+    * flat CASE literal riding the scan, 6-decimal rounded for an
+    * engine-stable draw downstream). `budgetScale` is the target corpus
+    * size as a multiple of the input rows (1.5 = "emit 1.5× the corpus").
+    */
+  def unimaxWeights(df: DataFrame, groupCol: String, budgetScale: Double,
+                    maxEpochs: Double): Column = {
+    val counts: Seq[(String, Long)] = df.groupBy(groupCol).count().collect()
+      .collect { case r if !r.isNullAt(0) => (r.get(0).toString, r.getLong(1)) }
+      .toSeq.sortBy(_._1)
+    require(counts.nonEmpty, "unimaxWeights: no non-null groups")
+    val budget = budgetScale * counts.map(_._2).sum
+    val eps = unimaxAllocation(counts, budget, maxEpochs)
+      .map { case (g, _, e) => (g, math.floor(e * 1e6 + 0.5) / 1e6) }
+    import org.apache.spark.sql.graft.ColumnShim.{toColumn, toExpression}
+    val branches = eps.map { case (g, w) =>
+      (toExpression(col(groupCol).cast("string") === g),
+        toExpression(lit(w)))
+    }
+    toColumn(org.apache.spark.sql.catalyst.expressions.CaseWhen(
+      branches, Some(toExpression(lit(0.0)))))
+  }
+
   /** Deterministic weighted UPSAMPLING — the epochs-greater-than-1 half of
     * mixture weighting ([[stratifiedSample]] covers rates ≤ 1): emit each
     * row `floor(w)` times plus one extra copy with probability

@@ -22,8 +22,9 @@ class CurationE2ESpec extends SparkSpec {
     m.foreach { case (metric, ok) => assert(ok, s"check failed: $metric") }
   }
 
-  test("q_compress_ratio, q_media_sniff, q_dedup_spans report all-green metrics") {
-    for (q <- Seq("q_compress_ratio", "q_media_sniff", "q_dedup_spans")) {
+  test("q_compress_ratio, q_media_sniff, q_dedup_spans, q_unimax all-green") {
+    for (q <- Seq("q_compress_ratio", "q_media_sniff", "q_dedup_spans",
+        "q_unimax")) {
       val m = checksOf(q)
       assert(m.nonEmpty, q)
       m.foreach { case (metric, ok) => assert(ok, s"$q check failed: $metric") }

@@ -486,6 +486,48 @@ class SamplingSpec extends SparkSpec {
     assert(e.getMessage.contains("stratum_rank"))
   }
 
+  test("unimaxAllocation: hand-computed water-fill, caps, conservation") {
+    // sizes 100/10/10, budget 180, cap 4: fair=60 -> both small groups
+    // cap at 40 each (10x4); remaining 100 all goes to the big group
+    val got = Sampling.unimaxAllocation(
+      Seq(("big", 100L), ("s1", 10L), ("s2", 10L)), budget = 180.0,
+      maxEpochs = 4.0).map { case (g, n, e) => g -> ((n, e)) }.toMap
+    assert(got("s1") === ((10L, 4.0)) && got("s2") === ((10L, 4.0)))
+    assert(got("big") === ((100L, 1.0))) // 100 rows / 100 size
+    // no cap binds when the budget is small: pure uniform split
+    val uni = Sampling.unimaxAllocation(
+      Seq(("a", 100L), ("b", 50L)), budget = 60.0, maxEpochs = 4.0)
+      .map { case (g, n, e) => g -> n * e }.toMap
+    assert(math.abs(uni("a") - 30.0) < 1e-9 && math.abs(uni("b") - 30.0) < 1e-9)
+    // unreachable budget clamps to everyone-at-cap
+    val clamped = Sampling.unimaxAllocation(
+      Seq(("a", 10L), ("b", 20L)), budget = 1e9, maxEpochs = 2.0)
+    assert(clamped.forall { case (_, _, e) => math.abs(e - 2.0) < 1e-9 })
+    // cascading caps: 80/15/5, budget 150, cap 4 -> fair=50: c caps at 20;
+    // fair=65: b caps at 60; a takes the remaining 70
+    val casc = Sampling.unimaxAllocation(
+      Seq(("a", 80L), ("b", 15L), ("c", 5L)), budget = 150.0, maxEpochs = 4.0)
+      .map { case (g, n, e) => g -> n * e }.toMap
+    assert(math.abs(casc("c") - 20.0) < 1e-9)
+    assert(math.abs(casc("b") - 60.0) < 1e-9)
+    assert(math.abs(casc("a") - 70.0) < 1e-9)
+    intercept[IllegalArgumentException](
+      Sampling.unimaxAllocation(Nil, 10.0, 2.0))
+    // the Column form composes with upsampleByWeight into a mixture whose
+    // realized counts track the allocation
+    val df = (0L until 300L).map(i => (i, if (i < 250) "big" else "sml"))
+      .toDF("id", "grp")
+    val w = Sampling.unimaxWeights(df, "grp", budgetScale = 1.5,
+      maxEpochs = 3.0)
+    val up = Sampling.upsampleByWeight(df.withColumn("w8", w), "id",
+      col("w8"))
+    val counts = up.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // budget 450: sml caps at 150 (50x3); big gets 300 of 250 rows = 1.2
+    assert(counts("sml") === 150L)
+    assert(math.abs(counts("big") - 300L) <= 5L) // md5 fractional draw
+  }
+
   test("interleaveStrata: window equivalence, proportional slices, determinism") {
     import org.apache.spark.sql.expressions.Window
     // strata with very different sizes across many input partitions
