@@ -196,6 +196,12 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ANALYZE-style column statistics (exact=true pins the oracle; the
+    // default HLL path is the 100 TB one)
+    "q_table_stats" -> ((s, dir) =>
+      MSTable.tableStats(T(s, dir, "documents"), exact = true)
+        .orderBy("column")),
+
     // table-version diff: version B derives deterministically from the
     // documents table (drops, edits, inserts); the diff must name exactly
     // the keys that changed and how
@@ -2021,6 +2027,16 @@ object SparkEntry {
           |                 ELSE l_quantity END), 4) AS sum_qty,
           |  CAST(count(*) AS BIGINT) AS n
           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_table_stats" -> Seq("doc_id", "lang", "n_chars", "source", "text")
+        .map(c =>
+          s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count($c) AS BIGINT) AS n_nonnull,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  CAST(min($c) AS VARCHAR) AS min_value,
+             |  CAST(max($c) AS VARCHAR) AS max_value
+             |FROM documents""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""),
 
       "q_table_diff" ->
         """WITH b AS (

@@ -304,4 +304,41 @@ object MSTable {
   /** MS-default read (ref: xds_from_ms, daskms/dask_ms.py:297-338). */
   def readMs(spark: SparkSession, path: String, spec: ReadSpec = ReadSpec()): Seq[MSDataset] =
     read(spark, path, if (spec.groupCols.isEmpty) spec.copy(groupCols = ReadSpec.msDefaults.groupCols) else spec)
+
+  /** ANALYZE-style column statistics: one output row per requested
+    * column — (column, n_rows, n_nonnull, n_distinct, min_value,
+    * max_value), min/max cast to string so heterogeneous columns share a
+    * schema. The numbers a curation run reports and a planner prunes by.
+    *
+    * ONE scan computes every column's aggregates (a single `agg` call);
+    * the result is a handful of scalars assembled driver-side. `exact =
+    * true` pins distinct counts for oracle checks; the default uses
+    * `approx_count_distinct` (HLL) — at 100 TB an exact distinct per
+    * column is a full shuffle each, while the sketch rides the same
+    * single pass (and multiple EXACT distincts force an expand ×
+    * columns, another reason the sketch is the scale path).
+    */
+  def tableStats(df: DataFrame, columns: Seq[String] = Nil,
+                 exact: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cols = if (columns.nonEmpty) columns else df.columns.toSeq
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"tableStats: no such column(s): ${missing.mkString(", ")}")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"),
+        (if (exact) countDistinct(col(c))
+         else approx_count_distinct(col(c))).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c"))
+    }
+    val r = df.agg(count(lit(1)).as("n"), aggs: _*).head()
+    val n = r.getAs[Long]("n")
+    cols.map { c =>
+      (c, n, r.getAs[Long](s"nn_$c"), r.getAs[Long](s"nd_$c"),
+        Option(r.getAs[String](s"mn_$c")).orNull,
+        Option(r.getAs[String](s"mx_$c")).orNull)
+    }.toDF("column", "n_rows", "n_nonnull", "n_distinct",
+      "min_value", "max_value")
+  }
 }

@@ -166,6 +166,25 @@ class MSWriteSpec extends SparkSpec {
     assert(back.columns.contains("n_regionkey"))
   }
 
+  test("tableStats: exact per-column stats in one scan; edges defined") {
+    import spark.implicits._
+    val df = Seq((1L, Some("b"), 2.5), (2L, None, 1.5), (3L, Some("a"), 2.5))
+      .toDF("id", "s", "v")
+    val got = MSTable.tableStats(df, exact = true).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5)))).toMap
+    assert(got("id") === ((3L, 3L, 3L, "1", "3")))
+    assert(got("s") === ((3L, 2L, 2L, "a", "b"))) // nulls excluded
+    assert(got("v") === ((3L, 3L, 2L, "1.5", "2.5")))
+    // the default HLL path returns the same shape with sane counts
+    val approx = MSTable.tableStats(df, Seq("id")).head()
+    assert(approx.getLong(3) >= 2L && approx.getLong(3) <= 4L)
+    val e = intercept[IllegalArgumentException](
+      MSTable.tableStats(df, Seq("nope")))
+    assert(e.getMessage.contains("nope"))
+  }
+
   test("diffByKey names exactly the added/removed/changed keys") {
     import spark.implicits._
     val a = Seq((1L, "x", 10), (2L, "y", 20), (3L, null.asInstanceOf[String], 30),
