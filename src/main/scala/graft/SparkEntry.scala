@@ -1310,6 +1310,14 @@ object SparkEntry {
           "doc_id", "lang", cap = 70L)
         .orderBy("doc_id")),
 
+    // leakage-safe split: every row of a source lands in the same split,
+    // by the source's md5 draw against cumulative thresholds
+    "q_split_group" -> ((s, dir) =>
+      Sampling.splitByGroup(
+          T(s, dir, "documents").select(col("doc_id"), col("source")),
+          "source", Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+        .orderBy("doc_id")),
+
     // UniMax epoch-capped budget allocation — derived checks: no group
     // exceeds the epoch cap, each group's weight is a single constant,
     // the emitted budget matches the target, and all uncapped groups
@@ -3483,6 +3491,13 @@ object SparkEntry {
 
       "q_unimax" -> checksOracle("cap_respected", "per_group_constant",
         "budget_conserved", "uncapped_uniform", "groups_nonempty"),
+
+      "q_split_group" ->
+        """SELECT doc_id, source,
+          |  CASE WHEN substr(md5(source), 1, 8) < 'cccccccc' THEN 'train'
+          |       WHEN substr(md5(source), 1, 8) < 'e6666666' THEN 'valid'
+          |       ELSE 'test' END AS split
+          |FROM documents ORDER BY doc_id""".stripMargin,
 
       "q_heavy_hitters" -> checksOracle("no_undercount", "overcount_bounded",
         "candidates_complete"),

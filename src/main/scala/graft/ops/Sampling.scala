@@ -250,6 +250,38 @@ object Sampling {
       branches, Some(toExpression(lit(0.0)))))
   }
 
+  /** Leakage-safe train/validation/test split: every row of a GROUP
+    * (site domain, source document, near-dup cluster rep…) lands in the
+    * SAME split, decided by the group's md5 draw against cumulative
+    * fraction thresholds — the GroupShuffleSplit discipline. Splitting
+    * by row leaks: two near-identical pages from one site land on both
+    * sides of the train/test fence and the eval is contaminated by
+    * construction; splitting by the group key is the fix, and making the
+    * draw a pure function of the group value makes the assignment stable
+    * across runs, engines, and corpus growth (new rows of a known group
+    * join its split). Adds a `split` column; fractions must sum to 1.
+    *
+    * Scale shape: a scan-side CASE over [[hashBucket]] of the group
+    * column — no census, no join, no shuffle.
+    */
+  def splitByGroup(df: DataFrame, groupCol: String,
+                   splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      s"splitByGroup: positive fractions required: $splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"splitByGroup: fractions must sum to 1: ${splits.map(_._2).sum}")
+    requireFreeColumns(df, Seq("split"), "splitByGroup")
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    val draw = hashBucket(col(groupCol))
+    // last split takes everything below threshold 1.0 ("g" > any hex) so
+    // float accumulation error can never leave a row unassigned
+    val assign = splits.init.zip(cum.init).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), c), acc) =>
+      when(draw < lit(thresholdHex(c)), lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", assign)
+  }
+
   /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
     * More Effective Language Sampling for Large-Scale Multilingual
     * Pretraining"): split a total row budget across groups as UNIFORMLY

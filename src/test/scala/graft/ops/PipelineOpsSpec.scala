@@ -486,6 +486,39 @@ class SamplingSpec extends SparkSpec {
     assert(e.getMessage.contains("stratum_rank"))
   }
 
+  test("splitByGroup: group-atomic, ~fractional, stable under growth") {
+    val rows = (0L until 4000L).map(i => (i, s"site${i % 400}"))
+      .toDF("id", "grp")
+    val split = Sampling.splitByGroup(rows, "grp",
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+    // leakage-safety: every group maps to exactly one split
+    assert(split.groupBy("grp")
+      .agg(countDistinct("split").as("k")).filter(col("k") =!= 1)
+      .count() === 0)
+    // fractions land near target (400 groups, binomial spread)
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 4000L)
+    assert(counts("train") > 2800 && counts("train") < 3600, counts.toString)
+    assert(counts.getOrElse("valid", 0L) > 100, counts.toString)
+    assert(counts.getOrElse("test", 0L) > 100, counts.toString)
+    // stability: new rows of KNOWN groups join the existing assignment
+    val grown = rows.unionByName(
+      Seq((9999L, "site7")).toDF("id", "grp"))
+    val a = Sampling.splitByGroup(grown, "grp",
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      .filter(col("grp") === "site7").select("split").distinct().collect()
+    val b = split.filter(col("grp") === "site7")
+      .select("split").distinct().collect()
+    assert(a.toSeq === b.toSeq && a.length === 1)
+    // fractions must sum to 1; reserved column fails fast
+    intercept[IllegalArgumentException](
+      Sampling.splitByGroup(rows, "grp", Seq("a" -> 0.5, "b" -> 0.4)))
+    intercept[IllegalArgumentException](
+      Sampling.splitByGroup(rows.withColumn("split", lit("x")), "grp",
+        Seq("a" -> 1.0)))
+  }
+
   test("unimaxAllocation: hand-computed water-fill, caps, conservation") {
     // sizes 100/10/10, budget 180, cap 4: fair=60 -> both small groups
     // cap at 40 each (10x4); remaining 100 all goes to the big group
