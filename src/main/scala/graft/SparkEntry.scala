@@ -1419,6 +1419,35 @@ object SparkEntry {
     // matches the id sequences, every id addresses the vocabulary with
     // no <unk> fallback, and the ids DECODE back to the lowercased
     // marker-terminated words
+    // BYTE-LEVEL BPE (GPT-2 byte↔unicode bijection, marker-free merges):
+    // derived checks — the id stream decodes back to the EXACT document
+    // bytes (whitespace included), never hits <unk> on ANY input, and
+    // the merges strictly compress vs raw UTF-8 bytes
+    "q_bpe_bytes" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val merges = Bpe.learnBpeByteLevel(docs, "text", numMerges = 150,
+        maxWords = 20000)
+      val vocab = Bpe.vocabFromMerges(merges,
+        extraAlphabet = Bpe.ByteAlphabet)
+      val dec = udf((ids: Seq[Int]) => Bpe.decodeByteLevelIds(ids, vocab))
+      val enc = pin(Bpe.applyBpeIdsByteLevel(docs, "text", merges, vocab)
+        .select(col("doc_id"), col("text"), col("bpe_ids"),
+          col("n_bpe_tokens")))
+      val one = enc.agg(
+        min(dec(col("bpe_ids")) <=> coalesce(col("text"), lit("")))
+          .as("decodes"),
+        min(!array_contains(col("bpe_ids"), 0)).as("no_unk"),
+        sum(col("n_bpe_tokens")).as("n_ids"),
+        sum(length(encode(coalesce(col("text"), lit("")), "UTF-8"))
+          .cast("long")).as("n_bytes"),
+        count(lit(1)).as("n_docs"))
+      checkRows(one,
+        "decodes_byte_exact" -> col("decodes"),
+        "never_unk" -> col("no_unk"),
+        "compresses_vs_bytes" -> (col("n_ids") < col("n_bytes")),
+        "corpus_nonempty" -> (col("n_docs") >= 1L))
+    }),
+
     "q_bpe_ids" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
       val merges = Bpe.learnBpe(docs, "text", numMerges = 200, maxWords = 20000)
@@ -3507,6 +3536,9 @@ object SparkEntry {
 
       "q_bpe_ids" -> checksOracle("artifact_roundtrip", "count_matches_ids",
         "decodes_to_words", "ids_in_vocab", "no_unk_with_full_alphabet"),
+
+      "q_bpe_bytes" -> checksOracle("decodes_byte_exact", "never_unk",
+        "compresses_vs_bytes", "corpus_nonempty"),
 
       // the reconstruction is recomputed from the raw data — a real
       // data-vs-engine hash check, not a constant-true derived row

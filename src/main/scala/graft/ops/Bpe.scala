@@ -67,11 +67,26 @@ object Bpe {
     * published "low/lower/newest/widest" example).
     */
   def learnFromWordFreq(wordFreq: Seq[(String, Long)], numMerges: Int,
-                        minCount: Long = 2L): Seq[(String, String)] = {
-    // each word as a mutable symbol sequence: chars + the end marker
+                        minCount: Long = 2L): Seq[(String, String)] =
+    learnCore(wordFreq, numMerges, minCount, marker = true)
+
+  /** The merge loop WITHOUT the end-of-word marker — the byte-level
+    * (GPT-2) formulation, where pieces already carry their own boundary
+    * information (whitespace runs are pieces) and a marker symbol would
+    * re-introduce the text-collides-with-marker ambiguity the id stream
+    * must not have.
+    */
+  def learnFromPieceFreq(pieceFreq: Seq[(String, Long)], numMerges: Int,
+                         minCount: Long = 2L): Seq[(String, String)] =
+    learnCore(pieceFreq, numMerges, minCount, marker = false)
+
+  private def learnCore(wordFreq: Seq[(String, Long)], numMerges: Int,
+                        minCount: Long, marker: Boolean): Seq[(String, String)] = {
+    // each word as a mutable symbol sequence: chars (+ the end marker)
     val words: Array[(Array[String], Long)] = wordFreq.iterator
       .map { case (w, n) =>
-        (w.map(_.toString).toArray :+ EndOfWord, n)
+        val chars = w.map(_.toString).toArray
+        (if (marker) chars :+ EndOfWord else chars, n)
       }.toArray
     val merges = Seq.newBuilder[(String, String)]
     var syms: Array[Array[String]] = words.map(_._1)
@@ -148,8 +163,18 @@ object Bpe {
     * GPT-2-style application: repeatedly fuse the occurrence of the
     * best-ranked learned pair until none applies.
     */
-  def encodeWord(word: String, ranks: Map[(String, String), Int]): Array[String] = {
-    var s: Array[String] = word.map(_.toString).toArray :+ EndOfWord
+  def encodeWord(word: String, ranks: Map[(String, String), Int]): Array[String] =
+    greedyEncode(word.map(_.toString).toArray :+ EndOfWord, ranks)
+
+  /** [[encodeWord]] WITHOUT the end-of-word marker — the byte-level
+    * piece form (see [[learnFromPieceFreq]]).
+    */
+  def encodePiece(piece: String, ranks: Map[(String, String), Int]): Array[String] =
+    greedyEncode(piece.map(_.toString).toArray, ranks)
+
+  private def greedyEncode(init: Array[String],
+                           ranks: Map[(String, String), Int]): Array[String] = {
+    var s: Array[String] = init
     var continue = s.length > 1
     while (continue) {
       var bestRank = Int.MaxValue
@@ -302,4 +327,133 @@ object Bpe {
     docs.withColumn("bpe_tokens", enc(corpusWords(textCol)))
       .withColumn("n_bpe_tokens", size(col("bpe_tokens")).cast("long"))
   }
+
+  // ------------------------------------------------------------ byte level
+
+  /** GPT-2's byte↔unicode bijection (Radford et al. 2019, the published
+    * `bytes_to_unicode` table): the 188 printable latin-1 bytes map to
+    * themselves and the other 68 to U+0100… in ascending byte order
+    * (space → U+0120 'Ġ', newline → U+010A 'Ċ'). Every UTF-8 byte
+    * becomes exactly one BMP char, so the char-level merge machinery
+    * covers ARBITRARY text — emoji, any script, control bytes — with no
+    * unknown symbol, ever; that totality is why every modern LLM
+    * tokenizer is byte-level.
+    */
+  private[graft] val ByteToChar: Array[Char] = {
+    val keep = ((0x21 to 0x7e) ++ (0xa1 to 0xac) ++ (0xae to 0xff)).toSet
+    val arr = new Array[Char](256)
+    var n = 0
+    (0 until 256).foreach { b =>
+      if (keep(b)) arr(b) = b.toChar
+      else { arr(b) = (256 + n).toChar; n += 1 }
+    }
+    arr
+  }
+  private[graft] val CharToByte: Map[Char, Int] =
+    ByteToChar.zipWithIndex.map { case (c, b) => c -> b }.toMap
+
+  /** The full 256-symbol byte alphabet — pass as `extraAlphabet` to
+    * [[vocabFromMerges]] so byte-level ids can never hit `<unk>`.
+    */
+  val ByteAlphabet: Seq[String] = ByteToChar.map(_.toString).toSeq
+
+  def byteEncode(s: String): String = {
+    val bs = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[Char](bs.length)
+    var i = 0
+    while (i < bs.length) { out(i) = ByteToChar(bs(i) & 0xff); i += 1 }
+    new String(out)
+  }
+
+  def byteDecode(s: String): String = {
+    val out = new Array[Byte](s.length)
+    var i = 0
+    while (i < s.length) {
+      out(i) = CharToByte.getOrElse(s.charAt(i), throw new IllegalArgumentException(
+        s"byteDecode: char U+${s.charAt(i).toInt.toHexString} is not in the byte alphabet")).toByte
+      i += 1
+    }
+    new String(out, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Byte-level pieces: alternating whitespace / non-whitespace runs,
+    * each [[byteEncode]]d — so `byteDecode(pieces).mkString` reproduces
+    * the document EXACTLY (whitespace included), with no end-of-word
+    * marker anywhere to collide with document text.
+    */
+  def byteLevelPieces(text: String): Seq[String] =
+    if (text == null || text.isEmpty) Seq.empty
+    else ByteLevelPiece.findAllIn(text).map(byteEncode).toSeq
+  private val ByteLevelPiece = "(?s)\\s+|\\S+".r
+
+  /** Byte-level BPE training: piece-frequency census over the corpus
+    * (same ONE-job bounded-dictionary shape as [[learnBpe]]) + the
+    * marker-free driver merge loop.
+    */
+  def learnBpeByteLevel(docs: DataFrame, textCol: String, numMerges: Int,
+                        maxWords: Int = 50000,
+                        minCount: Long = 2L): Seq[(String, String)] = {
+    require(numMerges > 0, s"numMerges must be positive: $numMerges")
+    require(maxWords > 0, s"maxWords must be positive: $maxWords")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pieces = udf((t: String) => byteLevelPieces(t))
+    val freq: Array[(String, Long)] = docs
+      .select(explode(pieces(col(textCol))).as("__p"))
+      .groupBy("__p").agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("__p"))
+      .limit(maxWords)
+      .as[(String, Long)].collect()
+    learnFromPieceFreq(freq, numMerges, minCount)
+  }
+
+  /** Whole-text byte-level id encoder: pieces → marker-free greedy merge
+    * → vocabulary ids, with the per-task piece memo of [[WordIdEncoder]].
+    */
+  private final class ByteIdEncoder(
+      stateB: Broadcast[(Map[(String, String), Int], Map[String, Int])])
+      extends (String => Seq[Int]) with Serializable {
+    @transient private lazy val memo =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()
+    override def apply(text: String): Seq[Int] = {
+      val (ranks, ids) = stateB.value
+      val out = Seq.newBuilder[Int]
+      byteLevelPieces(text).foreach { p =>
+        var t = memo.get(p)
+        if (t == null) {
+          t = encodePiece(p, ranks).map(s => ids.getOrElse(s, 0))
+          memo.put(p, t)
+        }
+        out ++= t
+      }
+      out.result()
+    }
+  }
+
+  /** Byte-level apply: adds `bpe_ids` + `n_bpe_tokens`. With a vocab
+    * built over [[ByteAlphabet]], ids are NEVER `<unk>` and
+    * [[decodeByteLevelIds]] reproduces the document byte-exactly —
+    * the lossless-dataloader contract word-level BPE cannot make.
+    */
+  def applyBpeIdsByteLevel(docs: DataFrame, textCol: String,
+                           merges: Seq[(String, String)],
+                           vocab: Seq[String]): DataFrame = {
+    require(!docs.columns.contains("bpe_ids") &&
+      !docs.columns.contains("n_bpe_tokens"),
+      "applyBpeIdsByteLevel reserves output columns bpe_ids, n_bpe_tokens")
+    val ranks: Map[(String, String), Int] =
+      merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    val ids: Map[String, Int] = vocab.zipWithIndex.toMap
+    val stateB = docs.sparkSession.sparkContext.broadcast((ranks, ids))
+    val enc = udf(new ByteIdEncoder(stateB): String => Seq[Int])
+    docs.withColumn("bpe_ids", enc(col(textCol)))
+      .withColumn("n_bpe_tokens", size(col("bpe_ids")).cast("long"))
+  }
+
+  /** Exact inverse of the byte-level id stream: symbols concatenate and
+    * byte-decode straight back to the document — no marker, no
+    * ambiguity, no whitespace loss.
+    */
+  def decodeByteLevelIds(ids: Seq[Int], vocab: Seq[String]): String =
+    byteDecode(ids.map(vocab).mkString)
 }
