@@ -394,6 +394,35 @@ class PropertySpec extends SparkSpec {
     }, n = 5)
   }
 
+  test("byte-level BPE: arbitrary unicode round-trips losslessly, no unk") {
+    import graft.ops.Bpe
+    // whitespace, ascii, accents, CJK, an astral emoji (surrogate pair),
+    // and the marker's own characters — the full nasty-corner alphabet
+    val genChar = Gen.oneOf(Gen.oneOf(' ', '\n', '\t'),
+      Gen.alphaNumChar, Gen.oneOf('é', 'ß', '中', '文', '<', '/', 'w', '>'),
+      Gen.const('\ud83e'), Gen.const('\udd9c')) // 🦜 halves — even unpaired
+    val genText = Gen.listOf(genChar).map(_.mkString)
+    check(Prop.forAll(Gen.listOfN(12, genText)) { texts =>
+      // lone surrogates are not valid strings; normalize like the JVM
+      // would on any IO boundary, then demand EXACT round-trips
+      val docs = texts.map(t => new String(t.getBytes("UTF-8"), "UTF-8"))
+      val freq = docs.flatMap(Bpe.byteLevelPieces)
+        .groupBy(identity).toSeq.map { case (p, ps) => (p, ps.size.toLong) }
+      val merges =
+        if (freq.isEmpty) Nil
+        else Bpe.learnFromPieceFreq(freq, numMerges = 20, minCount = 2)
+      val ranks = merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+      val vocab = Bpe.vocabFromMerges(merges,
+        extraAlphabet = Bpe.ByteAlphabet)
+      val idOf = vocab.zipWithIndex.toMap
+      docs.forall { d =>
+        val ids = Bpe.byteLevelPieces(d)
+          .flatMap(p => Bpe.encodePiece(p, ranks).map(idOf(_)))
+        !ids.contains(0) && Bpe.decodeByteLevelIds(ids, vocab) == d
+      }
+    }, n = 30)
+  }
+
   test("media sniff never throws and never mislabels on arbitrary bytes") {
     // corrupt payloads are the COMMON case at crawl scale — the sniffer's
     // contract is total: any byte string returns a MediaInfo, and a
