@@ -74,5 +74,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         toCatalyst(org.apache.spark.sql.functions.struct(
           fracs.map { case (n, c) => c.as(n) }: _*))
       }))
+    e.injectFunction((FunctionIdentifier("sniff_media"),
+      new ExpressionInfo(graft.ops.Multimodal.getClass.getName, "sniff_media"),
+      (exprs: Seq[Expression]) =>
+        toCatalyst(graft.ops.Multimodal.sniffMedia(toColumn(exprs(0))))))
   }
 }

@@ -50,18 +50,24 @@ class NormalizeSpec extends SparkSpec {
       val fracs = TextAnalysis.scriptFracs(toColumn(exprs(0)))
       toCatalyst(struct(fracs.map { case (n, c) => c.as(n) }: _*))
     })
+    registerFunction(spark, "sniff_media_t",
+      exprs => toCatalyst(Multimodal.sniffMedia(toColumn(exprs(0)))))
     val r = spark.sql(
-      """SELECT s, u, c, f.latin AS lf, f.cyrillic AS cf FROM (
+      """SELECT s, u, c, f.latin AS lf, f.cyrillic AS cf,
+        |  m.format AS fmt, m.width AS w FROM (
         |  SELECT strip_html_t('<p>Tom &amp; Jerry</p>') AS s,
         |    canonical_url_t('HTTP://A.com:80/x?utm_source=1&q=2#f') AS u,
         |    compression_ratio_t('aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa') AS c,
-        |    script_fracs_t('abcd Привет') AS f
+        |    script_fracs_t('abcd Привет') AS f,
+        |    sniff_media_t(unhex('474946383961200010000000')) AS m
         |)""".stripMargin).head()
     assert(r.getString(0) === "Tom & Jerry")
     assert(r.getString(1) === "http://a.com/x?q=2")
     assert(r.getDouble(2) < 0.5)
     assert(math.abs(r.getDouble(3) - 4.0 / 10) < 1e-9)
     assert(math.abs(r.getDouble(4) - 6.0 / 10) < 1e-9)
+    assert(r.getString(5) === "gif")
+    assert(r.getInt(6) === 0x20) // GIF89a, width le16 = 0x0020
   }
 
   test("normalizeText: controls to spaces, runs collapsed, ends trimmed") {
