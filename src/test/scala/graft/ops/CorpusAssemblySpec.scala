@@ -260,4 +260,55 @@ class CorpusAssemblySpec extends SparkSpec {
     val again = assemble()
     assert(out.except(again).count() === 0 && again.except(out).count() === 0)
   }
+
+  test("web ingest leg: html → canonical-url dedup → group split → byte ids") {
+    // the crawl-side front of the pipeline, composed from the r12
+    // operators: raw pages arrive under MANY url spellings, get their
+    // text extracted, collapse on the canonical url, split leakage-safe
+    // by site, and the train slice encodes to byte-level ids that decode
+    // byte-exactly
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .limit(200).select(col("doc_id"), col("text"))
+    val html = concat(lit("<html><body><h1>Page</h1><p>"), col("text"),
+      lit("</p><!-- boilerplate --></body></html>"))
+    val site = concat(lit("site"), pmod(col("doc_id"), lit(23)).cast("string"))
+    // the same page crawled twice under different spellings
+    val crawlA = docs.select(col("doc_id").as("page_id"),
+      concat(lit("HTTPS://WWW."), site, lit(".COM:443/p/"),
+        col("doc_id").cast("string"), lit("?utm_source=feed#top")).as("url"),
+      html.as("html"))
+    val crawlB = docs.select((col("doc_id") + 1000000L).as("page_id"),
+      concat(lit("https://www."), site, lit(".com/p/"),
+        col("doc_id").cast("string")).as("url"),
+      html.as("html"))
+    val pages = crawlA.unionByName(crawlB)
+      .withColumn("text", TextAnalysis.stripHtml(col("html")))
+      .withColumn("url", TextAnalysis.canonicalUrl(col("url")))
+      .withColumn("site", TextAnalysis.urlDomain(col("url")))
+      .drop("html")
+    // both spellings landed on ONE canonical url; url-keyed dedup halves
+    // the crawl (keep-first: the smaller page_id survives)
+    val deduped = Dedup.exactKeepFirst(pages, "url", "page_id")
+    assert(pages.count() === 400 && deduped.count() === 200)
+    assert(deduped.agg(max("page_id")).head().getLong(0) < 1000000L)
+    // extraction produced clean text lines, not markup
+    assert(deduped.filter(col("text").contains("<") ||
+      col("text").contains("boilerplate")).count() === 0)
+    // leakage-safe split: every site wholly in one split
+    val split = Sampling.splitByGroup(deduped, "site",
+      Seq("train" -> 0.8, "test" -> 0.2))
+    assert(split.groupBy("site").agg(countDistinct("split").as("k"))
+      .filter(col("k") =!= 1).count() === 0)
+    val train = split.filter(col("split") === "train")
+    assert(train.count() > 0 && train.count() < 200)
+    // byte-level ids on the train slice decode byte-exactly
+    val merges = Bpe.learnBpeByteLevel(train, "text", numMerges = 60,
+      maxWords = 5000)
+    val vocab = Bpe.vocabFromMerges(merges, extraAlphabet = Bpe.ByteAlphabet)
+    val enc = Bpe.applyBpeIdsByteLevel(train, "text", merges, vocab)
+    val bad = enc.select(col("text"), col("bpe_ids")).collect().count { r =>
+      Bpe.decodeByteLevelIds(r.getSeq[Int](1), vocab) != r.getString(0)
+    }
+    assert(bad === 0, s"byte-level decode mismatches: $bad")
+  }
 }
