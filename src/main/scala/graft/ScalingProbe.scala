@@ -340,6 +340,29 @@ object ScalingProbe {
     // the shape a dedup pipeline is FOR; not an output-quadratic probe
     time("curation_e2e") { d =>
       SparkEntry.queries("q_curation_e2e")(spark, d).count() }
+    // Gopher duplicate line/para fractions: pure scan-side array algebra
+    // over the reshaped text — expect ~scan-bound
+    time("gopher_dup") { d =>
+      SparkEntry.queries("q_gopher_dup")(spark, d)
+        .agg(sum("dup_line_frac"), sum("dup_para_char_frac")).collect(); 1L }
+    // TokenBin sink+source: one hash repartition + streaming binary append,
+    // then a shard-per-partition scan back — expect ~linear in tokens
+    // (shards scale with the corpus: constant tokens per shard)
+    time("tokenbin_write+read") { d =>
+      val nt = graft.ops.TextAnalysis.tokenCount(col("text"))
+      val enc = spark.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"),
+          when(nt < 1, array().cast("array<int>"))
+            .otherwise(sequence(lit(1), nt)).as("ids"))
+      // distinct dir per scale: a shared dir would leave the N× run's
+      // higher-numbered shard files for a later 1× read to pick up
+      val out = s"/root/repo/target/probe_tokenbin_${if (d == big) "N" else "1"}"
+      val sh = if (d == big) 32 * mult else 32
+      graft.sources.TokenBin.write(enc, "doc_id", "ids", out, shards = sh)
+      spark.read.format("tokenbin").load(out)
+        .agg(sum(size(col("ids")))).collect()
+      1L
+    }
     spark.stop()
   }
 }

@@ -36,6 +36,23 @@ object SparkEntry {
     docs.select(col("doc_id"), array_join(lines, "\n").as("text"))
   }
 
+  /** [[syntheticLines]] further shaped into paragraphs: lines of
+    * `wordsPerLine` words grouped `linesPerPara` at a time, single
+    * newlines inside a paragraph, a blank line between paragraphs — the
+    * layout the Gopher duplicate line/paragraph signals are defined over.
+    */
+  private[graft] def syntheticParagraphs(docs: DataFrame, wordsPerLine: Int,
+                                         linesPerPara: Int): DataFrame = {
+    val arr = filter(split(trim(col("text")), "\\s+"), w => length(w) > 0)
+    val nl = ceil(size(arr) / lit(wordsPerLine.toDouble)).cast("int")
+    val lines = transform(sequence(lit(0), greatest(nl, lit(1)) - 1),
+      i => array_join(slice(arr, i * wordsPerLine + 1, lit(wordsPerLine)), " "))
+    val np = ceil(size(lines) / lit(linesPerPara.toDouble)).cast("int")
+    val paras = transform(sequence(lit(0), greatest(np, lit(1)) - 1),
+      i => array_join(slice(lines, i * linesPerPara + 1, lit(linesPerPara)), "\n"))
+    docs.select(col("doc_id"), array_join(paras, "\n\n").as("text"))
+  }
+
   private def T(s: SparkSession, dir: String, n: String): DataFrame =
     // events needs its ts column normalized to session-UTC TimestampType —
     // the physical encoding has varied across testdata generations (see
@@ -1598,6 +1615,44 @@ object SparkEntry {
     // cross-doc duplicates); exact against DuckDB replaying the same
     // build, the same packed (doc,pos) first-occurrence keys, and the
     // same keep-first reassembly
+    // Gopher's duplicate line/paragraph block (Rae 2021 Table A1), the
+    // within-doc complement of q_text_repetition's n-gram half: the
+    // corpus reshaped into 3-word lines / 2-line paragraphs, then the
+    // four duplicate-segment fractions — exact vs DuckDB rebuilding the
+    // same layout and computing the same list algebra
+    "q_gopher_dup" -> ((s, dir) =>
+      TextAnalysis.dupSegmentMetrics(
+          syntheticParagraphs(T(s, dir, "documents"), wordsPerLine = 3,
+            linesPerPara = 2))
+        .select(col("doc_id"),
+          round(col("dup_line_frac"), 6).as("dup_line_frac"),
+          round(col("dup_line_char_frac"), 6).as("dup_line_char_frac"),
+          round(col("dup_para_frac"), 6).as("dup_para_frac"),
+          round(col("dup_para_char_frac"), 6).as("dup_para_char_frac"))
+        .orderBy("doc_id")),
+
+    // TokenBin round-trip: encode each doc as the structural id sequence
+    // 1..n_tokens (SQL-reproducible; real BPE ids ride the same path in
+    // TokenBinSpec), write 4 indexed binary shards, read them back via
+    // the DSv2 source, and emit per-doc shard + md5 of the id list — the
+    // oracle recomputes everything from the documents table, so a match
+    // proves the binary write→read is byte-lossless and placement follows
+    // the pmod rule
+    "q_tokenbin" -> ((s, dir) => {
+      val nt = TextAnalysis.tokenCount(col("text"))
+      val enc = T(s, dir, "documents").select(col("doc_id"),
+        when(nt < 1, array().cast("array<int>"))
+          .otherwise(sequence(lit(1), nt)).as("ids"))
+      val out = tmp("tokenbin")
+      graft.sources.TokenBin.write(enc, "doc_id", "ids", out, shards = 4)
+      s.read.format("tokenbin").load(out)
+        .select(col("key").as("doc_id"), col("shard"),
+          size(col("ids")).as("n_tokens"),
+          md5(array_join(transform(col("ids"), _.cast("string")), ","))
+            .as("ids_md5"))
+        .orderBy("doc_id")
+    }),
+
     "q_dedup_lines" -> ((s, dir) =>
       Dedup.dedupLinesKeepFirst(
           syntheticLines(T(s, dir, "documents"), wordsPerLine = 3),
@@ -3324,6 +3379,65 @@ object SparkEntry {
           |       CAST(count(*) AS BIGINT) AS n_hits
           |FROM sc WHERE cos >= 0.4
           |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+      "q_gopher_dup" ->
+        """WITH w AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(trim(text), '\s+'),
+          |                x -> len(x) > 0) AS arr
+          |  FROM documents
+          |), b AS (
+          |  SELECT doc_id,
+          |    list_transform(
+          |      range(0, greatest(CAST(ceil(len(arr) / 3.0) AS INT), 1)), i ->
+          |        array_to_string(list_slice(arr, i * 3 + 1, i * 3 + 3), ' '))
+          |      AS rawlines
+          |  FROM w
+          |), l AS (
+          |  SELECT doc_id,
+          |    list_filter(rawlines, x -> len(x) > 0) AS lines,
+          |    list_filter(
+          |      list_transform(
+          |        range(0, greatest(CAST(ceil(len(rawlines) / 2.0) AS INT), 1)),
+          |        i -> array_to_string(list_slice(rawlines, i * 2 + 1, i * 2 + 2),
+          |                             chr(10))),
+          |      x -> len(x) > 0) AS paras
+          |  FROM b
+          |), m AS (
+          |  SELECT doc_id,
+          |    len(lines) AS nl, len(list_distinct(lines)) AS ndl,
+          |    coalesce(list_sum(list_transform(lines, x -> len(x))), 0) AS cl,
+          |    coalesce(list_sum(list_transform(list_distinct(lines),
+          |                                     x -> len(x))), 0) AS cdl,
+          |    len(paras) AS np, len(list_distinct(paras)) AS ndp,
+          |    coalesce(list_sum(list_transform(paras, x -> len(x))), 0) AS cp,
+          |    coalesce(list_sum(list_transform(list_distinct(paras),
+          |                                     x -> len(x))), 0) AS cdp
+          |  FROM l
+          |)
+          |SELECT doc_id,
+          |  round(CASE WHEN nl = 0 THEN 0
+          |        ELSE (nl - ndl) / CAST(nl AS DOUBLE) END, 6) AS dup_line_frac,
+          |  round(CASE WHEN cl = 0 THEN 0
+          |        ELSE (cl - cdl) / CAST(cl AS DOUBLE) END, 6) AS dup_line_char_frac,
+          |  round(CASE WHEN np = 0 THEN 0
+          |        ELSE (np - ndp) / CAST(np AS DOUBLE) END, 6) AS dup_para_frac,
+          |  round(CASE WHEN cp = 0 THEN 0
+          |        ELSE (cp - cdp) / CAST(cp AS DOUBLE) END, 6) AS dup_para_char_frac
+          |FROM m ORDER BY doc_id""".stripMargin,
+
+      "q_tokenbin" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    CASE WHEN length(trim(text)) = 0 THEN 0
+          |         ELSE len(string_split_regex(trim(lower(text)), '\s+')) END
+          |      AS nt
+          |  FROM documents
+          |)
+          |SELECT doc_id, CAST(doc_id % 4 AS INT) AS shard,
+          |  CAST(nt AS INT) AS n_tokens,
+          |  md5(array_to_string(range(1, nt + 1), ',')) AS ids_md5
+          |FROM t ORDER BY doc_id""".stripMargin,
 
       "q_dedup_lines" ->
         """WITH w AS (

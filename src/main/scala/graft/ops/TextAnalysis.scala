@@ -156,6 +156,50 @@ object TextAnalysis {
       .withColumn("dup_trigram_frac", dupNgramFrac(t, 3))
   }
 
+  /** Trimmed non-empty segments of `text` split on `sepRegex` — the
+    * shared line/paragraph splitter of the duplicate-segment signals.
+    */
+  def segmentsCol(text: Column, sepRegex: String): Column =
+    filter(transform(split(text, sepRegex), s => trim(s)), s => length(s) > 0)
+
+  /** Within-document duplicate-segment fractions (Gopher, Rae et al. 2021
+    * Table A1): the fraction of segments that are repeats of an earlier
+    * identical segment, by count and by character mass. Returns
+    * (dup_frac, dup_char_frac) columns for a segment-array column —
+    * `(n - n_distinct) / n` and `(chars - distinct_chars) / chars`.
+    * Pure Column algebra over the split array (array_distinct +
+    * aggregate) — scan-side, shuffle-free at 100 TB like the n-gram
+    * repetition profile above.
+    */
+  def dupSegmentFracs(segs: Column): (Column, Column) = {
+    val n = size(segs)
+    val nd = size(array_distinct(segs))
+    val chars = aggregate(segs, lit(0L), (a, x) => a + length(x))
+    val charsD = aggregate(array_distinct(segs), lit(0L), (a, x) => a + length(x))
+    val dupFrac = when(n === 0, lit(0d))
+      .otherwise((n - nd).cast("double") / n.cast("double"))
+    val dupCharFrac = when(chars === 0L, lit(0d))
+      .otherwise((chars - charsD).cast("double") / chars.cast("double"))
+    (dupFrac, dupCharFrac)
+  }
+
+  /** The four Gopher duplicate line/paragraph signals as appended columns:
+    * `dup_line_frac`, `dup_line_char_frac`, `dup_para_frac`,
+    * `dup_para_char_frac`. Lines split on single newlines, paragraphs on
+    * blank-line runs (`\n{2,}`), both trimmed with empties dropped.
+    * Complements [[repetitionMetrics]] (the n-gram half of Gopher's
+    * repetition table) — together they are the full repetition block.
+    */
+  def dupSegmentMetrics(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val (lineDup, lineCharDup) = dupSegmentFracs(segmentsCol(col(textCol), "\n"))
+    val (paraDup, paraCharDup) = dupSegmentFracs(segmentsCol(col(textCol), "\n{2,}"))
+    docs
+      .withColumn("dup_line_frac", lineDup)
+      .withColumn("dup_line_char_frac", lineCharDup)
+      .withColumn("dup_para_frac", paraDup)
+      .withColumn("dup_para_char_frac", paraCharDup)
+  }
+
   /** Unicode script ranges for [[scriptFracs]], as RE2-portable `\x{..}`
     * character-class bodies (Java regex accepts the same syntax, so one
     * literal serves Spark, DuckDB, and any RE2 engine). Deliberately the

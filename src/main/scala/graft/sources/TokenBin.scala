@@ -1,0 +1,285 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+import scala.jdk.CollectionConverters._
+
+/** Indexed binary token shards — the dataloader "last mile" after
+  * tokenization/packing: sequences of int token ids stored as flat
+  * little-endian int32 `.bin` files with an `.idx` sidecar of
+  * (key, length) entries, the layout popularized by the public
+  * Megatron-LM / GPT-NeoX `indexed_dataset` format (token bytes +
+  * an index of sequence offsets a training job memory-maps and seeks).
+  * This engine both produces the shards (distributed, streaming, no
+  * driver data path) and reads them back as a DataFrame via
+  * `spark.read.format("tokenbin").load(dir)`.
+  *
+  * Layout at `dir/`:
+  * {{{
+  *   shard-%05d.bin   int32-LE token ids, sequences back-to-back in key order
+  *   shard-%05d.idx   "GRAFTIDX" magic, version i32, dtype i32, n_seqs i64,
+  *                    then n_seqs x (key i64-LE, len i64-LE)
+  *   manifest.json    {"shards":N,"total_seqs":S,"total_tokens":T,"dtype":"int32"}
+  * }}}
+  *
+  * Scale design:
+  *  - shard assignment is a pure function of the key (`pmod(key, shards)`)
+  *    so placement is reproducible by any engine, and incremental runs
+  *    land a key in the same shard;
+  *  - the write is ONE hash repartition + per-task streaming append —
+  *    executor memory is O(seqs-per-shard x 16 B) for the index entries,
+  *    never the token payload;
+  *  - the read plans one InputPartition per shard, streams the `.bin`
+  *    sequentially (entries are in file order — no seeks), and when the
+  *    projection drops `ids` reads ONLY the `.idx` sidecars: counting
+  *    sequences/tokens over a 100 TB corpus never opens a token byte.
+  */
+object TokenBin {
+  val Magic = "GRAFTIDX"
+  val Version = 1
+  val DtypeInt32 = 4
+
+  val schema: StructType = StructType(Seq(
+    StructField("shard", IntegerType, nullable = false),
+    StructField("key", LongType, nullable = false),
+    StructField("ids", ArrayType(IntegerType, containsNull = false),
+      nullable = false)))
+
+  /** Write `df`'s (`keyCol`: castable to long, `idsCol`: array<int>) as
+    * `shards` indexed binary shards under `outDir`. shard =
+    * `pmod(key, shards)`; within a shard, sequences are in key order.
+    * Returns (total_seqs, total_tokens) — counted by accumulator on the
+    * same single pass that writes the bytes.
+    */
+  def write(df: DataFrame, keyCol: String, idsCol: String, outDir: String,
+            shards: Int): (Long, Long) = {
+    require(shards > 0, s"tokenbin: shards must be positive: $shards")
+    val spark = df.sparkSession
+    val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
+    val root = new Path(outDir)
+    root.getFileSystem(conf.value).mkdirs(root)
+    val rows = df.select(
+      pmod(col(keyCol).cast("long"), lit(shards.toLong)).cast("int").as("shard"),
+      col(keyCol).cast("long").as("key"),
+      col(idsCol).cast("array<int>").as("ids"))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions("shard", "key")
+    val seqAcc = spark.sparkContext.longAccumulator("tokenbin.seqs")
+    val tokAcc = spark.sparkContext.longAccumulator("tokenbin.tokens")
+    rows.foreachPartition { (it: Iterator[Row]) =>
+      // a hash partition may carry several shard values (or none); the
+      // sort makes each shard a contiguous run — stream each run into its
+      // own .bin and close it with its .idx sidecar
+      val cfs = new Path(outDir).getFileSystem(conf.value)
+      var cur = -1
+      var bin: java.io.DataOutputStream = null
+      val keys = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val lens = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def closeShard(): Unit = if (cur >= 0) {
+        bin.close()
+        val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+          cfs.create(new Path(outDir, f"shard-$cur%05d.idx"), true), 1 << 16))
+        try {
+          out.writeBytes(Magic)
+          writeIntLE(out, Version); writeIntLE(out, DtypeInt32)
+          writeLongLE(out, keys.length.toLong)
+          var i = 0
+          while (i < keys.length) {
+            writeLongLE(out, keys(i)); writeLongLE(out, lens(i)); i += 1
+          }
+        } finally out.close()
+        keys.clear(); lens.clear(); cur = -1; bin = null
+      }
+      it.foreach { r =>
+        val s = r.getInt(0)
+        if (s != cur) {
+          closeShard()
+          cur = s
+          bin = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+            cfs.create(new Path(outDir, f"shard-$s%05d.bin"), true), 1 << 16))
+        }
+        val ids = r.getSeq[Int](2)
+        keys += r.getLong(1); lens += ids.length.toLong
+        seqAcc.add(1L); tokAcc.add(ids.length.toLong)
+        val bb = ByteBuffer.allocate(ids.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+        ids.foreach(bb.putInt)
+        bin.write(bb.array())
+      }
+      closeShard()
+    }
+    val fs = root.getFileSystem(conf.value)
+    val manifest = s"""{"shards": $shards, "total_seqs": ${seqAcc.value}, """ +
+      s""""total_tokens": ${tokAcc.value}, "dtype": "int32"}"""
+    val out = fs.create(new Path(root, "manifest.json"), true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+    (seqAcc.value, tokAcc.value)
+  }
+
+  private def writeIntLE(o: java.io.DataOutputStream, v: Int): Unit = {
+    o.write(v & 0xFF); o.write((v >>> 8) & 0xFF)
+    o.write((v >>> 16) & 0xFF); o.write((v >>> 24) & 0xFF)
+  }
+  private def writeLongLE(o: java.io.DataOutputStream, v: Long): Unit = {
+    writeIntLE(o, (v & 0xFFFFFFFFL).toInt); writeIntLE(o, (v >>> 32).toInt)
+  }
+
+  private[sources] def readIntLE(in: java.io.DataInputStream): Int = {
+    val a = in.read(); val b = in.read(); val c = in.read(); val d = in.read()
+    if ((a | b | c | d) < 0) throw new java.io.EOFException("tokenbin idx truncated")
+    a | (b << 8) | (c << 16) | (d << 24)
+  }
+  private[sources] def readLongLE(in: java.io.DataInputStream): Long =
+    (readIntLE(in).toLong & 0xFFFFFFFFL) | (readIntLE(in).toLong << 32)
+}
+
+/** `spark.read.format("tokenbin").load(dir)` — DSv2 reader over a TokenBin
+  * shard directory: one InputPartition per shard, sequential streaming of
+  * the token bytes, idx-only scans when `ids` is pruned away.
+  */
+class TokenBinDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "tokenbin"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TokenBin.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new TokenBinTable(properties.get("path"))
+}
+
+class TokenBinTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"tokenbin:$path"
+  override def schema(): StructType = TokenBin.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TokenBinScanBuilder(path)
+}
+
+class TokenBinScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = TokenBin.schema
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val names = requiredSchema.fieldNames.toSet
+    val kept = StructType(TokenBin.schema.fields.filter(f => names(f.name)))
+    // empty projection (count(*)) keeps `key` — rows enumerate from the
+    // idx sidecar alone, the .bin is never opened
+    required = if (kept.isEmpty)
+      StructType(TokenBin.schema.fields.filter(_.name == "key")) else kept
+  }
+  override def build(): Scan = new TokenBinScan(path, required)
+}
+
+case class TokenBinPartition(shard: Int, idxFile: String, binFile: String)
+    extends InputPartition
+
+class TokenBinScan(path: String, required: StructType) extends Scan with Batch {
+  private lazy val hadoopConf =
+    SparkSession.active.sessionState.newHadoopConf()
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val fs = new Path(path).getFileSystem(hadoopConf)
+    val statuses = fs.globStatus(new Path(path, "shard-*.idx"))
+    require(statuses != null && statuses.nonEmpty,
+      s"tokenbin: no shard-*.idx files at $path")
+    statuses.map(_.getPath).sortBy(_.getName).map { idx =>
+      val name = idx.getName.stripSuffix(".idx")
+      val shard = name.stripPrefix("shard-").toInt
+      TokenBinPartition(shard, idx.toString,
+        new Path(idx.getParent, s"$name.bin").toString): InputPartition
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableConfiguration(hadoopConf)
+    val fields = required.fieldNames
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new TokenBinPartitionReader(p.asInstanceOf[TokenBinPartition], fields, conf)
+    }
+  }
+}
+
+class TokenBinPartitionReader(part: TokenBinPartition, fields: Array[String],
+                              conf: SerializableConfiguration)
+    extends PartitionReader[InternalRow] {
+  private val wantIds = fields.contains("ids")
+  private val fs = new Path(part.idxFile).getFileSystem(conf.value)
+
+  private val (keys, lens): (Array[Long], Array[Long]) = {
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      fs.open(new Path(part.idxFile)), 1 << 16))
+    try {
+      val magic = new Array[Byte](8)
+      in.readFully(magic)
+      require(new String(magic, "US-ASCII") == TokenBin.Magic,
+        s"tokenbin: bad magic in ${part.idxFile}")
+      val version = TokenBin.readIntLE(in)
+      require(version == TokenBin.Version,
+        s"tokenbin: unsupported version $version in ${part.idxFile}")
+      val dtype = TokenBin.readIntLE(in)
+      require(dtype == TokenBin.DtypeInt32,
+        s"tokenbin: unsupported dtype code $dtype in ${part.idxFile}")
+      val n = TokenBin.readLongLE(in)
+      require(n >= 0 && n <= Int.MaxValue, s"tokenbin: bad n_seqs $n")
+      val ks = new Array[Long](n.toInt); val ls = new Array[Long](n.toInt)
+      var i = 0
+      while (i < n.toInt) {
+        ks(i) = TokenBin.readLongLE(in); ls(i) = TokenBin.readLongLE(in); i += 1
+      }
+      (ks, ls)
+    } finally in.close()
+  }
+
+  // entries are in .bin file order, so a plain buffered stream walks the
+  // token bytes with zero seeks
+  private val bin: java.io.DataInputStream =
+    if (wantIds) new java.io.DataInputStream(new java.io.BufferedInputStream(
+      fs.open(new Path(part.binFile)), 1 << 16))
+    else null
+
+  private var i = -1
+  override def next(): Boolean = { i += 1; i < keys.length }
+
+  override def get(): InternalRow = {
+    val row = new GenericInternalRow(fields.length)
+    var f = 0
+    while (f < fields.length) {
+      fields(f) match {
+        case "shard" => row.setInt(f, part.shard)
+        case "key"   => row.setLong(f, keys(i))
+        case "ids" =>
+          val n = lens(i).toInt
+          val bytes = new Array[Byte](n * 4)
+          bin.readFully(bytes)
+          val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+          val ids = new Array[Int](n)
+          var j = 0
+          while (j < n) { ids(j) = bb.getInt(j * 4); j += 1 }
+          row.update(f, new GenericArrayData(ids))
+        case other =>
+          throw new IllegalArgumentException(s"tokenbin: unknown column $other")
+      }
+      f += 1
+    }
+    row
+  }
+
+  override def close(): Unit = if (bin != null) bin.close()
+}

@@ -333,6 +333,33 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("Gopher duplicate line/paragraph metrics stay scan-side, zero shuffles") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val p = plan(ops.TextAnalysis.dupSegmentMetrics(docs, "text")
+      .select("doc_id", "dup_line_frac", "dup_para_char_frac"))
+    assert(!p.contains("ExistingRDD"), s"fell back to RDD:\n$p")
+    assert(opCount(p, "Exchange") == 0, s"must not shuffle:\n$p")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"read columns it does not need: $readSchema")
+  }
+
+  test("tokenbin: key-only scan prunes the ids column out of the DSv2 read") {
+    import spark.implicits._
+    val out = "/root/repo/target/tokenbin_audit"
+    graft.sources.TokenBin.write(
+      Seq((1L, Seq(1, 2)), (2L, Seq(3))).toDF("key", "ids"),
+      "key", "ids", out, shards = 2)
+    // pruned projection must reach the DSv2 scan: the BatchScan's output
+    // attribute list carries key only (TokenBinSpec proves it behaviorally
+    // by deleting the .bin files and scanning anyway)
+    val scanLine = spark.read.format("tokenbin").load(out).select("key")
+      .queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("BatchScan")).mkString
+    assert(scanLine.contains("key#") && !scanLine.contains("ids#"),
+      s"ids not pruned from tokenbin scan: $scanLine")
+  }
+
   test("duplicate-segment rewrite: hash-aggs + anti-join, no cartesian") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val p = plan(ops.Dedup.dedupTextSegments(docs, "text", "doc_id"))

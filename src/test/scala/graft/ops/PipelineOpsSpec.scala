@@ -25,6 +25,37 @@ class RepetitionSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - 1.0 / 3) < 1e-12)
   }
 
+  test("duplicate line/paragraph fractions match hand counts") {
+    // lines: x, y, x, z (x duplicated once); paragraphs "x\ny" and "x\nz"
+    // are distinct
+    val text = "x\ny\n\nx\nz"
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val r = TextAnalysis.dupSegmentMetrics(df, "text").head()
+    assert(r.getAs[Double]("dup_line_frac") === 0.25)     // 4 lines, 3 distinct
+    assert(r.getAs[Double]("dup_line_char_frac") === 0.25) // 4 chars, 1 dup char
+    assert(r.getAs[Double]("dup_para_frac") === 0.0)
+    assert(r.getAs[Double]("dup_para_char_frac") === 0.0)
+
+    // duplicated paragraph, char-weighted: "ab\ncd" twice + "e" once ->
+    // paras 3, distinct 2 -> dup 1/3; chars 5+5+1=11, distinct 6 -> 5/11
+    val t2 = "ab\ncd\n\nab\ncd\n\ne"
+    val r2 = TextAnalysis.dupSegmentMetrics(
+      Seq((1L, t2)).toDF("doc_id", "text"), "text").head()
+    assert(math.abs(r2.getAs[Double]("dup_para_frac") - 1.0 / 3) < 1e-12)
+    assert(math.abs(r2.getAs[Double]("dup_para_char_frac") - 5.0 / 11) < 1e-12)
+  }
+
+  test("duplicate segments: empty and whitespace-only text give zero, not NaN") {
+    val df = Seq((1L, ""), (2L, "   \n  \n\n "), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val rs = TextAnalysis.dupSegmentMetrics(df, "text").orderBy("doc_id").collect()
+    for (r <- rs.take(2); c <- Seq("dup_line_frac", "dup_line_char_frac",
+        "dup_para_frac", "dup_para_char_frac"))
+      assert(r.getAs[Double](c) === 0.0, s"doc ${r.getLong(0)} $c")
+    // null text propagates null (no fabricated zero for missing data)
+    assert(rs(2).isNullAt(rs(2).fieldIndex("dup_line_frac")))
+  }
+
   test("short texts: n-gram windows beyond length give zero, not NaN") {
     val df = Seq((1L, "solo")).toDF("doc_id", "text")
     val r = df.select(

@@ -1,0 +1,86 @@
+package graft.sources
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** TokenBin indexed-binary shard sink + DSv2 reader: round-trip fidelity,
+  * shard placement, idx-only pruned scans, and real BPE ids through the
+  * binary path.
+  */
+class TokenBinSpec extends SparkSpec {
+
+  private def tmp(name: String) = s"/root/repo/target/tokenbin_test/$name"
+
+  test("round-trip: keys, shard placement, and exact id sequences survive") {
+    import spark.implicits._
+    val in = Seq(
+      (0L, Seq(5, 6, 7)),
+      (1L, Seq.empty[Int]),           // empty sequence
+      (2L, Seq(Int.MaxValue, -1, 0)), // full int range
+      (5L, (1 to 1000).toSeq),        // crosses write-buffer boundaries
+      (-3L, Seq(9)),                  // negative key -> pmod shard
+      (7L, Seq(42))
+    ).toDF("key", "ids")
+    val out = tmp("roundtrip")
+    val (nSeqs, nToks) = TokenBin.write(in, "key", "ids", out, shards = 4)
+    assert(nSeqs == 6)
+    assert(nToks == 3 + 0 + 3 + 1000 + 1 + 1)
+
+    val back = spark.read.format("tokenbin").load(out)
+      .orderBy("key").collect()
+    assert(back.length == 6)
+    val byKey = back.map(r => r.getLong(1) -> r).toMap
+    in.collect().foreach { r =>
+      val k = r.getLong(0)
+      val got = byKey(k)
+      assert(got.getInt(0) == ((k % 4 + 4) % 4).toInt, s"shard of $k")
+      assert(got.getSeq[Int](2) == r.getSeq[Int](1), s"ids of $k")
+    }
+  }
+
+  test("pruned projection reads only the idx sidecars (no .bin open needed)") {
+    import spark.implicits._
+    val out = tmp("pruned")
+    TokenBin.write(Seq((1L, Seq(1, 2)), (2L, Seq(3))).toDF("key", "ids"),
+      "key", "ids", out, shards = 2)
+    // delete the .bin files; a key/count-only scan must still succeed
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val bins = fs.globStatus(new org.apache.hadoop.fs.Path(out, "*.bin"))
+    assert(bins.nonEmpty)
+    bins.foreach(b => fs.delete(b.getPath, false))
+    val keys = spark.read.format("tokenbin").load(out)
+      .select("key").orderBy("key").as[Long].collect()
+    assert(keys.toSeq == Seq(1L, 2L))
+    assert(spark.read.format("tokenbin").load(out).count() == 2)
+  }
+
+  test("manifest records shard count and totals") {
+    import spark.implicits._
+    val out = tmp("manifest")
+    TokenBin.write(Seq((1L, Seq(1, 2, 3)), (9L, Seq(4))).toDF("key", "ids"),
+      "key", "ids", out, shards = 3)
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "manifest.json")), "UTF-8")
+    assert(txt.contains("\"shards\": 3"))
+    assert(txt.contains("\"total_seqs\": 2"))
+    assert(txt.contains("\"total_tokens\": 4"))
+    assert(txt.contains("\"dtype\": \"int32\""))
+  }
+
+  test("real BPE ids ride the binary path losslessly") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet").limit(50)
+    val merges = graft.ops.Bpe.learnBpe(docs, "text", numMerges = 40)
+    val vocab = graft.ops.Bpe.vocabFromMerges(merges)
+    val enc = graft.ops.Bpe.applyBpeIds(docs, "text", merges, vocab)
+      .select(col("doc_id"), col("bpe_ids").as("ids"))
+    val out = tmp("bpe")
+    TokenBin.write(enc, "doc_id", "ids", out, shards = 4)
+    val back = spark.read.format("tokenbin").load(out)
+      .select(col("key").as("doc_id"), col("ids").as("ids_back"))
+    val joined = enc.join(back, "doc_id")
+    assert(joined.count() == enc.count())
+    assert(joined.filter(col("ids") =!= col("ids_back")).count() == 0)
+  }
+}
