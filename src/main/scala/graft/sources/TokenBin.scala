@@ -130,6 +130,23 @@ object TokenBin {
     (seqAcc.value, tokAcc.value)
   }
 
+  /** Streaming leg: append one micro-batch as an `epoch-%06d/` shard set —
+    * use inside `foreachBatch` (the idiomatic Structured Streaming escape
+    * hatch for sinks that need whole-batch repartition semantics):
+    * {{{
+    * enc.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+    *   TokenBin.appendBatch(b, "doc_id", "ids", dir, shards = 32, epoch = id)
+    *   ()
+    * }.start()
+    * }}}
+    * Exactly-once by construction: the epoch directory is keyed by the
+    * batch id, so a retried batch overwrites its own files instead of
+    * duplicating them. The reader picks up top-level AND epoch shard sets.
+    */
+  def appendBatch(df: DataFrame, keyCol: String, idsCol: String,
+                  outDir: String, shards: Int, epoch: Long): (Long, Long) =
+    write(df, keyCol, idsCol, f"$outDir/epoch-$epoch%06d", shards)
+
   private def writeIntLE(o: java.io.DataOutputStream, v: Int): Unit = {
     o.write(v & 0xFF); o.write((v >>> 8) & 0xFF)
     o.write((v >>> 16) & 0xFF); o.write((v >>> 24) & 0xFF)
@@ -195,10 +212,13 @@ class TokenBinScan(path: String, required: StructType) extends Scan with Batch {
 
   override def planInputPartitions(): Array[InputPartition] = {
     val fs = new Path(path).getFileSystem(hadoopConf)
-    val statuses = fs.globStatus(new Path(path, "shard-*.idx"))
-    require(statuses != null && statuses.nonEmpty,
-      s"tokenbin: no shard-*.idx files at $path")
-    statuses.map(_.getPath).sortBy(_.getName).map { idx =>
+    // batch layout (shard-*.idx at the root) plus streaming epochs
+    // (epoch-*/shard-*.idx appended by foreachBatch)
+    val statuses =
+      Option(fs.globStatus(new Path(path, "shard-*.idx"))).getOrElse(Array()) ++
+      Option(fs.globStatus(new Path(path, "epoch-*/shard-*.idx"))).getOrElse(Array())
+    require(statuses.nonEmpty, s"tokenbin: no shard-*.idx files at $path")
+    statuses.map(_.getPath).sortBy(_.toString).map { idx =>
       val name = idx.getName.stripSuffix(".idx")
       val shard = name.stripPrefix("shard-").toInt
       TokenBinPartition(shard, idx.toString,

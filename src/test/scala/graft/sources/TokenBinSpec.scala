@@ -69,6 +69,40 @@ class TokenBinSpec extends SparkSpec {
     assert(txt.contains("\"dtype\": \"int32\""))
   }
 
+  test("streaming: foreachBatch appends epoch shard sets the reader unions") {
+    val nt = graft.ops.TextAnalysis.tokenCount(col("text"))
+    val enc = (df: org.apache.spark.sql.DataFrame) => df.select(col("doc_id"),
+      when(nt < 1, array().cast("array<int>"))
+        .otherwise(sequence(lit(1), nt)).as("ids"))
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text").limit(40)
+    val srcDir = tmp("stream_src")
+    docs.repartition(2).write.mode("overwrite").parquet(srcDir)
+    val out = tmp("stream_out")
+    // clear any previous run's epochs (appendBatch only overwrites its own)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = enc(stream).writeStream.foreachBatch {
+      (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        TokenBin.appendBatch(b, "doc_id", "ids", out, shards = 2, epoch = id)
+        ()
+    }.start()
+    q.processAllAvailable(); q.stop()
+    // multiple epoch dirs exist (one per micro-batch)
+    assert(fs.globStatus(new org.apache.hadoop.fs.Path(out, "epoch-*")).length >= 2)
+    val back = spark.read.format("tokenbin").load(out)
+      .select(col("key"), md5(array_join(transform(col("ids"),
+        _.cast("string")), ",")).as("m"))
+    val expect = enc(docs)
+      .select(col("doc_id").as("key"), md5(array_join(transform(col("ids"),
+        _.cast("string")), ",")).as("m"))
+    assert(back.count() == 40)
+    assert(back.except(expect).count() == 0 && expect.except(back).count() == 0)
+  }
+
   test("real BPE ids ride the binary path losslessly") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet").limit(50)
     val merges = graft.ops.Bpe.learnBpe(docs, "text", numMerges = 40)
