@@ -1569,11 +1569,11 @@ object SparkEntry {
     // hybrid retrieval: BM25 top-20 and dense cosine top-20 (doc_id ≡
     // vec_id) fused by reciprocal rank — no score calibration, ranks only
     "q_hybrid_rrf" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val sparse = TextAnalysis.bm25Rank(T(s, dir, "documents"), "text",
-          "doc_id", Seq("spark", "merge", "window", "hash"), topK = 20)
-        .select(col("doc_id"), row_number().over(
-          Window.orderBy(col("score").desc, col("doc_id"))).as("rank"))
+      // rank the bounded top-20 BM25 list without a global window
+      val sparse = TextAnalysis.boundedRank(
+        TextAnalysis.bm25Rank(T(s, dir, "documents"), "text",
+          "doc_id", Seq("spark", "merge", "window", "hash"), topK = 20),
+        "doc_id", "score")
       val emb = T(s, dir, "embeddings")
       val dense = Similarity.bruteForceTopK(
           emb.filter(col("vec_id") === 3), emb,

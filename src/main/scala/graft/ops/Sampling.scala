@@ -18,6 +18,17 @@ import org.apache.spark.sql.functions._
   *    group never materialises in memory); real pipelines pack within
   *    shards exactly like this
   */
+/** Output row of [[Sampling.assemblePackedIds]]. Top-level on purpose: a
+  * case class nested inside the object makes the Dataset encoder's
+  * generated Java fail to compile (janino cannot resolve the nested
+  * accessors), silently demoting every pack-assembly task to the
+  * interpreted projection path.
+  */
+private[graft] final case class PackedRow(grp: String, pack_id: Int,
+                                          packed_ids: Seq[Int],
+                                          doc_ids: Seq[Long],
+                                          n_docs: Long, n_ids: Long)
+
 object Sampling {
 
   /** Fail fast when the input already carries a column name an operator is
@@ -117,10 +128,6 @@ object Sampling {
     if (pack == 0) (1, nt, false)
     else if (cum + nt > maxTokens) (pack + 1, nt, true)
     else (pack, cum + nt, false)
-
-  private final case class PackedRow(grp: String, pack_id: Int,
-                                     packed_ids: Seq[Int], doc_ids: Seq[Long],
-                                     n_docs: Long, n_ids: Long)
 
   /** Physical pack assembly — the dataloader-ready form of
     * [[packSequences]]: one row per (groupCol, pack_id) with the pack's

@@ -586,6 +586,26 @@ object TextAnalysis {
     * of a few hundred rows and one tiny aggregate. At 100 TB nothing
     * here grows with the corpus.
     */
+  /** 1-based dense rank of each row of a BOUNDED frame by
+    * (`scoreCol` desc, `idCol` asc) — the rank a retriever's top-k list
+    * feeds into [[rrfFuse]]. Computed as a broadcast self-join count
+    * (rank = 1 + number of strictly-better rows) instead of a global
+    * window: O(k²) comparisons on a top-k frame, no single-partition
+    * exchange, and no risk of the pattern being copied onto an UNbounded
+    * frame where a global window would serialize the corpus.
+    */
+  def boundedRank(topk: DataFrame, idCol: String, scoreCol: String): DataFrame = {
+    val better = broadcast(topk.select(col(idCol).as("__bid"),
+      col(scoreCol).as("__bscore")))
+    topk.select(col(idCol), col(scoreCol))
+      .join(better,
+        col("__bscore") > col(scoreCol) ||
+          (col("__bscore") === col(scoreCol) && col("__bid") < col(idCol)),
+        "left")
+      .groupBy(col(idCol))
+      .agg((count(col("__bid")) + 1).cast("int").as("rank"))
+  }
+
   def rrfFuse(rankings: Seq[DataFrame], idCol: String,
               kRrf: Int = 60, topK: Int = 20): DataFrame = {
     require(rankings.nonEmpty, "rrfFuse needs at least one ranking")

@@ -1071,6 +1071,24 @@ class RetrievalSpec extends SparkSpec {
       TextAnalysis.rrfFuse(Nil, "doc_id"))
   }
 
+  test("boundedRank matches row_number over (score desc, id asc), no window") {
+    import org.apache.spark.sql.expressions.Window
+    val topk = Seq((5L, 0.9), (2L, 0.9), (9L, 1.4), (1L, 0.1))
+      .toDF("doc_id", "score")
+    val got = TextAnalysis.boundedRank(topk, "doc_id", "score")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = topk.select(col("doc_id"), row_number().over(
+        Window.partitionBy(lit(0)).orderBy(col("score").desc, col("doc_id")))
+        .as("rank"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === want)
+    assert(got === Map(9L -> 1, 2L -> 2, 5L -> 3, 1L -> 4))
+    // and the plan carries no Window node at all
+    val plan = TextAnalysis.boundedRank(topk, "doc_id", "score")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("bm25: hand-computed score on a two-doc corpus") {
     val docs = Seq(
       (1L, "spark spark runs fast"), // tf(spark)=2, dl=4
