@@ -345,6 +345,18 @@ object ScalingProbe {
     time("gopher_dup") { d =>
       SparkEntry.queries("q_gopher_dup")(spark, d)
         .agg(sum("dup_line_frac"), sum("dup_para_char_frac")).collect(); 1L }
+    // image perceptual-hash near-dup: one synthetic PNG per doc pushed
+    // through real decode → dHash → quarter-blocked Hamming join — decode
+    // dominates and is embarrassingly parallel, expect ~linear
+    time("image_neardup") { d =>
+      import org.apache.spark.sql.Encoders
+      val ids = spark.read.parquet(s"$d/documents.parquet")
+        .select("doc_id").as[Long](Encoders.scalaLong)
+      val items = ids.map(id => graft.ops.Multimodal.syntheticGridImage(
+        id, id / 2, flipBit = id % 2 == 1))(
+        Encoders.product[graft.ops.Multimodal.MediaItem])
+      graft.ops.Multimodal.imageNearDup(items).count()
+    }
     // TokenBin sink+source: one hash repartition + streaming binary append,
     // then a shard-per-partition scan back — expect ~linear in tokens
     // (shards scale with the corpus: constant tokens per shard)

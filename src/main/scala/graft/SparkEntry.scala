@@ -2046,6 +2046,23 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("kind"),
           col("byteLen").as("byte_len"), col("digest"))
         .orderBy("doc_id")
+    }),
+
+    // image near-dup via perceptual hash: 240 deterministic PNGs — one
+    // pattern per even id, the odd id a 1-dHash-bit edit of it (different
+    // bytes, different md5, so exact dedup misses the pair) — pushed
+    // through the REAL decode → dHash → quarter-blocked Hamming join.
+    // The oracle is structurally exact: the pair set (2k, 2k+1, hamming 1)
+    // and nothing else (cross-pattern hashes are splitmix64-random 64-bit
+    // points, far beyond Hamming 3 — deterministic, validated at all SFs)
+    "q_image_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val ids = T(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 240).as[Long]
+      val items = ids.map(id =>
+        Multimodal.syntheticGridImage(id, id / 2, flipBit = id % 2 == 1))
+      Multimodal.imageNearDup(items, maxDist = 3)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -3811,6 +3828,11 @@ object SparkEntry {
           |  round(sum(l_quantity * l_extendedprice) / sum(l_extendedprice), 6)
           |    AS wmean_qty
           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_image_dedup" ->
+        """SELECT doc_id AS id_a, doc_id + 1 AS id_b, CAST(1 AS INT) AS hamming
+          |FROM documents WHERE doc_id % 2 = 0 AND doc_id < 240
+          |ORDER BY 1, 2""".stripMargin,
 
       "q_multimodal" ->
         """SELECT doc_id, 'image' AS kind,

@@ -214,6 +214,126 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------ perceptual-hash dedup
+
+  /** 64-bit difference hash (dHash — the classic perceptual image
+    * fingerprint): decode, area-average the luminance onto a 9-wide ×
+    * 8-tall grid, set bit `r*8+c` when cell (r,c) is strictly darker than
+    * its right neighbor (r,c+1). Survives re-encoding (PNG↔BMP of the
+    * same pixels hash identically — spec-pinned) and small edits move few
+    * bits, so Hamming distance ~ visual difference. None for undecodable
+    * payloads or images smaller than the 9×8 grid.
+    */
+  private[graft] def dHash64(bytes: Array[Byte]): Option[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException | _: RuntimeException => null }
+    if (img == null || img.getWidth < 9 || img.getHeight < 8) None
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val sum = Array.ofDim[Double](8, 9)
+      val cnt = Array.ofDim[Long](8, 9)
+      var y = 0
+      while (y < h) {
+        val gy = (y.toLong * 8 / h).toInt
+        var x = 0
+        while (x < w) {
+          val gx = (x.toLong * 9 / w).toInt
+          val rgb = img.getRGB(x, y)
+          sum(gy)(gx) += 0.299 * ((rgb >> 16) & 0xff) +
+            0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+          cnt(gy)(gx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var bits = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          if (sum(r)(c) / cnt(r)(c) < sum(r)(c + 1) / cnt(r)(c + 1))
+            bits |= 1L << (r * 8 + c)
+          c += 1
+        }
+        r += 1
+      }
+      Some(bits)
+    }
+  }
+
+  /** (id, phash) frame over the decodable images of `items` — a narrow
+    * per-partition kernel (the [[extractFeatures]] shape); undecodable
+    * payloads and non-image kinds drop out rather than polluting the
+    * near-dup join with stub hashes.
+    */
+  def imagePHashes(items: Dataset[MediaItem]): DataFrame = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap(i =>
+        if (i.kind == "image") dHash64(i.bytes).map(h => (i.id, h)) else None)
+    }.toDF("id", "phash")
+  }
+
+  /** Image near-duplicate pairs: dHash fingerprints joined through the
+    * SAME 16-bit-quarter Hamming blocking the text SimHash path uses
+    * ([[graft.ops.Dedup.hammingPairs]] — equi-join on quarter values,
+    * pigeonhole-complete for maxDist ≤ 3, never all-pairs). Returns
+    * (id_a, id_b, hamming) with id_a < id_b. The visual complement of
+    * embedding near-dup: catches re-encoded/lightly-edited copies whose
+    * bytes (and md5) differ.
+    */
+  def imageNearDup(items: Dataset[MediaItem], maxDist: Int = 3): DataFrame =
+    Dedup.hammingPairs(imagePHashes(items), "id", "phash", maxDist)
+
+  /** splitmix64 — the deterministic PRF behind [[syntheticGridImage]]
+    * (Steele et al. 2014; fully specified, stable across JVMs).
+    */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic 36×32 PNG whose dHash equals the 72-cell pattern of
+    * `key` exactly (each dHash cell is a constant 4×4 pixel block at gray
+    * 30 or 230). With `flipBit`, cell (key mod 8, 0) is adjusted so that
+    * exactly ONE dHash bit differs from the unflipped image — the
+    * controlled near-duplicate of the q_image_dedup oracle.
+    */
+  def syntheticGridImage(id: Long, key: Long, flipBit: Boolean): MediaItem = {
+    def cell(r: Int, c: Int): Int =
+      if (mix64(key * 73L + r * 9 + c) < 0) 230 else 30
+    val fr = ((key % 8) + 8).toInt % 8
+    val img = new java.awt.image.BufferedImage(36, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 9) {
+        val v0 = cell(r, c)
+        val v =
+          if (!(flipBit && r == fr && c == 0)) v0
+          else if (v0 < cell(r, 1)) cell(r, 1) // bit was 1 -> equal -> 0
+          else cell(r, 1) - 1                  // bit was 0 -> darker -> 1
+        val rgb = (v << 16) | (v << 8) | v
+        var y = r * 4
+        while (y < r * 4 + 4) {
+          var x = c * 4
+          while (x < c * 4 + 4) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        c += 1
+      }
+      r += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    MediaItem(id, "image", bos.toByteArray, 36, 32, 0, 1)
+  }
+
   /** Frame sampling stub for video payloads: slice the payload into
     * `nFrames` equal chunks and keep every `stride`-th chunk.
     */

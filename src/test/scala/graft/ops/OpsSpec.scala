@@ -395,6 +395,47 @@ class TextAnalysisSpec extends SparkSpec {
 
 class MultimodalSpec extends SparkSpec {
 
+  test("dHash: grid images hash to their pattern; flip moves exactly one bit") {
+    for (key <- 0L to 20L) {
+      val base = Multimodal.syntheticGridImage(key * 2, key, flipBit = false)
+      val edit = Multimodal.syntheticGridImage(key * 2 + 1, key, flipBit = true)
+      val hb = Multimodal.dHash64(base.bytes).get
+      val he = Multimodal.dHash64(edit.bytes).get
+      assert(java.lang.Long.bitCount(hb ^ he) === 1, s"key $key")
+      // edited bytes differ, so exact (md5) dedup would MISS this pair
+      assert(!java.util.Arrays.equals(base.bytes, edit.bytes))
+    }
+  }
+
+  test("dHash survives re-encoding: PNG and BMP of the same pixels agree") {
+    val item = Multimodal.syntheticGridImage(0L, 7L, flipBit = false)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(item.bytes))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    val bmp = bos.toByteArray
+    assert(!java.util.Arrays.equals(item.bytes, bmp)) // different container
+    assert(Multimodal.dHash64(item.bytes) === Multimodal.dHash64(bmp))
+  }
+
+  test("dHash: undecodable and sub-grid payloads yield None, not garbage") {
+    assert(Multimodal.dHash64("not an image".getBytes) === None)
+    val tiny = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(tiny, "png", bos)
+    assert(Multimodal.dHash64(bos.toByteArray) === None)
+  }
+
+  test("imageNearDup finds the 1-bit edits and nothing else") {
+    import spark.implicits._
+    val items = spark.range(0, 80).as[Long]
+      .map(id => Multimodal.syntheticGridImage(id, id / 2, flipBit = id % 2 == 1))
+    val pairs = Multimodal.imageNearDup(items, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    assert(pairs.toSeq === (0L until 80L by 2).map(k => (k, k + 1, 1)))
+  }
+
   test("feature extraction: schema, determinism, digest parity with md5") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet").limit(20)
     val items = Multimodal.fromText(spark, docs, "doc_id", "text")
