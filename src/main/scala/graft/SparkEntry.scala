@@ -1653,6 +1653,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // TokenBin integrity sweep: write the structural-id corpus as uint16
+    // shards (ids ≤ 100 fit; half the bytes of int32), then re-hash every
+    // shard distributed and compare with the manifest md5s recorded on
+    // the write stream — any corruption or dtype round-trip defect would
+    // flip ok to false and hash-mismatch the oracle's all-true roster
+    "q_tokenbin_verify" -> ((s, dir) => {
+      val nt = TextAnalysis.tokenCount(col("text"))
+      val enc = T(s, dir, "documents").select(col("doc_id"),
+        when(nt < 1, array().cast("array<int>"))
+          .otherwise(sequence(lit(1), nt)).as("ids"))
+      val out = tmp("tokenbin16")
+      graft.sources.TokenBin.write(enc, "doc_id", "ids", out, shards = 4,
+        dtype = "uint16")
+      graft.sources.TokenBin.verifyShards(s, out)
+        .select(col("shard"), col("ok")).orderBy("shard")
+    }),
+
     "q_dedup_lines" -> ((s, dir) =>
       Dedup.dedupLinesKeepFirst(
           syntheticLines(T(s, dir, "documents"), wordsPerLine = 3),
@@ -3455,6 +3472,10 @@ object SparkEntry {
           |  CAST(nt AS INT) AS n_tokens,
           |  md5(array_to_string(range(1, nt + 1), ',')) AS ids_md5
           |FROM t ORDER BY doc_id""".stripMargin,
+
+      "q_tokenbin_verify" ->
+        """SELECT CAST(x AS INT) AS shard, CAST(1 AS BOOLEAN) AS ok
+          |FROM range(4) t(x) ORDER BY 1""".stripMargin,
 
       "q_dedup_lines" ->
         """WITH w AS (

@@ -52,7 +52,26 @@ import scala.jdk.CollectionConverters._
 object TokenBin {
   val Magic = "GRAFTIDX"
   val Version = 1
+  // numpy-style dtype codes (the Megatron indexed-dataset convention):
+  // 4 = int32, 8 = uint16 — uint16 halves the token bytes whenever the
+  // vocabulary fits in 65536 ids, the common case for trained tokenizers
   val DtypeInt32 = 4
+  val DtypeUint16 = 8
+
+  private[sources] def dtypeCode(dtype: String): Int = dtype match {
+    case "int32"  => DtypeInt32
+    case "uint16" => DtypeUint16
+    case other => throw new IllegalArgumentException(
+      s"tokenbin: unsupported dtype '$other' (int32 | uint16)")
+  }
+  private[sources] def dtypeName(code: Int): String = code match {
+    case DtypeInt32  => "int32"
+    case DtypeUint16 => "uint16"
+    case other => throw new IllegalArgumentException(
+      s"tokenbin: unsupported dtype code $other")
+  }
+  private[sources] def dtypeBytes(code: Int): Int =
+    if (code == DtypeUint16) 2 else 4
 
   val schema: StructType = StructType(Seq(
     StructField("shard", IntegerType, nullable = false),
@@ -67,8 +86,9 @@ object TokenBin {
     * same single pass that writes the bytes.
     */
   def write(df: DataFrame, keyCol: String, idsCol: String, outDir: String,
-            shards: Int): (Long, Long) = {
+            shards: Int, dtype: String = "int32"): (Long, Long) = {
     require(shards > 0, s"tokenbin: shards must be positive: $shards")
+    val dt = dtypeCode(dtype)
     val spark = df.sparkSession
     val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
     val root = new Path(outDir)
@@ -81,6 +101,10 @@ object TokenBin {
       .sortWithinPartitions("shard", "key")
     val seqAcc = spark.sparkContext.longAccumulator("tokenbin.seqs")
     val tokAcc = spark.sparkContext.longAccumulator("tokenbin.tokens")
+    // per-shard md5 of the token bytes, computed ON the write stream —
+    // O(shards) driver state, recheckable later with [[verifyShards]]
+    val md5Acc = spark.sparkContext
+      .collectionAccumulator[(Int, String)]("tokenbin.md5")
     rows.foreachPartition { (it: Iterator[Row]) =>
       // a hash partition may carry several shard values (or none); the
       // sort makes each shard a contiguous run — stream each run into its
@@ -88,46 +112,106 @@ object TokenBin {
       val cfs = new Path(outDir).getFileSystem(conf.value)
       var cur = -1
       var bin: java.io.DataOutputStream = null
+      var dig: java.security.MessageDigest = null
       val keys = scala.collection.mutable.ArrayBuffer.empty[Long]
       val lens = scala.collection.mutable.ArrayBuffer.empty[Long]
       def closeShard(): Unit = if (cur >= 0) {
         bin.close()
+        md5Acc.add((cur, dig.digest().map("%02x".format(_)).mkString))
         val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
           cfs.create(new Path(outDir, f"shard-$cur%05d.idx"), true), 1 << 16))
         try {
           out.writeBytes(Magic)
-          writeIntLE(out, Version); writeIntLE(out, DtypeInt32)
+          writeIntLE(out, Version); writeIntLE(out, dt)
           writeLongLE(out, keys.length.toLong)
           var i = 0
           while (i < keys.length) {
             writeLongLE(out, keys(i)); writeLongLE(out, lens(i)); i += 1
           }
         } finally out.close()
-        keys.clear(); lens.clear(); cur = -1; bin = null
+        keys.clear(); lens.clear(); cur = -1; bin = null; dig = null
       }
       it.foreach { r =>
         val s = r.getInt(0)
         if (s != cur) {
           closeShard()
           cur = s
+          dig = java.security.MessageDigest.getInstance("MD5")
           bin = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
-            cfs.create(new Path(outDir, f"shard-$s%05d.bin"), true), 1 << 16))
+            new java.security.DigestOutputStream(
+              cfs.create(new Path(outDir, f"shard-$s%05d.bin"), true), dig),
+            1 << 16))
         }
         val ids = r.getSeq[Int](2)
         keys += r.getLong(1); lens += ids.length.toLong
         seqAcc.add(1L); tokAcc.add(ids.length.toLong)
-        val bb = ByteBuffer.allocate(ids.length * 4).order(ByteOrder.LITTLE_ENDIAN)
-        ids.foreach(bb.putInt)
+        val w = dtypeBytes(dt)
+        val bb = ByteBuffer.allocate(ids.length * w).order(ByteOrder.LITTLE_ENDIAN)
+        ids.foreach { id =>
+          if (dt == DtypeUint16) {
+            if (id < 0 || id > 0xFFFF) throw new IllegalArgumentException(
+              s"tokenbin: id $id of key ${r.getLong(1)} does not fit uint16 — " +
+                "write with dtype=int32")
+            bb.putShort(id.toShort)
+          } else bb.putInt(id)
+        }
         bin.write(bb.array())
       }
       closeShard()
     }
     val fs = root.getFileSystem(conf.value)
+    val md5s = md5Acc.value.asScala.sortBy(_._1)
+      .map { case (s, m) => s""""$s": "$m"""" }.mkString("{", ", ", "}")
     val manifest = s"""{"shards": $shards, "total_seqs": ${seqAcc.value}, """ +
-      s""""total_tokens": ${tokAcc.value}, "dtype": "int32"}"""
+      s""""total_tokens": ${tokAcc.value}, "dtype": "$dtype", """ +
+      s""""shard_md5": $md5s}"""
     val out = fs.create(new Path(root, "manifest.json"), true)
     try out.write(manifest.getBytes("UTF-8")) finally out.close()
     (seqAcc.value, tokAcc.value)
+  }
+
+  /** Distributed integrity check: re-hash every shard's token bytes and
+    * compare with the manifest md5 recorded at write time — one task per
+    * shard, driver state O(shards). Returns (dir, shard, ok, expected,
+    * actual); a missing/corrupt/truncated .bin shows up as ok = false.
+    * Covers both the batch layout and the streaming epoch subdirectories.
+    */
+  def verifyShards(spark: SparkSession, dir: String): DataFrame = {
+    val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
+    val fs = new Path(dir).getFileSystem(conf.value)
+    val manifests =
+      Option(fs.globStatus(new Path(dir, "manifest.json"))).getOrElse(Array()) ++
+      Option(fs.globStatus(new Path(dir, "epoch-*/manifest.json"))).getOrElse(Array())
+    require(manifests.nonEmpty, s"tokenbin: no manifest.json under $dir")
+    val expected: Seq[(String, Int, String)] = manifests.toSeq.flatMap { st =>
+      val in = fs.open(st.getPath)
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val d = st.getPath.getParent.toString
+      // tiny fixed-shape manifest — a regex parse keeps the reader
+      // dependency-free (the writer controls the format end to end)
+      "\"(\\d+)\": \"([0-9a-f]{32})\"".r.findAllMatchIn(txt)
+        .map(m => (d, m.group(1).toInt, m.group(2))).toSeq
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    spark.createDataset(expected).repartition(expected.size.max(1))
+      .map { case (d, shard, want) =>
+        val p = new Path(d, f"shard-$shard%05d.bin")
+        val pfs = p.getFileSystem(conf.value)
+        val got =
+          try {
+            val dg = java.security.MessageDigest.getInstance("MD5")
+            val in = pfs.open(p)
+            try {
+              val buf = new Array[Byte](1 << 16)
+              var n = in.read(buf)
+              while (n >= 0) { dg.update(buf, 0, n); n = in.read(buf) }
+            } finally in.close()
+            dg.digest().map("%02x".format(_)).mkString
+          } catch { case _: java.io.IOException => "<unreadable>" }
+        (d, shard, got == want, want, got)
+      }
+      .toDF("dir", "shard", "ok", "expected", "actual")
   }
 
   /** Streaming leg: append one micro-batch as an `epoch-%06d/` shard set —
@@ -144,8 +228,9 @@ object TokenBin {
     * duplicating them. The reader picks up top-level AND epoch shard sets.
     */
   def appendBatch(df: DataFrame, keyCol: String, idsCol: String,
-                  outDir: String, shards: Int, epoch: Long): (Long, Long) =
-    write(df, keyCol, idsCol, f"$outDir/epoch-$epoch%06d", shards)
+                  outDir: String, shards: Int, epoch: Long,
+                  dtype: String = "int32"): (Long, Long) =
+    write(df, keyCol, idsCol, f"$outDir/epoch-$epoch%06d", shards, dtype)
 
   private def writeIntLE(o: java.io.DataOutputStream, v: Int): Unit = {
     o.write(v & 0xFF); o.write((v >>> 8) & 0xFF)
@@ -242,7 +327,7 @@ class TokenBinPartitionReader(part: TokenBinPartition, fields: Array[String],
   private val wantIds = fields.contains("ids")
   private val fs = new Path(part.idxFile).getFileSystem(conf.value)
 
-  private val (keys, lens): (Array[Long], Array[Long]) = {
+  private val (dtype, keys, lens): (Int, Array[Long], Array[Long]) = {
     val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
       fs.open(new Path(part.idxFile)), 1 << 16))
     try {
@@ -253,9 +338,8 @@ class TokenBinPartitionReader(part: TokenBinPartition, fields: Array[String],
       val version = TokenBin.readIntLE(in)
       require(version == TokenBin.Version,
         s"tokenbin: unsupported version $version in ${part.idxFile}")
-      val dtype = TokenBin.readIntLE(in)
-      require(dtype == TokenBin.DtypeInt32,
-        s"tokenbin: unsupported dtype code $dtype in ${part.idxFile}")
+      val dt = TokenBin.readIntLE(in)
+      TokenBin.dtypeName(dt) // validates the code
       val n = TokenBin.readLongLE(in)
       require(n >= 0 && n <= Int.MaxValue, s"tokenbin: bad n_seqs $n")
       val ks = new Array[Long](n.toInt); val ls = new Array[Long](n.toInt)
@@ -263,7 +347,7 @@ class TokenBinPartitionReader(part: TokenBinPartition, fields: Array[String],
       while (i < n.toInt) {
         ks(i) = TokenBin.readLongLE(in); ls(i) = TokenBin.readLongLE(in); i += 1
       }
-      (ks, ls)
+      (dt, ks, ls)
     } finally in.close()
   }
 
@@ -286,12 +370,16 @@ class TokenBinPartitionReader(part: TokenBinPartition, fields: Array[String],
         case "key"   => row.setLong(f, keys(i))
         case "ids" =>
           val n = lens(i).toInt
-          val bytes = new Array[Byte](n * 4)
+          val w = TokenBin.dtypeBytes(dtype)
+          val bytes = new Array[Byte](n * w)
           bin.readFully(bytes)
           val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
           val ids = new Array[Int](n)
           var j = 0
-          while (j < n) { ids(j) = bb.getInt(j * 4); j += 1 }
+          if (dtype == TokenBin.DtypeUint16)
+            while (j < n) { ids(j) = bb.getShort(j * 2) & 0xFFFF; j += 1 }
+          else
+            while (j < n) { ids(j) = bb.getInt(j * 4); j += 1 }
           row.update(f, new GenericArrayData(ids))
         case other =>
           throw new IllegalArgumentException(s"tokenbin: unknown column $other")

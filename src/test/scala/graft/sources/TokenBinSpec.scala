@@ -69,6 +69,46 @@ class TokenBinSpec extends SparkSpec {
     assert(txt.contains("\"dtype\": \"int32\""))
   }
 
+  test("uint16 dtype: half the bytes, same values back; overflow raises") {
+    import spark.implicits._
+    val in = Seq((1L, Seq(0, 1, 65535)), (2L, Seq(300, 40000)))
+      .toDF("key", "ids")
+    val out16 = tmp("u16"); val out32 = tmp("u16_as32")
+    TokenBin.write(in, "key", "ids", out16, shards = 1, dtype = "uint16")
+    TokenBin.write(in, "key", "ids", out32, shards = 1)
+    def binLen(d: String) = java.nio.file.Files.size(
+      java.nio.file.Paths.get(d, "shard-00000.bin"))
+    assert(binLen(out16) * 2 == binLen(out32))
+    val back = spark.read.format("tokenbin").load(out16)
+      .orderBy("key").collect()
+    assert(back.map(_.getSeq[Int](2)).toSeq ==
+      Seq(Seq(0, 1, 65535), Seq(300, 40000)))
+    // out-of-range ids must fail loudly, not truncate silently
+    val bad = Seq((1L, Seq(70000))).toDF("key", "ids")
+    val e = intercept[org.apache.spark.SparkException] {
+      TokenBin.write(bad, "key", "ids", tmp("u16_bad"), 1, dtype = "uint16")
+    }
+    assert(e.getMessage.contains("does not fit uint16") ||
+      Option(e.getCause).exists(_.getMessage.contains("does not fit uint16")))
+  }
+
+  test("verifyShards: clean set passes, a flipped byte is caught") {
+    import spark.implicits._
+    val out = tmp("verify")
+    TokenBin.write(Seq((1L, Seq(1, 2, 3)), (2L, Seq(4, 5)), (5L, Seq(6)))
+      .toDF("key", "ids"), "key", "ids", out, shards = 2)
+    val clean = TokenBin.verifyShards(spark, out)
+    assert(clean.count() == 2 && clean.filter(!col("ok")).count() == 0)
+    // corrupt one byte of shard 1's payload
+    val p = java.nio.file.Paths.get(out, "shard-00001.bin")
+    val bytes = java.nio.file.Files.readAllBytes(p)
+    bytes(0) = (bytes(0) ^ 0x40).toByte
+    java.nio.file.Files.write(p, bytes)
+    val dirty = TokenBin.verifyShards(spark, out)
+    assert(dirty.filter(!col("ok")).select("shard").as[Int].collect().toSeq
+      == Seq(1))
+  }
+
   test("streaming: foreachBatch appends epoch shard sets the reader unions") {
     val nt = graft.ops.TextAnalysis.tokenCount(col("text"))
     val enc = (df: org.apache.spark.sql.DataFrame) => df.select(col("doc_id"),
