@@ -357,6 +357,17 @@ object ScalingProbe {
         Encoders.product[graft.ops.Multimodal.MediaItem])
       graft.ops.Multimodal.imageNearDup(items).count()
     }
+    // audio amplitude-contour near-dup: WAV synth + real PCM decode per
+    // doc — same shape as image_neardup, expect ~linear
+    time("audio_neardup") { d =>
+      import org.apache.spark.sql.Encoders
+      val ids = spark.read.parquet(s"$d/documents.parquet")
+        .select("doc_id").as[Long](Encoders.scalaLong)
+      val items = ids.map(id => graft.ops.Multimodal.syntheticToneWav(
+        id, id / 2, flipBit = id % 2 == 1))(
+        Encoders.product[graft.ops.Multimodal.MediaItem])
+      graft.ops.Multimodal.audioNearDup(items).count()
+    }
     // TokenBin sink+source: one hash repartition + streaming binary append,
     // then a shard-per-partition scan back — expect ~linear in tokens
     // (shards scale with the corpus: constant tokens per shard)

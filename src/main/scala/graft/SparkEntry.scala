@@ -43,14 +43,25 @@ object SparkEntry {
     */
   private[graft] def syntheticParagraphs(docs: DataFrame, wordsPerLine: Int,
                                          linesPerPara: Int): DataFrame = {
+    // each derived array is materialized as a column so the next level
+    // references an attribute, not a re-inlined copy of the whole
+    // nested-HOF subtree (see TextAnalysis.dupSegmentMetrics)
     val arr = filter(split(trim(col("text")), "\\s+"), w => length(w) > 0)
-    val nl = ceil(size(arr) / lit(wordsPerLine.toDouble)).cast("int")
-    val lines = transform(sequence(lit(0), greatest(nl, lit(1)) - 1),
-      i => array_join(slice(arr, i * wordsPerLine + 1, lit(wordsPerLine)), " "))
-    val np = ceil(size(lines) / lit(linesPerPara.toDouble)).cast("int")
-    val paras = transform(sequence(lit(0), greatest(np, lit(1)) - 1),
-      i => array_join(slice(lines, i * linesPerPara + 1, lit(linesPerPara)), "\n"))
-    docs.select(col("doc_id"), array_join(paras, "\n\n").as("text"))
+    docs
+      .withColumn("__arr", arr)
+      .withColumn("__nl",
+        ceil(size(col("__arr")) / lit(wordsPerLine.toDouble)).cast("int"))
+      .withColumn("__lines",
+        transform(sequence(lit(0), greatest(col("__nl"), lit(1)) - 1), i =>
+          array_join(slice(col("__arr"), i * wordsPerLine + 1,
+            lit(wordsPerLine)), " ")))
+      .withColumn("__np",
+        ceil(size(col("__lines")) / lit(linesPerPara.toDouble)).cast("int"))
+      .withColumn("__paras",
+        transform(sequence(lit(0), greatest(col("__np"), lit(1)) - 1), i =>
+          array_join(slice(col("__lines"), i * linesPerPara + 1,
+            lit(linesPerPara)), "\n")))
+      .select(col("doc_id"), array_join(col("__paras"), "\n\n").as("text"))
   }
 
   private def T(s: SparkSession, dir: String, n: String): DataFrame =
@@ -2080,6 +2091,19 @@ object SparkEntry {
         Multimodal.syntheticGridImage(id, id / 2, flipBit = id % 2 == 1))
       Multimodal.imageNearDup(items, maxDist = 3)
         .orderBy("id_a", "id_b")
+    }),
+
+    // audio near-dup via the amplitude-contour fingerprint — the same
+    // controlled construction as q_image_dedup over REAL WAV decode:
+    // per even id a 65-window tone pattern, the odd id a 1-bit edit
+    "q_audio_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val ids = T(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 240).as[Long]
+      val items = ids.map(id =>
+        Multimodal.syntheticToneWav(id, id / 2, flipBit = id % 2 == 1))
+      Multimodal.audioNearDup(items, maxDist = 3)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -3851,6 +3875,11 @@ object SparkEntry {
           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_image_dedup" ->
+        """SELECT doc_id AS id_a, doc_id + 1 AS id_b, CAST(1 AS INT) AS hamming
+          |FROM documents WHERE doc_id % 2 = 0 AND doc_id < 240
+          |ORDER BY 1, 2""".stripMargin,
+
+      "q_audio_dedup" ->
         """SELECT doc_id AS id_a, doc_id + 1 AS id_b, CAST(1 AS INT) AS hamming
           |FROM documents WHERE doc_id % 2 = 0 AND doc_id < 240
           |ORDER BY 1, 2""".stripMargin,

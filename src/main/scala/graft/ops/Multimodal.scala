@@ -287,6 +287,109 @@ object Multimodal {
   def imageNearDup(items: Dataset[MediaItem], maxDist: Int = 3): DataFrame =
     Dedup.hammingPairs(imagePHashes(items), "id", "phash", maxDist)
 
+  /** 64-bit amplitude-contour fingerprint of a PCM audio payload — the
+    * audio analog of [[dHash64]]: decode channel 0, split the samples
+    * into 65 equal windows, set bit i when window i's mean-square energy
+    * is strictly below window i+1's. Gain-invariant comparisons, so a
+    * re-encoded or re-amplified copy keeps its contour; Hamming distance
+    * ~ how much the loudness shape changed. None for undecodable /
+    * non-PCM / sub-65-sample payloads.
+    */
+  private[graft] def audioFingerprint64(bytes: Array[Byte]): Option[Long] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val in =
+      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => return None }
+    try {
+      val fmt = in.getFormat
+      if (!(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+            fmt.getSampleSizeInBits == 16)) return None
+      val raw = in.readAllBytes()
+      val frameSize = fmt.getFrameSize
+      val n = if (frameSize > 0) raw.length / frameSize else 0
+      if (n < 65) return None
+      val big = fmt.isBigEndian
+      // window sums in Long: sample^2 <= 2^30, exact far beyond any
+      // realistic clip length
+      val sumsq = new Array[Long](65)
+      val cnt = new Array[Long](65)
+      var i = 0
+      while (i < n) {
+        val o = i * frameSize
+        val s =
+          if (big) ((raw(o) << 8) | (raw(o + 1) & 0xff)).toShort
+          else ((raw(o + 1) << 8) | (raw(o) & 0xff)).toShort
+        val w = (i.toLong * 65 / n).toInt
+        sumsq(w) += s.toLong * s; cnt(w) += 1
+        i += 1
+      }
+      var bits = 0L
+      var b = 0
+      while (b < 64) {
+        if (sumsq(b).toDouble / cnt(b) < sumsq(b + 1).toDouble / cnt(b + 1))
+          bits |= 1L << b
+        b += 1
+      }
+      Some(bits)
+    } finally in.close()
+  }
+
+  /** (id, afp) frame over the decodable PCM payloads — [[imagePHashes]]
+    * for audio.
+    */
+  def audioFingerprints(items: Dataset[MediaItem]): DataFrame = {
+    import items.sparkSession.implicits._
+    items.mapPartitions(_.flatMap(i =>
+      if (i.kind == "audio") audioFingerprint64(i.bytes).map(h => (i.id, h))
+      else None)).toDF("id", "afp")
+  }
+
+  /** Audio near-duplicate pairs through the shared 16-bit-quarter Hamming
+    * blocking — same contract as [[imageNearDup]].
+    */
+  def audioNearDup(items: Dataset[MediaItem], maxDist: Int = 3): DataFrame =
+    Dedup.hammingPairs(audioFingerprints(items), "id", "afp", maxDist)
+
+  /** Deterministic 13 000-sample mono 16-bit WAV whose
+    * [[audioFingerprint64]] equals the 65-window amplitude pattern of
+    * `key` exactly (each 200-sample window is a constant-amplitude
+    * alternating-sign square wave at 6000 or 26000). With `flipBit`,
+    * window 0's amplitude is adjusted so exactly ONE fingerprint bit
+    * differs — [[syntheticGridImage]]'s controlled near-duplicate, for
+    * audio.
+    */
+  def syntheticToneWav(id: Long, key: Long, flipBit: Boolean): MediaItem = {
+    def amp(w: Int): Int =
+      if (mix64(key * 131L + w) < 0) 26000 else 6000
+    val a1 = amp(1)
+    val a0 =
+      if (!flipBit) amp(0)
+      else if (amp(0) < a1) a1 // bit was 1 -> equal energies -> 0
+      else a1 - 1              // bit was 0 -> strictly quieter -> 1
+    val n = 13000
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val w = i / 200
+      val v = (if (w == 0) a0 else amp(w)) * (if ((i & 1) == 0) 1 else -1)
+      data(i * 2) = (v & 0xff).toByte
+      data(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    // minimal RIFF/WAVE PCM header (16-bit mono 8 kHz, little-endian)
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = { bos.write(v); bos.write(v >> 8)
+      bos.write(v >> 16); bos.write(v >> 24) }
+    def le16(v: Int): Unit = { bos.write(v); bos.write(v >> 8) }
+    def tag(s: String): Unit = s.foreach(c => bos.write(c.toInt))
+    tag("RIFF"); le32(36 + data.length); tag("WAVE")
+    tag("fmt "); le32(16); le16(1); le16(1); le32(8000); le32(16000)
+    le16(2); le16(16)
+    tag("data"); le32(data.length)
+    bos.write(data)
+    MediaItem(id, "audio", bos.toByteArray, 0, 0, 8000, 0)
+  }
+
   /** splitmix64 — the deterministic PRF behind [[syntheticGridImage]]
     * (Steele et al. 2014; fully specified, stable across JVMs).
     */

@@ -189,15 +189,33 @@ object TextAnalysis {
     * blank-line runs (`\n{2,}`), both trimmed with empties dropped.
     * Complements [[repetitionMetrics]] (the n-gram half of Gopher's
     * repetition table) — together they are the full repetition block.
+    *
+    * The split arrays and their distincts are materialized as
+    * intermediate columns on purpose: inlining [[dupSegmentFracs]]'s four
+    * references over the raw nested-HOF splitter duplicates the whole
+    * subtree 4× per metric, and Catalyst's analysis/codegen time on the
+    * exploded tree dwarfs the actual scan (measured: a CONSTANT ~35 s per
+    * query before this shape, ~1 s after). Non-cheap aliases referenced
+    * more than once also stop CollapseProject from re-inlining them.
     */
   def dupSegmentMetrics(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val (lineDup, lineCharDup) = dupSegmentFracs(segmentsCol(col(textCol), "\n"))
-    val (paraDup, paraCharDup) = dupSegmentFracs(segmentsCol(col(textCol), "\n{2,}"))
+    def charsOf(segs: Column): Column =
+      aggregate(segs, lit(0L), (a, x) => a + length(x))
+    def frac(n: Column, nd: Column): Column =
+      when(n === 0, lit(0d))
+        .otherwise((n - nd).cast("double") / n.cast("double"))
     docs
-      .withColumn("dup_line_frac", lineDup)
-      .withColumn("dup_line_char_frac", lineCharDup)
-      .withColumn("dup_para_frac", paraDup)
-      .withColumn("dup_para_char_frac", paraCharDup)
+      .withColumn("__lines", segmentsCol(col(textCol), "\n"))
+      .withColumn("__paras", segmentsCol(col(textCol), "\n{2,}"))
+      .withColumn("__ldist", array_distinct(col("__lines")))
+      .withColumn("__pdist", array_distinct(col("__paras")))
+      .withColumn("dup_line_frac", frac(size(col("__lines")), size(col("__ldist"))))
+      .withColumn("dup_line_char_frac",
+        frac(charsOf(col("__lines")), charsOf(col("__ldist"))))
+      .withColumn("dup_para_frac", frac(size(col("__paras")), size(col("__pdist"))))
+      .withColumn("dup_para_char_frac",
+        frac(charsOf(col("__paras")), charsOf(col("__pdist"))))
+      .drop("__lines", "__paras", "__ldist", "__pdist")
   }
 
   /** Unicode script ranges for [[scriptFracs]], as RE2-portable `\x{..}`

@@ -436,6 +436,45 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.toSeq === (0L until 80L by 2).map(k => (k, k + 1, 1)))
   }
 
+  test("audio fingerprint: tone patterns hash exactly; flip moves one bit") {
+    for (key <- 0L to 20L) {
+      val base = Multimodal.syntheticToneWav(key * 2, key, flipBit = false)
+      val edit = Multimodal.syntheticToneWav(key * 2 + 1, key, flipBit = true)
+      val hb = Multimodal.audioFingerprint64(base.bytes).get
+      val he = Multimodal.audioFingerprint64(edit.bytes).get
+      assert(java.lang.Long.bitCount(hb ^ he) === 1, s"key $key")
+      assert(!java.util.Arrays.equals(base.bytes, edit.bytes))
+    }
+  }
+
+  test("audio fingerprint is gain-invariant and rejects non-PCM payloads") {
+    val item = Multimodal.syntheticToneWav(0L, 5L, flipBit = false)
+    // halve every sample: the contour (relative energies) must not move
+    val samples = item.bytes.drop(44)
+    val scaled = item.bytes.take(44) ++ {
+      val out = new Array[Byte](samples.length)
+      var i = 0
+      while (i < samples.length / 2) {
+        val v = (((samples(i * 2 + 1) << 8) | (samples(i * 2) & 0xff)).toShort / 2).toShort
+        out(i * 2) = (v & 0xff).toByte; out(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      out
+    }
+    assert(Multimodal.audioFingerprint64(item.bytes) ===
+      Multimodal.audioFingerprint64(scaled))
+    assert(Multimodal.audioFingerprint64("not audio".getBytes) === None)
+  }
+
+  test("audioNearDup finds the 1-bit edits and nothing else") {
+    import spark.implicits._
+    val items = spark.range(0, 80).as[Long]
+      .map(id => Multimodal.syntheticToneWav(id, id / 2, flipBit = id % 2 == 1))
+    val pairs = Multimodal.audioNearDup(items, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    assert(pairs.toSeq === (0L until 80L by 2).map(k => (k, k + 1, 1)))
+  }
+
   test("feature extraction: schema, determinism, digest parity with md5") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet").limit(20)
     val items = Multimodal.fromText(spark, docs, "doc_id", "text")
