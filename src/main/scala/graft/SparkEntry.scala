@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.api.{ConvertApp, MSTable, MSWrite, ReadSpec}
 import graft.expr.{ComplexFns, Expressions, Taql}
-import graft.ops.{AsOfJoin, Bpe, Dedup, Multimodal, Pca, Sampling, Similarity, TextAnalysis, UnigramLm, WordPiece}
+import graft.ops.{AsOfJoin, Bpe, Dedup, Multimodal, Pca, Sampling, Similarity, Sketches, TextAnalysis, UnigramLm, WordPiece}
 import graft.streaming.EventStream
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -575,6 +575,32 @@ object SparkEntry {
         "rank_error_bounded" -> col("ok3"),
         "three_quantiles" -> col("n3"),
         "monotone" -> col("mono"))
+    }),
+
+    // KMV bottom-k sketch overlap: B = every 3rd document, so B ⊆ A with
+    // known exact distinct/Jaccard/overlap; the sketches see ONE scan per
+    // corpus and k longs of state. B's sketch is unsaturated (|B| < k) so
+    // its distinct estimate must be EXACT; saturated-side estimates must
+    // land within the (generous, measured ~6% rmse at k=256) floors.
+    // Deterministic: xxhash64 is seed-fixed, so this passes identically
+    // on every run at every SF
+    "q_corpus_overlap" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val a = docs.select(col("text"))
+      val b = docs.filter(col("doc_id") % 3 === 0).select(col("text"))
+      val k = 256
+      val est = Sketches.corpusOverlap(a, b, col("text"), k)
+      val exactA = a.distinct().count().toDouble
+      val exactB = b.distinct().count().toDouble
+      val one = s.range(1).select(
+        lit(est.distinctB == exactB).as("b_exact"),
+        lit(math.abs(est.distinctA / exactA - 1) <= 0.25).as("a_close"),
+        lit(math.abs(est.jaccard - exactB / exactA) <= 0.15).as("j_close"),
+        lit(est.containmentBinA >= 0.85).as("contain"),
+        lit(math.abs(est.overlap / exactB - 1) <= 0.25).as("ov_close"))
+      checkRows(one, "a_close" -> col("a_close"), "b_exact" -> col("b_exact"),
+        "contain" -> col("contain"), "j_close" -> col("j_close"),
+        "ov_close" -> col("ov_close"))
     }),
 
     // ===== set operations ================================================
@@ -3735,6 +3761,9 @@ object SparkEntry {
 
       "q_agg_quantile_sketch" -> checksOracle("rank_error_bounded",
         "three_quantiles", "monotone"),
+
+      "q_corpus_overlap" -> checksOracle("a_close", "b_exact", "contain",
+        "j_close", "ov_close"),
 
       "q_decontaminate" ->
         """WITH sh AS (

@@ -16,6 +16,36 @@ class PropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("tokenbin round-trips arbitrary id corpora at both dtypes") {
+    // keys arbitrary longs (negatives included — pmod placement), ids
+    // arbitrary in the dtype's range, empty sequences included
+    val genSeq = Gen.choose(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 0xFFFF)))
+    val genRows = Gen.choose(1, 25).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(-1000L, 1000L), genSeq)))
+      .map(_.distinctBy(_._1)) // keys are unique by contract
+    val genDtype = Gen.oneOf("int32", "uint16")
+    val genShards = Gen.choose(1, 6)
+    var run = 0
+    check(Prop.forAll(genRows, genDtype, genShards) { (rows, dtype, shards) =>
+      run += 1
+      val out = s"/root/repo/target/tokenbin_prop/$run"
+      val df = rows.toDF("key", "ids")
+      val (ns, nt) = graft.sources.TokenBin.write(df, "key", "ids", out,
+        shards, dtype)
+      val back = spark.read.format("tokenbin").load(out)
+        .select("shard", "key", "ids").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Int](2).toList))
+      val want = rows.map { case (k, ids) =>
+        (((k % shards + shards) % shards).toInt, k, ids) }
+      ns == rows.length.toLong &&
+        nt == rows.map(_._2.size).sum.toLong &&
+        back.toSet == want.toSet &&
+        graft.sources.TokenBin.verifyShards(spark, out)
+          .filter(!col("ok")).count() == 0L
+    }, n = 8)
+  }
+
   test("grouped read partitions the table completely and disjointly") {
     val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
     val total = li.count()
