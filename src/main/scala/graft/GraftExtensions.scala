@@ -78,5 +78,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.ops.Multimodal.getClass.getName, "sniff_media"),
       (exprs: Seq[Expression]) =>
         toCatalyst(graft.ops.Multimodal.sniffMedia(toColumn(exprs(0))))))
+    // perceptual fingerprints (r12): the same decode kernels the near-dup
+    // operators run, as scalar closure UDFs over binary payloads — null
+    // for undecodable bytes
+    e.injectFunction((FunctionIdentifier("dhash64"),
+      new ExpressionInfo(graft.ops.Multimodal.getClass.getName, "dhash64"),
+      (exprs: Seq[Expression]) => {
+        val f = org.apache.spark.sql.functions.udf((b: Array[Byte]) =>
+          if (b == null) None else graft.ops.Multimodal.dHash64(b))
+        toCatalyst(f(toColumn(exprs(0))))
+      }))
+    e.injectFunction((FunctionIdentifier("audio_fp64"),
+      new ExpressionInfo(graft.ops.Multimodal.getClass.getName, "audio_fp64"),
+      (exprs: Seq[Expression]) => {
+        val f = org.apache.spark.sql.functions.udf((b: Array[Byte]) =>
+          if (b == null) None else graft.ops.Multimodal.audioFingerprint64(b))
+        toCatalyst(f(toColumn(exprs(0))))
+      }))
+    // Gopher duplicate-segment fractions (r12): struct of the four
+    // signals, composed from the SAME Column algebra as the Scala API
+    e.injectFunction((FunctionIdentifier("dup_segment_fracs"),
+      new ExpressionInfo(TextAnalysis.getClass.getName, "dup_segment_fracs"),
+      (exprs: Seq[Expression]) => {
+        import org.apache.spark.sql.functions.struct
+        val t = toColumn(exprs(0))
+        // NB the SQL form inlines the split subtrees (no column aliasing
+        // inside one expression) — fine for this 2-reference shape; heavy
+        // pipelines should use dupSegmentMetrics, which aliases
+        val (lf, lcf) =
+          TextAnalysis.dupSegmentFracs(TextAnalysis.segmentsCol(t, "\n"))
+        val (pf, pcf) =
+          TextAnalysis.dupSegmentFracs(TextAnalysis.segmentsCol(t, "\n{2,}"))
+        toCatalyst(struct(lf.as("dup_line_frac"), lcf.as("dup_line_char_frac"),
+          pf.as("dup_para_frac"), pcf.as("dup_para_char_frac")))
+      }))
   }
 }

@@ -92,7 +92,17 @@ object TokenBin {
     val spark = df.sparkSession
     val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
     val root = new Path(outDir)
-    root.getFileSystem(conf.value).mkdirs(root)
+    val rootFs = root.getFileSystem(conf.value)
+    rootFs.mkdirs(root)
+    // overwrite semantics: clear any previous shard set first — a re-run
+    // with a different shard count would otherwise leave stale
+    // higher-numbered shard files for the reader to silently union in
+    // (epoch subdirectories are untouched: appendBatch overwrites only
+    // its own epoch directory, preserving retry idempotence)
+    Seq("shard-*.bin", "shard-*.idx", "manifest.json").foreach { g =>
+      Option(rootFs.globStatus(new Path(root, g))).getOrElse(Array())
+        .foreach(st => rootFs.delete(st.getPath, false))
+    }
     val rows = df.select(
       pmod(col(keyCol).cast("long"), lit(shards.toLong)).cast("int").as("shard"),
       col(keyCol).cast("long").as("key"),

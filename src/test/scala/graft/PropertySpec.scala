@@ -27,7 +27,9 @@ class PropertySpec extends SparkSpec {
     val genDtype = Gen.oneOf("int32", "uint16")
     val genShards = Gen.choose(1, 6)
     var run = 0
-    check(Prop.forAll(genRows, genDtype, genShards) { (rows, dtype, shards) =>
+    // NoShrink: every evaluation is a full Spark write+read (~1 s) and a
+    // shrink search would re-run it thousands of times on any failure
+    check(Prop.forAllNoShrink(genRows, genDtype, genShards) { (rows, dtype, shards) =>
       run += 1
       val out = s"/root/repo/target/tokenbin_prop/$run"
       val df = rows.toDF("key", "ids")
@@ -43,7 +45,7 @@ class PropertySpec extends SparkSpec {
         back.toSet == want.toSet &&
         graft.sources.TokenBin.verifyShards(spark, out)
           .filter(!col("ok")).count() == 0L
-    }, n = 8)
+    }, n = 20)
   }
 
   test("grouped read partitions the table completely and disjointly") {
@@ -257,7 +259,7 @@ class PropertySpec extends SparkSpec {
       val nested = s.subsetOf(draw(n + 5, 3))
       val stable = draw(n, 7) == s
       sizeOk && nested && stable
-    }, n = 8)
+    }, n = 20)
   }
 
   test("bigram LM: nll bounds and monotone backoff under model capping") {
@@ -284,7 +286,7 @@ class PropertySpec extends SparkSpec {
       val monotone = full.keySet == capped.keySet &&
         full.forall { case (id, v) => capped(id) >= v - 1e-9 }
       bounds && monotone
-    }, n = 8)
+    }, n = 20)
   }
 
   test("span scrub: zero piece-wise residue and token conservation") {
@@ -315,7 +317,7 @@ class PropertySpec extends SparkSpec {
           else Dedup.decontaminate(pieces.toDF("doc_id", "text"),
             bench, "text", "doc_id", n = 3).count()
         conserve && residue == 0L
-    }, n = 8)
+    }, n = 20)
   }
 
   test("pack assembly: full reconstruction and budget for random corpora") {
@@ -341,7 +343,7 @@ class PropertySpec extends SparkSpec {
         }
         rebuilt.toSeq == expect && docOrder.toSeq == docsIds.indices
           .map(_.toLong) && budget
-    }, n = 8)
+    }, n = 20)
   }
 
   test("nearest-centroid assignment equals scala argmin on random vectors") {
@@ -362,7 +364,7 @@ class PropertySpec extends SparkSpec {
         i.toLong -> ds.indexOf(ds.min)
       }.toMap
       got == want
-    }, n = 8)
+    }, n = 20)
   }
 
   test("canonicalUrl is idempotent and tracker-free on generated URLs") {

@@ -70,6 +70,49 @@ class NormalizeSpec extends SparkSpec {
     assert(r.getInt(6) === 0x20) // GIF89a, width le16 = 0x0020
   }
 
+  test("dup_segment_fracs is SQL-callable via the extension builder") {
+    import org.apache.spark.sql.graft.ColumnShim.{registerFunction, toCatalyst, toColumn}
+    registerFunction(spark, "dup_segment_fracs_t", exprs => {
+      val t = toColumn(exprs(0))
+      val (lf, lcf) =
+        TextAnalysis.dupSegmentFracs(TextAnalysis.segmentsCol(t, "\n"))
+      val (pf, pcf) =
+        TextAnalysis.dupSegmentFracs(TextAnalysis.segmentsCol(t, "\n{2,}"))
+      toCatalyst(struct(lf.as("dup_line_frac"), lcf.as("dup_line_char_frac"),
+        pf.as("dup_para_frac"), pcf.as("dup_para_char_frac")))
+    })
+    val r = spark.sql(
+      "SELECT dup_segment_fracs_t('x\ny\n\nx\nz') AS f").head()
+      .getStruct(0)
+    assert(r.getAs[Double]("dup_line_frac") === 0.25)
+    assert(r.getAs[Double]("dup_para_frac") === 0.0)
+  }
+
+  test("dhash64 and audio_fp64 are SQL-callable over binary columns") {
+    import org.apache.spark.sql.graft.ColumnShim.{registerFunction, toCatalyst, toColumn}
+    registerFunction(spark, "dhash64_t", exprs => {
+      val f = org.apache.spark.sql.functions.udf((b: Array[Byte]) =>
+        if (b == null) None else Multimodal.dHash64(b))
+      toCatalyst(f(toColumn(exprs(0))))
+    })
+    registerFunction(spark, "audio_fp64_t", exprs => {
+      val f = org.apache.spark.sql.functions.udf((b: Array[Byte]) =>
+        if (b == null) None else Multimodal.audioFingerprint64(b))
+      toCatalyst(f(toColumn(exprs(0))))
+    })
+    val img = Multimodal.syntheticGridImage(0L, 3L, flipBit = false)
+    val wav = Multimodal.syntheticToneWav(0L, 3L, flipBit = false)
+    val df = Seq((img.bytes, wav.bytes)).toDF("ib", "ab")
+    df.createOrReplaceTempView("fp_in")
+    val r = spark.sql(
+      "SELECT dhash64_t(ib) AS ih, audio_fp64_t(ab) AS ah FROM fp_in").head()
+    assert(r.getLong(0) === Multimodal.dHash64(img.bytes).get)
+    assert(r.getLong(1) === Multimodal.audioFingerprint64(wav.bytes).get)
+    // undecodable bytes -> null, not an exception
+    val n = spark.sql("SELECT dhash64_t(CAST('junk' AS BINARY)) AS h").head()
+    assert(n.isNullAt(0))
+  }
+
   test("normalizeText: controls to spaces, runs collapsed, ends trimmed") {
     val df = Seq((1L, " ab\tc  d\ne ")).toDF("id", "s")
     val r = df.select(TextAnalysis.normalizeText(col("s")).as("n")).head()

@@ -56,6 +56,21 @@ class TokenBinSpec extends SparkSpec {
     assert(spark.read.format("tokenbin").load(out).count() == 2)
   }
 
+  test("re-writing with fewer shards clears the previous shard set") {
+    import spark.implicits._
+    val out = tmp("rewrite")
+    TokenBin.write((0L to 11L).map(k => (k, Seq(k.toInt))).toDF("key", "ids"),
+      "key", "ids", out, shards = 6)
+    // second write: 4 shards — without cleanup, stale shard-00004/5 from
+    // the 6-shard run would be silently unioned back in by the reader
+    TokenBin.write(Seq((1L, Seq(9))).toDF("key", "ids"),
+      "key", "ids", out, shards = 4)
+    val back = spark.read.format("tokenbin").load(out).collect()
+    assert(back.length == 1)
+    assert(back.head.getLong(1) == 1L)
+    assert(TokenBin.verifyShards(spark, out).filter(!col("ok")).count() == 0)
+  }
+
   test("manifest records shard count and totals") {
     import spark.implicits._
     val out = tmp("manifest")
