@@ -257,6 +257,34 @@ object TokenBin {
   }
   private[sources] def readLongLE(in: java.io.DataInputStream): Long =
     (readIntLE(in).toLong & 0xFFFFFFFFL) | (readIntLE(in).toLong << 32)
+
+  /** Parse one .idx sidecar → (dtype code, keys, lens). Shared by the row
+    * and columnar readers.
+    */
+  private[sources] def parseIdx(fs: org.apache.hadoop.fs.FileSystem,
+                                idxFile: String): (Int, Array[Long], Array[Long]) = {
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      fs.open(new Path(idxFile)), 1 << 16))
+    try {
+      val magic = new Array[Byte](8)
+      in.readFully(magic)
+      require(new String(magic, "US-ASCII") == Magic,
+        s"tokenbin: bad magic in $idxFile")
+      val version = readIntLE(in)
+      require(version == Version,
+        s"tokenbin: unsupported version $version in $idxFile")
+      val dt = readIntLE(in)
+      dtypeName(dt) // validates the code
+      val n = readLongLE(in)
+      require(n >= 0 && n <= Int.MaxValue, s"tokenbin: bad n_seqs $n")
+      val ks = new Array[Long](n.toInt); val ls = new Array[Long](n.toInt)
+      var i = 0
+      while (i < n.toInt) {
+        ks(i) = readLongLE(in); ls(i) = readLongLE(in); i += 1
+      }
+      (dt, ks, ls)
+    } finally in.close()
+  }
 }
 
 /** `spark.read.format("tokenbin").load(dir)` — DSv2 reader over a TokenBin
@@ -327,7 +355,98 @@ class TokenBinScan(path: String, required: StructType) extends Scan with Batch {
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
         new TokenBinPartitionReader(p.asInstanceOf[TokenBinPartition], fields, conf)
+      // shards decode straight into column vectors: the .bin is already a
+      // flat columnar token run, so the batch path skips per-row
+      // GenericInternalRow/GenericArrayData allocation entirely (the
+      // ZarrColumnarReader pattern)
+      override def supportColumnarReads(p: InputPartition): Boolean = true
+      override def createColumnarReader(p: InputPartition)
+          : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+        new TokenBinColumnarReader(p.asInstanceOf[TokenBinPartition], fields, conf)
     }
+  }
+}
+
+/** Columnar shard reader: batches of up to 4096 sequences (capped at ~4M
+  * tokens), each filled in one tight pass — shard/key vectors from the
+  * idx arrays, the ids child vector decoded from one contiguous byte read
+  * of the token run (entries are in file order; zero seeks).
+  */
+class TokenBinColumnarReader(part: TokenBinPartition, fields: Array[String],
+                             conf: SerializableConfiguration)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+
+  private val wantIds = fields.contains("ids")
+  private val fs = new Path(part.idxFile).getFileSystem(conf.value)
+  private val (dtype, keys, lens) = TokenBin.parseIdx(fs, part.idxFile)
+  private val bin: java.io.DataInputStream =
+    if (wantIds) new java.io.DataInputStream(new java.io.BufferedInputStream(
+      fs.open(new Path(part.binFile)), 1 << 16))
+    else null
+
+  private val MaxRows = 4096
+  private val MaxTokens = 4 << 20
+  private var pos = 0
+  private var batch: ColumnarBatch = _
+
+  override def next(): Boolean = {
+    if (batch != null) { batch.close(); batch = null }
+    if (pos >= keys.length) return false
+    // batch extent: up to MaxRows sequences, bounded by MaxTokens ids
+    // (a single oversized sequence still forms its own batch)
+    var count = 0
+    var toks = 0L
+    while (pos + count < keys.length && count < MaxRows &&
+      (count == 0 || toks + lens(pos + count) <= MaxTokens)) {
+      toks += lens(pos + count); count += 1
+    }
+    val vectors: Array[ColumnVector] = fields.map {
+      case "shard" =>
+        val v = new OnHeapColumnVector(count, IntegerType)
+        v.putInts(0, count, part.shard)
+        v: ColumnVector
+      case "key" =>
+        val v = new OnHeapColumnVector(count, LongType)
+        var i = 0
+        while (i < count) { v.putLong(i, keys(pos + i)); i += 1 }
+        v: ColumnVector
+      case "ids" =>
+        val v = new OnHeapColumnVector(count,
+          ArrayType(IntegerType, containsNull = false))
+        var off = 0
+        var i = 0
+        while (i < count) {
+          val len = lens(pos + i).toInt
+          v.putArray(i, off, len); off += len
+          i += 1
+        }
+        val child = v.arrayData()
+        child.reserve(off)
+        val w = TokenBin.dtypeBytes(dtype)
+        val bytes = new Array[Byte](off * w)
+        bin.readFully(bytes)
+        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        var j = 0
+        if (dtype == TokenBin.DtypeUint16)
+          while (j < off) { child.putInt(j, bb.getShort(j * 2) & 0xFFFF); j += 1 }
+        else
+          while (j < off) { child.putInt(j, bb.getInt(j * 4)); j += 1 }
+        v: ColumnVector
+      case other =>
+        throw new IllegalArgumentException(s"tokenbin: unknown column $other")
+    }
+    pos += count
+    batch = new ColumnarBatch(vectors, count)
+    true
+  }
+
+  override def get(): ColumnarBatch = batch
+
+  override def close(): Unit = {
+    if (batch != null) { batch.close(); batch = null }
+    if (bin != null) bin.close()
   }
 }
 
@@ -337,29 +456,8 @@ class TokenBinPartitionReader(part: TokenBinPartition, fields: Array[String],
   private val wantIds = fields.contains("ids")
   private val fs = new Path(part.idxFile).getFileSystem(conf.value)
 
-  private val (dtype, keys, lens): (Int, Array[Long], Array[Long]) = {
-    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
-      fs.open(new Path(part.idxFile)), 1 << 16))
-    try {
-      val magic = new Array[Byte](8)
-      in.readFully(magic)
-      require(new String(magic, "US-ASCII") == TokenBin.Magic,
-        s"tokenbin: bad magic in ${part.idxFile}")
-      val version = TokenBin.readIntLE(in)
-      require(version == TokenBin.Version,
-        s"tokenbin: unsupported version $version in ${part.idxFile}")
-      val dt = TokenBin.readIntLE(in)
-      TokenBin.dtypeName(dt) // validates the code
-      val n = TokenBin.readLongLE(in)
-      require(n >= 0 && n <= Int.MaxValue, s"tokenbin: bad n_seqs $n")
-      val ks = new Array[Long](n.toInt); val ls = new Array[Long](n.toInt)
-      var i = 0
-      while (i < n.toInt) {
-        ks(i) = TokenBin.readLongLE(in); ls(i) = TokenBin.readLongLE(in); i += 1
-      }
-      (dt, ks, ls)
-    } finally in.close()
-  }
+  private val (dtype, keys, lens): (Int, Array[Long], Array[Long]) =
+    TokenBin.parseIdx(fs, part.idxFile)
 
   // entries are in .bin file order, so a plain buffered stream walks the
   // token bytes with zero seeks

@@ -71,6 +71,27 @@ class TokenBinSpec extends SparkSpec {
     assert(TokenBin.verifyShards(spark, out).filter(!col("ok")).count() == 0)
   }
 
+  test("columnar read: plan shows ColumnarToRow; multi-batch shard is exact") {
+    import spark.implicits._
+    val out = tmp("columnar")
+    // 10000 sequences in ONE shard -> at least 3 ColumnarBatches (4096 cap)
+    val in = (0L until 10000L).map(k => (k * 3, Seq(k.toInt, k.toInt + 1)))
+      .toDF("key", "ids")
+    TokenBin.write(in, "key", "ids", out, shards = 1)
+    val df = spark.read.format("tokenbin").load(out)
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(df.count() == 10000)
+    val got = df.select(sum(expr("aggregate(ids, 0L, (a, x) -> a + x)")),
+      sum("key")).head()
+    val wantIds = (0L until 10000L).map(k => 2 * k + 1).sum
+    assert(got.getLong(0) == wantIds)
+    assert(got.getLong(1) == (0L until 10000L).map(_ * 3).sum)
+    // batch-boundary exactness: first/last rows of the shard
+    val rows = df.orderBy("key").collect()
+    assert(rows.head.getSeq[Int](2) == Seq(0, 1))
+    assert(rows.last.getSeq[Int](2) == Seq(9999, 10000))
+  }
+
   test("manifest records shard count and totals") {
     import spark.implicits._
     val out = tmp("manifest")
