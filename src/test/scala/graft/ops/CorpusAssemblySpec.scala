@@ -131,6 +131,24 @@ class CorpusAssemblySpec extends SparkSpec {
       sum(col("n_ids") - col("n_docs")).as("tot")).head()
     assert(chk.getBoolean(0))
     assert(chk.getLong(1) === idTotal, "packed ids must conserve the selection")
+
+    // 9. the LAST mile: the packs land in indexed binary shards (uint16 —
+    // the learned vocab + separator fit 65536 by construction here) and
+    // read back byte-identical through the DSv2 source, integrity-swept
+    val binDir = "/root/repo/target/assembly_tokenbin"
+    val packRows = packed.select(col("pack_id").cast("long").as("key"),
+      col("packed_ids").as("ids"))
+    val (nPacks, nIds) = graft.sources.TokenBin.write(
+      packRows, "key", "ids", binDir, shards = 4, dtype = "uint16")
+    assert(nPacks === packed.count())
+    val back = spark.read.format("tokenbin").load(binDir)
+      .select(col("key"), col("ids").as("ids_back"))
+    assert(back.join(packRows, "key")
+      .filter(col("ids") =!= col("ids_back")).count() === 0,
+      "binary shards must round-trip the packs exactly")
+    assert(nIds === back.agg(sum(size(col("ids_back")))).head().getLong(0))
+    assert(graft.sources.TokenBin.verifyShards(spark, binDir)
+      .filter(!col("ok")).count() === 0)
   }
 
   test("span scrub feeds the pipe: pieces become documents, zero residue") {
