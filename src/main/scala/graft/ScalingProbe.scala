@@ -357,6 +357,21 @@ object ScalingProbe {
         Encoders.product[graft.ops.Multimodal.MediaItem])
       graft.ops.Multimodal.imageNearDup(items).count()
     }
+    // PageRank: 10 synchronous iterations over a 3-regular graph on the
+    // documents — per-iteration cost is one co-partitioned join + one
+    // agg, so expect ~linear in nodes (constant per-iteration overhead
+    // dominates at this scale)
+    time("pagerank") { d =>
+      val nodes = spark.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").cast("long").as("node"))
+      val nMod = nodes.count()
+      val edges = Seq((7L, 3L), (13L, 5L), (29L, 11L)).map { case (k, c) =>
+        nodes.select(col("node").as("src"),
+          ((col("node") * k + c) % nMod).as("dst"))
+      }.reduce(_ unionByName _)
+      graft.ops.Graph.pageRank(edges, "src", "dst", iters = 10)
+        .agg(sum("rank")).collect(); 1L
+    }
     // audio amplitude-contour near-dup: WAV synth + real PCM decode per
     // doc — same shape as image_neardup, expect ~linear
     time("audio_neardup") { d =>

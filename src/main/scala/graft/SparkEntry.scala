@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.api.{ConvertApp, MSTable, MSWrite, ReadSpec}
 import graft.expr.{ComplexFns, Expressions, Taql}
-import graft.ops.{AsOfJoin, Bpe, Dedup, Multimodal, Pca, Sampling, Similarity, Sketches, TextAnalysis, UnigramLm, WordPiece}
+import graft.ops.{AsOfJoin, Bpe, Dedup, Graph, Multimodal, Pca, Sampling, Similarity, Sketches, TextAnalysis, UnigramLm, WordPiece}
 import graft.streaming.EventStream
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -575,6 +575,26 @@ object SparkEntry {
         "rank_error_bounded" -> col("ok3"),
         "three_quantiles" -> col("n3"),
         "monotone" -> col("mono"))
+    }),
+
+    // PageRank over a deterministic synthetic link graph (three affine
+    // permutation edge relations — every node has in/out degree exactly 3,
+    // so the oracle's recursive CTE needs no dangling term while the
+    // OPERATOR still runs its full dangling logic, which contributes 0).
+    // 10 synchronous iterations, exact vs DuckDB running the identical
+    // recursion; in-degree 3 keeps float summation noise ~1e-19, far
+    // below the round(6) pin
+    "q_pagerank" -> ((s, dir) => {
+      val nodes = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("node"))
+      val nMod = nodes.count()
+      val edges = Seq((7L, 3L), (13L, 5L), (29L, 11L)).map { case (k, c) =>
+        nodes.select(col("node").as("src"),
+          ((col("node") * k + c) % nMod).as("dst"))
+      }.reduce(_ unionByName _)
+      Graph.pageRank(edges, "src", "dst", iters = 10)
+        .select(col("node").as("doc_id"), round(col("rank"), 6).as("pr"))
+        .orderBy("doc_id")
     }),
 
     // KMV bottom-k sketch overlap: B = every 3rd document, so B ⊆ A with
@@ -3764,6 +3784,27 @@ object SparkEntry {
 
       "q_corpus_overlap" -> checksOracle("a_close", "b_exact", "contain",
         "j_close", "ov_close"),
+
+      "q_pagerank" ->
+        """WITH RECURSIVE nodes AS (SELECT doc_id AS node FROM documents),
+          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+          |edges AS (
+          |  SELECT node AS src, (node*7+3) % (SELECT n FROM nn) AS dst FROM nodes
+          |  UNION ALL
+          |  SELECT node, (node*13+5) % (SELECT n FROM nn) FROM nodes
+          |  UNION ALL
+          |  SELECT node, (node*29+11) % (SELECT n FROM nn) FROM nodes
+          |),
+          |pr AS (
+          |  SELECT 0 AS it, node, 1.0 / (SELECT n FROM nn) AS r FROM nodes
+          |  UNION ALL
+          |  SELECT p.it + 1, e.dst,
+          |    0.15 / (SELECT n FROM nn) + 0.85 * sum(p.r / 3.0)
+          |  FROM pr p JOIN edges e ON e.src = p.node
+          |  WHERE p.it < 10 GROUP BY 1, 2
+          |)
+          |SELECT node AS doc_id, round(r, 6) AS pr
+          |FROM pr WHERE it = 10 ORDER BY doc_id""".stripMargin,
 
       "q_decontaminate" ->
         """WITH sh AS (

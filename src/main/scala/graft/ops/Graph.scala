@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative graph operators over plain edge-list DataFrames — the link-
+  * graph leg of web-corpus curation (page importance is a classic crawl
+  * quality prior; Common Crawl publishes harmonic-centrality/PageRank
+  * rankings for exactly this use).
+  *
+  * Spark-first shape: no GraphX/RDD — the edge list is repartitioned on
+  * src ONCE and cached, and each synchronous iteration is one src-keyed
+  * join plus one dst-keyed aggregate, both reusing that partitioning.
+  * Driver state per iteration is a single double (the dangling mass).
+  * Each iteration's ranks are localCheckpointed, so the logical plan is
+  * truncated to one iteration — without that the tree doubles per
+  * iteration (the ranks frame is referenced twice) and explodes
+  * exponentially (the iterative-algorithm analog of fragment-chain
+  * compaction).
+  */
+object Graph {
+
+  /** Standard damped PageRank, `iters` synchronous iterations from the
+    * uniform start:
+    * {{{ r'(v) = (1-d)/N + d * ( Σ_{(s,v)∈E} r(s)/deg(s) + dangling/N ) }}}
+    * with the rank mass of out-degree-0 nodes redistributed uniformly
+    * (total mass stays 1 every iteration). Nodes = src ∪ dst of the edge
+    * list. Returns (node: long, rank: double).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0: $iters")
+    require(damping > 0 && damping < 1, s"damping in (0,1): $damping")
+    val e = edges.select(col(srcCol).cast("long").as("node"),
+        col(dstCol).cast("long").as("dst"))
+      .repartition(col("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    require(n > 0, "pageRank: empty graph")
+    val deg = e.groupBy("node").agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    var it = 0
+    while (it < iters) {
+      // dangling mass: one scalar action per iteration (O(1) driver state)
+      val dangling = ranks.join(deg, Seq("node"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0d))).head().getDouble(0)
+      val outflow = ranks.join(deg, Seq("node"))
+        .select(col("node"), (col("rank") / col("deg")).as("share"))
+      val contrib = outflow.join(e, Seq("node"))
+        .groupBy("dst").agg(sum("share").as("c"))
+        .select(col("dst").as("node"), col("c"))
+      val next = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("c"), lit(0d)) + lit(dangling / n))).as("rank"))
+      // localCheckpoint TRUNCATES the plan, it does not merely cache:
+      // each iteration references the previous ranks twice (dangling +
+      // outflow), so without truncation the logical tree doubles per
+      // iteration — 2^iters nodes, OOM by ~20 on plan strings alone.
+      // On a cluster with executor churn swap for reliable checkpoint()
+      // (spark.sparkContext.setCheckpointDir) at the same call site.
+      ranks = next.localCheckpoint()
+      it += 1
+    }
+    ranks
+  }
+}

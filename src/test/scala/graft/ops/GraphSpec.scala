@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** PageRank: hand-computed values, dangling redistribution, mass
+  * conservation, partition invariance.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed one iteration on a triangle plus dangling node") {
+    // edges: 0->1, 1->2, 2->0; node 3 has only an incoming edge 0->3
+    // (so 0 has out-degree 2 and 3 is dangling)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 3L)).toDF("s", "d")
+    val r = Graph.pageRank(edges, "s", "d", iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // start 1/4 each; dangling mass = r(3) = 1/4
+    // r'(v) = 0.15/4 + 0.85*(contrib + (1/4)/4)
+    def exp(contrib: Double) = 0.15 / 4 + 0.85 * (contrib + 0.25 / 4)
+    assert(math.abs(r(1L) - exp(0.25 / 2)) < 1e-12) // from 0 (deg 2)
+    assert(math.abs(r(2L) - exp(0.25)) < 1e-12)     // from 1 (deg 1)
+    assert(math.abs(r(0L) - exp(0.25)) < 1e-12)     // from 2 (deg 1)
+    assert(math.abs(r(3L) - exp(0.25 / 2)) < 1e-12) // from 0 (deg 2)
+  }
+
+  test("rank mass is conserved at 1 across iterations, dangling included") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (5L, 0L)).toDF("s", "d")
+    for (iters <- Seq(1, 5, 12)) {
+      val total = Graph.pageRank(edges, "s", "d", iters)
+        .agg(sum("rank")).head().getDouble(0)
+      assert(math.abs(total - 1.0) < 1e-9, s"iters=$iters total=$total")
+    }
+  }
+
+  test("partition count does not change the result") {
+    val base = (0L until 60L).flatMap(i =>
+      Seq((i, (i * 7 + 3) % 60), (i, (i * 13 + 5) % 60)))
+    def run(parts: Int) = Graph.pageRank(
+        base.toDF("s", "d").repartition(parts), "s", "d", iters = 6)
+      .collect().map(x => x.getLong(0) -> math.rint(x.getDouble(1) * 1e9))
+      .toMap
+    assert(run(1) === run(13))
+  }
+
+  test("a sink-heavy star concentrates rank on the hub") {
+    val edges = (1L to 9L).map(i => (i, 0L)).toDF("s", "d")
+    val r = Graph.pageRank(edges, "s", "d", iters = 20)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(0L) > 0.4)
+    assert((1L to 9L).forall(i => r(i) < r(0L)))
+  }
+}
