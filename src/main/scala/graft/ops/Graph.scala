@@ -67,6 +67,10 @@ object Graph {
       ranks = next.localCheckpoint()
       it += 1
     }
+    // the final ranks are a checkpointed scan — the working frames'
+    // cached blocks can go (plans remain valid; only the cache drops)
+    e.unpersist(false); deg.unpersist(false)
+    if (iters > 0) nodes.unpersist(false)
     ranks
   }
 }
