@@ -78,6 +78,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.ops.Multimodal.getClass.getName, "sniff_media"),
       (exprs: Seq[Expression]) =>
         toCatalyst(graft.ops.Multimodal.sniffMedia(toColumn(exprs(0))))))
+    // KMV bottom-k distinct sketch (r12) as a SQL AGGREGATE:
+    // `SELECT kmv_sketch(xxhash64(v), 256) FROM t [GROUP BY g]`
+    e.injectFunction((FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[graft.functions.KmvAgg].getName, "kmv_sketch"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.KmvAgg(exprs(0),
+          intLit(exprs(1), "sketch size k")).toAggregateExpression()))
     // perceptual fingerprints (r12): the same decode kernels the near-dup
     // operators run, as scalar closure UDFs over binary payloads — null
     // for undecodable bytes

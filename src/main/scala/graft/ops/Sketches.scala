@@ -70,4 +70,38 @@ object Sketches {
   def corpusOverlap(a: DataFrame, b: DataFrame, expr: Column,
                     k: Int = 1024): OverlapEstimate =
     estimate(kmvSketch(a, expr, k), kmvSketch(b, expr, k), k)
+
+  /** ONE corpus scan → a KMV sketch per group (the aggregate is partial,
+    * so each task ships ≤ k longs per group). Driver state O(groups·k).
+    */
+  def groupedKmvSketches(df: DataFrame, groupCol: String, expr: Column,
+                         k: Int): Map[String, Array[Long]] =
+    df.groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(graft.functions.KmvAgg.kmv(
+        when(expr.isNotNull, xxhash64(expr)), k).as("sk"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+
+  /** The pairwise overlap matrix of all groups from one corpus scan —
+    * "how much do my N crawls overlap" without any join: G·(G−1)/2
+    * estimates from G sketches of k longs each, all driver arithmetic.
+    * Returns (group_a, group_b, jaccard, overlap, containment_a_in_b,
+    * containment_b_in_a) for group_a < group_b.
+    */
+  def overlapMatrix(df: DataFrame, groupCol: String, expr: Column,
+                    k: Int = 1024): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sks = groupedKmvSketches(df, groupCol, expr, k).toSeq.sortBy(_._1)
+    val rows = for {
+      i <- sks.indices
+      j <- (i + 1) until sks.size
+    } yield {
+      val e = estimate(sks(i)._2, sks(j)._2, k)
+      (sks(i)._1, sks(j)._1, e.jaccard, e.overlap,
+        e.containmentAinB, e.containmentBinA)
+    }
+    rows.toDF("group_a", "group_b", "jaccard", "overlap",
+      "containment_a_in_b", "containment_b_in_a")
+  }
 }

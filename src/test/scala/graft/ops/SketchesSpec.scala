@@ -53,6 +53,36 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est.containmentBinA - 0.5) < 0.2, est.toString)
   }
 
+  test("overlap matrix: one scan, exact pairwise relations below saturation") {
+    // three "crawls" with engineered overlaps: A∩B = 20, A∩C = 0, B∩C = 10
+    val rows =
+      (1 to 40).map(i => ("A", s"x$i")) ++
+      (21 to 60).map(i => ("B", s"x$i")) ++
+      ((101 to 120).map(i => ("C", s"x$i")) ++ (51 to 60).map(i => ("C", s"x$i")))
+    val df = rows.toDF("crawl", "v")
+    val m = Sketches.overlapMatrix(df, "crawl", col("v"), k = 256)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(3), r.getDouble(2))).toMap
+    assert(m(("A", "B"))._1 === 20.0)
+    assert(m(("A", "C"))._1 === 0.0)
+    assert(m(("B", "C"))._1 === 10.0)
+    assert(m(("A", "B"))._2 === 20.0 / 60.0) // |A∪B| = 60
+    assert(m.size === 3)
+  }
+
+  test("kmv_sketch registers as a SQL aggregate") {
+    import org.apache.spark.sql.graft.ColumnShim.registerFunction
+    registerFunction(spark, "kmv_sketch_t", exprs =>
+      graft.functions.KmvAgg(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]).toAggregateExpression())
+    (1 to 100).map(i => s"v$i").toDF("v").createOrReplaceTempView("kmv_in")
+    val r = spark.sql(
+      "SELECT kmv_sketch_t(xxhash64(v), 16) AS sk FROM kmv_in").head()
+    val sk = r.getSeq[Long](0)
+    assert(sk.length == 16)
+    assert(sk == Sketches.kmvSketch(spark.table("kmv_in"), col("v"), 16).toSeq)
+  }
+
   test("nulls are ignored; empty corpus sketches cleanly") {
     val df = Seq(Some("a"), None, Some("b"), None).toDF("v")
     assert(Sketches.kmvSketch(df, col("v"), 8).length == 2)
