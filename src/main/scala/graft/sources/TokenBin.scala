@@ -111,10 +111,11 @@ object TokenBin {
       .sortWithinPartitions("shard", "key")
     val seqAcc = spark.sparkContext.longAccumulator("tokenbin.seqs")
     val tokAcc = spark.sparkContext.longAccumulator("tokenbin.tokens")
-    // per-shard md5 of the token bytes, computed ON the write stream —
-    // O(shards) driver state, recheckable later with [[verifyShards]]
+    // per-shard (md5, seqs, tokens), the md5 computed ON the write
+    // stream — O(shards) driver state; md5 is recheckable later with
+    // [[verifyShards]], the counts feed [[assignShards]]'s balancing
     val md5Acc = spark.sparkContext
-      .collectionAccumulator[(Int, String)]("tokenbin.md5")
+      .collectionAccumulator[(Int, String, Long, Long)]("tokenbin.shards")
     rows.foreachPartition { (it: Iterator[Row]) =>
       // a hash partition may carry several shard values (or none); the
       // sort makes each shard a contiguous run — stream each run into its
@@ -127,7 +128,8 @@ object TokenBin {
       val lens = scala.collection.mutable.ArrayBuffer.empty[Long]
       def closeShard(): Unit = if (cur >= 0) {
         bin.close()
-        md5Acc.add((cur, dig.digest().map("%02x".format(_)).mkString))
+        md5Acc.add((cur, dig.digest().map("%02x".format(_)).mkString,
+          keys.length.toLong, lens.sum))
         val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
           cfs.create(new Path(outDir, f"shard-$cur%05d.idx"), true), 1 << 16))
         try {
@@ -170,14 +172,65 @@ object TokenBin {
       closeShard()
     }
     val fs = root.getFileSystem(conf.value)
-    val md5s = md5Acc.value.asScala.sortBy(_._1)
-      .map { case (s, m) => s""""$s": "$m"""" }.mkString("{", ", ", "}")
+    val shardList = md5Acc.value.asScala.sortBy(_._1)
+      .map { case (s, m, ns, nt) =>
+        s"""{"shard": $s, "md5": "$m", "seqs": $ns, "tokens": $nt}""" }
+      .mkString("[", ", ", "]")
     val manifest = s"""{"shards": $shards, "total_seqs": ${seqAcc.value}, """ +
       s""""total_tokens": ${tokAcc.value}, "dtype": "$dtype", """ +
-      s""""shard_md5": $md5s}"""
+      s""""shard_list": $shardList}"""
     val out = fs.create(new Path(root, "manifest.json"), true)
     try out.write(manifest.getBytes("UTF-8")) finally out.close()
     (seqAcc.value, tokAcc.value)
+  }
+
+  /** One parsed per-shard manifest entry. */
+  final case class ShardInfo(dir: String, shard: Int, md5: String,
+                             seqs: Long, tokens: Long)
+
+  private val ShardEntryRe =
+    ("\\{\"shard\": (\\d+), \"md5\": \"([0-9a-f]{32})\", " +
+      "\"seqs\": (\\d+), \"tokens\": (\\d+)\\}").r
+
+  /** Read every manifest under `dir` (batch root + streaming epochs) —
+    * O(shards) driver work, no token bytes touched.
+    */
+  private[sources] def readShardInfos(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): Seq[ShardInfo] = {
+    val manifests =
+      Option(fs.globStatus(new Path(dir, "manifest.json"))).getOrElse(Array()) ++
+      Option(fs.globStatus(new Path(dir, "epoch-*/manifest.json"))).getOrElse(Array())
+    require(manifests.nonEmpty, s"tokenbin: no manifest.json under $dir")
+    manifests.toSeq.flatMap { st =>
+      val in = fs.open(st.getPath)
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val d = st.getPath.getParent.toString
+      ShardEntryRe.findAllMatchIn(txt).map(m => ShardInfo(d,
+        m.group(1).toInt, m.group(2), m.group(3).toLong, m.group(4).toLong))
+        .toSeq
+    }
+  }
+
+  /** Deterministic balanced shard→worker assignment for `workers`
+    * dataloader ranks: LPT greedy over the manifests' per-shard token
+    * counts (largest shard to the currently-lightest worker, ties by
+    * worker id) — O(shards log shards) driver work, no data read.
+    * Returns (worker, dir, shard, tokens) covering every shard once.
+    */
+  def assignShards(spark: SparkSession, dir: String, workers: Int): DataFrame = {
+    require(workers > 0, s"tokenbin: workers must be positive: $workers")
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val infos = readShardInfos(fs, dir).sortBy(i => (-i.tokens, i.dir, i.shard))
+    val loads = scala.collection.mutable.PriorityQueue.empty[(Long, Int)](
+      Ordering.by(t => (-t._1, -t._2))) // head = lightest, ties -> lowest id
+    (0 until workers).foreach(w => loads.enqueue((0L, w)))
+    val rows = infos.map { i =>
+      val (load, w) = loads.dequeue()
+      loads.enqueue((load + i.tokens, w))
+      (w, i.dir, i.shard, i.tokens)
+    }
+    import spark.implicits._
+    rows.toDF("worker", "dir", "shard", "tokens")
   }
 
   /** Distributed integrity check: re-hash every shard's token bytes and
@@ -189,19 +242,10 @@ object TokenBin {
   def verifyShards(spark: SparkSession, dir: String): DataFrame = {
     val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
     val fs = new Path(dir).getFileSystem(conf.value)
-    val manifests =
-      Option(fs.globStatus(new Path(dir, "manifest.json"))).getOrElse(Array()) ++
-      Option(fs.globStatus(new Path(dir, "epoch-*/manifest.json"))).getOrElse(Array())
-    require(manifests.nonEmpty, s"tokenbin: no manifest.json under $dir")
-    val expected: Seq[(String, Int, String)] = manifests.toSeq.flatMap { st =>
-      val in = fs.open(st.getPath)
-      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      val d = st.getPath.getParent.toString
-      // tiny fixed-shape manifest — a regex parse keeps the reader
-      // dependency-free (the writer controls the format end to end)
-      "\"(\\d+)\": \"([0-9a-f]{32})\"".r.findAllMatchIn(txt)
-        .map(m => (d, m.group(1).toInt, m.group(2))).toSeq
-    }
+    // tiny fixed-shape manifest — a regex parse keeps the reader
+    // dependency-free (the writer controls the format end to end)
+    val expected: Seq[(String, Int, String)] =
+      readShardInfos(fs, dir).map(i => (i.dir, i.shard, i.md5))
     val spark2 = spark
     import spark2.implicits._
     spark.createDataset(expected).repartition(expected.size.max(1))
@@ -306,10 +350,10 @@ class TokenBinTable(path: String) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TokenBinScanBuilder(path)
+    new TokenBinScanBuilder(path, Option(options.get("shards")))
 }
 
-class TokenBinScanBuilder(path: String)
+class TokenBinScanBuilder(path: String, shardsOpt: Option[String])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = TokenBin.schema
   override def pruneColumns(requiredSchema: StructType): Unit = {
@@ -320,18 +364,31 @@ class TokenBinScanBuilder(path: String)
     required = if (kept.isEmpty)
       StructType(TokenBin.schema.fields.filter(_.name == "key")) else kept
   }
-  override def build(): Scan = new TokenBinScan(path, required)
+  override def build(): Scan = new TokenBinScan(path, required, shardsOpt)
 }
 
 case class TokenBinPartition(shard: Int, idxFile: String, binFile: String)
     extends InputPartition
 
-class TokenBinScan(path: String, required: StructType) extends Scan with Batch {
+class TokenBinScan(path: String, required: StructType,
+                   shardsOpt: Option[String] = None) extends Scan with Batch {
   private lazy val hadoopConf =
     SparkSession.active.sessionState.newHadoopConf()
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  // `.option("shards", "0,3,8-11")` — the dataloader-rank read: a worker
+  // scans ONLY its assigned shard numbers (see TokenBin.assignShards);
+  // partition pruning at plan time, unlisted shards' files never open
+  private def shardFilter: Option[Set[Int]] = shardsOpt.map { s =>
+    s.split(",").filter(_.nonEmpty).flatMap { tok =>
+      tok.split("-", 2) match {
+        case Array(a, b) => (a.trim.toInt to b.trim.toInt).toSet
+        case Array(a)    => Set(a.trim.toInt)
+      }
+    }.toSet
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val fs = new Path(path).getFileSystem(hadoopConf)
@@ -341,11 +398,14 @@ class TokenBinScan(path: String, required: StructType) extends Scan with Batch {
       Option(fs.globStatus(new Path(path, "shard-*.idx"))).getOrElse(Array()) ++
       Option(fs.globStatus(new Path(path, "epoch-*/shard-*.idx"))).getOrElse(Array())
     require(statuses.nonEmpty, s"tokenbin: no shard-*.idx files at $path")
-    statuses.map(_.getPath).sortBy(_.toString).map { idx =>
+    val keep = shardFilter
+    statuses.map(_.getPath).sortBy(_.toString).flatMap { idx =>
       val name = idx.getName.stripSuffix(".idx")
       val shard = name.stripPrefix("shard-").toInt
-      TokenBinPartition(shard, idx.toString,
-        new Path(idx.getParent, s"$name.bin").toString): InputPartition
+      if (keep.forall(_.contains(shard)))
+        Some(TokenBinPartition(shard, idx.toString,
+          new Path(idx.getParent, s"$name.bin").toString): InputPartition)
+      else None
     }
   }
 

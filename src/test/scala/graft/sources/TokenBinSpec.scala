@@ -92,6 +92,46 @@ class TokenBinSpec extends SparkSpec {
     assert(rows.last.getSeq[Int](2) == Seq(9999, 10000))
   }
 
+  test("shards option prunes partitions; assignShards balances by tokens") {
+    import spark.implicits._
+    val out = tmp("assign")
+    // shard sizes engineered via key % 4: shard k gets docs with k tokens
+    // spread so token totals differ strongly
+    val in = (0L until 40L).map(k =>
+      (k, (0 to ((k % 4) * 3).toInt).map(_.toInt))).toDF("key", "ids")
+    TokenBin.write(in, "key", "ids", out, shards = 4)
+    // shards option: only the listed shard numbers are scanned
+    val some = spark.read.format("tokenbin").option("shards", "1,3")
+      .load(out)
+    assert(some.select("shard").distinct().as[Int].collect().sorted.toSeq
+      == Seq(1, 3))
+    val range = spark.read.format("tokenbin").option("shards", "0-2")
+      .load(out)
+    assert(range.select("shard").distinct().as[Int].collect().sorted.toSeq
+      == Seq(0, 1, 2))
+    // LPT assignment: every shard exactly once, worker loads within the
+    // largest single shard of each other, deterministic across calls
+    val a1 = TokenBin.assignShards(spark, out, workers = 2).collect()
+      .map(r => (r.getInt(0), r.getInt(2), r.getLong(3)))
+    assert(a1.map(_._2).sorted.toSeq == Seq(0, 1, 2, 3))
+    val loads = a1.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(loads.size == 2)
+    val maxShard = a1.map(_._3).max
+    assert(math.abs(loads(0) - loads(1)) <= maxShard)
+    val a2 = TokenBin.assignShards(spark, out, workers = 2).collect()
+      .map(r => (r.getInt(0), r.getInt(2), r.getLong(3)))
+    assert(a1.toSeq == a2.toSeq)
+    // per-shard manifest stats agree with an idx-derived recount
+    val infos = TokenBin.readShardInfos(
+      new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(spark.sessionState.newHadoopConf()), out)
+    val byShard = spark.read.format("tokenbin").load(out)
+      .groupBy("shard").agg(count(lit(1)).as("n"), sum(size(col("ids"))).as("t"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    infos.foreach(i =>
+      assert(byShard(i.shard) == ((i.seqs, i.tokens)), s"shard ${i.shard}"))
+  }
+
   test("manifest records shard count and totals") {
     import spark.implicits._
     val out = tmp("manifest")
