@@ -43,12 +43,20 @@ object Graph {
     require(n > 0, "pageRank: empty graph")
     val deg = e.groupBy("node").agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // the dangling-node SET is iteration-invariant — resolve it once, so
+    // graphs without sinks (most link graphs after degree filtering) skip
+    // the per-iteration scalar job entirely
+    val danglingNodes = nodes.join(deg, Seq("node"), "left_anti")
+      .localCheckpoint()
+    val hasDangling = !danglingNodes.isEmpty
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     var it = 0
     while (it < iters) {
       // dangling mass: one scalar action per iteration (O(1) driver state)
-      val dangling = ranks.join(deg, Seq("node"), "left_anti")
-        .agg(coalesce(sum("rank"), lit(0d))).head().getDouble(0)
+      val dangling =
+        if (!hasDangling) 0d
+        else ranks.join(danglingNodes, Seq("node"), "left_semi")
+          .agg(coalesce(sum("rank"), lit(0d))).head().getDouble(0)
       val outflow = ranks.join(deg, Seq("node"))
         .select(col("node"), (col("rank") / col("deg")).as("share"))
       val contrib = outflow.join(e, Seq("node"))
