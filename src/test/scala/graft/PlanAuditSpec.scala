@@ -333,6 +333,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("KMV sketch aggregates partially: map-side combine before the 1-row merge") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val p = plan(docs.select(graft.functions.KmvAgg.kmv(
+      org.apache.spark.sql.functions.xxhash64(
+        org.apache.spark.sql.functions.col("text")), 64).as("sk")))
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a partial
+    // stage — each task ships <= k longs, never its rows
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_kmvagg") || p.contains("partial kmvagg") ||
+      p.toLowerCase.contains("partial"), p)
+  }
+
   test("Gopher duplicate line/paragraph metrics stay scan-side, zero shuffles") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val p = plan(ops.TextAnalysis.dupSegmentMetrics(docs, "text")

@@ -112,6 +112,36 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("KMV cardinality sketch aggregates inside a real stream, batch parity") {
+    // distinct-user sketch per event_type over an ingest stream — the
+    // streaming-cardinality shape (KmvAgg is mergeable, so the streaming
+    // state per group is <= k longs); complete-mode final result must
+    // equal the batch aggregate bit-for-bit
+    val dir = sf("sf0.001")
+    val raw = EventStream.loadEvents(spark, dir)
+    val evDir = "/root/repo/target/test_stream_kmv_events"
+    raw.write.mode("overwrite").parquet(evDir)
+    def sketch(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("event_type").agg(graft.functions.KmvAgg.kmv(
+        xxhash64(col("user_id")), 32).as("sk"))
+    val stream = spark.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", "1").parquet(evDir)
+    EventStream.runToMemory(sketch(stream), "kmv_out", mode = "complete")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getSeq[Long](1).mkString(","))
+    val streamed = spark.table("kmv_out").collect().map(key).toSeq.sorted
+    val batch = sketch(raw).collect().map(key).toSeq.sorted
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // and the sketch estimates the true per-type distinct-user count
+    val est = spark.table("kmv_out").collect().map(r => r.getString(0) ->
+      graft.ops.Sketches.distinctEstimate(r.getSeq[Long](1).toArray, 32)).toMap
+    val exact = raw.groupBy("event_type").agg(countDistinct("user_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    exact.foreach { case (t, ex) =>
+      assert(math.abs(est(t) / ex - 1) < 0.5, s"$t: est ${est(t)} vs $ex") }
+  }
+
   test("learned quality scoring runs inside a real stream (scoreColumn)") {
     val dir = sf("sf0.001")
     val raw = EventStream.loadEvents(spark, dir)
