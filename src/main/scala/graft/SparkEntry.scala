@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.api.{ConvertApp, MSTable, MSWrite, ReadSpec}
 import graft.expr.{ComplexFns, Expressions, Taql}
-import graft.ops.{AsOfJoin, Bpe, Dedup, Graph, Multimodal, Pca, Sampling, Similarity, Sketches, TextAnalysis, UnigramLm, WordPiece}
+import graft.ops.{AsOfJoin, Bpe, Dedup, Fuzzy, Graph, Multimodal, Pca, Sampling, Similarity, Sketches, TextAnalysis, UnigramLm, WordPiece}
 import graft.streaming.EventStream
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -858,6 +858,14 @@ object SparkEntry {
         blockCols = Seq("lang"), n = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")),
 
+    // fuzzy (edit-distance) pair join via the SymSpell deletion-
+    // neighborhood: complete for lev <= 1, verified with exact
+    // levenshtein — record-linkage / typo clustering without all-pairs
+    "q_fuzzy_pairs" -> ((s, dir) =>
+      Fuzzy.editDistancePairs(T(s, dir, "customer"), "c_name", "c_custkey",
+        maxDist = 1)
+        .orderBy("id_a", "id_b")),
+
     // exact substring-level dedup stats: per-doc count/fraction of 5-token
     // windows that also occur in another document (Lee et al. 2022)
     "q_dedup_substring" -> ((s, dir) =>
@@ -1010,6 +1018,17 @@ object SparkEntry {
       Similarity.bruteForceTopK(
         emb.filter(col("vec_id") < 8), emb,
         "vec_id", "embedding", "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // hard-negative mining: per query, the top-5 most-similar vectors of a
+    // DIFFERENT label (the contrastive-training near-misses); same
+    // broadcast-scan + bounded-heap top-k plan as q_ann_topk
+    "q_ann_negatives" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.hardNegatives(
+        emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "embedding", "label", "vec_id", "embedding", "label", k = 5)
         .orderBy("query_id", "rank")
     }),
 
@@ -1434,6 +1453,18 @@ object SparkEntry {
     // corpus vocabulary: top-100 tokens with counts (BPE seeding step)
     "q_vocab" -> ((s, dir) =>
       TextAnalysis.vocabulary(T(s, dir, "documents"), "text", 100)),
+
+    // pairwise source-to-source Jensen-Shannon divergence of unigram
+    // distributions (base 2) — the data-mixing redundancy diagnostic
+    "q_corpus_divergence" -> ((s, dir) =>
+      TextAnalysis.corpusDivergenceJS(T(s, dir, "documents"), "text", "source")
+        .orderBy("corpus_a", "corpus_b")),
+
+    // per-source top-5 most frequent tokens (source vocabulary profile)
+    "q_top_terms" -> ((s, dir) =>
+      TextAnalysis.topTermsPerGroup(T(s, dir, "documents"), "text", "source",
+        k = 5)
+        .orderBy(col("source"), col("rank"))),
 
     // BPE subword training + application (Sennrich 2016 / GPT-2 greedy
     // ranks): derived check — the exact merge sequence is spec-tested
@@ -2645,6 +2676,13 @@ object SparkEntry {
           |  AND len(a.s) + len(b.s) > 0
           |ORDER BY 1, 2""".stripMargin,
 
+      "q_fuzzy_pairs" ->
+        """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+          |       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+          |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+          |WHERE levenshtein(a.c_name, b.c_name) <= 1
+          |ORDER BY 1, 2""".stripMargin,
+
       "q_dedup_substring" ->
         """WITH toks AS (
           |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
@@ -2872,6 +2910,27 @@ object SparkEntry {
           |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))
           |      AS cos
           |  FROM e CROSS JOIN q WHERE e.vec_id != q.query_id
+          |), r AS (
+          |  SELECT query_id, neighbor_id, cos,
+          |    row_number() OVER (PARTITION BY query_id
+          |                       ORDER BY cos DESC, neighbor_id) AS rank
+          |  FROM sc
+          |)
+          |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+          |       round(cos, 6) AS cosine
+          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+      "q_ann_negatives" ->
+        """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+          |           FROM embeddings),
+          |     q AS (SELECT vec_id AS query_id, label AS ql, v AS qv
+          |           FROM e WHERE vec_id < 8),
+          |     sc AS (
+          |  SELECT q.query_id, e.vec_id AS neighbor_id,
+          |    list_dot_product(qv, v)
+          |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))
+          |      AS cos
+          |  FROM e CROSS JOIN q WHERE e.label != q.ql
           |), r AS (
           |  SELECT query_id, neighbor_id, cos,
           |    row_number() OVER (PARTITION BY query_id
@@ -3352,6 +3411,52 @@ object SparkEntry {
           |      FROM documents)
           |WHERE len(token) > 0
           |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+      "q_corpus_divergence" ->
+        """WITH occ AS (
+          |  SELECT source AS c, tok AS w
+          |  FROM (SELECT source,
+          |          unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+          |        FROM documents)
+          |  WHERE len(tok) > 0
+          |), cnt AS (SELECT c, w, CAST(count(*) AS DOUBLE) AS n
+          |           FROM occ GROUP BY 1, 2),
+          |tot AS (SELECT c, sum(n) AS t FROM cnt GROUP BY 1),
+          |p AS (SELECT cnt.c, w, n / t AS p FROM cnt JOIN tot USING (c)),
+          |sh AS (
+          |  SELECT a.c AS corpus_a, b.c AS corpus_b,
+          |         sum(a.p * ln(2 * a.p / (a.p + b.p))) AS sa,
+          |         sum(b.p * ln(2 * b.p / (a.p + b.p))) AS sb,
+          |         sum(a.p) AS ma, sum(b.p) AS mb
+          |  FROM p a JOIN p b ON a.w = b.w AND a.c < b.c GROUP BY 1, 2
+          |), pairs AS (
+          |  SELECT a.c AS corpus_a, b.c AS corpus_b
+          |  FROM tot a JOIN tot b ON a.c < b.c
+          |)
+          |SELECT corpus_a, corpus_b,
+          |  round((
+          |    (coalesce(sa, 0) + (1 - coalesce(ma, 0)) * ln(2)) * 0.5 +
+          |    (coalesce(sb, 0) + (1 - coalesce(mb, 0)) * ln(2)) * 0.5
+          |  ) / ln(2), 6) AS js_divergence
+          |FROM pairs LEFT JOIN sh USING (corpus_a, corpus_b)
+          |ORDER BY 1, 2""".stripMargin,
+
+      "q_top_terms" ->
+        """WITH cnt AS (
+          |  SELECT source, token, CAST(count(*) AS BIGINT) AS n
+          |  FROM (SELECT source,
+          |          unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+          |        FROM documents)
+          |  WHERE len(token) > 0
+          |  GROUP BY 1, 2
+          |), r AS (
+          |  SELECT source, token, n,
+          |    row_number() OVER (PARTITION BY source
+          |                       ORDER BY n DESC, token) AS rank
+          |  FROM cnt
+          |)
+          |SELECT source, CAST(rank AS INTEGER) AS rank, token, n
+          |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
 
       "q_tfidf" ->
         """WITH terms AS (

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fuzzy (edit-distance) string matching: all-pairs within Levenshtein
+  * distance `d`, and probe-against-index matching — the record-linkage /
+  * typo-clustering companions to the token-level dedup in [[Dedup]].
+  * (The reference engine has no string-similarity operator; this is part
+  * of the training-data-pipeline extension surface, like [[Dedup]] /
+  * [[TextAnalysis]].)
+  *
+  * Algorithm: deletion-neighborhood join (the SymSpell idea, Garbe 2012).
+  * If lev(a, b) ≤ d then deleting the ≤ d positions that an optimal
+  * alignment edits yields a common string in Del≤d(a) ∩ Del≤d(b), so
+  * joining on deletion variants is COMPLETE for distance ≤ d; candidates
+  * are then verified with the exact codegen `levenshtein`.
+  *
+  * Scale design (100 TB):
+  *  - no all-pairs structure: each string of length L emits O(L^d)
+  *    variant keys (O(L) at the default d = 1), hashed to 8-byte longs —
+  *    the shuffle carries (key, id, length), never the strings
+  *  - the variant join is a plain equi-join on the hashed key; a
+  *    length-difference filter (|len(a) − len(b)| ≤ d, free: lengths ride
+  *    the key rows) and `id_a < id_b` prune before the candidate distinct
+  *  - verification joins the candidate ids back to the (id → string)
+  *    side — two id-keyed joins, exact `levenshtein` only on candidates
+  *  - skew: a variant key's bucket is the set of strings within one
+  *    deletion of a common core — adversarially large only when the input
+  *    is saturated with near-identical strings; run [[Dedup.exact]] first
+  *    so exact duplicates never reach the pair join
+  */
+object Fuzzy {
+
+  /** All strings reachable from `s` by at most `maxDist` character
+    * deletions, `s` itself included, de-duplicated. Pure Column algebra
+    * (array HOFs), so the generating scan stays columnar with projection
+    * pruning. `maxDist` ≤ 2 keeps the neighborhood O(L²) — the classic
+    * SymSpell operating range; larger radii belong to n-gram Jaccard.
+    */
+  def deletionVariants(s: Column, maxDist: Int): Column = {
+    require(maxDist >= 0 && maxDist <= 2,
+      s"deletionVariants supports 0 <= maxDist <= 2 (got $maxDist); " +
+        "for coarser matching use Dedup.ngramJaccardPairs")
+    // one deletion level: v -> [v minus char i | i <- 1..len(v)]
+    def del1(v: Column): Column =
+      when(length(v) >= 1,
+        transform(sequence(lit(1), length(v)), i =>
+          concat(v.substr(lit(1), i - 1), v.substr(i + 1, length(v) - i))))
+        .otherwise(array())
+    var level: Column = array(s)
+    var acc: Column = array(s)
+    for (_ <- 1 to maxDist) {
+      level = array_distinct(flatten(transform(level, del1(_))))
+      acc = concat(acc, level)
+    }
+    array_distinct(acc)
+  }
+
+  /** All distinct id pairs whose `strCol` values are within Levenshtein
+    * distance `maxDist` (> 0 apart is not required: distance 0 means the
+    * strings are equal — exact duplicates are reported too unless deduped
+    * upstream). Output: (id_a, id_b, dist), id_a < id_b.
+    */
+  def editDistancePairs(docs: DataFrame, strCol: String, idCol: String,
+                        maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 1, s"editDistancePairs needs maxDist >= 1 (got $maxDist)")
+    val base = docs.select(col(idCol).as("__id"), col(strCol).as("__s"))
+    val keyed = base
+      .select(col("__id"), length(col("__s")).as("__len"),
+        explode(deletionVariants(col("__s"), maxDist)).as("__v"))
+      .select(col("__id"), col("__len"), xxhash64(col("__v")).as("__k"))
+    val x = keyed.select(col("__k"), col("__id").as("id_a"), col("__len").as("__la"))
+    val y = keyed.select(col("__k"), col("__id").as("id_b"), col("__len").as("__lb"))
+    val cands = x.join(y, "__k")
+      .filter(col("id_a") < col("id_b"))
+      .filter(abs(col("__la") - col("__lb")) <= maxDist)
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(base.select(col("__id").as("id_a"), col("__s").as("__sa")), "id_a")
+      .join(base.select(col("__id").as("id_b"), col("__s").as("__sb")), "id_b")
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** Match each probe string against a reference set within Levenshtein
+    * distance `maxDist`: (probe id, matched reference id, dist). The probe
+    * side may be a STREAMING DataFrame — the plan is probe-side explode ⋈
+    * static keyed reference (a stream-static equi-join, no state store),
+    * then an id-keyed verify join back to the reference strings.
+    */
+  def matchAgainst(probes: DataFrame, reference: DataFrame,
+                   pStrCol: String, pIdCol: String,
+                   rStrCol: String, rIdCol: String,
+                   maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 1, s"matchAgainst needs maxDist >= 1 (got $maxDist)")
+    val refBase = reference.select(col(rIdCol).as("ref_id"), col(rStrCol).as("__rs"))
+    val refKeyed = refBase
+      .select(col("ref_id"), explode(deletionVariants(col("__rs"), maxDist)).as("__v"))
+      .select(col("ref_id"), xxhash64(col("__v")).as("__k")).distinct()
+    val probeKeyed = probes
+      .select(col(pIdCol).as("probe_id"), col(pStrCol).as("__ps"),
+        explode(deletionVariants(col(pStrCol), maxDist)).as("__v"))
+      .select(col("probe_id"), col("__ps"), xxhash64(col("__v")).as("__k"))
+    probeKeyed.join(refKeyed, "__k")
+      .select("probe_id", "__ps", "ref_id").dropDuplicates("probe_id", "ref_id")
+      .join(refBase, "ref_id")
+      .withColumn("dist", levenshtein(col("__ps"), col("__rs")))
+      .filter(col("dist") <= maxDist)
+      .select(col("probe_id"), col("ref_id"), col("dist"))
+  }
+}

@@ -51,6 +51,27 @@ object Similarity {
     explodeTopK(scored, k)
   }
 
+  /** Hard-negative mining (contrastive-training data prep): for each
+    * query, the `k` most cosine-similar corpus vectors whose label
+    * DIFFERS from the query's — the near-misses a contrastive loss
+    * learns most from. Same plan shape as [[bruteForceTopK]]: the corpus
+    * scans once against broadcast queries (the label-mismatch theta
+    * predicate rides the broadcast join), and [[graft.functions.TopKAgg]]
+    * ships ≤ k rows per query into the shuffle.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame,
+                    qIdCol: String, qVecCol: String, qLabelCol: String,
+                    cIdCol: String, cVecCol: String, cLabelCol: String,
+                    k: Int): DataFrame = {
+    val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"),
+      col(qLabelCol).as("__ql"))
+    val c = corpus.select(col(cIdCol).as("neighbor_id"), col(cVecCol).as("cv"),
+      col(cLabelCol).as("__cl"))
+    val scored = c.join(broadcast(q), col("__cl") =!= col("__ql"))
+      .withColumn("cosine", Dedup.cosine(col("qv"), col("cv")))
+    explodeTopK(scored, k)
+  }
+
   /** Per-key exact top-k via the partial-aggregating [[graft.functions.TopKAgg]]
     * (bounded heap per key per task — each task ships ≤ k rows per key into
     * the shuffle, vs. the window formulation shuffling every scored row).

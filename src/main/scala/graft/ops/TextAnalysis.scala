@@ -1071,4 +1071,80 @@ object TextAnalysis {
       .agg(round(coalesce(sum("__lr"), lit(0.0)), 6).as("dsir_weight"),
         count(col("__tok")).as("n_tokens"))
   }
+
+  /** Pairwise Jensen–Shannon divergence (base 2, so 0 = identical, 1 =
+    * disjoint) between the unigram distributions of every pair of corpora
+    * (`corpusCol` values) — the data-mixing diagnostic: which sources are
+    * redundant with each other, which contribute novel text.
+    *
+    * Formulated WITHOUT a full outer join: for words present in both
+    * corpora the exact terms p·ln(2p/(p+q)) and q·ln(2q/(p+q)) aggregate
+    * over the word-keyed inner join; a word missing from the other corpus
+    * contributes exactly p·ln 2, so the unmatched tail folds into
+    * (1 − Σ_shared p)·ln 2 — no per-word null handling, no outer join.
+    *
+    * Scale shape: one explode → (corpus, word) hash-aggregate with
+    * map-side partial combine; per-corpus totals broadcast back; the pair
+    * terms come from a word-partitioned self-equi-join whose per-word
+    * output is ≤ (corpora containing the word)², aggregated map-side
+    * before the (corpus_a, corpus_b) shuffle — the number of corpora is
+    * small by definition (it is a label set, not data), so the final
+    * matrix is tiny. Zero-overlap pairs are completed from the corpus dim
+    * (a broadcast cross of two 1-column aggregates) and surface as JS = 1.
+    */
+  def corpusDivergenceJS(docs: DataFrame, textCol: String,
+                         corpusCol: String): DataFrame = {
+    val ln2 = math.log(2.0)
+    val occ = docs.select(col(corpusCol).as("__c"),
+      explode(nonEmptyTokens(col(textCol))).as("__w"))
+    val cnt = occ.groupBy("__c", "__w").agg(count(lit(1)).as("__n"))
+    val tot = cnt.groupBy("__c").agg(sum("__n").as("__t"))
+    val p = cnt.join(broadcast(tot), "__c")
+      .select(col("__c"), col("__w"),
+        (col("__n").cast("double") / col("__t")).as("__p"))
+    val a = p.select(col("__c").as("corpus_a"), col("__w"), col("__p").as("__pa"))
+    val b = p.select(col("__c").as("corpus_b"), col("__w"), col("__p").as("__pb"))
+    val shared = a.join(b, "__w")
+      .filter(col("corpus_a") < col("corpus_b"))
+      .groupBy("corpus_a", "corpus_b")
+      .agg(
+        sum(col("__pa") * log(lit(2) * col("__pa") / (col("__pa") + col("__pb")))).as("__sa"),
+        sum(col("__pb") * log(lit(2) * col("__pb") / (col("__pa") + col("__pb")))).as("__sb"),
+        sum("__pa").as("__ma"), sum("__pb").as("__mb"))
+    val dim = tot.select("__c")
+    val pairs = dim.select(col("__c").as("corpus_a"))
+      .crossJoin(broadcast(dim.select(col("__c").as("corpus_b"))))
+      .filter(col("corpus_a") < col("corpus_b"))
+    pairs.join(shared, Seq("corpus_a", "corpus_b"), "left")
+      .select(col("corpus_a"), col("corpus_b"),
+        round((
+          (coalesce(col("__sa"), lit(0.0)) +
+            (lit(1.0) - coalesce(col("__ma"), lit(0.0))) * ln2) * 0.5 +
+          (coalesce(col("__sb"), lit(0.0)) +
+            (lit(1.0) - coalesce(col("__mb"), lit(0.0))) * ln2) * 0.5
+        ) / ln2, 6).as("js_divergence"))
+  }
+
+  /** The `k` most frequent tokens per corpus/group, rank-ordered
+    * (ties broken by token, so the result is deterministic) — the
+    * per-source vocabulary profile behind boilerplate spotting and
+    * source fingerprinting.
+    *
+    * Scale shape: the corpus scan collapses to a (group, token)
+    * hash-aggregate with map-side partial combine FIRST; the rank window
+    * then runs over aggregated counts (bounded by group-local vocabulary,
+    * not corpus tokens), partitioned by the group key.
+    */
+  def topTermsPerGroup(docs: DataFrame, textCol: String, groupCol: String,
+                       k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = docs
+      .select(col(groupCol), explode(nonEmptyTokens(col(textCol))).as("token"))
+      .groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("n").desc, col("token"))
+    cnt.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col(groupCol), col("rank"), col("token"), col("n"))
+  }
 }

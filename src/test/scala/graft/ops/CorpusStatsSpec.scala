@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("JS divergence: 0 for identical distributions, 1 for disjoint vocab") {
+    val docs = Seq(
+      ("s1", "alpha beta alpha"), ("s2", "alpha beta alpha"),
+      ("s3", "gamma delta")).toDF("source", "text")
+    val m = TextAnalysis.corpusDivergenceJS(docs, "text", "source")
+      .as[(String, String, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(m(("s1", "s2")) == 0.0)
+    assert(m(("s1", "s3")) == 1.0)
+    assert(m(("s2", "s3")) == 1.0)
+  }
+
+  test("JS divergence matches the closed-form hand computation") {
+    // P = {a: 1}, Q = {a: 1/2, b: 1/2}
+    val docs = Seq(("p", "a a"), ("q", "a b")).toDF("source", "text")
+    val got = TextAnalysis.corpusDivergenceJS(docs, "text", "source")
+      .as[(String, String, Double)].collect().head._3
+    val ln2 = math.log(2.0)
+    val expect = (0.5 * math.log(4.0 / 3.0) +
+      0.5 * (0.5 * math.log(2.0 / 3.0) + 0.5 * ln2)) / ln2
+    assert(got == BigDecimal(expect).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("topTermsPerGroup ranks by count then token, capped at k") {
+    val docs = Seq(
+      ("s1", "x x x y y z w"), ("s2", "m n n")).toDF("source", "text")
+    val got = TextAnalysis.topTermsPerGroup(docs, "text", "source", 3)
+      .orderBy("source", "rank")
+      .as[(String, Int, String, Long)].collect().toSeq
+    assert(got == Seq(
+      ("s1", 1, "x", 3L), ("s1", 2, "y", 2L), ("s1", 3, "w", 1L),
+      ("s2", 1, "n", 2L), ("s2", 2, "m", 1L)))
+  }
+
+  test("hardNegatives returns only label-mismatched neighbors, ranked by cosine") {
+    val emb = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.8f, 0.2f), 1), (4L, Array(0f, 1f), 1),
+      (5L, Array(0.7f, 0.3f), 2)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(
+      emb.filter(col("vec_id") === 1), emb,
+      "vec_id", "embedding", "label", "vec_id", "embedding", "label", k = 2)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    // query 1 (label 0): candidates are 3, 4, 5; nearest two by cosine are
+    // 3 (0.970143) then 5 (0.919145); same-label 2 must NOT appear
+    assert(got.map(t => (t._1, t._2, t._3)) == Seq((1L, 1, 3L), (1L, 2, 5L)))
+    assert(got.forall(_._3 != 2L))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FuzzySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def brutePairs(names: Seq[(Long, String)], d: Int) =
+    (for {
+      (ia, sa) <- names; (ib, sb) <- names
+      if ia < ib
+      dist = levDist(sa, sb)
+      if dist <= d
+    } yield (ia, ib, dist)).sortBy(t => (t._1, t._2))
+
+  private def levDist(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
+
+  test("deletionVariants enumerates the exact <=d deletion neighborhood") {
+    val out = Seq("abc").toDF("s")
+      .select(Fuzzy.deletionVariants(col("s"), 2).as("v"))
+      .select(explode(col("v"))).as[String].collect().toSet
+    // d=2 over "abc": itself, 3 single deletions, 3 double deletions
+    assert(out == Set("abc", "bc", "ac", "ab", "a", "b", "c"))
+    val one = Seq("ab").toDF("s")
+      .select(Fuzzy.deletionVariants(col("s"), 1).as("v"))
+      .select(explode(col("v"))).as[String].collect().toSet
+    assert(one == Set("ab", "a", "b"))
+    // empty string survives (its only variant is itself)
+    val empty = Seq("").toDF("s")
+      .select(Fuzzy.deletionVariants(col("s"), 2).as("v"))
+      .select(explode(col("v"))).as[String].collect().toSet
+    assert(empty == Set(""))
+  }
+
+  test("editDistancePairs d=1 equals brute-force levenshtein on a mixed corpus") {
+    val names: Seq[(Long, String)] = Seq(
+      1L -> "Customer#0001", 2L -> "Customer#0002", 3L -> "Customer#0012",
+      4L -> "wholly different", 5L -> "Customer#00012", 6L -> "kitten",
+      7L -> "sitten", 8L -> "sittin", 9L -> "", 10L -> "a",
+      11L -> "ünïcode", 12L -> "ünicode")
+    val df = names.toDF("id", "name")
+    val got = Fuzzy.editDistancePairs(df, "name", "id", maxDist = 1)
+      .orderBy("id_a", "id_b").as[(Long, Long, Int)].collect().toSeq
+    assert(got == brutePairs(names, 1))
+    assert(got.nonEmpty) // non-vacuous: the fixture has true pairs
+  }
+
+  test("editDistancePairs d=2 stays complete (two deletions / substitutions)") {
+    val names: Seq[(Long, String)] = Seq(
+      1L -> "abcdef", 2L -> "abXdYf", 3L -> "abcd", 4L -> "acdf",
+      5L -> "abcdefgh", 6L -> "zzzzzz", 7L -> "ab", 8L -> "ba")
+    val df = names.toDF("id", "name")
+    val got = Fuzzy.editDistancePairs(df, "name", "id", maxDist = 2)
+      .orderBy("id_a", "id_b").as[(Long, Long, Int)].collect().toSeq
+    assert(got == brutePairs(names, 2))
+  }
+
+  test("matchAgainst finds every reference within distance 1 of each probe") {
+    val ref = Seq(1L -> "spark", 2L -> "spork", 3L -> "shark", 4L -> "plane")
+      .toDF("rid", "rname")
+    val probes = Seq(10L -> "spark", 11L -> "sparkz", 12L -> "xyzzy")
+      .toDF("pid", "pname")
+    val got = Fuzzy.matchAgainst(probes, ref, "pname", "pid", "rname", "rid")
+      .orderBy("probe_id", "ref_id").as[(Long, Long, Int)].collect().toSeq
+    assert(got == Seq((10L, 1L, 0), (10L, 2L, 1), (10L, 3L, 1), (11L, 1L, 1)))
+  }
+
+  test("fuzzy pair plan has no cartesian product and one distinct-pair exchange") {
+    val df = Seq(1L -> "aa", 2L -> "ab").toDF("id", "name")
+    val plan = Fuzzy.editDistancePairs(df, "name", "id", 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
