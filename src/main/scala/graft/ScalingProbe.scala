@@ -401,6 +401,36 @@ object ScalingProbe {
         .agg(sum(size(col("ids")))).collect()
       1L
     }
+    // round-13 operators. Salted customer replication for the fuzzy pair
+    // join: copies keep their own digit-neighbor pair structure but the
+    // 4-char copy suffix holds cross-copy names > 1 edit apart, so the
+    // true pair count scales ~linearly with mult (plain replication would
+    // make every name an exact cross-copy duplicate — quadratic output)
+    def saltedCust(i: Int) = spark.read.parquet(s"$src/customer.parquet")
+      .withColumn("c_custkey", col("c_custkey") + lit(i * 10000000L))
+      .withColumn("c_name", concat(col("c_name"), lit(s"_$i$i$i$i")))
+    if (!reuse &&
+        (only.isEmpty || only.exists("fuzzy_pairs".contains))) {
+      saltedCust(0).write.mode("overwrite").parquet(s"$big/customer_salt1.parquet")
+      (0 until mult).map(saltedCust).reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$big/customer_saltN.parquet")
+    }
+    time("fuzzy_pairs") { d =>
+      val p = if (d == big) s"$big/customer_saltN.parquet"
+              else s"$big/customer_salt1.parquet"
+      graft.ops.Fuzzy.editDistancePairs(spark.read.parquet(p),
+        "c_name", "c_custkey", maxDist = 1).count()
+    }
+    // corpus JS divergence: explode → (source, word) agg → word-keyed
+    // pair join whose per-word output is bounded by sources² — the
+    // replicated corpus keeps the same 20 sources, so expect ~scan-bound
+    time("corpus_divergence") { d =>
+      SparkEntry.queries("q_corpus_divergence")(spark, d)
+        .agg(sum("js_divergence")).collect(); 1L }
+    // per-source top-k terms: hash-agg then a rank window over the
+    // aggregated (source, token) frame — expect ~scan-bound
+    time("top_terms") { d =>
+      SparkEntry.queries("q_top_terms")(spark, d).count() }
     spark.stop()
   }
 }

@@ -866,6 +866,27 @@ object SparkEntry {
         maxDist = 1)
         .orderBy("id_a", "id_b")),
 
+    // probe-against-reference fuzzy matching (the stream-static form,
+    // here run batch): every (probe, reference) pair within one edit
+    "q_fuzzy_match" -> ((s, dir) => {
+      val cust = T(s, dir, "customer")
+      Fuzzy.matchAgainst(cust.filter(col("c_custkey") < 50), cust,
+        "c_name", "c_custkey", "c_name", "c_custkey", maxDist = 1)
+        .orderBy("probe_id", "ref_id")
+    }),
+
+    // BLOCKED fuzzy pairs → connected components: typo clusters within a
+    // blocking key (the 100 TB record-linkage shape — here the market
+    // segment stands in for the cheap blocking key a real linkage picks)
+    "q_fuzzy_clusters" -> ((s, dir) => {
+      val pairs = Fuzzy.editDistancePairs(T(s, dir, "customer"),
+        "c_name", "c_custkey", maxDist = 1,
+        blockCols = Seq("c_mktsegment"))
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("c_custkey"), col("rep"))
+        .orderBy("c_custkey")
+    }),
+
     // exact substring-level dedup stats: per-doc count/fraction of 5-token
     // windows that also occur in another document (Lee et al. 2022)
     "q_dedup_substring" -> ((s, dir) =>
@@ -2682,6 +2703,32 @@ object SparkEntry {
           |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
           |WHERE levenshtein(a.c_name, b.c_name) <= 1
           |ORDER BY 1, 2""".stripMargin,
+
+      "q_fuzzy_match" ->
+        """SELECT p.c_custkey AS probe_id, r.c_custkey AS ref_id,
+          |       CAST(levenshtein(p.c_name, r.c_name) AS INTEGER) AS dist
+          |FROM customer p JOIN customer r
+          |  ON levenshtein(p.c_name, r.c_name) <= 1
+          |WHERE p.c_custkey < 50
+          |ORDER BY 1, 2""".stripMargin,
+
+      "q_fuzzy_clusters" ->
+        """WITH RECURSIVE prs AS (
+          |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+          |  FROM customer a JOIN customer b
+          |    ON a.c_mktsegment = b.c_mktsegment
+          |   AND a.c_custkey < b.c_custkey
+          |  WHERE levenshtein(a.c_name, b.c_name) <= 1
+          |),
+          |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+          |          UNION ALL SELECT id_b, id_a FROM prs),
+          |reach AS (
+          |  SELECT src, dst FROM edges
+          |  UNION
+          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+          |)
+          |SELECT src AS c_custkey, least(src, min(dst)) AS rep
+          |FROM reach GROUP BY src ORDER BY 1""".stripMargin,
 
       "q_dedup_substring" ->
         """WITH toks AS (

@@ -61,18 +61,30 @@ object Fuzzy {
     * distance `maxDist` (> 0 apart is not required: distance 0 means the
     * strings are equal — exact duplicates are reported too unless deduped
     * upstream). Output: (id_a, id_b, dist), id_a < id_b.
+    *
+    * `blockCols` restricts pairing to rows sharing the block key (the
+    * blocked record-linkage form): the block columns ride the variant
+    * join key, so at 100 TB a cheap blocking key (region, zip prefix,
+    * source) bounds every bucket by block size — same role as the
+    * `blockCols` of [[Dedup.ngramJaccardPairs]].
     */
   def editDistancePairs(docs: DataFrame, strCol: String, idCol: String,
-                        maxDist: Int = 1): DataFrame = {
+                        maxDist: Int = 1,
+                        blockCols: Seq[String] = Nil): DataFrame = {
     require(maxDist >= 1, s"editDistancePairs needs maxDist >= 1 (got $maxDist)")
-    val base = docs.select(col(idCol).as("__id"), col(strCol).as("__s"))
+    val base = docs.select(
+      blockCols.map(col) :+ col(idCol).as("__id") :+ col(strCol).as("__s"): _*)
     val keyed = base
-      .select(col("__id"), length(col("__s")).as("__len"),
-        explode(deletionVariants(col("__s"), maxDist)).as("__v"))
-      .select(col("__id"), col("__len"), xxhash64(col("__v")).as("__k"))
-    val x = keyed.select(col("__k"), col("__id").as("id_a"), col("__len").as("__la"))
-    val y = keyed.select(col("__k"), col("__id").as("id_b"), col("__len").as("__lb"))
-    val cands = x.join(y, "__k")
+      .select(blockCols.map(col) :+ col("__id") :+
+        length(col("__s")).as("__len") :+
+        explode(deletionVariants(col("__s"), maxDist)).as("__v"): _*)
+      .select(blockCols.map(col) :+ col("__id") :+ col("__len") :+
+        xxhash64(col("__v")).as("__k"): _*)
+    val x = keyed.select(blockCols.map(col) :+ col("__k") :+
+      col("__id").as("id_a") :+ col("__len").as("__la"): _*)
+    val y = keyed.select(blockCols.map(col) :+ col("__k") :+
+      col("__id").as("id_b") :+ col("__len").as("__lb"): _*)
+    val cands = x.join(y, blockCols :+ "__k")
       .filter(col("id_a") < col("id_b"))
       .filter(abs(col("__la") - col("__lb")) <= maxDist)
       .select("id_a", "id_b").distinct()
@@ -87,24 +99,43 @@ object Fuzzy {
   /** Match each probe string against a reference set within Levenshtein
     * distance `maxDist`: (probe id, matched reference id, dist). The probe
     * side may be a STREAMING DataFrame — the plan is probe-side explode ⋈
-    * static keyed reference (a stream-static equi-join, no state store),
-    * then an id-keyed verify join back to the reference strings.
+    * static keyed reference (a stream-static equi-join, stateless), then
+    * an id-keyed verify join back to the reference strings. The one
+    * stateful step is the candidate-pair dedup (a probe and a reference
+    * can share several variant keys): on a stream pass `eventTimeCol` so
+    * it runs as `dropDuplicatesWithinWatermark` and its state is evicted
+    * as the watermark advances, same protocol as
+    * [[Dedup.nearDupAgainstIndex]].
     */
   def matchAgainst(probes: DataFrame, reference: DataFrame,
                    pStrCol: String, pIdCol: String,
                    rStrCol: String, rIdCol: String,
-                   maxDist: Int = 1): DataFrame = {
+                   maxDist: Int = 1,
+                   eventTimeCol: Option[String] = None,
+                   watermarkDelay: String = "10 minutes"): DataFrame = {
     require(maxDist >= 1, s"matchAgainst needs maxDist >= 1 (got $maxDist)")
     val refBase = reference.select(col(rIdCol).as("ref_id"), col(rStrCol).as("__rs"))
     val refKeyed = refBase
       .select(col("ref_id"), explode(deletionVariants(col("__rs"), maxDist)).as("__v"))
       .select(col("ref_id"), xxhash64(col("__v")).as("__k")).distinct()
-    val probeKeyed = probes
-      .select(col(pIdCol).as("probe_id"), col(pStrCol).as("__ps"),
-        explode(deletionVariants(col(pStrCol), maxDist)).as("__v"))
-      .select(col("probe_id"), col("__ps"), xxhash64(col("__v")).as("__k"))
-    probeKeyed.join(refKeyed, "__k")
-      .select("probe_id", "__ps", "ref_id").dropDuplicates("probe_id", "ref_id")
+    val src = eventTimeCol match {
+      case Some(t) => probes.withWatermark(t, watermarkDelay)
+      case None    => probes
+    }
+    val ride = eventTimeCol.toSeq.map(col)
+    val probeKeyed = src
+      .select(Seq(col(pIdCol).as("probe_id"), col(pStrCol).as("__ps")) ++ ride :+
+        explode(deletionVariants(col(pStrCol), maxDist)).as("__v"): _*)
+      .select(Seq(col("probe_id"), col("__ps"), xxhash64(col("__v")).as("__k")) ++
+        ride: _*)
+    val cands = probeKeyed.join(refKeyed, "__k")
+      .select(Seq(col("probe_id"), col("__ps"), col("ref_id")) ++ ride: _*)
+    val distinctCands = eventTimeCol match {
+      case Some(t) =>
+        cands.dropDuplicatesWithinWatermark("probe_id", "ref_id").drop(t)
+      case None => cands.dropDuplicates("probe_id", "ref_id")
+    }
+    distinctCands
       .join(refBase, "ref_id")
       .withColumn("dist", levenshtein(col("__ps"), col("__rs")))
       .filter(col("dist") <= maxDist)

@@ -461,4 +461,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
       s"stratum sizes must broadcast:\n$p")
   }
+
+  test("fuzzy pairs: variant-key equi-join, no cartesian, pruned scan") {
+    val cust = spark.read.parquet(s"${sf()}/customer.parquet")
+    val p = plan(ops.Fuzzy.editDistancePairs(cust, "c_name", "c_custkey", 1))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // only the name + key columns leave the scan
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("c_acctbal") && !readSchema.contains("c_mktsegment"),
+      readSchema)
+  }
+
+  test("corpus divergence: no cartesian on data, word join is an equi-join") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val p = plan(ops.TextAnalysis.corpusDivergenceJS(docs, "text", "source"))
+    // the only nested-loop structure allowed is the corpus-dim cross
+    // (two 1-column aggregates, both broadcast); the word-level pair terms
+    // must come from hash joins
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("hard negatives broadcast the query set and keep partial top-k") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val p = plan(ops.Similarity.hardNegatives(
+      emb.filter(col("vec_id") < 8), emb,
+      "vec_id", "embedding", "label", "vec_id", "embedding", "label", k = 5))
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("partial_topk") || p.contains("TopKAgg") ||
+      p.contains("topk"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("top terms per group: aggregate below the rank window") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val p = plan(ops.TextAnalysis.topTermsPerGroup(docs, "text", "source", 5))
+    // the window must consume the (group, token) AGGREGATE, never raw
+    // token occurrences: assert a partial hash-aggregate exists and the
+    // plan has exactly one Window
+    assert(p.contains("HashAggregate"), p)
+    assert("Window".r.findAllIn(p).size >= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

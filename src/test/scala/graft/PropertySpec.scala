@@ -500,4 +500,36 @@ class PropertySpec extends SparkSpec {
     assert(back.filter(col("s_suppkey") > 2)
       .select(min("s_acctbal")).head().getDouble(0) > -1.0)
   }
+
+  test("fuzzy pair join equals brute-force levenshtein on random corpora") {
+    // small alphabet + short strings → collisions and near-misses are
+    // dense, which is exactly where an incomplete neighborhood join or a
+    // sloppy verify filter would diverge from the exact quadratic answer
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val genStr = Gen.choose(0, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val genCorpus = Gen.choose(2, 18).flatMap(n => Gen.listOfN(n, genStr))
+    val genD = Gen.choose(1, 2)
+    check(Prop.forAllNoShrink(genCorpus, genD) { (strs, d) =>
+      val rows = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val got = graft.ops.Fuzzy.editDistancePairs(
+          rows.toDF("id", "s"), "s", "id", d)
+        .as[(Long, Long, Int)].collect().toSet
+      val want = (for {
+        (ia, sa) <- rows; (ib, sb) <- rows
+        if ia < ib
+        dist = lev(sa, sb)
+        if dist <= d
+      } yield (ia, ib, dist)).toSet
+      got == want
+    })
+  }
 }

@@ -74,6 +74,34 @@ class FuzzySpec extends SparkSpec {
     assert(got == Seq((10L, 1L, 0), (10L, 2L, 1), (10L, 3L, 1), (11L, 1L, 1)))
   }
 
+  test("blocked pairs: only same-block pairs, each block exact vs brute force") {
+    val rows = Seq(
+      (1L, "abc", "g1"), (2L, "abd", "g1"), (3L, "abc", "g2"),
+      (4L, "abd", "g2"), (5L, "xyz", "g1"))
+    val got = Fuzzy.editDistancePairs(rows.toDF("id", "name", "grp"),
+        "name", "id", maxDist = 1, blockCols = Seq("grp"))
+      .orderBy("id_a", "id_b").as[(Long, Long, Int)].collect().toSeq
+    // cross-block near-misses (1,3), (1,4), (2,3), (2,4) must NOT pair
+    assert(got == Seq((1L, 2L, 1), (3L, 4L, 1)))
+  }
+
+  test("matchAgainst runs as a real stream-static streaming query") {
+    val ref = Seq(1L -> "spark", 2L -> "spork", 3L -> "plane")
+      .toDF("rid", "rname").localCheckpoint()
+    val dir = "/root/repo/target/test_stream_fuzzy"
+    val probesDf = Seq(10L -> "spark", 11L -> "sparkz", 12L -> "xyzzy")
+      .toDF("pid", "pname")
+    probesDf.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(probesDf.schema).parquet(dir)
+    val out = Fuzzy.matchAgainst(stream, ref, "pname", "pid", "rname", "rid")
+    assert(out.isStreaming)
+    graft.streaming.EventStream.runToMemory(out, "fuzzy_stream_out",
+      mode = "append")
+    val got = spark.table("fuzzy_stream_out")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((10L, 1L, 0), (10L, 2L, 1), (11L, 1L, 1)))
+  }
+
   test("fuzzy pair plan has no cartesian product and one distinct-pair exchange") {
     val df = Seq(1L -> "aa", 2L -> "ab").toDF("id", "name")
     val plan = Fuzzy.editDistancePairs(df, "name", "id", 1)
