@@ -50,6 +50,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (exprs: Seq[Expression]) => NfcNormalize(exprs(0))))
+    e.injectFunction((FunctionIdentifier("damerau_levenshtein"),
+      new ExpressionInfo(classOf[DamerauLevenshtein].getName,
+        "damerau_levenshtein"),
+      (exprs: Seq[Expression]) => DamerauLevenshtein(exprs(0), exprs(1))))
     // Column-algebra curation ops: the builder expands the same composed
     // expression tree the Scala API builds, so SQL users get byte-
     // identical semantics (ColumnShim bridges Column <-> Expression)

@@ -875,6 +875,15 @@ object SparkEntry {
         .orderBy("probe_id", "ref_id")
     }),
 
+    // transposition-aware fuzzy pairs: full Damerau-Levenshtein verify
+    // (codegen DamerauLevenshtein expression, the DuckDB definition) over
+    // the SAME deletion-neighborhood candidates — digit swaps surface as
+    // distance 1 here where plain levenshtein says 2
+    "q_fuzzy_damerau" -> ((s, dir) =>
+      Fuzzy.editDistancePairs(T(s, dir, "customer"), "c_name", "c_custkey",
+        maxDist = 1, damerau = true)
+        .orderBy("id_a", "id_b")),
+
     // BLOCKED fuzzy pairs → connected components: typo clusters within a
     // blocking key (the 100 TB record-linkage shape — here the market
     // segment stands in for the cheap blocking key a real linkage picks)
@@ -2710,6 +2719,14 @@ object SparkEntry {
           |FROM customer p JOIN customer r
           |  ON levenshtein(p.c_name, r.c_name) <= 1
           |WHERE p.c_custkey < 50
+          |ORDER BY 1, 2""".stripMargin,
+
+      "q_fuzzy_damerau" ->
+        """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+          |       CAST(damerau_levenshtein(a.c_name, b.c_name) AS INTEGER)
+          |         AS dist
+          |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+          |WHERE damerau_levenshtein(a.c_name, b.c_name) <= 1
           |ORDER BY 1, 2""".stripMargin,
 
       "q_fuzzy_clusters" ->

@@ -599,6 +599,75 @@ object VectorExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Full (unrestricted) Damerau–Levenshtein distance kernel — the
+    * Lowrance–Wagner 1975 DP with a last-occurrence table, NOT the
+    * restricted OSA variant: a transposed pair may be further edited
+    * (dl("ca","abc") = 2, where OSA says 3). This is the definition
+    * DuckDB's `damerau_levenshtein` implements, which is what lets the
+    * fuzzy queries be exact-oracle-checked. Operates on UTF-16 code
+    * units (identical to code points for BMP text).
+    */
+  def damerauKernel(ua: org.apache.spark.unsafe.types.UTF8String,
+                    ub: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val a = ua.toString; val b = ub.toString
+    val n = a.length; val m = b.length
+    if (n == 0) return m
+    if (m == 0) return n
+    val inf = n + m
+    // d is offset by one: d(i+1)(j+1) = distance over prefixes a[0,i) b[0,j)
+    val d = Array.ofDim[Int](n + 2, m + 2)
+    d(0)(0) = inf
+    var i = 0
+    while (i <= n) { d(i + 1)(0) = inf; d(i + 1)(1) = i; i += 1 }
+    var j = 0
+    while (j <= m) { d(0)(j + 1) = inf; d(1)(j + 1) = j; j += 1 }
+    val last = new java.util.HashMap[Character, Integer]()
+    i = 1
+    while (i <= n) {
+      var db = 0
+      j = 1
+      while (j <= m) {
+        val i1 = { val v = last.get(b.charAt(j - 1)); if (v == null) 0 else v.intValue() }
+        val j1 = db
+        var cost = 1
+        if (a.charAt(i - 1) == b.charAt(j - 1)) { cost = 0; db = j }
+        val sub = d(i)(j) + cost
+        val ins = d(i + 1)(j) + 1
+        val del = d(i)(j + 1) + 1
+        val trn = d(i1)(j1) + (i - i1 - 1) + 1 + (j - j1 - 1)
+        var best = sub
+        if (ins < best) best = ins
+        if (del < best) best = del
+        if (trn < best) best = trn
+        d(i + 1)(j + 1) = best
+        j += 1
+      }
+      last.put(a.charAt(i - 1), i)
+      i += 1
+    }
+    d(n + 1)(m + 1)
+  }
+
+  /** `damerau_levenshtein(a, b)` as a codegen'd expression (static-kernel
+    * pattern, like [[VecCosine]]) — the verify step of the fuzzy join's
+    * transposition-aware mode stays inside whole-stage codegen.
+    */
+  case class DamerauLevenshtein(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(l: Any, r: Any): Any =
+      damerauKernel(l.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        r.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (l, r) =>
+        s"${ev.value} = graft.expr.VectorExprs$$.MODULE$$.damerauKernel($l, $r);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   // ------------------------------------------------------- Column wrappers
 
   def hashed_shingles(tokens: Column, n: Int): Column =
@@ -625,6 +694,8 @@ object VectorExprs {
     toColumn(PqAdc(toExpression(codes), toExpression(lut), ksub))
   def nfc_normalize(text: Column): Column =
     toColumn(NfcNormalize(toExpression(text)))
+  def damerau_levenshtein(a: Column, b: Column): Column =
+    toColumn(DamerauLevenshtein(toExpression(a), toExpression(b)))
   def affine_project(vec: Column, mat: Array[Array[Double]],
                      shift: Array[Double], scale: Array[Double]): Column =
     toColumn(AffineProject(toExpression(vec), mat, shift, scale))

@@ -25,12 +25,27 @@ import org.apache.spark.sql.functions._
   *    the key rows) and `id_a < id_b` prune before the candidate distinct
   *  - verification joins the candidate ids back to the (id → string)
   *    side — two id-keyed joins, exact `levenshtein` only on candidates
-  *  - skew: a variant key's bucket is the set of strings within one
-  *    deletion of a common core — adversarially large only when the input
-  *    is saturated with near-identical strings; run [[Dedup.exact]] first
-  *    so exact duplicates never reach the pair join
+  *  - skew: exact-duplicate strings (the dominant skew at corpus scale)
+  *    are collapsed to one representative BEFORE the variant join and
+  *    their id pairs reconstructed afterwards, so a million-fold repeated
+  *    string costs the candidate join one row per variant; what remains in
+  *    a bucket is the set of DISTINCT strings within one deletion of a
+  *    common core — bounded by alphabet × length in realistic data
   */
 object Fuzzy {
+
+  /** The verify-step distance expression: plain Levenshtein (Spark's
+    * codegen built-in) or full Damerau–Levenshtein (the engine's codegen
+    * [[graft.expr.VectorExprs.DamerauLevenshtein]], matching DuckDB's
+    * `damerau_levenshtein`). The deletion-neighborhood candidates are
+    * complete for BOTH at the same radius: a transposed pair shares the
+    * string with either of its two chars deleted, so one transposition
+    * consumes at most one deletion per side — same budget as any other
+    * single edit (FuzzySpec pins this against brute force).
+    */
+  private def distExpr(a: Column, b: Column, damerau: Boolean): Column =
+    if (damerau) graft.expr.VectorExprs.damerau_levenshtein(a, b)
+    else levenshtein(a, b)
 
   /** All strings reachable from `s` by at most `maxDist` character
     * deletions, `s` itself included, de-duplicated. Pure Column algebra
@@ -70,30 +85,61 @@ object Fuzzy {
     */
   def editDistancePairs(docs: DataFrame, strCol: String, idCol: String,
                         maxDist: Int = 1,
-                        blockCols: Seq[String] = Nil): DataFrame = {
+                        blockCols: Seq[String] = Nil,
+                        damerau: Boolean = false): DataFrame = {
     require(maxDist >= 1, s"editDistancePairs needs maxDist >= 1 (got $maxDist)")
-    val base = docs.select(
-      blockCols.map(col) :+ col(idCol).as("__id") :+ col(strCol).as("__s"): _*)
-    val keyed = base
-      .select(blockCols.map(col) :+ col("__id") :+
+    // null strings are within distance of nothing (levenshtein(null, x)
+    // is null) — drop them up front so the exact-duplicate grouping below
+    // cannot pair them at distance 0
+    val base = docs
+      .select(blockCols.map(col) :+ col(idCol).as("__id") :+
+        col(strCol).as("__s"): _*)
+      .filter(col("__s").isNotNull)
+    // collapse exact duplicates FIRST: the variant join runs on DISTINCT
+    // (block, string)s, so a string duplicated a million times (the
+    // dominant skew at corpus scale) costs the candidate join exactly one
+    // row per variant instead of a quadratic bucket; its id pairs are
+    // reconstructed at the end from the (rep → members) mapping, which is
+    // only quadratic where the TRUE output is (distance-0 pairs)
+    val uniq = base.groupBy((blockCols :+ "__s").map(col): _*)
+      .agg(min(col("__id")).as("__rep"))
+    val keyed = uniq
+      .select(blockCols.map(col) :+ col("__rep") :+
         length(col("__s")).as("__len") :+
         explode(deletionVariants(col("__s"), maxDist)).as("__v"): _*)
-      .select(blockCols.map(col) :+ col("__id") :+ col("__len") :+
+      .select(blockCols.map(col) :+ col("__rep") :+ col("__len") :+
         xxhash64(col("__v")).as("__k"): _*)
     val x = keyed.select(blockCols.map(col) :+ col("__k") :+
-      col("__id").as("id_a") :+ col("__len").as("__la"): _*)
+      col("__rep").as("rep_a") :+ col("__len").as("__la"): _*)
     val y = keyed.select(blockCols.map(col) :+ col("__k") :+
-      col("__id").as("id_b") :+ col("__len").as("__lb"): _*)
+      col("__rep").as("rep_b") :+ col("__len").as("__lb"): _*)
     val cands = x.join(y, blockCols :+ "__k")
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("rep_a") < col("rep_b"))
       .filter(abs(col("__la") - col("__lb")) <= maxDist)
-      .select("id_a", "id_b").distinct()
-    cands
-      .join(base.select(col("__id").as("id_a"), col("__s").as("__sa")), "id_a")
-      .join(base.select(col("__id").as("id_b"), col("__s").as("__sb")), "id_b")
-      .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
+      .select("rep_a", "rep_b").distinct()
+    val reps = uniq.select(col("__rep"), col("__s"))
+    // verify once per distinct-STRING pair (reps), not per id pair
+    val verified = cands
+      .join(reps.select(col("__rep").as("rep_a"), col("__s").as("__sa")), "rep_a")
+      .join(reps.select(col("__rep").as("rep_b"), col("__s").as("__sb")), "rep_b")
+      .withColumn("dist", distExpr(col("__sa"), col("__sb"), damerau))
       .filter(col("dist") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("dist"))
+      .select(col("rep_a"), col("rep_b"), col("dist"))
+    // rep → every id carrying its string (short strings ride one
+    // co-partitioned join; ids expand only where the output requires it)
+    val memb = base.join(uniq, blockCols :+ "__s")
+      .select(col("__rep"), col("__id"))
+    val cross = verified
+      .join(memb.select(col("__rep").as("rep_a"), col("__id").as("__ia")), "rep_a")
+      .join(memb.select(col("__rep").as("rep_b"), col("__id").as("__ib")), "rep_b")
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("dist"))
+    // distance-0 pairs = id combinations within one exact-duplicate group
+    val zero = memb.select(col("__rep"), col("__id").as("id_a"))
+      .join(memb.select(col("__rep"), col("__id").as("id_b")), Seq("__rep"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).as("dist"))
+    cross.unionByName(zero)
   }
 
   /** Match each probe string against a reference set within Levenshtein
@@ -112,7 +158,8 @@ object Fuzzy {
                    rStrCol: String, rIdCol: String,
                    maxDist: Int = 1,
                    eventTimeCol: Option[String] = None,
-                   watermarkDelay: String = "10 minutes"): DataFrame = {
+                   watermarkDelay: String = "10 minutes",
+                   damerau: Boolean = false): DataFrame = {
     require(maxDist >= 1, s"matchAgainst needs maxDist >= 1 (got $maxDist)")
     val refBase = reference.select(col(rIdCol).as("ref_id"), col(rStrCol).as("__rs"))
     val refKeyed = refBase
@@ -137,7 +184,7 @@ object Fuzzy {
     }
     distinctCands
       .join(refBase, "ref_id")
-      .withColumn("dist", levenshtein(col("__ps"), col("__rs")))
+      .withColumn("dist", distExpr(col("__ps"), col("__rs"), damerau))
       .filter(col("dist") <= maxDist)
       .select(col("probe_id"), col("ref_id"), col("dist"))
   }

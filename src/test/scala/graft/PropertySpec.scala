@@ -514,22 +514,30 @@ class PropertySpec extends SparkSpec {
           dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
       dp(a.length)(b.length)
     }
+    // full Damerau-Levenshtein reference = the engine's own kernel, whose
+    // values are pinned against DuckDB's damerau_levenshtein in
+    // VectorExprsSpec — what THIS property then adds is completeness of
+    // the deletion-neighborhood candidates under transpositions
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+    def dl(a: String, b: String): Int =
+      graft.expr.VectorExprs.damerauKernel(u8(a), u8(b))
     val genStr = Gen.choose(0, 6).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
     val genCorpus = Gen.choose(2, 18).flatMap(n => Gen.listOfN(n, genStr))
     val genD = Gen.choose(1, 2)
-    check(Prop.forAllNoShrink(genCorpus, genD) { (strs, d) =>
+    val genDamerau = Gen.oneOf(true, false)
+    check(Prop.forAllNoShrink(genCorpus, genD, genDamerau) { (strs, d, dam) =>
       val rows = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
       val got = graft.ops.Fuzzy.editDistancePairs(
-          rows.toDF("id", "s"), "s", "id", d)
+          rows.toDF("id", "s"), "s", "id", d, damerau = dam)
         .as[(Long, Long, Int)].collect().toSet
       val want = (for {
         (ia, sa) <- rows; (ib, sb) <- rows
         if ia < ib
-        dist = lev(sa, sb)
+        dist = if (dam) dl(sa, sb) else lev(sa, sb)
         if dist <= d
       } yield (ia, ib, dist)).toSet
       got == want
-    })
+    }, n = 20)
   }
 }

@@ -82,4 +82,21 @@ class VectorExprsSpec extends SparkSpec {
     assert(out(0).getLong(0) === refHash("abc"))
     assert(out(1).isNullAt(0))
   }
+
+  test("damerau_levenshtein: published cases, unrestricted transposition, nulls") {
+    val cases = Seq(
+      ("ca", "abc", 2),      // THE unrestricted-vs-OSA discriminator (OSA: 3)
+      ("abcd", "acbd", 1),   // adjacent transposition
+      ("kitten", "sitting", 3),
+      ("", "abc", 3), ("abc", "", 3), ("", "", 0),
+      ("same", "same", 0),
+      ("ab", "ba", 1), ("abc", "cab", 2))
+    val df = cases.toDF("a", "b", "want")
+    val got = df.select(col("want"),
+      VectorExprs.damerau_levenshtein(col("a"), col("b")).as("got")).collect()
+    got.foreach(r => assert(r.getInt(1) === r.getInt(0), cases))
+    val nulls = Seq((Some("x"), None: Option[String])).toDF("a", "b")
+      .select(VectorExprs.damerau_levenshtein(col("a"), col("b"))).collect()
+    assert(nulls(0).isNullAt(0))
+  }
 }

@@ -102,6 +102,25 @@ class FuzzySpec extends SparkSpec {
     assert(got == Set((10L, 1L, 0), (10L, 2L, 1), (11L, 1L, 1)))
   }
 
+  test("damerau mode finds transposition pairs plain levenshtein misses") {
+    val rows = Seq(1L -> "abcd", 2L -> "acbd", 3L -> "abdc", 4L -> "qqqq")
+    val lev = Fuzzy.editDistancePairs(rows.toDF("id", "s"), "s", "id", 1)
+      .as[(Long, Long, Int)].collect().toSet
+    val dam = Fuzzy.editDistancePairs(rows.toDF("id", "s"), "s", "id", 1,
+        damerau = true)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(lev.isEmpty) // each transposition is levenshtein distance 2
+    assert(dam == Set((1L, 2L, 1), (1L, 3L, 1)))
+  }
+
+  test("damerau_levenshtein is SQL-callable after registration") {
+    org.apache.spark.sql.graft.ColumnShim.registerFunction(spark,
+      "damerau_levenshtein",
+      exprs => graft.expr.VectorExprs.DamerauLevenshtein(exprs(0), exprs(1)))
+    assert(spark.sql("SELECT damerau_levenshtein('ca', 'abc') AS d")
+      .head.getInt(0) == 2)
+  }
+
   test("fuzzy pair plan has no cartesian product and one distinct-pair exchange") {
     val df = Seq(1L -> "aa", 2L -> "ab").toDF("id", "name")
     val plan = Fuzzy.editDistancePairs(df, "name", "id", 1)
