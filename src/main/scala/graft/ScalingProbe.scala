@@ -410,7 +410,7 @@ object ScalingProbe {
       .withColumn("c_custkey", col("c_custkey") + lit(i * 10000000L))
       .withColumn("c_name", concat(col("c_name"), lit(s"_$i$i$i$i")))
     if (!reuse &&
-        (only.isEmpty || only.exists("fuzzy_pairs".contains))) {
+        (only.isEmpty || only.exists("fuzzy_pairs_unique fuzzy_snm".contains))) {
       saltedCust(0).write.mode("overwrite").parquet(s"$big/customer_salt1.parquet")
       (0 until mult).map(saltedCust).reduce(_ union _)
         .write.mode("overwrite").parquet(s"$big/customer_saltN.parquet")
@@ -420,6 +420,24 @@ object ScalingProbe {
               else s"$big/customer_salt1.parquet"
       graft.ops.Fuzzy.editDistancePairs(spark.read.parquet(p),
         "c_name", "c_custkey", maxDist = 1).count()
+    }
+    // same data with the exact-duplicate collapse skipped (names are
+    // unique here, so this isolates the collapse overhead the default
+    // pays as insurance against corpus-scale duplicate skew)
+    time("fuzzy_pairs_unique") { d =>
+      val p = if (d == big) s"$big/customer_saltN.parquet"
+              else s"$big/customer_salt1.parquet"
+      graft.ops.Fuzzy.editDistancePairs(spark.read.parquet(p),
+        "c_name", "c_custkey", maxDist = 1, collapseExact = false).count()
+    }
+    // sorted-neighborhood linkage: one global sort + census positions +
+    // an offset equi-join — expect the deterministic-shuffle class
+    time("fuzzy_snm") { d =>
+      val p = if (d == big) s"$big/customer_saltN.parquet"
+              else s"$big/customer_salt1.parquet"
+      graft.ops.Fuzzy.sortedNeighborhoodPairs(spark.read.parquet(p),
+        "c_name", "c_custkey", window = 8, maxDist = 2,
+        assumeDeterministic = true).count()
     }
     // corpus JS divergence: explode → (source, word) agg → word-keyed
     // pair join whose per-word output is bounded by sources² — the

@@ -884,6 +884,16 @@ object SparkEntry {
         maxDist = 1, damerau = true)
         .orderBy("id_a", "id_b")),
 
+    // sorted-neighborhood linkage (Hernandez & Stolfo): one global sort
+    // by the name, pairs within 8 consecutive positions verified to
+    // levenshtein <= 2 — the domain-sort-key complement to the
+    // deletion-neighborhood join
+    "q_fuzzy_snm" -> ((s, dir) =>
+      Fuzzy.sortedNeighborhoodPairs(T(s, dir, "customer"),
+        "c_name", "c_custkey", window = 8, maxDist = 2,
+        assumeDeterministic = true)
+        .orderBy("id_a", "id_b")),
+
     // BLOCKED fuzzy pairs → connected components: typo clusters within a
     // blocking key (the 100 TB record-linkage shape — here the market
     // segment stands in for the cheap blocking key a real linkage picks)
@@ -2727,6 +2737,18 @@ object SparkEntry {
           |         AS dist
           |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
           |WHERE damerau_levenshtein(a.c_name, b.c_name) <= 1
+          |ORDER BY 1, 2""".stripMargin,
+
+      "q_fuzzy_snm" ->
+        """WITH r AS (
+          |  SELECT c_custkey AS id, c_name AS s,
+          |    row_number() OVER (ORDER BY c_name, c_custkey) AS pos
+          |  FROM customer
+          |)
+          |SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b,
+          |       CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+          |FROM r a JOIN r b ON b.pos - a.pos BETWEEN 1 AND 7
+          |WHERE levenshtein(a.s, b.s) <= 2
           |ORDER BY 1, 2""".stripMargin,
 
       "q_fuzzy_clusters" ->

@@ -86,7 +86,8 @@ object Fuzzy {
   def editDistancePairs(docs: DataFrame, strCol: String, idCol: String,
                         maxDist: Int = 1,
                         blockCols: Seq[String] = Nil,
-                        damerau: Boolean = false): DataFrame = {
+                        damerau: Boolean = false,
+                        collapseExact: Boolean = true): DataFrame = {
     require(maxDist >= 1, s"editDistancePairs needs maxDist >= 1 (got $maxDist)")
     // null strings are within distance of nothing (levenshtein(null, x)
     // is null) — drop them up front so the exact-duplicate grouping below
@@ -95,14 +96,36 @@ object Fuzzy {
       .select(blockCols.map(col) :+ col(idCol).as("__id") :+
         col(strCol).as("__s"): _*)
       .filter(col("__s").isNotNull)
+    if (!collapseExact) return directPairs(base, blockCols, maxDist, damerau)
     // collapse exact duplicates FIRST: the variant join runs on DISTINCT
     // (block, string)s, so a string duplicated a million times (the
     // dominant skew at corpus scale) costs the candidate join exactly one
     // row per variant instead of a quadratic bucket; its id pairs are
     // reconstructed at the end from the (rep → members) mapping, which is
-    // only quadratic where the TRUE output is (distance-0 pairs)
+    // only quadratic where the TRUE output is (distance-0 pairs).
+    // `collapseExact = false` skips the census and reconstruction —
+    // measured ~1.7× cheaper END-TO-END on a key already known unique (a
+    // primary key): the census, its checkpoint, and the two expansion
+    // joins all cost even when they find nothing. Identical output either
+    // way; the default stays collapse-on because the direct path's
+    // failure mode on duplicate-heavy data is quadratic candidates, not a
+    // constant factor.
+    //
+    // The census is pinned with localCheckpoint: FOUR consumers read it
+    // (variant keys, both verify sides, the member reconstruction) and an
+    // unpinned plan would re-run the scan + aggregate per consumer — the
+    // measured slope penalty was 5.6 vs 2.0 on 8× data before the pin.
+    // Same executor-local durability trade-off as
+    // [[Sampling.deterministicShuffle]]'s pin, and the frame is bounded
+    // by the distinct-string count.
+    // the repartition matters: AQE coalesces the small census aggregate
+    // into very few partitions, and the checkpoint would freeze that —
+    // serializing the downstream variant explode (the bulk of the work)
+    // into those few tasks
     val uniq = base.groupBy((blockCols :+ "__s").map(col): _*)
-      .agg(min(col("__id")).as("__rep"))
+      .agg(min(col("__id")).as("__rep"), count(lit(1)).as("__cnt"))
+      .repartition(col("__rep"))
+      .localCheckpoint()
     val keyed = uniq
       .select(blockCols.map(col) :+ col("__rep") :+
         length(col("__s")).as("__len") :+
@@ -113,7 +136,13 @@ object Fuzzy {
       col("__rep").as("rep_a") :+ col("__len").as("__la"): _*)
     val y = keyed.select(blockCols.map(col) :+ col("__k") :+
       col("__rep").as("rep_b") :+ col("__len").as("__lb"): _*)
-    val cands = x.join(y, blockCols :+ "__k")
+    // merge hint: the checkpointed census reports its true (small) size
+    // and the Generate estimate doesn't scale it by the explode factor,
+    // so the planner would happily BROADCAST the exploded variant side —
+    // a hash relation L× the census, rebuilt per task (measured 22 s vs
+    // 6 s at 120k names × 19 variants). The variant self-join is big-big
+    // by construction; pin it to a shuffle join
+    val cands = x.hint("merge").join(y.hint("merge"), blockCols :+ "__k")
       .filter(col("rep_a") < col("rep_b"))
       .filter(abs(col("__la") - col("__lb")) <= maxDist)
       .select("rep_a", "rep_b").distinct()
@@ -125,21 +154,114 @@ object Fuzzy {
       .withColumn("dist", distExpr(col("__sa"), col("__sb"), damerau))
       .filter(col("dist") <= maxDist)
       .select(col("rep_a"), col("rep_b"), col("dist"))
-    // rep → every id carrying its string (short strings ride one
-    // co-partitioned join; ids expand only where the output requires it)
-    val memb = base.join(uniq, blockCols :+ "__s")
+    // rep → member ids, built WITHOUT a full-corpus string join: only the
+    // duplicated groups (usually a small census slice, AQE broadcasts it)
+    // go back to `base` for their ids
+    val membDup = base
+      .join(uniq.filter(col("__cnt") > 1)
+        .select((blockCols :+ "__s" :+ "__rep").map(col): _*),
+        blockCols :+ "__s")
       .select(col("__rep"), col("__id"))
+    // id expansion as two LEFT joins against the duplicate-only member map
+    // (singleton reps miss and coalesce to themselves). ONE consumer of
+    // `verified` — an eariler singleton/duplicate plan split read the
+    // verify join once per branch and doubled the dominant stage
+    // (measured 116 s vs 58 s of executor time on 2.1M pairs)
+    // shuffle_hash on the member side: the hash relation is the (small)
+    // duplicate map, and the output-sized probe side streams through
+    // without the sort a merge join would impose on it twice
     val cross = verified
-      .join(memb.select(col("__rep").as("rep_a"), col("__id").as("__ia")), "rep_a")
-      .join(memb.select(col("__rep").as("rep_b"), col("__id").as("__ib")), "rep_b")
-      .select(least(col("__ia"), col("__ib")).as("id_a"),
-        greatest(col("__ia"), col("__ib")).as("id_b"), col("dist"))
+      .join(membDup.select(col("__rep").as("rep_a"), col("__id").as("__ia"))
+        .hint("shuffle_hash"), Seq("rep_a"), "left")
+      .join(membDup.select(col("__rep").as("rep_b"), col("__id").as("__ib"))
+        .hint("shuffle_hash"), Seq("rep_b"), "left")
+      .select(
+        least(coalesce(col("__ia"), col("rep_a")),
+          coalesce(col("__ib"), col("rep_b"))).as("id_a"),
+        greatest(coalesce(col("__ia"), col("rep_a")),
+          coalesce(col("__ib"), col("rep_b"))).as("id_b"),
+        col("dist"))
     // distance-0 pairs = id combinations within one exact-duplicate group
-    val zero = memb.select(col("__rep"), col("__id").as("id_a"))
-      .join(memb.select(col("__rep"), col("__id").as("id_b")), Seq("__rep"))
+    val zero = membDup.select(col("__rep"), col("__id").as("id_a"))
+      .join(membDup.select(col("__rep"), col("__id").as("id_b")), Seq("__rep"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), lit(0).as("dist"))
     cross.unionByName(zero)
+  }
+
+  /** The `collapseExact = false` plan: variant join straight on the id
+    * rows. One fewer aggregate and two fewer joins than the collapsed
+    * path, but an exact-duplicate group of size g costs the candidate
+    * join g² rows PER VARIANT — only safe when the string column is
+    * (near-)unique.
+    */
+  private def directPairs(base: DataFrame, blockCols: Seq[String],
+                          maxDist: Int, damerau: Boolean): DataFrame = {
+    val keyed = base
+      .select(blockCols.map(col) :+ col("__id") :+
+        length(col("__s")).as("__len") :+
+        explode(deletionVariants(col("__s"), maxDist)).as("__v"): _*)
+      .select(blockCols.map(col) :+ col("__id") :+ col("__len") :+
+        xxhash64(col("__v")).as("__k"): _*)
+    val x = keyed.select(blockCols.map(col) :+ col("__k") :+
+      col("__id").as("id_a") :+ col("__len").as("__la"): _*)
+    val y = keyed.select(blockCols.map(col) :+ col("__k") :+
+      col("__id").as("id_b") :+ col("__len").as("__lb"): _*)
+    val cands = x.join(y, blockCols :+ "__k")
+      .filter(col("id_a") < col("id_b"))
+      .filter(abs(col("__la") - col("__lb")) <= maxDist)
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(base.select(col("__id").as("id_a"), col("__s").as("__sa")), "id_a")
+      .join(base.select(col("__id").as("id_b"), col("__s").as("__sb")), "id_b")
+      .withColumn("dist", distExpr(col("__sa"), col("__sb"), damerau))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** Sorted-neighborhood record linkage (Hernández & Stolfo 1995): order
+    * the corpus by `sortKeyCol` (default: the string itself), then emit
+    * every pair within `window` consecutive positions whose strings are
+    * within `maxDist` edits. Complements [[editDistancePairs]]: the
+    * deletion join is exact-complete at tight radii; SNM trades
+    * completeness for a caller-chosen sort key that brings
+    * domain-knowledge matches (same prefix, same phonetic key) together
+    * regardless of edit distance budget.
+    *
+    * Scale shape: ONE range-partitioned global sort, positions from the
+    * per-partition-count census ([[graft.api.MSTable.zipWithRowId]] — a
+    * whole-frame window would serialize into one task), then the window
+    * pairing is an equi-join on `pos + offset` (longs), verify on the
+    * candidates only. `assumeDeterministic` has
+    * [[Sampling.deterministicShuffle]]'s exact semantics/trade-off (the
+    * two-job census needs a pinned or deterministic input).
+    */
+  def sortedNeighborhoodPairs(docs: DataFrame, strCol: String, idCol: String,
+                              window: Int, maxDist: Int,
+                              sortKeyCol: Option[String] = None,
+                              damerau: Boolean = false,
+                              assumeDeterministic: Boolean = false): DataFrame = {
+    require(window >= 2, s"sortedNeighborhoodPairs needs window >= 2 (got $window)")
+    require(maxDist >= 0, s"sortedNeighborhoodPairs needs maxDist >= 0 (got $maxDist)")
+    val key = sortKeyCol.getOrElse(strCol)
+    val base = docs
+      .select(col(key).as("__key"), col(idCol).as("__id"), col(strCol).as("__s"))
+      .filter(col("__s").isNotNull)
+    val ranked = graft.api.MSTable.zipWithRowId(
+        base.orderBy(col("__key"), col("__id")), pin = !assumeDeterministic)
+      .withColumnRenamed(graft.api.MSTable.RowId, "__pos")
+    val left = ranked
+      .select(col("__id").as("__ia"), col("__s").as("__sa"),
+        explode(sequence(lit(1), lit(window - 1))).as("__off"),
+        col("__pos"))
+      .select(col("__ia"), col("__sa"), (col("__pos") + col("__off")).as("__pb"))
+    val right = ranked.select(col("__pos").as("__pb"),
+      col("__id").as("__ib"), col("__s").as("__sb"))
+    left.join(right, "__pb")
+      .withColumn("dist", distExpr(col("__sa"), col("__sb"), damerau))
+      .filter(col("dist") <= maxDist)
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("dist"))
   }
 
   /** Match each probe string against a reference set within Levenshtein

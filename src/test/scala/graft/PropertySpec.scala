@@ -526,10 +526,13 @@ class PropertySpec extends SparkSpec {
     val genCorpus = Gen.choose(2, 18).flatMap(n => Gen.listOfN(n, genStr))
     val genD = Gen.choose(1, 2)
     val genDamerau = Gen.oneOf(true, false)
-    check(Prop.forAllNoShrink(genCorpus, genD, genDamerau) { (strs, d, dam) =>
+    val genCollapse = Gen.oneOf(true, false)
+    check(Prop.forAllNoShrink(genCorpus, genD, genDamerau, genCollapse) {
+        (strs, d, dam, clp) =>
       val rows = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
       val got = graft.ops.Fuzzy.editDistancePairs(
-          rows.toDF("id", "s"), "s", "id", d, damerau = dam)
+          rows.toDF("id", "s"), "s", "id", d, damerau = dam,
+          collapseExact = clp)
         .as[(Long, Long, Int)].collect().toSet
       val want = (for {
         (ia, sa) <- rows; (ib, sb) <- rows

@@ -102,6 +102,43 @@ class FuzzySpec extends SparkSpec {
     assert(got == Set((10L, 1L, 0), (10L, 2L, 1), (11L, 1L, 1)))
   }
 
+  test("collapseExact=false returns identical pairs on a duplicate-heavy corpus") {
+    val names: Seq[(Long, String)] = Seq(
+      1L -> "dup", 2L -> "dup", 3L -> "dup", 4L -> "dup!", 5L -> "dupe",
+      6L -> "other", 7L -> "othe", 8L -> "dup")
+    val df = names.toDF("id", "name")
+    val collapsed = Fuzzy.editDistancePairs(df, "name", "id", 1)
+      .as[(Long, Long, Int)].collect().toSet
+    val direct = Fuzzy.editDistancePairs(df, "name", "id", 1,
+        collapseExact = false)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(collapsed == direct)
+    assert(collapsed == brutePairs(names, 1).toSet)
+    // the duplicate group produced its distance-0 combinations
+    assert(collapsed.count(_._3 == 0) == 6) // C(4,2) over ids {1,2,3,8}
+  }
+
+  test("sorted-neighborhood pairs equal the window-join definition") {
+    val names: Seq[(Long, String)] = Seq(
+      1L -> "alpha", 2L -> "alphb", 3L -> "beta", 4L -> "betas",
+      5L -> "gamma", 6L -> "alpha")
+    val df = names.toDF("id", "name")
+    val w = 3; val d = 2
+    val got = Fuzzy.sortedNeighborhoodPairs(df, "name", "id",
+        window = w, maxDist = d, assumeDeterministic = true)
+      .orderBy("id_a", "id_b").as[(Long, Long, Int)].collect().toSeq
+    // reference: sort by (name, id), pair within w-1 positions, verify
+    val ranked = names.sortBy(t => (t._2, t._1)).zipWithIndex
+    val want = (for {
+      ((ia, sa), pa) <- ranked; ((ib, sb), pb) <- ranked
+      if pb > pa && pb - pa < w
+      dist = levDist(sa, sb)
+      if dist <= d
+    } yield (math.min(ia, ib), math.max(ia, ib), dist))
+      .sortBy(t => (t._1, t._2))
+    assert(got == want && got.nonEmpty)
+  }
+
   test("damerau mode finds transposition pairs plain levenshtein misses") {
     val rows = Seq(1L -> "abcd", 2L -> "acbd", 3L -> "abdc", 4L -> "qqqq")
     val lev = Fuzzy.editDistancePairs(rows.toDF("id", "s"), "s", "id", 1)

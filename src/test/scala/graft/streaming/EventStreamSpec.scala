@@ -9,6 +9,30 @@ import graft.SparkSpec
   */
 class EventStreamSpec extends SparkSpec {
 
+  test("normalizeTs lands every shipped ts encoding on the same instants") {
+    // the two physical encodings testdata has shipped with — TIMESTAMP
+    // (NANOS) read as LongType nanos, and timestamp[us] read as
+    // TIMESTAMP_NTZ — plus an already-normalized TimestampType frame,
+    // must all normalize to identical session-UTC TimestampType values.
+    // (Round 11 lost all ten events queries to exactly this: the loader
+    // assumed one encoding and threw DATATYPE_MISMATCH on the other.)
+    import spark.implicits._
+    val micros = Seq(0L, 1L, 1700000000123456L)
+    val fromLongNanos = EventStream.normalizeTs(
+      micros.map(_ * 1000L).toDF("ts"))
+    val fromNtz = EventStream.normalizeTs(
+      micros.toDF("us").select(
+        expr("timestamp_micros(us)").cast("timestamp_ntz").as("ts")))
+    val fromTs = EventStream.normalizeTs(
+      micros.toDF("us").select(expr("timestamp_micros(us)").as("ts")))
+    for (df <- Seq(fromLongNanos, fromNtz, fromTs)) {
+      assert(df.schema("ts").dataType ===
+        org.apache.spark.sql.types.TimestampType)
+      val got = df.select(unix_micros(col("ts"))).as[Long].collect().sorted
+      assert(got.toSeq === micros.sorted)
+    }
+  }
+
   test("tumbling window streaming equals batch") {
     val dir = sf("sf0.001")
     val raw = EventStream.loadEvents(spark, dir)
