@@ -54,6 +54,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DamerauLevenshtein].getName,
         "damerau_levenshtein"),
       (exprs: Seq[Expression]) => DamerauLevenshtein(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1))))
     // Column-algebra curation ops: the builder expands the same composed
     // expression tree the Scala API builds, so SQL users get byte-
     // identical semantics (ColumnShim bridges Column <-> Expression)

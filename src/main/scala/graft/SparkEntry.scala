@@ -894,6 +894,15 @@ object SparkEntry {
         assumeDeterministic = true)
         .orderBy("id_a", "id_b")),
 
+    // SNM with a Jaro-Winkler verify (codegen expression matching DuckDB's
+    // jaro_winkler_similarity bit-for-bit at round 6): the person/entity
+    // name measure — prefix-weighted, suffix-noise tolerant
+    "q_fuzzy_jw" -> ((s, dir) =>
+      Fuzzy.sortedNeighborhoodJaroWinkler(T(s, dir, "customer"),
+        "c_name", "c_custkey", window = 8, minSim = 0.9,
+        assumeDeterministic = true)
+        .orderBy("id_a", "id_b")),
+
     // BLOCKED fuzzy pairs → connected components: typo clusters within a
     // blocking key (the 100 TB record-linkage shape — here the market
     // segment stands in for the cheap blocking key a real linkage picks)
@@ -2749,6 +2758,18 @@ object SparkEntry {
           |       CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
           |FROM r a JOIN r b ON b.pos - a.pos BETWEEN 1 AND 7
           |WHERE levenshtein(a.s, b.s) <= 2
+          |ORDER BY 1, 2""".stripMargin,
+
+      "q_fuzzy_jw" ->
+        """WITH r AS (
+          |  SELECT c_custkey AS id, c_name AS s,
+          |    row_number() OVER (ORDER BY c_name, c_custkey) AS pos
+          |  FROM customer
+          |)
+          |SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b,
+          |       round(jaro_winkler_similarity(a.s, b.s), 6) AS jw
+          |FROM r a JOIN r b ON b.pos - a.pos BETWEEN 1 AND 7
+          |WHERE jaro_winkler_similarity(a.s, b.s) >= 0.9
           |ORDER BY 1, 2""".stripMargin,
 
       "q_fuzzy_clusters" ->

@@ -648,6 +648,77 @@ object VectorExprs {
     d(n + 1)(m + 1)
   }
 
+  /** Jaro–Winkler similarity kernel, matching DuckDB's
+    * `jaro_winkler_similarity` exactly (verified empirically): Jaro with
+    * the match window max(max(|a|,|b|)/2 − 1, 0) and half-transpositions,
+    * Winkler prefix boost p = 0.1 over at most 4 common leading chars
+    * applied ONLY when jaro > 0.7 (the standard boost threshold), and
+    * 0.0 whenever either string is empty — including both-empty.
+    */
+  def jaroWinklerKernel(ua: org.apache.spark.unsafe.types.UTF8String,
+                        ub: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val a = ua.toString; val b = ub.toString
+    val n = a.length; val m = b.length
+    if (n == 0 || m == 0) return 0.0
+    if (a == b) return 1.0
+    val window = math.max(math.max(n, m) / 2 - 1, 0)
+    val fa = new Array[Boolean](n); val fb = new Array[Boolean](m)
+    var matches = 0
+    var i = 0
+    while (i < n) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(i + window + 1, m)
+      var j = lo
+      var done = false
+      while (j < hi && !done) {
+        if (!fb(j) && a.charAt(i) == b.charAt(j)) {
+          fa(i) = true; fb(j) = true; matches += 1; done = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var t = 0; var k = 0
+    i = 0
+    while (i < n) {
+      if (fa(i)) {
+        while (!fb(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val half = t / 2
+    val jaro = (matches.toDouble / n + matches.toDouble / m +
+      (matches - half).toDouble / matches) / 3.0
+    if (jaro <= 0.7) return jaro
+    var l = 0
+    val maxL = math.min(4, math.min(n, m))
+    while (l < maxL && a.charAt(l) == b.charAt(l)) l += 1
+    jaro + l * 0.1 * (1.0 - jaro)
+  }
+
+  /** `jaro_winkler(a, b)` as a codegen'd expression (static-kernel
+    * pattern) — the similarity verify of the sorted-neighborhood linkage
+    * stays inside whole-stage codegen.
+    */
+  case class JaroWinkler(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any =
+      jaroWinklerKernel(l.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        r.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (l, r) =>
+        s"${ev.value} = graft.expr.VectorExprs$$.MODULE$$.jaroWinklerKernel($l, $r);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** `damerau_levenshtein(a, b)` as a codegen'd expression (static-kernel
     * pattern, like [[VecCosine]]) — the verify step of the fuzzy join's
     * transposition-aware mode stays inside whole-stage codegen.
@@ -696,6 +767,8 @@ object VectorExprs {
     toColumn(NfcNormalize(toExpression(text)))
   def damerau_levenshtein(a: Column, b: Column): Column =
     toColumn(DamerauLevenshtein(toExpression(a), toExpression(b)))
+  def jaro_winkler(a: Column, b: Column): Column =
+    toColumn(JaroWinkler(toExpression(a), toExpression(b)))
   def affine_project(vec: Column, mat: Array[Array[Double]],
                      shift: Array[Double], scale: Array[Double]): Column =
     toColumn(AffineProject(toExpression(vec), mat, shift, scale))

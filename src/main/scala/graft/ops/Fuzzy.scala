@@ -241,8 +241,46 @@ object Fuzzy {
                               sortKeyCol: Option[String] = None,
                               damerau: Boolean = false,
                               assumeDeterministic: Boolean = false): DataFrame = {
-    require(window >= 2, s"sortedNeighborhoodPairs needs window >= 2 (got $window)")
     require(maxDist >= 0, s"sortedNeighborhoodPairs needs maxDist >= 0 (got $maxDist)")
+    snmCandidates(docs, strCol, idCol, window, sortKeyCol, assumeDeterministic)
+      .withColumn("dist", distExpr(col("__sa"), col("__sb"), damerau))
+      .filter(col("dist") <= maxDist)
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("dist"))
+  }
+
+  /** [[sortedNeighborhoodPairs]] with a Jaro–Winkler similarity verify
+    * (the classic SNM companion measure for person/entity names — weights
+    * agreement in the prefix, tolerant of suffix noise): pairs within
+    * `window` consecutive sort positions with
+    * `jaro_winkler(a, b) >= minSim`. The similarity is the engine's
+    * codegen [[graft.expr.VectorExprs.JaroWinkler]], which matches
+    * DuckDB's `jaro_winkler_similarity` definition exactly.
+    */
+  def sortedNeighborhoodJaroWinkler(docs: DataFrame, strCol: String,
+                                    idCol: String, window: Int,
+                                    minSim: Double,
+                                    sortKeyCol: Option[String] = None,
+                                    assumeDeterministic: Boolean = false): DataFrame = {
+    require(minSim > 0 && minSim <= 1,
+      s"sortedNeighborhoodJaroWinkler needs 0 < minSim <= 1 (got $minSim)")
+    snmCandidates(docs, strCol, idCol, window, sortKeyCol, assumeDeterministic)
+      .withColumn("__jw",
+        graft.expr.VectorExprs.jaro_winkler(col("__sa"), col("__sb")))
+      .filter(col("__jw") >= minSim)
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"),
+        round(col("__jw"), 6).as("jw"))
+  }
+
+  /** Shared SNM candidate generation: global sort by the key, census
+    * positions, one offset equi-join — (__ia, __sa, __ib, __sb) pairs
+    * within `window` consecutive positions, each unordered pair once.
+    */
+  private def snmCandidates(docs: DataFrame, strCol: String, idCol: String,
+                            window: Int, sortKeyCol: Option[String],
+                            assumeDeterministic: Boolean): DataFrame = {
+    require(window >= 2, s"sorted-neighborhood needs window >= 2 (got $window)")
     val key = sortKeyCol.getOrElse(strCol)
     val base = docs
       .select(col(key).as("__key"), col(idCol).as("__id"), col(strCol).as("__s"))
@@ -258,10 +296,6 @@ object Fuzzy {
     val right = ranked.select(col("__pos").as("__pb"),
       col("__id").as("__ib"), col("__s").as("__sb"))
     left.join(right, "__pb")
-      .withColumn("dist", distExpr(col("__sa"), col("__sb"), damerau))
-      .filter(col("dist") <= maxDist)
-      .select(least(col("__ia"), col("__ib")).as("id_a"),
-        greatest(col("__ia"), col("__ib")).as("id_b"), col("dist"))
   }
 
   /** Match each probe string against a reference set within Levenshtein

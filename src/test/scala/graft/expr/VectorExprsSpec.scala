@@ -83,6 +83,24 @@ class VectorExprsSpec extends SparkSpec {
     assert(out(1).isNullAt(0))
   }
 
+  test("jaro_winkler: published cases, boost threshold, empty semantics") {
+    // expected values verified against DuckDB's jaro_winkler_similarity
+    val cases = Seq(
+      ("martha", "marhta", 0.961111111),  // Winkler's own example
+      ("DWAYNE", "DUANE", 0.84),
+      ("abcdefgh", "abzzzzzz", 0.5),      // jaro = 0.5 <= 0.7: NO boost
+      ("prefixaaaa", "prefixbbbb", 0.84), // prefix boost capped at 4
+      ("ab", "ba", 0.0),                  // window 0: no matches
+      ("CRATE", "TRACE", 0.733333333),
+      ("same", "same", 1.0),
+      ("a", "", 0.0), ("", "", 0.0))      // either-empty => 0, both-empty too
+    val df = cases.toDF("a", "b", "want")
+    val got = df.select(col("want"),
+      round(VectorExprs.jaro_winkler(col("a"), col("b")), 9).as("got"))
+      .collect()
+    got.foreach(r => assert(r.getDouble(1) === r.getDouble(0)))
+  }
+
   test("damerau_levenshtein: published cases, unrestricted transposition, nulls") {
     val cases = Seq(
       ("ca", "abc", 2),      // THE unrestricted-vs-OSA discriminator (OSA: 3)

@@ -139,6 +139,19 @@ class FuzzySpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("SNM Jaro-Winkler keeps high-prefix-similarity neighbors only") {
+    val rows = Seq(1L -> "jonathan smith", 2L -> "jonathan smyth",
+      3L -> "jonathan smithson", 4L -> "zachary")
+    val got = Fuzzy.sortedNeighborhoodJaroWinkler(rows.toDF("id", "name"),
+        "name", "id", window = 4, minSim = 0.93,
+        assumeDeterministic = true)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Double)].collect().toSeq
+    // smith/smyth and smith/smithson clear 0.93; zachary pairs with nothing
+    assert(got.map(t => (t._1, t._2)) == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(got.forall(t => t._3 >= 0.93 && t._3 <= 1.0))
+  }
+
   test("damerau mode finds transposition pairs plain levenshtein misses") {
     val rows = Seq(1L -> "abcd", 2L -> "acbd", 3L -> "abdc", 4L -> "qqqq")
     val lev = Fuzzy.editDistancePairs(rows.toDF("id", "s"), "s", "id", 1)
