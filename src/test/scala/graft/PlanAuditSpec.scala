@@ -473,6 +473,21 @@ class PlanAuditSpec extends SparkSpec {
       readSchema)
   }
 
+  test("sorted-neighborhood: offset equi-join, no cartesian, no whole-frame window") {
+    val cust = spark.read.parquet(s"${sf()}/customer.parquet")
+    for (df <- Seq(
+      ops.Fuzzy.sortedNeighborhoodPairs(cust, "c_name", "c_custkey",
+        window = 8, maxDist = 2, assumeDeterministic = true),
+      ops.Fuzzy.sortedNeighborhoodJaroWinkler(cust, "c_name", "c_custkey",
+        window = 8, minSim = 0.9, assumeDeterministic = true))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+      // rank must come from the census zip, not a one-task Window
+      assert(!p.contains("Window"), s"no window operator:\n$p")
+    }
+  }
+
   test("corpus divergence: no cartesian on data, word join is an equi-join") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val p = plan(ops.TextAnalysis.corpusDivergenceJS(docs, "text", "source"))

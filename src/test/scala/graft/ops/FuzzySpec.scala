@@ -163,6 +163,18 @@ class FuzzySpec extends SparkSpec {
     assert(dam == Set((1L, 2L, 1), (1L, 3L, 1)))
   }
 
+  test("matchAgainst damerau mode resolves transposed probes") {
+    val ref = Seq(1L -> "abcd", 2L -> "wxyz").toDF("rid", "rname")
+    val probes = Seq(10L -> "acbd").toDF("pid", "pname")
+    val lev = Fuzzy.matchAgainst(probes, ref, "pname", "pid", "rname", "rid")
+      .collect()
+    val dam = Fuzzy.matchAgainst(probes, ref, "pname", "pid", "rname", "rid",
+        damerau = true)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(lev.isEmpty) // levenshtein says 2
+    assert(dam == Seq((10L, 1L, 1)))
+  }
+
   test("damerau_levenshtein is SQL-callable after registration") {
     org.apache.spark.sql.graft.ColumnShim.registerFunction(spark,
       "damerau_levenshtein",
