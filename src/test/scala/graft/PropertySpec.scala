@@ -543,4 +543,51 @@ class PropertySpec extends SparkSpec {
       got == want
     }, n = 20)
   }
+
+  test("SNM and probe matching equal their brute-force definitions on random corpora") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val genStr = Gen.choose(0, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val genCorpus = Gen.choose(2, 15).flatMap(n => Gen.listOfN(n, genStr))
+    val genW = Gen.choose(2, 5)
+    // sorted-neighborhood: window-join reference over the (key, id) sort
+    check(Prop.forAllNoShrink(genCorpus, genW) { (strs, w) =>
+      val rows = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val got = graft.ops.Fuzzy.sortedNeighborhoodPairs(
+          rows.toDF("id", "s"), "s", "id", window = w, maxDist = 2,
+          assumeDeterministic = true)
+        .as[(Long, Long, Int)].collect().sorted.toSeq
+      val ranked = rows.sortBy(t => (t._2, t._1)).zipWithIndex
+      val want = (for {
+        ((ia, sa), pa) <- ranked; ((ib, sb), pb) <- ranked
+        if pb > pa && pb - pa < w
+        dist = lev(sa, sb)
+        if dist <= 2
+      } yield (math.min(ia, ib), math.max(ia, ib), dist)).sorted
+      got == want
+    }, n = 12)
+    // probe matching: brute probes × reference filter
+    check(Prop.forAllNoShrink(genCorpus, genCorpus) { (ps, rs) =>
+      val probes = ps.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val refs = rs.zipWithIndex.map { case (s, i) => (100L + i, s) }
+      val got = graft.ops.Fuzzy.matchAgainst(
+          probes.toDF("pid", "ps"), refs.toDF("rid", "rs"),
+          "ps", "pid", "rs", "rid", maxDist = 1)
+        .as[(Long, Long, Int)].collect().sorted.toSeq
+      val want = (for {
+        (ip, sp) <- probes; (ir, sr) <- refs
+        dist = lev(sp, sr)
+        if dist <= 1
+      } yield (ip, ir, dist)).sorted
+      got == want
+    }, n = 12)
+  }
 }
