@@ -42,4 +42,30 @@ class StressSpec extends SparkSpec {
       .select(element_at(element_at(col("DATA"), 3), 2)).head().getStruct(0)
     assert(cell.getDouble(0) === 7.0) // re = row + chan = 5 + 2
   }
+
+  test("fuzzy pair join under heavy exact-duplicate skew") {
+    import spark.implicits._
+    // one string duplicated 600×, a near-miss duplicated 200×, and 5 000
+    // unique fillers — the corpus-scale skew the collapse path guards:
+    // the candidate join must see each string once per variant, while the
+    // OUTPUT correctly carries the quadratic duplicate-group pairs
+    val rows =
+      (0L until 600L).map(i => (i, "boilerplate header")) ++
+      (1000L until 1200L).map(i => (i, "boilerplate headed")) ++
+      (10000L until 15000L).map(i => (i, s"unique-$i-text"))
+    val out = graft.ops.Fuzzy.editDistancePairs(
+      rows.toDF("id", "s"), "s", "id", maxDist = 1)
+    // distance-0: C(600,2) + C(200,2) inside the two duplicate groups
+    assert(out.filter(col("dist") === 0).count() ===
+      600L * 599 / 2 + 200L * 199 / 2)
+    // distance-1 across the two boilerplate groups: full 600 × 200
+    // (the filler ids also produce dist-1 digit-neighbor pairs among
+    // themselves — fine, they are not asserted here)
+    assert(out.filter(col("dist") === 1 &&
+      col("id_a") < 1000 && col("id_b").between(1000, 1199)).count() ===
+      600L * 200L)
+    // completeness survived the collapse: a spot pair from each class
+    assert(out.filter(col("id_a") === 0 && col("id_b") === 1).count() === 1)
+    assert(out.filter(col("id_a") === 0 && col("id_b") === 1000).count() === 1)
+  }
 }
