@@ -380,11 +380,22 @@ object Bpe {
     * each [[byteEncode]]d — so `byteDecode(pieces).mkString` reproduces
     * the document EXACTLY (whitespace included), with no end-of-word
     * marker anywhere to collide with document text.
+    *
+    * `gpt2Split = true` uses the PUBLISHED GPT-2 pre-tokenizer regex
+    * instead (Radford et al. 2019; the tiktoken `gpt2` pattern):
+    * contractions split off, a single leading space attaches to its
+    * word/number/punct run (the Ġ-prefixed tokens), trailing whitespace
+    * runs kept whole. Both splitters PARTITION the text (every char in
+    * exactly one piece), so the byte-exact decode contract is identical.
     */
-  def byteLevelPieces(text: String): Seq[String] =
+  def byteLevelPieces(text: String, gpt2Split: Boolean = false): Seq[String] =
     if (text == null || text.isEmpty) Seq.empty
-    else ByteLevelPiece.findAllIn(text).map(byteEncode).toSeq
+    else (if (gpt2Split) Gpt2Piece else ByteLevelPiece)
+      .findAllIn(text).map(byteEncode).toSeq
   private val ByteLevelPiece = "(?s)\\s+|\\S+".r
+  private val Gpt2Piece =
+    ("'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+" +
+      "| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+").r
 
   /** Byte-level BPE training: piece-frequency census over the corpus
     * (same ONE-job bounded-dictionary shape as [[learnBpe]]) + the
@@ -392,12 +403,13 @@ object Bpe {
     */
   def learnBpeByteLevel(docs: DataFrame, textCol: String, numMerges: Int,
                         maxWords: Int = 50000,
-                        minCount: Long = 2L): Seq[(String, String)] = {
+                        minCount: Long = 2L,
+                        gpt2Split: Boolean = false): Seq[(String, String)] = {
     require(numMerges > 0, s"numMerges must be positive: $numMerges")
     require(maxWords > 0, s"maxWords must be positive: $maxWords")
     val spark = docs.sparkSession
     import spark.implicits._
-    val pieces = udf((t: String) => byteLevelPieces(t))
+    val pieces = udf((t: String) => byteLevelPieces(t, gpt2Split))
     val freq: Array[(String, Long)] = docs
       .select(explode(pieces(col(textCol))).as("__p"))
       .groupBy("__p").agg(count(lit(1)).as("__n"))
@@ -411,14 +423,15 @@ object Bpe {
     * → vocabulary ids, with the per-task piece memo of [[WordIdEncoder]].
     */
   private final class ByteIdEncoder(
-      stateB: Broadcast[(Map[(String, String), Int], Map[String, Int])])
+      stateB: Broadcast[(Map[(String, String), Int], Map[String, Int])],
+      gpt2Split: Boolean)
       extends (String => Seq[Int]) with Serializable {
     @transient private lazy val memo =
       new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()
     override def apply(text: String): Seq[Int] = {
       val (ranks, ids) = stateB.value
       val out = Seq.newBuilder[Int]
-      byteLevelPieces(text).foreach { p =>
+      byteLevelPieces(text, gpt2Split).foreach { p =>
         var t = memo.get(p)
         if (t == null) {
           t = encodePiece(p, ranks).map(s => ids.getOrElse(s, 0))
@@ -437,7 +450,8 @@ object Bpe {
     */
   def applyBpeIdsByteLevel(docs: DataFrame, textCol: String,
                            merges: Seq[(String, String)],
-                           vocab: Seq[String]): DataFrame = {
+                           vocab: Seq[String],
+                           gpt2Split: Boolean = false): DataFrame = {
     require(!docs.columns.contains("bpe_ids") &&
       !docs.columns.contains("n_bpe_tokens"),
       "applyBpeIdsByteLevel reserves output columns bpe_ids, n_bpe_tokens")
@@ -445,7 +459,7 @@ object Bpe {
       merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
     val ids: Map[String, Int] = vocab.zipWithIndex.toMap
     val stateB = docs.sparkSession.sparkContext.broadcast((ranks, ids))
-    val enc = udf(new ByteIdEncoder(stateB): String => Seq[Int])
+    val enc = udf(new ByteIdEncoder(stateB, gpt2Split): String => Seq[Int])
     docs.withColumn("bpe_ids", enc(col(textCol)))
       .withColumn("n_bpe_tokens", size(col("bpe_ids")).cast("long"))
   }

@@ -438,7 +438,7 @@ class PropertySpec extends SparkSpec {
       // lone surrogates are not valid strings; normalize like the JVM
       // would on any IO boundary, then demand EXACT round-trips
       val docs = texts.map(t => new String(t.getBytes("UTF-8"), "UTF-8"))
-      val freq = docs.flatMap(Bpe.byteLevelPieces)
+      val freq = docs.flatMap(Bpe.byteLevelPieces(_))
         .groupBy(identity).toSeq.map { case (p, ps) => (p, ps.size.toLong) }
       val merges =
         if (freq.isEmpty) Nil
