@@ -894,6 +894,18 @@ object SparkEntry {
         assumeDeterministic = true)
         .orderBy("id_a", "id_b")),
 
+    // persisted fuzzy-match index (SymSpell dictionary shape): reference
+    // deletion keys precomputed once, probes join the stored key table —
+    // must EQUAL the inline matchAgainst, so it shares that oracle
+    "q_fuzzy_match_index" -> ((s, dir) => {
+      val cust = T(s, dir, "customer")
+      Fuzzy.buildMatchIndex(cust, "c_name", "c_custkey",
+        tmp("q_fuzzy_match_index"), maxDist = 1)
+      Fuzzy.matchAgainstIndex(s, tmp("q_fuzzy_match_index"),
+        cust.filter(col("c_custkey") < 50), "c_name", "c_custkey")
+        .orderBy("probe_id", "ref_id")
+    }),
+
     // SNM with a Jaro-Winkler verify (codegen expression matching DuckDB's
     // jaro_winkler_similarity bit-for-bit at round 6): the person/entity
     // name measure — prefix-weighted, suffix-noise tolerant
@@ -2758,6 +2770,14 @@ object SparkEntry {
           |       CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
           |FROM r a JOIN r b ON b.pos - a.pos BETWEEN 1 AND 7
           |WHERE levenshtein(a.s, b.s) <= 2
+          |ORDER BY 1, 2""".stripMargin,
+
+      "q_fuzzy_match_index" ->
+        """SELECT p.c_custkey AS probe_id, r.c_custkey AS ref_id,
+          |       CAST(levenshtein(p.c_name, r.c_name) AS INTEGER) AS dist
+          |FROM customer p JOIN customer r
+          |  ON levenshtein(p.c_name, r.c_name) <= 1
+          |WHERE p.c_custkey < 50
           |ORDER BY 1, 2""".stripMargin,
 
       "q_fuzzy_jw" ->

@@ -219,6 +219,82 @@ object Fuzzy {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  private val MatchIndexKey = "graft.fuzzy_match_index"
+
+  /** Persist the reference side of [[matchAgainst]] as a queryable index
+    * (the SymSpell deployment shape: the deletion dictionary is built once
+    * and probed forever): the distinct (variant-hash, ref id) keys land in
+    * `path/keys` hash-partitioned by bucket, the (ref id, string) verify
+    * table in `path/refs`, and `maxDist`/`buckets` in a keyword sidecar so
+    * a probe cannot silently query with a different radius than the index
+    * was built for.
+    */
+  def buildMatchIndex(reference: DataFrame, strCol: String, idCol: String,
+                      path: String, maxDist: Int = 1,
+                      nBuckets: Int = 64): Unit = {
+    require(maxDist >= 1, s"buildMatchIndex needs maxDist >= 1 (got $maxDist)")
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    val spark = reference.sparkSession
+    val refBase = reference
+      .select(col(idCol).as("ref_id"), col(strCol).as("__rs"))
+      .filter(col("__rs").isNotNull)
+    refBase
+      .select(col("ref_id"),
+        explode(deletionVariants(col("__rs"), maxDist)).as("__v"))
+      .select(col("ref_id"), xxhash64(col("__v")).as("__k")).distinct()
+      .withColumn("bucket", pmod(col("__k"), lit(nBuckets.toLong)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/keys")
+    refBase.write.mode("overwrite").parquet(s"$path/refs")
+    graft.api.MSWrite.putKeywords(spark, path,
+      graft.api.MSWrite.readKeywords(spark, path) +
+        (MatchIndexKey -> s"""{"maxDist":$maxDist,"buckets":$nBuckets}"""))
+  }
+
+  /** [[matchAgainst]] against a persisted [[buildMatchIndex]] store: the
+    * probe side explodes its own deletion variants and equi-joins the
+    * PRECOMPUTED key table — the reference-side explode+distinct is paid
+    * once at build time, not per probe batch. The probe side may be
+    * streaming (same watermark protocol as [[matchAgainst]]). The match
+    * radius comes from the sidecar — the one the index is complete for.
+    */
+  def matchAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String, probes: DataFrame,
+                        pStrCol: String, pIdCol: String,
+                        eventTimeCol: Option[String] = None,
+                        watermarkDelay: String = "10 minutes"): DataFrame = {
+    val metaJson = graft.api.MSWrite.readKeywords(spark, path)
+      .getOrElse(MatchIndexKey,
+        throw new IllegalArgumentException(s"no fuzzy-match-index sidecar at $path"))
+    val maxDist = """"maxDist"\s*:\s*(\d+)""".r.findFirstMatchIn(metaJson)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalArgumentException(
+        s"fuzzy-match-index sidecar missing 'maxDist': $metaJson"))
+    val refKeyed = spark.read.parquet(s"$path/keys").select("ref_id", "__k")
+    val refBase = spark.read.parquet(s"$path/refs")
+    val src = eventTimeCol match {
+      case Some(t) => probes.withWatermark(t, watermarkDelay)
+      case None    => probes
+    }
+    val ride = eventTimeCol.toSeq.map(col)
+    val probeKeyed = src
+      .select(Seq(col(pIdCol).as("probe_id"), col(pStrCol).as("__ps")) ++ ride :+
+        explode(deletionVariants(col(pStrCol), maxDist)).as("__v"): _*)
+      .select(Seq(col("probe_id"), col("__ps"), xxhash64(col("__v")).as("__k")) ++
+        ride: _*)
+    val cands = probeKeyed.join(refKeyed, "__k")
+      .select(Seq(col("probe_id"), col("__ps"), col("ref_id")) ++ ride: _*)
+    val distinctCands = eventTimeCol match {
+      case Some(t) =>
+        cands.dropDuplicatesWithinWatermark("probe_id", "ref_id").drop(t)
+      case None => cands.dropDuplicates("probe_id", "ref_id")
+    }
+    distinctCands
+      .join(refBase, "ref_id")
+      .withColumn("dist", levenshtein(col("__ps"), col("__rs")))
+      .filter(col("dist") <= maxDist)
+      .select(col("probe_id"), col("ref_id"), col("dist"))
+  }
+
   /** Sorted-neighborhood record linkage (Hernández & Stolfo 1995): order
     * the corpus by `sortKeyCol` (default: the string itself), then emit
     * every pair within `window` consecutive positions whose strings are

@@ -85,6 +85,45 @@ class FuzzySpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 1), (3L, 4L, 1)))
   }
 
+  test("persisted match index equals inline matchAgainst, enforces its radius") {
+    val ref = Seq(1L -> "spark", 2L -> "spork", 3L -> "shark", 4L -> "plane")
+      .toDF("rid", "rname")
+    val probes = Seq(10L -> "spark", 11L -> "sparkz", 12L -> "xyzzy",
+      13L -> "plan").toDF("pid", "pname")
+    val dir = "/root/repo/target/test_fuzzy_index"
+    Fuzzy.buildMatchIndex(ref, "rname", "rid", dir, maxDist = 1)
+    val viaIdx = Fuzzy.matchAgainstIndex(spark, dir, probes, "pname", "pid")
+      .as[(Long, Long, Int)].collect().toSet
+    val inline = Fuzzy.matchAgainst(probes, ref, "pname", "pid",
+        "rname", "rid", maxDist = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(viaIdx == inline && viaIdx.nonEmpty)
+    // the radius comes from the sidecar, so a corrupt store fails loud
+    val ex = intercept[IllegalArgumentException] {
+      Fuzzy.matchAgainstIndex(spark, "/root/repo/target/nonexistent_fuzzy",
+        probes, "pname", "pid")
+    }
+    assert(ex.getMessage.contains("sidecar") ||
+      ex.getMessage.contains("no fuzzy-match-index"))
+  }
+
+  test("match index probes as a real stream") {
+    val ref = Seq(1L -> "spark", 2L -> "plane").toDF("rid", "rname")
+    val dir = "/root/repo/target/test_fuzzy_index_stream"
+    Fuzzy.buildMatchIndex(ref, "rname", "rid", dir, maxDist = 1)
+    val probesDf = Seq(10L -> "spurk", 11L -> "plane").toDF("pid", "pname")
+    val pdir = "/root/repo/target/test_fuzzy_index_probes"
+    probesDf.write.mode("overwrite").parquet(pdir)
+    val stream = spark.readStream.schema(probesDf.schema).parquet(pdir)
+    val out = Fuzzy.matchAgainstIndex(spark, dir, stream, "pname", "pid")
+    assert(out.isStreaming)
+    graft.streaming.EventStream.runToMemory(out, "fuzzy_idx_stream_out",
+      mode = "append")
+    val got = spark.table("fuzzy_idx_stream_out")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((10L, 1L, 1), (11L, 2L, 0)))
+  }
+
   test("matchAgainst runs as a real stream-static streaming query") {
     val ref = Seq(1L -> "spark", 2L -> "spork", 3L -> "plane")
       .toDF("rid", "rname").localCheckpoint()
