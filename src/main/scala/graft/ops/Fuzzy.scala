@@ -261,7 +261,8 @@ object Fuzzy {
                         path: String, probes: DataFrame,
                         pStrCol: String, pIdCol: String,
                         eventTimeCol: Option[String] = None,
-                        watermarkDelay: String = "10 minutes"): DataFrame = {
+                        watermarkDelay: String = "10 minutes",
+                        damerau: Boolean = false): DataFrame = {
     val metaJson = graft.api.MSWrite.readKeywords(spark, path)
       .getOrElse(MatchIndexKey,
         throw new IllegalArgumentException(s"no fuzzy-match-index sidecar at $path"))
@@ -271,6 +272,19 @@ object Fuzzy {
         s"fuzzy-match-index sidecar missing 'maxDist': $metaJson"))
     val refKeyed = spark.read.parquet(s"$path/keys").select("ref_id", "__k")
     val refBase = spark.read.parquet(s"$path/refs")
+    probeMatch(probes, refKeyed, refBase, pStrCol, pIdCol, maxDist,
+      eventTimeCol, watermarkDelay, damerau)
+  }
+
+  /** Shared probe-side core of [[matchAgainst]] / [[matchAgainstIndex]]:
+    * explode probe deletion variants, equi-join the (ref_id, __k) key
+    * table, dedup candidate pairs (watermark-evicted on a stream), verify
+    * against the (ref_id, __rs) strings.
+    */
+  private def probeMatch(probes: DataFrame, refKeyed: DataFrame,
+                         refBase: DataFrame, pStrCol: String, pIdCol: String,
+                         maxDist: Int, eventTimeCol: Option[String],
+                         watermarkDelay: String, damerau: Boolean): DataFrame = {
     val src = eventTimeCol match {
       case Some(t) => probes.withWatermark(t, watermarkDelay)
       case None    => probes
@@ -290,7 +304,7 @@ object Fuzzy {
     }
     distinctCands
       .join(refBase, "ref_id")
-      .withColumn("dist", levenshtein(col("__ps"), col("__rs")))
+      .withColumn("dist", distExpr(col("__ps"), col("__rs"), damerau))
       .filter(col("dist") <= maxDist)
       .select(col("probe_id"), col("ref_id"), col("dist"))
   }
@@ -397,27 +411,7 @@ object Fuzzy {
     val refKeyed = refBase
       .select(col("ref_id"), explode(deletionVariants(col("__rs"), maxDist)).as("__v"))
       .select(col("ref_id"), xxhash64(col("__v")).as("__k")).distinct()
-    val src = eventTimeCol match {
-      case Some(t) => probes.withWatermark(t, watermarkDelay)
-      case None    => probes
-    }
-    val ride = eventTimeCol.toSeq.map(col)
-    val probeKeyed = src
-      .select(Seq(col(pIdCol).as("probe_id"), col(pStrCol).as("__ps")) ++ ride :+
-        explode(deletionVariants(col(pStrCol), maxDist)).as("__v"): _*)
-      .select(Seq(col("probe_id"), col("__ps"), xxhash64(col("__v")).as("__k")) ++
-        ride: _*)
-    val cands = probeKeyed.join(refKeyed, "__k")
-      .select(Seq(col("probe_id"), col("__ps"), col("ref_id")) ++ ride: _*)
-    val distinctCands = eventTimeCol match {
-      case Some(t) =>
-        cands.dropDuplicatesWithinWatermark("probe_id", "ref_id").drop(t)
-      case None => cands.dropDuplicates("probe_id", "ref_id")
-    }
-    distinctCands
-      .join(refBase, "ref_id")
-      .withColumn("dist", distExpr(col("__ps"), col("__rs"), damerau))
-      .filter(col("dist") <= maxDist)
-      .select(col("probe_id"), col("ref_id"), col("dist"))
+    probeMatch(probes, refKeyed, refBase, pStrCol, pIdCol, maxDist,
+      eventTimeCol, watermarkDelay, damerau)
   }
 }
