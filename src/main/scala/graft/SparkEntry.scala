@@ -866,6 +866,14 @@ object SparkEntry {
         maxDist = 1)
         .orderBy("id_a", "id_b")),
 
+    // radius-2 deletion neighborhood (the O(L²)-keys regime): 204k true
+    // pairs at sf0.01 — exercises the two-level variant generation and
+    // the candidate pruning at a 10× denser output than d=1
+    "q_fuzzy_pairs_d2" -> ((s, dir) =>
+      Fuzzy.editDistancePairs(T(s, dir, "customer"), "c_name", "c_custkey",
+        maxDist = 2)
+        .orderBy("id_a", "id_b")),
+
     // probe-against-reference fuzzy matching (the stream-static form,
     // here run batch): every (probe, reference) pair within one edit
     "q_fuzzy_match" -> ((s, dir) => {
@@ -2742,6 +2750,13 @@ object SparkEntry {
           |       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
           |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
           |WHERE levenshtein(a.c_name, b.c_name) <= 1
+          |ORDER BY 1, 2""".stripMargin,
+
+      "q_fuzzy_pairs_d2" ->
+        """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+          |       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+          |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+          |WHERE levenshtein(a.c_name, b.c_name) <= 2
           |ORDER BY 1, 2""".stripMargin,
 
       "q_fuzzy_match" ->
