@@ -430,6 +430,36 @@ object ScalingProbe {
       graft.ops.Fuzzy.editDistancePairs(spark.read.parquet(p),
         "c_name", "c_custkey", maxDist = 1, collapseExact = false).count()
     }
+    // index amortization: probe 1000 names against the salted reference,
+    // inline (reference explode paid per probe batch) vs a prebuilt
+    // matchAgainstIndex store (explode+distinct paid once at build) —
+    // the per-batch probe cost is what repeated-ingest pipelines pay
+    if (only.isEmpty || only.exists("fuzzy_probe_index".contains)) {
+      def refPath(d: String) = if (d == big) s"$big/customer_saltN.parquet"
+                               else s"$big/customer_salt1.parquet"
+      def idx(d: String) = s"/root/repo/target/probe_fuzzy_idx_${if (d == big) "N" else "1"}"
+      for (d <- Seq(src, big))
+        graft.ops.Fuzzy.buildMatchIndex(spark.read.parquet(refPath(d)),
+          "c_name", "c_custkey", idx(d), maxDist = 1)
+      def probes(d: String) = spark.read.parquet(refPath(d))
+        .filter(col("c_custkey") % 10000000L < 1000L)
+        .limit(1000).localCheckpoint()
+      for ((label, f) <- Seq[(String, String => Long)](
+        "fuzzy_probe_inline" -> { d =>
+          graft.ops.Fuzzy.matchAgainst(probes(d),
+            spark.read.parquet(refPath(d)), "c_name", "c_custkey",
+            "c_name", "c_custkey", maxDist = 1).count() },
+        "fuzzy_probe_index" -> { d =>
+          graft.ops.Fuzzy.matchAgainstIndex(spark, idx(d), probes(d),
+            "c_name", "c_custkey").count() })) {
+        def once(dir: String): Double = {
+          val t0 = System.nanoTime(); f(dir); (System.nanoTime() - t0) / 1e9
+        }
+        once(src)
+        val t1 = once(src); val tN = once(big)
+        println(f"SCALE $label 1x=${t1}%.2f s ${mult}x=${tN}%.2f s ratio=${tN / t1}%.1f")
+      }
+    }
     // sorted-neighborhood linkage: one global sort + census positions +
     // an offset equi-join — expect the deterministic-shuffle class
     time("fuzzy_snm") { d =>
