@@ -191,6 +191,42 @@ class FuzzySpec extends SparkSpec {
     assert(got.forall(t => t._3 >= 0.93 && t._3 <= 1.0))
   }
 
+  test("streaming matchAgainst with eventTimeCol: watermark evicts pair state") {
+    import java.sql.Timestamp
+    val ref = Seq(1L -> "spark", 2L -> "plane").toDF("rid", "rname")
+      .localCheckpoint()
+    val dir = "/root/repo/target/test_stream_fuzzy_wm"
+    val fs = new java.io.File(dir)
+    if (fs.exists()) fs.listFiles().foreach(_.delete())
+    def micro(id: Long, name: String, hour: Int) =
+      Seq((id, name, Timestamp.valueOf(f"2026-01-01 $hour%02d:00:00")))
+        .toDF("pid", "pname", "ts")
+    micro(10L, "spurk", 0).write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .schema(micro(10L, "spurk", 0).schema).parquet(dir)
+    val out = Fuzzy.matchAgainst(stream, ref, "pname", "pid", "rname", "rid",
+      maxDist = 1, eventTimeCol = Some("ts"))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("fuzzy_wm_out").start()
+    try {
+      q.processAllAvailable()
+      micro(11L, "plune", 3).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      micro(12L, "spark", 6).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val got = spark.table("fuzzy_wm_out")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == Set((10L, 1L, 1), (11L, 2L, 1), (12L, 1L, 0)))
+      // watermark advanced past earlier batches: pair-dedup state evicted
+      val removed = q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsRemoved).sum
+      assert(removed > 0, "watermark never evicted dedup state")
+      val finalState = q.recentProgress.flatMap(_.stateOperators)
+        .lastOption.map(_.numRowsTotal).getOrElse(Long.MaxValue)
+      assert(finalState <= 2, s"state not bounded: $finalState rows")
+    } finally q.stop()
+  }
+
   test("damerau mode finds transposition pairs plain levenshtein misses") {
     val rows = Seq(1L -> "abcd", 2L -> "acbd", 3L -> "abdc", 4L -> "qqqq")
     val lev = Fuzzy.editDistancePairs(rows.toDF("id", "s"), "s", "id", 1)
