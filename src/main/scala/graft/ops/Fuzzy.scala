@@ -164,7 +164,7 @@ object Fuzzy {
       .select(col("__rep"), col("__id"))
     // id expansion as two LEFT joins against the duplicate-only member map
     // (singleton reps miss and coalesce to themselves). ONE consumer of
-    // `verified` — an eariler singleton/duplicate plan split read the
+    // `verified` — an earlier singleton/duplicate plan split read the
     // verify join once per branch and doubled the dominant stage
     // (measured 116 s vs 58 s of executor time on 2.1M pairs)
     // shuffle_hash on the member side: the hash relation is the (small)
@@ -290,7 +290,11 @@ object Fuzzy {
       case None    => probes
     }
     val ride = eventTimeCol.toSeq.map(col)
+    // null strings match nothing (the verify distance is null) but every
+    // null hashes to the SAME variant key — filter them before the
+    // explode so dirty data cannot pile a null mega-bucket into the join
     val probeKeyed = src
+      .filter(col(pStrCol).isNotNull)
       .select(Seq(col(pIdCol).as("probe_id"), col(pStrCol).as("__ps")) ++ ride :+
         explode(deletionVariants(col(pStrCol), maxDist)).as("__v"): _*)
       .select(Seq(col("probe_id"), col("__ps"), xxhash64(col("__v")).as("__k")) ++
@@ -407,7 +411,9 @@ object Fuzzy {
                    watermarkDelay: String = "10 minutes",
                    damerau: Boolean = false): DataFrame = {
     require(maxDist >= 1, s"matchAgainst needs maxDist >= 1 (got $maxDist)")
-    val refBase = reference.select(col(rIdCol).as("ref_id"), col(rStrCol).as("__rs"))
+    val refBase = reference
+      .select(col(rIdCol).as("ref_id"), col(rStrCol).as("__rs"))
+      .filter(col("__rs").isNotNull)
     val refKeyed = refBase
       .select(col("ref_id"), explode(deletionVariants(col("__rs"), maxDist)).as("__v"))
       .select(col("ref_id"), xxhash64(col("__v")).as("__k")).distinct()

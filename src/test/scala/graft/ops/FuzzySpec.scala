@@ -178,6 +178,31 @@ class FuzzySpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("SNM with a phonetic (soundex) sort key pairs sound-alikes spelled apart") {
+    // "robert"/"rupert" share soundex R163 but sort apart lexically (ruby
+    // sits between) — the caller-chosen sortKeyCol is what makes SNM
+    // complementary to the deletion join
+    val rows = Seq(1L -> "robert", 2L -> "rupert", 3L -> "rob", 4L -> "ruby")
+      .toDF("id", "name")
+      .withColumn("phon", soundex(col("name")))
+    val got = Fuzzy.sortedNeighborhoodPairs(rows, "name", "id",
+        window = 2, maxDist = 2, sortKeyCol = Some("phon"),
+        assumeDeterministic = true)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got.contains((1L, 2L, 2)))
+    // the lexical sort key misses it at window 2 (ruby sits between them)
+    val lexical = Fuzzy.sortedNeighborhoodPairs(rows, "name", "id",
+        window = 2, maxDist = 2, assumeDeterministic = true)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(!lexical.contains((1L, 2L, 2)))
+    // null strings never pair and never bucket together
+    val withNulls = Seq((1L, Some("abc")), (2L, None: Option[String]),
+      (3L, None: Option[String])).toDF("id", "name")
+    assert(Fuzzy.editDistancePairs(withNulls, "name", "id", 1).count() === 0)
+    assert(Fuzzy.matchAgainst(withNulls, withNulls, "name", "id",
+      "name", "id").count() === 1) // abc matches only itself
+  }
+
   test("SNM Jaro-Winkler keeps high-prefix-similarity neighbors only") {
     val rows = Seq(1L -> "jonathan smith", 2L -> "jonathan smyth",
       3L -> "jonathan smithson", 4L -> "zachary")
