@@ -1523,6 +1523,12 @@ object SparkEntry {
     "q_vocab" -> ((s, dir) =>
       TextAnalysis.vocabulary(T(s, dir, "documents"), "text", 100)),
 
+    // NPMI collocation mining (word2phrase): top bigrams by normalized
+    // pointwise mutual information — the phrase-vocabulary seeding step
+    "q_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(T(s, dir, "documents"), "text",
+        minCount = 2, topK = 50)),
+
     // pairwise source-to-source Jensen-Shannon divergence of unigram
     // distributions (base 2) — the data-mixing redundancy diagnostic
     "q_corpus_divergence" -> ((s, dir) =>
@@ -3553,6 +3559,32 @@ object SparkEntry {
           |      FROM documents)
           |WHERE len(token) > 0
           |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+      "q_collocations" ->
+        """WITH tok2 AS (
+          |  SELECT [x FOR x IN string_split_regex(trim(lower(text)), '\s+')
+          |          IF len(x) > 0] AS ts
+          |  FROM documents
+          |), bg AS (
+          |  SELECT ts[i] AS w1, ts[i + 1] AS w2
+          |  FROM (SELECT ts, unnest(range(1, len(ts))) AS i
+          |        FROM tok2 WHERE len(ts) >= 2)
+          |), bgc AS (
+          |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12
+          |  FROM bg GROUP BY 1, 2
+          |), unic AS (
+          |  SELECT w, CAST(count(*) AS DOUBLE) AS c
+          |  FROM (SELECT unnest(ts) AS w FROM tok2) GROUP BY 1
+          |), nu AS (SELECT sum(c) AS nu FROM unic)
+          |SELECT w1, w2, n12,
+          |  round(ln((n12 / nu) / ((c1.c / nu) * (c2.c / nu)))
+          |        / (-ln(n12 / nu)), 6) AS npmi
+          |FROM bgc
+          |JOIN unic c1 ON c1.w = bgc.w1
+          |JOIN unic c2 ON c2.w = bgc.w2
+          |CROSS JOIN nu
+          |WHERE n12 >= 2
+          |ORDER BY npmi DESC, w1, w2 LIMIT 50""".stripMargin,
 
       "q_corpus_divergence" ->
         """WITH occ AS (

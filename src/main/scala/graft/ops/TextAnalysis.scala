@@ -1125,6 +1125,64 @@ object TextAnalysis {
         ) / ln2, 6).as("js_divergence"))
   }
 
+  /** Collocation mining via normalized pointwise mutual information
+    * (NPMI, Bouma 2009): adjacent token pairs scored by
+    * ln(p(w1,w2) / (p(w1)·p(w2))) / −ln p(w1,w2) ∈ [−1, 1] — the
+    * word2phrase step that decides which bigrams deserve a place in a
+    * phrase vocabulary ("new york", "machine learning"). Returns the
+    * `topK` highest-NPMI bigrams with count ≥ `minCount`, ties broken by
+    * (w1, w2).
+    *
+    * Scale shape: one tokenize + two explodes feed two hash-aggregates
+    * with map-side partial combine (bigram counts keyed by the pair,
+    * unigram counts by the token); the totals are 1-row aggregates
+    * joined in by broadcast; the final top-k is a TakeOrdered. No
+    * all-pairs anywhere — cost is O(corpus tokens).
+    */
+  def collocations(docs: DataFrame, textCol: String, minCount: Long = 2,
+                   topK: Int = 100): DataFrame = {
+    require(minCount >= 1, s"collocations needs minCount >= 1 (got $minCount)")
+    require(topK >= 1, s"collocations needs topK >= 1 (got $topK)")
+    val t = docs.select(nonEmptyTokens(col(textCol)).as("__ts"))
+      .filter(size(col("__ts")) >= 2)
+    val n = size(col("__ts"))
+    val bg = t.select(explode(arrays_zip(
+        slice(col("__ts"), lit(1), n - 1).as("__w1"),
+        slice(col("__ts"), lit(2), n - 1).as("__w2"))).as("__b"))
+      .select(col("__b.__w1").as("w1"), col("__b.__w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+    val uni = docs.select(explode(nonEmptyTokens(col(textCol))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+    val nUni = uni.agg(sum("__c").as("__nu"))
+    // ONE normalizer (the token count) for unigram AND bigram
+    // probabilities: n12 <= min(c1, c2) then guarantees p12 <= p1, p2 and
+    // keeps NPMI inside [-1, 1] — a bigram-count denominator can push the
+    // score past 1 (p12 over a smaller space than p1·p2)
+    // the unigram model joins are token-keyed equi-joins, NOT forced
+    // broadcasts — the vocabulary of a 100 TB web corpus is itself large,
+    // and the left side is already pruned to the >= minCount bigrams
+    // (AQE broadcasts at test scale on its own)
+    bg.filter(col("n12") >= minCount)
+      .join(uni.withColumnRenamed("__w", "w1")
+        .withColumnRenamed("__c", "__c1"), "w1")
+      .join(uni.withColumnRenamed("__w", "w2")
+        .withColumnRenamed("__c", "__c2"), "w2")
+      .crossJoin(broadcast(nUni))
+      .withColumn("__p12", col("n12").cast("double") / col("__nu"))
+      .withColumn("__p1", col("__c1").cast("double") / col("__nu"))
+      .withColumn("__p2", col("__c2").cast("double") / col("__nu"))
+      // p12 = 1 would zero the normalizer; a 1-bigram corpus is the only
+      // way there, and minCount/corpus size make it unreachable in
+      // practice — guard anyway so the expression is total
+      .withColumn("npmi",
+        when(col("__p12") >= 1.0, lit(1.0)).otherwise(
+          round(log(col("__p12") / (col("__p1") * col("__p2"))) /
+            -log(col("__p12")), 6)))
+      .select(col("w1"), col("w2"), col("n12"), col("npmi"))
+      .orderBy(col("npmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** The `k` most frequent tokens per corpus/group, rank-ordered
     * (ties broken by token, so the result is deterministic) — the
     * per-source vocabulary profile behind boilerplate spotting and

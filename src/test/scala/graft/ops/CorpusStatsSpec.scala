@@ -40,6 +40,26 @@ class CorpusStatsSpec extends SparkSpec {
       ("s2", 1, "n", 2L), ("s2", 2, "m", 1L)))
   }
 
+  test("collocations: hand-computed NPMI, minCount gate, bounded range") {
+    // corpus: "new york" always adjacent (3x), "a b" adjacent once of many
+    val docs = Seq(
+      "new york new york new york",
+      "a b a c a d b c d a").toDF("text")
+    val got = TextAnalysis.collocations(docs, "text", minCount = 2, topK = 10)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // hand computation for (new, york): one token-count normalizer
+    // (16 tokens): p12 = 3/16, p1 = p2 = 3/16
+    val p12 = 3.0 / 16; val p1 = 3.0 / 16
+    val want = BigDecimal(math.log(p12 / (p1 * p1)) / -math.log(p12))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(("new", "york")) === ((3L, want)))
+    // "york new" occurs 2x and qualifies; singleton bigrams are gated out
+    assert(got.contains(("york", "new")))
+    assert(!got.keySet.exists(p => p == ("b", "a") || p == ("c", "a")))
+    assert(got.values.forall { case (_, npmi) => npmi >= -1.0 && npmi <= 1.0 })
+  }
+
   test("hardNegatives returns only label-mismatched neighbors, ranked by cosine") {
     val emb = Seq(
       (1L, Array(1f, 0f), 0), (2L, Array(0.9f, 0.1f), 0),
