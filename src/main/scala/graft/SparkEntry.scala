@@ -1529,6 +1529,29 @@ object SparkEntry {
       TextAnalysis.collocations(T(s, dir, "documents"), "text",
         minCount = 2, topK = 50)),
 
+    // word2phrase APPLY (derived checks): mined collocations merge into
+    // joined tokens; splitting the output tokens on the joiner must
+    // restore the original token stream EXACTLY per doc, the token count
+    // must shrink by the merge count, and at least one merge must land
+    "q_phrases" -> ((s, dir) => {
+      import s.implicits._
+      val docs = T(s, dir, "documents")
+      val phrases = TextAnalysis.collocations(docs, "text",
+          minCount = 2, topK = 20)
+        .select("w1", "w2").as[(String, String)].collect().toSeq
+      val out = TextAnalysis.applyPhrases(docs, "text", phrases)
+      val orig = TextAnalysis.nonEmptyTokens(col("text"))
+      val phrased = TextAnalysis.nonEmptyTokens(col("phrased_text"))
+      val restored = flatten(transform(phrased, t => split(t, "_")))
+      val perDoc = out.select(
+        (orig <=> restored).as("__restore"),
+        coalesce(size(orig) - size(phrased), lit(0)).cast("long").as("__merges"))
+      perDoc.agg(
+        count(lit(1)).as("n_docs"),
+        min(col("__restore")).as("restore_all"),
+        (sum(col("__merges")) > 0).as("merged_any"))
+    }),
+
     // pairwise source-to-source Jensen-Shannon divergence of unigram
     // distributions (base 2) — the data-mixing redundancy diagnostic
     "q_corpus_divergence" -> ((s, dir) =>
@@ -3559,6 +3582,11 @@ object SparkEntry {
           |      FROM documents)
           |WHERE len(token) > 0
           |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+      "q_phrases" ->
+        """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          |       true AS restore_all, true AS merged_any
+          |FROM documents""".stripMargin,
 
       "q_collocations" ->
         """WITH tok2 AS (

@@ -1183,6 +1183,40 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** The apply step of word2phrase: greedily merge adjacent token pairs
+    * that appear in `phrases` (left to right, non-overlapping — the
+    * published word2phrase pass shape), joining them with `joiner`. The
+    * output text splits back to the original token stream by splitting
+    * each token on the joiner (lossless modulo whitespace runs), which is
+    * the invariant q_phrases checks.
+    *
+    * Scale shape: the phrase set broadcasts inside a closure (it is a
+    * vocabulary artifact, bounded by the mining `topK`), and the rewrite
+    * is one scan-side projection — no shuffle, no join.
+    */
+  def applyPhrases(docs: DataFrame, textCol: String,
+                   phrases: Seq[(String, String)],
+                   outCol: String = "phrased_text",
+                   joiner: String = "_"): DataFrame = {
+    require(!docs.columns.contains(outCol),
+      s"applyPhrases reserves output column $outCol")
+    val set = phrases.toSet
+    val merge = udf { (toks: Seq[String]) =>
+      if (toks == null) null
+      else {
+        val out = Seq.newBuilder[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && set((toks(i), toks(i + 1)))) {
+            out += s"${toks(i)}$joiner${toks(i + 1)}"; i += 2
+          } else { out += toks(i); i += 1 }
+        }
+        out.result().mkString(" ")
+      }
+    }
+    docs.withColumn(outCol, merge(nonEmptyTokens(col(textCol))))
+  }
+
   /** The `k` most frequent tokens per corpus/group, rank-ordered
     * (ties broken by token, so the result is deterministic) — the
     * per-source vocabulary profile behind boilerplate spotting and

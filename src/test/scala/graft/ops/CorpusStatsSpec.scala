@@ -60,6 +60,19 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got.values.forall { case (_, npmi) => npmi >= -1.0 && npmi <= 1.0 })
   }
 
+  test("applyPhrases merges greedily left-to-right and splits back losslessly") {
+    val docs = Seq(
+      Some("new york is in new york state"),
+      Some("a new year"), None).toDF("text")
+    val out = TextAnalysis.applyPhrases(docs, "text",
+        Seq(("new", "york"), ("york", "is")))
+      .select("phrased_text").as[Option[String]].collect().toSeq
+    // greedy: "new york" wins at position 0, so "york is" cannot overlap
+    assert(out(0).get === "new_york is in new_york state")
+    assert(out(1).get === "a new year") // "new" alone never merges
+    assert(out(2).isEmpty)              // null text passes through as null
+  }
+
   test("hardNegatives returns only label-mismatched neighbors, ranked by cosine") {
     val emb = Seq(
       (1L, Array(1f, 0f), 0), (2L, Array(0.9f, 0.1f), 0),
