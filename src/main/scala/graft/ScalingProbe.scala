@@ -479,6 +479,13 @@ object ScalingProbe {
     // aggregated (source, token) frame — expect ~scan-bound
     time("top_terms") { d =>
       SparkEntry.queries("q_top_terms")(spark, d).count() }
+    // NPMI collocations: bigram + unigram hash-aggs, TakeOrdered top-k —
+    // expect ~scan-bound; q_phrases adds the driver-artifact mine, the
+    // scan-side merge, and the restore-check aggregate on top
+    time("collocations") { d =>
+      SparkEntry.queries("q_collocations")(spark, d).count() }
+    time("phrases") { d =>
+      SparkEntry.queries("q_phrases")(spark, d).count() }
     spark.stop()
   }
 }
