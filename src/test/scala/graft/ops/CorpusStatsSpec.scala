@@ -73,6 +73,29 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(2).isEmpty)              // null text passes through as null
   }
 
+  test("two word2phrase passes compose bigram phrases into trigrams") {
+    // the published recipe: run mine+apply twice — pass 2 sees pass 1's
+    // joined tokens as units and promotes (new_york, city) to a trigram
+    val docs = Seq.fill(3)("the new york city council met in new york city")
+      .toDF("text")
+    val p1 = TextAnalysis.collocations(docs, "text", minCount = 2, topK = 3)
+      .select("w1", "w2").as[(String, String)].collect().toSeq
+    assert(p1.contains(("new", "york")))
+    val once = TextAnalysis.applyPhrases(docs, "text", p1)
+    val p2 = TextAnalysis.collocations(
+        once.select(col("phrased_text").as("text")), "text",
+        minCount = 2, topK = 3)
+      .select("w1", "w2").as[(String, String)].collect().toSeq
+    assert(p2.exists(p => p._1 == "new_york" && p._2 == "city"))
+    val twice = TextAnalysis.applyPhrases(
+      once.select(col("phrased_text").as("text")), "text", p2)
+    val out = twice.select("phrased_text").as[String].head()
+    assert(out.contains("new_york_city"))
+    // both passes stay lossless: splitting on "_" restores the original
+    assert(out.replace("_", " ") ===
+      "the new york city council met in new york city")
+  }
+
   test("hardNegatives returns only label-mismatched neighbors, ranked by cosine") {
     val emb = Seq(
       (1L, Array(1f, 0f), 0), (2L, Array(0.9f, 0.1f), 0),
