@@ -2031,7 +2031,9 @@ object SparkEntry {
     // physical pack assembly: the ids here are the structural sequence
     // 1..n_tokens (SQL-reproducible; real BPE ids ride the same path in
     // CorpusAssemblySpec) with sepId 0 terminating every document —
-    // the oracle rebuilds the packs AND the concatenated arrays
+    // the oracle rebuilds the packs AND the concatenated id payloads.
+    // The id/doc arrays are emitted as CSV strings (scalar columns only:
+    // the driver's pandas comparator cannot sort ndarray-valued cells)
     "q_pack_assemble" -> ((s, dir) => {
       val nt = TextAnalysis.tokenCount(col("text"))
       val enc = T(s, dir, "documents").select(col("source"), col("doc_id"),
@@ -2039,6 +2041,10 @@ object SparkEntry {
           .otherwise(sequence(lit(1), nt)).as("ids"))
       Sampling.assemblePackedIds(enc, "source", "doc_id", "ids",
           size(col("ids")), maxTokens = 128, sepId = 0)
+        .select(col("source"), col("pack_id"),
+          concat_ws(",", col("packed_ids").cast("array<string>")).as("packed_csv"),
+          concat_ws(",", col("doc_ids").cast("array<string>")).as("doc_csv"),
+          col("n_docs"), col("n_ids"))
         .orderBy("source", "pack_id")
     }),
 
@@ -4213,9 +4219,10 @@ object SparkEntry {
           |  FROM p JOIN t ON t.source = p.source AND t.rn = p.rn + 1
           |)
           |SELECT source, CAST(pack_id AS INTEGER) AS pack_id,
-          |  flatten(list(list_concat(range(1, nt + 1), [0]) ORDER BY doc_id))
-          |    ::INTEGER[] AS packed_ids,
-          |  list(doc_id ORDER BY doc_id)::BIGINT[] AS doc_ids,
+          |  array_to_string(
+          |    flatten(list(list_concat(range(1, nt + 1), [0]) ORDER BY doc_id)),
+          |    ',') AS packed_csv,
+          |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS doc_csv,
           |  CAST(count(*) AS BIGINT) AS n_docs,
           |  CAST(sum(nt) + count(*) AS BIGINT) AS n_ids
           |FROM p GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin,
