@@ -409,8 +409,12 @@ object ScalingProbe {
     def saltedCust(i: Int) = spark.read.parquet(s"$src/customer.parquet")
       .withColumn("c_custkey", col("c_custkey") + lit(i * 10000000L))
       .withColumn("c_name", concat(col("c_name"), lit(s"_$i$i$i$i")))
+    // gate must list EVERY probe label that reads the salted parquet —
+    // fuzzy_probe_index/inline consume it too, so a filtered fresh run
+    // of just those probes must still trigger the write
     if (!reuse &&
-        (only.isEmpty || only.exists("fuzzy_pairs_unique fuzzy_snm".contains))) {
+        (only.isEmpty || only.exists(
+          "fuzzy_pairs_unique fuzzy_snm fuzzy_probe_index fuzzy_probe_inline".contains))) {
       saltedCust(0).write.mode("overwrite").parquet(s"$big/customer_salt1.parquet")
       (0 until mult).map(saltedCust).reduce(_ union _)
         .write.mode("overwrite").parquet(s"$big/customer_saltN.parquet")

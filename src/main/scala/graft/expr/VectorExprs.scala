@@ -599,17 +599,39 @@ object VectorExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Decodes a string to Unicode code points — the unit every fuzzy
+    * kernel measures in, matching both the candidate generation
+    * (Spark `substring`/`length` count code points) and DuckDB's
+    * UTF-8-aware distance functions. On BMP text this is exactly the
+    * UTF-16 char array; with astral chars (emoji) it keeps a surrogate
+    * PAIR as one unit, so a one-emoji edit costs 1, not 2.
+    */
+  private def codePoints(s: String): Array[Int] = {
+    val out = new Array[Int](s.codePointCount(0, s.length))
+    var i = 0; var k = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      out(k) = cp; k += 1
+      i += Character.charCount(cp)
+    }
+    out
+  }
+
   /** Full (unrestricted) Damerau–Levenshtein distance kernel — the
     * Lowrance–Wagner 1975 DP with a last-occurrence table, NOT the
     * restricted OSA variant: a transposed pair may be further edited
     * (dl("ca","abc") = 2, where OSA says 3). This is the definition
     * DuckDB's `damerau_levenshtein` implements, which is what lets the
-    * fuzzy queries be exact-oracle-checked. Operates on UTF-16 code
-    * units (identical to code points for BMP text).
+    * fuzzy queries be exact-oracle-checked. Operates on Unicode code
+    * points — the same unit as the deletion-variant candidate generation
+    * (Spark substring/length) and Spark's built-in `levenshtein`.
+    * DuckDB's function counts UTF-8 BYTES instead (an emoji delete costs
+    * 4 there), so oracle agreement is exact on ASCII text and the engine
+    * is the more principled one beyond it.
     */
   def damerauKernel(ua: org.apache.spark.unsafe.types.UTF8String,
                     ub: org.apache.spark.unsafe.types.UTF8String): Int = {
-    val a = ua.toString; val b = ub.toString
+    val a = codePoints(ua.toString); val b = codePoints(ub.toString)
     val n = a.length; val m = b.length
     if (n == 0) return m
     if (m == 0) return n
@@ -621,16 +643,16 @@ object VectorExprs {
     while (i <= n) { d(i + 1)(0) = inf; d(i + 1)(1) = i; i += 1 }
     var j = 0
     while (j <= m) { d(0)(j + 1) = inf; d(1)(j + 1) = j; j += 1 }
-    val last = new java.util.HashMap[Character, Integer]()
+    val last = new java.util.HashMap[Integer, Integer]()
     i = 1
     while (i <= n) {
       var db = 0
       j = 1
       while (j <= m) {
-        val i1 = { val v = last.get(b.charAt(j - 1)); if (v == null) 0 else v.intValue() }
+        val i1 = { val v = last.get(Integer.valueOf(b(j - 1))); if (v == null) 0 else v.intValue() }
         val j1 = db
         var cost = 1
-        if (a.charAt(i - 1) == b.charAt(j - 1)) { cost = 0; db = j }
+        if (a(i - 1) == b(j - 1)) { cost = 0; db = j }
         val sub = d(i)(j) + cost
         val ins = d(i + 1)(j) + 1
         val del = d(i)(j + 1) + 1
@@ -642,14 +664,16 @@ object VectorExprs {
         d(i + 1)(j + 1) = best
         j += 1
       }
-      last.put(a.charAt(i - 1), i)
+      last.put(Integer.valueOf(a(i - 1)), i)
       i += 1
     }
     d(n + 1)(m + 1)
   }
 
   /** Jaro–Winkler similarity kernel, matching DuckDB's
-    * `jaro_winkler_similarity` exactly (verified empirically): Jaro with
+    * `jaro_winkler_similarity` exactly on ASCII text (verified
+    * empirically; DuckDB measures UTF-8 bytes, this kernel Unicode code
+    * points — the consistent unit across the fuzzy family): Jaro with
     * the match window max(max(|a|,|b|)/2 − 1, 0) and half-transpositions,
     * Winkler prefix boost p = 0.1 over at most 4 common leading chars
     * applied ONLY when jaro > 0.7 (the standard boost threshold), and
@@ -657,10 +681,10 @@ object VectorExprs {
     */
   def jaroWinklerKernel(ua: org.apache.spark.unsafe.types.UTF8String,
                         ub: org.apache.spark.unsafe.types.UTF8String): Double = {
-    val a = ua.toString; val b = ub.toString
+    val a = codePoints(ua.toString); val b = codePoints(ub.toString)
     val n = a.length; val m = b.length
     if (n == 0 || m == 0) return 0.0
-    if (a == b) return 1.0
+    if (java.util.Arrays.equals(a, b)) return 1.0
     val window = math.max(math.max(n, m) / 2 - 1, 0)
     val fa = new Array[Boolean](n); val fb = new Array[Boolean](m)
     var matches = 0
@@ -671,7 +695,7 @@ object VectorExprs {
       var j = lo
       var done = false
       while (j < hi && !done) {
-        if (!fb(j) && a.charAt(i) == b.charAt(j)) {
+        if (!fb(j) && a(i) == b(j)) {
           fa(i) = true; fb(j) = true; matches += 1; done = true
         }
         j += 1
@@ -684,7 +708,7 @@ object VectorExprs {
     while (i < n) {
       if (fa(i)) {
         while (!fb(k)) k += 1
-        if (a.charAt(i) != b.charAt(k)) t += 1
+        if (a(i) != b(k)) t += 1
         k += 1
       }
       i += 1
@@ -695,7 +719,7 @@ object VectorExprs {
     if (jaro <= 0.7) return jaro
     var l = 0
     val maxL = math.min(4, math.min(n, m))
-    while (l < maxL && a.charAt(l) == b.charAt(l)) l += 1
+    while (l < maxL && a(l) == b(l)) l += 1
     jaro + l * 0.1 * (1.0 - jaro)
   }
 

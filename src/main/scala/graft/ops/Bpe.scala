@@ -393,8 +393,12 @@ object Bpe {
     else (if (gpt2Split) Gpt2Piece else ByteLevelPiece)
       .findAllIn(text).map(byteEncode).toSeq
   private val ByteLevelPiece = "(?s)\\s+|\\S+".r
+  // (?U) = UNICODE_CHARACTER_CLASS: Java's \s is ASCII-only by default,
+  // so without it Unicode whitespace (NBSP, ideographic space) would fall
+  // into the punctuation alternative instead of the whitespace runs —
+  // diverging from the published pattern's Python `re` semantics
   private val Gpt2Piece =
-    ("'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+" +
+    ("(?U)'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+" +
       "| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+").r
 
   /** Byte-level BPE training: piece-frequency census over the corpus

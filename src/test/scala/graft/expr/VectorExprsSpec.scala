@@ -117,4 +117,25 @@ class VectorExprsSpec extends SparkSpec {
       .select(VectorExprs.damerau_levenshtein(col("a"), col("b"))).collect()
     assert(nulls(0).isNullAt(0))
   }
+
+  test("fuzzy kernels measure code points, not UTF-16 units or UTF-8 bytes") {
+    // an astral emoji is 2 UTF-16 units / 4 UTF-8 bytes but ONE code
+    // point; a unit- or byte-counting kernel would inflate these
+    // distances (2 and 4 resp.) and silently drop genuinely-near pairs
+    // generated by the code-point-based deletion neighborhood
+    val cases = Seq(
+      ("a🙂b", "ab", 1),                    // delete one emoji = 1
+      ("🙂🙃", "🙃🙂", 1), // transpose
+      ("café", "cafe", 1))                       // BMP accent: still 1
+    val df = cases.toDF("a", "b", "want")
+    df.select(col("want"),
+        VectorExprs.damerau_levenshtein(col("a"), col("b")).as("got"))
+      .collect().foreach(r => assert(r.getInt(1) === r.getInt(0)))
+    // Jaro-Winkler: '🙂martha' vs '🙂marhta' over 7 code points =
+    // jaro (1 + 1 + 6/7)/3 with a length-4 prefix boost
+    val jw = Seq(("🙂martha", "🙂marhta")).toDF("a", "b")
+      .select(round(VectorExprs.jaro_winkler(col("a"), col("b")), 9))
+      .head().getDouble(0)
+    assert(jw === 0.971428571)
+  }
 }
