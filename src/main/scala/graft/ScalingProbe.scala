@@ -372,6 +372,23 @@ object ScalingProbe {
       graft.ops.Graph.pageRank(edges, "src", "dst", iters = 10)
         .agg(sum("rank")).collect(); 1L
     }
+    // same graph with convergence early-stop: iteration budget 50 but
+    // tol halts well short of it — the probe records how many of the 50
+    // the L1-delta criterion actually spends (the saved-iterations story)
+    time("pagerank_tol") { d =>
+      val nodes = spark.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").cast("long").as("node"))
+      val nMod = nodes.count()
+      val edges = Seq((7L, 3L), (13L, 5L), (29L, 11L)).map { case (k, c) =>
+        nodes.select(col("node").as("src"),
+          ((col("node") * k + c) % nMod).as("dst"))
+      }.reduce(_ unionByName _)
+      val (ranks, it) = graft.ops.Graph.pageRankCore(
+        edges, "src", "dst", iters = 50, tol = 1e-7)
+      ranks.agg(sum("rank")).collect()
+      println(s"DBG pagerank_tol iters_run=$it of 50")
+      it.toLong
+    }
     // audio amplitude-contour near-dup: WAV synth + real PCM decode per
     // doc — same shape as image_neardup, expect ~linear
     time("audio_neardup") { d =>

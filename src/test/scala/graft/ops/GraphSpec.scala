@@ -50,4 +50,29 @@ class GraphSpec extends SparkSpec {
     assert(r(0L) > 0.4)
     assert((1L to 9L).forall(i => r(i) < r(0L)))
   }
+
+  test("tol early-stops a converged graph; ranks match the full run") {
+    // a symmetric cycle converges IMMEDIATELY (uniform is the fixed
+    // point), so the very first delta check reads 0 and stops at 1
+    // iteration; a generic graph must early-stop strictly before 50
+    // iterations at tol=1e-9 and still match the exhaustive run
+    val cycle = (0L until 8L).map(i => (i, (i + 1) % 8)).toDF("s", "d")
+    val (_, itCycle) = Graph.pageRankCore(cycle, "s", "d", iters = 50,
+      tol = 1e-6)
+    assert(itCycle === 1, s"uniform fixed point should stop at 1: $itCycle")
+    val edges = (0L until 40L).flatMap(i =>
+      Seq((i, (i * 7 + 3) % 40), (i, (i * 13 + 5) % 40), (i, (i + 1) % 40)))
+      .toDF("s", "d")
+    val (early, itEarly) = Graph.pageRankCore(edges, "s", "d", iters = 50,
+      tol = 1e-9)
+    assert(itEarly < 50, s"expected early stop, ran $itEarly")
+    val full = Graph.pageRank(edges, "s", "d", iters = 50)
+    val delta = early.withColumnRenamed("rank", "re")
+      .join(full, Seq("node"))
+      .agg(sum(abs(col("re") - col("rank")))).head().getDouble(0)
+    assert(delta < 1e-8, s"early-stop ranks diverge by $delta")
+    // tol = 0 (default) keeps the fixed-iteration contract
+    val (_, itFixed) = Graph.pageRankCore(edges, "s", "d", iters = 7)
+    assert(itFixed === 7)
+  }
 }
