@@ -1552,6 +1552,41 @@ object SparkEntry {
         (sum(col("__merges")) > 0).as("merged_any"))
     }),
 
+    // word2phrase END-TO-END (derived checks): minePhrases chains mining
+    // into apply over `passes` rounds in one call — the result must (a)
+    // split back to the original token stream on the joiner, (b) equal
+    // the documented manual mine→apply→mine→apply composition applied
+    // with the SAME per-pass vocabularies, (c) actually merge, and (d)
+    // have mined a non-empty pass-1 vocabulary
+    "q_phrases_e2e" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val (out, vocab) = TextAnalysis.minePhrasesCore(docs, "text",
+        minCount = 2, topK = 20, passes = 2)
+      val (manual, mcol) = vocab.zipWithIndex
+        .foldLeft((docs, "text")) { case ((d, sc), (ph, i)) =>
+          val tmp = s"__m$i"
+          val applied = TextAnalysis.applyPhrases(d, sc, ph, tmp)
+          (if (sc == "text") applied else applied.drop(sc), tmp)
+        }
+      val joined = out.select(col("doc_id"), col("text"), col("phrased_text"))
+        .join(manual.select(col("doc_id"), col(mcol).as("__manual")), "doc_id")
+      val orig = TextAnalysis.nonEmptyTokens(col("text"))
+      val phrased = TextAnalysis.nonEmptyTokens(col("phrased_text"))
+      val restored = flatten(transform(phrased, t => split(t, "_")))
+      val one = joined.select(
+          (orig <=> restored).as("__restore"),
+          (col("phrased_text") <=> col("__manual")).as("__match"),
+          coalesce(size(orig) - size(phrased), lit(0)).cast("long").as("__merges"))
+        .agg(count(lit(1)).as("n_docs"), min("__restore").as("__r"),
+          min("__match").as("__m"), sum("__merges").as("__s"))
+      checkRows(one,
+        "docs_nonempty" -> (col("n_docs") >= 1),
+        "restore_all" -> col("__r"),
+        "matches_manual_composition" -> col("__m"),
+        "merged_any" -> (col("__s") > 0),
+        "vocab_mined" -> lit(vocab.nonEmpty && vocab.head.nonEmpty))
+    }),
+
     // pairwise source-to-source Jensen-Shannon divergence of unigram
     // distributions (base 2) — the data-mixing redundancy diagnostic
     "q_corpus_divergence" -> ((s, dir) =>
@@ -3593,6 +3628,10 @@ object SparkEntry {
         """SELECT CAST(count(*) AS BIGINT) AS n_docs,
           |       true AS restore_all, true AS merged_any
           |FROM documents""".stripMargin,
+
+      "q_phrases_e2e" ->
+        checksOracle("docs_nonempty", "restore_all",
+          "matches_manual_composition", "merged_any", "vocab_mined"),
 
       "q_collocations" ->
         """WITH tok2 AS (

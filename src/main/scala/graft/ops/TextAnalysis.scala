@@ -1217,6 +1217,69 @@ object TextAnalysis {
     docs.withColumn(outCol, merge(nonEmptyTokens(col(textCol))))
   }
 
+  /** End-to-end word2phrase (Mikolov et al. 2013 §4): [[collocations]]
+    * mining chained into [[applyPhrases]] in one call, `passes` times —
+    * pass 2 sees pass 1's joined tokens as units, which is the published
+    * recipe for promoting bigram phrases to trigrams ("new_york" + "city"
+    * → "new_york_city"). Only mined bigrams with npmi ≥ `minNpmi` are
+    * applied. Returns `docs` plus `outCol`; a pass that mines nothing
+    * ends the loop early (later passes could not change the text).
+    *
+    * Scale shape: each pass is one bounded mining job (the collocations
+    * hash-aggregates, driver artifact ≤ topK pairs) plus one scan-side
+    * rewrite with the phrase set in the closure — passes are sequential
+    * full scans, so cost is `passes` × O(corpus tokens) with no joins or
+    * shuffles beyond the mining aggregates.
+    */
+  def minePhrases(docs: DataFrame, textCol: String, minCount: Long = 2,
+                  topK: Int = 100, passes: Int = 1, minNpmi: Double = 0.0,
+                  outCol: String = "phrased_text",
+                  joiner: String = "_"): DataFrame =
+    minePhrasesCore(docs, textCol, minCount, topK, passes, minNpmi,
+      outCol, joiner)._1
+
+  /** [[minePhrases]] plus the mined phrase vocabulary of each pass —
+    * the artifact a caller persists to re-apply the phrasing to a later
+    * corpus increment without re-mining. */
+  def minePhrasesCore(docs: DataFrame, textCol: String, minCount: Long = 2,
+                      topK: Int = 100, passes: Int = 1,
+                      minNpmi: Double = 0.0,
+                      outCol: String = "phrased_text",
+                      joiner: String = "_"): (DataFrame, Seq[Seq[(String, String)]]) = {
+    require(passes >= 1, s"minePhrases needs passes >= 1 (got $passes)")
+    require(!docs.columns.contains(outCol),
+      s"minePhrases reserves output column $outCol")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mined = Seq.newBuilder[Seq[(String, String)]]
+    var cur = docs
+    var src = textCol
+    var pass = 0
+    var dry = false
+    while (pass < passes && !dry) {
+      val phrases = collocations(
+          cur.select(col(src).as("text")), "text", minCount, topK)
+        .filter(col("npmi") >= minNpmi)
+        .select("w1", "w2").as[(String, String)].collect().toSeq
+      dry = phrases.isEmpty
+      if (!dry) {
+        mined += phrases
+        val tmp = s"__phrase_p$pass"
+        cur = applyPhrases(cur, src, phrases, tmp, joiner)
+        if (src != textCol) cur = cur.drop(src)
+        src = tmp
+      }
+      pass += 1
+    }
+    val out =
+      if (src == textCol)
+        // nothing mined at all: outCol is the whitespace-normalized
+        // token stream (what applyPhrases with an empty set emits)
+        applyPhrases(cur, textCol, Nil, outCol, joiner)
+      else cur.withColumnRenamed(src, outCol)
+    (out, mined.result())
+  }
+
   /** The `k` most frequent tokens per corpus/group, rank-ordered
     * (ties broken by token, so the result is deterministic) — the
     * per-source vocabulary profile behind boilerplate spotting and

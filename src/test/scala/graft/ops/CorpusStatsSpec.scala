@@ -96,6 +96,29 @@ class CorpusStatsSpec extends SparkSpec {
       "the new york city council met in new york city")
   }
 
+  test("minePhrases chains the two-pass composition in one call") {
+    val docs = Seq.fill(3)("the new york city council met in new york city")
+      .toDF("text")
+    val (got, vocab) = TextAnalysis.minePhrasesCore(docs, "text",
+      minCount = 2, topK = 3, passes = 2)
+    assert(vocab.head.contains(("new", "york")))
+    assert(vocab.size === 2 &&
+      vocab(1).exists(p => p._1 == "new_york" && p._2 == "city"))
+    val out = got.select("phrased_text").as[String].head()
+    assert(out.contains("new_york_city"))
+    assert(out.replace("_", " ") ===
+      "the new york city council met in new york city")
+    // the input text column survives untouched next to the output
+    assert(got.columns.toSeq === Seq("text", "phrased_text"))
+    // a dry second pass ends the loop instead of rewriting to no effect:
+    // with topK = 1 only (new, york) is mined and pass 2 has no
+    // qualifying bigram above the threshold on this tiny corpus
+    val (_, v1) = TextAnalysis.minePhrasesCore(
+      Seq.fill(2)("ab cd").toDF("text"), "text",
+      minCount = 2, topK = 5, passes = 3)
+    assert(v1.size <= 1)
+  }
+
   test("hardNegatives returns only label-mismatched neighbors, ranked by cosine") {
     val emb = Seq(
       (1L, Array(1f, 0f), 0), (2L, Array(0.9f, 0.1f), 0),
