@@ -195,16 +195,40 @@ object TokenBin {
   /** Read every manifest under `dir` (batch root + streaming epochs) —
     * O(shards) driver work, no token bytes touched.
     */
+  /** Commit-marker audit. The manifest is written LAST, so a directory
+    * holding shard files without one is a crashed write ([[write]]
+    * bypasses Spark's committer). The batch ROOT in that state is
+    * refused loudly — re-running the write (or deleting the partial
+    * shards) is the only safe continuation. An UNCOMMITTED epoch
+    * subdirectory is merely SKIPPED: `appendBatch` keys the directory by
+    * batch id, so the streaming retry of that exact batch overwrites it
+    * in place — surfacing it early would hand the dataloader a
+    * partially-written epoch. Returns every committed directory.
+    */
+  private[sources] def committedDirs(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): Seq[Path] = {
+    val root = new Path(dir)
+    val rootIdx =
+      Option(fs.globStatus(new Path(root, "shard-*.idx"))).getOrElse(Array())
+    val rootCommitted = fs.exists(new Path(root, "manifest.json"))
+    require(rootIdx.isEmpty || rootCommitted,
+      s"tokenbin: ${rootIdx.length} shard file(s) at $dir have no " +
+        "manifest.json — the write crashed before its manifest commit; " +
+        "re-run the write or remove the partial shards")
+    val epochs =
+      Option(fs.globStatus(new Path(root, "epoch-*/manifest.json")))
+        .getOrElse(Array()).map(_.getPath.getParent).toSeq
+    (if (rootCommitted) Seq(root) else Nil) ++ epochs
+  }
+
   private[sources] def readShardInfos(
       fs: org.apache.hadoop.fs.FileSystem, dir: String): Seq[ShardInfo] = {
-    val manifests =
-      Option(fs.globStatus(new Path(dir, "manifest.json"))).getOrElse(Array()) ++
-      Option(fs.globStatus(new Path(dir, "epoch-*/manifest.json"))).getOrElse(Array())
+    val manifests = committedDirs(fs, dir).map(d => new Path(d, "manifest.json"))
     require(manifests.nonEmpty, s"tokenbin: no manifest.json under $dir")
-    manifests.toSeq.flatMap { st =>
-      val in = fs.open(st.getPath)
+    manifests.flatMap { p =>
+      val in = fs.open(p)
       val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      val d = st.getPath.getParent.toString
+      val d = p.getParent.toString
       ShardEntryRe.findAllMatchIn(txt).map(m => ShardInfo(d,
         m.group(1).toInt, m.group(2), m.group(3).toLong, m.group(4).toLong))
         .toSeq
@@ -393,11 +417,14 @@ class TokenBinScan(path: String, required: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     val fs = new Path(path).getFileSystem(hadoopConf)
     // batch layout (shard-*.idx at the root) plus streaming epochs
-    // (epoch-*/shard-*.idx appended by foreachBatch)
-    val statuses =
-      Option(fs.globStatus(new Path(path, "shard-*.idx"))).getOrElse(Array()) ++
-      Option(fs.globStatus(new Path(path, "epoch-*/shard-*.idx"))).getOrElse(Array())
-    require(statuses.nonEmpty, s"tokenbin: no shard-*.idx files at $path")
+    // (epoch-*/shard-*.idx appended by foreachBatch) — but only
+    // COMMITTED directories: the manifest is the commit marker, so a
+    // crashed root write refuses and an uncommitted epoch stays
+    // invisible until its retry lands (TokenBin.committedDirs)
+    val statuses = TokenBin.committedDirs(fs, path).toArray.flatMap { d =>
+      Option(fs.globStatus(new Path(d, "shard-*.idx"))).getOrElse(Array())
+    }
+    require(statuses.nonEmpty, s"tokenbin: no committed shard-*.idx files at $path")
     val keep = shardFilter
     statuses.map(_.getPath).sortBy(_.toString).flatMap { idx =>
       val name = idx.getName.stripSuffix(".idx")

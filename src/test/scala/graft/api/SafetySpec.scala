@@ -306,6 +306,64 @@ class SafetySpec extends SparkSpec {
     assert(!plan.contains("Scan ExistingRDD"), s"plan should be columnar:\n$plan")
   }
 
+  test("tokenbin: shard files without their manifest commit are refused, not read") {
+    // TokenBin.write bypasses Spark's committer (raw fs.create streams),
+    // so its commit marker is the manifest written LAST. The crash
+    // window "shards on disk, manifest missing" must refuse loudly in
+    // every consumer instead of serving a partial shard set.
+    import graft.sources.TokenBin
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val out = "/root/repo/target/test_tokenbin_crash"
+    fs.delete(new Path(out), true)
+    val df = Seq((1L, Seq(1, 2, 3)), (2L, Seq(4)), (7L, Seq(5, 6)))
+      .toDF("key", "ids")
+    TokenBin.write(df, "key", "ids", out, shards = 2)
+    assert(spark.read.format("tokenbin").load(out).count() === 3)
+    assert(fs.delete(new Path(out, "manifest.json"), false))
+    val eScan = intercept[Throwable](
+      spark.read.format("tokenbin").load(out).count())
+    assert(msgs(eScan).contains("manifest"), msgs(eScan))
+    // the integrity checker and the rank planner refuse the same state
+    assert(msgs(intercept[Throwable](TokenBin.verifyShards(spark, out)))
+      .contains("manifest"))
+    assert(msgs(intercept[Throwable](TokenBin.assignShards(spark, out, 2)))
+      .contains("manifest"))
+    // the prescribed recovery — re-running the write — restores reads
+    TokenBin.write(df, "key", "ids", out, shards = 2)
+    assert(spark.read.format("tokenbin").load(out).count() === 3)
+    assert(TokenBin.verifyShards(spark, out).filter(!col("ok")).count() === 0)
+  }
+
+  test("tokenbin: an uncommitted epoch is invisible until its retry commits") {
+    // crash between epoch directories: epoch 0 committed, epoch 1's
+    // shards written but the process died before ITS manifest. Because
+    // appendBatch keys the directory by batch id, the streaming retry
+    // overwrites epoch 1 in place — so the reader must SKIP the
+    // uncommitted epoch (serving it would hand the dataloader a
+    // partially-written batch), not refuse the whole store.
+    import graft.sources.TokenBin
+    val out = "/root/repo/target/test_tokenbin_epoch_crash"
+    fs.delete(new Path(out), true)
+    val b0 = Seq((1L, Seq(1, 2)), (2L, Seq(3))).toDF("key", "ids")
+    val b1 = Seq((11L, Seq(4, 5)), (12L, Seq(6))).toDF("key", "ids")
+    TokenBin.appendBatch(b0, "key", "ids", out, shards = 2, epoch = 0)
+    TokenBin.appendBatch(b1, "key", "ids", out, shards = 2, epoch = 1)
+    assert(fs.delete(new Path(s"$out/epoch-000001", "manifest.json"), false))
+    val seen = spark.read.format("tokenbin").load(out)
+      .select("key").as[Long].collect().toSet
+    assert(seen === Set(1L, 2L), s"uncommitted epoch leaked: $seen")
+    // integrity/assignment planners see only the committed epoch too
+    assert(TokenBin.verifyShards(spark, out)
+      .select("dir").as[String].collect().toSet.forall(_.contains("epoch-000000")))
+    // the retry of batch 1 overwrites its own directory and commits
+    TokenBin.appendBatch(b1, "key", "ids", out, shards = 2, epoch = 1)
+    assert(spark.read.format("tokenbin").load(out)
+      .select("key").as[Long].collect().toSet === Set(1L, 2L, 11L, 12L))
+    assert(TokenBin.verifyShards(spark, out).filter(!col("ok")).count() === 0)
+  }
+
   test("withRowId stays columnar (no RDD round-trip) and is order-exact") {
     val df = MSTable.withRowId(
       spark.read.parquet(s"${sf()}/supplier.parquet"), Seq("s_name"))
