@@ -103,6 +103,20 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // idle gate: the r12 record improved yet flagged itself contaminated
+    // (leftover load from the session's own compiles). The 1-min loadavg
+    // decays on its own, so WAIT for it to drain before timing anything —
+    // bounded (default 300 s, SPARK_GRAFT_BENCH_IDLE_WAIT to tune/0 to
+    // disable) so a genuinely busy box still produces a (flagged) record
+    // rather than hanging the round.
+    val idleWaitMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_IDLE_WAIT", "300").toLong
+    val idleT0 = System.nanoTime()
+    while (loadAvg() > 1.0 &&
+           (System.nanoTime() - idleT0) / 1e9 < idleWaitMax) {
+      System.err.println(
+        f"[bench] idle gate: loadavg ${loadAvg()}%.2f > 1.0, waiting...")
+      Thread.sleep(15000)
+    }
     // read BEFORE Spark spins up its own threads: any load already on the
     // box is a co-tenant, and the run should be flagged
     val load0 = loadAvg()
