@@ -431,7 +431,8 @@ object ScalingProbe {
     // of just those probes must still trigger the write
     if (!reuse &&
         (only.isEmpty || only.exists(
-          "fuzzy_pairs_unique fuzzy_snm fuzzy_probe_index fuzzy_probe_inline".contains))) {
+          ("fuzzy_pairs_unique fuzzy_pairs_d2 fuzzy_snm " +
+            "fuzzy_probe_index fuzzy_probe_inline").contains))) {
       saltedCust(0).write.mode("overwrite").parquet(s"$big/customer_salt1.parquet")
       (0 until mult).map(saltedCust).reduce(_ union _)
         .write.mode("overwrite").parquet(s"$big/customer_saltN.parquet")
@@ -479,6 +480,49 @@ object ScalingProbe {
         once(src)
         val t1 = once(src); val tN = once(big)
         println(f"SCALE $label 1x=${t1}%.2f s ${mult}x=${tN}%.2f s ratio=${tN / t1}%.1f")
+      }
+    }
+    // radius-2 deletion neighborhood: ~1 + L + L(L-1)/2 variant keys per
+    // name (vs 1 + L at d=1, ~9× amplification at these name lengths) —
+    // the probe records how that key blowup lands at 8× corpus scale
+    time("fuzzy_pairs_d2") { d =>
+      val p = if (d == big) s"$big/customer_saltN.parquet"
+              else s"$big/customer_salt1.parquet"
+      graft.ops.Fuzzy.editDistancePairs(spark.read.parquet(p),
+        "c_name", "c_custkey", maxDist = 2).count()
+    }
+    // index-amortization crossover: grow the REFERENCE side until the
+    // prebuilt matchAgainstIndex store beats inline matchAgainst on a
+    // fixed 1000-probe batch — the number a user needs to decide whether
+    // building the index is worth it. Opt-in (label fuzzy_crossover):
+    // it writes its own reference sizes beyond the shared mult.
+    if (only.exists("fuzzy_crossover".contains)) {
+      for (m <- Seq(1, 8, 32, 96)) {
+        val refP = s"/root/repo/target/probe_xover_ref_$m"
+        // self-provisioning: these references are private to this block,
+        // so "reuse" only skips them when they actually exist
+        if (!reuse || !new java.io.File(s"$refP/_SUCCESS").exists)
+          (0 until m).map(saltedCust).reduce(_ union _)
+            .write.mode("overwrite").parquet(refP)
+        val idxP = s"/root/repo/target/probe_xover_idx_$m"
+        graft.ops.Fuzzy.buildMatchIndex(spark.read.parquet(refP),
+          "c_name", "c_custkey", idxP, maxDist = 1)
+        val probes = spark.read.parquet(refP)
+          .filter(col("c_custkey") % 10000000L < 1000L)
+          .limit(1000).localCheckpoint()
+        def onceOf(f: () => Long): Double = {
+          val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+        }
+        val inlineF = () => graft.ops.Fuzzy.matchAgainst(probes,
+          spark.read.parquet(refP), "c_name", "c_custkey",
+          "c_name", "c_custkey", maxDist = 1).count()
+        val indexF = () => graft.ops.Fuzzy.matchAgainstIndex(spark, idxP,
+          probes, "c_name", "c_custkey").count()
+        onceOf(inlineF); onceOf(indexF) // warm both paths
+        val tIn = Seq(onceOf(inlineF), onceOf(inlineF)).min
+        val tIx = Seq(onceOf(indexF), onceOf(indexF)).min
+        println(f"SCALE fuzzy_crossover ref=${m}x15k inline=$tIn%.2f s " +
+          f"index=$tIx%.2f s ratio=${tIx / tIn}%.2f")
       }
     }
     // sorted-neighborhood linkage: one global sort + census positions +
