@@ -372,6 +372,33 @@ object ScalingProbe {
       graft.ops.Graph.pageRank(edges, "src", "dst", iters = 10)
         .agg(sum("rank")).collect(); 1L
     }
+    // harmonic centrality, both paths on the 3-map graph: the exact BFS
+    // carries the discovered PAIR set (state ~ n·ball — the documented
+    // test-scale baseline), HyperBall carries m=128 bytes per node —
+    // the pair probes how each state shape absorbs 8× nodes
+    time("harmonic_exact") { d =>
+      val nodes = spark.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").cast("long").as("node"))
+      val nMod = nodes.count()
+      val edges = Seq((7L, 3L), (13L, 5L), (29L, 11L)).map { case (k, c) =>
+        nodes.select(col("node").as("src"),
+          ((col("node") * k + c) % nMod).as("dst"))
+      }.reduce(_ unionByName _)
+      graft.ops.Graph.harmonicCentralityExact(edges, "src", "dst", maxDepth = 4)
+        .agg(sum("harmonic")).collect(); 1L
+    }
+    time("harmonic_hyperball") { d =>
+      val nodes = spark.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").cast("long").as("node"))
+      val nMod = nodes.count()
+      val edges = Seq((7L, 3L), (13L, 5L), (29L, 11L)).map { case (k, c) =>
+        nodes.select(col("node").as("src"),
+          ((col("node") * k + c) % nMod).as("dst"))
+      }.reduce(_ unionByName _)
+      graft.ops.Graph.harmonicCentralityHyperBall(edges, "src", "dst",
+        maxDepth = 4, logM = 7)
+        .agg(sum("harmonic")).collect(); 1L
+    }
     // same graph with convergence early-stop: iteration budget 50 but
     // tol halts well short of it — the probe records how many of the 50
     // the L1-delta criterion actually spends (the saved-iterations story)

@@ -597,6 +597,54 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // EXACT truncated harmonic centrality (radius 4) on the same
+    // 3-map graph — the Common Crawl host-ranking metric; the oracle
+    // reruns the identical capped multi-source BFS as a recursive CTE
+    "q_harmonic" -> ((s, dir) => {
+      val nodes = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("node"))
+      val nMod = nodes.count()
+      val edges = Seq((7L, 3L), (13L, 5L), (29L, 11L)).map { case (k, c) =>
+        nodes.select(col("node").as("src"),
+          ((col("node") * k + c) % nMod).as("dst"))
+      }.reduce(_ unionByName _)
+      Graph.harmonicCentralityExact(edges, "src", "dst", maxDepth = 4)
+        .select(col("node").as("doc_id"),
+          round(col("harmonic"), 6).as("harmonic"))
+        .orderBy("doc_id")
+    }),
+
+    // HyperBall derived checks: the HLL approximation must cover every
+    // node, stay positive where the exact value is, keep the mean
+    // relative error inside the m = 128 band, and keep the corpus-wide
+    // mass within 10% — calibrated against the in-engine exact baseline
+    "q_harmonic_hyperball" -> ((s, dir) => {
+      val nodes = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("node"))
+      val nMod = nodes.count()
+      val edges = Seq((7L, 3L), (13L, 5L), (29L, 11L)).map { case (k, c) =>
+        nodes.select(col("node").as("src"),
+          ((col("node") * k + c) % nMod).as("dst"))
+      }.reduce(_ unionByName _)
+      val exact = pin(Graph.harmonicCentralityExact(edges, "src", "dst",
+        maxDepth = 4).withColumnRenamed("harmonic", "he"))
+      val hb = pin(Graph.harmonicCentralityHyperBall(edges, "src", "dst",
+        maxDepth = 4, logM = 7))
+      val one = exact.join(hb, "node").agg(
+        count(lit(1)).as("n_joined"),
+        min(col("harmonic") > 0 || col("he") === 0).as("__pos"),
+        avg(when(col("he") > 0,
+          abs(col("harmonic") - col("he")) / col("he"))).as("__rel"),
+        (sum("harmonic") / sum("he")).as("__mass"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_nodes")))
+      checkRows(one,
+        "covers_all_nodes" -> (col("n_joined") === col("n_nodes") &&
+          col("n_nodes") >= 1),
+        "positive_where_exact_is" -> col("__pos"),
+        "mean_rel_error_in_band" -> (col("__rel") < 0.15),
+        "mass_within_10pct" -> (col("__mass") > 0.9 && col("__mass") < 1.1))
+    }),
+
     // KMV bottom-k sketch overlap: B = every 3rd document, so B ⊆ A with
     // known exact distinct/Jaccard/overlap; the sketches see ONE scan per
     // corpus and k longs of state. B's sketch is unsaturated (|B| < k) so
@@ -4157,6 +4205,38 @@ object SparkEntry {
           |)
           |SELECT node AS doc_id, round(r, 6) AS pr
           |FROM pr WHERE it = 10 ORDER BY doc_id""".stripMargin,
+
+      // same 3-map graph; capped multi-source BFS (UNION dedups walk
+      // tuples; min(d) per pair = shortest path), h(v) = sum of 1/d
+      // over sources reaching v within the cap
+      "q_harmonic" ->
+        """WITH RECURSIVE nodes AS (SELECT doc_id AS node FROM documents),
+          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+          |edges AS (
+          |  SELECT DISTINCT src, dst FROM (
+          |    SELECT node AS src, (node*7+3) % (SELECT n FROM nn) AS dst FROM nodes
+          |    UNION ALL
+          |    SELECT node, (node*13+5) % (SELECT n FROM nn) FROM nodes
+          |    UNION ALL
+          |    SELECT node, (node*29+11) % (SELECT n FROM nn) FROM nodes
+          |  ) WHERE src != dst
+          |),
+          |walk AS (
+          |  SELECT src AS u, dst AS v, 1 AS d FROM edges
+          |  UNION
+          |  SELECT w.u, e.dst, w.d + 1
+          |  FROM walk w JOIN edges e ON e.src = w.v
+          |  WHERE w.d < 4 AND w.u != e.dst
+          |),
+          |dist AS (SELECT u, v, min(d) AS d FROM walk GROUP BY 1, 2)
+          |SELECT n.node AS doc_id,
+          |  round(coalesce(sum(1.0 / d), 0), 6) AS harmonic
+          |FROM nodes n LEFT JOIN dist ON dist.v = n.node
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_harmonic_hyperball" ->
+        checksOracle("covers_all_nodes", "positive_where_exact_is",
+          "mean_rel_error_in_band", "mass_within_10pct"),
 
       "q_decontaminate" ->
         """WITH sh AS (

@@ -110,4 +110,180 @@ object Graph {
     if (iters > 0) nodes.unpersist(false)
     (ranks, it)
   }
+
+  /** EXACT truncated harmonic centrality
+    * {{{ h(v) = Σ_{u ≠ v, d(u,v) ≤ maxDepth} 1 / d(u,v) }}}
+    * (directed shortest-path distance INTO v) — the centrality Common
+    * Crawl publishes for its host ranking. Multi-source BFS as iterated
+    * DataFrame joins: the frontier of newly-discovered (source, node)
+    * pairs expands one hop per iteration, an anti-join against the seen
+    * set keeps distances minimal, and localCheckpoint truncates both
+    * plans.
+    *
+    * Scale shape: state is the DISCOVERED PAIR set — O(n·ball) rows,
+    * quadratic on a well-connected graph — so this is the exact
+    * test-scale baseline (the [[Similarity]] brute-force-top-k
+    * precedent), there to pin oracles and to calibrate
+    * [[harmonicCentralityHyperBall]], which is the 100 TB path.
+    */
+  def harmonicCentralityExact(edges: DataFrame, srcCol: String,
+                              dstCol: String, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1: $maxDepth")
+    val e = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node"))).distinct()
+    var frontier = e.select(col("a").as("u"), col("b").as("v"))
+      .withColumn("d", lit(1)).localCheckpoint()
+    var seen = frontier
+    var depth = 1
+    while (depth < maxDepth && !frontier.isEmpty) {
+      val next = frontier.join(e, frontier("v") === e("a"))
+        .select(col("u"), col("b").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .join(seen.select("u", "v"), Seq("u", "v"), "left_anti")
+        .withColumn("d", lit(depth + 1))
+      frontier = next.localCheckpoint()
+      seen = seen.union(frontier).localCheckpoint()
+      depth += 1
+    }
+    val out = nodes.join(
+        seen.groupBy("v").agg(sum(lit(1.0) / col("d")).as("harmonic")),
+        nodes("node") === col("v"), "left")
+      .select(col("node"), coalesce(col("harmonic"), lit(0.0)).as("harmonic"))
+    e.unpersist(false)
+    out
+  }
+
+  /** HyperBall (Boldi & Vigna 2013): truncated harmonic centrality via
+    * per-node HyperLogLog counters. Each node carries m = 2^logM
+    * one-byte registers estimating |B_r(v)| = |{u : d(u,v) ≤ r}|; one
+    * synchronous iteration merges every in-neighbor's counter into v's
+    * (registers are element-wise max, so the merge is a commutative
+    * partial aggregate), and the harmonic sum accumulates
+    * (|B_r| − |B_{r−1}|) / r. Deterministic: node hashes are seed-fixed
+    * xxhash64, so results are partitioning-invariant and repeatable.
+    * Standard error ~1.04/√m (≈9% at the default logM = 7).
+    *
+    * Scale shape — this is the 100 TB path the exact baseline
+    * calibrates: per iteration ONE join of the edge list (repartitioned
+    * on dst once, cached, reused) with the m-bytes-per-node counter
+    * frame plus one hash-aggregate merge; state is O(n·m) bytes total,
+    * driver state O(1), and localCheckpoint truncates the plan per
+    * iteration exactly like [[pageRank]].
+    */
+  def harmonicCentralityHyperBall(edges: DataFrame, srcCol: String,
+                                  dstCol: String, maxDepth: Int,
+                                  logM: Int = 7): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1: $maxDepth")
+    require(logM >= 4 && logM <= 12, s"logM in [4, 12]: $logM")
+    val spark = edges.sparkSession
+    import org.apache.spark.sql.expressions.Aggregator
+    import org.apache.spark.sql.{Encoder, Encoders}
+    val e = edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+      // counter merges key on v every iteration — partition once, reuse
+      .repartition(col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node"))).distinct()
+    val lm = logM
+    val initU = udf((n: Long) => Hll.init(n, lm))
+    val estU = udf((r: Array[Byte]) => Hll.estimate(r))
+    val hllMerge = udaf(new Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+      override def zero: Array[Byte] = Array.emptyByteArray
+      override def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] = Hll.merge(b, a)
+      override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = Hll.merge(a, b)
+      override def finish(b: Array[Byte]): Array[Byte] = b
+      override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+      override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    })
+    var state = nodes
+      .select(col("node"), initU(col("node")).as("reg"))
+      .withColumn("est", estU(col("reg")))
+      .withColumn("h", lit(0.0))
+      .localCheckpoint()
+    var r = 1
+    while (r <= maxDepth) {
+      val contrib = e.join(state.select(col("node").as("u"), col("reg")), "u")
+        .select(col("v").as("node"), col("reg"))
+      val merged = contrib.union(state.select("node", "reg"))
+        .groupBy("node").agg(hllMerge(col("reg")).as("reg"))
+      // the union is a superset, so registers only grow; greatest(0)
+      // guards the one non-monotone seam in the estimator (the
+      // linear-counting/raw switch at 2.5m)
+      state = merged
+        .join(state.select(col("node"), col("est").as("__e0"), col("h").as("__h0")),
+          "node")
+        .withColumn("est", estU(col("reg")))
+        .withColumn("h",
+          col("__h0") + greatest(col("est") - col("__e0"), lit(0.0)) / r)
+        .select("node", "reg", "est", "h")
+        .localCheckpoint()
+      r += 1
+    }
+    e.unpersist(false)
+    state.select(col("node"), col("h").as("harmonic"), col("est").as("ball"))
+  }
+}
+
+/** HyperLogLog register kernels for [[Graph.harmonicCentralityHyperBall]]
+  * (Flajolet et al. 2007 estimator with the small-range linear-counting
+  * correction). Hashing is seed-fixed xxhash64 — same family the engine
+  * uses everywhere — so counters are deterministic artifacts.
+  */
+private[ops] object Hll {
+  def init(node: Long, logM: Int): Array[Byte] = {
+    val m = 1 << logM
+    val reg = new Array[Byte](m)
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(node, 42L)
+    val j = (h >>> (64 - logM)).toInt
+    val w = h << logM
+    val rank = math.min(java.lang.Long.numberOfLeadingZeros(w) + 1, 64 - logM + 1)
+    reg(j) = rank.toByte
+    reg
+  }
+
+  /** Element-wise max; the empty array is the aggregation zero. Always
+    * returns a fresh array — Aggregator buffers must not alias inputs. */
+  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    if (a.isEmpty) return b.clone()
+    if (b.isEmpty) return a.clone()
+    require(a.length == b.length,
+      s"HLL register width mismatch: ${a.length} vs ${b.length}")
+    val out = new Array[Byte](a.length)
+    var i = 0
+    while (i < a.length) {
+      out(i) = if ((a(i) & 0xFF) >= (b(i) & 0xFF)) a(i) else b(i)
+      i += 1
+    }
+    out
+  }
+
+  def estimate(reg: Array[Byte]): Double = {
+    val m = reg.length
+    var sum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      val v = reg(i) & 0xFF
+      sum += java.lang.Math.pow(2.0, -v)
+      if (v == 0) zeros += 1
+      i += 1
+    }
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1 + 1.079 / m)
+    }
+    val e = alpha * m * m / sum
+    if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else e
+  }
 }

@@ -51,6 +51,58 @@ class GraphSpec extends SparkSpec {
     assert((1L to 9L).forall(i => r(i) < r(0L)))
   }
 
+  test("exact harmonic centrality: hand-computed path graph, depth cap, zeros") {
+    // 0 -> 1 -> 2 -> 3: d(u,v) pairs (0,1)=1 (1,2)=1 (2,3)=1 (0,2)=2
+    // (1,3)=2 (0,3)=3; h(v) sums 1/d INTO v, so h(0)=0, h(1)=1,
+    // h(2)=1.5, h(3)=1+1/2+1/3
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("s", "d")
+    val h3 = Graph.harmonicCentralityExact(edges, "s", "d", maxDepth = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(h3(0L) === 0.0)
+    assert(h3(1L) === 1.0)
+    assert(h3(2L) === 1.5)
+    assert(math.abs(h3(3L) - (1.0 + 0.5 + 1.0 / 3)) < 1e-12)
+    // truncation: depth 2 drops the d=3 contribution into node 3
+    val h2 = Graph.harmonicCentralityExact(edges, "s", "d", maxDepth = 2)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(h2(3L) === 1.5)
+    // duplicate and self edges are ignored
+    val noisy = edges.union(Seq((0L, 1L), (2L, 2L)).toDF("s", "d"))
+    val hN = Graph.harmonicCentralityExact(noisy, "s", "d", maxDepth = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(hN === h3)
+  }
+
+  test("HyperBall tracks the exact harmonic centrality and is deterministic") {
+    // a graph with real distance structure: ring + skip links on 40 nodes
+    val edges = (0L until 40L).flatMap(i =>
+      Seq((i, (i + 1) % 40), (i, (i * 7 + 3) % 40))).toDF("s", "d")
+    val exact = Graph.harmonicCentralityExact(edges, "s", "d", maxDepth = 4)
+      .withColumnRenamed("harmonic", "he")
+    val hb = Graph.harmonicCentralityHyperBall(edges, "s", "d",
+      maxDepth = 4, logM = 7)
+    val joined = exact.join(hb, "node")
+      .select("node", "he", "harmonic").collect()
+    assert(joined.length === 40)
+    // m = 128 registers: ~9% standard error on ball sizes; the harmonic
+    // sum of deltas stays well inside 25% per node on this graph
+    joined.foreach { r =>
+      val (he, ha) = (r.getDouble(1), r.getDouble(2))
+      assert(he > 0 && ha > 0, s"node ${r.getLong(0)}")
+      assert(math.abs(ha - he) / he < 0.25,
+        s"node ${r.getLong(0)}: exact $he hyperball $ha")
+    }
+    val meanRel = joined.map(r =>
+      math.abs(r.getDouble(2) - r.getDouble(1)) / r.getDouble(1)).sum / 40
+    assert(meanRel < 0.12, s"mean relative error $meanRel")
+    // deterministic across partitionings (seed-fixed hashing)
+    val again = Graph.harmonicCentralityHyperBall(
+        edges.repartition(13), "s", "d", maxDepth = 4, logM = 7)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val first = hb.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(again === first)
+  }
+
   test("tol early-stops a converged graph; ranks match the full run") {
     // a symmetric cycle converges IMMEDIATELY (uniform is the fixed
     // point), so the very first delta check reads 0 and stops at 1
