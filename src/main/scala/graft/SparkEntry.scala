@@ -1571,6 +1571,27 @@ object SparkEntry {
     "q_vocab" -> ((s, dir) =>
       TextAnalysis.vocabulary(T(s, dir, "documents"), "text", 100)),
 
+    // tokenizer-vocabulary coverage audit: per-source OOV rate under the
+    // corpus top-50 vocabulary — one literal-array filter scan, no join
+    "q_vocab_coverage" -> ((s, dir) => {
+      import s.implicits._
+      val docs = T(s, dir, "documents")
+      val vocab = TextAnalysis.vocabulary(docs, "text", 50)
+        .select("token").as[String].collect().toSeq
+      TextAnalysis.vocabCoverage(docs, "text", "source", vocab)
+        .orderBy("source")
+    }),
+
+    // length-sorted dataloader batches (batchSize 32) + the per-batch
+    // padding audit: one global sort + census positions, exact oracle
+    "q_length_batches" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").select("doc_id", "text")
+      val assigned = Sampling.lengthSortedBatches(docs, "doc_id",
+        coalesce(TextAnalysis.tokenCount(col("text")), lit(0)),
+        batchSize = 32)
+      Sampling.batchPadStats(assigned).orderBy("batch_id")
+    }),
+
     // NPMI collocation mining (word2phrase): top bigrams by normalized
     // pointwise mutual information — the phrase-vocabulary seeding step
     "q_collocations" -> ((s, dir) =>
@@ -3671,6 +3692,45 @@ object SparkEntry {
           |      FROM documents)
           |WHERE len(token) > 0
           |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+      "q_vocab_coverage" ->
+        """WITH tok AS (
+          |  SELECT source,
+          |    list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+          |      t -> len(t) > 0) AS ts
+          |  FROM documents
+          |), vocab AS (
+          |  SELECT token FROM (SELECT unnest(ts) AS token FROM tok)
+          |  GROUP BY token ORDER BY count(*) DESC, token LIMIT 50
+          |), flat AS (SELECT source, unnest(ts) AS token FROM tok),
+          |agg AS (
+          |  SELECT f.source, CAST(count(*) AS BIGINT) AS n_tokens,
+          |    CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n_oov
+          |  FROM flat f LEFT JOIN vocab v USING (token) GROUP BY 1
+          |)
+          |SELECT s.source, CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+          |  CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov,
+          |  coalesce(round(n_oov / n_tokens::DOUBLE, 6), 0) AS oov_rate
+          |FROM (SELECT DISTINCT source FROM documents) s LEFT JOIN agg USING (source)
+          |ORDER BY source""".stripMargin,
+
+      "q_length_batches" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    CAST(coalesce(CASE WHEN length(trim(text)) = 0 THEN 0
+          |         ELSE len(string_split_regex(trim(lower(text)), '\s+')) END, 0)
+          |      AS BIGINT) AS nt
+          |  FROM documents
+          |), pos AS (
+          |  SELECT nt, row_number() OVER (ORDER BY nt, doc_id) - 1 AS p FROM t
+          |)
+          |SELECT CAST(p // 32 AS BIGINT) AS batch_id,
+          |  CAST(count(*) AS BIGINT) AS n_rows,
+          |  max(nt) AS max_tokens,
+          |  CAST(sum(nt) AS BIGINT) AS sum_tokens,
+          |  CAST(count(*) * max(nt) - sum(nt) AS BIGINT) AS pad_waste
+          |FROM pos GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_phrases" ->
         """SELECT CAST(count(*) AS BIGINT) AS n_docs,

@@ -92,6 +92,48 @@ object Sampling {
     * inherently sequential per shard — shard granularity (source, file,
     * date…) is the parallelism dial, exactly as in production packers.
     */
+  /** Length-sorted batch planning for a padded dataloader: global sort
+    * by (token count, `orderCol`), contiguous runs of `batchSize` rows
+    * become batches — the standard pad-waste reducer (rows in a batch
+    * pad to the batch max, so grouping similar lengths shrinks
+    * `batch_max · rows − Σ len`). Returns the input plus `n_tokens`,
+    * `batch_id`, `batch_pos`; [[batchPadStats]] rolls that into the
+    * per-batch padding audit. Deterministic: the order key breaks
+    * length ties, so assignment is a pure function of the data.
+    *
+    * Scale shape: ONE range-partitioned global sort (sampled
+    * boundaries, no single-task window), positions from the
+    * [[graft.api.MSTable.zipWithRowId]] census — same machinery and
+    * same `assumeDeterministic` pin trade-off as
+    * [[deterministicShuffle]].
+    */
+  def lengthSortedBatches(df: DataFrame, orderCol: String,
+                          tokenCount: Column, batchSize: Int,
+                          assumeDeterministic: Boolean = false): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1: $batchSize")
+    requireFreeColumns(df.drop(orderCol),
+      Seq("n_tokens", "batch_id", "batch_pos", graft.api.MSTable.RowId),
+      "lengthSortedBatches")
+    val sorted = df.withColumn("n_tokens", tokenCount.cast("long"))
+      .orderBy(col("n_tokens"), col(orderCol))
+    graft.api.MSTable.zipWithRowId(sorted, pin = !assumeDeterministic)
+      .withColumn("batch_id",
+        (col(graft.api.MSTable.RowId) / batchSize).cast("long"))
+      .withColumn("batch_pos",
+        (col(graft.api.MSTable.RowId) % batchSize).cast("int"))
+      .drop(graft.api.MSTable.RowId)
+  }
+
+  /** Per-batch padding audit over a [[lengthSortedBatches]] assignment:
+    * rows, max/sum token counts, and `pad_waste` = rows · max − sum (the
+    * pad tokens a fixed-shape batch burns). One hash-aggregate. */
+  def batchPadStats(assigned: DataFrame): DataFrame =
+    assigned.groupBy("batch_id").agg(
+      count(lit(1)).as("n_rows"),
+      max("n_tokens").as("max_tokens"),
+      sum("n_tokens").as("sum_tokens"),
+      (count(lit(1)) * max("n_tokens") - sum("n_tokens")).as("pad_waste"))
+
   def packSequences(docs: DataFrame, groupCol: String, orderCol: String,
                     tokenCount: Column, maxTokens: Int): DataFrame = {
     requireFreeColumns(docs.drop(groupCol, orderCol),

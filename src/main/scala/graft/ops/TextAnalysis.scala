@@ -1217,6 +1217,35 @@ object TextAnalysis {
     docs.withColumn(outCol, merge(nonEmptyTokens(col(textCol))))
   }
 
+  /** Tokenizer-vocabulary coverage audit: per group, total tokens, OOV
+    * tokens (whitespace tokens absent from `vocab`), and the OOV rate —
+    * the go/no-go number before committing a corpus slice to a fixed
+    * tokenizer vocabulary (a slice whose OOV rate spikes will shred into
+    * fallback pieces and blow its token budget). Groups with zero
+    * tokens report rate 0.
+    *
+    * Scale shape: the vocabulary is a bounded artifact (a tokenizer
+    * ships tens of thousands of entries) carried as a literal array in
+    * the codegen'd `array_contains` filter — no join, no explode; the
+    * scan collapses to one per-group hash-aggregate with map-side
+    * combine.
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String, groupCol: String,
+                    vocab: Seq[String]): DataFrame = {
+    require(vocab.nonEmpty, "vocabCoverage needs a non-empty vocabulary")
+    val vset = typedLit(vocab.distinct.toArray)
+    val toks = nonEmptyTokens(col(textCol))
+    val oov = filter(toks, t => !array_contains(vset, t))
+    docs.select(col(groupCol),
+        coalesce(size(toks), lit(0)).cast("long").as("__nt"),
+        coalesce(size(oov), lit(0)).cast("long").as("__no"))
+      .groupBy(groupCol)
+      .agg(sum("__nt").as("n_tokens"), sum("__no").as("n_oov"),
+        when(sum("__nt") === 0, lit(0.0))
+          .otherwise(round(sum("__no") / sum("__nt").cast("double"), 6))
+          .as("oov_rate"))
+  }
+
   /** End-to-end word2phrase (Mikolov et al. 2013 §4): [[collocations]]
     * mining chained into [[applyPhrases]] in one call, `passes` times —
     * pass 2 sees pass 1's joined tokens as units, which is the published

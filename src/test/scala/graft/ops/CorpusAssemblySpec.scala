@@ -279,6 +279,53 @@ class CorpusAssemblySpec extends SparkSpec {
     assert(out.except(again).count() === 0 && again.except(out).count() === 0)
   }
 
+  test("length-sorted batches minimize padding and are partition-invariant") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"), (2L, "a"), (3L, "a b"), (4L, "a b c"),
+      (5L, "x y z"), (6L, "q"), (7L, "a b c d"), (8L, "")).toDF("doc_id", "text")
+    def run(parts: Int) = Sampling.lengthSortedBatches(
+      docs.repartition(parts), "doc_id",
+      coalesce(TextAnalysis.tokenCount(col("text")), lit(0)), batchSize = 3)
+    val got = run(1).select("doc_id", "n_tokens", "batch_id", "batch_pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(_._1)
+    // sort order is (n_tokens, doc_id): 8(0),2(1),6(1),3(2),4(3),5(3),7(4),1(8)
+    val byBatch = got.map(t => t._1 -> t._3).toMap
+    assert(byBatch(8L) === 0 && byBatch(2L) === 0 && byBatch(6L) === 0)
+    assert(byBatch(3L) === 1 && byBatch(4L) === 1 && byBatch(5L) === 1)
+    assert(byBatch(7L) === 2 && byBatch(1L) === 2)
+    // padding audit: batch 0 pads to 1 (waste 1+0+0=1), batch 1 to 3
+    // (waste 1+0+0=1), batch 2 to 8 (waste 4)
+    val stats = Sampling.batchPadStats(run(1))
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(stats === Map(0L -> 1L, 1L -> 1L, 2L -> 4L))
+    // deterministic under partitioning
+    assert(run(7).select("doc_id", "batch_id", "batch_pos").collect().toSet ===
+      run(1).select("doc_id", "batch_id", "batch_pos").collect().toSet)
+    // length-sorting beats arrival-order batching on total padding
+    val arrival = docs.withColumn("n_tokens",
+        coalesce(TextAnalysis.tokenCount(col("text")), lit(0)).cast("long"))
+      .withColumn("batch_id", ((col("doc_id") - 1) / 3).cast("long"))
+    val wasteSorted = stats.values.sum
+    val wasteArrival = Sampling.batchPadStats(arrival)
+      .agg(sum("pad_waste")).head().getLong(0)
+    assert(wasteSorted < wasteArrival, s"$wasteSorted vs $wasteArrival")
+  }
+
+  test("vocabCoverage: exact OOV accounting, zero-token group, dup tokens") {
+    val docs = Seq(
+      ("a", "the cat the dog"), ("a", "the unk1"),
+      ("b", "unk2 unk2 the"), ("c", ""), ("c", null.asInstanceOf[String]))
+      .toDF("source", "text")
+    val out = TextAnalysis.vocabCoverage(docs, "text", "source",
+        Seq("the", "cat", "dog"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("a") === ((6L, 1L, 0.166667)))     // unk1 of 6
+    assert(out("b") === ((3L, 2L, 0.666667)))     // unk2 twice counts twice
+    assert(out("c") === ((0L, 0L, 0.0)))          // empty + null => rate 0
+  }
+
   test("web ingest leg: html → canonical-url dedup → group split → byte ids") {
     // the crawl-side front of the pipeline, composed from the r12
     // operators: raw pages arrive under MANY url spellings, get their
