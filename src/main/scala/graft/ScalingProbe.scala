@@ -115,6 +115,13 @@ object ScalingProbe {
       graft.ops.Similarity.pqTopK(q, emb, "vec_id", "embedding",
         "vec_id", "embedding", k = 5, m = 16, ksub = 32, refine = 16).count()
     }
+    // SQ8: d-row min/max fit, byte-decode scoring scan, broadcast re-rank
+    time("ann_sq8") { d =>
+      val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      val q = emb.orderBy("vec_id").limit(10)
+      graft.ops.Similarity.sq8TopK(q, emb, "vec_id", "embedding",
+        "vec_id", "embedding", k = 5, refine = 4).count()
+    }
     // PCAR+PQ: one covariance pass + driver Jacobi on top of the PQ
     // shape; the ADC scan runs in the 48-dim rotation
     time("ann_pcapq") { d =>

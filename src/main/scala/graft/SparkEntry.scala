@@ -89,6 +89,7 @@ object SparkEntry {
   private val IvfRecallFloor = 0.4 // per-query; measured min 0.60 (all SFs)
   private val PqRecallFloor = 0.4 // per-query; measured min 0.80 (all SFs)
   private val PcaPqRecallFloor = 0.2 // per-query; measured min 0.40 (all SFs)
+  private val Sq8RecallFloor = 0.5 // per-query; measured 1.0 (255-level codes)
   private val PcaPqIndexRecallFloor = 0.5 // per-query; measured 1.0 (all SFs)
   private val LshRecallFloor = 0.25 // mean over queries; measured ≥ 0.375
   private val MinhashRecallFloor = 0.7 // measured 1.000 at all SFs
@@ -1189,6 +1190,15 @@ object SparkEntry {
       annRecallCheck(s, dir, PqRecallFloor) { (q, c) =>
         Similarity.pqTopK(q, c, "vec_id", "embedding", "vec_id", "embedding",
           k = 5, m = 16, ksub = 32, refine = 16)
+      }),
+
+    // SQ8 scalar quantization (1 byte/dim): the cheapest compression
+    // tier — 255 levels per dimension keep the approximate cosine order
+    // near-exact, so a small refine recovers full recall
+    "q_ann_sq8" -> ((s, dir) =>
+      annRecallCheck(s, dir, Sq8RecallFloor) { (q, c) =>
+        Similarity.sq8TopK(q, c, "vec_id", "embedding", "vec_id", "embedding",
+          k = 5, refine = 4)
       }),
 
     // PCA-rotated PQ (the faiss PCAR,PQ recipe): candidates searched in
@@ -3151,6 +3161,10 @@ object SparkEntry {
           |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
 
       "q_ann_pq" ->
+        """SELECT DISTINCT CAST(vec_id AS BIGINT) AS query_id, true AS recall_ok
+          |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
+
+      "q_ann_sq8" ->
         """SELECT DISTINCT CAST(vec_id AS BIGINT) AS query_id, true AS recall_ok
           |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
 

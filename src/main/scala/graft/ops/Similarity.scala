@@ -441,6 +441,101 @@ object Similarity {
     explodeTopK(rer, k)
   }
 
+  /** faiss-style SQ8 scalar quantization fit: per-dimension [min, max]
+    * from ONE training pass. Returns (mins, scales) where a coordinate
+    * stores as `round((x − min_i) / scale_i)` in one byte (scale_i =
+    * range_i / 255; a constant dimension gets scale 0 and decodes
+    * exactly to its min). 4× smaller than float32 vectors with
+    * near-lossless cosine — the cheapest compression tier below PQ.
+    *
+    * Scale shape: one posexplode + per-dim hash-aggregate with map-side
+    * combine — d rows leave the shuffle, the model is O(d) driver state
+    * broadcast in the encode/score closures.
+    */
+  def fitSq8(corpus: DataFrame, vecCol: String): (Array[Double], Array[Double]) = {
+    val stats = corpus.select(posexplode(col(vecCol)))
+      .select(col("pos"), col("col").cast("double").as("__x"))
+      .groupBy("pos").agg(min("__x").as("mn"), max("__x").as("mx"))
+      .orderBy("pos")
+      .collect()
+    require(stats.nonEmpty, "fitSq8: empty corpus or vectors")
+    val mins = stats.map(_.getDouble(1))
+    val scales = stats.map(r => (r.getDouble(2) - r.getDouble(1)) / 255.0)
+    (mins, scales)
+  }
+
+  private def sq8EncodeUdf(mins: Array[Double], scales: Array[Double]) =
+    // Seq[Double]: float embeddings widen via Spark's implicit cast
+    udf { (v: Seq[Double]) =>
+      if (v == null) null
+      else {
+        val x = v.toArray
+        require(x.length == mins.length,
+          s"sq8: vector has ${x.length} dims, model has ${mins.length}")
+        val out = new Array[Byte](x.length)
+        var i = 0
+        while (i < x.length) {
+          val c =
+            if (scales(i) == 0) 0
+            else math.max(0, math.min(255,
+              math.round((x(i) - mins(i)) / scales(i)).toInt))
+          out(i) = c.toByte
+          i += 1
+        }
+        out
+      }
+    }
+
+  private def sq8ScoreUdf(mins: Array[Double], scales: Array[Double]) =
+    udf { (qv: Seq[Double], codes: Array[Byte]) =>
+      if (qv == null || codes == null) Option.empty[Double]
+      else {
+        val q = qv.toArray
+        var dot = 0d; var nq = 0d; var nx = 0d
+        var i = 0
+        while (i < codes.length) {
+          val x = mins(i) + (codes(i) & 0xFF) * scales(i)
+          dot += q(i) * x; nq += q(i) * q(i); nx += x * x
+          i += 1
+        }
+        Some(if (nq == 0 || nx == 0) 0d else dot / math.sqrt(nq * nx))
+      }
+    }
+
+  /** SQ8 approximate top-k: score every corpus CODE against the
+    * broadcast queries (the 1-byte-per-dim decode rides the scan), keep
+    * k·refine candidates per query through the bounded-heap
+    * [[graft.functions.TopKAgg]], then re-rank exactly — the byte-level
+    * sibling of [[pqTopK]] (coarser compression there, finer here; at
+    * 255 levels per dim the approximate order is near-exact, so small
+    * `refine` suffices).
+    *
+    * Scale shape: fit is one d-row aggregate; the scoring scan reads
+    * d bytes per code instead of 4–8d vector bytes; ≤ queries·k·refine
+    * candidate rows re-rank against the full vectors by broadcast join.
+    */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame,
+              qIdCol: String, qVecCol: String,
+              cIdCol: String, cVecCol: String,
+              k: Int, refine: Int = 4): DataFrame = {
+    require(k >= 1 && refine >= 1, s"sq8TopK: k=$k refine=$refine")
+    val c = corpus.select(col(cIdCol).as("neighbor_id"), col(cVecCol).as("cv"))
+    val (mins, scales) = fitSq8(c, "cv")
+    val codes = c.select(col("neighbor_id"),
+      sq8EncodeUdf(mins, scales)(col("cv")).as("codes"))
+    val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))
+    val scored = codes.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        sq8ScoreUdf(mins, scales)(col("qv"), col("codes")))
+    val cand = explodeTopK(scored, k * refine)
+      .select("query_id", "neighbor_id")
+    val rer = c.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine", Dedup.cosine(col("qv"), col("cv")))
+    explodeTopK(rer, k)
+  }
+
   /** PCA-rotated PQ search — the faiss `PCAR{k},PQ{m}` recipe (Jégou
     * 2011 §V.A): fit a truncated orthonormal basis on the corpus
     * ([[Pca.fitPca]], one covariance pass + driver Jacobi), run the PQ

@@ -48,6 +48,55 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall; pq=$pq exact=$exact")
   }
 
+  test("sq8: quantization error bounded by half a level; constant dim exact") {
+    val vecs = Seq(
+      (1L, Array(0f, 10f, 7f)), (2L, Array(5f, 10f, -3f)),
+      (3L, Array(10f, 10f, 2f))).toDF("id", "vec")
+    val (mins, scales) = Similarity.fitSq8(vecs, "vec")
+    assert(mins.toSeq === Seq(0.0, 10.0, -3.0))
+    // dim 1 is constant: scale 0, decodes exactly to the min
+    assert(scales(1) === 0.0)
+    assert(scales(0) === 10.0 / 255 && scales(2) === 10.0 / 255)
+    // every coordinate round-trips within half a quantization level
+    val rows = vecs.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+    rows.foreach { case (_, x) =>
+      x.indices.foreach { i =>
+        val c = if (scales(i) == 0) 0
+                else math.round((x(i) - mins(i)) / scales(i)).toInt
+        val back = mins(i) + c * scales(i)
+        assert(math.abs(back - x(i)) <= scales(i) / 2 + 1e-12)
+      }
+    }
+  }
+
+  test("sq8TopK: full recall vs brute force; 255 levels keep order") {
+    val vecs = clustered
+    val queries = vecs.filter(col("id") < 5)
+    val exact = Similarity.bruteForceTopK(
+      queries, vecs, "id", "vec", "id", "vec", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val sq = Similarity.sq8TopK(
+      queries, vecs, "id", "vec", "id", "vec", k = 5, refine = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (sq intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall; sq=$sq exact=$exact")
+    // the re-rank emits TRUE cosines: spot-check one pair against the
+    // exact scorer
+    val one = Similarity.sq8TopK(queries, vecs, "id", "vec", "id", "vec",
+        k = 1, refine = 4)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    val ex1 = Similarity.bruteForceTopK(queries, vecs, "id", "vec",
+        "id", "vec", k = 1)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    // ids can differ on exact cosine TIES (the clustered fixture has
+    // duplicates); the claim is that the reported score is the true one
+    assert(one.sortBy(_._1).map(t => (t._1, t._3)).toSeq ===
+      ex1.sortBy(_._1).map(t => (t._1, t._3)).toSeq)
+  }
+
   test("pcaPqTopK: rotated-space PQ with original-space re-rank keeps recall") {
     // the faiss PCAR,PQ recipe: candidates found in an 8-dim rotation of
     // the 16-dim corpus, re-ranked exactly in the original space
