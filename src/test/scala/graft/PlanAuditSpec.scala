@@ -520,4 +520,33 @@ class PlanAuditSpec extends SparkSpec {
     assert("Window".r.findAllIn(p).size >= 1, p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("vocab coverage: literal-array filter scan — no join, no explode") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val p = plan(ops.TextAnalysis.vocabCoverage(docs, "text", "source",
+      Seq("the", "a", "of")))
+    assert(!p.contains("Join"), p)       // vocab rides the closure, never a join
+    assert(!p.contains("Generate"), p)   // counting needs no explode
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("length-sorted batches: global sort + census, no whole-frame window") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text")
+    val p = plan(ops.Sampling.lengthSortedBatches(docs, "doc_id",
+      ops.TextAnalysis.tokenCount(col("text")), batchSize = 32,
+      assumeDeterministic = true))
+    assert(!p.contains("Window"), p)     // positions come from the census
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sq8: candidate scan broadcasts queries, no sort-merge join anywhere") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val p = plan(ops.Similarity.sq8TopK(
+      emb.filter(col("vec_id") < 8), emb,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5, refine = 4))
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
