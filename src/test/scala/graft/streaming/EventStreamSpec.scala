@@ -363,6 +363,29 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.size === 50)
   }
 
+  test("vocab coverage aggregates inside a real stream (complete mode parity)") {
+    // the OOV audit is a streaming aggregation: per-source running
+    // token/OOV counts update as document batches arrive — exact batch
+    // parity once the stream drains (complete output mode)
+    import graft.ops.TextAnalysis
+    val dir = sf("sf0.001")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "text").limit(60)
+    val dDir = "/root/repo/target/test_stream_vocab_docs"
+    docs.repartition(3).write.mode("overwrite").parquet(dDir)
+    val vocab = Seq("the", "a", "of", "and", "to")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dDir)
+    EventStream.runToMemory(
+      TextAnalysis.vocabCoverage(stream, "text", "source", vocab),
+      "vocab_cov_out", mode = "complete")
+    val streamed = spark.table("vocab_cov_out").collect()
+      .map(_.toSeq.mkString("|")).sorted.toSeq
+    val batch = TextAnalysis.vocabCoverage(docs, "text", "source", vocab)
+      .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    assert(streamed === batch && streamed.nonEmpty)
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(s * 1000)
