@@ -1608,6 +1608,12 @@ object SparkEntry {
       TextAnalysis.collocations(T(s, dir, "documents"), "text",
         minCount = 2, topK = 50)),
 
+    // windowed co-occurrence counts (word2vec/GloVe context counting):
+    // unordered pairs within ±3 positions, scan-side zipped slices
+    "q_cooccurrence" -> ((s, dir) =>
+      TextAnalysis.cooccurrence(T(s, dir, "documents"), "text",
+        window = 3, minCount = 2, topK = 50)),
+
     // word2phrase APPLY (derived checks): mined collocations merge into
     // joined tokens; splitting the output tokens on the joiner must
     // restore the original token stream EXACTLY per doc, the token count
@@ -3780,6 +3786,23 @@ object SparkEntry {
           |CROSS JOIN nu
           |WHERE n12 >= 2
           |ORDER BY npmi DESC, w1, w2 LIMIT 50""".stripMargin,
+
+      "q_cooccurrence" ->
+        """WITH tok AS (
+          |  SELECT [x FOR x IN string_split_regex(trim(lower(text)), '\s+')
+          |          IF len(x) > 0] AS ts
+          |  FROM documents
+          |), pr AS (
+          |  SELECT least(ts[i], ts[i + o]) AS w1,
+          |         greatest(ts[i], ts[i + o]) AS w2
+          |  FROM (SELECT ts, unnest(range(1, len(ts) + 1)) AS i
+          |        FROM tok WHERE len(ts) >= 2)
+          |  CROSS JOIN (SELECT unnest(range(1, 4)) AS o)
+          |  WHERE i + o <= len(ts)
+          |)
+          |SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+          |FROM pr GROUP BY 1, 2 HAVING count(*) >= 2
+          |ORDER BY n DESC, w1, w2 LIMIT 50""".stripMargin,
 
       "q_corpus_divergence" ->
         """WITH occ AS (

@@ -1217,6 +1217,42 @@ object TextAnalysis {
     docs.withColumn(outCol, merge(nonEmptyTokens(col(textCol))))
   }
 
+  /** Windowed co-occurrence counts — the word2vec/GloVe context-count
+    * preprocessing step: every unordered token pair within `window`
+    * positions of each other, counted corpus-wide (a pair seen at both
+    * orientations collapses via (least, greatest), so "new york" and
+    * "york ... new" accumulate together). Returns the `topK` most
+    * frequent pairs with count ≥ `minCount`, ties by (w1, w2).
+    * [[collocations]] is the window = 1 special case scored by NPMI;
+    * this is the raw count matrix wider contexts feed on.
+    *
+    * Scale shape: one tokenize feeds `window` zipped-slice explodes
+    * (scan-side Generate, no self-join on positions), collapsing into a
+    * single (w1, w2) hash-aggregate with map-side combine, then a
+    * TakeOrdered top-k — cost O(corpus tokens · window), never pairs².
+    */
+  def cooccurrence(docs: DataFrame, textCol: String, window: Int,
+                   minCount: Long = 2, topK: Int = 100): DataFrame = {
+    require(window >= 1, s"cooccurrence needs window >= 1 (got $window)")
+    require(minCount >= 1 && topK >= 1,
+      s"cooccurrence: minCount=$minCount topK=$topK")
+    val t = docs.select(nonEmptyTokens(col(textCol)).as("__ts"))
+      .filter(size(col("__ts")) >= 2)
+    val n = size(col("__ts"))
+    val pairs = (1 to window).map { o =>
+      t.filter(n > o)
+        .select(explode(arrays_zip(
+          slice(col("__ts"), lit(1), n - o).as("__a"),
+          slice(col("__ts"), lit(1 + o), n - o).as("__b"))).as("__p"))
+        .select(least(col("__p.__a"), col("__p.__b")).as("w1"),
+          greatest(col("__p.__a"), col("__p.__b")).as("w2"))
+    }.reduce(_ unionByName _)
+    pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .orderBy(col("n").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** Tokenizer-vocabulary coverage audit: per group, total tokens, OOV
     * tokens (whitespace tokens absent from `vocab`), and the OOV rate —
     * the go/no-go number before committing a corpus slice to a fixed

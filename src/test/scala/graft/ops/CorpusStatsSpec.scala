@@ -96,6 +96,26 @@ class CorpusStatsSpec extends SparkSpec {
       "the new york city council met in new york city")
   }
 
+  test("cooccurrence: windowed pairs hand-computed, direction collapsed") {
+    // "a b c a": window 2 → offset-1 pairs (a,b)(b,c)(a,c) + offset-2
+    // pairs (a,c)(a,b) — unordered, so (a,b)x2 (a,c)x2 (b,c)x1
+    val docs = Seq("a b c a", "z").toDF("text")
+    val got = TextAnalysis.cooccurrence(docs, "text", window = 2,
+        minCount = 1, topK = 10)
+      .as[(String, String, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(got === Map(("a", "b") -> 2L, ("a", "c") -> 2L, ("b", "c") -> 1L))
+    // window 1 reduces to adjacent bigrams (unordered)
+    val w1 = TextAnalysis.cooccurrence(docs, "text", window = 1,
+        minCount = 1, topK = 10)
+      .as[(String, String, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(w1 === Map(("a", "b") -> 1L, ("b", "c") -> 1L, ("a", "c") -> 1L))
+    // minCount gates the singletons out
+    assert(TextAnalysis.cooccurrence(docs, "text", window = 2,
+      minCount = 2, topK = 10).count() === 2)
+  }
+
   test("minePhrases chains the two-pass composition in one call") {
     val docs = Seq.fill(3)("the new york city council met in new york city")
       .toDF("text")
