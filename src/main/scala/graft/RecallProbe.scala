@@ -53,6 +53,8 @@ object RecallProbe {
       annRecall("ann_pq", Similarity.pqTopK(q, emb,
         "vec_id", "embedding", "vec_id", "embedding", k = 5, m = 16, ksub = 32,
         refine = 16))
+      annRecall("ann_sq8", Similarity.sq8TopK(q, emb,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5, refine = 4))
       annRecall("ann_ivfpq", {
         val p = s"/root/repo/target/qtmp/probe_ivfpq"
         Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", p,
