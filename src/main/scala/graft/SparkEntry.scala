@@ -1672,6 +1672,51 @@ object SparkEntry {
         "vocab_mined" -> lit(vocab.nonEmpty && vocab.head.nonEmpty))
     }),
 
+    // EXACT truncated neighbourhood function N(r) on the 3-map graph —
+    // reachable pairs per radius, the ANF the effective diameter reads
+    "q_anf" -> ((s, dir) => {
+      val nodes = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("node"))
+      val nMod = nodes.count()
+      val edges = Seq((7L, 3L), (13L, 5L), (29L, 11L)).map { case (k, c) =>
+        nodes.select(col("node").as("src"),
+          ((col("node") * k + c) % nMod).as("dst"))
+      }.reduce(_ unionByName _)
+      Graph.neighborhoodFunctionExact(edges, "src", "dst", maxDepth = 4)
+        .orderBy("r")
+    }),
+
+    // HyperBall ANF derived checks: every radius covered, estimates
+    // monotone, each within the m = 128 error band of the exact N(r),
+    // and the derived effective diameters within half a radius
+    "q_anf_hyperball" -> ((s, dir) => {
+      val nodes = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("node"))
+      val nMod = nodes.count()
+      val edges = Seq((7L, 3L), (13L, 5L), (29L, 11L)).map { case (k, c) =>
+        nodes.select(col("node").as("src"),
+          ((col("node") * k + c) % nMod).as("dst"))
+      }.reduce(_ unionByName _)
+      val exact = pin(Graph.neighborhoodFunctionExact(edges, "src", "dst",
+        maxDepth = 4).withColumnRenamed("pairs", "pe"))
+      val hb = pin(Graph.neighborhoodFunctionHyperBall(edges, "src", "dst",
+        maxDepth = 4, logM = 7))
+      val edE = Graph.effectiveDiameter(exact.withColumnRenamed("pe", "pairs"))
+      val edH = Graph.effectiveDiameter(hb)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy("r")
+      val one = exact.join(hb, "r")
+        .withColumn("__prev", lag(col("pairs"), 1).over(w))
+        .agg(count(lit(1)).as("n_r"),
+          max(abs(col("pairs") - col("pe")) / col("pe")).as("__rel"),
+          min(col("__prev").isNull || col("pairs") >= col("__prev")).as("__mono"))
+      checkRows(one,
+        "covers_all_radii" -> (col("n_r") === 5),
+        "rel_error_in_band" -> (col("__rel") < 0.15),
+        "monotone" -> col("__mono"),
+        "effective_diameter_close" -> lit(math.abs(edE - edH) < 0.5))
+    }),
+
     // pairwise source-to-source Jensen-Shannon divergence of unigram
     // distributions (base 2) — the data-mixing redundancy diagnostic
     "q_corpus_divergence" -> ((s, dir) =>
@@ -4334,6 +4379,36 @@ object SparkEntry {
       "q_harmonic_hyperball" ->
         checksOracle("covers_all_nodes", "positive_where_exact_is",
           "mean_rel_error_in_band", "mass_within_10pct"),
+
+      // same walk CTE as q_harmonic; N(r) = self-pairs + pairs at d <= r
+      "q_anf" ->
+        """WITH RECURSIVE nodes AS (SELECT doc_id AS node FROM documents),
+          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+          |edges AS (
+          |  SELECT DISTINCT src, dst FROM (
+          |    SELECT node AS src, (node*7+3) % (SELECT n FROM nn) AS dst FROM nodes
+          |    UNION ALL
+          |    SELECT node, (node*13+5) % (SELECT n FROM nn) FROM nodes
+          |    UNION ALL
+          |    SELECT node, (node*29+11) % (SELECT n FROM nn) FROM nodes
+          |  ) WHERE src != dst
+          |),
+          |walk AS (
+          |  SELECT src AS u, dst AS v, 1 AS d FROM edges
+          |  UNION
+          |  SELECT w.u, e.dst, w.d + 1
+          |  FROM walk w JOIN edges e ON e.src = w.v
+          |  WHERE w.d < 4 AND w.u != e.dst
+          |),
+          |dist AS (SELECT u, v, min(d) AS d FROM walk GROUP BY 1, 2)
+          |SELECT CAST(r AS BIGINT) AS r,
+          |  CAST((SELECT n FROM nn) +
+          |       (SELECT count(*) FROM dist WHERE d <= r) AS BIGINT) AS pairs
+          |FROM (SELECT unnest(range(0, 5)) AS r) ORDER BY r""".stripMargin,
+
+      "q_anf_hyperball" ->
+        checksOracle("covers_all_radii", "rel_error_in_band", "monotone",
+          "effective_diameter_close"),
 
       "q_decontaminate" ->
         """WITH sh AS (

@@ -159,6 +159,71 @@ object Graph {
     out
   }
 
+  /** EXACT truncated neighbourhood function (Palmer et al. 2002's ANF,
+    * computed exactly): N(r) = Σ_v |B_r(v)| — the number of (source,
+    * target) pairs within distance r, self-pairs included (N(0) = n).
+    * One row per radius 0..maxDepth. Shares [[harmonicCentralityExact]]'s
+    * multi-source BFS and its test-scale-baseline caveat: state is the
+    * discovered pair set. [[neighborhoodFunctionHyperBall]] is the
+    * 100 TB path; [[effectiveDiameter]] derives the headline scalar.
+    */
+  def neighborhoodFunctionExact(edges: DataFrame, srcCol: String,
+                                dstCol: String, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1: $maxDepth")
+    val spark = edges.sparkSession
+    val e = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node"))).distinct().count()
+    var frontier = e.select(col("a").as("u"), col("b").as("v"))
+      .withColumn("d", lit(1)).localCheckpoint()
+    var seen = frontier
+    var depth = 1
+    while (depth < maxDepth && !frontier.isEmpty) {
+      val next = frontier.join(e, frontier("v") === e("a"))
+        .select(col("u"), col("b").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .join(seen.select("u", "v"), Seq("u", "v"), "left_anti")
+        .withColumn("d", lit(depth + 1))
+      frontier = next.localCheckpoint()
+      seen = seen.union(frontier).localCheckpoint()
+      depth += 1
+    }
+    val perDepth = seen.groupBy("d").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    e.unpersist(false)
+    // cumulative in the driver over <= maxDepth scalars
+    val rows = (0 to maxDepth).scanLeft((0L, n)) { case ((_, acc), r0) =>
+      val r = r0 + 1
+      (r.toLong, acc + perDepth.getOrElse(r, 0L))
+    }.take(maxDepth + 1).map { case (r, p) => (r, p) }
+    import spark.implicits._
+    rows.toDF("r", "pairs")
+  }
+
+  /** Effective diameter at quantile `q` from a neighbourhood function
+    * (the ANF headline number): the interpolated radius where N(r)
+    * first reaches q · N(maxDepth) — truncated, like the function
+    * itself. Driver-side over maxDepth + 1 scalars. */
+  def effectiveDiameter(nf: DataFrame, q: Double = 0.9): Double = {
+    require(q > 0 && q <= 1, s"q in (0, 1]: $q")
+    val pts = nf.select(col("r").cast("long"), col("pairs").cast("double"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1)
+    require(pts.nonEmpty, "effectiveDiameter: empty neighbourhood function")
+    val target = q * pts.last._2
+    val i = pts.indexWhere(_._2 >= target)
+    if (i <= 0) 0.0
+    else {
+      val (r0, p0) = pts(i - 1); val (r1, p1) = pts(i)
+      if (p1 == p0) r1.toDouble
+      else r0 + (r1 - r0) * (target - p0) / (p1 - p0)
+    }
+  }
+
   /** HyperBall (Boldi & Vigna 2013): truncated harmonic centrality via
     * per-node HyperLogLog counters. Each node carries m = 2^logM
     * one-byte registers estimating |B_r(v)| = |{u : d(u,v) ≤ r}|; one
@@ -230,6 +295,61 @@ object Graph {
     }
     e.unpersist(false)
     state.select(col("node"), col("h").as("harmonic"), col("est").as("ball"))
+  }
+
+  /** HyperBall approximate neighbourhood function — the computation
+    * HyperBall was built for: N(r) ≈ Σ_v est|B_r(v)|, one row per
+    * radius 0..maxDepth. Same per-iteration shape as
+    * [[harmonicCentralityHyperBall]] (one co-partitioned edge join +
+    * one register-max aggregate) plus the one scalar Σ est the result
+    * itself is — still O(1) driver state per radius. Feed the output to
+    * [[effectiveDiameter]] for the headline number.
+    */
+  def neighborhoodFunctionHyperBall(edges: DataFrame, srcCol: String,
+                                    dstCol: String, maxDepth: Int,
+                                    logM: Int = 7): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1: $maxDepth")
+    require(logM >= 4 && logM <= 12, s"logM in [4, 12]: $logM")
+    val spark = edges.sparkSession
+    import org.apache.spark.sql.expressions.Aggregator
+    import org.apache.spark.sql.{Encoder, Encoders}
+    val e = edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+      .repartition(col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node"))).distinct()
+    val lm = logM
+    val initU = udf((n: Long) => Hll.init(n, lm))
+    val estU = udf((r: Array[Byte]) => Hll.estimate(r))
+    val hllMerge = udaf(new Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+      override def zero: Array[Byte] = Array.emptyByteArray
+      override def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] = Hll.merge(b, a)
+      override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = Hll.merge(a, b)
+      override def finish(b: Array[Byte]): Array[Byte] = b
+      override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+      override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    })
+    var state = nodes.select(col("node"), initU(col("node")).as("reg"))
+      .localCheckpoint()
+    def sumEst(df: DataFrame): Double =
+      df.agg(sum(estU(col("reg")))).head().getDouble(0)
+    val out = scala.collection.mutable.ArrayBuffer((0L, sumEst(state)))
+    var r = 1
+    while (r <= maxDepth) {
+      val contrib = e.join(state.select(col("node").as("u"), col("reg")), "u")
+        .select(col("v").as("node"), col("reg"))
+      state = contrib.union(state)
+        .groupBy("node").agg(hllMerge(col("reg")).as("reg"))
+        .localCheckpoint()
+      out += ((r.toLong, sumEst(state)))
+      r += 1
+    }
+    e.unpersist(false)
+    import spark.implicits._
+    out.toSeq.toDF("r", "pairs")
   }
 }
 

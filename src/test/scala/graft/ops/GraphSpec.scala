@@ -103,6 +103,45 @@ class GraphSpec extends SparkSpec {
     assert(again === first)
   }
 
+  test("neighbourhood function: hand-computed path graph + effective diameter") {
+    // 0 -> 1 -> 2 -> 3: N(0)=4 self-pairs, N(1)=4+3, N(2)=7+2, N(3)=9+1
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("s", "d")
+    val nf = Graph.neighborhoodFunctionExact(edges, "s", "d", maxDepth = 3)
+    val pts = nf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pts === Map(0L -> 4L, 1L -> 7L, 2L -> 9L, 3L -> 10L))
+    // effective diameter at 0.9: target 9 pairs, reached exactly at r=2
+    assert(Graph.effectiveDiameter(nf, 0.9) === 2.0)
+    // q = 1 needs the full N(3) = 10 -> r = 3; tiny q stays at 0
+    assert(Graph.effectiveDiameter(nf, 1.0) === 3.0)
+    assert(Graph.effectiveDiameter(nf, 0.1) === 0.0)
+    // interpolation: target between N(0) and N(1) lands fractionally
+    val ed = Graph.effectiveDiameter(nf, 0.55) // target 5.5: between 4 and 7
+    assert(math.abs(ed - 0.5) < 1e-12, s"$ed")
+  }
+
+  test("HyperBall neighbourhood function tracks the exact one") {
+    val edges = (0L until 40L).flatMap(i =>
+      Seq((i, (i + 1) % 40), (i, (i * 7 + 3) % 40))).toDF("s", "d")
+    val exact = Graph.neighborhoodFunctionExact(edges, "s", "d", maxDepth = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toDouble).toMap
+    val hb = Graph.neighborhoodFunctionHyperBall(edges, "s", "d",
+        maxDepth = 4, logM = 7)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(hb.keySet === exact.keySet)
+    exact.foreach { case (r, ex) =>
+      assert(math.abs(hb(r) - ex) / ex < 0.15, s"r=$r exact=$ex est=${hb(r)}")
+    }
+    // estimates are monotone in r (registers only grow)
+    val ordered = hb.toSeq.sortBy(_._1).map(_._2)
+    assert(ordered === ordered.sorted)
+    // the derived effective diameters agree within half a radius
+    val edE = Graph.effectiveDiameter(
+      Graph.neighborhoodFunctionExact(edges, "s", "d", maxDepth = 4))
+    val edH = Graph.effectiveDiameter(
+      Graph.neighborhoodFunctionHyperBall(edges, "s", "d", maxDepth = 4, logM = 7))
+    assert(math.abs(edE - edH) < 0.5, s"exact $edE hyperball $edH")
+  }
+
   test("tol early-stops a converged graph; ranks match the full run") {
     // a symmetric cycle converges IMMEDIATELY (uniform is the fixed
     // point), so the very first delta check reads 0 and stops at 1
