@@ -521,6 +521,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("cooccurrence: zipped-slice explodes, no positional self-join") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val p = plan(ops.TextAnalysis.cooccurrence(docs, "text", window = 3,
+      minCount = 2, topK = 50))
+    assert(!p.contains("Join"), p)      // offsets come from slices, not a join
+    assert(p.contains("Generate"), p)   // the per-offset pair explode
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("vocab coverage: literal-array filter scan — no join, no explode") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val p = plan(ops.TextAnalysis.vocabCoverage(docs, "text", "source",
