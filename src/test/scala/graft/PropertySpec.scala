@@ -501,6 +501,45 @@ class PropertySpec extends SparkSpec {
       .select(min("s_acctbal")).head().getDouble(0) > -1.0)
   }
 
+  test("cooccurrence equals the brute-force positional enumeration") {
+    val genDoc = Gen.choose(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    val genCorpus = Gen.choose(1, 10).flatMap(n => Gen.listOfN(n, genDoc))
+    val genWindow = Gen.choose(1, 4)
+    check(Prop.forAllNoShrink(genCorpus, genWindow) { (docs, w) =>
+      val got = graft.ops.TextAnalysis.cooccurrence(
+          docs.toDF("text"), "text", w, minCount = 1, topK = 1000)
+        .as[(String, String, Long)].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+      val want = docs.flatMap { d =>
+        val ts = d.split("\\s+").filter(_.nonEmpty)
+        for {
+          i <- ts.indices; o <- 1 to w if i + o < ts.length
+          p = if (ts(i) <= ts(i + o)) (ts(i), ts(i + o))
+              else (ts(i + o), ts(i))
+        } yield p
+      }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      got == want
+    }, n = 15)
+  }
+
+  test("sq8 codes reconstruct every coordinate within half a level") {
+    val genVec = Gen.listOfN(6, Gen.choose(-100.0, 100.0).map(_.toFloat))
+    val genCorpus = Gen.choose(2, 20).flatMap(n => Gen.listOfN(n, genVec))
+    check(Prop.forAllNoShrink(genCorpus) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+        .toDF("id", "vec")
+      val (mins, scales) = graft.ops.Similarity.fitSq8(df, "vec")
+      vecs.forall(_.zipWithIndex.forall { case (x, i) =>
+        val c = if (scales(i) == 0) 0
+                else math.max(0, math.min(255,
+                  math.round((x - mins(i)) / scales(i)).toInt))
+        val back = mins(i) + c * scales(i)
+        math.abs(back - x) <= scales(i) / 2 + 1e-9
+      })
+    }, n = 15)
+  }
+
   test("fuzzy pair join equals brute-force levenshtein on random corpora") {
     // small alphabet + short strings → collisions and near-misses are
     // dense, which is exactly where an incomplete neighborhood join or a
