@@ -358,7 +358,7 @@ object Graph {
   * correction). Hashing is seed-fixed xxhash64 — same family the engine
   * uses everywhere — so counters are deterministic artifacts.
   */
-private[ops] object Hll {
+private[graft] object Hll {
   def init(node: Long, logM: Int): Array[Byte] = {
     val m = 1 << logM
     val reg = new Array[Byte](m)

@@ -523,6 +523,28 @@ class PropertySpec extends SparkSpec {
     }, n = 15)
   }
 
+  test("HLL registers: merged estimates track true cardinality, order-free") {
+    // pure kernel property (no Spark): the estimate over n merged
+    // single-element counters must land within a generous multiple of
+    // the 1.04/sqrt(m) standard error, and merging must be
+    // order-insensitive (the property the distributed aggregate relies on)
+    import graft.ops.Hll
+    val genN = Gen.choose(1, 400)
+    val genLogM = Gen.choose(5, 8)
+    val genSeed = Gen.choose(0L, 1000000L)
+    check(Prop.forAllNoShrink(genN, genLogM, genSeed) { (n, logM, seed) =>
+      val ids = (0 until n).map(i => seed + i * 7919L)
+      val merged = ids.map(Hll.init(_, logM))
+        .reduce(Hll.merge)
+      val shuffled = scala.util.Random.shuffle(ids.toList)
+        .map(Hll.init(_, logM)).reduce(Hll.merge)
+      val est = Hll.estimate(merged)
+      val relErr = math.abs(est - n) / n
+      val bound = math.max(4 * 1.04 / math.sqrt(1 << logM), 0.05)
+      relErr < bound && java.util.Arrays.equals(merged, shuffled)
+    }, n = 30)
+  }
+
   test("sq8 codes reconstruct every coordinate within half a level") {
     val genVec = Gen.listOfN(6, Gen.choose(-100.0, 100.0).map(_.toFloat))
     val genCorpus = Gen.choose(2, 20).flatMap(n => Gen.listOfN(n, genVec))
