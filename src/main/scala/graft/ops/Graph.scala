@@ -98,7 +98,7 @@ object Graph {
       it += 1
       if (tol > 0 && it < iters) {
         // one scalar scan of the just-materialized checkpoint blocks
-        val delta = cp.agg(sum(abs(col("rank") - col("__prev"))))
+        val delta = cp.agg(coalesce(sum(abs(col("rank") - col("__prev"))), lit(0.0)))
           .head().getDouble(0)
         converged = delta < tol
       }
@@ -111,23 +111,17 @@ object Graph {
     (ranks, it)
   }
 
-  /** EXACT truncated harmonic centrality
-    * {{{ h(v) = Σ_{u ≠ v, d(u,v) ≤ maxDepth} 1 / d(u,v) }}}
-    * (directed shortest-path distance INTO v) — the centrality Common
-    * Crawl publishes for its host ranking. Multi-source BFS as iterated
-    * DataFrame joins: the frontier of newly-discovered (source, node)
-    * pairs expands one hop per iteration, an anti-join against the seen
-    * set keeps distances minimal, and localCheckpoint truncates both
-    * plans.
-    *
-    * Scale shape: state is the DISCOVERED PAIR set — O(n·ball) rows,
-    * quadratic on a well-connected graph — so this is the exact
-    * test-scale baseline (the [[Similarity]] brute-force-top-k
-    * precedent), there to pin oracles and to calibrate
-    * [[harmonicCentralityHyperBall]], which is the 100 TB path.
+  /** Shared multi-source capped BFS: the discovered (u, v, d) pair frame
+    * (shortest distances, d in 1..maxDepth) plus the node set and the
+    * normalized persisted edge frame (caller unpersists). The frontier
+    * of newly-discovered pairs expands one hop per iteration, an
+    * anti-join against the seen set keeps distances minimal, and
+    * localCheckpoint truncates both plans. State is the PAIR set —
+    * O(n·ball), the exact test-scale baseline both consumers document.
     */
-  def harmonicCentralityExact(edges: DataFrame, srcCol: String,
-                              dstCol: String, maxDepth: Int): DataFrame = {
+  private def discoveredPairs(edges: DataFrame, srcCol: String,
+                              dstCol: String, maxDepth: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(maxDepth >= 1, s"maxDepth must be >= 1: $maxDepth")
     val e = edges.select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))
@@ -151,6 +145,24 @@ object Graph {
       seen = seen.union(frontier).localCheckpoint()
       depth += 1
     }
+    (seen, nodes, e)
+  }
+
+  /** EXACT truncated harmonic centrality
+    * {{{ h(v) = Σ_{u ≠ v, d(u,v) ≤ maxDepth} 1 / d(u,v) }}}
+    * (directed shortest-path distance INTO v) — the centrality Common
+    * Crawl publishes for its host ranking, computed by the shared
+    * [[discoveredPairs]] multi-source BFS.
+    *
+    * Scale shape: state is the DISCOVERED PAIR set — O(n·ball) rows,
+    * quadratic on a well-connected graph — so this is the exact
+    * test-scale baseline (the [[Similarity]] brute-force-top-k
+    * precedent), there to pin oracles and to calibrate
+    * [[harmonicCentralityHyperBall]], which is the 100 TB path.
+    */
+  def harmonicCentralityExact(edges: DataFrame, srcCol: String,
+                              dstCol: String, maxDepth: Int): DataFrame = {
+    val (seen, nodes, e) = discoveredPairs(edges, srcCol, dstCol, maxDepth)
     val out = nodes.join(
         seen.groupBy("v").agg(sum(lit(1.0) / col("d")).as("harmonic")),
         nodes("node") === col("v"), "left")
@@ -162,45 +174,23 @@ object Graph {
   /** EXACT truncated neighbourhood function (Palmer et al. 2002's ANF,
     * computed exactly): N(r) = Σ_v |B_r(v)| — the number of (source,
     * target) pairs within distance r, self-pairs included (N(0) = n).
-    * One row per radius 0..maxDepth. Shares [[harmonicCentralityExact]]'s
-    * multi-source BFS and its test-scale-baseline caveat: state is the
-    * discovered pair set. [[neighborhoodFunctionHyperBall]] is the
-    * 100 TB path; [[effectiveDiameter]] derives the headline scalar.
+    * One row per radius 0..maxDepth, off the shared [[discoveredPairs]]
+    * BFS with its test-scale-baseline caveat.
+    * [[neighborhoodFunctionHyperBall]] is the 100 TB path;
+    * [[effectiveDiameter]] derives the headline scalar.
     */
   def neighborhoodFunctionExact(edges: DataFrame, srcCol: String,
                                 dstCol: String, maxDepth: Int): DataFrame = {
-    require(maxDepth >= 1, s"maxDepth must be >= 1: $maxDepth")
     val spark = edges.sparkSession
-    val e = edges.select(col(srcCol).cast("long").as("a"),
-        col(dstCol).cast("long").as("b"))
-      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = e.select(col("a").as("node"))
-      .union(e.select(col("b").as("node"))).distinct().count()
-    var frontier = e.select(col("a").as("u"), col("b").as("v"))
-      .withColumn("d", lit(1)).localCheckpoint()
-    var seen = frontier
-    var depth = 1
-    while (depth < maxDepth && !frontier.isEmpty) {
-      val next = frontier.join(e, frontier("v") === e("a"))
-        .select(col("u"), col("b").as("v"))
-        .filter(col("u") =!= col("v"))
-        .distinct()
-        .join(seen.select("u", "v"), Seq("u", "v"), "left_anti")
-        .withColumn("d", lit(depth + 1))
-      frontier = next.localCheckpoint()
-      seen = seen.union(frontier).localCheckpoint()
-      depth += 1
-    }
+    val (seen, nodes, e) = discoveredPairs(edges, srcCol, dstCol, maxDepth)
+    val n = nodes.count()
     val perDepth = seen.groupBy("d").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     e.unpersist(false)
     // cumulative in the driver over <= maxDepth scalars
-    val rows = (0 to maxDepth).scanLeft((0L, n)) { case ((_, acc), r0) =>
-      val r = r0 + 1
-      (r.toLong, acc + perDepth.getOrElse(r, 0L))
-    }.take(maxDepth + 1).map { case (r, p) => (r, p) }
+    val rows = (0 until maxDepth).scanLeft((0L, n)) { case ((r0, acc), _) =>
+      (r0 + 1, acc + perDepth.getOrElse(r0.toInt + 1, 0L))
+    }
     import spark.implicits._
     rows.toDF("r", "pairs")
   }
@@ -244,9 +234,76 @@ object Graph {
   def harmonicCentralityHyperBall(edges: DataFrame, srcCol: String,
                                   dstCol: String, maxDepth: Int,
                                   logM: Int = 7): DataFrame = {
+    val (e, _, estU, hllMerge, init) =
+      hyperBallSetup(edges, srcCol, dstCol, maxDepth, logM)
+    var state = init.withColumn("h", lit(0.0)).localCheckpoint()
+    var r = 1
+    while (r <= maxDepth) {
+      val merged = hyperBallStep(e, state, hllMerge)
+      // registers only grow, so the running-max est keeps the per-node
+      // ball estimates monotone through the one non-monotone seam in the
+      // estimator (the linear-counting/raw switch at 2.5m) — the delta
+      // feeding h is then >= 0 by construction
+      state = merged
+        .join(state.select(col("node"), col("est").as("__e0"), col("h").as("__h0")),
+          "node")
+        .withColumn("est", greatest(estU(col("reg")), col("__e0")))
+        .withColumn("h", col("__h0") + (col("est") - col("__e0")) / r)
+        .select("node", "reg", "est", "h")
+        .localCheckpoint()
+      r += 1
+    }
+    e.unpersist(false)
+    state.select(col("node"), col("h").as("harmonic"), col("est").as("ball"))
+  }
+
+  /** HyperBall approximate neighbourhood function — the computation
+    * HyperBall was built for: N(r) ≈ Σ_v est|B_r(v)|, one row per
+    * radius 0..maxDepth. Same per-iteration shape as
+    * [[harmonicCentralityHyperBall]] (one co-partitioned edge join +
+    * one register-max aggregate) plus the one scalar Σ est the result
+    * itself is — still O(1) driver state per radius. Per-node estimates
+    * carry the same running-max monotonicity guard, so N(r) never dips.
+    * Feed the output to [[effectiveDiameter]] for the headline number.
+    */
+  def neighborhoodFunctionHyperBall(edges: DataFrame, srcCol: String,
+                                    dstCol: String, maxDepth: Int,
+                                    logM: Int = 7): DataFrame = {
+    val spark = edges.sparkSession
+    val (e, _, estU, hllMerge, init) =
+      hyperBallSetup(edges, srcCol, dstCol, maxDepth, logM)
+    var state = init.localCheckpoint()
+    def total(df: DataFrame): Double =
+      df.agg(coalesce(sum("est"), lit(0.0))).head().getDouble(0)
+    val out = scala.collection.mutable.ArrayBuffer((0L, total(state)))
+    var r = 1
+    while (r <= maxDepth) {
+      val merged = hyperBallStep(e, state, hllMerge)
+      state = merged
+        .join(state.select(col("node"), col("est").as("__e0")), "node")
+        .withColumn("est", greatest(estU(col("reg")), col("__e0")))
+        .select("node", "reg", "est")
+        .localCheckpoint()
+      out += ((r.toLong, total(state)))
+      r += 1
+    }
+    e.unpersist(false)
+    import spark.implicits._
+    out.toSeq.toDF("r", "pairs")
+  }
+
+  /** Shared HyperBall plumbing: the dst-partitioned cached edge frame,
+    * node set, estimate UDF, register-max aggregate, and the initial
+    * (node, reg, est) state — one definition for both consumers so the
+    * hash seed, the merge semantics, and the monotonicity guard cannot
+    * diverge. */
+  private def hyperBallSetup(edges: DataFrame, srcCol: String,
+                             dstCol: String, maxDepth: Int, logM: Int)
+      : (DataFrame, DataFrame,
+         org.apache.spark.sql.expressions.UserDefinedFunction,
+         org.apache.spark.sql.expressions.UserDefinedFunction, DataFrame) = {
     require(maxDepth >= 1, s"maxDepth must be >= 1: $maxDepth")
     require(logM >= 4 && logM <= 12, s"logM in [4, 12]: $logM")
-    val spark = edges.sparkSession
     import org.apache.spark.sql.expressions.Aggregator
     import org.apache.spark.sql.{Encoder, Encoders}
     val e = edges.select(col(srcCol).cast("long").as("u"),
@@ -269,88 +326,20 @@ object Graph {
       override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
       override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
     })
-    var state = nodes
-      .select(col("node"), initU(col("node")).as("reg"))
+    val init = nodes.select(col("node"), initU(col("node")).as("reg"))
       .withColumn("est", estU(col("reg")))
-      .withColumn("h", lit(0.0))
-      .localCheckpoint()
-    var r = 1
-    while (r <= maxDepth) {
-      val contrib = e.join(state.select(col("node").as("u"), col("reg")), "u")
-        .select(col("v").as("node"), col("reg"))
-      val merged = contrib.union(state.select("node", "reg"))
-        .groupBy("node").agg(hllMerge(col("reg")).as("reg"))
-      // the union is a superset, so registers only grow; greatest(0)
-      // guards the one non-monotone seam in the estimator (the
-      // linear-counting/raw switch at 2.5m)
-      state = merged
-        .join(state.select(col("node"), col("est").as("__e0"), col("h").as("__h0")),
-          "node")
-        .withColumn("est", estU(col("reg")))
-        .withColumn("h",
-          col("__h0") + greatest(col("est") - col("__e0"), lit(0.0)) / r)
-        .select("node", "reg", "est", "h")
-        .localCheckpoint()
-      r += 1
-    }
-    e.unpersist(false)
-    state.select(col("node"), col("h").as("harmonic"), col("est").as("ball"))
+    (e, nodes, estU, hllMerge, init)
   }
 
-  /** HyperBall approximate neighbourhood function — the computation
-    * HyperBall was built for: N(r) ≈ Σ_v est|B_r(v)|, one row per
-    * radius 0..maxDepth. Same per-iteration shape as
-    * [[harmonicCentralityHyperBall]] (one co-partitioned edge join +
-    * one register-max aggregate) plus the one scalar Σ est the result
-    * itself is — still O(1) driver state per radius. Feed the output to
-    * [[effectiveDiameter]] for the headline number.
-    */
-  def neighborhoodFunctionHyperBall(edges: DataFrame, srcCol: String,
-                                    dstCol: String, maxDepth: Int,
-                                    logM: Int = 7): DataFrame = {
-    require(maxDepth >= 1, s"maxDepth must be >= 1: $maxDepth")
-    require(logM >= 4 && logM <= 12, s"logM in [4, 12]: $logM")
-    val spark = edges.sparkSession
-    import org.apache.spark.sql.expressions.Aggregator
-    import org.apache.spark.sql.{Encoder, Encoders}
-    val e = edges.select(col(srcCol).cast("long").as("u"),
-        col(dstCol).cast("long").as("v"))
-      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
-      .distinct()
-      .repartition(col("v"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("u").as("node"))
-      .union(e.select(col("v").as("node"))).distinct()
-    val lm = logM
-    val initU = udf((n: Long) => Hll.init(n, lm))
-    val estU = udf((r: Array[Byte]) => Hll.estimate(r))
-    val hllMerge = udaf(new Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
-      override def zero: Array[Byte] = Array.emptyByteArray
-      override def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] = Hll.merge(b, a)
-      override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = Hll.merge(a, b)
-      override def finish(b: Array[Byte]): Array[Byte] = b
-      override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
-      override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
-    })
-    var state = nodes.select(col("node"), initU(col("node")).as("reg"))
-      .localCheckpoint()
-    def sumEst(df: DataFrame): Double =
-      df.agg(sum(estU(col("reg")))).head().getDouble(0)
-    val out = scala.collection.mutable.ArrayBuffer((0L, sumEst(state)))
-    var r = 1
-    while (r <= maxDepth) {
-      val contrib = e.join(state.select(col("node").as("u"), col("reg")), "u")
-        .select(col("v").as("node"), col("reg"))
-      state = contrib.union(state)
-        .groupBy("node").agg(hllMerge(col("reg")).as("reg"))
-        .localCheckpoint()
-      out += ((r.toLong, sumEst(state)))
-      r += 1
-    }
-    e.unpersist(false)
-    import spark.implicits._
-    out.toSeq.toDF("r", "pairs")
-  }
+  /** One synchronous HyperBall iteration: in-neighbor counters merged
+    * into each node's own via the register-max aggregate. */
+  private def hyperBallStep(e: DataFrame, state: DataFrame,
+      hllMerge: org.apache.spark.sql.expressions.UserDefinedFunction)
+      : DataFrame =
+    e.join(state.select(col("node").as("u"), col("reg")), "u")
+      .select(col("v").as("node"), col("reg"))
+      .union(state.select("node", "reg"))
+      .groupBy("node").agg(hllMerge(col("reg")).as("reg"))
 }
 
 /** HyperLogLog register kernels for [[Graph.harmonicCentralityHyperBall]]

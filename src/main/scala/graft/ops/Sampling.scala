@@ -111,7 +111,10 @@ object Sampling {
                           tokenCount: Column, batchSize: Int,
                           assumeDeterministic: Boolean = false): DataFrame = {
     require(batchSize >= 1, s"batchSize must be >= 1: $batchSize")
-    requireFreeColumns(df.drop(orderCol),
+    // checked on the FULL frame: orderCol itself may not be a reserved
+    // name either — orderCol == "n_tokens" would silently replace the
+    // tie-break key and break the documented determinism
+    requireFreeColumns(df,
       Seq("n_tokens", "batch_id", "batch_pos", graft.api.MSTable.RowId),
       "lengthSortedBatches")
     val sorted = df.withColumn("n_tokens", tokenCount.cast("long"))

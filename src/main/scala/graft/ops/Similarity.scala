@@ -491,6 +491,12 @@ object Similarity {
       if (qv == null || codes == null) Option.empty[Double]
       else {
         val q = qv.toArray
+        // a query whose dimension differs from the corpus's would
+        // silently truncate the cosine — fail loudly, mirroring
+        // pqLutUdf's query-side check and the encode-side require
+        require(q.length == codes.length && codes.length == mins.length,
+          s"sq8: query has ${q.length} dims, codes ${codes.length}, " +
+            s"model ${mins.length}")
         var dot = 0d; var nq = 0d; var nx = 0d
         var i = 0
         while (i < codes.length) {

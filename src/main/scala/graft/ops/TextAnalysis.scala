@@ -1226,10 +1226,13 @@ object TextAnalysis {
     * [[collocations]] is the window = 1 special case scored by NPMI;
     * this is the raw count matrix wider contexts feed on.
     *
-    * Scale shape: one tokenize feeds `window` zipped-slice explodes
-    * (scan-side Generate, no self-join on positions), collapsing into a
-    * single (w1, w2) hash-aggregate with map-side combine, then a
-    * TakeOrdered top-k — cost O(corpus tokens · window), never pairs².
+    * Scale shape: ONE tokenize and ONE Generate — all `window` offsets'
+    * zipped slices concatenate inside a single projection before the
+    * explode (a per-offset union would rescan and re-tokenize the
+    * corpus once per offset: Spark does no common-subplan elimination
+    * across union branches), collapsing into a single (w1, w2)
+    * hash-aggregate with map-side combine, then a TakeOrdered top-k —
+    * cost O(corpus tokens · window), never pairs².
     */
   def cooccurrence(docs: DataFrame, textCol: String, window: Int,
                    minCount: Long = 2, topK: Int = 100): DataFrame = {
@@ -1239,14 +1242,14 @@ object TextAnalysis {
     val t = docs.select(nonEmptyTokens(col(textCol)).as("__ts"))
       .filter(size(col("__ts")) >= 2)
     val n = size(col("__ts"))
-    val pairs = (1 to window).map { o =>
-      t.filter(n > o)
-        .select(explode(arrays_zip(
-          slice(col("__ts"), lit(1), n - o).as("__a"),
-          slice(col("__ts"), lit(1 + o), n - o).as("__b"))).as("__p"))
-        .select(least(col("__p.__a"), col("__p.__b")).as("w1"),
-          greatest(col("__p.__a"), col("__p.__b")).as("w2"))
-    }.reduce(_ unionByName _)
+    val allOffsets = flatten(array((1 to window).map { o =>
+      arrays_zip(
+        slice(col("__ts"), lit(1), greatest(n - o, lit(0))).as("__a"),
+        slice(col("__ts"), lit(1 + o), greatest(n - o, lit(0))).as("__b"))
+    }: _*))
+    val pairs = t.select(explode(allOffsets).as("__p"))
+      .select(least(col("__p.__a"), col("__p.__b")).as("w1"),
+        greatest(col("__p.__a"), col("__p.__b")).as("w2"))
     pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
       .orderBy(col("n").desc, col("w1"), col("w2"))
@@ -1261,20 +1264,24 @@ object TextAnalysis {
     * tokens report rate 0.
     *
     * Scale shape: the vocabulary is a bounded artifact (a tokenizer
-    * ships tens of thousands of entries) carried as a literal array in
-    * the codegen'd `array_contains` filter — no join, no explode; the
-    * scan collapses to one per-group hash-aggregate with map-side
-    * combine.
+    * ships tens of thousands of entries) carried as a HASH SET in the
+    * counting closure — O(1) per token however large the vocabulary (a
+    * literal-array `array_contains` would scan all |vocab| entries per
+    * token); no join, no explode; the scan collapses to one per-group
+    * hash-aggregate with map-side combine.
     */
   def vocabCoverage(docs: DataFrame, textCol: String, groupCol: String,
                     vocab: Seq[String]): DataFrame = {
     require(vocab.nonEmpty, "vocabCoverage needs a non-empty vocabulary")
-    val vset = typedLit(vocab.distinct.toArray)
+    val vset = vocab.toSet
+    val oovU = udf { (ts: Seq[String]) =>
+      if (ts == null) Option.empty[Long]
+      else Some(ts.count(t => !vset.contains(t)).toLong)
+    }
     val toks = nonEmptyTokens(col(textCol))
-    val oov = filter(toks, t => !array_contains(vset, t))
     docs.select(col(groupCol),
         coalesce(size(toks), lit(0)).cast("long").as("__nt"),
-        coalesce(size(oov), lit(0)).cast("long").as("__no"))
+        coalesce(oovU(toks), lit(0L)).as("__no"))
       .groupBy(groupCol)
       .agg(sum("__nt").as("n_tokens"), sum("__no").as("n_oov"),
         when(sum("__nt") === 0, lit(0.0))

@@ -310,6 +310,12 @@ class CorpusAssemblySpec extends SparkSpec {
     val wasteArrival = Sampling.batchPadStats(arrival)
       .agg(sum("pad_waste")).head().getLong(0)
     assert(wasteSorted < wasteArrival, s"$wasteSorted vs $wasteArrival")
+    // a reserved name as the ORDER column would clobber the tie-break
+    // key — refused up front, like any other reserved-column collision
+    val e = intercept[IllegalArgumentException](Sampling.lengthSortedBatches(
+      docs.withColumnRenamed("doc_id", "n_tokens"), "n_tokens",
+      lit(1), batchSize = 3))
+    assert(e.getMessage.contains("n_tokens"))
   }
 
   test("vocabCoverage: exact OOV accounting, zero-token group, dup tokens") {
