@@ -516,6 +516,13 @@ object ScalingProbe {
         println(f"SCALE $label 1x=${t1}%.2f s ${mult}x=${tN}%.2f s ratio=${tN / t1}%.1f")
       }
     }
+    // windowed co-occurrence: one tokenize + one Generate over all
+    // offsets' zipped slices into a single pair hash-agg — scan-bound
+    time("cooccurrence") { d =>
+      graft.ops.TextAnalysis.cooccurrence(
+        spark.read.parquet(s"$d/documents.parquet"), "text",
+        window = 3, minCount = 2, topK = 50).count()
+    }
     // radius-2 deletion neighborhood: ~1 + L + L(L-1)/2 variant keys per
     // name (vs 1 + L at d=1, ~9× amplification at these name lengths) —
     // the probe records how that key blowup lands at 8× corpus scale
