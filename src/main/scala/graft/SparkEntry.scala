@@ -598,6 +598,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // personalized PageRank: teleport concentrated on the doc_id % 50
+    // seed set — the topic-focused curation prior; oracle reruns the
+    // identical 10-iteration recursion with the seeded teleport vector
+    "q_ppr" -> ((s, dir) => {
+      val nodes = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("node"))
+      val nMod = nodes.count()
+      val edges = Seq((7L, 3L), (13L, 5L), (29L, 11L)).map { case (k, c) =>
+        nodes.select(col("node").as("src"),
+          ((col("node") * k + c) % nMod).as("dst"))
+      }.reduce(_ unionByName _)
+      val seeds = nodes.filter(col("node") % 50 === 0)
+        .select(col("node").as("id"))
+      Graph.personalizedPageRank(edges, "src", "dst", seeds, "id", iters = 10)
+        .select(col("node").as("doc_id"), round(col("rank"), 6).as("ppr"))
+        .orderBy("doc_id")
+    }),
+
     // EXACT truncated harmonic centrality (radius 4) on the same
     // 3-map graph — the Common Crawl host-ranking metric; the oracle
     // reruns the identical capped multi-source BFS as a recursive CTE
@@ -4346,6 +4364,38 @@ object SparkEntry {
           |  WHERE p.it < 10 GROUP BY 1, 2
           |)
           |SELECT node AS doc_id, round(r, 6) AS pr
+          |FROM pr WHERE it = 10 ORDER BY doc_id""".stripMargin,
+
+      // same 3-map multigraph; teleport vector = 1/k on the % 50 seeds,
+      // 0 elsewhere; identical 10-iteration recursion (in-degree 3 per
+      // node, no dangling on the permutation maps)
+      "q_ppr" ->
+        """WITH RECURSIVE nodes AS (SELECT doc_id AS node FROM documents),
+          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+          |edges AS (
+          |  SELECT node AS src, (node*7+3) % (SELECT n FROM nn) AS dst FROM nodes
+          |  UNION ALL
+          |  SELECT node, (node*13+5) % (SELECT n FROM nn) FROM nodes
+          |  UNION ALL
+          |  SELECT node, (node*29+11) % (SELECT n FROM nn) FROM nodes
+          |),
+          |sd AS (
+          |  SELECT node,
+          |    1.0 / (SELECT count(*) FROM nodes WHERE node % 50 = 0) AS svv
+          |  FROM nodes WHERE node % 50 = 0
+          |),
+          |sv AS (SELECT n.node, coalesce(sd.svv, 0.0) AS s
+          |       FROM nodes n LEFT JOIN sd USING (node)),
+          |pr AS (
+          |  SELECT 0 AS it, node, s AS r FROM sv
+          |  UNION ALL
+          |  SELECT p.it + 1, e.dst, 0.15 * sv2.s + 0.85 * sum(p.r / 3.0)
+          |  FROM pr p
+          |  JOIN edges e ON e.src = p.node
+          |  JOIN sv sv2 ON sv2.node = e.dst
+          |  WHERE p.it < 10 GROUP BY 1, 2, sv2.s
+          |)
+          |SELECT node AS doc_id, round(r, 6) AS ppr
           |FROM pr WHERE it = 10 ORDER BY doc_id""".stripMargin,
 
       // same 3-map graph; capped multi-source BFS (UNION dedups walk

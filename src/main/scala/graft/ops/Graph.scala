@@ -111,6 +111,73 @@ object Graph {
     (ranks, it)
   }
 
+  /** Personalized PageRank (Page et al. 1999 §6 / Haveliwala 2002):
+    * the teleport distribution concentrates on a SEED node set instead
+    * of uniform —
+    * {{{ r'(v) = (1-d)·s(v) + d · ( Σ_{(u,v)∈E} r(u)/deg(u) + dangling·s(v) ) }}}
+    * with s uniform over the seeds (and the dangling mass returning to
+    * them). The crawl-curation use: seed the set with trusted domains
+    * and the stationary ranks score every page by linked-proximity to
+    * them — the topic-focused selection prior. Seeds outside the graph
+    * are ignored; with seeds = ALL nodes this is exactly [[pageRank]].
+    *
+    * Scale shape: identical to [[pageRank]] — the seed distribution is
+    * one extra (node, s) column riding the update join, cached once;
+    * per-iteration work and driver state are unchanged.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, seedIdCol: String, iters: Int,
+                           damping: Double = 0.85): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0: $iters")
+    require(damping > 0 && damping < 1, s"damping in (0,1): $damping")
+    val e = edges.select(col(srcCol).cast("long").as("node"),
+        col(dstCol).cast("long").as("dst"))
+      .repartition(col("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    require(!nodes.isEmpty, "personalizedPageRank: empty graph")
+    val seedSet = seeds.select(col(seedIdCol).cast("long").as("node"))
+      .distinct().join(nodes, Seq("node"), "left_semi")
+    val k = seedSet.count()
+    require(k > 0, "personalizedPageRank: no seed overlaps the graph")
+    val deg = e.groupBy("node").agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val danglingNodes = nodes.join(deg, Seq("node"), "left_anti")
+      .localCheckpoint()
+    val hasDangling = !danglingNodes.isEmpty
+    // the teleport column rides every update join — cache it once
+    val sFrame = nodes
+      .join(seedSet.withColumn("__s", lit(1.0 / k)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__s"), lit(0.0)).as("__s"))
+      .localCheckpoint()
+    var ranks = sFrame.select(col("node"), col("__s").as("rank"))
+      .localCheckpoint()
+    var it = 0
+    while (it < iters) {
+      val dangling =
+        if (!hasDangling) 0d
+        else ranks.join(danglingNodes, Seq("node"), "left_semi")
+          .agg(coalesce(sum("rank"), lit(0d))).head().getDouble(0)
+      val outflow = ranks.join(deg, Seq("node"))
+        .select(col("node"), (col("rank") / col("deg")).as("share"))
+      val contrib = outflow.join(e, Seq("node"))
+        .groupBy("dst").agg(sum("share").as("c"))
+        .select(col("dst").as("node"), col("c"))
+      val next = sFrame.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) * col("__s") + lit(damping) *
+            (coalesce(col("c"), lit(0d)) + lit(dangling) * col("__s")))
+            .as("rank"))
+      // same plan-truncation contract as pageRankCore
+      ranks = next.localCheckpoint()
+      it += 1
+    }
+    e.unpersist(false); deg.unpersist(false); nodes.unpersist(false)
+    ranks
+  }
+
   /** Shared multi-source capped BFS: the discovered (u, v, d) pair frame
     * (shortest distances, d in 1..maxDepth) plus the node set and the
     * normalized persisted edge frame (caller unpersists). The frontier

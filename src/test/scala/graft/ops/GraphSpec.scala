@@ -51,6 +51,33 @@ class GraphSpec extends SparkSpec {
     assert((1L to 9L).forall(i => r(i) < r(0L)))
   }
 
+  test("personalized PageRank: seed concentration, mass 1, all-seeds = uniform") {
+    val edges = (0L until 30L).flatMap(i =>
+      Seq((i, (i + 1) % 30), (i, (i * 7 + 3) % 30))).toDF("s", "d")
+    val seeds = Seq(0L, 1L).toDF("id")
+    val ppr = Graph.personalizedPageRank(edges, "s", "d", seeds, "id",
+        iters = 12)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // mass conserved at 1
+    assert(math.abs(ppr.values.sum - 1.0) < 1e-9)
+    // rank concentrates near the seeds: the seeds outrank the median node
+    val median = ppr.values.toSeq.sorted.apply(ppr.size / 2)
+    assert(ppr(0L) > median && ppr(1L) > median)
+    // with seeds = EVERY node the teleport is uniform — exactly pageRank
+    val all = edges.select(col("s").as("id"))
+      .union(edges.select(col("d").as("id"))).distinct()
+    val uniform = Graph.personalizedPageRank(edges, "s", "d", all, "id",
+        iters = 8)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val std = Graph.pageRank(edges, "s", "d", iters = 8)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    uniform.foreach { case (n, r) => assert(math.abs(r - std(n)) < 1e-12) }
+    // seeds outside the graph are ignored; none at all is refused
+    val e = intercept[IllegalArgumentException](Graph.personalizedPageRank(
+      edges, "s", "d", Seq(999L).toDF("id"), "id", iters = 2))
+    assert(e.getMessage.contains("seed"))
+  }
+
   test("exact harmonic centrality: hand-computed path graph, depth cap, zeros") {
     // 0 -> 1 -> 2 -> 3: d(u,v) pairs (0,1)=1 (1,2)=1 (2,3)=1 (0,2)=2
     // (1,3)=2 (0,3)=3; h(v) sums 1/d INTO v, so h(0)=0, h(1)=1,
