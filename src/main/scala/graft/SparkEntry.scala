@@ -1626,6 +1626,12 @@ object SparkEntry {
       TextAnalysis.collocations(T(s, dir, "documents"), "text",
         minCount = 2, topK = 50)),
 
+    // vocabulary coverage curve: corpus token mass covered by the top-k
+    // types at four vocab-size checkpoints (the tokenizer-sizing audit)
+    "q_coverage_curve" -> ((s, dir) =>
+      TextAnalysis.coverageCurve(T(s, dir, "documents"), "text",
+        ks = Seq(10, 100, 1000, 10000))),
+
     // windowed co-occurrence counts (word2vec/GloVe context counting):
     // unordered pairs within ±3 positions, scan-side zipped slices
     "q_cooccurrence" -> ((s, dir) =>
@@ -3849,6 +3855,26 @@ object SparkEntry {
           |CROSS JOIN nu
           |WHERE n12 >= 2
           |ORDER BY npmi DESC, w1, w2 LIMIT 50""".stripMargin,
+
+      "q_coverage_curve" ->
+        """WITH freq AS (
+          |  SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+          |    SELECT unnest([x FOR x IN string_split_regex(trim(lower(text)), '\s+')
+          |                   IF len(x) > 0]) AS token
+          |    FROM documents)
+          |  GROUP BY token
+          |), tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM freq),
+          |ranked AS (
+          |  SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rk FROM freq
+          |)
+          |SELECT k,
+          |  CAST(coalesce((SELECT sum(n) FROM ranked WHERE rk <= k), 0) AS BIGINT)
+          |    AS covered,
+          |  (SELECT t FROM tot) AS total,
+          |  round(coalesce((SELECT sum(n) FROM ranked WHERE rk <= k), 0)
+          |        / (SELECT t FROM tot)::DOUBLE, 6) AS coverage
+          |FROM (SELECT unnest([10, 100, 1000, 10000]) AS k)
+          |ORDER BY k""".stripMargin,
 
       "q_cooccurrence" ->
         """WITH tok AS (

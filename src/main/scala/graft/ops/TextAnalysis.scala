@@ -1217,6 +1217,41 @@ object TextAnalysis {
     docs.withColumn(outCol, merge(nonEmptyTokens(col(textCol))))
   }
 
+  /** Vocabulary coverage curve — the tokenizer-sizing diagnostic: for
+    * each checkpoint k, the corpus token mass covered by the k most
+    * frequent types (ties by token, so the curve is deterministic).
+    * "What vocab size buys 95% coverage" read straight off the rows;
+    * the Heaps-law tail is the complement.
+    *
+    * Scale shape: ONE (token → count) hash-aggregate with map-side
+    * combine, persisted and reused; each checkpoint is then a
+    * TakeOrdered(k) over the aggregated VOCABULARY (never corpus rows)
+    * plus a scalar sum — deliberately NOT a cumulative window over the
+    * ranked vocab, which would serialize the whole type table into one
+    * task. Driver state: |ks| scalars.
+    */
+  def coverageCurve(docs: DataFrame, textCol: String,
+                    ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1),
+      s"coverageCurve needs positive checkpoints (got $ks)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val freq = docs.select(explode(nonEmptyTokens(col(textCol))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = freq.agg(coalesce(sum("__n"), lit(0L))).head().getLong(0)
+    require(total > 0, "coverageCurve: corpus has no tokens")
+    val rows = ks.distinct.sorted.map { k =>
+      val covered = freq.orderBy(col("__n").desc, col("__w")).limit(k)
+        .agg(coalesce(sum("__n"), lit(0L))).head().getLong(0)
+      val cov = BigDecimal(covered.toDouble / total)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (k, covered, total, cov)
+    }
+    freq.unpersist(false)
+    rows.toDF("k", "covered", "total", "coverage")
+  }
+
   /** Windowed co-occurrence counts — the word2vec/GloVe context-count
     * preprocessing step: every unordered token pair within `window`
     * positions of each other, counted corpus-wide (a pair seen at both

@@ -96,6 +96,22 @@ class CorpusStatsSpec extends SparkSpec {
       "the new york city council met in new york city")
   }
 
+  test("coverageCurve: hand-computed checkpoints, monotone, ties by token") {
+    // counts: a=4, b=2, c=1, d=1 (total 8); top-1 = a (4/8), top-2 adds
+    // b (6/8), top-3 breaks the c/d tie by token -> c (7/8), top-9 = all
+    val docs = Seq("a a b c", "a b d a").toDF("text")
+    val got = TextAnalysis.coverageCurve(docs, "text", Seq(1, 2, 3, 9))
+      .as[(Int, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1, 4L, 8L, 0.5), (2, 6L, 8L, 0.75),
+      (3, 7L, 8L, 0.875), (9, 8L, 8L, 1.0)))
+    // duplicate/unsorted checkpoints normalize; empty corpus refused
+    assert(TextAnalysis.coverageCurve(docs, "text", Seq(2, 1, 2))
+      .count() === 2)
+    val e = intercept[IllegalArgumentException](
+      TextAnalysis.coverageCurve(Seq("", " ").toDF("text"), "text", Seq(1)))
+    assert(e.getMessage.contains("no tokens"))
+  }
+
   test("cooccurrence: windowed pairs hand-computed, direction collapsed") {
     // "a b c a": window 2 → offset-1 pairs (a,b)(b,c)(a,c) + offset-2
     // pairs (a,c)(a,b) — unordered, so (a,b)x2 (a,c)x2 (b,c)x1
