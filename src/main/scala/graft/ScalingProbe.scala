@@ -523,6 +523,28 @@ object ScalingProbe {
         spark.read.parquet(s"$d/documents.parquet"), "text",
         window = 3, minCount = 2, topK = 50).count()
     }
+    // coverage curve: one token hash-agg + four bounded TakeOrdered
+    // jobs over the vocabulary — agg-scan-bound
+    time("coverage_curve") { d =>
+      graft.ops.TextAnalysis.coverageCurve(
+        spark.read.parquet(s"$d/documents.parquet"), "text",
+        ks = Seq(10, 100, 1000, 10000)).count()
+    }
+    // personalized PageRank: same per-iteration join+agg as pagerank
+    // with the seed-teleport column riding the update join
+    time("ppr") { d =>
+      val nodes = spark.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").cast("long").as("node"))
+      val nMod = nodes.count()
+      val edges = Seq((7L, 3L), (13L, 5L), (29L, 11L)).map { case (k, c) =>
+        nodes.select(col("node").as("src"),
+          ((col("node") * k + c) % nMod).as("dst"))
+      }.reduce(_ unionByName _)
+      graft.ops.Graph.personalizedPageRank(edges, "src", "dst",
+        nodes.filter(col("node") % 50 === 0).select(col("node").as("id")),
+        "id", iters = 10)
+        .agg(sum("rank")).collect(); 1L
+    }
     // radius-2 deletion neighborhood: ~1 + L + L(L-1)/2 variant keys per
     // name (vs 1 + L at d=1, ~9× amplification at these name lengths) —
     // the probe records how that key blowup lands at 8× corpus scale
