@@ -46,7 +46,20 @@ object Graph {
     * fewer than `iters`. */
   def pageRankCore(edges: DataFrame, srcCol: String, dstCol: String,
                    iters: Int, damping: Double = 0.85,
-                   tol: Double = 0.0): (DataFrame, Int) = {
+                   tol: Double = 0.0): (DataFrame, Int) =
+    pageRankLoop(edges, srcCol, dstCol, iters, damping, tol, None)
+
+  /** The ONE power-iteration loop both entry points share: `seeds = None`
+    * teleports uniformly (standard PageRank — the 1/n teleport is a
+    * constant, no extra join); `Some((frame, idCol))` teleports 1/k over
+    * the seed set, with the dangling mass returning by the same
+    * distribution. Keeping a single loop means the plan-truncation
+    * contract, the dangling handling, and the tol early-stop cannot
+    * diverge between the two operators.
+    */
+  private def pageRankLoop(edges: DataFrame, srcCol: String, dstCol: String,
+                           iters: Int, damping: Double, tol: Double,
+                           seeds: Option[(DataFrame, String)]): (DataFrame, Int) = {
     require(iters >= 0, s"iters must be >= 0: $iters")
     require(damping > 0 && damping < 1, s"damping in (0,1): $damping")
     require(tol >= 0, s"tol must be >= 0: $tol")
@@ -57,58 +70,82 @@ object Graph {
     val nodes = e.select(col("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = nodes.count()
-    require(n > 0, "pageRank: empty graph")
-    val deg = e.groupBy("node").agg(count(lit(1)).as("deg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // the dangling-node SET is iteration-invariant — resolve it once, so
-    // graphs without sinks (most link graphs after degree filtering) skip
-    // the per-iteration scalar job entirely
-    val danglingNodes = nodes.join(deg, Seq("node"), "left_anti")
-      .localCheckpoint()
-    val hasDangling = !danglingNodes.isEmpty
-    var ranks = nodes.withColumn("rank", lit(1.0 / n))
-    var it = 0
-    var converged = false
-    while (it < iters && !converged) {
-      // dangling mass: one scalar action per iteration (O(1) driver state)
-      val dangling =
-        if (!hasDangling) 0d
-        else ranks.join(danglingNodes, Seq("node"), "left_semi")
-          .agg(coalesce(sum("rank"), lit(0d))).head().getDouble(0)
-      val outflow = ranks.join(deg, Seq("node"))
-        .select(col("node"), (col("rank") / col("deg")).as("share"))
-      val contrib = outflow.join(e, Seq("node"))
-        .groupBy("dst").agg(sum("share").as("c"))
-        .select(col("dst").as("node"), col("c"))
-      // prev rides the update join (ranks ⊇ nodes by construction), so
-      // the convergence delta needs no second join against old ranks
-      val next = ranks.select(col("node"), col("rank").as("__prev"))
-        .join(contrib, Seq("node"), "left")
-        .select(col("node"), col("__prev"),
-          (lit((1.0 - damping) / n) + lit(damping) *
-            (coalesce(col("c"), lit(0d)) + lit(dangling / n))).as("rank"))
-      // localCheckpoint TRUNCATES the plan, it does not merely cache:
-      // each iteration references the previous ranks twice (dangling +
-      // outflow), so without truncation the logical tree doubles per
-      // iteration — 2^iters nodes, OOM by ~20 on plan strings alone.
-      // On a cluster with executor churn swap for reliable checkpoint()
-      // (spark.sparkContext.setCheckpointDir) at the same call site.
-      val cp = next.localCheckpoint()
-      it += 1
-      if (tol > 0 && it < iters) {
-        // one scalar scan of the just-materialized checkpoint blocks
-        val delta = cp.agg(coalesce(sum(abs(col("rank") - col("__prev"))), lit(0.0)))
-          .head().getDouble(0)
-        converged = delta < tol
+    var deg: DataFrame = null
+    // the finally keeps every persisted working frame from leaking into
+    // the session when a validation require throws (empty graph,
+    // graph-disjoint seeds) — on success it is the normal cleanup: the
+    // final ranks are a checkpointed scan, only caches drop
+    try {
+      val n = nodes.count()
+      require(n > 0, "pageRank: empty graph")
+      // teleport column: None = the uniform constant; Some = the cached
+      // (node, __s) seed distribution riding the update join
+      val sFrame = seeds.map { case (sdf, idCol) =>
+        val ss = sdf.select(col(idCol).cast("long").as("node")).distinct()
+          .join(nodes, Seq("node"), "left_semi")
+        val k = ss.count()
+        require(k > 0, "personalizedPageRank: no seed overlaps the graph")
+        nodes.join(ss.withColumn("__s", lit(1.0 / k)), Seq("node"), "left")
+          .select(col("node"), coalesce(col("__s"), lit(0.0)).as("__s"))
+          .localCheckpoint()
       }
-      ranks = cp.drop("__prev")
+      def withS(df: DataFrame): DataFrame = sFrame match {
+        case None     => df.withColumn("__s", lit(1.0 / n))
+        case Some(sf) => df.join(sf, "node")
+      }
+      deg = e.groupBy("node").agg(count(lit(1)).as("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // the dangling-node SET is iteration-invariant — resolve it once, so
+      // graphs without sinks (most link graphs after degree filtering) skip
+      // the per-iteration scalar job entirely
+      val danglingNodes = nodes.join(deg, Seq("node"), "left_anti")
+        .localCheckpoint()
+      val hasDangling = !danglingNodes.isEmpty
+      var ranks = withS(nodes).select(col("node"), col("__s").as("rank"))
+        .localCheckpoint()
+      var it = 0
+      var converged = false
+      while (it < iters && !converged) {
+        // dangling mass: one scalar action per iteration (O(1) driver state)
+        val dangling =
+          if (!hasDangling) 0d
+          else ranks.join(danglingNodes, Seq("node"), "left_semi")
+            .agg(coalesce(sum("rank"), lit(0d))).head().getDouble(0)
+        val outflow = ranks.join(deg, Seq("node"))
+          .select(col("node"), (col("rank") / col("deg")).as("share"))
+        val contrib = outflow.join(e, Seq("node"))
+          .groupBy("dst").agg(sum("share").as("c"))
+          .select(col("dst").as("node"), col("c"))
+        // prev rides the update join (ranks ⊇ nodes by construction), so
+        // the convergence delta needs no second join against old ranks
+        val next = withS(ranks.select(col("node"), col("rank").as("__prev")))
+          .join(contrib, Seq("node"), "left")
+          .select(col("node"), col("__prev"),
+            (lit(1.0 - damping) * col("__s") + lit(damping) *
+              (coalesce(col("c"), lit(0d)) + lit(dangling) * col("__s")))
+              .as("rank"))
+        // localCheckpoint TRUNCATES the plan, it does not merely cache:
+        // each iteration references the previous ranks twice (dangling +
+        // outflow), so without truncation the logical tree doubles per
+        // iteration — 2^iters nodes, OOM by ~20 on plan strings alone.
+        // On a cluster with executor churn swap for reliable checkpoint()
+        // (spark.sparkContext.setCheckpointDir) at the same call site.
+        val cp = next.localCheckpoint()
+        it += 1
+        if (tol > 0 && it < iters) {
+          // one scalar scan of the just-materialized checkpoint blocks
+          val delta = cp.agg(coalesce(sum(abs(col("rank") - col("__prev"))), lit(0.0)))
+            .head().getDouble(0)
+          converged = delta < tol
+        }
+        ranks = cp.drop("__prev")
+      }
+      (ranks, it)
+    } finally {
+      e.unpersist(false)
+      if (deg != null) deg.unpersist(false)
+      nodes.unpersist(false)
     }
-    // the final ranks are a checkpointed scan — the working frames'
-    // cached blocks can go (plans remain valid; only the cache drops)
-    e.unpersist(false); deg.unpersist(false)
-    if (iters > 0) nodes.unpersist(false)
-    (ranks, it)
   }
 
   /** Personalized PageRank (Page et al. 1999 §6 / Haveliwala 2002):
@@ -121,62 +158,17 @@ object Graph {
     * them — the topic-focused selection prior. Seeds outside the graph
     * are ignored; with seeds = ALL nodes this is exactly [[pageRank]].
     *
-    * Scale shape: identical to [[pageRank]] — the seed distribution is
-    * one extra (node, s) column riding the update join, cached once;
-    * per-iteration work and driver state are unchanged.
+    * Scale shape: identical to [[pageRank]] — both delegate to the ONE
+    * shared power-iteration loop; the seed distribution is one extra
+    * (node, s) column riding the update join, cached once. `tol` gives
+    * the same L1-delta convergence early-stop as [[pageRank]].
     */
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
                            seeds: DataFrame, seedIdCol: String, iters: Int,
-                           damping: Double = 0.85): DataFrame = {
-    require(iters >= 0, s"iters must be >= 0: $iters")
-    require(damping > 0 && damping < 1, s"damping in (0,1): $damping")
-    val e = edges.select(col(srcCol).cast("long").as("node"),
-        col(dstCol).cast("long").as("dst"))
-      .repartition(col("node"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    require(!nodes.isEmpty, "personalizedPageRank: empty graph")
-    val seedSet = seeds.select(col(seedIdCol).cast("long").as("node"))
-      .distinct().join(nodes, Seq("node"), "left_semi")
-    val k = seedSet.count()
-    require(k > 0, "personalizedPageRank: no seed overlaps the graph")
-    val deg = e.groupBy("node").agg(count(lit(1)).as("deg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val danglingNodes = nodes.join(deg, Seq("node"), "left_anti")
-      .localCheckpoint()
-    val hasDangling = !danglingNodes.isEmpty
-    // the teleport column rides every update join — cache it once
-    val sFrame = nodes
-      .join(seedSet.withColumn("__s", lit(1.0 / k)), Seq("node"), "left")
-      .select(col("node"), coalesce(col("__s"), lit(0.0)).as("__s"))
-      .localCheckpoint()
-    var ranks = sFrame.select(col("node"), col("__s").as("rank"))
-      .localCheckpoint()
-    var it = 0
-    while (it < iters) {
-      val dangling =
-        if (!hasDangling) 0d
-        else ranks.join(danglingNodes, Seq("node"), "left_semi")
-          .agg(coalesce(sum("rank"), lit(0d))).head().getDouble(0)
-      val outflow = ranks.join(deg, Seq("node"))
-        .select(col("node"), (col("rank") / col("deg")).as("share"))
-      val contrib = outflow.join(e, Seq("node"))
-        .groupBy("dst").agg(sum("share").as("c"))
-        .select(col("dst").as("node"), col("c"))
-      val next = sFrame.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(1.0 - damping) * col("__s") + lit(damping) *
-            (coalesce(col("c"), lit(0d)) + lit(dangling) * col("__s")))
-            .as("rank"))
-      // same plan-truncation contract as pageRankCore
-      ranks = next.localCheckpoint()
-      it += 1
-    }
-    e.unpersist(false); deg.unpersist(false); nodes.unpersist(false)
-    ranks
-  }
+                           damping: Double = 0.85,
+                           tol: Double = 0.0): DataFrame =
+    pageRankLoop(edges, srcCol, dstCol, iters, damping, tol,
+      Some((seeds, seedIdCol)))._1
 
   /** Shared multi-source capped BFS: the discovered (u, v, d) pair frame
     * (shortest distances, d in 1..maxDepth) plus the node set and the

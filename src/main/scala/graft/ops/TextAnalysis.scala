@@ -1224,11 +1224,12 @@ object TextAnalysis {
     * the Heaps-law tail is the complement.
     *
     * Scale shape: ONE (token → count) hash-aggregate with map-side
-    * combine, persisted and reused; each checkpoint is then a
-    * TakeOrdered(k) over the aggregated VOCABULARY (never corpus rows)
-    * plus a scalar sum — deliberately NOT a cumulative window over the
+    * combine, then ONE TakeOrdered(max ks) over the aggregated
+    * VOCABULARY (never corpus rows) — every checkpoint reads off the
+    * driver-side prefix sums of those ≤ max(ks) counts (~80 KB at the
+    * usual 10k ceiling). Deliberately NOT a cumulative window over the
     * ranked vocab, which would serialize the whole type table into one
-    * task. Driver state: |ks| scalars.
+    * task; the caller bounds driver state by the largest checkpoint.
     */
   def coverageCurve(docs: DataFrame, textCol: String,
                     ks: Seq[Int]): DataFrame = {
@@ -1236,20 +1237,25 @@ object TextAnalysis {
       s"coverageCurve needs positive checkpoints (got $ks)")
     val spark = docs.sparkSession
     import spark.implicits._
+    val ksNorm = ks.distinct.sorted
     val freq = docs.select(explode(nonEmptyTokens(col(textCol))).as("__w"))
       .groupBy("__w").agg(count(lit(1)).as("__n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val total = freq.agg(coalesce(sum("__n"), lit(0L))).head().getLong(0)
-    require(total > 0, "coverageCurve: corpus has no tokens")
-    val rows = ks.distinct.sorted.map { k =>
-      val covered = freq.orderBy(col("__n").desc, col("__w")).limit(k)
-        .agg(coalesce(sum("__n"), lit(0L))).head().getLong(0)
-      val cov = BigDecimal(covered.toDouble / total)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      (k, covered, total, cov)
-    }
-    freq.unpersist(false)
-    rows.toDF("k", "covered", "total", "coverage")
+    // finally: the empty-corpus refusal below must not leak the cache
+    try {
+      val total = freq.agg(coalesce(sum("__n"), lit(0L))).head().getLong(0)
+      require(total > 0, "coverageCurve: corpus has no tokens")
+      val counts = freq.orderBy(col("__n").desc, col("__w"))
+        .limit(ksNorm.last).select(col("__n")).as[Long].collect()
+      val prefix = counts.scanLeft(0L)(_ + _)
+      val rows = ksNorm.map { k =>
+        val covered = prefix(math.min(k, counts.length))
+        val cov = BigDecimal(covered.toDouble / total)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (k, covered, total, cov)
+      }
+      rows.toDF("k", "covered", "total", "coverage")
+    } finally freq.unpersist(false)
   }
 
   /** Windowed co-occurrence counts — the word2vec/GloVe context-count
