@@ -76,6 +76,16 @@ class GraphSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](Graph.personalizedPageRank(
       edges, "s", "d", Seq(999L).toDF("id"), "id", iters = 2))
     assert(e.getMessage.contains("seed"))
+    // the shared loop gives PPR the same tol early-stop: converged
+    // ranks match the exhaustive run within the tolerance
+    val early = Graph.personalizedPageRank(edges, "s", "d", seeds, "id",
+        iters = 60, tol = 1e-10)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val full = Graph.personalizedPageRank(edges, "s", "d", seeds, "id",
+      iters = 60)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val delta = full.map { case (n, r) => math.abs(early(n) - r) }.sum
+    assert(delta < 1e-9, s"early-stop PPR diverges by $delta")
   }
 
   test("exact harmonic centrality: hand-computed path graph, depth cap, zeros") {
