@@ -110,12 +110,19 @@ object Bench {
     // disable) so a genuinely busy box still produces a (flagged) record
     // rather than hanging the round.
     val idleWaitMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_IDLE_WAIT", "300").toLong
+    // the "idle" threshold scales with the box: 1 core of residual load on
+    // a 32-way machine is noise-level for a 32-thread run, so gate at
+    // max(1.0, 3% of the requested cores)
+    val idleThreshold = math.max(1.0, cpus.toInt * 0.03)
     val idleT0 = System.nanoTime()
-    while (loadAvg() > 1.0 &&
+    var gateLoad = loadAvg()
+    while (gateLoad > idleThreshold &&
            (System.nanoTime() - idleT0) / 1e9 < idleWaitMax) {
+      // one read per iteration: the logged value IS the gated value
       System.err.println(
-        f"[bench] idle gate: loadavg ${loadAvg()}%.2f > 1.0, waiting...")
+        f"[bench] idle gate: loadavg $gateLoad%.2f > $idleThreshold%.2f, waiting...")
       Thread.sleep(15000)
+      gateLoad = loadAvg()
     }
     // read BEFORE Spark spins up its own threads: any load already on the
     // box is a co-tenant, and the run should be flagged

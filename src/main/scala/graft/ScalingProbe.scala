@@ -417,7 +417,7 @@ object ScalingProbe {
         nodes.select(col("node").as("src"),
           ((col("node") * k + c) % nMod).as("dst"))
       }.reduce(_ unionByName _)
-      val (ranks, it) = graft.ops.Graph.pageRankCore(
+      val (ranks, it, _) = graft.ops.Graph.pageRankCore(
         edges, "src", "dst", iters = 50, tol = 1e-7)
       ranks.agg(sum("rank")).collect()
       println(s"DBG pagerank_tol iters_run=$it of 50")

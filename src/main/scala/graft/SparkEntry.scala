@@ -649,9 +649,16 @@ object SparkEntry {
         maxDepth = 4).withColumnRenamed("harmonic", "he"))
       val hb = pin(Graph.harmonicCentralityHyperBall(edges, "src", "dst",
         maxDepth = 4, logM = 7))
+      // positivity is a FRACTION, not a min: at m = 128 a node with one
+      // in-neighbor has ~1/256 odds that the neighbor's register collides
+      // with its own and the estimate stays 0 while exact > 0 — that is
+      // HLL variance, not an engine bug, so the gate tolerates up to 1%
+      // of such nodes (robust to fixture regeneration; the r13 corpus
+      // happens to have zero)
       val one = exact.join(hb, "node").agg(
         count(lit(1)).as("n_joined"),
-        min(col("harmonic") > 0 || col("he") === 0).as("__pos"),
+        avg(when(col("he") > 0 && col("harmonic") === 0, 1.0)
+          .otherwise(0.0)).as("__zfrac"),
         avg(when(col("he") > 0,
           abs(col("harmonic") - col("he")) / col("he"))).as("__rel"),
         (sum("harmonic") / sum("he")).as("__mass"))
@@ -659,7 +666,7 @@ object SparkEntry {
       checkRows(one,
         "covers_all_nodes" -> (col("n_joined") === col("n_nodes") &&
           col("n_nodes") >= 1),
-        "positive_where_exact_is" -> col("__pos"),
+        "positive_where_exact_is" -> (col("__zfrac") <= 0.01),
         "mean_rel_error_in_band" -> (col("__rel") < 0.15),
         "mass_within_10pct" -> (col("__mass") > 0.9 && col("__mass") < 1.1))
     }),
@@ -1600,7 +1607,8 @@ object SparkEntry {
       TextAnalysis.vocabulary(T(s, dir, "documents"), "text", 100)),
 
     // tokenizer-vocabulary coverage audit: per-source OOV rate under the
-    // corpus top-50 vocabulary — one literal-array filter scan, no join
+    // corpus top-50 vocabulary — rides the closure as a hash-set UDF
+    // (O(1) per token; no join, no explode)
     "q_vocab_coverage" -> ((s, dir) => {
       import s.implicits._
       val docs = T(s, dir, "documents")

@@ -41,12 +41,16 @@ object Graph {
                tol: Double = 0.0): DataFrame =
     pageRankCore(edges, srcCol, dstCol, iters, damping, tol)._1
 
-  /** [[pageRank]] plus the number of iterations actually run — the
-    * observable early-stop: with `tol > 0` a converged graph reports
-    * fewer than `iters`. */
+  /** [[pageRank]] plus the number of iterations actually run and whether
+    * the `tol` convergence test passed — the observable early-stop. The
+    * flag disambiguates the budget boundary: with `tol > 0` the L1 delta
+    * is evaluated on EVERY iteration including the last, so
+    * `(iters, converged = true)` means the final step itself converged
+    * while `(iters, false)` means the budget ran out first. With
+    * `tol == 0` the flag is always false (no delta is computed). */
   def pageRankCore(edges: DataFrame, srcCol: String, dstCol: String,
                    iters: Int, damping: Double = 0.85,
-                   tol: Double = 0.0): (DataFrame, Int) =
+                   tol: Double = 0.0): (DataFrame, Int, Boolean) =
     pageRankLoop(edges, srcCol, dstCol, iters, damping, tol, None)
 
   /** The ONE power-iteration loop both entry points share: `seeds = None`
@@ -59,7 +63,7 @@ object Graph {
     */
   private def pageRankLoop(edges: DataFrame, srcCol: String, dstCol: String,
                            iters: Int, damping: Double, tol: Double,
-                           seeds: Option[(DataFrame, String)]): (DataFrame, Int) = {
+                           seeds: Option[(DataFrame, String)]): (DataFrame, Int, Boolean) = {
     require(iters >= 0, s"iters must be >= 0: $iters")
     require(damping > 0 && damping < 1, s"damping in (0,1): $damping")
     require(tol >= 0, s"tol must be >= 0: $tol")
@@ -132,15 +136,18 @@ object Graph {
         // (spark.sparkContext.setCheckpointDir) at the same call site.
         val cp = next.localCheckpoint()
         it += 1
-        if (tol > 0 && it < iters) {
-          // one scalar scan of the just-materialized checkpoint blocks
+        if (tol > 0) {
+          // one scalar scan of the just-materialized checkpoint blocks;
+          // evaluated on the LAST iteration too, so the returned flag
+          // distinguishes "converged exactly at the budget" from "budget
+          // exhausted" (one extra scalar job on the final step)
           val delta = cp.agg(coalesce(sum(abs(col("rank") - col("__prev"))), lit(0.0)))
             .head().getDouble(0)
           converged = delta < tol
         }
         ranks = cp.drop("__prev")
       }
-      (ranks, it)
+      (ranks, it, converged)
     } finally {
       e.unpersist(false)
       if (deg != null) deg.unpersist(false)
@@ -351,12 +358,12 @@ object Graph {
     out.toSeq.toDF("r", "pairs")
   }
 
-  /** Shared HyperBall plumbing: the dst-partitioned cached edge frame,
+  /** Shared HyperBall plumbing: the src-partitioned cached edge frame,
     * node set, estimate UDF, register-max aggregate, and the initial
     * (node, reg, est) state — one definition for both consumers so the
     * hash seed, the merge semantics, and the monotonicity guard cannot
     * diverge. */
-  private def hyperBallSetup(edges: DataFrame, srcCol: String,
+  private[graft] def hyperBallSetup(edges: DataFrame, srcCol: String,
                              dstCol: String, maxDepth: Int, logM: Int)
       : (DataFrame, DataFrame,
          org.apache.spark.sql.expressions.UserDefinedFunction,
@@ -369,8 +376,11 @@ object Graph {
         col(dstCol).cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .distinct()
-      // counter merges key on v every iteration — partition once, reuse
-      .repartition(col("v"))
+      // the per-iteration join in hyperBallStep keys on u (the src side),
+      // so only a u-partitioning survives into the join — partition once
+      // on u and every iteration reuses the cached exchange (same shape
+      // as pageRankLoop's src-keyed edge cache)
+      .repartition(col("u"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("u").as("node"))
       .union(e.select(col("v").as("node"))).distinct()
@@ -392,7 +402,7 @@ object Graph {
 
   /** One synchronous HyperBall iteration: in-neighbor counters merged
     * into each node's own via the register-max aggregate. */
-  private def hyperBallStep(e: DataFrame, state: DataFrame,
+  private[graft] def hyperBallStep(e: DataFrame, state: DataFrame,
       hllMerge: org.apache.spark.sql.expressions.UserDefinedFunction)
       : DataFrame =
     e.join(state.select(col("node").as("u"), col("reg")), "u")

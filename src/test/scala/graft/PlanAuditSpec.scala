@@ -530,7 +530,7 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
-  test("vocab coverage: literal-array filter scan — no join, no explode") {
+  test("vocab coverage: closure hash-set UDF scan — no join, no explode") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val p = plan(ops.TextAnalysis.vocabCoverage(docs, "text", "source",
       Seq("the", "a", "of")))
@@ -557,5 +557,58 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p)
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("hyperball: cached edge frame joins with NO re-exchange (u-keyed)") {
+    // the r13 defect: the edge cache was partitioned on v while the
+    // per-iteration join keys on u, so every iteration re-shuffled the
+    // full edge list. This audit mirrors iteration >= 2 (state is a
+    // checkpointed scan, so the ONE InMemoryTableScan in the plan is the
+    // edge cache) with broadcast off (at 100 TB the edge side cannot
+    // broadcast) and asserts no shuffle exchange sits anywhere above the
+    // cached scan — the u-partitioning must flow into the join.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val edges = (0L until 300L).flatMap(i =>
+        Seq((i, (i * 7 + 3) % 300), (i, (i + 1) % 300))).toDF("s", "d")
+      val (e, _, _, hllMerge, init) =
+        ops.Graph.hyperBallSetup(edges, "s", "d", maxDepth = 4, logM = 7)
+      try {
+        val state = init.localCheckpoint()
+        val step = ops.Graph.hyperBallStep(e, state, hllMerge)
+        val phys = step.queryExecution.executedPlan match {
+          // the adaptive wrapper's current plan (pre-execution: the
+          // initial plan AFTER EnsureRequirements, so the
+          // ENSURE_REQUIREMENTS exchanges are present and auditable)
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p                        => p
+        }
+        val scans = phys.collect { case s: InMemoryTableScanExec => s }
+        assert(scans.size == 1, s"expected exactly the edge cache scan:\n$phys")
+        // the per-iteration join: the side whose subtree holds the cached
+        // edge scan must reach it with NO shuffle exchange in between
+        // (the v-keyed bug re-Exchanged the full edge list here); the
+        // aggregate's exchange above the join is legitimate and excluded
+        val joins = phys.collect {
+          case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+        }
+        assert(joins.nonEmpty, s"expected the per-iteration join:\n$phys")
+        val edgeSides = joins.flatMap(_.children).filter(
+          _.collectFirst { case s: InMemoryTableScanExec => s }.isDefined)
+        assert(edgeSides.nonEmpty, s"join must read the edge cache:\n$phys")
+        for (side <- edgeSides)
+          assert(side.collectFirst { case ex: ShuffleExchangeLike => ex }.isEmpty,
+            s"edge cache must not re-shuffle per iteration:\n$phys")
+        // sanity: the aggregate's exchange is still there (we audited a
+        // real shuffling plan, not a degenerate one)
+        assert(phys.collectFirst { case ex: ShuffleExchangeLike => ex }.isDefined,
+          s"expected the register-merge aggregate exchange:\n$phys")
+      } finally e.unpersist(true)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }

@@ -185,22 +185,43 @@ class GraphSpec extends SparkSpec {
     // iteration; a generic graph must early-stop strictly before 50
     // iterations at tol=1e-9 and still match the exhaustive run
     val cycle = (0L until 8L).map(i => (i, (i + 1) % 8)).toDF("s", "d")
-    val (_, itCycle) = Graph.pageRankCore(cycle, "s", "d", iters = 50,
+    val (_, itCycle, convCycle) = Graph.pageRankCore(cycle, "s", "d", iters = 50,
       tol = 1e-6)
     assert(itCycle === 1, s"uniform fixed point should stop at 1: $itCycle")
+    assert(convCycle, "cycle run should report converged")
     val edges = (0L until 40L).flatMap(i =>
       Seq((i, (i * 7 + 3) % 40), (i, (i * 13 + 5) % 40), (i, (i + 1) % 40)))
       .toDF("s", "d")
-    val (early, itEarly) = Graph.pageRankCore(edges, "s", "d", iters = 50,
+    val (early, itEarly, convEarly) = Graph.pageRankCore(edges, "s", "d", iters = 50,
       tol = 1e-9)
     assert(itEarly < 50, s"expected early stop, ran $itEarly")
+    assert(convEarly, "early stop should report converged")
     val full = Graph.pageRank(edges, "s", "d", iters = 50)
     val delta = early.withColumnRenamed("rank", "re")
       .join(full, Seq("node"))
       .agg(sum(abs(col("re") - col("rank")))).head().getDouble(0)
     assert(delta < 1e-8, s"early-stop ranks diverge by $delta")
     // tol = 0 (default) keeps the fixed-iteration contract
-    val (_, itFixed) = Graph.pageRankCore(edges, "s", "d", iters = 7)
+    val (_, itFixed, convFixed) = Graph.pageRankCore(edges, "s", "d", iters = 7)
     assert(itFixed === 7)
+    assert(!convFixed, "tol=0 never reports converged")
+  }
+
+  test("converged flag disambiguates the iteration-budget boundary") {
+    // both runs exhaust the budget (it == iters); only the flag tells
+    // "the last step itself converged" from "ran out of budget" — the
+    // delta is evaluated on the final iteration too
+    val cycle = (0L until 8L).map(i => (i, (i + 1) % 8)).toDF("s", "d")
+    val (_, itConv, conv) = Graph.pageRankCore(cycle, "s", "d", iters = 1,
+      tol = 1e-6)
+    assert(itConv === 1 && conv, s"cycle at budget=1: it=$itConv conv=$conv")
+    // NON-uniform degrees (a hub plus a cycle) so uniform is NOT the
+    // fixed point and tol=1e-15 is unreachable in 2 iterations
+    val edges = ((0L until 40L).map(i => (i, (i + 1) % 40)) ++
+      (1L until 40L).map(i => (0L, i))).toDF("s", "d")
+    val (_, itBudget, notConv) = Graph.pageRankCore(edges, "s", "d",
+      iters = 2, tol = 1e-15)
+    assert(itBudget === 2 && !notConv,
+      s"hub graph at tol=1e-15: it=$itBudget conv=$notConv")
   }
 }
