@@ -17,6 +17,15 @@ object Bench {
     "q_text_fingerprint", "q_p4_expr", "q_complex", "q_s5_tensor",
     "q_scalar_json")
 
+  /** r14 roster widening: the iterative graph family and the windowed
+    * co-occurrence scan — the likeliest future regression surface, until
+    * now perf-tracked only by the 8× probes. Kept OUT of `headline` so
+    * `roster21` stays comparable with every prior round's gate line;
+    * the JSON's `value` is the full (headline ++ extended) total.
+    */
+  private val extended = Seq(
+    "q_pagerank", "q_harmonic_hyperball", "q_cooccurrence")
+
   /** The bench times OPERATORS. Where the CORRECTNESS entry is a derived
     * quality check that also runs an exact baseline (q_dedup_minhash runs
     * ngramJaccardPairs + four audit aggregations), substitute the raw
@@ -27,7 +36,22 @@ object Bench {
       "q_dedup_minhash" -> ((s, dir) =>
         graft.ops.Dedup.minHashDedup(
           s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id",
-          threshold = 0.6)))
+          threshold = 0.6)),
+      // the gated query also runs the O(n·ball) EXACT baseline for its
+      // calibration bands — the bench times the HLL operator alone (the
+      // 100 TB path), on the same 3-multiplier graph construction
+      "q_harmonic_hyperball" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        val nodes = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id").cast("long").as("node"))
+        val nMod = nodes.count()
+        val edges = Seq((7L, 3L), (13L, 5L), (29L, 11L)).map { case (k, c) =>
+          nodes.select(col("node").as("src"),
+            ((col("node") * k + c) % nMod).as("dst"))
+        }.reduce(_ unionByName _)
+        graft.ops.Graph.harmonicCentralityHyperBall(edges, "src", "dst",
+          maxDepth = 4, logM = 7)
+      }))
 
   /** The fixed, data-independent CPU loop (LCG + fp math) behind both
     * calibration anchors. The sink defeats dead-code elimination.
@@ -157,7 +181,7 @@ object Bench {
     // the JSON (never folded into the total), and exit nonzero so the
     // driver records rc != 0 — round 11 recorded four dead queries as
     // ~0.06 s failure-overhead timings and deflated the headline total.
-    val results = headline.filter(qs.contains).map { name =>
+    val results = (headline ++ extended).filter(qs.contains).map { name =>
       var nFail = 0
       val times = (0 until iters).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -182,6 +206,12 @@ object Bench {
         case (k, None, _)    => "\"" + k + "\":\"failed\""
       }.mkString("{", ",", "}")
     val total = timed.map(_._2).sum
+    // the r2..r13 gate line (14.98 s at sf0.1) was recorded on the
+    // 21-query roster — keep that subtotal first-class so cross-round
+    // comparisons never mix rosters
+    val total21 = timed.collect {
+      case (k, v) if headline.contains(k) => v
+    }.sum
     val calib = calibrate()
     val calibPar = calibrateParallel(cpus.toInt)
     // value_norm divides out machine speed under full-width load: read
@@ -193,7 +223,7 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val flakyJson = flaky.map { case (k, f) => "\"" + k + "\":" + f }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"failed":$failedJson,"flaky_iters":$flakyJson,"calib":${fmt(calib, 3)},"calib_par":${fmt(calibPar, 3)},"value_norm":${fmt(norm, 2)},"loadavg":${fmt(load0, 2)},"contaminated":$contaminated,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","roster21":${fmt(total21, 3)},"queries":$qjson,"failed":$failedJson,"flaky_iters":$flakyJson,"calib":${fmt(calib, 3)},"calib_par":${fmt(calibPar, 3)},"value_norm":${fmt(norm, 2)},"loadavg":${fmt(load0, 2)},"contaminated":$contaminated,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty || flaky.nonEmpty) sys.exit(1)
   }

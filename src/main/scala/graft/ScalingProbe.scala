@@ -423,6 +423,68 @@ object ScalingProbe {
       println(s"DBG pagerank_tol iters_run=$it of 50")
       it.toLong
     }
+    // well-connected probe graph (r14): the shifted-copy replica ids make
+    // the plain 3-map graph sink-heavy (~7/8 of the dst range out-degree
+    // 0 — the r13 SCALE.md admission), so ball growth never exercised
+    // the two state shapes. Rank the ids DENSE first: over a contiguous
+    // 0..n-1 range the three maps are near-bijections, out-degree is 3
+    // everywhere, and depth-4 in-balls reach ~3+9+27+81 ≈ 120 nodes.
+    def denseEdges(d: String): (org.apache.spark.sql.DataFrame, Long) = {
+      import org.apache.spark.sql.expressions.Window
+      val nodes = spark.read.parquet(s"$d/documents.parquet")
+        .select((row_number().over(Window.orderBy("doc_id")) - 1)
+          .cast("long").as("node"))
+      val nMod = nodes.count()
+      (Seq((7L, 3L), (13L, 5L), (29L, 11L)).map { case (k, c) =>
+        nodes.select(col("node").as("src"),
+          ((col("node") * k + c) % nMod).as("dst"))
+      }.reduce(_ unionByName _), nMod)
+    }
+    // ball-size census — the state-shape crossover that justifies the
+    // HLL path: exact BFS state = the discovered pair set (~16 B/pair),
+    // HyperBall = 2^logM + ~40 B per node. HLL wins once the average
+    // ball exceeds (128+40)/16 ≈ 10.5 nodes; the census prints the
+    // measured average so SCALE.md can record where this graph sits.
+    time("graph_census") { d =>
+      val (edges, n) = denseEdges(d)
+      val (seen, _, e) = graft.ops.Graph.discoveredPairs(edges, "src", "dst", 4)
+      val pairs = seen.count()
+      e.unpersist(false)
+      println(f"DBG graph_census dir=$d nodes=$n pairs=$pairs " +
+        f"avg_ball=${pairs.toDouble / n}%.1f " +
+        f"exact_state_mb=${pairs * 16 / 1e6}%.2f " +
+        f"hll_state_mb=${n * 168 / 1e6}%.2f")
+      pairs
+    }
+    time("harmonic_exact_dense") { d =>
+      val (edges, _) = denseEdges(d)
+      graft.ops.Graph.harmonicCentralityExact(edges, "src", "dst", maxDepth = 4)
+        .agg(sum("harmonic")).collect(); 1L
+    }
+    time("harmonic_hyperball_dense") { d =>
+      val (edges, _) = denseEdges(d)
+      graft.ops.Graph.harmonicCentralityHyperBall(edges, "src", "dst",
+        maxDepth = 4, logM = 7)
+        .agg(sum("harmonic")).collect(); 1L
+    }
+    // offline FFD packing vs the greedy streaming baseline: the probe
+    // records the slope AND the measured pad-waste reduction (DBG line)
+    time("pack_ffd") { d =>
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+      val tc = graft.ops.TextAnalysis.tokenCount(col("text"))
+      val ffd = graft.ops.Sampling.packSequencesFFD(docs, "source", "doc_id",
+        tc, maxTokens = 128)
+      val greedy = graft.ops.Sampling.packSequences(docs, "source", "doc_id",
+        tc, maxTokens = 128)
+      val wf = graft.ops.Sampling.packWasteStats(ffd, "source", 128)
+        .agg(sum("pad_waste"), sum("n_packs")).head()
+      val wg = graft.ops.Sampling.packWasteStats(greedy, "source", 128)
+        .agg(sum("pad_waste"), sum("n_packs")).head()
+      println(s"DBG pack_ffd dir=$d waste_ffd=${wf.getLong(0)} " +
+        s"packs_ffd=${wf.getLong(1)} waste_greedy=${wg.getLong(0)} " +
+        s"packs_greedy=${wg.getLong(1)}")
+      wf.getLong(0)
+    }
     // audio amplitude-contour near-dup: WAV synth + real PCM decode per
     // doc — same shape as image_neardup, expect ~linear
     time("audio_neardup") { d =>

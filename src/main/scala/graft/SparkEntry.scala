@@ -2225,6 +2225,39 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")), maxTokens = 128)
         .orderBy("source", "doc_id")),
 
+    // offline first-fit-decreasing packing (derived checks — the bin
+    // state is not SQL-expressible): every document assigned exactly
+    // once, no multi-document pack over the budget, and the offline
+    // quality tier must never waste more pad tokens than the greedy
+    // streaming baseline it upgrades (deterministic on the pinned
+    // corpus; FFD's advantage is measured in SCALE.md)
+    "q_pack_ffd" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val tc = TextAnalysis.tokenCount(col("text"))
+      val ffd = pin(Sampling.packSequencesFFD(docs, "source", "doc_id",
+        tc, maxTokens = 128))
+      val greedy = pin(Sampling.packSequences(docs, "source", "doc_id",
+        tc, maxTokens = 128))
+      val packTotals = ffd.groupBy("source", "pack_id")
+        .agg(sum("n_tokens").as("__pt"), count(lit(1)).as("__pn"))
+      val one = ffd.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+        .crossJoin(ffd.select("source", "doc_id").distinct()
+          .agg(count(lit(1)).as("n_distinct")))
+        .crossJoin(packTotals.filter(col("__pt") > 128 && col("__pn") > 1)
+          .agg(count(lit(1)).as("n_over")))
+        .crossJoin(Sampling.packWasteStats(ffd, "source", 128)
+          .agg(sum("pad_waste").as("w_ffd"), sum("n_packs").as("p_ffd")))
+        .crossJoin(Sampling.packWasteStats(greedy, "source", 128)
+          .agg(sum("pad_waste").as("w_greedy")))
+      checkRows(one,
+        "assigned_exactly_once" -> (col("n_rows") === col("n_docs") &&
+          col("n_distinct") === col("n_docs")),
+        "budget_respected" -> (col("n_over") === 0),
+        "no_worse_than_greedy" -> (col("w_ffd") <= col("w_greedy")),
+        "packs_nonempty" -> (col("p_ffd") >= 1))
+    }),
+
     // physical pack assembly: the ids here are the structural sequence
     // 1..n_tokens (SQL-reproducible; real BPE ids ride the same path in
     // CorpusAssemblySpec) with sepId 0 terminating every document —
@@ -4572,6 +4605,10 @@ object SparkEntry {
           |SELECT source, doc_id, nt AS n_tokens,
           |  CAST(pack_id AS INTEGER) AS pack_id, CAST(cum AS INTEGER) AS pack_cum
           |FROM p ORDER BY source, doc_id""".stripMargin,
+
+      "q_pack_ffd" ->
+        checksOracle("assigned_exactly_once", "budget_respected",
+          "no_worse_than_greedy", "packs_nonempty"),
 
       // same recursive pack CTE, then the physical assembly: per-doc ids
       // are the structural 1..nt (DuckDB range(1, nt+1) = [] at nt = 0),

@@ -214,16 +214,27 @@ object MSWrite {
   // -------------------------------------------------------------- fragments
 
   private val ParentKey = "__graft_parent_url__" // analog of __dask_ms_parent_url__
+  private val RowsKey = "__graft_fragment_rows__"
 
   /** Write only the changed columns (+ ROWID) as a child fragment with a
     * parent pointer in its keyword sidecar
     * (ref: fragments/__init__.py:191-237).
+    *
+    * The sidecar also records the fragment's ROW COUNT (read back from
+    * the written files — one footer-count job, no data pages): on an
+    * object store whose LIST lags its writes, a reader can discover the
+    * fragment through its sidecar (a GET) before the listing shows every
+    * parquet part-file, and would silently overlay a TRUNCATED delta.
+    * [[readFragment]]`(verifyCounts = true)` turns that silent window
+    * into a loud refusal.
     */
   def writeFragment(delta: DataFrame, childPath: String, parentPath: String): Unit = {
     require(delta.columns.contains(RowId), s"fragment delta needs $RowId")
     create(delta, childPath)
+    val written = delta.sparkSession.read.parquet(childPath).count()
     putKeywords(delta.sparkSession, childPath,
-      readKeywords(delta.sparkSession, childPath) + (ParentKey -> parentPath))
+      readKeywords(delta.sparkSession, childPath) +
+        (ParentKey -> parentPath) + (RowsKey -> written.toString))
   }
 
   /** Key-wise diff of two versions of a table — the review step of a
@@ -263,7 +274,24 @@ object MSWrite {
     * (ref: get_ancestry + consolidate, fragments/__init__.py:17-117).
     * `rowIdOrder` defines ROWID for stores that don't carry one.
     */
-  def readFragment(spark: SparkSession, path: String, rowIdOrder: Seq[String]): DataFrame = {
+  def readFragment(spark: SparkSession, path: String, rowIdOrder: Seq[String]): DataFrame =
+    readFragment(spark, path, rowIdOrder, verifyCounts = false)
+
+  /** [[readFragment]] with an optional torn-listing guard: with
+    * `verifyCounts = true`, each fragment's visible row count is checked
+    * against the count its writer recorded in the sidecar
+    * ([[writeFragment]]) and a mismatch REFUSES the read. The sidecar
+    * travels by GET (consistent on S3-class stores) while the parquet
+    * scan enumerates files via LIST (which may lag) — so a fragment can
+    * be discoverable before all its part-files are listable, and an
+    * unverified read would silently overlay a truncated delta. Costs one
+    * footer-count job per fragment in the chain (no data pages); turn it
+    * on for chains on eventually-consistent stores. Fragments written
+    * before the count key existed are skipped (nothing recorded to
+    * verify against).
+    */
+  def readFragment(spark: SparkSession, path: String, rowIdOrder: Seq[String],
+                   verifyCounts: Boolean): DataFrame = {
     // ancestry: eldest first
     var chain = List.empty[String]
     var cur: Option[String] = Some(path)
@@ -272,6 +300,15 @@ object MSWrite {
       require(!chain.contains(p), s"fragment ancestry cycle at $p")
       chain = p :: chain
       cur = readKeywords(spark, p).get(ParentKey)
+    }
+    if (verifyCounts) chain.tail.foreach { child =>
+      readKeywords(spark, child).get(RowsKey).foreach { expect =>
+        val got = MSTable.open(spark, child).count()
+        require(got == expect.toLong,
+          s"fragment $child lists $got rows but its writer recorded " +
+            s"$expect — the store's listing has not caught up with the " +
+            "write (or files were lost); refusing a truncated overlay")
+      }
     }
     val root0 = MSTable.open(spark, chain.head)
     val root =

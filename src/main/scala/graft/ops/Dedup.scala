@@ -104,6 +104,46 @@ object Dedup {
   def minHashSignature(hashedShingles: Column, k: Int): Column =
     graft.expr.VectorExprs.minhash_sig(hashedShingles, k)
 
+  /** Choose the LSH `(bands, rowsPerBand)` split of a `sigLen`-hash
+    * MinHash signature for a target Jaccard `threshold`, so callers give
+    * the semantic knob ("pairs at >= 0.6 similar") and not the S-curve
+    * trade-off. With b bands of r rows, P(candidate | jaccard s) =
+    * 1-(1-s^r)^b; the optimum minimizes the weighted FP+FN probability
+    * mass around the threshold —
+    * {{{ fpW * ∫_0^t P(s) ds  +  fnW * ∫_t^1 (1-P(s)) ds }}}
+    * — by brute-force enumeration of the divisor pairs of `sigLen`
+    * (standard MMDS ch.3 tuning; the same criterion the public
+    * datasketch library optimizes). Deterministic; ties break toward
+    * fewer bands (cheaper: fewer banded rows to shuffle).
+    *
+    * Driver-side O(divisors(sigLen) * steps) arithmetic — nothing touches
+    * the cluster; call once and reuse.
+    */
+  def lshParams(threshold: Double, sigLen: Int, fpWeight: Double = 0.5,
+                fnWeight: Double = 0.5): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, s"threshold in (0,1): $threshold")
+    require(sigLen >= 1, s"sigLen must be >= 1: $sigLen")
+    require(fpWeight >= 0 && fnWeight >= 0 && fpWeight + fnWeight > 0,
+      s"weights must be >= 0 and not both 0: $fpWeight, $fnWeight")
+    val steps = 1000
+    def cost(b: Int, r: Int): Double = {
+      def p(s: Double) = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+      var fp = 0.0
+      var fn = 0.0
+      val dxFp = threshold / steps
+      val dxFn = (1.0 - threshold) / steps
+      var i = 0
+      while (i < steps) {
+        fp += p((i + 0.5) * dxFp) * dxFp
+        fn += (1.0 - p(threshold + (i + 0.5) * dxFn)) * dxFn
+        i += 1
+      }
+      fpWeight * fp + fnWeight * fn
+    }
+    (1 to sigLen).filter(sigLen % _ == 0).map(b => (b, sigLen / b))
+      .minBy { case (b, r) => cost(b, r) }
+  }
+
   /** MinHash + LSH candidate pairs.
     *
     * @param bands   number of LSH bands; rows-per-band = k / bands.
@@ -175,13 +215,16 @@ object Dedup {
     */
   def minHashDedup(docs: DataFrame, textCol: String, idCol: String,
                    threshold: Double, shingleWords: Int = 3,
-                   k: Int = 32, bands: Int = 8): DataFrame = {
+                   k: Int = 32, bands: Int = 0): DataFrame = {
+    // bands = 0 (the default) self-tunes from the threshold via the
+    // S-curve optimum — the caller states the semantic knob only
+    val b = if (bands > 0) bands else lshParams(threshold, k)._1
     val sh = shingleFrame(docs, textCol, idCol, Nil, shingleWords)
       .repartition(col(idCol))
     // candidates are pre-pruned by the size-ratio bound at the band join
     // (jaccard ≥ t ⟹ sizes within factor t), so pairs that cannot verify
     // never pay the two full-array verify joins
-    val cands = minHashCandidatesFromShingles(sh, idCol, k, bands,
+    val cands = minHashCandidatesFromShingles(sh, idCol, k, b,
       maxBucket = 1000, sizeRatio = threshold)
     val withSets = cands
       .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")

@@ -185,7 +185,7 @@ object Graph {
     * localCheckpoint truncates both plans. State is the PAIR set —
     * O(n·ball), the exact test-scale baseline both consumers document.
     */
-  private def discoveredPairs(edges: DataFrame, srcCol: String,
+  private[graft] def discoveredPairs(edges: DataFrame, srcCol: String,
                               dstCol: String, maxDepth: Int)
       : (DataFrame, DataFrame, DataFrame) = {
     require(maxDepth >= 1, s"maxDepth must be >= 1: $maxDepth")

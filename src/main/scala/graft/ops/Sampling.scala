@@ -163,6 +163,91 @@ object Sampling {
       .toDF(groupCol, orderCol, "n_tokens", "pack_id", "pack_cum")
   }
 
+  /** Offline first-fit-decreasing packing — the quality tier above the
+    * streaming-greedy [[packSequences]]: within each `groupCol` shard,
+    * documents are walked in DESCENDING token order (ties broken by
+    * `orderCol`) and each is placed into the lowest-numbered open pack
+    * with room, opening a new pack only when none fits. FFD is the
+    * classic bin-packing heuristic (≤ 11/9·OPT + 6/9, Johnson 1973); on
+    * real length distributions it closes most of greedy's tail waste
+    * because small documents backfill the large documents' remainders.
+    *
+    * Same contract as [[packSequences]]: returns (group, ord, n_tokens,
+    * pack_id, pack_cum) with pack ids 1-based per group and `pack_cum`
+    * the pack's running total after this document; a document larger
+    * than `maxTokens` gets a pack of its own. Deterministic: assignment
+    * is a pure function of the data (secondary sort, no arrival-order
+    * dependence).
+    *
+    * Scale shape: ONE shuffle on the group column; each group streams
+    * through `flatMapSortedGroups` with per-task state bounded by the
+    * open-bin census — at most `maxOpenBins` (pack_id, used) pairs, NOT
+    * the group: when the census would exceed the cap, the fullest bin is
+    * retired (it has the least useful remainder), so memory stays O(cap)
+    * on a shard of any size at the cost of a bounded quality loss.
+    * Placement scans the census linearly — O(docs · openBins) per group;
+    * at the default cap that is the cost of the sort it already rides.
+    */
+  def packSequencesFFD(docs: DataFrame, groupCol: String, orderCol: String,
+                       tokenCount: Column, maxTokens: Int,
+                       maxOpenBins: Int = 1024): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1: $maxTokens")
+    require(maxOpenBins >= 1, s"maxOpenBins must be >= 1: $maxOpenBins")
+    requireFreeColumns(docs.drop(groupCol, orderCol),
+      Seq("n_tokens", "pack_id", "pack_cum"), "packSequencesFFD")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base: Dataset[(String, Long, Int)] = docs.select(
+        col(groupCol).cast("string").as("__grp"),
+        col(orderCol).cast("long").as("__ord"),
+        tokenCount.cast("int").as("__nt"))
+      .as[(String, Long, Int)]
+    base.groupByKey(_._1)
+      .flatMapSortedGroups($"__nt".desc, $"__ord") { (grp, it) =>
+        // open-bin census: (pack_id, used), first-fit scans in pack-id
+        // order; an overfull doc opens a bin that can never fit anything
+        // and is retired on the next census overflow
+        val bins = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        var nextPack = 1
+        it.map { case (_, ord, nt) =>
+          val i = bins.indexWhere { case (_, used) => used + nt <= maxTokens }
+          val (pid, cum) =
+            if (i >= 0) {
+              val (p, used) = bins(i)
+              bins(i) = (p, used + nt)
+              (p, used + nt)
+            } else {
+              val p = nextPack
+              nextPack += 1
+              bins += ((p, nt))
+              if (bins.size > maxOpenBins) {
+                // retire the fullest bin — smallest remainder, least
+                // chance of ever accepting another (still-smaller) doc
+                val k = bins.indices.maxBy(j => bins(j)._2)
+                bins.remove(k)
+              }
+              (p, nt)
+            }
+          (grp, ord, nt, pid, cum)
+        }
+      }
+      .toDF(groupCol, orderCol, "n_tokens", "pack_id", "pack_cum")
+  }
+
+  /** Pack-level waste audit for a packing assignment ([[packSequences]]
+    * or [[packSequencesFFD]]): per group, the number of packs, the token
+    * total, and `pad_waste` = packs · maxTokens − Σ tokens — the pad
+    * tokens a fixed-shape training row burns under that assignment. One
+    * two-level hash-aggregate (pack totals, then group rollup). */
+  def packWasteStats(assigned: DataFrame, groupCol: String,
+                     maxTokens: Int): DataFrame =
+    assigned.groupBy(col(groupCol), col("pack_id"))
+      .agg(sum("n_tokens").as("__pt"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_packs"),
+        sum("__pt").as("sum_tokens"),
+        (count(lit(1)) * maxTokens - sum("__pt")).as("pad_waste"))
+
   /** The ONE greedy packing rule, shared by [[packSequences]] and
     * [[assemblePackedIds]] so their pack boundaries can never desync:
     * anchor (pack 0 → first doc opens pack 1), step (overflow opens a new

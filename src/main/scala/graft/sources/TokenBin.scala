@@ -416,24 +416,25 @@ class TokenBinScan(path: String, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val fs = new Path(path).getFileSystem(hadoopConf)
-    // batch layout (shard-*.idx at the root) plus streaming epochs
-    // (epoch-*/shard-*.idx appended by foreachBatch) — but only
-    // COMMITTED directories: the manifest is the commit marker, so a
-    // crashed root write refuses and an uncommitted epoch stays
-    // invisible until its retry lands (TokenBin.committedDirs)
-    val statuses = TokenBin.committedDirs(fs, path).toArray.flatMap { d =>
-      Option(fs.globStatus(new Path(d, "shard-*.idx"))).getOrElse(Array())
-    }
-    require(statuses.nonEmpty, s"tokenbin: no committed shard-*.idx files at $path")
+    // the shard INVENTORY comes from the manifests, not a directory glob:
+    // the commit marker is also the authoritative shard list, so data
+    // reads are exact-path GETs. On an object store whose LIST lags its
+    // writes, a glob could silently drop a shard the manifest already
+    // committed — keying off the manifest makes a committed directory's
+    // read torn-proof (directory DISCOVERY — epoch-*/manifest.json in
+    // TokenBin.committedDirs — still lists, so a lagged epoch appears
+    // late but always whole). Crashed-root refusal rides committedDirs
+    // inside readShardInfos, unchanged.
+    val infos = TokenBin.readShardInfos(fs, path)
+    require(infos.nonEmpty, s"tokenbin: no committed shards at $path")
     val keep = shardFilter
-    statuses.map(_.getPath).sortBy(_.toString).flatMap { idx =>
-      val name = idx.getName.stripSuffix(".idx")
-      val shard = name.stripPrefix("shard-").toInt
-      if (keep.forall(_.contains(shard)))
-        Some(TokenBinPartition(shard, idx.toString,
-          new Path(idx.getParent, s"$name.bin").toString): InputPartition)
+    infos.sortBy(i => (i.dir, i.shard)).flatMap { i =>
+      if (keep.forall(_.contains(i.shard)))
+        Some(TokenBinPartition(i.shard,
+          new Path(i.dir, f"shard-${i.shard}%05d.idx").toString,
+          new Path(i.dir, f"shard-${i.shard}%05d.bin").toString): InputPartition)
       else None
-    }
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

@@ -69,6 +69,30 @@ class CopyRenameS3aFs extends S3aLikeLocalFs {
   }
 }
 
+/** [[S3aLikeLocalFs]] under its own scheme whose LISTINGS lag writes —
+  * the object-store list-after-write consistency gap: any path whose
+  * name ends with an entry of [[ListLagFs.hidden]] stays OUT of every
+  * directory listing (and so out of every glob that routes through one)
+  * while point reads — `getFileStatus` / `exists` / `open` — keep
+  * succeeding. That is the GET-consistent / LIST-lagged model of
+  * S3-class stores. Tests set `hidden` to carve the lag window and clear
+  * it to simulate the listing catching up.
+  */
+class ListLagFs extends S3aLikeLocalFs {
+  import org.apache.hadoop.fs.{FileStatus, Path}
+  override def getScheme: String = "laglist"
+  override def getUri: java.net.URI = java.net.URI.create("laglist:///")
+  override def listStatus(f: Path): Array[FileStatus] =
+    super.listStatus(f).filterNot(s => ListLagFs.isHidden(s.getPath))
+}
+
+object ListLagFs {
+  /** Path suffixes invisible to LIST (never to GET). */
+  @volatile var hidden: Seq[String] = Nil
+  private[graft] def isHidden(p: org.apache.hadoop.fs.Path): Boolean =
+    hidden.exists(h => p.toUri.getPath.endsWith(h))
+}
+
 object CopyRenameS3aFs {
   /** Which rename to crash (matched on exact src/dst). */
   @volatile var crashWhen: (org.apache.hadoop.fs.Path,

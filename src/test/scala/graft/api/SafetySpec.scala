@@ -364,6 +364,88 @@ class SafetySpec extends SparkSpec {
     assert(TokenBin.verifyShards(spark, out).filter(!col("ok")).count() === 0)
   }
 
+  test("tokenbin under LIST-lag: hidden epoch is stale-but-WHOLE; committed shards read by exact GET") {
+    // laglist:// = GET-consistent, LIST-lagged (the S3 model). Two
+    // properties: (1) an epoch whose directory the listing hasn't
+    // surfaced yet is entirely absent — bounded staleness, never a torn
+    // epoch; (2) once a directory IS discovered, the shard inventory
+    // comes from its manifest (exact-path GETs), so a shard file still
+    // missing from the LISTING is read anyway — the glob-based reader
+    // this replaced would have silently dropped it.
+    import graft.sources.TokenBin
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.laglist.impl", classOf[graft.ListLagFs].getName)
+    val out = "laglist:/root/repo/target/test_tokenbin_listlag"
+    fs.delete(new Path("/root/repo/target/test_tokenbin_listlag"), true)
+    try {
+      val b0 = Seq((1L, Seq(1, 2)), (2L, Seq(3))).toDF("key", "ids")
+      val b1 = Seq((11L, Seq(4, 5)), (12L, Seq(6))).toDF("key", "ids")
+      TokenBin.appendBatch(b0, "key", "ids", out, shards = 2, epoch = 0)
+      TokenBin.appendBatch(b1, "key", "ids", out, shards = 2, epoch = 1)
+      // (1) the listing has not caught up with epoch 1's directory
+      graft.ListLagFs.hidden = Seq("epoch-000001")
+      val stale = spark.read.format("tokenbin").load(out)
+        .select("key").as[Long].collect().toSet
+      assert(stale === Set(1L, 2L), s"lagged epoch leaked or tore: $stale")
+      // (2) epoch discovered, but one committed shard file still unlisted:
+      // the manifest names it, so the read is complete regardless
+      graft.ListLagFs.hidden = Seq("epoch-000001/shard-00001.idx")
+      val full = spark.read.format("tokenbin").load(out)
+        .select("key").as[Long].collect().toSet
+      assert(full === Set(1L, 2L, 11L, 12L),
+        s"committed shard dropped by a lagged LIST: $full")
+      // listing catches up: identical result
+      graft.ListLagFs.hidden = Nil
+      assert(spark.read.format("tokenbin").load(out)
+        .select("key").as[Long].collect().toSet === full)
+      assert(TokenBin.verifyShards(spark, out).filter(!col("ok")).count() === 0)
+    } finally graft.ListLagFs.hidden = Nil
+  }
+
+  test("fragment chain under LIST-lag: sidecar walk is GET-based; verifyCounts refuses a truncated overlay") {
+    // the ancestry walk reads _KEYWORDS.json by exists+open (GETs), so a
+    // sidecar hidden from LIST still resolves the chain. The fragment's
+    // parquet DATA enumerates via LIST — a part-file the listing hasn't
+    // surfaced yet would silently truncate the overlay, so
+    // verifyCounts = true checks the visible count against the count the
+    // writer recorded and refuses the window loudly.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.laglist.impl", classOf[graft.ListLagFs].getName)
+    val base = "/root/repo/target/test_frag_listlag"
+    fs.delete(new Path(base), true)
+    val rootPath = s"laglist:$base/root"
+    val childPath = s"laglist:$base/frag"
+    try {
+      MSWrite.create(spark.read.parquet(s"${sf()}/supplier.parquet"), rootPath)
+      val delta = MSTable.withRowId(MSTable.open(spark, rootPath), Seq("s_suppkey"))
+        .filter(col("s_suppkey") <= 3)
+        .select(col(MSTable.RowId), lit(42.0).as("s_acctbal"))
+      MSWrite.writeFragment(delta, childPath, rootPath)
+      val expect = MSWrite.readFragment(spark, childPath, Seq("s_suppkey"),
+        verifyCounts = true).count()
+      // hide ONE of the fragment's parquet part-files from LIST
+      val parts = fs.listStatus(new Path(s"$base/frag"))
+        .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+      assert(parts.nonEmpty)
+      graft.ListLagFs.hidden = Seq(s"frag/${parts.head}", "_KEYWORDS.json")
+      spark.catalog.refreshByPath(childPath)
+      // chain discovery still works (sidecars travel by GET) and the
+      // count guard turns the truncated window into a refusal
+      val e = intercept[IllegalArgumentException](
+        MSWrite.readFragment(spark, childPath, Seq("s_suppkey"),
+          verifyCounts = true).count())
+      assert(e.getMessage.contains("listing has not caught up"), e.getMessage)
+      // the listing catches up: the same verified read succeeds
+      graft.ListLagFs.hidden = Nil
+      spark.catalog.refreshByPath(childPath)
+      val merged = MSWrite.readFragment(spark, childPath, Seq("s_suppkey"),
+        verifyCounts = true)
+      assert(merged.count() === expect)
+      assert(merged.filter(col("s_suppkey") <= 3)
+        .select(min("s_acctbal")).head().getDouble(0) === 42.0)
+    } finally graft.ListLagFs.hidden = Nil
+  }
+
   test("withRowId stays columnar (no RDD round-trip) and is order-exact") {
     val df = MSTable.withRowId(
       spark.read.parquet(s"${sf()}/supplier.parquet"), Seq("s_name"))

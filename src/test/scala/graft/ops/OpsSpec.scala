@@ -74,6 +74,41 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("lshParams: S-curve optimum over divisor pairs, property-checked") {
+    // independent cost recomputation (trapezoid rule, different step
+    // count than the implementation's midpoint) — the returned pair must
+    // be a divisor split and no other divisor pair may cost less
+    def cost(b: Int, r: Int, t: Double, fpW: Double, fnW: Double): Double = {
+      def p(s: Double) = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+      val n = 4000
+      def integ(lo: Double, hi: Double, f: Double => Double): Double = {
+        val dx = (hi - lo) / n
+        (0 until n).map(i => (f(lo + i * dx) + f(lo + (i + 1) * dx)) / 2 * dx).sum
+      }
+      fpW * integ(0, t, p) + fnW * integ(t, 1, s => 1 - p(s))
+    }
+    for (t <- Seq(0.3, 0.5, 0.6, 0.8, 0.9); sigLen <- Seq(16, 32, 64, 100)) {
+      val (b, r) = Dedup.lshParams(t, sigLen)
+      assert(b * r === sigLen, s"t=$t k=$sigLen -> ($b,$r)")
+      val best = cost(b, r, t, 0.5, 0.5)
+      for (bb <- 1 to sigLen if sigLen % bb == 0) {
+        val other = cost(bb, sigLen / bb, t, 0.5, 0.5)
+        assert(best <= other + 1e-6,
+          s"t=$t k=$sigLen: ($b,$r) cost $best beaten by ($bb,${sigLen / bb}) $other")
+      }
+    }
+    // known values (hand-checked S-curve): the gated query's regime keeps
+    // the historical default, higher thresholds move to taller curves
+    assert(Dedup.lshParams(0.6, 32) === ((8, 4)))
+    assert(Dedup.lshParams(0.8, 32) === ((4, 8)))
+    // rows-per-band is monotone non-decreasing in the threshold
+    val rs = Seq(0.2, 0.4, 0.6, 0.8, 0.95).map(t => Dedup.lshParams(t, 64)._2)
+    assert(rs === rs.sorted, s"rows-per-band not monotone in threshold: $rs")
+    // FP-averse weighting never loosens the curve (rows per band cannot drop)
+    assert(Dedup.lshParams(0.6, 32, fpWeight = 0.9, fnWeight = 0.1)._2 >=
+      Dedup.lshParams(0.6, 32, fpWeight = 0.1, fnWeight = 0.9)._2)
+  }
+
   test("ngram jaccard pairs are exact and blocked") {
     // 3-gram shingles: jaccard(0,1) = 1.0 (exact dup), jaccard(0,2) = 4/10
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",

@@ -696,6 +696,60 @@ class SamplingSpec extends SparkSpec {
     assert(packs.agg(max("count")).head().getLong(0) === 2)
     assert(out.agg(max("pack_cum")).head().getInt(0) <= 12)
   }
+
+  test("FFD packing: hand-computed bins, budget respected, oversize alone") {
+    // sizes 7,6,4,3,2 at budget 10 -> FFD gives {7,3} {6,4} {2}: 3 packs
+    // (greedy in id order 7,6,4,3,2 gives {7} {6,4} {3,2}: 3 too — the
+    // hand case pins PLACEMENT, the waste case below pins the advantage)
+    val docs = Seq(("s", 1L, 7), ("s", 2L, 6), ("s", 3L, 4), ("s", 4L, 3),
+        ("s", 5L, 2), ("t", 1L, 99))
+      .map { case (g, i, nt) => (g, i, ("w " * nt).trim) }.toDF("src", "id", "text")
+    val out = Sampling.packSequencesFFD(docs, "src", "id",
+      TextAnalysis.tokenCount(col("text")), maxTokens = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getInt(3), r.getInt(4))).toMap
+    assert(out(("s", 1L)) === (1, 7))  // 7 opens pack 1
+    assert(out(("s", 2L)) === (2, 6))  // 6 doesn't fit pack 1
+    assert(out(("s", 3L)) === (2, 10)) // 4 first-fits pack 2 (7+4 > 10)
+    assert(out(("s", 4L)) === (1, 10)) // 3 first-fits pack 1
+    assert(out(("s", 5L)) === (3, 2))  // 2 fits nowhere
+    assert(out(("t", 1L)) === (1, 99)) // oversize doc: own pack, own group
+  }
+
+  test("FFD packing beats greedy on skewed lengths; deterministic; capped census holds the budget") {
+    // 70,70,50,50 repeating at budget 120: FFD pairs every 70 with a 50
+    // (zero waste); greedy's arrival-order walk strands remainders
+    val docs = (0L until 60L).map { i =>
+      val nt = if (i % 4 < 2) 70 else 50
+      ("s", i, ("w " * nt).trim)
+    }.toDF("src", "id", "text")
+    val tc = TextAnalysis.tokenCount(col("text"))
+    val ffd = Sampling.packSequencesFFD(docs, "src", "id", tc, maxTokens = 120)
+    val greedy = Sampling.packSequences(docs, "src", "id", tc, maxTokens = 120)
+    val wf = Sampling.packWasteStats(ffd, "src", 120)
+      .select("n_packs", "pad_waste").head()
+    val wg = Sampling.packWasteStats(greedy, "src", 120)
+      .select("n_packs", "pad_waste").head()
+    assert(wf.getLong(1) < wg.getLong(1),
+      s"FFD waste ${wf.getLong(1)} !< greedy ${wg.getLong(1)}")
+    assert(wf.getLong(0) <= wg.getLong(0))
+    // every pack holds the budget; every doc is assigned exactly once
+    val tot = ffd.groupBy("pack_id").agg(sum("n_tokens").as("t"))
+    assert(tot.filter(col("t") > 120).count() === 0)
+    assert(ffd.count() === 60 && ffd.select("id").distinct().count() === 60)
+    // deterministic under partitioning
+    val again = Sampling.packSequencesFFD(docs.repartition(7), "src", "id",
+      tc, maxTokens = 120)
+    assert(again.collect().toSet === ffd.collect().toSet)
+    // a 1-bin census degrades to next-fit-decreasing but never overfills
+    val capped = Sampling.packSequencesFFD(docs, "src", "id", tc,
+      maxTokens = 120, maxOpenBins = 1)
+    val ctot = capped.groupBy("pack_id").agg(sum("n_tokens").as("t"))
+    assert(ctot.filter(col("t") > 120).count() === 0)
+    assert(capped.count() === 60)
+    assert(Sampling.packWasteStats(capped, "src", 120).head().getLong(3) >=
+      wf.getLong(1)) // the cap can only lose quality, never gain
+  }
 }
 
 class CorpusReportSpec extends SparkSpec {
