@@ -485,6 +485,37 @@ object ScalingProbe {
         s"packs_greedy=${wg.getLong(1)}")
       wf.getLong(0)
     }
+    // S13 convert round-trip: parquet → zarr → parquet on orders (the
+    // one S13 path without a scale measurement — r13 verdict #8). Both
+    // legs are full-table rewrites, so expect ~linear in rows; the
+    // checksum equality makes the probe a correctness witness too.
+    time("convert_zarr_roundtrip") { d =>
+      val zr = "/root/repo/target/probe_zarr_rt/z"
+      val pq = "/root/repo/target/probe_zarr_rt/p"
+      val fs = new org.apache.hadoop.fs.Path(zr)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path("/root/repo/target/probe_zarr_rt"), true)
+      // o_orderdate is a timestamp — a type zarr deliberately refuses;
+      // the pruned column list also exercises S13's -c selection leg
+      graft.api.ConvertApp.convert(spark, graft.api.ConvertApp.Args(
+        input = s"$d/orders.parquet", output = zr, format = "zarr",
+        columns = Some(Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice"))))
+      graft.api.ConvertApp.convert(spark, graft.api.ConvertApp.Args(
+        input = zr, output = pq, format = "parquet"))
+      def sig(path: String): (Long, Long) = {
+        val t = graft.api.MSTable.open(spark, path)
+        val r = t.agg(count(lit(1)),
+          expr("bit_xor(xxhash64(o_orderkey, o_totalprice, o_orderstatus))"))
+          .head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val (n0, h0) = sig(s"$d/orders.parquet")
+      val (n1, h1) = sig(pq)
+      require(n0 == n1 && h0 == h1,
+        s"zarr round-trip mismatch: ($n0,$h0) vs ($n1,$h1)")
+      n1
+    }
     // audio amplitude-contour near-dup: WAV synth + real PCM decode per
     // doc — same shape as image_neardup, expect ~linear
     time("audio_neardup") { d =>
