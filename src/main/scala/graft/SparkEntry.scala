@@ -1646,6 +1646,18 @@ object SparkEntry {
       TextAnalysis.cooccurrence(T(s, dir, "documents"), "text",
         window = 3, minCount = 2, topK = 50)),
 
+    // TextRank keywords: weighted PageRank over the symmetric word
+    // co-occurrence graph; oracle = DuckDB rebuilds the identical graph
+    // (the q_cooccurrence pair CTE, self-pairs dropped, counts as
+    // weights) and power-iterates it with a recursive CTE (the q_ppr
+    // pattern). Emitted as the FULL (word, score) roster ordered by word
+    // — no top-k float boundary in the gate; the top-k leg is spec'd
+    "q_textrank" -> ((s, dir) =>
+      TextAnalysis.textRankKeywords(T(s, dir, "documents"), "text",
+          window = 3, minCount = 2, topK = Int.MaxValue, iters = 10)
+        .select(col("word"), round(col("score"), 6).as("score"))
+        .orderBy("word")),
+
     // word2phrase APPLY (derived checks): mined collocations merge into
     // joined tokens; splitting the output tokens on the joiner must
     // restore the original token stream EXACTLY per doc, the token count
@@ -3933,6 +3945,45 @@ object SparkEntry {
           |SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
           |FROM pr GROUP BY 1, 2 HAVING count(*) >= 2
           |ORDER BY n DESC, w1, w2 LIMIT 50""".stripMargin,
+
+      // the q_cooccurrence pair CTE (self-pairs dropped) -> symmetric
+      // weighted graph -> out-share normalization -> 10 power iterations
+      // as a recursive CTE (the q_ppr pattern; symmetric graphs have no
+      // dangling nodes, so the engine's dangling term is exactly 0)
+      "q_textrank" ->
+        """WITH RECURSIVE tok AS (
+          |  SELECT [x FOR x IN string_split_regex(trim(lower(text)), '\s+')
+          |          IF len(x) > 0] AS ts
+          |  FROM documents
+          |), pr0 AS (
+          |  SELECT least(ts[i], ts[i + o]) AS w1,
+          |         greatest(ts[i], ts[i + o]) AS w2
+          |  FROM (SELECT ts, unnest(range(1, len(ts) + 1)) AS i
+          |        FROM tok WHERE len(ts) >= 2)
+          |  CROSS JOIN (SELECT unnest(range(1, 4)) AS o)
+          |  WHERE i + o <= len(ts)
+          |), pc AS (
+          |  SELECT w1, w2, CAST(count(*) AS DOUBLE) AS n
+          |  FROM pr0 WHERE w1 != w2 GROUP BY 1, 2 HAVING count(*) >= 2
+          |), sym AS (
+          |  SELECT w1 AS ws, w2 AS wd, n FROM pc
+          |  UNION ALL
+          |  SELECT w2, w1, n FROM pc
+          |), wsum AS (SELECT ws, sum(n) AS t FROM sym GROUP BY 1),
+          |sh AS (SELECT s.ws AS src, s.wd AS dst, s.n / w.t AS share
+          |       FROM sym s JOIN wsum w USING (ws)),
+          |v AS (SELECT DISTINCT ws AS word FROM sym),
+          |nv AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM v),
+          |tr AS (
+          |  SELECT 0 AS it, word, 1.0 / (SELECT nn FROM nv) AS r FROM v
+          |  UNION ALL
+          |  SELECT p.it + 1, e.dst,
+          |         0.15 / (SELECT nn FROM nv) + 0.85 * sum(p.r * e.share)
+          |  FROM tr p JOIN sh e ON e.src = p.word
+          |  WHERE p.it < 10 GROUP BY 1, 2
+          |)
+          |SELECT word, round(r, 6) AS score
+          |FROM tr WHERE it = 10 ORDER BY word""".stripMargin,
 
       "q_corpus_divergence" ->
         """WITH occ AS (

@@ -53,28 +53,63 @@ object Graph {
                    tol: Double = 0.0): (DataFrame, Int, Boolean) =
     pageRankLoop(edges, srcCol, dstCol, iters, damping, tol, None)
 
-  /** The ONE power-iteration loop both entry points share: `seeds = None`
-    * teleports uniformly (standard PageRank — the 1/n teleport is a
-    * constant, no extra join); `Some((frame, idCol))` teleports 1/k over
-    * the seed set, with the dangling mass returning by the same
-    * distribution. Keeping a single loop means the plan-truncation
-    * contract, the dangling handling, and the tol early-stop cannot
-    * diverge between the two operators.
+  /** Weighted PageRank: rank flows along each edge proportionally to its
+    * weight —
+    * {{{ r'(v) = (1-d)/N + d · ( Σ_{(u,v)∈E} r(u)·w(u,v)/Σ_out w(u) + dangling/N ) }}}
+    * — the natural model for link graphs with link COUNTS and for
+    * co-occurrence graphs ([[graft.ops.TextAnalysis.textRankKeywords]]
+    * rides this). Null or non-positive weights drop the edge; uniform
+    * weights reduce exactly to [[pageRank]], and scaling all of a node's
+    * out-weights by a constant changes nothing (only the out-shares
+    * matter). Same loop, same dangling handling, same `tol` early-stop.
+    */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                       weightCol: String, iters: Int, damping: Double = 0.85,
+                       tol: Double = 0.0): DataFrame =
+    pageRankLoop(edges, srcCol, dstCol, iters, damping, tol, None,
+      Some(weightCol))._1
+
+  /** The ONE power-iteration loop every entry point shares: `seeds =
+    * None` teleports uniformly (standard PageRank — the 1/n teleport is
+    * a constant, no extra join); `Some((frame, idCol))` teleports 1/k
+    * over the seed set, with the dangling mass returning by the same
+    * distribution. `weightCol = Some(w)` flows rank proportionally to
+    * edge weight (w/Σ_out w instead of 1/deg); non-positive and null
+    * weights drop the edge. Keeping a single loop means the
+    * plan-truncation contract, the dangling handling, and the tol
+    * early-stop cannot diverge between the operators.
+    *
+    * Per-iteration shape: the OUT-SHARE of every edge (`__wn` = weight /
+    * out-weight-sum, = 1/deg unweighted) is iteration-invariant, so it
+    * is resolved ONCE into the cached src-partitioned edge frame — each
+    * iteration is then a single ranks ⋈ edges join plus one dst-keyed
+    * aggregate (the r14 refactor; previously a per-iteration deg join
+    * paid a second shuffle).
     */
   private def pageRankLoop(edges: DataFrame, srcCol: String, dstCol: String,
                            iters: Int, damping: Double, tol: Double,
-                           seeds: Option[(DataFrame, String)]): (DataFrame, Int, Boolean) = {
+                           seeds: Option[(DataFrame, String)],
+                           weightCol: Option[String] = None): (DataFrame, Int, Boolean) = {
     require(iters >= 0, s"iters must be >= 0: $iters")
     require(damping > 0 && damping < 1, s"damping in (0,1): $damping")
     require(tol >= 0, s"tol must be >= 0: $tol")
-    val e = edges.select(col(srcCol).cast("long").as("node"),
-        col(dstCol).cast("long").as("dst"))
-      .repartition(col("node"))
+    val eRaw = (weightCol match {
+      case Some(w) => edges.select(col(srcCol).cast("long").as("node"),
+          col(dstCol).cast("long").as("dst"), col(w).cast("double").as("__w"))
+        .filter(col("__w").isNotNull && col("__w") > 0)
+      case None => edges.select(col(srcCol).cast("long").as("node"),
+          col(dstCol).cast("long").as("dst"), lit(1.0).as("__w"))
+    }).repartition(col("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // normalized once: both the out-weight sum (a co-partitioned agg) and
+    // its join back land on eRaw's cached partitioning — no extra shuffle
+    val e = eRaw.join(
+        eRaw.groupBy("node").agg(sum("__w").as("__ws")), "node")
+      .select(col("node"), col("dst"), (col("__w") / col("__ws")).as("__wn"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var deg: DataFrame = null
     // the finally keeps every persisted working frame from leaking into
     // the session when a validation require throws (empty graph,
     // graph-disjoint seeds) — on success it is the normal cleanup: the
@@ -97,12 +132,10 @@ object Graph {
         case None     => df.withColumn("__s", lit(1.0 / n))
         case Some(sf) => df.join(sf, "node")
       }
-      deg = e.groupBy("node").agg(count(lit(1)).as("deg"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
       // the dangling-node SET is iteration-invariant — resolve it once, so
       // graphs without sinks (most link graphs after degree filtering) skip
       // the per-iteration scalar job entirely
-      val danglingNodes = nodes.join(deg, Seq("node"), "left_anti")
+      val danglingNodes = nodes.join(e.select("node"), Seq("node"), "left_anti")
         .localCheckpoint()
       val hasDangling = !danglingNodes.isEmpty
       var ranks = withS(nodes).select(col("node"), col("__s").as("rank"))
@@ -115,10 +148,8 @@ object Graph {
           if (!hasDangling) 0d
           else ranks.join(danglingNodes, Seq("node"), "left_semi")
             .agg(coalesce(sum("rank"), lit(0d))).head().getDouble(0)
-        val outflow = ranks.join(deg, Seq("node"))
-          .select(col("node"), (col("rank") / col("deg")).as("share"))
-        val contrib = outflow.join(e, Seq("node"))
-          .groupBy("dst").agg(sum("share").as("c"))
+        val contrib = ranks.join(e, Seq("node"))
+          .groupBy("dst").agg(sum(col("rank") * col("__wn")).as("c"))
           .select(col("dst").as("node"), col("c"))
         // prev rides the update join (ranks ⊇ nodes by construction), so
         // the convergence delta needs no second join against old ranks
@@ -150,7 +181,7 @@ object Graph {
       (ranks, it, converged)
     } finally {
       e.unpersist(false)
-      if (deg != null) deg.unpersist(false)
+      eRaw.unpersist(false)
       nodes.unpersist(false)
     }
   }

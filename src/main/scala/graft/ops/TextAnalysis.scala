@@ -1277,9 +1277,21 @@ object TextAnalysis {
     */
   def cooccurrence(docs: DataFrame, textCol: String, window: Int,
                    minCount: Long = 2, topK: Int = 100): DataFrame = {
+    require(topK >= 1, s"cooccurrence: topK=$topK")
+    cooccurrencePairs(docs, textCol, window, minCount)
+      .orderBy(col("n").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /** The FULL co-occurrence pair frame behind [[cooccurrence]] (no
+    * top-k): (w1, w2, n) with w1 < w2 — the input a graph consumer like
+    * [[textRankKeywords]] needs, where truncating to the k heaviest
+    * pairs would bias the walk. Same single-Generate scan shape.
+    */
+  def cooccurrencePairs(docs: DataFrame, textCol: String, window: Int,
+                        minCount: Long = 2): DataFrame = {
     require(window >= 1, s"cooccurrence needs window >= 1 (got $window)")
-    require(minCount >= 1 && topK >= 1,
-      s"cooccurrence: minCount=$minCount topK=$topK")
+    require(minCount >= 1, s"cooccurrence: minCount=$minCount")
     val t = docs.select(nonEmptyTokens(col(textCol)).as("__ts"))
       .filter(size(col("__ts")) >= 2)
     val n = size(col("__ts"))
@@ -1293,8 +1305,49 @@ object TextAnalysis {
         greatest(col("__p.__a"), col("__p.__b")).as("w2"))
     pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
-      .orderBy(col("n").desc, col("w1"), col("w2"))
-      .limit(topK)
+  }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+    * PageRank over the corpus word co-occurrence graph — each
+    * [[cooccurrencePairs]] pair becomes a SYMMETRIC edge weighted by its
+    * count, and a word's stationary rank is its keyword score (words
+    * that co-occur with many well-connected words rank high — the
+    * graph-centrality upgrade over raw frequency). Returns the `topK`
+    * (word, score) rows, score descending, ties by word.
+    *
+    * Scale shape: the pair frame is one tokenize + one Generate scan
+    * (O(tokens · window)); the graph is O(distinct pairs) edges and the
+    * walk is [[graft.ops.Graph.pageRankWeighted]] — src-partitioned
+    * cached edges, one join + one aggregate per iteration, O(vocab)
+    * state. Words enter the walk as xxhash64 ids (seed-fixed, the
+    * engine's standard hash); a 64-bit collision would merge two words'
+    * neighborhoods — at any real vocabulary (≪ 2³²) the probability is
+    * negligible, and the id→word join-back would surface it as a
+    * duplicated node row rather than silent corruption.
+    */
+  def textRankKeywords(docs: DataFrame, textCol: String, window: Int = 3,
+                       minCount: Long = 2, topK: Int = 20, iters: Int = 10,
+                       damping: Double = 0.85): DataFrame = {
+    require(topK >= 1 && iters >= 1,
+      s"textRankKeywords: topK=$topK iters=$iters")
+    val pairs = cooccurrencePairs(docs, textCol, window, minCount)
+      .filter(col("w1") =!= col("w2")) // no self-loops (classic TextRank)
+      .localCheckpoint() // two consumers (edges, word map): scan once
+    val sym = pairs.select(col("w1").as("ws"), col("w2").as("wd"), col("n"))
+      .unionByName(pairs.select(col("w2").as("ws"), col("w1").as("wd"), col("n")))
+    val edges = sym.select(xxhash64(col("ws")).as("src"),
+      xxhash64(col("wd")).as("dst"), col("n").cast("double").as("w"))
+    val ranks = Graph.pageRankWeighted(edges, "src", "dst", "w",
+      iters, damping)
+    val words = pairs.select(col("w1").as("word"))
+      .unionByName(pairs.select(col("w2").as("word"))).distinct()
+      .withColumn("node", xxhash64(col("word")))
+    val ranked = ranks.join(words, "node")
+      .select(col("word"), col("rank").as("score"))
+      .orderBy(col("score").desc, col("word"))
+    // Int.MaxValue = "the full roster" (skip the limit so the plan stays
+    // a plain sort instead of a degenerate 2^31 top-k heap)
+    if (topK == Int.MaxValue) ranked else ranked.limit(topK)
   }
 
   /** Tokenizer-vocabulary coverage audit: per group, total tokens, OOV

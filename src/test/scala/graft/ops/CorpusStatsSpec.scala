@@ -132,6 +132,32 @@ class CorpusStatsSpec extends SparkSpec {
       minCount = 2, topK = 10).count() === 2)
   }
 
+  test("textRank: hub word ranks first; mass conserved; topK; deterministic") {
+    // "hub" co-occurs with every other word; the satellites only with
+    // hub (and rarely each other) — graph centrality must put hub first
+    // even though every pair count is comparable
+    val docs = Seq("hub aa", "hub bb", "hub cc", "hub dd", "aa bb",
+      "hub aa", "hub bb", "hub cc", "hub dd", "aa bb")
+      .toDF("text")
+    val all = TextAnalysis.textRankKeywords(docs, "text", window = 2,
+      minCount = 1, topK = Int.MaxValue, iters = 20)
+    val rows = all.as[(String, Double)].collect()
+    assert(rows.head._1 === "hub", rows.mkString(","))
+    assert(rows.forall(_._2 > 0))
+    // stationary mass over the vocabulary stays 1 (PageRank invariant)
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-9)
+    // topK truncates the same ranking
+    val top2 = TextAnalysis.textRankKeywords(docs, "text", window = 2,
+      minCount = 1, topK = 2, iters = 20).as[(String, Double)].collect()
+    assert(top2.toSeq === rows.take(2).toSeq)
+    // deterministic under partitioning
+    val again = TextAnalysis.textRankKeywords(docs.repartition(5), "text",
+      window = 2, minCount = 1, topK = Int.MaxValue, iters = 20)
+      .as[(String, Double)].collect()
+    assert(again.map(t => t._1 -> math.rint(t._2 * 1e9)).toMap ===
+      rows.map(t => t._1 -> math.rint(t._2 * 1e9)).toMap)
+  }
+
   test("minePhrases chains the two-pass composition in one call") {
     val docs = Seq.fill(3)("the new york city council met in new york city")
       .toDF("text")

@@ -207,6 +207,41 @@ class GraphSpec extends SparkSpec {
     assert(!convFixed, "tol=0 never reports converged")
   }
 
+  test("weighted pagerank: hand-computed 2:1 V graph with dangling leaves") {
+    // A(0) -> B(1) weight 2, A -> C(2) weight 1; B and C dangling.
+    // From uniform 1/3: dangling mass 2/3, shares 2/3 and 1/3.
+    val edges = Seq((0L, 1L, 2.0), (0L, 2L, 1.0)).toDF("s", "d", "w")
+    val r = Graph.pageRankWeighted(edges, "s", "d", "w", iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    def exp(contrib: Double) = 0.15 / 3 + 0.85 * (contrib + (2.0 / 3) / 3)
+    assert(math.abs(r(0L) - exp(0.0)) < 1e-12)
+    assert(math.abs(r(1L) - exp(1.0 / 3 * 2.0 / 3)) < 1e-12)
+    assert(math.abs(r(2L) - exp(1.0 / 3 * 1.0 / 3)) < 1e-12)
+    assert(math.abs(r.values.sum - 1.0) < 1e-12)
+  }
+
+  test("weighted pagerank: uniform weights = unweighted; out-weight scaling invariant; w<=0 drops") {
+    val base = (0L until 40L).flatMap(i =>
+      Seq((i, (i * 7 + 3) % 40), (i, (i * 13 + 5) % 40), (i, (i + 1) % 40)))
+    val unw = Graph.pageRank(base.toDF("s", "d"), "s", "d", iters = 6)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    def diff(df: org.apache.spark.sql.DataFrame): Double =
+      df.collect().map(x => math.abs(unw(x.getLong(0)) - x.getDouble(1))).max
+    // weight 1 everywhere = the unweighted walk
+    val w1 = base.map { case (s, d) => (s, d, 1.0) }.toDF("s", "d", "w")
+    assert(diff(Graph.pageRankWeighted(w1, "s", "d", "w", iters = 6)) < 1e-12)
+    // per-node out-weight scaling (here a global 7x) changes nothing
+    val w7 = base.map { case (s, d) => (s, d, 7.0) }.toDF("s", "d", "w")
+    assert(diff(Graph.pageRankWeighted(w7, "s", "d", "w", iters = 6)) < 1e-12)
+    // null / non-positive weights drop the edge entirely: keeping only
+    // the (i+1) cycle edges alive recovers the cycle's uniform ranks
+    val mixed = base.map { case (s, d) =>
+      (s, d, if (d == (s + 1) % 40) 3.0 else 0.0) }.toDF("s", "d", "w")
+    val cyc = Graph.pageRankWeighted(mixed, "s", "d", "w", iters = 8)
+      .collect().map(_.getDouble(1))
+    assert(cyc.forall(v => math.abs(v - 1.0 / 40) < 1e-9))
+  }
+
   test("converged flag disambiguates the iteration-budget boundary") {
     // both runs exhaust the budget (it == iters); only the flag tells
     // "the last step itself converged" from "ran out of budget" — the
