@@ -2290,6 +2290,40 @@ object SparkEntry {
         .orderBy("source", "pack_id")
     }),
 
+    // FFD physical assembly (derived checks — FFD bin state is not
+    // SQL-expressible): the assembly's exploded (source, pack, doc)
+    // roster must EQUAL packSequencesFFD's assignment (the shared-rule
+    // guarantee), every document appears exactly once, id accounting
+    // holds (n_ids = tokens + separators), and no pack exceeds
+    // budget + separators
+    "q_pack_ffd_assemble" -> ((s, dir) => {
+      val nt = TextAnalysis.tokenCount(col("text"))
+      val enc = T(s, dir, "documents").select(col("source"), col("doc_id"),
+        when(nt < 1, array().cast("array<int>"))
+          .otherwise(sequence(lit(1), nt)).as("ids"))
+      val asm = pin(Sampling.assemblePackedIdsFFD(enc, "source", "doc_id",
+        "ids", size(col("ids")), maxTokens = 128, sepId = 0))
+      val assign = pin(Sampling.packSequencesFFD(enc, "source", "doc_id",
+        size(col("ids")), maxTokens = 128))
+      val a = asm.select(col("source"), col("pack_id").cast("long").as("pid"),
+        explode(col("doc_ids")).as("doc_id"))
+      val b = assign.select(col("source"), col("pack_id").cast("long").as("pid"),
+        col("doc_id"))
+      val one = a.exceptAll(b).agg(count(lit(1)).as("n_ab"))
+        .crossJoin(b.exceptAll(a).agg(count(lit(1)).as("n_ba")))
+        .crossJoin(asm.agg(sum("n_docs").as("n_docs_total"),
+          count(lit(1)).as("n_packs")))
+        .crossJoin(T(s, dir, "documents").agg(count(lit(1)).as("n_corpus")))
+        .crossJoin(asm.filter(col("n_ids") =!= size(col("packed_ids")) ||
+            (col("n_ids") > lit(128) + col("n_docs") && col("n_docs") > 1))
+          .agg(count(lit(1)).as("n_bad")))
+      checkRows(one,
+        "matches_assignment" -> (col("n_ab") === 0 && col("n_ba") === 0),
+        "every_doc_once" -> (col("n_docs_total") === col("n_corpus")),
+        "id_accounting_holds" -> (col("n_bad") === 0),
+        "packs_nonempty" -> (col("n_packs") >= 1))
+    }),
+
     // SemDeDup derived check: cluster-blocked pairs must be an exact-cosine
     // subset of the all-pairs baseline (precision 1.0), recover the
     // measured recall floor, and the keep-filter must actually prune
@@ -4660,6 +4694,10 @@ object SparkEntry {
       "q_pack_ffd" ->
         checksOracle("assigned_exactly_once", "budget_respected",
           "no_worse_than_greedy", "packs_nonempty"),
+
+      "q_pack_ffd_assemble" ->
+        checksOracle("matches_assignment", "every_doc_once",
+          "id_accounting_holds", "packs_nonempty"),
 
       // same recursive pack CTE, then the physical assembly: per-doc ids
       // are the structural 1..nt (DuckDB range(1, nt+1) = [] at nt = 0),

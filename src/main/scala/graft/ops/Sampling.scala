@@ -204,34 +204,110 @@ object Sampling {
       .as[(String, Long, Int)]
     base.groupByKey(_._1)
       .flatMapSortedGroups($"__nt".desc, $"__ord") { (grp, it) =>
-        // open-bin census: (pack_id, used), first-fit scans in pack-id
-        // order; an overfull doc opens a bin that can never fit anything
-        // and is retired on the next census overflow
         val bins = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
         var nextPack = 1
         it.map { case (_, ord, nt) =>
-          val i = bins.indexWhere { case (_, used) => used + nt <= maxTokens }
-          val (pid, cum) =
-            if (i >= 0) {
-              val (p, used) = bins(i)
-              bins(i) = (p, used + nt)
-              (p, used + nt)
-            } else {
-              val p = nextPack
-              nextPack += 1
-              bins += ((p, nt))
-              if (bins.size > maxOpenBins) {
-                // retire the fullest bin — smallest remainder, least
-                // chance of ever accepting another (still-smaller) doc
-                val k = bins.indices.maxBy(j => bins(j)._2)
-                bins.remove(k)
-              }
-              (p, nt)
-            }
+          val (pid, cum, np, _) = ffdStep(bins, nextPack, nt, maxTokens,
+            maxOpenBins)
+          nextPack = np
           (grp, ord, nt, pid, cum)
         }
       }
       .toDF(groupCol, orderCol, "n_tokens", "pack_id", "pack_cum")
+  }
+
+  /** The ONE first-fit-decreasing placement rule, shared by
+    * [[packSequencesFFD]] and [[assemblePackedIdsFFD]] so their pack
+    * boundaries can never desync. The census `bins` holds (pack_id,
+    * used) in pack-id order and is MUTATED in place: first-fit scans it
+    * linearly, a miss opens pack `nextPack`, and a census past
+    * `maxOpenBins` retires the fullest bin (smallest remainder — least
+    * chance of ever accepting another, still-smaller, doc; an overfull
+    * doc's own bin can be the retiree). Returns (packId, cumAfter,
+    * nextPack', retiredPackId).
+    */
+  private def ffdStep(bins: scala.collection.mutable.ArrayBuffer[(Int, Int)],
+                      nextPack: Int, nt: Int, maxTokens: Int,
+                      maxOpenBins: Int): (Int, Int, Int, Option[Int]) = {
+    val i = bins.indexWhere { case (_, used) => used + nt <= maxTokens }
+    if (i >= 0) {
+      val (p, used) = bins(i)
+      bins(i) = (p, used + nt)
+      (p, used + nt, nextPack, None)
+    } else {
+      val p = nextPack
+      bins += ((p, nt))
+      val retired =
+        if (bins.size > maxOpenBins) {
+          val k = bins.indices.maxBy(j => bins(j)._2)
+          val rp = bins(k)._1
+          bins.remove(k)
+          Some(rp)
+        } else None
+      (p, nt, nextPack + 1, retired)
+    }
+  }
+
+  /** Physical pack assembly under FIRST-FIT-DECREASING placement — the
+    * dataloader-ready form of [[packSequencesFFD]], mirroring
+    * [[assemblePackedIds]]'s contract: one row per (groupCol, pack_id)
+    * with the pack's int-id sequences concatenated in PLACEMENT order
+    * (descending token count, ties by `orderCol` — the FFD walk), each
+    * document terminated by `sepId`; null id arrays raise. Pack ids and
+    * memberships are identical to [[packSequencesFFD]] by construction
+    * (the shared [[ffdStep]] rule).
+    *
+    * Scale shape: the ids ride the same group-keyed desc-sorted
+    * traversal that assigns the packs, so they cross the wire once and
+    * the source is scanned once. Unlike the greedy assembly (one open
+    * pack), FFD keeps up to `maxOpenBins` packs open, so per-task state
+    * is bounded by cap · (maxTokens ids + doc ids) — ~0.5 MB at the
+    * defaults; a bin's row is emitted the moment the census retires it,
+    * and the still-open bins drain in pack order at group end.
+    */
+  def assemblePackedIdsFFD(encoded: DataFrame, groupCol: String,
+                           orderCol: String, idsCol: String,
+                           tokenCount: Column, maxTokens: Int, sepId: Int,
+                           maxOpenBins: Int = 1024): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1: $maxTokens")
+    require(maxOpenBins >= 1, s"maxOpenBins must be >= 1: $maxOpenBins")
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val base = encoded.select(
+        col(groupCol).cast("string").as("__grp"),
+        col(orderCol).cast("long").as("__ord"),
+        tokenCount.cast("int").as("__nt"),
+        col(idsCol).cast("array<int>").as("__ids"))
+      .as[(String, Long, Int, Seq[Int])]
+    base.groupByKey(_._1)
+      .flatMapSortedGroups($"__nt".desc, $"__ord", $"__ids") { (grp, it) =>
+        val bins = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        val bufs = scala.collection.mutable.HashMap
+          .empty[Int, (scala.collection.mutable.ArrayBuffer[Int],
+                       scala.collection.mutable.ArrayBuffer[Long])]
+        var nextPack = 1
+        def rowOf(pid: Int): PackedRow = {
+          val (ids, docs) = bufs.remove(pid).get
+          PackedRow(grp, pid, ids.toSeq, docs.toSeq,
+            docs.length.toLong, ids.length.toLong)
+        }
+        val main = it.flatMap { case (_, ord, nt, seq) =>
+          require(seq != null,
+            s"assemblePackedIdsFFD: null $idsCol for $orderCol=$ord")
+          val (pid, _, np, retired) = ffdStep(bins, nextPack, nt, maxTokens,
+            maxOpenBins)
+          nextPack = np
+          val (idsB, docsB) = bufs.getOrElseUpdate(pid,
+            (scala.collection.mutable.ArrayBuffer.empty[Int],
+             scala.collection.mutable.ArrayBuffer.empty[Long]))
+          idsB ++= seq; idsB += sepId; docsB += ord
+          retired.map(rowOf)
+        }
+        // ++'s by-name operand: the drain builds AFTER main exhausts, so
+        // it sees exactly the bins still open at group end
+        main ++ bufs.keys.toSeq.sorted.map(rowOf)
+      }
+      .toDF(groupCol, "pack_id", "packed_ids", "doc_ids", "n_docs", "n_ids")
   }
 
   /** Pack-level waste audit for a packing assignment ([[packSequences]]

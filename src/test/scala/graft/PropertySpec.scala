@@ -529,20 +529,38 @@ class PropertySpec extends SparkSpec {
     // the 1.04/sqrt(m) standard error, and merging must be
     // order-insensitive (the property the distributed aggregate relies on)
     import graft.ops.Hll
+    // Per-sample assertions are the EXACT algebraic invariant (merge is
+    // order-free) plus a catastrophic-only error bound: the estimator's
+    // relative-error tail at small m is heavy (a measured 300k-trial
+    // sweep puts rare samples past 6.9x the 1.04/sqrt(m) standard
+    // error), so a tight per-sample band is a guaranteed eventual flake
+    // — the r13 one-in-a-round suite flake was exactly this test. BIAS
+    // is caught statistically instead: the mean normalized error over
+    // the sampled trials must stay under 1.15 standard errors (a
+    // half-normal's mean is ~0.75se; the pre-Ertl transition-zone bias
+    // hump pushed it well past this).
     val genN = Gen.choose(1, 400)
     val genLogM = Gen.choose(5, 8)
     val genSeed = Gen.choose(0L, 1000000L)
+    val normErrs = scala.collection.mutable.ArrayBuffer.empty[Double]
     check(Prop.forAllNoShrink(genN, genLogM, genSeed) { (n, logM, seed) =>
       val ids = (0 until n).map(i => seed + i * 7919L)
       val merged = ids.map(Hll.init(_, logM))
         .reduce(Hll.merge)
       val shuffled = scala.util.Random.shuffle(ids.toList)
         .map(Hll.init(_, logM)).reduce(Hll.merge)
-      val est = Hll.estimate(merged)
-      val relErr = math.abs(est - n) / n
-      val bound = math.max(4 * 1.04 / math.sqrt(1 << logM), 0.05)
-      relErr < bound && java.util.Arrays.equals(merged, shuffled)
-    }, n = 30)
+      val se = 1.04 / math.sqrt(1 << logM)
+      val err = math.abs(Hll.estimate(merged) - n)
+      normErrs += err / (n * se)
+      err < math.max(12 * se * n, 8.0) && java.util.Arrays.equals(merged, shuffled)
+    }, n = 40)
+    val meanNorm = normErrs.sum / normErrs.size
+    assert(meanNorm < 1.15,
+      f"mean normalized HLL error $meanNorm%.3f se — estimator is biased")
+    // deterministic anchor: a mid-range cardinality at the engine's
+    // production register width lands well inside the error band
+    val m8 = (0 until 1000).map(i => Hll.init(i.toLong, 8)).reduce(Hll.merge)
+    assert(math.abs(Hll.estimate(m8) - 1000) / 1000 < 0.2)
   }
 
   test("sq8 codes reconstruct every coordinate within half a level") {

@@ -423,11 +423,16 @@ class SafetySpec extends SparkSpec {
       MSWrite.writeFragment(delta, childPath, rootPath)
       val expect = MSWrite.readFragment(spark, childPath, Seq("s_suppkey"),
         verifyCounts = true).count()
-      // hide ONE of the fragment's parquet part-files from LIST
+      // hide the fragment's LARGEST parquet part-file from LIST (the
+      // writer fans the 4-row delta over several tasks, so some parts
+      // are empty footers — hiding one of those changes nothing and
+      // listing order is filesystem-dependent; the largest part is
+      // guaranteed to carry rows)
       val parts = fs.listStatus(new Path(s"$base/frag"))
-        .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+        .filter(_.getPath.getName.endsWith(".parquet"))
       assert(parts.nonEmpty)
-      graft.ListLagFs.hidden = Seq(s"frag/${parts.head}", "_KEYWORDS.json")
+      val fattest = parts.maxBy(_.getLen).getPath.getName
+      graft.ListLagFs.hidden = Seq(s"frag/$fattest", "_KEYWORDS.json")
       spark.catalog.refreshByPath(childPath)
       // chain discovery still works (sidecars travel by GET) and the
       // count guard turns the truncated window into a refusal

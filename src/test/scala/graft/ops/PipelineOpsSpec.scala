@@ -833,6 +833,53 @@ class PackAssembleSpec extends SparkSpec {
     assert(ngOut.map(_.getSeq[Int](2)).map(_.toSeq).toSet ===
       Set(Seq(7, 0), Seq(8, 0)))
   }
+
+  test("FFD assembly: hand-computed placement order, shared rule with packSequencesFFD") {
+    // sizes 7,6,4,3,2 at budget 10 (the packSequencesFFD hand case):
+    // packs {7,3} {6,4} {2}; contents concatenate in PLACEMENT order
+    // (desc length), so pack 1 is [7-doc ids, 3-doc ids]
+    val enc = Seq(
+      ("s", 1L, (1 to 7).toSeq), ("s", 2L, (11 to 16).toSeq),
+      ("s", 3L, (21 to 24).toSeq), ("s", 4L, (31 to 33).toSeq),
+      ("s", 5L, Seq(41, 42))
+    ).toDF("src", "doc_id", "ids")
+    val out = Sampling.assemblePackedIdsFFD(enc, "src", "doc_id", "ids",
+        size(col("ids")), maxTokens = 10, sepId = 0)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getSeq[Int](2).toSeq, r.getSeq[Long](3).toSeq, r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(out(("s", 1)) ===
+      (((1 to 7).toSeq ++ Seq(0) ++ (31 to 33) ++ Seq(0), Seq(1L, 4L), 2L, 12L)))
+    assert(out(("s", 2)) ===
+      (((11 to 16).toSeq ++ Seq(0) ++ (21 to 24) ++ Seq(0), Seq(2L, 3L), 2L, 12L)))
+    assert(out(("s", 3)) === ((Seq(41, 42, 0), Seq(5L), 1L, 3L)))
+  }
+
+  test("FFD assembly matches packSequencesFFD memberships; capped census emits every doc once") {
+    val docs = (0L until 60L).map { i =>
+      val nt = if (i % 4 < 2) 70 else 50
+      ("s" + (i % 3), i, (1 to nt.toInt).map(_.toInt))
+    }.toDF("src", "doc_id", "ids")
+    val tc = size(col("ids"))
+    for (cap <- Seq(1024, 2)) {
+      val asm = Sampling.assemblePackedIdsFFD(docs, "src", "doc_id", "ids",
+        tc, maxTokens = 120, sepId = -1, maxOpenBins = cap)
+      val assign = Sampling.packSequencesFFD(docs, "src", "doc_id", tc,
+        maxTokens = 120, maxOpenBins = cap)
+      // membership parity: the exploded (group, pack, doc) roster of the
+      // assembly equals the assignment's — the shared-rule guarantee
+      val a = asm.select(col("src"), col("pack_id"),
+        explode(col("doc_ids")).as("doc_id"))
+      val b = assign.select(col("src"), col("pack_id").cast("int"), col("doc_id"))
+      assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0,
+        s"cap=$cap membership diverged")
+      // accounting: every doc once; n_ids = tokens + docs; budget holds
+      assert(asm.agg(sum("n_docs")).head().getLong(0) === 60)
+      val bad = asm.filter(col("n_ids") =!=
+        size(col("packed_ids")) || col("n_ids") > lit(120) + col("n_docs"))
+      assert(bad.count() === 0)
+    }
+  }
 }
 
 class DecontaminateSpec extends SparkSpec {
