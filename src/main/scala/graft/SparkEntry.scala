@@ -633,6 +633,47 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // per-node triangle counts on the 3-map graph plus a 6-clique (the
+    // maps alone need not close triangles at every SF — the clique pins
+    // a non-trivial count deterministically); oracle = DuckDB's ordered
+    // three-way self-join, exact
+    "q_triangles" -> ((s, dir) => {
+      import s.implicits._
+      val nodes = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("node"))
+      val nMod = nodes.count()
+      val mapped = Seq((7L, 3L), (13L, 5L), (29L, 11L)).map { case (k, c) =>
+        nodes.select(col("node").as("src"),
+          ((col("node") * k + c) % nMod).as("dst"))
+      }.reduce(_ unionByName _)
+      val clique = (for (i <- 0L until 6L; j <- (i + 1) until 6L)
+        yield (i, j)).toDF("src", "dst")
+      Graph.triangleCounts(mapped.unionByName(clique), "src", "dst")
+        .orderBy("node")
+    }),
+
+    // link-prediction proximity scores (common neighbors / Adamic-Adar /
+    // neighborhood Jaccard) on the same graph; oracle = DuckDB replays
+    // the wedge join + degree joins, exact (doubles rounded 6)
+    "q_link_predict" -> ((s, dir) => {
+      import s.implicits._
+      val nodes = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("node"))
+      val nMod = nodes.count()
+      val mapped = Seq((7L, 3L), (13L, 5L), (29L, 11L)).map { case (k, c) =>
+        nodes.select(col("node").as("src"),
+          ((col("node") * k + c) % nMod).as("dst"))
+      }.reduce(_ unionByName _)
+      val clique = (for (i <- 0L until 6L; j <- (i + 1) until 6L)
+        yield (i, j)).toDF("src", "dst")
+      Graph.linkPredictionScores(mapped.unionByName(clique), "src", "dst",
+          minCommon = 2)
+        .select(col("id_a"), col("id_b"), col("common_neighbors"),
+          round(col("adamic_adar"), 6).as("adamic_adar"),
+          round(col("jaccard"), 6).as("jaccard"), col("already_linked"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // HyperBall derived checks: the HLL approximation must cover every
     // node, stay positive where the exact value is, keep the mean
     // relative error inside the m = 128 band, and keep the corpus-wide
@@ -4549,6 +4590,76 @@ object SparkEntry {
           |)
           |SELECT node AS doc_id, round(r, 6) AS ppr
           |FROM pr WHERE it = 10 ORDER BY doc_id""".stripMargin,
+
+      // undirected simple graph (maps + 6-clique); ordered three-way
+      // self-join counts each triangle once at u<v<w, then the corner
+      // union attributes it to all three nodes
+      "q_triangles" ->
+        """WITH nodes AS (SELECT doc_id AS node FROM documents),
+          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+          |raw AS (
+          |  SELECT node AS a, (node*7+3) % (SELECT n FROM nn) AS b FROM nodes
+          |  UNION ALL SELECT node, (node*13+5) % (SELECT n FROM nn) FROM nodes
+          |  UNION ALL SELECT node, (node*29+11) % (SELECT n FROM nn) FROM nodes
+          |  UNION ALL SELECT CAST(a AS BIGINT), CAST(b AS BIGINT) FROM (VALUES
+          |    (0,1),(0,2),(0,3),(0,4),(0,5),(1,2),(1,3),(1,4),(1,5),
+          |    (2,3),(2,4),(2,5),(3,4),(3,5),(4,5)) t(a,b)
+          |),
+          |e AS (SELECT DISTINCT least(a,b) AS u, greatest(a,b) AS v
+          |      FROM raw WHERE a != b),
+          |v AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+          |t AS (
+          |  SELECT x.u AS p, x.v AS q, y.v AS r
+          |  FROM e x JOIN e y ON y.u = x.v JOIN e z ON z.u = x.u AND z.v = y.v
+          |),
+          |cnt AS (
+          |  SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+          |    SELECT p AS node FROM t
+          |    UNION ALL SELECT q FROM t
+          |    UNION ALL SELECT r FROM t
+          |  ) GROUP BY 1
+          |)
+          |SELECT v.node, coalesce(cnt.triangles, 0) AS triangles
+          |FROM v LEFT JOIN cnt USING (node) ORDER BY node""".stripMargin,
+
+      // same undirected graph; wedge self-join on the pivot + degree
+      // joins replay common/Adamic-Adar/Jaccard exactly
+      "q_link_predict" ->
+        """WITH nodes AS (SELECT doc_id AS node FROM documents),
+          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+          |raw AS (
+          |  SELECT node AS a, (node*7+3) % (SELECT n FROM nn) AS b FROM nodes
+          |  UNION ALL SELECT node, (node*13+5) % (SELECT n FROM nn) FROM nodes
+          |  UNION ALL SELECT node, (node*29+11) % (SELECT n FROM nn) FROM nodes
+          |  UNION ALL SELECT CAST(a AS BIGINT), CAST(b AS BIGINT) FROM (VALUES
+          |    (0,1),(0,2),(0,3),(0,4),(0,5),(1,2),(1,3),(1,4),(1,5),
+          |    (2,3),(2,4),(2,5),(3,4),(3,5),(4,5)) t(a,b)
+          |),
+          |e AS (SELECT DISTINCT least(a,b) AS u, greatest(a,b) AS v
+          |      FROM raw WHERE a != b),
+          |sym AS (SELECT u AS z, v AS nb FROM e UNION ALL SELECT v, u FROM e),
+          |deg AS (SELECT z, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+          |pairs AS (
+          |  SELECT x.nb AS id_a, y.nb AS id_b, x.z AS z
+          |  FROM sym x JOIN sym y ON y.z = x.z AND x.nb < y.nb
+          |),
+          |sc AS (
+          |  SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS common_neighbors,
+          |         sum(1.0 / ln(deg.d)) AS aa
+          |  FROM pairs JOIN deg ON deg.z = pairs.z
+          |  GROUP BY 1, 2 HAVING count(*) >= 2
+          |)
+          |SELECT sc.id_a, sc.id_b, common_neighbors,
+          |  round(aa, 6) AS adamic_adar,
+          |  round(CAST(common_neighbors AS DOUBLE) /
+          |        (da.d + db.d - common_neighbors), 6) AS jaccard,
+          |  coalesce(l.linked, false) AS already_linked
+          |FROM sc
+          |JOIN deg da ON da.z = sc.id_a
+          |JOIN deg db ON db.z = sc.id_b
+          |LEFT JOIN (SELECT u AS id_a, v AS id_b, true AS linked FROM e) l
+          |  USING (id_a, id_b)
+          |ORDER BY id_a, id_b""".stripMargin,
 
       // same 3-map graph; capped multi-source BFS (UNION dedups walk
       // tuples; min(d) per pair = shortest path), h(v) = sum of 1/d

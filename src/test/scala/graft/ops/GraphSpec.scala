@@ -207,6 +207,58 @@ class GraphSpec extends SparkSpec {
     assert(!convFixed, "tol=0 never reports converged")
   }
 
+  test("triangles: K4 corners, isolated edge zero, star zero, dup/direction collapse") {
+    // K4 on 0..3 (4 triangles, each corner in 3) + edge 8-9 (none);
+    // duplicates, reversals, and a self-loop must not change counts
+    val k4 = for (i <- 0L until 4L; j <- (i + 1) until 4L) yield (i, j)
+    val edges = (k4 ++ Seq((8L, 9L), (9L, 8L), (1L, 0L), (2L, 2L)))
+      .toDF("s", "d")
+    val got = Graph.triangleCounts(edges, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L,
+      8L -> 0L, 9L -> 0L))
+    // a star closes nothing — and the degree orientation means the hub
+    // generates zero wedges, not deg^2 of them
+    val star = (1L to 30L).map(i => (0L, i)).toDF("s", "d")
+    val sGot = Graph.triangleCounts(star, "s", "d")
+    assert(sGot.agg(sum("triangles")).head().getLong(0) === 0L)
+    assert(sGot.count() === 31)
+  }
+
+  test("link prediction: hand-computed path scores; minCommon and hub cap gate") {
+    // path a(1) - z(5) - b(2): common(a,b) = 1 via z (deg 2),
+    // aa = 1/ln 2, jaccard = 1/(1+1-1) = 1, not linked.
+    // triangle 1-5-2 NOT present; add edge (1,2) to check already_linked
+    val edges = Seq((1L, 5L), (5L, 2L), (1L, 2L), (2L, 6L), (6L, 1L))
+      .toDF("s", "d")
+    val got = Graph.linkPredictionScores(edges, "s", "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5))))
+      .toMap
+    // pair (1,2): shared neighbors 5 and 6 (both deg 2); deg(1)=deg(2)=3
+    val (c12, aa12, j12, l12) = got((1L, 2L))
+    assert(c12 === 2L && l12)
+    assert(math.abs(aa12 - 2.0 / math.log(2)) < 1e-12)
+    assert(math.abs(j12 - 2.0 / 4.0) < 1e-12)
+    // pair (5,6): shared neighbors 1 and 2 (both deg 3), not linked
+    val (c56, aa56, j56, l56) = got((5L, 6L))
+    assert(c56 === 2L && !l56)
+    assert(math.abs(aa56 - 2.0 / math.log(3)) < 1e-12)
+    assert(math.abs(j56 - 2.0 / 2.0) < 1e-12)
+    // (1,6) share only 2; (2,5) share only 1 — present at minCommon 1
+    assert(got.contains((1L, 6L)) && got.contains((2L, 5L)))
+    // minCommon = 2 keeps exactly the two 2-neighbor pairs
+    assert(Graph.linkPredictionScores(edges, "s", "d", minCommon = 2)
+      .count() === 2)
+    // a hub pivot over the cap stops contributing wedges: star spokes
+    // share ONLY the hub, so capping it empties the result
+    val star = (1L to 30L).map(i => (0L, i)).toDF("s", "d")
+    assert(Graph.linkPredictionScores(star, "s", "d", maxDegree = 10)
+      .count() === 0)
+    assert(Graph.linkPredictionScores(star, "s", "d")
+      .count() === 30L * 29 / 2)
+  }
+
   test("weighted pagerank: hand-computed 2:1 V graph with dangling leaves") {
     // A(0) -> B(1) weight 2, A -> C(2) weight 1; B and C dangling.
     // From uniform 1/3: dangling mass 2/3, shares 2/3 and 1/3.
