@@ -467,6 +467,19 @@ object ScalingProbe {
         maxDepth = 4, logM = 7)
         .agg(sum("harmonic")).collect(); 1L
     }
+    // triangle counting + link prediction on the dense graph: wedge
+    // volume is the cost driver for both (O(m^1.5) oriented for
+    // triangles, O(sum deg^2) capped for link prediction)
+    time("triangles_dense") { d =>
+      val (edges, _) = denseEdges(d)
+      graft.ops.Graph.triangleCounts(edges, "src", "dst")
+        .agg(sum("triangles")).collect(); 1L
+    }
+    time("link_predict_dense") { d =>
+      val (edges, _) = denseEdges(d)
+      graft.ops.Graph.linkPredictionScores(edges, "src", "dst",
+        minCommon = 2).count()
+    }
     // offline FFD packing vs the greedy streaming baseline: the probe
     // records the slope AND the measured pad-waste reduction (DBG line)
     time("pack_ffd") { d =>
