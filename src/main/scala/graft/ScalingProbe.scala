@@ -480,6 +480,10 @@ object ScalingProbe {
       graft.ops.Graph.linkPredictionScores(edges, "src", "dst",
         minCommon = 2).count()
     }
+    time("kcore_dense") { d =>
+      val (edges, _) = denseEdges(d)
+      graft.ops.Graph.kCore(edges, "src", "dst", k = 5).count()
+    }
     // offline FFD packing vs the greedy streaming baseline: the probe
     // records the slope AND the measured pad-waste reduction (DBG line)
     time("pack_ffd") { d =>

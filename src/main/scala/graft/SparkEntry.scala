@@ -674,6 +674,46 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // k-core derived checks (iterate-until-fixpoint peeling is not
+    // SQL-expressible): membership degrees re-derived INDEPENDENTLY from
+    // the induced subgraph must equal the operator's core_degree and
+    // stay >= k (the defining property), and the 6-clique (internal
+    // degree 5) can never peel at k = 5
+    "q_kcore" -> ((s, dir) => {
+      import s.implicits._
+      val nodes = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("node"))
+      val nMod = nodes.count()
+      val mapped = Seq((7L, 3L), (13L, 5L), (29L, 11L)).map { case (k, c) =>
+        nodes.select(col("node").as("src"),
+          ((col("node") * k + c) % nMod).as("dst"))
+      }.reduce(_ unionByName _)
+      val clique = (for (i <- 0L until 6L; j <- (i + 1) until 6L)
+        yield (i, j)).toDF("src", "dst")
+      val edges = mapped.unionByName(clique)
+      val core = pin(Graph.kCore(edges, "src", "dst", k = 5))
+      val und = edges.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v")).distinct()
+      val sym = und.select(col("u").as("z"), col("v").as("n"))
+        .unionByName(und.select(col("v").as("z"), col("u").as("n")))
+      val members = core.select(col("node").as("z"))
+      val induced = sym.join(members, Seq("z"), "left_semi")
+        .join(members.withColumnRenamed("z", "n"), Seq("n"), "left_semi")
+        .groupBy("z").agg(count(lit(1)).as("__ind"))
+      val one = core.agg(count(lit(1)).as("n_core"),
+          min("core_degree").as("min_deg"))
+        .crossJoin(core.join(induced, col("node") === col("z"), "left")
+          .filter(col("__ind").isNull || col("__ind") =!= col("core_degree"))
+          .agg(count(lit(1)).as("n_mismatch")))
+        .crossJoin(core.filter(col("node") < 6).agg(count(lit(1)).as("n_clique")))
+      checkRows(one,
+        "core_nonempty" -> (col("n_core") >= 6),
+        "min_degree_at_least_k" -> (col("min_deg") >= 5),
+        "induced_degrees_match" -> (col("n_mismatch") === 0),
+        "clique_in_core" -> (col("n_clique") === 6))
+    }),
+
     // HyperBall derived checks: the HLL approximation must cover every
     // node, stay positive where the exact value is, keep the mean
     // relative error inside the m = 128 band, and keep the corpus-wide
@@ -4809,6 +4849,10 @@ object SparkEntry {
       "q_pack_ffd_assemble" ->
         checksOracle("matches_assignment", "every_doc_once",
           "id_accounting_holds", "packs_nonempty"),
+
+      "q_kcore" ->
+        checksOracle("core_nonempty", "min_degree_at_least_k",
+          "induced_degrees_match", "clique_in_core"),
 
       // same recursive pack CTE, then the physical assembly: per-doc ids
       // are the structural 1..nt (DuckDB range(1, nt+1) = [] at nt = 0),

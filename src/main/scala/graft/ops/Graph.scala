@@ -376,6 +376,56 @@ object Graph {
     } finally und.unpersist(false)
   }
 
+  /** The k-core of the UNDIRECTED simple graph (Seidman 1983): the
+    * unique maximal subgraph in which every node has at least `k`
+    * neighbors — the standard link-spam / collusion-ring signal (organic
+    * link neighborhoods peel away at small k; boosting farms survive
+    * deep cores). Returns (node, core_degree) for the members, where
+    * `core_degree` is the node's degree INSIDE the core (≥ k by
+    * definition).
+    *
+    * Scale shape: round-synchronous peeling — each round is ONE degree
+    * aggregate over the surviving symmetric adjacency plus a semi-join
+    * that drops nodes under k; the adjacency is re-checkpointed per
+    * round (plan truncation, the pageRank discipline). Rounds = the peel
+    * depth of the graph (real web graphs: tens); `maxRounds` caps a
+    * pathological chain (a path graph peels one end per round) and the
+    * fixpoint is detected by the surviving-edge count reaching
+    * stability. Driver state: one count per round.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxRounds: Int = 100): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    val und = undirected(edges, srcCol, dstCol)
+    var sym = und.select(col("u").as("z"), col("v").as("n"))
+      .union(und.select(col("v").as("z"), col("u").as("n")))
+      .localCheckpoint()
+    var m = sym.count()
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < maxRounds && m > 0) {
+      val keep = sym.groupBy("z").agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k).select("z")
+      val next = sym.join(keep, Seq("z"), "left_semi")
+        .join(keep.withColumnRenamed("z", "n"), Seq("n"), "left_semi")
+        .select("z", "n")
+        .localCheckpoint()
+      val m2 = next.count()
+      stable = m2 == m
+      m = m2
+      sym = next
+      rounds += 1
+    }
+    // an un-peeled superset is NOT a k-core — refuse loudly rather than
+    // return a silently-wrong membership when the cap cuts the peel
+    require(stable || m == 0,
+      s"kCore: peel did not stabilize within $maxRounds rounds " +
+        "(pathological peel depth — raise maxRounds)")
+    sym.groupBy(col("z").as("node"))
+      .agg(count(lit(1)).as("core_degree"))
+  }
+
   /** EXACT truncated harmonic centrality
     * {{{ h(v) = Σ_{u ≠ v, d(u,v) ≤ maxDepth} 1 / d(u,v) }}}
     * (directed shortest-path distance INTO v) — the centrality Common

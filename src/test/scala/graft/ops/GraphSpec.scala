@@ -225,6 +225,27 @@ class GraphSpec extends SparkSpec {
     assert(sGot.count() === 31)
   }
 
+  test("kCore: clique survives, tails peel over multiple rounds, path empties") {
+    // K4 on 0..3 with a pendant chain 3-10-11: kCore(3) = the K4 alone
+    // (10 peels, then 11 — multi-round), each member at core degree 3
+    val k4 = for (i <- 0L until 4L; j <- (i + 1) until 4L) yield (i, j)
+    val edges = (k4 ++ Seq((3L, 10L), (10L, 11L))).toDF("s", "d")
+    val core3 = Graph.kCore(edges, "s", "d", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core3 === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // a cycle is exactly its own 2-core; a path has no 2-core at all
+    val cycle = (0L until 8L).map(i => (i, (i + 1) % 8)).toDF("s", "d")
+    val c2 = Graph.kCore(cycle, "s", "d", k = 2)
+    assert(c2.count() === 8 &&
+      c2.agg(min("core_degree"), max("core_degree")).head().toSeq === Seq(2L, 2L))
+    val path = (0L until 9L).map(i => (i, i + 1)).toDF("s", "d")
+    assert(Graph.kCore(path, "s", "d", k = 2).count() === 0)
+    // the cap refuses a cut peel loudly instead of returning a superset
+    val e = intercept[IllegalArgumentException](
+      Graph.kCore(path, "s", "d", k = 2, maxRounds = 1).count())
+    assert(e.getMessage.contains("stabilize"), e.getMessage)
+  }
+
   test("link prediction: hand-computed path scores; minCommon and hub cap gate") {
     // path a(1) - z(5) - b(2): common(a,b) = 1 via z (deg 2),
     // aa = 1/ln 2, jaccard = 1/(1+1-1) = 1, not linked.
