@@ -111,6 +111,32 @@ object SparkEntry {
     */
   private def pin(df: DataFrame): DataFrame = df.localCheckpoint()
 
+  /** The deterministic synthetic link graph every graph query shares:
+    * three affine maps over the documents' doc_id range (in/out degree
+    * exactly 3 when ids are contiguous). Returns (nodes, edges) with
+    * edges (src, dst); the matching oracle CTE appears verbatim in each
+    * graph query's SQL.
+    */
+  private def mapGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val nodes = T(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("node"))
+    val nMod = nodes.count()
+    val edges = Seq((7L, 3L), (13L, 5L), (29L, 11L)).map { case (k, c) =>
+      nodes.select(col("node").as("src"),
+        ((col("node") * k + c) % nMod).as("dst"))
+    }.reduce(_ unionByName _)
+    (nodes, edges)
+  }
+
+  /** [[mapGraph]] plus the 6-clique supplement the triangle-family
+    * queries pin non-trivial counts with. */
+  private def mapGraphWithClique(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val clique = (for (i <- 0L until 6L; j <- (i + 1) until 6L)
+      yield (i, j)).toDF("src", "dst")
+    mapGraph(s, dir)._2.unionByName(clique)
+  }
+
   private def checkRows(one: DataFrame, checks: (String, Column)*): DataFrame =
     one.select(explode(array(checks.map { case (n, c) =>
         struct(lit(n).as("metric"), c.as("ok")) }: _*)).as("r"))
@@ -586,13 +612,7 @@ object SparkEntry {
     // recursion; in-degree 3 keeps float summation noise ~1e-19, far
     // below the round(6) pin
     "q_pagerank" -> ((s, dir) => {
-      val nodes = T(s, dir, "documents")
-        .select(col("doc_id").cast("long").as("node"))
-      val nMod = nodes.count()
-      val edges = Seq((7L, 3L), (13L, 5L), (29L, 11L)).map { case (k, c) =>
-        nodes.select(col("node").as("src"),
-          ((col("node") * k + c) % nMod).as("dst"))
-      }.reduce(_ unionByName _)
+      val (nodes, edges) = mapGraph(s, dir)
       Graph.pageRank(edges, "src", "dst", iters = 10)
         .select(col("node").as("doc_id"), round(col("rank"), 6).as("pr"))
         .orderBy("doc_id")
@@ -602,13 +622,7 @@ object SparkEntry {
     // seed set — the topic-focused curation prior; oracle reruns the
     // identical 10-iteration recursion with the seeded teleport vector
     "q_ppr" -> ((s, dir) => {
-      val nodes = T(s, dir, "documents")
-        .select(col("doc_id").cast("long").as("node"))
-      val nMod = nodes.count()
-      val edges = Seq((7L, 3L), (13L, 5L), (29L, 11L)).map { case (k, c) =>
-        nodes.select(col("node").as("src"),
-          ((col("node") * k + c) % nMod).as("dst"))
-      }.reduce(_ unionByName _)
+      val (nodes, edges) = mapGraph(s, dir)
       val seeds = nodes.filter(col("node") % 50 === 0)
         .select(col("node").as("id"))
       Graph.personalizedPageRank(edges, "src", "dst", seeds, "id", iters = 10)
@@ -620,13 +634,7 @@ object SparkEntry {
     // 3-map graph — the Common Crawl host-ranking metric; the oracle
     // reruns the identical capped multi-source BFS as a recursive CTE
     "q_harmonic" -> ((s, dir) => {
-      val nodes = T(s, dir, "documents")
-        .select(col("doc_id").cast("long").as("node"))
-      val nMod = nodes.count()
-      val edges = Seq((7L, 3L), (13L, 5L), (29L, 11L)).map { case (k, c) =>
-        nodes.select(col("node").as("src"),
-          ((col("node") * k + c) % nMod).as("dst"))
-      }.reduce(_ unionByName _)
+      val (nodes, edges) = mapGraph(s, dir)
       Graph.harmonicCentralityExact(edges, "src", "dst", maxDepth = 4)
         .select(col("node").as("doc_id"),
           round(col("harmonic"), 6).as("harmonic"))
@@ -637,42 +645,20 @@ object SparkEntry {
     // maps alone need not close triangles at every SF — the clique pins
     // a non-trivial count deterministically); oracle = DuckDB's ordered
     // three-way self-join, exact
-    "q_triangles" -> ((s, dir) => {
-      import s.implicits._
-      val nodes = T(s, dir, "documents")
-        .select(col("doc_id").cast("long").as("node"))
-      val nMod = nodes.count()
-      val mapped = Seq((7L, 3L), (13L, 5L), (29L, 11L)).map { case (k, c) =>
-        nodes.select(col("node").as("src"),
-          ((col("node") * k + c) % nMod).as("dst"))
-      }.reduce(_ unionByName _)
-      val clique = (for (i <- 0L until 6L; j <- (i + 1) until 6L)
-        yield (i, j)).toDF("src", "dst")
-      Graph.triangleCounts(mapped.unionByName(clique), "src", "dst")
-        .orderBy("node")
-    }),
+    "q_triangles" -> ((s, dir) =>
+      Graph.triangleCounts(mapGraphWithClique(s, dir), "src", "dst")
+        .orderBy("node")),
 
     // link-prediction proximity scores (common neighbors / Adamic-Adar /
     // neighborhood Jaccard) on the same graph; oracle = DuckDB replays
     // the wedge join + degree joins, exact (doubles rounded 6)
-    "q_link_predict" -> ((s, dir) => {
-      import s.implicits._
-      val nodes = T(s, dir, "documents")
-        .select(col("doc_id").cast("long").as("node"))
-      val nMod = nodes.count()
-      val mapped = Seq((7L, 3L), (13L, 5L), (29L, 11L)).map { case (k, c) =>
-        nodes.select(col("node").as("src"),
-          ((col("node") * k + c) % nMod).as("dst"))
-      }.reduce(_ unionByName _)
-      val clique = (for (i <- 0L until 6L; j <- (i + 1) until 6L)
-        yield (i, j)).toDF("src", "dst")
-      Graph.linkPredictionScores(mapped.unionByName(clique), "src", "dst",
+    "q_link_predict" -> ((s, dir) =>
+      Graph.linkPredictionScores(mapGraphWithClique(s, dir), "src", "dst",
           minCommon = 2)
         .select(col("id_a"), col("id_b"), col("common_neighbors"),
           round(col("adamic_adar"), 6).as("adamic_adar"),
           round(col("jaccard"), 6).as("jaccard"), col("already_linked"))
-        .orderBy("id_a", "id_b")
-    }),
+        .orderBy("id_a", "id_b")),
 
     // k-core derived checks (iterate-until-fixpoint peeling is not
     // SQL-expressible): membership degrees re-derived INDEPENDENTLY from
@@ -680,17 +666,7 @@ object SparkEntry {
     // stay >= k (the defining property), and the 6-clique (internal
     // degree 5) can never peel at k = 5
     "q_kcore" -> ((s, dir) => {
-      import s.implicits._
-      val nodes = T(s, dir, "documents")
-        .select(col("doc_id").cast("long").as("node"))
-      val nMod = nodes.count()
-      val mapped = Seq((7L, 3L), (13L, 5L), (29L, 11L)).map { case (k, c) =>
-        nodes.select(col("node").as("src"),
-          ((col("node") * k + c) % nMod).as("dst"))
-      }.reduce(_ unionByName _)
-      val clique = (for (i <- 0L until 6L; j <- (i + 1) until 6L)
-        yield (i, j)).toDF("src", "dst")
-      val edges = mapped.unionByName(clique)
+      val edges = mapGraphWithClique(s, dir)
       val core = pin(Graph.kCore(edges, "src", "dst", k = 5))
       val und = edges.filter(col("src") =!= col("dst"))
         .select(least(col("src"), col("dst")).as("u"),
@@ -719,13 +695,7 @@ object SparkEntry {
     // relative error inside the m = 128 band, and keep the corpus-wide
     // mass within 10% — calibrated against the in-engine exact baseline
     "q_harmonic_hyperball" -> ((s, dir) => {
-      val nodes = T(s, dir, "documents")
-        .select(col("doc_id").cast("long").as("node"))
-      val nMod = nodes.count()
-      val edges = Seq((7L, 3L), (13L, 5L), (29L, 11L)).map { case (k, c) =>
-        nodes.select(col("node").as("src"),
-          ((col("node") * k + c) % nMod).as("dst"))
-      }.reduce(_ unionByName _)
+      val (nodes, edges) = mapGraph(s, dir)
       val exact = pin(Graph.harmonicCentralityExact(edges, "src", "dst",
         maxDepth = 4).withColumnRenamed("harmonic", "he"))
       val hb = pin(Graph.harmonicCentralityHyperBall(edges, "src", "dst",
@@ -1800,13 +1770,7 @@ object SparkEntry {
     // EXACT truncated neighbourhood function N(r) on the 3-map graph —
     // reachable pairs per radius, the ANF the effective diameter reads
     "q_anf" -> ((s, dir) => {
-      val nodes = T(s, dir, "documents")
-        .select(col("doc_id").cast("long").as("node"))
-      val nMod = nodes.count()
-      val edges = Seq((7L, 3L), (13L, 5L), (29L, 11L)).map { case (k, c) =>
-        nodes.select(col("node").as("src"),
-          ((col("node") * k + c) % nMod).as("dst"))
-      }.reduce(_ unionByName _)
+      val (nodes, edges) = mapGraph(s, dir)
       Graph.neighborhoodFunctionExact(edges, "src", "dst", maxDepth = 4)
         .orderBy("r")
     }),
@@ -1815,13 +1779,7 @@ object SparkEntry {
     // monotone, each within the m = 128 error band of the exact N(r),
     // and the derived effective diameters within half a radius
     "q_anf_hyperball" -> ((s, dir) => {
-      val nodes = T(s, dir, "documents")
-        .select(col("doc_id").cast("long").as("node"))
-      val nMod = nodes.count()
-      val edges = Seq((7L, 3L), (13L, 5L), (29L, 11L)).map { case (k, c) =>
-        nodes.select(col("node").as("src"),
-          ((col("node") * k + c) % nMod).as("dst"))
-      }.reduce(_ unionByName _)
+      val (nodes, edges) = mapGraph(s, dir)
       val exact = pin(Graph.neighborhoodFunctionExact(edges, "src", "dst",
         maxDepth = 4).withColumnRenamed("pairs", "pe"))
       val hb = pin(Graph.neighborhoodFunctionHyperBall(edges, "src", "dst",
