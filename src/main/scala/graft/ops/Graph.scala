@@ -86,13 +86,17 @@ object Graph {
     * aggregate (the r14 refactor; previously a per-iteration deg join
     * paid a second shuffle).
     */
-  private def pageRankLoop(edges: DataFrame, srcCol: String, dstCol: String,
-                           iters: Int, damping: Double, tol: Double,
-                           seeds: Option[(DataFrame, String)],
-                           weightCol: Option[String] = None): (DataFrame, Int, Boolean) = {
-    require(iters >= 0, s"iters must be >= 0: $iters")
-    require(damping > 0 && damping < 1, s"damping in (0,1): $damping")
-    require(tol >= 0, s"tol must be >= 0: $tol")
+  /** The loop's src-keyed cached edge frames: `eRaw` = (node, dst, __w)
+    * repartitioned on the src key and persisted; `e` = the out-share
+    * normalization (node, dst, __wn = w / Σ_out w) — built ON eRaw's
+    * partitioning (co-partitioned agg + join, no extra shuffle) and
+    * persisted itself. `private[graft]` so the plan audit pins the
+    * PRODUCTION construction, not a test replica. Caller unpersists both.
+    */
+  private[graft] def normalizedEdges(edges: DataFrame, srcCol: String,
+                                     dstCol: String,
+                                     weightCol: Option[String])
+      : (DataFrame, DataFrame) = {
     val eRaw = (weightCol match {
       case Some(w) => edges.select(col(srcCol).cast("long").as("node"),
           col(dstCol).cast("long").as("dst"), col(w).cast("double").as("__w"))
@@ -101,12 +105,30 @@ object Graph {
           col(dstCol).cast("long").as("dst"), lit(1.0).as("__w"))
     }).repartition(col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // normalized once: both the out-weight sum (a co-partitioned agg) and
-    // its join back land on eRaw's cached partitioning — no extra shuffle
     val e = eRaw.join(
         eRaw.groupBy("node").agg(sum("__w").as("__ws")), "node")
       .select(col("node"), col("dst"), (col("__w") / col("__ws")).as("__wn"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    (eRaw, e)
+  }
+
+  /** One iteration's rank inflow: ranks ⋈ cached edges on the src key,
+    * dst-keyed weighted sum. The ONLY data-sized join the loop pays per
+    * iteration; the audit asserts the cached edge side enters it without
+    * re-exchanging. */
+  private[graft] def contribStep(e: DataFrame, ranks: DataFrame): DataFrame =
+    ranks.join(e, Seq("node"))
+      .groupBy("dst").agg(sum(col("rank") * col("__wn")).as("c"))
+      .select(col("dst").as("node"), col("c"))
+
+  private def pageRankLoop(edges: DataFrame, srcCol: String, dstCol: String,
+                           iters: Int, damping: Double, tol: Double,
+                           seeds: Option[(DataFrame, String)],
+                           weightCol: Option[String] = None): (DataFrame, Int, Boolean) = {
+    require(iters >= 0, s"iters must be >= 0: $iters")
+    require(damping > 0 && damping < 1, s"damping in (0,1): $damping")
+    require(tol >= 0, s"tol must be >= 0: $tol")
+    val (eRaw, e) = normalizedEdges(edges, srcCol, dstCol, weightCol)
     val nodes = e.select(col("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -148,9 +170,7 @@ object Graph {
           if (!hasDangling) 0d
           else ranks.join(danglingNodes, Seq("node"), "left_semi")
             .agg(coalesce(sum("rank"), lit(0d))).head().getDouble(0)
-        val contrib = ranks.join(e, Seq("node"))
-          .groupBy("dst").agg(sum(col("rank") * col("__wn")).as("c"))
-          .select(col("dst").as("node"), col("c"))
+        val contrib = contribStep(e, ranks)
         // prev rides the update join (ranks ⊇ nodes by construction), so
         // the convergence delta needs no second join against old ranks
         val next = withS(ranks.select(col("node"), col("rank").as("__prev")))
@@ -270,9 +290,10 @@ object Graph {
     * oriented list on the pivot, and each wedge closes against the
     * oriented list itself, so every triangle is found exactly once and
     * the wedge count is O(m^1.5) REGARDLESS of skew (a star graph makes
-    * zero oriented wedges at its hub: all spokes point INTO it). Two
-    * shuffles; no maxDegree cap needed — the orientation IS the skew
-    * guard.
+    * zero oriented wedges at its hub: all spokes point INTO it). The
+    * wedge self-join and its closing join dominate the shuffle bill (the
+    * degree/orientation prep is linear); no maxDegree cap needed — the
+    * orientation IS the skew guard.
     */
   def triangleCounts(edges: DataFrame, srcCol: String,
                      dstCol: String): DataFrame = {

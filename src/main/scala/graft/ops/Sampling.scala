@@ -261,8 +261,10 @@ object Sampling {
     * traversal that assigns the packs, so they cross the wire once and
     * the source is scanned once. Unlike the greedy assembly (one open
     * pack), FFD keeps up to `maxOpenBins` packs open, so per-task state
-    * is bounded by cap · (maxTokens ids + doc ids) — ~0.5 MB at the
-    * defaults; a bin's row is emitted the moment the census retires it,
+    * is bounded by cap · (maxTokens ids + doc ids) — order-of-MB at the
+    * defaults (the generic buffers box their ints, the same trade the
+    * greedy assembly makes); a bin's row is emitted the moment the
+    * census retires it,
     * and the still-open bins drain in pack order at group end.
     */
   def assemblePackedIdsFFD(encoded: DataFrame, groupCol: String,

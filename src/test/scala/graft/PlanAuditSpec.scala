@@ -559,6 +559,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("pagerank: cached normalized edges join with NO re-exchange per iteration") {
+    // the r14 loop refactor: out-shares are folded into the src-keyed
+    // cached edge frame once, so the per-iteration contribStep must read
+    // the cache without re-shuffling it (the pre-refactor shape paid a
+    // deg join + a second exchange every iteration). Audits the
+    // PRODUCTION pieces (normalizedEdges + contribStep), broadcast off.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val edges = (0L until 300L).flatMap(i =>
+        Seq((i, (i * 7 + 3) % 300), (i, (i + 1) % 300))).toDF("s", "d")
+      val (eRaw, e) = ops.Graph.normalizedEdges(edges, "s", "d", None)
+      try {
+        e.count() // materialize the cache, as the loop's first action does
+        val ranks = e.select(col("node")).distinct()
+          .withColumn("rank", lit(1.0 / 300)).localCheckpoint()
+        val step = ops.Graph.contribStep(e, ranks)
+        val phys = step.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p                        => p
+        }
+        val scans = phys.collect { case s: InMemoryTableScanExec => s }
+        assert(scans.nonEmpty, s"expected the cached edge scan:\n$phys")
+        val joins = phys.collect {
+          case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+        }
+        assert(joins.nonEmpty, s"expected the contrib join:\n$phys")
+        val edgeSides = joins.flatMap(_.children).filter(
+          _.collectFirst { case s: InMemoryTableScanExec => s }.isDefined)
+        assert(edgeSides.nonEmpty, s"join must read the edge cache:\n$phys")
+        for (side <- edgeSides)
+          assert(side.collectFirst { case ex: ShuffleExchangeLike => ex }.isEmpty,
+            s"edge cache must not re-shuffle per iteration:\n$phys")
+      } finally { e.unpersist(false); eRaw.unpersist(false) }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("hyperball: cached edge frame joins with NO re-exchange (u-keyed)") {
     // the r13 defect: the edge cache was partitioned on v while the
     // per-iteration join keys on u, so every iteration re-shuffled the
