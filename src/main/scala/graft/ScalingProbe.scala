@@ -484,6 +484,48 @@ object ScalingProbe {
       val (edges, _) = denseEdges(d)
       graft.ops.Graph.kCore(edges, "src", "dst", k = 5).count()
     }
+    // connected components on the WORST round-count shape for the star
+    // alternation — long chains (residue classes mod 7 over the dense id
+    // range; 8x data makes the chains 8x LONGER, so this also probes the
+    // O(log^2 n) round bound, the property that beats label flooding's
+    // O(diameter)); two bridges keep the merge logic on the path
+    time("components") { d =>
+      import org.apache.spark.sql.expressions.Window
+      val nodes = spark.read.parquet(s"$d/documents.parquet")
+        .select((row_number().over(Window.orderBy("doc_id")) - 1)
+          .cast("long").as("node"))
+      val nMod = nodes.count()
+      val edges = nodes.filter(col("node") + 7 < nMod)
+        .select(col("node").as("src"), (col("node") + lit(7L)).as("dst"))
+        .unionByName(spark.range(2).select((col("id") * 2).as("src"),
+          (col("id") * 2 + 1).as("dst")))
+      val comps = graft.ops.Graph.connectedComponents(edges, "src", "dst")
+      val n = comps.select("component").distinct().count()
+      println(s"DBG components dir=$d n_components=$n")
+      n
+    }
+    // HITS on the dense 3-map graph: per-iteration two co-partitioned
+    // joins + two aggregates off the twin edge caches — expect the
+    // pagerank-like ~flat per-iteration cost
+    time("hits_dense") { d =>
+      val (edges, _) = denseEdges(d)
+      graft.ops.Graph.hits(edges, "src", "dst", iters = 5)
+        .agg(sum("hub")).collect(); 1L
+    }
+    // SFT chat rendering: conversation COUNT scales with the corpus
+    // (fixed ~12 turns each), so the one conversation-keyed aggregate
+    // should ride the scan ~linearly
+    time("sft_chat") { d =>
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+      val k = math.max(1L, docs.count() / 12)
+      val turns = docs.select(
+        (col("doc_id").cast("long") % k).as("conv"),
+        col("doc_id").cast("long").as("ord"),
+        when(col("doc_id").cast("long") % 2 === 0, "user")
+          .otherwise("assistant").as("role"), col("text"))
+      graft.ops.Sft.renderChat(turns, "conv", "ord", "role", "text")
+        .agg(sum("masked_chars")).collect(); 1L
+    }
     // offline FFD packing vs the greedy streaming baseline: the probe
     // records the slope AND the measured pad-waste reduction (DBG line)
     time("pack_ffd") { d =>

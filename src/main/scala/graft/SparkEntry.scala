@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.api.{ConvertApp, MSTable, MSWrite, ReadSpec}
 import graft.expr.{ComplexFns, Expressions, Taql}
-import graft.ops.{AsOfJoin, Bpe, Dedup, Fuzzy, Graph, Multimodal, Pca, Sampling, Similarity, Sketches, TextAnalysis, UnigramLm, WordPiece}
+import graft.ops.{AsOfJoin, Bpe, Dedup, Fuzzy, Graph, Multimodal, Pca, Sampling, Sft, Similarity, Sketches, TextAnalysis, UnigramLm, WordPiece}
 import graft.streaming.EventStream
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -135,6 +135,21 @@ object SparkEntry {
     val clique = (for (i <- 0L until 6L; j <- (i + 1) until 6L)
       yield (i, j)).toDF("src", "dst")
     mapGraph(s, dir)._2.unionByName(clique)
+  }
+
+  /** The deliberately MULTI-component graph the components query uses
+    * (the 3-map graph is one giant component — useless for this test):
+    * chains inside each doc_id residue class mod 7 (node → node+7), plus
+    * two bridges (0,1) and (2,3) merging four of the classes pairwise —
+    * five components with minima 0, 2, 4, 5, 6. */
+  private def componentGraph(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nodes = T(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("node"))
+    val nMod = nodes.count()
+    nodes.filter(col("node") + 7 < nMod)
+      .select(col("node").as("src"), (col("node") + lit(7L)).as("dst"))
+      .unionByName(Seq((0L, 1L), (2L, 3L)).toDF("src", "dst"))
   }
 
   private def checkRows(one: DataFrame, checks: (String, Column)*): DataFrame =
@@ -689,6 +704,24 @@ object SparkEntry {
         "induced_degrees_match" -> (col("n_mismatch") === 0),
         "clique_in_core" -> (col("n_clique") === 6))
     }),
+
+    // connected components via alternating large-star/small-star on the
+    // multi-component residue-chain graph; labels are component minima;
+    // oracle = DuckDB recursive-CTE min-label flooding over the
+    // symmetric closure, exact
+    "q_components" -> ((s, dir) =>
+      Graph.connectedComponents(componentGraph(s, dir), "src", "dst")
+        .orderBy("node")),
+
+    // HITS hubs/authorities (5 iterations, L1-normalized ONCE at the
+    // end so every iterate stays integer-valued and exact in doubles) on
+    // the 3-map graph; oracle = DuckDB recursive-CTE co-citation power
+    // iteration, bit-exact at round(6)
+    "q_hits" -> ((s, dir) =>
+      Graph.hits(mapGraph(s, dir)._2, "src", "dst", iters = 5)
+        .select(col("node").as("doc_id"), round(col("hub"), 6).as("hub"),
+          round(col("auth"), 6).as("auth"))
+        .orderBy("doc_id")),
 
     // HyperBall derived checks: the HLL approximation must cover every
     // node, stay positive where the exact value is, keep the mean
@@ -2361,6 +2394,22 @@ object SparkEntry {
         "every_doc_once" -> (col("n_docs_total") === col("n_corpus")),
         "id_accounting_holds" -> (col("n_bad") === 0),
         "packs_nonempty" -> (col("n_packs") >= 1))
+    }),
+
+    // SFT chat assembly: documents synthesized into 40 conversations
+    // (conv = doc_id % 40, turns ordered by doc_id, roles alternating by
+    // turn index), rendered through the fixed template with assistant
+    // loss-mask spans; oracle = DuckDB window-offset + ordered string_agg
+    // replay, exact (offsets are code points in both engines)
+    "q_sft_chat" -> ((s, dir) => {
+      val turns = T(s, dir, "documents").select(
+        (col("doc_id").cast("long") % 40).as("conv"),
+        col("doc_id").cast("long").as("ord"),
+        when(expr("CAST(doc_id AS BIGINT) div 40") % 2 === 0, "user")
+          .otherwise("assistant").as("role"),
+        col("text"))
+      Sft.renderChat(turns, "conv", "ord", "role", "text")
+        .orderBy("conv")
     }),
 
     // SemDeDup derived check: cluster-blocked pairs must be an exact-cosine
@@ -4589,6 +4638,68 @@ object SparkEntry {
           |SELECT node AS doc_id, round(r, 6) AS ppr
           |FROM pr WHERE it = 10 ORDER BY doc_id""".stripMargin,
 
+      // min-label flooding over the symmetric closure: the recursive
+      // UNION (set semantics) collects every label reachable from each
+      // node, and the final min over them IS the component minimum —
+      // exact, structure-independent (no closed-form shortcut)
+      "q_components" ->
+        """WITH RECURSIVE nodes AS (
+          |  SELECT CAST(doc_id AS BIGINT) AS node FROM documents),
+          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+          |raw AS (
+          |  SELECT node AS a, node + 7 AS b FROM nodes
+          |  WHERE node + 7 < (SELECT n FROM nn)
+          |  UNION ALL SELECT CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+          |  UNION ALL SELECT CAST(2 AS BIGINT), CAST(3 AS BIGINT)
+          |),
+          |sym AS (SELECT a, b FROM raw UNION SELECT b, a FROM raw),
+          |lbl(node, comp) AS (
+          |  SELECT node, node FROM nodes
+          |  UNION
+          |  SELECT s.a, l.comp FROM sym s JOIN lbl l ON l.node = s.b
+          |)
+          |SELECT node, min(comp) AS component FROM lbl
+          |GROUP BY node ORDER BY node""".stripMargin,
+
+      // HITS via the co-citation recursion h'(u) = Σ_{u→v} Σ_{w→v} h(w)
+      // (the two half-steps composed, so one recursive vector suffices);
+      // auth at T reads hub at T-1 through one more half-step. All
+      // iterates are integer-valued — the end normalization is the only
+      // division, so round(6) matches the engine bit-exact
+      "q_hits" ->
+        """WITH RECURSIVE nodes AS (
+          |  SELECT CAST(doc_id AS BIGINT) AS node FROM documents),
+          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+          |raw AS (
+          |  SELECT node AS src, (node*7+3) % (SELECT n FROM nn) AS dst FROM nodes
+          |  UNION ALL SELECT node, (node*13+5) % (SELECT n FROM nn) FROM nodes
+          |  UNION ALL SELECT node, (node*29+11) % (SELECT n FROM nn) FROM nodes
+          |),
+          |e AS (SELECT DISTINCT src, dst FROM raw WHERE src != dst),
+          |hub(it, node, h) AS (
+          |  SELECT 0, node, CAST(1.0 AS DOUBLE) FROM nodes
+          |  UNION ALL
+          |  SELECT p.it + 1, e1.src, sum(p.h)
+          |  FROM hub p
+          |  JOIN e e2 ON e2.src = p.node
+          |  JOIN e e1 ON e1.dst = e2.dst
+          |  WHERE p.it < 5
+          |  GROUP BY 1, 2
+          |),
+          |hub5 AS (SELECT n.node, coalesce(f.h, 0.0) AS h
+          |         FROM nodes n LEFT JOIN (
+          |           SELECT node, h FROM hub WHERE it = 5) f USING (node)),
+          |auth5 AS (SELECT n.node, coalesce(g.a, 0.0) AS a
+          |          FROM nodes n LEFT JOIN (
+          |            SELECT e.dst AS node, sum(p.h) AS a
+          |            FROM hub p JOIN e ON e.src = p.node
+          |            WHERE p.it = 4 GROUP BY 1) g USING (node))
+          |SELECT h5.node AS doc_id,
+          |  round(h5.h / (SELECT sum(h) FROM hub5), 6) AS hub,
+          |  round(a5.a / (SELECT sum(a) FROM auth5), 6) AS auth
+          |FROM hub5 h5 JOIN auth5 a5 ON a5.node = h5.node
+          |ORDER BY doc_id""".stripMargin,
+
       // undirected simple graph (maps + 6-clique); ordered three-way
       // self-join counts each triangle once at u<v<w, then the corner
       // union attributes it to all three nodes
@@ -4844,6 +4955,44 @@ object SparkEntry {
       "q_dedup_semantic" ->
         checksOracle("pairs_nonempty", "precision_exact", "recall_floor",
           "keep_prunes"),
+
+      // template replay: per-turn start offset = windowed sum of the
+      // preceding rendered lengths (tag + text + newline); spans cover
+      // the text segment of assistant turns; string_agg(ORDER BY)
+      // rebuilds the rendered conversation. length() counts code points
+      // in both engines, so offsets agree on non-ASCII text too
+      "q_sft_chat" ->
+        """WITH t AS (
+          |  SELECT CAST(doc_id AS BIGINT) % 40 AS conv,
+          |         CAST(doc_id AS BIGINT) AS ord,
+          |         CASE WHEN (CAST(doc_id AS BIGINT) // 40) % 2 = 0
+          |              THEN 'user' ELSE 'assistant' END AS role,
+          |         coalesce(text, '') AS txt
+          |  FROM documents),
+          |o AS (
+          |  SELECT conv, ord, role, txt,
+          |    coalesce(sum(length('<|' || role || '|>' || txt) + 1)
+          |      OVER (PARTITION BY conv ORDER BY ord
+          |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          |      0) AS off
+          |  FROM t),
+          |s AS (
+          |  SELECT conv, ord, role, txt,
+          |    off + length('<|' || role || '|>') AS sp_start,
+          |    off + length('<|' || role || '|>') + length(txt) AS sp_end
+          |  FROM o)
+          |SELECT conv,
+          |  CAST(count(*) AS INTEGER) AS n_turns,
+          |  string_agg('<|' || role || '|>' || txt || chr(10), ''
+          |    ORDER BY ord) AS text,
+          |  coalesce(string_agg(
+          |    CASE WHEN role = 'assistant'
+          |         THEN sp_start || ':' || sp_end END, ',' ORDER BY ord),
+          |    '') AS mask_spans,
+          |  CAST(coalesce(sum(CASE WHEN role = 'assistant'
+          |                         THEN length(txt) END), 0) AS INTEGER)
+          |    AS masked_chars
+          |FROM s GROUP BY conv ORDER BY conv""".stripMargin,
 
       "q_s5_tensor" -> {
         val terms = for (c <- 0 to 3; p <- 0 to 1) yield

@@ -898,9 +898,10 @@ object Dedup {
     * (edge join + min agg) and lineage is cut with localCheckpoint so the
     * loop costs iterations × one join, not exponential plan growth.
     * Converges in O(component diameter) iterations — dup clusters are
-    * near-cliques from LSH pairs, so diameter is small; a billion-node
-    * forest of long chains would want the large-star/small-star variant,
-    * which this signature accommodates later. Returns (id, rep) with
+    * near-cliques from LSH pairs, so diameter is small; long-chain
+    * general graphs belong to [[graft.ops.Graph.connectedComponents]]
+    * (the O(log² n)-round large-star/small-star form — GraphSpec pins
+    * that the two implementations agree). Returns (id, rep) with
     * rep = min id in the component.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,

@@ -447,6 +447,177 @@ object Graph {
       .agg(count(lit(1)).as("core_degree"))
   }
 
+  /** One large-star round (Kiveris et al. 2014, "Connected Components in
+    * MapReduce and Beyond"): every node a connects each STRICTLY LARGER
+    * neighbor to the minimum of its closed neighborhood. Input and
+    * output rows are (u, v) with u > v — the child-points-to-smaller
+    * orientation both star ops preserve. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min("v").as("__mn"))
+      .select(col("u"), least(col("u"), col("__mn")).as("__m"))
+    sym.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("__m").as("v"))
+      .distinct()
+  }
+
+  /** One small-star round: every node a connects its SMALLER-OR-EQUAL
+    * neighbors (and itself) to the minimum among them. Preserves the
+    * (u > v) orientation. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy("u").agg(min("v").as("__m"))
+    e.join(mins, "u")
+      .filter(col("v") =!= col("__m"))
+      .select(col("v").as("u"), col("__m").as("v"))
+      .union(mins.select(col("u"), col("__m").as("v")))
+      .distinct()
+  }
+
+  /** Connected components of the UNDIRECTED simple graph (direction,
+    * duplicate edges, and self-loops ignored): (node, component) for
+    * every node of the edge list, where `component` is the SMALLEST node
+    * id in the node's component — the canonical deterministic label.
+    * Nodes whose every edge is a self-loop are their own singleton
+    * component.
+    *
+    * Scale shape: alternating large-star / small-star rounds (Kiveris et
+    * al. 2014) rather than min-label flooding — each round is two
+    * (groupBy-min + self-join) passes over the CURRENT edge set, the set
+    * only ever shrinks toward the star fixpoint (no n·diameter pair
+    * blow-up; label flooding on a long chain is O(n·diameter) rows,
+    * this is O(m) per round), and the round count is O(log² n) on any
+    * graph — the published bound — not O(diameter). Convergence is
+    * detected by an order-insensitive count + xxhash64 bit_xor checksum
+    * (one O(1)-driver-state scalar job per round, the kCore discipline),
+    * and localCheckpoint truncates the per-round plan. The dedup
+    * pipeline's [[Dedup]] clustering solves the same problem tuned for
+    * tiny-diameter duplicate clusters; this is the general-graph form.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxRounds: Int = 50): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    val raw = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    // nodes come from the RAW list so a self-loop-only node still gets
+    // its singleton row; the star rounds run on the simple graph
+    val nodes = raw.select(col("a").as("node"))
+      .union(raw.select(col("b").as("node"))).distinct()
+      .localCheckpoint()
+    var e = raw.filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var (cnt, chk) = sig(e)
+    var rounds = 0
+    var stable = cnt == 0
+    while (!stable && rounds < maxRounds) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val (c2, k2) = sig(next)
+      stable = c2 == cnt && k2 == chk
+      cnt = c2; chk = k2; e = next; rounds += 1
+    }
+    // an unconverged edge set is NOT a star assignment — refuse loudly
+    // (the kCore contract) rather than return wrong components
+    require(stable,
+      s"connectedComponents: did not converge within $maxRounds rounds")
+    nodes.join(e.select(col("u").as("node"), col("v").as("__c")),
+        Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("__c"), col("node")).as("component"))
+  }
+
+  /** HITS hubs and authorities (Kleinberg 1999) on the DIRECTED simple
+    * graph: `iters` synchronous rounds of
+    * {{{ a'(v) = Σ_{(u,v)∈E} h(u);  h'(u) = Σ_{(u,v)∈E} a'(v) }}}
+    * from h = 1, with the L1 normalization applied ONCE at the end
+    * instead of per round — the iterates stay INTEGER-valued (exact in
+    * doubles up to 2^53), so the result is bit-reproducible and
+    * SQL-oracle-checkable, and the final scores are identical to the
+    * per-round-normalized fixpoint trajectory (normalization is a global
+    * scalar; it commutes with the linear updates). Returns (node, hub,
+    * auth), each column summing to 1. `iters` is capped at 16 to keep
+    * the unnormalized iterates inside the exact-integer double range
+    * (growth is ~(co-citation degree)^iters).
+    *
+    * Scale shape: the edge list is cached TWICE — once partitioned on
+    * src (the auth update joins hubs there) and once on dst (the hub
+    * update joins the fresh auths there) — so neither per-iteration join
+    * re-exchanges the data-sized side; each iteration is those two joins
+    * plus two key-local aggregates, O(1) driver state, localCheckpoint
+    * plan truncation (the [[pageRank]] discipline).
+    */
+  /** One HITS half-step: hubs flow along out-edges into authority sums.
+    * Joins the src-partitioned edge cache on its key; the audit asserts
+    * no re-exchange of the edge side. */
+  private[graft] def hitsAuthStep(eSrc: DataFrame, state: DataFrame): DataFrame =
+    eSrc.join(state.select(col("node").as("src"), col("hub")), "src")
+      .groupBy("dst").agg(sum("hub").as("__a"))
+
+  /** The other half-step: fresh authorities flow back along in-edges
+    * into hub sums, off the dst-partitioned edge cache. */
+  private[graft] def hitsHubStep(eDst: DataFrame, withAuth: DataFrame): DataFrame =
+    eDst.join(withAuth.select(col("node").as("dst"), col("auth")), "dst")
+      .groupBy("src").agg(sum("auth").as("__h"))
+
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"iters in [1, 16]: $iters")
+    val simple = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+    val eSrc = simple.repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val eDst = simple.repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nodes = simple.select(col("src").as("node"))
+        .union(simple.select(col("dst").as("node"))).distinct()
+      var state = nodes.select(col("node"), lit(1.0).as("hub"),
+        lit(1.0).as("auth")).localCheckpoint()
+      var it = 0
+      while (it < iters) {
+        val authNext = hitsAuthStep(eSrc, state)
+        val withAuth = state.select("node", "hub")
+          .join(authNext.select(col("dst").as("node"), col("__a")),
+            Seq("node"), "left")
+          .select(col("node"), col("hub"),
+            coalesce(col("__a"), lit(0.0)).as("auth"))
+          .localCheckpoint()
+        val hubNext = hitsHubStep(eDst, withAuth)
+        state = withAuth.select("node", "auth")
+          .join(hubNext.select(col("src").as("node"), col("__h")),
+            Seq("node"), "left")
+          .select(col("node"), coalesce(col("__h"), lit(0.0)).as("hub"),
+            col("auth"))
+          .localCheckpoint()
+        it += 1
+      }
+      // the one normalization: two exact-integer sums, then scan-side
+      // division (a zero sum means the side has no edges at all — every
+      // score is 0 and stays 0)
+      val sums = state.agg(coalesce(sum("hub"), lit(0.0)),
+        coalesce(sum("auth"), lit(0.0))).head()
+      val (hs, as) = (sums.getDouble(0), sums.getDouble(1))
+      state.select(col("node"),
+        (if (hs > 0) col("hub") / hs else lit(0.0)).as("hub"),
+        (if (as > 0) col("auth") / as else lit(0.0)).as("auth"))
+    } finally {
+      eSrc.unpersist(false)
+      eDst.unpersist(false)
+    }
+  }
+
   /** EXACT truncated harmonic centrality
     * {{{ h(v) = Σ_{u ≠ v, d(u,v) ≤ maxDepth} 1 / d(u,v) }}}
     * (directed shortest-path distance INTO v) — the centrality Common

@@ -221,6 +221,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(opCount(p, "Exchange") == 1, s"packing should shuffle exactly once:\n$p")
   }
 
+  test("chat rendering shuffles once (conversation agg), no window, no explode") {
+    val df = ops.Sft.renderChat(
+      spark.read.parquet(s"${sf()}/documents.parquet")
+        .selectExpr("doc_id % 40 AS conv", "doc_id AS ord",
+          "CASE WHEN (doc_id div 40) % 2 = 0 THEN 'user' ELSE 'assistant' END AS role",
+          "text"),
+      "conv", "ord", "role", "text")
+    val p = plan(df)
+    assert(opCount(p, "Exchange") == 1,
+      s"chat render should shuffle exactly once:\n$p")
+    assert(opCount(p, "Window") == 0, s"no corpus window:\n$p")
+    assert(opCount(p, "Generate") == 0, s"no explode:\n$p")
+  }
+
   test("bm25 prunes to query terms pre-shuffle, broadcasts stats, TakeOrdered top-k") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val df = ops.TextAnalysis.bm25Rank(docs, "text", "doc_id",
@@ -598,6 +612,50 @@ class PlanAuditSpec extends SparkSpec {
           assert(side.collectFirst { case ex: ShuffleExchangeLike => ex }.isEmpty,
             s"edge cache must not re-shuffle per iteration:\n$phys")
       } finally { e.unpersist(false); eRaw.unpersist(false) }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("hits: BOTH edge caches enter their half-step joins with NO re-exchange") {
+    // hits caches the edge list twice — src-partitioned for the auth
+    // half-step, dst-partitioned for the hub half-step — so neither
+    // per-iteration join may re-shuffle its data-sized side. Audits the
+    // PRODUCTION steps (hitsAuthStep / hitsHubStep), broadcast off.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val edges = (0L until 300L).flatMap(i =>
+        Seq((i, (i * 7 + 3) % 300), (i, (i + 1) % 300))).toDF("src", "dst")
+      val eSrc = edges.repartition(col("src")).persist()
+      val eDst = edges.repartition(col("dst")).persist()
+      try {
+        eSrc.count(); eDst.count()
+        val state = edges.select(col("src").as("node")).distinct()
+          .withColumn("hub", lit(1.0)).withColumn("auth", lit(1.0))
+          .localCheckpoint()
+        def assertNoEdgeReshuffle(df: org.apache.spark.sql.DataFrame): Unit = {
+          val phys = df.queryExecution.executedPlan match {
+            case a: AdaptiveSparkPlanExec => a.executedPlan
+            case p                        => p
+          }
+          val joins = phys.collect {
+            case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+          }
+          assert(joins.nonEmpty, s"expected the half-step join:\n$phys")
+          val edgeSides = joins.flatMap(_.children).filter(
+            _.collectFirst { case s: InMemoryTableScanExec => s }.isDefined)
+          assert(edgeSides.nonEmpty, s"join must read an edge cache:\n$phys")
+          for (side <- edgeSides)
+            assert(side.collectFirst { case ex: ShuffleExchangeLike => ex }.isEmpty,
+              s"edge cache must not re-shuffle per iteration:\n$phys")
+        }
+        assertNoEdgeReshuffle(ops.Graph.hitsAuthStep(eSrc, state))
+        assertNoEdgeReshuffle(ops.Graph.hitsHubStep(eDst, state))
+      } finally { eSrc.unpersist(false); eDst.unpersist(false) }
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 

@@ -315,6 +315,132 @@ class GraphSpec extends SparkSpec {
     assert(cyc.forall(v => math.abs(v - 1.0 / 40) < 1e-9))
   }
 
+  test("connected components: hand graph, labels are component minima") {
+    // component {0,1,2} (a path), component {5,6} (one edge, plus a
+    // reversed duplicate), and node 9 with only a self-loop (its own
+    // singleton component)
+    val edges = Seq((0L, 1L), (1L, 2L), (5L, 6L), (6L, 5L), (9L, 9L))
+      .toDF("s", "d")
+    val got = Graph.connectedComponents(edges, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      5L -> 5L, 6L -> 5L, 9L -> 9L))
+  }
+
+  test("connected components: long path converges (round count is not diameter-bound)") {
+    // a 60-node path has diameter 59; the star rounds must still land a
+    // single component well inside the default 50-round cap (O(log^2 n))
+    val path = (0L until 59L).map(i => (i, i + 1)).toDF("s", "d")
+    val got = Graph.connectedComponents(path, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 60 && got.values.forall(_ == 0L))
+    // non-zero-based ids: the label is the component MIN, not zero
+    val shifted = (0L until 10L).map(i => (i + 100L, i + 101L)).toDF("s", "d")
+    val g2 = Graph.connectedComponents(shifted, "s", "d")
+      .collect().map(r => r.getLong(1)).distinct
+    assert(g2 === Array(100L))
+    // a cap too small to even VERIFY convergence refuses loudly
+    val e = intercept[IllegalArgumentException](
+      Graph.connectedComponents(path, "s", "d", maxRounds = 1).count())
+    assert(e.getMessage.contains("converge"), e.getMessage)
+  }
+
+  test("connected components: random graph matches driver union-find; partition-invariant") {
+    val raw = (0L until 120L).flatMap { i =>
+      // sparse enough to leave several components: link within blocks
+      // of 8, plus a few cross-block bridges
+      val block = i / 8
+      val base = Seq((i, block * 8 + (i * 5 + 1) % 8))
+      if (i % 37 == 0 && i + 11 < 120) base :+ ((i, i + 11)) else base
+    }
+    val edges = raw.toDF("s", "d")
+    // driver-side union-find reference
+    val parent = scala.collection.mutable.Map((0L until 120L).map(i => i -> i): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    raw.foreach { case (a, b) =>
+      if (a != b) { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    }
+    val want = (0L until 120L).map(i => i -> find(i)).toMap
+    val got = Graph.connectedComponents(edges, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    assert(want.values.toSet.size > 1, "test graph should not be one component")
+    val again = Graph.connectedComponents(edges.repartition(17), "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === got)
+  }
+
+  test("connected components: star-alternation agrees with Dedup's label flooding") {
+    // two INDEPENDENT implementations (Kiveris star rounds here, min-
+    // label flooding in Dedup, each tuned for a different graph regime)
+    // must assign identical component minima on the same pair list
+    // two structurally disjoint id ranges (0..59 and 100..159), each
+    // internally wired by affine maps — >= 2 components guaranteed
+    val raw = (0L until 60L).flatMap(i => Seq(
+      (i, (i * 11 + 2) % 60),
+      (100 + i, 100 + (i * 7 + 3) % 60)))
+    val edges = raw.toDF("id_a", "id_b")
+    val viaGraph = Graph.connectedComponents(edges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDedup = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaGraph === viaDedup)
+    assert(viaGraph.values.toSet.size > 1, "graph should not be one component")
+  }
+
+  test("hits: hand-computed scores, mass 1 per side, noise edges ignored") {
+    // 0 -> 2, 1 -> 2, 2 -> 3; one iteration from h = 1:
+    // a(2) = h(0)+h(1) = 2, a(3) = h(2) = 1, a(0) = a(1) = 0
+    // h(0) = h(1) = a(2) = 2, h(2) = a(3) = 1, h(3) = 0
+    // normalized: hub (0.4, 0.4, 0.2, 0); auth (0, 0, 2/3, 1/3)
+    val edges = Seq((0L, 2L), (1L, 2L), (2L, 3L)).toDF("s", "d")
+    val got = Graph.hits(edges, "s", "d", iters = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    assert(math.abs(got(0L)._1 - 0.4) < 1e-12 && got(0L)._2 === 0.0)
+    assert(math.abs(got(1L)._1 - 0.4) < 1e-12 && got(1L)._2 === 0.0)
+    assert(math.abs(got(2L)._1 - 0.2) < 1e-12 &&
+      math.abs(got(2L)._2 - 2.0 / 3) < 1e-12)
+    assert(got(3L)._1 === 0.0 && math.abs(got(3L)._2 - 1.0 / 3) < 1e-12)
+    // duplicate, reversed-duplicate-free, and self edges: self-loops and
+    // exact duplicates are ignored
+    val noisy = edges.union(Seq((0L, 2L), (3L, 3L)).toDF("s", "d"))
+    val gotN = Graph.hits(noisy, "s", "d", iters = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    assert(gotN === got)
+  }
+
+  test("hits: bipartite separation, sums 1, partition-invariant, iters cap") {
+    // pure hub side 0..4 all pointing at pure authority side 10..12
+    val bip = (for (h <- 0L until 5L; a <- 10L until 13L) yield (h, a))
+      .toDF("s", "d")
+    val r = Graph.hits(bip, "s", "d", iters = 4)
+      .collect().map(x => x.getLong(0) -> ((x.getDouble(1), x.getDouble(2))))
+      .toMap
+    (0L until 5L).foreach { h =>
+      assert(math.abs(r(h)._1 - 0.2) < 1e-12 && r(h)._2 === 0.0, s"hub $h") }
+    (10L until 13L).foreach { a =>
+      assert(r(a)._1 === 0.0 && math.abs(r(a)._2 - 1.0 / 3) < 1e-12, s"auth $a") }
+    // general graph: both sides sum to 1 and survive repartitioning
+    val edges = (0L until 50L).flatMap(i =>
+      Seq((i, (i * 7 + 3) % 50), (i, (i * 13 + 5) % 50))).toDF("s", "d")
+    val out = Graph.hits(edges, "s", "d", iters = 8)
+    val sums = out.agg(sum("hub"), sum("auth")).head()
+    assert(math.abs(sums.getDouble(0) - 1.0) < 1e-9)
+    assert(math.abs(sums.getDouble(1) - 1.0) < 1e-9)
+    val a = out.collect().map(x =>
+      x.getLong(0) -> ((x.getDouble(1), x.getDouble(2)))).toMap
+    val b = Graph.hits(edges.repartition(11), "s", "d", iters = 8)
+      .collect().map(x => x.getLong(0) -> ((x.getDouble(1), x.getDouble(2))))
+      .toMap
+    assert(a === b)
+    // the exact-integer-range cap refuses out-of-contract budgets
+    val e = intercept[IllegalArgumentException](
+      Graph.hits(edges, "s", "d", iters = 17))
+    assert(e.getMessage.contains("iters"), e.getMessage)
+  }
+
   test("converged flag disambiguates the iteration-budget boundary") {
     // both runs exhaust the budget (it == iters); only the flag tells
     // "the last step itself converged" from "ran out of budget" — the

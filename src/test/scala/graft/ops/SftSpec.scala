@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Chat-template rendering and loss-mask span derivation. */
+class SftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed two-turn conversation: text, spans, masked chars") {
+    val turns = Seq((1L, 0L, "user", "hi"), (1L, 1L, "assistant", "yo!"))
+      .toDF("conv", "ord", "role", "text")
+    val r = Sft.renderChat(turns, "conv", "ord", "role", "text").head()
+    assert(r.getAs[Int]("n_turns") === 2)
+    assert(r.getAs[String]("text") === "<|user|>hi\n<|assistant|>yo!\n")
+    // turn 2: offset 11 ("<|user|>hi\n"), tag "<|assistant|>" = 13 chars
+    // -> span [24, 27)
+    assert(r.getAs[String]("mask_spans") === "24:27")
+    assert(r.getAs[Int]("masked_chars") === 3)
+  }
+
+  test("spans slice the rendered text back to exactly the masked turns") {
+    // 120 documents -> 12 conversations of 10 alternating turns; every
+    // span, substring'd out of the rendered text, must equal the
+    // original turn text — the self-consistency a trainer depends on
+    val turns = (0L until 120L).map { i =>
+      (i % 12, i, if ((i / 12) % 2 == 0) "user" else "assistant",
+        s"turn $i body ${"x" * (i % 7).toInt}")
+    }.toDF("conv", "ord", "role", "text")
+    val out = Sft.renderChat(turns, "conv", "ord", "role", "text").collect()
+    assert(out.length === 12)
+    val byConv = turns.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .groupBy(_._1)
+    out.foreach { r =>
+      val conv = r.getLong(0)
+      val text = r.getAs[String]("text")
+      val spans = r.getAs[String]("mask_spans").split(",").filter(_.nonEmpty)
+        .map { s => val Array(a, b) = s.split(":"); (a.toInt, b.toInt) }
+      val wantMasked = byConv(conv).sortBy(_._2)
+        .filter(_._3 == "assistant").map(_._4)
+      assert(spans.length === wantMasked.length, s"conv $conv")
+      spans.zip(wantMasked).foreach { case ((a, b), want) =>
+        assert(text.substring(a, b) === want, s"conv $conv span $a:$b")
+      }
+      assert(r.getAs[Int]("masked_chars") === wantMasked.map(_.length).sum)
+    }
+  }
+
+  test("no masked role -> empty spans; null text renders empty; maskRole override") {
+    val turns = Seq((1L, 0L, "user", "q"), (1L, 1L, "tool", null))
+      .toDF("conv", "ord", "role", "text")
+    val r = Sft.renderChat(turns, "conv", "ord", "role", "text").head()
+    assert(r.getAs[String]("mask_spans") === "")
+    assert(r.getAs[Int]("masked_chars") === 0)
+    assert(r.getAs[String]("text") === "<|user|>q\n<|tool|>\n")
+    // masking the tool role instead: null text -> empty span s:s
+    val r2 = Sft.renderChat(turns, "conv", "ord", "role", "text",
+      maskRole = "tool").head()
+    assert(r2.getAs[String]("mask_spans") === "18:18")
+  }
+
+  test("offsets count code points, not bytes or UTF-16 units") {
+    // "héllo𝄞" = 6 code points (𝄞 is a surrogate pair in UTF-16)
+    val turns = Seq((1L, 0L, "user", "héllo𝄞"), (1L, 1L, "assistant", "ok"))
+      .toDF("conv", "ord", "role", "text")
+    val r = Sft.renderChat(turns, "conv", "ord", "role", "text").head()
+    // turn 1 renders 8 + 6 + 1 = 15 code points; span = [15+13, 15+13+2)
+    assert(r.getAs[String]("mask_spans") === "28:30")
+  }
+
+  test("conversations are independent and deterministic across partitionings") {
+    val turns = (0L until 90L).map(i =>
+      (i % 9, i, if (i % 2 == 0) "user" else "assistant", s"t$i"))
+      .toDF("conv", "ord", "role", "text")
+    val a = Sft.renderChat(turns, "conv", "ord", "role", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val b = Sft.renderChat(turns.repartition(17), "conv", "ord", "role", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a === b && a.size === 9)
+  }
+}

@@ -386,6 +386,33 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed === batch && streamed.nonEmpty)
   }
 
+  test("chat rendering aggregates inside a real stream (complete mode parity)") {
+    // renderChat is one conversation-keyed aggregation (collect + in-agg
+    // sort + fold), so it runs as a streaming aggregation too: rendered
+    // conversations re-emit as turn batches arrive and reach exact batch
+    // parity once the stream drains — the SFT-assembly-over-a-live-feed
+    // path
+    import graft.ops.Sft
+    val dir = sf("sf0.001")
+    val docs = spark.read.parquet(s"$dir/documents.parquet").limit(72)
+    val turns = docs.selectExpr("CAST(doc_id AS BIGINT) % 6 AS conv",
+      "CAST(doc_id AS BIGINT) AS ord",
+      "CASE WHEN (CAST(doc_id AS BIGINT) div 6) % 2 = 0 THEN 'user' " +
+        "ELSE 'assistant' END AS role", "text")
+    val dDir = "/root/repo/target/test_stream_chat_turns"
+    turns.repartition(3).write.mode("overwrite").parquet(dDir)
+    val stream = spark.readStream.schema(turns.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dDir)
+    EventStream.runToMemory(
+      Sft.renderChat(stream, "conv", "ord", "role", "text"),
+      "chat_out", mode = "complete")
+    val streamed = spark.table("chat_out").collect()
+      .map(_.toSeq.mkString("|")).sorted.toSeq
+    val batch = Sft.renderChat(turns, "conv", "ord", "role", "text")
+      .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    assert(streamed === batch && streamed.size === 6)
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(s * 1000)
