@@ -512,6 +512,15 @@ object ScalingProbe {
       graft.ops.Graph.hits(edges, "src", "dst", iters = 5)
         .agg(sum("hub")).collect(); 1L
     }
+    // deterministic random walks (DeepWalk preprocessing): frontier is
+    // O(n) rows at EVERY step (paths ride along, they are the product),
+    // each step one co-partitioned edge join + one per-walk argmin agg —
+    // expect the pagerank-like linear band
+    time("walks_dense") { d =>
+      val (edges, _) = denseEdges(d)
+      graft.ops.Graph.randomWalks(edges, "src", "dst", length = 10)
+        .agg(sum("n_steps")).collect(); 1L
+    }
     // SFT chat rendering: conversation COUNT scales with the corpus
     // (fixed ~12 turns each), so the one conversation-keyed aggregate
     // should ride the scan ~linearly

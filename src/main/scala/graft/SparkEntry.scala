@@ -723,6 +723,38 @@ object SparkEntry {
           round(col("auth"), 6).as("auth"))
         .orderBy("doc_id")),
 
+    // deterministic random walks (DeepWalk preprocessing) on the 3-map
+    // graph — derived checks (the hash-argmin transition is not
+    // SQL-expressible): exactly walksPerNode walks per node, all full
+    // length (the map graph has no sinks), every hop re-verified to be
+    // an edge by an independent anti-join, every path starting at its
+    // start node
+    "q_walks" -> ((s, dir) => {
+      val (nodes, edges) = mapGraph(s, dir)
+      val walks = pin(Graph.randomWalks(edges, "src", "dst", length = 8,
+        walksPerNode = 2))
+      val hops = walks.select(explode(zip_with(
+          expr("slice(split(path, ','), 1, size(split(path, ',')) - 1)"),
+          expr("slice(split(path, ','), 2, size(split(path, ',')) - 1)"),
+          (a, b) => struct(a.cast("long").as("src"), b.cast("long").as("dst"))))
+          .as("h"))
+        .select(col("h.src").as("src"), col("h.dst").as("dst"))
+      val one = walks.agg(count(lit(1)).as("n_walks"),
+          min("n_steps").as("min_steps"))
+        .crossJoin(nodes.agg(count(lit(1)).as("n_nodes")))
+        .crossJoin(hops.join(edges.select("src", "dst").distinct(),
+            Seq("src", "dst"), "left_anti")
+          .agg(count(lit(1)).as("n_bad")))
+        .crossJoin(walks.filter(
+            split(col("path"), ",").getItem(0).cast("long") =!= col("start"))
+          .agg(count(lit(1)).as("n_misstart")))
+      checkRows(one,
+        "two_walks_per_node" -> (col("n_walks") === col("n_nodes") * 2),
+        "full_length" -> (col("min_steps") === 8),
+        "every_hop_is_an_edge" -> (col("n_bad") === 0),
+        "paths_start_at_start" -> (col("n_misstart") === 0))
+    }),
+
     // HyperBall derived checks: the HLL approximation must cover every
     // node, stay positive where the exact value is, keep the mean
     // relative error inside the m = 128 band, and keep the corpus-wide
@@ -4922,6 +4954,10 @@ object SparkEntry {
       "q_kcore" ->
         checksOracle("core_nonempty", "min_degree_at_least_k",
           "induced_degrees_match", "clique_in_core"),
+
+      "q_walks" ->
+        checksOracle("two_walks_per_node", "full_length",
+          "every_hop_is_an_edge", "paths_start_at_start"),
 
       // same recursive pack CTE, then the physical assembly: per-doc ids
       // are the structural 1..nt (DuckDB range(1, nt+1) = [] at nt = 0),

@@ -618,6 +618,81 @@ object Graph {
     }
   }
 
+  /** Deterministic random walks over the DIRECTED simple graph — the
+    * DeepWalk / node2vec preprocessing step (Perozzi 2014: truncated
+    * walks feed a skip-gram embedder exactly like token windows do; the
+    * engine's walk output composes with the co-occurrence + embedding
+    * ops the same way). `walksPerNode` walks start at EVERY node; each
+    * step moves to the out-neighbor minimizing the seed-fixed
+    * `xxhash64(seed, start, walk, step, v)` — a uniform-at-each-step
+    * choice (keyed per walk-step so walks decorrelate)
+    * that is REPRODUCIBLE across runs and partitionings (the engine's
+    * standard derandomization: census-seeded ranks, salted probes, HLL
+    * hashes all use the same trick). Walks stop early at sinks. Returns
+    * one row per walk: (start, walk, n_steps, path) with `path` the
+    * comma-joined node sequence (scalar, comparator-safe), starting at
+    * `start`, n_steps = path length − 1 ≤ `length`.
+    *
+    * Scale shape: the frontier frame is (walk key, cur) — O(n ·
+    * walksPerNode) rows regardless of step; each step is ONE join
+    * against the src-partitioned cached edge list + one per-walk
+    * `min_by` aggregate, localCheckpoint-truncated (the [[pageRank]]
+    * discipline). The path string grows O(step) per row — the same
+    * payload a trainer consumes, carried not recomputed.
+    */
+  /** One walk step: frontier ⋈ cached edges on the current node, then
+    * the per-walk hash-argmin neighbor choice. The only data-sized join
+    * per step; the audit asserts the u-partitioned edge cache enters it
+    * without re-exchanging (the frontier side re-keys on `cur` each
+    * step — that exchange is the algorithm, the edge one would be
+    * waste). */
+  private[graft] def walkStep(e: DataFrame, state: DataFrame, step: Int,
+                              seed: Long): DataFrame =
+    state.join(e, state("cur") === e("u"))
+      .groupBy("start", "walk")
+      .agg(min_by(col("v"),
+        xxhash64(lit(seed), col("start"), col("walk"), lit(step),
+          col("v"))).as("nxt"))
+
+  def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
+                  length: Int, walksPerNode: Int = 1,
+                  seed: Long = 42L): DataFrame = {
+    require(length >= 1 && length <= 100, s"length in [1, 100]: $length")
+    require(walksPerNode >= 1 && walksPerNode <= 64,
+      s"walksPerNode in [1, 64]: $walksPerNode")
+    val spark = edges.sparkSession
+    val e = edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+      .repartition(col("u"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nodes = e.select(col("u").as("node"))
+        .union(e.select(col("v").as("node"))).distinct()
+      val walkIds = spark.range(walksPerNode).select(col("id").cast("int").as("walk"))
+      var state = nodes.crossJoin(broadcast(walkIds))
+        .select(col("node").as("start"), col("walk"), col("node").as("cur"),
+          col("node").cast("string").as("path"), lit(0).as("n_steps"))
+        .localCheckpoint()
+      var step = 0
+      while (step < length) {
+        val moved = walkStep(e, state, step, seed)
+        state = state.join(moved, Seq("start", "walk"), "left")
+          .select(col("start"), col("walk"),
+            coalesce(col("nxt"), col("cur")).as("cur"),
+            when(col("nxt").isNotNull,
+              concat(col("path"), lit(","), col("nxt").cast("string")))
+              .otherwise(col("path")).as("path"),
+            (col("n_steps") +
+              when(col("nxt").isNotNull, 1).otherwise(0)).as("n_steps"))
+          .localCheckpoint()
+        step += 1
+      }
+      state.select("start", "walk", "n_steps", "path")
+    } finally e.unpersist(false)
+  }
+
   /** EXACT truncated harmonic centrality
     * {{{ h(v) = Σ_{u ≠ v, d(u,v) ≤ maxDepth} 1 / d(u,v) }}}
     * (directed shortest-path distance INTO v) — the centrality Common

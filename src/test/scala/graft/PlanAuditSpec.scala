@@ -659,6 +659,45 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("random walks: edge cache enters the step join with NO re-exchange") {
+    // the per-step frontier re-keys on `cur` (that exchange IS the
+    // algorithm); the u-partitioned edge cache must not pay a second one
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val edges = (0L until 300L).flatMap(i =>
+        Seq((i, (i * 7 + 3) % 300), (i, (i + 1) % 300))).toDF("s", "d")
+      val e = edges.select(col("s").as("u"), col("d").as("v"))
+        .repartition(col("u")).persist()
+      try {
+        e.count()
+        val state = e.select(col("u").as("start")).distinct()
+          .select(col("start"), lit(0).as("walk"), col("start").as("cur"))
+          .localCheckpoint()
+        val step = ops.Graph.walkStep(e, state, 0, 42L)
+        val phys = step.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p                        => p
+        }
+        val joins = phys.collect {
+          case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+        }
+        assert(joins.nonEmpty, s"expected the step join:\n$phys")
+        val edgeSides = joins.flatMap(_.children).filter(
+          _.collectFirst { case s: InMemoryTableScanExec => s }.isDefined)
+        assert(edgeSides.nonEmpty, s"join must read the edge cache:\n$phys")
+        for (side <- edgeSides)
+          assert(side.collectFirst { case ex: ShuffleExchangeLike => ex }.isEmpty,
+            s"edge cache must not re-shuffle per step:\n$phys")
+      } finally e.unpersist(false)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("hyperball: cached edge frame joins with NO re-exchange (u-keyed)") {
     // the r13 defect: the edge cache was partitioned on v while the
     // per-iteration join keys on u, so every iteration re-shuffled the

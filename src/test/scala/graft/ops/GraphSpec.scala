@@ -441,6 +441,63 @@ class GraphSpec extends SparkSpec {
     assert(e.getMessage.contains("iters"), e.getMessage)
   }
 
+  test("random walks: cycle is fully determined; sinks stop early; counts") {
+    // on a directed 6-cycle every node has exactly one out-neighbor, so
+    // the walk is forced: start, start+1, ... regardless of hashing
+    val cycle = (0L until 6L).map(i => (i, (i + 1) % 6)).toDF("s", "d")
+    val got = Graph.randomWalks(cycle, "s", "d", length = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(2), r.getString(3))))
+      .toMap
+    assert(got.size === 6)
+    (0L until 6L).foreach { s =>
+      val want = (0 to 4).map(k => (s + k) % 6).mkString(",")
+      assert(got(s) === ((4, want)), s"start $s: ${got(s)}")
+    }
+    // a path graph: walks hit the sink and stop with fewer steps
+    val path = (0L until 4L).map(i => (i, i + 1)).toDF("s", "d")
+    val p = Graph.randomWalks(path, "s", "d", length = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(2), r.getString(3))))
+      .toMap
+    assert(p(4L) === ((0, "4"))) // the sink itself never moves
+    assert(p(0L) === ((4, "0,1,2,3,4")))
+    assert(p(2L) === ((2, "2,3,4")))
+  }
+
+  test("random walks: every hop is an edge; deterministic; seeds and walks differ") {
+    val edges = (0L until 80L).flatMap(i =>
+      Seq((i, (i * 7 + 3) % 80), (i, (i * 13 + 5) % 80), (i, (i + 1) % 80)))
+      .toDF("s", "d")
+    val edgeSet = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = Graph.randomWalks(edges, "s", "d", length = 8, walksPerNode = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(out.length === 160)
+    out.foreach { case (start, _, n, path) =>
+      val hops = path.split(",").map(_.toLong)
+      assert(hops.head === start && hops.length === n + 1 && n === 8)
+      hops.sliding(2).foreach { case Array(a, b) =>
+        assert(edgeSet.contains((a, b)), s"hop $a->$b not an edge") }
+    }
+    // deterministic across partitionings
+    val again = Graph.randomWalks(edges.repartition(13), "s", "d",
+        length = 8, walksPerNode = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(out.sortBy(x => (x._1, x._2)) === again.sortBy(x => (x._1, x._2)))
+    // the two walks per start must not all coincide, nor two seeds
+    val byStart = out.groupBy(_._1)
+    assert(byStart.count { case (_, ws) => ws.map(_._4).distinct.size > 1 } > 40,
+      "walks from the same start should mostly diverge")
+    val other = Graph.randomWalks(edges, "s", "d", length = 8,
+        walksPerNode = 2, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(3)))
+    assert(other.map(_._3).toSeq.sorted !== out.map(_._4).toSeq.sorted,
+      "a different seed should change some walks")
+    // out-of-contract budgets are refused
+    intercept[IllegalArgumentException](
+      Graph.randomWalks(edges, "s", "d", length = 0))
+    intercept[IllegalArgumentException](
+      Graph.randomWalks(edges, "s", "d", length = 5, walksPerNode = 0))
+  }
+
   test("converged flag disambiguates the iteration-budget boundary") {
     // both runs exhaust the budget (it == iters); only the flag tells
     // "the last step itself converged" from "ran out of budget" — the
