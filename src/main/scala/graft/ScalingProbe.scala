@@ -512,6 +512,28 @@ object ScalingProbe {
       graft.ops.Graph.hits(edges, "src", "dst", iters = 5)
         .agg(sum("hub")).collect(); 1L
     }
+    // SCC coloring on the block-cycle graph (8x data = 8x more 5-node
+    // SCCs, same 2 peel rounds and ~7-step floods by construction):
+    // per inner step one co-partitioned join + one agg off the twin
+    // edge caches — expect the flat iterative band
+    time("scc") { d =>
+      import org.apache.spark.sql.expressions.Window
+      val nodes = spark.read.parquet(s"$d/documents.parquet")
+        .select((row_number().over(Window.orderBy("doc_id")) - 1)
+          .cast("long").as("node"))
+      val nMod = nodes.count()
+      val cycles = nodes.select(col("node").as("src"),
+        (expr("CAST(node AS BIGINT) div 25") * 25 +
+          (col("node") % 25 + 5) % 25).as("dst"))
+      val bridges = nodes.filter(col("node") % 50 === 0 &&
+          col("node") + 25 < nMod)
+        .select(col("node").as("src"), (col("node") + 25).as("dst"))
+      val comps = graft.ops.Graph.stronglyConnectedComponents(
+        cycles.unionByName(bridges), "src", "dst")
+      val n = comps.select("component").distinct().count()
+      println(s"DBG scc dir=$d n_scc=$n")
+      n
+    }
     // deterministic random walks (DeepWalk preprocessing): frontier is
     // O(n) rows at EVERY step (paths ride along, they are the product),
     // each step one co-partitioned edge join + one per-walk argmin agg —

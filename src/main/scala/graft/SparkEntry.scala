@@ -723,6 +723,34 @@ object SparkEntry {
           round(col("auth"), 6).as("auth"))
         .orderBy("doc_id")),
 
+    // strongly connected components (bow-tie decomposition) on a graph
+    // of 100 five-node cycles (blocks of 25 ids × residue classes mod
+    // 5) joined by one-way DAG bridges, plus ONE backward bridge
+    // (n-1 → 3) that forces a second peel round; oracle = DuckDB
+    // recursive-CTE reachability closure → mutual-reach minimum, exact
+    "q_scc" -> ((s, dir) => {
+      import s.implicits._
+      val nodes = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("node"))
+      val nMod = nodes.count()
+      val cycles = nodes.select(col("node").as("src"),
+        (expr("CAST(node AS BIGINT) div 25") * 25 +
+          (col("node") % 25 + 5) % 25).as("dst"))
+      val bridges = nodes.filter(col("node") % 50 === 0 &&
+          col("node") + 25 < nMod)
+        .select(col("node").as("src"), (col("node") + 25).as("dst"))
+      val back = Seq((nMod - 1, 3L)).toDF("src", "dst")
+      Graph.stronglyConnectedComponents(
+          cycles.unionByName(bridges).unionByName(back), "src", "dst")
+        .orderBy("node")
+    }),
+
+    // link-graph dataset card (the corpusReport analog for edge lists)
+    // on the maps+clique graph; oracle = DuckDB recomputes every number
+    // from the same raw edge list, exact
+    "q_graph_card" -> ((s, dir) =>
+      Graph.graphCard(mapGraphWithClique(s, dir), "src", "dst")),
+
     // deterministic random walks (DeepWalk preprocessing) on the 3-map
     // graph — derived checks (the hash-argmin transition is not
     // SQL-expressible): exactly walksPerNode walks per node, all full
@@ -4958,6 +4986,78 @@ object SparkEntry {
       "q_walks" ->
         checksOracle("two_walks_per_node", "full_length",
           "every_hop_is_an_edge", "paths_start_at_start"),
+
+      // SCC by definition: the recursive closure collects ALL reachable
+      // pairs (UNION set semantics terminates at the fixpoint), mutual
+      // reach intersects it with its transpose, and the component label
+      // is the minimum mutual partner (self included)
+      "q_scc" ->
+        """WITH RECURSIVE nodes0 AS (
+          |  SELECT CAST(doc_id AS BIGINT) AS node FROM documents),
+          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes0),
+          |e AS (
+          |  SELECT node AS u,
+          |    (node // 25) * 25 + ((node % 25 + 5) % 25) AS v
+          |  FROM nodes0
+          |  UNION ALL
+          |  SELECT node, node + 25 FROM nodes0
+          |  WHERE node % 50 = 0 AND node + 25 < (SELECT n FROM nn)
+          |  UNION ALL
+          |  SELECT (SELECT n FROM nn) - 1, CAST(3 AS BIGINT)
+          |),
+          |reach(u, v) AS (
+          |  SELECT u, v FROM e
+          |  UNION
+          |  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v
+          |),
+          |mutual AS (
+          |  SELECT a.u AS node, a.v AS m
+          |  FROM reach a JOIN reach b ON b.u = a.v AND b.v = a.u
+          |)
+          |SELECT n.node,
+          |  least(n.node, coalesce(min(m.m), n.node)) AS component
+          |FROM nodes0 n LEFT JOIN mutual m ON m.node = n.node
+          |GROUP BY n.node ORDER BY n.node""".stripMargin,
+
+      // every card number recomputed from the same raw list: scalar
+      // subqueries over the simple edge set, EXISTS for reciprocity
+      "q_graph_card" ->
+        """WITH nodes0 AS (
+          |  SELECT CAST(doc_id AS BIGINT) AS node FROM documents),
+          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes0),
+          |raw AS (
+          |  SELECT node AS a, (node*7+3) % (SELECT n FROM nn) AS b FROM nodes0
+          |  UNION ALL SELECT node, (node*13+5) % (SELECT n FROM nn) FROM nodes0
+          |  UNION ALL SELECT node, (node*29+11) % (SELECT n FROM nn) FROM nodes0
+          |  UNION ALL SELECT CAST(a AS BIGINT), CAST(b AS BIGINT) FROM (VALUES
+          |    (0,1),(0,2),(0,3),(0,4),(0,5),(1,2),(1,3),(1,4),(1,5),
+          |    (2,3),(2,4),(2,5),(3,4),(3,5),(4,5)) t(a,b)
+          |),
+          |nonself AS (SELECT a AS u, b AS v FROM raw WHERE a != b),
+          |simple AS (SELECT DISTINCT u, v FROM nonself),
+          |agg AS (SELECT
+          |  (SELECT count(*) FROM
+          |    (SELECT a AS x FROM raw UNION SELECT b FROM raw)) AS n_nodes,
+          |  (SELECT count(*) FROM simple) AS n_edges,
+          |  (SELECT count(*) FROM raw WHERE a = b) AS n_self_loops,
+          |  (SELECT count(*) FROM nonself)
+          |    - (SELECT count(*) FROM simple) AS n_dup_edges,
+          |  (SELECT count(*) FROM simple e WHERE EXISTS
+          |    (SELECT 1 FROM simple r
+          |     WHERE r.u = e.v AND r.v = e.u)) AS n_reciprocal,
+          |  (SELECT coalesce(max(c), 0) FROM
+          |    (SELECT count(*) AS c FROM simple GROUP BY u)) AS max_out_deg,
+          |  (SELECT coalesce(max(c), 0) FROM
+          |    (SELECT count(*) AS c FROM simple GROUP BY v)) AS max_in_deg)
+          |SELECT n_nodes, n_edges, n_self_loops, n_dup_edges, n_reciprocal,
+          |  round(CASE WHEN n_edges > 0
+          |        THEN CAST(n_reciprocal AS DOUBLE) / n_edges
+          |        ELSE 0.0 END, 6) AS reciprocity,
+          |  max_out_deg, max_in_deg,
+          |  round(CASE WHEN n_nodes > 1
+          |        THEN CAST(n_edges AS DOUBLE) / (n_nodes * (n_nodes - 1))
+          |        ELSE 0.0 END, 6) AS density
+          |FROM agg""".stripMargin,
 
       // same recursive pack CTE, then the physical assembly: per-doc ids
       // are the structural 1..nt (DuckDB range(1, nt+1) = [] at nt = 0),

@@ -618,6 +618,172 @@ object Graph {
     }
   }
 
+  /** Strongly connected components of the DIRECTED simple graph — the
+    * bow-tie decomposition of web-graph analysis (Broder 2000: a crawl's
+    * giant SCC vs its IN/OUT tendrils is a standard corpus-shape
+    * diagnostic; [[connectedComponents]] answers the UNDIRECTED
+    * question). Returns (node, component) with `component` = the
+    * smallest node id in the node's SCC.
+    *
+    * Scale shape: the parallel COLORING algorithm (Orzan 2004; the
+    * FW-BW family — Slota et al. 2014): each round (1) flood-fills max
+    * node ids FORWARD along edges to a fixpoint — color(v) = the
+    * largest id that reaches v, a [[pageRank]]-shaped loop (one
+    * co-partitioned edge join + one max-aggregate per inner step,
+    * localCheckpoint truncation, O(1) driver scalars); (2) every color
+    * ROOT (color(r) = r) marks its SCC by a BACKWARD flood restricted
+    * to its own color region (correct because every node on a v→root
+    * path provably carries the root's color); (3) assigned SCCs leave
+    * the residual graph. Rounds = the number of "peel layers" of the
+    * SCC DAG along descending roots — small on real graphs; inner
+    * steps = color diameter. `maxRounds`/`maxIters` exhaustion REFUSES
+    * loudly (the kCore contract) rather than returning a partial
+    * labeling.
+    */
+  def stronglyConnectedComponents(edges: DataFrame, srcCol: String,
+                                  dstCol: String, maxRounds: Int = 25,
+                                  maxIters: Int = 300): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    require(maxIters >= 1, s"maxIters must be >= 1: $maxIters")
+    val raw = edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull)
+    val allNodes = raw.select(col("u").as("node"))
+      .union(raw.select(col("v").as("node"))).distinct()
+      .localCheckpoint()
+    // twin edge frames, the hits pattern: the color flood joins on u,
+    // the membership flood joins on v — each keeps its own partitioning
+    val simple = raw.filter(col("u") =!= col("v")).distinct()
+    var e = simple.repartition(col("u")).localCheckpoint()
+    var eV = simple.repartition(col("v")).localCheckpoint()
+    var nodes = allNodes
+    var assigned: DataFrame = null
+    var remaining = nodes.count()
+    var rounds = 0
+    var itersLeft = maxIters
+    while (remaining > 0 && rounds < maxRounds) {
+      // (1) forward max-color flood to fixpoint
+      var color = nodes.select(col("node"), col("node").as("color"))
+        .localCheckpoint()
+      var changed = 1L
+      while (changed > 0 && itersLeft > 0) {
+        val inMax = e.join(
+            color.select(col("node").as("u"), col("color").as("__c")), "u")
+          .groupBy(col("v").as("node")).agg(max("__c").as("__cin"))
+        val next = color.join(inMax, Seq("node"), "left")
+          .select(col("node"), col("color"),
+            greatest(col("color"), coalesce(col("__cin"), col("color")))
+              .as("__next"))
+          .localCheckpoint()
+        changed = next.filter(col("__next") =!= col("color")).count()
+        color = next.select(col("node"), col("__next").as("color"))
+          .localCheckpoint()
+        itersLeft -= 1
+      }
+      require(changed == 0,
+        s"stronglyConnectedComponents: color flood did not converge " +
+          s"within $maxIters total inner steps (raise maxIters)")
+      // (2) backward membership flood from each color root, restricted
+      // to the root's color region
+      var member = color.filter(col("node") === col("color"))
+        .localCheckpoint()
+      var grew = 1L
+      while (grew > 0 && itersLeft > 0) {
+        val pred = eV.join(
+            member.select(col("node").as("v"), col("color").as("__mc")), "v")
+          .select(col("u").as("node"), col("__mc"))
+          .join(color, Seq("node"))
+          .filter(col("color") === col("__mc"))
+          .select(col("node"), col("color")).distinct()
+          .join(member, Seq("node"), "left_anti")
+          .localCheckpoint()
+        grew = pred.count()
+        if (grew > 0) member = member.union(pred).localCheckpoint()
+        itersLeft -= 1
+      }
+      require(grew == 0,
+        s"stronglyConnectedComponents: membership flood did not converge " +
+          s"within $maxIters total inner steps (raise maxIters)")
+      assigned =
+        if (assigned == null) member else assigned.union(member)
+      // (3) peel the assigned SCCs out of the residual graph
+      nodes = nodes.join(member.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint()
+      val keep = nodes.select(col("node"))
+      val pruned = e
+        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .select("u", "v")
+      e = pruned.repartition(col("u")).localCheckpoint()
+      eV = pruned.repartition(col("v")).localCheckpoint()
+      remaining = nodes.count()
+      rounds += 1
+    }
+    require(remaining == 0,
+      s"stronglyConnectedComponents: $remaining nodes unassigned after " +
+        s"$maxRounds rounds (raise maxRounds)")
+    if (assigned == null) // empty graph: nothing was ever flooded
+      return allNodes.select(col("node"), col("node").as("component"))
+    // canonical labels: the smallest id in each SCC (the
+    // connectedComponents convention), not the coloring root
+    val rel = assigned.groupBy("color").agg(min("node").as("component"))
+    assigned.join(rel, "color").select(col("node"), col("component"))
+  }
+
+  /** One-row dataset card for a DIRECTED link graph — the
+    * [[graft.ops.TextAnalysis]] corpus-report analog for edge lists
+    * (node/edge counts, self-loop and duplicate volume, reciprocity,
+    * degree extremes, density): the first thing to look at before
+    * pointing the iterative operators at a crawl. All plain aggregates
+    * plus ONE self-join for reciprocity (matching reverse edges) — no
+    * iteration, exactly SQL-reproducible.
+    *
+    * Columns: n_nodes, n_edges (simple directed, self-loops dropped),
+    * n_self_loops, n_dup_edges (raw − distinct, self-loops excluded),
+    * n_reciprocal (directed simple edges whose reverse also exists),
+    * reciprocity (= n_reciprocal / n_edges, 0 on empty), max_out_deg,
+    * max_in_deg, density (= n_edges / (n·(n−1)), 0 on < 2 nodes),
+    * rounded to 6.
+    */
+  def graphCard(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val raw = edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull)
+    val nonSelf = raw.filter(col("u") =!= col("v"))
+    // the simple edge set feeds FIVE branches of the one-row report —
+    // localCheckpoint materializes it once instead of five scans
+    val simple = nonSelf.distinct().localCheckpoint()
+    locally {
+      val nodes = raw.select(col("u").as("node"))
+        .union(raw.select(col("v").as("node"))).distinct()
+      val recip = simple.as("e").join(simple.as("r"),
+          col("e.u") === col("r.v") && col("e.v") === col("r.u"), "left_semi")
+        .agg(count(lit(1)).as("n_reciprocal"))
+      val degs = simple.groupBy("u").agg(count(lit(1)).as("d"))
+        .agg(coalesce(max("d"), lit(0L)).as("max_out_deg"))
+        .crossJoin(simple.groupBy("v").agg(count(lit(1)).as("d"))
+          .agg(coalesce(max("d"), lit(0L)).as("max_in_deg")))
+      nodes.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(simple.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(raw.filter(col("u") === col("v"))
+          .agg(count(lit(1)).as("n_self_loops")))
+        .crossJoin(nonSelf.agg(count(lit(1)).as("__n_raw")))
+        .crossJoin(recip)
+        .crossJoin(degs)
+        .select(col("n_nodes"), col("n_edges"), col("n_self_loops"),
+          (col("__n_raw") - col("n_edges")).as("n_dup_edges"),
+          col("n_reciprocal"),
+          round(when(col("n_edges") > 0,
+            col("n_reciprocal").cast("double") / col("n_edges"))
+            .otherwise(0.0), 6).as("reciprocity"),
+          col("max_out_deg"), col("max_in_deg"),
+          round(when(col("n_nodes") > 1,
+            col("n_edges").cast("double") /
+              (col("n_nodes") * (col("n_nodes") - 1)))
+            .otherwise(0.0), 6).as("density"))
+    }
+  }
+
   /** Deterministic random walks over the DIRECTED simple graph — the
     * DeepWalk / node2vec preprocessing step (Perozzi 2014: truncated
     * walks feed a skip-gram embedder exactly like token windows do; the

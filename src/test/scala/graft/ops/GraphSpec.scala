@@ -441,6 +441,73 @@ class GraphSpec extends SparkSpec {
     assert(e.getMessage.contains("iters"), e.getMessage)
   }
 
+  test("scc: cycles, DAG singletons, and the undirected-agreement case") {
+    // two 3-cycles joined one-way, plus a DAG node feeding in:
+    // {0,1,2} and {5,6,7} stay separate SCCs; 9 is its own
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (5L, 6L), (6L, 7L),
+      (7L, 5L), (2L, 5L), (9L, 0L)).toDF("s", "d")
+    val got = Graph.stronglyConnectedComponents(edges, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 9L -> 9L))
+    // a pure DAG: every node is its own SCC
+    val path = (0L until 8L).map(i => (i, i + 1)).toDF("s", "d")
+    val dag = Graph.stronglyConnectedComponents(path, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dag === (0L to 8L).map(i => i -> i).toMap)
+    // a full cycle: one SCC labeled by its minimum
+    val cyc = (0L until 9L).map(i => (i, (i + 1) % 9)).toDF("s", "d")
+    val one = Graph.stronglyConnectedComponents(cyc, "s", "d")
+      .collect().map(r => r.getLong(1)).distinct
+    assert(one === Array(0L))
+    // on a SYMMETRIC graph SCC must equal the undirected components
+    val sym0 = (0L until 40L).map(i => (i, (i * 11 + 2) % 40)) ++
+      (0L until 40L).map(i => (100 + i, 100 + (i * 7 + 3) % 40))
+    val sym = (sym0 ++ sym0.map(_.swap)).toDF("s", "d")
+    val scc = Graph.stronglyConnectedComponents(sym, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val und = Graph.connectedComponents(sym, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scc === und)
+  }
+
+  test("scc: a backward bridge forces a second peel round; caps refuse loudly") {
+    // high-id cycle {10,11,12} points INTO low-id cycle {0,1,2}: the
+    // color flood paints the low cycle with 12, so round 1 can only
+    // assign the high cycle and round 2 picks up the low one
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (12L, 0L)).toDF("s", "d")
+    val got = Graph.stronglyConnectedComponents(edges, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // with only one round allowed the same graph must refuse, not
+    // return a partial labeling
+    val e = intercept[IllegalArgumentException](
+      Graph.stronglyConnectedComponents(edges, "s", "d", maxRounds = 1)
+        .count())
+    assert(e.getMessage.contains("unassigned"), e.getMessage)
+  }
+
+  test("graph card: hand-computed stats, empty graph zeros") {
+    // (0,1)+(1,0) reciprocal, (1,2) duplicated, (2,2) self-loop, (2,3)
+    val edges = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 2L), (1L, 2L),
+      (2L, 3L)).toDF("s", "d")
+    val r = Graph.graphCard(edges, "s", "d").head()
+    assert(r.getAs[Long]("n_nodes") === 4)
+    assert(r.getAs[Long]("n_edges") === 4)
+    assert(r.getAs[Long]("n_self_loops") === 1)
+    assert(r.getAs[Long]("n_dup_edges") === 1)
+    assert(r.getAs[Long]("n_reciprocal") === 2)
+    assert(r.getAs[Double]("reciprocity") === 0.5)
+    assert(r.getAs[Long]("max_out_deg") === 2) // node 1 -> {0, 2}
+    assert(r.getAs[Long]("max_in_deg") === 1)
+    assert(r.getAs[Double]("density") === 0.333333) // 4 / (4*3)
+    val empty = Graph.graphCard(
+      Seq.empty[(Long, Long)].toDF("s", "d"), "s", "d").head()
+    assert(empty.toSeq === Seq(0L, 0L, 0L, 0L, 0L, 0.0, 0L, 0L, 0.0))
+  }
+
   test("random walks: cycle is fully determined; sinks stop early; counts") {
     // on a directed 6-cycle every node has exactly one out-neighbor, so
     // the walk is forced: start, start+1, ... regardless of hashing
