@@ -1308,6 +1308,35 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // matryoshka truncation (MRL): pairwise cosines of 16-of-64-dim
+    // truncated + renormalized embeddings; oracle = DuckDB slices,
+    // renormalizes, and re-scores the same lists, exact at round(6)
+    "q_embed_truncate" -> ((s, dir) => {
+      val e = Similarity.truncateEmbeddings(
+        T(s, dir, "embeddings").filter(col("vec_id") < 10), "embedding", 16)
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(Dedup.cosine(col("va"), col("vb")), 6).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // the matryoshka search cascade: 32-of-64-dim truncated shortlist
+    // (k·refine candidates at half the scan cost), full-dim exact
+    // re-rank. These synthetic embeddings are NOT MRL-trained — the
+    // prefix carries only ~half the variance — so the refine width is
+    // the knob that buys recall back: measured per-query recall@5 on
+    // this fixture is 1.0 at (dim=32, refine=40) vs min 0.4 at
+    // (dim=16, refine=10), giving the 0.8 floor a full 0.2 margin
+    // (gate is data-pinned; recalibrate if the fixture regenerates)
+    "q_ann_matryoshka" -> ((s, dir) =>
+      annRecallCheck(s, dir, floor = 0.8) { (q, emb) =>
+        Similarity.matryoshkaTopK(q, emb,
+          "vec_id", "embedding", "vec_id", "embedding",
+          k = 5, dim = 32, refine = 40)
+      }),
+
     // hard-negative mining: per query, the top-5 most-similar vectors of a
     // DIFFERENT label (the contrastive-training near-misses); same
     // broadcast-scan + bounded-heap top-k plan as q_ann_topk
@@ -3465,6 +3494,29 @@ object SparkEntry {
       "q_ann_ivf" ->
         """SELECT DISTINCT CAST(vec_id AS BIGINT) AS query_id, true AS recall_ok
           |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
+
+      "q_ann_matryoshka" ->
+        """SELECT DISTINCT CAST(vec_id AS BIGINT) AS query_id, true AS recall_ok
+          |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
+
+      // slice -> renormalize -> cosine, replayed on DuckDB double lists
+      "q_embed_truncate" ->
+        """WITH e AS (
+          |  SELECT vec_id, (embedding::DOUBLE[])[1:16] AS s
+          |  FROM embeddings WHERE vec_id < 10),
+          |t AS (
+          |  SELECT vec_id,
+          |    CASE WHEN list_dot_product(s, s) > 0
+          |         THEN list_transform(s,
+          |                x -> x / sqrt(list_dot_product(s, s)))
+          |         ELSE s END AS v
+          |  FROM e)
+          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |  round(list_dot_product(a.v, b.v)
+          |    / (sqrt(list_dot_product(a.v, a.v))
+          |       * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+          |FROM t a JOIN t b ON a.vec_id < b.vec_id
+          |ORDER BY 1, 2""".stripMargin,
 
       "q_ann_ivf_index" ->
         """SELECT DISTINCT CAST(vec_id AS BIGINT) AS query_id, true AS recall_ok

@@ -51,6 +51,57 @@ object Similarity {
     explodeTopK(scored, k)
   }
 
+  /** Matryoshka-style embedding truncation (Kusupati et al. 2022, MRL):
+    * keep the FIRST `dim` coordinates and L2-renormalize — the
+    * progressive-dimension trick MRL-trained encoders support, trading
+    * recall for a `dim/d` storage and dot-product cost cut (the cheap
+    * tier in a truncate → ANN-shortlist → full-dim re-rank cascade,
+    * composing directly with [[bruteForceTopK]] / [[lshTopK]] and the
+    * index builders). Pure scan-side Column algebra — no UDF, no
+    * shuffle; zero vectors stay zero instead of dividing by 0. Vectors
+    * shorter than `dim` keep their full (renormalized) length — slice
+    * never pads.
+    */
+  def truncateEmbeddings(df: DataFrame, vecCol: String, dim: Int,
+                         renormalize: Boolean = true): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1: $dim")
+    val sliced = transform(slice(col(vecCol), 1, dim), x => x.cast("double"))
+    val out =
+      if (!renormalize) sliced
+      else {
+        val n2 = aggregate(sliced, lit(0d), (s, x) => s + x * x)
+        when(n2 > 0, transform(sliced, x => x / sqrt(n2))).otherwise(sliced)
+      }
+    df.withColumn(vecCol, out)
+  }
+
+  /** The matryoshka search cascade: shortlist `k · refine` candidates
+    * with TRUNCATED-dim cosine (a `dim/d` cost scan — the whole point
+    * of MRL serving), then re-rank the shortlist with full-dim exact
+    * cosine. Same two-tier shape as [[sq8TopK]] (coarse scan, exact
+    * refine); on MRL-trained embeddings the prefix is engineered to
+    * rank well, so small `refine` recovers near-1 recall — on
+    * arbitrary embeddings the truncated tier is just a lossy filter
+    * and `refine` buys the recall back. */
+  def matryoshkaTopK(queries: DataFrame, corpus: DataFrame,
+                     qIdCol: String, qVecCol: String,
+                     cIdCol: String, cVecCol: String,
+                     k: Int, dim: Int, refine: Int = 4): DataFrame = {
+    require(k >= 1 && refine >= 1, s"matryoshkaTopK: k=$k refine=$refine")
+    val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))
+    val c = corpus.select(col(cIdCol).as("neighbor_id"), col(cVecCol).as("cv"))
+    val scored = truncateEmbeddings(c, "cv", dim)
+      .crossJoin(broadcast(truncateEmbeddings(q, "qv", dim)))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", Dedup.cosine(col("qv"), col("cv")))
+    val cand = explodeTopK(scored, k * refine)
+      .select("query_id", "neighbor_id")
+    val rer = c.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine", Dedup.cosine(col("qv"), col("cv")))
+    explodeTopK(rer, k)
+  }
+
   /** Hard-negative mining (contrastive-training data prep): for each
     * query, the `k` most cosine-similar corpus vectors whose label
     * DIFFERS from the query's — the near-misses a contrastive loss

@@ -573,6 +573,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("matryoshka cascade: truncation stays scan-side, queries broadcast, no SMJ") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val p = plan(ops.Similarity.matryoshkaTopK(
+      emb.filter(col("vec_id") < 8), emb,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, dim = 32, refine = 4))
+    assert(p.contains("BroadcastExchange"), p)  // queries + shortlist broadcast
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)  // broadcast NLJ, never cartesian
+  }
+
   test("pagerank: cached normalized edges join with NO re-exchange per iteration") {
     // the r14 loop refactor: out-shares are folded into the src-keyed
     // cached edge frame once, so the per-iteration contribStep must read

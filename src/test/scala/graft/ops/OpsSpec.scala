@@ -324,6 +324,76 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("matryoshka truncation: prefix, unit norm, zero-safe, composes with top-k") {
+    val t = Similarity.truncateEmbeddings(emb, "vec", dim = 4)
+    val rows = t.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1))
+    rows.foreach { case (id, v) =>
+      assert(v.length === 4, s"id $id")
+      // unit L2 norm after renormalization
+      assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-12, s"id $id")
+      // direction preserved: proportional to the raw prefix
+      val raw = emb.filter(col("id") === id).head().getSeq[Float](1)
+        .take(4).map(_.toDouble)
+      val scale = math.sqrt(raw.map(x => x * x).sum)
+      v.zip(raw).foreach { case (a, b) =>
+        assert(math.abs(a - b / scale) < 1e-9, s"id $id") }
+    }
+    // renormalize = false keeps the raw prefix values
+    val plain = Similarity.truncateEmbeddings(emb, "vec", dim = 4,
+      renormalize = false).head().getSeq[Double](1)
+    assert(plain.length === 4)
+    // zero vectors stay zero instead of NaN
+    val z = Similarity.truncateEmbeddings(
+      Seq((1L, Array(0f, 0f, 0f))).toDF("id", "vec"), "vec", dim = 2)
+      .head().getSeq[Double](1)
+    assert(z === Seq(0.0, 0.0))
+    // a dim past the vector length keeps the full vector (no padding)
+    val long = Similarity.truncateEmbeddings(emb, "vec", dim = 99)
+      .head().getSeq[Double](1)
+    assert(long.length === 8)
+    // truncated brute-force top-k still finds mostly-true neighbors
+    val full = Similarity.bruteForceTopK(
+      emb.filter(col("id") < 4), emb, "id", "vec", "id", "vec", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val q4 = Similarity.truncateEmbeddings(emb.filter(col("id") < 4), "vec", 4)
+    val c4 = Similarity.truncateEmbeddings(emb, "vec", 4)
+    val trunc = Similarity.bruteForceTopK(
+      q4, c4, "id", "vec", "id", "vec", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert((trunc intersect full).size >= 8,
+      s"recall too low: ${(trunc intersect full).size}/20")
+    intercept[IllegalArgumentException](
+      Similarity.truncateEmbeddings(emb, "vec", dim = 0))
+  }
+
+  test("matryoshka cascade: refine recovers recall the raw truncation loses") {
+    // these synthetic vectors are NOT MRL-trained, so the truncated
+    // tier alone ranks poorly — the point of the cascade is that the
+    // full-dim re-rank over a refine-widened shortlist wins it back
+    def recallOf(res: org.apache.spark.sql.DataFrame, exact: Set[(Long, Long)]) =
+      res.select("query_id", "neighbor_id").as[(Long, Long)]
+        .collect().toSet.intersect(exact).size.toDouble / exact.size
+    val exact = Similarity.bruteForceTopK(
+      emb.filter(col("id") < 5), emb, "id", "vec", "id", "vec", k = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val cascade = recallOf(Similarity.matryoshkaTopK(
+      emb.filter(col("id") < 5), emb, "id", "vec", "id", "vec",
+      k = 4, dim = 4, refine = 8), exact)
+    val raw = recallOf(Similarity.bruteForceTopK(
+      Similarity.truncateEmbeddings(emb.filter(col("id") < 5), "vec", 4),
+      Similarity.truncateEmbeddings(emb, "vec", 4),
+      "id", "vec", "id", "vec", k = 4), exact)
+    info(f"cascade recall $cascade%.2f vs raw truncated $raw%.2f")
+    assert(cascade >= raw, s"cascade $cascade < raw $raw")
+    assert(cascade >= 0.7, s"cascade recall $cascade")
+    // refine = full corpus width makes the cascade EXACT by construction
+    val full = recallOf(Similarity.matryoshkaTopK(
+      emb.filter(col("id") < 5), emb, "id", "vec", "id", "vec",
+      k = 4, dim = 4, refine = 13), exact)
+    assert(full === 1.0, s"refine covering the corpus must be exact: $full")
+  }
+
   test("LSH top-k returns a subset of the exact neighbors' quality") {
     val exact = Similarity.bruteForceTopK(
       emb.filter(col("id") < 2), emb, "id", "vec", "id", "vec", k = 3)
