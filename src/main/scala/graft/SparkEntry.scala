@@ -1337,6 +1337,37 @@ object SparkEntry {
           k = 5, dim = 32, refine = 40)
       }),
 
+    // binary-quantization hamming distances: pairwise Hamming between
+    // the mean-threshold sign-bit codes of the first 10 vectors, fitted
+    // on the FULL corpus; oracle recomputes the same bit comparisons
+    // from the raw floats (no packing needed SQL-side) — exact integers
+    "q_embed_bq_hamming" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val codes = Similarity.bqEncode(
+        emb.filter(col("vec_id") < 10), "embedding",
+        Similarity.fitBq(emb, "embedding"))
+      val a = codes.select(col("vec_id").as("id_a"), col("embedding").as("ca"))
+      val b = codes.select(col("vec_id").as("id_b"), col("embedding").as("cb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          Similarity.hamming(col("ca"), col("cb")).as("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // the 1-bit tier: BQ hamming shortlist + exact re-rank. 64 sign
+    // bits over untrained isotropic embeddings rank weakly (this is the
+    // lossiest tier by design), so refine is wide at this 500-row
+    // fixture — measured per-query recall@5 is 1.0 at refine=48 vs min
+    // 0.2 at refine=16, giving the 0.8 floor a 0.2 margin (data-pinned;
+    // recalibrate if the fixture regenerates). At corpus scale the
+    // k·refine shortlist is a vanishing fraction of the scan.
+    "q_ann_bq" -> ((s, dir) =>
+      annRecallCheck(s, dir, floor = 0.8) { (q, emb) =>
+        Similarity.bqTopK(q, emb,
+          "vec_id", "embedding", "vec_id", "embedding",
+          k = 5, refine = 48)
+      }),
+
     // hard-negative mining: per query, the top-5 most-similar vectors of a
     // DIFFERENT label (the contrastive-training near-misses); same
     // broadcast-scan + bounded-heap top-k plan as q_ann_topk
@@ -3498,6 +3529,28 @@ object SparkEntry {
       "q_ann_matryoshka" ->
         """SELECT DISTINCT CAST(vec_id AS BIGINT) AS query_id, true AS recall_ok
           |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
+
+      "q_ann_bq" ->
+        """SELECT DISTINCT CAST(vec_id AS BIGINT) AS query_id, true AS recall_ok
+          |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
+
+      // per-dim mean thresholds over the full corpus, then count the
+      // dims where the two vectors' sign bits disagree — the packing is
+      // engine-side only; the SQL checks the same bit semantics
+      "q_embed_bq_hamming" ->
+        """WITH x AS (
+          |  SELECT vec_id, unnest(embedding::DOUBLE[]) AS v,
+          |         unnest(range(len(embedding))) AS pos
+          |  FROM embeddings),
+          |mu AS (SELECT pos, avg(v) AS mu FROM x GROUP BY pos),
+          |b AS (
+          |  SELECT x.vec_id, x.pos, (x.v > mu.mu) AS bit
+          |  FROM x JOIN mu USING (pos) WHERE x.vec_id < 10)
+          |SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+          |  CAST(sum(CASE WHEN a.bit <> b2.bit THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS hamming
+          |FROM b a JOIN b b2 ON a.pos = b2.pos AND a.vec_id < b2.vec_id
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       // slice -> renormalize -> cosine, replayed on DuckDB double lists
       "q_embed_truncate" ->

@@ -102,6 +102,94 @@ object Similarity {
     explodeTopK(rer, k)
   }
 
+  /** Binary-quantization fit: the per-dimension MEAN threshold, from one
+    * posexplode + d-row hash-aggregate (the same scale shape as
+    * [[fitSq8]]). Mean-centering balances the bit distribution so
+    * Hamming distance tracks angular distance (sign-random-projection
+    * estimate: P(bit differs) ≈ angle/π on centered data); the model is
+    * O(d) driver state riding the encode closure.
+    */
+  def fitBq(corpus: DataFrame, vecCol: String): Array[Double] = {
+    val stats = corpus.select(posexplode(col(vecCol)))
+      .select(col("pos"), col("col").cast("double").as("__x"))
+      .groupBy("pos").agg(avg("__x").as("mu"))
+      .orderBy("pos")
+      .collect()
+    require(stats.nonEmpty, "fitBq: empty corpus or vectors")
+    stats.map(_.getDouble(1))
+  }
+
+  private def bqEncodeUdf(thresholds: Array[Double]) =
+    // Seq[Double]: float embeddings widen via Spark's implicit cast
+    udf { (v: Seq[Double]) =>
+      if (v == null) null
+      else {
+        val x = v.toArray
+        require(x.length == thresholds.length,
+          s"bq: vector has ${x.length} dims, model has ${thresholds.length}")
+        val out = new Array[Long]((x.length + 63) >>> 6)
+        var i = 0
+        while (i < x.length) {
+          if (x(i) > thresholds(i)) out(i >>> 6) |= 1L << (i & 63)
+          i += 1
+        }
+        out
+      }
+    }
+
+  /** Replace `vecCol` with its packed-long sign-bit code under the given
+    * per-dimension thresholds (bit i of word i/64 set iff x_i > thr_i).
+    */
+  def bqEncode(df: DataFrame, vecCol: String,
+               thresholds: Array[Double]): DataFrame =
+    df.withColumn(vecCol, bqEncodeUdf(thresholds)(col(vecCol)))
+
+  /** Hamming distance between two equal-length packed-long bit codes —
+    * pure builtin Column algebra (`bit_count(xor)` summed with
+    * zip_with/aggregate), so the distance scan stays inside whole-stage
+    * codegen with no UDF.
+    */
+  def hamming(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (s, v) => s + v)
+
+  /** Binary-quantized approximate top-k — the 1-bit-per-dim tier below
+    * [[sq8TopK]] (32× smaller than float32; Lucene/faiss-style BQ).
+    * Corpus and queries pack to sign bits under the shared mean
+    * thresholds; the shortlist scan ranks by NEGATED Hamming distance
+    * (d/8 bytes and a few popcounts per candidate) through the
+    * bounded-heap [[graft.functions.TopKAgg]]; the ≤ queries·k·refine
+    * survivors re-rank with exact full-precision cosine. One bit per
+    * dimension is the lossiest tier, so `refine` defaults wider than
+    * SQ8's.
+    *
+    * Scale shape: fit is one d-row aggregate; codes are ceil(d/64)
+    * longs/row; the Hamming scan is builtin-codegen (no UDF); re-rank
+    * is a broadcast join on the candidate ids.
+    */
+  def bqTopK(queries: DataFrame, corpus: DataFrame,
+             qIdCol: String, qVecCol: String,
+             cIdCol: String, cVecCol: String,
+             k: Int, refine: Int = 16): DataFrame = {
+    require(k >= 1 && refine >= 1, s"bqTopK: k=$k refine=$refine")
+    val c = corpus.select(col(cIdCol).as("neighbor_id"), col(cVecCol).as("cv"))
+    val enc = bqEncodeUdf(fitBq(c, "cv"))
+    val codes = c.select(col("neighbor_id"), enc(col("cv")).as("ccode"))
+    val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))
+    val qc = q.select(col("query_id"), enc(col("qv")).as("qcode"))
+    val scored = codes.crossJoin(broadcast(qc))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        -hamming(col("qcode"), col("ccode")).cast("double"))
+    val cand = explodeTopK(scored, k * refine)
+      .select("query_id", "neighbor_id")
+    val rer = c.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine", Dedup.cosine(col("qv"), col("cv")))
+    explodeTopK(rer, k)
+  }
+
   /** Hard-negative mining (contrastive-training data prep): for each
     * query, the `k` most cosine-similar corpus vectors whose label
     * DIFFERS from the query's — the near-misses a contrastive loss

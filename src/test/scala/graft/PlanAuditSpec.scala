@@ -584,6 +584,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)  // broadcast NLJ, never cartesian
   }
 
+  test("bq cascade: hamming scan is UDF-free codegen, queries broadcast, no SMJ") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val p = plan(ops.Similarity.bqTopK(
+      emb.filter(col("vec_id") < 8), emb,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5, refine = 4))
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the shortlist DISTANCE is builtin bit_count/xor column algebra;
+    // the only UDF is the once-per-row encode, never the pair scan
+    val analyzed = ops.Similarity.bqTopK(
+      emb.filter(col("vec_id") < 8), emb,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5, refine = 4)
+      .queryExecution.analyzed.toString()
+    assert(analyzed.contains("bit_count"), analyzed.take(2000))
+  }
+
   test("pagerank: cached normalized edges join with NO re-exchange per iteration") {
     // the r14 loop refactor: out-shares are folded into the src-keyed
     // cached edge frame once, so the per-iteration contribStep must read

@@ -394,6 +394,59 @@ class SimilaritySpec extends SparkSpec {
     assert(full === 1.0, s"refine covering the corpus must be exact: $full")
   }
 
+  test("binary quantization: mean fit, bit packing, hamming identities") {
+    // fit = per-dimension mean
+    val fitted = Similarity.fitBq(
+      Seq((1L, Array(0f, 10f)), (2L, Array(2f, 20f)), (3L, Array(4f, 30f)))
+        .toDF("id", "vec"), "vec")
+    assert(fitted.toSeq === Seq(2.0, 20.0))
+    // encode is strict >: at/below threshold → 0, above → 1
+    val codes = Similarity.bqEncode(
+      Seq((1L, Array(0f, 10f)), (2L, Array(2f, 20f)), (3L, Array(4f, 30f)))
+        .toDF("id", "vec"), "vec", fitted)
+      .orderBy("id").collect().map(_.getSeq[Long](1))
+    assert(codes.toSeq === Seq(Seq(0L), Seq(0L), Seq(3L)))
+    // packing past 64 dims: bit 69 lands in word 1, bit 5
+    val wide = Similarity.bqEncode(
+      Seq((1L, Array.tabulate(70)(i => if (i == 69) 1f else -1f)))
+        .toDF("id", "vec"), "vec", Array.fill(70)(0.0))
+      .head().getSeq[Long](1)
+    assert(wide === Seq(0L, 1L << 5))
+    // hamming: zero on identity, counts xor bits across words
+    val h = Seq((Array(0L, 5L), Array(3L, 6L)), (Array(7L, 7L), Array(7L, 7L)))
+      .toDF("a", "b")
+      .select(Similarity.hamming(col("a"), col("b"))).as[Long]
+      .collect().toSeq
+    assert(h === Seq(4L, 0L)) // bit_count(0^3)=2, bit_count(5^6)=2; identity 0
+    // dimension mismatch fails loudly instead of truncating
+    val thrown = intercept[org.apache.spark.SparkException](
+      Similarity.bqEncode(Seq((1L, Array(1f, 2f, 3f))).toDF("id", "vec"),
+        "vec", Array(0.0)).collect())
+    assert(thrown.getMessage.contains("bq") ||
+      thrown.getCause.getMessage.contains("bq"))
+  }
+
+  test("bq top-k: hamming shortlist recall, refine covering corpus is exact") {
+    val exact = Similarity.bruteForceTopK(
+      emb.filter(col("id") < 5), emb, "id", "vec", "id", "vec", k = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val bq = Similarity.bqTopK(
+      emb.filter(col("id") < 5), emb, "id", "vec", "id", "vec",
+      k = 4, refine = 6)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = bq.intersect(exact).size.toDouble / exact.size
+    info(f"bq recall@4 with refine=6: $recall%.2f")
+    assert(recall >= 0.5, s"bq recall $recall") // 8 dims = 8 bits, lossy tier
+    // refine wide enough to cover the corpus makes the cascade exact
+    val full = Similarity.bqTopK(
+      emb.filter(col("id") < 5), emb, "id", "vec", "id", "vec",
+      k = 4, refine = 13)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full === exact, "refine covering the corpus must be exact")
+    intercept[IllegalArgumentException](Similarity.bqTopK(
+      emb, emb, "id", "vec", "id", "vec", k = 0))
+  }
+
   test("LSH top-k returns a subset of the exact neighbors' quality") {
     val exact = Similarity.bruteForceTopK(
       emb.filter(col("id") < 2), emb, "id", "vec", "id", "vec", k = 3)
