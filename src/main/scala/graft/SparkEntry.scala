@@ -152,6 +152,60 @@ object SparkEntry {
       .unionByName(Seq((0L, 1L), (2L, 3L)).toDF("src", "dst"))
   }
 
+  /** The block-community graph the LPA query uses: doc_ids in blocks of
+    * 10, each block a star around its center (10B → 10B+j), consecutive
+    * blocks tied by ONE leaf-leaf bridge (10B+9, 10B+11) — real
+    * community structure with a deliberate one-node leak at each bridge
+    * endpoint, so the fixpoint is non-trivial but fully deterministic.
+    */
+  private def communityGraph(s: SparkSession, dir: String): DataFrame = {
+    val nodes = T(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("node"))
+    val nMod = nodes.count()
+    val stars = nodes.filter(col("node") % 10 =!= 0)
+      .select((col("node") - (col("node") % 10)).as("src"),
+        col("node").as("dst"))
+    val bridges = nodes.filter(col("node") % 10 === 9 &&
+        col("node") + 2 < nMod)
+      .select(col("node").as("src"), (col("node") + 2).as("dst"))
+    stars.unionByName(bridges)
+  }
+
+  /** The q_communities oracle: the SAME deterministic LPA rule unrolled
+    * to `iters` chained-CTE rounds (closed-adjacency vote counts, then a
+    * (count desc, label asc) window argmax). The engine early-stops at
+    * the labels' fixpoint, which further unrolled rounds leave unchanged
+    * by construction — so a fixed-depth replay matches an early-stopped
+    * run exactly.
+    */
+  private def lpaOracleSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT a.z, l${i - 1}.label AS nl, count(*) AS c
+         |  FROM adj a JOIN l${i - 1} ON a.n = l${i - 1}.node GROUP BY 1, 2),
+         |l$i AS (
+         |  SELECT z AS node, nl AS label FROM (
+         |    SELECT z, nl,
+         |      row_number() OVER (PARTITION BY z ORDER BY c DESC, nl) AS rn
+         |    FROM c$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nodes AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |raw AS (
+       |  SELECT (node // 10) * 10 AS a, node AS b FROM nodes
+       |  WHERE node % 10 <> 0
+       |  UNION ALL
+       |  SELECT node AS a, node + 2 AS b FROM nodes
+       |  WHERE node % 10 = 9 AND node + 2 < (SELECT n FROM nn)),
+       |adj AS (
+       |  SELECT a AS z, b AS n FROM raw
+       |  UNION SELECT b, a FROM raw
+       |  UNION SELECT node, node FROM nodes),
+       |l0 AS (SELECT node, node AS label FROM nodes),
+       |$steps
+       |SELECT node, label FROM l$iters ORDER BY node""".stripMargin
+  }
+
   private def checkRows(one: DataFrame, checks: (String, Column)*): DataFrame =
     one.select(explode(array(checks.map { case (n, c) =>
         struct(lit(n).as("metric"), c.as("ok")) }: _*)).as("r"))
@@ -711,6 +765,16 @@ object SparkEntry {
     // symmetric closure, exact
     "q_components" -> ((s, dir) =>
       Graph.connectedComponents(componentGraph(s, dir), "src", "dst")
+        .orderBy("node")),
+
+    // label-propagation communities (deterministic synchronous LPA:
+    // closed-neighborhood majority vote, smallest-label tie-break) on
+    // the star-block graph; oracle = the same rule unrolled 8 rounds of
+    // chained CTEs — exact, and indifferent to the engine's early-stop
+    // because a fixpoint survives extra rounds
+    "q_communities" -> ((s, dir) =>
+      Graph.labelPropagation(communityGraph(s, dir), "src", "dst",
+          maxIters = 8)
         .orderBy("node")),
 
     // HITS hubs/authorities (5 iterations, L1-normalized ONCE at the
@@ -4825,6 +4889,8 @@ object SparkEntry {
           |)
           |SELECT node, min(comp) AS component FROM lbl
           |GROUP BY node ORDER BY node""".stripMargin,
+
+      "q_communities" -> lpaOracleSql(iters = 8),
 
       // HITS via the co-citation recursion h'(u) = Σ_{u→v} Σ_{w→v} h(w)
       // (the two half-steps composed, so one recursive vector suffices);

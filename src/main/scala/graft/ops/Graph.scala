@@ -555,6 +555,91 @@ object Graph {
     * plus two key-local aggregates, O(1) driver state, localCheckpoint
     * plan truncation (the [[pageRank]] discipline).
     */
+  /** The closed symmetric adjacency [[labelPropagation]] iterates over:
+    * both orientations of the simple undirected edge set plus one
+    * (z, z) self row per node, repartitioned on the NEIGHBOR key `n`
+    * (the per-iteration join fetches each neighbor's current label
+    * there) and cached. Returns (adj, nodes). */
+  private[graft] def lpaSetup(edges: DataFrame, srcCol: String,
+                              dstCol: String): (DataFrame, DataFrame) = {
+    val und = undirected(edges, srcCol, dstCol)
+    val sym = und.select(col("u").as("z"), col("v").as("n"))
+      .union(und.select(col("v").as("z"), col("u").as("n")))
+    val nodes = edges.select(col(srcCol).cast("long").as("z"))
+      .union(edges.select(col(dstCol).cast("long").as("z")))
+      .filter(col("z").isNotNull).distinct()
+    val adj = sym.union(nodes.select(col("z"), col("z").as("n")))
+      .repartition(col("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    (adj, nodes)
+  }
+
+  /** One synchronous LPA round: every node's new label is the most
+    * frequent label over its closed neighborhood (neighbors + one vote
+    * for its own current label), ties toward the SMALLEST label —
+    * max_by over the (count, -label) struct makes the argmax total, so
+    * the round is a pure deterministic function of the previous state.
+    * Joins the n-partitioned adjacency cache on its key; the plan audit
+    * asserts the cache enters without re-exchange. */
+  private[graft] def lpaStep(adj: DataFrame, state: DataFrame): DataFrame =
+    adj.join(state.select(col("node").as("n"), col("label").as("__nl")), "n")
+      .groupBy(col("z"), col("__nl")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("z").as("node"))
+      .agg(max_by(col("__nl"),
+        struct(col("__c"), negate(col("__nl")))).as("label"))
+
+  /** Label-propagation community detection (Raghavan et al. 2007) on
+    * the UNDIRECTED simple graph, made DETERMINISTIC: synchronous
+    * rounds of [[lpaStep]] from label(v) = v, each node adopting the
+    * most frequent label in its CLOSED neighborhood (self included as
+    * one vote), ties toward the smallest label. The self-vote plus the
+    * total tie-break kill the textbook 2-cycle oscillation of
+    * synchronous LPA (an isolated edge settles on its smaller endpoint
+    * instead of swapping labels forever), and every round is a pure
+    * function of the last — the whole trajectory is reproducible and
+    * SQL-replayable. Returns (node, label) for every node of the edge
+    * list (self-loop-only nodes keep their own id).
+    *
+    * Stops at the labels' fixpoint — detected by the order-insensitive
+    * count + xxhash64 checksum of [[connectedComponents]] — or after
+    * `maxIters`. A fixpoint is invariant under further rounds, so
+    * early-stop is observationally identical to running the budget out
+    * (which is what lets a fixed-depth SQL oracle replay an
+    * early-stopped run). LPA is a heuristic: unlike a half-peeled
+    * k-core, an iteration-capped labeling is still a valid LPA state,
+    * so exhaustion returns it rather than refusing.
+    *
+    * Scale shape: the adjacency is built/cached ONCE partitioned on the
+    * join key ([[lpaSetup]]); each round is one cache-local join plus
+    * two hash-aggregates (label counts, then the max_by argmax), O(1)
+    * driver state, localCheckpoint plan truncation — the pageRank/HITS
+    * loop discipline.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       maxIters: Int = 20): DataFrame = {
+    require(maxIters >= 1, s"maxIters must be >= 1: $maxIters")
+    val (adj, nodes) = lpaSetup(edges, srcCol, dstCol)
+    try {
+      var state = nodes.select(col("z").as("node"), col("z").as("label"))
+        .localCheckpoint()
+      def sig(df: DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)),
+          coalesce(expr("bit_xor(xxhash64(node, label))"), lit(0L))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      var (cnt, chk) = sig(state)
+      var it = 0
+      var stable = false
+      while (!stable && it < maxIters) {
+        val next = lpaStep(adj, state).localCheckpoint()
+        val (c2, k2) = sig(next)
+        stable = c2 == cnt && k2 == chk
+        cnt = c2; chk = k2; state = next; it += 1
+      }
+      state
+    } finally adj.unpersist(false)
+  }
+
   /** One HITS half-step: hubs flow along out-edges into authority sums.
     * Joins the src-partitioned edge cache on its key; the audit asserts
     * no re-exchange of the edge side. */

@@ -643,6 +643,44 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("lpa: cached closed adjacency enters the vote join with NO re-exchange") {
+    // lpaSetup partitions the adjacency on the join key n and caches it;
+    // the per-iteration lpaStep must read that cache without re-shuffling
+    // the data-sized side (the pageRank discipline). Broadcast off so the
+    // join is a genuine shuffle join at test scale.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val edges = (0L until 300L).flatMap(i =>
+        Seq((i, (i * 7 + 3) % 300), (i, (i + 1) % 300))).toDF("s", "d")
+      val (adj, nodes) = ops.Graph.lpaSetup(edges, "s", "d")
+      try {
+        adj.count() // materialize, as the loop's first action does
+        val state = nodes.select(col("z").as("node"), col("z").as("label"))
+          .localCheckpoint()
+        val step = ops.Graph.lpaStep(adj, state)
+        val phys = step.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p                        => p
+        }
+        val joins = phys.collect {
+          case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+        }
+        assert(joins.nonEmpty, s"expected the vote join:\n$phys")
+        val adjSides = joins.flatMap(_.children).filter(
+          _.collectFirst { case s: InMemoryTableScanExec => s }.isDefined)
+        assert(adjSides.nonEmpty, s"join must read the adjacency cache:\n$phys")
+        for (side <- adjSides)
+          assert(side.collectFirst { case ex: ShuffleExchangeLike => ex }.isEmpty,
+            s"adjacency cache must not re-shuffle per iteration:\n$phys")
+      } finally adj.unpersist(false)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("hits: BOTH edge caches enter their half-step joins with NO re-exchange") {
     // hits caches the edge list twice — src-partitioned for the auth
     // half-step, dst-partitioned for the hub half-step — so neither

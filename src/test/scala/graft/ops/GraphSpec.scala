@@ -388,6 +388,70 @@ class GraphSpec extends SparkSpec {
     assert(viaGraph.values.toSet.size > 1, "graph should not be one component")
   }
 
+  test("label propagation: two cliques with a bridge keep their own labels") {
+    val cliqueA = Seq((0L, 1L), (1L, 2L), (0L, 2L))
+    val cliqueB = Seq((10L, 11L), (11L, 12L), (10L, 12L))
+    val edges = (cliqueA ++ cliqueB :+ (2L, 10L)).toDF("s", "d")
+    val got = Graph.labelPropagation(edges, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the bridge endpoint 10 briefly adopts 2's label, then its own
+    // clique's majority pulls it back — communities survive the bridge
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("label propagation: isolated edge settles instead of oscillating") {
+    // the textbook synchronous-LPA failure: on a single edge the naive
+    // rule swaps labels forever; the self-vote + min tie-break settle it
+    // on the smaller endpoint, and a self-loop-only node is a singleton
+    val edges = Seq((9L, 5L), (7L, 7L)).toDF("s", "d")
+    val got = Graph.labelPropagation(edges, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(5L -> 5L, 9L -> 5L, 7L -> 7L))
+    // and it converges in a couple of rounds, not by exhausting the cap
+    val capped = Graph.labelPropagation(edges, "s", "d", maxIters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped === got)
+  }
+
+  test("label propagation: matches a driver replay; deterministic under partitioning") {
+    // the same deterministic rule replayed in plain Scala: closed
+    // neighborhood votes, (count desc, label asc) argmax, synchronous
+    def ref(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+      val und = edges.filter(e => e._1 != e._2)
+        .flatMap(e => Seq(e, e.swap)).distinct
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val adjM = und.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      var lab = nodes.map(n => n -> n).toMap
+      var it = 0
+      var changed = true
+      while (it < iters && changed) {
+        val next = nodes.map { z =>
+          val votes = (adjM.getOrElse(z, Seq.empty) :+ z).map(lab)
+          val counts = votes.groupBy(identity).view.mapValues(_.size)
+          z -> counts.toSeq.map { case (l, c) => (-c, l) }.min._2
+        }.toMap
+        changed = next != lab
+        lab = next
+        it += 1
+      }
+      lab
+    }
+    // deterministic pseudo-random graph: 40 nodes, multiplicative maps
+    val raw = (0L until 40L).flatMap(i =>
+      Seq((i, (i * 7 + 3) % 40), (i, (i * 3 + 1) % 40)))
+    val expect = ref(raw, iters = 20)
+    val df = raw.toDF("s", "d")
+    val got = Graph.labelPropagation(df, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+    val repart = Graph.labelPropagation(df.repartition(7), "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(repart === expect)
+    intercept[IllegalArgumentException](
+      Graph.labelPropagation(df, "s", "d", maxIters = 0))
+  }
+
   test("hits: hand-computed scores, mass 1 per side, noise edges ignored") {
     // 0 -> 2, 1 -> 2, 2 -> 3; one iteration from h = 1:
     // a(2) = h(0)+h(1) = 2, a(3) = h(2) = 1, a(0) = a(1) = 0
