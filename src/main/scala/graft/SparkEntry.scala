@@ -767,6 +767,21 @@ object SparkEntry {
       Graph.connectedComponents(componentGraph(s, dir), "src", "dst")
         .orderBy("node")),
 
+    // local clustering coefficients (Watts–Strogatz closure density) on
+    // the 3-map + 6-clique graph; oracle re-derives triangles AND
+    // degrees from the same edge CTE — lcc exact at round(6)
+    "q_clustering" -> ((s, dir) =>
+      Graph.clusteringCoefficients(mapGraphWithClique(s, dir), "src", "dst")
+        .select(col("node"), col("degree"), col("triangles"),
+          round(col("lcc"), 6).as("lcc"))
+        .orderBy("node")),
+
+    // global transitivity (3·triangles / wedges) of the same graph — one
+    // scalar row, exact: both sides divide the same exact-integer sums
+    "q_transitivity" -> ((s, dir) =>
+      Graph.transitivity(mapGraphWithClique(s, dir), "src", "dst")
+        .select(round(col("transitivity"), 6).as("transitivity"))),
+
     // label-propagation communities (deterministic synchronous LPA:
     // closed-neighborhood majority vote, smallest-label tie-break) on
     // the star-block graph; oracle = the same rule unrolled 8 rounds of
@@ -4891,6 +4906,72 @@ object SparkEntry {
           |GROUP BY node ORDER BY node""".stripMargin,
 
       "q_communities" -> lpaOracleSql(iters = 8),
+
+      "q_clustering" ->
+        """WITH nodes AS (SELECT doc_id AS node FROM documents),
+          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+          |raw AS (
+          |  SELECT node AS a, (node*7+3) % (SELECT n FROM nn) AS b FROM nodes
+          |  UNION ALL SELECT node, (node*13+5) % (SELECT n FROM nn) FROM nodes
+          |  UNION ALL SELECT node, (node*29+11) % (SELECT n FROM nn) FROM nodes
+          |  UNION ALL SELECT CAST(a AS BIGINT), CAST(b AS BIGINT) FROM (VALUES
+          |    (0,1),(0,2),(0,3),(0,4),(0,5),(1,2),(1,3),(1,4),(1,5),
+          |    (2,3),(2,4),(2,5),(3,4),(3,5),(4,5)) t(a,b)
+          |),
+          |e AS (SELECT DISTINCT least(a,b) AS u, greatest(a,b) AS v
+          |      FROM raw WHERE a != b),
+          |v AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+          |t AS (
+          |  SELECT x.u AS p, x.v AS q, y.v AS r
+          |  FROM e x JOIN e y ON y.u = x.v JOIN e z ON z.u = x.u AND z.v = y.v
+          |),
+          |cnt AS (
+          |  SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+          |    SELECT p AS node FROM t
+          |    UNION ALL SELECT q FROM t
+          |    UNION ALL SELECT r FROM t
+          |  ) GROUP BY 1
+          |),
+          |deg AS (
+          |  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+          |    SELECT u AS node FROM e UNION ALL SELECT v FROM e
+          |  ) GROUP BY 1
+          |)
+          |SELECT v.node, deg.degree,
+          |  coalesce(cnt.triangles, 0) AS triangles,
+          |  round(CASE WHEN deg.degree >= 2
+          |    THEN 2.0 * coalesce(cnt.triangles, 0)
+          |         / (deg.degree * (deg.degree - 1))
+          |    ELSE 0.0 END, 6) AS lcc
+          |FROM v JOIN deg USING (node) LEFT JOIN cnt USING (node)
+          |ORDER BY node""".stripMargin,
+
+      "q_transitivity" ->
+        """WITH nodes AS (SELECT doc_id AS node FROM documents),
+          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+          |raw AS (
+          |  SELECT node AS a, (node*7+3) % (SELECT n FROM nn) AS b FROM nodes
+          |  UNION ALL SELECT node, (node*13+5) % (SELECT n FROM nn) FROM nodes
+          |  UNION ALL SELECT node, (node*29+11) % (SELECT n FROM nn) FROM nodes
+          |  UNION ALL SELECT CAST(a AS BIGINT), CAST(b AS BIGINT) FROM (VALUES
+          |    (0,1),(0,2),(0,3),(0,4),(0,5),(1,2),(1,3),(1,4),(1,5),
+          |    (2,3),(2,4),(2,5),(3,4),(3,5),(4,5)) t(a,b)
+          |),
+          |e AS (SELECT DISTINCT least(a,b) AS u, greatest(a,b) AS v
+          |      FROM raw WHERE a != b),
+          |t AS (
+          |  SELECT count(*) AS ntri
+          |  FROM e x JOIN e y ON y.u = x.v JOIN e z ON z.u = x.u AND z.v = y.v
+          |),
+          |deg AS (
+          |  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+          |    SELECT u AS node FROM e UNION ALL SELECT v FROM e
+          |  ) GROUP BY 1
+          |),
+          |w AS (SELECT sum(degree * (degree - 1) / 2.0) AS wedges FROM deg)
+          |SELECT round(CASE WHEN w.wedges > 0
+          |  THEN 3.0 * t.ntri / w.wedges ELSE 0.0 END, 6) AS transitivity
+          |FROM t, w""".stripMargin,
 
       // HITS via the co-citation recursion h'(u) = Σ_{u→v} Σ_{w→v} h(w)
       // (the two half-steps composed, so one recursive vector suffices);

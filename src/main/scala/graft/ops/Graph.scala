@@ -414,6 +414,47 @@ object Graph {
     * fixpoint is detected by the surviving-edge count reaching
     * stability. Driver state: one count per round.
     */
+  /** Per-node local clustering coefficient over the UNDIRECTED simple
+    * graph: lcc(v) = 2·triangles(v) / (deg(v)·(deg(v)−1)), 0 where
+    * deg < 2 — the closure density of each node's neighborhood (Watts &
+    * Strogatz 1998), the per-node refinement of the triangle signal
+    * [[triangleCounts]] feeds link-farm curation with. Returns
+    * (node, degree, triangles, lcc) for every node of the graph.
+    *
+    * Scale shape: [[triangleCounts]] (degree-ordered wedge join, skew-
+    * proof) plus one degree aggregate and one node-keyed equi-join of
+    * two n-row frames — the triangle pass dominates; nothing here adds
+    * a data-sized shuffle.
+    */
+  def clusteringCoefficients(edges: DataFrame, srcCol: String,
+                             dstCol: String): DataFrame = {
+    val und = undirected(edges, srcCol, dstCol)
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    triangleCounts(edges, srcCol, dstCol)
+      .join(deg, Seq("node"))
+      .select(col("node"), col("degree"), col("triangles"),
+        when(col("degree") >= 2,
+          lit(2.0) * col("triangles") /
+            (col("degree") * (col("degree") - lit(1))))
+          .otherwise(lit(0.0)).as("lcc"))
+  }
+
+  /** Global transitivity: 3 × triangles / wedges — equivalently
+    * Σ_v triangles(v) / Σ_v C(deg(v), 2), since each triangle is counted
+    * at its three corners. One scalar row (a wedge-free graph gets 0).
+    */
+  def transitivity(edges: DataFrame, srcCol: String,
+                   dstCol: String): DataFrame =
+    clusteringCoefficients(edges, srcCol, dstCol)
+      .agg(sum(col("triangles")).cast("double").as("__t"),
+        sum(col("degree") * (col("degree") - lit(1)) / lit(2.0)).as("__w"))
+      // explicit wedge guard: 0.0/0.0 is NaN (not null), so a coalesce
+      // alone would leak NaN out of a wedge-free graph
+      .select(when(col("__w") > 0, col("__t") / col("__w"))
+        .otherwise(lit(0.0)).as("transitivity"))
+
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
             maxRounds: Int = 100): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")

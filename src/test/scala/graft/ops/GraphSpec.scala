@@ -388,6 +388,40 @@ class GraphSpec extends SparkSpec {
     assert(viaGraph.values.toSet.size > 1, "graph should not be one component")
   }
 
+  test("clustering coefficients: K4 is 1.0, path is 0, triangle+pendant is hand-exact") {
+    // K4: every node deg 3, 3 triangles, lcc = 2*3/(3*2) = 1
+    val k4 = (for (i <- 0L until 4L; j <- (i + 1) until 4L) yield (i, j))
+      .toDF("s", "d")
+    val got4 = Graph.clusteringCoefficients(k4, "s", "d")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got4 === (0L until 4L).map(_ -> ((3L, 3L, 1.0))).toMap)
+    assert(Graph.transitivity(k4, "s", "d").head().getDouble(0) === 1.0)
+    // path 0-1-2: no triangles anywhere, deg-1 ends get lcc 0 not NaN
+    val path = Seq((0L, 1L), (1L, 2L)).toDF("s", "d")
+    val gotP = Graph.clusteringCoefficients(path, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(gotP === Map(0L -> 0.0, 1L -> 0.0, 2L -> 0.0))
+    assert(Graph.transitivity(path, "s", "d").head().getDouble(0) === 0.0)
+    // triangle {0,1,2} + pendant 3 on node 0: lcc(0) = 2*1/(3*2) = 1/3,
+    // transitivity = 3 triangles-at-corners / 5 wedges = 0.6
+    val tp = Seq((0L, 1L), (1L, 2L), (0L, 2L), (0L, 3L)).toDF("s", "d")
+    val gotT = Graph.clusteringCoefficients(tp, "s", "d")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(gotT(0L) === ((3L, 1L, 1.0 / 3)))
+    assert(gotT(1L) === ((2L, 1L, 1.0)))
+    assert(gotT(2L) === ((2L, 1L, 1.0)))
+    assert(gotT(3L) === ((1L, 0L, 0.0)))
+    assert(Graph.transitivity(tp, "s", "d").head().getDouble(0) === 0.6)
+    // duplicate/reversed edges and self-loops collapse first
+    val noisy = Seq((0L, 1L), (1L, 0L), (1L, 2L), (0L, 2L), (2L, 2L),
+      (0L, 3L)).toDF("s", "d")
+    val gotN = Graph.clusteringCoefficients(noisy, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(gotN === Map(0L -> 1.0 / 3, 1L -> 1.0, 2L -> 1.0, 3L -> 0.0))
+  }
+
   test("label propagation: two cliques with a bridge keep their own labels") {
     val cliqueA = Seq((0L, 1L), (1L, 2L), (0L, 2L))
     val cliqueB = Seq((10L, 11L), (11L, 12L), (10L, 12L))
