@@ -797,6 +797,36 @@ object ScalingProbe {
       SparkEntry.queries("q_collocations")(spark, d).count() }
     time("phrases") { d =>
       SparkEntry.queries("q_phrases")(spark, d).count() }
+    // round-14 late additions. The two cascade ANN tiers probe raw (their
+    // q_ entries wrap a brute-force recall audit); both are one corpus
+    // scan + a broadcast re-rank, so the slope should be the scan's.
+    time("ann_matryoshka") { d =>
+      val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      val q = emb.orderBy("vec_id").limit(10)
+      graft.ops.Similarity.matryoshkaTopK(q, emb, "vec_id", "embedding",
+        "vec_id", "embedding", k = 5, dim = 32, refine = 8).count()
+    }
+    time("ann_bq") { d =>
+      val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      val q = emb.orderBy("vec_id").limit(10)
+      graft.ops.Similarity.bqTopK(q, emb, "vec_id", "embedding",
+        "vec_id", "embedding", k = 5, refine = 16).count()
+    }
+    // LPA on the dense map graph: per-iteration cost = the cache-local
+    // vote join + two hash-aggs; the label churn on this graph runs the
+    // full budget on both sides, so the ratio isolates per-round cost
+    time("lpa_dense") { d =>
+      val (edges, _) = denseEdges(d)
+      graft.ops.Graph.labelPropagation(edges, "src", "dst",
+        maxIters = 8).count()
+    }
+    // clustering coefficients ride the triangle pass: wedge volume is
+    // the cost driver, the degree agg + n-row join are noise
+    time("clustering_dense") { d =>
+      val (edges, _) = denseEdges(d)
+      graft.ops.Graph.clusteringCoefficients(edges, "src", "dst")
+        .agg(sum("lcc")).collect(); 1L
+    }
     spark.stop()
   }
 }
