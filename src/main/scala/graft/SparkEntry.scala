@@ -206,6 +206,16 @@ object SparkEntry {
        |SELECT node, label FROM l$iters ORDER BY node""".stripMargin
   }
 
+  /** Synthetic scored-response frame for the DPO queries: 10 candidate
+    * responses per prompt with a deterministic integer-arithmetic score
+    * the oracle replays verbatim. */
+  private def dpoResponses(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents").select(
+      (col("doc_id").cast("long") % 50).as("prompt"),
+      col("doc_id").cast("long").as("rid"),
+      col("text"),
+      ((col("doc_id").cast("long") * 37) % 97).cast("double").as("score"))
+
   private def checkRows(one: DataFrame, checks: (String, Column)*): DataFrame =
     one.select(explode(array(checks.map { case (n, c) =>
         struct(lit(n).as("metric"), c.as("ok")) }: _*)).as("r"))
@@ -862,6 +872,45 @@ object SparkEntry {
         "paths_start_at_start" -> (col("n_misstart") === 0))
     }),
 
+    // node2vec biased walks (p=4 discourages returns, q=0.25 favors
+    // outward): the q_walks invariants, plus a second run at p=1e9
+    // proving the return-suppression knob bites — zero immediate
+    // backtracks anywhere (a backtrack's exponential-race weight 1e-9
+    // never wins a finite alternative)
+    "q_node2vec" -> ((s, dir) => {
+      val (nodes, edges) = mapGraph(s, dir)
+      val walks = pin(Graph.node2vecWalks(edges, "src", "dst", length = 8,
+        p = 4.0, q = 0.25, walksPerNode = 2))
+      val hops = walks.select(explode(zip_with(
+          expr("slice(split(path, ','), 1, size(split(path, ',')) - 1)"),
+          expr("slice(split(path, ','), 2, size(split(path, ',')) - 1)"),
+          (a, b) => struct(a.cast("long").as("src"), b.cast("long").as("dst"))))
+          .as("h"))
+        .select(col("h.src").as("src"), col("h.dst").as("dst"))
+      val noReturn = pin(Graph.node2vecWalks(edges, "src", "dst",
+        length = 4, p = 1e9, q = 1.0))
+      val one = walks.agg(count(lit(1)).as("n_walks"),
+          min("n_steps").as("min_steps"))
+        .crossJoin(nodes.agg(count(lit(1)).as("n_nodes")))
+        .crossJoin(hops.join(edges.select("src", "dst").distinct(),
+            Seq("src", "dst"), "left_anti")
+          .agg(count(lit(1)).as("n_bad")))
+        .crossJoin(walks.filter(
+            split(col("path"), ",").getItem(0).cast("long") =!= col("start"))
+          .agg(count(lit(1)).as("n_misstart")))
+        .crossJoin(noReturn.select(explode(zip_with(
+            expr("slice(split(path, ','), 1, size(split(path, ',')) - 2)"),
+            expr("slice(split(path, ','), 3, size(split(path, ',')) - 2)"),
+            (a, c) => (a === c).cast("int"))).as("b"))
+          .agg(coalesce(sum("b"), lit(0)).as("n_back")))
+      checkRows(one,
+        "two_walks_per_node" -> (col("n_walks") === col("n_nodes") * 2),
+        "full_length" -> (col("min_steps") === 8),
+        "every_hop_is_an_edge" -> (col("n_bad") === 0),
+        "paths_start_at_start" -> (col("n_misstart") === 0),
+        "no_backtrack_when_p_huge" -> (col("n_back") === 0))
+    }),
+
     // HyperBall derived checks: the HLL approximation must cover every
     // node, stay positive where the exact value is, keep the mean
     // relative error inside the m = 128 band, and keep the corpus-wide
@@ -1446,6 +1495,44 @@ object SparkEntry {
           "vec_id", "embedding", "vec_id", "embedding",
           k = 5, refine = 48)
       }),
+
+    // MMR diversification over a brute-force top-20 shortlist: derived
+    // checks pin the greedy's contract — λ=1 degenerates to exact
+    // top-k (set equality vs the independent TopKAgg path), picks stay
+    // inside the candidate set, the first pick is each query's
+    // max-relevance candidate, and every query yields exactly k rows
+    "q_ann_mmr" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      val cand = pin(Similarity.bruteForceTopK(q, emb,
+          "vec_id", "embedding", "vec_id", "embedding", k = 20)
+        .join(emb.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("nv")), "neighbor_id"))
+      val mmr = pin(Similarity.mmrRerank(cand, "query_id", "neighbor_id",
+        "cosine", "nv", k = 5, lambda = 0.7))
+      val relOnly = pin(Similarity.mmrRerank(cand, "query_id", "neighbor_id",
+        "cosine", "nv", k = 5, lambda = 1.0))
+      val top5 = pin(Similarity.bruteForceTopK(q, emb,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5))
+      val one = mmr.agg(count(lit(1)).as("n_mmr"))
+        .crossJoin(mmr.join(cand.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"), "left_anti")
+          .agg(count(lit(1)).as("n_outside")))
+        .crossJoin(mmr.filter(col("rank") === 1)
+          .join(cand.filter(col("rank") === 1)
+            .select(col("query_id"), col("neighbor_id").as("best")),
+            "query_id")
+          .filter(col("neighbor_id") =!= col("best"))
+          .agg(count(lit(1)).as("n_misfirst")))
+        .crossJoin(relOnly.select("query_id", "neighbor_id")
+          .exceptAll(top5.select("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("n_extra")))
+      checkRows(one,
+        "k_rows_per_query" -> (col("n_mmr") === 8 * 5),
+        "subset_of_candidates" -> (col("n_outside") === 0),
+        "first_pick_is_max_relevance" -> (col("n_misfirst") === 0),
+        "lambda1_equals_topk" -> (col("n_extra") === 0))
+    }),
 
     // hard-negative mining: per query, the top-5 most-similar vectors of a
     // DIFFERENT label (the contrastive-training near-misses); same
@@ -2611,6 +2698,25 @@ object SparkEntry {
         .orderBy("conv")
     }),
 
+    // DPO preference-pair assembly over synthetic scored responses
+    // (prompt = doc_id % 50 → 10 candidates each; score = doc_id·37 mod
+    // 97, pure id arithmetic so the oracle replays it exactly):
+    // best-vs-worst per prompt with a gap floor
+    "q_dpo_pairs" -> ((s, dir) =>
+      Sft.preferencePairs(dpoResponses(s, dir), "prompt", "rid", "text",
+          "score", minGap = 5.0)
+        .withColumn("score_gap", round(col("score_gap"), 6))
+        .orderBy("prompt")),
+
+    // the ranking-to-pairwise expansion: every strictly-better ordered
+    // pair with gap >= 60 (the floor bounds the quadratic-per-prompt
+    // output; ties never pair)
+    "q_dpo_all" -> ((s, dir) =>
+      Sft.preferencePairs(dpoResponses(s, dir), "prompt", "rid", "text",
+          "score", minGap = 60.0, allPairs = true)
+        .withColumn("score_gap", round(col("score_gap"), 6))
+        .orderBy("prompt", "chosen_id", "rejected_id")),
+
     // SemDeDup derived check: cluster-blocked pairs must be an exact-cosine
     // subset of the all-pairs baseline (precision 1.0), recover the
     // measured recall floor, and the keep-filter must actually prune
@@ -3612,6 +3718,10 @@ object SparkEntry {
       "q_ann_bq" ->
         """SELECT DISTINCT CAST(vec_id AS BIGINT) AS query_id, true AS recall_ok
           |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
+
+      "q_ann_mmr" ->
+        checksOracle("k_rows_per_query", "subset_of_candidates",
+          "first_pick_is_max_relevance", "lambda1_equals_topk"),
 
       // per-dim mean thresholds over the full corpus, then count the
       // dims where the two vectors' sign bits disagree — the packing is
@@ -5239,6 +5349,11 @@ object SparkEntry {
         checksOracle("two_walks_per_node", "full_length",
           "every_hop_is_an_edge", "paths_start_at_start"),
 
+      "q_node2vec" ->
+        checksOracle("two_walks_per_node", "full_length",
+          "every_hop_is_an_edge", "paths_start_at_start",
+          "no_backtrack_when_p_huge"),
+
       // SCC by definition: the recursive closure collects ALL reachable
       // pairs (UNION set semantics terminates at the fixpoint), mutual
       // reach intersects it with its transpose, and the component label
@@ -5381,6 +5496,49 @@ object SparkEntry {
           |                         THEN length(txt) END), 0) AS INTEGER)
           |    AS masked_chars
           |FROM s GROUP BY conv ORDER BY conv""".stripMargin,
+
+      // the same (score desc, id asc) / (score asc, id desc) argmaxes
+      // replayed as window row_numbers; the gap floor and the
+      // two-response minimum apply identically
+      "q_dpo_pairs" ->
+        """WITH r AS (
+          |  SELECT CAST(doc_id AS BIGINT) % 50 AS prompt,
+          |         CAST(doc_id AS BIGINT) AS rid,
+          |         coalesce(text, '') AS txt,
+          |         CAST((CAST(doc_id AS BIGINT) * 37) % 97 AS DOUBLE)
+          |           AS score
+          |  FROM documents),
+          |c AS (
+          |  SELECT *,
+          |    row_number() OVER (PARTITION BY prompt
+          |                       ORDER BY score DESC, rid ASC) AS rc,
+          |    row_number() OVER (PARTITION BY prompt
+          |                       ORDER BY score ASC, rid DESC) AS rr,
+          |    count(*) OVER (PARTITION BY prompt) AS n
+          |  FROM r)
+          |SELECT ch.prompt, ch.rid AS chosen_id, rj.rid AS rejected_id,
+          |  ch.txt AS chosen_text, rj.txt AS rejected_text,
+          |  round(ch.score - rj.score, 6) AS score_gap
+          |FROM (SELECT * FROM c WHERE rc = 1) ch
+          |JOIN (SELECT * FROM c WHERE rr = 1) rj USING (prompt)
+          |WHERE ch.n >= 2 AND ch.score - rj.score >= 5.0
+          |  AND ch.rid <> rj.rid
+          |ORDER BY prompt""".stripMargin,
+
+      "q_dpo_all" ->
+        """WITH r AS (
+          |  SELECT CAST(doc_id AS BIGINT) % 50 AS prompt,
+          |         CAST(doc_id AS BIGINT) AS rid,
+          |         coalesce(text, '') AS txt,
+          |         CAST((CAST(doc_id AS BIGINT) * 37) % 97 AS DOUBLE)
+          |           AS score
+          |  FROM documents)
+          |SELECT a.prompt, a.rid AS chosen_id, b.rid AS rejected_id,
+          |  a.txt AS chosen_text, b.txt AS rejected_text,
+          |  round(a.score - b.score, 6) AS score_gap
+          |FROM r a JOIN r b ON a.prompt = b.prompt
+          |WHERE a.score > b.score AND a.score - b.score >= 60.0
+          |ORDER BY 1, 2, 3""".stripMargin,
 
       "q_s5_tensor" -> {
         val terms = for (c <- 0 to 3; p <- 0 to 1) yield

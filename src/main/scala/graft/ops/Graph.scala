@@ -985,6 +985,116 @@ object Graph {
     } finally e.unpersist(false)
   }
 
+  /** One node2vec step: candidates are `cur`'s out-edges; each carries
+    * the Grover–Leskovec 2016 second-order weight — 1/p for returning
+    * to `prev`, 1 for a candidate ADJACENT to `prev` (triangle-closing;
+    * adjacency tested against the symmetric edge set), 1/q otherwise —
+    * and the move is a deterministic EXPONENTIAL RACE: key(x) =
+    * −ln(u)/w(x) with u ∈ (0,1) hashed from (seed, start, walk, step,
+    * x), argmin key. The race samples exactly ∝ w (the Gumbel/
+    * exponential-clock trick), is reproducible given the seed, and
+    * needs no per-node alias table — the O(Σ deg²) precomputed-
+    * transition state of reference node2vec implementations never
+    * materializes. */
+  private[graft] def node2vecStep(eU: DataFrame, sym: DataFrame,
+                                  state: DataFrame, step: Int, seed: Long,
+                                  p: Double, q: Double): DataFrame = {
+    val cand = state.join(eU, state("cur") === eU("u"))
+      .select(col("start"), col("walk"), col("prev"), col("cur"),
+        col("v").as("x"))
+    val flagged = cand.join(
+      sym.select(col("u").as("prev"), col("v").as("x"),
+        lit(true).as("__nbr")),
+      Seq("prev", "x"), "left")
+    val w = when(col("x") === col("prev"), lit(1.0 / p))
+      .when(col("__nbr").isNotNull, lit(1.0))
+      .otherwise(lit(1.0 / q))
+    // u is strictly inside (0,1): pmod yields [0, 2^52), +1 / (2^52+2)
+    // keeps both endpoints out, so the key is always finite and > 0
+    val u01 = (pmod(xxhash64(lit(seed), col("start"), col("walk"),
+        lit(step), col("x")), lit(1L << 52)).cast("double") + 1.0) /
+      ((1L << 52).toDouble + 2.0)
+    flagged.withColumn("__key", -log(u01) / w)
+      .groupBy("start", "walk")
+      .agg(min_by(col("x"), col("__key")).as("nxt"))
+  }
+
+  /** node2vec biased walks (Grover & Leskovec 2016): second-order
+    * truncated walks where the next hop remembers the PREVIOUS node —
+    * return probability scales with 1/p, triangle-closing moves weigh
+    * 1, outward exploration 1/q — so p ≫ 1 gives DFS-ish outward walks
+    * and q ≫ 1 keeps walks local (BFS-ish), the knob DeepWalk lacks.
+    * Directed edges are walked as given; the prev-adjacency test uses
+    * the SYMMETRIC edge set (node2vec is defined on undirected
+    * neighborhoods). The first hop is uniform (prev = start has no
+    * meaning yet: every candidate is adjacent to it, weight 1).
+    * Deterministic: the weighted choice is an exponential race keyed by
+    * xxhash64 (exact ∝-w sampling, seed-reproducible — see
+    * [[node2vecStep]]); same output schema as [[randomWalks]]
+    * ((start, walk, n_steps, path), sinks stop early).
+    *
+    * Scale shape: per step, ONE join off the u-partitioned cached edge
+    * list (frontier re-keys on cur — that IS the algorithm), ONE
+    * (prev, x)-keyed adjacency-flag join off the (u, v)-partitioned
+    * symmetric cache, and one per-walk argmin aggregate; state is O(n ·
+    * walksPerNode) rows carrying the path string as the product;
+    * localCheckpoint truncation per step. The second join is the honest
+    * price of second-order walks — the alternative (per-node alias
+    * tables over neighbor pairs) is O(Σ deg²) precomputed state, which
+    * a skewed 100 TB graph cannot afford.
+    */
+  def node2vecWalks(edges: DataFrame, srcCol: String, dstCol: String,
+                    length: Int, p: Double, q: Double,
+                    walksPerNode: Int = 1, seed: Long = 42L): DataFrame = {
+    require(length >= 1 && length <= 100, s"length in [1, 100]: $length")
+    require(walksPerNode >= 1 && walksPerNode <= 64,
+      s"walksPerNode in [1, 64]: $walksPerNode")
+    require(p > 0 && q > 0, s"p and q must be > 0: p=$p q=$q")
+    val spark = edges.sparkSession
+    val simple = edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+    val eU = simple.repartition(col("u"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = simple.union(simple.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .repartition(col("u"), col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nodes = eU.select(col("u").as("node"))
+        .union(eU.select(col("v").as("node"))).distinct()
+      val walkIds = spark.range(walksPerNode)
+        .select(col("id").cast("int").as("walk"))
+      var state = nodes.crossJoin(broadcast(walkIds))
+        .select(col("node").as("start"), col("walk"),
+          col("node").as("prev"), col("node").as("cur"),
+          col("node").cast("string").as("path"), lit(0).as("n_steps"))
+        .localCheckpoint()
+      var step = 0
+      while (step < length) {
+        val moved = node2vecStep(eU, sym, state, step, seed, p, q)
+        state = state.join(moved, Seq("start", "walk"), "left")
+          .select(col("start"), col("walk"),
+            // prev advances to the OLD cur only when the walk moved
+            when(col("nxt").isNotNull, col("cur")).otherwise(col("prev"))
+              .as("prev"),
+            coalesce(col("nxt"), col("cur")).as("cur"),
+            when(col("nxt").isNotNull,
+              concat(col("path"), lit(","), col("nxt").cast("string")))
+              .otherwise(col("path")).as("path"),
+            (col("n_steps") +
+              when(col("nxt").isNotNull, 1).otherwise(0)).as("n_steps"))
+          .localCheckpoint()
+        step += 1
+      }
+      state.select("start", "walk", "n_steps", "path")
+    } finally {
+      eU.unpersist(false)
+      sym.unpersist(false)
+    }
+  }
+
   /** EXACT truncated harmonic centrality
     * {{{ h(v) = Σ_{u ≠ v, d(u,v) ≤ maxDepth} 1 / d(u,v) }}}
     * (directed shortest-path distance INTO v) — the centrality Common

@@ -70,4 +70,65 @@ object Sft {
         concat_ws(",", col("__acc.spans")).as("mask_spans"),
         col("__acc.masked").as("masked_chars"))
   }
+
+  /** DPO/RLHF preference-pair assembly: from scored candidate responses
+    * (one row per (prompt, response)), build (chosen, rejected) training
+    * pairs.
+    *
+    *  - Default (best-worst): ONE pair per prompt — chosen = the
+    *    highest-scored response (ties → smallest response id), rejected
+    *    = the lowest-scored (ties → LARGEST id, so an all-tied prompt
+    *    still yields two distinct responses); prompts with fewer than 2
+    *    responses or a score gap below `minGap` are dropped.
+    *  - `allPairs = true`: every ordered pair with `chosen` STRICTLY
+    *    better and gap ≥ `minGap` (ties never pair — both orientations
+    *    of a tie would otherwise appear). The ranking-to-pairwise
+    *    expansion used when a reward model scores many samples.
+    *
+    * Returns (prompt, chosen_id, rejected_id, chosen_text,
+    * rejected_text, score_gap).
+    *
+    * Scale shape: best-worst is ONE prompt-keyed hash aggregate (two
+    * max_by/min_by over (score, −id) structs — no window, no
+    * self-join); all-pairs is one co-partitioned self-equi-join on
+    * prompt, output bounded by each prompt's own response count squared
+    * — a prompt's sample set is small by construction (it is one
+    * training prompt), the same per-group bound renderChat documents.
+    */
+  def preferencePairs(responses: DataFrame, promptCol: String,
+                      respIdCol: String, textCol: String, scoreCol: String,
+                      minGap: Double = 0.0,
+                      allPairs: Boolean = false): DataFrame = {
+    require(minGap >= 0, s"minGap must be >= 0: $minGap")
+    val r = responses.select(col(promptCol).as("prompt"),
+      col(respIdCol).cast("long").as("rid"),
+      coalesce(col(textCol).cast("string"), lit("")).as("txt"),
+      col(scoreCol).cast("double").as("score"))
+    if (allPairs) {
+      val a = r.select(col("prompt"), col("rid").as("chosen_id"),
+        col("txt").as("chosen_text"), col("score").as("__sa"))
+      val b = r.select(col("prompt"), col("rid").as("rejected_id"),
+        col("txt").as("rejected_text"), col("score").as("__sb"))
+      a.join(b, Seq("prompt"))
+        .filter(col("__sa") > col("__sb") &&
+          col("__sa") - col("__sb") >= minGap)
+        .select(col("prompt"), col("chosen_id"), col("rejected_id"),
+          col("chosen_text"), col("rejected_text"),
+          (col("__sa") - col("__sb")).as("score_gap"))
+    } else {
+      r.groupBy("prompt").agg(
+          count(lit(1)).as("__n"),
+          max_by(struct(col("rid"), col("txt"), col("score")),
+            struct(col("score"), negate(col("rid")))).as("__c"),
+          min_by(struct(col("rid"), col("txt"), col("score")),
+            struct(col("score"), negate(col("rid")))).as("__r"))
+        .filter(col("__n") >= 2 &&
+          col("__c.score") - col("__r.score") >= minGap &&
+          col("__c.rid") =!= col("__r.rid"))
+        .select(col("prompt"),
+          col("__c.rid").as("chosen_id"), col("__r.rid").as("rejected_id"),
+          col("__c.txt").as("chosen_text"), col("__r.txt").as("rejected_text"),
+          (col("__c.score") - col("__r.score")).as("score_gap"))
+    }
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -100,6 +100,83 @@ object Similarity {
       .join(broadcast(q), Seq("query_id"))
       .withColumn("cosine", Dedup.cosine(col("qv"), col("cv")))
     explodeTopK(rer, k)
+  }
+
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998):
+    * from each query's CANDIDATE list — (query_id, neighbor_id, cosine,
+    * vector) rows, e.g. a k·refine ANN shortlist — greedily pick `k`
+    * items maximizing
+    * {{{ λ·rel(x) − (1−λ)·max_{s ∈ picked} cos(x, s) }}}
+    * so results trade relevance against redundancy (λ = 1 is plain
+    * top-k; λ → 0 maximizes diversity after the first pick). Ties and
+    * the first pick break toward higher cosine then smaller id —
+    * fully deterministic. Returns (query_id, rank, neighbor_id,
+    * mmr_score) with rank 1..k.
+    *
+    * Scale shape: ONE hash-aggregate collects each query's candidate
+    * list and the greedy runs inside the aggregation as a per-group
+    * kernel — state is O(candidates·d) per query, bounded because the
+    * candidate list is a shortlist BY CONSTRUCTION (k·refine from the
+    * ANN tiers, never a corpus). The pairwise sims are computed
+    * in-kernel on the ≤ candidates² shortlist pairs; no corpus-sized
+    * shuffle or crossJoin exists anywhere.
+    */
+  def mmrRerank(candidates: DataFrame, qIdCol: String, cIdCol: String,
+                scoreCol: String, vecCol: String,
+                k: Int, lambda: Double): DataFrame = {
+    require(k >= 1, s"mmrRerank: k=$k")
+    require(lambda >= 0 && lambda <= 1, s"mmrRerank: lambda=$lambda")
+    val greedy = udf { (items: Seq[Row]) =>
+      val cand = items.map { r =>
+        (r.getLong(0), r.getDouble(1),
+          Option(r.getSeq[Double](2)).map(_.toArray).orNull)
+      }.sortBy { case (id, s, _) => (-s, id) }.toArray
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        if (a == null || b == null) return 0d
+        var dot = 0d; var na = 0d; var nb = 0d; var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) { dot += a(i) * b(i); na += a(i) * a(i)
+          nb += b(i) * b(i); i += 1 }
+        if (na == 0 || nb == 0) 0d else dot / math.sqrt(na * nb)
+      }
+      val picked = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+      var rank = 1
+      while (rank <= k && picked.size < cand.length) {
+        var best = -1; var bestScore = Double.NegativeInfinity
+        var bestRel = Double.NegativeInfinity; var bestId = Long.MaxValue
+        var i = 0
+        while (i < cand.length) {
+          if (!picked.contains(i)) {
+            val (id, rel, v) = cand(i)
+            var red = 0d
+            picked.foreach { p => red = math.max(red, cos(v, cand(p)._3)) }
+            val s = lambda * rel - (1 - lambda) * (if (picked.isEmpty) 0d else red)
+            // deterministic total order: score, then relevance, then id
+            if (s > bestScore ||
+                (s == bestScore && (rel > bestRel ||
+                  (rel == bestRel && id < bestId)))) {
+              best = i; bestScore = s; bestRel = rel; bestId = id
+            }
+          }
+          i += 1
+        }
+        picked += best
+        out += ((rank, cand(best)._1, bestScore))
+        rank += 1
+      }
+      out.toSeq
+    }
+    candidates
+      .groupBy(col(qIdCol).as("query_id"))
+      .agg(collect_list(struct(col(cIdCol).cast("long"),
+        col(scoreCol).cast("double"),
+        transform(col(vecCol), x => x.cast("double")))).as("__c"))
+      .select(col("query_id"), explode(greedy(col("__c"))).as("r"))
+      .select(col("query_id"), col("r._1").as("rank"),
+        col("r._2").as("neighbor_id"),
+        round(col("r._3"), 6).as("mmr_score"))
+      .orderBy("query_id", "rank")
   }
 
   /** Binary-quantization fit: the per-dimension MEAN threshold, from one

@@ -663,6 +663,63 @@ class GraphSpec extends SparkSpec {
       Graph.randomWalks(edges, "s", "d", length = 5, walksPerNode = 0))
   }
 
+  test("node2vec: hops are edges, full length, deterministic, seeds differ") {
+    val raw = (0L until 40L).flatMap(i =>
+      Seq((i, (i * 7 + 3) % 40), (i, (i * 3 + 1) % 40)))
+      .filter(e => e._1 != e._2)
+    val df = raw.toDF("s", "d")
+    val a = Graph.node2vecWalks(df, "s", "d", length = 6, p = 2.0, q = 0.5,
+      walksPerNode = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getInt(2), r.getString(3)))).toMap
+    // full length: this graph has no sinks (every node has out-edges)
+    assert(a.values.forall(_._1 == 6))
+    // every hop is a directed edge
+    val edgeSet = raw.toSet
+    a.values.foreach { case (_, path) =>
+      val hops = path.split(",").map(_.toLong)
+      hops.zip(hops.tail).foreach(h => assert(edgeSet.contains(h), path))
+    }
+    // deterministic: a second run is identical; another seed differs
+    val b = Graph.node2vecWalks(df.repartition(5), "s", "d", length = 6,
+      p = 2.0, q = 0.5, walksPerNode = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getInt(2), r.getString(3)))).toMap
+    assert(a === b)
+    val c = Graph.node2vecWalks(df, "s", "d", length = 6, p = 2.0, q = 0.5,
+      walksPerNode = 2, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(3)).toMap
+    assert(a.exists { case (k, (_, path)) => c(k) != path })
+    intercept[IllegalArgumentException](
+      Graph.node2vecWalks(df, "s", "d", length = 6, p = 0.0, q = 1.0))
+  }
+
+  test("node2vec: huge p forbids backtracks; q steers triangle-close vs outward") {
+    // symmetric triangle: with p huge, a walk may never immediately
+    // return (the alternative always exists), so paths rotate
+    val tri = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L), (0L, 2L), (2L, 0L))
+      .toDF("s", "d")
+    Graph.node2vecWalks(tri, "s", "d", length = 12, p = 1e9, q = 1.0,
+      walksPerNode = 4)
+      .collect().map(_.getString(3)).foreach { path =>
+      val hops = path.split(",").map(_.toLong)
+      hops.sliding(3).foreach(t => assert(t(0) != t(2), path))
+    }
+    // steering: 0's ONLY out-edge is 1; from 1 with prev 0 the choices
+    // are 0 (return, 1/p), 2 (adjacent to 0 via the symmetric 2→0 edge,
+    // weight 1), 3 (outward, 1/q). Huge p+q must close the triangle;
+    // huge p + tiny q must explore outward — both deterministic.
+    val g = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L),
+      (2L, 0L)).toDF("s", "d")
+    def thirdFromZero(p: Double, q: Double): Set[Long] =
+      Graph.node2vecWalks(g, "s", "d", length = 2, p = p, q = q,
+        walksPerNode = 8)
+        .filter(col("start") === 0L).collect()
+        .map(_.getString(3).split(",")(2).toLong).toSet
+    assert(thirdFromZero(1e9, 1e9) === Set(2L))
+    assert(thirdFromZero(1e9, 1e-9) === Set(3L))
+  }
+
   test("converged flag disambiguates the iteration-budget boundary") {
     // both runs exhaust the budget (it == iters); only the flag tells
     // "the last step itself converged" from "ran out of budget" — the

@@ -447,6 +447,38 @@ class SimilaritySpec extends SparkSpec {
       emb, emb, "id", "vec", "id", "vec", k = 0))
   }
 
+  test("MMR re-rank: lambda=1 is relevance order, diversity pick is hand-exact") {
+    val cand = Seq(
+      (1L, 10L, 0.95, Array(1.0, 0.0)),
+      (1L, 11L, 0.90, Array(0.995, 0.1)), // near-duplicate of 10
+      (1L, 12L, 0.50, Array(0.0, 1.0)),
+      (2L, 20L, 0.40, Array(1.0, 0.0)))   // second query group, independent
+      .toDF("query_id", "neighbor_id", "cosine", "vec")
+    val rel = Similarity.mmrRerank(cand, "query_id", "neighbor_id",
+        "cosine", "vec", k = 3, lambda = 1.0)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(rel === Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L),
+      (2L, 1, 20L)))
+    // λ=0.5: 10 first; 11's redundancy vs 10 (~0.995) sinks it below 12
+    val div = Similarity.mmrRerank(cand, "query_id", "neighbor_id",
+        "cosine", "vec", k = 3, lambda = 0.5)
+      .filter(col("query_id") === 1L)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().toSeq
+    assert(div === Seq((1, 10L), (2, 12L), (3, 11L)))
+    // k beyond the candidate list returns the whole list, ranks dense;
+    // a zero vector is redundancy-0 against anything (never NaN)
+    val zed = Seq((3L, 30L, 0.9, Array(0.0, 0.0)),
+      (3L, 31L, 0.8, Array(1.0, 0.0)))
+      .toDF("query_id", "neighbor_id", "cosine", "vec")
+    val all = Similarity.mmrRerank(zed, "query_id", "neighbor_id",
+        "cosine", "vec", k = 10, lambda = 0.3)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().toSeq
+    assert(all === Seq((1, 30L), (2, 31L)))
+    intercept[IllegalArgumentException](Similarity.mmrRerank(
+      cand, "query_id", "neighbor_id", "cosine", "vec", k = 1, lambda = 1.5))
+  }
+
   test("LSH top-k returns a subset of the exact neighbors' quality") {
     val exact = Similarity.bruteForceTopK(
       emb.filter(col("id") < 2), emb, "id", "vec", "id", "vec", k = 3)

@@ -79,4 +79,53 @@ class SftSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(a === b && a.size === 9)
   }
+
+  test("preference pairs: best-worst, gap filter, singleton drop, tie ids") {
+    val r = Seq(
+      ("A", 1L, "a", 3.0), ("A", 2L, "b", 9.0), ("A", 3L, "c", 5.0),
+      ("B", 4L, "only", 1.0),                       // singleton: dropped
+      ("C", 5L, "x", 2.0), ("C", 6L, "y", 2.0),     // all tied
+      ("D", 7L, "p", 7.0), ("D", 8L, "q", 7.0), ("D", 9L, "r", 1.0))
+      .toDF("prompt", "rid", "text", "score")
+    val got = Sft.preferencePairs(r, "prompt", "rid", "text", "score")
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getString(3), x.getString(4),
+          x.getDouble(5)))).toMap
+    assert(got("A") === ((2L, 1L, "b", "a", 6.0)))
+    // all-tied prompt still yields two DISTINCT responses (ids break
+    // opposite ways), gap 0 survives the default minGap = 0
+    assert(got("C") === ((5L, 6L, "x", "y", 0.0)))
+    // chosen tie -> smallest id wins
+    assert(got("D") === ((7L, 9L, "p", "r", 6.0)))
+    assert(!got.contains("B"))
+    // a gap floor drops the tied prompt
+    val gapped = Sft.preferencePairs(r, "prompt", "rid", "text", "score",
+      minGap = 0.5).collect().map(_.getString(0)).toSet
+    assert(gapped === Set("A", "D"))
+    intercept[IllegalArgumentException](Sft.preferencePairs(
+      r, "prompt", "rid", "text", "score", minGap = -1))
+  }
+
+  test("preference pairs: all-pairs mode expands rankings, ties never pair") {
+    val r = Seq(
+      ("A", 1L, "a", 1.0), ("A", 2L, "b", 2.0), ("A", 3L, "c", 3.0),
+      ("C", 5L, "x", 2.0), ("C", 6L, "y", 2.0))
+      .toDF("prompt", "rid", "text", "score")
+    val all = Sft.preferencePairs(r, "prompt", "rid", "text", "score",
+        allPairs = true)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+      .toSet
+    // A: every strictly-better ordered pair; C: tied, no pair at all
+    assert(all === Set(("A", 3L, 2L), ("A", 3L, 1L), ("A", 2L, 1L)))
+    val gapped = Sft.preferencePairs(r, "prompt", "rid", "text", "score",
+        minGap = 1.5, allPairs = true)
+      .collect().map(x => (x.getLong(1), x.getLong(2))).toSet
+    assert(gapped === Set((3L, 1L)))
+    // null text renders as empty string, not null
+    val n = Sft.preferencePairs(
+      Seq(("E", 1L, null.asInstanceOf[String], 1.0), ("E", 2L, "t", 2.0))
+        .toDF("prompt", "rid", "text", "score"),
+      "prompt", "rid", "text", "score").head()
+    assert(n.getString(4) === "")
+  }
 }
