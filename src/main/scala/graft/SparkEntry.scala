@@ -2349,6 +2349,14 @@ object SparkEntry {
       TextAnalysis.unigramSurprisal(T(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
 
+    // Min-K% Prob membership/contamination score (Shi 2023, k=20%):
+    // mean surprisal of each doc's lowest-probability tokens under the
+    // corpus unigram LM; rank ties at the cut are EQUAL nll values, so
+    // the mean — and the oracle hash — are tie-invariant
+    "q_mink_prob" -> ((s, dir) =>
+      TextAnalysis.minKProb(T(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+
     // SEMANTIC decontamination: corpus docs whose embedding is within
     // cosine 0.4 of any benchmark (% 23 slice) embedding — the fuzzy
     // complement of q_decontaminate's exact n-gram overlap (paraphrased
@@ -4604,6 +4612,30 @@ object SparkEntry {
           |  array_to_string(toks[start + 1:start + 32], ' ') AS chunk_text,
           |  CAST(least(32, len(toks) - start) AS INTEGER) AS n_tokens
           |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+
+      "q_mink_prob" ->
+        """WITH occ AS (
+          |  SELECT doc_id, token FROM (
+          |    SELECT doc_id,
+          |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+          |    FROM documents)
+          |  WHERE len(token) > 0),
+          |model AS (
+          |  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM occ GROUP BY 1),
+          |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM occ),
+          |scored AS (
+          |  SELECT o.doc_id,
+          |    -ln(CAST(m.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE)) AS nll,
+          |    row_number() OVER (PARTITION BY o.doc_id
+          |                       ORDER BY m.cnt ASC) AS rn,
+          |    count(*) OVER (PARTITION BY o.doc_id) AS n
+          |  FROM occ o JOIN model m USING (token) CROSS JOIN tot)
+          |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+          |  CAST(greatest(1, ceil(0.2 * max(n))) AS BIGINT) AS n_scored,
+          |  round(sum(CASE WHEN rn <= greatest(1, ceil(0.2 * n))
+          |            THEN nll ELSE 0 END)
+          |    / greatest(1, ceil(0.2 * max(n))), 9) AS mink_nll
+          |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "q_surprisal" ->
         """WITH terms AS (

@@ -852,6 +852,54 @@ object TextAnalysis {
           col("n_tokens").cast("double"), 9).as("nll"))
   }
 
+  /** Min-K% Prob membership/contamination score (Shi et al. 2023,
+    * "Detecting Pretraining Data from Large Language Models"): per
+    * document, the mean surprisal of its k%-LOWEST-probability tokens —
+    * memorized or contaminated text has anomalously FEW low-probability
+    * outlier tokens, so a low score on supposedly-unseen text is the
+    * membership red flag. The paper scores under the target LLM; here
+    * the corpus unigram LM stands in (the same substitution
+    * [[unigramSurprisal]] makes for CCNet), which keeps the score
+    * self-contained and the oracle exact. Returns (id, n_tokens,
+    * n_scored, mink_nll) with n_scored = max(1, ⌈kPct·n_tokens⌉);
+    * token-less documents drop (no tokens to score).
+    *
+    * Tie robustness: token nll is a pure function of the token's corpus
+    * count, so rank ties at the selection boundary are EQUAL nll values
+    * — the mean is invariant to which of them the engine picks, and the
+    * DuckDB replay needs no tie-break to hash-match.
+    *
+    * Scale shape: the [[unigramSurprisal]] model aggregates plus ONE
+    * doc-keyed collect of per-occurrence nlls with the top-k% slice as
+    * scan-side Column algebra (sort_array + slice + aggregate) — per-doc
+    * state is one document's tokens, the renderChat bound; no window
+    * over the corpus.
+    */
+  def minKProb(docs: DataFrame, textCol: String, idCol: String,
+               kPct: Double = 0.2): DataFrame = {
+    require(kPct > 0 && kPct <= 1, s"minKProb: kPct in (0,1]: $kPct")
+    val occ = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .filter(length(col("__t")) > 0)
+    val model = occ.groupBy("__t").agg(count(lit(1)).as("cnt"))
+    val total = model.agg(sum(col("cnt")).as("__total"))
+    occ.join(model, "__t").crossJoin(broadcast(total))
+      .select(col(idCol),
+        (-log(col("cnt").cast("double") / col("__total").cast("double")))
+          .as("__nll"))
+      .groupBy(col(idCol))
+      .agg(collect_list(col("__nll")).as("__ns"))
+      .select(col(idCol), size(col("__ns")).cast("long").as("n_tokens"),
+        greatest(lit(1L), ceil(lit(kPct) * size(col("__ns"))))
+          .as("n_scored"),
+        sort_array(col("__ns"), asc = false).as("__sorted"))
+      .select(col(idCol), col("n_tokens"), col("n_scored"),
+        round(aggregate(
+            slice(col("__sorted"), lit(1), col("n_scored").cast("int")),
+            lit(0d), (s, x) => s + x) / col("n_scored").cast("double"), 9)
+          .as("mink_nll"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): the
     * corpus is split into `head` / `middle` / `tail` by the terciles of
     * the per-doc LM surprisal ([[unigramSurprisal]]; low surprisal =

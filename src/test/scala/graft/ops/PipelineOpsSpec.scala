@@ -1247,6 +1247,35 @@ class RetrievalSpec extends SparkSpec {
     assert(out(1).getDouble(2) > out(0).getDouble(2))
   }
 
+  test("minKProb: hand-computed top-k% surprisal cut; memorized text scores low") {
+    val docs = Seq(
+      (1L, "a a a a a a a a b c"), // 10 tokens: 2 rare outliers
+      (2L, "a a a a a a a a a a") // 10 tokens: no outliers (memorized-ish)
+    ).toDF("doc_id", "text")
+    // corpus: a×18 b×1 c×1 total 20. k=20% of 10 → 2 scored tokens.
+    // doc1's two worst are b and c (p=1/20 each); doc2's are two a's.
+    val out = TextAnalysis.minKProb(docs, "text", "doc_id", kPct = 0.2)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) === 10L && out(0).getLong(2) === 2L)
+    assert(math.abs(out(0).getDouble(3) - (-math.log(1 / 20.0))) < 1e-8)
+    assert(math.abs(out(1).getDouble(3) - (-math.log(18 / 20.0))) < 1e-8)
+    // the membership signal: the all-common doc scores far lower
+    assert(out(1).getDouble(3) < out(0).getDouble(3))
+    // kPct = 1 degenerates to the plain unigram surprisal mean
+    val all = TextAnalysis.minKProb(docs, "text", "doc_id", kPct = 1.0)
+      .orderBy("doc_id").collect()
+    val uni = TextAnalysis.unigramSurprisal(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    all.zip(uni).foreach { case (m, u) =>
+      assert(math.abs(m.getDouble(3) - u.getDouble(2)) < 1e-8) }
+    // n_scored is never 0 (a 1-token doc still scores its token)
+    val tiny = TextAnalysis.minKProb(
+      Seq((9L, "solo")).toDF("doc_id", "text"), "text", "doc_id", 0.2).head()
+    assert(tiny.getLong(2) === 1L)
+    intercept[IllegalArgumentException](
+      TextAnalysis.minKProb(docs, "text", "doc_id", kPct = 0.0))
+  }
+
   test("bigramSurprisal: hand-computed interpolated nll with backoff") {
     val docs = Seq(
       (1L, "a b a"),
