@@ -2431,6 +2431,29 @@ object SparkEntry {
         .select(col("shard"), col("ok")).orderBy("shard")
     }),
 
+    // WebDataset tar-shard round-trip: write every document as a
+    // two-member sample (<id>.txt + <id>.json), read the ustar archives
+    // back through the binaryFile-based reader, and emit per-doc member
+    // count + md5 of the .txt BYTES + the doc_id parsed back out of the
+    // .json member — the oracle recomputes md5(text) from the documents
+    // table, so a match proves the tar write→read is byte-lossless
+    "q_webdataset" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"),
+        to_json(struct(col("doc_id"), col("source"))).as("meta"))
+      val out = tmp("webdataset")
+      graft.sources.WebDataset.write(docs, "doc_id",
+        Seq(("text", "txt"), ("meta", "json")), out, shards = 4)
+      graft.sources.WebDataset.read(s, out)
+        .groupBy(col("key").cast("long").as("doc_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max(when(col("ext") === "txt", md5(col("content"))))
+            .as("txt_md5"),
+          max(when(col("ext") === "json",
+            get_json_object(col("content").cast("string"), "$.doc_id")))
+            .as("json_doc_id"))
+        .orderBy("doc_id")
+    }),
+
     "q_dedup_lines" -> ((s, dir) =>
       Dedup.dedupLinesKeepFirst(
           syntheticLines(T(s, dir, "documents"), wordsPerLine = 3),
@@ -4732,6 +4755,13 @@ object SparkEntry {
       "q_tokenbin_verify" ->
         """SELECT CAST(x AS INT) AS shard, CAST(1 AS BOOLEAN) AS ok
           |FROM range(4) t(x) ORDER BY 1""".stripMargin,
+
+      "q_webdataset" ->
+        """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |  CAST(2 AS BIGINT) AS n_members,
+          |  md5(text) AS txt_md5,
+          |  CAST(doc_id AS VARCHAR) AS json_doc_id
+          |FROM documents ORDER BY doc_id""".stripMargin,
 
       "q_dedup_lines" ->
         """WITH w AS (
