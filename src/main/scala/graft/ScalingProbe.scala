@@ -827,6 +827,17 @@ object ScalingProbe {
       graft.ops.Graph.clusteringCoefficients(edges, "src", "dst")
         .agg(sum("lcc")).collect(); 1L
     }
+    // betweenness with a FIXED 64-pivot sample (the Brandes–Pich scale
+    // path): forward state is O(pivots·ball), so 8x data should cost
+    // ~the per-level linear join, not 8x the pair state
+    time("betweenness_pivots") { d =>
+      import org.apache.spark.sql.expressions.Window
+      val (edges, _) = denseEdges(d)
+      val piv = spark.range(64).select((col("id") * 7L).as("s"))
+      graft.ops.Graph.betweennessCentrality(edges, "src", "dst",
+        maxDepth = 4, pivots = Some(piv))
+        .agg(sum("betweenness")).collect(); 1L
+    }
     spark.stop()
   }
 }

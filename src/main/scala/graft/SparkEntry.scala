@@ -178,7 +178,7 @@ object SparkEntry {
     * by construction — so a fixed-depth replay matches an early-stopped
     * run exactly.
     */
-  private def lpaOracleSql(iters: Int): String = {
+  private def lpaOracleCtes(iters: Int): String = {
     val steps = (1 to iters).map { i =>
       s"""c$i AS (
          |  SELECT a.z, l${i - 1}.label AS nl, count(*) AS c
@@ -202,9 +202,43 @@ object SparkEntry {
        |  UNION SELECT b, a FROM raw
        |  UNION SELECT node, node FROM nodes),
        |l0 AS (SELECT node, node AS label FROM nodes),
-       |$steps
-       |SELECT node, label FROM l$iters ORDER BY node""".stripMargin
+       |$steps""".stripMargin
   }
+
+  private def lpaOracleSql(iters: Int): String =
+    s"""${lpaOracleCtes(iters)}
+       |SELECT node, label FROM l$iters ORDER BY node""".stripMargin
+
+  /** q_modularity's oracle: the LPA replay's labeling fed through the
+    * Newman per-community decomposition on the same edge CTEs. */
+  private def modularityOracleSql(iters: Int): String =
+    s"""${lpaOracleCtes(iters)},
+       |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+       |      FROM raw WHERE a <> b),
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+       |degs AS (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT u AS node FROM e UNION ALL SELECT v FROM e
+       |  ) GROUP BY 1),
+       |lab AS (SELECT node, label FROM l$iters),
+       |dsum AS (
+       |  SELECT lab.label AS community,
+       |    CAST(count(*) AS BIGINT) AS n_nodes,
+       |    CAST(sum(degs.deg) AS BIGINT) AS degree_sum
+       |  FROM degs JOIN lab USING (node) GROUP BY 1),
+       |intra AS (
+       |  SELECT la.label AS community,
+       |    CAST(count(*) AS BIGINT) AS internal_edges
+       |  FROM e JOIN lab la ON la.node = e.u
+       |         JOIN lab lb ON lb.node = e.v
+       |  WHERE la.label = lb.label GROUP BY 1)
+       |SELECT d.community, d.n_nodes,
+       |  coalesce(i.internal_edges, 0) AS internal_edges, d.degree_sum,
+       |  round(CAST(coalesce(i.internal_edges, 0) AS DOUBLE) / mm.m
+       |    - pow(CAST(d.degree_sum AS DOUBLE) / (2.0 * mm.m), 2), 6)
+       |    AS q_contrib
+       |FROM dsum d LEFT JOIN intra i USING (community), mm
+       |ORDER BY d.community""".stripMargin
 
   /** Synthetic scored-response frame for the DPO queries: 10 candidate
     * responses per prompt with a deterministic integer-arithmetic score
@@ -215,6 +249,52 @@ object SparkEntry {
       col("doc_id").cast("long").as("rid"),
       col("text"),
       ((col("doc_id").cast("long") * 37) % 97).cast("double").as("score"))
+
+  /** q_betweenness's oracle: truncated Brandes unrolled in SQL on the
+    * 3-map graph — forward levels l1..lD as first-discovery sigma sums
+    * (NOT EXISTS against every earlier level), backward deltas dD-1..d1
+    * with the deepest level's deltas identically 0 (the truncation),
+    * bc = the union of the interior levels' deltas. */
+  private def betweennessOracleSql(depth: Int): String = {
+    val lvls = (1 to depth).map { k =>
+      val notExists = (0 until k).map(j =>
+        s"NOT EXISTS (SELECT 1 FROM l$j x WHERE x.s = p.s AND x.v = e.v)")
+        .mkString("\n    AND ")
+      s"""l$k AS (
+  SELECT p.s, e.v, sum(p.sigma) AS sigma
+  FROM l${k - 1} p JOIN e ON e.u = p.v
+  WHERE $notExists
+  GROUP BY 1, 2)"""
+    }.mkString(",\n")
+    val deltas = (depth - 1 to 1 by -1).map { k =>
+      val (dw, leftJoin) =
+        if (k == depth - 1) ("0.0", "")
+        else (s"coalesce(dw.delta, 0.0)",
+          s"\n       LEFT JOIN d${k + 1} dw ON dw.s = w.s AND dw.v = w.v")
+      s"""d$k AS (
+  SELECT c.s, c.v,
+    sum(c.sigma / w.sigma * (1 + $dw)) AS delta
+  FROM l$k c JOIN e ON e.u = c.v
+       JOIN l${k + 1} w ON w.s = c.s AND w.v = e.v$leftJoin
+  GROUP BY 1, 2)"""
+    }.mkString(",\n")
+    val bcUnion = (1 until depth)
+      .map(k => s"SELECT v, delta FROM d$k")
+      .mkString(" UNION ALL ")
+    s"""WITH nodes AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+raw AS (
+  SELECT node AS a, (node*7+3) % (SELECT n FROM nn) AS b FROM nodes
+  UNION ALL SELECT node, (node*13+5) % (SELECT n FROM nn) FROM nodes
+  UNION ALL SELECT node, (node*29+11) % (SELECT n FROM nn) FROM nodes),
+e AS (SELECT DISTINCT a AS u, b AS v FROM raw WHERE a <> b),
+l0 AS (SELECT node AS s, node AS v, 1.0 AS sigma FROM nodes),
+$lvls,
+$deltas,
+bc AS (SELECT v, sum(delta) AS b FROM ($bcUnion) GROUP BY 1)
+SELECT n.node, round(coalesce(bc.b, 0.0), 6) AS betweenness
+FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
+  }
 
   private def checkRows(one: DataFrame, checks: (String, Column)*): DataFrame =
     one.select(explode(array(checks.map { case (n, c) =>
@@ -800,6 +880,30 @@ object SparkEntry {
     "q_communities" -> ((s, dir) =>
       Graph.labelPropagation(communityGraph(s, dir), "src", "dst",
           maxIters = 8)
+        .orderBy("node")),
+
+    // Newman modularity of the LPA labeling on the same graph — the
+    // standard community-quality score; oracle = the LPA replay's
+    // labeling pushed through the same per-community decomposition
+    "q_modularity" -> ((s, dir) => {
+      val g = communityGraph(s, dir)
+      val labels = Graph.labelPropagation(g, "src", "dst", maxIters = 8)
+      Graph.modularity(g, "src", "dst", labels, "node", "label")
+        .orderBy("community")
+    }),
+
+    // degree assortativity of the 3-map + clique graph — one exact
+    // scalar (integer sums on both engines)
+    "q_assortativity" -> ((s, dir) =>
+      Graph.degreeAssortativity(mapGraphWithClique(s, dir), "src", "dst")),
+
+    // truncated (depth-3) Brandes betweenness, directed, all sources,
+    // on the 3-map graph; oracle = the forward sigma levels and the
+    // backward dependency accumulation unrolled in SQL — exact at
+    // round(6) (sigma ratios are ratios of small exact integers)
+    "q_betweenness" -> ((s, dir) =>
+      Graph.betweennessCentrality(mapGraph(s, dir)._2, "src", "dst",
+          maxDepth = 3)
         .orderBy("node")),
 
     // HITS hubs/authorities (5 iterations, L1-normalized ONCE at the
@@ -5078,6 +5182,41 @@ object SparkEntry {
           |GROUP BY node ORDER BY node""".stripMargin,
 
       "q_communities" -> lpaOracleSql(iters = 8),
+
+      "q_modularity" -> modularityOracleSql(iters = 8),
+
+      "q_betweenness" -> betweennessOracleSql(depth = 3),
+
+      "q_assortativity" ->
+        """WITH nodes AS (SELECT doc_id AS node FROM documents),
+          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+          |raw AS (
+          |  SELECT node AS a, (node*7+3) % (SELECT n FROM nn) AS b FROM nodes
+          |  UNION ALL SELECT node, (node*13+5) % (SELECT n FROM nn) FROM nodes
+          |  UNION ALL SELECT node, (node*29+11) % (SELECT n FROM nn) FROM nodes
+          |  UNION ALL SELECT CAST(a AS BIGINT), CAST(b AS BIGINT) FROM (VALUES
+          |    (0,1),(0,2),(0,3),(0,4),(0,5),(1,2),(1,3),(1,4),(1,5),
+          |    (2,3),(2,4),(2,5),(3,4),(3,5),(4,5)) t(a,b)
+          |),
+          |e AS (SELECT DISTINCT least(a,b) AS u, greatest(a,b) AS v
+          |      FROM raw WHERE a != b),
+          |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+          |degs AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+          |         FROM sym GROUP BY 1),
+          |j AS (
+          |  SELECT du.deg AS x, dv.deg AS y
+          |  FROM sym JOIN degs du ON du.node = sym.u
+          |           JOIN degs dv ON dv.node = sym.v),
+          |s AS (SELECT CAST(count(*) AS BIGINT) AS mm,
+          |        CAST(sum(x) AS BIGINT) AS sx,
+          |        CAST(sum(x * x) AS BIGINT) AS sxx,
+          |        CAST(sum(x * y) AS BIGINT) AS sxy FROM j)
+          |SELECT round(CASE WHEN mm > 0
+          |    AND CAST(sxx AS DOUBLE) * mm > CAST(sx AS DOUBLE) * sx
+          |  THEN (CAST(sxy AS DOUBLE) * mm - CAST(sx AS DOUBLE) * sx)
+          |     / (CAST(sxx AS DOUBLE) * mm - CAST(sx AS DOUBLE) * sx)
+          |  ELSE 0.0 END, 6) AS assortativity
+          |FROM s""".stripMargin,
 
       "q_clustering" ->
         """WITH nodes AS (SELECT doc_id AS node FROM documents),

@@ -414,6 +414,192 @@ object Graph {
     * fixpoint is detected by the surviving-edge count reaching
     * stability. Driver state: one count per round.
     */
+  /** Truncated betweenness centrality (Brandes 2001), DIRECTED, over
+    * shortest paths of length ≤ `maxDepth`:
+    * {{{ bc(v) = Σ_{s≠v, t≠v} σ_st(v) / σ_st }}}
+    * restricted to pairs within `maxDepth` hops — the bounded-distance
+    * (k-)betweenness variant, the brokerage signal of link-graph
+    * curation (which hosts sit on cross-community routes). Computed by
+    * Brandes' two phases: a level-synchronous multi-source BFS carrying
+    * the shortest-path COUNTS σ (a pair enters at its FIRST discovery
+    * level; later levels are non-shortest and excluded by anti-join),
+    * then the backward dependency accumulation
+    * {{{ δ(s,v) = Σ_{(v,w)∈E, d(s,w)=d(s,v)+1} σ_sv/σ_sw · (1 + δ(s,w)) }}}
+    * per level from the deepest down, with bc(v) = Σ_s δ(s,v) over
+    * levels ≥ 1. Returns (node, betweenness) for every node, 0
+    * included, rounded to 6.
+    *
+    * `pivots`: restrict sources to a sample frame (one `s` column) —
+    * the Brandes–Pich estimator (scores scale by n/|pivots| in
+    * expectation; returned UNSCALED so exact subsets compose). All
+    * nodes by default.
+    *
+    * Scale shape: forward state is the discovered (source, node) pair
+    * set — O(|pivots|·ball), the same deliberate exact-baseline cost
+    * [[harmonicCentralityExact]] documents; each level is one join off
+    * the u-partitioned edge cache + one sum aggregate + one anti-join
+    * against the seen set; the backward pass replays one join + one
+    * aggregate per level off the SAME cached level frames. At 100 TB
+    * the pivot sample (hundreds of sources) is the published path —
+    * state drops to O(pivots·ball) with the SAME code.
+    */
+  def betweennessCentrality(edges: DataFrame, srcCol: String,
+                            dstCol: String, maxDepth: Int,
+                            pivots: Option[DataFrame] = None): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 12,
+      s"betweenness: maxDepth in [1, 12]: $maxDepth")
+    val simple = edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+    val e = simple.repartition(col("u"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nodes = e.select(col("u").as("node"))
+        .union(e.select(col("v").as("node"))).distinct()
+        .localCheckpoint()
+      val sources = pivots
+        .map(_.select(col("s").cast("long").as("s")).distinct())
+        .getOrElse(nodes.select(col("node").as("s")))
+      // forward: levels(d) = (s, v, sigma) of pairs at distance exactly d
+      val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      levels += sources
+        .select(col("s"), col("s").as("v"), lit(1.0).as("sigma"))
+        .localCheckpoint()
+      var seen = levels(0).select("s", "v").localCheckpoint()
+      var d = 0
+      var exhausted = false
+      while (d < maxDepth && !exhausted) {
+        val next = levels(d).join(e, levels(d)("v") === e("u"))
+          .select(col("s"), e("v").as("__w"), col("sigma"))
+          .groupBy(col("s"), col("__w").as("v"))
+          .agg(sum("sigma").as("sigma"))
+          .join(seen, Seq("s", "v"), "left_anti")
+          .localCheckpoint()
+        if (next.isEmpty) exhausted = true
+        else {
+          levels += next
+          seen = seen.union(next.select("s", "v")).localCheckpoint()
+          d += 1
+        }
+      }
+      // backward: down = (s, v, sigma, delta) of the level below
+      val contribs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      var down = levels.last.withColumn("delta", lit(0.0))
+      // level 0 is v == s: its deltas feed nothing and bc excludes it,
+      // so the walk stops at level 1
+      var k = levels.length - 2
+      while (k >= 1) {
+        val cur = levels(k)
+        val grown = cur.join(e, cur("v") === e("u"))
+          .select(col("s"), cur("v").as("v"), col("sigma"),
+            e("v").as("__w"))
+          .join(down.select(col("s"), col("v").as("__w"),
+            col("sigma").as("__sw"), col("delta").as("__dw")),
+            Seq("s", "__w"))
+          .groupBy("s", "v")
+          .agg(sum(col("sigma") / col("__sw") * (lit(1.0) + col("__dw")))
+            .as("__delta"))
+        down = cur.join(grown, Seq("s", "v"), "left")
+          .select(col("s"), col("v"), col("sigma"),
+            coalesce(col("__delta"), lit(0.0)).as("delta"))
+          .localCheckpoint()
+        contribs += down.select("v", "delta")
+        k -= 1
+      }
+      val bc =
+        if (contribs.isEmpty) nodes.select(col("node"), lit(0.0).as("betweenness"))
+        else contribs.reduce(_ union _)
+          .groupBy(col("v").as("node"))
+          .agg(sum("delta").as("__bc"))
+          .join(nodes, Seq("node"), "right")
+          .select(col("node"),
+            coalesce(col("__bc"), lit(0.0)).as("betweenness"))
+      bc.select(col("node"), round(col("betweenness"), 6).as("betweenness"))
+    } finally e.unpersist(false)
+  }
+
+  /** Newman modularity decomposition of a labeling (Newman & Girvan
+    * 2004): per community c,
+    * {{{ Q_c = m_c/m − (D_c / 2m)² }}}
+    * (m = undirected simple edge count, m_c = intra-community edges,
+    * D_c = degree sum), with Q = Σ_c Q_c the labeling's modularity —
+    * the standard quality score for [[labelPropagation]] output.
+    * Returns one row per community: (community, n_nodes,
+    * internal_edges, degree_sum, q_contrib). Nodes absent from `labels`
+    * are ignored (their edges count toward m and degrees only if both
+    * endpoints are labeled — pass a full labeling, as LPA produces).
+    *
+    * Scale shape: one degree aggregate, two node-keyed label joins on
+    * the edge list, and two label-keyed aggregates; m is one O(1)
+    * driver scalar.
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 labels: DataFrame, nodeCol: String,
+                 labelCol: String): DataFrame = {
+    val e = undirected(edges, srcCol, dstCol).localCheckpoint()
+    val m = e.count()
+    require(m > 0, "modularity: graph has no (non-self-loop) edges")
+    val lab = labels.select(col(nodeCol).cast("long").as("node"),
+      col(labelCol).cast("long").as("label"))
+    val deg = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val dsum = deg.join(lab, "node")
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum("deg").as("degree_sum"))
+    val intra = e
+      .join(lab.select(col("node").as("u"), col("label").as("__lu")), "u")
+      .join(lab.select(col("node").as("v"), col("label").as("__lv")), "v")
+      .filter(col("__lu") === col("__lv"))
+      .groupBy(col("__lu").as("community"))
+      .agg(count(lit(1)).as("internal_edges"))
+    dsum.join(intra, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+        col("degree_sum"),
+        round(coalesce(col("internal_edges"), lit(0L)).cast("double") /
+            lit(m.toDouble) -
+          pow(col("degree_sum").cast("double") / lit(2.0 * m), 2), 6)
+          .as("q_contrib"))
+  }
+
+  /** Degree assortativity (Newman 2002): the Pearson correlation of the
+    * endpoint degrees over every edge, both orientations — positive on
+    * hub-to-hub graphs, −1 on a star, ~0 on degree-uncorrelated graphs
+    * (a crawl-shape diagnostic alongside [[graphCard]]). One scalar
+    * row; a REGULAR graph has zero degree variance and an undefined
+    * coefficient — emitted as 0.0 (documented convention, not NaN).
+    *
+    * Scale shape: one degree aggregate, two node-keyed joins of the
+    * symmetric edge list against it, one 3-sum scalar aggregate —
+    * exact integer sums, so the score is bit-reproducible.
+    */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+                          dstCol: String): DataFrame = {
+    val e = undirected(edges, srcCol, dstCol)
+    val sym = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    val joined = sym
+      .join(deg.select(col("node").as("u"), col("deg").as("__du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("__dv")), "v")
+    joined.agg(count(lit(1)).as("__mm"),
+        sum(col("__du")).as("__sx"),
+        sum(col("__du") * col("__du")).as("__sxx"),
+        sum(col("__du") * col("__dv")).as("__sxy"))
+      .select(
+        when(col("__mm") > 0 &&
+            col("__sxx").cast("double") * col("__mm") >
+              col("__sx").cast("double") * col("__sx"),
+          (col("__sxy").cast("double") * col("__mm") -
+            col("__sx").cast("double") * col("__sx")) /
+            (col("__sxx").cast("double") * col("__mm") -
+              col("__sx").cast("double") * col("__sx")))
+          .otherwise(lit(0.0)).as("assortativity"))
+      .select(round(col("assortativity"), 6).as("assortativity"))
+  }
+
   /** Per-node local clustering coefficient over the UNDIRECTED simple
     * graph: lcc(v) = 2·triangles(v) / (deg(v)·(deg(v)−1)), 0 where
     * deg < 2 — the closure density of each node's neighborhood (Watts &

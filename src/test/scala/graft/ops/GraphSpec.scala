@@ -422,6 +422,134 @@ class GraphSpec extends SparkSpec {
     assert(gotN === Map(0L -> 1.0 / 3, 1L -> 1.0, 2L -> 1.0, 3L -> 0.0))
   }
 
+  test("betweenness: hand graphs — path, diamond split, star hub, truncation") {
+    def bc(edges: Seq[(Long, Long)], depth: Int = 6): Map[Long, Double] =
+      Graph.betweennessCentrality(edges.toDF("s", "d"), "s", "d", depth)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // directed path: only the middle broker scores
+    assert(bc(Seq((0L, 1L), (1L, 2L))) ===
+      Map(0L -> 0.0, 1L -> 1.0, 2L -> 0.0))
+    // diamond: two equal shortest paths split the (0,3) credit
+    assert(bc(Seq((0L, 1L), (1L, 3L), (0L, 2L), (2L, 3L))) ===
+      Map(0L -> 0.0, 1L -> 0.5, 2L -> 0.5, 3L -> 0.0))
+    // undirected star (both orientations): hub brokers all 4·3 ordered
+    // leaf pairs
+    val star = (1L to 4L).flatMap(i => Seq((0L, i), (i, 0L)))
+    assert(bc(star)(0L) === 12.0 && bc(star)(1L) === 0.0)
+    // truncation: the 3-hop pair (0,3) only counts when depth allows it
+    val p4 = Seq((0L, 1L), (1L, 2L), (2L, 3L))
+    assert(bc(p4, depth = 2) === Map(0L -> 0.0, 1L -> 1.0, 2L -> 1.0, 3L -> 0.0))
+    assert(bc(p4, depth = 3) === Map(0L -> 0.0, 1L -> 2.0, 2L -> 2.0, 3L -> 0.0))
+    intercept[IllegalArgumentException](
+      Graph.betweennessCentrality(p4.toDF("s", "d"), "s", "d", 0))
+  }
+
+  test("betweenness: matches a driver Brandes replay; pivots restrict sources") {
+    // plain-Scala truncated Brandes: BFS with sigma, backward dependency
+    def ref(edges: Seq[(Long, Long)], depth: Int,
+            sources: Seq[Long]): Map[Long, Double] = {
+      val adj = edges.filter(e => e._1 != e._2).distinct
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val bc = scala.collection.mutable.Map(nodes.map(_ -> 0.0): _*)
+      for (s <- sources) {
+        val dist = scala.collection.mutable.Map(s -> 0)
+        val sigma = scala.collection.mutable.Map(s -> 1.0)
+        var frontier = Seq(s)
+        var d = 0
+        val byLevel = scala.collection.mutable.ArrayBuffer(Seq(s))
+        while (d < depth && frontier.nonEmpty) {
+          val nxt = scala.collection.mutable.LinkedHashSet.empty[Long]
+          for (u <- frontier; w <- adj.getOrElse(u, Seq())) {
+            if (!dist.contains(w)) { nxt += w }
+          }
+          for (u <- frontier; w <- adj.getOrElse(u, Seq()) if nxt(w))
+            sigma(w) = sigma.getOrElse(w, 0.0) + sigma(u)
+          nxt.foreach(w => dist(w) = d + 1)
+          frontier = nxt.toSeq
+          if (frontier.nonEmpty) byLevel += frontier
+          d += 1
+        }
+        val delta = scala.collection.mutable.Map.empty[Long, Double]
+          .withDefaultValue(0.0)
+        for (lvl <- byLevel.indices.reverse.dropRight(1); v <- byLevel(lvl)) {
+          var dv = 0.0
+          for (w <- adj.getOrElse(v, Seq())
+               if dist.get(w).contains(lvl + 1))
+            dv += sigma(v) / sigma(w) * (1 + delta(w))
+          delta(v) = dv
+          bc(v) += dv
+        }
+        // level 0 is v == s: computed for propagation, excluded from bc
+        for (v <- byLevel(0)) bc(v) -= delta(v)
+      }
+      bc.toMap
+    }
+    val raw = (0L until 40L).flatMap(i =>
+      Seq((i, (i * 7 + 3) % 40), (i, (i * 3 + 1) % 40)))
+      .filter(e => e._1 != e._2)
+    val nodes = raw.flatMap(e => Seq(e._1, e._2)).distinct
+    val expect = ref(raw, depth = 4, nodes)
+    val got = Graph.betweennessCentrality(raw.toDF("s", "d"), "s", "d", 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === expect.keySet)
+    got.foreach { case (n, v) =>
+      assert(math.abs(v - expect(n)) < 1e-5, s"node $n: $v vs ${expect(n)}") }
+    // pivots: only s = 0 contributes dependencies
+    val piv = ref(raw, depth = 4, Seq(0L))
+    val gotPiv = Graph.betweennessCentrality(raw.toDF("s", "d"), "s", "d", 4,
+        pivots = Some(Seq(0L).toDF("s")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    gotPiv.foreach { case (n, v) =>
+      assert(math.abs(v - piv(n)) < 1e-5, s"pivot node $n: $v vs ${piv(n)}") }
+  }
+
+  test("modularity: two triangles + bridge hand values; one-community Q is 0") {
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L),
+      (5L, 6L), (6L, 7L), (5L, 7L), (2L, 5L)).toDF("s", "d")
+    val labels = Seq((0L, 0L), (1L, 0L), (2L, 0L),
+      (5L, 5L), (6L, 5L), (7L, 5L)).toDF("node", "label")
+    // m = 7; each community: 3 internal edges, degree sum 7
+    // Q_c = 3/7 - (7/14)^2 = 0.178571 each
+    val got = Graph.modularity(edges, "s", "d", labels, "node", "label")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got === Map(0L -> ((3L, 3L, 7L, 0.178571)),
+      5L -> ((3L, 3L, 7L, 0.178571))))
+    // the whole graph as ONE community scores exactly 0
+    val one = Graph.modularity(edges, "s", "d",
+      labels.select(col("node"), lit(0L).as("label")), "node", "label")
+      .head()
+    assert(one.getLong(2) === 7L && one.getDouble(4) === 0.0)
+    // a community with no internal edges contributes negatively
+    val anti = Graph.modularity(edges, "s", "d",
+      Seq((0L, 0L), (1L, 1L), (2L, 2L), (5L, 5L), (6L, 6L), (7L, 7L))
+        .toDF("node", "label"), "node", "label")
+      .agg(sum("internal_edges"), min("q_contrib")).head()
+    assert(anti.getLong(0) === 0L && anti.getDouble(1) < 0)
+    intercept[IllegalArgumentException](Graph.modularity(
+      Seq((1L, 1L)).toDF("s", "d"), "s", "d", labels, "node", "label"))
+  }
+
+  test("degree assortativity: star is -1, regular graph guards to 0") {
+    val star = (1L to 5L).map(i => (0L, i)).toDF("s", "d")
+    assert(Graph.degreeAssortativity(star, "s", "d")
+      .head().getDouble(0) === -1.0)
+    // K4 is 3-regular: zero degree variance, defined-as-0 convention
+    val k4 = (for (i <- 0L until 4L; j <- (i + 1) until 4L) yield (i, j))
+      .toDF("s", "d")
+    assert(Graph.degreeAssortativity(k4, "s", "d")
+      .head().getDouble(0) === 0.0)
+    // 3-node path: also exactly -1 (ends only touch the middle)
+    val path = Seq((0L, 1L), (1L, 2L)).toDF("s", "d")
+    assert(Graph.degreeAssortativity(path, "s", "d")
+      .head().getDouble(0) === -1.0)
+    // direction and duplicates collapse before degrees are counted
+    val noisy = Seq((0L, 1L), (1L, 0L), (0L, 1L), (1L, 2L)).toDF("s", "d")
+    assert(Graph.degreeAssortativity(noisy, "s", "d")
+      .head().getDouble(0) === -1.0)
+  }
+
   test("label propagation: two cliques with a bridge keep their own labels") {
     val cliqueA = Seq((0L, 1L), (1L, 2L), (0L, 2L))
     val cliqueB = Seq((10L, 11L), (11L, 12L), (10L, 12L))
