@@ -897,6 +897,46 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
     "q_assortativity" -> ((s, dir) =>
       Graph.degreeAssortativity(mapGraphWithClique(s, dir), "src", "dst")),
 
+    // k-truss (k=4) of the 3-map + clique graph: derived checks prove
+    // the defining property with an INDEPENDENT algorithm — for every
+    // surviving edge, the common-neighbor count inside the output
+    // (neighbor-intersection, not the oriented wedge join that computed
+    // `support`) must equal the stored support and clear k−2 — plus
+    // 6-clique survival, input-subset, and genuine pruning
+    "q_ktruss" -> ((s, dir) => {
+      import s.implicits._
+      val edges = mapGraphWithClique(s, dir)
+      val out = pin(Graph.kTruss(edges, "src", "dst", k = 4))
+      val und = edges.select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val sym = out.select(col("u").as("a"), col("v").as("b"))
+        .union(out.select(col("v").as("a"), col("u").as("b")))
+      val recount = out.select("u", "v")
+        .join(sym.select(col("a").as("u"), col("b").as("x")), "u")
+        .join(sym.select(col("a").as("v"), col("b").as("x")), Seq("v", "x"))
+        .groupBy("u", "v").agg(count(lit(1)).as("cn"))
+      val clique = (for (i <- 0L until 6L; j <- (i + 1) until 6L)
+        yield (i, j)).toDF("u", "v")
+      val one = out.agg(count(lit(1)).as("n_out"),
+          min("support").as("min_sup"))
+        .crossJoin(out.join(clique, Seq("u", "v"), "left_semi")
+          .agg(count(lit(1)).as("n_cl")))
+        .crossJoin(out.join(recount, Seq("u", "v"), "left")
+          .filter(coalesce(col("cn"), lit(0L)) =!= col("support"))
+          .agg(count(lit(1)).as("n_mismatch")))
+        .crossJoin(und.agg(count(lit(1)).as("n_in")))
+        .crossJoin(out.join(und, Seq("u", "v"), "left_anti")
+          .agg(count(lit(1)).as("n_stray")))
+      checkRows(one,
+        "clique_survives" -> (col("n_cl") === 15),
+        "supports_recount_match" -> (col("n_mismatch") === 0),
+        "supports_clear_k" -> (col("min_sup") >= 2),
+        "subset_of_input" -> (col("n_stray") === 0),
+        "genuinely_pruned" -> (col("n_out") < col("n_in") &&
+          col("n_out") >= 15))
+    }),
+
     // truncated (depth-3) Brandes betweenness, directed, all sources,
     // on the 3-map graph; oracle = the forward sigma levels and the
     // backward dependency accumulation unrolled in SQL — exact at
@@ -5186,6 +5226,10 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
       "q_modularity" -> modularityOracleSql(iters = 8),
 
       "q_betweenness" -> betweennessOracleSql(depth = 3),
+
+      "q_ktruss" ->
+        checksOracle("clique_survives", "supports_recount_match",
+          "supports_clear_k", "subset_of_input", "genuinely_pruned"),
 
       "q_assortativity" ->
         """WITH nodes AS (SELECT doc_id AS node FROM documents),

@@ -295,6 +295,42 @@ object Graph {
     * degree/orientation prep is linear); no maxDegree cap needed — the
     * orientation IS the skew guard.
     */
+  /** Enumerate every triangle of the UNDIRECTED simple edge set `und`
+    * ((u, v) rows) exactly once as (p, q, r): edges orient from their
+    * lower-(degree, id) endpoint, wedges come from one self-join of the
+    * oriented list on the pivot, and each wedge closes against the
+    * oriented list — the Schank & Wagner node-iterator whose
+    * orientation IS the skew guard (a star's hub produces zero oriented
+    * wedges). Shared by [[triangleCounts]] (and through it
+    * [[clusteringCoefficients]]) and [[kTruss]]'s per-edge support. */
+  private def trianglesOf(und: DataFrame): DataFrame = {
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): a -> b iff (deg(a), a) < (deg(b), b)
+    val withDeg = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    val oriented = withDeg.select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("u").as("a"), col("v").as("b")))
+          .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .localCheckpoint()
+    // wedges around a pivot close into triangles against the oriented
+    // list; each triangle appears exactly once (its lowest-rank corner
+    // is the pivot)
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.a") === col("y.a") && col("x.b") < col("y.b"))
+      .select(col("x.a").as("p"), col("x.b").as("q"), col("y.b").as("r"))
+    wedges.join(
+        oriented.select(col("a").as("q2"), col("b").as("r2"))
+          .union(oriented.select(col("b").as("q2"), col("a").as("r2"))),
+        col("q") === col("q2") && col("r") === col("r2"))
+      .select("p", "q", "r")
+      .localCheckpoint()
+  }
+
   def triangleCounts(edges: DataFrame, srcCol: String,
                      dstCol: String): DataFrame = {
     val und = undirected(edges, srcCol, dstCol)
@@ -302,33 +338,7 @@ object Graph {
     try {
       val nodes = und.select(col("u").as("node"))
         .union(und.select(col("v").as("node"))).distinct()
-      val deg = nodes.join(
-        und.select(col("u").as("node"))
-          .union(und.select(col("v").as("node")))
-          .groupBy("node").agg(count(lit(1)).as("deg")), Seq("node"), "left")
-        .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
-      // orient by (deg, id): a -> b iff (deg(a), a) < (deg(b), b)
-      val withDeg = und
-        .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
-        .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
-      val oriented = withDeg.select(
-          when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
-            struct(col("u").as("a"), col("v").as("b")))
-            .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("e"))
-        .select(col("e.a").as("a"), col("e.b").as("b"))
-        .localCheckpoint()
-      // wedges around a pivot close into triangles against the oriented
-      // list; each triangle appears exactly once (its lowest-rank corner
-      // is the pivot)
-      val wedges = oriented.as("x").join(oriented.as("y"),
-          col("x.a") === col("y.a") && col("x.b") < col("y.b"))
-        .select(col("x.a").as("p"), col("x.b").as("q"), col("y.b").as("r"))
-      val tris = wedges.join(
-          oriented.select(col("a").as("q2"), col("b").as("r2"))
-            .union(oriented.select(col("b").as("q2"), col("a").as("r2"))),
-          col("q") === col("q2") && col("r") === col("r2"))
-        .select("p", "q", "r")
-        .localCheckpoint()
+      val tris = trianglesOf(und)
       val perCorner = tris.select(col("p").as("node"))
         .union(tris.select(col("q").as("node")))
         .union(tris.select(col("r").as("node")))
@@ -337,6 +347,68 @@ object Graph {
         .select(col("node"),
           coalesce(col("triangles"), lit(0L)).as("triangles"))
     } finally und.unpersist(false)
+  }
+
+  /** Per-edge triangle support of the UNDIRECTED simple edge set: each
+    * triangle credits its three ID-sorted edges. Edges in no triangle
+    * are absent (coalesce at the call site). */
+  private def edgeSupport(und: DataFrame): DataFrame =
+    trianglesOf(und).select(explode(array(
+        struct(least(col("p"), col("q")).as("u"),
+          greatest(col("p"), col("q")).as("v")),
+        struct(least(col("q"), col("r")).as("u"),
+          greatest(col("q"), col("r")).as("v")),
+        struct(least(col("p"), col("r")).as("u"),
+          greatest(col("p"), col("r")).as("v")))).as("t"))
+      .groupBy(col("t.u").as("u"), col("t.v").as("v"))
+      .agg(count(lit(1)).as("support"))
+
+  /** k-truss of the UNDIRECTED simple graph (Cohen 2008): the maximal
+    * subgraph in which EVERY edge participates in at least k−2
+    * triangles of that same subgraph — the triangle-reinforced
+    * refinement of [[kCore]] (a k-truss is always inside the
+    * (k−1)-core, but ignores the degree padding that lets spam farms
+    * survive a core cut). Returns the surviving edges as (u, v,
+    * support) with u < v and `support` their triangle count IN the
+    * truss.
+    *
+    * Scale shape: round-synchronous support peel — each round is one
+    * [[trianglesOf]] pass (degree-ordered wedge join, O(m^1.5)
+    * skew-proof) + one per-edge aggregate + one filter on the CURRENT
+    * edge set, which only shrinks; convergence by the count+hash
+    * checksum, localCheckpoint truncation, O(1) driver state per round
+    * (the kCore discipline). Exhaustion REFUSES loudly — an un-peeled
+    * superset is not a truss.
+    */
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+             maxRounds: Int = 100): DataFrame = {
+    require(k >= 2, s"kTruss: k must be >= 2: $k")
+    require(maxRounds >= 1, s"kTruss: maxRounds must be >= 1: $maxRounds")
+    var e = undirected(edges, srcCol, dstCol).localCheckpoint()
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var (cnt, chk) = sig(e)
+    var rounds = 0
+    var stable = cnt == 0
+    while (!stable && rounds < maxRounds) {
+      val sup = edgeSupport(e)
+      val next = e.join(sup, Seq("u", "v"), "left")
+        .filter(coalesce(col("support"), lit(0L)) >= k - 2)
+        .select("u", "v")
+        .localCheckpoint()
+      val (c2, k2) = sig(next)
+      stable = c2 == cnt && k2 == chk
+      cnt = c2; chk = k2; e = next; rounds += 1
+    }
+    require(stable || cnt == 0,
+      s"kTruss: peel did not stabilize within $maxRounds rounds " +
+        "(pathological peel depth — raise maxRounds)")
+    e.join(edgeSupport(e), Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        coalesce(col("support"), lit(0L)).as("support"))
   }
 
   /** Link-prediction scores over the UNDIRECTED simple graph: for every

@@ -422,6 +422,57 @@ class GraphSpec extends SparkSpec {
     assert(gotN === Map(0L -> 1.0 / 3, 1L -> 1.0, 2L -> 1.0, 3L -> 0.0))
   }
 
+  test("kTruss: clique survival, pendant peel, cascade, empty cases") {
+    def truss(edges: Seq[(Long, Long)], k: Int): Map[(Long, Long), Long] =
+      Graph.kTruss(edges.toDF("s", "d"), "s", "d", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    val k4 = for (i <- 0L until 4L; j <- (i + 1) until 4L) yield (i, j)
+    // K4 + pendant: every K4 edge has support 2; the pendant has 0
+    val pend = k4 :+ (3L, 9L)
+    val t3 = truss(pend, 3)
+    assert(t3.keySet === k4.toSet && t3.values.forall(_ === 2L))
+    assert(truss(pend, 4).keySet === k4.toSet)
+    assert(truss(pend, 5).isEmpty)
+    // triangles hanging off the clique survive k=3 but peel at k=4
+    val hang = k4 ++ Seq((0L, 4L), (1L, 4L))
+    assert(truss(hang, 3).keySet === hang.toSet)
+    assert(truss(hang, 4).keySet === k4.toSet)
+    // triangle-free graphs empty at k=3
+    assert(truss(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)), 3).isEmpty)
+    // k=2 keeps every simple edge (support >= 0 is vacuous)
+    assert(truss(Seq((0L, 1L), (1L, 2L)), 2).keySet ===
+      Set((0L, 1L), (1L, 2L)))
+    intercept[IllegalArgumentException](
+      Graph.kTruss(k4.toDF("s", "d"), "s", "d", 1))
+  }
+
+  test("kTruss: matches a driver common-neighbor peel on a random graph") {
+    def ref(edges: Seq[(Long, Long)], k: Int): Set[(Long, Long)] = {
+      var e = edges.filter(x => x._1 != x._2)
+        .map(x => (math.min(x._1, x._2), math.max(x._1, x._2)))
+        .distinct.toSet
+      var changed = true
+      while (changed) {
+        val nbrs = e.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+        val next = e.filter { case (u, v) =>
+          (nbrs(u) intersect nbrs(v)).size >= k - 2 }
+        changed = next != e
+        e = next
+      }
+      e
+    }
+    val raw = (0L until 40L).flatMap(i =>
+      Seq((i, (i * 7 + 3) % 40), (i, (i * 3 + 1) % 40), (i, (i + 1) % 40)))
+      .filter(e => e._1 != e._2)
+    for (k <- Seq(3, 4)) {
+      val got = Graph.kTruss(raw.toDF("s", "d"), "s", "d", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === ref(raw, k), s"k=$k")
+    }
+  }
+
   test("betweenness: hand graphs — path, diamond split, star hub, truncation") {
     def bc(edges: Seq[(Long, Long)], depth: Int = 6): Map[Long, Double] =
       Graph.betweennessCentrality(edges.toDF("s", "d"), "s", "d", depth)
