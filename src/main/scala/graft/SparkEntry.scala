@@ -2493,6 +2493,24 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
       TextAnalysis.unigramSurprisal(T(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
 
+    // n-gram novelty: fraction of each doc's distinct 3-grams appearing
+    // in NO other document — the inverse boilerplate signal; exact
+    // docfreq replay in DuckDB
+    "q_ngram_novelty" -> ((s, dir) =>
+      TextAnalysis.ngramNovelty(T(s, dir, "documents"), "text", "doc_id",
+          n = 3)
+        .orderBy("doc_id")),
+
+    // fill-in-the-middle transform (PSM sentinel order) with
+    // id-arithmetic split fractions the oracle replays verbatim; the
+    // round-trip property (prefix+middle+suffix = original) is pinned
+    // in SftSpec, the exact re-serialization here
+    "q_fim" -> ((s, dir) =>
+      Sft.fimTransform(T(s, dir, "documents"), "text", "doc_id",
+          (col("doc_id").cast("long") * 13 % 97).cast("double") / 97.0,
+          (col("doc_id").cast("long") * 29 % 89).cast("double") / 89.0)
+        .orderBy("doc_id")),
+
     // Min-K% Prob membership/contamination score (Shi 2023, k=20%):
     // mean surprisal of each doc's lowest-probability tokens under the
     // corpus unigram LM; rank ties at the cut are EQUAL nll values, so
@@ -4779,6 +4797,51 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |  array_to_string(toks[start + 1:start + 32], ' ') AS chunk_text,
           |  CAST(least(32, len(toks) - start) AS INTEGER) AS n_tokens
           |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+
+      "q_ngram_novelty" ->
+        """WITH sh AS (
+          |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+          |                  FOR i IN range(1, len(toks) - 1)]) AS s
+          |  FROM (SELECT doc_id,
+          |          list_filter(
+          |            string_split_regex(trim(lower(coalesce(text, ''))),
+          |                               '\s+'),
+          |            t -> len(t) > 0) AS toks
+          |        FROM documents)),
+          |g AS (SELECT doc_id, unnest(s) AS g FROM sh),
+          |dfreq AS (SELECT g, count(*) AS df FROM g GROUP BY 1),
+          |per AS (
+          |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+          |    round(avg(CASE WHEN dfreq.df = 1 THEN 1.0 ELSE 0.0 END), 9)
+          |      AS novel_frac
+          |  FROM g JOIN dfreq USING (g) GROUP BY 1)
+          |SELECT d.doc_id, coalesce(per.n_grams, 0) AS n_grams,
+          |  coalesce(per.novel_frac, 0.0) AS novel_frac
+          |FROM (SELECT DISTINCT doc_id FROM documents) d
+          |LEFT JOIN per USING (doc_id)
+          |ORDER BY doc_id""".stripMargin,
+
+      "q_fim" ->
+        """WITH r AS (
+          |  SELECT doc_id, coalesce(text, '') AS t,
+          |    CAST((CAST(doc_id AS BIGINT) * 13) % 97 AS DOUBLE) / 97.0
+          |      AS p1,
+          |    CAST((CAST(doc_id AS BIGINT) * 29) % 89 AS DOUBLE) / 89.0
+          |      AS p2
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id, t,
+          |    CAST(floor(least(p1, p2) * length(t)) AS INT) AS lo,
+          |    CAST(floor(greatest(p1, p2) * length(t)) AS INT) AS hi
+          |  FROM r)
+          |SELECT doc_id,
+          |  '<|fim_pre|>' || substr(t, 1, lo) || '<|fim_suf|>' ||
+          |  substr(t, hi + 1, length(t) - hi) || '<|fim_mid|>' ||
+          |  substr(t, lo + 1, hi - lo) AS fim_text,
+          |  CAST(lo AS INT) AS n_prefix,
+          |  CAST(hi - lo AS INT) AS n_middle,
+          |  CAST(length(t) - hi AS INT) AS n_suffix
+          |FROM c ORDER BY doc_id""".stripMargin,
 
       "q_mink_prob" ->
         """WITH occ AS (

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Supervised-fine-tuning data assembly: render multi-turn conversations
@@ -69,6 +69,48 @@ object Sft {
         col("__acc.txt").as("text"),
         concat_ws(",", col("__acc.spans")).as("mask_spans"),
         col("__acc.masked").as("masked_chars"))
+  }
+
+  /** Fill-in-the-middle transform (Bavarian et al. 2022): split each
+    * document at two code-point offsets into (prefix, middle, suffix)
+    * and re-serialize with sentinel tags so a causal LM learns infill —
+    * PSM order `<|fim_pre|>prefix<|fim_suf|>suffix<|fim_mid|>middle`
+    * (the paper's default: the middle moves to the END so its loss is
+    * ordinary next-token loss), or SPM (`spm = true`) leading with the
+    * suffix. The split points come from CALLER-SUPPLIED fraction
+    * columns in [0, 1] (cut k = floor(p·len) code points) — determinism
+    * and oracle replay live with the caller (id arithmetic, a hash, or
+    * literal fractions for an every-doc transform); the two fractions
+    * are ordered internally, so argument order never matters. The
+    * concatenation of the three parts is always EXACTLY the original
+    * text (round-trip property, spec-pinned). Returns (id, fim_text,
+    * n_prefix, n_middle, n_suffix) in code points; null text → empty
+    * parts. Pure scan-side Column algebra — no UDF, no shuffle.
+    */
+  def fimTransform(docs: DataFrame, textCol: String, idCol: String,
+                   p1: Column, p2: Column,
+                   spm: Boolean = false): DataFrame = {
+    val txt = coalesce(col(textCol).cast("string"), lit(""))
+    val n = length(txt)
+    val lo = floor(least(p1, p2) * n).cast("int")
+    val hi = floor(greatest(p1, p2) * n).cast("int")
+    docs.select(col(idCol), txt.as("__t"), lo.as("__lo"), hi.as("__hi"))
+      .select(col(idCol),
+        col("__t").substr(lit(1), col("__lo")).as("__p"),
+        col("__t").substr(col("__lo") + 1, col("__hi") - col("__lo"))
+          .as("__m"),
+        col("__t").substr(col("__hi") + 1,
+          length(col("__t")) - col("__hi")).as("__s"))
+      .select(col(idCol),
+        (if (spm)
+          concat(lit("<|fim_suf|>"), col("__s"), lit("<|fim_pre|>"),
+            col("__p"), lit("<|fim_mid|>"), col("__m"))
+        else
+          concat(lit("<|fim_pre|>"), col("__p"), lit("<|fim_suf|>"),
+            col("__s"), lit("<|fim_mid|>"), col("__m"))).as("fim_text"),
+        length(col("__p")).as("n_prefix"),
+        length(col("__m")).as("n_middle"),
+        length(col("__s")).as("n_suffix"))
   }
 
   /** DPO/RLHF preference-pair assembly: from scored candidate responses

@@ -852,6 +852,37 @@ object TextAnalysis {
           col("n_tokens").cast("double"), 9).as("nll"))
   }
 
+  /** n-gram novelty: the fraction of each document's DISTINCT word
+    * n-grams that appear in NO other document — the inverse boilerplate
+    * signal (templated/syndicated text scores near 0, original prose
+    * near 1; the doc-level complement of the corpus-level
+    * [[dupNgramFrac]] and the dedup family's pair views). Returns
+    * (id, n_grams, novel_frac) with novel_frac = 0 for gram-less docs.
+    *
+    * Scale shape: one explode of the distinct-shingle arrays
+    * ([[graft.ops.Dedup.wordShingles]], the dedup family's shared gram
+    * definition) into a gram-keyed docfreq hash-aggregate, one gram
+    * join back, one doc-keyed reduce — the tfidf two-shuffle shape;
+    * Zipf-head gram skew is AQE's skew-split case, same as tfidf's.
+    */
+  def ngramNovelty(docs: DataFrame, textCol: String, idCol: String,
+                   n: Int = 3): DataFrame = {
+    require(n >= 1, s"ngramNovelty: n must be >= 1: $n")
+    val grams = docs.select(col(idCol),
+        explode(graft.ops.Dedup.wordShingles(col(textCol), n)).as("__g"))
+      .filter(length(col("__g")) > 0)
+    val df = grams.groupBy("__g").agg(count(lit(1)).as("__df"))
+    val scored = grams.join(df, "__g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        round(avg(when(col("__df") === 1, 1.0).otherwise(0.0)), 9)
+          .as("novel_frac"))
+    docs.select(col(idCol)).distinct()
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("novel_frac"), lit(0.0)).as("novel_frac"))
+  }
+
   /** Min-K% Prob membership/contamination score (Shi et al. 2023,
     * "Detecting Pretraining Data from Large Language Models"): per
     * document, the mean surprisal of its k%-LOWEST-probability tokens —

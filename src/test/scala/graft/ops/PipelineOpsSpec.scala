@@ -1247,6 +1247,31 @@ class RetrievalSpec extends SparkSpec {
     assert(out(1).getDouble(2) > out(0).getDouble(2))
   }
 
+  test("ngramNovelty: shared grams kill novelty; short and empty docs are 0") {
+    val docs = Seq(
+      (1L, "the quick brown fox"),       // 2 trigrams, both unique
+      (2L, "the quick brown dog"),       // shares 'the quick brown' with 1
+      (3L, "completely different text here"),
+      (4L, "xy zz"),                     // < 3 tokens: no grams
+      (5L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramNovelty(docs, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // doc1: grams {the quick brown, quick brown fox} — the first is
+    // shared with doc2 → novelty 1/2
+    assert(got(1L) === ((2L, 0.5)) && got(2L) === ((2L, 0.5)))
+    assert(got(3L) === ((2L, 1.0)))
+    assert(got(4L) === ((0L, 0.0)) && got(5L) === ((0L, 0.0)))
+    // duplicated text scores 0 everywhere it appears
+    val dup = TextAnalysis.ngramNovelty(
+      Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text"),
+      "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(dup === Map(1L -> 0.0, 2L -> 0.0))
+    intercept[IllegalArgumentException](
+      TextAnalysis.ngramNovelty(docs, "text", "doc_id", n = 0))
+  }
+
   test("minKProb: hand-computed top-k% surprisal cut; memorized text scores low") {
     val docs = Seq(
       (1L, "a a a a a a a a b c"), // 10 tokens: 2 rare outliers

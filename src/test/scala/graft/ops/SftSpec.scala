@@ -80,6 +80,53 @@ class SftSpec extends SparkSpec {
     assert(a === b && a.size === 9)
   }
 
+  test("FIM transform: hand splits, round-trip, SPM order, code points") {
+    val docs = Seq((1L, "abcdefghij")).toDF("doc_id", "text")
+    // p = 0.3 / 0.7 on 10 chars: lo=3 hi=7 -> abc / defg / hij
+    val psm = Sft.fimTransform(docs, "text", "doc_id",
+      lit(0.3), lit(0.7)).head()
+    assert(psm.getString(1) === "<|fim_pre|>abc<|fim_suf|>hij<|fim_mid|>defg")
+    assert((psm.getInt(2), psm.getInt(3), psm.getInt(4)) === ((3, 4, 3)))
+    // fraction order never matters
+    val swapped = Sft.fimTransform(docs, "text", "doc_id",
+      lit(0.7), lit(0.3)).head()
+    assert(swapped.getString(1) === psm.getString(1))
+    // SPM leads with the suffix
+    val spm = Sft.fimTransform(docs, "text", "doc_id",
+      lit(0.3), lit(0.7), spm = true).head()
+    assert(spm.getString(1) === "<|fim_suf|>hij<|fim_pre|>abc<|fim_mid|>defg")
+    // round-trip: prefix + middle + suffix reassembles EVERY document
+    val many = (0L until 50L).map(i => (i, s"doc $i body " + ("x" * (i % 7).toInt)))
+      .toDF("doc_id", "text")
+    val parts = Sft.fimTransform(many, "text", "doc_id",
+      (col("doc_id") * 13 % 97).cast("double") / 97.0,
+      (col("doc_id") * 29 % 89).cast("double") / 89.0)
+    val re = parts.select(col("doc_id"),
+        regexp_extract(col("fim_text"),
+          "<\\|fim_pre\\|>(.*)<\\|fim_suf\\|>(.*)<\\|fim_mid\\|>(.*)", 1)
+          .as("p"),
+        regexp_extract(col("fim_text"),
+          "<\\|fim_pre\\|>(.*)<\\|fim_suf\\|>(.*)<\\|fim_mid\\|>(.*)", 3)
+          .as("m"),
+        regexp_extract(col("fim_text"),
+          "<\\|fim_pre\\|>(.*)<\\|fim_suf\\|>(.*)<\\|fim_mid\\|>(.*)", 2)
+          .as("s"))
+      .join(many, "doc_id")
+      .filter(concat(col("p"), col("m"), col("s")) =!= col("text"))
+    assert(re.count() === 0)
+    // offsets are CODE POINTS: the surrogate-pair char counts once
+    val uni = Sft.fimTransform(
+      Seq((1L, "a𝄞bc")).toDF("doc_id", "text"), "text", "doc_id",
+      lit(0.5), lit(0.75)).head()
+    assert((uni.getInt(2), uni.getInt(3), uni.getInt(4)) === ((2, 1, 1)))
+    assert(uni.getString(1) === "<|fim_pre|>a𝄞<|fim_suf|>c<|fim_mid|>b")
+    // null text -> empty parts, no NaN/null output
+    val nul = Sft.fimTransform(
+      Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      "text", "doc_id", lit(0.3), lit(0.7)).head()
+    assert(nul.getString(1) === "<|fim_pre|><|fim_suf|><|fim_mid|>")
+  }
+
   test("preference pairs: best-worst, gap filter, singleton drop, tie ids") {
     val r = Seq(
       ("A", 1L, "a", 3.0), ("A", 2L, "b", 9.0), ("A", 3L, "c", 5.0),
