@@ -1640,6 +1640,43 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           k = 5, refine = 48)
       }),
 
+    // Procrustes embedding-space alignment: the target space is the
+    // source pushed through a KNOWN rotation+shift (so ground truth
+    // exists); derived checks pin the recovered map — orthogonal R,
+    // near-zero residual reproducing the target, and a strict
+    // improvement over the unaligned distance
+    "q_embed_align" -> ((s, dir) => {
+      val d = 64
+      val theta = 0.6
+      val g = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+      g(0)(0) = math.cos(theta); g(2)(2) = math.cos(theta)
+      g(0)(2) = math.sin(theta); g(2)(0) = -math.sin(theta)
+      val shift = Array.tabulate(d)(j => j * 0.01 - 0.3)
+      val truth = Pca.ProcrustesModel(g, Array.fill(d)(0.0), shift)
+      val x = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("x"))
+      val pairs = pin(Pca.alignEmbeddings(x, "x", "vec_id", truth)
+        .withColumnRenamed("aligned", "y")
+        .join(x, "vec_id"))
+      val m = Pca.fitProcrustes(pairs, "x", "y")
+      val orthoOk = (0 until d).forall(a => (0 until d).forall { b =>
+        val dot = (0 until d).map(i => m.rotation(i)(a) * m.rotation(i)(b)).sum
+        math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-9
+      })
+      def msd(u: Column, v: Column) = avg(aggregate(
+        zip_with(u, v, (a, b) => (a.cast("double") - b) *
+          (a.cast("double") - b)),
+        lit(0d), (acc, z) => acc + z))
+      val one = Pca.alignEmbeddings(pairs, "x", "vec_id", m)
+        .join(pairs, "vec_id")
+        .agg(msd(col("aligned"), col("y")).as("__res"),
+          msd(col("x"), col("y")).as("__raw"))
+      checkRows(one,
+        "rotation_orthogonal" -> lit(orthoOk),
+        "residual_tiny" -> (col("__res") < 1e-9),
+        "beats_unaligned" -> (col("__res") < col("__raw")))
+    }),
+
     // MMR diversification over a brute-force top-20 shortlist: derived
     // checks pin the greedy's contract — λ=1 degenerates to exact
     // top-k (set equality vs the independent TopKAgg path), picks stay
@@ -3915,6 +3952,10 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
       "q_ann_mmr" ->
         checksOracle("k_rows_per_query", "subset_of_candidates",
           "first_pick_is_max_relevance", "lambda1_equals_topk"),
+
+      "q_embed_align" ->
+        checksOracle("rotation_orthogonal", "residual_tiny",
+          "beats_unaligned"),
 
       // per-dim mean thresholds over the full corpus, then count the
       // dims where the two vectors' sign bits disagree — the packing is

@@ -196,6 +196,113 @@ object Pca {
         col(vecCol), model.components, model.mean, scale).as("pca"))
   }
 
+  /** Orthogonal Procrustes alignment of two embedding spaces
+    * (Schönemann 1966): from PAIRED rows (x, y) — the same items
+    * embedded by an old and a new encoder — the rigid map
+    * {{{ y ≈ (x − μx)·R + μy,  R orthogonal }}}
+    * minimizing the Frobenius residual: R = U Vᵀ from the SVD of the
+    * centered cross-covariance M = Xcᵀ Yc. The SVD rides
+    * [[jacobiEigh]]: MᵀM = V Σ² Vᵀ gives V and Σ, U = M V Σ⁻¹; a sign
+    * flip of any v_i flips u_i with it and cancels in u_i·v_iᵀ, so R is
+    * deterministic regardless of the eigenvector sign convention. The
+    * classic fix when an embedding model is retrained and an existing
+    * ANN index / cached corpus must keep working without re-embedding
+    * everything.
+    *
+    * Rank-deficient cross-covariance (paired data confined to a
+    * subspace) REFUSES loudly — the rotation outside the span would be
+    * arbitrary.
+    *
+    * Scale shape: ONE treeAggregate over the pairs builds (n, Σx, Σy,
+    * Σxyᵀ) — O(d²) driver state; the O(d³) SVD is driver-side
+    * (d = embedding width); application is the codegen
+    * [[graft.expr.VectorExprs.affine_project]] scan plus one zip_with
+    * shift — no UDF, no shuffle.
+    */
+  case class ProcrustesModel(rotation: Array[Array[Double]],
+                             srcMean: Array[Double],
+                             dstMean: Array[Double]) {
+    def dim: Int = srcMean.length
+  }
+
+  def fitProcrustes(pairs: DataFrame, srcVecCol: String,
+                    dstVecCol: String): ProcrustesModel = {
+    val rows = pairs.select(col(srcVecCol), col(dstVecCol)).na.drop()
+    val head = rows.head(1)
+    require(head.nonEmpty, "fitProcrustes: no non-null pairs")
+    val d = head(0).getSeq[Any](0).length
+    require(head(0).getSeq[Any](1).length == d,
+      "fitProcrustes: source and target widths differ")
+    val (n, sx, sy, sxy) = rows.rdd.treeAggregate(
+      (0L, new Array[Double](d), new Array[Double](d),
+        new Array[Double](d * d)))(
+      seqOp = { case ((cnt, ax, ay, m), row) =>
+        val x = Similarity.toDoubleArray(row.getSeq[Any](0))
+        val y = Similarity.toDoubleArray(row.getSeq[Any](1))
+        require(x.length == d && y.length == d,
+          s"fitProcrustes: ragged widths ${x.length}/${y.length} != $d")
+        var i = 0
+        while (i < d) { ax(i) += x(i); ay(i) += y(i); i += 1 }
+        i = 0
+        while (i < d) {
+          val xi = x(i); var j = 0
+          while (j < d) { m(i * d + j) += xi * y(j); j += 1 }
+          i += 1
+        }
+        (cnt + 1, ax, ay, m)
+      },
+      combOp = { case ((n1, x1, y1, m1), (n2, x2, y2, m2)) =>
+        var i = 0
+        while (i < d) { x1(i) += x2(i); y1(i) += y2(i); i += 1 }
+        i = 0
+        while (i < d * d) { m1(i) += m2(i); i += 1 }
+        (n1 + n2, x1, y1, m1)
+      })
+    require(n > 0, "fitProcrustes: no non-null pairs")
+    val mx = sx.map(_ / n)
+    val my = sy.map(_ / n)
+    // centered cross-covariance (the 1/n scale cancels in the SVD map)
+    val mMat = Array.tabulate(d, d)((i, j) => sxy(i * d + j) / n - mx(i) * my(j))
+    val mtm = Array.tabulate(d, d) { (a, b) =>
+      var s = 0d; var i = 0
+      while (i < d) { s += mMat(i)(a) * mMat(i)(b); i += 1 }
+      s
+    }
+    val (lams, vRows) = jacobiEigh(mtm) // vRows(i) = v_i
+    val sig = lams.map(l => math.sqrt(math.max(l, 0.0)))
+    require(sig(0) > 0 && sig(d - 1) > 1e-10 * sig(0),
+      "fitProcrustes: rank-deficient cross-covariance — paired data " +
+        "spans a proper subspace, the rotation is under-determined")
+    // u_i = M v_i / sigma_i; R = sum_i u_i v_i^T
+    val u = Array.tabulate(d, d) { (row, i) =>
+      var s = 0d; var j = 0
+      while (j < d) { s += mMat(row)(j) * vRows(i)(j); j += 1 }
+      s / sig(i)
+    }
+    val r = Array.tabulate(d, d) { (a, b) =>
+      var s = 0d; var i = 0
+      while (i < d) { s += u(a)(i) * vRows(i)(b); i += 1 }
+      s
+    }
+    ProcrustesModel(r, mx, my)
+  }
+
+  /** Apply a fitted alignment: adds `aligned` = (x − μx)·R + μy — the
+    * codegen affine_project scan plus one zip_with shift. */
+  def alignEmbeddings(df: DataFrame, vecCol: String, idCol: String,
+                      model: ProcrustesModel): DataFrame = {
+    val d = model.dim
+    // affine_project emits per-ROW dot products, so hand it R's columns
+    val comps = Array.tabulate(d, d)((j, i) => model.rotation(i)(j))
+    val ones = Array.fill(d)(1.0)
+    df.select(col(idCol),
+      zip_with(
+        graft.expr.VectorExprs.affine_project(col(vecCol), comps,
+          model.srcMean, ones),
+        array(model.dstMean.map(lit).toSeq: _*),
+        (a, b) => a + b).as("aligned"))
+  }
+
   /** The persistable artifact ([[Bpe.mergesDf]] pattern): one row per kept
     * component (rank, eigenvalue, component vector) plus a rank = −1 row
     * carrying (totalVariance, mean). Write it next to the index/corpus;

@@ -184,4 +184,49 @@ class PcaSpec extends SparkSpec {
     }
     assert(msgs(ex2).exists(_.contains("null element")))
   }
+
+  test("procrustes: recovers a known rotation+shift; orthogonal; deterministic") {
+    // deterministic 6-dim source vectors, target = (x - mx)*G + shift
+    // for a known Givens rotation G in the (0, 2) plane by 0.6 rad
+    val d = 6
+    val theta = 0.6
+    val g = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    g(0)(0) = math.cos(theta); g(2)(2) = math.cos(theta)
+    g(0)(2) = math.sin(theta); g(2)(0) = -math.sin(theta)
+    val shift = Array.tabulate(d)(j => j * 0.5 - 1.0)
+    val xs = (0 until 80).map { r =>
+      Array.tabulate(d)(j => math.sin(r * d + j) + (if (j == r % d) 2.0 else 0.0))
+    }
+    def rot(x: Array[Double]): Array[Double] =
+      Array.tabulate(d)(j => (0 until d).map(i => x(i) * g(i)(j)).sum + shift(j))
+    val pairs = xs.zipWithIndex.map { case (x, i) =>
+      (i.toLong, x.toSeq, rot(x).toSeq) }.toDF("id", "x", "y")
+    val m = Pca.fitProcrustes(pairs, "x", "y")
+    // orthogonality: R^T R = I
+    for (a <- 0 until d; b <- 0 until d) {
+      val dot = (0 until d).map(i => m.rotation(i)(a) * m.rotation(i)(b)).sum
+      assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-9, s"RtR($a,$b)")
+    }
+    // the map reproduces the target exactly (exact rotation, no noise).
+    // NOTE the recovered R need not equal G entry-wise off the data span;
+    // the MAP on the data is what is identified
+    val aligned = Pca.alignEmbeddings(pairs, "x", "id", m)
+      .join(pairs.select("id", "y"), "id")
+      .collect().map { r =>
+        val a = r.getSeq[Double](1); val y = r.getSeq[Double](2)
+        a.zip(y).map { case (u, v) => math.abs(u - v) }.max
+      }
+    assert(aligned.max < 1e-8, s"max residual ${aligned.max}")
+    // determinism: refit on a different partitioning gives the same R
+    val m2 = Pca.fitProcrustes(pairs.repartition(7), "x", "y")
+    for (i <- 0 until d; j <- 0 until d)
+      assert(math.abs(m.rotation(i)(j) - m2.rotation(i)(j)) < 1e-9)
+    // rank-deficient pairs refuse: all x confined to one direction
+    val flat = (0 until 20).map(i =>
+      (i.toLong, Seq(i.toDouble, 0.0), Seq(0.0, i.toDouble)))
+      .toDF("id", "x", "y")
+    val ex = intercept[IllegalArgumentException](
+      Pca.fitProcrustes(flat, "x", "y"))
+    assert(ex.getMessage.contains("rank-deficient"))
+  }
 }
