@@ -1243,6 +1243,26 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           col("user_id"), col("n"))
         .orderBy("window_start", "user_id")),
 
+    // window-to-window type-mix drift: JS divergence of each hour's
+    // event_type distribution vs the previous hour's — the ingestion
+    // drift alarm; oracle replays counts, the prev-window self-join,
+    // and the JS terms exactly (round 9 absorbs multiply-order ulps)
+    "q_drift" -> ((s, dir) =>
+      EventStream.typeDrift(T(s, dir, "events"), "event_type", "1 hour")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("n_events"), col("js_drift"))
+        .orderBy("window_start")),
+
+    // robust per-type outlier census on event values: median/MAD rule
+    // at k=2 with exact interpolated percentiles (the oracle-pinnable
+    // form; approx_percentile is the documented 100 TB default)
+    "q_mad_outliers" -> ((s, dir) =>
+      TextAnalysis.madOutliers(T(s, dir, "events"), "value", "event_type",
+          k = 2.0, exact = true)
+        .withColumnRenamed("grp", "event_type")
+        .orderBy("event_type")),
+
     // streaming exact dedup (ingest-pipeline analog of Dedup.exactKeepFirst);
     // the aggregate over the deduped frame is survivor-independent, so the
     // batch-parity oracle is deterministic
@@ -3595,6 +3615,48 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
       "q_stream_dedup" ->
         """SELECT event_type, CAST(count(*) AS BIGINT) AS n_unique_users
           |FROM (SELECT DISTINCT user_id, event_type FROM events)
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_drift" ->
+        """WITH c AS (
+          |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w,
+          |         event_type AS t, CAST(count(*) AS DOUBLE) AS c
+          |  FROM events GROUP BY 1, 2),
+          |tot AS (SELECT w, sum(c) AS n FROM c GROUP BY 1),
+          |p AS (SELECT c.w, c.t, c.c / tot.n AS p, tot.n AS n
+          |      FROM c JOIN tot USING (w)),
+          |cur AS (SELECT w AS k, t, p AS pc, n AS nc FROM p),
+          |prv AS (SELECT w + INTERVAL 1 HOUR AS k, t, p AS pp FROM p),
+          |ks AS (SELECT DISTINCT cur.k FROM cur
+          |       JOIN (SELECT DISTINCT k FROM prv) q ON q.k = cur.k),
+          |j AS (
+          |  SELECT coalesce(cur.k, prv.k) AS k,
+          |    coalesce(cur.pc, 0) AS pc, coalesce(prv.pp, 0) AS pp, cur.nc
+          |  FROM cur FULL JOIN prv ON cur.k = prv.k AND cur.t = prv.t)
+          |SELECT strftime(k, '%Y-%m-%d %H:%M:%S') AS window_start,
+          |  CAST(max(nc) AS BIGINT) AS n_events,
+          |  round(sum(
+          |    CASE WHEN pc > 0
+          |         THEN pc * ln(pc / ((pc + pp) / 2)) * 0.5 ELSE 0 END +
+          |    CASE WHEN pp > 0
+          |         THEN pp * ln(pp / ((pc + pp) / 2)) * 0.5 ELSE 0 END), 9)
+          |    AS js_drift
+          |FROM j JOIN ks USING (k)
+          |GROUP BY k ORDER BY 1""".stripMargin,
+
+      "q_mad_outliers" ->
+        """WITH x AS (
+          |  SELECT event_type AS grp, value AS x FROM events
+          |  WHERE value IS NOT NULL),
+          |med AS (SELECT grp, median(x) AS m FROM x GROUP BY 1),
+          |dev AS (SELECT x.grp, abs(x.x - med.m) AS dev, med.m AS m
+          |        FROM x JOIN med USING (grp)),
+          |mad AS (SELECT grp, median(dev) AS md FROM dev GROUP BY 1)
+          |SELECT dev.grp AS event_type, CAST(count(*) AS BIGINT) AS n,
+          |  round(max(dev.m), 9) AS median, round(max(mad.md), 9) AS mad,
+          |  CAST(sum(CASE WHEN dev.dev > 2.0 * 1.4826 * mad.md
+          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+          |FROM dev JOIN mad USING (grp)
           |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_stream_sliding" ->

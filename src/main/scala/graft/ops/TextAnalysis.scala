@@ -852,6 +852,45 @@ object TextAnalysis {
           col("n_tokens").cast("double"), 9).as("nll"))
   }
 
+  /** Robust per-group outlier census on a numeric column via the median
+    * / MAD rule: a value is an outlier when
+    * {{{ |x − median| > k · 1.4826 · MAD,  MAD = median(|x − median|) }}}
+    * (1.4826 = the normal-consistency constant) — the quality-signal
+    * cleaning step that survives the heavy tails mean/stddev z-scores
+    * drown in. Returns one row per group: (group, n, median, mad,
+    * n_outliers). A constant group (MAD 0) flags every value off the
+    * median, the textbook degeneracy — callers with discrete-valued
+    * signals should widen k or pre-bucket.
+    *
+    * Scale shape: two grouped percentile aggregates (medians, then MADs
+    * over the deviations) + one group-keyed join between them + one
+    * census reduce. `exact = true` uses exact interpolated percentiles
+    * (one group's values in one task — the oracle-pinnable form);
+    * default `false` rides `approx_percentile` for the 100 TB path
+    * (bounded sketch state, same shape) — the perplexityBuckets
+    * convention.
+    */
+  def madOutliers(df: DataFrame, valueCol: String, groupCol: String,
+                  k: Double = 3.0, exact: Boolean = false): DataFrame = {
+    require(k > 0, s"madOutliers: k must be > 0: $k")
+    def med(c: Column): Column =
+      if (exact) percentile(c, lit(0.5)) else approx_percentile(c, lit(0.5), lit(10000))
+    val x = df.select(col(groupCol).as("grp"),
+        col(valueCol).cast("double").as("__x"))
+      .filter(col("__x").isNotNull)
+    val medians = x.groupBy("grp").agg(med(col("__x")).as("__med"))
+    val withDev = x.join(medians, "grp")
+      .withColumn("__dev", abs(col("__x") - col("__med")))
+    val mads = withDev.groupBy("grp").agg(med(col("__dev")).as("__mad"))
+    withDev.join(mads, "grp")
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        round(max(col("__med")), 9).as("median"),
+        round(max(col("__mad")), 9).as("mad"),
+        sum(when(col("__dev") > lit(k * 1.4826) * col("__mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
   /** n-gram novelty: the fraction of each document's DISTINCT word
     * n-grams that appear in NO other document — the inverse boilerplate
     * signal (templated/syndicated text scores near 0, original prose

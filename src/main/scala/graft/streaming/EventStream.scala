@@ -61,6 +61,52 @@ object EventStream {
         col("n"), col("total"))
   }
 
+  /** Window-to-window distribution drift: the Jensen–Shannon divergence
+    * between each tumbling window's categorical `typeCol` distribution
+    * and the PREVIOUS window's — the data-drift alarm a streaming
+    * ingestion pipeline reports per completed window (a scraper breaks,
+    * a source floods: the type mix shifts and JS spikes). Natural-log
+    * JS in [0, ln 2]; a category absent from one side contributes only
+    * the other side's half-KL term (0·ln 0 = 0). Emits one row per
+    * window THAT HAS a predecessor: (window_start, n_events, js_drift).
+    * Batch diagnostic over completed windows — the window-vs-previous
+    * join is not a streaming-state shape, and completed-window reports
+    * are how drift alarms actually run.
+    *
+    * Scale shape: one windowed count aggregate, one window-total join,
+    * one (window, type)-keyed full-outer self-join keyed by the
+    * PREVIOUS window's end = this window's start (no interval
+    * arithmetic, no driver state), one per-window reduce.
+    */
+  def typeDrift(events: DataFrame, typeCol: String,
+                width: String = "1 hour"): DataFrame = {
+    val counts = events
+      .groupBy(window(col("ts"), width).as("w"), col(typeCol).as("t"))
+      .agg(count(lit(1)).as("c"))
+    val tot = counts.groupBy("w").agg(sum("c").as("n"))
+    val p = counts.join(tot, "w")
+      .select(col("w"), col("t"),
+        (col("c").cast("double") / col("n")).as("p"), col("n"))
+    val cur = p.select(col("w.start").as("k"), col("t"),
+      col("p").as("__pc"), col("n").as("__nc"))
+    val prv = p.select(col("w.end").as("k"), col("t"), col("p").as("__pp"))
+    // only windows with an immediate predecessor report drift
+    val ks = cur.select("k").distinct()
+      .join(prv.select("k").distinct(), "k")
+    val m = (coalesce(col("__pc"), lit(0.0)) +
+      coalesce(col("__pp"), lit(0.0))) / 2.0
+    val term =
+      when(col("__pc") > 0,
+        col("__pc") * log(col("__pc") / m) * 0.5).otherwise(0.0) +
+      when(col("__pp") > 0,
+        col("__pp") * log(col("__pp") / m) * 0.5).otherwise(0.0)
+    cur.join(prv, Seq("k", "t"), "full_outer")
+      .join(ks, "k")
+      .groupBy(col("k").as("window_start"))
+      .agg(max(col("__nc")).cast("long").as("n_events"),
+        round(sum(term), 9).as("js_drift"))
+  }
+
   /** Sliding-window per-user activity. */
   def sliding(events: DataFrame, width: String = "1 hour",
               slide: String = "30 minutes"): DataFrame =

@@ -29,6 +29,37 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got == BigDecimal(expect).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("madOutliers: hand medians/MAD, outlier census, constant-group degeneracy") {
+    import spark.implicits._
+    // group A: {1,2,3,4,100} — median 3, devs {2,1,0,1,97}, MAD 1;
+    // threshold k=3 -> 3*1.4826 = 4.4478: only 100 is out
+    val df = Seq(("A", Some(1.0)), ("A", Some(2.0)), ("A", Some(3.0)),
+      ("A", Some(4.0)), ("A", Some(100.0)), ("B", Some(5.0)),
+      ("B", Some(5.0)), ("B", Some(5.0)), ("C", Some(7.0)),
+      ("C", Option.empty[Double]))
+      .toDF("g", "v")
+    val got = TextAnalysis.madOutliers(df, "v", "g", k = 3.0, exact = true)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    assert(got("A") === ((5L, 3.0, 1.0, 1L)))
+    // constant group: MAD 0, nothing deviates, nothing flags
+    assert(got("B") === ((3L, 5.0, 0.0, 0L)))
+    // null values drop before the census
+    assert(got("C") === ((1L, 7.0, 0.0, 0L)))
+    // the documented degeneracy: MAD 0 with ANY off-median value flags it
+    val dg = TextAnalysis.madOutliers(
+      Seq(("D", 1.0), ("D", 1.0), ("D", 1.0), ("D", 9.0)).toDF("g", "v"),
+      "v", "g", k = 3.0, exact = true).head()
+    assert(dg.getDouble(3) === 0.0 && dg.getLong(4) === 1L)
+    // approx path returns the same shape on well-separated data
+    val ap = TextAnalysis.madOutliers(df, "v", "g", k = 3.0).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(ap("A") === 1L && ap("B") === 0L)
+    intercept[IllegalArgumentException](
+      TextAnalysis.madOutliers(df, "v", "g", k = 0.0))
+  }
+
   test("topTermsPerGroup ranks by count then token, capped at k") {
     val docs = Seq(
       ("s1", "x x x y y z w"), ("s2", "m n n")).toDF("source", "text")

@@ -33,6 +33,42 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("typeDrift: hand-computed JS between consecutive hours; gaps excluded") {
+    import spark.implicits._
+    // hour 0: {a: 2, b: 2}; hour 1: {a: 4}; hour 3: {b: 1} (gap at 2)
+    val rows = (0 until 2).map(i => (s"2024-01-01 00:0$i:00", "a")) ++
+      (0 until 2).map(i => (s"2024-01-01 00:1$i:00", "b")) ++
+      (0 until 4).map(i => (s"2024-01-01 01:0$i:00", "a")) ++
+      Seq(("2024-01-01 03:00:00", "b"))
+    val events = rows.toDF("tss", "event_type")
+      .select(col("tss").cast("timestamp").as("ts"), col("event_type"))
+    val got = EventStream.typeDrift(events, "event_type", "1 hour")
+      .collect().map(r => (r.getTimestamp(0).toString.take(13),
+        r.getLong(1), r.getDouble(2))).toList.sortBy(_._1)
+    // only hour 1 has an immediate predecessor (hour 3 follows a gap)
+    assert(got.map(_._1) === List("2024-01-01 01"))
+    assert(got.head._2 === 4L)
+    // JS({a:.5,b:.5} vs {a:1}): m_a=.75, m_b=.25
+    val expect = 0.5 * (0.5 * math.log(0.5 / 0.75) +
+      0.5 * math.log(0.5 / 0.25)) + 0.5 * (1.0 * math.log(1.0 / 0.75))
+    assert(math.abs(got.head._3 - expect) < 1e-9)
+    // identical mixes drift 0; disjoint mixes hit ln 2
+    val same = (0 until 3).flatMap(h => Seq(
+      (s"2024-01-01 0$h:00:00", "a"), (s"2024-01-01 0$h:30:00", "b")))
+      .toDF("tss", "event_type")
+      .select(col("tss").cast("timestamp").as("ts"), col("event_type"))
+    val sameJs = EventStream.typeDrift(same, "event_type", "1 hour")
+      .select("js_drift").as[Double].collect()
+    assert(sameJs.length === 2 && sameJs.forall(_ === 0.0))
+    val flip = Seq(("2024-01-01 00:00:00", "a"), ("2024-01-01 01:00:00", "b"))
+      .toDF("tss", "event_type")
+      .select(col("tss").cast("timestamp").as("ts"), col("event_type"))
+    val flipJs = EventStream.typeDrift(flip, "event_type", "1 hour")
+      .select("js_drift").as[Double].collect()
+    assert(flipJs.length === 1 &&
+      math.abs(flipJs.head - math.log(2)) < 1e-9)
+  }
+
   test("tumbling window streaming equals batch") {
     val dir = sf("sf0.001")
     val raw = EventStream.loadEvents(spark, dir)
