@@ -827,6 +827,22 @@ object ScalingProbe {
       graft.ops.Graph.clusteringCoefficients(edges, "src", "dst")
         .agg(sum("lcc")).collect(); 1L
     }
+    // events replication (r14): written even under `reuse` when a
+    // pre-r14 sfbig lacks it — the drift/MAD probes read it
+    if (!new java.io.File(s"$big/events.parquet").exists())
+      rep("events", Seq("event_id", "user_id"))
+    // the round's text/SFT/event additions probe through their queries
+    // (the query IS the operator for these)
+    time("mink_prob") { d =>
+      SparkEntry.queries("q_mink_prob")(spark, d).count() }
+    time("ngram_novelty") { d =>
+      SparkEntry.queries("q_ngram_novelty")(spark, d).count() }
+    time("fim") { d => SparkEntry.queries("q_fim")(spark, d).count() }
+    time("dpo_pairs") { d =>
+      SparkEntry.queries("q_dpo_pairs")(spark, d).count() }
+    time("drift") { d => SparkEntry.queries("q_drift")(spark, d).count() }
+    time("mad_outliers") { d =>
+      SparkEntry.queries("q_mad_outliers")(spark, d).count() }
     // betweenness with a FIXED 64-pivot sample (the Brandes–Pich scale
     // path): forward state is O(pivots·ball), so 8x data should cost
     // ~the per-level linear join, not 8x the pair state

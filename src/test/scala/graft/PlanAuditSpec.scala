@@ -643,6 +643,60 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("fim transform: pure scan-side column algebra — no exchange, no UDF") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val df = ops.Sft.fimTransform(docs, "text", "doc_id",
+      (col("doc_id") * 13 % 97).cast("double") / 97.0,
+      (col("doc_id") * 29 % 89).cast("double") / 89.0)
+    val p = plan(df)
+    assert(!p.contains("Exchange"), p)
+    assert(!df.queryExecution.analyzed.toString.contains("ScalaUDF"))
+  }
+
+  test("mmr re-rank: one exchange for the per-query collect, no window/cartesian") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val cand = ops.Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 4), emb,
+        "vec_id", "embedding", "vec_id", "embedding", k = 10)
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nv")), "neighbor_id")
+      .localCheckpoint()
+    val p = plan(ops.Similarity.mmrRerank(cand, "query_id", "neighbor_id",
+      "cosine", "nv", k = 3, lambda = 0.5))
+    // the greedy runs inside ONE query-keyed aggregate; the only other
+    // exchange is the output sort's range partitioning (formatted
+    // explain repeats each node in the detail section — count headers)
+    val exchanges = p.linesIterator
+      .count(l => l.trim.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges <= 2, p)
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("min-k% prob: no corpus window — aggregates and a vocab-keyed join only") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val p = plan(ops.TextAnalysis.minKProb(docs, "text", "doc_id"))
+    assert(!p.contains("Window"), p)      // the cut is scan-side slice math
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("dpo best-worst: one prompt-keyed aggregate, no window, no self-join") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val r = docs.select((col("doc_id") % 50).as("prompt"),
+      col("doc_id").as("rid"), col("text"),
+      (col("doc_id") * 37 % 97).cast("double").as("score"))
+    val p = plan(ops.Sft.preferencePairs(r, "prompt", "rid", "text", "score"))
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    assert(p.linesIterator
+      .count(l => l.trim.matches("""\(\d+\) Exchange.*""")) === 1, p)
+  }
+
+  test("mad outliers: grouped percentile aggregates, no corpus window") {
+    val events = graft.streaming.EventStream.loadEvents(spark, sf())
+    val p = plan(ops.TextAnalysis.madOutliers(events, "value", "event_type"))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+  }
+
   test("lpa: cached closed adjacency enters the vote join with NO re-exchange") {
     // lpaSetup partitions the adjacency on the join key n and caches it;
     // the per-iteration lpaStep must read that cache without re-shuffling
