@@ -827,9 +827,10 @@ object ScalingProbe {
       graft.ops.Graph.clusteringCoefficients(edges, "src", "dst")
         .agg(sum("lcc")).collect(); 1L
     }
-    // events replication (r14): written even under `reuse` when a
-    // pre-r14 sfbig lacks it — the drift/MAD probes read it
-    if (!new java.io.File(s"$big/events.parquet").exists())
+    // events replication (r14): a fresh run rewrites it like every other
+    // table (a mult change must not time stale-mult events); under
+    // `reuse` it is written only when a pre-r14 sfbig lacks it
+    if (!reuse || !new java.io.File(s"$big/events.parquet").exists())
       rep("events", Seq("event_id", "user_id"))
     // the round's text/SFT/event additions probe through their queries
     // (the query IS the operator for these)

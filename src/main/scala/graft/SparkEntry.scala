@@ -189,14 +189,15 @@ object SparkEntry {
          |      row_number() OVER (PARTITION BY z ORDER BY c DESC, nl) AS rn
          |    FROM c$i) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH nodes AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents),
-       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+    s"""WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
        |raw AS (
-       |  SELECT (node // 10) * 10 AS a, node AS b FROM nodes
+       |  SELECT (node // 10) * 10 AS a, node AS b FROM docs
        |  WHERE node % 10 <> 0
        |  UNION ALL
-       |  SELECT node AS a, node + 2 AS b FROM nodes
+       |  SELECT node AS a, node + 2 AS b FROM docs
        |  WHERE node % 10 = 9 AND node + 2 < (SELECT n FROM nn)),
+       |nodes AS (SELECT a AS node FROM raw UNION SELECT b FROM raw),
        |adj AS (
        |  SELECT a AS z, b AS n FROM raw
        |  UNION SELECT b, a FROM raw
@@ -1632,12 +1633,18 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
     // binary-quantization hamming distances: pairwise Hamming between
     // the mean-threshold sign-bit codes of the first 10 vectors, fitted
     // on the FULL corpus; oracle recomputes the same bit comparisons
-    // from the raw floats (no packing needed SQL-side) — exact integers
+    // from the raw floats (no packing needed SQL-side) — exact integers.
+    // The thresholds are ROUNDED to 9 decimals on both engines: the raw
+    // means are partition-order-dependent double sums, and a coordinate
+    // within an ulp of its dimension mean could otherwise flip a sign
+    // bit between engines (the r13 flake class)
     "q_embed_bq_hamming" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val codes = Similarity.bqEncode(
         emb.filter(col("vec_id") < 10), "embedding",
-        Similarity.fitBq(emb, "embedding"))
+        Similarity.fitBq(emb, "embedding").map(m =>
+          BigDecimal(m).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble))
       val a = codes.select(col("vec_id").as("id_a"), col("embedding").as("ca"))
       val b = codes.select(col("vec_id").as("id_b"), col("embedding").as("cb"))
       a.join(b, col("id_a") < col("id_b"))
@@ -4027,7 +4034,7 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |  SELECT vec_id, unnest(embedding::DOUBLE[]) AS v,
           |         unnest(range(len(embedding))) AS pos
           |  FROM embeddings),
-          |mu AS (SELECT pos, avg(v) AS mu FROM x GROUP BY pos),
+          |mu AS (SELECT pos, round(avg(v), 9) AS mu FROM x GROUP BY pos),
           |b AS (
           |  SELECT x.vec_id, x.pos, (x.v > mu.mu) AS bit
           |  FROM x JOIN mu USING (pos) WHERE x.vec_id < 10)

@@ -331,22 +331,28 @@ object Graph {
       .localCheckpoint()
   }
 
+  /** Per-node triangle counts over an already-normalized undirected
+    * simple edge set (caller persists `und`) — the shared core of
+    * [[triangleCounts]] and [[clusteringCoefficients]]. */
+  private def triangleCountsOf(und: DataFrame): DataFrame = {
+    val nodes = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node"))).distinct()
+    val tris = trianglesOf(und)
+    val perCorner = tris.select(col("p").as("node"))
+      .union(tris.select(col("q").as("node")))
+      .union(tris.select(col("r").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    nodes.join(perCorner, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
   def triangleCounts(edges: DataFrame, srcCol: String,
                      dstCol: String): DataFrame = {
     val und = undirected(edges, srcCol, dstCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      val nodes = und.select(col("u").as("node"))
-        .union(und.select(col("v").as("node"))).distinct()
-      val tris = trianglesOf(und)
-      val perCorner = tris.select(col("p").as("node"))
-        .union(tris.select(col("q").as("node")))
-        .union(tris.select(col("r").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("triangles"))
-      nodes.join(perCorner, Seq("node"), "left")
-        .select(col("node"),
-          coalesce(col("triangles"), lit(0L)).as("triangles"))
-    } finally und.unpersist(false)
+    try triangleCountsOf(und)
+    finally und.unpersist(false)
   }
 
   /** Per-edge triangle support of the UNDIRECTED simple edge set: each
@@ -393,8 +399,12 @@ object Graph {
     var (cnt, chk) = sig(e)
     var rounds = 0
     var stable = cnt == 0
+    // the stable round's support was computed over an edge set the
+    // filter then left UNCHANGED — reuse it for the output instead of
+    // paying the O(m^1.5) wedge pass once more after convergence
+    var lastSup: Option[DataFrame] = None
     while (!stable && rounds < maxRounds) {
-      val sup = edgeSupport(e)
+      val sup = edgeSupport(e).localCheckpoint()
       val next = e.join(sup, Seq("u", "v"), "left")
         .filter(coalesce(col("support"), lit(0L)) >= k - 2)
         .select("u", "v")
@@ -402,11 +412,12 @@ object Graph {
       val (c2, k2) = sig(next)
       stable = c2 == cnt && k2 == chk
       cnt = c2; chk = k2; e = next; rounds += 1
+      lastSup = Some(sup)
     }
     require(stable || cnt == 0,
       s"kTruss: peel did not stabilize within $maxRounds rounds " +
         "(pathological peel depth — raise maxRounds)")
-    e.join(edgeSupport(e), Seq("u", "v"), "left")
+    e.join(lastSup.getOrElse(edgeSupport(e)), Seq("u", "v"), "left")
       .select(col("u"), col("v"),
         coalesce(col("support"), lit(0L)).as("support"))
   }
@@ -686,17 +697,23 @@ object Graph {
     */
   def clusteringCoefficients(edges: DataFrame, srcCol: String,
                              dstCol: String): DataFrame = {
+    // ONE normalized+persisted edge set feeds both the degree aggregate
+    // and the triangle pass — no second data-sized distinct shuffle
     val und = undirected(edges, srcCol, dstCol)
-    val deg = und.select(col("u").as("node"))
-      .union(und.select(col("v").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("degree"))
-    triangleCounts(edges, srcCol, dstCol)
-      .join(deg, Seq("node"))
-      .select(col("node"), col("degree"), col("triangles"),
-        when(col("degree") >= 2,
-          lit(2.0) * col("triangles") /
-            (col("degree") * (col("degree") - lit(1))))
-          .otherwise(lit(0.0)).as("lcc"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val deg = und.select(col("u").as("node"))
+        .union(und.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+      triangleCountsOf(und)
+        .join(deg, Seq("node"))
+        .select(col("node"), col("degree"), col("triangles"),
+          when(col("degree") >= 2,
+            lit(2.0) * col("triangles") /
+              (col("degree") * (col("degree") - lit(1))))
+            .otherwise(lit(0.0)).as("lcc"))
+        .localCheckpoint()
+    } finally und.unpersist(false)
   }
 
   /** Global transitivity: 3 × triangles / wedges — equivalently

@@ -90,10 +90,16 @@ object Similarity {
     require(k >= 1 && refine >= 1, s"matryoshkaTopK: k=$k refine=$refine")
     val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))
     val c = corpus.select(col(cIdCol).as("neighbor_id"), col(cVecCol).as("cv"))
+    // nanvl: a vector whose first `dim` coordinates are ALL zero has an
+    // undefined truncated cosine (0/0 = NaN), and TopKAgg's total order
+    // would silently evict NaN from every shortlist — pin such
+    // candidates to the cosine floor instead, so they rank worst but
+    // stay eligible (the refine width, not NaN propagation, decides)
     val scored = truncateEmbeddings(c, "cv", dim)
       .crossJoin(broadcast(truncateEmbeddings(q, "qv", dim)))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", Dedup.cosine(col("qv"), col("cv")))
+      .withColumn("cosine",
+        nanvl(Dedup.cosine(col("qv"), col("cv")), lit(-1.0)))
     val cand = explodeTopK(scored, k * refine)
       .select("query_id", "neighbor_id")
     val rer = c.join(broadcast(cand), Seq("neighbor_id"))
@@ -127,10 +133,13 @@ object Similarity {
     require(k >= 1, s"mmrRerank: k=$k")
     require(lambda >= 0 && lambda <= 1, s"mmrRerank: lambda=$lambda")
     val greedy = udf { (items: Seq[Row]) =>
+      // a NaN relevance (e.g. an upstream zero-vector cosine) would make
+      // every comparison below false and leave best = -1 — drop such
+      // candidates instead of crashing the stage
       val cand = items.map { r =>
         (r.getLong(0), r.getDouble(1),
           Option(r.getSeq[Double](2)).map(_.toArray).orNull)
-      }.sortBy { case (id, s, _) => (-s, id) }.toArray
+      }.filterNot(_._2.isNaN).sortBy { case (id, s, _) => (-s, id) }.toArray
       def cos(a: Array[Double], b: Array[Double]): Double = {
         if (a == null || b == null) return 0d
         var dot = 0d; var na = 0d; var nb = 0d; var i = 0

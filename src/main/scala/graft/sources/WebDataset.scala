@@ -99,6 +99,17 @@ object WebDataset {
     require(members.map(_._2).distinct.size == members.size,
       s"webdataset: duplicate member extensions: ${members.map(_._2)}")
     val spark = df.sparkSession
+    // a duplicate (or null) key would silently write several same-stem
+    // members into one archive and corrupt same-stem sample grouping on
+    // read — refuse loudly, like the long-name and extension guards
+    val ks = df.select(col(keyCol).cast("string").as("k"))
+      .agg(count(lit(1)).as("n"), count(col("k")).as("nn"),
+        countDistinct(col("k")).as("nd")).head()
+    require(ks.getLong(1) == ks.getLong(0),
+      s"webdataset: ${ks.getLong(0) - ks.getLong(1)} null keys")
+    require(ks.getLong(2) == ks.getLong(0),
+      s"webdataset: duplicate keys (${ks.getLong(0)} rows, " +
+        s"${ks.getLong(2)} distinct)")
     val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
     val root = new Path(outDir)
     val rootFs = root.getFileSystem(conf.value)

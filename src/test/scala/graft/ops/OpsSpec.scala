@@ -392,6 +392,17 @@ class SimilaritySpec extends SparkSpec {
       emb.filter(col("id") < 5), emb, "id", "vec", "id", "vec",
       k = 4, dim = 4, refine = 13), exact)
     assert(full === 1.0, s"refine covering the corpus must be exact: $full")
+    // a zero-PREFIX corpus vector (NaN truncated cosine) stays eligible:
+    // it ranks at the floor, and a corpus-wide refine still re-ranks it
+    // exactly instead of NaN-evicting it from every shortlist
+    val zp = Seq((100L, Array(0f, 0f, 3f, 4f)),
+        (101L, Array(1f, 0f, 0f, 0f)), (102L, Array(0f, 1f, 0f, 0f)))
+      .toDF("id", "vec")
+    val got = Similarity.matryoshkaTopK(
+        zp.filter(col("id") === 100L), zp, "id", "vec", "id", "vec",
+        k = 2, dim = 2, refine = 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(got === Set(101L, 102L))
   }
 
   test("binary quantization: mean fit, bit packing, hamming identities") {
@@ -475,6 +486,14 @@ class SimilaritySpec extends SparkSpec {
         "cosine", "vec", k = 10, lambda = 0.3)
       .select("rank", "neighbor_id").as[(Int, Long)].collect().toSeq
     assert(all === Seq((1, 30L), (2, 31L)))
+    // a NaN relevance drops that candidate instead of crashing the greedy
+    val withNan = Seq((4L, 40L, 0.9, Array(1.0, 0.0)),
+      (4L, 41L, Double.NaN, Array(0.0, 1.0)))
+      .toDF("query_id", "neighbor_id", "cosine", "vec")
+    val nanOut = Similarity.mmrRerank(withNan, "query_id", "neighbor_id",
+        "cosine", "vec", k = 2, lambda = 0.5)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(nanOut === Seq(40L))
     intercept[IllegalArgumentException](Similarity.mmrRerank(
       cand, "query_id", "neighbor_id", "cosine", "vec", k = 1, lambda = 1.5))
   }

@@ -112,5 +112,14 @@ class WebDatasetSpec extends SparkSpec {
       docs, "doc_id", Seq(("text", "txt"), ("meta", "txt")), dir, 1))
     intercept[IllegalArgumentException](WebDataset.write(
       docs, "doc_id", Seq(("text", "txt")), dir, 0))
+    // duplicate keys would collide same-stem members — refuse
+    val dup = intercept[IllegalArgumentException](WebDataset.write(
+      docs.union(docs), "doc_id", Seq(("text", "txt")), dir, 1))
+    assert(dup.getMessage.contains("duplicate"))
+    // null keys likewise (they would all stem as the string "null")
+    val nk = intercept[IllegalArgumentException](WebDataset.write(
+      Seq((Option.empty[Long], "t"), (Some(1L), "u")).toDF("doc_id", "text"),
+      "doc_id", Seq(("text", "txt")), dir, 1))
+    assert(nk.getMessage.contains("null"))
   }
 }
