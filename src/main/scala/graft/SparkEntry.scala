@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.api.{ConvertApp, MSTable, MSWrite, ReadSpec}
 import graft.expr.{ComplexFns, Expressions, Taql}
-import graft.ops.{AsOfJoin, Bpe, Dedup, Fuzzy, Graph, Multimodal, Pca, Sampling, Sft, Similarity, Sketches, TextAnalysis, UnigramLm, WordPiece}
+import graft.ops.{AsOfJoin, Blocklist, Bpe, Dedup, Fuzzy, Graph, Multimodal, Pca, Sampling, Sft, Similarity, Sketches, TextAnalysis, UnigramLm, WordPiece}
 import graft.streaming.EventStream
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -2557,6 +2557,15 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
       TextAnalysis.unigramSurprisal(T(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
 
+    // Aho–Corasick blocklist census: one automaton pass per document
+    // counts every occurrence of every pattern (overlaps and nesting
+    // included — "able" hits inside every "table"); oracle brute-forces
+    // the same overlapping counts by checking every start position
+    "q_blocklist" -> ((s, dir) =>
+      Blocklist.blocklistMatches(T(s, dir, "documents"), "text", "doc_id",
+          Seq("table", "able", "scan", "a row", "part"))
+        .orderBy("doc_id")),
+
     // n-gram novelty: fraction of each doc's distinct 3-grams appearing
     // in NO other document — the inverse boilerplate signal; exact
     // docfreq replay in DuckDB
@@ -4907,6 +4916,26 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |  array_to_string(toks[start + 1:start + 32], ' ') AS chunk_text,
           |  CAST(least(32, len(toks) - start) AS INTEGER) AS n_tokens
           |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+
+      "q_blocklist" ->
+        """WITH pats AS (SELECT * FROM (VALUES
+          |    ('table'), ('able'), ('scan'), ('a row'), ('part')) p(p)),
+          |pos AS (
+          |  SELECT d.doc_id, p.p, CAST(count(*) AS BIGINT) AS c
+          |  FROM documents d, pats p,
+          |       unnest(range(1, length(d.text) + 2 - length(p.p))) t(i)
+          |  WHERE substr(d.text, i, length(p.p)) = p.p
+          |  GROUP BY 1, 2),
+          |agg AS (
+          |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_matches,
+          |    CAST(count(*) AS INT) AS n_patterns,
+          |    string_agg(p, ',' ORDER BY p) AS patterns_csv
+          |  FROM pos GROUP BY 1)
+          |SELECT d.doc_id, coalesce(a.n_matches, 0) AS n_matches,
+          |  coalesce(a.n_patterns, 0) AS n_patterns,
+          |  coalesce(a.patterns_csv, '') AS patterns_csv
+          |FROM documents d LEFT JOIN agg a USING (doc_id)
+          |ORDER BY doc_id""".stripMargin,
 
       "q_ngram_novelty" ->
         """WITH sh AS (

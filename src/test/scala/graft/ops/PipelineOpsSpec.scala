@@ -1247,6 +1247,52 @@ class RetrievalSpec extends SparkSpec {
     assert(out(1).getDouble(2) > out(0).getDouble(2))
   }
 
+  test("blocklist: the classic he/she/his/hers overlap case, counts, CSV") {
+    val docs = Seq(
+      (1L, "ushers"),          // she, he, hers — the textbook AC case
+      (2L, "aaa"),             // overlapping same-pattern matches
+      (3L, "clean text"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Blocklist.blocklistMatches(docs, "text", "doc_id",
+        Seq("he", "she", "his", "hers", "aa"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2), r.getString(3)))).toMap
+    assert(got(1L) === ((3L, 3, "he,hers,she")))
+    assert(got(2L) === ((2L, 1, "aa")))
+    assert(got(3L) === ((0L, 0, "")))
+    assert(got(4L) === ((0L, 0, "")))
+    // nested pattern fully inside another still counts independently
+    val nested = Blocklist.blocklistMatches(
+      Seq((1L, "xabcdx")).toDF("doc_id", "text"), "text", "doc_id",
+      Seq("abcd", "bc")).head()
+    assert(nested.getLong(1) === 2L && nested.getInt(2) === 2)
+    // guards: empty and duplicate patterns refuse
+    intercept[IllegalArgumentException](Blocklist.blocklistMatches(
+      docs, "text", "doc_id", Seq("a", "")))
+    intercept[IllegalArgumentException](Blocklist.blocklistMatches(
+      docs, "text", "doc_id", Seq("a", "a")))
+  }
+
+  test("blocklist: matches a brute-force position scan on random text") {
+    val rnd = new scala.util.Random(7)
+    val alpha = "abc"
+    val texts = (0L until 40L).map(i =>
+      (i, (0 until 60).map(_ => alpha(rnd.nextInt(3))).mkString))
+    val pats = Seq("ab", "ba", "aa", "abc", "cab")
+    def brute(t: String): (Long, Int) = {
+      val counts = pats.map(p =>
+        (0 to t.length - p.length).count(i => t.startsWith(p, i)))
+      (counts.map(_.toLong).sum, counts.count(_ > 0))
+    }
+    val got = Blocklist.blocklistMatches(
+        texts.toDF("doc_id", "text"), "text", "doc_id", pats)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2))))
+      .toMap
+    texts.foreach { case (i, t) =>
+      assert(got(i) === brute(t), s"doc $i: $t") }
+  }
+
   test("ngramNovelty: shared grams kill novelty; short and empty docs are 0") {
     val docs = Seq(
       (1L, "the quick brown fox"),       // 2 trigrams, both unique
