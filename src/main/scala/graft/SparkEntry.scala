@@ -1667,6 +1667,33 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           k = 5, refine = 48)
       }),
 
+    // topic dendrogram over the corpus's 8 k-means cells: derived
+    // checks pin the tree's invariants — k−1 merges, a root covering
+    // every cell, NONDECREASING merge distances (the single-linkage
+    // monotonicity theorem), min-member cluster naming, and distances
+    // inside the cosine range
+    "q_topic_tree" -> ((s, dir) => {
+      val t = pin(Similarity.topicDendrogram(T(s, dir, "embeddings"),
+        "embedding", nlist = 8))
+      val viol = t.as("a").join(t.as("b"),
+          col("a.step") === col("b.step") + 1)
+        .filter(col("a.dist") < col("b.dist"))
+        .agg(count(lit(1)).as("n_dec"))
+      val one = t.agg(count(lit(1)).as("n_merges"),
+          max("size").as("max_size"), min("dist").as("min_d"),
+          max("dist").as("max_d"),
+          sum(when(col("left") < col("right") && col("left") >= 0 &&
+            col("right") <= 7, 0).otherwise(1)).as("n_bad"))
+        .crossJoin(viol)
+      checkRows(one,
+        "k_minus_1_merges" -> (col("n_merges") === 7),
+        "root_covers_all_cells" -> (col("max_size") === 8),
+        "merge_dists_nondecreasing" -> (col("n_dec") === 0),
+        "names_are_min_member_cells" -> (col("n_bad") === 0),
+        "dists_in_cosine_range" -> (col("min_d") >= 0.0 &&
+          col("max_d") <= 2.0))
+    }),
+
     // Procrustes embedding-space alignment: the target space is the
     // source pushed through a KNOWN rotation+shift (so ground truth
     // exists); derived checks pin the recovered map — orthogonal R,
@@ -4034,6 +4061,11 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
       "q_embed_align" ->
         checksOracle("rotation_orthogonal", "residual_tiny",
           "beats_unaligned"),
+
+      "q_topic_tree" ->
+        checksOracle("k_minus_1_merges", "root_covers_all_cells",
+          "merge_dists_nondecreasing", "names_are_min_member_cells",
+          "dists_in_cosine_range"),
 
       // per-dim mean thresholds over the full corpus, then count the
       // dims where the two vectors' sign bits disagree — the packing is

@@ -188,6 +188,103 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Single-linkage agglomerative dendrogram over a BOUNDED vector
+    * frame (cluster centroids, never a corpus — `maxRows` refuses
+    * anything else): the topic-hierarchy view of a k-means curation
+    * pass. Cosine distance (1 − cos; zero vectors at distance 1 from
+    * everything); merges pick the globally closest pair with a total
+    * (dist, left, right) tie order, and clusters are NAMED by their
+    * smallest member id, so the whole tree is deterministic. Returns
+    * k−1 rows: (step 1.., left, right, dist round-9, size of the merged
+    * cluster). Single linkage makes the merge distances NONDECREASING —
+    * the gated query pins that invariant.
+    *
+    * Scale shape: driver-side Lance–Williams (min) updates, O(k²)
+    * memory and O(k³) time on k ≤ `maxRows` rows — the PCA/Jacobi
+    * bounded-driver-model convention; the corpus-sized work happened in
+    * the k-means pass that produced the centroids.
+    */
+  def dendrogram(df: DataFrame, idCol: String, vecCol: String,
+                 maxRows: Int = 512): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col(idCol).cast("long"),
+        col(vecCol).cast("array<double>")).na.drop()
+      .collect().map(r => (r.getLong(0), toDoubleArray(r.getSeq[Any](1))))
+    require(rows.length >= 2, s"dendrogram: need >= 2 vectors: ${rows.length}")
+    require(rows.length <= maxRows,
+      s"dendrogram: ${rows.length} rows exceed maxRows=$maxRows — this is " +
+        "a centroid-level tree, run k-means first")
+    require(rows.map(_._1).distinct.length == rows.length,
+      "dendrogram: duplicate ids")
+    val k = rows.length
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0d; var na = 0d; var nb = 0d; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0d else dot / math.sqrt(na * nb)
+    }
+    val d = Array.tabulate(k, k)((i, j) =>
+      if (i == j) 0d else 1.0 - cos(rows(i)._2, rows(j)._2))
+    val minId = rows.map(_._1)        // cluster name = smallest member id
+    val size = Array.fill(k)(1)
+    val alive = Array.fill(k)(true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Double, Int)]
+    var step = 1
+    while (step < k) {
+      var bi = -1; var bj = -1
+      var bd = Double.MaxValue; var bl = Long.MaxValue; var br = Long.MaxValue
+      var i = 0
+      while (i < k) {
+        if (alive(i)) {
+          var j = i + 1
+          while (j < k) {
+            if (alive(j)) {
+              val dd = d(i)(j)
+              val l = math.min(minId(i), minId(j))
+              val r = math.max(minId(i), minId(j))
+              if (dd < bd || (dd == bd && (l < bl || (l == bl && r < br)))) {
+                bd = dd; bi = i; bj = j; bl = l; br = r
+              }
+            }
+            j += 1
+          }
+        }
+        i += 1
+      }
+      // Lance–Williams single-linkage update into slot bi; bj retires
+      var t = 0
+      while (t < k) {
+        if (alive(t) && t != bi && t != bj) {
+          val m = math.min(d(bi)(t), d(bj)(t))
+          d(bi)(t) = m; d(t)(bi) = m
+        }
+        t += 1
+      }
+      alive(bj) = false
+      size(bi) = size(bi) + size(bj)
+      minId(bi) = math.min(minId(bi), minId(bj))
+      out += ((step, bl, br, BigDecimal(bd).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, size(bi)))
+      step += 1
+    }
+    out.toSeq.toDF("step", "left", "right", "dist", "size")
+  }
+
+  /** [[dendrogram]] over the IVF k-means centroids of a corpus — the
+    * end-to-end topic tree (cells named 0..nlist−1, the same cell ids
+    * [[ivfTopK]] and the curation pass use). */
+  def topicDendrogram(corpus: DataFrame, vecCol: String, nlist: Int,
+                      fitSampleRows: Long = 50000L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = fitCentroids(
+      corpus.select(col(vecCol).as("cv")), nlist, fitSampleRows)
+    dendrogram(cents.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }
+      .toSeq.toDF("cell", "centroid"), "cell", "centroid")
+  }
+
   /** Binary-quantization fit: the per-dimension MEAN threshold, from one
     * posexplode + d-row hash-aggregate (the same scale shape as
     * [[fitSq8]]). Mean-centering balances the bit distribution so

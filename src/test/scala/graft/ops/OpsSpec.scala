@@ -405,6 +405,39 @@ class SimilaritySpec extends SparkSpec {
     assert(got === Set(101L, 102L))
   }
 
+  test("dendrogram: hand-computed single-linkage merges, ties, guards") {
+    // angular 2-D points at 0, 5 and 90 degrees: (0,1) merge first,
+    // then single linkage pulls 2 in at min(d(0,2), d(1,2)) = 1-cos(85)
+    def ang(deg: Double) = Array(math.cos(math.toRadians(deg)),
+      math.sin(math.toRadians(deg)))
+    val pts = Seq((0L, ang(0).toSeq), (1L, ang(5).toSeq),
+      (2L, ang(90).toSeq)).toDF("id", "v")
+    val got = Similarity.dendrogram(pts, "id", "v")
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4)))
+    assert(got.length === 2)
+    assert((got(0)._2, got(0)._3, got(0)._5) === ((0L, 1L, 2)))
+    assert(math.abs(got(0)._4 - (1 - math.cos(math.toRadians(5)))) < 1e-9)
+    assert((got(1)._2, got(1)._3, got(1)._5) === ((0L, 2L, 3)))
+    assert(math.abs(got(1)._4 - (1 - math.cos(math.toRadians(85)))) < 1e-9)
+    // exact ties break on (left, right): identical vectors merge in
+    // min-id order and the cluster keeps its smallest member's name
+    val same = Seq(5L, 9L, 7L, 3L).map(i => (i, Seq(1.0, 0.0)))
+      .toDF("id", "v")
+    val ties = Similarity.dendrogram(same, "id", "v")
+      .orderBy("step").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(4)))
+    assert(ties.toSeq === Seq((3L, 5L, 2), (3L, 7L, 3), (3L, 9L, 4)))
+    // guards: corpus-sized input, duplicate ids, singleton
+    intercept[IllegalArgumentException](Similarity.dendrogram(
+      same, "id", "v", maxRows = 3))
+    intercept[IllegalArgumentException](Similarity.dendrogram(
+      Seq((1L, Seq(1.0)), (1L, Seq(2.0))).toDF("id", "v"), "id", "v"))
+    intercept[IllegalArgumentException](Similarity.dendrogram(
+      Seq((1L, Seq(1.0))).toDF("id", "v"), "id", "v"))
+  }
+
   test("binary quantization: mean fit, bit packing, hamming identities") {
     // fit = per-dimension mean
     val fitted = Similarity.fitBq(
