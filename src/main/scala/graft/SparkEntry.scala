@@ -1667,6 +1667,26 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           k = 5, refine = 48)
       }),
 
+    // ColBERT-style late-interaction scoring: per-token 8-dim sin
+    // embeddings (deterministic from the token text, so the oracle
+    // rebuilds them), maxsim = Σ_q max_d cos — 3 query docs × 20 corpus
+    // docs, exact at round(6)
+    "q_maxsim" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      def tokEmb = transform(
+        slice(TextAnalysis.nonEmptyTokens(col("text")), 1, 4),
+        t => transform(sequence(lit(0), lit(7)), j =>
+          sin(ascii(t) * 31 + length(t) * 7 + j)))
+      val q = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"), tokEmb.as("qe"))
+      val c = docs.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("did"), tokEmb.as("de"))
+      c.crossJoin(broadcast(q))
+        .select(col("qid"), col("did"),
+          round(Similarity.maxSim(col("qe"), col("de")), 6).as("maxsim"))
+        .orderBy("qid", "did")
+    }),
+
     // topic dendrogram over the corpus's 8 k-means cells: derived
     // checks pin the tree's invariants — k−1 merges, a root covering
     // every cell, NONDECREASING merge distances (the single-linkage
@@ -4066,6 +4086,29 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
         checksOracle("k_minus_1_merges", "root_covers_all_cells",
           "merge_dists_nondecreasing", "names_are_min_member_cells",
           "dists_in_cosine_range"),
+
+      "q_maxsim" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+          |      t -> len(t) > 0)[1:4] AS ts
+          |  FROM documents),
+          |emb AS (
+          |  SELECT doc_id,
+          |    list_transform(ts, t ->
+          |      list_transform(range(0, 8), j ->
+          |        sin(ascii(t) * 31 + length(t) * 7 + j))) AS e
+          |  FROM toks)
+          |SELECT q.doc_id AS qid, d.doc_id AS did,
+          |  round(coalesce(list_sum(list_transform(q.e, qe ->
+          |    coalesce(list_max(list_transform(d.e, de ->
+          |      list_dot_product(qe, de) /
+          |        (sqrt(list_dot_product(qe, qe)) *
+          |         sqrt(list_dot_product(de, de))))), 0.0))), 0.0), 6)
+          |    AS maxsim
+          |FROM emb q, emb d
+          |WHERE q.doc_id < 3 AND d.doc_id < 20
+          |ORDER BY 1, 2""".stripMargin,
 
       // per-dim mean thresholds over the full corpus, then count the
       // dims where the two vectors' sign bits disagree — the packing is

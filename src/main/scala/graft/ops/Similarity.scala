@@ -188,6 +188,25 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** ColBERT-style late-interaction score (Khattab & Zaharia 2020):
+    * {{{ maxsim(Q, D) = Σ_{q ∈ Q} max_{d ∈ D} cos(q, d) }}}
+    * over per-TOKEN embedding arrays — the retrieval scorer between
+    * single-vector cosine (too coarse) and a cross-encoder (too
+    * expensive): every query token finds its best-matching document
+    * token. Pure nested higher-order Column algebra — no UDF, no
+    * explode, no shuffle; rides whatever scan/join the caller builds
+    * (typically a broadcast of the tokenized queries, the
+    * [[bruteForceTopK]] shape). A zero token vector scores 0 against
+    * everything (nanvl), and an empty document token list scores 0.
+    */
+  def maxSim(queryToks: Column, docToks: Column): Column =
+    coalesce(
+      aggregate(queryToks, lit(0d), (acc, q) =>
+        acc + coalesce(
+          array_max(transform(docToks, d =>
+            nanvl(Dedup.cosine(q, d), lit(0.0)))), lit(0.0))),
+      lit(0.0))
+
   /** Single-linkage agglomerative dendrogram over a BOUNDED vector
     * frame (cluster centroids, never a corpus — `maxRows` refuses
     * anything else): the topic-hierarchy view of a k-means curation

@@ -405,6 +405,24 @@ class SimilaritySpec extends SparkSpec {
     assert(got === Set(101L, 102L))
   }
 
+  test("maxSim: per-token best matches sum; empty and zero vectors score 0") {
+    val df = Seq(
+      // q tokens: e1 and the 45-degree vector; doc tokens: e1, e2.
+      // maxsim = cos(e1,e1) + max(cos(45,e1), cos(45,e2)) = 1 + cos45
+      (1L, Seq(Seq(1.0, 0.0), Seq(1.0, 1.0)),
+        Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))),
+      // empty document token list scores 0, not null
+      (2L, Seq(Seq(1.0, 0.0)), Seq.empty[Seq[Double]]),
+      // a zero doc token contributes 0 (nanvl), the real token wins
+      (3L, Seq(Seq(1.0, 0.0)), Seq(Seq(0.0, 0.0), Seq(2.0, 0.0))))
+      .toDF("id", "q", "d")
+    val got = df.select(col("id"), Similarity.maxSim(col("q"), col("d")))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(got(1L) - (1.0 + math.sqrt(0.5))) < 1e-12)
+    assert(got(2L) === 0.0)
+    assert(got(3L) === 1.0)
+  }
+
   test("dendrogram: hand-computed single-linkage merges, ties, guards") {
     // angular 2-D points at 0, 5 and 90 degrees: (0,1) merge first,
     // then single linkage pulls 2 in at min(d(0,2), d(1,2)) = 1-cos(85)
