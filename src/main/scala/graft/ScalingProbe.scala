@@ -844,6 +844,10 @@ object ScalingProbe {
     time("drift") { d => SparkEntry.queries("q_drift")(spark, d).count() }
     time("mad_outliers") { d =>
       SparkEntry.queries("q_mad_outliers")(spark, d).count() }
+    // AC blocklist: one closure-automaton pass per doc (plan-audited
+    // 0 exchanges) — the slope should be the document scan's
+    time("blocklist") { d =>
+      SparkEntry.queries("q_blocklist")(spark, d).count() }
     // betweenness with a FIXED 64-pivot sample (the Brandes–Pich scale
     // path): forward state is O(pivots·ball), so 8x data should cost
     // ~the per-level linear join, not 8x the pair state

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
-import org.apache.spark.sql.functions.{col, encode}
+import org.apache.spark.sql.functions._
 
 /** Physical-plan audits: the properties that make operators survive a
   * 100× scale-up are asserted here, not just eyeballed — filter/projection
@@ -695,6 +695,31 @@ class PlanAuditSpec extends SparkSpec {
     val events = graft.streaming.EventStream.loadEvents(spark, sf())
     val p = plan(ops.TextAnalysis.madOutliers(events, "value", "event_type"))
     assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("maxsim: nested higher-order scoring — no explode, no extra shuffle") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    def tokEmb = transform(
+      slice(ops.TextAnalysis.nonEmptyTokens(col("text")), 1, 4),
+      t => transform(sequence(lit(0), lit(7)), j =>
+        sin(ascii(t) * 31 + length(t) * 7 + j)))
+    val q = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("qid"), tokEmb.as("qe"))
+    val c = docs.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("did"), tokEmb.as("de"))
+    val p = plan(c.crossJoin(broadcast(q))
+      .select(col("qid"), col("did"),
+        ops.Similarity.maxSim(col("qe"), col("de")).as("maxsim")))
+    assert(!p.contains("Generate"), p)   // token scores never explode
+    assert(!p.contains("SortMergeJoin") && p.contains("BroadcastExchange"), p)
+  }
+
+  test("blocklist: one closure-automaton scan — no join, no explode") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val p = plan(ops.Blocklist.blocklistMatches(docs, "text", "doc_id",
+      Seq("table", "scan")))
+    assert(!p.contains("Join") && !p.contains("Generate"), p)
+    assert(!p.contains("Exchange"), p)   // rides the scan outright
   }
 
   test("lpa: cached closed adjacency enters the vote join with NO re-exchange") {

@@ -202,6 +202,27 @@ class EventStreamSpec extends SparkSpec {
       assert(math.abs(est(t) / ex - 1) < 0.5, s"$t: est ${est(t)} vs $ex") }
   }
 
+  test("blocklist census runs inside a real stream (stateless automaton scan)") {
+    // the AC automaton rides the closure like the classifier weights —
+    // a stateless streaming projection, batch parity exact
+    val dir = sf("sf0.001")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val dDir = "/root/repo/target/test_stream_blocklist_docs"
+    docs.write.mode("overwrite").parquet(dDir)
+    val pats = Seq("table", "able", "scan")
+    def census(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Blocklist.blocklistMatches(df, "text", "doc_id", pats)
+    val stream = spark.readStream.schema(docs.schema).parquet(dDir)
+    EventStream.runToMemory(census(stream), "blocklist_out", mode = "append")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3))
+    val streamed = spark.table("blocklist_out").collect().map(key).sorted
+    val batch = census(docs).collect().map(key).sorted
+    assert(streamed.toSeq === batch.toSeq && streamed.nonEmpty)
+    assert(streamed.exists(_._2 > 0), "expected some blocklist hits")
+  }
+
   test("learned quality scoring runs inside a real stream (scoreColumn)") {
     val dir = sf("sf0.001")
     val raw = EventStream.loadEvents(spark, dir)
