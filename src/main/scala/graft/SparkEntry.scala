@@ -2631,6 +2631,21 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           (col("doc_id").cast("long") * 29 % 89).cast("double") / 89.0)
         .orderBy("doc_id")),
 
+    // distinct-2 diversity per source (Li 2016): the mode-collapse
+    // diagnostic for generated corpora; exact occurrence/distinct
+    // accounting replayed in DuckDB
+    "q_distinct_n" -> ((s, dir) =>
+      TextAnalysis.distinctN(T(s, dir, "documents"), "text", "source",
+          n = 2)
+        .withColumnRenamed("grp", "source")
+        .orderBy("source")),
+
+    // Zipf slope of the token frequency curve (OLS of ln count on ln
+    // rank, deterministic tie order) — the one-number corpus-health
+    // diagnostic; oracle recomputes the same regression in SQL
+    "q_zipf" -> ((s, dir) =>
+      TextAnalysis.zipfSlope(T(s, dir, "documents"), "text")),
+
     // Min-K% Prob membership/contamination score (Shi 2023, k=20%):
     // mean surprisal of each doc's lowest-probability tokens under the
     // corpus unigram LM; rank ties at the cut are EQUAL nll values, so
@@ -5056,6 +5071,46 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |  CAST(hi - lo AS INT) AS n_middle,
           |  CAST(length(t) - hi AS INT) AS n_suffix
           |FROM c ORDER BY doc_id""".stripMargin,
+
+      "q_distinct_n" ->
+        """WITH g AS (
+          |  SELECT source, array_to_string(toks[i:i+1], ' ') AS g
+          |  FROM (SELECT source,
+          |          list_filter(
+          |            string_split_regex(trim(lower(coalesce(text, ''))),
+          |                               '\s+'),
+          |            t -> len(t) > 0) AS toks
+          |        FROM documents),
+          |       unnest(range(1, len(toks))) t(i)),
+          |per AS (
+          |  SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
+          |    CAST(count(DISTINCT g) AS BIGINT) AS n_distinct
+          |  FROM g GROUP BY 1)
+          |SELECT d.source, coalesce(per.n_grams, 0) AS n_grams,
+          |  coalesce(per.n_distinct, 0) AS n_distinct,
+          |  round(coalesce(CASE WHEN per.n_grams > 0
+          |    THEN per.n_distinct / CAST(per.n_grams AS DOUBLE) END, 0.0), 9)
+          |    AS distinct_frac
+          |FROM (SELECT DISTINCT source FROM documents) d
+          |LEFT JOIN per USING (source)
+          |ORDER BY source""".stripMargin,
+
+      "q_zipf" ->
+        """WITH c AS (
+          |  SELECT token, CAST(count(*) AS BIGINT) AS c FROM (
+          |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+          |      AS token
+          |    FROM documents) WHERE len(token) > 0
+          |  GROUP BY 1 ORDER BY c DESC, token LIMIT 1000),
+          |r AS (
+          |  SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, token)
+          |            AS DOUBLE)) AS x,
+          |         ln(CAST(c AS DOUBLE)) AS y
+          |  FROM c)
+          |SELECT CAST(count(*) AS INT) AS n_ranks,
+          |  round((sum(x * y) - sum(x) * sum(y) / count(*)) /
+          |        (sum(x * x) - sum(x) * sum(x) / count(*)), 6) AS slope
+          |FROM r""".stripMargin,
 
       "q_mink_prob" ->
         """WITH occ AS (

@@ -852,6 +852,79 @@ object TextAnalysis {
           col("n_tokens").cast("double"), 9).as("nll"))
   }
 
+  /** distinct-n diversity (Li et al. 2016): per group, the fraction of
+    * n-gram OCCURRENCES that are distinct — the standard mode-collapse
+    * diagnostic for synthetic/generated corpora (repetitive generations
+    * crater distinct-2 long before humans notice). Returns (group,
+    * n_grams, n_distinct, distinct_frac); gram-less groups score 0.
+    *
+    * Scale shape: one explode into a (group, gram) hash-aggregate with
+    * map-side combine, one group reduce — no window, no join.
+    */
+  def distinctN(docs: DataFrame, textCol: String, groupCol: String,
+                n: Int = 2): DataFrame = {
+    require(n >= 1, s"distinctN: n must be >= 1: $n")
+    // wordShingles deduplicates per document — diversity needs EVERY
+    // occurrence, so the gram array here keeps duplicates
+    val toks = graft.ops.Dedup.gramTokens(col(textCol))
+    val gramArr = filter(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => when(i + n <= size(toks),
+          concat_ws(" ", slice(toks, i + 1, lit(n))))),
+      s => s.isNotNull)
+    val grams = docs.select(col(groupCol).as("grp"),
+        explode(gramArr).as("__g"))
+      .filter(length(col("__g")) > 0)
+    val per = grams.groupBy(col("grp"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy("grp")
+      .agg(sum("__c").as("n_grams"), count(lit(1)).as("n_distinct"))
+    docs.select(col(groupCol).as("grp")).distinct()
+      .join(per, Seq("grp"), "left")
+      .select(col("grp"), coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        round(when(col("n_grams") > 0,
+          col("n_distinct").cast("double") / col("n_grams"))
+          .otherwise(0.0), 9).as("distinct_frac"))
+  }
+
+  /** Zipf power-law slope of the token frequency distribution: OLS of
+    * ln(count) on ln(rank) over the top `maxRanks` tokens — natural
+    * text sits near −1 (Zipf 1949); templated or synthetic corpora bend
+    * flat or cliff, making the slope a one-number corpus-health
+    * diagnostic next to [[vocabCoverage]]. Ranks order by (count desc,
+    * token asc) — fully deterministic under ties. One row: (n_ranks,
+    * slope).
+    *
+    * Scale shape: one token hash-aggregate, one TakeOrdered of the top
+    * `maxRanks` (bounded driver state, the coverage-curve convention),
+    * then an O(maxRanks) driver OLS.
+    */
+  def zipfSlope(docs: DataFrame, textCol: String,
+                maxRanks: Int = 1000): DataFrame = {
+    require(maxRanks >= 2, s"zipfSlope: maxRanks must be >= 2: $maxRanks")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val top = docs.select(explode(tokens(col(textCol))).as("__t"))
+      .filter(length(col("__t")) > 0)
+      .groupBy("__t").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("__t"))
+      .limit(maxRanks)
+      .select("c").as[Long].collect()
+    require(top.length >= 2,
+      s"zipfSlope: need >= 2 distinct tokens: ${top.length}")
+    val xs = top.indices.map(i => math.log(i + 1.0))
+    val ys = top.map(c => math.log(c.toDouble))
+    val nn = top.length.toDouble
+    val sx = xs.sum; val sy = ys.sum
+    val sxx = xs.map(x => x * x).sum
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val slope = (sxy - sx * sy / nn) / (sxx - sx * sx / nn)
+    Seq((top.length, BigDecimal(slope).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("n_ranks", "slope")
+  }
+
   /** Robust per-group outlier census on a numeric column via the median
     * / MAD rule: a value is an outlier when
     * {{{ |x − median| > k · 1.4826 · MAD,  MAD = median(|x − median|) }}}

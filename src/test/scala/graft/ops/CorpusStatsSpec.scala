@@ -29,6 +29,37 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got == BigDecimal(expect).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("distinctN: occurrence-exact diversity; zipfSlope: exact -1 on a power law") {
+    import spark.implicits._
+    val docs = Seq(
+      ("A", "a b a b"),   // bigrams: "a b","b a","a b" -> 3 total, 2 distinct
+      ("B", "x y"),
+      ("C", "solo"))      // no bigrams
+      .toDF("source", "text")
+    val got = TextAnalysis.distinctN(docs, "text", "source", n = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("A") === ((3L, 2L, 0.666666667)))
+    assert(got("B") === ((1L, 1L, 1.0)))
+    assert(got("C") === ((0L, 0L, 0.0)))
+    intercept[IllegalArgumentException](
+      TextAnalysis.distinctN(docs, "text", "source", n = 0))
+    // counts 12, 6, 4 = 12/rank exactly -> ln c = ln 12 - ln rank, an
+    // exact line: the OLS slope must be exactly -1 at round(6)
+    val zipf = Seq(("t1 " * 12) + ("t2 " * 6) + ("t3 " * 4))
+      .toDF("text")
+    val z = TextAnalysis.zipfSlope(zipf, "text").head()
+    assert(z.getInt(0) === 3 && z.getDouble(1) === -1.0)
+    // rank ties break on token so the fit is deterministic
+    val tie = TextAnalysis.zipfSlope(
+      Seq("p p q q r").toDF("text"), "text").head()
+    assert(tie.getInt(0) === 3)
+    intercept[IllegalArgumentException](TextAnalysis.zipfSlope(
+      Seq("only").toDF("text"), "text"))
+    intercept[IllegalArgumentException](TextAnalysis.zipfSlope(
+      zipf, "text", maxRanks = 1))
+  }
+
   test("madOutliers: hand medians/MAD, outlier census, constant-group degeneracy") {
     import spark.implicits._
     // group A: {1,2,3,4,100} — median 3, devs {2,1,0,1,97}, MAD 1;
