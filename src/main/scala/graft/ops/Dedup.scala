@@ -50,16 +50,24 @@ object Dedup {
   private[graft] def gramTokens(text: Column): Column =
     filter(split(trim(lower(text)), "\\s+"), t => length(t) > 0)
 
-  /** Word n-gram shingles (distinct), lowercased. */
-  def wordShingles(text: Column, n: Int): Column = {
+  /** Every word n-gram OCCURRENCE in order (duplicates kept),
+    * lowercased — THE single gram-window definition; [[wordShingles]]
+    * is its distinct view and the diversity diagnostics
+    * ([[graft.ops.TextAnalysis.distinctN]]) count its raw form, so the
+    * dedup family and the diagnostics can never diverge on what a gram
+    * is. */
+  def wordShingleOccurrences(text: Column, n: Int): Column = {
     val toks = gramTokens(text)
-    array_distinct(
-      filter(
-        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-          i => when(i + n <= size(toks),
-            concat_ws(" ", slice(toks, i + 1, lit(n))))),
-        s => s.isNotNull))
+    filter(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => when(i + n <= size(toks),
+          concat_ws(" ", slice(toks, i + 1, lit(n))))),
+      s => s.isNotNull)
   }
+
+  /** Word n-gram shingles (distinct), lowercased. */
+  def wordShingles(text: Column, n: Int): Column =
+    array_distinct(wordShingleOccurrences(text, n))
 
   /** Character n-gram shingles (distinct). */
   def charShingles(text: Column, n: Int): Column =

@@ -351,7 +351,10 @@ object Graph {
                      dstCol: String): DataFrame = {
     val und = undirected(edges, srcCol, dstCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    try triangleCountsOf(und)
+    // materialize while the cache is alive: the result is n bounded
+    // rows, and a lazy return would recompute the undirected dedup
+    // after the unpersist (the clusteringCoefficients discipline)
+    try triangleCountsOf(und).localCheckpoint()
     finally und.unpersist(false)
   }
 

@@ -133,13 +133,15 @@ object Similarity {
     require(k >= 1, s"mmrRerank: k=$k")
     require(lambda >= 0 && lambda <= 1, s"mmrRerank: lambda=$lambda")
     val greedy = udf { (items: Seq[Row]) =>
-      // a NaN relevance (e.g. an upstream zero-vector cosine) would make
-      // every comparison below false and leave best = -1 — drop such
-      // candidates instead of crashing the stage
+      // a NaN relevance OR a NaN vector coordinate (either poisons the
+      // mmr score, making every comparison false and leaving best = -1)
+      // drops that candidate instead of crashing the stage
       val cand = items.map { r =>
         (r.getLong(0), r.getDouble(1),
           Option(r.getSeq[Double](2)).map(_.toArray).orNull)
-      }.filterNot(_._2.isNaN).sortBy { case (id, s, _) => (-s, id) }.toArray
+      }.filterNot { case (_, s, v) =>
+        s.isNaN || (v != null && v.exists(_.isNaN))
+      }.sortBy { case (id, s, _) => (-s, id) }.toArray
       def cos(a: Array[Double], b: Array[Double]): Double = {
         if (a == null || b == null) return 0d
         var dot = 0d; var na = 0d; var nb = 0d; var i = 0
@@ -170,9 +172,15 @@ object Similarity {
           }
           i += 1
         }
-        picked += best
-        out += ((rank, cand(best)._1, bestScore))
-        rank += 1
+        if (best < 0) {
+          // defensive: no pickable candidate (cannot happen after the
+          // NaN filter above, but a -1 index must never dereference)
+          rank = k + 1
+        } else {
+          picked += best
+          out += ((rank, cand(best)._1, bestScore))
+          rank += 1
+        }
       }
       out.toSeq
     }
@@ -236,6 +244,10 @@ object Similarity {
         "a centroid-level tree, run k-means first")
     require(rows.map(_._1).distinct.length == rows.length,
       "dendrogram: duplicate ids")
+    // a NaN coordinate would make every distance comparison false and
+    // the merge index -1 — refuse loudly like the other guards
+    rows.foreach { case (id, v) =>
+      require(!v.exists(_.isNaN), s"dendrogram: NaN coordinate in id $id") }
     val k = rows.length
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0d; var na = 0d; var nb = 0d; var i = 0

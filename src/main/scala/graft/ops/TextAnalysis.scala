@@ -865,15 +865,10 @@ object TextAnalysis {
                 n: Int = 2): DataFrame = {
     require(n >= 1, s"distinctN: n must be >= 1: $n")
     // wordShingles deduplicates per document — diversity needs EVERY
-    // occurrence, so the gram array here keeps duplicates
-    val toks = graft.ops.Dedup.gramTokens(col(textCol))
-    val gramArr = filter(
-      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => when(i + n <= size(toks),
-          concat_ws(" ", slice(toks, i + 1, lit(n))))),
-      s => s.isNotNull)
+    // occurrence, so this rides the shared raw-occurrence form
     val grams = docs.select(col(groupCol).as("grp"),
-        explode(gramArr).as("__g"))
+        explode(graft.ops.Dedup.wordShingleOccurrences(col(textCol), n))
+          .as("__g"))
       .filter(length(col("__g")) > 0)
     val per = grams.groupBy(col("grp"), col("__g"))
       .agg(count(lit(1)).as("__c"))

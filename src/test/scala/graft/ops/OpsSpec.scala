@@ -454,6 +454,10 @@ class SimilaritySpec extends SparkSpec {
       Seq((1L, Seq(1.0)), (1L, Seq(2.0))).toDF("id", "v"), "id", "v"))
     intercept[IllegalArgumentException](Similarity.dendrogram(
       Seq((1L, Seq(1.0))).toDF("id", "v"), "id", "v"))
+    // a NaN coordinate refuses loudly instead of emitting a -1 merge
+    intercept[IllegalArgumentException](Similarity.dendrogram(
+      Seq((1L, Seq(Double.NaN, 1.0)), (2L, Seq(1.0, 0.0)))
+        .toDF("id", "v"), "id", "v"))
   }
 
   test("binary quantization: mean fit, bit packing, hamming identities") {
@@ -545,6 +549,15 @@ class SimilaritySpec extends SparkSpec {
         "cosine", "vec", k = 2, lambda = 0.5)
       .select("neighbor_id").as[Long].collect().toSeq
     assert(nanOut === Seq(40L))
+    // a NaN VECTOR coordinate likewise drops the candidate (its
+    // redundancy term would poison every later round's score)
+    val nanVec = Seq((5L, 50L, 0.9, Array(1.0, 0.0)),
+      (5L, 51L, 0.8, Array(Double.NaN, 1.0)))
+      .toDF("query_id", "neighbor_id", "cosine", "vec")
+    val nv = Similarity.mmrRerank(nanVec, "query_id", "neighbor_id",
+        "cosine", "vec", k = 2, lambda = 0.5)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(nv === Seq(50L))
     intercept[IllegalArgumentException](Similarity.mmrRerank(
       cand, "query_id", "neighbor_id", "cosine", "vec", k = 1, lambda = 1.5))
   }
