@@ -2631,6 +2631,23 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           (col("doc_id").cast("long") * 29 % 89).cast("double") / 89.0)
         .orderBy("doc_id")),
 
+    // ROUGE-L against a PREFIX candidate (the first ceil(n/2) tokens of
+    // each doc): a prefix is a subsequence, so LCS = the prefix length
+    // EXACTLY and the oracle derives p = 1, r = k/n, f = 2k/(n+k) from
+    // token counts alone — general LCS cases are spec-pinned by hand
+    "q_rouge" -> ((s, dir) => {
+      val toks = TextAnalysis.nonEmptyTokens(col("text"))
+      val k = ceil(size(toks) / 2.0).cast("int")
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.rougeL(col("text"),
+            array_join(slice(toks, lit(1), k), " ")).as("rg"))
+        .select(col("doc_id"), round(col("rg._1"), 9).as("rouge_p"),
+          round(col("rg._2"), 9).as("rouge_r"),
+          round(col("rg._3"), 9).as("rouge_f"))
+        .orderBy("doc_id")
+    }),
+
     // distinct-2 diversity per source (Li 2016): the mode-collapse
     // diagnostic for generated corpora; exact occurrence/distinct
     // accounting replayed in DuckDB
@@ -5070,6 +5087,26 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |  CAST(lo AS INT) AS n_prefix,
           |  CAST(hi - lo AS INT) AS n_middle,
           |  CAST(length(t) - hi AS INT) AS n_suffix
+          |FROM c ORDER BY doc_id""".stripMargin,
+
+      // f replays the ENGINE's operation order (2·p·r/(p+r) with p = 1)
+      // rather than the algebraically-equal 2k/(n+k), so the doubles
+      // agree to the last ulp before the round
+      "q_rouge" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+          |        x -> len(x) > 0)) AS n
+          |  FROM documents),
+          |c AS (SELECT doc_id, n, CAST(ceil(n / 2.0) AS BIGINT) AS k FROM t)
+          |SELECT doc_id,
+          |  round(CASE WHEN k > 0 THEN 1.0 ELSE 0.0 END, 9) AS rouge_p,
+          |  round(CASE WHEN n > 0 THEN CAST(k AS DOUBLE) / n ELSE 0.0 END, 9)
+          |    AS rouge_r,
+          |  round(CASE WHEN n > 0 AND k > 0
+          |    THEN 2.0 * 1.0 * (CAST(k AS DOUBLE) / n)
+          |         / (1.0 + CAST(k AS DOUBLE) / n)
+          |    ELSE 0.0 END, 9) AS rouge_f
           |FROM c ORDER BY doc_id""".stripMargin,
 
       "q_distinct_n" ->

@@ -852,6 +852,48 @@ object TextAnalysis {
           col("n_tokens").cast("double"), 9).as("nll"))
   }
 
+  /** ROUGE-L (Lin 2004): longest-common-subsequence precision/recall/F1
+    * between a reference and a candidate text over whitespace tokens —
+    * the standard summarization/agreement metric, used in pipeline QA
+    * to score generated candidates against references (or truncations/
+    * rewrites against originals). Returns a struct(p, r, f) column,
+    * each in [0, 1], 0 for token-less sides; p = LCS/|cand|,
+    * r = LCS/|ref|, f = 2pr/(p+r).
+    *
+    * Scale shape: a per-row O(|ref|·|cand|) DP kernel (two texts of one
+    * row — the renderChat per-task bound); no join, no shuffle, rides
+    * whatever pairing the caller builds.
+    */
+  def rougeL(ref: Column, cand: Column): Column = {
+    val kernel = udf { (r: Seq[String], c: Seq[String]) =>
+      val (m, n) = (if (r == null) 0 else r.length,
+        if (c == null) 0 else c.length)
+      if (m == 0 || n == 0) (0.0, 0.0, 0.0)
+      else {
+        val prev = new Array[Int](n + 1)
+        val cur = new Array[Int](n + 1)
+        var i = 1
+        while (i <= m) {
+          var j = 1
+          while (j <= n) {
+            cur(j) =
+              if (r(i - 1) == c(j - 1)) prev(j - 1) + 1
+              else math.max(prev(j), cur(j - 1))
+            j += 1
+          }
+          System.arraycopy(cur, 0, prev, 0, n + 1)
+          i += 1
+        }
+        val lcs = prev(n).toDouble
+        val p = lcs / n
+        val rr = lcs / m
+        val f = if (p + rr == 0) 0.0 else 2 * p * rr / (p + rr)
+        (p, rr, f)
+      }
+    }
+    kernel(nonEmptyTokens(ref), nonEmptyTokens(cand))
+  }
+
   /** distinct-n diversity (Li et al. 2016): per group, the fraction of
     * n-gram OCCURRENCES that are distinct — the standard mode-collapse
     * diagnostic for synthetic/generated corpora (repetitive generations

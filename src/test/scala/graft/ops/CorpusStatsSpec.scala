@@ -29,6 +29,32 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got == BigDecimal(expect).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("rougeL: hand LCS with reordering, identity 1s, disjoint 0s, empties") {
+    import spark.implicits._
+    val df = Seq(
+      ("a b c d", "b x d"),    // LCS "b d" = 2: p=2/3, r=1/2, f=4/7
+      ("same text", "same text"),
+      ("alpha beta", "gamma delta"),
+      ("", "anything"),
+      ("REF case", "ref CASE")) // tokenizer lowercases: full match
+      .toDF("ref", "cand")
+    val got = df.select(TextAnalysis.rougeL(col("ref"), col("cand")).as("g"))
+      .select("g._1", "g._2", "g._3").as[(Double, Double, Double)]
+      .collect()
+    assert(math.abs(got(0)._1 - 2.0 / 3) < 1e-12)
+    assert(math.abs(got(0)._2 - 0.5) < 1e-12)
+    assert(math.abs(got(0)._3 - 4.0 / 7) < 1e-12)
+    assert(got(1) === ((1.0, 1.0, 1.0)))
+    assert(got(2) === ((0.0, 0.0, 0.0)))
+    assert(got(3) === ((0.0, 0.0, 0.0)))
+    assert(got(4) === ((1.0, 1.0, 1.0)))
+    // LCS respects ORDER: reversed tokens share only one subsequence
+    val rev = df.sparkSession.sql("SELECT 1").select(
+      TextAnalysis.rougeL(lit("a b c"), lit("c b a")).as("g"))
+      .select("g._2").as[Double].head()
+    assert(math.abs(rev - 1.0 / 3) < 1e-12)
+  }
+
   test("distinctN: occurrence-exact diversity; zipfSlope: exact -1 on a power law") {
     import spark.implicits._
     val docs = Seq(
