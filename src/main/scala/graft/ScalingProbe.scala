@@ -848,6 +848,10 @@ object ScalingProbe {
     // 0 exchanges) — the slope should be the document scan's
     time("blocklist") { d =>
       SparkEntry.queries("q_blocklist")(spark, d).count() }
+    time("rouge") { d => SparkEntry.queries("q_rouge")(spark, d).count() }
+    time("distinct_n") { d =>
+      SparkEntry.queries("q_distinct_n")(spark, d).count() }
+    time("zipf") { d => SparkEntry.queries("q_zipf")(spark, d).count() }
     // betweenness with a FIXED 64-pivot sample (the Brandes–Pich scale
     // path): forward state is O(pivots·ball), so 8x data should cost
     // ~the per-level linear join, not 8x the pair state
