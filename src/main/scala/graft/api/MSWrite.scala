@@ -220,21 +220,28 @@ object MSWrite {
     * parent pointer in its keyword sidecar
     * (ref: fragments/__init__.py:191-237).
     *
-    * The sidecar also records the fragment's ROW COUNT (read back from
-    * the written files — one footer-count job, no data pages): on an
-    * object store whose LIST lags its writes, a reader can discover the
-    * fragment through its sidecar (a GET) before the listing shows every
-    * parquet part-file, and would silently overlay a TRUNCATED delta.
+    * The sidecar also records the fragment's ROW COUNT, measured on the
+    * WRITE side (the delta is pinned with persist, so the count job
+    * reads the exact rows the write streamed — one cache pass, no
+    * recompute of a possibly nondeterministic delta): on an object store
+    * whose LIST lags its writes, a reader can discover the fragment
+    * through its sidecar (a GET) before the listing shows every parquet
+    * part-file, and would silently overlay a TRUNCATED delta.
     * [[readFragment]]`(verifyCounts = true)` turns that silent window
-    * into a loud refusal.
+    * into a loud refusal. Re-reading the count from the just-written
+    * directory would be circular — the writer's own listing can lag
+    * exactly like the reader's, baking a truncated count into the guard.
     */
   def writeFragment(delta: DataFrame, childPath: String, parentPath: String): Unit = {
     require(delta.columns.contains(RowId), s"fragment delta needs $RowId")
-    create(delta, childPath)
-    val written = delta.sparkSession.read.parquet(childPath).count()
-    putKeywords(delta.sparkSession, childPath,
-      readKeywords(delta.sparkSession, childPath) +
-        (ParentKey -> parentPath) + (RowsKey -> written.toString))
+    val pinned = delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      create(pinned, childPath)
+      val written = pinned.count()
+      putKeywords(delta.sparkSession, childPath,
+        readKeywords(delta.sparkSession, childPath) +
+          (ParentKey -> parentPath) + (RowsKey -> written.toString))
+    } finally pinned.unpersist(false)
   }
 
   /** Key-wise diff of two versions of a table — the review step of a

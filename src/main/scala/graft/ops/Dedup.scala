@@ -223,10 +223,12 @@ object Dedup {
     */
   def minHashDedup(docs: DataFrame, textCol: String, idCol: String,
                    threshold: Double, shingleWords: Int = 3,
-                   k: Int = 32, bands: Int = 0): DataFrame = {
-    // bands = 0 (the default) self-tunes from the threshold via the
-    // S-curve optimum — the caller states the semantic knob only
-    val b = if (bands > 0) bands else lshParams(threshold, k)._1
+                   k: Int = 32, bands: Option[Int] = None): DataFrame = {
+    // bands = None (the default) self-tunes from the threshold via the
+    // S-curve optimum — the caller states the semantic knob only. The
+    // opt-out is typed (Some(b)), not a 0 sentinel a caller could pass
+    // by accident.
+    val b = bands.getOrElse(lshParams(threshold, k)._1)
     val sh = shingleFrame(docs, textCol, idCol, Nil, shingleWords)
       .repartition(col(idCol))
     // candidates are pre-pruned by the size-ratio bound at the band join

@@ -863,9 +863,13 @@ object Graph {
     * SQL-oracle-checkable, and the final scores are identical to the
     * per-round-normalized fixpoint trajectory (normalization is a global
     * scalar; it commutes with the linear updates). Returns (node, hub,
-    * auth), each column summing to 1. `iters` is capped at 16 to keep
-    * the unnormalized iterates inside the exact-integer double range
-    * (growth is ~(co-citation degree)^iters).
+    * auth), each column summing to 1. Exactness is DEGREE-DEPENDENT:
+    * growth is ~(co-citation degree)^(2·iters), so the `iters` <= 16 cap
+    * alone does not keep dense graphs inside the exact-integer double
+    * range — the final aggregate therefore CHECKS the max unnormalized
+    * iterate against 2^53 (sound because per-node iterates are
+    * nondecreasing) and refuses loudly on overflow instead of silently
+    * returning drifted, non-reproducible scores.
     *
     * Scale shape: the edge list is cached TWICE — once partitioned on
     * src (the auth update joins hubs there) and once on dst (the hub
@@ -1009,10 +1013,24 @@ object Graph {
       }
       // the one normalization: two exact-integer sums, then scan-side
       // division (a zero sum means the side has no edges at all — every
-      // score is 0 and stays 0)
+      // score is 0 and stays 0). The same job audits the exactness
+      // claim: per-node iterates are NONDECREASING (each value is a sum
+      // of nonnegative previous-half-step values that include its own
+      // predecessor's contribution), so the final max bounds every
+      // intermediate — a max past 2^53 means some iterate left the
+      // exact-integer double range and the bit-reproducibility / oracle
+      // contract is void; refuse loudly instead of returning drifted
+      // scores.
       val sums = state.agg(coalesce(sum("hub"), lit(0.0)),
-        coalesce(sum("auth"), lit(0.0))).head()
+        coalesce(sum("auth"), lit(0.0)),
+        coalesce(greatest(max("hub"), max("auth")), lit(0.0))).head()
       val (hs, as) = (sums.getDouble(0), sums.getDouble(1))
+      val exactMax = 9007199254740992.0 // 2^53
+      require(sums.getDouble(2) <= exactMax,
+        s"hits: unnormalized iterate ${sums.getDouble(2)} exceeds 2^53 — " +
+          s"growth is ~(co-citation degree)^(2·iters), so on this graph " +
+          s"$iters iterations leave the exact-integer double range; " +
+          "re-run with fewer iters")
       state.select(col("node"),
         (if (hs > 0) col("hub") / hs else lit(0.0)).as("hub"),
         (if (as > 0) col("auth") / as else lit(0.0)).as("auth"))

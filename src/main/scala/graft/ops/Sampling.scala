@@ -202,6 +202,7 @@ object Sampling {
         col(orderCol).cast("long").as("__ord"),
         tokenCount.cast("int").as("__nt"))
       .as[(String, Long, Int)]
+    requireUniqueFfdOrder(base.toDF(), "packSequencesFFD")
     base.groupByKey(_._1)
       .flatMapSortedGroups($"__nt".desc, $"__ord") { (grp, it) =>
         val bins = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
@@ -214,6 +215,23 @@ object Sampling {
         }
       }
       .toDF(groupCol, orderCol, "n_tokens", "pack_id", "pack_cum")
+  }
+
+  /** FFD determinism guard, shared by [[packSequencesFFD]] and
+    * [[assemblePackedIdsFFD]]: both walk (token count desc, orderCol),
+    * so a duplicate (group, order) row would leave the tie order — and
+    * with it the documented "pack ids and memberships identical by
+    * construction" parity between the two — to shuffle arrival. Refuse
+    * loudly instead (the WebDataset duplicate-key convention). One
+    * two-column aggregate; `struct` keeps null keys countable.
+    */
+  private def requireUniqueFfdOrder(base: DataFrame, what: String): Unit = {
+    val r = base.agg(count(lit(1)),
+      countDistinct(struct(col("__grp"), col("__ord")))).head()
+    require(r.getLong(1) == r.getLong(0),
+      s"$what: ${r.getLong(0) - r.getLong(1)} duplicate (group, order) " +
+        "row(s) — FFD needs a unique order key per group so placement " +
+        "and assembly stay deterministic and identical")
   }
 
   /** The ONE first-fit-decreasing placement rule, shared by
@@ -255,7 +273,8 @@ object Sampling {
     * (descending token count, ties by `orderCol` — the FFD walk), each
     * document terminated by `sepId`; null id arrays raise. Pack ids and
     * memberships are identical to [[packSequencesFFD]] by construction
-    * (the shared [[ffdStep]] rule).
+    * (the shared [[ffdStep]] rule AND the shared sort keys — duplicate
+    * (group, order) rows are refused by [[requireUniqueFfdOrder]]).
     *
     * Scale shape: the ids ride the same group-keyed desc-sorted
     * traversal that assigns the packs, so they cross the wire once and
@@ -281,8 +300,12 @@ object Sampling {
         tokenCount.cast("int").as("__nt"),
         col(idsCol).cast("array<int>").as("__ids"))
       .as[(String, Long, Int, Seq[Int])]
+    // SAME sort keys as packSequencesFFD — adding __ids here would let a
+    // duplicate-order tie walk in a different order than the placement
+    // pass; uniqueness is guaranteed by the shared guard instead
+    requireUniqueFfdOrder(base.toDF(), "assemblePackedIdsFFD")
     base.groupByKey(_._1)
-      .flatMapSortedGroups($"__nt".desc, $"__ord", $"__ids") { (grp, it) =>
+      .flatMapSortedGroups($"__nt".desc, $"__ord") { (grp, it) =>
         val bins = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
         val bufs = scala.collection.mutable.HashMap
           .empty[Int, (scala.collection.mutable.ArrayBuffer[Int],

@@ -80,7 +80,10 @@ object Sft {
     * suffix. The split points come from CALLER-SUPPLIED fraction
     * columns in [0, 1] (cut k = floor(p·len) code points) — determinism
     * and oracle replay live with the caller (id arithmetic, a hash, or
-    * literal fractions for an every-doc transform); the two fractions
+    * literal fractions for an every-doc transform); a null or
+    * out-of-range fraction RAISES (scan-side `raise_error`) rather than
+    * silently emitting clipped/empty parts that would break the pinned
+    * round-trip; the two fractions
     * are ordered internally, so argument order never matters. The
     * concatenation of the three parts is always EXACTLY the original
     * text (round-trip property, spec-pinned). Returns (id, fim_text,
@@ -92,8 +95,17 @@ object Sft {
                    spm: Boolean = false): DataFrame = {
     val txt = coalesce(col(textCol).cast("string"), lit(""))
     val n = length(txt)
-    val lo = floor(least(p1, p2) * n).cast("int")
-    val hi = floor(greatest(p1, p2) * n).cast("int")
+    // refuse-loudly contract check: a null / NaN / out-of-range fraction
+    // would otherwise clip silently into empty parts
+    def checked(p: Column): Column = {
+      val d = p.cast("double")
+      when(d.isNull || d.isNaN || d < 0 || d > 1,
+        raise_error(concat(lit("fimTransform: fraction out of [0, 1]: "),
+          coalesce(d.cast("string"), lit("null"))))).otherwise(d)
+    }
+    val (c1, c2) = (checked(p1), checked(p2))
+    val lo = floor(least(c1, c2) * n).cast("int")
+    val hi = floor(greatest(c1, c2) * n).cast("int")
     docs.select(col(idCol), txt.as("__t"), lo.as("__lo"), hi.as("__hi"))
       .select(col(idCol),
         col("__t").substr(lit(1), col("__lo")).as("__p"),

@@ -22,10 +22,21 @@ import org.apache.spark.util.SerializableConfiguration
   * sort, then each task streams its shard(s) through a tar encoder —
   * the TokenBin write discipline (contiguous runs, O(members-per-
   * sample) task state, accumulator-collected per-shard stats as
-  * O(shards) driver state). Reads go through Spark's `binaryFile`
-  * source: ONE whole-file read per shard — sound because a WebDataset
+  * O(shards) driver state). Reads plan ONE task per manifest entry,
+  * each streaming its whole archive — sound because a WebDataset
   * shard is SIZED to be a sequential-read unit by the format's own
   * contract (typically 0.1–1 GB; pick `shards` accordingly).
+  *
+  * Durability: [[write]] bypasses Spark's committer (raw `fs.create`
+  * streams), so its commit marker is `manifest.json` — per-shard md5 /
+  * sample / member counts, written as the atomic LAST step (and deleted
+  * as the FIRST step of a re-run, so no crash window ever pairs a live
+  * manifest with partial shards). [[read]] takes its shard INVENTORY
+  * from the manifest, not a directory glob: a crashed write (shards
+  * present, manifest missing) REFUSES loudly instead of parsing a
+  * partial shard set into a training run, and on a LIST-lagged object
+  * store a committed shard still unlisted is read anyway by exact-path
+  * GET — the TokenBin discipline (`TokenBin.committedDirs`).
   */
 object WebDataset {
 
@@ -114,8 +125,12 @@ object WebDataset {
     val root = new Path(outDir)
     val rootFs = root.getFileSystem(conf.value)
     rootFs.mkdirs(root)
-    // overwrite semantics: a re-run with fewer shards must not leave
-    // stale higher-numbered archives for the reader to union in
+    // overwrite semantics, manifest FIRST: once the old commit marker is
+    // gone the directory is "uncommitted" and every crash window below
+    // (mid-delete, mid-stream) leaves a state read() refuses — never an
+    // old manifest describing new or partial shards. Then clear stale
+    // archives so a re-run with fewer shards leaves nothing to union in.
+    rootFs.delete(new Path(root, "manifest.json"), false)
     Option(rootFs.globStatus(new Path(root, "shard-*.tar")))
       .getOrElse(Array()).foreach(st => rootFs.delete(st.getPath, false))
     val memberCols = members.map { case (c, ext) =>
@@ -134,21 +149,34 @@ object WebDataset {
       .sortWithinPartitions("shard", "key")
     val sampleAcc = spark.sparkContext.longAccumulator("webdataset.samples")
     val memberAcc = spark.sparkContext.longAccumulator("webdataset.members")
+    // per-shard (md5, samples, members), the md5 computed ON the write
+    // stream — O(shards) driver state for the manifest commit marker
+    val shardAcc = spark.sparkContext
+      .collectionAccumulator[(Int, String, Long, Long)]("webdataset.shards")
     rows.foreachPartition { (it: Iterator[Row]) =>
       val cfs = new Path(outDir).getFileSystem(conf.value)
       var cur = -1
       var out: DataOutputStream = null
+      var dig: java.security.MessageDigest = null
+      var nSamples = 0L
+      var nMembers = 0L
       def closeShard(): Unit = if (cur >= 0) {
         out.write(new Array[Byte](2 * BlockSize)) // ustar end marker
-        out.close(); out = null; cur = -1
+        out.close()
+        shardAcc.add((cur, dig.digest().map("%02x".format(_)).mkString,
+          nSamples, nMembers))
+        out = null; dig = null; cur = -1; nSamples = 0L; nMembers = 0L
       }
       it.foreach { r =>
         val s = r.getInt(0)
         if (s != cur) {
           closeShard()
           cur = s
+          dig = java.security.MessageDigest.getInstance("MD5")
           out = new DataOutputStream(new BufferedOutputStream(
-            cfs.create(new Path(outDir, f"shard-$s%05d.tar"), true), 1 << 16))
+            new java.security.DigestOutputStream(
+              cfs.create(new Path(outDir, f"shard-$s%05d.tar"), true), dig),
+            1 << 16))
         }
         val key = r.getString(1)
         var wrote = false
@@ -157,14 +185,95 @@ object WebDataset {
           if (data != null) {
             writeMember(out, s"$key.${m.getString(0)}", data)
             memberAcc.add(1L)
+            nMembers += 1L
             wrote = true
           }
         }
-        if (wrote) sampleAcc.add(1L)
+        if (wrote) { sampleAcc.add(1L); nSamples += 1L }
       }
       closeShard()
     }
+    // the commit marker, written LAST: a directory without it is a
+    // crashed write and read()/verifyShards refuse it
+    import scala.jdk.CollectionConverters._
+    val shardList = shardAcc.value.asScala.sortBy(_._1)
+      .map { case (s, m, ns, nm) =>
+        s"""{"shard": $s, "md5": "$m", "samples": $ns, "members": $nm}""" }
+      .mkString("[", ", ", "]")
+    val manifest = s"""{"shards": $shards, """ +
+      s""""total_samples": ${sampleAcc.value}, """ +
+      s""""total_members": ${memberAcc.value}, "shard_list": $shardList}"""
+    val mOut = rootFs.create(new Path(root, "manifest.json"), true)
+    try mOut.write(manifest.getBytes(StandardCharsets.UTF_8)) finally mOut.close()
     (sampleAcc.value, memberAcc.value)
+  }
+
+  /** One parsed per-shard manifest entry. */
+  final case class ShardInfo(shard: Int, md5: String, samples: Long,
+                             members: Long)
+
+  private val ShardEntryRe =
+    ("\\{\"shard\": (\\d+), \"md5\": \"([0-9a-f]{32})\", " +
+      "\"samples\": (\\d+), \"members\": (\\d+)\\}").r
+
+  /** Commit-marker audit + shard inventory: parse `manifest.json` (tiny
+    * fixed-shape writer-controlled format — a regex parse keeps the
+    * reader dependency-free, the TokenBin convention). A directory
+    * holding shard archives WITHOUT a manifest is a crashed [[write]]
+    * and is refused loudly — re-running the write (or deleting the
+    * partial shards) is the only safe continuation.
+    */
+  private[sources] def readShardInfos(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): Seq[ShardInfo] = {
+    val root = new Path(dir)
+    val manifestP = new Path(root, "manifest.json")
+    if (!fs.exists(manifestP)) {
+      val tars =
+        Option(fs.globStatus(new Path(root, "shard-*.tar"))).getOrElse(Array())
+      require(tars.isEmpty,
+        s"webdataset: ${tars.length} shard file(s) at $dir have no " +
+          "manifest.json — the write crashed before its manifest commit; " +
+          "re-run the write or remove the partial shards")
+      throw new IllegalArgumentException(
+        s"webdataset: no manifest.json at $dir")
+    }
+    val in = fs.open(manifestP)
+    val txt = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      finally in.close()
+    ShardEntryRe.findAllMatchIn(txt).map(m => ShardInfo(m.group(1).toInt,
+      m.group(2), m.group(3).toLong, m.group(4).toLong)).toSeq
+  }
+
+  /** Distributed integrity check: re-hash every shard archive and compare
+    * with the manifest md5 recorded at write time — one task per shard,
+    * driver state O(shards). Returns (shard, ok, expected, actual); a
+    * missing/corrupt/truncated archive shows up as ok = false.
+    */
+  def verifyShards(spark: SparkSession, dir: String): DataFrame = {
+    val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
+    val fs = new Path(dir).getFileSystem(conf.value)
+    val expected: Seq[(Int, String)] =
+      readShardInfos(fs, dir).map(i => (i.shard, i.md5))
+    val spark2 = spark
+    import spark2.implicits._
+    spark.createDataset(expected).repartition(expected.size.max(1))
+      .map { case (shard, want) =>
+        val p = new Path(dir, f"shard-$shard%05d.tar")
+        val pfs = p.getFileSystem(conf.value)
+        val got =
+          try {
+            val dg = java.security.MessageDigest.getInstance("MD5")
+            val in = pfs.open(p)
+            try {
+              val buf = new Array[Byte](1 << 16)
+              var n = in.read(buf)
+              while (n >= 0) { dg.update(buf, 0, n); n = in.read(buf) }
+            } finally in.close()
+            dg.digest().map("%02x".format(_)).mkString
+          } catch { case _: java.io.IOException => "<unreadable>" }
+        (shard, got == want, want, got)
+      }
+      .toDF("shard", "ok", "expected", "actual")
   }
 
   /** Parse one ustar archive into (name, bytes) members. Shared by
@@ -194,21 +303,40 @@ object WebDataset {
   }
 
   /** Read a WebDataset shard directory back as one row per member:
-    * (shard, key, ext, content). Whole-shard reads via `binaryFile` —
-    * the format's own sequential-read contract (see the object doc). */
+    * (shard, key, ext, content). One task per shard, each streaming its
+    * whole archive sequentially — sound because a WebDataset shard is
+    * SIZED to be a sequential-read unit by the format's own contract.
+    *
+    * The shard inventory comes from `manifest.json`, not a listing: a
+    * crashed write refuses loudly ([[readShardInfos]]), a stale archive
+    * a dying re-run left behind is never unioned in (it is not in the
+    * manifest), and on a LIST-lagged store every committed shard is read
+    * by exact-path GET even before the listing surfaces it (Spark's
+    * `binaryFile` source would not give that — its FileIndex LISTS even
+    * explicitly-named files, so the manifest entries plan the tasks
+    * directly, the TokenBin reader discipline). Each parsed archive's
+    * member count is checked against the count its writer recorded — a
+    * truncation that still parses (cut at a block boundary) refuses
+    * instead of silently dropping trailing samples.
+    */
   def read(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // pathGlobFilter instead of a glob-in-path: DataSource.resolveRelation
-    // stat()s a literal path first and logs a spurious FileNotFound for
-    // the glob form before falling back
-    spark.read.format("binaryFile").option("pathGlobFilter", "shard-*.tar")
-      .load(dir)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
-        val shard = path.split("/").last
-          .stripPrefix("shard-").stripSuffix(".tar").toInt
-        parseTar(bytes).map { case (name, data) =>
+    val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
+    val fs = new Path(dir).getFileSystem(conf.value)
+    val entries: Seq[(Int, Long)] =
+      readShardInfos(fs, dir).map(i => (i.shard, i.members))
+    spark.createDataset(entries).repartition(entries.size.max(1))
+      .flatMap { case (shard, expectedMembers) =>
+        val p = new Path(dir, f"shard-$shard%05d.tar")
+        val pfs = p.getFileSystem(conf.value)
+        val in = pfs.open(p)
+        val bytes = try in.readAllBytes() finally in.close()
+        val members = parseTar(bytes)
+        require(members.length.toLong == expectedMembers,
+          s"webdataset: shard $shard parsed ${members.length} members " +
+            s"but the manifest recorded $expectedMembers — truncated " +
+            "or corrupt archive; run verifyShards and re-write")
+        members.map { case (name, data) =>
           val dot = name.lastIndexOf('.')
           (shard, name.substring(0, dot), name.substring(dot + 1), data)
         }

@@ -402,6 +402,96 @@ class SafetySpec extends SparkSpec {
     } finally graft.ListLagFs.hidden = Nil
   }
 
+  test("webdataset: shard files without their manifest commit are refused, not read") {
+    // WebDataset.write bypasses Spark's committer exactly like TokenBin,
+    // so its commit marker is manifest.json written LAST. The crash
+    // window "shards on disk, manifest missing" must refuse loudly —
+    // a dataloader pointed at a partial shard directory would otherwise
+    // silently lose training samples.
+    import graft.sources.WebDataset
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val out = "/root/repo/target/test_webdataset_crash"
+    fs.delete(new Path(out), true)
+    val df = Seq((1L, "alpha"), (2L, "beta"), (7L, "gamma"))
+      .toDF("doc_id", "text")
+    WebDataset.write(df, "doc_id", Seq(("text", "txt")), out, shards = 2)
+    assert(WebDataset.read(spark, out).count() === 3)
+    assert(fs.delete(new Path(out, "manifest.json"), false))
+    val eRead = intercept[Throwable](WebDataset.read(spark, out).count())
+    assert(msgs(eRead).contains("manifest"), msgs(eRead))
+    assert(msgs(intercept[Throwable](WebDataset.verifyShards(spark, out)))
+      .contains("manifest"))
+    // the prescribed recovery — re-running the write — restores reads
+    WebDataset.write(df, "doc_id", Seq(("text", "txt")), out, shards = 2)
+    assert(WebDataset.read(spark, out).count() === 3)
+    assert(WebDataset.verifyShards(spark, out).filter(!col("ok")).count() === 0)
+    // a re-run that dies after clearing the marker (manifest gone, old
+    // shards still on disk) is the same refused state — the manifest is
+    // deleted FIRST so no window pairs a live manifest with stale shards
+    assert(fs.delete(new Path(out, "manifest.json"), false))
+    assert(msgs(intercept[Throwable](WebDataset.read(spark, out).count()))
+      .contains("manifest"))
+  }
+
+  test("webdataset: a block-aligned truncation is refused by the member-count check") {
+    // a tar cut exactly at a 512-byte block boundary still PARSES — the
+    // zero-block scan just ends early — so structural strictness alone
+    // cannot catch it; the manifest's recorded member count does
+    import graft.sources.WebDataset
+    val out = "/root/repo/target/test_webdataset_trunc"
+    fs.delete(new Path(out), true)
+    val df = (0L until 8L).map(i => (i, s"doc $i " + ("x" * 600)))
+      .toDF("doc_id", "text")
+    WebDataset.write(df, "doc_id", Seq(("text", "txt")), out, shards = 1)
+    val tar = new Path(out, "shard-00000.tar")
+    val bytes = {
+      val in = fs.open(tar)
+      try in.readAllBytes() finally in.close()
+    }
+    // drop the last member (2 blocks data + 1 header) plus end marker,
+    // then terminate with a clean end-of-archive marker: parses fine
+    val cut = bytes.length - 512 * 5
+    val o = fs.create(tar, true)
+    try { o.write(bytes, 0, cut); o.write(new Array[Byte](1024)) }
+    finally o.close()
+    val e = intercept[Throwable](WebDataset.read(spark, out).count())
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs(e).contains("manifest recorded"), msgs(e))
+    // and the md5 audit flags the same shard
+    assert(WebDataset.verifyShards(spark, out).filter(!col("ok")).count() === 1)
+  }
+
+  test("webdataset under LIST-lag: committed shards read by exact GET") {
+    // the shard inventory comes from the manifest, so a committed
+    // archive the LISTING has not surfaced yet is still read (exact-path
+    // GET) — the glob-based reader this replaced would have silently
+    // dropped it mid-directory
+    import graft.sources.WebDataset
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.laglist.impl", classOf[graft.ListLagFs].getName)
+    val local = "/root/repo/target/test_webdataset_listlag"
+    val out = s"laglist:$local"
+    fs.delete(new Path(local), true)
+    try {
+      val df = Seq((1L, "alpha"), (2L, "beta"), (7L, "gamma"), (4L, "delta"))
+        .toDF("doc_id", "text")
+      WebDataset.write(df, "doc_id", Seq(("text", "txt")), out, shards = 2)
+      graft.ListLagFs.hidden = Seq("shard-00001.tar")
+      val seen = WebDataset.read(spark, out)
+        .select("key").as[String].collect().toSet
+      assert(seen === Set("1", "2", "7", "4"),
+        s"committed shard dropped by a lagged LIST: $seen")
+      graft.ListLagFs.hidden = Nil
+      assert(WebDataset.read(spark, out)
+        .select("key").as[String].collect().toSet === seen)
+      assert(WebDataset.verifyShards(spark, out).filter(!col("ok")).count() === 0)
+    } finally graft.ListLagFs.hidden = Nil
+  }
+
   test("fragment chain under LIST-lag: sidecar walk is GET-based; verifyCounts refuses a truncated overlay") {
     // the ancestry walk reads _KEYWORDS.json by exists+open (GETs), so a
     // sidecar hidden from LIST still resolves the chain. The fragment's

@@ -718,6 +718,24 @@ class GraphSpec extends SparkSpec {
     assert(e.getMessage.contains("iters"), e.getMessage)
   }
 
+  test("hits: dense-graph iterate past 2^53 refuses instead of drifting") {
+    // growth is degree-dependent, so the iters <= 16 cap alone is not
+    // enough: on K6 each iteration multiplies the iterates by ~25
+    // (in-deg 5 x out-deg 5), so 16 iterations reach ~25^16 >> 2^53 —
+    // the exactness/oracle contract is void and hits must refuse, not
+    // return silently drifted scores
+    val k6 = (for (u <- 0L until 6L; v <- 0L until 6L if u != v)
+      yield (u, v)).toDF("s", "d")
+    val e = intercept[IllegalArgumentException](
+      Graph.hits(k6, "s", "d", iters = 16).collect())
+    assert(e.getMessage.contains("2^53"), e.getMessage)
+    // the same graph inside the exact range still works (25^8 ~ 1.5e11)
+    val ok = Graph.hits(k6, "s", "d", iters = 8)
+    val sums = ok.agg(sum("hub"), sum("auth")).head()
+    assert(math.abs(sums.getDouble(0) - 1.0) < 1e-9)
+    assert(math.abs(sums.getDouble(1) - 1.0) < 1e-9)
+  }
+
   test("scc: cycles, DAG singletons, and the undirected-agreement case") {
     // two 3-cycles joined one-way, plus a DAG node feeding in:
     // {0,1,2} and {5,6,7} stay separate SCCs; 9 is its own

@@ -750,6 +750,30 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.packWasteStats(capped, "src", 120).head().getLong(3) >=
       wf.getLong(1)) // the cap can only lose quality, never gain
   }
+
+  test("FFD refuses duplicate (group, order) rows in both walks") {
+    // both FFD passes sort by (token count desc, order); a duplicate
+    // order key would leave the tie order — and the placement/assembly
+    // parity guarantee — to shuffle arrival, so it refuses loudly
+    val dup = Seq(("s", 1L, "a b", Seq(1, 2)), ("s", 1L, "c d", Seq(3, 4)),
+        ("s", 2L, "e", Seq(5)))
+      .toDF("src", "id", "text", "ids")
+    val tc = TextAnalysis.tokenCount(col("text"))
+    val e1 = intercept[IllegalArgumentException](
+      Sampling.packSequencesFFD(dup, "src", "id", tc, maxTokens = 10)
+        .collect())
+    assert(e1.getMessage.contains("duplicate (group, order)"))
+    val e2 = intercept[IllegalArgumentException](
+      Sampling.assemblePackedIdsFFD(dup, "src", "id", "ids", tc,
+        maxTokens = 10, sepId = 0).collect())
+    assert(e2.getMessage.contains("duplicate (group, order)"))
+    // same order key in DIFFERENT groups is fine (per-group walks)
+    val ok = Seq(("s", 1L, "a b", Seq(1, 2)), ("t", 1L, "c d", Seq(3, 4)))
+      .toDF("src", "id", "text", "ids")
+    assert(Sampling.packSequencesFFD(ok, "src", "id", tc, 10).count() === 2)
+    assert(Sampling.assemblePackedIdsFFD(ok, "src", "id", "ids", tc, 10, 0)
+      .count() === 2)
+  }
 }
 
 class CorpusReportSpec extends SparkSpec {

@@ -125,6 +125,22 @@ class SftSpec extends SparkSpec {
       Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text"),
       "text", "doc_id", lit(0.3), lit(0.7)).head()
     assert(nul.getString(1) === "<|fim_pre|><|fim_suf|><|fim_mid|>")
+    // a null / out-of-range fraction refuses loudly instead of clipping
+    // into empty parts that would silently break the round-trip
+    val doc = Seq((1L, "abcdef")).toDF("doc_id", "text")
+    for (bad <- Seq(lit(-0.1), lit(1.5), lit(null).cast("double"),
+        lit(Double.NaN))) {
+      val e = intercept[Exception](
+        Sft.fimTransform(doc, "text", "doc_id", bad, lit(0.5)).collect())
+      def msgs(t: Throwable): String =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs(e).contains("fraction out of [0, 1]"), msgs(e))
+    }
+    // boundary values 0 and 1 are legal (empty prefix / empty suffix)
+    val edge = Sft.fimTransform(doc, "text", "doc_id", lit(0.0), lit(1.0))
+      .head()
+    assert(edge.getString(1) === "<|fim_pre|><|fim_suf|><|fim_mid|>abcdef")
   }
 
   test("preference pairs: best-worst, gap filter, singleton drop, tie ids") {

@@ -82,6 +82,8 @@ class WebDatasetSpec extends SparkSpec {
     val blob = WebDataset.read(spark, dir2)
       .select("content").as[Array[Byte]].head()
     assert(blob.toSeq === Seq[Byte](0, 1, -1, 127, -128))
+    // the manifest's write-stream md5s verify against the files on disk
+    assert(WebDataset.verifyShards(spark, dir).filter(!col("ok")).count() === 0)
   }
 
   test("re-writing the same frame yields bit-identical shards") {
