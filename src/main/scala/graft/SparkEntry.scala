@@ -1630,6 +1630,19 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           k = 5, dim = 32, refine = 40)
       }),
 
+    // persisted matryoshka index: the truncated prefix column is
+    // precomputed once next to the full vectors (dim in the sidecar),
+    // so a query batch pays only the dim/d-pruned coarse scan + the
+    // shortlist re-rank — same shortlist pool as the inline cascade,
+    // same measured recall (1.0 at dim=32/refine=40), same floor
+    "q_ann_matryoshka_index" -> ((s, dir) =>
+      annRecallCheck(s, dir, floor = 0.8) { (q, emb) =>
+        Similarity.buildMatryoshkaIndex(emb, "vec_id", "embedding",
+          tmp("q_ann_matryoshka_index"), dim = 32)
+        Similarity.matryoshkaSearchIndex(s, tmp("q_ann_matryoshka_index"),
+          q, "vec_id", "embedding", k = 5, refine = 40)
+      }),
+
     // binary-quantization hamming distances: pairwise Hamming between
     // the mean-threshold sign-bit codes of the first 10 vectors, fitted
     // on the FULL corpus; oracle recomputes the same bit comparisons
@@ -1665,6 +1678,20 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
         Similarity.bqTopK(q, emb,
           "vec_id", "embedding", "vec_id", "embedding",
           k = 5, refine = 48)
+      }),
+
+    // persisted BQ index: thresholds fitted and corpus packed once
+    // (codes + vectors in one table, thresholds in the sidecar); the
+    // Hamming scan column-prunes to the d/8-byte codes and the
+    // shortlist re-ranks against the pruned vector fetch — same
+    // shortlist pool as the inline tier, same measured recall (1.0 at
+    // refine=48), same floor
+    "q_ann_bq_index" -> ((s, dir) =>
+      annRecallCheck(s, dir, floor = 0.8) { (q, emb) =>
+        Similarity.buildBqIndex(emb, "vec_id", "embedding",
+          tmp("q_ann_bq_index"))
+        Similarity.bqSearchIndex(s, tmp("q_ann_bq_index"), q,
+          "vec_id", "embedding", k = 5, refine = 48)
       }),
 
     // ColBERT-style late-interaction scoring: per-token 8-dim sin
@@ -2631,17 +2658,24 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           (col("doc_id").cast("long") * 29 % 89).cast("double") / 89.0)
         .orderBy("doc_id")),
 
-    // ROUGE-L against a PREFIX candidate (the first ceil(n/2) tokens of
-    // each doc): a prefix is a subsequence, so LCS = the prefix length
-    // EXACTLY and the oracle derives p = 1, r = k/n, f = 2k/(n+k) from
-    // token counts alone — general LCS cases are spec-pinned by hand
+    // ROUGE-L against a GAPPED-MISMATCH candidate: the EVEN-position
+    // tokens, each followed by a junk twin ("tok@@" — '@@' appears
+    // nowhere in the corpus, data-pinned; a violation would redden the
+    // gate). The evens are an in-order but NON-CONTIGUOUS subsequence
+    // (the DP must skip every odd ref token) and the junk twins match
+    // nothing (the DP must route around a mismatch after every hit), so
+    // the general max branches run on both axes while LCS stays
+    // provable: any common subsequence uses only the k = floor(n/2)
+    // non-junk candidate tokens, and the evens themselves embed — LCS
+    // = k exactly, p = k/2k, r = k/n.
     "q_rouge" -> ((s, dir) => {
       val toks = TextAnalysis.nonEmptyTokens(col("text"))
-      val k = ceil(size(toks) / 2.0).cast("int")
+      val evens = filter(toks, (_, i) => i % 2 === 1)
+      val cand = array_join(
+        flatten(transform(evens, e => array(e, concat(e, lit("@@"))))), " ")
       T(s, dir, "documents")
         .select(col("doc_id"),
-          TextAnalysis.rougeL(col("text"),
-            array_join(slice(toks, lit(1), k), " ")).as("rg"))
+          TextAnalysis.rougeL(col("text"), cand).as("rg"))
         .select(col("doc_id"), round(col("rg._1"), 9).as("rouge_p"),
           round(col("rg._2"), 9).as("rouge_r"),
           round(col("rg._3"), 9).as("rouge_f"))
@@ -4102,7 +4136,15 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
         """SELECT DISTINCT CAST(vec_id AS BIGINT) AS query_id, true AS recall_ok
           |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
 
+      "q_ann_matryoshka_index" ->
+        """SELECT DISTINCT CAST(vec_id AS BIGINT) AS query_id, true AS recall_ok
+          |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
+
       "q_ann_bq" ->
+        """SELECT DISTINCT CAST(vec_id AS BIGINT) AS query_id, true AS recall_ok
+          |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
+
+      "q_ann_bq_index" ->
         """SELECT DISTINCT CAST(vec_id AS BIGINT) AS query_id, true AS recall_ok
           |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
 
@@ -5089,23 +5131,27 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |  CAST(length(t) - hi AS INT) AS n_suffix
           |FROM c ORDER BY doc_id""".stripMargin,
 
-      // f replays the ENGINE's operation order (2·p·r/(p+r) with p = 1)
-      // rather than the algebraically-equal 2k/(n+k), so the doubles
-      // agree to the last ulp before the round
+      // closed form for the gapped-mismatch candidate (see the query
+      // comment): LCS = k = floor(n/2), |cand| = 2k. f replays the
+      // ENGINE's operation order (2·p·r/(p+r)) rather than an
+      // algebraically-equal shortcut, so the doubles agree to the last
+      // ulp before the round
       "q_rouge" ->
         """WITH t AS (
           |  SELECT doc_id,
           |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
           |        x -> len(x) > 0)) AS n
           |  FROM documents),
-          |c AS (SELECT doc_id, n, CAST(ceil(n / 2.0) AS BIGINT) AS k FROM t)
+          |c AS (SELECT doc_id, n, CAST(floor(n / 2.0) AS BIGINT) AS k FROM t)
           |SELECT doc_id,
-          |  round(CASE WHEN k > 0 THEN 1.0 ELSE 0.0 END, 9) AS rouge_p,
-          |  round(CASE WHEN n > 0 THEN CAST(k AS DOUBLE) / n ELSE 0.0 END, 9)
-          |    AS rouge_r,
-          |  round(CASE WHEN n > 0 AND k > 0
-          |    THEN 2.0 * 1.0 * (CAST(k AS DOUBLE) / n)
-          |         / (1.0 + CAST(k AS DOUBLE) / n)
+          |  round(CASE WHEN k > 0 THEN CAST(k AS DOUBLE) / (2 * k)
+          |    ELSE 0.0 END, 9) AS rouge_p,
+          |  round(CASE WHEN k > 0 THEN CAST(k AS DOUBLE) / n
+          |    ELSE 0.0 END, 9) AS rouge_r,
+          |  round(CASE WHEN k > 0
+          |    THEN 2 * (CAST(k AS DOUBLE) / (2 * k))
+          |           * (CAST(k AS DOUBLE) / n)
+          |         / ((CAST(k AS DOUBLE) / (2 * k)) + (CAST(k AS DOUBLE) / n))
           |    ELSE 0.0 END, 9) AS rouge_f
           |FROM c ORDER BY doc_id""".stripMargin,
 

@@ -108,6 +108,61 @@ object Similarity {
     explodeTopK(rer, k)
   }
 
+  private val MatryoshkaKey = "__graft_matryoshka__"
+
+  /** Build and PERSIST a matryoshka index: the truncated+renormalized
+    * `dim`-prefix column is precomputed ONCE next to the full vector and
+    * the dim is recorded in the keyword sidecar. The fit-once/search-many
+    * form of [[matryoshkaTopK]] (the [[buildIvfIndex]] convention):
+    * every later query batch skips the corpus-wide truncate/renormalize
+    * scan, the coarse pass reads ONLY the dim/d-sized prefix column
+    * (Parquet column pruning — the storage overhead buys the scan cut),
+    * and full vectors are fetched for just the shortlist ids.
+    */
+  def buildMatryoshkaIndex(corpus: DataFrame, cIdCol: String,
+                           cVecCol: String, path: String, dim: Int): Unit = {
+    require(dim >= 1, s"buildMatryoshkaIndex: dim=$dim")
+    val c = corpus.select(col(cIdCol).as("neighbor_id"), col(cVecCol).as("cv"))
+    truncateEmbeddings(c.withColumn("tv", col("cv")), "tv", dim)
+      .select("neighbor_id", "tv", "cv")
+      .write.mode("overwrite").parquet(path)
+    graft.api.MSWrite.putKeywords(corpus.sparkSession, path,
+      graft.api.MSWrite.readKeywords(corpus.sparkSession, path) +
+        (MatryoshkaKey -> dim.toString))
+  }
+
+  /** Query a persisted matryoshka index: truncated-cosine shortlist over
+    * the prefix column (k·refine candidates at dim/d scan cost), exact
+    * full-dim re-rank — [[matryoshkaTopK]] semantics, corpus-side work
+    * amortized into [[buildMatryoshkaIndex]].
+    */
+  def matryoshkaSearchIndex(spark: org.apache.spark.sql.SparkSession,
+                            path: String, queries: DataFrame,
+                            qIdCol: String, qVecCol: String,
+                            k: Int, refine: Int = 4): DataFrame = {
+    require(k >= 1 && refine >= 1, s"matryoshkaSearchIndex: k=$k refine=$refine")
+    val dim = graft.api.MSWrite.readKeywords(spark, path)
+      .getOrElse(MatryoshkaKey, throw new IllegalArgumentException(
+        s"no matryoshka sidecar at $path")).toInt
+    val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))
+    val qt = truncateEmbeddings(q.withColumn("qt", col("qv")), "qt", dim)
+      .select("query_id", "qt")
+    // same NaN pinning as matryoshkaTopK: an all-zero prefix must rank
+    // worst, not vanish from the shortlist
+    val scored = spark.read.parquet(path).select("neighbor_id", "tv")
+      .crossJoin(broadcast(qt))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        nanvl(Dedup.cosine(col("qt"), col("tv")), lit(-1.0)))
+    val cand = explodeTopK(scored, k * refine)
+      .select("query_id", "neighbor_id")
+    val rer = spark.read.parquet(path).select("neighbor_id", "cv")
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine", Dedup.cosine(col("qv"), col("cv")))
+    explodeTopK(rer, k)
+  }
+
   /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998):
     * from each query's CANDIDATE list — (query_id, neighbor_id, cosine,
     * vector) rows, e.g. a k·refine ANN shortlist — greedily pick `k`
@@ -399,6 +454,69 @@ object Similarity {
     val cand = explodeTopK(scored, k * refine)
       .select("query_id", "neighbor_id")
     val rer = c.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine", Dedup.cosine(col("qv"), col("cv")))
+    explodeTopK(rer, k)
+  }
+
+  private val BqKey = "__graft_bq__"
+
+  /** Build and PERSIST a binary-quantization index: fit the
+    * per-dimension mean thresholds once, encode every corpus vector to
+    * its packed sign-bit code, and store (id, code, vector) with the
+    * thresholds in the keyword sidecar. The fit-once/search-many form
+    * of [[bqTopK]] (the [[buildIvfIndex]] convention): a query batch
+    * re-pays neither the threshold fit nor the corpus encode scan — the
+    * Hamming pass reads ONLY the d/8-byte code column (Parquet column
+    * pruning), and full vectors are fetched for just the
+    * ≤ queries·k·refine shortlist ids.
+    */
+  def buildBqIndex(corpus: DataFrame, cIdCol: String, cVecCol: String,
+                   path: String): Unit = {
+    val c = corpus.select(col(cIdCol).as("neighbor_id"), col(cVecCol).as("cv"))
+    val thresholds = fitBq(c, "cv")
+    c.select(col("neighbor_id"),
+        bqEncodeUdf(thresholds)(col("cv")).as("ccode"), col("cv"))
+      .write.mode("overwrite").parquet(path)
+    graft.api.MSWrite.putKeywords(corpus.sparkSession, path,
+      graft.api.MSWrite.readKeywords(corpus.sparkSession, path) +
+        (BqKey -> thresholds.mkString("[", ",", "]")))
+  }
+
+  /** Thresholds stored with an index by [[buildBqIndex]] — doubles
+    * round-trip exactly through toString. */
+  def readBqThresholds(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Array[Double] = {
+    val json = graft.api.MSWrite.readKeywords(spark, path).getOrElse(BqKey,
+      throw new IllegalArgumentException(s"no BQ thresholds sidecar at $path"))
+    val body = json.stripPrefix("[").stripSuffix("]")
+    if (body.isEmpty) Array.empty else body.split(",").map(_.toDouble)
+  }
+
+  /** Query a persisted BQ index: queries pack under the STORED
+    * thresholds (fit and corpus codes come from build time, so results
+    * are reproducible across query batches), the codegen
+    * `bit_count(xor)` Hamming scan shortlists k·refine candidates, and
+    * the survivors re-rank with exact full-precision cosine —
+    * [[bqTopK]] semantics with the corpus-side work amortized into
+    * [[buildBqIndex]].
+    */
+  def bqSearchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    queries: DataFrame, qIdCol: String, qVecCol: String,
+                    k: Int, refine: Int = 16): DataFrame = {
+    require(k >= 1 && refine >= 1, s"bqSearchIndex: k=$k refine=$refine")
+    val enc = bqEncodeUdf(readBqThresholds(spark, path))
+    val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))
+    val qc = q.select(col("query_id"), enc(col("qv")).as("qcode"))
+    val scored = spark.read.parquet(path).select("neighbor_id", "ccode")
+      .crossJoin(broadcast(qc))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        -hamming(col("qcode"), col("ccode")).cast("double"))
+    val cand = explodeTopK(scored, k * refine)
+      .select("query_id", "neighbor_id")
+    val rer = spark.read.parquet(path).select("neighbor_id", "cv")
+      .join(broadcast(cand), Seq("neighbor_id"))
       .join(broadcast(q), Seq("query_id"))
       .withColumn("cosine", Dedup.cosine(col("qv"), col("cv")))
     explodeTopK(rer, k)

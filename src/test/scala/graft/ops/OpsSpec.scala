@@ -513,6 +513,40 @@ class SimilaritySpec extends SparkSpec {
       emb, emb, "id", "vec", "id", "vec", k = 0))
   }
 
+  test("persisted matryoshka/BQ indexes match their inline tiers; missing sidecar refuses") {
+    // build once, search many: the index forms amortize the corpus-side
+    // fit/encode but run the SAME shortlist + re-rank, so their results
+    // must equal the inline cascades row for row
+    val q = emb.filter(col("id") < 5)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id", "cosine")
+        .as[(Long, Int, Long, Double)].collect().toSet
+    val mDir = "/root/repo/target/test_matryoshka_index"
+    Similarity.buildMatryoshkaIndex(emb, "id", "vec", mDir, dim = 4)
+    assert(rowsOf(Similarity.matryoshkaSearchIndex(spark, mDir, q,
+        "id", "vec", k = 4, refine = 8)) ===
+      rowsOf(Similarity.matryoshkaTopK(q, emb, "id", "vec", "id", "vec",
+        k = 4, dim = 4, refine = 8)))
+    val bDir = "/root/repo/target/test_bq_index"
+    Similarity.buildBqIndex(emb, "id", "vec", bDir)
+    assert(rowsOf(Similarity.bqSearchIndex(spark, bDir, q,
+        "id", "vec", k = 4, refine = 6)) ===
+      rowsOf(Similarity.bqTopK(q, emb, "id", "vec", "id", "vec",
+        k = 4, refine = 6)))
+    // the stored thresholds round-trip exactly
+    assert(Similarity.readBqThresholds(spark, bDir).toSeq ===
+      Similarity.fitBq(emb.select(col("id"), col("vec").as("cv")), "cv").toSeq)
+    // a plain parquet directory without the sidecar refuses loudly
+    val plain = "/root/repo/target/test_noindex_sidecar"
+    emb.write.mode("overwrite").parquet(plain)
+    assert(intercept[IllegalArgumentException](
+      Similarity.matryoshkaSearchIndex(spark, plain, q, "id", "vec", k = 2))
+      .getMessage.contains("sidecar"))
+    assert(intercept[IllegalArgumentException](
+      Similarity.bqSearchIndex(spark, plain, q, "id", "vec", k = 2))
+      .getMessage.contains("sidecar"))
+  }
+
   test("MMR re-rank: lambda=1 is relevance order, diversity pick is hand-exact") {
     val cand = Seq(
       (1L, 10L, 0.95, Array(1.0, 0.0)),
