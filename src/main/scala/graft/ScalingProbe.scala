@@ -863,6 +863,103 @@ object ScalingProbe {
         maxDepth = 4, pivots = Some(piv))
         .agg(sum("betweenness")).collect(); 1L
     }
+    // ------------------------------------------------------- skew probes
+    // every graph probe above runs on regular (constant-degree) or chain
+    // graphs; real link graphs are power-law. zipfEdges builds a
+    // deterministic LOG-UNIFORM-destination graph (Zipf s≈1): each node
+    // emits 4 edges at dst = floor(n^u) − 1 with u a 6-digit hash
+    // fraction, so P(dst = r) ∝ 1/(r+1) and node 0 alone collects
+    // ~ln2/ln(n) of ALL edges — a genuine hub (the census prints the
+    // measured head). The skew-sensitivity claims (degree-ordered
+    // triangle orientation, LPA vote-join fan-in, pagerank/HITS dst
+    // aggregates, pivot betweenness) are then measured, not asserted.
+    def zipfEdges(d: String): (org.apache.spark.sql.DataFrame, Long) = {
+      import org.apache.spark.sql.expressions.Window
+      val nodes = spark.read.parquet(s"$d/documents.parquet")
+        .select((row_number().over(Window.orderBy("doc_id")) - 1)
+          .cast("long").as("node"))
+      val nMod = nodes.count()
+      val edges = (0 until 4).map { j =>
+        val u = pmod(xxhash64(col("node"), lit(j)), lit(1000000L))
+          .cast("double") / 1000000.0
+        nodes.select(col("node").as("src"),
+          (floor(pow(lit(nMod.toDouble), u)) - 1).cast("long").as("dst"))
+      }.reduce(_ unionByName _)
+        .filter(col("dst") >= 0 && col("dst") =!= col("src"))
+      (edges, nMod)
+    }
+    time("skew_census") { d =>
+      val (edges, n) = zipfEdges(d)
+      val m = edges.count()
+      val deg = edges.select(col("src").as("x"))
+        .unionByName(edges.select(col("dst").as("x")))
+        .groupBy("x").agg(count(lit(1)).as("deg"))
+      val top = deg.orderBy(col("deg").desc, col("x")).limit(5)
+        .select("deg").collect().map(_.getLong(0))
+      val pct = deg.agg(expr("percentile(deg, array(0.5, 0.99))")).head()
+        .getSeq[Double](0)
+      println(f"DBG skew_census dir=$d nodes=$n edges=$m " +
+        s"top5_deg=${top.mkString(",")} p50=${pct(0)} p99=${pct(1)} " +
+        f"hub_share=${top.head.toDouble / (2 * m)}%.3f")
+      m
+    }
+    // degree-ordered orientation is the skew-proof: the hub's star edges
+    // all orient INTO it, so the hub emits ZERO oriented wedges and the
+    // wedge volume stays Σ min-degree-side², not deg(hub)²
+    time("skew_triangles") { d =>
+      val (edges, _) = zipfEdges(d)
+      graft.ops.Graph.triangleCounts(edges, "src", "dst")
+        .agg(sum("triangles")).collect(); 1L
+    }
+    // LPA's vote join keys on the NEIGHBOR: the hub's closed adjacency
+    // is deg(hub) separate rows (never one giant row), and the
+    // (node, label) count agg absorbs the fan-in with map-side combine
+    time("skew_lpa") { d =>
+      val (edges, _) = zipfEdges(d)
+      graft.ops.Graph.labelPropagation(edges, "src", "dst",
+        maxIters = 4).count()
+    }
+    // pagerank joins ranks on the UNIFORM src key (out-degree 4 by
+    // construction); the skew lands on the dst AGGREGATE, where partial
+    // aggregation caps the hub's shuffle rows at one per task
+    time("skew_pagerank") { d =>
+      val (edges, _) = zipfEdges(d)
+      graft.ops.Graph.pageRank(edges, "src", "dst", iters = 5)
+        .agg(sum("rank")).collect(); 1L
+    }
+    // HITS iterates stay exact only while (co-citation degree)^(2·iters)
+    // < 2^53 — the hub makes that bind at SMALL iteration counts
+    time("skew_hits") { d =>
+      val (edges, _) = zipfEdges(d)
+      graft.ops.Graph.hits(edges, "src", "dst", iters = 2)
+        .agg(sum("hub")).collect(); 1L
+    }
+    // ...and past the exact range the r15 guard must REFUSE, not drift:
+    // on this hub graph iters = 8 overflows at both scales
+    time("skew_hits_guard") { d =>
+      val (edges, _) = zipfEdges(d)
+      val fired =
+        try {
+          graft.ops.Graph.hits(edges, "src", "dst", iters = 8)
+            .agg(sum("hub")).collect(); false
+        } catch {
+          case e: IllegalArgumentException if e.getMessage.contains("2^53") =>
+            true
+        }
+      println(s"DBG skew_hits_guard dir=$d fired=$fired")
+      1L
+    }
+    // pivot betweenness: the hub sits on most shortest paths, so balls
+    // reach most of the graph fast — forward state is O(pivots·ball)
+    // rows by design, and 8x data should scale the per-level joins, not
+    // square them
+    time("skew_betweenness") { d =>
+      val (edges, _) = zipfEdges(d)
+      val piv = spark.range(64).select((col("id") * 7L).as("s"))
+      graft.ops.Graph.betweennessCentrality(edges, "src", "dst",
+        maxDepth = 3, pivots = Some(piv))
+        .agg(sum("betweenness")).collect(); 1L
+    }
     spark.stop()
   }
 }
