@@ -74,6 +74,29 @@ object RecallProbe {
       pairStats("minhash",
         Dedup.minHashDedup(docs, "text", "doc_id", threshold = 0.6).select("id_a", "id_b"),
         Dedup.ngramJaccardPairs(docs, "text", "doc_id", Nil, 3, 0.6).select("id_a", "id_b"))
+      // r15: the lshParams self-tune (the r14 default change) vs the old
+      // fixed 8 bands — RECALL and COST side by side, so the bench-line
+      // delta is attributable to the banding profile, not guessed at
+      locally {
+        val (bAuto, rAuto) = Dedup.lshParams(0.6, 32)
+        println(s"DBG lshParams(threshold=0.6, k=32) = (bands=$bAuto, rows=$rAuto)")
+        val exactPairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+          Nil, 3, 0.6).select("id_a", "id_b")
+        def run(bands: Option[Int]) =
+          Dedup.minHashDedup(docs, "text", "doc_id", threshold = 0.6,
+            bands = bands).select("id_a", "id_b")
+        for ((tag, bands) <- Seq(("auto", None), ("fixed8", Some(8)))) {
+          run(bands).count() // warm
+          val t = (0 until 2).map { _ =>
+            val t0 = System.nanoTime()
+            run(bands).count()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+          println(f"DBG minhash_cfg $tag bands=${bands.getOrElse(bAuto)} " +
+            f"min_time=$t%.2f s")
+          pairStats(s"minhash_$tag", run(bands), exactPairs)
+        }
+      }
       pairStats("embed_lsh",
         Dedup.embeddingNearDupLSH(emb, "embedding", "vec_id", 0.4, 4, 64).select("id_a", "id_b"),
         Dedup.embeddingNearDup(emb, "embedding", "vec_id", 0.4, Nil).select("id_a", "id_b"))

@@ -2802,6 +2802,27 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
         .orderBy("doc_id")
     }),
 
+    // WebDataset integrity + rank planning off the r15 manifest commit
+    // marker: re-hash every archive against the write-stream md5s, and
+    // LPT-assign the shards to 3 dataloader ranks — emitted per shard as
+    // (shard, ok, covered); the oracle's all-true roster hash-mismatches
+    // if any archive is corrupt or any shard is dropped/duplicated by
+    // the assignment
+    "q_webdataset_verify" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val out = tmp("webdataset_verify")
+      graft.sources.WebDataset.write(docs, "doc_id",
+        Seq(("text", "txt")), out, shards = 4)
+      val ver = graft.sources.WebDataset.verifyShards(s, out)
+        .select(col("shard"), col("ok"))
+      val asg = graft.sources.WebDataset.assignShards(s, out, workers = 3)
+        .groupBy("shard").agg((count(lit(1)) === 1).as("covered"))
+      ver.join(asg, Seq("shard"), "left")
+        .select(col("shard"), col("ok"),
+          coalesce(col("covered"), lit(false)).as("covered"))
+        .orderBy("shard")
+    }),
+
     "q_dedup_lines" -> ((s, dir) =>
       Dedup.dedupLinesKeepFirst(
           syntheticLines(T(s, dir, "documents"), wordsPerLine = 3),
@@ -5313,6 +5334,11 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
 
       "q_tokenbin_verify" ->
         """SELECT CAST(x AS INT) AS shard, CAST(1 AS BOOLEAN) AS ok
+          |FROM range(4) t(x) ORDER BY 1""".stripMargin,
+
+      "q_webdataset_verify" ->
+        """SELECT CAST(x AS INT) AS shard, CAST(1 AS BOOLEAN) AS ok,
+          |  CAST(1 AS BOOLEAN) AS covered
           |FROM range(4) t(x) ORDER BY 1""".stripMargin,
 
       "q_webdataset" ->

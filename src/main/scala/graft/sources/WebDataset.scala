@@ -244,6 +244,29 @@ object WebDataset {
       m.group(2), m.group(3).toLong, m.group(4).toLong)).toSeq
   }
 
+  /** Deterministic balanced shard→worker assignment for `workers`
+    * dataloader ranks: LPT greedy over the manifest's per-shard SAMPLE
+    * counts (largest shard to the currently-lightest worker, ties by
+    * worker id) — O(shards log shards) driver work, no data read. The
+    * [[TokenBin.assignShards]] contract on the multimodal store.
+    * Returns (worker, shard, samples) covering every shard once.
+    */
+  def assignShards(spark: SparkSession, dir: String, workers: Int): DataFrame = {
+    require(workers > 0, s"webdataset: workers must be positive: $workers")
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val infos = readShardInfos(fs, dir).sortBy(i => (-i.samples, i.shard))
+    val loads = scala.collection.mutable.PriorityQueue.empty[(Long, Int)](
+      Ordering.by(t => (-t._1, -t._2))) // head = lightest, ties -> lowest id
+    (0 until workers).foreach(w => loads.enqueue((0L, w)))
+    val rows = infos.map { i =>
+      val (load, w) = loads.dequeue()
+      loads.enqueue((load + i.samples, w))
+      (w, i.shard, i.samples)
+    }
+    import spark.implicits._
+    rows.toDF("worker", "shard", "samples")
+  }
+
   /** Distributed integrity check: re-hash every shard archive and compare
     * with the manifest md5 recorded at write time — one task per shard,
     * driver state O(shards). Returns (shard, ok, expected, actual); a

@@ -669,4 +669,79 @@ class PropertySpec extends SparkSpec {
       got == want
     }, n = 12)
   }
+
+  test("single-linkage dendrogram: merge distances nondecreasing on random vectors") {
+    // the single-linkage monotonicity theorem (no inversions) pinned as
+    // a property, so a future edit to the Lance–Williams update or the
+    // tie-break cannot silently break the dendrogram's tree semantics
+    val genVecs = for {
+      n <- Gen.choose(2, 24)
+      d <- Gen.choose(2, 6)
+      vs <- Gen.listOfN(n,
+        Gen.listOfN(d, Gen.choose(-5.0, 5.0)))
+    } yield vs
+    check(Prop.forAllNoShrink(genVecs) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "vec")
+      val out = graft.ops.Similarity.dendrogram(df, "id", "vec")
+        .orderBy("step")
+        .select("step", "left", "right", "dist", "size")
+        .collect()
+      val dists = out.map(_.getDouble(3)).toSeq
+      val sizes = out.map(_.getInt(4)).toSeq
+      out.length == vs.length - 1 &&
+        dists.zip(dists.drop(1)).forall { case (a, b) => a <= b } &&
+        sizes.last == vs.length &&
+        // cluster naming: left < right at every merge
+        out.forall(r => r.getLong(1) < r.getLong(2))
+    }, n = 12)
+  }
+
+  test("MMR: lambda=1 is exactly relevance top-k; picks unique and from the candidates") {
+    // the greedy kernel's contracts pinned against future edits:
+    // λ = 1 must degenerate to plain top-k (redundancy term weighted
+    // away), every pick unique, every pick a candidate, ranks dense
+    val genCands = for {
+      nq <- Gen.choose(1, 3)
+      rows <- Gen.listOfN(nq * 8, Gen.zip(
+        Gen.choose(0.0, 1.0), Gen.listOfN(3, Gen.choose(-2.0, 2.0))))
+    } yield rows.zipWithIndex.map { case ((s, v), i) =>
+      (i.toLong % nq, i.toLong, math.rint(s * 1e6) / 1e6, v) }
+    val genK = Gen.choose(1, 6)
+    val genLambda = Gen.choose(0.0, 1.0)
+    check(Prop.forAllNoShrink(genCands, genK, genLambda) { (cands, k, lam) =>
+      val df = cands.toDF("query_id", "neighbor_id", "cosine", "vec")
+      val out = graft.ops.Similarity.mmrRerank(df, "query_id",
+          "neighbor_id", "cosine", "vec", k = k, lambda = lam)
+        .select("query_id", "rank", "neighbor_id")
+        .as[(Long, Int, Long)].collect().toSeq
+      val byQ = out.groupBy(_._1)
+      val candsByQ = cands.groupBy(_._1)
+      val structural = byQ.forall { case (q, rs) =>
+        val ids = rs.map(_._3)
+        ids.distinct.length == ids.length &&
+          ids.toSet.subsetOf(candsByQ(q).map(_._2).toSet) &&
+          rs.map(_._2).sorted == (1 to math.min(k, candsByQ(q).size)).toList
+      }
+      val topkAtOne = lam < 1.0 || byQ.forall { case (q, rs) =>
+        val want = candsByQ(q).sortBy(c => (-c._3, c._2)).take(k).map(_._2)
+        rs.sortBy(_._2).map(_._3) == want
+      }
+      structural && topkAtOne
+    }, n = 15)
+    // λ = 1 checked deterministically too (the generator rarely draws it)
+    val cands = (0 until 12).map(i =>
+      ((i % 2).toLong, i.toLong, (i * 37 % 11) / 10.0,
+        Seq(1.0 * i, 2.0, 3.0))).toDF("query_id", "neighbor_id", "cosine", "vec")
+    val got = graft.ops.Similarity.mmrRerank(cands, "query_id",
+        "neighbor_id", "cosine", "vec", k = 4, lambda = 1.0)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSeq.groupBy(_._1)
+    (0L to 1L).foreach { q =>
+      val want = (0 until 12).filter(_ % 2 == q)
+        .map(i => (i.toLong, (i * 37 % 11) / 10.0))
+        .sortBy { case (id, s) => (-s, id) }.take(4).map(_._1)
+      assert(got(q).sortBy(_._2).map(_._3) == want, s"query $q")
+    }
+  }
 }

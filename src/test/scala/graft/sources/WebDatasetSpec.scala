@@ -103,6 +103,25 @@ class WebDatasetSpec extends SparkSpec {
     assert(md5s(a).size === 1)
   }
 
+  test("assignShards: LPT covers every shard once, balances, refuses bad workers") {
+    val dir = tmp("assign")
+    val many = (0L until 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    WebDataset.write(many, "doc_id", Seq(("text", "txt")), dir, shards = 7)
+    val asg = WebDataset.assignShards(spark, dir, workers = 3)
+      .as[(Int, Int, Long)].collect().toSeq
+    // every manifest shard exactly once
+    assert(asg.map(_._2).sorted === (0 until 7))
+    assert(asg.map(_._3).sum === 40L)
+    // LPT balance: max load minus min load bounded by the largest shard
+    val loads = asg.groupBy(_._1).view.mapValues(_.map(_._3).sum).values.toSeq
+    assert(loads.max - loads.min <= asg.map(_._3).max)
+    // deterministic
+    assert(WebDataset.assignShards(spark, dir, 3)
+      .as[(Int, Int, Long)].collect().toSeq === asg)
+    intercept[IllegalArgumentException](
+      WebDataset.assignShards(spark, dir, 0))
+  }
+
   test("guards: long names, duplicate extensions, zero shards") {
     val dir = tmp("guards")
     val long = Seq(("x" * 120, "t")).toDF("doc_id", "text")
