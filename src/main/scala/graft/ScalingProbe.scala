@@ -812,6 +812,27 @@ object ScalingProbe {
       graft.ops.Similarity.bqTopK(q, emb, "vec_id", "embedding",
         "vec_id", "embedding", k = 5, refine = 16).count()
     }
+    // r15 persisted forms: fit/encode amortizes into the build, the
+    // search reads the column-pruned code/prefix column (plan-audited);
+    // timed build+search like bm25_index — the slope should stay the
+    // corpus scan's
+    time("ann_matryoshka_index_build+search") { d =>
+      val p = "/root/repo/target/probe_matry_idx"
+      val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      graft.ops.Similarity.buildMatryoshkaIndex(emb, "vec_id", "embedding",
+        p, dim = 32)
+      val q = emb.orderBy("vec_id").limit(10)
+      graft.ops.Similarity.matryoshkaSearchIndex(spark, p, q,
+        "vec_id", "embedding", k = 5, refine = 8).count()
+    }
+    time("ann_bq_index_build+search") { d =>
+      val p = "/root/repo/target/probe_bq_idx"
+      val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      graft.ops.Similarity.buildBqIndex(emb, "vec_id", "embedding", p)
+      val q = emb.orderBy("vec_id").limit(10)
+      graft.ops.Similarity.bqSearchIndex(spark, p, q,
+        "vec_id", "embedding", k = 5, refine = 16).count()
+    }
     // LPA on the dense map graph: per-iteration cost = the cache-local
     // vote join + two hash-aggs; the label churn on this graph runs the
     // full budget on both sides, so the ratio isolates per-round cost

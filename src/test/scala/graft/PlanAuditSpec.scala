@@ -895,4 +895,36 @@ class PlanAuditSpec extends SparkSpec {
       } finally e.unpersist(true)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("persisted matryoshka/BQ indexes: coarse scan column-prunes the full vectors") {
+    // the indexes' whole point at 100 TB: the shortlist pass reads ONLY
+    // the dim/d prefix (or d/8-byte code) column, and the full vector
+    // column is fetched in a SEPARATE pruned scan for the re-rank —
+    // assert the parquet ReadSchemas, not the doc comment
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val emb = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 8 + j)))
+    }.toDF("id", "vec")
+    val q = emb.filter(col("id") < 4)
+    def readSchemas(df: DataFrame): Seq[String] =
+      plan(df).linesIterator.filter(_.contains("ReadSchema")).toSeq
+    val mDir = "/root/repo/target/audit_matryoshka_index"
+    graft.ops.Similarity.buildMatryoshkaIndex(emb, "id", "vec", mDir, dim = 4)
+    val mrs = readSchemas(graft.ops.Similarity.matryoshkaSearchIndex(
+      spark, mDir, q, "id", "vec", k = 3, refine = 2))
+    assert(mrs.exists(l => l.contains("tv") && !l.contains("cv")),
+      s"coarse scan must not read cv:\n${mrs.mkString("\n")}")
+    assert(mrs.exists(l => l.contains("cv") && !l.contains("tv")),
+      s"re-rank scan must not read tv:\n${mrs.mkString("\n")}")
+    val bDir = "/root/repo/target/audit_bq_index"
+    graft.ops.Similarity.buildBqIndex(emb, "id", "vec", bDir)
+    val brs = readSchemas(graft.ops.Similarity.bqSearchIndex(
+      spark, bDir, q, "id", "vec", k = 3, refine = 2))
+    assert(brs.exists(l => l.contains("ccode") && !l.contains("cv")),
+      s"hamming scan must not read cv:\n${brs.mkString("\n")}")
+    assert(brs.exists(l => l.contains("cv") && !l.contains("ccode")),
+      s"re-rank scan must not read ccode:\n${brs.mkString("\n")}")
+  }
 }
