@@ -2619,6 +2619,32 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
         .orderBy(col("rrf_score").desc, col("doc_id"))
     }),
 
+    // ranked-retrieval evaluation (MRR / P@k / R@k / nDCG@k) on a
+    // deterministic labeled ranking: 5 queries × 10 ranked items built
+    // by id arithmetic, graded relevance 0..3 — every metric replays
+    // exactly in SQL (the DCG sums pin at round 6, the ratio metrics
+    // at 9)
+    "q_retrieval_metrics" -> ((s, dir) => {
+      val ranked = T(s, dir, "documents").filter(col("doc_id") < 50)
+        .select((col("doc_id") % 5).cast("long").as("q"),
+          (col("doc_id") / 5 + 1).cast("int").as("rank"),
+          (col("doc_id") * 7 % 4).cast("double").as("rel"))
+      TextAnalysis.retrievalMetrics(ranked, "q", "rank", "rel", k = 5)
+        .withColumnRenamed("query", "q")
+        .orderBy("q")
+    }),
+
+    // classification report (per-class P/R/F1 + micro accuracy) on a
+    // deterministic confusion: labels and predictions by id arithmetic
+    // over 4 classes — exact integer counts, ratio replay in SQL
+    "q_clf_report" -> ((s, dir) => {
+      val scored = T(s, dir, "documents")
+        .select((col("doc_id") * 3 % 4).cast("string").as("label"),
+          (col("doc_id") * 5 % 4).cast("string").as("pred"))
+      graft.ops.Classifier.classificationReport(scored, "label", "pred")
+        .orderBy("cls")
+    }),
+
     // overlapping token-window chunking (context-length training prep):
     // 32-token windows every 24 tokens
     "q_chunk" -> ((s, dir) =>
@@ -5576,6 +5602,78 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
       "q_unigram" -> checksOracle("roundtrip_lossless", "compresses_vs_chars",
         "pieces_at_most_chars", "pieces_at_least_words", "artifact_roundtrip",
         "vocab_within_target", "ids_count_and_range"),
+
+      // the DCG sums are order-independent at round 6 (≤ 5 small terms);
+      // the ratio metrics are exact small-integer ratios at round 9
+      "q_retrieval_metrics" ->
+        """WITH r AS (
+          |  SELECT doc_id % 5 AS q,
+          |    CAST(floor(doc_id / 5.0) + 1 AS INT) AS rank,
+          |    CAST(doc_id * 7 % 4 AS DOUBLE) AS g
+          |  FROM documents WHERE doc_id < 50),
+          |per AS (
+          |  SELECT q,
+          |    count(*) FILTER (WHERE g > 0) AS n_rel,
+          |    min(rank) FILTER (WHERE g > 0) AS first_rel,
+          |    count(*) FILTER (WHERE rank <= 5 AND g > 0) AS hits,
+          |    coalesce(sum((pow(2, g) - 1) / log2(rank + 1))
+          |      FILTER (WHERE rank <= 5), 0.0) AS dcg
+          |  FROM r GROUP BY q),
+          |ideal AS (
+          |  SELECT q, sum((pow(2, g) - 1) / log2(pos + 1)) AS idcg
+          |  FROM (SELECT q, g,
+          |          row_number() OVER (PARTITION BY q ORDER BY g DESC) AS pos
+          |        FROM r)
+          |  WHERE pos <= 5 GROUP BY q)
+          |SELECT CAST(per.q AS BIGINT) AS q,
+          |  CAST(n_rel AS BIGINT) AS n_rel,
+          |  round(CASE WHEN n_rel > 0 THEN 1.0 / first_rel ELSE 0.0 END, 9)
+          |    AS mrr,
+          |  round(hits / 5.0, 9) AS p_at_k,
+          |  round(CASE WHEN n_rel > 0 THEN CAST(hits AS DOUBLE) / n_rel
+          |    ELSE 0.0 END, 9) AS r_at_k,
+          |  round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END, 6)
+          |    AS ndcg_at_k
+          |FROM per JOIN ideal USING (q) ORDER BY q""".stripMargin,
+
+      "q_clf_report" ->
+        """WITH s AS (
+          |  SELECT CAST(doc_id * 3 % 4 AS VARCHAR) AS label,
+          |    CAST(doc_id * 5 % 4 AS VARCHAR) AS pred
+          |  FROM documents),
+          |cm AS (SELECT label, pred, count(*) AS n FROM s GROUP BY 1, 2),
+          |bl AS (SELECT label AS cls, sum(n) AS support FROM cm GROUP BY 1),
+          |bp AS (SELECT pred AS cls, sum(n) AS predicted FROM cm GROUP BY 1),
+          |tpt AS (SELECT label AS cls, n AS tp FROM cm WHERE label = pred),
+          |per AS (
+          |  SELECT cls, coalesce(support, 0) AS support,
+          |    coalesce(predicted, 0) AS predicted, coalesce(tp, 0) AS tp
+          |  FROM bl FULL JOIN bp USING (cls) LEFT JOIN tpt USING (cls)),
+          |pr AS (
+          |  SELECT cls, support, predicted, tp,
+          |    CASE WHEN predicted > 0 THEN CAST(tp AS DOUBLE) / predicted
+          |      ELSE 0.0 END AS pe,
+          |    CASE WHEN support > 0 THEN CAST(tp AS DOUBLE) / support
+          |      ELSE 0.0 END AS re
+          |  FROM per),
+          |tot AS (
+          |  SELECT sum(n) AS support,
+          |    coalesce(sum(n) FILTER (WHERE label = pred), 0) AS tp
+          |  FROM cm)
+          |SELECT cls, CAST(support AS BIGINT) AS support,
+          |  CAST(predicted AS BIGINT) AS predicted, CAST(tp AS BIGINT) AS tp,
+          |  round(pe, 9) AS "precision", round(re, 9) AS recall,
+          |  round(CASE WHEN pe + re > 0 THEN 2.0 * pe * re / (pe + re)
+          |    ELSE 0.0 END, 9) AS f1
+          |FROM pr
+          |UNION ALL
+          |SELECT '__all__', CAST(support AS BIGINT),
+          |  CAST(support AS BIGINT), CAST(tp AS BIGINT),
+          |  round(CAST(tp AS DOUBLE) / support, 9),
+          |  round(CAST(tp AS DOUBLE) / support, 9),
+          |  round(CAST(tp AS DOUBLE) / support, 9)
+          |FROM tot
+          |ORDER BY cls""".stripMargin,
 
       "q_quality_clf" -> checksOracle("holdout_acc_floor", "beats_majority",
         "scores_in_unit"),

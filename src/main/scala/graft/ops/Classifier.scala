@@ -217,4 +217,58 @@ object Classifier {
   /** Convenience verdict column threshold. */
   def keepAbove(scored: DataFrame, threshold: Double): DataFrame =
     scored.filter(col("quality_score") >= threshold)
+
+  /** Classification quality report — the evaluation leg of the filter
+    * family (a quality/langid/PII classifier gates millions of
+    * documents; this measures the gate): one row per class with
+    * support (true count), predicted (predicted count), tp, precision,
+    * recall, F1, plus one `__all__` row whose precision/recall/F1 slots
+    * all carry micro accuracy (for single-label classification micro
+    * P = micro R = accuracy). Null labels/predictions report as the
+    * class `__null__` rather than vanishing from the counts. Doubles
+    * round at 9.
+    *
+    * Scale shape: ONE (label, pred) hash aggregate over the corpus —
+    * the confusion matrix, classes² tiny rows — localCheckpointed once
+    * and fanned into the per-class joins and the accuracy scalar; no
+    * window, no corpus-sized join.
+    */
+  def classificationReport(scored: DataFrame, labelCol: String,
+                           predCol: String): DataFrame = {
+    val cm = scored.select(
+        coalesce(col(labelCol).cast("string"), lit("__null__")).as("label"),
+        coalesce(col(predCol).cast("string"), lit("__null__")).as("pred"))
+      .groupBy("label", "pred").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val byLabel = cm.groupBy(col("label").as("cls"))
+      .agg(sum("n").as("support"))
+    val byPred = cm.groupBy(col("pred").as("cls"))
+      .agg(sum("n").as("predicted"))
+    val tp = cm.filter(col("label") === col("pred"))
+      .select(col("label").as("cls"), col("n").as("tp"))
+    val prec = when(col("predicted") > 0,
+      col("tp").cast("double") / col("predicted")).otherwise(lit(0.0))
+    val rec = when(col("support") > 0,
+      col("tp").cast("double") / col("support")).otherwise(lit(0.0))
+    val per = byLabel.join(byPred, Seq("cls"), "full_outer")
+      .join(tp, Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        coalesce(col("predicted"), lit(0L)).as("predicted"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .select(col("cls"), col("support"), col("predicted"), col("tp"),
+        round(prec, 9).as("precision"), round(rec, 9).as("recall"),
+        round(when(prec + rec > 0, lit(2.0) * prec * rec / (prec + rec))
+          .otherwise(lit(0.0)), 9).as("f1"))
+    val acc = when(col("support") > 0,
+      col("tp").cast("double") / col("support")).otherwise(lit(0.0))
+    val all = cm.agg(sum("n").as("support"),
+        sum(when(col("label") === col("pred"), col("n")).otherwise(0L))
+          .as("tp"))
+      .select(lit("__all__").as("cls"), col("support"),
+        col("support").as("predicted"), col("tp"),
+        round(acc, 9).as("precision"), round(acc, 9).as("recall"),
+        round(acc, 9).as("f1"))
+    per.unionByName(all)
+  }
 }

@@ -639,6 +639,64 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Ranked-retrieval quality metrics — the EVALUATION leg of the
+    * retrieval family (BM25/RRF/ANN produce rankings; this scores them
+    * against labels): per query, MRR (reciprocal rank of the first
+    * relevant hit), precision@k, recall@k (base = the query's relevant
+    * items IN the ranked list — pass the full candidate pool for
+    * corpus-level recall), and nDCG@k with graded gains
+    * (2^rel − 1)/log2(pos + 1) (Järvelin & Kekäläinen 2002). Input: one
+    * row per (query, item) with a 1-based `rankCol` and a nonnegative
+    * `relCol` (0 = irrelevant; binary or graded). Duplicate ranks
+    * within a query REFUSE loudly (a torn ranking would silently
+    * corrupt every metric). Returns (query, n_rel, mrr, p_at_k, r_at_k,
+    * ndcg_at_k); exact ratios round at 9, the DCG sums at 6.
+    *
+    * Scale shape: ONE query-keyed hash aggregate collects each query's
+    * ranked list (a top-k list by construction — never a corpus), and
+    * every metric folds over that array scan-side with builtin HOFs —
+    * no window, no self-join, no UDF.
+    */
+  def retrievalMetrics(ranked: DataFrame, qCol: String, rankCol: String,
+                       relCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"retrievalMetrics: k=$k")
+    val grouped = ranked.groupBy(col(qCol).as("query"))
+      .agg(array_sort(collect_list(struct(
+        col(rankCol).cast("int").as("r"),
+        col(relCol).cast("double").as("g")))).as("__is"))
+      .select(col("query"),
+        when(size(array_distinct(transform(col("__is"), x => x("r"))))
+            =!= size(col("__is")),
+          raise_error(concat(
+            lit("retrievalMetrics: duplicate ranks for query "),
+            col("query").cast("string"))))
+          .otherwise(col("__is")).as("items"))
+    val items = col("items")
+    val relOnly = filter(items, x => x("g") > lit(0.0))
+    val topK = filter(items, x => x("r") <= lit(k))
+    val hitsK = size(filter(items,
+      x => x("r") <= lit(k) && x("g") > lit(0.0)))
+    val nRel = size(relOnly)
+    val mrr = when(nRel > 0,
+      lit(1.0) / element_at(relOnly, 1).getField("r")).otherwise(lit(0.0))
+    val dcg = aggregate(topK, lit(0.0), (s, x) =>
+      s + (pow(lit(2.0), x("g")) - 1) / log2(x("r").cast("double") + 1))
+    val ideal = slice(reverse(array_sort(transform(items, x => x("g")))),
+      1, k)
+    val idcg = aggregate(
+      zip_with(ideal, sequence(lit(1), size(ideal)), (g, i) =>
+        (pow(lit(2.0), g) - 1) / log2(i.cast("double") + 1)),
+      lit(0.0), (s, v) => s + v)
+    grouped.select(col("query"),
+      nRel.cast("long").as("n_rel"),
+      round(mrr, 9).as("mrr"),
+      round(hitsK.cast("double") / k, 9).as("p_at_k"),
+      round(when(nRel > 0, hitsK.cast("double") / nRel)
+        .otherwise(lit(0.0)), 9).as("r_at_k"),
+      round(when(idcg > 0, dcg / idcg).otherwise(lit(0.0)), 6)
+        .as("ndcg_at_k"))
+  }
+
   // ------------------------------------------- persisted inverted index
 
   private val TextIndexKey = "__graft_text_index__"

@@ -118,4 +118,31 @@ class ClassifierSpec extends SparkSpec {
     assert(acc >= 0.70, s"holdout accuracy floor: $acc")
     assert(acc > math.max(pos, 1 - pos), s"beats majority: $acc vs $pos")
   }
+
+  test("classificationReport: hand-computed confusion, asymmetric classes, nulls") {
+    import spark.implicits._
+    // label a: 3 rows (2 predicted a, 1 predicted b)
+    // label b: 2 rows (both predicted c) — b is also over-predicted
+    // class c: never labeled, predicted twice -> support 0, precision 0
+    // one null prediction reports as __null__
+    val scored = Seq(
+      ("a", "a"), ("a", "a"), ("a", "b"),
+      ("b", "c"), ("b", "c"),
+      ("a", null.asInstanceOf[String]))
+      .toDF("label", "pred")
+    val out = Classifier.classificationReport(scored, "label", "pred")
+      .orderBy("cls").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    // a: support 4 (incl. the null-pred row), predicted 2, tp 2
+    val pA = 2.0 / 2; val rA = 2.0 / 4
+    assert(out("a") === ((4L, 2L, 2L, pA, rA,
+      math.rint(2 * pA * rA / (pA + rA) * 1e9) / 1e9)))
+    assert(out("b") === ((2L, 1L, 0L, 0.0, 0.0, 0.0)))
+    assert(out("c") === ((0L, 2L, 0L, 0.0, 0.0, 0.0)))
+    assert(out("__null__") === ((0L, 1L, 0L, 0.0, 0.0, 0.0)))
+    // __all__: micro accuracy 2/6
+    val acc = math.rint(2.0 / 6 * 1e9) / 1e9
+    assert(out("__all__") === ((6L, 6L, 2L, acc, acc, acc)))
+  }
 }

@@ -1173,6 +1173,44 @@ class VocabTfidfSpec extends SparkSpec {
 class RetrievalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("retrievalMetrics: hand-computed MRR/P@k/R@k/nDCG@k, guards") {
+    // query 1: ranks 1..4 with graded rel (0, 2, 0, 1), k = 2
+    // query 2: nothing relevant at all
+    val ranked = Seq(
+      (1L, 1, 0.0), (1L, 2, 2.0), (1L, 3, 0.0), (1L, 4, 1.0),
+      (2L, 1, 0.0), (2L, 2, 0.0))
+      .toDF("q", "rank", "rel")
+    val out = TextAnalysis.retrievalMetrics(ranked, "q", "rank", "rel", k = 2)
+      .orderBy("query").collect()
+    def l2(x: Double) = math.log(x) / math.log(2)
+    val dcg = (math.pow(2, 0) - 1) / l2(2) + (math.pow(2, 2) - 1) / l2(3)
+    val idcg = (math.pow(2, 2) - 1) / l2(2) + (math.pow(2, 1) - 1) / l2(3)
+    val q1 = out(0)
+    assert(q1.getLong(1) === 2L)                       // n_rel
+    assert(q1.getDouble(2) === 0.5)                    // mrr: first rel at rank 2
+    assert(q1.getDouble(3) === 0.5)                    // p@2: 1 hit / 2
+    assert(q1.getDouble(4) === 0.5)                    // r@2: 1 hit / 2 rel
+    assert(math.abs(q1.getDouble(5) - math.rint(dcg / idcg * 1e6) / 1e6) < 1e-12)
+    val q2 = out(1)
+    assert((q2.getLong(1), q2.getDouble(2), q2.getDouble(3), q2.getDouble(4),
+      q2.getDouble(5)) === ((0L, 0.0, 0.0, 0.0, 0.0)))
+    // a perfect ranking scores nDCG 1
+    val perfect = Seq((9L, 1, 3.0), (9L, 2, 2.0), (9L, 3, 1.0))
+      .toDF("q", "rank", "rel")
+    assert(TextAnalysis.retrievalMetrics(perfect, "q", "rank", "rel", 3)
+      .head().getDouble(5) === 1.0)
+    // duplicate ranks refuse loudly
+    val dup = Seq((1L, 1, 1.0), (1L, 1, 0.0)).toDF("q", "rank", "rel")
+    val e = intercept[Exception](
+      TextAnalysis.retrievalMetrics(dup, "q", "rank", "rel", 2).collect())
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs(e).contains("duplicate ranks"), msgs(e))
+    intercept[IllegalArgumentException](
+      TextAnalysis.retrievalMetrics(ranked, "q", "rank", "rel", 0))
+  }
+
   test("rrfFuse: hand-computed fusion, overlap beats single-list winners") {
     // list A: 10, 20, 30; list B: 20, 40 — doc 20 appears in both
     val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
