@@ -46,6 +46,21 @@ object Bench {
     * ngramJaccardPairs + four audit aggregations), substitute the raw
     * operator here so the number measures the engine, not the harness.
     */
+  /** The SAME 3-multiplier map graph both graph overrides time — shared
+    * so the "on the same graph" comparability between the harmonic and
+    * betweenness bench entries cannot drift.
+    */
+  private def probeGraph(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val nodes = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("node"))
+    val nMod = nodes.count()
+    Seq((7L, 3L), (13L, 5L), (29L, 11L)).map { case (k, c) =>
+      nodes.select(col("node").as("src"),
+        ((col("node") * k + c) % nMod).as("dst"))
+    }.reduce(_ unionByName _)
+  }
+
   private val operatorOverrides: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "q_dedup_minhash" -> ((s, dir) =>
@@ -55,35 +70,18 @@ object Bench {
       // the gated query also runs the O(n·ball) EXACT baseline for its
       // calibration bands — the bench times the HLL operator alone (the
       // 100 TB path), on the same 3-multiplier graph construction
-      "q_harmonic_hyperball" -> ((s, dir) => {
-        import org.apache.spark.sql.functions._
-        val nodes = s.read.parquet(s"$dir/documents.parquet")
-          .select(col("doc_id").cast("long").as("node"))
-        val nMod = nodes.count()
-        val edges = Seq((7L, 3L), (13L, 5L), (29L, 11L)).map { case (k, c) =>
-          nodes.select(col("node").as("src"),
-            ((col("node") * k + c) % nMod).as("dst"))
-        }.reduce(_ unionByName _)
-        graft.ops.Graph.harmonicCentralityHyperBall(edges, "src", "dst",
-          maxDepth = 4, logM = 7)
-      }),
+      "q_harmonic_hyperball" -> ((s, dir) =>
+        graft.ops.Graph.harmonicCentralityHyperBall(probeGraph(s, dir),
+          "src", "dst", maxDepth = 4, logM = 7)),
       // the gated q_betweenness runs the EXACT all-sources form (its
       // oracle replays every source); the bench times the 64-pivot
       // Brandes–Pich form on the same graph — the 100 TB scale path,
       // SAME code with the source set restricted
       "q_betweenness" -> ((s, dir) => {
-        import org.apache.spark.sql.functions._
-        val nodes = s.read.parquet(s"$dir/documents.parquet")
-          .select(col("doc_id").cast("long").as("node"))
-        val nMod = nodes.count()
-        val edges = Seq((7L, 3L), (13L, 5L), (29L, 11L)).map { case (k, c) =>
-          nodes.select(col("node").as("src"),
-            ((col("node") * k + c) % nMod).as("dst"))
-        }.reduce(_ unionByName _)
         val piv = s.range(64).select(
           (org.apache.spark.sql.functions.col("id") * 7L).as("s"))
-        graft.ops.Graph.betweennessCentrality(edges, "src", "dst",
-          maxDepth = 3, pivots = Some(piv))
+        graft.ops.Graph.betweennessCentrality(probeGraph(s, dir),
+          "src", "dst", maxDepth = 3, pivots = Some(piv))
       }))
 
   /** The fixed, data-independent CPU loop (LCG + fp math) behind both

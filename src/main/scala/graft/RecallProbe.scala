@@ -71,31 +71,35 @@ object RecallProbe {
         val recall = if (nEx == 0) 1.0 else 1.0 - nMiss.toDouble / nEx
         println(f"$name%-12s n=$nApp exact=$nEx falsePairs=$nBad recall=$recall%.3f")
       }
-      pairStats("minhash",
-        Dedup.minHashDedup(docs, "text", "doc_id", threshold = 0.6).select("id_a", "id_b"),
-        Dedup.ngramJaccardPairs(docs, "text", "doc_id", Nil, 3, 0.6).select("id_a", "id_b"))
-      // r15: the lshParams self-tune (the r14 default change) vs the old
-      // fixed 8 bands — RECALL and COST side by side, so the bench-line
-      // delta is attributable to the banding profile, not guessed at
+      // minhash recall vs the exact n-gram baseline, measured for the
+      // self-tuned default AND the old fixed 8 bands — RECALL and COST
+      // side by side, so a bench-line delta is attributable to the
+      // banding profile, not guessed at. The exact baseline (the
+      // expensive side) and each approx pair set are pinned so the
+      // four-action pairStats never recomputes them.
       locally {
         val (bAuto, rAuto) = Dedup.lshParams(0.6, 32)
         println(s"DBG lshParams(threshold=0.6, k=32) = (bands=$bAuto, rows=$rAuto)")
         val exactPairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
-          Nil, 3, 0.6).select("id_a", "id_b")
-        def run(bands: Option[Int]) =
-          Dedup.minHashDedup(docs, "text", "doc_id", threshold = 0.6,
-            bands = bands).select("id_a", "id_b")
+          Nil, 3, 0.6).select("id_a", "id_b").persist()
+        exactPairs.count()
         for ((tag, bands) <- Seq(("auto", None), ("fixed8", Some(8)))) {
-          run(bands).count() // warm
+          def run() =
+            Dedup.minHashDedup(docs, "text", "doc_id", threshold = 0.6,
+              bands = bands).select("id_a", "id_b")
+          run().count() // warm
           val t = (0 until 2).map { _ =>
             val t0 = System.nanoTime()
-            run(bands).count()
+            run().count()
             (System.nanoTime() - t0) / 1e9
           }.min
           println(f"DBG minhash_cfg $tag bands=${bands.getOrElse(bAuto)} " +
             f"min_time=$t%.2f s")
-          pairStats(s"minhash_$tag", run(bands), exactPairs)
+          val app = run().persist()
+          pairStats(s"minhash_$tag", app, exactPairs)
+          app.unpersist(false)
         }
+        exactPairs.unpersist(false)
       }
       pairStats("embed_lsh",
         Dedup.embeddingNearDupLSH(emb, "embedding", "vec_id", 0.4, 4, 64).select("id_a", "id_b"),

@@ -894,23 +894,39 @@ object ScalingProbe {
     // measured head). The skew-sensitivity claims (degree-ordered
     // triangle orientation, LPA vote-join fan-in, pagerank/HITS dst
     // aggregates, pivot betweenness) are then measured, not asserted.
-    def zipfEdges(d: String): (org.apache.spark.sql.DataFrame, Long) = {
+    def zipfEdgesGen(d: String): org.apache.spark.sql.DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val nodes = spark.read.parquet(s"$d/documents.parquet")
         .select((row_number().over(Window.orderBy("doc_id")) - 1)
           .cast("long").as("node"))
       val nMod = nodes.count()
-      val edges = (0 until 4).map { j =>
+      (0 until 4).map { j =>
         val u = pmod(xxhash64(col("node"), lit(j)), lit(1000000L))
           .cast("double") / 1000000.0
         nodes.select(col("node").as("src"),
           (floor(pow(lit(nMod.toDouble), u)) - 1).cast("long").as("dst"))
       }.reduce(_ unionByName _)
         .filter(col("dst") >= 0 && col("dst") =!= col("src"))
-      (edges, nMod)
     }
+    // the generator's global row_number window + count are construction
+    // cost COMMON to every skew probe — materialize the edge sets ONCE
+    // per scale OUTSIDE the timed closures (each probe then pays only a
+    // parquet scan, the realistic input), so the measured slopes are the
+    // operators', not the harness's
+    val skewLabels = Seq("skew_census", "skew_triangles", "skew_lpa",
+      "skew_pagerank", "skew_hits", "skew_hits_guard", "skew_betweenness")
+    def zipfPath(d: String) =
+      if (d == big) s"$big/zipf_edges.parquet"
+      else "/root/repo/target/zipf_edges_1x.parquet"
+    if (only.isEmpty || skewLabels.exists(l => only.exists(l.contains)))
+      Seq(src, big).foreach { d =>
+        zipfEdgesGen(d).write.mode("overwrite").parquet(zipfPath(d))
+      }
+    def zipfEdges(d: String): org.apache.spark.sql.DataFrame =
+      spark.read.parquet(zipfPath(d))
     time("skew_census") { d =>
-      val (edges, n) = zipfEdges(d)
+      val edges = zipfEdges(d)
+      val n = spark.read.parquet(s"$d/documents.parquet").count()
       val m = edges.count()
       val deg = edges.select(col("src").as("x"))
         .unionByName(edges.select(col("dst").as("x")))
@@ -928,7 +944,7 @@ object ScalingProbe {
     // all orient INTO it, so the hub emits ZERO oriented wedges and the
     // wedge volume stays Σ min-degree-side², not deg(hub)²
     time("skew_triangles") { d =>
-      val (edges, _) = zipfEdges(d)
+      val edges = zipfEdges(d)
       graft.ops.Graph.triangleCounts(edges, "src", "dst")
         .agg(sum("triangles")).collect(); 1L
     }
@@ -936,7 +952,7 @@ object ScalingProbe {
     // is deg(hub) separate rows (never one giant row), and the
     // (node, label) count agg absorbs the fan-in with map-side combine
     time("skew_lpa") { d =>
-      val (edges, _) = zipfEdges(d)
+      val edges = zipfEdges(d)
       graft.ops.Graph.labelPropagation(edges, "src", "dst",
         maxIters = 4).count()
     }
@@ -944,21 +960,21 @@ object ScalingProbe {
     // construction); the skew lands on the dst AGGREGATE, where partial
     // aggregation caps the hub's shuffle rows at one per task
     time("skew_pagerank") { d =>
-      val (edges, _) = zipfEdges(d)
+      val edges = zipfEdges(d)
       graft.ops.Graph.pageRank(edges, "src", "dst", iters = 5)
         .agg(sum("rank")).collect(); 1L
     }
     // HITS iterates stay exact only while (co-citation degree)^(2·iters)
     // < 2^53 — the hub makes that bind at SMALL iteration counts
     time("skew_hits") { d =>
-      val (edges, _) = zipfEdges(d)
+      val edges = zipfEdges(d)
       graft.ops.Graph.hits(edges, "src", "dst", iters = 2)
         .agg(sum("hub")).collect(); 1L
     }
     // ...and past the exact range the r15 guard must REFUSE, not drift:
     // on this hub graph iters = 8 overflows at both scales
     time("skew_hits_guard") { d =>
-      val (edges, _) = zipfEdges(d)
+      val edges = zipfEdges(d)
       val fired =
         try {
           graft.ops.Graph.hits(edges, "src", "dst", iters = 8)
@@ -975,7 +991,7 @@ object ScalingProbe {
     // rows by design, and 8x data should scale the per-level joins, not
     // square them
     time("skew_betweenness") { d =>
-      val (edges, _) = zipfEdges(d)
+      val edges = zipfEdges(d)
       val piv = spark.range(64).select((col("id") * 7L).as("s"))
       graft.ops.Graph.betweennessCentrality(edges, "src", "dst",
         maxDepth = 3, pivots = Some(piv))

@@ -234,14 +234,20 @@ object MSWrite {
     */
   def writeFragment(delta: DataFrame, childPath: String, parentPath: String): Unit = {
     require(delta.columns.contains(RowId), s"fragment delta needs $RowId")
-    val pinned = delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persist on an ALREADY-persisted frame is a no-op, and unpersisting
+    // it would silently evict the CALLER's cache — pin only when the
+    // caller hasn't, and clean up only what this call pinned
+    val wasCached =
+      delta.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val pinned = if (wasCached) delta
+      else delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       create(pinned, childPath)
       val written = pinned.count()
       putKeywords(delta.sparkSession, childPath,
         readKeywords(delta.sparkSession, childPath) +
           (ParentKey -> parentPath) + (RowsKey -> written.toString))
-    } finally pinned.unpersist(false)
+    } finally if (!wasCached) pinned.unpersist(false)
   }
 
   /** Key-wise diff of two versions of a table — the review step of a

@@ -1025,8 +1025,11 @@ object Graph {
         coalesce(sum("auth"), lit(0.0)),
         coalesce(greatest(max("hub"), max("auth")), lit(0.0))).head()
       val (hs, as) = (sums.getDouble(0), sums.getDouble(1))
+      // STRICT bound: a computed max of exactly 2^53 is ambiguous — a
+      // true iterate of 2^53+1 rounds to 2^53 under ties-to-even, so
+      // equality cannot prove exactness; refuse it too
       val exactMax = 9007199254740992.0 // 2^53
-      require(sums.getDouble(2) <= exactMax,
+      require(sums.getDouble(2) < exactMax,
         s"hits: unnormalized iterate ${sums.getDouble(2)} exceeds 2^53 — " +
           s"growth is ~(co-citation degree)^(2·iters), so on this graph " +
           s"$iters iterations leave the exact-integer double range; " +

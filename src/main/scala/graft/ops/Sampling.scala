@@ -202,12 +202,15 @@ object Sampling {
         col(orderCol).cast("long").as("__ord"),
         tokenCount.cast("int").as("__nt"))
       .as[(String, Long, Int)]
-    requireUniqueFfdOrder(base.toDF(), "packSequencesFFD")
     base.groupByKey(_._1)
       .flatMapSortedGroups($"__nt".desc, $"__ord") { (grp, it) =>
         val bins = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
         var nextPack = 1
+        var prevOrd = Long.MinValue
+        var prevNt = Int.MinValue
         it.map { case (_, ord, nt) =>
+          requireNoFfdTie("packSequencesFFD", grp, prevOrd, prevNt, ord, nt)
+          prevOrd = ord; prevNt = nt
           val (pid, cum, np, _) = ffdStep(bins, nextPack, nt, maxTokens,
             maxOpenBins)
           nextPack = np
@@ -219,20 +222,22 @@ object Sampling {
 
   /** FFD determinism guard, shared by [[packSequencesFFD]] and
     * [[assemblePackedIdsFFD]]: both walk (token count desc, orderCol),
-    * so a duplicate (group, order) row would leave the tie order — and
-    * with it the documented "pack ids and memberships identical by
-    * construction" parity between the two — to shuffle arrival. Refuse
-    * loudly instead (the WebDataset duplicate-key convention). One
-    * two-column aggregate; `struct` keeps null keys countable.
+    * a TOTAL order unless two rows of one group tie on BOTH keys — and
+    * exactly that ambiguous class would leave the tie order (and with
+    * it the documented "pack ids and memberships identical by
+    * construction" parity between the two walks) to shuffle arrival.
+    * Tied rows are ADJACENT in the sorted walk, so the check rides the
+    * kernel at zero extra passes: call per row with the previous row's
+    * keys, refuse loudly on an exact repeat (the WebDataset
+    * duplicate-key convention). Duplicate order keys with DIFFERENT
+    * token counts stay totally ordered and are allowed.
     */
-  private def requireUniqueFfdOrder(base: DataFrame, what: String): Unit = {
-    val r = base.agg(count(lit(1)),
-      countDistinct(struct(col("__grp"), col("__ord")))).head()
-    require(r.getLong(1) == r.getLong(0),
-      s"$what: ${r.getLong(0) - r.getLong(1)} duplicate (group, order) " +
-        "row(s) — FFD needs a unique order key per group so placement " +
-        "and assembly stay deterministic and identical")
-  }
+  private def requireNoFfdTie(what: String, grp: String, prevOrd: Long,
+                              prevNt: Int, ord: Long, nt: Int): Unit =
+    require(!(ord == prevOrd && nt == prevNt),
+      s"$what: duplicate (group, order) row at order=$ord (token count " +
+        s"$nt) in group '$grp' — the FFD tie order would be " +
+        "shuffle-arrival-dependent; make the order key unique")
 
   /** The ONE first-fit-decreasing placement rule, shared by
     * [[packSequencesFFD]] and [[assemblePackedIdsFFD]] so their pack
@@ -273,8 +278,9 @@ object Sampling {
     * (descending token count, ties by `orderCol` — the FFD walk), each
     * document terminated by `sepId`; null id arrays raise. Pack ids and
     * memberships are identical to [[packSequencesFFD]] by construction
-    * (the shared [[ffdStep]] rule AND the shared sort keys — duplicate
-    * (group, order) rows are refused by [[requireUniqueFfdOrder]]).
+    * (the shared [[ffdStep]] rule AND the shared sort keys — ambiguous
+    * (group, order, token count) ties are refused in-kernel by
+    * [[requireNoFfdTie]]).
     *
     * Scale shape: the ids ride the same group-keyed desc-sorted
     * traversal that assigns the packs, so they cross the wire once and
@@ -302,8 +308,7 @@ object Sampling {
       .as[(String, Long, Int, Seq[Int])]
     // SAME sort keys as packSequencesFFD — adding __ids here would let a
     // duplicate-order tie walk in a different order than the placement
-    // pass; uniqueness is guaranteed by the shared guard instead
-    requireUniqueFfdOrder(base.toDF(), "assemblePackedIdsFFD")
+    // pass; ambiguous ties are refused in-kernel by the shared guard
     base.groupByKey(_._1)
       .flatMapSortedGroups($"__nt".desc, $"__ord") { (grp, it) =>
         val bins = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
@@ -316,9 +321,14 @@ object Sampling {
           PackedRow(grp, pid, ids.toSeq, docs.toSeq,
             docs.length.toLong, ids.length.toLong)
         }
+        var prevOrd = Long.MinValue
+        var prevNt = Int.MinValue
         val main = it.flatMap { case (_, ord, nt, seq) =>
           require(seq != null,
             s"assemblePackedIdsFFD: null $idsCol for $orderCol=$ord")
+          requireNoFfdTie("assemblePackedIdsFFD", grp, prevOrd, prevNt,
+            ord, nt)
+          prevOrd = ord; prevNt = nt
           val (pid, _, np, retired) = ffdStep(bins, nextPack, nt, maxTokens,
             maxOpenBins)
           nextPack = np

@@ -75,6 +75,25 @@ object Similarity {
     df.withColumn(vecCol, out)
   }
 
+  /** Shared tail of every matryoshka/BQ coarse-shortlist → exact-re-rank
+    * cascade, inline AND persisted: bounded-heap top k·refine on the
+    * coarse scores, broadcast-join the shortlist ids back to the full
+    * vectors and the queries, exact cosine, top k. Keeping all four
+    * tiers on ONE code path is what makes the spec-asserted
+    * "index ≡ inline" parity hold by construction, not by test luck.
+    * `scoredCoarse` carries (query_id, neighbor_id, cosine);
+    * `corpusVec` (neighbor_id, cv); `q` (query_id, qv).
+    */
+  private def shortlistRerank(scoredCoarse: DataFrame, corpusVec: DataFrame,
+                              q: DataFrame, k: Int, refine: Int): DataFrame = {
+    val cand = explodeTopK(scoredCoarse, k * refine)
+      .select("query_id", "neighbor_id")
+    val rer = corpusVec.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine", Dedup.cosine(col("qv"), col("cv")))
+    explodeTopK(rer, k)
+  }
+
   /** The matryoshka search cascade: shortlist `k · refine` candidates
     * with TRUNCATED-dim cosine (a `dim/d` cost scan — the whole point
     * of MRL serving), then re-rank the shortlist with full-dim exact
@@ -100,12 +119,8 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
         nanvl(Dedup.cosine(col("qv"), col("cv")), lit(-1.0)))
-    val cand = explodeTopK(scored, k * refine)
-      .select("query_id", "neighbor_id")
-    val rer = c.join(broadcast(cand), Seq("neighbor_id"))
-      .join(broadcast(q), Seq("query_id"))
-      .withColumn("cosine", Dedup.cosine(col("qv"), col("cv")))
-    explodeTopK(rer, k)
+      .select("query_id", "neighbor_id", "cosine")
+    shortlistRerank(scored, c, q, k, refine)
   }
 
   private val MatryoshkaKey = "__graft_matryoshka__"
@@ -154,13 +169,9 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
         nanvl(Dedup.cosine(col("qt"), col("tv")), lit(-1.0)))
-    val cand = explodeTopK(scored, k * refine)
-      .select("query_id", "neighbor_id")
-    val rer = spark.read.parquet(path).select("neighbor_id", "cv")
-      .join(broadcast(cand), Seq("neighbor_id"))
-      .join(broadcast(q), Seq("query_id"))
-      .withColumn("cosine", Dedup.cosine(col("qv"), col("cv")))
-    explodeTopK(rer, k)
+      .select("query_id", "neighbor_id", "cosine")
+    shortlistRerank(scored,
+      spark.read.parquet(path).select("neighbor_id", "cv"), q, k, refine)
   }
 
   /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998):
@@ -451,12 +462,8 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
         -hamming(col("qcode"), col("ccode")).cast("double"))
-    val cand = explodeTopK(scored, k * refine)
-      .select("query_id", "neighbor_id")
-    val rer = c.join(broadcast(cand), Seq("neighbor_id"))
-      .join(broadcast(q), Seq("query_id"))
-      .withColumn("cosine", Dedup.cosine(col("qv"), col("cv")))
-    explodeTopK(rer, k)
+      .select("query_id", "neighbor_id", "cosine")
+    shortlistRerank(scored, c, q, k, refine)
   }
 
   private val BqKey = "__graft_bq__"
@@ -513,13 +520,9 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
         -hamming(col("qcode"), col("ccode")).cast("double"))
-    val cand = explodeTopK(scored, k * refine)
-      .select("query_id", "neighbor_id")
-    val rer = spark.read.parquet(path).select("neighbor_id", "cv")
-      .join(broadcast(cand), Seq("neighbor_id"))
-      .join(broadcast(q), Seq("query_id"))
-      .withColumn("cosine", Dedup.cosine(col("qv"), col("cv")))
-    explodeTopK(rer, k)
+      .select("query_id", "neighbor_id", "cosine")
+    shortlistRerank(scored,
+      spark.read.parquet(path).select("neighbor_id", "cv"), q, k, refine)
   }
 
   /** Hard-negative mining (contrastive-training data prep): for each

@@ -751,28 +751,40 @@ class SamplingSpec extends SparkSpec {
       wf.getLong(1)) // the cap can only lose quality, never gain
   }
 
-  test("FFD refuses duplicate (group, order) rows in both walks") {
-    // both FFD passes sort by (token count desc, order); a duplicate
-    // order key would leave the tie order — and the placement/assembly
-    // parity guarantee — to shuffle arrival, so it refuses loudly
+  test("FFD refuses ambiguous (group, order, token count) ties in both walks") {
+    // both FFD passes sort by (token count desc, order) — a TOTAL order
+    // unless two rows of one group tie on BOTH keys, which would leave
+    // the tie order (and the placement/assembly parity guarantee) to
+    // shuffle arrival; the in-kernel guard refuses exactly that class,
+    // at zero extra passes (tied rows are adjacent in the sorted walk)
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
     val dup = Seq(("s", 1L, "a b", Seq(1, 2)), ("s", 1L, "c d", Seq(3, 4)),
         ("s", 2L, "e", Seq(5)))
       .toDF("src", "id", "text", "ids")
     val tc = TextAnalysis.tokenCount(col("text"))
-    val e1 = intercept[IllegalArgumentException](
+    val e1 = intercept[Throwable](
       Sampling.packSequencesFFD(dup, "src", "id", tc, maxTokens = 10)
         .collect())
-    assert(e1.getMessage.contains("duplicate (group, order)"))
-    val e2 = intercept[IllegalArgumentException](
+    assert(msgs(e1).contains("duplicate (group, order)"), msgs(e1))
+    val e2 = intercept[Throwable](
       Sampling.assemblePackedIdsFFD(dup, "src", "id", "ids", tc,
         maxTokens = 10, sepId = 0).collect())
-    assert(e2.getMessage.contains("duplicate (group, order)"))
-    // same order key in DIFFERENT groups is fine (per-group walks)
-    val ok = Seq(("s", 1L, "a b", Seq(1, 2)), ("t", 1L, "c d", Seq(3, 4)))
+    assert(msgs(e2).contains("duplicate (group, order)"), msgs(e2))
+    // same order key in DIFFERENT groups is fine (per-group walks), and
+    // a duplicate order key with DIFFERENT token counts stays totally
+    // ordered — allowed, and both walks place it identically
+    val ok = Seq(("s", 1L, "a b", Seq(1, 2)), ("t", 1L, "c d", Seq(3, 4)),
+        ("s", 1L, "x y z", Seq(7, 8, 9)))
       .toDF("src", "id", "text", "ids")
-    assert(Sampling.packSequencesFFD(ok, "src", "id", tc, 10).count() === 2)
-    assert(Sampling.assemblePackedIdsFFD(ok, "src", "id", "ids", tc, 10, 0)
-      .count() === 2)
+    assert(Sampling.packSequencesFFD(ok, "src", "id", tc, 10).count() === 3)
+    val asg = Sampling.packSequencesFFD(ok, "src", "id", tc, 10)
+      .select("src", "id", "n_tokens", "pack_id")
+      .as[(String, Long, Int, Int)].collect().toSet
+    val mem = Sampling.assemblePackedIdsFFD(ok, "src", "id", "ids", tc, 10, 0)
+    assert(mem.agg(sum("n_docs")).head().getLong(0) === 3L)
+    assert(asg.map(_._4).max === mem.select(max("pack_id")).head().getInt(0))
   }
 }
 
