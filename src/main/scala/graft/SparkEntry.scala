@@ -251,6 +251,133 @@ object SparkEntry {
       col("text"),
       ((col("doc_id").cast("long") * 37) % 97).cast("double").as("score"))
 
+  /** Synthetic arena battles for the Bradley–Terry query: each doc row
+    * yields one battle between models (doc_id % 12) and
+    * (doc_id·7+3 % 12) with the winner picked by the same doc_id·37
+    * mod 97 parity the DPO score uses — pure id arithmetic the oracle
+    * replays verbatim. */
+  private def arenaBattles(s: SparkSession, dir: String): DataFrame = {
+    val d = T(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("id"))
+      .select(
+        (col("id") % 12).as("a"),
+        ((col("id") * 7 + 3) % 12).as("b"),
+        (((col("id") * 37) % 97) % 2 === 0).as("a_wins"))
+      .filter(col("a") =!= col("b"))
+    d.select(
+      when(col("a_wins"), col("a")).otherwise(col("b"))
+        .cast("string").as("winner"),
+      when(col("a_wins"), col("b")).otherwise(col("a"))
+        .cast("string").as("loser"))
+  }
+
+  /** q_bradley_terry's oracle: the same fixed-iteration MM trajectory
+    * unrolled as chained CTEs — pair counts, symmetric battle counts,
+    * then per round one denominator join (skipping zero-strength
+    * pairs, the engine's guard), the W/den update, and the
+    * normalize-then-round(9) pin that makes both trajectories
+    * bit-identical (the lpaOracleSql discipline). */
+  private def bradleyTerryOracleSql(iters: Int): String = {
+    // every p{i} is referenced twice by round i+1 — MATERIALIZED keeps
+    // DuckDB from inlining the whole chain exponentially
+    val steps = (1 to iters).map { i =>
+      s"""d$i AS (
+         |  SELECT nb.a AS model, sum(nb.n / (pa.pi + pb.pi)) AS den
+         |  FROM nb JOIN p${i - 1} pa ON pa.model = nb.a
+         |          JOIN p${i - 1} pb ON pb.model = nb.b
+         |  WHERE pa.pi + pb.pi > 0 GROUP BY 1),
+         |r$i AS (
+         |  SELECT w.model,
+         |    CASE WHEN coalesce(d.den, 0) > 0 THEN w.w / d.den
+         |         ELSE 0.0 END AS raw
+         |  FROM wins w LEFT JOIN d$i d USING (model)),
+         |p$i AS MATERIALIZED (
+         |  SELECT model,
+         |    CASE WHEN s > 0 THEN round(raw / s, 9) ELSE raw END AS pi
+         |  FROM (SELECT model, raw, sum(raw) OVER () AS s FROM r$i))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+       |arena AS (
+       |  SELECT id % 12 AS a, (id * 7 + 3) % 12 AS b,
+       |         ((id * 37) % 97) % 2 = 0 AS awins
+       |  FROM ids WHERE id % 12 <> (id * 7 + 3) % 12),
+       |battles AS (
+       |  SELECT CAST(CASE WHEN awins THEN a ELSE b END AS VARCHAR) AS w,
+       |         CAST(CASE WHEN awins THEN b ELSE a END AS VARCHAR) AS l
+       |  FROM arena),
+       |pc AS (SELECT w, l, count(*) AS n FROM battles GROUP BY 1, 2),
+       |models AS (SELECT w AS model FROM pc UNION SELECT l FROM pc),
+       |nm AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM models),
+       |nb AS (
+       |  SELECT a, b, sum(n) AS n FROM (
+       |    SELECT w AS a, l AS b, n FROM pc
+       |    UNION ALL SELECT l, w, n FROM pc) GROUP BY 1, 2),
+       |wins AS (
+       |  SELECT m.model, CAST(coalesce(sum(pc.n), 0) AS DOUBLE) AS w
+       |  FROM models m LEFT JOIN pc ON pc.w = m.model GROUP BY 1),
+       |p0 AS (SELECT model, 1.0 / (SELECT k FROM nm) AS pi FROM models),
+       |$steps
+       |SELECT m.model, round(p.pi, 6) AS strength,
+       |  CAST(w.w AS BIGINT) AS wins,
+       |  CAST((SELECT sum(nb.n) FROM nb WHERE nb.a = m.model) AS BIGINT)
+       |    AS battles
+       |FROM models m JOIN p$iters p USING (model) JOIN wins w USING (model)
+       |ORDER BY m.model""".stripMargin
+  }
+
+  /** q_elo's oracle: the sequential Elo fold unrolled one chained CTE
+    * per battle (each e{i} is referenced twice by step i+1, hence
+    * MATERIALIZED — the bradleyTerryOracleSql lesson). `steps` may
+    * exceed the data's battle count: a step with no battle LEFT-joins
+    * to nothing and passes ratings through unchanged, so the unroll
+    * depth only needs to be an upper bound. The expected score is
+    * round(9)-pinned on both sides BEFORE the K-scaled update, so the
+    * only cross-engine surface is pow(10, x) at a rounding boundary. */
+  private def eloOracleSql(steps: Int): String = {
+    val chain = (1 to steps).map { i =>
+      s"""s$i AS (
+         |  SELECT b.w, b.l,
+         |    round(1 / (1 + pow(10, (rl.r - rw.r) / 400.0)), 9) AS ew
+         |  FROM b JOIN e${i - 1} rw ON rw.model = b.w
+         |         JOIN e${i - 1} rl ON rl.model = b.l
+         |  WHERE b.step = $i),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.model,
+         |    round(e.r + coalesce(
+         |      CASE WHEN e.model = s.w THEN 32.0 * (1 - s.ew)
+         |           WHEN e.model = s.l THEN -32.0 * (1 - s.ew)
+         |      END, 0.0), 9) AS r
+         |  FROM e${i - 1} e LEFT JOIN s$i s ON true)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+       |arena AS (
+       |  SELECT id, id % 12 AS a, (id * 7 + 3) % 12 AS b,
+       |         ((id * 37) % 97) % 2 = 0 AS awins
+       |  FROM ids
+       |  WHERE id % 8 = 0 AND id % 12 <> (id * 7 + 3) % 12),
+       |b AS MATERIALIZED (
+       |  SELECT CAST(CASE WHEN awins THEN a ELSE b END AS VARCHAR) AS w,
+       |         CAST(CASE WHEN awins THEN b ELSE a END AS VARCHAR) AS l,
+       |         row_number() OVER (ORDER BY id) AS step
+       |  FROM arena),
+       |models AS (SELECT w AS model FROM b UNION SELECT l FROM b),
+       |e0 AS MATERIALIZED (
+       |  SELECT model, CAST(1000.0 AS DOUBLE) AS r FROM models),
+       |$chain
+       |SELECT m.model, round(e.r, 6) AS rating,
+       |  CAST(coalesce(w.wins, 0) AS BIGINT) AS wins,
+       |  CAST(coalesce(lo.losses, 0) AS BIGINT) AS losses,
+       |  CAST(coalesce(w.wins, 0) + coalesce(lo.losses, 0) AS BIGINT)
+       |    AS battles
+       |FROM models m JOIN e$steps e USING (model)
+       |LEFT JOIN (SELECT w AS model, count(*) AS wins FROM b GROUP BY 1) w
+       |  USING (model)
+       |LEFT JOIN (SELECT l AS model, count(*) AS losses FROM b GROUP BY 1)
+       |  lo USING (model)
+       |ORDER BY m.model""".stripMargin
+  }
+
   /** q_betweenness's oracle: truncated Brandes unrolled in SQL on the
     * 3-map graph — forward levels l1..lD as first-discovery sigma sums
     * (NOT EXISTS against every earlier level), backward deltas dD-1..d1
@@ -3142,6 +3269,100 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           "score", minGap = 60.0, allPairs = true)
         .withColumn("score_gap", round(col("score_gap"), 6))
         .orderBy("prompt", "chosen_id", "rejected_id")),
+
+    // Bradley–Terry arena ranking over the synthetic battle log: 10 MM
+    // rounds with per-round round(9) pinning, replayed exactly by an
+    // unrolled chained-CTE oracle (final strengths compared at 6dp)
+    "q_bradley_terry" -> ((s, dir) =>
+      Sft.bradleyTerry(arenaBattles(s, dir), "winner", "loser", iters = 10)
+        .withColumn("strength", round(col("strength"), 6))
+        .orderBy("model")),
+
+    // Elo rating trail over an every-8th-doc battle subset (63 battles
+    // at sf0.01), sequential by doc_id; the oracle unrolls one CTE per
+    // battle with identity padding past the data's end
+    "q_elo" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"))
+        .filter(col("id") % 8 === 0)
+        .select(col("id"),
+          (col("id") % 12).as("a"), ((col("id") * 7 + 3) % 12).as("b"),
+          (((col("id") * 37) % 97) % 2 === 0).as("aw"))
+        .filter(col("a") =!= col("b"))
+      val battles = d.select(col("id").as("ord"),
+        when(col("aw"), col("a")).otherwise(col("b"))
+          .cast("string").as("winner"),
+        when(col("aw"), col("b")).otherwise(col("a"))
+          .cast("string").as("loser"))
+      Sft.eloRatings(battles, "winner", "loser", "ord")
+        .withColumn("rating", round(col("rating"), 6))
+        .orderBy("model")
+    }),
+
+    // Cohen's kappa between two synthetic raters (deterministic mod-4
+    // labelings); every ratio reduces to one division of exact integer
+    // sums, so the oracle matches bit-for-bit
+    "q_agree_cohen" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"))
+      ops.Classifier.cohenKappa(d.select(
+        ((col("id") * 3) % 4).cast("string").as("ra"),
+        ((col("id") * 5 + 1) % 4).cast("string").as("rb")), "ra", "rb")
+    }),
+
+    // Fleiss' kappa: 100 items × equal rater panels (doc_id div 100),
+    // 3-way labels from id arithmetic
+    "q_agree_fleiss" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"))
+      ops.Classifier.fleissKappa(d.select(
+        (col("id") % 100).as("item"),
+        ((col("id") * 7) % 3).cast("string").as("rating")),
+        "item", "rating")
+    }),
+
+    // calibration bins + ECE for a synthetic [0,1] score against a
+    // parity label; bin = -1 is the summary/ECE row
+    "q_calibration" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"))
+      ops.Classifier.calibrationReport(d.select(
+          (((col("id") * 13) % 101).cast("double") / 100.0).as("score"),
+          (((col("id") * 37) % 97) % 2).cast("double").as("label")),
+        "score", "label", bins = 10)
+        .orderBy("bin")
+    }),
+
+    // Krippendorff's alpha on a deliberately UNBALANCED panel (every
+    // (id·11 % 7 = 0) rating dropped) — the missing-data case Fleiss
+    // refuses; sub-2-rating items are excluded per the definition
+    "q_agree_alpha" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"))
+        .filter((col("id") * 11) % 7 =!= 0)
+      ops.Classifier.krippendorffAlpha(d.select(
+        (col("id") % 100).as("item"),
+        ((col("id") * 7) % 3).cast("string").as("rating")),
+        "item", "rating")
+    }),
+
+    // Chao1 + Good–Turing unseen-mass estimates from the corpus token
+    // frequency spectrum; every ratio is a division of exact integers
+    "q_vocab_richness" -> ((s, dir) =>
+      TextAnalysis.vocabRichness(T(s, dir, "documents"), "text")),
+
+    // split-conformal threshold on a deterministic calibration/test
+    // split of a synthetic nonconformity score: k-th order statistic
+    // at alpha = 0.1, coverage measured on the held-out half
+    "q_conformal" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"))
+        .withColumn("score",
+          ((col("id") * 31) % 211).cast("double") / 211.0)
+      ops.Classifier.splitConformal(
+        d.filter(col("id") % 2 === 0), "score",
+        d.filter(col("id") % 2 === 1), "score", alpha = 0.1)
+    }),
 
     // SemDeDup derived check: cluster-blocked pairs must be an exact-cosine
     // subset of the all-pairs baseline (precision 1.0), recover the
@@ -6323,6 +6544,170 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |FROM r a JOIN r b ON a.prompt = b.prompt
           |WHERE a.score > b.score AND a.score - b.score >= 60.0
           |ORDER BY 1, 2, 3""".stripMargin,
+
+      "q_bradley_terry" -> bradleyTerryOracleSql(iters = 10),
+
+      // 63 battles at sf0.01; 70 unrolled steps = identity headroom
+      "q_elo" -> eloOracleSql(steps = 70),
+
+      "q_agree_cohen" ->
+        """WITH r AS (
+          |  SELECT CAST((CAST(doc_id AS BIGINT) * 3) % 4 AS VARCHAR) AS a,
+          |         CAST((CAST(doc_id AS BIGINT) * 5 + 1) % 4 AS VARCHAR)
+          |           AS b
+          |  FROM documents),
+          |tot AS (
+          |  SELECT count(*) AS n,
+          |         sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree
+          |  FROM r),
+          |ma AS (SELECT a AS k, count(*) AS na FROM r GROUP BY 1),
+          |mb AS (SELECT b AS k, count(*) AS nb FROM r GROUP BY 1),
+          |ch AS (
+          |  SELECT sum(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS prod
+          |  FROM ma JOIN mb USING (k)),
+          |v AS (
+          |  SELECT CAST(n AS BIGINT) AS n_items,
+          |    CAST(agree AS DOUBLE) / n AS po,
+          |    coalesce(prod, 0)
+          |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+          |  FROM tot, ch)
+          |SELECT n_items, round(po, 9) AS po, round(pe, 9) AS pe,
+          |  round(CASE WHEN pe >= 1.0
+          |             THEN CASE WHEN po >= 1.0 THEN 1.0 ELSE 0.0 END
+          |             ELSE (po - pe) / (1.0 - pe) END, 9) AS kappa
+          |FROM v""".stripMargin,
+
+      "q_agree_fleiss" ->
+        """WITH r AS (
+          |  SELECT CAST(doc_id AS BIGINT) % 100 AS item,
+          |         CAST((CAST(doc_id AS BIGINT) * 7) % 3 AS VARCHAR)
+          |           AS lab
+          |  FROM documents),
+          |cnt AS (
+          |  SELECT item, lab, count(*) AS n FROM r GROUP BY 1, 2),
+          |pi AS (
+          |  SELECT item, sum(n * n) AS sq, sum(n) AS m
+          |  FROM cnt GROUP BY 1),
+          |sh AS (
+          |  SELECT count(*) AS ni, min(m) AS m FROM pi),
+          |pb AS (
+          |  SELECT CAST(sum(sq) - sum(m) AS DOUBLE)
+          |    / ((SELECT ni FROM sh) * (SELECT m FROM sh)
+          |       * ((SELECT m FROM sh) - 1)) AS p_bar
+          |  FROM pi),
+          |pe AS (
+          |  SELECT sum(CAST(nk AS DOUBLE) * CAST(nk AS DOUBLE))
+          |    / (CAST((SELECT ni * m FROM sh) AS DOUBLE)
+          |       * CAST((SELECT ni * m FROM sh) AS DOUBLE)) AS p_e
+          |  FROM (SELECT lab, sum(n) AS nk FROM cnt GROUP BY 1))
+          |SELECT CAST((SELECT ni FROM sh) AS BIGINT) AS n_items,
+          |  CAST((SELECT m FROM sh) AS BIGINT) AS n_raters,
+          |  round(p_bar, 9) AS p_bar, round(p_e, 9) AS p_e,
+          |  round(CASE WHEN p_e >= 1.0
+          |             THEN CASE WHEN p_bar >= 1.0 THEN 1.0 ELSE 0.0 END
+          |             ELSE (p_bar - p_e) / (1.0 - p_e) END, 9) AS kappa
+          |FROM pb, pe""".stripMargin,
+
+      // the summary row replays the same per-bin-then-weighted shape
+      // the engine uses (NOT a direct corpus mean — float parity)
+      "q_calibration" ->
+        """WITH r AS (
+          |  SELECT ((CAST(doc_id AS BIGINT) * 13) % 101) / 100.0 AS s,
+          |    CAST(((CAST(doc_id AS BIGINT) * 37) % 97) % 2 AS DOUBLE)
+          |      AS y
+          |  FROM documents),
+          |pb AS (
+          |  SELECT CAST(least(floor(s * 10), 9) AS INTEGER) AS bin,
+          |    count(*) AS n, avg(s) AS conf, avg(y) AS acc
+          |  FROM r GROUP BY 1)
+          |SELECT bin, CAST(n AS BIGINT) AS n,
+          |  round(conf, 9) AS confidence, round(acc, 9) AS accuracy,
+          |  round(abs(acc - conf), 9) AS gap
+          |FROM pb
+          |UNION ALL
+          |SELECT -1, CAST(sum(n) AS BIGINT),
+          |  round(sum(conf * n) / sum(n), 9),
+          |  round(sum(acc * n) / sum(n), 9),
+          |  round(sum(abs(acc - conf) * n) / sum(n), 9)
+          |FROM pb
+          |ORDER BY bin""".stripMargin,
+
+      "q_agree_alpha" ->
+        """WITH r AS (
+          |  SELECT CAST(doc_id AS BIGINT) % 100 AS item,
+          |    CAST((CAST(doc_id AS BIGINT) * 7) % 3 AS VARCHAR) AS lab
+          |  FROM documents
+          |  WHERE (CAST(doc_id AS BIGINT) * 11) % 7 <> 0),
+          |cnt AS (
+          |  SELECT item, lab, count(*) AS n FROM r GROUP BY 1, 2),
+          |pi AS (
+          |  SELECT item, sum(n * n) AS sq, sum(n) AS m
+          |  FROM cnt GROUP BY 1 HAVING sum(n) >= 2),
+          |d_o AS (
+          |  SELECT count(*) AS ni, sum(m) AS nr,
+          |    sum((CAST(m AS DOUBLE) * m - sq) / CAST(m - 1 AS DOUBLE))
+          |      AS dn
+          |  FROM pi),
+          |lt AS (
+          |  SELECT sum(CAST(nk AS DOUBLE) * CAST(nk AS DOUBLE)) AS sqk
+          |  FROM (SELECT c.lab, sum(c.n) AS nk
+          |        FROM cnt c JOIN pi USING (item) GROUP BY 1)),
+          |v AS (
+          |  SELECT CAST(ni AS BIGINT) AS n_items,
+          |    CAST(nr AS BIGINT) AS n_ratings,
+          |    dn / nr AS d_o,
+          |    (CAST(nr AS DOUBLE) * nr - sqk)
+          |      / (CAST(nr AS DOUBLE) * (nr - 1)) AS d_e
+          |  FROM d_o, lt)
+          |SELECT n_items, n_ratings,
+          |  round(d_o, 9) AS d_o, round(d_e, 9) AS d_e,
+          |  round(CASE WHEN d_e <= 0.0 THEN 1.0
+          |             ELSE 1.0 - d_o / d_e END, 9) AS alpha
+          |FROM v""".stripMargin,
+
+      "q_vocab_richness" ->
+        """WITH freq AS (
+          |  SELECT token, count(*) AS c
+          |  FROM (SELECT unnest(string_split_regex(trim(lower(text)),
+          |                '\s+')) AS token
+          |        FROM documents)
+          |  WHERE len(token) > 0 GROUP BY token),
+          |sp AS (
+          |  SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+          |    CAST(count(*) AS BIGINT) AS vocab,
+          |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS f1,
+          |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS f2
+          |  FROM freq)
+          |SELECT n_tokens, vocab, f1, f2,
+          |  round(vocab + CAST(f1 AS DOUBLE) * (f1 - 1)
+          |    / (2.0 * (f2 + 1)), 9) AS chao1,
+          |  round(CAST(f1 AS DOUBLE) / n_tokens, 9) AS gt_unseen_mass
+          |FROM sp""".stripMargin,
+
+      // the k-th order statistic replayed as ORDER BY / OFFSET; the
+      // coverage side is an exact 0/1 mean
+      "q_conformal" ->
+        """WITH d AS (
+          |  SELECT CAST(doc_id AS BIGINT) AS id,
+          |    ((CAST(doc_id AS BIGINT) * 31) % 211) / 211.0 AS score
+          |  FROM documents),
+          |cal AS (SELECT score FROM d WHERE id % 2 = 0),
+          |tst AS (SELECT score FROM d WHERE id % 2 = 1),
+          |nn AS (SELECT count(*) AS n FROM cal),
+          |kk AS (
+          |  SELECT n, CAST(ceil((n + 1) * 0.9) AS BIGINT) AS k FROM nn),
+          |th AS (
+          |  SELECT score AS threshold FROM cal ORDER BY score
+          |  LIMIT 1 OFFSET (SELECT k - 1 FROM kk))
+          |SELECT kk.n AS n_cal, kk.k AS k,
+          |  round(th.threshold, 9) AS threshold,
+          |  (SELECT count(*) FROM tst) AS n_test,
+          |  round((SELECT avg(CASE WHEN score <= th.threshold
+          |                         THEN 1.0 ELSE 0.0 END) FROM tst), 9)
+          |    AS coverage
+          |FROM kk, th""".stripMargin,
 
       "q_s5_tensor" -> {
         val terms = for (c <- 0 to 3; p <- 0 to 1) yield

@@ -271,4 +271,266 @@ object Classifier {
         round(acc, 9).as("f1"))
     per.unionByName(all)
   }
+
+  /** Cohen's kappa (Cohen 1960) between two raters' labels on the same
+    * items — chance-corrected agreement for label-quality audits
+    * (human-vs-human or model-vs-human annotation of training data):
+    * κ = (p_o − p_e)/(1 − p_e) with p_o the observed agreement rate
+    * and p_e = Σ_k p_a(k)·p_b(k) the marginal-product chance rate.
+    * Nulls label as `__null__` (a missing rating is a rating
+    * category, not a dropped item). When both raters are constant and
+    * identical (p_e = 1), κ is conventionally 0/0 — reported here as
+    * 1.0 for perfect observed agreement and 0.0 otherwise, the
+    * scikit-learn convention. One row: (n_items, po, pe, kappa),
+    * doubles rounded at 9.
+    *
+    * Scale shape: ONE (a, b) hash aggregate (the contingency table,
+    * labels² tiny rows), then marginal sums and one scalar join — no
+    * corpus-sized shuffle beyond the table build.
+    */
+  def cohenKappa(rated: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val ct = rated.select(
+        coalesce(col(aCol).cast("string"), lit("__null__")).as("a"),
+        coalesce(col(bCol).cast("string"), lit("__null__")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val tot = ct.agg(sum("n").as("n_items"),
+      sum(when(col("a") === col("b"), col("n")).otherwise(0L)).as("agree"))
+    // marginal products sum as DOUBLES (exact while < 2^53, and a
+    // long·long product overflows first at corpus scale)
+    val margA = ct.groupBy(col("a").as("k")).agg(sum("n").as("na"))
+    val margB = ct.groupBy(col("b").as("k")).agg(sum("n").as("nb"))
+    val chance = margA.join(margB, "k")
+      .agg(sum(col("na").cast("double") * col("nb").cast("double"))
+        .as("prod"))
+    tot.crossJoin(chance).select(
+      col("n_items"),
+      col("agree").cast("double") / col("n_items"),
+      coalesce(col("prod"), lit(0.0))
+        / (col("n_items").cast("double") * col("n_items").cast("double")))
+      .toDF("n_items", "po_raw", "pe_raw")
+      .select(col("n_items"),
+        round(col("po_raw"), 9).as("po"),
+        round(col("pe_raw"), 9).as("pe"),
+        round(when(col("pe_raw") >= 1.0,
+            when(col("po_raw") >= 1.0, 1.0).otherwise(0.0))
+          .otherwise((col("po_raw") - col("pe_raw"))
+            / (lit(1.0) - col("pe_raw"))), 9).as("kappa"))
+  }
+
+  /** Fleiss' kappa (Fleiss 1971) for N raters × M items — the
+    * multi-rater generalization used when an annotation batch is
+    * fanned to a rater pool: each item must receive the SAME number
+    * of ratings m ≥ 2 (the statistic is undefined otherwise — an
+    * unbalanced frame refuses loudly rather than silently reweighting).
+    * P̄ = mean over items of (Σ_k n_ik² − m)/(m(m−1)), chance
+    * P̄e = Σ_k p_k², κ = (P̄ − P̄e)/(1 − P̄e) with the same degenerate
+    * convention as [[cohenKappa]]. One row:
+    * (n_items, n_raters, p_bar, p_e, kappa), doubles rounded at 9.
+    *
+    * Scale shape: one (item, label) count aggregate, one per-item
+    * aggregate over it, one per-label aggregate — three hash aggs,
+    * all output-bounded, no window.
+    */
+  def fleissKappa(ratings: DataFrame, itemCol: String,
+                  labelCol: String): DataFrame = {
+    val cnt = ratings.select(
+        col(itemCol).as("item"),
+        coalesce(col(labelCol).cast("string"), lit("__null__")).as("lab"))
+      .groupBy("item", "lab").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val perItem = cnt.groupBy("item")
+      .agg(sum(col("n") * col("n")).as("sq"), sum("n").as("m"))
+    val shape = perItem.agg(count(lit(1)).as("n_items"),
+      min("m").as("m_lo"), max("m").as("m_hi"))
+    val Array(nItems, mLo, mHi) =
+      shape.head().toSeq.map(_.asInstanceOf[Long]).toArray
+    require(nItems > 0, "fleissKappa: no ratings")
+    require(mLo == mHi && mLo >= 2,
+      s"fleissKappa: every item needs the same >=2 rating count " +
+        s"(saw $mLo..$mHi) — the statistic is undefined on unbalanced " +
+        "panels; use krippendorffAlpha for missing-rating data, or " +
+        "filter to fully-rated items")
+    val m = mLo.toDouble
+    // both ratios reduce to one division of exact-integer sums, so the
+    // value is bit-identical regardless of aggregation order (the SQL
+    // oracle divides the same integers)
+    val pBar = perItem.agg(
+      ((sum("sq") - sum("m")).cast("double")
+        / lit(nItems * m * (m - 1.0))).as("p_bar"))
+    val pe = cnt.groupBy("lab").agg(sum("n").as("nk"))
+      .agg((sum(col("nk").cast("double") * col("nk").cast("double"))
+        / (lit(nItems * m) * lit(nItems * m))).as("p_e"))
+    pBar.crossJoin(pe).select(
+      lit(nItems).as("n_items"), lit(mLo).as("n_raters"),
+      round(col("p_bar"), 9).as("p_bar"),
+      round(col("p_e"), 9).as("p_e"),
+      round(when(col("p_e") >= 1.0,
+          when(col("p_bar") >= 1.0, 1.0).otherwise(0.0))
+        .otherwise((col("p_bar") - col("p_e"))
+          / (lit(1.0) - col("p_e"))), 9).as("kappa"))
+  }
+
+  /** Krippendorff's alpha (Krippendorff 1970/2004), nominal metric —
+    * the agreement statistic for REAL annotation tables: unlike
+    * [[fleissKappa]] it tolerates missing ratings (items rated by
+    * different subsets of the pool). Items with fewer than 2 ratings
+    * cannot express agreement and are excluded per the definition;
+    * an all-singleton frame refuses. α = 1 − D_o/D_e with
+    * D_o = Σ_i (m_i² − Σ_k n_ik²)/(m_i − 1) / n (pairwise
+    * within-item disagreement) and D_e = (n² − Σ_k n_k²)/(n·(n−1))
+    * over the usable ratings; nulls label as `__null__`. Degenerate
+    * D_e = 0 (one label category total) reports α = 1.0 — no
+    * expected disagreement and no observed disagreement. One row:
+    * (n_items, n_ratings, d_o, d_e, alpha), doubles rounded at 9.
+    *
+    * Scale shape: the [[fleissKappa]] aggregates plus one usable-item
+    * semi filter — three bounded hash aggs, no window.
+    */
+  def krippendorffAlpha(ratings: DataFrame, itemCol: String,
+                        labelCol: String): DataFrame = {
+    val cnt = ratings.select(
+        col(itemCol).as("item"),
+        coalesce(col(labelCol).cast("string"), lit("__null__")).as("lab"))
+      .groupBy("item", "lab").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val perItem = cnt.groupBy("item")
+      .agg(sum(col("n") * col("n")).as("sq"), sum("n").as("m"))
+      .filter(col("m") >= 2)
+    val doAgg = perItem.agg(count(lit(1)).as("n_items"),
+      sum("m").as("nr"),
+      sum((col("m").cast("double") * col("m") - col("sq"))
+        / (col("m") - lit(1)).cast("double")).as("do_num"))
+    val row = doAgg.head()
+    require(!row.isNullAt(0) && row.getLong(0) > 0,
+      "krippendorffAlpha: no item has >= 2 ratings — agreement is " +
+        "undefined on an all-singleton panel")
+    val (nItems, nr) = (row.getLong(0), row.getLong(1))
+    val labelTot = cnt.join(perItem.select("item"), "item")
+      .groupBy("lab").agg(sum("n").as("nk"))
+      .agg(sum(col("nk").cast("double") * col("nk").cast("double"))
+        .as("sq_k"))
+    labelTot.select(
+        lit(nItems).as("n_items"), lit(nr).as("n_ratings"),
+        lit(row.getDouble(2) / nr).as("d_o"),
+        ((lit(nr.toDouble) * nr - col("sq_k"))
+          / (lit(nr.toDouble) * (nr - 1.0))).as("d_e"))
+      .select(col("n_items"), col("n_ratings"),
+        round(col("d_o"), 9).as("d_o"), round(col("d_e"), 9).as("d_e"),
+        round(when(col("d_e") <= 0.0, 1.0)
+          .otherwise(lit(1.0) - col("d_o") / col("d_e")), 9).as("alpha"))
+  }
+
+  /** Split-conformal prediction threshold (Vovk 2005; the Papadopoulos
+    * 2002 split recipe): given a CALIBRATION set of nonconformity
+    * scores (higher = stranger) and a miscoverage budget α, the
+    * threshold is the k-th smallest calibration score with
+    * k = ⌈(n+1)·(1−α)⌉ — accepting test points with score ≤ threshold
+    * then guarantees ≥ 1−α coverage (finite-sample, distribution-free,
+    * assuming exchangeability). Also measures the empirical coverage
+    * of that threshold on a TEST frame. k > n (tiny n with small α)
+    * means no finite threshold certifies 1−α — refused loudly rather
+    * than returning +∞. One row: (n_cal, k, threshold, n_test,
+    * coverage), doubles rounded at 9.
+    *
+    * Scale shape: the calibration set is by construction a held-out
+    * SAMPLE (10³..10⁵ scores), not the corpus — sorted on the driver
+    * under `maxCalibration` with a refusal pointing corpus-sized
+    * frames back at a sampler; the test-side coverage is one
+    * distributed scalar aggregate. The exact order statistic is the
+    * whole point of conformal's finite-sample guarantee, so there is
+    * deliberately no approximate tier.
+    */
+  def splitConformal(calibration: DataFrame, scoreCol: String,
+                     test: DataFrame, testScoreCol: String,
+                     alpha: Double = 0.1,
+                     maxCalibration: Int = 1000000): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"splitConformal: alpha=$alpha")
+    require(maxCalibration >= 1,
+      s"splitConformal: maxCalibration=$maxCalibration")
+    val spark = calibration.sparkSession
+    import spark.implicits._
+    val s = col(scoreCol).cast("double")
+    val badCal = calibration.filter(s.isNull || isnan(s)).limit(1).count()
+    require(badCal == 0,
+      "splitConformal: null/NaN calibration scores — clean the frame")
+    val cal = calibration.select(s.as("__s"))
+    val n = cal.count()
+    require(n > 0, "splitConformal: empty calibration set")
+    require(n <= maxCalibration,
+      s"splitConformal: $n calibration scores exceed " +
+        s"maxCalibration=$maxCalibration — calibration is a held-out " +
+        "sample by construction; sample the frame first")
+    val k = math.ceil((n + 1) * (1.0 - alpha)).toLong
+    require(k <= n,
+      s"splitConformal: k=$k > n=$n — too few calibration points to " +
+        s"certify ${1 - alpha} coverage (need n >= ${k})")
+    val scores = cal.as[Double].collect().sorted
+    val threshold = scores(k.toInt - 1)
+    val t = col(testScoreCol).cast("double")
+    val badTest = test.filter(t.isNull || isnan(t)).limit(1).count()
+    require(badTest == 0,
+      "splitConformal: null/NaN test scores — coverage over them is " +
+        "undefined; clean the frame")
+    val cov = test.agg(count(lit(1)).as("n_test"),
+      avg((t <= threshold).cast("double")).as("coverage")).head()
+    Seq((n, k, threshold, cov.getLong(0),
+      if (cov.isNullAt(1)) 0.0 else cov.getDouble(1)))
+      .toDF("n_cal", "k", "threshold", "n_test", "coverage")
+      .select(col("n_cal"), col("k"),
+        round(col("threshold"), 9).as("threshold"), col("n_test"),
+        round(col("coverage"), 9).as("coverage"))
+  }
+
+  /** Calibration report + expected calibration error (Naeini 2015's
+    * ECE, the Guo 2017 formulation) for a probabilistic filter: scores
+    * in [0, 1] bucket into `bins` fixed-width bins (score 1.0 joins
+    * the top bin); each bin reports its count, mean score
+    * (confidence), positive rate (accuracy), and |gap|; the summary
+    * row `bin = -1` carries the corpus count, overall mean score,
+    * overall positive rate, and ECE = Σ_b (n_b/N)·|acc_b − conf_b|.
+    * A null/NaN/out-of-range score or a label outside {0, 1} refuses
+    * loudly (silently clamping a miscalibrated-input bug into the
+    * calibration measurement would be self-defeating). Empty bins are
+    * absent, not zero-filled. Doubles round at 9.
+    *
+    * Scale shape: ONE bin hash aggregate over the corpus (bins tiny
+    * rows) + one scalar aggregate for the summary; no window, no
+    * second corpus pass.
+    */
+  def calibrationReport(scored: DataFrame, scoreCol: String,
+                        labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"calibrationReport: bins=$bins")
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("double")
+    val bad = scored.filter(s.isNull || isnan(s) || s < 0 || s > 1 ||
+        y.isNull || (y =!= 0.0 && y =!= 1.0))
+      .limit(1).count()
+    require(bad == 0,
+      "calibrationReport: scores must be non-null in [0, 1] and labels " +
+        "in {0, 1} — clean the frame first (a clamp here would fold an " +
+        "input bug into the calibration measurement)")
+    val perBin = scored.select(
+        least(floor(s * bins), lit(bins - 1)).cast("int").as("bin"),
+        s.as("s"), y.as("y"))
+      .groupBy("bin").agg(count(lit(1)).as("n"),
+        avg("s").as("conf"), avg("y").as("acc"))
+      .localCheckpoint()
+    val total = perBin.agg(sum("n").as("nn")).head().getLong(0)
+    val binsOut = perBin.select(col("bin"), col("n"),
+      round(col("conf"), 9).as("confidence"),
+      round(col("acc"), 9).as("accuracy"),
+      round(abs(col("acc") - col("conf")), 9).as("gap"))
+    val summary = perBin.agg(
+        sum("n").as("n"),
+        (sum(col("conf") * col("n")) / sum("n")).as("conf"),
+        (sum(col("acc") * col("n")) / sum("n")).as("acc"),
+        (sum(abs(col("acc") - col("conf")) * col("n")) / lit(total))
+          .as("ece"))
+      .select(lit(-1).as("bin"), col("n"),
+        round(col("conf"), 9).as("confidence"),
+        round(col("acc"), 9).as("accuracy"),
+        round(col("ece"), 9).as("gap"))
+    binsOut.unionByName(summary)
+  }
 }

@@ -185,4 +185,139 @@ object Sft {
           (col("__c.score") - col("__r.score")).as("score_gap"))
     }
   }
+
+  /** Bradley–Terry preference-strength fit (Bradley & Terry 1952, via
+    * Hunter 2004's MM iteration) over pairwise battle outcomes — the
+    * arena-style ranking step of an alignment pipeline: given (winner,
+    * loser) rows (human preferences, reward-model verdicts, A/B
+    * evals), fit strengths π with P(i beats j) = π_i/(π_i + π_j).
+    * Fixed `iters` MM rounds from the uniform start — each round
+    * {{{ π_i ← W_i / Σ_{j≠i} n_ij/(π_i + π_j) }}} then normalize to
+    * Σπ = 1 — with every strength ROUNDED to 9 decimals after each
+    * round, so the trajectory is bit-reproducible and replayable by a
+    * SQL oracle (the [[graft.ops.Graph.labelPropagation]] discipline:
+    * determinism beats the last ulp of convergence). Returns (model,
+    * strength, wins, battles) for every model that appears, strengths
+    * summing to ~1. A model with zero wins fits π → 0; the comparison
+    * graph need not be complete (disconnected components rank only
+    * relative to themselves — standard BT behavior, documented not
+    * hidden).
+    *
+    * Scale shape: battles aggregate to pair counts in ONE hash
+    * aggregate (models² tiny rows by contract — these are MODELS, not
+    * documents; `maxModels` refuses a frame that is actually a corpus,
+    * the [[graft.ops.Similarity.dendrogram]] convention), and the MM
+    * iteration is O(iters · models²) driver arithmetic.
+    */
+  def bradleyTerry(battles: DataFrame, winnerCol: String, loserCol: String,
+                   iters: Int = 10, maxModels: Int = 1024): DataFrame = {
+    require(iters >= 1, s"bradleyTerry: iters=$iters")
+    require(maxModels >= 2, s"bradleyTerry: maxModels=$maxModels")
+    val spark = battles.sparkSession
+    import spark.implicits._
+    val pairRows = battles.select(
+        coalesce(col(winnerCol).cast("string"), lit("__null__")).as("w"),
+        coalesce(col(loserCol).cast("string"), lit("__null__")).as("l"))
+      .filter(col("w") =!= col("l"))
+      .groupBy("w", "l").agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    require(pairRows.nonEmpty, "bradleyTerry: no battles")
+    val models = pairRows.flatMap { case ((w, l), _) => Seq(w, l) }
+      .distinct.sorted
+    require(models.length <= maxModels,
+      s"bradleyTerry: ${models.length} models exceed maxModels=$maxModels " +
+        "— this expects model identifiers, not a document corpus")
+    val winsOver = pairRows.toMap.withDefaultValue(0L)
+    def nBetween(a: String, b: String) = winsOver((a, b)) + winsOver((b, a))
+    val wins = models.map(m =>
+      m -> pairRows.collect { case ((w, _), n) if w == m => n }.sum).toMap
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var pi = models.map(_ => 1.0 / models.length)
+    var it = 0
+    while (it < iters) {
+      val raw = models.zipWithIndex.map { case (m, i) =>
+        val den = models.zipWithIndex.collect {
+          // the pi(i)+pi(j) > 0 guard keeps a pathological pair of
+          // rounded-to-zero strengths from injecting Infinity into the
+          // sum; the SQL oracle replays the same skip rule
+          case (o, j) if j != i && nBetween(m, o) > 0 &&
+              pi(i) + pi(j) > 0 =>
+            nBetween(m, o) / (pi(i) + pi(j))
+        }.sum
+        if (den > 0) wins(m) / den else 0.0
+      }
+      val s = raw.sum
+      pi = if (s > 0) raw.map(x => r9(x / s)) else raw
+      it += 1
+    }
+    models.zipWithIndex.map { case (m, i) =>
+      (m, pi(i), wins(m),
+        models.collect { case o if o != m => nBetween(m, o) }.sum)
+    }.toSeq.toDF("model", "strength", "wins", "battles")
+  }
+
+  /** Elo rating trail (Elo 1978) over an ORDERED battle log — the
+    * online counterpart of [[bradleyTerry]]: each battle moves the
+    * winner up and the loser down by K·(1 − E_w) with
+    * E_w = 1/(1 + 10^((R_l − R_w)/400)). Order-dependence is the
+    * point (recency matters in arena leaderboards), so `orderCol`
+    * values must be UNIQUE — a duplicate makes the fold
+    * nondeterministic and refuses loudly (the FFD sort-key
+    * discipline). The expected score and both updated ratings are
+    * ROUNDED to 9 decimals at each step, so the trajectory is
+    * bit-reproducible and a chained-CTE SQL oracle replays it
+    * exactly.
+    *
+    * Scale shape: Elo is inherently SEQUENTIAL — there is no
+    * associative decomposition, so the log is sorted and folded on
+    * the driver. That is honest, not lazy: arena logs are
+    * human-preference volumes (10^5..10^6 rows), bounded here by
+    * `maxBattles`; a frame that is actually a corpus refuses with
+    * the [[bradleyTerry]] message. For corpus-scale preference data
+    * use [[bradleyTerry]], whose pair-count aggregate distributes.
+    */
+  def eloRatings(battles: DataFrame, winnerCol: String, loserCol: String,
+                 orderCol: String, k: Double = 32.0,
+                 initial: Double = 1000.0,
+                 maxBattles: Int = 2000000): DataFrame = {
+    require(k > 0, s"eloRatings: k=$k")
+    require(maxBattles >= 1, s"eloRatings: maxBattles=$maxBattles")
+    val spark = battles.sparkSession
+    import spark.implicits._
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the order column keeps its native type — a string cast would
+    // re-order numeric sequences ("10" < "9") away from the oracle's
+    val picked = battles.select(
+        col(orderCol).as("o"),
+        coalesce(col(winnerCol).cast("string"), lit("__null__")).as("w"),
+        coalesce(col(loserCol).cast("string"), lit("__null__")).as("l"))
+      .filter(col("w") =!= col("l"))
+    val n = picked.count()
+    require(n > 0, "eloRatings: no battles")
+    require(n <= maxBattles,
+      s"eloRatings: $n battles exceed maxBattles=$maxBattles — the Elo " +
+        "fold is inherently sequential (driver-side); use bradleyTerry " +
+        "for corpus-scale preference data")
+    val log = picked.orderBy(col("o")).collect()
+      .map(r => (r.get(0), r.getString(1), r.getString(2)))
+    require(log.map(_._1).distinct.length == log.length,
+      "eloRatings: duplicate orderCol values make the sequential fold " +
+        "nondeterministic — supply a unique ordering")
+    var ratings = Map.empty[String, Double].withDefaultValue(initial)
+    var tally = Map.empty[String, (Long, Long)].withDefaultValue((0L, 0L))
+    log.foreach { case (_, w, l) =>
+      val (rw, rl) = (ratings(w), ratings(l))
+      val ew = r9(1.0 / (1.0 + math.pow(10.0, (rl - rw) / 400.0)))
+      ratings += w -> r9(rw + k * (1.0 - ew))
+      ratings += l -> r9(rl - k * (1.0 - ew))
+      tally += w -> (tally(w) match { case (a, b) => (a + 1, b) })
+      tally += l -> (tally(l) match { case (a, b) => (a, b + 1) })
+    }
+    tally.keys.toSeq.sorted.map { m =>
+      val (wi, lo) = tally(m)
+      (m, ratings(m), wi, lo, wi + lo)
+    }.toDF("model", "rating", "wins", "losses", "battles")
+  }
 }

@@ -1020,6 +1020,45 @@ object TextAnalysis {
       .toDF("n_ranks", "slope")
   }
 
+  /** Vocabulary-richness estimates from the token frequency spectrum —
+    * how much vocabulary the corpus has NOT yet shown, the
+    * complement of [[vocabCoverage]]'s how-much-it-has: Chao1's
+    * lower-bound species estimate (Chao 1984, bias-corrected form
+    * `V + F1·(F1−1)/(2·(F2+1))`, defined even at F2 = 0) and the
+    * Good–Turing unseen-probability mass `F1/N` (Good 1953) — the
+    * probability the NEXT token drawn is a type never seen. F1/F2 =
+    * hapax/dis legomena counts. One row: (n_tokens, vocab, f1, f2,
+    * chao1, gt_unseen_mass), doubles rounded at 9; every ratio is a
+    * single division of exact integers, so the oracle matches
+    * bit-for-bit. Empty corpora refuse.
+    *
+    * Scale shape: one token hash-aggregate (map-side combined) + ONE
+    * scalar aggregate over it folding the whole frequency spectrum —
+    * no second corpus pass, no driver state beyond six numbers.
+    */
+  def vocabRichness(docs: DataFrame, textCol: String): DataFrame = {
+    val freq = docs.select(explode(tokens(col(textCol))).as("__t"))
+      .filter(length(col("__t")) > 0)
+      .groupBy("__t").agg(count(lit(1)).as("c"))
+    // localCheckpoint pins the ONE corpus aggregate; the require and
+    // the returned frame both read the 1-row result, not the corpus
+    val out = freq.agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .localCheckpoint()
+    require(!out.head().isNullAt(0),
+      "vocabRichness: empty corpus — no tokens to estimate from")
+    out.select(col("n_tokens"), col("vocab"), col("f1"), col("f2"),
+      round(col("vocab") + col("f1").cast("double")
+        * (col("f1") - lit(1)).cast("double")
+        / (lit(2.0) * (col("f2") + lit(1)).cast("double")), 9)
+        .as("chao1"),
+      round(col("f1").cast("double") / col("n_tokens"), 9)
+        .as("gt_unseen_mass"))
+  }
+
   /** Robust per-group outlier census on a numeric column via the median
     * / MAD rule: a value is an outlier when
     * {{{ |x − median| > k · 1.4826 · MAD,  MAD = median(|x − median|) }}}

@@ -145,4 +145,156 @@ class ClassifierSpec extends SparkSpec {
     val acc = math.rint(2.0 / 6 * 1e9) / 1e9
     assert(out("__all__") === ((6L, 6L, 2L, acc, acc, acc)))
   }
+
+  test("cohenKappa: hand case, perfect/constant degenerates, null labels") {
+    import spark.implicits._
+    // the classic 2x2 worked example: po = 0.7, marginals A(yes)=0.5,
+    // B(yes)=0.6 -> pe = 0.5*0.6 + 0.5*0.4 = 0.5 -> kappa = 0.4
+    val rated = (Seq.fill(4)(("y", "y")) ++ Seq.fill(1)(("y", "n")) ++
+      Seq.fill(2)(("n", "y")) ++ Seq.fill(3)(("n", "n")))
+      .toDF("ra", "rb")
+    val r = Classifier.cohenKappa(rated, "ra", "rb").head()
+    assert(r.getLong(0) === 10L)
+    assert(r.getDouble(1) === 0.7)
+    assert(r.getDouble(2) === 0.5)
+    assert(math.abs(r.getDouble(3) - 0.4) < 1e-9)
+    // both raters constant and identical: pe = 1, po = 1 -> kappa 1
+    val const = Classifier.cohenKappa(
+      Seq(("x", "x"), ("x", "x")).toDF("ra", "rb"), "ra", "rb").head()
+    assert((const.getDouble(1), const.getDouble(2), const.getDouble(3))
+      === ((1.0, 1.0, 1.0)))
+    // null ratings are the __null__ category, and agree with each other
+    val withNull = Classifier.cohenKappa(
+      Seq((null.asInstanceOf[String], null.asInstanceOf[String]),
+        ("a", "a"), ("a", "b")).toDF("ra", "rb"), "ra", "rb").head()
+    assert(math.abs(withNull.getDouble(1) - 2.0 / 3) < 1e-9)
+  }
+
+  test("fleissKappa: Fleiss-style hand case, unbalanced panel refuses") {
+    import spark.implicits._
+    // 4 items x 3 raters, 2 labels; per-item counts (3,0),(2,1),(2,1),
+    // (1,2): P_i = (9-3)/6, (5-3)/6, (5-3)/6, (5-3)/6 -> P̄ = 0.5
+    // p_a = 8/12, p_b = 4/12 -> Pe = 4/9+1/9 = 5/9 -> κ = -1/8
+    val ratings = Seq(
+      (1, "a"), (1, "a"), (1, "a"),
+      (2, "a"), (2, "a"), (2, "b"),
+      (3, "a"), (3, "a"), (3, "b"),
+      (4, "a"), (4, "b"), (4, "b")).toDF("item", "rating")
+    val r = Classifier.fleissKappa(ratings, "item", "rating").head()
+    assert((r.getLong(0), r.getLong(1)) === ((4L, 3L)))
+    assert(math.abs(r.getDouble(2) - 0.5) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 5.0 / 9) < 1e-9)
+    assert(math.abs(r.getDouble(4) - (0.5 - 5.0 / 9) / (1 - 5.0 / 9))
+      < 1e-9)
+    // an item with a different rating count refuses loudly
+    val e = intercept[IllegalArgumentException](Classifier.fleissKappa(
+      ratings.unionByName(Seq((5, "a")).toDF("item", "rating")),
+      "item", "rating"))
+    assert(e.getMessage.contains("same"), e.getMessage)
+    // single-rater panels are undefined too
+    intercept[IllegalArgumentException](Classifier.fleissKappa(
+      Seq((1, "a"), (2, "b")).toDF("item", "rating"), "item", "rating"))
+  }
+
+  test("calibrationReport: hand bins, ECE, boundary score, refusals") {
+    import spark.implicits._
+    // bin 0: scores .05/.05 labels 0,1 -> conf .05, acc .5, gap .45
+    // bin 9: scores .95/1.0 labels 1,1 -> conf .975, acc 1, gap .025
+    // ECE = (2/4)*.45 + (2/4)*.025 = 0.2375
+    val scored = Seq((0.05, 0.0), (0.05, 1.0), (0.95, 1.0), (1.0, 1.0))
+      .toDF("score", "label")
+    val out = Classifier.calibrationReport(scored, "score", "label")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out.keySet === Set(0, 9, -1))
+    assert(out(0) === ((2L, 0.05, 0.5, 0.45)))
+    assert(out(9) === ((2L, 0.975, 1.0, 0.025)))
+    assert(out(-1)._1 === 4L)
+    assert(math.abs(out(-1)._4 - 0.2375) < 1e-9)
+    // out-of-range score / non-binary label / NaN refuse loudly
+    for (bad <- Seq((1.5, 1.0), (-0.1, 0.0), (0.5, 2.0),
+        (Double.NaN, 0.0))) {
+      intercept[IllegalArgumentException](Classifier.calibrationReport(
+        scored.unionByName(Seq(bad).toDF("score", "label")),
+        "score", "label"))
+    }
+    intercept[IllegalArgumentException](
+      Classifier.calibrationReport(scored, "score", "label", bins = 1))
+  }
+
+  test("krippendorffAlpha: hand case, singleton exclusion, degenerates") {
+    import spark.implicits._
+    // 3 usable items, unbalanced: i1 = (a,a), i2 = (a,b,b), i3 = (b,b);
+    // i4 has ONE rating -> excluded. n = 7 usable ratings.
+    // Do = [ (4-4)/1 + (9-5)/2 + (4-4)/1 ] / 7 = 2/7
+    // totals over usable: a = 3, b = 4 -> De = (49-25)/(7*6) = 24/42
+    // alpha = 1 - (2/7)/(4/7) = 0.5
+    val ratings = Seq(
+      (1, "a"), (1, "a"),
+      (2, "a"), (2, "b"), (2, "b"),
+      (3, "b"), (3, "b"),
+      (4, "a")).toDF("item", "rating")
+    val r = Classifier.krippendorffAlpha(ratings, "item", "rating").head()
+    assert((r.getLong(0), r.getLong(1)) === ((3L, 7L)))
+    assert(math.abs(r.getDouble(2) - 2.0 / 7) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 4.0 / 7) < 1e-9)
+    assert(math.abs(r.getDouble(4) - 0.5) < 1e-9)
+    // perfect agreement -> Do = 0, alpha = 1
+    val perfect = Classifier.krippendorffAlpha(
+      Seq((1, "x"), (1, "x"), (2, "y"), (2, "y")).toDF("item", "rating"),
+      "item", "rating").head()
+    assert(perfect.getDouble(4) === 1.0)
+    // one label category everywhere: De = 0 -> alpha = 1 by convention
+    val oneCat = Classifier.krippendorffAlpha(
+      Seq((1, "x"), (1, "x"), (2, "x"), (2, "x")).toDF("item", "rating"),
+      "item", "rating").head()
+    assert((oneCat.getDouble(3), oneCat.getDouble(4)) === ((0.0, 1.0)))
+    // all-singleton panel refuses
+    intercept[IllegalArgumentException](Classifier.krippendorffAlpha(
+      Seq((1, "a"), (2, "b")).toDF("item", "rating"), "item", "rating"))
+    // null ratings are a category that can agree
+    val n = Classifier.krippendorffAlpha(
+      Seq((1, null.asInstanceOf[String]), (1, null.asInstanceOf[String]))
+        .toDF("item", "rating"), "item", "rating").head()
+    assert(n.getDouble(4) === 1.0)
+  }
+
+  test("splitConformal: order statistic, coverage, refusals") {
+    import spark.implicits._
+    // 9 calibration scores 0.1..0.9; alpha 0.2 -> k = ceil(10*0.8) = 8
+    // -> threshold = 8th smallest = 0.8
+    val cal = (1 to 9).map(i => i / 10.0).toDF("s")
+    val tst = Seq(0.05, 0.5, 0.8, 0.85).toDF("s")
+    val r = Classifier.splitConformal(cal, "s", tst, "s", alpha = 0.2)
+      .head()
+    assert((r.getLong(0), r.getLong(1)) === ((9L, 8L)))
+    assert(r.getDouble(2) === 0.8)
+    assert(r.getLong(3) === 4L)
+    assert(r.getDouble(4) === 0.75) // 3 of 4 <= 0.8
+    // k > n refuses: n = 2, alpha = 0.1 -> k = ceil(2.7) = 3 > 2
+    intercept[IllegalArgumentException](Classifier.splitConformal(
+      cal.limit(2), "s", tst, "s", alpha = 0.1))
+    // corpus-sized calibration refuses with the sampling pointer
+    val e = intercept[IllegalArgumentException](Classifier.splitConformal(
+      cal, "s", tst, "s", alpha = 0.2, maxCalibration = 3))
+    assert(e.getMessage.contains("sample"), e.getMessage)
+    // NaN / null scores refuse on either side
+    intercept[IllegalArgumentException](Classifier.splitConformal(
+      cal.unionByName(Seq(Double.NaN).toDF("s")), "s", tst, "s"))
+    intercept[IllegalArgumentException](Classifier.splitConformal(
+      cal, "s", tst.unionByName(Seq(Double.NaN).toDF("s")), "s",
+      alpha = 0.2))
+    intercept[IllegalArgumentException](
+      Classifier.splitConformal(cal, "s", tst, "s", alpha = 0.0))
+    intercept[IllegalArgumentException](Classifier.splitConformal(
+      cal.filter(lit(false)), "s", tst, "s", alpha = 0.2))
+    // empirical coverage meets the guarantee on an exchangeable draw:
+    // scores 1..100, alpha 0.1 -> k = ceil(101*.9) = 91 -> t = 91;
+    // coverage on the same distribution = 91/100 >= 0.9
+    val big = (1 to 100).map(_.toDouble).toDF("s")
+    val g = Classifier.splitConformal(big, "s", big, "s", alpha = 0.1)
+      .head()
+    assert(g.getDouble(2) === 91.0 && g.getDouble(4) === 0.91)
+  }
 }

@@ -283,4 +283,28 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got.map(t => (t._1, t._2, t._3)) == Seq((1L, 1, 3L), (1L, 2, 5L)))
     assert(got.forall(_._3 != 2L))
   }
+
+  test("vocabRichness: hand spectrum, no-hapax corpus, empty refusal") {
+    import spark.implicits._
+    // tokens: a×3, b×2, c×1, d×1 -> N=7 V=4 F1=2 F2=1
+    // chao1 = 4 + 2·1/(2·2) = 4.5; GT unseen = 2/7
+    val docs = Seq("a a b", "a b c", "d").toDF("text")
+    val r = TextAnalysis.vocabRichness(docs, "text").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      === ((7L, 4L, 2L, 1L)))
+    assert(r.getDouble(4) === 4.5)
+    assert(math.abs(r.getDouble(5) - 2.0 / 7) < 1e-9)
+    // a saturated corpus (no hapax): chao1 = V, unseen mass 0 — the
+    // bias-corrected form must not divide by zero at F2 = 0
+    val sat = TextAnalysis.vocabRichness(
+      Seq("x x y y", "x y").toDF("text"), "text").head()
+    assert(sat.getLong(2) === 0L)
+    assert(sat.getDouble(4) === 2.0 && sat.getDouble(5) === 0.0)
+    // case folding and whitespace runs share the corpus tokenizer
+    val fold = TextAnalysis.vocabRichness(
+      Seq("A  a\ta").toDF("text"), "text").head()
+    assert((fold.getLong(0), fold.getLong(1)) === ((3L, 1L)))
+    intercept[IllegalArgumentException](TextAnalysis.vocabRichness(
+      Seq.empty[String].toDF("text"), "text"))
+  }
 }

@@ -191,4 +191,129 @@ class SftSpec extends SparkSpec {
       "prompt", "rid", "text", "score").head()
     assert(n.getString(4) === "")
   }
+
+  test("Bradley-Terry: two-model closed form, counts, determinism") {
+    // A beats B 3x, B beats A 1x -> the MM fixpoint is pi_A = 3/4
+    // (reached in one round from the uniform start: den_A = 4/(0.5+0.5))
+    val battles = (Seq.fill(3)(("A", "B")) ++ Seq(("B", "A")))
+      .toDF("winner", "loser")
+    val got = Sft.bradleyTerry(battles, "winner", "loser")
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("A") === ((0.75, 3L, 4L)))
+    assert(got("B") === ((0.25, 1L, 4L)))
+    // repartitioning never changes the fit (pair counts are exact)
+    val got2 = Sft.bradleyTerry(battles.repartition(7), "winner", "loser")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got2 === got.map { case (k, v) => k -> v._1 })
+  }
+
+  test("Bradley-Terry: zero-win sink, disconnected components, self-battles") {
+    // B never wins -> strength 0; the C/D component ranks independently
+    // and the global normalization splits mass across components
+    val battles = Seq(("A", "B"), ("A", "B"), ("C", "D"))
+      .toDF("winner", "loser")
+    val got = Sft.bradleyTerry(battles, "winner", "loser")
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("A") === ((0.5, 2L, 2L)))
+    assert(got("B") === ((0.0, 0L, 2L)))
+    assert(got("C") === ((0.5, 1L, 1L)))
+    assert(got("D") === ((0.0, 0L, 1L)))
+    // self-battles are dropped, not counted
+    val self = Sft.bradleyTerry(
+      battles.unionByName(Seq(("A", "A")).toDF("winner", "loser")),
+      "winner", "loser")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(self("A") === 2L)
+  }
+
+  test("Bradley-Terry: strengths sum to ~1, transitive order, refusals") {
+    // A > B > C by win rate; fitted strengths must respect the order
+    val battles = (Seq.fill(4)(("A", "B")) ++ Seq.fill(1)(("B", "A")) ++
+      Seq.fill(4)(("B", "C")) ++ Seq.fill(1)(("C", "B")) ++
+      Seq.fill(3)(("A", "C")))
+      .toDF("winner", "loser")
+    val got = Sft.bradleyTerry(battles, "winner", "loser", iters = 20)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got.values.sum - 1.0) < 1e-6, got)
+    assert(got("A") > got("B") && got("B") > got("C"), got)
+    // null model ids coalesce to a sentinel instead of crashing
+    val n = Sft.bradleyTerry(
+      Seq((null.asInstanceOf[String], "B")).toDF("winner", "loser"),
+      "winner", "loser").collect().map(_.getString(0)).toSet
+    assert(n === Set("__null__", "B"))
+    intercept[IllegalArgumentException](
+      Sft.bradleyTerry(battles, "winner", "loser", iters = 0))
+    intercept[IllegalArgumentException](
+      Sft.bradleyTerry(battles, "winner", "loser", maxModels = 2))
+    intercept[IllegalArgumentException](Sft.bradleyTerry(
+      battles.filter(lit(false)), "winner", "loser"))
+  }
+
+  test("eloRatings: hand-computed updates, order dependence, counts") {
+    // battle 1 at equal ratings: E_w = 0.5, delta = 32*0.5 = 16
+    val one = Seq((1L, "A", "B")).toDF("ord", "winner", "loser")
+    val r1 = Sft.eloRatings(one, "winner", "loser", "ord")
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(r1("A") === ((1016.0, 1L, 0L, 1L)))
+    assert(r1("B") === ((984.0, 0L, 1L, 1L)))
+    // second A win moves less (A is now favored): E_w > 0.5
+    val two = Seq((1L, "A", "B"), (2L, "A", "B"))
+      .toDF("ord", "winner", "loser")
+    val r2 = Sft.eloRatings(two, "winner", "loser", "ord")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val ew2 = BigDecimal(1.0 / (1.0 + math.pow(10.0, -32.0 / 400.0)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r2("A") === BigDecimal(1016.0 + 32.0 * (1.0 - ew2))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r2("A") - 1016.0 < 16.0 && r2("A") > 1016.0)
+    // order matters: win-then-lose ends differently from lose-then-win
+    val wl = Sft.eloRatings(
+      Seq((1L, "A", "B"), (2L, "B", "A")).toDF("ord", "winner", "loser"),
+      "winner", "loser", "ord")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val lw = Sft.eloRatings(
+      Seq((2L, "A", "B"), (1L, "B", "A")).toDF("ord", "winner", "loser"),
+      "winner", "loser", "ord")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(wl("A") !== lw("A"))
+    // and the loser of the most recent game sits below initial
+    assert(wl("A") < 1000.0 && lw("A") > 1000.0)
+  }
+
+  test("eloRatings: numeric order, refusals, rating conservation") {
+    // a numeric orderCol must sort numerically (2 before 10 — a string
+    // cast would fold "10" before "2")
+    val battles = Seq((2L, "A", "B"), (10L, "B", "C"), (1L, "C", "A"))
+      .toDF("ord", "winner", "loser")
+    val got = Sft.eloRatings(battles, "winner", "loser", "ord")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // replay by hand: C>A at 1, A>B at 2, B>C at 10
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var rt = Map("A" -> 1000.0, "B" -> 1000.0, "C" -> 1000.0)
+    for ((w, l) <- Seq(("C", "A"), ("A", "B"), ("B", "C"))) {
+      val ew = r9(1.0 / (1.0 + math.pow(10.0, (rt(l) - rt(w)) / 400.0)))
+      rt += w -> r9(rt(w) + 32.0 * (1.0 - ew))
+      rt += l -> r9(rt(l) - 32.0 * (1.0 - ew))
+    }
+    assert(got === rt)
+    // zero-sum updates conserve total rating (up to the 9dp rounding)
+    assert(math.abs(got.values.sum - 3000.0) < 1e-6)
+    // duplicate order values refuse loudly
+    intercept[IllegalArgumentException](Sft.eloRatings(
+      Seq((1L, "A", "B"), (1L, "B", "C")).toDF("ord", "winner", "loser"),
+      "winner", "loser", "ord").collect())
+    // a corpus-sized log refuses with the bradleyTerry pointer
+    val e = intercept[IllegalArgumentException](Sft.eloRatings(
+      battles, "winner", "loser", "ord", maxBattles = 2))
+    assert(e.getMessage.contains("bradleyTerry"), e.getMessage)
+    intercept[IllegalArgumentException](Sft.eloRatings(
+      battles.filter(lit(false)), "winner", "loser", "ord"))
+    intercept[IllegalArgumentException](Sft.eloRatings(
+      battles, "winner", "loser", "ord", k = 0.0))
+  }
 }
