@@ -873,6 +873,22 @@ object ScalingProbe {
     time("distinct_n") { d =>
       SparkEntry.queries("q_distinct_n")(spark, d).count() }
     time("zipf") { d => SparkEntry.queries("q_zipf")(spark, d).count() }
+    // r15 evaluation leg: the corpus-scan aggregates should ride the
+    // token/doc scan (slope ~= scan); bradley_terry adds its battles →
+    // pair-count hash agg with O(models²) driver MM on top; conformal's
+    // driver sort grows with the (by-contract bounded) calibration half
+    time("vocab_richness") { d =>
+      SparkEntry.queries("q_vocab_richness")(spark, d).count() }
+    time("calibration") { d =>
+      SparkEntry.queries("q_calibration")(spark, d).count() }
+    time("agree_alpha") { d =>
+      SparkEntry.queries("q_agree_alpha")(spark, d).count() }
+    time("bradley_terry") { d =>
+      SparkEntry.queries("q_bradley_terry")(spark, d).count() }
+    time("conformal") { d =>
+      SparkEntry.queries("q_conformal")(spark, d).count() }
+    time("auc") { d => SparkEntry.queries("q_auc")(spark, d).count() }
+    time("chi2") { d => SparkEntry.queries("q_chi2")(spark, d).count() }
     // betweenness with a FIXED 64-pivot sample (the Brandes–Pich scale
     // path): forward state is O(pivots·ball), so 8x data should cost
     // ~the per-level linear join, not 8x the pair state

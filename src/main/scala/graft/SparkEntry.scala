@@ -3351,6 +3351,95 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
     "q_vocab_richness" -> ((s, dir) =>
       TextAnalysis.vocabRichness(T(s, dir, "documents"), "text")),
 
+    // tie-exact ROC AUC (Mann–Whitney) on the calibration frame; the
+    // oracle replays the per-score prefix-sum formulation
+    "q_auc" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"))
+      ops.Classifier.rocAuc(d.select(
+          (((col("id") * 13) % 101).cast("double") / 100.0).as("score"),
+          (((col("id") * 37) % 97) % 2).cast("double").as("label")),
+        "score", "label")
+    }),
+
+    // isotonic (PAV) calibration, gated by the optimality CERTIFICATE
+    // rather than an algorithm replay: pool counts/means recomputed
+    // from the raw per-score frame, monotonicity, disjoint coverage,
+    // and the greatest-convex-minorant prefix property (every proper
+    // within-pool prefix mean >= the pool mean, integer-exact) — the
+    // conditions that uniquely characterize the PAV solution
+    "q_isotonic" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"))
+      val scored = d.select(
+        (((col("id") * 13) % 101).cast("double") / 100.0).as("score"),
+        (((col("id") * 37) % 97) % 2).cast("double").as("label"))
+      val steps = pin(ops.Classifier.isotonicCalibration(
+        scored, "score", "label"))
+      val ps = scored.groupBy(col("score").as("__s"))
+        .agg(sum("label").as("sy"), count(lit(1)).as("cnt"))
+      val byPool = steps.join(ps,
+          col("__s") >= col("score_lo") && col("__s") <= col("score_hi"))
+        .groupBy("score_lo", "score_hi", "n", "fitted")
+        .agg(sum("sy").as("psy"), sum("cnt").as("pn"))
+        .localCheckpoint()
+      val badPools = byPool.filter(col("pn") =!= col("n") ||
+          round(col("psy") / col("pn"), 9) =!= col("fitted"))
+        .count()
+      val w = Window.orderBy("score_lo")
+      val ordered = byPool.select(col("score_lo"), col("score_hi"),
+        col("fitted"), col("psy"), col("pn"),
+        lag("fitted", 1).over(w).as("prev_fit"),
+        lag("score_hi", 1).over(w).as("prev_hi"))
+      val nonMono = ordered.filter(col("prev_fit").isNotNull &&
+        col("prev_fit") > col("fitted")).count()
+      val overlap = ordered.filter(col("prev_hi").isNotNull &&
+        col("prev_hi") >= col("score_lo")).count()
+      // GCM prefix certificate: within each pool, every PROPER prefix
+      // (by ascending score) satisfies prefSy·pn >= psy·prefCnt
+      val wp = Window.partitionBy("score_lo").orderBy("__s")
+      val prefix = steps.join(ps,
+          col("__s") >= col("score_lo") && col("__s") <= col("score_hi"))
+        .select(col("score_lo"), col("score_hi"), col("__s"),
+          sum("sy").over(wp).as("pref_sy"),
+          sum("cnt").over(wp).as("pref_cnt"))
+        .join(byPool.select(col("score_lo"), col("psy"), col("pn")),
+          "score_lo")
+      val prefixViolations = prefix.filter(
+        col("__s") < col("score_hi") &&
+          col("pref_sy") * col("pn") < col("psy") * col("pref_cnt"))
+        .count()
+      val cov = byPool.agg(sum("pn").as("rows_covered")).head().getLong(0)
+      import s.implicits._
+      Seq((ps.count(), scored.count(), cov,
+        scored.agg(sum("label")).head().getDouble(0).toLong,
+        badPools, nonMono, overlap, prefixViolations))
+        .toDF("n_scores", "n_rows", "rows_covered", "sum_y",
+          "bad_pools", "non_monotone", "overlaps", "prefix_violations")
+    }),
+
+    // chi-square independence + Cramér's V between crawl source and a
+    // synthetic label — the drift-association audit
+    "q_chi2" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      ops.Classifier.chiSquareIndependence(
+        d.select(col("source"),
+          ((col("doc_id").cast("long") * 7) % 3).cast("string")
+            .as("lab")),
+        "source", "lab")
+    }),
+
+    // two-proportion pooled z on an even/odd A/B split of a synthetic
+    // pass indicator
+    "q_twoprop" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"))
+      ops.Classifier.twoProportionZ(d.select(
+        (col("id") % 2).cast("string").as("grp"),
+        (((col("id") * 37) % 97) % 2).cast("double").as("ok")),
+        "grp", "ok")
+    }),
+
     // split-conformal threshold on a deterministic calibration/test
     // split of a synthetic nonconformity score: k-th order statistic
     // at alpha = 0.1, coverage measured on the held-out half
@@ -6685,6 +6774,98 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |    / (2.0 * (f2 + 1)), 9) AS chao1,
           |  round(CAST(f1 AS DOUBLE) / n_tokens, 9) AS gt_unseen_mass
           |FROM sp""".stripMargin,
+
+      "q_auc" ->
+        """WITH r AS (
+          |  SELECT ((CAST(doc_id AS BIGINT) * 13) % 101) / 100.0 AS s,
+          |    CAST(((CAST(doc_id AS BIGINT) * 37) % 97) % 2 AS DOUBLE)
+          |      AS y
+          |  FROM documents),
+          |ps AS (
+          |  SELECT s, sum(y) AS np, sum(1 - y) AS nn FROM r GROUP BY 1),
+          |cw AS (
+          |  SELECT np, nn,
+          |    coalesce(sum(nn) OVER (ORDER BY s
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS cum
+          |  FROM ps)
+          |SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+          |  CAST(sum(nn) AS BIGINT) AS n_neg,
+          |  round(sum(np * (cum + nn / 2)) / (sum(np) * sum(nn)), 9)
+          |    AS auc
+          |FROM cw""".stripMargin,
+
+      // the PAV certificate columns: the SQL-derivable scalars are
+      // recomputed, the optimality/consistency violation counts are
+      // pinned 0 (the derived-invariant convention)
+      "q_isotonic" ->
+        """WITH r AS (
+          |  SELECT ((CAST(doc_id AS BIGINT) * 13) % 101) / 100.0 AS s,
+          |    CAST(((CAST(doc_id AS BIGINT) * 37) % 97) % 2 AS DOUBLE)
+          |      AS y
+          |  FROM documents)
+          |SELECT CAST(count(DISTINCT s) AS BIGINT) AS n_scores,
+          |  CAST(count(*) AS BIGINT) AS n_rows,
+          |  CAST(count(*) AS BIGINT) AS rows_covered,
+          |  CAST(sum(y) AS BIGINT) AS sum_y,
+          |  CAST(0 AS BIGINT) AS bad_pools,
+          |  CAST(0 AS BIGINT) AS non_monotone,
+          |  CAST(0 AS BIGINT) AS overlaps,
+          |  CAST(0 AS BIGINT) AS prefix_violations
+          |FROM r""".stripMargin,
+
+      "q_chi2" ->
+        """WITH r AS (
+          |  SELECT source AS a,
+          |    CAST((CAST(doc_id AS BIGINT) * 7) % 3 AS VARCHAR) AS b
+          |  FROM documents),
+          |ct AS (SELECT a, b, count(*) AS o FROM r GROUP BY 1, 2),
+          |ma AS (SELECT a, sum(o) AS ra FROM ct GROUP BY 1),
+          |mb AS (SELECT b, sum(o) AS cb FROM ct GROUP BY 1),
+          |nn AS (SELECT count(*) AS n FROM r),
+          |g AS (
+          |  SELECT ma.ra, mb.cb, CAST(coalesce(ct.o, 0) AS DOUBLE) AS o
+          |  FROM ma CROSS JOIN mb
+          |  LEFT JOIN ct ON ct.a = ma.a AND ct.b = mb.b),
+          |st AS (
+          |  SELECT sum(
+          |    (o - CAST(ra AS DOUBLE) * cb / (SELECT n FROM nn))
+          |    * (o - CAST(ra AS DOUBLE) * cb / (SELECT n FROM nn))
+          |    / (CAST(ra AS DOUBLE) * cb / (SELECT n FROM nn))) AS chi2
+          |  FROM g),
+          |sh AS (
+          |  SELECT (SELECT n FROM nn) AS n,
+          |    (SELECT count(*) FROM ma) AS r,
+          |    (SELECT count(*) FROM mb) AS c)
+          |SELECT CAST(sh.n AS BIGINT) AS n,
+          |  CAST(sh.r AS BIGINT) AS n_rows, CAST(sh.c AS BIGINT) AS n_cols,
+          |  CAST((sh.r - 1) * (sh.c - 1) AS BIGINT) AS dof,
+          |  round(st.chi2, 9) AS chi2,
+          |  round(sqrt(st.chi2 / (CAST(sh.n AS DOUBLE)
+          |    * least(sh.r - 1, sh.c - 1))), 9) AS cramers_v
+          |FROM st, sh""".stripMargin,
+
+      "q_twoprop" ->
+        """WITH r AS (
+          |  SELECT CAST(CAST(doc_id AS BIGINT) % 2 AS VARCHAR) AS g,
+          |    CAST(((CAST(doc_id AS BIGINT) * 37) % 97) % 2 AS DOUBLE)
+          |      AS y
+          |  FROM documents),
+          |a AS (SELECT g, count(*) AS n, sum(y) AS s FROM r GROUP BY 1),
+          |v AS (
+          |  SELECT aa.g AS group_a, bb.g AS group_b,
+          |    aa.n AS n_a, bb.n AS n_b, aa.s AS sa, bb.s AS sb,
+          |    (aa.s + bb.s) / (aa.n + bb.n) AS pool
+          |  FROM a aa, a bb WHERE aa.g < bb.g)
+          |SELECT group_a, group_b,
+          |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+          |  round(sa / n_a, 9) AS p_a, round(sb / n_b, 9) AS p_b,
+          |  round(CASE
+          |    WHEN pool * (1 - pool) * (1.0 / n_a + 1.0 / n_b) > 0
+          |    THEN (sa / n_a - sb / n_b)
+          |      / sqrt(pool * (1 - pool) * (1.0 / n_a + 1.0 / n_b))
+          |    ELSE 0.0 END, 9) AS z
+          |FROM v""".stripMargin,
 
       // the k-th order statistic replayed as ORDER BY / OFFSET; the
       // coverage side is an exact 0/1 mean

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -421,6 +422,131 @@ object Classifier {
           .otherwise(lit(1.0) - col("d_o") / col("d_e")), 9).as("alpha"))
   }
 
+  /** ROC AUC via the Mann–Whitney U identity (Hanley & McNeil 1982):
+    * AUC = P(score⁺ > score⁻) + ½·P(tie), computed tie-exactly from
+    * per-score aggregates — Σ_s n⁺(s)·(cumn⁻(<s) + n⁻(s)/2) over
+    * n⁺·n⁻. Labels outside {0, 1} or null/NaN scores refuse loudly
+    * (the [[calibrationReport]] convention); a single-class frame has
+    * no ranking to measure and refuses too. One row:
+    * (n_pos, n_neg, auc), doubles rounded at 9.
+    *
+    * Scale shape: ONE score hash aggregate, then the cumulative-
+    * negative prefix sum runs over the DISTINCT-SCORE frame. With
+    * `bins = None` that prefix is an exact unpartitioned window —
+    * right for oracle-pinned evaluation at test scale, and honest
+    * about being single-task over distinct scores. For corpus-scale
+    * continuous scores pass `bins = Some(b)`: scores quantize to b
+    * fixed-width bins first (scores must then lie in [0, 1]) and the
+    * same tie-exact formula runs over ≤ b rows — the
+    * [[TextAnalysis.madOutliers]] exact/approx convention.
+    */
+  def rocAuc(scored: DataFrame, scoreCol: String, labelCol: String,
+             bins: Option[Int] = None): DataFrame = {
+    bins.foreach(b => require(b >= 2, s"rocAuc: bins=$b"))
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("double")
+    val rangeBad = bins.map(_ => s < 0 || s > 1).getOrElse(lit(false))
+    val bad = scored.filter(s.isNull || isnan(s) || y.isNull ||
+        (y =!= 0.0 && y =!= 1.0) || rangeBad)
+      .limit(1).count()
+    require(bad == 0,
+      "rocAuc: scores must be non-null, non-NaN" +
+        (if (bins.isDefined) " in [0, 1] (binned mode)" else "") +
+        " and labels in {0, 1} — clean the frame first")
+    val key = bins match {
+      case Some(b) => least(floor(s * b), lit(b - 1)).cast("long")
+      case None    => s
+    }
+    val perScore = scored.select(key.as("__s"), y.as("__y"))
+      .groupBy("__s").agg(
+        sum(col("__y")).as("np"),
+        sum(lit(1.0) - col("__y")).as("nn"))
+    val w = Window.orderBy("__s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val contrib = perScore.select(col("np"), col("nn"),
+      coalesce(sum("nn").over(w), lit(0.0)).as("cum_nn"))
+    val tot = contrib.agg(
+        sum("np").as("n_pos"), sum("nn").as("n_neg"),
+        sum(col("np") * (col("cum_nn") + col("nn") / 2)).as("u")).head()
+    val (np, nn) = (tot.getDouble(0), tot.getDouble(1))
+    require(np > 0 && nn > 0,
+      s"rocAuc: need both classes present (pos=${np.toLong}, " +
+        s"neg=${nn.toLong}) — a single-class frame has no ranking")
+    val spark = scored.sparkSession
+    import spark.implicits._
+    Seq((np.toLong, nn.toLong,
+      BigDecimal(tot.getDouble(2) / (np * nn))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("n_pos", "n_neg", "auc")
+  }
+
+  /** Isotonic calibration via Pool-Adjacent-Violators (Ayer 1955;
+    * Zadrozny & Elkan 2002's calibration use) — the nonparametric
+    * repair for the miscalibration [[calibrationReport]] measures:
+    * fit the monotone-nondecreasing step function minimizing squared
+    * error from score to P(label=1). Returns the step table —
+    * (score_lo, score_hi, n, fitted) per pool, scores ascending,
+    * fitted nondecreasing — to apply with a range join or a sorted
+    * broadcast lookup. Input hygiene matches [[calibrationReport]]
+    * (null/NaN scores, non-binary labels refuse).
+    *
+    * Scale shape: scores reduce to per-DISTINCT-score (Σy, n) rows in
+    * ONE hash aggregate; PAV itself is an O(distinct) driver fold
+    * with an O(distinct) stack, bounded by `maxDistinct` with a
+    * refusal pointing continuous corpus-scale scores at quantization
+    * (feed `least(floor(score·b), b−1)/b` buckets) — the
+    * [[splitConformal]] honesty convention. The fitted means are
+    * exact integer ratios (Σy/n per pool), so the step table is
+    * bit-reproducible.
+    */
+  def isotonicCalibration(scored: DataFrame, scoreCol: String,
+                          labelCol: String,
+                          maxDistinct: Int = 1000000): DataFrame = {
+    require(maxDistinct >= 1,
+      s"isotonicCalibration: maxDistinct=$maxDistinct")
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("double")
+    val bad = scored.filter(s.isNull || isnan(s) ||
+        y.isNull || (y =!= 0.0 && y =!= 1.0))
+      .limit(1).count()
+    require(bad == 0,
+      "isotonicCalibration: scores must be non-null/non-NaN and labels " +
+        "in {0, 1} — clean the frame first")
+    val perScore = scored.select(s.as("__s"), y.as("__y"))
+      .groupBy("__s").agg(sum("__y").as("sy"), count(lit(1)).as("n"))
+    val nd = perScore.count()
+    require(nd > 0, "isotonicCalibration: empty frame")
+    require(nd <= maxDistinct,
+      s"isotonicCalibration: $nd distinct scores exceed " +
+        s"maxDistinct=$maxDistinct — quantize continuous corpus-scale " +
+        "scores into buckets first (floor(score*b)/b)")
+    val pts = perScore.orderBy("__s").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+    // PAV: maintain a stack of pools (lo, hi, sy, n); merge while the
+    // top two violate monotonicity of the pool means
+    val stack = scala.collection.mutable.ArrayBuffer
+      .empty[(Double, Double, Double, Long)]
+    pts.foreach { case (sc, sy, n) =>
+      stack += ((sc, sc, sy, n))
+      while (stack.length >= 2 && {
+        val a = stack(stack.length - 2); val b = stack.last
+        // integer-exact violation test: sy_a/n_a > sy_b/n_b ⇔
+        // sy_a·n_b > sy_b·n_a (sums are exact-integer doubles)
+        a._3 * b._4 > b._3 * a._4
+      }) {
+        val b = stack.remove(stack.length - 1)
+        val a = stack.remove(stack.length - 1)
+        stack += ((a._1, b._2, a._3 + b._3, a._4 + b._4))
+      }
+    }
+    val spark = scored.sparkSession
+    import spark.implicits._
+    stack.toSeq.map { case (lo, hi, sy, n) =>
+      (lo, hi, n, BigDecimal(sy / n)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("score_lo", "score_hi", "n", "fitted")
+  }
+
   /** Split-conformal prediction threshold (Vovk 2005; the Papadopoulos
     * 2002 split recipe): given a CALIBRATION set of nonconformity
     * scores (higher = stranger) and a miscoverage budget α, the
@@ -480,6 +606,102 @@ object Classifier {
       .select(col("n_cal"), col("k"),
         round(col("threshold"), 9).as("threshold"), col("n_test"),
         round(col("coverage"), 9).as("coverage"))
+  }
+
+  /** Pearson chi-square test of independence + Cramér's V between two
+    * categorical columns — the drift/association check for label-vs-
+    * source audits (does quality-class depend on the crawl source?):
+    * χ² = Σ_cells (o − e)²/e with e = row·col/n over the FULL r×c
+    * grid (unobserved cells count with o = 0), dof = (r−1)(c−1),
+    * V = √(χ²/(n·min(r−1, c−1))) (Cramér 1946) — the effect size the
+    * raw statistic hides at corpus n. Degenerate single-category
+    * sides refuse (independence is undefined). Nulls are the
+    * `__null__` category. One row: (n, n_rows, n_cols, dof, chi2,
+    * cramers_v), doubles rounded at 9. The p-value is deliberately
+    * not emitted: there is no χ² CDF both engines evaluate
+    * identically, and at corpus n the effect size is the decision
+    * variable anyway.
+    *
+    * Scale shape: ONE (a, b) contingency hash aggregate; the grid
+    * expansion and expected counts run over bounded marginal frames.
+    */
+  def chiSquareIndependence(df: DataFrame, aCol: String,
+                            bCol: String): DataFrame = {
+    val ct = df.select(
+        coalesce(col(aCol).cast("string"), lit("__null__")).as("a"),
+        coalesce(col(bCol).cast("string"), lit("__null__")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+      .localCheckpoint()
+    val margA = ct.groupBy("a").agg(sum("o").as("ra"))
+    val margB = ct.groupBy("b").agg(sum("o").as("cb"))
+    val shape = ct.agg(sum("o").as("n"),
+      countDistinct("a").as("r"), countDistinct("b").as("c")).head()
+    require(!shape.isNullAt(0), "chiSquareIndependence: empty frame")
+    val (n, r, c) = (shape.getLong(0), shape.getLong(1), shape.getLong(2))
+    require(r >= 2 && c >= 2,
+      s"chiSquareIndependence: need >= 2 categories per side " +
+        s"(saw $r x $c) — independence is undefined against a constant")
+    val grid = margA.crossJoin(margB)
+      .join(ct, Seq("a", "b"), "left")
+      .select(col("ra"), col("cb"),
+        coalesce(col("o"), lit(0L)).cast("double").as("o"))
+    val chi2 = grid.select(
+        ((col("o") - col("ra").cast("double") * col("cb") / n)
+          * (col("o") - col("ra").cast("double") * col("cb") / n)
+          / (col("ra").cast("double") * col("cb") / n)).as("cell"))
+      .agg(sum("cell")).head().getDouble(0)
+    val dof = (r - 1) * (c - 1)
+    val v = math.sqrt(chi2 / (n.toDouble * math.min(r - 1, c - 1)))
+    val spark = df.sparkSession
+    import spark.implicits._
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((n, r, c, dof, r9(chi2), r9(v)))
+      .toDF("n", "n_rows", "n_cols", "dof", "chi2", "cramers_v")
+  }
+
+  /** Two-proportion pooled z-test (the A/B gate for filter changes:
+    * did the new rule change the pass rate beyond noise?): for
+    * exactly two groups with success indicator in {0, 1},
+    * z = (p_a − p_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)) with p̂ the pooled
+    * rate, groups ordered lexicographically so the sign is
+    * deterministic. A pooled rate of exactly 0 or 1 means both
+    * groups are identical constants — z reports 0 (no evidence of
+    * difference, not a divide-by-zero). More or fewer than two
+    * groups refuse. One row: (group_a, group_b, n_a, n_b, p_a, p_b,
+    * z), doubles rounded at 9; every input to the formula is an
+    * exact integer ratio, so the oracle matches bit-for-bit.
+    *
+    * Scale shape: ONE group hash aggregate (2 rows), driver scalars.
+    */
+  def twoProportionZ(df: DataFrame, groupCol: String,
+                     successCol: String): DataFrame = {
+    val y = col(successCol).cast("double")
+    val bad = df.filter(y.isNull || (y =!= 0.0 && y =!= 1.0))
+      .limit(1).count()
+    require(bad == 0,
+      "twoProportionZ: success indicator must be in {0, 1}")
+    val g = df.select(
+        coalesce(col(groupCol).cast("string"), lit("__null__")).as("g"),
+        y.as("__y"))
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("__y").as("s"))
+      .orderBy("g").collect()
+    require(g.length == 2,
+      s"twoProportionZ: need exactly 2 groups, saw ${g.length}")
+    val (ga, na, sa) = (g(0).getString(0), g(0).getLong(1),
+      g(0).getDouble(2))
+    val (gb, nb, sb) = (g(1).getString(0), g(1).getLong(1),
+      g(1).getDouble(2))
+    val (pa, pb) = (sa / na, sb / nb)
+    val pool = (sa + sb) / (na + nb)
+    val se = math.sqrt(pool * (1 - pool) * (1.0 / na + 1.0 / nb))
+    val z = if (se > 0) (pa - pb) / se else 0.0
+    val spark = df.sparkSession
+    import spark.implicits._
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((ga, gb, na, nb, r9(pa), r9(pb), r9(z)))
+      .toDF("group_a", "group_b", "n_a", "n_b", "p_a", "p_b", "z")
   }
 
   /** Calibration report + expected calibration error (Naeini 2015's

@@ -697,6 +697,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
   }
 
+  test("vocab richness: one token hash-agg + one spectrum fold, no window/join") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val p = plan(ops.TextAnalysis.vocabRichness(docs, "text"))
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    // one shuffle for the token agg; the spectrum fold reads the pinned
+    // 1-row checkpoint (plus its single-partition exchange at most)
+    assert(opCount(p, "Exchange") <= 1, p)
+  }
+
+  test("calibration report: one bin hash-agg, no corpus window or join") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select((((col("doc_id") * 13) % 101).cast("double") / 100.0)
+        .as("score"),
+        (((col("doc_id") * 37) % 97) % 2).cast("double").as("label"))
+    val p = plan(ops.Classifier.calibrationReport(docs, "score", "label"))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+    // both branches read the localCheckpointed per-bin frame — no
+    // second corpus scan
+    assert(!p.contains("FileScan"), p)
+  }
+
+  test("cohen kappa: contingency agg + bounded marginal join, no corpus re-scan") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(((col("doc_id") * 3) % 4).cast("string").as("ra"),
+        ((col("doc_id") * 5 + 1) % 4).cast("string").as("rb"))
+    val p = plan(ops.Classifier.cohenKappa(docs, "ra", "rb"))
+    // everything downstream reads the checkpointed labels² table (the
+    // scalar-aggregate crossJoin is a 1-row broadcast, not a cartesian
+    // over data)
+    assert(!p.contains("FileScan") && !p.contains("Window"), p)
+  }
+
   test("maxsim: nested higher-order scoring — no explode, no extra shuffle") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     def tokEmb = transform(

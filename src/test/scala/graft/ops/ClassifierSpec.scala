@@ -297,4 +297,132 @@ class ClassifierSpec extends SparkSpec {
       .head()
     assert(g.getDouble(2) === 91.0 && g.getDouble(4) === 0.91)
   }
+
+  test("rocAuc: hand AUC with ties, perfect/inverted/random, binned mode") {
+    import spark.implicits._
+    // scores: pos {0.9, 0.7, 0.5}, neg {0.7, 0.3}; pairs = 6:
+    // wins (pos>neg): 0.9>0.7, 0.9>0.3, 0.7>0.3, 0.5>0.3 = 4
+    // tie: (0.7, 0.7) = 0.5 -> AUC = 4.5/6 = 0.75
+    val scored = Seq((0.9, 1.0), (0.7, 1.0), (0.5, 1.0),
+      (0.7, 0.0), (0.3, 0.0)).toDF("s", "y")
+    val r = Classifier.rocAuc(scored, "s", "y").head()
+    assert((r.getLong(0), r.getLong(1)) === ((3L, 2L)))
+    assert(r.getDouble(2) === 0.75)
+    // perfect separation -> 1; inverted -> 0; identical scores -> 0.5
+    def auc(rows: Seq[(Double, Double)]) =
+      Classifier.rocAuc(rows.toDF("s", "y"), "s", "y").head().getDouble(2)
+    assert(auc(Seq((0.9, 1.0), (0.1, 0.0))) === 1.0)
+    assert(auc(Seq((0.1, 1.0), (0.9, 0.0))) === 0.0)
+    assert(auc(Seq((0.5, 1.0), (0.5, 0.0))) === 0.5)
+    // binned mode quantizes then runs the same tie-exact formula: with
+    // 2 bins, 0.9/0.7 -> bin 1, 0.3/0.2 -> bin 0
+    val b = Classifier.rocAuc(
+      Seq((0.9, 1.0), (0.7, 0.0), (0.3, 1.0), (0.2, 0.0)).toDF("s", "y"),
+      "s", "y", bins = Some(2)).head()
+    // bin1: 1 pos 1 neg; bin0: 1 pos 1 neg -> wins 1 (bin1pos>bin0neg),
+    // ties 2 (within-bin), loss 1 -> AUC = (1 + 1)/4 = 0.5
+    assert(b.getDouble(2) === 0.5)
+    // single class / bad labels / NaN / out-of-range binned refuse
+    intercept[IllegalArgumentException](
+      Classifier.rocAuc(Seq((0.5, 1.0)).toDF("s", "y"), "s", "y"))
+    intercept[IllegalArgumentException](Classifier.rocAuc(
+      Seq((0.5, 2.0)).toDF("s", "y"), "s", "y"))
+    intercept[IllegalArgumentException](Classifier.rocAuc(
+      Seq((Double.NaN, 1.0)).toDF("s", "y"), "s", "y"))
+    intercept[IllegalArgumentException](Classifier.rocAuc(
+      Seq((1.5, 1.0), (0.1, 0.0)).toDF("s", "y"), "s", "y",
+      bins = Some(4)))
+  }
+
+  test("isotonicCalibration: PAV hand case, pooling, bounds, refusals") {
+    import spark.implicits._
+    // per-score means: 0.1->1, 0.2->0, 0.3->1 — the 1,0 violation pools
+    // to mean 0.5, then 0.5 <= 1 stands: steps (0.1-0.2: 0.5), (0.3: 1)
+    val scored = Seq((0.1, 1.0), (0.2, 0.0), (0.3, 1.0)).toDF("s", "y")
+    val steps = Classifier.isotonicCalibration(scored, "s", "y")
+      .orderBy("score_lo").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(steps.toSeq === Seq((0.1, 0.2, 2L, 0.5), (0.3, 0.3, 1L, 1.0)))
+    // already-monotone data is untouched (one pool per score)
+    val mono = Classifier.isotonicCalibration(
+      Seq((0.1, 0.0), (0.2, 1.0)).toDF("s", "y"), "s", "y")
+      .orderBy("score_lo").collect().map(_.getDouble(3)).toSeq
+    assert(mono === Seq(0.0, 1.0))
+    // fully decreasing data pools to one global mean
+    val dec = Classifier.isotonicCalibration(
+      Seq((0.1, 1.0), (0.2, 1.0), (0.3, 0.0), (0.4, 0.0)).toDF("s", "y"),
+      "s", "y").collect()
+    assert(dec.length === 1)
+    assert((dec(0).getDouble(0), dec(0).getDouble(1),
+      dec(0).getLong(2), dec(0).getDouble(3)) === ((0.1, 0.4, 4L, 0.5)))
+    // fitted is always within [0, 1] and nondecreasing on a mixed frame
+    val mixed = (0 until 60).map(i =>
+      ((i % 10) / 10.0, ((i * 7) % 3 min 1).toDouble)).toDF("s", "y")
+    val f = Classifier.isotonicCalibration(mixed, "s", "y")
+      .orderBy("score_lo").collect().map(_.getDouble(3)).toSeq
+    assert(f === f.sorted && f.forall(x => x >= 0 && x <= 1))
+    intercept[IllegalArgumentException](Classifier.isotonicCalibration(
+      scored, "s", "y", maxDistinct = 2))
+    intercept[IllegalArgumentException](Classifier.isotonicCalibration(
+      Seq((0.1, 2.0)).toDF("s", "y"), "s", "y"))
+    intercept[IllegalArgumentException](Classifier.isotonicCalibration(
+      scored.filter(lit(false)), "s", "y"))
+  }
+
+  test("chiSquareIndependence: hand 2x2, zero cell, independence, refusal") {
+    import spark.implicits._
+    // classic 2x2: rows (10,20) / (20,10); n=60, all e=15
+    // chi2 = 4 * 25/15 = 20/3; V = sqrt((20/3)/60)
+    val df = (Seq.fill(10)(("x", "u")) ++ Seq.fill(20)(("x", "v")) ++
+      Seq.fill(20)(("y", "u")) ++ Seq.fill(10)(("y", "v")))
+      .toDF("a", "b")
+    val r = Classifier.chiSquareIndependence(df, "a", "b").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      === ((60L, 2L, 2L, 1L)))
+    assert(math.abs(r.getDouble(4) - 20.0 / 3) < 1e-9)
+    assert(math.abs(r.getDouble(5) - math.sqrt(20.0 / 3 / 60)) < 1e-9)
+    // an unobserved cell enters with o = 0 (its full expected count)
+    val zc = Classifier.chiSquareIndependence(
+      (Seq.fill(5)(("x", "u")) ++ Seq.fill(5)(("y", "v"))).toDF("a", "b"),
+      "a", "b").head()
+    assert(zc.getDouble(4) === 10.0) // perfect association: chi2 = n
+    assert(zc.getDouble(5) === 1.0)  // Cramér's V = 1
+    // exact independence -> chi2 = 0
+    val ind = Classifier.chiSquareIndependence(
+      (for (a <- Seq("x", "y"); b <- Seq("u", "v")) yield (a, b))
+        .toDF("a", "b"), "a", "b").head()
+    assert(ind.getDouble(4) === 0.0)
+    intercept[IllegalArgumentException](Classifier.chiSquareIndependence(
+      Seq(("x", "u"), ("x", "v")).toDF("a", "b"), "a", "b"))
+  }
+
+  test("twoProportionZ: hand z, sign order, degenerate pool, refusals") {
+    import spark.implicits._
+    // A: 30/100, B: 20/100 -> pool 0.25, se = sqrt(.25*.75*.02)
+    val df = ((1 to 100).map(i => ("A", if (i <= 30) 1.0 else 0.0)) ++
+      (1 to 100).map(i => ("B", if (i <= 20) 1.0 else 0.0))).toDF("g", "y")
+    val r = Classifier.twoProportionZ(df, "g", "y").head()
+    assert((r.getString(0), r.getString(1)) === (("A", "B")))
+    assert((r.getLong(2), r.getLong(3)) === ((100L, 100L)))
+    assert((r.getDouble(4), r.getDouble(5)) === ((0.3, 0.2)))
+    val se = math.sqrt(0.25 * 0.75 * (1.0 / 100 + 1.0 / 100))
+    assert(math.abs(r.getDouble(6) - 0.1 / se) < 1e-6)
+    // groups order lexicographically, so the sign is deterministic:
+    // relabeling flips it
+    val flipped = Classifier.twoProportionZ(
+      df.withColumn("g", when(col("g") === "A", "Z").otherwise("B")),
+      "g", "y").head()
+    assert(math.abs(flipped.getDouble(6) + r.getDouble(6)) < 1e-9)
+    // identical all-zero groups: pooled variance 0 -> z = 0
+    val z0 = Classifier.twoProportionZ(
+      Seq(("A", 0.0), ("B", 0.0)).toDF("g", "y"), "g", "y").head()
+    assert(z0.getDouble(6) === 0.0)
+    intercept[IllegalArgumentException](Classifier.twoProportionZ(
+      Seq(("A", 1.0)).toDF("g", "y"), "g", "y"))
+    intercept[IllegalArgumentException](Classifier.twoProportionZ(
+      Seq(("A", 1.0), ("B", 0.0), ("C", 1.0)).toDF("g", "y"), "g", "y"))
+    intercept[IllegalArgumentException](Classifier.twoProportionZ(
+      Seq(("A", 2.0), ("B", 0.0)).toDF("g", "y"), "g", "y"))
+  }
 }
