@@ -295,6 +295,7 @@ object Classifier {
         coalesce(col(bCol).cast("string"), lit("__null__")).as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("n"))
       .localCheckpoint()
+    require(ct.head(1).nonEmpty, "cohenKappa: empty frame")
     val tot = ct.agg(sum("n").as("n_items"),
       sum(when(col("a") === col("b"), col("n")).otherwise(0L)).as("agree"))
     // marginal products sum as DOUBLES (exact while < 2^53, and a
@@ -468,6 +469,7 @@ object Classifier {
     val tot = contrib.agg(
         sum("np").as("n_pos"), sum("nn").as("n_neg"),
         sum(col("np") * (col("cum_nn") + col("nn") / 2)).as("u")).head()
+    require(!tot.isNullAt(0), "rocAuc: empty frame")
     val (np, nn) = (tot.getDouble(0), tot.getDouble(1))
     require(np > 0 && nn > 0,
       s"rocAuc: need both classes present (pos=${np.toLong}, " +
@@ -475,8 +477,7 @@ object Classifier {
     val spark = scored.sparkSession
     import spark.implicits._
     Seq((np.toLong, nn.toLong,
-      BigDecimal(tot.getDouble(2) / (np * nn))
-        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      Num.round9(tot.getDouble(2) / (np * nn))))
       .toDF("n_pos", "n_neg", "auc")
   }
 
@@ -512,8 +513,11 @@ object Classifier {
     require(bad == 0,
       "isotonicCalibration: scores must be non-null/non-NaN and labels " +
         "in {0, 1} — clean the frame first")
+    // pinned: the count guard and the sorted collect both read this
+    // one aggregate instead of re-scanning the corpus (review-fixed)
     val perScore = scored.select(s.as("__s"), y.as("__y"))
       .groupBy("__s").agg(sum("__y").as("sy"), count(lit(1)).as("n"))
+      .localCheckpoint()
     val nd = perScore.count()
     require(nd > 0, "isotonicCalibration: empty frame")
     require(nd <= maxDistinct,
@@ -542,8 +546,7 @@ object Classifier {
     val spark = scored.sparkSession
     import spark.implicits._
     stack.toSeq.map { case (lo, hi, sy, n) =>
-      (lo, hi, n, BigDecimal(sy / n)
-        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      (lo, hi, n, Num.round9(sy / n))
     }.toDF("score_lo", "score_hi", "n", "fitted")
   }
 
@@ -654,8 +657,7 @@ object Classifier {
     val v = math.sqrt(chi2 / (n.toDouble * math.min(r - 1, c - 1)))
     val spark = df.sparkSession
     import spark.implicits._
-    def r9(x: Double) = BigDecimal(x)
-      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r9(x: Double) = Num.round9(x)
     Seq((n, r, c, dof, r9(chi2), r9(v)))
       .toDF("n", "n_rows", "n_cols", "dof", "chi2", "cramers_v")
   }
@@ -698,8 +700,7 @@ object Classifier {
     val z = if (se > 0) (pa - pb) / se else 0.0
     val spark = df.sparkSession
     import spark.implicits._
-    def r9(x: Double) = BigDecimal(x)
-      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r9(x: Double) = Num.round9(x)
     Seq((ga, gb, na, nb, r9(pa), r9(pb), r9(z)))
       .toDF("group_a", "group_b", "n_a", "n_b", "p_a", "p_b", "z")
   }
@@ -738,7 +739,9 @@ object Classifier {
       .groupBy("bin").agg(count(lit(1)).as("n"),
         avg("s").as("conf"), avg("y").as("acc"))
       .localCheckpoint()
-    val total = perBin.agg(sum("n").as("nn")).head().getLong(0)
+    val totalRow = perBin.agg(sum("n").as("nn")).head()
+    require(!totalRow.isNullAt(0), "calibrationReport: empty frame")
+    val total = totalRow.getLong(0)
     val binsOut = perBin.select(col("bin"), col("n"),
       round(col("conf"), 9).as("confidence"),
       round(col("acc"), 9).as("accuracy"),

@@ -215,24 +215,37 @@ object Sft {
     require(maxModels >= 2, s"bradleyTerry: maxModels=$maxModels")
     val spark = battles.sparkSession
     import spark.implicits._
-    val pairRows = battles.select(
+    val grouped = battles.select(
         coalesce(col(winnerCol).cast("string"), lit("__null__")).as("w"),
         coalesce(col(loserCol).cast("string"), lit("__null__")).as("l"))
       .filter(col("w") =!= col("l"))
       .groupBy("w", "l").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    // guard BEFORE collecting: the distinct-model census runs on the
+    // cluster, so a corpus-shaped frame refuses without ever pulling
+    // its (potentially corpus-sized) pair table onto the driver
+    val nModels = grouped.select(col("w").as("m"))
+      .unionByName(grouped.select(col("l").as("m")))
+      .distinct().count()
+    require(nModels > 0, "bradleyTerry: no battles")
+    require(nModels <= maxModels,
+      s"bradleyTerry: $nModels models exceed maxModels=$maxModels " +
+        "— this expects model identifiers, not a document corpus")
+    val pairRows = grouped
       .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
-    require(pairRows.nonEmpty, "bradleyTerry: no battles")
     val models = pairRows.flatMap { case ((w, l), _) => Seq(w, l) }
       .distinct.sorted
-    require(models.length <= maxModels,
-      s"bradleyTerry: ${models.length} models exceed maxModels=$maxModels " +
-        "— this expects model identifiers, not a document corpus")
     val winsOver = pairRows.toMap.withDefaultValue(0L)
     def nBetween(a: String, b: String) = winsOver((a, b)) + winsOver((b, a))
-    val wins = models.map(m =>
-      m -> pairRows.collect { case ((w, _), n) if w == m => n }.sum).toMap
-    def r9(x: Double) =
-      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // one pass over the pair table for the win totals (not one scan
+    // per model — O(pairs), review-fixed)
+    val wins = {
+      val acc = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      pairRows.foreach { case ((w, _), n) => acc(w) += n }
+      models.map(m => m -> acc(m)).toMap
+    }
+    def r9(x: Double) = Num.round9(x)
     var pi = models.map(_ => 1.0 / models.length)
     var it = 0
     while (it < iters) {
@@ -251,9 +264,14 @@ object Sft {
       pi = if (s > 0) raw.map(x => r9(x / s)) else raw
       it += 1
     }
+    val battleCounts = {
+      val acc = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      pairRows.foreach { case ((w, l), n) => acc(w) += n; acc(l) += n }
+      acc
+    }
     models.zipWithIndex.map { case (m, i) =>
-      (m, pi(i), wins(m),
-        models.collect { case o if o != m => nBetween(m, o) }.sum)
+      (m, pi(i), wins(m), battleCounts(m))
     }.toSeq.toDF("model", "strength", "wins", "battles")
   }
 
@@ -285,8 +303,7 @@ object Sft {
     require(maxBattles >= 1, s"eloRatings: maxBattles=$maxBattles")
     val spark = battles.sparkSession
     import spark.implicits._
-    def r9(x: Double) =
-      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r9(x: Double) = Num.round9(x)
     // the order column keeps its native type — a string cast would
     // re-order numeric sequences ("10" < "9") away from the oracle's
     val picked = battles.select(

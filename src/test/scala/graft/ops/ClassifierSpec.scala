@@ -425,4 +425,22 @@ class ClassifierSpec extends SparkSpec {
     intercept[IllegalArgumentException](Classifier.twoProportionZ(
       Seq(("A", 2.0), ("B", 0.0)).toDF("g", "y"), "g", "y"))
   }
+
+  test("empty frames refuse loudly across the evaluation family") {
+    import spark.implicits._
+    // review-fixed: these previously returned a silent all-null row
+    // (cohenKappa) or threw a bare NPE (rocAuc, calibrationReport)
+    val pairs = Seq.empty[(String, String)].toDF("a", "b")
+    val scores = Seq.empty[(Double, Double)].toDF("s", "y")
+    intercept[IllegalArgumentException](
+      Classifier.cohenKappa(pairs, "a", "b"))
+    intercept[IllegalArgumentException](
+      Classifier.rocAuc(scores, "s", "y"))
+    intercept[IllegalArgumentException](
+      Classifier.calibrationReport(scores, "s", "y"))
+    intercept[IllegalArgumentException](
+      Classifier.chiSquareIndependence(pairs, "a", "b"))
+    intercept[IllegalArgumentException](
+      Classifier.twoProportionZ(scores.toDF("g", "y"), "g", "y"))
+  }
 }
