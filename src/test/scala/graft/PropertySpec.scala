@@ -744,4 +744,52 @@ class PropertySpec extends SparkSpec {
       assert(got(q).sortBy(_._2).map(_._3) == want, s"query $q")
     }
   }
+
+  test("isotonic PAV: monotone fitted steps that preserve total label mass") {
+    // the two optimality invariants pinned as properties, so a future
+    // edit to the pool-merge rule cannot silently break the fit
+    val genScored = for {
+      n <- Gen.choose(2, 60)
+      rows <- Gen.listOfN(n, Gen.zip(
+        Gen.choose(0, 20).map(_ / 20.0), Gen.oneOf(0.0, 1.0)))
+    } yield rows
+    check(Prop.forAllNoShrink(genScored) { rows =>
+      val df = rows.toDF("s", "y")
+      val steps = graft.ops.Classifier.isotonicCalibration(df, "s", "y")
+        .orderBy("score_lo").collect()
+        .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2),
+          r.getDouble(3)))
+      val fits = steps.map(_._4).toSeq
+      val mass = steps.map { case (_, _, n, f) => f * n }.sum
+      fits == fits.sorted &&
+        fits.forall(f => f >= 0.0 && f <= 1.0) &&
+        steps.map(_._3).sum == rows.length &&
+        math.abs(mass - rows.map(_._2).sum) < 1e-6 &&
+        // pools tile the score axis without overlap
+        steps.sliding(2).forall {
+          case Array((_, hiA, _, _), (loB, _, _, _)) => hiA < loB
+          case _ => true
+        }
+    }, n = 12)
+  }
+
+  test("rocAuc: in [0,1]; label flip mirrors to 1 - AUC; score-shift invariant") {
+    val genScored = for {
+      n <- Gen.choose(2, 60)
+      rows <- Gen.listOfN(n, Gen.zip(
+        Gen.choose(0, 20).map(_ / 20.0), Gen.oneOf(0.0, 1.0)))
+      if rows.exists(_._2 == 1.0) && rows.exists(_._2 == 0.0)
+    } yield rows
+    check(Prop.forAllNoShrink(genScored) { rows =>
+      def auc(rs: Seq[(Double, Double)]) =
+        graft.ops.Classifier.rocAuc(rs.toDF("s", "y"), "s", "y")
+          .head().getDouble(2)
+      val a = auc(rows)
+      val flipped = auc(rows.map { case (s, y) => (s, 1.0 - y) })
+      val shifted = auc(rows.map { case (s, y) => (s + 100.0, y) })
+      a >= 0.0 && a <= 1.0 &&
+        math.abs(a + flipped - 1.0) < 2e-9 &&  // round9 on both sides
+        math.abs(a - shifted) < 2e-9           // AUC is rank-only
+    }, n = 12)
+  }
 }
