@@ -889,6 +889,8 @@ object ScalingProbe {
       SparkEntry.queries("q_conformal")(spark, d).count() }
     time("auc") { d => SparkEntry.queries("q_auc")(spark, d).count() }
     time("chi2") { d => SparkEntry.queries("q_chi2")(spark, d).count() }
+    time("spearman") { d =>
+      SparkEntry.queries("q_spearman")(spark, d).count() }
     // betweenness with a FIXED 64-pivot sample (the Brandes–Pich scale
     // path): forward state is O(pivots·ball), so 8x data should cost
     // ~the per-level linear join, not 8x the pair state

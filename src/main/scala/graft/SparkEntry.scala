@@ -3429,6 +3429,29 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
         "source", "lab")
     }),
 
+    // regression report (MAE/RMSE/R²/Pearson from one power-sum pass)
+    // on a correlated synthetic predictor/target pair
+    "q_regression" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"))
+      ops.Classifier.regressionReport(d.select(
+        (((col("id") * 13) % 101).cast("double") / 100.0).as("pred"),
+        ((((col("id") * 13) % 101) + ((col("id") * 7) % 13))
+          .cast("double") / 113.0).as("target")),
+        "pred", "target")
+    }),
+
+    // Spearman rank correlation (average-tie ranks) between two tied
+    // synthetic columns; ranks are half-integers so the oracle's
+    // window replay matches bit-for-bit
+    "q_spearman" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"))
+      ops.Classifier.spearmanCorrelation(d.select(
+        (((col("id") * 13) % 101).cast("double") / 100.0).as("a"),
+        ((col("id") * 29) % 89).cast("double").as("b")), "a", "b")
+    }),
+
     // two-proportion pooled z on an even/odd A/B split of a synthetic
     // pass indicator
     "q_twoprop" -> ((s, dir) => {
@@ -6844,6 +6867,65 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |  round(sqrt(st.chi2 / (CAST(sh.n AS DOUBLE)
           |    * least(sh.r - 1, sh.c - 1))), 9) AS cramers_v
           |FROM st, sh""".stripMargin,
+
+      "q_regression" ->
+        """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+          |r AS (
+          |  SELECT ((id * 13) % 101) / 100.0 AS x,
+          |    (((id * 13) % 101) + ((id * 7) % 13)) / 113.0 AS y
+          |  FROM d),
+          |s AS (
+          |  SELECT count(*) AS n, sum(abs(x - y)) AS sae,
+          |    sum((x - y) * (x - y)) AS sse,
+          |    sum(x) AS sx, sum(y) AS sy,
+          |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+          |  FROM r)
+          |SELECT CAST(n AS BIGINT) AS n,
+          |  round(sae / n, 9) AS mae, round(sqrt(sse / n), 9) AS rmse,
+          |  round(CASE WHEN syy - sy * sy / n > 0
+          |             THEN 1.0 - sse / (syy - sy * sy / n)
+          |             ELSE 0.0 END, 9) AS r2,
+          |  round(CASE WHEN n * sxx - sx * sx > 0
+          |              AND n * syy - sy * sy > 0
+          |             THEN (n * sxy - sx * sy)
+          |               / sqrt((n * sxx - sx * sx)
+          |                      * (n * syy - sy * sy))
+          |             ELSE 0.0 END, 9) AS pearson
+          |FROM s""".stripMargin,
+
+      "q_spearman" ->
+        """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+          |r AS (
+          |  SELECT ((id * 13) % 101) / 100.0 AS x,
+          |    CAST((id * 29) % 89 AS DOUBLE) AS y
+          |  FROM d),
+          |ga AS (SELECT x AS v, count(*) AS c FROM r GROUP BY 1),
+          |ra AS (
+          |  SELECT v, coalesce(sum(c) OVER (ORDER BY v
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |    + (c + 1) / 2.0 AS rk
+          |  FROM ga),
+          |gb AS (SELECT y AS v, count(*) AS c FROM r GROUP BY 1),
+          |rb AS (
+          |  SELECT v, coalesce(sum(c) OVER (ORDER BY v
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |    + (c + 1) / 2.0 AS rk
+          |  FROM gb),
+          |p AS (
+          |  SELECT ra.rk AS a, rb.rk AS b
+          |  FROM r JOIN ra ON r.x = ra.v JOIN rb ON r.y = rb.v),
+          |s AS (
+          |  SELECT count(*) AS n, sum(a) AS sx, sum(b) AS sy,
+          |    sum(a * a) AS sxx, sum(b * b) AS syy, sum(a * b) AS sxy
+          |  FROM p)
+          |SELECT CAST(n AS BIGINT) AS n,
+          |  round(CASE WHEN n * sxx - sx * sx > 0
+          |              AND n * syy - sy * sy > 0
+          |             THEN (n * sxy - sx * sy)
+          |               / sqrt((n * sxx - sx * sx)
+          |                      * (n * syy - sy * sy))
+          |             ELSE 0.0 END, 9) AS spearman
+          |FROM s""".stripMargin,
 
       "q_twoprop" ->
         """WITH r AS (

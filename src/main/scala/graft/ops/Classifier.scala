@@ -611,6 +611,117 @@ object Classifier {
         round(col("coverage"), 9).as("coverage"))
   }
 
+  /** Regression quality report for a numeric predictor (a quality
+    * scorer regressed on human ratings, a length estimator, a reward
+    * model vs gold): n, MAE, RMSE, R² (1 − SSE/SST) and the Pearson
+    * correlation, the last computed from raw power sums
+    * (nΣxy − ΣxΣy)/√((nΣx² − (Σx)²)(nΣy² − (Σy)²)) so both engines
+    * divide the same accumulated doubles rather than each using its
+    * own covariance formulation. Null/NaN on either side refuses. A
+    * constant target (SST = 0) reports R² = 0 and pearson = 0 — no
+    * variance to explain. One row, doubles rounded at 9.
+    *
+    * Scale shape: ONE scalar aggregate over the corpus — every metric
+    * folds from the same pass.
+    */
+  def regressionReport(df: DataFrame, predCol: String,
+                       targetCol: String): DataFrame = {
+    val x = col(predCol).cast("double")
+    val y = col(targetCol).cast("double")
+    val bad = df.filter(x.isNull || isnan(x) || y.isNull || isnan(y))
+      .limit(1).count()
+    require(bad == 0,
+      "regressionReport: null/NaN predictions or targets — clean the " +
+        "frame first")
+    val r = df.agg(count(lit(1)).as("n"),
+        sum(abs(x - y)).as("sae"),
+        sum((x - y) * (x - y)).as("sse"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"),
+        sum(x * y).as("sxy")).head()
+    require(!r.isNullAt(0) && r.getLong(0) > 0,
+      "regressionReport: empty frame")
+    val n = r.getLong(0).toDouble
+    val (sae, sse) = (r.getDouble(1), r.getDouble(2))
+    val (sx, sy) = (r.getDouble(3), r.getDouble(4))
+    val (sxx, syy, sxy) = (r.getDouble(5), r.getDouble(6), r.getDouble(7))
+    val sst = syy - sy * sy / n
+    val varX = n * sxx - sx * sx
+    val varY = n * syy - sy * sy
+    val r2 = if (sst > 0) 1.0 - sse / sst else 0.0
+    val pearson =
+      if (varX > 0 && varY > 0)
+        (n * sxy - sx * sy) / math.sqrt(varX * varY)
+      else 0.0
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((r.getLong(0), Num.round9(sae / n),
+      Num.round9(math.sqrt(sse / n)), Num.round9(r2),
+      Num.round9(pearson)))
+      .toDF("n", "mae", "rmse", "r2", "pearson")
+  }
+
+  /** Spearman rank correlation with average-tie ranks — the monotone-
+    * association check Pearson misses (is the quality score ORDERING
+    * documents like the gold rating does, linearity aside?): both
+    * sides rank as r(v) = count(< v) + (count(= v) + 1)/2, then the
+    * Pearson power-sum formula runs on the rank pairs. Ranks are
+    * half-integers, so the power sums stay EXACT (and the result
+    * bit-identical to the SQL oracle's window replay) while
+    * Σ rank² < 2^51 — about n ≲ 1.9·10⁵ rows; past that the two
+    * engines' summation orders can differ in the last ulp, which the
+    * round(9) pin absorbs except exactly at a rounding boundary.
+    * Constant sides report 0 (the [[regressionReport]] convention).
+    * One row: (n, spearman), rounded at 9.
+    *
+    * Scale shape: one per-value hash aggregate per side and the
+    * prefix-rank window over DISTINCT values — the [[rocAuc]] shape.
+    * `maxDistinct` refuses a genuinely continuous corpus-scale column
+    * BEFORE the rank frames are built and broadcast (the
+    * [[isotonicCalibration]] convention): pre-quantize
+    * (`floor(score·b)/b`) and re-run.
+    */
+  def spearmanCorrelation(df: DataFrame, aCol: String, bCol: String,
+                          maxDistinct: Int = 1000000): DataFrame = {
+    require(maxDistinct >= 1,
+      s"spearmanCorrelation: maxDistinct=$maxDistinct")
+    val xa = col(aCol).cast("double")
+    val xb = col(bCol).cast("double")
+    val bad = df.filter(xa.isNull || isnan(xa) || xb.isNull || isnan(xb))
+      .limit(1).count()
+    require(bad == 0,
+      "spearmanCorrelation: null/NaN values — clean the frame first")
+    val census = df.agg(countDistinct(xa).as("da"),
+      countDistinct(xb).as("db")).head()
+    val (da, db) = (census.getLong(0), census.getLong(1))
+    require(da > 0 && db > 0, "spearmanCorrelation: empty frame")
+    require(da <= maxDistinct && db <= maxDistinct,
+      s"spearmanCorrelation: $da/$db distinct values exceed " +
+        s"maxDistinct=$maxDistinct — quantize continuous corpus-scale " +
+        "columns first (floor(score*b)/b)")
+    def ranked(c: Column, out: String): DataFrame = {
+      val w = Window.orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.select(c.as("__v")).groupBy("__v")
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("__v"),
+          (coalesce(sum("cnt").over(w), lit(0L))
+            + (col("cnt") + 1) / lit(2.0)).as(out))
+    }
+    val ra = ranked(xa, "ra")
+    val rb = ranked(xb, "rb")
+    // pinned: regressionReport's hygiene scan and its power-sum agg
+    // both read this checkpoint instead of re-executing the two
+    // window sorts and joins (review-fixed)
+    val pairs = df.select(xa.as("__a"), xb.as("__b"))
+      .join(broadcast(ra), col("__a") === col("__v")).drop("__v")
+      .join(broadcast(rb), col("__b") === col("__v")).drop("__v")
+      .select(col("ra").as("p"), col("rb").as("t"))
+      .localCheckpoint()
+    regressionReport(pairs, "p", "t")
+      .select(col("n"), col("pearson").as("spearman"))
+  }
+
   /** Pearson chi-square test of independence + Cramér's V between two
     * categorical columns — the drift/association check for label-vs-
     * source audits (does quality-class depend on the crawl source?):

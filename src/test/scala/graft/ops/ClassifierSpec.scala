@@ -426,6 +426,78 @@ class ClassifierSpec extends SparkSpec {
       Seq(("A", 2.0), ("B", 0.0)).toDF("g", "y"), "g", "y"))
   }
 
+  test("regressionReport: hand metrics, perfect fit, constant target") {
+    import spark.implicits._
+    // preds (1,2,3) vs targets (2,2,5): errors (-1,0,-2)
+    // MAE = 1, RMSE = sqrt(5/3); mean(y) = 3, SST = 1+1+4 = 6
+    // R2 = 1 - 5/6; pearson of (1,2,3)/(2,2,5) = 3*sqrt(3/2)/sqrt(2*18... )
+    val df = Seq((1.0, 2.0), (2.0, 2.0), (3.0, 5.0)).toDF("p", "t")
+    val r = Classifier.regressionReport(df, "p", "t").head()
+    assert(r.getLong(0) === 3L)
+    assert(r.getDouble(1) === 1.0)
+    assert(math.abs(r.getDouble(2) - math.sqrt(5.0 / 3)) < 1e-9)
+    assert(math.abs(r.getDouble(3) - (1.0 - 5.0 / 6)) < 1e-9)
+    // pearson: n=3 sxy=21 sx=6 sy=9 sxx=14 syy=33
+    // (63-54)/sqrt((42-36)(99-81)) = 9/sqrt(108)
+    assert(math.abs(r.getDouble(4) - 9.0 / math.sqrt(108)) < 1e-9)
+    // a perfect predictor: MAE = RMSE = 0, R2 = pearson = 1
+    val perfect = Classifier.regressionReport(
+      Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0)).toDF("p", "t"), "p", "t")
+      .head()
+    assert((perfect.getDouble(1), perfect.getDouble(2),
+      perfect.getDouble(3), perfect.getDouble(4)) === ((0.0, 0.0, 1.0, 1.0)))
+    // constant target: no variance to explain -> R2 = pearson = 0
+    val const = Classifier.regressionReport(
+      Seq((1.0, 5.0), (2.0, 5.0)).toDF("p", "t"), "p", "t").head()
+    assert((const.getDouble(3), const.getDouble(4)) === ((0.0, 0.0)))
+    intercept[IllegalArgumentException](Classifier.regressionReport(
+      Seq((Double.NaN, 1.0)).toDF("p", "t"), "p", "t"))
+    intercept[IllegalArgumentException](Classifier.regressionReport(
+      df.filter(lit(false)), "p", "t"))
+  }
+
+  test("spearmanCorrelation: monotone=1, ties averaged, anti-monotone=-1") {
+    import spark.implicits._
+    // any monotone (even non-linear) relation is exactly 1
+    val mono = Seq((1.0, 10.0), (2.0, 100.0), (3.0, 101.0), (4.0, 5000.0))
+      .toDF("a", "b")
+    assert(Classifier.spearmanCorrelation(mono, "a", "b")
+      .head().getDouble(1) === 1.0)
+    val anti = Seq((1.0, 9.0), (2.0, 5.0), (3.0, 1.0)).toDF("a", "b")
+    assert(Classifier.spearmanCorrelation(anti, "a", "b")
+      .head().getDouble(1) === -1.0)
+    // tie averaging: a = (1,2,2,3) ranks (1, 2.5, 2.5, 4); pair with
+    // b = (1,2,3,4): classic rho = 1 - something — compute via pearson
+    // of ranks by hand: ra=(1,2.5,2.5,4), rb=(1,2,3,4)
+    // n=4 sx=10 sy=10 sxx=29.5 syy=30 sxy=29.5
+    // rho = (118-100)/sqrt((118-100)(120-100)) = 18/sqrt(360)
+    val tied = Seq((1.0, 1.0), (2.0, 2.0), (2.0, 3.0), (3.0, 4.0))
+      .toDF("a", "b")
+    val rho = Classifier.spearmanCorrelation(tied, "a", "b")
+      .head().getDouble(1)
+    assert(math.abs(rho - 18.0 / math.sqrt(360)) < 1e-9)
+    // scale-invariance: spearman only sees ranks
+    val scaled = Classifier.spearmanCorrelation(
+      tied.select((col("a") * 1000).as("a"), (col("b") - 50).as("b")),
+      "a", "b").head().getDouble(1)
+    assert(scaled === rho)
+    // constant side -> 0
+    assert(Classifier.spearmanCorrelation(
+      Seq((1.0, 7.0), (2.0, 7.0)).toDF("a", "b"), "a", "b")
+      .head().getDouble(1) === 0.0)
+    intercept[IllegalArgumentException](Classifier.spearmanCorrelation(
+      Seq((Double.NaN, 1.0)).toDF("a", "b"), "a", "b"))
+    // empty frame refuses as spearman (not a misattributed delegate)
+    val e = intercept[IllegalArgumentException](
+      Classifier.spearmanCorrelation(
+        tied.filter(lit(false)), "a", "b"))
+    assert(e.getMessage.contains("spearmanCorrelation"), e.getMessage)
+    // continuous corpus-scale columns refuse BEFORE the rank broadcast
+    val q = intercept[IllegalArgumentException](
+      Classifier.spearmanCorrelation(tied, "a", "b", maxDistinct = 2))
+    assert(q.getMessage.contains("quantize"), q.getMessage)
+  }
+
   test("empty frames refuse loudly across the evaluation family") {
     import spark.implicits._
     // review-fixed: these previously returned a silent all-null row
