@@ -891,6 +891,10 @@ object ScalingProbe {
     time("chi2") { d => SparkEntry.queries("q_chi2")(spark, d).count() }
     time("spearman") { d =>
       SparkEntry.queries("q_spearman")(spark, d).count() }
+    time("privacy") { d =>
+      SparkEntry.queries("q_privacy")(spark, d).count() }
+    time("slice_accuracy") { d =>
+      SparkEntry.queries("q_slice_accuracy")(spark, d).count() }
     // betweenness with a FIXED 64-pivot sample (the Brandes–Pich scale
     // path): forward state is O(pivots·ball), so 8x data should cost
     // ~the per-level linear join, not 8x the pair state

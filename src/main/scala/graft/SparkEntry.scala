@@ -3429,6 +3429,32 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
         "source", "lab")
     }),
 
+    // k-anonymity / l-diversity release audit over (doc_id mod 25,
+    // source) quasi-identifiers with a 3-way sensitive label
+    "q_privacy" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      ops.Classifier.privacyAudit(
+        d.select((col("doc_id").cast("long") % 25).as("region"),
+          col("source"),
+          ((col("doc_id").cast("long") * 7) % 3).cast("string")
+            .as("sensitive")),
+        Seq("region", "source"), "sensitive", k = 5, l = 2)
+    }),
+
+    // per-slice accuracy with the gap against overall — the slice cut
+    // of the classification report, by crawl source
+    "q_slice_accuracy" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      ops.Classifier.sliceAccuracy(
+        d.select(col("source"),
+          ((col("doc_id").cast("long") * 7) % 3).cast("string")
+            .as("label"),
+          ((col("doc_id").cast("long") * 11) % 3).cast("string")
+            .as("pred")),
+        "label", "pred", "source")
+        .orderBy("slice")
+    }),
+
     // regression report (MAE/RMSE/R²/Pearson from one power-sum pass)
     // on a correlated synthetic predictor/target pair
     "q_regression" -> ((s, dir) => {
@@ -6867,6 +6893,47 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |  round(sqrt(st.chi2 / (CAST(sh.n AS DOUBLE)
           |    * least(sh.r - 1, sh.c - 1))), 9) AS cramers_v
           |FROM st, sh""".stripMargin,
+
+      "q_privacy" ->
+        """WITH r AS (
+          |  SELECT CAST(CAST(doc_id AS BIGINT) % 25 AS VARCHAR) AS q0,
+          |    coalesce(source, '__null__') AS q1,
+          |    CAST((CAST(doc_id AS BIGINT) * 7) % 3 AS VARCHAR) AS s
+          |  FROM documents),
+          |cs AS (
+          |  SELECT q0, q1, s, count(*) AS n FROM r GROUP BY 1, 2, 3),
+          |cls AS (
+          |  SELECT q0, q1, sum(n) AS size, count(*) AS ldiv
+          |  FROM cs GROUP BY 1, 2)
+          |SELECT CAST(sum(size) AS BIGINT) AS n_rows,
+          |  CAST(count(*) AS BIGINT) AS n_classes,
+          |  CAST(min(size) AS BIGINT) AS min_class_size,
+          |  CAST(sum(CASE WHEN size < 5 THEN size ELSE 0 END) AS BIGINT)
+          |    AS rows_below_k,
+          |  CAST(sum(CASE WHEN size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS classes_below_k,
+          |  CAST(min(ldiv) AS BIGINT) AS min_l_diversity,
+          |  CAST(sum(CASE WHEN ldiv < 2 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS classes_below_l
+          |FROM cls""".stripMargin,
+
+      "q_slice_accuracy" ->
+        """WITH r AS (
+          |  SELECT coalesce(source, '__null__') AS slice,
+          |    CASE WHEN (CAST(doc_id AS BIGINT) * 7) % 3
+          |            = (CAST(doc_id AS BIGINT) * 11) % 3
+          |         THEN 1 ELSE 0 END AS c
+          |  FROM documents),
+          |per AS (
+          |  SELECT slice, count(*) AS n, sum(c) AS n_correct
+          |  FROM r GROUP BY 1),
+          |oa AS (
+          |  SELECT sum(n_correct) * 1.0 / sum(n) AS o FROM per)
+          |SELECT slice, CAST(n AS BIGINT) AS n,
+          |  CAST(n_correct AS BIGINT) AS n_correct,
+          |  round(n_correct * 1.0 / n, 9) AS accuracy,
+          |  round(n_correct * 1.0 / n - o, 9) AS gap_vs_overall
+          |FROM per, oa ORDER BY slice""".stripMargin,
 
       "q_regression" ->
         """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),

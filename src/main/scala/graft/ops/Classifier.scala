@@ -611,6 +611,94 @@ object Classifier {
         round(col("coverage"), 9).as("coverage"))
   }
 
+  /** k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    * 2007) over quasi-identifier columns — the release gate for a
+    * dataset with user-linked rows: every row should sit in an
+    * equivalence class (identical quasi-identifier tuple) of size
+    * ≥ k, and each class should carry ≥ l distinct sensitive values
+    * so the class doesn't leak the attribute it hides. One row:
+    * (n_rows, n_classes, min_class_size, rows_below_k,
+    * classes_below_k, min_l_diversity, classes_below_l) for the given
+    * thresholds. Nulls in quasi-identifiers are a value (they group);
+    * null sensitive values count as one distinct value. Empty frames
+    * refuse.
+    *
+    * Scale shape: ONE (quasi…, sensitive) hash aggregate, one class
+    * reduce over it, one scalar fold — no window, no join.
+    */
+  def privacyAudit(df: DataFrame, quasiCols: Seq[String],
+                   sensitiveCol: String, k: Int = 5,
+                   l: Int = 2): DataFrame = {
+    require(quasiCols.nonEmpty, "privacyAudit: no quasi-identifiers")
+    require(k >= 1 && l >= 1, s"privacyAudit: k=$k l=$l")
+    // group by the quasi columns THEMSELVES - a concatenated key
+    // could collapse distinct tuples that happen to concatenate
+    // identically, silently overstating class sizes
+    val qNames = quasiCols.indices.map(i => s"__q$i")
+    val qs = quasiCols.zip(qNames).map { case (c, n) =>
+      coalesce(col(c).cast("string"), lit("__null__")).as(n)
+    }
+    val cls = df.select(qs :+
+        coalesce(col(sensitiveCol).cast("string"), lit("__null__"))
+          .as("__s"): _*)
+      .groupBy(qNames.head, qNames.tail :+ "__s": _*)
+      .agg(count(lit(1)).as("n"))
+      .groupBy(qNames.head, qNames.tail: _*)
+      .agg(sum("n").as("size"), count(lit(1)).as("ldiv"))
+    val out = cls.agg(
+        sum("size").as("n_rows"), count(lit(1)).as("n_classes"),
+        min("size").as("min_class_size"),
+        sum(when(col("size") < k, col("size")).otherwise(0L))
+          .as("rows_below_k"),
+        sum(when(col("size") < k, 1L).otherwise(0L))
+          .as("classes_below_k"),
+        min("ldiv").as("min_l_diversity"),
+        sum(when(col("ldiv") < l, 1L).otherwise(0L))
+          .as("classes_below_l")).head()
+    require(!out.isNullAt(0), "privacyAudit: empty frame")
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3),
+      out.getLong(4), out.getLong(5), out.getLong(6)))
+      .toDF("n_rows", "n_classes", "min_class_size", "rows_below_k",
+        "classes_below_k", "min_l_diversity", "classes_below_l")
+  }
+
+  /** Per-slice accuracy — the fairness/robustness cut of
+    * [[classificationReport]] (a 95% aggregate can hide a 60% slice;
+    * slice-level evaluation is how that's caught): one row per slice
+    * with n, n_correct, accuracy, plus the gap to the OVERALL
+    * accuracy (negative = underperforming slice). Null slices report
+    * as `__null__`. Doubles rounded at 9; accuracies are exact
+    * integer ratios.
+    *
+    * Scale shape: ONE slice hash aggregate + a broadcast 1-row
+    * overall scalar — no second corpus pass (the per-slice counts
+    * fold into the overall).
+    */
+  def sliceAccuracy(scored: DataFrame, labelCol: String,
+                    predCol: String, sliceCol: String): DataFrame = {
+    val eq = (coalesce(col(labelCol).cast("string"), lit("__null__"))
+      === coalesce(col(predCol).cast("string"), lit("__null__")))
+      .cast("long")
+    val per = scored.select(
+        coalesce(col(sliceCol).cast("string"), lit("__null__"))
+          .as("slice"),
+        eq.as("__c"))
+      .groupBy("slice").agg(count(lit(1)).as("n"),
+        sum("__c").as("n_correct"))
+      .localCheckpoint()
+    require(per.head(1).nonEmpty, "sliceAccuracy: empty frame")
+    val overall = per.agg(
+      (sum("n_correct").cast("double") / sum("n")).as("__oa"))
+    per.crossJoin(broadcast(overall))
+      .select(col("slice"), col("n"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n"), 9)
+          .as("accuracy"),
+        round(col("n_correct").cast("double") / col("n") - col("__oa"), 9)
+          .as("gap_vs_overall"))
+  }
+
   /** Regression quality report for a numeric predictor (a quality
     * scorer regressed on human ratings, a length estimator, a reward
     * model vs gold): n, MAE, RMSE, R² (1 − SSE/SST) and the Pearson

@@ -498,6 +498,61 @@ class ClassifierSpec extends SparkSpec {
     assert(q.getMessage.contains("quantize"), q.getMessage)
   }
 
+  test("privacyAudit: hand classes, tuple boundaries, nulls, refusals") {
+    import spark.implicits._
+    // classes: (a,x):3 rows 2 sensitive; (a,y):1 row 1 sensitive;
+    // (b,x):2 rows 1 sensitive
+    val df = Seq(
+      ("a", "x", "s1"), ("a", "x", "s1"), ("a", "x", "s2"),
+      ("a", "y", "s1"),
+      ("b", "x", "s3"), ("b", "x", "s3")).toDF("q1", "q2", "sens")
+    val r = Classifier.privacyAudit(df, Seq("q1", "q2"), "sens",
+      k = 2, l = 2).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((6L, 3L, 1L)))
+    assert((r.getLong(3), r.getLong(4)) === ((1L, 1L))) // (a,y) below k
+    assert((r.getLong(5), r.getLong(6)) === ((1L, 2L))) // (a,y),(b,x) < l
+    // distinct tuples that CONCATENATE identically stay distinct
+    // classes ("ab"+"c" vs "a"+"bc")
+    val tricky = Classifier.privacyAudit(
+      Seq(("ab", "c", "s"), ("a", "bc", "s")).toDF("q1", "q2", "sens"),
+      Seq("q1", "q2"), "sens", k = 2, l = 1).head()
+    assert(tricky.getLong(1) === 2L && tricky.getLong(3) === 2L)
+    // null quasi values group as their own class; null sensitive is a
+    // value
+    val n = Classifier.privacyAudit(
+      Seq((null.asInstanceOf[String], "x", null.asInstanceOf[String]),
+        (null.asInstanceOf[String], "x", "s")).toDF("q1", "q2", "sens"),
+      Seq("q1", "q2"), "sens", k = 2, l = 2).head()
+    assert((n.getLong(1), n.getLong(5)) === ((1L, 2L)))
+    intercept[IllegalArgumentException](
+      Classifier.privacyAudit(df, Seq(), "sens"))
+    intercept[IllegalArgumentException](Classifier.privacyAudit(
+      df.filter(lit(false)), Seq("q1"), "sens"))
+  }
+
+  test("sliceAccuracy: per-slice gaps, hidden weak slice, null slice") {
+    import spark.implicits._
+    // slice A: 3/4 correct; slice B: 1/4 -> overall 0.5
+    val df = (Seq.fill(3)(("A", "y", "y")) ++ Seq(("A", "y", "n")) ++
+      Seq(("B", "y", "y")) ++ Seq.fill(3)(("B", "y", "n")))
+      .toDF("slice", "label", "pred")
+    val got = Classifier.sliceAccuracy(df, "label", "pred", "slice")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got("A") === ((4L, 3L, 0.75, 0.25)))
+    assert(got("B") === ((4L, 1L, 0.25, -0.25)))
+    // null slice reports as __null__, null pred counts as wrong vs a
+    // non-null label
+    val n = Classifier.sliceAccuracy(
+      Seq((null.asInstanceOf[String], "y", null.asInstanceOf[String]))
+        .toDF("slice", "label", "pred"),
+      "label", "pred", "slice").head()
+    assert(n.getString(0) === "__null__" && n.getLong(2) === 0L)
+    intercept[IllegalArgumentException](Classifier.sliceAccuracy(
+      df.filter(lit(false)), "label", "pred", "slice"))
+  }
+
   test("empty frames refuse loudly across the evaluation family") {
     import spark.implicits._
     // review-fixed: these previously returned a silent all-null row
