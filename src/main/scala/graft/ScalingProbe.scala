@@ -895,6 +895,8 @@ object ScalingProbe {
       SparkEntry.queries("q_privacy")(spark, d).count() }
     time("slice_accuracy") { d =>
       SparkEntry.queries("q_slice_accuracy")(spark, d).count() }
+    time("bootstrap") { d =>
+      SparkEntry.queries("q_bootstrap")(spark, d).count() }
     // betweenness with a FIXED 64-pivot sample (the Brandes–Pich scale
     // path): forward state is O(pivots·ball), so 8x data should cost
     // ~the per-level linear join, not 8x the pair state

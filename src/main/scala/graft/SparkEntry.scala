@@ -3429,6 +3429,16 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
         "source", "lab")
     }),
 
+    // Poisson-bootstrap CI for mean(n_chars): 60 replicate means from
+    // ONE aggregate pass (no explode — the oracle MAY explode, DuckDB
+    // pays 30k rows; the engine must not, plan-audited)
+    "q_bootstrap" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      ops.Classifier.bootstrapMeanCI(
+        d.select(col("doc_id"), col("n_chars").cast("double").as("v")),
+        "v", "doc_id", replicates = 60, alpha = 0.1)
+    }),
+
     // k-anonymity / l-diversity release audit over (doc_id mod 25,
     // source) quasi-identifiers with a 3-way sensitive label
     "q_privacy" -> ((s, dir) => {
@@ -6893,6 +6903,53 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |  round(sqrt(st.chi2 / (CAST(sh.n AS DOUBLE)
           |    * least(sh.r - 1, sh.c - 1))), 9) AS cramers_v
           |FROM st, sh""".stripMargin,
+
+      // the oracle replays the md5→Poisson(1) draw per (id, replicate)
+      // — it is allowed the 60× row expansion the engine avoids; the
+      // lo/hi offsets are ceil(0.05·61)−1 = 3 and floor(0.95·61)−1 = 56
+      "q_bootstrap" ->
+        """WITH d AS (
+          |  SELECT CAST(doc_id AS VARCHAR) AS id,
+          |    CAST(n_chars AS DOUBLE) AS v
+          |  FROM documents),
+          |u AS (
+          |  SELECT id, v, b,
+          |    ('0x' || substr(md5(id || '|bs' || b), 1, 8))::BIGINT
+          |      / 4294967296.0 AS u
+          |  FROM d, range(60) r(b)),
+          |w AS (
+          |  SELECT v, b,
+          |    CASE WHEN u < 0.367879441171 THEN 0
+          |         WHEN u < 0.735758882343 THEN 1
+          |         WHEN u < 0.919698602929 THEN 2
+          |         WHEN u < 0.980988177458 THEN 3
+          |         WHEN u < 0.996310663590 THEN 4
+          |         WHEN u < 0.999405960861 THEN 5
+          |         WHEN u < 0.999921843700 THEN 6
+          |         WHEN u < 0.999995541392 THEN 7
+          |         ELSE 8 END AS wt
+          |  FROM u),
+          |rep AS (
+          |  SELECT b, sum(wt * v) AS sx, sum(wt) AS sw
+          |  FROM w GROUP BY 1),
+          |base AS (SELECT count(*) AS n, sum(v) AS sx FROM d),
+          |means AS (
+          |  SELECT CASE WHEN sw > 0 THEN sx / sw
+          |              ELSE (SELECT sx / n FROM base) END AS m
+          |  FROM rep),
+          |st AS (
+          |  SELECT count(*) AS nb, sum(m) AS sm,
+          |    sum(m * m) AS smm
+          |  FROM means)
+          |SELECT CAST(base.n AS BIGINT) AS n,
+          |  round(base.sx / base.n, 9) AS mean,
+          |  round(sqrt((st.smm - st.sm * st.sm / st.nb)
+          |    / (st.nb - 1)), 9) AS se,
+          |  round((SELECT m FROM means ORDER BY m LIMIT 1 OFFSET 3), 9)
+          |    AS ci_lo,
+          |  round((SELECT m FROM means ORDER BY m LIMIT 1 OFFSET 56), 9)
+          |    AS ci_hi
+          |FROM base, st""".stripMargin,
 
       "q_privacy" ->
         """WITH r AS (

@@ -699,6 +699,86 @@ object Classifier {
           .as("gap_vs_overall"))
   }
 
+  /** Poisson-bootstrap confidence interval for a mean (Chamandy et al.
+    * 2012 — the bootstrap that works on one distributed pass: each
+    * replicate reweights every row by an independent Poisson(1) draw
+    * instead of resampling n-of-n, which is exactly what a resample
+    * converges to and needs no global coordination). The draw is the
+    * engine-portable md5 uniform keyed by (id, replicate), pushed
+    * through the λ=1 inverse CDF (capped at 7, cumulative mass
+    * 0.999999 — the same deterministic-draw discipline every sampler
+    * here uses), so the whole trajectory is replayable in SQL. CI =
+    * the percentile method on the B replicate means with the
+    * conventional ⌈α/2·(B+1)⌉ / ⌊(1−α/2)·(B+1)⌋ order statistics.
+    * One row: (n, mean, se, ci_lo, ci_hi), doubles rounded at 9.
+    *
+    * Scale shape: ONE hash aggregate computes ALL B replicate sums —
+    * the B weighted sums are generated columns of the same pass (no
+    * explode: a B-fold row expansion at corpus scale would read 200×
+    * the data); the percentile fold is O(B) driver arithmetic.
+    */
+  /** The single pass behind [[bootstrapMeanCI]]: (n, Σx, then per
+    * replicate Σw·x, Σw as generated columns). Exposed for the plan
+    * audit that pins the no-explode claim. */
+  private[graft] def bootstrapAggregate(df: DataFrame, x: Column,
+      weight: Int => Column, replicates: Int): DataFrame = {
+    val sums = (0 until replicates).flatMap { b =>
+      Seq(sum(weight(b) * x).as(s"sx$b"), sum(weight(b)).as(s"sw$b"))
+    }
+    val base = Seq(count(lit(1)).as("n"), sum(x).as("sx"))
+    df.agg(base.head, (base.tail ++ sums): _*)
+  }
+
+  /** The md5 → Poisson(1) replicate weight of [[bootstrapMeanCI]],
+    * exposed with it for the plan audit. */
+  private[graft] def poissonWeight(idCol: String, b: Int): Column = {
+    val cdf = Seq(0.367879441171, 0.735758882343, 0.919698602929,
+      0.980988177458, 0.996310663590, 0.999405960861, 0.999921843700,
+      0.999995541392)
+    val u = conv(substring(md5(
+      concat(col(idCol).cast("string"), lit(s"|bs$b"))), 1, 8), 16, 10)
+      .cast("double") / math.pow(2.0, 32)
+    cdf.zipWithIndex.foldRight(lit(8): Column) { case ((t, k), acc) =>
+      when(u < t, k).otherwise(acc)
+    }.cast("double")
+  }
+
+  def bootstrapMeanCI(df: DataFrame, valueCol: String, idCol: String,
+                      replicates: Int = 200,
+                      alpha: Double = 0.05): DataFrame = {
+    require(replicates >= 10 && replicates <= 10000,
+      s"bootstrapMeanCI: replicates=$replicates")
+    require(alpha > 0 && alpha < 1, s"bootstrapMeanCI: alpha=$alpha")
+    val x = col(valueCol).cast("double")
+    val bad = df.filter(x.isNull || isnan(x)).limit(1).count()
+    require(bad == 0,
+      "bootstrapMeanCI: null/NaN values — clean the frame first")
+    val row = bootstrapAggregate(df, x, poissonWeight(idCol, _),
+      replicates).head()
+    require(row.getLong(0) > 0, "bootstrapMeanCI: empty frame")
+    val n = row.getLong(0)
+    val mean = row.getDouble(1) / n
+    val means = (0 until replicates).map { b =>
+      val (sx, sw) = (row.getDouble(2 + 2 * b), row.getDouble(3 + 2 * b))
+      if (sw > 0) sx / sw else mean // all-zero-weight replicate: center
+    }.sorted
+    // power-sum form, mirroring the SQL oracle's formula so both
+    // engines cancel the same way
+    val sm = means.sum
+    val smm = means.map(m => m * m).sum
+    val se = math.sqrt(
+      (smm - sm * sm / replicates) / (replicates - 1))
+    val loIdx = math.max(1,
+      math.ceil(alpha / 2 * (replicates + 1)).toInt)
+    val hiIdx = math.min(replicates,
+      math.floor((1 - alpha / 2) * (replicates + 1)).toInt)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n, Num.round9(mean), Num.round9(se),
+      Num.round9(means(loIdx - 1)), Num.round9(means(hiIdx - 1))))
+      .toDF("n", "mean", "se", "ci_lo", "ci_hi")
+  }
+
   /** Regression quality report for a numeric predictor (a quality
     * scorer regressed on human ratings, a length estimator, a reward
     * model vs gold): n, MAE, RMSE, R² (1 − SSE/SST) and the Pearson

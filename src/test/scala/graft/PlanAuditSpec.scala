@@ -718,6 +718,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("FileScan"), p)
   }
 
+  test("bootstrap CI: ALL replicate sums ride ONE aggregate — no explode") {
+    // the scale claim: B replicates must NOT become a B-fold row
+    // expansion (Generate) or per-replicate scans — every replicate
+    // sum is a generated column of a single pass over ONE scan
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), col("n_chars").cast("double").as("v"))
+    val agg = ops.Classifier.bootstrapAggregate(docs, col("v"),
+      ops.Classifier.poissonWeight("doc_id", _), replicates = 60)
+    val p = plan(agg)
+    assert(!p.contains("Generate") && !p.contains("Join"), p)
+    assert(opCount(p, "Scan parquet") + p.linesIterator
+      .count(_.trim.matches("""\(\d+\) BatchScan.*""")) <= 1, p)
+    assert(opCount(p, "Exchange") <= 1, p)
+  }
+
   test("cohen kappa: contingency agg + bounded marginal join, no corpus re-scan") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
       .select(((col("doc_id") * 3) % 4).cast("string").as("ra"),

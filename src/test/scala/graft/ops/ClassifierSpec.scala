@@ -553,6 +553,39 @@ class ClassifierSpec extends SparkSpec {
       df.filter(lit(false)), "label", "pred", "slice"))
   }
 
+  test("bootstrapMeanCI: determinism, coverage, constant degenerate, refusals") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val r = Classifier.bootstrapMeanCI(df, "v", "id", replicates = 50)
+      .head()
+    assert(r.getLong(0) === 100L)
+    assert(r.getDouble(1) === 50.5)
+    // the CI straddles the sample mean and has positive width
+    assert(r.getDouble(3) < 50.5 && r.getDouble(4) > 50.5)
+    assert(r.getDouble(2) > 0)
+    // and se is in the right ballpark: sd/sqrt(n) ~ 29/10 ~ 2.9
+    assert(r.getDouble(2) > 1.0 && r.getDouble(2) < 6.0, r.getDouble(2))
+    // the md5 draw makes the whole trajectory partitioning-invariant
+    val r2 = Classifier.bootstrapMeanCI(df.repartition(13), "v", "id",
+      replicates = 50).head()
+    assert(r2.getDouble(2) === r.getDouble(2) &&
+      r2.getDouble(3) === r.getDouble(3) && r2.getDouble(4) === r.getDouble(4))
+    // constant column: every replicate mean IS the mean -> zero-width CI
+    val const = Classifier.bootstrapMeanCI(
+      (1 to 50).map(i => (i.toLong, 7.0)).toDF("id", "v"), "v", "id",
+      replicates = 20).head()
+    assert((const.getDouble(2), const.getDouble(3), const.getDouble(4))
+      === ((0.0, 7.0, 7.0)))
+    intercept[IllegalArgumentException](Classifier.bootstrapMeanCI(
+      df, "v", "id", replicates = 5))
+    intercept[IllegalArgumentException](Classifier.bootstrapMeanCI(
+      df, "v", "id", alpha = 0.0))
+    intercept[IllegalArgumentException](Classifier.bootstrapMeanCI(
+      Seq((1L, Double.NaN)).toDF("id", "v"), "v", "id"))
+    intercept[IllegalArgumentException](Classifier.bootstrapMeanCI(
+      df.filter(lit(false)), "v", "id"))
+  }
+
   test("empty frames refuse loudly across the evaluation family") {
     import spark.implicits._
     // review-fixed: these previously returned a silent all-null row
