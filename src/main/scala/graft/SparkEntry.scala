@@ -6954,7 +6954,7 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
       "q_privacy" ->
         """WITH r AS (
           |  SELECT CAST(CAST(doc_id AS BIGINT) % 25 AS VARCHAR) AS q0,
-          |    coalesce(source, '__null__') AS q1,
+          |    source AS q1,
           |    CAST((CAST(doc_id AS BIGINT) * 7) % 3 AS VARCHAR) AS s
           |  FROM documents),
           |cs AS (

@@ -633,14 +633,17 @@ object Classifier {
     require(k >= 1 && l >= 1, s"privacyAudit: k=$k l=$l")
     // group by the quasi columns THEMSELVES - a concatenated key
     // could collapse distinct tuples that happen to concatenate
-    // identically, silently overstating class sizes
+    // identically, silently overstating class sizes. Nulls group
+    // NATIVELY (GROUP BY keeps them as their own key) rather than via
+    // a string sentinel: a sentinel would merge null rows with rows
+    // whose actual value IS the sentinel string, hiding a real
+    // k-anonymity violation in the unsafe direction
     val qNames = quasiCols.indices.map(i => s"__q$i")
     val qs = quasiCols.zip(qNames).map { case (c, n) =>
-      coalesce(col(c).cast("string"), lit("__null__")).as(n)
+      col(c).cast("string").as(n)
     }
     val cls = df.select(qs :+
-        coalesce(col(sensitiveCol).cast("string"), lit("__null__"))
-          .as("__s"): _*)
+        col(sensitiveCol).cast("string").as("__s"): _*)
       .groupBy(qNames.head, qNames.tail :+ "__s": _*)
       .agg(count(lit(1)).as("n"))
       .groupBy(qNames.head, qNames.tail: _*)
@@ -705,9 +708,10 @@ object Classifier {
     * instead of resampling n-of-n, which is exactly what a resample
     * converges to and needs no global coordination). The draw is the
     * engine-portable md5 uniform keyed by (id, replicate), pushed
-    * through the λ=1 inverse CDF (capped at 7, cumulative mass
-    * 0.999999 — the same deterministic-draw discipline every sampler
-    * here uses), so the whole trajectory is replayable in SQL. CI =
+    * through the λ=1 inverse CDF (thresholds P(X≤0)..P(X≤7); the
+    * residual 4.5e-6 tail mass draws weight 8 — the same
+    * deterministic-draw discipline every sampler here uses), so the
+    * whole trajectory is replayable in SQL. CI =
     * the percentile method on the B replicate means with the
     * conventional ⌈α/2·(B+1)⌉ / ⌊(1−α/2)·(B+1)⌋ order statistics.
     * One row: (n, mean, se, ci_lo, ci_hi), doubles rounded at 9.
@@ -750,9 +754,20 @@ object Classifier {
       s"bootstrapMeanCI: replicates=$replicates")
     require(alpha > 0 && alpha < 1, s"bootstrapMeanCI: alpha=$alpha")
     val x = col(valueCol).cast("double")
-    val bad = df.filter(x.isNull || isnan(x)).limit(1).count()
+    val bad = df.filter(x.isNull || isnan(x) || col(idCol).isNull)
+      .limit(1).count()
     require(bad == 0,
-      "bootstrapMeanCI: null/NaN values — clean the frame first")
+      "bootstrapMeanCI: null/NaN values or null ids — a null id would " +
+        "weight its row by the CASE default in EVERY replicate; clean " +
+        "the frame first")
+    // duplicate ids draw IDENTICAL weights across replicates, silently
+    // correlating the resample and understating the SE — refuse
+    val dup = df.agg(count(lit(1)).as("n"),
+      countDistinct(col(idCol)).as("d")).head()
+    require(dup.getLong(0) == dup.getLong(1),
+      s"bootstrapMeanCI: ${dup.getLong(0) - dup.getLong(1)} duplicate " +
+        s"$idCol values — the per-row draw is keyed by id, so " +
+        "duplicates correlate replicates; supply a unique id")
     val row = bootstrapAggregate(df, x, poissonWeight(idCol, _),
       replicates).head()
     require(row.getLong(0) > 0, "bootstrapMeanCI: empty frame")
@@ -772,6 +787,10 @@ object Classifier {
       math.ceil(alpha / 2 * (replicates + 1)).toInt)
     val hiIdx = math.min(replicates,
       math.floor((1 - alpha / 2) * (replicates + 1)).toInt)
+    require(loIdx <= hiIdx,
+      s"bootstrapMeanCI: B=$replicates is too small to resolve " +
+        s"alpha=$alpha percentiles (order stats $loIdx > $hiIdx) — " +
+        "raise replicates or lower alpha")
     val spark = df.sparkSession
     import spark.implicits._
     Seq((n, Num.round9(mean), Num.round9(se),
@@ -859,25 +878,30 @@ object Classifier {
       .limit(1).count()
     require(bad == 0,
       "spearmanCorrelation: null/NaN values — clean the frame first")
-    val census = df.agg(countDistinct(xa).as("da"),
-      countDistinct(xb).as("db")).head()
-    val (da, db) = (census.getLong(0), census.getLong(1))
+    // the per-value aggregates double as the distinct census: checkpoint
+    // them, count the (bounded) result, and only THEN window/broadcast —
+    // the refuse-before-broadcast contract without a separate
+    // countDistinct corpus pass (review-fixed)
+    def perValue(c: Column): DataFrame =
+      df.select(c.as("__v")).groupBy("__v")
+        .agg(count(lit(1)).as("cnt")).localCheckpoint()
+    val pa = perValue(xa)
+    val pb = perValue(xb)
+    val (da, db) = (pa.count(), pb.count())
     require(da > 0 && db > 0, "spearmanCorrelation: empty frame")
     require(da <= maxDistinct && db <= maxDistinct,
       s"spearmanCorrelation: $da/$db distinct values exceed " +
         s"maxDistinct=$maxDistinct — quantize continuous corpus-scale " +
         "columns first (floor(score*b)/b)")
-    def ranked(c: Column, out: String): DataFrame = {
+    def ranked(pv: DataFrame, out: String): DataFrame = {
       val w = Window.orderBy("__v")
         .rowsBetween(Window.unboundedPreceding, -1)
-      df.select(c.as("__v")).groupBy("__v")
-        .agg(count(lit(1)).as("cnt"))
-        .select(col("__v"),
-          (coalesce(sum("cnt").over(w), lit(0L))
-            + (col("cnt") + 1) / lit(2.0)).as(out))
+      pv.select(col("__v"),
+        (coalesce(sum("cnt").over(w), lit(0L))
+          + (col("cnt") + 1) / lit(2.0)).as(out))
     }
-    val ra = ranked(xa, "ra")
-    val rb = ranked(xb, "rb")
+    val ra = ranked(pa, "ra")
+    val rb = ranked(pb, "rb")
     // pinned: regressionReport's hygiene scan and its power-sum agg
     // both read this checkpoint instead of re-executing the two
     // window sorts and joins (review-fixed)

@@ -524,6 +524,14 @@ class ClassifierSpec extends SparkSpec {
         (null.asInstanceOf[String], "x", "s")).toDF("q1", "q2", "sens"),
       Seq("q1", "q2"), "sens", k = 2, l = 2).head()
     assert((n.getLong(1), n.getLong(5)) === ((1L, 2L)))
+    // review-fixed: a null row and a row whose value IS the literal
+    // string "__null__" are DIFFERENT classes — a sentinel would merge
+    // them and hide a k-anonymity violation in the unsafe direction
+    val sentinel = Classifier.privacyAudit(
+      Seq(("__null__", "x", "s"), (null.asInstanceOf[String], "x", "s"))
+        .toDF("q1", "q2", "sens"),
+      Seq("q1", "q2"), "sens", k = 2, l = 1).head()
+    assert(sentinel.getLong(1) === 2L && sentinel.getLong(3) === 2L)
     intercept[IllegalArgumentException](
       Classifier.privacyAudit(df, Seq(), "sens"))
     intercept[IllegalArgumentException](Classifier.privacyAudit(
