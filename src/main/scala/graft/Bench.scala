@@ -35,11 +35,17 @@ object Bench {
     *    64-pivot form at depth 3, q_harmonic_hyperball depth 4 / logM 7.
     *
     * r15 widening: betweenness (pivot form — the 100 TB path), LPA
-    * communities, and connected components join the roster.
+    * communities, and connected components join the roster; the
+    * evaluation leg contributes its two heaviest shapes — q_auc (the
+    * distinct-score prefix window) and q_bootstrap (60 replicate sums
+    * = 120 generated md5+CASE codegen columns in one aggregate; its
+    * cost is the codegen constant, which a plan regression would
+    * inflate).
     */
   private val extended = Seq(
     "q_pagerank", "q_harmonic_hyperball", "q_cooccurrence",
-    "q_betweenness", "q_communities", "q_components")
+    "q_betweenness", "q_communities", "q_components",
+    "q_auc", "q_bootstrap")
 
   /** The bench times OPERATORS. Where the CORRECTNESS entry is a derived
     * quality check that also runs an exact baseline (q_dedup_minhash runs
