@@ -2298,6 +2298,55 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
         "scores_in_unit" -> (col("lo") > 0.0 && col("hi") < 1.0))
     }),
 
+    // the evaluation pipeline end-to-end (the q_curation_e2e of the
+    // eval leg): train the distilled quality filter, score the md5
+    // holdout, then run binned AUC → calibration ECE → isotonic repair
+    // → per-slice gaps → bootstrap CI over the SAME scored frame, each
+    // leg's output pinned by a derived check
+    "q_eval_e2e" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .withColumn("__r", TextAnalysis.stopwordRatio(col("text")))
+      val med = docs.agg(expr("percentile(__r, 0.5)")).head().getDouble(0)
+      val labeled = docs.withColumn("label",
+        (col("__r") > med).cast("int"))
+      val train = labeled.filter(Sampling.hashBucket(col("doc_id"))
+        < lit(Sampling.thresholdHex(0.8)))
+      val hold = labeled.filter(Sampling.hashBucket(col("doc_id"))
+        >= lit(Sampling.thresholdHex(0.8)))
+      val model = ops.Classifier.trainHashedLR(train, "text", "label",
+        buckets = 1 << 12, iters = 300, lr = 1.0)
+      val scored = ops.Classifier.scoreHashedLR(hold, "text", model)
+        .select(col("doc_id"), col("source"),
+          col("label").cast("double").as("y"),
+          col("quality_score").as("p"))
+        .localCheckpoint()
+      val auc = ops.Classifier.rocAuc(scored, "p", "y",
+        bins = Some(32)).head().getDouble(2)
+      val ece = ops.Classifier.calibrationReport(scored, "p", "y")
+        .filter(col("bin") === -1).head().getDouble(4)
+      val fits = ops.Classifier.isotonicCalibration(
+          scored.select((least(floor(col("p") * 20), lit(19)) / 20.0)
+            .as("pq"), col("y")), "pq", "y")
+        .orderBy("score_lo").collect().map(_.getDouble(3))
+      val isoMono = fits.zip(fits.drop(1)).forall { case (a, b) => a <= b }
+      val slices = ops.Classifier.sliceAccuracy(
+        scored.withColumn("pred", (col("p") >= 0.5).cast("int"))
+          .withColumn("lbl", col("y").cast("int")),
+        "lbl", "pred", "source").localCheckpoint()
+      val nSlices = slices.count()
+      val worstGap = slices.agg(min("gap_vs_overall")).head().getDouble(0)
+      val ci = ops.Classifier.bootstrapMeanCI(scored, "p", "doc_id",
+        replicates = 30, alpha = 0.1).head()
+      val one = s.range(1).toDF()
+      checkRows(one,
+        "auc_beats_random" -> lit(auc > 0.6),
+        "ece_bounded" -> lit(ece >= 0.0 && ece <= 1.0),
+        "isotonic_monotone" -> lit(isoMono && fits.nonEmpty),
+        "slices_cover_sources" -> lit(nSlices > 0 && worstGap <= 0.0),
+        "ci_straddles_mean" -> lit(ci.getDouble(3) <= ci.getDouble(1)
+          && ci.getDouble(1) <= ci.getDouble(4)))
+    }),
+
     // weighted upsampling: per-language epoch counts (en 2.4 epochs, de
     // 0.5, others 1.0) — floor(w) copies plus a deterministic md5-chosen
     // extra for the fractional part, exact-checked against DuckDB doing
@@ -6043,6 +6092,9 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |  round(CAST(tp AS DOUBLE) / support, 9)
           |FROM tot
           |ORDER BY cls""".stripMargin,
+
+      "q_eval_e2e" -> checksOracle("auc_beats_random", "ece_bounded",
+        "isotonic_monotone", "slices_cover_sources", "ci_straddles_mean"),
 
       "q_quality_clf" -> checksOracle("holdout_acc_floor", "beats_majority",
         "scores_in_unit"),
