@@ -251,6 +251,33 @@ object SparkEntry {
       col("text"),
       ((col("doc_id").cast("long") * 37) % 97).cast("double").as("score"))
 
+  /** THE distilled quality filter both q_quality_clf and q_eval_e2e
+    * evaluate — one definition so the e2e pipeline can never drift from
+    * the filter the gate checks: stopword-ratio median labeling (null
+    * text labels 0 rather than null-propagating into the eval leg's
+    * refusals), 0.8 md5 train/holdout split, hashed LR at 2^12 buckets
+    * / 300 iterations. Returns the SCORED HOLDOUT (doc_id, source,
+    * label, p), checkpointed — every downstream eval leg reads the
+    * same materialized frame.
+    */
+  private def scoredQualityHoldout(s: SparkSession,
+                                   dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").withColumn("__r",
+      coalesce(TextAnalysis.stopwordRatio(col("text")), lit(0.0)))
+    val med = docs.agg(expr("percentile(__r, 0.5)")).head().getDouble(0)
+    val labeled = docs.withColumn("label", (col("__r") > med).cast("int"))
+    val train = labeled.filter(
+      Sampling.hashBucket(col("doc_id")) < lit(Sampling.thresholdHex(0.8)))
+    val hold = labeled.filter(
+      Sampling.hashBucket(col("doc_id")) >= lit(Sampling.thresholdHex(0.8)))
+    val model = ops.Classifier.trainHashedLR(train, "text", "label",
+      buckets = 1 << 12, iters = 300, lr = 1.0)
+    ops.Classifier.scoreHashedLR(hold, "text", model)
+      .select(col("doc_id"), col("source"), col("label"),
+        col("quality_score").as("p"))
+      .localCheckpoint()
+  }
+
   /** Synthetic arena battles for the Bradley–Terry query: each doc row
     * yields one battle between models (doc_id % 12) and
     * (doc_id·7+3 % 12) with the winner picked by the same doc_id·37
@@ -2277,21 +2304,11 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
     // derived check: holdout accuracy floor, beats the majority class,
     // scores strictly inside (0,1)
     "q_quality_clf" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-        .withColumn("__r", TextAnalysis.stopwordRatio(col("text")))
-      val med = docs.agg(expr("percentile(__r, 0.5)")).head().getDouble(0)
-      val labeled = docs.withColumn("label", (col("__r") > med).cast("int"))
-      val train = labeled.filter(
-        Sampling.hashBucket(col("doc_id")) < lit(Sampling.thresholdHex(0.8)))
-      val hold = labeled.filter(
-        Sampling.hashBucket(col("doc_id")) >= lit(Sampling.thresholdHex(0.8)))
-      val model = ops.Classifier.trainHashedLR(train, "text", "label",
-        buckets = 1 << 12, iters = 300, lr = 1.0)
-      val one = ops.Classifier.scoreHashedLR(hold, "text", model).agg(
-        avg(((col("quality_score") >= 0.5).cast("int") === col("label"))
+      val one = scoredQualityHoldout(s, dir).agg(
+        avg(((col("p") >= 0.5).cast("int") === col("label"))
           .cast("double")).as("acc"),
         avg(col("label").cast("double")).as("pos"),
-        min("quality_score").as("lo"), max("quality_score").as("hi"))
+        min("p").as("lo"), max("p").as("hi"))
       checkRows(one,
         "holdout_acc_floor" -> (col("acc") >= 0.70),
         "beats_majority" -> (col("acc") > greatest(col("pos"), lit(1.0) - col("pos"))),
@@ -2304,22 +2321,9 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
     // → per-slice gaps → bootstrap CI over the SAME scored frame, each
     // leg's output pinned by a derived check
     "q_eval_e2e" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-        .withColumn("__r", TextAnalysis.stopwordRatio(col("text")))
-      val med = docs.agg(expr("percentile(__r, 0.5)")).head().getDouble(0)
-      val labeled = docs.withColumn("label",
-        (col("__r") > med).cast("int"))
-      val train = labeled.filter(Sampling.hashBucket(col("doc_id"))
-        < lit(Sampling.thresholdHex(0.8)))
-      val hold = labeled.filter(Sampling.hashBucket(col("doc_id"))
-        >= lit(Sampling.thresholdHex(0.8)))
-      val model = ops.Classifier.trainHashedLR(train, "text", "label",
-        buckets = 1 << 12, iters = 300, lr = 1.0)
-      val scored = ops.Classifier.scoreHashedLR(hold, "text", model)
+      val scored = scoredQualityHoldout(s, dir)
         .select(col("doc_id"), col("source"),
-          col("label").cast("double").as("y"),
-          col("quality_score").as("p"))
-        .localCheckpoint()
+          col("label").cast("double").as("y"), col("p"))
       val auc = ops.Classifier.rocAuc(scored, "p", "y",
         bins = Some(32)).head().getDouble(2)
       val ece = ops.Classifier.calibrationReport(scored, "p", "y")
@@ -2329,12 +2333,14 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
             .as("pq"), col("y")), "pq", "y")
         .orderBy("score_lo").collect().map(_.getDouble(3))
       val isoMono = fits.zip(fits.drop(1)).forall { case (a, b) => a <= b }
-      val slices = ops.Classifier.sliceAccuracy(
-        scored.withColumn("pred", (col("p") >= 0.5).cast("int"))
-          .withColumn("lbl", col("y").cast("int")),
-        "lbl", "pred", "source").localCheckpoint()
-      val nSlices = slices.count()
-      val worstGap = slices.agg(min("gap_vs_overall")).head().getDouble(0)
+      val sliceRow = ops.Classifier.sliceAccuracy(
+          scored.withColumn("pred", (col("p") >= 0.5).cast("int"))
+            .withColumn("lbl", col("y").cast("int")),
+          "lbl", "pred", "source")
+        .agg(count(lit(1)).as("ns"), min("gap_vs_overall").as("wg"))
+        .head()
+      val (nSlices, worstGap) = (sliceRow.getLong(0), sliceRow.getDouble(1))
+      val nSources = scored.agg(countDistinct("source")).head().getLong(0)
       val ci = ops.Classifier.bootstrapMeanCI(scored, "p", "doc_id",
         replicates = 30, alpha = 0.1).head()
       val one = s.range(1).toDF()
@@ -2342,7 +2348,10 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
         "auc_beats_random" -> lit(auc > 0.6),
         "ece_bounded" -> lit(ece >= 0.0 && ece <= 1.0),
         "isotonic_monotone" -> lit(isoMono && fits.nonEmpty),
-        "slices_cover_sources" -> lit(nSlices > 0 && worstGap <= 0.0),
+        // EVERY holdout source must surface as its own slice — a
+        // collapsed groupBy key would silently pass a count-only check
+        "slices_cover_sources" -> lit(nSlices == nSources &&
+          worstGap <= 0.0),
         "ci_straddles_mean" -> lit(ci.getDouble(3) <= ci.getDouble(1)
           && ci.getDouble(1) <= ci.getDouble(4)))
     }),

@@ -22,6 +22,15 @@ class CurationE2ESpec extends SparkSpec {
     m.foreach { case (metric, ok) => assert(ok, s"check failed: $metric") }
   }
 
+  test("q_eval_e2e: every evaluation-pipeline invariant holds at sf0.001") {
+    // the eval leg's composition must not just execute — a regression
+    // flipping any derived check would otherwise stay green until the
+    // round drive's hash compare (the q_curation_e2e discipline)
+    val m = checksOf("q_eval_e2e")
+    assert(m.size === 5)
+    m.foreach { case (metric, ok) => assert(ok, s"check failed: $metric") }
+  }
+
   test("q_compress_ratio, q_media_sniff, q_dedup_spans, q_unimax all-green") {
     for (q <- Seq("q_compress_ratio", "q_media_sniff", "q_dedup_spans",
         "q_unimax")) {
