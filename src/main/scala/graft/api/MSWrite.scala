@@ -220,34 +220,30 @@ object MSWrite {
     * parent pointer in its keyword sidecar
     * (ref: fragments/__init__.py:191-237).
     *
-    * The sidecar also records the fragment's ROW COUNT, measured on the
-    * WRITE side (the delta is pinned with persist, so the count job
-    * reads the exact rows the write streamed — one cache pass, no
-    * recompute of a possibly nondeterministic delta): on an object store
-    * whose LIST lags its writes, a reader can discover the fragment
-    * through its sidecar (a GET) before the listing shows every parquet
-    * part-file, and would silently overlay a TRUNCATED delta.
-    * [[readFragment]]`(verifyCounts = true)` turns that silent window
-    * into a loud refusal. Re-reading the count from the just-written
-    * directory would be circular — the writer's own listing can lag
-    * exactly like the reader's, baking a truncated count into the guard.
+    * The sidecar also records the fragment's ROW COUNT, observed INSIDE
+    * the write job itself (`Dataset.observe` + `Observation`): the
+    * recorded count is provably the number of rows the write streamed
+    * into the parquet files — not a persist-then-recount, which survives
+    * cache eviction but not executor loss, where a nondeterministic
+    * delta recomputed after partition loss could record a count that
+    * disagrees with the files actually written. Why the count matters:
+    * on an object store whose LIST lags its writes, a reader can
+    * discover the fragment through its sidecar (a GET) before the
+    * listing shows every parquet part-file, and would silently overlay
+    * a TRUNCATED delta. [[readFragment]]`(verifyCounts = true)` turns
+    * that silent window into a loud refusal. Re-reading the count from
+    * the just-written directory would be circular — the writer's own
+    * listing can lag exactly like the reader's, baking a truncated
+    * count into the guard.
     */
   def writeFragment(delta: DataFrame, childPath: String, parentPath: String): Unit = {
     require(delta.columns.contains(RowId), s"fragment delta needs $RowId")
-    // persist on an ALREADY-persisted frame is a no-op, and unpersisting
-    // it would silently evict the CALLER's cache — pin only when the
-    // caller hasn't, and clean up only what this call pinned
-    val wasCached =
-      delta.storageLevel != org.apache.spark.storage.StorageLevel.NONE
-    val pinned = if (wasCached) delta
-      else delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      create(pinned, childPath)
-      val written = pinned.count()
-      putKeywords(delta.sparkSession, childPath,
-        readKeywords(delta.sparkSession, childPath) +
-          (ParentKey -> parentPath) + (RowsKey -> written.toString))
-    } finally if (!wasCached) pinned.unpersist(false)
+    val obs = org.apache.spark.sql.Observation("graft.writeFragment")
+    create(delta.observe(obs, count(lit(1)).as("rows")), childPath)
+    val written = obs.get("rows").asInstanceOf[Long]
+    putKeywords(delta.sparkSession, childPath,
+      readKeywords(delta.sparkSession, childPath) +
+        (ParentKey -> parentPath) + (RowsKey -> written.toString))
   }
 
   /** Key-wise diff of two versions of a table — the review step of a

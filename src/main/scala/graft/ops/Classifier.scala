@@ -241,6 +241,9 @@ object Classifier {
         coalesce(col(predCol).cast("string"), lit("__null__")).as("pred"))
       .groupBy("label", "pred").agg(count(lit(1)).as("n"))
       .localCheckpoint()
+    // empty-frame refusal, matching the family convention (cohenKappa,
+    // rocAuc, sliceAccuracy) — a NULL-support __all__ row is not a report
+    require(cm.head(1).nonEmpty, "classificationReport: empty frame")
     val byLabel = cm.groupBy(col("label").as("cls"))
       .agg(sum("n").as("support"))
     val byPred = cm.groupBy(col("pred").as("cls"))
@@ -502,7 +505,7 @@ object Classifier {
     */
   def isotonicCalibration(scored: DataFrame, scoreCol: String,
                           labelCol: String,
-                          maxDistinct: Int = 1000000): DataFrame = {
+                          maxDistinct: Int = 100000): DataFrame = {
     require(maxDistinct >= 1,
       s"isotonicCalibration: maxDistinct=$maxDistinct")
     val s = col(scoreCol).cast("double")
@@ -672,8 +675,12 @@ object Classifier {
     * slice-level evaluation is how that's caught): one row per slice
     * with n, n_correct, accuracy, plus the gap to the OVERALL
     * accuracy (negative = underperforming slice). Null slices report
-    * as `__null__`. Doubles rounded at 9; accuracies are exact
-    * integer ratios.
+    * as `__null__`; null LABELS refuse (un-scorable ground truth would
+    * otherwise silently inflate accuracy when the prediction is also
+    * null); a null PREDICTION against a non-null label scores as
+    * wrong via null-safe equality — no string sentinel, so a literal
+    * `"__null__"` label can never collide with a missing prediction.
+    * Doubles rounded at 9; accuracies are exact integer ratios.
     *
     * Scale shape: ONE slice hash aggregate + a broadcast 1-row
     * overall scalar — no second corpus pass (the per-slice counts
@@ -681,8 +688,11 @@ object Classifier {
     */
   def sliceAccuracy(scored: DataFrame, labelCol: String,
                     predCol: String, sliceCol: String): DataFrame = {
-    val eq = (coalesce(col(labelCol).cast("string"), lit("__null__"))
-      === coalesce(col(predCol).cast("string"), lit("__null__")))
+    val nullLabels = scored.filter(col(labelCol).isNull).limit(1).count()
+    require(nullLabels == 0,
+      s"sliceAccuracy: null $labelCol values — a null label is " +
+        "un-scorable ground truth; clean the frame first")
+    val eq = (col(labelCol).cast("string") <=> col(predCol).cast("string"))
       .cast("long")
     val per = scored.select(
         coalesce(col(sliceCol).cast("string"), lit("__null__"))
@@ -781,8 +791,11 @@ object Classifier {
     // engines cancel the same way
     val sm = means.sum
     val smm = means.map(m => m * m).sum
-    val se = math.sqrt(
-      (smm - sm * sm / replicates) / (replicates - 1))
+    // clamp the radicand at 0: when all replicate means are (near-)
+    // identical, floating-point cancellation can push it fractionally
+    // negative, which would surface as se = NaN
+    val se = math.sqrt(math.max(0.0,
+      (smm - sm * sm / replicates) / (replicates - 1)))
     val loIdx = math.max(1,
       math.ceil(alpha / 2 * (replicates + 1)).toInt)
     val hiIdx = math.min(replicates,

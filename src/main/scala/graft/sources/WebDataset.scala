@@ -131,6 +131,7 @@ object WebDataset {
     // old manifest describing new or partial shards. Then clear stale
     // archives so a re-run with fewer shards leaves nothing to union in.
     rootFs.delete(new Path(root, "manifest.json"), false)
+    rootFs.delete(new Path(root, "manifest.json.tmp"), false)
     Option(rootFs.globStatus(new Path(root, "shard-*.tar")))
       .getOrElse(Array()).foreach(st => rootFs.delete(st.getPath, false))
     val memberCols = members.map { case (c, ext) =>
@@ -203,8 +204,15 @@ object WebDataset {
     val manifest = s"""{"shards": $shards, """ +
       s""""total_samples": ${sampleAcc.value}, """ +
       s""""total_members": ${memberAcc.value}, "shard_list": $shardList}"""
-    val mOut = rootFs.create(new Path(root, "manifest.json"), true)
+    // the manifest itself must commit atomically: stream to a temp name,
+    // then rename into place, so no crash window ever leaves a TRUNCATED
+    // manifest.json that parses to a partial shard_list (readShardInfos
+    // additionally cross-checks the entry sums against the totals)
+    val tmpP = new Path(root, "manifest.json.tmp")
+    val mOut = rootFs.create(tmpP, true)
     try mOut.write(manifest.getBytes(StandardCharsets.UTF_8)) finally mOut.close()
+    require(rootFs.rename(tmpP, new Path(root, "manifest.json")),
+      s"webdataset: manifest rename failed at $outDir")
     (sampleAcc.value, memberAcc.value)
   }
 
@@ -240,8 +248,27 @@ object WebDataset {
     val in = fs.open(manifestP)
     val txt = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
       finally in.close()
-    ShardEntryRe.findAllMatchIn(txt).map(m => ShardInfo(m.group(1).toInt,
-      m.group(2), m.group(3).toLong, m.group(4).toLong)).toSeq
+    val infos = ShardEntryRe.findAllMatchIn(txt).map(m =>
+      ShardInfo(m.group(1).toInt, m.group(2), m.group(3).toLong,
+        m.group(4).toLong)).toSeq
+    // self-integrity: the totals were written from the SAME accumulators
+    // as the per-shard entries, so a manifest whose entry sums disagree
+    // (including zero parsed entries against nonzero totals) is torn or
+    // corrupt — refuse instead of silently dropping shards
+    def totalOf(field: String): Long =
+      (s""""$field": (\\d+)""".r.findFirstMatchIn(txt) match {
+        case Some(m) => m.group(1)
+        case None => throw new IllegalArgumentException(
+          s"webdataset: manifest.json at $dir is missing $field — " +
+            "truncated or corrupt; re-run the write")
+      }).toLong
+    val (ts, tm) = (totalOf("total_samples"), totalOf("total_members"))
+    require(infos.map(_.samples).sum == ts && infos.map(_.members).sum == tm,
+      s"webdataset: manifest.json at $dir is internally inconsistent — " +
+        s"shard_list sums (${infos.map(_.samples).sum} samples, " +
+        s"${infos.map(_.members).sum} members) != recorded totals " +
+        s"($ts, $tm); the manifest is torn or corrupt; re-run the write")
+    infos
   }
 
   /** Deterministic balanced shard→worker assignment for `workers`

@@ -435,6 +435,53 @@ class SafetySpec extends SparkSpec {
       .contains("manifest"))
   }
 
+  test("webdataset: a torn manifest is refused by the totals cross-check") {
+    // the manifest commits by temp-write + rename, so a torn
+    // manifest.json should never exist — but if one does (a store
+    // whose rename is copy+delete dying mid-copy), the shard_list
+    // entry sums no longer match the recorded totals and the reader
+    // must refuse rather than silently plan over a partial inventory
+    import graft.sources.WebDataset
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val out = "/root/repo/target/test_webdataset_torn"
+    fs.delete(new Path(out), true)
+    val df = (0L until 12L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    WebDataset.write(df, "doc_id", Seq(("text", "txt")), out, shards = 3)
+    // a successful write leaves no temp manifest behind
+    assert(!fs.exists(new Path(out, "manifest.json.tmp")))
+    val mPath = new Path(out, "manifest.json")
+    val full = {
+      val in = fs.open(mPath)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    // tear 1: cut inside shard_list — some entries parse, sums short
+    val cutAt = full.lastIndexOf("{\"shard\"")
+    assert(cutAt > 0)
+    val o1 = fs.create(mPath, true)
+    try o1.write(full.substring(0, cutAt).getBytes("UTF-8")) finally o1.close()
+    assert(msgs(intercept[Throwable](WebDataset.read(spark, out).count()))
+      .contains("inconsistent"))
+    // tear 2: cut before shard_list — ZERO entries parse against
+    // nonzero totals; must refuse, not read an empty dataset
+    val cut2 = full.indexOf("\"shard_list\"")
+    val o2 = fs.create(mPath, true)
+    try o2.write(full.substring(0, cut2).getBytes("UTF-8")) finally o2.close()
+    assert(msgs(intercept[Throwable](WebDataset.read(spark, out).count()))
+      .contains("inconsistent"))
+    // tear 3: cut before the totals themselves — missing-field refusal
+    val cut3 = full.indexOf("\"total_samples\"")
+    val o3 = fs.create(mPath, true)
+    try o3.write(full.substring(0, cut3).getBytes("UTF-8")) finally o3.close()
+    assert(msgs(intercept[Throwable](WebDataset.read(spark, out).count()))
+      .contains("truncated or corrupt"))
+    // the prescribed recovery restores reads
+    WebDataset.write(df, "doc_id", Seq(("text", "txt")), out, shards = 3)
+    assert(WebDataset.read(spark, out).count() === 12)
+  }
+
   test("webdataset: a block-aligned truncation is refused by the member-count check") {
     // a tar cut exactly at a 512-byte block boundary still PARSES — the
     // zero-block scan just ends early — so structural strictness alone

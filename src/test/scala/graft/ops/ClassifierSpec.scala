@@ -551,12 +551,20 @@ class ClassifierSpec extends SparkSpec {
     assert(got("A") === ((4L, 3L, 0.75, 0.25)))
     assert(got("B") === ((4L, 1L, 0.25, -0.25)))
     // null slice reports as __null__, null pred counts as wrong vs a
-    // non-null label
+    // non-null label — even when the label is the LITERAL "__null__"
+    // (null-safe equality, no sentinel collision)
     val n = Classifier.sliceAccuracy(
-      Seq((null.asInstanceOf[String], "y", null.asInstanceOf[String]))
+      Seq((null.asInstanceOf[String], "y", null.asInstanceOf[String]),
+          (null.asInstanceOf[String], "__null__",
+            null.asInstanceOf[String]))
         .toDF("slice", "label", "pred"),
       "label", "pred", "slice").head()
     assert(n.getString(0) === "__null__" && n.getLong(2) === 0L)
+    // null labels refuse: un-scorable ground truth
+    intercept[IllegalArgumentException](Classifier.sliceAccuracy(
+      Seq(("A", null.asInstanceOf[String], "y"))
+        .toDF("slice", "label", "pred"),
+      "label", "pred", "slice"))
     intercept[IllegalArgumentException](Classifier.sliceAccuracy(
       df.filter(lit(false)), "label", "pred", "slice"))
   }
