@@ -347,6 +347,13 @@ object ScalingProbe {
     // the shape a dedup pipeline is FOR; not an output-quadratic probe
     time("curation_e2e") { d =>
       SparkEntry.queries("q_curation_e2e")(spark, d).count() }
+    // full pretraining chain INCLUDING both binary sinks and their
+    // read-back verification legs: same identical-copies corpus as
+    // curation_e2e (exact dedup collapses the copies early), so the
+    // sink+verify stages run at unique-document scale — the probe
+    // measures the composed write→read→re-hash cost, not output blowup
+    time("pretrain_e2e") { d =>
+      SparkEntry.queries("q_pretrain_e2e")(spark, d).count() }
     // Gopher duplicate line/para fractions: pure scan-side array algebra
     // over the reshaped text — expect ~scan-bound
     time("gopher_dup") { d =>

@@ -1409,6 +1409,30 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           col("n_events"), col("js_drift"))
         .orderBy("window_start")),
 
+    // streaming quality monitor: per-hour binned ROC AUC + calibration
+    // ECE over deterministically scored events (label = user parity,
+    // score = label-shifted dyadic rational m/1024, so every per-bin sum
+    // is EXACT and the oracle replays the u-statistic and the collapsed
+    // ECE bit-for-bit); the streaming-vs-batch parity of the same
+    // computation is pinned in StreamRealSpec via foreachBatch
+    "q_stream_eval" -> ((s, dir) => {
+      val ev = EventStream.loadEvents(s, dir)
+      val m = (col("user_id") % 2) * 300 + pmod(col("user_id") * 37 + 11,
+        lit(700))
+      val scored = ev.select(col("ts"),
+        (m.cast("double") / 1024.0).as("score"),
+        (col("user_id") % 2).cast("double").as("label"))
+      EventStream.windowedEval(scored, "score", "label", "1 hour", bins = 8)
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("n"),
+          // the operator reports a single-class window's auc as NULL;
+          // the gate needs a sortable double, so the QUERY maps it to
+          // the -1.0 sentinel (the oracle mirrors the COALESCE)
+          coalesce(col("auc"), lit(-1.0)).as("auc"), col("ece"))
+        .orderBy("window_start")
+    }),
+
     // robust per-type outlier census on event values: median/MAD rule
     // at k=2 with exact interpolated percentiles (the oracle-pinnable
     // form; approx_percentile is the documented 100 TB default)
@@ -3729,6 +3753,115 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           col("n_pos") === col("n6") && col("max_pos") === col("n6") - 1))
     }),
 
+    // the pretraining-corpus pipeline END-TO-END into the binary sinks:
+    // normalize → quality/langid gate → exact + MinHash dedup →
+    // decontaminate → tokenize → FFD pack → TokenBin shards AND
+    // WebDataset tar shards, then read BOTH back and prove (derived
+    // checks) byte-lossless round-trips, manifest integrity (write-side
+    // totals == read-back inventory == distributed re-hash), FFD pack
+    // invariants (every curated doc packed exactly once, id accounting,
+    // token budget), and dataloader rank coverage. This is the composed
+    // path a real corpus run takes — the committer-bypassing sink code
+    // exercised through the whole chain, not per-component.
+    "q_pretrain_e2e" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 31 === 0)
+        .select(col("doc_id"), col("text"))
+      val c0 = docs.filter(col("doc_id") % 31 =!= 0)
+      val c1 = c0.withColumn("text", TextAnalysis.normalizeText(col("text")))
+      val c2 = c1.filter(TextAnalysis.qualityScore(col("text")) >= 0.2 &&
+        TextAnalysis.langId(col("text")) =!= "und")
+      val c3 = Dedup.exactKeepFirst(c2, "text", "doc_id")
+      val pairs = Dedup.minHashDedup(c3, "text", "doc_id", threshold = 0.7)
+      val c4 = Dedup.keepRepresentatives(c3, pairs, "doc_id",
+        length(col("text")))
+      val curated = pin(Dedup.decontaminateBloomKeep(c4, bench, "text",
+        "doc_id", n = 4, fpp = 1e-6))
+      // tokenize (structural ids, the q_tokenbin convention) and
+      // FFD-pack per source
+      val nt = TextAnalysis.tokenCount(col("text"))
+      val enc = curated.select(col("source"), col("doc_id"),
+        when(nt < 1, array().cast("array<int>"))
+          .otherwise(sequence(lit(1), nt)).as("ids"))
+      val packs = pin(Sampling.assemblePackedIdsFFD(enc, "source", "doc_id",
+        "ids", size(col("ids")), maxTokens = 256, sepId = 0))
+      // unique long shard key WITHOUT a global window: the source dim is
+      // tiny (broadcast) and pack ids are per-source dense ints, so
+      // key = source_index << 32 | pack_id is collision-free
+      val srcDim = packs.select(col("source")).distinct()
+        .withColumn("sidx",
+          row_number().over(Window.orderBy("source")).cast("long"))
+      val keyed = pin(packs.join(broadcast(srcDim), Seq("source"))
+        .withColumn("key", shiftleft(col("sidx"), 32) + col("pack_id")))
+      val outTb = tmp("pretrain_tokenbin")
+      val (wSeqs, wToks) = graft.sources.TokenBin.write(
+        keyed, "key", "packed_ids", outTb, shards = 4)
+      val outWd = tmp("pretrain_webdataset")
+      val wdDocs = curated.select(col("doc_id"), col("text"),
+        to_json(struct(col("doc_id"), col("source"))).as("meta"))
+      val (wdSamples, wdMembers) = graft.sources.WebDataset.write(
+        wdDocs, "doc_id", Seq(("text", "txt"), ("meta", "json")), outWd,
+        shards = 4)
+      // read-back legs: full-outer joins so a dropped OR phantom row on
+      // either side surfaces as a null-md5 mismatch
+      val tbBack = s.read.format("tokenbin").load(outTb)
+        .select(col("key"), md5(concat_ws(",",
+          col("ids").cast("array<string>"))).as("back_md5"))
+      val tbCmp = keyed.select(col("key"), md5(concat_ws(",",
+          col("packed_ids").cast("array<string>"))).as("src_md5"))
+        .join(tbBack, Seq("key"), "full_outer")
+      val wdBack = graft.sources.WebDataset.read(s, outWd)
+        .groupBy(col("key").cast("long").as("doc_id"))
+        .agg(max(when(col("ext") === "txt", md5(col("content"))))
+          .as("back_md5"), count(lit(1)).as("n_members"))
+      val wdCmp = curated.select(col("doc_id"), md5(col("text")).as("src_md5"))
+        .join(wdBack, Seq("doc_id"), "full_outer")
+      val tbVer = graft.sources.TokenBin.verifyShards(s, outTb)
+      val wdVer = graft.sources.WebDataset.verifyShards(s, outWd)
+      val wdAsg = graft.sources.WebDataset.assignShards(s, outWd, workers = 3)
+      val one = c0.agg(count(lit(1)).as("n0"))
+        .crossJoin(curated.agg(count(lit(1)).as("n5")))
+        .crossJoin(packs.agg(count(lit(1)).as("n_packs"),
+          sum("n_docs").as("docs_packed"), sum("n_ids").as("ids_packed"),
+          sum(when(col("n_ids") =!= size(col("packed_ids")) ||
+            (col("n_docs") > 1 && col("n_ids") > lit(256) + col("n_docs")),
+            1L).otherwise(0L)).as("bad_packs")))
+        .crossJoin(tbCmp.agg(count(lit(1)).as("tb_rows"),
+          sum(when(col("src_md5").isNull || col("back_md5").isNull ||
+            col("src_md5") =!= col("back_md5"), 1L).otherwise(0L))
+            .as("tb_bad")))
+        .crossJoin(tbVer.agg(
+          sum(when(!col("ok"), 1L).otherwise(0L)).as("tb_badshards"),
+          count(lit(1)).as("tb_shards")))
+        .crossJoin(wdCmp.agg(count(lit(1)).as("wd_rows"),
+          sum(when(col("src_md5").isNull || col("back_md5").isNull ||
+            col("src_md5") =!= col("back_md5") || col("n_members") =!= 2L,
+            1L).otherwise(0L)).as("wd_bad")))
+        .crossJoin(wdVer.agg(
+          sum(when(!col("ok"), 1L).otherwise(0L)).as("wd_badshards"),
+          count(lit(1)).as("wd_shards")))
+        .crossJoin(wdAsg.groupBy("shard").agg(count(lit(1)).as("c"))
+          .agg(sum(when(col("c") =!= 1L, 1L).otherwise(0L)).as("wd_uncov"),
+            count(lit(1)).as("wd_assigned")))
+      checkRows(one,
+        "curation_bites" -> (col("n5") >= 1L && col("n5") < col("n0")),
+        "every_doc_packed" -> (col("docs_packed") === col("n5")),
+        "pack_invariants" -> (col("bad_packs") === 0L),
+        "tokenbin_write_totals" -> (lit(wSeqs) === col("n_packs") &&
+          lit(wToks) === col("ids_packed")),
+        "tokenbin_lossless" -> (col("tb_bad") === 0L &&
+          col("tb_rows") === col("n_packs")),
+        "tokenbin_manifest" -> (col("tb_badshards") === 0L &&
+          col("tb_shards") === 4L),
+        "webdataset_write_totals" -> (lit(wdSamples) === col("n5") &&
+          lit(wdMembers) === col("n5") * 2L),
+        "webdataset_lossless" -> (col("wd_bad") === 0L &&
+          col("wd_rows") === col("n5")),
+        "webdataset_manifest" -> (col("wd_badshards") === 0L &&
+          col("wd_uncov") === 0L && col("wd_assigned") === 4L &&
+          col("wd_shards") === 4L))
+    }),
+
     // ===== multimodal binary plumbing ====================================
     // header-only media sniffing — derived checks: for deterministic
     // well-formed payloads (PNG/GIF/BMP/JPEG/WAV headers + junk tails,
@@ -4219,6 +4352,30 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
         """SELECT event_type, CAST(count(*) AS BIGINT) AS n_unique_users
           |FROM (SELECT DISTINCT user_id, event_type FROM events)
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_stream_eval" ->
+        """WITH ev AS (
+          |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w,
+          |    ((user_id % 2) * 300 + (user_id * 37 + 11) % 700) / 1024.0
+          |      AS s,
+          |    CAST(user_id % 2 AS DOUBLE) AS y
+          |  FROM events),
+          |b AS (
+          |  SELECT w, LEAST(CAST(FLOOR(s * 8) AS INT), 7) AS bin,
+          |    sum(y) AS np, sum(1.0 - y) AS nn, sum(s) AS ssum
+          |  FROM ev GROUP BY 1, 2),
+          |c AS (
+          |  SELECT *, COALESCE(SUM(nn) OVER (PARTITION BY w ORDER BY bin
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+          |    AS cum_nn
+          |  FROM b)
+          |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+          |  CAST(sum(np) + sum(nn) AS BIGINT) AS n,
+          |  COALESCE(round(CASE WHEN sum(np) > 0 AND sum(nn) > 0
+          |    THEN sum(np * (cum_nn + nn / 2)) / (sum(np) * sum(nn))
+          |    END, 9), -1.0) AS auc,
+          |  round(sum(abs(ssum - np)) / (sum(np) + sum(nn)), 9) AS ece
+          |FROM c GROUP BY w ORDER BY window_start""".stripMargin,
 
       "q_drift" ->
         """WITH c AS (
@@ -5989,6 +6146,11 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
       "q_curation_e2e" -> checksOracle("stages_monotone", "gates_bite",
         "final_nonempty", "exactly_unique", "decontaminated_proven",
         "order_is_bijection"),
+
+      "q_pretrain_e2e" -> checksOracle("curation_bites", "every_doc_packed",
+        "pack_invariants", "tokenbin_write_totals", "tokenbin_lossless",
+        "tokenbin_manifest", "webdataset_write_totals",
+        "webdataset_lossless", "webdataset_manifest"),
 
       "q_dedup_spans" -> checksOracle("had_duplicates", "dup_grams_destroyed",
         "keeper_survives", "docs_touched", "clean_docs_one_piece",

@@ -31,6 +31,16 @@ class CurationE2ESpec extends SparkSpec {
     m.foreach { case (metric, ok) => assert(ok, s"check failed: $metric") }
   }
 
+  test("q_pretrain_e2e: curation composes into both binary sinks losslessly") {
+    // the full pretraining path — curate → tokenize → FFD pack →
+    // TokenBin + WebDataset → read back — must hold every round-trip,
+    // manifest, and pack invariant at test time, so a sink regression
+    // names its metric instead of hash-mismatching the round drive
+    val m = checksOf("q_pretrain_e2e")
+    assert(m.size === 9)
+    m.foreach { case (metric, ok) => assert(ok, s"check failed: $metric") }
+  }
+
   test("q_compress_ratio, q_media_sniff, q_dedup_spans, q_unimax all-green") {
     for (q <- Seq("q_compress_ratio", "q_media_sniff", "q_dedup_spans",
         "q_unimax")) {
