@@ -256,11 +256,16 @@ object Bench {
     // lands on the same number). contaminated = load already present at
     // start (advisory — see loadAvg).
     val norm = total / calibPar
+    // roster21_norm is the cross-round comparison number for the GATE
+    // roster: roster21 seconds divided by the same-run parallel
+    // calibration, so the gate line reads in normalized units with no
+    // manual arithmetic (BASELINE.md's interpretation contract)
+    val norm21 = total21 / calibPar
     val contaminated = load0 > 1.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val flakyJson = flaky.map { case (k, f) => "\"" + k + "\":" + f }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","roster21":${fmt(total21, 3)},"queries":$qjson,"failed":$failedJson,"flaky_iters":$flakyJson,"calib":${fmt(calib, 3)},"calib_par":${fmt(calibPar, 3)},"value_norm":${fmt(norm, 2)},"loadavg":${fmt(load0, 2)},"contaminated":$contaminated,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","roster21":${fmt(total21, 3)},"queries":$qjson,"failed":$failedJson,"flaky_iters":$flakyJson,"calib":${fmt(calib, 3)},"calib_par":${fmt(calibPar, 3)},"value_norm":${fmt(norm, 2)},"roster21_norm":${fmt(norm21, 2)},"loadavg":${fmt(load0, 2)},"contaminated":$contaminated,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty || flaky.nonEmpty) sys.exit(1)
   }

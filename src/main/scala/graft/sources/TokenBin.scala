@@ -99,7 +99,8 @@ object TokenBin {
     // higher-numbered shard files for the reader to silently union in
     // (epoch subdirectories are untouched: appendBatch overwrites only
     // its own epoch directory, preserving retry idempotence)
-    Seq("shard-*.bin", "shard-*.idx", "manifest.json").foreach { g =>
+    Seq("shard-*.bin", "shard-*.idx", "manifest.json",
+        "manifest.json.tmp").foreach { g =>
       Option(rootFs.globStatus(new Path(root, g))).getOrElse(Array())
         .foreach(st => rootFs.delete(st.getPath, false))
     }
@@ -179,8 +180,15 @@ object TokenBin {
     val manifest = s"""{"shards": $shards, "total_seqs": ${seqAcc.value}, """ +
       s""""total_tokens": ${tokAcc.value}, "dtype": "$dtype", """ +
       s""""shard_list": $shardList}"""
-    val out = fs.create(new Path(root, "manifest.json"), true)
+    // atomic manifest commit: temp-write + rename, so no crash window
+    // leaves a TRUNCATED manifest.json whose partial shard_list would
+    // silently shrink the read inventory (readShardInfos additionally
+    // cross-checks entry sums against the recorded totals)
+    val tmpP = new Path(root, "manifest.json.tmp")
+    val out = fs.create(tmpP, true)
     try out.write(manifest.getBytes("UTF-8")) finally out.close()
+    require(fs.rename(tmpP, new Path(root, "manifest.json")),
+      s"tokenbin: manifest rename failed at $outDir")
     (seqAcc.value, tokAcc.value)
   }
 
@@ -229,9 +237,27 @@ object TokenBin {
       val in = fs.open(p)
       val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
       val d = p.getParent.toString
-      ShardEntryRe.findAllMatchIn(txt).map(m => ShardInfo(d,
+      val infos = ShardEntryRe.findAllMatchIn(txt).map(m => ShardInfo(d,
         m.group(1).toInt, m.group(2), m.group(3).toLong, m.group(4).toLong))
         .toSeq
+      // self-integrity: the totals share the entries' accumulators, so
+      // a manifest whose entry sums disagree (including zero parsed
+      // entries against nonzero totals) is torn or corrupt — refuse
+      // instead of silently shrinking the shard inventory
+      def totalOf(field: String): Long =
+        (s""""$field":\\s*(\\d+)""".r.findFirstMatchIn(txt) match {
+          case Some(m) => m.group(1)
+          case None => throw new IllegalArgumentException(
+            s"tokenbin: manifest.json at $d is missing $field — " +
+              "truncated or corrupt; re-run the write")
+        }).toLong
+      val (ts, tt) = (totalOf("total_seqs"), totalOf("total_tokens"))
+      require(infos.map(_.seqs).sum == ts && infos.map(_.tokens).sum == tt,
+        s"tokenbin: manifest.json at $d is internally inconsistent — " +
+          s"shard_list sums (${infos.map(_.seqs).sum} seqs, " +
+          s"${infos.map(_.tokens).sum} tokens) != recorded totals " +
+          s"($ts, $tt); the manifest is torn or corrupt; re-run the write")
+      infos
     }
   }
 

@@ -256,7 +256,7 @@ object WebDataset {
     // (including zero parsed entries against nonzero totals) is torn or
     // corrupt — refuse instead of silently dropping shards
     def totalOf(field: String): Long =
-      (s""""$field": (\\d+)""".r.findFirstMatchIn(txt) match {
+      (s""""$field":\\s*(\\d+)""".r.findFirstMatchIn(txt) match {
         case Some(m) => m.group(1)
         case None => throw new IllegalArgumentException(
           s"webdataset: manifest.json at $dir is missing $field — " +

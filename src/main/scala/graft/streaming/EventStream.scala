@@ -107,6 +107,51 @@ object EventStream {
         round(sum(term), 9).as("js_drift"))
   }
 
+  /** Per-window model-quality monitor — the STREAMING parity of the
+    * batch evaluation leg (binned `Classifier.rocAuc` + calibration
+    * ECE): for each tumbling `width` window of scored events, the
+    * binned ROC AUC (trapezoidal over `bins` score buckets, ties
+    * within a bucket at half credit — the identical u-statistic shape
+    * as the batch operator) and the expected calibration error
+    * Σ_b |Σscore_b − Σpos_b| / N (the per-bin |mean score − frac pos|
+    * weighted by bin mass, algebraically collapsed so the sums stay
+    * exact when scores are dyadic rationals). One row per window:
+    * (window_start, n, auc, ece), doubles rounded at 9; a
+    * single-class window reports auc NULL rather than inventing a
+    * ranking (the batch operator refuses — a monitor must keep
+    * emitting instead).
+    *
+    * Scale shape: ONE (window, bin) hash aggregate over the stream —
+    * bins·windows tiny rows — then a bin-ordered prefix sum
+    * PARTITIONED BY window (never a global window) and a per-window
+    * reduce. In a live pipeline this runs per micro-batch via
+    * `foreachBatch` over completed windows (the [[typeDrift]]
+    * discipline); the spec drives exactly that and pins batch parity.
+    */
+  def windowedEval(scored: DataFrame, scoreCol: String, labelCol: String,
+                   width: String = "1 hour", bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"windowedEval: bins must be >= 2: $bins")
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("double")
+    val bin = least(floor(s * bins), lit(bins - 1)).cast("int")
+    val per = scored
+      .groupBy(window(col("ts"), width).as("w"), bin.as("bin"))
+      .agg(sum(y).as("np"), sum(lit(1.0) - y).as("nn"),
+        sum(s).as("ssum"))
+    val byWin = org.apache.spark.sql.expressions.Window
+      .partitionBy("w").orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val contrib = per.select(col("w"), col("np"), col("nn"), col("ssum"),
+      coalesce(sum("nn").over(byWin), lit(0.0)).as("cum_nn"))
+    contrib.groupBy(col("w.start").as("window_start"))
+      .agg((sum("np") + sum("nn")).cast("long").as("n"),
+        round(when(sum("np") > 0 && sum("nn") > 0,
+          sum(col("np") * (col("cum_nn") + col("nn") / 2)) /
+            (sum("np") * sum("nn"))), 9).as("auc"),
+        round(sum(abs(col("ssum") - col("np"))) /
+          (sum("np") + sum("nn")), 9).as("ece"))
+  }
+
   /** Sliding-window per-user activity. */
   def sliding(events: DataFrame, width: String = "1 hour",
               slide: String = "30 minutes"): DataFrame =

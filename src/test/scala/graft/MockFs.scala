@@ -93,6 +93,67 @@ object ListLagFs {
     hidden.exists(h => p.toUri.getPath.endsWith(h))
 }
 
+/** [[S3aLikeLocalFs]] under the `mpu` scheme whose CREATE is the
+  * multipart-upload mechanic of S3-class stores: every byte written to
+  * an open stream lands in a staging object (`.mpu/<name>.part` — the
+  * uploaded-but-uncommitted parts), INVISIBLE at the target path until
+  * `close()` completes the upload, which installs the object atomically
+  * (the CompleteMultipartUpload contract). A crash before complete —
+  * simulated by [[MultipartFs.crashBeforeComplete]] — leaves NO object
+  * at the target (not a truncated one: S3 never exposes partial
+  * uploads) while the abandoned parts LINGER in staging until an abort
+  * or lifecycle rule cleans them. This is the model the
+  * committer-bypassing writers (fragment sidecars, TokenBin,
+  * WebDataset) must be correct under.
+  */
+class MultipartFs extends S3aLikeLocalFs {
+  import org.apache.hadoop.fs.{FSDataOutputStream, Path}
+  import org.apache.hadoop.fs.permission.FsPermission
+  import org.apache.hadoop.util.Progressable
+  override def getScheme: String = "mpu"
+  override def getUri: java.net.URI = java.net.URI.create("mpu:///")
+  // RawLocalFileSystem implements the no-permission create variant
+  // directly (the permission variant routes through it after a chmod),
+  // so THIS is the overload every FileSystem.create call funnels into
+  override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+                      replication: Short, blockSize: Long,
+                      progress: Progressable): FSDataOutputStream = {
+    val staging = MultipartFs.stagingFor(f)
+    val under = super.create(staging, true, bufferSize,
+      replication, blockSize, progress)
+    val self = this
+    val stream = new java.io.OutputStream {
+      override def write(b: Int): Unit = under.write(b)
+      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+        under.write(b, off, len)
+      override def flush(): Unit = under.flush()
+      override def close(): Unit = {
+        under.close()
+        if (MultipartFs.crashBeforeComplete(f))
+          // the upload dies before CompleteMultipartUpload: parts
+          // linger at the staging path, the target NEVER appears
+          throw new java.io.IOException(
+            s"simulated crash before multipart complete: $f")
+        if (!overwrite && self.exists(f))
+          throw new java.io.IOException(s"target exists: $f")
+        self.delete(f, false)
+        if (!self.rename(staging, f))
+          throw new java.io.IOException(s"multipart install failed: $f")
+      }
+    }
+    new FSDataOutputStream(stream, null)
+  }
+}
+
+object MultipartFs {
+  /** Targets whose complete step crashes (leaving lingering parts). */
+  @volatile var crashBeforeComplete: org.apache.hadoop.fs.Path => Boolean =
+    _ => false
+  def stagingFor(f: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(f.getParent,
+      s".mpu/${f.getName}.part")
+}
+
 object CopyRenameS3aFs {
   /** Which rename to crash (matched on exact src/dst). */
   @volatile var crashWhen: (org.apache.hadoop.fs.Path,

@@ -792,4 +792,99 @@ class PropertySpec extends SparkSpec {
         math.abs(a - shifted) < 2e-9           // AUC is rank-only
     }, n = 12)
   }
+
+  test("krippendorffAlpha: invariant under row order, item and label relabeling") {
+    // the nominal-metric agreement statistic must not depend on HOW the
+    // panel is presented: shuffling the rating rows, bijectively
+    // renaming the items, or bijectively renaming the label categories
+    // (nominal = identity-only distance) all leave alpha unchanged
+    val genPanel = for {
+      nItems <- Gen.choose(2, 12)
+      nLabels <- Gen.choose(2, 4)
+      rows <- Gen.listOfN(nItems * 3, Gen.zip(
+        Gen.choose(0L, nItems.toLong - 1), Gen.choose(0, nLabels - 1)))
+      // at least one item with >= 2 ratings (the operator's refusal)
+      if rows.groupBy(_._1).exists(_._2.size >= 2)
+    } yield rows
+    val genSeed = Gen.choose(0L, Long.MaxValue)
+    check(Prop.forAllNoShrink(genPanel, genSeed) { (rows, seed) =>
+      def alpha(rs: Seq[(Long, Int)]) =
+        graft.ops.Classifier.krippendorffAlpha(
+          rs.map { case (i, l) => (i, s"lab$l") }.toDF("item", "lab"),
+          "item", "lab").head().getDouble(4)
+      val rnd = new scala.util.Random(seed)
+      val base = alpha(rows)
+      val shuffled = alpha(rnd.shuffle(rows))
+      // bijective relabelings: item -> item*7+3 (injective over longs),
+      // label -> distinct shuffled names
+      val relabeledItems = alpha(rows.map { case (i, l) => (i * 7 + 3, l) })
+      val labMap = rows.map(_._2).distinct.sorted
+        .zip(rnd.shuffle(rows.map(_._2).distinct.sorted.map(l => l + 100)))
+        .toMap
+      val relabeledLabs = alpha(rows.map { case (i, l) => (i, labMap(l)) })
+      base == shuffled && base == relabeledItems && base == relabeledLabs
+    }, n = 10)
+  }
+
+  test("splitConformal: finite-sample coverage >= 1 - alpha on exchangeable splits") {
+    // the distribution-free guarantee itself: over random exchangeable
+    // calibration/test splits of one iid sample, mean empirical
+    // coverage of the k = ceil((n+1)(1-alpha)) threshold is >= 1-alpha
+    // (and not wastefully above the 1-alpha + 1/(n+1) upper band).
+    // 24 deterministic splits; per-split coverage varies, the MEAN is
+    // what the theorem bounds. Binomial noise at this size is ~0.006 sd,
+    // so the +-0.02 slack is > 3 sigma.
+    val alpha = 0.1
+    val nCal = 120
+    val nTest = 400
+    val covs = (1 to 24).map { trial =>
+      val rnd = new scala.util.Random(7700 + trial)
+      // heavy-tailed-ish exchangeable scores: mixture of two scales
+      def draw() = if (rnd.nextBoolean()) rnd.nextDouble()
+        else rnd.nextDouble() * 10.0
+      val cal = Seq.fill(nCal)(draw())
+      val test = Seq.fill(nTest)(draw())
+      graft.ops.Classifier.splitConformal(
+        cal.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s"),
+        "s",
+        test.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s"),
+        "s", alpha = alpha).head().getDouble(4)
+    }
+    val mean = covs.sum / covs.size
+    assert(mean >= 1 - alpha - 0.02,
+      s"conformal coverage broke its finite-sample bound: $mean")
+    assert(mean <= 1 - alpha + 1.0 / (nCal + 1) + 0.03,
+      s"conformal threshold is wastefully conservative: $mean")
+  }
+
+  test("bradleyTerry: battle order free; strengths follow a model relabeling") {
+    // the MM fit reads only the pair-count table, so shuffling the
+    // battle log must be a no-op, and bijectively renaming the models
+    // must permute the strengths without changing their values
+    val genBattles = for {
+      nModels <- Gen.choose(2, 6)
+      n <- Gen.choose(3, 40)
+      rows <- Gen.listOfN(n, Gen.zip(
+        Gen.choose(0, nModels - 1), Gen.choose(0, nModels - 1)))
+      pairs = rows.filter { case (w, l) => w != l }
+      if pairs.nonEmpty
+    } yield pairs
+    val genSeed = Gen.choose(0L, Long.MaxValue)
+    check(Prop.forAllNoShrink(genBattles, genSeed) { (battles, seed) =>
+      val rnd = new scala.util.Random(seed)
+      def fit(rs: Seq[(String, String)]): Map[String, (Double, Long, Long)] =
+        graft.ops.Sft.bradleyTerry(rs.toDF("w", "l"), "w", "l", iters = 6)
+          .collect()
+          .map(r => r.getString(0) ->
+            ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+      val named = battles.map { case (w, l) => (s"m$w", s"m$l") }
+      val base = fit(named)
+      val shuffled = fit(rnd.shuffle(named))
+      // bijective rename: m<i> -> r<i+10>; strengths must follow it
+      def rename(m: String) = s"r${m.drop(1).toInt + 10}"
+      val renamed = fit(named.map { case (w, l) => (rename(w), rename(l)) })
+      base == shuffled &&
+        base.map { case (m, v) => rename(m) -> v } == renamed
+    }, n = 10)
+  }
 }

@@ -435,6 +435,102 @@ class SafetySpec extends SparkSpec {
       .contains("manifest"))
   }
 
+  test("multipart-upload semantics: parts invisible until complete; crashed completes refuse; retries heal") {
+    // mpu:// models S3 multipart uploads: bytes stream into staging
+    // parts invisible at the target path, close() = the atomic
+    // CompleteMultipartUpload, a crash before complete leaves NO
+    // target object (never a truncated one) while the abandoned parts
+    // linger. The three committer-bypassing writers — TokenBin,
+    // WebDataset, the fragment keyword sidecar — must stay correct
+    // under exactly these semantics.
+    import graft.sources.{TokenBin, WebDataset}
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.mpu.impl", classOf[graft.MultipartFs].getName)
+    val base = "/root/repo/target/test_mpu"
+    fs.delete(new Path(base), true)
+    val mfs = new Path(s"mpu:$base").getFileSystem(conf)
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val docs = (0L until 24L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val enc = (0L until 24L).map(i => (i, (0 until 5).map(_ + i.toInt)))
+      .toDF("doc_id", "ids")
+    try {
+      // happy path: all three writers complete under mpu://
+      WebDataset.write(docs, "doc_id", Seq(("text", "txt")),
+        s"mpu:$base/wd", shards = 2)
+      assert(WebDataset.read(spark, s"mpu:$base/wd").count() === 24)
+      TokenBin.write(enc, "doc_id", "ids", s"mpu:$base/tb", shards = 2)
+      assert(spark.read.format("tokenbin").load(s"mpu:$base/tb")
+        .count() === 24)
+
+      // crash the WebDataset manifest upload: the target never appears,
+      // the directory is shards-without-manifest, read refuses; the
+      // abandoned part lingers in staging
+      graft.MultipartFs.crashBeforeComplete =
+        p => p.getName == "manifest.json.tmp" &&
+          p.toUri.getPath.contains("/wd2/")
+      intercept[Throwable](WebDataset.write(docs, "doc_id",
+        Seq(("text", "txt")), s"mpu:$base/wd2", shards = 2))
+      graft.MultipartFs.crashBeforeComplete = _ => false
+      assert(!mfs.exists(new Path(s"mpu:$base/wd2/manifest.json")))
+      assert(!mfs.exists(new Path(s"mpu:$base/wd2/manifest.json.tmp")))
+      assert(mfs.exists(graft.MultipartFs.stagingFor(
+        new Path(s"mpu:$base/wd2/manifest.json.tmp"))))
+      assert(msgs(intercept[Throwable](
+        WebDataset.read(spark, s"mpu:$base/wd2").count()))
+        .contains("manifest"))
+      // retry heals: the re-run commits and reads back whole
+      WebDataset.write(docs, "doc_id", Seq(("text", "txt")),
+        s"mpu:$base/wd2", shards = 2)
+      assert(WebDataset.read(spark, s"mpu:$base/wd2").count() === 24)
+
+      // crash a TokenBin SHARD upload: the whole write raises, no
+      // manifest is ever attempted, the directory refuses
+      graft.MultipartFs.crashBeforeComplete =
+        p => p.getName.endsWith(".bin") && p.toUri.getPath.contains("/tb2/")
+      intercept[Throwable](TokenBin.write(enc, "doc_id", "ids",
+        s"mpu:$base/tb2", shards = 2))
+      graft.MultipartFs.crashBeforeComplete = _ => false
+      assert(!mfs.exists(new Path(s"mpu:$base/tb2/manifest.json")))
+      // idx sidecars may have committed before the crash; the commit
+      // marker contract makes the directory refuse either way
+      if (Option(mfs.globStatus(new Path(s"mpu:$base/tb2/shard-*.idx")))
+          .exists(_.nonEmpty))
+        assert(msgs(intercept[Throwable](
+          spark.read.format("tokenbin").load(s"mpu:$base/tb2").count()))
+          .contains("manifest"))
+      TokenBin.write(enc, "doc_id", "ids", s"mpu:$base/tb2", shards = 2)
+      assert(spark.read.format("tokenbin").load(s"mpu:$base/tb2")
+        .count() === 24)
+
+      // crash the fragment keyword-sidecar upload: writeFragment raises
+      // (the caller KNOWS the fragment is bad), the sidecar never
+      // appears, and the retry completes the chain verifiably
+      MSWrite.create(spark.read.parquet(s"${sf()}/supplier.parquet"),
+        s"mpu:$base/root")
+      val delta = MSTable.withRowId(
+          MSTable.open(spark, s"mpu:$base/root"), Seq("s_suppkey"))
+        .filter(col("s_suppkey") <= 3)
+        .select(col(MSTable.RowId), lit(77.0).as("s_acctbal"))
+        .localCheckpoint()
+      graft.MultipartFs.crashBeforeComplete =
+        p => p.getName == "_KEYWORDS.json" &&
+          p.toUri.getPath.contains("/frag/")
+      intercept[Throwable](MSWrite.writeFragment(delta,
+        s"mpu:$base/frag", s"mpu:$base/root"))
+      graft.MultipartFs.crashBeforeComplete = _ => false
+      assert(!mfs.exists(new Path(s"mpu:$base/frag/_KEYWORDS.json")))
+      MSWrite.writeFragment(delta, s"mpu:$base/frag", s"mpu:$base/root")
+      val merged = MSWrite.readFragment(spark, s"mpu:$base/frag",
+        Seq("s_suppkey"), verifyCounts = true)
+      assert(merged.filter(col("s_suppkey") <= 3)
+        .select(min("s_acctbal")).head().getDouble(0) === 77.0)
+    } finally {
+      graft.MultipartFs.crashBeforeComplete = _ => false
+    }
+  }
+
   test("webdataset: a torn manifest is refused by the totals cross-check") {
     // the manifest commits by temp-write + rename, so a torn
     // manifest.json should never exist — but if one does (a store

@@ -364,6 +364,51 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("windowed eval monitor runs via foreachBatch (stream equals batch)") {
+    // streaming parity for the EVALUATION leg: the per-window binned
+    // AUC + ECE monitor is a (window, bin) hash aggregate, so running
+    // it per micro-batch via foreachBatch equals the batch computation
+    // whenever micro-batches align to completed windows — exactly the
+    // completed-window contract a quality monitor reports under (the
+    // typeDrift discipline). The stream is chopped so every hour lands
+    // wholly inside one micro-batch.
+    val dir = sf("sf0.001")
+    val ev = EventStream.loadEvents(spark, dir)
+    val m = (col("user_id") % 2) * 300 +
+      pmod(col("user_id") * 37 + 11, lit(700))
+    val scored = ev.select(col("ts"),
+      (m.cast("double") / 1024.0).as("score"),
+      (col("user_id") % 2).cast("double").as("label"))
+    val dDir = "/root/repo/target/test_stream_eval_in"
+    val outDir = "/root/repo/target/test_stream_eval_out"
+    // hash the hour id into 4 partitions: each hour's rows land whole
+    // in one file, 4 files + maxFilesPerTrigger=1 → 4 real micro-batches
+    scored
+      .repartition(4, (unix_timestamp(col("ts")) / 3600).cast("long"))
+      .write.mode("overwrite").parquet(dDir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
+    val stream = spark.readStream.schema(scored.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dDir)
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        EventStream.windowedEval(batch.toDF(), "score", "label",
+            "1 hour", bins = 8)
+          .write.mode("append").parquet(outDir)
+    }.start()
+    q.processAllAvailable(); q.stop()
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1),
+        Option(r.get(2)).map(_.toString), r.getDouble(3)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    val streamed = key(spark.read.parquet(outDir))
+    val batch = key(EventStream.windowedEval(scored, "score", "label",
+      "1 hour", bins = 8))
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // and at least one window actually discriminates (auc defined > .5)
+    assert(streamed.exists(_._3.exists(_.toDouble > 0.5)))
+  }
+
   test("PCA whitening projection runs inside a real stream (Expression path)") {
     // the projection is a scan-side AffineProject expression, so a
     // batch-fitted basis whitens an ingest stream with exact batch parity
