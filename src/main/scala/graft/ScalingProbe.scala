@@ -1028,6 +1028,57 @@ object ScalingProbe {
         maxDepth = 3, pivots = Some(piv))
         .agg(sum("betweenness")).collect(); 1L
     }
+    // fragment ancestry depth: the overlay read chains one ROWID join
+    // per ancestor (MSWrite.readFragment walks the sidecars, then folds
+    // updateByRowId). Probe READ cost (chains pre-built, untimed) vs
+    // chain depth at 1x and Nx — the measured basis for the compaction-
+    // recommended depth in SCALE.md (compaction = MSWrite
+    // .compactFragments, gated by q_compact).
+    locally {
+      val label = "frag_depth"
+      if (only.isEmpty || only.exists(label.contains)) {
+        import graft.api.{MSTable, MSWrite}
+        val depths = Seq(2, 8, 16)
+        def buildAndTime(d: String): Map[Int, Double] = {
+          val tag = if (d == big) "N" else "1"
+          val base = s"/root/repo/target/fragprobe_$tag"
+          val fs = new org.apache.hadoop.fs.Path(base)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(base), true)
+          val docs = spark.read.parquet(s"$d/documents.parquet")
+            .select(col("doc_id").cast("long").as("doc_id"),
+              col("source").cast("string").as("source"))
+          MSWrite.create(docs, s"$base/t0")
+          val root = MSTable.withRowId(MSTable.open(spark, s"$base/t0"),
+            Seq("doc_id")).localCheckpoint()
+          var parent = s"$base/t0"
+          (1 to depths.max).foreach { i =>
+            // each fragment touches a distinct 1/16 slice — the
+            // incremental-curation shape ancestry chains accumulate
+            val delta = root.filter(pmod(col("doc_id"), lit(16L)) === (i - 1).toLong)
+              .select(col(MSTable.RowId), lit(s"v$i").as("source"))
+            MSWrite.writeFragment(delta, s"$base/t$i", parent)
+            parent = s"$base/t$i"
+          }
+          depths.map { dep =>
+            def once(): Double = {
+              val t0 = System.nanoTime()
+              MSWrite.readFragment(spark, s"$base/t$dep", Seq("doc_id"))
+                .agg(count(lit(1))).collect()
+              (System.nanoTime() - t0) / 1e9
+            }
+            once() // warm
+            dep -> once()
+          }.toMap
+        }
+        val t1 = buildAndTime(src)
+        val tN = buildAndTime(big)
+        depths.foreach { dep =>
+          println(f"SCALE frag_depth_$dep 1x=${t1(dep)}%.2f s " +
+            f"${mult}x=${tN(dep)}%.2f s ratio=${tN(dep) / t1(dep)}%.1f")
+        }
+      }
+    }
     spark.stop()
   }
 }

@@ -2380,6 +2380,42 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           && ci.getDouble(1) <= ci.getDouble(4)))
     }),
 
+    // the evaluation leg composed EXACTLY (the cross-leg sibling of
+    // q_eval_e2e): one pinned deterministic holdout (doc_id % 5 == 4,
+    // label = id parity, score = label-shifted dyadic m/1024 so every
+    // sum is exact) pushed through binned ROC AUC → calibration ECE →
+    // per-slice worst gap → Poisson-bootstrap CI, emitted as ONE row
+    // the DuckDB oracle replays bit-for-bit — a consistent cross-leg
+    // bias (the one thing q_eval_e2e's derived checks cannot catch)
+    // hash-mismatches here; q_eval_e2e keeps the learned-filter
+    // (non-replayable) variant under its invariants
+    "q_eval_e2e_exact" -> ((s, dir) => {
+      import s.implicits._
+      val d = T(s, dir, "documents").filter(col("doc_id") % 5 === 4)
+      val scored = pin(d.select(col("doc_id"), col("source"),
+        (col("doc_id") % 2).cast("double").as("y"),
+        (((col("doc_id") % 2) * 300 +
+          pmod(col("doc_id") * 37 + 11, lit(700))).cast("double") / 1024.0)
+          .as("p")))
+      val aucRow = ops.Classifier.rocAuc(scored, "p", "y",
+        bins = Some(32)).head()
+      val ece = ops.Classifier.calibrationReport(scored, "p", "y")
+        .filter(col("bin") === -1).head().getDouble(4)
+      val wg = ops.Classifier.sliceAccuracy(
+          scored.withColumn("pred", (col("p") >= 0.5).cast("int"))
+            .withColumn("lbl", col("y").cast("int")),
+          "lbl", "pred", "source")
+        .agg(min("gap_vs_overall")).head().getDouble(0)
+      val ci = ops.Classifier.bootstrapMeanCI(
+        scored.select(col("doc_id"), col("p")), "p", "doc_id",
+        replicates = 40, alpha = 0.1).head()
+      Seq((aucRow.getLong(0), aucRow.getLong(1), aucRow.getDouble(2),
+        ece, wg, ci.getLong(0), ci.getDouble(1), ci.getDouble(2),
+        ci.getDouble(3), ci.getDouble(4)))
+        .toDF("n_pos", "n_neg", "auc", "ece", "worst_gap", "n", "mean",
+          "se", "ci_lo", "ci_hi")
+    }),
+
     // weighted upsampling: per-language epoch counts (en 2.4 epochs, de
     // 0.5, others 1.0) — floor(w) copies plus a deterministic md5-chosen
     // extra for the fractional part, exact-checked against DuckDB doing
@@ -7173,6 +7209,85 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |  round((SELECT m FROM means ORDER BY m LIMIT 1 OFFSET 56), 9)
           |    AS ci_hi
           |FROM base, st""".stripMargin,
+
+      "q_eval_e2e_exact" ->
+        """WITH hold AS (
+          |  SELECT CAST(doc_id AS BIGINT) AS id, source,
+          |    CAST(CAST(doc_id AS BIGINT) % 2 AS DOUBLE) AS y,
+          |    ((CAST(doc_id AS BIGINT) % 2) * 300
+          |      + (CAST(doc_id AS BIGINT) * 37 + 11) % 700) / 1024.0 AS p
+          |  FROM documents WHERE CAST(doc_id AS BIGINT) % 5 = 4),
+          |ab AS (
+          |  SELECT LEAST(CAST(FLOOR(p * 32) AS INT), 31) AS b,
+          |    sum(y) AS np, sum(1.0 - y) AS nn
+          |  FROM hold GROUP BY 1),
+          |ac AS (
+          |  SELECT np, nn, COALESCE(SUM(nn) OVER (ORDER BY b
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+          |    AS cum_nn
+          |  FROM ab),
+          |auc AS (
+          |  SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+          |    CAST(sum(nn) AS BIGINT) AS n_neg,
+          |    round(sum(np * (cum_nn + nn / 2)) / (sum(np) * sum(nn)), 9)
+          |      AS auc
+          |  FROM ac),
+          |eb AS (
+          |  SELECT LEAST(CAST(FLOOR(p * 10) AS INT), 9) AS b,
+          |    count(*) AS n, avg(p) AS conf, avg(y) AS acc
+          |  FROM hold GROUP BY 1),
+          |ece AS (
+          |  SELECT round(sum(abs(acc - conf) * n) / sum(n), 9) AS ece
+          |  FROM eb),
+          |sl AS (
+          |  SELECT source, count(*) AS n,
+          |    sum(CASE WHEN CAST(y AS INT) =
+          |      CASE WHEN p >= 0.5 THEN 1 ELSE 0 END
+          |      THEN 1 ELSE 0 END) AS nc
+          |  FROM hold GROUP BY 1),
+          |ov AS (SELECT sum(nc) * 1.0 / sum(n) AS oa FROM sl),
+          |wg AS (
+          |  SELECT min(round(nc * 1.0 / n - (SELECT oa FROM ov), 9))
+          |    AS worst_gap
+          |  FROM sl),
+          |u AS (
+          |  SELECT p AS v, b,
+          |    ('0x' || substr(md5(CAST(id AS VARCHAR) || '|bs' || b),
+          |      1, 8))::BIGINT / 4294967296.0 AS u
+          |  FROM hold, range(40) r(b)),
+          |w AS (
+          |  SELECT v, b,
+          |    CASE WHEN u < 0.367879441171 THEN 0
+          |         WHEN u < 0.735758882343 THEN 1
+          |         WHEN u < 0.919698602929 THEN 2
+          |         WHEN u < 0.980988177458 THEN 3
+          |         WHEN u < 0.996310663590 THEN 4
+          |         WHEN u < 0.999405960861 THEN 5
+          |         WHEN u < 0.999921843700 THEN 6
+          |         WHEN u < 0.999995541392 THEN 7
+          |         ELSE 8 END AS wt
+          |  FROM u),
+          |rep AS (
+          |  SELECT b, sum(wt * v) AS sx, sum(wt) AS sw FROM w GROUP BY 1),
+          |base AS (SELECT count(*) AS n, sum(v) AS sx
+          |         FROM (SELECT p AS v FROM hold)),
+          |means AS (
+          |  SELECT CASE WHEN sw > 0 THEN sx / sw
+          |              ELSE (SELECT sx / n FROM base) END AS m
+          |  FROM rep),
+          |st AS (
+          |  SELECT count(*) AS nb, sum(m) AS sm, sum(m * m) AS smm
+          |  FROM means)
+          |SELECT auc.n_pos, auc.n_neg, auc.auc, ece.ece, wg.worst_gap,
+          |  CAST(base.n AS BIGINT) AS n,
+          |  round(base.sx / base.n, 9) AS mean,
+          |  round(sqrt(greatest((st.smm - st.sm * st.sm / st.nb)
+          |    / (st.nb - 1), 0.0)), 9) AS se,
+          |  round((SELECT m FROM means ORDER BY m LIMIT 1 OFFSET 2), 9)
+          |    AS ci_lo,
+          |  round((SELECT m FROM means ORDER BY m LIMIT 1 OFFSET 37), 9)
+          |    AS ci_hi
+          |FROM auc, ece, wg, base, st""".stripMargin,
 
       "q_privacy" ->
         """WITH r AS (

@@ -282,6 +282,13 @@ object MSWrite {
     * newest columns over oldest via ROWID-joined coalesce
     * (ref: get_ancestry + consolidate, fragments/__init__.py:17-117).
     * `rowIdOrder` defines ROWID for stores that don't carry one.
+    *
+    * Read cost is LINEAR in chain depth — one sidecar GET plus one
+    * co-partitioned ROWID join per ancestor (measured: ~0.065 s/ancestor
+    * fixed overhead at test scale, flat in data size; SCALE.md r16
+    * `frag_depth`). Compact chains at depth ≈ 8–16 with
+    * [[compactFragments]]: past that the per-read join tax exceeds the
+    * one-off compaction write.
     */
   def readFragment(spark: SparkSession, path: String, rowIdOrder: Seq[String]): DataFrame =
     readFragment(spark, path, rowIdOrder, verifyCounts = false)
