@@ -241,6 +241,32 @@ object SparkEntry {
        |FROM dsum d LEFT JOIN intra i USING (community), mm
        |ORDER BY d.community""".stripMargin
 
+  /** THE shared curation recipe — `q_curation_e2e` certifies it stage
+    * by stage and `q_pretrain_e2e` composes it into the binary sinks;
+    * one definition so the two e2e gates can never tune apart (the
+    * scoredQualityHoldout discipline). Returns (bench, c0, c2, c3, c4,
+    * curated): the held-out benchmark split, the raw corpus, the
+    * quality/langid gate output, exact-dedup output, near-dup output,
+    * and the decontaminated final frame (pinned).
+    */
+  private def curatedCorpus(s: SparkSession, dir: String): (DataFrame,
+      DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val docs = T(s, dir, "documents")
+    val bench = docs.filter(col("doc_id") % 31 === 0)
+      .select(col("doc_id"), col("text"))
+    val c0 = docs.filter(col("doc_id") % 31 =!= 0)
+    val c1 = c0.withColumn("text", TextAnalysis.normalizeText(col("text")))
+    val c2 = c1.filter(TextAnalysis.qualityScore(col("text")) >= 0.2 &&
+      TextAnalysis.langId(col("text")) =!= "und")
+    val c3 = Dedup.exactKeepFirst(c2, "text", "doc_id")
+    val pairs = Dedup.minHashDedup(c3, "text", "doc_id", threshold = 0.7)
+    val c4 = Dedup.keepRepresentatives(c3, pairs, "doc_id",
+      length(col("text")))
+    val curated = pin(Dedup.decontaminateBloomKeep(c4, bench, "text",
+      "doc_id", n = 4, fpp = 1e-6))
+    (bench, c0, c2, c3, c4, curated)
+  }
+
   /** Synthetic scored-response frame for the DPO queries: 10 candidate
     * responses per prompt with a deterministic integer-arithmetic score
     * the oracle replays verbatim. */
@@ -1414,7 +1440,7 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
     // score = label-shifted dyadic rational m/1024, so every per-bin sum
     // is EXACT and the oracle replays the u-statistic and the collapsed
     // ECE bit-for-bit); the streaming-vs-batch parity of the same
-    // computation is pinned in StreamRealSpec via foreachBatch
+    // computation is pinned in EventStreamSpec via foreachBatch
     "q_stream_eval" -> ((s, dir) => {
       val ev = EventStream.loadEvents(s, dir)
       val m = (col("user_id") % 2) * 300 + pmod(col("user_id") * 37 + 11,
@@ -3750,19 +3776,7 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
     // PROVABLY decontaminated (exact n-gram recheck on the output), and
     // the final ordering is a bijection onto [0, n).
     "q_curation_e2e" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      val bench = docs.filter(col("doc_id") % 31 === 0)
-        .select(col("doc_id"), col("text"))
-      val c0 = docs.filter(col("doc_id") % 31 =!= 0)
-      val c1 = c0.withColumn("text", TextAnalysis.normalizeText(col("text")))
-      val c2 = c1.filter(TextAnalysis.qualityScore(col("text")) >= 0.2 &&
-        TextAnalysis.langId(col("text")) =!= "und")
-      val c3 = Dedup.exactKeepFirst(c2, "text", "doc_id")
-      val pairs = Dedup.minHashDedup(c3, "text", "doc_id", threshold = 0.7)
-      val c4 = Dedup.keepRepresentatives(c3, pairs, "doc_id",
-        length(col("text")))
-      val c5 = pin(Dedup.decontaminateBloomKeep(c4, bench, "text", "doc_id",
-        n = 4, fpp = 1e-6))
+      val (bench, c0, c2, c3, c4, c5) = curatedCorpus(s, dir)
       val ordered = pin(Sampling.interleaveStrata(
         c5.select(col("doc_id"), col("source"), col("text")),
         "doc_id", "source"))
@@ -3800,19 +3814,7 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
     // path a real corpus run takes — the committer-bypassing sink code
     // exercised through the whole chain, not per-component.
     "q_pretrain_e2e" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      val bench = docs.filter(col("doc_id") % 31 === 0)
-        .select(col("doc_id"), col("text"))
-      val c0 = docs.filter(col("doc_id") % 31 =!= 0)
-      val c1 = c0.withColumn("text", TextAnalysis.normalizeText(col("text")))
-      val c2 = c1.filter(TextAnalysis.qualityScore(col("text")) >= 0.2 &&
-        TextAnalysis.langId(col("text")) =!= "und")
-      val c3 = Dedup.exactKeepFirst(c2, "text", "doc_id")
-      val pairs = Dedup.minHashDedup(c3, "text", "doc_id", threshold = 0.7)
-      val c4 = Dedup.keepRepresentatives(c3, pairs, "doc_id",
-        length(col("text")))
-      val curated = pin(Dedup.decontaminateBloomKeep(c4, bench, "text",
-        "doc_id", n = 4, fpp = 1e-6))
+      val (_, c0, _, _, _, curated) = curatedCorpus(s, dir)
       // tokenize (structural ids, the q_tokenbin convention) and
       // FFD-pack per source
       val nt = TextAnalysis.tokenCount(col("text"))

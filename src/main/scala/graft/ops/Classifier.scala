@@ -688,20 +688,24 @@ object Classifier {
     */
   def sliceAccuracy(scored: DataFrame, labelCol: String,
                     predCol: String, sliceCol: String): DataFrame = {
-    val nullLabels = scored.filter(col(labelCol).isNull).limit(1).count()
-    require(nullLabels == 0,
-      s"sliceAccuracy: null $labelCol values — a null label is " +
-        "un-scorable ground truth; clean the frame first")
     val eq = (col(labelCol).cast("string") <=> col(predCol).cast("string"))
       .cast("long")
+    // the null-label census rides the SAME single hash aggregate as the
+    // slice counts (a separate hygiene scan would double the corpus
+    // I/O the doc promises not to pay); the refusal reads the tiny
+    // checkpointed per-slice frame
     val per = scored.select(
         coalesce(col(sliceCol).cast("string"), lit("__null__"))
           .as("slice"),
-        eq.as("__c"))
+        eq.as("__c"), col(labelCol).isNull.cast("long").as("__nl"))
       .groupBy("slice").agg(count(lit(1)).as("n"),
-        sum("__c").as("n_correct"))
+        sum("__c").as("n_correct"), sum("__nl").as("__nulls"))
       .localCheckpoint()
     require(per.head(1).nonEmpty, "sliceAccuracy: empty frame")
+    val nullLabels = per.agg(sum("__nulls")).head().getLong(0)
+    require(nullLabels == 0,
+      s"sliceAccuracy: $nullLabels null $labelCol values — a null " +
+        "label is un-scorable ground truth; clean the frame first")
     val overall = per.agg(
       (sum("n_correct").cast("double") / sum("n")).as("__oa"))
     per.crossJoin(broadcast(overall))

@@ -138,9 +138,19 @@ object ZarrWrite {
       }
       consolidated ++= "}}"
       // consolidated metadata: one read opens the store (reference writes
-      // it by default: daskms/experimental/zarr/__init__.py:355-360)
-      writeText(fs, new Path(root, ".zmetadata"), consolidated.toString)
-      if (numChunks == 0) return
+      // it by default: daskms/experimental/zarr/__init__.py:355-360).
+      // Written LAST — after every chunk file — so it doubles as the
+      // store's commit marker (the TokenBin/WebDataset discipline):
+      // zarr's missing-chunk-is-fill-value contract means a crashed
+      // chunk job would otherwise read back SILENTLY as fill values
+      // under an already-present .zmetadata. A torn store now lacks
+      // .zmetadata, so consolidated-metadata opens fail fast. (An
+      // unconsolidated walk still fill-reads a torn store — inherent to
+      // the zarr v2 format itself; zarr-python behaves identically.)
+      if (numChunks == 0) {
+        writeText(fs, new Path(root, ".zmetadata"), consolidated.toString)
+        return
+      }
 
       // chunk-aligned write: key rows by global index, route each to its
       // chunk's task, write one file per (chunk, column)
@@ -199,6 +209,9 @@ object ZarrWrite {
           }
         }
       }
+      // the commit marker (see above): only a store whose every chunk
+      // task completed carries consolidated metadata
+      writeText(fs, new Path(root, ".zmetadata"), consolidated.toString)
     } finally if (!assumeDeterministic) rdd.unpersist(blocking = false)
   }
 

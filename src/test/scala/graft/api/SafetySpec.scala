@@ -435,6 +435,47 @@ class SafetySpec extends SparkSpec {
       .contains("manifest"))
   }
 
+  test("tokenbin: a torn manifest is refused by the totals cross-check") {
+    // same contract as the WebDataset case: the manifest commits by
+    // temp-write + rename, but if a store tears it anyway (copy+delete
+    // rename dying mid-copy), the shard_list entry sums disagree with
+    // the recorded totals and the reader must refuse rather than plan
+    // over a partial shard inventory
+    import graft.sources.TokenBin
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val out = "/root/repo/target/test_tokenbin_torn"
+    fs.delete(new Path(out), true)
+    val df = (0L until 12L).map(i => (i, Seq(1, 2, 3))).toDF("key", "ids")
+    TokenBin.write(df, "key", "ids", out, shards = 3)
+    assert(!fs.exists(new Path(out, "manifest.json.tmp")))
+    val mPath = new Path(out, "manifest.json")
+    val full = {
+      val in = fs.open(mPath)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    // cut inside shard_list: some entries parse, sums fall short
+    val cutAt = full.lastIndexOf("{\"shard\"")
+    assert(cutAt > 0)
+    val o1 = fs.create(mPath, true)
+    try o1.write(full.substring(0, cutAt).getBytes("UTF-8")) finally o1.close()
+    assert(msgs(intercept[Throwable](
+      spark.read.format("tokenbin").load(out).count()))
+      .contains("inconsistent"))
+    // cut before the totals: missing-field refusal
+    val cut2 = full.indexOf("\"total_seqs\"")
+    val o2 = fs.create(mPath, true)
+    try o2.write(full.substring(0, cut2).getBytes("UTF-8")) finally o2.close()
+    assert(msgs(intercept[Throwable](
+      spark.read.format("tokenbin").load(out).count()))
+      .contains("truncated or corrupt"))
+    // re-running the write restores reads
+    TokenBin.write(df, "key", "ids", out, shards = 3)
+    assert(spark.read.format("tokenbin").load(out).count() === 12)
+  }
+
   test("multipart-upload semantics: parts invisible until complete; crashed completes refuse; retries heal") {
     // mpu:// models S3 multipart uploads: bytes stream into staging
     // parts invisible at the target path, close() = the atomic
@@ -503,6 +544,23 @@ class SafetySpec extends SparkSpec {
       TokenBin.write(enc, "doc_id", "ids", s"mpu:$base/tb2", shards = 2)
       assert(spark.read.format("tokenbin").load(s"mpu:$base/tb2")
         .count() === 24)
+
+      // crash a zarr CHUNK upload: the write raises BEFORE .zmetadata
+      // (r16: consolidated metadata is the store's commit marker,
+      // written last) — zarr's missing-chunk-is-fill contract would
+      // otherwise read the torn store back silently as fill values
+      // under an already-present .zmetadata
+      graft.MultipartFs.crashBeforeComplete =
+        p => p.getName == "0" && p.toUri.getPath.contains("/zarr1/")
+      intercept[Throwable](MSWrite.toZarr(
+        (0L until 32L).toDF("k"), s"mpu:$base/zarr1", rowChunk = 8))
+      graft.MultipartFs.crashBeforeComplete = _ => false
+      assert(!mfs.exists(new Path(s"mpu:$base/zarr1/.zmetadata")))
+      // retry heals (overwrite) and the committed store reads whole
+      MSWrite.toZarr((0L until 32L).toDF("k"), s"mpu:$base/zarr1",
+        rowChunk = 8, overwrite = true)
+      assert(mfs.exists(new Path(s"mpu:$base/zarr1/.zmetadata")))
+      assert(MSTable.open(spark, s"mpu:$base/zarr1").count() === 32)
 
       // crash the fragment keyword-sidecar upload: writeFragment raises
       // (the caller KNOWS the fragment is bad), the sidecar never
