@@ -3583,6 +3583,32 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
         "v", "doc_id", replicates = 60, alpha = 0.1)
     }),
 
+    // paired model comparison, leg 1 — McNemar's continuity-corrected
+    // test over two deterministic 3-way predictors of the same label:
+    // everything is exact-integer counts and one closed form
+    "q_mcnemar" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id").cast("long").as("id"))
+      ops.Classifier.mcnemarTest(
+        d.select((col("id") * 7 % 3).cast("string").as("y"),
+          (col("id") * 11 % 3).cast("string").as("a"),
+          (col("id") * 13 % 3).cast("string").as("b")),
+        "y", "a", "b")
+    }),
+
+    // paired model comparison, leg 2 — Poisson-bootstrap CI on the
+    // accuracy DELTA of the same two predictors (paired resample: each
+    // replicate reweights the same rows for both models); the oracle
+    // replays every md5→Poisson draw and the order-statistic CI
+    "q_paired_delta" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id").cast("long").as("id"))
+      ops.Classifier.pairedBootstrapDelta(
+        d.select(col("id"),
+          (col("id") * 7 % 3).cast("string").as("y"),
+          (col("id") * 11 % 3).cast("string").as("a"),
+          (col("id") * 13 % 3).cast("string").as("b")),
+        "y", "a", "b", "id", replicates = 40, alpha = 0.1)
+    }),
+
     // k-anonymity / l-diversity release audit over (doc_id mod 25,
     // source) quasi-identifiers with a 3-way sensitive label
     "q_privacy" -> ((s, dir) => {
@@ -7209,6 +7235,73 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |  round((SELECT m FROM means ORDER BY m LIMIT 1 OFFSET 3), 9)
           |    AS ci_lo,
           |  round((SELECT m FROM means ORDER BY m LIMIT 1 OFFSET 56), 9)
+          |    AS ci_hi
+          |FROM base, st""".stripMargin,
+
+      "q_mcnemar" ->
+        """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+          |s AS (SELECT (id * 7) % 3 AS y, (id * 11) % 3 AS a,
+          |             (id * 13) % 3 AS b FROM d),
+          |agg AS (
+          |  SELECT count(*) AS n,
+          |    sum(CASE WHEN y = a THEN 1 ELSE 0 END) AS ca,
+          |    sum(CASE WHEN y = b THEN 1 ELSE 0 END) AS cb,
+          |    sum(CASE WHEN y = a AND y <> b THEN 1 ELSE 0 END) AS bb,
+          |    sum(CASE WHEN y <> a AND y = b THEN 1 ELSE 0 END) AS cc
+          |  FROM s)
+          |SELECT CAST(n AS BIGINT) AS n,
+          |  round(ca * 1.0 / n, 9) AS acc_a,
+          |  round(cb * 1.0 / n, 9) AS acc_b,
+          |  CAST(bb AS BIGINT) AS b_discordant,
+          |  CAST(cc AS BIGINT) AS c_discordant,
+          |  round(CASE WHEN bb + cc = 0 THEN 0.0
+          |    ELSE (abs(bb - cc) - 1.0) * (abs(bb - cc) - 1.0) / (bb + cc)
+          |    END, 9) AS statistic
+          |FROM agg""".stripMargin,
+
+      "q_paired_delta" ->
+        """WITH dd AS (
+          |  SELECT CAST(doc_id AS BIGINT) AS id,
+          |    CAST(CASE WHEN (CAST(doc_id AS BIGINT) * 7) % 3 =
+          |        (CAST(doc_id AS BIGINT) * 11) % 3 THEN 1 ELSE 0 END
+          |      - CASE WHEN (CAST(doc_id AS BIGINT) * 7) % 3 =
+          |        (CAST(doc_id AS BIGINT) * 13) % 3 THEN 1 ELSE 0 END
+          |      AS DOUBLE) AS v
+          |  FROM documents),
+          |u AS (
+          |  SELECT id, v, b,
+          |    ('0x' || substr(md5(CAST(id AS VARCHAR) || '|bs' || b),
+          |      1, 8))::BIGINT / 4294967296.0 AS u
+          |  FROM dd, range(40) r(b)),
+          |w AS (
+          |  SELECT v, b,
+          |    CASE WHEN u < 0.367879441171 THEN 0
+          |         WHEN u < 0.735758882343 THEN 1
+          |         WHEN u < 0.919698602929 THEN 2
+          |         WHEN u < 0.980988177458 THEN 3
+          |         WHEN u < 0.996310663590 THEN 4
+          |         WHEN u < 0.999405960861 THEN 5
+          |         WHEN u < 0.999921843700 THEN 6
+          |         WHEN u < 0.999995541392 THEN 7
+          |         ELSE 8 END AS wt
+          |  FROM u),
+          |rep AS (
+          |  SELECT b, sum(wt * v) AS sx, sum(wt) AS sw FROM w GROUP BY 1),
+          |base AS (SELECT count(*) AS n, sum(v) AS sx FROM dd),
+          |means AS (
+          |  SELECT CASE WHEN sw > 0 THEN sx / sw
+          |              ELSE (SELECT sx / n FROM base) END AS m
+          |  FROM rep),
+          |st AS (
+          |  SELECT count(*) AS nb, sum(m) AS sm, sum(m * m) AS smm
+          |  FROM means)
+          |SELECT CAST(base.n AS BIGINT) AS n,
+          |  round(base.sx / base.n, 9) AS mean,
+          |  round(sqrt(greatest((st.smm - st.sm * st.sm / st.nb)
+          |    / (st.nb - 1), 0.0)), 9) AS se,
+          |  round((SELECT m FROM means ORDER BY m LIMIT 1 OFFSET 2), 9)
+          |    AS ci_lo,
+          |  round((SELECT m FROM means ORDER BY m LIMIT 1 OFFSET 37), 9)
           |    AS ci_hi
           |FROM base, st""".stripMargin,
 

@@ -1078,4 +1078,81 @@ object Classifier {
         round(col("ece"), 9).as("gap"))
     binsOut.unionByName(summary)
   }
+
+  /** McNemar's test (McNemar 1947, the Edwards continuity-corrected
+    * form) for PAIRED classifier comparison — the A/B question every
+    * eval run ends with ("is model B actually better than model A on
+    * this holdout, or is the accuracy delta discordant-pair noise?"):
+    * over rows scored by BOTH models, b = A-correct/B-wrong and
+    * c = A-wrong/B-correct discordant counts give
+    * χ² = (|b − c| − 1)² / (b + c) on 1 df (concordant pairs carry no
+    * information — that is the test's point vs comparing raw
+    * accuracies). b + c = 0 (models never disagree) reports 0.
+    * Correctness is null-safe string equality (a null prediction
+    * against a non-null label scores wrong — the [[sliceAccuracy]]
+    * convention); null LABELS refuse. One row: (n, acc_a, acc_b,
+    * b_discordant, c_discordant, statistic) — all exact-integer
+    * ratios/counts, statistic one closed form of them, doubles
+    * rounded at 9.
+    *
+    * Scale shape: ONE scalar hash aggregate over the corpus (the
+    * null-label census rides it); no join, no window.
+    */
+  def mcnemarTest(scored: DataFrame, labelCol: String,
+                  predACol: String, predBCol: String): DataFrame = {
+    val okA = (col(labelCol).cast("string") <=> col(predACol).cast("string"))
+    val okB = (col(labelCol).cast("string") <=> col(predBCol).cast("string"))
+    val row = scored.agg(
+      count(lit(1)).as("n"),
+      sum(col(labelCol).isNull.cast("long")).as("nulls"),
+      sum(okA.cast("long")).as("ca"),
+      sum(okB.cast("long")).as("cb"),
+      sum((okA && !okB).cast("long")).as("b"),
+      sum((!okA && okB).cast("long")).as("c")).head()
+    require(!row.isNullAt(0) && row.getLong(0) > 0,
+      "mcnemarTest: empty frame")
+    require(row.getLong(1) == 0,
+      s"mcnemarTest: ${row.getLong(1)} null $labelCol values — a null " +
+        "label is un-scorable ground truth; clean the frame first")
+    val (n, ca, cb, b, c) = (row.getLong(0), row.getLong(2),
+      row.getLong(3), row.getLong(4), row.getLong(5))
+    val stat = if (b + c == 0) 0.0
+      else { val d = math.abs(b - c) - 1.0; d * d / (b + c) }
+    val spark = scored.sparkSession
+    import spark.implicits._
+    Seq((n, Num.round9(ca.toDouble / n), Num.round9(cb.toDouble / n),
+      b, c, Num.round9(stat)))
+      .toDF("n", "acc_a", "acc_b", "b_discordant", "c_discordant",
+        "statistic")
+  }
+
+  /** Paired-bootstrap confidence interval on the ACCURACY DELTA of two
+    * models over the same holdout — [[mcnemarTest]] answers "is the
+    * difference real", this answers "how big is it": per row
+    * x = 1{A correct} − 1{B correct} ∈ {−1, 0, 1}, and the
+    * [[bootstrapMeanCI]] machinery (one aggregate pass, B Poisson(1)
+    * generated-column reweightings, SQL-replayable md5 draws,
+    * percentile CI) runs on x. PAIRED by construction: each replicate
+    * reweights the same rows for both models, so shared-row noise
+    * cancels — the correct resampling for comparing models on one
+    * holdout. A CI excluding 0 = the delta survives resampling.
+    * Output = bootstrapMeanCI's row: (n, mean, se, ci_lo, ci_hi)
+    * where mean = acc_a − acc_b exactly. Same hygiene (null labels
+    * refuse via the delta's null-safety + bootstrapMeanCI's id
+    * checks; null predictions score wrong).
+    */
+  def pairedBootstrapDelta(scored: DataFrame, labelCol: String,
+                           predACol: String, predBCol: String,
+                           idCol: String, replicates: Int = 200,
+                           alpha: Double = 0.05): DataFrame = {
+    val nullLabels = scored.filter(col(labelCol).isNull).limit(1).count()
+    require(nullLabels == 0,
+      s"pairedBootstrapDelta: null $labelCol values — clean the frame")
+    val okA = (col(labelCol).cast("string") <=> col(predACol).cast("string"))
+    val okB = (col(labelCol).cast("string") <=> col(predBCol).cast("string"))
+    bootstrapMeanCI(
+      scored.select(col(idCol),
+        (okA.cast("int") - okB.cast("int")).cast("double").as("__delta")),
+      "__delta", idCol, replicates, alpha)
+  }
 }

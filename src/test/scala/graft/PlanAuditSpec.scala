@@ -733,6 +733,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(opCount(p, "Exchange") <= 1, p)
   }
 
+  test("windowedEval: one scan, window-PARTITIONED prefix sum — never a global window") {
+    // the streaming quality monitor's scale claim: the AUC prefix sum
+    // runs over the tiny (window, bin) aggregate PARTITIONED BY window —
+    // an unpartitioned Window here would serialize every window's bins
+    // into one task at corpus scale
+    val ev = graft.streaming.EventStream.loadEvents(spark, sf())
+    val scored = ev.select(col("ts"),
+      (pmod(col("user_id") * 37 + 11, lit(700)).cast("double") / 1024.0)
+        .as("score"),
+      (col("user_id") % 2).cast("double").as("label"))
+    val df = graft.streaming.EventStream.windowedEval(
+      scored, "score", "label", "1 hour", bins = 8)
+    val p = plan(df)
+    // exactly one corpus scan feeds the whole monitor
+    assert(opCount(p, "Scan parquet") + p.linesIterator
+      .count(_.trim.matches("""\(\d+\) BatchScan.*""")) <= 1, p)
+    // the Window operator exists and its windowspecdefinition carries
+    // the w partition key BEFORE the bin sort key — the unpartitioned
+    // form would read windowspecdefinition(bin ASC ...) with no key
+    assert(p.contains("Window"), p)
+    assert("windowspecdefinition\\(w#".r.findFirstIn(p).isDefined, p)
+    assert(mcnemarPlanSingleAgg(), "mcnemar: one aggregate pass")
+  }
+
+  /** McNemar rides ONE scalar hash aggregate — no join, no window. */
+  private def mcnemarPlanSingleAgg(): Boolean = {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(((col("doc_id") * 7) % 3).cast("string").as("y"),
+        ((col("doc_id") * 11) % 3).cast("string").as("a"),
+        ((col("doc_id") * 13) % 3).cast("string").as("b"))
+    val agg = docs.agg(count(lit(1)), sum((col("y") <=> col("a"))
+      .cast("long")), sum((col("y") <=> col("b")).cast("long")))
+    val p = plan(agg)
+    !p.contains("Join") && !p.contains("Window")
+  }
+
   test("cohen kappa: contingency agg + bounded marginal join, no corpus re-scan") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
       .select(((col("doc_id") * 3) % 4).cast("string").as("ra"),

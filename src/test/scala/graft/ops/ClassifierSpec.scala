@@ -569,6 +569,67 @@ class ClassifierSpec extends SparkSpec {
       df.filter(lit(false)), "label", "pred", "slice"))
   }
 
+  test("mcnemarTest: hand-computed discordants, agreement degenerate, refusals") {
+    import spark.implicits._
+    // 10 rows: A correct on 1-6 (6), B correct on 5-10 (6);
+    // b = A-only = rows 1-4 (4), c = B-only = rows 7-10 (4)
+    val df = (1 to 10).map { i =>
+      ("y", if (i <= 6) "y" else "n", if (i >= 5) "y" else "n")
+    }.toDF("label", "pa", "pb")
+    val r = Classifier.mcnemarTest(df, "label", "pa", "pb").head()
+    assert(r.getLong(0) === 10L)
+    assert(r.getDouble(1) === 0.6 && r.getDouble(2) === 0.6)
+    assert(r.getLong(3) === 4L && r.getLong(4) === 4L)
+    // |4-4|-1 = -1, squared = 1, / 8
+    assert(r.getDouble(5) === 0.125)
+    // A correct on all 6, B only on row 1: b=5, c=0 ->
+    // (|5-0|-1)^2/5 = 16/5 = 3.2
+    val skew = (1 to 6).map(i => ("y", "y", if (i == 1) "y" else "n"))
+      .toDF("label", "pa", "pb")
+    assert(Classifier.mcnemarTest(skew, "label", "pa", "pb")
+      .head().getDouble(5) === 3.2)
+    // identical models never disagree: statistic 0 by convention
+    val same = Seq(("y", "y", "y"), ("y", "n", "n")).toDF("label", "pa", "pb")
+    assert(Classifier.mcnemarTest(same, "label", "pa", "pb")
+      .head().getDouble(5) === 0.0)
+    // null pred scores wrong (null-safe equality); null label refuses
+    val np = Classifier.mcnemarTest(
+      Seq(("y", null.asInstanceOf[String], "y")).toDF("label", "pa", "pb"),
+      "label", "pa", "pb").head()
+    assert(np.getLong(4) === 1L && np.getLong(3) === 0L)
+    intercept[IllegalArgumentException](Classifier.mcnemarTest(
+      Seq((null.asInstanceOf[String], "y", "y")).toDF("label", "pa", "pb"),
+      "label", "pa", "pb"))
+    intercept[IllegalArgumentException](Classifier.mcnemarTest(
+      df.filter(lit(false)), "label", "pa", "pb"))
+  }
+
+  test("pairedBootstrapDelta: mean is the exact accuracy delta; pairing cancels shared noise") {
+    import spark.implicits._
+    // A correct on 60 of 100, B on 40 of 100 -> delta mean 0.2 exactly
+    val df = (1 to 100).map { i =>
+      (i.toLong, "y", if (i <= 60) "y" else "n", if (i <= 40) "y" else "n")
+    }.toDF("id", "label", "pa", "pb")
+    val r = Classifier.pairedBootstrapDelta(df, "label", "pa", "pb", "id",
+      replicates = 50, alpha = 0.1).head()
+    assert(r.getLong(0) === 100L)
+    assert(r.getDouble(1) === 0.2)
+    assert(r.getDouble(3) <= 0.2 && 0.2 <= r.getDouble(4))
+    // identical models: delta exactly 0 in EVERY replicate (the pairing
+    // guarantee — per-row noise cancels), so se = 0 and CI = [0, 0]
+    val same = (1 to 50).map(i => (i.toLong, "y", "y", "y"))
+      .toDF("id", "label", "pa", "pb")
+    val s = Classifier.pairedBootstrapDelta(same, "label", "pa", "pb", "id",
+      replicates = 40, alpha = 0.1).head()
+    assert(s.getDouble(1) === 0.0 && s.getDouble(2) === 0.0 &&
+      s.getDouble(3) === 0.0 && s.getDouble(4) === 0.0)
+    // null label refuses
+    intercept[IllegalArgumentException](Classifier.pairedBootstrapDelta(
+      Seq((1L, null.asInstanceOf[String], "y", "y"))
+        .toDF("id", "label", "pa", "pb"),
+      "label", "pa", "pb", "id"))
+  }
+
   test("bootstrapMeanCI: determinism, coverage, constant degenerate, refusals") {
     import spark.implicits._
     val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
