@@ -1459,6 +1459,21 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
         .orderBy("window_start")
     }),
 
+    // model-score population drift (PSI) per hour vs the previous hour
+    // — the numeric sibling of q_drift's categorical JS: dyadic scores
+    // make the bin shares exact count ratios the oracle replays
+    "q_score_drift" -> ((s, dir) => {
+      val ev = EventStream.loadEvents(s, dir)
+      val scored = ev.select(col("ts"),
+        (pmod(col("user_id") * 37 + 11, lit(700)).cast("double") / 1024.0)
+          .as("score"))
+      EventStream.scoreDrift(scored, "score", "1 hour", bins = 8)
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("n_events"), col("psi"), col("one_sided_bins"))
+        .orderBy("window_start")
+    }),
+
     // robust per-type outlier census on event values: median/MAD rule
     // at k=2 with exact interpolated percentiles (the oracle-pinnable
     // form; approx_percentile is the documented 100 TB default)
@@ -3581,6 +3596,17 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
       ops.Classifier.bootstrapMeanCI(
         d.select(col("doc_id"), col("n_chars").cast("double").as("v")),
         "v", "doc_id", replicates = 60, alpha = 0.1)
+    }),
+
+    // interval-metric Krippendorff alpha over synthetic 1..5 ratings
+    // (item = doc_id mod 40): squared-distance disagreement from pure
+    // per-item power sums — exact integer sums, one closed form
+    "q_alpha_interval" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id").cast("long").as("id"))
+      ops.Classifier.krippendorffAlphaInterval(
+        d.select((col("id") % 40).as("item"),
+          ((col("id") * 7) % 5 + 1).cast("double").as("x")),
+        "item", "x")
     }),
 
     // paired model comparison, leg 1 — McNemar's continuity-corrected
@@ -7237,6 +7263,59 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |  round((SELECT m FROM means ORDER BY m LIMIT 1 OFFSET 56), 9)
           |    AS ci_hi
           |FROM base, st""".stripMargin,
+
+      "q_alpha_interval" ->
+        """WITH r AS (
+          |  SELECT CAST(doc_id AS BIGINT) % 40 AS item,
+          |    CAST((CAST(doc_id AS BIGINT) * 7) % 5 + 1 AS DOUBLE) AS x
+          |  FROM documents),
+          |pi AS (
+          |  SELECT item, count(*) AS m, sum(x) AS sx, sum(x * x) AS sxx
+          |  FROM r GROUP BY 1),
+          |us AS (SELECT * FROM pi WHERE m >= 2),
+          |agg AS (
+          |  SELECT count(*) AS n_items, sum(m) AS nr,
+          |    sum(2.0 * (m * sxx - sx * sx) / (m - 1)) AS do_num,
+          |    sum(sx) AS tx, sum(sxx) AS txx
+          |  FROM us)
+          |SELECT CAST(n_items AS BIGINT) AS n_items,
+          |  CAST(nr AS BIGINT) AS n_ratings,
+          |  round(do_num / nr, 9) AS d_o,
+          |  round(2.0 * (nr * txx - tx * tx) / (nr * (nr - 1.0)), 9)
+          |    AS d_e,
+          |  round(CASE WHEN 2.0 * (nr * txx - tx * tx)
+          |      / (nr * (nr - 1.0)) <= 0 THEN 1.0
+          |    ELSE 1.0 - (do_num / nr) / (2.0 * (nr * txx - tx * tx)
+          |      / (nr * (nr - 1.0))) END, 9) AS alpha
+          |FROM agg""".stripMargin,
+
+      "q_score_drift" ->
+        """WITH sc AS (
+          |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w,
+          |    LEAST(CAST(FLOOR((user_id * 37 + 11) % 700 / 1024.0 * 8)
+          |      AS INT), 7) AS bin
+          |  FROM events),
+          |c AS (SELECT w, bin, CAST(count(*) AS DOUBLE) AS c
+          |      FROM sc GROUP BY 1, 2),
+          |tot AS (SELECT w, sum(c) AS n FROM c GROUP BY 1),
+          |p AS (SELECT c.w, c.bin, c.c / tot.n AS p, tot.n AS n
+          |      FROM c JOIN tot USING (w)),
+          |cur AS (SELECT w AS k, bin, p AS pc, n AS nc FROM p),
+          |prv AS (SELECT w + INTERVAL 1 HOUR AS k, bin, p AS pp FROM p),
+          |ks AS (SELECT DISTINCT cur.k FROM cur
+          |       JOIN (SELECT DISTINCT k FROM prv) q ON q.k = cur.k),
+          |j AS (
+          |  SELECT coalesce(cur.k, prv.k) AS k, cur.pc, cur.nc, prv.pp
+          |  FROM cur FULL OUTER JOIN prv
+          |    ON cur.k = prv.k AND cur.bin = prv.bin)
+          |SELECT strftime(k, '%Y-%m-%d %H:%M:%S') AS window_start,
+          |  CAST(max(nc) AS BIGINT) AS n_events,
+          |  round(sum(CASE WHEN pc IS NOT NULL AND pp IS NOT NULL
+          |    THEN (pc - pp) * ln(pc / pp) ELSE 0 END), 9) AS psi,
+          |  CAST(sum(CASE WHEN pc IS NULL OR pp IS NULL THEN 1 ELSE 0
+          |    END) AS BIGINT) AS one_sided_bins
+          |FROM j JOIN ks USING (k) GROUP BY k
+          |ORDER BY window_start""".stripMargin,
 
       "q_mcnemar" ->
         """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),

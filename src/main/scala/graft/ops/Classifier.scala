@@ -426,6 +426,61 @@ object Classifier {
           .otherwise(lit(1.0) - col("d_o") / col("d_e")), 9).as("alpha"))
   }
 
+  /** Krippendorff's alpha, INTERVAL metric (Krippendorff 2004 §11) —
+    * the [[krippendorffAlpha]] for numeric/ordinal rating scales
+    * (Likert quality scores, 1–5 helpfulness grades), where
+    * disagreement is squared distance, not mere inequality: rating an
+    * item 4 vs 5 disagrees less than 1 vs 5. Per item,
+    * Σ_{ordered pairs u≠v} (x_u − x_v)² = 2·(m·Σx² − (Σx)²) folds the
+    * pairwise sum into per-item power sums, so
+    * D_o = Σ_i 2·(m_i·Σx²_i − (Σx_i)²)/(m_i − 1) / n and
+    * D_e = 2·(n·ΣX² − (ΣX)²)/(n·(n − 1)) over the pooled usable
+    * ratings — the identical aggregate SHAPE as the nominal form
+    * (items with < 2 ratings excluded; all-singleton refuses; D_e = 0
+    * — all ratings identical — reports 1.0). Null or NaN ratings
+    * refuse (a missing numeric rating has no distance; drop the row
+    * to mark it missing — the nominal form is the one that treats
+    * null as a category). One row: (n_items, n_ratings, d_o, d_e,
+    * alpha), doubles rounded at 9.
+    *
+    * Scale shape: ONE (item) hash aggregate of power sums + one scalar
+    * reduce — no label-cardinality term at all, so it beats the
+    * nominal form's contingency build on high-cardinality scales.
+    */
+  def krippendorffAlphaInterval(ratings: DataFrame, itemCol: String,
+                                valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val perItem = ratings.select(col(itemCol).as("item"), x.as("x"),
+        (x.isNull || isnan(x)).cast("long").as("bad"))
+      .groupBy("item").agg(count(lit(1)).as("m"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"), sum("bad").as("nbad"))
+      .localCheckpoint()
+    val empty = perItem.head(1).isEmpty
+    require(!empty, "krippendorffAlphaInterval: empty frame")
+    val badRow = perItem.agg(sum("nbad")).head()
+    require(badRow.getLong(0) == 0,
+      s"krippendorffAlphaInterval: ${badRow.getLong(0)} null/NaN " +
+        s"$valueCol ratings — a missing numeric rating has no " +
+        "distance; drop those rows (or use the nominal form)")
+    val usable = perItem.filter(col("m") >= 2)
+    val row = usable.agg(count(lit(1)).as("n_items"), sum("m").as("nr"),
+      sum(lit(2.0) * (col("m") * col("sxx") - col("sx") * col("sx"))
+        / (col("m") - lit(1)).cast("double")).as("do_num"),
+      sum("sx").as("tx"), sum("sxx").as("txx")).head()
+    require(!row.isNullAt(0) && row.getLong(0) > 0,
+      "krippendorffAlphaInterval: no item has >= 2 ratings — " +
+        "agreement is undefined on an all-singleton panel")
+    val (nItems, nr) = (row.getLong(0), row.getLong(1))
+    val dO = row.getDouble(2) / nr
+    val dE = 2.0 * (nr * row.getDouble(4) - row.getDouble(3) *
+      row.getDouble(3)) / (nr.toDouble * (nr - 1.0))
+    val alpha = if (dE <= 0.0) 1.0 else 1.0 - dO / dE
+    val spark = ratings.sparkSession
+    import spark.implicits._
+    Seq((nItems, nr, Num.round9(dO), Num.round9(dE), Num.round9(alpha)))
+      .toDF("n_items", "n_ratings", "d_o", "d_e", "alpha")
+  }
+
   /** ROC AUC via the Mann–Whitney U identity (Hanley & McNeil 1982):
     * AUC = P(score⁺ > score⁻) + ½·P(tie), computed tie-exactly from
     * per-score aggregates — Σ_s n⁺(s)·(cumn⁻(<s) + n⁻(s)/2) over

@@ -152,6 +152,58 @@ object EventStream {
           (sum("np") + sum("nn")), 9).as("ece"))
   }
 
+  /** Window-to-window SCORE drift — the population stability index
+    * (PSI, the standard production monitor for model-score
+    * distributions; Siddiqi 2006): for each tumbling window with an
+    * immediate predecessor, PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) over
+    * `bins` fixed-width score buckets, p = this window's bin shares,
+    * q = the previous window's. The numeric sibling of [[typeDrift]]
+    * (same completed-window join shape): typeDrift watches the
+    * categorical event mix, this watches the MODEL's score
+    * distribution — the "did the input population shift under my
+    * classifier" alarm ([[windowedEval]] answers "did quality drop";
+    * PSI fires even when labels aren't available yet). Bins present
+    * on only ONE side are excluded from the sum (PSI is undefined at
+    * zero mass; the common ε-smoothing trades determinism for an
+    * arbitrary constant) and REPORTED per window as `one_sided_bins`
+    * — a nonzero count is itself a drift signal (mass appeared or
+    * vanished). Rule of thumb: PSI < 0.1 stable, 0.1–0.25 moderate,
+    * > 0.25 investigate. One row per window with a predecessor:
+    * (window_start, n_events, psi, one_sided_bins), psi rounded at 9.
+    *
+    * Scale shape: one (window, bin) hash aggregate, one window-total
+    * join, one (window, bin)-keyed full-outer self-join keyed by
+    * previous-end = this-start, one per-window reduce — bins·windows
+    * tiny rows past the first aggregate (the [[typeDrift]] plan).
+    */
+  def scoreDrift(scored: DataFrame, scoreCol: String,
+                 width: String = "1 hour", bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"scoreDrift: bins must be >= 2: $bins")
+    val s = col(scoreCol).cast("double")
+    val b = least(floor(s * bins), lit(bins - 1)).cast("int")
+    val counts = scored
+      .groupBy(window(col("ts"), width).as("w"), b.as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val tot = counts.groupBy("w").agg(sum("c").as("n"))
+    val p = counts.join(tot, "w").select(col("w"), col("bin"),
+      (col("c").cast("double") / col("n")).as("p"), col("n"))
+    val cur = p.select(col("w.start").as("k"), col("bin"),
+      col("p").as("__pc"), col("n").as("__nc"))
+    val prv = p.select(col("w.end").as("k"), col("bin"),
+      col("p").as("__pp"))
+    val ks = cur.select("k").distinct()
+      .join(prv.select("k").distinct(), "k")
+    cur.join(prv, Seq("k", "bin"), "full_outer")
+      .join(ks, "k")
+      .groupBy(col("k").as("window_start"))
+      .agg(max("__nc").cast("long").as("n_events"),
+        round(sum(when(col("__pc").isNotNull && col("__pp").isNotNull,
+          (col("__pc") - col("__pp")) * log(col("__pc") / col("__pp")))
+          .otherwise(0.0)), 9).as("psi"),
+        sum(when(col("__pc").isNull || col("__pp").isNull, 1L)
+          .otherwise(0L)).as("one_sided_bins"))
+  }
+
   /** Sliding-window per-user activity. */
   def sliding(events: DataFrame, width: String = "1 hour",
               slide: String = "30 minutes"): DataFrame =

@@ -569,6 +569,36 @@ class ClassifierSpec extends SparkSpec {
       df.filter(lit(false)), "label", "pred", "slice"))
   }
 
+  test("krippendorffAlphaInterval: hand-computed alpha, degenerates, refusals") {
+    import spark.implicits._
+    // items A:{1,2} B:{3,3} C:{5} — C is a singleton and drops out.
+    // d_o: A = 2(2*5-9)/1 = 2, B = 2(2*18-36)/1 = 0 -> 2/4 = 0.5
+    // d_e over pooled {1,2,3,3}: 2(4*23-81)/(4*3) = 11/6
+    // alpha = 1 - 0.5/(11/6) = 8/11
+    val df = Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 3.0),
+      ("C", 5.0)).toDF("item", "x")
+    val r = Classifier.krippendorffAlphaInterval(df, "item", "x").head()
+    assert(r.getLong(0) === 2L && r.getLong(1) === 4L)
+    assert(r.getDouble(2) === 0.5)
+    assert(math.abs(r.getDouble(3) - 11.0 / 6) < 1e-9)
+    assert(math.abs(r.getDouble(4) - 8.0 / 11) < 1e-9)
+    // all ratings identical: d_e = 0 degenerate reports 1.0
+    val const = Seq(("A", 3.0), ("A", 3.0), ("B", 3.0), ("B", 3.0))
+      .toDF("item", "x")
+    assert(Classifier.krippendorffAlphaInterval(const, "item", "x")
+      .head().getDouble(4) === 1.0)
+    // refusals: NaN rating, all-singleton panel, empty frame
+    intercept[IllegalArgumentException](
+      Classifier.krippendorffAlphaInterval(
+        Seq(("A", Double.NaN), ("A", 1.0)).toDF("item", "x"), "item", "x"))
+    intercept[IllegalArgumentException](
+      Classifier.krippendorffAlphaInterval(
+        Seq(("A", 1.0), ("B", 2.0)).toDF("item", "x"), "item", "x"))
+    intercept[IllegalArgumentException](
+      Classifier.krippendorffAlphaInterval(
+        df.filter(lit(false)), "item", "x"))
+  }
+
   test("mcnemarTest: hand-computed discordants, agreement degenerate, refusals") {
     import spark.implicits._
     // 10 rows: A correct on 1-6 (6), B correct on 5-10 (6);

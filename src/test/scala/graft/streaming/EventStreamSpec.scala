@@ -364,6 +364,38 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("scoreDrift: hand-computed PSI, one-sided bin census, identity zero") {
+    import spark.implicits._
+    // three consecutive hours, bins = 4 (bin 0: s=.1, bin 1: s=.3,
+    // bin 2: s=.6):
+    //   h0: {b0: 2, b1: 2}   h1: {b0: 3, b1: 1}   h2: {b0: 2, b2: 2}
+    def at(hour: Int, s: Double, n: Int) =
+      Seq.fill(n)((hour * 3600L, s))
+    val rows = at(0, 0.1, 2) ++ at(0, 0.3, 2) ++
+      at(1, 0.1, 3) ++ at(1, 0.3, 1) ++
+      at(2, 0.1, 2) ++ at(2, 0.6, 2)
+    val df = rows.toDF("sec", "score")
+      .select(expr("timestamp_seconds(sec)").as("ts"), col("score"))
+    val got = EventStream.scoreDrift(df, "score", "1 hour", bins = 4)
+      .orderBy("window_start").collect()
+    assert(got.length === 2) // h0 has no predecessor
+    // h1 vs h0: (.75-.5)ln(1.5) + (.25-.5)ln(.5) = 0.274653072
+    assert(got(0).getLong(1) === 4L)
+    assert(math.abs(got(0).getDouble(2) - 0.274653072) < 1e-9)
+    assert(got(0).getLong(3) === 0L)
+    // h2 vs h1: shared bin 0 only -> (.5-.75)ln(2/3) = 0.101366277;
+    // bin 1 vanished + bin 2 appeared -> 2 one-sided bins
+    assert(math.abs(got(1).getDouble(2) - 0.101366277) < 1e-9)
+    assert(got(1).getLong(3) === 2L)
+    // identical consecutive distributions drift 0 with no one-sided mass
+    val same = (at(0, 0.1, 2) ++ at(0, 0.3, 2) ++
+      at(1, 0.1, 2) ++ at(1, 0.3, 2)).toDF("sec", "score")
+      .select(expr("timestamp_seconds(sec)").as("ts"), col("score"))
+    val s0 = EventStream.scoreDrift(same, "score", "1 hour", bins = 4)
+      .head()
+    assert(s0.getDouble(2) === 0.0 && s0.getLong(3) === 0L)
+  }
+
   test("windowed eval monitor runs via foreachBatch (stream equals batch)") {
     // streaming parity for the EVALUATION leg: the per-window binned
     // AUC + ECE monitor is a (window, bin) hash aggregate, so running
