@@ -282,39 +282,9 @@ object ScalingProbe {
       graft.ops.Dedup.ngramJaccardPairs(spark.read.parquet(p), "text",
         "doc_id", Nil, n = 3, threshold = 0.6).count()
     }
-    // fragment-chain read cost vs depth (not vs mult): readFragment folds
-    // one ROWID overlay join per ancestor, so read time should grow
-    // ~linearly in depth — this measures the per-ancestor cost that sets
-    // the recommended compaction cadence (README ADR: compact by depth ~8)
-    if (only.isEmpty || only.exists("fragment_depth".contains)) {
-      import graft.api.{MSTable, MSWrite}
-      val liKey = Seq("l_orderkey", "l_linenumber")
-      val base = MSTable.withRowId(
-        spark.read.parquet(s"$src/lineitem.parquet"), liKey)
-      val fdir = "/root/repo/target/probe_frag"
-      MSWrite.create(base, s"$fdir/d0")
-      var parent = s"$fdir/d0"
-      val depths = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
-      for (i <- 1 to 8) {
-        val child = s"$fdir/d$i"
-        val delta = base.filter(col("l_linenumber") === (i % 7) + 1)
-          .select(col(MSTable.RowId), (col("l_quantity") + i).as("l_quantity"))
-        MSWrite.writeFragment(delta, child, parent)
-        parent = child
-        if (i == 1 || i == 4 || i == 8) {
-          def once(): Double = {
-            val t0 = System.nanoTime()
-            MSWrite.readFragment(spark, child, liKey)
-              .agg(sum("l_quantity")).collect()
-            (System.nanoTime() - t0) / 1e9
-          }
-          once() // warm
-          depths += ((i, math.min(once(), once())))
-        }
-      }
-      println(depths.map { case (d, t) => f"d$d=$t%.2f s" }
-        .mkString("SCALE fragment_depth ", " ", ""))
-    }
+    // (the r13 lineitem fragment_depth probe was superseded in r16 by
+    // the deeper 1x/Nx frag_depth probe at the end of this main — one
+    // measured basis for the compaction cadence, not two)
 
     time("ann_ivfpq_index") { d =>
       val emb = spark.read.parquet(s"$d/embeddings.parquet")

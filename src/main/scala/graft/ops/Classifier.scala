@@ -1153,17 +1153,26 @@ object Classifier {
     * Scale shape: ONE scalar hash aggregate over the corpus (the
     * null-label census rides it); no join, no window.
     */
-  def mcnemarTest(scored: DataFrame, labelCol: String,
-                  predACol: String, predBCol: String): DataFrame = {
+  /** The ONE aggregate behind [[mcnemarTest]] — n, null-label census,
+    * per-model correct counts, both discordant counts — exposed so the
+    * plan audit pins the one-pass/no-join claim on the real aggregate,
+    * not a replica (the [[bootstrapAggregate]] convention). */
+  private[graft] def mcnemarAggregate(scored: DataFrame, labelCol: String,
+      predACol: String, predBCol: String): DataFrame = {
     val okA = (col(labelCol).cast("string") <=> col(predACol).cast("string"))
     val okB = (col(labelCol).cast("string") <=> col(predBCol).cast("string"))
-    val row = scored.agg(
+    scored.agg(
       count(lit(1)).as("n"),
       sum(col(labelCol).isNull.cast("long")).as("nulls"),
       sum(okA.cast("long")).as("ca"),
       sum(okB.cast("long")).as("cb"),
       sum((okA && !okB).cast("long")).as("b"),
-      sum((!okA && okB).cast("long")).as("c")).head()
+      sum((!okA && okB).cast("long")).as("c"))
+  }
+
+  def mcnemarTest(scored: DataFrame, labelCol: String,
+                  predACol: String, predBCol: String): DataFrame = {
+    val row = mcnemarAggregate(scored, labelCol, predACol, predBCol).head()
     require(!row.isNullAt(0) && row.getLong(0) > 0,
       "mcnemarTest: empty frame")
     require(row.getLong(1) == 0,
@@ -1192,22 +1201,22 @@ object Classifier {
     * cancels — the correct resampling for comparing models on one
     * holdout. A CI excluding 0 = the delta survives resampling.
     * Output = bootstrapMeanCI's row: (n, mean, se, ci_lo, ci_hi)
-    * where mean = acc_a − acc_b exactly. Same hygiene (null labels
-    * refuse via the delta's null-safety + bootstrapMeanCI's id
-    * checks; null predictions score wrong).
+    * where mean = acc_a − acc_b exactly. Null-label hygiene without an
+    * extra corpus pass: a null label maps its delta to NULL here (the
+    * null-safe `<=>` alone would score null-vs-null as agreement), so
+    * [[bootstrapMeanCI]]'s EXISTING null-value scan — a pass it makes
+    * regardless — is the refusal; null predictions against non-null
+    * labels score wrong.
     */
   def pairedBootstrapDelta(scored: DataFrame, labelCol: String,
                            predACol: String, predBCol: String,
                            idCol: String, replicates: Int = 200,
                            alpha: Double = 0.05): DataFrame = {
-    val nullLabels = scored.filter(col(labelCol).isNull).limit(1).count()
-    require(nullLabels == 0,
-      s"pairedBootstrapDelta: null $labelCol values — clean the frame")
     val okA = (col(labelCol).cast("string") <=> col(predACol).cast("string"))
     val okB = (col(labelCol).cast("string") <=> col(predBCol).cast("string"))
-    bootstrapMeanCI(
-      scored.select(col(idCol),
-        (okA.cast("int") - okB.cast("int")).cast("double").as("__delta")),
+    val delta = when(col(labelCol).isNull, lit(null))
+      .otherwise((okA.cast("int") - okB.cast("int")).cast("double"))
+    bootstrapMeanCI(scored.select(col(idCol), delta.as("__delta")),
       "__delta", idCol, replicates, alpha)
   }
 }

@@ -120,35 +120,43 @@ object ZarrWrite {
       }
       fs.mkdirs(root)
       val zgroupJson = """{"zarr_format": 2}"""
-      writeText(fs, new Path(root, ".zgroup"), zgroupJson)
       val consolidated = new StringBuilder
       consolidated ++= """{"zarr_consolidated_format": 1, "metadata": {"""
       consolidated ++= s"""".zgroup": $zgroupJson"""
+      val sidecars = scala.collection.mutable.ArrayBuffer.empty[(Path, String)]
       metas.foreach { m =>
         val dir = new Path(root, m.name)
         fs.mkdirs(dir)
         val za = zarrayJson(m, zlibLevel)
-        writeText(fs, new Path(dir, ".zarray"), za)
         val dimNames = ("row" +: m.shape.drop(1).indices.map(d => s"${m.name}_d$d"))
           .map(n => s""""$n"""").mkString("[", ", ", "]")
         val zattrs = s"""{"_ARRAY_DIMENSIONS": $dimNames}"""
-        writeText(fs, new Path(dir, ".zattrs"), zattrs)
+        sidecars += ((new Path(dir, ".zarray"), za))
+        sidecars += ((new Path(dir, ".zattrs"), zattrs))
         consolidated ++= s""", "${m.name}/.zarray": $za"""
         consolidated ++= s""", "${m.name}/.zattrs": $zattrs"""
       }
       consolidated ++= "}}"
-      // consolidated metadata: one read opens the store (reference writes
-      // it by default: daskms/experimental/zarr/__init__.py:355-360).
-      // Written LAST — after every chunk file — so it doubles as the
-      // store's commit marker (the TokenBin/WebDataset discipline):
-      // zarr's missing-chunk-is-fill-value contract means a crashed
-      // chunk job would otherwise read back SILENTLY as fill values
-      // under an already-present .zmetadata. A torn store now lacks
-      // .zmetadata, so consolidated-metadata opens fail fast. (An
-      // unconsolidated walk still fill-reads a torn store — inherent to
-      // the zarr v2 format itself; zarr-python behaves identically.)
-      if (numChunks == 0) {
+      // EVERY metadata sidecar — .zgroup, per-array .zarray/.zattrs,
+      // and the consolidated .zmetadata — commits AFTER the chunk job
+      // (the TokenBin/WebDataset commit-marker discipline): zarr's
+      // missing-chunk-is-fill-value contract means a crashed chunk job
+      // under already-present metadata would read back SILENTLY as
+      // fill values. Deferring the metadata makes a torn store
+      // UNOPENABLE instead — no .zgroup for format sniffing, no
+      // .zarray for the group walk — so every read path fails fast,
+      // while external unconsolidated zarr-python stores (which always
+      // carry their metadata) keep reading as-is. Re-running the write
+      // with overwrite=true is the recovery, exactly as for the
+      // binary sinks. (Reference writes .zmetadata at consolidate
+      // time, also last: daskms/experimental/zarr/__init__.py:355-360.)
+      def commitMetadata(): Unit = {
+        writeText(fs, new Path(root, ".zgroup"), zgroupJson)
+        sidecars.foreach { case (p, text) => writeText(fs, p, text) }
         writeText(fs, new Path(root, ".zmetadata"), consolidated.toString)
+      }
+      if (numChunks == 0) {
+        commitMetadata()
         return
       }
 
@@ -209,9 +217,9 @@ object ZarrWrite {
           }
         }
       }
-      // the commit marker (see above): only a store whose every chunk
-      // task completed carries consolidated metadata
-      writeText(fs, new Path(root, ".zmetadata"), consolidated.toString)
+      // the commit step (see above): only a store whose every chunk
+      // task completed carries any metadata at all
+      commitMetadata()
     } finally if (!assumeDeterministic) rdd.unpersist(blocking = false)
   }
 

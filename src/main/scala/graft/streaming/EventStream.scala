@@ -180,6 +180,15 @@ object EventStream {
                  width: String = "1 hour", bins: Int = 10): DataFrame = {
     require(bins >= 2, s"scoreDrift: bins must be >= 2: $bins")
     val s = col(scoreCol).cast("double")
+    // the calibrationReport/rocAuc(binned) hygiene: a negative score
+    // would land in an UNCLAMPED negative bin (only the top edge is
+    // clamped), and a null score would form a null bin the null-unsafe
+    // (k, bin) join reports as permanently one-sided — refuse both
+    val bad = scored.filter(s.isNull || isnan(s) || s < 0 || s > 1)
+      .limit(1).count()
+    require(bad == 0,
+      "scoreDrift: scores must be non-null in [0, 1] — clean the " +
+        "frame first")
     val b = least(floor(s * bins), lit(bins - 1)).cast("int")
     val counts = scored
       .groupBy(window(col("ts"), width).as("w"), b.as("bin"))

@@ -754,19 +754,21 @@ class PlanAuditSpec extends SparkSpec {
     // form would read windowspecdefinition(bin ASC ...) with no key
     assert(p.contains("Window"), p)
     assert("windowspecdefinition\\(w#".r.findFirstIn(p).isDefined, p)
-    assert(mcnemarPlanSingleAgg(), "mcnemar: one aggregate pass")
   }
 
-  /** McNemar rides ONE scalar hash aggregate — no join, no window. */
-  private def mcnemarPlanSingleAgg(): Boolean = {
+  test("mcnemarTest: ONE scalar hash aggregate — no join, no window, one scan") {
+    // audits the REAL pre-head aggregate (mcnemarAggregate, the
+    // bootstrapAggregate convention), so a regression that adds a
+    // second pass or a join to the operator flips this, not a replica
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
       .select(((col("doc_id") * 7) % 3).cast("string").as("y"),
         ((col("doc_id") * 11) % 3).cast("string").as("a"),
         ((col("doc_id") * 13) % 3).cast("string").as("b"))
-    val agg = docs.agg(count(lit(1)), sum((col("y") <=> col("a"))
-      .cast("long")), sum((col("y") <=> col("b")).cast("long")))
-    val p = plan(agg)
-    !p.contains("Join") && !p.contains("Window")
+    val p = plan(ops.Classifier.mcnemarAggregate(docs, "y", "a", "b"))
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(opCount(p, "Scan parquet") + p.linesIterator
+      .count(_.trim.matches("""\(\d+\) BatchScan.*""")) <= 1, p)
+    assert(opCount(p, "Exchange") <= 1, p)
   }
 
   test("cohen kappa: contingency agg + bounded marginal join, no corpus re-scan") {

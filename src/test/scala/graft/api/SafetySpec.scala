@@ -545,17 +545,23 @@ class SafetySpec extends SparkSpec {
       assert(spark.read.format("tokenbin").load(s"mpu:$base/tb2")
         .count() === 24)
 
-      // crash a zarr CHUNK upload: the write raises BEFORE .zmetadata
-      // (r16: consolidated metadata is the store's commit marker,
-      // written last) — zarr's missing-chunk-is-fill contract would
-      // otherwise read the torn store back silently as fill values
-      // under an already-present .zmetadata
+      // crash a zarr CHUNK upload: the write raises BEFORE any metadata
+      // (r16: .zgroup/.zarray/.zmetadata all commit after the chunk
+      // job) — zarr's missing-chunk-is-fill contract would otherwise
+      // read the torn store back silently as fill values under
+      // already-present metadata. The torn store must be UNOPENABLE,
+      // not fill-readable.
       graft.MultipartFs.crashBeforeComplete =
         p => p.getName == "0" && p.toUri.getPath.contains("/zarr1/")
       intercept[Throwable](MSWrite.toZarr(
         (0L until 32L).toDF("k"), s"mpu:$base/zarr1", rowChunk = 8))
       graft.MultipartFs.crashBeforeComplete = _ => false
       assert(!mfs.exists(new Path(s"mpu:$base/zarr1/.zmetadata")))
+      assert(!mfs.exists(new Path(s"mpu:$base/zarr1/.zgroup")))
+      assert(!mfs.exists(new Path(s"mpu:$base/zarr1/k/.zarray")))
+      // every read path fails fast on the torn store — no silent
+      // fill-value read is possible without .zgroup/.zarray
+      intercept[Throwable](MSTable.open(spark, s"mpu:$base/zarr1").count())
       // retry heals (overwrite) and the committed store reads whole
       MSWrite.toZarr((0L until 32L).toDF("k"), s"mpu:$base/zarr1",
         rowChunk = 8, overwrite = true)
