@@ -364,6 +364,58 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("windowedEval agrees with the batch operators on a single-window frame") {
+    // cross-operator consistency: one window's (auc, ece) must equal
+    // Classifier.rocAuc(bins=8) and calibrationReport(bins=8)'s ECE on
+    // the same rows — the monitor is the same math, windowed
+    import spark.implicits._
+    val rows = (0 until 200).map { i =>
+      (3600L + i, ((i % 2) * 300 + (i * 37 + 11) % 700) / 1024.0,
+        (i % 2).toDouble)
+    }
+    val df = rows.toDF("sec", "score", "label")
+      .select(expr("timestamp_seconds(sec)").as("ts"),
+        col("score"), col("label"))
+    val w = EventStream.windowedEval(df, "score", "label", "1 hour",
+      bins = 8).head()
+    val auc = graft.ops.Classifier.rocAuc(
+      df.select("score", "label"), "score", "label", bins = Some(8))
+      .head().getDouble(2)
+    val ece = graft.ops.Classifier.calibrationReport(
+      df.select("score", "label"), "score", "label", bins = 8)
+      .filter(col("bin") === -1).head().getDouble(4)
+    assert(w.getLong(1) === 200L)
+    assert(math.abs(w.getDouble(2) - auc) < 1e-9,
+      s"windowed auc ${w.getDouble(2)} vs batch $auc")
+    assert(math.abs(w.getDouble(3) - ece) < 1e-9,
+      s"windowed ece ${w.getDouble(3)} vs batch $ece")
+  }
+
+  test("scoreDrift: PSI is nonnegative and symmetric under window swap") {
+    // each term (p-q)ln(p/q) is >= 0 and invariant under p<->q, so PSI
+    // >= 0 always and swapping the two windows' data leaves it fixed
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val h0 = Seq.fill(30)(math.floor(rnd.nextDouble() * 4) / 4 + 0.1)
+      val h1 = Seq.fill(40)(math.floor(rnd.nextDouble() * 4) / 4 + 0.1)
+      def drift(a: Seq[Double], b: Seq[Double]): (Double, Long) = {
+        val df = (a.map((0L, _)) ++ b.map((3600L, _)))
+          .toDF("sec", "score")
+          .select(expr("timestamp_seconds(sec)").as("ts"),
+            (col("score") / 2).as("score"))
+        val r = EventStream.scoreDrift(df, "score", "1 hour", bins = 8)
+          .head()
+        (r.getDouble(2), r.getLong(3))
+      }
+      val (fwd, osF) = drift(h0, h1)
+      val (bwd, osB) = drift(h1, h0)
+      assert(fwd >= 0.0 && bwd >= 0.0)
+      assert(math.abs(fwd - bwd) < 1e-9, s"$fwd vs $bwd")
+      assert(osF === osB)
+    }
+  }
+
   test("scoreDrift: hand-computed PSI, one-sided bin census, identity zero") {
     import spark.implicits._
     // three consecutive hours, bins = 4 (bin 0: s=.1, bin 1: s=.3,
