@@ -38,6 +38,10 @@ object ScalingProbe {
     rep("orders", Seq("o_orderkey"))
     rep("documents", Seq("doc_id"))
     rep("embeddings", Seq("vec_id"))
+    // events replicate on user_id (same ts range: 8x the rows land in
+    // the SAME windows — the dense-traffic shape the streaming
+    // monitors' per-window aggregates must absorb)
+    rep("events", Seq("user_id"))
     }
     // Salted replication: every copy rewrites each token with a
     // copy-specific suffix, so copies share NO shingles — cross-copy
@@ -998,6 +1002,13 @@ object ScalingProbe {
         maxDepth = 3, pivots = Some(piv))
         .agg(sum("betweenness")).collect(); 1L
     }
+    // streaming monitors at 8x traffic: both are (window, bin) hash
+    // aggregates + tiny downstream joins, so 8x rows into the SAME
+    // windows should scan-scale (~linear at worst)
+    time("stream_eval") { d =>
+      SparkEntry.queries("q_stream_eval")(spark, d).count() }
+    time("score_drift") { d =>
+      SparkEntry.queries("q_score_drift")(spark, d).count() }
     // fragment ancestry depth: the overlay read chains one ROWID join
     // per ancestor (MSWrite.readFragment walks the sidecars, then folds
     // updateByRowId). Probe READ cost (chains pre-built, untimed) vs
