@@ -26,6 +26,11 @@ object ScalingProbe {
     val src = "/root/testdata/sf0.1"
     val big = "/root/repo/target/sfbig"
     def rep(t: String, idCols: Seq[String]) = {
+      // events has shipped as TIMESTAMP(NANOS) in some testdata
+      // generations — a raw read needs the legacy long mapping or the
+      // whole probe run dies at replication (the Bench.scala defense)
+      if (t == "events")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val base = spark.read.parquet(s"$src/$t.parquet")
       val n = base.count()
       val copies = (0 until mult).map { i =>

@@ -137,23 +137,26 @@ object ZarrWrite {
         consolidated ++= s""", "${m.name}/.zattrs": $zattrs"""
       }
       consolidated ++= "}}"
-      // EVERY metadata sidecar — .zgroup, per-array .zarray/.zattrs,
-      // and the consolidated .zmetadata — commits AFTER the chunk job
-      // (the TokenBin/WebDataset commit-marker discipline): zarr's
+      // EVERY metadata sidecar — per-array .zarray/.zattrs, the
+      // consolidated .zmetadata, and .zgroup — commits AFTER the chunk
+      // job (the TokenBin/WebDataset commit-marker discipline): zarr's
       // missing-chunk-is-fill-value contract means a crashed chunk job
       // under already-present metadata would read back SILENTLY as
       // fill values. Deferring the metadata makes a torn store
-      // UNOPENABLE instead — no .zgroup for format sniffing, no
-      // .zarray for the group walk — so every read path fails fast,
-      // while external unconsolidated zarr-python stores (which always
-      // carry their metadata) keep reading as-is. Re-running the write
-      // with overwrite=true is the recovery, exactly as for the
-      // binary sinks. (Reference writes .zmetadata at consolidate
-      // time, also last: daskms/experimental/zarr/__init__.py:355-360.)
+      // UNOPENABLE — and .zgroup, the key every open/sniff path needs,
+      // goes LAST within the commit itself, so even a driver crash
+      // MID-COMMIT (some .zarray written, others not) leaves a store
+      // the format sniff refuses rather than one that opens with
+      // silently missing columns. External unconsolidated zarr-python
+      // stores (which always carry their metadata) keep reading as-is.
+      // Re-running the write with overwrite=true is the recovery,
+      // exactly as for the binary sinks. (Reference writes .zmetadata
+      // at consolidate time, also last:
+      // daskms/experimental/zarr/__init__.py:355-360.)
       def commitMetadata(): Unit = {
-        writeText(fs, new Path(root, ".zgroup"), zgroupJson)
         sidecars.foreach { case (p, text) => writeText(fs, p, text) }
         writeText(fs, new Path(root, ".zmetadata"), consolidated.toString)
+        writeText(fs, new Path(root, ".zgroup"), zgroupJson)
       }
       if (numChunks == 0) {
         commitMetadata()

@@ -133,6 +133,17 @@ object EventStream {
     require(bins >= 2, s"windowedEval: bins must be >= 2: $bins")
     val s = col(scoreCol).cast("double")
     val y = col(labelCol).cast("double")
+    // the batch leg's hygiene (rocAuc binned / calibrationReport):
+    // least() SKIPS nulls, so a null score would land silently in the
+    // TOP bin while sum(s) drops it — corrupt auc/ece, no error; a
+    // label outside {0, 1} drives nn = Σ(1 − y) negative. The parity
+    // claim with the batch operators requires refusing what they refuse.
+    val bad = scored.filter(s.isNull || isnan(s) || s < 0 || s > 1 ||
+        y.isNull || (y =!= 0.0 && y =!= 1.0))
+      .limit(1).count()
+    require(bad == 0,
+      "windowedEval: scores must be non-null in [0, 1] and labels in " +
+        "{0, 1} — clean the frame first")
     val bin = least(floor(s * bins), lit(bins - 1)).cast("int")
     val per = scored
       .groupBy(window(col("ts"), width).as("w"), bin.as("bin"))
@@ -182,8 +193,9 @@ object EventStream {
     val s = col(scoreCol).cast("double")
     // the calibrationReport/rocAuc(binned) hygiene: a negative score
     // would land in an UNCLAMPED negative bin (only the top edge is
-    // clamped), and a null score would form a null bin the null-unsafe
-    // (k, bin) join reports as permanently one-sided — refuse both
+    // clamped), and a null score lands silently in the TOP bin
+    // (least() skips nulls) and skews both windows' shares — refuse
+    // both
     val bad = scored.filter(s.isNull || isnan(s) || s < 0 || s > 1)
       .limit(1).count()
     require(bad == 0,

@@ -747,8 +747,7 @@ class PlanAuditSpec extends SparkSpec {
       scored, "score", "label", "1 hour", bins = 8)
     val p = plan(df)
     // exactly one corpus scan feeds the whole monitor
-    assert(opCount(p, "Scan parquet") + p.linesIterator
-      .count(_.trim.matches("""\(\d+\) BatchScan.*""")) <= 1, p)
+    assert(opCount(p, "Scan parquet") + opCount(p, "BatchScan") <= 1, p)
     // the Window operator exists and its windowspecdefinition carries
     // the w partition key BEFORE the bin sort key — the unpartitioned
     // form would read windowspecdefinition(bin ASC ...) with no key
@@ -766,8 +765,7 @@ class PlanAuditSpec extends SparkSpec {
         ((col("doc_id") * 13) % 3).cast("string").as("b"))
     val p = plan(ops.Classifier.mcnemarAggregate(docs, "y", "a", "b"))
     assert(!p.contains("Join") && !p.contains("Window"), p)
-    assert(opCount(p, "Scan parquet") + p.linesIterator
-      .count(_.trim.matches("""\(\d+\) BatchScan.*""")) <= 1, p)
+    assert(opCount(p, "Scan parquet") + opCount(p, "BatchScan") <= 1, p)
     assert(opCount(p, "Exchange") <= 1, p)
   }
 
