@@ -28,15 +28,26 @@ object ScalingProbe {
     def rep(t: String, idCols: Seq[String]) = {
       // events has shipped as TIMESTAMP(NANOS) in some testdata
       // generations — a raw read needs the legacy long mapping or the
-      // whole probe run dies at replication (the Bench.scala defense)
-      if (t == "events")
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val base = spark.read.parquet(s"$src/$t.parquet")
-      val n = base.count()
-      val copies = (0 until mult).map { i =>
-        idCols.foldLeft(base)((d, c) => d.withColumn(c, col(c) + lit(i * 10000000L)))
+      // whole probe run dies at replication (the Bench.scala defense).
+      // SCOPED: the flag changes timestamp decoding for every parquet
+      // read on the session, so restore the prior value after the
+      // events replication instead of leaking it into later probes.
+      val flag = "spark.sql.legacy.parquet.nanosAsLong"
+      val prior = spark.conf.getOption(flag)
+      if (t == "events") spark.conf.set(flag, "true")
+      try {
+        val base = spark.read.parquet(s"$src/$t.parquet")
+        val n = base.count()
+        val copies = (0 until mult).map { i =>
+          idCols.foldLeft(base)((d, c) => d.withColumn(c, col(c) + lit(i * 10000000L)))
+        }
+        copies.reduce(_ union _).write.mode("overwrite").parquet(s"$big/$t.parquet")
+      } finally if (t == "events") {
+        prior match {
+          case Some(v) => spark.conf.set(flag, v)
+          case None    => spark.conf.unset(flag)
+        }
       }
-      copies.reduce(_ union _).write.mode("overwrite").parquet(s"$big/$t.parquet")
     }
     if (!reuse) {
     rep("lineitem", Seq("l_orderkey"))

@@ -557,6 +557,13 @@ object Classifier {
     * [[splitConformal]] honesty convention. The fitted means are
     * exact integer ratios (Σy/n per pool), so the step table is
     * bit-reproducible.
+    *
+    * NOTE: the `maxDistinct` DEFAULT was tightened 1 000 000 → 100 000
+    * (a million-entry driver sort/stack is already past where
+    * quantization is strictly better — 10⁵ buckets resolve any
+    * realistic calibration curve). Callers with 100k–1M genuinely
+    * distinct scores that relied on the old default must now opt in
+    * explicitly (`maxDistinct = 1000000`) or — recommended — quantize.
     */
   def isotonicCalibration(scored: DataFrame, scoreCol: String,
                           labelCol: String,

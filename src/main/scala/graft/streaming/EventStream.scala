@@ -136,19 +136,24 @@ object EventStream {
     // the batch leg's hygiene (rocAuc binned / calibrationReport):
     // least() SKIPS nulls, so a null score would land silently in the
     // TOP bin while sum(s) drops it — corrupt auc/ece, no error; a
-    // label outside {0, 1} drives nn = Σ(1 − y) negative. The parity
-    // claim with the batch operators requires refusing what they refuse.
-    val bad = scored.filter(s.isNull || isnan(s) || s < 0 || s > 1 ||
-        y.isNull || (y =!= 0.0 && y =!= 1.0))
-      .limit(1).count()
-    require(bad == 0,
-      "windowedEval: scores must be non-null in [0, 1] and labels in " +
-        "{0, 1} — clean the frame first")
+    // label outside {0, 1} drives nn = Σ(1 − y) negative. The bad-row
+    // census rides the SAME (window, bin) aggregate as the sums (the
+    // sliceAccuracy discipline — a separate hygiene scan would double
+    // every micro-batch's stream I/O under foreachBatch); the refusal
+    // reads the tiny checkpointed per-bin frame.
+    val bad = (s.isNull || isnan(s) || s < 0 || s > 1 ||
+      y.isNull || (y =!= 0.0 && y =!= 1.0)).cast("long")
     val bin = least(floor(s * bins), lit(bins - 1)).cast("int")
     val per = scored
       .groupBy(window(col("ts"), width).as("w"), bin.as("bin"))
       .agg(sum(y).as("np"), sum(lit(1.0) - y).as("nn"),
-        sum(s).as("ssum"))
+        sum(s).as("ssum"), sum(bad).as("__bad"))
+      .localCheckpoint()
+    val badRow = per.agg(sum("__bad")).head()
+    val nBad = if (badRow.isNullAt(0)) 0L else badRow.getLong(0)
+    require(nBad == 0,
+      "windowedEval: scores must be non-null in [0, 1] and labels in " +
+        "{0, 1} — clean the frame first")
     val byWin = org.apache.spark.sql.expressions.Window
       .partitionBy("w").orderBy("bin")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -195,16 +200,20 @@ object EventStream {
     // would land in an UNCLAMPED negative bin (only the top edge is
     // clamped), and a null score lands silently in the TOP bin
     // (least() skips nulls) and skews both windows' shares — refuse
-    // both
-    val bad = scored.filter(s.isNull || isnan(s) || s < 0 || s > 1)
-      .limit(1).count()
-    require(bad == 0,
-      "scoreDrift: scores must be non-null in [0, 1] — clean the " +
-        "frame first")
+    // both. The census rides the SAME (window, bin) aggregate as the
+    // counts (the sliceAccuracy discipline — no second stream scan per
+    // foreachBatch call); the refusal reads the tiny checkpointed frame.
+    val bad = (s.isNull || isnan(s) || s < 0 || s > 1).cast("long")
     val b = least(floor(s * bins), lit(bins - 1)).cast("int")
     val counts = scored
       .groupBy(window(col("ts"), width).as("w"), b.as("bin"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c"), sum(bad).as("__bad"))
+      .localCheckpoint()
+    val badRow = counts.agg(sum("__bad")).head()
+    val nBad = if (badRow.isNullAt(0)) 0L else badRow.getLong(0)
+    require(nBad == 0,
+      "scoreDrift: scores must be non-null in [0, 1] — clean the " +
+        "frame first")
     val tot = counts.groupBy("w").agg(sum("c").as("n"))
     val p = counts.join(tot, "w").select(col("w"), col("bin"),
       (col("c").cast("double") / col("n")).as("p"), col("n"))

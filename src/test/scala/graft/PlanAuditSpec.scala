@@ -746,13 +746,33 @@ class PlanAuditSpec extends SparkSpec {
     val df = graft.streaming.EventStream.windowedEval(
       scored, "score", "label", "1 hour", bins = 8)
     val p = plan(df)
-    // exactly one corpus scan feeds the whole monitor
-    assert(opCount(p, "Scan parquet") + opCount(p, "BatchScan") <= 1, p)
+    // the hygiene census rides the (window, bin) aggregate: everything
+    // downstream (prefix sum, per-window reduce) reads the tiny
+    // checkpointed per-bin frame — NO second corpus scan anywhere
+    assert(!p.contains("FileScan"), p)
+    assert(opCount(p, "Scan parquet") + opCount(p, "BatchScan") === 0, p)
     // the Window operator exists and its windowspecdefinition carries
     // the w partition key BEFORE the bin sort key — the unpartitioned
     // form would read windowspecdefinition(bin ASC ...) with no key
     assert(p.contains("Window"), p)
     assert("windowspecdefinition\\(w#".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("scoreDrift: census rides the (window, bin) aggregate — one stream scan") {
+    // same discipline as windowedEval: the null/range refusal must NOT
+    // cost a second scan of every micro-batch; the PSI join runs over
+    // the checkpointed bins·windows frame
+    val ev = graft.streaming.EventStream.loadEvents(spark, sf())
+    val scored = ev.select(col("ts"),
+      (pmod(col("user_id") * 37 + 11, lit(700)).cast("double") / 1024.0)
+        .as("score"))
+    val df = graft.streaming.EventStream.scoreDrift(
+      scored, "score", "1 hour", bins = 8)
+    val p = plan(df)
+    assert(!p.contains("FileScan"), p)
+    assert(opCount(p, "Scan parquet") + opCount(p, "BatchScan") === 0, p)
+    // and the join stays on post-aggregate rows (no corpus-sized side)
+    assert(!p.contains("SortMergeJoin") || !p.contains("FileScan"), p)
   }
 
   test("mcnemarTest: ONE scalar hash aggregate — no join, no window, one scan") {
