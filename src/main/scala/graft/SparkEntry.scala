@@ -487,6 +487,19 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
     names.sorted.map(n => s"SELECT '$n' AS metric, true AS ok")
       .mkString("", " UNION ALL ", " ORDER BY metric")
 
+  /** [[ops.Num.erfcc]] replayed operand-for-operand in SQL (DuckDB
+    * ships no erf/erfc): the same NR Horner polynomial around one
+    * `exp`, for a NONNEGATIVE column reference `x` — so the χ²₁
+    * p-values are the identical closed form on both engines.
+    */
+  private def erfccSql(x: String): String = {
+    val t = s"(1.0 / (1.0 + 0.5 * $x))"
+    s"$t * exp(-$x * $x - 1.26551223 + $t * (1.00002368 + " +
+      s"$t * (0.37409196 + $t * (0.09678418 + $t * (-0.18628806 + " +
+      s"$t * (0.27886807 + $t * (-1.13520398 + $t * (1.48851587 + " +
+      s"$t * (-0.82215223 + $t * 0.17087277)))))))))"
+  }
+
   /** Shared shape of the ANN derived checks: per-query recall@5 of an
     * approximate method vs the in-engine brute-force baseline.
     */
@@ -7318,7 +7331,7 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |ORDER BY window_start""".stripMargin,
 
       "q_mcnemar" ->
-        """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
           |s AS (SELECT (id * 7) % 3 AS y, (id * 11) % 3 AS a,
           |             (id * 13) % 3 AS b FROM d),
           |agg AS (
@@ -7327,16 +7340,21 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |    sum(CASE WHEN y = b THEN 1 ELSE 0 END) AS cb,
           |    sum(CASE WHEN y = a AND y <> b THEN 1 ELSE 0 END) AS bb,
           |    sum(CASE WHEN y <> a AND y = b THEN 1 ELSE 0 END) AS cc
-          |  FROM s)
+          |  FROM s),
+          |st AS (
+          |  SELECT *, CASE WHEN bb + cc = 0 THEN 0.0
+          |    ELSE (abs(bb - cc) - 1.0) * (abs(bb - cc) - 1.0) / (bb + cc)
+          |    END AS stat
+          |  FROM agg),
+          |px AS (SELECT *, sqrt(stat / 2.0) AS xq FROM st)
           |SELECT CAST(n AS BIGINT) AS n,
           |  round(ca * 1.0 / n, 9) AS acc_a,
           |  round(cb * 1.0 / n, 9) AS acc_b,
           |  CAST(bb AS BIGINT) AS b_discordant,
           |  CAST(cc AS BIGINT) AS c_discordant,
-          |  round(CASE WHEN bb + cc = 0 THEN 0.0
-          |    ELSE (abs(bb - cc) - 1.0) * (abs(bb - cc) - 1.0) / (bb + cc)
-          |    END, 9) AS statistic
-          |FROM agg""".stripMargin,
+          |  round(stat, 9) AS statistic,
+          |  round(least(1.0, ${erfccSql("xq")}), 9) AS p_value
+          |FROM px""".stripMargin,
 
       "q_paired_delta" ->
         """WITH dd AS (
@@ -7564,7 +7582,7 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |FROM s""".stripMargin,
 
       "q_twoprop" ->
-        """WITH r AS (
+        s"""WITH r AS (
           |  SELECT CAST(CAST(doc_id AS BIGINT) % 2 AS VARCHAR) AS g,
           |    CAST(((CAST(doc_id AS BIGINT) * 37) % 97) % 2 AS DOUBLE)
           |      AS y
@@ -7574,16 +7592,21 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |  SELECT aa.g AS group_a, bb.g AS group_b,
           |    aa.n AS n_a, bb.n AS n_b, aa.s AS sa, bb.s AS sb,
           |    (aa.s + bb.s) / (aa.n + bb.n) AS pool
-          |  FROM a aa, a bb WHERE aa.g < bb.g)
+          |  FROM a aa, a bb WHERE aa.g < bb.g),
+          |zc AS (
+          |  SELECT *, CASE
+          |    WHEN sqrt(pool * (1 - pool) * (1.0 / n_a + 1.0 / n_b)) > 0
+          |    THEN (sa / n_a - sb / n_b)
+          |      / sqrt(pool * (1 - pool) * (1.0 / n_a + 1.0 / n_b))
+          |    ELSE 0.0 END AS zq
+          |  FROM v),
+          |px AS (SELECT *, sqrt(zq * zq / 2.0) AS xq FROM zc)
           |SELECT group_a, group_b,
           |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
           |  round(sa / n_a, 9) AS p_a, round(sb / n_b, 9) AS p_b,
-          |  round(CASE
-          |    WHEN pool * (1 - pool) * (1.0 / n_a + 1.0 / n_b) > 0
-          |    THEN (sa / n_a - sb / n_b)
-          |      / sqrt(pool * (1 - pool) * (1.0 / n_a + 1.0 / n_b))
-          |    ELSE 0.0 END, 9) AS z
-          |FROM v""".stripMargin,
+          |  round(zq, 9) AS z,
+          |  round(least(1.0, ${erfccSql("xq")}), 9) AS p_value
+          |FROM px""".stripMargin,
 
       // the k-th order statistic replayed as ORDER BY / OFFSET; the
       // coverage side is an exact 0/1 mean

@@ -1053,8 +1053,10 @@ object Classifier {
     * groups are identical constants — z reports 0 (no evidence of
     * difference, not a divide-by-zero). More or fewer than two
     * groups refuse. One row: (group_a, group_b, n_a, n_b, p_a, p_b,
-    * z), doubles rounded at 9; every input to the formula is an
-    * exact integer ratio, so the oracle matches bit-for-bit.
+    * z, p_value), doubles rounded at 9; every input to the z formula
+    * is an exact integer ratio, so the oracle matches bit-for-bit;
+    * p_value is the two-sided tail via the z² ~ χ²₁ identity and
+    * [[Num.chi2P1]]'s SQL-replayable erfc fit.
     *
     * Scale shape: ONE group hash aggregate (2 rows), driver scalars.
     */
@@ -1080,11 +1082,16 @@ object Classifier {
     val pool = (sa + sb) / (na + nb)
     val se = math.sqrt(pool * (1 - pool) * (1.0 / na + 1.0 / nb))
     val z = if (se > 0) (pa - pb) / se else 0.0
+    // two-sided p via the χ²₁ identity (z² ~ χ²₁ under H0):
+    // p = erfc(|z|/√2) = erfc(√(z²/2)) — the [[Num.chi2P1]] closed
+    // form the SQL oracle replays
+    val p = Num.chi2P1(z * z)
     val spark = df.sparkSession
     import spark.implicits._
     def r9(x: Double) = Num.round9(x)
-    Seq((ga, gb, na, nb, r9(pa), r9(pb), r9(z)))
-      .toDF("group_a", "group_b", "n_a", "n_b", "p_a", "p_b", "z")
+    Seq((ga, gb, na, nb, r9(pa), r9(pb), r9(z), r9(p)))
+      .toDF("group_a", "group_b", "n_a", "n_b", "p_a", "p_b", "z",
+        "p_value")
   }
 
   /** Calibration report + expected calibration error (Naeini 2015's
@@ -1153,9 +1160,10 @@ object Classifier {
     * Correctness is null-safe string equality (a null prediction
     * against a non-null label scores wrong — the [[sliceAccuracy]]
     * convention); null LABELS refuse. One row: (n, acc_a, acc_b,
-    * b_discordant, c_discordant, statistic) — all exact-integer
-    * ratios/counts, statistic one closed form of them, doubles
-    * rounded at 9.
+    * b_discordant, c_discordant, statistic, p_value) — all
+    * exact-integer ratios/counts, statistic one closed form of them,
+    * p_value the χ²₁ upper tail via [[Num.chi2P1]] (the NR erfc fit
+    * both engines evaluate identically), doubles rounded at 9.
     *
     * Scale shape: ONE scalar hash aggregate over the corpus (the
     * null-label census rides it); no join, no window.
@@ -1192,9 +1200,9 @@ object Classifier {
     val spark = scored.sparkSession
     import spark.implicits._
     Seq((n, Num.round9(ca.toDouble / n), Num.round9(cb.toDouble / n),
-      b, c, Num.round9(stat)))
+      b, c, Num.round9(stat), Num.round9(Num.chi2P1(stat))))
       .toDF("n", "acc_a", "acc_b", "b_discordant", "c_discordant",
-        "statistic")
+        "statistic", "p_value")
   }
 
   /** Paired-bootstrap confidence interval on the ACCURACY DELTA of two

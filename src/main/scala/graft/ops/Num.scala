@@ -13,4 +13,31 @@ object Num {
     */
   def round9(x: Double): Double =
     BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Complementary error function via the Numerical Recipes rational
+    * Chebyshev fit (Press et al., "Numerical Recipes in C" §6.2,
+    * `erfcc`): |fractional error| < 1.2e-7 everywhere. Chosen over a
+    * full-precision erfc precisely BECAUSE it is one `exp` plus a
+    * fixed Horner polynomial — a closed form an ANSI-SQL oracle
+    * replays operation by operation (DuckDB ships no erf/erfc), so
+    * the χ²₁ p-values built on it are cross-engine reproducible under
+    * the round(9) pin. The 1e-7 approximation error is immaterial to
+    * the A/B decision a p-value serves; what matters is that BOTH
+    * engines evaluate the SAME published formula.
+    */
+  def erfcc(x: Double): Double = {
+    val t = 1.0 / (1.0 + 0.5 * math.abs(x))
+    val ans = t * math.exp(-x * x - 1.26551223 + t * (1.00002368 +
+      t * (0.37409196 + t * (0.09678418 + t * (-0.18628806 +
+      t * (0.27886807 + t * (-1.13520398 + t * (1.48851587 +
+      t * (-0.82215223 + t * 0.17087277)))))))))
+    if (x >= 0) ans else 2.0 - ans
+  }
+
+  /** Upper-tail p-value of a χ²₁-distributed statistic — McNemar's
+    * test, a squared two-proportion z: p = erfc(√(stat/2)), clamped
+    * at 1 (the NR fit can exceed 1 by < 1.2e-7 near stat = 0).
+    */
+  def chi2P1(stat: Double): Double =
+    math.min(1.0, erfcc(math.sqrt(stat / 2.0)))
 }

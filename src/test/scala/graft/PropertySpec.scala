@@ -887,4 +887,79 @@ class PropertySpec extends SparkSpec {
         base.map { case (m, v) => rename(m) -> v } == renamed
     }, n = 10)
   }
+
+  test("mcnemarTest: A/B antisymmetry — swapping models swaps b/c, statistic and p invariant") {
+    // the paired test must not care which model is called A: swapping
+    // predACol/predBCol swaps the discordant counts and the accuracies
+    // while |b - c| (hence statistic and p_value) is unchanged
+    val genRows = for {
+      n <- Gen.choose(2, 60)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0, 2),
+        Gen.zip(Gen.choose(0, 2), Gen.choose(0, 2))))
+    } yield rows.map { case (y, (a, b)) => (s"l$y", s"l$a", s"l$b") }
+    check(Prop.forAllNoShrink(genRows) { rows =>
+      val df = rows.toDF("y", "pa", "pb")
+      val ab = graft.ops.Classifier.mcnemarTest(df, "y", "pa", "pb").head()
+      val ba = graft.ops.Classifier.mcnemarTest(df, "y", "pb", "pa").head()
+      ab.getLong(0) == ba.getLong(0) &&
+        ab.getDouble(1) == ba.getDouble(2) &&   // acc_a <-> acc_b
+        ab.getDouble(2) == ba.getDouble(1) &&
+        ab.getLong(3) == ba.getLong(4) &&       // b <-> c
+        ab.getLong(4) == ba.getLong(3) &&
+        ab.getDouble(5) == ba.getDouble(5) &&   // statistic invariant
+        ab.getDouble(6) == ba.getDouble(6) &&   // p_value invariant
+        ab.getDouble(6) >= 0.0 && ab.getDouble(6) <= 1.0
+    }, n = 10)
+  }
+
+  test("pairedBootstrapDelta: swapping models negates the delta and mirrors the CI") {
+    // the per-row delta flips sign under an A/B swap while every
+    // replicate draws the SAME id-keyed weights, so each replicate mean
+    // negates exactly: mean' = -mean, se' = se, [lo', hi'] = [-hi, -lo]
+    // (round9 is symmetric under negation — HALF_UP rounds away from 0)
+    val genRows = for {
+      n <- Gen.choose(2, 50)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0, 2),
+        Gen.zip(Gen.choose(0, 2), Gen.choose(0, 2))))
+    } yield rows.zipWithIndex.map { case ((y, (a, b)), i) =>
+      (i.toLong, s"l$y", s"l$a", s"l$b") }
+    check(Prop.forAllNoShrink(genRows) { rows =>
+      val df = rows.toDF("id", "y", "pa", "pb")
+      val ab = graft.ops.Classifier.pairedBootstrapDelta(
+        df, "y", "pa", "pb", "id", replicates = 30, alpha = 0.1).head()
+      val ba = graft.ops.Classifier.pairedBootstrapDelta(
+        df, "y", "pb", "pa", "id", replicates = 30, alpha = 0.1).head()
+      ab.getLong(0) == ba.getLong(0) &&
+        ab.getDouble(1) == -ba.getDouble(1) &&
+        ab.getDouble(2) == ba.getDouble(2) &&
+        ab.getDouble(3) == -ba.getDouble(4) &&
+        ab.getDouble(4) == -ba.getDouble(3)
+    }, n = 6)
+  }
+
+  test("krippendorffAlphaInterval: invariant under affine rating rescales") {
+    // the interval form's defining contract: alpha compares SQUARED
+    // distances, so x -> a*x + b scales D_o and D_e both by a^2 and
+    // alpha is unchanged (grading on a 1-5 vs a 10-50 scale is the
+    // same panel). Integer ratings and integer (a, b) keep the power
+    // sums exact; the a^2 factor rides each side's division once, so
+    // agreement holds to fp noise well under the 1e-6 slack.
+    val genPanel = for {
+      nItems <- Gen.choose(2, 10)
+      rows <- Gen.listOfN(nItems * 3, Gen.zip(
+        Gen.choose(0L, nItems.toLong - 1), Gen.choose(0, 6)))
+      if rows.groupBy(_._1).exists(_._2.size >= 2)
+    } yield rows
+    val genA = Gen.choose(1, 5)
+    val genB = Gen.choose(-5, 5)
+    check(Prop.forAllNoShrink(genPanel, genA, genB) { (rows, a, b) =>
+      def alpha(rs: Seq[(Long, Double)]) =
+        graft.ops.Classifier.krippendorffAlphaInterval(
+          rs.toDF("item", "x"), "item", "x").head().getDouble(4)
+      val base = alpha(rows.map { case (i, x) => (i, x.toDouble) })
+      val scaled = alpha(rows.map { case (i, x) =>
+        (i, (a * x + b).toDouble) })
+      math.abs(base - scaled) < 1e-6
+    }, n = 10)
+  }
 }

@@ -10,6 +10,27 @@ import graft.SparkSpec
 class ClassifierSpec extends SparkSpec {
   import spark.implicits._
 
+  test("erfcc: tracks full-precision erfc within the published 1.2e-7; chi2P1 sane") {
+    // independent ground truth: commons-math3's erfc (1e-15 class),
+    // already on the Spark classpath — the NR fit must hold its
+    // documented fractional-error bound across the whole useful range
+    (0 to 60).map(_ * 0.1).foreach { x =>
+      val want = org.apache.commons.math3.special.Erf.erfc(x)
+      val got = Num.erfcc(x)
+      assert(math.abs(got - want) <= 1.3e-7 * math.max(1.0, want.abs) +
+        1e-12, s"erfcc($x): $got vs $want")
+      // negative branch: erfc(-x) = 2 - erfc(x) (x = 0 stays on the
+      // nonnegative branch — -0.0 >= 0)
+      if (x > 0) assert(Num.erfcc(-x) === 2.0 - got)
+    }
+    // chi2P1: p(0) clamps to exactly 1; strictly decreasing in stat
+    assert(Num.chi2P1(0.0) === 1.0)
+    val ps = Seq(0.5, 1.0, 2.0, 3.84, 6.63, 10.8).map(Num.chi2P1)
+    assert(ps.zip(ps.tail).forall { case (a, b) => a > b })
+    // the textbook 5% critical value of chi2_1 is 3.841
+    assert(math.abs(Num.chi2P1(3.841459) - 0.05) < 1e-4)
+  }
+
   test("learns a separable vocabulary split to holdout accuracy 1.0") {
     val docs = (0L until 400L).map { i =>
       if (i % 2 == 0) (i, "alpha beta gamma alpha beta useful dense signal", 1)
@@ -414,10 +435,13 @@ class ClassifierSpec extends SparkSpec {
       df.withColumn("g", when(col("g") === "A", "Z").otherwise("B")),
       "g", "y").head()
     assert(math.abs(flipped.getDouble(6) + r.getDouble(6)) < 1e-9)
-    // identical all-zero groups: pooled variance 0 -> z = 0
+    // the two-sided p follows the z^2 ~ chi2_1 identity
+    val zr = r.getDouble(6)
+    assert(math.abs(r.getDouble(7) - Num.chi2P1(zr * zr)) < 1e-6)
+    // identical all-zero groups: pooled variance 0 -> z = 0, p = 1
     val z0 = Classifier.twoProportionZ(
       Seq(("A", 0.0), ("B", 0.0)).toDF("g", "y"), "g", "y").head()
-    assert(z0.getDouble(6) === 0.0)
+    assert(z0.getDouble(6) === 0.0 && z0.getDouble(7) === 1.0)
     intercept[IllegalArgumentException](Classifier.twoProportionZ(
       Seq(("A", 1.0)).toDF("g", "y"), "g", "y"))
     intercept[IllegalArgumentException](Classifier.twoProportionZ(
@@ -612,16 +636,21 @@ class ClassifierSpec extends SparkSpec {
     assert(r.getLong(3) === 4L && r.getLong(4) === 4L)
     // |4-4|-1 = -1, squared = 1, / 8
     assert(r.getDouble(5) === 0.125)
+    // p matches the pinned closed form and sits in (0, 1]
+    assert(r.getDouble(6) === Num.round9(Num.chi2P1(0.125)))
     // A correct on all 6, B only on row 1: b=5, c=0 ->
     // (|5-0|-1)^2/5 = 16/5 = 3.2
-    val skew = (1 to 6).map(i => ("y", "y", if (i == 1) "y" else "n"))
-      .toDF("label", "pa", "pb")
-    assert(Classifier.mcnemarTest(skew, "label", "pa", "pb")
-      .head().getDouble(5) === 3.2)
-    // identical models never disagree: statistic 0 by convention
+    val skewRow = Classifier.mcnemarTest(
+      (1 to 6).map(i => ("y", "y", if (i == 1) "y" else "n"))
+        .toDF("label", "pa", "pb"), "label", "pa", "pb").head()
+    assert(skewRow.getDouble(5) === 3.2)
+    // bigger statistic, smaller tail
+    assert(skewRow.getDouble(6) < r.getDouble(6))
+    // identical models never disagree: statistic 0 by convention,
+    // p = 1 exactly (the fit's tiny >1 excess at 0 is clamped)
     val same = Seq(("y", "y", "y"), ("y", "n", "n")).toDF("label", "pa", "pb")
-    assert(Classifier.mcnemarTest(same, "label", "pa", "pb")
-      .head().getDouble(5) === 0.0)
+    val sameRow = Classifier.mcnemarTest(same, "label", "pa", "pb").head()
+    assert(sameRow.getDouble(5) === 0.0 && sameRow.getDouble(6) === 1.0)
     // null pred scores wrong (null-safe equality); null label refuses
     val np = Classifier.mcnemarTest(
       Seq(("y", null.asInstanceOf[String], "y")).toDF("label", "pa", "pb"),
