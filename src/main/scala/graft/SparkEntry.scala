@@ -3870,24 +3870,45 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
 
     // the pretraining-corpus pipeline END-TO-END into the binary sinks:
     // normalize → quality/langid gate → exact + MinHash dedup →
-    // decontaminate → tokenize → FFD pack → TokenBin shards AND
+    // decontaminate → train a REAL byte-level BPE on the curated corpus
+    // → encode to vocabulary ids → FFD pack → TokenBin shards AND
     // WebDataset tar shards, then read BOTH back and prove (derived
     // checks) byte-lossless round-trips, manifest integrity (write-side
     // totals == read-back inventory == distributed re-hash), FFD pack
     // invariants (every curated doc packed exactly once, id accounting,
-    // token budget), and dataloader rank coverage. This is the composed
-    // path a real corpus run takes — the committer-bypassing sink code
-    // exercised through the whole chain, not per-component.
+    // token budget), dataloader rank coverage, AND the decode leg: the
+    // packed id streams read back from TokenBin split on the separator,
+    // decode through the learned vocabulary, and must reproduce every
+    // curated document BYTE-EXACTLY (md5 full-outer compare) — the
+    // contract a training dataloader actually consumes. The separator
+    // id is vocab.size, one PAST the id space, so it provably cannot
+    // collide with any id the encoder emits (gated below). This is the
+    // composed path a real corpus run takes — the committer-bypassing
+    // sink code exercised through the whole chain, not per-component.
     "q_pretrain_e2e" -> ((s, dir) => {
       val (_, c0, _, _, _, curated) = curatedCorpus(s, dir)
-      // tokenize (structural ids, the q_tokenbin convention) and
-      // FFD-pack per source
-      val nt = TextAnalysis.tokenCount(col("text"))
-      val enc = curated.select(col("source"), col("doc_id"),
-        when(nt < 1, array().cast("array<int>"))
-          .otherwise(sequence(lit(1), nt)).as("ids"))
+      // REAL tokenizer: byte-level BPE trained on the curated corpus
+      // itself (one piece-census job + the bounded driver merge loop),
+      // full byte alphabet in the vocab so no id is ever <unk> and the
+      // decode is total
+      val merges = ops.Bpe.learnBpeByteLevel(curated, "text",
+        numMerges = 200, maxWords = 20000, minCount = 2)
+      val vocab = ops.Bpe.vocabFromMerges(merges, ops.Bpe.ByteAlphabet)
+      val sepId = vocab.size
+      val enc = pin(ops.Bpe.applyBpeIdsByteLevel(curated, "text", merges,
+          vocab)
+        .select(col("source"), col("doc_id"), col("bpe_ids").as("ids")))
+      // sep-collision / id-space audit: every emitted id must be a
+      // REAL vocabulary id — in [2, sepId): never the separator, never
+      // past it, and never 0 = <unk> (the byte alphabet makes unknowns
+      // impossible; an <unk> here would silently decode as the literal
+      // string "<unk>")
+      val idAudit = enc.agg(
+        sum(size(filter(col("ids"),
+          i => i >= lit(sepId) || i <= lit(1)))).as("bad_ids"),
+        sum(size(col("ids"))).as("n_ids_enc"))
       val packs = pin(Sampling.assemblePackedIdsFFD(enc, "source", "doc_id",
-        "ids", size(col("ids")), maxTokens = 256, sepId = 0))
+        "ids", size(col("ids")), maxTokens = 1024, sepId = sepId))
       // unique long shard key WITHOUT a global window: the source dim is
       // tiny (broadcast) and pack ids are per-source dense ints, so
       // key = source_index << 32 | pack_id is collision-free
@@ -3907,12 +3928,26 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
         shards = 4)
       // read-back legs: full-outer joins so a dropped OR phantom row on
       // either side surfaces as a null-md5 mismatch
-      val tbBack = s.read.format("tokenbin").load(outTb)
+      val tbRead = pin(s.read.format("tokenbin").load(outTb)
+        .select(col("key"), col("ids")))
+      val tbBack = tbRead
         .select(col("key"), md5(concat_ws(",",
           col("ids").cast("array<string>"))).as("back_md5"))
       val tbCmp = keyed.select(col("key"), md5(concat_ws(",",
           col("packed_ids").cast("array<string>"))).as("src_md5"))
         .join(tbBack, Seq("key"), "full_outer")
+      // the DECODE leg: packed ids as READ BACK from the binary shards
+      // split on the separator, decode through the learned vocab, and
+      // must reproduce every curated document byte-exactly (the
+      // doc_ids placement list rides the write-side frame; the id
+      // payload under test is the read-back one)
+      val decoded = ops.Bpe.decodePackedByteLevel(
+        tbRead.join(keyed.select(col("key"), col("doc_ids")), Seq("key")),
+        "ids", "doc_ids", vocab, sepId)
+      val decCmp = curated.select(col("doc_id"),
+          md5(col("text")).as("src_md5"))
+        .join(decoded.select(col("doc_id"),
+          md5(col("text")).as("dec_md5")), Seq("doc_id"), "full_outer")
       val wdBack = graft.sources.WebDataset.read(s, outWd)
         .groupBy(col("key").cast("long").as("doc_id"))
         .agg(max(when(col("ext") === "txt", md5(col("content"))))
@@ -3924,18 +3959,29 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
       val wdAsg = graft.sources.WebDataset.assignShards(s, outWd, workers = 3)
       val one = c0.agg(count(lit(1)).as("n0"))
         .crossJoin(curated.agg(count(lit(1)).as("n5")))
+        .crossJoin(idAudit)
         .crossJoin(packs.agg(count(lit(1)).as("n_packs"),
           sum("n_docs").as("docs_packed"), sum("n_ids").as("ids_packed"),
           sum(when(col("n_ids") =!= size(col("packed_ids")) ||
-            (col("n_docs") > 1 && col("n_ids") > lit(256) + col("n_docs")),
+            (col("n_docs") > 1 && col("n_ids") > lit(1024) + col("n_docs")),
             1L).otherwise(0L)).as("bad_packs")))
         .crossJoin(tbCmp.agg(count(lit(1)).as("tb_rows"),
           sum(when(col("src_md5").isNull || col("back_md5").isNull ||
             col("src_md5") =!= col("back_md5"), 1L).otherwise(0L))
             .as("tb_bad")))
+        .crossJoin(decCmp.agg(count(lit(1)).as("dec_rows"),
+          sum(when(col("src_md5").isNull || col("dec_md5").isNull ||
+            col("src_md5") =!= col("dec_md5"), 1L).otherwise(0L))
+            .as("dec_bad")))
         .crossJoin(tbVer.agg(
           sum(when(!col("ok"), 1L).otherwise(0L)).as("tb_badshards"),
           count(lit(1)).as("tb_shards")))
+        // the writer emits only NON-EMPTY shards (an absent shard with
+        // no manifest entry is legitimately empty, not torn — torn is
+        // no manifest at all), so the expected shard count is the
+        // number of shard slots the keys actually hit
+        .crossJoin(keyed.agg(countDistinct(pmod(col("key"), lit(4L)))
+          .as("tb_expected_shards")))
         .crossJoin(wdCmp.agg(count(lit(1)).as("wd_rows"),
           sum(when(col("src_md5").isNull || col("back_md5").isNull ||
             col("src_md5") =!= col("back_md5") || col("n_members") =!= 2L,
@@ -3950,12 +3996,22 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
         "curation_bites" -> (col("n5") >= 1L && col("n5") < col("n0")),
         "every_doc_packed" -> (col("docs_packed") === col("n5")),
         "pack_invariants" -> (col("bad_packs") === 0L),
+        // every emitted id is a real vocab id: never <unk>, never the
+        // separator, never past the id space — and the pack id totals
+        // account for exactly the encoder's output plus one separator
+        // per document
+        "sep_id_clean" -> (col("bad_ids") === 0L &&
+          col("ids_packed") === col("n_ids_enc") + col("n5")),
+        // the packed streams decode back to every curated document
+        // byte-exactly through the learned vocabulary
+        "decode_byte_exact" -> (col("dec_bad") === 0L &&
+          col("dec_rows") === col("n5")),
         "tokenbin_write_totals" -> (lit(wSeqs) === col("n_packs") &&
           lit(wToks) === col("ids_packed")),
         "tokenbin_lossless" -> (col("tb_bad") === 0L &&
           col("tb_rows") === col("n_packs")),
         "tokenbin_manifest" -> (col("tb_badshards") === 0L &&
-          col("tb_shards") === 4L),
+          col("tb_shards") === col("tb_expected_shards")),
         "webdataset_write_totals" -> (lit(wdSamples) === col("n5") &&
           lit(wdMembers) === col("n5") * 2L),
         "webdataset_lossless" -> (col("wd_bad") === 0L &&
@@ -6251,7 +6307,8 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
         "order_is_bijection"),
 
       "q_pretrain_e2e" -> checksOracle("curation_bites", "every_doc_packed",
-        "pack_invariants", "tokenbin_write_totals", "tokenbin_lossless",
+        "pack_invariants", "sep_id_clean", "decode_byte_exact",
+        "tokenbin_write_totals", "tokenbin_lossless",
         "tokenbin_manifest", "webdataset_write_totals",
         "webdataset_lossless", "webdataset_manifest"),
 

@@ -474,4 +474,61 @@ object Bpe {
     */
   def decodeByteLevelIds(ids: Seq[Int], vocab: Seq[String]): String =
     byteDecode(ids.map(vocab).mkString)
+
+  /** [[decodeByteLevelIds]] over PACKED training rows — the dataloader's
+    * inverse of `Sampling.assemblePackedIdsFFD` + byte-level encode: each
+    * pack's id stream splits on `sepId` (every document is
+    * sep-terminated by the assembler), segments zip with the pack's
+    * `doc_ids` in placement order, and each segment byte-decodes through
+    * the vocabulary. `sepId` must be outside the vocabulary id space
+    * (`vocab.size` by convention — the encoder can then never emit it
+    * inside a document, so the split is unambiguous); a pack whose
+    * segment count disagrees with its doc_ids raises rather than
+    * misattributing text. Returns one (doc_id, text) row per packed
+    * document — the read-back leg that proves encode → pack → shard →
+    * write → read → decode is byte-lossless END-TO-END.
+    *
+    * Scale shape: one broadcast of the bounded vocabulary + a per-pack
+    * projection and explode — no shuffle beyond the caller's own reads.
+    */
+  def decodePackedByteLevel(packs: DataFrame, packedCol: String,
+                            docIdsCol: String, vocab: Seq[String],
+                            sepId: Int): DataFrame = {
+    require(sepId >= vocab.size || sepId < 0,
+      s"decodePackedByteLevel: sepId=$sepId collides with the " +
+        s"vocabulary id space [0, ${vocab.size}) — the segment split " +
+        "would be ambiguous")
+    val vocabB = packs.sparkSession.sparkContext.broadcast(vocab.toArray)
+    val dec = udf(new PackDecoder(vocabB, sepId):
+      (Seq[Int], Seq[Long]) => Seq[(Long, String)])
+    packs.select(explode(dec(col(packedCol).cast("array<int>"),
+        col(docIdsCol).cast("array<long>"))).as("__seg"))
+      .select(col("__seg._1").as("doc_id"), col("__seg._2").as("text"))
+  }
+
+  private final class PackDecoder(vocabB: Broadcast[Array[String]],
+                                  sepId: Int)
+      extends ((Seq[Int], Seq[Long]) => Seq[(Long, String)])
+      with Serializable {
+    override def apply(ids: Seq[Int], docs: Seq[Long]): Seq[(Long, String)] = {
+      val v = vocabB.value
+      val out = Seq.newBuilder[(Long, String)]
+      val sb = new StringBuilder
+      var d = 0
+      ids.foreach { i =>
+        if (i == sepId) {
+          require(d < docs.length,
+            s"pack decode: more sep-terminated segments than doc_ids " +
+              s"(${docs.length})")
+          out += ((docs(d), byteDecode(sb.toString)))
+          sb.clear(); d += 1
+        } else sb.append(v(i))
+      }
+      require(d == docs.length && sb.isEmpty,
+        s"pack decode: $d complete segments for ${docs.length} doc_ids " +
+          s"(trailing ${sb.length} unterminated symbols) — the pack and " +
+          "its membership list disagree")
+      out.result()
+    }
+  }
 }
