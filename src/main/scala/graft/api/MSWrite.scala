@@ -288,10 +288,52 @@ object MSWrite {
     * fixed overhead at test scale, flat in data size; SCALE.md r16
     * `frag_depth`). Compact chains at depth ≈ 8–16 with
     * [[compactFragments]]: past that the per-read join tax exceeds the
-    * one-off compaction write.
+    * one-off compaction write. The read itself SIGNALS when a chain
+    * crosses that cadence: past [[CompactionWarnDepth]] ancestors it
+    * logs a warning naming the depth and the compaction API (and fires
+    * the test hook), so the per-read tax is visible to an operator
+    * BEFORE it compounds — a silent linear walk is how a depth-40 chain
+    * happens. [[chainDepth]] exposes the measurement (sidecar GETs only,
+    * no data read) for monitoring.
     */
   def readFragment(spark: SparkSession, path: String, rowIdOrder: Seq[String]): DataFrame =
     readFragment(spark, path, rowIdOrder, verifyCounts = false)
+
+  /** Ancestor count past which [[readFragment]] warns: the measured
+    * compaction cadence (SCALE.md `frag_depth`: linear ~0.065 s/ancestor;
+    * compact at 8–16) — 16 is the outer edge of "cheaper to keep
+    * reading than to compact".
+    */
+  val CompactionWarnDepth = 16
+
+  /** Test/monitoring hook invoked with (path, depth) whenever a read
+    * walks a chain deeper than [[CompactionWarnDepth]]; defaults to a
+    * log4s-less stderr-visible log line via the Spark logger. Swap in
+    * tests to assert the signal fires.
+    */
+  @volatile private[graft] var onDeepChain: (String, Int) => Unit =
+    (path, depth) => org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"fragment chain at $path is $depth ancestors deep " +
+        s"(> $CompactionWarnDepth): every read pays ~depth sidecar GETs " +
+        "+ ROWID joins — compact with MSWrite.compactFragments")
+
+  /** The number of ANCESTORS above `path` (0 = standalone table): walks
+    * only the keyword sidecars — no data files touched — so a monitor
+    * can poll it cheaply and schedule [[compactFragments]] on the
+    * SCALE.md cadence (8–16).
+    */
+  def chainDepth(spark: SparkSession, path: String): Int = {
+    var depth = 0
+    var cur = readKeywords(spark, path).get(ParentKey)
+    val seen = scala.collection.mutable.Set(path)
+    while (cur.isDefined) {
+      val p = cur.get
+      require(seen.add(p), s"fragment ancestry cycle at $p")
+      depth += 1
+      cur = readKeywords(spark, p).get(ParentKey)
+    }
+    depth
+  }
 
   /** [[readFragment]] with an optional torn-listing guard: with
     * `verifyCounts = true`, each fragment's visible row count is checked
@@ -317,6 +359,11 @@ object MSWrite {
       chain = p :: chain
       cur = readKeywords(spark, p).get(ParentKey)
     }
+    // surface the per-read depth tax once it passes the measured
+    // compaction cadence — the walk is silent otherwise and a deep
+    // chain only gets deeper
+    val depth = chain.length - 1
+    if (depth > CompactionWarnDepth) onDeepChain(path, depth)
     if (verifyCounts) chain.tail.foreach { child =>
       readKeywords(spark, child).get(RowsKey).foreach { expect =>
         val got = MSTable.open(spark, child).count()

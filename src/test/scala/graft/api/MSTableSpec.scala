@@ -100,6 +100,42 @@ class MSWriteSpec extends SparkSpec {
     assert(names.drop(2).forall(n => n != "EDIT1" && n != "EDIT2"))
   }
 
+  test("deep fragment chains signal past the compaction cadence (depth 17)") {
+    // readFragment must SURFACE the per-read depth tax once the chain
+    // passes CompactionWarnDepth — a silent linear walk is how a
+    // depth-40 chain happens. Build a depth-17 chain of 1-row deltas,
+    // swap the signal hook, and assert it fires with the right depth
+    // (and stays quiet at the cadence edge).
+    val base = MSTable.withRowId(
+      spark.read.parquet(s"${sf()}/region.parquet"), Seq("r_regionkey"))
+    MSWrite.create(base, s"$out/deep/t0")
+    (1 to 17).foreach { i =>
+      val d = base.filter(col("r_regionkey") === 0)
+        .select(col(MSTable.RowId), lit(s"E$i").as("r_name"))
+      MSWrite.writeFragment(d, s"$out/deep/t$i", s"$out/deep/t${i - 1}")
+    }
+    assert(MSWrite.chainDepth(spark, s"$out/deep/t17") === 17)
+    assert(MSWrite.chainDepth(spark, s"$out/deep/t16") === 16)
+    assert(MSWrite.chainDepth(spark, s"$out/deep/t0") === 0)
+    val fired = scala.collection.mutable.Buffer.empty[(String, Int)]
+    val prior = MSWrite.onDeepChain
+    MSWrite.onDeepChain = (p, d) => fired += ((p, d))
+    try {
+      // at the cadence edge (16): no signal
+      MSWrite.readFragment(spark, s"$out/deep/t16", Seq("r_regionkey"))
+        .count()
+      assert(fired.isEmpty, fired.toString)
+      // one past it (17): exactly one signal with the measured depth
+      val merged = MSWrite.readFragment(spark, s"$out/deep/t17",
+        Seq("r_regionkey"))
+      assert(fired.toList === List((s"$out/deep/t17", 17)))
+      // and the read itself still overlays correctly
+      val top = merged.orderBy("r_regionkey").select("r_name")
+        .collect().map(_.getString(0))
+      assert(top(0) === "E17")
+    } finally MSWrite.onDeepChain = prior
+  }
+
   test("keyword sidecars round-trip") {
     MSWrite.create(spark.read.parquet(s"${sf()}/region.parquet"), s"$out/kw")
     MSWrite.putKeywords(spark, s"$out/kw", Map("a" -> "1", "b" -> "x\"y"))
