@@ -1,0 +1,143 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.api.{MSTable, MSWrite}
+
+/** LIVE object-store integration: a real S3-compatible HTTP server
+  * (moto, the in-sandbox stand-in for the reference's minio fixture —
+  * ref: daskms/conftest.py:238-344) serving a real REST endpoint, with
+  * the engine's own writers driven over the wire through [[S3LiteFs]]:
+  * parquet create/read (FileOutputCommitter renames = server-side
+  * COPY+DELETE), fragment chains + keyword sidecars, and BOTH
+  * committer-bypassing binary sinks (TokenBin, WebDataset) including
+  * their manifest verify and read-back. Unlike MockFs/MultipartFs
+  * (in-JVM models), every byte here crosses HTTP and every listing is
+  * the server's own list-after-write answer.
+  *
+  * The suite CANCELS (not fails) if the server cannot start — the gap
+  * is then an environment fact, not a silent skip.
+  */
+class S3LiveSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
+
+  private val port = {
+    val s = new java.net.ServerSocket(0)
+    try s.getLocalPort finally s.close()
+  }
+  private val endpoint = s"http://127.0.0.1:$port"
+  private val bucket = "graft-live"
+  private var proc: Process = _
+  private var up = false
+
+  private def put(path: String): Int = {
+    val c = new java.net.URL(endpoint + path).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    c.setRequestMethod("PUT")
+    c.setConnectTimeout(2000); c.setReadTimeout(5000)
+    try c.getResponseCode finally c.disconnect()
+  }
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    try {
+      proc = new ProcessBuilder("python3", "-m", "moto.server",
+        "-H", "127.0.0.1", "-p", port.toString)
+        .redirectOutput(new java.io.File("/root/repo/target/moto_live.log"))
+        .redirectErrorStream(true)
+        .start()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!up && System.nanoTime() < deadline) {
+        try up = put(s"/$bucket") == 200
+        catch { case _: Exception => Thread.sleep(300) }
+      }
+    } catch { case _: Exception => up = false }
+    if (up) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      conf.set("fs.s3l.impl", classOf[S3LiteFs].getName)
+      conf.set("fs.s3l.endpoint", endpoint)
+    }
+  }
+
+  override def afterAll(): Unit = {
+    if (proc != null) proc.destroy()
+    super.afterAll()
+  }
+
+  private def live(): Unit =
+    if (!up) cancel("moto S3 server failed to start on this machine")
+
+  test("parquet round-trips over the live endpoint (committer renames = COPY+DELETE)") {
+    live()
+    val region = spark.read.parquet(s"${sf()}/region.parquet")
+    MSWrite.create(region, s"s3l://$bucket/t0")
+    val back = spark.read.parquet(s"s3l://$bucket/t0")
+    assert(back.count() === region.count())
+    assert(back.orderBy("r_regionkey").collect().toSeq ===
+      region.orderBy("r_regionkey").collect().toSeq)
+    // overwrite semantics: a second create fully replaces the first
+    MSWrite.create(region.filter(col("r_regionkey") < 2), s"s3l://$bucket/t0")
+    assert(spark.read.parquet(s"s3l://$bucket/t0").count() === 2)
+  }
+
+  test("fragment chain + keyword sidecars live on the endpoint") {
+    live()
+    val base = MSTable.withRowId(
+      spark.read.parquet(s"${sf()}/region.parquet"), Seq("r_regionkey"))
+    MSWrite.create(base, s"s3l://$bucket/frag/base")
+    val d1 = base.filter(col("r_regionkey") < 2)
+      .select(col(MSTable.RowId), lit("LIVE1").as("r_name"))
+    MSWrite.writeFragment(d1, s"s3l://$bucket/frag/c1",
+      s"s3l://$bucket/frag/base")
+    val d2 = base.filter(col("r_regionkey") === 0)
+      .select(col(MSTable.RowId), lit("LIVE2").as("r_name"))
+    MSWrite.writeFragment(d2, s"s3l://$bucket/frag/c2",
+      s"s3l://$bucket/frag/c1")
+    // the sidecar-count guard verifies against the server's OWN listing
+    val names = MSWrite.readFragment(spark, s"s3l://$bucket/frag/c2",
+        Seq("r_regionkey"), verifyCounts = true)
+      .orderBy("r_regionkey").select("r_name").collect().map(_.getString(0))
+    assert(names(0) === "LIVE2" && names(1) === "LIVE1")
+    assert(MSWrite.chainDepth(spark, s"s3l://$bucket/frag/c2") === 2)
+    // keyword metadata round-trip over HTTP
+    MSWrite.putKeywords(spark, s"s3l://$bucket/frag/base",
+      Map("observer" -> "live", "quote" -> "a\"b"))
+    val kw = MSWrite.readKeywords(spark, s"s3l://$bucket/frag/base")
+    assert(kw("observer") === "live" && kw("quote") === "a\"b")
+  }
+
+  test("TokenBin shards write, verify, and read back over the live endpoint") {
+    live()
+    import spark.implicits._
+    val rows = (0L until 60L).map(k =>
+      (k, (0 to (k % 7).toInt).map(i => (k * 31 + i).toInt % 1000)))
+    val df = rows.toDF("key", "ids")
+    val (ns, nt) = TokenBin.write(df, "key", "ids",
+      s"s3l://$bucket/tb", shards = 3)
+    assert(ns === 60L && nt === rows.map(_._2.size).sum.toLong)
+    // manifest self-check against the server's bytes
+    assert(TokenBin.verifyShards(spark, s"s3l://$bucket/tb")
+      .filter(!col("ok")).count() === 0L)
+    val back = spark.read.format("tokenbin").load(s"s3l://$bucket/tb")
+      .select("key", "ids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toSet
+    assert(back === rows.map { case (k, ids) => (k, ids.toList) }.toSet)
+  }
+
+  test("WebDataset tar shards write, verify, and read back over the live endpoint") {
+    live()
+    import spark.implicits._
+    val docs = (0L until 40L).map(k => (k, s"text of $k", s"""{"k":$k}"""))
+      .toDF("key", "text", "meta")
+    val (samples, members) = WebDataset.write(docs, "key",
+      Seq(("text", "txt"), ("meta", "json")), s"s3l://$bucket/wd",
+      shards = 3)
+    assert(samples === 40L && members === 80L)
+    assert(WebDataset.verifyShards(spark, s"s3l://$bucket/wd")
+      .filter(!col("ok")).count() === 0L)
+    val back = WebDataset.read(spark, s"s3l://$bucket/wd")
+      .filter(col("ext") === "txt")
+      .select(col("key").cast("long"), col("content").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(back === (0L until 40L).map(k => (k, s"text of $k")).toSet)
+  }
+}
