@@ -265,7 +265,13 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val flakyJson = flaky.map { case (k, f) => "\"" + k + "\":" + f }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","roster21":${fmt(total21, 3)},"queries":$qjson,"failed":$failedJson,"flaky_iters":$flakyJson,"calib":${fmt(calib, 3)},"calib_par":${fmt(calibPar, 3)},"value_norm":${fmt(norm, 2)},"roster21_norm":${fmt(norm21, 2)},"loadavg":${fmt(load0, 2)},"contaminated":$contaminated,"sf":"$sfDir"}""")
+    // per-query normalized values (seconds / calib_par, the same
+    // normalization as roster21_norm) so cross-round PER-QUERY
+    // comparisons need no manual arithmetic
+    val qnormJson = timed.map { case (k, v) =>
+        "\"" + k + "\":" + fmt(v / calibPar, 2)
+      }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","roster21":${fmt(total21, 3)},"queries":$qjson,"queries_norm":$qnormJson,"failed":$failedJson,"flaky_iters":$flakyJson,"calib":${fmt(calib, 3)},"calib_par":${fmt(calibPar, 3)},"value_norm":${fmt(norm, 2)},"roster21_norm":${fmt(norm21, 2)},"loadavg":${fmt(load0, 2)},"contaminated":$contaminated,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty || flaky.nonEmpty) sys.exit(1)
   }

@@ -1025,6 +1025,11 @@ object ScalingProbe {
       SparkEntry.queries("q_stream_eval")(spark, d).count() }
     time("score_drift") { d =>
       SparkEntry.queries("q_score_drift")(spark, d).count() }
+    // embedding drift: the cell assignment is a codegen scan-side
+    // expression (O(dim·cells)/row), everything after is (window, cell)
+    // rows — the slope should be the embedding scan's
+    time("embed_drift") { d =>
+      SparkEntry.queries("q_embed_drift")(spark, d).count() }
     // fragment ancestry depth: the overlay read chains one ROWID join
     // per ancestor (MSWrite.readFragment walks the sidecars, then folds
     // updateByRowId). Probe READ cost (chains pre-built, untimed) vs

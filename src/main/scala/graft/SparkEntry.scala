@@ -1487,6 +1487,29 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
         .orderBy("window_start")
     }),
 
+    // EMBEDDING population drift (PSI over IVF cells) per hour vs the
+    // previous hour — the representation-space member of the drift
+    // family. The oracle replays the cell assignment exactly because
+    // the probe centroids are scaled basis vectors: nearest-centroid
+    // under squared-L2 against M·e_j reduces to argmax over the first
+    // 4 coordinates (verified tie-free in the data at every SF), so
+    // the REAL codegen assignment kernel is under test while the SQL
+    // side is a closed-form CASE
+    "q_embed_drift" -> ((s, dir) => {
+      val centroids = Array.tabulate(4)(j =>
+        Array.tabulate(64)(k => if (k == j) 2000.0 else 0.0))
+      val arriving = T(s, dir, "embeddings").select(
+        (to_timestamp(lit("2024-01-01 00:00:00")) +
+          expr("INTERVAL 30 MINUTES") * (col("vec_id") % 12)).as("ts"),
+        col("embedding"))
+      EventStream.embeddingDrift(arriving, "embedding", centroids,
+          "1 hour")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("n_events"), col("psi"), col("one_sided_bins"))
+        .orderBy("window_start")
+    }),
+
     // robust per-type outlier census on event values: median/MAD rule
     // at k=2 with exact interpolated percentiles (the oracle-pinnable
     // form; approx_percentile is the documented 100 TB default)
@@ -7367,6 +7390,42 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |  FROM events),
           |c AS (SELECT w, bin, CAST(count(*) AS DOUBLE) AS c
           |      FROM sc GROUP BY 1, 2),
+          |tot AS (SELECT w, sum(c) AS n FROM c GROUP BY 1),
+          |p AS (SELECT c.w, c.bin, c.c / tot.n AS p, tot.n AS n
+          |      FROM c JOIN tot USING (w)),
+          |cur AS (SELECT w AS k, bin, p AS pc, n AS nc FROM p),
+          |prv AS (SELECT w + INTERVAL 1 HOUR AS k, bin, p AS pp FROM p),
+          |ks AS (SELECT DISTINCT cur.k FROM cur
+          |       JOIN (SELECT DISTINCT k FROM prv) q ON q.k = cur.k),
+          |j AS (
+          |  SELECT coalesce(cur.k, prv.k) AS k, cur.pc, cur.nc, prv.pp
+          |  FROM cur FULL OUTER JOIN prv
+          |    ON cur.k = prv.k AND cur.bin = prv.bin)
+          |SELECT strftime(k, '%Y-%m-%d %H:%M:%S') AS window_start,
+          |  CAST(max(nc) AS BIGINT) AS n_events,
+          |  round(sum(CASE WHEN pc IS NOT NULL AND pp IS NOT NULL
+          |    THEN (pc - pp) * ln(pc / pp) ELSE 0 END), 9) AS psi,
+          |  CAST(sum(CASE WHEN pc IS NULL OR pp IS NULL THEN 1 ELSE 0
+          |    END) AS BIGINT) AS one_sided_bins
+          |FROM j JOIN ks USING (k) GROUP BY k
+          |ORDER BY window_start""".stripMargin,
+
+      "q_embed_drift" ->
+        """WITH e AS (
+          |  SELECT TIMESTAMP '2024-01-01 00:00:00'
+          |      + (CAST(vec_id % 12 AS INT) * INTERVAL 30 MINUTE) AS ts,
+          |    CASE
+          |      WHEN embedding[1] >= embedding[2]
+          |       AND embedding[1] >= embedding[3]
+          |       AND embedding[1] >= embedding[4] THEN 0
+          |      WHEN embedding[2] >= embedding[3]
+          |       AND embedding[2] >= embedding[4] THEN 1
+          |      WHEN embedding[3] >= embedding[4] THEN 2
+          |      ELSE 3 END AS bin
+          |  FROM embeddings),
+          |c AS (SELECT date_trunc('hour', ts) AS w, bin,
+          |        CAST(count(*) AS DOUBLE) AS c
+          |      FROM e GROUP BY 1, 2),
           |tot AS (SELECT w, sum(c) AS n FROM c GROUP BY 1),
           |p AS (SELECT c.w, c.bin, c.c / tot.n AS p, tot.n AS n
           |      FROM c JOIN tot USING (w)),

@@ -214,6 +214,16 @@ object EventStream {
     require(nBad == 0,
       "scoreDrift: scores must be non-null in [0, 1] — clean the " +
         "frame first")
+    psiFromCounts(counts)
+  }
+
+  /** The PSI reduce shared by [[scoreDrift]] (score bins) and
+    * [[embeddingDrift]] (IVF cells): `counts` is the already-CHECKPOINTED
+    * (w, bin, c) aggregate — everything here runs on bins·windows tiny
+    * rows (share join, previous-end = this-start keying, per-window
+    * reduce), never the corpus.
+    */
+  private def psiFromCounts(counts: DataFrame): DataFrame = {
     val tot = counts.groupBy("w").agg(sum("c").as("n"))
     val p = counts.join(tot, "w").select(col("w"), col("bin"),
       (col("c").cast("double") / col("n")).as("p"), col("n"))
@@ -232,6 +242,59 @@ object EventStream {
           .otherwise(0.0)), 9).as("psi"),
         sum(when(col("__pc").isNull || col("__pp").isNull, 1L)
           .otherwise(0L)).as("one_sided_bins"))
+  }
+
+  /** Window-to-window EMBEDDING drift — PSI over coarse IVF cells: each
+    * arriving vector is assigned its nearest centroid (the SAME codegen
+    * squared-L2 assignment the IVF/SemDeDup family uses, ties to the
+    * lowest index) and the [[scoreDrift]] PSI runs over CELL shares per
+    * tumbling window vs the predecessor. The multimodal member of the
+    * drift family: [[typeDrift]] watches a categorical column,
+    * [[scoreDrift]] a scalar model score, this the embedding
+    * DISTRIBUTION of arriving documents/images/audio — the "did the
+    * input population shift in representation space" alarm no scalar
+    * projection can see. Fit the centroids ONCE
+    * (`Similarity.fitKmeans`, or reuse a persisted IVF index's sidecar
+    * table) and hold them fixed across windows — PSI against a moving
+    * fit would confound population drift with re-clustering. Null
+    * vectors and dimension mismatches refuse (the census rides the one
+    * aggregate); cells present on only one side are excluded from the
+    * sum and reported as `one_sided_bins` (mass appeared in or vanished
+    * from a region of embedding space — itself the signal), the
+    * [[scoreDrift]] convention. One row per window with an immediate
+    * predecessor: (window_start, n_events, psi, one_sided_bins).
+    *
+    * Scale shape: the cell assignment is a codegen scan-side expression
+    * over broadcast-literal centroids (the corpus never leaves the
+    * executors; O(dim·cells) per row), then ONE (window, cell) hash
+    * aggregate + the bins·windows keyed join — identical post-aggregate
+    * cost to [[scoreDrift]] regardless of embedding dimension or
+    * traffic.
+    */
+  def embeddingDrift(stream: DataFrame, vecCol: String,
+                     centroids: Array[Array[Double]],
+                     width: String = "1 hour"): DataFrame = {
+    require(centroids.length >= 2,
+      s"embeddingDrift: need >= 2 centroids, got ${centroids.length}")
+    val dim = centroids.head.length
+    require(centroids.forall(_.length == dim),
+      "embeddingDrift: ragged centroid table")
+    val v = col(vecCol)
+    val malformed = v.isNull || size(v) =!= dim
+    // malformed vectors must not reach the kernel — bin them as NULL
+    // and let the riding census refuse after the one aggregate
+    val cell = when(malformed, lit(null))
+      .otherwise(graft.expr.VectorExprs.nearest_centroid(v, centroids))
+    val counts = stream
+      .groupBy(window(col("ts"), width).as("w"), cell.as("bin"))
+      .agg(count(lit(1)).as("c"), sum(malformed.cast("long")).as("__bad"))
+      .localCheckpoint()
+    val badRow = counts.agg(sum("__bad")).head()
+    val nBad = if (badRow.isNullAt(0)) 0L else badRow.getLong(0)
+    require(nBad == 0,
+      s"embeddingDrift: $nBad null or non-$dim-dim vectors — clean the " +
+        "frame first")
+    psiFromCounts(counts)
   }
 
   /** Sliding-window per-user activity. */

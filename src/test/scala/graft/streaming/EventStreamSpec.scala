@@ -448,6 +448,45 @@ class EventStreamSpec extends SparkSpec {
     assert(s0.getDouble(2) === 0.0 && s0.getLong(3) === 0L)
   }
 
+  test("embeddingDrift: equals scoreDrift's PSI on the matching cell stream; refusals") {
+    import spark.implicits._
+    // centroids at 10·e_j: nearest-centroid = argmax coordinate, so a
+    // one-hot-ish stream has a KNOWN cell and the PSI must equal the
+    // hand-checked scoreDrift numbers on the equivalent bin stream:
+    //   h0: {c0: 2, c1: 2}   h1: {c0: 3, c1: 1}
+    val centroids = Array(Array(10.0, 0.0, 0.0), Array(0.0, 10.0, 0.0))
+    def vec(cell: Int) = Seq.tabulate(3)(k => if (k == cell) 1.0f else 0.1f)
+    def at(hour: Int, cell: Int, n: Int) =
+      Seq.fill(n)((hour * 3600L, vec(cell)))
+    val rows = at(0, 0, 2) ++ at(0, 1, 2) ++ at(1, 0, 3) ++ at(1, 1, 1)
+    val df = rows.toDF("sec", "v")
+      .select(expr("timestamp_seconds(sec)").as("ts"), col("v"))
+    val got = EventStream.embeddingDrift(df, "v", centroids, "1 hour")
+      .orderBy("window_start").collect()
+    assert(got.length === 1)
+    // identical to the scoreDrift hand case: (.75-.5)ln(1.5)
+    // + (.25-.5)ln(.5) = 0.274653072
+    assert(got(0).getLong(1) === 4L)
+    assert(math.abs(got(0).getDouble(2) - 0.274653072) < 1e-9)
+    assert(got(0).getLong(3) === 0L)
+    // refusals: null vector, wrong dimension, degenerate centroid table
+    val withNull = (rows :+ ((0L, null.asInstanceOf[Seq[Float]])))
+      .toDF("sec", "v")
+      .select(expr("timestamp_seconds(sec)").as("ts"), col("v"))
+    intercept[IllegalArgumentException](
+      EventStream.embeddingDrift(withNull, "v", centroids, "1 hour")
+        .count())
+    val shortVec = (rows :+ ((0L, Seq(1.0f))))
+      .toDF("sec", "v")
+      .select(expr("timestamp_seconds(sec)").as("ts"), col("v"))
+    intercept[IllegalArgumentException](
+      EventStream.embeddingDrift(shortVec, "v", centroids, "1 hour")
+        .count())
+    intercept[IllegalArgumentException](
+      EventStream.embeddingDrift(df, "v",
+        Array(Array(10.0, 0.0, 0.0)), "1 hour").count())
+  }
+
   test("windowed eval monitor runs via foreachBatch (stream equals batch)") {
     // streaming parity for the EVALUATION leg: the per-window binned
     // AUC + ECE monitor is a (window, bin) hash aggregate, so running
