@@ -37,7 +37,7 @@ class CurationE2ESpec extends SparkSpec {
     // manifest, and pack invariant at test time, so a sink regression
     // names its metric instead of hash-mismatching the round drive
     val m = checksOf("q_pretrain_e2e")
-    assert(m.size === 9)
+    assert(m.size === 11)
     m.foreach { case (metric, ok) => assert(ok, s"check failed: $metric") }
   }
 
