@@ -25,8 +25,10 @@ import org.apache.hadoop.util.Progressable
   *
   * Deliberate scope limits (a DEV-endpoint adapter, not a production S3
   * client — deploy hadoop-aws/S3A for real clusters):
-  *  - no SigV4 signing: a static well-formed Authorization header only
-  *    (what unsigned dev endpoints accept);
+  *  - requests carry REAL SigV4 signatures ([[S3SigV4]], pinned against
+  *    botocore-derived reference vectors), but the available dev server
+  *    does not cryptographically enforce them, so endpoint-side
+  *    signature REJECTION remains untested;
   *  - whole-object buffering on open/create — correct at any size but
   *    memory-bound to the largest single object, fine for the test
   *    corpus scale this adapter exists for;
@@ -65,7 +67,7 @@ class S3LiteFs extends FileSystem {
   private def keyOf(f: Path): String =
     makeQualified(f).toUri.getPath.stripPrefix("/")
 
-  /** One HTTP round-trip. Returns (status, body, headers). */
+  /** One HTTP round-trip, SigV4-signed. Returns (status, body, headers). */
   private def http(method: String, key: String, query: String,
                    body: Array[Byte],
                    extraHeaders: Map[String, String] = Map.empty)
@@ -77,11 +79,24 @@ class S3LiteFs extends FileSystem {
     c.setRequestMethod(method)
     c.setConnectTimeout(10000)
     c.setReadTimeout(60000)
-    // a static well-formed (unvalidated) v4 header: dev endpoints route
-    // on its SHAPE, not its signature
-    c.setRequestProperty("Authorization",
-      "AWS4-HMAC-SHA256 Credential=graft/19700101/us-east-1/s3/" +
-        "aws4_request, SignedHeaders=host, Signature=0")
+    // real SigV4 over the canonical request (spec-pinned in
+    // S3SigV4Spec against botocore-derived vectors); keys from conf
+    // with dev-endpoint defaults
+    val conf = getConf
+    val amzDate = S3SigV4.amzDate()
+    val payloadSha = S3SigV4.hexSha256(
+      if (body == null) Array.emptyByteArray else body)
+    val hostHdr =
+      if (endpoint.getPort >= 0) s"${endpoint.getHost}:${endpoint.getPort}"
+      else endpoint.getHost
+    val auth = S3SigV4.authorization(
+      method, s"/$bucket/$key", query, hostHdr, amzDate, payloadSha,
+      extraHeaders, conf.get("fs.s3l.access.key", "graft"),
+      conf.get("fs.s3l.secret.key", "graft-secret"),
+      conf.get("fs.s3l.region", "us-east-1"))
+    c.setRequestProperty("x-amz-date", amzDate)
+    c.setRequestProperty("x-amz-content-sha256", payloadSha)
+    c.setRequestProperty("Authorization", auth)
     extraHeaders.foreach { case (k, v) => c.setRequestProperty(k, v) }
     if (body != null) {
       // octet-stream, or the server's form parser eats the payload
@@ -233,18 +248,79 @@ class S3LiteFs extends FileSystem {
     val key = keyOf(f)
     if (!overwrite && exists(f))
       throw new IOException(s"s3l: $f already exists")
-    val buf = new ByteArrayOutputStream()
-    val sink: OutputStream = new OutputStream {
-      override def write(b: Int): Unit = buf.write(b)
-      override def write(b: Array[Byte], off: Int, len: Int): Unit =
-        buf.write(b, off, len)
-      override def close(): Unit = {
+    // S3's real 5 MiB floor for non-final parts; small objects single-PUT
+    val threshold = math.max(5L * 1024 * 1024,
+      getConf.getLong("fs.s3l.multipart.threshold", 128L * 1024 * 1024))
+    new FSDataOutputStream(new MultipartSink(key, threshold), null)
+  }
+
+  /** The real S3 upload shape: objects under `threshold` commit as one
+    * PUT; larger streams become a multipart upload — initiate, 5 MiB+
+    * parts as they fill, CompleteMultipartUpload at close. The parts
+    * are INVISIBLE at the object key until complete and a crash before
+    * close leaves NO object (the contract `MultipartFs` models in-JVM;
+    * `S3LiveSpec` proves it against the live server).
+    */
+  private final class MultipartSink(key: String, threshold: Long)
+      extends OutputStream {
+    private val buf = new ByteArrayOutputStream()
+    private var uploadId: String = _
+    private var partN = 0
+    private val etags = Seq.newBuilder[(Int, String)]
+
+    private def initiate(): Unit = {
+      val (st, body, _) = http("POST", key, "uploads", Array.emptyByteArray)
+      if (st != 200) throw new IOException(
+        s"s3l initiate multipart $key: HTTP $st " +
+          new String(body, StandardCharsets.UTF_8))
+      val doc = xml(body)
+      val ids = doc.getElementsByTagName("UploadId")
+      if (ids.getLength == 0)
+        throw new IOException(s"s3l initiate multipart $key: no UploadId")
+      uploadId = ids.item(0).getTextContent
+    }
+
+    private def flushPart(): Unit = {
+      if (uploadId == null) initiate()
+      partN += 1
+      val (st, body, headers) = http("PUT", key,
+        s"partNumber=$partN&uploadId=$uploadId", buf.toByteArray)
+      if (st != 200) throw new IOException(
+        s"s3l part $partN of $key: HTTP $st " +
+          new String(body, StandardCharsets.UTF_8))
+      val etag = Option(headers.get("ETag")).map(_.get(0)).getOrElse(
+        throw new IOException(s"s3l part $partN of $key: no ETag"))
+      etags += ((partN, etag))
+      buf.reset()
+    }
+
+    override def write(b: Int): Unit = {
+      buf.write(b)
+      if (buf.size >= threshold) flushPart()
+    }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      buf.write(b, off, len)
+      if (buf.size >= threshold) flushPart()
+    }
+
+    override def close(): Unit =
+      if (uploadId == null) {
         val (st, body, _) = http("PUT", key, "", buf.toByteArray)
         if (st != 200) throw new IOException(
-          s"s3l put $f: HTTP $st ${new String(body, StandardCharsets.UTF_8)}")
+          s"s3l put $key: HTTP $st " +
+            new String(body, StandardCharsets.UTF_8))
+      } else {
+        if (buf.size > 0) flushPart()
+        val parts = etags.result().map { case (n, e) =>
+          s"<Part><PartNumber>$n</PartNumber><ETag>$e</ETag></Part>"
+        }.mkString
+        val xmlBody = ("<CompleteMultipartUpload>" + parts +
+          "</CompleteMultipartUpload>").getBytes(StandardCharsets.UTF_8)
+        val (st, body, _) = http("POST", key, s"uploadId=$uploadId", xmlBody)
+        if (st != 200) throw new IOException(
+          s"s3l complete multipart $key: HTTP $st " +
+            new String(body, StandardCharsets.UTF_8))
       }
-    }
-    new FSDataOutputStream(sink, null)
   }
 
   override def append(f: Path, bufferSize: Int,
@@ -306,6 +382,107 @@ class S3LiteFs extends FileSystem {
       files.foreach { case (k, _, _) => deleteObject(k) }
       true
     }
+  }
+}
+
+/** AWS Signature Version 4 (the published signing process: AWS General
+  * Reference, "Signature Version 4 signing process") as pure functions,
+  * so `S3SigV4Spec` can pin every stage — canonical request, string to
+  * sign, final signature — against reference vectors generated from
+  * botocore's `SigV4Auth` (the de-facto reference signer, available in
+  * this environment; the derivation script is quoted in the spec).
+  */
+object S3SigV4 {
+
+  private def unreserved(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+      (c >= '0' && c <= '9') || c == '-' || c == '.' || c == '_' || c == '~'
+
+  /** RFC 3986 percent-encoding with UPPERCASE hex — the SigV4 rule;
+    * `keepSlash` leaves path separators intact (canonical-URI mode).
+    */
+  def uriEncode(s: String, keepSlash: Boolean): String = {
+    val sb = new StringBuilder
+    s.getBytes(StandardCharsets.UTF_8).foreach { b =>
+      val c = (b & 0xff).toChar
+      if (unreserved(c) || (keepSlash && c == '/')) sb += c
+      else sb ++= f"%%${b & 0xff}%02X"
+    }
+    sb.toString
+  }
+
+  /** Canonical query string from a RAW (unencoded) `k=v&k=v` query:
+    * params sort by encoded name then encoded value; empty query stays
+    * empty.
+    */
+  def canonicalQuery(rawQuery: String): String =
+    if (rawQuery == null || rawQuery.isEmpty) ""
+    else rawQuery.split("&").toSeq.map { kv =>
+      val i = kv.indexOf('=')
+      val (k, v) = if (i < 0) (kv, "") else (kv.take(i), kv.drop(i + 1))
+      (uriEncode(k, keepSlash = false), uriEncode(v, keepSlash = false))
+    }.sorted.map { case (k, v) => s"$k=$v" }.mkString("&")
+
+  def hexSha256(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+      .map(b => f"${b & 0xff}%02x").mkString
+
+  private def hmac(key: Array[Byte], data: String): Array[Byte] = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+    mac.doFinal(data.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** `yyyyMMdd'T'HHmmss'Z'` in UTC — the x-amz-date format. */
+  def amzDate(): String =
+    java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now())
+
+  /** The canonical request (stage 1 of the published process). Signed
+    * headers = host, x-amz-content-sha256, x-amz-date, plus any extra
+    * `x-amz-*` request headers (e.g. x-amz-copy-source), lowercase and
+    * sorted.
+    */
+  def canonicalRequest(method: String, path: String, rawQuery: String,
+                       host: String, amzDate: String, payloadSha: String,
+                       extraHeaders: Map[String, String]): (String, String) = {
+    val headers = (Map("host" -> host, "x-amz-date" -> amzDate,
+      "x-amz-content-sha256" -> payloadSha) ++
+      extraHeaders.map { case (k, v) =>
+        k.toLowerCase(java.util.Locale.ROOT) -> v.trim
+      }.filter(_._1.startsWith("x-amz-"))).toSeq.sortBy(_._1)
+    val signedHeaders = headers.map(_._1).mkString(";")
+    val canonical = Seq(
+      method,
+      uriEncode(path, keepSlash = true),
+      canonicalQuery(rawQuery),
+      headers.map { case (k, v) => s"$k:$v\n" }.mkString,
+      signedHeaders,
+      payloadSha).mkString("\n")
+    (canonical, signedHeaders)
+  }
+
+  /** Stages 2–4: string to sign, the dated HMAC key chain, and the
+    * final Authorization header value.
+    */
+  def authorization(method: String, path: String, rawQuery: String,
+                    host: String, amzDate: String, payloadSha: String,
+                    extraHeaders: Map[String, String], accessKey: String,
+                    secretKey: String, region: String): String = {
+    val (canonical, signedHeaders) = canonicalRequest(method, path,
+      rawQuery, host, amzDate, payloadSha, extraHeaders)
+    val date = amzDate.take(8)
+    val scope = s"$date/$region/s3/aws4_request"
+    val toSign = Seq("AWS4-HMAC-SHA256", amzDate, scope,
+      hexSha256(canonical.getBytes(StandardCharsets.UTF_8))).mkString("\n")
+    val kDate = hmac(s"AWS4$secretKey".getBytes(StandardCharsets.UTF_8), date)
+    val kRegion = hmac(kDate, region)
+    val kService = hmac(kRegion, "s3")
+    val kSigning = hmac(kService, "aws4_request")
+    val sig = hmac(kSigning, toSign).map(b => f"${b & 0xff}%02x").mkString
+    s"AWS4-HMAC-SHA256 Credential=$accessKey/$scope, " +
+      s"SignedHeaders=$signedHeaders, Signature=$sig"
   }
 }
 

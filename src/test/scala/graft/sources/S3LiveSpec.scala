@@ -123,6 +123,37 @@ class S3LiveSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(back === rows.map { case (k, ids) => (k, ids.toList) }.toSet)
   }
 
+  test("multipart upload assembles live; an uncompleted upload leaves NO object") {
+    live()
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    // the configured floor clamps to S3's real 5 MiB part minimum
+    conf.setLong("fs.s3l.multipart.threshold", 1L)
+    val p = new Path(s"s3l://$bucket/mp/big.bin")
+    val fs = p.getFileSystem(conf)
+    val data = new Array[Byte](11 * 1024 * 1024 + 137)
+    new scala.util.Random(42).nextBytes(data)
+    val out = fs.create(p, true)
+    // chunked writes so parts cut at the 5 MiB threshold (3 parts:
+    // 5 MiB + 5 MiB + the 1 MiB+137 B tail)
+    data.grouped(256 * 1024).foreach(out.write)
+    out.close()
+    assert(fs.getFileStatus(p).getLen === data.length.toLong)
+    val in = fs.open(p)
+    val back = new Array[Byte](data.length)
+    in.readFully(0, back)
+    in.close()
+    assert(java.util.Arrays.equals(back, data))
+    // crash window: initiate + one uploaded part, but close (the
+    // CompleteMultipartUpload) never happens — the real server must
+    // show NO object at the key, not a truncated one (the MultipartFs
+    // contract, now proven live)
+    val p2 = new Path(s"s3l://$bucket/mp/crashed.bin")
+    val out2 = fs.create(p2, true)
+    new Array[Byte](6 * 1024 * 1024).grouped(256 * 1024).foreach(out2.write)
+    intercept[java.io.FileNotFoundException](fs.getFileStatus(p2))
+  }
+
   test("WebDataset tar shards write, verify, and read back over the live endpoint") {
     live()
     import spark.implicits._
