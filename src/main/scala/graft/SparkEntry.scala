@@ -3922,13 +3922,16 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           vocab)
         .select(col("source"), col("doc_id"), col("bpe_ids").as("ids")))
       // sep-collision / id-space audit: every emitted id must be a
-      // REAL vocabulary id — in [2, sepId): never the separator, never
-      // past it, and never 0 = <unk> (the byte alphabet makes unknowns
-      // impossible; an <unk> here would silently decode as the literal
-      // string "<unk>")
+      // REAL vocabulary id — never the separator or past it, and never
+      // 0 = <unk> (the byte alphabet makes unknowns impossible; an
+      // <unk> here would silently decode as the literal string
+      // "<unk>"). Id 1 (EndOfWord) is NOT flagged: a byte-level merge
+      // chain over text containing the literal "</w>" can legitimately
+      // fuse to that symbol, which vocabFromMerges dedups onto index 1
+      // — the decode leg still reproduces the text byte-exactly.
       val idAudit = enc.agg(
         sum(size(filter(col("ids"),
-          i => i >= lit(sepId) || i <= lit(1)))).as("bad_ids"),
+          i => i >= lit(sepId) || i === lit(0)))).as("bad_ids"),
         sum(size(col("ids"))).as("n_ids_enc"))
       val packs = pin(Sampling.assemblePackedIdsFFD(enc, "source", "doc_id",
         "ids", size(col("ids")), maxTokens = 1024, sepId = sepId))

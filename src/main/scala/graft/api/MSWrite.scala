@@ -317,23 +317,31 @@ object MSWrite {
         s"(> $CompactionWarnDepth): every read pays ~depth sidecar GETs " +
         "+ ROWID joins — compact with MSWrite.compactFragments")
 
+  /** The ONE ancestry walk (eldest first, `path` last) shared by
+    * [[readFragment]], [[chainDepth]], and [[compactFragments]] — a
+    * single cycle guard and parent-pointer traversal, so a future fix
+    * (path normalization, a depth cap) cannot silently apply to one
+    * walker and miss another. Sidecar GETs only; no data read.
+    */
+  private def ancestry(spark: SparkSession, path: String): List[String] = {
+    var chain = List.empty[String]
+    var cur: Option[String] = Some(path)
+    while (cur.isDefined) {
+      val p = cur.get
+      require(!chain.contains(p), s"fragment ancestry cycle at $p")
+      chain = p :: chain
+      cur = readKeywords(spark, p).get(ParentKey)
+    }
+    chain
+  }
+
   /** The number of ANCESTORS above `path` (0 = standalone table): walks
     * only the keyword sidecars — no data files touched — so a monitor
     * can poll it cheaply and schedule [[compactFragments]] on the
     * SCALE.md cadence (8–16).
     */
-  def chainDepth(spark: SparkSession, path: String): Int = {
-    var depth = 0
-    var cur = readKeywords(spark, path).get(ParentKey)
-    val seen = scala.collection.mutable.Set(path)
-    while (cur.isDefined) {
-      val p = cur.get
-      require(seen.add(p), s"fragment ancestry cycle at $p")
-      depth += 1
-      cur = readKeywords(spark, p).get(ParentKey)
-    }
-    depth
-  }
+  def chainDepth(spark: SparkSession, path: String): Int =
+    ancestry(spark, path).length - 1
 
   /** [[readFragment]] with an optional torn-listing guard: with
     * `verifyCounts = true`, each fragment's visible row count is checked
@@ -350,15 +358,7 @@ object MSWrite {
     */
   def readFragment(spark: SparkSession, path: String, rowIdOrder: Seq[String],
                    verifyCounts: Boolean): DataFrame = {
-    // ancestry: eldest first
-    var chain = List.empty[String]
-    var cur: Option[String] = Some(path)
-    while (cur.isDefined) {
-      val p = cur.get
-      require(!chain.contains(p), s"fragment ancestry cycle at $p")
-      chain = p :: chain
-      cur = readKeywords(spark, p).get(ParentKey)
-    }
+    val chain = ancestry(spark, path)
     // surface the per-read depth tax once it passes the measured
     // compaction cadence — the walk is silent otherwise and a deep
     // chain only gets deeper
@@ -397,15 +397,9 @@ object MSWrite {
                        rowIdOrder: Seq[String],
                        keepRowId: Boolean = false): Unit = {
     // walk the ancestry for the root's keywords (minus the parent pointer)
-    var root = path
-    var parent = readKeywords(spark, root).get(ParentKey)
-    val seen = scala.collection.mutable.Set(root)
-    while (parent.isDefined) {
-      root = parent.get
-      require(seen.add(root), s"fragment ancestry cycle at $root")
-      parent = readKeywords(spark, root).get(ParentKey)
-    }
-    require(!seen.contains(outPath),
+    val chain = ancestry(spark, path)
+    val root = chain.head
+    require(!chain.contains(outPath),
       s"compactFragments: outPath $outPath is part of the chain")
     val merged = readFragment(spark, path, rowIdOrder)
     create(if (keepRowId) merged else merged.drop(RowId), outPath)

@@ -10,8 +10,9 @@ import org.apache.hadoop.fs.permission.FsPermission
 import org.apache.hadoop.util.Progressable
 
 /** Minimal Hadoop FileSystem over the S3 REST API (path-style requests,
-  * unsigned dev-endpoint auth) — scheme `s3l://bucket/key`, endpoint via
-  * `fs.s3l.endpoint` (e.g. `http://127.0.0.1:5000`).
+  * SigV4-signed) — scheme `s3l://bucket/key`, endpoint via
+  * `fs.s3l.endpoint` (e.g. `http://127.0.0.1:5000`); credentials via
+  * `fs.s3l.access.key` / `fs.s3l.secret.key` / `fs.s3l.region`.
   *
   * Purpose: the LIVE object-store integration path. The reference
   * project tests its writers against a real minio endpoint
@@ -67,14 +68,21 @@ class S3LiteFs extends FileSystem {
   private def keyOf(f: Path): String =
     makeQualified(f).toUri.getPath.stripPrefix("/")
 
-  /** One HTTP round-trip, SigV4-signed. Returns (status, body, headers). */
-  private def http(method: String, key: String, query: String,
-                   body: Array[Byte],
+  /** One HTTP round-trip, SigV4-signed. `params` are RAW (unencoded)
+    * query pairs: the wire query and the signed canonical query are
+    * built from them by the SAME encoder, so keys/tokens containing
+    * '&', '+', '=' or unicode can never desync the request from its
+    * signature or corrupt server-side parsing. Returns (status, body,
+    * headers).
+    */
+  private def http(method: String, key: String,
+                   params: Seq[(String, String)], body: Array[Byte],
                    extraHeaders: Map[String, String] = Map.empty)
       : (Int, Array[Byte], java.util.Map[String, java.util.List[String]]) = {
-    val u = new URI(endpoint.getScheme, null, endpoint.getHost,
-      endpoint.getPort, s"/$bucket/$key", if (query.isEmpty) null else query,
-      null).toURL
+    val encPath = s"/$bucket/${S3SigV4.uriEncode(key, keepSlash = true)}"
+    val encQuery = S3SigV4.canonicalQuery(params)
+    val u = new URL(endpoint.toString + encPath +
+      (if (encQuery.isEmpty) "" else s"?$encQuery"))
     val c = u.openConnection().asInstanceOf[HttpURLConnection]
     c.setRequestMethod(method)
     c.setConnectTimeout(10000)
@@ -90,7 +98,7 @@ class S3LiteFs extends FileSystem {
       if (endpoint.getPort >= 0) s"${endpoint.getHost}:${endpoint.getPort}"
       else endpoint.getHost
     val auth = S3SigV4.authorization(
-      method, s"/$bucket/$key", query, hostHdr, amzDate, payloadSha,
+      method, s"/$bucket/$key", params, hostHdr, amzDate, payloadSha,
       extraHeaders, conf.get("fs.s3l.access.key", "graft"),
       conf.get("fs.s3l.secret.key", "graft-secret"),
       conf.get("fs.s3l.region", "us-east-1"))
@@ -144,14 +152,10 @@ class S3LiteFs extends FileSystem {
     var token: Option[String] = None
     var more = true
     while (more) {
-      // RAW values: the URI constructor percent-encodes the query once;
-      // pre-encoding here would double-encode (prefix=t0%252F) and the
-      // server would list nothing
-      val q = new StringBuilder("list-type=2")
-      q ++= s"&prefix=$prefix"
-      if (delimiter) q ++= "&delimiter=/"
-      token.foreach(t => q ++= s"&continuation-token=$t")
-      val (st, body, _) = http("GET", "", q.toString, null)
+      val q = Seq("list-type" -> "2", "prefix" -> prefix) ++
+        (if (delimiter) Seq("delimiter" -> "/") else Nil) ++
+        token.map("continuation-token" -> _)
+      val (st, body, _) = http("GET", "", q, null)
       if (st != 200) throw new IOException(
         s"s3l list $prefix failed: HTTP $st ${new String(body, StandardCharsets.UTF_8)}")
       val doc = xml(body)
@@ -185,7 +189,7 @@ class S3LiteFs extends FileSystem {
   override def getFileStatus(f: Path): FileStatus = {
     val key = keyOf(f)
     if (key.isEmpty) return dirStatus(f)
-    val (st, _, headers) = http("HEAD", key, "", null)
+    val (st, _, headers) = http("HEAD", key, Nil, null)
     if (st == 200) {
       val len = Option(headers.get("Content-Length"))
         .map(_.get(0).toLong).getOrElse(0L)
@@ -197,12 +201,16 @@ class S3LiteFs extends FileSystem {
       }.getOrElse(0L)
       new FileStatus(len, false, 1, defaultBlockSize, mtime,
         makeQualified(f))
-    } else {
+    } else if (st == 404) {
       // no object: a "directory" exists iff anything lives under key/
       val (files, dirs) = list(key + "/", delimiter = true)
       if (files.nonEmpty || dirs.nonEmpty) dirStatus(f)
       else throw new FileNotFoundException(s"s3l: $f")
-    }
+    } else
+      // 403/5xx is a SERVER answer, not absence — mapping it to FNF
+      // would let callers (exists/rename/committers) treat an outage
+      // as missing data and proceed
+      throw new IOException(s"s3l stat $f: HTTP $st")
   }
 
   private def dirStatus(f: Path): FileStatus =
@@ -213,13 +221,14 @@ class S3LiteFs extends FileSystem {
   override def listStatus(f: Path): Array[FileStatus] = {
     val key = keyOf(f)
     if (key.nonEmpty) {
-      val (st, _, headers) = http("HEAD", key, "", null)
+      val (st, _, headers) = http("HEAD", key, Nil, null)
       if (st == 200) {
         val len = Option(headers.get("Content-Length"))
           .map(_.get(0).toLong).getOrElse(0L)
         return Array(new FileStatus(len, false, 1, defaultBlockSize, 0L,
           makeQualified(f)))
       }
+      if (st != 404) throw new IOException(s"s3l stat $f: HTTP $st")
     }
     val prefix = if (key.isEmpty) "" else key + "/"
     val (files, dirs) = list(prefix, delimiter = true)
@@ -236,7 +245,7 @@ class S3LiteFs extends FileSystem {
 
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
     val key = keyOf(f)
-    val (st, body, _) = http("GET", key, "", null)
+    val (st, body, _) = http("GET", key, Nil, null)
     if (st == 404) throw new FileNotFoundException(s"s3l: $f")
     if (st != 200) throw new IOException(s"s3l open $f: HTTP $st")
     new FSDataInputStream(new S3LiteFs.ByteSeekStream(body))
@@ -266,10 +275,11 @@ class S3LiteFs extends FileSystem {
     private val buf = new ByteArrayOutputStream()
     private var uploadId: String = _
     private var partN = 0
+    private var closed = false
     private val etags = Seq.newBuilder[(Int, String)]
 
     private def initiate(): Unit = {
-      val (st, body, _) = http("POST", key, "uploads", Array.emptyByteArray)
+      val (st, body, _) = http("POST", key, Seq("uploads" -> ""), Array.emptyByteArray)
       if (st != 200) throw new IOException(
         s"s3l initiate multipart $key: HTTP $st " +
           new String(body, StandardCharsets.UTF_8))
@@ -284,7 +294,8 @@ class S3LiteFs extends FileSystem {
       if (uploadId == null) initiate()
       partN += 1
       val (st, body, headers) = http("PUT", key,
-        s"partNumber=$partN&uploadId=$uploadId", buf.toByteArray)
+        Seq("partNumber" -> partN.toString, "uploadId" -> uploadId),
+        buf.toByteArray)
       if (st != 200) throw new IOException(
         s"s3l part $partN of $key: HTTP $st " +
           new String(body, StandardCharsets.UTF_8))
@@ -303,9 +314,13 @@ class S3LiteFs extends FileSystem {
       if (buf.size >= threshold) flushPart()
     }
 
+    // idempotent per the OutputStream contract: Hadoop/Parquet cleanup
+    // paths double-close routinely (explicit close + finally
+    // closeStream), and a second CompleteMultipartUpload would 404
     override def close(): Unit =
-      if (uploadId == null) {
-        val (st, body, _) = http("PUT", key, "", buf.toByteArray)
+      if (closed) ()
+      else if ({ closed = true; uploadId == null }) {
+        val (st, body, _) = http("PUT", key, Nil, buf.toByteArray)
         if (st != 200) throw new IOException(
           s"s3l put $key: HTTP $st " +
             new String(body, StandardCharsets.UTF_8))
@@ -316,7 +331,8 @@ class S3LiteFs extends FileSystem {
         }.mkString
         val xmlBody = ("<CompleteMultipartUpload>" + parts +
           "</CompleteMultipartUpload>").getBytes(StandardCharsets.UTF_8)
-        val (st, body, _) = http("POST", key, s"uploadId=$uploadId", xmlBody)
+        val (st, body, _) = http("POST", key,
+          Seq("uploadId" -> uploadId), xmlBody)
         if (st != 200) throw new IOException(
           s"s3l complete multipart $key: HTTP $st " +
             new String(body, StandardCharsets.UTF_8))
@@ -328,7 +344,7 @@ class S3LiteFs extends FileSystem {
     throw new UnsupportedOperationException("s3l: append")
 
   private def copyObject(srcKey: String, dstKey: String): Unit = {
-    val (st, body, _) = http("PUT", dstKey, "", null,
+    val (st, body, _) = http("PUT", dstKey, Nil, null,
       Map("x-amz-copy-source" -> s"/$bucket/$srcKey"))
     if (st != 200) throw new IOException(
       s"s3l copy $srcKey -> $dstKey: HTTP $st " +
@@ -336,7 +352,7 @@ class S3LiteFs extends FileSystem {
   }
 
   private def deleteObject(key: String): Unit = {
-    val (st, _, _) = http("DELETE", key, "", null)
+    val (st, _, _) = http("DELETE", key, Nil, null)
     if (st != 204 && st != 200 && st != 404)
       throw new IOException(s"s3l delete $key: HTTP $st")
   }
@@ -411,15 +427,15 @@ object S3SigV4 {
     sb.toString
   }
 
-  /** Canonical query string from a RAW (unencoded) `k=v&k=v` query:
-    * params sort by encoded name then encoded value; empty query stays
-    * empty.
+  /** Canonical query string from RAW (unencoded) param pairs: params
+    * sort by encoded name then encoded value; empty stays empty.
+    * Structured pairs, never a pre-joined string — a raw value
+    * containing '&' or '=' (legal in S3 keys, produced by Spark's
+    * partition-path encoding which escapes neither) would make a
+    * string form ambiguous before encoding could see it.
     */
-  def canonicalQuery(rawQuery: String): String =
-    if (rawQuery == null || rawQuery.isEmpty) ""
-    else rawQuery.split("&").toSeq.map { kv =>
-      val i = kv.indexOf('=')
-      val (k, v) = if (i < 0) (kv, "") else (kv.take(i), kv.drop(i + 1))
+  def canonicalQuery(params: Seq[(String, String)]): String =
+    params.map { case (k, v) =>
       (uriEncode(k, keepSlash = false), uriEncode(v, keepSlash = false))
     }.sorted.map { case (k, v) => s"$k=$v" }.mkString("&")
 
@@ -444,7 +460,8 @@ object S3SigV4 {
     * `x-amz-*` request headers (e.g. x-amz-copy-source), lowercase and
     * sorted.
     */
-  def canonicalRequest(method: String, path: String, rawQuery: String,
+  def canonicalRequest(method: String, path: String,
+                       params: Seq[(String, String)],
                        host: String, amzDate: String, payloadSha: String,
                        extraHeaders: Map[String, String]): (String, String) = {
     val headers = (Map("host" -> host, "x-amz-date" -> amzDate,
@@ -456,7 +473,7 @@ object S3SigV4 {
     val canonical = Seq(
       method,
       uriEncode(path, keepSlash = true),
-      canonicalQuery(rawQuery),
+      canonicalQuery(params),
       headers.map { case (k, v) => s"$k:$v\n" }.mkString,
       signedHeaders,
       payloadSha).mkString("\n")
@@ -466,12 +483,13 @@ object S3SigV4 {
   /** Stages 2–4: string to sign, the dated HMAC key chain, and the
     * final Authorization header value.
     */
-  def authorization(method: String, path: String, rawQuery: String,
+  def authorization(method: String, path: String,
+                    params: Seq[(String, String)],
                     host: String, amzDate: String, payloadSha: String,
                     extraHeaders: Map[String, String], accessKey: String,
                     secretKey: String, region: String): String = {
     val (canonical, signedHeaders) = canonicalRequest(method, path,
-      rawQuery, host, amzDate, payloadSha, extraHeaders)
+      params, host, amzDate, payloadSha, extraHeaders)
     val date = amzDate.take(8)
     val scope = s"$date/$region/s3/aws4_request"
     val toSign = Seq("AWS4-HMAC-SHA256", amzDate, scope,
@@ -502,6 +520,7 @@ object S3LiteFs {
       if (pos >= bytes.length) -1
       else { val b = bytes(pos) & 0xff; pos += 1; b }
     override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (len == 0) return 0 // contract: zero-length reads return 0, never EOF
       if (pos >= bytes.length) return -1
       val n = math.min(len, bytes.length - pos)
       System.arraycopy(bytes, pos, b, off, n)

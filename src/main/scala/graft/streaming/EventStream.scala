@@ -127,6 +127,13 @@ object EventStream {
     * reduce. In a live pipeline this runs per micro-batch via
     * `foreachBatch` over completed windows (the [[typeDrift]]
     * discipline); the spec drives exactly that and pins batch parity.
+    * Each call eagerly checkpoints its tiny per-bin frame (that is
+    * what buys the one-scan refusal); the blocks are reclaimed by
+    * Spark's ContextCleaner once the report is released — a
+    * long-running monitor loop should consume (collect/write) each
+    * window report promptly rather than holding references across
+    * triggers. The same lifecycle applies to [[scoreDrift]] and
+    * [[embeddingDrift]].
     */
   def windowedEval(scored: DataFrame, scoreCol: String, labelCol: String,
                    width: String = "1 hour", bins: Int = 10): DataFrame = {

@@ -34,14 +34,14 @@ class S3SigV4Spec extends AnyFunSuite {
   private def sigOf(auth: String): String =
     auth.split("Signature=").last
 
-  private def auth(method: String, path: String, query: String,
-                   payloadSha: String,
+  private def auth(method: String, path: String,
+                   query: Seq[(String, String)], payloadSha: String,
                    extra: Map[String, String] = Map.empty): String =
     S3SigV4.authorization(method, path, query, host, date, payloadSha,
       extra, access, secret, region)
 
   test("GET object matches the botocore reference signature") {
-    val a = auth("GET", "/bucket/key.txt", "", emptySha)
+    val a = auth("GET", "/bucket/key.txt", Nil, emptySha)
     assert(a.startsWith("AWS4-HMAC-SHA256 Credential=AKIDEXAMPLE/" +
       "20260101/us-east-1/s3/aws4_request, " +
       "SignedHeaders=host;x-amz-content-sha256;x-amz-date, "))
@@ -54,7 +54,7 @@ class S3SigV4Spec extends AnyFunSuite {
       "hello world".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     assert(bodySha ===
       "b94d27b9934d3e08a52e52d7da7dabfac484efe37a5380ee9088f7ace2efcde9")
-    val a = auth("PUT", "/bucket/dir/part-00000.parquet", "", bodySha)
+    val a = auth("PUT", "/bucket/dir/part-00000.parquet", Nil, bodySha)
     assert(sigOf(a) ===
       "e75b59bf9bad5d68325b23d7158484c49a50f62ff8f3efa5f979f91ac8a60503")
   }
@@ -63,22 +63,24 @@ class S3SigV4Spec extends AnyFunSuite {
     // raw prefix a/b/ and delimiter / must canonicalize to
     // delimiter=%2F&list-type=2&prefix=a%2Fb%2F — sorted by name,
     // slashes encoded — to match the botocore vector
-    assert(S3SigV4.canonicalQuery("list-type=2&prefix=a/b/&delimiter=/")
+    assert(S3SigV4.canonicalQuery(Seq("list-type" -> "2",
+      "prefix" -> "a/b/", "delimiter" -> "/"))
       === "delimiter=%2F&list-type=2&prefix=a%2Fb%2F")
-    val a = auth("GET", "/bucket/", "list-type=2&prefix=a/b/&delimiter=/",
+    val a = auth("GET", "/bucket/",
+      Seq("list-type" -> "2", "prefix" -> "a/b/", "delimiter" -> "/"),
       emptySha)
     assert(sigOf(a) ===
       "31da85a277f46e5296fafda24c4a6d01379b8510e7d8d6d89ef899ef88d8f728")
   }
 
   test("DELETE matches") {
-    val a = auth("DELETE", "/bucket/a/b", "", emptySha)
+    val a = auth("DELETE", "/bucket/a/b", Nil, emptySha)
     assert(sigOf(a) ===
       "5a986d256672c427a1e0d661bcba963a3dde980654a1515ab1b9253a983a912a")
   }
 
   test("extra x-amz-copy-source header joins the signed set in sorted order") {
-    val a = auth("PUT", "/bucket/copy.bin", "", emptySha,
+    val a = auth("PUT", "/bucket/copy.bin", Nil, emptySha,
       Map("x-amz-copy-source" -> "/bucket/src.bin"))
     assert(a.contains("SignedHeaders=host;x-amz-content-sha256;" +
       "x-amz-copy-source;x-amz-date"))
