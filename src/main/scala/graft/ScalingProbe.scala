@@ -1030,6 +1030,16 @@ object ScalingProbe {
     // rows — the slope should be the embedding scan's
     time("embed_drift") { d =>
       SparkEntry.queries("q_embed_drift")(spark, d).count() }
+    // KS drift: one (window, distinct-score) aggregate + a
+    // window-partitioned prefix sum over the pooled support — 8x rows
+    // into the SAME windows grows only the aggregate scan (the dyadic
+    // score keeps distinct values fixed at ~700/window)
+    time("ks_drift") { d =>
+      SparkEntry.queries("q_ks_drift")(spark, d).count() }
+    // windowed A/B: ONE (window) aggregate; post-aggregate work is
+    // windows-many rows regardless of traffic
+    time("stream_ab") { d =>
+      SparkEntry.queries("q_stream_ab")(spark, d).count() }
     // fragment ancestry depth: the overlay read chains one ROWID join
     // per ancestor (MSWrite.readFragment walks the sidecars, then folds
     // updateByRowId). Probe READ cost (chains pre-built, untimed) vs

@@ -1510,6 +1510,40 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
         .orderBy("window_start")
     }),
 
+    // window-to-window two-sample KS drift on the exact score ECDF —
+    // the nonparametric sibling of q_score_drift: dyadic scores make
+    // both ECDFs exact count ratios, and the statistic plus the
+    // fixed-truncation Kolmogorov p-value replay closed-form
+    "q_ks_drift" -> ((s, dir) => {
+      val ev = EventStream.loadEvents(s, dir)
+      val scored = ev.select(col("ts"),
+        (pmod(col("user_id") * 37 + 11, lit(700)).cast("double") / 1024.0)
+          .as("score"))
+      EventStream.ksDrift(scored, "score", "1 hour")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("n_cur"), col("n_prev"), col("d"), col("p_value"))
+        .orderBy("window_start")
+    }),
+
+    // per-window paired A/B monitor (streaming McNemar): 3-way labels
+    // and two synthetic models from user_id arithmetic; the oracle
+    // replays the per-window discordant counts, the continuity-
+    // corrected chi^2, and the NR-erfcc p-value closed form
+    "q_stream_ab" -> ((s, dir) => {
+      val ev = EventStream.loadEvents(s, dir)
+      val scored = ev.select(col("ts"),
+        ((col("user_id") * 7) % 3).cast("string").as("y"),
+        ((col("user_id") * 11) % 3).cast("string").as("a"),
+        ((col("user_id") * 13) % 3).cast("string").as("b"))
+      EventStream.windowedAb(scored, "y", "a", "b", "1 hour")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("n"), col("acc_a"), col("acc_b"), col("b_discordant"),
+          col("c_discordant"), col("statistic"), col("p_value"))
+        .orderBy("window_start")
+    }),
+
     // robust per-type outlier census on event values: median/MAD rule
     // at k=2 with exact interpolated percentiles (the oracle-pinnable
     // form; approx_percentile is the documented 100 TB default)
@@ -2519,6 +2553,18 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
         .orderBy("doc_id", "epoch")
     }),
 
+    // loss-driven domain reweighting (one-step DoReMi): integer-valued
+    // synthetic proxy/reference losses make every per-source mean an
+    // exact ratio; the oracle replays share*exp(eta*excess)/Z per domain
+    "q_mixture_weights" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").select(col("source"),
+        ((col("doc_id") * 13) % 7).cast("double").as("lp"),
+        ((col("doc_id") * 3) % 5).cast("double").as("lr"))
+      Sampling.excessLossWeights(docs, "source", "lp", "lr", eta = 1.0)
+        .withColumnRenamed("grp", "source")
+        .orderBy("source")
+    }),
+
     // per-stratum cap: at most 70 docs per language, chosen by smallest
     // md5 draw of doc_id — row_number-over-stratum semantics without a
     // one-task-per-stratum window (range sort + census-seeded ranks);
@@ -3503,6 +3549,21 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
       ops.Classifier.cohenKappa(d.select(
         ((col("id") * 3) % 4).cast("string").as("ra"),
         ((col("id") * 5 + 1) % 4).cast("string").as("rb")), "ra", "rb")
+    }),
+
+    // Gwet's AC1 on a deliberately SKEWED two-rater panel — most items
+    // labeled "0" by both raters (the prevalence regime where Cohen's
+    // kappa collapses), disagreement confined to the sparse id%5 / id%7
+    // slices; the oracle replays the union marginal and the
+    // pi(1-pi)/(K-1) chance term exactly
+    "q_agree_ac1" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"))
+      ops.Classifier.gwetAC1(d.select(
+        when(col("id") % 7 === 0, ((col("id") * 3) % 4).cast("string"))
+          .otherwise("0").as("ra"),
+        when(col("id") % 5 === 0, ((col("id") * 5 + 1) % 4).cast("string"))
+          .otherwise("0").as("rb")), "ra", "rb")
     }),
 
     // Fleiss' kappa: 100 items × equal rater panels (doc_id div 100),
@@ -5452,6 +5513,28 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |FROM n, LATERAL unnest(range(0, nc)) AS e(epoch)
           |WHERE nc > 0 ORDER BY doc_id, epoch""".stripMargin,
 
+      "q_mixture_weights" ->
+        """WITH d AS (
+          |  SELECT source,
+          |    CAST((CAST(doc_id AS BIGINT) * 13) % 7 AS DOUBLE) AS lp,
+          |    CAST((CAST(doc_id AS BIGINT) * 3) % 5 AS DOUBLE) AS lr
+          |  FROM documents),
+          |per AS (
+          |  SELECT source AS grp, count(*) AS n_docs,
+          |    sum(lp) AS sp, sum(lr) AS sr
+          |  FROM d GROUP BY 1),
+          |tot AS (SELECT sum(n_docs) AS nn FROM per),
+          |sc AS (
+          |  SELECT grp, n_docs, CAST(n_docs AS DOUBLE) / nn AS share,
+          |    greatest(0.0, sp / n_docs - sr / n_docs) AS excess
+          |  FROM per, tot),
+          |s2 AS (SELECT *, share * exp(1.0 * excess) AS score FROM sc),
+          |z AS (SELECT sum(score) AS z FROM s2)
+          |SELECT grp AS source, CAST(n_docs AS BIGINT) AS n_docs,
+          |  round(share, 9) AS share, round(excess, 9) AS excess_loss,
+          |  round(score / z, 9) AS weight
+          |FROM s2, z ORDER BY source""".stripMargin,
+
       "q_cap_stratum" ->
         """WITH r AS (
           |  SELECT doc_id, lang,
@@ -7134,6 +7217,41 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |             ELSE (po - pe) / (1.0 - pe) END, 9) AS kappa
           |FROM v""".stripMargin,
 
+      "q_agree_ac1" ->
+        """WITH r AS (
+          |  SELECT CASE WHEN CAST(doc_id AS BIGINT) % 7 = 0
+          |           THEN CAST((CAST(doc_id AS BIGINT) * 3) % 4 AS VARCHAR)
+          |           ELSE '0' END AS a,
+          |         CASE WHEN CAST(doc_id AS BIGINT) % 5 = 0
+          |           THEN CAST((CAST(doc_id AS BIGINT) * 5 + 1) % 4
+          |             AS VARCHAR)
+          |           ELSE '0' END AS b
+          |  FROM documents),
+          |tot AS (
+          |  SELECT count(*) AS n,
+          |         sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree
+          |  FROM r),
+          |ma AS (SELECT a AS k, count(*) AS na FROM r GROUP BY 1),
+          |mb AS (SELECT b AS k, count(*) AS nb FROM r GROUP BY 1),
+          |u AS (
+          |  SELECT CAST(coalesce(na, 0) AS DOUBLE)
+          |       + CAST(coalesce(nb, 0) AS DOUBLE) AS m
+          |  FROM ma FULL OUTER JOIN mb ON ma.k = mb.k),
+          |ch AS (SELECT count(*) AS kk, sum(m * m) AS m2, sum(m) AS m1
+          |       FROM u),
+          |v AS (
+          |  SELECT CAST(n AS BIGINT) AS n_items,
+          |    CAST(agree AS DOUBLE) / n AS po,
+          |    CASE WHEN kk <= 1 THEN 0.0
+          |         ELSE (m1 / (n * 2.0) - m2 / (n * 2.0 * n * 2.0))
+          |              / (kk - 1.0) END AS pe,
+          |    kk
+          |  FROM tot, ch)
+          |SELECT n_items, round(po, 9) AS po, round(pe, 9) AS pe,
+          |  round(CASE WHEN kk <= 1 THEN 1.0
+          |             ELSE (po - pe) / (1.0 - pe) END, 9) AS ac1
+          |FROM v""".stripMargin,
+
       "q_agree_fleiss" ->
         """WITH r AS (
           |  SELECT CAST(doc_id AS BIGINT) % 100 AS item,
@@ -7448,6 +7566,90 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |    END) AS BIGINT) AS one_sided_bins
           |FROM j JOIN ks USING (k) GROUP BY k
           |ORDER BY window_start""".stripMargin,
+
+      "q_ks_drift" ->
+        """WITH sc AS (
+          |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w,
+          |    ((user_id * 37 + 11) % 700) / 1024.0 AS v
+          |  FROM events),
+          |c AS (SELECT w, v, count(*) AS c FROM sc GROUP BY 1, 2),
+          |tot AS (SELECT w, sum(c) AS n FROM c GROUP BY 1),
+          |cur AS (SELECT c.w AS k, v, c.c AS cc, tot.n AS nc
+          |        FROM c JOIN tot USING (w)),
+          |prv AS (SELECT c.w + INTERVAL 1 HOUR AS k, v, c.c AS cp,
+          |          tot.n AS np
+          |        FROM c JOIN tot USING (w)),
+          |ks AS (SELECT DISTINCT cur.k FROM cur
+          |       JOIN (SELECT DISTINCT k FROM prv) q ON q.k = cur.k),
+          |j AS (
+          |  SELECT coalesce(cur.k, prv.k) AS k, coalesce(cur.v, prv.v) AS v,
+          |    coalesce(cc, 0) AS cc, coalesce(cp, 0) AS cp, nc, np
+          |  FROM cur FULL OUTER JOIN prv
+          |    ON cur.k = prv.k AND cur.v = prv.v),
+          |a AS (
+          |  SELECT k,
+          |    SUM(cc) OVER (PARTITION BY k ORDER BY v
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc,
+          |    SUM(cp) OVER (PARTITION BY k ORDER BY v
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cump,
+          |    MAX(nc) OVER (PARTITION BY k) AS nc,
+          |    MAX(np) OVER (PARTITION BY k) AS np
+          |  FROM j JOIN ks USING (k)),
+          |pw AS (
+          |  SELECT k AS window_start, CAST(max(nc) AS BIGINT) AS n_cur,
+          |    CAST(max(np) AS BIGINT) AS n_prev,
+          |    max(abs(CAST(cumc AS DOUBLE) / nc
+          |      - CAST(cump AS DOUBLE) / np)) AS d
+          |  FROM a GROUP BY 1),
+          |lm AS (
+          |  SELECT *,
+          |    (sqrt(CAST(n_cur AS DOUBLE) * n_prev / (n_cur + n_prev))
+          |     + 0.12
+          |     + 0.11 / sqrt(CAST(n_cur AS DOUBLE) * n_prev
+          |                   / (n_cur + n_prev))) * d AS lam
+          |  FROM pw)
+          |SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S')
+          |    AS window_start,
+          |  n_cur, n_prev, round(d, 9) AS d,
+          |  round(CASE WHEN lam < 0.3 THEN 1.0
+          |    ELSE least(1.0, greatest(0.0, 2.0 * (
+          |      exp(-2.0 * lam * lam) - exp(-8.0 * lam * lam)
+          |      + exp(-18.0 * lam * lam) - exp(-32.0 * lam * lam)
+          |      + exp(-50.0 * lam * lam) - exp(-72.0 * lam * lam)
+          |      + exp(-98.0 * lam * lam) - exp(-128.0 * lam * lam))))
+          |    END, 9) AS p_value
+          |FROM lm ORDER BY window_start""".stripMargin,
+
+      "q_stream_ab" ->
+        s"""WITH sc AS (
+          |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w,
+          |    CAST((user_id * 7) % 3 AS VARCHAR) AS y,
+          |    CAST((user_id * 11) % 3 AS VARCHAR) AS a,
+          |    CAST((user_id * 13) % 3 AS VARCHAR) AS b
+          |  FROM events),
+          |agg AS (
+          |  SELECT w, count(*) AS n,
+          |    sum(CASE WHEN y = a THEN 1 ELSE 0 END) AS ca,
+          |    sum(CASE WHEN y = b THEN 1 ELSE 0 END) AS cb,
+          |    sum(CASE WHEN y = a AND y <> b THEN 1 ELSE 0 END) AS bb,
+          |    sum(CASE WHEN y <> a AND y = b THEN 1 ELSE 0 END) AS cc
+          |  FROM sc GROUP BY 1),
+          |st AS (
+          |  SELECT *, CASE WHEN bb + cc = 0 THEN 0.0
+          |    ELSE (CAST(abs(bb - cc) AS DOUBLE) - 1.0)
+          |       * (CAST(abs(bb - cc) AS DOUBLE) - 1.0) / (bb + cc)
+          |    END AS stat
+          |  FROM agg),
+          |px AS (SELECT *, sqrt(stat / 2.0) AS xq FROM st)
+          |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+          |  CAST(n AS BIGINT) AS n,
+          |  round(ca * 1.0 / n, 9) AS acc_a,
+          |  round(cb * 1.0 / n, 9) AS acc_b,
+          |  CAST(bb AS BIGINT) AS b_discordant,
+          |  CAST(cc AS BIGINT) AS c_discordant,
+          |  round(stat, 9) AS statistic,
+          |  round(least(1.0, ${erfccSql("xq")}), 9) AS p_value
+          |FROM px ORDER BY window_start""".stripMargin,
 
       "q_mcnemar" ->
         s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),

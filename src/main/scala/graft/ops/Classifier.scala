@@ -323,6 +323,61 @@ object Classifier {
             / (lit(1.0) - col("pe_raw"))), 9).as("kappa"))
   }
 
+  /** Gwet's AC1 (Gwet 2008, "Computing inter-rater reliability and its
+    * variance in the presence of high agreement") between two raters —
+    * the prevalence-robust companion to [[cohenKappa]]: κ's
+    * marginal-product chance term explodes when one category dominates
+    * (the "kappa paradox": 95% raw agreement on a 95/5 label mix can
+    * score κ ≈ 0, so skewed-label annotation audits — exactly the
+    * safety/quality filters a training pipeline runs — read as garbage
+    * agreement). AC1 replaces it with
+    * pe = Σ_k π_k(1 − π_k) / (K − 1), π_k = (p_a(k) + p_b(k))/2 the
+    * MEAN marginal, which is ≤ 1/K — bounded away from 1, so the
+    * correction never blows up. AC1 = (po − pe)/(1 − pe). Nulls label
+    * as `__null__` (the [[cohenKappa]] convention); K = 1 (both raters
+    * constant and identical — po is necessarily 1) reports 1.0. One
+    * row: (n_items, po, pe, ac1), doubles rounded at 9.
+    *
+    * Scale shape: the [[cohenKappa]] plan — ONE (a, b) hash aggregate
+    * (labels² tiny rows), marginal sums, one scalar join.
+    */
+  def gwetAC1(rated: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val ct = rated.select(
+        coalesce(col(aCol).cast("string"), lit("__null__")).as("a"),
+        coalesce(col(bCol).cast("string"), lit("__null__")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    require(ct.head(1).nonEmpty, "gwetAC1: empty frame")
+    val tot = ct.agg(sum("n").as("n_items"),
+      sum(when(col("a") === col("b"), col("n")).otherwise(0L)).as("agree"))
+    val margA = ct.groupBy(col("a").as("k")).agg(sum("n").as("na"))
+    val margB = ct.groupBy(col("b").as("k")).agg(sum("n").as("nb"))
+    // categories used by only ONE rater still carry chance mass — the
+    // union marginal, not cohenKappa's inner product
+    val pis = margA.join(margB, Seq("k"), "full_outer")
+      .select((coalesce(col("na"), lit(0L)).cast("double") +
+        coalesce(col("nb"), lit(0L)).cast("double")).as("m"))
+    val chance = pis.agg(count(lit(1)).as("kk"),
+      sum(col("m") * col("m")).as("m2"), sum(col("m")).as("m1"))
+    tot.crossJoin(chance).select(
+        col("n_items"), col("agree"), col("kk"),
+        // Σ π(1−π) = Σ π − Σ π² with π_k = m_k / (2n) exactly
+        (col("m1") / (col("n_items") * 2.0) -
+          col("m2") / (col("n_items") * 2.0 * col("n_items") * 2.0))
+          .as("sumpi"))
+      .select(col("n_items"),
+        (col("agree").cast("double") / col("n_items")).as("po_raw"),
+        when(col("kk") <= 1, lit(0.0))
+          .otherwise(col("sumpi") / (col("kk") - lit(1.0))).as("pe_raw"),
+        col("kk"))
+      .select(col("n_items"),
+        round(col("po_raw"), 9).as("po"),
+        round(col("pe_raw"), 9).as("pe"),
+        round(when(col("kk") <= 1, 1.0)
+          .otherwise((col("po_raw") - col("pe_raw"))
+            / (lit(1.0) - col("pe_raw"))), 9).as("ac1"))
+  }
+
   /** Fleiss' kappa (Fleiss 1971) for N raters × M items — the
     * multi-rater generalization used when an annotation batch is
     * fanned to a rater pool: each item must receive the SAME number

@@ -40,4 +40,20 @@ object Num {
     */
   def chi2P1(stat: Double): Double =
     math.min(1.0, erfcc(math.sqrt(stat / 2.0)))
+
+  /** [[erfcc]] as a Catalyst column expression — the SAME Horner chain,
+    * term for term, so a per-row/per-window p-value (the streaming A/B
+    * monitor) lands on the identical double the driver-side scalar and
+    * the DuckDB oracle's expanded SQL produce. `x` must be >= 0 (every
+    * χ²₁ caller passes √(stat/2)); the scalar's negative-x reflection
+    * is deliberately omitted rather than silently half-supported.
+    */
+  def erfccCol(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{exp, lit}
+    val t = lit(1.0) / (lit(1.0) + lit(0.5) * x)
+    t * exp(-(x * x) - lit(1.26551223) + t * (lit(1.00002368) +
+      t * (lit(0.37409196) + t * (lit(0.09678418) + t * (lit(-0.18628806) +
+      t * (lit(0.27886807) + t * (lit(-1.13520398) + t * (lit(1.48851587) +
+      t * (lit(-0.82215223) + t * lit(0.17087277))))))))))
+  }
 }

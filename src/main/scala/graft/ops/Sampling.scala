@@ -498,6 +498,64 @@ object Sampling {
       branches, Some(toExpression(lit(0.0)))))
   }
 
+  /** Loss-driven domain mixture reweighting — the one-step DoReMi
+    * recipe (Xie et al. 2023, "DoReMi: Optimizing Data Mixtures Speeds
+    * Up Language Model Pretraining", the exponentiated-gradient update
+    * at its core): [[temperatureWeights]]/[[unimaxWeights]] rebalance by
+    * SIZE alone; this rebalances by measured LEARNABILITY — domains
+    * where a small proxy model's loss exceeds a reference model's
+    * (excess loss = headroom still learnable) are upweighted
+    * multiplicatively, domains already at the reference floor
+    * (memorized or noise-dominated) decay toward their size share:
+    * w_g ∝ share_g · exp(eta · max(0, L_proxy(g) − L_ref(g))),
+    * normalized to Σ w_g = 1. The full published method iterates this
+    * update while retraining the proxy; one step from measured losses
+    * is the stationary reweighting pipelines actually apply between
+    * training rounds. Null groups or null losses refuse (a silently
+    * dropped domain would renormalize every other weight); the census
+    * rides the one aggregate. One row per domain:
+    * (grp, n_docs, share, excess_loss, weight), doubles rounded at 9;
+    * feed `weight / share` per row into [[upsampleByWeight]] to realize
+    * the mixture.
+    *
+    * Scale shape: ONE (group) hash aggregate over the corpus (counts +
+    * loss sums + the null census), then exp/normalize arithmetic on
+    * O(domains) tiny rows via one scalar cross join — no corpus-sized
+    * shuffle beyond the aggregate, no window.
+    */
+  def excessLossWeights(df: DataFrame, groupCol: String,
+                        proxyLossCol: String, refLossCol: String,
+                        eta: Double = 1.0): DataFrame = {
+    require(eta >= 0, s"excessLossWeights: eta must be >= 0: $eta")
+    val bad = (col(groupCol).isNull || col(proxyLossCol).isNull ||
+      col(refLossCol).isNull).cast("long")
+    val per = df.groupBy(col(groupCol).cast("string").as("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(proxyLossCol).cast("double")).as("sp"),
+        sum(col(refLossCol).cast("double")).as("sr"),
+        sum(bad).as("__bad"))
+      .localCheckpoint()
+    val badRow = per.agg(sum("__bad")).head()
+    val nBad = if (badRow.isNullAt(0)) 0L else badRow.getLong(0)
+    require(nBad == 0,
+      s"excessLossWeights: $nBad rows with null $groupCol/" +
+        s"$proxyLossCol/$refLossCol — a dropped domain would silently " +
+        "renormalize every other weight; clean the frame first")
+    val tot = per.agg(sum("n_docs").as("nn"))
+    val scored = per.crossJoin(tot).select(col("grp"), col("n_docs"),
+      (col("n_docs").cast("double") / col("nn")).as("share"),
+      greatest(lit(0.0),
+        col("sp") / col("n_docs") - col("sr") / col("n_docs"))
+        .as("excess"))
+      .select(col("grp"), col("n_docs"), col("share"), col("excess"),
+        (col("share") * exp(lit(eta) * col("excess"))).as("score"))
+    val z = scored.agg(sum("score").as("z"))
+    scored.crossJoin(z).select(col("grp"), col("n_docs"),
+      round(col("share"), 9).as("share"),
+      round(col("excess"), 9).as("excess_loss"),
+      round(col("score") / col("z"), 9).as("weight"))
+  }
+
   /** Leakage-safe train/validation/test split: every row of a GROUP
     * (site domain, source document, near-dup cluster rep…) lands in the
     * SAME split, decided by the group's md5 draw against cumulative

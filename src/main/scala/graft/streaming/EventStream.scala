@@ -304,6 +304,150 @@ object EventStream {
     psiFromCounts(counts)
   }
 
+  /** Window-to-window two-sample Kolmogorov–Smirnov drift on the exact
+    * score distribution — the NONPARAMETRIC member of the drift family:
+    * [[scoreDrift]]'s PSI watches fixed-bin shares (cheap, but blind to
+    * within-bin movement and undefined at one-sided bins), this computes
+    * D = sup_x |F_cur(x) − F_prev(x)| over the POOLED empirical CDFs of
+    * each tumbling window vs its immediate predecessor — sensitive to
+    * any distributional change, bin-free, and equipped with a p-value.
+    * The p-value is the Kolmogorov asymptotic
+    * Q(λ) = 2 Σ_{j≥1} (−1)^{j−1} e^{−2j²λ²} at
+    * λ = (√n_eff + 0.12 + 0.11/√n_eff)·D, n_eff = n·m/(n+m)
+    * (Stephens 1970; the NR `probks` form) evaluated as a FIXED 8-term
+    * truncation with λ < 0.3 short-circuited to 1.0 — below that the
+    * true Q exceeds 1 − 4e−7 while the alternating series needs more
+    * terms than any SQL oracle should replay; above it the dropped
+    * 9th term is < 5e−7. The same philosophy as [[graft.ops.Num.erfcc]]:
+    * both engines evaluate the SAME closed form, and the 9-decimal pin
+    * absorbs nothing the formula itself doesn't. Null/NaN scores refuse
+    * (NaN would poison the value ordering the ECDF depends on); the
+    * census rides the one aggregate. One row per window with a
+    * predecessor: (window_start, n_cur, n_prev, d, p_value), d and
+    * p_value rounded at 9.
+    *
+    * Scale shape: ONE (window, distinct-score) hash aggregate over the
+    * stream — the post-aggregate state is windows·distinct rows, so a
+    * genuinely continuous score column must be quantized first and
+    * `maxDistinct` refuses rather than letting the ECDF join degrade
+    * (the [[graft.ops.Classifier.spearmanCorrelation]] discipline) —
+    * then a full-outer align of consecutive windows on the pooled
+    * support, a window-PARTITIONED prefix sum (never a global window),
+    * and a per-window max reduce.
+    */
+  def ksDrift(scored: DataFrame, scoreCol: String,
+              width: String = "1 hour",
+              maxDistinct: Int = 100000): DataFrame = {
+    require(maxDistinct >= 1, s"ksDrift: maxDistinct=$maxDistinct")
+    val s = col(scoreCol).cast("double")
+    val bad = (s.isNull || isnan(s)).cast("long")
+    val counts = scored
+      .groupBy(window(col("ts"), width).as("w"), s.as("v"))
+      .agg(count(lit(1)).as("c"), sum(bad).as("__bad"))
+      .localCheckpoint()
+    val badRow = counts.agg(sum("__bad")).head()
+    val nBad = if (badRow.isNullAt(0)) 0L else badRow.getLong(0)
+    require(nBad == 0,
+      "ksDrift: scores must be non-null and non-NaN — clean the frame " +
+        "first")
+    val nd = counts.select("v").distinct().count()
+    require(nd <= maxDistinct,
+      s"ksDrift: $nd distinct score values exceed " +
+        s"maxDistinct=$maxDistinct — quantize continuous corpus-scale " +
+        "scores first (the ECDF align is windows*distinct state)")
+    val tot = counts.groupBy("w").agg(sum("c").as("n"))
+    val p = counts.join(tot, "w")
+    val cur = p.select(col("w.start").as("k"), col("v"),
+      col("c").as("__cc"), col("n").as("__nc"))
+    val prv = p.select(col("w.end").as("k"), col("v"),
+      col("c").as("__cp"), col("n").as("__np"))
+    // only windows with an immediate predecessor report drift
+    val ks = cur.select("k").distinct()
+      .join(prv.select("k").distinct(), "k")
+    val byWin = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy("v")
+    val winAll = org.apache.spark.sql.expressions.Window.partitionBy("k")
+    val aligned = cur.join(prv, Seq("k", "v"), "full_outer")
+      .join(ks, "k")
+      .select(col("k"),
+        sum(coalesce(col("__cc"), lit(0L))).over(byWin).as("cumc"),
+        sum(coalesce(col("__cp"), lit(0L))).over(byWin).as("cump"),
+        // each side's total is constant per window but null on rows the
+        // side is absent from — lift it to a window-partitioned max so
+        // every pooled support point sees both denominators
+        max("__nc").over(winAll).as("nc"),
+        max("__np").over(winAll).as("np"))
+    val perWin = aligned.groupBy(col("k").as("window_start"))
+      .agg(max("nc").cast("long").as("n_cur"),
+        max("np").cast("long").as("n_prev"),
+        max(abs(col("cumc").cast("double") / col("nc")
+          - col("cump").cast("double") / col("np"))).as("__d"))
+    val nEff = col("n_cur").cast("double") * col("n_prev") /
+      (col("n_cur") + col("n_prev"))
+    val lam = (sqrt(nEff) + lit(0.12) + lit(0.11) / sqrt(nEff)) * col("__d")
+    val series = (1 to 8).map { j =>
+      val sign = if (j % 2 == 1) 1.0 else -1.0
+      lit(sign) * exp(lit(-2.0 * j * j) * lam * lam)
+    }.reduce(_ + _)
+    val pv = when(lam < 0.3, lit(1.0))
+      .otherwise(least(lit(1.0), greatest(lit(0.0), lit(2.0) * series)))
+    perWin.select(col("window_start"), col("n_cur"), col("n_prev"),
+      round(col("__d"), 9).as("d"), round(pv, 9).as("p_value"))
+  }
+
+  /** Per-window PAIRED A/B monitor — the streaming parity of
+    * [[graft.ops.Classifier.mcnemarTest]]: for each tumbling window of
+    * events scored by BOTH model A and model B against a label, the
+    * discordant counts b = A-correct/B-wrong, c = A-wrong/B-correct,
+    * the Edwards continuity-corrected χ² = (|b−c|−1)²/(b+c) on 1 df and
+    * its upper-tail p-value — the live "is the candidate actually
+    * beating the incumbent this hour, or is the delta discordant-pair
+    * noise" dashboard a shadow deployment needs. Identical semantics to
+    * the batch operator per window: null-safe string correctness (a
+    * null prediction against a non-null label scores wrong), b + c = 0
+    * reports statistic 0 / p-value 1 (a monitor must keep emitting),
+    * null LABELS refuse with the census riding the one aggregate. One
+    * row per window: (window_start, n, acc_a, acc_b, b_discordant,
+    * c_discordant, statistic, p_value), doubles rounded at 9; the
+    * p-value is the same NR-erfcc closed form both engines replay
+    * ([[graft.ops.Num.chi2P1]], here as a column expression).
+    *
+    * Scale shape: ONE (window) hash aggregate over the stream — the
+    * census and all six counts ride it — then scalar arithmetic on
+    * windows-many tiny rows; no join, no window function.
+    */
+  def windowedAb(scored: DataFrame, labelCol: String, predACol: String,
+                 predBCol: String, width: String = "1 hour"): DataFrame = {
+    val okA = (col(labelCol).cast("string") <=> col(predACol).cast("string"))
+    val okB = (col(labelCol).cast("string") <=> col(predBCol).cast("string"))
+    val per = scored
+      .groupBy(window(col("ts"), width).as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(labelCol).isNull.cast("long")).as("__nulls"),
+        sum(okA.cast("long")).as("ca"),
+        sum(okB.cast("long")).as("cb"),
+        sum((okA && !okB).cast("long")).as("b"),
+        sum((!okA && okB).cast("long")).as("c"))
+      .localCheckpoint()
+    val nullRow = per.agg(sum("__nulls")).head()
+    val nNull = if (nullRow.isNullAt(0)) 0L else nullRow.getLong(0)
+    require(nNull == 0,
+      s"windowedAb: $nNull null $labelCol values — a null label is " +
+        "un-scorable ground truth; clean the frame first")
+    // (d·d)/(b+c), not pow(d, 2): the oracle multiplies, and pow is not
+    // bit-identical to multiplication on every input
+    val d = abs(col("b") - col("c")).cast("double") - lit(1.0)
+    val stat = when(col("b") + col("c") === 0, lit(0.0))
+      .otherwise(d * d / (col("b") + col("c")))
+    per.select(col("w.start").as("window_start"), col("n"),
+      round(col("ca").cast("double") / col("n"), 9).as("acc_a"),
+      round(col("cb").cast("double") / col("n"), 9).as("acc_b"),
+      col("b").as("b_discordant"), col("c").as("c_discordant"),
+      round(stat, 9).as("statistic"),
+      round(least(lit(1.0),
+        graft.ops.Num.erfccCol(sqrt(stat / 2.0))), 9).as("p_value"))
+  }
+
   /** Sliding-window per-user activity. */
   def sliding(events: DataFrame, width: String = "1 hour",
               slide: String = "30 minutes"): DataFrame =

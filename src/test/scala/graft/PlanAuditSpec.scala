@@ -775,6 +775,60 @@ class PlanAuditSpec extends SparkSpec {
     assert(opCount(p, "Scan parquet") + opCount(p, "BatchScan") === 0, p)
   }
 
+  test("ksDrift: census rides the (window, value) aggregate; ECDF prefix sum is window-partitioned") {
+    // the KS monitor's scale claims: no second corpus scan (the
+    // null/NaN census rides the one aggregate; everything downstream
+    // reads the checkpointed windows·distinct frame), and the ECDF
+    // cumulative runs PARTITIONED BY window — an unpartitioned Window
+    // would serialize the pooled support into one task
+    val ev = graft.streaming.EventStream.loadEvents(spark, sf())
+    val scored = ev.select(col("ts"),
+      (pmod(col("user_id") * 37 + 11, lit(700)).cast("double") / 1024.0)
+        .as("score"))
+    val df = graft.streaming.EventStream.ksDrift(scored, "score", "1 hour")
+    val p = plan(df)
+    assert(!p.contains("FileScan"), p)
+    assert(opCount(p, "Scan parquet") + opCount(p, "BatchScan") === 0, p)
+    assert(p.contains("Window"), p)
+    assert("windowspecdefinition\\(k#".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("windowedAb: census rides the ONE (window) aggregate — no corpus re-scan") {
+    // the A/B monitor's null-label refusal must not cost a second scan
+    // of every micro-batch; all downstream arithmetic (χ², erfcc) runs
+    // on the checkpointed windows-many rows
+    val ev = graft.streaming.EventStream.loadEvents(spark, sf())
+    val scored = ev.select(col("ts"),
+      ((col("user_id") * 7) % 3).cast("string").as("y"),
+      ((col("user_id") * 11) % 3).cast("string").as("a"),
+      ((col("user_id") * 13) % 3).cast("string").as("b"))
+    val df = graft.streaming.EventStream.windowedAb(scored, "y", "a", "b",
+      "1 hour")
+    val p = plan(df)
+    assert(!p.contains("FileScan"), p)
+    assert(opCount(p, "Scan parquet") + opCount(p, "BatchScan") === 0, p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
+  test("gwetAC1: contingency agg + bounded marginal join, no corpus re-scan") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(((col("doc_id") * 3) % 4).cast("string").as("ra"),
+        ((col("doc_id") * 5 + 1) % 4).cast("string").as("rb"))
+    val p = plan(ops.Classifier.gwetAC1(docs, "ra", "rb"))
+    assert(!p.contains("FileScan") && !p.contains("Window"), p)
+  }
+
+  test("excessLossWeights: ONE corpus aggregate; normalize reads the checkpointed domains") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("source"),
+        ((col("doc_id") * 13) % 7).cast("double").as("lp"),
+        ((col("doc_id") * 3) % 5).cast("double").as("lr"))
+    val p = plan(ops.Sampling.excessLossWeights(docs, "source", "lp", "lr"))
+    assert(!p.contains("FileScan"), p)
+    assert(opCount(p, "Scan parquet") + opCount(p, "BatchScan") === 0, p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("mcnemarTest: ONE scalar hash aggregate — no join, no window, one scan") {
     // audits the REAL pre-head aggregate (mcnemarAggregate, the
     // bootstrapAggregate convention), so a regression that adds a

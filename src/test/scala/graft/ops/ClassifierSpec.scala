@@ -191,6 +191,49 @@ class ClassifierSpec extends SparkSpec {
     assert(math.abs(withNull.getDouble(1) - 2.0 / 3) < 1e-9)
   }
 
+  test("gwetAC1: hand case, kappa-paradox skew, relabeling invariance, degenerate") {
+    import spark.implicits._
+    // hand case: 8 agree on "0", 1 agrees on "1", 1 disagreement
+    //   po = 0.9; marginals A = (.8, .2), B = (.9, .1)
+    //   π = (.85, .15) -> pe = 2·(.85·.15)/(2−1) = 0.255
+    //   AC1 = (.9 − .255)/.745 = 0.865771812…
+    val rated = (Seq.fill(8)(("0", "0")) ++ Seq(("1", "1"), ("1", "0")))
+      .toDF("ra", "rb")
+    val r = Classifier.gwetAC1(rated, "ra", "rb").head()
+    assert(r.getLong(0) === 10L)
+    assert(r.getDouble(1) === 0.9)
+    assert(math.abs(r.getDouble(2) - 0.255) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 0.645 / 0.745) < 1e-9)
+    // the kappa paradox: 99% raw agreement on a 99/1 label mix scores
+    // kappa = 0 (pe = .99 exactly) while AC1 stays near 1 — the reason
+    // this operator exists
+    val skew = (Seq.fill(99)(("0", "0")) ++ Seq(("1", "0"))).toDF("ra", "rb")
+    val k = Classifier.cohenKappa(skew, "ra", "rb").head()
+    assert(k.getDouble(3) === 0.0)
+    val a1 = Classifier.gwetAC1(skew, "ra", "rb").head()
+    // π = (.995, .005), pe = 2·(.995·.005) = .00995,
+    // AC1 = (.99 − .00995)/(1 − .00995) = 0.989949…
+    assert(math.abs(a1.getDouble(2) - 0.00995) < 1e-9)
+    assert(a1.getDouble(3) > 0.98)
+    // category relabeling leaves po/pe/ac1 fixed (only names change)
+    val relabeled = skew.select(
+      concat(lit("cat_"), col("ra")).as("ra"),
+      concat(lit("cat_"), col("rb")).as("rb"))
+    val a2 = Classifier.gwetAC1(relabeled, "ra", "rb").head()
+    assert(a2.getDouble(1) === a1.getDouble(1))
+    assert(a2.getDouble(2) === a1.getDouble(2))
+    assert(a2.getDouble(3) === a1.getDouble(3))
+    // both raters constant and identical: K = 1 -> 1.0 by convention
+    val const = Classifier.gwetAC1(
+      Seq(("x", "x"), ("x", "x")).toDF("ra", "rb"), "ra", "rb").head()
+    assert(const.getDouble(3) === 1.0)
+    // nulls are the __null__ category (the cohenKappa convention)
+    val withNull = Classifier.gwetAC1(
+      Seq((null.asInstanceOf[String], null.asInstanceOf[String]),
+        ("a", "a"), ("a", "b")).toDF("ra", "rb"), "ra", "rb").head()
+    assert(math.abs(withNull.getDouble(1) - 2.0 / 3) < 1e-9)
+  }
+
   test("fleissKappa: Fleiss-style hand case, unbalanced panel refuses") {
     import spark.implicits._
     // 4 items x 3 raters, 2 labels; per-item counts (3,0),(2,1),(2,1),

@@ -466,6 +466,41 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(twice.count() - 2 * m) / (2 * m) < 0.1)
   }
 
+  test("excessLossWeights: hand-computed mixture, eta=0 identity, floor, refusals") {
+    import spark.implicits._
+    // two domains: web (4 docs, proxy mean 3, ref mean 1 -> excess 2),
+    // code (6 docs, proxy mean 1, ref mean 2 -> at the floor, excess 0)
+    val rows = Seq.fill(4)(("web", 3.0, 1.0)) ++ Seq.fill(6)(("code", 1.0, 2.0))
+    val df = rows.toDF("domain", "lp", "lr")
+    val got = Sampling.excessLossWeights(df, "domain", "lp", "lr", eta = 1.0)
+      .orderBy("grp").collect()
+    assert(got.map(_.getString(0)).toSeq === Seq("code", "web"))
+    val Array(code, web) = got
+    assert(code.getLong(1) === 6L && web.getLong(1) === 4L)
+    assert(code.getDouble(2) === 0.6 && web.getDouble(2) === 0.4)
+    assert(code.getDouble(3) === 0.0 && web.getDouble(3) === 2.0)
+    // z = .6 + .4e², w_web = .4e²/z, w_code = .6/z
+    val z = 0.6 + 0.4 * math.exp(2.0)
+    assert(math.abs(web.getDouble(4) - 0.4 * math.exp(2.0) / z) < 1e-9)
+    assert(math.abs(code.getDouble(4) - 0.6 / z) < 1e-9)
+    assert(math.abs(got.map(_.getDouble(4)).sum - 1.0) < 1e-8)
+    // eta = 0: every exp() is 1, so weights ARE the size shares —
+    // the size-only rebalance as the null case
+    val id = Sampling.excessLossWeights(df, "domain", "lp", "lr", eta = 0.0)
+      .collect()
+    assert(id.forall(r => r.getDouble(4) === r.getDouble(2)))
+    // null group / null loss refuse (a dropped domain would silently
+    // renormalize every other weight)
+    intercept[IllegalArgumentException](Sampling.excessLossWeights(
+      (rows :+ ((null: String, 1.0, 1.0))).toDF("domain", "lp", "lr"),
+      "domain", "lp", "lr").count())
+    intercept[IllegalArgumentException](Sampling.excessLossWeights(
+      Seq(("web", Some(1.0), None: Option[Double])).toDF("domain", "lp", "lr"),
+      "domain", "lp", "lr").count())
+    intercept[IllegalArgumentException](
+      Sampling.excessLossWeights(df, "domain", "lp", "lr", eta = -1.0))
+  }
+
   test("capPerStratum equals row_number over stratum; strata span partitions") {
     import org.apache.spark.sql.expressions.Window
     // 3 strata of very different sizes, shuffled across 13 input

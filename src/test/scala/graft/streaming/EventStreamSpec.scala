@@ -487,6 +487,104 @@ class EventStreamSpec extends SparkSpec {
         Array(Array(10.0, 0.0, 0.0)), "1 hour").count())
   }
 
+  test("ksDrift: hand-computed D on the pooled support; p-value formula; identity") {
+    import spark.implicits._
+    def at(hour: Int, s: Double, n: Int) = Seq.fill(n)((hour * 3600L, s))
+    def drift(rows: Seq[(Long, Double)]) = EventStream.ksDrift(
+      rows.toDF("sec", "score")
+        .select(expr("timestamp_seconds(sec)").as("ts"), col("score")),
+      "score", "1 hour")
+    // h0: {.1×2, .3×2}  h1: {.1×3, .3×1}: ECDFs on support {.1, .3} are
+    // cur (.75, 1) vs prev (.5, 1) → D = .25 at x = .1
+    val r = drift(at(0, 0.1, 2) ++ at(0, 0.3, 2) ++
+      at(1, 0.1, 3) ++ at(1, 0.3, 1)).head()
+    assert(r.getLong(1) === 4L && r.getLong(2) === 4L)
+    assert(r.getDouble(3) === 0.25)
+    // the documented fixed-truncation Kolmogorov p at n_eff = 2
+    val lam = (math.sqrt(2.0) + 0.12 + 0.11 / math.sqrt(2.0)) * 0.25
+    val expP = 2.0 * (1 to 8).map(j =>
+      (if (j % 2 == 1) 1.0 else -1.0) *
+        math.exp(-2.0 * j * j * lam * lam)).sum
+    assert(math.abs(r.getDouble(4) -
+      graft.ops.Num.round9(math.min(1.0, math.max(0.0, expP)))) < 1e-9)
+    // disjoint supports: cur {.2×2, .4×2} vs prev {.1×4} → at x = .1 the
+    // prev ECDF is already 1 while cur is 0 → D = 1 (the one-sided
+    // alignment the coalesce-to-0 cumulative handles)
+    val dj = drift(at(0, 0.1, 4) ++ at(1, 0.2, 2) ++ at(1, 0.4, 2)).head()
+    assert(dj.getDouble(3) === 1.0)
+    assert(dj.getDouble(4) < 0.3, s"disjoint p ${dj.getDouble(4)}")
+    // identical consecutive distributions: D = 0, λ < .3 → p exactly 1
+    val id0 = drift(at(0, 0.1, 2) ++ at(0, 0.3, 2) ++
+      at(1, 0.1, 2) ++ at(1, 0.3, 2)).head()
+    assert(id0.getDouble(3) === 0.0 && id0.getDouble(4) === 1.0)
+  }
+
+  test("ksDrift: symmetric under window swap; refusals (null, NaN, maxDistinct)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val h0 = Seq.fill(30)(math.floor(rnd.nextDouble() * 8) / 16)
+    val h1 = Seq.fill(40)(math.floor(rnd.nextDouble() * 8) / 16)
+    def drift(a: Seq[Double], b: Seq[Double]) = EventStream.ksDrift(
+      (a.map((0L, _)) ++ b.map((3600L, _))).toDF("sec", "score")
+        .select(expr("timestamp_seconds(sec)").as("ts"), col("score")),
+      "score", "1 hour").head()
+    val f = drift(h0, h1); val g = drift(h1, h0)
+    // |F1 − F2| and n_eff are symmetric in the two samples, so D and p
+    // are window-swap invariant (the counts swap roles)
+    assert(math.abs(f.getDouble(3) - g.getDouble(3)) < 1e-12)
+    assert(math.abs(f.getDouble(4) - g.getDouble(4)) < 1e-9)
+    assert(f.getLong(1) === g.getLong(2) && f.getLong(2) === g.getLong(1))
+    def frame(rows: Seq[(Long, Option[Double])]) =
+      rows.toDF("sec", "score")
+        .select(expr("timestamp_seconds(sec)").as("ts"), col("score"))
+    intercept[IllegalArgumentException](EventStream.ksDrift(
+      frame(Seq((0L, Some(0.1)), (3600L, None))), "score", "1 hour")
+      .count())
+    intercept[IllegalArgumentException](EventStream.ksDrift(
+      frame(Seq((0L, Some(0.1)), (3600L, Some(Double.NaN)))), "score",
+      "1 hour").count())
+    intercept[IllegalArgumentException](EventStream.ksDrift(
+      frame(Seq((0L, Some(0.1)), (0L, Some(0.2)), (3600L, Some(0.3)))),
+      "score", "1 hour", maxDistinct = 2).count())
+  }
+
+  test("windowedAb: single-window equality to batch mcnemarTest; degenerate; refusal") {
+    import spark.implicits._
+    val rows = (0 until 200).map { i =>
+      (3600L + i, ((i * 7) % 3).toString, ((i * 11) % 3).toString,
+        ((i * 13) % 3).toString)
+    }
+    val df = rows.toDF("sec", "y", "a", "b")
+      .select(expr("timestamp_seconds(sec)").as("ts"),
+        col("y"), col("a"), col("b"))
+    val w = EventStream.windowedAb(df, "y", "a", "b", "1 hour").head()
+    val m = graft.ops.Classifier.mcnemarTest(
+      df.select("y", "a", "b"), "y", "a", "b").head()
+    // same math, windowed: every column of the batch operator must match
+    assert(w.getLong(1) === m.getLong(0))
+    assert(w.getDouble(2) === m.getDouble(1))
+    assert(w.getDouble(3) === m.getDouble(2))
+    assert(w.getLong(4) === m.getLong(3))
+    assert(w.getLong(5) === m.getLong(4))
+    assert(math.abs(w.getDouble(6) - m.getDouble(5)) < 1e-9)
+    assert(math.abs(w.getDouble(7) - m.getDouble(6)) < 1e-9)
+    // models that never disagree: a monitor must keep emitting —
+    // statistic 0, p-value exactly 1 after the clamp
+    val same = rows.map { case (s2, y, a, _) => (s2, y, a, a) }
+      .toDF("sec", "y", "a", "b")
+      .select(expr("timestamp_seconds(sec)").as("ts"),
+        col("y"), col("a"), col("b"))
+    val s0 = EventStream.windowedAb(same, "y", "a", "b", "1 hour").head()
+    assert(s0.getDouble(6) === 0.0 && s0.getDouble(7) === 1.0)
+    val withNull = (rows.take(5).map { case (s2, _, a, b) =>
+      (s2, null: String, a, b) } ++ rows.drop(5))
+      .toDF("sec", "y", "a", "b")
+      .select(expr("timestamp_seconds(sec)").as("ts"),
+        col("y"), col("a"), col("b"))
+    intercept[IllegalArgumentException](
+      EventStream.windowedAb(withNull, "y", "a", "b", "1 hour").count())
+  }
+
   test("windowed eval monitor runs via foreachBatch (stream equals batch)") {
     // streaming parity for the EVALUATION leg: the per-window binned
     // AUC + ECE monitor is a (window, bin) hash aggregate, so running
