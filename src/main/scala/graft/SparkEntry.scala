@@ -3618,6 +3618,32 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
         "score", "label")
     }),
 
+    // Hanley–McNeil CI around the tie-exact AUC; the closed form
+    // derives from the round(9)-pinned auc, so the oracle replay
+    // starts from the identical double
+    "q_auc_ci" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"))
+      ops.Classifier.rocAucCI(d.select(
+          (((col("id") * 13) % 101).cast("double") / 100.0).as("score"),
+          (((col("id") * 37) % 97) % 2).cast("double").as("label")),
+        "score", "label")
+    }),
+
+    // DeLong paired AUC comparison of two deterministic models on the
+    // SAME frame — placements as scaled integers, every moment an
+    // exact integer sum the oracle re-sums in HUGEINT, the variance a
+    // fixed double expression both engines replay
+    "q_delong" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"))
+      ops.Classifier.deLongTest(d.select(
+          (((col("id") * 37) % 97) % 2).cast("double").as("label"),
+          (((col("id") * 13) % 101).cast("double") / 100.0).as("sa"),
+          (((col("id") * 29) % 53).cast("double") / 64.0).as("sb")),
+        "label", "sa", "sb")
+    }),
+
     // isotonic (PAV) calibration, gated by the optimality CERTIFICATE
     // rather than an algorithm replay: pool counts/means recomputed
     // from the raw per-score frame, monotonicity, disjoint coverage,
@@ -7380,6 +7406,140 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |  round(sum(np * (cum + nn / 2)) / (sum(np) * sum(nn)), 9)
           |    AS auc
           |FROM cw""".stripMargin,
+
+      "q_auc_ci" ->
+        """WITH r AS (
+          |  SELECT ((CAST(doc_id AS BIGINT) * 13) % 101) / 100.0 AS s,
+          |    CAST(((CAST(doc_id AS BIGINT) * 37) % 97) % 2 AS DOUBLE)
+          |      AS y
+          |  FROM documents),
+          |ps AS (
+          |  SELECT s, sum(y) AS np, sum(1 - y) AS nn FROM r GROUP BY 1),
+          |cw AS (
+          |  SELECT np, nn,
+          |    coalesce(sum(nn) OVER (ORDER BY s
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS cum
+          |  FROM ps),
+          |au AS (
+          |  SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+          |    CAST(sum(nn) AS BIGINT) AS n_neg,
+          |    round(sum(np * (cum + nn / 2)) / (sum(np) * sum(nn)), 9)
+          |      AS a
+          |  FROM cw),
+          |hm AS (
+          |  SELECT *, a / (2.0 - a) AS q1,
+          |    2.0 * a * a / (1.0 + a) AS q2
+          |  FROM au),
+          |se AS (
+          |  SELECT *,
+          |    sqrt((a * (1.0 - a) + (n_pos - 1) * (q1 - a * a)
+          |      + (n_neg - 1) * (q2 - a * a))
+          |      / (CAST(n_pos AS DOUBLE) * n_neg)) AS s
+          |  FROM hm)
+          |SELECT n_pos, n_neg, a AS auc, round(s, 9) AS se,
+          |  round(greatest(0.0, a - 1.959964 * s), 9) AS ci_lo,
+          |  round(least(1.0, a + 1.959964 * s), 9) AS ci_hi
+          |FROM se""".stripMargin,
+
+      "q_delong" ->
+        s"""WITH r AS (
+          |  SELECT CAST(((CAST(doc_id AS BIGINT) * 37) % 97) % 2
+          |      AS DOUBLE) AS y,
+          |    ((CAST(doc_id AS BIGINT) * 13) % 101) / 100.0 AS va,
+          |    ((CAST(doc_id AS BIGINT) * 29) % 53) / 64.0 AS vb
+          |  FROM documents),
+          |tot AS (SELECT sum(y) AS np, sum(1 - y) AS nn FROM r),
+          |pa AS (SELECT va AS v, sum(y) AS npv, sum(1 - y) AS nnv
+          |       FROM r GROUP BY 1),
+          |ca AS (
+          |  SELECT v,
+          |    coalesce(sum(npv) OVER (ORDER BY v
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS cnp,
+          |    coalesce(sum(nnv) OVER (ORDER BY v
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS cnn,
+          |    npv, nnv
+          |  FROM pa),
+          |ua AS (
+          |  SELECT v, CAST(2.0 * cnn + nnv AS BIGINT) AS u10,
+          |    CAST(2.0 * ((SELECT np FROM tot) - cnp - npv) + npv
+          |      AS BIGINT) AS u01
+          |  FROM ca),
+          |pb AS (SELECT vb AS v, sum(y) AS npv, sum(1 - y) AS nnv
+          |       FROM r GROUP BY 1),
+          |cb AS (
+          |  SELECT v,
+          |    coalesce(sum(npv) OVER (ORDER BY v
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS cnp,
+          |    coalesce(sum(nnv) OVER (ORDER BY v
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS cnn,
+          |    npv, nnv
+          |  FROM pb),
+          |ub AS (
+          |  SELECT v, CAST(2.0 * cnn + nnv AS BIGINT) AS u10,
+          |    CAST(2.0 * ((SELECT np FROM tot) - cnp - npv) + npv
+          |      AS BIGINT) AS u01
+          |  FROM cb),
+          |j AS (
+          |  SELECT r.y,
+          |    CASE WHEN r.y = 1 THEN ua.u10 ELSE ua.u01 END AS uA,
+          |    CASE WHEN r.y = 1 THEN ub.u10 ELSE ub.u01 END AS uB
+          |  FROM r JOIN ua ON ua.v = r.va JOIN ub ON ub.v = r.vb),
+          |mo AS (
+          |  SELECT
+          |    CAST(sum(CASE WHEN y = 1 THEN uA END) AS DOUBLE) AS pa1,
+          |    CAST(sum(CASE WHEN y = 1 THEN uB END) AS DOUBLE) AS pb1,
+          |    CAST(sum(CASE WHEN y = 1 THEN uA * uA END) AS DOUBLE)
+          |      AS paa,
+          |    CAST(sum(CASE WHEN y = 1 THEN uB * uB END) AS DOUBLE)
+          |      AS pbb,
+          |    CAST(sum(CASE WHEN y = 1 THEN uA * uB END) AS DOUBLE)
+          |      AS pab,
+          |    CAST(sum(CASE WHEN y = 0 THEN uA END) AS DOUBLE) AS na1,
+          |    CAST(sum(CASE WHEN y = 0 THEN uB END) AS DOUBLE) AS nb1,
+          |    CAST(sum(CASE WHEN y = 0 THEN uA * uA END) AS DOUBLE)
+          |      AS naa,
+          |    CAST(sum(CASE WHEN y = 0 THEN uB * uB END) AS DOUBLE)
+          |      AS nbb,
+          |    CAST(sum(CASE WHEN y = 0 THEN uA * uB END) AS DOUBLE)
+          |      AS nab,
+          |    CAST((SELECT np FROM tot) AS DOUBLE) AS np,
+          |    CAST((SELECT nn FROM tot) AS DOUBLE) AS nn
+          |  FROM j),
+          |mm AS (
+          |  SELECT *,
+          |    pa1 / (2.0 * nn * np) AS aA, pb1 / (2.0 * nn * np) AS aB,
+          |    na1 / (2.0 * np * nn) AS bA, nb1 / (2.0 * np * nn) AS bB
+          |  FROM mo),
+          |vv AS (
+          |  SELECT *,
+          |    ((paa / (4.0 * nn * nn) - np * aA * aA) / (np - 1.0)
+          |     + (pbb / (4.0 * nn * nn) - np * aB * aB) / (np - 1.0)
+          |     - 2.0 * ((pab / (4.0 * nn * nn) - np * aA * aB)
+          |              / (np - 1.0))) / np
+          |    + ((naa / (4.0 * np * np) - nn * bA * bA) / (nn - 1.0)
+          |       + (nbb / (4.0 * np * np) - nn * bB * bB) / (nn - 1.0)
+          |       - 2.0 * ((nab / (4.0 * np * np) - nn * bA * bB)
+          |                / (nn - 1.0))) / nn AS v,
+          |    aA - aB AS delta
+          |  FROM mm),
+          |zz AS (
+          |  SELECT *,
+          |    CASE WHEN v <= 0.0 THEN 0.0 ELSE delta / sqrt(v) END AS z
+          |  FROM vv),
+          |px AS (SELECT *, sqrt(z * z / 2.0) AS xq FROM zz)
+          |SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+          |  round(aA, 9) AS auc_a, round(aB, 9) AS auc_b,
+          |  round(delta, 9) AS delta,
+          |  round(CASE WHEN v <= 0.0 THEN 0.0 ELSE sqrt(v) END, 9) AS se,
+          |  round(z, 9) AS z,
+          |  round(CASE WHEN v <= 0.0 THEN 1.0
+          |        ELSE least(1.0, ${erfccSql("xq")}) END, 9) AS p_value
+          |FROM px""".stripMargin,
 
       // the PAV certificate columns: the SQL-derivable scalars are
       // recomputed, the optimality/consistency violation counts are

@@ -594,6 +594,180 @@ object Classifier {
       .toDF("n_pos", "n_neg", "auc")
   }
 
+  /** Hanley–McNeil confidence interval for the ROC AUC (Hanley &
+    * McNeil 1982, "The meaning and use of the area under a ROC
+    * curve"): the closed-form standard error
+    * SE² = (A(1−A) + (n₊−1)(Q₁−A²) + (n₋−1)(Q₂−A²)) / (n₊·n₋),
+    * Q₁ = A/(2−A), Q₂ = 2A²/(1+A) (the exponential-scores
+    * approximation — the conservative default when the score
+    * distribution is unknown), with a normal-approximation interval
+    * A ± z·SE clamped to [0, 1]. `z` defaults to 1.959964, the 95%
+    * two-sided normal quantile as a FIXED literal (the same
+    * philosophy as [[Num.erfcc]]'s fixed polynomial: an inverse-CDF
+    * evaluation would be another engine-divergence surface; the
+    * caller picks the constant, both engines replay it). The formula
+    * is evaluated FROM the round(9)-pinned AUC [[rocAuc]] emits, so
+    * the oracle replay starts from the identical double. One row:
+    * (n_pos, n_neg, auc, se, ci_lo, ci_hi), doubles rounded at 9.
+    *
+    * Scale shape: [[rocAuc]]'s plan (one per-score hash aggregate +
+    * the distinct-score prefix sum) plus O(1) driver arithmetic.
+    */
+  def rocAucCI(scored: DataFrame, scoreCol: String, labelCol: String,
+               bins: Option[Int] = None,
+               z: Double = 1.959964): DataFrame = {
+    require(z > 0, s"rocAucCI: z must be positive: $z")
+    val r = rocAuc(scored, scoreCol, labelCol, bins).head()
+    val (np, nn, a) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    require(np >= 2 && nn >= 2,
+      s"rocAucCI: the Hanley–McNeil variance needs >= 2 of each class " +
+        s"(pos=$np, neg=$nn)")
+    val q1 = a / (2.0 - a)
+    val q2 = 2.0 * a * a / (1.0 + a)
+    val se = math.sqrt((a * (1.0 - a) + (np - 1) * (q1 - a * a) +
+      (nn - 1) * (q2 - a * a)) / (np.toDouble * nn))
+    val spark = scored.sparkSession
+    import spark.implicits._
+    Seq((np, nn, a, Num.round9(se),
+      Num.round9(math.max(0.0, a - z * se)),
+      Num.round9(math.min(1.0, a + z * se))))
+      .toDF("n_pos", "n_neg", "auc", "se", "ci_lo", "ci_hi")
+  }
+
+  /** DeLong's test (DeLong, DeLong & Clarke-Pearson 1988) for PAIRED
+    * ROC AUC comparison — the ranking counterpart of [[mcnemarTest]]:
+    * two models score the SAME holdout, and the question is whether
+    * B's AUC genuinely exceeds A's or the delta is shared-row noise.
+    * Per positive row, the tie-adjusted placement
+    * V₁₀ = (#negatives below + ½·ties)/n₋; per negative,
+    * V₀₁ = (#positives above + ½·ties)/n₊ — the AUC is the mean of
+    * either column, and the PAIRED variance of the delta is
+    * var = (S₁₀ᴬᴬ + S₁₀ᴮᴮ − 2S₁₀ᴬᴮ)/n₊ + (S₀₁ᴬᴬ + S₀₁ᴮᴮ − 2S₀₁ᴬᴮ)/n₋
+    * over the unbiased sample (co)variances of the placement columns —
+    * the cross terms are what pairing buys (a shared hard subpopulation
+    * moves both models' placements together and cancels). z = Δ/√var,
+    * two-sided p = erfc(|z|/√2) via [[Num.chi2P1]].
+    *
+    * Determinism across engines: placements are computed as INTEGER
+    * scaled forms u = 2·(#below) + ties ∈ [0, 2n] and every moment
+    * (Σu, Σu², Σu_A·u_B) is summed in exact decimal(38) arithmetic
+    * (DuckDB's HUGEINT), so the only floating-point work is a fixed
+    * driver-side expression over nine exact integers — the oracle
+    * replays it operand for operand. Null/NaN scores and non-binary
+    * labels refuse; both classes need ≥ 2 rows (the covariance
+    * denominator); `maxDistinct` bounds each model's distinct-score
+    * table (the [[isotonicCalibration]] quantize-first convention).
+    * var ≤ 0 (e.g. byte-identical models) degenerates to z = 0,
+    * p = 1. One row: (n_pos, n_neg, auc_a, auc_b, delta, se, z,
+    * p_value), doubles rounded at 9.
+    *
+    * Scale shape: per model ONE per-distinct-score hash aggregate +
+    * the [[rocAuc]] prefix sum over distinct scores (maxDistinct-
+    * bounded), one score-keyed join back per model (broadcastable at
+    * the guard's sizes), then ONE moment hash aggregate over the
+    * corpus; O(1) driver state.
+    */
+  def deLongTest(scored: DataFrame, labelCol: String,
+                 scoreACol: String, scoreBCol: String,
+                 maxDistinct: Int = 100000): DataFrame = {
+    val y = col(labelCol).cast("double")
+    val sA = col(scoreACol).cast("double")
+    val sB = col(scoreBCol).cast("double")
+    val bad = scored.filter(y.isNull || (y =!= 0.0 && y =!= 1.0) ||
+        sA.isNull || isnan(sA) || sB.isNull || isnan(sB))
+      .limit(1).count()
+    require(bad == 0,
+      "deLongTest: labels must be in {0, 1} and both scores non-null, " +
+        "non-NaN — clean the frame first")
+    val rows = scored.select(y.as("__y"), sA.as("__va"), sB.as("__vb"))
+      .localCheckpoint()
+    val totRow = rows.agg(sum("__y"), sum(lit(1.0) - col("__y"))).head()
+    require(!totRow.isNullAt(0), "deLongTest: empty frame")
+    val np = totRow.getDouble(0).toLong
+    val nn = totRow.getDouble(1).toLong
+    require(np >= 2 && nn >= 2,
+      s"deLongTest: need >= 2 rows of each class (pos=$np, neg=$nn) — " +
+        "the placement covariance is undefined otherwise")
+    // per-model placement table over DISTINCT scores: u = the integer
+    // 2·(#opposite-class strictly below) + (opposite-class ties) —
+    // 2·n_opp·V, exact at any corpus size
+    def placements(vCol: String, u: String): DataFrame = {
+      val per = rows.groupBy(col(vCol).as("__v"))
+        .agg(sum("__y").as("npv"),
+          sum(lit(1.0) - col("__y")).as("nnv"))
+      val nd = per.count()
+      require(nd <= maxDistinct,
+        s"deLongTest: $nd distinct $vCol values exceed " +
+          s"maxDistinct=$maxDistinct — quantize continuous " +
+          "corpus-scale scores first")
+      val w = Window.orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      per.select(col("__v"),
+          coalesce(sum("npv").over(w), lit(0.0)).as("cnp"),
+          coalesce(sum("nnv").over(w), lit(0.0)).as("cnn"),
+          col("npv"), col("nnv"))
+        .select(col("__v"),
+          // positives place against negatives below/tied; negatives
+          // against positives above/tied — one column each, the row's
+          // class picks at join time
+          (lit(2.0) * col("cnn") + col("nnv")).cast("long").as(s"__u10$u"),
+          (lit(2.0) * (lit(np.toDouble) - col("cnp") - col("npv")) +
+            col("npv")).cast("long").as(s"__u01$u"))
+    }
+    val plA = placements("__va", "a")
+    val plB = placements("__vb", "b")
+    val joined = rows
+      .join(plA.withColumnRenamed("__v", "__va"), Seq("__va"))
+      .join(plB.withColumnRenamed("__v", "__vb"), Seq("__vb"))
+      .select(col("__y"),
+        when(col("__y") === 1.0, col("__u10a")).otherwise(col("__u01a"))
+          .as("ua"),
+        when(col("__y") === 1.0, col("__u10b")).otherwise(col("__u01b"))
+          .as("ub"))
+    val dec = "decimal(19,0)"
+    def m(c: Column): Column = c.cast("decimal(38,0)")
+    val pos = col("__y") === 1.0
+    val agg = joined.agg(
+      sum(when(pos, m(col("ua")))).as("pa1"),
+      sum(when(pos, m(col("ub")))).as("pb1"),
+      sum(when(pos, col("ua").cast(dec) * col("ua").cast(dec))).as("paa"),
+      sum(when(pos, col("ub").cast(dec) * col("ub").cast(dec))).as("pbb"),
+      sum(when(pos, col("ua").cast(dec) * col("ub").cast(dec))).as("pab"),
+      sum(when(!pos, m(col("ua")))).as("na1"),
+      sum(when(!pos, m(col("ub")))).as("nb1"),
+      sum(when(!pos, col("ua").cast(dec) * col("ua").cast(dec))).as("naa"),
+      sum(when(!pos, col("ub").cast(dec) * col("ub").cast(dec))).as("nbb"),
+      sum(when(!pos, col("ua").cast(dec) * col("ub").cast(dec))).as("nab"))
+      .head()
+    def d(i: Int): Double = agg.getDecimal(i).doubleValue
+    // fixed-order driver arithmetic over exact integer moments — the
+    // oracle mirrors this expression tree operand for operand
+    val npD = np.toDouble; val nnD = nn.toDouble
+    val aA = d(0) / (2.0 * nnD * npD)
+    val aB = d(1) / (2.0 * nnD * npD)
+    val a01A = d(5) / (2.0 * npD * nnD)
+    val a01B = d(6) / (2.0 * npD * nnD)
+    def cov10(sxy: Double, mx: Double, my: Double): Double =
+      (sxy / (4.0 * nnD * nnD) - npD * mx * my) / (npD - 1.0)
+    def cov01(sxy: Double, mx: Double, my: Double): Double =
+      (sxy / (4.0 * npD * npD) - nnD * mx * my) / (nnD - 1.0)
+    val v = (cov10(d(2), aA, aA) + cov10(d(3), aB, aB) -
+      2.0 * cov10(d(4), aA, aB)) / npD +
+      (cov01(d(7), a01A, a01A) + cov01(d(8), a01B, a01B) -
+        2.0 * cov01(d(9), a01A, a01B)) / nnD
+    val delta = aA - aB
+    val (zz, p) =
+      if (v <= 0.0) (0.0, 1.0)
+      else { val z0 = delta / math.sqrt(v); (z0, Num.chi2P1(z0 * z0)) }
+    val spark = scored.sparkSession
+    import spark.implicits._
+    Seq((np, nn, Num.round9(aA), Num.round9(aB), Num.round9(delta),
+      Num.round9(if (v <= 0.0) 0.0 else math.sqrt(v)),
+      Num.round9(zz), Num.round9(p)))
+      .toDF("n_pos", "n_neg", "auc_a", "auc_b", "delta", "se", "z",
+        "p_value")
+  }
+
   /** Isotonic calibration via Pool-Adjacent-Violators (Ayer 1955;
     * Zadrozny & Elkan 2002's calibration use) — the nonparametric
     * repair for the miscalibration [[calibrationReport]] measures:

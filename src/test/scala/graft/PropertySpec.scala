@@ -793,6 +793,63 @@ class PropertySpec extends SparkSpec {
     }, n = 12)
   }
 
+  test("ksDrift: invariant under strictly monotone score transforms") {
+    // the KS statistic's defining property: D depends only on the
+    // ECDFs' order structure, so any strictly increasing transform of
+    // the scores leaves D — and, since n_cur/n_prev are untouched, the
+    // p-value — EXACTLY unchanged (the cumulative counts are identical
+    // integers). PSI with fixed-width bins has no such guarantee.
+    val genHours = for {
+      n0 <- Gen.choose(3, 25); n1 <- Gen.choose(3, 25)
+      h0 <- Gen.listOfN(n0, Gen.choose(0, 15).map(_ / 16.0))
+      h1 <- Gen.listOfN(n1, Gen.choose(0, 15).map(_ / 16.0))
+    } yield (h0, h1)
+    val transforms: Seq[Double => Double] = Seq(
+      x => x / 2.0 + 0.1, x => x * x * x, x => math.exp(x), x => -1.0 / (x + 1.0))
+    check(Prop.forAllNoShrink(genHours) { case (h0, h1) =>
+      def drift(a: Seq[Double], b: Seq[Double]) = {
+        val r = graft.streaming.EventStream.ksDrift(
+          (a.map((0L, _)) ++ b.map((3600L, _))).toDF("sec", "score")
+            .select(expr("timestamp_seconds(sec)").as("ts"), col("score")),
+          "score", "1 hour").head()
+        (r.getDouble(3), r.getDouble(4))
+      }
+      val base = drift(h0, h1)
+      transforms.forall { f =>
+        val t = drift(h0.map(f), h1.map(f))
+        t._1 == base._1 && t._2 == base._2
+      } && base._1 >= 0.0 && base._1 <= 1.0
+    }, n = 6)
+  }
+
+  test("excessLossWeights: sums to 1; eta monotonically favors the max-excess domain") {
+    // the exponentiated-gradient shape: raising eta can only shift mass
+    // TOWARD the domain with the largest excess loss, and the weights
+    // are a distribution at every eta
+    val genDomains = for {
+      k <- Gen.choose(2, 6)
+      rows <- Gen.listOfN(k, Gen.zip(
+        Gen.choose(1, 30), Gen.choose(0, 40), Gen.choose(0, 40)))
+    } yield rows.zipWithIndex.flatMap { case ((n, lp, lr), i) =>
+      Seq.fill(n)((s"d$i", lp.toDouble, lr.toDouble))
+    }
+    check(Prop.forAllNoShrink(genDomains) { rows =>
+      val df = rows.toDF("domain", "lp", "lr")
+      def weights(eta: Double): Map[String, (Double, Double)] =
+        graft.ops.Sampling.excessLossWeights(df, "domain", "lp", "lr", eta)
+          .collect().map(r => r.getString(0) ->
+            (r.getDouble(3), r.getDouble(4))).toMap
+      val w1 = weights(0.5); val w2 = weights(2.0)
+      val sum1 = w1.values.map(_._2).sum
+      val maxExcess = w1.maxBy(_._2._1)
+      // strictly more weight at higher eta unless every domain shares
+      // the same excess (then the softmax is flat in eta)
+      val allEqual = w1.values.map(_._1).toSet.size == 1
+      math.abs(sum1 - 1.0) < 1e-6 &&
+        (allEqual || w2(maxExcess._1)._2 >= w1(maxExcess._1)._2 - 1e-9)
+    }, n = 10)
+  }
+
   test("krippendorffAlpha: invariant under row order, item and label relabeling") {
     // the nominal-metric agreement statistic must not depend on HOW the
     // panel is presented: shuffling the rating rows, bijectively

@@ -434,6 +434,99 @@ class ClassifierSpec extends SparkSpec {
       scored.filter(lit(false)), "s", "y"))
   }
 
+  test("rocAucCI: hand Hanley-McNeil SE, perfect-separation degenerate, refusals") {
+    import spark.implicits._
+    // pos {.8, .4}, neg {.6, .2}: 3 of 4 pairs ordered -> A = .75
+    val df = Seq((0.8, 1.0), (0.4, 1.0), (0.6, 0.0), (0.2, 0.0))
+      .toDF("score", "label")
+    val r = Classifier.rocAucCI(df, "score", "label").head()
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 0.75)
+    val a = 0.75
+    val q1 = a / (2.0 - a); val q2 = 2.0 * a * a / (1.0 + a)
+    val se = math.sqrt((a * (1 - a) + (q1 - a * a) + (q2 - a * a)) / 4.0)
+    assert(math.abs(r.getDouble(3) - se) < 1e-9)
+    assert(math.abs(r.getDouble(4) - math.max(0.0, a - 1.959964 * se)) < 1e-9)
+    assert(math.abs(r.getDouble(5) - math.min(1.0, a + 1.959964 * se)) < 1e-9)
+    // perfect separation: A = 1 -> Q1 = Q2 = 1, SE = 0, CI = [1, 1]
+    val perfect = Classifier.rocAucCI(
+      Seq((0.9, 1.0), (0.8, 1.0), (0.2, 0.0), (0.1, 0.0))
+        .toDF("score", "label"), "score", "label").head()
+    assert(perfect.getDouble(2) === 1.0 && perfect.getDouble(3) === 0.0)
+    assert(perfect.getDouble(4) === 1.0 && perfect.getDouble(5) === 1.0)
+    // < 2 rows of a class: the variance formula is undefined
+    intercept[IllegalArgumentException](Classifier.rocAucCI(
+      Seq((0.8, 1.0), (0.6, 0.0), (0.2, 0.0)).toDF("score", "label"),
+      "score", "label"))
+    intercept[IllegalArgumentException](
+      Classifier.rocAucCI(df, "score", "label", z = 0.0))
+  }
+
+  test("deLongTest: brute-force placement parity, AUC cross-check, antisymmetry, degenerates") {
+    import spark.implicits._
+    // 30 rows with deliberate ties within and across classes
+    val rows = (0 until 30).map { i =>
+      (i.toLong, (i % 3 == 0 || i % 7 == 0), // ~40% positive
+        ((i * 13) % 8) / 8.0, ((i * 11) % 5) / 5.0)
+    }.map { case (id, p, sa, sb) => (id, if (p) 1.0 else 0.0, sa, sb) }
+    val df = rows.toDF("id", "label", "sa", "sb")
+    val r = Classifier.deLongTest(df, "label", "sa", "sb").head()
+    // brute-force reference: placements per row, sample covariances
+    val pos = rows.filter(_._2 == 1.0); val neg = rows.filter(_._2 == 0.0)
+    val (np, nn) = (pos.size, neg.size)
+    def v10(s: Double, of: Seq[Double]) =
+      of.map(o => if (s > o) 1.0 else if (s == o) 0.5 else 0.0).sum / of.size
+    def cols(f: ((Long, Double, Double, Double)) => Double) = {
+      val vp = pos.map(t => v10(f(t), neg.map(f)))
+      val vn = neg.map(t => 1.0 - v10(f(t), pos.map(f)))
+      (vp, vn)
+    }
+    val (vpA, vnA) = cols(_._3); val (vpB, vnB) = cols(_._4)
+    def mean(x: Seq[Double]) = x.sum / x.size
+    def cov(x: Seq[Double], y: Seq[Double]) = {
+      val (mx, my) = (mean(x), mean(y))
+      x.zip(y).map { case (a, b) => (a - mx) * (b - my) }.sum / (x.size - 1)
+    }
+    val aA = mean(vpA); val aB = mean(vpB)
+    val variance =
+      (cov(vpA, vpA) + cov(vpB, vpB) - 2 * cov(vpA, vpB)) / np +
+      (cov(vnA, vnA) + cov(vnB, vnB) - 2 * cov(vnA, vnB)) / nn
+    assert(r.getLong(0) === np.toLong && r.getLong(1) === nn.toLong)
+    assert(math.abs(r.getDouble(2) - aA) < 1e-9, s"auc_a ${r.getDouble(2)} vs $aA")
+    assert(math.abs(r.getDouble(3) - aB) < 1e-9)
+    assert(math.abs(r.getDouble(5) - math.sqrt(variance)) < 1e-9,
+      s"se ${r.getDouble(5)} vs ${math.sqrt(variance)}")
+    assert(math.abs(r.getDouble(6) - (aA - aB) / math.sqrt(variance)) < 1e-6)
+    // auc_a equals the standalone tie-exact rocAuc on the same column
+    val auc = Classifier.rocAuc(df.select(col("sa").as("score"),
+      col("label")), "score", "label").head().getDouble(2)
+    assert(r.getDouble(2) === auc)
+    // antisymmetry: swapping models negates delta and z, keeps se and p
+    val sw = Classifier.deLongTest(df, "label", "sb", "sa").head()
+    assert(sw.getDouble(4) === -r.getDouble(4))
+    assert(sw.getDouble(5) === r.getDouble(5))
+    assert(sw.getDouble(6) === -r.getDouble(6))
+    assert(sw.getDouble(7) === r.getDouble(7))
+    // identical models: var = 0 degenerate -> z 0, p 1
+    val same = Classifier.deLongTest(
+      df.select(col("label"), col("sa"), col("sa").as("sb")),
+      "label", "sa", "sb").head()
+    assert(same.getDouble(4) === 0.0 && same.getDouble(6) === 0.0 &&
+      same.getDouble(7) === 1.0)
+    // refusals: null score, single-class, < 2 per class, maxDistinct
+    intercept[IllegalArgumentException](Classifier.deLongTest(
+      df.select(col("label"), when(col("id") === 3, lit(null))
+        .otherwise(col("sa")).as("sa"), col("sb")),
+      "label", "sa", "sb").count())
+    intercept[IllegalArgumentException](Classifier.deLongTest(
+      df.select(lit(1.0).as("label"), col("sa"), col("sb")),
+      "label", "sa", "sb"))
+    intercept[IllegalArgumentException](Classifier.deLongTest(
+      df.limit(3), "label", "sa", "sb"))
+    intercept[IllegalArgumentException](Classifier.deLongTest(
+      df, "label", "sa", "sb", maxDistinct = 3))
+  }
+
   test("chiSquareIndependence: hand 2x2, zero cell, independence, refusal") {
     import spark.implicits._
     // classic 2x2: rows (10,20) / (20,10); n=60, all e=15
