@@ -3618,6 +3618,22 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
         "score", "label")
     }),
 
+    // per-slice binned AUC + ECE (the fairness cut on the ranking
+    // axis; sliceAccuracy's threshold-free sibling): dyadic scores
+    // make every per-bin sum exact; single-class slices map their
+    // NULL auc to the -1.0 sentinel (the q_stream_eval convention)
+    "q_slice_eval" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      ops.Classifier.sliceEval(d.select(col("lang"),
+          (((col("doc_id") * 13) % 101).cast("double") / 128.0)
+            .as("score"),
+          (((col("doc_id") * 37) % 97) % 2).cast("double").as("label")),
+        "score", "label", "lang", bins = 8)
+        .select(col("slice"), col("n"),
+          coalesce(col("auc"), lit(-1.0)).as("auc"), col("ece"))
+        .orderBy("slice")
+    }),
+
     // Hanley–McNeil CI around the tie-exact AUC; the closed form
     // derives from the round(9)-pinned auc, so the oracle replay
     // starts from the identical double
@@ -7406,6 +7422,30 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |  round(sum(np * (cum + nn / 2)) / (sum(np) * sum(nn)), 9)
           |    AS auc
           |FROM cw""".stripMargin,
+
+      "q_slice_eval" ->
+        """WITH r AS (
+          |  SELECT coalesce(CAST(lang AS VARCHAR), '__null__') AS slice,
+          |    ((CAST(doc_id AS BIGINT) * 13) % 101) / 128.0 AS sc,
+          |    CAST(((CAST(doc_id AS BIGINT) * 37) % 97) % 2 AS DOUBLE)
+          |      AS y
+          |  FROM documents),
+          |b AS (
+          |  SELECT slice, LEAST(CAST(FLOOR(sc * 8) AS INT), 7) AS bin,
+          |    sum(y) AS np, sum(1.0 - y) AS nn, sum(sc) AS ssum
+          |  FROM r GROUP BY 1, 2),
+          |c AS (
+          |  SELECT *, COALESCE(SUM(nn) OVER (PARTITION BY slice
+          |    ORDER BY bin
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+          |    AS cum_nn
+          |  FROM b)
+          |SELECT slice, CAST(sum(np) + sum(nn) AS BIGINT) AS n,
+          |  COALESCE(round(CASE WHEN sum(np) > 0 AND sum(nn) > 0
+          |    THEN sum(np * (cum_nn + nn / 2)) / (sum(np) * sum(nn))
+          |    END, 9), -1.0) AS auc,
+          |  round(sum(abs(ssum - np)) / (sum(np) + sum(nn)), 9) AS ece
+          |FROM c GROUP BY slice ORDER BY slice""".stripMargin,
 
       "q_auc_ci" ->
         """WITH r AS (

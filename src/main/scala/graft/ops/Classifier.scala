@@ -1007,6 +1007,60 @@ object Classifier {
           .as("gap_vs_overall"))
   }
 
+  /** Per-slice ranking quality — [[sliceAccuracy]] on the RANKING axis
+    * and the batch twin of the streaming
+    * [[graft.streaming.EventStream.windowedEval]] (the identical
+    * (key, bin) kernel, keyed by slice instead of window): for each
+    * slice, the binned tie-exact ROC AUC (trapezoidal over `bins`
+    * score buckets, within-bucket ties at half credit) and the
+    * collapsed calibration ECE Σ_b |Σscore_b − Σpos_b| / n — the
+    * fairness cut a threshold-free score demands, because a healthy
+    * overall AUC can hide a slice the model ranks no better than
+    * chance ([[sliceAccuracy]] can't see it until a threshold is
+    * picked). Single-class slices report auc NULL rather than
+    * inventing a ranking (the windowedEval convention — a fairness
+    * report must list every slice). Null slices report as `__null__`;
+    * the score/label hygiene census rides the one aggregate. One row
+    * per slice: (slice, n, auc, ece), doubles rounded at 9.
+    *
+    * Scale shape: ONE (slice, bin) hash aggregate over the corpus —
+    * slices·bins tiny rows — then a bin-ordered prefix sum PARTITIONED
+    * BY slice (never a global window) and a per-slice reduce.
+    */
+  def sliceEval(scored: DataFrame, scoreCol: String, labelCol: String,
+                sliceCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"sliceEval: bins must be >= 2: $bins")
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("double")
+    val bad = (s.isNull || isnan(s) || s < 0 || s > 1 ||
+      y.isNull || (y =!= 0.0 && y =!= 1.0)).cast("long")
+    val bin = least(floor(s * bins), lit(bins - 1)).cast("int")
+    val per = scored
+      .groupBy(coalesce(col(sliceCol).cast("string"), lit("__null__"))
+        .as("slice"), bin.as("bin"))
+      .agg(sum(y).as("np"), sum(lit(1.0) - y).as("nn"),
+        sum(s).as("ssum"), sum(bad).as("__bad"))
+      .localCheckpoint()
+    require(per.head(1).nonEmpty, "sliceEval: empty frame")
+    val badRow = per.agg(sum("__bad")).head()
+    val nBad = if (badRow.isNullAt(0)) 0L else badRow.getLong(0)
+    require(nBad == 0,
+      "sliceEval: scores must be non-null in [0, 1] and labels in " +
+        "{0, 1} — clean the frame first")
+    val bySlice = Window.partitionBy("slice").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val contrib = per.select(col("slice"), col("np"), col("nn"),
+      col("ssum"),
+      coalesce(sum("nn").over(bySlice), lit(0.0)).as("cum_nn"))
+    contrib.groupBy("slice")
+      .agg((sum("np") + sum("nn")).cast("long").as("n"),
+        round(when(sum("np") > 0 && sum("nn") > 0,
+          sum(col("np") * (col("cum_nn") + col("nn") / 2)) /
+            (sum("np") * sum("nn"))), 9).as("auc"),
+        round(sum(abs(col("ssum") - col("np"))) /
+          (sum("np") + sum("nn")), 9).as("ece"))
+  }
+
   /** Poisson-bootstrap confidence interval for a mean (Chamandy et al.
     * 2012 — the bootstrap that works on one distributed pass: each
     * replicate reweights every row by an independent Poisson(1) draw

@@ -810,6 +810,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Window"), p)
   }
 
+  test("sliceEval: census rides the (slice, bin) aggregate; prefix sum slice-partitioned") {
+    // the batch twin of windowedEval keeps the same plan discipline:
+    // one corpus scan (hygiene rides the aggregate), and the AUC
+    // prefix sum PARTITIONED BY slice — never a global window
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("lang"),
+        (pmod(col("doc_id") * 13, lit(101)).cast("double") / 128.0)
+          .as("score"),
+        (pmod(col("doc_id") * 37, lit(97)) % 2).cast("double").as("label"))
+    val p = plan(ops.Classifier.sliceEval(docs, "score", "label", "lang",
+      bins = 8))
+    assert(!p.contains("FileScan"), p)
+    assert(opCount(p, "Scan parquet") + opCount(p, "BatchScan") === 0, p)
+    assert(p.contains("Window"), p)
+    assert("windowspecdefinition\\(slice#".r.findFirstIn(p).isDefined, p)
+  }
+
   test("gwetAC1: contingency agg + bounded marginal join, no corpus re-scan") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
       .select(((col("doc_id") * 3) % 4).cast("string").as("ra"),

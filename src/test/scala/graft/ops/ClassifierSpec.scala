@@ -729,6 +729,53 @@ class ClassifierSpec extends SparkSpec {
       df.filter(lit(false)), "label", "pred", "slice"))
   }
 
+  test("sliceEval: batch-operator parity per slice, hidden weak slice, degenerates") {
+    import spark.implicits._
+    // one slice: must equal rocAuc(bins=8) + calibrationReport's ECE
+    val rows = (0 until 200).map { i =>
+      ("all", ((i % 2) * 300 + (i * 37 + 11) % 700) / 1024.0,
+        (i % 2).toDouble)
+    }
+    val one = Classifier.sliceEval(rows.toDF("slice", "score", "label"),
+      "score", "label", "slice", bins = 8).head()
+    val auc = Classifier.rocAuc(rows.toDF("g", "score", "label")
+      .select("score", "label"), "score", "label", bins = Some(8))
+      .head().getDouble(2)
+    val ece = Classifier.calibrationReport(rows.toDF("g", "score", "label")
+      .select("score", "label"), "score", "label", bins = 8)
+      .filter(col("bin") === -1).head().getDouble(4)
+    assert(one.getLong(1) === 200L)
+    assert(math.abs(one.getDouble(2) - auc) < 1e-9)
+    assert(math.abs(one.getDouble(3) - ece) < 1e-9)
+    // a hidden weak slice: healthy ranking in "web", INVERTED in "ocr"
+    // — overall accuracy-style checks can't see this without a
+    // threshold; the per-slice AUC nails it below 0.5
+    val mixed = (0 until 100).map { i =>
+      ("web", if (i % 2 == 1) 0.8 + (i % 5) / 100.0 else 0.2 + (i % 5) / 100.0,
+        (i % 2).toDouble)
+    } ++ (0 until 100).map { i =>
+      ("ocr", if (i % 2 == 1) 0.2 + (i % 5) / 100.0 else 0.8 + (i % 5) / 100.0,
+        (i % 2).toDouble)
+    }
+    val m = Classifier.sliceEval(mixed.toDF("slice", "score", "label"),
+        "score", "label", "slice", bins = 8)
+      .orderBy("slice").collect()
+    assert(m.map(_.getString(0)).toSeq === Seq("ocr", "web"))
+    assert(m(0).getDouble(2) < 0.1 && m(1).getDouble(2) > 0.9)
+    // single-class slice reports NULL auc; null slice buckets __null__
+    val deg = (Seq(("only1", 0.9, 1.0), ("only1", 0.3, 1.0)) ++
+      Seq((null: String, 0.7, 1.0), (null: String, 0.2, 0.0)))
+      .toDF("slice", "score", "label")
+    val dm = Classifier.sliceEval(deg, "score", "label", "slice",
+      bins = 4).orderBy("slice").collect()
+    assert(dm.map(_.getString(0)).toSeq === Seq("__null__", "only1"))
+    assert(!dm(0).isNullAt(2) && dm(1).isNullAt(2))
+    // hygiene refusal rides the aggregate
+    intercept[IllegalArgumentException](Classifier.sliceEval(
+      Seq(("a", 1.5, 1.0), ("a", 0.2, 0.0)).toDF("slice", "score", "label"),
+      "score", "label", "slice").count())
+  }
+
   test("krippendorffAlphaInterval: hand-computed alpha, degenerates, refusals") {
     import spark.implicits._
     // items A:{1,2} B:{3,3} C:{5} — C is a singleton and drops out.
