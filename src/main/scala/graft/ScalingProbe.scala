@@ -1040,6 +1040,21 @@ object ScalingProbe {
     // windows-many rows regardless of traffic
     time("stream_ab") { d =>
       SparkEntry.queries("q_stream_ab")(spark, d).count() }
+    // DeLong paired AUC: two distinct-score prefix tables (bounded) +
+    // two score-keyed joins + ONE moment aggregate — the joins ride
+    // the corpus scan, the prefix tables stay ~101/53 rows at any SF
+    time("delong") { d =>
+      SparkEntry.queries("q_delong")(spark, d).count() }
+    // per-slice AUC/ECE: ONE (slice, bin) aggregate + slice-partitioned
+    // prefix sum — post-aggregate state is slices*bins at any SF
+    time("slice_eval") { d =>
+      SparkEntry.queries("q_slice_eval")(spark, d).count() }
+    // Gwet AC1 / mixture weights: one contingency / one (group)
+    // aggregate, driver-bounded everything after
+    time("agree_ac1") { d =>
+      SparkEntry.queries("q_agree_ac1")(spark, d).count() }
+    time("mixture_weights") { d =>
+      SparkEntry.queries("q_mixture_weights")(spark, d).count() }
     // fragment ancestry depth: the overlay read chains one ROWID join
     // per ancestor (MSWrite.readFragment walks the sidecars, then folds
     // updateByRowId). Probe READ cost (chains pre-built, untimed) vs

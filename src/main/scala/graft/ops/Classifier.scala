@@ -692,9 +692,13 @@ object Classifier {
     // 2·(#opposite-class strictly below) + (opposite-class ties) —
     // 2·n_opp·V, exact at any corpus size
     def placements(vCol: String, u: String): DataFrame = {
+      // checkpointed so the distinct census AND the join-back both read
+      // the materialized distinct-score table instead of re-aggregating
+      // the corpus
       val per = rows.groupBy(col(vCol).as("__v"))
         .agg(sum("__y").as("npv"),
           sum(lit(1.0) - col("__y")).as("nnv"))
+        .localCheckpoint()
       val nd = per.count()
       require(nd <= maxDistinct,
         s"deLongTest: $nd distinct $vCol values exceed " +

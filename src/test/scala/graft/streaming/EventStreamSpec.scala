@@ -630,6 +630,41 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.exists(_._3.exists(_.toDouble > 0.5)))
   }
 
+  test("windowed A/B monitor runs via foreachBatch (stream equals batch)") {
+    // windowedAb is a pure (window) aggregate, so per-micro-batch
+    // foreachBatch over window-aligned batches equals the batch run —
+    // the same completed-window contract as windowedEval
+    val dir = sf("sf0.001")
+    val ev = EventStream.loadEvents(spark, dir)
+    val scored = ev.select(col("ts"),
+      ((col("user_id") * 7) % 3).cast("string").as("y"),
+      ((col("user_id") * 11) % 3).cast("string").as("a"),
+      ((col("user_id") * 13) % 3).cast("string").as("b"))
+    val dDir = "/root/repo/target/test_stream_ab_in"
+    val outDir = "/root/repo/target/test_stream_ab_out"
+    scored
+      .repartition(4, (unix_timestamp(col("ts")) / 3600).cast("long"))
+      .write.mode("overwrite").parquet(dDir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
+    val stream = spark.readStream.schema(scored.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dDir)
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        EventStream.windowedAb(batch.toDF(), "y", "a", "b", "1 hour")
+          .write.mode("append").parquet(outDir)
+    }.start()
+    q.processAllAvailable(); q.stop()
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5), r.getDouble(6),
+        r.getDouble(7)))
+      .toSeq.sortBy(_._1)
+    val streamed = key(spark.read.parquet(outDir))
+    val batch = key(EventStream.windowedAb(scored, "y", "a", "b", "1 hour"))
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("PCA whitening projection runs inside a real stream (Expression path)") {
     // the projection is a scan-side AffineProject expression, so a
     // batch-fitted basis whitens an ingest stream with exact batch parity
