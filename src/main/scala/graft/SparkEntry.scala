@@ -3618,6 +3618,34 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
         "score", "label")
     }),
 
+    // the composed A/B decision report — ONE holdout, two models,
+    // BOTH paired tests: McNemar on the 0.5-thresholded predictions
+    // (the accuracy axis) and DeLong on the raw scores (the ranking
+    // axis), cross-joined into one verdict row. The q_eval_e2e_exact
+    // pattern: a single DuckDB query replays both legs bit-for-bit,
+    // so a cross-leg composition bug (threshold drift, frame skew)
+    // has a gate the per-op oracles can't provide
+    "q_ab_report" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"))
+      val frame = d.select(
+          (((col("id") * 37) % 97) % 2).as("y"),
+          (((col("id") * 13) % 101).cast("double") / 100.0).as("sa"),
+          (((col("id") * 29) % 53).cast("double") / 64.0).as("sb"))
+        .withColumn("pa", (col("sa") >= 0.5).cast("int"))
+        .withColumn("pb", (col("sb") >= 0.5).cast("int"))
+      val mc = ops.Classifier.mcnemarTest(frame, "y", "pa", "pb")
+        .select(col("n"), col("acc_a"), col("acc_b"),
+          col("b_discordant"), col("c_discordant"),
+          col("statistic").as("mcnemar_stat"),
+          col("p_value").as("mcnemar_p"))
+      val dl = ops.Classifier.deLongTest(frame, "y", "sa", "sb")
+        .select(col("auc_a"), col("auc_b"),
+          col("delta").as("auc_delta"), col("z").as("delong_z"),
+          col("p_value").as("delong_p"))
+      mc.crossJoin(dl)
+    }),
+
     // per-slice binned AUC + ECE (the fairness cut on the ranking
     // axis; sliceAccuracy's threshold-free sibling): dyadic scores
     // make every per-bin sum exact; single-class slices map their
@@ -7422,6 +7450,131 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |  round(sum(np * (cum + nn / 2)) / (sum(np) * sum(nn)), 9)
           |    AS auc
           |FROM cw""".stripMargin,
+
+      "q_ab_report" ->
+        s"""WITH r AS (
+          |  SELECT CAST(((CAST(doc_id AS BIGINT) * 37) % 97) % 2
+          |      AS BIGINT) AS y,
+          |    ((CAST(doc_id AS BIGINT) * 13) % 101) / 100.0 AS va,
+          |    ((CAST(doc_id AS BIGINT) * 29) % 53) / 64.0 AS vb
+          |  FROM documents),
+          |sm AS (
+          |  SELECT y, CASE WHEN va >= 0.5 THEN 1 ELSE 0 END AS a,
+          |    CASE WHEN vb >= 0.5 THEN 1 ELSE 0 END AS b
+          |  FROM r),
+          |ag AS (
+          |  SELECT count(*) AS n,
+          |    sum(CASE WHEN y = a THEN 1 ELSE 0 END) AS mca,
+          |    sum(CASE WHEN y = b THEN 1 ELSE 0 END) AS mcb,
+          |    sum(CASE WHEN y = a AND y <> b THEN 1 ELSE 0 END) AS bb,
+          |    sum(CASE WHEN y <> a AND y = b THEN 1 ELSE 0 END) AS cc
+          |  FROM sm),
+          |st AS (
+          |  SELECT *, CASE WHEN bb + cc = 0 THEN 0.0
+          |    ELSE (abs(bb - cc) - 1.0) * (abs(bb - cc) - 1.0) / (bb + cc)
+          |    END AS stat
+          |  FROM ag),
+          |mcx AS (SELECT *, sqrt(stat / 2.0) AS mxq FROM st),
+          |mc AS (
+          |  SELECT CAST(n AS BIGINT) AS n,
+          |    round(mca * 1.0 / n, 9) AS acc_a,
+          |    round(mcb * 1.0 / n, 9) AS acc_b,
+          |    CAST(bb AS BIGINT) AS b_discordant,
+          |    CAST(cc AS BIGINT) AS c_discordant,
+          |    round(stat, 9) AS mcnemar_stat,
+          |    round(least(1.0, ${erfccSql("mxq")}), 9) AS mcnemar_p
+          |  FROM mcx),
+          |tot AS (SELECT sum(y) AS np, sum(1 - y) AS nn FROM r),
+          |pa2 AS (SELECT va AS v, sum(y) AS npv, sum(1 - y) AS nnv
+          |        FROM r GROUP BY 1),
+          |ca2 AS (
+          |  SELECT v,
+          |    coalesce(sum(npv) OVER (ORDER BY v
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS cnp,
+          |    coalesce(sum(nnv) OVER (ORDER BY v
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS cnn,
+          |    npv, nnv
+          |  FROM pa2),
+          |ua AS (
+          |  SELECT v, CAST(2.0 * cnn + nnv AS BIGINT) AS u10,
+          |    CAST(2.0 * ((SELECT np FROM tot) - cnp - npv) + npv
+          |      AS BIGINT) AS u01
+          |  FROM ca2),
+          |pb2 AS (SELECT vb AS v, sum(y) AS npv, sum(1 - y) AS nnv
+          |        FROM r GROUP BY 1),
+          |cb2 AS (
+          |  SELECT v,
+          |    coalesce(sum(npv) OVER (ORDER BY v
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS cnp,
+          |    coalesce(sum(nnv) OVER (ORDER BY v
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS cnn,
+          |    npv, nnv
+          |  FROM pb2),
+          |ub AS (
+          |  SELECT v, CAST(2.0 * cnn + nnv AS BIGINT) AS u10,
+          |    CAST(2.0 * ((SELECT np FROM tot) - cnp - npv) + npv
+          |      AS BIGINT) AS u01
+          |  FROM cb2),
+          |j AS (
+          |  SELECT r.y,
+          |    CASE WHEN r.y = 1 THEN ua.u10 ELSE ua.u01 END AS uA,
+          |    CASE WHEN r.y = 1 THEN ub.u10 ELSE ub.u01 END AS uB
+          |  FROM r JOIN ua ON ua.v = r.va JOIN ub ON ub.v = r.vb),
+          |mo AS (
+          |  SELECT
+          |    CAST(sum(CASE WHEN y = 1 THEN uA END) AS DOUBLE) AS pa1,
+          |    CAST(sum(CASE WHEN y = 1 THEN uB END) AS DOUBLE) AS pb1,
+          |    CAST(sum(CASE WHEN y = 1 THEN uA * uA END) AS DOUBLE)
+          |      AS paa,
+          |    CAST(sum(CASE WHEN y = 1 THEN uB * uB END) AS DOUBLE)
+          |      AS pbb,
+          |    CAST(sum(CASE WHEN y = 1 THEN uA * uB END) AS DOUBLE)
+          |      AS pab,
+          |    CAST(sum(CASE WHEN y = 0 THEN uA END) AS DOUBLE) AS na1,
+          |    CAST(sum(CASE WHEN y = 0 THEN uB END) AS DOUBLE) AS nb1,
+          |    CAST(sum(CASE WHEN y = 0 THEN uA * uA END) AS DOUBLE)
+          |      AS naa,
+          |    CAST(sum(CASE WHEN y = 0 THEN uB * uB END) AS DOUBLE)
+          |      AS nbb,
+          |    CAST(sum(CASE WHEN y = 0 THEN uA * uB END) AS DOUBLE)
+          |      AS nab,
+          |    CAST((SELECT np FROM tot) AS DOUBLE) AS np,
+          |    CAST((SELECT nn FROM tot) AS DOUBLE) AS nn
+          |  FROM j),
+          |mm AS (
+          |  SELECT *,
+          |    pa1 / (2.0 * nn * np) AS aA, pb1 / (2.0 * nn * np) AS aB,
+          |    na1 / (2.0 * np * nn) AS bA, nb1 / (2.0 * np * nn) AS bB
+          |  FROM mo),
+          |vv AS (
+          |  SELECT *,
+          |    ((paa / (4.0 * nn * nn) - np * aA * aA) / (np - 1.0)
+          |     + (pbb / (4.0 * nn * nn) - np * aB * aB) / (np - 1.0)
+          |     - 2.0 * ((pab / (4.0 * nn * nn) - np * aA * aB)
+          |              / (np - 1.0))) / np
+          |    + ((naa / (4.0 * np * np) - nn * bA * bA) / (nn - 1.0)
+          |       + (nbb / (4.0 * np * np) - nn * bB * bB) / (nn - 1.0)
+          |       - 2.0 * ((nab / (4.0 * np * np) - nn * bA * bB)
+          |                / (nn - 1.0))) / nn AS v,
+          |    aA - aB AS delta
+          |  FROM mm),
+          |zz AS (
+          |  SELECT *,
+          |    CASE WHEN v <= 0.0 THEN 0.0 ELSE delta / sqrt(v) END AS z
+          |  FROM vv),
+          |px AS (SELECT *, sqrt(z * z / 2.0) AS xq FROM zz),
+          |dl AS (
+          |  SELECT round(aA, 9) AS auc_a, round(aB, 9) AS auc_b,
+          |    round(delta, 9) AS auc_delta, round(z, 9) AS delong_z,
+          |    round(CASE WHEN v <= 0.0 THEN 1.0
+          |          ELSE least(1.0, ${erfccSql("xq")}) END, 9)
+          |      AS delong_p
+          |  FROM px)
+          |SELECT * FROM mc CROSS JOIN dl""".stripMargin,
 
       "q_slice_eval" ->
         """WITH r AS (
