@@ -667,9 +667,15 @@ object Classifier {
     * the guard's sizes), then ONE moment hash aggregate over the
     * corpus; O(1) driver state.
     */
-  def deLongTest(scored: DataFrame, labelCol: String,
-                 scoreACol: String, scoreBCol: String,
-                 maxDistinct: Int = 100000): DataFrame = {
+  /** The placement-moment pipeline behind [[deLongTest]] — hygiene,
+    * totals, both placement tables, the joins back, and the ONE moment
+    * aggregate — exposed pre-`head` so the plan audit pins the
+    * broadcast-join/no-re-scan claims on the real frames (the
+    * [[mcnemarAggregate]] convention). Returns (moments, n_pos, n_neg).
+    */
+  private[graft] def deLongMoments(scored: DataFrame, labelCol: String,
+      scoreACol: String, scoreBCol: String,
+      maxDistinct: Int): (DataFrame, Long, Long) = {
     val y = col(labelCol).cast("double")
     val sA = col(scoreACol).cast("double")
     val sB = col(scoreBCol).cast("double")
@@ -742,7 +748,15 @@ object Classifier {
       sum(when(!pos, col("ua").cast(dec) * col("ua").cast(dec))).as("naa"),
       sum(when(!pos, col("ub").cast(dec) * col("ub").cast(dec))).as("nbb"),
       sum(when(!pos, col("ua").cast(dec) * col("ub").cast(dec))).as("nab"))
-      .head()
+    (agg, np, nn)
+  }
+
+  def deLongTest(scored: DataFrame, labelCol: String,
+                 scoreACol: String, scoreBCol: String,
+                 maxDistinct: Int = 100000): DataFrame = {
+    val (moments, np, nn) =
+      deLongMoments(scored, labelCol, scoreACol, scoreBCol, maxDistinct)
+    val agg = moments.head()
     def d(i: Int): Double = agg.getDecimal(i).doubleValue
     // fixed-order driver arithmetic over exact integer moments — the
     // oracle mirrors this expression tree operand for operand

@@ -846,6 +846,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("deLong moments: placement joins BROADCAST; one aggregate; no corpus re-scan") {
+    // the paired-AUC pipeline's scale claims, pinned on the real
+    // pre-head frame (the mcnemarAggregate convention): both
+    // distinct-score placement tables are maxDistinct-bounded and
+    // checkpointed, so the joins back to the corpus must broadcast
+    // them (a shuffle join here would exchange the corpus twice), and
+    // everything reads checkpoints — no parquet re-scan
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select((pmod(col("doc_id") * 37, lit(97)) % 2).cast("double")
+          .as("y"),
+        (pmod(col("doc_id") * 13, lit(101)).cast("double") / 100.0)
+          .as("sa"),
+        (pmod(col("doc_id") * 29, lit(53)).cast("double") / 64.0)
+          .as("sb"))
+    val (moments, np, nn) = ops.Classifier.deLongMoments(
+      docs, "y", "sa", "sb", 100000)
+    assert(np >= 2 && nn >= 2)
+    val p = plan(moments)
+    assert(!p.contains("FileScan"), p)
+    assert(opCount(p, "Scan parquet") + opCount(p, "BatchScan") === 0, p)
+    assert(opCount(p, "BroadcastHashJoin") === 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("mcnemarTest: ONE scalar hash aggregate — no join, no window, one scan") {
     // audits the REAL pre-head aggregate (mcnemarAggregate, the
     // bootstrapAggregate convention), so a regression that adds a
