@@ -642,8 +642,16 @@ object ScalingProbe {
       .withColumn("c_name", concat(col("c_name"), lit(s"_$i$i$i$i")))
     // gate must list EVERY probe label that reads the salted parquet —
     // fuzzy_probe_index/inline consume it too, so a filtered fresh run
-    // of just those probes must still trigger the write
-    if (!reuse &&
+    // of just those probes must still trigger the write. `reuse` only
+    // promises the BIG replication exists; the salted tables are built
+    // by the fuzzy section itself, so a reuse run on a box whose prior
+    // run was FILTERED past this section must still write them —
+    // existence decides, not the flag (an r17 `all,reuse` sweep died
+    // exactly here).
+    val saltReady =
+      new java.io.File(s"$big/customer_saltN.parquet/_SUCCESS").exists &&
+      new java.io.File(s"$big/customer_salt1.parquet/_SUCCESS").exists
+    if ((!reuse || !saltReady) &&
         (only.isEmpty || only.exists(
           ("fuzzy_pairs_unique fuzzy_pairs_d2 fuzzy_snm " +
             "fuzzy_probe_index fuzzy_probe_inline").contains))) {
