@@ -74,6 +74,23 @@ object ScalingProbe {
     salted(0).write.mode("overwrite").parquet(s"$big/documents_salt1.parquet")
     (0 until mult).map(salted).reduce(_ union _)
       .write.mode("overwrite").parquet(s"$big/documents_saltN.parquet")
+    // the reuse contract is "same data at the SAME mult": record which
+    // mult built this replication so a later `reuse` run can refuse a
+    // mismatched one instead of silently timing the wrong scale
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$big/mult.txt"),
+      mult.toString.getBytes("UTF-8"))
+    }
+    if (reuse) {
+      val mf = java.nio.file.Paths.get(s"$big/mult.txt")
+      require(java.nio.file.Files.exists(mf),
+        s"reuse: $big/mult.txt missing — the replication predates the " +
+          "mult marker (or never ran); re-run without `reuse`")
+      val prior = new String(java.nio.file.Files.readAllBytes(mf),
+        "UTF-8").trim
+      require(prior == mult.toString,
+        s"reuse: $big was replicated at mult=$prior, this run asks " +
+          s"mult=$mult — ratios would silently measure the wrong " +
+          "scale; re-run without `reuse`")
     }
     def time(label: String)(f: String => Long): Unit = {
       if (only.nonEmpty && !only.exists(label.contains)) return
@@ -645,12 +662,18 @@ object ScalingProbe {
     // of just those probes must still trigger the write. `reuse` only
     // promises the BIG replication exists; the salted tables are built
     // by the fuzzy section itself, so a reuse run on a box whose prior
-    // run was FILTERED past this section must still write them —
-    // existence decides, not the flag (an r17 `all,reuse` sweep died
-    // exactly here).
+    // run was FILTERED past this section must still write them (an r17
+    // `all,reuse` sweep died exactly here). Readiness = _SUCCESS plus
+    // this section's OWN mult marker — the global mult.txt can't vouch
+    // for tables a filtered run skipped rebuilding, and a salted table
+    // from a different mult would silently time the wrong scale.
+    val saltMark = java.nio.file.Paths.get(s"$big/customer_salt_mult.txt")
     val saltReady =
       new java.io.File(s"$big/customer_saltN.parquet/_SUCCESS").exists &&
-      new java.io.File(s"$big/customer_salt1.parquet/_SUCCESS").exists
+      new java.io.File(s"$big/customer_salt1.parquet/_SUCCESS").exists &&
+      java.nio.file.Files.exists(saltMark) &&
+      new String(java.nio.file.Files.readAllBytes(saltMark), "UTF-8")
+        .trim == mult.toString
     if ((!reuse || !saltReady) &&
         (only.isEmpty || only.exists(
           ("fuzzy_pairs_unique fuzzy_pairs_d2 fuzzy_snm " +
@@ -658,6 +681,7 @@ object ScalingProbe {
       saltedCust(0).write.mode("overwrite").parquet(s"$big/customer_salt1.parquet")
       (0 until mult).map(saltedCust).reduce(_ union _)
         .write.mode("overwrite").parquet(s"$big/customer_saltN.parquet")
+      java.nio.file.Files.write(saltMark, mult.toString.getBytes("UTF-8"))
     }
     time("fuzzy_pairs") { d =>
       val p = if (d == big) s"$big/customer_saltN.parquet"

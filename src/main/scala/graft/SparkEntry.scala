@@ -494,11 +494,113 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
     */
   private def erfccSql(x: String): String = {
     val t = s"(1.0 / (1.0 + 0.5 * $x))"
-    s"$t * exp(-$x * $x - 1.26551223 + $t * (1.00002368 + " +
-      s"$t * (0.37409196 + $t * (0.09678418 + $t * (-0.18628806 + " +
-      s"$t * (0.27886807 + $t * (-1.13520398 + $t * (1.48851587 + " +
-      s"$t * (-0.82215223 + $t * 0.17087277)))))))))"
+    // the Horner chain is FOLDED from the same ops.Num.ErfccCoeffs the
+    // scalar and Column forms use — one coefficient source, zero drift
+    val horner = ops.Num.ErfccCoeffs.foldRight("0.0")(
+      (c, acc) => s"($c + $t * $acc)")
+    s"$t * exp(-$x * $x + ${ops.Num.ErfccLead} + $t * $horner)"
   }
+
+  /** McNemar's continuity-corrected χ² over a relation exposing the
+    * discordant counts as `bb`/`cc` — ONE SQL source for the three
+    * oracles that replay it (q_mcnemar, q_stream_ab, q_ab_report), so
+    * a fix to the statistic cannot land in one gate and not its twins.
+    */
+  private def mcnemarStatSql: String =
+    "CASE WHEN bb + cc = 0 THEN 0.0 " +
+      "ELSE (abs(bb - cc) - 1.0) * (abs(bb - cc) - 1.0) / (bb + cc) END"
+
+  /** The DeLong placement/moment/variance CTE chain — expects an
+    * upstream CTE `r(y, va, vb)` (y ∈ {0,1} numeric, va/vb the two
+    * models' scores) and emits CTEs ending in `px(np, nn, aA, aB,
+    * delta, v, z, xq)`. Shared VERBATIM by the q_delong per-op oracle
+    * and the q_ab_report composed oracle — one SQL source so the two
+    * gates cannot drift (they were previously hand-kept twins).
+    */
+  private def deLongCtesSql: String =
+    """tot AS (SELECT sum(y) AS np, sum(1 - y) AS nn FROM r),
+      |pa2 AS (SELECT va AS v, sum(y) AS npv, sum(1 - y) AS nnv
+      |        FROM r GROUP BY 1),
+      |ca2 AS (
+      |  SELECT v,
+      |    coalesce(sum(npv) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS cnp,
+      |    coalesce(sum(nnv) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS cnn,
+      |    npv, nnv
+      |  FROM pa2),
+      |ua AS (
+      |  SELECT v, CAST(2.0 * cnn + nnv AS BIGINT) AS u10,
+      |    CAST(2.0 * ((SELECT np FROM tot) - cnp - npv) + npv
+      |      AS BIGINT) AS u01
+      |  FROM ca2),
+      |pb2 AS (SELECT vb AS v, sum(y) AS npv, sum(1 - y) AS nnv
+      |        FROM r GROUP BY 1),
+      |cb2 AS (
+      |  SELECT v,
+      |    coalesce(sum(npv) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS cnp,
+      |    coalesce(sum(nnv) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS cnn,
+      |    npv, nnv
+      |  FROM pb2),
+      |ub AS (
+      |  SELECT v, CAST(2.0 * cnn + nnv AS BIGINT) AS u10,
+      |    CAST(2.0 * ((SELECT np FROM tot) - cnp - npv) + npv
+      |      AS BIGINT) AS u01
+      |  FROM cb2),
+      |j AS (
+      |  SELECT r.y,
+      |    CASE WHEN r.y = 1 THEN ua.u10 ELSE ua.u01 END AS uA,
+      |    CASE WHEN r.y = 1 THEN ub.u10 ELSE ub.u01 END AS uB
+      |  FROM r JOIN ua ON ua.v = r.va JOIN ub ON ub.v = r.vb),
+      |mo AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN y = 1 THEN uA END) AS DOUBLE) AS pa1,
+      |    CAST(sum(CASE WHEN y = 1 THEN uB END) AS DOUBLE) AS pb1,
+      |    CAST(sum(CASE WHEN y = 1 THEN uA * uA END) AS DOUBLE)
+      |      AS paa,
+      |    CAST(sum(CASE WHEN y = 1 THEN uB * uB END) AS DOUBLE)
+      |      AS pbb,
+      |    CAST(sum(CASE WHEN y = 1 THEN uA * uB END) AS DOUBLE)
+      |      AS pab,
+      |    CAST(sum(CASE WHEN y = 0 THEN uA END) AS DOUBLE) AS na1,
+      |    CAST(sum(CASE WHEN y = 0 THEN uB END) AS DOUBLE) AS nb1,
+      |    CAST(sum(CASE WHEN y = 0 THEN uA * uA END) AS DOUBLE)
+      |      AS naa,
+      |    CAST(sum(CASE WHEN y = 0 THEN uB * uB END) AS DOUBLE)
+      |      AS nbb,
+      |    CAST(sum(CASE WHEN y = 0 THEN uA * uB END) AS DOUBLE)
+      |      AS nab,
+      |    CAST((SELECT np FROM tot) AS DOUBLE) AS np,
+      |    CAST((SELECT nn FROM tot) AS DOUBLE) AS nn
+      |  FROM j),
+      |mm AS (
+      |  SELECT *,
+      |    pa1 / (2.0 * nn * np) AS aA, pb1 / (2.0 * nn * np) AS aB,
+      |    na1 / (2.0 * np * nn) AS bA, nb1 / (2.0 * np * nn) AS bB
+      |  FROM mo),
+      |vv AS (
+      |  SELECT *,
+      |    ((paa / (4.0 * nn * nn) - np * aA * aA) / (np - 1.0)
+      |     + (pbb / (4.0 * nn * nn) - np * aB * aB) / (np - 1.0)
+      |     - 2.0 * ((pab / (4.0 * nn * nn) - np * aA * aB)
+      |              / (np - 1.0))) / np
+      |    + ((naa / (4.0 * np * np) - nn * bA * bA) / (nn - 1.0)
+      |       + (nbb / (4.0 * np * np) - nn * bB * bB) / (nn - 1.0)
+      |       - 2.0 * ((nab / (4.0 * np * np) - nn * bA * bB)
+      |                / (nn - 1.0))) / nn AS v,
+      |    aA - aB AS delta
+      |  FROM mm),
+      |zz AS (
+      |  SELECT *,
+      |    CASE WHEN v <= 0.0 THEN 0.0 ELSE delta / sqrt(v) END AS z
+      |  FROM vv),
+      |px AS (SELECT *, sqrt(z * z / 2.0) AS xq FROM zz)""".stripMargin
 
   /** Shared shape of the ANN derived checks: per-query recall@5 of an
     * approximate method vs the in-engine brute-force baseline.
@@ -7470,9 +7572,7 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |    sum(CASE WHEN y <> a AND y = b THEN 1 ELSE 0 END) AS cc
           |  FROM sm),
           |st AS (
-          |  SELECT *, CASE WHEN bb + cc = 0 THEN 0.0
-          |    ELSE (abs(bb - cc) - 1.0) * (abs(bb - cc) - 1.0) / (bb + cc)
-          |    END AS stat
+          |  SELECT *, $mcnemarStatSql AS stat
           |  FROM ag),
           |mcx AS (SELECT *, sqrt(stat / 2.0) AS mxq FROM st),
           |mc AS (
@@ -7484,89 +7584,7 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |    round(stat, 9) AS mcnemar_stat,
           |    round(least(1.0, ${erfccSql("mxq")}), 9) AS mcnemar_p
           |  FROM mcx),
-          |tot AS (SELECT sum(y) AS np, sum(1 - y) AS nn FROM r),
-          |pa2 AS (SELECT va AS v, sum(y) AS npv, sum(1 - y) AS nnv
-          |        FROM r GROUP BY 1),
-          |ca2 AS (
-          |  SELECT v,
-          |    coalesce(sum(npv) OVER (ORDER BY v
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-          |      AS cnp,
-          |    coalesce(sum(nnv) OVER (ORDER BY v
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-          |      AS cnn,
-          |    npv, nnv
-          |  FROM pa2),
-          |ua AS (
-          |  SELECT v, CAST(2.0 * cnn + nnv AS BIGINT) AS u10,
-          |    CAST(2.0 * ((SELECT np FROM tot) - cnp - npv) + npv
-          |      AS BIGINT) AS u01
-          |  FROM ca2),
-          |pb2 AS (SELECT vb AS v, sum(y) AS npv, sum(1 - y) AS nnv
-          |        FROM r GROUP BY 1),
-          |cb2 AS (
-          |  SELECT v,
-          |    coalesce(sum(npv) OVER (ORDER BY v
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-          |      AS cnp,
-          |    coalesce(sum(nnv) OVER (ORDER BY v
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-          |      AS cnn,
-          |    npv, nnv
-          |  FROM pb2),
-          |ub AS (
-          |  SELECT v, CAST(2.0 * cnn + nnv AS BIGINT) AS u10,
-          |    CAST(2.0 * ((SELECT np FROM tot) - cnp - npv) + npv
-          |      AS BIGINT) AS u01
-          |  FROM cb2),
-          |j AS (
-          |  SELECT r.y,
-          |    CASE WHEN r.y = 1 THEN ua.u10 ELSE ua.u01 END AS uA,
-          |    CASE WHEN r.y = 1 THEN ub.u10 ELSE ub.u01 END AS uB
-          |  FROM r JOIN ua ON ua.v = r.va JOIN ub ON ub.v = r.vb),
-          |mo AS (
-          |  SELECT
-          |    CAST(sum(CASE WHEN y = 1 THEN uA END) AS DOUBLE) AS pa1,
-          |    CAST(sum(CASE WHEN y = 1 THEN uB END) AS DOUBLE) AS pb1,
-          |    CAST(sum(CASE WHEN y = 1 THEN uA * uA END) AS DOUBLE)
-          |      AS paa,
-          |    CAST(sum(CASE WHEN y = 1 THEN uB * uB END) AS DOUBLE)
-          |      AS pbb,
-          |    CAST(sum(CASE WHEN y = 1 THEN uA * uB END) AS DOUBLE)
-          |      AS pab,
-          |    CAST(sum(CASE WHEN y = 0 THEN uA END) AS DOUBLE) AS na1,
-          |    CAST(sum(CASE WHEN y = 0 THEN uB END) AS DOUBLE) AS nb1,
-          |    CAST(sum(CASE WHEN y = 0 THEN uA * uA END) AS DOUBLE)
-          |      AS naa,
-          |    CAST(sum(CASE WHEN y = 0 THEN uB * uB END) AS DOUBLE)
-          |      AS nbb,
-          |    CAST(sum(CASE WHEN y = 0 THEN uA * uB END) AS DOUBLE)
-          |      AS nab,
-          |    CAST((SELECT np FROM tot) AS DOUBLE) AS np,
-          |    CAST((SELECT nn FROM tot) AS DOUBLE) AS nn
-          |  FROM j),
-          |mm AS (
-          |  SELECT *,
-          |    pa1 / (2.0 * nn * np) AS aA, pb1 / (2.0 * nn * np) AS aB,
-          |    na1 / (2.0 * np * nn) AS bA, nb1 / (2.0 * np * nn) AS bB
-          |  FROM mo),
-          |vv AS (
-          |  SELECT *,
-          |    ((paa / (4.0 * nn * nn) - np * aA * aA) / (np - 1.0)
-          |     + (pbb / (4.0 * nn * nn) - np * aB * aB) / (np - 1.0)
-          |     - 2.0 * ((pab / (4.0 * nn * nn) - np * aA * aB)
-          |              / (np - 1.0))) / np
-          |    + ((naa / (4.0 * np * np) - nn * bA * bA) / (nn - 1.0)
-          |       + (nbb / (4.0 * np * np) - nn * bB * bB) / (nn - 1.0)
-          |       - 2.0 * ((nab / (4.0 * np * np) - nn * bA * bB)
-          |                / (nn - 1.0))) / nn AS v,
-          |    aA - aB AS delta
-          |  FROM mm),
-          |zz AS (
-          |  SELECT *,
-          |    CASE WHEN v <= 0.0 THEN 0.0 ELSE delta / sqrt(v) END AS z
-          |  FROM vv),
-          |px AS (SELECT *, sqrt(z * z / 2.0) AS xq FROM zz),
+          |$deLongCtesSql,
           |dl AS (
           |  SELECT round(aA, 9) AS auc_a, round(aB, 9) AS auc_b,
           |    round(delta, 9) AS auc_delta, round(z, 9) AS delong_z,
@@ -7642,89 +7660,7 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |    ((CAST(doc_id AS BIGINT) * 13) % 101) / 100.0 AS va,
           |    ((CAST(doc_id AS BIGINT) * 29) % 53) / 64.0 AS vb
           |  FROM documents),
-          |tot AS (SELECT sum(y) AS np, sum(1 - y) AS nn FROM r),
-          |pa AS (SELECT va AS v, sum(y) AS npv, sum(1 - y) AS nnv
-          |       FROM r GROUP BY 1),
-          |ca AS (
-          |  SELECT v,
-          |    coalesce(sum(npv) OVER (ORDER BY v
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-          |      AS cnp,
-          |    coalesce(sum(nnv) OVER (ORDER BY v
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-          |      AS cnn,
-          |    npv, nnv
-          |  FROM pa),
-          |ua AS (
-          |  SELECT v, CAST(2.0 * cnn + nnv AS BIGINT) AS u10,
-          |    CAST(2.0 * ((SELECT np FROM tot) - cnp - npv) + npv
-          |      AS BIGINT) AS u01
-          |  FROM ca),
-          |pb AS (SELECT vb AS v, sum(y) AS npv, sum(1 - y) AS nnv
-          |       FROM r GROUP BY 1),
-          |cb AS (
-          |  SELECT v,
-          |    coalesce(sum(npv) OVER (ORDER BY v
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-          |      AS cnp,
-          |    coalesce(sum(nnv) OVER (ORDER BY v
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-          |      AS cnn,
-          |    npv, nnv
-          |  FROM pb),
-          |ub AS (
-          |  SELECT v, CAST(2.0 * cnn + nnv AS BIGINT) AS u10,
-          |    CAST(2.0 * ((SELECT np FROM tot) - cnp - npv) + npv
-          |      AS BIGINT) AS u01
-          |  FROM cb),
-          |j AS (
-          |  SELECT r.y,
-          |    CASE WHEN r.y = 1 THEN ua.u10 ELSE ua.u01 END AS uA,
-          |    CASE WHEN r.y = 1 THEN ub.u10 ELSE ub.u01 END AS uB
-          |  FROM r JOIN ua ON ua.v = r.va JOIN ub ON ub.v = r.vb),
-          |mo AS (
-          |  SELECT
-          |    CAST(sum(CASE WHEN y = 1 THEN uA END) AS DOUBLE) AS pa1,
-          |    CAST(sum(CASE WHEN y = 1 THEN uB END) AS DOUBLE) AS pb1,
-          |    CAST(sum(CASE WHEN y = 1 THEN uA * uA END) AS DOUBLE)
-          |      AS paa,
-          |    CAST(sum(CASE WHEN y = 1 THEN uB * uB END) AS DOUBLE)
-          |      AS pbb,
-          |    CAST(sum(CASE WHEN y = 1 THEN uA * uB END) AS DOUBLE)
-          |      AS pab,
-          |    CAST(sum(CASE WHEN y = 0 THEN uA END) AS DOUBLE) AS na1,
-          |    CAST(sum(CASE WHEN y = 0 THEN uB END) AS DOUBLE) AS nb1,
-          |    CAST(sum(CASE WHEN y = 0 THEN uA * uA END) AS DOUBLE)
-          |      AS naa,
-          |    CAST(sum(CASE WHEN y = 0 THEN uB * uB END) AS DOUBLE)
-          |      AS nbb,
-          |    CAST(sum(CASE WHEN y = 0 THEN uA * uB END) AS DOUBLE)
-          |      AS nab,
-          |    CAST((SELECT np FROM tot) AS DOUBLE) AS np,
-          |    CAST((SELECT nn FROM tot) AS DOUBLE) AS nn
-          |  FROM j),
-          |mm AS (
-          |  SELECT *,
-          |    pa1 / (2.0 * nn * np) AS aA, pb1 / (2.0 * nn * np) AS aB,
-          |    na1 / (2.0 * np * nn) AS bA, nb1 / (2.0 * np * nn) AS bB
-          |  FROM mo),
-          |vv AS (
-          |  SELECT *,
-          |    ((paa / (4.0 * nn * nn) - np * aA * aA) / (np - 1.0)
-          |     + (pbb / (4.0 * nn * nn) - np * aB * aB) / (np - 1.0)
-          |     - 2.0 * ((pab / (4.0 * nn * nn) - np * aA * aB)
-          |              / (np - 1.0))) / np
-          |    + ((naa / (4.0 * np * np) - nn * bA * bA) / (nn - 1.0)
-          |       + (nbb / (4.0 * np * np) - nn * bB * bB) / (nn - 1.0)
-          |       - 2.0 * ((nab / (4.0 * np * np) - nn * bA * bB)
-          |                / (nn - 1.0))) / nn AS v,
-          |    aA - aB AS delta
-          |  FROM mm),
-          |zz AS (
-          |  SELECT *,
-          |    CASE WHEN v <= 0.0 THEN 0.0 ELSE delta / sqrt(v) END AS z
-          |  FROM vv),
-          |px AS (SELECT *, sqrt(z * z / 2.0) AS xq FROM zz)
+          |$deLongCtesSql
           |SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
           |  round(aA, 9) AS auc_a, round(aB, 9) AS auc_b,
           |  round(delta, 9) AS delta,
@@ -7988,10 +7924,7 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |    sum(CASE WHEN y <> a AND y = b THEN 1 ELSE 0 END) AS cc
           |  FROM sc GROUP BY 1),
           |st AS (
-          |  SELECT *, CASE WHEN bb + cc = 0 THEN 0.0
-          |    ELSE (CAST(abs(bb - cc) AS DOUBLE) - 1.0)
-          |       * (CAST(abs(bb - cc) AS DOUBLE) - 1.0) / (bb + cc)
-          |    END AS stat
+          |  SELECT *, $mcnemarStatSql AS stat
           |  FROM agg),
           |px AS (SELECT *, sqrt(stat / 2.0) AS xq FROM st)
           |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -8016,9 +7949,7 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |    sum(CASE WHEN y <> a AND y = b THEN 1 ELSE 0 END) AS cc
           |  FROM s),
           |st AS (
-          |  SELECT *, CASE WHEN bb + cc = 0 THEN 0.0
-          |    ELSE (abs(bb - cc) - 1.0) * (abs(bb - cc) - 1.0) / (bb + cc)
-          |    END AS stat
+          |  SELECT *, $mcnemarStatSql AS stat
           |  FROM agg),
           |px AS (SELECT *, sqrt(stat / 2.0) AS xq FROM st)
           |SELECT CAST(n AS BIGINT) AS n,

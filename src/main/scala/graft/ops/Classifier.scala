@@ -1473,17 +1473,30 @@ object Classifier {
     * per-model correct counts, both discordant counts — exposed so the
     * plan audit pins the one-pass/no-join claim on the real aggregate,
     * not a replica (the [[bootstrapAggregate]] convention). */
-  private[graft] def mcnemarAggregate(scored: DataFrame, labelCol: String,
-      predACol: String, predBCol: String): DataFrame = {
+  /** The six McNemar aggregate columns — n, null-label census,
+    * per-model correct counts, both discordant counts — as ONE shared
+    * definition consumed by the scalar [[mcnemarAggregate]] AND the
+    * windowed monitor (`EventStream.windowedAb` groups the same
+    * expressions by window), so the "identical semantics per window"
+    * contract has one source of truth instead of two drifting copies.
+    */
+  private[graft] def mcnemarAggExprs(labelCol: String, predACol: String,
+      predBCol: String): Seq[Column] = {
     val okA = (col(labelCol).cast("string") <=> col(predACol).cast("string"))
     val okB = (col(labelCol).cast("string") <=> col(predBCol).cast("string"))
-    scored.agg(
+    Seq(
       count(lit(1)).as("n"),
       sum(col(labelCol).isNull.cast("long")).as("nulls"),
       sum(okA.cast("long")).as("ca"),
       sum(okB.cast("long")).as("cb"),
       sum((okA && !okB).cast("long")).as("b"),
       sum((!okA && okB).cast("long")).as("c"))
+  }
+
+  private[graft] def mcnemarAggregate(scored: DataFrame, labelCol: String,
+      predACol: String, predBCol: String): DataFrame = {
+    val e = mcnemarAggExprs(labelCol, predACol, predBCol)
+    scored.agg(e.head, e.tail: _*)
   }
 
   def mcnemarTest(scored: DataFrame, labelCol: String,

@@ -14,6 +14,19 @@ object Num {
   def round9(x: Double): Double =
     BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** The NR erfcc fit's constants, THE single source for all three
+    * evaluation forms — the scalar ([[erfcc]]), the Column expression
+    * ([[erfccCol]]), and the SQL string (`SparkEntry.erfccSql`). The
+    * whole p-value design rests on the three forms evaluating the
+    * identical Horner chain; hand-maintained copies were a silent
+    * drift surface (a digit fixed in one copy breaks cross-engine bit
+    * parity with no error anywhere).
+    */
+  val ErfccLead: Double = -1.26551223
+  val ErfccCoeffs: Seq[Double] = Seq(1.00002368, 0.37409196, 0.09678418,
+    -0.18628806, 0.27886807, -1.13520398, 1.48851587, -0.82215223,
+    0.17087277)
+
   /** Complementary error function via the Numerical Recipes rational
     * Chebyshev fit (Press et al., "Numerical Recipes in C" §6.2,
     * `erfcc`): |fractional error| < 1.2e-7 everywhere. Chosen over a
@@ -27,10 +40,9 @@ object Num {
     */
   def erfcc(x: Double): Double = {
     val t = 1.0 / (1.0 + 0.5 * math.abs(x))
-    val ans = t * math.exp(-x * x - 1.26551223 + t * (1.00002368 +
-      t * (0.37409196 + t * (0.09678418 + t * (-0.18628806 +
-      t * (0.27886807 + t * (-1.13520398 + t * (1.48851587 +
-      t * (-0.82215223 + t * 0.17087277)))))))))
+    // Horner right-fold over the shared coefficients: c0 + t(c1 + t(...))
+    val horner = ErfccCoeffs.foldRight(0.0)((c, acc) => c + t * acc)
+    val ans = t * math.exp(-x * x + ErfccLead + t * horner)
     if (x >= 0) ans else 2.0 - ans
   }
 
@@ -42,18 +54,20 @@ object Num {
     math.min(1.0, erfcc(math.sqrt(stat / 2.0)))
 
   /** [[erfcc]] as a Catalyst column expression — the SAME Horner chain,
-    * term for term, so a per-row/per-window p-value (the streaming A/B
-    * monitor) lands on the identical double the driver-side scalar and
-    * the DuckDB oracle's expanded SQL produce. `x` must be >= 0 (every
-    * χ²₁ caller passes √(stat/2)); the scalar's negative-x reflection
-    * is deliberately omitted rather than silently half-supported.
+    * term for term, folded from the one shared coefficient source. NOT
+    * bit-identical to the scalar in general: Spark's codegen evaluates
+    * `exp` via StrictMath while the JVM scalar path uses the Math
+    * intrinsic, which may differ by 1 ulp — measured exactly 1 ulp at
+    * a handful of inputs, pinned in ClassifierSpec, and absorbed by
+    * every caller's round(9). `x` must be >= 0 (every χ²₁ caller
+    * passes √(stat/2)); the scalar's negative-x reflection is
+    * deliberately omitted rather than silently half-supported.
     */
   def erfccCol(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{exp, lit}
     val t = lit(1.0) / (lit(1.0) + lit(0.5) * x)
-    t * exp(-(x * x) - lit(1.26551223) + t * (lit(1.00002368) +
-      t * (lit(0.37409196) + t * (lit(0.09678418) + t * (lit(-0.18628806) +
-      t * (lit(0.27886807) + t * (lit(-1.13520398) + t * (lit(1.48851587) +
-      t * (lit(-0.82215223) + t * lit(0.17087277))))))))))
+    val horner = ErfccCoeffs.foldRight(lit(0.0): org.apache.spark.sql.Column)(
+      (c, acc) => lit(c) + t * acc)
+    t * exp(-(x * x) + lit(ErfccLead) + t * horner)
   }
 }

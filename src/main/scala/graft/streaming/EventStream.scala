@@ -418,18 +418,15 @@ object EventStream {
     */
   def windowedAb(scored: DataFrame, labelCol: String, predACol: String,
                  predBCol: String, width: String = "1 hour"): DataFrame = {
-    val okA = (col(labelCol).cast("string") <=> col(predACol).cast("string"))
-    val okB = (col(labelCol).cast("string") <=> col(predBCol).cast("string"))
+    // the SAME six aggregate columns as the batch operator — one
+    // definition (Classifier.mcnemarAggExprs), grouped by window here
+    val e = graft.ops.Classifier.mcnemarAggExprs(labelCol, predACol,
+      predBCol)
     val per = scored
       .groupBy(window(col("ts"), width).as("w"))
-      .agg(count(lit(1)).as("n"),
-        sum(col(labelCol).isNull.cast("long")).as("__nulls"),
-        sum(okA.cast("long")).as("ca"),
-        sum(okB.cast("long")).as("cb"),
-        sum((okA && !okB).cast("long")).as("b"),
-        sum((!okA && okB).cast("long")).as("c"))
+      .agg(e.head, e.tail: _*)
       .localCheckpoint()
-    val nullRow = per.agg(sum("__nulls")).head()
+    val nullRow = per.agg(sum("nulls")).head()
     val nNull = if (nullRow.isNullAt(0)) 0L else nullRow.getLong(0)
     require(nNull == 0,
       s"windowedAb: $nNull null $labelCol values — a null label is " +

@@ -29,6 +29,21 @@ class ClassifierSpec extends SparkSpec {
     assert(ps.zip(ps.tail).forall { case (a, b) => a > b })
     // the textbook 5% critical value of chi2_1 is 3.841
     assert(math.abs(Num.chi2P1(3.841459) - 0.05) < 1e-4)
+    // cross-form parity: the Column evaluation (the streaming A/B
+    // monitor's path) folds the SAME shared coefficient source as the
+    // scalar — but Spark codegen's exp is StrictMath while the scalar
+    // uses the Math intrinsic, so the guarantee is ≤ 1 ulp, not bit
+    // identity (measured: exactly 1 ulp at e.g. x = 2.9; round(9)
+    // absorbs it everywhere p-values are emitted)
+    import spark.implicits._
+    val xs = (0 to 60).map(_ * 0.1)
+    val colVals = xs.toDF("x")
+      .select(Num.erfccCol(col("x")).as("e")).collect().map(_.getDouble(0))
+    xs.zip(colVals).foreach { case (x, got) =>
+      val want = Num.erfcc(x)
+      assert(math.abs(got - want) <= math.ulp(want),
+        s"erfccCol($x) = $got vs scalar $want — beyond 1 ulp")
+    }
   }
 
   test("learns a separable vocabulary split to holdout accuracy 1.0") {
