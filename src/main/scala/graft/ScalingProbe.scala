@@ -1087,6 +1087,9 @@ object ScalingProbe {
       SparkEntry.queries("q_agree_ac1")(spark, d).count() }
     time("mixture_weights") { d =>
       SparkEntry.queries("q_mixture_weights")(spark, d).count() }
+    // proper scoring rules: ONE (bin) aggregate + a bins-many reduce
+    time("proper_scores") { d =>
+      SparkEntry.queries("q_proper_scores")(spark, d).count() }
     // fragment ancestry depth: the overlay read chains one ROWID join
     // per ancestor (MSWrite.readFragment walks the sidecars, then folds
     // updateByRowId). Probe READ cost (chains pre-built, untimed) vs

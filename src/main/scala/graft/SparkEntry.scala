@@ -3764,6 +3764,19 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
         .orderBy("slice")
     }),
 
+    // proper scoring rules: log-loss + Brier with the Murphy
+    // decomposition over calibration bins; dyadic scores keep every
+    // squared-error and bin-moment sum exact, the ln sums land under
+    // round(9) (the q_surprisal cross-engine precedent)
+    "q_proper_scores" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"))
+      ops.Classifier.properScores(d.select(
+          (((col("id") * 13) % 101).cast("double") / 128.0).as("score"),
+          (((col("id") * 37) % 97) % 2).cast("double").as("label")),
+        "score", "label", bins = 10)
+    }),
+
     // Hanley–McNeil CI around the tie-exact AUC; the closed form
     // derives from the round(9)-pinned auc, so the oracle replay
     // starts from the identical double
@@ -7617,6 +7630,41 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |    END, 9), -1.0) AS auc,
           |  round(sum(abs(ssum - np)) / (sum(np) + sum(nn)), 9) AS ece
           |FROM c GROUP BY slice ORDER BY slice""".stripMargin,
+
+      "q_proper_scores" ->
+        """WITH r AS (
+          |  SELECT ((CAST(doc_id AS BIGINT) * 13) % 101) / 128.0 AS s,
+          |    CAST(((CAST(doc_id AS BIGINT) * 37) % 97) % 2 AS DOUBLE)
+          |      AS y
+          |  FROM documents),
+          |cl AS (
+          |  SELECT s, y,
+          |    LEAST(GREATEST(s, 1e-15), 1.0 - 1e-15) AS pc,
+          |    LEAST(CAST(FLOOR(s * 10) AS INT), 9) AS bin
+          |  FROM r),
+          |b AS (
+          |  SELECT bin, count(*) AS n, sum(y) AS sy, sum(s) AS sp,
+          |    sum((s - y) * (s - y)) AS sq,
+          |    sum(-(y * ln(pc) + (1.0 - y) * ln(1.0 - pc))) AS sll
+          |  FROM cl GROUP BY 1),
+          |yb AS (
+          |  SELECT CAST(sum(sy) AS DOUBLE) / sum(n) AS ybar,
+          |    sum(n) AS nn
+          |  FROM b),
+          |red AS (
+          |  SELECT sum(sq) AS sq, sum(sll) AS sll,
+          |    sum((sp / n - sy / n) * (sp / n - sy / n) * n) AS rel,
+          |    sum((sy / n - (SELECT ybar FROM yb))
+          |      * (sy / n - (SELECT ybar FROM yb)) * n) AS res
+          |  FROM b)
+          |SELECT CAST((SELECT nn FROM yb) AS BIGINT) AS n,
+          |  round(sll / (SELECT nn FROM yb), 9) AS log_loss,
+          |  round(sq / (SELECT nn FROM yb), 9) AS brier,
+          |  round(rel / (SELECT nn FROM yb), 9) AS reliability,
+          |  round(res / (SELECT nn FROM yb), 9) AS resolution,
+          |  round((SELECT ybar FROM yb)
+          |    * (1.0 - (SELECT ybar FROM yb)), 9) AS uncertainty
+          |FROM red""".stripMargin,
 
       "q_auc_ci" ->
         """WITH r AS (

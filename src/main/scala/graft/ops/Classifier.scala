@@ -1449,6 +1449,75 @@ object Classifier {
     binsOut.unionByName(summary)
   }
 
+  /** Proper scoring rules — log-loss and the Brier score with its
+    * Murphy (1973) decomposition: [[rocAuc]] measures RANKING and
+    * [[calibrationReport]]'s ECE measures CALIBRATION, but neither is
+    * a proper score (a model can game either); log-loss (the training
+    * objective itself) and Brier = mean (p − y)² are the two standard
+    * proper rules every model-quality report carries. The
+    * decomposition over the same `bins` partition the calibration
+    * family uses: reliability = Σ n_b(p̄_b − ȳ_b)²/N (how far the
+    * forecast sits from the outcome rate — lower is better),
+    * resolution = Σ n_b(ȳ_b − ȳ)²/N (how much the forecast separates
+    * outcomes — higher is better), uncertainty = ȳ(1 − ȳ) (the
+    * no-skill floor). Brier = rel − res + unc holds EXACTLY when the
+    * forecasts are discrete at the bin level (spec-pinned) and
+    * approximately for continuous scores (the binning is then a
+    * partition estimate — standard practice). log p is clamped at
+    * `eps` (the sklearn convention; the literal is replayed by the
+    * oracle). Score/label hygiene rides the ONE aggregate. One row:
+    * (n, log_loss, brier, reliability, resolution, uncertainty),
+    * doubles rounded at 9.
+    *
+    * Scale shape: ONE (bin) hash aggregate over the corpus carrying
+    * every sum (log terms, squared errors, bin moments, census) —
+    * bins-many tiny rows, then a scalar reduce; no join, no window.
+    */
+  def properScores(scored: DataFrame, scoreCol: String, labelCol: String,
+                   bins: Int = 10, eps: Double = 1e-15): DataFrame = {
+    require(bins >= 2, s"properScores: bins=$bins")
+    require(eps > 0 && eps < 0.5, s"properScores: eps=$eps")
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("double")
+    val bad = (s.isNull || isnan(s) || s < 0 || s > 1 ||
+      y.isNull || (y =!= 0.0 && y =!= 1.0)).cast("long")
+    val pc = least(greatest(s, lit(eps)), lit(1.0 - eps))
+    val ll = -(y * log(pc) + (lit(1.0) - y) * log(lit(1.0) - pc))
+    val bin = least(floor(s * bins), lit(bins - 1)).cast("int")
+    val per = scored
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"), sum(y).as("sy"), sum(s).as("sp"),
+        sum((s - y) * (s - y)).as("sq"), sum(ll).as("sll"),
+        sum(bad).as("__bad"))
+      .localCheckpoint()
+    require(per.head(1).nonEmpty, "properScores: empty frame")
+    val badRow = per.agg(sum("__bad")).head()
+    val nBad = if (badRow.isNullAt(0)) 0L else badRow.getLong(0)
+    require(nBad == 0,
+      "properScores: scores must be non-null in [0, 1] and labels in " +
+        "{0, 1} — clean the frame first")
+    // scalar reduce over the bins-many frame: ȳ via the totals, then
+    // the Murphy terms from per-bin means — all exact integer/dyadic
+    // ratios until the final divisions
+    val tot = per.agg(sum("n").as("nn"), sum("sy").as("ty")).head()
+    val n = tot.getLong(0); val ybar = tot.getDouble(1) / n
+    val r = per.select(
+        sum("sq").as("sq"), sum("sll").as("sll"),
+        sum((col("sp") / col("n") - col("sy") / col("n")) *
+          (col("sp") / col("n") - col("sy") / col("n")) * col("n"))
+          .as("rel"),
+        sum((col("sy") / col("n") - lit(ybar)) *
+          (col("sy") / col("n") - lit(ybar)) * col("n")).as("res"))
+      .head()
+    val spark = scored.sparkSession
+    import spark.implicits._
+    Seq((n, Num.round9(r.getDouble(1) / n), Num.round9(r.getDouble(0) / n),
+      Num.round9(r.getDouble(2) / n), Num.round9(r.getDouble(3) / n),
+      Num.round9(ybar * (1.0 - ybar))))
+      .toDF("n", "log_loss", "brier", "reliability", "resolution",
+        "uncertainty")
+  }
+
   /** McNemar's test (McNemar 1947, the Edwards continuity-corrected
     * form) for PAIRED classifier comparison — the A/B question every
     * eval run ends with ("is model B actually better than model A on

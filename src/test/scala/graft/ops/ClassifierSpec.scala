@@ -449,6 +449,45 @@ class ClassifierSpec extends SparkSpec {
       scored.filter(lit(false)), "s", "y"))
   }
 
+  test("properScores: hand log-loss/Brier, Murphy identity on discrete forecasts, refusals") {
+    import spark.implicits._
+    // the no-information forecast: p = .5 on a balanced frame ->
+    // brier .25, log_loss ln 2, rel 0 (forecast == outcome rate in
+    // its bin), res 0 (one bin, ybar_b == ybar), unc .25 — and the
+    // decomposition identity .25 = 0 - 0 + .25 holds exactly
+    val flat = (0 until 100).map(i => (0.5, (i % 2).toDouble))
+      .toDF("score", "label")
+    val f = Classifier.properScores(flat, "score", "label").head()
+    assert(f.getLong(0) === 100L)
+    assert(math.abs(f.getDouble(1) - math.log(2.0)) < 1e-9)
+    assert(f.getDouble(2) === 0.25)
+    assert(f.getDouble(3) === 0.0 && f.getDouble(4) === 0.0)
+    assert(f.getDouble(5) === 0.25)
+    // discrete forecasts (each distinct p its own bin): Brier ==
+    // reliability - resolution + uncertainty EXACTLY (Murphy 1973)
+    val disc = (0 until 300).map { i =>
+      val p = if (i % 3 == 0) 0.1 else 0.7
+      (p, (if (i % (if (i % 3 == 0) 10 else 2) == 0) 1 else 0).toDouble)
+    }.toDF("score", "label")
+    val d = Classifier.properScores(disc, "score", "label").head()
+    assert(math.abs(d.getDouble(2) -
+      (d.getDouble(3) - d.getDouble(4) + d.getDouble(5))) < 1e-12,
+      s"Murphy identity: ${d.getDouble(2)} vs ${d.getDouble(3)} - " +
+        s"${d.getDouble(4)} + ${d.getDouble(5)}")
+    // a sharp, correct model: brier 0, log_loss ~ -ln(1 - eps) -> 0
+    val sharp = (0 until 50).map(i => ((i % 2).toDouble, (i % 2).toDouble))
+      .toDF("score", "label")
+    val sh = Classifier.properScores(sharp, "score", "label").head()
+    assert(sh.getDouble(2) === 0.0 && sh.getDouble(1) === 0.0)
+    assert(sh.getDouble(3) === 0.0)
+    // hygiene rides the aggregate
+    intercept[IllegalArgumentException](Classifier.properScores(
+      Seq((1.5, 1.0), (0.2, 0.0)).toDF("score", "label"),
+      "score", "label").count())
+    intercept[IllegalArgumentException](
+      Classifier.properScores(flat, "score", "label", bins = 1))
+  }
+
   test("rocAucCI: hand Hanley-McNeil SE, perfect-separation degenerate, refusals") {
     import spark.implicits._
     // pos {.8, .4}, neg {.6, .2}: 3 of 4 pairs ordered -> A = .75
