@@ -2660,8 +2660,8 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
     // exact ratio; the oracle replays share*exp(eta*excess)/Z per domain
     "q_mixture_weights" -> ((s, dir) => {
       val docs = T(s, dir, "documents").select(col("source"),
-        ((col("doc_id") * 13) % 7).cast("double").as("lp"),
-        ((col("doc_id") * 3) % 5).cast("double").as("lr"))
+        ((col("doc_id").cast("long") * 13) % 7).cast("double").as("lp"),
+        ((col("doc_id").cast("long") * 3) % 5).cast("double").as("lr"))
       Sampling.excessLossWeights(docs, "source", "lp", "lr", eta = 1.0)
         .withColumnRenamed("grp", "source")
         .orderBy("source")
@@ -3723,10 +3723,11 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
     // the composed A/B decision report — ONE holdout, two models,
     // BOTH paired tests: McNemar on the 0.5-thresholded predictions
     // (the accuracy axis) and DeLong on the raw scores (the ranking
-    // axis), cross-joined into one verdict row. The q_eval_e2e_exact
-    // pattern: a single DuckDB query replays both legs bit-for-bit,
-    // so a cross-leg composition bug (threshold drift, frame skew)
-    // has a gate the per-op oracles can't provide
+    // axis) in one verdict row. r18: re-gated through the PROMOTED
+    // Classifier.abReport operator (one pinned frame, one combined
+    // riding census) against the UNCHANGED r17 oracle — the oracle
+    // that replayed the hand-composition now proves the operator is
+    // bit-identical to it
     "q_ab_report" -> ((s, dir) => {
       val d = T(s, dir, "documents")
         .select(col("doc_id").cast("long").as("id"))
@@ -3734,18 +3735,7 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           (((col("id") * 37) % 97) % 2).as("y"),
           (((col("id") * 13) % 101).cast("double") / 100.0).as("sa"),
           (((col("id") * 29) % 53).cast("double") / 64.0).as("sb"))
-        .withColumn("pa", (col("sa") >= 0.5).cast("int"))
-        .withColumn("pb", (col("sb") >= 0.5).cast("int"))
-      val mc = ops.Classifier.mcnemarTest(frame, "y", "pa", "pb")
-        .select(col("n"), col("acc_a"), col("acc_b"),
-          col("b_discordant"), col("c_discordant"),
-          col("statistic").as("mcnemar_stat"),
-          col("p_value").as("mcnemar_p"))
-      val dl = ops.Classifier.deLongTest(frame, "y", "sa", "sb")
-        .select(col("auc_a"), col("auc_b"),
-          col("delta").as("auc_delta"), col("z").as("delong_z"),
-          col("p_value").as("delong_p"))
-      mc.crossJoin(dl)
+      ops.Classifier.abReport(frame, "y", "sa", "sb", threshold = 0.5)
     }),
 
     // per-slice binned AUC + ECE (the fairness cut on the ranking
@@ -7708,15 +7698,20 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |    ((CAST(doc_id AS BIGINT) * 13) % 101) / 100.0 AS va,
           |    ((CAST(doc_id AS BIGINT) * 29) % 53) / 64.0 AS vb
           |  FROM documents),
-          |$deLongCtesSql
+          |$deLongCtesSql,
+          |sef AS (
+          |  SELECT *, CASE WHEN v <= 0.0 THEN 0.0 ELSE sqrt(v) END AS sev
+          |  FROM px)
           |SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
           |  round(aA, 9) AS auc_a, round(aB, 9) AS auc_b,
           |  round(delta, 9) AS delta,
-          |  round(CASE WHEN v <= 0.0 THEN 0.0 ELSE sqrt(v) END, 9) AS se,
+          |  round(sev, 9) AS se,
           |  round(z, 9) AS z,
           |  round(CASE WHEN v <= 0.0 THEN 1.0
-          |        ELSE least(1.0, ${erfccSql("xq")}) END, 9) AS p_value
-          |FROM px""".stripMargin,
+          |        ELSE least(1.0, ${erfccSql("xq")}) END, 9) AS p_value,
+          |  round(delta - 1.959964 * sev, 9) AS ci_lo,
+          |  round(delta + 1.959964 * sev, 9) AS ci_hi
+          |FROM sef""".stripMargin,
 
       // the PAV certificate columns: the SQL-derivable scalars are
       // recomputed, the optimality/consistency violation counts are

@@ -544,7 +544,9 @@ object Classifier {
     * no ranking to measure and refuses too. One row:
     * (n_pos, n_neg, auc), doubles rounded at 9.
     *
-    * Scale shape: ONE score hash aggregate, then the cumulative-
+    * Scale shape: ONE score hash aggregate — the hygiene census rides
+    * it and the refusal reads the checkpointed distinct-score table,
+    * so there is no separate filter scan — then the cumulative-
     * negative prefix sum runs over the DISTINCT-SCORE frame. With
     * `bins = None` that prefix is an exact unpartitioned window —
     * right for oracle-pinned evaluation at test scale, and honest
@@ -560,21 +562,29 @@ object Classifier {
     val s = col(scoreCol).cast("double")
     val y = col(labelCol).cast("double")
     val rangeBad = bins.map(_ => s < 0 || s > 1).getOrElse(lit(false))
-    val bad = scored.filter(s.isNull || isnan(s) || y.isNull ||
-        (y =!= 0.0 && y =!= 1.0) || rangeBad)
-      .limit(1).count()
-    require(bad == 0,
-      "rocAuc: scores must be non-null, non-NaN" +
-        (if (bins.isDefined) " in [0, 1] (binned mode)" else "") +
-        " and labels in {0, 1} — clean the frame first")
+    val badc = (s.isNull || isnan(s) || y.isNull ||
+      (y =!= 0.0 && y =!= 1.0) || rangeBad).cast("long")
     val key = bins match {
       case Some(b) => least(floor(s * b), lit(b - 1)).cast("long")
       case None    => s
     }
-    val perScore = scored.select(key.as("__s"), y.as("__y"))
+    // the hygiene census RIDES the one per-score aggregate (the r17
+    // monitor discipline, applied to the batch leg per the r17
+    // verdict): the refusal reads the checkpointed distinct-score
+    // table — one corpus scan total, not a separate filter pass
+    val perScore = scored.select(key.as("__s"), y.as("__y"),
+        badc.as("__bad"))
       .groupBy("__s").agg(
         sum(col("__y")).as("np"),
-        sum(lit(1.0) - col("__y")).as("nn"))
+        sum(lit(1.0) - col("__y")).as("nn"),
+        sum("__bad").as("nbad"))
+      .localCheckpoint()
+    val badRow = perScore.agg(sum("nbad")).head()
+    val nBad = if (badRow.isNullAt(0)) 0L else badRow.getLong(0)
+    require(nBad == 0,
+      "rocAuc: scores must be non-null, non-NaN" +
+        (if (bins.isDefined) " in [0, 1] (binned mode)" else "") +
+        " and labels in {0, 1} — clean the frame first")
     val w = Window.orderBy("__s")
       .rowsBetween(Window.unboundedPreceding, -1)
     val contrib = perScore.select(col("np"), col("nn"),
@@ -659,19 +669,25 @@ object Classifier {
     * table (the [[isotonicCalibration]] quantize-first convention).
     * var ≤ 0 (e.g. byte-identical models) degenerates to z = 0,
     * p = 1. One row: (n_pos, n_neg, auc_a, auc_b, delta, se, z,
-    * p_value), doubles rounded at 9.
+    * p_value, ci_lo, ci_hi), doubles rounded at 9 — the CI is the
+    * normal interval Δ ± z·SE on the AUC delta at the FIXED literal
+    * z = 1.959964 (the [[rocAucCI]] convention: both engines replay
+    * the constant; var ≤ 0 collapses the interval to [Δ, Δ]).
     *
     * Scale shape: per model ONE per-distinct-score hash aggregate +
     * the [[rocAuc]] prefix sum over distinct scores (maxDistinct-
     * bounded), one score-keyed join back per model (broadcastable at
     * the guard's sizes), then ONE moment hash aggregate over the
-    * corpus; O(1) driver state.
+    * corpus; O(1) driver state. The hygiene census and class totals
+    * ride the first per-score aggregate ([[deLongMomentsPinned]]) —
+    * one corpus scan total.
     */
-  /** The placement-moment pipeline behind [[deLongTest]] — hygiene,
-    * totals, both placement tables, the joins back, and the ONE moment
-    * aggregate — exposed pre-`head` so the plan audit pins the
-    * broadcast-join/no-re-scan claims on the real frames (the
-    * [[mcnemarAggregate]] convention). Returns (moments, n_pos, n_neg).
+  /** The placement-moment pipeline behind [[deLongTest]] — the pinned
+    * corpus frame, both placement tables (census and totals riding the
+    * first), the joins back, and the ONE moment aggregate — exposed
+    * pre-`head` so the plan audit pins the broadcast-join/no-re-scan
+    * claims on the real frames (the [[mcnemarAggregate]] convention).
+    * Returns (moments, n_pos, n_neg).
     */
   private[graft] def deLongMoments(scored: DataFrame, labelCol: String,
       scoreACol: String, scoreBCol: String,
@@ -679,37 +695,61 @@ object Classifier {
     val y = col(labelCol).cast("double")
     val sA = col(scoreACol).cast("double")
     val sB = col(scoreBCol).cast("double")
-    val bad = scored.filter(y.isNull || (y =!= 0.0 && y =!= 1.0) ||
-        sA.isNull || isnan(sA) || sB.isNull || isnan(sB))
-      .limit(1).count()
-    require(bad == 0,
+    val badc = (y.isNull || (y =!= 0.0 && y =!= 1.0) ||
+      sA.isNull || isnan(sA) || sB.isNull || isnan(sB)).cast("long")
+    val rows = scored
+      .select(y.as("__y"), sA.as("__va"), sB.as("__vb"), badc.as("__bad"))
+      .localCheckpoint()
+    deLongMomentsPinned(rows, maxDistinct)
+  }
+
+  /** [[deLongMoments]] from an already-pinned frame
+    * `(__y, __va, __vb, __bad)` — the [[abReport]] sharing point. The
+    * hygiene census AND the class totals RIDE model A's
+    * per-distinct-score aggregate (the r17 monitor discipline,
+    * applied to the batch leg per the r17 verdict): there is no
+    * separate `.filter(bad).count()` corpus scan and no separate
+    * totals aggregate — every refusal reads the tiny checkpointed
+    * distinct-score tables, so the only corpus-shaped job is the
+    * checkpoint materialization itself.
+    */
+  private[graft] def deLongMomentsPinned(rows: DataFrame,
+      maxDistinct: Int): (DataFrame, Long, Long) = {
+    def perScore(vCol: String): DataFrame =
+      rows.groupBy(col(vCol).as("__v"))
+        .agg(sum("__y").as("npv"),
+          sum(lit(1.0) - col("__y")).as("nnv"),
+          sum("__bad").as("nbad"))
+        .localCheckpoint()
+    val perA = perScore("__va")
+    // census + class totals + distinct count, all read from the tiny
+    // checkpointed distinct-score table — zero extra corpus jobs
+    val t = perA.agg(count(lit(1)).as("nd"), sum("nbad").as("bad"),
+      sum("npv").as("np"), sum("nnv").as("nn")).head()
+    val nBad = if (t.isNullAt(1)) 0L else t.getLong(1)
+    require(nBad == 0,
       "deLongTest: labels must be in {0, 1} and both scores non-null, " +
         "non-NaN — clean the frame first")
-    val rows = scored.select(y.as("__y"), sA.as("__va"), sB.as("__vb"))
-      .localCheckpoint()
-    val totRow = rows.agg(sum("__y"), sum(lit(1.0) - col("__y"))).head()
-    require(!totRow.isNullAt(0), "deLongTest: empty frame")
-    val np = totRow.getDouble(0).toLong
-    val nn = totRow.getDouble(1).toLong
+    require(!t.isNullAt(2), "deLongTest: empty frame")
+    val np = t.getDouble(2).toLong
+    val nn = t.getDouble(3).toLong
     require(np >= 2 && nn >= 2,
       s"deLongTest: need >= 2 rows of each class (pos=$np, neg=$nn) — " +
         "the placement covariance is undefined otherwise")
+    require(t.getLong(0) <= maxDistinct,
+      s"deLongTest: ${t.getLong(0)} distinct __va values exceed " +
+        s"maxDistinct=$maxDistinct — quantize continuous " +
+        "corpus-scale scores first")
+    val perB = perScore("__vb")
+    val ndB = perB.count()
+    require(ndB <= maxDistinct,
+      s"deLongTest: $ndB distinct __vb values exceed " +
+        s"maxDistinct=$maxDistinct — quantize continuous " +
+        "corpus-scale scores first")
     // per-model placement table over DISTINCT scores: u = the integer
     // 2·(#opposite-class strictly below) + (opposite-class ties) —
     // 2·n_opp·V, exact at any corpus size
-    def placements(vCol: String, u: String): DataFrame = {
-      // checkpointed so the distinct census AND the join-back both read
-      // the materialized distinct-score table instead of re-aggregating
-      // the corpus
-      val per = rows.groupBy(col(vCol).as("__v"))
-        .agg(sum("__y").as("npv"),
-          sum(lit(1.0) - col("__y")).as("nnv"))
-        .localCheckpoint()
-      val nd = per.count()
-      require(nd <= maxDistinct,
-        s"deLongTest: $nd distinct $vCol values exceed " +
-          s"maxDistinct=$maxDistinct — quantize continuous " +
-          "corpus-scale scores first")
+    def placements(per: DataFrame, u: String): DataFrame = {
       val w = Window.orderBy("__v")
         .rowsBetween(Window.unboundedPreceding, -1)
       per.select(col("__v"),
@@ -724,8 +764,8 @@ object Classifier {
           (lit(2.0) * (lit(np.toDouble) - col("cnp") - col("npv")) +
             col("npv")).cast("long").as(s"__u01$u"))
     }
-    val plA = placements("__va", "a")
-    val plB = placements("__vb", "b")
+    val plA = placements(perA, "a")
+    val plB = placements(perB, "b")
     val joined = rows
       .join(plA.withColumnRenamed("__v", "__va"), Seq("__va"))
       .join(plB.withColumnRenamed("__v", "__vb"), Seq("__vb"))
@@ -751,15 +791,14 @@ object Classifier {
     (agg, np, nn)
   }
 
-  def deLongTest(scored: DataFrame, labelCol: String,
-                 scoreACol: String, scoreBCol: String,
-                 maxDistinct: Int = 100000): DataFrame = {
-    val (moments, np, nn) =
-      deLongMoments(scored, labelCol, scoreACol, scoreBCol, maxDistinct)
-    val agg = moments.head()
+  /** Fixed-order driver arithmetic over the ten exact decimal(38)
+    * moments — ONE expression tree shared by [[deLongTest]] and
+    * [[abReport]] (the oracle mirrors it operand for operand; a second
+    * copy would be a bit-parity drift surface). Returns the UNROUNDED
+    * (auc_a, auc_b, delta, se, z, p). */
+  private def deLongStats(agg: org.apache.spark.sql.Row, np: Long,
+      nn: Long): (Double, Double, Double, Double, Double, Double) = {
     def d(i: Int): Double = agg.getDecimal(i).doubleValue
-    // fixed-order driver arithmetic over exact integer moments — the
-    // oracle mirrors this expression tree operand for operand
     val npD = np.toDouble; val nnD = nn.toDouble
     val aA = d(0) / (2.0 * nnD * npD)
     val aB = d(1) / (2.0 * nnD * npD)
@@ -777,13 +816,105 @@ object Classifier {
     val (zz, p) =
       if (v <= 0.0) (0.0, 1.0)
       else { val z0 = delta / math.sqrt(v); (z0, Num.chi2P1(z0 * z0)) }
+    (aA, aB, delta, if (v <= 0.0) 0.0 else math.sqrt(v), zz, p)
+  }
+
+  /** The 95% two-sided normal quantile as a FIXED literal — the
+    * [[rocAucCI]] philosophy (an inverse-CDF evaluation would be an
+    * engine-divergence surface; both engines replay the constant). */
+  private[graft] val Z95: Double = 1.959964
+
+  def deLongTest(scored: DataFrame, labelCol: String,
+                 scoreACol: String, scoreBCol: String,
+                 maxDistinct: Int = 100000): DataFrame = {
+    val (moments, np, nn) =
+      deLongMoments(scored, labelCol, scoreACol, scoreBCol, maxDistinct)
+    val (aA, aB, delta, se, zz, p) = deLongStats(moments.head(), np, nn)
     val spark = scored.sparkSession
     import spark.implicits._
     Seq((np, nn, Num.round9(aA), Num.round9(aB), Num.round9(delta),
-      Num.round9(if (v <= 0.0) 0.0 else math.sqrt(v)),
-      Num.round9(zz), Num.round9(p)))
+      Num.round9(se), Num.round9(zz), Num.round9(p),
+      Num.round9(delta - Z95 * se), Num.round9(delta + Z95 * se)))
       .toDF("n_pos", "n_neg", "auc_a", "auc_b", "delta", "se", "z",
-        "p_value")
+        "p_value", "ci_lo", "ci_hi")
+  }
+
+  /** The two aggregates behind [[abReport]], exposed pre-`head` so the
+    * plan audit pins the one-pinned-frame discipline on the real
+    * frames: (mcnemarAgg, deLongMoments, n_pos, n_neg), BOTH reading
+    * the one localCheckpointed holdout — the McNemar aggregate plan
+    * must show no corpus scan, and the moment aggregate keeps the
+    * [[deLongMomentsPinned]] broadcast-placement shape.
+    */
+  private[graft] def abReportAggregates(scored: DataFrame,
+      labelCol: String, scoreACol: String, scoreBCol: String,
+      threshold: Double, maxDistinct: Int)
+      : (DataFrame, DataFrame, Long, Long) = {
+    val y = col(labelCol).cast("double")
+    val sA = col(scoreACol).cast("double")
+    val sB = col(scoreBCol).cast("double")
+    val badc = (y.isNull || (y =!= 0.0 && y =!= 1.0) ||
+      sA.isNull || isnan(sA) || sB.isNull || isnan(sB)).cast("long")
+    val rows = scored
+      .select(y.as("__y"), sA.as("__va"), sB.as("__vb"), badc.as("__bad"))
+      .localCheckpoint()
+    // the DeLong leg runs first: its per-score aggregate carries the
+    // ONE combined census (labels, both scores), so by the time the
+    // McNemar aggregate runs the frame is proven clean
+    val (moments, np, nn) = deLongMomentsPinned(rows, maxDistinct)
+    val preds = rows.select(col("__y"),
+      (col("__va") >= threshold).cast("double").as("__pa"),
+      (col("__vb") >= threshold).cast("double").as("__pb"))
+    val e = mcnemarAggExprs("__y", "__pa", "__pb")
+    (preds.agg(e.head, e.tail: _*), moments, np, nn)
+  }
+
+  /** Composed A/B decision report — [[mcnemarTest]] on the accuracy
+    * axis (predictions = score ≥ `threshold`) AND [[deLongTest]] on
+    * the ranking axis (raw scores), over ONE holdout scored by two
+    * models: the single verdict row an eval run ends with. Promoted
+    * from the r17 query-only composition (the r17 verdict's top ask):
+    * hand-composing the two operators re-scans and re-pins the SAME
+    * holdout ~5 corpus-shaped-job times; here the holdout is pinned
+    * ONCE (localCheckpoint) and ONE combined hygiene census — null or
+    * non-{0,1} labels, null/NaN scores on either model — rides the
+    * DeLong leg's first per-distinct-score aggregate
+    * ([[deLongMomentsPinned]]); the McNemar leg is one more six-column
+    * aggregate ([[mcnemarAggExprs]] — the same single-sourced
+    * expressions as the batch test and the streaming monitor) over the
+    * same checkpointed rows. Refusal semantics are the DeLong leg's
+    * (strictly stronger than McNemar's null-label check). One row:
+    * (n, acc_a, acc_b, b_discordant, c_discordant, mcnemar_stat,
+    * mcnemar_p, auc_a, auc_b, auc_delta, delong_z, delong_p), doubles
+    * rounded at 9 — bit-identical to composing the two operators by
+    * hand (both statistics are the same shared closed forms).
+    *
+    * Scale shape: ONE corpus scan (the checkpoint materialization),
+    * then two bounded aggregates over the pinned frame — the moment
+    * aggregate with its broadcast maxDistinct-bounded placement
+    * joins, and the six-column McNemar hash aggregate; O(1) driver
+    * state.
+    */
+  def abReport(scored: DataFrame, labelCol: String, scoreACol: String,
+               scoreBCol: String, threshold: Double = 0.5,
+               maxDistinct: Int = 100000): DataFrame = {
+    val (mcAgg, moments, np, nn) = abReportAggregates(scored, labelCol,
+      scoreACol, scoreBCol, threshold, maxDistinct)
+    val (aA, aB, delta, _, zz, p) = deLongStats(moments.head(), np, nn)
+    val row = mcAgg.head()
+    val (n, ca, cb, b, c) = (row.getLong(0), row.getLong(2),
+      row.getLong(3), row.getLong(4), row.getLong(5))
+    val stat = if (b + c == 0) 0.0
+      else { val d = math.abs(b - c) - 1.0; d * d / (b + c) }
+    val spark = scored.sparkSession
+    import spark.implicits._
+    Seq((n, Num.round9(ca.toDouble / n), Num.round9(cb.toDouble / n),
+      b, c, Num.round9(stat), Num.round9(Num.chi2P1(stat)),
+      Num.round9(aA), Num.round9(aB), Num.round9(delta),
+      Num.round9(zz), Num.round9(p)))
+      .toDF("n", "acc_a", "acc_b", "b_discordant", "c_discordant",
+        "mcnemar_stat", "mcnemar_p", "auc_a", "auc_b", "auc_delta",
+        "delong_z", "delong_p")
   }
 
   /** Isotonic calibration via Pool-Adjacent-Violators (Ayer 1955;
@@ -819,18 +950,23 @@ object Classifier {
       s"isotonicCalibration: maxDistinct=$maxDistinct")
     val s = col(scoreCol).cast("double")
     val y = col(labelCol).cast("double")
-    val bad = scored.filter(s.isNull || isnan(s) ||
-        y.isNull || (y =!= 0.0 && y =!= 1.0))
-      .limit(1).count()
-    require(bad == 0,
+    val badc = (s.isNull || isnan(s) ||
+      y.isNull || (y =!= 0.0 && y =!= 1.0)).cast("long")
+    // pinned: the census, the count guard and the sorted collect all
+    // read this one aggregate instead of re-scanning the corpus (the
+    // hygiene rides the aggregate — r18 fold; one corpus scan total)
+    val perScore = scored.select(s.as("__s"), y.as("__y"),
+        badc.as("__bad"))
+      .groupBy("__s").agg(sum("__y").as("sy"), count(lit(1)).as("n"),
+        sum("__bad").as("nbad"))
+      .localCheckpoint()
+    val guard = perScore.agg(count(lit(1)).as("nd"),
+      sum("nbad").as("bad")).head()
+    val nBad = if (guard.isNullAt(1)) 0L else guard.getLong(1)
+    require(nBad == 0,
       "isotonicCalibration: scores must be non-null/non-NaN and labels " +
         "in {0, 1} — clean the frame first")
-    // pinned: the count guard and the sorted collect both read this
-    // one aggregate instead of re-scanning the corpus (review-fixed)
-    val perScore = scored.select(s.as("__s"), y.as("__y"))
-      .groupBy("__s").agg(sum("__y").as("sy"), count(lit(1)).as("n"))
-      .localCheckpoint()
-    val nd = perScore.count()
+    val nd = guard.getLong(0)
     require(nd > 0, "isotonicCalibration: empty frame")
     require(nd <= maxDistinct,
       s"isotonicCalibration: $nd distinct scores exceed " +
@@ -892,11 +1028,17 @@ object Classifier {
     val spark = calibration.sparkSession
     import spark.implicits._
     val s = col(scoreCol).cast("double")
-    val badCal = calibration.filter(s.isNull || isnan(s)).limit(1).count()
+    val cal = calibration.select(s.as("__s"))
+    // census + size in ONE aggregate (r18 hygiene fold) — the sorted
+    // collect below is then the second and LAST read of the (by
+    // construction sampled, maxCalibration-bounded) calibration frame
+    val calStats = cal.agg(count(lit(1)).as("n"),
+      sum((col("__s").isNull || isnan(col("__s"))).cast("long"))
+        .as("bad")).head()
+    val badCal = if (calStats.isNullAt(1)) 0L else calStats.getLong(1)
     require(badCal == 0,
       "splitConformal: null/NaN calibration scores — clean the frame")
-    val cal = calibration.select(s.as("__s"))
-    val n = cal.count()
+    val n = calStats.getLong(0)
     require(n > 0, "splitConformal: empty calibration set")
     require(n <= maxCalibration,
       s"splitConformal: $n calibration scores exceed " +
@@ -909,12 +1051,15 @@ object Classifier {
     val scores = cal.as[Double].collect().sorted
     val threshold = scores(k.toInt - 1)
     val t = col(testScoreCol).cast("double")
-    val badTest = test.filter(t.isNull || isnan(t)).limit(1).count()
+    // the test-side census rides the ONE coverage aggregate; the
+    // refusal reads the single result row before any value is used
+    val cov = test.agg(count(lit(1)).as("n_test"),
+      avg((t <= threshold).cast("double")).as("coverage"),
+      sum((t.isNull || isnan(t)).cast("long")).as("bad")).head()
+    val badTest = if (cov.isNullAt(2)) 0L else cov.getLong(2)
     require(badTest == 0,
       "splitConformal: null/NaN test scores — coverage over them is " +
         "undefined; clean the frame")
-    val cov = test.agg(count(lit(1)).as("n_test"),
-      avg((t <= threshold).cast("double")).as("coverage")).head()
     Seq((n, k, threshold, cov.getLong(0),
       if (cov.isNullAt(1)) 0.0 else cov.getDouble(1)))
       .toDF("n_cal", "k", "threshold", "n_test", "coverage")
@@ -1131,16 +1276,21 @@ object Classifier {
       s"bootstrapMeanCI: replicates=$replicates")
     require(alpha > 0 && alpha < 1, s"bootstrapMeanCI: alpha=$alpha")
     val x = col(valueCol).cast("double")
-    val bad = df.filter(x.isNull || isnan(x) || col(idCol).isNull)
-      .limit(1).count()
-    require(bad == 0,
+    // census + duplicate-id check in ONE corpus aggregate (r18
+    // hygiene fold): null/NaN values or null ids refuse first (a null
+    // id would weight its row by the CASE default in EVERY replicate,
+    // and would silently shrink countDistinct), then exact-vs-distinct
+    // id counts refuse duplicates — which draw IDENTICAL weights
+    // across replicates, correlating the resample
+    val dup = df.agg(count(lit(1)).as("n"),
+      countDistinct(col(idCol)).as("d"),
+      sum((x.isNull || isnan(x) || col(idCol).isNull).cast("long"))
+        .as("bad")).head()
+    val nBad = if (dup.isNullAt(2)) 0L else dup.getLong(2)
+    require(nBad == 0,
       "bootstrapMeanCI: null/NaN values or null ids — a null id would " +
         "weight its row by the CASE default in EVERY replicate; clean " +
         "the frame first")
-    // duplicate ids draw IDENTICAL weights across replicates, silently
-    // correlating the resample and understating the SE — refuse
-    val dup = df.agg(count(lit(1)).as("n"),
-      countDistinct(col(idCol)).as("d")).head()
     require(dup.getLong(0) == dup.getLong(1),
       s"bootstrapMeanCI: ${dup.getLong(0) - dup.getLong(1)} duplicate " +
         s"$idCol values — the per-row draw is keyed by id, so " +
@@ -1191,27 +1341,38 @@ object Classifier {
     * Scale shape: ONE scalar aggregate over the corpus — every metric
     * folds from the same pass.
     */
+  /** The ONE power-sum aggregate behind [[regressionReport]] — count,
+    * the riding hygiene census, and the seven error/power sums —
+    * exposed pre-`head` so the plan audit pins the one-scan claim on
+    * the real aggregate (the [[bootstrapAggregate]] convention). */
+  private[graft] def regressionAggregate(df: DataFrame, x: Column,
+      y: Column): DataFrame =
+    df.agg(count(lit(1)).as("n"),
+      sum((x.isNull || isnan(x) || y.isNull || isnan(y)).cast("long"))
+        .as("nbad"),
+      sum(abs(x - y)).as("sae"),
+      sum((x - y) * (x - y)).as("sse"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * x).as("sxx"), sum(y * y).as("syy"),
+      sum(x * y).as("sxy"))
+
   def regressionReport(df: DataFrame, predCol: String,
                        targetCol: String): DataFrame = {
     val x = col(predCol).cast("double")
     val y = col(targetCol).cast("double")
-    val bad = df.filter(x.isNull || isnan(x) || y.isNull || isnan(y))
-      .limit(1).count()
-    require(bad == 0,
+    // the census rides the one aggregate (r18 hygiene fold) and is
+    // read off the single result row before any sum is touched
+    val r = regressionAggregate(df, x, y).head()
+    val nBad = if (r.isNullAt(1)) 0L else r.getLong(1)
+    require(nBad == 0,
       "regressionReport: null/NaN predictions or targets — clean the " +
         "frame first")
-    val r = df.agg(count(lit(1)).as("n"),
-        sum(abs(x - y)).as("sae"),
-        sum((x - y) * (x - y)).as("sse"),
-        sum(x).as("sx"), sum(y).as("sy"),
-        sum(x * x).as("sxx"), sum(y * y).as("syy"),
-        sum(x * y).as("sxy")).head()
     require(!r.isNullAt(0) && r.getLong(0) > 0,
       "regressionReport: empty frame")
     val n = r.getLong(0).toDouble
-    val (sae, sse) = (r.getDouble(1), r.getDouble(2))
-    val (sx, sy) = (r.getDouble(3), r.getDouble(4))
-    val (sxx, syy, sxy) = (r.getDouble(5), r.getDouble(6), r.getDouble(7))
+    val (sae, sse) = (r.getDouble(2), r.getDouble(3))
+    val (sx, sy) = (r.getDouble(4), r.getDouble(5))
+    val (sxx, syy, sxy) = (r.getDouble(6), r.getDouble(7), r.getDouble(8))
     val sst = syy - sy * sy / n
     val varX = n * sxx - sx * sx
     val varY = n * syy - sy * sy
@@ -1254,19 +1415,29 @@ object Classifier {
       s"spearmanCorrelation: maxDistinct=$maxDistinct")
     val xa = col(aCol).cast("double")
     val xb = col(bCol).cast("double")
-    val bad = df.filter(xa.isNull || isnan(xa) || xb.isNull || isnan(xb))
-      .limit(1).count()
-    require(bad == 0,
-      "spearmanCorrelation: null/NaN values — clean the frame first")
-    // the per-value aggregates double as the distinct census: checkpoint
-    // them, count the (bounded) result, and only THEN window/broadcast —
-    // the refuse-before-broadcast contract without a separate
+    val badc = (xa.isNull || isnan(xa) || xb.isNull || isnan(xb))
+      .cast("long")
+    // the corpus is pinned ONCE (r18 hygiene fold): both per-value
+    // aggregates, the rank join, and the census all read this
+    // checkpoint — one corpus scan total, where the r17 shape paid a
+    // hygiene filter pass plus two per-side scans
+    val base = df.select(xa.as("__a"), xb.as("__b"), badc.as("__bad"))
+      .localCheckpoint()
+    // the per-value aggregates double as the distinct census (and side
+    // A's carries the null/NaN census): checkpoint them, count the
+    // (bounded) result, and only THEN window/broadcast — the
+    // refuse-before-broadcast contract without a separate
     // countDistinct corpus pass (review-fixed)
-    def perValue(c: Column): DataFrame =
-      df.select(c.as("__v")).groupBy("__v")
-        .agg(count(lit(1)).as("cnt")).localCheckpoint()
-    val pa = perValue(xa)
-    val pb = perValue(xb)
+    def perValue(c: String): DataFrame =
+      base.groupBy(col(c).as("__v"))
+        .agg(count(lit(1)).as("cnt"), sum("__bad").as("nbad"))
+        .localCheckpoint()
+    val pa = perValue("__a")
+    val pb = perValue("__b")
+    val badRow = pa.agg(sum("nbad")).head()
+    val nBad = if (badRow.isNullAt(0)) 0L else badRow.getLong(0)
+    require(nBad == 0,
+      "spearmanCorrelation: null/NaN values — clean the frame first")
     val (da, db) = (pa.count(), pb.count())
     require(da > 0 && db > 0, "spearmanCorrelation: empty frame")
     require(da <= maxDistinct && db <= maxDistinct,
@@ -1282,10 +1453,10 @@ object Classifier {
     }
     val ra = ranked(pa, "ra")
     val rb = ranked(pb, "rb")
-    // pinned: regressionReport's hygiene scan and its power-sum agg
+    // pinned: regressionReport's riding census and its power-sum agg
     // both read this checkpoint instead of re-executing the two
     // window sorts and joins (review-fixed)
-    val pairs = df.select(xa.as("__a"), xb.as("__b"))
+    val pairs = base.select(col("__a"), col("__b"))
       .join(broadcast(ra), col("__a") === col("__v")).drop("__v")
       .join(broadcast(rb), col("__b") === col("__v")).drop("__v")
       .select(col("ra").as("p"), col("rb").as("t"))
@@ -1364,15 +1535,17 @@ object Classifier {
   def twoProportionZ(df: DataFrame, groupCol: String,
                      successCol: String): DataFrame = {
     val y = col(successCol).cast("double")
-    val bad = df.filter(y.isNull || (y =!= 0.0 && y =!= 1.0))
-      .limit(1).count()
-    require(bad == 0,
-      "twoProportionZ: success indicator must be in {0, 1}")
+    // the census rides the ONE group aggregate (r18 hygiene fold) and
+    // is read off the collected 2-row result before any count is used
     val g = df.select(
         coalesce(col(groupCol).cast("string"), lit("__null__")).as("g"),
-        y.as("__y"))
-      .groupBy("g").agg(count(lit(1)).as("n"), sum("__y").as("s"))
+        y.as("__y"),
+        (y.isNull || (y =!= 0.0 && y =!= 1.0)).cast("long").as("__bad"))
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("__y").as("s"),
+        sum("__bad").as("bad"))
       .orderBy("g").collect()
+    require(g.map(_.getLong(3)).sum == 0,
+      "twoProportionZ: success indicator must be in {0, 1}")
     require(g.length == 2,
       s"twoProportionZ: need exactly 2 groups, saw ${g.length}")
     val (ga, na, sa) = (g(0).getString(0), g(0).getLong(1),
@@ -1416,20 +1589,23 @@ object Classifier {
     require(bins >= 2, s"calibrationReport: bins=$bins")
     val s = col(scoreCol).cast("double")
     val y = col(labelCol).cast("double")
-    val bad = scored.filter(s.isNull || isnan(s) || s < 0 || s > 1 ||
-        y.isNull || (y =!= 0.0 && y =!= 1.0))
-      .limit(1).count()
-    require(bad == 0,
+    val badc = (s.isNull || isnan(s) || s < 0 || s > 1 ||
+      y.isNull || (y =!= 0.0 && y =!= 1.0)).cast("long")
+    // the census rides the ONE bin aggregate (r18 hygiene fold); the
+    // refusal reads the checkpointed bins-many frame
+    val perBin = scored.select(
+        least(floor(s * bins), lit(bins - 1)).cast("int").as("bin"),
+        s.as("s"), y.as("y"), badc.as("__bad"))
+      .groupBy("bin").agg(count(lit(1)).as("n"),
+        avg("s").as("conf"), avg("y").as("acc"), sum("__bad").as("nbad"))
+      .localCheckpoint()
+    val totalRow = perBin.agg(sum("n").as("nn"), sum("nbad").as("bad"))
+      .head()
+    val nBad = if (totalRow.isNullAt(1)) 0L else totalRow.getLong(1)
+    require(nBad == 0,
       "calibrationReport: scores must be non-null in [0, 1] and labels " +
         "in {0, 1} — clean the frame first (a clamp here would fold an " +
         "input bug into the calibration measurement)")
-    val perBin = scored.select(
-        least(floor(s * bins), lit(bins - 1)).cast("int").as("bin"),
-        s.as("s"), y.as("y"))
-      .groupBy("bin").agg(count(lit(1)).as("n"),
-        avg("s").as("conf"), avg("y").as("acc"))
-      .localCheckpoint()
-    val totalRow = perBin.agg(sum("n").as("nn")).head()
     require(!totalRow.isNullAt(0), "calibrationReport: empty frame")
     val total = totalRow.getLong(0)
     val binsOut = perBin.select(col("bin"), col("n"),

@@ -327,13 +327,17 @@ object EventStream {
     * p_value rounded at 9.
     *
     * Scale shape: ONE (window, distinct-score) hash aggregate over the
-    * stream — the post-aggregate state is windows·distinct rows, so a
-    * genuinely continuous score column must be quantized first and
-    * `maxDistinct` refuses rather than letting the ECDF join degrade
-    * (the [[graft.ops.Classifier.spearmanCorrelation]] discipline) —
-    * then a full-outer align of consecutive windows on the pooled
-    * support, a window-PARTITIONED prefix sum (never a global window),
-    * and a per-window max reduce.
+    * stream — the post-aggregate state is windows·(per-window distinct)
+    * rows, so a genuinely continuous score column must be quantized
+    * first and `maxDistinct` refuses rather than letting the ECDF join
+    * degrade (the [[graft.ops.Classifier.spearmanCorrelation]]
+    * discipline). The guard bounds the MAX PER-WINDOW distinct support
+    * — the quantity the state claim is made of (each consecutive-pair
+    * align is at most the two windows' supports) — so a long stream
+    * whose global support grows while every window stays bounded keeps
+    * running. Then a full-outer align of consecutive windows on the
+    * pooled pair support, a window-PARTITIONED prefix sum (never a
+    * global window), and a per-window max reduce.
     */
   def ksDrift(scored: DataFrame, scoreCol: String,
               width: String = "1 hour",
@@ -350,11 +354,19 @@ object EventStream {
     require(nBad == 0,
       "ksDrift: scores must be non-null and non-NaN — clean the frame " +
         "first")
-    val nd = counts.select("v").distinct().count()
+    // bound the PER-WINDOW distinct support — the quantity the
+    // windows·distinct state claim is actually made of (each
+    // consecutive-pair align is at most the two windows' supports): a
+    // long stream whose pooled global support grows while every
+    // window stays bounded must keep running, not refuse (r17 ADVICE)
+    val ndRow = counts.groupBy("w").agg(count(lit(1)).as("d"))
+      .agg(max("d")).head()
+    val nd = if (ndRow.isNullAt(0)) 0L else ndRow.getLong(0)
     require(nd <= maxDistinct,
-      s"ksDrift: $nd distinct score values exceed " +
+      s"ksDrift: $nd distinct score values in one window exceed " +
         s"maxDistinct=$maxDistinct — quantize continuous corpus-scale " +
-        "scores first (the ECDF align is windows*distinct state)")
+        "scores first (the ECDF align is windows*per-window-distinct " +
+        "state)")
     val tot = counts.groupBy("w").agg(sum("c").as("n"))
     val p = counts.join(tot, "w")
     val cur = p.select(col("w.start").as("k"), col("v"),

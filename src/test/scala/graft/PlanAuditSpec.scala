@@ -870,6 +870,49 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("abReport: ONE pinned holdout — both legs read the checkpoint; placements broadcast") {
+    // the r18 promotion's whole point: the McNemar aggregate and the
+    // DeLong moment aggregate must BOTH read the one localCheckpointed
+    // frame (no parquet scan anywhere downstream), the census rides
+    // the DeLong leg's first per-score aggregate (no separate filter
+    // pass exists in the operator at all), and the placement joins
+    // keep the broadcast shape
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select((pmod(col("doc_id") * 37, lit(97)) % 2).cast("double")
+          .as("y"),
+        (pmod(col("doc_id") * 13, lit(101)).cast("double") / 100.0)
+          .as("sa"),
+        (pmod(col("doc_id") * 29, lit(53)).cast("double") / 64.0)
+          .as("sb"))
+    val (mcAgg, moments, np, nn) = ops.Classifier.abReportAggregates(
+      docs, "y", "sa", "sb", 0.5, 100000)
+    assert(np >= 2 && nn >= 2)
+    val pm = plan(mcAgg)
+    assert(!pm.contains("FileScan"), pm)
+    assert(opCount(pm, "Scan parquet") + opCount(pm, "BatchScan") === 0, pm)
+    assert(!pm.contains("Join") && !pm.contains("Window"), pm)
+    val pd = plan(moments)
+    assert(!pd.contains("FileScan"), pd)
+    assert(opCount(pd, "Scan parquet") + opCount(pd, "BatchScan") === 0, pd)
+    assert(opCount(pd, "BroadcastHashJoin") === 2, pd)
+    assert(!pd.contains("SortMergeJoin"), pd)
+  }
+
+  test("regressionReport: census RIDES the one power-sum aggregate — one scan, no join") {
+    // the r18 hygiene fold on the batch evaluation legs: the exposed
+    // pre-head aggregate carries the null/NaN census as a rider
+    // column, so the op is one corpus scan, one exchange, total
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select((pmod(col("doc_id") * 13, lit(101)).cast("double") / 100.0)
+          .as("x"),
+        (pmod(col("doc_id") * 37, lit(97)) % 2).cast("double").as("t"))
+    val p = plan(ops.Classifier.regressionAggregate(docs, col("x"),
+      col("t")))
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(opCount(p, "Scan parquet") + opCount(p, "BatchScan") <= 1, p)
+    assert(opCount(p, "Exchange") <= 1, p)
+  }
+
   test("mcnemarTest: ONE scalar hash aggregate — no join, no window, one scan") {
     // audits the REAL pre-head aggregate (mcnemarAggregate, the
     // bootstrapAggregate convention), so a regression that adds a

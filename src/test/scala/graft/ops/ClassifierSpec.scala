@@ -561,12 +561,21 @@ class ClassifierSpec extends SparkSpec {
     assert(sw.getDouble(5) === r.getDouble(5))
     assert(sw.getDouble(6) === -r.getDouble(6))
     assert(sw.getDouble(7) === r.getDouble(7))
-    // identical models: var = 0 degenerate -> z 0, p 1
+    // the delta CI is the fixed-literal normal interval around the
+    // UNROUNDED delta/se (r18): ci_lo <= delta <= ci_hi, symmetric
+    assert(r.getDouble(8) <= r.getDouble(4) &&
+      r.getDouble(4) <= r.getDouble(9))
+    assert(math.abs(r.getDouble(8) -
+      graft.ops.Num.round9((aA - aB) - 1.959964 * math.sqrt(variance))) < 1e-9)
+    assert(math.abs(r.getDouble(9) -
+      graft.ops.Num.round9((aA - aB) + 1.959964 * math.sqrt(variance))) < 1e-9)
+    // identical models: var = 0 degenerate -> z 0, p 1, CI = [0, 0]
     val same = Classifier.deLongTest(
       df.select(col("label"), col("sa"), col("sa").as("sb")),
       "label", "sa", "sb").head()
     assert(same.getDouble(4) === 0.0 && same.getDouble(6) === 0.0 &&
       same.getDouble(7) === 1.0)
+    assert(same.getDouble(8) === 0.0 && same.getDouble(9) === 0.0)
     // refusals: null score, single-class, < 2 per class, maxDistinct
     intercept[IllegalArgumentException](Classifier.deLongTest(
       df.select(col("label"), when(col("id") === 3, lit(null))
@@ -957,6 +966,63 @@ class ClassifierSpec extends SparkSpec {
       Seq((1L, Double.NaN)).toDF("id", "v"), "v", "id"))
     intercept[IllegalArgumentException](Classifier.bootstrapMeanCI(
       df.filter(lit(false)), "v", "id"))
+  }
+
+  test("abReport: bit-identical to the hand-composition; antisymmetry; degenerate; refusal") {
+    import spark.implicits._
+    // the r17 query-only composition, promoted to an operator in r18:
+    // the contract is BIT-equality to composing mcnemarTest (on 0.5-
+    // thresholded predictions) and deLongTest (on raw scores) by hand
+    val rows = (0 until 40).map { i =>
+      (i.toLong, if (i % 3 == 0 || i % 7 == 0) 1.0 else 0.0,
+        ((i * 13) % 8) / 8.0, ((i * 11) % 5) / 5.0)
+    }
+    val df = rows.toDF("id", "y", "sa", "sb")
+    val r = Classifier.abReport(df, "y", "sa", "sb").head()
+    val pr = df.select(col("y"),
+      (col("sa") >= 0.5).cast("double").as("pa"),
+      (col("sb") >= 0.5).cast("double").as("pb"))
+    val mc = Classifier.mcnemarTest(pr, "y", "pa", "pb").head()
+    val dl = Classifier.deLongTest(df, "y", "sa", "sb").head()
+    assert(r.getLong(0) === mc.getLong(0))
+    assert(r.getDouble(1) === mc.getDouble(1))        // acc_a
+    assert(r.getDouble(2) === mc.getDouble(2))        // acc_b
+    assert(r.getLong(3) === mc.getLong(3))            // b
+    assert(r.getLong(4) === mc.getLong(4))            // c
+    assert(r.getDouble(5) === mc.getDouble(5))        // statistic
+    assert(r.getDouble(6) === mc.getDouble(6))        // p
+    assert(r.getDouble(7) === dl.getDouble(2))        // auc_a
+    assert(r.getDouble(8) === dl.getDouble(3))        // auc_b
+    assert(r.getDouble(9) === dl.getDouble(4))        // delta
+    assert(r.getDouble(10) === dl.getDouble(6))       // z
+    assert(r.getDouble(11) === dl.getDouble(7))       // p
+    // antisymmetry, composed across BOTH legs: swapping the models
+    // swaps the accuracy/discordant/AUC columns, negates delta and z,
+    // and keeps both p-values
+    val sw = Classifier.abReport(df, "y", "sb", "sa").head()
+    assert(sw.getDouble(1) === r.getDouble(2) &&
+      sw.getDouble(2) === r.getDouble(1))
+    assert(sw.getLong(3) === r.getLong(4) && sw.getLong(4) === r.getLong(3))
+    assert(sw.getDouble(5) === r.getDouble(5) &&
+      sw.getDouble(6) === r.getDouble(6))
+    assert(sw.getDouble(7) === r.getDouble(8) &&
+      sw.getDouble(8) === r.getDouble(7))
+    assert(sw.getDouble(9) === -r.getDouble(9))
+    assert(sw.getDouble(10) === -r.getDouble(10))
+    assert(sw.getDouble(11) === r.getDouble(11))
+    // identical models: both legs degenerate in one call — no
+    // discordants (stat 0, p 1) and var 0 (z 0, p 1)
+    val same = Classifier.abReport(
+      df.select(col("y"), col("sa"), col("sa").as("sb")),
+      "y", "sa", "sb").head()
+    assert(same.getLong(3) === 0L && same.getLong(4) === 0L)
+    assert(same.getDouble(5) === 0.0 && same.getDouble(6) === 1.0)
+    assert(same.getDouble(9) === 0.0 && same.getDouble(11) === 1.0)
+    // the ONE combined census refuses a null score anywhere
+    intercept[IllegalArgumentException](Classifier.abReport(
+      df.select(col("y"), when(col("id") === 3, lit(null))
+        .otherwise(col("sa")).as("sa"), col("sb")),
+      "y", "sa", "sb").count())
   }
 
   test("empty frames refuse loudly across the evaluation family") {

@@ -543,9 +543,20 @@ class EventStreamSpec extends SparkSpec {
     intercept[IllegalArgumentException](EventStream.ksDrift(
       frame(Seq((0L, Some(0.1)), (3600L, Some(Double.NaN)))), "score",
       "1 hour").count())
+    // the guard is PER-WINDOW: 3 distinct in window 0 refuses at
+    // maxDistinct = 2 ...
     intercept[IllegalArgumentException](EventStream.ksDrift(
-      frame(Seq((0L, Some(0.1)), (0L, Some(0.2)), (3600L, Some(0.3)))),
+      frame(Seq((0L, Some(0.1)), (0L, Some(0.2)), (0L, Some(0.3)),
+        (3600L, Some(0.3)))),
       "score", "1 hour", maxDistinct = 2).count())
+    // ... while a GLOBALLY large support with every window bounded at 2
+    // keeps running (the r17 ADVICE case: bounded per-window ECDF state)
+    val spread = EventStream.ksDrift(
+      frame(Seq((0L, Some(0.1)), (0L, Some(0.2)),
+        (3600L, Some(0.3)), (3600L, Some(0.4)),
+        (7200L, Some(0.5)), (7200L, Some(0.6)))),
+      "score", "1 hour", maxDistinct = 2)
+    assert(spread.count() === 2L)
   }
 
   test("windowedAb: single-window equality to batch mcnemarTest; degenerate; refusal") {
