@@ -1646,6 +1646,24 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
         .orderBy("window_start")
     }),
 
+    // windowed CUSUM sequential change detection: integer-valued
+    // synthetic metric makes every hourly mean an exact ratio; the
+    // closed-form prefix identity S = P - min(0, running-min P) is
+    // replayed verbatim by the oracle's stacked window functions, and
+    // the alarm compares the round(9)-pinned statistic on both engines
+    "q_cusum" -> ((s, dir) => {
+      val ev = EventStream.loadEvents(s, dir)
+      val scored = ev.select(col("ts"),
+        ((col("user_id") * 7 + 3) % 13).cast("double").as("metric"))
+      EventStream.cusumDrift(scored, "metric", mu0 = 5.5, kappa = 0.0,
+          h = 2.0, width = "1 hour")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("n"), col("mean"), col("cusum_pos"), col("cusum_neg"),
+          col("alarm"))
+        .orderBy("window_start")
+    }),
+
     // robust per-type outlier census on event values: median/MAD rule
     // at k=2 with exact interpolated percentiles (the oracle-pinnable
     // form; approx_percentile is the documented 100 TB default)
@@ -3765,6 +3783,36 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           (((col("id") * 13) % 101).cast("double") / 128.0).as("score"),
           (((col("id") * 37) % 97) % 2).cast("double").as("label")),
         "score", "label", bins = 10)
+    }),
+
+    // multiclass proper scores: 3 classes with DYADIC probabilities
+    // summing to 1 exactly (a/128, b/128, (128-a-b)/128) and an
+    // id-arithmetic label — per-class one-vs-rest Murphy rows plus
+    // the cls = -1 summary, every bin moment an exact dyadic sum
+    "q_proper_scores_mc" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"))
+      val a = (col("id") * 13) % 64
+      val b = (col("id") * 29) % 64
+      ops.Classifier.properScoresMulticlass(d.select(
+          array(a.cast("double") / 128.0, b.cast("double") / 128.0,
+            (lit(128) - a - b).cast("double") / 128.0).as("probs"),
+          (((col("id") * 37) % 97) % 3).cast("int").as("label")),
+        "probs", "label", bins = 8)
+        .orderBy("cls")
+    }),
+
+    // ratio-metric Krippendorff on the q_agree_alpha unbalanced-panel
+    // shape: delta = ((v-w)/(v+w))^2 over value counts; the oracle
+    // replays both pair sums (within-item and pooled) cell for cell
+    "q_alpha_ratio" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"))
+        .filter((col("id") * 11) % 7 =!= 0)
+      ops.Classifier.krippendorffAlphaRatio(d.select(
+          (col("id") % 100).as("item"),
+          ((col("id") * 7) % 5 + 1).cast("double").as("rating")),
+        "item", "rating")
     }),
 
     // Hanley–McNeil CI around the tie-exact AUC; the closed form
@@ -7656,6 +7704,98 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |    * (1.0 - (SELECT ybar FROM yb)), 9) AS uncertainty
           |FROM red""".stripMargin,
 
+      "q_proper_scores_mc" ->
+        """WITH d AS (
+          |  SELECT (CAST(doc_id AS BIGINT) * 13) % 64 AS a,
+          |    (CAST(doc_id AS BIGINT) * 29) % 64 AS b,
+          |    CAST(((CAST(doc_id AS BIGINT) * 37) % 97) % 3 AS INT) AS y
+          |  FROM documents),
+          |e AS (
+          |  SELECT 0 AS cls, CAST(a AS DOUBLE) / 128.0 AS p, y FROM d
+          |  UNION ALL
+          |  SELECT 1, CAST(b AS DOUBLE) / 128.0, y FROM d
+          |  UNION ALL
+          |  SELECT 2, CAST(128 - a - b AS DOUBLE) / 128.0, y FROM d),
+          |x AS (
+          |  SELECT cls, p, CASE WHEN cls = y THEN 1.0 ELSE 0.0 END AS ind,
+          |    LEAST(GREATEST(p, 1e-15), 1.0 - 1e-15) AS pc,
+          |    LEAST(CAST(FLOOR(p * 8) AS INT), 7) AS bin
+          |  FROM e),
+          |bi AS (
+          |  SELECT cls, bin, count(*) AS n, sum(ind) AS sy, sum(p) AS sp,
+          |    sum((p - ind) * (p - ind)) AS sq,
+          |    sum(CASE WHEN ind = 1.0 THEN -ln(pc) ELSE 0.0 END) AS sll
+          |  FROM x GROUP BY 1, 2),
+          |pc2 AS (
+          |  SELECT cls, sum(n) AS nall, sum(sy) AS ntrue,
+          |    sum(sll) AS ll, sum(sq) AS sq,
+          |    sum((sp / n - sy / n) * (sp / n - sy / n) * n) AS rel,
+          |    sum(sy * sy / n) AS resraw
+          |  FROM bi GROUP BY 1),
+          |cr AS (
+          |  SELECT cls, CAST(ntrue AS BIGINT) AS n,
+          |    round(CASE WHEN ntrue > 0 THEN ll / ntrue ELSE 0.0 END, 9)
+          |      AS log_loss,
+          |    round(sq / nall, 9) AS brier,
+          |    round(rel / nall, 9) AS reliability,
+          |    round((resraw - ntrue * ntrue / nall) / nall, 9)
+          |      AS resolution,
+          |    round((ntrue / nall) * (1.0 - ntrue / nall), 9)
+          |      AS uncertainty
+          |  FROM pc2),
+          |sm AS (
+          |  SELECT -1 AS cls, CAST(max(nall) AS BIGINT) AS n,
+          |    round(sum(ll) / max(nall), 9) AS log_loss,
+          |    round(sum(sq) / max(nall), 9) AS brier,
+          |    round(sum(rel) / max(nall), 9) AS reliability,
+          |    round(sum(resraw - ntrue * ntrue / nall) / max(nall), 9)
+          |      AS resolution,
+          |    round(sum((ntrue / nall) * (1.0 - ntrue / nall)), 9)
+          |      AS uncertainty
+          |  FROM pc2)
+          |SELECT * FROM cr UNION ALL SELECT * FROM sm
+          |ORDER BY cls""".stripMargin,
+
+      "q_alpha_ratio" ->
+        """WITH r AS (
+          |  SELECT CAST(doc_id AS BIGINT) % 100 AS item,
+          |    CAST((CAST(doc_id AS BIGINT) * 7) % 5 + 1 AS DOUBLE) AS v
+          |  FROM documents
+          |  WHERE (CAST(doc_id AS BIGINT) * 11) % 7 <> 0),
+          |cnt AS (SELECT item, v, count(*) AS n FROM r GROUP BY 1, 2),
+          |pi AS (SELECT item, sum(n) AS m FROM cnt GROUP BY 1
+          |       HAVING sum(n) >= 2),
+          |us AS (SELECT cnt.item, cnt.v, cnt.n, pi.m
+          |       FROM cnt JOIN pi USING (item)),
+          |pr AS (
+          |  SELECT a.item, max(a.m) AS m,
+          |    sum(a.n * b.n * (CASE WHEN a.v = b.v THEN 0.0
+          |      ELSE ((a.v - b.v) / (a.v + b.v))
+          |         * ((a.v - b.v) / (a.v + b.v)) END)) AS pairsum
+          |  FROM us a JOIN us b ON a.item = b.item
+          |  GROUP BY 1),
+          |do2 AS (
+          |  SELECT count(*) AS n_items, sum(m) AS nr,
+          |    sum(pairsum / CAST(m - 1 AS DOUBLE)) AS do_num
+          |  FROM pr),
+          |vl AS (SELECT v, sum(n) AS nv FROM us GROUP BY 1),
+          |de2 AS (
+          |  SELECT sum(a.nv * b.nv * (CASE WHEN a.v = b.v THEN 0.0
+          |    ELSE ((a.v - b.v) / (a.v + b.v))
+          |       * ((a.v - b.v) / (a.v + b.v)) END)) AS s
+          |  FROM vl a CROSS JOIN vl b),
+          |fin AS (
+          |  SELECT n_items, nr, do_num / nr AS d_o,
+          |    (SELECT s FROM de2)
+          |      / (CAST(nr AS DOUBLE) * (nr - 1.0)) AS d_e
+          |  FROM do2)
+          |SELECT CAST(n_items AS BIGINT) AS n_items,
+          |  CAST(nr AS BIGINT) AS n_ratings,
+          |  round(d_o, 9) AS d_o, round(d_e, 9) AS d_e,
+          |  round(CASE WHEN d_e <= 0.0 THEN 1.0
+          |        ELSE 1.0 - d_o / d_e END, 9) AS alpha
+          |FROM fin""".stripMargin,
+
       "q_auc_ci" ->
         """WITH r AS (
           |  SELECT ((CAST(doc_id AS BIGINT) * 13) % 101) / 100.0 AS s,
@@ -7951,6 +8091,40 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |      + exp(-98.0 * lam * lam) - exp(-128.0 * lam * lam))))
           |    END, 9) AS p_value
           |FROM lm ORDER BY window_start""".stripMargin,
+
+      "q_cusum" ->
+        """WITH sc AS (
+          |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w,
+          |    CAST((user_id * 7 + 3) % 13 AS DOUBLE) AS x
+          |  FROM events),
+          |per AS (SELECT w, count(*) AS n, sum(x) AS sx
+          |        FROM sc GROUP BY 1),
+          |b AS (
+          |  SELECT w, n, sx / n AS m,
+          |    sx / n - 5.5 - 0.0 AS dp,
+          |    5.5 - sx / n - 0.0 AS dn
+          |  FROM per),
+          |p AS (
+          |  SELECT w, n, m,
+          |    SUM(dp) OVER (ORDER BY w ROWS BETWEEN UNBOUNDED PRECEDING
+          |      AND CURRENT ROW) AS pp,
+          |    SUM(dn) OVER (ORDER BY w ROWS BETWEEN UNBOUNDED PRECEDING
+          |      AND CURRENT ROW) AS pn
+          |  FROM b),
+          |q AS (
+          |  SELECT *,
+          |    MIN(pp) OVER (ORDER BY w ROWS BETWEEN UNBOUNDED PRECEDING
+          |      AND CURRENT ROW) AS mp,
+          |    MIN(pn) OVER (ORDER BY w ROWS BETWEEN UNBOUNDED PRECEDING
+          |      AND CURRENT ROW) AS mn
+          |  FROM p)
+          |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+          |  CAST(n AS BIGINT) AS n, round(m, 9) AS mean,
+          |  round(pp - least(0.0, mp), 9) AS cusum_pos,
+          |  round(pn - least(0.0, mn), 9) AS cusum_neg,
+          |  (round(pp - least(0.0, mp), 9) > 2.0
+          |   OR round(pn - least(0.0, mn), 9) > 2.0) AS alarm
+          |FROM q ORDER BY window_start""".stripMargin,
 
       "q_stream_ab" ->
         s"""WITH sc AS (

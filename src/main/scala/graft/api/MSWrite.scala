@@ -357,7 +357,32 @@ object MSWrite {
     * verify against).
     */
   def readFragment(spark: SparkSession, path: String, rowIdOrder: Seq[String],
-                   verifyCounts: Boolean): DataFrame = {
+                   verifyCounts: Boolean): DataFrame =
+    readFragmentWithDepth(spark, path, rowIdOrder, verifyCounts)._1
+
+  /** Attrs key under which [[readFragmentDataset]] reports the chain
+    * depth its own ancestry walk measured. */
+  val ChainDepthAttr = "graft.fragment.chain_depth"
+
+  /** [[readFragment]] as an [[MSDataset]] whose `attrs` carry the
+    * walked chain depth under [[ChainDepthAttr]] — the r17 verdict
+    * stretch: the [[CompactionWarnDepth]] warning is operator-facing
+    * (a log line), so a PIPELINE alerting on depth had to parse logs
+    * or pay a second sidecar walk via [[chainDepth]]; here the depth
+    * the read's OWN walk already measured rides along at zero extra
+    * cost, and a scheduler can trigger [[compactFragments]] off
+    * `ds.attrs` programmatically.
+    */
+  def readFragmentDataset(spark: SparkSession, path: String,
+                          rowIdOrder: Seq[String],
+                          verifyCounts: Boolean = false): MSDataset = {
+    val (df, depth) =
+      readFragmentWithDepth(spark, path, rowIdOrder, verifyCounts)
+    MSDataset(Seq.empty, df, Map(ChainDepthAttr -> depth.toString))
+  }
+
+  private def readFragmentWithDepth(spark: SparkSession, path: String,
+      rowIdOrder: Seq[String], verifyCounts: Boolean): (DataFrame, Int) = {
     val chain = ancestry(spark, path)
     // surface the per-read depth tax once it passes the measured
     // compaction cadence — the walk is silent otherwise and a deep
@@ -377,9 +402,9 @@ object MSWrite {
     val root =
       if (root0.columns.contains(RowId)) root0
       else MSTable.withRowId(root0, rowIdOrder)
-    chain.tail.foldLeft(root) { (acc, child) =>
+    (chain.tail.foldLeft(root) { (acc, child) =>
       updateByRowId(acc, MSTable.open(spark, child))
-    }
+    }, depth)
   }
 
   /** Compact a fragment chain into a single standalone table at

@@ -536,6 +536,101 @@ object Classifier {
       .toDF("n_items", "n_ratings", "d_o", "d_e", "alpha")
   }
 
+  /** Krippendorff's alpha, RATIO metric (Krippendorff 2004 §11) — the
+    * third member of the standard metric trio ([[krippendorffAlpha]]
+    * nominal, [[krippendorffAlphaInterval]] interval): for ratio-scale
+    * ratings (counts, durations, token budgets — scales with a true
+    * zero where "10 vs 20" disagrees like "100 vs 200"), disagreement
+    * is the squared RELATIVE difference δ(x, y) = ((x−y)/(x+y))²,
+    * which is invariant under x → a·x (the scale-invariance property
+    * the spec pins). δ(0, 0) = 0 by continuity (identical ratings
+    * never disagree). Unlike the interval form the pairwise sums do
+    * NOT fold into power sums, so both D terms run over VALUE COUNTS:
+    * within an item, Σ_{v,w} n_iv·n_iw·δ(v,w); for D_e the same over
+    * the pooled usable ratings. Items with < 2 ratings are excluded
+    * per the definition; all-singleton refuses; D_e = 0 (all ratings
+    * one value) reports 1.0. Negative ratings refuse (x + y crosses
+    * zero and δ is unbounded/undefined — a ratio scale is nonnegative
+    * by definition); null/NaN refuse (the interval-form convention).
+    * One row: (n_items, n_ratings, d_o, d_e, alpha), doubles rounded
+    * at 9.
+    *
+    * Scale shape: ONE (item, value) hash aggregate; the within-item
+    * pair sum is a self-join keyed by item over per-item supports
+    * (raters-per-item bounded, so the blow-up is m_i², not corpus²);
+    * D_e runs over the DISTINCT-VALUE table, refused past
+    * `maxDistinct` (a ratio rating scale is bounded in practice —
+    * quantize a continuous one first), so the d² cross term is
+    * driver-safe tiny.
+    */
+  def krippendorffAlphaRatio(ratings: DataFrame, itemCol: String,
+                             valueCol: String,
+                             maxDistinct: Int = 10000): DataFrame = {
+    require(maxDistinct >= 1,
+      s"krippendorffAlphaRatio: maxDistinct=$maxDistinct")
+    val x = col(valueCol).cast("double")
+    val badc = (x.isNull || isnan(x) || x < 0.0).cast("long")
+    // ONE (item, value) aggregate; the null/NaN/negative census rides
+    // it (the r18 hygiene-fold discipline)
+    val cnt = ratings.select(col(itemCol).as("item"), x.as("v"),
+        badc.as("__bad"))
+      .groupBy("item", "v").agg(count(lit(1)).as("n"),
+        sum("__bad").as("nbad"))
+      .localCheckpoint()
+    val guard = cnt.agg(sum("nbad")).head()
+    val nBad = if (guard.isNullAt(0)) 0L else guard.getLong(0)
+    require(nBad == 0,
+      s"krippendorffAlphaRatio: $nBad null/NaN/negative $valueCol " +
+        "ratings — the ratio metric needs a nonnegative scale; drop " +
+        "missing rows (or use the nominal form)")
+    require(cnt.head(1).nonEmpty, "krippendorffAlphaRatio: empty frame")
+    val perItem = cnt.groupBy("item").agg(sum("n").as("m"))
+      .filter(col("m") >= 2)
+    val usable = cnt.join(perItem, "item")
+    // δ as ONE shared expression: ((v − w)/(v + w))², with the 0/0
+    // tie mapped to 0 — the oracle replays the same CASE
+    def delta(v: Column, w: Column): Column =
+      when(v === w, lit(0.0))
+        .otherwise(((v - w) / (v + w)) * ((v - w) / (v + w)))
+    // within-item ordered-pair disagreement over value counts: the
+    // self-join is keyed by item, so each item expands by its own
+    // support² only
+    val pairs = usable.select(col("item"), col("v"), col("n"), col("m"))
+      .join(usable.select(col("item"), col("v").as("w"),
+        col("n").as("nw")), "item")
+      .groupBy("item")
+      .agg(first("m").as("m"),
+        sum(col("n") * col("nw") * delta(col("v"), col("w")))
+          .as("pairsum"))
+    val doRow = pairs.agg(count(lit(1)).as("n_items"), sum("m").as("nr"),
+      sum(col("pairsum") / (col("m") - lit(1)).cast("double"))
+        .as("do_num")).head()
+    require(!doRow.isNullAt(0) && doRow.getLong(0) > 0,
+      "krippendorffAlphaRatio: no item has >= 2 ratings — agreement " +
+        "is undefined on an all-singleton panel")
+    val (nItems, nr) = (doRow.getLong(0), doRow.getLong(1))
+    val dO = doRow.getDouble(2) / nr
+    // D_e over the pooled distinct-value counts of usable ratings —
+    // bounded by maxDistinct BEFORE the d² cross term
+    val vals = usable.groupBy("v").agg(sum("n").as("nv"))
+      .localCheckpoint()
+    val nd = vals.count()
+    require(nd <= maxDistinct,
+      s"krippendorffAlphaRatio: $nd distinct $valueCol values exceed " +
+        s"maxDistinct=$maxDistinct — quantize the scale first")
+    val deRow = vals.select(col("v"), col("nv"))
+      .crossJoin(broadcast(vals.select(col("v").as("w"),
+        col("nv").as("nw"))))
+      .agg(sum(col("nv") * col("nw") * delta(col("v"), col("w")))
+        .as("s")).head()
+    val dE = deRow.getDouble(0) / (nr.toDouble * (nr - 1.0))
+    val alpha = if (dE <= 0.0) 1.0 else 1.0 - dO / dE
+    val spark = ratings.sparkSession
+    import spark.implicits._
+    Seq((nItems, nr, Num.round9(dO), Num.round9(dE), Num.round9(alpha)))
+      .toDF("n_items", "n_ratings", "d_o", "d_e", "alpha")
+  }
+
   /** ROC AUC via the Mann–Whitney U identity (Hanley & McNeil 1982):
     * AUC = P(score⁺ > score⁻) + ½·P(tie), computed tie-exactly from
     * per-score aggregates — Σ_s n⁺(s)·(cumn⁻(<s) + n⁻(s)/2) over
@@ -1692,6 +1787,122 @@ object Classifier {
       Num.round9(ybar * (1.0 - ybar))))
       .toDF("n", "log_loss", "brier", "reliability", "resolution",
         "uncertainty")
+  }
+
+  /** Multiclass proper scoring rules — [[properScores]] for the
+    * label-indexed probability-vector outputs LLM evaluation actually
+    * produces (choice tasks, next-token heads, K-way quality tiers):
+    * multiclass log-loss −ln p_y (the training objective), the vector
+    * Brier score Σ_k (p_k − 1{y=k})² (Brier 1950's original K-class
+    * form), and the PER-CLASS Murphy (1973) decomposition — each class
+    * k is a one-vs-rest forecast p_k of outcome 1{y=k}, binned over
+    * the same `bins` partition the calibration family uses, giving
+    * class-level reliability/resolution/uncertainty that SUM to the
+    * vector Brier's decomposition (Brier_k = rel_k − res_k + unc_k
+    * holds exactly for bin-discrete forecasts, spec-pinned, and the
+    * identity survives the sum).
+    *
+    * One row per class: (cls, n = class support, log_loss = the mean
+    * −ln p_y over rows WHOSE TRUE CLASS IS k — the per-class NLL, 0.0
+    * for an unsupported class, support-weighted mean = the total;
+    * brier/reliability/resolution/uncertainty = class k's one-vs-rest
+    * components over ALL rows) plus the summary row cls = −1 carrying
+    * the corpus totals (n = N, log_loss = mean −ln p_y, brier/rel/
+    * res/unc = the class sums). Doubles rounded at 9; ln is clamped
+    * at `eps` ([[properScores]]' sklearn convention).
+    *
+    * Hygiene (riding the one aggregate): null vectors, null/NaN/
+    * out-of-[0,1] probabilities, null labels or labels outside
+    * [0, K), and RAGGED vectors (rows disagreeing on K) all refuse.
+    * Probabilities are deliberately NOT required to sum to 1 — proper
+    * scores are defined pointwise and a sum-tolerance would be an
+    * engine-divergence surface; feed normalized vectors.
+    *
+    * Scale shape: one Generate (posexplode of the K-vector — a
+    * bounded K-fold expansion consumed by the map-side partial
+    * aggregate, never shuffled raw) into ONE (cls, bin) hash
+    * aggregate — K·bins tiny rows, checkpointed; the per-class frame
+    * and the summary fold from it with no further corpus pass.
+    */
+  def properScoresMulticlass(scored: DataFrame, probsCol: String,
+                             labelCol: String, bins: Int = 10,
+                             eps: Double = 1e-15): DataFrame = {
+    require(bins >= 2, s"properScoresMulticlass: bins=$bins")
+    require(eps > 0 && eps < 0.5, s"properScoresMulticlass: eps=$eps")
+    val probs = col(probsCol)
+    val y = col(labelCol).cast("int")
+    val k = size(probs)
+    // the integrality clause catches a 2.7 label that cast("int")
+    // would silently truncate into class 2
+    val badRow = (probs.isNull || y.isNull || y < 0 || y >= k ||
+      col(labelCol).cast("double") =!= y.cast("double") ||
+      exists(probs, p => p.isNull || isnan(p) || p < 0.0 || p > 1.0))
+      .cast("long")
+    val ex = scored.select(y.as("__y"), k.as("__k"),
+        badRow.as("__bad"), posexplode(coalesce(probs,
+          typedlit(Seq(0.0)))))
+      .withColumnRenamed("pos", "__cls").withColumnRenamed("col", "__p")
+    val p = col("__p")
+    val ind = (col("__cls") === col("__y")).cast("double")
+    val pc = least(greatest(p, lit(eps)), lit(1.0 - eps))
+    val bin = least(floor(p * bins), lit(bins - 1)).cast("int")
+    val per = ex.groupBy(col("__cls").as("cls"), bin.as("bin"))
+      .agg(count(lit(1)).as("n"), sum(ind).as("sy"), sum(p).as("sp"),
+        sum((p - ind) * (p - ind)).as("sq"),
+        sum(when(ind === 1.0, -log(pc)).otherwise(lit(0.0))).as("sll"),
+        sum(col("__bad")).as("__nbad"),
+        min("__k").as("__klo"), max("__k").as("__khi"))
+      .localCheckpoint()
+    val guard = per.agg(sum("__nbad").as("bad"), min("__klo").as("klo"),
+      max("__khi").as("khi")).head()
+    val nBad = if (guard.isNullAt(0)) 0L else guard.getLong(0)
+    require(nBad == 0,
+      "properScoresMulticlass: probability vectors must be non-null " +
+        "with every entry in [0, 1] and labels integers in [0, K) — " +
+        "clean the frame first")
+    require(!guard.isNullAt(1), "properScoresMulticlass: empty frame")
+    require(guard.getInt(1) == guard.getInt(2),
+      s"properScoresMulticlass: ragged probability vectors (K spans " +
+        s"${guard.getInt(1)}..${guard.getInt(2)}) — every row must " +
+        "score the same class set")
+    // per-class fold over the K·bins frame: support, NLL, Brier
+    // component, and the Murphy terms from per-bin means — the
+    // resolution folds via Σ_b sy²/n − N·ȳ_k² so ȳ_k never needs a
+    // second pass
+    val perClass = per.groupBy("cls").agg(
+        sum("n").as("nall"), sum("sy").as("ntrue"), sum("sll").as("ll"),
+        sum("sq").as("sq"),
+        sum((col("sp") / col("n") - col("sy") / col("n")) *
+          (col("sp") / col("n") - col("sy") / col("n")) * col("n"))
+          .as("rel"),
+        sum(col("sy") * col("sy") / col("n")).as("resraw"))
+      .localCheckpoint()
+    val nAll = col("nall").cast("double")
+    val ybar = col("ntrue") / nAll
+    val classRows = perClass.select(col("cls"),
+      col("ntrue").cast("long").as("n"),
+      round(when(col("ntrue") > 0, col("ll") / col("ntrue"))
+        .otherwise(lit(0.0)), 9).as("log_loss"),
+      round(col("sq") / nAll, 9).as("brier"),
+      round(col("rel") / nAll, 9).as("reliability"),
+      round((col("resraw") - col("ntrue") * col("ntrue") / nAll) / nAll, 9)
+        .as("resolution"),
+      round(ybar * (lit(1.0) - ybar), 9).as("uncertainty"))
+    val summary = perClass.agg(
+        max("nall").as("nn"), sum("ll").as("ll"), sum("sq").as("sq"),
+        sum("rel").as("rel"),
+        sum(col("resraw") - col("ntrue") * col("ntrue")
+          / col("nall").cast("double")).as("res"),
+        sum((col("ntrue") / col("nall").cast("double")) *
+          (lit(1.0) - col("ntrue") / col("nall").cast("double")))
+          .as("unc"))
+      .select(lit(-1).as("cls"), col("nn").cast("long").as("n"),
+        round(col("ll") / col("nn").cast("double"), 9).as("log_loss"),
+        round(col("sq") / col("nn").cast("double"), 9).as("brier"),
+        round(col("rel") / col("nn").cast("double"), 9).as("reliability"),
+        round(col("res") / col("nn").cast("double"), 9).as("resolution"),
+        round(col("unc"), 9).as("uncertainty"))
+    classRows.unionByName(summary)
   }
 
   /** McNemar's test (McNemar 1947, the Edwards continuity-corrected

@@ -27,9 +27,13 @@ import org.apache.hadoop.util.Progressable
   * Deliberate scope limits (a DEV-endpoint adapter, not a production S3
   * client — deploy hadoop-aws/S3A for real clusters):
   *  - requests carry REAL SigV4 signatures ([[S3SigV4]], pinned against
-  *    botocore-derived reference vectors), but the available dev server
-  *    does not cryptographically enforce them, so endpoint-side
-  *    signature REJECTION remains untested;
+  *    botocore-derived reference vectors); the available dev server
+  *    does not cryptographically enforce them, so the endpoint-side
+  *    REJECTION path is covered by fault injection instead
+  *    (`S3SigRejectSpec`: a stub returning 403 SignatureDoesNotMatch
+  *    on create/COPY/multipart-complete/stat, each asserted to surface
+  *    as a clear IOException — a signing regression fails loudly even
+  *    though moto would accept it);
   *  - whole-object buffering on open/create — correct at any size but
   *    memory-bound to the largest single object, fine for the test
   *    corpus scale this adapter exists for;
@@ -299,8 +303,17 @@ class S3LiteFs extends FileSystem {
       if (st != 200) throw new IOException(
         s"s3l part $partN of $key: HTTP $st " +
           new String(body, StandardCharsets.UTF_8))
-      val etag = Option(headers.get("ETag")).map(_.get(0)).getOrElse(
-        throw new IOException(s"s3l part $partN of $key: no ETag"))
+      // case-INSENSITIVE header lookup (RFC 7230 §3.2): HTTP/2 and
+      // several proxies re-case header names ("etag"/"Etag"), and a
+      // case-exact miss here would fail every multipart upload
+      val etag = {
+        import scala.jdk.CollectionConverters._
+        headers.asScala.collectFirst {
+          case (k, v) if k != null && k.equalsIgnoreCase("ETag") &&
+            !v.isEmpty => v.get(0)
+        }.getOrElse(
+          throw new IOException(s"s3l part $partN of $key: no ETag"))
+      }
       etags += ((partN, etag))
       buf.reset()
     }

@@ -407,6 +407,76 @@ object EventStream {
       round(col("__d"), 9).as("d"), round(pv, 9).as("p_value"))
   }
 
+  /** Windowed CUSUM sequential change detection (Page 1954, the
+    * two-sided tabular form) over per-window means — the drift-family
+    * member [[ksDrift]]/[[scoreDrift]]/[[embeddingDrift]] cannot be:
+    * window-vs-window tests see only ADJACENT change, so a small
+    * PERSISTENT shift (a quality scorer drifting a fraction of a
+    * point per day) stays under every per-pair threshold forever,
+    * while CUSUM accumulates deviations from a reference mean until
+    * the evidence crosses a deterministic threshold. Per window t
+    * with mean x̄_t: d⁺ = x̄_t − μ₀ − κ, d⁻ = μ₀ − x̄_t − κ (κ the
+    * slack — shifts smaller than κ are tolerated by design), and on
+    * each side S_t = max(0, S_{t−1} + d_t), alarming when either side
+    * exceeds `h`. The max-recurrence is evaluated in CLOSED FORM as
+    * S_t = P_t − min(0, min_{j≤t} P_j) over the prefix sums P of d —
+    * two stacked window prefix scans, exactly replayable by a SQL
+    * oracle and bit-identical to the driver recurrence (spec-pinned).
+    * The alarm compares the round(9)-pinned statistic against h, so
+    * both engines decide from the identical double. Null/NaN values
+    * refuse with the census riding the one aggregate. One row per
+    * window: (window_start, n, mean, cusum_pos, cusum_neg, alarm),
+    * doubles rounded at 9.
+    *
+    * Scale shape: ONE (window) hash aggregate over the stream, then
+    * window-ORDERED prefix scans on the windows-many post-aggregate
+    * rows — an unpartitioned window, deliberately: a sequential
+    * statistic is a prefix recurrence by definition, and the frame it
+    * runs over is bounded by TIME (windows), not traffic (the
+    * [[graft.ops.Classifier.rocAuc]] distinct-scores convention for
+    * bounded-frame global orders); the corpus itself is never
+    * windowed.
+    */
+  def cusumDrift(scored: DataFrame, valueCol: String, mu0: Double,
+                 kappa: Double = 0.0, h: Double = 4.0,
+                 width: String = "1 hour"): DataFrame = {
+    require(kappa >= 0, s"cusumDrift: kappa=$kappa must be >= 0")
+    require(h > 0, s"cusumDrift: h=$h must be positive")
+    val x = col(valueCol).cast("double")
+    val bad = (x.isNull || isnan(x)).cast("long")
+    val per = scored
+      .groupBy(window(col("ts"), width).as("w"))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(bad).as("__bad"))
+      .localCheckpoint()
+    val badRow = per.agg(sum("__bad")).head()
+    val nBad = if (badRow.isNullAt(0)) 0L else badRow.getLong(0)
+    require(nBad == 0,
+      "cusumDrift: values must be non-null and non-NaN — clean the " +
+        "frame first")
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy("k")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val mean = col("sx") / col("n")
+    val base = per.select(col("w.start").as("k"), col("n"),
+      mean.as("m"),
+      (mean - lit(mu0) - lit(kappa)).as("dp"),
+      (lit(mu0) - mean - lit(kappa)).as("dn"))
+    val pre = base.select(col("k"), col("n"), col("m"),
+      sum("dp").over(wOrd).as("pp"), sum("dn").over(wOrd).as("pn"))
+    val pre2 = pre.select(col("k"), col("n"), col("m"), col("pp"),
+      col("pn"),
+      min("pp").over(wOrd).as("mp"), min("pn").over(wOrd).as("mn"))
+    // S = P − min(0, running min of P): the standard CUSUM identity
+    // (the j = 0 empty prefix contributes the 0 in the min)
+    val sp = round(col("pp") - least(lit(0.0), col("mp")), 9)
+    val sn = round(col("pn") - least(lit(0.0), col("mn")), 9)
+    pre2.select(col("k").as("window_start"), col("n"),
+      round(col("m"), 9).as("mean"),
+      sp.as("cusum_pos"), sn.as("cusum_neg"),
+      (sp > h || sn > h).as("alarm"))
+  }
+
   /** Per-window PAIRED A/B monitor — the streaming parity of
     * [[graft.ops.Classifier.mcnemarTest]]: for each tumbling window of
     * events scored by BOTH model A and model B against a label, the

@@ -870,6 +870,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("cusumDrift: census rides the (window) aggregate; prefix scans run on the checkpointed windows frame") {
+    // the sequential statistic is a prefix recurrence over the
+    // windows-many POST-AGGREGATE rows: no corpus scan downstream of
+    // the one (window) aggregate, and the stacked window functions
+    // are present (the global order is over time-bounded windows, not
+    // traffic — the rocAuc distinct-scores convention)
+    val ev = graft.streaming.EventStream.loadEvents(spark, sf())
+    val scored = ev.select(col("ts"),
+      ((col("user_id") * 7 + 3) % 13).cast("double").as("metric"))
+    val df = graft.streaming.EventStream.cusumDrift(scored, "metric",
+      mu0 = 5.5, kappa = 0.0, h = 2.0)
+    val p = plan(df)
+    assert(!p.contains("FileScan"), p)
+    assert(opCount(p, "Scan parquet") + opCount(p, "BatchScan") === 0, p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("properScoresMulticlass: per-class fold reads the checkpointed (cls, bin) frame — no corpus re-scan") {
+    // the K-fold Generate and the one (cls, bin) aggregate happen
+    // before the checkpoint; everything the caller receives folds
+    // from K*bins tiny rows — no parquet scan, no Generate downstream
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(array(
+          (pmod(col("doc_id") * 13, lit(64)).cast("double") / 128.0),
+          (pmod(col("doc_id") * 29, lit(64)).cast("double") / 128.0),
+          ((lit(128) - pmod(col("doc_id") * 13, lit(64))
+            - pmod(col("doc_id") * 29, lit(64))).cast("double") / 128.0))
+          .as("probs"),
+        (pmod(col("doc_id") * 37, lit(97)) % 3).cast("int").as("label"))
+    val df = ops.Classifier.properScoresMulticlass(docs, "probs", "label",
+      bins = 8)
+    val p = plan(df)
+    assert(!p.contains("FileScan"), p)
+    assert(opCount(p, "Scan parquet") + opCount(p, "BatchScan") === 0, p)
+    assert(!p.contains("Generate"), p)
+  }
+
   test("abReport: ONE pinned holdout — both legs read the checkpoint; placements broadcast") {
     // the r18 promotion's whole point: the McNemar aggregate and the
     // DeLong moment aggregate must BOTH read the one localCheckpointed

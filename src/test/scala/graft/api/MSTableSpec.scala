@@ -133,6 +133,17 @@ class MSWriteSpec extends SparkSpec {
       val top = merged.orderBy("r_regionkey").select("r_name")
         .collect().map(_.getString(0))
       assert(top(0) === "E17")
+      // r18: the dataset-shaped read carries the depth its own walk
+      // measured in attrs — a pipeline alerts on it programmatically
+      // instead of parsing the log line
+      val ds = MSWrite.readFragmentDataset(spark, s"$out/deep/t17",
+        Seq("r_regionkey"))
+      assert(ds.attrs(MSWrite.ChainDepthAttr) === "17")
+      assert(ds.df.orderBy("r_regionkey").select("r_name")
+        .collect().map(_.getString(0)).head === "E17")
+      val shallow = MSWrite.readFragmentDataset(spark, s"$out/deep/t0",
+        Seq("r_regionkey"))
+      assert(shallow.attrs(MSWrite.ChainDepthAttr) === "0")
     } finally MSWrite.onDeepChain = prior
   }
 

@@ -968,6 +968,127 @@ class ClassifierSpec extends SparkSpec {
       df.filter(lit(false)), "v", "id"))
   }
 
+  test("properScoresMulticlass: hand 3-class case, per-class Murphy identity, binary consistency, refusals") {
+    import spark.implicits._
+    // 4 rows, K = 3, bins = 4 (p in {.25, .5} -> bins 1, 2); every
+    // per-class value below is hand-computed in the comment
+    val rows = Seq(
+      (Seq(0.50, 0.25, 0.25), 0),
+      (Seq(0.25, 0.50, 0.25), 1),
+      (Seq(0.50, 0.25, 0.25), 1),
+      (Seq(0.25, 0.25, 0.50), 2)).toDF("probs", "label")
+    val out = Classifier.properScoresMulticlass(rows, "probs", "label",
+      bins = 4).orderBy("cls").collect()
+    assert(out.map(_.getInt(0)).toSeq === Seq(-1, 0, 1, 2))
+    val Array(sm, c0, c1, c2) = out
+    def d(r: org.apache.spark.sql.Row, i: Int) = r.getDouble(i)
+    // class 0: support 1, ll = ln 2, brier .15625, rel .03125,
+    // res .0625, unc .1875 (identity: .03125 - .0625 + .1875 = brier)
+    assert(c0.getLong(1) === 1L)
+    assert(math.abs(d(c0, 2) - math.log(2)) < 1e-9)
+    assert(d(c0, 3) === 0.15625 && d(c0, 4) === 0.03125)
+    assert(d(c0, 5) === 0.0625 && d(c0, 6) === 0.1875)
+    // class 1: support 2, ll = 1.5 ln 2, brier .234375
+    assert(c1.getLong(1) === 2L)
+    assert(math.abs(d(c1, 2) - 1.5 * math.log(2)) < 1e-9)
+    assert(d(c1, 3) === 0.234375)
+    // class 2: support 1, brier .109375, res .1875
+    assert(c2.getLong(1) === 1L && d(c2, 3) === 0.109375)
+    assert(d(c2, 5) === 0.1875)
+    // the Murphy identity holds PER CLASS for bin-discrete forecasts,
+    // and therefore for the summary sums
+    out.foreach { r =>
+      assert(math.abs(d(r, 3) - (d(r, 4) - d(r, 5) + d(r, 6))) < 1e-9,
+        s"Murphy identity at cls ${r.getInt(0)}")
+    }
+    // summary: N, mean NLL = 5 ln 2 / 4, vector brier = .5 = the
+    // direct per-row computation
+    assert(sm.getLong(1) === 4L)
+    assert(math.abs(d(sm, 2) - 1.25 * math.log(2)) < 1e-9)
+    assert(d(sm, 3) === 0.5)
+    // binary consistency: a (1-p, p) two-class vector reproduces the
+    // binary properScores log-loss exactly and DOUBLES the Brier
+    // ((p0 - (1-y))^2 == (p - y)^2, so the vector sum is 2x)
+    val bin = (0 until 64).map { i =>
+      val p = (i % 8) / 8.0
+      (Seq(1.0 - p, p), i % 2, p, (i % 2).toDouble)
+    }
+    val mcr = Classifier.properScoresMulticlass(
+      bin.map(t => (t._1, t._2)).toDF("probs", "label"),
+      "probs", "label", bins = 8).filter(col("cls") === -1).head()
+    val br = Classifier.properScores(
+      bin.map(t => (t._3, t._4)).toDF("score", "label"),
+      "score", "label", bins = 8).head()
+    assert(math.abs(mcr.getDouble(2) - br.getDouble(1)) < 1e-9)
+    assert(math.abs(mcr.getDouble(3) - 2.0 * br.getDouble(2)) < 1e-9)
+    // refusals all ride the one aggregate: ragged K, out-of-range
+    // prob, out-of-range label, non-integer label, empty
+    val e1 = intercept[IllegalArgumentException](
+      Classifier.properScoresMulticlass(
+        Seq((Seq(0.5, 0.5), 0), (Seq(0.25, 0.5, 0.25), 1))
+          .toDF("probs", "label"),
+        "probs", "label").count())
+    assert(e1.getMessage.contains("ragged"), e1.getMessage)
+    intercept[IllegalArgumentException](
+      Classifier.properScoresMulticlass(
+        Seq((Seq(1.5, -0.5), 0)).toDF("probs", "label"),
+        "probs", "label").count())
+    intercept[IllegalArgumentException](
+      Classifier.properScoresMulticlass(
+        Seq((Seq(0.5, 0.5), 2)).toDF("probs", "label"),
+        "probs", "label").count())
+    intercept[IllegalArgumentException](
+      Classifier.properScoresMulticlass(
+        Seq((Seq(0.5, 0.5), 0.7)).toDF("probs", "label"),
+        "probs", "label").count())
+    intercept[IllegalArgumentException](
+      Classifier.properScoresMulticlass(
+        Seq.empty[(Seq[Double], Int)].toDF("probs", "label"),
+        "probs", "label").count())
+    intercept[IllegalArgumentException](
+      Classifier.properScoresMulticlass(rows, "probs", "label", bins = 1))
+  }
+
+  test("krippendorffAlphaRatio: hand case, scale invariance, degenerates, refusals") {
+    import spark.implicits._
+    // items: A (1,1), B (2,2), C (1,2); singleton D (7) excluded.
+    // D_o = (0 + 0 + 2*(1/9)) / (m-1) / 6 = (2/9)/6 = 1/27
+    // D_e over pooled {1:3, 2:3}: 2*(3*3*(1/9)) / (6*5) = 2/30 = 1/15
+    // alpha = 1 - (1/27)/(1/15) = 4/9
+    val df = Seq(("A", 1.0), ("A", 1.0), ("B", 2.0), ("B", 2.0),
+      ("C", 1.0), ("C", 2.0), ("D", 7.0)).toDF("item", "v")
+    val r = Classifier.krippendorffAlphaRatio(df, "item", "v").head()
+    assert(r.getLong(0) === 3L && r.getLong(1) === 6L)
+    assert(math.abs(r.getDouble(2) - 1.0 / 27) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 1.0 / 15) < 1e-9)
+    assert(math.abs(r.getDouble(4) - 4.0 / 9) < 1e-9)
+    // scale invariance (the property the ratio metric exists for):
+    // x -> 2x is bit-exact (powers of two), x -> 3x within fp noise
+    def alphaOf(scale: Double) = Classifier.krippendorffAlphaRatio(
+      df.select(col("item"), (col("v") * scale).as("v")), "item", "v")
+      .head().getDouble(4)
+    assert(alphaOf(2.0) === r.getDouble(4))
+    assert(math.abs(alphaOf(3.0) - r.getDouble(4)) < 1e-9)
+    // all ratings identical: D_e = 0 -> alpha 1; zeros never divide
+    // by zero (delta(0,0) = 0 by the tie branch)
+    val ones = Classifier.krippendorffAlphaRatio(
+      Seq(("A", 0.0), ("A", 0.0), ("B", 0.0), ("B", 0.0))
+        .toDF("item", "v"), "item", "v").head()
+    assert(ones.getDouble(4) === 1.0)
+    // refusals: negative scale, NaN, all-singleton, maxDistinct
+    intercept[IllegalArgumentException](Classifier.krippendorffAlphaRatio(
+      Seq(("A", -1.0), ("A", 1.0)).toDF("item", "v"), "item", "v")
+      .count())
+    intercept[IllegalArgumentException](Classifier.krippendorffAlphaRatio(
+      Seq(("A", Double.NaN), ("A", 1.0)).toDF("item", "v"), "item", "v")
+      .count())
+    intercept[IllegalArgumentException](Classifier.krippendorffAlphaRatio(
+      Seq(("A", 1.0), ("B", 2.0)).toDF("item", "v"), "item", "v")
+      .count())
+    intercept[IllegalArgumentException](Classifier.krippendorffAlphaRatio(
+      df, "item", "v", maxDistinct = 1).count())
+  }
+
   test("abReport: bit-identical to the hand-composition; antisymmetry; degenerate; refusal") {
     import spark.implicits._
     // the r17 query-only composition, promoted to an operator in r18:

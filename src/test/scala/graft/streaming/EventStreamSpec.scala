@@ -559,6 +559,56 @@ class EventStreamSpec extends SparkSpec {
     assert(spread.count() === 2L)
   }
 
+  test("cusumDrift: closed-form prefix identity == driver recurrence; alarm time; slack; refusals") {
+    import spark.implicits._
+    // one row per hour whose value IS that hour's mean, so the hand
+    // recurrence runs on the same numbers
+    def drift(means: Seq[Double], mu0: Double, kappa: Double, h: Double) =
+      EventStream.cusumDrift(
+        means.zipWithIndex.map { case (m, i) => (i * 3600L, m) }
+          .toDF("sec", "v")
+          .select(expr("timestamp_seconds(sec)").as("ts"), col("v")),
+        "v", mu0, kappa, h).orderBy("window_start").collect()
+    def recurrence(means: Seq[Double], mu0: Double, kappa: Double,
+                   up: Boolean): Seq[Double] =
+      means.scanLeft(0.0) { (s, m) =>
+        val d = if (up) m - mu0 - kappa else mu0 - m - kappa
+        math.max(0.0, s + d)
+      }.tail
+    val means = Seq(5.0, 5.1, 4.9, 6.0, 6.0, 6.0, 6.0)
+    val out = drift(means, 5.0, 0.2, 1.5)
+    val expUp = recurrence(means, 5.0, 0.2, up = true)
+    val expDn = recurrence(means, 5.0, 0.2, up = false)
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(1) === 1L)
+      assert(math.abs(r.getDouble(2) - means(i)) < 1e-9)
+      assert(math.abs(r.getDouble(3) - expUp(i)) < 1e-9,
+        s"cusum_pos window $i: ${r.getDouble(3)} vs ${expUp(i)}")
+      assert(math.abs(r.getDouble(4) - expDn(i)) < 1e-9)
+      assert(r.getBoolean(5) === (expUp(i) > 1.5 || expDn(i) > 1.5))
+    }
+    // the small persistent +1.0 shift alarms (window-vs-window tests
+    // never would at this size); the alarm time matches the recurrence
+    assert(out.exists(_.getBoolean(5)))
+    assert(out.indexWhere(_.getBoolean(5)) ===
+      expUp.indexWhere(_ > 1.5))
+    // downward shift drives the NEGATIVE side
+    val dn = drift(Seq(5.0, 4.0, 4.0, 4.0), 5.0, 0.2, 1.2)
+    assert(dn.last.getDouble(4) > dn.last.getDouble(3))
+    assert(dn.last.getBoolean(5))
+    // slack: a shift smaller than kappa never accumulates — S stays 0
+    val slack = drift(Seq(5.5, 5.5, 5.5, 5.5, 5.5), 5.0, 1.0, 0.5)
+    assert(slack.forall(r => r.getDouble(3) === 0.0 &&
+      r.getDouble(4) === 0.0 && !r.getBoolean(5)))
+    // refusals: NaN census rides the aggregate; parameter guards
+    intercept[IllegalArgumentException](
+      drift(Seq(5.0, Double.NaN), 5.0, 0.2, 1.5))
+    intercept[IllegalArgumentException](
+      drift(Seq(5.0), 5.0, -0.1, 1.5))
+    intercept[IllegalArgumentException](
+      drift(Seq(5.0), 5.0, 0.2, 0.0))
+  }
+
   test("windowedAb: single-window equality to batch mcnemarTest; degenerate; refusal") {
     import spark.implicits._
     val rows = (0 until 200).map { i =>
