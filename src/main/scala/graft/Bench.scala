@@ -141,6 +141,50 @@ object Bench {
     once(); (0 until 3).map(_ => once()).min
   }
 
+  /** Memory-bandwidth anchor (r18 — the calibration blind spot r17
+    * MEASURED: the LCG loop is register/ALU-bound, so it cannot see
+    * memory-subsystem drift, and BASELINE.md r17 recorded every query
+    * sliding ~20% while calib_par read flat 0.082–0.086 — and
+    * calib_par itself swinging 45% across one idle triple). This
+    * streams a fixed 256 MiB long array (far past any L3 on this VM
+    * class) with all `threads` workers summing disjoint contiguous
+    * blocks, 48 sweeps per sample (≈12 GB of traffic — the first r18
+    * triple ran 8 sweeps and the ~20 ms sample jittered ±40%, so the
+    * sample is sized to ~10× that), min of 3 samples (wall-clock until
+    * ALL finish): a pure aggregate-read-bandwidth number in seconds
+    * that inflates exactly when the memory subsystem (or a co-tenant
+    * saturating it) is the thing that slowed the queries down. The
+    * interpretation contract (BASELINE.md) can now pick whichever
+    * anchor tracks query cost this round instead of trusting the ALU
+    * loop alone.
+    */
+  private def calibrateMem(threads: Int): Double = {
+    val n = 32 * 1024 * 1024 // 256 MiB of longs
+    val arr = new Array[Long](n)
+    var i = 0
+    while (i < n) { arr(i) = i * 6364136223846793005L; i += 1 }
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      val ts = (0 until threads).map { t =>
+        new Thread(() => {
+          val lo = (n.toLong * t / threads).toInt
+          val hi = (n.toLong * (t + 1) / threads).toInt
+          var acc = 0L
+          var sweep = 0
+          while (sweep < 48) {
+            var j = lo
+            while (j < hi) { acc += arr(j); j += 1 }
+            sweep += 1
+          }
+          calibSink.addAndGet(acc)
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    once(); (0 until 3).map(_ => once()).min
+  }
+
   /** 1-minute load average before the bench touches Spark. Advisory, not
     * proof: the 1-min window still carries anything that ran on this VM
     * in the previous minute (a compile, a probe — including this
@@ -251,6 +295,7 @@ object Bench {
     }.sum
     val calib = calibrate()
     val calibPar = calibrateParallel(cpus.toInt)
+    val calibMem = calibrateMem(cpus.toInt)
     // value_norm divides out machine speed under full-width load: read
     // THIS across rounds (dimensionless; identical code on a fast/slow VM
     // lands on the same number). contaminated = load already present at
@@ -271,7 +316,7 @@ object Bench {
     val qnormJson = timed.map { case (k, v) =>
         "\"" + k + "\":" + fmt(v / calibPar, 2)
       }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","roster21":${fmt(total21, 3)},"queries":$qjson,"queries_norm":$qnormJson,"failed":$failedJson,"flaky_iters":$flakyJson,"calib":${fmt(calib, 3)},"calib_par":${fmt(calibPar, 3)},"value_norm":${fmt(norm, 2)},"roster21_norm":${fmt(norm21, 2)},"loadavg":${fmt(load0, 2)},"contaminated":$contaminated,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","roster21":${fmt(total21, 3)},"queries":$qjson,"queries_norm":$qnormJson,"failed":$failedJson,"flaky_iters":$flakyJson,"calib":${fmt(calib, 3)},"calib_par":${fmt(calibPar, 3)},"calib_mem":${fmt(calibMem, 3)},"value_norm":${fmt(norm, 2)},"roster21_norm":${fmt(norm21, 2)},"loadavg":${fmt(load0, 2)},"contaminated":$contaminated,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty || flaky.nonEmpty) sys.exit(1)
   }

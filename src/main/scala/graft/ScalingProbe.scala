@@ -1090,6 +1090,27 @@ object ScalingProbe {
     // proper scoring rules: ONE (bin) aggregate + a bins-many reduce
     time("proper_scores") { d =>
       SparkEntry.queries("q_proper_scores")(spark, d).count() }
+    // multiclass proper scores (r18): a bounded K-fold posexplode
+    // Generate (K = 3) into ONE (cls, bin) aggregate — the slope
+    // should be the corpus scan's, K never grows with data
+    time("proper_scores_mc") { d =>
+      SparkEntry.queries("q_proper_scores_mc")(spark, d).count() }
+    // ratio-metric alpha (r18): one (item, value) aggregate, an
+    // item-keyed self-join over bounded per-item supports, a d² cross
+    // on the maxDistinct-bounded value table — post-aggregate state
+    // is items + d², independent of corpus rows per item
+    time("alpha_ratio") { d =>
+      SparkEntry.queries("q_alpha_ratio")(spark, d).count() }
+    // windowed CUSUM (r18): ONE (window) aggregate; the stacked
+    // prefix scans run over windows-many rows regardless of traffic
+    time("cusum") { d =>
+      SparkEntry.queries("q_cusum")(spark, d).count() }
+    // composed A/B report (r18, the promoted operator): one pinned
+    // corpus scan, then the DeLong moment aggregate (broadcast
+    // placements) + the six-column McNemar aggregate both over the
+    // checkpoint — the slope should track the single scan
+    time("ab_report") { d =>
+      SparkEntry.queries("q_ab_report")(spark, d).count() }
     // fragment ancestry depth: the overlay read chains one ROWID join
     // per ancestor (MSWrite.readFragment walks the sidecars, then folds
     // updateByRowId). Probe READ cost (chains pre-built, untimed) vs
