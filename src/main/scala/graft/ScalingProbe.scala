@@ -1105,6 +1105,10 @@ object ScalingProbe {
     // prefix scans run over windows-many rows regardless of traffic
     time("cusum") { d =>
       SparkEntry.queries("q_cusum")(spark, d).count() }
+    // Wald SPRT (r18): the windowedAb aggregate + prefix sums over
+    // windows-many rows — post-aggregate state independent of traffic
+    time("stream_sprt") { d =>
+      SparkEntry.queries("q_stream_sprt")(spark, d).count() }
     // composed A/B report (r18, the promoted operator): one pinned
     // corpus scan, then the DeLong moment aggregate (broadcast
     // placements) + the six-column McNemar aggregate both over the

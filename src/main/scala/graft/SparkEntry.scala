@@ -1646,6 +1646,24 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
         .orderBy("window_start")
     }),
 
+    // Wald SPRT over the cumulative discordant stream: the anytime-
+    // valid A/B decision (no peeking fallacy); the oracle replays the
+    // prefix sums, both LLR lines, and the four-way decision CASE
+    "q_stream_sprt" -> ((s, dir) => {
+      val ev = EventStream.loadEvents(s, dir)
+      val scored = ev.select(col("ts"),
+        ((col("user_id") * 7) % 3).cast("string").as("y"),
+        ((col("user_id") * 11) % 3).cast("string").as("a"),
+        ((col("user_id") * 13) % 3).cast("string").as("b"))
+      EventStream.windowedAbSprt(scored, "y", "a", "b", "1 hour",
+          p1 = 0.6, alpha = 0.05, beta = 0.05)
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("n"), col("b_cum"), col("c_cum"), col("llr_b"),
+          col("llr_a"), col("decision"))
+        .orderBy("window_start")
+    }),
+
     // windowed CUSUM sequential change detection: integer-valued
     // synthetic metric makes every hourly mean an exact ratio; the
     // closed-form prefix identity S = P - min(0, running-min P) is
@@ -8091,6 +8109,42 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |      + exp(-98.0 * lam * lam) - exp(-128.0 * lam * lam))))
           |    END, 9) AS p_value
           |FROM lm ORDER BY window_start""".stripMargin,
+
+      "q_stream_sprt" ->
+        """WITH sc AS (
+          |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w,
+          |    CAST((user_id * 7) % 3 AS VARCHAR) AS y,
+          |    CAST((user_id * 11) % 3 AS VARCHAR) AS a,
+          |    CAST((user_id * 13) % 3 AS VARCHAR) AS b
+          |  FROM events),
+          |ag AS (
+          |  SELECT w, count(*) AS n,
+          |    sum(CASE WHEN y = a AND y <> b THEN 1 ELSE 0 END) AS bb,
+          |    sum(CASE WHEN y <> a AND y = b THEN 1 ELSE 0 END) AS cc
+          |  FROM sc GROUP BY 1),
+          |cm AS (
+          |  SELECT w, n,
+          |    SUM(bb) OVER (ORDER BY w ROWS BETWEEN UNBOUNDED PRECEDING
+          |      AND CURRENT ROW) AS bc,
+          |    SUM(cc) OVER (ORDER BY w ROWS BETWEEN UNBOUNDED PRECEDING
+          |      AND CURRENT ROW) AS c2
+          |  FROM ag),
+          |ll AS (
+          |  SELECT w, n, bc, c2,
+          |    round(c2 * ln(2.0 * 0.6) + bc * ln(2.0 * (1.0 - 0.6)), 9)
+          |      AS lb,
+          |    round(bc * ln(2.0 * 0.6) + c2 * ln(2.0 * (1.0 - 0.6)), 9)
+          |      AS la
+          |  FROM cm)
+          |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+          |  CAST(n AS BIGINT) AS n, CAST(bc AS BIGINT) AS b_cum,
+          |  CAST(c2 AS BIGINT) AS c_cum, lb AS llr_b, la AS llr_a,
+          |  CASE WHEN lb >= ln((1.0 - 0.05) / 0.05) THEN 'b_better'
+          |       WHEN la >= ln((1.0 - 0.05) / 0.05) THEN 'a_better'
+          |       WHEN lb <= ln(0.05 / (1.0 - 0.05))
+          |        AND la <= ln(0.05 / (1.0 - 0.05)) THEN 'no_difference'
+          |       ELSE 'continue' END AS decision
+          |FROM ll ORDER BY window_start""".stripMargin,
 
       "q_cusum" ->
         """WITH sc AS (

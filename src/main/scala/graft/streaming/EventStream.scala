@@ -527,6 +527,83 @@ object EventStream {
         graft.ops.Num.erfccCol(sqrt(stat / 2.0))), 9).as("p_value"))
   }
 
+  /** Sequential A/B decision via Wald's SPRT (Wald 1945, "Sequential
+    * Tests of Statistical Hypotheses") over the paired-discordant
+    * stream — the anytime-valid layer [[windowedAb]] lacks: reading a
+    * per-window McNemar p-value every hour and stopping at the first
+    * p < α is the classic PEEKING fallacy (the realized false-positive
+    * rate grows with every look); the SPRT's log-likelihood-ratio
+    * thresholds A = ln((1−β)/α), B = ln(β/(1−α)) guarantee the error
+    * rates regardless of how often the monitor looks or when it stops.
+    * Model: each discordant pair resolves in model B's favor
+    * (c-discordant) with probability p — H₀: p = ½ (no difference) vs
+    * H₁: p = p1 (B better by the caller's minimum-detectable margin).
+    * After each window, over the CUMULATIVE discordant counts
+    * (B_t a-wins, C_t b-wins):
+    * llr_b = C_t·ln(2·p1) + B_t·ln(2·(1−p1)), and symmetrically
+    * llr_a with the roles swapped — two one-sided SPRTs, so the
+    * verdict distinguishes "B better" from "A better" from "no
+    * practical difference" (BOTH tests hit their lower bound) from
+    * "continue". Concordant traffic carries no information (the
+    * McNemar principle) and only the discordant Bernoulli stream is
+    * modeled. Null labels refuse via the riding census. One row per
+    * window: (window_start, n, b_cum, c_cum, llr_b, llr_a, decision),
+    * doubles rounded at 9; the decision compares the round(9)-pinned
+    * llr against thresholds both engines compute from the same
+    * literals (the [[cusumDrift]] pinned-comparison convention).
+    *
+    * Scale shape: ONE (window) hash aggregate (the [[windowedAb]]
+    * aggregate — same single-sourced [[graft.ops.Classifier
+    * .mcnemarAggExprs]] columns), then window-ORDERED prefix sums on
+    * the windows-many post-aggregate rows (time-bounded; the
+    * [[cusumDrift]] convention).
+    */
+  def windowedAbSprt(scored: DataFrame, labelCol: String,
+                     predACol: String, predBCol: String,
+                     width: String = "1 hour", p1: Double = 0.6,
+                     alpha: Double = 0.05,
+                     beta: Double = 0.05): DataFrame = {
+    require(p1 > 0.5 && p1 < 1.0,
+      s"windowedAbSprt: p1=$p1 must be in (0.5, 1) — the minimum " +
+        "detectable B-win rate among discordants")
+    require(alpha > 0 && alpha < 0.5 && beta > 0 && beta < 0.5,
+      s"windowedAbSprt: alpha=$alpha beta=$beta must be in (0, 0.5)")
+    val e = graft.ops.Classifier.mcnemarAggExprs(labelCol, predACol,
+      predBCol)
+    val per = scored
+      .groupBy(window(col("ts"), width).as("w"))
+      .agg(e.head, e.tail: _*)
+      .localCheckpoint()
+    val nullRow = per.agg(sum("nulls")).head()
+    val nNull = if (nullRow.isNullAt(0)) 0L else nullRow.getLong(0)
+    require(nNull == 0,
+      s"windowedAbSprt: $nNull null $labelCol values — a null label " +
+        "is un-scorable ground truth; clean the frame first")
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy("k")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    // the Wald boundaries and per-observation log terms as fixed
+    // driver literals — both engines replay ln of the same doubles
+    val hi = math.log((1.0 - beta) / alpha)
+    val lo = math.log(beta / (1.0 - alpha))
+    val lnWin = math.log(2.0 * p1)
+    val lnLose = math.log(2.0 * (1.0 - p1))
+    val cum = per.select(col("w.start").as("k"), col("n"),
+        col("b"), col("c"))
+      .select(col("k"), col("n"),
+        sum("b").over(wOrd).as("bc"), sum("c").over(wOrd).as("cc"))
+    val llrB = round(col("cc") * lnWin + col("bc") * lnLose, 9)
+    val llrA = round(col("bc") * lnWin + col("cc") * lnLose, 9)
+    cum.select(col("k").as("window_start"), col("n"),
+      col("bc").as("b_cum"), col("cc").as("c_cum"),
+      llrB.as("llr_b"), llrA.as("llr_a"),
+      when(llrB >= hi, lit("b_better"))
+        .when(llrA >= hi, lit("a_better"))
+        .when(llrB <= lo && llrA <= lo, lit("no_difference"))
+        .otherwise(lit("continue")).as("decision"))
+  }
+
   /** Sliding-window per-user activity. */
   def sliding(events: DataFrame, width: String = "1 hour",
               slide: String = "30 minutes"): DataFrame =

@@ -908,6 +908,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Generate"), p)
   }
 
+  test("windowedAbSprt: ONE (window) aggregate; prefix sums on the checkpointed windows frame") {
+    val ev = graft.streaming.EventStream.loadEvents(spark, sf())
+    val scored = ev.select(col("ts"),
+      ((col("user_id") * 7) % 3).cast("string").as("y"),
+      ((col("user_id") * 11) % 3).cast("string").as("a"),
+      ((col("user_id") * 13) % 3).cast("string").as("b"))
+    val df = graft.streaming.EventStream.windowedAbSprt(scored, "y",
+      "a", "b", "1 hour")
+    val p = plan(df)
+    assert(!p.contains("FileScan"), p)
+    assert(opCount(p, "Scan parquet") + opCount(p, "BatchScan") === 0, p)
+    assert(p.contains("Window") && !p.contains("Join"), p)
+  }
+
   test("abReport: ONE pinned holdout — both legs read the checkpoint; placements broadcast") {
     // the r18 promotion's whole point: the McNemar aggregate and the
     // DeLong moment aggregate must BOTH read the one localCheckpointed

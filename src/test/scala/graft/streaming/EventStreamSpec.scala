@@ -609,6 +609,55 @@ class EventStreamSpec extends SparkSpec {
       drift(Seq(5.0), 5.0, 0.2, 0.0))
   }
 
+  test("windowedAbSprt: hand LLR, decisive streams decide at the Wald bound, balanced holds then closes, refusals") {
+    import spark.implicits._
+    // per hour: nb discordants A wins, nc discordants B wins, plus 3
+    // concordant rows that must carry NO information
+    def mk(hours: Seq[(Int, Int)]) =
+      hours.zipWithIndex.flatMap { case ((nb, nc), h) =>
+        val base = h * 3600L
+        Seq.fill(nb)((base, "1", "1", "0")) ++
+          Seq.fill(nc)((base, "1", "0", "1")) ++
+          Seq.fill(3)((base, "1", "1", "1"))
+      }.toDF("sec", "y", "a", "b")
+        .select(expr("timestamp_seconds(sec)").as("ts"), col("y"),
+          col("a"), col("b"))
+    def sprt(hours: Seq[(Int, Int)], p1: Double = 0.6) =
+      EventStream.windowedAbSprt(mk(hours), "y", "a", "b", "1 hour", p1)
+        .orderBy("window_start").collect()
+    // hand LLR on the cumulative counts after two windows:
+    // b_cum = 3, c_cum = 5 at p1 = .6
+    val out = sprt(Seq((2, 3), (1, 2)))
+    assert(out(1).getLong(2) === 3L && out(1).getLong(3) === 5L)
+    assert(out(1).getDouble(4) === graft.ops.Num.round9(
+      5 * math.log(2.0 * 0.6) + 3 * math.log(2.0 * 0.4)))
+    assert(out(1).getDouble(5) === graft.ops.Num.round9(
+      3 * math.log(2.0 * 0.6) + 5 * math.log(2.0 * 0.4)))
+    // B sweeping the discordants: the decision fires exactly when the
+    // pinned llr crosses the Wald bound ln((1-beta)/alpha) = ln(19)
+    val win = sprt(Seq.fill(20)((0, 4)))
+    assert(win.last.getString(6) === "b_better")
+    val hi = math.log((1.0 - 0.05) / 0.05)
+    assert(win.indexWhere(_.getString(6) == "b_better") ===
+      win.indexWhere(_.getDouble(4) >= hi))
+    // symmetric roles
+    assert(sprt(Seq.fill(20)((4, 0))).last.getString(6) === "a_better")
+    // balanced discordants: both LLRs drift down — never a win call,
+    // eventually BOTH cross the lower bound -> no_difference
+    val bal = sprt(Seq.fill(40)((3, 3)))
+    assert(!bal.exists(r => r.getString(6) == "b_better" ||
+      r.getString(6) == "a_better"))
+    assert(bal.last.getString(6) === "no_difference")
+    // refusals: p1/alpha guards; null labels via the riding census
+    intercept[IllegalArgumentException](sprt(Seq((1, 1)), p1 = 0.5))
+    intercept[IllegalArgumentException](EventStream.windowedAbSprt(
+      mk(Seq((1, 1))), "y", "a", "b", "1 hour", 0.6, alpha = 0.6))
+    intercept[IllegalArgumentException](EventStream.windowedAbSprt(
+      mk(Seq((1, 1))).select(col("ts"),
+        lit(null).cast("string").as("y"), col("a"), col("b")),
+      "y", "a", "b").count())
+  }
+
   test("windowedAb: single-window equality to batch mcnemarTest; degenerate; refusal") {
     import spark.implicits._
     val rows = (0 until 200).map { i =>
