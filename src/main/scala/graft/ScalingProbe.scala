@@ -1105,6 +1105,12 @@ object ScalingProbe {
     // prefix scans run over windows-many rows regardless of traffic
     time("cusum") { d =>
       SparkEntry.queries("q_cusum")(spark, d).count() }
+    // non-inferiority / off-policy eval (r18): each ONE scalar hash
+    // aggregate over the corpus — the mcnemarTest shape
+    time("noninferiority") { d =>
+      SparkEntry.queries("q_noninferiority")(spark, d).count() }
+    time("offpolicy") { d =>
+      SparkEntry.queries("q_offpolicy")(spark, d).count() }
     // Wald SPRT (r18): the windowedAb aggregate + prefix sums over
     // windows-many rows — post-aggregate state independent of traffic
     time("stream_sprt") { d =>

@@ -3803,6 +3803,35 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
         "score", "label", bins = 10)
     }),
 
+    // paired non-inferiority: the "safe to swap?" one-sided test at a
+    // 2% margin — delta/SE from exact discordant counts, the one-sided
+    // p via the shared erfcc chain (reflected for negative z)
+    "q_noninferiority" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"))
+      val frame = d.select(
+          (((col("id") * 37) % 97) % 2).as("y"),
+          (((col("id") * 13) % 101) >= 50).cast("int").as("pa"),
+          (((col("id") * 29) % 53) >= 27).cast("int").as("pb"))
+      ops.Classifier.nonInferiorityTest(frame, "y", "pa", "pb",
+        margin = 0.02)
+    }),
+
+    // off-policy evaluation from a synthetic logged-bandit frame:
+    // powers-of-two logging propensities make every importance weight
+    // (and its clip, products, squares) exactly dyadic, so all six
+    // sums are exact on both engines
+    "q_offpolicy" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"))
+      ops.Classifier.offPolicyEval(d.select(
+          (((col("id") * 13) % 8).cast("double") / 8.0).as("reward"),
+          (lit(1.0) / pow(lit(2.0),
+            (((col("id") * 7) % 3) + 1).cast("double"))).as("pb"),
+          ((((col("id") * 11) % 8) + 1).cast("double") / 16.0).as("pt")),
+        "reward", "pb", "pt", clip = 2.0)
+    }),
+
     // multiclass proper scores: 3 classes with DYADIC probabilities
     // summing to 1 exactly (a/128, b/128, (128-a-b)/128) and an
     // id-arithmetic label — per-class one-vs-rest Murphy rows plus
@@ -7721,6 +7750,76 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |  round((SELECT ybar FROM yb)
           |    * (1.0 - (SELECT ybar FROM yb)), 9) AS uncertainty
           |FROM red""".stripMargin,
+
+      "q_noninferiority" ->
+        s"""WITH r AS (
+          |  SELECT CAST(((CAST(doc_id AS BIGINT) * 37) % 97) % 2
+          |      AS BIGINT) AS y,
+          |    CASE WHEN (CAST(doc_id AS BIGINT) * 13) % 101 >= 50
+          |         THEN 1 ELSE 0 END AS a,
+          |    CASE WHEN (CAST(doc_id AS BIGINT) * 29) % 53 >= 27
+          |         THEN 1 ELSE 0 END AS b
+          |  FROM documents),
+          |ag AS (
+          |  SELECT count(*) AS n,
+          |    sum(CASE WHEN y = a THEN 1 ELSE 0 END) AS mca,
+          |    sum(CASE WHEN y = b THEN 1 ELSE 0 END) AS mcb,
+          |    sum(CASE WHEN y = a AND y <> b THEN 1 ELSE 0 END) AS bb,
+          |    sum(CASE WHEN y <> a AND y = b THEN 1 ELSE 0 END) AS cc
+          |  FROM r),
+          |st AS (
+          |  SELECT *, CAST(cc - bb AS DOUBLE) / n AS delta,
+          |    sqrt(greatest(0.0, (bb + cc)
+          |      - CAST(bb - cc AS DOUBLE) * (bb - cc) / n)) / n AS se
+          |  FROM ag),
+          |zz AS (
+          |  SELECT *, CASE WHEN se <= 0.0 THEN 0.0
+          |    ELSE (delta + 0.02) / se END AS z
+          |  FROM st),
+          |px AS (SELECT *, abs(z) / sqrt(2.0) AS xq FROM zz),
+          |pv AS (
+          |  SELECT *,
+          |    round(CASE
+          |      WHEN se <= 0.0 THEN
+          |        CASE WHEN delta + 0.02 > 0 THEN 0.0 ELSE 1.0 END
+          |      WHEN z >= 0 THEN least(1.0, ${erfccSql("xq")} / 2.0)
+          |      ELSE 1.0 - least(1.0, ${erfccSql("xq")} / 2.0)
+          |    END, 9) AS p
+          |  FROM px)
+          |SELECT CAST(n AS BIGINT) AS n,
+          |  round(mca * 1.0 / n, 9) AS acc_a,
+          |  round(mcb * 1.0 / n, 9) AS acc_b,
+          |  round(delta, 9) AS delta, 0.02 AS margin,
+          |  round(se, 9) AS se, round(z, 9) AS z,
+          |  p AS p_value, (p < 0.05) AS non_inferior
+          |FROM pv""".stripMargin,
+
+      "q_offpolicy" ->
+        """WITH r AS (
+          |  SELECT
+          |    CAST((CAST(doc_id AS BIGINT) * 13) % 8 AS DOUBLE) / 8.0
+          |      AS rw,
+          |    1.0 / power(2.0, CAST((CAST(doc_id AS BIGINT) * 7) % 3 + 1
+          |      AS DOUBLE)) AS pb,
+          |    CAST((CAST(doc_id AS BIGINT) * 11) % 8 + 1 AS DOUBLE)
+          |      / 16.0 AS pt
+          |  FROM documents),
+          |w AS (SELECT rw, pt / pb AS w0, least(pt / pb, 2.0) AS wc
+          |      FROM r),
+          |ag AS (
+          |  SELECT count(*) AS n, sum(rw) AS sr, sum(wc * rw) AS swr,
+          |    sum(wc) AS sw, sum(wc * wc) AS sww,
+          |    sum(CASE WHEN w0 > 2.0 THEN 1 ELSE 0 END) AS nclip
+          |  FROM w)
+          |SELECT CAST(n AS BIGINT) AS n, round(sr / n, 9)
+          |    AS behavior_mean,
+          |  round(swr / n, 9) AS ips,
+          |  round(CASE WHEN sw > 0 THEN swr / sw ELSE 0.0 END, 9)
+          |    AS snips,
+          |  round(CASE WHEN sww > 0 THEN sw * sw / sww ELSE 0.0 END, 9)
+          |    AS ess,
+          |  round(nclip * 1.0 / n, 9) AS clipped_frac
+          |FROM ag""".stripMargin,
 
       "q_proper_scores_mc" ->
         """WITH d AS (

@@ -1975,6 +1975,126 @@ object Classifier {
         "statistic", "p_value")
   }
 
+  /** Paired NON-INFERIORITY test on accuracy — the ship question
+    * [[mcnemarTest]] does not answer: McNemar asks "is there ANY
+    * difference?", but a model swap usually ships on "is the candidate
+    * not WORSE than the incumbent by more than a margin δ" (superiority
+    * is a bonus; a p = 0.3 McNemar is NOT evidence of non-inferiority —
+    * absence of evidence). One-sided test of
+    * H₀: acc_b − acc_a ≤ −δ vs H₁: acc_b − acc_a > −δ on the SAME
+    * holdout: the paired delta is (c − b)/n over the discordant counts,
+    * its Wald standard error √(b + c − (b−c)²/n) / n (the paired-
+    * proportion-difference SE — concordant pairs cancel exactly as in
+    * McNemar), z = (delta + δ)/SE, one-sided upper p via the
+    * [[Num.erfcc]] closed form both engines replay (negative z
+    * reflects: p = 1 − erfc(−z/√2)/2). No discordants at all (b = c =
+    * 0, SE = 0) means the models are interchangeable on this holdout —
+    * p = 0 by convention (δ > 0 makes H₁ true with certainty). Null
+    * labels refuse via the riding census. One row: (n, acc_a, acc_b,
+    * delta, margin, se, z, p_value, non_inferior = p < alpha), doubles
+    * rounded at 9.
+    *
+    * Scale shape: ONE scalar hash aggregate — the single-sourced
+    * [[mcnemarAggExprs]] columns; O(1) driver arithmetic.
+    */
+  def nonInferiorityTest(scored: DataFrame, labelCol: String,
+                         predACol: String, predBCol: String,
+                         margin: Double, alpha: Double = 0.05): DataFrame = {
+    require(margin > 0, s"nonInferiorityTest: margin=$margin must be " +
+      "positive — a zero margin is a superiority test; use mcnemarTest")
+    require(alpha > 0 && alpha < 0.5, s"nonInferiorityTest: alpha=$alpha")
+    val row = mcnemarAggregate(scored, labelCol, predACol, predBCol).head()
+    require(!row.isNullAt(0) && row.getLong(0) > 0,
+      "nonInferiorityTest: empty frame")
+    require(row.getLong(1) == 0,
+      s"nonInferiorityTest: ${row.getLong(1)} null $labelCol values — " +
+        "a null label is un-scorable ground truth; clean the frame first")
+    val (n, ca, cb, b, c) = (row.getLong(0), row.getLong(2),
+      row.getLong(3), row.getLong(4), row.getLong(5))
+    val delta = (c - b).toDouble / n
+    val se = math.sqrt(math.max(0.0,
+      (b + c) - (b - c).toDouble * (b - c) / n)) / n
+    val (z, p) =
+      if (se <= 0.0) (0.0, if (delta + margin > 0) 0.0 else 1.0)
+      else {
+        val z0 = (delta + margin) / se
+        val p0 =
+          if (z0 >= 0) math.min(1.0, Num.erfcc(z0 / math.sqrt(2.0)) / 2.0)
+          else 1.0 - math.min(1.0, Num.erfcc(-z0 / math.sqrt(2.0)) / 2.0)
+        (z0, p0)
+      }
+    val spark = scored.sparkSession
+    import spark.implicits._
+    Seq((n, Num.round9(ca.toDouble / n), Num.round9(cb.toDouble / n),
+      Num.round9(delta), margin, Num.round9(se), Num.round9(z),
+      Num.round9(p), Num.round9(p) < alpha))
+      .toDF("n", "acc_a", "acc_b", "delta", "margin", "se", "z",
+        "p_value", "non_inferior")
+  }
+
+  /** Off-policy evaluation of a candidate policy from LOGGED traffic
+    * (Horvitz & Thompson 1952 inverse-propensity scoring; the clipped
+    * and self-normalized forms of Swaminathan & Joachims 2015) — the
+    * eval that answers "what reward would the NEW router/model-choice
+    * policy have earned on last month's traffic?" without deploying
+    * it: each logged row carries the observed reward, the probability
+    * the LOGGING policy gave the action it took (`loggedPropCol`), and
+    * the probability the CANDIDATE policy gives that same action
+    * (`targetPropCol`). The importance weight w = p_target / p_logged
+    * is clipped at `clip` (the standard bias-variance knob; the
+    * clipped fraction is reported, not hidden), giving
+    * ips = Σ w·r / n (unbiased under full support, high variance) and
+    * snips = Σ w·r / Σ w (self-normalized — biased O(1/n), much
+    * tighter, the practical default). `ess` = (Σw)²/Σw² is the
+    * effective sample size — the honesty diagnostic: an ESS of 40 on a
+    * million rows says the logs barely cover the candidate policy and
+    * BOTH estimates are built on ~40 rows. Hygiene rides the ONE
+    * aggregate: null/NaN rewards, propensities outside (0, 1] on the
+    * logging side or [0, 1] on the target side refuse. One row:
+    * (n, behavior_mean, ips, snips, ess, clipped_frac), doubles
+    * rounded at 9.
+    *
+    * Scale shape: ONE scalar hash aggregate over the log — every
+    * estimate folds from the same six sums; no join, no window.
+    */
+  def offPolicyEval(logged: DataFrame, rewardCol: String,
+                    loggedPropCol: String, targetPropCol: String,
+                    clip: Double = 10.0): DataFrame = {
+    require(clip > 0, s"offPolicyEval: clip=$clip must be positive")
+    val r = col(rewardCol).cast("double")
+    val pb = col(loggedPropCol).cast("double")
+    val pt = col(targetPropCol).cast("double")
+    val badc = (r.isNull || isnan(r) ||
+      pb.isNull || isnan(pb) || pb <= 0.0 || pb > 1.0 ||
+      pt.isNull || isnan(pt) || pt < 0.0 || pt > 1.0).cast("long")
+    // the division is GUARDED, not just censused: under ANSI SQL a
+    // pb = 0 row would kill the whole job with a divide-by-zero
+    // before the refusal could fire — the bad row contributes null
+    // (sum-skipped) and the riding census reports it instead
+    val w = when(pb > 0.0, pt / pb)
+    val wc = least(w, lit(clip))
+    val agg = logged.agg(count(lit(1)).as("n"), sum(badc).as("nbad"),
+      sum(r).as("sr"), sum(wc * r).as("swr"), sum(wc).as("sw"),
+      sum(wc * wc).as("sww"),
+      sum((w > clip).cast("long")).as("nclip")).head()
+    val nBad = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+    require(nBad == 0,
+      "offPolicyEval: rewards must be non-null/non-NaN, logging " +
+        "propensities in (0, 1], target probabilities in [0, 1] — " +
+        "clean the log first")
+    require(agg.getLong(0) > 0, "offPolicyEval: empty log")
+    val n = agg.getLong(0)
+    val (sr, swr, sw, sww) = (agg.getDouble(2), agg.getDouble(3),
+      agg.getDouble(4), agg.getDouble(5))
+    val snips = if (sw > 0) swr / sw else 0.0
+    val ess = if (sww > 0) sw * sw / sww else 0.0
+    val spark = logged.sparkSession
+    import spark.implicits._
+    Seq((n, Num.round9(sr / n), Num.round9(swr / n), Num.round9(snips),
+      Num.round9(ess), Num.round9(agg.getLong(6).toDouble / n)))
+      .toDF("n", "behavior_mean", "ips", "snips", "ess", "clipped_frac")
+  }
+
   /** Paired-bootstrap confidence interval on the ACCURACY DELTA of two
     * models over the same holdout — [[mcnemarTest]] answers "is the
     * difference real", this answers "how big is it": per row

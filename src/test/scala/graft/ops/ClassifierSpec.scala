@@ -1146,6 +1146,85 @@ class ClassifierSpec extends SparkSpec {
       "y", "sa", "sb").count())
   }
 
+  test("nonInferiorityTest: hand case, no-discordants certainty, worse-model reflection, refusals") {
+    import spark.implicits._
+    // 100 rows: 6 discordants A-wins, 10 B-wins, 84 both-correct
+    // delta = .04, se = sqrt(16 - 16/100)/100, z = (delta+.02)/se
+    def frame(nb: Int, nc: Int, nBoth: Int) =
+      (Seq.fill(nb)(("1", "1", "0")) ++ Seq.fill(nc)(("1", "0", "1")) ++
+        Seq.fill(nBoth)(("1", "1", "1"))).toDF("y", "a", "b")
+    val r = Classifier.nonInferiorityTest(frame(6, 10, 84), "y", "a",
+      "b", margin = 0.02).head()
+    assert(r.getLong(0) === 100L)
+    assert(r.getDouble(3) === 0.04 && r.getDouble(4) === 0.02)
+    val se = math.sqrt(16 - 16.0 / 100) / 100
+    assert(math.abs(r.getDouble(5) - se) < 1e-9)
+    val z = (0.04 + 0.02) / se
+    assert(math.abs(r.getDouble(6) - z) < 1e-9)
+    assert(math.abs(r.getDouble(7) -
+      math.min(1.0, graft.ops.Num.erfcc(z / math.sqrt(2.0)) / 2.0)) < 1e-8)
+    // z ~ 1.51 -> p ~ .066: NOT non-inferior at alpha = .05 even
+    // though B is numerically better — the evidence is insufficient
+    assert(!r.getBoolean(8))
+    // identical models: no discordants, margin > 0 -> certainty
+    val same = Classifier.nonInferiorityTest(frame(0, 0, 50), "y", "a",
+      "b", margin = 0.02).head()
+    assert(same.getDouble(7) === 0.0 && same.getBoolean(8))
+    // B clearly worse: negative z exercises the erfcc reflection;
+    // p -> 1, and p + p(mirror-margin direction) stays a probability
+    val worse = Classifier.nonInferiorityTest(frame(20, 0, 80), "y",
+      "a", "b", margin = 0.02).head()
+    assert(worse.getDouble(6) < 0 && worse.getDouble(7) > 0.999)
+    assert(!worse.getBoolean(8))
+    // refusals: margin, alpha, null labels, empty
+    intercept[IllegalArgumentException](Classifier.nonInferiorityTest(
+      frame(1, 1, 1), "y", "a", "b", margin = 0.0))
+    intercept[IllegalArgumentException](Classifier.nonInferiorityTest(
+      frame(1, 1, 1), "y", "a", "b", margin = 0.02, alpha = 0.7))
+    intercept[IllegalArgumentException](Classifier.nonInferiorityTest(
+      frame(1, 1, 1).select(lit(null).cast("string").as("y"), col("a"),
+        col("b")), "y", "a", "b", margin = 0.02))
+    intercept[IllegalArgumentException](Classifier.nonInferiorityTest(
+      frame(0, 0, 0), "y", "a", "b", margin = 0.02))
+  }
+
+  test("offPolicyEval: hand IPS/SNIPS/ESS, identity policy, clipping census, refusals") {
+    import spark.implicits._
+    // (reward, logged propensity, target prob): w = 2, .5, 4->clip 2, .5
+    val log = Seq((1.0, 0.5, 1.0), (0.0, 0.5, 0.25), (1.0, 0.25, 1.0),
+      (0.5, 1.0, 0.5)).toDF("r", "pb", "pt")
+    val r = Classifier.offPolicyEval(log, "r", "pb", "pt", clip = 2.0)
+      .head()
+    assert(r.getLong(0) === 4L)
+    assert(r.getDouble(1) === 0.625)           // behavior mean
+    assert(r.getDouble(2) === 1.0625)          // ips = 4.25/4
+    assert(r.getDouble(3) === 0.85)            // snips = 4.25/5
+    assert(r.getDouble(4) ===
+      graft.ops.Num.round9(25.0 / 8.5))        // ess = (Σw)²/Σw²
+    assert(r.getDouble(5) === 0.25)            // 1 of 4 clipped
+    // identity policy: every estimate collapses to the behavior mean
+    // and ESS is the full n — the sanity anchor
+    val id0 = Classifier.offPolicyEval(
+      log.select(col("r"), col("pb"), col("pb").as("pt")),
+      "r", "pb", "pt").head()
+    assert(id0.getDouble(2) === id0.getDouble(1))
+    assert(id0.getDouble(3) === id0.getDouble(1))
+    assert(id0.getDouble(4) === 4.0 && id0.getDouble(5) === 0.0)
+    // refusals ride the one aggregate: zero logging propensity,
+    // target prob > 1, NaN reward, bad clip, empty
+    intercept[IllegalArgumentException](Classifier.offPolicyEval(
+      Seq((1.0, 0.0, 0.5)).toDF("r", "pb", "pt"), "r", "pb", "pt"))
+    intercept[IllegalArgumentException](Classifier.offPolicyEval(
+      Seq((1.0, 0.5, 1.5)).toDF("r", "pb", "pt"), "r", "pb", "pt"))
+    intercept[IllegalArgumentException](Classifier.offPolicyEval(
+      Seq((Double.NaN, 0.5, 0.5)).toDF("r", "pb", "pt"), "r", "pb",
+      "pt"))
+    intercept[IllegalArgumentException](Classifier.offPolicyEval(
+      log, "r", "pb", "pt", clip = 0.0))
+    intercept[IllegalArgumentException](Classifier.offPolicyEval(
+      log.filter(lit(false)), "r", "pb", "pt"))
+  }
+
   test("empty frames refuse loudly across the evaluation family") {
     import spark.implicits._
     // review-fixed: these previously returned a silent all-null row
