@@ -1111,6 +1111,8 @@ object ScalingProbe {
       SparkEntry.queries("q_noninferiority")(spark, d).count() }
     time("offpolicy") { d =>
       SparkEntry.queries("q_offpolicy")(spark, d).count() }
+    time("offpolicy_dr") { d =>
+      SparkEntry.queries("q_offpolicy_dr")(spark, d).count() }
     // Wald SPRT (r18): the windowedAb aggregate + prefix sums over
     // windows-many rows — post-aggregate state independent of traffic
     time("stream_sprt") { d =>

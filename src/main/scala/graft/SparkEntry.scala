@@ -3832,6 +3832,22 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
         "reward", "pb", "pt", clip = 2.0)
     }),
 
+    // doubly-robust OPE on the same dyadic logged-bandit frame as
+    // q_offpolicy, plus dyadic q-hat/v-hat model columns — every sum
+    // (incl. the correction term) is exact on both engines
+    "q_offpolicy_dr" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"))
+      ops.Classifier.doublyRobustEval(d.select(
+          (((col("id") * 13) % 8).cast("double") / 8.0).as("reward"),
+          (lit(1.0) / pow(lit(2.0),
+            (((col("id") * 7) % 3) + 1).cast("double"))).as("pb"),
+          ((((col("id") * 11) % 8) + 1).cast("double") / 16.0).as("pt"),
+          (((col("id") * 5) % 8).cast("double") / 8.0).as("qh"),
+          (((col("id") * 3) % 8).cast("double") / 8.0).as("vh")),
+        "reward", "pb", "pt", "qh", "vh", clip = 2.0)
+    }),
+
     // multiclass proper scores: 3 classes with DYADIC probabilities
     // summing to 1 exactly (a/128, b/128, (128-a-b)/128) and an
     // id-arithmetic label — per-class one-vs-rest Murphy rows plus
@@ -7816,6 +7832,40 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |  round(swr / n, 9) AS ips,
           |  round(CASE WHEN sw > 0 THEN swr / sw ELSE 0.0 END, 9)
           |    AS snips,
+          |  round(CASE WHEN sww > 0 THEN sw * sw / sww ELSE 0.0 END, 9)
+          |    AS ess,
+          |  round(nclip * 1.0 / n, 9) AS clipped_frac
+          |FROM ag""".stripMargin,
+
+      "q_offpolicy_dr" ->
+        """WITH r AS (
+          |  SELECT
+          |    CAST((CAST(doc_id AS BIGINT) * 13) % 8 AS DOUBLE) / 8.0
+          |      AS rw,
+          |    1.0 / power(2.0, CAST((CAST(doc_id AS BIGINT) * 7) % 3 + 1
+          |      AS DOUBLE)) AS pb,
+          |    CAST((CAST(doc_id AS BIGINT) * 11) % 8 + 1 AS DOUBLE)
+          |      / 16.0 AS pt,
+          |    CAST((CAST(doc_id AS BIGINT) * 5) % 8 AS DOUBLE) / 8.0
+          |      AS qh,
+          |    CAST((CAST(doc_id AS BIGINT) * 3) % 8 AS DOUBLE) / 8.0
+          |      AS vh
+          |  FROM documents),
+          |w AS (SELECT rw, qh, vh, pt / pb AS w0,
+          |        least(pt / pb, 2.0) AS wc
+          |      FROM r),
+          |ag AS (
+          |  SELECT count(*) AS n, sum(rw) AS sr, sum(vh) AS sv,
+          |    sum(wc * rw) AS swr,
+          |    sum(vh + wc * (rw - qh)) AS sdr,
+          |    sum(wc) AS sw, sum(wc * wc) AS sww,
+          |    sum(CASE WHEN w0 > 2.0 THEN 1 ELSE 0 END) AS nclip
+          |  FROM w)
+          |SELECT CAST(n AS BIGINT) AS n,
+          |  round(sr / n, 9) AS behavior_mean,
+          |  round(sv / n, 9) AS dm,
+          |  round(swr / n, 9) AS ips,
+          |  round(sdr / n, 9) AS dr,
           |  round(CASE WHEN sww > 0 THEN sw * sw / sww ELSE 0.0 END, 9)
           |    AS ess,
           |  round(nclip * 1.0 / n, 9) AS clipped_frac

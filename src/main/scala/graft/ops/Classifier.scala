@@ -2095,6 +2095,73 @@ object Classifier {
       .toDF("n", "behavior_mean", "ips", "snips", "ess", "clipped_frac")
   }
 
+  /** Doubly-robust off-policy evaluation (Dudík, Langford & Li 2011)
+    * — the third member of the standard OPE trio with
+    * [[offPolicyEval]]'s IPS/SNIPS: combine a learned reward model
+    * (the direct method) with the importance-weighted correction,
+    * DR = (1/n) Σ [ v̂(x) + w·(r − q̂(x, a_logged)) ] where
+    * q̂ (`qHatCol`) is the model's predicted reward for the action the
+    * LOG took and v̂ (`vHatCol`) is the model's expected reward under
+    * the CANDIDATE policy at that context (Σ_a π_target(a|x)·q̂(x,a),
+    * caller-computed — actions are not enumerated here). Unbiased if
+    * EITHER the propensities or the reward model is right (that is
+    * the "doubly"), and the correction term shrinks with the model's
+    * residual, so DR's variance beats raw IPS whenever q̂ is any good.
+    * Two spec-pinned anchors: a PERFECT reward model (q̂ ≡ r) makes
+    * the correction vanish — DR = mean(v̂) exactly, propensities
+    * irrelevant; a ZERO model (q̂ ≡ v̂ ≡ 0) degrades DR to exactly
+    * [[offPolicyEval]]'s ips. The importance weight is clipped at
+    * `clip` (guarded division — the [[offPolicyEval]] ANSI
+    * convention) and the clipped fraction reported. Hygiene (null/NaN
+    * rewards or model columns, propensities out of range) rides the
+    * ONE aggregate. One row: (n, behavior_mean, dm, ips, dr, ess,
+    * clipped_frac), doubles rounded at 9.
+    *
+    * Scale shape: ONE scalar hash aggregate over the log — the
+    * [[offPolicyEval]] plan with two more sum columns.
+    */
+  def doublyRobustEval(logged: DataFrame, rewardCol: String,
+                       loggedPropCol: String, targetPropCol: String,
+                       qHatCol: String, vHatCol: String,
+                       clip: Double = 10.0): DataFrame = {
+    require(clip > 0, s"doublyRobustEval: clip=$clip must be positive")
+    val r = col(rewardCol).cast("double")
+    val pb = col(loggedPropCol).cast("double")
+    val pt = col(targetPropCol).cast("double")
+    val qh = col(qHatCol).cast("double")
+    val vh = col(vHatCol).cast("double")
+    val badc = (r.isNull || isnan(r) ||
+      pb.isNull || isnan(pb) || pb <= 0.0 || pb > 1.0 ||
+      pt.isNull || isnan(pt) || pt < 0.0 || pt > 1.0 ||
+      qh.isNull || isnan(qh) || vh.isNull || isnan(vh)).cast("long")
+    val w = when(pb > 0.0, pt / pb)
+    val wc = least(w, lit(clip))
+    val agg = logged.agg(count(lit(1)).as("n"), sum(badc).as("nbad"),
+      sum(r).as("sr"), sum(vh).as("sv"),
+      sum(wc * r).as("swr"),
+      sum(vh + wc * (r - qh)).as("sdr"),
+      sum(wc).as("sw"), sum(wc * wc).as("sww"),
+      sum((w > clip).cast("long")).as("nclip")).head()
+    val nBad = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+    require(nBad == 0,
+      "doublyRobustEval: rewards/q-hat/v-hat must be non-null/non-NaN, " +
+        "logging propensities in (0, 1], target probabilities in " +
+        "[0, 1] — clean the log first")
+    require(agg.getLong(0) > 0, "doublyRobustEval: empty log")
+    val n = agg.getLong(0)
+    val (sw, sww) = (agg.getDouble(6), agg.getDouble(7))
+    val ess = if (sww > 0) sw * sw / sww else 0.0
+    val spark = logged.sparkSession
+    import spark.implicits._
+    Seq((n, Num.round9(agg.getDouble(2) / n),
+      Num.round9(agg.getDouble(3) / n),
+      Num.round9(agg.getDouble(4) / n),
+      Num.round9(agg.getDouble(5) / n),
+      Num.round9(ess), Num.round9(agg.getLong(8).toDouble / n)))
+      .toDF("n", "behavior_mean", "dm", "ips", "dr", "ess",
+        "clipped_frac")
+  }
+
   /** Paired-bootstrap confidence interval on the ACCURACY DELTA of two
     * models over the same holdout — [[mcnemarTest]] answers "is the
     * difference real", this answers "how big is it": per row

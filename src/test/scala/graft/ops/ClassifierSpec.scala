@@ -1225,6 +1225,48 @@ class ClassifierSpec extends SparkSpec {
       log.filter(lit(false)), "r", "pb", "pt"))
   }
 
+  test("doublyRobustEval: hand DR, perfect-model anchor, zero-model degrades to IPS, refusals") {
+    import spark.implicits._
+    // (reward, p_logged, p_target, q_hat, v_hat): wc = 2, .5, 2, .5
+    val log = Seq(
+      (1.0, 0.5, 1.0, 0.75, 0.5),
+      (0.0, 0.5, 0.25, 0.25, 0.25),
+      (1.0, 0.25, 1.0, 1.0, 0.75),
+      (0.5, 1.0, 0.5, 0.5, 0.25)).toDF("r", "pb", "pt", "qh", "vh")
+    val r = Classifier.doublyRobustEval(log, "r", "pb", "pt", "qh",
+      "vh", clip = 2.0).head()
+    assert(r.getLong(0) === 4L)
+    assert(r.getDouble(1) === 0.625)                 // behavior mean
+    assert(r.getDouble(2) === 0.4375)                // dm = mean v_hat
+    assert(r.getDouble(3) === 1.0625)                // ips (as offPolicyEval)
+    // dr per row: .5+2(.25)=1; .25+.5(-.25)=.125; .75+2(0)=.75;
+    // .25+.5(0)=.25 -> mean = 2.125/4
+    assert(r.getDouble(4) === 0.53125)
+    assert(r.getDouble(6) === 0.25)
+    // PERFECT reward model (q = r): the correction vanishes — DR
+    // equals the direct method exactly, propensities irrelevant
+    val perfect = Classifier.doublyRobustEval(
+      log.select(col("r"), col("pb"), col("pt"), col("r").as("qh"),
+        col("vh")), "r", "pb", "pt", "qh", "vh", clip = 2.0).head()
+    assert(perfect.getDouble(4) === perfect.getDouble(2))
+    // ZERO model: DR degrades to exactly the IPS estimate
+    val zero = Classifier.doublyRobustEval(
+      log.select(col("r"), col("pb"), col("pt"),
+        lit(0.0).as("qh"), lit(0.0).as("vh")),
+      "r", "pb", "pt", "qh", "vh", clip = 2.0).head()
+    assert(zero.getDouble(4) === zero.getDouble(3))
+    assert(zero.getDouble(3) === r.getDouble(3))
+    // refusals: NaN model column, bad propensity, empty
+    intercept[IllegalArgumentException](Classifier.doublyRobustEval(
+      Seq((1.0, 0.5, 0.5, Double.NaN, 0.0)).toDF("r", "pb", "pt", "qh",
+        "vh"), "r", "pb", "pt", "qh", "vh"))
+    intercept[IllegalArgumentException](Classifier.doublyRobustEval(
+      Seq((1.0, 0.0, 0.5, 0.5, 0.5)).toDF("r", "pb", "pt", "qh", "vh"),
+      "r", "pb", "pt", "qh", "vh"))
+    intercept[IllegalArgumentException](Classifier.doublyRobustEval(
+      log.filter(lit(false)), "r", "pb", "pt", "qh", "vh"))
+  }
+
   test("empty frames refuse loudly across the evaluation family") {
     import spark.implicits._
     // review-fixed: these previously returned a silent all-null row
