@@ -555,13 +555,13 @@ object Classifier {
     * One row: (n_items, n_ratings, d_o, d_e, alpha), doubles rounded
     * at 9.
     *
-    * Scale shape: ONE (item, value) hash aggregate; the within-item
-    * pair sum is a self-join keyed by item over per-item supports
-    * (raters-per-item bounded, so the blow-up is m_i², not corpus²);
-    * D_e runs over the DISTINCT-VALUE table, refused past
-    * `maxDistinct` (a ratio rating scale is bounded in practice —
-    * quantize a continuous one first), so the d² cross term is
-    * driver-safe tiny.
+    * Scale shape: ONE (item, value) hash aggregate whose guard
+    * (census + emptiness + GLOBAL distinct-value count) runs BEFORE
+    * either quadratic term is built — per-item distinct ≤ global
+    * distinct ≤ `maxDistinct`, so the one refusal caps both the
+    * within-item self-join (m_i² per item, never corpus²) and the d²
+    * distinct-value cross for D_e (a ratio rating scale is bounded in
+    * practice — quantize a continuous one first).
     */
   def krippendorffAlphaRatio(ratings: DataFrame, itemCol: String,
                              valueCol: String,
@@ -577,13 +577,23 @@ object Classifier {
       .groupBy("item", "v").agg(count(lit(1)).as("n"),
         sum("__bad").as("nbad"))
       .localCheckpoint()
-    val guard = cnt.agg(sum("nbad")).head()
-    val nBad = if (guard.isNullAt(0)) 0L else guard.getLong(0)
+    // census + emptiness + the distinct-value bound in ONE aggregate
+    // over the checkpointed (item, value) frame, and the bound is
+    // checked BEFORE the within-item self-join below is ever built —
+    // per-item distinct <= global distinct, so this one refusal caps
+    // BOTH quadratic terms (the refuse-before-blowup contract)
+    val guard = cnt.agg(count(lit(1)).as("rows"), sum("nbad").as("bad"),
+      countDistinct("v").as("nd")).head()
+    val nBad = if (guard.isNullAt(1)) 0L else guard.getLong(1)
     require(nBad == 0,
       s"krippendorffAlphaRatio: $nBad null/NaN/negative $valueCol " +
         "ratings — the ratio metric needs a nonnegative scale; drop " +
         "missing rows (or use the nominal form)")
-    require(cnt.head(1).nonEmpty, "krippendorffAlphaRatio: empty frame")
+    require(guard.getLong(0) > 0, "krippendorffAlphaRatio: empty frame")
+    require(guard.getLong(2) <= maxDistinct,
+      s"krippendorffAlphaRatio: ${guard.getLong(2)} distinct " +
+        s"$valueCol values exceed maxDistinct=$maxDistinct — quantize " +
+        "the scale first")
     val perItem = cnt.groupBy("item").agg(sum("n").as("m"))
       .filter(col("m") >= 2)
     val usable = cnt.join(perItem, "item")
@@ -611,13 +621,9 @@ object Classifier {
     val (nItems, nr) = (doRow.getLong(0), doRow.getLong(1))
     val dO = doRow.getDouble(2) / nr
     // D_e over the pooled distinct-value counts of usable ratings —
-    // bounded by maxDistinct BEFORE the d² cross term
+    // already bounded by the up-front guard, so the d² cross is safe
     val vals = usable.groupBy("v").agg(sum("n").as("nv"))
       .localCheckpoint()
-    val nd = vals.count()
-    require(nd <= maxDistinct,
-      s"krippendorffAlphaRatio: $nd distinct $valueCol values exceed " +
-        s"maxDistinct=$maxDistinct — quantize the scale first")
     val deRow = vals.select(col("v"), col("nv"))
       .crossJoin(broadcast(vals.select(col("v").as("w"),
         col("nv").as("nw"))))
@@ -720,7 +726,7 @@ object Classifier {
     */
   def rocAucCI(scored: DataFrame, scoreCol: String, labelCol: String,
                bins: Option[Int] = None,
-               z: Double = 1.959964): DataFrame = {
+               z: Double = Z95): DataFrame = {
     require(z > 0, s"rocAucCI: z must be positive: $z")
     val r = rocAuc(scored, scoreCol, labelCol, bins).head()
     val (np, nn, a) = (r.getLong(0), r.getLong(1), r.getDouble(2))
@@ -914,9 +920,11 @@ object Classifier {
     (aA, aB, delta, if (v <= 0.0) 0.0 else math.sqrt(v), zz, p)
   }
 
-  /** The 95% two-sided normal quantile as a FIXED literal — the
-    * [[rocAucCI]] philosophy (an inverse-CDF evaluation would be an
-    * engine-divergence surface; both engines replay the constant). */
+  /** The 95% two-sided normal quantile as ONE fixed literal — used by
+    * [[rocAucCI]]'s default z and [[deLongTest]]'s delta CI (an
+    * inverse-CDF evaluation would be an engine-divergence surface;
+    * both engines replay the constant, and a second copy of the digit
+    * string would be a drift surface). */
   private[graft] val Z95: Double = 1.959964
 
   def deLongTest(scored: DataFrame, labelCol: String,
@@ -999,12 +1007,11 @@ object Classifier {
     val row = mcAgg.head()
     val (n, ca, cb, b, c) = (row.getLong(0), row.getLong(2),
       row.getLong(3), row.getLong(4), row.getLong(5))
-    val stat = if (b + c == 0) 0.0
-      else { val d = math.abs(b - c) - 1.0; d * d / (b + c) }
+    val (accA, accB, stat, pMc) = mcnemarStats(n, ca, cb, b, c)
     val spark = scored.sparkSession
     import spark.implicits._
-    Seq((n, Num.round9(ca.toDouble / n), Num.round9(cb.toDouble / n),
-      b, c, Num.round9(stat), Num.round9(Num.chi2P1(stat)),
+    Seq((n, Num.round9(accA), Num.round9(accB),
+      b, c, Num.round9(stat), Num.round9(pMc),
       Num.round9(aA), Num.round9(aB), Num.round9(delta),
       Num.round9(zz), Num.round9(p)))
       .toDF("n", "acc_a", "acc_b", "b_discordant", "c_discordant",
@@ -1838,8 +1845,12 @@ object Classifier {
       col(labelCol).cast("double") =!= y.cast("double") ||
       exists(probs, p => p.isNull || isnan(p) || p < 0.0 || p > 1.0))
       .cast("long")
+    // posexplode_OUTER: a zero-length (non-null) vector would emit no
+    // rows under plain posexplode and silently vanish from the census,
+    // N, and every statistic — outer keeps one null-element row whose
+    // __bad flag (y >= K with K = 0) carries the refusal
     val ex = scored.select(y.as("__y"), k.as("__k"),
-        badRow.as("__bad"), posexplode(coalesce(probs,
+        badRow.as("__bad"), posexplode_outer(coalesce(probs,
           typedlit(Seq(0.0)))))
       .withColumnRenamed("pos", "__cls").withColumnRenamed("col", "__p")
     val p = col("__p")
@@ -1955,6 +1966,18 @@ object Classifier {
     scored.agg(e.head, e.tail: _*)
   }
 
+  /** The accuracy/statistic/p fold over the six [[mcnemarAggExprs]]
+    * counts — ONE closed form shared by [[mcnemarTest]] and
+    * [[abReport]] (the [[deLongStats]] discipline: a second copy of
+    * the Edwards correction would be a bit-parity drift surface).
+    * Returns (acc_a, acc_b, statistic, p_value), unrounded. */
+  private def mcnemarStats(n: Long, ca: Long, cb: Long, b: Long,
+      c: Long): (Double, Double, Double, Double) = {
+    val stat = if (b + c == 0) 0.0
+      else { val d = math.abs(b - c) - 1.0; d * d / (b + c) }
+    (ca.toDouble / n, cb.toDouble / n, stat, Num.chi2P1(stat))
+  }
+
   def mcnemarTest(scored: DataFrame, labelCol: String,
                   predACol: String, predBCol: String): DataFrame = {
     val row = mcnemarAggregate(scored, labelCol, predACol, predBCol).head()
@@ -1965,12 +1988,11 @@ object Classifier {
         "label is un-scorable ground truth; clean the frame first")
     val (n, ca, cb, b, c) = (row.getLong(0), row.getLong(2),
       row.getLong(3), row.getLong(4), row.getLong(5))
-    val stat = if (b + c == 0) 0.0
-      else { val d = math.abs(b - c) - 1.0; d * d / (b + c) }
+    val (accA, accB, stat, p) = mcnemarStats(n, ca, cb, b, c)
     val spark = scored.sparkSession
     import spark.implicits._
-    Seq((n, Num.round9(ca.toDouble / n), Num.round9(cb.toDouble / n),
-      b, c, Num.round9(stat), Num.round9(Num.chi2P1(stat))))
+    Seq((n, Num.round9(accA), Num.round9(accB),
+      b, c, Num.round9(stat), Num.round9(p)))
       .toDF("n", "acc_a", "acc_b", "b_discordant", "c_discordant",
         "statistic", "p_value")
   }
@@ -2057,6 +2079,23 @@ object Classifier {
     * Scale shape: ONE scalar hash aggregate over the log — every
     * estimate folds from the same six sums; no join, no window.
     */
+  /** The shared importance-weight construction of [[offPolicyEval]]
+    * and [[doublyRobustEval]] — the reward/propensity census (logging
+    * in (0, 1], target in [0, 1]), the GUARDED ratio (under ANSI SQL
+    * a pb = 0 row would kill the whole job with a divide-by-zero
+    * before the refusal could fire; the bad row contributes null,
+    * sum-skipped, and the riding census reports it), and its clip —
+    * ONE source so the two estimators cannot drift (the
+    * [[mcnemarAggExprs]] discipline). Returns (bad, w, w_clipped). */
+  private def opeWeights(r: Column, pb: Column, pt: Column,
+      clip: Double): (Column, Column, Column) = {
+    val bad = r.isNull || isnan(r) ||
+      pb.isNull || isnan(pb) || pb <= 0.0 || pb > 1.0 ||
+      pt.isNull || isnan(pt) || pt < 0.0 || pt > 1.0
+    val w = when(pb > 0.0, pt / pb)
+    (bad, w, least(w, lit(clip)))
+  }
+
   def offPolicyEval(logged: DataFrame, rewardCol: String,
                     loggedPropCol: String, targetPropCol: String,
                     clip: Double = 10.0): DataFrame = {
@@ -2064,15 +2103,8 @@ object Classifier {
     val r = col(rewardCol).cast("double")
     val pb = col(loggedPropCol).cast("double")
     val pt = col(targetPropCol).cast("double")
-    val badc = (r.isNull || isnan(r) ||
-      pb.isNull || isnan(pb) || pb <= 0.0 || pb > 1.0 ||
-      pt.isNull || isnan(pt) || pt < 0.0 || pt > 1.0).cast("long")
-    // the division is GUARDED, not just censused: under ANSI SQL a
-    // pb = 0 row would kill the whole job with a divide-by-zero
-    // before the refusal could fire — the bad row contributes null
-    // (sum-skipped) and the riding census reports it instead
-    val w = when(pb > 0.0, pt / pb)
-    val wc = least(w, lit(clip))
+    val (badBase, w, wc) = opeWeights(r, pb, pt, clip)
+    val badc = badBase.cast("long")
     val agg = logged.agg(count(lit(1)).as("n"), sum(badc).as("nbad"),
       sum(r).as("sr"), sum(wc * r).as("swr"), sum(wc).as("sw"),
       sum(wc * wc).as("sww"),
@@ -2130,12 +2162,9 @@ object Classifier {
     val pt = col(targetPropCol).cast("double")
     val qh = col(qHatCol).cast("double")
     val vh = col(vHatCol).cast("double")
-    val badc = (r.isNull || isnan(r) ||
-      pb.isNull || isnan(pb) || pb <= 0.0 || pb > 1.0 ||
-      pt.isNull || isnan(pt) || pt < 0.0 || pt > 1.0 ||
+    val (badBase, w, wc) = opeWeights(r, pb, pt, clip)
+    val badc = (badBase ||
       qh.isNull || isnan(qh) || vh.isNull || isnan(vh)).cast("long")
-    val w = when(pb > 0.0, pt / pb)
-    val wc = least(w, lit(clip))
     val agg = logged.agg(count(lit(1)).as("n"), sum(badc).as("nbad"),
       sum(r).as("sr"), sum(vh).as("sv"),
       sum(wc * r).as("swr"),

@@ -1045,6 +1045,14 @@ class ClassifierSpec extends SparkSpec {
       Classifier.properScoresMulticlass(
         Seq.empty[(Seq[Double], Int)].toDF("probs", "label"),
         "probs", "label").count())
+    // a zero-length (non-null) vector must REFUSE, not silently vanish
+    // (review-fixed: plain posexplode emitted no rows for it, dropping
+    // the row from the census and every statistic)
+    intercept[IllegalArgumentException](
+      Classifier.properScoresMulticlass(
+        Seq((Seq(0.5, 0.5), 0), (Seq.empty[Double], 0))
+          .toDF("probs", "label"),
+        "probs", "label").count())
     intercept[IllegalArgumentException](
       Classifier.properScoresMulticlass(rows, "probs", "label", bins = 1))
   }
