@@ -1682,6 +1682,45 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
         .orderBy("window_start")
     }),
 
+    // densified CUSUM on a GAPPED stream (every hour ≡ 1 mod 3 is
+    // dropped): empty windows enter the recurrence as n = 0, mean = 0
+    // observations over a generated window spine, so a paused feed
+    // drives the negative cusum toward alarm — the oracle replays the
+    // spine with generate_series and the same left join
+    "q_cusum_gap" -> ((s, dir) => {
+      val ev = EventStream.loadEvents(s, dir)
+      val scored = ev
+        .filter(hour(col("ts")) % 3 =!= 1)
+        .select(col("ts"),
+          ((col("user_id") * 7 + 3) % 13).cast("double").as("metric"))
+      EventStream.cusumDrift(scored, "metric", mu0 = 5.5, kappa = 0.0,
+          h = 2.0, width = "1 hour", densify = true)
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("n"), col("mean"), col("cusum_pos"), col("cusum_neg"),
+          col("alarm"))
+        .orderBy("window_start")
+    }),
+
+    // always-valid sequential test for a CONTINUOUS metric: the
+    // normal-mixture SPRT over cumulative per-window sums — dyadic
+    // per-event deltas with a +1/64 shift so the boundary is crossed
+    // mid-stream; the oracle replays the closed-form log Λ and the
+    // round(9)-pinned threshold comparison
+    "q_stream_msprt" -> ((s, dir) => {
+      val ev = EventStream.loadEvents(s, dir)
+      val scored = ev.select(col("ts"),
+        ((((col("user_id") * 13) % 9) - 4).cast("double") / 8.0
+          + lit(0.015625)).as("delta"))
+      EventStream.windowedMixtureSprt(scored, "delta",
+          sigma2 = 0.125, tau2 = 0.0625, alpha = 0.05, width = "1 hour")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("n"), col("n_cum"), col("mean_cum"), col("log_lambda"),
+          col("p_value"), col("reject"))
+        .orderBy("window_start")
+    }),
+
     // robust per-type outlier census on event values: median/MAD rule
     // at k=2 with exact interpolated percentiles (the oracle-pinnable
     // form; approx_percentile is the documented 100 TB default)
@@ -3846,6 +3885,50 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           (((col("id") * 5) % 8).cast("double") / 8.0).as("qh"),
           (((col("id") * 3) % 8).cast("double") / 8.0).as("vh")),
         "reward", "pb", "pt", "qh", "vh", clip = 2.0)
+    }),
+
+    // per-slice OPE on the q_offpolicy frame plus a 3-way slice: the
+    // routing question is sliced ("wins overall, loses on code
+    // traffic") and the per-slice ESS is where support collapses first
+    "q_offpolicy_slice" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"))
+      ops.Classifier.offPolicyEvalBySlice(d.select(
+          concat(lit("s"), (col("id") % 3).cast("string")).as("slice"),
+          (((col("id") * 13) % 8).cast("double") / 8.0).as("reward"),
+          (lit(1.0) / pow(lit(2.0),
+            (((col("id") * 7) % 3) + 1).cast("double"))).as("pb"),
+          ((((col("id") * 11) % 8) + 1).cast("double") / 16.0).as("pt")),
+        "reward", "pb", "pt", "slice", clip = 2.0)
+        .orderBy("slice")
+    }),
+
+    // router-log adapter: candidates + softmax vectors -> (pb, pt) via
+    // array_position/element_at, then the unchanged offPolicyEval; all
+    // probability profiles dyadic so every weight sum is exact
+    "q_offpolicy_router" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"))
+      val a = (col("id") * 11) % 4
+      val log = d.select(
+        (((col("id") * 13) % 8).cast("double") / 8.0).as("reward"),
+        concat(lit("m"), a.cast("string")).as("action"),
+        array(lit("m0"), lit("m1"), lit("m2"), lit("m3"))
+          .as("candidates"),
+        when(col("id") % 2 === 0,
+            array(lit(0.5), lit(0.25), lit(0.125), lit(0.125)))
+          .otherwise(
+            array(lit(0.125), lit(0.125), lit(0.25), lit(0.5)))
+          .as("bprobs"),
+        when(col("id") % 4 < 2,
+            array(lit(0.25), lit(0.25), lit(0.25), lit(0.25)))
+          .otherwise(
+            array(lit(0.5), lit(0.125), lit(0.125), lit(0.25)))
+          .as("tprobs"))
+      ops.Classifier.offPolicyEval(
+        ops.Classifier.routerPropensities(log, "action", "candidates",
+          "bprobs", "tprobs"),
+        "reward", "pb", "pt", clip = 2.0)
     }),
 
     // multiclass proper scores: 3 classes with DYADIC probabilities
@@ -7825,17 +7908,36 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |ag AS (
           |  SELECT count(*) AS n, sum(rw) AS sr, sum(wc * rw) AS swr,
           |    sum(wc) AS sw, sum(wc * wc) AS sww,
+          |    sum((wc * rw) * (wc * rw)) AS swr2,
+          |    sum(wc * wc * rw) AS swwr,
           |    sum(CASE WHEN w0 > 2.0 THEN 1 ELSE 0 END) AS nclip
-          |  FROM w)
+          |  FROM w),
+          |es AS (
+          |  SELECT *, swr / n AS ips,
+          |    CASE WHEN sw > 0 THEN swr / sw ELSE 0.0 END AS snips,
+          |    CASE WHEN n > 1 THEN
+          |      sqrt(greatest(0.0, (swr2 - swr * swr / n) / (n - 1.0))
+          |        / n)
+          |    ELSE 0.0 END AS ips_se
+          |  FROM ag),
+          |e2 AS (
+          |  SELECT *, CASE WHEN sw > 0 AND n > 1 THEN
+          |      sqrt(greatest(0.0, swr2 - 2.0 * snips * swwr
+          |        + snips * snips * sww)) / sw
+          |    ELSE 0.0 END AS snips_se
+          |  FROM es)
           |SELECT CAST(n AS BIGINT) AS n, round(sr / n, 9)
           |    AS behavior_mean,
-          |  round(swr / n, 9) AS ips,
-          |  round(CASE WHEN sw > 0 THEN swr / sw ELSE 0.0 END, 9)
-          |    AS snips,
+          |  round(ips, 9) AS ips, round(ips_se, 9) AS ips_se,
+          |  round(ips - 1.959964 * ips_se, 9) AS ips_lo,
+          |  round(ips + 1.959964 * ips_se, 9) AS ips_hi,
+          |  round(snips, 9) AS snips, round(snips_se, 9) AS snips_se,
+          |  round(snips - 1.959964 * snips_se, 9) AS snips_lo,
+          |  round(snips + 1.959964 * snips_se, 9) AS snips_hi,
           |  round(CASE WHEN sww > 0 THEN sw * sw / sww ELSE 0.0 END, 9)
           |    AS ess,
           |  round(nclip * 1.0 / n, 9) AS clipped_frac
-          |FROM ag""".stripMargin,
+          |FROM e2""".stripMargin,
 
       "q_offpolicy_dr" ->
         """WITH r AS (
@@ -7859,17 +7961,141 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |    sum(wc * rw) AS swr,
           |    sum(vh + wc * (rw - qh)) AS sdr,
           |    sum(wc) AS sw, sum(wc * wc) AS sww,
+          |    sum((wc * rw) * (wc * rw)) AS swr2,
+          |    sum((vh + wc * (rw - qh)) * (vh + wc * (rw - qh)))
+          |      AS sdr2,
           |    sum(CASE WHEN w0 > 2.0 THEN 1 ELSE 0 END) AS nclip
-          |  FROM w)
+          |  FROM w),
+          |es AS (
+          |  SELECT *, swr / n AS ips, sdr / n AS dr,
+          |    CASE WHEN n > 1 THEN
+          |      sqrt(greatest(0.0, (swr2 - swr * swr / n) / (n - 1.0))
+          |        / n)
+          |    ELSE 0.0 END AS ips_se,
+          |    CASE WHEN n > 1 THEN
+          |      sqrt(greatest(0.0, (sdr2 - sdr * sdr / n) / (n - 1.0))
+          |        / n)
+          |    ELSE 0.0 END AS dr_se
+          |  FROM ag)
           |SELECT CAST(n AS BIGINT) AS n,
           |  round(sr / n, 9) AS behavior_mean,
           |  round(sv / n, 9) AS dm,
-          |  round(swr / n, 9) AS ips,
-          |  round(sdr / n, 9) AS dr,
+          |  round(ips, 9) AS ips, round(ips_se, 9) AS ips_se,
+          |  round(ips - 1.959964 * ips_se, 9) AS ips_lo,
+          |  round(ips + 1.959964 * ips_se, 9) AS ips_hi,
+          |  round(dr, 9) AS dr, round(dr_se, 9) AS dr_se,
+          |  round(dr - 1.959964 * dr_se, 9) AS dr_lo,
+          |  round(dr + 1.959964 * dr_se, 9) AS dr_hi,
           |  round(CASE WHEN sww > 0 THEN sw * sw / sww ELSE 0.0 END, 9)
           |    AS ess,
           |  round(nclip * 1.0 / n, 9) AS clipped_frac
-          |FROM ag""".stripMargin,
+          |FROM es""".stripMargin,
+
+      "q_offpolicy_slice" ->
+        """WITH r AS (
+          |  SELECT
+          |    's' || CAST(CAST(doc_id AS BIGINT) % 3 AS VARCHAR)
+          |      AS slice,
+          |    CAST((CAST(doc_id AS BIGINT) * 13) % 8 AS DOUBLE) / 8.0
+          |      AS rw,
+          |    1.0 / power(2.0, CAST((CAST(doc_id AS BIGINT) * 7) % 3 + 1
+          |      AS DOUBLE)) AS pb,
+          |    CAST((CAST(doc_id AS BIGINT) * 11) % 8 + 1 AS DOUBLE)
+          |      / 16.0 AS pt
+          |  FROM documents),
+          |w AS (SELECT slice, rw, pt / pb AS w0,
+          |        least(pt / pb, 2.0) AS wc
+          |      FROM r),
+          |ag AS (
+          |  SELECT slice, count(*) AS n, sum(rw) AS sr,
+          |    sum(wc * rw) AS swr, sum(wc) AS sw, sum(wc * wc) AS sww,
+          |    sum((wc * rw) * (wc * rw)) AS swr2,
+          |    sum(wc * wc * rw) AS swwr,
+          |    sum(CASE WHEN w0 > 2.0 THEN 1 ELSE 0 END) AS nclip
+          |  FROM w GROUP BY slice),
+          |es AS (
+          |  SELECT *, swr / n AS ips,
+          |    CASE WHEN sw > 0 THEN swr / sw ELSE 0.0 END AS snips,
+          |    CASE WHEN n > 1 THEN
+          |      sqrt(greatest(0.0, (swr2 - swr * swr / n) / (n - 1.0))
+          |        / n)
+          |    ELSE 0.0 END AS ips_se
+          |  FROM ag),
+          |e2 AS (
+          |  SELECT *, CASE WHEN sw > 0 AND n > 1 THEN
+          |      sqrt(greatest(0.0, swr2 - 2.0 * snips * swwr
+          |        + snips * snips * sww)) / sw
+          |    ELSE 0.0 END AS snips_se
+          |  FROM es)
+          |SELECT slice, CAST(n AS BIGINT) AS n, round(sr / n, 9)
+          |    AS behavior_mean,
+          |  round(ips, 9) AS ips, round(ips_se, 9) AS ips_se,
+          |  round(ips - 1.959964 * ips_se, 9) AS ips_lo,
+          |  round(ips + 1.959964 * ips_se, 9) AS ips_hi,
+          |  round(snips, 9) AS snips, round(snips_se, 9) AS snips_se,
+          |  round(snips - 1.959964 * snips_se, 9) AS snips_lo,
+          |  round(snips + 1.959964 * snips_se, 9) AS snips_hi,
+          |  round(CASE WHEN sww > 0 THEN sw * sw / sww ELSE 0.0 END, 9)
+          |    AS ess,
+          |  round(nclip * 1.0 / n, 9) AS clipped_frac
+          |FROM e2 ORDER BY slice""".stripMargin,
+
+      "q_offpolicy_router" ->
+        """WITH r AS (
+          |  SELECT
+          |    CAST((CAST(doc_id AS BIGINT) * 13) % 8 AS DOUBLE) / 8.0
+          |      AS rw,
+          |    CAST((CAST(doc_id AS BIGINT) * 11) % 4 AS INT) AS a,
+          |    CAST(doc_id AS BIGINT) % 2 AS bprof,
+          |    CAST(doc_id AS BIGINT) % 4 AS tprof
+          |  FROM documents),
+          |p AS (
+          |  SELECT rw,
+          |    CAST(CASE WHEN bprof = 0 THEN
+          |      CASE a WHEN 0 THEN 0.5 WHEN 1 THEN 0.25 ELSE 0.125 END
+          |    ELSE
+          |      CASE a WHEN 2 THEN 0.25 WHEN 3 THEN 0.5 ELSE 0.125 END
+          |    END AS DOUBLE) AS pb,
+          |    CAST(CASE WHEN tprof < 2 THEN 0.25
+          |    ELSE
+          |      CASE a WHEN 0 THEN 0.5 WHEN 3 THEN 0.25 ELSE 0.125 END
+          |    END AS DOUBLE) AS pt
+          |  FROM r),
+          |w AS (SELECT rw, pt / pb AS w0, least(pt / pb, 2.0) AS wc
+          |      FROM p),
+          |ag AS (
+          |  SELECT count(*) AS n, sum(rw) AS sr, sum(wc * rw) AS swr,
+          |    sum(wc) AS sw, sum(wc * wc) AS sww,
+          |    sum((wc * rw) * (wc * rw)) AS swr2,
+          |    sum(wc * wc * rw) AS swwr,
+          |    sum(CASE WHEN w0 > 2.0 THEN 1 ELSE 0 END) AS nclip
+          |  FROM w),
+          |es AS (
+          |  SELECT *, swr / n AS ips,
+          |    CASE WHEN sw > 0 THEN swr / sw ELSE 0.0 END AS snips,
+          |    CASE WHEN n > 1 THEN
+          |      sqrt(greatest(0.0, (swr2 - swr * swr / n) / (n - 1.0))
+          |        / n)
+          |    ELSE 0.0 END AS ips_se
+          |  FROM ag),
+          |e2 AS (
+          |  SELECT *, CASE WHEN sw > 0 AND n > 1 THEN
+          |      sqrt(greatest(0.0, swr2 - 2.0 * snips * swwr
+          |        + snips * snips * sww)) / sw
+          |    ELSE 0.0 END AS snips_se
+          |  FROM es)
+          |SELECT CAST(n AS BIGINT) AS n, round(sr / n, 9)
+          |    AS behavior_mean,
+          |  round(ips, 9) AS ips, round(ips_se, 9) AS ips_se,
+          |  round(ips - 1.959964 * ips_se, 9) AS ips_lo,
+          |  round(ips + 1.959964 * ips_se, 9) AS ips_hi,
+          |  round(snips, 9) AS snips, round(snips_se, 9) AS snips_se,
+          |  round(snips - 1.959964 * snips_se, 9) AS snips_lo,
+          |  round(snips + 1.959964 * snips_se, 9) AS snips_hi,
+          |  round(CASE WHEN sww > 0 THEN sw * sw / sww ELSE 0.0 END, 9)
+          |    AS ess,
+          |  round(nclip * 1.0 / n, 9) AS clipped_frac
+          |FROM e2""".stripMargin,
 
       "q_proper_scores_mc" ->
         """WITH d AS (
@@ -8288,10 +8514,13 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
           |  CAST(n AS BIGINT) AS n, CAST(bc AS BIGINT) AS b_cum,
           |  CAST(c2 AS BIGINT) AS c_cum, lb AS llr_b, la AS llr_a,
-          |  CASE WHEN lb >= ln((1.0 - 0.05) / 0.05) THEN 'b_better'
-          |       WHEN la >= ln((1.0 - 0.05) / 0.05) THEN 'a_better'
-          |       WHEN lb <= ln(0.05 / (1.0 - 0.05))
-          |        AND la <= ln(0.05 / (1.0 - 0.05)) THEN 'no_difference'
+          |  CASE WHEN lb >= round(ln((1.0 - 0.05) / 0.05), 9)
+          |         THEN 'b_better'
+          |       WHEN la >= round(ln((1.0 - 0.05) / 0.05), 9)
+          |         THEN 'a_better'
+          |       WHEN lb <= round(ln(0.05 / (1.0 - 0.05)), 9)
+          |        AND la <= round(ln(0.05 / (1.0 - 0.05)), 9)
+          |         THEN 'no_difference'
           |       ELSE 'continue' END AS decision
           |FROM ll ORDER BY window_start""".stripMargin,
 
@@ -8328,6 +8557,78 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |  (round(pp - least(0.0, mp), 9) > 2.0
           |   OR round(pn - least(0.0, mn), 9) > 2.0) AS alarm
           |FROM q ORDER BY window_start""".stripMargin,
+
+      "q_cusum_gap" ->
+        """WITH sc AS (
+          |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w,
+          |    CAST((user_id * 7 + 3) % 13 AS DOUBLE) AS x
+          |  FROM events
+          |  WHERE hour(CAST(ts AS TIMESTAMP)) % 3 <> 1),
+          |per AS (SELECT w, count(*) AS n, sum(x) AS sx
+          |        FROM sc GROUP BY 1),
+          |mm AS (SELECT min(w) AS lo, max(w) AS hi FROM per),
+          |spine AS (
+          |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+          |    AS w FROM mm),
+          |b AS (
+          |  SELECT s.w, coalesce(p.n, 0) AS n,
+          |    coalesce(p.sx / p.n, 0.0) AS m,
+          |    coalesce(p.sx / p.n, 0.0) - 5.5 - 0.0 AS dp,
+          |    5.5 - coalesce(p.sx / p.n, 0.0) - 0.0 AS dn
+          |  FROM spine s LEFT JOIN per p ON s.w = p.w),
+          |p2 AS (
+          |  SELECT w, n, m,
+          |    SUM(dp) OVER (ORDER BY w ROWS BETWEEN UNBOUNDED PRECEDING
+          |      AND CURRENT ROW) AS pp,
+          |    SUM(dn) OVER (ORDER BY w ROWS BETWEEN UNBOUNDED PRECEDING
+          |      AND CURRENT ROW) AS pn
+          |  FROM b),
+          |q AS (
+          |  SELECT *,
+          |    MIN(pp) OVER (ORDER BY w ROWS BETWEEN UNBOUNDED PRECEDING
+          |      AND CURRENT ROW) AS mp,
+          |    MIN(pn) OVER (ORDER BY w ROWS BETWEEN UNBOUNDED PRECEDING
+          |      AND CURRENT ROW) AS mn
+          |  FROM p2)
+          |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+          |  CAST(n AS BIGINT) AS n, round(m, 9) AS mean,
+          |  round(pp - least(0.0, mp), 9) AS cusum_pos,
+          |  round(pn - least(0.0, mn), 9) AS cusum_neg,
+          |  (round(pp - least(0.0, mp), 9) > 2.0
+          |   OR round(pn - least(0.0, mn), 9) > 2.0) AS alarm
+          |FROM q ORDER BY window_start""".stripMargin,
+
+      "q_stream_msprt" ->
+        """WITH sc AS (
+          |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w,
+          |    CAST((user_id * 13) % 9 - 4 AS DOUBLE) / 8.0 + 0.015625
+          |      AS x
+          |  FROM events),
+          |per AS (SELECT w, count(*) AS n, sum(x) AS sx
+          |        FROM sc GROUP BY 1),
+          |cm AS (
+          |  SELECT w, n,
+          |    SUM(n) OVER (ORDER BY w ROWS BETWEEN UNBOUNDED PRECEDING
+          |      AND CURRENT ROW) AS nc,
+          |    SUM(sx) OVER (ORDER BY w ROWS BETWEEN UNBOUNDED PRECEDING
+          |      AND CURRENT ROW) AS s2
+          |  FROM per),
+          |dn AS (
+          |  SELECT *, CAST(0.125 AS DOUBLE) + nc * CAST(0.0625 AS
+          |    DOUBLE) AS den
+          |  FROM cm),
+          |ll AS (
+          |  SELECT w, n, nc, s2,
+          |    round(0.5 * ln(0.125 / den)
+          |      + (s2 * s2 * 0.0625) / (2.0 * 0.125 * den), 9) AS lb
+          |  FROM dn)
+          |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+          |  CAST(n AS BIGINT) AS n, CAST(nc AS BIGINT) AS n_cum,
+          |  round(s2 / nc, 9) AS mean_cum,
+          |  lb AS log_lambda,
+          |  round(least(1.0, exp(0.0 - lb)), 9) AS p_value,
+          |  (lb >= round(ln(1.0 / 0.05), 9)) AS reject
+          |FROM ll ORDER BY window_start""".stripMargin,
 
       "q_stream_ab" ->
         s"""WITH sc AS (

@@ -565,7 +565,7 @@ object Classifier {
     */
   def krippendorffAlphaRatio(ratings: DataFrame, itemCol: String,
                              valueCol: String,
-                             maxDistinct: Int = 10000): DataFrame = {
+                             maxDistinct: Int = 2000): DataFrame = {
     require(maxDistinct >= 1,
       s"krippendorffAlphaRatio: maxDistinct=$maxDistinct")
     val x = col(valueCol).cast("double")
@@ -590,10 +590,14 @@ object Classifier {
         "ratings — the ratio metric needs a nonnegative scale; drop " +
         "missing rows (or use the nominal form)")
     require(guard.getLong(0) > 0, "krippendorffAlphaRatio: empty frame")
-    require(guard.getLong(2) <= maxDistinct,
-      s"krippendorffAlphaRatio: ${guard.getLong(2)} distinct " +
-        s"$valueCol values exceed maxDistinct=$maxDistinct — quantize " +
-        "the scale first")
+    val nd0 = guard.getLong(2)
+    require(nd0 <= maxDistinct,
+      s"krippendorffAlphaRatio: $nd0 distinct $valueCol values exceed " +
+        s"maxDistinct=$maxDistinct — unlike the O(d)-state bounds " +
+        s"elsewhere, this bound caps QUADRATIC work (the D_e term " +
+        s"builds d² = ${nd0 * nd0} value pairs, plus each item's own " +
+        "support²); quantize the scale first, or raise maxDistinct " +
+        "knowing the d² cost")
     val perItem = cnt.groupBy("item").agg(sum("n").as("m"))
       .filter(col("m") >= 2)
     val usable = cnt.join(perItem, "item")
@@ -1830,12 +1834,27 @@ object Classifier {
     * aggregate, never shuffled raw) into ONE (cls, bin) hash
     * aggregate — K·bins tiny rows, checkpointed; the per-class frame
     * and the summary fold from it with no further corpus pass.
+    *
+    * K-REGIME CONTRACT: the posexplode plan multiplies the scan by K,
+    * which is the RIGHT plan for classifier-scale K (choice tasks,
+    * quality tiers, K ≤ ~10³ — the expansion feeds the map-side
+    * partial combine and never hits the shuffle) and the WRONG plan
+    * for next-token-scale K (K ≈ 10⁵ turns a 100 TB scan into 10 PB of
+    * generated rows; that regime needs an in-kernel vector fold —
+    * aggregate over the array without exploding — which this operator
+    * deliberately does not pretend to be). `maxClasses` enforces the
+    * contract: K above it refuses (the [[krippendorffAlphaRatio]]
+    * maxDistinct convention), read from the SAME guard aggregate that
+    * already carries the ragged-K census.
     */
   def properScoresMulticlass(scored: DataFrame, probsCol: String,
                              labelCol: String, bins: Int = 10,
-                             eps: Double = 1e-15): DataFrame = {
+                             eps: Double = 1e-15,
+                             maxClasses: Int = 1024): DataFrame = {
     require(bins >= 2, s"properScoresMulticlass: bins=$bins")
     require(eps > 0 && eps < 0.5, s"properScoresMulticlass: eps=$eps")
+    require(maxClasses >= 2,
+      s"properScoresMulticlass: maxClasses=$maxClasses")
     val probs = col(probsCol)
     val y = col(labelCol).cast("int")
     val k = size(probs)
@@ -1876,6 +1895,12 @@ object Classifier {
       s"properScoresMulticlass: ragged probability vectors (K spans " +
         s"${guard.getInt(1)}..${guard.getInt(2)}) — every row must " +
         "score the same class set")
+    require(guard.getInt(2) <= maxClasses,
+      s"properScoresMulticlass: K=${guard.getInt(2)} classes exceed " +
+        s"maxClasses=$maxClasses — the posexplode plan costs K·rows " +
+        "generated rows and is meant for classifier-scale K, not " +
+        "next-token vocabularies; reduce K or raise maxClasses " +
+        "knowing the multiplier")
     // per-class fold over the K·bins frame: support, NLL, Brier
     // component, and the Murphy terms from per-bin means — the
     // resolution folds via Σ_b sy²/n − N·ȳ_k² so ȳ_k never needs a
@@ -2070,14 +2095,24 @@ object Classifier {
     * tighter, the practical default). `ess` = (Σw)²/Σw² is the
     * effective sample size — the honesty diagnostic: an ESS of 40 on a
     * million rows says the logs barely cover the candidate policy and
-    * BOTH estimates are built on ~40 rows. Hygiene rides the ONE
+    * BOTH estimates are built on ~40 rows. Every estimate ships with
+    * its STANDARD ERROR and 95% CI (a ship/no-ship call needs the
+    * uncertainty, not the point): se(ips) is the sample-variance SE of
+    * the per-row term x = w·r via the two-pass-free identity
+    * (Σx² − (Σx)²/n)/(n−1) — the sums ride the same aggregate — and
+    * se(snips) is the delta-method / influence-function SE
+    * √(Σ w²(r − snips)²) / Σw, expanded to Σ(wr)² − 2·snips·Σw²r +
+    * snips²·Σw² so it too folds from the one pass. CIs are
+    * estimate ± z·se with the fixed z = 1.959964 literal (the
+    * [[rocAucCI]] single-sourced [[Z95]]). Hygiene rides the ONE
     * aggregate: null/NaN rewards, propensities outside (0, 1] on the
     * logging side or [0, 1] on the target side refuse. One row:
-    * (n, behavior_mean, ips, snips, ess, clipped_frac), doubles
-    * rounded at 9.
+    * (n, behavior_mean, ips, ips_se, ips_lo, ips_hi, snips, snips_se,
+    * snips_lo, snips_hi, ess, clipped_frac), doubles rounded at 9.
     *
     * Scale shape: ONE scalar hash aggregate over the log — every
-    * estimate folds from the same six sums; no join, no window.
+    * estimate AND every variance folds from the same eight sums; no
+    * join, no window, no second pass.
     */
   /** The shared importance-weight construction of [[offPolicyEval]]
     * and [[doublyRobustEval]] — the reward/propensity census (logging
@@ -2108,6 +2143,8 @@ object Classifier {
     val agg = logged.agg(count(lit(1)).as("n"), sum(badc).as("nbad"),
       sum(r).as("sr"), sum(wc * r).as("swr"), sum(wc).as("sw"),
       sum(wc * wc).as("sww"),
+      sum((wc * r) * (wc * r)).as("swr2"),
+      sum(wc * wc * r).as("swwr"),
       sum((w > clip).cast("long")).as("nclip")).head()
     val nBad = if (agg.isNullAt(1)) 0L else agg.getLong(1)
     require(nBad == 0,
@@ -2116,15 +2153,38 @@ object Classifier {
         "clean the log first")
     require(agg.getLong(0) > 0, "offPolicyEval: empty log")
     val n = agg.getLong(0)
+    val nd = n.toDouble
     val (sr, swr, sw, sww) = (agg.getDouble(2), agg.getDouble(3),
       agg.getDouble(4), agg.getDouble(5))
+    val (swr2, swwr) = (agg.getDouble(6), agg.getDouble(7))
+    val ips = swr / nd
     val snips = if (sw > 0) swr / sw else 0.0
     val ess = if (sww > 0) sw * sw / sww else 0.0
+    // influence-function SEs from the SAME aggregate's sums — the
+    // two-pass-free identities the scaladoc states, mirrored operand
+    // for operand by the oracle
+    val ipsSe =
+      if (n > 1)
+        math.sqrt(math.max(0.0,
+          (swr2 - swr * swr / nd) / (nd - 1.0)) / nd)
+      else 0.0
+    val snipsSe =
+      if (sw > 0 && n > 1)
+        math.sqrt(math.max(0.0,
+          swr2 - 2.0 * snips * swwr + snips * snips * sww)) / sw
+      else 0.0
     val spark = logged.sparkSession
     import spark.implicits._
-    Seq((n, Num.round9(sr / n), Num.round9(swr / n), Num.round9(snips),
-      Num.round9(ess), Num.round9(agg.getLong(6).toDouble / n)))
-      .toDF("n", "behavior_mean", "ips", "snips", "ess", "clipped_frac")
+    Seq((n, Num.round9(sr / nd),
+      Num.round9(ips), Num.round9(ipsSe),
+      Num.round9(ips - Z95 * ipsSe), Num.round9(ips + Z95 * ipsSe),
+      Num.round9(snips), Num.round9(snipsSe),
+      Num.round9(snips - Z95 * snipsSe),
+      Num.round9(snips + Z95 * snipsSe),
+      Num.round9(ess), Num.round9(agg.getLong(8).toDouble / n)))
+      .toDF("n", "behavior_mean", "ips", "ips_se", "ips_lo", "ips_hi",
+        "snips", "snips_se", "snips_lo", "snips_hi", "ess",
+        "clipped_frac")
   }
 
   /** Doubly-robust off-policy evaluation (Dudík, Langford & Li 2011)
@@ -2144,13 +2204,20 @@ object Classifier {
     * irrelevant; a ZERO model (q̂ ≡ v̂ ≡ 0) degrades DR to exactly
     * [[offPolicyEval]]'s ips. The importance weight is clipped at
     * `clip` (guarded division — the [[offPolicyEval]] ANSI
-    * convention) and the clipped fraction reported. Hygiene (null/NaN
-    * rewards or model columns, propensities out of range) rides the
-    * ONE aggregate. One row: (n, behavior_mean, dm, ips, dr, ess,
-    * clipped_frac), doubles rounded at 9.
+    * convention) and the clipped fraction reported. Both IPS and DR
+    * ship with influence-function standard errors and 95% CIs (the
+    * [[offPolicyEval]] convention): each is the sample-variance SE of
+    * its per-row term — x = w·r for IPS, x = v̂ + w·(r − q̂) for DR —
+    * via the two-pass-free identity (Σx² − (Σx)²/n)/(n−1), the squared
+    * sums riding the same aggregate; CIs at the fixed z = [[Z95]].
+    * A DR CI visibly TIGHTER than the IPS CI is the whole point of
+    * carrying the reward model. Hygiene (null/NaN rewards or model
+    * columns, propensities out of range) rides the ONE aggregate. One
+    * row: (n, behavior_mean, dm, ips, ips_se, ips_lo, ips_hi, dr,
+    * dr_se, dr_lo, dr_hi, ess, clipped_frac), doubles rounded at 9.
     *
     * Scale shape: ONE scalar hash aggregate over the log — the
-    * [[offPolicyEval]] plan with two more sum columns.
+    * [[offPolicyEval]] plan with the DR sums riding as extra columns.
     */
   def doublyRobustEval(logged: DataFrame, rewardCol: String,
                        loggedPropCol: String, targetPropCol: String,
@@ -2165,11 +2232,14 @@ object Classifier {
     val (badBase, w, wc) = opeWeights(r, pb, pt, clip)
     val badc = (badBase ||
       qh.isNull || isnan(qh) || vh.isNull || isnan(vh)).cast("long")
+    val xdr = vh + wc * (r - qh)
     val agg = logged.agg(count(lit(1)).as("n"), sum(badc).as("nbad"),
       sum(r).as("sr"), sum(vh).as("sv"),
       sum(wc * r).as("swr"),
-      sum(vh + wc * (r - qh)).as("sdr"),
+      sum(xdr).as("sdr"),
       sum(wc).as("sw"), sum(wc * wc).as("sww"),
+      sum((wc * r) * (wc * r)).as("swr2"),
+      sum(xdr * xdr).as("sdr2"),
       sum((w > clip).cast("long")).as("nclip")).head()
     val nBad = if (agg.isNullAt(1)) 0L else agg.getLong(1)
     require(nBad == 0,
@@ -2178,17 +2248,149 @@ object Classifier {
         "[0, 1] — clean the log first")
     require(agg.getLong(0) > 0, "doublyRobustEval: empty log")
     val n = agg.getLong(0)
+    val nd = n.toDouble
+    val (swr, sdr) = (agg.getDouble(4), agg.getDouble(5))
     val (sw, sww) = (agg.getDouble(6), agg.getDouble(7))
+    val (swr2, sdr2) = (agg.getDouble(8), agg.getDouble(9))
     val ess = if (sww > 0) sw * sw / sww else 0.0
+    val ips = swr / nd
+    val dr = sdr / nd
+    // sample-variance SEs of the per-row estimator terms from the one
+    // aggregate's sums — same identity as offPolicyEval's ips_se
+    val ipsSe =
+      if (n > 1)
+        math.sqrt(math.max(0.0,
+          (swr2 - swr * swr / nd) / (nd - 1.0)) / nd)
+      else 0.0
+    val drSe =
+      if (n > 1)
+        math.sqrt(math.max(0.0,
+          (sdr2 - sdr * sdr / nd) / (nd - 1.0)) / nd)
+      else 0.0
     val spark = logged.sparkSession
     import spark.implicits._
-    Seq((n, Num.round9(agg.getDouble(2) / n),
-      Num.round9(agg.getDouble(3) / n),
-      Num.round9(agg.getDouble(4) / n),
-      Num.round9(agg.getDouble(5) / n),
-      Num.round9(ess), Num.round9(agg.getLong(8).toDouble / n)))
-      .toDF("n", "behavior_mean", "dm", "ips", "dr", "ess",
+    Seq((n, Num.round9(agg.getDouble(2) / nd),
+      Num.round9(agg.getDouble(3) / nd),
+      Num.round9(ips), Num.round9(ipsSe),
+      Num.round9(ips - Z95 * ipsSe), Num.round9(ips + Z95 * ipsSe),
+      Num.round9(dr), Num.round9(drSe),
+      Num.round9(dr - Z95 * drSe), Num.round9(dr + Z95 * drSe),
+      Num.round9(ess), Num.round9(agg.getLong(10).toDouble / n)))
+      .toDF("n", "behavior_mean", "dm", "ips", "ips_se", "ips_lo",
+        "ips_hi", "dr", "dr_se", "dr_lo", "dr_hi", "ess",
         "clipped_frac")
+  }
+
+  /** Per-slice off-policy evaluation — [[offPolicyEval]] grouped by a
+    * slice column, because the routing question is almost always
+    * sliced: a candidate policy that wins OVERALL can lose on code
+    * traffic (Simpson-style reversals are the norm when the logging
+    * policy's coverage differs by slice), and the per-slice `ess` is
+    * the honesty diagnostic that matters MOST here — support collapses
+    * slice-first, and a slice whose ESS is 12 has no usable estimate
+    * no matter how confident the pooled number looks. Same
+    * [[opeWeights]] construction, same clipped IPS / SNIPS estimators,
+    * same influence-function SEs and 95% CIs per slice ([[Z95]]).
+    * Hygiene rides the ONE aggregate (summed across slices in the
+    * guard read over the checkpointed per-slice frame). One row per
+    * slice: (slice, n, behavior_mean, ips, ips_se, ips_lo, ips_hi,
+    * snips, snips_se, snips_lo, snips_hi, ess, clipped_frac), doubles
+    * rounded at 9; a null slice groups as its own row (null traffic is
+    * still traffic).
+    *
+    * Scale shape: ONE (slice) hash aggregate over the log; the output
+    * is slices-many tiny rows computed as column arithmetic on the
+    * checkpointed aggregate (never collected — driver state is the
+    * one guard row), so slice cardinality is bounded only by what the
+    * caller can store.
+    */
+  def offPolicyEvalBySlice(logged: DataFrame, rewardCol: String,
+                           loggedPropCol: String, targetPropCol: String,
+                           sliceCol: String,
+                           clip: Double = 10.0): DataFrame = {
+    require(clip > 0, s"offPolicyEvalBySlice: clip=$clip must be positive")
+    val r = col(rewardCol).cast("double")
+    val pb = col(loggedPropCol).cast("double")
+    val pt = col(targetPropCol).cast("double")
+    val (badBase, w, wc) = opeWeights(r, pb, pt, clip)
+    val badc = badBase.cast("long")
+    val per = logged.groupBy(col(sliceCol).as("slice"))
+      .agg(count(lit(1)).as("n"), sum(badc).as("__nbad"),
+        sum(r).as("sr"), sum(wc * r).as("swr"), sum(wc).as("sw"),
+        sum(wc * wc).as("sww"),
+        sum((wc * r) * (wc * r)).as("swr2"),
+        sum(wc * wc * r).as("swwr"),
+        sum((w > clip).cast("long")).as("nclip"))
+      .localCheckpoint()
+    val guard = per.agg(count(lit(1)).as("rows"),
+      sum("__nbad").as("bad")).head()
+    require(guard.getLong(0) > 0, "offPolicyEvalBySlice: empty log")
+    val nBad = if (guard.isNullAt(1)) 0L else guard.getLong(1)
+    require(nBad == 0,
+      s"offPolicyEvalBySlice: $nBad rows with null/NaN rewards or " +
+        "propensities outside (0, 1] logging / [0, 1] target — clean " +
+        "the log first")
+    // the offPolicyEval formulas as column arithmetic, operand for
+    // operand — the oracle replays the identical expressions per slice
+    val nd = col("n").cast("double")
+    val ips = col("swr") / nd
+    val snips = when(col("sw") > 0, col("swr") / col("sw"))
+      .otherwise(lit(0.0))
+    val ess = when(col("sww") > 0, col("sw") * col("sw") / col("sww"))
+      .otherwise(lit(0.0))
+    val ipsSe = when(col("n") > 1,
+      sqrt(greatest(lit(0.0),
+        (col("swr2") - col("swr") * col("swr") / nd) / (nd - lit(1.0)))
+        / nd)).otherwise(lit(0.0))
+    val snipsSe = when(col("sw") > 0 && col("n") > 1,
+      sqrt(greatest(lit(0.0),
+        col("swr2") - lit(2.0) * snips * col("swwr") +
+          snips * snips * col("sww"))) / col("sw"))
+      .otherwise(lit(0.0))
+    per.select(col("slice"), col("n"),
+      round(col("sr") / nd, 9).as("behavior_mean"),
+      round(ips, 9).as("ips"), round(ipsSe, 9).as("ips_se"),
+      round(ips - lit(Z95) * ipsSe, 9).as("ips_lo"),
+      round(ips + lit(Z95) * ipsSe, 9).as("ips_hi"),
+      round(snips, 9).as("snips"), round(snipsSe, 9).as("snips_se"),
+      round(snips - lit(Z95) * snipsSe, 9).as("snips_lo"),
+      round(snips + lit(Z95) * snipsSe, 9).as("snips_hi"),
+      round(ess, 9).as("ess"),
+      round(col("nclip").cast("double") / nd, 9).as("clipped_frac"))
+  }
+
+  /** Adapter from a ROUTER LOG to the scalar propensities the OPE trio
+    * consumes — real LLM-routing logs don't carry (pb, pt) columns;
+    * they carry the candidate list the router saw and the softmax
+    * vectors of the logging and candidate policies over it. This op
+    * looks the logged action up in the candidate list
+    * (`array_position`) and extracts that index from both probability
+    * vectors into `outBehaviorCol`/`outTargetCol`, making
+    * [[offPolicyEval]] / [[doublyRobustEval]] / [[offPolicyEvalBySlice]]
+    * drop-in on raw logs. Hygiene is DELEGATED, not duplicated: an
+    * action missing from its candidate list, or a probability vector
+    * whose length disagrees with the candidate list, maps to NULL
+    * propensities — the estimators' own riding census then refuses
+    * with row counts, so the adapter adds ZERO scans of its own (a
+    * projection stays a projection).
+    *
+    * Scale shape: pure row-wise column arithmetic (whole-stage
+    * codegen); no shuffle, no aggregate, no state.
+    */
+  def routerPropensities(log: DataFrame, actionCol: String,
+                         candidatesCol: String, behaviorProbsCol: String,
+                         targetProbsCol: String,
+                         outBehaviorCol: String = "pb",
+                         outTargetCol: String = "pt"): DataFrame = {
+    val idx = array_position(col(candidatesCol), col(actionCol))
+    val okShape = idx > 0 &&
+      size(col(behaviorProbsCol)) === size(col(candidatesCol)) &&
+      size(col(targetProbsCol)) === size(col(candidatesCol))
+    log
+      .withColumn(outBehaviorCol,
+        when(okShape, element_at(col(behaviorProbsCol), idx.cast("int"))))
+      .withColumn(outTargetCol,
+        when(okShape, element_at(col(targetProbsCol), idx.cast("int"))))
   }
 
   /** Paired-bootstrap confidence interval on the ACCURACY DELTA of two

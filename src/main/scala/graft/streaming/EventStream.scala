@@ -428,6 +428,21 @@ object EventStream {
     * window: (window_start, n, mean, cusum_pos, cusum_neg, alarm),
     * doubles rounded at 9.
     *
+    * GAP-WINDOW SEMANTICS: by default the recurrence runs over DATA
+    * windows — a window with zero events emits no row and contributes
+    * nothing to the accumulation (its mean is undefined; no deviation
+    * accrues), so a paused feed is INVISIBLE to the default monitor.
+    * For a metric where silence is itself drift (a rate, a throughput,
+    * any "zero when stopped" signal), pass `densify = true`: a window
+    * spine is generated between the stream's min and max window
+    * (`sequence` — windows-many rows, time-bounded) and each empty
+    * window enters the recurrence as an n = 0, mean = 0 observation —
+    * d⁺ = −μ₀ − κ, d⁻ = μ₀ − κ — so a stopped feed drives the
+    * NEGATIVE cusum toward alarm at μ₀ − κ per silent window, which is
+    * exactly the fixed-cadence textbook recurrence. Gap rows appear in
+    * the output with n = 0 so downstream alerting can SEE the missing
+    * traffic either way it alarms.
+    *
     * Scale shape: ONE (window) hash aggregate over the stream, then
     * window-ORDERED prefix scans on the windows-many post-aggregate
     * rows — an unpartitioned window, deliberately: a sequential
@@ -439,7 +454,8 @@ object EventStream {
     */
   def cusumDrift(scored: DataFrame, valueCol: String, mu0: Double,
                  kappa: Double = 0.0, h: Double = 4.0,
-                 width: String = "1 hour"): DataFrame = {
+                 width: String = "1 hour",
+                 densify: Boolean = false): DataFrame = {
     require(kappa >= 0, s"cusumDrift: kappa=$kappa must be >= 0")
     require(h > 0, s"cusumDrift: h=$h must be positive")
     val x = col(valueCol).cast("double")
@@ -458,10 +474,25 @@ object EventStream {
         .unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     val mean = col("sx") / col("n")
-    val base = per.select(col("w.start").as("k"), col("n"),
+    val data = per.select(col("w.start").as("k"), col("n"),
       mean.as("m"),
       (mean - lit(mu0) - lit(kappa)).as("dp"),
       (lit(mu0) - mean - lit(kappa)).as("dn"))
+    // densify: a generated window spine between min and max window —
+    // windows-many rows (time-bounded, the post-aggregate convention);
+    // an empty window is an n = 0, mean = 0 observation
+    val base =
+      if (!densify) data
+      else {
+        val spine = data.agg(min("k").as("lo"), max("k").as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"),
+            expr(s"interval $width"))).as("k"))
+        spine.join(data, Seq("k"), "left").select(col("k"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("m"), lit(0.0)).as("m"),
+          coalesce(col("dp"), lit(0.0 - mu0 - kappa)).as("dp"),
+          coalesce(col("dn"), lit(mu0 - kappa)).as("dn"))
+      }
     val pre = base.select(col("k"), col("n"), col("m"),
       sum("dp").over(wOrd).as("pp"), sum("dn").over(wOrd).as("pn"))
     val pre2 = pre.select(col("k"), col("n"), col("m"), col("pp"),
@@ -549,8 +580,19 @@ object EventStream {
     * modeled. Null labels refuse via the riding census. One row per
     * window: (window_start, n, b_cum, c_cum, llr_b, llr_a, decision),
     * doubles rounded at 9; the decision compares the round(9)-pinned
-    * llr against thresholds both engines compute from the same
-    * literals (the [[cusumDrift]] pinned-comparison convention).
+    * llr against the round(9)-PINNED thresholds — BOTH sides of the
+    * comparison live on the 1e-9 grid, so a 1-ulp libm divergence
+    * between the engines' ln cannot flip a decision (the
+    * [[cusumDrift]] pinned-comparison convention, applied to the
+    * thresholds too).
+    *
+    * GAP-WINDOW SEMANTICS: a window with zero events emits no row by
+    * default — harmless to the statistic here (an empty window carries
+    * zero discordants, so the cumulative LLRs and every later decision
+    * are IDENTICAL with or without the gap row; unlike [[cusumDrift]]
+    * there is no fixed-cadence term to understate) but invisible to
+    * dashboards. Pass `densify = true` to emit the gap rows (n = 0,
+    * cumulative counts carried forward) over a generated window spine.
     *
     * Scale shape: ONE (window) hash aggregate (the [[windowedAb]]
     * aggregate — same single-sourced [[graft.ops.Classifier
@@ -562,7 +604,8 @@ object EventStream {
                      predACol: String, predBCol: String,
                      width: String = "1 hour", p1: Double = 0.6,
                      alpha: Double = 0.05,
-                     beta: Double = 0.05): DataFrame = {
+                     beta: Double = 0.05,
+                     densify: Boolean = false): DataFrame = {
     require(p1 > 0.5 && p1 < 1.0,
       s"windowedAbSprt: p1=$p1 must be in (0.5, 1) — the minimum " +
         "detectable B-win rate among discordants")
@@ -584,15 +627,27 @@ object EventStream {
         .unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     // the Wald boundaries and per-observation log terms as fixed
-    // driver literals — both engines replay ln of the same doubles
-    val hi = math.log((1.0 - beta) / alpha)
-    val lo = math.log(beta / (1.0 - alpha))
+    // driver literals; the BOUNDARIES are round(9)-pinned so the
+    // decision compares grid value against grid value on both engines
+    val hi = graft.ops.Num.round9(math.log((1.0 - beta) / alpha))
+    val lo = graft.ops.Num.round9(math.log(beta / (1.0 - alpha)))
     val lnWin = math.log(2.0 * p1)
     val lnLose = math.log(2.0 * (1.0 - p1))
-    val cum = per.select(col("w.start").as("k"), col("n"),
-        col("b"), col("c"))
-      .select(col("k"), col("n"),
-        sum("b").over(wOrd).as("bc"), sum("c").over(wOrd).as("cc"))
+    val data = per.select(col("w.start").as("k"), col("n"),
+      col("b"), col("c"))
+    val base =
+      if (!densify) data
+      else {
+        val spine = data.agg(min("k").as("lo"), max("k").as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"),
+            expr(s"interval $width"))).as("k"))
+        spine.join(data, Seq("k"), "left").select(col("k"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("b"), lit(0L)).as("b"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      }
+    val cum = base.select(col("k"), col("n"),
+      sum("b").over(wOrd).as("bc"), sum("c").over(wOrd).as("cc"))
     val llrB = round(col("cc") * lnWin + col("bc") * lnLose, 9)
     val llrA = round(col("bc") * lnWin + col("cc") * lnLose, 9)
     cum.select(col("k").as("window_start"), col("n"),
@@ -602,6 +657,80 @@ object EventStream {
         .when(llrA >= hi, lit("a_better"))
         .when(llrB <= lo && llrA <= lo, lit("no_difference"))
         .otherwise(lit("continue")).as("decision"))
+  }
+
+  /** Always-valid sequential test for a CONTINUOUS metric via the
+    * normal-mixture SPRT (Robbins 1970, "Statistical methods related
+    * to the law of the iterated logarithm"; the mSPRT of Johari,
+    * Koomen, Pekelis & Walsh 2017) — the [[windowedAbSprt]] companion
+    * for the metrics a binary discordant stream cannot carry: the
+    * latency / loss / score DELTA between two arms. Model: per-event
+    * values x_i (the caller feeds the paired delta) ~ N(μ, σ²) with σ²
+    * known (`sigma2`), H₀: μ = 0 against the mixture alternative
+    * μ ~ N(0, τ²) (`tau2`, the prior scale of effects worth
+    * detecting). The mixture likelihood ratio has the closed form
+    * Λ_n = √(σ²/(σ² + nτ²)) · exp(S_n²τ²/(2σ²(σ² + nτ²))) with
+    * S_n = Σx_i — pure arithmetic in the cumulative (n, S), so both
+    * engines replay it exactly; rejecting when Λ_n ≥ 1/α is
+    * anytime-valid (the martingale property: P₀(ever reject) ≤ α no
+    * matter how often the monitor looks), and p_n = min(1, 1/Λ_n) is
+    * the always-valid p-value. The decision compares the
+    * round(9)-pinned log Λ against the round(9)-pinned ln(1/α) (the
+    * [[windowedAbSprt]] pinned-threshold convention). Null/NaN values
+    * refuse via the riding census. One row per window: (window_start,
+    * n, n_cum, mean_cum, log_lambda, p_value, reject), doubles rounded
+    * at 9.
+    *
+    * GAP-WINDOW SEMANTICS: data windows — an empty window carries zero
+    * observations, so (n, S) and every later Λ are identical with or
+    * without a gap row; nothing is understated (the [[windowedAbSprt]]
+    * case, not the [[cusumDrift]] one).
+    *
+    * Scale shape: ONE (window) hash aggregate over the stream, then
+    * window-ORDERED prefix sums on the windows-many post-aggregate
+    * rows (time-bounded; the [[cusumDrift]] convention).
+    */
+  def windowedMixtureSprt(scored: DataFrame, valueCol: String,
+                          sigma2: Double, tau2: Double,
+                          alpha: Double = 0.05,
+                          width: String = "1 hour"): DataFrame = {
+    require(sigma2 > 0, s"windowedMixtureSprt: sigma2=$sigma2 must be " +
+      "positive — the known per-observation variance")
+    require(tau2 > 0, s"windowedMixtureSprt: tau2=$tau2 must be " +
+      "positive — the prior scale of detectable effects")
+    require(alpha > 0 && alpha < 0.5, s"windowedMixtureSprt: alpha=$alpha")
+    val x = col(valueCol).cast("double")
+    val bad = (x.isNull || isnan(x)).cast("long")
+    val per = scored
+      .groupBy(window(col("ts"), width).as("w"))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(bad).as("__bad"))
+      .localCheckpoint()
+    val badRow = per.agg(sum("__bad")).head()
+    val nBad = if (badRow.isNullAt(0)) 0L else badRow.getLong(0)
+    require(nBad == 0,
+      "windowedMixtureSprt: values must be non-null and non-NaN — " +
+        "clean the frame first")
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy("k")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val thr = graft.ops.Num.round9(math.log(1.0 / alpha))
+    val cum = per.select(col("w.start").as("k"), col("n"), col("sx"))
+      .select(col("k"), col("n"),
+        sum("n").over(wOrd).as("nc"), sum("sx").over(wOrd).as("sc"))
+    // log Λ operand for operand as the oracle writes it:
+    // 0.5·ln(σ²/(σ² + n·τ²)) + (S·S·τ²)/(2σ²(σ² + n·τ²))
+    val llr = round(
+      lit(0.5) * log(lit(sigma2) / (lit(sigma2) + col("nc") * lit(tau2)))
+        + (col("sc") * col("sc") * lit(tau2)) /
+          (lit(2.0) * lit(sigma2) * (lit(sigma2) + col("nc") * lit(tau2))),
+      9)
+    cum.select(col("k").as("window_start"), col("n"),
+      col("nc").as("n_cum"),
+      round(col("sc") / col("nc"), 9).as("mean_cum"),
+      llr.as("log_lambda"),
+      round(least(lit(1.0), exp(lit(0.0) - llr)), 9).as("p_value"),
+      (llr >= thr).as("reject"))
   }
 
   /** Sliding-window per-user activity. */

@@ -922,6 +922,54 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Window") && !p.contains("Join"), p)
   }
 
+  test("offPolicyEvalBySlice: output folds from the checkpointed (slice) aggregate — no corpus re-scan, no join, no window") {
+    // ONE (slice) hash aggregate over the log; every estimate, SE and
+    // CI is column arithmetic on the checkpointed per-slice rows —
+    // the frame the caller receives must not re-touch parquet
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(concat(lit("s"),
+          (pmod(col("doc_id"), lit(3))).cast("string")).as("slice"),
+        (pmod(col("doc_id") * 13, lit(8)).cast("double") / 8.0)
+          .as("reward"),
+        (lit(1.0) / pow(lit(2.0),
+          (pmod(col("doc_id") * 7, lit(3)) + 1).cast("double")))
+          .as("pb"),
+        ((pmod(col("doc_id") * 11, lit(8)) + 1).cast("double") / 16.0)
+          .as("pt"))
+    val df = ops.Classifier.offPolicyEvalBySlice(docs, "reward", "pb",
+      "pt", "slice", clip = 2.0)
+    val p = plan(df)
+    assert(!p.contains("FileScan"), p)
+    assert(opCount(p, "Scan parquet") + opCount(p, "BatchScan") === 0, p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
+  test("windowedMixtureSprt: ONE (window) aggregate; prefix sums on the checkpointed windows frame") {
+    val ev = graft.streaming.EventStream.loadEvents(spark, sf())
+    val scored = ev.select(col("ts"),
+      (((col("user_id") * 13) % 9 - 4).cast("double") / 8.0
+        + lit(0.015625)).as("delta"))
+    val df = graft.streaming.EventStream.windowedMixtureSprt(scored,
+      "delta", sigma2 = 0.125, tau2 = 0.0625)
+    val p = plan(df)
+    assert(!p.contains("FileScan"), p)
+    assert(opCount(p, "Scan parquet") + opCount(p, "BatchScan") === 0, p)
+    assert(p.contains("Window") && !p.contains("Join"), p)
+  }
+
+  test("cusumDrift densify: the spine join is windows-many post-aggregate rows — no corpus re-scan downstream of the one aggregate") {
+    val ev = graft.streaming.EventStream.loadEvents(spark, sf())
+    val scored = ev.filter(hour(col("ts")) % 3 =!= 1)
+      .select(col("ts"),
+        ((col("user_id") * 7 + 3) % 13).cast("double").as("metric"))
+    val df = graft.streaming.EventStream.cusumDrift(scored, "metric",
+      mu0 = 5.5, kappa = 0.0, h = 2.0, densify = true)
+    val p = plan(df)
+    assert(!p.contains("FileScan"), p)
+    assert(opCount(p, "Scan parquet") + opCount(p, "BatchScan") === 0, p)
+    assert(p.contains("Window"), p)
+  }
+
   test("abReport: ONE pinned holdout — both legs read the checkpoint; placements broadcast") {
     // the r18 promotion's whole point: the McNemar aggregate and the
     // DeLong moment aggregate must BOTH read the one localCheckpointed

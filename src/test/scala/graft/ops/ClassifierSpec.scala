@@ -1196,7 +1196,7 @@ class ClassifierSpec extends SparkSpec {
       frame(0, 0, 0), "y", "a", "b", margin = 0.02))
   }
 
-  test("offPolicyEval: hand IPS/SNIPS/ESS, identity policy, clipping census, refusals") {
+  test("offPolicyEval: hand IPS/SNIPS/ESS/SEs/CIs, identity policy, clipping census, refusals") {
     import spark.implicits._
     // (reward, logged propensity, target prob): w = 2, .5, 4->clip 2, .5
     val log = Seq((1.0, 0.5, 1.0), (0.0, 0.5, 0.25), (1.0, 0.25, 1.0),
@@ -1206,18 +1206,43 @@ class ClassifierSpec extends SparkSpec {
     assert(r.getLong(0) === 4L)
     assert(r.getDouble(1) === 0.625)           // behavior mean
     assert(r.getDouble(2) === 1.0625)          // ips = 4.25/4
-    assert(r.getDouble(3) === 0.85)            // snips = 4.25/5
-    assert(r.getDouble(4) ===
+    assert(r.getDouble(6) === 0.85)            // snips = 4.25/5
+    assert(r.getDouble(10) ===
       graft.ops.Num.round9(25.0 / 8.5))        // ess = (Σw)²/Σw²
-    assert(r.getDouble(5) === 0.25)            // 1 of 4 clipped
+    assert(r.getDouble(11) === 0.25)           // 1 of 4 clipped
+    // hand SEs from the same four rows: per-row x = wc·r is
+    // (2, 0, 2, .25), so Σx² = 8.0625 and Σx² − (Σx)²/n = 3.546875 —
+    // se(ips) = √(3.546875/3/4); the delta-method snips term is
+    // Σ(wr)² − 2·snips·Σw²r + snips²·Σw² = 8.0625 − 2(.85)(8.125) +
+    // (.85)²(8.5) = 0.39125 — se(snips) = √0.39125 / 5
+    val ipsSe = graft.ops.Num.round9(math.sqrt(3.546875 / 3.0 / 4.0))
+    val snipsSe = graft.ops.Num.round9(
+      math.sqrt(8.0625 - 2.0 * 0.85 * 8.125 + 0.85 * 0.85 * 8.5) / 5.0)
+    assert(r.getDouble(3) === ipsSe)
+    assert(r.getDouble(7) === snipsSe)
+    // CIs at the fixed z = 1.959964, computed from the UNROUNDED se
+    assert(r.getDouble(4) === graft.ops.Num.round9(
+      1.0625 - 1.959964 * math.sqrt(3.546875 / 3.0 / 4.0)))
+    assert(r.getDouble(5) === graft.ops.Num.round9(
+      1.0625 + 1.959964 * math.sqrt(3.546875 / 3.0 / 4.0)))
+    assert(r.getDouble(8) < 0.85 && r.getDouble(9) > 0.85)
+    // the self-normalized CI is tighter than the raw IPS CI here —
+    // the reason snips is the practical default
+    assert(snipsSe < ipsSe)
     // identity policy: every estimate collapses to the behavior mean
     // and ESS is the full n — the sanity anchor
     val id0 = Classifier.offPolicyEval(
       log.select(col("r"), col("pb"), col("pb").as("pt")),
       "r", "pb", "pt").head()
     assert(id0.getDouble(2) === id0.getDouble(1))
-    assert(id0.getDouble(3) === id0.getDouble(1))
-    assert(id0.getDouble(4) === 4.0 && id0.getDouble(5) === 0.0)
+    assert(id0.getDouble(6) === id0.getDouble(1))
+    assert(id0.getDouble(10) === 4.0 && id0.getDouble(11) === 0.0)
+    // single-row log: SEs are 0 by the n > 1 guard, CIs collapse
+    val one = Classifier.offPolicyEval(
+      Seq((1.0, 0.5, 0.5)).toDF("r", "pb", "pt"), "r", "pb", "pt")
+      .head()
+    assert(one.getDouble(3) === 0.0 && one.getDouble(7) === 0.0)
+    assert(one.getDouble(4) === one.getDouble(2))
     // refusals ride the one aggregate: zero logging propensity,
     // target prob > 1, NaN reward, bad clip, empty
     intercept[IllegalArgumentException](Classifier.offPolicyEval(
@@ -1233,7 +1258,7 @@ class ClassifierSpec extends SparkSpec {
       log.filter(lit(false)), "r", "pb", "pt"))
   }
 
-  test("doublyRobustEval: hand DR, perfect-model anchor, zero-model degrades to IPS, refusals") {
+  test("doublyRobustEval: hand DR + SEs, perfect-model anchor, zero-model degrades to IPS, refusals") {
     import spark.implicits._
     // (reward, p_logged, p_target, q_hat, v_hat): wc = 2, .5, 2, .5
     val log = Seq(
@@ -1249,21 +1274,38 @@ class ClassifierSpec extends SparkSpec {
     assert(r.getDouble(3) === 1.0625)                // ips (as offPolicyEval)
     // dr per row: .5+2(.25)=1; .25+.5(-.25)=.125; .75+2(0)=.75;
     // .25+.5(0)=.25 -> mean = 2.125/4
-    assert(r.getDouble(4) === 0.53125)
-    assert(r.getDouble(6) === 0.25)
+    assert(r.getDouble(7) === 0.53125)
+    assert(r.getDouble(12) === 0.25)
+    // hand SEs: ips per-row x = (2, 0, 2, .25) gives Σx² − (Σx)²/n =
+    // 3.546875 (the offPolicyEval pin); dr per-row x = (1, .125, .75,
+    // .25) gives Σx² = 1.640625 and Σx² − (Σx)²/n = 0.51171875
+    val ipsSe = graft.ops.Num.round9(math.sqrt(3.546875 / 3.0 / 4.0))
+    val drSe = graft.ops.Num.round9(math.sqrt(0.51171875 / 3.0 / 4.0))
+    assert(r.getDouble(4) === ipsSe)
+    assert(r.getDouble(8) === drSe)
+    assert(r.getDouble(9) === graft.ops.Num.round9(
+      0.53125 - 1.959964 * math.sqrt(0.51171875 / 3.0 / 4.0)))
+    assert(r.getDouble(10) === graft.ops.Num.round9(
+      0.53125 + 1.959964 * math.sqrt(0.51171875 / 3.0 / 4.0)))
+    // the DR CI is TIGHTER than the IPS CI when the reward model is
+    // any good — the whole point of carrying it
+    assert(drSe < ipsSe)
     // PERFECT reward model (q = r): the correction vanishes — DR
-    // equals the direct method exactly, propensities irrelevant
+    // equals the direct method exactly, propensities irrelevant, and
+    // the DR variance collapses to the v-hat spread
     val perfect = Classifier.doublyRobustEval(
       log.select(col("r"), col("pb"), col("pt"), col("r").as("qh"),
         col("vh")), "r", "pb", "pt", "qh", "vh", clip = 2.0).head()
-    assert(perfect.getDouble(4) === perfect.getDouble(2))
-    // ZERO model: DR degrades to exactly the IPS estimate
+    assert(perfect.getDouble(7) === perfect.getDouble(2))
+    // ZERO model: DR degrades to exactly the IPS estimate AND the
+    // ips/dr standard errors coincide (identical per-row terms)
     val zero = Classifier.doublyRobustEval(
       log.select(col("r"), col("pb"), col("pt"),
         lit(0.0).as("qh"), lit(0.0).as("vh")),
       "r", "pb", "pt", "qh", "vh", clip = 2.0).head()
-    assert(zero.getDouble(4) === zero.getDouble(3))
+    assert(zero.getDouble(7) === zero.getDouble(3))
     assert(zero.getDouble(3) === r.getDouble(3))
+    assert(zero.getDouble(8) === zero.getDouble(4))
     // refusals: NaN model column, bad propensity, empty
     intercept[IllegalArgumentException](Classifier.doublyRobustEval(
       Seq((1.0, 0.5, 0.5, Double.NaN, 0.0)).toDF("r", "pb", "pt", "qh",
@@ -1273,6 +1315,97 @@ class ClassifierSpec extends SparkSpec {
       "r", "pb", "pt", "qh", "vh"))
     intercept[IllegalArgumentException](Classifier.doublyRobustEval(
       log.filter(lit(false)), "r", "pb", "pt", "qh", "vh"))
+  }
+
+  test("offPolicyEvalBySlice: Simpson reversal — pooled wins, one slice loses; rows match the scalar op per slice; refusals") {
+    import spark.implicits._
+    // slice a: candidate up-weights the rewarded rows (w = 2, r = 1);
+    // slice b: candidate down-weights its only rewarded row — the
+    // candidate WINS pooled and LOSES on slice b
+    val log = Seq(
+      ("a", 1.0, 0.5, 1.0), ("a", 1.0, 0.5, 1.0), ("a", 1.0, 0.5, 1.0),
+      ("b", 1.0, 1.0, 0.25), ("b", 0.0, 0.5, 1.0))
+      .toDF("slice", "r", "pb", "pt")
+    val pooled = Classifier.offPolicyEval(log, "r", "pb", "pt",
+      clip = 2.0).head()
+    assert(pooled.getDouble(2) > pooled.getDouble(1)) // ips 1.25 > .8
+    val by = Classifier.offPolicyEvalBySlice(log, "r", "pb", "pt",
+      "slice", clip = 2.0).orderBy("slice").collect()
+    assert(by.length === 2)
+    val (sa, sb) = (by(0), by(1))
+    assert(sa.getString(0) === "a" && sb.getString(0) === "b")
+    assert(sa.getDouble(3) > sa.getDouble(2))   // a: ips 2 > mean 1
+    assert(sb.getDouble(3) < sb.getDouble(2))   // b: ips .125 < mean .5
+    // every per-slice row equals the SCALAR operator run on that
+    // slice alone — same formulas, same rounding, column for column
+    for ((row, s) <- Seq((sa, "a"), (sb, "b"))) {
+      val solo = Classifier.offPolicyEval(
+        log.filter(col("slice") === s), "r", "pb", "pt", clip = 2.0)
+        .head()
+      for (i <- 0 until solo.length)
+        assert(row.get(i + 1) === solo.get(i),
+          s"slice $s column $i: ${row.get(i + 1)} vs ${solo.get(i)}")
+    }
+    // per-slice ESS: slice a is uniform-weight (ess = n = 3)
+    assert(sa.getDouble(11) === 3.0)
+    // refusals: a bad row in ANY slice refuses the whole call; empty
+    intercept[IllegalArgumentException](Classifier.offPolicyEvalBySlice(
+      log.select(col("slice"), col("r"), when(col("slice") === "b",
+        lit(0.0)).otherwise(col("pb")).as("pb"), col("pt")),
+      "r", "pb", "pt", "slice", clip = 2.0))
+    intercept[IllegalArgumentException](Classifier.offPolicyEvalBySlice(
+      log.filter(lit(false)), "r", "pb", "pt", "slice"))
+  }
+
+  test("routerPropensities: extracts (pb, pt) at the action index; bad rows delegate to the estimator census; e2e equals precomputed") {
+    import spark.implicits._
+    val log = Seq(
+      (1.0, "m1", Seq("m0", "m1"), Seq(0.75, 0.25), Seq(0.5, 0.5)),
+      (0.5, "m0", Seq("m0", "m1"), Seq(0.5, 0.5), Seq(0.25, 0.75)))
+      .toDF("r", "action", "cand", "bp", "tp")
+    val out = Classifier.routerPropensities(log, "action", "cand",
+      "bp", "tp").orderBy("action").collect()
+    assert(out(0).getDouble(out(0).fieldIndex("pb")) === 0.5)  // m0
+    assert(out(0).getDouble(out(0).fieldIndex("pt")) === 0.25)
+    assert(out(1).getDouble(out(1).fieldIndex("pb")) === 0.25) // m1
+    assert(out(1).getDouble(out(1).fieldIndex("pt")) === 0.5)
+    // e2e: adapter + offPolicyEval == offPolicyEval on precomputed
+    val viaAdapter = Classifier.offPolicyEval(
+      Classifier.routerPropensities(log, "action", "cand", "bp", "tp"),
+      "r", "pb", "pt", clip = 2.0).collect()
+    val direct = Classifier.offPolicyEval(
+      Seq((1.0, 0.25, 0.5), (0.5, 0.5, 0.25)).toDF("r", "pb", "pt"),
+      "r", "pb", "pt", clip = 2.0).collect()
+    assert(viaAdapter.toSeq === direct.toSeq)
+    // action missing from the candidate list -> NULL propensities ->
+    // the estimator's own census refuses (the delegation contract)
+    val missing = Seq(
+      (1.0, "m9", Seq("m0", "m1"), Seq(0.75, 0.25), Seq(0.5, 0.5)))
+      .toDF("r", "action", "cand", "bp", "tp")
+    intercept[IllegalArgumentException](Classifier.offPolicyEval(
+      Classifier.routerPropensities(missing, "action", "cand", "bp",
+        "tp"), "r", "pb", "pt"))
+    // ragged probability vector (length != candidates) -> same path
+    val ragged = Seq(
+      (1.0, "m1", Seq("m0", "m1"), Seq(1.0), Seq(0.5, 0.5)))
+      .toDF("r", "action", "cand", "bp", "tp")
+    intercept[IllegalArgumentException](Classifier.offPolicyEval(
+      Classifier.routerPropensities(ragged, "action", "cand", "bp",
+        "tp"), "r", "pb", "pt"))
+  }
+
+  test("properScoresMulticlass: maxClasses enforces the K-regime contract") {
+    import spark.implicits._
+    val rows = Seq((Seq(0.5, 0.25, 0.25), 0), (Seq(0.25, 0.5, 0.25), 1))
+      .toDF("probs", "label")
+    val ex = intercept[IllegalArgumentException](
+      Classifier.properScoresMulticlass(rows, "probs", "label",
+        bins = 4, maxClasses = 2))
+    assert(ex.getMessage.contains("maxClasses"))
+    assert(ex.getMessage.contains("posexplode"))
+    // at the bound it runs
+    assert(Classifier.properScoresMulticlass(rows, "probs", "label",
+      bins = 4, maxClasses = 3).count() === 4)
   }
 
   test("empty frames refuse loudly across the evaluation family") {

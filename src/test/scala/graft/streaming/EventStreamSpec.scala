@@ -658,6 +658,106 @@ class EventStreamSpec extends SparkSpec {
       "y", "a", "b").count())
   }
 
+  test("cusumDrift gap windows: default skips them (data-window semantics); densify emits n = 0 rows that accrue mu0 - kappa downward") {
+    import spark.implicits._
+    // hours 0, 1, 4 carry one event each at the reference mean; hours
+    // 2 and 3 are SILENT
+    def gapped(mu0: Double, kappa: Double, h: Double, dense: Boolean) =
+      EventStream.cusumDrift(
+        Seq((0L, mu0), (3600L, mu0), (4 * 3600L, mu0)).toDF("sec", "v")
+          .select(expr("timestamp_seconds(sec)").as("ts"), col("v")),
+        "v", mu0, kappa, h, "1 hour", densify = dense)
+        .orderBy("window_start").collect()
+    // default: 3 rows, the gap invisible, nothing accrues anywhere
+    val sparse = gapped(5.0, 0.5, 2.0, dense = false)
+    assert(sparse.length === 3)
+    assert(sparse.forall(r => r.getDouble(3) === 0.0 &&
+      r.getDouble(4) === 0.0 && !r.getBoolean(5)))
+    // densified: 5 rows; the two gap rows read n = 0, mean = 0, and
+    // each accrues mu0 - kappa = 4.5 on the NEGATIVE side (a stopped
+    // feed IS downward drift) — alarm fires inside the gap at h = 2
+    val dense = gapped(5.0, 0.5, 2.0, dense = true)
+    assert(dense.length === 5)
+    assert(dense.map(_.getLong(1)).toSeq === Seq(1L, 1L, 0L, 0L, 1L))
+    assert(dense(2).getDouble(2) === 0.0)          // gap mean reads 0
+    assert(dense(2).getDouble(4) === 4.5)          // one silent hour
+    assert(dense(3).getDouble(4) === 9.0)          // two silent hours
+    assert(!dense(1).getBoolean(5) && dense(2).getBoolean(5))
+    // the data windows carry the SAME statistics in both modes up to
+    // the gap's contribution: window 0 and 1 match exactly
+    for (i <- 0 to 1; j <- 3 to 4)
+      assert(dense(i).getDouble(j) === sparse(i).getDouble(j))
+  }
+
+  test("windowedAbSprt densify: gap rows carry cums forward; decisions on data windows unchanged") {
+    import spark.implicits._
+    // discordants only in hours 0 and 3 — hours 1, 2 silent
+    val df = Seq((0L, "1", "0", "1"), (0L, "1", "0", "1"),
+        (3 * 3600L, "1", "0", "1"))
+      .toDF("sec", "y", "a", "b")
+      .select(expr("timestamp_seconds(sec)").as("ts"), col("y"),
+        col("a"), col("b"))
+    val sparse = EventStream.windowedAbSprt(df, "y", "a", "b", "1 hour")
+      .orderBy("window_start").collect()
+    val dense = EventStream.windowedAbSprt(df, "y", "a", "b", "1 hour",
+      densify = true).orderBy("window_start").collect()
+    assert(sparse.length === 2 && dense.length === 4)
+    // gap rows: zero traffic, cums carried forward, same verdict path
+    assert(dense(1).getLong(1) === 0L && dense(2).getLong(1) === 0L)
+    assert(dense(1).getLong(3) === 2L && dense(2).getLong(3) === 2L)
+    assert(dense(1).getDouble(4) === dense(0).getDouble(4))
+    // the data windows are bit-identical across modes (an empty
+    // window adds zero discordants — nothing is understated)
+    assert(dense(0).toSeq === sparse(0).toSeq)
+    assert(dense(3).toSeq === sparse(1).toSeq)
+  }
+
+  test("windowedMixtureSprt: hand log-lambda, anytime p, boundary crossing monotone in effect size, refusals") {
+    import spark.implicits._
+    def mk(vals: Seq[Seq[Double]]) =
+      vals.zipWithIndex.flatMap { case (xs, h) =>
+        xs.map(x => (h * 3600L, x)) }
+        .toDF("sec", "x")
+        .select(expr("timestamp_seconds(sec)").as("ts"), col("x"))
+    def msprt(vals: Seq[Seq[Double]], s2: Double = 0.25,
+              t2: Double = 1.0, a: Double = 0.05) =
+      EventStream.windowedMixtureSprt(mk(vals), "x", s2, t2, a)
+        .orderBy("window_start").collect()
+    // hand case: two windows, cumulative (n, S) = (2, 1.0) then
+    // (3, 2.0); log Λ = .5·ln(σ²/(σ²+nτ²)) + S²τ²/(2σ²(σ²+nτ²))
+    val out = msprt(Seq(Seq(0.5, 0.5), Seq(1.0)))
+    def handLl(n: Long, s: Double) =
+      graft.ops.Num.round9(0.5 * math.log(0.25 / (0.25 + n * 1.0))
+        + (s * s * 1.0) / (2.0 * 0.25 * (0.25 + n * 1.0)))
+    assert(out(0).getLong(2) === 2L && out(1).getLong(2) === 3L)
+    assert(out(0).getDouble(4) === handLl(2, 1.0))
+    assert(out(1).getDouble(4) === handLl(3, 2.0))
+    assert(out(1).getDouble(3) === graft.ops.Num.round9(2.0 / 3.0))
+    // anytime-valid p = min(1, 1/Λ), monotone against the statistic
+    assert(out(1).getDouble(5) === graft.ops.Num.round9(
+      math.min(1.0, math.exp(0.0 - handLl(3, 2.0)))))
+    // a zero-mean stream never rejects (Λ shrinks below 1, p pins at 1)
+    val nullCase = msprt(Seq.fill(20)(Seq(0.5, -0.5)))
+    assert(nullCase.forall(!_.getBoolean(6)))
+    assert(nullCase.last.getDouble(5) === 1.0)
+    // boundary-crossing time is MONOTONE in effect size: a 2x shift
+    // rejects no later (here strictly earlier) than a 1x shift
+    def firstReject(shift: Double): Int =
+      msprt(Seq.fill(30)(Seq.fill(4)(shift)))
+        .indexWhere(_.getBoolean(6))
+    val (slow, fast) = (firstReject(0.25), firstReject(0.5))
+    assert(slow > 0 && fast >= 0 && fast <= slow)
+    // refusals: parameter guards; NaN census rides the aggregate
+    intercept[IllegalArgumentException](
+      msprt(Seq(Seq(1.0)), s2 = 0.0))
+    intercept[IllegalArgumentException](
+      msprt(Seq(Seq(1.0)), t2 = -1.0))
+    intercept[IllegalArgumentException](
+      msprt(Seq(Seq(1.0)), a = 0.5))
+    intercept[IllegalArgumentException](
+      msprt(Seq(Seq(Double.NaN))))
+  }
+
   test("windowedAb: single-window equality to batch mcnemarTest; degenerate; refusal") {
     import spark.implicits._
     val rows = (0 until 200).map { i =>
