@@ -3931,6 +3931,55 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
         "reward", "pb", "pt", clip = 2.0)
     }),
 
+    // per-slice doubly-robust OPE: the q_offpolicy_dr frame sliced
+    // 3 ways — per-slice DR next to per-slice IPS localizes
+    // model-vs-support disagreement to the slice that has it
+    "q_offpolicy_dr_slice" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"))
+      ops.Classifier.doublyRobustEvalBySlice(d.select(
+          concat(lit("s"), (col("id") % 3).cast("string")).as("slice"),
+          (((col("id") * 13) % 8).cast("double") / 8.0).as("reward"),
+          (lit(1.0) / pow(lit(2.0),
+            (((col("id") * 7) % 3) + 1).cast("double"))).as("pb"),
+          ((((col("id") * 11) % 8) + 1).cast("double") / 16.0).as("pt"),
+          (((col("id") * 5) % 8).cast("double") / 8.0).as("qh"),
+          (((col("id") * 3) % 8).cast("double") / 8.0).as("vh")),
+        "reward", "pb", "pt", "qh", "vh", "slice", clip = 2.0)
+        .orderBy("slice")
+    }),
+
+    // CUPED variance-reduced A/B delta: a dyadic pre-experiment
+    // covariate sharing the metric's base term — theta, the adjusted
+    // delta, both SEs and the variance-reduction factor all replay
+    // from twelve power sums; p via the shared erfcc chain
+    "q_cuped" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"))
+      val base = ((col("id") * 13) % 16).cast("double") / 16.0
+      ops.Classifier.cupedDelta(d.select(
+          concat(lit("arm"), (col("id") % 2).cast("string")).as("arm"),
+          (base + (col("id") % 2).cast("double") * 0.03125).as("y"),
+          (base * 0.5 + ((col("id") * 29) % 8).cast("double") / 16.0)
+            .as("x")),
+        "arm", "arm0", "arm1", "y", "x")
+    }),
+
+    // empirical-Bayes shrinkage of per-slice rates: six slices of
+    // deliberately unequal size ((id%4)*(id%3) is skewed toward 0);
+    // the across-slice moment sums replay as slice-ordered prefix
+    // sums on both engines (the cusum convention)
+    "q_eb_rates" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"))
+      ops.Classifier.empiricalBayesRates(d.select(
+          concat(lit("g"), ((col("id") % 4) * (col("id") % 3))
+            .cast("string")).as("slice"),
+          (((col("id") * 37) % 97) % 2).cast("int").as("succ")),
+        "slice", "succ")
+        .orderBy("slice")
+    }),
+
     // multiclass proper scores: 3 classes with DYADIC probabilities
     // summing to 1 exactly (a/128, b/128, (128-a-b)/128) and an
     // id-arithmetic label — per-class one-vs-rest Murphy rows plus
@@ -8096,6 +8145,194 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |    AS ess,
           |  round(nclip * 1.0 / n, 9) AS clipped_frac
           |FROM e2""".stripMargin,
+
+      "q_offpolicy_dr_slice" ->
+        """WITH r AS (
+          |  SELECT
+          |    's' || CAST(CAST(doc_id AS BIGINT) % 3 AS VARCHAR)
+          |      AS slice,
+          |    CAST((CAST(doc_id AS BIGINT) * 13) % 8 AS DOUBLE) / 8.0
+          |      AS rw,
+          |    1.0 / power(2.0, CAST((CAST(doc_id AS BIGINT) * 7) % 3 + 1
+          |      AS DOUBLE)) AS pb,
+          |    CAST((CAST(doc_id AS BIGINT) * 11) % 8 + 1 AS DOUBLE)
+          |      / 16.0 AS pt,
+          |    CAST((CAST(doc_id AS BIGINT) * 5) % 8 AS DOUBLE) / 8.0
+          |      AS qh,
+          |    CAST((CAST(doc_id AS BIGINT) * 3) % 8 AS DOUBLE) / 8.0
+          |      AS vh
+          |  FROM documents),
+          |w AS (SELECT slice, rw, qh, vh, pt / pb AS w0,
+          |        least(pt / pb, 2.0) AS wc
+          |      FROM r),
+          |ag AS (
+          |  SELECT slice, count(*) AS n, sum(rw) AS sr, sum(vh) AS sv,
+          |    sum(wc * rw) AS swr,
+          |    sum(vh + wc * (rw - qh)) AS sdr,
+          |    sum(wc) AS sw, sum(wc * wc) AS sww,
+          |    sum((wc * rw) * (wc * rw)) AS swr2,
+          |    sum((vh + wc * (rw - qh)) * (vh + wc * (rw - qh)))
+          |      AS sdr2,
+          |    sum(CASE WHEN w0 > 2.0 THEN 1 ELSE 0 END) AS nclip
+          |  FROM w GROUP BY slice),
+          |es AS (
+          |  SELECT *, swr / n AS ips, sdr / n AS dr,
+          |    CASE WHEN n > 1 THEN
+          |      sqrt(greatest(0.0, (swr2 - swr * swr / n) / (n - 1.0))
+          |        / n)
+          |    ELSE 0.0 END AS ips_se,
+          |    CASE WHEN n > 1 THEN
+          |      sqrt(greatest(0.0, (sdr2 - sdr * sdr / n) / (n - 1.0))
+          |        / n)
+          |    ELSE 0.0 END AS dr_se
+          |  FROM ag)
+          |SELECT slice, CAST(n AS BIGINT) AS n,
+          |  round(sr / n, 9) AS behavior_mean,
+          |  round(sv / n, 9) AS dm,
+          |  round(ips, 9) AS ips, round(ips_se, 9) AS ips_se,
+          |  round(ips - 1.959964 * ips_se, 9) AS ips_lo,
+          |  round(ips + 1.959964 * ips_se, 9) AS ips_hi,
+          |  round(dr, 9) AS dr, round(dr_se, 9) AS dr_se,
+          |  round(dr - 1.959964 * dr_se, 9) AS dr_lo,
+          |  round(dr + 1.959964 * dr_se, 9) AS dr_hi,
+          |  round(CASE WHEN sww > 0 THEN sw * sw / sww ELSE 0.0 END, 9)
+          |    AS ess,
+          |  round(nclip * 1.0 / n, 9) AS clipped_frac
+          |FROM es ORDER BY slice""".stripMargin,
+
+      "q_cuped" ->
+        s"""WITH b0 AS (
+          |  SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+          |r AS (
+          |  SELECT 'arm' || CAST(id % 2 AS VARCHAR) AS arm,
+          |    CAST((id * 13) % 16 AS DOUBLE) / 16.0
+          |      + CAST(id % 2 AS DOUBLE) * 0.03125 AS y,
+          |    CAST((id * 13) % 16 AS DOUBLE) / 16.0 * 0.5
+          |      + CAST((id * 29) % 8 AS DOUBLE) / 16.0 AS x
+          |  FROM b0),
+          |ag AS (
+          |  SELECT arm, count(*) AS n, sum(y) AS sy, sum(x) AS sx,
+          |    sum(y * y) AS syy, sum(x * x) AS sxx, sum(x * y) AS sxy
+          |  FROM r GROUP BY arm),
+          |pv AS (
+          |  SELECT
+          |    max(CASE WHEN arm = 'arm0' THEN n END) AS na,
+          |    max(CASE WHEN arm = 'arm1' THEN n END) AS nb,
+          |    max(CASE WHEN arm = 'arm0' THEN sy END) AS sya,
+          |    max(CASE WHEN arm = 'arm1' THEN sy END) AS syb,
+          |    max(CASE WHEN arm = 'arm0' THEN sx END) AS sxa,
+          |    max(CASE WHEN arm = 'arm1' THEN sx END) AS sxb,
+          |    max(CASE WHEN arm = 'arm0' THEN syy END) AS syya,
+          |    max(CASE WHEN arm = 'arm1' THEN syy END) AS syyb,
+          |    max(CASE WHEN arm = 'arm0' THEN sxx END) AS sxxa,
+          |    max(CASE WHEN arm = 'arm1' THEN sxx END) AS sxxb,
+          |    max(CASE WHEN arm = 'arm0' THEN sxy END) AS sxya,
+          |    max(CASE WHEN arm = 'arm1' THEN sxy END) AS sxyb
+          |  FROM ag),
+          |th AS (
+          |  SELECT *,
+          |    (sxxa + sxxb) - (sxa + sxb) * (sxa + sxb) / (na + nb)
+          |      AS vden
+          |  FROM pv),
+          |t2 AS (
+          |  SELECT *,
+          |    CASE WHEN vden > 0.0 THEN
+          |      ((sxya + sxyb) - (sxa + sxb) * (sya + syb) / (na + nb))
+          |        / vden
+          |    ELSE 0.0 END AS theta
+          |  FROM th),
+          |st AS (
+          |  SELECT *,
+          |    sya / na AS mya, syb / nb AS myb,
+          |    sxa / na AS mxa, sxb / nb AS mxb,
+          |    (syya - sya * sya / na) / (na - 1.0) AS vya,
+          |    (syyb - syb * syb / nb) / (nb - 1.0) AS vyb,
+          |    (sxxa - sxa * sxa / na) / (na - 1.0) AS vxa,
+          |    (sxxb - sxb * sxb / nb) / (nb - 1.0) AS vxb,
+          |    (sxya - sxa * sya / na) / (na - 1.0) AS ca,
+          |    (sxyb - sxb * syb / nb) / (nb - 1.0) AS cb
+          |  FROM t2),
+          |dl AS (
+          |  SELECT *,
+          |    myb - mya AS delta_raw,
+          |    sqrt(vya / na + vyb / nb) AS se_raw,
+          |    (myb - mya) - theta * (mxb - mxa) AS delta,
+          |    greatest(0.0, vya - 2.0 * theta * ca
+          |      + theta * theta * vxa) AS s2a,
+          |    greatest(0.0, vyb - 2.0 * theta * cb
+          |      + theta * theta * vxb) AS s2b
+          |  FROM st),
+          |se1 AS (
+          |  SELECT *, sqrt(s2a / na + s2b / nb) AS se FROM dl),
+          |zz AS (
+          |  SELECT *, CASE WHEN se > 0.0 THEN delta / se ELSE 0.0 END
+          |    AS z
+          |  FROM se1),
+          |px AS (SELECT *, abs(z) / sqrt(2.0) AS xq FROM zz),
+          |pp AS (
+          |  SELECT *,
+          |    round(CASE WHEN se > 0.0 THEN
+          |        least(1.0, ${erfccSql("xq")})
+          |      WHEN delta = 0.0 THEN 1.0 ELSE 0.0 END, 9) AS p
+          |  FROM px)
+          |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+          |  round(theta, 9) AS theta,
+          |  round(delta_raw, 9) AS delta_raw,
+          |  round(se_raw, 9) AS se_raw,
+          |  round(delta, 9) AS delta, round(se, 9) AS se,
+          |  round(z, 9) AS z, p AS p_value,
+          |  round(delta - 1.959964 * se, 9) AS ci_lo,
+          |  round(delta + 1.959964 * se, 9) AS ci_hi,
+          |  round(CASE WHEN se_raw > 0.0 THEN
+          |      1.0 - (se * se) / (se_raw * se_raw)
+          |    ELSE 0.0 END, 9) AS var_reduction,
+          |  (p < 0.05) AS significant
+          |FROM pp""".stripMargin,
+
+      "q_eb_rates" ->
+        """WITH b0 AS (
+          |  SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+          |r AS (
+          |  SELECT 'g' || CAST((id % 4) * (id % 3) AS VARCHAR)
+          |      AS slice,
+          |    CAST(((id * 37) % 97) % 2 AS INT) AS succ
+          |  FROM b0),
+          |per AS (
+          |  SELECT slice, count(*) AS n, sum(CAST(succ AS DOUBLE)) AS s
+          |  FROM r GROUP BY slice),
+          |tot AS (
+          |  SELECT count(*) AS k, sum(n) AS nn, sum(s) AS ss FROM per),
+          |pre AS (
+          |  SELECT slice, n, s,
+          |    SUM(s / n) OVER w AS cp,
+          |    SUM((s / n) * (s / n)) OVER w AS cp2,
+          |    SUM(CAST(1.0 AS DOUBLE) / n) OVER w AS cinv,
+          |    ROW_NUMBER() OVER (ORDER BY slice) AS rn
+          |  FROM per
+          |  WINDOW w AS (ORDER BY slice ROWS BETWEEN UNBOUNDED
+          |    PRECEDING AND CURRENT ROW)),
+          |st AS (
+          |  SELECT t.k, t.ss / t.nn AS pbar, l.cp, l.cp2, l.cinv
+          |  FROM tot t, pre l WHERE l.rn = t.k),
+          |fx AS (
+          |  SELECT k, pbar, cp, cp2, cinv, cp / k AS meanp,
+          |    pbar * (1.0 - pbar) AS pw
+          |  FROM st),
+          |tu AS (
+          |  SELECT *,
+          |    greatest(0.0, (cp2 - k * meanp * meanp) / (k - 1.0)
+          |      - pw * cinv / k) AS tau2
+          |  FROM fx)
+          |SELECT p.slice, CAST(p.n AS BIGINT) AS n,
+          |  CAST(p.s AS BIGINT) AS successes,
+          |  round(p.s / p.n, 9) AS rate,
+          |  round(CASE WHEN t.tau2 + t.pw / p.n > 0.0 THEN
+          |      t.tau2 / (t.tau2 + t.pw / p.n)
+          |    ELSE 0.0 END, 9) AS shrink_factor,
+          |  round(t.pbar + CASE WHEN t.tau2 + t.pw / p.n > 0.0 THEN
+          |      t.tau2 / (t.tau2 + t.pw / p.n)
+          |    ELSE 0.0 END * (p.s / p.n - t.pbar), 9) AS shrunk_rate
+          |FROM per p, tu t ORDER BY p.slice""".stripMargin,
 
       "q_proper_scores_mc" ->
         """WITH d AS (

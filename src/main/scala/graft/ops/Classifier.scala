@@ -2359,6 +2359,264 @@ object Classifier {
       round(col("nclip").cast("double") / nd, 9).as("clipped_frac"))
   }
 
+  /** Per-slice doubly-robust off-policy evaluation — completing the
+    * slice × estimator matrix ([[offPolicyEvalBySlice]] covers
+    * IPS/SNIPS): the reward-model correction matters MOST on exactly
+    * the slices where it is most dangerous to trust — low-ESS slices
+    * lean hardest on q̂, and a per-slice DR column next to the
+    * per-slice IPS column shows where the two disagree (a disagreement
+    * is a model-or-support problem localized to that slice). Same
+    * [[opeWeights]] construction, same sample-variance SEs and 95% CIs
+    * as [[doublyRobustEval]], grouped by slice. One row per slice:
+    * (slice, n, behavior_mean, dm, ips, ips_se, ips_lo, ips_hi, dr,
+    * dr_se, dr_lo, dr_hi, ess, clipped_frac), doubles rounded at 9.
+    *
+    * Scale shape: ONE (slice) hash aggregate; output is column
+    * arithmetic on the checkpointed per-slice rows (the
+    * [[offPolicyEvalBySlice]] shape with the DR sums riding).
+    */
+  def doublyRobustEvalBySlice(logged: DataFrame, rewardCol: String,
+                              loggedPropCol: String,
+                              targetPropCol: String, qHatCol: String,
+                              vHatCol: String, sliceCol: String,
+                              clip: Double = 10.0): DataFrame = {
+    require(clip > 0,
+      s"doublyRobustEvalBySlice: clip=$clip must be positive")
+    val r = col(rewardCol).cast("double")
+    val pb = col(loggedPropCol).cast("double")
+    val pt = col(targetPropCol).cast("double")
+    val qh = col(qHatCol).cast("double")
+    val vh = col(vHatCol).cast("double")
+    val (badBase, w, wc) = opeWeights(r, pb, pt, clip)
+    val badc = (badBase ||
+      qh.isNull || isnan(qh) || vh.isNull || isnan(vh)).cast("long")
+    val xdr = vh + wc * (r - qh)
+    val per = logged.groupBy(col(sliceCol).as("slice"))
+      .agg(count(lit(1)).as("n"), sum(badc).as("__nbad"),
+        sum(r).as("sr"), sum(vh).as("sv"),
+        sum(wc * r).as("swr"), sum(xdr).as("sdr"),
+        sum(wc).as("sw"), sum(wc * wc).as("sww"),
+        sum((wc * r) * (wc * r)).as("swr2"),
+        sum(xdr * xdr).as("sdr2"),
+        sum((w > clip).cast("long")).as("nclip"))
+      .localCheckpoint()
+    val guard = per.agg(count(lit(1)).as("rows"),
+      sum("__nbad").as("bad")).head()
+    require(guard.getLong(0) > 0, "doublyRobustEvalBySlice: empty log")
+    val nBad = if (guard.isNullAt(1)) 0L else guard.getLong(1)
+    require(nBad == 0,
+      s"doublyRobustEvalBySlice: $nBad rows with null/NaN rewards or " +
+        "model columns, or propensities outside (0, 1] logging / " +
+        "[0, 1] target — clean the log first")
+    val nd = col("n").cast("double")
+    val ips = col("swr") / nd
+    val dr = col("sdr") / nd
+    val ess = when(col("sww") > 0, col("sw") * col("sw") / col("sww"))
+      .otherwise(lit(0.0))
+    val ipsSe = when(col("n") > 1,
+      sqrt(greatest(lit(0.0),
+        (col("swr2") - col("swr") * col("swr") / nd) / (nd - lit(1.0)))
+        / nd)).otherwise(lit(0.0))
+    val drSe = when(col("n") > 1,
+      sqrt(greatest(lit(0.0),
+        (col("sdr2") - col("sdr") * col("sdr") / nd) / (nd - lit(1.0)))
+        / nd)).otherwise(lit(0.0))
+    per.select(col("slice"), col("n"),
+      round(col("sr") / nd, 9).as("behavior_mean"),
+      round(col("sv") / nd, 9).as("dm"),
+      round(ips, 9).as("ips"), round(ipsSe, 9).as("ips_se"),
+      round(ips - lit(Z95) * ipsSe, 9).as("ips_lo"),
+      round(ips + lit(Z95) * ipsSe, 9).as("ips_hi"),
+      round(dr, 9).as("dr"), round(drSe, 9).as("dr_se"),
+      round(dr - lit(Z95) * drSe, 9).as("dr_lo"),
+      round(dr + lit(Z95) * drSe, 9).as("dr_hi"),
+      round(ess, 9).as("ess"),
+      round(col("nclip").cast("double") / nd, 9).as("clipped_frac"))
+  }
+
+  /** CUPED variance-reduced A/B delta (Deng, Xu, Kohavi & Walker 2013,
+    * "Improving the Sensitivity of Online Controlled Experiments by
+    * Utilizing Pre-Experiment Data") — the industry-standard trick for
+    * making the same traffic decide FASTER: a covariate X measured
+    * BEFORE assignment (last month's per-user metric, a pre-score)
+    * cannot be affected by the treatment, so subtracting its
+    * correlated part from the metric, y_cv = y − θ(x − x̄) with
+    * θ = cov(x, y)/var(x) pooled over both arms, leaves the delta
+    * unbiased while cutting its variance by the squared correlation.
+    * The adjusted delta is algebraically
+    * (ȳ_B − ȳ_A) − θ(x̄_B − x̄_A); per-arm adjusted variance folds
+    * from the same moments, var(y) − 2θ·cov + θ²·var(x). A constant
+    * covariate (var(x) = 0) degrades θ to 0 — the UNADJUSTED Welch
+    * delta, never a division blowup. Two-sided p from the
+    * [[Num.erfcc]] closed form both engines replay; CI at the fixed
+    * [[Z95]]. Rows whose arm is neither `armA` nor `armB` are ignored
+    * (a multi-arm log evaluates pairwise). Null/NaN metric or
+    * covariate refuse via the census riding the one aggregate. One
+    * row: (n_a, n_b, theta, delta_raw, se_raw, delta, se, z, p_value,
+    * ci_lo, ci_hi, var_reduction, significant), doubles rounded at 9.
+    *
+    * Scale shape: ONE (arm) hash aggregate over the experiment log —
+    * six power sums per arm; O(1) driver arithmetic on two rows.
+    */
+  def cupedDelta(exp: DataFrame, armCol: String, armA: String,
+                 armB: String, metricCol: String, covariateCol: String,
+                 alpha: Double = 0.05): DataFrame = {
+    require(armA != armB, s"cupedDelta: armA and armB are both '$armA'")
+    require(alpha > 0 && alpha < 0.5, s"cupedDelta: alpha=$alpha")
+    val y = col(metricCol).cast("double")
+    val x = col(covariateCol).cast("double")
+    val badc = (y.isNull || isnan(y) || x.isNull || isnan(x))
+      .cast("long")
+    val rows = exp.filter(col(armCol).isin(armA, armB))
+      .groupBy(col(armCol).cast("string").as("arm"))
+      .agg(count(lit(1)).as("n"), sum(badc).as("nbad"),
+        sum(y).as("sy"), sum(x).as("sx"), sum(y * y).as("syy"),
+        sum(x * x).as("sxx"), sum(x * y).as("sxy"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    require(rows.contains(armA) && rows.contains(armB),
+      s"cupedDelta: need rows in BOTH arms '$armA' and '$armB' — " +
+        s"found ${rows.keys.mkString(", ")}")
+    val (ra, rb) = (rows(armA), rows(armB))
+    // row layout: arm(0), n(1), nbad(2), sy(3), sx(4), syy(5),
+    // sxx(6), sxy(7)
+    val nBad = ra.getLong(2) + rb.getLong(2)
+    require(nBad == 0,
+      s"cupedDelta: $nBad null/NaN metric or covariate values — " +
+        "clean the frame first")
+    val (na, nb) = (ra.getLong(1), rb.getLong(1))
+    require(na >= 2 && nb >= 2,
+      s"cupedDelta: need >= 2 rows per arm (got $na / $nb) — a " +
+        "variance needs replication")
+    def d(r: org.apache.spark.sql.Row, i: Int) = r.getDouble(i)
+    val (nad, nbd) = (na.toDouble, nb.toDouble)
+    // pooled theta from the combined power sums — one expression,
+    // mirrored operand for operand by the oracle
+    val nn = nad + nbd
+    val sy = d(ra, 3) + d(rb, 3); val sx = d(ra, 4) + d(rb, 4)
+    val sxx = d(ra, 6) + d(rb, 6); val sxy = d(ra, 7) + d(rb, 7)
+    val varxDen = sxx - sx * sx / nn
+    val theta = if (varxDen > 0.0) (sxy - sx * sy / nn) / varxDen
+                else 0.0
+    def armStats(r: org.apache.spark.sql.Row, n: Double) = {
+      val my = d(r, 3) / n; val mx = d(r, 4) / n
+      val vy = (d(r, 5) - d(r, 3) * d(r, 3) / n) / (n - 1.0)
+      val vx = (d(r, 6) - d(r, 4) * d(r, 4) / n) / (n - 1.0)
+      val cxy = (d(r, 7) - d(r, 4) * d(r, 3) / n) / (n - 1.0)
+      (my, mx, vy, vx, cxy)
+    }
+    val (mya, mxa, vya, vxa, ca) = armStats(ra, nad)
+    val (myb, mxb, vyb, vxb, cb) = armStats(rb, nbd)
+    val deltaRaw = myb - mya
+    val seRaw = math.sqrt(vya / nad + vyb / nbd)
+    val delta = (myb - mya) - theta * (mxb - mxa)
+    val s2a = math.max(0.0, vya - 2.0 * theta * ca + theta * theta * vxa)
+    val s2b = math.max(0.0, vyb - 2.0 * theta * cb + theta * theta * vxb)
+    val se = math.sqrt(s2a / nad + s2b / nbd)
+    val z = if (se > 0.0) delta / se else 0.0
+    val p = if (se > 0.0)
+      math.min(1.0, Num.erfcc(math.abs(z) / math.sqrt(2.0)))
+    else if (delta == 0.0) 1.0 else 0.0
+    val vr = if (seRaw > 0.0) 1.0 - (se * se) / (seRaw * seRaw) else 0.0
+    val spark = exp.sparkSession
+    import spark.implicits._
+    Seq((na, nb, Num.round9(theta), Num.round9(deltaRaw),
+      Num.round9(seRaw), Num.round9(delta), Num.round9(se),
+      Num.round9(z), Num.round9(p),
+      Num.round9(delta - Z95 * se), Num.round9(delta + Z95 * se),
+      Num.round9(vr), Num.round9(p) < alpha))
+      .toDF("n_a", "n_b", "theta", "delta_raw", "se_raw", "delta",
+        "se", "z", "p_value", "ci_lo", "ci_hi", "var_reduction",
+        "significant")
+  }
+
+  /** Empirical-Bayes shrinkage of per-slice rates (Robbins 1956;
+    * Efron & Morris 1975's James–Stein treatment — the batting-average
+    * construction) — the companion [[offPolicyEvalBySlice]] and every
+    * per-slice accuracy report needs: a slice with 12 rows and a
+    * perfect score is NOT the best slice, and ranking raw per-slice
+    * rates systematically crowns the small noisy ones. Method of
+    * moments on the normal approximation: pooled rate p̄ = Σs/Σn
+    * (exact integer sums), between-slice variance τ² = max(0,
+    * Var(p̂_i) − mean_i(p̄(1−p̄)/n_i)), and each slice shrinks toward
+    * the pool by its own noise share, B_i = τ²/(τ² + p̄(1−p̄)/n_i),
+    * shrunk_i = p̄ + B_i(p̂_i − p̄) — a big slice keeps its rate
+    * (B → 1), a tiny one is pulled home (B → 0), and τ² = 0 (slices
+    * genuinely identical) collapses every slice to p̄ exactly. The
+    * across-slice moment sums (Σp̂, Σp̂², Σ1/n — non-dyadic doubles)
+    * are evaluated as PREFIX sums in slice order and read at the last
+    * row, the [[graft.streaming.EventStream.cusumDrift]] cross-engine
+    * convention, so summation order cannot diverge between engines.
+    * Success values outside {0, 1} or null refuse via the riding
+    * census; fewer than 2 slices refuse (between-variance needs
+    * replication); `maxSlices` bounds the slice-ordered scan (the
+    * ksDrift convention). One row per slice: (slice, n, successes,
+    * rate, shrink_factor, shrunk_rate), doubles rounded at 9.
+    *
+    * Scale shape: ONE (slice) hash aggregate over the corpus, then a
+    * slice-ORDERED prefix scan over the slices-many post-aggregate
+    * rows (bounded by `maxSlices`); output is column arithmetic on
+    * the checkpointed per-slice frame.
+    */
+  def empiricalBayesRates(df: DataFrame, sliceCol: String,
+                          successCol: String,
+                          maxSlices: Int = 100000): DataFrame = {
+    require(maxSlices >= 2, s"empiricalBayesRates: maxSlices=$maxSlices")
+    val s = col(successCol).cast("double")
+    val badc = (s.isNull || isnan(s) || (s =!= 0.0 && s =!= 1.0))
+      .cast("long")
+    val per = df.groupBy(col(sliceCol).as("slice"))
+      .agg(count(lit(1)).as("n"), sum(s).as("s"),
+        sum(badc).as("__nbad"))
+      .localCheckpoint()
+    val guard = per.agg(count(lit(1)).as("k"), sum("__nbad").as("bad"),
+      sum("n").as("nn"), sum("s").as("ss")).head()
+    require(guard.getLong(0) > 0, "empiricalBayesRates: empty frame")
+    val nBad = if (guard.isNullAt(1)) 0L else guard.getLong(1)
+    require(nBad == 0,
+      s"empiricalBayesRates: $nBad null/NaN/non-binary $successCol " +
+        "values — successes must be 0 or 1; clean the frame first")
+    val k = guard.getLong(0)
+    require(k >= 2,
+      s"empiricalBayesRates: $k slice(s) — between-slice variance " +
+        "needs at least 2")
+    require(k <= maxSlices,
+      s"empiricalBayesRates: $k slices exceed maxSlices=$maxSlices — " +
+        "the slice-ordered moment scan is bounded by design; coarsen " +
+        "the slicing or raise maxSlices")
+    // pooled rate from EXACT integer sums — order-free
+    val pbar = guard.getDouble(3) / guard.getLong(2)
+    // across-slice moment sums as slice-ordered PREFIX sums read at
+    // the last row (cusumDrift convention: sequential accumulation in
+    // a pinned order on both engines)
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy("slice")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val p = col("s").cast("double") / col("n")
+    val last = per
+      .select(sum(p).over(wOrd).as("cp"),
+        sum(p * p).over(wOrd).as("cp2"),
+        sum(lit(1.0) / col("n")).over(wOrd).as("cinv"),
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("slice"))
+          .as("rn"))
+      .filter(col("rn") === k).head()
+    val (cp, cp2, cinv) = (last.getDouble(0), last.getDouble(1),
+      last.getDouble(2))
+    val meanp = cp / k
+    val varp = (cp2 - k * meanp * meanp) / (k - 1.0)
+    val pw = pbar * (1.0 - pbar)
+    val within = pw * cinv / k
+    val tau2 = math.max(0.0, varp - within)
+    val shrink = when(lit(tau2) + lit(pw) / col("n") > 0.0,
+      lit(tau2) / (lit(tau2) + lit(pw) / col("n"))).otherwise(lit(0.0))
+    per.select(col("slice"), col("n"),
+      col("s").cast("long").as("successes"),
+      round(p, 9).as("rate"),
+      round(shrink, 9).as("shrink_factor"),
+      round(lit(pbar) + shrink * (p - lit(pbar)), 9).as("shrunk_rate"))
+  }
+
   /** Adapter from a ROUTER LOG to the scalar propensities the OPE trio
     * consumes — real LLM-routing logs don't carry (pb, pt) columns;
     * they carry the candidate list the router saw and the softmax

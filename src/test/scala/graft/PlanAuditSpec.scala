@@ -944,6 +944,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Window"), p)
   }
 
+  test("doublyRobustEvalBySlice: output folds from the checkpointed (slice) aggregate — no corpus re-scan, no join, no window") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(concat(lit("s"),
+          (pmod(col("doc_id"), lit(3))).cast("string")).as("slice"),
+        (pmod(col("doc_id") * 13, lit(8)).cast("double") / 8.0)
+          .as("reward"),
+        (lit(1.0) / pow(lit(2.0),
+          (pmod(col("doc_id") * 7, lit(3)) + 1).cast("double")))
+          .as("pb"),
+        ((pmod(col("doc_id") * 11, lit(8)) + 1).cast("double") / 16.0)
+          .as("pt"),
+        (pmod(col("doc_id") * 5, lit(8)).cast("double") / 8.0).as("qh"),
+        (pmod(col("doc_id") * 3, lit(8)).cast("double") / 8.0).as("vh"))
+    val df = ops.Classifier.doublyRobustEvalBySlice(docs, "reward",
+      "pb", "pt", "qh", "vh", "slice", clip = 2.0)
+    val p = plan(df)
+    assert(!p.contains("FileScan"), p)
+    assert(opCount(p, "Scan parquet") + opCount(p, "BatchScan") === 0, p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
+  test("empiricalBayesRates: output is column arithmetic on the checkpointed (slice) aggregate — no corpus re-scan, no join") {
+    // the slice-ordered moment prefix scan happens ONCE inside the
+    // operator (over slices-many tiny rows); the frame the caller
+    // receives reads only the checkpoint
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(concat(lit("g"), (pmod(col("doc_id"), lit(4))
+          * pmod(col("doc_id"), lit(3))).cast("string")).as("slice"),
+        (pmod(col("doc_id") * 37, lit(97)) % 2).cast("int").as("succ"))
+    val df = ops.Classifier.empiricalBayesRates(docs, "slice", "succ")
+    val p = plan(df)
+    assert(!p.contains("FileScan"), p)
+    assert(opCount(p, "Scan parquet") + opCount(p, "BatchScan") === 0, p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
   test("windowedMixtureSprt: ONE (window) aggregate; prefix sums on the checkpointed windows frame") {
     val ev = graft.streaming.EventStream.loadEvents(spark, sf())
     val scored = ev.select(col("ts"),

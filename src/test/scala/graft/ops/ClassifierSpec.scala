@@ -1394,6 +1394,146 @@ class ClassifierSpec extends SparkSpec {
         "tp"), "r", "pb", "pt"))
   }
 
+  test("doublyRobustEvalBySlice: rows match the scalar DR op per slice; refusals") {
+    import spark.implicits._
+    val log = Seq(
+      ("a", 1.0, 0.5, 1.0, 0.75, 0.5),
+      ("a", 0.0, 0.5, 0.25, 0.25, 0.25),
+      ("b", 1.0, 0.25, 1.0, 1.0, 0.75),
+      ("b", 0.5, 1.0, 0.5, 0.5, 0.25),
+      ("b", 0.5, 0.5, 0.5, 0.25, 0.5))
+      .toDF("slice", "r", "pb", "pt", "qh", "vh")
+    val by = Classifier.doublyRobustEvalBySlice(log, "r", "pb", "pt",
+      "qh", "vh", "slice", clip = 2.0).orderBy("slice").collect()
+    assert(by.length === 2)
+    for ((row, s) <- Seq((by(0), "a"), (by(1), "b"))) {
+      val solo = Classifier.doublyRobustEval(
+        log.filter(col("slice") === s), "r", "pb", "pt", "qh", "vh",
+        clip = 2.0).head()
+      for (i <- 0 until solo.length)
+        assert(row.get(i + 1) === solo.get(i),
+          s"slice $s column $i: ${row.get(i + 1)} vs ${solo.get(i)}")
+    }
+    intercept[IllegalArgumentException](
+      Classifier.doublyRobustEvalBySlice(
+        log.select(col("slice"), col("r"), col("pb"), col("pt"),
+          lit(Double.NaN).as("qh"), col("vh")),
+        "r", "pb", "pt", "qh", "vh", "slice"))
+    intercept[IllegalArgumentException](
+      Classifier.doublyRobustEvalBySlice(log.filter(lit(false)),
+        "r", "pb", "pt", "qh", "vh", "slice"))
+  }
+
+  test("cupedDelta: hand theta/delta/SEs, constant covariate degrades to Welch, metric-as-covariate absorbs everything, variance reduction, refusals") {
+    import spark.implicits._
+    // hand case: arm a y=(0,1,0,1) x=(1,3,0,2); arm b y=(1,1,2,2)
+    // x=(2,4,1,3) — pooled theta = 3/12 = .25, adjusted delta =
+    // 1 − .25·(2.5 − 1.5) = .75
+    val log = Seq(
+      ("a", 0.0, 1.0), ("a", 1.0, 3.0), ("a", 0.0, 0.0),
+      ("a", 1.0, 2.0),
+      ("b", 1.0, 2.0), ("b", 1.0, 4.0), ("b", 2.0, 1.0),
+      ("b", 2.0, 3.0)).toDF("arm", "y", "x")
+    val r = Classifier.cupedDelta(log, "arm", "a", "b", "y", "x").head()
+    assert(r.getLong(0) === 4L && r.getLong(1) === 4L)
+    assert(r.getDouble(2) === 0.25)                 // theta
+    assert(r.getDouble(3) === 1.0)                  // delta_raw
+    assert(math.abs(r.getDouble(4) - math.sqrt(1.0 / 6.0)) < 1e-9)
+    assert(r.getDouble(5) === 0.75)                 // adjusted delta
+    // s2a = 5/48, s2b = 29/48 -> se = sqrt(34/192)
+    assert(math.abs(r.getDouble(6) - math.sqrt(34.0 / 192.0)) < 1e-9)
+    assert(math.abs(r.getDouble(7)
+      - 0.75 / math.sqrt(34.0 / 192.0)) < 1e-9)     // z
+    // constant covariate: var(x) = 0 -> theta = 0 and the whole row
+    // degrades to the unadjusted Welch delta — never a blowup
+    val const = Classifier.cupedDelta(
+      log.select(col("arm"), col("y"), lit(7.0).as("x")),
+      "arm", "a", "b", "y", "x").head()
+    assert(const.getDouble(2) === 0.0)
+    assert(const.getDouble(5) === const.getDouble(3))
+    assert(const.getDouble(6) === const.getDouble(4))
+    assert(const.getDouble(11) === 0.0)             // var_reduction
+    // covariate == metric: theta 1, everything absorbed INCLUDING the
+    // lift — delta 0, se 0, p 1 (why X must be pre-experiment)
+    val same = Classifier.cupedDelta(
+      log.select(col("arm"), col("y"), col("y").as("x")),
+      "arm", "a", "b", "y", "x").head()
+    assert(same.getDouble(2) === 1.0)
+    assert(same.getDouble(5) === 0.0 && same.getDouble(6) === 0.0)
+    assert(same.getDouble(8) === 1.0)               // p_value
+    // a genuinely pre-experiment covariate correlated with the metric
+    // base cuts the SE: 200 rows, y = base + arm lift, x = base
+    val big = spark.range(200).select(
+      concat(lit("arm"), (col("id") % 2).cast("string")).as("arm"),
+      (((col("id") * 13) % 16).cast("double") / 16.0
+        + (col("id") % 2).cast("double") * 0.25).as("y"),
+      (((col("id") * 13) % 16).cast("double") / 16.0).as("x"))
+    val adj = Classifier.cupedDelta(big, "arm", "arm0", "arm1", "y", "x")
+      .head()
+    assert(adj.getDouble(6) < adj.getDouble(4))     // se < se_raw
+    assert(adj.getDouble(11) > 0.5)                 // big reduction
+    assert(adj.getBoolean(12))                      // lift detected
+    // refusals: missing arm, < 2 rows per arm, NaN, same arms, alpha
+    intercept[IllegalArgumentException](Classifier.cupedDelta(
+      log.filter(col("arm") === "a"), "arm", "a", "b", "y", "x"))
+    intercept[IllegalArgumentException](Classifier.cupedDelta(
+      log.filter(col("arm") === "b" ||
+        (col("y") === 0.0 && col("x") === 1.0)),
+      "arm", "a", "b", "y", "x"))
+    intercept[IllegalArgumentException](Classifier.cupedDelta(
+      log.select(col("arm"), lit(Double.NaN).as("y"), col("x")),
+      "arm", "a", "b", "y", "x"))
+    intercept[IllegalArgumentException](Classifier.cupedDelta(
+      log, "arm", "a", "a", "y", "x"))
+    intercept[IllegalArgumentException](Classifier.cupedDelta(
+      log, "arm", "a", "b", "y", "x", alpha = 0.7))
+  }
+
+  test("empiricalBayesRates: hand 2-slice shrinkage, identical slices collapse to the pool, shrink monotone in n, refusals") {
+    import spark.implicits._
+    // slice g1: 4 trials 2 successes (p = .5); g2: 2 trials 2
+    // successes (p = 1). pbar = 2/3, tau2 = 1/24 — the SMALL extreme
+    // slice shrinks harder: B1 = 3/7, B2 = 3/11
+    val df = Seq(("g1", 1), ("g1", 1), ("g1", 0), ("g1", 0),
+      ("g2", 1), ("g2", 1)).toDF("slice", "succ")
+    val out = Classifier.empiricalBayesRates(df, "slice", "succ")
+      .orderBy("slice").collect()
+    assert(out.length === 2)
+    assert(out(0).getLong(1) === 4L && out(0).getLong(2) === 2L)
+    assert(out(0).getDouble(3) === 0.5)
+    assert(math.abs(out(0).getDouble(4) - 3.0 / 7.0) < 1e-9)
+    assert(math.abs(out(0).getDouble(5) - (2.0 / 3.0 - 1.0 / 14.0))
+      < 1e-9)
+    assert(math.abs(out(1).getDouble(4) - 3.0 / 11.0) < 1e-9)
+    assert(math.abs(out(1).getDouble(5) - (2.0 / 3.0 + 1.0 / 11.0))
+      < 1e-9)
+    // identical slice rates: tau2 = 0, every slice collapses to the
+    // pooled rate with shrink factor 0
+    val flat = Seq(("a", 1), ("a", 0), ("b", 1), ("b", 0))
+      .toDF("slice", "succ")
+    val fo = Classifier.empiricalBayesRates(flat, "slice", "succ")
+      .collect()
+    assert(fo.forall(r => r.getDouble(4) === 0.0 &&
+      r.getDouble(5) === 0.5))
+    // shrink factor is monotone in slice size: the 100-row slice
+    // keeps far more of its own rate than the 4-row slice
+    val sized = (Seq.fill(50)(("big", 1)) ++ Seq.fill(50)(("big", 0)) ++
+      Seq.fill(4)(("tiny", 1))).toDF("slice", "succ")
+    val so = Classifier.empiricalBayesRates(sized, "slice", "succ")
+      .orderBy("slice").collect()
+    assert(so(0).getDouble(4) > so(1).getDouble(4))
+    // refusals: single slice, non-binary success, maxSlices, empty
+    intercept[IllegalArgumentException](Classifier.empiricalBayesRates(
+      df.filter(col("slice") === "g1"), "slice", "succ"))
+    intercept[IllegalArgumentException](Classifier.empiricalBayesRates(
+      Seq(("a", 2), ("b", 1)).toDF("slice", "succ"), "slice", "succ"))
+    intercept[IllegalArgumentException](Classifier.empiricalBayesRates(
+      (Seq(("a", 1), ("b", 0), ("c", 1))).toDF("slice", "succ"),
+      "slice", "succ", maxSlices = 2))
+    intercept[IllegalArgumentException](Classifier.empiricalBayesRates(
+      df.filter(lit(false)), "slice", "succ"))
+  }
+
   test("properScoresMulticlass: maxClasses enforces the K-regime contract") {
     import spark.implicits._
     val rows = Seq((Seq(0.5, 0.25, 0.25), 0), (Seq(0.25, 0.5, 0.25), 1))
