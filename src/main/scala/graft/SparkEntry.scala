@@ -1721,6 +1721,24 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
         .orderBy("window_start")
     }),
 
+    // always-valid confidence sequence on the same running mean the
+    // mixture SPRT tests — the interval dual (0 outside the sequence
+    // exactly when the mSPRT rejects); closed-form radius in the
+    // cumulative (n, S), replayed by the oracle
+    "q_stream_confseq" -> ((s, dir) => {
+      val ev = EventStream.loadEvents(s, dir)
+      val scored = ev.select(col("ts"),
+        ((((col("user_id") * 13) % 9) - 4).cast("double") / 8.0
+          + lit(0.015625)).as("delta"))
+      EventStream.windowedConfidenceSeq(scored, "delta",
+          sigma2 = 0.125, tau2 = 0.0625, alpha = 0.05, width = "1 hour")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("n"), col("n_cum"), col("mean_cum"), col("radius"),
+          col("ci_lo"), col("ci_hi"))
+        .orderBy("window_start")
+    }),
+
     // robust per-type outlier census on event values: median/MAD rule
     // at k=2 with exact interpolated percentiles (the oracle-pinnable
     // form; approx_percentile is the documented 100 TB default)
@@ -3977,6 +3995,20 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
             .cast("string")).as("slice"),
           (((col("id") * 37) % 97) % 2).cast("int").as("succ")),
         "slice", "succ")
+        .orderBy("slice")
+    }),
+
+    // per-slice sample-size planning: the two-proportion requirement
+    // at a 5-point absolute MDE from each slice's observed base rate,
+    // with the traffic multiple the experiment would cost
+    "q_power_slice" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"))
+      ops.Classifier.sampleSizeBySlice(d.select(
+          concat(lit("g"), ((col("id") % 4) * (col("id") % 3))
+            .cast("string")).as("slice"),
+          (((col("id") * 37) % 97) % 2).cast("int").as("succ")),
+        "slice", "succ", mde = 0.05)
         .orderBy("slice")
     }),
 
@@ -8334,6 +8366,42 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |    ELSE 0.0 END * (p.s / p.n - t.pbar), 9) AS shrunk_rate
           |FROM per p, tu t ORDER BY p.slice""".stripMargin,
 
+      "q_power_slice" ->
+        """WITH b0 AS (
+          |  SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+          |r AS (
+          |  SELECT 'g' || CAST((id % 4) * (id % 3) AS VARCHAR)
+          |      AS slice,
+          |    CAST(((id * 37) % 97) % 2 AS INT) AS succ
+          |  FROM b0),
+          |per AS (
+          |  SELECT slice, count(*) AS n, sum(CAST(succ AS DOUBLE)) AS s
+          |  FROM r GROUP BY slice),
+          |fx AS (
+          |  SELECT slice, n, s, s / n AS p0, s / n + 0.05 AS p1
+          |  FROM per),
+          |pb AS (SELECT *, (p0 + p1) / 2.0 AS pbar FROM fx),
+          |ee AS (
+          |  SELECT *,
+          |    1.959964 * sqrt(2.0 * pbar * (1.0 - pbar))
+          |      + 0.841621234 * sqrt(p0 * (1.0 - p0)
+          |        + p1 * (1.0 - p1)) AS e
+          |  FROM pb),
+          |na AS (
+          |  SELECT *, e * e / (CAST(0.05 AS DOUBLE)
+          |    * CAST(0.05 AS DOUBLE)) AS narm
+          |  FROM ee)
+          |SELECT slice, CAST(n AS BIGINT) AS n,
+          |  CAST(s AS BIGINT) AS successes,
+          |  round(p0, 9) AS rate,
+          |  round(CASE WHEN p1 <= 1.0 THEN p1 ELSE -1.0 END, 9)
+          |    AS target_rate,
+          |  round(CASE WHEN p1 <= 1.0 THEN narm ELSE -1.0 END, 9)
+          |    AS n_per_arm,
+          |  round(CASE WHEN p1 <= 1.0 THEN 2.0 * narm / n
+          |    ELSE -1.0 END, 9) AS multiple_needed
+          |FROM na ORDER BY slice""".stripMargin,
+
       "q_proper_scores_mc" ->
         """WITH d AS (
           |  SELECT (CAST(doc_id AS BIGINT) * 13) % 64 AS a,
@@ -8866,6 +8934,38 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |  round(least(1.0, exp(0.0 - lb)), 9) AS p_value,
           |  (lb >= round(ln(1.0 / 0.05), 9)) AS reject
           |FROM ll ORDER BY window_start""".stripMargin,
+
+      "q_stream_confseq" ->
+        """WITH sc AS (
+          |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w,
+          |    CAST((user_id * 13) % 9 - 4 AS DOUBLE) / 8.0 + 0.015625
+          |      AS x
+          |  FROM events),
+          |per AS (SELECT w, count(*) AS n, sum(x) AS sx
+          |        FROM sc GROUP BY 1),
+          |cm AS (
+          |  SELECT w, n,
+          |    SUM(n) OVER (ORDER BY w ROWS BETWEEN UNBOUNDED PRECEDING
+          |      AND CURRENT ROW) AS nc,
+          |    SUM(sx) OVER (ORDER BY w ROWS BETWEEN UNBOUNDED PRECEDING
+          |      AND CURRENT ROW) AS s2
+          |  FROM per),
+          |dn AS (
+          |  SELECT *, CAST(0.125 AS DOUBLE) + nc * CAST(0.0625 AS
+          |    DOUBLE) AS den
+          |  FROM cm),
+          |rr AS (
+          |  SELECT w, n, nc, s2,
+          |    round(sqrt((2.0 * 0.125 * den / 0.0625)
+          |      * (0.5 * ln(den / 0.125) - ln(0.05))) / nc, 9) AS rd
+          |  FROM dn)
+          |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+          |  CAST(n AS BIGINT) AS n, CAST(nc AS BIGINT) AS n_cum,
+          |  round(s2 / nc, 9) AS mean_cum,
+          |  rd AS radius,
+          |  round(s2 / nc - rd, 9) AS ci_lo,
+          |  round(s2 / nc + rd, 9) AS ci_hi
+          |FROM rr ORDER BY window_start""".stripMargin,
 
       "q_stream_ab" ->
         s"""WITH sc AS (

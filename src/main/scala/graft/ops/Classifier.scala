@@ -2617,6 +2617,72 @@ object Classifier {
       round(lit(pbar) + shrink * (p - lit(pbar)), 9).as("shrunk_rate"))
   }
 
+  /** Per-slice A/B sample-size planning (the standard two-proportion
+    * formula — Fleiss, Levin & Paik 2003, "Statistical Methods for
+    * Rates and Proportions" §4; z-quantiles as fixed literals, the
+    * repo-wide convention) — the question BEFORE the experiment the
+    * decision leg answers after it: "at this slice's base rate and
+    * traffic, is detecting an `mde` lift even feasible?" For each
+    * slice with observed rate p̂: p₀ = p̂, p₁ = p̂ + mde,
+    * p̄ = (p₀ + p₁)/2, and the per-arm requirement
+    * n = ( z_{1−α/2}·√(2·p̄(1−p̄)) + z_{1−β}·√(p₀(1−p₀) + p₁(1−p₁)) )²
+    * / mde². `multiple_needed` = 2n / n_slice says how many times the
+    * observed slice traffic the experiment costs — the planning
+    * number a roadmap reads. A slice whose target p₁ leaves [0, 1]
+    * gets the −1.0 sentinel (the q_stream_eval null convention): no
+    * experiment can detect a lift past the probability boundary.
+    * Defaults z = 1.959964 (two-sided 95%, the [[Z95]] literal) and
+    * z_{1−β} = 0.841621234 (80% power). Success hygiene rides the one
+    * aggregate (the [[empiricalBayesRates]] census). One row per
+    * slice: (slice, n, successes, rate, target_rate, n_per_arm,
+    * multiple_needed), doubles rounded at 9.
+    *
+    * Scale shape: ONE (slice) hash aggregate; output is column
+    * arithmetic on the checkpointed per-slice rows.
+    */
+  def sampleSizeBySlice(df: DataFrame, sliceCol: String,
+                        successCol: String, mde: Double,
+                        zAlpha: Double = Z95,
+                        zBeta: Double = 0.841621234): DataFrame = {
+    require(mde > 0 && mde < 1,
+      s"sampleSizeBySlice: mde=$mde must be in (0, 1) — the absolute " +
+        "lift worth detecting")
+    require(zAlpha > 0 && zBeta > 0,
+      s"sampleSizeBySlice: zAlpha=$zAlpha zBeta=$zBeta")
+    val s = col(successCol).cast("double")
+    val badc = (s.isNull || isnan(s) || (s =!= 0.0 && s =!= 1.0))
+      .cast("long")
+    val per = df.groupBy(col(sliceCol).as("slice"))
+      .agg(count(lit(1)).as("n"), sum(s).as("s"),
+        sum(badc).as("__nbad"))
+      .localCheckpoint()
+    val guard = per.agg(count(lit(1)).as("k"), sum("__nbad").as("bad"))
+      .head()
+    require(guard.getLong(0) > 0, "sampleSizeBySlice: empty frame")
+    val nBad = if (guard.isNullAt(1)) 0L else guard.getLong(1)
+    require(nBad == 0,
+      s"sampleSizeBySlice: $nBad null/NaN/non-binary $successCol " +
+        "values — successes must be 0 or 1; clean the frame first")
+    val p0 = col("s").cast("double") / col("n")
+    val p1 = p0 + lit(mde)
+    val pb = (p0 + p1) / 2.0
+    val feasible = p1 <= 1.0
+    // (e·e), not pow(e, 2) — the windowedAb convention: the oracle
+    // multiplies, and pow is not bit-identical to multiplication
+    val e = lit(zAlpha) * sqrt(lit(2.0) * pb * (lit(1.0) - pb)) +
+      lit(zBeta) * sqrt(p0 * (lit(1.0) - p0) + p1 * (lit(1.0) - p1))
+    val nArm = e * e / (lit(mde) * lit(mde))
+    per.select(col("slice"), col("n"),
+      col("s").cast("long").as("successes"),
+      round(p0, 9).as("rate"),
+      round(when(feasible, p1).otherwise(lit(-1.0)), 9)
+        .as("target_rate"),
+      round(when(feasible, nArm).otherwise(lit(-1.0)), 9)
+        .as("n_per_arm"),
+      round(when(feasible, lit(2.0) * nArm / col("n"))
+        .otherwise(lit(-1.0)), 9).as("multiple_needed"))
+  }
+
   /** Adapter from a ROUTER LOG to the scalar propensities the OPE trio
     * consumes — real LLM-routing logs don't carry (pb, pt) columns;
     * they carry the candidate list the router saw and the softmax

@@ -733,6 +733,77 @@ object EventStream {
       (llr >= thr).as("reject"))
   }
 
+  /** Always-valid CONFIDENCE SEQUENCE on a running mean — the interval
+    * dual of [[windowedMixtureSprt]] (invert the same normal-mixture
+    * martingale over μ instead of testing μ = 0: Robbins 1970; the
+    * confidence-sequence framing of Howard–Ramdas–McAuliffe–Sekhon
+    * 2021 and Johari et al. 2017): a per-window CI a dashboard can
+    * show at EVERY refresh with simultaneous 1 − α coverage — the
+    * fixed-n Wald interval re-read hourly is guaranteed to eventually
+    * exclude the truth, a confidence sequence never does. Closed form:
+    * Λ_n(μ) < 1/α for all μ in x̄_n ± r_n with
+    * r_n = √( (2σ²(σ² + nτ²)/τ²) · (½·ln((σ² + nτ²)/σ²) − ln α) ) / n
+    * — pure arithmetic in the cumulative (n, S), both engines replay
+    * it exactly. The DUALITY with [[windowedMixtureSprt]] is exact and
+    * spec-pinned: the mSPRT rejects μ = 0 precisely when 0 falls
+    * outside the sequence (|x̄_n| ≥ r_n). Null/NaN values refuse via
+    * the riding census. One row per window: (window_start, n, n_cum,
+    * mean_cum, radius, ci_lo, ci_hi), doubles rounded at 9.
+    *
+    * GAP-WINDOW SEMANTICS: data windows — an empty window adds no
+    * observations and the sequence is unchanged (the
+    * [[windowedMixtureSprt]] case).
+    *
+    * Scale shape: ONE (window) hash aggregate over the stream, then
+    * window-ORDERED prefix sums on the windows-many post-aggregate
+    * rows (time-bounded; the [[cusumDrift]] convention).
+    */
+  def windowedConfidenceSeq(scored: DataFrame, valueCol: String,
+                            sigma2: Double, tau2: Double,
+                            alpha: Double = 0.05,
+                            width: String = "1 hour"): DataFrame = {
+    require(sigma2 > 0, s"windowedConfidenceSeq: sigma2=$sigma2 must " +
+      "be positive — the known per-observation variance")
+    require(tau2 > 0, s"windowedConfidenceSeq: tau2=$tau2 must be " +
+      "positive — the prior scale of the mixture")
+    require(alpha > 0 && alpha < 0.5,
+      s"windowedConfidenceSeq: alpha=$alpha")
+    val x = col(valueCol).cast("double")
+    val bad = (x.isNull || isnan(x)).cast("long")
+    val per = scored
+      .groupBy(window(col("ts"), width).as("w"))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(bad).as("__bad"))
+      .localCheckpoint()
+    val badRow = per.agg(sum("__bad")).head()
+    val nBad = if (badRow.isNullAt(0)) 0L else badRow.getLong(0)
+    require(nBad == 0,
+      "windowedConfidenceSeq: values must be non-null and non-NaN — " +
+        "clean the frame first")
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy("k")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = per.select(col("w.start").as("k"), col("n"), col("sx"))
+      .select(col("k"), col("n"),
+        sum("n").over(wOrd).as("nc"), sum("sx").over(wOrd).as("sc"))
+    // radius operand for operand as the oracle writes it:
+    // sqrt( (2σ²(σ²+nτ²)/τ²) · (0.5·ln((σ²+nτ²)/σ²) − ln α) ) / n
+    val mean = col("sc") / col("nc")
+    val radius = round(
+      sqrt((lit(2.0) * lit(sigma2)
+          * (lit(sigma2) + col("nc") * lit(tau2)) / lit(tau2))
+        * (lit(0.5) * log((lit(sigma2) + col("nc") * lit(tau2))
+            / lit(sigma2))
+          - lit(math.log(alpha)))) / col("nc"),
+      9)
+    cum.select(col("k").as("window_start"), col("n"),
+      col("nc").as("n_cum"),
+      round(mean, 9).as("mean_cum"),
+      radius.as("radius"),
+      round(mean - radius, 9).as("ci_lo"),
+      round(mean + radius, 9).as("ci_hi"))
+  }
+
   /** Sliding-window per-user activity. */
   def sliding(events: DataFrame, width: String = "1 hour",
               slide: String = "30 minutes"): DataFrame =

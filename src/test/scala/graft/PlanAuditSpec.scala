@@ -993,6 +993,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Window") && !p.contains("Join"), p)
   }
 
+  test("windowedConfidenceSeq: ONE (window) aggregate; prefix sums on the checkpointed windows frame") {
+    val ev = graft.streaming.EventStream.loadEvents(spark, sf())
+    val scored = ev.select(col("ts"),
+      (((col("user_id") * 13) % 9 - 4).cast("double") / 8.0
+        + lit(0.015625)).as("delta"))
+    val df = graft.streaming.EventStream.windowedConfidenceSeq(scored,
+      "delta", sigma2 = 0.125, tau2 = 0.0625)
+    val p = plan(df)
+    assert(!p.contains("FileScan"), p)
+    assert(opCount(p, "Scan parquet") + opCount(p, "BatchScan") === 0, p)
+    assert(p.contains("Window") && !p.contains("Join"), p)
+  }
+
+  test("sampleSizeBySlice: output is column arithmetic on the checkpointed (slice) aggregate") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(concat(lit("g"), (pmod(col("doc_id"), lit(4))
+          * pmod(col("doc_id"), lit(3))).cast("string")).as("slice"),
+        (pmod(col("doc_id") * 37, lit(97)) % 2).cast("int").as("succ"))
+    val df = ops.Classifier.sampleSizeBySlice(docs, "slice", "succ",
+      mde = 0.05)
+    val p = plan(df)
+    assert(!p.contains("FileScan"), p)
+    assert(opCount(p, "Scan parquet") + opCount(p, "BatchScan") === 0, p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
   test("cusumDrift densify: the spine join is windows-many post-aggregate rows — no corpus re-scan downstream of the one aggregate") {
     val ev = graft.streaming.EventStream.loadEvents(spark, sf())
     val scored = ev.filter(hour(col("ts")) % 3 =!= 1)

@@ -1534,6 +1534,44 @@ class ClassifierSpec extends SparkSpec {
       df.filter(lit(false)), "slice", "succ"))
   }
 
+  test("sampleSizeBySlice: hand two-proportion n, infeasible target sentinel, n monotone in mde, refusals") {
+    import spark.implicits._
+    // slice "a": p = .5 over 4 rows; slice "z": p = 1 over 2 rows —
+    // the mde = .05 target leaves [0, 1] on z, which gets the -1
+    // sentinel (no experiment detects a lift past the boundary)
+    val df = Seq(("a", 1), ("a", 1), ("a", 0), ("a", 0),
+      ("z", 1), ("z", 1)).toDF("slice", "succ")
+    val out = Classifier.sampleSizeBySlice(df, "slice", "succ",
+      mde = 0.05).orderBy("slice").collect()
+    // hand formula at p0 = .5: p1 = .55, pbar = .525
+    val e = 1.959964 * math.sqrt(2.0 * 0.525 * (1.0 - 0.525)) +
+      0.841621234 * math.sqrt(0.5 * 0.5 + 0.55 * (1.0 - 0.55))
+    val handN = graft.ops.Num.round9(e * e / (0.05 * 0.05))
+    assert(out(0).getDouble(3) === 0.5)
+    assert(out(0).getDouble(4) === 0.55)
+    assert(math.abs(out(0).getDouble(5) - handN) < 1e-6)
+    assert(math.abs(out(0).getDouble(6)
+      - graft.ops.Num.round9(2.0 * (handN / 4.0))) < 1e-5)
+    // ~1565 per arm at a 5-point lift from 50% — the familiar number
+    assert(out(0).getDouble(5) > 1500 && out(0).getDouble(5) < 1600)
+    // infeasible slice: rate 1.0, target and plan are the sentinel
+    assert(out(1).getDouble(3) === 1.0)
+    assert(out(1).getDouble(4) === -1.0)
+    assert(out(1).getDouble(5) === -1.0 &&
+      out(1).getDouble(6) === -1.0)
+    // halving the MDE roughly quadruples the requirement
+    val fine = Classifier.sampleSizeBySlice(df, "slice", "succ",
+      mde = 0.025).orderBy("slice").collect()
+    assert(fine(0).getDouble(5) > 3.5 * out(0).getDouble(5))
+    // refusals: mde out of range, non-binary success, empty
+    intercept[IllegalArgumentException](Classifier.sampleSizeBySlice(
+      df, "slice", "succ", mde = 0.0))
+    intercept[IllegalArgumentException](Classifier.sampleSizeBySlice(
+      Seq(("a", 3)).toDF("slice", "succ"), "slice", "succ", 0.05))
+    intercept[IllegalArgumentException](Classifier.sampleSizeBySlice(
+      df.filter(lit(false)), "slice", "succ", 0.05))
+  }
+
   test("properScoresMulticlass: maxClasses enforces the K-regime contract") {
     import spark.implicits._
     val rows = Seq((Seq(0.5, 0.25, 0.25), 0), (Seq(0.25, 0.5, 0.25), 1))

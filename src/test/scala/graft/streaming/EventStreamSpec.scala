@@ -758,6 +758,61 @@ class EventStreamSpec extends SparkSpec {
       msprt(Seq(Seq(Double.NaN))))
   }
 
+  test("windowedConfidenceSeq: hand radius, exact duality with the mixture SPRT, radius shrinks, refusals") {
+    import spark.implicits._
+    def mk(vals: Seq[Seq[Double]]) =
+      vals.zipWithIndex.flatMap { case (xs, h) =>
+        xs.map(x => (h * 3600L, x)) }
+        .toDF("sec", "x")
+        .select(expr("timestamp_seconds(sec)").as("ts"), col("x"))
+    // hand radius at (n, S) = (2, 1): σ² = .25, τ² = 1, α = .05 —
+    // r = sqrt((2·.25·(.25+2)/1)·(.5·ln((.25+2)/.25) − ln .05)) / 2
+    val out = EventStream.windowedConfidenceSeq(
+      mk(Seq(Seq(0.5, 0.5), Seq(1.0))), "x", 0.25, 1.0)
+      .orderBy("window_start").collect()
+    val handR = graft.ops.Num.round9(math.sqrt(
+      (2.0 * 0.25 * (0.25 + 2.0 * 1.0) / 1.0)
+        * (0.5 * math.log((0.25 + 2.0 * 1.0) / 0.25)
+          - math.log(0.05))) / 2.0)
+    assert(out(0).getLong(2) === 2L)
+    assert(out(0).getDouble(4) === handR)
+    assert(out(0).getDouble(5) === graft.ops.Num.round9(0.5 - handR))
+    assert(out(0).getDouble(6) === graft.ops.Num.round9(0.5 + handR))
+    // DUALITY with the mixture SPRT: the mSPRT rejects mu = 0 exactly
+    // when 0 leaves the sequence — checked window by window on a
+    // drifting stream (boundary-distance guard excludes ties on the
+    // 1e-9 grid)
+    val stream = Seq.tabulate(25)(h => Seq.fill(4)(0.25))
+    val cs = EventStream.windowedConfidenceSeq(mk(stream), "x",
+      0.25, 1.0).orderBy("window_start").collect()
+    val ms = EventStream.windowedMixtureSprt(mk(stream), "x",
+      0.25, 1.0).orderBy("window_start").collect()
+    var checked = 0
+    for ((c, m) <- cs.zip(ms)) {
+      val gap = math.abs(math.abs(c.getDouble(3)) - c.getDouble(4))
+      if (gap > 1e-6) {
+        assert(m.getBoolean(6) ===
+          (math.abs(c.getDouble(3)) > c.getDouble(4)),
+          s"duality broken at ${c.get(0)}")
+        checked += 1
+      }
+    }
+    assert(checked >= 20)
+    assert(ms.exists(_.getBoolean(6)))   // the drift IS detected
+    // the radius SHRINKS as data accrues (eventually ~ sqrt(ln n / n))
+    assert(cs.last.getDouble(4) < cs.head.getDouble(4))
+    // refusals: parameter guards; NaN census
+    intercept[IllegalArgumentException](
+      EventStream.windowedConfidenceSeq(mk(Seq(Seq(1.0))), "x",
+        0.0, 1.0))
+    intercept[IllegalArgumentException](
+      EventStream.windowedConfidenceSeq(mk(Seq(Seq(1.0))), "x",
+        0.25, 1.0, alpha = 0.9))
+    intercept[IllegalArgumentException](
+      EventStream.windowedConfidenceSeq(mk(Seq(Seq(Double.NaN))), "x",
+        0.25, 1.0))
+  }
+
   test("windowedAb: single-window equality to batch mcnemarTest; degenerate; refusal") {
     import spark.implicits._
     val rows = (0 until 200).map { i =>
