@@ -1123,6 +1123,27 @@ object ScalingProbe {
     // checkpoint — the slope should track the single scan
     time("ab_report") { d =>
       SparkEntry.queries("q_ab_report")(spark, d).count() }
+    // r19 decision-theory additions: each ONE hash aggregate (scalar,
+    // (slice), (arm), or (window)) — the post-aggregate state never
+    // grows with traffic, so every slope should track the scan
+    time("offpolicy_slice") { d =>
+      SparkEntry.queries("q_offpolicy_slice")(spark, d).count() }
+    time("offpolicy_router") { d =>
+      SparkEntry.queries("q_offpolicy_router")(spark, d).count() }
+    time("offpolicy_dr_slice") { d =>
+      SparkEntry.queries("q_offpolicy_dr_slice")(spark, d).count() }
+    time("cuped") { d =>
+      SparkEntry.queries("q_cuped")(spark, d).count() }
+    time("eb_rates") { d =>
+      SparkEntry.queries("q_eb_rates")(spark, d).count() }
+    time("power_slice") { d =>
+      SparkEntry.queries("q_power_slice")(spark, d).count() }
+    time("stream_msprt") { d =>
+      SparkEntry.queries("q_stream_msprt")(spark, d).count() }
+    time("stream_confseq") { d =>
+      SparkEntry.queries("q_stream_confseq")(spark, d).count() }
+    time("cusum_gap") { d =>
+      SparkEntry.queries("q_cusum_gap")(spark, d).count() }
     // fragment ancestry depth: the overlay read chains one ROWID join
     // per ancestor (MSWrite.readFragment walks the sidecars, then folds
     // updateByRowId). Probe READ cost (chains pre-built, untimed) vs
