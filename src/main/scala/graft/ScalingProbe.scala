@@ -1144,6 +1144,10 @@ object ScalingProbe {
       SparkEntry.queries("q_stream_confseq")(spark, d).count() }
     time("cusum_gap") { d =>
       SparkEntry.queries("q_cusum_gap")(spark, d).count() }
+    time("judge_bias") { d =>
+      SparkEntry.queries("q_judge_bias")(spark, d).count() }
+    time("stream_ope") { d =>
+      SparkEntry.queries("q_stream_ope")(spark, d).count() }
     // fragment ancestry depth: the overlay read chains one ROWID join
     // per ancestor (MSWrite.readFragment walks the sidecars, then folds
     // updateByRowId). Probe READ cost (chains pre-built, untimed) vs

@@ -2304,34 +2304,32 @@ object Classifier {
     * one guard row), so slice cardinality is bounded only by what the
     * caller can store.
     */
-  def offPolicyEvalBySlice(logged: DataFrame, rewardCol: String,
-                           loggedPropCol: String, targetPropCol: String,
-                           sliceCol: String,
-                           clip: Double = 10.0): DataFrame = {
-    require(clip > 0, s"offPolicyEvalBySlice: clip=$clip must be positive")
+  /** The grouped-OPE aggregate columns (n, census, and the seven sums
+    * every estimate/SE folds from) — ONE source for
+    * [[offPolicyEvalBySlice]] and the streaming
+    * [[graft.streaming.EventStream.windowedOffPolicy]] monitor (the
+    * [[mcnemarAggExprs]] discipline: the batch and streaming forms
+    * cannot drift). */
+  private[graft] def opeAggExprs(rewardCol: String,
+      loggedPropCol: String, targetPropCol: String,
+      clip: Double): Seq[Column] = {
     val r = col(rewardCol).cast("double")
     val pb = col(loggedPropCol).cast("double")
     val pt = col(targetPropCol).cast("double")
     val (badBase, w, wc) = opeWeights(r, pb, pt, clip)
-    val badc = badBase.cast("long")
-    val per = logged.groupBy(col(sliceCol).as("slice"))
-      .agg(count(lit(1)).as("n"), sum(badc).as("__nbad"),
-        sum(r).as("sr"), sum(wc * r).as("swr"), sum(wc).as("sw"),
-        sum(wc * wc).as("sww"),
-        sum((wc * r) * (wc * r)).as("swr2"),
-        sum(wc * wc * r).as("swwr"),
-        sum((w > clip).cast("long")).as("nclip"))
-      .localCheckpoint()
-    val guard = per.agg(count(lit(1)).as("rows"),
-      sum("__nbad").as("bad")).head()
-    require(guard.getLong(0) > 0, "offPolicyEvalBySlice: empty log")
-    val nBad = if (guard.isNullAt(1)) 0L else guard.getLong(1)
-    require(nBad == 0,
-      s"offPolicyEvalBySlice: $nBad rows with null/NaN rewards or " +
-        "propensities outside (0, 1] logging / [0, 1] target — clean " +
-        "the log first")
-    // the offPolicyEval formulas as column arithmetic, operand for
-    // operand — the oracle replays the identical expressions per slice
+    Seq(count(lit(1)).as("n"), sum(badBase.cast("long")).as("__nbad"),
+      sum(r).as("sr"), sum(wc * r).as("swr"), sum(wc).as("sw"),
+      sum(wc * wc).as("sww"),
+      sum((wc * r) * (wc * r)).as("swr2"),
+      sum(wc * wc * r).as("swwr"),
+      sum((w > clip).cast("long")).as("nclip"))
+  }
+
+  /** The per-group OPE output columns (estimates, influence-function
+    * SEs, CIs, ESS, clipped fraction) as column arithmetic over the
+    * [[opeAggExprs]] sums — the [[offPolicyEval]] formulas operand for
+    * operand; single-sourced with the aggregate for the same reason. */
+  private[graft] def opeStatCols: Seq[Column] = {
     val nd = col("n").cast("double")
     val ips = col("swr") / nd
     val snips = when(col("sw") > 0, col("swr") / col("sw"))
@@ -2347,7 +2345,7 @@ object Classifier {
         col("swr2") - lit(2.0) * snips * col("swwr") +
           snips * snips * col("sww"))) / col("sw"))
       .otherwise(lit(0.0))
-    per.select(col("slice"), col("n"),
+    Seq(col("n"),
       round(col("sr") / nd, 9).as("behavior_mean"),
       round(ips, 9).as("ips"), round(ipsSe, 9).as("ips_se"),
       round(ips - lit(Z95) * ipsSe, 9).as("ips_lo"),
@@ -2357,6 +2355,28 @@ object Classifier {
       round(snips + lit(Z95) * snipsSe, 9).as("snips_hi"),
       round(ess, 9).as("ess"),
       round(col("nclip").cast("double") / nd, 9).as("clipped_frac"))
+  }
+
+  def offPolicyEvalBySlice(logged: DataFrame, rewardCol: String,
+                           loggedPropCol: String, targetPropCol: String,
+                           sliceCol: String,
+                           clip: Double = 10.0): DataFrame = {
+    require(clip > 0, s"offPolicyEvalBySlice: clip=$clip must be positive")
+    val e = opeAggExprs(rewardCol, loggedPropCol, targetPropCol, clip)
+    val per = logged.groupBy(col(sliceCol).as("slice"))
+      .agg(e.head, e.tail: _*)
+      .localCheckpoint()
+    val guard = per.agg(count(lit(1)).as("rows"),
+      sum("__nbad").as("bad")).head()
+    require(guard.getLong(0) > 0, "offPolicyEvalBySlice: empty log")
+    val nBad = if (guard.isNullAt(1)) 0L else guard.getLong(1)
+    require(nBad == 0,
+      s"offPolicyEvalBySlice: $nBad rows with null/NaN rewards or " +
+        "propensities outside (0, 1] logging / [0, 1] target — clean " +
+        "the log first")
+    // the offPolicyEval formulas as column arithmetic, operand for
+    // operand — the oracle replays the identical expressions per slice
+    per.select(col("slice") +: opeStatCols: _*)
   }
 
   /** Per-slice doubly-robust off-policy evaluation — completing the
@@ -2681,6 +2701,110 @@ object Classifier {
         .as("n_per_arm"),
       round(when(feasible, lit(2.0) * nArm / col("n"))
         .otherwise(lit(-1.0)), 9).as("multiple_needed"))
+  }
+
+  /** LLM-judge bias diagnostics over a pairwise-comparison log — the
+    * two classic artifacts every "LLM as judge" pipeline must audit
+    * before trusting a win rate (Zheng et al. 2023, "Judging
+    * LLM-as-a-Judge", §3: position bias and verbosity bias):
+    *
+    *  - POSITION: P(A wins | A shown first) vs P(A wins | A shown
+    *    second) — a judge that favors whichever answer it reads first
+    *    inflates whichever model the harness happens to list first.
+    *    Reported as the per-position win rates, their difference, the
+    *    two-proportion z on it (pooled SE, two-sided p via the shared
+    *    [[Num.erfcc]] chain), and `debiased_win_a` = the UNWEIGHTED
+    *    mean of the two per-position rates — the position-balanced
+    *    estimate (equals the raw rate exactly when the orders are
+    *    balanced, corrects it when they are not).
+    *  - VERBOSITY: the point-biserial correlation between 1{A wins}
+    *    and the length delta len_A − len_B, with the normal
+    *    approximation z = r·√(n−2)/√(1−r²) and its two-sided p — a
+    *    significantly positive r says the judge pays for tokens, not
+    *    quality.
+    *
+    * Logs with only one presentation order refuse (position bias is
+    * unmeasurable without both); winner values outside {winnerA,
+    * winnerB}, null order flags, or null/NaN/negative lengths refuse
+    * via the census riding the ONE aggregate. One row: (n, win_a,
+    * win_a_first, win_a_second, position_effect, position_z,
+    * position_p, debiased_win_a, len_r, len_z, len_p), doubles
+    * rounded at 9.
+    *
+    * Scale shape: ONE scalar hash aggregate over the log — nine sums;
+    * O(1) driver arithmetic.
+    */
+  def judgeBiasReport(pairs: DataFrame, winnerCol: String,
+                      aFirstCol: String, lenACol: String,
+                      lenBCol: String, winnerA: String = "a",
+                      winnerB: String = "b"): DataFrame = {
+    require(winnerA != winnerB,
+      s"judgeBiasReport: winnerA and winnerB are both '$winnerA'")
+    val wn = col(winnerCol).cast("string")
+    val first = col(aFirstCol).cast("boolean")
+    val la = col(lenACol).cast("double")
+    val lb = col(lenBCol).cast("double")
+    val badc = (wn.isNull || (wn =!= winnerA && wn =!= winnerB) ||
+      first.isNull || la.isNull || isnan(la) || la < 0.0 ||
+      lb.isNull || isnan(lb) || lb < 0.0).cast("long")
+    val aw = (wn === winnerA).cast("double")
+    val d = la - lb
+    val agg = pairs.agg(count(lit(1)).as("n"), sum(badc).as("nbad"),
+      sum(first.cast("long")).as("n1"),
+      sum((first && wn === winnerA).cast("long")).as("w1"),
+      sum((!first && wn === winnerA).cast("long")).as("w2"),
+      sum(aw).as("sw"), sum(d).as("sd"), sum(d * d).as("sdd"),
+      sum(aw * d).as("swd")).head()
+    val nBad = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+    require(nBad == 0,
+      s"judgeBiasReport: $nBad rows with winners outside " +
+        s"{$winnerA, $winnerB}, null order flags, or null/NaN/" +
+        "negative lengths — clean the log first")
+    require(agg.getLong(0) > 0, "judgeBiasReport: empty log")
+    val n = agg.getLong(0)
+    val (n1, w1, w2) = (agg.getLong(2), agg.getLong(3), agg.getLong(4))
+    val n2 = n - n1
+    require(n1 > 0 && n2 > 0,
+      s"judgeBiasReport: every comparison shows A in the same " +
+        "position ($n1 first of $n) — position bias is unmeasurable " +
+        "without both orders; randomize the presentation")
+    val nd = n.toDouble
+    val winA = (w1 + w2).toDouble / nd
+    val pf = w1.toDouble / n1
+    val ps = w2.toDouble / n2
+    val effect = pf - ps
+    val pooled = (w1 + w2).toDouble / nd
+    val seP = math.sqrt(pooled * (1.0 - pooled)
+      * (1.0 / n1 + 1.0 / n2))
+    val (zP, pP) =
+      if (seP > 0.0) {
+        val z0 = effect / seP
+        (z0, math.min(1.0, Num.erfcc(math.abs(z0) / math.sqrt(2.0))))
+      } else (0.0, if (effect == 0.0) 1.0 else 0.0)
+    val (sw, sd, sdd, swd) = (agg.getDouble(5), agg.getDouble(6),
+      agg.getDouble(7), agg.getDouble(8))
+    // point-biserial = Pearson(1{A wins}, len delta); Σw² = Σw for a
+    // binary indicator, so every term rides the one aggregate
+    val varW = sw - sw * sw / nd
+    val varD = sdd - sd * sd / nd
+    val r =
+      if (varW > 0.0 && varD > 0.0)
+        (swd - sw * sd / nd) / math.sqrt(varW * varD)
+      else 0.0
+    val (zL, pL) =
+      if (n > 2 && r > -1.0 && r < 1.0 && r != 0.0) {
+        val z0 = r * math.sqrt(nd - 2.0) / math.sqrt(1.0 - r * r)
+        (z0, math.min(1.0, Num.erfcc(math.abs(z0) / math.sqrt(2.0))))
+      } else (0.0, 1.0)
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    Seq((n, Num.round9(winA), Num.round9(pf), Num.round9(ps),
+      Num.round9(effect), Num.round9(zP), Num.round9(pP),
+      Num.round9((pf + ps) / 2.0),
+      Num.round9(r), Num.round9(zL), Num.round9(pL)))
+      .toDF("n", "win_a", "win_a_first", "win_a_second",
+        "position_effect", "position_z", "position_p",
+        "debiased_win_a", "len_r", "len_z", "len_p")
   }
 
   /** Adapter from a ROUTER LOG to the scalar propensities the OPE trio

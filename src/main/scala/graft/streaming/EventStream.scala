@@ -804,6 +804,47 @@ object EventStream {
       round(mean + radius, 9).as("ci_hi"))
   }
 
+  /** Streaming off-policy-evaluation monitor — the windowed parity of
+    * [[graft.ops.Classifier.offPolicyEval]] (the [[windowedAb]]
+    * pattern): per tumbling window of logged-bandit traffic, the
+    * clipped IPS and SNIPS estimates of what the CANDIDATE policy
+    * would have earned this hour, with their influence-function SEs,
+    * 95% CIs, the per-window ESS honesty diagnostic (a support
+    * collapse shows up live, hours before the pooled number moves),
+    * and the clipped fraction. The aggregate columns AND the output
+    * formulas are single-sourced with the batch operators
+    * ([[graft.ops.Classifier.opeAggExprs]] /
+    * [[graft.ops.Classifier.opeStatCols]] — the mcnemarAggExprs
+    * discipline), so the monitor cannot drift from the batch trio.
+    * Hygiene rides the one aggregate. One row per window:
+    * (window_start, n, behavior_mean, ips, ips_se, ips_lo, ips_hi,
+    * snips, snips_se, snips_lo, snips_hi, ess, clipped_frac),
+    * doubles rounded at 9.
+    *
+    * Scale shape: ONE (window) hash aggregate over the stream; output
+    * is column arithmetic on the checkpointed windows-many rows.
+    */
+  def windowedOffPolicy(logged: DataFrame, rewardCol: String,
+                        loggedPropCol: String, targetPropCol: String,
+                        clip: Double = 10.0,
+                        width: String = "1 hour"): DataFrame = {
+    require(clip > 0, s"windowedOffPolicy: clip=$clip must be positive")
+    val e = graft.ops.Classifier.opeAggExprs(rewardCol, loggedPropCol,
+      targetPropCol, clip)
+    val per = logged
+      .groupBy(window(col("ts"), width).as("w"))
+      .agg(e.head, e.tail: _*)
+      .localCheckpoint()
+    val badRow = per.agg(sum("__nbad")).head()
+    val nBad = if (badRow.isNullAt(0)) 0L else badRow.getLong(0)
+    require(nBad == 0,
+      s"windowedOffPolicy: $nBad rows with null/NaN rewards or " +
+        "propensities outside (0, 1] logging / [0, 1] target — clean " +
+        "the stream first")
+    per.select(col("w.start").as("window_start")
+      +: graft.ops.Classifier.opeStatCols: _*)
+  }
+
   /** Sliding-window per-user activity. */
   def sliding(events: DataFrame, width: String = "1 hour",
               slide: String = "30 minutes"): DataFrame =

@@ -1019,6 +1019,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Window"), p)
   }
 
+  test("windowedOffPolicy: ONE (window) aggregate; output reads only the checkpoint") {
+    val ev = graft.streaming.EventStream.loadEvents(spark, sf())
+    val scored = ev.select(col("ts"),
+      (pmod(col("user_id") * 13, lit(8)).cast("double") / 8.0)
+        .as("reward"),
+      (lit(1.0) / pow(lit(2.0),
+        (pmod(col("user_id") * 7, lit(3)) + 1).cast("double")))
+        .as("pb"),
+      ((pmod(col("user_id") * 11, lit(8)) + 1).cast("double") / 16.0)
+        .as("pt"))
+    val df = graft.streaming.EventStream.windowedOffPolicy(scored,
+      "reward", "pb", "pt", clip = 2.0)
+    val p = plan(df)
+    assert(!p.contains("FileScan"), p)
+    assert(opCount(p, "Scan parquet") + opCount(p, "BatchScan") === 0, p)
+    assert(!p.contains("Join") && !p.contains("Window("), p)
+  }
+
   test("cusumDrift densify: the spine join is windows-many post-aggregate rows — no corpus re-scan downstream of the one aggregate") {
     val ev = graft.streaming.EventStream.loadEvents(spark, sf())
     val scored = ev.filter(hour(col("ts")) % 3 =!= 1)

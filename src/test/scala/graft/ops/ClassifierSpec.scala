@@ -1572,6 +1572,60 @@ class ClassifierSpec extends SparkSpec {
       df.filter(lit(false)), "slice", "succ", 0.05))
   }
 
+  test("judgeBiasReport: hand position effect + verbosity correlation, balanced judge, refusals") {
+    import spark.implicits._
+    // 8 comparisons: A wins 3/4 shown first, 1/4 shown second — a
+    // position-biased judge; A-wins carry positive length deltas
+    val log = Seq(
+      ("a", true, 20.0, 10.0), ("a", true, 20.0, 10.0),
+      ("a", true, 16.0, 10.0), ("b", true, 10.0, 20.0),
+      ("a", false, 20.0, 10.0), ("b", false, 10.0, 20.0),
+      ("b", false, 10.0, 20.0), ("b", false, 10.0, 16.0))
+      .toDF("winner", "fst", "la", "lb")
+    val r = Classifier.judgeBiasReport(log, "winner", "fst", "la",
+      "lb").head()
+    assert(r.getLong(0) === 8L)
+    assert(r.getDouble(1) === 0.5)                    // raw win_a
+    assert(r.getDouble(2) === 0.75)                   // A-first rate
+    assert(r.getDouble(3) === 0.25)                   // A-second rate
+    assert(r.getDouble(4) === 0.5)                    // position effect
+    assert(r.getDouble(5) === graft.ops.Num.round9(
+      0.5 / math.sqrt(0.5 * 0.5 * (0.25 + 0.25))))    // two-prop z
+    assert(r.getDouble(7) === 0.5)                    // debiased
+    // verbosity: sw=4 sd=0 sdd=672 swd=36 -> r = 36/sqrt(2*672)
+    assert(r.getDouble(8) === graft.ops.Num.round9(
+      36.0 / math.sqrt(2.0 * 672.0)))
+    assert(r.getDouble(10) < 0.001)                   // len bias real
+    // balanced judge: winner independent of position and length
+    val fair = Seq(
+      ("a", true, 10.0, 10.0), ("b", true, 10.0, 10.0),
+      ("a", false, 10.0, 10.0), ("b", false, 10.0, 10.0))
+      .toDF("winner", "fst", "la", "lb")
+    val fr = Classifier.judgeBiasReport(fair, "winner", "fst", "la",
+      "lb").head()
+    assert(fr.getDouble(4) === 0.0 && fr.getDouble(6) === 1.0)
+    assert(fr.getDouble(8) === 0.0 && fr.getDouble(10) === 1.0)
+    assert(fr.getDouble(7) === fr.getDouble(1))
+    // custom winner labels pass through
+    val custom = Classifier.judgeBiasReport(
+      log.select(when(col("winner") === "a", "x").otherwise("y")
+        .as("winner"), col("fst"), col("la"), col("lb")),
+      "winner", "fst", "la", "lb", winnerA = "x", winnerB = "y").head()
+    assert(custom.getDouble(2) === 0.75)
+    // refusals: single-position log, unknown winner value, negative
+    // length, empty
+    intercept[IllegalArgumentException](Classifier.judgeBiasReport(
+      log.filter(col("fst")), "winner", "fst", "la", "lb"))
+    intercept[IllegalArgumentException](Classifier.judgeBiasReport(
+      log.select(lit("c").as("winner"), col("fst"), col("la"),
+        col("lb")), "winner", "fst", "la", "lb"))
+    intercept[IllegalArgumentException](Classifier.judgeBiasReport(
+      log.select(col("winner"), col("fst"), lit(-1.0).as("la"),
+        col("lb")), "winner", "fst", "la", "lb"))
+    intercept[IllegalArgumentException](Classifier.judgeBiasReport(
+      log.filter(lit(false)), "winner", "fst", "la", "lb"))
+  }
+
   test("properScoresMulticlass: maxClasses enforces the K-regime contract") {
     import spark.implicits._
     val rows = Seq((Seq(0.5, 0.25, 0.25), 0), (Seq(0.25, 0.5, 0.25), 1))

@@ -813,6 +813,36 @@ class EventStreamSpec extends SparkSpec {
         0.25, 1.0))
   }
 
+  test("windowedOffPolicy: per-window rows equal the batch offPolicyEval on that window's traffic; refusal") {
+    import spark.implicits._
+    // two hours of logged-bandit traffic with different policies
+    val rows = Seq(
+      (0L, 1.0, 0.5, 1.0), (0L, 0.0, 0.5, 0.25), (0L, 1.0, 0.25, 1.0),
+      (3600L, 0.5, 1.0, 0.5), (3600L, 1.0, 0.5, 0.5),
+      (3600L, 0.0, 0.25, 0.75))
+    val df = rows.toDF("sec", "r", "pb", "pt")
+      .select(expr("timestamp_seconds(sec)").as("ts"), col("r"),
+        col("pb"), col("pt"))
+    val out = EventStream.windowedOffPolicy(df, "r", "pb", "pt",
+      clip = 2.0).orderBy("window_start").collect()
+    assert(out.length === 2)
+    // single-sourcing check: each window row equals the BATCH
+    // operator run on exactly that hour's rows, column for column
+    for ((row, sec) <- Seq((out(0), 0L), (out(1), 3600L))) {
+      val solo = graft.ops.Classifier.offPolicyEval(
+        rows.filter(_._1 == sec).map(t => (t._2, t._3, t._4))
+          .toDF("r", "pb", "pt"), "r", "pb", "pt", clip = 2.0).head()
+      for (i <- 0 until solo.length)
+        assert(row.get(i + 1) === solo.get(i),
+          s"window $sec column $i: ${row.get(i + 1)} vs ${solo.get(i)}")
+    }
+    // hygiene rides the one aggregate: a zero logging propensity
+    // anywhere refuses the whole monitor
+    intercept[IllegalArgumentException](EventStream.windowedOffPolicy(
+      df.select(col("ts"), col("r"), lit(0.0).as("pb"), col("pt")),
+      "r", "pb", "pt"))
+  }
+
   test("windowedAb: single-window equality to batch mcnemarTest; degenerate; refusal") {
     import spark.implicits._
     val rows = (0 until 200).map { i =>
