@@ -1743,6 +1743,28 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
         .orderBy("window_start")
     }),
 
+    // per-window CUPED monitor: hourly variance-reduced A/B delta on
+    // a continuous metric, theta re-fit within each window — raw and
+    // adjusted deltas, SEs, z and the erfcc p replay per window
+    "q_stream_cuped" -> ((s, dir) => {
+      val ev = EventStream.loadEvents(s, dir)
+      val base = ((col("user_id") * 13) % 16).cast("double") / 16.0
+      val scored = ev.select(col("ts"),
+        concat(lit("arm"), (col("user_id") % 2).cast("string"))
+          .as("arm"),
+        (base + (col("user_id") % 2).cast("double") * 0.03125).as("y"),
+        (base * 0.5 + ((col("user_id") * 29) % 8).cast("double")
+          / 16.0).as("x"))
+      EventStream.windowedCuped(scored, "arm", "arm0", "arm1", "y",
+          "x", width = "1 hour")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("n_a"), col("n_b"), col("theta"), col("delta_raw"),
+          col("se_raw"), col("delta"), col("se"), col("z"),
+          col("p_value"), col("decidable"))
+        .orderBy("window_start")
+    }),
+
     // always-valid confidence sequence on the same running mean the
     // mixture SPRT tests — the interval dual (0 outside the sequence
     // exactly when the mSPRT rejects); closed-form radius in the
@@ -9096,6 +9118,95 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |    AS ess,
           |  round(nclip * 1.0 / n, 9) AS clipped_frac
           |FROM e2 ORDER BY window_start""".stripMargin,
+
+      "q_stream_cuped" ->
+        s"""WITH sc AS (
+          |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w,
+          |    'arm' || CAST(user_id % 2 AS VARCHAR) AS arm,
+          |    CAST((user_id * 13) % 16 AS DOUBLE) / 16.0
+          |      + CAST(user_id % 2 AS DOUBLE) * 0.03125 AS y,
+          |    CAST((user_id * 13) % 16 AS DOUBLE) / 16.0 * 0.5
+          |      + CAST((user_id * 29) % 8 AS DOUBLE) / 16.0 AS x
+          |  FROM events),
+          |ag AS (
+          |  SELECT w, arm, count(*) AS n, sum(y) AS sy, sum(x) AS sx,
+          |    sum(y * y) AS syy, sum(x * x) AS sxx, sum(x * y) AS sxy
+          |  FROM sc GROUP BY w, arm),
+          |pv AS (
+          |  SELECT w,
+          |    coalesce(max(CASE WHEN arm = 'arm0' THEN n END), 0)
+          |      AS na,
+          |    coalesce(max(CASE WHEN arm = 'arm1' THEN n END), 0)
+          |      AS nb,
+          |    max(CASE WHEN arm = 'arm0' THEN sy END) AS sya,
+          |    max(CASE WHEN arm = 'arm1' THEN sy END) AS syb,
+          |    max(CASE WHEN arm = 'arm0' THEN sx END) AS sxa,
+          |    max(CASE WHEN arm = 'arm1' THEN sx END) AS sxb,
+          |    max(CASE WHEN arm = 'arm0' THEN syy END) AS syya,
+          |    max(CASE WHEN arm = 'arm1' THEN syy END) AS syyb,
+          |    max(CASE WHEN arm = 'arm0' THEN sxx END) AS sxxa,
+          |    max(CASE WHEN arm = 'arm1' THEN sxx END) AS sxxb,
+          |    max(CASE WHEN arm = 'arm0' THEN sxy END) AS sxya,
+          |    max(CASE WHEN arm = 'arm1' THEN sxy END) AS sxyb
+          |  FROM ag GROUP BY w),
+          |th AS (
+          |  SELECT *,
+          |    na >= 2 AND nb >= 2 AS ok,
+          |    (sxxa + sxxb) - (sxa + sxb) * (sxa + sxb) / (na + nb)
+          |      AS vden
+          |  FROM pv),
+          |t2 AS (
+          |  SELECT *,
+          |    CASE WHEN vden > 0.0 THEN
+          |      ((sxya + sxyb) - (sxa + sxb) * (sya + syb)
+          |        / (na + nb)) / vden
+          |    ELSE 0.0 END AS theta
+          |  FROM th),
+          |st AS (
+          |  SELECT *,
+          |    sya / na AS mya, syb / nb AS myb,
+          |    sxa / na AS mxa, sxb / nb AS mxb,
+          |    (syya - sya * sya / na) / (na - 1.0) AS vya,
+          |    (syyb - syb * syb / nb) / (nb - 1.0) AS vyb,
+          |    (sxxa - sxa * sxa / na) / (na - 1.0) AS vxa,
+          |    (sxxb - sxb * sxb / nb) / (nb - 1.0) AS vxb,
+          |    (sxya - sxa * sya / na) / (na - 1.0) AS ca,
+          |    (sxyb - sxb * syb / nb) / (nb - 1.0) AS cb
+          |  FROM t2),
+          |dl AS (
+          |  SELECT *,
+          |    myb - mya AS delta_raw,
+          |    sqrt(vya / na + vyb / nb) AS se_raw,
+          |    (myb - mya) - theta * (mxb - mxa) AS delta,
+          |    greatest(0.0, vya - 2.0 * theta * ca
+          |      + theta * theta * vxa) AS s2a,
+          |    greatest(0.0, vyb - 2.0 * theta * cb
+          |      + theta * theta * vxb) AS s2b
+          |  FROM st),
+          |se1 AS (SELECT *, sqrt(s2a / na + s2b / nb) AS se FROM dl),
+          |zz AS (
+          |  SELECT *, CASE WHEN se > 0.0 THEN delta / se ELSE 0.0 END
+          |    AS z
+          |  FROM se1),
+          |px AS (SELECT *, abs(z) / sqrt(2.0) AS xq FROM zz),
+          |pp AS (
+          |  SELECT *,
+          |    CASE WHEN se > 0.0 THEN least(1.0, ${erfccSql("xq")})
+          |      WHEN delta = 0.0 THEN 1.0 ELSE 0.0 END AS p
+          |  FROM px)
+          |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+          |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+          |  round(CASE WHEN ok THEN theta ELSE -1.0 END, 9) AS theta,
+          |  round(CASE WHEN ok THEN delta_raw ELSE -1.0 END, 9)
+          |    AS delta_raw,
+          |  round(CASE WHEN ok THEN se_raw ELSE -1.0 END, 9)
+          |    AS se_raw,
+          |  round(CASE WHEN ok THEN delta ELSE -1.0 END, 9) AS delta,
+          |  round(CASE WHEN ok THEN se ELSE -1.0 END, 9) AS se,
+          |  round(CASE WHEN ok THEN z ELSE -1.0 END, 9) AS z,
+          |  round(CASE WHEN ok THEN p ELSE -1.0 END, 9) AS p_value,
+          |  ok AS decidable
+          |FROM pp ORDER BY window_start""".stripMargin,
 
       "q_stream_confseq" ->
         """WITH sc AS (

@@ -845,6 +845,106 @@ object EventStream {
       +: graft.ops.Classifier.opeStatCols: _*)
   }
 
+  /** Per-window CUPED-adjusted A/B delta on a CONTINUOUS metric — the
+    * streaming parity of [[graft.ops.Classifier.cupedDelta]] (the
+    * [[windowedAb]] pattern, for the latency/loss/score deltas
+    * windowedAb's paired-binary model cannot carry): per tumbling
+    * window, the raw Welch delta between the arms AND the
+    * variance-reduced delta after regressing out the pre-experiment
+    * covariate, with θ re-fit WITHIN each window (pooled over both
+    * arms of that window's traffic — keeps every statistic
+    * within-window arithmetic, no cross-window state, and remains
+    * unbiased for the same reason the batch op is: the covariate
+    * cannot be affected by treatment). Same formula set as the batch
+    * operator, evaluated as column arithmetic; z and the two-sided p
+    * via the [[graft.ops.Num.erfccCol]] chain. A window missing an
+    * arm, or with fewer than 2 rows in an arm, cannot produce a
+    * variance — it emits the −1.0 sentinel in every statistic with
+    * `decidable = false` (a monitor must keep emitting; the
+    * [[windowedEval]] convention). Null/NaN metric or covariate
+    * refuse via the census riding the one aggregate. One row per
+    * window: (window_start, n_a, n_b, theta, delta_raw, se_raw,
+    * delta, se, z, p_value, decidable), doubles rounded at 9.
+    *
+    * Scale shape: ONE (window, arm) hash aggregate over the stream
+    * (six power sums + census), then a (window) pivot fold over the
+    * 2·windows-many checkpointed rows; no join, no window function.
+    */
+  def windowedCuped(exp: DataFrame, armCol: String, armA: String,
+                    armB: String, metricCol: String,
+                    covariateCol: String,
+                    width: String = "1 hour"): DataFrame = {
+    require(armA != armB, s"windowedCuped: armA and armB are both '$armA'")
+    val y = col(metricCol).cast("double")
+    val x = col(covariateCol).cast("double")
+    val badc = (y.isNull || isnan(y) || x.isNull || isnan(x))
+      .cast("long")
+    val per = exp.filter(col(armCol).isin(armA, armB))
+      .groupBy(window(col("ts"), width).as("w"),
+        col(armCol).cast("string").as("arm"))
+      .agg(count(lit(1)).as("n"), sum(badc).as("__nbad"),
+        sum(y).as("sy"), sum(x).as("sx"), sum(y * y).as("syy"),
+        sum(x * x).as("sxx"), sum(x * y).as("sxy"))
+      .localCheckpoint()
+    val badRow = per.agg(sum("__nbad")).head()
+    val nBad = if (badRow.isNullAt(0)) 0L else badRow.getLong(0)
+    require(nBad == 0,
+      s"windowedCuped: $nBad null/NaN metric or covariate values — " +
+        "clean the stream first")
+    // (window) pivot of the two arm rows — the per-window power sums
+    def cell(c: String, arm: String) =
+      max(when(col("arm") === arm, col(c)))
+    val pv = per.groupBy(col("w.start").as("window_start")).agg(
+      coalesce(cell("n", armA), lit(0L)).as("na"),
+      coalesce(cell("n", armB), lit(0L)).as("nb"),
+      cell("sy", armA).as("sya"), cell("sy", armB).as("syb"),
+      cell("sx", armA).as("sxa"), cell("sx", armB).as("sxb"),
+      cell("syy", armA).as("syya"), cell("syy", armB).as("syyb"),
+      cell("sxx", armA).as("sxxa"), cell("sxx", armB).as("sxxb"),
+      cell("sxy", armA).as("sxya"), cell("sxy", armB).as("sxyb"))
+    val ok = col("na") >= 2 && col("nb") >= 2
+    // the cupedDelta formulas, operand for operand, as columns
+    val vden = (col("sxxa") + col("sxxb")) -
+      (col("sxa") + col("sxb")) * (col("sxa") + col("sxb")) /
+        (col("na") + col("nb"))
+    val theta = when(vden > 0.0,
+      ((col("sxya") + col("sxyb")) -
+        (col("sxa") + col("sxb")) * (col("sya") + col("syb")) /
+          (col("na") + col("nb"))) / vden).otherwise(lit(0.0))
+    def my(a: String) = col(s"sy$a") / col(s"n$a")
+    def mx(a: String) = col(s"sx$a") / col(s"n$a")
+    def vy(a: String) = (col(s"syy$a") -
+      col(s"sy$a") * col(s"sy$a") / col(s"n$a")) /
+      (col(s"n$a") - lit(1.0))
+    def vx(a: String) = (col(s"sxx$a") -
+      col(s"sx$a") * col(s"sx$a") / col(s"n$a")) /
+      (col(s"n$a") - lit(1.0))
+    def cv(a: String) = (col(s"sxy$a") -
+      col(s"sx$a") * col(s"sy$a") / col(s"n$a")) /
+      (col(s"n$a") - lit(1.0))
+    val deltaRaw = my("b") - my("a")
+    val seRaw = sqrt(vy("a") / col("na") + vy("b") / col("nb"))
+    val delta = (my("b") - my("a")) - theta * (mx("b") - mx("a"))
+    val s2a = greatest(lit(0.0),
+      vy("a") - lit(2.0) * theta * cv("a") + theta * theta * vx("a"))
+    val s2b = greatest(lit(0.0),
+      vy("b") - lit(2.0) * theta * cv("b") + theta * theta * vx("b"))
+    val se = sqrt(s2a / col("na") + s2b / col("nb"))
+    val z = when(se > 0.0, delta / se).otherwise(lit(0.0))
+    val p = when(se > 0.0, least(lit(1.0),
+        graft.ops.Num.erfccCol(abs(z) / sqrt(lit(2.0)))))
+      .otherwise(when(delta === 0.0, lit(1.0)).otherwise(lit(0.0)))
+    def gated(c: org.apache.spark.sql.Column) =
+      round(when(ok, c).otherwise(lit(-1.0)), 9)
+    pv.select(col("window_start"), col("na").as("n_a"),
+      col("nb").as("n_b"),
+      gated(theta).as("theta"),
+      gated(deltaRaw).as("delta_raw"), gated(seRaw).as("se_raw"),
+      gated(delta).as("delta"), gated(se).as("se"),
+      gated(z).as("z"), gated(p).as("p_value"),
+      ok.as("decidable"))
+  }
+
   /** Sliding-window per-user activity. */
   def sliding(events: DataFrame, width: String = "1 hour",
               slide: String = "30 minutes"): DataFrame =

@@ -1037,6 +1037,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Window("), p)
   }
 
+  test("windowedCuped: ONE (window, arm) aggregate; the pivot fold reads only the checkpoint") {
+    val ev = graft.streaming.EventStream.loadEvents(spark, sf())
+    val base = pmod(col("user_id") * 13, lit(16)).cast("double") / 16.0
+    val scored = ev.select(col("ts"),
+      concat(lit("arm"), pmod(col("user_id"), lit(2)).cast("string"))
+        .as("arm"),
+      (base + pmod(col("user_id"), lit(2)).cast("double") * 0.03125)
+        .as("y"),
+      (base * 0.5 + pmod(col("user_id") * 29, lit(8)).cast("double")
+        / 16.0).as("x"))
+    val df = graft.streaming.EventStream.windowedCuped(scored, "arm",
+      "arm0", "arm1", "y", "x")
+    val p = plan(df)
+    assert(!p.contains("FileScan"), p)
+    assert(opCount(p, "Scan parquet") + opCount(p, "BatchScan") === 0, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("cusumDrift densify: the spine join is windows-many post-aggregate rows — no corpus re-scan downstream of the one aggregate") {
     val ev = graft.streaming.EventStream.loadEvents(spark, sf())
     val scored = ev.filter(hour(col("ts")) % 3 =!= 1)

@@ -843,6 +843,49 @@ class EventStreamSpec extends SparkSpec {
       "r", "pb", "pt"))
   }
 
+  test("windowedCuped: single-window equality to batch cupedDelta; one-armed window emits sentinels; refusal") {
+    import spark.implicits._
+    val rows = Seq(
+      ("arm0", 0.0, 1.0), ("arm0", 1.0, 3.0), ("arm0", 0.0, 0.0),
+      ("arm0", 1.0, 2.0),
+      ("arm1", 1.0, 2.0), ("arm1", 1.0, 4.0), ("arm1", 2.0, 1.0),
+      ("arm1", 2.0, 3.0))
+    val oneWin = rows.map { case (a, y, x) => (100L, a, y, x) }
+      .toDF("sec", "arm", "y", "x")
+      .select(expr("timestamp_seconds(sec)").as("ts"), col("arm"),
+        col("y"), col("x"))
+    val w = EventStream.windowedCuped(oneWin, "arm", "arm0", "arm1",
+      "y", "x").head()
+    val b = graft.ops.Classifier.cupedDelta(rows.toDF("arm", "y", "x"),
+      "arm", "arm0", "arm1", "y", "x").head()
+    // windowed columns (n_a..p_value at 1..9) vs batch (n_a, n_b,
+    // theta, delta_raw, se_raw, delta, se, z, p_value at 0..8);
+    // approx, not ===: the column erfcc uses codegen exp, the batch
+    // scalar the Math intrinsic — a measured 1-ulp surface
+    assert(w.getLong(1) === b.getLong(0) && w.getLong(2) === b.getLong(1))
+    for ((wi, bi) <- Seq(3 -> 2, 4 -> 3, 5 -> 4, 6 -> 5, 7 -> 6,
+        8 -> 7, 9 -> 8))
+      assert(math.abs(w.getDouble(wi) - b.getDouble(bi)) < 1e-8,
+        s"windowed($wi)=${w.getDouble(wi)} batch($bi)=${b.getDouble(bi)}")
+    assert(w.getBoolean(10))
+    // a window with only one arm emits the -1 sentinel row but keeps
+    // emitting (decidable = false) — the monitor never goes dark
+    val gap = (rows.map { case (a, y, x) => (100L, a, y, x) } ++
+      Seq((3700L, "arm0", 1.0, 1.0), (3700L, "arm0", 0.0, 2.0)))
+      .toDF("sec", "arm", "y", "x")
+      .select(expr("timestamp_seconds(sec)").as("ts"), col("arm"),
+        col("y"), col("x"))
+    val out = EventStream.windowedCuped(gap, "arm", "arm0", "arm1",
+      "y", "x").orderBy("window_start").collect()
+    assert(out.length === 2)
+    assert(!out(1).getBoolean(10))
+    assert(out(1).getDouble(6) === -1.0 && out(1).getDouble(9) === -1.0)
+    // census refusal
+    intercept[IllegalArgumentException](EventStream.windowedCuped(
+      oneWin.select(col("ts"), col("arm"), lit(Double.NaN).as("y"),
+        col("x")), "arm", "arm0", "arm1", "y", "x"))
+  }
+
   test("windowedAb: single-window equality to batch mcnemarTest; degenerate; refusal") {
     import spark.implicits._
     val rows = (0 until 200).map { i =>
