@@ -902,8 +902,13 @@ object EventStream {
       cell("syy", armA).as("syya"), cell("syy", armB).as("syyb"),
       cell("sxx", armA).as("sxxa"), cell("sxx", armB).as("sxxb"),
       cell("sxy", armA).as("sxya"), cell("sxy", armB).as("sxyb"))
-    val ok = col("na") >= 2 && col("nb") >= 2
-    // the cupedDelta formulas, operand for operand, as columns
+    // the cupedDelta formulas, operand for operand, as columns —
+    // LAYERED into aliased stages (the oracle's CTE structure): a
+    // single flat projection would inline theta into delta into se
+    // into z into the erfcc chain and blow the generated method past
+    // janino's limits (codegen fallback, measured); each stage's
+    // non-cheap producers are referenced more than once, which keeps
+    // CollapseProject from re-inlining them
     val vden = (col("sxxa") + col("sxxb")) -
       (col("sxa") + col("sxb")) * (col("sxa") + col("sxb")) /
         (col("na") + col("nb"))
@@ -922,26 +927,47 @@ object EventStream {
     def cv(a: String) = (col(s"sxy$a") -
       col(s"sx$a") * col(s"sy$a") / col(s"n$a")) /
       (col(s"n$a") - lit(1.0))
-    val deltaRaw = my("b") - my("a")
-    val seRaw = sqrt(vy("a") / col("na") + vy("b") / col("nb"))
-    val delta = (my("b") - my("a")) - theta * (mx("b") - mx("a"))
-    val s2a = greatest(lit(0.0),
-      vy("a") - lit(2.0) * theta * cv("a") + theta * theta * vx("a"))
-    val s2b = greatest(lit(0.0),
-      vy("b") - lit(2.0) * theta * cv("b") + theta * theta * vx("b"))
-    val se = sqrt(s2a / col("na") + s2b / col("nb"))
-    val z = when(se > 0.0, delta / se).otherwise(lit(0.0))
-    val p = when(se > 0.0, least(lit(1.0),
-        graft.ops.Num.erfccCol(abs(z) / sqrt(lit(2.0)))))
-      .otherwise(when(delta === 0.0, lit(1.0)).otherwise(lit(0.0)))
+    // every stage column sits under when(ok, ...): CaseWhen evaluates
+    // lazily, so a one-armed window (na = 0) never reaches the
+    // divisions (ANSI mode throws on divide-by-zero even for doubles)
+    val ok = col("na") >= 2 && col("nb") >= 2
+    def ifok(c: org.apache.spark.sql.Column) = when(ok, c)
+    val st = pv.select(col("*"), ifok(theta).as("__th"),
+      ifok(my("a")).as("__mya"), ifok(my("b")).as("__myb"),
+      ifok(mx("a")).as("__mxa"), ifok(mx("b")).as("__mxb"),
+      ifok(vy("a")).as("__vya"), ifok(vy("b")).as("__vyb"),
+      ifok(vx("a")).as("__vxa"), ifok(vx("b")).as("__vxb"),
+      ifok(cv("a")).as("__ca"), ifok(cv("b")).as("__cb"))
+    val th = col("__th")
+    val dl = st.select(col("*"),
+      (col("__myb") - col("__mya")).as("__draw"),
+      ifok(sqrt(col("__vya") / col("na") + col("__vyb") / col("nb")))
+        .as("__seraw"),
+      ((col("__myb") - col("__mya")) -
+        th * (col("__mxb") - col("__mxa"))).as("__delta"),
+      greatest(lit(0.0), col("__vya") - lit(2.0) * th * col("__ca")
+        + th * th * col("__vxa")).as("__s2a"),
+      greatest(lit(0.0), col("__vyb") - lit(2.0) * th * col("__cb")
+        + th * th * col("__vxb")).as("__s2b"))
+    val s1 = dl.select(col("*"),
+      ifok(sqrt(col("__s2a") / col("na") + col("__s2b") / col("nb")))
+        .as("__se"))
+    val zz = s1.select(col("*"),
+      when(col("__se") > 0.0, col("__delta") / col("__se"))
+        .otherwise(lit(0.0)).as("__z"))
+    val p = when(col("__se") > 0.0, least(lit(1.0),
+        graft.ops.Num.erfccCol(abs(col("__z")) / sqrt(lit(2.0)))))
+      .otherwise(when(col("__delta") === 0.0, lit(1.0))
+        .otherwise(lit(0.0)))
     def gated(c: org.apache.spark.sql.Column) =
       round(when(ok, c).otherwise(lit(-1.0)), 9)
-    pv.select(col("window_start"), col("na").as("n_a"),
+    zz.select(col("window_start"), col("na").as("n_a"),
       col("nb").as("n_b"),
-      gated(theta).as("theta"),
-      gated(deltaRaw).as("delta_raw"), gated(seRaw).as("se_raw"),
-      gated(delta).as("delta"), gated(se).as("se"),
-      gated(z).as("z"), gated(p).as("p_value"),
+      gated(th).as("theta"),
+      gated(col("__draw")).as("delta_raw"),
+      gated(col("__seraw")).as("se_raw"),
+      gated(col("__delta")).as("delta"), gated(col("__se")).as("se"),
+      gated(col("__z")).as("z"), gated(p).as("p_value"),
       ok.as("decidable"))
   }
 
