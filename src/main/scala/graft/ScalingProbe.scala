@@ -1150,6 +1150,8 @@ object ScalingProbe {
       SparkEntry.queries("q_stream_ope")(spark, d).count() }
     time("stream_cuped") { d =>
       SparkEntry.queries("q_stream_cuped")(spark, d).count() }
+    time("stream_ab_msprt") { d =>
+      SparkEntry.queries("q_stream_ab_msprt")(spark, d).count() }
     // fragment ancestry depth: the overlay read chains one ROWID join
     // per ancestor (MSWrite.readFragment walks the sidecars, then folds
     // updateByRowId). Probe READ cost (chains pre-built, untimed) vs

@@ -1743,6 +1743,29 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
         .orderBy("window_start")
     }),
 
+    // two-sample mixture SPRT: the anytime-valid decision on the
+    // cumulative between-arm delta of a continuous metric — dyadic
+    // metric with a 1/32 lift so the boundary is crossed mid-stream;
+    // the oracle replays the pivot, prefix sums, closed-form log Λ
+    // and the pinned threshold comparison
+    "q_stream_ab_msprt" -> ((s, dir) => {
+      val ev = EventStream.loadEvents(s, dir)
+      val base = ((col("user_id") * 13) % 16).cast("double") / 16.0
+      val scored = ev.select(col("ts"),
+        concat(lit("arm"), (col("user_id") % 2).cast("string"))
+          .as("arm"),
+        (base + (col("user_id") % 2).cast("double") * 0.03125).as("y"))
+      EventStream.windowedAbMixtureSprt(scored, "arm", "arm0", "arm1",
+          "y", sigma2 = 0.125, tau2 = 0.0625, alpha = 0.05,
+          width = "1 hour")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("n"), col("na_cum"), col("nb_cum"), col("delta_cum"),
+          col("log_lambda"), col("p_value"), col("reject"),
+          col("decidable"))
+        .orderBy("window_start")
+    }),
+
     // per-window CUPED monitor: hourly variance-reduced A/B delta on
     // a continuous metric, theta re-fit within each window — raw and
     // adjusted deltas, SEs, z and the erfcc p replay per window
@@ -9118,6 +9141,60 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |    AS ess,
           |  round(nclip * 1.0 / n, 9) AS clipped_frac
           |FROM e2 ORDER BY window_start""".stripMargin,
+
+      "q_stream_ab_msprt" ->
+        """WITH sc AS (
+          |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w,
+          |    'arm' || CAST(user_id % 2 AS VARCHAR) AS arm,
+          |    CAST((user_id * 13) % 16 AS DOUBLE) / 16.0
+          |      + CAST(user_id % 2 AS DOUBLE) * 0.03125 AS y
+          |  FROM events),
+          |ag AS (
+          |  SELECT w, arm, count(*) AS n, sum(y) AS sx
+          |  FROM sc GROUP BY w, arm),
+          |pv AS (
+          |  SELECT w, sum(n) AS n,
+          |    coalesce(max(CASE WHEN arm = 'arm0' THEN n END), 0)
+          |      AS nain,
+          |    coalesce(max(CASE WHEN arm = 'arm1' THEN n END), 0)
+          |      AS nbin,
+          |    coalesce(max(CASE WHEN arm = 'arm0' THEN sx END), 0.0)
+          |      AS sain,
+          |    coalesce(max(CASE WHEN arm = 'arm1' THEN sx END), 0.0)
+          |      AS sbin
+          |  FROM ag GROUP BY w),
+          |cm AS (
+          |  SELECT w, n,
+          |    SUM(nain) OVER ww AS na, SUM(nbin) OVER ww AS nb,
+          |    SUM(sain) OVER ww AS sa, SUM(sbin) OVER ww AS sb
+          |  FROM pv
+          |  WINDOW ww AS (ORDER BY w ROWS BETWEEN UNBOUNDED PRECEDING
+          |    AND CURRENT ROW)),
+          |st AS (
+          |  SELECT *, na > 0 AND nb > 0 AS ok,
+          |    CASE WHEN na > 0 AND nb > 0 THEN sb / nb - sa / na END
+          |      AS d,
+          |    CASE WHEN na > 0 AND nb > 0 THEN
+          |      0.125 * (CAST(1.0 AS DOUBLE) / na
+          |        + CAST(1.0 AS DOUBLE) / nb) END AS v
+          |  FROM cm),
+          |ll AS (
+          |  SELECT *,
+          |    round(0.5 * ln(v / (v + 0.0625))
+          |      + (d * d * 0.0625) / (2.0 * v * (v + 0.0625)), 9)
+          |      AS lb
+          |  FROM st)
+          |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+          |  CAST(n AS BIGINT) AS n, CAST(na AS BIGINT) AS na_cum,
+          |  CAST(nb AS BIGINT) AS nb_cum,
+          |  round(CASE WHEN ok THEN d ELSE -1.0 END, 9) AS delta_cum,
+          |  round(CASE WHEN ok THEN lb ELSE -1.0 END, 9)
+          |    AS log_lambda,
+          |  round(CASE WHEN ok THEN least(1.0, exp(0.0 - lb))
+          |    ELSE -1.0 END, 9) AS p_value,
+          |  (ok AND lb >= round(ln(1.0 / 0.05), 9)) AS reject,
+          |  ok AS decidable
+          |FROM ll ORDER BY window_start""".stripMargin,
 
       "q_stream_cuped" ->
         s"""WITH sc AS (

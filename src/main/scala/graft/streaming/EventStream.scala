@@ -971,6 +971,101 @@ object EventStream {
       ok.as("decidable"))
   }
 
+  /** Anytime-valid sequential A/B decision on a CONTINUOUS metric —
+    * the two-sample mixture SPRT (the mSPRT as deployed for A/B by
+    * Johari, Koomen, Pekelis & Walsh 2017, §4), completing the
+    * sequential trio: [[windowedAbSprt]] decides binary discordants,
+    * [[windowedMixtureSprt]] a one-sample mean, and this the
+    * between-arm delta of a latency/loss/score metric. Model: the
+    * cumulative delta of arm means δ̂_n = x̄_B − x̄_A is approximately
+    * N(δ, V_n) with V_n = σ²(1/n_A + 1/n_B) (σ² known, `sigma2`);
+    * H₀: δ = 0 against the mixture δ ~ N(0, τ²) gives the closed form
+    * Λ_n = √(V_n/(V_n + τ²)) · exp(δ̂²τ²/(2V_n(V_n + τ²))) — pure
+    * arithmetic in the cumulative (n_A, S_A, n_B, S_B) prefix sums;
+    * rejecting at Λ ≥ 1/α is anytime-valid and p_n = min(1, 1/Λ_n)
+    * the always-valid p. Statistic and threshold are round(9)-pinned
+    * (the [[windowedAbSprt]] convention). Windows before BOTH arms
+    * have cumulative traffic emit the −1.0 sentinel with
+    * `decidable = false` (the [[windowedCuped]] convention — once
+    * both arms are seen, every later window is decidable). Rows whose
+    * arm is neither `armA` nor `armB` are ignored; null/NaN values
+    * refuse via the riding census. One row per window: (window_start,
+    * n, na_cum, nb_cum, delta_cum, log_lambda, p_value, reject,
+    * decidable), doubles rounded at 9.
+    *
+    * Scale shape: ONE (window, arm) hash aggregate, a (window) pivot
+    * fold, then window-ORDERED prefix sums over the windows-many
+    * checkpointed rows (time-bounded; the [[cusumDrift]] convention).
+    */
+  def windowedAbMixtureSprt(scored: DataFrame, armCol: String,
+                            armA: String, armB: String,
+                            valueCol: String, sigma2: Double,
+                            tau2: Double, alpha: Double = 0.05,
+                            width: String = "1 hour"): DataFrame = {
+    require(armA != armB,
+      s"windowedAbMixtureSprt: armA and armB are both '$armA'")
+    require(sigma2 > 0, s"windowedAbMixtureSprt: sigma2=$sigma2 must " +
+      "be positive — the known per-observation variance")
+    require(tau2 > 0, s"windowedAbMixtureSprt: tau2=$tau2 must be " +
+      "positive — the prior scale of detectable deltas")
+    require(alpha > 0 && alpha < 0.5,
+      s"windowedAbMixtureSprt: alpha=$alpha")
+    val x = col(valueCol).cast("double")
+    val bad = (x.isNull || isnan(x)).cast("long")
+    val per = scored.filter(col(armCol).isin(armA, armB))
+      .groupBy(window(col("ts"), width).as("w"),
+        col(armCol).cast("string").as("arm"))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(bad).as("__bad"))
+      .localCheckpoint()
+    val badRow = per.agg(sum("__bad")).head()
+    val nBad = if (badRow.isNullAt(0)) 0L else badRow.getLong(0)
+    require(nBad == 0,
+      "windowedAbMixtureSprt: values must be non-null and non-NaN — " +
+        "clean the stream first")
+    def cell(c: String, arm: String) =
+      max(when(col("arm") === arm, col(c)))
+    val pv = per.groupBy(col("w.start").as("k")).agg(
+      sum("n").as("n"),
+      coalesce(cell("n", armA), lit(0L)).as("nain"),
+      coalesce(cell("n", armB), lit(0L)).as("nbin"),
+      coalesce(cell("sx", armA), lit(0.0)).as("sain"),
+      coalesce(cell("sx", armB), lit(0.0)).as("sbin"))
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy("k")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val thr = graft.ops.Num.round9(math.log(1.0 / alpha))
+    val cum = pv.select(col("k"), col("n"),
+      sum("nain").over(wOrd).as("na"),
+      sum("nbin").over(wOrd).as("nb"),
+      sum("sain").over(wOrd).as("sa"),
+      sum("sbin").over(wOrd).as("sb"))
+    val ok = col("na") > 0 && col("nb") > 0
+    // staged (the windowedCuped codegen discipline): delta and V as
+    // aliased columns under the ok gate, then the closed-form log Λ
+    val st = cum.select(col("*"),
+      when(ok, col("sb") / col("nb") - col("sa") / col("na"))
+        .as("__d"),
+      when(ok, lit(sigma2) * (lit(1.0) / col("na")
+        + lit(1.0) / col("nb"))).as("__v"))
+    val llr = round(
+      lit(0.5) * log(col("__v") / (col("__v") + lit(tau2)))
+        + (col("__d") * col("__d") * lit(tau2)) /
+          (lit(2.0) * col("__v") * (col("__v") + lit(tau2))),
+      9)
+    val zz = st.select(col("*"), llr.as("__ll"))
+    def gated(c: org.apache.spark.sql.Column) =
+      round(when(ok, c).otherwise(lit(-1.0)), 9)
+    zz.select(col("k").as("window_start"), col("n"),
+      col("na").as("na_cum"), col("nb").as("nb_cum"),
+      gated(col("__d")).as("delta_cum"),
+      gated(col("__ll")).as("log_lambda"),
+      gated(least(lit(1.0), exp(lit(0.0) - col("__ll"))))
+        .as("p_value"),
+      (ok && col("__ll") >= thr).as("reject"),
+      ok.as("decidable"))
+  }
+
   /** Sliding-window per-user activity. */
   def sliding(events: DataFrame, width: String = "1 hour",
               slide: String = "30 minutes"): DataFrame =

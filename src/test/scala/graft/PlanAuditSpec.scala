@@ -1055,6 +1055,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("windowedAbMixtureSprt: ONE (window, arm) aggregate; pivot + prefix sums on the checkpointed rows") {
+    val ev = graft.streaming.EventStream.loadEvents(spark, sf())
+    val base = pmod(col("user_id") * 13, lit(16)).cast("double") / 16.0
+    val scored = ev.select(col("ts"),
+      concat(lit("arm"), pmod(col("user_id"), lit(2)).cast("string"))
+        .as("arm"),
+      (base + pmod(col("user_id"), lit(2)).cast("double") * 0.03125)
+        .as("y"))
+    val df = graft.streaming.EventStream.windowedAbMixtureSprt(scored,
+      "arm", "arm0", "arm1", "y", sigma2 = 0.125, tau2 = 0.0625)
+    val p = plan(df)
+    assert(!p.contains("FileScan"), p)
+    assert(opCount(p, "Scan parquet") + opCount(p, "BatchScan") === 0, p)
+    assert(p.contains("Window") && !p.contains("Join"), p)
+  }
+
   test("cusumDrift densify: the spine join is windows-many post-aggregate rows — no corpus re-scan downstream of the one aggregate") {
     val ev = graft.streaming.EventStream.loadEvents(spark, sf())
     val scored = ev.filter(hour(col("ts")) % 3 =!= 1)

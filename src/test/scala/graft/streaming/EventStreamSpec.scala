@@ -886,6 +886,62 @@ class EventStreamSpec extends SparkSpec {
         col("x")), "arm", "arm0", "arm1", "y", "x"))
   }
 
+  test("windowedAbMixtureSprt: hand log-lambda, balanced arms never reject, crossing monotone in lift, one-arm start sentinel, refusals") {
+    import spark.implicits._
+    def mk(hours: Seq[Seq[(String, Double)]]) =
+      hours.zipWithIndex.flatMap { case (xs, h) =>
+        xs.map { case (a, v) => (h * 3600L, a, v) } }
+        .toDF("sec", "arm", "y")
+        .select(expr("timestamp_seconds(sec)").as("ts"), col("arm"),
+          col("y"))
+    def sprt(hours: Seq[Seq[(String, Double)]], s2: Double = 0.25,
+             t2: Double = 1.0) =
+      EventStream.windowedAbMixtureSprt(mk(hours), "arm", "a", "b",
+        "y", s2, t2).orderBy("window_start").collect()
+    // hand case after window 2: na = 2, nb = 2, sa = 1, sb = 2 ->
+    // d = .5, V = .25(.5 + .5) = .25
+    val out = sprt(Seq(
+      Seq(("a", 0.5), ("b", 1.0)), Seq(("a", 0.5), ("b", 1.0))))
+    def handLl(d: Double, v: Double) = graft.ops.Num.round9(
+      0.5 * math.log(v / (v + 1.0))
+        + (d * d * 1.0) / (2.0 * v * (v + 1.0)))
+    assert(out(1).getLong(2) === 2L && out(1).getLong(3) === 2L)
+    assert(out(1).getDouble(4) === 0.5)
+    assert(out(1).getDouble(5) === handLl(0.5, 0.25))
+    assert(out(1).getDouble(6) === graft.ops.Num.round9(
+      math.min(1.0, math.exp(0.0 - handLl(0.5, 0.25)))))
+    // identical arms: Lambda shrinks below 1 — never rejects, p = 1
+    val same = sprt(Seq.fill(20)(Seq(("a", 0.5), ("b", 0.5),
+      ("a", 0.25), ("b", 0.25))))
+    assert(same.forall(!_.getBoolean(7)))
+    assert(same.last.getDouble(6) === 1.0)
+    // crossing time monotone in the lift
+    def firstReject(lift: Double): Int =
+      sprt(Seq.fill(40)(Seq.fill(3)(("a", 0.5))
+        ++ Seq.fill(3)(("b", 0.5 + lift))))
+        .indexWhere(_.getBoolean(7))
+    val (slow, fast) = (firstReject(0.25), firstReject(0.5))
+    assert(slow > 0 && fast >= 0 && fast <= slow)
+    // a stream that STARTS one-armed: sentinel rows until both arms
+    // have cumulative traffic, decidable forever after
+    val oneArm = sprt(Seq(Seq(("a", 0.5)), Seq(("a", 0.5), ("b", 1.0))))
+    assert(!oneArm(0).getBoolean(8) && oneArm(0).getDouble(5) === -1.0)
+    assert(oneArm(1).getBoolean(8))
+    // refusals: same arms, bad sigma2/tau2/alpha, NaN census
+    intercept[IllegalArgumentException](
+      EventStream.windowedAbMixtureSprt(mk(Seq(Seq(("a", 1.0)))),
+        "arm", "a", "a", "y", 0.25, 1.0))
+    intercept[IllegalArgumentException](
+      sprt(Seq(Seq(("a", 1.0))), s2 = 0.0))
+    intercept[IllegalArgumentException](
+      sprt(Seq(Seq(("a", 1.0))), t2 = 0.0))
+    intercept[IllegalArgumentException](
+      EventStream.windowedAbMixtureSprt(mk(Seq(Seq(("a", 1.0)))),
+        "arm", "a", "b", "y", 0.25, 1.0, alpha = 0.6))
+    intercept[IllegalArgumentException](
+      sprt(Seq(Seq(("a", Double.NaN), ("b", 1.0)))))
+  }
+
   test("windowedAb: single-window equality to batch mcnemarTest; degenerate; refusal") {
     import spark.implicits._
     val rows = (0 until 200).map { i =>
