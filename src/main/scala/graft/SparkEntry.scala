@@ -8372,7 +8372,8 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |dl AS (
           |  SELECT *,
           |    myb - mya AS delta_raw,
-          |    sqrt(vya / na + vyb / nb) AS se_raw,
+          |    sqrt(greatest(0.0, vya) / na + greatest(0.0, vyb) / nb)
+          |      AS se_raw,
           |    (myb - mya) - theta * (mxb - mxa) AS delta,
           |    greatest(0.0, vya - 2.0 * theta * ca
           |      + theta * theta * vxa) AS s2a,
@@ -8546,13 +8547,15 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |pb AS (SELECT *, (p0 + p1) / 2.0 AS pbar FROM fx),
           |ee AS (
           |  SELECT *,
-          |    1.959964 * sqrt(2.0 * pbar * (1.0 - pbar))
-          |      + 0.841621234 * sqrt(p0 * (1.0 - p0)
-          |        + p1 * (1.0 - p1)) AS e
+          |    CASE WHEN p1 <= 1.0 THEN
+          |      1.959964 * sqrt(2.0 * pbar * (1.0 - pbar))
+          |        + 0.841621234 * sqrt(p0 * (1.0 - p0)
+          |          + p1 * (1.0 - p1)) END AS e
           |  FROM pb),
           |na AS (
-          |  SELECT *, e * e / (CAST(0.05 AS DOUBLE)
-          |    * CAST(0.05 AS DOUBLE)) AS narm
+          |  SELECT *, CASE WHEN p1 <= 1.0 THEN
+          |    e * e / (CAST(0.05 AS DOUBLE)
+          |      * CAST(0.05 AS DOUBLE)) END AS narm
           |  FROM ee)
           |SELECT slice, CAST(n AS BIGINT) AS n,
           |  CAST(s AS BIGINT) AS successes,
@@ -9253,7 +9256,8 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |dl AS (
           |  SELECT *,
           |    myb - mya AS delta_raw,
-          |    sqrt(vya / na + vyb / nb) AS se_raw,
+          |    sqrt(greatest(0.0, vya) / na + greatest(0.0, vyb) / nb)
+          |      AS se_raw,
           |    (myb - mya) - theta * (mxb - mxa) AS delta,
           |    greatest(0.0, vya - 2.0 * theta * ca
           |      + theta * theta * vxa) AS s2a,

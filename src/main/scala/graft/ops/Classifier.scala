@@ -2135,56 +2135,21 @@ object Classifier {
                     loggedPropCol: String, targetPropCol: String,
                     clip: Double = 10.0): DataFrame = {
     require(clip > 0, s"offPolicyEval: clip=$clip must be positive")
-    val r = col(rewardCol).cast("double")
-    val pb = col(loggedPropCol).cast("double")
-    val pt = col(targetPropCol).cast("double")
-    val (badBase, w, wc) = opeWeights(r, pb, pt, clip)
-    val badc = badBase.cast("long")
-    val agg = logged.agg(count(lit(1)).as("n"), sum(badc).as("nbad"),
-      sum(r).as("sr"), sum(wc * r).as("swr"), sum(wc).as("sw"),
-      sum(wc * wc).as("sww"),
-      sum((wc * r) * (wc * r)).as("swr2"),
-      sum(wc * wc * r).as("swwr"),
-      sum((w > clip).cast("long")).as("nclip")).head()
-    val nBad = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+    // the SAME aggregate columns and output formulas as the per-slice
+    // and streaming forms ([[opeAggExprs]]/[[opeStatCols]]) — one
+    // source, so the four surfaces cannot drift; the checkpoint keeps
+    // this a single corpus pass (guard read + output both hit the
+    // one-row checkpoint)
+    val e = opeAggExprs(rewardCol, loggedPropCol, targetPropCol, clip)
+    val agg = logged.agg(e.head, e.tail: _*).localCheckpoint()
+    val g = agg.head()
+    val nBad = if (g.isNullAt(1)) 0L else g.getLong(1)
     require(nBad == 0,
       "offPolicyEval: rewards must be non-null/non-NaN, logging " +
         "propensities in (0, 1], target probabilities in [0, 1] — " +
         "clean the log first")
-    require(agg.getLong(0) > 0, "offPolicyEval: empty log")
-    val n = agg.getLong(0)
-    val nd = n.toDouble
-    val (sr, swr, sw, sww) = (agg.getDouble(2), agg.getDouble(3),
-      agg.getDouble(4), agg.getDouble(5))
-    val (swr2, swwr) = (agg.getDouble(6), agg.getDouble(7))
-    val ips = swr / nd
-    val snips = if (sw > 0) swr / sw else 0.0
-    val ess = if (sww > 0) sw * sw / sww else 0.0
-    // influence-function SEs from the SAME aggregate's sums — the
-    // two-pass-free identities the scaladoc states, mirrored operand
-    // for operand by the oracle
-    val ipsSe =
-      if (n > 1)
-        math.sqrt(math.max(0.0,
-          (swr2 - swr * swr / nd) / (nd - 1.0)) / nd)
-      else 0.0
-    val snipsSe =
-      if (sw > 0 && n > 1)
-        math.sqrt(math.max(0.0,
-          swr2 - 2.0 * snips * swwr + snips * snips * sww)) / sw
-      else 0.0
-    val spark = logged.sparkSession
-    import spark.implicits._
-    Seq((n, Num.round9(sr / nd),
-      Num.round9(ips), Num.round9(ipsSe),
-      Num.round9(ips - Z95 * ipsSe), Num.round9(ips + Z95 * ipsSe),
-      Num.round9(snips), Num.round9(snipsSe),
-      Num.round9(snips - Z95 * snipsSe),
-      Num.round9(snips + Z95 * snipsSe),
-      Num.round9(ess), Num.round9(agg.getLong(8).toDouble / n)))
-      .toDF("n", "behavior_mean", "ips", "ips_se", "ips_lo", "ips_hi",
-        "snips", "snips_se", "snips_lo", "snips_hi", "ess",
-        "clipped_frac")
+    require(g.getLong(0) > 0, "offPolicyEval: empty log")
+    agg.select(opeStatCols: _*)
   }
 
   /** Doubly-robust off-policy evaluation (Dudík, Langford & Li 2011)
@@ -2224,61 +2189,27 @@ object Classifier {
                        qHatCol: String, vHatCol: String,
                        clip: Double = 10.0): DataFrame = {
     require(clip > 0, s"doublyRobustEval: clip=$clip must be positive")
-    val r = col(rewardCol).cast("double")
-    val pb = col(loggedPropCol).cast("double")
-    val pt = col(targetPropCol).cast("double")
     val qh = col(qHatCol).cast("double")
     val vh = col(vHatCol).cast("double")
-    val (badBase, w, wc) = opeWeights(r, pb, pt, clip)
-    val badc = (badBase ||
-      qh.isNull || isnan(qh) || vh.isNull || isnan(vh)).cast("long")
-    val xdr = vh + wc * (r - qh)
-    val agg = logged.agg(count(lit(1)).as("n"), sum(badc).as("nbad"),
-      sum(r).as("sr"), sum(vh).as("sv"),
-      sum(wc * r).as("swr"),
-      sum(xdr).as("sdr"),
-      sum(wc).as("sw"), sum(wc * wc).as("sww"),
-      sum((wc * r) * (wc * r)).as("swr2"),
-      sum(xdr * xdr).as("sdr2"),
-      sum((w > clip).cast("long")).as("nclip")).head()
-    val nBad = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+    val (_, _, wc) = opeWeights(col(rewardCol).cast("double"),
+      col(loggedPropCol).cast("double"),
+      col(targetPropCol).cast("double"), clip)
+    // the shared aggregate ([[opeAggExprs]] with the q̂/v̂ census
+    // riding as extraBad) + the DR sums ([[drAggExtras]]) + the
+    // shared output formulas ([[drStatCols]]) — one source with the
+    // per-slice form; the checkpoint keeps it one corpus pass
+    val extraBad = qh.isNull || isnan(qh) || vh.isNull || isnan(vh)
+    val e = opeAggExprs(rewardCol, loggedPropCol, targetPropCol, clip,
+      extraBad) ++ drAggExtras(rewardCol, qHatCol, vHatCol, wc)
+    val agg = logged.agg(e.head, e.tail: _*).localCheckpoint()
+    val g = agg.head()
+    val nBad = if (g.isNullAt(1)) 0L else g.getLong(1)
     require(nBad == 0,
       "doublyRobustEval: rewards/q-hat/v-hat must be non-null/non-NaN, " +
         "logging propensities in (0, 1], target probabilities in " +
         "[0, 1] — clean the log first")
-    require(agg.getLong(0) > 0, "doublyRobustEval: empty log")
-    val n = agg.getLong(0)
-    val nd = n.toDouble
-    val (swr, sdr) = (agg.getDouble(4), agg.getDouble(5))
-    val (sw, sww) = (agg.getDouble(6), agg.getDouble(7))
-    val (swr2, sdr2) = (agg.getDouble(8), agg.getDouble(9))
-    val ess = if (sww > 0) sw * sw / sww else 0.0
-    val ips = swr / nd
-    val dr = sdr / nd
-    // sample-variance SEs of the per-row estimator terms from the one
-    // aggregate's sums — same identity as offPolicyEval's ips_se
-    val ipsSe =
-      if (n > 1)
-        math.sqrt(math.max(0.0,
-          (swr2 - swr * swr / nd) / (nd - 1.0)) / nd)
-      else 0.0
-    val drSe =
-      if (n > 1)
-        math.sqrt(math.max(0.0,
-          (sdr2 - sdr * sdr / nd) / (nd - 1.0)) / nd)
-      else 0.0
-    val spark = logged.sparkSession
-    import spark.implicits._
-    Seq((n, Num.round9(agg.getDouble(2) / nd),
-      Num.round9(agg.getDouble(3) / nd),
-      Num.round9(ips), Num.round9(ipsSe),
-      Num.round9(ips - Z95 * ipsSe), Num.round9(ips + Z95 * ipsSe),
-      Num.round9(dr), Num.round9(drSe),
-      Num.round9(dr - Z95 * drSe), Num.round9(dr + Z95 * drSe),
-      Num.round9(ess), Num.round9(agg.getLong(10).toDouble / n)))
-      .toDF("n", "behavior_mean", "dm", "ips", "ips_se", "ips_lo",
-        "ips_hi", "dr", "dr_se", "dr_lo", "dr_hi", "ess",
-        "clipped_frac")
+    require(g.getLong(0) > 0, "doublyRobustEval: empty log")
+    agg.select(drStatCols: _*)
   }
 
   /** Per-slice off-policy evaluation — [[offPolicyEval]] grouped by a
@@ -2311,18 +2242,34 @@ object Classifier {
     * [[mcnemarAggExprs]] discipline: the batch and streaming forms
     * cannot drift). */
   private[graft] def opeAggExprs(rewardCol: String,
-      loggedPropCol: String, targetPropCol: String,
-      clip: Double): Seq[Column] = {
+      loggedPropCol: String, targetPropCol: String, clip: Double,
+      extraBad: Column = lit(false)): Seq[Column] = {
     val r = col(rewardCol).cast("double")
     val pb = col(loggedPropCol).cast("double")
     val pt = col(targetPropCol).cast("double")
     val (badBase, w, wc) = opeWeights(r, pb, pt, clip)
-    Seq(count(lit(1)).as("n"), sum(badBase.cast("long")).as("__nbad"),
+    Seq(count(lit(1)).as("n"),
+      sum((badBase || extraBad).cast("long")).as("__nbad"),
       sum(r).as("sr"), sum(wc * r).as("swr"), sum(wc).as("sw"),
       sum(wc * wc).as("sww"),
       sum((wc * r) * (wc * r)).as("swr2"),
       sum(wc * wc * r).as("swwr"),
       sum((w > clip).cast("long")).as("nclip"))
+  }
+
+  /** Mean + sample-variance SE of a per-row estimator term from its
+    * sum and sum-of-squares columns — the two-pass-free identity
+    * (Σx² − (Σx)²/n)/(n−1), THE single source for every OPE
+    * mean-of-terms estimator (ips, dr). */
+  private[graft] def opeMeanSe(sumCol: String,
+      sum2Col: String): (Column, Column) = {
+    val nd = col("n").cast("double")
+    val m = col(sumCol) / nd
+    val se = when(col("n") > 1,
+      sqrt(greatest(lit(0.0),
+        (col(sum2Col) - col(sumCol) * col(sumCol) / nd)
+          / (nd - lit(1.0))) / nd)).otherwise(lit(0.0))
+    (m, se)
   }
 
   /** The per-group OPE output columns (estimates, influence-function
@@ -2331,15 +2278,11 @@ object Classifier {
     * operand; single-sourced with the aggregate for the same reason. */
   private[graft] def opeStatCols: Seq[Column] = {
     val nd = col("n").cast("double")
-    val ips = col("swr") / nd
+    val (ips, ipsSe) = opeMeanSe("swr", "swr2")
     val snips = when(col("sw") > 0, col("swr") / col("sw"))
       .otherwise(lit(0.0))
     val ess = when(col("sww") > 0, col("sw") * col("sw") / col("sww"))
       .otherwise(lit(0.0))
-    val ipsSe = when(col("n") > 1,
-      sqrt(greatest(lit(0.0),
-        (col("swr2") - col("swr") * col("swr") / nd) / (nd - lit(1.0)))
-        / nd)).otherwise(lit(0.0))
     val snipsSe = when(col("sw") > 0 && col("n") > 1,
       sqrt(greatest(lit(0.0),
         col("swr2") - lit(2.0) * snips * col("swwr") +
@@ -2355,6 +2298,40 @@ object Classifier {
       round(snips + lit(Z95) * snipsSe, 9).as("snips_hi"),
       round(ess, 9).as("ess"),
       round(col("nclip").cast("double") / nd, 9).as("clipped_frac"))
+  }
+
+  /** The doubly-robust output columns over [[opeAggExprs]] + the DR
+    * extras (sv, sdr, sdr2) — shared by the scalar
+    * [[doublyRobustEval]] and [[doublyRobustEvalBySlice]]. */
+  private[graft] def drStatCols: Seq[Column] = {
+    val nd = col("n").cast("double")
+    val (ips, ipsSe) = opeMeanSe("swr", "swr2")
+    val (dr, drSe) = opeMeanSe("sdr", "sdr2")
+    val ess = when(col("sww") > 0, col("sw") * col("sw") / col("sww"))
+      .otherwise(lit(0.0))
+    Seq(col("n"),
+      round(col("sr") / nd, 9).as("behavior_mean"),
+      round(col("sv") / nd, 9).as("dm"),
+      round(ips, 9).as("ips"), round(ipsSe, 9).as("ips_se"),
+      round(ips - lit(Z95) * ipsSe, 9).as("ips_lo"),
+      round(ips + lit(Z95) * ipsSe, 9).as("ips_hi"),
+      round(dr, 9).as("dr"), round(drSe, 9).as("dr_se"),
+      round(dr - lit(Z95) * drSe, 9).as("dr_lo"),
+      round(dr + lit(Z95) * drSe, 9).as("dr_hi"),
+      round(ess, 9).as("ess"),
+      round(col("nclip").cast("double") / nd, 9).as("clipped_frac"))
+  }
+
+  /** The DR aggregate extras riding next to [[opeAggExprs]] — one
+    * source for the scalar and per-slice forms. */
+  private[graft] def drAggExtras(rewardCol: String, qHatCol: String,
+      vHatCol: String, wc: Column): Seq[Column] = {
+    val r = col(rewardCol).cast("double")
+    val qh = col(qHatCol).cast("double")
+    val vh = col(vHatCol).cast("double")
+    val xdr = vh + wc * (r - qh)
+    Seq(sum(vh).as("sv"), sum(xdr).as("sdr"),
+      sum(xdr * xdr).as("sdr2"))
   }
 
   def offPolicyEvalBySlice(logged: DataFrame, rewardCol: String,
@@ -2402,23 +2379,18 @@ object Classifier {
                               clip: Double = 10.0): DataFrame = {
     require(clip > 0,
       s"doublyRobustEvalBySlice: clip=$clip must be positive")
-    val r = col(rewardCol).cast("double")
-    val pb = col(loggedPropCol).cast("double")
-    val pt = col(targetPropCol).cast("double")
     val qh = col(qHatCol).cast("double")
     val vh = col(vHatCol).cast("double")
-    val (badBase, w, wc) = opeWeights(r, pb, pt, clip)
-    val badc = (badBase ||
-      qh.isNull || isnan(qh) || vh.isNull || isnan(vh)).cast("long")
-    val xdr = vh + wc * (r - qh)
+    val (_, _, wc) = opeWeights(col(rewardCol).cast("double"),
+      col(loggedPropCol).cast("double"),
+      col(targetPropCol).cast("double"), clip)
+    // the scalar op's aggregate and output columns, grouped by slice
+    // — [[opeAggExprs]]/[[drAggExtras]]/[[drStatCols]], one source
+    val extraBad = qh.isNull || isnan(qh) || vh.isNull || isnan(vh)
+    val e = opeAggExprs(rewardCol, loggedPropCol, targetPropCol, clip,
+      extraBad) ++ drAggExtras(rewardCol, qHatCol, vHatCol, wc)
     val per = logged.groupBy(col(sliceCol).as("slice"))
-      .agg(count(lit(1)).as("n"), sum(badc).as("__nbad"),
-        sum(r).as("sr"), sum(vh).as("sv"),
-        sum(wc * r).as("swr"), sum(xdr).as("sdr"),
-        sum(wc).as("sw"), sum(wc * wc).as("sww"),
-        sum((wc * r) * (wc * r)).as("swr2"),
-        sum(xdr * xdr).as("sdr2"),
-        sum((w > clip).cast("long")).as("nclip"))
+      .agg(e.head, e.tail: _*)
       .localCheckpoint()
     val guard = per.agg(count(lit(1)).as("rows"),
       sum("__nbad").as("bad")).head()
@@ -2428,30 +2400,105 @@ object Classifier {
       s"doublyRobustEvalBySlice: $nBad rows with null/NaN rewards or " +
         "model columns, or propensities outside (0, 1] logging / " +
         "[0, 1] target — clean the log first")
-    val nd = col("n").cast("double")
-    val ips = col("swr") / nd
-    val dr = col("sdr") / nd
-    val ess = when(col("sww") > 0, col("sw") * col("sw") / col("sww"))
-      .otherwise(lit(0.0))
-    val ipsSe = when(col("n") > 1,
-      sqrt(greatest(lit(0.0),
-        (col("swr2") - col("swr") * col("swr") / nd) / (nd - lit(1.0)))
-        / nd)).otherwise(lit(0.0))
-    val drSe = when(col("n") > 1,
-      sqrt(greatest(lit(0.0),
-        (col("sdr2") - col("sdr") * col("sdr") / nd) / (nd - lit(1.0)))
-        / nd)).otherwise(lit(0.0))
-    per.select(col("slice"), col("n"),
-      round(col("sr") / nd, 9).as("behavior_mean"),
-      round(col("sv") / nd, 9).as("dm"),
-      round(ips, 9).as("ips"), round(ipsSe, 9).as("ips_se"),
-      round(ips - lit(Z95) * ipsSe, 9).as("ips_lo"),
-      round(ips + lit(Z95) * ipsSe, 9).as("ips_hi"),
-      round(dr, 9).as("dr"), round(drSe, 9).as("dr_se"),
-      round(dr - lit(Z95) * drSe, 9).as("dr_lo"),
-      round(dr + lit(Z95) * drSe, 9).as("dr_hi"),
-      round(ess, 9).as("ess"),
-      round(col("nclip").cast("double") / nd, 9).as("clipped_frac"))
+    per.select(col("slice") +: drStatCols: _*)
+  }
+
+  /** The CUPED per-arm power-sum aggregate (count, census, six sums)
+    * — ONE source for [[cupedDelta]] and the streaming
+    * [[graft.streaming.EventStream.windowedCuped]] monitor (the
+    * [[opeAggExprs]] discipline). Expects to be grouped with the arm
+    * key aliased `arm`. */
+  private[graft] def cupedAggExprs(metricCol: String,
+      covariateCol: String): Seq[Column] = {
+    val y = col(metricCol).cast("double")
+    val x = col(covariateCol).cast("double")
+    val badc = (y.isNull || isnan(y) || x.isNull || isnan(x))
+      .cast("long")
+    Seq(count(lit(1)).as("n"), sum(badc).as("__nbad"),
+      sum(y).as("sy"), sum(x).as("sx"), sum(y * y).as("syy"),
+      sum(x * x).as("sxx"), sum(x * y).as("sxy"))
+  }
+
+  /** The (group) pivot cells turning per-(group, arm) power sums into
+    * one row per group — shared by batch (one global group) and
+    * windowed (per-window) CUPED. */
+  private[graft] def cupedPivotCells(armA: String,
+      armB: String): Seq[Column] = {
+    def cell(c: String, arm: String) =
+      max(when(col("arm") === arm, col(c)))
+    Seq(coalesce(cell("n", armA), lit(0L)).as("na"),
+      coalesce(cell("n", armB), lit(0L)).as("nb"),
+      cell("sy", armA).as("sya"), cell("sy", armB).as("syb"),
+      cell("sx", armA).as("sxa"), cell("sx", armB).as("sxb"),
+      cell("syy", armA).as("syya"), cell("syy", armB).as("syyb"),
+      cell("sxx", armA).as("sxxa"), cell("sxx", armB).as("sxxb"),
+      cell("sxy", armA).as("sxya"), cell("sxy", armB).as("sxyb"))
+  }
+
+  /** The CUPED formula chain over a pivoted power-sum frame — theta,
+    * raw and adjusted deltas, both SEs (the raw Welch variance is
+    * CLAMPED at 0: fp cancellation on a constant-metric arm can read
+    * −1e-17 and a bare sqrt would return NaN), z and the erfcc p —
+    * appended as `__`-prefixed columns in LAYERED aliased stages
+    * (mirroring the oracle CTEs; a flat projection inlines the chain
+    * past janino's codegen limits, measured). Every stage sits under
+    * `__ok` (both arms present with n ≥ 2): CaseWhen evaluates
+    * lazily, so a one-armed group never reaches the divisions (ANSI
+    * throws on divide-by-zero). ONE source for the batch and windowed
+    * operators. */
+  private[graft] def cupedStatFrame(pv: DataFrame): DataFrame = {
+    val ok = col("na") >= 2 && col("nb") >= 2
+    def ifok(c: Column) = when(ok, c)
+    val vden = (col("sxxa") + col("sxxb")) -
+      (col("sxa") + col("sxb")) * (col("sxa") + col("sxb")) /
+        (col("na") + col("nb"))
+    val theta = when(vden > 0.0,
+      ((col("sxya") + col("sxyb")) -
+        (col("sxa") + col("sxb")) * (col("sya") + col("syb")) /
+          (col("na") + col("nb"))) / vden).otherwise(lit(0.0))
+    def my(a: String) = col(s"sy$a") / col(s"n$a")
+    def mx(a: String) = col(s"sx$a") / col(s"n$a")
+    def vy(a: String) = (col(s"syy$a") -
+      col(s"sy$a") * col(s"sy$a") / col(s"n$a")) /
+      (col(s"n$a") - lit(1.0))
+    def vx(a: String) = (col(s"sxx$a") -
+      col(s"sx$a") * col(s"sx$a") / col(s"n$a")) /
+      (col(s"n$a") - lit(1.0))
+    def cv(a: String) = (col(s"sxy$a") -
+      col(s"sx$a") * col(s"sy$a") / col(s"n$a")) /
+      (col(s"n$a") - lit(1.0))
+    val st = pv.select(col("*"), ok.as("__ok"),
+      ifok(theta).as("__th"),
+      ifok(my("a")).as("__mya"), ifok(my("b")).as("__myb"),
+      ifok(mx("a")).as("__mxa"), ifok(mx("b")).as("__mxb"),
+      ifok(vy("a")).as("__vya"), ifok(vy("b")).as("__vyb"),
+      ifok(vx("a")).as("__vxa"), ifok(vx("b")).as("__vxb"),
+      ifok(cv("a")).as("__ca"), ifok(cv("b")).as("__cb"))
+    val th = col("__th")
+    val dl = st.select(col("*"),
+      (col("__myb") - col("__mya")).as("__draw"),
+      when(col("__ok"),
+        sqrt(greatest(lit(0.0), col("__vya")) / col("na")
+          + greatest(lit(0.0), col("__vyb")) / col("nb")))
+        .as("__seraw"),
+      ((col("__myb") - col("__mya")) -
+        th * (col("__mxb") - col("__mxa"))).as("__delta"),
+      greatest(lit(0.0), col("__vya") - lit(2.0) * th * col("__ca")
+        + th * th * col("__vxa")).as("__s2a"),
+      greatest(lit(0.0), col("__vyb") - lit(2.0) * th * col("__cb")
+        + th * th * col("__vxb")).as("__s2b"))
+    val s1 = dl.select(col("*"),
+      when(col("__ok"),
+        sqrt(col("__s2a") / col("na") + col("__s2b") / col("nb")))
+        .as("__se"))
+    val zz = s1.select(col("*"),
+      when(col("__se") > 0.0, col("__delta") / col("__se"))
+        .otherwise(lit(0.0)).as("__z"))
+    zz.select(col("*"),
+      when(col("__se") > 0.0, least(lit(1.0),
+          Num.erfccCol(abs(col("__z")) / sqrt(lit(2.0)))))
+        .otherwise(when(col("__delta") === 0.0, lit(1.0))
+          .otherwise(lit(0.0))).as("__p"))
   }
 
   /** CUPED variance-reduced A/B delta (Deng, Xu, Kohavi & Walker 2013,
@@ -2483,21 +2530,21 @@ object Classifier {
                  alpha: Double = 0.05): DataFrame = {
     require(armA != armB, s"cupedDelta: armA and armB are both '$armA'")
     require(alpha > 0 && alpha < 0.5, s"cupedDelta: alpha=$alpha")
-    val y = col(metricCol).cast("double")
-    val x = col(covariateCol).cast("double")
-    val badc = (y.isNull || isnan(y) || x.isNull || isnan(x))
-      .cast("long")
-    val rows = exp.filter(col(armCol).isin(armA, armB))
+    // ONE (arm) aggregate via the shared [[cupedAggExprs]]; guards
+    // read the two checkpointed rows, the formula chain is the shared
+    // [[cupedStatFrame]] — the batch op and the windowed monitor
+    // evaluate literally the same columns (the opeAggExprs discipline)
+    val e = cupedAggExprs(metricCol, covariateCol)
+    val per = exp.filter(col(armCol).isin(armA, armB))
       .groupBy(col(armCol).cast("string").as("arm"))
-      .agg(count(lit(1)).as("n"), sum(badc).as("nbad"),
-        sum(y).as("sy"), sum(x).as("sx"), sum(y * y).as("syy"),
-        sum(x * x).as("sxx"), sum(x * y).as("sxy"))
-      .collect().map(r => r.getString(0) -> r).toMap
+      .agg(e.head, e.tail: _*)
+      .localCheckpoint()
+    val rows = per.collect().map(r => r.getString(0) -> r).toMap
     require(rows.contains(armA) && rows.contains(armB),
       s"cupedDelta: need rows in BOTH arms '$armA' and '$armB' — " +
         s"found ${rows.keys.mkString(", ")}")
     val (ra, rb) = (rows(armA), rows(armB))
-    // row layout: arm(0), n(1), nbad(2), sy(3), sx(4), syy(5),
+    // row layout: arm(0), n(1), __nbad(2), sy(3), sx(4), syy(5),
     // sxx(6), sxy(7)
     val nBad = ra.getLong(2) + rb.getLong(2)
     require(nBad == 0,
@@ -2507,35 +2554,12 @@ object Classifier {
     require(na >= 2 && nb >= 2,
       s"cupedDelta: need >= 2 rows per arm (got $na / $nb) — a " +
         "variance needs replication")
-    def d(r: org.apache.spark.sql.Row, i: Int) = r.getDouble(i)
-    val (nad, nbd) = (na.toDouble, nb.toDouble)
-    // pooled theta from the combined power sums — one expression,
-    // mirrored operand for operand by the oracle
-    val nn = nad + nbd
-    val sy = d(ra, 3) + d(rb, 3); val sx = d(ra, 4) + d(rb, 4)
-    val sxx = d(ra, 6) + d(rb, 6); val sxy = d(ra, 7) + d(rb, 7)
-    val varxDen = sxx - sx * sx / nn
-    val theta = if (varxDen > 0.0) (sxy - sx * sy / nn) / varxDen
-                else 0.0
-    def armStats(r: org.apache.spark.sql.Row, n: Double) = {
-      val my = d(r, 3) / n; val mx = d(r, 4) / n
-      val vy = (d(r, 5) - d(r, 3) * d(r, 3) / n) / (n - 1.0)
-      val vx = (d(r, 6) - d(r, 4) * d(r, 4) / n) / (n - 1.0)
-      val cxy = (d(r, 7) - d(r, 4) * d(r, 3) / n) / (n - 1.0)
-      (my, mx, vy, vx, cxy)
-    }
-    val (mya, mxa, vya, vxa, ca) = armStats(ra, nad)
-    val (myb, mxb, vyb, vxb, cb) = armStats(rb, nbd)
-    val deltaRaw = myb - mya
-    val seRaw = math.sqrt(vya / nad + vyb / nbd)
-    val delta = (myb - mya) - theta * (mxb - mxa)
-    val s2a = math.max(0.0, vya - 2.0 * theta * ca + theta * theta * vxa)
-    val s2b = math.max(0.0, vyb - 2.0 * theta * cb + theta * theta * vxb)
-    val se = math.sqrt(s2a / nad + s2b / nbd)
-    val z = if (se > 0.0) delta / se else 0.0
-    val p = if (se > 0.0)
-      math.min(1.0, Num.erfcc(math.abs(z) / math.sqrt(2.0)))
-    else if (delta == 0.0) 1.0 else 0.0
+    val cells = cupedPivotCells(armA, armB)
+    val row = cupedStatFrame(per.agg(cells.head, cells.tail: _*))
+      .head()
+    def g(nm: String) = row.getDouble(row.fieldIndex(nm))
+    val (theta, deltaRaw, seRaw) = (g("__th"), g("__draw"), g("__seraw"))
+    val (delta, se, z, p) = (g("__delta"), g("__se"), g("__z"), g("__p"))
     val vr = if (seRaw > 0.0) 1.0 - (se * se) / (seRaw * seRaw) else 0.0
     val spark = exp.sparkSession
     import spark.implicits._
@@ -2766,15 +2790,14 @@ object Classifier {
     val n2 = n - n1
     require(n1 > 0 && n2 > 0,
       s"judgeBiasReport: every comparison shows A in the same " +
-        "position ($n1 first of $n) — position bias is unmeasurable " +
+        s"position ($n1 first of $n) — position bias is unmeasurable " +
         "without both orders; randomize the presentation")
     val nd = n.toDouble
     val winA = (w1 + w2).toDouble / nd
     val pf = w1.toDouble / n1
     val ps = w2.toDouble / n2
     val effect = pf - ps
-    val pooled = (w1 + w2).toDouble / nd
-    val seP = math.sqrt(pooled * (1.0 - pooled)
+    val seP = math.sqrt(winA * (1.0 - winA)
       * (1.0 / n1 + 1.0 / n2))
     val (zP, pP) =
       if (seP > 0.0) {

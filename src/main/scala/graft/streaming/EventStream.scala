@@ -407,6 +407,22 @@ object EventStream {
       round(col("__d"), 9).as("d"), round(pv, 9).as("p_value"))
   }
 
+  /** The shared gap-window DENSIFY mechanism of [[cusumDrift]] and
+    * [[windowedAbSprt]]: generate a window spine between the stream's
+    * min and max window (`sequence` — windows-many rows,
+    * time-bounded), left-join the per-window rows onto it, and fill
+    * each named column's gaps with its caller-declared empty-window
+    * value. One mechanism, two fill policies. Expects the window
+    * start aliased `k`. */
+  private def densifySpine(data: DataFrame, width: String,
+      fills: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    val spine = data.agg(min("k").as("lo"), max("k").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr(s"interval $width"))).as("k"))
+    spine.join(data, Seq("k"), "left").select(col("k") +:
+      fills.map { case (nm, fill) => coalesce(col(nm), fill).as(nm) }: _*)
+  }
+
   /** Windowed CUSUM sequential change detection (Page 1954, the
     * two-sided tabular form) over per-window means — the drift-family
     * member [[ksDrift]]/[[scoreDrift]]/[[embeddingDrift]] cannot be:
@@ -483,16 +499,9 @@ object EventStream {
     // an empty window is an n = 0, mean = 0 observation
     val base =
       if (!densify) data
-      else {
-        val spine = data.agg(min("k").as("lo"), max("k").as("hi"))
-          .select(explode(sequence(col("lo"), col("hi"),
-            expr(s"interval $width"))).as("k"))
-        spine.join(data, Seq("k"), "left").select(col("k"),
-          coalesce(col("n"), lit(0L)).as("n"),
-          coalesce(col("m"), lit(0.0)).as("m"),
-          coalesce(col("dp"), lit(0.0 - mu0 - kappa)).as("dp"),
-          coalesce(col("dn"), lit(mu0 - kappa)).as("dn"))
-      }
+      else densifySpine(data, width, Seq(
+        "n" -> lit(0L), "m" -> lit(0.0),
+        "dp" -> lit(0.0 - mu0 - kappa), "dn" -> lit(mu0 - kappa)))
     val pre = base.select(col("k"), col("n"), col("m"),
       sum("dp").over(wOrd).as("pp"), sum("dn").over(wOrd).as("pn"))
     val pre2 = pre.select(col("k"), col("n"), col("m"), col("pp"),
@@ -637,15 +646,8 @@ object EventStream {
       col("b"), col("c"))
     val base =
       if (!densify) data
-      else {
-        val spine = data.agg(min("k").as("lo"), max("k").as("hi"))
-          .select(explode(sequence(col("lo"), col("hi"),
-            expr(s"interval $width"))).as("k"))
-        spine.join(data, Seq("k"), "left").select(col("k"),
-          coalesce(col("n"), lit(0L)).as("n"),
-          coalesce(col("b"), lit(0L)).as("b"),
-          coalesce(col("c"), lit(0L)).as("c"))
-      }
+      else densifySpine(data, width, Seq(
+        "n" -> lit(0L), "b" -> lit(0L), "c" -> lit(0L)))
     val cum = base.select(col("k"), col("n"),
       sum("b").over(wOrd).as("bc"), sum("c").over(wOrd).as("cc"))
     val llrB = round(col("cc") * lnWin + col("bc") * lnLose, 9)
@@ -875,99 +877,35 @@ object EventStream {
                     covariateCol: String,
                     width: String = "1 hour"): DataFrame = {
     require(armA != armB, s"windowedCuped: armA and armB are both '$armA'")
-    val y = col(metricCol).cast("double")
-    val x = col(covariateCol).cast("double")
-    val badc = (y.isNull || isnan(y) || x.isNull || isnan(x))
-      .cast("long")
+    // the SAME aggregate, pivot, and formula chain as the batch
+    // operator — graft.ops.Classifier.cupedAggExprs /
+    // cupedPivotCells / cupedStatFrame, ONE source (the
+    // mcnemarAggExprs discipline), so monitor and batch cannot drift
+    val e = graft.ops.Classifier.cupedAggExprs(metricCol, covariateCol)
     val per = exp.filter(col(armCol).isin(armA, armB))
       .groupBy(window(col("ts"), width).as("w"),
         col(armCol).cast("string").as("arm"))
-      .agg(count(lit(1)).as("n"), sum(badc).as("__nbad"),
-        sum(y).as("sy"), sum(x).as("sx"), sum(y * y).as("syy"),
-        sum(x * x).as("sxx"), sum(x * y).as("sxy"))
+      .agg(e.head, e.tail: _*)
       .localCheckpoint()
     val badRow = per.agg(sum("__nbad")).head()
     val nBad = if (badRow.isNullAt(0)) 0L else badRow.getLong(0)
     require(nBad == 0,
       s"windowedCuped: $nBad null/NaN metric or covariate values — " +
         "clean the stream first")
-    // (window) pivot of the two arm rows — the per-window power sums
-    def cell(c: String, arm: String) =
-      max(when(col("arm") === arm, col(c)))
-    val pv = per.groupBy(col("w.start").as("window_start")).agg(
-      coalesce(cell("n", armA), lit(0L)).as("na"),
-      coalesce(cell("n", armB), lit(0L)).as("nb"),
-      cell("sy", armA).as("sya"), cell("sy", armB).as("syb"),
-      cell("sx", armA).as("sxa"), cell("sx", armB).as("sxb"),
-      cell("syy", armA).as("syya"), cell("syy", armB).as("syyb"),
-      cell("sxx", armA).as("sxxa"), cell("sxx", armB).as("sxxb"),
-      cell("sxy", armA).as("sxya"), cell("sxy", armB).as("sxyb"))
-    // the cupedDelta formulas, operand for operand, as columns —
-    // LAYERED into aliased stages (the oracle's CTE structure): a
-    // single flat projection would inline theta into delta into se
-    // into z into the erfcc chain and blow the generated method past
-    // janino's limits (codegen fallback, measured); each stage's
-    // non-cheap producers are referenced more than once, which keeps
-    // CollapseProject from re-inlining them
-    val vden = (col("sxxa") + col("sxxb")) -
-      (col("sxa") + col("sxb")) * (col("sxa") + col("sxb")) /
-        (col("na") + col("nb"))
-    val theta = when(vden > 0.0,
-      ((col("sxya") + col("sxyb")) -
-        (col("sxa") + col("sxb")) * (col("sya") + col("syb")) /
-          (col("na") + col("nb"))) / vden).otherwise(lit(0.0))
-    def my(a: String) = col(s"sy$a") / col(s"n$a")
-    def mx(a: String) = col(s"sx$a") / col(s"n$a")
-    def vy(a: String) = (col(s"syy$a") -
-      col(s"sy$a") * col(s"sy$a") / col(s"n$a")) /
-      (col(s"n$a") - lit(1.0))
-    def vx(a: String) = (col(s"sxx$a") -
-      col(s"sx$a") * col(s"sx$a") / col(s"n$a")) /
-      (col(s"n$a") - lit(1.0))
-    def cv(a: String) = (col(s"sxy$a") -
-      col(s"sx$a") * col(s"sy$a") / col(s"n$a")) /
-      (col(s"n$a") - lit(1.0))
-    // every stage column sits under when(ok, ...): CaseWhen evaluates
-    // lazily, so a one-armed window (na = 0) never reaches the
-    // divisions (ANSI mode throws on divide-by-zero even for doubles)
-    val ok = col("na") >= 2 && col("nb") >= 2
-    def ifok(c: org.apache.spark.sql.Column) = when(ok, c)
-    val st = pv.select(col("*"), ifok(theta).as("__th"),
-      ifok(my("a")).as("__mya"), ifok(my("b")).as("__myb"),
-      ifok(mx("a")).as("__mxa"), ifok(mx("b")).as("__mxb"),
-      ifok(vy("a")).as("__vya"), ifok(vy("b")).as("__vyb"),
-      ifok(vx("a")).as("__vxa"), ifok(vx("b")).as("__vxb"),
-      ifok(cv("a")).as("__ca"), ifok(cv("b")).as("__cb"))
-    val th = col("__th")
-    val dl = st.select(col("*"),
-      (col("__myb") - col("__mya")).as("__draw"),
-      ifok(sqrt(col("__vya") / col("na") + col("__vyb") / col("nb")))
-        .as("__seraw"),
-      ((col("__myb") - col("__mya")) -
-        th * (col("__mxb") - col("__mxa"))).as("__delta"),
-      greatest(lit(0.0), col("__vya") - lit(2.0) * th * col("__ca")
-        + th * th * col("__vxa")).as("__s2a"),
-      greatest(lit(0.0), col("__vyb") - lit(2.0) * th * col("__cb")
-        + th * th * col("__vxb")).as("__s2b"))
-    val s1 = dl.select(col("*"),
-      ifok(sqrt(col("__s2a") / col("na") + col("__s2b") / col("nb")))
-        .as("__se"))
-    val zz = s1.select(col("*"),
-      when(col("__se") > 0.0, col("__delta") / col("__se"))
-        .otherwise(lit(0.0)).as("__z"))
-    val p = when(col("__se") > 0.0, least(lit(1.0),
-        graft.ops.Num.erfccCol(abs(col("__z")) / sqrt(lit(2.0)))))
-      .otherwise(when(col("__delta") === 0.0, lit(1.0))
-        .otherwise(lit(0.0)))
+    val cells = graft.ops.Classifier.cupedPivotCells(armA, armB)
+    val pv = per.groupBy(col("w.start").as("window_start"))
+      .agg(cells.head, cells.tail: _*)
+    val zz = graft.ops.Classifier.cupedStatFrame(pv)
+    val ok = col("__ok")
     def gated(c: org.apache.spark.sql.Column) =
       round(when(ok, c).otherwise(lit(-1.0)), 9)
     zz.select(col("window_start"), col("na").as("n_a"),
       col("nb").as("n_b"),
-      gated(th).as("theta"),
+      gated(col("__th")).as("theta"),
       gated(col("__draw")).as("delta_raw"),
       gated(col("__seraw")).as("se_raw"),
       gated(col("__delta")).as("delta"), gated(col("__se")).as("se"),
-      gated(col("__z")).as("z"), gated(p).as("p_value"),
+      gated(col("__z")).as("z"), gated(col("__p")).as("p_value"),
       ok.as("decidable"))
   }
 

@@ -1473,6 +1473,17 @@ class ClassifierSpec extends SparkSpec {
     assert(adj.getDouble(6) < adj.getDouble(4))     // se < se_raw
     assert(adj.getDouble(11) > 0.5)                 // big reduction
     assert(adj.getBoolean(12))                      // lift detected
+    // review-fixed: a constant-metric arm at a NON-dyadic value can
+    // read variance -1e-17 by fp cancellation — the clamped raw
+    // Welch SE must be 0.0, never NaN
+    val flat = Classifier.cupedDelta(
+      Seq(("a", 0.3, 1.0), ("a", 0.3, 2.0), ("a", 0.3, 3.0),
+        ("a", 0.3, 4.0), ("a", 0.3, 5.0),
+        ("b", 0.4, 1.0), ("b", 0.4, 2.0), ("b", 0.4, 3.0))
+        .toDF("arm", "y", "x"),
+      "arm", "a", "b", "y", "x").head()
+    assert(!flat.getDouble(4).isNaN && flat.getDouble(4) === 0.0)
+    assert(!flat.getDouble(6).isNaN)
     // refusals: missing arm, < 2 rows per arm, NaN, same arms, alpha
     intercept[IllegalArgumentException](Classifier.cupedDelta(
       log.filter(col("arm") === "a"), "arm", "a", "b", "y", "x"))
@@ -1612,10 +1623,14 @@ class ClassifierSpec extends SparkSpec {
         .as("winner"), col("fst"), col("la"), col("lb")),
       "winner", "fst", "la", "lb", winnerA = "x", winnerB = "y").head()
     assert(custom.getDouble(2) === 0.75)
-    // refusals: single-position log, unknown winner value, negative
-    // length, empty
-    intercept[IllegalArgumentException](Classifier.judgeBiasReport(
-      log.filter(col("fst")), "winner", "fst", "la", "lb"))
+    // refusals: single-position log (message carries the ACTUAL
+    // counts — review-fixed interpolator), unknown winner value,
+    // negative length, empty
+    val onePos = intercept[IllegalArgumentException](
+      Classifier.judgeBiasReport(
+        log.filter(col("fst")), "winner", "fst", "la", "lb"))
+    assert(onePos.getMessage.contains("4 first of 4") &&
+      !onePos.getMessage.contains("$n"))
     intercept[IllegalArgumentException](Classifier.judgeBiasReport(
       log.select(lit("c").as("winner"), col("fst"), col("la"),
         col("lb")), "winner", "fst", "la", "lb"))
