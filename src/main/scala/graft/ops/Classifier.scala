@@ -562,6 +562,14 @@ object Classifier {
     * within-item self-join (m_i² per item, never corpus²) and the d²
     * distinct-value cross for D_e (a ratio rating scale is bounded in
     * practice — quantize a continuous one first).
+    *
+    * BEHAVIOR CHANGE (r19): the default `maxDistinct` was tightened
+    * 10000 → 2000 because this bound caps QUADRATIC work, not the
+    * O(d) state the other maxDistinct guards cap — a call that used
+    * to build 10⁸ value pairs silently now refuses. A caller whose
+    * scale genuinely has 2001–10000 distinct values restores the old
+    * behavior by passing `maxDistinct` explicitly; the refusal
+    * message names the d² pair count so the cost is a stated choice.
     */
   def krippendorffAlphaRatio(ratings: DataFrame, itemCol: String,
                              valueCol: String,
@@ -2113,6 +2121,14 @@ object Classifier {
     * Scale shape: ONE scalar hash aggregate over the log — every
     * estimate AND every variance folds from the same eight sums; no
     * join, no window, no second pass.
+    *
+    * SCHEMA NOTE (r19 break, kept deliberately): the SE/CI columns sit
+    * NEXT TO the estimate they qualify (ips, ips_se, ips_lo, ips_hi,
+    * snips, …) rather than appended at the tail, so a report reads
+    * left-to-right — which moved the ordinal position of every column
+    * after `ips`. Read this frame BY NAME (`row.getAs[Double]("ess")`),
+    * never by position; the same applies to [[doublyRobustEval]] and
+    * the per-slice/windowed forms that share these output columns.
     */
   /** The shared importance-weight construction of [[offPolicyEval]]
     * and [[doublyRobustEval]] — the reward/propensity census (logging

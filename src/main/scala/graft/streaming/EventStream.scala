@@ -672,8 +672,13 @@ object EventStream {
     * μ ~ N(0, τ²) (`tau2`, the prior scale of effects worth
     * detecting). The mixture likelihood ratio has the closed form
     * Λ_n = √(σ²/(σ² + nτ²)) · exp(S_n²τ²/(2σ²(σ² + nτ²))) with
-    * S_n = Σx_i — pure arithmetic in the cumulative (n, S), so both
-    * engines replay it exactly; rejecting when Λ_n ≥ 1/α is
+    * S_n = Σx_i — fixed arithmetic in the cumulative (n, S) around one
+    * engine-evaluated ln/exp pair (the [[graft.ops.Num.erfcc]]
+    * convention: Spark's log and DuckDB's ln are separate libm
+    * implementations, so a 1-ulp divergence at a round(9) boundary is
+    * an ACCEPTED residual risk on the transcendental terms — the
+    * decision THRESHOLD, by contrast, is a round(9)-pinned driver
+    * literal on both engines); rejecting when Λ_n ≥ 1/α is
     * anytime-valid (the martingale property: P₀(ever reject) ≤ α no
     * matter how often the monitor looks), and p_n = min(1, 1/Λ_n) is
     * the always-valid p-value. The decision compares the
@@ -745,8 +750,10 @@ object EventStream {
     * exclude the truth, a confidence sequence never does. Closed form:
     * Λ_n(μ) < 1/α for all μ in x̄_n ± r_n with
     * r_n = √( (2σ²(σ² + nτ²)/τ²) · (½·ln((σ² + nτ²)/σ²) − ln α) ) / n
-    * — pure arithmetic in the cumulative (n, S), both engines replay
-    * it exactly. The DUALITY with [[windowedMixtureSprt]] is exact and
+    * — fixed arithmetic in the cumulative (n, S) around engine-evaluated
+    * ln/sqrt (the [[windowedMixtureSprt]] caveat: an accepted 1-ulp
+    * libm risk on the transcendental terms under the round(9) pin).
+    * The DUALITY with [[windowedMixtureSprt]] is exact and
     * spec-pinned: the mSPRT rejects μ = 0 precisely when 0 falls
     * outside the sequence (|x̄_n| ≥ r_n). Null/NaN values refuse via
     * the riding census. One row per window: (window_start, n, n_cum,
@@ -918,8 +925,10 @@ object EventStream {
     * cumulative delta of arm means δ̂_n = x̄_B − x̄_A is approximately
     * N(δ, V_n) with V_n = σ²(1/n_A + 1/n_B) (σ² known, `sigma2`);
     * H₀: δ = 0 against the mixture δ ~ N(0, τ²) gives the closed form
-    * Λ_n = √(V_n/(V_n + τ²)) · exp(δ̂²τ²/(2V_n(V_n + τ²))) — pure
-    * arithmetic in the cumulative (n_A, S_A, n_B, S_B) prefix sums;
+    * Λ_n = √(V_n/(V_n + τ²)) · exp(δ̂²τ²/(2V_n(V_n + τ²))) — fixed
+    * arithmetic in the cumulative (n_A, S_A, n_B, S_B) prefix sums
+    * around engine-evaluated ln/exp (the [[windowedMixtureSprt]]
+    * caveat: accepted 1-ulp libm risk under the round(9) pin);
     * rejecting at Λ ≥ 1/α is anytime-valid and p_n = min(1, 1/Λ_n)
     * the always-valid p. Statistic and threshold are round(9)-pinned
     * (the [[windowedAbSprt]] convention). Windows before BOTH arms
