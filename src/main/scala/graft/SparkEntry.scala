@@ -501,6 +501,25 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
     s"$t * exp(-$x * $x + ${ops.Num.ErfccLead} + $t * $horner)"
   }
 
+  /** [[ops.Num.chi2P]] replayed operand-for-operand in SQL: the exact
+    * finite closed form of the χ²_df upper tail at integer df —
+    * erfc(√(x/2)) base term for odd df (via [[erfccSql]]) plus an
+    * exp·Horner polynomial whose coefficients come from the ONE
+    * [[ops.Num.chi2Coeffs]] source the scalar and Column forms fold
+    * from. `x` must be a nonnegative double expression.
+    */
+  private def chi2PSql(x: String, df: Int): String = {
+    val cs = ops.Num.chi2Coeffs(df)
+    val u = s"($x / 2.0)"
+    val horner = cs.foldRight("0.0")((c, acc) => s"($c + $u * $acc)")
+    val poly =
+      if (df % 2 == 0) s"exp(-$u) * $horner"
+      else if (cs.isEmpty) "0.0"
+      else s"exp(-$u) * sqrt($u) * $horner"
+    val base = if (df % 2 == 1) erfccSql(s"sqrt($u)") else "0.0"
+    s"least(1.0, $base + $poly)"
+  }
+
   /** McNemar's continuity-corrected χ² over a relation exposing the
     * discordant counts as `bb`/`cc` — ONE SQL source for the three
     * oracles that replay it (q_mcnemar, q_stream_ab, q_ab_report), so
@@ -509,6 +528,98 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
   private def mcnemarStatSql: String =
     "CASE WHEN bb + cc = 0 THEN 0.0 " +
       "ELSE (abs(bb - cc) - 1.0) * (abs(bb - cc) - 1.0) / (bb + cc) END"
+
+  /** The batch-CUPED pivot + formula CTE chain (through `pp`, which
+    * carries every intermediate column via SELECT *) — expects an
+    * upstream CTE `ag(arm, n, sy, sx, syy, sxx, sxy)` of per-arm
+    * power sums (arms 'arm0'/'arm1'). Shared VERBATIM by q_cuped
+    * (row-level), q_cuped_unit (unit-total pre-fold), and the
+    * q_ab_e2e composed report — one SQL source, the
+    * [[deLongCtesSql]] discipline, so the gates cannot drift.
+    */
+  private def cupedCtesSql: String =
+    s"""pv AS (
+      |  SELECT
+      |    max(CASE WHEN arm = 'arm0' THEN n END) AS na,
+      |    max(CASE WHEN arm = 'arm1' THEN n END) AS nb,
+      |    max(CASE WHEN arm = 'arm0' THEN sy END) AS sya,
+      |    max(CASE WHEN arm = 'arm1' THEN sy END) AS syb,
+      |    max(CASE WHEN arm = 'arm0' THEN sx END) AS sxa,
+      |    max(CASE WHEN arm = 'arm1' THEN sx END) AS sxb,
+      |    max(CASE WHEN arm = 'arm0' THEN syy END) AS syya,
+      |    max(CASE WHEN arm = 'arm1' THEN syy END) AS syyb,
+      |    max(CASE WHEN arm = 'arm0' THEN sxx END) AS sxxa,
+      |    max(CASE WHEN arm = 'arm1' THEN sxx END) AS sxxb,
+      |    max(CASE WHEN arm = 'arm0' THEN sxy END) AS sxya,
+      |    max(CASE WHEN arm = 'arm1' THEN sxy END) AS sxyb
+      |  FROM ag),
+      |th AS (
+      |  SELECT *,
+      |    (sxxa + sxxb) - (sxa + sxb) * (sxa + sxb) / (na + nb)
+      |      AS vden
+      |  FROM pv),
+      |t2 AS (
+      |  SELECT *,
+      |    CASE WHEN vden > 0.0 THEN
+      |      ((sxya + sxyb) - (sxa + sxb) * (sya + syb) / (na + nb))
+      |        / vden
+      |    ELSE 0.0 END AS theta
+      |  FROM th),
+      |st AS (
+      |  SELECT *,
+      |    sya / na AS mya, syb / nb AS myb,
+      |    sxa / na AS mxa, sxb / nb AS mxb,
+      |    (syya - sya * sya / na) / (na - 1.0) AS vya,
+      |    (syyb - syb * syb / nb) / (nb - 1.0) AS vyb,
+      |    (sxxa - sxa * sxa / na) / (na - 1.0) AS vxa,
+      |    (sxxb - sxb * sxb / nb) / (nb - 1.0) AS vxb,
+      |    (sxya - sxa * sya / na) / (na - 1.0) AS ca,
+      |    (sxyb - sxb * syb / nb) / (nb - 1.0) AS cb
+      |  FROM t2),
+      |dl AS (
+      |  SELECT *,
+      |    myb - mya AS delta_raw,
+      |    sqrt(greatest(0.0, vya) / na + greatest(0.0, vyb) / nb)
+      |      AS se_raw,
+      |    (myb - mya) - theta * (mxb - mxa) AS delta,
+      |    greatest(0.0, vya - 2.0 * theta * ca
+      |      + theta * theta * vxa) AS s2a,
+      |    greatest(0.0, vyb - 2.0 * theta * cb
+      |      + theta * theta * vxb) AS s2b
+      |  FROM st),
+      |se1 AS (
+      |  SELECT *, sqrt(s2a / na + s2b / nb) AS se FROM dl),
+      |zz AS (
+      |  SELECT *, CASE WHEN se > 0.0 THEN delta / se ELSE 0.0 END
+      |    AS z
+      |  FROM se1),
+      |px AS (SELECT *, abs(z) / sqrt(2.0) AS xq FROM zz),
+      |pp AS (
+      |  SELECT *,
+      |    round(CASE WHEN se > 0.0 THEN
+      |        least(1.0, ${erfccSql("xq")})
+      |      WHEN delta = 0.0 THEN 1.0 ELSE 0.0 END, 9) AS p
+      |  FROM px)""".stripMargin
+
+  /** The one-row report SELECT over [[cupedCtesSql]]'s `pp` — the
+    * q_cuped / q_cuped_unit output shape. */
+  private def cupedFinalSql: String =
+    """SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |  round(theta, 9) AS theta,
+      |  round(delta_raw, 9) AS delta_raw,
+      |  round(se_raw, 9) AS se_raw,
+      |  round(delta, 9) AS delta, round(se, 9) AS se,
+      |  round(z, 9) AS z, p AS p_value,
+      |  round(delta - 1.959964 * se, 9) AS ci_lo,
+      |  round(delta + 1.959964 * se, 9) AS ci_hi,
+      |  round(CASE WHEN se_raw > 0.0 THEN
+      |      1.0 - (se * se) / (se_raw * se_raw)
+      |    ELSE 0.0 END, 9) AS var_reduction,
+      |  (p < 0.05) AS significant
+      |FROM pp""".stripMargin
+
+  private def cupedTailSql: String =
+    cupedCtesSql + "\n" + cupedFinalSql
 
   /** The DeLong placement/moment/variance CTE chain — expects an
     * upstream CTE `r(y, va, vb)` (y ∈ {0,1} numeric, va/vb the two
@@ -1713,11 +1824,33 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
         ((((col("user_id") * 13) % 9) - 4).cast("double") / 8.0
           + lit(0.015625)).as("delta"))
       EventStream.windowedMixtureSprt(scored, "delta",
-          sigma2 = 0.125, tau2 = 0.0625, alpha = 0.05, width = "1 hour")
+          sigma2 = Some(0.125), tau2 = 0.0625, alpha = 0.05,
+          width = "1 hour")
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
             .as("window_start"),
-          col("n"), col("n_cum"), col("mean_cum"), col("log_lambda"),
-          col("p_value"), col("reject"))
+          col("n"), col("n_cum"), col("mean_cum"), col("var_used"),
+          col("log_lambda"), col("p_value"), col("reject"),
+          col("decidable"))
+        .orderBy("window_start")
+    }),
+
+    // the same mixture SPRT with sigma2 = None: the deployed plug-in
+    // form — the running empirical variance (from a Σx² riding the
+    // same aggregate) replaces the caller guess that would silently
+    // void the α guarantee if wrong; the oracle replays s² =
+    // (Σx² − S²/n)/(n−1) through the same closed-form log Λ
+    "q_stream_msprt_var" -> ((s, dir) => {
+      val ev = EventStream.loadEvents(s, dir)
+      val scored = ev.select(col("ts"),
+        ((((col("user_id") * 13) % 9) - 4).cast("double") / 8.0
+          + lit(0.015625)).as("delta"))
+      EventStream.windowedMixtureSprt(scored, "delta",
+          sigma2 = None, tau2 = 0.0625, alpha = 0.05, width = "1 hour")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("n"), col("n_cum"), col("mean_cum"), col("var_used"),
+          col("log_lambda"), col("p_value"), col("reject"),
+          col("decidable"))
         .orderBy("window_start")
     }),
 
@@ -1756,13 +1889,35 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           .as("arm"),
         (base + (col("user_id") % 2).cast("double") * 0.03125).as("y"))
       EventStream.windowedAbMixtureSprt(scored, "arm", "arm0", "arm1",
-          "y", sigma2 = 0.125, tau2 = 0.0625, alpha = 0.05,
+          "y", sigma2 = Some(0.125), tau2 = 0.0625, alpha = 0.05,
           width = "1 hour")
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
             .as("window_start"),
           col("n"), col("na_cum"), col("nb_cum"), col("delta_cum"),
-          col("log_lambda"), col("p_value"), col("reject"),
-          col("decidable"))
+          col("var_used"), col("log_lambda"), col("p_value"),
+          col("reject"), col("decidable"))
+        .orderBy("window_start")
+    }),
+
+    // the two-sample mixture SPRT with sigma2 = None: the pooled
+    // running variance (per-arm Σx² riding the same aggregate)
+    // replaces the caller constant; the oracle replays
+    // s² = (Σx²_A + Σx²_B − S_A²/n_A − S_B²/n_B)/(n_A + n_B − 2)
+    "q_stream_ab_msprt_var" -> ((s, dir) => {
+      val ev = EventStream.loadEvents(s, dir)
+      val base = ((col("user_id") * 13) % 16).cast("double") / 16.0
+      val scored = ev.select(col("ts"),
+        concat(lit("arm"), (col("user_id") % 2).cast("string"))
+          .as("arm"),
+        (base + (col("user_id") % 2).cast("double") * 0.03125).as("y"))
+      EventStream.windowedAbMixtureSprt(scored, "arm", "arm0", "arm1",
+          "y", sigma2 = None, tau2 = 0.0625, alpha = 0.05,
+          width = "1 hour")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("n"), col("na_cum"), col("nb_cum"), col("delta_cum"),
+          col("var_used"), col("log_lambda"), col("p_value"),
+          col("reject"), col("decidable"))
         .orderBy("window_start")
     }),
 
@@ -1788,6 +1943,23 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
         .orderBy("window_start")
     }),
 
+    // streaming SRM monitor: a 50/50 design whose actual hash sends
+    // 9/16 of users to arm a — the per-window chi2 must flag the
+    // mismatch the hour it appears (df = 1: the erfc closed form)
+    "q_stream_srm" -> ((s, dir) => {
+      val ev = EventStream.loadEvents(s, dir)
+      val scored = ev.select(col("ts"),
+        when((col("user_id") * 13) % 16 < 9, "a").otherwise("b")
+          .as("arm"))
+      EventStream.windowedSrm(scored, "arm",
+          Seq("a" -> 0.5, "b" -> 0.5), alpha = 0.001,
+          width = "1 hour")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("n"), col("chi2"), col("df"), col("p_value"), col("srm"))
+        .orderBy("window_start")
+    }),
+
     // always-valid confidence sequence on the same running mean the
     // mixture SPRT tests — the interval dual (0 outside the sequence
     // exactly when the mSPRT rejects); closed-form radius in the
@@ -1798,11 +1970,12 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
         ((((col("user_id") * 13) % 9) - 4).cast("double") / 8.0
           + lit(0.015625)).as("delta"))
       EventStream.windowedConfidenceSeq(scored, "delta",
-          sigma2 = 0.125, tau2 = 0.0625, alpha = 0.05, width = "1 hour")
+          sigma2 = Some(0.125), tau2 = 0.0625, alpha = 0.05,
+          width = "1 hour")
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
             .as("window_start"),
-          col("n"), col("n_cum"), col("mean_cum"), col("radius"),
-          col("ci_lo"), col("ci_hi"))
+          col("n"), col("n_cum"), col("mean_cum"), col("var_used"),
+          col("radius"), col("ci_lo"), col("ci_hi"), col("decidable"))
         .orderBy("window_start")
     }),
 
@@ -4050,6 +4223,82 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
         "arm", "arm0", "arm1", "y", "x")
     }),
 
+    // UNIT-randomized CUPED: ~12 events per unit (id % 512), arm
+    // constant per unit — the cluster-robust path pre-aggregates unit
+    // totals and runs the identical chain over units; the oracle
+    // replays the unit fold then the SAME CTE tail as q_cuped
+    "q_cuped_unit" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"))
+      val unit = col("id") % 512
+      val base = ((col("id") * 13) % 16).cast("double") / 16.0
+      ops.Classifier.cupedDelta(d.select(
+          unit.as("unit"),
+          concat(lit("arm"), (unit % 2).cast("string")).as("arm"),
+          (base + (unit % 2).cast("double") * 0.03125).as("y"),
+          (base * 0.5 + ((col("id") * 29) % 8).cast("double") / 16.0)
+            .as("x")),
+        "arm", "arm0", "arm1", "y", "x", unitCol = Some("unit"))
+    }),
+
+    // multivariate CUPED (Lin 2013): TWO dyadic covariates carrying
+    // independent halves of the metric's base — the 2x2 pooled
+    // normal-equations solve (no-pivot elimination, fixed order) and
+    // the quadratic-form variance replay operand for operand
+    "q_cuped_multi" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"))
+      val b1 = ((col("id") * 13) % 16).cast("double") / 16.0
+      val b2 = ((col("id") * 7) % 16).cast("double") / 16.0
+      ops.Classifier.cupedDeltaMulti(d.select(
+          concat(lit("arm"), (col("id") % 2).cast("string")).as("arm"),
+          (b1 * 0.5 + b2 * 0.5
+            + (col("id") % 2).cast("double") * 0.03125).as("y"),
+          (b1 * 0.5 + ((col("id") * 29) % 8).cast("double") / 16.0)
+            .as("x1"),
+          (b2 * 0.5 + ((col("id") * 23) % 8).cast("double") / 16.0)
+            .as("x2")),
+        "arm", "arm0", "arm1", "y", Seq("x1", "x2"))
+    }),
+
+    // the composed end-to-end experiment report: SRM + CUPED +
+    // anytime-valid sequential snapshot (plug-in pooled variance) +
+    // EB-shrunk per-slice rates in one operator over one corpus
+    // pass — one DuckDB query replays the whole frame
+    "q_ab_e2e" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"))
+      val base = ((col("id") * 13) % 16).cast("double") / 16.0
+      ops.Classifier.abExperimentReport(d.select(
+          concat(lit("arm"), (col("id") % 2).cast("string")).as("arm"),
+          (base + (col("id") % 2).cast("double") * 0.03125).as("y"),
+          (base * 0.5 + ((col("id") * 29) % 8).cast("double") / 16.0)
+            .as("x"),
+          (((col("id") * 37) % 97) % 2).cast("int").as("succ"),
+          concat(lit("g"), ((col("id") % 4) * (col("id") % 3))
+            .cast("string")).as("slice")),
+        "arm", "arm0", "arm1", "y", "x", "succ", "slice",
+        expectedWeights = (0.5, 0.5), tau2 = 0.0625)
+        .orderBy("slice")
+    }),
+
+    // ratio-metric delta under unit randomization (Deng–Knoblich–Lu
+    // delta method): dyadic numerator with an arm lift over an
+    // integer exposure denominator — unit totals, their power sums,
+    // and the whole variance chain are exact on both engines
+    "q_ratio_delta" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"))
+      val unit = col("id") % 512
+      ops.Classifier.ratioMetricDelta(d.select(
+          unit.as("unit"),
+          concat(lit("arm"), (unit % 2).cast("string")).as("arm"),
+          (((col("id") * 13) % 8).cast("double") / 8.0
+            + (unit % 2).cast("double") * 0.0625).as("clicks"),
+          (lit(1) + (col("id") * 7) % 4).cast("double").as("imps")),
+        "arm", "arm0", "arm1", "clicks", "imps", "unit")
+    }),
+
     // empirical-Bayes shrinkage of per-slice rates: six slices of
     // deliberately unequal size ((id%4)*(id%3) is skewed toward 0);
     // the across-slice moment sums replay as slice-ordered prefix
@@ -4065,22 +4314,25 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
         .orderBy("slice")
     }),
 
-    // LLM-judge bias audit: a synthetic pairwise log whose judge
-    // favors the first position by construction (threshold 10/16 vs
-    // 8/16) — the report must surface the position effect and the
-    // debiased win rate; integer lengths keep every sum exact
+    // LLM-judge bias audit on a TIE-BEARING log (r20): the judge
+    // favors the first position (decisive threshold 9/16 vs 7/16)
+    // and declares a tie on the next 2/16 band — ties half-credit
+    // the rates, are excluded from the Bernoulli position test, and
+    // surface as tie_rate; integer lengths keep every sum exact
     "q_judge_bias" -> ((s, dir) => {
       val d = T(s, dir, "documents")
         .select(col("doc_id").cast("long").as("id"))
       val first = (col("id") % 2) === 0
+      val m = (col("id") * 13) % 16
+      val ta = when(first, lit(9)).otherwise(lit(7))
       ops.Classifier.judgeBiasReport(d.select(
-          when(((col("id") * 13) % 16) <
-            when(first, lit(10)).otherwise(lit(8)), "a")
+          when(m < ta, "a").when(m < ta + 2, "tie")
             .otherwise("b").as("winner"),
           first.as("a_first"),
           ((col("id") * 5) % 64).cast("double").as("len_a"),
           ((col("id") * 11) % 64).cast("double").as("len_b")),
-        "winner", "a_first", "len_a", "len_b")
+        "winner", "a_first", "len_a", "len_b",
+        tieValue = Some("tie"))
     }),
 
     // per-slice sample-size planning: the two-proportion requirement
@@ -4095,6 +4347,23 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           (((col("id") * 37) % 97) % 2).cast("int").as("succ")),
         "slice", "succ", mde = 0.05)
         .orderBy("slice")
+    }),
+
+    // sample-ratio-mismatch guard: a 4-arm design declared at
+    // 1/2 : 1/4 : 1/8 : 1/8 whose actual assignment is biased by
+    // construction (7/11/13 of 16 cut points) — the chi2 against the
+    // declared shares must flag it; df = 3 exercises the general
+    // closed-form chi2 tail (erfc base + Horner polynomial) end to end
+    "q_srm" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"))
+      val m = ((col("id") * 37) % 97) % 16
+      ops.Classifier.srmCheck(d.select(
+          when(m < 7, "a").when(m < 11, "b").when(m < 13, "c")
+            .otherwise("d").as("arm")),
+        "arm",
+        Seq("a" -> 0.5, "b" -> 0.25, "c" -> 0.125, "d" -> 0.125))
+        .orderBy("arm")
     }),
 
     // multiclass proper scores: 3 classes with DYADIC probabilities
@@ -8331,54 +8600,122 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |  SELECT arm, count(*) AS n, sum(y) AS sy, sum(x) AS sx,
           |    sum(y * y) AS syy, sum(x * x) AS sxx, sum(x * y) AS sxy
           |  FROM r GROUP BY arm),
+          |$cupedTailSql""".stripMargin,
+
+      "q_cuped_unit" ->
+        s"""WITH b0 AS (
+          |  SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+          |r0 AS (
+          |  SELECT id % 512 AS unit,
+          |    'arm' || CAST((id % 512) % 2 AS VARCHAR) AS arm,
+          |    CAST((id * 13) % 16 AS DOUBLE) / 16.0
+          |      + CAST((id % 512) % 2 AS DOUBLE) * 0.03125 AS y,
+          |    CAST((id * 13) % 16 AS DOUBLE) / 16.0 * 0.5
+          |      + CAST((id * 29) % 8 AS DOUBLE) / 16.0 AS x
+          |  FROM b0),
+          |r AS (
+          |  SELECT arm, unit, sum(y) AS y, sum(x) AS x
+          |  FROM r0 GROUP BY arm, unit),
+          |ag AS (
+          |  SELECT arm, count(*) AS n, sum(y) AS sy, sum(x) AS sx,
+          |    sum(y * y) AS syy, sum(x * x) AS sxx, sum(x * y) AS sxy
+          |  FROM r GROUP BY arm),
+          |$cupedTailSql""".stripMargin,
+
+      "q_cuped_multi" ->
+        s"""WITH b0 AS (
+          |  SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+          |r AS (
+          |  SELECT 'arm' || CAST(id % 2 AS VARCHAR) AS arm,
+          |    CAST((id * 13) % 16 AS DOUBLE) / 16.0 * 0.5
+          |      + CAST((id * 7) % 16 AS DOUBLE) / 16.0 * 0.5
+          |      + CAST(id % 2 AS DOUBLE) * 0.03125 AS y,
+          |    CAST((id * 13) % 16 AS DOUBLE) / 16.0 * 0.5
+          |      + CAST((id * 29) % 8 AS DOUBLE) / 16.0 AS x1,
+          |    CAST((id * 7) % 16 AS DOUBLE) / 16.0 * 0.5
+          |      + CAST((id * 23) % 8 AS DOUBLE) / 16.0 AS x2
+          |  FROM b0),
+          |ag AS (
+          |  SELECT arm, count(*) AS n, sum(y) AS sy,
+          |    sum(y * y) AS syy,
+          |    sum(x1) AS sx0, sum(x2) AS sx1,
+          |    sum(x1 * y) AS sxy0, sum(x2 * y) AS sxy1,
+          |    sum(x1 * x1) AS x00, sum(x1 * x2) AS x01,
+          |    sum(x2 * x2) AS x11
+          |  FROM r GROUP BY arm),
           |pv AS (
           |  SELECT
           |    max(CASE WHEN arm = 'arm0' THEN n END) AS na,
           |    max(CASE WHEN arm = 'arm1' THEN n END) AS nb,
           |    max(CASE WHEN arm = 'arm0' THEN sy END) AS sya,
           |    max(CASE WHEN arm = 'arm1' THEN sy END) AS syb,
-          |    max(CASE WHEN arm = 'arm0' THEN sx END) AS sxa,
-          |    max(CASE WHEN arm = 'arm1' THEN sx END) AS sxb,
           |    max(CASE WHEN arm = 'arm0' THEN syy END) AS syya,
           |    max(CASE WHEN arm = 'arm1' THEN syy END) AS syyb,
-          |    max(CASE WHEN arm = 'arm0' THEN sxx END) AS sxxa,
-          |    max(CASE WHEN arm = 'arm1' THEN sxx END) AS sxxb,
-          |    max(CASE WHEN arm = 'arm0' THEN sxy END) AS sxya,
-          |    max(CASE WHEN arm = 'arm1' THEN sxy END) AS sxyb
+          |    max(CASE WHEN arm = 'arm0' THEN sx0 END) AS sx0a,
+          |    max(CASE WHEN arm = 'arm1' THEN sx0 END) AS sx0b,
+          |    max(CASE WHEN arm = 'arm0' THEN sx1 END) AS sx1a,
+          |    max(CASE WHEN arm = 'arm1' THEN sx1 END) AS sx1b,
+          |    max(CASE WHEN arm = 'arm0' THEN sxy0 END) AS sxy0a,
+          |    max(CASE WHEN arm = 'arm1' THEN sxy0 END) AS sxy0b,
+          |    max(CASE WHEN arm = 'arm0' THEN sxy1 END) AS sxy1a,
+          |    max(CASE WHEN arm = 'arm1' THEN sxy1 END) AS sxy1b,
+          |    max(CASE WHEN arm = 'arm0' THEN x00 END) AS x00a,
+          |    max(CASE WHEN arm = 'arm1' THEN x00 END) AS x00b,
+          |    max(CASE WHEN arm = 'arm0' THEN x01 END) AS x01a,
+          |    max(CASE WHEN arm = 'arm1' THEN x01 END) AS x01b,
+          |    max(CASE WHEN arm = 'arm0' THEN x11 END) AS x11a,
+          |    max(CASE WHEN arm = 'arm1' THEN x11 END) AS x11b
           |  FROM ag),
-          |th AS (
+          |sv AS (
           |  SELECT *,
-          |    (sxxa + sxxb) - (sxa + sxb) * (sxa + sxb) / (na + nb)
-          |      AS vden
+          |    (x00a + x00b) - (sx0a + sx0b) * (sx0a + sx0b)
+          |      / (na + nb) AS s11,
+          |    (x01a + x01b) - (sx0a + sx0b) * (sx1a + sx1b)
+          |      / (na + nb) AS s12,
+          |    (x11a + x11b) - (sx1a + sx1b) * (sx1a + sx1b)
+          |      / (na + nb) AS s22,
+          |    (sxy0a + sxy0b) - (sx0a + sx0b) * (sya + syb)
+          |      / (na + nb) AS b1v,
+          |    (sxy1a + sxy1b) - (sx1a + sx1b) * (sya + syb)
+          |      / (na + nb) AS b2v
           |  FROM pv),
-          |t2 AS (
-          |  SELECT *,
-          |    CASE WHEN vden > 0.0 THEN
-          |      ((sxya + sxyb) - (sxa + sxb) * (sya + syb) / (na + nb))
-          |        / vden
-          |    ELSE 0.0 END AS theta
-          |  FROM th),
+          |el AS (
+          |  SELECT *, s22 - (s12 / s11) * s12 AS s22p,
+          |    b2v - (s12 / s11) * b1v AS b2p
+          |  FROM sv),
+          |tt AS (SELECT *, b2p / s22p AS th2 FROM el),
+          |th AS (SELECT *, (b1v - s12 * th2) / s11 AS th1 FROM tt),
           |st AS (
           |  SELECT *,
           |    sya / na AS mya, syb / nb AS myb,
-          |    sxa / na AS mxa, sxb / nb AS mxb,
           |    (syya - sya * sya / na) / (na - 1.0) AS vya,
           |    (syyb - syb * syb / nb) / (nb - 1.0) AS vyb,
-          |    (sxxa - sxa * sxa / na) / (na - 1.0) AS vxa,
-          |    (sxxb - sxb * sxb / nb) / (nb - 1.0) AS vxb,
-          |    (sxya - sxa * sya / na) / (na - 1.0) AS ca,
-          |    (sxyb - sxb * syb / nb) / (nb - 1.0) AS cb
-          |  FROM t2),
+          |    sx0a / na AS m0a, sx0b / nb AS m0b,
+          |    sx1a / na AS m1a, sx1b / nb AS m1b,
+          |    (sxy0a - sx0a * sya / na) / (na - 1.0) AS cy0a,
+          |    (sxy0b - sx0b * syb / nb) / (nb - 1.0) AS cy0b,
+          |    (sxy1a - sx1a * sya / na) / (na - 1.0) AS cy1a,
+          |    (sxy1b - sx1b * syb / nb) / (nb - 1.0) AS cy1b,
+          |    (x00a - sx0a * sx0a / na) / (na - 1.0) AS v00a,
+          |    (x00b - sx0b * sx0b / nb) / (nb - 1.0) AS v00b,
+          |    (x01a - sx0a * sx1a / na) / (na - 1.0) AS v01a,
+          |    (x01b - sx0b * sx1b / nb) / (nb - 1.0) AS v01b,
+          |    (x11a - sx1a * sx1a / na) / (na - 1.0) AS v11a,
+          |    (x11b - sx1b * sx1b / nb) / (nb - 1.0) AS v11b
+          |  FROM th),
           |dl AS (
           |  SELECT *,
           |    myb - mya AS delta_raw,
           |    sqrt(greatest(0.0, vya) / na + greatest(0.0, vyb) / nb)
           |      AS se_raw,
-          |    (myb - mya) - theta * (mxb - mxa) AS delta,
-          |    greatest(0.0, vya - 2.0 * theta * ca
-          |      + theta * theta * vxa) AS s2a,
-          |    greatest(0.0, vyb - 2.0 * theta * cb
-          |      + theta * theta * vxb) AS s2b
+          |    (myb - mya) - (th1 * (m0b - m0a) + th2 * (m1b - m1a))
+          |      AS delta,
+          |    greatest(0.0, vya - 2.0 * (th1 * cy0a + th2 * cy1a)
+          |      + (th1 * th1 * v00a + th1 * th2 * v01a
+          |        + th2 * th1 * v01a + th2 * th2 * v11a)) AS s2a,
+          |    greatest(0.0, vyb - 2.0 * (th1 * cy0b + th2 * cy1b)
+          |      + (th1 * th1 * v00b + th1 * th2 * v01b
+          |        + th2 * th1 * v01b + th2 * th2 * v11b)) AS s2b
           |  FROM st),
           |se1 AS (
           |  SELECT *, sqrt(s2a / na + s2b / nb) AS se FROM dl),
@@ -8394,7 +8731,7 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |      WHEN delta = 0.0 THEN 1.0 ELSE 0.0 END, 9) AS p
           |  FROM px)
           |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-          |  round(theta, 9) AS theta,
+          |  2 AS k, [round(th1, 9), round(th2, 9)] AS thetas,
           |  round(delta_raw, 9) AS delta_raw,
           |  round(se_raw, 9) AS se_raw,
           |  round(delta, 9) AS delta, round(se, 9) AS se,
@@ -8404,6 +8741,182 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |  round(CASE WHEN se_raw > 0.0 THEN
           |      1.0 - (se * se) / (se_raw * se_raw)
           |    ELSE 0.0 END, 9) AS var_reduction,
+          |  (p < 0.05) AS significant
+          |FROM pp""".stripMargin,
+
+      "q_ab_e2e" ->
+        s"""WITH b0 AS (
+          |  SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+          |r AS (
+          |  SELECT 'arm' || CAST(id % 2 AS VARCHAR) AS arm,
+          |    CAST((id * 13) % 16 AS DOUBLE) / 16.0
+          |      + CAST(id % 2 AS DOUBLE) * 0.03125 AS y,
+          |    CAST((id * 13) % 16 AS DOUBLE) / 16.0 * 0.5
+          |      + CAST((id * 29) % 8 AS DOUBLE) / 16.0 AS x,
+          |    CAST(((id * 37) % 97) % 2 AS INT) AS succ,
+          |    'g' || CAST((id % 4) * (id % 3) AS VARCHAR) AS slice
+          |  FROM b0),
+          |ag AS (
+          |  SELECT arm, count(*) AS n, sum(y) AS sy, sum(x) AS sx,
+          |    sum(y * y) AS syy, sum(x * x) AS sxx, sum(x * y) AS sxy
+          |  FROM r GROUP BY arm),
+          |$cupedCtesSql,
+          |g1 AS (SELECT *, CAST(na + nb AS DOUBLE) AS nt FROM pp),
+          |g2 AS (
+          |  SELECT *,
+          |    (na - 0.5 * nt) * (na - 0.5 * nt) / (0.5 * nt)
+          |    + (nb - 0.5 * nt) * (nb - 0.5 * nt) / (0.5 * nt)
+          |      AS chi2
+          |  FROM g1),
+          |g3 AS (
+          |  SELECT *, round(${chi2PSql("chi2", 1)}, 9) AS srmp
+          |  FROM g2),
+          |g4 AS (
+          |  SELECT *,
+          |    (syya + syyb - sya * sya / na - syb * syb / nb)
+          |      / (na + nb - 2.0) AS s2p
+          |  FROM g3),
+          |g5 AS (
+          |  SELECT *, CASE WHEN s2p > 0.0 THEN
+          |    s2p * (CAST(1.0 AS DOUBLE) / na
+          |      + CAST(1.0 AS DOUBLE) / nb) END AS vv
+          |  FROM g4),
+          |g6 AS (
+          |  SELECT *, CASE WHEN s2p > 0.0 THEN
+          |    round(0.5 * ln(vv / (vv + 0.0625))
+          |      + (delta_raw * delta_raw * 0.0625)
+          |        / (2.0 * vv * (vv + 0.0625)), 9) END AS lb
+          |  FROM g5),
+          |eper AS (
+          |  SELECT slice, count(*) AS n,
+          |    sum(CAST(succ AS DOUBLE)) AS s
+          |  FROM r GROUP BY slice),
+          |etot AS (
+          |  SELECT count(*) AS k, sum(n) AS nn, sum(s) AS ss
+          |  FROM eper),
+          |epre AS (
+          |  SELECT slice, n, s,
+          |    SUM(s / n) OVER w AS cp,
+          |    SUM((s / n) * (s / n)) OVER w AS cp2,
+          |    SUM(CAST(1.0 AS DOUBLE) / n) OVER w AS cinv,
+          |    ROW_NUMBER() OVER (ORDER BY slice) AS rn
+          |  FROM eper
+          |  WINDOW w AS (ORDER BY slice ROWS BETWEEN UNBOUNDED
+          |    PRECEDING AND CURRENT ROW)),
+          |est AS (
+          |  SELECT t.k, t.ss / t.nn AS pbar, l.cp, l.cp2, l.cinv
+          |  FROM etot t, epre l WHERE l.rn = t.k),
+          |efx AS (
+          |  SELECT k, pbar, cp, cp2, cinv, cp / k AS meanp,
+          |    pbar * (1.0 - pbar) AS pw
+          |  FROM est),
+          |etu AS (
+          |  SELECT *,
+          |    greatest(0.0, (cp2 - k * meanp * meanp) / (k - 1.0)
+          |      - pw * cinv / k) AS tau2
+          |  FROM efx)
+          |SELECT p.slice, CAST(p.n AS BIGINT) AS n,
+          |  CAST(p.s AS BIGINT) AS successes,
+          |  round(p.s / p.n, 9) AS rate,
+          |  round(CASE WHEN t.tau2 + t.pw / p.n > 0.0 THEN
+          |      t.tau2 / (t.tau2 + t.pw / p.n)
+          |    ELSE 0.0 END, 9) AS shrink_factor,
+          |  round(t.pbar + CASE WHEN t.tau2 + t.pw / p.n > 0.0 THEN
+          |      t.tau2 / (t.tau2 + t.pw / p.n)
+          |    ELSE 0.0 END * (p.s / p.n - t.pbar), 9) AS shrunk_rate,
+          |  CAST(g.na + g.nb AS BIGINT) AS n_total,
+          |  round(g.chi2, 9) AS srm_chi2, g.srmp AS srm_p,
+          |  (g.srmp < 0.001) AS srm,
+          |  round(g.theta, 9) AS theta,
+          |  round(g.delta_raw, 9) AS delta_raw,
+          |  round(g.delta, 9) AS delta, round(g.se, 9) AS se,
+          |  round(g.z, 9) AS z, g.p AS p_value,
+          |  round(g.delta - 1.959964 * g.se, 9) AS ci_lo,
+          |  round(g.delta + 1.959964 * g.se, 9) AS ci_hi,
+          |  round(CASE WHEN g.se_raw > 0.0 THEN
+          |      1.0 - (g.se * g.se) / (g.se_raw * g.se_raw)
+          |    ELSE 0.0 END, 9) AS var_reduction,
+          |  (g.p < 0.05) AS significant,
+          |  round(CASE WHEN g.s2p > 0.0 THEN g.s2p ELSE -1.0 END, 9)
+          |    AS seq_var,
+          |  coalesce(g.lb, -1.0) AS seq_log_lambda,
+          |  coalesce(round(least(1.0, exp(0.0 - g.lb)), 9), -1.0)
+          |    AS seq_p,
+          |  coalesce(g.lb >= round(ln(1.0 / 0.05), 9), false)
+          |    AS seq_reject,
+          |  (g.s2p > 0.0) AS seq_decidable
+          |FROM eper p, etu t, g6 g ORDER BY p.slice""".stripMargin,
+
+      "q_ratio_delta" ->
+        s"""WITH b0 AS (
+          |  SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+          |r0 AS (
+          |  SELECT id % 512 AS unit,
+          |    'arm' || CAST((id % 512) % 2 AS VARCHAR) AS arm,
+          |    CAST((id * 13) % 8 AS DOUBLE) / 8.0
+          |      + CAST((id % 512) % 2 AS DOUBLE) * 0.0625 AS y,
+          |    CAST(1 + (id * 7) % 4 AS DOUBLE) AS d
+          |  FROM b0),
+          |u AS (
+          |  SELECT arm, unit, sum(y) AS yu, sum(d) AS nu
+          |  FROM r0 GROUP BY arm, unit),
+          |ag AS (
+          |  SELECT arm, count(*) AS n, sum(yu) AS sy, sum(nu) AS sn,
+          |    sum(yu * yu) AS syy, sum(nu * nu) AS snn,
+          |    sum(yu * nu) AS syn
+          |  FROM u GROUP BY arm),
+          |pv AS (
+          |  SELECT
+          |    max(CASE WHEN arm = 'arm0' THEN n END) AS na,
+          |    max(CASE WHEN arm = 'arm1' THEN n END) AS nb,
+          |    max(CASE WHEN arm = 'arm0' THEN sy END) AS sya,
+          |    max(CASE WHEN arm = 'arm1' THEN sy END) AS syb,
+          |    max(CASE WHEN arm = 'arm0' THEN sn END) AS sna,
+          |    max(CASE WHEN arm = 'arm1' THEN sn END) AS snb,
+          |    max(CASE WHEN arm = 'arm0' THEN syy END) AS syya,
+          |    max(CASE WHEN arm = 'arm1' THEN syy END) AS syyb,
+          |    max(CASE WHEN arm = 'arm0' THEN snn END) AS snna,
+          |    max(CASE WHEN arm = 'arm1' THEN snn END) AS snnb,
+          |    max(CASE WHEN arm = 'arm0' THEN syn END) AS syna,
+          |    max(CASE WHEN arm = 'arm1' THEN syn END) AS synb
+          |  FROM ag),
+          |s1 AS (
+          |  SELECT *,
+          |    sya / sna AS ra, syb / snb AS rb,
+          |    sna / na AS ma, snb / nb AS mb,
+          |    (syya - sya * sya / na) / (na - 1.0) AS vya,
+          |    (syyb - syb * syb / nb) / (nb - 1.0) AS vyb,
+          |    (snna - sna * sna / na) / (na - 1.0) AS vna,
+          |    (snnb - snb * snb / nb) / (nb - 1.0) AS vnb,
+          |    (syna - sya * sna / na) / (na - 1.0) AS ca,
+          |    (synb - syb * snb / nb) / (nb - 1.0) AS cb
+          |  FROM pv),
+          |s2 AS (
+          |  SELECT *,
+          |    greatest(0.0, vya - 2.0 * ra * ca + ra * ra * vna)
+          |      / (na * ma * ma) AS va,
+          |    greatest(0.0, vyb - 2.0 * rb * cb + rb * rb * vnb)
+          |      / (nb * mb * mb) AS vb,
+          |    rb - ra AS delta
+          |  FROM s1),
+          |s3 AS (SELECT *, sqrt(va + vb) AS se FROM s2),
+          |s4 AS (
+          |  SELECT *, CASE WHEN se > 0.0 THEN delta / se ELSE 0.0 END
+          |    AS z
+          |  FROM s3),
+          |px AS (SELECT *, abs(z) / sqrt(2.0) AS xq FROM s4),
+          |pp AS (
+          |  SELECT *,
+          |    round(CASE WHEN se > 0.0 THEN
+          |        least(1.0, ${erfccSql("xq")})
+          |      WHEN delta = 0.0 THEN 1.0 ELSE 0.0 END, 9) AS p
+          |  FROM px)
+          |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+          |  round(ra, 9) AS ratio_a, round(rb, 9) AS ratio_b,
+          |  round(delta, 9) AS delta, round(se, 9) AS se,
+          |  round(z, 9) AS z, p AS p_value,
+          |  round(delta - 1.959964 * se, 9) AS ci_lo,
+          |  round(delta + 1.959964 * se, 9) AS ci_hi,
           |  (p < 0.05) AS significant
           |FROM pp""".stripMargin,
 
@@ -8458,15 +8971,19 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |r AS (
           |  SELECT
           |    CASE WHEN (id * 13) % 16 <
-          |        CASE WHEN id % 2 = 0 THEN 10 ELSE 8 END
-          |      THEN 'a' ELSE 'b' END AS winner,
+          |        CASE WHEN id % 2 = 0 THEN 9 ELSE 7 END
+          |      THEN 'a'
+          |    WHEN (id * 13) % 16 <
+          |        (CASE WHEN id % 2 = 0 THEN 9 ELSE 7 END) + 2
+          |      THEN 'tie' ELSE 'b' END AS winner,
           |    (id % 2 = 0) AS fst,
           |    CAST((id * 5) % 64 AS DOUBLE) AS la,
           |    CAST((id * 11) % 64 AS DOUBLE) AS lb
           |  FROM b0),
           |x AS (
           |  SELECT winner, fst, la - lb AS d,
-          |    CASE WHEN winner = 'a' THEN 1.0 ELSE 0.0 END AS aw
+          |    CASE WHEN winner = 'a' THEN 1.0
+          |      WHEN winner = 'tie' THEN 0.5 ELSE 0.0 END AS aw
           |  FROM r),
           |ag AS (
           |  SELECT count(*) AS n,
@@ -8475,22 +8992,35 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |      AS w1,
           |    sum(CASE WHEN NOT fst AND winner = 'a' THEN 1 ELSE 0
           |      END) AS w2,
-          |    sum(aw) AS sw, sum(d) AS sd, sum(d * d) AS sdd,
+          |    sum(CASE WHEN winner = 'tie' THEN 1 ELSE 0 END) AS t,
+          |    sum(CASE WHEN fst AND winner = 'tie' THEN 1 ELSE 0
+          |      END) AS t1,
+          |    sum(aw) AS sw, sum(aw * aw) AS sww,
+          |    sum(d) AS sd, sum(d * d) AS sdd,
           |    sum(aw * d) AS swd
           |  FROM x),
           |st AS (
-          |  SELECT *, n - n1 AS n2,
-          |    CAST(w1 + w2 AS DOUBLE) / n AS wina,
-          |    CAST(w1 AS DOUBLE) / n1 AS pf
+          |  SELECT *, n - n1 AS n2, t - t1 AS t2,
+          |    n1 - t1 AS nt1, n - n1 - (t - t1) AS nt2,
+          |    (CAST(w1 + w2 AS DOUBLE) + 0.5 * CAST(t AS DOUBLE))
+          |      / CAST(n AS DOUBLE) AS wina,
+          |    (CAST(w1 AS DOUBLE) + 0.5 * CAST(t1 AS DOUBLE))
+          |      / CAST(n1 AS DOUBLE) AS pf
           |  FROM ag),
           |s2 AS (
-          |  SELECT *, CAST(w2 AS DOUBLE) / n2 AS ps FROM st),
+          |  SELECT *,
+          |    (CAST(w2 AS DOUBLE) + 0.5 * CAST(t2 AS DOUBLE))
+          |      / CAST(n2 AS DOUBLE) AS ps,
+          |    CAST(w1 AS DOUBLE) / nt1 AS pfb,
+          |    CAST(w2 AS DOUBLE) / nt2 AS psb,
+          |    CAST(w1 + w2 AS DOUBLE) / (nt1 + nt2) AS wnt
+          |  FROM st),
           |s3 AS (
-          |  SELECT *, pf - ps AS effect,
-          |    sqrt(wina * (1.0 - wina)
-          |      * (CAST(1.0 AS DOUBLE) / n1 + CAST(1.0 AS DOUBLE)
-          |        / n2)) AS sep,
-          |    sw - sw * sw / n AS varw,
+          |  SELECT *, pfb - psb AS effect,
+          |    sqrt(wnt * (1.0 - wnt)
+          |      * (CAST(1.0 AS DOUBLE) / nt1 + CAST(1.0 AS DOUBLE)
+          |        / nt2)) AS sep,
+          |    sww - sw * sw / n AS varw,
           |    sdd - sd * sd / n AS vard
           |  FROM s2),
           |s4 AS (
@@ -8527,7 +9057,8 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |  round(zp, 9) AS position_z, p_pos AS position_p,
           |  round((pf + ps) / 2.0, 9) AS debiased_win_a,
           |  round(lr, 9) AS len_r, round(zl, 9) AS len_z,
-          |  p_len AS len_p
+          |  p_len AS len_p,
+          |  round(CAST(t AS DOUBLE) / n, 9) AS tie_rate
           |FROM pp""".stripMargin,
 
       "q_power_slice" ->
@@ -8567,6 +9098,53 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |  round(CASE WHEN p1 <= 1.0 THEN 2.0 * narm / n
           |    ELSE -1.0 END, 9) AS multiple_needed
           |FROM na ORDER BY slice""".stripMargin,
+
+      "q_srm" ->
+        s"""WITH b0 AS (
+          |  SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+          |r AS (
+          |  SELECT CASE WHEN ((id * 37) % 97) % 16 < 7 THEN 'a'
+          |    WHEN ((id * 37) % 97) % 16 < 11 THEN 'b'
+          |    WHEN ((id * 37) % 97) % 16 < 13 THEN 'c'
+          |    ELSE 'd' END AS arm
+          |  FROM b0),
+          |ag AS (
+          |  SELECT count(*) AS n,
+          |    sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS c0,
+          |    sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS c1,
+          |    sum(CASE WHEN arm = 'c' THEN 1 ELSE 0 END) AS c2,
+          |    sum(CASE WHEN arm = 'd' THEN 1 ELSE 0 END) AS c3
+          |  FROM r),
+          |st AS (
+          |  SELECT *,
+          |    (CAST(c0 AS DOUBLE) - 0.5 * CAST(n AS DOUBLE))
+          |      * (CAST(c0 AS DOUBLE) - 0.5 * CAST(n AS DOUBLE))
+          |      / (0.5 * CAST(n AS DOUBLE))
+          |    + (CAST(c1 AS DOUBLE) - 0.25 * CAST(n AS DOUBLE))
+          |      * (CAST(c1 AS DOUBLE) - 0.25 * CAST(n AS DOUBLE))
+          |      / (0.25 * CAST(n AS DOUBLE))
+          |    + (CAST(c2 AS DOUBLE) - 0.125 * CAST(n AS DOUBLE))
+          |      * (CAST(c2 AS DOUBLE) - 0.125 * CAST(n AS DOUBLE))
+          |      / (0.125 * CAST(n AS DOUBLE))
+          |    + (CAST(c3 AS DOUBLE) - 0.125 * CAST(n AS DOUBLE))
+          |      * (CAST(c3 AS DOUBLE) - 0.125 * CAST(n AS DOUBLE))
+          |      / (0.125 * CAST(n AS DOUBLE)) AS chi2
+          |  FROM ag),
+          |pp AS (
+          |  SELECT *, round(${chi2PSql("chi2", 3)}, 9) AS p FROM st),
+          |arms AS (
+          |  SELECT 'a' AS arm, c0 AS cnt, CAST(0.5 AS DOUBLE) AS w
+          |    FROM pp
+          |  UNION ALL SELECT 'b', c1, CAST(0.25 AS DOUBLE) FROM pp
+          |  UNION ALL SELECT 'c', c2, CAST(0.125 AS DOUBLE) FROM pp
+          |  UNION ALL SELECT 'd', c3, CAST(0.125 AS DOUBLE) FROM pp)
+          |SELECT a.arm, CAST(a.cnt AS BIGINT) AS n_arm,
+          |  round(a.w * CAST(g.n AS DOUBLE), 9) AS expected_n,
+          |  round(CAST(a.cnt AS DOUBLE) / g.n, 9) AS share,
+          |  round(a.w, 9) AS expected_share,
+          |  CAST(g.n AS BIGINT) AS n, round(g.chi2, 9) AS chi2,
+          |  3 AS df, g.p AS p_value, (g.p < 0.001) AS srm
+          |FROM arms a, pp g ORDER BY a.arm""".stripMargin,
 
       "q_proper_scores_mc" ->
         """WITH d AS (
@@ -9096,9 +9674,53 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
           |  CAST(n AS BIGINT) AS n, CAST(nc AS BIGINT) AS n_cum,
           |  round(s2 / nc, 9) AS mean_cum,
+          |  CAST(0.125 AS DOUBLE) AS var_used,
           |  lb AS log_lambda,
           |  round(least(1.0, exp(0.0 - lb)), 9) AS p_value,
-          |  (lb >= round(ln(1.0 / 0.05), 9)) AS reject
+          |  (lb >= round(ln(1.0 / 0.05), 9)) AS reject,
+          |  true AS decidable
+          |FROM ll ORDER BY window_start""".stripMargin,
+
+      "q_stream_msprt_var" ->
+        """WITH sc AS (
+          |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w,
+          |    CAST((user_id * 13) % 9 - 4 AS DOUBLE) / 8.0 + 0.015625
+          |      AS x
+          |  FROM events),
+          |per AS (SELECT w, count(*) AS n, sum(x) AS sx,
+          |          sum(x * x) AS sxx
+          |        FROM sc GROUP BY 1),
+          |cm AS (
+          |  SELECT w, n,
+          |    SUM(n) OVER wd AS nc, SUM(sx) OVER wd AS s2,
+          |    SUM(sxx) OVER wd AS xc
+          |  FROM per
+          |  WINDOW wd AS (ORDER BY w ROWS BETWEEN UNBOUNDED PRECEDING
+          |    AND CURRENT ROW)),
+          |vv AS (
+          |  SELECT *, CASE WHEN nc >= 2 THEN
+          |    (xc - s2 * s2 / nc) / (nc - 1.0) END AS v
+          |  FROM cm),
+          |og AS (
+          |  SELECT *, nc >= 2 AND coalesce(v > 0.0, false) AS okf
+          |  FROM vv),
+          |ll AS (
+          |  SELECT *,
+          |    round(CASE WHEN okf THEN
+          |      0.5 * ln(v / (v + nc * CAST(0.0625 AS DOUBLE)))
+          |        + (s2 * s2 * 0.0625) /
+          |          (2.0 * v * (v + nc * CAST(0.0625 AS DOUBLE)))
+          |      END, 9) AS lb
+          |  FROM og)
+          |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+          |  CAST(n AS BIGINT) AS n, CAST(nc AS BIGINT) AS n_cum,
+          |  round(s2 / nc, 9) AS mean_cum,
+          |  round(CASE WHEN okf THEN v ELSE -1.0 END, 9) AS var_used,
+          |  coalesce(lb, -1.0) AS log_lambda,
+          |  coalesce(round(least(1.0, exp(0.0 - lb)), 9), -1.0)
+          |    AS p_value,
+          |  coalesce(lb >= round(ln(1.0 / 0.05), 9), false) AS reject,
+          |  okf AS decidable
           |FROM ll ORDER BY window_start""".stripMargin,
 
       "q_stream_ope" ->
@@ -9191,12 +9813,85 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |  CAST(n AS BIGINT) AS n, CAST(na AS BIGINT) AS na_cum,
           |  CAST(nb AS BIGINT) AS nb_cum,
           |  round(CASE WHEN ok THEN d ELSE -1.0 END, 9) AS delta_cum,
+          |  round(CASE WHEN ok THEN CAST(0.125 AS DOUBLE)
+          |    ELSE -1.0 END, 9) AS var_used,
           |  round(CASE WHEN ok THEN lb ELSE -1.0 END, 9)
           |    AS log_lambda,
           |  round(CASE WHEN ok THEN least(1.0, exp(0.0 - lb))
           |    ELSE -1.0 END, 9) AS p_value,
           |  (ok AND lb >= round(ln(1.0 / 0.05), 9)) AS reject,
           |  ok AS decidable
+          |FROM ll ORDER BY window_start""".stripMargin,
+
+      "q_stream_ab_msprt_var" ->
+        """WITH sc AS (
+          |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w,
+          |    'arm' || CAST(user_id % 2 AS VARCHAR) AS arm,
+          |    CAST((user_id * 13) % 16 AS DOUBLE) / 16.0
+          |      + CAST(user_id % 2 AS DOUBLE) * 0.03125 AS y
+          |  FROM events),
+          |ag AS (
+          |  SELECT w, arm, count(*) AS n, sum(y) AS sx,
+          |    sum(y * y) AS sxx
+          |  FROM sc GROUP BY w, arm),
+          |pv AS (
+          |  SELECT w, sum(n) AS n,
+          |    coalesce(max(CASE WHEN arm = 'arm0' THEN n END), 0)
+          |      AS nain,
+          |    coalesce(max(CASE WHEN arm = 'arm1' THEN n END), 0)
+          |      AS nbin,
+          |    coalesce(max(CASE WHEN arm = 'arm0' THEN sx END), 0.0)
+          |      AS sain,
+          |    coalesce(max(CASE WHEN arm = 'arm1' THEN sx END), 0.0)
+          |      AS sbin,
+          |    coalesce(max(CASE WHEN arm = 'arm0' THEN sxx END), 0.0)
+          |      AS xain,
+          |    coalesce(max(CASE WHEN arm = 'arm1' THEN sxx END), 0.0)
+          |      AS xbin
+          |  FROM ag GROUP BY w),
+          |cm AS (
+          |  SELECT w, n,
+          |    SUM(nain) OVER ww AS na, SUM(nbin) OVER ww AS nb,
+          |    SUM(sain) OVER ww AS sa, SUM(sbin) OVER ww AS sb,
+          |    SUM(xain) OVER ww AS xa, SUM(xbin) OVER ww AS xb
+          |  FROM pv
+          |  WINDOW ww AS (ORDER BY w ROWS BETWEEN UNBOUNDED PRECEDING
+          |    AND CURRENT ROW)),
+          |vv AS (
+          |  SELECT *, CASE WHEN na >= 2 AND nb >= 2 THEN
+          |    (xa + xb - sa * sa / na - sb * sb / nb) /
+          |      (na + nb - 2.0) END AS s2v
+          |  FROM cm),
+          |og AS (
+          |  SELECT *,
+          |    na >= 2 AND nb >= 2 AND coalesce(s2v > 0.0, false)
+          |      AS okf
+          |  FROM vv),
+          |st AS (
+          |  SELECT *,
+          |    CASE WHEN okf THEN sb / nb - sa / na END AS d,
+          |    CASE WHEN okf THEN
+          |      s2v * (CAST(1.0 AS DOUBLE) / na
+          |        + CAST(1.0 AS DOUBLE) / nb) END AS v
+          |  FROM og),
+          |ll AS (
+          |  SELECT *,
+          |    round(0.5 * ln(v / (v + 0.0625))
+          |      + (d * d * 0.0625) / (2.0 * v * (v + 0.0625)), 9)
+          |      AS lb
+          |  FROM st)
+          |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+          |  CAST(n AS BIGINT) AS n, CAST(na AS BIGINT) AS na_cum,
+          |  CAST(nb AS BIGINT) AS nb_cum,
+          |  round(CASE WHEN okf THEN d ELSE -1.0 END, 9) AS delta_cum,
+          |  round(CASE WHEN okf THEN s2v ELSE -1.0 END, 9)
+          |    AS var_used,
+          |  round(CASE WHEN okf THEN lb ELSE -1.0 END, 9)
+          |    AS log_lambda,
+          |  round(CASE WHEN okf THEN least(1.0, exp(0.0 - lb))
+          |    ELSE -1.0 END, 9) AS p_value,
+          |  (okf AND lb >= round(ln(1.0 / 0.05), 9)) AS reject,
+          |  okf AS decidable
           |FROM ll ORDER BY window_start""".stripMargin,
 
       "q_stream_cuped" ->
@@ -9289,6 +9984,33 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |  ok AS decidable
           |FROM pp ORDER BY window_start""".stripMargin,
 
+      "q_stream_srm" ->
+        s"""WITH sc AS (
+          |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w,
+          |    CASE WHEN (user_id * 13) % 16 < 9 THEN 'a' ELSE 'b' END
+          |      AS arm
+          |  FROM events),
+          |ag AS (
+          |  SELECT w, count(*) AS n,
+          |    sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS c0,
+          |    sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS c1
+          |  FROM sc GROUP BY w),
+          |st AS (
+          |  SELECT *,
+          |    (CAST(c0 AS DOUBLE) - 0.5 * CAST(n AS DOUBLE))
+          |      * (CAST(c0 AS DOUBLE) - 0.5 * CAST(n AS DOUBLE))
+          |      / (0.5 * CAST(n AS DOUBLE))
+          |    + (CAST(c1 AS DOUBLE) - 0.5 * CAST(n AS DOUBLE))
+          |      * (CAST(c1 AS DOUBLE) - 0.5 * CAST(n AS DOUBLE))
+          |      / (0.5 * CAST(n AS DOUBLE)) AS chi2
+          |  FROM ag),
+          |pp AS (
+          |  SELECT *, round(${chi2PSql("chi2", 1)}, 9) AS p FROM st)
+          |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+          |  CAST(n AS BIGINT) AS n, round(chi2, 9) AS chi2, 1 AS df,
+          |  p AS p_value, (p < 0.001) AS srm
+          |FROM pp ORDER BY window_start""".stripMargin,
+
       "q_stream_confseq" ->
         """WITH sc AS (
           |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w,
@@ -9316,9 +10038,11 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
           |  CAST(n AS BIGINT) AS n, CAST(nc AS BIGINT) AS n_cum,
           |  round(s2 / nc, 9) AS mean_cum,
+          |  CAST(0.125 AS DOUBLE) AS var_used,
           |  rd AS radius,
           |  round(s2 / nc - rd, 9) AS ci_lo,
-          |  round(s2 / nc + rd, 9) AS ci_hi
+          |  round(s2 / nc + rd, 9) AS ci_hi,
+          |  true AS decidable
           |FROM rr ORDER BY window_start""".stripMargin,
 
       "q_stream_ab" ->

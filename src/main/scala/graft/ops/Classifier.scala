@@ -2419,6 +2419,23 @@ object Classifier {
     per.select(col("slice") +: drStatCols: _*)
   }
 
+  /** The per-(arm, unit) CUPED pre-aggregate for UNIT-randomized
+    * experiments: unit totals y_u = Σy, x_u = Σx with row-level
+    * hygiene PROPAGATED as NaN poison (a bad row makes its unit's
+    * sums NaN — sum-skipping a null silently corrupts the unit total,
+    * so the badness must survive the fold; the downstream
+    * [[cupedAggExprs]] census then counts the poisoned unit and the
+    * refusal fires with zero extra scans). ONE source for the batch
+    * and windowed unit paths. */
+  private[graft] def cupedUnitExprs(metricCol: String,
+      covariateCol: String): Seq[Column] = {
+    val y = col(metricCol).cast("double")
+    val x = col(covariateCol).cast("double")
+    val bad = y.isNull || isnan(y) || x.isNull || isnan(x)
+    Seq(sum(when(bad, lit(Double.NaN)).otherwise(y)).as("__uy"),
+      sum(when(bad, lit(Double.NaN)).otherwise(x)).as("__ux"))
+  }
+
   /** The CUPED per-arm power-sum aggregate (count, census, six sums)
     * — ONE source for [[cupedDelta]] and the streaming
     * [[graft.streaming.EventStream.windowedCuped]] monitor (the
@@ -2538,21 +2555,54 @@ object Classifier {
     * row: (n_a, n_b, theta, delta_raw, se_raw, delta, se, z, p_value,
     * ci_lo, ci_hi, var_reduction, significant), doubles rounded at 9.
     *
+    * RANDOMIZATION UNIT (r20): the default treats every ROW as an
+    * independent observation — correct only when rows ARE the
+    * randomization unit. Real experiments randomize by USER and log
+    * many events per user; with within-user correlation the iid-row
+    * SE understates the truth and every CI/p-value is
+    * anti-conservative (Deng, Knoblich & Lu 2017, "Applying the Delta
+    * Method in Metric Analytics"). Pass `unitCol = Some(u)` to
+    * pre-aggregate per (arm, unit) into unit TOTALS y_u = Σy,
+    * x_u = Σx inside the same job (the aggregate-per-unit-first fix —
+    * one extra keyed aggregate, no extra scan) and run the IDENTICAL
+    * formula chain over unit-level rows: n_a/n_b then count UNITS,
+    * the delta is in per-unit units, and the SE is cluster-robust by
+    * construction because unit totals are the independent
+    * observations. Row hygiene propagates as NaN poison through the
+    * unit fold (a bad row refuses, never silently corrupts a unit
+    * total). A unit appearing in BOTH arms contributes one unit per
+    * arm — cross-arm contamination is a design bug upstream of this
+    * operator (the [[srmCheck]] family's territory).
+    *
     * Scale shape: ONE (arm) hash aggregate over the experiment log —
-    * six power sums per arm; O(1) driver arithmetic on two rows.
+    * six power sums per arm; O(1) driver arithmetic on two rows. The
+    * unit path prepends one (arm, unit) hash aggregate (map-side
+    * combinable; units-many intermediate rows, never collected).
     */
   def cupedDelta(exp: DataFrame, armCol: String, armA: String,
                  armB: String, metricCol: String, covariateCol: String,
-                 alpha: Double = 0.05): DataFrame = {
+                 alpha: Double = 0.05,
+                 unitCol: Option[String] = None): DataFrame = {
     require(armA != armB, s"cupedDelta: armA and armB are both '$armA'")
     require(alpha > 0 && alpha < 0.5, s"cupedDelta: alpha=$alpha")
     // ONE (arm) aggregate via the shared [[cupedAggExprs]]; guards
     // read the two checkpointed rows, the formula chain is the shared
     // [[cupedStatFrame]] — the batch op and the windowed monitor
     // evaluate literally the same columns (the opeAggExprs discipline)
-    val e = cupedAggExprs(metricCol, covariateCol)
-    val per = exp.filter(col(armCol).isin(armA, armB))
-      .groupBy(col(armCol).cast("string").as("arm"))
+    val scoped = exp.filter(col(armCol).isin(armA, armB))
+    val (src, yc, xc) = unitCol match {
+      case None =>
+        (scoped.select(col(armCol).cast("string").as("arm"),
+          col(metricCol), col(covariateCol)), metricCol, covariateCol)
+      case Some(u) =>
+        val ue = cupedUnitExprs(metricCol, covariateCol)
+        (scoped.groupBy(col(armCol).cast("string").as("arm"),
+          col(u).as("__unit")).agg(ue.head, ue.tail: _*),
+          "__uy", "__ux")
+    }
+    val e = cupedAggExprs(yc, xc)
+    val per = src
+      .groupBy(col("arm"))
       .agg(e.head, e.tail: _*)
       .localCheckpoint()
     val rows = per.collect().map(r => r.getString(0) -> r).toMap
@@ -2562,13 +2612,14 @@ object Classifier {
     val (ra, rb) = (rows(armA), rows(armB))
     // row layout: arm(0), n(1), __nbad(2), sy(3), sx(4), syy(5),
     // sxx(6), sxy(7)
+    val obs = if (unitCol.isDefined) "unit" else "row"
     val nBad = ra.getLong(2) + rb.getLong(2)
     require(nBad == 0,
-      s"cupedDelta: $nBad null/NaN metric or covariate values — " +
-        "clean the frame first")
+      s"cupedDelta: $nBad ${obs}s with null/NaN metric or covariate " +
+        "values — clean the frame first")
     val (na, nb) = (ra.getLong(1), rb.getLong(1))
     require(na >= 2 && nb >= 2,
-      s"cupedDelta: need >= 2 rows per arm (got $na / $nb) — a " +
+      s"cupedDelta: need >= 2 ${obs}s per arm (got $na / $nb) — a " +
         "variance needs replication")
     val cells = cupedPivotCells(armA, armB)
     val row = cupedStatFrame(per.agg(cells.head, cells.tail: _*))
@@ -2587,6 +2638,298 @@ object Classifier {
       .toDF("n_a", "n_b", "theta", "delta_raw", "se_raw", "delta",
         "se", "z", "p_value", "ci_lo", "ci_hi", "var_reduction",
         "significant")
+  }
+
+  /** Multivariate CUPED — regression adjustment with SEVERAL
+    * pre-experiment covariates (Lin 2013, "Agnostic notes on
+    * regression adjustments to experimental data", the multi-covariate
+    * generalization of [[cupedDelta]]'s Deng et al. single-θ form):
+    * one covariate captures last month's metric; real variance
+    * reduction stacks several (pre-metric, traffic, session length).
+    * θ solves the pooled centered normal equations S_xx θ = S_xy
+    * (driver-side Gaussian elimination WITHOUT pivoting in the
+    * declared covariate order, k ≤ 16 — the [[graft.ops.Pca]]-style
+    * bounded fit; a centered PD matrix needs no pivot, and the FIXED
+    * operation order is what lets a SQL oracle replay the k = 2 solve
+    * literally), adjusted delta = (ȳ_B − ȳ_A) − Σ_j θ_j(x̄_jB − x̄_jA),
+    * per-arm adjusted variance var(y) − 2Σθ_j cov_j + θᵀΣθ from the
+    * same power sums, accumulated in declared-order ascending loops
+    * (the cross-engine summation pin). A singular pivot refuses by
+    * naming the collinear covariate — EXCEPT the k = 1 constant-
+    * covariate case, which degrades to θ = 0 exactly like
+    * [[cupedDelta]] (spec pins k = 1 ≡ cupedDelta column for column).
+    * Two-sided p via the shared [[Num.erfcc]] chain, CI at [[Z95]].
+    * Rows outside {armA, armB} are ignored; null/NaN metric or any
+    * covariate refuse via the census riding the one aggregate. One
+    * row: (n_a, n_b, k, thetas array, delta_raw, se_raw, delta, se,
+    * z, p_value, ci_lo, ci_hi, var_reduction, significant), doubles
+    * rounded at 9.
+    *
+    * Scale shape: ONE (arm) hash aggregate over the log —
+    * O(k²) sums per arm (k ≤ 16 → ≤ ~150 columns); O(k³) driver
+    * arithmetic on two rows.
+    */
+  def cupedDeltaMulti(exp: DataFrame, armCol: String, armA: String,
+                      armB: String, metricCol: String,
+                      covariateCols: Seq[String],
+                      alpha: Double = 0.05): DataFrame = {
+    require(armA != armB,
+      s"cupedDeltaMulti: armA and armB are both '$armA'")
+    require(alpha > 0 && alpha < 0.5, s"cupedDeltaMulti: alpha=$alpha")
+    val k = covariateCols.length
+    require(k >= 1 && k <= 16,
+      s"cupedDeltaMulti: $k covariates — need 1 to 16 (the bounded " +
+        "driver solve)")
+    require(covariateCols.distinct.size == k,
+      s"cupedDeltaMulti: duplicate covariates: " +
+        covariateCols.diff(covariateCols.distinct).mkString(", "))
+    val y = col(metricCol).cast("double")
+    val xs = covariateCols.map(c => col(c).cast("double"))
+    val badc = (y.isNull || isnan(y) ||
+      xs.map(x => x.isNull || isnan(x)).reduce(_ || _)).cast("long")
+    // ONE (arm) aggregate: count, census, Σy, Σy², then per covariate
+    // Σx_i, Σx_i·y, and the upper triangle Σx_i·x_j
+    val sums: Seq[Column] =
+      Seq(count(lit(1)).as("n"), sum(badc).as("__nbad"),
+        sum(y).as("sy"), sum(y * y).as("syy")) ++
+      xs.zipWithIndex.map { case (x, i) => sum(x).as(s"sx$i") } ++
+      xs.zipWithIndex.map { case (x, i) => sum(x * y).as(s"sxy$i") } ++
+      (for (i <- 0 until k; j <- i until k)
+        yield sum(xs(i) * xs(j)).as(s"sxx${i}_$j"))
+    val per = exp.filter(col(armCol).isin(armA, armB))
+      .groupBy(col(armCol).cast("string").as("arm"))
+      .agg(sums.head, sums.tail: _*)
+      .localCheckpoint()
+    val rows = per.collect().map(r => r.getString(0) -> r).toMap
+    require(rows.contains(armA) && rows.contains(armB),
+      s"cupedDeltaMulti: need rows in BOTH arms '$armA' and '$armB' " +
+        s"— found ${rows.keys.mkString(", ")}")
+    val (ra, rb) = (rows(armA), rows(armB))
+    def d(r: org.apache.spark.sql.Row, nm: String): Double =
+      r.getDouble(r.fieldIndex(nm))
+    val nBad = ra.getLong(ra.fieldIndex("__nbad")) +
+      rb.getLong(rb.fieldIndex("__nbad"))
+    require(nBad == 0,
+      s"cupedDeltaMulti: $nBad rows with null/NaN metric or " +
+        "covariate values — clean the frame first")
+    val (na, nb) = (ra.getLong(ra.fieldIndex("n")),
+      rb.getLong(rb.fieldIndex("n")))
+    require(na >= 2 && nb >= 2,
+      s"cupedDeltaMulti: need >= 2 rows per arm (got $na / $nb) — a " +
+        "variance needs replication")
+    val nd = (na + nb).toDouble
+    // pooled centered normal equations, operand for operand as the
+    // k = 2 oracle writes them: S[i][j] = (Σa + Σb) − (Σa+Σb)(Σa+Σb)/n
+    def pool(nm: String) = d(ra, nm) + d(rb, nm)
+    val sMat = Array.tabulate(k, k) { (i, j) =>
+      val (lo, hi) = (math.min(i, j), math.max(i, j))
+      pool(s"sxx${lo}_$hi") - pool(s"sx$lo") * pool(s"sx$hi") / nd
+    }
+    val bVec = Array.tabulate(k) { i =>
+      pool(s"sxy$i") - pool(s"sx$i") * pool("sy") / nd
+    }
+    // scale for the singularity test: the largest diagonal entry
+    val scale = sMat.indices.map(i => math.abs(sMat(i)(i))).max
+    val theta = new Array[Double](k)
+    val singular1 = k == 1 && sMat(0)(0) <= 0.0
+    if (singular1) {
+      theta(0) = 0.0 // the cupedDelta constant-covariate grace
+    } else {
+      // forward elimination, NO pivoting, declared column order
+      for (j <- 0 until k) {
+        require(math.abs(sMat(j)(j)) > 1e-12 * math.max(scale, 1e-300),
+          s"cupedDeltaMulti: covariate '${covariateCols(j)}' is " +
+            "constant or collinear with an earlier covariate after " +
+            "centering — drop it (the normal equations are singular)")
+        for (i <- j + 1 until k) {
+          val f = sMat(i)(j) / sMat(j)(j)
+          for (m <- j until k) sMat(i)(m) -= f * sMat(j)(m)
+          bVec(i) -= f * bVec(j)
+        }
+      }
+      for (j <- k - 1 to 0 by -1) {
+        var acc = bVec(j)
+        for (m <- j + 1 until k) acc -= sMat(j)(m) * theta(m)
+        theta(j) = acc / sMat(j)(j)
+      }
+    }
+    // per-arm means, variances, covariances (n − 1 denominators) and
+    // the adjusted variance quadratic form in ascending-index order
+    def stats(r: org.apache.spark.sql.Row, n: Long)
+        : (Double, Double, Array[Double], Double) = {
+      val nn = n.toDouble
+      val my = d(r, "sy") / nn
+      val vy = (d(r, "syy") - d(r, "sy") * d(r, "sy") / nn) / (nn - 1.0)
+      val mx = Array.tabulate(k)(i => d(r, s"sx$i") / nn)
+      def cv(i: Int, j: Int) = {
+        val (lo, hi) = (math.min(i, j), math.max(i, j))
+        (d(r, s"sxx${lo}_$hi") -
+          d(r, s"sx$lo") * d(r, s"sx$hi") / nn) / (nn - 1.0)
+      }
+      def cy(i: Int) =
+        (d(r, s"sxy$i") - d(r, s"sx$i") * d(r, "sy") / nn) / (nn - 1.0)
+      var lin = 0.0
+      for (j <- 0 until k) lin += theta(j) * cy(j)
+      var quad = 0.0
+      for (i <- 0 until k; j <- 0 until k)
+        quad += theta(i) * theta(j) * cv(i, j)
+      val s2 = math.max(0.0, vy - 2.0 * lin + quad)
+      (my, vy, mx, s2)
+    }
+    val (mya, vya, mxa, s2a) = stats(ra, na)
+    val (myb, vyb, mxb, s2b) = stats(rb, nb)
+    val deltaRaw = myb - mya
+    val seRaw = math.sqrt(math.max(0.0, vya) / na
+      + math.max(0.0, vyb) / nb)
+    var adj = 0.0
+    for (j <- 0 until k) adj += theta(j) * (mxb(j) - mxa(j))
+    val delta = deltaRaw - adj
+    val se = math.sqrt(s2a / na + s2b / nb)
+    val z = if (se > 0.0) delta / se else 0.0
+    val p =
+      if (se > 0.0)
+        math.min(1.0, Num.erfcc(math.abs(z) / math.sqrt(2.0)))
+      else if (delta == 0.0) 1.0 else 0.0
+    val vr = if (seRaw > 0.0) 1.0 - (se * se) / (seRaw * seRaw) else 0.0
+    val spark = exp.sparkSession
+    import spark.implicits._
+    Seq((na, nb, k, theta.map(Num.round9).toSeq,
+      Num.round9(deltaRaw), Num.round9(seRaw), Num.round9(delta),
+      Num.round9(se), Num.round9(z), Num.round9(p),
+      Num.round9(delta - Z95 * se), Num.round9(delta + Z95 * se),
+      Num.round9(vr), Num.round9(p) < alpha))
+      .toDF("n_a", "n_b", "k", "thetas", "delta_raw", "se_raw",
+        "delta", "se", "z", "p_value", "ci_lo", "ci_hi",
+        "var_reduction", "significant")
+  }
+
+  /** Ratio-metric A/B delta under UNIT randomization via the delta
+    * method (Deng, Knoblich & Lu 2017, "Applying the Delta Method in
+    * Metric Analytics: A Practical Guide with Novel Ideas") — the
+    * honest test for the metrics experiments actually ship on:
+    * CTR = Σclicks/Σimpressions, revenue-per-session, accept rate per
+    * suggestion. Such a ratio is NOT a mean of iid rows (the
+    * denominator is random too, and events cluster within the
+    * randomization unit), so neither the naive row-level z-test nor a
+    * per-unit average-of-ratios matches the shipped metric. The delta
+    * method does: per (arm, unit) totals (Y_u, N_u), the arm metric
+    * R = ΣY_u/ΣN_u, and
+    * Var(R) ≈ (s²_Y − 2R·s_YN + R²·s²_N) / (n·N̄²) from the unit-level
+    * moments — cluster-robust by construction because unit totals are
+    * the independent observations. Welch-style combination across
+    * arms, two-sided p via the shared [[Num.erfccCol]] chain, CI at
+    * the fixed [[Z95]]. Negative denominators refuse (a count/
+    * duration scale); zero-total denominators refuse (no metric to
+    * test); row hygiene propagates as NaN poison through the unit
+    * fold (the [[cupedUnitExprs]] discipline). Rows whose arm is
+    * neither `armA` nor `armB` are ignored. One row: (n_a, n_b,
+    * ratio_a, ratio_b, delta, se, z, p_value, ci_lo, ci_hi,
+    * significant), doubles rounded at 9; n_a/n_b count UNITS.
+    *
+    * Scale shape: one (arm, unit) hash aggregate (map-side
+    * combinable) then ONE (arm) hash aggregate of six power sums;
+    * O(1) driver arithmetic on two rows — no join, no window, units
+    * never collected.
+    */
+  def ratioMetricDelta(exp: DataFrame, armCol: String, armA: String,
+                       armB: String, numerCol: String,
+                       denomCol: String, unitCol: String,
+                       alpha: Double = 0.05): DataFrame = {
+    require(armA != armB,
+      s"ratioMetricDelta: armA and armB are both '$armA'")
+    require(alpha > 0 && alpha < 0.5, s"ratioMetricDelta: alpha=$alpha")
+    val y = col(numerCol).cast("double")
+    val d = col(denomCol).cast("double")
+    val bad = y.isNull || isnan(y) || d.isNull || isnan(d) || d < 0.0
+    val units = exp.filter(col(armCol).isin(armA, armB))
+      .groupBy(col(armCol).cast("string").as("arm"),
+        col(unitCol).as("__unit"))
+      .agg(sum(when(bad, lit(Double.NaN)).otherwise(y)).as("yu"),
+        sum(when(bad, lit(Double.NaN)).otherwise(d)).as("nu"))
+    val badU = (col("yu").isNull || isnan(col("yu")) ||
+      col("nu").isNull || isnan(col("nu"))).cast("long")
+    val per = units.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(badU).as("__nbad"),
+        sum(col("yu")).as("sy"), sum(col("nu")).as("sn"),
+        sum(col("yu") * col("yu")).as("syy"),
+        sum(col("nu") * col("nu")).as("snn"),
+        sum(col("yu") * col("nu")).as("syn"))
+      .localCheckpoint()
+    val rows = per.collect().map(r => r.getString(0) -> r).toMap
+    require(rows.contains(armA) && rows.contains(armB),
+      s"ratioMetricDelta: need units in BOTH arms '$armA' and " +
+        s"'$armB' — found ${rows.keys.mkString(", ")}")
+    val (ra0, rb0) = (rows(armA), rows(armB))
+    // row layout: arm(0), n(1), __nbad(2), sy(3), sn(4), syy(5),
+    // snn(6), syn(7)
+    val nBad = ra0.getLong(2) + rb0.getLong(2)
+    require(nBad == 0,
+      s"ratioMetricDelta: $nBad units with null/NaN numerator or " +
+        "null/NaN/negative denominator rows — clean the frame first")
+    require(ra0.getLong(1) >= 2 && rb0.getLong(1) >= 2,
+      s"ratioMetricDelta: need >= 2 units per arm (got " +
+        s"${ra0.getLong(1)} / ${rb0.getLong(1)}) — a variance needs " +
+        "replication")
+    require(ra0.getDouble(4) > 0.0 && rb0.getDouble(4) > 0.0,
+      "ratioMetricDelta: each arm's denominator total must be " +
+        "positive — a zero-exposure arm has no ratio to test")
+    // pivot + staged delta-method chain as COLUMN arithmetic (the
+    // cupedStatFrame discipline: the oracle replays it CTE for CTE,
+    // and stages keep janino inside its codegen limits)
+    def cell(c: String, arm: String) =
+      max(when(col("arm") === arm, col(c)))
+    val cells = Seq(
+      cell("n", armA).as("na"), cell("n", armB).as("nb"),
+      cell("sy", armA).as("sya"), cell("sy", armB).as("syb"),
+      cell("sn", armA).as("sna"), cell("sn", armB).as("snb"),
+      cell("syy", armA).as("syya"), cell("syy", armB).as("syyb"),
+      cell("snn", armA).as("snna"), cell("snn", armB).as("snnb"),
+      cell("syn", armA).as("syna"), cell("syn", armB).as("synb"))
+    val pv = per.agg(cells.head, cells.tail: _*)
+    def mom(tot: String, l: String, r: String, a: String) =
+      (col(s"$tot$a") - col(s"$l$a") * col(s"$r$a") / col(s"n$a")) /
+        (col(s"n$a") - lit(1.0))
+    val st1 = pv.select(col("*"),
+      (col("sya") / col("sna")).as("__ra"),
+      (col("syb") / col("snb")).as("__rb"),
+      (col("sna") / col("na")).as("__ma"),
+      (col("snb") / col("nb")).as("__mb"),
+      mom("syy", "sy", "sy", "a").as("__vya"),
+      mom("syy", "sy", "sy", "b").as("__vyb"),
+      mom("snn", "sn", "sn", "a").as("__vna"),
+      mom("snn", "sn", "sn", "b").as("__vnb"),
+      mom("syn", "sy", "sn", "a").as("__ca"),
+      mom("syn", "sy", "sn", "b").as("__cb"))
+    def varR(a: String, r: Column, v: Column, c: Column, vn: Column) =
+      greatest(lit(0.0), v - lit(2.0) * r * c + r * r * vn) /
+        (col(s"n$a") * col(s"__m$a") * col(s"__m$a"))
+    val st2 = st1.select(col("*"),
+      varR("a", col("__ra"), col("__vya"), col("__ca"), col("__vna"))
+        .as("__va"),
+      varR("b", col("__rb"), col("__vyb"), col("__cb"), col("__vnb"))
+        .as("__vb"),
+      (col("__rb") - col("__ra")).as("__delta"))
+    val st3 = st2.select(col("*"),
+      sqrt(col("__va") + col("__vb")).as("__se"))
+    val st4 = st3.select(col("*"),
+      when(col("__se") > 0.0, col("__delta") / col("__se"))
+        .otherwise(lit(0.0)).as("__z"))
+    val row = st4.select(col("*"),
+      when(col("__se") > 0.0, least(lit(1.0),
+          Num.erfccCol(abs(col("__z")) / sqrt(lit(2.0)))))
+        .otherwise(when(col("__delta") === 0.0, lit(1.0))
+          .otherwise(lit(0.0))).as("__p"))
+      .head()
+    def g(nm: String) = row.getDouble(row.fieldIndex(nm))
+    val (delta, se, z, p) = (g("__delta"), g("__se"), g("__z"), g("__p"))
+    val spark = exp.sparkSession
+    import spark.implicits._
+    Seq((ra0.getLong(1), rb0.getLong(1), Num.round9(g("__ra")),
+      Num.round9(g("__rb")), Num.round9(delta), Num.round9(se),
+      Num.round9(z), Num.round9(p), Num.round9(delta - Z95 * se),
+      Num.round9(delta + Z95 * se), Num.round9(p) < alpha))
+      .toDF("n_a", "n_b", "ratio_a", "ratio_b", "delta", "se", "z",
+        "p_value", "ci_lo", "ci_hi", "significant")
   }
 
   /** Empirical-Bayes shrinkage of per-slice rates (Robbins 1956;
@@ -2743,6 +3086,264 @@ object Classifier {
         .otherwise(lit(-1.0)), 9).as("multiple_needed"))
   }
 
+  /** The SRM per-group aggregate: total, one count cell per EXPECTED
+    * arm (in the caller's sorted order), and the census of rows whose
+    * arm is outside the declared design — ONE source for the batch
+    * [[srmCheck]] and the streaming
+    * [[graft.streaming.EventStream.windowedSrm]] monitor (the
+    * [[mcnemarAggExprs]] discipline). */
+  private[graft] def srmAggExprs(armCol: String,
+      arms: Seq[String]): Seq[Column] = {
+    val a = col(armCol).cast("string")
+    val badc = (a.isNull || !a.isin(arms: _*)).cast("long")
+    count(lit(1)).as("n") +: sum(badc).as("__nbad") +:
+      arms.zipWithIndex.map { case (arm, i) =>
+        sum((a === arm).cast("long")).as(s"__c$i")
+      }
+  }
+
+  /** The SRM statistic columns over a frame carrying [[srmAggExprs]]'
+    * outputs: χ² = Σ_i (o_i − e_i)²/e_i with e_i = w_i·n, summed
+    * LEFT-ASSOCIATIVELY in the caller's sorted arm order (a fixed
+    * literal expression both engines parse the same way — the
+    * cross-engine summation-order pin without prefix-sum machinery,
+    * viable because k is arms-small), p from the closed-form
+    * [[Num.chi2PCol]] at df = k − 1, and the flag compared on the
+    * round(9) grid. ONE source for batch and windowed forms. */
+  private[graft] def srmStatCols(weights: Seq[Double],
+      alpha: Double): Seq[Column] = {
+    val n = col("n").cast("double")
+    val chi2 = weights.zipWithIndex.map { case (w, i) =>
+      val o = col(s"__c$i").cast("double")
+      val e = lit(w) * n
+      (o - e) * (o - e) / e
+    }.reduceLeft(_ + _)
+    val df = weights.length - 1
+    val p = round(Num.chi2PCol(chi2, df), 9)
+    Seq(round(chi2, 9).as("chi2"), lit(df).as("df"),
+      p.as("p_value"), (p < alpha).as("srm"))
+  }
+
+  /** Sample-ratio-mismatch guard (the χ² goodness-of-fit check every
+    * experiment dashboard runs FIRST — e.g. Fabijan et al. 2019,
+    * "Diagnosing Sample Ratio Mismatch"): compare each arm's observed
+    * traffic against the DECLARED assignment weights, because a
+    * biased assignment (a broken hash, a bot filter that eats one arm,
+    * a redirect that drops slow clients) invalidates every downstream
+    * statistic no matter how good the estimators are — CUPED, the
+    * sequential boundaries, the per-slice shrinkage all assume the
+    * split the design declared. χ² = Σ (o_i − w_i·n)²/(w_i·n) over the
+    * declared arms, p from the EXACT finite closed form of the
+    * χ²_{k−1} upper tail ([[Num.chi2P]] — erfc base term plus a
+    * driver-literal Horner polynomial, so an ANSI-SQL oracle replays
+    * it), flagged at the conventional `alpha = 0.001` (an SRM check
+    * runs on every dashboard refresh; a loose threshold would fire
+    * constantly on healthy experiments). Rows whose arm is OUTSIDE
+    * the declared design refuse via the census riding the one
+    * aggregate — an undeclared arm is itself an assignment bug, not
+    * noise to ignore. One row per declared arm: (arm, n_arm,
+    * expected_n, share, expected_share) plus the global (n, chi2, df,
+    * p_value, srm) repeated on each row, doubles rounded at 9.
+    *
+    * Scale shape: ONE scalar hash aggregate over the log (k + 2
+    * conditional counts — no groupBy shuffle of arm keys, no join);
+    * the per-arm output rows unfold from the single checkpointed row.
+    */
+  def srmCheck(exp: DataFrame, armCol: String,
+               expectedWeights: Seq[(String, Double)],
+               alpha: Double = 0.001): DataFrame = {
+    val arms = expectedWeights.map(_._1)
+    require(arms.distinct.size == arms.size,
+      s"srmCheck: duplicate arms in expectedWeights: " +
+        arms.diff(arms.distinct).mkString(", "))
+    require(arms.size >= 2 && arms.size <= 129,
+      s"srmCheck: ${arms.size} arms — need 2 to 129 (df ≤ 128, the " +
+        "closed-form χ² bound)")
+    require(expectedWeights.forall(_._2 > 0.0),
+      "srmCheck: every expected weight must be positive — an arm " +
+        "declared at weight 0 cannot be χ²-tested; drop it")
+    val wsum = expectedWeights.map(_._2).sum
+    require(math.abs(wsum - 1.0) <= 1e-9,
+      s"srmCheck: expected weights sum to $wsum, not 1 — declare the " +
+        "full design")
+    require(alpha > 0 && alpha < 0.5, s"srmCheck: alpha=$alpha")
+    // sorted arm order = THE cross-engine summation-order pin for the
+    // χ² fold (and the output row order)
+    val sorted = expectedWeights.sortBy(_._1)
+    val e = srmAggExprs(armCol, sorted.map(_._1))
+    val agg = exp.agg(e.head, e.tail: _*).localCheckpoint()
+    val g = agg.head()
+    val nBad = if (g.isNullAt(1)) 0L else g.getLong(1)
+    require(nBad == 0,
+      s"srmCheck: $nBad rows with arms outside the declared design " +
+        s"{${sorted.map(_._1).mkString(", ")}} (or null) — an " +
+        "undeclared arm is an assignment bug; fix the design or the " +
+        "log")
+    require(g.getLong(0) > 0, "srmCheck: empty log")
+    val stats = srmStatCols(sorted.map(_._2), alpha)
+    val perArm = explode(array(sorted.zipWithIndex.map {
+      case ((arm, w), i) =>
+        struct(lit(arm).as("arm"), col(s"__c$i").as("n_arm"),
+          (lit(w) * col("n")).as("expected_n"),
+          (col(s"__c$i").cast("double") / col("n")).as("share"),
+          lit(w).as("expected_share"))
+    }: _*)).as("r")
+    agg.select(perArm +: (col("n") +: stats): _*)
+      .select(col("r.arm").as("arm"), col("r.n_arm").as("n_arm"),
+        round(col("r.expected_n"), 9).as("expected_n"),
+        round(col("r.share"), 9).as("share"),
+        round(col("r.expected_share"), 9).as("expected_share"),
+        col("n"), col("chi2"), col("df"), col("p_value"), col("srm"))
+  }
+
+  /** The composed end-to-end experiment report — what a real
+    * experiment reviewer actually reads, in ONE operator over ONE
+    * materialized pass of the log (the [[abReport]] precedent for the
+    * classifier leg, applied to the experimentation leg): the
+    * piecewise operators exist, but a reviewer needs them TOGETHER,
+    * in dependency order — is the assignment even valid (SRM), what
+    * is the variance-reduced verdict (CUPED), would an anytime-valid
+    * monitor have stopped by now (mixture-SPRT snapshot with the
+    * PLUG-IN pooled variance — no caller σ² guess), and which slices
+    * actually carry the effect (EB-shrunk rates, so small noisy
+    * slices don't top the ranking). Four legs, three aggregates, one
+    * corpus read:
+    *
+    *  - the projected log is localCheckpoint'ed once — the ONLY
+    *    corpus pass; both keyed aggregates below read the checkpoint;
+    *  - ONE (arm) aggregate via [[cupedAggExprs]] feeds THREE legs:
+    *    the SRM χ² over the same per-arm counts (the [[srmCheck]]
+    *    formula at k = 2, arm-name-sorted fold order, p from
+    *    [[Num.chi2P]]), the CUPED chain (the [[cupedStatFrame]]
+    *    columns, verbatim), and the sequential snapshot — the
+    *    [[graft.streaming.EventStream.windowedAbMixtureSprt]] closed
+    *    form at the CURRENT cumulative state, V = s²(1/n_A + 1/n_B)
+    *    with the pooled plug-in s² folding from the Σy² the CUPED
+    *    aggregate already carries;
+    *  - ONE (slice) aggregate via [[empiricalBayesRates]], verbatim.
+    *
+    * Scope: a TWO-arm report (multi-arm logs evaluate pairwise, the
+    * [[cupedDelta]] convention) — rows outside {armA, armB} are
+    * ignored and `expectedWeights` declares the two arms' design
+    * shares (they must sum to 1). A zero pooled metric variance emits
+    * the −1.0 sentinel in the sequential columns with
+    * `seq_decidable = false` (a constant metric has no scale to test
+    * against). One row per slice: the [[empiricalBayesRates]] columns
+    * (slice, n, successes, rate, shrink_factor, shrunk_rate) plus the
+    * GLOBAL verdict repeated on every row (n_total, srm_chi2, srm_p,
+    * srm, theta, delta_raw, delta, se, z, p_value, ci_lo, ci_hi,
+    * var_reduction, significant, seq_var, seq_log_lambda, seq_p,
+    * seq_reject, seq_decidable), doubles rounded at 9 — one DuckDB
+    * query replays the whole frame (slice CTEs × global CTE).
+    *
+    * Scale shape: one corpus read + two keyed hash aggregates over
+    * the checkpointed projection; O(1) driver arithmetic.
+    */
+  def abExperimentReport(exp: DataFrame, armCol: String, armA: String,
+                         armB: String, metricCol: String,
+                         covariateCol: String, successCol: String,
+                         sliceCol: String,
+                         expectedWeights: (Double, Double) = (0.5, 0.5),
+                         tau2: Double = 0.0625,
+                         alpha: Double = 0.05,
+                         alphaSrm: Double = 0.001,
+                         alphaSeq: Double = 0.05): DataFrame = {
+    require(armA != armB,
+      s"abExperimentReport: armA and armB are both '$armA'")
+    require(expectedWeights._1 > 0 && expectedWeights._2 > 0 &&
+      math.abs(expectedWeights._1 + expectedWeights._2 - 1.0) <= 1e-9,
+      s"abExperimentReport: expected weights $expectedWeights must " +
+        "be positive and sum to 1")
+    require(tau2 > 0, s"abExperimentReport: tau2=$tau2")
+    require(alpha > 0 && alpha < 0.5 && alphaSrm > 0 &&
+      alphaSrm < 0.5 && alphaSeq > 0 && alphaSeq < 0.5,
+      s"abExperimentReport: alpha=$alpha alphaSrm=$alphaSrm " +
+        s"alphaSeq=$alphaSeq")
+    // the ONE corpus pass: project and materialize
+    val base = exp.filter(col(armCol).isin(armA, armB))
+      .select(col(armCol).cast("string").as("arm"),
+        col(metricCol).as("__y"), col(covariateCol).as("__x"),
+        col(successCol).as("__s"), col(sliceCol).as("slice"))
+      .localCheckpoint()
+    // leg 1-3 feed: the (arm) CUPED aggregate
+    val e = cupedAggExprs("__y", "__x")
+    val per = base.groupBy(col("arm")).agg(e.head, e.tail: _*)
+      .localCheckpoint()
+    val rows = per.collect().map(r => r.getString(0) -> r).toMap
+    require(rows.contains(armA) && rows.contains(armB),
+      s"abExperimentReport: need rows in BOTH arms '$armA' and " +
+        s"'$armB' — found ${rows.keys.mkString(", ")}")
+    val (ra, rb) = (rows(armA), rows(armB))
+    // row layout: arm(0), n(1), __nbad(2), sy(3), sx(4), syy(5),
+    // sxx(6), sxy(7)
+    val nBad = ra.getLong(2) + rb.getLong(2)
+    require(nBad == 0,
+      s"abExperimentReport: $nBad rows with null/NaN metric or " +
+        "covariate values — clean the frame first")
+    val (na, nb) = (ra.getLong(1), rb.getLong(1))
+    require(na >= 2 && nb >= 2,
+      s"abExperimentReport: need >= 2 rows per arm (got $na / $nb)")
+    val nd = (na + nb).toDouble
+    // SRM leg: the srmCheck χ² over the same counts, k = 2, summed
+    // in ARM-NAME-SORTED order (the srmStatCols cross-engine pin)
+    val byName =
+      if (armA <= armB) Seq((na, expectedWeights._1),
+        (nb, expectedWeights._2))
+      else Seq((nb, expectedWeights._2), (na, expectedWeights._1))
+    val chi2 = byName.map { case (o, w) =>
+      (o - w * nd) * (o - w * nd) / (w * nd)
+    }.reduceLeft(_ + _)
+    val srmP = Num.round9(Num.chi2P(chi2, 1))
+    // CUPED leg: the shared pivot + formula chain, verbatim
+    val cells = cupedPivotCells(armA, armB)
+    val cu = cupedStatFrame(per.agg(cells.head, cells.tail: _*)).head()
+    def g(nm: String) = cu.getDouble(cu.fieldIndex(nm))
+    val (theta, deltaRaw, seRaw) = (g("__th"), g("__draw"), g("__seraw"))
+    val (delta, se, z, p) = (g("__delta"), g("__se"), g("__z"), g("__p"))
+    val vr = if (seRaw > 0.0) 1.0 - (se * se) / (seRaw * seRaw) else 0.0
+    // sequential leg: the two-sample mixture-SPRT snapshot at the
+    // current cumulative state, pooled PLUG-IN variance from the Σy²
+    // the aggregate already carries (no caller σ² guess)
+    val (sya, syb) = (ra.getDouble(3), rb.getDouble(3))
+    val (syya, syyb) = (ra.getDouble(5), rb.getDouble(5))
+    val s2p = (syya + syyb - sya * sya / na - syb * syb / nb) /
+      (na + nb - 2.0)
+    val seqOk = s2p > 0.0
+    val thrSeq = Num.round9(math.log(1.0 / alphaSeq))
+    val (seqLl, seqP, seqReject) =
+      if (seqOk) {
+        val vv = s2p * (1.0 / na + 1.0 / nb)
+        val ll = Num.round9(0.5 * math.log(vv / (vv + tau2))
+          + (deltaRaw * deltaRaw * tau2) / (2.0 * vv * (vv + tau2)))
+        (ll, Num.round9(math.min(1.0, math.exp(0.0 - ll))),
+          ll >= thrSeq)
+      } else (-1.0, -1.0, false)
+    // slice leg: EB-shrunk rates, verbatim reuse (its own (slice)
+    // aggregate over the checkpointed projection + riding census)
+    val eb = empiricalBayesRates(base.select(col("slice"), col("__s")),
+      "slice", "__s")
+    eb.select(col("*"),
+      lit(na + nb).as("n_total"),
+      lit(Num.round9(chi2)).as("srm_chi2"),
+      lit(srmP).as("srm_p"),
+      lit(srmP < alphaSrm).as("srm"),
+      lit(Num.round9(theta)).as("theta"),
+      lit(Num.round9(deltaRaw)).as("delta_raw"),
+      lit(Num.round9(delta)).as("delta"),
+      lit(Num.round9(se)).as("se"),
+      lit(Num.round9(z)).as("z"),
+      lit(Num.round9(p)).as("p_value"),
+      lit(Num.round9(delta - Z95 * se)).as("ci_lo"),
+      lit(Num.round9(delta + Z95 * se)).as("ci_hi"),
+      lit(Num.round9(vr)).as("var_reduction"),
+      lit(Num.round9(p) < alpha).as("significant"),
+      lit(if (seqOk) Num.round9(s2p) else -1.0).as("seq_var"),
+      lit(seqLl).as("seq_log_lambda"),
+      lit(seqP).as("seq_p"),
+      lit(seqReject).as("seq_reject"),
+      lit(seqOk).as("seq_decidable"))
+  }
+
   /** LLM-judge bias diagnostics over a pairwise-comparison log — the
     * two classic artifacts every "LLM as judge" pipeline must audit
     * before trusting a win rate (Zheng et al. 2023, "Judging
@@ -2763,68 +3364,107 @@ object Classifier {
     *    significantly positive r says the judge pays for tokens, not
     *    quality.
     *
-    * Logs with only one presentation order refuse (position bias is
-    * unmeasurable without both); winner values outside {winnerA,
-    * winnerB}, null order flags, or null/NaN/negative lengths refuse
-    * via the census riding the ONE aggregate. One row: (n, win_a,
-    * win_a_first, win_a_second, position_effect, position_z,
-    * position_p, debiased_win_a, len_r, len_z, len_p), doubles
-    * rounded at 9.
+    * TIES (r20): real judge logs are full of them. Pass
+    * `tieValue = Some(t)` to accept winner = t rows per the standard
+    * convention: ties are HALF-CREDITED in every reported win RATE
+    * (win_a, win_a_first/second, debiased_win_a — the drop-in metric
+    * a dashboard shows), EXCLUDED from the Bernoulli position test
+    * (effect/z/p are computed over decisive rows only — a half-credit
+    * is not a Bernoulli outcome), carried at aw = 0.5 in the
+    * verbosity correlation (plain Pearson over {0, ½, 1}; Σaw² rides
+    * the aggregate since aw² ≠ aw at ½), and reported as `tie_rate`.
+    * With no ties every formula degrades to the binary form term for
+    * term (spec-pinned).
     *
-    * Scale shape: ONE scalar hash aggregate over the log — nine sums;
-    * O(1) driver arithmetic.
+    * Logs with only one presentation order refuse (position bias is
+    * unmeasurable without both), as does a log whose DECISIVE rows
+    * all sit in one position; winner values outside {winnerA,
+    * winnerB} (∪ tieValue), null order flags, or null/NaN/negative
+    * lengths refuse via the census riding the ONE aggregate. One row:
+    * (n, win_a, win_a_first, win_a_second, position_effect,
+    * position_z, position_p, debiased_win_a, len_r, len_z, len_p,
+    * tie_rate), doubles rounded at 9.
+    *
+    * Scale shape: ONE scalar hash aggregate over the log — twelve
+    * sums; O(1) driver arithmetic.
     */
   def judgeBiasReport(pairs: DataFrame, winnerCol: String,
                       aFirstCol: String, lenACol: String,
                       lenBCol: String, winnerA: String = "a",
-                      winnerB: String = "b"): DataFrame = {
+                      winnerB: String = "b",
+                      tieValue: Option[String] = None): DataFrame = {
     require(winnerA != winnerB,
       s"judgeBiasReport: winnerA and winnerB are both '$winnerA'")
+    tieValue.foreach(t => require(t != winnerA && t != winnerB,
+      s"judgeBiasReport: tieValue '$t' collides with a winner label"))
     val wn = col(winnerCol).cast("string")
     val first = col(aFirstCol).cast("boolean")
     val la = col(lenACol).cast("double")
     val lb = col(lenBCol).cast("double")
-    val badc = (wn.isNull || (wn =!= winnerA && wn =!= winnerB) ||
+    val isTie = tieValue.map(t => wn === t).getOrElse(lit(false))
+    val badc = (wn.isNull ||
+      (wn =!= winnerA && wn =!= winnerB && !isTie) ||
       first.isNull || la.isNull || isnan(la) || la < 0.0 ||
       lb.isNull || isnan(lb) || lb < 0.0).cast("long")
-    val aw = (wn === winnerA).cast("double")
+    // A's credit: 1 for a win, ½ for a tie, 0 for a loss
+    val aw = when(wn === winnerA, lit(1.0))
+      .otherwise(when(isTie, lit(0.5)).otherwise(lit(0.0)))
     val d = la - lb
     val agg = pairs.agg(count(lit(1)).as("n"), sum(badc).as("nbad"),
       sum(first.cast("long")).as("n1"),
       sum((first && wn === winnerA).cast("long")).as("w1"),
       sum((!first && wn === winnerA).cast("long")).as("w2"),
-      sum(aw).as("sw"), sum(d).as("sd"), sum(d * d).as("sdd"),
+      sum(isTie.cast("long")).as("t"),
+      sum((first && isTie).cast("long")).as("t1"),
+      sum(aw).as("sw"), sum(aw * aw).as("sww"),
+      sum(d).as("sd"), sum(d * d).as("sdd"),
       sum(aw * d).as("swd")).head()
     val nBad = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+    val lbl = tieValue.map(t => s"{$winnerA, $winnerB, $t}")
+      .getOrElse(s"{$winnerA, $winnerB}")
     require(nBad == 0,
       s"judgeBiasReport: $nBad rows with winners outside " +
-        s"{$winnerA, $winnerB}, null order flags, or null/NaN/" +
+        s"$lbl, null order flags, or null/NaN/" +
         "negative lengths — clean the log first")
     require(agg.getLong(0) > 0, "judgeBiasReport: empty log")
     val n = agg.getLong(0)
     val (n1, w1, w2) = (agg.getLong(2), agg.getLong(3), agg.getLong(4))
+    val (t, t1) = (agg.getLong(5), agg.getLong(6))
     val n2 = n - n1
+    val t2 = t - t1
     require(n1 > 0 && n2 > 0,
       s"judgeBiasReport: every comparison shows A in the same " +
         s"position ($n1 first of $n) — position bias is unmeasurable " +
         "without both orders; randomize the presentation")
+    // decisive (non-tie) counts per position carry the Bernoulli test
+    val (nt1, nt2) = (n1 - t1, n2 - t2)
+    require(nt1 > 0 && nt2 > 0,
+      s"judgeBiasReport: every DECISIVE comparison sits in one " +
+        s"position ($nt1 first / $nt2 second non-tie of $n) — the " +
+        "position test needs decisive rows in both orders")
     val nd = n.toDouble
-    val winA = (w1 + w2).toDouble / nd
-    val pf = w1.toDouble / n1
-    val ps = w2.toDouble / n2
-    val effect = pf - ps
-    val seP = math.sqrt(winA * (1.0 - winA)
-      * (1.0 / n1 + 1.0 / n2))
+    // half-credit rates: the drop-in metric (reduce to the binary
+    // rates exactly when t = 0)
+    val winA = (w1 + w2 + 0.5 * t) / nd
+    val pf = (w1 + 0.5 * t1) / n1
+    val ps = (w2 + 0.5 * t2) / n2
+    // Bernoulli position test over decisive rows only
+    val pfB = w1.toDouble / nt1
+    val psB = w2.toDouble / nt2
+    val effect = pfB - psB
+    val winNT = (w1 + w2).toDouble / (nt1 + nt2)
+    val seP = math.sqrt(winNT * (1.0 - winNT)
+      * (1.0 / nt1 + 1.0 / nt2))
     val (zP, pP) =
       if (seP > 0.0) {
         val z0 = effect / seP
         (z0, math.min(1.0, Num.erfcc(math.abs(z0) / math.sqrt(2.0))))
       } else (0.0, if (effect == 0.0) 1.0 else 0.0)
-    val (sw, sd, sdd, swd) = (agg.getDouble(5), agg.getDouble(6),
-      agg.getDouble(7), agg.getDouble(8))
-    // point-biserial = Pearson(1{A wins}, len delta); Σw² = Σw for a
-    // binary indicator, so every term rides the one aggregate
-    val varW = sw - sw * sw / nd
+    val (sw, sww, sd, sdd, swd) = (agg.getDouble(7), agg.getDouble(8),
+      agg.getDouble(9), agg.getDouble(10), agg.getDouble(11))
+    // Pearson(aw, len delta) — with ties aw ∈ {0, ½, 1}, so Σaw²
+    // rides the aggregate (aw² = aw only in the binary case)
+    val varW = sww - sw * sw / nd
     val varD = sdd - sd * sd / nd
     val r =
       if (varW > 0.0 && varD > 0.0)
@@ -2840,10 +3480,11 @@ object Classifier {
     Seq((n, Num.round9(winA), Num.round9(pf), Num.round9(ps),
       Num.round9(effect), Num.round9(zP), Num.round9(pP),
       Num.round9((pf + ps) / 2.0),
-      Num.round9(r), Num.round9(zL), Num.round9(pL)))
+      Num.round9(r), Num.round9(zL), Num.round9(pL),
+      Num.round9(t / nd)))
       .toDF("n", "win_a", "win_a_first", "win_a_second",
         "position_effect", "position_z", "position_p",
-        "debiased_win_a", "len_r", "len_z", "len_p")
+        "debiased_win_a", "len_r", "len_z", "len_p", "tie_rate")
   }
 
   /** Adapter from a ROUTER LOG to the scalar propensities the OPE trio

@@ -683,10 +683,22 @@ object EventStream {
     * matter how often the monitor looks), and p_n = min(1, 1/Λ_n) is
     * the always-valid p-value. The decision compares the
     * round(9)-pinned log Λ against the round(9)-pinned ln(1/α) (the
-    * [[windowedAbSprt]] pinned-threshold convention). Null/NaN values
-    * refuse via the riding census. One row per window: (window_start,
-    * n, n_cum, mean_cum, log_lambda, p_value, reject), doubles rounded
-    * at 9.
+    * [[windowedAbSprt]] pinned-threshold convention).
+    *
+    * VARIANCE (r20): `sigma2 = Some(s)` is the textbook known-variance
+    * form (and the one an oracle replays most tightly). `sigma2 =
+    * None` — the deployed default in Johari et al.'s system — plugs in
+    * the RUNNING empirical variance s²_n = (Σx² − S²/n)/(n − 1) from a
+    * Σx² that rides the same aggregate, because a caller-guessed σ²
+    * that is too small silently VOIDS the α guarantee (every boundary
+    * fires early). Plug-in windows before the variance exists
+    * (n_cum < 2, or a constant stream's s² = 0) emit the −1.0 sentinel
+    * with `decidable = false` (the [[windowedCuped]] convention);
+    * `var_used` reports the σ² each window's Λ actually used. The
+    * spec pins plug-in → known convergence as data accrues. Null/NaN
+    * values refuse via the riding census. One row per window:
+    * (window_start, n, n_cum, mean_cum, var_used, log_lambda, p_value,
+    * reject, decidable), doubles rounded at 9.
     *
     * GAP-WINDOW SEMANTICS: data windows — an empty window carries zero
     * observations, so (n, S) and every later Λ are identical with or
@@ -698,19 +710,23 @@ object EventStream {
     * rows (time-bounded; the [[cusumDrift]] convention).
     */
   def windowedMixtureSprt(scored: DataFrame, valueCol: String,
-                          sigma2: Double, tau2: Double,
+                          sigma2: Option[Double], tau2: Double,
                           alpha: Double = 0.05,
                           width: String = "1 hour"): DataFrame = {
-    require(sigma2 > 0, s"windowedMixtureSprt: sigma2=$sigma2 must be " +
-      "positive — the known per-observation variance")
+    sigma2.foreach(s2 => require(s2 > 0,
+      s"windowedMixtureSprt: sigma2=$s2 must be positive — the known " +
+        "per-observation variance (or None for the running plug-in)"))
     require(tau2 > 0, s"windowedMixtureSprt: tau2=$tau2 must be " +
       "positive — the prior scale of detectable effects")
     require(alpha > 0 && alpha < 0.5, s"windowedMixtureSprt: alpha=$alpha")
     val x = col(valueCol).cast("double")
     val bad = (x.isNull || isnan(x)).cast("long")
+    // Σx² rides the same aggregate whichever variance mode is chosen —
+    // the plug-in path must not cost a second pass
     val per = scored
       .groupBy(window(col("ts"), width).as("w"))
-      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(bad).as("__bad"))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"),
+        sum(x * x).as("sxx"), sum(bad).as("__bad"))
       .localCheckpoint()
     val badRow = per.agg(sum("__bad")).head()
     val nBad = if (badRow.isNullAt(0)) 0L else badRow.getLong(0)
@@ -722,22 +738,39 @@ object EventStream {
         .unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     val thr = graft.ops.Num.round9(math.log(1.0 / alpha))
-    val cum = per.select(col("w.start").as("k"), col("n"), col("sx"))
+    val cum = per.select(col("w.start").as("k"), col("n"), col("sx"),
+        col("sxx"))
       .select(col("k"), col("n"),
-        sum("n").over(wOrd).as("nc"), sum("sx").over(wOrd).as("sc"))
+        sum("n").over(wOrd).as("nc"), sum("sx").over(wOrd).as("sc"),
+        sum("sxx").over(wOrd).as("xc"))
+    // the variance the mixture uses: a caller constant, or the running
+    // empirical s² = (Σx² − S²/n)/(n − 1) — the division is GUARDED
+    // behind n ≥ 2 (ANSI: an ungated n = 1 row would throw before any
+    // gating downstream could apply)
+    val (v, ok) = sigma2 match {
+      case Some(s2) => (lit(s2), lit(true))
+      case None =>
+        val vr = when(col("nc") >= 2,
+          (col("xc") - col("sc") * col("sc") / col("nc")) /
+            (col("nc") - lit(1.0)))
+        (vr, col("nc") >= 2 && coalesce(vr > 0.0, lit(false)))
+    }
     // log Λ operand for operand as the oracle writes it:
-    // 0.5·ln(σ²/(σ² + n·τ²)) + (S·S·τ²)/(2σ²(σ² + n·τ²))
-    val llr = round(
-      lit(0.5) * log(lit(sigma2) / (lit(sigma2) + col("nc") * lit(tau2)))
+    // 0.5·ln(v/(v + n·τ²)) + (S·S·τ²)/(2v(v + n·τ²))
+    val llr = round(when(ok,
+      lit(0.5) * log(v / (v + col("nc") * lit(tau2)))
         + (col("sc") * col("sc") * lit(tau2)) /
-          (lit(2.0) * lit(sigma2) * (lit(sigma2) + col("nc") * lit(tau2))),
+          (lit(2.0) * v * (v + col("nc") * lit(tau2)))),
       9)
     cum.select(col("k").as("window_start"), col("n"),
       col("nc").as("n_cum"),
       round(col("sc") / col("nc"), 9).as("mean_cum"),
-      llr.as("log_lambda"),
-      round(least(lit(1.0), exp(lit(0.0) - llr)), 9).as("p_value"),
-      (llr >= thr).as("reject"))
+      round(when(ok, v).otherwise(lit(-1.0)), 9).as("var_used"),
+      coalesce(llr, lit(-1.0)).as("log_lambda"),
+      coalesce(round(least(lit(1.0), exp(lit(0.0) - llr)), 9),
+        lit(-1.0)).as("p_value"),
+      coalesce(llr >= thr, lit(false)).as("reject"),
+      ok.as("decidable"))
   }
 
   /** Always-valid CONFIDENCE SEQUENCE on a running mean — the interval
@@ -755,9 +788,19 @@ object EventStream {
     * libm risk on the transcendental terms under the round(9) pin).
     * The DUALITY with [[windowedMixtureSprt]] is exact and
     * spec-pinned: the mSPRT rejects μ = 0 precisely when 0 falls
-    * outside the sequence (|x̄_n| ≥ r_n). Null/NaN values refuse via
-    * the riding census. One row per window: (window_start, n, n_cum,
-    * mean_cum, radius, ci_lo, ci_hi), doubles rounded at 9.
+    * outside the sequence (|x̄_n| ≥ r_n).
+    *
+    * VARIANCE (r20): `sigma2 = Some(s)` is the known-variance form;
+    * `sigma2 = None` plugs in the running empirical variance from a
+    * Σx² riding the same aggregate (the [[windowedMixtureSprt]]
+    * rationale — a wrong caller guess silently breaks the coverage
+    * guarantee; the duality is preserved window for window because
+    * both operators plug in the SAME s²_n). Plug-in windows before
+    * the variance exists emit the −1.0 sentinel with
+    * `decidable = false`; `var_used` reports the σ² each window used.
+    * Null/NaN values refuse via the riding census. One row per
+    * window: (window_start, n, n_cum, mean_cum, var_used, radius,
+    * ci_lo, ci_hi, decidable), doubles rounded at 9.
     *
     * GAP-WINDOW SEMANTICS: data windows — an empty window adds no
     * observations and the sequence is unchanged (the
@@ -768,11 +811,12 @@ object EventStream {
     * rows (time-bounded; the [[cusumDrift]] convention).
     */
   def windowedConfidenceSeq(scored: DataFrame, valueCol: String,
-                            sigma2: Double, tau2: Double,
+                            sigma2: Option[Double], tau2: Double,
                             alpha: Double = 0.05,
                             width: String = "1 hour"): DataFrame = {
-    require(sigma2 > 0, s"windowedConfidenceSeq: sigma2=$sigma2 must " +
-      "be positive — the known per-observation variance")
+    sigma2.foreach(s2 => require(s2 > 0,
+      s"windowedConfidenceSeq: sigma2=$s2 must be positive — the " +
+        "known per-observation variance (or None for the plug-in)"))
     require(tau2 > 0, s"windowedConfidenceSeq: tau2=$tau2 must be " +
       "positive — the prior scale of the mixture")
     require(alpha > 0 && alpha < 0.5,
@@ -781,7 +825,8 @@ object EventStream {
     val bad = (x.isNull || isnan(x)).cast("long")
     val per = scored
       .groupBy(window(col("ts"), width).as("w"))
-      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(bad).as("__bad"))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"),
+        sum(x * x).as("sxx"), sum(bad).as("__bad"))
       .localCheckpoint()
     val badRow = per.agg(sum("__bad")).head()
     val nBad = if (badRow.isNullAt(0)) 0L else badRow.getLong(0)
@@ -792,25 +837,38 @@ object EventStream {
       .rowsBetween(org.apache.spark.sql.expressions.Window
         .unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val cum = per.select(col("w.start").as("k"), col("n"), col("sx"))
+    val cum = per.select(col("w.start").as("k"), col("n"), col("sx"),
+        col("sxx"))
       .select(col("k"), col("n"),
-        sum("n").over(wOrd).as("nc"), sum("sx").over(wOrd).as("sc"))
+        sum("n").over(wOrd).as("nc"), sum("sx").over(wOrd).as("sc"),
+        sum("sxx").over(wOrd).as("xc"))
+    // the same variance choice as the mixture SPRT — the duality
+    // depends on both operators plugging in the SAME s²_n
+    val (v, ok) = sigma2 match {
+      case Some(s2) => (lit(s2), lit(true))
+      case None =>
+        val vr = when(col("nc") >= 2,
+          (col("xc") - col("sc") * col("sc") / col("nc")) /
+            (col("nc") - lit(1.0)))
+        (vr, col("nc") >= 2 && coalesce(vr > 0.0, lit(false)))
+    }
     // radius operand for operand as the oracle writes it:
-    // sqrt( (2σ²(σ²+nτ²)/τ²) · (0.5·ln((σ²+nτ²)/σ²) − ln α) ) / n
+    // sqrt( (2v(v+nτ²)/τ²) · (0.5·ln((v+nτ²)/v) − ln α) ) / n
     val mean = col("sc") / col("nc")
-    val radius = round(
-      sqrt((lit(2.0) * lit(sigma2)
-          * (lit(sigma2) + col("nc") * lit(tau2)) / lit(tau2))
-        * (lit(0.5) * log((lit(sigma2) + col("nc") * lit(tau2))
-            / lit(sigma2))
-          - lit(math.log(alpha)))) / col("nc"),
+    val radius = round(when(ok,
+      sqrt((lit(2.0) * v
+          * (v + col("nc") * lit(tau2)) / lit(tau2))
+        * (lit(0.5) * log((v + col("nc") * lit(tau2)) / v)
+          - lit(math.log(alpha)))) / col("nc")),
       9)
     cum.select(col("k").as("window_start"), col("n"),
       col("nc").as("n_cum"),
       round(mean, 9).as("mean_cum"),
-      radius.as("radius"),
-      round(mean - radius, 9).as("ci_lo"),
-      round(mean + radius, 9).as("ci_hi"))
+      round(when(ok, v).otherwise(lit(-1.0)), 9).as("var_used"),
+      coalesce(radius, lit(-1.0)).as("radius"),
+      coalesce(round(mean - radius, 9), lit(-1.0)).as("ci_lo"),
+      coalesce(round(mean + radius, 9), lit(-1.0)).as("ci_hi"),
+      ok.as("decidable"))
   }
 
   /** Streaming off-policy-evaluation monitor — the windowed parity of
@@ -875,30 +933,56 @@ object EventStream {
     * window: (window_start, n_a, n_b, theta, delta_raw, se_raw,
     * delta, se, z, p_value, decidable), doubles rounded at 9.
     *
+    * RANDOMIZATION UNIT (r20): pass `unitCol = Some(u)` to
+    * pre-aggregate per (window, unit, arm) into unit totals before
+    * the CUPED fold — the [[graft.ops.Classifier.cupedDelta]]
+    * cluster-robust path, per window (a unit active in several
+    * windows is one observation PER WINDOW — the monitor's
+    * within-window verdict stays an independent-units statistic; the
+    * batch operator is the cross-window pooled answer). Row hygiene
+    * propagates as NaN poison through the unit fold.
+    *
     * Scale shape: ONE (window, arm) hash aggregate over the stream
     * (six power sums + census), then a (window) pivot fold over the
     * 2·windows-many checkpointed rows; no join, no window function.
+    * The unit path prepends one (window, arm, unit) hash aggregate
+    * (map-side combinable).
     */
   def windowedCuped(exp: DataFrame, armCol: String, armA: String,
                     armB: String, metricCol: String,
                     covariateCol: String,
-                    width: String = "1 hour"): DataFrame = {
+                    width: String = "1 hour",
+                    unitCol: Option[String] = None): DataFrame = {
     require(armA != armB, s"windowedCuped: armA and armB are both '$armA'")
     // the SAME aggregate, pivot, and formula chain as the batch
     // operator — graft.ops.Classifier.cupedAggExprs /
     // cupedPivotCells / cupedStatFrame, ONE source (the
     // mcnemarAggExprs discipline), so monitor and batch cannot drift
-    val e = graft.ops.Classifier.cupedAggExprs(metricCol, covariateCol)
-    val per = exp.filter(col(armCol).isin(armA, armB))
-      .groupBy(window(col("ts"), width).as("w"),
-        col(armCol).cast("string").as("arm"))
+    val scoped = exp.filter(col(armCol).isin(armA, armB))
+    val (src, yc, xc) = unitCol match {
+      case None =>
+        (scoped.select(window(col("ts"), width).as("w"),
+          col(armCol).cast("string").as("arm"),
+          col(metricCol), col(covariateCol)),
+          metricCol, covariateCol)
+      case Some(u) =>
+        val ue = graft.ops.Classifier.cupedUnitExprs(metricCol,
+          covariateCol)
+        (scoped.groupBy(window(col("ts"), width).as("w"),
+          col(armCol).cast("string").as("arm"), col(u).as("__unit"))
+          .agg(ue.head, ue.tail: _*), "__uy", "__ux")
+    }
+    val e = graft.ops.Classifier.cupedAggExprs(yc, xc)
+    val per = src
+      .groupBy(col("w"), col("arm"))
       .agg(e.head, e.tail: _*)
       .localCheckpoint()
     val badRow = per.agg(sum("__nbad")).head()
     val nBad = if (badRow.isNullAt(0)) 0L else badRow.getLong(0)
+    val obs = if (unitCol.isDefined) "unit" else "row"
     require(nBad == 0,
-      s"windowedCuped: $nBad null/NaN metric or covariate values — " +
-        "clean the stream first")
+      s"windowedCuped: $nBad ${obs}s with null/NaN metric or " +
+        "covariate values — clean the stream first")
     val cells = graft.ops.Classifier.cupedPivotCells(armA, armB)
     val pv = per.groupBy(col("w.start").as("window_start"))
       .agg(cells.head, cells.tail: _*)
@@ -931,14 +1015,23 @@ object EventStream {
     * caveat: accepted 1-ulp libm risk under the round(9) pin);
     * rejecting at Λ ≥ 1/α is anytime-valid and p_n = min(1, 1/Λ_n)
     * the always-valid p. Statistic and threshold are round(9)-pinned
-    * (the [[windowedAbSprt]] convention). Windows before BOTH arms
-    * have cumulative traffic emit the −1.0 sentinel with
-    * `decidable = false` (the [[windowedCuped]] convention — once
-    * both arms are seen, every later window is decidable). Rows whose
-    * arm is neither `armA` nor `armB` are ignored; null/NaN values
-    * refuse via the riding census. One row per window: (window_start,
-    * n, na_cum, nb_cum, delta_cum, log_lambda, p_value, reject,
-    * decidable), doubles rounded at 9.
+    * (the [[windowedAbSprt]] convention).
+    *
+    * VARIANCE (r20): `sigma2 = Some(s)` is the known-variance form;
+    * `sigma2 = None` plugs in the running POOLED empirical variance
+    * s² = (Σx²_A + Σx²_B − S_A²/n_A − S_B²/n_B)/(n_A + n_B − 2) from
+    * per-arm Σx² sums riding the same aggregate (the
+    * [[windowedMixtureSprt]] rationale). Known-σ² windows are
+    * decidable once BOTH arms have cumulative traffic (the
+    * [[windowedCuped]] convention — once both arms are seen, every
+    * later window is decidable); plug-in windows additionally need
+    * n ≥ 2 PER ARM and s² > 0 before the pooled variance exists.
+    * Until then the −1.0 sentinel with `decidable = false`;
+    * `var_used` reports the per-observation σ² each window's V used.
+    * Rows whose arm is neither `armA` nor `armB` are ignored;
+    * null/NaN values refuse via the riding census. One row per
+    * window: (window_start, n, na_cum, nb_cum, delta_cum, var_used,
+    * log_lambda, p_value, reject, decidable), doubles rounded at 9.
     *
     * Scale shape: ONE (window, arm) hash aggregate, a (window) pivot
     * fold, then window-ORDERED prefix sums over the windows-many
@@ -946,13 +1039,15 @@ object EventStream {
     */
   def windowedAbMixtureSprt(scored: DataFrame, armCol: String,
                             armA: String, armB: String,
-                            valueCol: String, sigma2: Double,
+                            valueCol: String, sigma2: Option[Double],
                             tau2: Double, alpha: Double = 0.05,
                             width: String = "1 hour"): DataFrame = {
     require(armA != armB,
       s"windowedAbMixtureSprt: armA and armB are both '$armA'")
-    require(sigma2 > 0, s"windowedAbMixtureSprt: sigma2=$sigma2 must " +
-      "be positive — the known per-observation variance")
+    sigma2.foreach(s2 => require(s2 > 0,
+      s"windowedAbMixtureSprt: sigma2=$s2 must be positive — the " +
+        "known per-observation variance (or None for the pooled " +
+        "plug-in)"))
     require(tau2 > 0, s"windowedAbMixtureSprt: tau2=$tau2 must be " +
       "positive — the prior scale of detectable deltas")
     require(alpha > 0 && alpha < 0.5,
@@ -962,7 +1057,8 @@ object EventStream {
     val per = scored.filter(col(armCol).isin(armA, armB))
       .groupBy(window(col("ts"), width).as("w"),
         col(armCol).cast("string").as("arm"))
-      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(bad).as("__bad"))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"),
+        sum(x * x).as("sxx"), sum(bad).as("__bad"))
       .localCheckpoint()
     val badRow = per.agg(sum("__bad")).head()
     val nBad = if (badRow.isNullAt(0)) 0L else badRow.getLong(0)
@@ -976,7 +1072,9 @@ object EventStream {
       coalesce(cell("n", armA), lit(0L)).as("nain"),
       coalesce(cell("n", armB), lit(0L)).as("nbin"),
       coalesce(cell("sx", armA), lit(0.0)).as("sain"),
-      coalesce(cell("sx", armB), lit(0.0)).as("sbin"))
+      coalesce(cell("sx", armB), lit(0.0)).as("sbin"),
+      coalesce(cell("sxx", armA), lit(0.0)).as("xain"),
+      coalesce(cell("sxx", armB), lit(0.0)).as("xbin"))
     val wOrd = org.apache.spark.sql.expressions.Window.orderBy("k")
       .rowsBetween(org.apache.spark.sql.expressions.Window
         .unboundedPreceding,
@@ -986,14 +1084,30 @@ object EventStream {
       sum("nain").over(wOrd).as("na"),
       sum("nbin").over(wOrd).as("nb"),
       sum("sain").over(wOrd).as("sa"),
-      sum("sbin").over(wOrd).as("sb"))
-    val ok = col("na") > 0 && col("nb") > 0
+      sum("sbin").over(wOrd).as("sb"),
+      sum("xain").over(wOrd).as("xa"),
+      sum("xbin").over(wOrd).as("xb"))
+    // the per-observation variance: a caller constant (decidable once
+    // both arms are seen), or the running pooled empirical s²
+    // (additionally needs n ≥ 2 per arm; divisions ANSI-guarded)
+    val (s2c, ok) = sigma2 match {
+      case Some(s2) => (lit(s2), col("na") > 0 && col("nb") > 0)
+      case None =>
+        val vr = when(col("na") >= 2 && col("nb") >= 2,
+          (col("xa") + col("xb")
+            - col("sa") * col("sa") / col("na")
+            - col("sb") * col("sb") / col("nb")) /
+            (col("na") + col("nb") - lit(2.0)))
+        (vr, col("na") >= 2 && col("nb") >= 2 &&
+          coalesce(vr > 0.0, lit(false)))
+    }
     // staged (the windowedCuped codegen discipline): delta and V as
     // aliased columns under the ok gate, then the closed-form log Λ
     val st = cum.select(col("*"),
       when(ok, col("sb") / col("nb") - col("sa") / col("na"))
         .as("__d"),
-      when(ok, lit(sigma2) * (lit(1.0) / col("na")
+      when(ok, s2c).as("__s2"),
+      when(ok, s2c * (lit(1.0) / col("na")
         + lit(1.0) / col("nb"))).as("__v"))
     val llr = round(
       lit(0.5) * log(col("__v") / (col("__v") + lit(tau2)))
@@ -1006,11 +1120,72 @@ object EventStream {
     zz.select(col("k").as("window_start"), col("n"),
       col("na").as("na_cum"), col("nb").as("nb_cum"),
       gated(col("__d")).as("delta_cum"),
+      gated(col("__s2")).as("var_used"),
       gated(col("__ll")).as("log_lambda"),
       gated(least(lit(1.0), exp(lit(0.0) - col("__ll"))))
         .as("p_value"),
       (ok && col("__ll") >= thr).as("reject"),
       ok.as("decidable"))
+  }
+
+  /** Per-window sample-ratio-mismatch monitor — the streaming parity
+    * of [[graft.ops.Classifier.srmCheck]] (the [[windowedAb]]
+    * pattern): per tumbling window, the χ² of each declared arm's
+    * observed traffic against the declared assignment weights, so a
+    * broken hash or a one-arm-eating bot filter is caught the HOUR it
+    * starts, not at the post-experiment readout — and the A/B
+    * monitors downstream ([[windowedCuped]],
+    * [[windowedAbMixtureSprt]]) can gate themselves on it (their
+    * statistics all assume the declared split). Aggregate cells AND
+    * the χ²/p/flag formulas are single-sourced with the batch check
+    * ([[graft.ops.Classifier.srmAggExprs]] /
+    * [[graft.ops.Classifier.srmStatCols]] — the mcnemarAggExprs
+    * discipline); p from the exact finite closed form of the
+    * χ²_{k−1} upper tail, flagged at the conventional 0.001. Rows
+    * whose arm is outside the declared design refuse via the census
+    * riding the one aggregate. One row per window: (window_start, n,
+    * chi2, df, p_value, srm), doubles rounded at 9.
+    *
+    * Scale shape: ONE (window) hash aggregate over the stream (k + 2
+    * conditional counts per window — no per-arm shuffle key, no
+    * join); output is column arithmetic on the checkpointed
+    * windows-many rows.
+    */
+  def windowedSrm(events: DataFrame, armCol: String,
+                  expectedWeights: Seq[(String, Double)],
+                  alpha: Double = 0.001,
+                  width: String = "1 hour"): DataFrame = {
+    val arms = expectedWeights.map(_._1)
+    require(arms.distinct.size == arms.size,
+      s"windowedSrm: duplicate arms in expectedWeights: " +
+        arms.diff(arms.distinct).mkString(", "))
+    require(arms.size >= 2 && arms.size <= 129,
+      s"windowedSrm: ${arms.size} arms — need 2 to 129 (df ≤ 128, " +
+        "the closed-form χ² bound)")
+    require(expectedWeights.forall(_._2 > 0.0),
+      "windowedSrm: every expected weight must be positive")
+    val wsum = expectedWeights.map(_._2).sum
+    require(math.abs(wsum - 1.0) <= 1e-9,
+      s"windowedSrm: expected weights sum to $wsum, not 1 — declare " +
+        "the full design")
+    require(alpha > 0 && alpha < 0.5, s"windowedSrm: alpha=$alpha")
+    val sorted = expectedWeights.sortBy(_._1)
+    val e = graft.ops.Classifier.srmAggExprs(armCol, sorted.map(_._1))
+    val per = events
+      .groupBy(window(col("ts"), width).as("w"))
+      .agg(e.head, e.tail: _*)
+      .localCheckpoint()
+    val badRow = per.agg(sum("__nbad")).head()
+    val nBad = if (badRow.isNullAt(0)) 0L else badRow.getLong(0)
+    require(nBad == 0,
+      s"windowedSrm: $nBad rows with arms outside the declared " +
+        s"design {${sorted.map(_._1).mkString(", ")}} (or null) — an " +
+        "undeclared arm is an assignment bug; fix the design or the " +
+        "stream")
+    val stats = graft.ops.Classifier.srmStatCols(sorted.map(_._2),
+      alpha)
+    per.select(col("w.start").as("window_start") +: col("n") +:
+      stats: _*)
   }
 
   /** Sliding-window per-user activity. */

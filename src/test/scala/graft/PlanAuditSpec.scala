@@ -986,7 +986,7 @@ class PlanAuditSpec extends SparkSpec {
       (((col("user_id") * 13) % 9 - 4).cast("double") / 8.0
         + lit(0.015625)).as("delta"))
     val df = graft.streaming.EventStream.windowedMixtureSprt(scored,
-      "delta", sigma2 = 0.125, tau2 = 0.0625)
+      "delta", sigma2 = Some(0.125), tau2 = 0.0625)
     val p = plan(df)
     assert(!p.contains("FileScan"), p)
     assert(opCount(p, "Scan parquet") + opCount(p, "BatchScan") === 0, p)
@@ -999,7 +999,7 @@ class PlanAuditSpec extends SparkSpec {
       (((col("user_id") * 13) % 9 - 4).cast("double") / 8.0
         + lit(0.015625)).as("delta"))
     val df = graft.streaming.EventStream.windowedConfidenceSeq(scored,
-      "delta", sigma2 = 0.125, tau2 = 0.0625)
+      "delta", sigma2 = Some(0.125), tau2 = 0.0625)
     val p = plan(df)
     assert(!p.contains("FileScan"), p)
     assert(opCount(p, "Scan parquet") + opCount(p, "BatchScan") === 0, p)
@@ -1064,11 +1064,74 @@ class PlanAuditSpec extends SparkSpec {
       (base + pmod(col("user_id"), lit(2)).cast("double") * 0.03125)
         .as("y"))
     val df = graft.streaming.EventStream.windowedAbMixtureSprt(scored,
-      "arm", "arm0", "arm1", "y", sigma2 = 0.125, tau2 = 0.0625)
+      "arm", "arm0", "arm1", "y", sigma2 = Some(0.125), tau2 = 0.0625)
     val p = plan(df)
     assert(!p.contains("FileScan"), p)
     assert(opCount(p, "Scan parquet") + opCount(p, "BatchScan") === 0, p)
     assert(p.contains("Window") && !p.contains("Join"), p)
+  }
+
+  test("windowedCuped unitCol: (window, arm, unit) fold then the (window, arm) aggregate — no join, no window function, units never collected") {
+    val ev = graft.streaming.EventStream.loadEvents(spark, sf())
+    val unit = pmod(col("user_id"), lit(512))
+    val df = graft.streaming.EventStream.windowedCuped(
+      ev.select(col("ts"), unit.as("unit"),
+        concat(lit("arm"), pmod(unit, lit(2)).cast("string")).as("arm"),
+        (pmod(col("user_id") * 13, lit(16)).cast("double") / 16.0)
+          .as("y"),
+        (pmod(col("user_id") * 29, lit(8)).cast("double") / 16.0)
+          .as("x")),
+      "arm", "arm0", "arm1", "y", "x", unitCol = Some("unit"))
+    val p = plan(df)
+    assert(!p.contains("FileScan"), p)
+    assert(opCount(p, "Scan parquet") + opCount(p, "BatchScan") === 0, p)
+    assert(!p.contains("Join") && !p.contains("Window("), p)
+  }
+
+  test("abExperimentReport: the slice output reads only the checkpointed (slice) aggregate — no join, no corpus re-scan; globals are literals") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(concat(lit("arm"), pmod(col("doc_id"), lit(2))
+          .cast("string")).as("arm"),
+        (pmod(col("doc_id") * 13, lit(16)).cast("double") / 16.0
+          + pmod(col("doc_id"), lit(2)).cast("double") * 0.03125)
+          .as("y"),
+        (pmod(col("doc_id") * 13, lit(16)).cast("double") / 32.0)
+          .as("x"),
+        (pmod(col("doc_id") * 37, lit(97)) % 2).cast("int").as("succ"),
+        concat(lit("g"), pmod(col("doc_id"), lit(3)).cast("string"))
+          .as("slice"))
+    val df = ops.Classifier.abExperimentReport(docs, "arm", "arm0",
+      "arm1", "y", "x", "succ", "slice")
+    val p = plan(df)
+    assert(!p.contains("FileScan"), p)
+    assert(opCount(p, "Scan parquet") + opCount(p, "BatchScan") === 0, p)
+    assert(!p.contains("Join") && !p.contains("Window("), p)
+  }
+
+  test("srmCheck: ONE scalar aggregate (no arm-key shuffle); per-arm rows unfold from the checkpoint — no join, no window") {
+    val m = pmod(pmod(col("doc_id") * 37, lit(97)), lit(16))
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(when(m < 7, "a").when(m < 11, "b").when(m < 13, "c")
+        .otherwise("d").as("arm"))
+    val df = ops.Classifier.srmCheck(docs, "arm",
+      Seq("a" -> 0.5, "b" -> 0.25, "c" -> 0.125, "d" -> 0.125))
+    val p = plan(df)
+    assert(!p.contains("FileScan"), p)
+    assert(opCount(p, "Scan parquet") + opCount(p, "BatchScan") === 0, p)
+    assert(!p.contains("Join") && !p.contains("Window("), p)
+  }
+
+  test("windowedSrm: ONE (window) aggregate; output is column arithmetic on the checkpoint — no join, no window function") {
+    val ev = graft.streaming.EventStream.loadEvents(spark, sf())
+    val scored = ev.select(col("ts"),
+      when(pmod(col("user_id") * 13, lit(16)) < 9, "a").otherwise("b")
+        .as("arm"))
+    val df = graft.streaming.EventStream.windowedSrm(scored, "arm",
+      Seq("a" -> 0.5, "b" -> 0.5))
+    val p = plan(df)
+    assert(!p.contains("FileScan"), p)
+    assert(opCount(p, "Scan parquet") + opCount(p, "BatchScan") === 0, p)
+    assert(!p.contains("Join") && !p.contains("Window("), p)
   }
 
   test("cusumDrift densify: the spine join is windows-many post-aggregate rows — no corpus re-scan downstream of the one aggregate") {

@@ -1500,6 +1500,260 @@ class ClassifierSpec extends SparkSpec {
       log, "arm", "a", "b", "y", "x", alpha = 0.7))
   }
 
+  test("cupedDeltaMulti: k=1 equals cupedDelta, exact-fit thetas recovered, 2 covariates beat 1, collinear refusal") {
+    import spark.implicits._
+    val log = Seq(
+      ("a", 0.0, 1.0), ("a", 1.0, 3.0), ("a", 0.0, 0.0),
+      ("a", 1.0, 2.0),
+      ("b", 1.0, 2.0), ("b", 1.0, 4.0), ("b", 2.0, 1.0),
+      ("b", 2.0, 3.0)).toDF("arm", "y", "x")
+    // k = 1 reduces to cupedDelta (driver scalar chain vs the column
+    // chain: identical op order, so exact up to the erfcc exp ulp)
+    val m1 = Classifier.cupedDeltaMulti(log, "arm", "a", "b", "y",
+      Seq("x")).head()
+    val c1 = Classifier.cupedDelta(log, "arm", "a", "b", "y", "x")
+      .head()
+    assert(m1.getInt(2) === 1)
+    assert(math.abs(m1.getSeq[Double](3).head - c1.getDouble(2)) < 1e-9)
+    for ((mi, ci) <- Seq(4 -> 3, 5 -> 4, 6 -> 5, 7 -> 6, 8 -> 7,
+        12 -> 11))
+      assert(math.abs(m1.getDouble(mi) - c1.getDouble(ci)) < 1e-9,
+        s"multi($mi) vs cuped($ci)")
+    assert(math.abs(m1.getDouble(9) - c1.getDouble(8)) < 1e-8) // p
+    // exact linear fit: y = 2*x1 - 3*x2 + lift, covariate sets
+    // IDENTICAL across arms -> thetas recovered, adjusted delta = the
+    // lift exactly, residual variance 0
+    val xs = Seq((0.0, 1.0), (1.0, 0.0), (2.0, 2.0), (3.0, 1.0))
+    val exact = (xs.map { case (x1, x2) =>
+      ("a", 2.0 * x1 - 3.0 * x2, x1, x2) } ++
+      xs.map { case (x1, x2) =>
+        ("b", 2.0 * x1 - 3.0 * x2 + 0.5, x1, x2) })
+      .toDF("arm", "y", "x1", "x2")
+    val ex = Classifier.cupedDeltaMulti(exact, "arm", "a", "b", "y",
+      Seq("x1", "x2")).head()
+    val ths = ex.getSeq[Double](3)
+    assert(math.abs(ths(0) - 2.0) < 1e-9 && math.abs(ths(1) + 3.0) < 1e-9)
+    // delta = the lift exactly; residual variance is 0 up to fp
+    // cancellation (the max(0, ·) clamp can leave ~1e-15)
+    assert(ex.getDouble(6) === 0.5 && ex.getDouble(7) < 1e-6)
+    assert(ex.getDouble(9) === 0.0)                            // p
+    // the verdict's done-pin: on a 2-covariate metric, adjusting for
+    // BOTH cuts more variance than either alone
+    val big = spark.range(400).select(
+      concat(lit("arm"), (col("id") % 2).cast("string")).as("arm"),
+      (((col("id") * 13) % 16).cast("double") / 32.0
+        + ((col("id") * 7) % 16).cast("double") / 32.0
+        + (col("id") % 2).cast("double") * 0.25).as("y"),
+      (((col("id") * 13) % 16).cast("double") / 32.0).as("x1"),
+      (((col("id") * 7) % 16).cast("double") / 32.0).as("x2"))
+    val both = Classifier.cupedDeltaMulti(big, "arm", "arm0", "arm1",
+      "y", Seq("x1", "x2")).head()
+    val one = Classifier.cupedDeltaMulti(big, "arm", "arm0", "arm1",
+      "y", Seq("x1")).head()
+    assert(both.getDouble(12) > one.getDouble(12))
+    assert(both.getDouble(12) > 0.5 && both.getBoolean(13))
+    // k = 1 constant covariate keeps the cupedDelta grace (theta 0)
+    val grace = Classifier.cupedDeltaMulti(
+      log.select(col("arm"), col("y"), lit(5.0).as("x")),
+      "arm", "a", "b", "y", Seq("x")).head()
+    assert(grace.getSeq[Double](3).head === 0.0)
+    // refusals: a COLLINEAR pair at k = 2 names the covariate; dup
+    // names; k = 0; k > 16; NaN census; missing arm
+    val coll = intercept[IllegalArgumentException](
+      Classifier.cupedDeltaMulti(
+        log.select(col("arm"), col("y"), col("x"),
+          (col("x") * 2.0).as("x2")),
+        "arm", "a", "b", "y", Seq("x", "x2")))
+    assert(coll.getMessage.contains("x2"))
+    intercept[IllegalArgumentException](Classifier.cupedDeltaMulti(
+      log, "arm", "a", "b", "y", Seq("x", "x")))
+    intercept[IllegalArgumentException](Classifier.cupedDeltaMulti(
+      log, "arm", "a", "b", "y", Seq.empty))
+    intercept[IllegalArgumentException](Classifier.cupedDeltaMulti(
+      log.select(col("arm"), lit(Double.NaN).as("y"), col("x")),
+      "arm", "a", "b", "y", Seq("x")))
+    intercept[IllegalArgumentException](Classifier.cupedDeltaMulti(
+      log.filter(col("arm") === "a"), "arm", "a", "b", "y", Seq("x")))
+  }
+
+  test("abExperimentReport: every leg equals its piecewise operator; constant metric sentinels the sequential leg; refusals") {
+    import spark.implicits._
+    val log = spark.range(240).select(
+      concat(lit("arm"), (col("id") % 2).cast("string")).as("arm"),
+      (((col("id") * 13) % 16).cast("double") / 16.0
+        + (col("id") % 2).cast("double") * 0.25).as("y"),
+      (((col("id") * 13) % 16).cast("double") / 16.0 * 0.5).as("x"),
+      (((col("id") * 37) % 97) % 2).cast("int").as("succ"),
+      concat(lit("g"), (col("id") % 3).cast("string")).as("slice"))
+    val rep = Classifier.abExperimentReport(log, "arm", "arm0",
+      "arm1", "y", "x", "succ", "slice", tau2 = 1.0)
+      .orderBy("slice").collect()
+    assert(rep.length === 3)
+    def gd(r: org.apache.spark.sql.Row, nm: String) =
+      r.getDouble(r.fieldIndex(nm))
+    val g = rep.head
+    // SRM leg == srmCheck (chi2 exact; p via the same closed form —
+    // Column vs scalar exp is the documented ulp, under round9)
+    val srm = Classifier.srmCheck(log.select("arm"), "arm",
+      Seq("arm0" -> 0.5, "arm1" -> 0.5)).head()
+    assert(gd(g, "srm_chi2") === srm.getDouble(6))
+    assert(math.abs(gd(g, "srm_p") - srm.getDouble(8)) < 2e-9)
+    assert(g.getBoolean(g.fieldIndex("srm")) === srm.getBoolean(9))
+    // CUPED leg == cupedDelta, column for column (same chain)
+    val cu = Classifier.cupedDelta(log.select("arm", "y", "x"), "arm",
+      "arm0", "arm1", "y", "x").head()
+    for ((nm, ci) <- Seq("theta" -> 2, "delta_raw" -> 3, "delta" -> 5,
+        "se" -> 6, "z" -> 7, "p_value" -> 8, "ci_lo" -> 9,
+        "ci_hi" -> 10, "var_reduction" -> 11))
+      assert(gd(g, nm) === cu.getDouble(ci), nm)
+    // slice leg == empiricalBayesRates, column for column
+    val eb = Classifier.empiricalBayesRates(
+      log.select("slice", "succ"), "slice", "succ")
+      .orderBy("slice").collect()
+    for ((er, rr) <- eb.zip(rep); i <- 0 until er.length)
+      assert(rr.get(i) === er.get(i), s"eb column $i")
+    // sequential leg == the windowed two-sample mSPRT (plug-in) on
+    // the same rows in one window (1-ulp slack on the libm terms)
+    val ts = log.select(expr("timestamp_seconds(1000)").as("ts"),
+      col("arm"), col("y"))
+    val seq = graft.streaming.EventStream.windowedAbMixtureSprt(ts,
+      "arm", "arm0", "arm1", "y", None, tau2 = 1.0).head()
+    assert(math.abs(gd(g, "seq_var") - seq.getDouble(5)) < 1e-8)
+    assert(math.abs(gd(g, "seq_log_lambda") - seq.getDouble(6)) < 1e-8)
+    assert(g.getBoolean(g.fieldIndex("seq_reject")) ===
+      seq.getBoolean(8))
+    assert(g.getBoolean(g.fieldIndex("seq_decidable")))
+    // the globals repeat identically on every slice row
+    for (nm <- Seq("srm_p", "delta", "seq_log_lambda"))
+      assert(rep.map(gd(_, nm)).distinct.length === 1, nm)
+    // constant metric: no scale to test against — the sequential leg
+    // emits sentinels, the rest of the report stands
+    val const = Classifier.abExperimentReport(
+      log.select(col("arm"), lit(1.0).as("y"), col("x"), col("succ"),
+        col("slice")),
+      "arm", "arm0", "arm1", "y", "x", "succ", "slice").head()
+    assert(!const.getBoolean(const.fieldIndex("seq_decidable")))
+    assert(gd(const, "seq_log_lambda") === -1.0)
+    assert(gd(const, "srm_p") >= 0.0) // srm leg still reports
+    // refusals: weights, tau2, NaN metric
+    intercept[IllegalArgumentException](Classifier.abExperimentReport(
+      log, "arm", "arm0", "arm1", "y", "x", "succ", "slice",
+      expectedWeights = (0.7, 0.2)))
+    intercept[IllegalArgumentException](Classifier.abExperimentReport(
+      log, "arm", "arm0", "arm1", "y", "x", "succ", "slice",
+      tau2 = 0.0))
+    intercept[IllegalArgumentException](Classifier.abExperimentReport(
+      log.select(col("arm"), lit(Double.NaN).as("y"), col("x"),
+        col("succ"), col("slice")),
+      "arm", "arm0", "arm1", "y", "x", "succ", "slice"))
+  }
+
+  test("cupedDelta unitCol: singleton units equal the row path; correlated events expose the anti-conservative iid SE; poisoned unit refuses") {
+    import spark.implicits._
+    val base = Seq(
+      ("a", 0.0, 1.0), ("a", 1.0, 3.0), ("a", 0.0, 0.0),
+      ("a", 1.0, 2.0),
+      ("b", 1.0, 2.0), ("b", 1.0, 4.0), ("b", 2.0, 1.0),
+      ("b", 2.0, 3.0)).zipWithIndex
+      .map { case ((a, y, x), i) => (a, i.toLong, y, x) }
+      .toDF("arm", "u", "y", "x")
+    // one row per unit: the unit path IS the row path, column for
+    // column (unit totals of singletons are the rows)
+    val byRow = Classifier.cupedDelta(base, "arm", "a", "b", "y", "x")
+      .head()
+    val byUnit = Classifier.cupedDelta(base, "arm", "a", "b", "y", "x",
+      unitCol = Some("u")).head()
+    for (i <- 0 until byRow.length)
+      assert(byUnit.get(i) === byRow.get(i), s"column $i")
+    // the anti-conservative case the r19 verdict named: replicate
+    // every unit's row 10x (perfect within-unit correlation). The
+    // iid-row path sees 80 "independent" rows and its SE shrinks by
+    // ~1/sqrt(10); the unit path still sees 8 independent units (unit
+    // totals scale by 10, z is scale-invariant) — so p_unit stays at
+    // the honest 8-row level while p_iid collapses.
+    val rep = base.crossJoin(spark.range(10).select(lit(1).as("__k")))
+      .select(col("arm"), col("u"), col("y"), col("x"))
+    val iid = Classifier.cupedDelta(rep, "arm", "a", "b", "y", "x")
+      .head()
+    val unit = Classifier.cupedDelta(rep, "arm", "a", "b", "y", "x",
+      unitCol = Some("u")).head()
+    assert(unit.getLong(0) === 4L && unit.getLong(1) === 4L) // units
+    assert(iid.getLong(0) === 40L)
+    // z is invariant under the x10 unit-total scaling -> p matches
+    // the honest 8-row analysis (1-ulp slack for the scaled doubles)
+    assert(math.abs(unit.getDouble(8) - byRow.getDouble(8)) < 1e-9)
+    // and the iid path is anti-conservative: smaller p, smaller se
+    assert(iid.getDouble(8) < unit.getDouble(8))
+    assert(iid.getDouble(6) < unit.getDouble(6) / 3.0)
+    // a null metric row poisons its unit and refuses (never silently
+    // corrupts the unit total), message speaks in units
+    val ex = intercept[IllegalArgumentException](Classifier.cupedDelta(
+      base.select(col("arm"), col("u"),
+        when(col("u") === 0L, lit(null).cast("double"))
+          .otherwise(col("y")).as("y"), col("x")),
+      "arm", "a", "b", "y", "x", unitCol = Some("u")))
+    assert(ex.getMessage.contains("unit"))
+  }
+
+  test("ratioMetricDelta: hand delta-method case, identical arms p = 1, refusals incl. zero-exposure arm") {
+    import spark.implicits._
+    // units (arm, unit, clicks, imps): a has units (1,4),(3,4); b has
+    // (2,4),(4,4) -> Ra = .5, Rb = .75, var = 1/16 each arm
+    val log = Seq(
+      ("a", 1L, 1.0, 4.0), ("a", 2L, 3.0, 4.0),
+      ("b", 3L, 2.0, 4.0), ("b", 4L, 4.0, 4.0))
+      .toDF("arm", "u", "y", "d")
+    val r = Classifier.ratioMetricDelta(log, "arm", "a", "b", "y", "d",
+      "u").head()
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 0.5 && r.getDouble(3) === 0.75)
+    assert(r.getDouble(4) === 0.25)
+    assert(r.getDouble(5) === graft.ops.Num.round9(math.sqrt(0.125)))
+    assert(math.abs(r.getDouble(6) - 0.25 / math.sqrt(0.125)) < 1e-9)
+    val pHand = math.min(1.0, graft.ops.Num.erfcc(
+      (0.25 / math.sqrt(0.125)) / math.sqrt(2.0)))
+    assert(math.abs(r.getDouble(7) - pHand) < 1e-8)
+    assert(!r.getBoolean(10))
+    // multi-row units fold into totals first: splitting each unit's
+    // row into two half-rows changes nothing
+    val split = log.flatMap { row =>
+      val (a, u, y, d) = (row.getString(0), row.getLong(1),
+        row.getDouble(2), row.getDouble(3))
+      Seq((a, u, y / 2.0, d / 2.0), (a, u, y / 2.0, d / 2.0))
+    }.toDF("arm", "u", "y", "d")
+    val r2 = Classifier.ratioMetricDelta(split, "arm", "a", "b", "y",
+      "d", "u").head()
+    for (i <- 0 until r.length)
+      assert(r2.get(i) === r.get(i), s"column $i")
+    // identical arms: delta 0, p pins at 1
+    val same = Classifier.ratioMetricDelta(Seq(
+      ("a", 1L, 1.0, 4.0), ("a", 2L, 3.0, 4.0),
+      ("b", 3L, 1.0, 4.0), ("b", 4L, 3.0, 4.0))
+      .toDF("arm", "u", "y", "d"), "arm", "a", "b", "y", "d", "u")
+      .head()
+    assert(same.getDouble(4) === 0.0 && same.getDouble(7) === 1.0)
+    // refusals: < 2 units, zero-exposure arm, negative denominator,
+    // NaN numerator, missing arm, same arms, alpha
+    intercept[IllegalArgumentException](Classifier.ratioMetricDelta(
+      log.filter(col("u") =!= 1L), "arm", "a", "b", "y", "d", "u"))
+    intercept[IllegalArgumentException](Classifier.ratioMetricDelta(
+      log.select(col("arm"), col("u"), col("y"),
+        when(col("arm") === "a", 0.0).otherwise(col("d")).as("d")),
+      "arm", "a", "b", "y", "d", "u"))
+    intercept[IllegalArgumentException](Classifier.ratioMetricDelta(
+      log.select(col("arm"), col("u"), col("y"), lit(-1.0).as("d")),
+      "arm", "a", "b", "y", "d", "u"))
+    intercept[IllegalArgumentException](Classifier.ratioMetricDelta(
+      log.select(col("arm"), col("u"), lit(Double.NaN).as("y"),
+        col("d")), "arm", "a", "b", "y", "d", "u"))
+    intercept[IllegalArgumentException](Classifier.ratioMetricDelta(
+      log.filter(col("arm") === "a"), "arm", "a", "b", "y", "d", "u"))
+    intercept[IllegalArgumentException](Classifier.ratioMetricDelta(
+      log, "arm", "a", "a", "y", "d", "u"))
+    intercept[IllegalArgumentException](Classifier.ratioMetricDelta(
+      log, "arm", "a", "b", "y", "d", "u", alpha = 0.9))
+  }
+
   test("empiricalBayesRates: hand 2-slice shrinkage, identical slices collapse to the pool, shrink monotone in n, refusals") {
     import spark.implicits._
     // slice g1: 4 trials 2 successes (p = .5); g2: 2 trials 2
@@ -1639,6 +1893,156 @@ class ClassifierSpec extends SparkSpec {
         col("lb")), "winner", "fst", "la", "lb"))
     intercept[IllegalArgumentException](Classifier.judgeBiasReport(
       log.filter(lit(false)), "winner", "fst", "la", "lb"))
+  }
+
+  test("Num.chi2P: closed-form chi-square tail at integer df — published 5% quantiles, df=1 equals chi2P1, Column parity") {
+    import graft.ops.Num
+    // the familiar 95% quantiles (3 decimals) land on p = 0.05
+    for ((x, df) <- Seq((3.841, 1), (5.991, 2), (7.815, 3),
+        (9.488, 4), (11.070, 5), (15.507, 8)))
+      assert(math.abs(Num.chi2P(x, df) - 0.05) < 1e-3,
+        s"df=$df x=$x -> ${Num.chi2P(x, df)}")
+    // even df is PURE exp·Horner — no erfc fit error at all: df = 2
+    // is exactly exp(−x/2)
+    assert(Num.chi2P(5.991, 2) === math.exp(-5.991 / 2.0))
+    // df = 1 reduces to the existing chi2P1 term for term
+    for (x <- Seq(0.5, 1.0, 2.0, 4.0, 10.0))
+      assert(Num.chi2P(x, 1) === Num.chi2P1(x))
+    // boundary + monotonicity
+    assert(Num.chi2P(0.0, 3) === 1.0)
+    assert(Num.chi2P(5.0, 3) > Num.chi2P(10.0, 3))
+    // a larger df at the same statistic is LESS surprising
+    assert(Num.chi2P(10.0, 8) > Num.chi2P(10.0, 2))
+    // df bounds refuse
+    intercept[IllegalArgumentException](Num.chi2P(1.0, 0))
+    intercept[IllegalArgumentException](Num.chi2P(1.0, 129))
+    // Column form = the same chain (codegen exp vs Math intrinsic:
+    // the documented 1-ulp surface, absorbed well below 1e-9)
+    import spark.implicits._
+    val stats = Seq(0.5, 3.841, 7.815, 20.0).toDF("s")
+    for (df <- Seq(1, 2, 3, 4, 7)) {
+      val got = stats.select(Num.chi2PCol(col("s"), df).as("p"))
+        .collect().map(_.getDouble(0))
+      val want = Seq(0.5, 3.841, 7.815, 20.0).map(Num.chi2P(_, df))
+      for ((g, w) <- got.zip(want))
+        assert(math.abs(g - w) < 1e-9, s"df=$df: $g vs $w")
+    }
+  }
+
+  test("srmCheck: hand chi2 on a biased split, per-arm rows, balanced design passes, 4-arm general-df path, refusals") {
+    import spark.implicits._
+    // 60/40 on a declared 50/50: chi2 = 100/50 + 100/50 = 4
+    val biased = (Seq.fill(60)("a") ++ Seq.fill(40)("b")).toDF("arm")
+    val r = Classifier.srmCheck(biased, "arm",
+      Seq("a" -> 0.5, "b" -> 0.5), alpha = 0.05)
+      .orderBy("arm").collect()
+    assert(r.length === 2)
+    val a = r(0)
+    assert(a.getString(0) === "a" && a.getLong(1) === 60L)
+    assert(a.getDouble(2) === 50.0 && a.getDouble(3) === 0.6)
+    assert(a.getDouble(4) === 0.5 && a.getLong(5) === 100L)
+    assert(a.getDouble(6) === 4.0 && a.getInt(7) === 1)
+    assert(a.getDouble(8) === graft.ops.Num.round9(
+      graft.ops.Num.chi2P(4.0, 1)))
+    assert(a.getBoolean(9))             // flagged at alpha = 0.05
+    assert(r(1).getString(0) === "b" && r(1).getLong(1) === 40L)
+    // every row carries the same global verdict
+    assert(r.map(_.getDouble(6)).distinct.length === 1)
+    // the same split at the conventional 0.001 does NOT fire (p ~ .046)
+    val strict = Classifier.srmCheck(biased, "arm",
+      Seq("a" -> 0.5, "b" -> 0.5)).head()
+    assert(!strict.getBoolean(9))
+    // an exactly balanced design: chi2 = 0, p pins at 1, no flag
+    val even = (Seq.fill(50)("a") ++ Seq.fill(50)("b")).toDF("arm")
+    val e = Classifier.srmCheck(even, "arm",
+      Seq("a" -> 0.5, "b" -> 0.5)).head()
+    assert(e.getDouble(6) === 0.0 && e.getDouble(8) === 1.0
+      && !e.getBoolean(9))
+    // 4 arms at 25% each, observed 40/30/20/10: chi2 = 20, df = 3 —
+    // the general closed form (erfc base + Horner) fires at 0.001
+    val four = (Seq.fill(40)("a") ++ Seq.fill(30)("b")
+      ++ Seq.fill(20)("c") ++ Seq.fill(10)("d")).toDF("arm")
+    val f = Classifier.srmCheck(four, "arm",
+      Seq("a" -> 0.25, "b" -> 0.25, "c" -> 0.25, "d" -> 0.25))
+      .head()
+    assert(f.getDouble(6) === 20.0 && f.getInt(7) === 3)
+    assert(f.getDouble(8) === graft.ops.Num.round9(
+      graft.ops.Num.chi2P(20.0, 3)))
+    assert(f.getBoolean(9))
+    // refusals: an arm OUTSIDE the declared design (and null arms)
+    val ex = intercept[IllegalArgumentException](Classifier.srmCheck(
+      (Seq("a", "b", "c")).toDF("arm"), "arm",
+      Seq("a" -> 0.5, "b" -> 0.5)))
+    assert(ex.getMessage.contains("outside the declared design"))
+    intercept[IllegalArgumentException](Classifier.srmCheck(
+      Seq(Some("a"), None, Some("b")).toDF("arm"), "arm",
+      Seq("a" -> 0.5, "b" -> 0.5)))
+    // design validation: duplicates, bad weights, bad alpha, 1 arm
+    intercept[IllegalArgumentException](Classifier.srmCheck(
+      biased, "arm", Seq("a" -> 0.5, "a" -> 0.5)))
+    intercept[IllegalArgumentException](Classifier.srmCheck(
+      biased, "arm", Seq("a" -> 0.5, "b" -> 0.4)))
+    intercept[IllegalArgumentException](Classifier.srmCheck(
+      biased, "arm", Seq("a" -> 1.0, "b" -> 0.0)))
+    intercept[IllegalArgumentException](Classifier.srmCheck(
+      biased, "arm", Seq("a" -> 0.5, "b" -> 0.5), alpha = 0.6))
+    intercept[IllegalArgumentException](Classifier.srmCheck(
+      biased, "arm", Seq("a" -> 1.0)))
+    intercept[IllegalArgumentException](Classifier.srmCheck(
+      biased.filter(lit(false)), "arm", Seq("a" -> 0.5, "b" -> 0.5)))
+  }
+
+  test("judgeBiasReport ties: half-credit rates, Bernoulli test on decisive rows only, zero-tie log equals the binary path, refusals") {
+    import spark.implicits._
+    // 2 ties among 8: first = (a, a, tie, b), second = (a, b, tie, b)
+    val log = Seq(
+      ("a", true, 10.0, 10.0), ("a", true, 10.0, 10.0),
+      ("tie", true, 10.0, 10.0), ("b", true, 10.0, 10.0),
+      ("a", false, 10.0, 10.0), ("b", false, 10.0, 10.0),
+      ("tie", false, 10.0, 10.0), ("b", false, 10.0, 10.0))
+      .toDF("winner", "fst", "la", "lb")
+    val r = Classifier.judgeBiasReport(log, "winner", "fst", "la",
+      "lb", tieValue = Some("tie")).head()
+    assert(r.getLong(0) === 8L)
+    assert(r.getDouble(1) === 0.5)          // (2+1+0.5*2)/8
+    assert(r.getDouble(2) === 0.625)        // (2+0.5)/4 half credit
+    assert(r.getDouble(3) === 0.375)        // (1+0.5)/4
+    assert(r.getDouble(7) === 0.5)          // debiased
+    assert(r.getDouble(11) === 0.25)        // tie_rate
+    // the Bernoulli test runs on DECISIVE rows: 2/3 vs 1/3
+    assert(math.abs(r.getDouble(4) - 1.0 / 3.0) < 1e-9)
+    assert(math.abs(r.getDouble(5)
+      - (1.0 / 3.0) / math.sqrt(1.0 / 6.0)) < 1e-9)
+    // equal lengths: no verbosity signal even with ties in aw
+    assert(r.getDouble(8) === 0.0 && r.getDouble(10) === 1.0)
+    // a tie-free log through the tie path = the binary path, column
+    // for column (every formula degrades term for term)
+    val binary = Seq(
+      ("a", true, 20.0, 10.0), ("b", true, 10.0, 20.0),
+      ("a", false, 20.0, 10.0), ("b", false, 10.0, 16.0))
+      .toDF("winner", "fst", "la", "lb")
+    val viaTie = Classifier.judgeBiasReport(binary, "winner", "fst",
+      "la", "lb", tieValue = Some("tie")).head()
+    val legacy = Classifier.judgeBiasReport(binary, "winner", "fst",
+      "la", "lb").head()
+    for (i <- 0 until legacy.length)
+      assert(viaTie.get(i) === legacy.get(i), s"column $i")
+    assert(viaTie.getDouble(11) === 0.0)
+    // refusals: tie label colliding with a winner label; a log whose
+    // decisive rows all sit in one position; tie rows without a
+    // declared tieValue still refuse as unknown winners
+    intercept[IllegalArgumentException](Classifier.judgeBiasReport(
+      log, "winner", "fst", "la", "lb", tieValue = Some("a")))
+    val oneSide = Seq(
+      ("tie", true, 1.0, 1.0), ("tie", true, 1.0, 1.0),
+      ("a", false, 1.0, 1.0), ("b", false, 1.0, 1.0))
+      .toDF("winner", "fst", "la", "lb")
+    val ex = intercept[IllegalArgumentException](
+      Classifier.judgeBiasReport(oneSide, "winner", "fst", "la", "lb",
+        tieValue = Some("tie")))
+    assert(ex.getMessage.contains("DECISIVE"))
+    intercept[IllegalArgumentException](Classifier.judgeBiasReport(
+      log, "winner", "fst", "la", "lb"))
   }
 
   test("properScoresMulticlass: maxClasses enforces the K-regime contract") {

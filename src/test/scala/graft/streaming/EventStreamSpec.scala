@@ -719,7 +719,7 @@ class EventStreamSpec extends SparkSpec {
         xs.map(x => (h * 3600L, x)) }
         .toDF("sec", "x")
         .select(expr("timestamp_seconds(sec)").as("ts"), col("x"))
-    def msprt(vals: Seq[Seq[Double]], s2: Double = 0.25,
+    def msprt(vals: Seq[Seq[Double]], s2: Option[Double] = Some(0.25),
               t2: Double = 1.0, a: Double = 0.05) =
       EventStream.windowedMixtureSprt(mk(vals), "x", s2, t2, a)
         .orderBy("window_start").collect()
@@ -730,32 +730,77 @@ class EventStreamSpec extends SparkSpec {
       graft.ops.Num.round9(0.5 * math.log(0.25 / (0.25 + n * 1.0))
         + (s * s * 1.0) / (2.0 * 0.25 * (0.25 + n * 1.0)))
     assert(out(0).getLong(2) === 2L && out(1).getLong(2) === 3L)
-    assert(out(0).getDouble(4) === handLl(2, 1.0))
-    assert(out(1).getDouble(4) === handLl(3, 2.0))
+    assert(out(0).getDouble(5) === handLl(2, 1.0))
+    assert(out(1).getDouble(5) === handLl(3, 2.0))
     assert(out(1).getDouble(3) === graft.ops.Num.round9(2.0 / 3.0))
+    // known-variance path: var_used reports the constant, always
+    // decidable
+    assert(out.forall(r => r.getDouble(4) === 0.25 && r.getBoolean(8)))
     // anytime-valid p = min(1, 1/Λ), monotone against the statistic
-    assert(out(1).getDouble(5) === graft.ops.Num.round9(
+    assert(out(1).getDouble(6) === graft.ops.Num.round9(
       math.min(1.0, math.exp(0.0 - handLl(3, 2.0)))))
     // a zero-mean stream never rejects (Λ shrinks below 1, p pins at 1)
     val nullCase = msprt(Seq.fill(20)(Seq(0.5, -0.5)))
-    assert(nullCase.forall(!_.getBoolean(6)))
-    assert(nullCase.last.getDouble(5) === 1.0)
+    assert(nullCase.forall(!_.getBoolean(7)))
+    assert(nullCase.last.getDouble(6) === 1.0)
     // boundary-crossing time is MONOTONE in effect size: a 2x shift
     // rejects no later (here strictly earlier) than a 1x shift
     def firstReject(shift: Double): Int =
       msprt(Seq.fill(30)(Seq.fill(4)(shift)))
-        .indexWhere(_.getBoolean(6))
+        .indexWhere(_.getBoolean(7))
     val (slow, fast) = (firstReject(0.25), firstReject(0.5))
     assert(slow > 0 && fast >= 0 && fast <= slow)
     // refusals: parameter guards; NaN census rides the aggregate
     intercept[IllegalArgumentException](
-      msprt(Seq(Seq(1.0)), s2 = 0.0))
+      msprt(Seq(Seq(1.0)), s2 = Some(0.0)))
     intercept[IllegalArgumentException](
       msprt(Seq(Seq(1.0)), t2 = -1.0))
     intercept[IllegalArgumentException](
       msprt(Seq(Seq(1.0)), a = 0.5))
     intercept[IllegalArgumentException](
       msprt(Seq(Seq(Double.NaN))))
+  }
+
+  test("windowedMixtureSprt plug-in variance: running s2 in var_used, pre-variance sentinel, convergence to the known-sigma2 statistic") {
+    import spark.implicits._
+    def mk(vals: Seq[Seq[Double]]) =
+      vals.zipWithIndex.flatMap { case (xs, h) =>
+        xs.map(x => (h * 3600L, x)) }
+        .toDF("sec", "x")
+        .select(expr("timestamp_seconds(sec)").as("ts"), col("x"))
+    // an alternating ±1 stream has empirical s² = n/(n−1) → 1 exactly
+    // computable by hand: at cumulative n = 2k, S = 0, Σx² = n
+    val alt = Seq.tabulate(30)(_ => Seq(1.0, -1.0))
+    val plug = EventStream.windowedMixtureSprt(mk(alt), "x", None, 1.0)
+      .orderBy("window_start").collect()
+    // window h: n_cum = 2(h+1); s² = (Σx² − 0)/(n−1) = n/(n−1)
+    for ((r, h) <- plug.zipWithIndex) {
+      val n = 2.0 * (h + 1)
+      assert(r.getBoolean(8), s"window $h should be decidable")
+      assert(r.getDouble(4) === graft.ops.Num.round9(n / (n - 1.0)))
+    }
+    // plug-in → known convergence: s² → 1, so the plug-in log Λ
+    // approaches the σ² = 1 statistic as data accrues
+    val known = EventStream.windowedMixtureSprt(mk(alt), "x",
+      Some(1.0), 1.0).orderBy("window_start").collect()
+    val gapFirst = math.abs(plug(0).getDouble(5) - known(0).getDouble(5))
+    val gapLast = math.abs(plug.last.getDouble(5) - known.last.getDouble(5))
+    // the plug-in gap decays like 0.5·ln(n/(n−1)) ≈ 0.5/(n−1): ~0.2
+    // at n = 2, under 0.01 by n = 60
+    assert(gapLast < gapFirst && gapLast < 0.01)
+    // a one-event first window cannot have a variance yet: sentinel
+    // with decidable = false, then the monitor recovers
+    val thin = EventStream.windowedMixtureSprt(
+      mk(Seq(Seq(0.5), Seq(1.0, 0.0))), "x", None, 1.0)
+      .orderBy("window_start").collect()
+    assert(!thin(0).getBoolean(8) && thin(0).getDouble(5) === -1.0
+      && thin(0).getDouble(4) === -1.0)
+    assert(thin(1).getBoolean(8))
+    // a CONSTANT stream has s² = 0 — no scale to test against, the
+    // window stays undecidable rather than dividing by zero
+    val const = EventStream.windowedMixtureSprt(
+      mk(Seq(Seq(0.5, 0.5, 0.5))), "x", None, 1.0).collect()
+    assert(!const(0).getBoolean(8) && const(0).getDouble(5) === -1.0)
   }
 
   test("windowedConfidenceSeq: hand radius, exact duality with the mixture SPRT, radius shrinks, refusals") {
@@ -768,49 +813,67 @@ class EventStreamSpec extends SparkSpec {
     // hand radius at (n, S) = (2, 1): σ² = .25, τ² = 1, α = .05 —
     // r = sqrt((2·.25·(.25+2)/1)·(.5·ln((.25+2)/.25) − ln .05)) / 2
     val out = EventStream.windowedConfidenceSeq(
-      mk(Seq(Seq(0.5, 0.5), Seq(1.0))), "x", 0.25, 1.0)
+      mk(Seq(Seq(0.5, 0.5), Seq(1.0))), "x", Some(0.25), 1.0)
       .orderBy("window_start").collect()
     val handR = graft.ops.Num.round9(math.sqrt(
       (2.0 * 0.25 * (0.25 + 2.0 * 1.0) / 1.0)
         * (0.5 * math.log((0.25 + 2.0 * 1.0) / 0.25)
           - math.log(0.05))) / 2.0)
     assert(out(0).getLong(2) === 2L)
-    assert(out(0).getDouble(4) === handR)
-    assert(out(0).getDouble(5) === graft.ops.Num.round9(0.5 - handR))
-    assert(out(0).getDouble(6) === graft.ops.Num.round9(0.5 + handR))
+    assert(out(0).getDouble(5) === handR)
+    assert(out(0).getDouble(6) === graft.ops.Num.round9(0.5 - handR))
+    assert(out(0).getDouble(7) === graft.ops.Num.round9(0.5 + handR))
+    assert(out.forall(r => r.getDouble(4) === 0.25 && r.getBoolean(8)))
     // DUALITY with the mixture SPRT: the mSPRT rejects mu = 0 exactly
     // when 0 leaves the sequence — checked window by window on a
     // drifting stream (boundary-distance guard excludes ties on the
     // 1e-9 grid)
     val stream = Seq.tabulate(25)(h => Seq.fill(4)(0.25))
     val cs = EventStream.windowedConfidenceSeq(mk(stream), "x",
-      0.25, 1.0).orderBy("window_start").collect()
+      Some(0.25), 1.0).orderBy("window_start").collect()
     val ms = EventStream.windowedMixtureSprt(mk(stream), "x",
-      0.25, 1.0).orderBy("window_start").collect()
+      Some(0.25), 1.0).orderBy("window_start").collect()
     var checked = 0
     for ((c, m) <- cs.zip(ms)) {
-      val gap = math.abs(math.abs(c.getDouble(3)) - c.getDouble(4))
+      val gap = math.abs(math.abs(c.getDouble(3)) - c.getDouble(5))
       if (gap > 1e-6) {
-        assert(m.getBoolean(6) ===
-          (math.abs(c.getDouble(3)) > c.getDouble(4)),
+        assert(m.getBoolean(7) ===
+          (math.abs(c.getDouble(3)) > c.getDouble(5)),
           s"duality broken at ${c.get(0)}")
         checked += 1
       }
     }
     assert(checked >= 20)
-    assert(ms.exists(_.getBoolean(6)))   // the drift IS detected
+    assert(ms.exists(_.getBoolean(7)))   // the drift IS detected
     // the radius SHRINKS as data accrues (eventually ~ sqrt(ln n / n))
-    assert(cs.last.getDouble(4) < cs.head.getDouble(4))
+    assert(cs.last.getDouble(5) < cs.head.getDouble(5))
+    // the PLUG-IN duality is preserved too: both operators plug in
+    // the same running s², so reject ⟺ 0 outside the sequence, still
+    // window for window (a noisy stream so s² > 0 from window 1)
+    val noisy = Seq.tabulate(25)(h =>
+      Seq(0.5, 0.0, 0.75, 0.25))
+    val csP = EventStream.windowedConfidenceSeq(mk(noisy), "x",
+      None, 1.0).orderBy("window_start").collect()
+    val msP = EventStream.windowedMixtureSprt(mk(noisy), "x",
+      None, 1.0).orderBy("window_start").collect()
+    for ((c, m) <- csP.zip(msP) if c.getBoolean(8)) {
+      assert(c.getDouble(4) === m.getDouble(4)) // same s² plugged in
+      val gap = math.abs(math.abs(c.getDouble(3)) - c.getDouble(5))
+      if (gap > 1e-6)
+        assert(m.getBoolean(7) ===
+          (math.abs(c.getDouble(3)) > c.getDouble(5)),
+          s"plug-in duality broken at ${c.get(0)}")
+    }
     // refusals: parameter guards; NaN census
     intercept[IllegalArgumentException](
       EventStream.windowedConfidenceSeq(mk(Seq(Seq(1.0))), "x",
-        0.0, 1.0))
+        Some(0.0), 1.0))
     intercept[IllegalArgumentException](
       EventStream.windowedConfidenceSeq(mk(Seq(Seq(1.0))), "x",
-        0.25, 1.0, alpha = 0.9))
+        Some(0.25), 1.0, alpha = 0.9))
     intercept[IllegalArgumentException](
       EventStream.windowedConfidenceSeq(mk(Seq(Seq(Double.NaN))), "x",
-        0.25, 1.0))
+        Some(0.25), 1.0))
   }
 
   test("windowedOffPolicy: per-window rows equal the batch offPolicyEval on that window's traffic; refusal") {
@@ -886,6 +949,40 @@ class EventStreamSpec extends SparkSpec {
         col("x")), "arm", "arm0", "arm1", "y", "x"))
   }
 
+  test("windowedCuped unitCol: single-window equality to the batch unit path; poisoned unit refuses") {
+    import spark.implicits._
+    // 2 events per unit, 3 units per arm, one hour
+    val rows = (0 until 12).map { i =>
+      val unit = (i / 2).toLong
+      val arm = s"arm${unit % 2}"
+      (100L + i, arm, unit, (i % 5).toDouble / 4.0 + (unit % 2) * 0.5,
+        (i % 3).toDouble / 2.0)
+    }
+    val oneWin = rows.toDF("sec", "arm", "u", "y", "x")
+      .select(expr("timestamp_seconds(sec)").as("ts"), col("arm"),
+        col("u"), col("y"), col("x"))
+    val w = EventStream.windowedCuped(oneWin, "arm", "arm0", "arm1",
+      "y", "x", unitCol = Some("u")).head()
+    val b = graft.ops.Classifier.cupedDelta(
+      rows.map(t => (t._2, t._3, t._4, t._5)).toDF("arm", "u", "y", "x"),
+      "arm", "arm0", "arm1", "y", "x", unitCol = Some("u")).head()
+    assert(w.getLong(1) === b.getLong(0) && w.getLong(2) === b.getLong(1))
+    assert(w.getLong(1) === 3L) // units, not the 6 events
+    for ((wi, bi) <- Seq(3 -> 2, 4 -> 3, 5 -> 4, 6 -> 5, 7 -> 6,
+        8 -> 7, 9 -> 8))
+      assert(math.abs(w.getDouble(wi) - b.getDouble(bi)) < 1e-8,
+        s"windowed($wi)=${w.getDouble(wi)} batch($bi)=${b.getDouble(bi)}")
+    assert(w.getBoolean(10))
+    // a bad row poisons its unit and the monitor refuses in units
+    val ex = intercept[IllegalArgumentException](
+      EventStream.windowedCuped(
+        oneWin.select(col("ts"), col("arm"), col("u"),
+          when(col("u") === 0L, lit(Double.NaN)).otherwise(col("y"))
+            .as("y"), col("x")),
+        "arm", "arm0", "arm1", "y", "x", unitCol = Some("u")))
+    assert(ex.getMessage.contains("unit"))
+  }
+
   test("windowedAbMixtureSprt: hand log-lambda, balanced arms never reject, crossing monotone in lift, one-arm start sentinel, refusals") {
     import spark.implicits._
     def mk(hours: Seq[Seq[(String, Double)]]) =
@@ -894,8 +991,8 @@ class EventStreamSpec extends SparkSpec {
         .toDF("sec", "arm", "y")
         .select(expr("timestamp_seconds(sec)").as("ts"), col("arm"),
           col("y"))
-    def sprt(hours: Seq[Seq[(String, Double)]], s2: Double = 0.25,
-             t2: Double = 1.0) =
+    def sprt(hours: Seq[Seq[(String, Double)]],
+             s2: Option[Double] = Some(0.25), t2: Double = 1.0) =
       EventStream.windowedAbMixtureSprt(mk(hours), "arm", "a", "b",
         "y", s2, t2).orderBy("window_start").collect()
     // hand case after window 2: na = 2, nb = 2, sa = 1, sb = 2 ->
@@ -907,39 +1004,97 @@ class EventStreamSpec extends SparkSpec {
         + (d * d * 1.0) / (2.0 * v * (v + 1.0)))
     assert(out(1).getLong(2) === 2L && out(1).getLong(3) === 2L)
     assert(out(1).getDouble(4) === 0.5)
-    assert(out(1).getDouble(5) === handLl(0.5, 0.25))
-    assert(out(1).getDouble(6) === graft.ops.Num.round9(
+    assert(out(1).getDouble(5) === 0.25) // var_used = the constant
+    assert(out(1).getDouble(6) === handLl(0.5, 0.25))
+    assert(out(1).getDouble(7) === graft.ops.Num.round9(
       math.min(1.0, math.exp(0.0 - handLl(0.5, 0.25)))))
     // identical arms: Lambda shrinks below 1 — never rejects, p = 1
     val same = sprt(Seq.fill(20)(Seq(("a", 0.5), ("b", 0.5),
       ("a", 0.25), ("b", 0.25))))
-    assert(same.forall(!_.getBoolean(7)))
-    assert(same.last.getDouble(6) === 1.0)
+    assert(same.forall(!_.getBoolean(8)))
+    assert(same.last.getDouble(7) === 1.0)
     // crossing time monotone in the lift
     def firstReject(lift: Double): Int =
       sprt(Seq.fill(40)(Seq.fill(3)(("a", 0.5))
         ++ Seq.fill(3)(("b", 0.5 + lift))))
-        .indexWhere(_.getBoolean(7))
+        .indexWhere(_.getBoolean(8))
     val (slow, fast) = (firstReject(0.25), firstReject(0.5))
     assert(slow > 0 && fast >= 0 && fast <= slow)
     // a stream that STARTS one-armed: sentinel rows until both arms
     // have cumulative traffic, decidable forever after
     val oneArm = sprt(Seq(Seq(("a", 0.5)), Seq(("a", 0.5), ("b", 1.0))))
-    assert(!oneArm(0).getBoolean(8) && oneArm(0).getDouble(5) === -1.0)
-    assert(oneArm(1).getBoolean(8))
+    assert(!oneArm(0).getBoolean(9) && oneArm(0).getDouble(6) === -1.0)
+    assert(oneArm(1).getBoolean(9))
+    // PLUG-IN variance: hand pooled s² on a 2+2 window — per arm
+    // Σx², s² = (xa + xb − sa²/na − sb²/nb)/(na+nb−2); thin windows
+    // (n < 2 per arm) stay sentinel until the variance exists
+    val plug = EventStream.windowedAbMixtureSprt(
+      mk(Seq(Seq(("a", 0.0), ("a", 1.0), ("b", 1.0), ("b", 2.0)))),
+      "arm", "a", "b", "y", None, 1.0).collect()
+    // xa = 1, xb = 5, sa = 1, sb = 3 -> s² = (6 − .5 − 4.5)/2 = .5
+    assert(plug(0).getBoolean(9))
+    assert(plug(0).getDouble(5) === 0.5)
+    assert(plug(0).getDouble(6) === handLl(1.0, 0.5))
+    val thin = EventStream.windowedAbMixtureSprt(
+      mk(Seq(Seq(("a", 0.5), ("b", 1.0)),
+        Seq(("a", 0.0), ("b", 2.0)))),
+      "arm", "a", "b", "y", None, 1.0)
+      .orderBy("window_start").collect()
+    assert(!thin(0).getBoolean(9) && thin(0).getDouble(6) === -1.0)
+    assert(thin(1).getBoolean(9)) // cumulative 2 per arm now
     // refusals: same arms, bad sigma2/tau2/alpha, NaN census
     intercept[IllegalArgumentException](
       EventStream.windowedAbMixtureSprt(mk(Seq(Seq(("a", 1.0)))),
-        "arm", "a", "a", "y", 0.25, 1.0))
+        "arm", "a", "a", "y", Some(0.25), 1.0))
     intercept[IllegalArgumentException](
-      sprt(Seq(Seq(("a", 1.0))), s2 = 0.0))
+      sprt(Seq(Seq(("a", 1.0))), s2 = Some(0.0)))
     intercept[IllegalArgumentException](
       sprt(Seq(Seq(("a", 1.0))), t2 = 0.0))
     intercept[IllegalArgumentException](
       EventStream.windowedAbMixtureSprt(mk(Seq(Seq(("a", 1.0)))),
-        "arm", "a", "b", "y", 0.25, 1.0, alpha = 0.6))
+        "arm", "a", "b", "y", Some(0.25), 1.0, alpha = 0.6))
     intercept[IllegalArgumentException](
       sprt(Seq(Seq(("a", Double.NaN), ("b", 1.0)))))
+  }
+
+  test("windowedSrm: single-window equality to batch srmCheck; a broken hour flags alone; undeclared arm refuses") {
+    import spark.implicits._
+    def mk(hours: Seq[Seq[String]]) =
+      hours.zipWithIndex.flatMap { case (arms, h) =>
+        arms.map(a => (h * 3600L, a)) }
+        .toDF("sec", "arm")
+        .select(expr("timestamp_seconds(sec)").as("ts"), col("arm"))
+    // single window, 60/40 on a 50/50 design: the window row must
+    // equal the batch srmCheck verdict column for column (the
+    // single-sourcing pin: srmAggExprs/srmStatCols are shared)
+    val split = Seq.fill(60)("a") ++ Seq.fill(40)("b")
+    val w = EventStream.windowedSrm(mk(Seq(split)), "arm",
+      Seq("a" -> 0.5, "b" -> 0.5), alpha = 0.05).head()
+    val b = graft.ops.Classifier.srmCheck(split.toDF("arm"), "arm",
+      Seq("a" -> 0.5, "b" -> 0.5), alpha = 0.05).head()
+    // windowed (n, chi2, df, p, srm at 1..5) vs batch globals (5..9)
+    assert(w.getLong(1) === b.getLong(5))
+    assert(w.getDouble(2) === b.getDouble(6))
+    assert(w.getInt(3) === b.getInt(7))
+    assert(w.getDouble(4) === b.getDouble(8))
+    assert(w.getBoolean(5) === b.getBoolean(9))
+    // hour 0 healthy, hour 1 breaks 90/10: only hour 1 fires, the
+    // monitor catches the regression THE HOUR it appears
+    val stream = mk(Seq(
+      Seq.fill(50)("a") ++ Seq.fill(50)("b"),
+      Seq.fill(90)("a") ++ Seq.fill(10)("b")))
+    val out = EventStream.windowedSrm(stream, "arm",
+      Seq("a" -> 0.5, "b" -> 0.5)).orderBy("window_start").collect()
+    assert(!out(0).getBoolean(5))
+    assert(out(1).getDouble(2) === 64.0) // (40² + 40²)/50
+    assert(out(1).getBoolean(5))
+    // an undeclared arm anywhere refuses the whole monitor
+    intercept[IllegalArgumentException](EventStream.windowedSrm(
+      mk(Seq(Seq("a", "b", "c"))), "arm",
+      Seq("a" -> 0.5, "b" -> 0.5)))
+    // design validation mirrors the batch check
+    intercept[IllegalArgumentException](EventStream.windowedSrm(
+      mk(Seq(Seq("a"))), "arm", Seq("a" -> 0.7, "b" -> 0.2)))
   }
 
   test("windowedAb: single-window equality to batch mcnemarTest; degenerate; refusal") {
