@@ -1152,6 +1152,31 @@ object ScalingProbe {
       SparkEntry.queries("q_stream_cuped")(spark, d).count() }
     time("stream_ab_msprt") { d =>
       SparkEntry.queries("q_stream_ab_msprt")(spark, d).count() }
+    // r20 additions: the SRM guards are ONE scalar / (window)
+    // aggregate with k+2 conditional counts (no arm-key shuffle);
+    // the plug-in mSPRT forms add one Σx² column to the same
+    // aggregate; the unit paths prepend one map-side-combinable
+    // keyed fold; the composed report is one corpus read + two keyed
+    // aggregates over the checkpoint — every slope should track the
+    // scan
+    time("srm") { d =>
+      SparkEntry.queries("q_srm")(spark, d).count() }
+    time("stream_srm") { d =>
+      SparkEntry.queries("q_stream_srm")(spark, d).count() }
+    time("stream_msprt_var") { d =>
+      SparkEntry.queries("q_stream_msprt_var")(spark, d).count() }
+    time("stream_ab_msprt_var") { d =>
+      SparkEntry.queries("q_stream_ab_msprt_var")(spark, d).count() }
+    time("stream_ab_msprt_unit") { d =>
+      SparkEntry.queries("q_stream_ab_msprt_unit")(spark, d).count() }
+    time("cuped_unit") { d =>
+      SparkEntry.queries("q_cuped_unit")(spark, d).count() }
+    time("cuped_multi") { d =>
+      SparkEntry.queries("q_cuped_multi")(spark, d).count() }
+    time("ratio_delta") { d =>
+      SparkEntry.queries("q_ratio_delta")(spark, d).count() }
+    time("ab_e2e") { d =>
+      SparkEntry.queries("q_ab_e2e")(spark, d).count() }
     // fragment ancestry depth: the overlay read chains one ROWID join
     // per ancestor (MSWrite.readFragment walks the sidecars, then folds
     // updateByRowId). Probe READ cost (chains pre-built, untimed) vs

@@ -1943,6 +1943,28 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
         .orderBy("window_start")
     }),
 
+    // CLUSTER-ROBUST two-sample mSPRT: ~12 events per unit with arm
+    // constant per unit — unit totals become the observations, so
+    // within-unit correlation can no longer shrink V and spend more
+    // alpha than declared; plug-in pooled variance over unit totals
+    "q_stream_ab_msprt_unit" -> ((s, dir) => {
+      val ev = EventStream.loadEvents(s, dir)
+      val unit = col("user_id") % 512
+      val base = ((col("user_id") * 13) % 16).cast("double") / 16.0
+      val scored = ev.select(col("ts"), unit.as("unit"),
+        concat(lit("arm"), (unit % 2).cast("string")).as("arm"),
+        (base + (unit % 2).cast("double") * 0.03125).as("y"))
+      EventStream.windowedAbMixtureSprt(scored, "arm", "arm0", "arm1",
+          "y", sigma2 = None, tau2 = 0.0625, alpha = 0.05,
+          width = "1 hour", unitCol = Some("unit"))
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("n"), col("na_cum"), col("nb_cum"), col("delta_cum"),
+          col("var_used"), col("log_lambda"), col("p_value"),
+          col("reject"), col("decidable"))
+        .orderBy("window_start")
+    }),
+
     // streaming SRM monitor: a 50/50 design whose actual hash sends
     // 9/16 of users to arm a — the per-window chi2 must flag the
     // mismatch the hour it appears (df = 1: the erfc closed form)
@@ -9983,6 +10005,81 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |  round(CASE WHEN ok THEN p ELSE -1.0 END, 9) AS p_value,
           |  ok AS decidable
           |FROM pp ORDER BY window_start""".stripMargin,
+
+      "q_stream_ab_msprt_unit" ->
+        """WITH sc AS (
+          |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w,
+          |    user_id % 512 AS unit,
+          |    'arm' || CAST((user_id % 512) % 2 AS VARCHAR) AS arm,
+          |    CAST((user_id * 13) % 16 AS DOUBLE) / 16.0
+          |      + CAST((user_id % 512) % 2 AS DOUBLE) * 0.03125 AS y
+          |  FROM events),
+          |uu AS (
+          |  SELECT w, arm, unit, sum(y) AS v
+          |  FROM sc GROUP BY w, arm, unit),
+          |ag AS (
+          |  SELECT w, arm, count(*) AS n, sum(v) AS sx,
+          |    sum(v * v) AS sxx
+          |  FROM uu GROUP BY w, arm),
+          |pv AS (
+          |  SELECT w, sum(n) AS n,
+          |    coalesce(max(CASE WHEN arm = 'arm0' THEN n END), 0)
+          |      AS nain,
+          |    coalesce(max(CASE WHEN arm = 'arm1' THEN n END), 0)
+          |      AS nbin,
+          |    coalesce(max(CASE WHEN arm = 'arm0' THEN sx END), 0.0)
+          |      AS sain,
+          |    coalesce(max(CASE WHEN arm = 'arm1' THEN sx END), 0.0)
+          |      AS sbin,
+          |    coalesce(max(CASE WHEN arm = 'arm0' THEN sxx END), 0.0)
+          |      AS xain,
+          |    coalesce(max(CASE WHEN arm = 'arm1' THEN sxx END), 0.0)
+          |      AS xbin
+          |  FROM ag GROUP BY w),
+          |cm AS (
+          |  SELECT w, n,
+          |    SUM(nain) OVER ww AS na, SUM(nbin) OVER ww AS nb,
+          |    SUM(sain) OVER ww AS sa, SUM(sbin) OVER ww AS sb,
+          |    SUM(xain) OVER ww AS xa, SUM(xbin) OVER ww AS xb
+          |  FROM pv
+          |  WINDOW ww AS (ORDER BY w ROWS BETWEEN UNBOUNDED PRECEDING
+          |    AND CURRENT ROW)),
+          |vv AS (
+          |  SELECT *, CASE WHEN na >= 2 AND nb >= 2 THEN
+          |    (xa + xb - sa * sa / na - sb * sb / nb) /
+          |      (na + nb - 2.0) END AS s2v
+          |  FROM cm),
+          |og AS (
+          |  SELECT *,
+          |    na >= 2 AND nb >= 2 AND coalesce(s2v > 0.0, false)
+          |      AS okf
+          |  FROM vv),
+          |st AS (
+          |  SELECT *,
+          |    CASE WHEN okf THEN sb / nb - sa / na END AS d,
+          |    CASE WHEN okf THEN
+          |      s2v * (CAST(1.0 AS DOUBLE) / na
+          |        + CAST(1.0 AS DOUBLE) / nb) END AS v
+          |  FROM og),
+          |ll AS (
+          |  SELECT *,
+          |    round(0.5 * ln(v / (v + 0.0625))
+          |      + (d * d * 0.0625) / (2.0 * v * (v + 0.0625)), 9)
+          |      AS lb
+          |  FROM st)
+          |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+          |  CAST(n AS BIGINT) AS n, CAST(na AS BIGINT) AS na_cum,
+          |  CAST(nb AS BIGINT) AS nb_cum,
+          |  round(CASE WHEN okf THEN d ELSE -1.0 END, 9) AS delta_cum,
+          |  round(CASE WHEN okf THEN s2v ELSE -1.0 END, 9)
+          |    AS var_used,
+          |  round(CASE WHEN okf THEN lb ELSE -1.0 END, 9)
+          |    AS log_lambda,
+          |  round(CASE WHEN okf THEN least(1.0, exp(0.0 - lb))
+          |    ELSE -1.0 END, 9) AS p_value,
+          |  (okf AND lb >= round(ln(1.0 / 0.05), 9)) AS reject,
+          |  okf AS decidable
+          |FROM ll ORDER BY window_start""".stripMargin,
 
       "q_stream_srm" ->
         s"""WITH sc AS (

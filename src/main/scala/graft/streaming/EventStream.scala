@@ -1033,6 +1033,18 @@ object EventStream {
     * window: (window_start, n, na_cum, nb_cum, delta_cum, var_used,
     * log_lambda, p_value, reject, decidable), doubles rounded at 9.
     *
+    * RANDOMIZATION UNIT (r20): pass `unitCol = Some(u)` to pre-fold
+    * per (window, arm, unit) totals before the window aggregate (the
+    * [[windowedCuped]] cluster-robust path — with user-level
+    * randomization and correlated events the iid-row V understates
+    * the truth and the sequential boundary fires EARLY, silently
+    * spending more α than promised). The cumulative (n, S, Σx²) then
+    * count UNIT-window observations; `n` reports units active in the
+    * window. Row hygiene propagates as NaN poison through the unit
+    * fold. Combine with `sigma2 = None`: the pooled plug-in variance
+    * then estimates the BETWEEN-UNIT spread, which is exactly the
+    * scale the unit-level delta needs.
+    *
     * Scale shape: ONE (window, arm) hash aggregate, a (window) pivot
     * fold, then window-ORDERED prefix sums over the windows-many
     * checkpointed rows (time-bounded; the [[cusumDrift]] convention).
@@ -1041,7 +1053,8 @@ object EventStream {
                             armA: String, armB: String,
                             valueCol: String, sigma2: Option[Double],
                             tau2: Double, alpha: Double = 0.05,
-                            width: String = "1 hour"): DataFrame = {
+                            width: String = "1 hour",
+                            unitCol: Option[String] = None): DataFrame = {
     require(armA != armB,
       s"windowedAbMixtureSprt: armA and armB are both '$armA'")
     sigma2.foreach(s2 => require(s2 > 0,
@@ -1052,18 +1065,34 @@ object EventStream {
       "positive — the prior scale of detectable deltas")
     require(alpha > 0 && alpha < 0.5,
       s"windowedAbMixtureSprt: alpha=$alpha")
-    val x = col(valueCol).cast("double")
+    val scoped = scored.filter(col(armCol).isin(armA, armB))
+    // optional cluster-robust pre-fold: (window, arm, unit) totals
+    // with NaN-poison hygiene (the windowedCuped unit discipline)
+    val src = unitCol match {
+      case None =>
+        scoped.select(window(col("ts"), width).as("w"),
+          col(armCol).cast("string").as("arm"),
+          col(valueCol).cast("double").as("__v"))
+      case Some(u) =>
+        val y = col(valueCol).cast("double")
+        val badRowC = y.isNull || isnan(y)
+        scoped.groupBy(window(col("ts"), width).as("w"),
+          col(armCol).cast("string").as("arm"), col(u).as("__unit"))
+          .agg(sum(when(badRowC, lit(Double.NaN)).otherwise(y))
+            .as("__v"))
+    }
+    val x = col("__v")
     val bad = (x.isNull || isnan(x)).cast("long")
-    val per = scored.filter(col(armCol).isin(armA, armB))
-      .groupBy(window(col("ts"), width).as("w"),
-        col(armCol).cast("string").as("arm"))
+    val per = src
+      .groupBy(col("w"), col("arm"))
       .agg(count(lit(1)).as("n"), sum(x).as("sx"),
         sum(x * x).as("sxx"), sum(bad).as("__bad"))
       .localCheckpoint()
     val badRow = per.agg(sum("__bad")).head()
     val nBad = if (badRow.isNullAt(0)) 0L else badRow.getLong(0)
+    val obs = if (unitCol.isDefined) "unit" else "value"
     require(nBad == 0,
-      "windowedAbMixtureSprt: values must be non-null and non-NaN — " +
+      s"windowedAbMixtureSprt: $nBad ${obs}s with null/NaN values — " +
         "clean the stream first")
     def cell(c: String, arm: String) =
       max(when(col("arm") === arm, col(c)))

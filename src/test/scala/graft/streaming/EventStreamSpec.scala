@@ -1057,6 +1057,52 @@ class EventStreamSpec extends SparkSpec {
       sprt(Seq(Seq(("a", Double.NaN), ("b", 1.0)))))
   }
 
+  test("windowedAbMixtureSprt unitCol: unit totals are the observations; the iid-row path overstates the evidence; singleton units equal the row path; poisoned unit refuses") {
+    import spark.implicits._
+    def mk(rows: Seq[(String, Long, Double)]) =
+      rows.map { case (a, u, v) => (100L, a, u, v) }
+        .toDF("sec", "arm", "u", "y")
+        .select(expr("timestamp_seconds(sec)").as("ts"), col("arm"),
+          col("u"), col("y"))
+    // 2 units per arm, 2 events each: unit totals a = (0, 1),
+    // b = (1, 2) — the windowedAbMixtureSprt plug-in hand case
+    val events = Seq(
+      ("a", 1L, 0.0), ("a", 1L, 0.0), ("a", 2L, 0.5), ("a", 2L, 0.5),
+      ("b", 3L, 0.5), ("b", 3L, 0.5), ("b", 4L, 1.0), ("b", 4L, 1.0))
+    val unit = EventStream.windowedAbMixtureSprt(mk(events), "arm",
+      "a", "b", "y", None, 1.0, unitCol = Some("u")).head()
+    def handLl(d: Double, v: Double) = graft.ops.Num.round9(
+      0.5 * math.log(v / (v + 1.0))
+        + (d * d * 1.0) / (2.0 * v * (v + 1.0)))
+    assert(unit.getLong(2) === 2L && unit.getLong(3) === 2L) // units
+    assert(unit.getDouble(4) === 1.0)        // delta of unit totals
+    assert(unit.getDouble(5) === 0.5)        // between-unit s²
+    assert(unit.getDouble(6) === handLl(1.0, 0.5))
+    // the iid-row path on the SAME stream sees 4 "independent" rows
+    // per arm and a smaller V — MORE evidence than the units justify
+    // (the anti-conservative boundary the unit path fixes)
+    val iid = EventStream.windowedAbMixtureSprt(mk(events), "arm",
+      "a", "b", "y", None, 1.0).head()
+    assert(iid.getLong(2) === 4L)
+    assert(iid.getDouble(6) > unit.getDouble(6))
+    // singleton units: the unit path IS the row path, column for
+    // column
+    val single = events.zipWithIndex.map { case ((a, _, v), i) =>
+      (a, 100L + i, v) }
+    val su = EventStream.windowedAbMixtureSprt(mk(single), "arm",
+      "a", "b", "y", None, 1.0, unitCol = Some("u")).head()
+    val sr = EventStream.windowedAbMixtureSprt(mk(single), "arm",
+      "a", "b", "y", None, 1.0).head()
+    for (i <- 1 until sr.length)
+      assert(su.get(i) === sr.get(i), s"column $i")
+    // a bad row poisons its unit; the refusal speaks in units
+    val ex = intercept[IllegalArgumentException](
+      EventStream.windowedAbMixtureSprt(
+        mk(events.updated(0, ("a", 1L, Double.NaN))), "arm", "a", "b",
+        "y", None, 1.0, unitCol = Some("u")))
+    assert(ex.getMessage.contains("unit"))
+  }
+
   test("windowedSrm: single-window equality to batch srmCheck; a broken hour flags alone; undeclared arm refuses") {
     import spark.implicits._
     def mk(hours: Seq[Seq[String]]) =
