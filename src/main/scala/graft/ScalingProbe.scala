@@ -1177,6 +1177,8 @@ object ScalingProbe {
       SparkEntry.queries("q_ratio_delta")(spark, d).count() }
     time("ab_e2e") { d =>
       SparkEntry.queries("q_ab_e2e")(spark, d).count() }
+    time("stream_ratio") { d =>
+      SparkEntry.queries("q_stream_ratio")(spark, d).count() }
     // fragment ancestry depth: the overlay read chains one ROWID join
     // per ancestor (MSWrite.readFragment walks the sidecars, then folds
     // updateByRowId). Probe READ cost (chains pre-built, untimed) vs

@@ -1965,6 +1965,27 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
         .orderBy("window_start")
     }),
 
+    // per-window ratio-metric delta (CTR-style) under unit
+    // randomization: unit totals per window, delta-method variance —
+    // the chain is single-sourced with the batch q_ratio_delta
+    "q_stream_ratio" -> ((s, dir) => {
+      val ev = EventStream.loadEvents(s, dir)
+      val unit = col("user_id") % 512
+      val scored = ev.select(col("ts"), unit.as("unit"),
+        concat(lit("arm"), (unit % 2).cast("string")).as("arm"),
+        (((col("user_id") * 13) % 8).cast("double") / 8.0
+          + (unit % 2).cast("double") * 0.0625).as("clicks"),
+        (lit(1) + (col("user_id") * 7) % 4).cast("double").as("imps"))
+      EventStream.windowedRatioDelta(scored, "arm", "arm0", "arm1",
+          "clicks", "imps", "unit", width = "1 hour")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("n_a"), col("n_b"), col("ratio_a"), col("ratio_b"),
+          col("delta"), col("se"), col("z"), col("p_value"),
+          col("decidable"))
+        .orderBy("window_start")
+    }),
+
     // streaming SRM monitor: a 50/50 design whose actual hash sends
     // 9/16 of users to arm a — the per-window chi2 must flag the
     // mismatch the hour it appears (df = 1: the erfc closed form)
@@ -10080,6 +10101,96 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |  (okf AND lb >= round(ln(1.0 / 0.05), 9)) AS reject,
           |  okf AS decidable
           |FROM ll ORDER BY window_start""".stripMargin,
+
+      "q_stream_ratio" ->
+        s"""WITH sc AS (
+          |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w,
+          |    user_id % 512 AS unit,
+          |    'arm' || CAST((user_id % 512) % 2 AS VARCHAR) AS arm,
+          |    CAST((user_id * 13) % 8 AS DOUBLE) / 8.0
+          |      + CAST((user_id % 512) % 2 AS DOUBLE) * 0.0625 AS y,
+          |    CAST(1 + (user_id * 7) % 4 AS DOUBLE) AS d
+          |  FROM events),
+          |uu AS (
+          |  SELECT w, arm, unit, sum(y) AS yu, sum(d) AS nu
+          |  FROM sc GROUP BY w, arm, unit),
+          |ag AS (
+          |  SELECT w, arm, count(*) AS n, sum(yu) AS sy,
+          |    sum(nu) AS sn, sum(yu * yu) AS syy,
+          |    sum(nu * nu) AS snn, sum(yu * nu) AS syn
+          |  FROM uu GROUP BY w, arm),
+          |pv AS (
+          |  SELECT w,
+          |    coalesce(max(CASE WHEN arm = 'arm0' THEN n END), 0)
+          |      AS na,
+          |    coalesce(max(CASE WHEN arm = 'arm1' THEN n END), 0)
+          |      AS nb,
+          |    max(CASE WHEN arm = 'arm0' THEN sy END) AS sya,
+          |    max(CASE WHEN arm = 'arm1' THEN sy END) AS syb,
+          |    max(CASE WHEN arm = 'arm0' THEN sn END) AS sna,
+          |    max(CASE WHEN arm = 'arm1' THEN sn END) AS snb,
+          |    max(CASE WHEN arm = 'arm0' THEN syy END) AS syya,
+          |    max(CASE WHEN arm = 'arm1' THEN syy END) AS syyb,
+          |    max(CASE WHEN arm = 'arm0' THEN snn END) AS snna,
+          |    max(CASE WHEN arm = 'arm1' THEN snn END) AS snnb,
+          |    max(CASE WHEN arm = 'arm0' THEN syn END) AS syna,
+          |    max(CASE WHEN arm = 'arm1' THEN syn END) AS synb
+          |  FROM ag GROUP BY w),
+          |og AS (
+          |  SELECT *,
+          |    na >= 2 AND nb >= 2 AND coalesce(sna > 0.0, false)
+          |      AND coalesce(snb > 0.0, false) AS okf
+          |  FROM pv),
+          |s1 AS (
+          |  SELECT *,
+          |    CASE WHEN okf THEN sya / sna END AS ra,
+          |    CASE WHEN okf THEN syb / snb END AS rb,
+          |    CASE WHEN okf THEN sna / na END AS ma,
+          |    CASE WHEN okf THEN snb / nb END AS mb,
+          |    CASE WHEN okf THEN
+          |      (syya - sya * sya / na) / (na - 1.0) END AS vya,
+          |    CASE WHEN okf THEN
+          |      (syyb - syb * syb / nb) / (nb - 1.0) END AS vyb,
+          |    CASE WHEN okf THEN
+          |      (snna - sna * sna / na) / (na - 1.0) END AS vna,
+          |    CASE WHEN okf THEN
+          |      (snnb - snb * snb / nb) / (nb - 1.0) END AS vnb,
+          |    CASE WHEN okf THEN
+          |      (syna - sya * sna / na) / (na - 1.0) END AS ca,
+          |    CASE WHEN okf THEN
+          |      (synb - syb * snb / nb) / (nb - 1.0) END AS cb
+          |  FROM og),
+          |s2 AS (
+          |  SELECT *,
+          |    greatest(0.0, vya - 2.0 * ra * ca + ra * ra * vna)
+          |      / (na * ma * ma) AS va,
+          |    greatest(0.0, vyb - 2.0 * rb * cb + rb * rb * vnb)
+          |      / (nb * mb * mb) AS vb,
+          |    rb - ra AS delta
+          |  FROM s1),
+          |s3 AS (SELECT *, sqrt(va + vb) AS se FROM s2),
+          |s4 AS (
+          |  SELECT *, CASE WHEN se > 0.0 THEN delta / se
+          |    WHEN okf THEN 0.0 END AS z
+          |  FROM s3),
+          |px AS (SELECT *, abs(z) / sqrt(2.0) AS xq FROM s4),
+          |pp AS (
+          |  SELECT *,
+          |    CASE WHEN se > 0.0 THEN least(1.0, ${erfccSql("xq")})
+          |      WHEN okf THEN
+          |        CASE WHEN delta = 0.0 THEN 1.0 ELSE 0.0 END
+          |    END AS p
+          |  FROM px)
+          |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+          |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+          |  round(CASE WHEN okf THEN ra ELSE -1.0 END, 9) AS ratio_a,
+          |  round(CASE WHEN okf THEN rb ELSE -1.0 END, 9) AS ratio_b,
+          |  round(CASE WHEN okf THEN delta ELSE -1.0 END, 9) AS delta,
+          |  round(CASE WHEN okf THEN se ELSE -1.0 END, 9) AS se,
+          |  round(CASE WHEN okf THEN z ELSE -1.0 END, 9) AS z,
+          |  round(CASE WHEN okf THEN p ELSE -1.0 END, 9) AS p_value,
+          |  okf AS decidable
+          |FROM pp ORDER BY window_start""".stripMargin,
 
       "q_stream_srm" ->
         s"""WITH sc AS (

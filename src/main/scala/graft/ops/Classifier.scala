@@ -2831,6 +2831,97 @@ object Classifier {
     * O(1) driver arithmetic on two rows — no join, no window, units
     * never collected.
     */
+  /** The per-(group, unit) ratio-metric pre-fold: unit totals
+    * (Y_u, N_u) with NaN-poison hygiene (the [[cupedUnitExprs]]
+    * discipline; negative denominators poison too). ONE source for
+    * the batch [[ratioMetricDelta]] and the streaming
+    * [[graft.streaming.EventStream.windowedRatioDelta]] monitor. */
+  private[graft] def ratioUnitExprs(numerCol: String,
+      denomCol: String): Seq[Column] = {
+    val y = col(numerCol).cast("double")
+    val d = col(denomCol).cast("double")
+    val bad = y.isNull || isnan(y) || d.isNull || isnan(d) || d < 0.0
+    Seq(sum(when(bad, lit(Double.NaN)).otherwise(y)).as("yu"),
+      sum(when(bad, lit(Double.NaN)).otherwise(d)).as("nu"))
+  }
+
+  /** The per-group unit-moment aggregate over a (yu, nu) unit frame —
+    * count, poisoned-unit census, five power sums. ONE source for the
+    * batch and windowed ratio-metric forms. */
+  private[graft] def ratioMomentExprs: Seq[Column] = {
+    val badU = (col("yu").isNull || isnan(col("yu")) ||
+      col("nu").isNull || isnan(col("nu"))).cast("long")
+    Seq(count(lit(1)).as("n"), sum(badU).as("__nbad"),
+      sum(col("yu")).as("sy"), sum(col("nu")).as("sn"),
+      sum(col("yu") * col("yu")).as("syy"),
+      sum(col("nu") * col("nu")).as("snn"),
+      sum(col("yu") * col("nu")).as("syn"))
+  }
+
+  /** The (group) pivot cells for the ratio-metric chain (arm counts
+    * coalesced to 0 so a one-armed window pivots rather than
+    * nulls out — the [[cupedPivotCells]] convention). */
+  private[graft] def ratioPivotCells(armA: String,
+      armB: String): Seq[Column] = {
+    def cell(c: String, arm: String) =
+      max(when(col("arm") === arm, col(c)))
+    Seq(
+      coalesce(cell("n", armA), lit(0L)).as("na"),
+      coalesce(cell("n", armB), lit(0L)).as("nb"),
+      cell("sy", armA).as("sya"), cell("sy", armB).as("syb"),
+      cell("sn", armA).as("sna"), cell("sn", armB).as("snb"),
+      cell("syy", armA).as("syya"), cell("syy", armB).as("syyb"),
+      cell("snn", armA).as("snna"), cell("snn", armB).as("snnb"),
+      cell("syn", armA).as("syna"), cell("syn", armB).as("synb"))
+  }
+
+  /** The staged delta-method chain over a pivoted ratio-moment frame
+    * — every stage sits under `__ok` (both arms ≥ 2 units with
+    * positive denominator totals: CaseWhen evaluates lazily, so a
+    * one-armed window never reaches the divisions). ONE source for
+    * the batch operator and the windowed monitor (the
+    * [[cupedStatFrame]] discipline). */
+  private[graft] def ratioStatFrame(pv: DataFrame): DataFrame = {
+    val ok = col("na") >= 2 && col("nb") >= 2 &&
+      coalesce(col("sna") > 0.0, lit(false)) &&
+      coalesce(col("snb") > 0.0, lit(false))
+    def ifok(c: Column) = when(ok, c)
+    def mom(tot: String, l: String, r: String, a: String) =
+      (col(s"$tot$a") - col(s"$l$a") * col(s"$r$a") / col(s"n$a")) /
+        (col(s"n$a") - lit(1.0))
+    val st1 = pv.select(col("*"), ok.as("__ok"),
+      ifok(col("sya") / col("sna")).as("__ra"),
+      ifok(col("syb") / col("snb")).as("__rb"),
+      ifok(col("sna") / col("na")).as("__ma"),
+      ifok(col("snb") / col("nb")).as("__mb"),
+      ifok(mom("syy", "sy", "sy", "a")).as("__vya"),
+      ifok(mom("syy", "sy", "sy", "b")).as("__vyb"),
+      ifok(mom("snn", "sn", "sn", "a")).as("__vna"),
+      ifok(mom("snn", "sn", "sn", "b")).as("__vnb"),
+      ifok(mom("syn", "sy", "sn", "a")).as("__ca"),
+      ifok(mom("syn", "sy", "sn", "b")).as("__cb"))
+    def varR(a: String, r: Column, v: Column, c: Column, vn: Column) =
+      greatest(lit(0.0), v - lit(2.0) * r * c + r * r * vn) /
+        (col(s"n$a") * col(s"__m$a") * col(s"__m$a"))
+    val st2 = st1.select(col("*"),
+      varR("a", col("__ra"), col("__vya"), col("__ca"), col("__vna"))
+        .as("__va"),
+      varR("b", col("__rb"), col("__vyb"), col("__cb"), col("__vnb"))
+        .as("__vb"),
+      (col("__rb") - col("__ra")).as("__delta"))
+    val st3 = st2.select(col("*"),
+      sqrt(col("__va") + col("__vb")).as("__se"))
+    val st4 = st3.select(col("*"),
+      when(col("__se") > 0.0, col("__delta") / col("__se"))
+        .otherwise(when(col("__ok"), lit(0.0))).as("__z"))
+    st4.select(col("*"),
+      when(col("__se") > 0.0, least(lit(1.0),
+          Num.erfccCol(abs(col("__z")) / sqrt(lit(2.0)))))
+        .otherwise(when(col("__ok"),
+          when(col("__delta") === 0.0, lit(1.0)).otherwise(lit(0.0))))
+        .as("__p"))
+  }
+
   def ratioMetricDelta(exp: DataFrame, armCol: String, armA: String,
                        armB: String, numerCol: String,
                        denomCol: String, unitCol: String,
@@ -2838,22 +2929,17 @@ object Classifier {
     require(armA != armB,
       s"ratioMetricDelta: armA and armB are both '$armA'")
     require(alpha > 0 && alpha < 0.5, s"ratioMetricDelta: alpha=$alpha")
-    val y = col(numerCol).cast("double")
-    val d = col(denomCol).cast("double")
-    val bad = y.isNull || isnan(y) || d.isNull || isnan(d) || d < 0.0
+    // the shared unit fold + moment aggregate + staged chain
+    // ([[ratioUnitExprs]]/[[ratioMomentExprs]]/[[ratioStatFrame]]) —
+    // one source with the windowed monitor
+    val ue = ratioUnitExprs(numerCol, denomCol)
     val units = exp.filter(col(armCol).isin(armA, armB))
       .groupBy(col(armCol).cast("string").as("arm"),
         col(unitCol).as("__unit"))
-      .agg(sum(when(bad, lit(Double.NaN)).otherwise(y)).as("yu"),
-        sum(when(bad, lit(Double.NaN)).otherwise(d)).as("nu"))
-    val badU = (col("yu").isNull || isnan(col("yu")) ||
-      col("nu").isNull || isnan(col("nu"))).cast("long")
+      .agg(ue.head, ue.tail: _*)
+    val me = ratioMomentExprs
     val per = units.groupBy(col("arm"))
-      .agg(count(lit(1)).as("n"), sum(badU).as("__nbad"),
-        sum(col("yu")).as("sy"), sum(col("nu")).as("sn"),
-        sum(col("yu") * col("yu")).as("syy"),
-        sum(col("nu") * col("nu")).as("snn"),
-        sum(col("yu") * col("nu")).as("syn"))
+      .agg(me.head, me.tail: _*)
       .localCheckpoint()
     val rows = per.collect().map(r => r.getString(0) -> r).toMap
     require(rows.contains(armA) && rows.contains(armB),
@@ -2873,53 +2959,13 @@ object Classifier {
     require(ra0.getDouble(4) > 0.0 && rb0.getDouble(4) > 0.0,
       "ratioMetricDelta: each arm's denominator total must be " +
         "positive — a zero-exposure arm has no ratio to test")
-    // pivot + staged delta-method chain as COLUMN arithmetic (the
+    // pivot + staged delta-method chain as COLUMN arithmetic via the
+    // shared [[ratioPivotCells]]/[[ratioStatFrame]] (the
     // cupedStatFrame discipline: the oracle replays it CTE for CTE,
     // and stages keep janino inside its codegen limits)
-    def cell(c: String, arm: String) =
-      max(when(col("arm") === arm, col(c)))
-    val cells = Seq(
-      cell("n", armA).as("na"), cell("n", armB).as("nb"),
-      cell("sy", armA).as("sya"), cell("sy", armB).as("syb"),
-      cell("sn", armA).as("sna"), cell("sn", armB).as("snb"),
-      cell("syy", armA).as("syya"), cell("syy", armB).as("syyb"),
-      cell("snn", armA).as("snna"), cell("snn", armB).as("snnb"),
-      cell("syn", armA).as("syna"), cell("syn", armB).as("synb"))
+    val cells = ratioPivotCells(armA, armB)
     val pv = per.agg(cells.head, cells.tail: _*)
-    def mom(tot: String, l: String, r: String, a: String) =
-      (col(s"$tot$a") - col(s"$l$a") * col(s"$r$a") / col(s"n$a")) /
-        (col(s"n$a") - lit(1.0))
-    val st1 = pv.select(col("*"),
-      (col("sya") / col("sna")).as("__ra"),
-      (col("syb") / col("snb")).as("__rb"),
-      (col("sna") / col("na")).as("__ma"),
-      (col("snb") / col("nb")).as("__mb"),
-      mom("syy", "sy", "sy", "a").as("__vya"),
-      mom("syy", "sy", "sy", "b").as("__vyb"),
-      mom("snn", "sn", "sn", "a").as("__vna"),
-      mom("snn", "sn", "sn", "b").as("__vnb"),
-      mom("syn", "sy", "sn", "a").as("__ca"),
-      mom("syn", "sy", "sn", "b").as("__cb"))
-    def varR(a: String, r: Column, v: Column, c: Column, vn: Column) =
-      greatest(lit(0.0), v - lit(2.0) * r * c + r * r * vn) /
-        (col(s"n$a") * col(s"__m$a") * col(s"__m$a"))
-    val st2 = st1.select(col("*"),
-      varR("a", col("__ra"), col("__vya"), col("__ca"), col("__vna"))
-        .as("__va"),
-      varR("b", col("__rb"), col("__vyb"), col("__cb"), col("__vnb"))
-        .as("__vb"),
-      (col("__rb") - col("__ra")).as("__delta"))
-    val st3 = st2.select(col("*"),
-      sqrt(col("__va") + col("__vb")).as("__se"))
-    val st4 = st3.select(col("*"),
-      when(col("__se") > 0.0, col("__delta") / col("__se"))
-        .otherwise(lit(0.0)).as("__z"))
-    val row = st4.select(col("*"),
-      when(col("__se") > 0.0, least(lit(1.0),
-          Num.erfccCol(abs(col("__z")) / sqrt(lit(2.0)))))
-        .otherwise(when(col("__delta") === 0.0, lit(1.0))
-          .otherwise(lit(0.0))).as("__p"))
-      .head()
+    val row = ratioStatFrame(pv).head()
     def g(nm: String) = row.getDouble(row.fieldIndex(nm))
     val (delta, se, z, p) = (g("__delta"), g("__se"), g("__z"), g("__p"))
     val spark = exp.sparkSession

@@ -1217,6 +1217,69 @@ object EventStream {
       stats: _*)
   }
 
+  /** Per-window ratio-metric A/B delta under unit randomization —
+    * the streaming parity of
+    * [[graft.ops.Classifier.ratioMetricDelta]] (the [[windowedCuped]]
+    * pattern): per tumbling window, the delta-method test on the
+    * ratio of unit totals (CTR, accept rate per suggestion,
+    * revenue per session) between two arms — the metric dashboards
+    * actually ship, with the cluster-robust variance the iid-row
+    * z-test understates. Unit fold, moment aggregate, pivot and the
+    * staged delta-method chain are single-sourced with the batch
+    * operator ([[graft.ops.Classifier.ratioUnitExprs]] /
+    * [[graft.ops.Classifier.ratioMomentExprs]] /
+    * [[graft.ops.Classifier.ratioPivotCells]] /
+    * [[graft.ops.Classifier.ratioStatFrame]] — the mcnemarAggExprs
+    * discipline). A window without ≥ 2 units per arm, or with a
+    * nonpositive denominator total in either arm, emits the −1.0
+    * sentinel with `decidable = false` (the monitor never goes
+    * dark); row hygiene (null/NaN, negative denominators) propagates
+    * as NaN poison through the unit fold and refuses via the riding
+    * census. One row per window: (window_start, n_a, n_b, ratio_a,
+    * ratio_b, delta, se, z, p_value, decidable), doubles rounded at
+    * 9; n_a/n_b count UNITS active in the window.
+    *
+    * Scale shape: one (window, arm, unit) map-side-combinable fold,
+    * then ONE (window, arm) moment aggregate and a (window) pivot
+    * fold over the checkpointed 2·windows rows; no join, no window
+    * function, units never collected.
+    */
+  def windowedRatioDelta(exp: DataFrame, armCol: String, armA: String,
+                         armB: String, numerCol: String,
+                         denomCol: String, unitCol: String,
+                         width: String = "1 hour"): DataFrame = {
+    require(armA != armB,
+      s"windowedRatioDelta: armA and armB are both '$armA'")
+    val ue = graft.ops.Classifier.ratioUnitExprs(numerCol, denomCol)
+    val units = exp.filter(col(armCol).isin(armA, armB))
+      .groupBy(window(col("ts"), width).as("w"),
+        col(armCol).cast("string").as("arm"), col(unitCol).as("__unit"))
+      .agg(ue.head, ue.tail: _*)
+    val me = graft.ops.Classifier.ratioMomentExprs
+    val per = units.groupBy(col("w"), col("arm"))
+      .agg(me.head, me.tail: _*)
+      .localCheckpoint()
+    val badRow = per.agg(sum("__nbad")).head()
+    val nBad = if (badRow.isNullAt(0)) 0L else badRow.getLong(0)
+    require(nBad == 0,
+      s"windowedRatioDelta: $nBad units with null/NaN numerator or " +
+        "null/NaN/negative denominator rows — clean the stream first")
+    val cells = graft.ops.Classifier.ratioPivotCells(armA, armB)
+    val pv = per.groupBy(col("w.start").as("window_start"))
+      .agg(cells.head, cells.tail: _*)
+    val zz = graft.ops.Classifier.ratioStatFrame(pv)
+    val ok = col("__ok")
+    def gated(c: org.apache.spark.sql.Column) =
+      round(when(ok, c).otherwise(lit(-1.0)), 9)
+    zz.select(col("window_start"), col("na").as("n_a"),
+      col("nb").as("n_b"),
+      gated(col("__ra")).as("ratio_a"),
+      gated(col("__rb")).as("ratio_b"),
+      gated(col("__delta")).as("delta"), gated(col("__se")).as("se"),
+      gated(col("__z")).as("z"), gated(col("__p")).as("p_value"),
+      ok.as("decidable"))
+  }
+
   /** Sliding-window per-user activity. */
   def sliding(events: DataFrame, width: String = "1 hour",
               slide: String = "30 minutes"): DataFrame =

@@ -1121,6 +1121,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Window("), p)
   }
 
+  test("windowedRatioDelta: (window, arm, unit) fold then ONE (window, arm) moment aggregate + pivot — no join, no window function") {
+    val ev = graft.streaming.EventStream.loadEvents(spark, sf())
+    val unit = pmod(col("user_id"), lit(512))
+    val df = graft.streaming.EventStream.windowedRatioDelta(
+      ev.select(col("ts"), unit.as("unit"),
+        concat(lit("arm"), pmod(unit, lit(2)).cast("string")).as("arm"),
+        (pmod(col("user_id") * 13, lit(8)).cast("double") / 8.0)
+          .as("clicks"),
+        (lit(1) + pmod(col("user_id") * 7, lit(4))).cast("double")
+          .as("imps")),
+      "arm", "arm0", "arm1", "clicks", "imps", "unit")
+    val p = plan(df)
+    assert(!p.contains("FileScan"), p)
+    assert(opCount(p, "Scan parquet") + opCount(p, "BatchScan") === 0, p)
+    assert(!p.contains("Join") && !p.contains("Window("), p)
+  }
+
   test("windowedSrm: ONE (window) aggregate; output is column arithmetic on the checkpoint — no join, no window function") {
     val ev = graft.streaming.EventStream.loadEvents(spark, sf())
     val scored = ev.select(col("ts"),

@@ -1103,6 +1103,55 @@ class EventStreamSpec extends SparkSpec {
     assert(ex.getMessage.contains("unit"))
   }
 
+  test("windowedRatioDelta: single-window equality to batch ratioMetricDelta; thin/zero-exposure windows sentinel; poisoned unit refuses") {
+    import spark.implicits._
+    def mk(rows: Seq[(Long, String, Long, Double, Double)]) =
+      rows.toDF("sec", "arm", "u", "y", "d")
+        .select(expr("timestamp_seconds(sec)").as("ts"), col("arm"),
+          col("u"), col("y"), col("d"))
+    // the batch hand case as one window: a units (1,4),(3,4); b units
+    // (2,4),(4,4) — each unit split into two half-rows
+    val rows = Seq(
+      (100L, "a", 1L, 0.5, 2.0), (101L, "a", 1L, 0.5, 2.0),
+      (102L, "a", 2L, 1.5, 2.0), (103L, "a", 2L, 1.5, 2.0),
+      (104L, "b", 3L, 1.0, 2.0), (105L, "b", 3L, 1.0, 2.0),
+      (106L, "b", 4L, 2.0, 2.0), (107L, "b", 4L, 2.0, 2.0))
+    val w = EventStream.windowedRatioDelta(mk(rows), "arm", "a", "b",
+      "y", "d", "u").head()
+    val b = graft.ops.Classifier.ratioMetricDelta(
+      rows.map(t => (t._2, t._3, t._4, t._5)).toDF("arm", "u", "y", "d"),
+      "arm", "a", "b", "y", "d", "u").head()
+    // windowed (n_a..p_value at 1..8) vs batch (n_a..p_value at 0..7)
+    // — the same single-sourced chain, so exact
+    assert(w.getLong(1) === b.getLong(0) && w.getLong(2) === b.getLong(1))
+    for ((wi, bi) <- Seq(3 -> 2, 4 -> 3, 5 -> 4, 6 -> 5, 7 -> 6))
+      assert(w.getDouble(wi) === b.getDouble(bi),
+        s"windowed($wi)=${w.getDouble(wi)} batch($bi)=${b.getDouble(bi)}")
+    assert(math.abs(w.getDouble(8) - b.getDouble(7)) < 1e-9)
+    assert(w.getBoolean(9))
+    assert(w.getDouble(3) === 0.5 && w.getDouble(4) === 0.75)
+    // a later hour with ONE unit in an arm: sentinel, never dark
+    val thin = EventStream.windowedRatioDelta(
+      mk(rows ++ Seq((3700L, "a", 9L, 1.0, 2.0),
+        (3701L, "b", 10L, 1.0, 2.0), (3702L, "b", 11L, 2.0, 2.0))),
+      "arm", "a", "b", "y", "d", "u")
+      .orderBy("window_start").collect()
+    assert(thin.length === 2 && !thin(1).getBoolean(9))
+    assert(thin(1).getDouble(5) === -1.0)
+    // a window whose arm has ZERO total exposure: no ratio — sentinel
+    val zeroD = EventStream.windowedRatioDelta(
+      mk(rows.map { case (s, a, u, y, d) =>
+        if (a == "a") (s, a, u, 0.0, 0.0) else (s, a, u, y, d) }),
+      "arm", "a", "b", "y", "d", "u").head()
+    assert(!zeroD.getBoolean(9))
+    // a negative denominator row poisons its unit and refuses
+    val ex = intercept[IllegalArgumentException](
+      EventStream.windowedRatioDelta(
+        mk(rows.updated(0, (100L, "a", 1L, 0.5, -1.0))), "arm", "a",
+        "b", "y", "d", "u"))
+    assert(ex.getMessage.contains("unit"))
+  }
+
   test("windowedSrm: single-window equality to batch srmCheck; a broken hour flags alone; undeclared arm refuses") {
     import spark.implicits._
     def mk(hours: Seq[Seq[String]]) =
