@@ -1179,6 +1179,8 @@ object ScalingProbe {
       SparkEntry.queries("q_ab_e2e")(spark, d).count() }
     time("stream_ratio") { d =>
       SparkEntry.queries("q_stream_ratio")(spark, d).count() }
+    time("stream_eb") { d =>
+      SparkEntry.queries("q_stream_eb")(spark, d).count() }
     // fragment ancestry depth: the overlay read chains one ROWID join
     // per ancestor (MSWrite.readFragment walks the sidecars, then folds
     // updateByRowId). Probe READ cost (chains pre-built, untimed) vs

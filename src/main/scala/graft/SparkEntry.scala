@@ -1965,6 +1965,25 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
         .orderBy("window_start")
     }),
 
+    // per-window empirical-Bayes shrinkage: the live "which slices
+    // carry the effect" ranking with small noisy slices pulled to the
+    // window pool — ordered moments run PARTITIONED by window, the
+    // oracle replays them with the same window functions
+    "q_stream_eb" -> ((s, dir) => {
+      val ev = EventStream.loadEvents(s, dir)
+      val scored = ev.select(col("ts"),
+        concat(lit("g"), ((col("user_id") % 4) * (col("user_id") % 3))
+          .cast("string")).as("slice"),
+        (((col("user_id") * 37) % 97) % 2).cast("int").as("succ"))
+      EventStream.windowedEbRates(scored, "slice", "succ",
+          width = "1 hour")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("slice"), col("n"), col("successes"), col("rate"),
+          col("shrink_factor"), col("shrunk_rate"), col("decidable"))
+        .orderBy("window_start", "slice")
+    }),
+
     // per-window ratio-metric delta (CTR-style) under unit
     // randomization: unit totals per window, delta-method variance —
     // the chain is single-sourced with the batch q_ratio_delta
@@ -10101,6 +10120,62 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |  (okf AND lb >= round(ln(1.0 / 0.05), 9)) AS reject,
           |  okf AS decidable
           |FROM ll ORDER BY window_start""".stripMargin,
+
+      "q_stream_eb" ->
+        """WITH sc AS (
+          |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w,
+          |    'g' || CAST((user_id % 4) * (user_id % 3) AS VARCHAR)
+          |      AS slice,
+          |    CAST(((user_id * 37) % 97) % 2 AS INT) AS succ
+          |  FROM events),
+          |per AS (
+          |  SELECT w, slice, count(*) AS n,
+          |    sum(CAST(succ AS DOUBLE)) AS s
+          |  FROM sc GROUP BY w, slice),
+          |p1 AS (
+          |  SELECT w, slice, n, s,
+          |    SUM(s) OVER (PARTITION BY w) AS ss,
+          |    SUM(n) OVER (PARTITION BY w) AS nn,
+          |    COUNT(*) OVER (PARTITION BY w) AS k,
+          |    SUM(s / n) OVER wo AS cp,
+          |    SUM((s / n) * (s / n)) OVER wo AS cp2,
+          |    SUM(CAST(1.0 AS DOUBLE) / n) OVER wo AS cinv
+          |  FROM per
+          |  WINDOW wo AS (PARTITION BY w ORDER BY slice ROWS BETWEEN
+          |    UNBOUNDED PRECEDING AND CURRENT ROW)),
+          |p2 AS (
+          |  SELECT *,
+          |    last_value(cp) OVER wa AS cpl,
+          |    last_value(cp2) OVER wa AS cp2l,
+          |    last_value(cinv) OVER wa AS cinvl
+          |  FROM p1
+          |  WINDOW wa AS (PARTITION BY w ORDER BY slice ROWS BETWEEN
+          |    UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+          |p3 AS (
+          |  SELECT *, k >= 2 AS okf, ss / nn AS pbar,
+          |    CASE WHEN k >= 2 THEN
+          |      (cp2l - k * (cpl / k) * (cpl / k)) / (k - 1.0)
+          |    END AS varp
+          |  FROM p2),
+          |p4 AS (SELECT *, pbar * (1.0 - pbar) AS pw FROM p3),
+          |p5 AS (
+          |  SELECT *, greatest(0.0, varp - pw * cinvl / k) AS tau2
+          |  FROM p4),
+          |p6 AS (
+          |  SELECT *, CASE WHEN tau2 + pw / n > 0.0 THEN
+          |      tau2 / (tau2 + pw / n)
+          |    ELSE 0.0 END AS shr
+          |  FROM p5)
+          |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+          |  slice, CAST(n AS BIGINT) AS n,
+          |  CAST(s AS BIGINT) AS successes,
+          |  round(s / n, 9) AS rate,
+          |  round(CASE WHEN okf THEN shr ELSE -1.0 END, 9)
+          |    AS shrink_factor,
+          |  round(CASE WHEN okf THEN pbar + shr * (s / n - pbar)
+          |    ELSE -1.0 END, 9) AS shrunk_rate,
+          |  okf AS decidable
+          |FROM p6 ORDER BY window_start, slice""".stripMargin,
 
       "q_stream_ratio" ->
         s"""WITH sc AS (

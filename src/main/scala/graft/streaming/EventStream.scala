@@ -1280,6 +1280,98 @@ object EventStream {
       ok.as("decidable"))
   }
 
+  /** Per-window empirical-Bayes rate shrinkage — the streaming parity
+    * of [[graft.ops.Classifier.empiricalBayesRates]] (the
+    * [[windowedEval]] pattern): per tumbling window, each slice's
+    * success rate pulled toward that window's pool by its own noise
+    * share, so the live "which slices carry the effect" ranking never
+    * crowns a small noisy slice on one hour of traffic. Same
+    * method-of-moments construction as the batch op — pooled p̄ from
+    * exact integer sums (order-free), the across-slice moment sums
+    * (Σp̂, Σp̂², Σ1/n — non-dyadic) as slice-ORDERED prefix sums read
+    * at each window's LAST row and broadcast back by a
+    * full-frame `last` (the cross-engine order pin, here PARTITIONED
+    * by window — every formula operand-for-operand with the batch
+    * operator, so a single-window stream equals the batch output
+    * exactly, spec-pinned). A window with one slice has no
+    * between-slice variance: it emits the −1.0 sentinel in the shrink
+    * columns with `decidable = false` (the monitor never goes dark).
+    * Non-binary/null successes refuse via the census riding the one
+    * aggregate. Unlike the batch op there is NO `maxSlices` knob:
+    * there is no driver-side ordered scan to bound — the prefix runs
+    * as a window function partitioned by window, fully distributed.
+    * One row per (window, slice): (window_start, slice, n, successes,
+    * rate, shrink_factor, shrunk_rate, decidable), doubles rounded
+    * at 9.
+    *
+    * Scale shape: ONE (window, slice) hash aggregate over the stream,
+    * then window-PARTITIONED prefix/frame functions over the
+    * (windows × slices)-many checkpointed post-aggregate rows; no
+    * join, no driver state.
+    */
+  def windowedEbRates(events: DataFrame, sliceCol: String,
+                      successCol: String,
+                      width: String = "1 hour"): DataFrame = {
+    val s = col(successCol).cast("double")
+    val badc = (s.isNull || isnan(s) || (s =!= 0.0 && s =!= 1.0))
+      .cast("long")
+    val per = events
+      .groupBy(window(col("ts"), width).as("w"),
+        col(sliceCol).as("slice"))
+      .agg(count(lit(1)).as("n"), sum(s).as("s"),
+        sum(badc).as("__nbad"))
+      .localCheckpoint()
+    val badRow = per.agg(sum("__nbad")).head()
+    val nBad = if (badRow.isNullAt(0)) 0L else badRow.getLong(0)
+    require(nBad == 0,
+      s"windowedEbRates: $nBad null/NaN/non-binary $successCol " +
+        "values — successes must be 0 or 1; clean the stream first")
+    import org.apache.spark.sql.expressions.Window
+    val wPart = Window.partitionBy("w")
+    val wOrd = Window.partitionBy("w").orderBy("slice")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p = col("s").cast("double") / col("n")
+    val st1 = per.select(col("w.start").as("window_start"),
+      col("slice"), col("n"), col("s"),
+      sum("s").over(wPart).as("__ss"),
+      sum("n").over(wPart).as("__nn"),
+      count(lit(1)).over(wPart).as("__k"),
+      sum(p).over(wOrd).as("__cp"),
+      sum(p * p).over(wOrd).as("__cp2"),
+      sum(lit(1.0) / col("n")).over(wOrd).as("__cinv"))
+    // broadcast each window's LAST prefix reading back to every row
+    // (the batch op reads the same value at rn = k on the driver)
+    val wAll2 = Window.partitionBy("window_start").orderBy("slice")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val st2 = st1.select(col("*"),
+      last("__cp").over(wAll2).as("__cpL"),
+      last("__cp2").over(wAll2).as("__cp2L"),
+      last("__cinv").over(wAll2).as("__cinvL"))
+    val ok = col("__k") >= 2
+    val pbar = col("__ss") / col("__nn")
+    val meanp = col("__cpL") / col("__k")
+    val st3 = st2.select(col("*"), ok.as("__ok"),
+      pbar.as("__pbar"),
+      when(ok, (col("__cp2L") - col("__k") * meanp * meanp) /
+        (col("__k") - lit(1.0))).as("__varp"),
+      (pbar * (lit(1.0) - pbar)).as("__pw"))
+    val st4 = st3.select(col("*"),
+      greatest(lit(0.0), col("__varp")
+        - col("__pw") * col("__cinvL") / col("__k")).as("__tau2"))
+    val shrink = when(col("__tau2") + col("__pw") / col("n") > 0.0,
+      col("__tau2") / (col("__tau2") + col("__pw") / col("n")))
+      .otherwise(lit(0.0))
+    def gated(c: org.apache.spark.sql.Column) =
+      round(when(col("__ok"), c).otherwise(lit(-1.0)), 9)
+    st4.select(col("window_start"), col("slice"), col("n"),
+      col("s").cast("long").as("successes"),
+      round(p, 9).as("rate"),
+      gated(shrink).as("shrink_factor"),
+      gated(col("__pbar") + shrink * (p - col("__pbar")))
+        .as("shrunk_rate"),
+      col("__ok").as("decidable"))
+  }
+
   /** Sliding-window per-user activity. */
   def sliding(events: DataFrame, width: String = "1 hour",
               slide: String = "30 minutes"): DataFrame =

@@ -1138,6 +1138,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Window("), p)
   }
 
+  test("windowedEbRates: ONE (window, slice) aggregate; partitioned prefix/frame functions on the checkpoint — no join, no corpus re-scan") {
+    val ev = graft.streaming.EventStream.loadEvents(spark, sf())
+    val df = graft.streaming.EventStream.windowedEbRates(
+      ev.select(col("ts"),
+        concat(lit("g"), (pmod(col("user_id"), lit(4))
+          * pmod(col("user_id"), lit(3))).cast("string")).as("slice"),
+        (pmod(col("user_id") * 37, lit(97)) % 2).cast("int")
+          .as("succ")),
+      "slice", "succ")
+    val p = plan(df)
+    assert(!p.contains("FileScan"), p)
+    assert(opCount(p, "Scan parquet") + opCount(p, "BatchScan") === 0, p)
+    assert(p.contains("Window") && !p.contains("Join"), p)
+  }
+
   test("windowedSrm: ONE (window) aggregate; output is column arithmetic on the checkpoint — no join, no window function") {
     val ev = graft.streaming.EventStream.loadEvents(spark, sf())
     val scored = ev.select(col("ts"),

@@ -1152,6 +1152,42 @@ class EventStreamSpec extends SparkSpec {
     assert(ex.getMessage.contains("unit"))
   }
 
+  test("windowedEbRates: single-window equality to batch empiricalBayesRates; one-slice window sentinels; refusal") {
+    import spark.implicits._
+    def mk(rows: Seq[(Long, String, Int)]) =
+      rows.toDF("sec", "slice", "succ")
+        .select(expr("timestamp_seconds(sec)").as("ts"), col("slice"),
+          col("succ"))
+    // the batch hand case in one window: g1 = 4 trials 2 successes,
+    // g2 = 2 trials 2 successes
+    val rows = Seq((100L, "g1", 1), (101L, "g1", 1), (102L, "g1", 0),
+      (103L, "g1", 0), (104L, "g2", 1), (105L, "g2", 1))
+    val w = EventStream.windowedEbRates(mk(rows), "slice", "succ")
+      .orderBy("slice").collect()
+    val b = graft.ops.Classifier.empiricalBayesRates(
+      rows.map(t => (t._2, t._3)).toDF("slice", "succ"),
+      "slice", "succ").orderBy("slice").collect()
+    assert(w.length === 2)
+    // windowed (slice..shrunk_rate at 1..6) vs batch (0..5) — the
+    // operand-for-operand mirror makes this EXACT, not approximate
+    for ((wr, br) <- w.zip(b); i <- 0 until br.length)
+      assert(wr.get(i + 1) === br.get(i), s"column $i")
+    assert(w.forall(_.getBoolean(7)))
+    // an hour with ONE slice: no between-slice variance — sentinel
+    // shrink columns, real rate, decidable = false
+    val oneSlice = EventStream.windowedEbRates(
+      mk(rows ++ Seq((3700L, "g1", 1), (3701L, "g1", 0))),
+      "slice", "succ").orderBy("window_start", "slice").collect()
+    assert(oneSlice.length === 3)
+    assert(!oneSlice(2).getBoolean(7))
+    assert(oneSlice(2).getDouble(5) === -1.0
+      && oneSlice(2).getDouble(6) === -1.0)
+    assert(oneSlice(2).getDouble(4) === 0.5) // the rate still reports
+    // census refusal: a non-binary success anywhere
+    intercept[IllegalArgumentException](EventStream.windowedEbRates(
+      mk(Seq((100L, "g1", 3), (101L, "g2", 1))), "slice", "succ"))
+  }
+
   test("windowedSrm: single-window equality to batch srmCheck; a broken hour flags alone; undeclared arm refuses") {
     import spark.implicits._
     def mk(hours: Seq[Seq[String]]) =
