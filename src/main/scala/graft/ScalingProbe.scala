@@ -1181,6 +1181,8 @@ object ScalingProbe {
       SparkEntry.queries("q_stream_ratio")(spark, d).count() }
     time("stream_eb") { d =>
       SparkEntry.queries("q_stream_eb")(spark, d).count() }
+    time("cuped_slice") { d =>
+      SparkEntry.queries("q_cuped_slice")(spark, d).count() }
     // fragment ancestry depth: the overlay read chains one ROWID join
     // per ancestor (MSWrite.readFragment walks the sidecars, then folds
     // updateByRowId). Probe READ cost (chains pre-built, untimed) vs

@@ -4303,6 +4303,26 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
         "arm", "arm0", "arm1", "y", "x", unitCol = Some("unit"))
     }),
 
+    // per-slice CUPED: a slice-dependent lift engineers a REVERSAL
+    // (g0/g1 positive, g2 negative) that the pooled q_cuped verdict
+    // cannot see — theta re-fit per slice, sentinels on thin slices
+    "q_cuped_slice" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"))
+      val base = ((col("id") * 13) % 16).cast("double") / 16.0
+      val lift = when(col("id") % 3 === 0, lit(0.09375))
+        .when(col("id") % 3 === 1, lit(0.03125))
+        .otherwise(lit(-0.0625))
+      ops.Classifier.cupedDeltaBySlice(d.select(
+          concat(lit("g"), (col("id") % 3).cast("string")).as("slice"),
+          concat(lit("arm"), (col("id") % 2).cast("string")).as("arm"),
+          (base + (col("id") % 2).cast("double") * lift).as("y"),
+          (base * 0.5 + ((col("id") * 29) % 8).cast("double") / 16.0)
+            .as("x")),
+        "arm", "arm0", "arm1", "y", "x", "slice")
+        .orderBy("slice")
+    }),
+
     // multivariate CUPED (Lin 2013): TWO dyadic covariates carrying
     // independent halves of the metric's base — the 2x2 pooled
     // normal-equations solve (no-pivot elimination, fixed order) and
@@ -8683,6 +8703,102 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |    sum(y * y) AS syy, sum(x * x) AS sxx, sum(x * y) AS sxy
           |  FROM r GROUP BY arm),
           |$cupedTailSql""".stripMargin,
+
+      "q_cuped_slice" ->
+        s"""WITH b0 AS (
+          |  SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+          |r AS (
+          |  SELECT 'g' || CAST(id % 3 AS VARCHAR) AS slice,
+          |    'arm' || CAST(id % 2 AS VARCHAR) AS arm,
+          |    CAST((id * 13) % 16 AS DOUBLE) / 16.0
+          |      + CAST(id % 2 AS DOUBLE) *
+          |        (CASE WHEN id % 3 = 0 THEN 0.09375
+          |          WHEN id % 3 = 1 THEN 0.03125
+          |          ELSE -0.0625 END) AS y,
+          |    CAST((id * 13) % 16 AS DOUBLE) / 16.0 * 0.5
+          |      + CAST((id * 29) % 8 AS DOUBLE) / 16.0 AS x
+          |  FROM b0),
+          |ag AS (
+          |  SELECT slice, arm, count(*) AS n, sum(y) AS sy,
+          |    sum(x) AS sx, sum(y * y) AS syy, sum(x * x) AS sxx,
+          |    sum(x * y) AS sxy
+          |  FROM r GROUP BY slice, arm),
+          |pv AS (
+          |  SELECT slice,
+          |    coalesce(max(CASE WHEN arm = 'arm0' THEN n END), 0)
+          |      AS na,
+          |    coalesce(max(CASE WHEN arm = 'arm1' THEN n END), 0)
+          |      AS nb,
+          |    max(CASE WHEN arm = 'arm0' THEN sy END) AS sya,
+          |    max(CASE WHEN arm = 'arm1' THEN sy END) AS syb,
+          |    max(CASE WHEN arm = 'arm0' THEN sx END) AS sxa,
+          |    max(CASE WHEN arm = 'arm1' THEN sx END) AS sxb,
+          |    max(CASE WHEN arm = 'arm0' THEN syy END) AS syya,
+          |    max(CASE WHEN arm = 'arm1' THEN syy END) AS syyb,
+          |    max(CASE WHEN arm = 'arm0' THEN sxx END) AS sxxa,
+          |    max(CASE WHEN arm = 'arm1' THEN sxx END) AS sxxb,
+          |    max(CASE WHEN arm = 'arm0' THEN sxy END) AS sxya,
+          |    max(CASE WHEN arm = 'arm1' THEN sxy END) AS sxyb
+          |  FROM ag GROUP BY slice),
+          |th AS (
+          |  SELECT *,
+          |    na >= 2 AND nb >= 2 AS ok,
+          |    (sxxa + sxxb) - (sxa + sxb) * (sxa + sxb) / (na + nb)
+          |      AS vden
+          |  FROM pv),
+          |t2 AS (
+          |  SELECT *,
+          |    CASE WHEN vden > 0.0 THEN
+          |      ((sxya + sxyb) - (sxa + sxb) * (sya + syb)
+          |        / (na + nb)) / vden
+          |    ELSE 0.0 END AS theta
+          |  FROM th),
+          |st AS (
+          |  SELECT *,
+          |    sya / na AS mya, syb / nb AS myb,
+          |    sxa / na AS mxa, sxb / nb AS mxb,
+          |    (syya - sya * sya / na) / (na - 1.0) AS vya,
+          |    (syyb - syb * syb / nb) / (nb - 1.0) AS vyb,
+          |    (sxxa - sxa * sxa / na) / (na - 1.0) AS vxa,
+          |    (sxxb - sxb * sxb / nb) / (nb - 1.0) AS vxb,
+          |    (sxya - sxa * sya / na) / (na - 1.0) AS ca,
+          |    (sxyb - sxb * syb / nb) / (nb - 1.0) AS cb
+          |  FROM t2),
+          |dl AS (
+          |  SELECT *,
+          |    myb - mya AS delta_raw,
+          |    sqrt(greatest(0.0, vya) / na + greatest(0.0, vyb) / nb)
+          |      AS se_raw,
+          |    (myb - mya) - theta * (mxb - mxa) AS delta,
+          |    greatest(0.0, vya - 2.0 * theta * ca
+          |      + theta * theta * vxa) AS s2a,
+          |    greatest(0.0, vyb - 2.0 * theta * cb
+          |      + theta * theta * vxb) AS s2b
+          |  FROM st),
+          |se1 AS (SELECT *, sqrt(s2a / na + s2b / nb) AS se FROM dl),
+          |zz AS (
+          |  SELECT *, CASE WHEN se > 0.0 THEN delta / se ELSE 0.0 END
+          |    AS z
+          |  FROM se1),
+          |px AS (SELECT *, abs(z) / sqrt(2.0) AS xq FROM zz),
+          |pp AS (
+          |  SELECT *,
+          |    CASE WHEN se > 0.0 THEN least(1.0, ${erfccSql("xq")})
+          |      WHEN delta = 0.0 THEN 1.0 ELSE 0.0 END AS p
+          |  FROM px)
+          |SELECT slice,
+          |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+          |  round(CASE WHEN ok THEN theta ELSE -1.0 END, 9) AS theta,
+          |  round(CASE WHEN ok THEN delta_raw ELSE -1.0 END, 9)
+          |    AS delta_raw,
+          |  round(CASE WHEN ok THEN se_raw ELSE -1.0 END, 9)
+          |    AS se_raw,
+          |  round(CASE WHEN ok THEN delta ELSE -1.0 END, 9) AS delta,
+          |  round(CASE WHEN ok THEN se ELSE -1.0 END, 9) AS se,
+          |  round(CASE WHEN ok THEN z ELSE -1.0 END, 9) AS z,
+          |  round(CASE WHEN ok THEN p ELSE -1.0 END, 9) AS p_value,
+          |  ok AS decidable
+          |FROM pp ORDER BY slice""".stripMargin,
 
       "q_cuped_multi" ->
         s"""WITH b0 AS (

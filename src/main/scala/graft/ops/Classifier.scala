@@ -2640,6 +2640,76 @@ object Classifier {
         "significant")
   }
 
+  /** Per-slice CUPED delta — [[cupedDelta]] grouped by a slice
+    * column, because the A/B question is almost always sliced for
+    * the same reason the OPE question is ([[offPolicyEvalBySlice]]):
+    * a variant that wins OVERALL can lose on code traffic, and the
+    * pooled verdict hides the reversal. θ is re-fit WITHIN each slice
+    * (the [[graft.streaming.EventStream.windowedCuped]] convention —
+    * every statistic stays within-slice arithmetic and the
+    * variance-reduction factor reflects that slice's own covariate
+    * correlation). The aggregate, pivot and formula chain are the
+    * SAME single-sourced [[cupedAggExprs]]/[[cupedPivotCells]]/
+    * [[cupedStatFrame]] the batch operator and the windowed monitor
+    * use, so the three surfaces cannot drift. A slice missing an arm,
+    * or with fewer than 2 observations in an arm, emits the −1.0
+    * sentinel with `decidable = false` rather than failing the whole
+    * report (a sliced report must keep reporting; the
+    * [[windowedCuped]] convention). `unitCol = Some(u)` pre-folds
+    * (slice, arm, unit) totals — the [[cupedDelta]] cluster-robust
+    * path, per slice. Null/NaN metric or covariate refuse via the
+    * census riding the one aggregate. One row per slice: (slice, n_a,
+    * n_b, theta, delta_raw, se_raw, delta, se, z, p_value,
+    * decidable), doubles rounded at 9.
+    *
+    * Scale shape: ONE (slice, arm) hash aggregate (the unit path
+    * prepends a map-side-combinable (slice, arm, unit) fold), then a
+    * (slice) pivot fold over the 2·slices-many checkpointed rows; no
+    * join, no window function, slices never collected.
+    */
+  def cupedDeltaBySlice(exp: DataFrame, armCol: String, armA: String,
+                        armB: String, metricCol: String,
+                        covariateCol: String, sliceCol: String,
+                        unitCol: Option[String] = None): DataFrame = {
+    require(armA != armB,
+      s"cupedDeltaBySlice: armA and armB are both '$armA'")
+    val scoped = exp.filter(col(armCol).isin(armA, armB))
+    val (src, yc, xc) = unitCol match {
+      case None =>
+        (scoped.select(col(sliceCol).as("slice"),
+          col(armCol).cast("string").as("arm"),
+          col(metricCol), col(covariateCol)),
+          metricCol, covariateCol)
+      case Some(u) =>
+        val ue = cupedUnitExprs(metricCol, covariateCol)
+        (scoped.groupBy(col(sliceCol).as("slice"),
+          col(armCol).cast("string").as("arm"), col(u).as("__unit"))
+          .agg(ue.head, ue.tail: _*), "__uy", "__ux")
+    }
+    val e = cupedAggExprs(yc, xc)
+    val per = src.groupBy(col("slice"), col("arm"))
+      .agg(e.head, e.tail: _*)
+      .localCheckpoint()
+    val badRow = per.agg(sum("__nbad")).head()
+    val nBad = if (badRow.isNullAt(0)) 0L else badRow.getLong(0)
+    val obs = if (unitCol.isDefined) "unit" else "row"
+    require(nBad == 0,
+      s"cupedDeltaBySlice: $nBad ${obs}s with null/NaN metric or " +
+        "covariate values — clean the frame first")
+    val cells = cupedPivotCells(armA, armB)
+    val pv = per.groupBy(col("slice")).agg(cells.head, cells.tail: _*)
+    val zz = cupedStatFrame(pv)
+    val ok = col("__ok")
+    def gated(c: Column) = round(when(ok, c).otherwise(lit(-1.0)), 9)
+    zz.select(col("slice"), col("na").as("n_a"), col("nb").as("n_b"),
+      gated(col("__th")).as("theta"),
+      gated(col("__draw")).as("delta_raw"),
+      gated(col("__seraw")).as("se_raw"),
+      gated(col("__delta")).as("delta"), gated(col("__se")).as("se"),
+      gated(col("__z")).as("z"), gated(col("__p")).as("p_value"),
+      ok.as("decidable"))
+  }
+
   /** Multivariate CUPED — regression adjustment with SEVERAL
     * pre-experiment covariates (Lin 2013, "Agnostic notes on
     * regression adjustments to experimental data", the multi-covariate

@@ -1138,6 +1138,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Window("), p)
   }
 
+  test("cupedDeltaBySlice: ONE (slice, arm) aggregate then the (slice) pivot fold — no join, no window function, slices never collected") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(concat(lit("g"), pmod(col("doc_id"), lit(3))
+          .cast("string")).as("slice"),
+        concat(lit("arm"), pmod(col("doc_id"), lit(2)).cast("string"))
+          .as("arm"),
+        (pmod(col("doc_id") * 13, lit(16)).cast("double") / 16.0)
+          .as("y"),
+        (pmod(col("doc_id") * 29, lit(8)).cast("double") / 16.0)
+          .as("x"))
+    val df = ops.Classifier.cupedDeltaBySlice(docs, "arm", "arm0",
+      "arm1", "y", "x", "slice")
+    val p = plan(df)
+    assert(!p.contains("FileScan"), p)
+    assert(opCount(p, "Scan parquet") + opCount(p, "BatchScan") === 0, p)
+    assert(!p.contains("Join") && !p.contains("Window("), p)
+  }
+
   test("windowedEbRates: ONE (window, slice) aggregate; partitioned prefix/frame functions on the checkpoint — no join, no corpus re-scan") {
     val ev = graft.streaming.EventStream.loadEvents(spark, sf())
     val df = graft.streaming.EventStream.windowedEbRates(

@@ -1648,6 +1648,70 @@ class ClassifierSpec extends SparkSpec {
       "arm", "arm0", "arm1", "y", "x", "succ", "slice"))
   }
 
+  test("cupedDeltaBySlice: per-slice rows equal batch cupedDelta per slice; engineered reversal surfaces; one-armed slice sentinels; unit path counts units; refusal") {
+    import spark.implicits._
+    // 3 slices, lifts +.25 / +.25 / -.25: the pooled verdict is
+    // positive while g2 reverses — the Simpson-style case the sliced
+    // report exists to surface
+    val log = spark.range(1200).select(
+      concat(lit("g"), (col("id") % 3).cast("string")).as("slice"),
+      concat(lit("arm"), (col("id") % 2).cast("string")).as("arm"),
+      (((col("id") * 13) % 16).cast("double") / 16.0
+        + (col("id") % 2).cast("double")
+          * when(col("id") % 3 === 2, -0.25).otherwise(0.25)).as("y"),
+      (((col("id") * 13) % 16).cast("double") / 32.0).as("x"))
+    val out = Classifier.cupedDeltaBySlice(log, "arm", "arm0", "arm1",
+      "y", "x", "slice").orderBy("slice").collect()
+    assert(out.length === 3)
+    // each slice row equals the batch operator on that slice's rows,
+    // column for column (the single-sourced chain — exact)
+    for (r <- out) {
+      val solo = Classifier.cupedDelta(
+        log.filter(col("slice") === r.getString(0)),
+        "arm", "arm0", "arm1", "y", "x").head()
+      assert(r.getLong(1) === solo.getLong(0)
+        && r.getLong(2) === solo.getLong(1))
+      for ((si, bi) <- Seq(3 -> 2, 4 -> 3, 5 -> 4, 6 -> 5, 7 -> 6,
+          8 -> 7, 9 -> 8))
+        assert(r.getDouble(si) === solo.getDouble(bi),
+          s"${r.getString(0)} sliced($si) vs batch($bi)")
+      assert(r.getBoolean(10))
+    }
+    // the reversal: pooled positive and significant, g2 negative and
+    // significant — the pooled number alone ships the wrong variant
+    // to a third of the traffic
+    val pooled = Classifier.cupedDelta(log, "arm", "arm0", "arm1",
+      "y", "x").head()
+    assert(pooled.getDouble(5) > 0.0 && pooled.getBoolean(12))
+    val g2 = out(2)
+    assert(g2.getString(0) === "g2" && g2.getDouble(6) < 0.0
+      && g2.getDouble(9) < 0.05)
+    // a slice with only one arm emits the sentinel row, the rest of
+    // the report stands
+    val withSolo = log.unionByName(spark.range(10).select(
+      lit("solo").as("slice"), lit("arm0").as("arm"),
+      (col("id") % 3).cast("double").as("y"),
+      (col("id") % 2).cast("double").as("x")))
+    val solo = Classifier.cupedDeltaBySlice(withSolo, "arm", "arm0",
+      "arm1", "y", "x", "slice").orderBy("slice").collect()
+    assert(solo.length === 4 && !solo(3).getBoolean(10))
+    assert(solo(3).getDouble(6) === -1.0)
+    assert(solo(0).getBoolean(10)) // the healthy slices still report
+    // unit path: n_a/n_b count units
+    val unitized = log.select(col("slice"), col("arm"),
+      (col("y") * 0.0 + monotonically_increasing_id() % 50).as("u"),
+      col("y"), col("x"))
+    val uo = Classifier.cupedDeltaBySlice(unitized, "arm", "arm0",
+      "arm1", "y", "x", "slice", unitCol = Some("u"))
+      .orderBy("slice").collect()
+    assert(uo.forall(r => r.getLong(1) <= 50 && r.getLong(2) <= 50))
+    // census refusal
+    intercept[IllegalArgumentException](Classifier.cupedDeltaBySlice(
+      log.select(col("slice"), col("arm"),
+        lit(Double.NaN).as("y"), col("x")),
+      "arm", "arm0", "arm1", "y", "x", "slice"))
+  }
+
   test("cupedDelta unitCol: singleton units equal the row path; correlated events expose the anti-conservative iid SE; poisoned unit refuses") {
     import spark.implicits._
     val base = Seq(
