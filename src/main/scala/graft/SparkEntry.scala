@@ -8909,7 +8909,7 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
           |      WHEN delta = 0.0 THEN 1.0 ELSE 0.0 END, 9) AS p
           |  FROM px)
           |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-          |  2 AS k, [round(th1, 9), round(th2, 9)] AS thetas,
+          |  2 AS k, round(th1, 9) AS theta_1, round(th2, 9) AS theta_2,
           |  round(delta_raw, 9) AS delta_raw,
           |  round(se_raw, 9) AS se_raw,
           |  round(delta, 9) AS delta, round(se, 9) AS se,

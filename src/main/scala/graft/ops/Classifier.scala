@@ -2731,9 +2731,12 @@ object Classifier {
     * Two-sided p via the shared [[Num.erfcc]] chain, CI at [[Z95]].
     * Rows outside {armA, armB} are ignored; null/NaN metric or any
     * covariate refuse via the census riding the one aggregate. One
-    * row: (n_a, n_b, k, thetas array, delta_raw, se_raw, delta, se,
-    * z, p_value, ci_lo, ci_hi, var_reduction, significant), doubles
-    * rounded at 9.
+    * row: (n_a, n_b, k, theta_1..theta_k scalar doubles — k is a
+    * call-site constant, so the column set is fixed per call; the r20
+    * array output was the roster's one deviation from the scalars-only
+    * output discipline and the round's only gate red — delta_raw,
+    * se_raw, delta, se, z, p_value, ci_lo, ci_hi, var_reduction,
+    * significant), doubles rounded at 9.
     *
     * Scale shape: ONE (arm) hash aggregate over the log —
     * O(k²) sums per arm (k ≤ 16 → ≤ ~150 columns); O(k³) driver
@@ -2862,15 +2865,37 @@ object Classifier {
       else if (delta == 0.0) 1.0 else 0.0
     val vr = if (seRaw > 0.0) 1.0 - (se * se) / (seRaw * seRaw) else 0.0
     val spark = exp.sparkSession
-    import spark.implicits._
-    Seq((na, nb, k, theta.map(Num.round9).toSeq,
-      Num.round9(deltaRaw), Num.round9(seRaw), Num.round9(delta),
-      Num.round9(se), Num.round9(z), Num.round9(p),
-      Num.round9(delta - Z95 * se), Num.round9(delta + Z95 * se),
-      Num.round9(vr), Num.round9(p) < alpha))
-      .toDF("n_a", "n_b", "k", "thetas", "delta_raw", "se_raw",
-        "delta", "se", "z", "p_value", "ci_lo", "ci_hi",
-        "var_reduction", "significant")
+    // scalar theta_1..theta_k columns (k is a call-site constant, so
+    // the schema is fixed per call) — the scalars-only output
+    // discipline every other operator obeys; an array cell cannot be
+    // hashed by the downstream pandas gate
+    val schema = org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("n_a",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_b",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.IntegerType, nullable = false)) ++
+      (1 to k).map(i => org.apache.spark.sql.types.StructField(
+        s"theta_$i", org.apache.spark.sql.types.DoubleType,
+        nullable = false)) ++
+      Seq("delta_raw", "se_raw", "delta", "se", "z", "p_value",
+        "ci_lo", "ci_hi", "var_reduction").map(n =>
+        org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.DoubleType, nullable = false)) :+
+      org.apache.spark.sql.types.StructField("significant",
+        org.apache.spark.sql.types.BooleanType, nullable = false))
+    // Seq[Any] up front: a bare Seq(na, nb, k) numeric-widens the Int k
+    // to Long, which breaks the IntegerType field at projection time
+    val values: Seq[Any] = Seq[Any](na, nb, k) ++
+      theta.map(Num.round9).toSeq ++
+      Seq(Num.round9(deltaRaw), Num.round9(seRaw), Num.round9(delta),
+        Num.round9(se), Num.round9(z), Num.round9(p),
+        Num.round9(delta - Z95 * se), Num.round9(delta + Z95 * se),
+        Num.round9(vr), Num.round9(p) < alpha)
+    spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(values: _*)),
+      schema)
   }
 
   /** Ratio-metric A/B delta under UNIT randomization via the delta

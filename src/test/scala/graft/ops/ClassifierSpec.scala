@@ -1514,7 +1514,8 @@ class ClassifierSpec extends SparkSpec {
     val c1 = Classifier.cupedDelta(log, "arm", "a", "b", "y", "x")
       .head()
     assert(m1.getInt(2) === 1)
-    assert(math.abs(m1.getSeq[Double](3).head - c1.getDouble(2)) < 1e-9)
+    // scalar theta_1 column (r21: the array output was the one gate red)
+    assert(math.abs(m1.getDouble(3) - c1.getDouble(2)) < 1e-9)
     for ((mi, ci) <- Seq(4 -> 3, 5 -> 4, 6 -> 5, 7 -> 6, 8 -> 7,
         12 -> 11))
       assert(math.abs(m1.getDouble(mi) - c1.getDouble(ci)) < 1e-9,
@@ -1531,12 +1532,13 @@ class ClassifierSpec extends SparkSpec {
       .toDF("arm", "y", "x1", "x2")
     val ex = Classifier.cupedDeltaMulti(exact, "arm", "a", "b", "y",
       Seq("x1", "x2")).head()
-    val ths = ex.getSeq[Double](3)
-    assert(math.abs(ths(0) - 2.0) < 1e-9 && math.abs(ths(1) + 3.0) < 1e-9)
+    // k = 2: theta_1 at 3, theta_2 at 4; downstream indices shift by 1
+    assert(math.abs(ex.getDouble(3) - 2.0) < 1e-9 &&
+      math.abs(ex.getDouble(4) + 3.0) < 1e-9)
     // delta = the lift exactly; residual variance is 0 up to fp
     // cancellation (the max(0, ·) clamp can leave ~1e-15)
-    assert(ex.getDouble(6) === 0.5 && ex.getDouble(7) < 1e-6)
-    assert(ex.getDouble(9) === 0.0)                            // p
+    assert(ex.getDouble(7) === 0.5 && ex.getDouble(8) < 1e-6)
+    assert(ex.getDouble(10) === 0.0)                           // p
     // the verdict's done-pin: on a 2-covariate metric, adjusting for
     // BOTH cuts more variance than either alone
     val big = spark.range(400).select(
@@ -1550,13 +1552,14 @@ class ClassifierSpec extends SparkSpec {
       "y", Seq("x1", "x2")).head()
     val one = Classifier.cupedDeltaMulti(big, "arm", "arm0", "arm1",
       "y", Seq("x1")).head()
-    assert(both.getDouble(12) > one.getDouble(12))
-    assert(both.getDouble(12) > 0.5 && both.getBoolean(13))
+    // both is k = 2 (var_reduction at 13), one is k = 1 (at 12)
+    assert(both.getDouble(13) > one.getDouble(12))
+    assert(both.getDouble(13) > 0.5 && both.getBoolean(14))
     // k = 1 constant covariate keeps the cupedDelta grace (theta 0)
     val grace = Classifier.cupedDeltaMulti(
       log.select(col("arm"), col("y"), lit(5.0).as("x")),
       "arm", "a", "b", "y", Seq("x")).head()
-    assert(grace.getSeq[Double](3).head === 0.0)
+    assert(grace.getDouble(3) === 0.0)
     // refusals: a COLLINEAR pair at k = 2 names the covariate; dup
     // names; k = 0; k > 16; NaN census; missing arm
     val coll = intercept[IllegalArgumentException](
