@@ -67,7 +67,7 @@ object Bench {
     }.reduce(_ unionByName _)
   }
 
-  private val operatorOverrides: Map[String, (SparkSession, String) => DataFrame] =
+  private[graft] val operatorOverrides: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "q_dedup_minhash" -> ((s, dir) =>
         graft.ops.Dedup.minHashDedup(
@@ -131,7 +131,7 @@ object Bench {
     * (~5% of a ~20% shift). On an uncontended machine this tracks the
     * single-thread time; under contention it inflates with the queries.
     */
-  private def calibrateParallel(threads: Int): Double = {
+  private[graft] def calibrateParallel(threads: Int): Double = {
     def once(): Double = {
       val t0 = System.nanoTime()
       val ts = (0 until threads).map(_ => new Thread(() => lcgLoop()))

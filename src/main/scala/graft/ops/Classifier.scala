@@ -1359,29 +1359,60 @@ object Classifier {
     */
   /** The single pass behind [[bootstrapMeanCI]]: (n, Σx, then per
     * replicate Σw·x, Σw as generated columns). Exposed for the plan
-    * audit that pins the no-explode claim. */
+    * audit that pins the no-explode claim.
+    *
+    * r21 shape: the draw chain is FACTORED into two scan-side
+    * projections — the md5 uniform once per (row, replicate), then the
+    * inverse-CDF CASE over that u ATTRIBUTE — before the one aggregate
+    * folds the (Σw·x, Σw) pairs over plain column refs. Inlining the
+    * whole weight into every aggregate expression (the pre-r21 shape)
+    * duplicated the md5 subtree in each of the 8 CASE branches × 2 sums
+    * per replicate, an ~8x larger expression tree whose optimizer walk
+    * and multi-MiB serialized task binary dominated the query at bench
+    * scale (the aggregate's 2+2B output columns also sit past the
+    * whole-stage-codegen field limit, so nothing downstream CSE'd the
+    * duplicates away). The arithmetic per row is operation-for-
+    * operation identical, so the replicate sums are bit-identical. */
   private[graft] def bootstrapAggregate(df: DataFrame, x: Column,
-      weight: Int => Column, replicates: Int): DataFrame = {
+      idCol: String, replicates: Int): DataFrame = {
+    val p1 = df.select((x.as("__x") +:
+      (0 until replicates).map(b => uniformDraw(idCol, b).as(s"__u$b"))): _*)
+    val p2 = p1.select((col("__x") +:
+      (0 until replicates).map(b =>
+        poissonFromU(col(s"__u$b")).as(s"__w$b"))): _*)
     val sums = (0 until replicates).flatMap { b =>
-      Seq(sum(weight(b) * x).as(s"sx$b"), sum(weight(b)).as(s"sw$b"))
+      Seq(sum(col(s"__w$b") * col("__x")).as(s"sx$b"),
+        sum(col(s"__w$b")).as(s"sw$b"))
     }
-    val base = Seq(count(lit(1)).as("n"), sum(x).as("sx"))
-    df.agg(base.head, (base.tail ++ sums): _*)
+    val base = Seq(count(lit(1)).as("n"), sum(col("__x")).as("sx"))
+    p2.agg(base.head, (base.tail ++ sums): _*)
   }
 
-  /** The md5 → Poisson(1) replicate weight of [[bootstrapMeanCI]],
-    * exposed with it for the plan audit. */
-  private[graft] def poissonWeight(idCol: String, b: Int): Column = {
+  /** The engine-portable md5 uniform keyed by (id, replicate): the first
+    * 8 md5 hex chars of "id|bs<b>" as a 32-bit integer over 2^32. */
+  private[graft] def uniformDraw(idCol: String, b: Int): Column =
+    conv(substring(md5(
+      concat(col(idCol).cast("string"), lit(s"|bs$b"))), 1, 8), 16, 10)
+      .cast("double") / math.pow(2.0, 32)
+
+  /** Inverse-CDF Poisson(1) lookup over an ALREADY-COMPUTED uniform
+    * column — 8 CASE branches referencing one attribute, so the draw
+    * subtree is never duplicated into the branches. */
+  private[graft] def poissonFromU(u: Column): Column = {
     val cdf = Seq(0.367879441171, 0.735758882343, 0.919698602929,
       0.980988177458, 0.996310663590, 0.999405960861, 0.999921843700,
       0.999995541392)
-    val u = conv(substring(md5(
-      concat(col(idCol).cast("string"), lit(s"|bs$b"))), 1, 8), 16, 10)
-      .cast("double") / math.pow(2.0, 32)
     cdf.zipWithIndex.foldRight(lit(8): Column) { case ((t, k), acc) =>
       when(u < t, k).otherwise(acc)
     }.cast("double")
   }
+
+  /** The composed md5 → Poisson(1) replicate weight ([[uniformDraw]]
+    * then [[poissonFromU]]) — the reference form the oracle SQL
+    * replays; [[bootstrapAggregate]] computes the same chain factored
+    * across its two projections. */
+  private[graft] def poissonWeight(idCol: String, b: Int): Column =
+    poissonFromU(uniformDraw(idCol, b))
 
   def bootstrapMeanCI(df: DataFrame, valueCol: String, idCol: String,
                       replicates: Int = 200,
@@ -1409,8 +1440,7 @@ object Classifier {
       s"bootstrapMeanCI: ${dup.getLong(0) - dup.getLong(1)} duplicate " +
         s"$idCol values — the per-row draw is keyed by id, so " +
         "duplicates correlate replicates; supply a unique id")
-    val row = bootstrapAggregate(df, x, poissonWeight(idCol, _),
-      replicates).head()
+    val row = bootstrapAggregate(df, x, idCol, replicates).head()
     require(row.getLong(0) > 0, "bootstrapMeanCI: empty frame")
     val n = row.getLong(0)
     val mean = row.getDouble(1) / n

@@ -183,12 +183,19 @@ object Dedup {
                                                  sizeRatio: Double = 0.0): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     import graft.expr.VectorExprs.{band_hashes, minhash_sig}
+    // EAGER localCheckpoint (r21): the banded rows feed the census, the
+    // anti-join, and both sides of the bucket self-join — without the
+    // barrier the optimizer specializes each branch below the repartition
+    // and the per-row MinHash signature pass re-runs per consumer (the
+    // "single exchange" the scaladoc promises needs a materialization
+    // point, not just a shared subplan)
     val banded = sh.select(
         col(idCol), size(col("sh")).as("__sz"),
         posexplode(band_hashes(minhash_sig(col("sh"), k), bands)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
       .select(col(idCol), col("__sz"), col("band"), col("bh"))
       .repartition(col("band"), col("bh"))
+      .localCheckpoint()
 
     // skew guard: census the buckets, anti-join away the degenerate ones
     // (empty/boilerplate docs) before they can explode into n² pairs
@@ -229,8 +236,13 @@ object Dedup {
     // opt-out is typed (Some(b)), not a 0 sentinel a caller could pass
     // by accident.
     val b = bands.getOrElse(lshParams(threshold, k)._1)
+    // EAGER localCheckpoint (r21): sh feeds the signature/band branch and
+    // BOTH verify joins — same re-tokenization hazard as
+    // [[ngramJaccardPairs]] (the optimizer specializes each branch below
+    // the repartition and the corpus gets tokenized three times)
     val sh = shingleFrame(docs, textCol, idCol, Nil, shingleWords)
       .repartition(col(idCol))
+      .localCheckpoint()
     // candidates are pre-pruned by the size-ratio bound at the band join
     // (jaccard ≥ t ⟹ sizes within factor t), so pairs that cannot verify
     // never pay the two full-array verify joins
@@ -287,8 +299,19 @@ object Dedup {
     require(threshold > 0 && threshold <= 1,
       s"ngramJaccardPairs needs 0 < threshold <= 1 (got $threshold): " +
         "zero-intersection pairs are never generated by the co-shingle join")
+    // EAGER localCheckpoint (r21): the shingle frame feeds the candidate
+    // branch and BOTH verify sides. Without a materialization barrier the
+    // optimizer pushes each branch's pruning below the repartition,
+    // the exchange subtrees stop being equal, ReuseExchange never fires,
+    // and the executed plan re-tokenizes the corpus FOUR times — with the
+    // pushed size(sh) > 0 filters additionally inlining the tokenizer
+    // expression several times per row (measured in the r21 plan dump;
+    // the "single id-partitioned shingle exchange" the scaladoc promises
+    // only holds with the barrier). One tokenization pass materialized
+    // once is also the 100 TB-sane shape: shingles are ~8 B/token.
     val base = shingleFrame(docs, textCol, idCol, blockCols, n)
       .repartition(col(idCol))
+      .localCheckpoint()
     // prefix length |sh| − ⌈t·|sh|⌉ + 1 (sh is sorted ascending = the
     // global token order); ⌈t·|sh|⌉ ≤ |sh| so the prefix is never empty
     val pfxLen = (size(col("sh")) -
@@ -344,8 +367,12 @@ object Dedup {
     */
   def duplicateSpanStats(docs: DataFrame, textCol: String, idCol: String,
                          n: Int = 5, minDf: Long = 2): DataFrame = {
+    // EAGER localCheckpoint (r21): the exploded gram frame feeds three
+    // consumers (per-doc census, df filter, dup semi-join) — without the
+    // barrier each one re-tokenizes and re-explodes the corpus
     val grams = shingleFrame(docs, textCol, idCol, Nil, n)
       .select(col(idCol), explode(col("sh")).as("__h"))
+      .localCheckpoint()
     val perDoc = grams.groupBy(idCol).agg(count(lit(1)).as("n_spans"))
     val dupSet = grams.groupBy("__h").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDf).select("__h")
@@ -797,15 +824,22 @@ object Dedup {
                          shingleWords: Int = 3, k: Int = 32, bands: Int = 8,
                          maxBucket: Int = 1000): DataFrame = {
     import graft.expr.VectorExprs.{band_hashes, minhash_sig}
+    // EAGER localCheckpoints (r21): each shingle frame feeds its banding
+    // pass and a verify join, and the corpus-side banded rows feed the
+    // census and the candidate anti-join — the barriers make the
+    // "tokenization runs once per side" claim hold in the executed plan
     val shNew = shingleFrame(batch, textCol, idCol, Nil, shingleWords)
       .repartition(col(idCol))
+      .localCheckpoint()
     val shOld = shingleFrame(corpus, textCol, idCol, Nil, shingleWords)
       .repartition(col(idCol))
+      .localCheckpoint()
     def banded(sh: DataFrame, out: String): DataFrame = sh.select(
         col(idCol), posexplode(band_hashes(minhash_sig(col("sh"), k), bands)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
       .select(col(idCol).as(out), col("band"), col("bh"))
     val bOld = banded(shOld, "id_old").repartition(col("band"), col("bh"))
+      .localCheckpoint()
     val oversized = bOld.groupBy("band", "bh")
       .agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") > maxBucket)

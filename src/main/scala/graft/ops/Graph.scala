@@ -86,17 +86,22 @@ object Graph {
     * aggregate (the r14 refactor; previously a per-iteration deg join
     * paid a second shuffle).
     */
-  /** The loop's src-keyed cached edge frames: `eRaw` = (node, dst, __w)
-    * repartitioned on the src key and persisted; `e` = the out-share
-    * normalization (node, dst, __wn = w / Σ_out w) — built ON eRaw's
-    * partitioning (co-partitioned agg + join, no extra shuffle) and
-    * persisted itself. `private[graft]` so the plan audit pins the
-    * PRODUCTION construction, not a test replica. Caller unpersists both.
+  /** The loop's ONE src-keyed cached edge frame: (node, dst, __wn =
+    * w / Σ_out w) — the raw (node, dst, __w) projection is repartitioned
+    * on the src key, the out-weight aggregate joins back on that same
+    * partitioning (ReuseExchange shares the one repartition between the
+    * aggregate and the join side — the r21 refactor dropped the separate
+    * eRaw cache, whose only job was to back exactly this reuse, paying a
+    * second cache write + read for it), and the normalized result is
+    * persisted. The out-share sums come from the SAME hash aggregate as
+    * before, so the doubles are bit-identical. `private[graft]` so the
+    * plan audit pins the PRODUCTION construction, not a test replica.
+    * Caller unpersists.
     */
   private[graft] def normalizedEdges(edges: DataFrame, srcCol: String,
                                      dstCol: String,
                                      weightCol: Option[String])
-      : (DataFrame, DataFrame) = {
+      : DataFrame = {
     val eRaw = (weightCol match {
       case Some(w) => edges.select(col(srcCol).cast("long").as("node"),
           col(dstCol).cast("long").as("dst"), col(w).cast("double").as("__w"))
@@ -104,22 +109,41 @@ object Graph {
       case None => edges.select(col(srcCol).cast("long").as("node"),
           col(dstCol).cast("long").as("dst"), lit(1.0).as("__w"))
     }).repartition(col("node"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val e = eRaw.join(
+    eRaw.join(
         eRaw.groupBy("node").agg(sum("__w").as("__ws")), "node")
       .select(col("node"), col("dst"), (col("__w") / col("__ws")).as("__wn"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    (eRaw, e)
   }
 
-  /** One iteration's rank inflow: ranks ⋈ cached edges on the src key,
-    * dst-keyed weighted sum. The ONLY data-sized join the loop pays per
-    * iteration; the audit asserts the cached edge side enters it without
-    * re-exchanging. */
-  private[graft] def contribStep(e: DataFrame, ranks: DataFrame): DataFrame =
-    ranks.join(e, Seq("node"))
-      .groupBy("dst").agg(sum(col("rank") * col("__wn")).as("c"))
-      .select(col("dst").as("node"), col("c"))
+  /** One FUSED iteration fold (r21): the per-edge contributions
+    * (ranks ⋈ cached edges on the src key, rank·out-share, keyed by dst)
+    * are UNIONED with one base row per node (zero contribution, the prev
+    * rank, the teleport share from `sBase` = withS(ranks)), and a single
+    * node-keyed hash aggregate folds the inflow sum, the prev rank, and
+    * the teleport column together. This replaces the r14–r20 shape
+    * (contrib aggregate THEN a left-outer update join against ranks):
+    * one exchange per iteration instead of two, no join sort, and the
+    * same bytes shuffled — the base rows ride the same exchange the
+    * update join used to re-shuffle. Every node has exactly one base
+    * row (ranks ⊇ nodes by construction), so max(__prev)/max(__s) pick
+    * that row's values and sum(__c) is 0.0 — not null — for in-degree-0
+    * nodes, exactly the old coalesce. The extra 0.0 terms cannot move
+    * the inflow sum beyond the partial-merge reordering noise the
+    * round(6) output contract already absorbs. */
+  private[graft] def fusedStep(e: DataFrame, ranks: DataFrame,
+                               sBase: DataFrame): DataFrame = {
+    val contrib = ranks.join(e, Seq("node"))
+      .select(col("dst").as("node"),
+        (col("rank") * col("__wn")).as("__c"),
+        lit(null).cast("double").as("__prev"),
+        lit(null).cast("double").as("__sv"))
+    val base = sBase.select(col("node"), lit(0.0).as("__c"),
+      col("rank").as("__prev"), col("__s").as("__sv"))
+    contrib.unionByName(base)
+      .groupBy("node")
+      .agg(sum("__c").as("c"), max("__prev").as("__prev"),
+        max("__sv").as("__s"))
+  }
 
   private def pageRankLoop(edges: DataFrame, srcCol: String, dstCol: String,
                            iters: Int, damping: Double, tol: Double,
@@ -128,14 +152,14 @@ object Graph {
     require(iters >= 0, s"iters must be >= 0: $iters")
     require(damping > 0 && damping < 1, s"damping in (0,1): $damping")
     require(tol >= 0, s"tol must be >= 0: $tol")
-    val (eRaw, e) = normalizedEdges(edges, srcCol, dstCol, weightCol)
+    val e = normalizedEdges(edges, srcCol, dstCol, weightCol)
     val nodes = e.select(col("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     // the finally keeps every persisted working frame from leaking into
     // the session when a validation require throws (empty graph,
     // graph-disjoint seeds) — on success it is the normal cleanup: the
-    // final ranks are a checkpointed scan, only caches drop
+    // final ranks are a materialized checkpoint scan, only caches drop
     try {
       val n = nodes.count()
       require(n > 0, "pageRank: empty graph")
@@ -156,12 +180,22 @@ object Graph {
       }
       // the dangling-node SET is iteration-invariant — resolve it once, so
       // graphs without sinks (most link graphs after degree filtering) skip
-      // the per-iteration scalar job entirely
+      // the per-iteration scalar job entirely. LAZY checkpoint: the
+      // isEmpty probe is the materializing action (r21 — the eager form
+      // paid a separate full job before the probe).
       val danglingNodes = nodes.join(e.select("node"), Seq("node"), "left_anti")
-        .localCheckpoint()
+        .localCheckpoint(false)
       val hasDangling = !danglingNodes.isEmpty
+      // NOTE (r21, measured): deferring the per-iteration checkpoint
+      // (localCheckpoint(false) chained across all iterations) was
+      // tried and is ~60% SLOWER at bench scale — AQE re-plans each
+      // deferred stage inside one deep recursive job and the chain
+      // loses the clean one-materialized-job-per-iteration shape. The
+      // checkpoints stay EAGER; only the INITIAL ranks frame is lazy
+      // (it is the cached nodes plus a literal — iteration 1
+      // materializes it inside its own job).
       var ranks = withS(nodes).select(col("node"), col("__s").as("rank"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       var it = 0
       var converged = false
       while (it < iters && !converged) {
@@ -170,21 +204,24 @@ object Graph {
           if (!hasDangling) 0d
           else ranks.join(danglingNodes, Seq("node"), "left_semi")
             .agg(coalesce(sum("rank"), lit(0d))).head().getDouble(0)
-        val contrib = contribStep(e, ranks)
-        // prev rides the update join (ranks ⊇ nodes by construction), so
-        // the convergence delta needs no second join against old ranks
-        val next = withS(ranks.select(col("node"), col("rank").as("__prev")))
-          .join(contrib, Seq("node"), "left")
+        // the fused contrib + base fold: one node-keyed aggregate per
+        // iteration carries the inflow sum, the prev rank (for the tol
+        // delta) and the teleport share — no separate update join.
+        // NOTE (r21, measured): joining the CACHED nodes frame instead
+        // of ranks (to consume ranks once per iteration) was also tried
+        // and is ~2x slower per iteration at bench scale — the
+        // cache-backed SMJ loses to the broadcast-shaped contrib plan.
+        val next = fusedStep(e, ranks, withS(ranks))
           .select(col("node"), col("__prev"),
             (lit(1.0 - damping) * col("__s") + lit(damping) *
-              (coalesce(col("c"), lit(0d)) + lit(dangling) * col("__s")))
+              (col("c") + lit(dangling) * col("__s")))
               .as("rank"))
         // localCheckpoint TRUNCATES the plan, it does not merely cache:
-        // each iteration references the previous ranks twice (dangling +
-        // outflow), so without truncation the logical tree doubles per
-        // iteration — 2^iters nodes, OOM by ~20 on plan strings alone.
-        // On a cluster with executor churn swap for reliable checkpoint()
-        // (spark.sparkContext.setCheckpointDir) at the same call site.
+        // each iteration references the previous ranks (twice when the
+        // dangling/prev paths are live), so without truncation the
+        // logical tree doubles per iteration — 2^iters nodes, OOM by ~20
+        // on plan strings alone. On a cluster with executor churn swap
+        // for reliable checkpoint() (setCheckpointDir) at the same site.
         val cp = next.localCheckpoint()
         it += 1
         if (tol > 0) {
@@ -198,10 +235,13 @@ object Graph {
         }
         ranks = cp.drop("__prev")
       }
+      // an iters == 0 call returns the (lazy) initial frame — materialize
+      // it BEFORE the finally drops the caches it reads, so the returned
+      // frame is a pure cached-RDD scan, independent of e/nodes
+      if (it == 0) ranks.count()
       (ranks, it, converged)
     } finally {
       e.unpersist(false)
-      eRaw.unpersist(false)
       nodes.unpersist(false)
     }
   }
@@ -247,8 +287,13 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("a").as("node"))
       .union(e.select(col("b").as("node"))).distinct()
+    // LAZY checkpoints (r21): the while-condition's isEmpty probe is the
+    // materializing action for each frontier — one job per hop instead
+    // of two (eager materialization + probe); the seen union is a cheap
+    // stack of cached-RDD scans that materializes inside the next hop's
+    // job. Plans stay truncated either way.
     var frontier = e.select(col("a").as("u"), col("b").as("v"))
-      .withColumn("d", lit(1)).localCheckpoint()
+      .withColumn("d", lit(1)).localCheckpoint(false)
     var seen = frontier
     var depth = 1
     while (depth < maxDepth && !frontier.isEmpty) {
@@ -258,10 +303,13 @@ object Graph {
         .distinct()
         .join(seen.select("u", "v"), Seq("u", "v"), "left_anti")
         .withColumn("d", lit(depth + 1))
-      frontier = next.localCheckpoint()
-      seen = seen.union(frontier).localCheckpoint()
+      frontier = next.localCheckpoint(false)
+      seen = seen.union(frontier).localCheckpoint(false)
       depth += 1
     }
+    // materialize the final union before callers drop e — one cheap scan
+    // over cached hop frames
+    seen.count()
     (seen, nodes, e)
   }
 
@@ -547,12 +595,16 @@ object Graph {
       val sources = pivots
         .map(_.select(col("s").cast("long").as("s")).distinct())
         .getOrElse(nodes.select(col("node").as("s")))
-      // forward: levels(d) = (s, v, sigma) of pairs at distance exactly d
+      // forward: levels(d) = (s, v, sigma) of pairs at distance exactly d.
+      // LAZY checkpoints (r21): each level's isEmpty probe is its
+      // materializing action (one job per level instead of two), and the
+      // seen union is a stack of cached-RDD scans materialized inside
+      // the next level's job.
       val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       levels += sources
         .select(col("s"), col("s").as("v"), lit(1.0).as("sigma"))
-        .localCheckpoint()
-      var seen = levels(0).select("s", "v").localCheckpoint()
+        .localCheckpoint(false)
+      var seen = levels(0).select("s", "v").localCheckpoint(false)
       var d = 0
       var exhausted = false
       while (d < maxDepth && !exhausted) {
@@ -561,11 +613,11 @@ object Graph {
           .groupBy(col("s"), col("__w").as("v"))
           .agg(sum("sigma").as("sigma"))
           .join(seen, Seq("s", "v"), "left_anti")
-          .localCheckpoint()
+          .localCheckpoint(false)
         if (next.isEmpty) exhausted = true
         else {
           levels += next
-          seen = seen.union(next.select("s", "v")).localCheckpoint()
+          seen = seen.union(next.select("s", "v")).localCheckpoint(false)
           d += 1
         }
       }
@@ -770,7 +822,18 @@ object Graph {
     * MapReduce and Beyond"): every node a connects each STRICTLY LARGER
     * neighbor to the minimum of its closed neighborhood. Input and
     * output rows are (u, v) with u > v — the child-points-to-smaller
-    * orientation both star ops preserve. */
+    * orientation both star ops preserve.
+    *
+    * The output is a BAG, not a set (r21): the trailing distinct was
+    * dropped because the only consumer is [[smallStar]], whose min
+    * aggregate is duplicate-indifferent (map-side partial aggregation
+    * dedups per input partition anyway) and whose own terminal distinct
+    * restores set semantics for the round — one exchange per round
+    * saved for identical round output. Duplicate (v, m) rows arise when
+    * several neighbors of v share a closed-neighborhood minimum, which
+    * is ALSO the case the old distinct's map-side partial dedup
+    * collapsed before its shuffle, so the shuffled-byte story at scale
+    * is unchanged to first order. */
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.select(col("u"), col("v"))
       .union(e.select(col("v").as("u"), col("u").as("v")))
@@ -779,7 +842,6 @@ object Graph {
     sym.join(mins, "u")
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("__m").as("v"))
-      .distinct()
   }
 
   /** One small-star round: every node a connects its SMALLER-OR-EQUAL
@@ -822,14 +884,19 @@ object Graph {
       .filter(col("a").isNotNull && col("b").isNotNull)
     // nodes come from the RAW list so a self-loop-only node still gets
     // its singleton row; the star rounds run on the simple graph
+    // LAZY checkpoints throughout (r21): every round's convergence
+    // signature is the materializing action, so checkpoint + signature
+    // cost ONE job per round instead of two (the nodes frame has no
+    // action of its own until the final join and stays lazy too); the
+    // Catalyst plan is truncated at creation either way
     val nodes = raw.select(col("a").as("node"))
       .union(raw.select(col("b").as("node"))).distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     var e = raw.filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     def sig(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)),
         coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
@@ -839,7 +906,7 @@ object Graph {
     var rounds = 0
     var stable = cnt == 0
     while (!stable && rounds < maxRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
       val (c2, k2) = sig(next)
       stable = c2 == cnt && k2 == chk
       cnt = c2; chk = k2; e = next; rounds += 1
@@ -943,8 +1010,10 @@ object Graph {
     require(maxIters >= 1, s"maxIters must be >= 1: $maxIters")
     val (adj, nodes) = lpaSetup(edges, srcCol, dstCol)
     try {
+      // LAZY checkpoints (r21): the per-round convergence signature is
+      // the materializing action — one job per round instead of two
       var state = nodes.select(col("z").as("node"), col("z").as("label"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       def sig(df: DataFrame): (Long, Long) = {
         val r = df.agg(count(lit(1)),
           coalesce(expr("bit_xor(xxhash64(node, label))"), lit(0L))).head()
@@ -954,11 +1023,14 @@ object Graph {
       var it = 0
       var stable = false
       while (!stable && it < maxIters) {
-        val next = lpaStep(adj, state).localCheckpoint()
+        val next = lpaStep(adj, state).localCheckpoint(false)
         val (c2, k2) = sig(next)
         stable = c2 == cnt && k2 == chk
         cnt = c2; chk = k2; state = next; it += 1
       }
+      // every state assignment is followed by its sig() action, so the
+      // returned frame is already a materialized checkpoint scan —
+      // independent of the adjacency cache the finally drops
       state
     } finally adj.unpersist(false)
   }
@@ -1485,14 +1557,13 @@ object Graph {
     var state = init.withColumn("h", lit(0.0)).localCheckpoint()
     var r = 1
     while (r <= maxDepth) {
-      val merged = hyperBallStep(e, state, hllMerge)
+      val merged = hyperBallStep(e, state, hllMerge, carryH = true)
       // registers only grow, so the running-max est keeps the per-node
       // ball estimates monotone through the one non-monotone seam in the
       // estimator (the linear-counting/raw switch at 2.5m) — the delta
-      // feeding h is then >= 0 by construction
+      // feeding h is then >= 0 by construction; prev est/h arrive on the
+      // fused aggregate's carried columns, no join
       state = merged
-        .join(state.select(col("node"), col("est").as("__e0"), col("h").as("__h0")),
-          "node")
         .withColumn("est", greatest(estU(col("reg")), col("__e0")))
         .withColumn("h", col("__h0") + (col("est") - col("__e0")) / r)
         .select("node", "reg", "est", "h")
@@ -1524,12 +1595,14 @@ object Graph {
     val out = scala.collection.mutable.ArrayBuffer((0L, total(state)))
     var r = 1
     while (r <= maxDepth) {
-      val merged = hyperBallStep(e, state, hllMerge)
+      val merged = hyperBallStep(e, state, hllMerge, carryH = false)
+      // prev est rides the fused aggregate — no monotonicity join; the
+      // per-radius total() scalar is the materializing action, so the
+      // checkpoint stays lazy (one job per radius)
       state = merged
-        .join(state.select(col("node"), col("est").as("__e0")), "node")
         .withColumn("est", greatest(estU(col("reg")), col("__e0")))
         .select("node", "reg", "est")
-        .localCheckpoint()
+        .localCheckpoint(false)
       out += ((r.toLong, total(state)))
       r += 1
     }
@@ -1581,14 +1654,27 @@ object Graph {
   }
 
   /** One synchronous HyperBall iteration: in-neighbor counters merged
-    * into each node's own via the register-max aggregate. */
+    * into each node's own via the register-max aggregate. The previous
+    * est (and optionally the running harmonic h) RIDE the same
+    * aggregate as max() over the state rows' carried columns (each node
+    * has exactly one state row, so the max picks it; neighbor rows
+    * carry null) — the r21 fused fold, replacing the per-iteration
+    * monotonicity join the r18–r20 shape paid a second exchange for. */
   private[graft] def hyperBallStep(e: DataFrame, state: DataFrame,
-      hllMerge: org.apache.spark.sql.expressions.UserDefinedFunction)
-      : DataFrame =
-    e.join(state.select(col("node").as("u"), col("reg")), "u")
-      .select(col("v").as("node"), col("reg"))
-      .union(state.select("node", "reg"))
-      .groupBy("node").agg(hllMerge(col("reg")).as("reg"))
+      hllMerge: org.apache.spark.sql.expressions.UserDefinedFunction,
+      carryH: Boolean): DataFrame = {
+    val nbr = e.join(state.select(col("node").as("u"), col("reg")), "u")
+      .select((Seq(col("v").as("node"), col("reg"),
+        lit(null).cast("double").as("__e0")) ++
+        (if (carryH) Seq(lit(null).cast("double").as("__h0")) else Nil)): _*)
+    val own = state.select((Seq(col("node"), col("reg"),
+      col("est").as("__e0")) ++
+      (if (carryH) Seq(col("h").as("__h0")) else Nil)): _*)
+    val aggs = Seq(hllMerge(col("reg")).as("reg"),
+      max(col("__e0")).as("__e0")) ++
+      (if (carryH) Seq(max(col("__h0")).as("__h0")) else Nil)
+    nbr.union(own).groupBy("node").agg(aggs.head, aggs.tail: _*)
+  }
 }
 
 /** HyperLogLog register kernels for [[Graph.harmonicCentralityHyperBall]]

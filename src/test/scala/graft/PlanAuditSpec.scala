@@ -603,10 +603,13 @@ class PlanAuditSpec extends SparkSpec {
 
   test("pagerank: cached normalized edges join with NO re-exchange per iteration") {
     // the r14 loop refactor: out-shares are folded into the src-keyed
-    // cached edge frame once, so the per-iteration contribStep must read
-    // the cache without re-shuffling it (the pre-refactor shape paid a
-    // deg join + a second exchange every iteration). Audits the
-    // PRODUCTION pieces (normalizedEdges + contribStep), broadcast off.
+    // cached edge frame once, so the per-iteration step must read the
+    // cache without re-shuffling it (the pre-refactor shape paid a deg
+    // join + a second exchange every iteration). The r21 fused step also
+    // folds the update join into the one node-keyed aggregate — the
+    // audit additionally pins ONE data-sized exchange per iteration.
+    // Audits the PRODUCTION pieces (normalizedEdges + fusedStep),
+    // broadcast off.
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
@@ -617,12 +620,13 @@ class PlanAuditSpec extends SparkSpec {
     try {
       val edges = (0L until 300L).flatMap(i =>
         Seq((i, (i * 7 + 3) % 300), (i, (i + 1) % 300))).toDF("s", "d")
-      val (eRaw, e) = ops.Graph.normalizedEdges(edges, "s", "d", None)
+      val e = ops.Graph.normalizedEdges(edges, "s", "d", None)
       try {
         e.count() // materialize the cache, as the loop's first action does
         val ranks = e.select(col("node")).distinct()
           .withColumn("rank", lit(1.0 / 300)).localCheckpoint()
-        val step = ops.Graph.contribStep(e, ranks)
+        val step = ops.Graph.fusedStep(e, ranks,
+          ranks.withColumn("__s", lit(1.0 / 300)))
         val phys = step.queryExecution.executedPlan match {
           case a: AdaptiveSparkPlanExec => a.executedPlan
           case p                        => p
@@ -639,7 +643,17 @@ class PlanAuditSpec extends SparkSpec {
         for (side <- edgeSides)
           assert(side.collectFirst { case ex: ShuffleExchangeLike => ex }.isEmpty,
             s"edge cache must not re-shuffle per iteration:\n$phys")
-      } finally { e.unpersist(false); eRaw.unpersist(false) }
+        // the r21 fused-fold pin: with broadcast off, the iteration plans
+        // exactly (a) the node-sized re-key of the checkpointed ranks RDD
+        // (an RDD scan carries no partitioning metadata) and (b) the one
+        // union → node-keyed aggregate exchange. The pre-r21 shape paid a
+        // THIRD exchange — the left-outer update join re-shuffling ranks
+        // a second time.
+        val exchanges = phys.collect { case ex: ShuffleExchangeLike => ex }
+        assert(exchanges.size <= 2,
+          s"fused iteration must shuffle at most twice (ranks re-key + " +
+            s"the one aggregate):\n$phys")
+      } finally e.unpersist(false)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
@@ -725,7 +739,7 @@ class PlanAuditSpec extends SparkSpec {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
       .select(col("doc_id"), col("n_chars").cast("double").as("v"))
     val agg = ops.Classifier.bootstrapAggregate(docs, col("v"),
-      ops.Classifier.poissonWeight("doc_id", _), replicates = 60)
+      "doc_id", replicates = 60)
     val p = plan(agg)
     assert(!p.contains("Generate") && !p.contains("Join"), p)
     assert(opCount(p, "Scan parquet") + p.linesIterator
@@ -1432,7 +1446,8 @@ class PlanAuditSpec extends SparkSpec {
         ops.Graph.hyperBallSetup(edges, "s", "d", maxDepth = 4, logM = 7)
       try {
         val state = init.localCheckpoint()
-        val step = ops.Graph.hyperBallStep(e, state, hllMerge)
+        val step = ops.Graph.hyperBallStep(e, state, hllMerge,
+          carryH = false)
         val phys = step.queryExecution.executedPlan match {
           // the adaptive wrapper's current plan (pre-execution: the
           // initial plan AFTER EnsureRequirements, so the
