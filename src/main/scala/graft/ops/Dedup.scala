@@ -316,6 +316,11 @@ object Dedup {
     // global token order); ⌈t·|sh|⌉ ≤ |sh| so the prefix is never empty
     val pfxLen = (size(col("sh")) -
       ceil(size(col("sh")).cast("double") * threshold).cast("int") + 1)
+    // NOTE (r21, measured): a second barrier here (checkpointing the
+    // exploded prefix frame for the two self-join sides) was tried and
+    // is net-NEGATIVE — re-exploding from the cached base is cheaper
+    // than the extra materialization job. Only the tokenization barrier
+    // above pays for itself.
     val tok = base
       .withColumn("__sz", size(col("sh")))
       .withColumn("__pfx", slice(col("sh"), lit(1), pfxLen))
@@ -962,13 +967,16 @@ object Dedup {
       val nbr = edges
         .join(labels.select(col("id").as("dst"), col("rep").as("nrep")), "dst")
         .groupBy(col("src").as("id")).agg(min("nrep").as("nbrRep"))
+      // the prev rep RIDES the update row (r21), so convergence is a
+      // filter over the lazily-checkpointed step output — its isEmpty
+      // probe is the materializing action; the old shape paid an eager
+      // checkpoint job PLUS an old-vs-new join per iteration
       val next = labels.join(nbr, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("rep").as("__prev"),
           least(col("rep"), coalesce(col("nbrRep"), col("rep"))).as("rep"))
-        .localCheckpoint()
-      converged = next.alias("n").join(labels.alias("o"), Seq("id"))
-        .filter(col("n.rep") =!= col("o.rep")).isEmpty
-      labels = next
+        .localCheckpoint(false)
+      converged = next.filter(col("rep") =!= col("__prev")).isEmpty
+      labels = next.select(col("id"), col("rep"))
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter iterations")
