@@ -1045,6 +1045,18 @@ object EventStream {
     * then estimates the BETWEEN-UNIT spread, which is exactly the
     * scale the unit-level delta needs.
     *
+    * HONESTY CAVEAT (r21, per the r20 advisor): the unit path removes
+    * WITHIN-WINDOW correlation only. The cumulative (n, S, Σx²) treat
+    * each (window, unit) total as a fresh independent observation, so
+    * a unit active across many windows re-enters the sequential
+    * statistic every window, and cross-window within-unit correlation
+    * can still shrink V and spend more α than the anytime-valid
+    * boundary promises. The guarantee as stated assumes units do not
+    * recur across windows (or that their window totals are
+    * independent); for heavily recurring units, batch [[graft.ops.Classifier.cupedDelta]]
+    * with `unitCol` folds ONE total per unit and does not have this
+    * issue.
+    *
     * Scale shape: ONE (window, arm) hash aggregate, a (window) pivot
     * fold, then window-ORDERED prefix sums over the windows-many
     * checkpointed rows (time-bounded; the [[cusumDrift]] convention).
