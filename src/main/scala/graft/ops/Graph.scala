@@ -621,7 +621,15 @@ object Graph {
           d += 1
         }
       }
-      // backward: down = (s, v, sigma, delta) of the level below
+      // backward: down = (s, v, sigma, delta) of the level below.
+      // r21 fused fold (the pageRank/hyperBall pattern): the successor
+      // contributions σ/σ_w·(1+δ_w) are UNIONED with one base row per
+      // (s, v) of the level (zero contribution, carrying sigma) and a
+      // single (s, v)-keyed aggregate folds delta and sigma together —
+      // the left-outer update join of the r15–r20 shape (one more
+      // exchange per level) is gone; every (s, v) has exactly one base
+      // row, so max picks its sigma and sum is 0.0 — not null — for
+      // path-terminal pairs, exactly the old coalesce.
       val contribs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       var down = levels.last.withColumn("delta", lit(0.0))
       // level 0 is v == s: its deltas feed nothing and bc excludes it,
@@ -629,18 +637,22 @@ object Graph {
       var k = levels.length - 2
       while (k >= 1) {
         val cur = levels(k)
-        val grown = cur.join(e, cur("v") === e("u"))
+        val grownRows = cur.join(e, cur("v") === e("u"))
           .select(col("s"), cur("v").as("v"), col("sigma"),
             e("v").as("__w"))
           .join(down.select(col("s"), col("v").as("__w"),
             col("sigma").as("__sw"), col("delta").as("__dw")),
             Seq("s", "__w"))
+          .select(col("s"), col("v"),
+            (col("sigma") / col("__sw") * (lit(1.0) + col("__dw")))
+              .as("__c"),
+            lit(null).cast("double").as("__sig"))
+        val baseRows = cur.select(col("s"), col("v"), lit(0.0).as("__c"),
+          col("sigma").as("__sig"))
+        down = grownRows.unionByName(baseRows)
           .groupBy("s", "v")
-          .agg(sum(col("sigma") / col("__sw") * (lit(1.0) + col("__dw")))
-            .as("__delta"))
-        down = cur.join(grown, Seq("s", "v"), "left")
-          .select(col("s"), col("v"), col("sigma"),
-            coalesce(col("__delta"), lit(0.0)).as("delta"))
+          .agg(sum("__c").as("delta"), max("__sig").as("sigma"))
+          .select(col("s"), col("v"), col("sigma"), col("delta"))
           .localCheckpoint()
         contribs += down.select("v", "delta")
         k -= 1
