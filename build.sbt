@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the bench's one-line JSON from sbt's output. sbt's
+// default BufferedOutput wraps every forked-process line as "[info] ..."
+// which has broken that parse since r19 (BENCH_r19..r21: parsed:null).
+// StdoutOutput passes the forked JVM's stdout/stderr through unwrapped,
+// so the bare JSON line reaches the driver. (Bench also writes the same
+// line to bench_out.json as a belt-and-braces channel.)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

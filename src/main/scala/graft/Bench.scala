@@ -334,7 +334,21 @@ object Bench {
     val qnormJson = timed.map { case (k, v) =>
         "\"" + k + "\":" + fmt(v / calibPar, 2)
       }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","roster21":${fmt(total21, 3)},"queries":$qjson,"queries_norm":$qnormJson,"failed":$failedJson,"flaky_iters":$flakyJson,"calib":${fmt(calib, 3)},"calib_par":${fmt(calibPar, 3)},"calib_mem":${fmt(calibMem, 3)},"value_norm":${fmt(norm, 2)},"roster21_norm":${fmt(norm21, 2)},"loadavg":${fmt(load0, 2)},"contaminated":$contaminated,"sf":"$sfDir"}""")
+    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","roster21":${fmt(total21, 3)},"queries":$qjson,"queries_norm":$qnormJson,"failed":$failedJson,"flaky_iters":$flakyJson,"calib":${fmt(calib, 3)},"calib_par":${fmt(calibPar, 3)},"calib_mem":${fmt(calibMem, 3)},"value_norm":${fmt(norm, 2)},"roster21_norm":${fmt(norm21, 2)},"loadavg":${fmt(load0, 2)},"contaminated":$contaminated,"sf":"$sfDir"}"""
+    println(jsonLine)
+    // r22 driver-contract fix: the driver's parser has read `parsed:null`
+    // since r19 because sbt's logger wrapped this line as "[info] {...}".
+    // build.sbt now sets `run / outputStrategy := StdoutOutput` so the
+    // println above reaches the driver unwrapped; additionally persist the
+    // identical line to bench_out.json so the record survives any log
+    // mangling. Same fields, same values — measurement is unchanged.
+    try {
+      val w = new java.io.PrintWriter(
+        new java.io.File("bench_out.json"), "UTF-8")
+      try w.println(jsonLine) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
+    }
     spark.stop()
     if (failed.nonEmpty || flaky.nonEmpty) sys.exit(1)
   }
