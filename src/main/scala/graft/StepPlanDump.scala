@@ -57,14 +57,24 @@ object StepPlanDump {
       e.unpersist(false)
     }
 
-    // connected components: one large-star + small-star round
+    // connected components: one FastSV round (r22 — jumps + hook); the
+    // r21 star round is kept alongside as the A/B baseline artifact
     locally {
       val cg = nodes.filter(col("node") + 7 < nMod)
         .select(col("node").as("src"), (col("node") + lit(7L)).as("dst"))
       val e0 = cg.select(greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v")).distinct().localCheckpoint()
-      write("components_round", ops.Graph.starRound(e0),
-        "one large-star + small-star round (window-aggregate form)")
+      write("components_star_round", ops.Graph.starRound(e0),
+        "r21 baseline: one large-star + small-star round (window form)")
+      val adj = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+        .union(nodes.select(col("node").as("u"), col("node").as("v")))
+        .repartition(col("u"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      adj.count()
+      val f0 = nodes.select(col("node"), col("node").as("f")).localCheckpoint()
+      write("components_round", ops.Graph.fastSVRound(adj, f0, jumps = 4),
+        "one FastSV round: 4 pointer-jump joins + closed-adjacency min-hook")
+      adj.unpersist(false)
     }
 
     // hyperball: one merge step (fused est/h carry)

@@ -370,6 +370,30 @@ class GraphSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("connected components: FastSV agrees with the r21 star loop and cuts rounds") {
+    // the r22 FastSV loop and the retained r21 alternating-star baseline
+    // are two independent implementations of the same canonical min
+    // labeling — they must agree exactly, and FastSV's raison d'être is
+    // the round count: label reach multiplies by ~(jumps+2)=6 per round
+    // versus the star round's ~2, so a 60-node path (diameter 59) must
+    // converge (incl. the confirming round) well under the star loop's
+    // ~8 rounds
+    val path = (0L until 59L).map(i => (i, i + 1)).toDF("s", "d")
+    val (fsv, rounds) = Graph.ccFastSVCore(path, "s", "d",
+      jumps = 4, maxRounds = 50)
+    val got = fsv.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 60 && got.values.forall(_ == 0L))
+    assert(rounds <= 6, s"FastSV took $rounds rounds on a 59-path")
+    // agreement on a multi-component random graph
+    val raw = (0L until 90L).map(i => (i, (i * 13 + 4) % 45 + (i / 45) * 45))
+    val edges = raw.toDF("s", "d")
+    val a = Graph.connectedComponents(edges, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.ccAlternatingStar(edges, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+
   test("connected components: star-alternation agrees with Dedup's label flooding") {
     // two INDEPENDENT implementations (Kiveris star rounds here, min-
     // label flooding in Dedup, each tuned for a different graph regime)
