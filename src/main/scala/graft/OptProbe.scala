@@ -37,6 +37,11 @@ object OptProbe {
     // the bench times OPERATOR overrides for three entries (pivot
     // betweenness, HLL hyperball, raw minhash) — probe the same thing
     val qs = SparkEntry.queries ++ Bench.operatorOverrides
+    // fail fast on misspelled names: silently dropping them makes a typo'd
+    // probe run read like a valid before/after measurement (r21 advice)
+    val unknown = args.filterNot(qs.contains)
+    require(unknown.isEmpty,
+      s"OptProbe: unknown query name(s): ${unknown.mkString(", ")}")
     val names = args.filter(qs.contains)
     // one discarded warmup pass (the Bench protocol)
     names.foreach { n => try qs(n)(spark, sfDir).count() catch { case _: Throwable => () } }

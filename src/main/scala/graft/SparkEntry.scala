@@ -4771,18 +4771,28 @@ FROM nodes n LEFT JOIN bc ON bc.v = n.node ORDER BY n.node"""
     "q_dedup_spans" -> ((s, dir) => {
       val spanN = 7
       val docs = T(s, dir, "documents")
-      def gramsOf(text: Column): Column =
-        Dedup.positionalGramHashes(Dedup.gramTokens(coalesce(text, lit(""))),
-          spanN)
-      val scrubbed = pin(Dedup.dedupSpansKeepFirst(docs, "text", "doc_id",
-        n = spanN))
-      val dupBefore = pin(docs
-        .select(explode(gramsOf(col("text"))).as("g"))
-        .groupBy("g").agg(count(lit(1)).as("c")).filter(col("c") > 1)
-        .select("g"))
+      // r22: the duplicated-gram set comes from the operator core's own
+      // materialized gram frame — definitionally identical to re-deriving
+      // it from the raw documents (same tokenizer, same positional gram
+      // hashes, same df > 1 census; see dedupSpansKeepFirstCore), without
+      // re-tokenizing and re-exploding the corpus a second time. The
+      // post-rewrite recount below stays fully independent — it audits
+      // the operator's OUTPUT.
+      val (scrubbedRaw, dupSet) = Dedup.dedupSpansKeepFirstCore(
+        docs, "text", "doc_id", n = spanN)
+      val scrubbed = pin(scrubbedRaw)
+      val dupBefore = pin(dupSet.select(col("__g").as("g")))
+      // r22: tokenize each piece in its OWN projection before the gram
+      // transform — inlining gramTokens(piece) into gramsOf captures the
+      // tokenizer subtree inside the transform lambda, where it re-runs
+      // once per gram POSITION (O(tokens²) per piece; measured 4.4 s vs
+      // 0.5 s for this recount at sf0.1). A multiply-referenced aliased
+      // column survives CollapseProject, so the split runs once per piece.
       val after = scrubbed.filter(length(col("scrub_text")) > 0)
         .select(explode(split(col("scrub_text"), "\n")).as("piece"))
-        .select(explode(gramsOf(col("piece"))).as("g"))
+        .select(Dedup.gramTokens(col("piece")).as("__ptoks"))
+        .select(explode(
+          Dedup.positionalGramHashes(col("__ptoks"), spanN)).as("g"))
         .groupBy("g").agg(count(lit(1)).as("c_after"))
       val joined = pin(dupBefore.join(after, Seq("g"), "left"))
       val one = dupBefore.agg(count(lit(1)).as("n_dup"))

@@ -372,20 +372,24 @@ object Dedup {
     */
   def duplicateSpanStats(docs: DataFrame, textCol: String, idCol: String,
                          n: Int = 5, minDf: Long = 2): DataFrame = {
-    // EAGER localCheckpoint (r21): the exploded gram frame feeds three
-    // consumers (per-doc census, df filter, dup semi-join) — without the
+    // EAGER localCheckpoint (r21): the exploded gram frame feeds two
+    // consumers (the df census and the flagging join) — without the
     // barrier each one re-tokenizes and re-explodes the corpus
     val grams = shingleFrame(docs, textCol, idCol, Nil, n)
       .select(col(idCol), explode(col("sh")).as("__h"))
       .localCheckpoint()
-    val perDoc = grams.groupBy(idCol).agg(count(lit(1)).as("n_spans"))
+    // r22: the duplicated sliver rides ONE left join back onto the gram
+    // frame and BOTH per-doc counts fold in the SAME doc-keyed aggregate
+    // (count(__df) counts only rows that matched a duplicated gram) —
+    // previously a semi-join plus two separate per-doc aggregates plus an
+    // extra doc-keyed assembly join
     val dupSet = grams.groupBy("__h").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") >= minDf).select("__h")
-    val dupPerDoc = grams.join(dupSet, Seq("__h"), "left_semi")
-      .groupBy(idCol).agg(count(lit(1)).as("dup_spans"))
+      .filter(col("__df") >= minDf).select("__h", "__df")
+    val perDoc = grams.join(dupSet, Seq("__h"), "left")
+      .groupBy(idCol).agg(count(lit(1)).as("n_spans"),
+        count(col("__df")).as("dup_spans"))
     docs.select(col(idCol))
       .join(perDoc, Seq(idCol), "left")
-      .join(dupPerDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
@@ -576,6 +580,14 @@ object Dedup {
     * the span operators need the position, and xxhash64 over the
     * space-joined gram (tokens cannot contain spaces) keeps the whole
     * build inside codegen'd built-ins.
+    *
+    * CALLER CONTRACT (r22, measured): pass `ts` as a PROJECTED attribute
+    * (`df.select(gramTokens(...).as("__toks")).select(...this...)`),
+    * never as an inline tokenizer subtree — `ts` is captured inside the
+    * `transform` lambda (the slice), where an inline subtree re-evaluates
+    * once per gram POSITION: O(tokens²) per document (4.4 s vs 0.5 s for
+    * the q_dedup_spans recount at sf0.1). A multiply-referenced alias
+    * survives CollapseProject, so the projection form tokenizes once.
     */
   private[graft] def positionalGramHashes(ts: Column, n: Int): Column =
     when(size(ts) < n, lit(Array.empty[Long]))
@@ -593,7 +605,11 @@ object Dedup {
     val grams = corp
       .select(col(idCol), posexplode(positionalGramHashes(col("__toks"), n)))
       .withColumnRenamed("pos", "__p").withColumnRenamed("col", "__g")
-    val benchGrams = bench.select(explode(positionalGramHashes(toks, n)).as("__g"))
+    // project the bench tokens to an attribute FIRST: inlining the
+    // tokenizer subtree into the gram transform captures it inside the
+    // lambda, where it re-runs once per gram position (O(tokens²) per doc)
+    val benchGrams = bench.select(toks.as("__btoks"))
+      .select(explode(positionalGramHashes(col("__btoks"), n)).as("__g"))
       .distinct()
     val hits = grams.join(broadcast(benchGrams), "__g")
       .groupBy(idCol).agg(collect_set(col("__p")).as("__hp"))
@@ -683,23 +699,50 @@ object Dedup {
     * shared O(tokens) scan pass. Never O(docs²), never O(occurrences²).
     */
   def dedupSpansKeepFirst(docs: DataFrame, textCol: String, idCol: String,
-                          n: Int, pad: Int = 0): DataFrame = {
+                          n: Int, pad: Int = 0): DataFrame =
+    dedupSpansKeepFirstCore(docs, textCol, idCol, n, pad)._1
+
+  /** [[dedupSpansKeepFirst]] plus the duplicated-gram SET (one `g` row
+    * per gram hash with corpus-wide occurrence count > 1, computed from
+    * the operator's own materialized gram frame) — exposed so derived
+    * checks can audit the rewrite without re-tokenizing and re-exploding
+    * the corpus a second time. The set is definitionally identical to
+    * re-deriving it from the raw documents (same tokenizer, same
+    * positional gram hashes, same df > 1 census over ALL positional
+    * occurrences).
+    *
+    * r22 shape: the positional gram explode is barriered with an eager
+    * localCheckpoint — it previously fed the df census plus BOTH dupOcc
+    * consumers (keepers, hits), and Catalyst's per-branch specialization
+    * re-tokenized and re-exploded the corpus for each (the r21
+    * ngram/minhash lesson); the df census and the keeper argmin now ride
+    * ONE partial-agg'd hash aggregate (count + min(struct)) instead of an
+    * aggregate each plus a gram-keyed join between them. Keeper selection
+    * stays an AGGREGATE, not a per-gram window — boilerplate grams with
+    * millions of copies partial-aggregate map-side (the PlanAuditSpec
+    * pin). */
+  private[graft] def dedupSpansKeepFirstCore(
+      docs: DataFrame, textCol: String, idCol: String,
+      n: Int, pad: Int = 0): (DataFrame, DataFrame) = {
     require(n > 0 && pad >= 0, s"dedupSpansKeepFirst: n > 0, pad >= 0: $n/$pad")
     val toks = gramTokens(coalesce(col(textCol), lit("")))
     val corp = docs.select(col(idCol), toks.as("__toks"))
     val grams = corp
       .select(col(idCol), posexplode(positionalGramHashes(col("__toks"), n)))
       .withColumnRenamed("pos", "__p").withColumnRenamed("col", "__g")
-    val dupGrams = grams.groupBy("__g")
-      .agg(count(lit(1)).as("__df")).filter(col("__df") > 1).select("__g")
-    val dupOcc = grams.join(dupGrams, "__g")
-    val keepers = dupOcc.groupBy("__g")
-      .agg(min(struct(col(idCol), col("__p"))).as("__k"))
-    val hits = dupOcc.join(keepers, "__g")
+      .localCheckpoint()
+    // ONE census: per-gram occurrence count and the canonical keeper
+    // (smallest (id, pos)) in the same hash aggregate, filtered to the
+    // duplicated sliver
+    val census = grams.groupBy("__g")
+      .agg(count(lit(1)).as("__df"),
+        min(struct(col(idCol), col("__p"))).as("__k"))
+      .filter(col("__df") > 1)
+    val hits = grams.join(census, "__g")
       .filter(!(col(idCol) === col("__k")(idCol) &&
         col("__p") === col("__k")("__p")))
       .groupBy(idCol).agg(collect_set(col("__p")).as("__hp"))
-    scrubAssemble(corp, hits, idCol, n, pad)
+    (scrubAssemble(corp, hits, idCol, n, pad), census.select(col("__g")))
   }
 
   /** SEMANTIC decontamination: flag corpus documents whose embedding is
