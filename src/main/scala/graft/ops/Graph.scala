@@ -1253,72 +1253,114 @@ object Graph {
     * Scale shape: the parallel COLORING algorithm (Orzan 2004; the
     * FW-BW family — Slota et al. 2014): each round (1) flood-fills max
     * node ids FORWARD along edges to a fixpoint — color(v) = the
-    * largest id that reaches v, a [[pageRank]]-shaped loop (one
-    * co-partitioned edge join + one max-aggregate per inner step,
-    * localCheckpoint truncation, O(1) driver scalars); (2) every color
-    * ROOT (color(r) = r) marks its SCC by a BACKWARD flood restricted
-    * to its own color region (correct because every node on a v→root
-    * path provably carries the root's color); (3) assigned SCCs leave
-    * the residual graph. Rounds = the number of "peel layers" of the
-    * SCC DAG along descending roots — small on real graphs; inner
-    * steps = color diameter. `maxRounds`/`maxIters` exhaustion REFUSES
-    * loudly (the kCore contract) rather than returning a partial
-    * labeling.
+    * largest id that reaches v; (2) every color ROOT (color(r) = r)
+    * marks its SCC by a BACKWARD flood restricted to its own color
+    * region (correct because every node on a v→root path provably
+    * carries the root's color); (3) assigned SCCs leave the residual
+    * graph. Rounds = the number of "peel layers" of the SCC DAG along
+    * descending roots — small on real graphs. `maxRounds`/`maxIters`
+    * exhaustion REFUSES loudly (the kCore contract) rather than
+    * returning a partial labeling.
+    *
+    * r22 inner loops: the forward flood is the [[connectedComponents]]
+    * FastSV shape with MAX semantics — `jumps` linear pointer-jump
+    * compositions against the checkpointed color (sound because
+    * color(v) always names an id that REACHES v, and reach composes),
+    * then one max-hook over the closed in-adjacency (self rows ride the
+    * per-round edge rebuild, so the jumped frame is consumed exactly
+    * once) — inner steps drop from O(color diameter) to
+    * ~log_{jumps+2}(diameter), each one edge pass. The fixpoint is the
+    * same max-reaching coloring (ascent + witness argument mirror the
+    * FastSV min proof). The backward flood advances a FRONTIER (the
+    * last layer's predecessors) instead of re-joining the full member
+    * set every step — identical BFS closure, predecessors of older
+    * layers were already resolved when their layer was the frontier.
+    * Convergence for both is the count-free xxhash64 bit_xor signature
+    * (one O(1) scalar job per step).
     */
   def stronglyConnectedComponents(edges: DataFrame, srcCol: String,
                                   dstCol: String, maxRounds: Int = 25,
-                                  maxIters: Int = 300): DataFrame = {
+                                  maxIters: Int = 300,
+                                  jumps: Int = 0): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
     require(maxIters >= 1, s"maxIters must be >= 1: $maxIters")
+    require(jumps >= 0, s"jumps must be >= 0: $jumps")
     val raw = edges.select(col(srcCol).cast("long").as("u"),
         col(dstCol).cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull)
     val allNodes = raw.select(col("u").as("node"))
       .union(raw.select(col("v").as("node"))).distinct()
       .localCheckpoint()
-    // twin edge frames, the hits pattern: the color flood joins on u,
-    // the membership flood joins on v — each keeps its own partitioning
+    // ONE edge frame: the CLOSED forward adjacency (simple edges plus
+    // one self row per node), u-partitioned — the self row carries the
+    // node's own jumped color through the max-hook, so the jumped frame
+    // has exactly one consumer (the FastSV discipline — no update join,
+    // no barrier). The backward flood reads the per-round eVsame frame
+    // derived below; the r21 separate v-partitioned edge cache is gone.
     val simple = raw.filter(col("u") =!= col("v")).distinct()
-    var e = simple.repartition(col("u")).localCheckpoint()
-    var eV = simple.repartition(col("v")).localCheckpoint()
+    var e = simple
+      .union(allNodes.select(col("node").as("u"), col("node").as("v")))
+      .repartition(col("u")).localCheckpoint()
     var nodes = allNodes
     var assigned: DataFrame = null
     var remaining = nodes.count()
     var rounds = 0
     var itersLeft = maxIters
+    def sig(df: DataFrame): Long =
+      df.agg(coalesce(expr("bit_xor(xxhash64(node, color))"), lit(0L)))
+        .head().getLong(0)
     while (remaining > 0 && rounds < maxRounds) {
-      // (1) forward max-color flood to fixpoint
+      // (1) forward max-color flood to fixpoint — FastSV shape: `jumps`
+      // linear compositions against the checkpointed color (reach
+      // composes, so jumped candidates stay sound witnesses; 0 is the
+      // measured sf0.1 knee — the bench graph's color diameter is ~5, so
+      // extra jump joins cost more than the steps they save; deep-chain
+      // graphs at scale are where jumps > 0 pays), then one max-hook
+      // over the closed in-adjacency; the signature is the one
+      // materializing job per inner step
       var color = nodes.select(col("node"), col("node").as("color"))
-        .localCheckpoint()
-      var changed = 1L
-      while (changed > 0 && itersLeft > 0) {
-        val inMax = e.join(
-            color.select(col("node").as("u"), col("color").as("__c")), "u")
-          .groupBy(col("v").as("node")).agg(max("__c").as("__cin"))
-        // LAZY checkpoint (r21): the changed-count is the materializing
-        // action, and the next color frame is a plain projection of the
-        // cached step output — one job per inner step instead of three
-        val next = color.join(inMax, Seq("node"), "left")
-          .select(col("node"), col("color"),
-            greatest(col("color"), coalesce(col("__cin"), col("color")))
-              .as("__next"))
+        .localCheckpoint(false)
+      var chk = sig(color)
+      var stable = false
+      while (!stable && itersLeft > 0) {
+        var g = color
+        for (_ <- 0 until jumps) {
+          g = g.select(col("node"), col("color").as("__j"))
+            .join(color.select(col("node").as("__j"), col("color")), "__j")
+            .select(col("node"), col("color"))
+        }
+        val next = e
+          .join(g.select(col("node").as("u"), col("color").as("__c")), "u")
+          .groupBy(col("v").as("node")).agg(max("__c").as("color"))
           .localCheckpoint(false)
-        changed = next.filter(col("__next") =!= col("color")).count()
-        color = next.select(col("node"), col("__next").as("color"))
-        itersLeft -= 1
+        val k2 = sig(next)
+        stable = k2 == chk
+        chk = k2; color = next; itersLeft -= 1
       }
-      require(changed == 0,
+      require(stable,
         s"stronglyConnectedComponents: color flood did not converge " +
           s"within $maxIters total inner steps (raise maxIters)")
       // (2) backward membership flood from each color root, restricted
-      // to the root's color region
+      // to the root's color region — FRONTIER-based: each step joins
+      // only the newest layer (predecessors of older layers were
+      // resolved when their layer was the frontier). The per-step color
+      // join stays (NOT pre-resolved into a per-round same-color edge
+      // frame: that variant was measured ~25% SLOWER at sf0.1 — the
+      // build pays three exchanges per round to replace a join the
+      // planner runs as a cheap broadcast; see OPTIMIZATION_r22.md).
+      // The backward frame is the closed adjacency minus self rows,
+      // v-partitioned and checkpointed once per round so the per-step
+      // frontier join never re-exchanges the edge side.
+      val eV = e.filter(col("u") =!= col("v"))
+        .repartition(col("v")).localCheckpoint()
       var member = color.filter(col("node") === col("color"))
         .localCheckpoint(false)
+      var frontier = member
       var grew = 1L
       while (grew > 0 && itersLeft > 0) {
         // LAZY checkpoint: the grew-count materializes the step
         val pred = eV.join(
-            member.select(col("node").as("v"), col("color").as("__mc")), "v")
+            frontier.select(col("node").as("v"), col("color").as("__mc")), "v")
           .select(col("u").as("node"), col("__mc"))
           .join(color, Seq("node"))
           .filter(col("color") === col("__mc"))
@@ -1326,7 +1368,10 @@ object Graph {
           .join(member, Seq("node"), "left_anti")
           .localCheckpoint(false)
         grew = pred.count()
-        if (grew > 0) member = member.union(pred).localCheckpoint(false)
+        if (grew > 0) {
+          member = member.union(pred).localCheckpoint(false)
+          frontier = pred
+        }
         itersLeft -= 1
       }
       require(grew == 0,
@@ -1334,18 +1379,21 @@ object Graph {
           s"within $maxIters total inner steps (raise maxIters)")
       assigned =
         if (assigned == null) member else assigned.union(member)
-      // (3) peel the assigned SCCs out of the residual graph (lazy: the
-      // e/eV rebuild jobs below materialize it before the count reads it)
+      // (3) peel the assigned SCCs out of the residual graph; self rows
+      // of surviving nodes survive the semi-joins, so the closed forward
+      // adjacency stays closed. The rebuild is SKIPPED when nothing
+      // remains — the last round's edge frame has no reader.
       nodes = nodes.join(member.select("node"), Seq("node"), "left_anti")
         .localCheckpoint(false)
-      val keep = nodes.select(col("node"))
-      val pruned = e
-        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
-        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
-        .select("u", "v")
-      e = pruned.repartition(col("u")).localCheckpoint()
-      eV = pruned.repartition(col("v")).localCheckpoint()
       remaining = nodes.count()
+      if (remaining > 0) {
+        val keep = nodes.select(col("node"))
+        e = e
+          .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+          .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+          .select("u", "v")
+          .repartition(col("u")).localCheckpoint()
+      }
       rounds += 1
     }
     require(remaining == 0,
