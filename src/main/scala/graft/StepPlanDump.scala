@@ -77,6 +77,31 @@ object StepPlanDump {
       adj.unpersist(false)
     }
 
+    // hits: one auth half-step (r22 = fused contribution+carry fold; the
+    // r21 update-join shape is kept alongside as the baseline artifact)
+    locally {
+      val simple = edges.filter(col("src") =!= col("dst")).distinct()
+      val eSrc = simple.repartition(col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      eSrc.count()
+      val state = simple.select(col("src").as("node")).distinct()
+        .withColumn("hub", lit(1.0)).withColumn("auth", lit(1.0))
+        .localCheckpoint()
+      val oldAuthNext = eSrc
+        .join(state.select(col("node").as("src"), col("hub")), "src")
+        .groupBy("dst").agg(sum("hub").as("__a"))
+      val oldHalfStep = state.select("node", "hub")
+        .join(oldAuthNext.select(col("dst").as("node"), col("__a")),
+          Seq("node"), "left")
+        .select(col("node"), col("hub"),
+          coalesce(col("__a"), lit(0.0)).as("auth"))
+      write("hits_half_step_r21", oldHalfStep,
+        "r21 baseline: auth aggregate THEN left-outer update join")
+      write("hits_half_step", ops.Graph.hitsAuthStep(eSrc, state),
+        "one fused auth half-step: contribution+carry fold, no update join")
+      eSrc.unpersist(false)
+    }
+
     // hyperball: one merge step (fused est/h carry)
     locally {
       val (e, _, _, hllMerge, init) =

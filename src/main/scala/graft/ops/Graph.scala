@@ -1163,18 +1163,38 @@ object Graph {
     } finally adj.unpersist(false)
   }
 
-  /** One HITS half-step: hubs flow along out-edges into authority sums.
-    * Joins the src-partitioned edge cache on its key; the audit asserts
-    * no re-exchange of the edge side. */
+  /** One FUSED HITS auth half-step (r22 — the pageRank fusedStep fold):
+    * hub contributions (state ⋈ src-partitioned edge cache, keyed by
+    * dst) union one base row per node (zero contribution, the carried
+    * hub), and a single node-keyed aggregate folds the auth sum and the
+    * hub carry — no left-outer update join, one exchange per half-step.
+    * Every node has exactly one base row (state ⊇ nodes throughout), so
+    * max(__hub) picks it and sum(__c) is 0.0 — not null — for
+    * in-degree-0 nodes, exactly the old coalesce. Iterates are
+    * exact-integer doubles (< 2^53, audited), so folding the extra 0.0
+    * terms and any partial-merge reordering is BIT-identical. Returns
+    * the full (node, hub, auth) next state; the audit asserts no
+    * re-exchange of the edge side. */
   private[graft] def hitsAuthStep(eSrc: DataFrame, state: DataFrame): DataFrame =
     eSrc.join(state.select(col("node").as("src"), col("hub")), "src")
-      .groupBy("dst").agg(sum("hub").as("__a"))
+      .select(col("dst").as("node"), col("hub").as("__c"),
+        lit(null).cast("double").as("__hub"))
+      .unionByName(state.select(col("node"), lit(0.0).as("__c"),
+        col("hub").as("__hub")))
+      .groupBy("node")
+      .agg(max("__hub").as("hub"), sum("__c").as("auth"))
 
-  /** The other half-step: fresh authorities flow back along in-edges
-    * into hub sums, off the dst-partitioned edge cache. */
+  /** The other fused half-step: fresh authorities flow back along
+    * in-edges into hub sums off the dst-partitioned edge cache, with
+    * the auth carry riding the same fold. */
   private[graft] def hitsHubStep(eDst: DataFrame, withAuth: DataFrame): DataFrame =
     eDst.join(withAuth.select(col("node").as("dst"), col("auth")), "dst")
-      .groupBy("src").agg(sum("auth").as("__h"))
+      .select(col("src").as("node"), col("auth").as("__c"),
+        lit(null).cast("double").as("__auth"))
+      .unionByName(withAuth.select(col("node"), lit(0.0).as("__c"),
+        col("auth").as("__auth")))
+      .groupBy("node")
+      .agg(sum("__c").as("hub"), max("__auth").as("auth"))
 
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iters: Int): DataFrame = {
@@ -1195,20 +1215,11 @@ object Graph {
         lit(1.0).as("auth")).localCheckpoint()
       var it = 0
       while (it < iters) {
-        val authNext = hitsAuthStep(eSrc, state)
-        val withAuth = state.select("node", "hub")
-          .join(authNext.select(col("dst").as("node"), col("__a")),
-            Seq("node"), "left")
-          .select(col("node"), col("hub"),
-            coalesce(col("__a"), lit(0.0)).as("auth"))
-          .localCheckpoint()
-        val hubNext = hitsHubStep(eDst, withAuth)
-        state = withAuth.select("node", "auth")
-          .join(hubNext.select(col("src").as("node"), col("__h")),
-            Seq("node"), "left")
-          .select(col("node"), coalesce(col("__h"), lit(0.0)).as("hub"),
-            col("auth"))
-          .localCheckpoint()
+        // each fused half-step is one join + one fold aggregate; the
+        // eager checkpoint stays — the half-step output feeds both the
+        // next half-step's join and its base rows (two consumers)
+        val withAuth = hitsAuthStep(eSrc, state).localCheckpoint()
+        state = hitsHubStep(eDst, withAuth).localCheckpoint()
         it += 1
       }
       // the one normalization: two exact-integer sums, then scan-side
