@@ -649,6 +649,100 @@ object Classifier {
       .toDF("n_items", "n_ratings", "d_o", "d_e", "alpha")
   }
 
+  /** Exact strictly-below prefix sums over a DISTINCT-key frame WITHOUT
+    * an unpartitioned window (r22 — retires the
+    * "WindowExec: No Partition Defined" single-task sites in
+    * [[rocAuc]] / [[deLongMomentsPinned]] / [[spearmanCorrelation]]).
+    * Returns `per` plus, for every `(sumCol, outCol)` pair, a DOUBLE
+    * column `outCol` = Σ sumCol over rows with STRICTLY smaller key.
+    *
+    * Plan choice is size-based and deterministic (see the cutoff note
+    * in the body); the large-frame path is two passes, all bounded:
+    * (1) rows bucket by a monotone range map
+    * of the key — the finite min/max ride a one-row aggregate attached
+    * by a broadcast cross join (no driver collect), ±Inf pin to the end
+    * buckets, and weak monotonicity is all the split needs; (2) the
+    * within-bucket prefix runs in a PARTITIONED window (keys are
+    * distinct, so the order is total), and the bucket offsets come from
+    * a ≤ buckets² broadcast theta join. Every summed column at the call
+    * sites holds integer-valued counts, so the regrouped additions are
+    * BIT-identical to the sequential unpartitioned prefix. Callers must
+    * have refused NaN keys already (all three sites' hygiene censuses
+    * run before this frame is built) and should pass a checkpointed
+    * `per` — it is read three times (min/max, bucket totals, rows).
+    */
+  private[graft] def boundedPrefix(per: DataFrame, keyCol: String,
+      sums: Seq[(String, String)], distinctCount: Long,
+      buckets: Int = 1024, smallCutoff: Long = 4096): DataFrame = {
+    require(buckets >= 1, s"boundedPrefix: buckets >= 1: $buckets")
+    require(distinctCount >= 0,
+      s"boundedPrefix: distinctCount >= 0: $distinctCount")
+    // `distinctCount` comes from the caller's EXISTING hygiene job (every
+    // site already aggregates the distinct-key frame once), so the plan
+    // choice is size-based and deterministic, like AQE: a frame KNOWN to
+    // be ≤ smallCutoff rows takes one bounded single-task window with an
+    // explicit constant partition spec — identical execution to the r21
+    // unpartitioned window at a size where one task is the right plan,
+    // without tripping the scale-blind "No Partition Defined" warning —
+    // and anything larger takes the bucketed two-pass below. Both paths
+    // are bit-identical (integer counts).
+    if (distinctCount <= smallCutoff) {
+      // the partition key is a NON-FOLDABLE constant (pmod(xxhash64(k), 1)
+      // = 0 for every row, integer arithmetic — Inf/NaN-safe): a literal
+      // key would be constant-folded out of the partition spec and the
+      // planner would fall back to the spec-less single-partition window
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(pmod(xxhash64(col(keyCol)), lit(1))).orderBy(keyCol)
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val cums = sums.map { case (c, out) =>
+        coalesce(sum(col(c).cast("double")).over(w), lit(0.0)).as(out)
+      }
+      return per.select(per.columns.map(col) ++ cums: _*)
+    }
+    val k = col(keyCol).cast("double")
+    val finite = !isnan(k) && k =!= Double.PositiveInfinity &&
+      k =!= Double.NegativeInfinity
+    val mm = per.agg(min(when(finite, k)).as("__kmin"),
+      max(when(finite, k)).as("__kmax"))
+    // floor((k-min)/span*B) is weakly monotone in k (IEEE subtraction,
+    // division and multiplication by nonnegative values preserve order);
+    // the span > 0 guard keeps ANSI mode from flagging the degenerate
+    // one-distinct-key / all-infinite frames, which land in bucket 0 —
+    // still monotone
+    val bRaw = floor((k - col("__kmin")) /
+      (col("__kmax") - col("__kmin")) * buckets)
+    val b = when(k === Double.NegativeInfinity, lit(0))
+      .when(k === Double.PositiveInfinity, lit(buckets - 1))
+      .when(col("__kmax") > col("__kmin"), coalesce(
+        least(greatest(bRaw, lit(0)), lit(buckets - 1)), lit(0)))
+      .otherwise(lit(0))
+      .cast("int")
+    val withB = per.crossJoin(broadcast(mm)).withColumn("__b", b)
+      .drop("__kmin", "__kmax")
+    val tot = withB.groupBy("__b")
+      .agg(sums.map { case (c, _) => sum(col(c)).as(s"__t_$c") }.head,
+        sums.tail.map { case (c, _) => sum(col(c)).as(s"__t_$c") }: _*)
+    val off = tot.as("x")
+      .join(broadcast(tot.as("y")), col("y.__b") < col("x.__b"), "left")
+      .groupBy(col("x.__b").as("__b"))
+      .agg(sums.map { case (c, out) =>
+          coalesce(sum(col(s"y.__t_$c").cast("double")), lit(0.0))
+            .as(s"__o_$out") }.head,
+        sums.tail.map { case (c, out) =>
+          coalesce(sum(col(s"y.__t_$c").cast("double")), lit(0.0))
+            .as(s"__o_$out") }: _*)
+    val wloc = org.apache.spark.sql.expressions.Window.partitionBy("__b")
+      .orderBy(keyCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cums = sums.map { case (c, out) =>
+      (col(s"__o_$out") +
+        coalesce(sum(col(c).cast("double")).over(wloc), lit(0.0))).as(out)
+    }
+    withB.join(broadcast(off), "__b")
+      .select(per.columns.map(col) ++ cums: _*)
+  }
+
   /** ROC AUC via the Mann–Whitney U identity (Hanley & McNeil 1982):
     * AUC = P(score⁺ > score⁻) + ½·P(tie), computed tie-exactly from
     * per-score aggregates — Σ_s n⁺(s)·(cumn⁻(<s) + n⁻(s)/2) over
@@ -660,14 +754,15 @@ object Classifier {
     * Scale shape: ONE score hash aggregate — the hygiene census rides
     * it and the refusal reads the checkpointed distinct-score table,
     * so there is no separate filter scan — then the cumulative-
-    * negative prefix sum runs over the DISTINCT-SCORE frame. With
-    * `bins = None` that prefix is an exact unpartitioned window —
-    * right for oracle-pinned evaluation at test scale, and honest
-    * about being single-task over distinct scores. For corpus-scale
-    * continuous scores pass `bins = Some(b)`: scores quantize to b
-    * fixed-width bins first (scores must then lie in [0, 1]) and the
-    * same tie-exact formula runs over ≤ b rows — the
-    * [[TextAnalysis.madOutliers]] exact/approx convention.
+    * negative prefix sum runs over the DISTINCT-SCORE frame via
+    * [[boundedPrefix]] (r22): a partitioned per-bucket window plus a
+    * bounded bucket-offset join, never a single-task unpartitioned
+    * window, and bit-identical to the sequential prefix because the
+    * counts are integers. For corpus-scale continuous scores pass
+    * `bins = Some(b)`: scores quantize to b fixed-width bins first
+    * (scores must then lie in [0, 1]) and the same tie-exact formula
+    * runs over ≤ b rows — the [[TextAnalysis.madOutliers]]
+    * exact/approx convention.
     */
   def rocAuc(scored: DataFrame, scoreCol: String, labelCol: String,
              bins: Option[Int] = None): DataFrame = {
@@ -692,16 +787,19 @@ object Classifier {
         sum(lit(1.0) - col("__y")).as("nn"),
         sum("__bad").as("nbad"))
       .localCheckpoint()
-    val badRow = perScore.agg(sum("nbad")).head()
+    val badRow = perScore.agg(sum("nbad"), count(lit(1))).head()
     val nBad = if (badRow.isNullAt(0)) 0L else badRow.getLong(0)
     require(nBad == 0,
       "rocAuc: scores must be non-null, non-NaN" +
         (if (bins.isDefined) " in [0, 1] (binned mode)" else "") +
         " and labels in {0, 1} — clean the frame first")
-    val w = Window.orderBy("__s")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val contrib = perScore.select(col("np"), col("nn"),
-      coalesce(sum("nn").over(w), lit(0.0)).as("cum_nn"))
+    // r22: the cumulative-negative prefix is [[boundedPrefix]] — a
+    // bounded single task below the cutoff, the bucketed two-pass above
+    // it — never a scale-blind unpartitioned window; bit-identical
+    // either way (integer counts). The distinct count rides the census.
+    val contrib = boundedPrefix(perScore, "__s", Seq("nn" -> "cum_nn"),
+        distinctCount = badRow.getLong(1))
+      .select(col("np"), col("nn"), col("cum_nn"))
     val tot = contrib.agg(
         sum("np").as("n_pos"), sum("nn").as("n_neg"),
         sum(col("np") * (col("cum_nn") + col("nn") / 2)).as("u")).head()
@@ -862,13 +960,11 @@ object Classifier {
     // per-model placement table over DISTINCT scores: u = the integer
     // 2·(#opposite-class strictly below) + (opposite-class ties) —
     // 2·n_opp·V, exact at any corpus size
-    def placements(per: DataFrame, u: String): DataFrame = {
-      val w = Window.orderBy("__v")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      per.select(col("__v"),
-          coalesce(sum("npv").over(w), lit(0.0)).as("cnp"),
-          coalesce(sum("nnv").over(w), lit(0.0)).as("cnn"),
-          col("npv"), col("nnv"))
+    def placements(per: DataFrame, u: String, nd: Long): DataFrame = {
+      // r22: boundedPrefix, never a scale-blind unpartitioned window;
+      // the distinct counts rode the existing census/count jobs
+      boundedPrefix(per, "__v", Seq("npv" -> "cnp", "nnv" -> "cnn"),
+          distinctCount = nd)
         .select(col("__v"),
           // positives place against negatives below/tied; negatives
           // against positives above/tied — one column each, the row's
@@ -877,8 +973,8 @@ object Classifier {
           (lit(2.0) * (lit(np.toDouble) - col("cnp") - col("npv")) +
             col("npv")).cast("long").as(s"__u01$u"))
     }
-    val plA = placements(perA, "a")
-    val plB = placements(perB, "b")
+    val plA = placements(perA, "a", t.getLong(0))
+    val plB = placements(perB, "b", ndB)
     val joined = rows
       .join(plA.withColumnRenamed("__v", "__va"), Seq("__va"))
       .join(plB.withColumnRenamed("__v", "__vb"), Seq("__vb"))
@@ -1588,15 +1684,14 @@ object Classifier {
       s"spearmanCorrelation: $da/$db distinct values exceed " +
         s"maxDistinct=$maxDistinct — quantize continuous corpus-scale " +
         "columns first (floor(score*b)/b)")
-    def ranked(pv: DataFrame, out: String): DataFrame = {
-      val w = Window.orderBy("__v")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      pv.select(col("__v"),
-        (coalesce(sum("cnt").over(w), lit(0L))
-          + (col("cnt") + 1) / lit(2.0)).as(out))
-    }
-    val ra = ranked(pa, "ra")
-    val rb = ranked(pb, "rb")
+    def ranked(pv: DataFrame, out: String, nd: Long): DataFrame =
+      // r22: boundedPrefix, never a scale-blind unpartitioned window;
+      // the distinct counts rode the existing census jobs
+      boundedPrefix(pv, "__v", Seq("cnt" -> "__below"), distinctCount = nd)
+        .select(col("__v"),
+          (col("__below") + (col("cnt") + 1) / lit(2.0)).as(out))
+    val ra = ranked(pa, "ra", da)
+    val rb = ranked(pb, "rb", db)
     // pinned: regressionReport's riding census and its power-sum agg
     // both read this checkpoint instead of re-executing the two
     // window sorts and joins (review-fixed)
